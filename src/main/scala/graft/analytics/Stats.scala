@@ -1,0 +1,73 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** A1-A5 — analytics aggregates (`/root/reference/app.py` §2.5):
+  * timestamp extremes, exact quantiles/median, pairwise-complete
+  * Pearson correlation matrix, describe()-style summary.
+  *
+  * Oracle-parity notes (SURVEY §5): exact `percentile` (linear
+  * interpolation = pandas type-7 = DuckDB `quantile_cont`), NOT
+  * `approx_percentile`; `corr` ignores null pairs and returns NaN on
+  * zero variance in both engines. Where sums of doubles would make the
+  * result order-dependent across partitions, we aggregate exact
+  * decimals and divide once at the end (`summaryExact`).
+  */
+object Stats {
+
+  /** A1 — min/max of a timestamp column, one row. */
+  def tsExtremes(df: DataFrame, tsCol: String): DataFrame =
+    df.agg(min(col(tsCol)).as("ts_min"), max(col(tsCol)).as("ts_max"))
+
+  /** A2/A3 — exact linear-interpolation quantiles of one column. */
+  def quantiles(df: DataFrame, c: String, qs: Seq[Double]): DataFrame = {
+    val arr = qs.mkString("array(", ", ", ")")
+    df.agg(expr(s"percentile($c, $arr)").as("__q"))
+      .select(qs.zipWithIndex.map { case (q, i) =>
+        col("__q").getItem(i).as(s"q${(q * 100).round}")
+      }: _*)
+  }
+
+  /** A4 — long-format pairwise Pearson correlation matrix over `cols`
+    * (upper triangle, col1 < col2). Spark's `corr` is pairwise-complete
+    * and null on zero variance, matching pandas `.corr()` [verified].
+    * One aggregate pass computes all k·(k-1)/2 cells. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) => corr(col(a), col(b)).as(s"${a}__${b}") }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // unpivot to long format: (col_a, col_b, r)
+    val stackExpr = pairs.map { case (a, b) => s"'$a', '$b', `${a}__${b}`" }
+      .mkString(s"stack(${pairs.size}, ", ", ", ") as (col_a, col_b, r)")
+    wide.select(expr(stackExpr))
+  }
+
+  /** A5 — describe()-style summary for one column, exact stats.
+    * Decimal sums make mean deterministic under any partitioning;
+    * stddev is derived from the exact sums with one closed formula so
+    * an oracle can reproduce it bit-for-bit. */
+  def summaryExact(df: DataFrame, c: String, scale: Int = 2): DataFrame = {
+    val d = col(c).cast(s"decimal(28,$scale)")
+    val d2 = (col(c) * col(c)).cast(s"decimal(38,${2 * scale min 6})")
+    df.agg(
+      count(col(c)).as("cnt"),
+      sum(d).as("sum_exact"),
+      sum(d2).as("sumsq_exact"),
+      min(col(c)).as("mn"),
+      max(col(c)).as("mx"),
+      expr(s"percentile($c, array(0.25, 0.5, 0.75))").as("q")
+    ).select(
+      col("cnt"),
+      (col("sum_exact").cast("double") / col("cnt")).as("mean"),
+      sqrt(
+        (col("sumsq_exact").cast("double") -
+          col("sum_exact").cast("double") * col("sum_exact").cast("double") / col("cnt")) /
+          (col("cnt") - 1)).as("stddev"),
+      col("mn"), col("mx"),
+      col("q").getItem(0).as("q25"), col("q").getItem(1).as("q50"),
+      col("q").getItem(2).as("q75"))
+  }
+}

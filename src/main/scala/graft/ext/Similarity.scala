@@ -1,0 +1,105 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.cosine_sim
+
+/** Similarity search over an embedding column (`array<float>`),
+  * BASELINE.json north star: brute-force cosine top-k as the exact
+  * baseline, random-hyperplane LSH bucketing as the scale path.
+  *
+  * Scale shape: brute force is a broadcast nested loop — queries
+  * (small) broadcast against the corpus (huge), evaluated by the
+  * codegen'd `CosineSimilarity` kernel, then a per-query top-k window.
+  * That is the right plan up to ~10^4 queries × any corpus size; past
+  * that, `lshTopK` buckets the corpus by hyperplane sign signatures so
+  * each query only scans its own bucket(s) — candidate generation is a
+  * shuffle on (table, signature), re-ranking stays exact.
+  */
+object Similarity {
+
+  /** Exact brute-force top-k: for each query vector, the k nearest
+    * corpus vectors by cosine. `queries` must be small (broadcast). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine_sim(col("__qv"), col("__cv")).as("sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
+  /** Deterministic pseudo-random hyperplanes: `nPlanes` × `dim`,
+    * seeded — same planes on every executor/run. */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rng = new java.util.Random(seed)
+    Array.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Sign-signature of an embedding under the given hyperplanes,
+    * packed into one long (nPlanes <= 63). */
+  def signature(vecCol: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit): _*)
+      val dot = graft.functions.VectorFunctions.vec_dot(vecCol, planeLit)
+      when(dot > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: `nTables` independent signature tables; a
+    * candidate is any corpus vector sharing a signature with the query
+    * in at least one table; candidates are re-ranked with exact cosine.
+    * Recall grows with nTables; per-bucket fan-out shrinks with
+    * nPlanes. No broadcast of the corpus; candidate generation is a
+    * hash join on (table, signature). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nPlanes: Int = 12, nTables: Int = 4, dim: Int = 64, seed: Long = 42L,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def signed(df: DataFrame, id: String, v: String): DataFrame = {
+      val tables = (0 until nTables).map { t =>
+        val planes = hyperplanes(nPlanes, dim, seed + t)
+        df.select(lit(t).as("__table"), col(id), col(v),
+          signature(col(v), planes).as("__sig"))
+      }
+      tables.reduce(_.unionByName(_))
+    }
+    val cs = signed(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+      "neighbor_id", "__cv")
+    val qs = signed(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")),
+      "query_id", "__qv")
+    val candidates = cs.join(qs, Seq("__table", "__sig"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id", "__qv", "__cv")
+      .dropDuplicates("query_id", "neighbor_id") // same pair from several tables
+    val scored = candidates.select(col("query_id"), col("neighbor_id"),
+      cosine_sim(col("__qv"), col("__cv")).as("sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
+  /** Embedding near-duplicate pairs: cosine >= threshold, via LSH
+    * candidate generation + exact verification (a < b, each pair once). */
+  def nearDupPairs(corpus: DataFrame, threshold: Double,
+                   nPlanes: Int = 10, nTables: Int = 6, dim: Int = 64, seed: Long = 42L,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val tables = (0 until nTables).map { t =>
+      val planes = hyperplanes(nPlanes, dim, seed + t)
+      corpus.select(lit(t).as("__table"), col(idCol), col(vecCol),
+        signature(col(vecCol), planes).as("__sig"))
+    }.reduce(_.unionByName(_))
+    val a = tables.select(col("__table"), col("__sig"),
+      col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = tables.select(col("__table"), col("__sig"),
+      col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    a.join(b, Seq("__table", "__sig")).filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), cosine_sim(col("__va"), col("__vb")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}

@@ -1,0 +1,89 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for a training-data pipeline over `documents`
+  * (BASELINE.json north star): tokenization, quality scoring,
+  * language-ID heuristic, token counting, document fingerprints.
+  *
+  * Everything is built-in `functions._` column expressions (codegen'd,
+  * no UDFs): a 100 TB corpus scans straight through whole-stage
+  * codegen with these in the projection list.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of the lower-cased text. */
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "and", "to", "in", "is", "on", "for", "with", "at")
+
+  /** Per-language marker profiles for the n-gram/stopword language-ID
+    * heuristic. Scores are exact integer hit counts -> deterministic. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "una"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "une", "dans"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和"))
+
+  private def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
+
+  /** Token count, distinct-token count, type-token ratio, average token
+    * length, stopword ratio — the quality-score ingredients. */
+  def stats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.withColumn("__toks", toks)
+      .withColumn("n_tokens", size(col("__toks")))
+      .withColumn("n_distinct", size(array_distinct(col("__toks"))))
+      .withColumn("ttr", col("n_distinct").cast("double") / col("n_tokens"))
+      .withColumn("sum_len",
+        aggregate(transform(col("__toks"), t => length(t)), lit(0), (acc, x) => acc + x))
+      .withColumn("avg_token_len", col("sum_len").cast("double") / col("n_tokens"))
+      .withColumn("n_stop", hitCount(col("__toks"), Stopwords))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+      .drop("__toks")
+  }
+
+  /** Composite quality score in [0,1]: length band + lexical diversity
+    * + stopword presence (the usual C4/Gopher-style cheap filters,
+    * simplified). Pure arithmetic over the `stats` columns. */
+  def qualityScore: Column =
+    (when(col("n_tokens").between(20, 1000), lit(0.4)).otherwise(lit(0.0)) +
+      least(col("ttr"), lit(0.5)) * 0.8 +
+      least(col("stop_ratio") * 4, lit(0.2)))
+
+  /** Language-ID by marker-word hit counts; deterministic argmax with
+    * profile order breaking ties. */
+  def langId(textCol: Column): Column = {
+    val toks = tokens(textCol)
+    val scores = LangProfiles.map { case (lang, words) => lang -> hitCount(toks, words) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** BPE-ish token count: letter runs, digit runs, and single
+    * punctuation marks each count as one token (regex-based proxy for
+    * a real tokenizer's token count). */
+  def bpeishTokenCount(textCol: Column): Column =
+    size(regexp_extract_all(lower(textCol), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+
+  /** Canonical bag-of-words fingerprint: md5 of the sorted distinct
+    * token set — equal fingerprints = same vocabulary (order-free
+    * near-dup detector, exactly reproducible in any engine). */
+  def fingerprint(textCol: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(textCol)))))
+
+  /** Polynomial rolling hash of the full text (content fingerprint):
+    * fold over characters, h = (h*31 + code) mod 1e9+7. Sequential and
+    * exact — stable across engines/partitionings. */
+  def rollingHash(textCol: Column): Column =
+    aggregate(
+      transform(split(textCol, ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, x) => (acc * 31L + x) % 1000000007L)
+}

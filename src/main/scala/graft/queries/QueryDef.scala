@@ -1,0 +1,25 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One driver-contract query: Spark implementation + optional DuckDB
+  * oracle SQL over the same parquet tables (bare table names; the
+  * driver attaches `/root/testdata/sfX/<name>.parquet` as views).
+  *
+  * Determinism rules (the driver hash-compares values after sorting
+  * columns by name):
+  *  - every query ends in an ORDER BY on a unique key, on both sides;
+  *  - aggregate/computed columns carry identical aliases on both sides;
+  *  - double-typed sums are aggregated as exact DECIMAL and cast to
+  *    double once (partition-order independent, bit-equal to DuckDB);
+  *  - residual float outputs are rounded on both sides.
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object QueryDef {
+  def tables(spark: SparkSession, sfDir: String, names: String*): Map[String, DataFrame] =
+    names.map(n => n -> spark.read.parquet(s"$sfDir/$n.parquet")).toMap
+}

@@ -1,0 +1,344 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.clean.Clean
+import graft.sync.{AsofJoin, EventPivot, TimeGrid}
+import graft.analytics.Stats
+
+/** Reference-surface operators (SURVEY.md §2) expressed over the
+  * driver's parquet tables, each with a DuckDB oracle.
+  *
+  * The time-series operators run against `events` (the only timestamped
+  * stream table): the camera/motion roles of the reference are played by
+  * the even/odd `user_id` halves of `events`, the grid step scales from
+  * the reference's 33 ms to 1 minute for the 30-day span (same operator,
+  * parameterized — SURVEY §2.4), and the one-hot tolerance scales from
+  * <100 ms to <10 s accordingly.
+  */
+object RefQueries {
+
+  private val MeasureCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+  private val MinuteUs = 60000000L
+  private val TolUs = 10000000L // strict < 10 s, scaled from app.py:185's < 100 ms
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+
+  /** events deduped to one row per ts (as-of kernels need a unique
+    * time index, like pandas reindex). */
+  private def eventsByTs(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).groupBy(col("ts")).agg(max(col("value")).as("value"))
+
+  private def eventsWindowUs(spark: SparkSession, dir: String): (Long, Long) = {
+    val r = events(spark, dir)
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  private def minuteGrid(spark: SparkSession, dir: String): (DataFrame, Long, Long) = {
+    val (lo, hi) = eventsWindowUs(spark, dir)
+    (TimeGrid.grid(spark, lo, hi, MinuteUs, tickCol = "tick"), lo,
+      TimeGrid.tickCount(lo, hi, MinuteUs))
+  }
+
+  private val oracleGridCte =
+    """w AS (SELECT epoch_us(min(ts)) AS lo, epoch_us(max(ts)) AS hi FROM events),
+      |w2 AS (SELECT lo, hi, (hi - lo) // 60000000 + 1 AS n FROM w),
+      |g AS (SELECT w2.lo + r.i * 60000000 AS tick_us FROM w2, range(0, w2.n) r(i)),
+      |e AS (SELECT ts, max(value) AS value FROM events GROUP BY ts)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // F1 — drop rows with any missing (NULL-or-NaN) value, app.py:108.
+    QueryDef("f1_dropna",
+      (s, d) => {
+        val li = s.read.parquet(s"$d/lineitem.parquet")
+        Clean.dropMissing(li).orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT * FROM lineitem
+             |WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+             |  AND l_suppkey IS NOT NULL AND l_linenumber IS NOT NULL
+             |  AND l_quantity IS NOT NULL AND NOT isnan(l_quantity)
+             |  AND l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+             |  AND l_discount IS NOT NULL AND NOT isnan(l_discount)
+             |  AND l_tax IS NOT NULL AND NOT isnan(l_tax)
+             |  AND l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+             |  AND l_shipdate IS NOT NULL
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // F3 — strict sentinel/range filter over the measure columns, app.py:116.
+    QueryDef("f3_range_filter",
+      (s, d) => {
+        val li = s.read.parquet(s"$d/lineitem.parquet")
+        Clean.rangeFilter(li, MeasureCols)
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax")
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax
+             |FROM lineitem
+             |WHERE NOT (l_quantity < -900 OR l_quantity > 10000)
+             |  AND NOT (l_extendedprice < -900 OR l_extendedprice > 10000)
+             |  AND NOT (l_discount < -900 OR l_discount > 10000)
+             |  AND NOT (l_tax < -900 OR l_tax > 10000)
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // F3 report — the reference's *sequential* per-column removal counts
+    // (app.py:115-120) as one aggregate row.
+    QueryDef("f3_range_report",
+      (s, d) => {
+        val li = s.read.parquet(s"$d/lineitem.parquet")
+        val aggs = MeasureCols.zipWithIndex.map { case (c, i) =>
+          val survivedPrior: Column =
+            if (i == 0) lit(true)
+            else MeasureCols.take(i).map(p => !Clean.outOfRange(p)).reduce(_ && _)
+          sum(when(survivedPrior && Clean.outOfRange(c), 1L).otherwise(0L))
+            .as(s"removed_$c")
+        }
+        li.agg(aggs.head, aggs.tail: _*)
+      },
+      Some("""SELECT
+             | sum(CASE WHEN (l_quantity < -900 OR l_quantity > 10000) THEN 1 ELSE 0 END) AS removed_l_quantity,
+             | sum(CASE WHEN NOT (l_quantity < -900 OR l_quantity > 10000)
+             |           AND (l_extendedprice < -900 OR l_extendedprice > 10000) THEN 1 ELSE 0 END) AS removed_l_extendedprice,
+             | sum(CASE WHEN NOT (l_quantity < -900 OR l_quantity > 10000)
+             |           AND NOT (l_extendedprice < -900 OR l_extendedprice > 10000)
+             |           AND (l_discount < -900 OR l_discount > 10000) THEN 1 ELSE 0 END) AS removed_l_discount,
+             | sum(CASE WHEN NOT (l_quantity < -900 OR l_quantity > 10000)
+             |           AND NOT (l_extendedprice < -900 OR l_extendedprice > 10000)
+             |           AND NOT (l_discount < -900 OR l_discount > 10000)
+             |           AND (l_tax < -900 OR l_tax > 10000) THEN 1 ELSE 0 END) AS removed_l_tax
+             |FROM lineitem""".stripMargin)),
+
+    // F4 — quantile spike smoothing on o_totalprice (app.py:122-131):
+    // out-of-(q01,q99) values become the whole-column median.
+    QueryDef("f4_spike_smooth",
+      (s, d) => {
+        val o = s.read.parquet(s"$d/orders.parquet")
+        val q = o.agg(expr("percentile(o_totalprice, array(0.01, 0.5, 0.99))")).head()
+          .getSeq[Double](0)
+        val (qlo, med, qhi) = (q(0), q(1), q(2))
+        o.select(
+          col("o_orderkey"),
+          when(col("o_totalprice") < qlo || col("o_totalprice") > qhi, 1)
+            .otherwise(0).as("is_outlier"),
+          round(when(col("o_totalprice") < qlo || col("o_totalprice") > qhi, lit(med))
+            .otherwise(col("o_totalprice")), 4).as("smoothed")
+        ).orderBy(col("o_orderkey"))
+      },
+      Some("""WITH q AS (SELECT quantile_cont(o_totalprice, 0.01) AS qlo,
+             |                  quantile_cont(o_totalprice, 0.5)  AS med,
+             |                  quantile_cont(o_totalprice, 0.99) AS qhi FROM orders)
+             |SELECT o_orderkey,
+             |  CASE WHEN o_totalprice < q.qlo OR o_totalprice > q.qhi THEN 1 ELSE 0 END AS is_outlier,
+             |  round(CASE WHEN o_totalprice < q.qlo OR o_totalprice > q.qhi THEN q.med
+             |             ELSE o_totalprice END, 4) AS smoothed
+             |FROM orders, q ORDER BY o_orderkey""".stripMargin)),
+
+    // F5 — deterministic sort by timestamp (app.py:133-135).
+    QueryDef("f5_sort",
+      (s, d) => events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy(col("ts"), col("event_id")),
+      Some("""SELECT event_id, ts, user_id, event_type, value
+             |FROM events ORDER BY ts, event_id""".stripMargin)),
+
+    // Y3 — overlap window of two sensors (app.py:155-156); the two
+    // sensors are the even/odd user_id halves of events.
+    QueryDef("y3_overlap_window",
+      (s, d) => {
+        val e = events(s, d)
+        val a = e.filter(col("user_id") % 2 === 0)
+          .agg(min(col("ts")).as("a_lo"), max(col("ts")).as("a_hi"))
+        val b = e.filter(col("user_id") % 2 === 1)
+          .agg(min(col("ts")).as("b_lo"), max(col("ts")).as("b_hi"))
+        a.crossJoin(b).select(
+          greatest(col("a_lo"), col("b_lo")).as("overlap_start"),
+          least(col("a_hi"), col("b_hi")).as("overlap_end"))
+      },
+      Some("""SELECT greatest(a.a_lo, b.b_lo) AS overlap_start,
+             |       least(a.a_hi, b.b_hi) AS overlap_end
+             |FROM (SELECT min(ts) AS a_lo, max(ts) AS a_hi FROM events WHERE user_id % 2 = 0) a,
+             |     (SELECT min(ts) AS b_lo, max(ts) AS b_hi FROM events WHERE user_id % 2 = 1) b""".stripMargin)),
+
+    // Y4 — uniform 33 ms grid (app.py:160) over the first 60 s of events.
+    QueryDef("y4_time_grid",
+      (s, d) => {
+        val (lo, _) = eventsWindowUs(s, d)
+        TimeGrid.grid(s, lo, lo + 60000000L, 33000L, tickCol = "tick").orderBy(col("tick"))
+      },
+      Some("""WITH w AS (SELECT epoch_us(min(ts)) AS lo FROM events)
+             |SELECT make_timestamp(w.lo + r.i * 33000) AS tick
+             |FROM w, range(0, 1819) r(i) ORDER BY tick""".stripMargin)),
+
+    // Y5 — as-of pad: last event at ts <= tick (app.py:164, method='pad').
+    QueryDef("y5_asof_pad",
+      (s, d) => {
+        val (grid, _, _) = minuteGrid(s, d)
+        AsofJoin.pad(grid, "tick", eventsByTs(s, d), "ts", Seq("value"))
+          .orderBy(col("tick"))
+      },
+      Some(s"""WITH $oracleGridCte
+              |SELECT make_timestamp(g.tick_us) AS tick, e.ts AS src_ts, e.value AS value
+              |FROM g ASOF LEFT JOIN e ON make_timestamp(g.tick_us) >= e.ts
+              |ORDER BY tick""".stripMargin)),
+
+    // Y5 — as-of backfill: first event at ts >= tick.
+    QueryDef("y5_asof_backfill",
+      (s, d) => {
+        val (grid, _, _) = minuteGrid(s, d)
+        AsofJoin.backfill(grid, "tick", eventsByTs(s, d), "ts", Seq("value"))
+          .orderBy(col("tick"))
+      },
+      Some(s"""WITH $oracleGridCte
+              |SELECT make_timestamp(g.tick_us) AS tick, e.ts AS src_ts, e.value AS value
+              |FROM g ASOF LEFT JOIN e ON make_timestamp(g.tick_us) <= e.ts
+              |ORDER BY tick""".stripMargin)),
+
+    // Y5 — as-of nearest: min |ts - tick|, tie -> LATER ts [verified].
+    QueryDef("y5_asof_nearest",
+      (s, d) => {
+        val (grid, _, _) = minuteGrid(s, d)
+        AsofJoin.nearest(grid, "tick", eventsByTs(s, d), "ts", Seq("value"))
+          .orderBy(col("tick"))
+      },
+      Some(s"""WITH $oracleGridCte,
+              |p AS (SELECT make_timestamp(g.tick_us) AS tick, e.ts AS pts, e.value AS pv
+              |      FROM g ASOF LEFT JOIN e ON make_timestamp(g.tick_us) >= e.ts),
+              |b AS (SELECT make_timestamp(g.tick_us) AS tick, e.ts AS bts, e.value AS bv
+              |      FROM g ASOF LEFT JOIN e ON make_timestamp(g.tick_us) <= e.ts)
+              |SELECT p.tick,
+              |  CASE WHEN pts IS NULL OR (bts IS NOT NULL
+              |        AND epoch_us(bts) - epoch_us(p.tick) <= epoch_us(p.tick) - epoch_us(pts))
+              |       THEN bts ELSE pts END AS src_ts,
+              |  CASE WHEN pts IS NULL OR (bts IS NOT NULL
+              |        AND epoch_us(bts) - epoch_us(p.tick) <= epoch_us(p.tick) - epoch_us(pts))
+              |       THEN bv ELSE pv END AS value
+              |FROM p JOIN b USING (tick) ORDER BY tick""".stripMargin)),
+
+    // Y7 — tolerance as-of + one-hot pivot (app.py:178-191): nearest
+    // tick closed-form (tie -> earlier tick), strict < 10 s tolerance.
+    QueryDef("y7_event_pivot",
+      (s, d) => {
+        val (grid, lo, n) = minuteGrid(s, d)
+        EventPivot.oneHot(grid, "tick", events(s, d), "ts", "event_type",
+          lo, MinuteUs, n, TolUs, Some(EventTypes))
+          .orderBy(col("tick"))
+      },
+      Some("""WITH w AS (SELECT epoch_us(min(ts)) AS lo, epoch_us(max(ts)) AS hi FROM events),
+             |w2 AS (SELECT lo, hi, (hi - lo) // 60000000 + 1 AS n FROM w),
+             |c AS (SELECT e.ts, e.event_type,
+             |        w2.lo + LEAST(w2.n - 1, GREATEST(0,
+             |          CAST(ceil((epoch_us(e.ts) - w2.lo - 30000000) / 60000000.0) AS BIGINT)
+             |        )) * 60000000 AS tick_us
+             |      FROM events e, w2),
+             |h AS (SELECT DISTINCT tick_us, event_type FROM c
+             |      WHERE abs(epoch_us(ts) - tick_us) < 10000000),
+             |p AS (SELECT tick_us,
+             |        max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS event_click,
+             |        max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS event_error,
+             |        max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS event_purchase,
+             |        max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS event_signup,
+             |        max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS event_view
+             |      FROM h GROUP BY tick_us),
+             |g AS (SELECT w2.lo + r.i * 60000000 AS tick_us FROM w2, range(0, w2.n) r(i))
+             |SELECT make_timestamp(g.tick_us) AS tick,
+             |  coalesce(event_click, 0) AS event_click,
+             |  coalesce(event_error, 0) AS event_error,
+             |  coalesce(event_purchase, 0) AS event_purchase,
+             |  coalesce(event_signup, 0) AS event_signup,
+             |  coalesce(event_view, 0) AS event_view
+             |FROM g LEFT JOIN p USING (tick_us) ORDER BY tick""".stripMargin)),
+
+    // A1 — timestamp extremes per table (app.py:155-156).
+    QueryDef("a1_minmax",
+      (s, d) => {
+        val e = Stats.tsExtremes(events(s, d), "ts")
+          .select(col("ts_min").as("e_min"), col("ts_max").as("e_max"))
+        val o = Stats.tsExtremes(s.read.parquet(s"$d/orders.parquet"), "o_orderdate")
+          .select(col("ts_min").as("o_min"), col("ts_max").as("o_max"))
+        e.crossJoin(o)
+      },
+      Some("""SELECT e.e_min, e.e_max, o.o_min, o.o_max
+             |FROM (SELECT min(ts) AS e_min, max(ts) AS e_max FROM events) e,
+             |     (SELECT min(o_orderdate) AS o_min, max(o_orderdate) AS o_max FROM orders) o""".stripMargin)),
+
+    // A2 — exact linear-interpolation quantiles (app.py:125-126).
+    QueryDef("a2_quantiles",
+      (s, d) => Stats.quantiles(s.read.parquet(s"$d/orders.parquet"), "o_totalprice",
+        Seq(0.01, 0.25, 0.5, 0.75, 0.99))
+        .select(round(col("q1"), 4).as("q1"), round(col("q25"), 4).as("q25"),
+          round(col("q50"), 4).as("q50"), round(col("q75"), 4).as("q75"),
+          round(col("q99"), 4).as("q99")),
+      Some("""SELECT round(quantile_cont(o_totalprice, 0.01), 4) AS q1,
+             |       round(quantile_cont(o_totalprice, 0.25), 4) AS q25,
+             |       round(quantile_cont(o_totalprice, 0.50), 4) AS q50,
+             |       round(quantile_cont(o_totalprice, 0.75), 4) AS q75,
+             |       round(quantile_cont(o_totalprice, 0.99), 4) AS q99
+             |FROM orders""".stripMargin)),
+
+    // A3 — exact median (app.py:130).
+    QueryDef("a3_median",
+      (s, d) => s.read.parquet(s"$d/lineitem.parquet").agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("med_qty"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("med_price")),
+      Some("""SELECT round(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
+             |       round(quantile_cont(l_extendedprice, 0.5), 4) AS med_price
+             |FROM lineitem""".stripMargin)),
+
+    // A4 — pairwise Pearson correlation matrix (app.py:416-431), long
+    // format, upper triangle.
+    QueryDef("a4_corr_matrix",
+      (s, d) => Stats.corrMatrix(s.read.parquet(s"$d/lineitem.parquet"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_linenumber"))
+        .select(col("col_a"), col("col_b"), round(col("r"), 5).as("r"))
+        .orderBy(col("col_a"), col("col_b")),
+      Some {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_linenumber")
+        val rows = for { i <- cols.indices; j <- cols.indices if i < j } yield
+          s"SELECT '${cols(i)}' AS col_a, '${cols(j)}' AS col_b, round(corr(${cols(i)}, ${cols(j)}), 5) AS r FROM lineitem"
+        rows.mkString("", " UNION ALL ", " ORDER BY col_a, col_b")
+      }),
+
+    // A5 — describe()-style exact summary (app.py:464-468), decimal-sum
+    // mean/stddev so the result is partition-order independent.
+    QueryDef("a5_summary",
+      (s, d) => {
+        val part = s.read.parquet(s"$d/part.parquet")
+        Stats.summaryExact(part, "p_retailprice").select(
+          lit("p_retailprice").as("column"), col("cnt"),
+          round(col("mean"), 4).as("mean"), round(col("stddev"), 4).as("stddev"),
+          round(col("mn"), 4).as("mn"), round(col("mx"), 4).as("mx"),
+          round(col("q25"), 4).as("q25"), round(col("q50"), 4).as("q50"),
+          round(col("q75"), 4).as("q75"))
+      },
+      Some("""SELECT 'p_retailprice' AS "column", count(p_retailprice) AS cnt,
+             |  round(sum(CAST(p_retailprice AS DECIMAL(28,2)))::DOUBLE / count(p_retailprice), 4) AS mean,
+             |  round(sqrt((sum(CAST(p_retailprice * p_retailprice AS DECIMAL(38,4)))::DOUBLE
+             |        - sum(CAST(p_retailprice AS DECIMAL(28,2)))::DOUBLE
+             |          * sum(CAST(p_retailprice AS DECIMAL(28,2)))::DOUBLE / count(p_retailprice))
+             |       / (count(p_retailprice) - 1)), 4) AS stddev,
+             |  round(min(p_retailprice), 4) AS mn, round(max(p_retailprice), 4) AS mx,
+             |  round(quantile_cont(p_retailprice, 0.25), 4) AS q25,
+             |  round(quantile_cont(p_retailprice, 0.50), 4) AS q50,
+             |  round(quantile_cont(p_retailprice, 0.75), 4) AS q75
+             |FROM part""".stripMargin)),
+
+    // K3 — row-count metrics (app.py:244-260,458-460).
+    QueryDef("k3_counts",
+      (s, d) => {
+        val names = Seq("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings")
+        names.map { n =>
+          s.read.parquet(s"$d/$n.parquet").agg(count(lit(1)).as("n_rows"))
+            .select(lit(n).as("tbl"), col("n_rows"))
+        }.reduce(_.unionByName(_)).orderBy(col("tbl"))
+      },
+      Some(Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")
+        .map(n => s"SELECT '$n' AS tbl, count(*) AS n_rows FROM $n")
+        .mkString("", " UNION ALL ", " ORDER BY tbl")))
+  )
+}

@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational / analytical breadth over the TPC-H-ish tables: grouped
+  * aggregation, broadcast join + top-k, window analytics,
+  * sessionization, and the batch face of the streaming tumbling-window
+  * ETL. These are the bench headliners — written so Catalyst gets
+  * clean declarative plans (filter/projection pushdown into parquet,
+  * broadcast for small dims, partial aggregation).
+  *
+  * All money sums aggregate exact DECIMAL (partition-order independent,
+  * bit-equal to the DuckDB oracle) and cast to double once at the end.
+  */
+object SqlQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // TPC-H Q1-style pricing summary: single scan, partial aggs, tiny
+    // group count — the canonical "does partial aggregation work" probe.
+    QueryDef("q1_pricing_summary",
+      (s, d) => {
+        val li = s.read.parquet(s"$d/lineitem.parquet")
+        li.filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
+            sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("sum_base_price"),
+            sum((col("l_extendedprice").cast("decimal(12,2)") *
+              (lit(1) - col("l_discount")).cast("decimal(4,2)"))).cast("double").as("sum_disc_price"),
+            sum((col("l_extendedprice").cast("decimal(12,2)") *
+              (lit(1) - col("l_discount")).cast("decimal(4,2)") *
+              (lit(1) + col("l_tax")).cast("decimal(4,2)"))).cast("double").as("sum_charge"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  sum(CAST(l_quantity AS DECIMAL(12,2)))::DOUBLE AS sum_qty,
+             |  sum(CAST(l_extendedprice AS DECIMAL(12,2)))::DOUBLE AS sum_base_price,
+             |  sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)))::DOUBLE AS sum_disc_price,
+             |  sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))
+             |      * CAST(1 + l_tax AS DECIMAL(4,2)))::DOUBLE AS sum_charge,
+             |  count(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // TPC-H Q3-style: broadcast the small dimension, shuffle only the
+    // grouped fact, top-k at the end.
+    QueryDef("q3_top_orders",
+      (s, d) => {
+        val c = s.read.parquet(s"$d/customer.parquet")
+          .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        val o = s.read.parquet(s"$d/orders.parquet")
+          .select("o_orderkey", "o_custkey", "o_orderdate")
+        val li = s.read.parquet(s"$d/lineitem.parquet")
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        li.join(broadcast(o.join(broadcast(c), col("o_custkey") === col("c_custkey"))),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderkey"), col("o_orderdate"))
+          .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1) - col("l_discount")).cast("decimal(4,2)")).cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(20)
+      },
+      Some("""SELECT o_orderkey, o_orderdate,
+             |  sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)))::DOUBLE AS revenue
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |  JOIN lineitem ON l_orderkey = o_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |GROUP BY o_orderkey, o_orderdate
+             |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin)),
+
+    // Window analytics: per-user running total + event rank. The
+    // (ts, event_id) ordering is unique, so the running decimal sum
+    // accumulates in the same order in both engines.
+    QueryDef("q_window_running",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        s.read.parquet(s"$d/events.parquet")
+          .select(col("user_id"), col("event_id"), col("ts"),
+            row_number().over(w).as("rn"),
+            sum(col("value").cast("decimal(18,2)"))
+              .over(w.rowsBetween(Window.unboundedPreceding, 0))
+              .cast("double").as("running_value"))
+          .orderBy(col("user_id"), col("rn"))
+      },
+      Some("""SELECT user_id, event_id, ts,
+             |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             |  sum(CAST(value AS DECIMAL(18,2))) OVER (
+             |    PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE AS running_value
+             |FROM events ORDER BY user_id, rn""".stripMargin)),
+
+    // Sessionization: a >30 min gap starts a new session — lag + running
+    // conditional sum, the classic event-stream ETL pattern.
+    QueryDef("q_sessionize",
+      (s, d) => {
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        s.read.parquet(s"$d/events.parquet")
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_id",
+            sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+          .orderBy(col("user_id"), col("session_id"))
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
+             |         ELSE 0 END AS new_session
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (
+             |  SELECT user_id, ts,
+             |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |  FROM g)
+             |SELECT user_id, session_id, count(*) AS n_events,
+             |  min(ts) AS session_start, max(ts) AS session_end
+             |FROM s GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin)),
+
+    // Batch face of the streaming ETL (graft.streaming.StreamingEtl):
+    // 1 h tumbling window per event type. Epoch-aligned bucket math so
+    // the oracle is arithmetic, not engine-specific windowing.
+    QueryDef("q_tumbling_hour",
+      (s, d) => s.read.parquet(s"$d/events.parquet")
+        .groupBy(
+          timestamp_micros(expr("unix_micros(ts) div 3600000000") * 3600000000L)
+            .as("window_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy(col("window_start"), col("event_type")),
+      Some("""SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
+             |  event_type, count(*) AS n,
+             |  sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
+             |FROM events GROUP BY 1, 2
+             |ORDER BY window_start, event_type""".stripMargin))
+  )
+}

@@ -1,0 +1,141 @@
+package graft.sync
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Y5 — as-of resample: align a (possibly irregular) series onto a set
+  * of grid ticks, per `df.reindex(grid, method)` in the reference
+  * (`/root/reference/app.py:164-165`), method ∈ {pad, backfill, nearest}.
+  *
+  * Verified semantics (SURVEY.md §2.4 Y5):
+  *  - pad:      last series row with ts <= tick; null if none;
+  *  - backfill: first series row with ts >= tick; null if none;
+  *  - nearest:  row minimizing |ts - tick|; never null (clamps at the
+  *              edges); **ties break to the LATER timestamp**;
+  *  - an exact tick == ts match returns that row under all methods.
+  *
+  * Scale design — the reason this module exists: the naive formulation
+  * (`last(...) OVER (ORDER BY ts)` with no partitioning) serializes the
+  * whole dataset through ONE partition. Instead we bucket the time axis
+  * (`bucketUs`, default 1 h) and run two cheap passes:
+  *
+  *   1. union grid markers with series rows, window **partitioned by
+  *      time bucket** → within-bucket as-of (parallel across buckets);
+  *   2. per-bucket "last payload" aggregate (one row per non-empty
+  *      bucket — tiny) → prefix-scan over buckets → broadcast back as
+  *      the carry-in for ticks that precede every series row in their
+  *      bucket.
+  *
+  * Net cost: one shuffle of (grid ∪ series) on bucket + one broadcast
+  * join. No global sort, no single-partition stage on the big data;
+  * the only single-partition window runs on the bucket digest
+  * (span/bucketUs rows). This holds at 1000 executors: choose bucketUs
+  * so span/bucketUs ≳ cluster parallelism.
+  *
+  * Caveat: series rows must be unique per timestamp (dedupe upstream,
+  * e.g. `groupBy(ts).agg(...)`) — same requirement pandas' reindex
+  * imposes on its index.
+  */
+object AsofJoin {
+
+  val DefaultBucketUs: Long = 3600000000L // 1 hour
+
+  /** pad/ffill: for each grid tick, the last series row at ts <= tick. */
+  def pad(grid: DataFrame, gridTs: String, series: DataFrame, seriesTs: String,
+          valueCols: Seq[String], bucketUs: Long = DefaultBucketUs,
+          srcTsCol: String = "src_ts"): DataFrame =
+    directional(grid, gridTs, series, seriesTs, valueCols, bucketUs, srcTsCol, sign = 1L)
+
+  /** backfill/bfill: first series row at ts >= tick — pad on the
+    * time-reversed axis. */
+  def backfill(grid: DataFrame, gridTs: String, series: DataFrame, seriesTs: String,
+               valueCols: Seq[String], bucketUs: Long = DefaultBucketUs,
+               srcTsCol: String = "src_ts"): DataFrame =
+    directional(grid, gridTs, series, seriesTs, valueCols, bucketUs, srcTsCol, sign = -1L)
+
+  /** nearest: min |ts - tick|, tie -> later ts, never null when the
+    * series is non-empty. Composed from pad + backfill (SURVEY §2.4). */
+  def nearest(grid: DataFrame, gridTs: String, series: DataFrame, seriesTs: String,
+              valueCols: Seq[String], bucketUs: Long = DefaultBucketUs,
+              srcTsCol: String = "src_ts"): DataFrame = {
+    val p = pad(grid, gridTs, series, seriesTs, valueCols, bucketUs, srcTsCol)
+      .select(col(gridTs) +: (srcTsCol +: valueCols).map(c => col(c).as(s"__p_$c")): _*)
+    val b = backfill(grid, gridTs, series, seriesTs, valueCols, bucketUs, srcTsCol)
+      .select(col(gridTs) +: (srcTsCol +: valueCols).map(c => col(c).as(s"__b_$c")): _*)
+    val j = p.join(b, Seq(gridTs))
+    val tick = unix_micros(col(gridTs))
+    val dPad = tick - unix_micros(col(s"__p_$srcTsCol"))
+    val dBack = unix_micros(col(s"__b_$srcTsCol")) - tick
+    // tie (dPad == dBack) -> backfill side = LATER timestamp [verified]
+    val useBack = col(s"__p_$srcTsCol").isNull ||
+      (col(s"__b_$srcTsCol").isNotNull && dBack <= dPad)
+    j.select(
+      col(gridTs) +:
+        (srcTsCol +: valueCols).map { c =>
+          when(useBack, col(s"__b_$c")).otherwise(col(s"__p_$c")).as(c)
+        }: _*)
+  }
+
+  /** Shared directional kernel. sign = 1 -> pad, -1 -> backfill (axis
+    * reversal flips <= into >= while reusing the same window shape). */
+  private def directional(grid: DataFrame, gridTs: String, series: DataFrame,
+                          seriesTs: String, valueCols: Seq[String], bucketUs: Long,
+                          srcTsCol: String, sign: Long): DataFrame = {
+    require(valueCols.nonEmpty, "asof join needs at least one value column")
+    val payload = struct(
+      unix_micros(col(seriesTs)).as("__src") +: valueCols.map(col): _*)
+    val s = series.select(
+      (unix_micros(col(seriesTs)) * sign).as("__t"), lit(0).as("__g"),
+      payload.as("__p"))
+    val payloadType = s.schema("__p").dataType
+    val g = grid.select(
+      (unix_micros(col(gridTs)) * sign).as("__t"), lit(1).as("__g"),
+      lit(null).cast(payloadType).as("__p"))
+
+    def bucketed(df: DataFrame): DataFrame =
+      df.withColumn("__b", expr(s"__t div ${bucketUs}L"))
+
+    val u = bucketed(g.unionByName(s))
+    // Within one bucket: series rows sort before the grid marker at an
+    // equal __t (__g asc), so tick == ts matches its own row (inclusive).
+    val w = Window.partitionBy("__b").orderBy(col("__t").asc, col("__g").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val inBucket = u.withColumn("__pp", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__g") === 1)
+
+    // Bucket digest: last series payload per bucket (one row per
+    // non-empty bucket), prefix-scanned to give each grid bucket its
+    // carry-in from strictly earlier buckets. This table is tiny by
+    // construction (time-span / bucketUs rows), so the single-partition
+    // window below is deliberate, not an oversight.
+    val bucketLast = bucketed(s).groupBy("__b")
+      .agg(max_by(col("__p"), col("__t")).as("__p"))
+    val gridBuckets = bucketed(g).select("__b").distinct()
+      .select(col("__b"), lit(1).as("__g"), lit(null).cast(payloadType).as("__p"))
+    val ub = bucketLast.select(col("__b"), lit(0).as("__g"), col("__p"))
+      .unionByName(gridBuckets)
+    // __g desc: the grid marker precedes same-bucket series rows, so the
+    // (-inf, -1) frame sees only strictly-earlier buckets.
+    val wb = Window.orderBy(col("__b").asc, col("__g").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = ub.withColumn("__pc", last(col("__p"), ignoreNulls = true).over(wb))
+      .filter(col("__g") === 1).select(col("__b"), col("__pc"))
+
+    val joined = inBucket.join(broadcast(carry), Seq("__b"), "left")
+      .withColumn("__pf", coalesce(col("__pp"), col("__pc")))
+    joined.select(
+      timestamp_micros(col("__t") * sign).as(gridTs) +:
+        timestamp_micros(col("__pf").getField("__src")).as(srcTsCol) +:
+        valueCols.map(c => col("__pf").getField(c).as(c)): _*)
+  }
+
+  /** Convenience dedupe: collapse duplicate timestamps keeping the row
+    * with the greatest tiebreaker (deterministic input for the kernel). */
+  def dedupeByTs(series: DataFrame, tsCol: String, tieCol: String): DataFrame = {
+    val others = series.columns.filterNot(_ == tsCol)
+    series.groupBy(col(tsCol))
+      .agg(max_by(struct(others.map(col): _*), col(tieCol)).as("__r"))
+      .select(col(tsCol) +: others.map(c => col("__r").getField(c).as(c)): _*)
+  }
+}

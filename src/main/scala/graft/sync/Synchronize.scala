@@ -1,0 +1,82 @@
+package graft.sync
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.clean.Clean
+
+/** Y1-Y9 — full multi-sensor synchronization
+  * (`/root/reference/app.py:140-198`): coerce timestamps, compute the
+  * camera∩motion overlap window (log excluded), build the uniform
+  * 33 ms grid, as-of-resample each sensor onto it, prefix columns,
+  * one-hot log events within 100 ms, drop rows with missing values.
+  *
+  * Output schema mirrors the reference's wide table [verified: 364×19
+  * on default data]: `timestamp`, `camera_*`, `motion_*`, `event_*`.
+  */
+object Synchronize {
+
+  val DefaultStepUs: Long = 33000L   // 33 ms ticks — app.py:160 (measured)
+  val DefaultTolUs: Long = 100000L   // strict < 100 ms — app.py:185
+
+  /** Resample one sensor onto the grid and prefix its data columns. */
+  private def resample(grid: DataFrame, sensor: DataFrame, method: String,
+                       prefix: String, bucketUs: Long): DataFrame = {
+    val valueCols = sensor.columns.filterNot(_ == "timestamp").toSeq
+    val r = method match {
+      case "pad" | "ffill"      => AsofJoin.pad(grid, "timestamp", sensor, "timestamp", valueCols, bucketUs)
+      case "backfill" | "bfill" => AsofJoin.backfill(grid, "timestamp", sensor, "timestamp", valueCols, bucketUs)
+      case "nearest"            => AsofJoin.nearest(grid, "timestamp", sensor, "timestamp", valueCols, bucketUs)
+      case other                => throw new IllegalArgumentException(s"unknown method: $other")
+    }
+    r.select(col("timestamp") +: valueCols.map(c => col(c).as(s"${prefix}_$c")): _*)
+  }
+
+  /** Full synchronization. `log=None` skips Y7 like the reference's
+    * optional log (`app.py:178`). Returns (wide table, report). */
+  def synchronize(spark: SparkSession, camera: DataFrame, motion: DataFrame,
+                  log: Option[DataFrame], method: String = "nearest",
+                  stepUs: Long = DefaultStepUs, tolUs: Long = DefaultTolUs,
+                  bucketUs: Long = AsofJoin.DefaultBucketUs,
+                  eventTypes: Option[Seq[String]] = None): (DataFrame, Seq[String]) = {
+    require(camera != null && motion != null, "camera and motion data required") // Y1
+    var report = Vector.empty[String]
+
+    // Y2 — coerce (no-op when already TimestampType)
+    val cam = coerce(camera); val mot = coerce(motion)
+
+    // Y3 — overlap window (log excluded, app.py:155-156)
+    val (startUs, endUs) = TimeGrid.overlapWindowUs(cam, "timestamp", mot, "timestamp")
+      .getOrElse(throw new IllegalArgumentException("sensor time ranges do not overlap"))
+
+    // Y4 — uniform grid
+    val nTicks = TimeGrid.tickCount(startUs, endUs, stepUs)
+    val grid = TimeGrid.grid(spark, startUs, endUs, stepUs, tickCol = "timestamp")
+    report :+= f"Created common time grid: $nTicks points at ${1e6 / stepUs}%.1fHz"
+
+    // Y5 + Y6 — as-of resample each sensor, prefix columns, align on tick
+    val camR = resample(grid, cam, method, "camera", bucketUs)
+    val motR = resample(grid, mot, method, "motion", bucketUs)
+    val joined = camR.join(motR, Seq("timestamp"))
+
+    // Y7 — log events onto the grid (tolerance, one-hot)
+    val withEvents = log match {
+      case Some(l) =>
+        val lg = coerce(l)
+        report :+= "Mapped log events to time grid"
+        EventPivot.oneHot(joined, "timestamp", lg, "timestamp", "event_type",
+          startUs, stepUs, nTicks, tolUs, eventTypes)
+      case None => joined
+    }
+
+    // Y8 — final drop-missing (no-op unless NaNs survived cleaning,
+    // SURVEY §2.4 Y8); Y9 index reset is a no-op in Spark.
+    val result = Clean.dropMissing(withEvents)
+    (result, report)
+  }
+
+  private def coerce(df: DataFrame): DataFrame =
+    df.schema("timestamp").dataType match {
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => df.withColumn("timestamp", to_timestamp(col("timestamp")))
+    }
+}
