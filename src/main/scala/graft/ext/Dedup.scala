@@ -1,0 +1,142 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for a training-data pipeline
+  * (BASELINE.json north star): exact (content-hash group-by),
+  * MinHash-LSH near-dup (shingle → minhash → band → bucket join →
+  * exact Jaccard verify), and SimHash fingerprints.
+  *
+  * Engine-portability discipline: every hash is derived from md5 hex
+  * (`conv(substr(md5(s),1,15),16,10)` — a 60-bit integer) so the DuckDB
+  * oracle can reproduce each stage bit-for-bit; nothing depends on
+  * Spark's internal murmur3/xxhash seeds.
+  *
+  * Scale shape: exact dedup is one shuffle on the content hash.
+  * MinHash near-dup never forms the n² cross join — candidates come
+  * from a shuffle on (band, band-signature), and only candidates pay
+  * the exact-Jaccard verify. SimHash is a pure per-row projection
+  * (no shuffle at all) — downstream bucketing joins on the fingerprint.
+  */
+object Dedup {
+
+  val HashMod: Long = 1000000007L
+
+  /** 60-bit md5-derived hash of a string — reproducible in any engine
+    * with md5 (DuckDB: `('0x'||substring(md5(s),1,15))::BIGINT`). */
+  def strHash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Lower-cased whitespace tokens. */
+  def toks(text: Column): Column = split(lower(text), " ")
+
+  /** Distinct word n-gram shingles of the text (1-based element_at,
+    * mirrored by DuckDB 1-based list indexing). Guarded: texts shorter
+    * than n tokens yield an empty array (Spark's `sequence(1, 0)`
+    * would otherwise DESCEND). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val t = toks(text)
+    when(size(t) >= n,
+      array_distinct(
+        transform(sequence(lit(1), size(t) - (n - 1)), i =>
+          concat_ws(" ", (0 until n).map(o => element_at(t, i + o)): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** MinHash permutation constants — fixed multipliers/offsets < 1e9
+    * (products stay under 2^63 after the mod-1e9+7 reduction),
+    * inlined identically into the oracle SQL. */
+  val PermA: Seq[Long] = Seq(387L, 1093L, 2791L, 4621L, 6133L, 7919L,
+    9973L, 12007L, 14621L, 16921L, 19391L, 21767L, 24113L, 26641L, 29123L, 31511L)
+  val PermB: Seq[Long] = Seq(152L, 821L, 1949L, 3307L, 5443L, 7177L,
+    8887L, 10957L, 13217L, 15661L, 18119L, 20509L, 22907L, 25301L, 27779L, 30293L)
+
+  /** MinHash signature column array: mh_j = min over shingles of
+    * (A_j * (h60(s) mod p) + B_j) mod p. */
+  def minhashCols(sh: Column, nPerms: Int = 16): Seq[Column] = {
+    val hs = transform(sh, s => strHash60(s) % HashMod)
+    (0 until nPerms).map { j =>
+      array_min(transform(hs, h => (lit(PermA(j)) * h + lit(PermB(j))) % HashMod))
+        .as(s"mh_$j")
+    }
+  }
+
+  /** Per-document distinct shingle sets (empty sets dropped). */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+                  shingleN: Int = 3): DataFrame =
+    docs.select(col(idCol), shingles(col(textCol), shingleN).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+
+  /** Per-document (docId, band, bandKey) rows — `bands` of
+    * `rowsPerBand` minhash values each, keyed by the concatenated band
+    * signature. One row per (doc, band); the shingle arrays themselves
+    * are NOT carried through (keeps the LSH shuffle narrow). */
+  def bandedSignatures(sets: DataFrame, idCol: String,
+                       bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val withMh = sets.select(
+      col(idCol) +: minhashCols(col("__sh"), bands * rowsPerBand): _*)
+    val bandRows = (0 until bands).map { b =>
+      val key = concat_ws(",",
+        (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}")): _*)
+      withMh.select(col(idCol), lit(b).as("__band"), key.as("__bandkey"))
+    }
+    bandRows.reduce(_.unionByName(_))
+  }
+
+  /** Exact Jaccard of two distinct-element arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - size(array_intersect(a, b)))
+  }
+
+  /** MinHash-LSH near-duplicate pairs: candidates share at least one
+    * band signature; each candidate pair is verified with exact
+    * n-gram Jaccard >= threshold. Never forms the n² cross join; the
+    * band self-join shuffles only (id, band, key) rows, and shingle
+    * sets are joined back onto the (small) candidate-pair set for the
+    * verify step. */
+  def minhashNearDups(docs: DataFrame, threshold: Double,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol, shingleN)
+    val sig = bandedSignatures(sets, idCol, bands, rowsPerBand)
+    val a = sig.select(col("__band"), col("__bandkey"), col(idCol).as("id_a"))
+    val b = sig.select(col("__band"), col("__bandkey"), col(idCol).as("id_b"))
+    val cand = a.join(b, Seq("__band", "__bandkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sa = sets.select(col(idCol).as("id_a"), col("__sh").as("__sha"))
+    val sb = sets.select(col(idCol).as("id_b"), col("__sh").as("__shb"))
+    cand.join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"), jaccard(col("__sha"), col("__shb")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact dedup marking: per document, the content hash, the group
+    * size, and whether this row would be dropped (not the minimum id
+    * of its identical-text group). One shuffle on the content hash. */
+  def exactDups(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(col("__h"))
+    docs.select(col(idCol), md5(col(textCol)).as("__h"))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("keeper_id", min(col(idCol)).over(w))
+      .select(col(idCol), col("__h").as("content_hash"), col("group_size"),
+        (col(idCol) =!= col("keeper_id")).as("is_dup"))
+  }
+
+  /** SimHash fingerprint (`nBits` <= 63) over the distinct-token set:
+    * bit i is 1 when more than half the token hashes have bit i set.
+    * Pure per-row projection — no shuffle. */
+  def simhash(text: Column, nBits: Int = 32): Column = {
+    val hs = transform(array_distinct(toks(text)), t => strHash60(t))
+    val n = size(hs)
+    val bits = (0 until nBits).map { i =>
+      val ones = size(filter(hs, h => shiftright(h, i) % 2 === 1))
+      when(ones * 2 > n, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+}

@@ -1,9 +1,9 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.VectorFunctions.cosine_sim
+import graft.functions.VectorFunctions
 
 /** Similarity search over an embedding column (`array<float>`),
   * BASELINE.json north star: brute-force cosine top-k as the exact
@@ -19,15 +19,25 @@ import graft.functions.VectorFunctions.cosine_sim
   */
 object Similarity {
 
+  private def cos(s: SparkSession, a: Column, b: Column): Column =
+    VectorFunctions.cosine_sim(s, a, b)
+
+  /** Embedding dimensionality, derived from the data (one 1-row job) —
+    * never assumed. A corpus with ragged vector lengths fails later in
+    * the kernel's length check rather than silently truncating. */
+  def dimOf(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head().getInt(0)
+
   /** Exact brute-force top-k: for each query vector, the k nearest
     * corpus vectors by cosine. `queries` must be small (broadcast). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
     val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine_sim(col("__qv"), col("__cv")).as("sim"))
+        cos(spark, col("__qv"), col("__cv")).as("sim"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "sim")
@@ -42,10 +52,10 @@ object Similarity {
 
   /** Sign-signature of an embedding under the given hyperplanes,
     * packed into one long (nPlanes <= 63). */
-  def signature(vecCol: Column, planes: Array[Array[Double]]): Column = {
+  def signature(spark: SparkSession, vecCol: Column, planes: Array[Array[Double]]): Column = {
     val bits = planes.zipWithIndex.map { case (p, i) =>
       val planeLit = array(p.map(lit): _*)
-      val dot = graft.functions.VectorFunctions.vec_dot(vecCol, planeLit)
+      val dot = VectorFunctions.vec_dot(spark, vecCol, planeLit)
       when(dot > 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
@@ -56,15 +66,18 @@ object Similarity {
     * in at least one table; candidates are re-ranked with exact cosine.
     * Recall grows with nTables; per-bucket fan-out shrinks with
     * nPlanes. No broadcast of the corpus; candidate generation is a
-    * hash join on (table, signature). */
+    * hash join on (table, signature). `dim` defaults to the measured
+    * embedding width. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nPlanes: Int = 12, nTables: Int = 4, dim: Int = 64, seed: Long = 42L,
+              nPlanes: Int = 12, nTables: Int = 4, dim: Int = -1, seed: Long = 42L,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val d = if (dim > 0) dim else dimOf(corpus, vecCol)
     def signed(df: DataFrame, id: String, v: String): DataFrame = {
       val tables = (0 until nTables).map { t =>
-        val planes = hyperplanes(nPlanes, dim, seed + t)
+        val planes = hyperplanes(nPlanes, d, seed + t)
         df.select(lit(t).as("__table"), col(id), col(v),
-          signature(col(v), planes).as("__sig"))
+          signature(spark, col(v), planes).as("__sig"))
       }
       tables.reduce(_.unionByName(_))
     }
@@ -77,7 +90,7 @@ object Similarity {
       .select("query_id", "neighbor_id", "__qv", "__cv")
       .dropDuplicates("query_id", "neighbor_id") // same pair from several tables
     val scored = candidates.select(col("query_id"), col("neighbor_id"),
-      cosine_sim(col("__qv"), col("__cv")).as("sim"))
+      cos(spark, col("__qv"), col("__cv")).as("sim"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "sim")
@@ -86,12 +99,14 @@ object Similarity {
   /** Embedding near-duplicate pairs: cosine >= threshold, via LSH
     * candidate generation + exact verification (a < b, each pair once). */
   def nearDupPairs(corpus: DataFrame, threshold: Double,
-                   nPlanes: Int = 10, nTables: Int = 6, dim: Int = 64, seed: Long = 42L,
+                   nPlanes: Int = 10, nTables: Int = 6, dim: Int = -1, seed: Long = 42L,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val d = if (dim > 0) dim else dimOf(corpus, vecCol)
     val tables = (0 until nTables).map { t =>
-      val planes = hyperplanes(nPlanes, dim, seed + t)
+      val planes = hyperplanes(nPlanes, d, seed + t)
       corpus.select(lit(t).as("__table"), col(idCol), col(vecCol),
-        signature(col(vecCol), planes).as("__sig"))
+        signature(spark, col(vecCol), planes).as("__sig"))
     }.reduce(_.unionByName(_))
     val a = tables.select(col("__table"), col("__sig"),
       col(idCol).as("id_a"), col(vecCol).as("__va"))
@@ -99,7 +114,7 @@ object Similarity {
       col(idCol).as("id_b"), col(vecCol).as("__vb"))
     a.join(b, Seq("__table", "__sig")).filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .select(col("id_a"), col("id_b"), cosine_sim(col("__va"), col("__vb")).as("sim"))
+      .select(col("id_a"), col("id_b"), cos(spark, col("__va"), col("__vb")).as("sim"))
       .filter(col("sim") >= threshold)
   }
 }

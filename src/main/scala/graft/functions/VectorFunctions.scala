@@ -1,10 +1,10 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
 
 /** Native Catalyst expressions for embedding math (dot product, cosine
@@ -18,6 +18,10 @@ import org.apache.spark.sql.types._
   * `while` loop in interpreted eval. Accumulation is sequential
   * (index order), so results are deterministic and reproducible by the
   * DuckDB oracle's list kernels.
+  *
+  * Dimension discipline: mismatched vector lengths RAISE instead of
+  * silently truncating — a dimension bug must fail loudly, not produce
+  * plausible-but-wrong similarities.
   */
 abstract class VectorBinaryExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -27,6 +31,13 @@ abstract class VectorBinaryExpression extends BinaryExpression {
     case ArrayType(t, _) => t
     case other => throw new IllegalArgumentException(
       s"vector function expects array inputs, got $other")
+  }
+
+  protected def checkedLen(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    if (n != b.numElements()) throw new IllegalArgumentException(
+      s"vector length mismatch: ${a.numElements()} vs ${b.numElements()}")
+    n
   }
 
   protected def getD(a: ArrayData, i: Int, t: DataType): Double = t match {
@@ -44,6 +55,13 @@ abstract class VectorBinaryExpression extends BinaryExpression {
     case LongType    => s"(double) $arr.getLong($i)"
     case other => throw new IllegalArgumentException(s"unsupported element type $other")
   }
+
+  protected def lenCheckJava(a: String, b: String, n: String): String =
+    s"""int $n = $a.numElements();
+       |if ($n != $b.numElements()) {
+       |  throw new IllegalArgumentException("vector length mismatch: " +
+       |    $n + " vs " + $b.numElements());
+       |}""".stripMargin
 }
 
 /** dot(a, b) = Σ a_i·b_i (sequential, computed in double). */
@@ -51,7 +69,7 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryE
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
     val (ta, tb) = (elemType(left), elemType(right))
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkedLen(a, b)
     var dot = 0.0; var i = 0
     while (i < n) { dot += getD(a, i, ta) * getD(b, i, tb); i += 1 }
     dot
@@ -60,13 +78,15 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryE
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val (ta, tb) = (elemType(left), elemType(right))
+      val n = ctx.freshName("n"); val dot = ctx.freshName("dot")
+      val i = ctx.freshName("i")
       s"""
-         |int vf_n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double vf_dot = 0.0;
-         |for (int vf_i = 0; vf_i < vf_n; vf_i++) {
-         |  vf_dot += ${javaGetter(a, "vf_i", ta)} * ${javaGetter(b, "vf_i", tb)};
+         |${lenCheckJava(a, b, n)}
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += ${javaGetter(a, i, ta)} * ${javaGetter(b, i, tb)};
          |}
-         |${ev.value} = vf_dot;
+         |${ev.value} = $dot;
        """.stripMargin
     })
 
@@ -80,7 +100,7 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
     val (ta, tb) = (elemType(left), elemType(right))
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkedLen(a, b)
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
       val x = getD(a, i, ta); val y = getD(b, i, tb)
@@ -93,17 +113,21 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val (ta, tb) = (elemType(left), elemType(right))
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val x = ctx.freshName("x")
+      val y = ctx.freshName("y"); val denom = ctx.freshName("denom")
       s"""
-         |int vf_n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double vf_dot = 0.0, vf_na = 0.0, vf_nb = 0.0;
-         |for (int vf_i = 0; vf_i < vf_n; vf_i++) {
-         |  double vf_x = ${javaGetter(a, "vf_i", ta)};
-         |  double vf_y = ${javaGetter(b, "vf_i", tb)};
-         |  vf_dot += vf_x * vf_y; vf_na += vf_x * vf_x; vf_nb += vf_y * vf_y;
+         |${lenCheckJava(a, b, n)}
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = ${javaGetter(a, i, ta)};
+         |  double $y = ${javaGetter(b, i, tb)};
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |double vf_denom = java.lang.Math.sqrt(vf_na) * java.lang.Math.sqrt(vf_nb);
-         |if (vf_denom == 0.0) { ${ev.isNull} = true; }
-         |else { ${ev.value} = vf_dot / vf_denom; }
+         |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |if ($denom == 0.0) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $dot / $denom; }
        """.stripMargin
     })
 
@@ -112,17 +136,23 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
 }
 
 object VectorFunctions {
-  /** Column-API entry points. */
-  def vec_dot(a: Column, b: Column): Column =
-    ExpressionUtils.column(DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
-  def cosine_sim(a: Column, b: Column): Column =
-    ExpressionUtils.column(CosineSimilarity(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
-
-  /** SQL registration: `SELECT cosine_sim(a, b)`. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+  /** Idempotent per-session registration: `SELECT cosine_sim(a, b)` and
+    * the Column wrappers below both resolve through the function
+    * registry (the public path — no Spark-private Column constructors). */
+  def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("vec_dot", es => DotProduct(es.head, es(1)), "built-in")
-    reg.createOrReplaceTempFunction("cosine_sim", es => CosineSimilarity(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("vec_dot", es => DotProduct(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("cosine_sim", es => CosineSimilarity(es.head, es(1)), "scala_udf")
+  }
+
+  /** Column-API entry points. Need a session to register against —
+    * callers pass the DataFrame's own session. */
+  def vec_dot(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark); call_function("vec_dot", a, b)
+  }
+
+  def cosine_sim(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark); call_function("cosine_sim", a, b)
   }
 }

@@ -1,0 +1,261 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Similarity, TextAnalysis}
+
+/** LLM-training-data-pipeline operators (BASELINE.json north star) over
+  * `documents` and `embeddings`, each with a DuckDB oracle that runs
+  * the IDENTICAL algorithm (same md5-derived hashes, same constants,
+  * same tie rules) so probabilistic stages like MinHash-LSH candidate
+  * generation are still deterministic and hash-comparable.
+  */
+object ExtQueries {
+
+  private val P = Dedup.HashMod // 1e9+7
+
+  /** DuckDB fragments mirroring Dedup/TextAnalysis column expressions. */
+  private def dkHash60(s: String) = s"('0x'||substring(md5($s),1,15))::BIGINT"
+
+  /** Shingle CTE shared by the minhash oracle: tk -> 3-gram distinct
+    * shingles, docs with < 3 tokens dropped (mirrors Dedup.shingles). */
+  private val shingleCte =
+    """tk AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+      |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+      |       FROM tk WHERE len(tk) >= 3)""".stripMargin
+
+  private val minhashOracle: String = {
+    val mhCols = (0 until 16).map { j =>
+      s"list_min(list_transform(hs, h -> (${Dedup.PermA(j)} * h + ${Dedup.PermB(j)}) % $P)) AS mh_$j"
+    }.mkString(",\n  ")
+    val bandRows = (0 until 4).map { b =>
+      val key = (0 until 4).map(r => s"mh_${b * 4 + r}").mkString("concat_ws(',', ", ", ", ")")
+      s"SELECT doc_id, $b AS band, $key AS bandkey FROM mh"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $shingleCte,
+       |hs AS (SELECT doc_id, sh, list_transform(sh, s -> ${dkHash60("s")} % $P) AS hs
+       |       FROM sh WHERE len(sh) > 0),
+       |mh AS (SELECT doc_id,
+       |  $mhCols
+       |FROM hs),
+       |bands AS (
+       |  $bandRows
+       |),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.bandkey = b.bandkey AND a.doc_id < b.doc_id),
+       |j AS (SELECT id_a, id_b,
+       |        len(list_intersect(x.sh, y.sh))::DOUBLE
+       |          / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jaccard
+       |      FROM cand JOIN hs x ON x.doc_id = id_a JOIN hs y ON y.doc_id = id_b)
+       |SELECT id_a, id_b, round(jaccard, 4) AS jaccard
+       |FROM j WHERE jaccard >= 0.7 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  private val simhashOracle: String = {
+    val bitSum = (0 until 32).map { i =>
+      s"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> $i) % 2 = 1)) > len(hs) THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH tk AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS tk FROM documents),
+       |hs AS (SELECT doc_id, list_transform(tk, t -> ${dkHash60("t")}) AS hs FROM tk)
+       |SELECT doc_id, $bitSum AS simhash
+       |FROM hs ORDER BY doc_id""".stripMargin
+  }
+
+  private val langCases: String = TextAnalysis.LangProfiles.map { case (lang, _) =>
+    s"WHEN s_$lang = best AND best > 0 THEN '$lang'"
+  }.mkString(" ")
+
+  private val langScores: String = TextAnalysis.LangProfiles.map { case (lang, words) =>
+    val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter(tk, t -> list_contains($lst, t))) AS s_$lang"
+  }.mkString(",\n  ")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- Deduplication ------------------------------------------------
+
+    // Exact dedup: content-hash groups, keeper = min doc_id.
+    QueryDef("dedup_exact",
+      (s, d) => Dedup.exactDups(s.read.parquet(s"$d/documents.parquet"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, md5(text) AS content_hash,
+             |  count(*) OVER (PARTITION BY md5(text)) AS group_size,
+             |  doc_id != min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // MinHash-LSH near-dup pairs + exact Jaccard verify (>= 0.7).
+    QueryDef("dedup_neardup_minhash",
+      (s, d) => Dedup.minhashNearDups(s.read.parquet(s"$d/documents.parquet"), 0.7)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b")),
+      Some(minhashOracle)),
+
+    // SimHash 32-bit fingerprints (per-row projection, no shuffle).
+    QueryDef("dedup_simhash",
+      (s, d) => s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), Dedup.simhash(col("text"), 32).as("simhash"))
+        .orderBy(col("doc_id")),
+      Some(simhashOracle)),
+
+    // ---- Similarity search --------------------------------------------
+
+    // Brute-force exact cosine top-5 for the first 10 query vectors.
+    QueryDef("sim_topk_bruteforce",
+      (s, d) => {
+        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            round(col("sim"), 6).as("sim"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |q AS (SELECT vec_id, v FROM t WHERE vec_id < 10),
+             |s AS (SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+             |        list_cosine_similarity(q.v, t.v) AS sim
+             |      FROM q, t WHERE t.vec_id != q.vec_id),
+             |r AS (SELECT query_id, neighbor_id, sim,
+             |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+             |      FROM s)
+             |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
+             |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    // LSH-bucketed ANN top-k — same API as brute force; the LSH planes
+    // (JVM-seeded gaussians) are not SQL-reproducible, so the driver
+    // records the weaker rows-only check for this one.
+    QueryDef("sim_topk_lsh",
+      (s, d) => {
+        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 5)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            round(col("sim"), 6).as("sim"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None),
+
+    // Embedding cosine near-dup pairs, exact (threshold from measured
+    // data: max pairwise cosine at sf0.01 is ~0.51).
+    QueryDef("sim_neardup_embedding",
+      (s, d) => {
+        val spark = s
+        val t = s.read.parquet(s"$d/embeddings.parquet")
+        val a = t.select(col("vec_id").as("id_a"), col("embedding").as("__va"))
+        val b = t.select(col("vec_id").as("id_b"), col("embedding").as("__vb"))
+        a.join(b, col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            graft.functions.VectorFunctions.cosine_sim(spark, col("__va"), col("__vb")).as("sim"))
+          .filter(col("sim") >= 0.45)
+          .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+             |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  round(list_cosine_similarity(a.v, b.v), 6) AS sim
+             |FROM t a JOIN t b ON a.vec_id < b.vec_id
+             |WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- Text analysis -------------------------------------------------
+
+    // Token stats + quality score per document.
+    QueryDef("text_stats",
+      (s, d) => TextAnalysis.stats(s.read.parquet(s"$d/documents.parquet"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          round(col("ttr"), 5).as("ttr"),
+          round(col("avg_token_len"), 5).as("avg_token_len"),
+          col("n_stop"), round(col("stop_ratio"), 5).as("stop_ratio"),
+          round(TextAnalysis.qualityScore, 5).as("quality"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+              |s AS (SELECT doc_id,
+              |  len(tk) AS n_tokens,
+              |  len(list_distinct(tk)) AS n_distinct,
+              |  len(list_distinct(tk))::DOUBLE / len(tk) AS ttr,
+              |  list_sum(list_transform(tk, x -> len(x)))::DOUBLE / len(tk) AS avg_token_len,
+              |  len(list_filter(tk, x -> list_contains([${TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")}], x))) AS n_stop
+              |FROM t)
+              |SELECT doc_id, n_tokens, n_distinct, round(ttr, 5) AS ttr,
+              |  round(avg_token_len, 5) AS avg_token_len, n_stop,
+              |  round(n_stop::DOUBLE / n_tokens, 5) AS stop_ratio,
+              |  round((CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 0.4 ELSE 0.0 END)
+              |    + least(ttr, 0.5) * 0.8
+              |    + least(n_stop::DOUBLE / n_tokens * 4, 0.2), 5) AS quality
+              |FROM s ORDER BY doc_id""".stripMargin)),
+
+    // Marker-word language-ID heuristic (argmax, profile order ties).
+    QueryDef("text_langid",
+      (s, d) => s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+              |s AS (SELECT doc_id,
+              |  $langScores
+              |FROM t),
+              |m AS (SELECT *, greatest(${TextAnalysis.LangProfiles.map("s_" + _._1).mkString(", ")}) AS best FROM s)
+              |SELECT doc_id, CASE $langCases ELSE 'und' END AS lang_guess
+              |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // Document fingerprints: bag-of-words md5 + polynomial rolling hash.
+    QueryDef("text_fingerprint",
+      (s, d) => s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("bow_md5"),
+          TextAnalysis.rollingHash(col("text")).as("roll_hash"))
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS tk FROM documents)
+             |SELECT doc_id,
+             |  md5(array_to_string(list_sort(list_distinct(tk)), ' ')) AS bow_md5,
+             |  list_reduce(list_prepend(0::BIGINT,
+             |    list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+             |    (acc, x) -> (acc * 31 + x) % 1000000007) AS roll_hash
+             |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // BPE-ish regex token count (letter runs / digit runs / single punct).
+    QueryDef("text_token_count",
+      (s, d) => s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"),
+          TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpeish
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- Reference K-ops that need engine introspection ----------------
+
+    // K2 — deterministic preview/limit. (l_orderkey, l_linenumber) is
+    // NOT unique in the synthetic data, so order by every projected
+    // column: any remaining tie is an identical row.
+    QueryDef("k2_preview",
+      (s, d) => s.read.parquet(s"$d/lineitem.parquet")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag")).limit(10),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+             |FROM lineitem
+             |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag
+             |LIMIT 10""".stripMargin)),
+
+    // K4 — per-table size metric from the optimized plan's statistics
+    // (the reference's memory_usage(deep=True), app.py:462). Engine
+    // introspection, not SQL-expressible -> rows-only check.
+    QueryDef("k4_size_metrics",
+      (s, d) => {
+        val names = Seq("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings")
+        import scala.jdk.CollectionConverters._
+        val rows = names.map { n =>
+          val df = graft.sources.Tables.load(s, d, n)
+          val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+          org.apache.spark.sql.Row(n, bytes.toLong)
+        }
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("tbl",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("size_bytes",
+            org.apache.spark.sql.types.LongType)))
+        s.createDataFrame(rows.asJava, schema).orderBy(col("tbl"))
+      },
+      None)
+  )
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.clean.Clean
-import graft.sync.{AsofJoin, EventPivot, TimeGrid}
+import graft.sync.{AsofJoin, EventPivot, Synchronize, TimeGrid}
 import graft.analytics.Stats
 
 /** Reference-surface operators (SURVEY.md §2) expressed over the
@@ -24,7 +24,7 @@ object RefQueries {
   private val TolUs = 10000000L // strict < 10 s, scaled from app.py:185's < 100 ms
 
   private def events(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/events.parquet")
+    graft.sources.Tables.events(spark, dir)
 
   /** events deduped to one row per ts (as-of kernels need a unique
     * time index, like pandas reindex). */
@@ -46,7 +46,7 @@ object RefQueries {
   private val oracleGridCte =
     """w AS (SELECT epoch_us(min(ts)) AS lo, epoch_us(max(ts)) AS hi FROM events),
       |w2 AS (SELECT lo, hi, (hi - lo) // 60000000 + 1 AS n FROM w),
-      |g AS (SELECT w2.lo + r.i * 60000000 AS tick_us FROM w2, range(0, w2.n) r(i)),
+      |g AS (SELECT lo + unnest(range(0, n)) * 60000000 AS tick_us FROM w2),
       |e AS (SELECT ts, max(value) AS value FROM events GROUP BY ts)""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
@@ -55,7 +55,10 @@ object RefQueries {
     QueryDef("f1_dropna",
       (s, d) => {
         val li = s.read.parquet(s"$d/lineitem.parquet")
-        Clean.dropMissing(li).orderBy(col("l_orderkey"), col("l_linenumber"))
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+        // data; (…, l_partkey, l_suppkey) is — deterministic order.
+        Clean.dropMissing(li).orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"))
       },
       Some("""SELECT * FROM lineitem
              |WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
@@ -66,7 +69,7 @@ object RefQueries {
              |  AND l_tax IS NOT NULL AND NOT isnan(l_tax)
              |  AND l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
              |  AND l_shipdate IS NOT NULL
-             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+             |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin)),
 
     // F3 — strict sentinel/range filter over the measure columns, app.py:116.
     QueryDef("f3_range_filter",
@@ -75,7 +78,10 @@ object RefQueries {
         Clean.rangeFilter(li, MeasureCols)
           .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
             "l_discount", "l_tax")
-          .orderBy(col("l_orderkey"), col("l_linenumber"))
+          // order by every projected column: any remaining tie is an
+          // identical row, so the output order is value-deterministic.
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("l_extendedprice"), col("l_discount"), col("l_tax"))
       },
       Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax
              |FROM lineitem
@@ -83,7 +89,7 @@ object RefQueries {
              |  AND NOT (l_extendedprice < -900 OR l_extendedprice > 10000)
              |  AND NOT (l_discount < -900 OR l_discount > 10000)
              |  AND NOT (l_tax < -900 OR l_tax > 10000)
-             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+             |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax""".stripMargin)),
 
     // F3 report — the reference's *sequential* per-column removal counts
     // (app.py:115-120) as one aggregate row.
@@ -243,7 +249,7 @@ object RefQueries {
              |        max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS event_signup,
              |        max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS event_view
              |      FROM h GROUP BY tick_us),
-             |g AS (SELECT w2.lo + r.i * 60000000 AS tick_us FROM w2, range(0, w2.n) r(i))
+             |g AS (SELECT lo + unnest(range(0, n)) * 60000000 AS tick_us FROM w2)
              |SELECT make_timestamp(g.tick_us) AS tick,
              |  coalesce(event_click, 0) AS event_click,
              |  coalesce(event_error, 0) AS event_error,
@@ -251,6 +257,66 @@ object RefQueries {
              |  coalesce(event_signup, 0) AS event_signup,
              |  coalesce(event_view, 0) AS event_view
              |FROM g LEFT JOIN p USING (tick_us) ORDER BY tick""".stripMargin)),
+
+    // FLAGSHIP — the composed reference pipeline (SURVEY §7.3):
+    // Y1-Y9 end-to-end. Camera/motion = the even/odd user_id halves of
+    // events (deduped per ts), log = all events; 1-min grid over the
+    // overlap window, as-of NEAREST resample, one-hot events < 10 s.
+    QueryDef("y_sync_flagship",
+      (s, d) => {
+        val e = events(s, d)
+        def half(parity: Int) = e.filter(col("user_id") % 2 === parity)
+          .groupBy(col("ts")).agg(max(col("value")).as("value"))
+          .withColumnRenamed("ts", "timestamp")
+        val log = e.select(col("ts").as("timestamp"), col("event_type"))
+        val (out, _) = Synchronize.synchronize(s, half(0), half(1), Some(log),
+          method = "nearest", stepUs = MinuteUs, tolUs = TolUs,
+          eventTypes = Some(EventTypes))
+        out.orderBy(col("timestamp"))
+      },
+      Some("""WITH ca AS (SELECT ts, max(value) AS value FROM events WHERE user_id % 2 = 0 GROUP BY ts),
+             |mo AS (SELECT ts, max(value) AS value FROM events WHERE user_id % 2 = 1 GROUP BY ts),
+             |w2 AS (SELECT greatest((SELECT epoch_us(min(ts)) FROM ca), (SELECT epoch_us(min(ts)) FROM mo)) AS lo,
+             |              least((SELECT epoch_us(max(ts)) FROM ca), (SELECT epoch_us(max(ts)) FROM mo)) AS hi),
+             |w3 AS (SELECT lo, hi, (hi - lo) // 60000000 + 1 AS n FROM w2),
+             |g AS (SELECT lo + unnest(range(0, n)) * 60000000 AS tick_us FROM w3),
+             |cp AS (SELECT g.tick_us, e.ts AS pts, e.value AS pv FROM g ASOF LEFT JOIN ca e ON make_timestamp(g.tick_us) >= e.ts),
+             |cb AS (SELECT g.tick_us, e.ts AS bts, e.value AS bv FROM g ASOF LEFT JOIN ca e ON make_timestamp(g.tick_us) <= e.ts),
+             |cn AS (SELECT cp.tick_us,
+             |        CASE WHEN pts IS NULL OR (bts IS NOT NULL
+             |              AND epoch_us(bts) - cp.tick_us <= cp.tick_us - epoch_us(pts))
+             |             THEN bv ELSE pv END AS camera_value
+             |       FROM cp JOIN cb USING (tick_us)),
+             |mp AS (SELECT g.tick_us, e.ts AS pts, e.value AS pv FROM g ASOF LEFT JOIN mo e ON make_timestamp(g.tick_us) >= e.ts),
+             |mb AS (SELECT g.tick_us, e.ts AS bts, e.value AS bv FROM g ASOF LEFT JOIN mo e ON make_timestamp(g.tick_us) <= e.ts),
+             |mn AS (SELECT mp.tick_us,
+             |        CASE WHEN pts IS NULL OR (bts IS NOT NULL
+             |              AND epoch_us(bts) - mp.tick_us <= mp.tick_us - epoch_us(pts))
+             |             THEN bv ELSE pv END AS motion_value
+             |       FROM mp JOIN mb USING (tick_us)),
+             |c2 AS (SELECT e.ts, e.event_type,
+             |        w3.lo + LEAST(w3.n - 1, GREATEST(0,
+             |          CAST(ceil((epoch_us(e.ts) - w3.lo - 30000000) / 60000000.0) AS BIGINT)
+             |        )) * 60000000 AS tick_us
+             |       FROM events e, w3),
+             |h AS (SELECT DISTINCT tick_us, event_type FROM c2
+             |      WHERE abs(epoch_us(ts) - tick_us) < 10000000),
+             |p AS (SELECT tick_us,
+             |        max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS event_click,
+             |        max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS event_error,
+             |        max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS event_purchase,
+             |        max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS event_signup,
+             |        max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS event_view
+             |      FROM h GROUP BY tick_us)
+             |SELECT make_timestamp(g.tick_us) AS "timestamp",
+             |  cn.camera_value, mn.motion_value,
+             |  coalesce(event_click, 0) AS event_click,
+             |  coalesce(event_error, 0) AS event_error,
+             |  coalesce(event_purchase, 0) AS event_purchase,
+             |  coalesce(event_signup, 0) AS event_signup,
+             |  coalesce(event_view, 0) AS event_view
+             |FROM g JOIN cn USING (tick_us) JOIN mn USING (tick_us) LEFT JOIN p USING (tick_us)
+             |ORDER BY "timestamp"""".stripMargin)),
 
     // A1 — timestamp extremes per table (app.py:155-156).
     QueryDef("a1_minmax",
@@ -332,7 +398,7 @@ object RefQueries {
         val names = Seq("region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings")
         names.map { n =>
-          s.read.parquet(s"$d/$n.parquet").agg(count(lit(1)).as("n_rows"))
+          graft.sources.Tables.load(s, d, n).agg(count(lit(1)).as("n_rows"))
             .select(lit(n).as("tbl"), col("n_rows"))
         }.reduce(_.unionByName(_)).orderBy(col("tbl"))
       },

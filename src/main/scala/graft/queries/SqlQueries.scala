@@ -47,8 +47,9 @@ object SqlQueries {
              |GROUP BY l_returnflag, l_linestatus
              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
 
-    // TPC-H Q3-style: broadcast the small dimension, shuffle only the
-    // grouped fact, top-k at the end.
+    // TPC-H Q3-style: broadcast ONLY the filtered customer dimension;
+    // the orders↔lineitem fact join shuffles (AQE may still promote it
+    // at small SF, but nothing forces a big-side broadcast at 100×).
     QueryDef("q3_top_orders",
       (s, d) => {
         val c = s.read.parquet(s"$d/customer.parquet")
@@ -57,7 +58,7 @@ object SqlQueries {
           .select("o_orderkey", "o_custkey", "o_orderdate")
         val li = s.read.parquet(s"$d/lineitem.parquet")
           .select("l_orderkey", "l_extendedprice", "l_discount")
-        li.join(broadcast(o.join(broadcast(c), col("o_custkey") === col("c_custkey"))),
+        li.join(o.join(broadcast(c), col("o_custkey") === col("c_custkey")),
             col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("o_orderkey"), col("o_orderdate"))
           .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
@@ -79,7 +80,7 @@ object SqlQueries {
     QueryDef("q_window_running",
       (s, d) => {
         val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-        s.read.parquet(s"$d/events.parquet")
+        graft.sources.Tables.events(s, d)
           .select(col("user_id"), col("event_id"), col("ts"),
             row_number().over(w).as("rn"),
             sum(col("value").cast("decimal(18,2)"))
@@ -99,7 +100,7 @@ object SqlQueries {
     QueryDef("q_sessionize",
       (s, d) => {
         val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-        s.read.parquet(s"$d/events.parquet")
+        graft.sources.Tables.events(s, d)
           .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
           .withColumn("new_session",
             when(col("prev_ts").isNull ||
@@ -132,7 +133,7 @@ object SqlQueries {
     // 1 h tumbling window per event type. Epoch-aligned bucket math so
     // the oracle is arithmetic, not engine-specific windowing.
     QueryDef("q_tumbling_hour",
-      (s, d) => s.read.parquet(s"$d/events.parquet")
+      (s, d) => graft.sources.Tables.events(s, d)
         .groupBy(
           timestamp_micros(expr("unix_micros(ts) div 3600000000") * 3600000000L)
             .as("window_start"),

@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate: run each oracle SQL in
+DuckDB over the sf tables, compare to the Spark parquet dump (rows,
+schema-insensitive column-sorted value hash). Usage:
+  python3 tools/oracle_check.py <sfdir> <verify_outdir>
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in glob.glob(f"{sfdir}/*.parquet"):
+    name = os.path.basename(t)[:-8]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{t}')")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+def norm(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        s = df[c]
+        if np.issubdtype(s.dtype, np.datetime64):
+            df[c] = s.astype("datetime64[us]")
+        elif s.dtype == object:
+            df[c] = s.astype(str)
+        elif np.issubdtype(s.dtype, np.floating):
+            df[c] = s.round(9)
+        elif s.dtype == bool:
+            df[c] = s.astype(int)
+        elif str(s.dtype).startswith("int") or str(s.dtype).startswith("uint"):
+            df[c] = s.astype("int64")
+    return df
+
+fails = 0
+for name in sorted(os.listdir(outdir)):
+    d = os.path.join(outdir, name)
+    if not os.path.isdir(d):
+        continue
+    spark_df = pd.concat([pd.read_parquet(p) for p in glob.glob(f"{d}/*.parquet")]) \
+        if glob.glob(f"{d}/*.parquet") else pd.DataFrame()
+    if name not in oracle:
+        print(f"{name:28s} rows={len(spark_df):7d}  (rows-only check: {'OK' if len(spark_df) > 0 else 'EMPTY!'})")
+        if len(spark_df) == 0:
+            fails += 1
+        continue
+    try:
+        ora_df = con.execute(oracle[name]).fetchdf()
+    except Exception as e:
+        print(f"{name:28s} ORACLE SQL ERROR: {e}")
+        fails += 1
+        continue
+    a, b = norm(spark_df.copy()), norm(ora_df.copy())
+    rows_ok = len(a) == len(b)
+    cols_ok = list(a.columns) == list(b.columns)
+    val_ok = False
+    if rows_ok and cols_ok:
+        try:
+            pd.testing.assert_frame_equal(
+                a.reset_index(drop=True), b.reset_index(drop=True),
+                check_dtype=False, check_exact=False, rtol=1e-9, atol=1e-9)
+            val_ok = True
+        except AssertionError as e:
+            val_ok = False
+            err = str(e).split("\n")[0:6]
+    status = "OK" if (rows_ok and cols_ok and val_ok) else "FAIL"
+    if status == "FAIL":
+        fails += 1
+    print(f"{name:28s} rows={len(a):7d}/{len(b):7d} cols_ok={cols_ok} vals_ok={val_ok} {status}")
+    if not cols_ok:
+        print(f"   spark cols: {list(a.columns)}\n   ora cols:   {list(b.columns)}")
+    elif rows_ok and not val_ok:
+        print("   " + "\n   ".join(err))
+print(f"\n{fails} failures")
+sys.exit(1 if fails else 0)
