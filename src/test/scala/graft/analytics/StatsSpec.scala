@@ -1,0 +1,62 @@
+package graft.analytics
+
+import graft.GraftSpec
+import org.apache.spark.sql.functions._
+
+/** Pins A2-A5 semantics: pandas-type-7 linear interpolation quantiles,
+  * pairwise-complete Pearson corr with zero-variance undefinedness,
+  * and the exact-decimal describe() summary. */
+class StatsSpec extends GraftSpec {
+
+  test("quantiles use linear interpolation (pandas type-7 / quantile_cont)") {
+    import spark.implicits._
+    val df = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
+    val r = Stats.quantiles(df, "x", Seq(0.25, 0.5, 0.75)).head()
+    assert(r.getDouble(0) === 1.75 +- 1e-12)
+    assert(r.getDouble(1) === 2.5 +- 1e-12)
+    assert(r.getDouble(2) === 3.25 +- 1e-12)
+  }
+
+  test("corrMatrix: zero-variance column yields undefined (null/NaN), correlated pair exact") {
+    import spark.implicits._
+    val df = Seq((1.0, 2.0, 7.0), (2.0, 4.0, 7.0), (3.0, 6.0, 7.0))
+      .toDF("a", "b", "c")
+    val out = Stats.corrMatrix(df, Seq("a", "b", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    assert(out(("a", "b")) === 1.0 +- 1e-12)
+    assert(out(("a", "c")).isNaN, "const column -> undefined corr (app.py:423)")
+    assert(out.size === 3)
+  }
+
+  test("corr is pairwise-complete: null rows drop from that pair only") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1.0), Some(10.0)), (Some(2.0), Some(20.0)),
+      (Some(3.0), None: Option[Double]), (Some(4.0), Some(40.0))
+    ).toDF("a", "b")
+    val r = Stats.corrMatrix(df, Seq("a", "b")).head()
+    assert(r.getDouble(2) === 1.0 +- 1e-12)
+  }
+
+  test("summaryExact matches hand-computed stats on [1..5]") {
+    import spark.implicits._
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 5.0).toDF("x")
+    val r = Stats.summaryExact(df, "x").head()
+    assert(r.getLong(0) === 5L)
+    assert(r.getDouble(1) === 3.0 +- 1e-12)                    // mean
+    assert(r.getDouble(2) === math.sqrt(2.5) +- 1e-12)         // sample stddev
+    assert(r.getDouble(3) === 1.0)                             // min
+    assert(r.getDouble(4) === 5.0)                             // max
+    assert(r.getDouble(5) === 2.0 +- 1e-12)                    // q25
+    assert(r.getDouble(6) === 3.0 +- 1e-12)                    // q50
+    assert(r.getDouble(7) === 4.0 +- 1e-12)                    // q75
+  }
+
+  test("tsExtremes returns min/max of a timestamp column") {
+    val df = tsDf("ts", Seq(5000000L, 1000000L, 9000000L))
+    val r = Stats.tsExtremes(df, "ts").head()
+    assert(r.getTimestamp(0).getTime === 1000L)
+    assert(r.getTimestamp(1).getTime === 9000L)
+  }
+}

@@ -1,0 +1,90 @@
+package graft.ext
+
+import graft.GraftSpec
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+
+/** Vector kernels + similarity search: exact values, loud dimension
+  * failures, brute-force ranking, LSH candidate recall on duplicates. */
+class SimilaritySpec extends GraftSpec {
+
+  private def vecs(rows: (Long, Seq[Double])*) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("vec_dot and cosine_sim compute exact values") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+    val r = df.select(
+      VectorFunctions.vec_dot(spark, col("a"), col("b")),
+      VectorFunctions.cosine_sim(spark, col("a"), col("b"))).head()
+    assert(r.getDouble(0) === 32.0)
+    val expected = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(r.getDouble(1) === expected +- 1e-12)
+  }
+
+  test("orthogonal vectors have cosine 0; identical have cosine 1") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      (Seq(3.0, 4.0), Seq(3.0, 4.0))).toDF("a", "b")
+    val out = df.select(VectorFunctions.cosine_sim(spark, col("a"), col("b")))
+      .collect().map(_.getDouble(0))
+    assert(out(0) === 0.0 +- 1e-12)
+    assert(out(1) === 1.0 +- 1e-12)
+  }
+
+  test("zero-norm vector yields null, not a fabricated 0") {
+    import spark.implicits._
+    val df = Seq((Seq(0.0, 0.0), Seq(1.0, 2.0))).toDF("a", "b")
+    val r = df.select(VectorFunctions.cosine_sim(spark, col("a"), col("b"))).head()
+    assert(r.isNullAt(0))
+  }
+
+  test("dimension mismatch raises instead of silently truncating") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(VectorFunctions.vec_dot(spark, col("a"), col("b"))).head()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("vector length mismatch")))
+  }
+
+  test("float arrays work through the same kernel") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
+    val r = df.select(VectorFunctions.vec_dot(spark, col("a"), col("b"))).head()
+    assert(r.getDouble(0) === 11.0)
+  }
+
+  test("bruteForceTopK ranks by cosine desc with neighbor_id tiebreak") {
+    // query v1=(1,0); corpus: v2=(2,0) cos=1, v3=(1,1) cos=.707, v4=(0,1) cos=0
+    val corpus = vecs((1L, Seq(1.0, 0.0)), (2L, Seq(2.0, 0.0)),
+      (3L, Seq(1.0, 1.0)), (4L, Seq(0.0, 1.0)))
+    val out = Similarity.bruteForceTopK(corpus, vecs((1L, Seq(1.0, 0.0))), 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(_._2).toSeq === Seq(2L, 3L, 4L))
+    assert(out(0)._3 === 1.0 +- 1e-12)
+    assert(out(1)._3 === math.sqrt(0.5) +- 1e-12)
+    assert(out(2)._3 === 0.0 +- 1e-12)
+  }
+
+  test("lshTopK finds exact duplicates (identical signatures share every bucket)") {
+    val dup = Seq.tabulate(16)(i => math.sin(i + 1.0))
+    val corpus = vecs(Seq.tabulate(20)(i =>
+      (i.toLong, Seq.tabulate(16)(j => math.cos(i * 17 + j)))) :+ (99L, dup): _*)
+    val out = Similarity.lshTopK(corpus, vecs((100L, dup)), 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(out.length === 1)
+    assert(out.head._2 === 99L)
+    assert(out.head._3 === 1.0 +- 1e-12)
+  }
+
+  test("dimOf measures the embedding width from data") {
+    assert(Similarity.dimOf(vecs((1L, Seq(1.0, 2.0, 3.0))), "embedding") === 3)
+  }
+}

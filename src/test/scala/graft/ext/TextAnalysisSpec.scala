@@ -1,0 +1,66 @@
+package graft.ext
+
+import graft.GraftSpec
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators: stats arithmetic, language-ID argmax,
+  * fingerprints, BPE-ish token counting — all hand-computable. */
+class TextAnalysisSpec extends GraftSpec {
+
+  private def one(text: String) = {
+    import spark.implicits._
+    Seq(text).toDF("text")
+  }
+
+  test("stats: tokens, distinct, ttr, avg length, stopword ratio") {
+    val r = TextAnalysis.stats(one("the cat sat on the mat"))
+      .select("n_tokens", "n_distinct", "ttr", "avg_token_len", "n_stop", "stop_ratio")
+      .head()
+    assert(r.getInt(0) === 6)
+    assert(r.getInt(1) === 5)
+    assert(r.getDouble(2) === 5.0 / 6.0 +- 1e-12)
+    assert(r.getDouble(3) === 17.0 / 6.0 +- 1e-12) // 3+3+3+2+3+3
+    assert(r.getInt(4) === 3)                      // the, on, the
+    assert(r.getDouble(5) === 0.5 +- 1e-12)
+  }
+
+  test("qualityScore composes the three signals") {
+    val text = (1 to 25).map(i => s"w$i").mkString(" ") // 25 distinct tokens
+    val r = TextAnalysis.stats(one(text))
+      .select(TextAnalysis.qualityScore).head().getDouble(0)
+    // length band 0.4 + min(ttr=1.0, .5)*0.8 = 0.4 + stop 0
+    assert(r === 0.8 +- 1e-12)
+  }
+
+  test("langId: marker argmax with profile-order ties, und on no hits") {
+    import spark.implicits._
+    val out = Seq(
+      "the cat and the dog is here",
+      "der hund ist nicht ein katze",
+      "el perro y la casa de los gatos",
+      "qwerty zzz xxx").toDF("text")
+      .select(TextAnalysis.langId(col("text"))).collect().map(_.getString(0))
+    assert(out.toSeq === Seq("en", "de", "es", "und"))
+  }
+
+  test("rollingHash matches the hand-computed polynomial") {
+    // "ab": ((0*31+97)*31+98) = 3105
+    val r = one("ab").select(TextAnalysis.rollingHash(col("text"))).head()
+    assert(r.getLong(0) === 3105L)
+  }
+
+  test("bpeishTokenCount: letter runs, digit runs, single punctuation") {
+    val r = one("Hello, world 42!")
+      .select(TextAnalysis.bpeishTokenCount(col("text"))).head()
+    assert(r.getInt(0) === 5) // hello , world 42 !
+  }
+
+  test("fingerprint is order-free over the distinct token set") {
+    import spark.implicits._
+    val out = Seq("b a c", "c b a", "a b c c", "a b d").toDF("text")
+      .select(TextAnalysis.fingerprint(col("text"))).collect().map(_.getString(0))
+    assert(out(0) === out(1))
+    assert(out(0) === out(2)) // duplicates collapse
+    assert(out(0) !== out(3))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import graft.GraftSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Batch/stream parity: the streaming transforms must produce exactly
+  * the batch results on the same data (Spark's unified-API guarantee,
+  * asserted rather than assumed). Streams are driven through the
+  * public file source + memory sink — no internal test harness. */
+class StreamingEtlSpec extends GraftSpec {
+
+  import StreamingEtl.Event
+
+  private def mkEvents(rows: (Long, Long, Long, String, Double)*) = {
+    import spark.implicits._
+    rows.map { case (id, tsUs, uid, tpe, v) =>
+      Event(id, new java.sql.Timestamp(tsUs / 1000), uid, tpe, v)
+    }.toDS()
+  }
+
+  private val H = 3600000000L // 1 h in micros
+
+  test("tumblingCounts(batch) equals the epoch-aligned bucket arithmetic") {
+    val ds = mkEvents(
+      (1L, 10L * 60 * 1000000, 1L, "click", 1.0),
+      (2L, 50L * 60 * 1000000, 1L, "click", 2.0),
+      (3L, 70L * 60 * 1000000, 2L, "view", 4.0))
+    val out = StreamingEtl.tumblingCounts(ds.toDF())
+      .orderBy("window_start", "event_type").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      (0L, "click", 2L, 3.0),
+      (3600000L, "view", 1L, 4.0)))
+  }
+
+  test("tumblingCounts: stream over a file source equals the batch result") {
+    val dir = Files.createTempDirectory("graft-stream-in").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("graft-stream-ck").toFile.getAbsolutePath
+    val ds = mkEvents((0 until 200).map { i =>
+      (i.toLong, i.toLong * 97 * 1000000, (i % 7).toLong,
+        Seq("click", "view", "purchase")(i % 3), i / 10.0)
+    }: _*)
+    ds.write.mode("overwrite").parquet(dir)
+
+    val streamIn = spark.readStream.schema(ds.schema).parquet(dir)
+    val q = StreamingEtl.tumblingCounts(streamIn)
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("complete").option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("tumbling_out")
+      .orderBy("window_start", "event_type").collect().toSeq
+    val batch = StreamingEtl.tumblingCounts(ds.toDF())
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("sessionize(batch, flushAtEnd) matches the window-function q_sessionize shape") {
+    // user 1: events at 0, 10 min, 50 min (gap > 30 min -> 2 sessions)
+    // user 2: single event
+    val ds = mkEvents(
+      (1L, 0L, 1L, "click", 1.0),
+      (2L, 10L * 60 * 1000000, 1L, "view", 1.0),
+      (3L, 50L * 60 * 1000000, 1L, "click", 1.0),
+      (4L, 5L * 60 * 1000000, 2L, "view", 1.0))
+    val out = StreamingEtl.sessionize(ds, flushAtEnd = true)
+      .collect().map(s => (s.user_id, s.session_id, s.n_events,
+        s.session_start.getTime, s.session_end.getTime)).sorted
+    assert(out.toSeq === Seq(
+      (1L, 1L, 2L, 0L, 600000L),
+      (1L, 2L, 1L, 3000000L, 3000000L),
+      (2L, 1L, 1L, 300000L, 300000L)))
+  }
+
+  test("sessionize(stream): a gap inside one batch closes and emits the session") {
+    val dir = Files.createTempDirectory("graft-sess-in").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("graft-sess-ck").toFile.getAbsolutePath
+    import spark.implicits._
+    val batch1 = mkEvents(
+      (1L, 0L, 1L, "click", 1.0),
+      (2L, 10L * 60 * 1000000, 1L, "view", 1.0),
+      (3L, 50L * 60 * 1000000, 1L, "click", 1.0)) // closes session 1
+    batch1.write.mode("overwrite").parquet(dir)
+
+    val streamIn = spark.readStream.schema(batch1.schema).parquet(dir).as[Event]
+    val q = StreamingEtl.sessionize(streamIn)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val emitted = spark.table("sessions_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // only the CLOSED session is emitted; session 2 stays in state
+    assert(emitted.toSeq === Seq((1L, 1L, 2L)))
+  }
+}

@@ -1,0 +1,114 @@
+package graft.sync
+
+import graft.GraftSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Pins the [verified] as-of semantics from SURVEY §2.4 / FIXTURES §A5:
+  * tie → LATER ts for nearest, strict inclusivity, null edges for
+  * pad/backfill, nearest never null, and cross-bucket carry. */
+class AsofJoinSpec extends GraftSpec {
+
+  private def series(pairs: (Long, Double)*) =
+    tsDf("ts", pairs.map(_._1), Seq("value" -> pairs.map(_._2)))
+
+  private def grid(ticks: Long*) = tsDf("tick", ticks)
+
+  private def run(kind: String, g: Seq[Long], s: Seq[(Long, Double)],
+                  bucketUs: Long = 3600000000L): Map[Long, (Option[Long], Option[Double])] = {
+    val fn = kind match {
+      case "pad"      => AsofJoin.pad _
+      case "backfill" => AsofJoin.backfill _
+      case "nearest"  => AsofJoin.nearest _
+    }
+    fn(grid(g: _*), "tick", series(s: _*), "ts", Seq("value"), bucketUs, "src_ts")
+      .select(unix_micros(col("tick")), unix_micros(col("src_ts")), col("value"))
+      .collect().map { r =>
+        r.getLong(0) -> ((if (r.isNullAt(1)) None else Some(r.getLong(1))),
+          (if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      }.toMap
+  }
+
+  private val MS = 1000L // micros per milli
+
+  test("nearest: exact tie breaks to the LATER timestamp") {
+    // source at 0 ms and 100 ms, tick at 50 ms — equidistant
+    val out = run("nearest", Seq(50 * MS), Seq((0L, 1.0), (100 * MS, 2.0)))
+    assert(out(50 * MS) === ((Some(100 * MS), Some(2.0))))
+  }
+
+  test("pad picks last ts <= tick; backfill first ts >= tick") {
+    val s = Seq((0L, 1.0), (100 * MS, 2.0))
+    assert(run("pad", Seq(50 * MS), s)(50 * MS) === ((Some(0L), Some(1.0))))
+    assert(run("backfill", Seq(50 * MS), s)(50 * MS) === ((Some(100 * MS), Some(2.0))))
+  }
+
+  test("an exact tick == ts match returns that row under all methods") {
+    val s = Seq((0L, 1.0), (50 * MS, 5.0), (100 * MS, 2.0))
+    for (k <- Seq("pad", "backfill", "nearest"))
+      assert(run(k, Seq(50 * MS), s)(50 * MS) === ((Some(50 * MS), Some(5.0))), k)
+  }
+
+  test("edges: pad null before first, backfill null after last, nearest clamps") {
+    val s = Seq((100 * MS, 1.0), (200 * MS, 2.0))
+    val g = Seq(0L, 300 * MS)
+    val pad = run("pad", g, s)
+    val back = run("backfill", g, s)
+    val near = run("nearest", g, s)
+    assert(pad(0L) === ((None, None)))                       // before first
+    assert(pad(300 * MS) === ((Some(200 * MS), Some(2.0))))
+    assert(back(300 * MS) === ((None, None)))                // after last
+    assert(back(0L) === ((Some(100 * MS), Some(1.0))))
+    assert(near(0L) === ((Some(100 * MS), Some(1.0))))       // clamped, not null
+    assert(near(300 * MS) === ((Some(200 * MS), Some(2.0))))
+  }
+
+  test("pad carries across empty buckets (bucket-digest prefix scan)") {
+    // series only in bucket 0; ticks in buckets 3 and 7 (1 s buckets)
+    val bucketUs = 1000000L
+    val s = Seq((100 * MS, 42.0))
+    val g = Seq(3500 * MS, 7200 * MS)
+    val out = run("pad", g, s, bucketUs)
+    assert(out(3500 * MS) === ((Some(100 * MS), Some(42.0))))
+    assert(out(7200 * MS) === ((Some(100 * MS), Some(42.0))))
+  }
+
+  test("nearest equals the brute-force argmin (tie -> later) on random data") {
+    val rng = new scala.util.Random(7)
+    val sTs = rng.shuffle((0 until 2000).toList).take(300)
+      .map(i => i.toLong * 10 * MS).distinct.sorted
+    val s = sTs.map(t => (t, t.toDouble))
+    val g = (0 until 150).map(_ => rng.nextInt(22000).toLong * MS)
+      .distinct.sorted
+    val out = run("nearest", g, s, bucketUs = 3000000L)
+    for (tick <- g) {
+      val best = s.map { case (t, _) => (math.abs(t - tick), -t, t) }.min._3
+      assert(out(tick)._1 === Some(best),
+        s"tick=$tick expected nearest=$best got ${out(tick)._1}")
+    }
+  }
+
+  test("pad equals brute-force max ts <= tick on random data") {
+    val rng = new scala.util.Random(11)
+    val s = (0 until 200).map(_ => rng.nextInt(50000).toLong * MS)
+      .distinct.sorted.map(t => (t, t.toDouble))
+    val g = (0 until 100).map(_ => rng.nextInt(55000).toLong * MS).distinct.sorted
+    val out = run("pad", g, s, bucketUs = 5000000L)
+    for (tick <- g) {
+      val expect = s.map(_._1).filter(_ <= tick) match {
+        case Nil => None
+        case xs  => Some(xs.max)
+      }
+      assert(out(tick)._1 === expect, s"tick=$tick")
+    }
+  }
+
+  test("dedupeByTs keeps the row with the greatest tiebreaker") {
+    import spark.implicits._
+    val df = Seq((1L, 10.0, 1L), (1L, 20.0, 2L), (2L, 5.0, 1L))
+      .toDF("ts", "value", "seq")
+    val out = AsofJoin.dedupeByTs(df, "ts", "seq").orderBy("ts").collect()
+    assert(out.map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      Seq((1L, 20.0), (2L, 5.0)))
+  }
+}
