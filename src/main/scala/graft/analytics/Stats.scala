@@ -22,8 +22,7 @@ object Stats {
 
   /** A2/A3 — exact linear-interpolation quantiles of one column. */
   def quantiles(df: DataFrame, c: String, qs: Seq[Double]): DataFrame = {
-    val arr = qs.mkString("array(", ", ", ")")
-    df.agg(expr(s"percentile($c, $arr)").as("__q"))
+    df.agg(graft.functions.ExactPercentile.percentiles(col(c), qs).as("__q"))
       .select(qs.zipWithIndex.map { case (q, i) =>
         col("__q").getItem(i).as(s"q${(q * 100).round}")
       }: _*)
@@ -66,7 +65,7 @@ object Stats {
       sum(d2).as("sumsq_exact"),
       min(col(c)).as("mn"),
       max(col(c)).as("mx"),
-      expr(s"percentile($c, array(0.25, 0.5, 0.75))").as("q")
+      graft.functions.ExactPercentile.percentiles(col(c), Seq(0.25, 0.5, 0.75)).as("q")
     ).select(
       col("cnt"),
       (col("sum_exact").cast("double") / col("cnt")).as("mean"),

@@ -53,33 +53,31 @@ object Dedup {
   val PermB: Seq[Long] = Seq(152L, 821L, 1949L, 3307L, 5443L, 7177L,
     8887L, 10957L, 13217L, 15661L, 18119L, 20509L, 22907L, 25301L, 27779L, 30293L)
 
-  /** MinHash signature column array: mh_j = min over shingles of
-    * (A_j * (h60(s) mod p) + B_j) mod p. */
-  def minhashCols(sh: Column, nPerms: Int = 16): Seq[Column] = {
-    val hs = transform(sh, s => strHash60(s) % HashMod)
-    (0 until nPerms).map { j =>
-      array_min(transform(hs, h => (lit(PermA(j)) * h + lit(PermB(j))) % HashMod))
-        .as(s"mh_$j")
-    }
-  }
-
-  /** Per-document distinct shingle sets (empty sets dropped). */
+  /** Per-document distinct shingle-HASH sets (empty sets dropped).
+    * Hashes are the same md5-derived 60-bit values `shingles` +
+    * `strHash60` would produce, computed by the fused
+    * `Shingles60` kernel (one pass instead of per-stage
+    * interpreted lambdas). */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String,
                   shingleN: Int = 3): DataFrame =
-    docs.select(col(idCol), shingles(col(textCol), shingleN).as("__sh"))
+    docs.select(col(idCol),
+      graft.functions.TextHashFunctions.shingles60(col(textCol), shingleN).as("__sh"))
       .filter(size(col("__sh")) > 0)
 
   /** Per-document (docId, band, bandKey) rows — `bands` of
     * `rowsPerBand` minhash values each, keyed by the concatenated band
     * signature. One row per (doc, band); the shingle arrays themselves
-    * are NOT carried through (keeps the LSH shuffle narrow). */
+    * are NOT carried through (keeps the LSH shuffle narrow). The
+    * 16-permutation signature is ONE fused kernel pass over the
+    * hashed shingles. */
   def bandedSignatures(sets: DataFrame, idCol: String,
                        bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
-    val withMh = sets.select(
-      col(idCol) +: minhashCols(col("__sh"), bands * rowsPerBand): _*)
+    require(bands * rowsPerBand <= PermA.size, "not enough permutation constants")
+    val withMh = sets.select(col(idCol),
+      graft.functions.TextHashFunctions.minhashSig(col("__sh")).as("__sig"))
     val bandRows = (0 until bands).map { b =>
       val key = concat_ws(",",
-        (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}")): _*)
+        (0 until rowsPerBand).map(r => element_at(col("__sig"), b * rowsPerBand + r + 1)): _*)
       withMh.select(col(idCol), lit(b).as("__band"), key.as("__bandkey"))
     }
     bandRows.reduce(_.unionByName(_))
@@ -93,10 +91,12 @@ object Dedup {
 
   /** MinHash-LSH near-duplicate pairs: candidates share at least one
     * band signature; each candidate pair is verified with exact
-    * n-gram Jaccard >= threshold. Never forms the n² cross join; the
-    * band self-join shuffles only (id, band, key) rows, and shingle
-    * sets are joined back onto the (small) candidate-pair set for the
-    * verify step. */
+    * Jaccard >= threshold over the hashed shingle sets (60-bit hashes:
+    * collision-free in practice, so equal to string-set Jaccard — the
+    * DuckDB oracle verifies against the string sets). Never forms the
+    * n² cross join; the band self-join shuffles only (id, band, key)
+    * rows, and shingle sets are joined back onto the (small)
+    * candidate-pair set for the verify step. */
   def minhashNearDups(docs: DataFrame, threshold: Double,
                       idCol: String = "doc_id", textCol: String = "text",
                       shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
@@ -129,14 +129,10 @@ object Dedup {
 
   /** SimHash fingerprint (`nBits` <= 63) over the distinct-token set:
     * bit i is 1 when more than half the token hashes have bit i set.
-    * Pure per-row projection — no shuffle. */
-  def simhash(text: Column, nBits: Int = 32): Column = {
-    val hs = transform(array_distinct(toks(text)), t => strHash60(t))
-    val n = size(hs)
-    val bits = (0 until nBits).map { i =>
-      val ones = size(filter(hs, h => shiftright(h, i) % 2 === 1))
-      when(ones * 2 > n, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+    * Pure per-row projection — no shuffle; tokenize+hash+bit-count is
+    * one fused kernel pass (the per-bit column formulation ran nBits
+    * interpreted filter passes per row). */
+  def simhash(text: Column, nBits: Int = 32): Column =
+    graft.functions.TextHashFunctions.simhash(
+      graft.functions.TextHashFunctions.tokens60(text), nBits)
 }

@@ -74,16 +74,15 @@ object TextAnalysis {
 
   /** Canonical bag-of-words fingerprint: md5 of the sorted distinct
     * token set — equal fingerprints = same vocabulary (order-free
-    * near-dup detector, exactly reproducible in any engine). */
+    * near-dup detector, exactly reproducible in any engine). Fused
+    * kernel pass (tokenize+dedup+sort+md5 in one loop). */
   def fingerprint(textCol: Column): Column =
-    md5(concat_ws(" ", array_sort(array_distinct(tokens(textCol)))))
+    graft.functions.TextHashFunctions.bowMd5(textCol)
 
   /** Polynomial rolling hash of the full text (content fingerprint):
     * fold over characters, h = (h*31 + code) mod 1e9+7. Sequential and
-    * exact — stable across engines/partitionings. */
+    * exact — stable across engines/partitionings; one fused kernel
+    * pass instead of a per-character interpreted lambda fold. */
   def rollingHash(textCol: Column): Column =
-    aggregate(
-      transform(split(textCol, ""), c => ascii(c).cast("long")),
-      lit(0L),
-      (acc, x) => (acc * 31L + x) % 1000000007L)
+    graft.functions.TextHashFunctions.rollingHash(textCol)
 }

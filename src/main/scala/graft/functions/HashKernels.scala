@@ -1,0 +1,159 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.util.Locale
+
+/** Tight JVM kernels behind the text-hash Catalyst expressions.
+  *
+  * Every hash is md5-derived exactly like the column-expression
+  * formulation they replace (`conv(substr(md5(s),1,15),16,10)` — the
+  * top 60 bits of the digest), so the DuckDB oracles reproduce each
+  * stage bit-for-bit; these kernels only change HOW the same numbers
+  * are computed (one tight loop instead of 16 interpreted
+  * higher-order-function passes per row). */
+object HashKernels {
+
+  val P: Long = 1000000007L
+
+  private val md = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  /** Top 60 bits of md5(s) = `('0x'||substring(md5(s),1,15))::BIGINT`. */
+  def md5_60(s: String): Long = {
+    val d = md.get(); d.reset()
+    val b = d.digest(s.getBytes(StandardCharsets.UTF_8))
+    val top =
+      ((b(0) & 0xffL) << 56) | ((b(1) & 0xffL) << 48) |
+      ((b(2) & 0xffL) << 40) | ((b(3) & 0xffL) << 32) |
+      ((b(4) & 0xffL) << 24) | ((b(5) & 0xffL) << 16) |
+      ((b(6) & 0xffL) << 8)  |  (b(7) & 0xffL)
+    top >>> 4
+  }
+
+  /** `string_split(lower(s), ' ')` — single-space split KEEPING empty
+    * tokens (Java's default split drops trailing empties; -1 keeps
+    * them, matching Spark's split() and DuckDB's string_split). */
+  def tokens(s: String): Array[String] =
+    s.toLowerCase(Locale.ROOT).split(" ", -1)
+
+  /** Hashes of the distinct tokens (first-occurrence order). */
+  def tokensDistinct60(s: String): Array[Long] = {
+    val tk = tokens(s)
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i < tk.length) { seen.add(tk(i)); i += 1 }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = md5_60(it.next()); j += 1 }
+    out
+  }
+
+  /** Hashes of the distinct word n-gram shingles; < n tokens → empty. */
+  def shingles60(s: String, n: Int): Array[Long] = {
+    val tk = tokens(s)
+    if (tk.length < n) return Array.emptyLongArray
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= tk.length - n) {
+      sb.setLength(0)
+      var o = 0
+      while (o < n) {
+        if (o > 0) sb.append(' ')
+        sb.append(tk(i + o)); o += 1
+      }
+      seen.add(sb.toString); i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = md5_60(it.next()); j += 1 }
+    out
+  }
+
+  /** MinHash signature over pre-hashed values: for permutation j,
+    * min over h of (A_j·(h mod P) + B_j) mod P — one pass for all
+    * permutations. Empty input → all-P sentinel (never matches a real
+    * signature, and callers filter empty shingle sets anyway). */
+  def minhashSig(hs: Array[Long], permA: Array[Long], permB: Array[Long]): Array[Long] = {
+    val k = permA.length
+    val out = Array.fill(k)(P)
+    var i = 0
+    while (i < hs.length) {
+      val hm = hs(i) % P
+      var j = 0
+      while (j < k) {
+        val v = (permA(j) * hm + permB(j)) % P
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** SimHash over pre-hashed values: bit i set when more than half the
+    * hashes have bit i set. */
+  def simhash(hs: Array[Long], nBits: Int): Long = {
+    val counts = new Array[Int](nBits)
+    var i = 0
+    while (i < hs.length) {
+      val h = hs(i)
+      var b = 0
+      while (b < nBits) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < nBits) {
+      if (2 * counts(b) > hs.length) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** md5 hex of the sorted distinct token set — the canonical
+    * bag-of-words fingerprint
+    * (`md5(concat_ws(' ', array_sort(array_distinct(split(lower(t), ' ')))))`
+    * fused into one pass). */
+  def bowMd5(s: String): String = {
+    val tk = tokens(s)
+    val seen = new java.util.TreeSet[String]()
+    var i = 0
+    while (i < tk.length) { seen.add(tk(i)); i += 1 }
+    val sb = new java.lang.StringBuilder()
+    val it = seen.iterator()
+    while (it.hasNext) {
+      if (sb.length > 0) sb.append(' ')
+      sb.append(it.next())
+    }
+    val d = md.get(); d.reset()
+    val bytes = d.digest(sb.toString.getBytes(StandardCharsets.UTF_8))
+    val hex = new Array[Char](32)
+    var j = 0
+    while (j < 16) {
+      hex(2 * j) = Character.forDigit((bytes(j) >> 4) & 0xf, 16)
+      hex(2 * j + 1) = Character.forDigit(bytes(j) & 0xf, 16)
+      j += 1
+    }
+    new String(hex)
+  }
+
+  /** Polynomial rolling hash over code points:
+    * h = (h·31 + codepoint) mod P — matches
+    * `list_reduce(... ascii(c) ...)` in the DuckDB oracle. */
+  def rollingHash(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31L + cp) % P
+      i += Character.charCount(cp)
+    }
+    h
+  }
+}

@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Catalyst expressions wrapping the HashKernels loops.
+  *
+  * Why expressions with CodegenFallback rather than doGenCode: each
+  * row here does heavy per-row work (hundreds of md5 digests / a
+  * 16-permutation scan), so the one virtual eval() call per row is
+  * noise — unlike the vector kernels in VectorFunctions, where the
+  * per-element loop IS the hot path and gets real doGenCode. What
+  * matters is that the old formulation ran 16 interpreted
+  * higher-order-function passes (each re-hashing every shingle);
+  * these run ONE fused pass.
+  *
+  * Hash values are identical to the column formulation they replace
+  * (md5-derived 60-bit, SNIPPETS.md dedup pattern), so the DuckDB
+  * oracle SQL is unchanged. */
+case class Shingles60(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      HashKernels.shingles60(input.asInstanceOf[UTF8String].toString, n))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class TokensDistinct60(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      HashKernels.tokensDistinct60(input.asInstanceOf[UTF8String].toString))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** MinHash signature with the permutation constants baked in. */
+case class MinHashSig(child: Expression, permA: Array[Long], permB: Array[Long])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData].toLongArray()
+    new GenericArrayData(HashKernels.minhashSig(arr, permA, permB))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class SimHash64(child: Expression, nBits: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.simhash(input.asInstanceOf[ArrayData].toLongArray(), nBits)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class RollingHash(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.rollingHash(input.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class BowMd5(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      HashKernels.bowMd5(input.asInstanceOf[UTF8String].toString))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object TextHashFunctions {
+
+  /** Idempotent registration (same public-API pattern as
+    * VectorFunctions: registry + call_function, no private Column
+    * constructors). Int literals in the SQL surface arrive as
+    * Literal expressions; constants are extracted eagerly. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def intArg(e: Expression): Int =
+      e.eval(null).asInstanceOf[Number].intValue()
+    reg.createOrReplaceTempFunction("graft_shingles60",
+      es => Shingles60(es.head, if (es.size > 1) intArg(es(1)) else 3), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_tokens60",
+      es => TokensDistinct60(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_minhash_sig",
+      es => MinHashSig(es.head, graft.ext.Dedup.PermA.toArray,
+        graft.ext.Dedup.PermB.toArray), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_simhash",
+      es => SimHash64(es.head, if (es.size > 1) intArg(es(1)) else 32), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_rolling_hash",
+      es => RollingHash(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_bow_md5",
+      es => BowMd5(es.head), "scala_udf")
+  }
+
+  private def sess: SparkSession = SparkSession.active
+
+  def shingles60(text: Column, n: Int): Column = {
+    register(sess); call_function("graft_shingles60", text, org.apache.spark.sql.functions.lit(n))
+  }
+  def tokens60(text: Column): Column = {
+    register(sess); call_function("graft_tokens60", text)
+  }
+  def minhashSig(hashes: Column): Column = {
+    register(sess); call_function("graft_minhash_sig", hashes)
+  }
+  def simhash(hashes: Column, nBits: Int): Column = {
+    register(sess); call_function("graft_simhash", hashes, org.apache.spark.sql.functions.lit(nBits))
+  }
+  def rollingHash(text: Column): Column = {
+    register(sess); call_function("graft_rolling_hash", text)
+  }
+  def bowMd5(text: Column): Column = {
+    register(sess); call_function("graft_bow_md5", text)
+  }
+}

@@ -24,4 +24,21 @@ object Tables {
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
+
+  /** Exact row count from the parquet footer (no scan) — the count(*)
+    * fast path every columnar engine uses for a whole-table count. */
+  def footerRowCount(spark: SparkSession, dir: String, name: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val conf = spark.sessionState.newHadoopConf()
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+      conf, path, org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+    footer.getBlocks.asScala.map(_.getRowCount).sum
+  }
+
+  private implicit class JListOps[A](l: java.util.List[A]) {
+    def asScala: Seq[A] = {
+      import scala.jdk.CollectionConverters._
+      l.iterator().asScala.toSeq
+    }
+  }
 }

@@ -55,26 +55,91 @@ object AsofJoin {
     directional(grid, gridTs, series, seriesTs, valueCols, bucketUs, srcTsCol, sign = -1L)
 
   /** nearest: min |ts - tick|, tie -> later ts, never null when the
-    * series is non-empty. Composed from pad + backfill (SURVEY §2.4). */
+    * series is non-empty (SURVEY §2.4).
+    *
+    * Fused single-shuffle formulation: ONE bucketed shuffle of
+    * (grid ∪ series) computes BOTH directions as two window frames
+    * over the same partitioning (forward last / backward first), so
+    * there is no second union pass and — unlike composing pad+backfill
+    * — no grid-sized join to recombine them. The equal-timestamp case
+    * rides the forward frame (series sorts before the grid marker at
+    * equal __t), and the backward side reuses it when src == tick. */
   def nearest(grid: DataFrame, gridTs: String, series: DataFrame, seriesTs: String,
               valueCols: Seq[String], bucketUs: Long = DefaultBucketUs,
               srcTsCol: String = "src_ts"): DataFrame = {
-    val p = pad(grid, gridTs, series, seriesTs, valueCols, bucketUs, srcTsCol)
-      .select(col(gridTs) +: (srcTsCol +: valueCols).map(c => col(c).as(s"__p_$c")): _*)
-    val b = backfill(grid, gridTs, series, seriesTs, valueCols, bucketUs, srcTsCol)
-      .select(col(gridTs) +: (srcTsCol +: valueCols).map(c => col(c).as(s"__b_$c")): _*)
-    val j = p.join(b, Seq(gridTs))
-    val tick = unix_micros(col(gridTs))
-    val dPad = tick - unix_micros(col(s"__p_$srcTsCol"))
-    val dBack = unix_micros(col(s"__b_$srcTsCol")) - tick
-    // tie (dPad == dBack) -> backfill side = LATER timestamp [verified]
-    val useBack = col(s"__p_$srcTsCol").isNull ||
-      (col(s"__b_$srcTsCol").isNotNull && dBack <= dPad)
-    j.select(
-      col(gridTs) +:
-        (srcTsCol +: valueCols).map { c =>
-          when(useBack, col(s"__b_$c")).otherwise(col(s"__p_$c")).as(c)
-        }: _*)
+    require(valueCols.nonEmpty, "asof join needs at least one value column")
+    val payload = struct(
+      unix_micros(col(seriesTs)).as("__src") +: valueCols.map(col): _*)
+    val s = series.select(
+      unix_micros(col(seriesTs)).as("__t"), lit(0).as("__g"), payload.as("__p"))
+    val payloadType = s.schema("__p").dataType
+    val g = grid.select(
+      unix_micros(col(gridTs)).as("__t"), lit(1).as("__g"),
+      lit(null).cast(payloadType).as("__p"))
+
+    def bucketed(df: DataFrame): DataFrame =
+      df.withColumn("__b", expr(s"__t div ${bucketUs}L"))
+
+    val u = bucketed(g.unionByName(s))
+    // one shuffle, two running frames over it. The backward pass is a
+    // DESC-ordered running `last` rather than an UnboundedFollowing
+    // frame: Spark executes UnboundedFollowing by rescanning the
+    // partition tail per row (O(n²)); the desc formulation is a second
+    // in-partition sort (O(n log n)) over the same exchange. At equal
+    // __t the grid marker precedes series rows under BOTH orderings
+    // (asc: series __g=0 first -> fwd sees them; desc: grid __g=1
+    // first -> backward excludes them), so an exact tick==ts match
+    // rides the forward side only, reconciled below.
+    val wF = Window.partitionBy("__b").orderBy(col("__t").asc, col("__g").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wB = Window.partitionBy("__b").orderBy(col("__t").desc, col("__g").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val inBucket = u
+      .withColumn("__pf", last(col("__p"), ignoreNulls = true).over(wF))
+      .withColumn("__pb", last(col("__p"), ignoreNulls = true).over(wB))
+      .filter(col("__g") === 1)
+
+    // tiny per-bucket digest: last + first series payload per bucket,
+    // prefix-scanned forward and suffix-scanned backward for carries
+    val bucketDigest = bucketed(s).groupBy("__b").agg(
+      max_by(col("__p"), col("__t")).as("__last"),
+      min_by(col("__p"), col("__t")).as("__first"))
+    val gridBuckets = bucketed(g).select("__b").distinct()
+      .select(col("__b"), lit(1).as("__g"),
+        lit(null).cast(payloadType).as("__last"),
+        lit(null).cast(payloadType).as("__first"))
+    val ub = bucketDigest.select(col("__b"), lit(0).as("__g"), col("__last"), col("__first"))
+      .unionByName(gridBuckets)
+    // forward carry: strictly-earlier buckets (grid row precedes its
+    // bucket's series digest under __g desc); backward carry: strictly
+    // -later buckets (digest precedes grid row under __g asc)
+    val wCF = Window.orderBy(col("__b").asc, col("__g").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // backward carry as a desc-ordered running last (same O(n²)
+    // avoidance as wB): at a grid row, the most recently seen digest
+    // under (__b desc, __g desc) is the nearest strictly-later bucket
+    val wCB = Window.orderBy(col("__b").desc, col("__g").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carry = ub
+      .withColumn("__cf", last(col("__last"), ignoreNulls = true).over(wCF))
+      .withColumn("__cb", last(col("__first"), ignoreNulls = true).over(wCB))
+      .filter(col("__g") === 1).select(col("__b"), col("__cf"), col("__cb"))
+
+    val joined = inBucket.join(broadcast(carry), Seq("__b"), "left")
+    val fwd = coalesce(col("__pf"), col("__cf"))
+    val backRaw = coalesce(col("__pb"), col("__cb"))
+    // equal-t series rows sort before the grid marker, so only the
+    // forward frame sees them; an exact match is both pad and backfill
+    val back = when(fwd.getField("__src") === col("__t"), fwd).otherwise(backRaw)
+    val dPad = col("__t") - fwd.getField("__src")
+    val dBack = back.getField("__src") - col("__t")
+    // tie (dPad == dBack) -> backward side = LATER timestamp [verified]
+    val useBack = fwd.isNull || (back.isNotNull && dBack <= dPad)
+    val pick = when(useBack, back).otherwise(fwd)
+    joined.select(
+      timestamp_micros(col("__t")).as(gridTs) +:
+        timestamp_micros(pick.getField("__src")).as(srcTsCol) +:
+        valueCols.map(c => pick.getField(c).as(c)): _*)
   }
 
   /** Shared directional kernel. sign = 1 -> pad, -1 -> backfill (axis
