@@ -1,0 +1,159 @@
+package graft.multimodal
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+
+/** JVM kernels for multimodal (image/audio) columns. Decode is REAL —
+  * `javax.imageio` (PNG/JPEG) and `javax.sound.sampled` (WAV) ship
+  * with the JDK — so the pipeline exercises true binary→pixels/samples
+  * work, not a stubbed fake. Synthetic generators produce
+  * deterministic media for the driver tables (seeded per row), which
+  * also makes results reproducible without binary fixtures. */
+object MediaKernels {
+
+  // ---- image ----------------------------------------------------------
+
+  /** Deterministic small RGB PNG: a seeded linear-congruential pixel
+    * field. Same seed → byte-identical image on any JVM. */
+  def makePng(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var state = seed * 6364136223846793005L + 1442695040888963407L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        state = state * 6364136223846793005L + 1442695040888963407L
+        img.setRGB(x, y, ((state >>> 24) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  def decodeImage(bytes: Array[Byte]): BufferedImage =
+    ImageIO.read(new ByteArrayInputStream(bytes))
+
+  /** (width, height) without materializing features. */
+  def imageMeta(bytes: Array[Byte]): (Int, Int) = {
+    val img = decodeImage(bytes)
+    (img.getWidth, img.getHeight)
+  }
+
+  /** Per-channel means in [0,255] — the cheap quality/feature probe. */
+  def channelMeans(bytes: Array[Byte]): (Double, Double, Double) = {
+    val img = decodeImage(bytes)
+    var (r, g, b) = (0.0, 0.0, 0.0)
+    val (w, h) = (img.getWidth, img.getHeight)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w * h).toDouble
+    (r / n, g / n, b / n)
+  }
+
+  /** Resize to k×k (area-average via Graphics2D bilinear) and return
+    * the grayscale grid as a flat k·k float feature vector in [0,1] —
+    * the standard thumbnail embedding for image near-dup. */
+  def grayGrid(bytes: Array[Byte], k: Int): Array[Float] = {
+    val img = decodeImage(bytes)
+    val small = new BufferedImage(k, k, BufferedImage.TYPE_INT_RGB)
+    val g2 = small.createGraphics()
+    g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g2.drawImage(img, 0, 0, k, k, null)
+    g2.dispose()
+    val out = new Array[Float](k * k)
+    var y = 0
+    while (y < k) {
+      var x = 0
+      while (x < k) {
+        val p = small.getRGB(x, y)
+        val gray = 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) +
+          0.114 * (p & 0xff)
+        out(y * k + x) = (gray / 255.0).toFloat
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  // ---- audio ----------------------------------------------------------
+
+  /** Deterministic mono PCM16 WAV: a seeded sine with seeded phase —
+    * same seed → byte-identical file. */
+  def makeWav(seed: Long, sampleRate: Int, nSamples: Int): Array[Byte] = {
+    val freq = 110.0 + (math.abs(seed) % 880)
+    val phase = (seed % 628) / 100.0
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val v = (math.sin(phase + 2 * math.Pi * freq * i / sampleRate) * 12000).toShort
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** (sampleRate, nSamples) from the WAV header. */
+  def audioMeta(bytes: Array[Byte]): (Int, Long) = {
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    try (ais.getFormat.getSampleRate.toInt, ais.getFrameLength)
+    finally ais.close()
+  }
+
+  private def samples(bytes: Array[Byte]): Array[Short] = {
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val raw = ais.readAllBytes()
+      val out = new Array[Short](raw.length / 2)
+      var i = 0
+      while (i < out.length) {
+        out(i) = ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort
+        i += 1
+      }
+      out
+    } finally ais.close()
+  }
+
+  /** RMS amplitude of the PCM16 payload, normalized to [0,1]. */
+  def rms(bytes: Array[Byte]): Double = {
+    val s = samples(bytes)
+    if (s.isEmpty) return 0.0
+    var acc = 0.0
+    var i = 0
+    while (i < s.length) { val v = s(i) / 32768.0; acc += v * v; i += 1 }
+    math.sqrt(acc / s.length)
+  }
+
+  /** k evenly spaced samples (normalized) — the "frame sample" op for
+    * audio; the video analogue samples frames the same way. */
+  def frameSample(bytes: Array[Byte], k: Int): Array[Float] = {
+    val s = samples(bytes)
+    if (s.isEmpty) return new Array[Float](k)
+    val out = new Array[Float](k)
+    var i = 0
+    while (i < k) {
+      out(i) = (s(((i.toLong * s.length) / k).toInt) / 32768.0).toFloat
+      i += 1
+    }
+    out
+  }
+}

@@ -1,0 +1,89 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns for a training-data pipeline: media as opaque
+  * `binary` columns with typed metadata, plus distributed decode /
+  * feature-extract / resize / sample operators.
+  *
+  * Execution shape: decode is genuine per-row imperative work (a
+  * codec), so it runs as `mapPartitions` over a typed Dataset — one
+  * decoder instantiation per partition, streaming rows through it,
+  * which is exactly the Scala analogue of a Pandas-UDF `mapInPandas`
+  * batch. Everything before/after the decode stays declarative
+  * (column pruning still reaches the parquet scan; the binary column
+  * is only read when the decode stage actually consumes it).
+  *
+  * Partitioning note for 100 TB: media blobs make rows wide — size
+  * `spark.sql.files.maxPartitionBytes` so a partition holds O(100)
+  * blobs, and repartition by a content-hash key before shuffling
+  * features so skewed media sizes don't skew partitions. */
+object Multimodal {
+
+  case class ImageRow(media_id: Long, image: Array[Byte])
+  case class ImageFeatures(media_id: Long, width: Int, height: Int,
+                           mean_r: Double, mean_g: Double, mean_b: Double,
+                           thumb: Array[Float])
+  case class AudioRow(media_id: Long, audio: Array[Byte])
+  case class AudioFeatures(media_id: Long, sample_rate: Int, n_samples: Long,
+                           rms: Double, frames: Array[Float])
+
+  /** Deterministic synthetic media table derived from any keyed table
+    * (seeded per id): real PNG + WAV bytes, generated distributed —
+    * no driver-side materialization, no binary fixtures. */
+  def syntheticMedia(keys: DataFrame, idCol: String,
+                     imgW: Int = 24, imgH: Int = 16,
+                     sampleRate: Int = 8000, nSamples: Int = 1600): DataFrame = {
+    val spark = keys.sparkSession
+    import spark.implicits._
+    keys.select(col(idCol).cast("long").as("media_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        (id, MediaKernels.makePng(id, imgW, imgH),
+          MediaKernels.makeWav(id, sampleRate, nSamples))
+      })
+      .toDF("media_id", "image", "audio")
+  }
+
+  /** Decode + feature-extract images: metadata, channel means, and a
+    * k×k grayscale thumbnail feature vector. */
+  def imageFeatures(media: DataFrame, k: Int = 4): Dataset[ImageFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("image")).as[ImageRow]
+      .mapPartitions(_.map { r =>
+        val img = MediaKernels.decodeImage(r.image)
+        val (mr, mg, mb) = MediaKernels.channelMeans(r.image)
+        ImageFeatures(r.media_id, img.getWidth, img.getHeight, mr, mg, mb,
+          MediaKernels.grayGrid(r.image, k))
+      })
+  }
+
+  /** Decode + feature-extract audio: header metadata, RMS amplitude,
+    * and k evenly spaced frame samples. */
+  def audioFeatures(media: DataFrame, k: Int = 8): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("audio")).as[AudioRow]
+      .mapPartitions(_.map { r =>
+        val (sr, n) = MediaKernels.audioMeta(r.audio)
+        AudioFeatures(r.media_id, sr, n, MediaKernels.rms(r.audio),
+          MediaKernels.frameSample(r.audio, k))
+      })
+  }
+
+  /** Image near-dup via thumbnail embeddings: decode once, then reuse
+    * the embedding-similarity machinery (brute-force cosine here;
+    * `Similarity.lshTopK` is the at-scale path). */
+  def imageNearDups(media: DataFrame, threshold: Double, k: Int = 4): DataFrame = {
+    val spark = media.sparkSession
+    val feats = imageFeatures(media, k).toDF()
+      .select(col("media_id"), col("thumb").cast("array<double>").as("thumb"))
+    val a = feats.select(col("media_id").as("id_a"), col("thumb").as("__va"))
+    val b = feats.select(col("media_id").as("id_b"), col("thumb").as("__vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.VectorFunctions.cosine_sim(spark, col("__va"), col("__vb")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}

@@ -221,6 +221,36 @@ object ExtQueries {
              |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpeish
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- Multimodal columns ---------------------------------------------
+    // Real codec work (javax.imageio / javax.sound.sampled) over
+    // synthetic-but-deterministic media derived from doc ids; no SQL
+    // engine can decode PNG/WAV, so the driver records the weaker
+    // rows-only check — exact values are pinned by MultimodalSpec.
+
+    QueryDef("mm_image_features",
+      (s, d) => {
+        val media = graft.multimodal.Multimodal.syntheticMedia(
+          s.read.parquet(s"$d/documents.parquet").limit(200), "doc_id")
+        graft.multimodal.Multimodal.imageFeatures(media).toDF()
+          .select(col("media_id"), col("width"), col("height"),
+            round(col("mean_r"), 4).as("mean_r"),
+            round(col("mean_g"), 4).as("mean_g"),
+            round(col("mean_b"), 4).as("mean_b"))
+          .orderBy(col("media_id"))
+      },
+      None),
+
+    QueryDef("mm_audio_features",
+      (s, d) => {
+        val media = graft.multimodal.Multimodal.syntheticMedia(
+          s.read.parquet(s"$d/documents.parquet").limit(200), "doc_id")
+        graft.multimodal.Multimodal.audioFeatures(media).toDF()
+          .select(col("media_id"), col("sample_rate"), col("n_samples"),
+            round(col("rms"), 5).as("rms"))
+          .orderBy(col("media_id"))
+      },
+      None),
+
     // ---- Reference K-ops that need engine introspection ----------------
 
     // K2 — deterministic preview/limit. (l_orderkey, l_linenumber) is

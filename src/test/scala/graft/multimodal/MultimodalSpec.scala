@@ -1,0 +1,80 @@
+package graft.multimodal
+
+import graft.GraftSpec
+import org.apache.spark.sql.functions._
+
+/** Multimodal plumbing with REAL codecs: PNG/WAV round-trips through
+  * the distributed decode path, deterministic synthetic media, and
+  * the thumbnail-embedding near-dup. */
+class MultimodalSpec extends GraftSpec {
+
+  test("PNG round-trip: decode recovers dimensions and exact pixel means") {
+    val bytes = MediaKernels.makePng(seed = 7, w = 24, h = 16)
+    val (w, h) = MediaKernels.imageMeta(bytes)
+    assert((w, h) === ((24, 16)))
+    // PNG is lossless -> means are exact and deterministic per seed
+    val (r, g, b) = MediaKernels.channelMeans(bytes)
+    val (r2, g2, b2) = MediaKernels.channelMeans(MediaKernels.makePng(7, 24, 16))
+    assert((r, g, b) === ((r2, g2, b2)))
+    assert(r > 0 && r < 255 && g > 0 && g < 255 && b > 0 && b < 255)
+  }
+
+  test("grayGrid of a uniform image is uniform, and has k*k entries") {
+    val img = new java.awt.image.BufferedImage(20, 20,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g2 = img.createGraphics()
+    g2.setColor(new java.awt.Color(100, 100, 100)); g2.fillRect(0, 0, 20, 20)
+    g2.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val grid = MediaKernels.grayGrid(bos.toByteArray, 4)
+    assert(grid.length === 16)
+    assert(grid.forall(v => math.abs(v - 100.0 / 255.0) < 0.01))
+  }
+
+  test("WAV round-trip: header meta and sine RMS ~= amplitude/sqrt(2)") {
+    val bytes = MediaKernels.makeWav(seed = 3, sampleRate = 8000, nSamples = 1600)
+    val (sr, n) = MediaKernels.audioMeta(bytes)
+    assert(sr === 8000)
+    assert(n === 1600L)
+    val rms = MediaKernels.rms(bytes)
+    val expected = (12000.0 / 32768.0) / math.sqrt(2)
+    assert(math.abs(rms - expected) < 0.01)
+    assert(MediaKernels.frameSample(bytes, 8).length === 8)
+  }
+
+  test("distributed image pipeline: decode + features over synthetic media") {
+    import spark.implicits._
+    val keys = Seq(1L, 2L, 3L).toDF("doc_id")
+    val media = Multimodal.syntheticMedia(keys, "doc_id")
+    assert(media.schema("image").dataType.typeName === "binary")
+    val feats = Multimodal.imageFeatures(media).collect().sortBy(_.media_id)
+    assert(feats.length === 3)
+    assert(feats.forall(f => f.width === 24 && f.height === 16))
+    assert(feats.forall(_.thumb.length === 16))
+    // determinism across independent runs of the distributed pipeline
+    val again = Multimodal.imageFeatures(Multimodal.syntheticMedia(keys, "doc_id"))
+      .collect().sortBy(_.media_id)
+    assert(feats.map(_.mean_r).toSeq === again.map(_.mean_r).toSeq)
+  }
+
+  test("distributed audio pipeline: meta + rms per row") {
+    import spark.implicits._
+    val media = Multimodal.syntheticMedia(Seq(5L, 6L).toDF("doc_id"), "doc_id")
+    val feats = Multimodal.audioFeatures(media).collect().sortBy(_.media_id)
+    assert(feats.map(_.media_id).toSeq === Seq(5L, 6L))
+    assert(feats.forall(f => f.sample_rate === 8000 && f.n_samples === 1600L))
+    assert(feats.forall(f => f.rms > 0.1 && f.rms < 0.5))
+  }
+
+  test("image near-dup: identical seeds are exact duplicates, sim 1.0") {
+    import spark.implicits._
+    // two ids forced to the same seed -> identical PNGs
+    val media = Multimodal.syntheticMedia(Seq(10L, 11L).toDF("doc_id"), "doc_id")
+      .union(Multimodal.syntheticMedia(Seq(10L).toDF("doc_id"), "doc_id")
+        .withColumn("media_id", lit(99L)))
+    val pairs = Multimodal.imageNearDups(media, 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet === Set((10L, 99L)))
+  }
+}

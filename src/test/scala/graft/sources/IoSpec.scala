@@ -1,0 +1,58 @@
+package graft.sources
+
+import graft.GraftSpec
+import graft.io.Export
+import graft.model.Schemas
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** S4 CSV ingest + K1 CSV export: round-trips with sentinels, empty
+  * cells (NaN in the reference), and the deferred timestamp coercion. */
+class IoSpec extends GraftSpec {
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  test("CSV round-trip: empty cells -> null, sentinels survive, schema explicit") {
+    val dir = tmp("graft-csv")
+    val csv = s"""timestamp,frame_id,object_x,object_y,object_size,confidence
+                 |2024-01-01 00:00:00.000000,0,1.5,-999.0,10.0,0.9
+                 |2024-01-01 00:00:00.033333,1,,2.0,11.0,0.8
+                 |""".stripMargin
+    Files.writeString(java.nio.file.Paths.get(s"$dir/camera.csv"), csv)
+    val df = CsvIngest.read(spark, s"$dir/camera.csv", Schemas.camera)
+    // the CSV reader forces nullable=true; names and types must hold
+    assert(df.schema.map(f => (f.name, f.dataType)) ===
+      Schemas.camera.map(f => (f.name, f.dataType)))
+    val rows = df.orderBy("frame_id").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getDouble(3) === -999.0)           // sentinel intact
+    assert(rows(1).isNullAt(2))                        // empty cell -> null
+    assert(rows(0).getTimestamp(0).getTime === 1704067200000L)
+  }
+
+  test("inferred read leaves timestamp coercion to Y2, like the reference") {
+    val dir = tmp("graft-csv2")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/log.csv"),
+      "timestamp,event_type\n2024-01-01 00:00:01,ERROR\n")
+    val raw = CsvIngest.readInferred(spark, s"$dir/log.csv")
+    assert(raw.schema("timestamp").dataType.typeName === "timestamp" ||
+      raw.schema("timestamp").dataType.typeName === "string")
+    val coerced = CsvIngest.coerceTimestamp(raw)
+    assert(coerced.schema("timestamp").dataType.typeName === "timestamp")
+    assert(coerced.head().getTimestamp(0).getTime === 1704067201000L)
+  }
+
+  test("K1 export: header CSV, single-file mode, values round-trip") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 1.5), (2L, "b", -2.5)).toDF("id", "s", "v")
+    val out = tmp("graft-export") + "/out"
+    Export.csv(df, out, singleFile = true)
+    val parts = new java.io.File(out).listFiles().filter(_.getName.startsWith("part-"))
+    assert(parts.length === 1, "singleFile coalesces to one part")
+    val back = spark.read.option("header", "true").option("inferSchema", "true").csv(out)
+    assert(back.orderBy("id").collect()
+      .map(r => (r.getInt(0).toLong, r.getString(1), r.getDouble(2)))
+      .toSeq === Seq((1L, "a", 1.5), (2L, "b", -2.5)))
+  }
+}
