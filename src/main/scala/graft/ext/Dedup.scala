@@ -75,18 +75,21 @@ object Dedup {
     require(bands * rowsPerBand <= PermA.size, "not enough permutation constants")
     val withMh = sets.select(col(idCol),
       graft.functions.TextHashFunctions.minhashSig(col("__sh")).as("__sig"))
-    val bandRows = (0 until bands).map { b =>
-      val key = concat_ws(",",
+    // one generator row per band, NOT a bands-way union: a union would
+    // re-run the shingle+signature kernels once per branch
+    val keys = (0 until bands).map { b =>
+      concat_ws(",",
         (0 until rowsPerBand).map(r => element_at(col("__sig"), b * rowsPerBand + r + 1)): _*)
-      withMh.select(col(idCol), lit(b).as("__band"), key.as("__bandkey"))
     }
-    bandRows.reduce(_.unionByName(_))
+    withMh.select(col(idCol), posexplode(array(keys: _*)).as(Seq("__band", "__bandkey")))
   }
 
-  /** Exact Jaccard of two distinct-element arrays. */
+  /** Exact Jaccard of two distinct-element arrays. Both uses of the
+    * intersection share one expression subtree, so codegen
+    * subexpression elimination evaluates it once. */
   def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - size(array_intersect(a, b)))
+    val inter = size(array_intersect(a, b))
+    inter.cast("double") / (size(a) + size(b) - inter)
   }
 
   /** MinHash-LSH near-duplicate pairs: candidates share at least one

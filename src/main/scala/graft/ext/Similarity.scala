@@ -73,13 +73,13 @@ object Similarity {
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     val d = if (dim > 0) dim else dimOf(corpus, vecCol)
+    // all tables' signatures in ONE projection + posexplode — an
+    // nTables-way union would rescan and re-hash the input per table
     def signed(df: DataFrame, id: String, v: String): DataFrame = {
-      val tables = (0 until nTables).map { t =>
-        val planes = hyperplanes(nPlanes, d, seed + t)
-        df.select(lit(t).as("__table"), col(id), col(v),
-          signature(spark, col(v), planes).as("__sig"))
-      }
-      tables.reduce(_.unionByName(_))
+      val sigs = array((0 until nTables).map { t =>
+        signature(spark, col(v), hyperplanes(nPlanes, d, seed + t))
+      }: _*)
+      df.select(col(id), col(v), posexplode(sigs).as(Seq("__table", "__sig")))
     }
     val cs = signed(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
       "neighbor_id", "__cv")
@@ -103,11 +103,11 @@ object Similarity {
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     val d = if (dim > 0) dim else dimOf(corpus, vecCol)
-    val tables = (0 until nTables).map { t =>
-      val planes = hyperplanes(nPlanes, d, seed + t)
-      corpus.select(lit(t).as("__table"), col(idCol), col(vecCol),
-        signature(spark, col(vecCol), planes).as("__sig"))
-    }.reduce(_.unionByName(_))
+    val sigs = array((0 until nTables).map { t =>
+      signature(spark, col(vecCol), hyperplanes(nPlanes, d, seed + t))
+    }: _*)
+    val tables = corpus.select(col(idCol), col(vecCol),
+      posexplode(sigs).as(Seq("__table", "__sig")))
     val a = tables.select(col("__table"), col("__sig"),
       col(idCol).as("id_a"), col(vecCol).as("__va"))
     val b = tables.select(col("__table"), col("__sig"),

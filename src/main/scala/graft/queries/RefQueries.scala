@@ -187,8 +187,11 @@ object RefQueries {
     // Y5 — as-of pad: last event at ts <= tick (app.py:164, method='pad').
     QueryDef("y5_asof_pad",
       (s, d) => {
-        val (grid, _, _) = minuteGrid(s, d)
-        AsofJoin.pad(grid, "tick", eventsByTs(s, d), "ts", Seq("value"))
+        val (lo, hi) = eventsWindowUs(s, d)
+        // tieCol fuses the per-ts max(value) dedupe into the tick agg
+        AsofJoin.uniformGrid(s, events(s, d), "ts", Seq("value"),
+          lo, MinuteUs, TimeGrid.tickCount(lo, hi, MinuteUs), "pad",
+          tieCol = Some("value"))
           .orderBy(col("tick"))
       },
       Some(s"""WITH $oracleGridCte
@@ -199,8 +202,11 @@ object RefQueries {
     // Y5 — as-of backfill: first event at ts >= tick.
     QueryDef("y5_asof_backfill",
       (s, d) => {
-        val (grid, _, _) = minuteGrid(s, d)
-        AsofJoin.backfill(grid, "tick", eventsByTs(s, d), "ts", Seq("value"))
+        val (lo, hi) = eventsWindowUs(s, d)
+        // tieCol fuses the per-ts max(value) dedupe into the tick agg
+        AsofJoin.uniformGrid(s, events(s, d), "ts", Seq("value"),
+          lo, MinuteUs, TimeGrid.tickCount(lo, hi, MinuteUs), "backfill",
+          tieCol = Some("value"))
           .orderBy(col("tick"))
       },
       Some(s"""WITH $oracleGridCte
@@ -211,8 +217,11 @@ object RefQueries {
     // Y5 — as-of nearest: min |ts - tick|, tie -> LATER ts [verified].
     QueryDef("y5_asof_nearest",
       (s, d) => {
-        val (grid, _, _) = minuteGrid(s, d)
-        AsofJoin.nearest(grid, "tick", eventsByTs(s, d), "ts", Seq("value"))
+        val (lo, hi) = eventsWindowUs(s, d)
+        // tieCol fuses the per-ts max(value) dedupe into the tick agg
+        AsofJoin.uniformGrid(s, events(s, d), "ts", Seq("value"),
+          lo, MinuteUs, TimeGrid.tickCount(lo, hi, MinuteUs), "nearest",
+          tieCol = Some("value"))
           .orderBy(col("tick"))
       },
       Some(s"""WITH $oracleGridCte,

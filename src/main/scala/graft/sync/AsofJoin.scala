@@ -195,6 +195,120 @@ object AsofJoin {
         valueCols.map(c => col("__pf").getField(c).as(c)): _*)
   }
 
+  /** As-of resample onto a UNIFORM grid (lo + k·step, k < n) — the
+    * specialization every reference pipeline actually hits (Y4 grids
+    * are `date_range`s).
+    *
+    * Why a separate kernel: the generic path shuffles the ENTIRE
+    * series unioned with the grid. On a uniform grid the candidate
+    * tick of each series row is closed-form, so the series pass is a
+    * map-side-combined groupBy(tick): shuffle volume drops from
+    * O(|series|) to O(n ticks) — the difference between shuffling
+    * 100 TB and shuffling the grid. The tick axis is then gap-filled
+    * with the same bucketed running-window + digest-carry scan as the
+    * generic kernel (parallel across tick buckets).
+    *
+    *  - pad candidate of tick k: last row with ts <= lo+k·step; a row
+    *    at offset d=ts-lo belongs to tick ceil(d/step) (clamped at 0;
+    *    rows past the last tick pad nothing);
+    *  - backfill candidate: first row with ts >= tick; row belongs to
+    *    floor(d/step) (clamped at n-1; rows before lo backfill
+    *    nothing);
+    *  - nearest: combine both runnings, tie -> later ts [verified].
+    */
+  def uniformGrid(spark: org.apache.spark.sql.SparkSession,
+                  series: DataFrame, seriesTs: String, valueCols: Seq[String],
+                  loUs: Long, stepUs: Long, nTicks: Long, method: String,
+                  tickCol: String = "tick", srcTsCol: String = "src_ts",
+                  bucketTicks: Long = 65536L,
+                  tieCol: Option[String] = None): DataFrame = {
+    require(valueCols.nonEmpty, "asof join needs at least one value column")
+    require(stepUs > 0 && nTicks > 0, "grid must be non-empty")
+    val needPad = method != "backfill"
+    val needBack = method != "pad"
+
+    val t = unix_micros(col(seriesTs))
+    val payload = struct(t.as("__src") +: valueCols.map(col): _*)
+    val d = t - lit(loUs)
+    // exact integer floor-division (d may be negative; `div` truncates
+    // toward zero, so go through pmod)
+    def floorDiv(x: Column): Column = (x - pmod(x, lit(stepUs))) / lit(stepUs)
+
+    // `tieCol` fuses an upstream "dedupe to one row per ts keeping the
+    // MAX tie value" (pandas-reindex precondition) into this aggregate:
+    // the ordering key becomes (ts, tie) lexicographic, so the winner
+    // per tick is exactly the winner of dedupe-then-asof — and the
+    // O(|series|) dedupe shuffle disappears.
+    val src = series.select(
+      Seq(t.as("__t"), payload.as("__p"),
+        floorDiv(d + stepUs - 1).cast("long").as("__kp"),
+        floorDiv(d).cast("long").as("__kb")) ++
+        tieCol.map(c => col(c).as("__tie")): _*)
+    val payloadType = src.schema("__p").dataType
+    val ordPad = tieCol.map(_ => struct(col("__t"), col("__tie")))
+      .getOrElse(struct(col("__t")))
+    val ordBack = tieCol.map(_ => struct(col("__t"), -col("__tie")))
+      .getOrElse(struct(col("__t")))
+
+    def agg(keyExpr: Column, keep: Column, pick: Column => Column, name: String) =
+      src.filter(keep).groupBy(keyExpr.as("__k"))
+        .agg(pick(col("__p")).as(name))
+    val padAgg = agg(greatest(col("__kp"), lit(0L)), col("__kp") <= nTicks - 1,
+      p => max_by(p, ordPad), "__ap")
+    val backAgg = agg(least(col("__kb"), lit(nTicks - 1)), col("__kb") >= 0L,
+      p => min_by(p, ordBack), "__ab")
+
+    val ticks = spark.range(0, nTicks).select(col("id").as("__k"))
+    var joined = ticks
+    if (needPad) joined = joined.join(padAgg, Seq("__k"), "left")
+    else joined = joined.withColumn("__ap", lit(null).cast(payloadType))
+    if (needBack) joined = joined.join(backAgg, Seq("__k"), "left")
+    else joined = joined.withColumn("__ab", lit(null).cast(payloadType))
+    val bucketed = joined.withColumn("__bk", expr(s"__k div ${bucketTicks}L"))
+
+    // in-bucket gap fill (one row per tick -> no marker rows needed)
+    val wF = Window.partitionBy("__bk").orderBy(col("__k").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wB = Window.partitionBy("__bk").orderBy(col("__k").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    var filled = bucketed
+    if (needPad) filled = filled.withColumn("__fp",
+      last(col("__ap"), ignoreNulls = true).over(wF))
+    if (needBack) filled = filled.withColumn("__fb",
+      last(col("__ab"), ignoreNulls = true).over(wB))
+
+    // tiny cross-bucket carry digest (one row per non-empty bucket)
+    val digest = bucketed.groupBy("__bk").agg(
+      max_by(col("__ap"), when(col("__ap").isNotNull, col("__k"))).as("__dl"),
+      min_by(col("__ab"), when(col("__ab").isNotNull, col("__k"))).as("__df"))
+    val wCF = Window.orderBy(col("__bk").asc).rowsBetween(Window.unboundedPreceding, -1)
+    val wCB = Window.orderBy(col("__bk").desc).rowsBetween(Window.unboundedPreceding, -1)
+    val carry = digest
+      .withColumn("__cf", last(col("__dl"), ignoreNulls = true).over(wCF))
+      .withColumn("__cb", last(col("__df"), ignoreNulls = true).over(wCB))
+      .select(col("__bk"), col("__cf"), col("__cb"))
+
+    val withCarry = filled.join(broadcast(carry), Seq("__bk"), "left")
+    val fwd = if (needPad) coalesce(col("__fp"), col("__cf")) else lit(null).cast(payloadType)
+    val back = if (needBack) coalesce(col("__fb"), col("__cb")) else lit(null).cast(payloadType)
+
+    val pick = method match {
+      case "pad" | "ffill"      => fwd
+      case "backfill" | "bfill" => back
+      case "nearest" =>
+        val tickUs = lit(loUs) + col("__k") * stepUs
+        val dPad = tickUs - fwd.getField("__src")
+        val dBack = back.getField("__src") - tickUs
+        // tie -> backward side = LATER timestamp [verified]
+        when(fwd.isNull || (back.isNotNull && dBack <= dPad), back).otherwise(fwd)
+      case other => throw new IllegalArgumentException(s"unknown method: $other")
+    }
+    withCarry.select(
+      timestamp_micros(lit(loUs) + col("__k") * stepUs).as(tickCol) +:
+        timestamp_micros(pick.getField("__src")).as(srcTsCol) +:
+        valueCols.map(c => pick.getField(c).as(c)): _*)
+  }
+
   /** Convenience dedupe: collapse duplicate timestamps keeping the row
     * with the greatest tiebreaker (deterministic input for the kernel). */
   def dedupeByTs(series: DataFrame, tsCol: String, tieCol: String): DataFrame = {

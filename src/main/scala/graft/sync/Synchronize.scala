@@ -18,16 +18,17 @@ object Synchronize {
   val DefaultStepUs: Long = 33000L   // 33 ms ticks — app.py:160 (measured)
   val DefaultTolUs: Long = 100000L   // strict < 100 ms — app.py:185
 
-  /** Resample one sensor onto the grid and prefix its data columns. */
-  private def resample(grid: DataFrame, sensor: DataFrame, method: String,
-                       prefix: String, bucketUs: Long): DataFrame = {
+  /** Resample one sensor onto the uniform grid and prefix its data
+    * columns. Uses the uniform-grid as-of kernel: the sensor pass is a
+    * map-side-combined groupBy(tick), so the shuffle is O(ticks), not
+    * O(rows) — the non-uniform AsofJoin.pad/backfill/nearest kernels
+    * remain the general-grid path. */
+  private def resample(spark: SparkSession, sensor: DataFrame, method: String,
+                       prefix: String, startUs: Long, stepUs: Long,
+                       nTicks: Long): DataFrame = {
     val valueCols = sensor.columns.filterNot(_ == "timestamp").toSeq
-    val r = method match {
-      case "pad" | "ffill"      => AsofJoin.pad(grid, "timestamp", sensor, "timestamp", valueCols, bucketUs)
-      case "backfill" | "bfill" => AsofJoin.backfill(grid, "timestamp", sensor, "timestamp", valueCols, bucketUs)
-      case "nearest"            => AsofJoin.nearest(grid, "timestamp", sensor, "timestamp", valueCols, bucketUs)
-      case other                => throw new IllegalArgumentException(s"unknown method: $other")
-    }
+    val r = AsofJoin.uniformGrid(spark, sensor, "timestamp", valueCols,
+      startUs, stepUs, nTicks, method, tickCol = "timestamp")
     r.select(col("timestamp") +: valueCols.map(c => col(c).as(s"${prefix}_$c")): _*)
   }
 
@@ -36,7 +37,6 @@ object Synchronize {
   def synchronize(spark: SparkSession, camera: DataFrame, motion: DataFrame,
                   log: Option[DataFrame], method: String = "nearest",
                   stepUs: Long = DefaultStepUs, tolUs: Long = DefaultTolUs,
-                  bucketUs: Long = AsofJoin.DefaultBucketUs,
                   eventTypes: Option[Seq[String]] = None): (DataFrame, Seq[String]) = {
     require(camera != null && motion != null, "camera and motion data required") // Y1
     var report = Vector.empty[String]
@@ -48,14 +48,14 @@ object Synchronize {
     val (startUs, endUs) = TimeGrid.overlapWindowUs(cam, "timestamp", mot, "timestamp")
       .getOrElse(throw new IllegalArgumentException("sensor time ranges do not overlap"))
 
-    // Y4 — uniform grid
+    // Y4 — uniform grid (materialized lazily inside the uniform-grid
+    // as-of kernel as spark.range(nTicks))
     val nTicks = TimeGrid.tickCount(startUs, endUs, stepUs)
-    val grid = TimeGrid.grid(spark, startUs, endUs, stepUs, tickCol = "timestamp")
     report :+= f"Created common time grid: $nTicks points at ${1e6 / stepUs}%.1fHz"
 
     // Y5 + Y6 — as-of resample each sensor, prefix columns, align on tick
-    val camR = resample(grid, cam, method, "camera", bucketUs)
-    val motR = resample(grid, mot, method, "motion", bucketUs)
+    val camR = resample(spark, cam, method, "camera", startUs, stepUs, nTicks)
+    val motR = resample(spark, mot, method, "motion", startUs, stepUs, nTicks)
     val joined = camR.join(motR, Seq("timestamp"))
 
     // Y7 — log events onto the grid (tolerance, one-hot)

@@ -103,6 +103,38 @@ class AsofJoinSpec extends GraftSpec {
     }
   }
 
+  test("uniformGrid agrees with the generic kernels on random data, all methods") {
+    val rng = new scala.util.Random(23)
+    val s = (0 until 300).map(_ => rng.nextInt(100000).toLong * MS)
+      .distinct.sorted.map(t => (t, t.toDouble))
+    val (lo, step, n) = (5000 * MS, 7000 * MS, 14L)
+    val gTicks = (0L until n).map(k => lo + k * step)
+    for (m <- Seq("pad", "backfill", "nearest")) {
+      val generic = run(m, gTicks, s, bucketUs = 20000000L)
+      val ug = AsofJoin.uniformGrid(spark, series(s: _*), "ts", Seq("value"),
+        lo, step, n, m, tickCol = "tick", bucketTicks = 5L)
+        .select(unix_micros(col("tick")), unix_micros(col("src_ts")), col("value"))
+        .collect().map { r =>
+          r.getLong(0) -> ((if (r.isNullAt(1)) None else Some(r.getLong(1))),
+            (if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+        }.toMap
+      assert(ug === generic, s"method=$m")
+    }
+  }
+
+  test("uniformGrid edges: null pad before first, null backfill after last, nearest clamps") {
+    val s = Seq((100 * MS, 1.0), (200 * MS, 2.0))
+    // ticks at 0 and 300 ms: before-first and after-last
+    def ug(m: String) = AsofJoin.uniformGrid(spark, series(s: _*), "ts", Seq("value"),
+      0L, 300 * MS, 2L, m, tickCol = "tick")
+      .select(unix_micros(col("tick")), unix_micros(col("src_ts")))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(ug("pad") === Map(0L -> None, 300 * MS -> Some(200 * MS)))
+    assert(ug("backfill") === Map(0L -> Some(100 * MS), 300 * MS -> None))
+    assert(ug("nearest") === Map(0L -> Some(100 * MS), 300 * MS -> Some(200 * MS)))
+  }
+
   test("dedupeByTs keeps the row with the greatest tiebreaker") {
     import spark.implicits._
     val df = Seq((1L, 10.0, 1L), (1L, 20.0, 2L), (2L, 5.0, 1L))
