@@ -165,7 +165,7 @@ object Clean {
     if (nMiss > 0) report :+= s"Removed $nMiss rows with missing values"
     numeric.zipWithIndex.foreach { case (c, i) =>
       val n = row.getLong(2 + i)
-      if (n > 0) report :+= s"Removed $n invalid values from $c"
+      if (n > 0) report :+= s"Removed $n outliers from $c" // app.py:120 wording
     }
     val bounds = smoothCols.zipWithIndex.map { case (c, i) =>
       val q = row.getSeq[Double](2 + numeric.size + i)
@@ -181,7 +181,7 @@ object Clean {
       val repRow = df.agg(repAggs.head, repAggs.tail: _*).head()
       smoothCols.zipWithIndex.foreach { case (c, i) =>
         val n = repRow.getLong(i)
-        if (n > 0) report :+= s"Smoothed $n outlier values in $c"
+        if (n > 0) report :+= s"Smoothed $n spikes in $c" // app.py:131 wording
       }
     }
 

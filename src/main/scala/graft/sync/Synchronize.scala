@@ -34,10 +34,28 @@ object Synchronize {
 
   /** Full synchronization. `log=None` skips Y7 like the reference's
     * optional log (`app.py:178`). Returns (wide table, report). */
+  /** Render an epoch-us instant the way the reference's report does
+    * (pandas Timestamp str: micros shown only when non-zero). */
+  private def fmtUs(us: Long): String = {
+    val base = java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), (Math.floorMod(us, 1000000L) * 1000).toInt,
+      java.time.ZoneOffset.UTC)
+    val head = base.format(java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss"))
+    val micros = Math.floorMod(us, 1000000L)
+    if (micros == 0) head else f"$head.$micros%06d"
+  }
+
+  /** Full synchronization. `log=None` skips Y7 like the reference's
+    * optional log (`app.py:178`). `withCounts=true` adds the two
+    * report lines that need extra counting jobs (`app.py:191,194`
+    * wording parity); off by default so the report never forces an
+    * eager recompute of the result. */
   def synchronize(spark: SparkSession, camera: DataFrame, motion: DataFrame,
                   log: Option[DataFrame], method: String = "nearest",
                   stepUs: Long = DefaultStepUs, tolUs: Long = DefaultTolUs,
-                  eventTypes: Option[Seq[String]] = None): (DataFrame, Seq[String]) = {
+                  eventTypes: Option[Seq[String]] = None,
+                  withCounts: Boolean = false): (DataFrame, Seq[String]) = {
     require(camera != null && motion != null, "camera and motion data required") // Y1
     var report = Vector.empty[String]
 
@@ -48,10 +66,15 @@ object Synchronize {
     val (startUs, endUs) = TimeGrid.overlapWindowUs(cam, "timestamp", mot, "timestamp")
       .getOrElse(throw new IllegalArgumentException("sensor time ranges do not overlap"))
 
+    report :+= s"Overlap window: ${fmtUs(startUs)} to ${fmtUs(endUs)}" // app.py:158
+
     // Y4 — uniform grid (materialized lazily inside the uniform-grid
-    // as-of kernel as spark.range(nTicks))
+    // as-of kernel as spark.range(nTicks)). The reference's report
+    // hardcodes "30Hz" for its 33 ms grid (app.py:162) even though the
+    // true rate is 30.303 Hz — mirror that for the default step.
     val nTicks = TimeGrid.tickCount(startUs, endUs, stepUs)
-    report :+= f"Created common time grid: $nTicks points at ${1e6 / stepUs}%.1fHz"
+    val hz = if (stepUs == DefaultStepUs) "30Hz" else f"${1e6 / stepUs}%.1fHz"
+    report :+= s"Created $nTicks synchronized time points at $hz"
 
     // Y5 + Y6 — as-of resample each sensor, prefix columns, align on tick
     val camR = resample(spark, cam, method, "camera", startUs, stepUs, nTicks)
@@ -62,7 +85,9 @@ object Synchronize {
     val withEvents = log match {
       case Some(l) =>
         val lg = coerce(l)
-        report :+= "Mapped log events to time grid"
+        report :+= (if (withCounts)
+          s"Mapped ${lg.count()} log events to synchronized timeline" // app.py:191
+        else "Mapped log events to synchronized timeline")
         EventPivot.oneHot(joined, "timestamp", lg, "timestamp", "event_type",
           startUs, stepUs, nTicks, tolUs, eventTypes)
       case None => joined
@@ -71,6 +96,8 @@ object Synchronize {
     // Y8 — final drop-missing (no-op unless NaNs survived cleaning,
     // SURVEY §2.4 Y8); Y9 index reset is a no-op in Spark.
     val result = Clean.dropMissing(withEvents)
+    if (withCounts)
+      report :+= s"Final synchronized dataset: ${result.count()} samples" // app.py:194
     (result, report)
   }
 

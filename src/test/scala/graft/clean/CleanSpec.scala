@@ -71,7 +71,7 @@ class CleanSpec extends GraftSpec {
     val mot = SampleData.motion(spark, n = 600)
     val (cleaned, report) = Clean.clean(mot, "motion")
     assert(cleaned.count() === 600) // no missing values -> nothing dropped
-    assert(report.exists(_.matches("Smoothed \\d+ outlier values in accel_x")))
+    assert(report.exists(_.matches("Smoothed \\d+ spikes in accel_x")))
     assert(!report.exists(_.contains("accel_z")),
       "accel_z is excluded from smoothing (app.py:123)")
   }

@@ -31,7 +31,8 @@ class SynchronizeSpec extends GraftSpec {
     assert(out.columns.count(_.startsWith("camera_")) === 5)
     assert(out.columns.count(_.startsWith("motion_")) === 6)
     assert(out.columns.count(_.startsWith("event_")) === 7)
-    assert(report.exists(_.startsWith("Created common time grid: 364 points at 30.3Hz")))
+    assert(report.contains("Created 364 synchronized time points at 30Hz"))
+    assert(report.exists(_.startsWith("Overlap window: 2024-01-01 00:00:00.050000 to ")))
   }
 
   test("all three methods fill every tick (nearest/pad/backfill over cleaned data)") {
@@ -56,6 +57,14 @@ class SynchronizeSpec extends GraftSpec {
     assert(total > 0 && total <= 100, s"event bits=$total")
     assert(sums.getInt(1) === 1)
     assert(sums.getInt(2) === 0)
+  }
+
+  test("withCounts report matches the reference's count-bearing wording") {
+    val (cam, mot, log) = defaultSensors
+    val (_, report) = Synchronize.synchronize(spark, cam, mot, Some(log),
+      withCounts = true)
+    assert(report.contains("Mapped 100 log events to synchronized timeline"))
+    assert(report.contains("Final synchronized dataset: 364 samples"))
   }
 
   test("disjoint sensor spans fail loudly") {
