@@ -103,7 +103,13 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, threshold: Double,
                       idCol: String = "doc_id", textCol: String = "text",
                       shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    // the (scan + shingle-kernel) subplan feeds three consumers
+    // (signatures + both sides of the verify join); persist evaluates
+    // it once. MEMORY_AND_DISK: at 100 TB the shingle sets are
+    // dataset-sized, so spilling is the correct degradation. Callers
+    // running many dedups can clearCache() between them.
     val sets = shingleSets(docs, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = bandedSignatures(sets, idCol, bands, rowsPerBand)
     val a = sig.select(col("__band"), col("__bandkey"), col(idCol).as("id_a"))
     val b = sig.select(col("__band"), col("__bandkey"), col(idCol).as("id_b"))

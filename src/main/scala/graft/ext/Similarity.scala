@@ -96,6 +96,48 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
+  /** EXACT all-pairs near-duplicates for a corpus small enough to
+    * broadcast (the oracle-checkable baseline; `nearDupPairs` below is
+    * the LSH scale path). A naive self-join materializes every
+    * (vecA, vecB) array pair — O(n²·dim) bytes through the join — so
+    * instead the corpus is collected once into a primitive matrix,
+    * broadcast, and each partition streams its rows against it with a
+    * tight dot/norm loop, emitting only pairs above threshold. */
+  def exactNearDupPairs(corpus: DataFrame, threshold: Double,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val rows = corpus.select(col(idCol).cast("long"),
+      col(vecCol).cast("array<double>")).as[(Long, Array[Double])]
+    val all = rows.collect().sortBy(_._1)
+    val ids = all.map(_._1)
+    val vecs = all.map(_._2)
+    val norms = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
+    val bc = spark.sparkContext.broadcast((ids, vecs, norms))
+    rows.mapPartitions { it =>
+      val (ids, vecs, norms) = bc.value
+      it.flatMap { case (idA, va) =>
+        val na = math.sqrt(va.map(x => x * x).sum)
+        val out = Seq.newBuilder[(Long, Long, Double)]
+        var j = 0
+        while (j < ids.length) {
+          if (ids(j) > idA) {
+            val vb = vecs(j)
+            var dot = 0.0
+            var i = 0
+            while (i < va.length) { dot += va(i) * vb(i); i += 1 }
+            val denom = na * norms(j)
+            if (denom != 0.0 && dot / denom >= threshold)
+              out += ((idA, ids(j), dot / denom))
+          }
+          j += 1
+        }
+        out.result()
+      }
+    }.toDF("id_a", "id_b", "sim")
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold, via LSH
     * candidate generation + exact verification (a < b, each pair once). */
   def nearDupPairs(corpus: DataFrame, threshold: Double,

@@ -137,18 +137,10 @@ object ExtQueries {
     // Embedding cosine near-dup pairs, exact (threshold from measured
     // data: max pairwise cosine at sf0.01 is ~0.51).
     QueryDef("sim_neardup_embedding",
-      (s, d) => {
-        val spark = s
-        val t = s.read.parquet(s"$d/embeddings.parquet")
-        val a = t.select(col("vec_id").as("id_a"), col("embedding").as("__va"))
-        val b = t.select(col("vec_id").as("id_b"), col("embedding").as("__vb"))
-        a.join(b, col("id_a") < col("id_b"))
-          .select(col("id_a"), col("id_b"),
-            graft.functions.VectorFunctions.cosine_sim(spark, col("__va"), col("__vb")).as("sim"))
-          .filter(col("sim") >= 0.45)
-          .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
-          .orderBy(col("id_a"), col("id_b"))
-      },
+      (s, d) => Similarity.exactNearDupPairs(
+        s.read.parquet(s"$d/embeddings.parquet"), 0.45)
+        .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("id_a"), col("id_b")),
       Some("""WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
              |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              |  round(list_cosine_similarity(a.v, b.v), 6) AS sim
