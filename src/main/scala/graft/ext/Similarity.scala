@@ -96,6 +96,51 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
+  /** IVF (inverted-file) ANN top-k: a seeded k-means coarse quantizer
+    * partitions the corpus into cells; each query probes its `nProbe`
+    * nearest cells and exact-re-ranks only those vectors. The classic
+    * trade: recall grows with nProbe, scan cost is ~nProbe/nCentroids
+    * of the corpus. `nProbe == nCentroids` degenerates to exact brute
+    * force (the law the tests pin). Centroids live on the driver
+    * (nCentroids·dim doubles — tiny) and ship in the probe closure. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    import org.apache.spark.ml.functions.array_to_vector
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("__cv"))
+      .withColumn("__features", array_to_vector(col("__cv")))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nCentroids).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("__features").setPredictionCol("__cell")
+      .fit(c)
+    val indexed = model.transform(c).select(col("neighbor_id"), col("__cv"), col("__cell"))
+    val centers = model.clusterCenters.map(_.toArray)
+
+    val probes = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).cast("array<double>").as("__qv"))
+      .as[(Long, Array[Double])]
+      .flatMap { case (qid, v) =>
+        val byDist = centers.zipWithIndex.map { case (ctr, j) =>
+          var d = 0.0
+          var i = 0
+          while (i < v.length) { val t = v(i) - ctr(i); d += t * t; i += 1 }
+          (d, j)
+        }.sortBy(_._1).take(nProbe)
+        byDist.map { case (_, cell) => (qid, v, cell) }
+      }.toDF("query_id", "__qv", "__cell")
+
+    val scored = indexed.join(broadcast(probes), Seq("__cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cos(spark, col("__qv"), col("__cv")).as("sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
   /** EXACT all-pairs near-duplicates for a corpus small enough to
     * broadcast (the oracle-checkable baseline; `nearDupPairs` below is
     * the LSH scale path). A naive self-join materializes every

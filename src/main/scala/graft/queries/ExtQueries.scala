@@ -134,6 +134,19 @@ object ExtQueries {
       },
       None),
 
+    // IVF ANN top-k — k-means coarse quantizer, nProbe-cell scan.
+    // The quantizer isn't SQL-reproducible -> rows-only check; the
+    // probe-all == brute-force law is pinned in SimilaritySpec.
+    QueryDef("sim_topk_ivf",
+      (s, d) => {
+        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            round(col("sim"), 6).as("sim"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None),
+
     // Embedding cosine near-dup pairs, exact (threshold from measured
     // data: max pairwise cosine at sf0.01 is ~0.51).
     QueryDef("sim_neardup_embedding",

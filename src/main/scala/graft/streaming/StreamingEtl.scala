@@ -99,7 +99,10 @@ object StreamingEtl {
         f.copy(dataType = org.apache.spark.sql.types.LongType)
       case f => f
     })
-    spark.readStream.schema(rawSchema).parquet(s"$dir/events.parquet")
+    // the file source wants a directory; glob-filter to the events table
+    spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 }

@@ -84,6 +84,24 @@ class SimilaritySpec extends GraftSpec {
     assert(out.head._3 === 1.0 +- 1e-12)
   }
 
+  test("ivfTopK with probe-all equals exact brute force; tight probe finds duplicates") {
+    val corpus = vecs(Seq.tabulate(40)(i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 13 + j) + (i % 4) * 5.0))): _*)
+    val qs = vecs((3L, Seq.tabulate(8)(j => math.sin(3 * 13 + j) + 3 * 5.0)))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rank").collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    val exact = rows(Similarity.bruteForceTopK(corpus, qs, 5))
+    val probeAll = rows(Similarity.ivfTopK(corpus, qs, 5, nCentroids = 4, nProbe = 4))
+    assert(probeAll === exact, "nProbe == nCentroids must degenerate to brute force")
+    // a duplicated vector lands in the same cell -> found at nProbe 1
+    val dup = Seq.tabulate(8)(_.toDouble)
+    val corpus2 = vecs((1L, dup), (2L, dup.map(_ + 20)), (3L, dup.map(_ - 20)))
+    val found = Similarity.ivfTopK(corpus2, vecs((99L, dup)), 1,
+      nCentroids = 3, nProbe = 1).collect()
+    assert(found.length === 1 && found.head.getLong(2) === 1L)
+    assert(found.head.getDouble(3) === 1.0 +- 1e-12)
+  }
+
   test("dimOf measures the embedding width from data") {
     assert(Similarity.dimOf(vecs((1L, Seq(1.0, 2.0, 3.0))), "embedding") === 3)
   }

@@ -57,6 +57,24 @@ class StreamingEtlSpec extends GraftSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("eventsStream reads the real nanos-timestamp events table incrementally") {
+    val ckpt = Files.createTempDirectory("graft-ev-ck").toFile.getAbsolutePath
+    val stream = StreamingEtl.eventsStream(spark, "/root/testdata/sf0.001")
+    assert(stream.isStreaming)
+    assert(stream.schema("ts").dataType.typeName === "timestamp")
+    val q = StreamingEtl.tumblingCounts(stream)
+      .writeStream.format("memory").queryName("ev_stream_out")
+      .outputMode("complete").option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ev_stream_out")
+      .orderBy("window_start", "event_type").collect().toSeq
+    val batch = StreamingEtl.tumblingCounts(
+        graft.sources.Tables.events(spark, "/root/testdata/sf0.001"))
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("sessionize(batch, flushAtEnd) matches the window-function q_sessionize shape") {
     // user 1: events at 0, 10 min, 50 min (gap > 30 min -> 2 sessions)
     // user 2: single event
