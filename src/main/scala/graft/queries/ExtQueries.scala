@@ -99,6 +99,34 @@ object ExtQueries {
         .orderBy(col("doc_id")),
       Some(simhashOracle)),
 
+    // Exact n-gram (3-shingle) Jaccard pairs over a capped slice —
+    // the no-LSH baseline the MinHash path approximates. All-pairs is
+    // O(n²) by definition, so the query caps n; the LSH variant above
+    // is the scale path. Hashed shingles (md5-60) make the Spark and
+    // DuckDB shingle sets identical.
+    QueryDef("dedup_ngram_jaccard",
+      (s, d) => {
+        val sets = Dedup.shingleSets(
+          s.read.parquet(s"$d/documents.parquet").filter(col("doc_id") < 100),
+          "doc_id", "text")
+        val a = sets.select(col("doc_id").as("id_a"), col("__sh").as("__sa"))
+        val b = sets.select(col("doc_id").as("id_b"), col("__sh").as("__sb"))
+        a.join(b, col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            round(Dedup.jaccard(col("__sa"), col("__sb")), 5).as("jaccard"))
+          .filter(col("jaccard") >= 0.05)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH $shingleCte,
+              |hs AS (SELECT doc_id, list_transform(sh, s -> ${dkHash60("s")}) AS hs
+              |       FROM sh WHERE len(sh) > 0 AND doc_id < 100),
+              |j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |        len(list_intersect(a.hs, b.hs))::DOUBLE
+              |          / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) AS jaccard
+              |      FROM hs a JOIN hs b ON a.doc_id < b.doc_id)
+              |SELECT id_a, id_b, round(jaccard, 5) AS jaccard
+              |FROM j WHERE round(jaccard, 5) >= 0.05 ORDER BY id_a, id_b""".stripMargin)),
+
     // ---- Similarity search --------------------------------------------
 
     // Brute-force exact cosine top-5 for the first 10 query vectors.
