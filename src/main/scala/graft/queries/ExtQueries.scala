@@ -114,7 +114,7 @@ object ExtQueries {
         a.join(b, col("id_a") < col("id_b"))
           .select(col("id_a"), col("id_b"),
             round(Dedup.jaccard(col("__sa"), col("__sb")), 5).as("jaccard"))
-          .filter(col("jaccard") >= 0.05)
+          .filter(col("jaccard") >= 0.01)
           .orderBy(col("id_a"), col("id_b"))
       },
       Some(s"""WITH $shingleCte,
@@ -125,7 +125,7 @@ object ExtQueries {
               |          / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) AS jaccard
               |      FROM hs a JOIN hs b ON a.doc_id < b.doc_id)
               |SELECT id_a, id_b, round(jaccard, 5) AS jaccard
-              |FROM j WHERE round(jaccard, 5) >= 0.05 ORDER BY id_a, id_b""".stripMargin)),
+              |FROM j WHERE round(jaccard, 5) >= 0.01 ORDER BY id_a, id_b""".stripMargin)),
 
     // ---- Similarity search --------------------------------------------
 
