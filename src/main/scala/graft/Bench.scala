@@ -14,9 +14,15 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
+    // bench-scale shuffles are tiny: capping reducer count below the
+    // thread count cuts task-scheduling overhead without limiting scan
+    // parallelism (AQE would coalesce reducers anyway, but map-side
+    // splits follow this number too)
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+      math.min(cpus.toInt, 8).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -28,23 +28,21 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "des", "est", "une", "dans"),
     "zh" -> Seq("的", "是", "了", "在", "我", "有", "和"))
 
-  private def hitCount(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
-
   /** Token count, distinct-token count, type-token ratio, average token
-    * length, stopword ratio — the quality-score ingredients. */
+    * length, stopword ratio — the quality-score ingredients. One fused
+    * kernel traversal (the column-chain formulation re-tokenized per
+    * statistic on the interpreted HOF path). */
   def stats(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = tokens(col(textCol))
-    df.withColumn("__toks", toks)
-      .withColumn("n_tokens", size(col("__toks")))
-      .withColumn("n_distinct", size(array_distinct(col("__toks"))))
+    val ts = graft.functions.TextHashFunctions.tokenStats(col(textCol))
+    df.withColumn("__ts", ts)
+      .withColumn("n_tokens", col("__ts.n_tokens"))
+      .withColumn("n_distinct", col("__ts.n_distinct"))
       .withColumn("ttr", col("n_distinct").cast("double") / col("n_tokens"))
-      .withColumn("sum_len",
-        aggregate(transform(col("__toks"), t => length(t)), lit(0), (acc, x) => acc + x))
+      .withColumn("sum_len", col("__ts.sum_len"))
       .withColumn("avg_token_len", col("sum_len").cast("double") / col("n_tokens"))
-      .withColumn("n_stop", hitCount(col("__toks"), Stopwords))
+      .withColumn("n_stop", col("__ts.n_stop"))
       .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
-      .drop("__toks")
+      .drop("__ts")
   }
 
   /** Composite quality score in [0,1]: length band + lexical diversity
@@ -56,15 +54,10 @@ object TextAnalysis {
       least(col("stop_ratio") * 4, lit(0.2)))
 
   /** Language-ID by marker-word hit counts; deterministic argmax with
-    * profile order breaking ties. */
-  def langId(textCol: Column): Column = {
-    val toks = tokens(textCol)
-    val scores = LangProfiles.map { case (lang, words) => lang -> hitCount(toks, words) }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
-      when(s === best && best > 0, lit(lang)).otherwise(acc)
-    }
-  }
+    * profile order breaking ties. Fused kernel (one token traversal
+    * scoring every profile). */
+  def langId(textCol: Column): Column =
+    graft.functions.TextHashFunctions.langId(textCol)
 
   /** BPE-ish token count: letter runs, digit runs, and single
     * punctuation marks each count as one token (regex-based proxy for

@@ -116,6 +116,49 @@ object HashKernels {
     out
   }
 
+  /** One-pass token statistics: (nTokens, nDistinct, sumLen, nStop).
+    * Same numbers as the split/distinct/filter column chain in
+    * TextAnalysis.stats, one traversal. */
+  def tokenStats(s: String, stopwords: java.util.Set[String]): (Int, Int, Long, Int) = {
+    val tk = tokens(s)
+    val seen = new java.util.HashSet[String]()
+    var sumLen = 0L
+    var nStop = 0
+    var i = 0
+    while (i < tk.length) {
+      val t = tk(i)
+      seen.add(t)
+      sumLen += t.length
+      if (stopwords.contains(t)) nStop += 1
+      i += 1
+    }
+    (tk.length, seen.size, sumLen, nStop)
+  }
+
+  /** One-pass marker-word language ID: hit count per profile over the
+    * token stream, deterministic argmax with profile-order ties. */
+  def langId(s: String, profiles: Array[(String, java.util.Set[String])]): String = {
+    val tk = tokens(s)
+    val scores = new Array[Int](profiles.length)
+    var i = 0
+    while (i < tk.length) {
+      var j = 0
+      while (j < profiles.length) {
+        if (profiles(j)._2.contains(tk(i))) scores(j) += 1
+        j += 1
+      }
+      i += 1
+    }
+    var best = 0
+    var bestJ = -1
+    var j = 0
+    while (j < profiles.length) {
+      if (scores(j) > best) { best = scores(j); bestJ = j }
+      j += 1
+    }
+    if (bestJ < 0) "und" else profiles(bestJ)._1
+  }
+
   /** md5 hex of the sorted distinct token set — the canonical
     * bag-of-words fingerprint
     * (`md5(concat_ws(' ', array_sort(array_distinct(split(lower(t), ' ')))))`

@@ -76,6 +76,46 @@ case class BowMd5(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** (n_tokens, n_distinct, sum_len, n_stop) in one traversal. */
+case class TokenStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("sum_len", LongType, nullable = false),
+    StructField("n_stop", IntegerType, nullable = false)))
+  override protected def nullSafeEval(input: Any): Any = {
+    val (n, d, l, st) = HashKernels.tokenStats(
+      input.asInstanceOf[UTF8String].toString, TokenStats.stopSet)
+    org.apache.spark.sql.catalyst.InternalRow(n, d, l, st)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+object TokenStats {
+  lazy val stopSet: java.util.Set[String] = {
+    val s = new java.util.HashSet[String]()
+    graft.ext.TextAnalysis.Stopwords.foreach(s.add)
+    s
+  }
+}
+
+case class LangId(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(HashKernels.langId(
+      input.asInstanceOf[UTF8String].toString, LangId.profiles))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+object LangId {
+  lazy val profiles: Array[(String, java.util.Set[String])] =
+    graft.ext.TextAnalysis.LangProfiles.map { case (lang, words) =>
+      val s = new java.util.HashSet[String]()
+      words.foreach(s.add)
+      (lang, s: java.util.Set[String])
+    }.toArray
+}
+
 object TextHashFunctions {
 
   /** Idempotent registration (same public-API pattern as
@@ -99,6 +139,10 @@ object TextHashFunctions {
       es => RollingHash(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_bow_md5",
       es => BowMd5(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_token_stats",
+      es => TokenStats(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_lang_id",
+      es => LangId(es.head), "scala_udf")
   }
 
   private def sess: SparkSession = SparkSession.active
@@ -120,5 +164,11 @@ object TextHashFunctions {
   }
   def bowMd5(text: Column): Column = {
     register(sess); call_function("graft_bow_md5", text)
+  }
+  def tokenStats(text: Column): Column = {
+    register(sess); call_function("graft_token_stats", text)
+  }
+  def langId(text: Column): Column = {
+    register(sess); call_function("graft_lang_id", text)
   }
 }
