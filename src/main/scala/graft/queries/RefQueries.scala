@@ -279,13 +279,14 @@ object RefQueries {
     QueryDef("y_sync_flagship",
       (s, d) => {
         val e = events(s, d)
+        // raw halves: the per-ts max(value) dedupe (oracle CTEs ca/mo)
+        // fuses into the resample aggregate via tieCol
         def half(parity: Int) = e.filter(col("user_id") % 2 === parity)
-          .groupBy(col("ts")).agg(max(col("value")).as("value"))
-          .withColumnRenamed("ts", "timestamp")
+          .select(col("ts").as("timestamp"), col("value"))
         val log = e.select(col("ts").as("timestamp"), col("event_type"))
         val (out, _) = Synchronize.synchronize(s, half(0), half(1), Some(log),
           method = "nearest", stepUs = MinuteUs, tolUs = TolUs,
-          eventTypes = Some(EventTypes))
+          eventTypes = Some(EventTypes), tieCol = Some("value"))
         out.orderBy(col("timestamp"))
       },
       Some("""WITH ca AS (SELECT ts, max(value) AS value FROM events WHERE user_id % 2 = 0 GROUP BY ts),

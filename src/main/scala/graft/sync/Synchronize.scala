@@ -25,10 +25,10 @@ object Synchronize {
     * remain the general-grid path. */
   private def resample(spark: SparkSession, sensor: DataFrame, method: String,
                        prefix: String, startUs: Long, stepUs: Long,
-                       nTicks: Long): DataFrame = {
+                       nTicks: Long, tieCol: Option[String]): DataFrame = {
     val valueCols = sensor.columns.filterNot(_ == "timestamp").toSeq
     val r = AsofJoin.uniformGrid(spark, sensor, "timestamp", valueCols,
-      startUs, stepUs, nTicks, method, tickCol = "timestamp")
+      startUs, stepUs, nTicks, method, tickCol = "timestamp", tieCol = tieCol)
     r.select(col("timestamp") +: valueCols.map(c => col(c).as(s"${prefix}_$c")): _*)
   }
 
@@ -51,11 +51,16 @@ object Synchronize {
     * report lines that need extra counting jobs (`app.py:191,194`
     * wording parity); off by default so the report never forces an
     * eager recompute of the result. */
+  /** `tieCol`: when the sensors may carry duplicate timestamps, names
+    * the column whose MAX breaks the tie — fused into the resample
+    * aggregate instead of a separate dedupe shuffle (see
+    * AsofJoin.uniformGrid). */
   def synchronize(spark: SparkSession, camera: DataFrame, motion: DataFrame,
                   log: Option[DataFrame], method: String = "nearest",
                   stepUs: Long = DefaultStepUs, tolUs: Long = DefaultTolUs,
                   eventTypes: Option[Seq[String]] = None,
-                  withCounts: Boolean = false): (DataFrame, Seq[String]) = {
+                  withCounts: Boolean = false,
+                  tieCol: Option[String] = None): (DataFrame, Seq[String]) = {
     require(camera != null && motion != null, "camera and motion data required") // Y1
     var report = Vector.empty[String]
 
@@ -77,8 +82,8 @@ object Synchronize {
     report :+= s"Created $nTicks synchronized time points at $hz"
 
     // Y5 + Y6 — as-of resample each sensor, prefix columns, align on tick
-    val camR = resample(spark, cam, method, "camera", startUs, stepUs, nTicks)
-    val motR = resample(spark, mot, method, "motion", startUs, stepUs, nTicks)
+    val camR = resample(spark, cam, method, "camera", startUs, stepUs, nTicks, tieCol)
+    val motR = resample(spark, mot, method, "motion", startUs, stepUs, nTicks, tieCol)
     val joined = camR.join(motR, Seq("timestamp"))
 
     // Y7 — log events onto the grid (tolerance, one-hot)
