@@ -56,7 +56,15 @@ object EventPivot {
   def oneHot(grid: DataFrame, tickCol: String, events: DataFrame, tsCol: String,
              typeCol: String, startUs: Long, stepUs: Long, nTicks: Long, tolUs: Long,
              types: Option[Seq[String]] = None): DataFrame = {
-    val bits = eventBits(events, tsCol, typeCol, startUs, stepUs, nTicks, tolUs, tickCol)
+    // no eventBits distinct() here: the pivot aggregate collapses
+    // duplicate (tick, type) rows map-side anyway, so the separate
+    // distinct would just add an O(|events|) shuffle
+    val tsUs = unix_micros(col(tsCol))
+    val tickUs = nearestTickUs(tsUs, startUs, stepUs, nTicks)
+    val bits = events
+      .withColumn("__tick_us", tickUs)
+      .filter(abs(tsUs - col("__tick_us")) < tolUs) // strict, app.py:185
+      .select(timestamp_micros(col("__tick_us")).as(tickCol), col(typeCol))
     val pivoted = types match {
       case Some(vs) => bits.groupBy(col(tickCol)).pivot(typeCol, vs).agg(first(lit(1)))
       case None     => bits.groupBy(col(tickCol)).pivot(typeCol).agg(first(lit(1)))

@@ -135,6 +135,16 @@ class AsofJoinSpec extends GraftSpec {
     assert(ug("nearest") === Map(0L -> Some(100 * MS), 300 * MS -> Some(200 * MS)))
   }
 
+  test("uniformGrid on an empty series yields all-null ticks, never crashes") {
+    for (m <- Seq("pad", "backfill", "nearest")) {
+      val out = AsofJoin.uniformGrid(spark, series(), "ts", Seq("value"),
+        0L, 1000000L, 3L, m, tickCol = "tick")
+        .select(col("src_ts"), col("value")).collect()
+      assert(out.length === 3, m)
+      assert(out.forall(r => r.isNullAt(0) && r.isNullAt(1)), m)
+    }
+  }
+
   test("dedupeByTs keeps the row with the greatest tiebreaker") {
     import spark.implicits._
     val df = Seq((1L, 10.0, 1L), (1L, 20.0, 2L), (2L, 5.0, 1L))
