@@ -56,23 +56,38 @@ object StreamingEtl {
   def sessionize(events: Dataset[Event], watermark: String = "1 hour",
                  flushAtEnd: Boolean = false): Dataset[Session] = {
     import events.sparkSession.implicits._
-    val in =
-      if (events.isStreaming) events.withWatermark("ts", watermark) else events
-    in.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        fold(flushAtEnd))
+    if (events.isStreaming)
+      // event-time timeout: once the watermark passes lastTs + gap the
+      // open session is provably closed — emit it and EVICT the state,
+      // so state stays O(active users), not O(all users ever seen)
+      events.withWatermark("ts", watermark)
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+          fold(flushAtEnd = false, eventTimeTimeout = true))
+    else
+      events.groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+          fold(flushAtEnd, eventTimeTimeout = false))
   }
 
-  private def fold(flushAtEnd: Boolean)(
+  private def fold(flushAtEnd: Boolean, eventTimeTimeout: Boolean)(
       userId: Long, batch: Iterator[Event],
       state: GroupState[SessionState]): Iterator[Session] = {
-    val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-    var st = state.getOption.orNull
     val out = Seq.newBuilder[Session]
     def emit(s: SessionState): Unit =
       out += Session(userId, s.sessionId, s.n,
         new java.sql.Timestamp(s.startUs / 1000),
         new java.sql.Timestamp(s.lastTsUs / 1000))
+
+    if (state.hasTimedOut) {
+      // watermark passed lastTs + gap with no new events: session over
+      state.getOption.foreach(emit)
+      state.remove()
+      return out.result().iterator
+    }
+
+    val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    var st = state.getOption.orNull
     for (e <- evs) {
       val tUs = e.ts.getTime * 1000
       if (st == null) st = SessionState(1L, tUs, tUs, 1L)
@@ -83,7 +98,11 @@ object StreamingEtl {
     }
     if (st != null) {
       if (flushAtEnd) { emit(st); state.remove() }
-      else state.update(st)
+      else {
+        state.update(st)
+        if (eventTimeTimeout)
+          state.setTimeoutTimestamp(st.lastTsUs / 1000 + SessionGapUs / 1000 + 1)
+      }
     }
     out.result().iterator
   }

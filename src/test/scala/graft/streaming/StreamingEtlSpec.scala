@@ -96,10 +96,13 @@ class StreamingEtlSpec extends GraftSpec {
     val dir = Files.createTempDirectory("graft-sess-in").toFile.getAbsolutePath
     val ckpt = Files.createTempDirectory("graft-sess-ck").toFile.getAbsolutePath
     import spark.implicits._
+    // ts=0 sits exactly on the initial watermark and would be dropped
+    // as late under the event-time timeout; use a real epoch base
+    val T0 = 1704067200L * 1000000
     val batch1 = mkEvents(
-      (1L, 0L, 1L, "click", 1.0),
-      (2L, 10L * 60 * 1000000, 1L, "view", 1.0),
-      (3L, 50L * 60 * 1000000, 1L, "click", 1.0)) // closes session 1
+      (1L, T0, 1L, "click", 1.0),
+      (2L, T0 + 10L * 60 * 1000000, 1L, "view", 1.0),
+      (3L, T0 + 50L * 60 * 1000000, 1L, "click", 1.0)) // closes session 1
     batch1.write.mode("overwrite").parquet(dir)
 
     val streamIn = spark.readStream.schema(batch1.schema).parquet(dir).as[Event]
@@ -112,5 +115,33 @@ class StreamingEtlSpec extends GraftSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     // only the CLOSED session is emitted; session 2 stays in state
     assert(emitted.toSeq === Seq((1L, 1L, 2L)))
+  }
+
+  test("sessionize(stream): watermark advance times out and evicts the idle session") {
+    val dir = Files.createTempDirectory("graft-sess2-in").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("graft-sess2-ck").toFile.getAbsolutePath
+    import spark.implicits._
+    val T0 = 1704067200L * 1000000
+    mkEvents((1L, T0, 1L, "click", 1.0))
+      .write.mode("overwrite").parquet(dir)
+    val streamIn = spark.readStream.schema(
+      mkEvents((1L, T0, 1L, "click", 1.0)).schema).parquet(dir).as[Event]
+    val q = StreamingEtl.sessionize(streamIn, watermark = "1 minute")
+      .writeStream.format("memory").queryName("sessions_to")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("sessions_to").count() === 0) // still open
+      // a much later event (other user) pushes the watermark past
+      // user 1's lastTs + gap -> the idle session times out and emits
+      mkEvents((2L, T0 + 3L * 3600 * 1000000, 2L, "view", 1.0))
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      q.processAllAvailable() // timeout fires on the trigger AFTER the watermark moves
+    } finally q.stop()
+    val emitted = spark.table("sessions_to").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(emitted.contains((1L, 1L, 1L)),
+      s"timed-out session must be emitted and evicted; got $emitted")
   }
 }
