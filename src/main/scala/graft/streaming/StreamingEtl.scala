@@ -34,6 +34,21 @@ object StreamingEtl {
         col("n"), col("sum_value"))
   }
 
+  /** Sliding-window counts — duration/slide epoch-aligned like
+    * `window()`; each event lands in duration/slide windows. Batch twin
+    * of `q_sliding_halfhour`. */
+  def slidingCounts(events: DataFrame,
+                    duration: String = "1 hour", slide: String = "30 minutes",
+                    watermark: String = "2 hours"): DataFrame = {
+    val in =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    in.groupBy(window(col("ts"), duration, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(sessionId: Long, lastTsUs: Long,

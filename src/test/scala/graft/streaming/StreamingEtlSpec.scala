@@ -57,6 +57,26 @@ class StreamingEtlSpec extends GraftSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("slidingCounts: every event lands in exactly duration/slide windows; stream == batch") {
+    val dir = Files.createTempDirectory("graft-slide-in").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("graft-slide-ck").toFile.getAbsolutePath
+    val ds = mkEvents((0 until 100).map { i =>
+      (i.toLong, i.toLong * 131 * 1000000, (i % 5).toLong,
+        Seq("click", "view")(i % 2), i / 7.0)
+    }: _*)
+    val batch = StreamingEtl.slidingCounts(ds.toDF())
+    // 1 h / 30 min: the n-sum over all windows double-counts each event
+    assert(batch.agg(sum("n")).head().getLong(0) === 200L)
+    ds.write.mode("overwrite").parquet(dir)
+    val q = StreamingEtl.slidingCounts(
+        spark.readStream.schema(ds.schema).parquet(dir))
+      .writeStream.format("memory").queryName("sliding_out")
+      .outputMode("complete").option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("sliding_out").orderBy("window_start", "event_type").collect().toSeq ===
+      batch.orderBy("window_start", "event_type").collect().toSeq)
+  }
+
   test("eventsStream reads the real nanos-timestamp events table incrementally") {
     val ckpt = Files.createTempDirectory("graft-ev-ck").toFile.getAbsolutePath
     val stream = StreamingEtl.eventsStream(spark, "/root/testdata/sf0.001")
