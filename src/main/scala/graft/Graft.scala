@@ -26,7 +26,8 @@ object Graft {
     spark
   }
 
-  /** Load one of the driver's parquet tables (TESTDATA.md). */
+  /** Load one of the driver's parquet tables (TESTDATA.md); handles
+    * the events table's TIMESTAMP(NANOS) encoding. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    sources.Tables.load(spark, sfDir, name)
 }

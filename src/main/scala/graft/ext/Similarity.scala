@@ -112,8 +112,11 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("__cv"))
       .withColumn("__features", array_to_vector(col("__cv")))
+    // random init: k-means|| runs several extra distributed passes to
+    // seed centers — pointless for a coarse quantizer whose cells only
+    // need to be roughly balanced
     val model = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nCentroids).setSeed(seed).setMaxIter(10)
+      .setK(nCentroids).setSeed(seed).setMaxIter(5).setInitMode("random")
       .setFeaturesCol("__features").setPredictionCol("__cell")
       .fit(c)
     val indexed = model.transform(c).select(col("neighbor_id"), col("__cv"), col("__cell"))
