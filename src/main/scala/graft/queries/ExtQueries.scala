@@ -14,6 +14,13 @@ object ExtQueries {
 
   private val P = Dedup.HashMod // 1e9+7
 
+  /** Embedding width per sf dir — static table metadata, memoized so
+    * the similarity queries don't each pay the one-row probe job. */
+  private val dimCache = scala.collection.concurrent.TrieMap.empty[String, Int]
+  private def dimOf(s: org.apache.spark.sql.SparkSession, d: String): Int =
+    dimCache.getOrElseUpdate(d,
+      Similarity.dimOf(s.read.parquet(s"$d/embeddings.parquet"), "embedding"))
+
   /** DuckDB fragments mirroring Dedup/TextAnalysis column expressions. */
   private def dkHash60(s: String) = s"('0x'||substring(md5($s),1,15))::BIGINT"
 
@@ -155,7 +162,8 @@ object ExtQueries {
     QueryDef("sim_topk_lsh",
       (s, d) => {
         val emb = s.read.parquet(s"$d/embeddings.parquet")
-        Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 5)
+        Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 5,
+          dim = dimOf(s, d))
           .select(col("query_id"), col("rank"), col("neighbor_id"),
             round(col("sim"), 6).as("sim"))
           .orderBy(col("query_id"), col("rank"))

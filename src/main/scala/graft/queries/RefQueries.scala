@@ -127,17 +127,21 @@ object RefQueries {
     // out-of-(q01,q99) values become the whole-column median.
     QueryDef("f4_spike_smooth",
       (s, d) => {
+        // quantiles ride a broadcast 1-row cross join instead of a
+        // driver-side head(): one Spark job, no collect round-trip
         val o = s.read.parquet(s"$d/orders.parquet")
-        val q = o.agg(graft.functions.ExactPercentile.percentiles(col("o_totalprice"), Seq(0.01, 0.5, 0.99))).head()
-          .getSeq[Double](0)
-        val (qlo, med, qhi) = (q(0), q(1), q(2))
-        o.select(
-          col("o_orderkey"),
-          when(col("o_totalprice") < qlo || col("o_totalprice") > qhi, 1)
-            .otherwise(0).as("is_outlier"),
-          round(when(col("o_totalprice") < qlo || col("o_totalprice") > qhi, lit(med))
-            .otherwise(col("o_totalprice")), 4).as("smoothed")
-        ).orderBy(col("o_orderkey"))
+        val q = o.agg(graft.functions.ExactPercentile
+          .percentiles(col("o_totalprice"), Seq(0.01, 0.5, 0.99)).as("__q"))
+        val qlo = col("__q").getItem(0)
+        val med = col("__q").getItem(1)
+        val qhi = col("__q").getItem(2)
+        val outlier = col("o_totalprice") < qlo || col("o_totalprice") > qhi
+        o.crossJoin(broadcast(q))
+          .select(
+            col("o_orderkey"),
+            when(outlier, 1).otherwise(0).as("is_outlier"),
+            round(when(outlier, med).otherwise(col("o_totalprice")), 4).as("smoothed"))
+          .orderBy(col("o_orderkey"))
       },
       Some("""WITH q AS (SELECT quantile_cont(o_totalprice, 0.01) AS qlo,
              |                  quantile_cont(o_totalprice, 0.5)  AS med,
