@@ -262,6 +262,35 @@ object ExtQueries {
              |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpeish
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- Composed corpus filter ----------------------------------------
+    // The actual training-data pipeline: keep documents that pass the
+    // quality score AND are their exact-dup group's keeper — one
+    // composed plan (stats projection + one window over the content
+    // hash), the shape a C4/Gopher-style filter runs at corpus scale.
+    QueryDef("pipe_corpus_filter",
+      (s, d) => {
+        val docs = s.read.parquet(s"$d/documents.parquet")
+        val withQuality = TextAnalysis.stats(docs)
+          .withColumn("quality", round(TextAnalysis.qualityScore, 5))
+        val marked = Dedup.exactDups(docs).select(col("doc_id"), col("is_dup"))
+        withQuality.join(marked, "doc_id")
+          .filter(col("quality") >= 0.5 && !col("is_dup"))
+          .select(col("doc_id"), col("n_tokens"), col("quality"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS tk FROM documents),
+              |q AS (SELECT doc_id, len(tk) AS n_tokens,
+              |  round((CASE WHEN len(tk) BETWEEN 20 AND 1000 THEN 0.4 ELSE 0.0 END)
+              |    + least(len(list_distinct(tk))::DOUBLE / len(tk), 0.5) * 0.8
+              |    + least(len(list_filter(tk, x -> list_contains([${TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")}], x)))::DOUBLE / len(tk) * 4, 0.2), 5) AS quality
+              |FROM t),
+              |k AS (SELECT doc_id,
+              |  doc_id != min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup FROM t)
+              |SELECT q.doc_id, q.n_tokens, q.quality
+              |FROM q JOIN k ON q.doc_id = k.doc_id
+              |WHERE q.quality >= 0.5 AND NOT k.is_dup
+              |ORDER BY q.doc_id""".stripMargin)),
+
     // ---- Multimodal columns ---------------------------------------------
     // Real codec work (javax.imageio / javax.sound.sampled) over
     // synthetic-but-deterministic media derived from doc ids; no SQL
