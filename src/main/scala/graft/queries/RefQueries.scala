@@ -26,11 +26,6 @@ object RefQueries {
   private def events(spark: SparkSession, dir: String): DataFrame =
     graft.sources.Tables.events(spark, dir)
 
-  /** events deduped to one row per ts (as-of kernels need a unique
-    * time index, like pandas reindex). */
-  private def eventsByTs(spark: SparkSession, dir: String): DataFrame =
-    events(spark, dir).groupBy(col("ts")).agg(max(col("value")).as("value"))
-
   /** The (min, max) event timestamp per sf dir — static metadata of a
     * static table, memoized so the six grid-based queries don't each
     * re-run the same scalar aggregate job. */
