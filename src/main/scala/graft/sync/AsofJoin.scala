@@ -253,17 +253,41 @@ object AsofJoin {
     def agg(keyExpr: Column, keep: Column, pick: Column => Column, name: String) =
       src.filter(keep).groupBy(keyExpr.as("__k"))
         .agg(pick(col("__p")).as(name))
-    val padAgg = agg(greatest(col("__kp"), lit(0L)), col("__kp") <= nTicks - 1,
-      p => max_by(p, ordPad), "__ap")
-    val backAgg = agg(least(col("__kb"), lit(nTicks - 1)), col("__kb") >= 0L,
-      p => min_by(p, ordBack), "__ab")
 
     val ticks = spark.range(0, nTicks).select(col("id").as("__k"))
     var joined = ticks
-    if (needPad) joined = joined.join(padAgg, Seq("__k"), "left")
-    else joined = joined.withColumn("__ap", lit(null).cast(payloadType))
-    if (needBack) joined = joined.join(backAgg, Seq("__k"), "left")
-    else joined = joined.withColumn("__ab", lit(null).cast(payloadType))
+    if (needPad && needBack) {
+      // both directions in ONE scan + ONE map-combined shuffle: each
+      // row explodes into its (side, tick) assignments, and the
+      // null-ordering convention of max_by/min_by confines each
+      // aggregate to its side's rows. At 100 TB this halves the input
+      // reads of `nearest` vs running the two directional aggregates.
+      val side = col("__e").getField("__side")
+      val tagged = src.select(
+        Seq(col("__p"), col("__t"),
+          explode(array(
+            struct(lit(0).as("__side"),
+              greatest(col("__kp"), lit(0L)).as("__k"),
+              (col("__kp") <= nTicks - 1).as("__keep")),
+            struct(lit(1).as("__side"),
+              least(col("__kb"), lit(nTicks - 1)).as("__k"),
+              (col("__kb") >= 0L).as("__keep")))).as("__e")) ++
+          tieCol.map(_ => col("__tie")): _*)
+        .filter(col("__e").getField("__keep"))
+      val bothAgg = tagged.groupBy(col("__e").getField("__k").as("__k")).agg(
+        max_by(when(side === 0, col("__p")), when(side === 0, ordPad)).as("__ap"),
+        min_by(when(side === 1, col("__p")), when(side === 1, ordBack)).as("__ab"))
+      joined = joined.join(bothAgg, Seq("__k"), "left")
+    } else {
+      if (needPad) joined = joined.join(
+        agg(greatest(col("__kp"), lit(0L)), col("__kp") <= nTicks - 1,
+          p => max_by(p, ordPad), "__ap"), Seq("__k"), "left")
+      else joined = joined.withColumn("__ap", lit(null).cast(payloadType))
+      if (needBack) joined = joined.join(
+        agg(least(col("__kb"), lit(nTicks - 1)), col("__kb") >= 0L,
+          p => min_by(p, ordBack), "__ab"), Seq("__k"), "left")
+      else joined = joined.withColumn("__ab", lit(null).cast(payloadType))
+    }
     val bucketed = joined.withColumn("__bk", expr(s"__k div ${bucketTicks}L"))
 
     // in-bucket gap fill (one row per tick -> no marker rows needed)
