@@ -147,6 +147,27 @@ object SqlQueries {
              |FROM events GROUP BY 1, 2
              |ORDER BY window_start, event_type""".stripMargin)),
 
+    // Rollup hierarchy totals: (flag, status) -> flag subtotals ->
+    // grand total in one pass (Spark expands grouping sets map-side;
+    // null grouping keys are coalesced to a sentinel so both engines
+    // sort identically — Spark sorts nulls first, DuckDB last).
+    QueryDef("q_rollup_pricing",
+      (s, d) => s.read.parquet(s"$d/lineitem.parquet")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+          col("sum_qty"), col("n"))
+        .orderBy(col("rf"), col("ls")),
+      Some("""SELECT coalesce(l_returnflag, '(all)') AS rf,
+             |       coalesce(l_linestatus, '(all)') AS ls,
+             |       sum(CAST(l_quantity AS DECIMAL(12,2)))::DOUBLE AS sum_qty,
+             |       count(*) AS n
+             |FROM lineitem
+             |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY rf, ls""".stripMargin)),
+
     // Sliding 1 h / 30 min window per event type (streaming twin:
     // StreamingEtl.slidingCounts). Every event lands in exactly 2
     // epoch-aligned windows: starts floor(t/slide)·slide − k·slide,
