@@ -262,6 +262,24 @@ object ExtQueries {
              |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpeish
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Per-label embedding centroids (class prototypes), long format:
+    // posexplode -> groupBy(label, dim) -> mean. The posexplode shuffle
+    // is dim-partitioned (label·dim keys), so at corpus scale the mean
+    // of each dimension parallelizes instead of reducing whole vectors
+    // through one combiner.
+    QueryDef("emb_label_centroids",
+      (s, d) => s.read.parquet(s"$d/embeddings.parquet")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("label"), col("dim"))
+        .agg(round(avg(col("v")), 6).as("centroid"), count(lit(1)).as("n"))
+        .orderBy(col("label"), col("dim")),
+      // DuckDB's range() can't take a lateral column; the corpus dim is
+      // a fixed 64 across all SFs, so the oracle enumerates it
+      Some("""SELECT label, r.i - 1 AS dim,
+             |  round(avg(embedding[r.i]), 6) AS centroid, count(*) AS n
+             |FROM embeddings, range(1, 65) r(i)
+             |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin)),
+
     // ---- Composed corpus filter ----------------------------------------
     // The actual training-data pipeline: keep documents that pass the
     // quality score AND are their exact-dup group's keeper — one
