@@ -262,6 +262,40 @@ object ExtQueries {
              |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpeish
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // k-NN label prediction: exact top-5 neighbors per query vector,
+    // majority vote (tie -> smaller label) — the composition of
+    // similarity search with the label column that a labeling/QA
+    // pipeline runs.
+    QueryDef("sim_knn_classify",
+      (s, d) => {
+        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        val labels = emb.select(col("vec_id").as("neighbor_id"), col("label"))
+        val votes = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 50), 5)
+          .join(labels, "neighbor_id")
+          .groupBy(col("query_id"), col("label"))
+          .agg(count(lit(1)).as("votes"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("votes").desc, col("label").asc)
+        votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("query_id"), col("label").as("predicted"), col("votes"))
+          .orderBy(col("query_id"))
+      },
+      Some("""WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+             |q AS (SELECT vec_id, v FROM t WHERE vec_id < 50),
+             |sc AS (SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id, t.label,
+             |         list_cosine_similarity(q.v, t.v) AS sim
+             |       FROM q, t WHERE t.vec_id != q.vec_id),
+             |r AS (SELECT query_id, label,
+             |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+             |      FROM sc),
+             |v AS (SELECT query_id, label, count(*) AS votes FROM r WHERE rank <= 5
+             |      GROUP BY query_id, label),
+             |p AS (SELECT query_id, label, votes,
+             |        row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS rn
+             |      FROM v)
+             |SELECT query_id, label AS predicted, votes
+             |FROM p WHERE rn = 1 ORDER BY query_id""".stripMargin)),
+
     // Per-label embedding centroids (class prototypes), long format:
     // posexplode -> groupBy(label, dim) -> mean. The posexplode shuffle
     // is dim-partitioned (label·dim keys), so at corpus scale the mean
