@@ -17,7 +17,7 @@ import graft.functions.VectorFunctions
   * each query only scans its own bucket(s) — candidate generation is a
   * shuffle on (table, signature), re-ranking stays exact.
   */
-object Similarity {
+object Similarity extends Serializable {
 
   private def cos(s: SparkSession, a: Column, b: Column): Column =
     VectorFunctions.cosine_sim(s, a, b)
@@ -43,12 +43,27 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
-  /** Deterministic pseudo-random hyperplanes: `nPlanes` × `dim`,
-    * seeded — same planes on every executor/run. */
-  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
-    val rng = new java.util.Random(seed)
-    Array.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
+  /** 60-bit md5-derived hash of a string, identical to
+    * `Dedup.strHash60`'s column form and to DuckDB's
+    * `('0x'||substring(md5(s),1,15))::BIGINT` — the seed primitive for
+    * SQL-reproducible hyperplanes. */
+  def md5Hash60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Long.parseLong(
+      d.take(8).map(b => f"$b%02x").mkString.substring(0, 15), 16)
   }
+
+  /** Deterministic ENGINE-PORTABLE pseudo-random hyperplanes: component
+    * (tableIdx, plane, dim) is md5-derived and mapped to [-1, 1] via
+    * exact integer arithmetic + one IEEE division, so DuckDB recomputes
+    * bit-identical doubles from the same strings and the LSH bucketing
+    * keeps an exact oracle (same discipline as Dedup's minhash). A
+    * symmetric uniform distribution preserves the sign-LSH guarantee
+    * (P[bit differs] = angle/π) just like gaussians do. */
+  def hyperplanes(nPlanes: Int, dim: Int, tableIdx: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes)(p => Array.tabulate(dim)(j =>
+      (md5Hash60(s"rp:$tableIdx:$p:$j") % 2000001L - 1000000L) / 1000000.0))
 
   /** Sign-signature of an embedding under the given hyperplanes,
     * packed into one long (nPlanes <= 63). */
@@ -69,28 +84,31 @@ object Similarity {
     * hash join on (table, signature). `dim` defaults to the measured
     * embedding width. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nPlanes: Int = 12, nTables: Int = 4, dim: Int = -1, seed: Long = 42L,
+              nPlanes: Int = 6, nTables: Int = 8, dim: Int = -1,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     val d = if (dim > 0) dim else dimOf(corpus, vecCol)
     // all tables' signatures in ONE projection + posexplode — an
     // nTables-way union would rescan and re-hash the input per table
-    def signed(df: DataFrame, id: String, v: String): DataFrame = {
+    def signed(df: DataFrame, outId: String): DataFrame = {
       val sigs = array((0 until nTables).map { t =>
-        signature(spark, col(v), hyperplanes(nPlanes, d, seed + t))
+        signature(spark, col(vecCol), hyperplanes(nPlanes, d, t))
       }: _*)
-      df.select(col(id), col(v), posexplode(sigs).as(Seq("__table", "__sig")))
+      df.select(col(idCol).as(outId), posexplode(sigs).as(Seq("__table", "__sig")))
     }
-    val cs = signed(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
-      "neighbor_id", "__cv")
-    val qs = signed(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")),
-      "query_id", "__qv")
-    val candidates = cs.join(qs, Seq("__table", "__sig"))
+    // the bucket join + dedupe carries ONLY ids — vectors are joined
+    // back onto the (much smaller) deduped pair set, so the wide
+    // embedding arrays never ride the candidate-generation shuffle
+    val candidates = signed(corpus, "neighbor_id")
+      .join(signed(queries, "query_id"), Seq("__table", "__sig"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select("query_id", "neighbor_id", "__qv", "__cv")
+      .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id") // same pair from several tables
-    val scored = candidates.select(col("query_id"), col("neighbor_id"),
-      cos(spark, col("__qv"), col("__cv")).as("sim"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val scored = candidates.join(cv, "neighbor_id").join(broadcast(qv), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cos(spark, col("__qv"), col("__cv")).as("sim"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "sim")
@@ -103,36 +121,55 @@ object Similarity {
     * of the corpus. `nProbe == nCentroids` degenerates to exact brute
     * force (the law the tests pin). Centroids live on the driver
     * (nCentroids·dim doubles — tiny) and ship in the probe closure. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 4, seed: Long = 42L,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
+  /** Fit the IVF coarse quantizer once (seeded k-means, random init —
+    * k-means|| runs extra distributed passes to seed centers, pointless
+    * for a quantizer whose cells only need rough balance). At scale the
+    * quantizer is trained OFFLINE and reused across queries — callers
+    * pass the result to `ivfTopK(centroids = ...)` so the index build
+    * never rides the query path. */
+  def fitCentroids(corpus: DataFrame, nCentroids: Int = 16, seed: Long = 42L,
+                   vecCol: String = "embedding"): Array[Array[Double]] = {
     import org.apache.spark.ml.functions.array_to_vector
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).cast("array<double>").as("__cv"))
-      .withColumn("__features", array_to_vector(col("__cv")))
-    // random init: k-means|| runs several extra distributed passes to
-    // seed centers — pointless for a coarse quantizer whose cells only
-    // need to be roughly balanced
+    val c = corpus.select(
+      array_to_vector(col(vecCol).cast("array<double>")).as("__features"))
     val model = new org.apache.spark.ml.clustering.KMeans()
       .setK(nCentroids).setSeed(seed).setMaxIter(5).setInitMode("random")
       .setFeaturesCol("__features").setPredictionCol("__cell")
       .fit(c)
-    val indexed = model.transform(c).select(col("neighbor_id"), col("__cv"), col("__cell"))
-    val centers = model.clusterCenters.map(_.toArray)
+    model.clusterCenters.map(_.toArray)
+  }
+
+  /** Index of the nearest centroid (squared L2) — the cell assigner,
+    * shared by corpus indexing and query probing. */
+  private def nearestCells(v: Array[Double], centers: Array[Array[Double]],
+                           n: Int): Array[Int] =
+    centers.indices.map { j =>
+      val ctr = centers(j)
+      var dist = 0.0
+      var i = 0
+      while (i < v.length) { val t = v(i) - ctr(i); dist += t * t; i += 1 }
+      (dist, j)
+    }.sortBy(_._1).take(n).map(_._2).toArray
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centers = centroids.getOrElse(fitCentroids(corpus, nCentroids, seed, vecCol))
+    val bcCenters = spark.sparkContext.broadcast(centers)
+    val indexed = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("__cv"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) => (id, v, nearestCells(v, bcCenters.value, 1)(0)) }
+      .toDF("neighbor_id", "__cv", "__cell")
 
     val probes = queries.select(col(idCol).cast("long").as("query_id"),
       col(vecCol).cast("array<double>").as("__qv"))
       .as[(Long, Array[Double])]
       .flatMap { case (qid, v) =>
-        val byDist = centers.zipWithIndex.map { case (ctr, j) =>
-          var d = 0.0
-          var i = 0
-          while (i < v.length) { val t = v(i) - ctr(i); d += t * t; i += 1 }
-          (d, j)
-        }.sortBy(_._1).take(nProbe)
-        byDist.map { case (_, cell) => (qid, v, cell) }
+        nearestCells(v, bcCenters.value, nProbe).map(cell => (qid, v, cell))
       }.toDF("query_id", "__qv", "__cell")
 
     val scored = indexed.join(broadcast(probes), Seq("__cell"))
@@ -144,9 +181,12 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
-  /** EXACT all-pairs near-duplicates for a corpus small enough to
-    * broadcast (the oracle-checkable baseline; `nearDupPairs` below is
-    * the LSH scale path). A naive self-join materializes every
+  /** EXACT all-pairs near-duplicates — a BOUNDED BASELINE, not the
+    * scale path (`nearDupPairs` below is): it collects the given
+    * corpus to the driver, so callers MUST cap the input (the
+    * registered query slices `vec_id < 500`), exactly like the
+    * all-pairs `dedup_ngram_jaccard` baseline caps `doc_id < 100`.
+    * A naive self-join materializes every
     * (vecA, vecB) array pair — O(n²·dim) bytes through the join — so
     * instead the corpus is collected once into a primitive matrix,
     * broadcast, and each partition streams its rows against it with a
@@ -187,23 +227,27 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs: cosine >= threshold, via LSH
-    * candidate generation + exact verification (a < b, each pair once). */
+    * candidate generation + exact verification (a < b, each pair once).
+    * This is the 100 TB path: candidates come from a shuffle on
+    * (table, signature) carrying only ids; the embedding arrays are
+    * joined back onto the deduped candidate set for the verify step —
+    * the same shape as `Dedup.minhashNearDups`, never all-pairs. */
   def nearDupPairs(corpus: DataFrame, threshold: Double,
-                   nPlanes: Int = 10, nTables: Int = 6, dim: Int = -1, seed: Long = 42L,
+                   nPlanes: Int = 6, nTables: Int = 8, dim: Int = -1,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     val d = if (dim > 0) dim else dimOf(corpus, vecCol)
     val sigs = array((0 until nTables).map { t =>
-      signature(spark, col(vecCol), hyperplanes(nPlanes, d, seed + t))
+      signature(spark, col(vecCol), hyperplanes(nPlanes, d, t))
     }: _*)
-    val tables = corpus.select(col(idCol), col(vecCol),
-      posexplode(sigs).as(Seq("__table", "__sig")))
-    val a = tables.select(col("__table"), col("__sig"),
-      col(idCol).as("id_a"), col(vecCol).as("__va"))
-    val b = tables.select(col("__table"), col("__sig"),
-      col(idCol).as("id_b"), col(vecCol).as("__vb"))
-    a.join(b, Seq("__table", "__sig")).filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val sig = corpus.select(col(idCol), posexplode(sigs).as(Seq("__table", "__sig")))
+    val a = sig.select(col("__table"), col("__sig"), col(idCol).as("id_a"))
+    val b = sig.select(col("__table"), col("__sig"), col(idCol).as("id_b"))
+    val cand = a.join(b, Seq("__table", "__sig")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val va = corpus.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val vb = corpus.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    cand.join(va, "id_a").join(vb, "id_b")
       .select(col("id_a"), col("id_b"), cos(spark, col("__va"), col("__vb")).as("sim"))
       .filter(col("sim") >= threshold)
   }

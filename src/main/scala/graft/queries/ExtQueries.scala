@@ -21,6 +21,31 @@ object ExtQueries {
     dimCache.getOrElseUpdate(d,
       Similarity.dimOf(s.read.parquet(s"$d/embeddings.parquet"), "embedding"))
 
+  /** IVF coarse quantizer per sf dir — at scale the quantizer is
+    * trained OFFLINE once and reused by every query; memoizing per dir
+    * models that: the k-means fit never rides the query path. */
+  private val centroidCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+  private def centroidsOf(s: org.apache.spark.sql.SparkSession,
+                          d: String): Array[Array[Double]] =
+    centroidCache.getOrElseUpdate(d,
+      Similarity.fitCentroids(s.read.parquet(s"$d/embeddings.parquet")))
+
+  /** Random-hyperplane LSH signature CTEs for the DuckDB oracle —
+    * recomputes Similarity.hyperplanes' md5-derived plane components
+    * bit-for-bit (exact integer arithmetic + one IEEE division), then
+    * the per-(vector, table) sign-signature. The embedding dim is a
+    * fixed 64 at every SF (same assumption as the centroids oracle). */
+  private def lshSigCte(nTables: Int, nPlanes: Int): String =
+    s"""t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |pl AS (SELECT tt.i AS tbl, pp.i AS p,
+       |         list_transform(range(0, 64), j ->
+       |           ((('0x'||substring(md5('rp:'||tt.i||':'||pp.i||':'||j),1,15))::BIGINT % 2000001) - 1000000) / 1000000.0) AS pv
+       |       FROM range(0, $nTables) tt(i), range(0, $nPlanes) pp(i)),
+       |sig AS (SELECT t.vec_id, pl.tbl,
+       |          sum(CASE WHEN list_dot_product(t.v, pl.pv) > 0 THEN (1::BIGINT << pl.p) ELSE 0 END)::BIGINT AS sig
+       |        FROM t, pl GROUP BY t.vec_id, pl.tbl)""".stripMargin
+
   /** DuckDB fragments mirroring Dedup/TextAnalysis column expressions. */
   private def dkHash60(s: String) = s"('0x'||substring(md5($s),1,15))::BIGINT"
 
@@ -156,46 +181,114 @@ object ExtQueries {
              |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
              |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
-    // LSH-bucketed ANN top-k — same API as brute force; the LSH planes
-    // (JVM-seeded gaussians) are not SQL-reproducible, so the driver
-    // records the weaker rows-only check for this one.
+    // LSH-bucketed ANN top-k — same API as brute force. The planes are
+    // md5-derived, so the oracle reproduces the identical bucketing
+    // (candidate sets, ranks and all), not just "some ANN answer".
     QueryDef("sim_topk_lsh",
       (s, d) => {
         val emb = s.read.parquet(s"$d/embeddings.parquet")
         Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 5,
-          dim = dimOf(s, d))
+          nPlanes = 6, nTables = 8, dim = dimOf(s, d))
           .select(col("query_id"), col("rank"), col("neighbor_id"),
             round(col("sim"), 6).as("sim"))
           .orderBy(col("query_id"), col("rank"))
       },
-      None),
+      Some(s"""WITH ${lshSigCte(nTables = 8, nPlanes = 6)},
+              |qs AS (SELECT vec_id, tbl, sig FROM sig WHERE vec_id < 10),
+              |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+              |         FROM qs q JOIN sig c ON c.tbl = q.tbl AND c.sig = q.sig
+              |           AND c.vec_id != q.vec_id),
+              |sc AS (SELECT cd.query_id, cd.neighbor_id,
+              |         list_cosine_similarity(a.v, b.v) AS sim
+              |       FROM cand cd JOIN t a ON a.vec_id = cd.query_id
+              |         JOIN t b ON b.vec_id = cd.neighbor_id),
+              |r AS (SELECT query_id, neighbor_id, sim,
+              |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+              |      FROM sc)
+              |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
+              |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
-    // IVF ANN top-k — k-means coarse quantizer, nProbe-cell scan.
-    // The quantizer isn't SQL-reproducible -> rows-only check; the
-    // probe-all == brute-force law is pinned in SimilaritySpec.
+    // IVF ANN top-k — precomputed (memoized) coarse quantizer,
+    // nProbe-cell scan. The quantizer isn't SQL-reproducible -> rows-
+    // only check; the probe-all == brute-force law is pinned in
+    // SimilaritySpec.
     QueryDef("sim_topk_ivf",
       (s, d) => {
         val emb = s.read.parquet(s"$d/embeddings.parquet")
-        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5)
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5,
+          centroids = Some(centroidsOf(s, d)))
           .select(col("query_id"), col("rank"), col("neighbor_id"),
             round(col("sim"), 6).as("sim"))
           .orderBy(col("query_id"), col("rank"))
       },
       None),
 
-    // Embedding cosine near-dup pairs, exact (threshold from measured
-    // data: max pairwise cosine at sf0.01 is ~0.51).
+    // ANN recall@5 against the exact brute-force answer — one row.
+    // An ANN index with unmeasured recall is undiagnosable; this makes
+    // the LSH/IVF quality a driver-visible number. Uses deliberately
+    // coarser LSH buckets (4 planes) and a wider IVF probe (8 cells)
+    // than the top-k queries: the corpus is near-uniform random, the
+    // hardest case for ANN. Rows-only: IVF's quantizer isn't SQL-
+    // reproducible, and the joined recall row has no oracle value.
+    QueryDef("sim_recall_ann",
+      (s, d) => {
+        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        val q = emb.filter(col("vec_id") < 10)
+        val exact = Similarity.bruteForceTopK(emb, q, 5)
+          .select("query_id", "neighbor_id")
+        val lsh = Similarity.lshTopK(emb, q, 5,
+          nPlanes = 4, nTables = 8, dim = dimOf(s, d))
+          .select(col("query_id"), col("neighbor_id"), lit(1L).as("__lsh"))
+        val ivf = Similarity.ivfTopK(emb, q, 5, nProbe = 8,
+          centroids = Some(centroidsOf(s, d)))
+          .select(col("query_id"), col("neighbor_id"), lit(1L).as("__ivf"))
+        exact.join(lsh, Seq("query_id", "neighbor_id"), "left")
+          .join(ivf, Seq("query_id", "neighbor_id"), "left")
+          .agg(count(lit(1)).as("n_exact"),
+            round(sum(coalesce(col("__lsh"), lit(0L))).cast("double")
+              / count(lit(1)), 4).as("recall_lsh"),
+            round(sum(coalesce(col("__ivf"), lit(0L))).cast("double")
+              / count(lit(1)), 4).as("recall_ivf"))
+      },
+      None),
+
+    // Embedding cosine near-dup pairs, exact — BOUNDED baseline over
+    // the first 500 vectors (the collect-and-broadcast kernel is
+    // driver-bounded by design, like dedup_ngram_jaccard's cap);
+    // sim_neardup_lsh below is the full-corpus scale path. Threshold
+    // from measured data: max pairwise cosine at sf0.01 is ~0.51.
     QueryDef("sim_neardup_embedding",
       (s, d) => Similarity.exactNearDupPairs(
-        s.read.parquet(s"$d/embeddings.parquet"), 0.45)
+        s.read.parquet(s"$d/embeddings.parquet").filter(col("vec_id") < 500), 0.45)
         .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
         .orderBy(col("id_a"), col("id_b")),
-      Some("""WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      Some("""WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+             |        WHERE vec_id < 500)
              |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              |  round(list_cosine_similarity(a.v, b.v), 6) AS sim
              |FROM t a JOIN t b ON a.vec_id < b.vec_id
              |WHERE list_cosine_similarity(a.v, b.v) >= 0.45
              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Embedding near-dup pairs at scale: md5-derived random-hyperplane
+    // LSH candidate generation (ids-only shuffle) + exact cosine
+    // verify — the full-corpus path that replaces the bounded exact
+    // baseline above. Oracle reproduces the identical bucketing.
+    QueryDef("sim_neardup_lsh",
+      (s, d) => Similarity.nearDupPairs(
+        s.read.parquet(s"$d/embeddings.parquet"), 0.45,
+        nPlanes = 6, nTables = 8, dim = dimOf(s, d))
+        .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH ${lshSigCte(nTables = 8, nPlanes = 6)},
+              |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              |         FROM sig a JOIN sig b ON b.tbl = a.tbl AND b.sig = a.sig
+              |           AND a.vec_id < b.vec_id),
+              |sc AS (SELECT cd.id_a, cd.id_b, list_cosine_similarity(x.v, y.v) AS sim
+              |       FROM cand cd JOIN t x ON x.vec_id = cd.id_a
+              |         JOIN t y ON y.vec_id = cd.id_b)
+              |SELECT id_a, id_b, round(sim, 6) AS sim
+              |FROM sc WHERE sim >= 0.45 ORDER BY id_a, id_b""".stripMargin)),
 
     // ---- Text analysis -------------------------------------------------
 

@@ -105,17 +105,19 @@ object RefQueries {
         }
         li.agg(aggs.head, aggs.tail: _*)
       },
+      // ::BIGINT: DuckDB sum(int) is HUGEINT, which pandas fetches as
+      // float64 — value-equal results would hash-mismatch Spark's int64.
       Some("""SELECT
-             | sum(CASE WHEN (l_quantity < -900 OR l_quantity > 10000) THEN 1 ELSE 0 END) AS removed_l_quantity,
+             | sum(CASE WHEN (l_quantity < -900 OR l_quantity > 10000) THEN 1 ELSE 0 END)::BIGINT AS removed_l_quantity,
              | sum(CASE WHEN NOT (l_quantity < -900 OR l_quantity > 10000)
-             |           AND (l_extendedprice < -900 OR l_extendedprice > 10000) THEN 1 ELSE 0 END) AS removed_l_extendedprice,
+             |           AND (l_extendedprice < -900 OR l_extendedprice > 10000) THEN 1 ELSE 0 END)::BIGINT AS removed_l_extendedprice,
              | sum(CASE WHEN NOT (l_quantity < -900 OR l_quantity > 10000)
              |           AND NOT (l_extendedprice < -900 OR l_extendedprice > 10000)
-             |           AND (l_discount < -900 OR l_discount > 10000) THEN 1 ELSE 0 END) AS removed_l_discount,
+             |           AND (l_discount < -900 OR l_discount > 10000) THEN 1 ELSE 0 END)::BIGINT AS removed_l_discount,
              | sum(CASE WHEN NOT (l_quantity < -900 OR l_quantity > 10000)
              |           AND NOT (l_extendedprice < -900 OR l_extendedprice > 10000)
              |           AND NOT (l_discount < -900 OR l_discount > 10000)
-             |           AND (l_tax < -900 OR l_tax > 10000) THEN 1 ELSE 0 END) AS removed_l_tax
+             |           AND (l_tax < -900 OR l_tax > 10000) THEN 1 ELSE 0 END)::BIGINT AS removed_l_tax
              |FROM lineitem""".stripMargin)),
 
     // F4 — quantile spike smoothing on o_totalprice (app.py:122-131):

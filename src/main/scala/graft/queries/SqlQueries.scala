@@ -122,7 +122,7 @@ object SqlQueries {
              |s AS (
              |  SELECT user_id, ts,
              |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
              |  FROM g)
              |SELECT user_id, session_id, count(*) AS n_events,
              |  min(ts) AS session_start, max(ts) AS session_end

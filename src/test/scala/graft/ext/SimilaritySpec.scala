@@ -105,4 +105,56 @@ class SimilaritySpec extends GraftSpec {
   test("dimOf measures the embedding width from data") {
     assert(Similarity.dimOf(vecs((1L, Seq(1.0, 2.0, 3.0))), "embedding") === 3)
   }
+
+  test("md5Hash60 matches Spark's md5-derived strHash60 column (oracle parity)") {
+    import spark.implicits._
+    // the same md5 text both Dedup.strHash60 and the DuckDB oracle
+    // hash — pins JVM MessageDigest == Spark md5() == DuckDB md5()
+    val strs = Seq("rp:0:0:0", "rp:7:5:63", "hello", "")
+    val viaSpark = strs.toDF("s")
+      .select(Dedup.strHash60(col("s"))).collect().map(_.getLong(0)).toSeq
+    assert(viaSpark === strs.map(Similarity.md5Hash60))
+  }
+
+  test("hyperplanes are deterministic, bounded, and table-distinct") {
+    val a = Similarity.hyperplanes(4, 16, 0)
+    val b = Similarity.hyperplanes(4, 16, 0)
+    val c = Similarity.hyperplanes(4, 16, 1)
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    assert(a.map(_.toSeq).toSeq !== c.map(_.toSeq).toSeq)
+    assert(a.flatten.forall(v => v >= -1.0 && v <= 1.0))
+    // golden value (independently computed: md5('rp:0:0:0') mapping)
+    assert(a(0)(0) === -0.002644 +- 1e-12)
+  }
+
+  test("lshTopK recall >= 0.8 on clustered data at default parameters") {
+    val rnd = new scala.util.Random(7)
+    // 12 cluster centers × 5 members with small perturbations: the
+    // true top-4 of each member are its cluster mates (cosine ~0.99)
+    val centers = Array.fill(12)(Array.fill(16)(rnd.nextGaussian()))
+    val rows = for {
+      c <- centers.indices; m <- 0 until 5
+    } yield ((c * 5 + m).toLong,
+      centers(c).map(x => x + rnd.nextGaussian() * 0.02).toSeq)
+    val corpus = vecs(rows: _*)
+    val queries = vecs(rows.take(10): _*)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(corpus, queries, 4))
+    val ann = pairs(Similarity.lshTopK(corpus, queries, 4))
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall $recall below 0.8 on clustered data")
+  }
+
+  test("nearDupPairs (LSH) finds exact duplicates and verifies with exact cosine") {
+    val base = Seq.tabulate(16)(i => math.sin(i * 3 + 1.0))
+    val corpus = vecs(Seq.tabulate(10)(i =>
+      (i.toLong, Seq.tabulate(16)(j => math.cos(i * 29 + j * 7)))) ++
+      Seq((50L, base), (51L, base)): _*)
+    val out = Similarity.nearDupPairs(corpus, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.exists(p => p._1 === 50L && p._2 === 51L && p._3 > 0.999),
+      s"duplicate pair not found: ${out.toSeq}")
+  }
 }
