@@ -29,15 +29,25 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warm-up: JVM + codegen + parquet footer reads
+    // warm-up: JVM + codegen + parquet footer reads. The grid-kernel
+    // query warms the as-of codegen paths too — otherwise the first
+    // y5_* run absorbs whole-stage-codegen compile cost and reads as a
+    // plan regression in the per-query numbers.
     spark.range(0, 1000000, 1, 4).selectExpr("sum(id)").collect()
-    SparkEntry.queries.get("q1_pricing_summary")
-      .foreach(fn => fn(spark, sfDir).write.mode("overwrite").format("noop").save())
+    Seq("q1_pricing_summary", "y5_asof_nearest").foreach(w =>
+      SparkEntry.queries.get(w).foreach { fn =>
+        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warmup $w failed: ${e.getMessage}")
+        }
+      })
 
+    val failed = Seq.newBuilder[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       name -> (System.nanoTime() - t0) / 1e9
@@ -45,7 +55,9 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    // a failed query must be machine-distinguishable from a fast one
+    val failedJson = failed.result().map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -167,19 +167,22 @@ object Clean {
       val n = row.getLong(2 + i)
       if (n > 0) report :+= s"Removed $n outliers from $c" // app.py:120 wording
     }
-    val bounds = smoothCols.zipWithIndex.map { case (c, i) =>
-      val q = row.getSeq[Double](2 + numeric.size + i)
-      c -> ((q(0), q(1), q(2)))
+    // a column with ZERO clean rows yields a null quantile array —
+    // skip smoothing/reporting for it instead of NPE-ing on q(0)
+    val bounds = smoothCols.zipWithIndex.flatMap { case (c, i) =>
+      Option(row.getSeq[Double](2 + numeric.size + i))
+        .map(q => c -> ((q(0), q(1), q(2))))
     }.toMap
+    val smoothable = smoothCols.filter(bounds.contains)
 
     // ---- pass 2 (motion only): replaced-value counts ----
-    if (smoothCols.nonEmpty) {
-      val repAggs = smoothCols.map { c =>
+    if (smoothable.nonEmpty) {
+      val repAggs = smoothable.map { c =>
         val (l, _, h) = bounds(c)
         sum(when(cleanCond && (col(c) < l || col(c) > h), 1L).otherwise(0L)).as(c)
       }
       val repRow = df.agg(repAggs.head, repAggs.tail: _*).head()
-      smoothCols.zipWithIndex.foreach { case (c, i) =>
+      smoothable.zipWithIndex.foreach { case (c, i) =>
         val n = repRow.getLong(i)
         if (n > 0) report :+= s"Smoothed $n spikes in $c" // app.py:131 wording
       }
@@ -187,7 +190,7 @@ object Clean {
 
     // ---- the (lazy) transform itself ----
     val ranged = rangeFilter(dropMissing(df), numeric)
-    val smoothed = smoothCols.foldLeft(ranged) { (d, c) =>
+    val smoothed = smoothable.foldLeft(ranged) { (d, c) =>
       val (l, m, h) = bounds(c)
       d.withColumn(c, when(col(c) < l || col(c) > h, lit(m)).otherwise(col(c)))
     }

@@ -51,7 +51,14 @@ case class ExactPercentile(
 
   override def update(buf: DoubleBuf, input: InternalRow): DoubleBuf = {
     val v = child.eval(input)
-    if (v != null) buf.add(v.asInstanceOf[Number].doubleValue())
+    // Decimal does NOT extend java.lang.Number — a bare Number cast
+    // would make DecimalType columns a regression vs the built-in
+    if (v != null) buf.add(v match {
+      case d: Decimal => d.toDouble
+      case n: java.lang.Number => n.doubleValue()
+      case other => throw new IllegalArgumentException(
+        s"graft_percentile: non-numeric input $other (${child.dataType})")
+    })
     buf
   }
 

@@ -45,8 +45,12 @@ object MediaKernels {
   }
 
   /** Per-channel means in [0,255] — the cheap quality/feature probe. */
-  def channelMeans(bytes: Array[Byte]): (Double, Double, Double) = {
-    val img = decodeImage(bytes)
+  def channelMeans(bytes: Array[Byte]): (Double, Double, Double) =
+    channelMeans(decodeImage(bytes))
+
+  /** Decoded-image overload: feature pipelines decode each blob ONCE
+    * and derive every feature from the same `BufferedImage`. */
+  def channelMeans(img: BufferedImage): (Double, Double, Double) = {
     var (r, g, b) = (0.0, 0.0, 0.0)
     val (w, h) = (img.getWidth, img.getHeight)
     var y = 0
@@ -66,8 +70,10 @@ object MediaKernels {
   /** Resize to k×k (area-average via Graphics2D bilinear) and return
     * the grayscale grid as a flat k·k float feature vector in [0,1] —
     * the standard thumbnail embedding for image near-dup. */
-  def grayGrid(bytes: Array[Byte], k: Int): Array[Float] = {
-    val img = decodeImage(bytes)
+  def grayGrid(bytes: Array[Byte], k: Int): Array[Float] =
+    grayGrid(decodeImage(bytes), k)
+
+  def grayGrid(img: BufferedImage, k: Int): Array[Float] = {
     val small = new BufferedImage(k, k, BufferedImage.TYPE_INT_RGB)
     val g2 = small.createGraphics()
     g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
@@ -119,7 +125,8 @@ object MediaKernels {
     finally ais.close()
   }
 
-  private def samples(bytes: Array[Byte]): Array[Short] = {
+  /** PCM16 payload as samples — decode once, feed `rms`/`frameSample`. */
+  def samples(bytes: Array[Byte]): Array[Short] = {
     val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
     try {
       val raw = ais.readAllBytes()
@@ -134,8 +141,9 @@ object MediaKernels {
   }
 
   /** RMS amplitude of the PCM16 payload, normalized to [0,1]. */
-  def rms(bytes: Array[Byte]): Double = {
-    val s = samples(bytes)
+  def rms(bytes: Array[Byte]): Double = rms(samples(bytes))
+
+  def rms(s: Array[Short]): Double = {
     if (s.isEmpty) return 0.0
     var acc = 0.0
     var i = 0
@@ -145,8 +153,10 @@ object MediaKernels {
 
   /** k evenly spaced samples (normalized) — the "frame sample" op for
     * audio; the video analogue samples frames the same way. */
-  def frameSample(bytes: Array[Byte], k: Int): Array[Float] = {
-    val s = samples(bytes)
+  def frameSample(bytes: Array[Byte], k: Int): Array[Float] =
+    frameSample(samples(bytes), k)
+
+  def frameSample(s: Array[Short], k: Int): Array[Float] = {
     if (s.isEmpty) return new Array[Float](k)
     val out = new Array[Float](k)
     var i = 0

@@ -52,10 +52,11 @@ object Multimodal {
     import spark.implicits._
     media.select(col("media_id"), col("image")).as[ImageRow]
       .mapPartitions(_.map { r =>
+        // decode ONCE per row; every feature derives from the same image
         val img = MediaKernels.decodeImage(r.image)
-        val (mr, mg, mb) = MediaKernels.channelMeans(r.image)
+        val (mr, mg, mb) = MediaKernels.channelMeans(img)
         ImageFeatures(r.media_id, img.getWidth, img.getHeight, mr, mg, mb,
-          MediaKernels.grayGrid(r.image, k))
+          MediaKernels.grayGrid(img, k))
       })
   }
 
@@ -66,9 +67,11 @@ object Multimodal {
     import spark.implicits._
     media.select(col("media_id"), col("audio")).as[AudioRow]
       .mapPartitions(_.map { r =>
+        // decode ONCE per row: header + PCM payload in a single pass
         val (sr, n) = MediaKernels.audioMeta(r.audio)
-        AudioFeatures(r.media_id, sr, n, MediaKernels.rms(r.audio),
-          MediaKernels.frameSample(r.audio, k))
+        val s = MediaKernels.samples(r.audio)
+        AudioFeatures(r.media_id, sr, n, MediaKernels.rms(s),
+          MediaKernels.frameSample(s, k))
       })
   }
 

@@ -151,22 +151,47 @@ object SqlQueries {
     // grand total in one pass (Spark expands grouping sets map-side;
     // null grouping keys are coalesced to a sentinel so both engines
     // sort identically — Spark sorts nulls first, DuckDB last).
+    // The grouping() flags ride the sort key (then drop): a genuine
+    // NULL data group also coalesces to '(all)', and without the flags
+    // such a row would tie with the subtotal row in engine-dependent
+    // order, making the oracle compare nondeterministic.
     QueryDef("q_rollup_pricing",
       (s, d) => s.read.parquet(s"$d/lineitem.parquet")
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
-          count(lit(1)).as("n"))
+          count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).as("__g_rf"),
+          grouping(col("l_linestatus")).as("__g_ls"))
         .select(coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
           coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
-          col("sum_qty"), col("n"))
-        .orderBy(col("rf"), col("ls")),
-      Some("""SELECT coalesce(l_returnflag, '(all)') AS rf,
-             |       coalesce(l_linestatus, '(all)') AS ls,
-             |       sum(CAST(l_quantity AS DECIMAL(12,2)))::DOUBLE AS sum_qty,
-             |       count(*) AS n
-             |FROM lineitem
-             |GROUP BY ROLLUP (l_returnflag, l_linestatus)
-             |ORDER BY rf, ls""".stripMargin)),
+          col("sum_qty"), col("n"), col("__g_rf"), col("__g_ls"))
+        .orderBy(col("rf"), col("ls"), col("__g_rf"), col("__g_ls"))
+        .select("rf", "ls", "sum_qty", "n"),
+      Some("""SELECT rf, ls, sum_qty, n FROM (
+             |  SELECT coalesce(l_returnflag, '(all)') AS rf,
+             |         coalesce(l_linestatus, '(all)') AS ls,
+             |         sum(CAST(l_quantity AS DECIMAL(12,2)))::DOUBLE AS sum_qty,
+             |         count(*) AS n,
+             |         GROUPING(l_returnflag) AS g_rf,
+             |         GROUPING(l_linestatus) AS g_ls
+             |  FROM lineitem
+             |  GROUP BY ROLLUP (l_returnflag, l_linestatus))
+             |ORDER BY rf, ls, g_rf, g_ls""".stripMargin)),
+
+    // The SAME tumbling aggregate executed as a REAL Structured
+    // Streaming run: events file stream → watermarked window agg →
+    // memory sink under Trigger.AvailableNow. The oracle is identical
+    // to q_tumbling_hour's — the stream's final table must equal the
+    // batch answer (Spark's unified-API guarantee, here driver-graded
+    // rather than only spec-pinned).
+    QueryDef("q_stream_tumbling",
+      (s, d) => graft.streaming.StreamingEtl.tumblingCountsViaStream(s, d)
+        .orderBy(col("window_start"), col("event_type")),
+      Some("""SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
+             |  event_type, count(*) AS n,
+             |  sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
+             |FROM events GROUP BY 1, 2
+             |ORDER BY window_start, event_type""".stripMargin)),
 
     // Sliding 1 h / 30 min window per event type (streaming twin:
     // StreamingEtl.slidingCounts). Every event lands in exactly 2

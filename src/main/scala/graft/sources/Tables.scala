@@ -18,12 +18,22 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events with `ts` as a proper us-precision TimestampType. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  /** events with `ts` as a proper us-precision TimestampType.
+    *
+    * The DataFrame (the analyzed plan + file index, NOT the data) is
+    * memoized per (session, dir): ~10 queries read this table, and
+    * rebuilding it re-lists the directory and re-reads parquet footers
+    * for schema inference each time. Plan reuse is free; the scan
+    * itself still streams per query — nothing is persisted. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    eventsCache.getOrElseUpdate((System.identityHashCode(spark), dir), {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    })
+
+  private val eventsCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
 
   /** Exact row count from the parquet footer (no scan) — the count(*)
     * fast path every columnar engine uses for a whole-table count. */

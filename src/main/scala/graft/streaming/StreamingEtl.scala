@@ -85,14 +85,27 @@ object StreamingEtl {
           fold(flushAtEnd, eventTimeTimeout = false))
   }
 
+  /** Exact event-time micros: `Timestamp.getTime` truncates to ms,
+    * and the events table has sub-ms timestamps — a gap that is just
+    * over the session limit in micros could compute as exactly the
+    * limit after ms truncation and split sessions differently than
+    * the batch twin. */
+  private def tsUs(t: java.sql.Timestamp): Long =
+    t.toInstant.getEpochSecond * 1000000L + t.getNanos / 1000L
+
+  /** Micros → Timestamp without losing the sub-ms component. */
+  private def usToTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   private def fold(flushAtEnd: Boolean, eventTimeTimeout: Boolean)(
       userId: Long, batch: Iterator[Event],
       state: GroupState[SessionState]): Iterator[Session] = {
     val out = Seq.newBuilder[Session]
     def emit(s: SessionState): Unit =
-      out += Session(userId, s.sessionId, s.n,
-        new java.sql.Timestamp(s.startUs / 1000),
-        new java.sql.Timestamp(s.lastTsUs / 1000))
+      out += Session(userId, s.sessionId, s.n, usToTs(s.startUs), usToTs(s.lastTsUs))
 
     if (state.hasTimedOut) {
       // watermark passed lastTs + gap with no new events: session over
@@ -101,10 +114,10 @@ object StreamingEtl {
       return out.result().iterator
     }
 
-    val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    val evs = batch.toSeq.sortBy(e => (tsUs(e.ts), e.event_id))
     var st = state.getOption.orNull
     for (e <- evs) {
-      val tUs = e.ts.getTime * 1000
+      val tUs = tsUs(e.ts)
       if (st == null) st = SessionState(1L, tUs, tUs, 1L)
       else if (tUs - st.lastTsUs > SessionGapUs) {
         emit(st)
@@ -138,5 +151,29 @@ object StreamingEtl {
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private val streamRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Execute the tumbling aggregate as a REAL Structured Streaming run:
+    * events file stream → watermarked window agg → memory sink, under
+    * `Trigger.AvailableNow` (process everything available, then stop).
+    * Complete output mode so windows still inside the watermark at
+    * end-of-input are emitted too — the final table equals the batch
+    * twin `q_tumbling_hour`, which is the unified-API guarantee the
+    * driver's oracle then checks against DuckDB. The memory sink is
+    * the harness choice for an aggregate-sized result; production
+    * points the same writeStream at a real sink. */
+  def tumblingCountsViaStream(spark: SparkSession, dir: String): DataFrame = {
+    // unique sink name per run: memory-sink query names register temp
+    // views, and Bench/Verify may invoke this more than once a session
+    val name = s"graft_stream_tumbling_${streamRuns.incrementAndGet()}"
+    val q = tumblingCounts(eventsStream(spark, dir))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
   }
 }
