@@ -88,14 +88,13 @@ object Similarity extends Serializable {
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     val d = if (dim > 0) dim else dimOf(corpus, vecCol)
-    // all tables' signatures in ONE projection + posexplode — an
-    // nTables-way union would rescan and re-hash the input per table
-    def signed(df: DataFrame, outId: String): DataFrame = {
-      val sigs = array((0 until nTables).map { t =>
-        signature(spark, col(vecCol), hyperplanes(nPlanes, d, t))
-      }: _*)
-      df.select(col(idCol).as(outId), posexplode(sigs).as(Seq("__table", "__sig")))
-    }
+    // all tables' signatures in ONE fused kernel pass + posexplode —
+    // per-table signature expressions would re-read the embedding
+    // array nTables·nPlanes times per row
+    def signed(df: DataFrame, outId: String): DataFrame =
+      df.select(col(idCol).as(outId),
+        posexplode(VectorFunctions.lsh_signatures(
+          spark, col(vecCol), nTables, nPlanes, d)).as(Seq("__table", "__sig")))
     // the bucket join + dedupe carries ONLY ids — vectors are joined
     // back onto the (much smaller) deduped pair set, so the wide
     // embedding arrays never ride the candidate-generation shuffle
@@ -237,10 +236,9 @@ object Similarity extends Serializable {
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     val d = if (dim > 0) dim else dimOf(corpus, vecCol)
-    val sigs = array((0 until nTables).map { t =>
-      signature(spark, col(vecCol), hyperplanes(nPlanes, d, t))
-    }: _*)
-    val sig = corpus.select(col(idCol), posexplode(sigs).as(Seq("__table", "__sig")))
+    val sig = corpus.select(col(idCol),
+      posexplode(VectorFunctions.lsh_signatures(
+        spark, col(vecCol), nTables, nPlanes, d)).as(Seq("__table", "__sig")))
     val a = sig.select(col("__table"), col("__sig"), col(idCol).as("id_a"))
     val b = sig.select(col("__table"), col("__sig"), col(idCol).as("id_b"))
     val cand = a.join(b, Seq("__table", "__sig")).filter(col("id_a") < col("id_b"))

@@ -127,6 +127,23 @@ class SimilaritySpec extends GraftSpec {
     assert(a(0)(0) === -0.002644 +- 1e-12)
   }
 
+  test("fused lsh_signatures kernel equals the per-table signature composition") {
+    val corpus = vecs(Seq.tabulate(25)(i =>
+      (i.toLong, Seq.tabulate(16)(j => math.sin(i * 31 + j * 5)))): _*)
+    val (nTables, nPlanes, dim) = (8, 6, 16)
+    val fused = corpus.select(col("vec_id"),
+      VectorFunctions.lsh_signatures(spark, col("embedding"), nTables, nPlanes, dim)
+        .as("sigs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val composed = corpus.select(col("vec_id") +: (0 until nTables).map { t =>
+        Similarity.signature(spark, col("embedding"),
+          Similarity.hyperplanes(nPlanes, dim, t)).as(s"s$t")
+      }: _*)
+      .collect().map(r => r.getLong(0) -> (1 to nTables).map(r.getLong(_))).toMap
+    assert(fused.keySet === composed.keySet)
+    fused.foreach { case (id, sigs) => assert(sigs === composed(id), s"vec $id") }
+  }
+
   test("lshTopK recall >= 0.8 on clustered data at default parameters") {
     val rnd = new scala.util.Random(7)
     // 12 cluster centers × 5 members with small perturbations: the
