@@ -136,6 +136,53 @@ object Dedup {
         (col(idCol) =!= col("keeper_id")).as("is_dup"))
   }
 
+  /** Connected components over a near-duplicate pair set — the step
+    * that turns pairwise matches into DEDUP GROUPS (keep one doc per
+    * component). Iterative min-label propagation: every node starts
+    * labeled with its own id; each round takes the min label across
+    * its neighbors; a fixpoint labels each node with its component's
+    * minimum id.
+    *
+    * Scale shape: each round is one join + one aggregation on the
+    * edge list — no driver-side graph. Rounds needed = component
+    * diameter; near-dup components are overwhelmingly small/dense
+    * (dup clusters, not long chains), so this converges in a handful
+    * of rounds. Convergence is detected with a 1-row aggregate: labels
+    * only ever DECREASE, so an unchanged sum(label) is a fixpoint.
+    * Each round's labels are persisted and the previous round is
+    * unpersisted — lineage stays shallow and re-computation never
+    * cascades across rounds. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+                          idACol: String = "id_a", idBCol: String = "id_b"): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
+      .union(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
+      .persist(MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .persist(MEMORY_AND_DISK)
+    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val nbrMin = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("label")).as("__nl"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("__nl"), col("label"))).as("label"))
+        .persist(MEMORY_AND_DISK)
+      val s = next.agg(sum(col("label"))).head().getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = s == prevSum
+      prevSum = s
+      it += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("group_id"))
+  }
+
   /** SimHash fingerprint (`nBits` <= 63) over the distinct-token set:
     * bit i is 1 when more than half the token hashes have bit i set.
     * Pure per-row projection — no shuffle; tokenize+hash+bit-count is

@@ -72,6 +72,35 @@ object TextAnalysis {
   def fingerprint(textCol: Column): Column =
     graft.functions.TextHashFunctions.bowMd5(textCol)
 
+  /** PII patterns — RE2-compatible (no lookaround), so the DuckDB
+    * oracle applies the identical regexes. */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PhoneRe = "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+  /** Redact emails and phone numbers — the scrubbing pass a training
+    * corpus runs before anything else. Pure codegen'd projection. */
+  def scrubPii(textCol: Column): Column =
+    regexp_replace(regexp_replace(textCol, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+
+  /** Fixed-size token chunks with overlap (`size` tokens per chunk,
+    * stride `stride` < size ⇒ `size - stride` tokens shared between
+    * consecutive chunks) — context-window packing for training data.
+    * One `posexplode` over closed-form chunk starts: no shuffle, the
+    * 100 TB corpus chunks in a single codegen'd scan. */
+  def chunks(df: DataFrame, size_ : Int = 64, stride: Int = 48,
+             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tk = tokens(col(textCol))
+    df.select(col(idCol), tk.as("__tk"))
+      .select(col(idCol), col("__tk"),
+        posexplode(sequence(lit(0), size(col("__tk")) - 1, lit(stride)))
+          .as(Seq("chunk_id", "__start")))
+      .select(col(idCol), col("chunk_id"),
+        slice(col("__tk"), col("__start") + 1, lit(size_)).as("__ck"))
+      .select(col(idCol), col("chunk_id"),
+        size(col("__ck")).as("n_chunk_tokens"),
+        concat_ws(" ", col("__ck")).as("chunk_text"))
+  }
+
   /** Polynomial rolling hash of the full text (content fingerprint):
     * fold over characters, h = (h*31 + code) mod 1e9+7. Sequential and
     * exact — stable across engines/partitionings; one fused kernel

@@ -57,7 +57,10 @@ object ExtQueries {
       |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
       |       FROM tk WHERE len(tk) >= 3)""".stripMargin
 
-  private val minhashOracle: String = {
+  /** CTE chain ending in `j(id_a, id_b, jaccard)` — the MinHash-LSH
+    * candidate pairs with exact Jaccard, shared by the near-dup pair
+    * oracle and the connected-components group oracle. */
+  private val minhashPairCtes: String = {
     val mhCols = (0 until 16).map { j =>
       s"list_min(list_transform(hs, h -> (${Dedup.PermA(j)} * h + ${Dedup.PermB(j)}) % $P)) AS mh_$j"
     }.mkString(",\n  ")
@@ -65,7 +68,7 @@ object ExtQueries {
       val key = (0 until 4).map(r => s"mh_${b * 4 + r}").mkString("concat_ws(',', ", ", ", ")")
       s"SELECT doc_id, $b AS band, $key AS bandkey FROM mh"
     }.mkString("\n  UNION ALL ")
-    s"""WITH $shingleCte,
+    s"""$shingleCte,
        |hs AS (SELECT doc_id, sh, list_transform(sh, s -> ${dkHash60("s")} % $P) AS hs
        |       FROM sh WHERE len(sh) > 0),
        |mh AS (SELECT doc_id,
@@ -80,10 +83,13 @@ object ExtQueries {
        |j AS (SELECT id_a, id_b,
        |        len(list_intersect(x.sh, y.sh))::DOUBLE
        |          / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jaccard
-       |      FROM cand JOIN hs x ON x.doc_id = id_a JOIN hs y ON y.doc_id = id_b)
+       |      FROM cand JOIN hs x ON x.doc_id = id_a JOIN hs y ON y.doc_id = id_b)""".stripMargin
+  }
+
+  private val minhashOracle: String =
+    s"""WITH $minhashPairCtes
        |SELECT id_a, id_b, round(jaccard, 4) AS jaccard
        |FROM j WHERE jaccard >= 0.7 ORDER BY id_a, id_b""".stripMargin
-  }
 
   private val simhashOracle: String = {
     val bitSum = (0 until 32).map { i =>
@@ -158,6 +164,26 @@ object ExtQueries {
               |      FROM hs a JOIN hs b ON a.doc_id < b.doc_id)
               |SELECT id_a, id_b, round(jaccard, 5) AS jaccard
               |FROM j WHERE round(jaccard, 5) >= 0.01 ORDER BY id_a, id_b""".stripMargin)),
+
+    // Near-dup GROUPS: connected components over the MinHash pair set —
+    // the step that turns pairwise matches into dedup groups (keep the
+    // min-id doc per component). Iterative min-label propagation on
+    // Spark; the oracle computes the same fixpoint with a recursive
+    // transitive-closure CTE.
+    QueryDef("dedup_neardup_groups",
+      (s, d) => Dedup.connectedComponents(
+        Dedup.minhashNearDups(s.read.parquet(s"$d/documents.parquet"), 0.7)
+          .select("id_a", "id_b"))
+        .select(col("id").as("doc_id"), col("group_id"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH RECURSIVE $minhashPairCtes,
+              |p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.7),
+              |e AS (SELECT id_a AS s, id_b AS t FROM p UNION SELECT id_b, id_a FROM p),
+              |reach AS (SELECT s AS id, t AS r FROM e
+              |          UNION
+              |          SELECT e.s AS id, reach.r FROM e JOIN reach ON reach.id = e.t)
+              |SELECT id AS doc_id, least(id, min(r)) AS group_id
+              |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
 
     // ---- Similarity search --------------------------------------------
 
@@ -355,6 +381,106 @@ object ExtQueries {
              |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpeish
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // PII scrubbing: redact emails/phone numbers (RE2-safe regexes the
+    // oracle applies verbatim). Output carries the scrubbed-text md5 +
+    // match counts, keeping the compared surface narrow but exact.
+    QueryDef("text_pii_scrub",
+      (s, d) => s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"),
+          md5(TextAnalysis.scrubPii(col("text"))).as("scrubbed_md5"),
+          size(regexp_extract_all(col("text"), lit(TextAnalysis.EmailRe), lit(0)))
+            .as("n_emails"),
+          size(regexp_extract_all(col("text"), lit(TextAnalysis.PhoneRe), lit(0)))
+            .as("n_phones"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+              |  md5(regexp_replace(regexp_replace(text,
+              |    '${TextAnalysis.EmailRe.replace("\\", "\\\\")}', '<EMAIL>', 'g'),
+              |    '${TextAnalysis.PhoneRe.replace("\\", "\\\\")}', '<PHONE>', 'g')) AS scrubbed_md5,
+              |  len(regexp_extract_all(text, '${TextAnalysis.EmailRe.replace("\\", "\\\\")}')) AS n_emails,
+              |  len(regexp_extract_all(text, '${TextAnalysis.PhoneRe.replace("\\", "\\\\")}')) AS n_phones
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Context-window chunking: 64-token chunks, stride 48 (16-token
+    // overlap) — closed-form chunk starts, one codegen'd scan.
+    QueryDef("text_chunk",
+      (s, d) => TextAnalysis.chunks(s.read.parquet(s"$d/documents.parquet"))
+        .orderBy(col("doc_id"), col("chunk_id")),
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS tk FROM documents),
+             |c AS (SELECT doc_id, u.i // 48 AS chunk_id,
+             |        list_slice(tk, u.i + 1, u.i + 64) AS ck
+             |      FROM t, unnest(range(0, len(tk), 48)) u(i))
+             |SELECT doc_id, chunk_id, len(ck) AS n_chunk_tokens,
+             |  array_to_string(ck, ' ') AS chunk_text
+             |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // TF-IDF top-3 terms per document. Ranking is pure-integer
+    // (tf desc, df asc, term asc) so cross-engine float ulp differences
+    // in ln() can never flip ranks; the tfidf value itself is output
+    // rounded. N rides a broadcast 1-row aggregate, never a collect.
+    QueryDef("text_tfidf",
+      (s, d) => {
+        val docs = s.read.parquet(s"$d/documents.parquet")
+        val tf = docs
+          .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+        tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
+          .withColumn("tfidf", round(col("tf") *
+            (log((col("n_docs") + lit(1)).cast("double") /
+              (col("df") + lit(1)).cast("double")) + 1), 6))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select("doc_id", "rank", "term", "tf", "df", "tfidf")
+          .orderBy(col("doc_id"), col("rank"))
+      },
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(lower(text),' ')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT count(*) AS n_docs FROM documents),
+             |s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             |        round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1), 6) AS tfidf,
+             |        row_number() OVER (PARTITION BY tf.doc_id
+             |          ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rank
+             |      FROM tf JOIN df USING (term), n)
+             |SELECT doc_id, rank, term, tf, df, tfidf
+             |FROM s WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
+
+    // Corpus-wide top-20 bigrams by document frequency (distinct
+    // per-doc shingles -> count): the vocabulary/contamination probe.
+    QueryDef("corpus_ngram_topk",
+      (s, d) => s.read.parquet(s"$d/documents.parquet")
+        .select(explode(Dedup.shingles(col("text"), 2)).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("n_docs").desc, col("bigram")).limit(20),
+      Some("""WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+             |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk)),
+             |         i -> tk[i] || ' ' || tk[i+1])) AS sh
+             |       FROM tk WHERE len(tk) >= 2),
+             |b AS (SELECT doc_id, unnest(sh) AS bigram FROM sh)
+             |SELECT bigram, count(*) AS n_docs FROM b
+             |GROUP BY 1 ORDER BY n_docs DESC, bigram LIMIT 20""".stripMargin)),
+
+    // Deterministic hash sampling: md5-derived bucket per doc, keep
+    // bucket < 20 (a reproducible 20% sample any engine re-derives —
+    // the scale-correct alternative to rand()-based sampling).
+    QueryDef("doc_sample_hash",
+      (s, d) => s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"),
+          pmod(Dedup.strHash60(concat(lit("sample:"), col("doc_id"))), lit(100))
+            .as("bucket"))
+        .filter(col("bucket") < 20)
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+              |  ${dkHash60("'sample:'||doc_id")} % 100 AS bucket
+              |FROM documents
+              |WHERE ${dkHash60("'sample:'||doc_id")} % 100 < 20
+              |ORDER BY doc_id""".stripMargin)),
+
     // k-NN label prediction: exact top-5 neighbors per query vector,
     // majority vote (tie -> smaller label) — the composition of
     // similarity search with the label column that a labeling/QA
@@ -406,6 +532,32 @@ object ExtQueries {
              |  round(avg(embedding[r.i]), 6) AS centroid, count(*) AS n
              |FROM embeddings, range(1, 65) r(i)
              |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin)),
+
+    // Symmetric int8 quantization of embeddings (scale = maxabs/127):
+    // the compression step before shipping vectors to an ANN index.
+    // Long format over the first 20 vectors keeps the compare exact;
+    // division order matches the oracle so IEEE doubles agree.
+    QueryDef("emb_quantize",
+      (s, d) => s.read.parquet(s"$d/embeddings.parquet")
+        .filter(col("vec_id") < 20)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("maxabs",
+          aggregate(col("v"), lit(0.0), (acc, x) => greatest(acc, abs(x))))
+        .select(col("vec_id"), col("maxabs"),
+          posexplode(col("v")).as(Seq("dim", "x")))
+        .select(col("vec_id"), col("dim"),
+          round(col("x") / (col("maxabs") / lit(127.0))).cast("int").as("q"),
+          round(col("maxabs") / lit(127.0), 9).as("scale"))
+        .orderBy(col("vec_id"), col("dim")),
+      Some("""WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+             |        WHERE vec_id < 20),
+             |m AS (SELECT vec_id, v,
+             |        list_max(list_transform(v, x -> abs(x))) AS maxabs FROM t)
+             |SELECT vec_id, u.i - 1 AS dim,
+             |  round(v[u.i] / (maxabs / 127.0))::INT AS q,
+             |  round(maxabs / 127.0, 9) AS scale
+             |FROM m, unnest(range(1, 65)) u(i)
+             |ORDER BY vec_id, dim""".stripMargin)),
 
     // ---- Composed corpus filter ----------------------------------------
     // The actual training-data pipeline: keep documents that pass the

@@ -68,6 +68,18 @@ class DedupSpec extends GraftSpec {
     assert(out(0) !== out(2))
   }
 
+  test("connectedComponents labels every node with its component minimum") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3, needs >1 propagation round),
+    // pair 10-11, and 20-21-22 sharing hub 20
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (20L, 22L)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("strHash60 is reproducible from md5 hex") {
     import spark.implicits._
     val h = Seq("abc").toDF("s").select(Dedup.strHash60(col("s"))).head().getLong(0)

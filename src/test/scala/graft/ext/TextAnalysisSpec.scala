@@ -55,6 +55,26 @@ class TextAnalysisSpec extends GraftSpec {
     assert(r.getInt(0) === 5) // hello , world 42 !
   }
 
+  test("scrubPii redacts emails and phone numbers, leaves the rest") {
+    val r = one("mail a.b+c@d-e.org or call 555-123-4567 now")
+      .select(TextAnalysis.scrubPii(col("text"))).head()
+    assert(r.getString(0) === "mail <EMAIL> or call <PHONE> now")
+  }
+
+  test("chunks: size/stride windows with overlap, short docs one chunk") {
+    import spark.implicits._
+    val doc = (1 to 10).map(i => s"t$i").mkString(" ")
+    val out = TextAnalysis.chunks(
+      Seq((1L, doc), (2L, "tiny text")).toDF("doc_id", "text"),
+      size_ = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    // doc 1: starts 0,3,6,9 -> chunks of 4,4,4,1 tokens with 1 overlap
+    assert(out.filter(_._1 == 1L).map(_._4).toSeq ===
+      Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10", "t10"))
+    assert(out.filter(_._1 == 2L).map(_._4).toSeq === Seq("tiny text"))
+  }
+
   test("fingerprint is order-free over the distinct token set") {
     import spark.implicits._
     val out = Seq("b a c", "c b a", "a b c c", "a b d").toDF("text")
