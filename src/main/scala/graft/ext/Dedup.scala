@@ -155,8 +155,14 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
                           idACol: String = "id_a", idBCol: String = "id_b"): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
-      .union(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
+    // both edge orientations from ONE scan of the pair set — a
+    // two-branch union would evaluate the (possibly expensive)
+    // upstream pair pipeline twice while materializing the persist
+    val edges = pairs
+      .select(explode(array(
+        struct(col(idACol).as("src"), col(idBCol).as("dst")),
+        struct(col(idBCol).as("src"), col(idACol).as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .persist(MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
@@ -168,9 +174,16 @@ object Dedup {
       val nbrMin = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("label")).as("__nl"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      val hop = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("__nl"), col("label"))).as("label"))
+      // path halving: also take the label OF the current label (always
+      // a node id in the same component), so label chains shorten
+      // geometrically — O(log diameter) rounds instead of O(diameter)
+      val lk = hop.select(col("id").as("__lid"), col("label").as("__ll"))
+      val next = hop.join(lk, hop("label") === lk("__lid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("__ll"), col("label"))).as("label"))
         .persist(MEMORY_AND_DISK)
       val s = next.agg(sum(col("label"))).head().getLong(0)
       labels.unpersist()

@@ -72,6 +72,27 @@ object HashKernels {
     out
   }
 
+  /** Distinct word n-gram shingles as STRINGS (first-occurrence
+    * order); < n tokens → empty. Same loop as `shingles60` without the
+    * hashing — for n-gram counting, where the gram itself is the key. */
+  def shingleStrings(s: String, n: Int): Array[String] = {
+    val tk = tokens(s)
+    if (tk.length < n) return Array.empty[String]
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= tk.length - n) {
+      sb.setLength(0)
+      var o = 0
+      while (o < n) {
+        if (o > 0) sb.append(' ')
+        sb.append(tk(i + o)); o += 1
+      }
+      seen.add(sb.toString); i += 1
+    }
+    seen.toArray(new Array[String](seen.size))
+  }
+
   /** MinHash signature over pre-hashed values: for permutation j,
     * min over h of (A_j·(h mod P) + B_j) mod P — one pass for all
     * permutations. Empty input → all-P sentinel (never matches a real

@@ -31,6 +31,19 @@ case class Shingles60(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Distinct n-gram shingle STRINGS in one pass — the counting twin of
+  * `Shingles60` (interpreted transform+concat+distinct ran per-element
+  * lambdas; this is one tight loop per row). */
+case class ShingleStrings(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      HashKernels.shingleStrings(input.asInstanceOf[UTF8String].toString, n)
+        .map(UTF8String.fromString(_): AnyRef))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class TokensDistinct60(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -130,6 +143,8 @@ object TextHashFunctions {
       es => Shingles60(es.head, if (es.size > 1) intArg(es(1)) else 3), "scala_udf")
     reg.createOrReplaceTempFunction("graft_tokens60",
       es => TokensDistinct60(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_shingle_strings",
+      es => ShingleStrings(es.head, if (es.size > 1) intArg(es(1)) else 3), "scala_udf")
     reg.createOrReplaceTempFunction("graft_minhash_sig",
       es => MinHashSig(es.head, graft.ext.Dedup.PermA.toArray,
         graft.ext.Dedup.PermB.toArray), "scala_udf")
@@ -152,6 +167,10 @@ object TextHashFunctions {
   }
   def tokens60(text: Column): Column = {
     register(sess); call_function("graft_tokens60", text)
+  }
+  def shingleStrings(text: Column, n: Int): Column = {
+    register(sess)
+    call_function("graft_shingle_strings", text, org.apache.spark.sql.functions.lit(n))
   }
   def minhashSig(hashes: Column): Column = {
     register(sess); call_function("graft_minhash_sig", hashes)

@@ -454,7 +454,9 @@ object ExtQueries {
     // per-doc shingles -> count): the vocabulary/contamination probe.
     QueryDef("corpus_ngram_topk",
       (s, d) => s.read.parquet(s"$d/documents.parquet")
-        .select(explode(Dedup.shingles(col("text"), 2)).as("bigram"))
+        .select(explode(
+          graft.functions.TextHashFunctions.shingleStrings(col("text"), 2))
+          .as("bigram"))
         .groupBy(col("bigram")).agg(count(lit(1)).as("n_docs"))
         .orderBy(col("n_docs").desc, col("bigram")).limit(20),
       Some("""WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
