@@ -361,6 +361,22 @@ object RefQueries {
              |       round(quantile_cont(o_totalprice, 0.99), 4) AS q99
              |FROM orders""".stripMargin)),
 
+    // A2 at scale — approx_percentile twin of a2_quantiles: mergeable
+    // sketch state (KLL-style) instead of the O(rows) exact buffer.
+    // This is the documented 100 TB switch for the exact aggregate;
+    // sketch merge order varies with partitioning -> rows-only check,
+    // accuracy pinned vs the exact answer in StatsSpec.
+    QueryDef("a2_quantiles_approx",
+      (s, d) => s.read.parquet(s"$d/orders.parquet")
+        .agg(expr("approx_percentile(o_totalprice, array(0.01, 0.25, 0.5, 0.75, 0.99), 10000)")
+          .as("qs"))
+        .select(round(element_at(col("qs"), 1), 4).as("q1"),
+          round(element_at(col("qs"), 2), 4).as("q25"),
+          round(element_at(col("qs"), 3), 4).as("q50"),
+          round(element_at(col("qs"), 4), 4).as("q75"),
+          round(element_at(col("qs"), 5), 4).as("q99")),
+      None),
+
     // A3 — exact median (app.py:130).
     QueryDef("a3_median",
       (s, d) => {

@@ -193,6 +193,43 @@ object SqlQueries {
              |FROM events GROUP BY 1, 2
              |ORDER BY window_start, event_type""".stripMargin)),
 
+    // Exact COUNT(DISTINCT) written as the explicit two-phase shape
+    // that survives key skew at 100 TB: phase 1 dedupes on the
+    // COMPOSITE key (event_type, user_id) — the shuffle spreads a hot
+    // event_type across partitions by user — and phase 2 counts per
+    // type over the already-deduped (small) set. A direct
+    // groupBy(count_distinct) funnels each type's full row stream
+    // through one reducer.
+    QueryDef("q_distinct_users",
+      (s, d) => graft.sources.Tables.events(s, d)
+        .select(col("event_type"), col("user_id")).distinct()
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_users
+             |FROM events GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
+
+    // Latest event per user — dedup-by-recency, the "current state"
+    // extraction every event pipeline runs. (ts, event_id) is unique
+    // per user, so the top-1 row is deterministic.
+    QueryDef("q_latest_per_user",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        graft.sources.Tables.events(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, event_id, ts, event_type FROM (
+             |  SELECT user_id, event_id, ts, event_type,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM events)
+             |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
     // Sliding 1 h / 30 min window per event type (streaming twin:
     // StreamingEtl.slidingCounts). Every event lands in exactly 2
     // epoch-aligned windows: starts floor(t/slide)·slide − k·slide,

@@ -53,6 +53,20 @@ class StatsSpec extends GraftSpec {
     assert(r.getDouble(7) === 4.0 +- 1e-12)                    // q75
   }
 
+  test("approx_percentile tracks the exact percentiles (the 100 TB switch)") {
+    import spark.implicits._
+    // 10k distinct values: with accuracy 10000 the sketch is near-exact
+    val df = (1 to 10000).map(_.toDouble).toDF("v")
+    val approx = df.agg(org.apache.spark.sql.functions
+        .expr("approx_percentile(v, array(0.25, 0.5, 0.75), 10000)"))
+      .head().getSeq[Double](0)
+    val exact = Stats.quantiles(df, "v", Seq(0.25, 0.5, 0.75))
+      .head().toSeq.map(_.asInstanceOf[Double])
+    approx.zip(exact).foreach { case (a, e) =>
+      assert(math.abs(a - e) <= e * 0.01, s"approx $a vs exact $e")
+    }
+  }
+
   test("tsExtremes returns min/max of a timestamp column") {
     val df = tsDf("ts", Seq(5000000L, 1000000L, 9000000L))
     val r = Stats.tsExtremes(df, "ts").head()
