@@ -620,6 +620,24 @@ object ExtQueries {
       },
       None),
 
+    // Image near-dup via thumbnail embeddings: decode -> 4x4 grayscale
+    // thumbnail -> cosine pairs. Bounded input (200 media) like the
+    // other exact-pair baselines; `Similarity.lshTopK` over the same
+    // thumbnails is the at-scale path. Rows-only: no SQL engine
+    // decodes PNG; thumbnail values are pinned by MultimodalSpec.
+    QueryDef("mm_image_neardup",
+      (s, d) => {
+        val media = graft.multimodal.Multimodal.syntheticMedia(
+          s.read.parquet(s"$d/documents.parquet").limit(200), "doc_id")
+        // thumbnails of random pixel fields are all-positive vectors, so
+        // pairwise cosine concentrates near 1 (measured ~0.91-0.996 over
+        // 200 media); 0.99 keeps the top ~1% as "near-dups"
+        graft.multimodal.Multimodal.imageNearDups(media, 0.99)
+          .select(col("id_a"), col("id_b"), round(col("sim"), 5).as("sim"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      None),
+
     // ---- Reference K-ops that need engine introspection ----------------
 
     // K2 — deterministic preview/limit. (l_orderkey, l_linenumber) is
