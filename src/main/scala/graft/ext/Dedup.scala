@@ -164,8 +164,12 @@ object Dedup {
         struct(col(idBCol).as("src"), col(idACol).as("dst")))).as("__e"))
       .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .persist(MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
+    // init = round 1 for free: every node appears as dst (both edge
+    // orientations exist), and the node-set dedupe is a shuffle anyway,
+    // so fold the first neighbor-min into it instead of a plain distinct
+    var labels = edges.groupBy(col("dst"))
+      .agg(min(col("src")).as("__m"))
+      .select(col("dst").as("id"), least(col("__m"), col("dst")).as("label"))
       .persist(MEMORY_AND_DISK)
     var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
     var converged = false
