@@ -483,6 +483,70 @@ object ExtQueries {
               |WHERE ${dkHash60("'sample:'||doc_id")} % 100 < 20
               |ORDER BY doc_id""".stripMargin)),
 
+    // Benchmark decontamination: flag corpus documents sharing any
+    // bigram with a probe set (here: the bigrams of docs 0-4 stand in
+    // for a benchmark's n-grams). The probe set broadcasts; the corpus
+    // side is one fused-kernel scan + hash join — the shape that scans
+    // 100 TB against a benchmark suite without shuffling the corpus.
+    QueryDef("pipe_decontaminate",
+      (s, d) => {
+        val grams = s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"),
+            explode(graft.functions.TextHashFunctions.shingleStrings(col("text"), 2))
+              .as("bigram"))
+        val probe = grams.filter(col("doc_id") < 5).select("bigram").distinct()
+        grams.filter(col("doc_id") >= 5)
+          .join(broadcast(probe), "bigram")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+             |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk)),
+             |         i -> tk[i] || ' ' || tk[i+1])) AS sh
+             |       FROM tk WHERE len(tk) >= 2),
+             |probe AS (SELECT flatten(list(sh)) AS pl FROM sh WHERE doc_id < 5),
+             |o AS (SELECT s.doc_id, len(list_intersect(s.sh, p.pl)) AS n_overlap
+             |      FROM sh s, probe p WHERE s.doc_id >= 5)
+             |SELECT doc_id, n_overlap FROM o WHERE n_overlap >= 1
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Repetition ratio (Gopher-style rep filter): fraction of trigram
+    // OCCURRENCES that are repeats — 1 - distinct/total, total being
+    // closed-form (n_tokens - 2). One fused-kernel projection.
+    QueryDef("text_rep_ratio",
+      (s, d) => s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"),
+          size(split(lower(col("text")), " ")).as("n_tokens"),
+          size(graft.functions.TextHashFunctions.shingles60(col("text"), 3))
+            .as("n_distinct"))
+        .filter(col("n_tokens") >= 3)
+        .select(col("doc_id"), (col("n_tokens") - 2).as("n_trigrams"),
+          col("n_distinct"),
+          round(lit(1.0) - col("n_distinct").cast("double") / (col("n_tokens") - 2), 5)
+            .as("rep_ratio"))
+        .orderBy(col("doc_id")),
+      Some("""WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+             |s AS (SELECT doc_id, len(tk) AS n_tokens,
+             |        len(list_distinct(list_transform(range(1, len(tk) - 1),
+             |          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS n_distinct
+             |      FROM tk WHERE len(tk) >= 3)
+             |SELECT doc_id, n_tokens - 2 AS n_trigrams, n_distinct,
+             |  round(1.0 - n_distinct::DOUBLE / (n_tokens - 2), 5) AS rep_ratio
+             |FROM s ORDER BY doc_id""".stripMargin)),
+
+    // Token-length histogram (width-50 buckets) — the corpus length
+    // profile every filtering decision starts from. Integer bucket math.
+    QueryDef("text_len_histogram",
+      (s, d) => s.read.parquet(s"$d/documents.parquet")
+        .select((size(split(lower(col("text")), " ")).cast("long"))
+          .as("n_tokens"))
+        .select(expr("n_tokens div 50").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("bucket")),
+      Some("""SELECT len(string_split(lower(text), ' ')) // 50 AS bucket,
+             |  count(*) AS n_docs
+             |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
     // k-NN label prediction: exact top-5 neighbors per query vector,
     // majority vote (tie -> smaller label) — the composition of
     // similarity search with the label column that a labeling/QA
