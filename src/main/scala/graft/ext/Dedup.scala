@@ -136,6 +136,38 @@ object Dedup {
         (col(idCol) =!= col("keeper_id")).as("is_dup"))
   }
 
+  /** SimHash-banded near-duplicate pairs (Charikar): candidates share
+    * at least one `bandBits`-wide band of the `nBits` fingerprint
+    * (pigeonhole: hamming <= nBands-1 leaves a band untouched), then
+    * exact hamming verification on the candidate set. Same
+    * never-all-pairs shape as MinHash: the band self-join shuffles
+    * only (band, key, id) rows. Fingerprint width controls collision
+    * density — 60 bits for this corpus; wider bands at larger scale. */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3, nBands: Int = 6,
+                      nBits: Int = 60,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(nBits % nBands == 0, "nBits must split evenly into bands")
+    val bandBits = nBits / nBands
+    val mask = (1L << bandBits) - 1
+    val fp = docs.select(col(idCol), simhash(col(textCol), nBits).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = fp.select(col(idCol),
+      posexplode(array((0 until nBands).map(b =>
+        shiftright(col("fp"), b * bandBits).bitwiseAND(lit(mask))): _*))
+        .as(Seq("__band", "__key")))
+    val a = bands.select(col("__band"), col("__key"), col(idCol).as("id_a"))
+    val b = bands.select(col("__band"), col("__key"), col(idCol).as("id_b"))
+    val cand = a.join(b, Seq("__band", "__key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val fa = fp.select(col(idCol).as("id_a"), col("fp").as("__fa"))
+    val fb = fp.select(col(idCol).as("id_b"), col("fp").as("__fb"))
+    cand.join(fa, "id_a").join(fb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(__fa ^ __fb)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Connected components over a near-duplicate pair set — the step
     * that turns pairwise matches into DEDUP GROUPS (keep one doc per
     * component). Iterative min-label propagation: every node starts

@@ -91,15 +91,21 @@ object ExtQueries {
        |SELECT id_a, id_b, round(jaccard, 4) AS jaccard
        |FROM j WHERE jaccard >= 0.7 ORDER BY id_a, id_b""".stripMargin
 
-  private val simhashOracle: String = {
-    val bitSum = (0 until 32).map { i =>
+  /** CTE chain ending in `fp(doc_id, fp)` — `nBits`-wide SimHash
+    * fingerprints, shared by the fingerprint oracle (32) and the
+    * banded near-dup oracle (60). */
+  private def simhashCte(nBits: Int): String = {
+    val bitSum = (0 until nBits).map { i =>
       s"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> $i) % 2 = 1)) > len(hs) THEN ${1L << i} ELSE 0 END)"
     }.mkString(" + ")
-    s"""WITH tk AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS tk FROM documents),
-       |hs AS (SELECT doc_id, list_transform(tk, t -> ${dkHash60("t")}) AS hs FROM tk)
-       |SELECT doc_id, $bitSum AS simhash
-       |FROM hs ORDER BY doc_id""".stripMargin
+    s"""tk AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS tk FROM documents),
+       |hs AS (SELECT doc_id, list_transform(tk, t -> ${dkHash60("t")}) AS hs FROM tk),
+       |fp AS (SELECT doc_id, $bitSum AS fp FROM hs)""".stripMargin
   }
+
+  private val simhashOracle: String =
+    s"""WITH ${simhashCte(32)}
+       |SELECT doc_id, fp AS simhash FROM fp ORDER BY doc_id""".stripMargin
 
   private val langCases: String = TextAnalysis.LangProfiles.map { case (lang, _) =>
     s"WHEN s_$lang = best AND best > 0 THEN '$lang'"
@@ -136,6 +142,26 @@ object ExtQueries {
         .select(col("doc_id"), Dedup.simhash(col("text"), 32).as("simhash"))
         .orderBy(col("doc_id")),
       Some(simhashOracle)),
+
+    // SimHash-banded near-dup pairs: 60-bit fingerprint, 6 bands of 10
+    // bits (pigeonhole: hamming <= 5 leaves a band intact; we verify
+    // at <= 3) + exact hamming verify. 32 bits is too narrow here —
+    // the synthetic corpus's small vocabulary collapses it (measured
+    // 121k hamming-0 pairs at sf0.1); 60 bits separates real near-dups.
+    QueryDef("dedup_simhash_neardup",
+      (s, d) => Dedup.simhashNearDups(
+        s.read.parquet(s"$d/documents.parquet"), maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH ${simhashCte(60)},
+              |bands AS (SELECT doc_id, fp, b.i AS band, (fp >> (b.i * 10)) & 1023 AS key
+              |          FROM fp, unnest(range(0, 6)) b(i)),
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |         FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+              |           AND a.doc_id < b.doc_id),
+              |h AS (SELECT id_a, id_b, bit_count(xor(x.fp, y.fp)) AS hamming
+              |      FROM cand JOIN fp x ON x.doc_id = id_a JOIN fp y ON y.doc_id = id_b)
+              |SELECT id_a, id_b, hamming FROM h WHERE hamming <= 3
+              |ORDER BY id_a, id_b""".stripMargin)),
 
     // Exact n-gram (3-shingle) Jaccard pairs over a capped slice —
     // the no-LSH baseline the MinHash path approximates. All-pairs is

@@ -74,6 +74,49 @@ object SqlQueries {
              |GROUP BY o_orderkey, o_orderdate
              |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin)),
 
+    // TPC-H Q5-style star join: region -> nation -> customer -> orders
+    // -> lineitem -> supplier with the local-supplier condition
+    // (supplier nation == customer nation). The dimension chain
+    // (region+nation, supplier) broadcasts; the customer/orders/
+    // lineitem fact spine shuffles — at 100× only the facts grow.
+    QueryDef("q5_region_revenue",
+      (s, d) => {
+        val r = s.read.parquet(s"$d/region.parquet")
+          .filter(col("r_name") === "ASIA").select("r_regionkey")
+        val n = s.read.parquet(s"$d/nation.parquet")
+          .select("n_nationkey", "n_regionkey", "n_name")
+        val rn = n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")
+        val c = s.read.parquet(s"$d/customer.parquet")
+          .select("c_custkey", "c_nationkey")
+        val o = s.read.parquet(s"$d/orders.parquet")
+          .select("o_orderkey", "o_custkey")
+        val li = s.read.parquet(s"$d/lineitem.parquet")
+          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        val sup = s.read.parquet(s"$d/supplier.parquet")
+          .select("s_suppkey", "s_nationkey")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(rn), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1) - col("l_discount")).cast("decimal(4,2)")).cast("double")
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("""SELECT n_name,
+             |  sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)))::DOUBLE AS revenue
+             |FROM region JOIN nation ON n_regionkey = r_regionkey
+             |  JOIN customer ON c_nationkey = n_nationkey
+             |  JOIN orders ON o_custkey = c_custkey
+             |  JOIN lineitem ON l_orderkey = o_orderkey
+             |  JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+             |WHERE r_name = 'ASIA'
+             |GROUP BY n_name
+             |ORDER BY revenue DESC, n_name""".stripMargin)),
+
     // Window analytics: per-user running total + event rank. The
     // (ts, event_id) ordering is unique, so the running decimal sum
     // accumulates in the same order in both engines.

@@ -68,6 +68,16 @@ class DedupSpec extends GraftSpec {
     assert(out(0) !== out(2))
   }
 
+  test("simhashNearDups: identical token sets pair at hamming 0, distinct text does not") {
+    val out = Dedup.simhashNearDups(docs(
+      (1L, "alpha beta gamma delta"),
+      (2L, "delta gamma beta alpha alpha"), // same token SET -> same fingerprint
+      (3L, "totally different words entirely unrelated content here")),
+      maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 2L, 0L)))
+  }
+
   test("connectedComponents labels every node with its component minimum") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3, needs >1 propagation round),
