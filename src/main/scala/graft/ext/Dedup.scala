@@ -149,23 +149,27 @@ object Dedup {
     require(nBits % nBands == 0, "nBits must split evenly into bands")
     val bandBits = nBits / nBands
     val mask = (1L << bandBits) - 1
-    val fp = docs.select(col(idCol), simhash(col(textCol), nBits).as("fp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = fp.select(col(idCol),
-      posexplode(array((0 until nBands).map(b =>
-        shiftright(col("fp"), b * bandBits).bitwiseAND(lit(mask))): _*))
-        .as(Seq("__band", "__key")))
-    val a = bands.select(col("__band"), col("__key"), col(idCol).as("id_a"))
-    val b = bands.select(col("__band"), col("__key"), col(idCol).as("id_b"))
-    val cand = a.join(b, Seq("__band", "__key"))
+    // Unlike MinHash (whose shingle SETS are too wide to ride the
+    // band join), the whole fingerprint is 8 bytes — carry it through
+    // and verify hamming BEFORE deduplicating band collisions: the
+    // filter shrinks the distinct's input, and no lookup joins are
+    // needed at all. One self-join + one distinct, total.
+    val bands = docs
+      .select(col(idCol), simhash(col(textCol), nBits).as("fp"))
+      .select(col(idCol), col("fp"),
+        posexplode(array((0 until nBands).map(b =>
+          shiftright(col("fp"), b * bandBits).bitwiseAND(lit(mask))): _*))
+          .as(Seq("__band", "__key")))
+    val a = bands.select(col("__band"), col("__key"),
+      col(idCol).as("id_a"), col("fp").as("__fa"))
+    val b = bands.select(col("__band"), col("__key"),
+      col(idCol).as("id_b"), col("fp").as("__fb"))
+    a.join(b, Seq("__band", "__key"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    val fa = fp.select(col(idCol).as("id_a"), col("fp").as("__fa"))
-    val fb = fp.select(col(idCol).as("id_b"), col("fp").as("__fb"))
-    cand.join(fa, "id_a").join(fb, "id_b")
       .select(col("id_a"), col("id_b"),
         expr("bit_count(__fa ^ __fb)").cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Connected components over a near-duplicate pair set — the step
