@@ -273,6 +273,18 @@ object SqlQueries {
              |  FROM events)
              |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
 
+    // The sliding aggregate executed as a REAL streaming run — same
+    // discipline (and oracle) as q_stream_tumbling/q_sliding_halfhour.
+    QueryDef("q_stream_sliding",
+      (s, d) => graft.streaming.StreamingEtl.slidingCountsViaStream(s, d)
+        .orderBy(col("window_start"), col("event_type")),
+      Some("""SELECT make_timestamp(((epoch_us(ts) // 1800000000) - u.o) * 1800000000) AS window_start,
+             |  event_type, count(*) AS n,
+             |  sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
+             |FROM events, unnest([0, 1]) u(o)
+             |GROUP BY 1, 2
+             |ORDER BY window_start, event_type""".stripMargin)),
+
     // Sliding 1 h / 30 min window per event type (streaming twin:
     // StreamingEtl.slidingCounts). Every event lands in exactly 2
     // epoch-aligned windows: starts floor(t/slide)·slide − k·slide,

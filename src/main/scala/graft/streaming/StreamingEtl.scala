@@ -164,11 +164,20 @@ object StreamingEtl {
     * driver's oracle then checks against DuckDB. The memory sink is
     * the harness choice for an aggregate-sized result; production
     * points the same writeStream at a real sink. */
-  def tumblingCountsViaStream(spark: SparkSession, dir: String): DataFrame = {
+  def tumblingCountsViaStream(spark: SparkSession, dir: String): DataFrame =
+    runViaStream(spark, dir, tumblingCounts(_))
+
+  /** Sliding-window twin of `q_sliding_halfhour`, executed as a real
+    * streaming run — same discipline as `tumblingCountsViaStream`. */
+  def slidingCountsViaStream(spark: SparkSession, dir: String): DataFrame =
+    runViaStream(spark, dir, slidingCounts(_))
+
+  private def runViaStream(spark: SparkSession, dir: String,
+                           transform: DataFrame => DataFrame): DataFrame = {
     // unique sink name per run: memory-sink query names register temp
     // views, and Bench/Verify may invoke this more than once a session
-    val name = s"graft_stream_tumbling_${streamRuns.incrementAndGet()}"
-    val q = tumblingCounts(eventsStream(spark, dir))
+    val name = s"graft_stream_${streamRuns.incrementAndGet()}"
+    val q = transform(eventsStream(spark, dir))
       .writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Complete)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
