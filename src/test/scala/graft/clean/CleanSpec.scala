@@ -75,4 +75,14 @@ class CleanSpec extends GraftSpec {
     assert(!report.exists(_.contains("accel_z")),
       "accel_z is excluded from smoothing (app.py:123)")
   }
+
+  test("clean(motion) with zero clean rows skips smoothing instead of NPE-ing") {
+    import spark.implicits._
+    // every row has a NaN -> no rows pass cleanCond -> null quantiles
+    val mot = Seq((Double.NaN, 1.0, 2.0), (3.0, Double.NaN, 4.0))
+      .toDF("accel_x", "accel_y", "accel_z")
+    val (cleaned, report) = Clean.clean(mot, "motion")
+    assert(cleaned.count() === 0)
+    assert(!report.exists(_.startsWith("Smoothed")))
+  }
 }

@@ -41,6 +41,12 @@ object KernelProps extends Properties("HashKernels") {
       }
     }
 
+  property("shingles60 equals md5_60 over shingleStrings") =
+    forAll(text, Gen.chooseNum(1, 4)) { (s, n) =>
+      HashKernels.shingles60(s, n).toSeq ==
+        HashKernels.shingleStrings(s, n).toSeq.map(HashKernels.md5_60)
+    }
+
   property("rollingHash equals the BigInt fold mod 1e9+7") =
     forAll(text) { s =>
       val expected = s.codePoints().toArray.foldLeft(BigInt(0)) {
