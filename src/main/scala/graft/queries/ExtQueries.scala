@@ -637,6 +637,34 @@ object ExtQueries {
              |FROM embeddings, range(1, 65) r(i)
              |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin)),
 
+    // Embedding-norm outliers: |z| >= 2 on the L2-norm distribution —
+    // the vector-quality probe that catches collapsed/exploded
+    // embeddings before they poison an ANN index. Norms via the
+    // codegen'd dot kernel; the 1-row stats ride a broadcast.
+    QueryDef("emb_norm_outliers",
+      (s, d) => {
+        val emb = s.read.parquet(s"$d/embeddings.parquet")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val norms = emb.select(col("vec_id"),
+          sqrt(graft.functions.VectorFunctions.vec_dot(s, col("v"), col("v")))
+            .as("norm"))
+        val stats = norms.agg(avg(col("norm")).as("mu"),
+          stddev_samp(col("norm")).as("sigma"))
+        norms.crossJoin(broadcast(stats))
+          .select(col("vec_id"), round(col("norm"), 6).as("norm"),
+            round((col("norm") - col("mu")) / col("sigma"), 4).as("z"))
+          .filter(abs(col("z")) >= 2)
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |n AS (SELECT vec_id, sqrt(list_dot_product(v, v)) AS norm FROM t),
+             |s AS (SELECT avg(norm) AS mu, stddev_samp(norm) AS sigma FROM n),
+             |z AS (SELECT vec_id, round(norm, 6) AS norm,
+             |        round((norm - s.mu) / s.sigma, 4) AS z
+             |      FROM n, s)
+             |SELECT vec_id, norm, z FROM z WHERE abs(z) >= 2
+             |ORDER BY vec_id""".stripMargin)),
+
     // Symmetric int8 quantization of embeddings (scale = maxabs/127):
     // the compression step before shipping vectors to an ANN index.
     // Long format over the first 20 vectors keeps the compare exact;
