@@ -431,12 +431,15 @@ object ExtQueries {
           size(regexp_extract_all(col("text"), lit(TextAnalysis.PhoneRe), lit(0)))
             .as("n_phones"))
         .orderBy(col("doc_id")),
+      // DuckDB '...' literals are standard-conforming (backslash is
+      // literal), so the patterns interpolate UNMODIFIED — doubling
+      // the backslashes would silently change the regex
       Some(s"""SELECT doc_id,
               |  md5(regexp_replace(regexp_replace(text,
-              |    '${TextAnalysis.EmailRe.replace("\\", "\\\\")}', '<EMAIL>', 'g'),
-              |    '${TextAnalysis.PhoneRe.replace("\\", "\\\\")}', '<PHONE>', 'g')) AS scrubbed_md5,
-              |  len(regexp_extract_all(text, '${TextAnalysis.EmailRe.replace("\\", "\\\\")}')) AS n_emails,
-              |  len(regexp_extract_all(text, '${TextAnalysis.PhoneRe.replace("\\", "\\\\")}')) AS n_phones
+              |    '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+              |    '${TextAnalysis.PhoneRe}', '<PHONE>', 'g')) AS scrubbed_md5,
+              |  len(regexp_extract_all(text, '${TextAnalysis.EmailRe}')) AS n_emails,
+              |  len(regexp_extract_all(text, '${TextAnalysis.PhoneRe}')) AS n_phones
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // Context-window chunking: 64-token chunks, stride 48 (16-token
