@@ -96,6 +96,62 @@ object MediaKernels {
     out
   }
 
+  // ---- video ----------------------------------------------------------
+  // No video codec ships with the JDK, so the container is ours: a
+  // magic header + length-prefixed PNG frames. The per-frame DECODE is
+  // real (ImageIO); only the container framing is synthetic — the
+  // Spark-side plumbing (schema, partitioning, per-row kernel work)
+  // is exactly what a real codec would ride.
+
+  private val VideoMagic = 0x47564944 // "GVID"
+
+  /** Deterministic "video": `nFrames` seeded PNG frames, each frame's
+    * pixel field derived from (seed, frameIdx). */
+  def makeVideo(seed: Long, nFrames: Int, w: Int, h: Int): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(VideoMagic)
+    out.writeInt(nFrames)
+    var f = 0
+    while (f < nFrames) {
+      val png = makePng(seed * 31 + f, w, h)
+      out.writeInt(png.length)
+      out.write(png)
+      f += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** All frame blobs of the container (checked header). */
+  def videoFrames(bytes: Array[Byte]): Array[Array[Byte]] = {
+    val in = new java.io.DataInputStream(new ByteArrayInputStream(bytes))
+    require(in.readInt() == VideoMagic, "not a GVID container")
+    val n = in.readInt()
+    Array.fill(n) {
+      val len = in.readInt()
+      val buf = new Array[Byte](len)
+      in.readFully(buf)
+      buf
+    }
+  }
+
+  /** k evenly spaced frames, decoded, reduced to grayscale means —
+    * the video frame-sample + feature op. */
+  def frameSampleVideo(bytes: Array[Byte], k: Int): Array[Float] = {
+    val frames = videoFrames(bytes)
+    if (frames.isEmpty) return new Array[Float](k)
+    val out = new Array[Float](k)
+    var i = 0
+    while (i < k) {
+      val idx = ((i.toLong * frames.length) / k).toInt
+      val (r, g, b) = channelMeans(decodeImage(frames(idx)))
+      out(i) = ((0.299 * r + 0.587 * g + 0.114 * b) / 255.0).toFloat
+      i += 1
+    }
+    out
+  }
+
   // ---- audio ----------------------------------------------------------
 
   /** Deterministic mono PCM16 WAV: a seeded sine with seeded phase —

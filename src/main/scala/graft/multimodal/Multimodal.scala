@@ -75,6 +75,38 @@ object Multimodal {
       })
   }
 
+  case class VideoRow(media_id: Long, video: Array[Byte])
+  case class VideoFeatures(media_id: Long, n_frames: Int, width: Int,
+                           height: Int, frame_means: Array[Float])
+
+  /** Deterministic synthetic video table (length-prefixed PNG frames;
+    * separate from `syntheticMedia` so image/audio pipelines don't pay
+    * nFrames× the encode cost). */
+  def syntheticVideo(keys: DataFrame, idCol: String, nFrames: Int = 8,
+                     imgW: Int = 24, imgH: Int = 16): DataFrame = {
+    val spark = keys.sparkSession
+    import spark.implicits._
+    keys.select(col(idCol).cast("long").as("media_id")).as[Long]
+      .mapPartitions(_.map(id =>
+        (id, MediaKernels.makeVideo(id, nFrames, imgW, imgH))))
+      .toDF("media_id", "video")
+  }
+
+  /** Decode + feature-extract video: frame count, dimensions, and k
+    * evenly spaced frames' grayscale means (frame sampling — the video
+    * analogue of `audioFeatures`' sample grid). */
+  def videoFeatures(media: DataFrame, k: Int = 4): Dataset[VideoFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("video")).as[VideoRow]
+      .mapPartitions(_.map { r =>
+        val frames = MediaKernels.videoFrames(r.video)
+        val first = MediaKernels.decodeImage(frames(0))
+        VideoFeatures(r.media_id, frames.length, first.getWidth,
+          first.getHeight, MediaKernels.frameSampleVideo(r.video, k))
+      })
+  }
+
   /** Image near-dup via thumbnail embeddings: decode once, then reuse
     * the embedding-similarity machinery (brute-force cosine here;
     * `Similarity.lshTopK` is the at-scale path). */

@@ -791,6 +791,18 @@ object ExtQueries {
       },
       None),
 
+    QueryDef("mm_video_features",
+      (s, d) => {
+        val media = graft.multimodal.Multimodal.syntheticVideo(
+          s.read.parquet(s"$d/documents.parquet").limit(100), "doc_id")
+        graft.multimodal.Multimodal.videoFeatures(media).toDF()
+          .select(col("media_id"), col("n_frames"), col("width"), col("height"),
+            round(element_at(col("frame_means"), 1).cast("double"), 4).as("f0"),
+            round(element_at(col("frame_means"), 4).cast("double"), 4).as("f3"))
+          .orderBy(col("media_id"))
+      },
+      None),
+
     // Image near-dup via thumbnail embeddings: decode -> 4x4 grayscale
     // thumbnail -> cosine pairs. Bounded input (200 media) like the
     // other exact-pair baselines; `Similarity.lshTopK` over the same

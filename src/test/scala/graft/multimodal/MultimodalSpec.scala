@@ -67,6 +67,20 @@ class MultimodalSpec extends GraftSpec {
     assert(feats.forall(f => f.rms > 0.1 && f.rms < 0.5))
   }
 
+  test("distributed video pipeline: container framing + real per-frame decode") {
+    import spark.implicits._
+    val media = Multimodal.syntheticVideo(Seq(7L, 8L).toDF("doc_id"), "doc_id")
+    val feats = Multimodal.videoFeatures(media).collect().sortBy(_.media_id)
+    assert(feats.map(_.media_id).toSeq === Seq(7L, 8L))
+    assert(feats.forall(f => f.n_frames === 8 && f.width === 24 && f.height === 16))
+    // seeded pixel fields -> gray means well inside (0, 1), deterministic
+    assert(feats.forall(_.frame_means.forall(m => m > 0.2f && m < 0.8f)))
+    val again = Multimodal.videoFeatures(
+      Multimodal.syntheticVideo(Seq(7L, 8L).toDF("doc_id"), "doc_id"))
+      .collect().sortBy(_.media_id)
+    assert(feats.map(_.frame_means.toSeq).toSeq === again.map(_.frame_means.toSeq).toSeq)
+  }
+
   test("image near-dup: identical seeds are exact duplicates, sim 1.0") {
     import spark.implicits._
     // two ids forced to the same seed -> identical PNGs
