@@ -74,6 +74,35 @@ object SqlQueries {
              |GROUP BY o_orderkey, o_orderdate
              |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin)),
 
+    // q3 on BUCKETED orders/lineitem: both sides pre-bucketed by the
+    // order key, so the fact-fact join runs with no exchange on either
+    // side (the batch analogue of a co-located index join — pay one
+    // bucketed write, join shuffle-free in every later query). Same
+    // oracle as q3_top_orders; shuffle elision pinned by BucketingSpec.
+    QueryDef("q3_bucketed",
+      (s, d) => {
+        val c = s.read.parquet(s"$d/customer.parquet")
+          .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        val o = graft.sources.Bucketing.ordersBucketed(s, d)
+          .select("o_orderkey", "o_custkey", "o_orderdate")
+        val li = graft.sources.Bucketing.lineitemBucketed(s, d)
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("o_orderkey"), col("o_orderdate"))
+          .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1) - col("l_discount")).cast("decimal(4,2)")).cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(20)
+      },
+      Some("""SELECT o_orderkey, o_orderdate,
+             |  sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)))::DOUBLE AS revenue
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |  JOIN lineitem ON l_orderkey = o_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |GROUP BY o_orderkey, o_orderdate
+             |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin)),
+
     // TPC-H Q5-style star join: region -> nation -> customer -> orders
     // -> lineitem -> supplier with the local-supplier condition
     // (supplier nation == customer nation). The dimension chain

@@ -1,0 +1,46 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table support: pre-shuffling a fact table once by its join
+  * key so every later join on that key is co-located — no exchange on
+  * either side. This is the batch analogue of an index: pay one write,
+  * join shuffle-free forever after. At 100 TB the orders↔lineitem join
+  * is THE recurring shuffle; bucketing both sides by the order key
+  * removes it from every query that follows.
+  *
+  * Tables are written through the session catalog (`saveAsTable` with
+  * `bucketBy`) into the Spark warehouse dir; the bucketing metadata
+  * lives in the catalog, which is what lets the planner elide the
+  * exchanges. One-time per (session, sf dir), memoized. */
+object Bucketing {
+
+  val NumBuckets = 8
+
+  private val built =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), (String, String)]
+
+  /** Ensure bucketed twins of orders/lineitem exist for `dir`; returns
+    * (ordersTable, lineitemTable) catalog names. */
+  def ensureOrderBucketed(spark: SparkSession, dir: String): (String, String) =
+    built.getOrElseUpdate((System.identityHashCode(spark), dir), {
+      val suffix = (dir.hashCode & Int.MaxValue).toString
+      val oTbl = s"graft_orders_b$suffix"
+      val liTbl = s"graft_lineitem_b$suffix"
+      spark.read.parquet(s"$dir/orders.parquet")
+        .write.mode("overwrite")
+        .bucketBy(NumBuckets, "o_orderkey").sortBy("o_orderkey")
+        .format("parquet").saveAsTable(oTbl)
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .write.mode("overwrite")
+        .bucketBy(NumBuckets, "l_orderkey").sortBy("l_orderkey")
+        .format("parquet").saveAsTable(liTbl)
+      (oTbl, liTbl)
+    })
+
+  def ordersBucketed(spark: SparkSession, dir: String): DataFrame =
+    spark.table(ensureOrderBucketed(spark, dir)._1)
+
+  def lineitemBucketed(spark: SparkSession, dir: String): DataFrame =
+    spark.table(ensureOrderBucketed(spark, dir)._2)
+}
