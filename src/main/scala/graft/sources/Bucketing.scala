@@ -27,6 +27,17 @@ object Bucketing {
       val suffix = (dir.hashCode & Int.MaxValue).toString
       val oTbl = s"graft_orders_b$suffix"
       val liTbl = s"graft_lineitem_b$suffix"
+      // a previous SESSION may have left the managed location on disk
+      // without this catalog knowing the table — overwrite mode can't
+      // reclaim a location it doesn't own, so clear both explicitly
+      def reset(tbl: String): Unit = {
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        val wh = spark.conf.get("spark.sql.warehouse.dir")
+        val path = new org.apache.hadoop.fs.Path(s"$wh/$tbl")
+        val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(path)) fs.delete(path, true)
+      }
+      reset(oTbl); reset(liTbl)
       spark.read.parquet(s"$dir/orders.parquet")
         .write.mode("overwrite")
         .bucketBy(NumBuckets, "o_orderkey").sortBy("o_orderkey")

@@ -72,5 +72,12 @@ for name in sorted(os.listdir(outdir)):
         print(f"   spark cols: {list(a.columns)}\n   ora cols:   {list(b.columns)}")
     elif rows_ok and not val_ok:
         print("   " + "\n   ".join(err))
+# a query that failed inside Verify leaves NO dump dir at all — that
+# must read as a failure, not silently vanish from the report
+dumped = {n for n in os.listdir(outdir) if os.path.isdir(os.path.join(outdir, n))}
+for name in sorted(set(oracle) - dumped):
+    print(f"{name:28s} MISSING DUMP (query failed in Verify?) FAIL")
+    fails += 1
+
 print(f"\n{fails} failures")
 sys.exit(1 if fails else 0)
