@@ -205,7 +205,10 @@ object Similarity extends Serializable {
     rows.mapPartitions { it =>
       val (ids, vecs, norms) = bc.value
       it.flatMap { case (idA, va) =>
-        val na = math.sqrt(va.map(x => x * x).sum)
+        // ids is sorted — reuse the broadcast norm instead of recomputing
+        val ia = java.util.Arrays.binarySearch(ids, idA)
+        val na = if (ia >= 0) norms(ia)
+                 else math.sqrt(va.map(x => x * x).sum)
         val out = Seq.newBuilder[(Long, Long, Double)]
         var j = 0
         while (j < ids.length) {
