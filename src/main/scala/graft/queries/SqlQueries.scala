@@ -327,6 +327,30 @@ object SqlQueries {
              |  sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
              |FROM events, unnest([0, 1]) u(o)
              |GROUP BY 1, 2
-             |ORDER BY window_start, event_type""".stripMargin))
+             |ORDER BY window_start, event_type""".stripMargin)),
+
+    // The SESSIONIZER executed as a REAL streaming run — custom
+    // flatMapGroupsWithState state, Append mode, event-time timeout,
+    // end-of-stream sentinel flush (StreamingEtl.sessionizeViaStream).
+    // Oracle identical to q_sessionize's: the stream's emitted sessions
+    // must equal the batch window-function answer row-for-row.
+    QueryDef("q_stream_sessionize",
+      (s, d) => graft.streaming.StreamingEtl.sessionizeViaStream(s, d)
+        .toDF().orderBy(col("user_id"), col("session_id")),
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
+             |         ELSE 0 END AS new_session
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (
+             |  SELECT user_id, ts,
+             |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
+             |  FROM g)
+             |SELECT user_id, session_id, count(*) AS n_events,
+             |  min(ts) AS session_start, max(ts) AS session_end
+             |FROM s GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin))
   )
 }

@@ -185,4 +185,76 @@ object StreamingEtl {
     q.awaitTermination()
     spark.table(name)
   }
+
+  /** The sessionizer executed as a REAL streaming run — the hardest
+    * streaming shape (custom `flatMapGroupsWithState` state, Append
+    * mode, event-time timeout), driver-graded against `q_sessionize`'s
+    * batch oracle.
+    *
+    * Append mode only emits a session once the watermark proves it
+    * closed; sessions still open at end-of-input would never appear.
+    * The standard fix is an end-of-stream flush marker: the events
+    * file is staged to a scratch dir together with ONE sentinel row
+    * 30 days past the real max event time. The sentinel drags the
+    * watermark past every real session's `lastTs + gap` on the
+    * post-data no-data micro-batch, so every real session times out
+    * and is emitted; the sentinel's own (still-open) session is the
+    * only state left and is filtered by its reserved `user_id = -1`.
+    * All files are listed in one AvailableNow batch (no
+    * maxFilesPerTrigger), so the first batch runs at watermark 0 and
+    * drops nothing. */
+  def sessionizeViaStream(spark: SparkSession, dir: String): Dataset[Session] = {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+
+    val stage = Files.createTempDirectory("graft_sess_stream")
+    Files.copy(Paths.get(s"$dir/events.parquet"),
+      stage.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    // sentinel: schema-identical to the raw table (ts in NANOS — the
+    // staged file and this one must read under the same rawSchema)
+    val maxUs = graft.sources.Tables.events(spark, dir)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val sentinelNs = (maxUs + 30L * 86400 * 1000000) * 1000
+    val tmpOut = Files.createTempDirectory("graft_sess_sentinel")
+    Seq((-1L, sentinelNs, -1L, "eos", 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
+    val parts = Files.list(tmpOut)
+    try {
+      val it = parts.iterator()
+      var moved = false
+      while (it.hasNext && !moved) {
+        val p = it.next()
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          Files.move(p, stage.resolve("zz_sentinel.parquet"),
+            StandardCopyOption.REPLACE_EXISTING)
+          moved = true
+        }
+      }
+      require(moved, "sentinel parquet part file not found")
+    } finally parts.close()
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = graft.sources.Tables.events(spark, dir).schema
+    val rawSchema = org.apache.spark.sql.types.StructType(schema.map {
+      case f if f.name == "ts" =>
+        f.copy(dataType = org.apache.spark.sql.types.LongType)
+      case f => f
+    })
+    val in = spark.readStream.schema(rawSchema).parquet(stage.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")).as[Event]
+
+    val name = s"graft_stream_${streamRuns.incrementAndGet()}"
+    val q = sessionize(in, watermark = "1 hour")
+      .filter(_.user_id >= 0)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).as[Session]
+  }
 }

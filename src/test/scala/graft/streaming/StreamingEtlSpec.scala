@@ -164,4 +164,19 @@ class StreamingEtlSpec extends GraftSpec {
     assert(emitted.contains((1L, 1L, 1L)),
       s"timed-out session must be emitted and evicted; got $emitted")
   }
+
+  test("sessionizeViaStream: full streaming run equals the batch sessionizer on real data") {
+    // the sentinel-flush AvailableNow run must emit EVERY session —
+    // including ones still open at end-of-input — matching the batch
+    // window-function twin row-for-row (the driver-graded guarantee)
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamingEtl.sessionizeViaStream(spark, dir)
+      .collect().map(s => (s.user_id, s.session_id, s.n_events,
+        s.session_start.getTime, s.session_end.getTime)).sorted.toSeq
+    val batch = graft.SparkEntry.queries("q_sessionize")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3).getTime, r.getTimestamp(4).getTime)).sorted.toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
 }
