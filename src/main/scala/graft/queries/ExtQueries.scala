@@ -287,32 +287,45 @@ object ExtQueries {
       },
       None),
 
-    // ANN recall@5 against the exact brute-force answer — one row.
-    // An ANN index with unmeasured recall is undiagnosable; this makes
-    // the LSH/IVF quality a driver-visible number. Uses deliberately
-    // coarser LSH buckets (4 planes) and a wider IVF probe (8 cells)
-    // than the top-k queries: the corpus is near-uniform random, the
-    // hardest case for ANN. Rows-only: IVF's quantizer isn't SQL-
-    // reproducible, and the joined recall row has no oracle value.
+    // ANN recall@5 against the exact brute-force answer — one row
+    // covering EVERY registered ANN config. An ANN index with
+    // unmeasured recall is undiagnosable; this makes the quality of
+    // each shipped operator a driver-visible number:
+    //   recall_lsh_p6t8   — sim_topk_lsh's exact config (6 planes, 8 tables)
+    //   recall_ivf_probe4 — sim_topk_ivf's exact config (nProbe = 4)
+    //   recall_lsh / recall_ivf — the coarser/wider reference configs
+    //   (4 planes / probe 8): the corpus is near-uniform random, the
+    //   hardest case for ANN, and these show the recall headroom the
+    //   knobs buy. Rows-only: IVF's quantizer isn't SQL-reproducible,
+    //   and the joined recall row has no oracle value.
     QueryDef("sim_recall_ann",
       (s, d) => {
         val emb = s.read.parquet(s"$d/embeddings.parquet")
         val q = emb.filter(col("vec_id") < 10)
         val exact = Similarity.bruteForceTopK(emb, q, 5)
           .select("query_id", "neighbor_id")
-        val lsh = Similarity.lshTopK(emb, q, 5,
-          nPlanes = 4, nTables = 8, dim = dimOf(s, d))
-          .select(col("query_id"), col("neighbor_id"), lit(1L).as("__lsh"))
-        val ivf = Similarity.ivfTopK(emb, q, 5, nProbe = 8,
-          centroids = Some(centroidsOf(s, d)))
-          .select(col("query_id"), col("neighbor_id"), lit(1L).as("__ivf"))
+        def hits(df: org.apache.spark.sql.DataFrame, tag: String) =
+          df.select(col("query_id"), col("neighbor_id"), lit(1L).as(tag))
+        val lsh = hits(Similarity.lshTopK(emb, q, 5,
+          nPlanes = 4, nTables = 8, dim = dimOf(s, d)), "__lsh")
+        val lsh6 = hits(Similarity.lshTopK(emb, q, 5,
+          nPlanes = 6, nTables = 8, dim = dimOf(s, d)), "__lsh6")
+        val ivf = hits(Similarity.ivfTopK(emb, q, 5, nProbe = 8,
+          centroids = Some(centroidsOf(s, d))), "__ivf")
+        val ivf4 = hits(Similarity.ivfTopK(emb, q, 5,
+          centroids = Some(centroidsOf(s, d))), "__ivf4")
+        def recall(tag: String, as: String) =
+          round(sum(coalesce(col(tag), lit(0L))).cast("double")
+            / count(lit(1)), 4).as(as)
         exact.join(lsh, Seq("query_id", "neighbor_id"), "left")
+          .join(lsh6, Seq("query_id", "neighbor_id"), "left")
           .join(ivf, Seq("query_id", "neighbor_id"), "left")
+          .join(ivf4, Seq("query_id", "neighbor_id"), "left")
           .agg(count(lit(1)).as("n_exact"),
-            round(sum(coalesce(col("__lsh"), lit(0L))).cast("double")
-              / count(lit(1)), 4).as("recall_lsh"),
-            round(sum(coalesce(col("__ivf"), lit(0L))).cast("double")
-              / count(lit(1)), 4).as("recall_ivf"))
+            recall("__lsh", "recall_lsh"),
+            recall("__lsh6", "recall_lsh_p6t8"),
+            recall("__ivf", "recall_ivf"),
+            recall("__ivf4", "recall_ivf_probe4"))
       },
       None),
 

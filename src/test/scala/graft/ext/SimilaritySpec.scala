@@ -164,6 +164,56 @@ class SimilaritySpec extends GraftSpec {
     assert(recall >= 0.8, s"LSH recall $recall below 0.8 on clustered data")
   }
 
+  test("ivfTopK recall >= 0.8 on clustered data at the shipped nProbe=4") {
+    // same clustered generator as the LSH test: realistic embedding
+    // corpora cluster, and at the SHIPPED config the index must find
+    // the cluster mates. (The driver's sim_recall_ann row measures the
+    // same configs on uniform-random vectors — ANN's worst case — so
+    // the two numbers together bound the operating envelope.)
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(12)(Array.fill(16)(rnd.nextGaussian()))
+    val rows = for {
+      c <- centers.indices; m <- 0 until 5
+    } yield ((c * 5 + m).toLong,
+      centers(c).map(x => x + rnd.nextGaussian() * 0.02).toSeq)
+    val corpus = vecs(rows: _*)
+    val queries = vecs(rows.take(10): _*)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(corpus, queries, 4))
+    val ann = pairs(Similarity.ivfTopK(corpus, queries, 4)) // nProbe=4 default
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF recall $recall below 0.8 on clustered data")
+  }
+
+  test("recall is monotone in the ANN knobs (candidate-nesting law, real embeddings)") {
+    // hyperplane component (t, p, j) is md5-derived from those indices
+    // alone, so 4-plane signatures are bit-prefixes of 6-plane ones:
+    // candidates(p6) ⊆ candidates(p4) per table. IVF probes the sorted
+    // nearest cells, so probe-4 cells ⊆ probe-8 cells. Both make
+    // "wider search never loses recall" an exact law — asserted on the
+    // real (uniform-random, worst-case) embeddings the driver grades.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, q, 5))
+    def recall(ann: Set[(Long, Long)]) =
+      (exact intersect ann).size.toDouble / exact.size
+    val rLsh4 = recall(pairs(Similarity.lshTopK(emb, q, 5, nPlanes = 4)))
+    val rLsh6 = recall(pairs(Similarity.lshTopK(emb, q, 5, nPlanes = 6)))
+    val cents = Similarity.fitCentroids(emb)
+    val rIvf4 = recall(pairs(Similarity.ivfTopK(emb, q, 5, nProbe = 4,
+      centroids = Some(cents))))
+    val rIvf8 = recall(pairs(Similarity.ivfTopK(emb, q, 5, nProbe = 8,
+      centroids = Some(cents))))
+    assert(rLsh4 >= rLsh6, s"fewer planes must not lose recall: $rLsh4 < $rLsh6")
+    assert(rIvf8 >= rIvf4, s"wider probe must not lose recall: $rIvf8 < $rIvf4")
+    assert(rIvf8 > 0 && rLsh4 > 0)
+  }
+
   test("nearDupPairs (LSH) finds exact duplicates and verifies with exact cosine") {
     val base = Seq.tabulate(16)(i => math.sin(i * 3 + 1.0))
     val corpus = vecs(Seq.tabulate(10)(i =>
