@@ -39,20 +39,55 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
+  /** CAP on the adaptive bucket width (and the fallback for an empty
+    * input): long spans keep the cross-bucket digest ≤ span/1 h rows. */
   val DefaultBucketUs: Long = 3600000000L // 1 hour
+
+  /** Cap on the adaptive `uniformGrid` bucket size (ticks/bucket). */
+  val DefaultBucketTicks: Long = 65536L
+
+  /** Sentinel: derive the bucket width from the data (the default). */
+  val Adaptive: Long = -1L
+
+  /** Bucket width from (span, parallelism): ~4 buckets per core so the
+    * scheduler can balance uneven buckets, capped at `DefaultBucketUs`.
+    * A fixed width degenerates to ONE bucket when the span is shorter
+    * than it — a single-partition window on the big data, the exact
+    * failure this module exists to avoid. */
+  def adaptiveBucketUs(spanUs: Long, parallelism: Int): Long =
+    math.max(1L, math.min(DefaultBucketUs,
+      spanUs / math.max(1L, 4L * parallelism)))
+
+  /** Tick-bucket size from (nTicks, parallelism) — same policy. */
+  def adaptiveBucketTicks(nTicks: Long, parallelism: Int): Long =
+    math.max(1L, math.min(DefaultBucketTicks,
+      nTicks / math.max(1L, 4L * parallelism)))
 
   /** pad/ffill: for each grid tick, the last series row at ts <= tick. */
   def pad(grid: DataFrame, gridTs: String, series: DataFrame, seriesTs: String,
-          valueCols: Seq[String], bucketUs: Long = DefaultBucketUs,
+          valueCols: Seq[String], bucketUs: Long = Adaptive,
           srcTsCol: String = "src_ts"): DataFrame =
     directional(grid, gridTs, series, seriesTs, valueCols, bucketUs, srcTsCol, sign = 1L)
 
   /** backfill/bfill: first series row at ts >= tick — pad on the
     * time-reversed axis. */
   def backfill(grid: DataFrame, gridTs: String, series: DataFrame, seriesTs: String,
-               valueCols: Seq[String], bucketUs: Long = DefaultBucketUs,
+               valueCols: Seq[String], bucketUs: Long = Adaptive,
                srcTsCol: String = "src_ts"): DataFrame =
     directional(grid, gridTs, series, seriesTs, valueCols, bucketUs, srcTsCol, sign = -1L)
+
+  /** Resolve an adaptive bucket width: one min/max agg over the
+    * already-built union (a cheap column scan relative to the shuffle
+    * that follows; callers that know their span pass `bucketUs`
+    * explicitly and skip it). */
+  private def resolveBucketUs(u0: DataFrame, bucketUs: Long): Long =
+    if (bucketUs > 0) bucketUs
+    else {
+      val r = u0.agg(min(col("__t")), max(col("__t"))).head()
+      if (r.isNullAt(0)) DefaultBucketUs
+      else adaptiveBucketUs(r.getLong(1) - r.getLong(0) + 1,
+        u0.sparkSession.sparkContext.defaultParallelism)
+    }
 
   /** nearest: min |ts - tick|, tie -> later ts, never null when the
     * series is non-empty (SURVEY §2.4).
