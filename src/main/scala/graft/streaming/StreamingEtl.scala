@@ -254,7 +254,19 @@ object StreamingEtl {
       .outputMode(OutputMode.Append)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    try q.awaitTermination()
+    finally {
+      // the memory sink already holds the rows — drop the staged
+      // table-sized copy so repeated bench/verify runs don't leak one
+      // copy per invocation
+      def rmTree(p: java.nio.file.Path): Unit =
+        if (Files.exists(p)) {
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => Files.deleteIfExists(f))
+        }
+      try { rmTree(stage); rmTree(tmpOut) }
+      catch { case _: java.io.IOException => () }
+    }
     spark.table(name).as[Session]
   }
 }

@@ -100,7 +100,7 @@ object AsofJoin {
     * rides the forward frame (series sorts before the grid marker at
     * equal __t), and the backward side reuses it when src == tick. */
   def nearest(grid: DataFrame, gridTs: String, series: DataFrame, seriesTs: String,
-              valueCols: Seq[String], bucketUs: Long = DefaultBucketUs,
+              valueCols: Seq[String], bucketUs: Long = Adaptive,
               srcTsCol: String = "src_ts"): DataFrame = {
     require(valueCols.nonEmpty, "asof join needs at least one value column")
     val payload = struct(
@@ -112,10 +112,12 @@ object AsofJoin {
       unix_micros(col(gridTs)).as("__t"), lit(1).as("__g"),
       lit(null).cast(payloadType).as("__p"))
 
+    val u0 = g.unionByName(s)
+    val effBucketUs = resolveBucketUs(u0, bucketUs)
     def bucketed(df: DataFrame): DataFrame =
-      df.withColumn("__b", expr(s"__t div ${bucketUs}L"))
+      df.withColumn("__b", expr(s"__t div ${effBucketUs}L"))
 
-    val u = bucketed(g.unionByName(s))
+    val u = bucketed(u0)
     // one shuffle, two running frames over it. The backward pass is a
     // DESC-ordered running `last` rather than an UnboundedFollowing
     // frame: Spark executes UnboundedFollowing by rescanning the
@@ -193,10 +195,12 @@ object AsofJoin {
       (unix_micros(col(gridTs)) * sign).as("__t"), lit(1).as("__g"),
       lit(null).cast(payloadType).as("__p"))
 
+    val u0 = g.unionByName(s)
+    val effBucketUs = resolveBucketUs(u0, bucketUs)
     def bucketed(df: DataFrame): DataFrame =
-      df.withColumn("__b", expr(s"__t div ${bucketUs}L"))
+      df.withColumn("__b", expr(s"__t div ${effBucketUs}L"))
 
-    val u = bucketed(g.unionByName(s))
+    val u = bucketed(u0)
     // Within one bucket: series rows sort before the grid marker at an
     // equal __t (__g asc), so tick == ts matches its own row (inclusive).
     val w = Window.partitionBy("__b").orderBy(col("__t").asc, col("__g").asc)
@@ -255,10 +259,14 @@ object AsofJoin {
                   series: DataFrame, seriesTs: String, valueCols: Seq[String],
                   loUs: Long, stepUs: Long, nTicks: Long, method: String,
                   tickCol: String = "tick", srcTsCol: String = "src_ts",
-                  bucketTicks: Long = 65536L,
+                  bucketTicks: Long = Adaptive,
                   tieCol: Option[String] = None): DataFrame = {
     require(valueCols.nonEmpty, "asof join needs at least one value column")
     require(stepUs > 0 && nTicks > 0, "grid must be non-empty")
+    // closed-form (unlike the generic kernels, no data scan needed)
+    val effBucketTicks =
+      if (bucketTicks > 0) bucketTicks
+      else adaptiveBucketTicks(nTicks, spark.sparkContext.defaultParallelism)
     val needPad = method != "backfill"
     val needBack = method != "pad"
 
@@ -323,7 +331,7 @@ object AsofJoin {
           p => min_by(p, ordBack), "__ab"), Seq("__k"), "left")
       else joined = joined.withColumn("__ab", lit(null).cast(payloadType))
     }
-    val bucketed = joined.withColumn("__bk", expr(s"__k div ${bucketTicks}L"))
+    val bucketed = joined.withColumn("__bk", expr(s"__k div ${effBucketTicks}L"))
 
     // in-bucket gap fill (one row per tick -> no marker rows needed)
     val wF = Window.partitionBy("__bk").orderBy(col("__k").asc)

@@ -145,6 +145,61 @@ class AsofJoinSpec extends GraftSpec {
     }
   }
 
+  test("default-args (adaptive bucket) pad/backfill/nearest match explicit-bucket results") {
+    // sub-hour span: a fixed 1 h default collapses to ONE bucket, and the
+    // raw Adaptive sentinel (-1) would negate the bucket axis outright
+    val rng = new scala.util.Random(31)
+    val s = (0 until 120).map(_ => rng.nextInt(9000).toLong * MS)
+      .distinct.sorted.map(t => (t, t.toDouble))
+    val g = (0 until 60).map(_ => rng.nextInt(10000).toLong * MS).distinct.sorted
+    def runDefault(kind: String) = {
+      val out = kind match {
+        case "pad"      => AsofJoin.pad(grid(g: _*), "tick", series(s: _*), "ts", Seq("value"))
+        case "backfill" => AsofJoin.backfill(grid(g: _*), "tick", series(s: _*), "ts", Seq("value"))
+        case "nearest"  => AsofJoin.nearest(grid(g: _*), "tick", series(s: _*), "ts", Seq("value"))
+      }
+      out.select(unix_micros(col("tick")), unix_micros(col("src_ts")), col("value"))
+        .collect().map { r =>
+          r.getLong(0) -> ((if (r.isNullAt(1)) None else Some(r.getLong(1))),
+            (if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+        }.toMap
+    }
+    for (k <- Seq("pad", "backfill", "nearest"))
+      assert(runDefault(k) === run(k, g, s, bucketUs = 2000000L), k)
+  }
+
+  test("adaptive bucket width never degenerates to one bucket on short spans") {
+    val p = spark.sparkContext.defaultParallelism
+    for (spanUs <- Seq(10000L, 1000000L, 3600000000L, 86400000000L)) {
+      val w = AsofJoin.adaptiveBucketUs(spanUs, p)
+      assert(w >= 1L && w <= AsofJoin.DefaultBucketUs, s"span=$spanUs")
+      val nBuckets = (spanUs + w - 1) / w
+      // law (VERDICT r3 #3): >= min(parallelism, span/2) buckets
+      assert(nBuckets >= math.min(p.toLong, spanUs / 2), s"span=$spanUs w=$w")
+    }
+    val t = AsofJoin.adaptiveBucketTicks(100L, p)
+    assert((100L + t - 1) / t >= math.min(p.toLong, 50L))
+  }
+
+  test("uniformGrid default (adaptive) bucketTicks matches an explicit bucket size") {
+    val rng = new scala.util.Random(41)
+    val s = (0 until 200).map(_ => rng.nextInt(60000).toLong * MS)
+      .distinct.sorted.map(t => (t, t.toDouble))
+    val (lo, step, n) = (0L, 4000 * MS, 16L)
+    for (m <- Seq("pad", "backfill", "nearest")) {
+      def snap(df: org.apache.spark.sql.DataFrame) =
+        df.select(unix_micros(col("tick")), unix_micros(col("src_ts")), col("value"))
+          .collect().map(r => (r.getLong(0),
+            if (r.isNullAt(1)) -1L else r.getLong(1),
+            if (r.isNullAt(2)) None else Some(r.getDouble(2)))).sortBy(_._1).toSeq
+      val adaptive = snap(AsofJoin.uniformGrid(spark, series(s: _*), "ts",
+        Seq("value"), lo, step, n, m))
+      val explicit = snap(AsofJoin.uniformGrid(spark, series(s: _*), "ts",
+        Seq("value"), lo, step, n, m, bucketTicks = 3L))
+      assert(adaptive === explicit, s"method=$m")
+    }
+  }
+
   test("dedupeByTs keeps the row with the greatest tiebreaker") {
     import spark.implicits._
     val df = Seq((1L, 10.0, 1L), (1L, 20.0, 2L), (2L, 5.0, 1L))
