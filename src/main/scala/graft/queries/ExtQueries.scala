@@ -869,6 +869,35 @@ object ExtQueries {
             org.apache.spark.sql.types.LongType)))
         s.createDataFrame(rows.asJava, schema).orderBy(col("tbl"))
       },
-      None)
+      None),
+
+    // ---- S4/K1 — CSV export + ingest round-trip, driver-visible --------
+    // Proves the CSV path is value-preserving: write `documents` via
+    // Export.csv, re-read via CsvIngest.read with the explicit schema,
+    // aggregate a per-row content checksum. The oracle computes the SAME
+    // checksum directly on the parquet original — equality means the
+    // round-trip lost nothing. (The temp dir is per-sf and overwritten
+    // each call, so repeated runs don't accumulate copies.)
+    QueryDef("io_csv_roundtrip",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val docs = s.read.parquet(s"$d/documents.parquet")
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_rt_${math.abs(d.hashCode)}"
+        graft.io.Export.csv(docs, out)
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("lang", StringType), StructField("source", StringType),
+          StructField("n_chars", LongType)))
+        val rt = graft.sources.CsvIngest.read(s, out, schema)
+        rt.agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(conv(substring(md5(concat_ws("|", col("doc_id"), col("text"),
+            col("lang"), col("source"), col("n_chars"))), 1, 15), 16, 10)
+            .cast("long") % P).as("content_sum"))
+      },
+      Some(s"""SELECT count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+             |  sum(('0x'||substring(md5(doc_id::VARCHAR||'|'||text||'|'||lang||'|'||source||'|'||n_chars::VARCHAR),1,15))::BIGINT % $P)::BIGINT AS content_sum
+             |FROM documents""".stripMargin))
   )
 }
