@@ -302,6 +302,77 @@ object SqlQueries {
              |  FROM events)
              |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
 
+    // Semi-join (EXISTS): customers with >=1 urgent order. left_semi
+    // keeps the probe side unduplicated (no post-join distinct) and the
+    // build side is pre-projected to the bare key, so at 100x the
+    // shuffled payload on the orders side is 8 bytes/row.
+    QueryDef("q_semi_join",
+      (s, d) => {
+        val c = s.read.parquet(s"$d/customer.parquet")
+          .select("c_custkey", "c_mktsegment", "c_acctbal")
+        val urgent = s.read.parquet(s"$d/orders.parquet")
+          .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+        c.join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("c_acctbal").cast("decimal(12,2)")).cast("double").as("sum_acctbal"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_customers,
+             |  sum(CAST(c_acctbal AS DECIMAL(12,2)))::DOUBLE AS sum_acctbal
+             |FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // Anti-join (NOT EXISTS): customers with NO urgent order — the
+    // retention/compliance shape ("never did X"). Same join layout as
+    // q_semi_join with the opposite keep rule.
+    QueryDef("q_anti_join",
+      (s, d) => {
+        val c = s.read.parquet(s"$d/customer.parquet")
+          .select("c_custkey", "c_mktsegment", "c_acctbal")
+        val urgent = s.read.parquet(s"$d/orders.parquet")
+          .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+        c.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("c_acctbal").cast("decimal(12,2)")).cast("double").as("sum_acctbal"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_customers,
+             |  sum(CAST(c_acctbal AS DECIMAL(12,2)))::DOUBLE AS sum_acctbal
+             |FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // Top-N per group: 3 priciest orders per priority class. The
+    // row_number()+filter formulation is the SCALE-correct one in
+    // Spark 4: InferWindowGroupLimit turns it into a map-side partial
+    // top-k (WindowGroupLimit) before the shuffle, so a 5-group/100 TB
+    // input never funnels a whole group through one task unbounded.
+    // Tiebreak (o_orderkey asc) makes the pick deterministic.
+    QueryDef("q_topn_per_group",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        s.read.parquet(s"$d/orders.parquet")
+          .select("o_orderkey", "o_orderpriority", "o_totalprice")
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select(col("o_orderpriority"), col("rk"), col("o_orderkey"),
+            col("o_totalprice"))
+          .orderBy(col("o_orderpriority"), col("rk"))
+      },
+      Some("""SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+             |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_orderpriority
+             |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+             |  FROM orders)
+             |WHERE rk <= 3
+             |ORDER BY o_orderpriority, rk""".stripMargin)),
+
     // The sliding aggregate executed as a REAL streaming run — same
     // discipline (and oracle) as q_stream_tumbling/q_sliding_halfhour.
     QueryDef("q_stream_sliding",
