@@ -871,6 +871,32 @@ object ExtQueries {
       },
       None),
 
+    // ---- Deterministic train/val/test split assignment ------------------
+    // The canonical dataset-versioning op: split membership is a pure
+    // function of the document id (salted md5 -> [0,100): <80 train,
+    // <90 validation, else test), so re-running the pipeline — or
+    // running it on another cluster — assigns every doc the same split,
+    // with no stored split table and no RNG. The oracle recomputes the
+    // identical hash in DuckDB.
+    QueryDef("pipe_split_assign",
+      (s, d) => {
+        val h = conv(substring(md5(concat(lit("split:"),
+          col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long") % 100
+        s.read.parquet(s"$d/documents.parquet")
+          .withColumn("split",
+            when(h < 80, "train").when(h < 90, "validation").otherwise("test"))
+          .groupBy(col("source"), col("split"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+          .orderBy(col("source"), col("split"))
+      },
+      Some("""WITH t AS (SELECT source, n_chars,
+             |    ('0x'||substring(md5('split:'||doc_id::VARCHAR),1,15))::BIGINT % 100 AS h
+             |  FROM documents)
+             |SELECT source,
+             |  CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'validation' ELSE 'test' END AS split,
+             |  count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+             |FROM t GROUP BY 1, 2 ORDER BY source, split""".stripMargin)),
+
     // ---- S4/K1 — CSV export + ingest round-trip, driver-visible --------
     // Proves the CSV path is value-preserving: write `documents` via
     // Export.csv, re-read via CsvIngest.read with the explicit schema,

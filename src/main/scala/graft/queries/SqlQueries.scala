@@ -282,6 +282,32 @@ object SqlQueries {
              |FROM events GROUP BY event_type
              |ORDER BY event_type""".stripMargin)),
 
+    // Salted two-level aggregation — the skew-mitigation pattern for
+    // heavy-hitter keys: partial-agg on (key, salt) spreads one hot key
+    // over 16 reducers, then a tiny second agg (|keys|x16 rows) merges
+    // the algebraic partials. Result is identical to the direct
+    // groupBy — which is exactly what the oracle checks. At 100 TB with
+    // a 5-value key column this is the difference between 5 straggler
+    // reducers and an even spread.
+    QueryDef("q_skew_salted_agg",
+      (s, d) => {
+        val partial = graft.sources.Tables.events(s, d)
+          .withColumn("__salt", pmod(col("event_id"), lit(16)))
+          .groupBy(col("event_type"), col("__salt"))
+          .agg(count(lit(1)).as("pn"),
+            sum(col("value").cast("decimal(18,2)")).as("psum"),
+            min(col("ts")).as("pmin"), max(col("ts")).as("pmax"))
+        partial.groupBy(col("event_type"))
+          .agg(sum(col("pn")).as("n"),
+            sum(col("psum")).cast("double").as("sum_value"),
+            min(col("pmin")).as("first_ts"), max(col("pmax")).as("last_ts"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value,
+             |  min(ts) AS first_ts, max(ts) AS last_ts
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // Latest event per user — dedup-by-recency, the "current state"
     // extraction every event pipeline runs. (ts, event_id) is unique
     // per user, so the top-1 row is deterministic.
@@ -399,6 +425,23 @@ object SqlQueries {
              |FROM events, unnest([0, 1]) u(o)
              |GROUP BY 1, 2
              |ORDER BY window_start, event_type""".stripMargin)),
+
+    // Streaming dedup executed as a REAL run: the events table is
+    // staged twice so every event arrives duplicated, and the
+    // watermarked dropDuplicatesWithinWatermark stream must collapse
+    // the stream back to one copy each — the oracle aggregates the
+    // SINGLE-copy table, so a broken dedup reads 2x and hash-fails.
+    QueryDef("q_stream_dedup",
+      (s, d) => graft.streaming.StreamingEtl.dedupViaStream(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("event_id") % 1000000007L).as("id_sum"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type, count(*) AS n,
+             |  sum(event_id % 1000000007)::BIGINT AS id_sum,
+             |  sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // The SESSIONIZER executed as a REAL streaming run — custom
     // flatMapGroupsWithState state, Append mode, event-time timeout,

@@ -172,6 +172,55 @@ object StreamingEtl {
   def slidingCountsViaStream(spark: SparkSession, dir: String): DataFrame =
     runViaStream(spark, dir, slidingCounts(_))
 
+  /** Recursive scratch-dir cleanup (post-run; the memory sink already
+    * holds the rows, so the staged input is dead weight). */
+  private def rmTree(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    try {
+      if (Files.exists(p))
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.deleteIfExists(f))
+    } catch { case _: java.io.IOException => () }
+  }
+
+  /** Watermarked streaming dedup — the exactly-once ingest pattern.
+    * The events table is deliberately staged TWICE into the stream, so
+    * every event arrives as an exact duplicate;
+    * `dropDuplicatesWithinWatermark(event_id)` must collapse them back
+    * to one copy each (the driver oracle compares the result against
+    * the single-copy batch aggregate — a silently-broken dedup reads
+    * 2x and hash-fails). State is keyed by event_id and EVICTED once
+    * the watermark passes the event's time + delay, so it stays
+    * O(events inside the watermark horizon), not O(all events ever). */
+  def dedupViaStream(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val stage = Files.createTempDirectory("graft_dedup_stream")
+    for (n <- Seq("a", "b"))
+      Files.copy(Paths.get(s"$dir/events.parquet"),
+        stage.resolve(s"${n}_events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = graft.sources.Tables.events(spark, dir).schema
+    val rawSchema = org.apache.spark.sql.types.StructType(schema.map {
+      case f if f.name == "ts" =>
+        f.copy(dataType = org.apache.spark.sql.types.LongType)
+      case f => f
+    })
+    val in = spark.readStream.schema(rawSchema).parquet(stage.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+    val name = s"graft_stream_${streamRuns.incrementAndGet()}"
+    val q = in.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally rmTree(stage)
+    spark.table(name)
+  }
+
   private def runViaStream(spark: SparkSession, dir: String,
                            transform: DataFrame => DataFrame): DataFrame = {
     // unique sink name per run: memory-sink query names register temp
@@ -255,18 +304,7 @@ object StreamingEtl {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     try q.awaitTermination()
-    finally {
-      // the memory sink already holds the rows — drop the staged
-      // table-sized copy so repeated bench/verify runs don't leak one
-      // copy per invocation
-      def rmTree(p: java.nio.file.Path): Unit =
-        if (Files.exists(p)) {
-          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => Files.deleteIfExists(f))
-        }
-      try { rmTree(stage); rmTree(tmpOut) }
-      catch { case _: java.io.IOException => () }
-    }
+    finally { rmTree(stage); rmTree(tmpOut) }
     spark.table(name).as[Session]
   }
 }
