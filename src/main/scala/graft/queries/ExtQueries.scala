@@ -871,6 +871,48 @@ object ExtQueries {
       },
       None),
 
+    // ---- Unigram log-probability quality score --------------------------
+    // The perplexity-filter analog (CCNet-style): score each document by
+    // the total log10 corpus-frequency of its tokens — low mean
+    // (logprob_sum / n_tokens) flags rare-token/garbage docs, high flags
+    // trivially common text. FP discipline: each term's logp is rounded
+    // to 9 dp ONCE and summed as exact DECIMAL (partition-order
+    // independent, no final double division whose last ulp could differ
+    // across engines). tf is cast to DECIMAL(9,0) so the product stays
+    // inside precision 38 in BOTH engines (bigint*decimal(20,9) would
+    // silently lose scale in Spark and overflow to DOUBLE in DuckDB).
+    QueryDef("text_unigram_logprob",
+      (s, d) => {
+        val docs = s.read.parquet(s"$d/documents.parquet")
+        val toks = docs.select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("term"))
+        val tf = toks.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val cf = tf.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
+        val tot = cf.agg(sum(col("ctf")).as("total"))
+        val lp = cf.crossJoin(broadcast(tot))
+          .select(col("term"), round(log10(col("ctf").cast("double") /
+            col("total").cast("double")), 9).cast("decimal(20,9)").as("logp"))
+        tf.join(lp, "term")
+          .groupBy(col("doc_id"))
+          .agg(sum(col("tf")).as("n_tokens"),
+            // exact decimal sum; ONE correctly-rounded cast at the end
+            // (a Decimal output would hash-differ on trailing zeros)
+            sum(col("tf").cast("decimal(9,0)") * col("logp"))
+              .cast("double").as("logprob_sum"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(lower(text),' ')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+             |cf AS (SELECT term, sum(tf)::BIGINT AS ctf FROM tf GROUP BY 1),
+             |tot AS (SELECT sum(ctf)::BIGINT AS total FROM cf),
+             |lp AS (SELECT term, round(log10(ctf::DOUBLE / total::DOUBLE), 9)::DECIMAL(20,9) AS logp
+             |       FROM cf, tot)
+             |SELECT tf.doc_id, sum(tf.tf)::BIGINT AS n_tokens,
+             |  sum(tf.tf::DECIMAL(9,0) * lp.logp)::DOUBLE AS logprob_sum
+             |FROM tf JOIN lp USING (term)
+             |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin)),
+
     // ---- Deterministic train/val/test split assignment ------------------
     // The canonical dataset-versioning op: split membership is a pure
     // function of the document id (salted md5 -> [0,100): <80 train,
@@ -924,6 +966,36 @@ object ExtQueries {
       },
       Some(s"""SELECT count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
              |  sum(('0x'||substring(md5(doc_id::VARCHAR||'|'||text||'|'||lang||'|'||source||'|'||n_chars::VARCHAR),1,15))::BIGINT % $P)::BIGINT AS content_sum
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // ---- Partitioned layout write + partition-pruned read ---------------
+    // THE 100 TB table-layout op: land the fact table hive-partitioned by
+    // day (`event_date=.../`), then answer a one-week question touching
+    // only 7 of 30 partitions — the scan never opens the other 23 files
+    // (partition pruning happens at planning, before any I/O; pinned by
+    // `IoSpec."partitioned write → filtered read prunes"`). The oracle
+    // aggregates the SAME week straight off the unpartitioned original,
+    // so equality also proves the layout round-trip lost nothing.
+    // event_date is emitted as STRING: a date32 column would dtype-drift
+    // through the pandas/DuckDB hash compare.
+    QueryDef("io_partitioned_prune",
+      (s, d) => {
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_part_ev_${math.abs(d.hashCode)}"
+        graft.sources.Tables.events(s, d)
+          .withColumn("event_date", to_date(col("ts")))
+          .write.mode("overwrite").partitionBy("event_date").parquet(out)
+        s.read.parquet(out)
+          .filter(col("event_date").between("2024-01-08", "2024-01-14"))
+          .groupBy(col("event_date").cast("string").as("event_date"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+          .orderBy(col("event_date"), col("event_type"))
+      },
+      Some("""SELECT (ts::DATE)::VARCHAR AS event_date, event_type, count(*) AS n,
+             |  sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
+             |FROM events
+             |WHERE ts::DATE BETWEEN '2024-01-08' AND '2024-01-14'
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -43,6 +43,23 @@ class IoSpec extends GraftSpec {
     assert(coerced.head().getTimestamp(0).getTime === 1704067201000L)
   }
 
+  test("partitioned write → filtered read prunes partitions at planning") {
+    import spark.implicits._
+    val out = tmp("graft-part") + "/ev"
+    (0 until 30).flatMap(day => Seq((day.toLong, s"2024-01-${"%02d".format(day + 1)}")))
+      .toDF("v", "event_date")
+      .write.partitionBy("event_date").parquet(out)
+    val pruned = spark.read.parquet(out)
+      .filter(col("event_date").between("2024-01-08", "2024-01-14"))
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.partitionFilters.nonEmpty, "filter must reach the partition axis")
+    assert(scan.selectedPartitions.partitionCount === 7,
+      s"7 of 30 day-partitions selected, got ${scan.selectedPartitions.partitionCount}")
+    assert(pruned.count() === 7)
+  }
+
   test("K1 export: header CSV, single-file mode, values round-trip") {
     import spark.implicits._
     val df = Seq((1L, "a", 1.5), (2L, "b", -2.5)).toDF("id", "s", "v")
