@@ -465,6 +465,37 @@ object SqlQueries {
              |SELECT user_id, session_id, count(*) AS n_events,
              |  min(ts) AS session_start, max(ts) AS session_end
              |FROM s GROUP BY user_id, session_id
-             |ORDER BY user_id, session_id""".stripMargin))
+             |ORDER BY user_id, session_id""".stripMargin)),
+
+    // Stream-stream interval join executed as a REAL run (watermarks on
+    // both sides + event-time range predicate -> bounded state). The
+    // oracle is the equivalent BATCH interval join — unified-API parity.
+    QueryDef("q_stream_join",
+      (s, d) => graft.streaming.StreamingEtl.intervalJoinViaStream(s, d)
+        .orderBy(col("click_id"), col("purchase_id")),
+      Some("""SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+             |  c.user_id, (epoch_us(p.ts) - epoch_us(c.ts))::BIGINT AS delta_us
+             |FROM events c JOIN events p ON c.user_id = p.user_id
+             | AND c.event_type = 'click' AND p.event_type = 'purchase'
+             | AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 600000000
+             |ORDER BY click_id, purchase_id""".stripMargin)),
+
+    // Banded range join (graft.sync.RangeJoin): all event pairs within
+    // ±1 s of each other with NO equi key — burst/co-occurrence
+    // detection. Banding turns the would-be O(n²) cross join into one
+    // equi-shuffle on 1 s time buckets; the oracle is DuckDB's native
+    // range self-join, so the banded plan must reproduce the exact
+    // pair set.
+    QueryDef("q_range_join_bursts",
+      (s, d) => graft.sync.RangeJoin.selfPairsWithin(
+        graft.sources.Tables.events(s, d), "ts", "event_id",
+        withinUs = 1000000L, payload = Seq("event_type"))
+        .orderBy(col("id_lo"), col("id_hi")),
+      Some("""SELECT a.event_id AS id_lo, b.event_id AS id_hi,
+             |  abs(epoch_us(a.ts) - epoch_us(b.ts))::BIGINT AS delta_us,
+             |  a.event_type AS lo_event_type, b.event_type AS hi_event_type
+             |FROM events a JOIN events b ON a.event_id < b.event_id
+             | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 1000000
+             |ORDER BY id_lo, id_hi""".stripMargin))
   )
 }

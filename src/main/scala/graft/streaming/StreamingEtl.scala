@@ -221,6 +221,47 @@ object StreamingEtl {
     spark.table(name)
   }
 
+  /** Stream-stream INTERVAL join — the attribution pattern: each click
+    * matched to the same user's purchases in the next 10 minutes. Both
+    * sides are watermarked and the join predicate carries the explicit
+    * event-time range, so the state store can evict a click the moment
+    * the purchase-side watermark passes `click_ts + 10 min` (and vice
+    * versa): state is O(events inside the horizon), not O(stream).
+    * Inner-join results emit as soon as both sides arrive — no
+    * end-of-stream flush sentinel needed, unlike the sessionizer.
+    *
+    * Batch/stream parity: the driver oracle for `q_stream_join` is the
+    * plain batch interval join over the same table, which is exactly
+    * the unified-API guarantee. */
+  def intervalJoinViaStream(spark: SparkSession, dir: String): DataFrame = {
+    val clicks = eventsStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("delta_us"))
+
+    val name = s"graft_stream_${streamRuns.incrementAndGet()}"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   private def runViaStream(spark: SparkSession, dir: String,
                            transform: DataFrame => DataFrame): DataFrame = {
     // unique sink name per run: memory-sink query names register temp

@@ -179,4 +179,27 @@ class StreamingEtlSpec extends GraftSpec {
     assert(streamed === batch)
     assert(streamed.nonEmpty)
   }
+
+  test("intervalJoinViaStream: stream-stream join equals the batch interval join") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamingEtl.intervalJoinViaStream(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sorted.toSeq
+    val ev = graft.sources.Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        unix_micros(col("ts")).as("c_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), unix_micros(col("ts")).as("p_us"))
+    val batch = clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        (col("p_us") - col("c_us")).between(0L, 600000000L))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        (col("p_us") - col("c_us")).as("delta_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sorted.toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty, "sf0.001 must contain at least one attributed pair")
+  }
 }
