@@ -496,6 +496,57 @@ object SqlQueries {
              |  a.event_type AS lo_event_type, b.event_type AS hi_event_type
              |FROM events a JOIN events b ON a.event_id < b.event_id
              | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 1000000
-             |ORDER BY id_lo, id_hi""".stripMargin))
+             |ORDER BY id_lo, id_hi""".stripMargin)),
+
+    // Incremental aggregation (materialized-view maintenance): the
+    // daily partial-aggregate table is the maintained state; a new
+    // day's arrival is ONE day's scan + a merge of mergeable partials
+    // (count/sum) — never a rescan of history. Here days 1-29 build
+    // the state, day 30 arrives as the delta, and the final rollup is
+    // computed purely from merged partials. The oracle aggregates the
+    // raw table directly, so equality proves partial-merge == full
+    // recompute (incl. that the decimal sums merge exactly). At 100 TB
+    // this is the difference between scanning one partition and
+    // scanning three years of history on every refresh.
+    QueryDef("q_incremental_agg",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+        def daily(part: org.apache.spark.sql.DataFrame) = part
+          .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).as("sv"))
+        val cut = lit("2024-01-30").cast("date")
+        val state = daily(ev.filter(to_date(col("ts")) < cut)) // maintained
+        val delta = daily(ev.filter(to_date(col("ts")) >= cut)) // new day
+        state.unionByName(delta)
+          .groupBy(col("event_type"))
+          .agg(sum(col("n")).as("n_total"),
+            sum(col("sv")).cast("double").as("sum_value"),
+            count(lit(1)).as("n_days"),
+            max(col("n")).as("max_day_n"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH dstate AS (
+             |  SELECT ts::DATE AS day, event_type, count(*) AS n,
+             |         sum(CAST(value AS DECIMAL(18,2))) AS sv
+             |  FROM events GROUP BY 1, 2)
+             |SELECT event_type, sum(n)::BIGINT AS n_total,
+             |  sum(sv)::DOUBLE AS sum_value, count(*)::BIGINT AS n_days,
+             |  max(n)::BIGINT AS max_day_n
+             |FROM dstate GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // HLL++ sketch twin of q_distinct_users — the 100 TB path: one
+    // pass, O(1) state per group, mergeable across partitions (and
+    // across days, composing with q_incremental_agg's state pattern),
+    // where the exact distinct needs a full shuffle of user_ids. No
+    // SQL engine reproduces Spark's HLL++ bit-for-bit -> rows-only
+    // here; StatsSpec's law pins the estimate within 5% of exact.
+    QueryDef("q_distinct_users_approx",
+      (s, d) => graft.sources.Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), rsd = 0.02)
+          .as("approx_users"))
+        .orderBy(col("event_type")),
+      None)
   )
 }

@@ -67,6 +67,17 @@ class StatsSpec extends GraftSpec {
     }
   }
 
+  test("approx_count_distinct tracks the exact distinct count (HLL law)") {
+    import spark.implicits._
+    // 5k distinct keys with duplicates: rsd=0.02 must land within 5%
+    val df = (1 to 20000).map(i => i % 5000).toDF("k")
+    val approx = df.agg(org.apache.spark.sql.functions
+      .approx_count_distinct(org.apache.spark.sql.functions.col("k"), 0.02))
+      .head().getLong(0)
+    assert(math.abs(approx - 5000L) <= 250L,
+      s"HLL estimate $approx drifted >5% from exact 5000")
+  }
+
   test("tsExtremes returns min/max of a timestamp column") {
     val df = tsDf("ts", Seq(5000000L, 1000000L, 9000000L))
     val r = Stats.tsExtremes(df, "ts").head()
