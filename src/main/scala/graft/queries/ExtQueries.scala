@@ -996,6 +996,38 @@ object ExtQueries {
              |  sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
              |FROM events
              |WHERE ts::DATE BETWEEN '2024-01-08' AND '2024-01-14'
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- Small-file compaction (graft.io.Compaction) --------------------
+    // Fragment `documents` into 64 tiny part files (the streaming-ingest
+    // aftermath), then compact to size-targeted files — output count
+    // derived from actual on-disk bytes. The returned row proves the
+    // rewrite was LOSSLESS (count + order-independent content checksum,
+    // oracled against the original table) and that the file count
+    // actually collapsed (n_files_after, compared in-query so the
+    // driver gate sees it: a non-compacting rewrite fails rows_match
+    // via the WHERE below... rows-only would hide it, so instead the
+    // file counts are emitted and the oracle pins the expected values).
+    QueryDef("io_compact_small_files",
+      (s, d) => {
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_compact_${math.abs(d.hashCode)}"
+        val frag = s"$base/frag"; val comp = s"$base/compact"
+        s.read.parquet(s"$d/documents.parquet")
+          .repartition(64).write.mode("overwrite").parquet(frag)
+        val (nBefore, nAfter) =
+          graft.io.Compaction.compact(s, frag, comp, targetBytes = 64L * 1024 * 1024)
+        s.read.parquet(comp).agg(
+          count(lit(1)).as("n_docs"),
+          sum(conv(substring(md5(concat_ws("|", col("doc_id"), col("text"),
+            col("lang"), col("source"), col("n_chars"))), 1, 15), 16, 10)
+            .cast("long") % P).as("content_sum"))
+          .select(lit(nBefore).as("n_files_before"),
+            lit(nAfter).as("n_files_after"),
+            col("n_docs"), col("content_sum"))
+      },
+      Some(s"""SELECT 64 AS n_files_before, 1 AS n_files_after,
+             |  count(*) AS n_docs,
+             |  sum(('0x'||substring(md5(doc_id::VARCHAR||'|'||text||'|'||lang||'|'||source||'|'||n_chars::VARCHAR),1,15))::BIGINT % $P)::BIGINT AS content_sum
+             |FROM documents""".stripMargin))
   )
 }

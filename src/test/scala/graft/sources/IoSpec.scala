@@ -60,6 +60,27 @@ class IoSpec extends GraftSpec {
     assert(pruned.count() === 7)
   }
 
+  test("compaction: size-targeted rewrite collapses small files losslessly") {
+    import spark.implicits._
+    val base = tmp("graft-compact")
+    val frag = s"$base/frag"; val comp = s"$base/compact"
+    (1 to 1000).map(i => (i.toLong, s"doc$i")).toDF("id", "s")
+      .repartition(32).write.parquet(frag)
+    assert(graft.io.Compaction.partFiles(spark, frag).size === 32)
+    val (before, after) =
+      graft.io.Compaction.compact(spark, frag, comp, targetBytes = 64L * 1024 * 1024)
+    assert(before === 32 && after === 1, s"got $before -> $after")
+    val back = spark.read.parquet(comp)
+    assert(back.count() === 1000)
+    assert(back.agg(sum(col("id"))).head().getLong(0) === 500500L)
+    // target smaller than the data -> multiple output files, sized out
+    val multi = s"$base/multi"
+    val bytes = graft.io.Compaction.partFiles(spark, comp).map(_._2).sum
+    val (_, nMulti) =
+      graft.io.Compaction.compact(spark, comp, multi, targetBytes = math.max(1L, bytes / 3))
+    assert(nMulti >= 3, s"sub-data target must fan out, got $nMulti files")
+  }
+
   test("K1 export: header CSV, single-file mode, values round-trip") {
     import spark.implicits._
     val df = Seq((1L, "a", 1.5), (2L, "b", -2.5)).toDF("id", "s", "v")
