@@ -21,6 +21,7 @@ object Bench {
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
       math.min(cpus.toInt, 8).toString)
     val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.adaptive.enabled", aqe)

@@ -20,6 +20,11 @@ import graft.functions._
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer: naive |ta - tb| <= W joins become banded equi-joins
+    // (O(n) instead of a nested-loop O(n²) plan) — see
+    // graft.plans.BandedRangeJoinRule
+    ext.injectOptimizerRule(_ => graft.plans.BandedRangeJoinRule)
+
     def info(name: String, usage: String) =
       new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
         "", "", "", "", "", "", "scala_udf")

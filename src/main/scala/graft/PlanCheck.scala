@@ -11,6 +11,7 @@ object PlanCheck {
       else Seq("q1_pricing_summary", "q3_top_orders", "y5_asof_nearest",
         "f1_dropna", "dedup_neardup_minhash", "sim_topk_lsh")
     val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -535,6 +535,30 @@ object SqlQueries {
              |  max(n)::BIGINT AS max_day_n
              |FROM dstate GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // The SAME range join written NAIVELY — `abs(ta - tb) <= 2s` with
+    // no equi key, the query a user ports from SQL verbatim. Spark
+    // alone plans this as a BroadcastNestedLoopJoin (O(n²));
+    // graft.plans.BandedRangeJoinRule (injected via GraftExtensions)
+    // rewrites it into the banded equi-join automatically, so the
+    // naive spelling gets the scale plan. RangeJoinSpec pins the plan
+    // shape; this row pins the rewrite's exactness against DuckDB.
+    QueryDef("q_range_join_auto",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+        val a = ev.select(col("event_id").as("a_id"), unix_micros(col("ts")).as("a_t"))
+        val b = ev.select(col("event_id").as("b_id"), unix_micros(col("ts")).as("b_t"))
+        a.join(b, abs(col("a_t") - col("b_t")) <= lit(2000000L) &&
+            col("a_id") < col("b_id"))
+          .select(col("a_id").as("id_lo"), col("b_id").as("id_hi"),
+            abs(col("a_t") - col("b_t")).as("delta_us"))
+          .orderBy(col("id_lo"), col("id_hi"))
+      },
+      Some("""SELECT a.event_id AS id_lo, b.event_id AS id_hi,
+             |  abs(epoch_us(a.ts) - epoch_us(b.ts))::BIGINT AS delta_us
+             |FROM events a JOIN events b ON a.event_id < b.event_id
+             | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 2000000
+             |ORDER BY id_lo, id_hi""".stripMargin)),
+
     // HLL++ sketch twin of q_distinct_users — the 100 TB path: one
     // pass, O(1) state per group, mergeable across partitions (and
     // across days, composing with q_incremental_agg's state pattern),

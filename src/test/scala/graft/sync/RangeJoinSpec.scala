@@ -59,6 +59,40 @@ class RangeJoinSpec extends GraftSpec {
       s"banded range join must not fall back to O(n²); plan:\n$plan")
   }
 
+  test("BandedRangeJoinRule: naive epsilon join plans banded, result exact") {
+    // the session registers graft.GraftExtensions, so a user writing
+    // the NAIVE |ta - tb| <= W join must get the banded equi-join plan
+    val ts = Iterator.iterate(16807L)(x => (x * 16807L) % 2147483647L)
+      .take(80).map(_ % 10000000L).toSeq
+    val ev = events(ts)
+    val a = ev.select(col("event_id").as("a_id"), unix_micros(col("ts")).as("a_t"))
+    val b = ev.select(col("event_id").as("b_id"), unix_micros(col("ts")).as("b_t"))
+    val naiveJoin = a.join(b,
+      abs(col("a_t") - col("b_t")) <= lit(W) && col("a_id") < col("b_id"))
+    val plan = naiveJoin.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"rule must band the epsilon join; plan:\n$plan")
+    assert(plan.contains("Generate"), "banded plan explodes the left side")
+    val got = naiveJoin.select(col("a_id"), col("b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === naive(ts).map(p => (p._1, p._2)))
+  }
+
+  test("BandedRangeJoinRule: leaves equi-key joins alone") {
+    val ev = events(Seq(0L, 500000L, 3000000L))
+    val a = ev.select(col("event_id").as("a_id"), col("event_type").as("a_k"),
+      unix_micros(col("ts")).as("a_t"))
+    val b = ev.select(col("event_id").as("b_id"), col("event_type").as("b_k"),
+      unix_micros(col("ts")).as("b_t"))
+    val j = a.join(b, col("a_k") === col("b_k") &&
+      abs(col("a_t") - col("b_t")) <= lit(W))
+    val optimized = j.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("__graft_band"),
+      s"equi-keyed join must not be banded; plan:\n$optimized")
+    assert(j.count() === 3) // distinct types -> only the 3 self-matches
+  }
+
   test("payload columns ride along, normalized lo/hi by id") {
     val out = RangeJoin.selfPairsWithin(
       events(Seq(500000L, 0L)), "ts", "event_id", W,
