@@ -557,6 +557,22 @@ object SqlQueries {
              |  max(n)::BIGINT AS max_day_n
              |FROM dstate GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // The streaming face of q_incremental_agg: foreachBatch merges each
+    // micro-batch's partial daily aggregates into an immutable-versioned
+    // parquet state (4 forced merge rounds via maxFilesPerTrigger=1).
+    // The oracle is the FULL batch aggregate — equality proves the
+    // merge is associative across arbitrary batch boundaries.
+    QueryDef("q_stream_incremental",
+      (s, d) => graft.streaming.StreamingEtl.incrementalAggViaStream(s, d),
+      Some("""WITH dstate AS (
+             |  SELECT ts::DATE AS day, event_type, count(*) AS n,
+             |         sum(CAST(value AS DECIMAL(18,2))) AS sv
+             |  FROM events GROUP BY 1, 2)
+             |SELECT event_type, sum(n)::BIGINT AS n_total,
+             |  sum(sv)::DOUBLE AS sum_value, count(*)::BIGINT AS n_days,
+             |  max(n)::BIGINT AS max_day_n
+             |FROM dstate GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // The SAME range join written NAIVELY — `abs(ta - tb) <= 2s` with
     // no equi key, the query a user ports from SQL verbatim. Spark
     // alone plans this as a BroadcastNestedLoopJoin (O(n²));

@@ -262,6 +262,69 @@ object StreamingEtl {
     spark.table(name)
   }
 
+  /** Streaming materialized-view maintenance via `foreachBatch` — the
+    * production shape of `q_incremental_agg`: each micro-batch's
+    * partial daily aggregates merge into a parquet state table
+    * (read + union + re-aggregate + versioned write, the
+    * engine-agnostic upsert). Counts and decimal sums merge
+    * associatively, so the final state is independent of batch
+    * boundaries — asserted by staging the input as FOUR files with
+    * `maxFilesPerTrigger=1`, which forces four real merge rounds
+    * under `Trigger.AvailableNow`. State versions are immutable
+    * (v0, v1, …): a batch reads v(n-1) and writes v(n), never
+    * overwriting what it reads — the same discipline a warehouse
+    * upsert needs for atomic swap + time travel. */
+  def incrementalAggViaStream(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val stage = Files.createTempDirectory("graft_mv_stage")
+    val stateBase = Files.createTempDirectory("graft_mv_state")
+    graft.sources.Tables.events(spark, dir)
+      .select(col("ts"), col("event_type"), col("value"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(stage.toString)
+    val schema = spark.read.parquet(stage.toString).schema
+
+    var statePath: Option[String] = None
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+    val q = in.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val partial = batch
+          .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).as("sv"))
+        val merged = statePath match {
+          case Some(p) => spark.read.parquet(p).unionByName(partial)
+            .groupBy(col("day"), col("event_type"))
+            .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"))
+          case None => partial
+        }
+        val out = s"$stateBase/v$batchId"
+        merged.write.mode("overwrite").parquet(out)
+        statePath = Some(out)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // final rollup off the maintained state; materialize before the
+    // scratch dirs (input staging AND state versions) are deleted
+    val rows = spark.read.parquet(statePath.getOrElse(
+      throw new IllegalStateException("stream produced no state")))
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_total"),
+        sum(col("sv")).cast("double").as("sum_value"),
+        count(lit(1)).as("n_days"),
+        max(col("n")).as("max_day_n"))
+      .orderBy(col("event_type"))
+    val out = rows.collect()
+    val result = spark.createDataFrame(
+      java.util.Arrays.asList(out: _*), rows.schema)
+    rmTree(stage); rmTree(stateBase)
+    result
+  }
+
   private def runViaStream(spark: SparkSession, dir: String,
                            transform: DataFrame => DataFrame): DataFrame = {
     // unique sink name per run: memory-sink query names register temp

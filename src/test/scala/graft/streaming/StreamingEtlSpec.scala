@@ -180,6 +180,25 @@ class StreamingEtlSpec extends GraftSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("incrementalAggViaStream: 4-round foreachBatch merge equals the batch aggregate") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamingEtl.incrementalAggViaStream(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val batch = graft.sources.Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("sv"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_total"), sum(col("sv")).cast("double").as("sum_value"),
+        count(lit(1)).as("n_days"), max(col("n")).as("max_day_n"))
+      .orderBy(col("event_type"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("intervalJoinViaStream: stream-stream join equals the batch interval join") {
     val dir = "/root/testdata/sf0.001"
     val streamed = StreamingEtl.intervalJoinViaStream(spark, dir)
