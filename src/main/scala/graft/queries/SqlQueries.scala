@@ -557,6 +557,86 @@ object SqlQueries {
              |  max(n)::BIGINT AS max_day_n
              |FROM dstate GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Semi-structured extraction: the events `props` column is a JSON
+    // string; from_json projects a typed field in the scan projection
+    // (one pass, no UDF). The LLM-pipeline shape: raw crawl metadata
+    // lands as JSON and gets schematized on read.
+    QueryDef("q_json_extract",
+      (s, d) => graft.sources.Tables.events(s, d)
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+            .getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
+          min(col("k")).as("k_min"), max(col("k")).as("k_max"),
+          count(when(col("k") > 50, 1)).as("n_k_over_50"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type, count(*) AS n,
+             |  sum(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS k_sum,
+             |  min(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS k_min,
+             |  max(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS k_max,
+             |  count(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50 THEN 1 END) AS n_k_over_50
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Pivot -> unpivot round-trip: wide daily matrix (one column per
+    // event type) melted back to long form must equal the plain
+    // group-by — grading BOTH reshape APIs against one trivial oracle.
+    QueryDef("q_pivot_daily",
+      (s, d) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val piv = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).cast("string").as("day"))
+          .pivot("event_type", types).agg(count(lit(1)))
+        piv.unpivot(Array(col("day")), types.map(col).toArray,
+            "event_type", "n")
+          .filter(col("n").isNotNull)
+          .orderBy(col("day"), col("event_type"))
+      },
+      Some("""SELECT (ts::DATE)::VARCHAR AS day, event_type, count(*) AS n
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Window-function breadth on a unique (ts, event_id) order: lag,
+    // lead, row_number, ntile — the everyday analyst surface.
+    QueryDef("q_window_funcs",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        graft.sources.Tables.events(s, d)
+          .select(col("event_id"), col("user_id"),
+            lag(col("value"), 1).over(w).as("prev_value"),
+            lead(col("event_type"), 1).over(w).as("next_type"),
+            row_number().over(w).as("rn"),
+            ntile(4).over(w).as("quartile"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id,
+             |  lag(value, 1) OVER w AS prev_value,
+             |  lead(event_type, 1) OVER w AS next_type,
+             |  row_number() OVER w AS rn,
+             |  ntile(4) OVER w AS quartile
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |ORDER BY event_id""".stripMargin)),
+
+    // Distinct set algebra on (user, day) activity sets:
+    // click-days ∩ purchase-days ∖ error-days.
+    QueryDef("q_set_ops",
+      (s, d) => {
+        def act(t: String) = graft.sources.Tables.events(s, d)
+          .filter(col("event_type") === t)
+          .select(col("user_id"), to_date(col("ts")).cast("string").as("day"))
+          .distinct()
+        act("click").intersect(act("purchase")).except(act("error"))
+          .orderBy(col("user_id"), col("day"))
+      },
+      Some("""SELECT user_id, (ts::DATE)::VARCHAR AS day FROM events WHERE event_type = 'click'
+             |INTERSECT
+             |SELECT user_id, (ts::DATE)::VARCHAR FROM events WHERE event_type = 'purchase'
+             |EXCEPT
+             |SELECT user_id, (ts::DATE)::VARCHAR FROM events WHERE event_type = 'error'
+             |ORDER BY user_id, day""".stripMargin)),
+
     // The streaming face of q_incremental_agg: foreachBatch merges each
     // micro-batch's partial daily aggregates into an immutable-versioned
     // parquet state (4 forced merge rounds via maxFilesPerTrigger=1).
