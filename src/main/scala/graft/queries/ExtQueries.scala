@@ -552,6 +552,30 @@ object ExtQueries {
               |WHERE ${dkHash60("'sample:'||doc_id")} % 100 < 20
               |ORDER BY doc_id""".stripMargin)),
 
+    // Stratified deterministic sampling: per-SOURCE rates (even-indexed
+    // sources keep 20%, odd 50% — the downsample-overrepresented-crawls
+    // op), membership a pure salted-hash function of doc_id so any
+    // engine reproduces the exact sample. One scan, no per-stratum
+    // passes.
+    QueryDef("doc_sample_stratified",
+      (s, d) => s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("source"),
+          when(substring(col("source"), 4, 10).cast("int") % 2 === 0, 20)
+            .otherwise(50).as("rate"),
+          pmod(Dedup.strHash60(concat(lit("strat:"), col("doc_id"))), lit(100))
+            .as("bucket"))
+        .filter(col("bucket") < col("rate"))
+        .groupBy(col("source"), col("rate"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("source")),
+      Some(s"""SELECT source,
+              |  CASE WHEN CAST(substring(source, 4) AS INT) % 2 = 0 THEN 20 ELSE 50 END AS rate,
+              |  count(*) AS n_kept, sum(doc_id)::BIGINT AS id_sum
+              |FROM documents
+              |WHERE ${dkHash60("'strat:'||doc_id")} % 100 <
+              |  CASE WHEN CAST(substring(source, 4) AS INT) % 2 = 0 THEN 20 ELSE 50 END
+              |GROUP BY 1, 2 ORDER BY source""".stripMargin)),
+
     // Benchmark decontamination: flag corpus documents sharing any
     // bigram with a probe set (here: the bigrams of docs 0-4 stand in
     // for a benchmark's n-grams). The probe set broadcasts; the corpus

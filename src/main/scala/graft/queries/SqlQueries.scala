@@ -557,6 +557,63 @@ object SqlQueries {
              |  max(n)::BIGINT AS max_day_n
              |FROM dstate GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Salted fact⋈dim JOIN — the skew-mitigation twin of
+    // q_skew_salted_agg: the dim side replicates S=8 ways (one row per
+    // salt), the fact side derives a deterministic salt, and the join
+    // key becomes (user_id, salt) so ONE hot user's rows spread over 8
+    // reducers instead of one straggler. The salt cancels in the
+    // aggregate; the oracle is the UNSALTED join, so equality proves
+    // the rewrite exact. At 100 TB this is what you do when AQE's skew
+    // split can't help (e.g. the skewed side feeds a window, or the
+    // join is the final stage).
+    QueryDef("q_skew_salted_join",
+      (s, d) => {
+        val S = 8
+        val ev = graft.sources.Tables.events(s, d)
+          .select(col("user_id"), col("value"),
+            pmod(col("event_id"), lit(S.toLong)).as("__salt"))
+        val dim = graft.sources.Tables.events(s, d)
+          .select(col("user_id")).distinct()
+          .withColumn("tier", pmod(col("user_id"), lit(5L)))
+          .withColumn("__salt", explode(array((0 until S).map(i => lit(i.toLong)): _*)))
+        ev.join(dim, Seq("user_id", "__salt"))
+          .groupBy(col("tier"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+          .orderBy(col("tier"))
+      },
+      Some("""WITH dim AS (SELECT DISTINCT user_id, user_id % 5 AS tier FROM events)
+             |SELECT dim.tier, count(*) AS n,
+             |  sum(CAST(e.value AS DECIMAL(18,2)))::DOUBLE AS sum_value
+             |FROM events e JOIN dim USING (user_id)
+             |GROUP BY dim.tier ORDER BY dim.tier""".stripMargin)),
+
+    // CUBE over (returnflag, linestatus): all four grouping-set combos
+    // in one pass — completes the grouping-sets surface next to
+    // q_rollup_pricing (same grouping-flag sort discipline).
+    QueryDef("q_cube_pricing",
+      (s, d) => s.read.parquet(s"$d/lineitem.parquet")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).as("__g_rf"),
+          grouping(col("l_linestatus")).as("__g_ls"))
+        .select(coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+          col("sum_qty"), col("n"), col("__g_rf"), col("__g_ls"))
+        .orderBy(col("rf"), col("ls"), col("__g_rf"), col("__g_ls"))
+        .select("rf", "ls", "sum_qty", "n"),
+      Some("""SELECT rf, ls, sum_qty, n FROM (
+             |  SELECT coalesce(l_returnflag, '(all)') AS rf,
+             |         coalesce(l_linestatus, '(all)') AS ls,
+             |         sum(CAST(l_quantity AS DECIMAL(12,2)))::DOUBLE AS sum_qty,
+             |         count(*) AS n,
+             |         GROUPING(l_returnflag) AS g_rf,
+             |         GROUPING(l_linestatus) AS g_ls
+             |  FROM lineitem
+             |  GROUP BY CUBE (l_returnflag, l_linestatus))
+             |ORDER BY rf, ls, g_rf, g_ls""".stripMargin)),
+
     // Semi-structured extraction: the events `props` column is a JSON
     // string; from_json projects a typed field in the scan projection
     // (one pass, no UDF). The LLM-pipeline shape: raw crawl metadata
