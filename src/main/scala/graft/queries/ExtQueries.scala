@@ -1067,6 +1067,27 @@ object ExtQueries {
       Some(s"""SELECT 64 AS n_files_before, 1 AS n_files_after,
              |  count(*) AS n_docs,
              |  sum(('0x'||substring(md5(doc_id::VARCHAR||'|'||text||'|'||lang||'|'||source||'|'||n_chars::VARCHAR),1,15))::BIGINT % $P)::BIGINT AS content_sum
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // ---- Min/max file skipping (graft.io.FileSkipping) ------------------
+    // Zone-map data skipping: events range-clustered by user_id into 16
+    // files + a per-file min/max stats index; a 100-user probe consults
+    // the index and opens ~1-2 of 16 files (IoSpec pins files_opened <
+    // total). The residual filter keeps results exact regardless of
+    // index granularity, so the oracle is the plain full-scan filter —
+    // at 100 TB this is the metadata layer every lakehouse format
+    // stores, demonstrated from first principles.
+    QueryDef("io_minmax_skip",
+      (s, d) => graft.io.FileSkipping.prunedRead(s, d, lo = 100L, hi = 199L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type, count(*) AS n,
+             |  count(DISTINCT user_id) AS n_users,
+             |  sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
+             |FROM events WHERE user_id BETWEEN 100 AND 199
+             |GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

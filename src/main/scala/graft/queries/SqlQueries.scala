@@ -35,6 +35,31 @@ object SqlQueries {
       path
     })
 
+  /** Maintained latest-per-user state table for the MERGE queries —
+    * the keyed-state twin of `dailyStateOf` (built once per dir; the
+    * query path reads state + delta, never the history). */
+  private val userStateCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def userStateOf(s: org.apache.spark.sql.SparkSession,
+                          d: String, cut: String): String =
+    userStateCache.getOrElseUpdate(d, {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_userstate_${math.abs(d.hashCode)}"
+      latestPerUser(graft.sources.Tables.events(s, d)
+        .filter(col("ts") < lit(cut).cast("timestamp")))
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
+  /** Latest event per user on a unique (ts, event_id) order. */
+  private def latestPerUser(ev: org.apache.spark.sql.DataFrame) = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    ev.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select("user_id", "event_id", "ts", "event_type")
+  }
+
+  private val MergeCut = "2024-01-20"
+
   val defs: Seq[QueryDef] = Seq(
 
     // TPC-H Q1-style pricing summary: single scan, partial aggs, tiny
@@ -746,6 +771,96 @@ object SqlQueries {
         .agg(approx_count_distinct(col("user_id"), rsd = 0.02)
           .as("approx_users"))
         .orderBy(col("event_type")),
-      None)
+      None),
+
+    // MERGE INTO (SCD1 upsert): days 1-19 live as a maintained
+    // latest-per-user state artifact; days 20-30 arrive as a delta and
+    // land via operators/Merge (one full-outer join on the key). The
+    // oracle recomputes latest-per-user from ALL events, so equality
+    // proves merge(state, delta) == full recompute — the correctness
+    // contract of incremental state maintenance.
+    QueryDef("q_merge_upsert",
+      (s, d) => {
+        val target = s.read.parquet(userStateOf(s, d, MergeCut))
+        val delta = latestPerUser(graft.sources.Tables.events(s, d)
+          .filter(col("ts") >= lit(MergeCut).cast("timestamp")))
+        graft.operators.Merge.upsert(target, delta, Seq("user_id"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, event_id, ts, event_type FROM (
+             |  SELECT user_id, event_id, ts, event_type,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM events)
+             |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // CDC apply — MERGE with tombstones: a delta user whose latest
+    // event is an 'error' is treated as a DELETE op; others update or
+    // insert as in q_merge_upsert. The oracle spells the same
+    // semantics as an explicit full join, pinning all four MERGE
+    // branches (update / insert / keep / delete) in one result.
+    QueryDef("q_merge_cdc",
+      (s, d) => {
+        val target = s.read.parquet(userStateOf(s, d, MergeCut))
+        val delta = latestPerUser(graft.sources.Tables.events(s, d)
+          .filter(col("ts") >= lit(MergeCut).cast("timestamp")))
+        graft.operators.Merge.upsert(target, delta, Seq("user_id"),
+            deleteWhen = Some(col("event_type") === "error"))
+          .orderBy(col("user_id"))
+      },
+      Some(s"""WITH tgt AS (
+              |  SELECT user_id, event_id, ts, event_type FROM (
+              |    SELECT user_id, event_id, ts, event_type,
+              |      row_number() OVER (PARTITION BY user_id
+              |        ORDER BY ts DESC, event_id DESC) AS rn
+              |    FROM events WHERE ts < TIMESTAMP '$MergeCut')
+              |  WHERE rn = 1),
+              |dlt AS (
+              |  SELECT user_id, event_id, ts, event_type FROM (
+              |    SELECT user_id, event_id, ts, event_type,
+              |      row_number() OVER (PARTITION BY user_id
+              |        ORDER BY ts DESC, event_id DESC) AS rn
+              |    FROM events WHERE ts >= TIMESTAMP '$MergeCut')
+              |  WHERE rn = 1)
+              |SELECT coalesce(d.user_id, t.user_id) AS user_id,
+              |  coalesce(d.event_id, t.event_id) AS event_id,
+              |  coalesce(d.ts, t.ts) AS ts,
+              |  coalesce(d.event_type, t.event_type) AS event_type
+              |FROM tgt t FULL JOIN dlt d ON t.user_id = d.user_id
+              |WHERE d.user_id IS NULL OR d.event_type <> 'error'
+              |ORDER BY user_id""".stripMargin)),
+
+    // Runtime bloom-filter join pruning — the explicit form of Spark's
+    // runtime row-level filter: one month of orders selects ~1.3% of
+    // orderkeys; the fact side probes a broadcast bloom over those keys
+    // BEFORE its exchange, so the shuffle carries ~selectivity× the
+    // rows. The real join still runs after the prune (bloom false
+    // positives drop there; false negatives don't exist), so the
+    // oracle is the plain join — equality is unconditional. The shape
+    // for a dim too big to broadcast-JOIN whose key bloom still fits.
+    QueryDef("q_bloom_prune",
+      (s, d) => {
+        val sel = s.read.parquet(s"$d/orders.parquet")
+          .filter(col("o_orderdate").between(
+            lit("1997-01-01").cast("timestamp"), lit("1997-01-31").cast("timestamp")))
+          .select("o_orderkey", "o_orderdate")
+        val h = graft.functions.BloomFunctions.buildBroadcast(
+          sel, "o_orderkey", expectedItems = 200000L, fpp = 0.01)
+        val li = s.read.parquet(s"$d/lineitem.parquet")
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+          .filter(graft.functions.BloomFunctions.mightContain(col("l_orderkey"), h))
+        li.join(sel, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderdate"))
+          .agg(count(lit(1)).as("n_items"),
+            sum((col("l_extendedprice").cast("decimal(12,2)") *
+              (lit(1) - col("l_discount")).cast("decimal(4,2)")))
+              .cast("double").as("revenue"))
+          .orderBy(col("o_orderdate"))
+      },
+      Some("""SELECT o_orderdate, count(*) AS n_items,
+             |  sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)))::DOUBLE AS revenue
+             |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+             |WHERE o_orderdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-01-31'
+             |GROUP BY o_orderdate ORDER BY o_orderdate""".stripMargin))
   )
 }

@@ -81,6 +81,25 @@ class IoSpec extends GraftSpec {
     assert(nMulti >= 3, s"sub-data target must fan out, got $nMulti files")
   }
 
+  test("min/max file skipping: narrow probe opens a strict subset of files, result exact") {
+    val sfDir = "/root/testdata/sf0.001"
+    val (_, idxPath) = graft.io.FileSkipping.ensureEventsByUser(spark, sfDir)
+    // pick a probe range from the data so the test is SF-independent
+    val users = graft.sources.Tables.events(spark, sfDir)
+      .agg(min(col("user_id")), max(col("user_id"))).head()
+    val (lo, hi) = (users.getLong(0), users.getLong(0) +
+      math.max(1L, (users.getLong(1) - users.getLong(0)) / 10))
+    val (files, total) = graft.io.FileSkipping.planFiles(spark, idxPath, lo, hi)
+    assert(total > 1, "layout must produce multiple files")
+    assert(files.nonEmpty && files.size < total,
+      s"a ~10% key probe must skip files: kept ${files.size} of $total")
+    val pruned = graft.io.FileSkipping.prunedRead(spark, sfDir, lo, hi)
+      .select("event_id")
+    val full = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("user_id").between(lo, hi)).select("event_id")
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+  }
+
   test("K1 export: header CSV, single-file mode, values round-trip") {
     import spark.implicits._
     val df = Seq((1L, "a", 1.5), (2L, "b", -2.5)).toDF("id", "s", "v")
