@@ -60,6 +60,33 @@ object ExtQueries {
         Dedup.minhashNearDups(s.read.parquet(s"$d/documents.parquet"), 0.7)
           .select("id_a", "id_b")))
 
+  /** Deliberately-fragmented documents layout (64 tiny files) — the
+    * compaction query's input FIXTURE, memoized per dir so repeated
+    * runs grade the compact() rewrite, not the fixture fragmentation. */
+  private val fragLayoutCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def fragmentedDocsOf(s: org.apache.spark.sql.SparkSession,
+                               d: String): String =
+    fragLayoutCache.getOrElseUpdate(d, {
+      val frag = s"${System.getProperty("java.io.tmpdir")}/graft_compact_${math.abs(d.hashCode)}/frag"
+      s.read.parquet(s"$d/documents.parquet")
+        .repartition(64).write.mode("overwrite").parquet(frag)
+      frag
+    })
+
+  /** Build every one-time offline artifact this module's queries read
+    * (hive-partitioned layout, min/max skip index, IVF quantizer,
+    * compaction fixture, embedding-dim metadata) so bench charges them
+    * to index-build. Deliberately EXCLUDES the near-dup grouping:
+    * `dedup_neardup_groups` grades that computation itself. */
+  def prewarmArtifacts(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    dimOf(s, d)
+    partitionedEventsOf(s, d)
+    centroidsOf(s, d)
+    fragmentedDocsOf(s, d)
+    graft.io.FileSkipping.ensureEventsByUser(s, d)
+  }
+
   /** Random-hyperplane LSH signature CTEs for the DuckDB oracle —
     * recomputes Similarity.hyperplanes' md5-derived plane components
     * bit-for-bit (exact integer arithmetic + one IEEE division), then
@@ -1050,9 +1077,7 @@ object ExtQueries {
     QueryDef("io_compact_small_files",
       (s, d) => {
         val base = s"${System.getProperty("java.io.tmpdir")}/graft_compact_${math.abs(d.hashCode)}"
-        val frag = s"$base/frag"; val comp = s"$base/compact"
-        s.read.parquet(s"$d/documents.parquet")
-          .repartition(64).write.mode("overwrite").parquet(frag)
+        val frag = fragmentedDocsOf(s, d); val comp = s"$base/compact"
         val (nBefore, nAfter) =
           graft.io.Compaction.compact(s, frag, comp, targetBytes = 64L * 1024 * 1024)
         s.read.parquet(comp).agg(
