@@ -59,6 +59,44 @@ object TextAnalysis {
   def langId(textCol: Column): Column =
     graft.functions.TextHashFunctions.langId(textCol)
 
+  /** Concat-and-chunk sequence packing: documents in `orderCol` order
+    * are laid end-to-end and cut into bins of `budget` weight (token)
+    * units — `bin = floor(exclusive_prefix_sum(weight) / budget)`, the
+    * standard way training corpora are packed into fixed-token-budget
+    * sequences.
+    *
+    * Scale design: a global running sum spelled as one unpartitioned
+    * window serializes the corpus through a single task. This kernel
+    * runs it in two phases instead: an in-bucket running sum (window
+    * PARTITIONED by `bucketExpr` — parallel across buckets) plus a
+    * per-bucket total digest (one row per bucket) prefix-scanned on
+    * the driver-sized side and broadcast back as each bucket's
+    * carry-in. Same shape as the as-of kernel's cross-bucket carry:
+    * the only single-partition window touches the digest.
+    *
+    * `bucketExpr` must be monotone non-decreasing in `orderCol`
+    * (e.g. `col("doc_id") div 256`) so bucket order == global order. */
+  def packBins(df: DataFrame, orderCol: String, weight: Column,
+               budget: Long, bucketExpr: Column): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.withColumn("__w", weight.cast("long"))
+      .withColumn("__bk", bucketExpr.cast("long"))
+    val wIn = Window.partitionBy(col("__bk")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val digest = base.groupBy(col("__bk")).agg(sum(col("__w")).as("__s"))
+    val wC = Window.orderBy(col("__bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = digest
+      .withColumn("__c", coalesce(sum(col("__s")).over(wC), lit(0L)))
+      .select(col("__bk"), col("__c"))
+    base.join(broadcast(carry), Seq("__bk"))
+      .withColumn("__cum",
+        col("__c") + coalesce(sum(col("__w")).over(wIn), lit(0L)))
+      .withColumn("bin", expr(s"__cum div ${budget}L"))
+      .drop("__bk", "__c", "__cum")
+  }
+
   /** BPE-ish token count: letter runs, digit runs, and single
     * punctuation marks each count as one token (regex-based proxy for
     * a real tokenizer's token count). */

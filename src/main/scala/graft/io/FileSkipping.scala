@@ -1,6 +1,6 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Min/max file skipping over a range-clustered layout — the zone-map
@@ -76,5 +76,86 @@ object FileSkipping {
     else
       spark.read.parquet(files: _*)
         .filter(col("user_id").between(lo, hi))
+  }
+
+  // ---------------------------------------------------------------
+  // Z-order (2-D) clustering — the multi-dimensional generalization
+  // of the range-clustered layout above: interleaving the bits of two
+  // keys makes each file cover a small RECTANGLE in (k1, k2) space,
+  // so a predicate on EITHER dimension (or both) skips files. A
+  // 1-D sort would cluster only its leading key; the trailing key's
+  // min/max spans everything and never prunes.
+  // ---------------------------------------------------------------
+
+  /** Morton/Z-value of two 16-bit keys via the parallel-bit-spread
+    * closed form (4 mask-shift rounds per key) — pure bitwise column
+    * arithmetic, stays inside whole-stage codegen. Inputs are clamped
+    * to [0, 65535]; at larger domains quantize first (the z-value
+    * only drives clustering, exactness never depends on it). */
+  def morton16(a: Column, b: Column): Column = {
+    def spread(x0: Column): Column = {
+      val c = x0.cast("long")
+      val x = least(greatest(c, lit(0L)), lit(65535L))
+      val s1 = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FFL))
+      val s2 = s1.bitwiseOR(shiftleft(s1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(lit(0x33333333L))
+      s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+  }
+
+  /** Build (or reuse) the Z-ordered layout of `events` on
+    * (user_id, floor(value)) plus a per-file 2-D stats index
+    * (min/max of BOTH keys). Returns (dataDir, indexPath). */
+  def ensureEventsZOrder(spark: SparkSession, sfDir: String,
+                         nFiles: Int = 32): (String, String) =
+    zcache.getOrElseUpdate((System.identityHashCode(spark), sfDir), {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_ev_${math.abs(sfDir.hashCode)}"
+      val dataDir = s"$base/data"; val idxPath = s"$base/index"
+      graft.sources.Tables.events(spark, sfDir)
+        .withColumn("__z", morton16(col("user_id"),
+          floor(col("value")).cast("long")))
+        .repartitionByRange(nFiles, col("__z"))
+        .sortWithinPartitions(col("__z"))
+        .drop("__z")
+        .write.mode("overwrite").parquet(dataDir)
+      spark.read.parquet(dataDir)
+        .groupBy(col("_metadata.file_path").as("file"))
+        .agg(min(col("user_id")).as("u_lo"), max(col("user_id")).as("u_hi"),
+          min(floor(col("value")).cast("long")).as("v_lo"),
+          max(floor(col("value")).cast("long")).as("v_hi"),
+          count(lit(1)).as("n_rows"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(idxPath)
+      (dataDir, idxPath)
+    })
+
+  private val zcache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), (String, String)]
+
+  /** Files whose (user, value) bounding rectangle intersects the query
+    * box — 2-D index consultation. */
+  def planFiles2D(spark: SparkSession, idxPath: String,
+                  uLo: Long, uHi: Long, vLo: Long, vHi: Long): (Seq[String], Int) = {
+    val idx = spark.read.parquet(idxPath)
+    val total = idx.count().toInt
+    val kept = idx.filter(col("u_hi") >= uLo && col("u_lo") <= uHi &&
+        col("v_hi") >= vLo && col("v_lo") <= vHi)
+      .select("file").collect().map(_.getString(0)).toSeq
+    (kept, total)
+  }
+
+  /** 2-D pruned read over the Z-ordered layout; the residual predicate
+    * keeps results exact regardless of index granularity. */
+  def prunedRead2D(spark: SparkSession, sfDir: String,
+                   uLo: Long, uHi: Long, vLo: Double, vHi: Double): DataFrame = {
+    val (_, idxPath) = ensureEventsZOrder(spark, sfDir)
+    val (files, _) = planFiles2D(spark, idxPath, uLo, uHi,
+      math.floor(vLo).toLong, math.floor(vHi).toLong)
+    val residual = col("user_id").between(uLo, uHi) &&
+      col("value") >= vLo && col("value") < vHi
+    if (files.isEmpty)
+      graft.sources.Tables.events(spark, sfDir).filter(lit(false))
+    else spark.read.parquet(files: _*).filter(residual)
   }
 }

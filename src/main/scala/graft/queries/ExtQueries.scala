@@ -85,6 +85,7 @@ object ExtQueries {
     centroidsOf(s, d)
     fragmentedDocsOf(s, d)
     graft.io.FileSkipping.ensureEventsByUser(s, d)
+    graft.io.FileSkipping.ensureEventsZOrder(s, d)
   }
 
   /** Random-hyperplane LSH signature CTEs for the DuckDB oracle —
@@ -578,6 +579,62 @@ object ExtQueries {
               |FROM documents
               |WHERE ${dkHash60("'sample:'||doc_id")} % 100 < 20
               |ORDER BY doc_id""".stripMargin)),
+
+    // Quality-WEIGHTED deterministic sampling: per-doc keep probability
+    // proportional to length (clamped to [5%, 95%]), membership decided
+    // by comparing a salted md5 hash against the per-doc threshold —
+    // all integer ppm arithmetic, so any engine re-derives the exact
+    // sample. The curriculum/importance-sampling primitive; one scan,
+    // no rand(), no resample-on-retry drift.
+    QueryDef("doc_sample_weighted",
+      (s, d) => {
+        val keepPpm = least(lit(950000L),
+          greatest(lit(50000L), col("n_chars") * 500))
+        s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"), col("n_chars"),
+            keepPpm.as("keep_ppm"),
+            pmod(Dedup.strHash60(concat(lit("wsample:"), col("doc_id"))),
+              lit(1000000)).as("u_ppm"))
+          .filter(col("u_ppm") < col("keep_ppm"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id, n_chars,
+              |  least(950000, greatest(50000, n_chars * 500)) AS keep_ppm,
+              |  ${dkHash60("'wsample:'||doc_id")} % 1000000 AS u_ppm
+              |FROM documents
+              |WHERE ${dkHash60("'wsample:'||doc_id")} % 1000000
+              |      < least(950000, greatest(50000, n_chars * 500))
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Sequence packing: documents concatenated in doc_id order and cut
+    // into 2048-token bins (TextAnalysis.packBins: two-phase prefix
+    // sum — in-bucket windows + broadcast bucket-carry digest; no
+    // global single-partition window). THE batch-construction op for
+    // training: every row of the output is one packed sequence.
+    QueryDef("pipe_seq_pack",
+      (s, d) => TextAnalysis.packBins(
+        s.read.parquet(s"$d/documents.parquet"),
+        orderCol = "doc_id",
+        weight = TextAnalysis.bpeishTokenCount(col("text")),
+        budget = 2048L,
+        bucketExpr = expr("doc_id div 256"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__w")).as("sum_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("bin")),
+      Some("""WITH t AS (SELECT doc_id,
+             |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS w
+             |  FROM documents),
+             |c AS (SELECT doc_id, w,
+             |    coalesce(sum(w) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+             |  FROM t)
+             |SELECT (cb // 2048)::BIGINT AS bin, count(*) AS n_docs,
+             |  sum(w)::BIGINT AS sum_tokens,
+             |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+             |FROM c GROUP BY 1 ORDER BY bin""".stripMargin)),
 
     // Stratified deterministic sampling: per-SOURCE rates (even-indexed
     // sources keep 20%, odd 50% — the downsample-overrepresented-crawls
@@ -1113,6 +1170,28 @@ object ExtQueries {
              |  count(DISTINCT user_id) AS n_users,
              |  sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
              |FROM events WHERE user_id BETWEEN 100 AND 199
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Z-ORDER 2-D skipping: the layout interleaves (user_id,
+    // floor(value)) bits so each file covers a small rectangle of the
+    // key space; a box predicate on both dims opens only intersecting
+    // files (a 1-D sort would never prune on the second key). The
+    // residual filter keeps results exact, so the oracle is the plain
+    // scan — equality is unconditional; the file-skip ratio itself is
+    // pinned by IoSpec.
+    QueryDef("io_zorder_prune",
+      (s, d) => graft.io.FileSkipping
+        .prunedRead2D(s, d, uLo = 100L, uHi = 399L, vLo = 50.0, vHi = 100.0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type, count(*) AS n,
+             |  count(DISTINCT user_id) AS n_users,
+             |  sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
+             |FROM events
+             |WHERE user_id BETWEEN 100 AND 399 AND value >= 50 AND value < 100
              |GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

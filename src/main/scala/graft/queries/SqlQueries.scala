@@ -871,6 +871,97 @@ object SqlQueries {
              |  sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)))::DOUBLE AS revenue
              |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
              |WHERE o_orderdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-01-31'
-             |GROUP BY o_orderdate ORDER BY o_orderdate""".stripMargin))
+             |GROUP BY o_orderdate ORDER BY o_orderdate""".stripMargin)),
+
+    // TPC-H Q18-style filter-by-aggregate-then-join-back: aggregate the
+    // FACT first (map-side partial sums collapse 4 items/order into one
+    // row), keep only the rare HAVING survivors, then broadcast that
+    // tiny set into the orders/customer joins. At 100 TB the wrong
+    // shape — join first, aggregate after — shuffles the whole fact
+    // table; this one shuffles a per-key digest and broadcasts ~0.2%.
+    QueryDef("q18_large_orders",
+      (s, d) => {
+        val big = s.read.parquet(s"$d/lineitem.parquet")
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("__sq"))
+          .filter(col("__sq") > 280)
+          .select(col("l_orderkey"), col("__sq").cast("double").as("sum_qty"))
+        s.read.parquet(s"$d/orders.parquet")
+          .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+          .join(s.read.parquet(s"$d/customer.parquet"),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            col("o_totalprice"), col("sum_qty"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+             |FROM (SELECT l_orderkey,
+             |        sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE AS sum_qty
+             |      FROM lineitem GROUP BY 1
+             |      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 280) q
+             |JOIN orders ON o_orderkey = l_orderkey
+             |JOIN customer ON c_custkey = o_custkey
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Fixed-width numeric histogram — one scan, bin key computed in the
+    // projection so the groupBy partial-aggregates per bin (≈20 groups:
+    // the shuffle is the bin digest, never the rows). The standard
+    // profile-a-column primitive at any scale.
+    QueryDef("q_price_histogram",
+      (s, d) => s.read.parquet(s"$d/lineitem.parquet")
+        .select(floor(col("l_extendedprice") / 5000).cast("long").as("bin"),
+          col("l_extendedprice"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy(col("bin")),
+      Some("""SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin,
+             |  count(*) AS n,
+             |  sum(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE AS sum_price
+             |FROM lineitem GROUP BY 1 ORDER BY bin""".stripMargin)),
+
+    // Mode (most frequent value) per group — two-level aggregation:
+    // count per (group, value), then per-group argmax via a struct
+    // max_by with an explicit (count, value) ordering so ties are
+    // deterministic (higher count, then lexicographically later
+    // value). Both shuffles carry digests, no windows, no sorts on
+    // data — the scalable spelling of "top value per key".
+    QueryDef("q_mode_per_group",
+      (s, d) => graft.sources.Tables.events(s, d)
+        .filter(col("user_id") < 100)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("user_id"))
+        .agg(max_by(struct(col("event_type").as("t"), col("n")),
+          struct(col("n"), col("event_type"))).as("__m"))
+        .select(col("user_id"),
+          col("__m.t").as("mode_type"), col("__m.n").as("n_events"))
+        .orderBy(col("user_id")),
+      Some("""WITH c AS (SELECT user_id, event_type, count(*) AS n
+             |           FROM events WHERE user_id < 100 GROUP BY 1, 2),
+             |r AS (SELECT user_id, event_type, n, row_number() OVER
+             |        (PARTITION BY user_id ORDER BY n DESC, event_type DESC) AS rn
+             |      FROM c)
+             |SELECT user_id, event_type AS mode_type, n AS n_events
+             |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // Per-group exact quantiles — the grouped twin of a2_quantiles:
+    // ExactPercentile aggregates per group (partial buffers merge, so
+    // groups parallelize across the cluster; the 100 TB switch is the
+    // same approx_percentile swap documented on a2_quantiles_approx).
+    QueryDef("q_group_quantiles",
+      (s, d) => s.read.parquet(s"$d/orders.parquet")
+        .groupBy(col("o_orderpriority"))
+        .agg(graft.functions.ExactPercentile
+          .percentiles(col("o_totalprice"), Seq(0.5, 0.95)).as("__q"))
+        .select(col("o_orderpriority"),
+          round(col("__q").getItem(0), 4).as("p50"),
+          round(col("__q").getItem(1), 4).as("p95"))
+        .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority,
+             |  round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+             |  round(quantile_cont(o_totalprice, 0.95), 4) AS p95
+             |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin))
   )
 }

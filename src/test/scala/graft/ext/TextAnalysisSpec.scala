@@ -75,6 +75,27 @@ class TextAnalysisSpec extends GraftSpec {
     assert(out.filter(_._1 == 2L).map(_._4).toSeq === Seq("tiny text"))
   }
 
+  test("packBins: two-phase prefix sum == sequential concat-and-chunk, any bucketing") {
+    import spark.implicits._
+    // deterministic uneven weights; ids deliberately shuffled on input
+    val rows = (0L until 200L).map(i => (i, 1L + (i * 37 + 11) % 97))
+    val df = scala.util.Random.shuffle(rows).toDF("id", "w")
+      .repartition(5)
+    val budget = 250L
+    // sequential reference: exclusive running sum div budget
+    var cum = 0L
+    val expect = rows.map { case (id, w) =>
+      val bin = cum / budget; cum += w; id -> bin
+    }.toMap
+    for (bucketDiv <- Seq(1L, 7L, 64L, 1000L)) {
+      val got = TextAnalysis.packBins(df, "id", col("w"), budget,
+        expr(s"id div $bucketDiv"))
+        .select("id", "bin").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expect, s"bucketDiv=$bucketDiv")
+    }
+  }
+
   test("fingerprint is order-free over the distinct token set") {
     import spark.implicits._
     val out = Seq("b a c", "c b a", "a b c c", "a b d").toDF("text")

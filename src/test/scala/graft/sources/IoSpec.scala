@@ -100,6 +100,36 @@ class IoSpec extends GraftSpec {
     assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
   }
 
+  test("z-order 2-D skipping: box probe opens a strict subset, prunes on the SECOND dim too") {
+    val sfDir = "/root/testdata/sf0.001"
+    val (_, idxPath) = graft.io.FileSkipping.ensureEventsZOrder(spark, sfDir)
+    val stats = graft.sources.Tables.events(spark, sfDir)
+      .agg(min(col("user_id")), max(col("user_id")),
+        min(col("value")), max(col("value"))).head()
+    val (uMin, uMax) = (stats.getLong(0), stats.getLong(1))
+    val (vMin, vMax) = (stats.getDouble(2), stats.getDouble(3))
+    val (uLo, uHi) = (uMin, uMin + math.max(1L, (uMax - uMin) / 4))
+    val (vLo, vHi) = (vMin, vMin + math.max(1.0, (vMax - vMin) / 4))
+    val (files, total) = graft.io.FileSkipping.planFiles2D(spark, idxPath,
+      uLo, uHi, math.floor(vLo).toLong, math.floor(vHi).toLong)
+    assert(total > 1, "layout must produce multiple files")
+    assert(files.nonEmpty && files.size < total,
+      s"a quarter-box probe must skip files: kept ${files.size} of $total")
+    // a value-ONLY box (all users) must also prune: the whole point of
+    // z-order over a 1-D user sort
+    val (vOnly, _) = graft.io.FileSkipping.planFiles2D(spark, idxPath,
+      uMin, uMax, math.floor(vLo).toLong, math.floor(vHi).toLong)
+    assert(vOnly.size < total,
+      s"a value-only probe must skip files on a z-ordered layout: kept ${vOnly.size} of $total")
+    val pruned = graft.io.FileSkipping.prunedRead2D(spark, sfDir, uLo, uHi, vLo, vHi)
+      .select("event_id")
+    val full = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("user_id").between(uLo, uHi) &&
+        col("value") >= vLo && col("value") < vHi)
+      .select("event_id")
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+  }
+
   test("K1 export: header CSV, single-file mode, values round-trip") {
     import spark.implicits._
     val df = Seq((1L, "a", 1.5), (2L, "b", -2.5)).toDF("id", "s", "v")
