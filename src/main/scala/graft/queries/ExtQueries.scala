@@ -636,6 +636,101 @@ object ExtQueries {
              |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
              |FROM c GROUP BY 1 ORDER BY bin""".stripMargin)),
 
+    // Deterministic global shuffle + sharding: order by a salted hash
+    // of the id (the reproducible stand-in for rand()), shard by hash
+    // mod 64, position within shard by a window PARTITIONED by shard —
+    // 64-way parallel, no global sort, no single-partition window. The
+    // write-training-shards op: re-running it yields byte-identical
+    // shard files on any cluster size.
+    QueryDef("pipe_shard_shuffle",
+      (s, d) => {
+        val h = Dedup.strHash60(concat(lit("shuf:"), col("doc_id")))
+        s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"), pmod(h, lit(64)).as("shard"), h.as("__hk"))
+          .withColumn("pos",
+            (row_number().over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("shard"))
+              .orderBy(col("__hk"), col("doc_id"))) - 1).cast("long"))
+          .select(col("doc_id"), col("shard"), col("pos"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH h AS (SELECT doc_id,
+              |    ${dkHash60("'shuf:'||doc_id")} AS hk
+              |  FROM documents)
+              |SELECT doc_id, hk % 64 AS shard,
+              |  row_number() OVER (PARTITION BY hk % 64 ORDER BY hk, doc_id) - 1 AS pos
+              |FROM h ORDER BY doc_id""".stripMargin)),
+
+    // Corpus MIXING to a target distribution: uniform target share per
+    // source; each source's keep-rate is (total/n_sources)/count_s in
+    // exact integer ppm, membership by salted hash — the downweight-
+    // overrepresented-sources op (static DoReMi-style mixing). Two
+    // digest-sized aggregates + one broadcast join; the corpus itself
+    // is scanned once.
+    QueryDef("pipe_corpus_mix",
+      (s, d) => {
+        val docs = s.read.parquet(s"$d/documents.parquet")
+        val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+        val tot = counts.agg(sum(col("cnt")).as("total"),
+          count(lit(1)).as("ns"))
+        val rates = counts.crossJoin(tot)
+          .select(col("source"),
+            least(lit(1000000L),
+              expr("(total * 1000000) div (ns * cnt)")).as("rate_ppm"))
+        docs.join(broadcast(rates), "source")
+          .filter(pmod(Dedup.strHash60(concat(lit("mix:"), col("doc_id"))),
+            lit(1000000)) < col("rate_ppm"))
+          .select(col("doc_id"), col("source"), col("rate_ppm"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY 1),
+              |t AS (SELECT sum(cnt) AS total, count(*) AS ns FROM c),
+              |r AS (SELECT source,
+              |        least(1000000, (t.total * 1000000) // (t.ns * c.cnt))::BIGINT AS rate_ppm
+              |      FROM c, t)
+              |SELECT d.doc_id, d.source, r.rate_ppm
+              |FROM documents d JOIN r USING (source)
+              |WHERE ${dkHash60("'mix:'||d.doc_id")} % 1000000 < r.rate_ppm
+              |ORDER BY d.doc_id""".stripMargin)),
+
+    // FILTERED vector search — predicate + ANN composed: restrict the
+    // corpus to quality-gated documents (joined to their embeddings),
+    // then exact top-3 over the survivors. Pre-filtering the corpus
+    // before the distance kernel is the hard half of real filtered-ANN
+    // systems; here the filter is a Catalyst predicate the scan pushes
+    // down, and the same LSH/IVF kernels apply unchanged at scale.
+    QueryDef("pipe_filtered_ann",
+      (s, d) => {
+        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        val kept = TextAnalysis.stats(s.read.parquet(s"$d/documents.parquet"))
+          .withColumn("quality", round(TextAnalysis.qualityScore, 5))
+          .filter(col("quality") >= 0.5)
+          .select(col("doc_id"))
+        val corpus = emb.join(kept, emb("vec_id") === kept("doc_id"))
+          .select(emb.columns.map(col): _*)
+        Similarity.bruteForceTopK(corpus, emb.filter(col("vec_id") < 10), 3)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            round(col("sim"), 6).as("sim"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+              |q0 AS (SELECT doc_id,
+              |  round((CASE WHEN len(tk) BETWEEN 20 AND 1000 THEN 0.4 ELSE 0.0 END)
+              |    + least(len(list_distinct(tk))::DOUBLE / len(tk), 0.5) * 0.8
+              |    + least(len(list_filter(tk, x -> list_contains([${TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")}], x)))::DOUBLE / len(tk) * 4, 0.2), 5) AS quality
+              |  FROM tk),
+              |t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              |      JOIN q0 ON vec_id = doc_id WHERE quality >= 0.5),
+              |qq AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10),
+              |sc AS (SELECT qq.vec_id AS query_id, t.vec_id AS neighbor_id,
+              |        list_cosine_similarity(qq.v, t.v) AS sim
+              |      FROM qq, t WHERE t.vec_id != qq.vec_id),
+              |r AS (SELECT query_id, neighbor_id, sim,
+              |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+              |      FROM sc)
+              |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
+              |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
+
     // Stratified deterministic sampling: per-SOURCE rates (even-indexed
     // sources keep 20%, odd 50% — the downsample-overrepresented-crawls
     // op), membership a pure salted-hash function of doc_id so any

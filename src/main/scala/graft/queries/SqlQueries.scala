@@ -962,6 +962,61 @@ object SqlQueries {
       Some("""SELECT o_orderpriority,
              |  round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
              |  round(quantile_cont(o_totalprice, 0.95), 4) AS p95
-             |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin))
+             |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)),
+
+    // Winsorize / outlier trim per group — the two-pass shape: an
+    // exact-percentile DIGEST per group (tiny), broadcast back onto
+    // the scan, tails counted against the bounds. At 100 TB the digest
+    // pass switches to approx_percentile (a2_quantiles_approx twin);
+    // the broadcast-back plan is unchanged.
+    QueryDef("q_winsorize",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+        val bounds = ev.groupBy(col("event_type"))
+          .agg(graft.functions.ExactPercentile
+            .percentiles(col("value"), Seq(0.05, 0.95)).as("__q"))
+        ev.join(broadcast(bounds), "event_type")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("value") < col("__q").getItem(0), 1L)
+              .otherwise(0L)).as("n_lo_clipped"),
+            sum(when(col("value") > col("__q").getItem(1), 1L)
+              .otherwise(0L)).as("n_hi_clipped"),
+            round(max(col("__q").getItem(0)), 4).as("p05"),
+            round(max(col("__q").getItem(1)), 4).as("p95"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH q AS (SELECT event_type,
+             |    quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+             |  FROM events GROUP BY 1)
+             |SELECT e.event_type, count(*) AS n,
+             |  sum(CASE WHEN e.value < q.lo THEN 1 ELSE 0 END)::BIGINT AS n_lo_clipped,
+             |  sum(CASE WHEN e.value > q.hi THEN 1 ELSE 0 END)::BIGINT AS n_hi_clipped,
+             |  round(max(q.lo), 4) AS p05, round(max(q.hi), 4) AS p95
+             |FROM events e JOIN q USING (event_type)
+             |GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // Rolling per-key time-series features (trailing 5-row mean/max) —
+    // windows PARTITIONED by user parallelize across the cluster; the
+    // frame is rows-based so state per task is O(frame), not O(user
+    // history).
+    QueryDef("q_rolling_features",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id")).rowsBetween(-4, 0)
+        graft.sources.Tables.events(s, d)
+          .filter(col("user_id") < 50)
+          .select(col("event_id"), col("user_id"),
+            round(avg(col("value")).over(w), 4).as("roll_avg"),
+            max(col("value")).over(w).as("roll_max"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id,
+             |  round(avg(value) OVER w, 4) AS roll_avg,
+             |  max(value) OVER w AS roll_max
+             |FROM events WHERE user_id < 50
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin))
   )
 }
