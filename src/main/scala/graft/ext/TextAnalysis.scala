@@ -75,16 +75,21 @@ object TextAnalysis {
     * the only single-partition window touches the digest.
     *
     * `bucketExpr` must be monotone non-decreasing in `orderCol`
-    * (e.g. `col("doc_id") div 256`) so bucket order == global order. */
+    * (e.g. `col("doc_id") div 256`) so bucket order == global order.
+    *
+    * Output contract: the input columns plus `bin` (the packed
+    * sequence id) and `pack_weight` (each row's evaluated weight, so
+    * downstream per-bin aggregation doesn't re-evaluate the weight
+    * expression). */
   def packBins(df: DataFrame, orderCol: String, weight: Column,
                budget: Long, bucketExpr: Column): DataFrame = {
     require(budget > 0, "budget must be positive")
     import org.apache.spark.sql.expressions.Window
-    val base = df.withColumn("__w", weight.cast("long"))
+    val base = df.withColumn("pack_weight", weight.cast("long"))
       .withColumn("__bk", bucketExpr.cast("long"))
     val wIn = Window.partitionBy(col("__bk")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val digest = base.groupBy(col("__bk")).agg(sum(col("__w")).as("__s"))
+    val digest = base.groupBy(col("__bk")).agg(sum(col("pack_weight")).as("__s"))
     val wC = Window.orderBy(col("__bk"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val carry = digest
@@ -92,16 +97,18 @@ object TextAnalysis {
       .select(col("__bk"), col("__c"))
     base.join(broadcast(carry), Seq("__bk"))
       .withColumn("__cum",
-        col("__c") + coalesce(sum(col("__w")).over(wIn), lit(0L)))
+        col("__c") + coalesce(sum(col("pack_weight")).over(wIn), lit(0L)))
       .withColumn("bin", expr(s"__cum div ${budget}L"))
       .drop("__bk", "__c", "__cum")
   }
 
   /** BPE-ish token count: letter runs, digit runs, and single
     * punctuation marks each count as one token (regex-based proxy for
-    * a real tokenizer's token count). */
+    * a real tokenizer's token count). Fused count-only kernel — the
+    * `size(regexp_extract_all(...))` formulation materialized the full
+    * match array per row just to take its length. */
   def bpeishTokenCount(textCol: Column): Column =
-    size(regexp_extract_all(lower(textCol), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+    graft.functions.TextHashFunctions.bpeTokenCount(textCol)
 
   /** Canonical bag-of-words fingerprint: md5 of the sorted distinct
     * token set — equal fingerprints = same vocabulary (order-free

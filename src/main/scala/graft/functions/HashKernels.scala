@@ -207,6 +207,31 @@ object HashKernels {
     new String(hex)
   }
 
+  /** BPE-ish token COUNT without materializing the match array:
+    * maximal `[a-z]+` runs, maximal `[0-9]+` runs, and every other
+    * non-space code point each count one — the same matches
+    * `regexp_extract_all(lower(s), '[a-z]+|[0-9]+|[^a-z0-9 ]')` finds,
+    * counted in a single scan. */
+  def bpeTokenCount(s: String): Int = {
+    val lc = s.toLowerCase(Locale.ROOT)
+    var count = 0
+    var i = 0
+    var run = 0 // 0 = none, 1 = letter run, 2 = digit run
+    while (i < lc.length) {
+      val cp = lc.codePointAt(i)
+      if (cp >= 'a' && cp <= 'z') {
+        if (run != 1) { count += 1; run = 1 }
+      } else if (cp >= '0' && cp <= '9') {
+        if (run != 2) { count += 1; run = 2 }
+      } else {
+        if (cp != ' ') count += 1
+        run = 0
+      }
+      i += Character.charCount(cp)
+    }
+    count
+  }
+
   /** Polynomial rolling hash over code points:
     * h = (h·31 + codepoint) mod P — matches
     * `list_reduce(... ascii(c) ...)` in the DuckDB oracle. */

@@ -112,6 +112,16 @@ object TokenStats {
   }
 }
 
+/** Count-only twin of `size(regexp_extract_all(...))` — the token
+  * count without allocating the token array per row. */
+case class BpeTokenCount(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.bpeTokenCount(input.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class LangId(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = StringType
@@ -158,6 +168,8 @@ object TextHashFunctions {
       es => TokenStats(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_lang_id",
       es => LangId(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_bpe_token_count",
+      es => BpeTokenCount(es.head), "scala_udf")
   }
 
   private def sess: SparkSession = SparkSession.active
@@ -189,5 +201,8 @@ object TextHashFunctions {
   }
   def langId(text: Column): Column = {
     register(sess); call_function("graft_lang_id", text)
+  }
+  def bpeTokenCount(text: Column): Column = {
+    register(sess); call_function("graft_bpe_token_count", text)
   }
 }

@@ -620,7 +620,7 @@ object ExtQueries {
         bucketExpr = expr("doc_id div 256"))
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n_docs"),
-          sum(col("__w")).as("sum_tokens"),
+          sum(col("pack_weight")).as("sum_tokens"),
           min(col("doc_id")).as("first_doc"),
           max(col("doc_id")).as("last_doc"))
         .orderBy(col("bin")),
