@@ -77,4 +77,42 @@ object Stats {
       col("q").getItem(0).as("q25"), col("q").getItem(1).as("q50"),
       col("q").getItem(2).as("q75"))
   }
+
+  /** A5-all — `describe()` over EVERY listed numeric column at once
+    * (reference `app.py:466` summarizes the whole frame in one call),
+    * long format: one row per column. ONE aggregate pass computes
+    * count/sum/sumsq/min/max/quantiles for all columns — at 100 TB
+    * this is one scan + one tiny shuffle regardless of column count,
+    * not k separate jobs. Same exact-decimal arithmetic as
+    * `summaryExact`, so the oracle reproduces it bit-for-bit. */
+  def summaryAllExact(df: DataFrame, cols: Seq[String], scale: Int = 2): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      val d = col(c).cast(s"decimal(28,$scale)")
+      val d2 = (col(c) * col(c)).cast(s"decimal(38,${2 * scale min 6})")
+      Seq(
+        count(col(c)).as(s"${c}__cnt"),
+        sum(d).as(s"${c}__sum"),
+        sum(d2).as(s"${c}__sumsq"),
+        min(col(c)).cast("double").as(s"${c}__mn"),
+        max(col(c)).cast("double").as(s"${c}__mx"),
+        graft.functions.ExactPercentile.percentiles(col(c), Seq(0.25, 0.5, 0.75))
+          .as(s"${c}__q"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      val cnt = col(s"${c}__cnt")
+      val s = col(s"${c}__sum").cast("double")
+      val sq = col(s"${c}__sumsq").cast("double")
+      struct(
+        lit(c).as("column"),
+        cnt.as("cnt"),
+        (s / cnt).as("mean"),
+        sqrt((sq - s * s / cnt) / (cnt - 1)).as("stddev"),
+        col(s"${c}__mn").as("mn"), col(s"${c}__mx").as("mx"),
+        col(s"${c}__q").getItem(0).as("q25"),
+        col(s"${c}__q").getItem(1).as("q50"),
+        col(s"${c}__q").getItem(2).as("q75"))
+    }
+    wide.select(explode(array(rows: _*)).as("__s")).select(col("__s.*"))
+  }
 }

@@ -428,6 +428,35 @@ object RefQueries {
              |  round(quantile_cont(p_retailprice, 0.75), 4) AS q75
              |FROM part""".stripMargin)),
 
+    // A5-all — reference app.py:466 describes EVERY numeric column of
+    // the frame in one call; this is that twin over lineitem's four
+    // measures: one aggregate pass, one row per column.
+    QueryDef("a5_summary_all",
+      (s, d) => {
+        val li = s.read.parquet(s"$d/lineitem.parquet")
+        Stats.summaryAllExact(li,
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+          .select(col("column"), col("cnt"),
+            round(col("mean"), 4).as("mean"), round(col("stddev"), 4).as("stddev"),
+            round(col("mn"), 4).as("mn"), round(col("mx"), 4).as("mx"),
+            round(col("q25"), 4).as("q25"), round(col("q50"), 4).as("q50"),
+            round(col("q75"), 4).as("q75"))
+          .orderBy(col("column"))
+      },
+      Some(Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
+        s"""SELECT '$c' AS "column", count($c) AS cnt,
+           |  round(sum(CAST($c AS DECIMAL(28,2)))::DOUBLE / count($c), 4) AS mean,
+           |  round(sqrt((sum(CAST($c * $c AS DECIMAL(38,4)))::DOUBLE
+           |        - sum(CAST($c AS DECIMAL(28,2)))::DOUBLE
+           |          * sum(CAST($c AS DECIMAL(28,2)))::DOUBLE / count($c))
+           |       / (count($c) - 1)), 4) AS stddev,
+           |  round(min($c), 4) AS mn, round(max($c), 4) AS mx,
+           |  round(quantile_cont($c, 0.25), 4) AS q25,
+           |  round(quantile_cont($c, 0.50), 4) AS q50,
+           |  round(quantile_cont($c, 0.75), 4) AS q75
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\""))),
+
     // K3 — row-count metrics (app.py:244-260,458-460). Counts come
     // from the parquet footer metadata (what every engine's count(*)
     // fast path reads — DuckDB answers this in milliseconds), not ten
