@@ -113,66 +113,124 @@ object Similarity extends Serializable {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
-  /** IVF (inverted-file) ANN top-k: a seeded k-means coarse quantizer
-    * partitions the corpus into cells; each query probes its `nProbe`
-    * nearest cells and exact-re-ranks only those vectors. The classic
-    * trade: recall grows with nProbe, scan cost is ~nProbe/nCentroids
-    * of the corpus. `nProbe == nCentroids` degenerates to exact brute
-    * force (the law the tests pin). Centroids live on the driver
-    * (nCentroids·dim doubles — tiny) and ship in the probe closure. */
-  /** Fit the IVF coarse quantizer once (seeded k-means, random init —
-    * k-means|| runs extra distributed passes to seed centers, pointless
-    * for a quantizer whose cells only need rough balance). At scale the
-    * quantizer is trained OFFLINE and reused across queries — callers
-    * pass the result to `ivfTopK(centroids = ...)` so the index build
-    * never rides the query path. */
-  def fitCentroids(corpus: DataFrame, nCentroids: Int = 16, seed: Long = 42L,
-                   vecCol: String = "embedding"): Array[Array[Double]] = {
-    import org.apache.spark.ml.functions.array_to_vector
-    val c = corpus.select(
-      array_to_vector(col(vecCol).cast("array<double>")).as("__features"))
-    val model = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nCentroids).setSeed(seed).setMaxIter(5).setInitMode("random")
-      .setFeaturesCol("__features").setPredictionCol("__cell")
-      .fit(c)
-    model.clusterCenters.map(_.toArray)
+  /** IVF (inverted-file) ANN top-k: a deterministic k-means coarse
+    * quantizer partitions the corpus into cells; each query probes its
+    * `nProbe` nearest cells and exact-re-ranks only those vectors. The
+    * classic trade: recall grows with nProbe, scan cost is
+    * ~nProbe/nCentroids of the corpus. `nProbe == nCentroids`
+    * degenerates to exact brute force (the law the tests pin).
+    * Centroids live on the driver (nCentroids·dim longs — tiny) and
+    * ship in the probe closure. */
+
+  /** Quantize an embedding onto the integer grid: round(x·scale).
+    * Every quantizer number downstream (dots, norms, Lloyd sums) is
+    * then an exact integer below 2^53, which makes the whole fit
+    * ENGINE-PORTABLE: sums of exactly-representable integers are exact
+    * in ANY order, so a SQL engine re-running the same fixed Lloyd
+    * schedule lands on bit-identical centroids and cell assignments
+    * (the same discipline as the md5-derived LSH planes). */
+  private def intVec(vecCol: Column, scale: Int): Column =
+    transform(vecCol.cast("array<double>"), x => round(x * scale).cast("long"))
+
+  /** round-half-away-from-zero s/n in pure integer arithmetic —
+    * truncating division, so DuckDB's `//` reproduces it exactly. */
+  private def roundDiv(s: Long, n: Long): Long =
+    (2 * s + (if (s < 0) -n else n)) / (2 * n)
+
+  /** Cells ranked by cosine(v, centroid) desc, cell index breaking
+    * ties; zero-norm centroids excluded. cos = dot/sqrt(n2v·n2c) over
+    * exact integer inputs — bit-identical in any IEEE engine. A
+    * zero-norm v gives NaN for every cell and falls through to the
+    * cell-index tie-break (= DuckDB's NaN-sorts-first under DESC). */
+  private[ext] def cellRanks(v: Array[Long], cs: Array[Array[Long]]): Array[Int] = {
+    var n2v = 0L
+    var i = 0
+    while (i < v.length) { n2v += v(i) * v(i); i += 1 }
+    val scored = cs.indices.iterator.flatMap { j =>
+      val c = cs(j)
+      var dot = 0L; var n2c = 0L; var t = 0
+      while (t < v.length) { dot += v(t) * c(t); n2c += c(t) * c(t); t += 1 }
+      if (n2c == 0L) None
+      else Some((dot.toDouble / math.sqrt(n2v.toDouble * n2c.toDouble), j))
+    }.toIndexedSeq
+    scored.sortWith { case ((ca, ja), (cb, jb)) =>
+      if (ca > cb) true else if (cb > ca) false else ja < jb
+    }.map(_._2).toArray
   }
 
-  /** Index of the nearest centroid (squared L2) — the cell assigner,
-    * shared by corpus indexing and query probing. */
-  private def nearestCells(v: Array[Double], centers: Array[Array[Double]],
-                           n: Int): Array[Int] =
-    centers.indices.map { j =>
-      val ctr = centers(j)
-      var dist = 0.0
-      var i = 0
-      while (i < v.length) { val t = v(i) - ctr(i); dist += t * t; i += 1 }
-      (dist, j)
-    }.sortBy(_._1).take(n).map(_._2).toArray
-
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 4, seed: Long = 42L,
-              idCol: String = "vec_id", vecCol: String = "embedding",
-              centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+  /** Fit the IVF coarse quantizer: md5-ranked seed picks + `iters`
+    * fixed Lloyd iterations, all in exact integer arithmetic on the
+    * round(x·scale) grid — fully deterministic AND SQL-reproducible
+    * (the driver oracle replays the identical schedule in DuckDB).
+    * Assignment is a distributed kernel pass; the Lloyd update is an
+    * exact integer groupBy-sum (order-independent), re-quantized to
+    * the grid with round-half-away integer division so centroid
+    * magnitudes never grow. Cells that lose every member keep their
+    * previous centroid. At scale the quantizer is trained OFFLINE and
+    * reused across queries — callers pass the result to
+    * `ivfTopK(centroids = ...)` so the index build never rides the
+    * query path. */
+  def fitCentroids(corpus: DataFrame, nCentroids: Int = 16, iters: Int = 2,
+                   scale: Int = 1000, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): Array[Array[Long]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centers = centroids.getOrElse(fitCentroids(corpus, nCentroids, seed, vecCol))
+    val e = corpus.select(col(idCol).cast("long").as("id"),
+      intVec(col(vecCol), scale).as("e"))
+    var centers: Array[Array[Long]] = e
+      .withColumn("__h", Dedup.strHash60(
+        concat(lit("ivfseed:"), col("id").cast("string"))))
+      .orderBy(col("__h"), col("id")).limit(nCentroids)
+      .select("e").as[Array[Long]].collect()
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(centers)
+      val sums = e.select(col("id"), col("e")).as[(Long, Array[Long])]
+        .map { case (_, v) => (cellRanks(v, bc.value)(0), v) }
+        .toDF("cell", "e")
+        .select(col("cell"), posexplode(col("e")).as(Seq("i", "x")))
+        .groupBy("cell", "i")
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = centers.map(_.clone()) // empty cells keep their centroid
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = roundDiv(r.getLong(2), r.getLong(3))
+      }
+      centers = next
+      it += 1
+    }
+    centers
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 2,
+              scale: Int = 1000,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              centroids: Option[Array[Array[Long]]] = None): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centers = centroids.getOrElse(
+      fitCentroids(corpus, nCentroids, iters, scale, idCol, vecCol))
     val bcCenters = spark.sparkContext.broadcast(centers)
+    // cell assignment / probing carries ONLY (id, cell) — the wide
+    // embedding arrays join back onto the candidate set afterwards
     val indexed = corpus.select(col(idCol).cast("long").as("neighbor_id"),
-      col(vecCol).cast("array<double>").as("__cv"))
-      .as[(Long, Array[Double])]
-      .map { case (id, v) => (id, v, nearestCells(v, bcCenters.value, 1)(0)) }
-      .toDF("neighbor_id", "__cv", "__cell")
-
+      intVec(col(vecCol), scale).as("__e"))
+      .as[(Long, Array[Long])]
+      .map { case (id, v) => (id, cellRanks(v, bcCenters.value)(0)) }
+      .toDF("neighbor_id", "__cell")
     val probes = queries.select(col(idCol).cast("long").as("query_id"),
-      col(vecCol).cast("array<double>").as("__qv"))
-      .as[(Long, Array[Double])]
+      intVec(col(vecCol), scale).as("__e"))
+      .as[(Long, Array[Long])]
       .flatMap { case (qid, v) =>
-        nearestCells(v, bcCenters.value, nProbe).map(cell => (qid, v, cell))
-      }.toDF("query_id", "__qv", "__cell")
-
-    val scored = indexed.join(broadcast(probes), Seq("__cell"))
+        cellRanks(v, bcCenters.value).take(nProbe).map(cell => (qid, cell))
+      }.toDF("query_id", "__cell")
+    val candidates = indexed.join(broadcast(probes), Seq("__cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id")
+    val cv = corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("__cv"))
+    val qv = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("__qv"))
+    val scored = candidates.join(cv, "neighbor_id").join(broadcast(qv), "query_id")
       .select(col("query_id"), col("neighbor_id"),
         cos(spark, col("__qv"), col("__cv")).as("sim"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))

@@ -40,9 +40,9 @@ object ExtQueries {
     * trained OFFLINE once and reused by every query; memoizing per dir
     * models that: the k-means fit never rides the query path. */
   private val centroidCache =
-    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Long]]]
   private def centroidsOf(s: org.apache.spark.sql.SparkSession,
-                          d: String): Array[Array[Double]] =
+                          d: String): Array[Array[Long]] =
     centroidCache.getOrElseUpdate(d,
       Similarity.fitCentroids(s.read.parquet(s"$d/embeddings.parquet")))
 
@@ -93,18 +93,75 @@ object ExtQueries {
     * bit-for-bit (exact integer arithmetic + one IEEE division), then
     * the per-(vector, table) sign-signature. The embedding dim is a
     * fixed 64 at every SF (same assumption as the centroids oracle). */
-  private def lshSigCte(nTables: Int, nPlanes: Int): String =
-    s"""t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |pl AS (SELECT tt.i AS tbl, pp.i AS p,
+  private def lshSigCte(nTables: Int, nPlanes: Int, sfx: String = ""): String =
+    s"""t$sfx AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |pl$sfx AS (SELECT tt.i AS tbl, pp.i AS p,
        |         list_transform(range(0, 64), j ->
        |           ((('0x'||substring(md5('rp:'||tt.i||':'||pp.i||':'||j),1,15))::BIGINT % 2000001) - 1000000) / 1000000.0) AS pv
        |       FROM range(0, $nTables) tt(i), range(0, $nPlanes) pp(i)),
-       |sig AS (SELECT t.vec_id, pl.tbl,
+       |sig$sfx AS (SELECT t.vec_id, pl.tbl,
        |          sum(CASE WHEN list_dot_product(t.v, pl.pv) > 0 THEN (1::BIGINT << pl.p) ELSE 0 END)::BIGINT AS sig
-       |        FROM t, pl GROUP BY t.vec_id, pl.tbl)""".stripMargin
+       |        FROM t$sfx t, pl$sfx pl GROUP BY t.vec_id, pl.tbl)""".stripMargin
 
   /** DuckDB fragments mirroring Dedup/TextAnalysis column expressions. */
   private def dkHash60(s: String) = s"('0x'||substring(md5($s),1,15))::BIGINT"
+
+  /** IVF quantizer CTE chain for the DuckDB oracle — replays
+    * Similarity.fitCentroids' EXACT schedule: round(x·1000) integer
+    * grid, 16 seeds ranked by md5('ivfseed:'||vec_id), `iters` Lloyd
+    * rounds (assign by cos = dot/sqrt(n2v·n2c) over exact-integer
+    * doubles; update by exact integer sums re-quantized with
+    * round-half-away `//`), empty cells keeping their centroid.
+    * Ends in:
+    *   `af(vec_id, cell)`  — every vector's final cell
+    *   `qp(query_id, cell)` — the nProbe probed cells per query
+    * plus `t(vec_id, v)` (double vectors) for exact re-ranking.
+    * Every intermediate sum/dot is an integer below 2^53, so double
+    * arithmetic is exact in both engines regardless of order. */
+  private def ivfCtes(nProbe: Int, nCentroids: Int = 16, iters: Int = 2,
+                      scale: Int = 1000,
+                      extraProbes: Seq[(String, Int)] = Nil): String = {
+    def assign(out: String, cIn: String, extra: String, rnCond: String) =
+      s"""$out AS (SELECT vec_id, cell FROM (
+         |  SELECT evd.vec_id, cz.cell,
+         |    row_number() OVER (PARTITION BY evd.vec_id ORDER BY
+         |      list_dot_product(evd.ed, cz.cd)
+         |        / sqrt(evd.n2v * list_dot_product(cz.cd, cz.cd)) DESC,
+         |      cz.cell) AS rn
+         |  FROM evd, $cIn cz
+         |  WHERE list_dot_product(cz.cd, cz.cd) > 0$extra) WHERE $rnCond)""".stripMargin
+    val iterCtes = (1 to iters).map { k =>
+      s"""${assign(s"a$k", s"c${k - 1}", "", "rn = 1")},
+         |s$k AS (SELECT a$k.cell, u.i, sum(ev.e[u.i + 1])::BIGINT AS s,
+         |          count(*)::BIGINT AS n
+         |        FROM a$k JOIN ev USING (vec_id), unnest(range(0, 64)) u(i)
+         |        GROUP BY a$k.cell, u.i),
+         |c$k AS (SELECT cell, list(c ORDER BY i)::BIGINT[] AS ci,
+         |          list(c ORDER BY i)::DOUBLE[] AS cd
+         |        FROM (SELECT cell, i,
+         |                (2*s + CASE WHEN s < 0 THEN -n ELSE n END) // (2*n) AS c
+         |              FROM s$k) GROUP BY cell
+         |        UNION ALL
+         |        SELECT cell, ci, cd FROM c${k - 1}
+         |        WHERE cell NOT IN (SELECT cell FROM s$k))""".stripMargin
+    }.mkString(",\n")
+    s"""t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |ev AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+       |         x -> CAST(round(x * $scale) AS BIGINT)) AS e FROM embeddings),
+       |evd AS (SELECT vec_id, e::DOUBLE[] AS ed,
+       |          list_dot_product(e::DOUBLE[], e::DOUBLE[]) AS n2v FROM ev),
+       |seed AS (SELECT vec_id,
+       |           row_number() OVER (ORDER BY ${dkHash60(s"'ivfseed:'||vec_id")}, vec_id) - 1 AS cell
+       |         FROM ev QUALIFY cell < $nCentroids),
+       |c0 AS (SELECT seed.cell, ev.e AS ci, ev.e::DOUBLE[] AS cd
+       |       FROM seed JOIN ev USING (vec_id)),
+       |$iterCtes,
+       |${assign("af", s"c$iters", "", "rn = 1")},
+       |${(("qp", nProbe) +: extraProbes).map { case (name, p) =>
+            assign(name, s"c$iters", " AND evd.vec_id < 10", s"rn <= $p")
+              .replace("SELECT vec_id, cell FROM", "SELECT vec_id AS query_id, cell FROM")
+          }.mkString(",\n")}""".stripMargin
+  }
 
   /** Shingle CTE shared by the minhash oracle: tk -> 3-gram distinct
     * shingles, docs with < 3 tokens dropped (mirrors Dedup.shingles). */
@@ -315,10 +372,12 @@ object ExtQueries {
               |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
               |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
-    // IVF ANN top-k — precomputed (memoized) coarse quantizer,
-    // nProbe-cell scan. The quantizer isn't SQL-reproducible -> rows-
-    // only check; the probe-all == brute-force law is pinned in
-    // SimilaritySpec.
+    // IVF ANN top-k — precomputed (memoized) deterministic coarse
+    // quantizer (md5-ranked seeds + fixed integer-arithmetic Lloyd
+    // rounds), nProbe-cell scan. The oracle replays the identical
+    // quantizer schedule in SQL, so cells, candidates, ranks and sims
+    // all hash-match — not just "some ANN answer". The probe-all ==
+    // brute-force law stays pinned in SimilaritySpec.
     QueryDef("sim_topk_ivf",
       (s, d) => {
         val emb = s.read.parquet(s"$d/embeddings.parquet")
@@ -328,7 +387,19 @@ object ExtQueries {
             round(col("sim"), 6).as("sim"))
           .orderBy(col("query_id"), col("rank"))
       },
-      None),
+      Some(s"""WITH ${ivfCtes(nProbe = 4)},
+              |cand AS (SELECT qp.query_id, af.vec_id AS neighbor_id
+              |         FROM qp JOIN af ON af.cell = qp.cell
+              |           AND af.vec_id != qp.query_id),
+              |sc AS (SELECT cand.query_id, cand.neighbor_id,
+              |         list_cosine_similarity(a.v, b.v) AS sim
+              |       FROM cand JOIN t a ON a.vec_id = cand.query_id
+              |         JOIN t b ON b.vec_id = cand.neighbor_id),
+              |r AS (SELECT query_id, neighbor_id, sim,
+              |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+              |      FROM sc)
+              |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
+              |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
     // ANN recall@5 against the exact brute-force answer — one row
     // covering EVERY registered ANN config. An ANN index with
@@ -339,8 +410,10 @@ object ExtQueries {
     //   recall_lsh / recall_ivf — the coarser/wider reference configs
     //   (4 planes / probe 8): the corpus is near-uniform random, the
     //   hardest case for ANN, and these show the recall headroom the
-    //   knobs buy. Rows-only: IVF's quantizer isn't SQL-reproducible,
-    //   and the joined recall row has no oracle value.
+    //   knobs buy. Oracle-checked end to end: the SQL recomputes brute
+    //   force + both LSH configs + both IVF probes (the deterministic
+    //   quantizer makes IVF SQL-reproducible) and the same recall@5
+    //   arithmetic.
     QueryDef("sim_recall_ann",
       (s, d) => {
         val emb = s.read.parquet(s"$d/embeddings.parquet")
@@ -370,7 +443,49 @@ object ExtQueries {
             recall("__ivf", "recall_ivf"),
             recall("__ivf4", "recall_ivf_probe4"))
       },
-      None),
+      Some {
+        def lshTop(sfx: String) =
+          s"""qs$sfx AS (SELECT vec_id, tbl, sig FROM sig$sfx WHERE vec_id < 10),
+             |cd$sfx AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+             |           FROM qs$sfx q JOIN sig$sfx c ON c.tbl = q.tbl AND c.sig = q.sig
+             |             AND c.vec_id != q.vec_id),
+             |r$sfx AS (SELECT query_id, neighbor_id FROM (
+             |           SELECT cd.query_id, cd.neighbor_id,
+             |             row_number() OVER (PARTITION BY cd.query_id
+             |               ORDER BY list_cosine_similarity(a.v, b.v) DESC, cd.neighbor_id) AS rank
+             |           FROM cd$sfx cd JOIN t a ON a.vec_id = cd.query_id
+             |             JOIN t b ON b.vec_id = cd.neighbor_id) WHERE rank <= 5)""".stripMargin
+        def ivfTop(name: String, probe: String) =
+          s"""$name AS (SELECT query_id, neighbor_id FROM (
+             |  SELECT qp.query_id, af.vec_id AS neighbor_id,
+             |    row_number() OVER (PARTITION BY qp.query_id
+             |      ORDER BY list_cosine_similarity(a.v, b.v) DESC, af.vec_id) AS rank
+             |  FROM $probe qp JOIN af ON af.cell = qp.cell AND af.vec_id != qp.query_id
+             |    JOIN t a ON a.vec_id = qp.query_id
+             |    JOIN t b ON b.vec_id = af.vec_id) WHERE rank <= 5)""".stripMargin
+        s"""WITH ${ivfCtes(nProbe = 4, extraProbes = Seq("qp8" -> 8))},
+           |${lshSigCte(nTables = 8, nPlanes = 4, sfx = "l4")},
+           |${lshSigCte(nTables = 8, nPlanes = 6, sfx = "l6")},
+           |bf AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    row_number() OVER (PARTITION BY q.vec_id
+           |      ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rank
+           |  FROM t q, t c WHERE q.vec_id < 10 AND c.vec_id != q.vec_id) WHERE rank <= 5),
+           |${lshTop("l4")},
+           |${lshTop("l6")},
+           |${ivfTop("ri4", "qp")},
+           |${ivfTop("ri8", "qp8")}
+           |SELECT count(*) AS n_exact,
+           |  round(count(rl4.neighbor_id)::DOUBLE / count(*), 4) AS recall_lsh,
+           |  round(count(rl6.neighbor_id)::DOUBLE / count(*), 4) AS recall_lsh_p6t8,
+           |  round(count(ri8.neighbor_id)::DOUBLE / count(*), 4) AS recall_ivf,
+           |  round(count(ri4.neighbor_id)::DOUBLE / count(*), 4) AS recall_ivf_probe4
+           |FROM bf
+           |LEFT JOIN rl4 ON rl4.query_id = bf.query_id AND rl4.neighbor_id = bf.neighbor_id
+           |LEFT JOIN rl6 ON rl6.query_id = bf.query_id AND rl6.neighbor_id = bf.neighbor_id
+           |LEFT JOIN ri8 ON ri8.query_id = bf.query_id AND ri8.neighbor_id = bf.neighbor_id
+           |LEFT JOIN ri4 ON ri4.query_id = bf.query_id AND ri4.neighbor_id = bf.neighbor_id""".stripMargin
+      }),
 
     // Embedding cosine near-dup pairs, exact — BOUNDED baseline over
     // the first 500 vectors (the collect-and-broadcast kernel is
