@@ -26,42 +26,68 @@ import org.apache.spark.sql.functions._
   * is opened; the file-level index avoids opening the file at all —
   * exactly what lakehouse table formats store in their metadata
   * layer.)
+  *
+  * Layouts PERSIST across sessions: dirs are keyed by an md5 of the
+  * source path plus a layout-version tag, and a completed build is
+  * recognized by its `_SUCCESS` markers — a new JVM reuses the
+  * on-disk layout instead of rebuilding it (the lakehouse behavior:
+  * table maintenance is durable, not session state). Bumping the
+  * version tag invalidates old layouts when the algorithm changes.
   */
 object FileSkipping {
+
+  /** Collision-proof, filesystem-safe dir key for a source path (the
+    * old `math.abs(path.hashCode)` idiom could collide two dirs — and
+    * abs(Int.MinValue) is negative). The version tag busts stale
+    * layouts built by older algorithm revisions. */
+  private[graft] def pathKey(sfDir: String, version: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$sfDir|$version".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString.take(16)
+
+  /** A finished Spark parquet write leaves a `_SUCCESS` marker; its
+    * presence in both dirs means a prior session already built this
+    * layout and it can be reused as-is. */
+  private def built(dirs: String*): Boolean =
+    dirs.forall(d => new java.io.File(d, "_SUCCESS").isFile)
 
   /** Build (or reuse) the clustered layout + stats index for `events`
     * keyed by `user_id`. Returns (dataDir, indexPath). */
   def ensureEventsByUser(spark: SparkSession, sfDir: String,
                          nFiles: Int = 16): (String, String) =
-    cache.getOrElseUpdate((System.identityHashCode(spark), sfDir), {
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_skip_ev_${math.abs(sfDir.hashCode)}"
+    cache.getOrElseUpdate(sfDir, {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_skip_ev_${pathKey(sfDir, "v1")}"
       val dataDir = s"$base/data"; val idxPath = s"$base/index"
-      graft.sources.Tables.events(spark, sfDir)
-        .repartitionByRange(nFiles, col("user_id"))
-        .sortWithinPartitions(col("user_id"))
-        .write.mode("overwrite").parquet(dataDir)
-      spark.read.parquet(dataDir)
-        .groupBy(col("_metadata.file_path").as("file"))
-        .agg(min(col("user_id")).as("key_lo"), max(col("user_id")).as("key_hi"),
-          count(lit(1)).as("n_rows"))
-        .coalesce(1)
-        .write.mode("overwrite").parquet(idxPath)
+      if (!built(dataDir, idxPath)) {
+        graft.sources.Tables.events(spark, sfDir)
+          .repartitionByRange(nFiles, col("user_id"))
+          .sortWithinPartitions(col("user_id"))
+          .write.mode("overwrite").parquet(dataDir)
+        spark.read.parquet(dataDir)
+          .groupBy(col("_metadata.file_path").as("file"))
+          .agg(min(col("user_id")).as("key_lo"), max(col("user_id")).as("key_hi"),
+            count(lit(1)).as("n_rows"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(idxPath)
+      }
       (dataDir, idxPath)
     })
 
   private val cache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), (String, String)]
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
   /** All files vs files whose [key_lo, key_hi] overlaps [lo, hi] — the
     * planning-time index consultation (the index is one tiny row per
-    * file; collecting it is what a catalog lookup is). */
+    * file; collecting it ONCE is what a catalog lookup is — total and
+    * kept both come from that single read). */
   def planFiles(spark: SparkSession, idxPath: String,
                 lo: Long, hi: Long): (Seq[String], Int) = {
-    val idx = spark.read.parquet(idxPath)
-    val total = idx.count().toInt
-    val kept = idx.filter(col("key_hi") >= lo && col("key_lo") <= hi)
-      .select("file").collect().map(_.getString(0)).toSeq
-    (kept, total)
+    val rows = spark.read.parquet(idxPath)
+      .select(col("file"), col("key_lo"), col("key_hi")).collect()
+    val kept = rows.toSeq
+      .filter(r => r.getLong(2) >= lo && r.getLong(1) <= hi)
+      .map(_.getString(0))
+    (kept, rows.length)
   }
 
   /** Pruned read: only overlapping files are opened; the residual
@@ -90,8 +116,10 @@ object FileSkipping {
   /** Morton/Z-value of two 16-bit keys via the parallel-bit-spread
     * closed form (4 mask-shift rounds per key) — pure bitwise column
     * arithmetic, stays inside whole-stage codegen. Inputs are clamped
-    * to [0, 65535]; at larger domains quantize first (the z-value
-    * only drives clustering, exactness never depends on it). */
+    * to [0, 65535]; callers quantize wider domains into 16-bit codes
+    * first (`quantize16`) so high keys don't all collapse into one
+    * z-cell (the z-value only drives clustering, exactness never
+    * depends on it). */
   def morton16(a: Column, b: Column): Column = {
     def spread(x0: Column): Column = {
       val c = x0.cast("long")
@@ -104,45 +132,66 @@ object FileSkipping {
     spread(a).bitwiseOR(shiftleft(spread(b), 1))
   }
 
+  /** Linear map of `k` from its OBSERVED [lo, hi] range onto the
+    * 16-bit morton grid (width-bucket style). Without this, any key
+    * domain wider than 65535 would clamp: all high keys share one
+    * z-cell and 2-D pruning silently degenerates at larger scale
+    * factors. */
+  def quantize16(k: Column, lo: Long, hi: Long): Column = {
+    val span = math.max(1L, hi - lo)
+    ((k.cast("long") - lit(lo)) * lit(65535L)) / lit(span)
+  }
+
   /** Build (or reuse) the Z-ordered layout of `events` on
     * (user_id, floor(value)) plus a per-file 2-D stats index
-    * (min/max of BOTH keys). Returns (dataDir, indexPath). */
+    * (min/max of BOTH keys). Both keys are quantized into 16-bit
+    * codes from their observed min/max (one tiny agg job) before
+    * bit-interleaving. Returns (dataDir, indexPath). */
   def ensureEventsZOrder(spark: SparkSession, sfDir: String,
                          nFiles: Int = 32): (String, String) =
-    zcache.getOrElseUpdate((System.identityHashCode(spark), sfDir), {
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_ev_${math.abs(sfDir.hashCode)}"
+    zcache.getOrElseUpdate(sfDir, {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_ev_${pathKey(sfDir, "v2")}"
       val dataDir = s"$base/data"; val idxPath = s"$base/index"
-      graft.sources.Tables.events(spark, sfDir)
-        .withColumn("__z", morton16(col("user_id"),
-          floor(col("value")).cast("long")))
-        .repartitionByRange(nFiles, col("__z"))
-        .sortWithinPartitions(col("__z"))
-        .drop("__z")
-        .write.mode("overwrite").parquet(dataDir)
-      spark.read.parquet(dataDir)
-        .groupBy(col("_metadata.file_path").as("file"))
-        .agg(min(col("user_id")).as("u_lo"), max(col("user_id")).as("u_hi"),
-          min(floor(col("value")).cast("long")).as("v_lo"),
-          max(floor(col("value")).cast("long")).as("v_hi"),
-          count(lit(1)).as("n_rows"))
-        .coalesce(1)
-        .write.mode("overwrite").parquet(idxPath)
+      if (!built(dataDir, idxPath)) {
+        val ev = graft.sources.Tables.events(spark, sfDir)
+        val b = ev.agg(
+          min(col("user_id")).as("ulo"), max(col("user_id")).as("uhi"),
+          min(floor(col("value")).cast("long")).as("vlo"),
+          max(floor(col("value")).cast("long")).as("vhi")).head()
+        ev.withColumn("__z", morton16(
+            quantize16(col("user_id"), b.getLong(0), b.getLong(1)),
+            quantize16(floor(col("value")).cast("long"), b.getLong(2), b.getLong(3))))
+          .repartitionByRange(nFiles, col("__z"))
+          .sortWithinPartitions(col("__z"))
+          .drop("__z")
+          .write.mode("overwrite").parquet(dataDir)
+        spark.read.parquet(dataDir)
+          .groupBy(col("_metadata.file_path").as("file"))
+          .agg(min(col("user_id")).as("u_lo"), max(col("user_id")).as("u_hi"),
+            min(floor(col("value")).cast("long")).as("v_lo"),
+            max(floor(col("value")).cast("long")).as("v_hi"),
+            count(lit(1)).as("n_rows"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(idxPath)
+      }
       (dataDir, idxPath)
     })
 
   private val zcache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), (String, String)]
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
   /** Files whose (user, value) bounding rectangle intersects the query
-    * box — 2-D index consultation. */
+    * box — 2-D index consultation, one read of the 1-file index. */
   def planFiles2D(spark: SparkSession, idxPath: String,
                   uLo: Long, uHi: Long, vLo: Long, vHi: Long): (Seq[String], Int) = {
-    val idx = spark.read.parquet(idxPath)
-    val total = idx.count().toInt
-    val kept = idx.filter(col("u_hi") >= uLo && col("u_lo") <= uHi &&
-        col("v_hi") >= vLo && col("v_lo") <= vHi)
-      .select("file").collect().map(_.getString(0)).toSeq
-    (kept, total)
+    val rows = spark.read.parquet(idxPath)
+      .select(col("file"), col("u_lo"), col("u_hi"), col("v_lo"), col("v_hi"))
+      .collect()
+    val kept = rows.toSeq
+      .filter(r => r.getLong(2) >= uLo && r.getLong(1) <= uHi &&
+        r.getLong(4) >= vLo && r.getLong(3) <= vHi)
+      .map(_.getString(0))
+    (kept, rows.length)
   }
 
   /** 2-D pruned read over the Z-ordered layout; the residual predicate

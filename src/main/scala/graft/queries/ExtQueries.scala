@@ -29,7 +29,7 @@ object ExtQueries {
   private def partitionedEventsOf(s: org.apache.spark.sql.SparkSession,
                                   d: String): String =
     partLayoutCache.getOrElseUpdate(d, {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_part_ev_${math.abs(d.hashCode)}"
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_part_ev_${graft.io.FileSkipping.pathKey(d, "v1")}"
       graft.sources.Tables.events(s, d)
         .withColumn("event_date", to_date(col("ts")))
         .write.mode("overwrite").partitionBy("event_date").parquet(out)
@@ -68,7 +68,7 @@ object ExtQueries {
   private def fragmentedDocsOf(s: org.apache.spark.sql.SparkSession,
                                d: String): String =
     fragLayoutCache.getOrElseUpdate(d, {
-      val frag = s"${System.getProperty("java.io.tmpdir")}/graft_compact_${math.abs(d.hashCode)}/frag"
+      val frag = s"${System.getProperty("java.io.tmpdir")}/graft_compact_${graft.io.FileSkipping.pathKey(d, "v1")}/frag"
       s.read.parquet(s"$d/documents.parquet")
         .repartition(64).write.mode("overwrite").parquet(frag)
       frag
@@ -1283,7 +1283,7 @@ object ExtQueries {
       (s, d) => {
         import org.apache.spark.sql.types._
         val docs = s.read.parquet(s"$d/documents.parquet")
-        val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_rt_${math.abs(d.hashCode)}"
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_rt_${graft.io.FileSkipping.pathKey(d, "v1")}"
         graft.io.Export.csv(docs, out)
         val schema = StructType(Seq(
           StructField("doc_id", LongType), StructField("text", StringType),
@@ -1343,7 +1343,7 @@ object ExtQueries {
     // file counts are emitted and the oracle pins the expected values).
     QueryDef("io_compact_small_files",
       (s, d) => {
-        val base = s"${System.getProperty("java.io.tmpdir")}/graft_compact_${math.abs(d.hashCode)}"
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_compact_${graft.io.FileSkipping.pathKey(d, "v1")}"
         val frag = fragmentedDocsOf(s, d); val comp = s"$base/compact"
         val (nBefore, nAfter) =
           graft.io.Compaction.compact(s, frag, comp, targetBytes = 64L * 1024 * 1024)

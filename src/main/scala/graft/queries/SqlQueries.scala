@@ -25,7 +25,7 @@ object SqlQueries {
   private[queries] def dailyStateOf(s: org.apache.spark.sql.SparkSession,
                                     d: String, cut: String): String =
     aggStateCache.getOrElseUpdate(d, {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_aggstate_${math.abs(d.hashCode)}"
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_aggstate_${graft.io.FileSkipping.pathKey(d, "v1")}"
       graft.sources.Tables.events(s, d)
         .filter(to_date(col("ts")) < lit(cut).cast("date"))
         .groupBy(to_date(col("ts")).as("day"), col("event_type"))
@@ -43,7 +43,7 @@ object SqlQueries {
   private def userStateOf(s: org.apache.spark.sql.SparkSession,
                           d: String, cut: String): String =
     userStateCache.getOrElseUpdate(d, {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_userstate_${math.abs(d.hashCode)}"
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_userstate_${graft.io.FileSkipping.pathKey(d, "v1")}"
       latestPerUser(graft.sources.Tables.events(s, d)
         .filter(col("ts") < lit(cut).cast("timestamp")))
         .write.mode("overwrite").parquet(path)

@@ -24,7 +24,7 @@ object Bucketing {
     * (ordersTable, lineitemTable) catalog names. */
   def ensureOrderBucketed(spark: SparkSession, dir: String): (String, String) =
     built.getOrElseUpdate((System.identityHashCode(spark), dir), {
-      val suffix = (dir.hashCode & Int.MaxValue).toString
+      val suffix = graft.io.FileSkipping.pathKey(dir, "v1")
       val oTbl = s"graft_orders_b$suffix"
       val liTbl = s"graft_lineitem_b$suffix"
       // a previous SESSION may have left the managed location on disk
