@@ -320,6 +320,20 @@ object SqlQueries {
              |FROM events GROUP BY 1, 2
              |ORDER BY window_start, event_type""".stripMargin)),
 
+    // Checkpoint recovery: the tumbling stream CRASHES on micro-batch 2
+    // (simulated failure) and restarts from its checkpoint; the final
+    // aggregate must equal the batch twin — same oracle as
+    // q_stream_tumbling, so a recovery that loses or double-counts
+    // state hash-fails here.
+    QueryDef("q_stream_recover",
+      (s, d) => graft.streaming.StreamingEtl.recoverTumblingViaStream(s, d)
+        .orderBy(col("window_start"), col("event_type")),
+      Some("""SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
+             |  event_type, count(*) AS n,
+             |  sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
+             |FROM events GROUP BY 1, 2
+             |ORDER BY window_start, event_type""".stripMargin)),
+
     // Exact COUNT(DISTINCT) written as the explicit two-phase shape
     // that survives key skew at 100 TB: phase 1 dedupes on the
     // COMPOSITE key (event_type, user_id) — the shuffle spreads a hot

@@ -325,6 +325,72 @@ object StreamingEtl {
     result
   }
 
+  /** Checkpoint RECOVERY, demonstrated for real: the tumbling
+    * aggregate runs over the events staged as four files
+    * (`maxFilesPerTrigger = 1` → four micro-batches) with a
+    * checkpointed state store; batch 2 CRASHES the query (an
+    * exception thrown before any side effect — a simulated executor
+    * failure mid-stream). The restarted query resumes from the
+    * checkpoint: the offsets WAL replays batch 2 exactly as planned,
+    * the state store recovers batches 0-1's window state, and the
+    * remaining input finishes under `AvailableNow`. The final
+    * complete-mode aggregate must equal the batch twin
+    * (`q_tumbling_hour`'s oracle) — failure + restart is invisible in
+    * the result, which is Structured Streaming's exactly-once
+    * contract and the property this query makes driver-gradable.
+    * Each batch's output lands in an immutable versioned state dir
+    * (foreachBatch, the production sink shape — a memory sink is not
+    * fault-tolerant and cannot honestly demonstrate recovery). */
+  def recoverTumblingViaStream(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val stage = Files.createTempDirectory("graft_rec_stage")
+    val cp = Files.createTempDirectory("graft_rec_cp")
+    val stateBase = Files.createTempDirectory("graft_rec_state")
+    graft.sources.Tables.events(spark, dir)
+      .select(col("ts"), col("event_type"), col("value"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(stage.toString)
+    val schema = spark.read.parquet(stage.toString).schema
+
+    @volatile var lastState: Option[String] = None
+    def run(crashAtBatch: Long): Unit = {
+      val in = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+      val q = tumblingCounts(in).writeStream
+        .option("checkpointLocation", cp.toString)
+        .outputMode(OutputMode.Complete)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (batchId == crashAtBatch)
+            throw new RuntimeException("graft: simulated failure mid-stream")
+          val out = s"$stateBase/v$batchId"
+          batch.write.mode("overwrite").parquet(out)
+          lastState = Some(out)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      catch {
+        case e: Throwable if crashAtBatch >= 0 => () // the simulated crash
+      }
+    }
+    run(crashAtBatch = 2) // batches 0-1 commit, batch 2 dies mid-flight
+    run(crashAtBatch = -1) // recover from checkpoint, finish 2-3
+
+    // a hollow recovery (restart that processed nothing after the
+    // crash point) must fail loudly, not return batch 1's partial agg
+    val ver = lastState.map(p => p.substring(p.lastIndexOf("/v") + 2).toLong)
+    require(ver.exists(_ >= 2),
+      s"recovery did not process post-crash batches (last state: $lastState)")
+    val rows = spark.read.parquet(lastState.getOrElse(
+      throw new IllegalStateException("recovered stream produced no state")))
+    val out = rows.collect()
+    val result = spark.createDataFrame(
+      java.util.Arrays.asList(out: _*), rows.schema)
+    rmTree(stage); rmTree(cp); rmTree(stateBase)
+    result
+  }
+
   private def runViaStream(spark: SparkSession, dir: String,
                            transform: DataFrame => DataFrame): DataFrame = {
     // unique sink name per run: memory-sink query names register temp
