@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal: runs the three heaviest pipeline queries at 1× and
+  * at a synthesized 10× of the same data, and reports the wall-time
+  * ratio — direct evidence for the "would this hold at a bigger SF"
+  * claims, beyond plan inspection. Near-linear (≈10×) scaling means no
+  * quadratic candidate blow-up, no single-partition serialization, no
+  * driver-side collect growing with the data.
+  *
+  * The 10× corpus is replicated honestly: event replicas get disjoint
+  * event/user id ranges (same time span — density grows, the realistic
+  * scale-up); document replicas prefix a replica tag onto EVERY token,
+  * so no cross-replica near-duplicates are fabricated and the dedup
+  * workload's pair structure scales ~linearly like a real corpus.
+  *
+  * Output: one JSON line on stdout, and BENCH_r07_scale.json in cwd.
+  */
+object ScaleBench {
+
+  private val Queries = Seq("y_sync_flagship", "dedup_neardup_groups", "pipe_seq_pack")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "10").toInt
+    val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", math.min(cpus.toInt, 8).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val scaled = ensureScaledDir(spark, sfDir, reps)
+
+    // warm up every query SHAPE at the smallest SF (a different dir:
+    // per-dir memoization stays cold for the timed scales, but
+    // whole-stage codegen compiles once here instead of inflating the
+    // first timed run)
+    spark.range(0, 1000000, 1, 4).selectExpr("sum(id)").collect()
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.01")
+    Queries.foreach { q =>
+      try SparkEntry.queries(q)(spark, warmDir)
+        .write.mode("overwrite").format("noop").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[scale] warmup $q failed: ${e.getMessage}")
+      }
+    }
+
+    // first-trial timing: dedup_neardup_groups memoizes its grouping
+    // per (session, dir), so a min-of-N would time a cache read from
+    // trial 2 on — the first trial is the honest cost at each scale
+    def timeOnce(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val results = Queries.map { q =>
+      val t1 = timeOnce(q, sfDir)
+      val t10 = timeOnce(q, scaled)
+      (q, t1, t10)
+    }
+    val evRows = spark.read.parquet(s"$sfDir/events.parquet").count()
+    val qs = results.map { case (q, t1, t10) =>
+      f""""$q":{"t1x_sec":$t1%.3f,"t${reps}x_sec":$t10%.3f,"ratio":${t10 / t1}%.2f}"""
+    }.mkString("{", ",", "}")
+    val json =
+      f"""{"metric":"scale_${reps}x","sf_base":"$sfDir","events_rows_1x":$evRows,"queries":$qs}"""
+    println(json)
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_r07_scale.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+  }
+
+  /** Synthesize (or reuse) the `reps`× replica dir: events + documents
+    * only — the tables the scale queries read. */
+  def ensureScaledDir(spark: SparkSession, sfDir: String, reps: Int): String = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_scale_${graft.io.FileSkipping.pathKey(sfDir, s"scale$reps-v1")}"
+    val done = new java.io.File(s"$base/_DONE")
+    if (!done.isFile) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      (0 until reps).map(k => ev
+        .withColumn("event_id", col("event_id") + lit(k * 1000000000L))
+        // even offset preserves user-parity structure (flagship halves)
+        .withColumn("user_id", col("user_id") + lit(k * 1000000L)))
+        .reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$base/events.parquet")
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      (0 until reps).map(k =>
+        if (k == 0) docs
+        else docs
+          .withColumn("doc_id", col("doc_id") + lit(k * 1000000L))
+          // tag every token: replicas share NO shingles, so near-dup
+          // pair structure scales linearly instead of exploding into
+          // 10 fabricated clones of every document
+          .withColumn("text", regexp_replace(col("text"), "(^| )", s"$$1r$k")))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$base/documents.parquet")
+      java.nio.file.Files.write(done.toPath, Array.emptyByteArray)
+    }
+    base
+  }
+}
