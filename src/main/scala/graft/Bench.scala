@@ -88,6 +88,10 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       var failedThis = false
       val times = (1 to trials).map { _ =>
+        // this query grades its (deliberately memoized) grouping
+        // computation — every trial must recompute, not read the cache
+        if (name == "dedup_neardup_groups")
+          graft.queries.ExtQueries.invalidateNearDupGroups()
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch { case e: Throwable =>

@@ -139,7 +139,10 @@ object FileSkipping {
     * factors. */
   def quantize16(k: Column, lo: Long, hi: Long): Column = {
     val span = math.max(1L, hi - lo)
-    ((k.cast("long") - lit(lo)) * lit(65535L)) / lit(span)
+    // (k-lo)·65535 stays exactly representable for spans < 2^37 — far
+    // beyond any key domain here; floor keeps the code in [0, 65535]
+    floor((k.cast("long") - lit(lo)).cast("double") * lit(65535.0) / lit(span.toDouble))
+      .cast("long")
   }
 
   /** Build (or reuse) the Z-ordered layout of `events` on

@@ -53,6 +53,16 @@ object ExtQueries {
   private val groupsCache =
     scala.collection.concurrent.TrieMap.empty[(Int, String),
       org.apache.spark.sql.DataFrame]
+
+  /** Drop the memoized near-dup grouping (bench hook): the grouping is
+    * memoized so downstream stages reuse it like a real pipeline, but
+    * `dedup_neardup_groups` exists to GRADE the computation — a
+    * multi-trial bench must re-run it per trial, not time trial 1's
+    * cache from trial 2 on. */
+  def invalidateNearDupGroups(): Unit = {
+    groupsCache.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
+    groupsCache.clear()
+  }
   private def neardupGroupsOf(s: org.apache.spark.sql.SparkSession,
                               d: String): org.apache.spark.sql.DataFrame =
     groupsCache.getOrElseUpdate((System.identityHashCode(s), d),

@@ -214,6 +214,22 @@ class SimilaritySpec extends GraftSpec {
     assert(rIvf8 > 0 && rLsh4 > 0)
   }
 
+  test("fitCentroids is deterministic: identical integer centroids across fits") {
+    // the quantizer's SQL-reproducibility rests on every Lloyd number
+    // being an exact integer: two independent distributed fits (new
+    // shuffles, new partition orders) must agree bit-for-bit
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = Similarity.fitCentroids(emb)
+    val b = Similarity.fitCentroids(emb)
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    assert(a.length === 16)
+    // probe-all covers the whole corpus: every vector ranks every
+    // non-degenerate cell, so nProbe = nCentroids scans everything
+    val ranks = Similarity.cellRanks(Array.fill(64)(1L), a)
+    assert(ranks.toSet.size === ranks.length)
+    assert(ranks.nonEmpty)
+  }
+
   test("nearDupPairs (LSH) finds exact duplicates and verifies with exact cosine") {
     val base = Seq.tabulate(16)(i => math.sin(i * 3 + 1.0))
     val corpus = vecs(Seq.tabulate(10)(i =>

@@ -199,6 +199,19 @@ class StreamingEtlSpec extends GraftSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("recoverTumblingViaStream: crash mid-stream + checkpoint restart equals batch") {
+    val dir = "/root/testdata/sf0.001"
+    val recovered = StreamingEtl.recoverTumblingViaStream(spark, dir)
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1),
+        r.getLong(2), r.getDouble(3))).sorted.toSeq
+    val batch = StreamingEtl.tumblingCounts(
+        graft.sources.Tables.events(spark, dir))
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1),
+        r.getLong(2), r.getDouble(3))).sorted.toSeq
+    assert(recovered === batch)
+    assert(recovered.nonEmpty)
+  }
+
   test("intervalJoinViaStream: stream-stream join equals the batch interval join") {
     val dir = "/root/testdata/sf0.001"
     val streamed = StreamingEtl.intervalJoinViaStream(spark, dir)
