@@ -84,10 +84,19 @@ object Bench {
     // median of 3 is robust to one load spike; min/max spread ships so
     // a reader can see the noise rather than infer it.
     val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt.max(1)
+    // wall-clock budget for EXTRA trials: multi-trial medians must not
+    // push the whole bench past a driver-side timeout under host load —
+    // once the budget is spent, remaining queries run a single trial
+    // (their numbers are then exactly the pre-median behavior)
+    val trialBudgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_TRIAL_BUDGET_SEC", "420").toDouble
+    val benchStart = System.nanoTime()
+    def elapsedSec = (System.nanoTime() - benchStart) / 1e9
+    var shortTrialed = 0
     val failed = Seq.newBuilder[String]
     val results = selected.map { case (name, fn) =>
       var failedThis = false
-      val times = (1 to trials).map { _ =>
+      def one(): Double = {
         // this query grades its (deliberately memoized) grouping
         // computation — every trial must recompute, not read the cache
         if (name == "dedup_neardup_groups")
@@ -102,7 +111,12 @@ object Bench {
           }
         }
         (System.nanoTime() - t0) / 1e9
-      }.sorted
+      }
+      val first = one()
+      val extra =
+        if (elapsedSec < trialBudgetSec) (2 to trials).map(_ => one())
+        else { shortTrialed += 1; Seq.empty }
+      val times = (first +: extra).sorted
       (name, times(times.size / 2), times.head, times.last)
     }
     val qs = results.map { case (k, med, _, _) => "\"" + k + f"\":$med%.3f" }
@@ -117,7 +131,7 @@ object Bench {
       .maxByOption(_._2).getOrElse(("", 1.0))
     // a failed query must be machine-distinguishable from a fast one
     val failedJson = failed.result().map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total_median","value":$total%.3f,"unit":"sec","trials":$trials,"total_min":$totalMin%.3f,"total_max":$totalMax%.3f,"noisiest":"$noisyName","noisiest_maxmin_ratio":$noisyRatio%.2f,"n_queries":${results.size},"index_build_sec":$indexBuildSec%.3f,"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total_median","value":$total%.3f,"unit":"sec","trials":$trials,"short_trialed":$shortTrialed,"total_min":$totalMin%.3f,"total_max":$totalMax%.3f,"noisiest":"$noisyName","noisiest_maxmin_ratio":$noisyRatio%.2f,"n_queries":${results.size},"index_build_sec":$indexBuildSec%.3f,"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
