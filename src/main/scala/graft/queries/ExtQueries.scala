@@ -30,9 +30,11 @@ object ExtQueries {
                                   d: String): String =
     partLayoutCache.getOrElseUpdate(d, {
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_part_ev_${graft.io.FileSkipping.pathKey(d, "v1")}"
-      graft.sources.Tables.events(s, d)
-        .withColumn("event_date", to_date(col("ts")))
-        .write.mode("overwrite").partitionBy("event_date").parquet(out)
+      // a prior session's completed layout is reusable as-is
+      if (!new java.io.File(out, "_SUCCESS").isFile)
+        graft.sources.Tables.events(s, d)
+          .withColumn("event_date", to_date(col("ts")))
+          .write.mode("overwrite").partitionBy("event_date").parquet(out)
       out
     })
 
@@ -79,8 +81,9 @@ object ExtQueries {
                                d: String): String =
     fragLayoutCache.getOrElseUpdate(d, {
       val frag = s"${System.getProperty("java.io.tmpdir")}/graft_compact_${graft.io.FileSkipping.pathKey(d, "v1")}/frag"
-      s.read.parquet(s"$d/documents.parquet")
-        .repartition(64).write.mode("overwrite").parquet(frag)
+      if (!new java.io.File(frag, "_SUCCESS").isFile)
+        s.read.parquet(s"$d/documents.parquet")
+          .repartition(64).write.mode("overwrite").parquet(frag)
       frag
     })
 
