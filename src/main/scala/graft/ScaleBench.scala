@@ -20,7 +20,8 @@ import org.apache.spark.sql.functions._
   */
 object ScaleBench {
 
-  private val Queries = Seq("y_sync_flagship", "dedup_neardup_groups", "pipe_seq_pack")
+  private val Queries = Seq("y_sync_flagship", "dedup_neardup_groups",
+    "pipe_seq_pack", "sim_topk_lsh", "corpus_ngram_topk", "q_sessionize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -82,7 +83,7 @@ object ScaleBench {
   /** Synthesize (or reuse) the `reps`× replica dir: events + documents
     * only — the tables the scale queries read. */
   def ensureScaledDir(spark: SparkSession, sfDir: String, reps: Int): String = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_scale_${graft.io.FileSkipping.pathKey(sfDir, s"scale$reps-v1")}"
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_scale_${graft.io.FileSkipping.pathKey(sfDir, s"scale$reps-v2")}"
     val done = new java.io.File(s"$base/_DONE")
     if (!done.isFile) {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -104,6 +105,18 @@ object ScaleBench {
           .withColumn("text", regexp_replace(col("text"), "(^| )", s"$$1r$k")))
         .reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$base/documents.parquet")
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      (0 until reps).map(k =>
+        if (k == 0) emb
+        else emb
+          .withColumn("vec_id", col("vec_id") + lit(k * 1000000L))
+          // rotate each vector by k positions: replicas keep the same
+          // norm/component distribution but point in distinct
+          // directions — no fabricated exact clones inflating buckets
+          .withColumn("embedding", expr(
+            s"concat(slice(embedding, ${k + 1}, size(embedding)), slice(embedding, 1, $k))")))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$base/embeddings.parquet")
       java.nio.file.Files.write(done.toPath, Array.emptyByteArray)
     }
     base
