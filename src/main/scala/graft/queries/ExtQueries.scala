@@ -639,6 +639,39 @@ object ExtQueries {
              |  array_to_string(ck, ' ') AS chunk_text
              |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
 
+    // Passage-level (chunk) exact dedup — the training-data pass that
+    // removes repeated passages ACROSS documents (boilerplate, quoted
+    // blocks, doc-level clones): every chunk whose text equals an
+    // earlier (doc_id, chunk_id) chunk is reported with its keeper.
+    // Scale shape: chunks are hashed in the scan and ONLY
+    // (doc_id, chunk_id, md5) ride the dedup shuffle — the chunk text
+    // never leaves its input partition.
+    QueryDef("dedup_chunks",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ids = TextAnalysis.chunks(s.read.parquet(s"$d/documents.parquet"))
+          .select(col("doc_id"), col("chunk_id"), md5(col("chunk_text")).as("__h"))
+        val w = Window.partitionBy(col("__h")).orderBy(col("doc_id"), col("chunk_id"))
+        ids.withColumn("rn", row_number().over(w))
+          .withColumn("keep_doc", first(col("doc_id")).over(w))
+          .withColumn("keep_chunk", first(col("chunk_id")).over(w))
+          .filter(col("rn") > 1)
+          .select(col("doc_id"), col("chunk_id"), col("keep_doc"), col("keep_chunk"))
+          .orderBy(col("doc_id"), col("chunk_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS tk FROM documents),
+             |c AS (SELECT doc_id, u.i // 48 AS chunk_id,
+             |        list_slice(tk, u.i + 1, u.i + 64) AS ck
+             |      FROM t, unnest(range(0, len(tk), 48)) u(i)),
+             |h AS (SELECT doc_id, chunk_id, md5(array_to_string(ck, ' ')) AS h FROM c),
+             |r AS (SELECT doc_id, chunk_id,
+             |        row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_id) AS rn,
+             |        first_value(doc_id) OVER (PARTITION BY h ORDER BY doc_id, chunk_id) AS keep_doc,
+             |        first_value(chunk_id) OVER (PARTITION BY h ORDER BY doc_id, chunk_id) AS keep_chunk
+             |      FROM h)
+             |SELECT doc_id, chunk_id, keep_doc, keep_chunk
+             |FROM r WHERE rn > 1 ORDER BY doc_id, chunk_id""".stripMargin)),
+
     // TF-IDF top-3 terms per document. Ranking is pure-integer
     // (tf desc, df asc, term asc) so cross-engine float ulp differences
     // in ln() can never flip ranks; the tfidf value itself is output
