@@ -245,4 +245,41 @@ object HashKernels {
     }
     h
   }
+
+  /** Character-level Shannon entropy (bits/char) over code points, made
+    * hash-reproducible across engines: each per-character term
+    * log10(cnt/n) (log10 because Spark's Log10 already hash-matches
+    * DuckDB's in `text_unigram_logprob`) is rounded HALF_UP to 9
+    * decimals (DuckDB `round` semantics) and carried as exact integer
+    * nano-units, so the sum is order-insensitive; the final double
+    * −(Σ(cnt·term)/1e9/n)/log10(2) is then bit-identical to the
+    * oracle's decimal-sum spelling. |log10 p|·1e9 ≤ ~2e10 and cnt ≤ n,
+    * so cnt·term fits a Long for docs < ~10^8 chars. One pass per
+    * row — no shuffle, no explode. */
+  def charEntropy(s: String): Double = {
+    val counts = new java.util.HashMap[Integer, Long]()
+    var n = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      counts.merge(cp, 1L, (a, b) => a + b)
+      n += 1
+      i += Character.charCount(cp)
+    }
+    if (n == 0L) return 0.0
+    var sumNanos = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val cnt = it.next()
+      val term = java.math.BigDecimal
+        .valueOf(Math.log10(cnt.toDouble / n))
+        .setScale(9, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+      sumNanos += cnt * term
+    }
+    // correctly-rounded decimal->double (what Spark's Decimal.toDouble
+    // and DuckDB's ::DOUBLE both do), NOT toDouble/1e9 (one ulp off)
+    val sum = java.math.BigDecimal.valueOf(sumNanos, 9).doubleValue()
+    -(sum / n) / Math.log10(2.0)
+  }
 }

@@ -122,6 +122,17 @@ case class BpeTokenCount(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Shannon char entropy (bits/char) — one fused per-row pass; the
+  * explode-chars/groupBy spelling would shuffle every character of a
+  * 100 TB corpus just to count within-row frequencies. */
+case class CharEntropy(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.charEntropy(input.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class LangId(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = StringType
@@ -170,6 +181,8 @@ object TextHashFunctions {
       es => LangId(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_bpe_token_count",
       es => BpeTokenCount(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_char_entropy",
+      es => CharEntropy(es.head), "scala_udf")
   }
 
   private def sess: SparkSession = SparkSession.active
@@ -204,5 +217,8 @@ object TextHashFunctions {
   }
   def bpeTokenCount(text: Column): Column = {
     register(sess); call_function("graft_bpe_token_count", text)
+  }
+  def charEntropy(text: Column): Column = {
+    register(sess); call_function("graft_char_entropy", text)
   }
 }

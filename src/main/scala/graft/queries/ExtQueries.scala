@@ -1292,6 +1292,132 @@ object ExtQueries {
              |FROM tf JOIN lp USING (term)
              |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin)),
 
+    // ---- Character-level Shannon entropy (quality signal) ---------------
+    // The classic gibberish/boilerplate detector: low-entropy docs are
+    // repeated filler, high-entropy docs are random noise. Computed by a
+    // fused per-row kernel (one code-point pass, within-row counts) —
+    // the explode-chars/groupBy spelling the oracle uses would shuffle
+    // every CHARACTER of a 100 TB corpus; here entropy rides the scan
+    // projection with zero shuffle. Cross-engine determinism: per-char
+    // log10 terms rounded to 9 decimals and summed as exact integer
+    // nano-units in both engines (HashKernels.charEntropy scaladoc).
+    QueryDef("text_char_entropy",
+      (s, d) => s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"),
+          round(graft.functions.TextHashFunctions.charEntropy(col("text")), 6)
+            .as("char_entropy"))
+        .orderBy(col("doc_id")),
+      Some("""WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+             |cc AS (SELECT doc_id, c, count(*)::BIGINT AS cnt FROM ch GROUP BY 1, 2),
+             |n AS (SELECT doc_id, sum(cnt)::BIGINT AS n FROM cc GROUP BY 1)
+             |SELECT cc.doc_id,
+             |  round(-(sum(cnt::DECIMAL(9,0) * round(log10(cnt::DOUBLE / n.n), 9)::DECIMAL(20,9))::DOUBLE / n.n) / log10(2), 6) AS char_entropy
+             |FROM cc JOIN n USING (doc_id)
+             |GROUP BY cc.doc_id, n.n ORDER BY doc_id""".stripMargin)),
+
+    // ---- PMI bigram collocations (phrase mining) ------------------------
+    // Pointwise mutual information over adjacent token pairs — the
+    // standard phrase-detection pass (word2vec / Mikolov-style) before
+    // tokenizer training. Scale shape: bigram extraction is per-row
+    // (slice+zip, no self-join on position), both count tables are
+    // hash aggregations, the corpus totals ride a broadcast one-row
+    // digest, and the unigram dictionary joins by term. PMI is computed
+    // from exact BIGINT counts in DOUBLE with the identical operation
+    // order in both engines, so the rounded values hash-match.
+    QueryDef("text_pmi_bigrams",
+      (s, d) => {
+        val tk = s.read.parquet(s"$d/documents.parquet")
+          .select(TextAnalysis.tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 2)
+        val bg = tk.select(explode(expr(
+          "transform(sequence(1, size(tk)-1), i -> concat(element_at(tk, i), ' ', element_at(tk, i+1)))"))
+          .as("bigram"))
+        val bgc = bg.groupBy(col("bigram")).agg(count(lit(1)).as("bf"))
+        val uni = tk.select(explode(col("tk")).as("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as("cf"))
+        val totals = broadcast(bgc.agg(sum(col("bf")).as("b_total"))
+          .crossJoin(uni.agg(sum(col("cf")).as("t_total"))))
+        bgc.filter(col("bf") >= 3)
+          .withColumn("x", split(col("bigram"), " ").getItem(0))
+          .withColumn("y", split(col("bigram"), " ").getItem(1))
+          .join(uni.withColumnRenamed("term", "x").withColumnRenamed("cf", "cfx"), "x")
+          .join(uni.withColumnRenamed("term", "y").withColumnRenamed("cf", "cfy"), "y")
+          .crossJoin(totals)
+          .select(col("bigram"), col("bf"),
+            round(log10(col("bf").cast("double") * col("t_total").cast("double")
+                * col("t_total").cast("double")
+              / (col("b_total").cast("double") * col("cfx").cast("double")
+                * col("cfy").cast("double"))), 6).as("pmi"))
+          .orderBy(col("pmi").desc, col("bigram")).limit(20)
+      },
+      Some("""WITH t AS (SELECT string_split(lower(text), ' ') AS tk FROM documents WHERE len(string_split(lower(text), ' ')) >= 2),
+             |bg AS (SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bigram FROM t),
+             |bgc AS (SELECT bigram, count(*)::BIGINT AS bf FROM bg GROUP BY 1),
+             |uni AS (SELECT unnest(tk) AS term FROM t),
+             |cf AS (SELECT term, count(*)::BIGINT AS cf FROM uni GROUP BY 1),
+             |tot AS (SELECT (SELECT sum(bf)::BIGINT FROM bgc) AS b_total, (SELECT sum(cf)::BIGINT FROM cf) AS t_total)
+             |SELECT bgc.bigram, bgc.bf,
+             |  round(log10(bgc.bf::DOUBLE * tot.t_total::DOUBLE * tot.t_total::DOUBLE
+             |    / (tot.b_total::DOUBLE * cx.cf::DOUBLE * cy.cf::DOUBLE)), 6) AS pmi
+             |FROM bgc
+             |CROSS JOIN tot
+             |JOIN cf cx ON cx.term = string_split(bgc.bigram, ' ')[1]
+             |JOIN cf cy ON cy.term = string_split(bgc.bigram, ' ')[2]
+             |WHERE bgc.bf >= 3
+             |ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin)),
+
+    // ---- Per-source quality percent-rank (score normalization) ----------
+    // Quality scores aren't comparable across sources (a news corpus
+    // and a forum dump have different score distributions), so curation
+    // keeps the top X% WITHIN each source: percent_rank partitioned by
+    // source over (score desc, doc_id) — the tie-broken ordering makes
+    // ranks deterministic. The per-source window is the scale-correct
+    // shape: each source partition ranks independently, no global sort.
+    QueryDef("doc_quality_rank",
+      (s, d) => {
+        val st = TextAnalysis.stats(s.read.parquet(s"$d/documents.parquet"))
+          .withColumn("quality", round(TextAnalysis.qualityScore, 5))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("quality").desc, col("doc_id"))
+        st.select(col("doc_id"), col("source"), col("quality"),
+            round(percent_rank().over(w), 6).as("pr"))
+          .filter(col("pr") <= 0.5)
+          .orderBy(col("source"), col("doc_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source, string_split(lower(text), ' ') AS tk FROM documents),
+              |q AS (SELECT doc_id, source,
+              |  round((CASE WHEN len(tk) BETWEEN 20 AND 1000 THEN 0.4 ELSE 0.0 END)
+              |    + least(len(list_distinct(tk))::DOUBLE / len(tk), 0.5) * 0.8
+              |    + least(len(list_filter(tk, x -> list_contains([${TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")}], x)))::DOUBLE / len(tk) * 4, 0.2), 5) AS quality
+              |FROM t),
+              |r AS (SELECT doc_id, source, quality,
+              |  round(percent_rank() OVER (PARTITION BY source ORDER BY quality DESC, doc_id), 6) AS pr
+              |FROM q)
+              |SELECT doc_id, source, quality, pr FROM r
+              |WHERE pr <= 0.5 ORDER BY source, doc_id""".stripMargin)),
+
+    // ---- Normalized-text exact dedup ------------------------------------
+    // Exact dedup after canonicalization (lowercase, strip punctuation,
+    // collapse whitespace) — catches the "same doc, different casing /
+    // markup residue" near-misses that raw-md5 dedup leaves behind,
+    // still at exact-dedup cost: the normalization is per-row scan work
+    // and only (id, 16-byte hash) rows shuffle.
+    QueryDef("pipe_dedup_normtext",
+      (s, d) => {
+        val norm = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+        Dedup.exactDups(s.read.parquet(s"$d/documents.parquet")
+            .withColumn("text", norm))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nt
+             |FROM documents)
+             |SELECT doc_id, md5(nt) AS content_hash,
+             |  count(*) OVER (PARTITION BY md5(nt)) AS group_size,
+             |  doc_id != min(doc_id) OVER (PARTITION BY md5(nt)) AS is_dup
+             |FROM t ORDER BY doc_id""".stripMargin)),
+
     // ---- Deterministic train/val/test split assignment ------------------
     // The canonical dataset-versioning op: split membership is a pure
     // function of the document id (salted md5 -> [0,100): <80 train,

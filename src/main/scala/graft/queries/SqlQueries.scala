@@ -1031,6 +1031,71 @@ object SqlQueries {
              |FROM events WHERE user_id < 50
              |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // GROUPING SETS — the general form of rollup/cube: exactly the
+    // requested aggregation levels ((rf,ls), (ls), ()), nothing more.
+    // One shuffle: Spark expands the sets map-side (Expand) and
+    // aggregates all levels in a single pass — at 100 TB this beats
+    // three separate scans+aggs by 3× I/O. Same coalesce + grouping-
+    // flag sort discipline as q_rollup_pricing.
+    QueryDef("q_grouping_sets",
+      (s, d) => s.read.parquet(s"$d/lineitem.parquet")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
+          // exact decimal sum -> one double division: order-insensitive
+          // (a plain avg() float-sums in partition order)
+          (sum(col("l_discount").cast("decimal(12,6)")).cast("double")
+            / count(lit(1))).as("avg_disc0"),
+          count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).as("__g_rf"),
+          grouping(col("l_linestatus")).as("__g_ls"))
+        .select(coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+          col("sum_qty"), round(col("avg_disc0"), 6).as("avg_disc"), col("n"),
+          col("__g_rf"), col("__g_ls"))
+        .orderBy(col("rf"), col("ls"), col("__g_rf"), col("__g_ls"))
+        .select("rf", "ls", "sum_qty", "avg_disc", "n"),
+      Some("""SELECT rf, ls, sum_qty, avg_disc, n FROM (
+             |  SELECT coalesce(l_returnflag, '(all)') AS rf,
+             |         coalesce(l_linestatus, '(all)') AS ls,
+             |         sum(CAST(l_quantity AS DECIMAL(12,2)))::DOUBLE AS sum_qty,
+             |         round(sum(CAST(l_discount AS DECIMAL(12,6)))::DOUBLE / count(*), 6) AS avg_disc,
+             |         count(*) AS n,
+             |         GROUPING(l_returnflag) AS g_rf,
+             |         GROUPING(l_linestatus) AS g_ls
+             |  FROM lineitem
+             |  GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ()))
+             |ORDER BY rf, ls, g_rf, g_ls""".stripMargin)),
+
+    // Equi-DEPTH histogram: bucket boundaries are the exact global
+    // deciles (one partial-aggregable percentile pass -> one-row
+    // digest), then every row buckets against the broadcast boundary
+    // array — the scale-correct spelling of ntile(10): a global ntile
+    // would total-sort 100 TB through one partition; this is two scans
+    // and zero data shuffles beyond the 10-row final agg. Ties land in
+    // the lower bucket (strict > comparison) in both engines.
+    QueryDef("q_equidepth_bins",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+        val bounds = ev.agg(graft.functions.ExactPercentile
+          .percentiles(col("value"), (1 to 9).map(_ / 10.0)).as("bnd"))
+        ev.crossJoin(broadcast(bounds))
+          .select(size(filter(col("bnd"),
+            b => col("value") > b)).as("bucket"), col("value"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"),
+            round(min(col("value")), 4).as("min_v"),
+            round(max(col("value")), 4).as("max_v"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH q AS (SELECT quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bnd FROM events),
+             |b AS (SELECT value, len(list_filter(q.bnd, x -> value > x)) AS bucket FROM events CROSS JOIN q)
+             |SELECT bucket, count(*) AS n,
+             |  round(min(value), 4) AS min_v, round(max(value), 4) AS max_v
+             |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin))
   )
 }

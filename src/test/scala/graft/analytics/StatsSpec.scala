@@ -84,4 +84,21 @@ class StatsSpec extends GraftSpec {
     assert(r.getTimestamp(0).getTime === 1000L)
     assert(r.getTimestamp(1).getTime === 9000L)
   }
+
+  test("equi-depth bucketing on exact deciles balances bucket sizes") {
+    val fn = graft.SparkEntry.queries("q_equidepth_bins")
+    val rows = fn(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length === 10)
+    val counts = rows.map(_.getAs[Long]("n"))
+    val total = counts.sum
+    // each decile bucket holds 10% ± ties (values are continuous ->
+    // essentially exact); allow 2% slack for duplicate boundary values
+    counts.foreach(c =>
+      assert(math.abs(c - total / 10.0) <= total * 0.02, counts.mkString(",")))
+    // buckets are ordered and contiguous: max of bucket k <= min of k+1
+    val byBucket = rows.sortBy(_.getAs[Int]("bucket"))
+    byBucket.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("max_v") <= b.getAs[Double]("min_v") + 1e-9)
+    }
+  }
 }

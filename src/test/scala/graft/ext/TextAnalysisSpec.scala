@@ -104,4 +104,20 @@ class TextAnalysisSpec extends GraftSpec {
     assert(out(0) === out(2)) // duplicates collapse
     assert(out(0) !== out(3))
   }
+
+  test("charEntropy: closed-form values, order-free, codepoint-aware") {
+    import graft.functions.HashKernels
+    // uniform over k symbols -> log2(k) (up to the 1e-9 term rounding)
+    assert(HashKernels.charEntropy("abcd") === 2.0 +- 1e-8)
+    assert(HashKernels.charEntropy("ab") === 1.0 +- 1e-8)
+    // single symbol -> 0; empty -> 0
+    assert(HashKernels.charEntropy("aaaa") === 0.0 +- 1e-12)
+    assert(HashKernels.charEntropy("") === 0.0)
+    // permutation-invariant (counts only)
+    assert(HashKernels.charEntropy("aabbc") === HashKernels.charEntropy("bacab"))
+    // p=(1/2,1/4,1/4) -> 1.5 bits
+    assert(HashKernels.charEntropy("aabc") === 1.5 +- 1e-8)
+    // non-ASCII codepoints count as single symbols
+    assert(HashKernels.charEntropy("世界") === 1.0 +- 1e-8)
+  }
 }
