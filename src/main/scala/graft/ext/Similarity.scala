@@ -202,6 +202,22 @@ object Similarity extends Serializable {
     centers
   }
 
+  /** Hard cluster assignment under a (deterministic) quantizer:
+    * (id, cell) with cell = argmax cosine to the centroid set — the
+    * k-means "predict" half exposed as its own operator. Carries only
+    * (id, cell) rows; the centroid matrix rides a broadcast. */
+  def cellAssignments(corpus: DataFrame, centroids: Array[Array[Long]],
+                      scale: Int = 1000, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    corpus.select(col(idCol).cast("long"), intVec(col(vecCol), scale))
+      .as[(Long, Array[Long])]
+      .map { case (id, v) => (id, cellRanks(v, bc.value)(0)) }
+      .toDF(idCol, "cell")
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 2,
               scale: Int = 1000,
@@ -214,10 +230,7 @@ object Similarity extends Serializable {
     val bcCenters = spark.sparkContext.broadcast(centers)
     // cell assignment / probing carries ONLY (id, cell) — the wide
     // embedding arrays join back onto the candidate set afterwards
-    val indexed = corpus.select(col(idCol).cast("long").as("neighbor_id"),
-      intVec(col(vecCol), scale).as("__e"))
-      .as[(Long, Array[Long])]
-      .map { case (id, v) => (id, cellRanks(v, bcCenters.value)(0)) }
+    val indexed = cellAssignments(corpus, centers, scale, idCol, vecCol)
       .toDF("neighbor_id", "__cell")
     val probes = queries.select(col(idCol).cast("long").as("query_id"),
       intVec(col(vecCol), scale).as("__e"))

@@ -1060,6 +1060,43 @@ object ExtQueries {
              |SELECT vec_id, norm, z FROM z WHERE abs(z) >= 2
              |ORDER BY vec_id""".stripMargin)),
 
+    // ---- K-means cluster profile (the quantizer as a clustering op) -----
+    // The IVF coarse quantizer IS a deterministic k-means fit; this
+    // exposes its "predict" half as a first-class clustering operator:
+    // every vector hard-assigned to its argmax-cosine centroid, then a
+    // per-cluster profile (size, label spread, mean norm). Assignment
+    // shuffles only (id, cell) pairs against a broadcast centroid
+    // matrix — the 100 TB shape. The oracle replays the identical
+    // quantizer schedule in SQL (same CTEs as sim_topk_ivf), so the
+    // cluster ids themselves hash-match, not just the sizes; the mean
+    // norm is an exact decimal sum with one final division.
+    QueryDef("emb_cluster_profile",
+      (s, d) => {
+        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        val asg = Similarity.cellAssignments(emb, centroidsOf(s, d))
+        emb.select(col("vec_id"), col("label"),
+            round(sqrt(graft.functions.VectorFunctions.vec_dot(s,
+              col("embedding").cast("array<double>"),
+              col("embedding").cast("array<double>"))), 6)
+              .cast("decimal(12,6)").as("__normd"))
+          .join(asg, "vec_id")
+          .groupBy(col("cell"))
+          .agg(count(lit(1)).as("n_vecs"),
+            countDistinct(col("label")).as("n_labels"),
+            (sum(col("__normd")).cast("double") / count(lit(1))).as("__avg0"))
+          .select(col("cell").as("cluster"), col("n_vecs"), col("n_labels"),
+            round(col("__avg0"), 6).as("avg_norm"))
+          .orderBy(col("cluster"))
+      },
+      Some(s"""WITH ${ivfCtes(nProbe = 1)},
+              |j AS (SELECT af.cell, e.label,
+              |        round(sqrt(list_dot_product(t.v, t.v)), 6)::DECIMAL(12,6) AS normd
+              |      FROM af JOIN t USING (vec_id) JOIN embeddings e USING (vec_id))
+              |SELECT cell AS cluster, count(*) AS n_vecs,
+              |  count(DISTINCT label) AS n_labels,
+              |  round(sum(normd)::DOUBLE / count(*), 6) AS avg_norm
+              |FROM j GROUP BY cell ORDER BY cluster""".stripMargin)),
+
     // Symmetric int8 quantization of embeddings (scale = maxabs/127):
     // the compression step before shipping vectors to an ANN index.
     // Long format over the first 20 vectors keeps the compare exact;

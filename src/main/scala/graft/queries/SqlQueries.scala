@@ -1096,6 +1096,89 @@ object SqlQueries {
              |b AS (SELECT value, len(list_filter(q.bnd, x -> value > x)) AS bucket FROM events CROSS JOIN q)
              |SELECT bucket, count(*) AS n,
              |  round(min(value), 4) AS min_v, round(max(value), 4) AS max_v
-             |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin))
+             |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // UNPIVOT (wide -> long melt): the inverse of q_pivot_daily. Spark's
+    // Expand-based unpivot emits all metric rows in ONE pass over the
+    // (already tiny) aggregate — the long layout is what metric stores
+    // and plotting layers ingest. Values are forced DOUBLE pre-melt
+    // (unpivot requires a common value type; the oracle mirrors with
+    // a UNION ALL spelling).
+    QueryDef("q_unpivot_metrics",
+      (s, d) => s.read.parquet(s"$d/lineitem.parquet")
+        .groupBy(col("l_returnflag").as("rf"))
+        .agg(sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+          count(lit(1)).cast("double").as("n_rows"))
+        .unpivot(Array(col("rf")),
+          Array(col("sum_qty"), col("sum_price"), col("n_rows")),
+          "metric", "value")
+        .orderBy(col("rf"), col("metric")),
+      Some("""WITH a AS (SELECT l_returnflag AS rf,
+             |    sum(CAST(l_quantity AS DECIMAL(12,2)))::DOUBLE AS sum_qty,
+             |    sum(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE AS sum_price,
+             |    count(*)::DOUBLE AS n_rows
+             |  FROM lineitem GROUP BY 1)
+             |SELECT rf, metric, value FROM (
+             |  SELECT rf, 'sum_qty' AS metric, sum_qty AS value FROM a
+             |  UNION ALL SELECT rf, 'sum_price', sum_price FROM a
+             |  UNION ALL SELECT rf, 'n_rows', n_rows FROM a)
+             |ORDER BY rf, metric""".stripMargin)),
+
+    // FULL OUTER join — the reconciliation join: users who clicked,
+    // errored, both, or neither side present survive with zero-filled
+    // counts. Both sides pre-aggregate to one row per key BEFORE the
+    // join (at 100 TB the join then carries two key-digest tables, not
+    // two fact tables); USING-style key coalescing in both engines.
+    QueryDef("q_full_outer",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+        def perUser(t: String, as: String) = ev
+          .filter(col("event_type") === t && col("user_id") < 200)
+          .groupBy(col("user_id")).agg(count(lit(1)).as(as))
+        perUser("click", "n_clicks")
+          .join(perUser("error", "n_errors"), Seq("user_id"), "full_outer")
+          .select(col("user_id"),
+            coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+            coalesce(col("n_errors"), lit(0L)).as("n_errors"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH c AS (SELECT user_id, count(*) AS n_clicks FROM events
+             |  WHERE event_type = 'click' AND user_id < 200 GROUP BY 1),
+             |e AS (SELECT user_id, count(*) AS n_errors FROM events
+             |  WHERE event_type = 'error' AND user_id < 200 GROUP BY 1)
+             |SELECT coalesce(c.user_id, e.user_id) AS user_id,
+             |  coalesce(c.n_clicks, 0) AS n_clicks,
+             |  coalesce(e.n_errors, 0) AS n_errors
+             |FROM c FULL JOIN e ON c.user_id = e.user_id
+             |ORDER BY user_id""".stripMargin)),
+
+    // Per-key EWMA (exponential smoothing, α = 0.2) — the classic
+    // sensor-stream filter, and a genuinely SEQUENTIAL recurrence
+    // (y_i = αx_i + (1−α)y_{i−1}) no window frame can express. Spelled
+    // as one ordered fold per key: collect the key's series, sort once,
+    // fold left — state is per-key and keys process in parallel, so at
+    // scale this is one shuffle by user_id with O(history) memory per
+    // key (the unbounded-history variant is exactly what
+    // mapGroupsWithState runs incrementally in q_stream_sessionize's
+    // machinery). Both engines run the IDENTICAL fold order, so the
+    // doubles match bit-for-bit before rounding.
+    QueryDef("q_ewma_smooth",
+      (s, d) => graft.sources.Tables.events(s, d)
+        .filter(col("user_id") < 50)
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(
+          struct(col("ts"), col("event_id"), col("value")))).as("__seq"))
+        .select(col("user_id"), size(col("__seq")).as("n"),
+          round(aggregate(col("__seq"), lit(0.0),
+            (acc, x) => lit(0.2) * x.getField("value") + lit(0.8) * acc), 6)
+            .as("ewma_last"))
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id, len(list(value)) AS n,
+             |  round(list_reduce(
+             |    list_prepend(0.0::DOUBLE, list(value ORDER BY ts, event_id)::DOUBLE[]),
+             |    (acc, x) -> 0.2::DOUBLE * x + 0.8::DOUBLE * acc), 6) AS ewma_last
+             |FROM events WHERE user_id < 50
+             |GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 }
