@@ -725,6 +725,24 @@ object ExtQueries {
              |SELECT bigram, count(*) AS n_docs FROM b
              |GROUP BY 1 ORDER BY n_docs DESC, bigram LIMIT 20""".stripMargin)),
 
+    // The sketch twin of corpus_ngram_topk at unigram level: Misra-
+    // Gries heavy hitters with 64 counters — O(64) state per partial
+    // no matter the corpus size, vs the exact aggregate's
+    // one-counter-per-distinct-term shuffle. At 100 TB the exact
+    // top-k is THE canonical "don't do that" aggregation; this is the
+    // mergeable-summary replacement. Sketch contents depend on merge
+    // order -> rows-only driver check; the frequency guarantee
+    // (every term > N/65 present, bounds within N/65) is pinned by
+    // HeavyHittersSpec.
+    QueryDef("corpus_heavy_hitters_approx",
+      (s, d) => s.read.parquet(s"$d/documents.parquet")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .agg(graft.functions.HeavyHitters.heavyHitters(col("term"), 64).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.term").as("term"), col("e.count_lb").as("count_lb"))
+        .limit(15),
+      None),
+
     // Deterministic hash sampling: md5-derived bucket per doc, keep
     // bucket < 20 (a reproducible 20% sample any engine re-derives —
     // the scale-correct alternative to rand()-based sampling).
