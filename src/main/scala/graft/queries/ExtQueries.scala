@@ -1078,6 +1078,83 @@ object ExtQueries {
              |SELECT vec_id, norm, z FROM z WHERE abs(z) >= 2
              |ORDER BY vec_id""".stripMargin)),
 
+    // ---- OOV rate against a corpus-derived vocabulary -------------------
+    // Tokenizer-coverage evaluation: build the top-100 vocabulary from
+    // the corpus itself (count desc, term tie-break — deterministic
+    // cutoff), then score every document's out-of-vocabulary token
+    // rate. The vocab is definitionally tiny -> broadcast; the per-doc
+    // aggregate is one shuffle by doc_id. At 100 TB the exact vocab
+    // top-k would itself be replaced by the Misra-Gries sketch above —
+    // this pairs with it as the consumer side.
+    QueryDef("text_oov_rate",
+      (s, d) => {
+        val toks = s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"),
+            explode(TextAnalysis.tokens(col("text"))).as("term"))
+        val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("cf"))
+          .orderBy(col("cf").desc, col("term")).limit(100)
+          .select(col("term"), lit(1).as("__iv"))
+        toks.join(broadcast(vocab), Seq("term"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("__iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+            round(col("n_oov") / col("n_tokens"), 6).as("oov_rate"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tk AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+             |v AS (SELECT term FROM (
+             |  SELECT term, count(*) AS cf FROM tk GROUP BY 1
+             |  ORDER BY cf DESC, term LIMIT 100)),
+             |j AS (SELECT tk.doc_id,
+             |        CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+             |      FROM tk LEFT JOIN v USING (term))
+             |SELECT doc_id, count(*) AS n_tokens, sum(oov)::BIGINT AS n_oov,
+             |  round(sum(oov)::DOUBLE / count(*), 6) AS oov_rate
+             |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- Hard-negative mining (contrastive-training data prep) ----------
+    // For each anchor, the most-similar vectors with a DIFFERENT label:
+    // the "hard negatives" a contrastive or reranker trainer pairs with
+    // each anchor. Same broadcast-query + windowed top-k shape as
+    // brute-force ANN with the label-disagreement predicate pushed into
+    // the join condition, so disqualified pairs never reach scoring.
+    // At scale the anchor set is the small side (a training batch),
+    // exactly what the broadcast models.
+    QueryDef("emb_hard_negatives",
+      (s, d) => {
+        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        val q = emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), col("label").as("__ql"),
+            col("embedding").as("__qv"))
+        val c = emb.select(col("vec_id").as("neighbor_id"),
+          col("label").as("neg_label"), col("embedding").as("__cv"))
+        val scored = c.join(broadcast(q),
+            col("neighbor_id") =!= col("query_id") &&
+              col("neg_label") =!= col("__ql"))
+          .select(col("query_id"), col("neighbor_id"), col("neg_label"),
+            graft.functions.VectorFunctions.cosine_sim(s,
+              col("__qv"), col("__cv")).as("sim"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("neighbor_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            col("neg_label"), round(col("sim"), 6).as("sim"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+             |q AS (SELECT vec_id, v, label FROM t WHERE vec_id < 20),
+             |sc AS (SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+             |         t.label AS neg_label,
+             |         list_cosine_similarity(q.v, t.v) AS sim
+             |       FROM q JOIN t ON t.vec_id != q.vec_id AND t.label != q.label),
+             |r AS (SELECT query_id, neighbor_id, neg_label, sim,
+             |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+             |      FROM sc)
+             |SELECT query_id, rank, neighbor_id, neg_label, round(sim, 6) AS sim
+             |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
+
     // ---- K-means cluster profile (the quantizer as a clustering op) -----
     // The IVF coarse quantizer IS a deterministic k-means fit; this
     // exposes its "predict" half as a first-class clustering operator:
