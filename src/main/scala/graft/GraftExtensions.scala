@@ -76,5 +76,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         ExactPercentile(es.head, ps).toAggregateExpression()
       }))
+    ext.injectFunction((FunctionIdentifier("graft_shingle_strings"),
+      info("graft_shingle_strings", "distinct word n-gram shingle strings"),
+      (es: Seq[Expression]) =>
+        ShingleStrings(es.head, if (es.size > 1) intArg(es(1), 3) else 3)))
+    ext.injectFunction((FunctionIdentifier("graft_bpe_token_count"),
+      info("graft_bpe_token_count", "BPE-ish token count without materializing tokens"),
+      (es: Seq[Expression]) => BpeTokenCount(es.head)))
+    ext.injectFunction((FunctionIdentifier("graft_char_entropy"),
+      info("graft_char_entropy", "character-level Shannon entropy (bits/char)"),
+      (es: Seq[Expression]) => CharEntropy(es.head)))
+    ext.injectFunction((FunctionIdentifier("graft_heavy_hitters"),
+      info("graft_heavy_hitters", "Misra-Gries heavy hitters with k counters"),
+      (es: Seq[Expression]) =>
+        MisraGries(es.head, intArg(es(1), 16)).toAggregateExpression()))
   }
 }

@@ -30,6 +30,30 @@ class GraftExtensionsSpec extends GraftSpec {
     assert(math.abs(r(1) - 2.5) < 1e-12)
   }
 
+  test("round-7 functions resolve from pure SQL") {
+    val r = spark.sql(
+      """SELECT
+        |  graft_char_entropy('abcd') AS ent,
+        |  graft_bpe_token_count('hello world42') AS toks,
+        |  graft_shingle_strings('a b c', 2) AS sh
+        |""".stripMargin).head()
+    assert(math.abs(r.getDouble(0) - 2.0) < 1e-8)
+    assert(r.getInt(1) === 3) // hello | world | 42
+    assert(r.getSeq[String](2) === Seq("a b", "b c"))
+  }
+
+  test("graft_heavy_hitters aggregates from SQL") {
+    // 'hot' has 34 of 100 occurrences — above the N/(k+1) = 100/9
+    // guarantee threshold, so MG MUST retain it through the merges
+    // (a 10%-frequency term would be legitimately droppable at k=8)
+    spark.range(0, 100).selectExpr("CASE WHEN id % 3 = 0 THEN 'hot' ELSE concat('c', id) END AS term")
+      .createOrReplaceTempView("hh_t")
+    val top = spark.sql("SELECT graft_heavy_hitters(term, 8) FROM hh_t")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(top.head.getString(0) === "hot")
+    assert(top.head.getLong(1) <= 34L) // lower bound never exceeds truth
+  }
+
   test("bench-shaped SQL: cosine top-k over a temp view resolves and runs") {
     import spark.implicits._
     Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.1)), (3L, Seq(0.0, 1.0)))
