@@ -743,6 +743,16 @@ object ExtQueries {
         .limit(15),
       None),
 
+    // The STREAMING twin: the same Misra-Gries sketch maintained
+    // across 4 real micro-batches (distributed per-batch sketch ->
+    // k-row driver merge). Sketch contents depend on batch boundaries
+    // -> rows-only; the stream-holds-the-guarantee law is pinned in
+    // StreamingEtlSpec.
+    QueryDef("q_stream_heavy_hitters",
+      (s, d) => graft.streaming.StreamingEtl.heavyHittersViaStream(s, d)
+        .limit(15),
+      None),
+
     // Deterministic hash sampling: md5-derived bucket per doc, keep
     // bucket < 20 (a reproducible 20% sample any engine re-derives —
     // the scale-correct alternative to rand()-based sampling).

@@ -422,6 +422,58 @@ object StreamingEtl {
     * All files are listed in one AvailableNow batch (no
     * maxFilesPerTrigger), so the first batch runs at watermark 0 and
     * drops nothing. */
+  /** Streaming heavy hitters — the Misra-Gries sketch maintained
+    * across micro-batches: each batch runs the DISTRIBUTED sketch
+    * aggregate over its rows (O(k) per partial), and the k-row batch
+    * summary merges into the running k-counter state on the driver
+    * (sketch-of-sketches: the merge is the same shrink that Spark's
+    * partial/final aggregation runs, so the N/(k+1) guarantee holds
+    * over the whole stream regardless of batch boundaries — the law
+    * `HeavyHittersSpec` pins for batch holds here by the same
+    * argument, asserted in `StreamingEtlSpec`). Driver state is k
+    * counters — bytes, not data; this is exactly how a production
+    * topology ships per-window sketches to a coordinator. Input is
+    * staged as 4 files with maxFilesPerTrigger=1 to force 4 real
+    * merge rounds. */
+  def heavyHittersViaStream(spark: SparkSession, dir: String,
+                            k: Int = 64, topN: Int = 15): DataFrame = {
+    import java.nio.file.Files
+    val stage = Files.createTempDirectory("graft_hh_stage")
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(stage.toString)
+    val schema = spark.read.parquet(stage.toString).schema
+
+    val state = new graft.functions.MGBuf(k)
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+    val q = in.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val sketch = batch
+          .select(explode(split(lower(col("text")), " ")).as("term"))
+          .agg(graft.functions.HeavyHitters.heavyHitters(col("term"), k))
+          .head().getSeq[org.apache.spark.sql.Row](0)
+        // k-row summary -> driver merge (state.merge preserves the
+        // mergeable-summaries guarantee); synchronization is free:
+        // foreachBatch bodies run sequentially per query
+        val batchBuf = new graft.functions.MGBuf(k)
+        sketch.foreach(r => batchBuf.counts.put(r.getString(0), r.getLong(1)))
+        state.merge(batchBuf)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    rmTree(stage)
+
+    import scala.jdk.CollectionConverters._
+    val rows = state.counts.asScala.toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(topN)
+    import spark.implicits._
+    rows.toDF("term", "count_lb")
+  }
+
   def sessionizeViaStream(spark: SparkSession, dir: String): Dataset[Session] = {
     import spark.implicits._
     import java.nio.file.{Files, Paths, StandardCopyOption}

@@ -212,6 +212,31 @@ class StreamingEtlSpec extends GraftSpec {
     assert(recovered.nonEmpty)
   }
 
+  test("heavyHittersViaStream: MG guarantee holds across micro-batch merges") {
+    val dir = "/root/testdata/sf0.001"
+    val k = 64
+    val sketch = StreamingEtl.heavyHittersViaStream(spark, dir, k = k, topN = k)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactRows = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(split(lower(col("text")), " ")).as("term"))
+      .groupBy(col("term")).count().collect()
+    val exact = exactRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val eps = n / (k + 1L)
+    // completeness: terms above the guarantee threshold survive the
+    // per-batch sketches AND the cross-batch driver merges
+    exact.filter(_._2 > eps).foreach { case (t, c) =>
+      assert(sketch.contains(t), s"stream lost heavy hitter $t (true $c, eps $eps)")
+    }
+    // soundness: every reported count is a lower bound within eps
+    sketch.foreach { case (t, lb) =>
+      val c = exact.getOrElse(t, 0L)
+      assert(lb <= c, s"$t: lb $lb exceeds true $c")
+      assert(c - lb <= eps, s"$t: gap ${c - lb} > eps $eps")
+    }
+    assert(sketch.nonEmpty)
+  }
+
   test("intervalJoinViaStream: stream-stream join equals the batch interval join") {
     val dir = "/root/testdata/sf0.001"
     val streamed = StreamingEtl.intervalJoinViaStream(spark, dir)
