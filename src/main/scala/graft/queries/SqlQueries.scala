@@ -1153,6 +1153,47 @@ object SqlQueries {
              |FROM c FULL JOIN e ON c.user_id = e.user_id
              |ORDER BY user_id""".stripMargin)),
 
+    // Debounce / repeat suppression — the sensor-cleaning op that
+    // drops a reading when it repeats the key's previous value
+    // (stuck-sensor and chatty-transmitter mitigation). One shuffle by
+    // key into an ordered lag window; emits the survivors plus how
+    // many repeats each one absorbed.
+    QueryDef("q_debounce",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        graft.sources.Tables.events(s, d)
+          .filter(col("user_id") < 100)
+          .withColumn("__prev", lag(col("value"), 1).over(w))
+          .withColumn("__new", (col("__prev").isNull ||
+            col("value") =!= col("__prev")).cast("int"))
+          .withColumn("__grp", sum(col("__new")).over(
+            Window.partitionBy(col("user_id"))
+              .orderBy(col("ts"), col("event_id"))
+              .rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("__grp"))
+          // arg-min by (ts, event_id) picks the run's FIRST event;
+          // value is constant within a run so min() is exact
+          .agg(min_by(col("event_id"), struct(col("ts"), col("event_id")))
+              .as("event_id"),
+            count(lit(1)).as("run_len"),
+            min(col("value")).as("value"))
+          .select(col("event_id"), col("user_id"), col("value"),
+            col("run_len"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH l AS (SELECT event_id, user_id, value, ts,
+             |    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             |  FROM events WHERE user_id < 100),
+             |g AS (SELECT event_id, user_id, value, ts,
+             |    sum(CASE WHEN prev IS NULL OR value != prev THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS UNBOUNDED PRECEDING) AS grp
+             |  FROM l)
+             |SELECT first(event_id ORDER BY ts, event_id) AS event_id,
+             |  user_id, min(value) AS value, count(*) AS run_len
+             |FROM g GROUP BY user_id, grp ORDER BY event_id""".stripMargin)),
+
     // Per-key EWMA (exponential smoothing, α = 0.2) — the classic
     // sensor-stream filter, and a genuinely SEQUENTIAL recurrence
     // (y_i = αx_i + (1−α)y_{i−1}) no window frame can express. Spelled
