@@ -21,7 +21,14 @@ import org.apache.spark.sql.functions._
 object ScaleBench {
 
   private val Queries = Seq("y_sync_flagship", "dedup_neardup_groups",
-    "pipe_seq_pack", "sim_topk_lsh", "corpus_ngram_topk", "q_sessionize")
+    "pipe_seq_pack", "sim_topk_lsh", "corpus_ngram_topk", "q_sessionize",
+    // the sketch should scale FLAT in state (O(k) partials): at 10×
+    // its time must grow at most with scan cost, proving the exact
+    // top-k's distinct-term blowup is really gone
+    "corpus_heavy_hitters_approx",
+    // per-row kernel + broadcast dictionary joins — near-linear is
+    // the pass bar for the newest text analytics
+    "text_oov_rate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
