@@ -1088,6 +1088,32 @@ object ExtQueries {
              |SELECT vec_id, norm, z FROM z WHERE abs(z) >= 2
              |ORDER BY vec_id""".stripMargin)),
 
+    // ---- Corpus data card -----------------------------------------------
+    // The one-row dataset report every released corpus ships with:
+    // volume, source/language breadth, token mass, and the exact-dup
+    // rate — all single-pass aggregates (the distinct counts shuffle
+    // hashes, not text). This is the "describe()" of the corpus world,
+    // and the numbers a mixing/curation decision starts from.
+    QueryDef("corpus_datacard",
+      (s, d) => s.read.parquet(s"$d/documents.parquet")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(size(TextAnalysis.tokens(col("text"))).cast("long"))
+            .as("total_tokens"),
+          countDistinct(md5(col("text"))).as("n_unique_texts"))
+        .withColumn("dup_rate",
+          round((col("n_docs") - col("n_unique_texts")) / col("n_docs"), 6)),
+      Some("""SELECT count(*) AS n_docs,
+             |  count(DISTINCT source) AS n_sources,
+             |  count(DISTINCT lang) AS n_langs,
+             |  sum(n_chars)::BIGINT AS total_chars,
+             |  sum(len(string_split(lower(text), ' ')))::BIGINT AS total_tokens,
+             |  count(DISTINCT md5(text)) AS n_unique_texts,
+             |  round((count(*) - count(DISTINCT md5(text)))::DOUBLE / count(*), 6) AS dup_rate
+             |FROM documents""".stripMargin)),
+
     // ---- OOV rate against a corpus-derived vocabulary -------------------
     // Tokenizer-coverage evaluation: build the top-100 vocabulary from
     // the corpus itself (count desc, term tie-break — deterministic
@@ -1164,6 +1190,44 @@ object ExtQueries {
              |      FROM sc)
              |SELECT query_id, rank, neighbor_id, neg_label, round(sim, 6) AS sim
              |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
+
+    // ---- SemDeDup-style semantic dedup within clusters ------------------
+    // The embedding-space dedup that textual near-dup misses
+    // (paraphrases, translations, re-renders): cluster first, then
+    // compare ONLY within each cluster — the quantizer turns the n²
+    // corpus pairwise into per-cell pairwises bounded by cell size
+    // (SemDeDup, Abbas et al. 2023). Drop rule is deterministic: a
+    // vector is dropped iff a LOWER-id vector in its cell clears the
+    // similarity bar. The oracle replays quantizer + in-cell pairwise
+    // identically.
+    QueryDef("emb_semdedup",
+      (s, d) => {
+        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        val asg = Similarity.cellAssignments(emb, centroidsOf(s, d))
+        val v = emb.select(col("vec_id"), col("embedding"))
+        val a = asg.select(col("vec_id").as("id_a"), col("cell"))
+          .join(v.select(col("vec_id").as("id_a"), col("embedding").as("__va")), "id_a")
+        val b = asg.select(col("vec_id").as("id_b"), col("cell"))
+          .join(v.select(col("vec_id").as("id_b"), col("embedding").as("__vb")), "id_b")
+        val dropped = a.join(b, Seq("cell"))
+          .filter(col("id_a") < col("id_b"))
+          .filter(graft.functions.VectorFunctions.cosine_sim(s,
+            col("__va"), col("__vb")) > 0.7)
+          .select(col("id_b").as("vec_id")).distinct()
+        asg.join(dropped.withColumn("__d", lit(true)), Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cell"),
+            coalesce(col("__d"), lit(false)).as("dropped"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH ${ivfCtes(nProbe = 1)},
+              |dr AS (SELECT DISTINCT b.vec_id
+              |       FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
+              |       JOIN t ta ON ta.vec_id = a.vec_id
+              |       JOIN t tb ON tb.vec_id = b.vec_id
+              |       WHERE list_cosine_similarity(ta.v, tb.v) > 0.7)
+              |SELECT af.vec_id, af.cell,
+              |  af.vec_id IN (SELECT vec_id FROM dr) AS dropped
+              |FROM af ORDER BY af.vec_id""".stripMargin)),
 
     // ---- K-means cluster profile (the quantizer as a clustering op) -----
     // The IVF coarse quantizer IS a deterministic k-means fit; this
