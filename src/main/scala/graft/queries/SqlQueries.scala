@@ -1153,6 +1153,81 @@ object SqlQueries {
              |FROM c FULL JOIN e ON c.user_id = e.user_id
              |ORDER BY user_id""".stripMargin)),
 
+    // Funnel analysis — ordered multi-step conversion: for each user,
+    // the first click and whether a purchase followed within 10
+    // minutes. Both steps pre-aggregate per user BEFORE joining (two
+    // key-digest tables meet, not two fact tables), and the funnel
+    // condition is a per-user min over qualifying purchases — no
+    // window over the raw stream, no per-user sort.
+    QueryDef("q_funnel",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+        val firstClick = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"))
+          .agg(min(unix_micros(col("ts"))).as("click_us"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+        val conv = firstClick.join(purchases, Seq("user_id"), "left")
+          .groupBy(col("user_id"), col("click_us"))
+          .agg(min(when(col("p_us") >= col("click_us") &&
+            col("p_us") <= col("click_us") + 600000000L, col("p_us")))
+            .as("conv_us"))
+        conv.agg(count(lit(1)).as("n_clickers"),
+          sum(when(col("conv_us").isNotNull, 1L).otherwise(0L)).as("n_converted"),
+          round(sum(when(col("conv_us").isNotNull, 1L).otherwise(0L))
+            .cast("double") / count(lit(1)), 6).as("conv_rate"),
+          round((sum(when(col("conv_us").isNotNull,
+              col("conv_us") - col("click_us")).otherwise(0L)).cast("double")
+            / greatest(sum(when(col("conv_us").isNotNull, 1L).otherwise(0L)),
+              lit(1L))) / 1000000.0, 6).as("avg_latency_sec"))
+      },
+      Some("""WITH fc AS (SELECT user_id, min(epoch_us(ts)) AS click_us
+             |  FROM events WHERE event_type = 'click' GROUP BY 1),
+             |p AS (SELECT user_id, epoch_us(ts) AS p_us
+             |  FROM events WHERE event_type = 'purchase'),
+             |conv AS (SELECT fc.user_id, fc.click_us,
+             |    min(CASE WHEN p.p_us >= fc.click_us
+             |             AND p.p_us <= fc.click_us + 600000000 THEN p.p_us END) AS conv_us
+             |  FROM fc LEFT JOIN p ON p.user_id = fc.user_id
+             |  GROUP BY fc.user_id, fc.click_us)
+             |SELECT count(*) AS n_clickers,
+             |  sum(CASE WHEN conv_us IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_converted,
+             |  round(sum(CASE WHEN conv_us IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS conv_rate,
+             |  round((sum(CASE WHEN conv_us IS NOT NULL THEN conv_us - click_us ELSE 0 END)::DOUBLE
+             |    / greatest(sum(CASE WHEN conv_us IS NOT NULL THEN 1 ELSE 0 END), 1)) / 1000000.0, 6) AS avg_latency_sec
+             |FROM conv""".stripMargin)),
+
+    // Retention cohorts — the activation matrix: users grouped by
+    // their FIRST-seen day, then counted on each later day they
+    // return. First-seen is one aggregate; the matrix is one join of
+    // (user, active-day) against the cohort digest — the standard
+    // two-scan shape, no cross product, no per-user windows.
+    QueryDef("q_retention",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+        val active = ev.distinct()
+        val cohort = active.groupBy(col("user_id"))
+          .agg(min(col("day")).as("cohort_day"))
+        active.join(cohort, "user_id")
+          .select(col("cohort_day"),
+            datediff(col("day"), col("cohort_day")).as("day_offset"))
+          .filter(col("day_offset") <= 7)
+          .groupBy(col("cohort_day"), col("day_offset"))
+          .agg(count(lit(1)).as("n_users"))
+          .select(col("cohort_day").cast("string").as("cohort_day"),
+            col("day_offset"), col("n_users"))
+          .orderBy(col("cohort_day"), col("day_offset"))
+      },
+      Some("""WITH a AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+             |c AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY 1)
+             |SELECT (c.cohort_day)::VARCHAR AS cohort_day,
+             |  (a.day - c.cohort_day) AS day_offset,
+             |  count(*) AS n_users
+             |FROM a JOIN c USING (user_id)
+             |WHERE (a.day - c.cohort_day) <= 7
+             |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin)),
+
     // Debounce / repeat suppression — the sensor-cleaning op that
     // drops a reading when it repeats the key's previous value
     // (stuck-sensor and chatty-transmitter mitigation). One shuffle by
