@@ -28,6 +28,48 @@ object Stats {
       }: _*)
   }
 
+  /** A2 at 100 TB, EXACT: distributed-sort rank selection. The
+    * buffered aggregate (`ExactPercentile`) holds O(rows) per group —
+    * fine under the oracle contract, impossible at 100 TB; the sketch
+    * twin trades exactness away. This is the third point of the
+    * triangle: a range-partitioned sort (Spark's TeraSort machinery —
+    * every partition holds a disjoint key range, no single reducer
+    * sees everything), a per-partition `zipWithIndex` to global ranks
+    * (one count job, no data movement), then ONLY the ~2·|qs| rows at
+    * the interpolation ranks come back to the driver. Exactness is
+    * oracle-proven: the registered query shares `a2_quantiles`'
+    * DuckDB oracle verbatim. */
+  def quantilesBySort(df: DataFrame, c: String, qs: Seq[Double]): DataFrame = {
+    val spark = df.sparkSession
+    val vals = df.select(col(c).cast("double")).na.drop()
+      .rdd.map(_.getDouble(0))
+    val sorted = vals.sortBy(identity).zipWithIndex()
+      .map { case (v, i) => (i, v) }
+    val n = sorted.count()
+    require(n > 0, s"quantilesBySort: no non-null rows in $c")
+    val wanted: Map[Long, Double] = qs.flatMap { p =>
+      val pos = p * (n - 1)
+      val lo = pos.toLong
+      Seq(lo, math.min(lo + 1, n - 1))
+    }.distinct.map(_ -> 0.0).toMap
+    val picked = sorted.filter { case (i, _) => wanted.contains(i) }
+      .collect().toMap
+    val row = qs.map { p =>
+      val pos = p * (n - 1)
+      val lo = pos.toLong
+      val frac = pos - lo
+      val v =
+        if (lo + 1 <= n - 1) picked(lo) * (1 - frac) + picked(lo + 1) * frac
+        else picked(lo)
+      v
+    }
+    import spark.implicits._
+    Seq(row).toDF("__q")
+      .select(qs.zipWithIndex.map { case (q, i) =>
+        col("__q").getItem(i).as(s"q${(q * 100).round}")
+      }: _*)
+  }
+
   /** A4 — long-format pairwise Pearson correlation matrix over `cols`
     * (upper triangle, col1 < col2), pandas-`.corr()` semantics:
     * pairwise-complete rows, NULL on zero variance. Spark 4's ANSI-mode

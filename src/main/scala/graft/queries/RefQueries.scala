@@ -361,6 +361,24 @@ object RefQueries {
              |       round(quantile_cont(o_totalprice, 0.99), 4) AS q99
              |FROM orders""".stripMargin)),
 
+    // A2 at scale, still EXACT — distributed-sort rank selection
+    // (range-partitioned sort + global ranks + fetch only the
+    // interpolation rows): no O(rows) aggregation buffer anywhere,
+    // and the result is bit-identical to the buffered aggregate —
+    // proven by sharing a2_quantiles' oracle verbatim.
+    QueryDef("a2_quantiles_sorted",
+      (s, d) => Stats.quantilesBySort(s.read.parquet(s"$d/orders.parquet"),
+        "o_totalprice", Seq(0.01, 0.25, 0.5, 0.75, 0.99))
+        .select(round(col("q1"), 4).as("q1"), round(col("q25"), 4).as("q25"),
+          round(col("q50"), 4).as("q50"), round(col("q75"), 4).as("q75"),
+          round(col("q99"), 4).as("q99")),
+      Some("""SELECT round(quantile_cont(o_totalprice, 0.01), 4) AS q1,
+             |       round(quantile_cont(o_totalprice, 0.25), 4) AS q25,
+             |       round(quantile_cont(o_totalprice, 0.50), 4) AS q50,
+             |       round(quantile_cont(o_totalprice, 0.75), 4) AS q75,
+             |       round(quantile_cont(o_totalprice, 0.99), 4) AS q99
+             |FROM orders""".stripMargin)),
+
     // A2 at scale — approx_percentile twin of a2_quantiles: mergeable
     // sketch state (KLL-style) instead of the O(rows) exact buffer.
     // This is the documented 100 TB switch for the exact aggregate;
