@@ -85,6 +85,20 @@ class StatsSpec extends GraftSpec {
     assert(r.getTimestamp(1).getTime === 9000L)
   }
 
+  test("quantilesBySort agrees exactly with the buffered aggregate") {
+    import spark.implicits._
+    // deterministic irregular values over 8 partitions, incl. dupes
+    val xs = (0 until 10001).map(i => ((i * 7919) % 10007) * 0.5)
+    val df = xs.toDF("x").repartition(8)
+    val qs = Seq(0.01, 0.25, 0.5, 0.75, 0.99)
+    val buffered = Stats.quantiles(df, "x", qs).head()
+    val sorted = Stats.quantilesBySort(df, "x", qs).head()
+    qs.indices.foreach { i =>
+      assert(sorted.getDouble(i) === buffered.getDouble(i),
+        s"q=${qs(i)}: sort-path ${sorted.getDouble(i)} != buffered ${buffered.getDouble(i)}")
+    }
+  }
+
   test("equi-depth bucketing on exact deciles balances bucket sizes") {
     val fn = graft.SparkEntry.queries("q_equidepth_bins")
     val rows = fn(spark, "/root/testdata/sf0.001").collect()
