@@ -86,6 +86,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_char_entropy"),
       info("graft_char_entropy", "character-level Shannon entropy (bits/char)"),
       (es: Seq[Expression]) => CharEntropy(es.head)))
+    ext.injectFunction((FunctionIdentifier("graft_compression_ratio"),
+      info("graft_compression_ratio", "deflate compressed/raw byte ratio"),
+      (es: Seq[Expression]) => CompressionRatio(es.head)))
     ext.injectFunction((FunctionIdentifier("graft_heavy_hitters"),
       info("graft_heavy_hitters", "Misra-Gries heavy hitters with k counters"),
       (es: Seq[Expression]) =>

@@ -246,6 +246,25 @@ object HashKernels {
     h
   }
 
+  /** Deflate compression ratio (compressed/raw bytes of the UTF-8
+    * text, level 6) — the RefinedWeb/Gopher-style redundancy signal:
+    * boilerplate and template spam compress far below natural prose.
+    * Deterministic for a fixed JVM zlib; the engine-side laws
+    * (repetitive < natural < incompressible, bounds) are spec-pinned
+    * rather than oracle-checked since no SQL engine deflates. */
+  def compressionRatio(s: String): Double = {
+    val raw = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (raw.isEmpty) return 1.0
+    val d = new java.util.zip.Deflater(6, false)
+    try {
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total.toDouble / raw.length
+    } finally d.end()
+  }
+
   /** Character-level Shannon entropy (bits/char) over code points, made
     * hash-reproducible across engines: each per-character term
     * log10(cnt/n) (log10 because Spark's Log10 already hash-matches

@@ -133,6 +133,15 @@ case class CharEntropy(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Deflate compression ratio — per-row scan work, no shuffle. */
+case class CompressionRatio(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.compressionRatio(input.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class LangId(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = StringType
@@ -183,6 +192,8 @@ object TextHashFunctions {
       es => BpeTokenCount(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_char_entropy",
       es => CharEntropy(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_compression_ratio",
+      es => CompressionRatio(es.head), "scala_udf")
   }
 
   private def sess: SparkSession = SparkSession.active
@@ -220,5 +231,8 @@ object TextHashFunctions {
   }
   def charEntropy(text: Column): Column = {
     register(sess); call_function("graft_char_entropy", text)
+  }
+  def compressionRatio(text: Column): Column = {
+    register(sess); call_function("graft_compression_ratio", text)
   }
 }

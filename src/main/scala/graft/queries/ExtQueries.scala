@@ -1521,6 +1521,18 @@ object ExtQueries {
              |FROM cc JOIN n USING (doc_id)
              |GROUP BY cc.doc_id, n.n ORDER BY doc_id""".stripMargin)),
 
+    // The deflate-ratio redundancy signal (RefinedWeb/Gopher filter):
+    // template spam compresses far below natural prose. Per-row kernel
+    // on the scan, no shuffle; no SQL engine deflates -> rows-only,
+    // ordering laws pinned in TextAnalysisSpec.
+    QueryDef("text_compression_ratio",
+      (s, d) => s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"),
+          round(graft.functions.TextHashFunctions.compressionRatio(col("text")), 6)
+            .as("deflate_ratio"))
+        .orderBy(col("doc_id")),
+      None),
+
     // ---- PMI bigram collocations (phrase mining) ------------------------
     // Pointwise mutual information over adjacent token pairs — the
     // standard phrase-detection pass (word2vec / Mikolov-style) before

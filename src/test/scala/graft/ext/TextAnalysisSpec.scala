@@ -105,6 +105,23 @@ class TextAnalysisSpec extends GraftSpec {
     assert(out(0) !== out(3))
   }
 
+  test("compressionRatio orders redundancy correctly and stays bounded") {
+    import graft.functions.HashKernels
+    val repetitive = "spam ham " * 200
+    val prose = ("the quick brown fox jumps over the lazy dog and then " +
+      "wanders through seventeen distinct meadows naming each flower ") * 4
+    val incompressible = (1 to 50)
+      .map(i => java.util.UUID.nameUUIDFromBytes(Array(i.toByte)).toString)
+      .mkString("")
+    val rr = HashKernels.compressionRatio(repetitive)
+    val rp = HashKernels.compressionRatio(prose)
+    val ri = HashKernels.compressionRatio(incompressible)
+    assert(rr < rp, s"repetitive $rr !< prose $rp")
+    assert(rp < ri, s"prose $rp !< incompressible $ri")
+    for (r <- Seq(rr, rp, ri)) assert(r > 0.0 && r <= 1.2, r.toString)
+    assert(HashKernels.compressionRatio("") === 1.0) // empty -> neutral
+  }
+
   test("charEntropy: closed-form values, order-free, codepoint-aware") {
     import graft.functions.HashKernels
     // uniform over k symbols -> log2(k) (up to the 1e-9 term rounding)
