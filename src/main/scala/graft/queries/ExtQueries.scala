@@ -290,6 +290,54 @@ object ExtQueries {
               |SELECT id_a, id_b, hamming FROM h WHERE hamming <= 3
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Edit-distance-verified near-dup pairs: SimHash bands generate
+    // candidates (hamming <= 5 — the 6-band pigeonhole-complete
+    // radius, so banding loses nothing it promises), then true
+    // Levenshtein verifies each pair against a 20%-of-length budget —
+    // the fuzzy-match discipline for OCR noise and small edits that
+    // set-based Jaccard misses. The quadratic-cost DP runs ONLY on
+    // banded candidates, never all pairs; both engines share the
+    // classic unit-cost Levenshtein definition. The corpus slice is
+    // CAPPED (doc_id < 1000) like the other DP-verified baselines
+    // (dedup_ngram_jaccard, sim_neardup_embedding): full-length
+    // Levenshtein is an O(len²) per-pair verifier the single-threaded
+    // oracle must replay — the uncapped scale path stays
+    // hamming/Jaccard verification.
+    QueryDef("dedup_editdistance",
+      (s, d) => {
+        val docs = s.read.parquet(s"$d/documents.parquet")
+          .filter(col("doc_id") < 1000)
+        val cand = Dedup.simhashNearDups(docs, maxHamming = 5)
+          .select(col("id_a"), col("id_b"))
+        cand
+          .join(docs.select(col("doc_id").as("id_a"), col("text").as("__ta")), "id_a")
+          .join(docs.select(col("doc_id").as("id_b"), col("text").as("__tb")), "id_b")
+          .select(col("id_a"), col("id_b"),
+            levenshtein(col("__ta"), col("__tb")).cast("long").as("edit_dist"),
+            greatest(length(col("__ta")), length(col("__tb"))).cast("long")
+              .as("max_len"))
+          .filter(col("edit_dist") <= col("max_len") * 0.2)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH dcap AS (SELECT * FROM documents WHERE doc_id < 1000),
+              |${simhashCte(60).replace("FROM documents", "FROM dcap")},
+              |bands AS (SELECT doc_id, fp, b.i AS band, (fp >> (b.i * 10)) & 1023 AS key
+              |          FROM fp, unnest(range(0, 6)) b(i)),
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |         FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+              |           AND a.doc_id < b.doc_id),
+              |h AS (SELECT id_a, id_b FROM cand
+              |      JOIN fp x ON x.doc_id = id_a JOIN fp y ON y.doc_id = id_b
+              |      WHERE bit_count(xor(x.fp, y.fp)) <= 5),
+              |v AS (SELECT id_a, id_b,
+              |        levenshtein(da.text, db.text)::BIGINT AS edit_dist,
+              |        greatest(length(da.text), length(db.text))::BIGINT AS max_len
+              |      FROM h JOIN dcap da ON da.doc_id = id_a
+              |        JOIN dcap db ON db.doc_id = id_b)
+              |SELECT id_a, id_b, edit_dist, max_len FROM v
+              |WHERE edit_dist <= max_len * 0.2
+              |ORDER BY id_a, id_b""".stripMargin)),
+
     // Exact n-gram (3-shingle) Jaccard pairs over a capped slice —
     // the no-LSH baseline the MinHash path approximates. All-pairs is
     // O(n²) by definition, so the query caps n; the LSH variant above
