@@ -685,6 +685,26 @@ object SqlQueries {
              |  count(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50 THEN 1 END) AS n_k_over_50
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // The VARIANT twin of q_json_extract: parse once into Spark 4's
+    // binary semi-structured type, then cheap typed path extraction —
+    // at 100 TB schema-on-read JSON is parsed ONCE per row, not once
+    // per accessed field (from_json with a full schema re-parses for
+    // every distinct schema projection). Same aggregate, same oracle
+    // discipline.
+    QueryDef("q_json_variant",
+      (s, d) => graft.sources.Tables.events(s, d)
+        .select(col("event_type"), parse_json(col("props")).as("__v"))
+        .select(col("event_type"),
+          expr("variant_get(__v, '$.k', 'bigint')").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
+          count(when(col("k") % 2 === 0, 1)).as("n_even"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type, count(*) AS n,
+             |  sum(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS k_sum,
+             |  count(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) % 2 = 0 THEN 1 END) AS n_even
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // Pivot -> unpivot round-trip: wide daily matrix (one column per
     // event type) melted back to long form must equal the plain
     // group-by — grading BOTH reshape APIs against one trivial oracle.
