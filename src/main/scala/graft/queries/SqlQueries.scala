@@ -685,6 +685,98 @@ object SqlQueries {
              |  count(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50 THEN 1 END) AS n_k_over_50
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Q10-shaped returned-item report: which customers returned the
+    // most revenue in one quarter. Four-way join with the classic
+    // 100 TB discipline — the date filter prunes orders FIRST (the
+    // selective predicate drives the join order), lineitem restricts
+    // to returnflag before joining, nation broadcasts, and the
+    // per-customer aggregate tops-k at the end (top 20 by revenue).
+    QueryDef("q10_returned_items",
+      (s, d) => {
+        val o = s.read.parquet(s"$d/orders.parquet")
+          .filter(col("o_orderdate") >= "1996-01-01" &&
+            col("o_orderdate") < "1996-04-01")
+          .select("o_orderkey", "o_custkey")
+        val li = s.read.parquet(s"$d/lineitem.parquet")
+          .filter(col("l_returnflag") === "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        val c = s.read.parquet(s"$d/customer.parquet")
+          .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+        val n = s.read.parquet(s"$d/nation.parquet")
+          .select("n_nationkey", "n_name")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+          .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1) - col("l_discount")).cast("decimal(4,2)")).cast("double")
+            .as("revenue"),
+            round(max(col("c_acctbal")), 2).as("acctbal"))
+          .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, n_name,
+             |  sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)))::DOUBLE AS revenue,
+             |  round(max(c_acctbal), 2) AS acctbal
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |WHERE l_returnflag = 'R'
+             |  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+             |GROUP BY c_custkey, c_name, n_name
+             |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
+    // ANALYZE-style per-column statistics collection — the stats a
+    // cost-based optimizer feeds on (ndv, null fraction, bounds),
+    // computed for several columns in ONE scan (each ndv is its own
+    // partial-merge HLL-free exact distinct via count(distinct) in a
+    // single multi-aggregate; at 100 TB swap approx_count_distinct in
+    // the same shape). Long-format output, one row per column.
+    QueryDef("io_table_stats",
+      (s, d) => {
+        val li = s.read.parquet(s"$d/lineitem.parquet")
+        val wide = li.agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("l_returnflag")).as("ndv_rf"),
+          sum(when(col("l_returnflag").isNull, 1L).otherwise(0L)).as("null_rf"),
+          countDistinct(col("l_quantity")).as("ndv_qty"),
+          sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("null_qty"),
+          round(min(col("l_quantity")), 2).as("min_qty"),
+          round(max(col("l_quantity")), 2).as("max_qty"),
+          countDistinct(col("l_orderkey")).as("ndv_ok"),
+          sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("null_ok"))
+        wide.select(explode(array(
+          struct(lit("l_returnflag").as("column"), col("n_rows"),
+            col("ndv_rf").as("ndv"), col("null_rf").as("n_null"),
+            lit(null).cast("double").as("min_v"),
+            lit(null).cast("double").as("max_v")),
+          struct(lit("l_quantity").as("column"), col("n_rows"),
+            col("ndv_qty").as("ndv"), col("null_qty").as("n_null"),
+            col("min_qty").as("min_v"), col("max_qty").as("max_v")),
+          struct(lit("l_orderkey").as("column"), col("n_rows"),
+            col("ndv_ok").as("ndv"), col("null_ok").as("n_null"),
+            lit(null).cast("double").as("min_v"),
+            lit(null).cast("double").as("max_v")))).as("__s"))
+          .select(col("__s.*"))
+          .orderBy(col("column"))
+      },
+      Some("""WITH w AS (SELECT count(*) AS n_rows,
+             |    count(DISTINCT l_returnflag) AS ndv_rf,
+             |    sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_rf,
+             |    count(DISTINCT l_quantity) AS ndv_qty,
+             |    sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_qty,
+             |    round(min(l_quantity), 2) AS min_qty,
+             |    round(max(l_quantity), 2) AS max_qty,
+             |    count(DISTINCT l_orderkey) AS ndv_ok,
+             |    sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_ok
+             |  FROM lineitem)
+             |SELECT "column", n_rows, ndv, n_null, min_v, max_v FROM (
+             |  SELECT 'l_returnflag' AS "column", n_rows, ndv_rf AS ndv, null_rf AS n_null,
+             |    NULL::DOUBLE AS min_v, NULL::DOUBLE AS max_v FROM w
+             |  UNION ALL SELECT 'l_quantity', n_rows, ndv_qty, null_qty, min_qty, max_qty FROM w
+             |  UNION ALL SELECT 'l_orderkey', n_rows, ndv_ok, null_ok, NULL, NULL FROM w)
+             |ORDER BY "column"""".stripMargin)),
+
     // The VARIANT twin of q_json_extract: parse once into Spark 4's
     // binary semi-structured type, then cheap typed path extraction —
     // at 100 TB schema-on-read JSON is parsed ONCE per row, not once
