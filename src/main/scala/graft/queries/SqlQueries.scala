@@ -320,6 +320,22 @@ object SqlQueries {
              |FROM events GROUP BY 1, 2
              |ORDER BY window_start, event_type""".stripMargin)),
 
+    // Stream-static enrichment join: each micro-batch broadcasts the
+    // offline per-user cohort dim — the remaining streaming join shape
+    // (stream-stream is q_stream_join). Oracle is the batch spelling
+    // of the same cohort join, so a dim that failed to reach any
+    // micro-batch hash-fails.
+    QueryDef("q_stream_enrich",
+      (s, d) => graft.streaming.StreamingEtl.enrichedCohortViaStream(s, d)
+        .orderBy(col("cohort_day"), col("event_type")),
+      Some("""WITH dim AS (SELECT user_id, min(ts::DATE) AS first_day
+             |  FROM events GROUP BY 1)
+             |SELECT (dim.first_day)::VARCHAR AS cohort_day, e.event_type,
+             |  count(*) AS n,
+             |  sum(CAST(e.value AS DECIMAL(18,2)))::DOUBLE AS sum_value
+             |FROM events e JOIN dim USING (user_id)
+             |GROUP BY 1, 2 ORDER BY cohort_day, event_type""".stripMargin)),
+
     // Checkpoint recovery: the tumbling stream CRASHES on micro-batch 2
     // (simulated failure) and restarts from its checkpoint; the final
     // aggregate must equal the batch twin — same oracle as

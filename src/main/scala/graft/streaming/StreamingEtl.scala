@@ -422,6 +422,26 @@ object StreamingEtl {
     * All files are listed in one AvailableNow batch (no
     * maxFilesPerTrigger), so the first batch runs at watermark 0 and
     * drops nothing. */
+  /** Stream-static enrichment — the remaining streaming join shape
+    * (intervalJoinViaStream covers stream-stream): each micro-batch
+    * joins against a STATIC dimension computed offline (per-user
+    * first-seen day — the cohort table), then aggregates per cohort.
+    * The static side broadcasts into every micro-batch, which is
+    * exactly the production pattern for enriching a stream with a
+    * warehouse dim; the driver oracle grades the final table against
+    * the batch spelling of the same cohort join. */
+  def enrichedCohortViaStream(spark: SparkSession, dir: String): DataFrame = {
+    val userDim = graft.sources.Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("first_day"))
+    runViaStream(spark, dir, stream =>
+      stream.join(org.apache.spark.sql.functions.broadcast(userDim), "user_id")
+        .groupBy(col("first_day").cast("string").as("cohort_day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value")))
+  }
+
   /** Streaming heavy hitters — the Misra-Gries sketch maintained
     * across micro-batches: each batch runs the DISTRIBUTED sketch
     * aggregate over its rows (O(k) per partial), and the k-row batch
