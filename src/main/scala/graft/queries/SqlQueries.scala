@@ -1281,6 +1281,76 @@ object SqlQueries {
              |FROM c FULL JOIN e ON c.user_id = e.user_id
              |ORDER BY user_id""".stripMargin)),
 
+    // Sensor drift detection — least-squares slope of value over time
+    // per sensor channel, computed from EXACT sums: x is integer days
+    // since epoch, y accumulates as decimal, so Σx, Σy, Σxy, Σx² are
+    // all partition-order independent and the closed-form slope
+    // (n·Σxy − ΣxΣy)/(n·Σx² − (Σx)²) is one double division at the
+    // end — the built-in regr_slope float-sums in partition order and
+    // could not hash-match. One aggregate pass, no window.
+    QueryDef("q_sensor_drift",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+          .select(col("event_type"),
+            datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("x"),
+            col("value").cast("decimal(18,2)").as("y"))
+        ev.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"),
+            sum(col("y") * col("x").cast("decimal(9,0)")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(col("event_type"), col("n"),
+            round((col("n").cast("double") * col("sxy").cast("double")
+                - col("sx").cast("double") * col("sy").cast("double"))
+              / (col("n").cast("double") * col("sxx").cast("double")
+                - col("sx").cast("double") * col("sx").cast("double")), 9)
+              .as("slope_per_day"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH t AS (SELECT event_type,
+             |    date_diff('day', DATE '1970-01-01', ts::DATE)::BIGINT AS x,
+             |    CAST(value AS DECIMAL(18,2)) AS y
+             |  FROM events),
+             |a AS (SELECT event_type, count(*) AS n,
+             |    sum(x)::BIGINT AS sx, sum(y) AS sy,
+             |    sum(y * x::DECIMAL(9,0)) AS sxy, sum(x * x)::BIGINT AS sxx
+             |  FROM t GROUP BY 1)
+             |SELECT event_type, n,
+             |  round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             |    / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 9) AS slope_per_day
+             |FROM a ORDER BY event_type""".stripMargin)),
+
+    // Sensor gap/health report — the liveness check a fleet monitor
+    // runs: per sensor, reading count, max silence between consecutive
+    // readings, and mean cadence ((last−first)/(n−1), exact integer
+    // micros). One shuffle into an ordered lag window per key.
+    QueryDef("q_gap_report",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        graft.sources.Tables.events(s, d)
+          .filter(col("user_id") < 100)
+          .withColumn("__us", unix_micros(col("ts")))
+          .withColumn("__gap", col("__us") - lag(col("__us"), 1).over(w))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"),
+            max(col("__gap")).as("max_gap_us"),
+            max(col("__us")).as("__mx"), min(col("__us")).as("__mn"))
+          // integer division (`div`), matching the oracle's `//`
+          .select(col("user_id"), col("n"), col("max_gap_us"),
+            expr("(__mx - __mn) div greatest(n - 1, 1L)").as("mean_cadence_us"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH l AS (SELECT user_id, epoch_us(ts) AS us,
+             |    epoch_us(ts) - lag(epoch_us(ts))
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+             |  FROM events WHERE user_id < 100)
+             |SELECT user_id, count(*) AS n,
+             |  max(gap)::BIGINT AS max_gap_us,
+             |  ((max(us) - min(us)) // greatest(count(*) - 1, 1))::BIGINT AS mean_cadence_us
+             |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // Funnel analysis — ordered multi-step conversion: for each user,
     // the first click and whether a purchase followed within 10
     // minutes. Both steps pre-aggregate per user BEFORE joining (two
