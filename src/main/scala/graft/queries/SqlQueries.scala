@@ -1281,6 +1281,47 @@ object SqlQueries {
              |FROM c FULL JOIN e ON c.user_id = e.user_id
              |ORDER BY user_id""".stripMargin)),
 
+    // Robust outlier detection via MAD (median absolute deviation):
+    // the quantile-based robustness ladder's top rung — immune to the
+    // very outliers it hunts, unlike mean/stddev z-scores. Two digest
+    // rounds (per-group median, then median of |x−med|), each a
+    // partial-aggregable exact-percentile broadcast back onto the
+    // facts; the 1.4826 factor rescales MAD to σ-equivalents.
+    QueryDef("q_mad_outliers",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+          .select(col("event_type"), col("value"))
+        val med = ev.groupBy(col("event_type"))
+          .agg(graft.functions.ExactPercentile
+            .percentiles(col("value"), Seq(0.5)).getItem(0).as("med"))
+        val withDev = ev.join(broadcast(med), "event_type")
+          .withColumn("__dev", abs(col("value") - col("med")))
+        val mad = withDev.groupBy(col("event_type"))
+          .agg(graft.functions.ExactPercentile
+            .percentiles(col("__dev"), Seq(0.5)).getItem(0).as("mad"))
+        withDev.join(broadcast(mad), "event_type")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            round(max(col("med")), 4).as("median"),
+            round(max(col("mad")), 4).as("mad"),
+            sum(when(col("__dev") > col("mad") * 3 * 1.4826, 1L)
+              .otherwise(0L)).as("n_outliers"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+             |  FROM events GROUP BY 1),
+             |dev AS (SELECT e.event_type, e.value, med.med,
+             |    abs(e.value - med.med) AS dv
+             |  FROM events e JOIN med USING (event_type)),
+             |mad AS (SELECT event_type, quantile_cont(dv, 0.5) AS mad
+             |  FROM dev GROUP BY 1)
+             |SELECT dev.event_type, count(*) AS n,
+             |  round(max(dev.med), 4) AS median,
+             |  round(max(mad.mad), 4) AS mad,
+             |  sum(CASE WHEN dev.dv > mad.mad * 3 * 1.4826 THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+             |FROM dev JOIN mad USING (event_type)
+             |GROUP BY dev.event_type ORDER BY dev.event_type""".stripMargin)),
+
     // Sensor drift detection — least-squares slope of value over time
     // per sensor channel, computed from EXACT sums: x is integer days
     // since epoch, y accumulates as decimal, so Σx, Σy, Σxy, Σx² are
