@@ -239,6 +239,34 @@ object RefQueries {
               |       THEN bv ELSE pv END AS value
               |FROM p JOIN b USING (tick) ORDER BY tick""".stripMargin)),
 
+    // Y5 — linear time-weighted interpolation onto the grid: the
+    // resample().interpolate() family member the pad/backfill/nearest
+    // trio doesn't cover. v(tick) = v0 + (v1-v0)·(tick-t0)/(t1-t0)
+    // between the pad and backfill neighbors; exact-tick samples
+    // return themselves; no extrapolation past either end. Same
+    // single-shuffle O(ticks) kernel as `nearest` (both neighbor
+    // runnings come out of one map-combined aggregate).
+    QueryDef("y5_asof_interp",
+      (s, d) => {
+        val (lo, hi) = eventsWindowUs(s, d)
+        AsofJoin.uniformGrid(s, events(s, d), "ts", Seq("value"),
+          lo, MinuteUs, TimeGrid.tickCount(lo, hi, MinuteUs), "interp",
+          tieCol = Some("value"))
+          .select(col("tick"), round(col("value"), 6).as("value"))
+          .orderBy(col("tick"))
+      },
+      Some(s"""WITH $oracleGridCte,
+              |p AS (SELECT g.tick_us, e.ts AS pts, e.value AS pv
+              |      FROM g ASOF LEFT JOIN e ON make_timestamp(g.tick_us) >= e.ts),
+              |b AS (SELECT g.tick_us, e.ts AS bts, e.value AS bv
+              |      FROM g ASOF LEFT JOIN e ON make_timestamp(g.tick_us) <= e.ts)
+              |SELECT make_timestamp(p.tick_us) AS tick,
+              |  round(CASE WHEN pts IS NULL OR bts IS NULL THEN NULL
+              |        WHEN bts = pts THEN pv
+              |        ELSE pv + (bv - pv) * ((p.tick_us - epoch_us(pts))::DOUBLE
+              |          / (epoch_us(bts) - epoch_us(pts))::DOUBLE) END, 6) AS value
+              |FROM p JOIN b USING (tick_us) ORDER BY tick""".stripMargin)),
+
     // Y7 — tolerance as-of + one-hot pivot (app.py:178-191): nearest
     // tick closed-form (tie -> earlier tick), strict < 10 s tolerance.
     QueryDef("y7_event_pivot",

@@ -359,21 +359,46 @@ object AsofJoin {
     val fwd = if (needPad) coalesce(col("__fp"), col("__cf")) else lit(null).cast(payloadType)
     val back = if (needBack) coalesce(col("__fb"), col("__cb")) else lit(null).cast(payloadType)
 
-    val pick = method match {
-      case "pad" | "ffill"      => fwd
-      case "backfill" | "bfill" => back
-      case "nearest" =>
-        val tickUs = lit(loUs) + col("__k") * stepUs
-        val dPad = tickUs - fwd.getField("__src")
-        val dBack = back.getField("__src") - tickUs
-        // tie -> backward side = LATER timestamp [verified]
-        when(fwd.isNull || (back.isNotNull && dBack <= dPad), back).otherwise(fwd)
-      case other => throw new IllegalArgumentException(s"unknown method: $other")
+    if (method == "interp") {
+      // Linear time-weighted interpolation between the pad neighbor
+      // (t0, v0) and the backfill neighbor (t1, v1):
+      //   v(tick) = v0 + (v1 - v0) * (tick - t0) / (t1 - t0)
+      // A tick landing exactly on a sample returns that sample (both
+      // neighbors collapse to it). No extrapolation: ticks before the
+      // first or after the last sample stay NULL. Value columns come
+      // back as DOUBLE; `srcTsCol` does not apply (two sources per
+      // tick) and is omitted. Same single-shuffle plan as `nearest`.
+      val tickUs = lit(loUs) + col("__k") * stepUs
+      val t0 = fwd.getField("__src")
+      val t1 = back.getField("__src")
+      val frac = (tickUs - t0).cast("double") / (t1 - t0).cast("double")
+      withCarry.select(
+        timestamp_micros(tickUs).as(tickCol) +:
+          valueCols.map { c =>
+            val v0 = fwd.getField(c).cast("double")
+            val v1 = back.getField(c).cast("double")
+            when(fwd.isNull || back.isNull, lit(null).cast("double"))
+              .when(t1 === t0, v0)
+              .otherwise(v0 + (v1 - v0) * frac)
+              .as(c)
+          }: _*)
+    } else {
+      val pick = method match {
+        case "pad" | "ffill"      => fwd
+        case "backfill" | "bfill" => back
+        case "nearest" =>
+          val tickUs = lit(loUs) + col("__k") * stepUs
+          val dPad = tickUs - fwd.getField("__src")
+          val dBack = back.getField("__src") - tickUs
+          // tie -> backward side = LATER timestamp [verified]
+          when(fwd.isNull || (back.isNotNull && dBack <= dPad), back).otherwise(fwd)
+        case other => throw new IllegalArgumentException(s"unknown method: $other")
+      }
+      withCarry.select(
+        timestamp_micros(lit(loUs) + col("__k") * stepUs).as(tickCol) +:
+          timestamp_micros(pick.getField("__src")).as(srcTsCol) +:
+          valueCols.map(c => pick.getField(c).as(c)): _*)
     }
-    withCarry.select(
-      timestamp_micros(lit(loUs) + col("__k") * stepUs).as(tickCol) +:
-        timestamp_micros(pick.getField("__src")).as(srcTsCol) +:
-        valueCols.map(c => pick.getField(c).as(c)): _*)
   }
 
   /** Convenience dedupe: collapse duplicate timestamps keeping the row

@@ -135,6 +135,43 @@ class AsofJoinSpec extends GraftSpec {
     assert(ug("nearest") === Map(0L -> Some(100 * MS), 300 * MS -> Some(200 * MS)))
   }
 
+  test("interp: linear between neighbors, exact ticks fixpoint, null edges") {
+    // samples: (100ms, 1.0), (200ms, 3.0); ticks every 50 ms from 0
+    val s = Seq((100 * MS, 1.0), (200 * MS, 3.0))
+    val out = AsofJoin.uniformGrid(spark, series(s: _*), "ts", Seq("value"),
+      0L, 50 * MS, 6L, "interp", tickCol = "tick")
+      .select(unix_micros(col("tick")), col("value"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out(0L) === None)             // before first sample: no extrapolation
+    assert(out(50 * MS) === None)
+    assert(out(100 * MS) === Some(1.0))  // exact tick == sample returns it
+    assert(out(150 * MS) === Some(2.0))  // midpoint: 1 + (3-1)*0.5
+    assert(out(200 * MS) === Some(3.0))
+    assert(out(250 * MS) === None)       // after last sample: no extrapolation
+  }
+
+  test("interp stays within [min, max] of its two neighbors on random data") {
+    val rnd = new scala.util.Random(7)
+    val s = (0 until 40).map(i =>
+      (i * 37 * MS + rnd.nextInt(20000), rnd.nextDouble() * 100))
+      .sortBy(_._1).distinct
+    val rows = AsofJoin.uniformGrid(spark, series(s: _*), "ts", Seq("value"),
+      0L, 25 * MS, 60L, "interp", tickCol = "tick")
+      .select(unix_micros(col("tick")), col("value")).collect()
+    for (r <- rows if !r.isNullAt(1)) {
+      val tick = r.getLong(0); val v = r.getDouble(1)
+      val before = s.filter(_._1 <= tick).map(_._2).lastOption
+      val after = s.find(_._1 >= tick).map(_._2)
+      (before, after) match {
+        case (Some(v0), Some(v1)) =>
+          assert(v >= math.min(v0, v1) - 1e-9 && v <= math.max(v0, v1) + 1e-9,
+            s"tick=$tick v=$v v0=$v0 v1=$v1")
+        case _ => fail(s"interp produced a value at uncovered tick $tick")
+      }
+    }
+  }
+
   test("uniformGrid on an empty series yields all-null ticks, never crashes") {
     for (m <- Seq("pad", "backfill", "nearest")) {
       val out = AsofJoin.uniformGrid(spark, series(), "ts", Seq("value"),
