@@ -1534,6 +1534,173 @@ object SqlQueries {
              |    list_prepend(0.0::DOUBLE, list(value ORDER BY ts, event_id)::DOUBLE[]),
              |    (acc, x) -> 0.2::DOUBLE * x + 0.8::DOUBLE * acc), 6) AS ewma_last
              |FROM events WHERE user_id < 50
-             |GROUP BY user_id ORDER BY user_id""".stripMargin))
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Per-sensor lag-1 autocorrelation — the periodicity/stuck-sensor
+    // diagnostic: Pearson r between consecutive readings of each
+    // user's series. One shuffle by user_id into an ordered lag
+    // window (keys process in parallel), then a closed-form r from
+    // EXACT decimal sums — the same trick as q_sensor_drift: Σx, Σy,
+    // Σxy, Σx², Σy² accumulate as decimals (partition-order
+    // independent), and r is one double expression at the end. The
+    // built-in corr() float-sums in partition order and could not
+    // hash-match. Degenerate keys (n<3 or zero variance) are excluded
+    // by exact comparisons, so both engines keep the same keys.
+    QueryDef("q_autocorr",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val pairs = graft.sources.Tables.events(s, d)
+          .filter(col("user_id") < 200)
+          .withColumn("__y", col("value").cast("decimal(18,2)"))
+          .withColumn("__x", lag(col("__y"), 1).over(w))
+          .filter(col("__x").isNotNull)
+        val sums = pairs.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("__x")).as("sx"), sum(col("__y")).as("sy"),
+            sum(col("__x") * col("__y")).as("sxy"),
+            sum(col("__x") * col("__x")).as("sxx"),
+            sum(col("__y") * col("__y")).as("syy"))
+        val nD = col("n").cast("double")
+        val dx = nD * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")
+        val dy = nD * col("syy").cast("double") -
+          col("sy").cast("double") * col("sy").cast("double")
+        sums.filter(col("n") >= 3 && dx > 0 && dy > 0)
+          .select(col("user_id"), col("n").as("n_pairs"),
+            round((nD * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double"))
+              / sqrt(dx * dy), 9).as("lag1_corr"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH l AS (SELECT user_id, CAST(value AS DECIMAL(18,2)) AS y,
+             |    lag(CAST(value AS DECIMAL(18,2)))
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x
+             |  FROM events WHERE user_id < 200),
+             |a AS (SELECT user_id, count(*) AS n,
+             |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+             |    sum(x * x) AS sxx, sum(y * y) AS syy
+             |  FROM l WHERE x IS NOT NULL GROUP BY 1)
+             |SELECT user_id, n AS n_pairs,
+             |  round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             |    / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+             |         * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 9) AS lag1_corr
+             |FROM a
+             |WHERE n >= 3
+             |  AND (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) > 0
+             |  AND (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0
+             |ORDER BY user_id""".stripMargin)),
+
+    // Event-type transition matrix — the Markov-chain view of the
+    // event stream: count (previous type -> type) transitions within
+    // each user's ordered stream, with the per-source transition
+    // probability. One shuffle by user_id for the lag window; the
+    // matrix itself is a tiny |types|² aggregate, so the probability
+    // normalization is a window over 25 rows, not over the stream.
+    QueryDef("q_event_transitions",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val t = graft.sources.Tables.events(s, d)
+          .withColumn("__prev", lag(col("event_type"), 1).over(w))
+          .filter(col("__prev").isNotNull)
+          .groupBy(col("__prev").as("prev_type"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        t.withColumn("p", round(col("n").cast("double") /
+            sum(col("n")).over(Window.partitionBy(col("prev_type"))), 6))
+          .orderBy(col("prev_type"), col("event_type"))
+      },
+      Some("""WITH l AS (SELECT user_id, event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             |  FROM events),
+             |t AS (SELECT prev AS prev_type, event_type, count(*) AS n
+             |  FROM l WHERE prev IS NOT NULL GROUP BY 1, 2)
+             |SELECT prev_type, event_type, n,
+             |  round(n::DOUBLE / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+             |FROM t ORDER BY prev_type, event_type""".stripMargin)),
+
+    // Data-quality expectation suite — the validation pass a warehouse
+    // runs before publishing a table: PK uniqueness, FK integrity,
+    // null rate, value-range and domain checks, one row per check.
+    // All the single-table checks FUSE into one aggregate scan per
+    // table (not one scan per check); the FK check joins two
+    // distinct-key digests, never the fact tables themselves.
+    QueryDef("q_dq_expectations",
+      (s, d) => {
+        val li = s.read.parquet(s"$d/lineitem.parquet")
+        val ord = s.read.parquet(s"$d/orders.parquet")
+        def checkRow(name: String, checked: org.apache.spark.sql.Column,
+                     bad: org.apache.spark.sql.Column) =
+          struct(lit(name).as("check"), checked.as("n_checked"),
+            bad.as("n_violations"))
+        // one scan over lineitem: PK duplicates + the range checks
+        val liChecks = li.agg(
+          count(lit(1)).as("n"),
+          count_distinct(struct(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey"))).as("nd"),
+          sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L)
+            .otherwise(0L)).as("disc_bad"),
+          sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("qty_bad"),
+          sum(when(col("l_shipdate") < lit("1992-01-01").cast("timestamp") ||
+            col("l_shipdate") >= lit("1999-01-01").cast("timestamp"), 1L)
+            .otherwise(0L)).as("date_bad"))
+          .select(explode(array(
+            checkRow("lineitem_pk_unique", col("n"), col("n") - col("nd")),
+            checkRow("lineitem_discount_range", col("n"), col("disc_bad")),
+            checkRow("lineitem_quantity_positive", col("n"), col("qty_bad")),
+            checkRow("lineitem_shipdate_bounds", col("n"), col("date_bad"))))
+            .as("r"))
+        // one scan over orders: null FK + status domain
+        val ordChecks = ord.agg(
+          count(lit(1)).as("n"),
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_cust"),
+          sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L)
+            .otherwise(0L)).as("bad_status"))
+          .select(explode(array(
+            checkRow("orders_custkey_not_null", col("n"), col("null_cust")),
+            checkRow("orders_status_domain", col("n"), col("bad_status"))))
+            .as("r"))
+        // FK integrity: two distinct-key digests meet, ids only
+        val fkCheck = li.select(col("l_orderkey")).distinct()
+          .join(ord.select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("orphans"))
+          .select(explode(array(
+            checkRow("lineitem_fk_orders", col("n"), col("orphans")))).as("r"))
+        liChecks.union(ordChecks).union(fkCheck)
+          .select(col("r.check").as("check"), col("r.n_checked").as("n_checked"),
+            col("r.n_violations").as("n_violations"))
+          .withColumn("pass", (col("n_violations") === 0).cast("int"))
+          .orderBy(col("check"))
+      },
+      Some("""WITH li AS (SELECT count(*) AS n,
+             |    (SELECT count(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber,
+             |       l_partkey, l_suppkey FROM lineitem)) AS nd,
+             |    sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS disc_bad,
+             |    sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS qty_bad,
+             |    sum(CASE WHEN l_shipdate < TIMESTAMP '1992-01-01'
+             |          OR l_shipdate >= TIMESTAMP '1999-01-01' THEN 1 ELSE 0 END) AS date_bad
+             |  FROM lineitem),
+             |o AS (SELECT count(*) AS n,
+             |    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_cust,
+             |    sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS bad_status
+             |  FROM orders),
+             |fk AS (SELECT count(*) AS n,
+             |    sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS orphans
+             |  FROM (SELECT DISTINCT l_orderkey FROM lineitem) k
+             |  LEFT JOIN orders o ON k.l_orderkey = o.o_orderkey),
+             |u AS (
+             |  SELECT 'lineitem_pk_unique' AS check, n AS n_checked, n - nd AS n_violations FROM li
+             |  UNION ALL SELECT 'lineitem_discount_range', n, disc_bad FROM li
+             |  UNION ALL SELECT 'lineitem_quantity_positive', n, qty_bad FROM li
+             |  UNION ALL SELECT 'lineitem_shipdate_bounds', n, date_bad FROM li
+             |  UNION ALL SELECT 'orders_custkey_not_null', n, null_cust FROM o
+             |  UNION ALL SELECT 'orders_status_domain', n, bad_status FROM o
+             |  UNION ALL SELECT 'lineitem_fk_orders', n, orphans FROM fk)
+             |SELECT "check", n_checked::BIGINT AS n_checked,
+             |  n_violations::BIGINT AS n_violations,
+             |  CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS pass
+             |FROM u ORDER BY "check"""".stripMargin))
   )
 }
