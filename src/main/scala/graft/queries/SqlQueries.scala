@@ -1701,6 +1701,90 @@ object SqlQueries {
              |SELECT "check", n_checked::BIGINT AS n_checked,
              |  n_violations::BIGINT AS n_violations,
              |  CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS pass
-             |FROM u ORDER BY "check"""".stripMargin))
+             |FROM u ORDER BY "check"""".stripMargin)),
+
+    // TPC-H Q7-shaped volume shipping — revenue flowing between two
+    // nations by ship year. Both dimension chains are PRE-FILTERED to
+    // the two nations before touching the facts (the filter reaches
+    // the supplier/customer scans, so the fact joins only see rows
+    // that can survive the pair predicate), nations/supplier
+    // broadcast, and the asymmetric pair condition applies to the
+    // tiny post-join name pair, not the stream.
+    QueryDef("q7_volume_shipping",
+      (s, d) => {
+        val pair = Seq("NATION_1", "NATION_2")
+        val n = s.read.parquet(s"$d/nation.parquet")
+          .filter(col("n_name").isin(pair: _*))
+          .select("n_nationkey", "n_name")
+        val sup = s.read.parquet(s"$d/supplier.parquet")
+          .join(broadcast(n.withColumnRenamed("n_name", "supp_nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey", "supp_nation")
+        val cust = s.read.parquet(s"$d/customer.parquet")
+          .join(broadcast(n.withColumnRenamed("n_name", "cust_nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .select("c_custkey", "cust_nation")
+        val o = s.read.parquet(s"$d/orders.parquet")
+          .select("o_orderkey", "o_custkey")
+        val li = s.read.parquet(s"$d/lineitem.parquet")
+          .select("l_orderkey", "l_suppkey", "l_shipdate",
+            "l_extendedprice", "l_discount")
+        li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1) - col("l_discount")).cast("decimal(4,2)")).cast("double")
+            .as("revenue"))
+          .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      },
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |  year(l_shipdate) AS l_year,
+             |  sum(CAST(l_extendedprice AS DECIMAL(12,2))
+             |    * CAST(1 - l_discount AS DECIMAL(4,2)))::DOUBLE AS revenue
+             |FROM lineitem
+             |  JOIN supplier ON s_suppkey = l_suppkey
+             |  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+             |  JOIN orders ON o_orderkey = l_orderkey
+             |  JOIN customer ON c_custkey = o_custkey
+             |  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+             |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+             |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+             |  AND n1.n_name <> n2.n_name
+             |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // TPC-H Q14-shaped promo revenue share — a conditional-ratio
+    // aggregate over one selective month (the shipdate predicate
+    // pushes into the parquet scan). part is a broadcast dim; both
+    // the promo and total revenue accumulate as exact decimals and
+    // meet in ONE double division at the end.
+    QueryDef("q14_promo_share",
+      (s, d) => {
+        val p = s.read.parquet(s"$d/part.parquet").select("p_partkey", "p_type")
+        val rev = col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1) - col("l_discount")).cast("decimal(4,2)")
+        s.read.parquet(s"$d/lineitem.parquet")
+          .filter(col("l_shipdate") >= lit("1995-09-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1995-10-01").cast("timestamp"))
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .agg(
+            sum(when(col("p_type") === "PROMO", rev)
+              .otherwise(lit(0).cast("decimal(12,2)"))).as("__promo"),
+            sum(rev).as("__total"))
+          .select(round(lit(100.0) * col("__promo").cast("double") /
+            col("__total").cast("double"), 6).as("promo_revenue_pct"))
+      },
+      Some("""SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+             |    THEN CAST(l_extendedprice AS DECIMAL(12,2))
+             |      * CAST(1 - l_discount AS DECIMAL(4,2))
+             |    ELSE CAST(0 AS DECIMAL(12,2)) END)::DOUBLE
+             |  / sum(CAST(l_extendedprice AS DECIMAL(12,2))
+             |      * CAST(1 - l_discount AS DECIMAL(4,2)))::DOUBLE, 6)
+             |  AS promo_revenue_pct
+             |FROM lineitem JOIN part ON p_partkey = l_partkey
+             |WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+             |  AND l_shipdate < TIMESTAMP '1995-10-01'""".stripMargin))
   )
 }
