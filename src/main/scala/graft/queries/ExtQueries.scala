@@ -1840,6 +1840,112 @@ object ExtQueries {
              |  sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
              |FROM events
              |WHERE user_id BETWEEN 100 AND 399 AND value >= 50 AND value < 100
-             |GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // BM25 keyword search (k1=1.2, b=0.75) — the retrieval scorer a
+    // corpus-curation pipeline uses for quality probes and targeted
+    // extraction. The term filter applies BEFORE any shuffle (only
+    // docs containing a query term reach the aggregate), the corpus
+    // digest (N, avgdl) broadcasts as one row, and the per-doc score
+    // folds the ≤|terms| per-term scores in sorted-term order — a
+    // deterministic double-addition order, so both engines sum
+    // bit-identically (a plain float SUM would be partition-ordered).
+    QueryDef("text_bm25_search",
+      (s, d) => {
+        val terms = Seq("vector", "stream", "merge")
+        val docs = s.read.parquet(s"$d/documents.parquet")
+        val dl = docs.select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).as("dl"))
+        val tf = docs
+          .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+          .filter(col("term").isin(terms: _*))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val digest = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+        val scored = tf.join(broadcast(df), "term")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(digest))
+          .withColumn("__avgdl",
+            col("sum_dl").cast("double") / col("n_docs").cast("double"))
+          .withColumn("__idf",
+            log((col("n_docs").cast("double") - col("df").cast("double") + 0.5)
+              / (col("df").cast("double") + 0.5) + 1))
+          .withColumn("__s", col("__idf") *
+            (col("tf").cast("double") * 2.2 /
+              (col("tf").cast("double") +
+                lit(1.2) * (lit(0.25) +
+                  lit(0.75) * col("dl").cast("double") / col("__avgdl")))))
+        scored.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_terms"),
+            sort_array(collect_list(struct(col("term"), col("__s")))).as("__ts"))
+          .select(col("doc_id"), col("n_terms"),
+            round(aggregate(col("__ts"), lit(0.0),
+              (acc, x) => acc + x.getField("__s")), 6).as("score"))
+          .orderBy(col("score").desc, col("doc_id")).limit(20)
+      },
+      Some("""WITH dl AS (SELECT doc_id, len(string_split(lower(text),' ')) AS dl
+             |  FROM documents),
+             |dg AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+             |t AS (SELECT doc_id, unnest(string_split(lower(text),' ')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+             |  WHERE term IN ('vector','stream','merge') GROUP BY 1, 2),
+             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |sc AS (SELECT tf.doc_id, tf.term,
+             |    ln((dg.n_docs::DOUBLE - df.df::DOUBLE + 0.5) / (df.df::DOUBLE + 0.5) + 1)
+             |    * (tf.tf::DOUBLE * 2.2 / (tf.tf::DOUBLE
+             |        + 1.2 * (0.25 + 0.75 * dl.dl::DOUBLE
+             |            / (dg.sum_dl::DOUBLE / dg.n_docs::DOUBLE)))) AS s
+             |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), dg)
+             |SELECT doc_id, count(*) AS n_terms,
+             |  round(list_reduce(list_prepend(0.0::DOUBLE, list(s ORDER BY term)),
+             |    (acc, x) -> acc + x), 6) AS score
+             |FROM sc GROUP BY doc_id
+             |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // Cross-source contamination overlap — pairwise bigram-set
+    // Jaccard between sources: the "how much does source A repeat
+    // source B" probe run before corpus mixing. Distinct (source,
+    // bigram) ids ride the one shuffle; candidate width per bigram is
+    // bounded by |sources|, so the self-join never explodes (at
+    // many-source scale the MinHash band path in dedup_* replaces the
+    // exact set intersection).
+    QueryDef("corpus_overlap",
+      (s, d) => {
+        val sb = s.read.parquet(s"$d/documents.parquet")
+          .select(col("source"), explode(graft.functions.TextHashFunctions
+            .shingleStrings(col("text"), 2)).as("bg"))
+          .distinct()
+        val sz = sb.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val inter = sb.toDF("src_a", "bg")
+          .join(sb.toDF("src_b", "bg"), "bg")
+          .filter(col("src_a") < col("src_b"))
+          .groupBy(col("src_a"), col("src_b"))
+          .agg(count(lit(1)).as("n_inter"))
+        inter
+          .join(broadcast(sz.toDF("src_a", "na")), "src_a")
+          .join(broadcast(sz.toDF("src_b", "nb")), "src_b")
+          .select(col("src_a"), col("src_b"), col("n_inter"),
+            round(col("n_inter").cast("double") /
+              (col("na") + col("nb") - col("n_inter")).cast("double"), 6)
+              .as("jaccard"))
+          .orderBy(col("jaccard").desc, col("src_a"), col("src_b")).limit(20)
+      },
+      Some("""WITH tk AS (SELECT source, string_split(lower(text),' ') AS tk
+             |  FROM documents),
+             |sh AS (SELECT source, unnest(list_distinct(list_transform(
+             |    range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]))) AS bg
+             |  FROM tk WHERE len(tk) >= 2),
+             |sb AS (SELECT DISTINCT source, bg FROM sh),
+             |sz AS (SELECT source, count(*) AS n FROM sb GROUP BY 1),
+             |i AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
+             |  FROM sb a JOIN sb b USING (bg) WHERE a.source < b.source
+             |  GROUP BY 1, 2)
+             |SELECT src_a, src_b, n_inter,
+             |  round(n_inter::DOUBLE / (za.n + zb.n - n_inter)::DOUBLE, 6) AS jaccard
+             |FROM i JOIN sz za ON za.source = i.src_a
+             |  JOIN sz zb ON zb.source = i.src_b
+             |ORDER BY jaccard DESC, src_a, src_b LIMIT 20""".stripMargin))
   )
 }
