@@ -320,6 +320,22 @@ object SqlQueries {
              |FROM events GROUP BY 1, 2
              |ORDER BY window_start, event_type""".stripMargin)),
 
+    // Late-data watermark discipline: the first two days of events
+    // arrive a month behind the watermark and MUST be dropped; the
+    // oracle aggregates only the on-time tranche, so a stream that
+    // silently kept (or re-windowed) late rows hash-fails. Append
+    // mode + a far-future flush sentinel make every real window emit.
+    QueryDef("q_stream_late_data",
+      (s, d) => graft.streaming.StreamingEtl.lateDataViaStream(s, d)
+        .orderBy(col("window_start"), col("event_type")),
+      Some("""WITH c AS (SELECT min(ts)::DATE + 2 AS cutoff FROM events)
+             |SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
+             |  event_type, count(*) AS n,
+             |  sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
+             |FROM events, c WHERE ts >= c.cutoff
+             |GROUP BY 1, 2
+             |ORDER BY window_start, event_type""".stripMargin)),
+
     // Stream-static enrichment join: each micro-batch broadcasts the
     // offline per-user cohort dim — the remaining streaming join shape
     // (stream-stream is q_stream_join). Oracle is the batch spelling

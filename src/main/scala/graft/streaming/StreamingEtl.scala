@@ -391,6 +391,89 @@ object StreamingEtl {
     result
   }
 
+  /** Late-data DROP discipline, demonstrated for real: run 1 streams
+    * everything from day 2 onward (plus one far-future flush
+    * sentinel) through a watermarked tumbling aggregate in APPEND
+    * mode (Complete mode never drops late rows by definition) with a
+    * checkpoint; the sentinel drags the watermark past every real
+    * window, so all of them emit. Then the first two days are staged
+    * and run 2 RESUMES from the checkpoint: the watermark is part of
+    * checkpointed state, so the late tranche arrives ~28 days behind
+    * it and must be discarded wholesale — this also demonstrates that
+    * watermark discipline survives a restart. The sentinel's own
+    * window never closes, so it self-excludes. The driver oracle is
+    * the batch aggregate over ONLY the on-time tranche: a stream that
+    * silently kept late rows (or failed to flush) hash-fails. */
+  def lateDataViaStream(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val stage = Files.createTempDirectory("graft_late_stage")
+    val cp = Files.createTempDirectory("graft_late_cp")
+    val outBase = Files.createTempDirectory("graft_late_out")
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select(col("ts"), col("event_type"), col("value"))
+    val bounds = ev.agg(min(unix_micros(col("ts"))),
+      max(unix_micros(col("ts")))).head()
+    val DayUs = 86400000000L
+    // UTC-day boundary arithmetic in exact micros, mirroring the
+    // oracle's min(ts)::DATE + 2
+    val cutoffUs = (Math.floorDiv(bounds.getLong(0), DayUs) + 2) * DayUs
+    val sentinelUs = bounds.getLong(1) + 30 * DayUs
+
+    def stageOne(df: DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_late_tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, stage.resolve(s"$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      rmTree(tmp)
+    }
+    val sentinel = spark.range(1).select(
+      timestamp_micros(lit(sentinelUs)).as("ts"),
+      lit("__flush").as("event_type"), lit(0.0).as("value"))
+    stageOne(ev.filter(unix_micros(col("ts")) >= cutoffUs).union(sentinel),
+      "a_ontime")
+    val schema = spark.read.parquet(stage.toString).schema
+
+    @volatile var lastBatch = -1L
+    def run(): Unit = {
+      val in = spark.readStream.schema(schema).parquet(stage.toString)
+      val agg = in.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("sum_value"))
+      val q = agg.writeStream
+        .option("checkpointLocation", cp.toString)
+        .outputMode(OutputMode.Append)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          batch.write.mode("overwrite").parquet(s"$outBase/v$batchId")
+          lastBatch = math.max(lastBatch, batchId)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run() // on-time tranche; sentinel flushes every real window
+    val batchesAfterRun1 = lastBatch
+    stageOne(ev.filter(unix_micros(col("ts")) < cutoffUs), "b_late")
+    run() // resume: restored watermark drops the whole late tranche
+    require(lastBatch > batchesAfterRun1,
+      s"late tranche was never processed (last batch: $lastBatch)")
+
+    val versions = Files.list(outBase).map[String](_.toString)
+      .sorted().toArray.map(_.toString)
+    val rows = spark.read.parquet(versions: _*)
+      .filter(col("event_type") =!= "__flush")
+    val out = rows.collect()
+    val result = spark.createDataFrame(
+      java.util.Arrays.asList(out: _*), rows.schema)
+    rmTree(stage); rmTree(cp); rmTree(outBase)
+    result
+  }
+
   private def runViaStream(spark: SparkSession, dir: String,
                            transform: DataFrame => DataFrame): DataFrame = {
     // unique sink name per run: memory-sink query names register temp
