@@ -1801,6 +1801,77 @@ object SqlQueries {
              |  AS promo_revenue_pct
              |FROM lineitem JOIN part ON p_partkey = l_partkey
              |WHERE l_shipdate >= TIMESTAMP '1995-09-01'
-             |  AND l_shipdate < TIMESTAMP '1995-10-01'""".stripMargin))
+             |  AND l_shipdate < TIMESTAMP '1995-10-01'""".stripMargin)),
+
+    // Correlated-subquery decorrelation — "parts priced above their
+    // type's average", the textbook shape every optimizer must turn
+    // into a group-digest join. The oracle SPELLS the correlated
+    // subquery (DuckDB decorrelates it); the Spark side is the
+    // decorrelated plan itself: a 6-row per-type average digest
+    // broadcast back onto the scan. The per-type mean divides exact
+    // decimal sums once, so both engines compare against the
+    // identical double.
+    QueryDef("q_above_avg_parts",
+      (s, d) => {
+        val p = s.read.parquet(s"$d/part.parquet")
+        val avgT = p.groupBy(col("p_type").as("t"))
+          .agg((sum(col("p_retailprice").cast("decimal(18,2)")).cast("double")
+            / count(lit(1))).as("type_avg"))
+        p.join(broadcast(avgT), col("p_type") === col("t"))
+          .filter(col("p_retailprice") > col("type_avg"))
+          .select(col("p_partkey"), col("p_type"), col("p_retailprice"),
+            round(col("type_avg"), 6).as("type_avg"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p_partkey, p_type, p_retailprice,
+             |  round((SELECT sum(CAST(p2.p_retailprice AS DECIMAL(18,2)))::DOUBLE
+             |       / count(*) FROM part p2 WHERE p2.p_type = p.p_type), 6) AS type_avg
+             |FROM part p
+             |WHERE p_retailprice > (SELECT sum(CAST(p2.p_retailprice AS DECIMAL(18,2)))::DOUBLE
+             |       / count(*) FROM part p2 WHERE p2.p_type = p.p_type)
+             |ORDER BY p_partkey""".stripMargin)),
+
+    // Seasonal baseline + residual anomalies — the hour-of-day
+    // profile detector: each (event_type, hour-of-day) cell gets an
+    // exact mean/variance digest (decimal Σv, Σv² — partition-order
+    // independent), the 120-row digest broadcasts back onto the
+    // facts, and a reading is anomalous when it sits more than 3σ
+    // from its cell's seasonal mean. Two scans of the facts, no
+    // window, no shuffle of the stream itself.
+    QueryDef("q_seasonal_anomaly",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+          .select(col("event_type"), hour(col("ts")).as("hr"),
+            col("value").cast("decimal(18,2)").as("v"))
+        val prof = ev.groupBy(col("event_type"), col("hr"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+            sum(col("v") * col("v")).as("svv"))
+          .select(col("event_type"), col("hr"), col("n"),
+            (col("sv").cast("double") / col("n").cast("double")).as("mu"),
+            (col("svv").cast("double") / col("n").cast("double") -
+              (col("sv").cast("double") / col("n").cast("double")) *
+              (col("sv").cast("double") / col("n").cast("double"))).as("var"))
+        ev.join(broadcast(prof), Seq("event_type", "hr"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(when((col("v").cast("double") - col("mu")) *
+              (col("v").cast("double") - col("mu")) > col("var") * 9, 1L)
+              .otherwise(0L)).as("n_anomalies"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH t AS (SELECT event_type, hour(ts) AS hr,
+             |    CAST(value AS DECIMAL(18,2)) AS v FROM events),
+             |p AS (SELECT event_type, hr, count(*) AS n, sum(v) AS sv,
+             |    sum(v * v) AS svv FROM t GROUP BY 1, 2),
+             |d AS (SELECT event_type, hr,
+             |    sv::DOUBLE / n::DOUBLE AS mu,
+             |    svv::DOUBLE / n::DOUBLE
+             |      - (sv::DOUBLE / n::DOUBLE) * (sv::DOUBLE / n::DOUBLE) AS var
+             |  FROM p)
+             |SELECT t.event_type, count(*) AS n,
+             |  sum(CASE WHEN (t.v::DOUBLE - d.mu) * (t.v::DOUBLE - d.mu)
+             |        > d.var * 9 THEN 1 ELSE 0 END)::BIGINT AS n_anomalies
+             |FROM t JOIN d ON t.event_type = d.event_type AND t.hr = d.hr
+             |GROUP BY t.event_type ORDER BY t.event_type""".stripMargin))
   )
 }
