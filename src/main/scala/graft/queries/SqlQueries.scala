@@ -1872,6 +1872,45 @@ object SqlQueries {
              |  sum(CASE WHEN (t.v::DOUBLE - d.mu) * (t.v::DOUBLE - d.mu)
              |        > d.var * 9 THEN 1 ELSE 0 END)::BIGINT AS n_anomalies
              |FROM t JOIN d ON t.event_type = d.event_type AND t.hr = d.hr
-             |GROUP BY t.event_type ORDER BY t.event_type""".stripMargin))
+             |GROUP BY t.event_type ORDER BY t.event_type""".stripMargin)),
+
+    // Dynamic partition OVERWRITE — the backfill/correction op every
+    // day-partitioned warehouse table lives by: rewrite exactly ONE
+    // day's partition (values doubled, re-derived from the original
+    // table each run, so the op is idempotent) while every other
+    // partition's files stay untouched. partitionOverwriteMode=dynamic
+    // means only partitions present in the written frame are replaced
+    // — a static overwrite would truncate the table. The oracle
+    // applies the same day-targeted correction in SQL, so an
+    // overwrite that clobbered more (or less) than the target
+    // partition hash-fails.
+    QueryDef("q_partition_overwrite",
+      (s, d) => {
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_dayow_" +
+          graft.io.FileSkipping.pathKey(d, "v1")
+        val ev = graft.sources.Tables.events(s, d)
+          .select(col("ts"), col("event_type"),
+            col("value").cast("decimal(18,2)").as("value"),
+            to_date(col("ts")).as("day"))
+        if (!new java.io.File(base, "_SUCCESS").isFile)
+          ev.write.mode("overwrite").partitionBy("day").parquet(base)
+        val tgt = ev.agg(date_add(min(col("day")), 5)).head().getDate(0)
+        val corrected = ev.filter(col("day") === lit(tgt))
+          .withColumn("value", (col("value") * 2).cast("decimal(18,2)"))
+        corrected.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("day").parquet(base)
+        s.read.parquet(base)
+          .groupBy(col("day").cast("string").as("day"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value")).cast("double").as("sum_value"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH c AS (SELECT min(ts)::DATE + 5 AS tgt FROM events)
+             |SELECT (ts::DATE)::VARCHAR AS day, count(*) AS n,
+             |  sum(CASE WHEN ts::DATE = c.tgt
+             |        THEN CAST(value AS DECIMAL(18,2)) * 2
+             |        ELSE CAST(value AS DECIMAL(18,2)) END)::DOUBLE AS sum_value
+             |FROM events, c GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
