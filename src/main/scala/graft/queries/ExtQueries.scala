@@ -1946,6 +1946,60 @@ object ExtQueries {
              |  round(n_inter::DOUBLE / (za.n + zb.n - n_inter)::DOUBLE, 6) AS jaccard
              |FROM i JOIN sz za ON za.source = i.src_a
              |  JOIN sz zb ON zb.source = i.src_b
-             |ORDER BY jaccard DESC, src_a, src_b LIMIT 20""".stripMargin))
+             |ORDER BY jaccard DESC, src_a, src_b LIMIT 20""".stripMargin)),
+
+    // Bigram LM log-probability (add-one smoothing) — the step up
+    // from text_unigram_logprob toward CCNet-style perplexity
+    // filtering: logP(doc) = Σ log10((C(w₁w₂)+1)/(C(w₁·)+V)). Same
+    // determinism discipline as the unigram scorer: each bigram's
+    // log-prob is rounded to 9 dp ONCE, then per-doc sums accumulate
+    // as exact decimals (partition-order independent). Counts shuffle
+    // on bigram strings here for oracle parity; at corpus scale the
+    // key would be a 64-bit bigram hash (the fused-kernel path the
+    // dedup queries already use).
+    QueryDef("text_bigram_logprob",
+      (s, d) => {
+        val docs = s.read.parquet(s"$d/documents.parquet")
+          .withColumn("__tk", TextAnalysis.tokens(col("text")))
+          .filter(size(col("__tk")) >= 2)
+        val b = docs.select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(__tk)-2), i -> concat(__tk[i], ' ', __tk[i+1]))"))
+          .as("bg"))
+        val btf = b.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("tf"))
+        val cbg = btf.groupBy(col("bg")).agg(sum(col("tf")).as("c"))
+        val ctx = cbg.groupBy(split(col("bg"), " ").getItem(0).as("w"))
+          .agg(sum(col("c")).as("cw"))
+        val v = s.read.parquet(s"$d/documents.parquet")
+          .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+          .agg(count_distinct(col("term")).as("v"))
+        val lp = cbg.withColumn("w", split(col("bg"), " ").getItem(0))
+          .join(ctx, "w").crossJoin(broadcast(v))
+          .select(col("bg"), round(log10((col("c") + 1).cast("double") /
+            (col("cw") + col("v")).cast("double")), 9)
+            .cast("decimal(20,9)").as("logp"))
+        btf.join(lp, "bg")
+          .groupBy(col("doc_id"))
+          .agg(sum(col("tf")).as("n_bigrams"),
+            sum(col("tf").cast("decimal(9,0)") * col("logp"))
+              .cast("double").as("logprob_sum"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split(lower(text),' ') AS tk FROM documents),
+             |b AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+             |    i -> tk[i] || ' ' || tk[i+1])) AS bg
+             |  FROM tk WHERE len(tk) >= 2),
+             |btf AS (SELECT doc_id, bg, count(*) AS tf FROM b GROUP BY 1, 2),
+             |cbg AS (SELECT bg, sum(tf)::BIGINT AS c FROM btf GROUP BY 1),
+             |ctx AS (SELECT string_split(bg, ' ')[1] AS w, sum(c)::BIGINT AS cw
+             |  FROM cbg GROUP BY 1),
+             |v AS (SELECT count(DISTINCT term) AS v FROM
+             |  (SELECT unnest(string_split(lower(text),' ')) AS term FROM documents)),
+             |lp AS (SELECT cbg.bg,
+             |    round(log10((cbg.c + 1)::DOUBLE / (ctx.cw + v.v)::DOUBLE), 9)::DECIMAL(20,9) AS logp
+             |  FROM cbg JOIN ctx ON string_split(cbg.bg, ' ')[1] = ctx.w, v)
+             |SELECT btf.doc_id, sum(btf.tf)::BIGINT AS n_bigrams,
+             |  sum(btf.tf::DECIMAL(9,0) * lp.logp)::DOUBLE AS logprob_sum
+             |FROM btf JOIN lp USING (bg)
+             |GROUP BY btf.doc_id ORDER BY btf.doc_id""".stripMargin))
   )
 }
