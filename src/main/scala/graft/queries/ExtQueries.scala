@@ -312,11 +312,22 @@ object ExtQueries {
         cand
           .join(docs.select(col("doc_id").as("id_a"), col("text").as("__ta")), "id_a")
           .join(docs.select(col("doc_id").as("id_b"), col("text").as("__tb")), "id_b")
-          .select(col("id_a"), col("id_b"),
-            levenshtein(col("__ta"), col("__tb")).cast("long").as("edit_dist"),
-            greatest(length(col("__ta")), length(col("__tb"))).cast("long")
-              .as("max_len"))
-          .filter(col("edit_dist") <= col("max_len") * 0.2)
+          .withColumn("max_len",
+            greatest(length(col("__ta")), length(col("__tb"))).cast("long"))
+          .withColumn("__budget", floor(col("max_len") * 0.2).cast("int"))
+          // edit distance >= length difference, so a pair whose length
+          // gap exceeds the budget can never pass: a FREE exact
+          // prefilter before any DP runs
+          .filter(abs(length(col("__ta")) - length(col("__tb"))) <= col("__budget"))
+          // 3-arg levenshtein runs the DP in an O(budget·n) diagonal
+          // band and returns -1 once the budget is provably exceeded —
+          // same kept pairs and distances as the full O(n·m) DP the
+          // oracle replays, at a fraction of the cell count (the full
+          // spelling measured 16x slower on the dense sf0.1 slice)
+          .withColumn("edit_dist",
+            expr("levenshtein(__ta, __tb, __budget)").cast("long"))
+          .filter(col("edit_dist") >= 0 && col("edit_dist") <= col("max_len") * 0.2)
+          .select(col("id_a"), col("id_b"), col("edit_dist"), col("max_len"))
           .orderBy(col("id_a"), col("id_b"))
       },
       Some(s"""WITH dcap AS (SELECT * FROM documents WHERE doc_id < 1000),
