@@ -174,6 +174,44 @@ object MediaKernels {
     bos.toByteArray
   }
 
+  /** PCM16 samples → WAV container (the encode half of `samples`). */
+  def encodeWav(s: Array[Short], sampleRate: Int): Array[Byte] = {
+    val pcm = new Array[Byte](s.length * 2)
+    var i = 0
+    while (i < s.length) {
+      pcm(2 * i) = (s(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((s(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, s.length.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Silence-run statistics over the PCM payload — the VAD/dropout
+    * primitive: a silent run is a maximal consecutive span with
+    * |sample| < threshold; runs of at least `minRun` samples count.
+    * Returns (qualifying runs, longest sub-threshold run regardless of
+    * minRun, samples inside qualifying runs). One pass, O(1) state. */
+  def silenceStats(s: Array[Short], threshold: Int, minRun: Int): (Long, Long, Long) = {
+    var nRuns = 0L; var longest = 0L; var silent = 0L
+    var run = 0L
+    var i = 0
+    while (i <= s.length) {
+      val inRun = i < s.length && math.abs(s(i).toInt) < threshold
+      if (inRun) run += 1
+      else {
+        if (run > longest) longest = run
+        if (run >= minRun) { nRuns += 1; silent += run }
+        run = 0
+      }
+      i += 1
+    }
+    (nRuns, longest, silent)
+  }
+
   /** (sampleRate, nSamples) from the WAV header. */
   def audioMeta(bytes: Array[Byte]): (Int, Long) = {
     val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))

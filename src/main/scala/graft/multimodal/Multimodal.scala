@@ -75,6 +75,46 @@ object Multimodal {
       })
   }
 
+  case class AudioSilence(media_id: Long, n_samples: Long, n_runs: Long,
+                          longest_run: Long, silent_frac: Double)
+
+  /** Simulated transmission dropouts: zero one seeded PCM span per
+    * row (offset/length derive from media_id), re-encoded through the
+    * same WAV codec. Gives the silence detector a deterministic,
+    * non-trivial target on otherwise gap-free synthetic tones. */
+  def injectDropouts(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("audio")).as[AudioRow]
+      .mapPartitions(_.map { r =>
+        val (sr, _) = MediaKernels.audioMeta(r.audio)
+        val s = MediaKernels.samples(r.audio)
+        val len = (100 + (r.media_id % 200)).toInt min (s.length / 2)
+        val off = ((r.media_id * 37) % math.max(s.length - len, 1)).toInt
+        java.util.Arrays.fill(s, off, off + len, 0.toShort)
+        (r.media_id, MediaKernels.encodeWav(s, sr))
+      })
+      .toDF("media_id", "audio")
+  }
+
+  /** Decode + silence-run detection — the VAD/dropout health check:
+    * per clip, the number of ≥`minRun`-sample silent runs, the longest
+    * sub-threshold run, and the fraction of samples inside qualifying
+    * runs. Single decode per row, rides the scan like the other
+    * feature extractors. */
+  def audioSilence(media: DataFrame, threshold: Int = 512,
+                   minRun: Int = 64): Dataset[AudioSilence] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("audio")).as[AudioRow]
+      .mapPartitions(_.map { r =>
+        val s = MediaKernels.samples(r.audio)
+        val (nRuns, longest, silent) = MediaKernels.silenceStats(s, threshold, minRun)
+        AudioSilence(r.media_id, s.length.toLong, nRuns, longest,
+          if (s.isEmpty) 0.0 else silent.toDouble / s.length)
+      })
+  }
+
   case class VideoRow(media_id: Long, video: Array[Byte])
   case class VideoFeatures(media_id: Long, n_frames: Int, width: Int,
                            height: Int, frame_means: Array[Float])

@@ -1448,6 +1448,24 @@ object ExtQueries {
       },
       None),
 
+    // Audio silence/dropout detection — the VAD-style health probe:
+    // seeded dropout spans are injected into the synthetic tones, then
+    // the detector must find them (tone samples sit far above the
+    // threshold, so every qualifying run IS an injected dropout).
+    // rows-only like the other codec paths (no SQL engine decodes
+    // WAV); exact run semantics are pinned by MultimodalSpec.
+    QueryDef("mm_audio_silence",
+      (s, d) => {
+        val media = graft.multimodal.Multimodal.injectDropouts(
+          graft.multimodal.Multimodal.syntheticMedia(
+            s.read.parquet(s"$d/documents.parquet").limit(200), "doc_id"))
+        graft.multimodal.Multimodal.audioSilence(media).toDF()
+          .select(col("media_id"), col("n_samples"), col("n_runs"),
+            col("longest_run"), round(col("silent_frac"), 5).as("silent_frac"))
+          .orderBy(col("media_id"))
+      },
+      None),
+
     QueryDef("mm_video_features",
       (s, d) => {
         val media = graft.multimodal.Multimodal.syntheticVideo(

@@ -1926,6 +1926,69 @@ object SqlQueries {
              |  sum(CASE WHEN ts::DATE = c.tgt
              |        THEN CAST(value AS DECIMAL(18,2)) * 2
              |        ELSE CAST(value AS DECIMAL(18,2)) END)::DOUBLE AS sum_value
-             |FROM events, c GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM events, c GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Cross-correlation between two sensor channels at lags 0-3 — the
+    // multi-sensor alignment diagnostic (does the view channel follow
+    // the click channel, and by how many ticks?). Both channels are
+    // first resampled to dense per-minute counts on the shared grid
+    // (missing minutes count 0 — a gapped series would silently
+    // misalign the lag), then each lag's Pearson r comes closed-form
+    // from exact INTEGER sums: one shuffle keyed on grid minute, 4
+    // lag replicas of the tiny digest-side, no global sort.
+    QueryDef("q_xcorr",
+      (s, d) => {
+        val MinUs = 60000000L
+        val ev = graft.sources.Tables.events(s, d)
+        val r = ev.agg(min(unix_micros(col("ts"))),
+          max(unix_micros(col("ts")))).head()
+        val mnLo = Math.floorDiv(r.getLong(0), MinUs)
+        val nMin = Math.floorDiv(r.getLong(1), MinUs) - mnLo + 1
+        val c = ev.groupBy(expr(s"unix_micros(ts) div ${MinUs}L").as("mn"))
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("a"),
+            sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("b"))
+        val m = s.range(nMin).select((lit(mnLo) + col("id")).as("mn"))
+          .join(c, Seq("mn"), "left")
+          .select(col("mn"), coalesce(col("a"), lit(0L)).as("a"),
+            coalesce(col("b"), lit(0L)).as("b"))
+        val lags = s.range(4).select(col("id").as("lag"))
+        val x = m.crossJoin(broadcast(lags))
+          .select(col("lag"), (col("mn") - col("lag")).as("ymn"), col("a"))
+        val y = m.select(col("mn").as("ymn"), col("b"))
+        x.join(y, "ymn")
+          .groupBy(col("lag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("a")).as("sa"), sum(col("b")).as("sb"),
+            sum(col("a") * col("b")).as("sab"),
+            sum(col("a") * col("a")).as("saa"),
+            sum(col("b") * col("b")).as("sbb"))
+          .select(col("lag"), col("n"),
+            round((col("n") * col("sab") - col("sa") * col("sb")).cast("double")
+              / sqrt((col("n") * col("saa") - col("sa") * col("sa")).cast("double")
+                * (col("n") * col("sbb") - col("sb") * col("sb")).cast("double")), 9)
+              .as("xcorr"))
+          .orderBy(col("lag"))
+      },
+      Some("""WITH w AS (SELECT epoch_us(min(ts)) // 60000000 AS lo,
+             |    epoch_us(max(ts)) // 60000000 AS hi FROM events),
+             |g AS (SELECT lo + unnest(range(0, hi - lo + 1)) AS mn FROM w),
+             |c AS (SELECT epoch_us(ts) // 60000000 AS mn,
+             |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS a,
+             |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS b
+             |  FROM events GROUP BY 1),
+             |m AS (SELECT g.mn, coalesce(c.a, 0) AS a, coalesce(c.b, 0) AS b
+             |  FROM g LEFT JOIN c USING (mn)),
+             |l AS (SELECT unnest(range(0, 4)) AS lag),
+             |p AS (SELECT l.lag, x.a, y.b
+             |  FROM l CROSS JOIN m x JOIN m y ON y.mn = x.mn - l.lag),
+             |a AS (SELECT lag, count(*) AS n, sum(a)::BIGINT AS sa,
+             |    sum(b)::BIGINT AS sb, sum(a * b)::BIGINT AS sab,
+             |    sum(a * a)::BIGINT AS saa, sum(b * b)::BIGINT AS sbb
+             |  FROM p GROUP BY 1)
+             |SELECT lag, n,
+             |  round((n * sab - sa * sb)::DOUBLE
+             |    / sqrt((n * saa - sa * sa)::DOUBLE * (n * sbb - sb * sb)::DOUBLE), 9)
+             |    AS xcorr
+             |FROM a ORDER BY lag""".stripMargin))
   )
 }

@@ -67,6 +67,46 @@ class MultimodalSpec extends GraftSpec {
     assert(feats.forall(f => f.rms > 0.1 && f.rms < 0.5))
   }
 
+  test("silenceStats: exact run accounting on a constant tone with one gap") {
+    // constant 5000-amplitude tone, one zeroed span of exactly 300
+    val s = Array.fill[Short](2000)(5000)
+    java.util.Arrays.fill(s, 100, 400, 0.toShort)
+    val wav = MediaKernels.encodeWav(s, 8000)
+    val back = MediaKernels.samples(wav)
+    assert(back.toSeq === s.toSeq) // 16-bit PCM WAV is lossless
+    val (nRuns, longest, silent) = MediaKernels.silenceStats(back, 1, 64)
+    assert(nRuns === 1L)
+    assert(longest === 300L)
+    assert(silent === 300L)
+    // threshold monotonicity: a higher threshold can only widen runs
+    val (_, longerOrEqual, _) = MediaKernels.silenceStats(back, 6000, 64)
+    assert(longerOrEqual >= 300L)
+    // a run shorter than minRun is seen by `longest` but not counted
+    val (n2, l2, s2) = MediaKernels.silenceStats(back, 1, 301)
+    assert(n2 === 0L && l2 === 300L && s2 === 0L)
+  }
+
+  test("audioSilence finds exactly the injected dropout spans") {
+    val keys = spark.range(6).toDF("doc_id")
+    val media = Multimodal.injectDropouts(
+      Multimodal.syntheticMedia(keys, "doc_id"))
+    val rows = Multimodal.audioSilence(media, threshold = 512, minRun = 64)
+      .collect().sortBy(_.media_id)
+    assert(rows.length === 6)
+    for (r <- rows) {
+      val expectedLen = 100 + (r.media_id % 200)
+      // the injected span is the only sub-threshold run of >= 64
+      // samples (the tone's amplitude is 12000, far above threshold;
+      // isolated near-zero crossings never reach 64 consecutive) —
+      // but a crossing ADJACENT to the span can extend the run by a
+      // couple of samples per side, hence the small slack
+      assert(r.n_runs === 1L, s"media ${r.media_id}")
+      assert(r.longest_run >= expectedLen &&
+        r.longest_run <= expectedLen + 4, s"media ${r.media_id}: ${r.longest_run}")
+      assert(math.abs(r.silent_frac - r.longest_run.toDouble / r.n_samples) < 1e-9)
+    }
+  }
+
   test("distributed video pipeline: container framing + real per-frame decode") {
     import spark.implicits._
     val media = Multimodal.syntheticVideo(Seq(7L, 8L).toDF("doc_id"), "doc_id")
