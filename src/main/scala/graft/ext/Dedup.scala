@@ -102,7 +102,31 @@ object Dedup {
     * candidate-pair set for the verify step. */
   def minhashNearDups(docs: DataFrame, threshold: Double,
                       idCol: String = "doc_id", textCol: String = "text",
-                      shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+                      shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 4): DataFrame =
+    verifiedCandidates(docs, idCol, textCol, shingleN, bands, rowsPerBand) {
+      (a, b) => jaccard(a, b).as("jaccard")
+    }.filter(col("jaccard") >= threshold)
+
+  /** MinHash-LSH candidates verified by CONTAINMENT — inter/min(|A|,|B|),
+    * the asymmetric score that catches subset duplicates (a short doc
+    * quoted whole inside a longer one) which symmetric Jaccard dilutes
+    * below any usable threshold. Same never-all-pairs LSH shape as
+    * `minhashNearDups`. */
+  def containmentPairs(docs: DataFrame, threshold: Double,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 4): DataFrame =
+    verifiedCandidates(docs, idCol, textCol, shingleN, bands, rowsPerBand) {
+      (a, b) => (size(array_intersect(a, b)).cast("double") /
+        least(size(a), size(b))).as("containment")
+    }.filter(col("containment") >= threshold)
+
+  /** Shared LSH candidate generation + exact verification: banded
+    * signatures self-join (ids only ride the shuffle), then `score`
+    * computes the verifying measure over the candidate pairs' shingle
+    * sets. */
+  private def verifiedCandidates(docs: DataFrame, idCol: String, textCol: String,
+                                 shingleN: Int, bands: Int, rowsPerBand: Int)(
+                                 score: (Column, Column) => Column): DataFrame = {
     // the (scan + shingle-kernel) subplan feeds three consumers
     // (signatures + both sides of the verify join); persist evaluates
     // it once. MEMORY_AND_DISK: at 100 TB the shingle sets are
@@ -119,8 +143,7 @@ object Dedup {
     val sa = sets.select(col(idCol).as("id_a"), col("__sh").as("__sha"))
     val sb = sets.select(col(idCol).as("id_b"), col("__sh").as("__shb"))
     cand.join(sa, "id_a").join(sb, "id_b")
-      .select(col("id_a"), col("id_b"), jaccard(col("__sha"), col("__shb")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), score(col("__sha"), col("__shb")))
   }
 
   /** Exact dedup marking: per document, the content hash, the group

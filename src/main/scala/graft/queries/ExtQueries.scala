@@ -263,6 +263,24 @@ object ExtQueries {
         .orderBy(col("id_a"), col("id_b")),
       Some(minhashOracle)),
 
+    // Containment-verified near-dup pairs over the same LSH
+    // candidates: inter/min(|A|,|B|) — the asymmetric measure that
+    // catches a short doc quoted whole inside a longer one, which
+    // symmetric Jaccard dilutes below any usable threshold. Oracle
+    // replays candidates + containment over the string shingle sets.
+    QueryDef("dedup_containment",
+      (s, d) => Dedup.containmentPairs(s.read.parquet(s"$d/documents.parquet"), 0.7)
+        .select(col("id_a"), col("id_b"),
+          round(col("containment"), 4).as("containment"))
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH $minhashPairCtes,
+              |c AS (SELECT id_a, id_b,
+              |        len(list_intersect(x.sh, y.sh))::DOUBLE
+              |          / least(len(x.sh), len(y.sh)) AS containment
+              |      FROM cand JOIN hs x ON x.doc_id = id_a JOIN hs y ON y.doc_id = id_b)
+              |SELECT id_a, id_b, round(containment, 4) AS containment
+              |FROM c WHERE containment >= 0.7 ORDER BY id_a, id_b""".stripMargin)),
+
     // SimHash 32-bit fingerprints (per-row projection, no shuffle).
     QueryDef("dedup_simhash",
       (s, d) => s.read.parquet(s"$d/documents.parquet")
