@@ -267,6 +267,37 @@ object RefQueries {
               |          / (epoch_us(bts) - epoch_us(pts))::DOUBLE) END, 6) AS value
               |FROM p JOIN b USING (tick_us) ORDER BY tick""".stripMargin)),
 
+    // KEYED as-of join — the canonical trade/quote alignment the grid
+    // family doesn't cover: each purchase joined to ITS USER's most
+    // recent error reading (diagnostic attribution). One shuffle on
+    // (user, time bucket); the cross-bucket carry is a per-key window
+    // over the tiny (key, bucket) digest. DuckDB's native keyed ASOF
+    // JOIN is the oracle.
+    QueryDef("q_asof_keyed",
+      (s, d) => {
+        val ev = events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val errors = ev.filter(col("event_type") === "error")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("value"))
+        AsofJoin.keyedPad(purchases, "ts", errors, "ts",
+          keyCols = Seq("user_id"), valueCols = Seq("value"),
+          srcTsCol = "err_ts")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("err_ts"), col("value").as("err_value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, ts FROM events
+             |  WHERE event_type = 'purchase'),
+             |e AS (SELECT user_id, ts, max(value) AS value FROM events
+             |  WHERE event_type = 'error' GROUP BY 1, 2)
+             |SELECT p.event_id, p.user_id, p.ts, e.ts AS err_ts,
+             |  e.value AS err_value
+             |FROM p ASOF LEFT JOIN e
+             |  ON p.user_id = e.user_id AND p.ts >= e.ts
+             |ORDER BY p.event_id""".stripMargin)),
+
     // Y7 — tolerance as-of + one-hot pivot (app.py:178-191): nearest
     // tick closed-form (tie -> earlier tick), strict < 10 s tolerance.
     QueryDef("y7_event_pivot",

@@ -401,6 +401,67 @@ object AsofJoin {
     }
   }
 
+  /** KEYED as-of join — the trade/quote shape: for each left row, the
+    * last right row with the SAME KEY and rightTs <= leftTs (null when
+    * the key has no earlier right row). Right rows must be unique per
+    * (key, ts) — dedupe upstream, as with the grid kernels.
+    *
+    * Scale design mirrors the grid kernel, with the key joining the
+    * partitioning: one shuffle of (left ∪ right) on (key, time
+    * bucket) → within-bucket forward fill (parallel across keys AND
+    * buckets); then a per-(key, bucket) digest (one row per pair —
+    * tiny relative to the data) carries the last right payload across
+    * a key's empty buckets via an ordinary per-key ordered window on
+    * the digest. No global sort; no single-partition stage; the carry
+    * join is a plain shuffle join on (key, bucket). */
+  def keyedPad(left: DataFrame, leftTs: String,
+               right: DataFrame, rightTs: String,
+               keyCols: Seq[String], valueCols: Seq[String],
+               bucketUs: Long = Adaptive,
+               srcTsCol: String = "src_ts"): DataFrame = {
+    require(keyCols.nonEmpty, "keyed as-of needs at least one key column")
+    require(valueCols.nonEmpty, "asof join needs at least one value column")
+    val leftCols = left.columns.toSeq
+    val keyExprs = keyCols.map(col)
+    val rPayload = struct(
+      unix_micros(col(rightTs)).as("__src") +: valueCols.map(col): _*)
+    val lPayload = struct(leftCols.map(col): _*)
+    val l = left.select(keyExprs ++ Seq(unix_micros(col(leftTs)).as("__t"),
+      lit(1).as("__g"), lPayload.as("__l")): _*)
+    val lType = l.schema("__l").dataType
+    val r = right.select(keyExprs ++ Seq(unix_micros(col(rightTs)).as("__t"),
+      lit(0).as("__g"), rPayload.as("__p")): _*)
+    val pType = r.schema("__p").dataType
+    val u0 = r.withColumn("__l", lit(null).cast(lType))
+      .unionByName(l.withColumn("__p", lit(null).cast(pType)))
+    val effBucketUs = resolveBucketUs(u0, bucketUs)
+    val u = u0.withColumn("__b", expr(s"__t div ${effBucketUs}L"))
+
+    // right row sorts before a left marker at the same (key, ts), so
+    // an exact-timestamp quote is visible to its trade (ts <= leftTs)
+    val wF = Window.partitionBy(keyExprs :+ col("__b"): _*)
+      .orderBy(col("__t").asc, col("__g").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = u.withColumn("__fp", last(col("__p"), ignoreNulls = true).over(wF))
+
+    // per-(key, bucket) digest over ALL buckets the key touches (left
+    // markers included, so keys idle on the right side still carry)
+    val digest = u.groupBy(keyExprs :+ col("__b"): _*)
+      .agg(max_by(col("__p"), when(col("__p").isNotNull, col("__t"))).as("__dl"))
+    val wC = Window.partitionBy(keyExprs: _*).orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = digest
+      .withColumn("__cf", last(col("__dl"), ignoreNulls = true).over(wC))
+      .select(keyExprs :+ col("__b") :+ col("__cf"): _*)
+
+    val pick = coalesce(col("__fp"), col("__cf"))
+    filled.join(carry, keyCols :+ "__b", "left")
+      .filter(col("__g") === 1)
+      .select(leftCols.map(c => col("__l").getField(c).as(c)) ++
+        Seq(timestamp_micros(pick.getField("__src")).as(srcTsCol)) ++
+        valueCols.map(c => pick.getField(c).as(c)): _*)
+  }
+
   /** Convenience dedupe: collapse duplicate timestamps keeping the row
     * with the greatest tiebreaker (deterministic input for the kernel). */
   def dedupeByTs(series: DataFrame, tsCol: String, tieCol: String): DataFrame = {

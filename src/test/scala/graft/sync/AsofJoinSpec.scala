@@ -237,6 +237,31 @@ class AsofJoinSpec extends GraftSpec {
     }
   }
 
+  test("keyedPad equals per-key brute force on random data (incl. exact-ts and idle keys)") {
+    val rnd = new scala.util.Random(11)
+    val rights = (0 until 120).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(50) * 10L * MS, rnd.nextDouble()))
+      .distinct.groupBy(t => (t._1, t._2)).map(_._2.maxBy(_._3)).toSeq
+    val lefts = (0 until 80).map(i =>
+      (i.toLong, rnd.nextInt(8).toLong, rnd.nextInt(600) * MS)) // keys 5-7 idle on right
+    import spark.implicits._
+    val rightDf = rights.toDF("k", "tus", "value")
+      .select(col("k"), expr("timestamp_micros(tus)").as("ts"), col("value"))
+    val leftDf = lefts.toDF("id", "k", "tus")
+      .select(col("id"), col("k"), expr("timestamp_micros(tus)").as("ts"))
+    val out = AsofJoin.keyedPad(leftDf, "ts", rightDf, "ts",
+      keyCols = Seq("k"), valueCols = Seq("value"), bucketUs = 100 * MS)
+      .select(col("id"), unix_micros(col("src_ts")), col("value"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getDouble(2))))).toMap
+    assert(out.size === lefts.size)
+    for ((id, k, t) <- lefts) {
+      val expected = rights.filter(r => r._1 == k && r._2 <= t)
+        .sortBy(_._2).lastOption.map(r => (r._2, r._3))
+      assert(out(id) === expected, s"left id=$id k=$k t=$t")
+    }
+  }
+
   test("dedupeByTs keeps the row with the greatest tiebreaker") {
     import spark.implicits._
     val df = Seq((1L, 10.0, 1L), (1L, 20.0, 2L), (2L, 5.0, 1L))
