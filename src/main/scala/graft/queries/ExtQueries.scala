@@ -48,6 +48,20 @@ object ExtQueries {
     centroidCache.getOrElseUpdate(d,
       Similarity.fitCentroids(s.read.parquet(s"$d/embeddings.parquet")))
 
+  /** PQ codebooks (two 32-dim subspaces, 16 cells each) per sf dir —
+    * offline artifacts like the IVF quantizer, trained once with the
+    * same deterministic schedule on each embedding half. */
+  private val pqCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Array[Array[Long]], Array[Array[Long]])]
+  private def pqCodebooksOf(s: org.apache.spark.sql.SparkSession,
+                            d: String): (Array[Array[Long]], Array[Array[Long]]) =
+    pqCache.getOrElseUpdate(d, {
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      def sub(start: Int) = emb.select(col("vec_id"),
+        slice(col("embedding"), start, 32).as("embedding"))
+      (Similarity.fitCentroids(sub(1)), Similarity.fitCentroids(sub(33)))
+    })
+
   /** Near-dup connected-components groups per sf dir — like real
     * pipelines, the (expensive, offline) dedup grouping is computed
     * once and reused by every downstream stage; the returned labels
@@ -96,6 +110,7 @@ object ExtQueries {
     dimOf(s, d)
     partitionedEventsOf(s, d)
     centroidsOf(s, d)
+    pqCodebooksOf(s, d)
     fragmentedDocsOf(s, d)
     graft.io.FileSkipping.ensureEventsByUser(s, d)
     graft.io.FileSkipping.ensureEventsZOrder(s, d)
@@ -131,45 +146,62 @@ object ExtQueries {
     * plus `t(vec_id, v)` (double vectors) for exact re-ranking.
     * Every intermediate sum/dot is an integer below 2^53, so double
     * arithmetic is exact in both engines regardless of order. */
-  private def ivfCtes(nProbe: Int, nCentroids: Int = 16, iters: Int = 2,
-                      scale: Int = 1000,
-                      extraProbes: Seq[(String, Int)] = Nil): String = {
-    def assign(out: String, cIn: String, extra: String, rnCond: String) =
-      s"""$out AS (SELECT vec_id, cell FROM (
-         |  SELECT evd.vec_id, cz.cell,
-         |    row_number() OVER (PARTITION BY evd.vec_id ORDER BY
-         |      list_dot_product(evd.ed, cz.cd)
-         |        / sqrt(evd.n2v * list_dot_product(cz.cd, cz.cd)) DESC,
-         |      cz.cell) AS rn
-         |  FROM evd, $cIn cz
-         |  WHERE list_dot_product(cz.cd, cz.cd) > 0$extra) WHERE $rnCond)""".stripMargin
+  /** Cell-assignment subquery over a quantizer CTE chain with name
+    * prefix `pfx` (see `quantizerCtes`). */
+  private def qAssign(pfx: String)(out: String, cIn: String, extra: String,
+                                   rnCond: String) =
+    s"""$out AS (SELECT vec_id, cell FROM (
+       |  SELECT ${pfx}evd.vec_id, cz.cell,
+       |    row_number() OVER (PARTITION BY ${pfx}evd.vec_id ORDER BY
+       |      list_dot_product(${pfx}evd.ed, cz.cd)
+       |        / sqrt(${pfx}evd.n2v * list_dot_product(cz.cd, cz.cd)) DESC,
+       |      cz.cell) AS rn
+       |  FROM ${pfx}evd, $cIn cz
+       |  WHERE list_dot_product(cz.cd, cz.cd) > 0$extra) WHERE $rnCond)""".stripMargin
+
+  /** SQL replay of the deterministic quantizer schedule (md5-ranked
+    * seeds + fixed integer-Lloyd rounds) over `vecExpr` (a DOUBLE[]
+    * expression on `embeddings`, e.g. a subspace slice for PQ). Every
+    * CTE name carries `pfx` so several quantizers compose in one
+    * WITH; the chain ends in `${pfx}af(vec_id, cell)`. */
+  private def quantizerCtes(pfx: String, vecExpr: String, dim: Int,
+                            nCentroids: Int = 16, iters: Int = 2,
+                            scale: Int = 1000): String = {
+    val assign = qAssign(pfx) _
     val iterCtes = (1 to iters).map { k =>
-      s"""${assign(s"a$k", s"c${k - 1}", "", "rn = 1")},
-         |s$k AS (SELECT a$k.cell, u.i, sum(ev.e[u.i + 1])::BIGINT AS s,
+      s"""${assign(s"${pfx}a$k", s"${pfx}c${k - 1}", "", "rn = 1")},
+         |${pfx}s$k AS (SELECT ${pfx}a$k.cell, u.i, sum(${pfx}ev.e[u.i + 1])::BIGINT AS s,
          |          count(*)::BIGINT AS n
-         |        FROM a$k JOIN ev USING (vec_id), unnest(range(0, 64)) u(i)
-         |        GROUP BY a$k.cell, u.i),
-         |c$k AS (SELECT cell, list(c ORDER BY i)::BIGINT[] AS ci,
+         |        FROM ${pfx}a$k JOIN ${pfx}ev USING (vec_id), unnest(range(0, $dim)) u(i)
+         |        GROUP BY ${pfx}a$k.cell, u.i),
+         |${pfx}c$k AS (SELECT cell, list(c ORDER BY i)::BIGINT[] AS ci,
          |          list(c ORDER BY i)::DOUBLE[] AS cd
          |        FROM (SELECT cell, i,
          |                (2*s + CASE WHEN s < 0 THEN -n ELSE n END) // (2*n) AS c
-         |              FROM s$k) GROUP BY cell
+         |              FROM ${pfx}s$k) GROUP BY cell
          |        UNION ALL
-         |        SELECT cell, ci, cd FROM c${k - 1}
-         |        WHERE cell NOT IN (SELECT cell FROM s$k))""".stripMargin
+         |        SELECT cell, ci, cd FROM ${pfx}c${k - 1}
+         |        WHERE cell NOT IN (SELECT cell FROM ${pfx}s$k))""".stripMargin
     }.mkString(",\n")
-    s"""t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |ev AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+    s"""${pfx}ev AS (SELECT vec_id, list_transform($vecExpr,
        |         x -> CAST(round(x * $scale) AS BIGINT)) AS e FROM embeddings),
-       |evd AS (SELECT vec_id, e::DOUBLE[] AS ed,
-       |          list_dot_product(e::DOUBLE[], e::DOUBLE[]) AS n2v FROM ev),
-       |seed AS (SELECT vec_id,
+       |${pfx}evd AS (SELECT vec_id, e::DOUBLE[] AS ed,
+       |          list_dot_product(e::DOUBLE[], e::DOUBLE[]) AS n2v FROM ${pfx}ev),
+       |${pfx}seed AS (SELECT vec_id,
        |           row_number() OVER (ORDER BY ${dkHash60(s"'ivfseed:'||vec_id")}, vec_id) - 1 AS cell
-       |         FROM ev QUALIFY cell < $nCentroids),
-       |c0 AS (SELECT seed.cell, ev.e AS ci, ev.e::DOUBLE[] AS cd
-       |       FROM seed JOIN ev USING (vec_id)),
+       |         FROM ${pfx}ev QUALIFY cell < $nCentroids),
+       |${pfx}c0 AS (SELECT ${pfx}seed.cell, ${pfx}ev.e AS ci, ${pfx}ev.e::DOUBLE[] AS cd
+       |       FROM ${pfx}seed JOIN ${pfx}ev USING (vec_id)),
        |$iterCtes,
-       |${assign("af", s"c$iters", "", "rn = 1")},
+       |${assign(s"${pfx}af", s"${pfx}c$iters", "", "rn = 1")}""".stripMargin
+  }
+
+  private def ivfCtes(nProbe: Int, nCentroids: Int = 16, iters: Int = 2,
+                      scale: Int = 1000,
+                      extraProbes: Seq[(String, Int)] = Nil): String = {
+    val assign = qAssign("") _
+    s"""t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |${quantizerCtes("", "embedding::DOUBLE[]", 64, nCentroids, iters, scale)},
        |${(("qp", nProbe) +: extraProbes).map { case (name, p) =>
             assign(name, s"c$iters", " AND evd.vec_id < 10", s"rn <= $p")
               .replace("SELECT vec_id, cell FROM", "SELECT vec_id AS query_id, cell FROM")
@@ -1305,6 +1337,35 @@ object ExtQueries {
               |SELECT af.vec_id, af.cell,
               |  af.vec_id IN (SELECT vec_id FROM dr) AS dropped
               |FROM af ORDER BY af.vec_id""".stripMargin)),
+
+    // ---- Product quantization codes (vector compression) ---------------
+    // PQ: the embedding splits into two 32-dim subspaces, each with its
+    // own deterministic 16-cell codebook (the same md5-seeded integer
+    // Lloyd schedule as the IVF quantizer, fit per subspace) — every
+    // vector compresses to ONE byte (two 4-bit cell ids) while staying
+    // searchable via asymmetric distance. Codebooks are offline
+    // artifacts (trained once per dir, bench index phase); the query
+    // path shuffles only (id, code) pairs against broadcast codebooks.
+    // The oracle replays BOTH subspace quantizer schedules in SQL, so
+    // the codes themselves hash-match.
+    QueryDef("emb_pq_codes",
+      (s, d) => {
+        val (cb0, cb1) = pqCodebooksOf(s, d)
+        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        def sub(start: Int) = emb.select(col("vec_id"),
+          slice(col("embedding"), start, 32).as("embedding"))
+        val a0 = Similarity.cellAssignments(sub(1), cb0).toDF("vec_id", "code0")
+        val a1 = Similarity.cellAssignments(sub(33), cb1).toDF("vec_id", "code1")
+        a0.join(a1, "vec_id")
+          .select(col("vec_id"), col("code0"), col("code1"),
+            (col("code0") * 16 + col("code1")).as("pq_code"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH ${quantizerCtes("p0", "(embedding::DOUBLE[])[1:32]", 32)},
+              |${quantizerCtes("p1", "(embedding::DOUBLE[])[33:64]", 32)}
+              |SELECT p0af.vec_id, p0af.cell AS code0, p1af.cell AS code1,
+              |  p0af.cell * 16 + p1af.cell AS pq_code
+              |FROM p0af JOIN p1af USING (vec_id) ORDER BY vec_id""".stripMargin)),
 
     // ---- K-means cluster profile (the quantizer as a clustering op) -----
     // The IVF coarse quantizer IS a deterministic k-means fit; this
