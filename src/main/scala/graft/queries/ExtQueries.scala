@@ -1367,6 +1367,81 @@ object ExtQueries {
               |  p0af.cell * 16 + p1af.cell AS pq_code
               |FROM p0af JOIN p1af USING (vec_id) ORDER BY vec_id""".stripMargin)),
 
+    // ---- PQ asymmetric-distance top-k (search over compressed codes) ----
+    // ADC: each query builds a 256-entry lookup table (one approximate
+    // cosine per composite code, computed against the codebook
+    // reconstructions), and the corpus is scanned as (id, code) pairs
+    // joined to the broadcast LUT — the wide vectors never touch the
+    // search path, which is the entire point of PQ at 100 TB. Every
+    // LUT number derives from exact integer dots (one IEEE mul +
+    // sqrt + div at the end), so the oracle's SQL replay of the same
+    // arithmetic hash-matches.
+    QueryDef("sim_topk_pq",
+      (s, d) => {
+        val (cb0, cb1) = pqCodebooksOf(s, d)
+        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        def sub(start: Int) = emb.select(col("vec_id"),
+          slice(col("embedding"), start, 32).as("embedding"))
+        val codes = Similarity.cellAssignments(sub(1), cb0).toDF("neighbor_id", "c0")
+          .join(Similarity.cellAssignments(sub(33), cb1).toDF("neighbor_id", "c1"),
+            "neighbor_id")
+        // SQL round(): half away from zero
+        def rnd(x: Double): Long =
+          (if (x >= 0) math.floor(x * 1000 + 0.5) else math.ceil(x * 1000 - 0.5)).toLong
+        def dot(a: Array[Long], b: Array[Long]): Long =
+          a.indices.foldLeft(0L)((acc, i) => acc + a(i) * b(i))
+        val qs = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id"), col("embedding").cast("array<double>"))
+          .collect().map { r =>
+            val v = r.getSeq[Double](1).toArray
+            (r.getLong(0), v.take(32).map(rnd), v.drop(32).map(rnd))
+          }
+        val lut = for {
+          (qid, q0, q1) <- qs.toSeq
+          i0 <- cb0.indices; i1 <- cb1.indices
+          nr = dot(cb0(i0), cb0(i0)) + dot(cb1(i1), cb1(i1)) if nr > 0
+          n2q = dot(q0, q0) + dot(q1, q1)
+        } yield (qid, i0, i1,
+          (dot(q0, cb0(i0)) + dot(q1, cb1(i1))).toDouble /
+            math.sqrt(n2q.toDouble * nr.toDouble))
+        val lutDf = s.createDataFrame(lut).toDF("query_id", "c0", "c1", "sim")
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("neighbor_id"))
+        codes.join(broadcast(lutDf), Seq("c0", "c1"))
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            round(col("sim"), 6).as("sim"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH ${quantizerCtes("p0", "(embedding::DOUBLE[])[1:32]", 32)},
+              |${quantizerCtes("p1", "(embedding::DOUBLE[])[33:64]", 32)},
+              |codes AS (SELECT p0af.vec_id AS neighbor_id, p0af.cell AS c0,
+              |            p1af.cell AS c1
+              |          FROM p0af JOIN p1af USING (vec_id)),
+              |q AS (SELECT vec_id AS query_id,
+              |        list_transform((embedding::DOUBLE[])[1:32],
+              |          x -> CAST(round(x * 1000) AS BIGINT))::DOUBLE[] AS q0,
+              |        list_transform((embedding::DOUBLE[])[33:64],
+              |          x -> CAST(round(x * 1000) AS BIGINT))::DOUBLE[] AS q1
+              |      FROM embeddings WHERE vec_id < 10),
+              |sc AS (SELECT q.query_id, codes.neighbor_id,
+              |         (list_dot_product(q.q0, b0.cd) + list_dot_product(q.q1, b1.cd))
+              |         / sqrt((list_dot_product(q.q0, q.q0) + list_dot_product(q.q1, q.q1))
+              |              * (list_dot_product(b0.cd, b0.cd) + list_dot_product(b1.cd, b1.cd))) AS sim
+              |       FROM q, codes
+              |         JOIN p0c2 b0 ON b0.cell = codes.c0
+              |         JOIN p1c2 b1 ON b1.cell = codes.c1
+              |       WHERE codes.neighbor_id != q.query_id
+              |         AND (list_dot_product(b0.cd, b0.cd) + list_dot_product(b1.cd, b1.cd)) > 0),
+              |r AS (SELECT query_id, neighbor_id, sim,
+              |        row_number() OVER (PARTITION BY query_id
+              |          ORDER BY sim DESC, neighbor_id) AS rank
+              |      FROM sc)
+              |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
+              |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
     // ---- K-means cluster profile (the quantizer as a clustering op) -----
     // The IVF coarse quantizer IS a deterministic k-means fit; this
     // exposes its "predict" half as a first-class clustering operator:
