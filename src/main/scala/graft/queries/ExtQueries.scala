@@ -62,6 +62,48 @@ object ExtQueries {
       (Similarity.fitCentroids(sub(1)), Similarity.fitCentroids(sub(33)))
     })
 
+  /** PQ asymmetric-distance top-k: per-query 256-entry LUT of
+    * approximate cosines (exact integer dots, one IEEE mul/sqrt/div)
+    * broadcast against the (id, code) scan. Shared by `sim_topk_pq`
+    * and the PQ column of `sim_recall_ann`. */
+  private def pqTopK(s: org.apache.spark.sql.SparkSession, d: String,
+                     k: Int): org.apache.spark.sql.DataFrame = {
+    val (cb0, cb1) = pqCodebooksOf(s, d)
+    val emb = s.read.parquet(s"$d/embeddings.parquet")
+    def sub(start: Int) = emb.select(col("vec_id"),
+      slice(col("embedding"), start, 32).as("embedding"))
+    val codes = Similarity.cellAssignments(sub(1), cb0).toDF("neighbor_id", "c0")
+      .join(Similarity.cellAssignments(sub(33), cb1).toDF("neighbor_id", "c1"),
+        "neighbor_id")
+    // SQL round(): half away from zero
+    def rnd(x: Double): Long =
+      (if (x >= 0) math.floor(x * 1000 + 0.5) else math.ceil(x * 1000 - 0.5)).toLong
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.indices.foldLeft(0L)((acc, i) => acc + a(i) * b(i))
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map { r =>
+        val v = r.getSeq[Double](1).toArray
+        (r.getLong(0), v.take(32).map(rnd), v.drop(32).map(rnd))
+      }
+    val lut = for {
+      (qid, q0, q1) <- qs.toSeq
+      i0 <- cb0.indices; i1 <- cb1.indices
+      nr = dot(cb0(i0), cb0(i0)) + dot(cb1(i1), cb1(i1)) if nr > 0
+      n2q = dot(q0, q0) + dot(q1, q1)
+    } yield (qid, i0, i1,
+      (dot(q0, cb0(i0)) + dot(q1, cb1(i1))).toDouble /
+        math.sqrt(n2q.toDouble * nr.toDouble))
+    val lutDf = s.createDataFrame(lut).toDF("query_id", "c0", "c1", "sim")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    codes.join(broadcast(lutDf), Seq("c0", "c1"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
   /** Near-dup connected-components groups per sf dir — like real
     * pipelines, the (expensive, offline) dedup grouping is computed
     * once and reused by every downstream stage; the returned labels
@@ -552,6 +594,7 @@ object ExtQueries {
           centroids = Some(centroidsOf(s, d))), "__ivf")
         val ivf4 = hits(Similarity.ivfTopK(emb, q, 5,
           centroids = Some(centroidsOf(s, d))), "__ivf4")
+        val pq = hits(pqTopK(s, d, 5), "__pq")
         def recall(tag: String, as: String) =
           round(sum(coalesce(col(tag), lit(0L))).cast("double")
             / count(lit(1)), 4).as(as)
@@ -559,11 +602,13 @@ object ExtQueries {
           .join(lsh6, Seq("query_id", "neighbor_id"), "left")
           .join(ivf, Seq("query_id", "neighbor_id"), "left")
           .join(ivf4, Seq("query_id", "neighbor_id"), "left")
+          .join(pq, Seq("query_id", "neighbor_id"), "left")
           .agg(count(lit(1)).as("n_exact"),
             recall("__lsh", "recall_lsh"),
             recall("__lsh6", "recall_lsh_p6t8"),
             recall("__ivf", "recall_ivf"),
-            recall("__ivf4", "recall_ivf_probe4"))
+            recall("__ivf4", "recall_ivf_probe4"),
+            recall("__pq", "recall_pq"))
       },
       Some {
         def lshTop(sfx: String) =
@@ -588,6 +633,8 @@ object ExtQueries {
         s"""WITH ${ivfCtes(nProbe = 4, extraProbes = Seq("qp8" -> 8))},
            |${lshSigCte(nTables = 8, nPlanes = 4, sfx = "l4")},
            |${lshSigCte(nTables = 8, nPlanes = 6, sfx = "l6")},
+           |${quantizerCtes("p0", "(embedding::DOUBLE[])[1:32]", 32)},
+           |${quantizerCtes("p1", "(embedding::DOUBLE[])[33:64]", 32)},
            |bf AS (SELECT query_id, neighbor_id FROM (
            |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
            |    row_number() OVER (PARTITION BY q.vec_id
@@ -596,17 +643,39 @@ object ExtQueries {
            |${lshTop("l4")},
            |${lshTop("l6")},
            |${ivfTop("ri4", "qp")},
-           |${ivfTop("ri8", "qp8")}
+           |${ivfTop("ri8", "qp8")},
+           |pqc AS (SELECT p0af.vec_id AS neighbor_id, p0af.cell AS c0, p1af.cell AS c1
+           |        FROM p0af JOIN p1af USING (vec_id)),
+           |pqq AS (SELECT vec_id AS query_id,
+           |          list_transform((embedding::DOUBLE[])[1:32],
+           |            x -> CAST(round(x * 1000) AS BIGINT))::DOUBLE[] AS q0,
+           |          list_transform((embedding::DOUBLE[])[33:64],
+           |            x -> CAST(round(x * 1000) AS BIGINT))::DOUBLE[] AS q1
+           |        FROM embeddings WHERE vec_id < 10),
+           |rpq AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT pqq.query_id, pqc.neighbor_id,
+           |    row_number() OVER (PARTITION BY pqq.query_id ORDER BY
+           |      (list_dot_product(pqq.q0, b0.cd) + list_dot_product(pqq.q1, b1.cd))
+           |        / sqrt((list_dot_product(pqq.q0, pqq.q0) + list_dot_product(pqq.q1, pqq.q1))
+           |             * (list_dot_product(b0.cd, b0.cd) + list_dot_product(b1.cd, b1.cd)))
+           |        DESC, pqc.neighbor_id) AS rank
+           |  FROM pqq, pqc JOIN p0c2 b0 ON b0.cell = pqc.c0
+           |    JOIN p1c2 b1 ON b1.cell = pqc.c1
+           |  WHERE pqc.neighbor_id != pqq.query_id
+           |    AND (list_dot_product(b0.cd, b0.cd) + list_dot_product(b1.cd, b1.cd)) > 0)
+           |  WHERE rank <= 5)
            |SELECT count(*) AS n_exact,
            |  round(count(rl4.neighbor_id)::DOUBLE / count(*), 4) AS recall_lsh,
            |  round(count(rl6.neighbor_id)::DOUBLE / count(*), 4) AS recall_lsh_p6t8,
            |  round(count(ri8.neighbor_id)::DOUBLE / count(*), 4) AS recall_ivf,
-           |  round(count(ri4.neighbor_id)::DOUBLE / count(*), 4) AS recall_ivf_probe4
+           |  round(count(ri4.neighbor_id)::DOUBLE / count(*), 4) AS recall_ivf_probe4,
+           |  round(count(rpq.neighbor_id)::DOUBLE / count(*), 4) AS recall_pq
            |FROM bf
            |LEFT JOIN rl4 ON rl4.query_id = bf.query_id AND rl4.neighbor_id = bf.neighbor_id
            |LEFT JOIN rl6 ON rl6.query_id = bf.query_id AND rl6.neighbor_id = bf.neighbor_id
            |LEFT JOIN ri8 ON ri8.query_id = bf.query_id AND ri8.neighbor_id = bf.neighbor_id
-           |LEFT JOIN ri4 ON ri4.query_id = bf.query_id AND ri4.neighbor_id = bf.neighbor_id""".stripMargin
+           |LEFT JOIN ri4 ON ri4.query_id = bf.query_id AND ri4.neighbor_id = bf.neighbor_id
+           |LEFT JOIN rpq ON rpq.query_id = bf.query_id AND rpq.neighbor_id = bf.neighbor_id""".stripMargin
       }),
 
     // Embedding cosine near-dup pairs, exact — BOUNDED baseline over
@@ -1377,44 +1446,10 @@ object ExtQueries {
     // sqrt + div at the end), so the oracle's SQL replay of the same
     // arithmetic hash-matches.
     QueryDef("sim_topk_pq",
-      (s, d) => {
-        val (cb0, cb1) = pqCodebooksOf(s, d)
-        val emb = s.read.parquet(s"$d/embeddings.parquet")
-        def sub(start: Int) = emb.select(col("vec_id"),
-          slice(col("embedding"), start, 32).as("embedding"))
-        val codes = Similarity.cellAssignments(sub(1), cb0).toDF("neighbor_id", "c0")
-          .join(Similarity.cellAssignments(sub(33), cb1).toDF("neighbor_id", "c1"),
-            "neighbor_id")
-        // SQL round(): half away from zero
-        def rnd(x: Double): Long =
-          (if (x >= 0) math.floor(x * 1000 + 0.5) else math.ceil(x * 1000 - 0.5)).toLong
-        def dot(a: Array[Long], b: Array[Long]): Long =
-          a.indices.foldLeft(0L)((acc, i) => acc + a(i) * b(i))
-        val qs = emb.filter(col("vec_id") < 10)
-          .select(col("vec_id"), col("embedding").cast("array<double>"))
-          .collect().map { r =>
-            val v = r.getSeq[Double](1).toArray
-            (r.getLong(0), v.take(32).map(rnd), v.drop(32).map(rnd))
-          }
-        val lut = for {
-          (qid, q0, q1) <- qs.toSeq
-          i0 <- cb0.indices; i1 <- cb1.indices
-          nr = dot(cb0(i0), cb0(i0)) + dot(cb1(i1), cb1(i1)) if nr > 0
-          n2q = dot(q0, q0) + dot(q1, q1)
-        } yield (qid, i0, i1,
-          (dot(q0, cb0(i0)) + dot(q1, cb1(i1))).toDouble /
-            math.sqrt(n2q.toDouble * nr.toDouble))
-        val lutDf = s.createDataFrame(lut).toDF("query_id", "c0", "c1", "sim")
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("sim").desc, col("neighbor_id"))
-        codes.join(broadcast(lutDf), Seq("c0", "c1"))
-          .filter(col("neighbor_id") =!= col("query_id"))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 5)
-          .select(col("query_id"), col("rank"), col("neighbor_id"),
-            round(col("sim"), 6).as("sim"))
-          .orderBy(col("query_id"), col("rank"))
-      },
+      (s, d) => pqTopK(s, d, 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy(col("query_id"), col("rank")),
       Some(s"""WITH ${quantizerCtes("p0", "(embedding::DOUBLE[])[1:32]", 32)},
               |${quantizerCtes("p1", "(embedding::DOUBLE[])[33:64]", 32)},
               |codes AS (SELECT p0af.vec_id AS neighbor_id, p0af.cell AS c0,
