@@ -1989,6 +1989,44 @@ object SqlQueries {
              |  round((n * sab - sa * sb)::DOUBLE
              |    / sqrt((n * saa - sa * sa)::DOUBLE * (n * sbb - sb * sb)::DOUBLE), 9)
              |    AS xcorr
-             |FROM a ORDER BY lag""".stripMargin))
+             |FROM a ORDER BY lag""".stripMargin)),
+
+    // SCD Type-2 dimension build — the versioned-history pattern:
+    // each change of a user's event_type opens a new version row with
+    // [valid_from, valid_to) validity and an is_current flag, so any
+    // point-in-time state is one range lookup away. Change points
+    // come from a per-key lag window (one shuffle by user), versions
+    // from a second window over the change rows only — the stream
+    // never sorts globally.
+    QueryDef("q_scd2_dim",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val chg = graft.sources.Tables.events(s, d)
+          .filter(col("user_id") < 100)
+          .withColumn("__prev", lag(col("event_type"), 1).over(w))
+          .filter(col("__prev").isNull || col("event_type") =!= col("__prev"))
+        val wc = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        chg.withColumn("version", row_number().over(wc))
+          .withColumn("valid_to", lead(col("ts"), 1).over(wc))
+          .select(col("user_id"), col("version"), col("event_type"),
+            col("ts").as("valid_from"), col("valid_to"),
+            col("valid_to").isNull.cast("int").as("is_current"))
+          .orderBy(col("user_id"), col("version"))
+      },
+      Some("""WITH l AS (SELECT user_id, event_id, ts, event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS prev
+             |  FROM events WHERE user_id < 100),
+             |c AS (SELECT user_id, event_id, ts, event_type FROM l
+             |  WHERE prev IS NULL OR event_type <> prev)
+             |SELECT user_id,
+             |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version,
+             |  event_type, ts AS valid_from,
+             |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+             |  CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |    IS NULL THEN 1 ELSE 0 END AS is_current
+             |FROM c ORDER BY user_id, version""".stripMargin))
   )
 }
