@@ -28,7 +28,10 @@ object ScaleBench {
     "corpus_heavy_hitters_approx",
     // per-row kernel + broadcast dictionary joins — near-linear is
     // the pass bar for the newest text analytics
-    "text_oov_rate")
+    "text_oov_rate",
+    // keyed as-of: the (key, bucket) shuffle + digest-carry design
+    // must hold as BOTH density and key count grow 10×
+    "q_asof_keyed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
