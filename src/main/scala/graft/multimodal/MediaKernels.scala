@@ -136,6 +136,50 @@ object MediaKernels {
     }
   }
 
+  /** Shot-structured synthetic video: frames repeat within a shot and
+    * change only at boundaries (every `shotLen` frames), so scene-cut
+    * detection has a deterministic ground truth. Same container
+    * format as `makeVideo`. */
+  def makeShotVideo(seed: Long, nFrames: Int, shotLen: Int,
+                    w: Int, h: Int): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(VideoMagic)
+    out.writeInt(nFrames)
+    var f = 0
+    while (f < nFrames) {
+      val shot = f / shotLen
+      val png = makePng(seed * 131 + shot, w, h)
+      out.writeInt(png.length)
+      out.write(png)
+      f += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** Scene-cut positions: frame indices f >= 1 where the mean absolute
+    * grayscale-grid difference to frame f-1 exceeds `threshold`
+    * (grids are [0,1]-normalized). One decode pass; O(1) state
+    * between frames. */
+  def sceneCuts(bytes: Array[Byte], threshold: Double, k: Int = 4): Array[Int] = {
+    val frames = videoFrames(bytes)
+    if (frames.length < 2) return Array.empty
+    val cuts = Array.newBuilder[Int]
+    var prev = grayGrid(decodeImage(frames(0)), k)
+    var f = 1
+    while (f < frames.length) {
+      val cur = grayGrid(decodeImage(frames(f)), k)
+      var acc = 0.0
+      var i = 0
+      while (i < cur.length) { acc += math.abs(cur(i) - prev(i)); i += 1 }
+      if (acc / cur.length > threshold) cuts += f
+      prev = cur
+      f += 1
+    }
+    cuts.result()
+  }
+
   /** k evenly spaced frames, decoded, reduced to grayscale means —
     * the video frame-sample + feature op. */
   def frameSampleVideo(bytes: Array[Byte], k: Int): Array[Float] = {

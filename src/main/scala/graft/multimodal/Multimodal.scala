@@ -118,6 +118,37 @@ object Multimodal {
   case class VideoRow(media_id: Long, video: Array[Byte])
   case class VideoFeatures(media_id: Long, n_frames: Int, width: Int,
                            height: Int, frame_means: Array[Float])
+  case class SceneCuts(media_id: Long, n_frames: Int, n_cuts: Long,
+                       first_cut: Int)
+
+  /** Shot-structured synthetic video table: frames repeat within a
+    * shot (length varies per media_id) and change at boundaries —
+    * scene-cut detection gets a per-row deterministic ground truth. */
+  def syntheticShotVideo(keys: DataFrame, idCol: String, nFrames: Int = 12,
+                         imgW: Int = 24, imgH: Int = 16): DataFrame = {
+    val spark = keys.sparkSession
+    import spark.implicits._
+    keys.select(col(idCol).cast("long").as("media_id")).as[Long]
+      .mapPartitions(_.map(id =>
+        (id, MediaKernels.makeShotVideo(id, nFrames,
+          shotLen = 2 + (id % 3).toInt, imgW, imgH))))
+      .toDF("media_id", "video")
+  }
+
+  /** Scene-cut detection — shot-boundary analysis over the video
+    * container: per clip, the number of cuts (mean-abs grid diff
+    * between consecutive frames above threshold) and the first cut
+    * position. Single decode pass per row, rides the scan. */
+  def videoSceneCuts(media: DataFrame, threshold: Double = 0.02): Dataset[SceneCuts] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("video")).as[VideoRow]
+      .mapPartitions(_.map { r =>
+        val cuts = MediaKernels.sceneCuts(r.video, threshold)
+        SceneCuts(r.media_id, MediaKernels.videoFrames(r.video).length,
+          cuts.length.toLong, if (cuts.isEmpty) -1 else cuts.head)
+      })
+  }
 
   /** Deterministic synthetic video table (length-prefixed PNG frames;
     * separate from `syntheticMedia` so image/audio pipelines don't pay

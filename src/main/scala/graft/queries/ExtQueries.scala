@@ -1655,6 +1655,22 @@ object ExtQueries {
       },
       None),
 
+    // Video scene-cut detection — shot-boundary analysis: consecutive
+    // decoded frames compared by mean-abs grayscale-grid difference;
+    // the shot-structured synthetic videos give every clip a known
+    // boundary layout, pinned exactly by MultimodalSpec. rows-only
+    // like the other codec paths.
+    QueryDef("mm_video_scenecut",
+      (s, d) => {
+        val media = graft.multimodal.Multimodal.syntheticShotVideo(
+          s.read.parquet(s"$d/documents.parquet").limit(100), "doc_id")
+        graft.multimodal.Multimodal.videoSceneCuts(media).toDF()
+          .select(col("media_id"), col("n_frames"), col("n_cuts"),
+            col("first_cut"))
+          .orderBy(col("media_id"))
+      },
+      None),
+
     QueryDef("mm_video_features",
       (s, d) => {
         val media = graft.multimodal.Multimodal.syntheticVideo(

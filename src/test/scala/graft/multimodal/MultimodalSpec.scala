@@ -107,6 +107,33 @@ class MultimodalSpec extends GraftSpec {
     }
   }
 
+  test("sceneCuts finds exactly the shot boundaries of a shot-structured video") {
+    // 12 frames, shot length 3 -> boundaries at frames 3, 6, 9
+    val bytes = MediaKernels.makeShotVideo(seed = 5, nFrames = 12,
+      shotLen = 3, w = 24, h = 16)
+    val cuts = MediaKernels.sceneCuts(bytes, threshold = 0.02)
+    assert(cuts.toSeq === Seq(3, 6, 9))
+    // within-shot frames are byte-identical -> diff exactly 0, so even
+    // a zero threshold adds no spurious cuts
+    assert(MediaKernels.sceneCuts(bytes, threshold = 0.0).toSeq === Seq(3, 6, 9))
+    // a single-shot video has no cuts
+    val flat = MediaKernels.makeShotVideo(7, 8, shotLen = 8, w = 24, h = 16)
+    assert(MediaKernels.sceneCuts(flat, 0.02).isEmpty)
+  }
+
+  test("videoSceneCuts matches the per-media shot layout distributed") {
+    val media = Multimodal.syntheticShotVideo(spark.range(6).toDF("doc_id"), "doc_id")
+    val rows = Multimodal.videoSceneCuts(media).collect().sortBy(_.media_id)
+    assert(rows.length === 6)
+    for (r <- rows) {
+      val shotLen = 2 + (r.media_id % 3).toInt
+      val expected = (1 until 12).count(_ % shotLen == 0)
+      assert(r.n_frames === 12)
+      assert(r.n_cuts === expected.toLong, s"media ${r.media_id}")
+      assert(r.first_cut === shotLen, s"media ${r.media_id}")
+    }
+  }
+
   test("distributed video pipeline: container framing + real per-frame decode") {
     import spark.implicits._
     val media = Multimodal.syntheticVideo(Seq(7L, 8L).toDF("doc_id"), "doc_id")
