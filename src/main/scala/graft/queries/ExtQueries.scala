@@ -2182,6 +2182,41 @@ object ExtQueries {
              |  JOIN sz zb ON zb.source = i.src_b
              |ORDER BY jaccard DESC, src_a, src_b LIMIT 20""".stripMargin)),
 
+    // Vocabulary coverage curve — the "fit" half of tokenizer-coverage
+    // scoring: the top-30 vocabulary by corpus frequency with each
+    // rank's CUMULATIVE share of total token mass (the curve that
+    // decides vocab size). One aggregate scan; the cumulative window
+    // runs over the 30-row digest, not the corpus.
+    QueryDef("corpus_vocab_coverage",
+      (s, d) => {
+        val tf = s.read.parquet(s"$d/documents.parquet")
+          .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as("n"))
+        val tot = tf.agg(sum(col("n")).as("total"))
+        val top = tf.orderBy(col("n").desc, col("term")).limit(30)
+        val w = Window.orderBy(col("n").desc, col("term"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        top.crossJoin(broadcast(tot))
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("n").desc, col("term"))))
+          .withColumn("cum_share",
+            round(sum(col("n")).over(w).cast("double") /
+              col("total").cast("double"), 6))
+          .select(col("rank"), col("term"), col("n"), col("cum_share"))
+          .orderBy(col("rank"))
+      },
+      Some("""WITH t AS (SELECT unnest(string_split(lower(text),' ')) AS term
+             |  FROM documents),
+             |tf AS (SELECT term, count(*) AS n FROM t GROUP BY 1),
+             |tot AS (SELECT sum(n)::BIGINT AS total FROM tf),
+             |top AS (SELECT term, n FROM tf ORDER BY n DESC, term LIMIT 30)
+             |SELECT row_number() OVER (ORDER BY n DESC, term) AS rank,
+             |  term, n,
+             |  round(sum(n) OVER (ORDER BY n DESC, term
+             |      ROWS UNBOUNDED PRECEDING)::DOUBLE / tot.total::DOUBLE, 6)
+             |    AS cum_share
+             |FROM top, tot ORDER BY rank""".stripMargin)),
+
     // Bigram LM log-probability (add-one smoothing) — the step up
     // from text_unigram_logprob toward CCNet-style perplexity
     // filtering: logP(doc) = Σ log10((C(w₁w₂)+1)/(C(w₁·)+V)). Same

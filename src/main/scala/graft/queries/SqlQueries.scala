@@ -2027,6 +2027,41 @@ object SqlQueries {
              |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
              |  CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
              |    IS NULL THEN 1 ELSE 0 END AS is_current
-             |FROM c ORDER BY user_id, version""".stripMargin))
+             |FROM c ORDER BY user_id, version""".stripMargin)),
+
+    // Benford leading-digit audit — the forensic data-quality check:
+    // the distribution of o_totalprice's first digit against Benford's
+    // log10(1 + 1/d) expectation. One aggregate scan; the deviation
+    // report is a 9-row digest. (Synthetic uniform prices deviate
+    // wildly — which is exactly what the audit is for.)
+    QueryDef("q_benford_check",
+      (s, d) => {
+        val digits = s.read.parquet(s"$d/orders.parquet")
+          .filter(col("o_totalprice") > 0)
+          .select(substring(col("o_totalprice").cast("string"), 1, 1)
+            .cast("int").as("digit"))
+          .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        val tot = digits.agg(sum(col("n")).as("total"))
+        digits.crossJoin(broadcast(tot))
+          .withColumn("share",
+            round(col("n").cast("double") / col("total").cast("double"), 6))
+          .withColumn("benford_p",
+            round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6))
+          .withColumn("abs_dev", round(abs(col("share") - col("benford_p")), 6))
+          .select(col("digit"), col("n"), col("share"), col("benford_p"),
+            col("abs_dev"))
+          .orderBy(col("digit"))
+      },
+      Some("""WITH dg AS (SELECT CAST(substring(CAST(o_totalprice AS VARCHAR), 1, 1)
+             |      AS INT) AS digit
+             |  FROM orders WHERE o_totalprice > 0),
+             |c AS (SELECT digit, count(*) AS n FROM dg GROUP BY 1),
+             |tot AS (SELECT sum(n)::BIGINT AS total FROM c)
+             |SELECT digit, n,
+             |  round(n::DOUBLE / tot.total::DOUBLE, 6) AS share,
+             |  round(log10(1.0 + 1.0 / digit::DOUBLE), 6) AS benford_p,
+             |  round(abs(round(n::DOUBLE / tot.total::DOUBLE, 6)
+             |    - round(log10(1.0 + 1.0 / digit::DOUBLE), 6)), 6) AS abs_dev
+             |FROM c, tot ORDER BY digit""".stripMargin))
   )
 }
