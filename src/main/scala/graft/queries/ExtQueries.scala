@@ -1944,6 +1944,51 @@ object ExtQueries {
              |  count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
              |FROM t GROUP BY 1, 2 ORDER BY source, split""".stripMargin)),
 
+    // Leakage-safe train/val/test split — the ML-curation hardening of
+    // pipe_split_assign: near-duplicate documents must land in the
+    // SAME split (a near-dup of a training doc inside the test set is
+    // evaluation leakage), so the split hash keys on the near-dup
+    // COMPONENT keeper (memoized grouping, like the corpus-filter
+    // pipeline) instead of the doc id; singleton docs key on
+    // themselves. The oracle recomputes the components independently
+    // via the recursive CTE, so a wrong grouping shifts the per-split
+    // component counts and hash-fails.
+    QueryDef("pipe_split_leakage_safe",
+      (s, d) => {
+        val docs = s.read.parquet(s"$d/documents.parquet")
+        val groups = neardupGroupsOf(s, d)
+          .select(col("id").as("doc_id"), col("group_id"))
+        val keyed = docs.join(groups, Seq("doc_id"), "left")
+          .withColumn("group_key", coalesce(col("group_id"), col("doc_id")))
+        val h = conv(substring(md5(concat(lit("split:"),
+          col("group_key").cast("string"))), 1, 15), 16, 10).cast("long") % 100
+        keyed.withColumn("split",
+          when(h < 80, "train").when(h < 90, "validation").otherwise("test"))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            count_distinct(col("group_key")).as("n_components"))
+          .orderBy(col("split"))
+      },
+      Some(s"""WITH RECURSIVE $minhashPairCtes,
+              |p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.7),
+              |eg AS (SELECT id_a AS s, id_b AS t FROM p UNION SELECT id_b, id_a FROM p),
+              |reach AS (SELECT s AS id, t AS r FROM eg
+              |          UNION
+              |          SELECT eg.s AS id, reach.r FROM eg JOIN reach ON reach.id = eg.t),
+              |grp AS (SELECT id AS doc_id, least(id, min(r)) AS group_id
+              |        FROM reach GROUP BY id),
+              |k AS (SELECT d.doc_id,
+              |        coalesce(grp.group_id, d.doc_id) AS group_key
+              |      FROM documents d LEFT JOIN grp USING (doc_id)),
+              |sp AS (SELECT doc_id, group_key,
+              |         CASE WHEN ('0x'||substring(md5('split:'||group_key::VARCHAR),1,15))::BIGINT % 100 < 80 THEN 'train'
+              |              WHEN ('0x'||substring(md5('split:'||group_key::VARCHAR),1,15))::BIGINT % 100 < 90 THEN 'validation'
+              |              ELSE 'test' END AS split
+              |       FROM k)
+              |SELECT split, count(*) AS n_docs,
+              |  count(DISTINCT group_key) AS n_components
+              |FROM sp GROUP BY split ORDER BY split""".stripMargin)),
+
     // ---- S4/K1 — CSV export + ingest round-trip, driver-visible --------
     // Proves the CSV path is value-preserving: write `documents` via
     // Export.csv, re-read via CsvIngest.read with the explicit schema,
