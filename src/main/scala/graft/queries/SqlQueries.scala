@@ -2029,6 +2029,71 @@ object SqlQueries {
              |    IS NULL THEN 1 ELSE 0 END AS is_current
              |FROM c ORDER BY user_id, version""".stripMargin)),
 
+    // Association rules / market-basket lift — which event types
+    // co-occur in the same user's history beyond chance: for each
+    // unordered type pair, support and lift = P(ab)/(P(a)·P(b)). Per
+    // user the distinct-type set is tiny, so the pair join runs on
+    // the (user, type) digest (one row per user-type, never the raw
+    // stream), and the lift normalization broadcasts one user count.
+    QueryDef("q_basket_lift",
+      (s, d) => {
+        val ut = graft.sources.Tables.events(s, d)
+          .select(col("user_id"), col("event_type")).distinct()
+        val nUsers = ut.select(col("user_id")).distinct()
+          .agg(count(lit(1)).as("n_users"))
+        val tCnt = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
+        val pairs = ut.toDF("user_id", "type_a")
+          .join(ut.toDF("user_id", "type_b"), "user_id")
+          .filter(col("type_a") < col("type_b"))
+          .groupBy(col("type_a"), col("type_b"))
+          .agg(count(lit(1)).as("n_ab"))
+        pairs
+          .join(broadcast(tCnt.toDF("type_a", "n_a")), "type_a")
+          .join(broadcast(tCnt.toDF("type_b", "n_b")), "type_b")
+          .crossJoin(broadcast(nUsers))
+          .select(col("type_a"), col("type_b"), col("n_ab"),
+            round(col("n_ab").cast("double") / col("n_users").cast("double"), 6)
+              .as("support"),
+            round(col("n_ab").cast("double") * col("n_users").cast("double")
+              / (col("n_a").cast("double") * col("n_b").cast("double")), 6)
+              .as("lift"))
+          .orderBy(col("type_a"), col("type_b"))
+      },
+      Some("""WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+             |u AS (SELECT count(DISTINCT user_id) AS n_users FROM ut),
+             |tc AS (SELECT event_type, count(*) AS n_t FROM ut GROUP BY 1),
+             |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+             |        count(*) AS n_ab
+             |      FROM ut a JOIN ut b ON a.user_id = b.user_id
+             |        AND a.event_type < b.event_type
+             |      GROUP BY 1, 2)
+             |SELECT type_a, type_b, n_ab,
+             |  round(n_ab::DOUBLE / u.n_users::DOUBLE, 6) AS support,
+             |  round(n_ab::DOUBLE * u.n_users::DOUBLE
+             |    / (ta.n_t::DOUBLE * tb.n_t::DOUBLE), 6) AS lift
+             |FROM p JOIN tc ta ON ta.event_type = p.type_a
+             |  JOIN tc tb ON tb.event_type = p.type_b, u
+             |ORDER BY type_a, type_b""".stripMargin)),
+
+    // Grouped approx-quantile sketch twin of q_group_quantiles — the
+    // documented 100 TB switch at GROUP grain: one mergeable sketch
+    // per group (O(1/eps) state) instead of the exact percentile's
+    // O(rows-per-group) buffer. rows-only by nature (sketch internals
+    // are engine-specific); StatsSpec's tracking law covers the
+    // ungrouped twin.
+    QueryDef("q_group_quantiles_approx",
+      (s, d) => graft.sources.Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(element_at(approx_percentile(col("value"),
+            array(lit(0.25), lit(0.5), lit(0.75)), lit(5000)), 1), 4).as("p25"),
+          round(element_at(approx_percentile(col("value"),
+            array(lit(0.25), lit(0.5), lit(0.75)), lit(5000)), 2), 4).as("p50"),
+          round(element_at(approx_percentile(col("value"),
+            array(lit(0.25), lit(0.5), lit(0.75)), lit(5000)), 3), 4).as("p75"))
+        .orderBy(col("event_type")),
+      None),
+
     // Benford leading-digit audit — the forensic data-quality check:
     // the distribution of o_totalprice's first digit against Benford's
     // log10(1 + 1/d) expectation. One aggregate scan; the deviation
