@@ -2029,6 +2029,77 @@ object SqlQueries {
              |    IS NULL THEN 1 ELSE 0 END AS is_current
              |FROM c ORDER BY user_id, version""".stripMargin)),
 
+    // First/last-touch attribution — per purchase, the user's FIRST
+    // and LAST click inside a 1-day lookback window, with the count
+    // of touches sharing the credit. Both sides pre-project to
+    // (user, ts, id) digests and meet in one range-predicate join per
+    // user; min_by/max_by pick the touch endpoints in a single
+    // aggregate (no per-purchase sort).
+    QueryDef("q_attribution",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            unix_micros(col("ts")).as("p_us"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), unix_micros(col("ts")).as("c_us"),
+            col("event_id").as("click_id"))
+        val DayUs = 86400000000L
+        purchases.join(clicks, Seq("user_id"))
+          .filter(col("c_us") <= col("p_us") &&
+            col("c_us") > col("p_us") - DayUs)
+          .groupBy(col("purchase_id"), col("user_id"))
+          .agg(count(lit(1)).as("n_touches"),
+            min_by(col("click_id"), struct(col("c_us"), col("click_id")))
+              .as("first_touch_id"),
+            max_by(col("click_id"), struct(col("c_us"), col("click_id")))
+              .as("last_touch_id"))
+          .orderBy(col("purchase_id"))
+      },
+      Some("""WITH p AS (SELECT event_id AS purchase_id, user_id,
+             |    epoch_us(ts) AS p_us FROM events WHERE event_type = 'purchase'),
+             |c AS (SELECT user_id, epoch_us(ts) AS c_us, event_id AS click_id
+             |  FROM events WHERE event_type = 'click'),
+             |j AS (SELECT p.purchase_id, p.user_id, c.c_us, c.click_id
+             |  FROM p JOIN c ON c.user_id = p.user_id
+             |    AND c.c_us <= p.p_us AND c.c_us > p.p_us - 86400000000)
+             |SELECT purchase_id, user_id, count(*) AS n_touches,
+             |  first(click_id ORDER BY c_us, click_id) AS first_touch_id,
+             |  last(click_id ORDER BY c_us, click_id) AS last_touch_id
+             |FROM j GROUP BY purchase_id, user_id
+             |ORDER BY purchase_id""".stripMargin)),
+
+    // Gaps-and-islands: maximal consecutive-DAY activity streaks per
+    // user (the engagement-streak report). The classic day − dense_rank
+    // trick turns each island into a constant group key; one shuffle
+    // by user, windows only over each user's distinct days.
+    QueryDef("q_activity_streaks",
+      (s, d) => {
+        val days = graft.sources.Tables.events(s, d)
+          .filter(col("user_id") < 200)
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        val islands = days
+          .withColumn("__grp", datediff(col("day"), lit("1970-01-01").cast("date"))
+            - dense_rank().over(w))
+          .groupBy(col("user_id"), col("__grp"))
+          .agg(count(lit(1)).as("len"))
+        islands.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_streaks"),
+            max(col("len")).as("longest_streak"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH a AS (SELECT DISTINCT user_id, ts::DATE AS day
+             |  FROM events WHERE user_id < 200),
+             |g AS (SELECT user_id, day,
+             |    (day - DATE '1970-01-01')
+             |      - dense_rank() OVER (PARTITION BY user_id ORDER BY day) AS grp
+             |  FROM a),
+             |i AS (SELECT user_id, grp, count(*) AS len FROM g GROUP BY 1, 2)
+             |SELECT user_id, count(*) AS n_streaks,
+             |  max(len)::BIGINT AS longest_streak
+             |FROM i GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // Association rules / market-basket lift — which event types
     // co-occur in the same user's history beyond chance: for each
     // unordered type pair, support and lift = P(ab)/(P(a)·P(b)). Per
