@@ -2029,6 +2029,83 @@ object SqlQueries {
              |    IS NULL THEN 1 ELSE 0 END AS is_current
              |FROM c ORDER BY user_id, version""".stripMargin)),
 
+    // Quantile-quantile distribution comparison — drift detection
+    // between two channels: the exact deciles of each channel's value
+    // distribution side by side with their deltas. Two grouped
+    // exact-percentile digests (9 rows each) meet in a broadcast join;
+    // the facts are scanned once per channel.
+    QueryDef("q_qq_compare",
+      (s, d) => {
+        val qs = (1 to 9).map(_ / 10.0)
+        def deciles(t: String) = graft.sources.Tables.events(s, d)
+          .filter(col("event_type") === t)
+          .agg(graft.functions.ExactPercentile
+            .percentiles(col("value"), qs).as("__q"))
+          .select(posexplode(col("__q")).as(Seq("__i", s"q_$t")))
+        deciles("click").join(broadcast(deciles("error")), "__i")
+          .select(((col("__i") + 1) * 10).as("pct"),
+            round(col("q_click"), 6).as("q_click"),
+            round(col("q_error"), 6).as("q_error"),
+            round(col("q_click") - col("q_error"), 6).as("qq_delta"))
+          .orderBy(col("pct"))
+      },
+      Some("""WITH c AS (SELECT unnest(quantile_cont(value,
+             |      [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])) AS q,
+             |    generate_subscripts(quantile_cont(value,
+             |      [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]), 1) AS i
+             |  FROM events WHERE event_type = 'click'),
+             |e AS (SELECT unnest(quantile_cont(value,
+             |      [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])) AS q,
+             |    generate_subscripts(quantile_cont(value,
+             |      [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]), 1) AS i
+             |  FROM events WHERE event_type = 'error')
+             |SELECT (c.i * 10)::INT AS pct,
+             |  round(c.q, 6) AS q_click, round(e.q, 6) AS q_error,
+             |  round(c.q - e.q, 6) AS qq_delta
+             |FROM c JOIN e ON c.i = e.i ORDER BY pct""".stripMargin)),
+
+    // Chi-square independence audit — is event type independent of
+    // day-of-week? Observed contingency counts vs expected
+    // (row·col/total), the chi² statistic summed from per-cell exact
+    // integer counts in one deterministic double expression. One
+    // aggregate scan; the 35-cell contingency table is the only
+    // intermediate.
+    QueryDef("q_chisq_independence",
+      (s, d) => {
+        val obs = graft.sources.Tables.events(s, d)
+          .groupBy(col("event_type"), dayofweek(col("ts")).as("dow"))
+          .agg(count(lit(1)).as("n"))
+        val rowT = obs.groupBy(col("event_type")).agg(sum(col("n")).as("n_row"))
+        val colT = obs.groupBy(col("dow")).agg(sum(col("n")).as("n_col"))
+        val tot = obs.agg(sum(col("n")).as("total"))
+        obs.join(broadcast(rowT), "event_type")
+          .join(broadcast(colT), "dow")
+          .crossJoin(broadcast(tot))
+          .withColumn("__exp", col("n_row").cast("double") *
+            col("n_col").cast("double") / col("total").cast("double"))
+          // per-cell term rounded ONCE, summed as exact decimal —
+          // partition-order independent (the unigram-logprob trick)
+          .withColumn("__term", round((col("n").cast("double") - col("__exp")) *
+            (col("n").cast("double") - col("__exp")) / col("__exp"), 9)
+            .cast("decimal(20,9)"))
+          .agg(count(lit(1)).as("n_cells"),
+            round(sum(col("__term")).cast("double"), 4).as("chi_sq"))
+      },
+      Some("""WITH o AS (SELECT event_type, dayofweek(ts) AS dow, count(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |r AS (SELECT event_type, sum(n)::BIGINT AS n_row FROM o GROUP BY 1),
+             |c AS (SELECT dow, sum(n)::BIGINT AS n_col FROM o GROUP BY 1),
+             |t AS (SELECT sum(n)::BIGINT AS total FROM o),
+             |cells AS (SELECT
+             |    round((o.n::DOUBLE - r.n_row::DOUBLE * c.n_col::DOUBLE / t.total::DOUBLE)
+             |      * (o.n::DOUBLE - r.n_row::DOUBLE * c.n_col::DOUBLE / t.total::DOUBLE)
+             |      / (r.n_row::DOUBLE * c.n_col::DOUBLE / t.total::DOUBLE), 9)::DECIMAL(20,9)
+             |      AS term
+             |  FROM o JOIN r USING (event_type) JOIN c USING (dow), t)
+             |SELECT count(*) AS n_cells,
+             |  round(sum(term)::DOUBLE, 4) AS chi_sq
+             |FROM cells""".stripMargin)),
+
     // First/last-touch attribution — per purchase, the user's FIRST
     // and LAST click inside a 1-day lookback window, with the count
     // of touches sharing the credit. Both sides pre-project to
