@@ -2262,6 +2262,68 @@ object ExtQueries {
              |    AS cum_share
              |FROM top, tot ORDER BY rank""".stripMargin)),
 
+    // Jensen-Shannon divergence of each source against the corpus —
+    // "which source is distributionally weird", the drift probe run
+    // before corpus mixing. Distributions restrict to the top-30
+    // corpus vocabulary (renormalized within it — at real scale the
+    // vocab digest is how this stays bounded); the (source × vocab)
+    // grid is a 600-row cross of two digests, zero-count cells
+    // included because the q·ln(q/m) half still contributes. Per-cell
+    // terms are rounded once and summed as exact decimals.
+    QueryDef("text_js_divergence",
+      (s, d) => {
+        val toks = s.read.parquet(s"$d/documents.parquet")
+          .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+        val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("n_t"))
+          .orderBy(col("n_t").desc, col("term")).limit(30)
+        val corpTot = vocab.agg(sum(col("n_t")).as("ct"))
+        val stf = toks.join(broadcast(vocab.select("term")), "term")
+          .groupBy(col("source"), col("term")).agg(count(lit(1)).as("n_st"))
+        val srcTot = stf.groupBy(col("source")).agg(sum(col("n_st")).as("st"))
+        val grid = srcTot.select("source", "st")
+          .crossJoin(broadcast(vocab))
+          .join(stf, Seq("source", "term"), "left")
+          .na.fill(0L, Seq("n_st"))
+          .crossJoin(broadcast(corpTot))
+        val p = col("n_st").cast("double") / col("st").cast("double")
+        val q = col("n_t").cast("double") / col("ct").cast("double")
+        val m = (p + q) / 2
+        grid
+          .withColumn("__term", round(
+            (when(col("n_st") > 0, p * log(p / m)).otherwise(lit(0.0))
+              + q * log(q / m)) * 0.5, 9).cast("decimal(20,9)"))
+          .groupBy(col("source"))
+          .agg(max(col("st")).as("n_vocab_tokens"),
+            round(sum(col("__term")).cast("double"), 6).as("js_div"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH t AS (SELECT source, unnest(string_split(lower(text),' ')) AS term
+             |  FROM documents),
+             |v AS (SELECT term, count(*) AS n_t FROM t GROUP BY 1
+             |  ORDER BY n_t DESC, term LIMIT 30),
+             |ct AS (SELECT sum(n_t)::BIGINT AS ct FROM v),
+             |stf AS (SELECT source, term, count(*) AS n_st FROM t
+             |  WHERE term IN (SELECT term FROM v) GROUP BY 1, 2),
+             |st AS (SELECT source, sum(n_st)::BIGINT AS st FROM stf GROUP BY 1),
+             |grid AS (SELECT st.source, st.st, v.term, v.n_t,
+             |    coalesce(stf.n_st, 0) AS n_st, ct.ct
+             |  FROM st CROSS JOIN v
+             |  LEFT JOIN stf ON stf.source = st.source AND stf.term = v.term, ct),
+             |cells AS (SELECT source, st,
+             |    round((CASE WHEN n_st > 0
+             |        THEN (n_st::DOUBLE / st::DOUBLE)
+             |          * ln((n_st::DOUBLE / st::DOUBLE)
+             |            / ((n_st::DOUBLE / st::DOUBLE + n_t::DOUBLE / ct::DOUBLE) / 2))
+             |        ELSE 0.0 END
+             |      + (n_t::DOUBLE / ct::DOUBLE)
+             |        * ln((n_t::DOUBLE / ct::DOUBLE)
+             |          / ((n_st::DOUBLE / st::DOUBLE + n_t::DOUBLE / ct::DOUBLE) / 2)))
+             |      * 0.5, 9)::DECIMAL(20,9) AS term_v
+             |  FROM grid)
+             |SELECT source, max(st)::BIGINT AS n_vocab_tokens,
+             |  round(sum(term_v)::DOUBLE, 6) AS js_div
+             |FROM cells GROUP BY source ORDER BY source""".stripMargin)),
+
     // Bigram LM log-probability (add-one smoothing) — the step up
     // from text_unigram_logprob toward CCNet-style perplexity
     // filtering: logP(doc) = Σ log10((C(w₁w₂)+1)/(C(w₁·)+V)). Same

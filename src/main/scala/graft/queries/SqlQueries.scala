@@ -2029,6 +2029,69 @@ object SqlQueries {
              |    IS NULL THEN 1 ELSE 0 END AS is_current
              |FROM c ORDER BY user_id, version""".stripMargin)),
 
+    // Spearman rank correlation (tie-aware) — the robust monotone-
+    // association measure, built WITHOUT a global sort: each column's
+    // distinct values (few for these measures) get average ranks from
+    // a cumulative window over the tiny value digest; the digests
+    // broadcast back onto the facts and Pearson runs on the ranks
+    // from exact decimal sums. Average ranks of tied groups are exact
+    // halves ((2·cum + cnt + 1)/2 as DECIMAL(18,1)), so every sum is
+    // exact and partition-order independent.
+    QueryDef("q_spearman_corr",
+      (s, d) => {
+        val li = s.read.parquet(s"$d/lineitem.parquet")
+          .select(col("l_quantity"), col("l_discount"))
+        def rankDigest(c: String) = {
+          val w = Window.orderBy(col(c))
+            .rowsBetween(Window.unboundedPreceding, -1)
+          li.groupBy(col(c)).agg(count(lit(1)).as("__cnt"))
+            .withColumn("__cum", coalesce(sum(col("__cnt")).over(w), lit(0L)))
+            .select(col(c),
+              ((col("__cum") * 2 + col("__cnt") + 1).cast("decimal(18,1)") / 2)
+                .cast("decimal(18,1)").as(s"__r_$c"))
+        }
+        val ranked = li
+          .join(broadcast(rankDigest("l_quantity")), "l_quantity")
+          .join(broadcast(rankDigest("l_discount")), "l_discount")
+          .select(col("__r_l_quantity").as("x"), col("__r_l_discount").as("y"))
+        val sums = ranked.agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        val nD = col("n").cast("double")
+        sums.select(col("n"),
+          round((nD * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double"))
+            / sqrt((nD * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double"))
+              * (nD * col("syy").cast("double") -
+                col("sy").cast("double") * col("sy").cast("double"))), 9)
+            .as("spearman_rho"))
+      },
+      Some("""WITH li AS (SELECT l_quantity, l_discount FROM lineitem),
+             |rq AS (SELECT l_quantity,
+             |    ((2 * coalesce(sum(cnt) OVER (ORDER BY l_quantity
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cnt + 1)
+             |      ::DECIMAL(18,1) / 2)::DECIMAL(18,1) AS rx
+             |  FROM (SELECT l_quantity, count(*) AS cnt FROM li GROUP BY 1)),
+             |rd AS (SELECT l_discount,
+             |    ((2 * coalesce(sum(cnt) OVER (ORDER BY l_discount
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cnt + 1)
+             |      ::DECIMAL(18,1) / 2)::DECIMAL(18,1) AS ry
+             |  FROM (SELECT l_discount, count(*) AS cnt FROM li GROUP BY 1)),
+             |t AS (SELECT rq.rx AS x, rd.ry AS y
+             |  FROM li JOIN rq USING (l_quantity) JOIN rd USING (l_discount)),
+             |a AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+             |  FROM t)
+             |SELECT n,
+             |  round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             |    / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+             |         * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 9)
+             |    AS spearman_rho
+             |FROM a""".stripMargin)),
+
     // Quantile-quantile distribution comparison — drift detection
     // between two channels: the exact deciles of each channel's value
     // distribution side by side with their deltas. Two grouped
