@@ -2029,6 +2029,79 @@ object SqlQueries {
              |    IS NULL THEN 1 ELSE 0 END AS is_current
              |FROM c ORDER BY user_id, version""".stripMargin)),
 
+    // Two-sample Kolmogorov-Smirnov statistic — the distribution-shift
+    // test to go with q_qq_compare: D = max |CDF_a − CDF_b| over a
+    // 0.1-quantized value grid (the quantization bounds the CDF digest
+    // by the value domain, not the row count — that digest, not the
+    // stream, feeds the one ordered window). Counts are exact ints;
+    // the CDF difference is one double expression per grid cell.
+    QueryDef("q_ks_test",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+          .filter(col("event_type").isin("click", "error"))
+          .select(col("event_type"),
+            floor(col("value") * 10).cast("long").as("v10"))
+        val cnt = ev.groupBy(col("v10"))
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("na"),
+            sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("nb"))
+        val w = Window.orderBy(col("v10"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val tot = cnt.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+        cnt.withColumn("ca", sum(col("na")).over(w))
+          .withColumn("cb", sum(col("nb")).over(w))
+          .crossJoin(broadcast(tot))
+          .agg(max(col("ta")).as("n_click"), max(col("tb")).as("n_error"),
+            round(max(abs(col("ca").cast("double") / col("ta").cast("double")
+              - col("cb").cast("double") / col("tb").cast("double"))), 6)
+              .as("ks_d"))
+      },
+      Some("""WITH ev AS (SELECT event_type,
+             |    CAST(floor(value * 10) AS BIGINT) AS v10
+             |  FROM events WHERE event_type IN ('click', 'error')),
+             |c AS (SELECT v10,
+             |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS na,
+             |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS nb
+             |  FROM ev GROUP BY 1),
+             |t AS (SELECT sum(na)::BIGINT AS ta, sum(nb)::BIGINT AS tb FROM c),
+             |cum AS (SELECT v10,
+             |    sum(na) OVER (ORDER BY v10 ROWS UNBOUNDED PRECEDING) AS ca,
+             |    sum(nb) OVER (ORDER BY v10 ROWS UNBOUNDED PRECEDING) AS cb
+             |  FROM c)
+             |SELECT max(t.ta) AS n_click, max(t.tb) AS n_error,
+             |  round(max(abs(cum.ca::DOUBLE / t.ta::DOUBLE
+             |    - cum.cb::DOUBLE / t.tb::DOUBLE)), 6) AS ks_d
+             |FROM cum, t""".stripMargin)),
+
+    // Per-user behavioral entropy — how diverse is each user's event
+    // mix: Shannon entropy of the user's event-type distribution. One
+    // aggregate to the (user, type) digest; per-cell entropy terms
+    // rounded once and summed as exact decimals per user.
+    QueryDef("q_user_entropy",
+      (s, d) => {
+        val ut = graft.sources.Tables.events(s, d)
+          .filter(col("user_id") < 200)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val tot = ut.groupBy(col("user_id")).agg(sum(col("n")).as("t"))
+        val p = col("n").cast("double") / col("t").cast("double")
+        ut.join(tot, "user_id")
+          .withColumn("__h", round(-p * log(p), 9).cast("decimal(20,9)"))
+          .groupBy(col("user_id"))
+          .agg(max(col("t")).as("n_events"),
+            round(sum(col("__h")).cast("double"), 6).as("type_entropy"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH ut AS (SELECT user_id, event_type, count(*) AS n
+             |  FROM events WHERE user_id < 200 GROUP BY 1, 2),
+             |t AS (SELECT user_id, sum(n)::BIGINT AS t FROM ut GROUP BY 1),
+             |c AS (SELECT ut.user_id, t.t,
+             |    round(-(ut.n::DOUBLE / t.t::DOUBLE)
+             |      * ln(ut.n::DOUBLE / t.t::DOUBLE), 9)::DECIMAL(20,9) AS h
+             |  FROM ut JOIN t USING (user_id))
+             |SELECT user_id, max(t)::BIGINT AS n_events,
+             |  round(sum(h)::DOUBLE, 6) AS type_entropy
+             |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // Spearman rank correlation (tie-aware) — the robust monotone-
     // association measure, built WITHOUT a global sort: each column's
     // distinct values (few for these measures) get average ranks from
