@@ -2411,6 +2411,141 @@ object SqlQueries {
              |  round(log10(1.0 + 1.0 / digit::DOUBLE), 6) AS benford_p,
              |  round(abs(round(n::DOUBLE / tot.total::DOUBLE, 6)
              |    - round(log10(1.0 + 1.0 / digit::DOUBLE), 6)), 6) AS abs_dev
-             |FROM c, tot ORDER BY digit""".stripMargin))
+             |FROM c, tot ORDER BY digit""".stripMargin)),
+
+    // TPC-H Q8 shape (adapted to the columns present): one nation's
+    // market share, by year, of a region's spend on one part type.
+    // The 100 TB-correct plan: tiny dims (part-type filter, region→
+    // nation lists, supplier→nation map) all BROADCAST into one pass
+    // over lineitem; the conditional sum makes share a single
+    // aggregate, not two scans. Exact-decimal volume sums; one cast
+    // to double at the end.
+    QueryDef("q8_market_share",
+      (s, d) => {
+        val n = s.read.parquet(s"$d/nation.parquet")
+        val r = s.read.parquet(s"$d/region.parquet")
+          .filter(col("r_name") === "AMERICA").select("r_regionkey")
+        val custNat = n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("cn_key"))
+        val c = s.read.parquet(s"$d/customer.parquet")
+          .select("c_custkey", "c_nationkey")
+          .join(broadcast(custNat), col("c_nationkey") === col("cn_key"))
+          .select("c_custkey")
+        val o = s.read.parquet(s"$d/orders.parquet")
+          .filter(col("o_orderdate") >= "1996-01-01" &&
+            col("o_orderdate") < "1998-01-01")
+          .select("o_orderkey", "o_custkey", "o_orderdate")
+        val p = s.read.parquet(s"$d/part.parquet")
+          .filter(col("p_type") === "ECONOMY").select("p_partkey")
+        val supN = s.read.parquet(s"$d/supplier.parquet")
+          .select("s_suppkey", "s_nationkey")
+          .join(broadcast(n.select(col("n_nationkey"),
+            col("n_name").as("supp_nation"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey", "supp_nation")
+        s.read.parquet(s"$d/lineitem.parquet")
+          .select("l_orderkey", "l_partkey", "l_suppkey",
+            "l_extendedprice", "l_discount")
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+          .withColumn("vol", col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1) - col("l_discount")).cast("decimal(4,2)"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(
+            sum(when(col("supp_nation") === "NATION_5", col("vol"))
+              .otherwise(lit(0).cast("decimal(17,4)"))).cast("double")
+              .as("nation_vol"),
+            sum(col("vol")).cast("double").as("total_vol"))
+          .withColumn("mkt_share",
+            round(col("nation_vol") / col("total_vol"), 6))
+          .select("o_year", "nation_vol", "total_vol", "mkt_share")
+          .orderBy(col("o_year"))
+      },
+      Some("""WITH v AS (SELECT year(o_orderdate) AS o_year,
+             |    n_sup.n_name AS supp_nation,
+             |    CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) AS vol
+             |  FROM lineitem
+             |  JOIN part ON p_partkey = l_partkey AND p_type = 'ECONOMY'
+             |  JOIN orders ON o_orderkey = l_orderkey
+             |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+             |    AND o_orderdate < TIMESTAMP '1998-01-01'
+             |  JOIN customer ON c_custkey = o_custkey
+             |  JOIN nation n_cust ON n_cust.n_nationkey = c_nationkey
+             |  JOIN region ON r_regionkey = n_cust.n_regionkey AND r_name = 'AMERICA'
+             |  JOIN supplier ON s_suppkey = l_suppkey
+             |  JOIN nation n_sup ON n_sup.n_nationkey = s_nationkey)
+             |SELECT o_year,
+             |  sum(CASE WHEN supp_nation = 'NATION_5' THEN vol
+             |    ELSE CAST(0 AS DECIMAL(17,4)) END)::DOUBLE AS nation_vol,
+             |  sum(vol)::DOUBLE AS total_vol,
+             |  round(sum(CASE WHEN supp_nation = 'NATION_5' THEN vol
+             |      ELSE CAST(0 AS DECIMAL(17,4)) END)::DOUBLE
+             |    / sum(vol)::DOUBLE, 6) AS mkt_share
+             |FROM v GROUP BY o_year ORDER BY o_year""".stripMargin)),
+
+    // TPC-H Q13: distribution of orders-per-customer, keeping
+    // zero-order customers via the LEFT join. The filter on the
+    // orders side lives BEFORE the join (same semantics as the
+    // classic join-condition filter) so the scan prunes first; the
+    // double aggregation collapses per-customer then per-count —
+    // both partial-aggregate friendly.
+    QueryDef("q13_cust_distribution",
+      (s, d) => {
+        val c = s.read.parquet(s"$d/customer.parquet").select("c_custkey")
+        val o = s.read.parquet(s"$d/orders.parquet")
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select("o_orderkey", "o_custkey")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""SELECT c_count, count(*) AS custdist
+             |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+             |  FROM customer LEFT JOIN orders
+             |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+             |  GROUP BY c_custkey)
+             |GROUP BY c_count
+             |ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // TPC-H Q15: the supplier(s) with maximum revenue in a quarter.
+    // Aggregate-then-join-on-max: the per-supplier revenue digest is
+    // computed once, its 1-row max broadcasts back onto it (no window
+    // over the whole digest, no second scan of lineitem), and the
+    // equality is tested on the EXACT decimal so ties are bit-exact.
+    QueryDef("q15_top_supplier",
+      (s, d) => {
+        val rev = s.read.parquet(s"$d/lineitem.parquet")
+          .filter(col("l_shipdate") >= "1996-01-01" &&
+            col("l_shipdate") < "1996-04-01")
+          .groupBy(col("l_suppkey"))
+          .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1) - col("l_discount")).cast("decimal(4,2)"))
+            .as("rev_dec"))
+        val mx = rev.agg(max(col("rev_dec")).as("mx"))
+        val sup = s.read.parquet(s"$d/supplier.parquet")
+          .select("s_suppkey", "s_name")
+        rev.join(broadcast(mx), col("rev_dec") === col("mx"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            col("rev_dec").cast("double").as("total_revenue"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""WITH rev AS (SELECT l_suppkey,
+             |    sum(CAST(l_extendedprice AS DECIMAL(12,2))
+             |      * CAST(1 - l_discount AS DECIMAL(4,2))) AS rev_dec
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |    AND l_shipdate < TIMESTAMP '1996-04-01'
+             |  GROUP BY l_suppkey),
+             |mx AS (SELECT max(rev_dec) AS mx FROM rev)
+             |SELECT s_suppkey, s_name, rev_dec::DOUBLE AS total_revenue
+             |FROM rev JOIN mx ON rev_dec = mx
+             |JOIN supplier ON s_suppkey = l_suppkey
+             |ORDER BY s_suppkey""".stripMargin))
   )
 }
