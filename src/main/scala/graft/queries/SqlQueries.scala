@@ -2546,6 +2546,117 @@ object SqlQueries {
              |SELECT s_suppkey, s_name, rev_dec::DOUBLE AS total_revenue
              |FROM rev JOIN mx ON rev_dec = mx
              |JOIN supplier ON s_suppkey = l_suppkey
-             |ORDER BY s_suppkey""".stripMargin))
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    // TPC-H Q19 shape: disjunctive multi-clause predicate across the
+    // join. The part-side conjuncts (brand, size) get evaluated on
+    // the BROADCAST dim before the join and the common l_quantity
+    // range (the OR of all three branches) is pushed to the lineitem
+    // scan, so the fact table never carries rows no branch can
+    // accept — the classic rewrite engines apply to Q19's ORs.
+    QueryDef("q19_disjunctive_revenue",
+      (s, d) => {
+        val p = s.read.parquet(s"$d/part.parquet")
+          .filter((col("p_brand") === "Brand#1" && col("p_size").between(1, 15)) ||
+            (col("p_brand") === "Brand#2" && col("p_size").between(10, 30)) ||
+            (col("p_brand") === "Brand#3" && col("p_size").between(20, 50)))
+          .select("p_partkey", "p_brand")
+        s.read.parquet(s"$d/lineitem.parquet")
+          .filter(col("l_quantity").between(1, 40))
+          .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .filter((col("p_brand") === "Brand#1" && col("l_quantity").between(1, 20)) ||
+            (col("p_brand") === "Brand#2" && col("l_quantity").between(10, 30)) ||
+            (col("p_brand") === "Brand#3" && col("l_quantity").between(20, 40)))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(col("l_extendedprice").cast("decimal(12,2)") *
+              (lit(1) - col("l_discount")).cast("decimal(4,2)"))
+              .cast("double").as("revenue"))
+          .select(col("n_lines"), col("revenue"))
+      },
+      Some("""SELECT count(*) AS n_lines,
+             |  sum(CAST(l_extendedprice AS DECIMAL(12,2))
+             |    * CAST(1 - l_discount AS DECIMAL(4,2)))::DOUBLE AS revenue
+             |FROM lineitem JOIN part ON p_partkey = l_partkey
+             |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+             |    AND l_quantity BETWEEN 1 AND 20)
+             |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+             |    AND l_quantity BETWEEN 10 AND 30)
+             |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+             |    AND l_quantity BETWEEN 20 AND 40)""".stripMargin)),
+
+    // TPC-H Q2 shape: cheapest supplier per part — the correlated
+    // `price = (SELECT min(price) ...)` subquery DECORRELATED into a
+    // per-part min digest joined back on exact-decimal equality.
+    // The digest is grouped on the same key as the probe (one
+    // shuffle, reused), the part filter broadcasts, and ties keep
+    // every minimal supplier exactly like the reference subquery.
+    QueryDef("q2_min_cost_supplier",
+      (s, d) => {
+        val p = s.read.parquet(s"$d/part.parquet")
+          .filter(col("p_type") === "STANDARD" && col("p_size") === 15)
+          .select("p_partkey", "p_name")
+        val offers = s.read.parquet(s"$d/lineitem.parquet")
+          .select(col("l_partkey"), col("l_suppkey"),
+            col("l_extendedprice").cast("decimal(12,2)").as("price"))
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        val minP = offers.groupBy(col("l_partkey").as("mk"))
+          .agg(min(col("price")).as("min_price"))
+        val sup = s.read.parquet(s"$d/supplier.parquet")
+          .select("s_suppkey", "s_name", "s_acctbal")
+        offers.join(minP, col("l_partkey") === col("mk") &&
+            col("price") === col("min_price"))
+          .select("p_partkey", "p_name", "l_suppkey", "price").distinct()
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .select(col("p_partkey"), col("p_name"), col("s_name"),
+            col("s_acctbal"), col("price").cast("double").as("min_price"))
+          .orderBy(col("p_partkey"), col("s_name"))
+      },
+      Some("""WITH offers AS (SELECT l_partkey, l_suppkey, p_name,
+             |    CAST(l_extendedprice AS DECIMAL(12,2)) AS price
+             |  FROM lineitem JOIN part ON p_partkey = l_partkey
+             |  WHERE p_type = 'STANDARD' AND p_size = 15)
+             |SELECT DISTINCT o.l_partkey AS p_partkey, o.p_name, s_name,
+             |  s_acctbal, o.price::DOUBLE AS min_price
+             |FROM offers o JOIN supplier ON s_suppkey = o.l_suppkey
+             |WHERE o.price = (SELECT min(price) FROM offers i
+             |  WHERE i.l_partkey = o.l_partkey)
+             |ORDER BY p_partkey, s_name""".stripMargin)),
+
+    // TPC-H Q22 shape: wealthy-but-inactive customers per nation.
+    // Scalar avg over positive balances (1-row broadcast), LEFT ANTI
+    // join against recent orders (ids-only on the build side), then
+    // a per-nation rollup in exact decimals.
+    QueryDef("q22_inactive_wealthy",
+      (s, d) => {
+        val c = s.read.parquet(s"$d/customer.parquet")
+          .select("c_custkey", "c_nationkey", "c_acctbal")
+        val avgBal = c.filter(col("c_acctbal") > 0)
+          .agg((sum(col("c_acctbal").cast("decimal(14,2)")).cast("double") /
+            count(lit(1)).cast("double")).as("ab"))
+        val recent = s.read.parquet(s"$d/orders.parquet")
+          .filter(col("o_orderdate") >= "1998-01-01")
+          .select("o_custkey")
+        c.crossJoin(broadcast(avgBal))
+          .filter(col("c_acctbal").cast("double") > col("ab"))
+          .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("numcust"),
+            sum(col("c_acctbal").cast("decimal(14,2)")).cast("double")
+              .as("totacctbal"))
+          .orderBy(col("c_nationkey"))
+      },
+      Some("""WITH ab AS (SELECT sum(CAST(c_acctbal AS DECIMAL(14,2)))::DOUBLE
+             |      / count(*)::DOUBLE AS ab
+             |  FROM customer WHERE c_acctbal > 0)
+             |SELECT c_nationkey, count(*) AS numcust,
+             |  sum(CAST(c_acctbal AS DECIMAL(14,2)))::DOUBLE AS totacctbal
+             |FROM customer, ab
+             |WHERE c_acctbal::DOUBLE > ab
+             |  AND NOT EXISTS (SELECT 1 FROM orders
+             |    WHERE o_custkey = c_custkey
+             |      AND o_orderdate >= TIMESTAMP '1998-01-01')
+             |GROUP BY c_nationkey
+             |ORDER BY c_nationkey""".stripMargin))
   )
 }
