@@ -2376,6 +2376,71 @@ object ExtQueries {
              |SELECT btf.doc_id, sum(btf.tf)::BIGINT AS n_bigrams,
              |  sum(btf.tf::DECIMAL(9,0) * lp.logp)::DOUBLE AS logprob_sum
              |FROM btf JOIN lp USING (bg)
-             |GROUP BY btf.doc_id ORDER BY btf.doc_id""".stripMargin))
+             |GROUP BY btf.doc_id ORDER BY btf.doc_id""".stripMargin)),
+
+    // Feature hashing ("hashing trick", Weinberger et al. 2009): map
+    // unbounded categorical features into a FIXED 64-slot index space
+    // with a separate sign hash (so collisions cancel in expectation
+    // rather than bias upward). No vocabulary build, no dictionary
+    // broadcast, no shuffle — a pure map over the scan, which is the
+    // entire point of the trick at 100 TB: the feature space is known
+    // at plan time. md5-derived slots/signs so any engine re-derives
+    // the exact features.
+    QueryDef("feat_hashing_trick",
+      (s, d) => {
+        val fv = explode(array(
+          struct(lit("lang").as("feat"),
+            concat(lit("lang="), col("lang")).as("fv")),
+          struct(lit("source").as("feat"),
+            concat(lit("source="), col("source")).as("fv"))))
+        s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"), fv.as("x"))
+          .select(col("doc_id"), col("x.feat").as("feat"),
+            pmod(Dedup.strHash60(concat(lit("slot:"), col("x.fv"))),
+              lit(64)).as("slot"),
+            when(pmod(Dedup.strHash60(concat(lit("sign:"), col("x.fv"))),
+              lit(2)) === 0, lit(1)).otherwise(lit(-1)).as("sign"))
+          .orderBy(col("doc_id"), col("feat"))
+      },
+      Some(s"""WITH f AS (
+              |  SELECT doc_id, 'lang' AS feat, 'lang='||lang AS fv FROM documents
+              |  UNION ALL
+              |  SELECT doc_id, 'source' AS feat, 'source='||source AS fv FROM documents)
+              |SELECT doc_id, feat,
+              |  ${dkHash60("'slot:'||fv")} % 64 AS slot,
+              |  CASE WHEN ${dkHash60("'sign:'||fv")} % 2 = 0 THEN 1 ELSE -1 END AS sign
+              |FROM f ORDER BY doc_id, feat""".stripMargin)),
+
+    // Smoothed target encoding (the mean-encoding feature-prep
+    // primitive): each category's mean target blended toward the
+    // global mean with pseudo-count m=100, enc = (sum_y + m·ȳ)/(n+m).
+    // One aggregate to the per-category digest, the 1-row global
+    // digest broadcast back — never a second pass over the facts.
+    // Sums are exact decimals; the blend is evaluated in doubles from
+    // identical exact inputs on both engines.
+    QueryDef("feat_target_encode",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+          .select(col("event_type"), col("value"))
+        val per = ev.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).as("sv"))
+        val g = per.agg(sum(col("n")).as("gn"), sum(col("sv")).as("gs"))
+        per.crossJoin(broadcast(g))
+          .withColumn("gmean",
+            col("gs").cast("double") / col("gn").cast("double"))
+          .select(col("event_type"), col("n"),
+            round((col("sv").cast("double") + lit(100.0) * col("gmean")) /
+              (col("n").cast("double") + lit(100.0)), 6).as("enc_smooth"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH per AS (SELECT event_type, count(*) AS n,
+             |    sum(CAST(value AS DECIMAL(18,2))) AS sv
+             |  FROM events GROUP BY 1),
+             |g AS (SELECT sum(n)::BIGINT AS gn, sum(sv) AS gs FROM per)
+             |SELECT event_type, n,
+             |  round((sv::DOUBLE + 100.0 * (gs::DOUBLE / gn::DOUBLE))
+             |    / (n::DOUBLE + 100.0), 6) AS enc_smooth
+             |FROM per, g ORDER BY event_type""".stripMargin))
   )
 }

@@ -2657,6 +2657,37 @@ object SqlQueries {
              |    WHERE o_custkey = c_custkey
              |      AND o_orderdate >= TIMESTAMP '1998-01-01')
              |GROUP BY c_nationkey
-             |ORDER BY c_nationkey""".stripMargin))
+             |ORDER BY c_nationkey""".stripMargin)),
+
+    // Trailing-7-day distinct active users per observed day (rolling
+    // MAU/WAU primitive). COUNT(DISTINCT) over a sliding range window
+    // doesn't exist in any engine, and the naive day×activity range
+    // join is quadratic in history. Scale path: dedup to (user, day)
+    // once, EXPLODE each activity day into the ≤7 report days it can
+    // serve (bounded fan-out, shuffle keyed on (user, report_day)),
+    // dedup again, count — every stage partial-aggregatable, nothing
+    // proportional to history length. Report days are restricted to
+    // observed activity days (semi join) so both engines emit the
+    // same day set.
+    QueryDef("q_rolling_distinct_users",
+      (s, d) => {
+        val ud = graft.sources.Tables.events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val days = ud.select(col("day")).distinct()
+        ud.select(col("user_id"),
+            explode(sequence(lit(0), lit(6))).as("i"), col("day"))
+          .select(col("user_id"), date_add(col("day"), col("i")).as("rday"))
+          .join(days, col("rday") === col("day"), "left_semi")
+          .distinct()
+          .groupBy(col("rday").cast("string").as("day"))
+          .agg(count(lit(1)).as("users_7d"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH ud AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+             |days AS (SELECT DISTINCT day FROM ud)
+             |SELECT d.day::VARCHAR AS day, count(DISTINCT u.user_id) AS users_7d
+             |FROM days d JOIN ud u
+             |  ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+             |GROUP BY d.day ORDER BY d.day""".stripMargin))
   )
 }
