@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ext.Dedup
 
 /** Relational / analytical breadth over the TPC-H-ish tables: grouped
   * aggregation, broadcast join + top-k, window analytics,
@@ -14,6 +15,11 @@ import org.apache.spark.sql.functions._
   * bit-equal to the DuckDB oracle) and cast to double once at the end.
   */
 object SqlQueries {
+
+  /** DuckDB-side twin of `Dedup.strHash60` (md5-derived 60-bit key)
+    * — same idiom as ExtQueries' private helper. */
+  private def dkHash60s(s: String) =
+    s"('0x'||substring(md5($s),1,15))::BIGINT"
 
   /** Maintained daily-aggregate state for `q_incremental_agg` — built
     * ONCE per sf dir (parquet artifact, like the memoized IVF
@@ -2688,6 +2694,90 @@ object SqlQueries {
              |SELECT d.day::VARCHAR AS day, count(DISTINCT u.user_id) AS users_7d
              |FROM days d JOIN ud u
              |  ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
-             |GROUP BY d.day ORDER BY d.day""".stripMargin))
+             |GROUP BY d.day ORDER BY d.day""".stripMargin)),
+
+    // Dense time series with explicit zeros: the sparse per-(type,
+    // day) counts LEFT-joined onto a generated calendar × type spine
+    // so gaps become 0 rows (what every downstream charting/anomaly
+    // stage wants). The spine is generated from the 1-row min/max
+    // digest — two broadcast-sized builds, never a scan of history;
+    // the only shuffle is the pre-aggregation of the facts.
+    QueryDef("q_zero_fill_series",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+          .select(col("event_type"), to_date(col("ts")).as("day"))
+        val agg = ev.groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("n"))
+        val bounds = ev.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+        val spine = bounds
+          .select(explode(sequence(col("mn"), col("mx"))).as("day"))
+          .crossJoin(ev.select(col("event_type")).distinct())
+        spine.join(agg, Seq("event_type", "day"), "left")
+          .select(col("event_type"), col("day").cast("string").as("day"),
+            coalesce(col("n"), lit(0L)).as("n"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some("""WITH ag AS (SELECT event_type, ts::DATE AS day, count(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |b AS (SELECT min(day) AS mn, max(day) AS mx FROM ag),
+             |spine AS (SELECT t.event_type, unnest(generate_series(b.mn, b.mx,
+             |    INTERVAL 1 DAY))::DATE AS day
+             |  FROM (SELECT DISTINCT event_type FROM ag) t, b)
+             |SELECT s.event_type, s.day::VARCHAR AS day,
+             |  coalesce(ag.n, 0)::BIGINT AS n
+             |FROM spine s LEFT JOIN ag
+             |  ON ag.event_type = s.event_type AND ag.day = s.day
+             |ORDER BY s.event_type, s.day""".stripMargin)),
+
+    // Snapshot reconciliation ("data diff"): FULL OUTER join of two
+    // table versions on the key, each row classified added / removed
+    // / changed / unchanged, rolled up to a one-pass digest. The two
+    // versions are derived deterministically from orders (v2 drops a
+    // hash-selected 5%, re-prices another 10%, keeps the rest) so
+    // both engines diff identical inputs. The diff itself is the
+    // operator under test: key-partitioned single shuffle, change
+    // detection on the exact decimal, no row ever leaves its key's
+    // partition.
+    QueryDef("q_snapshot_diff",
+      (s, d) => {
+        val o = s.read.parquet(s"$d/orders.parquet")
+          .select(col("o_orderkey"),
+            col("o_totalprice").cast("decimal(12,2)").as("price"),
+            pmod(Dedup.strHash60(concat(lit("diff:"), col("o_orderkey"))),
+              lit(100)).as("h"))
+        val v1 = o.select(col("o_orderkey").as("k1"), col("price").as("p1"))
+        val v2 = o.filter(col("h") >= 5)
+          .select(col("o_orderkey").as("k2"),
+            when(col("h") < 15, (col("price") +
+              lit(10).cast("decimal(12,2)")).cast("decimal(12,2)"))
+              .otherwise(col("price")).as("p2"))
+          .unionAll(o.filter(col("h") < 3)
+            .select((-col("o_orderkey")).as("k2"), col("price").as("p2")))
+        v1.join(v2, col("k1") === col("k2"), "full_outer")
+          .select(when(col("k1").isNull, "added")
+            .when(col("k2").isNull, "removed")
+            .when(col("p1") =!= col("p2"), "changed")
+            .otherwise("unchanged").as("diff_type"))
+          .groupBy(col("diff_type")).agg(count(lit(1)).as("n"))
+          .orderBy(col("diff_type"))
+      },
+      Some(s"""WITH o AS (SELECT o_orderkey,
+              |    CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+              |    ${dkHash60s("'diff:'||o_orderkey")} % 100 AS h
+              |  FROM orders),
+              |v1 AS (SELECT o_orderkey AS k1, price AS p1 FROM o),
+              |v2 AS (SELECT o_orderkey AS k2,
+              |    CASE WHEN h < 15 THEN CAST(price + 10 AS DECIMAL(12,2))
+              |      ELSE price END AS p2
+              |  FROM o WHERE h >= 5
+              |  UNION ALL
+              |  SELECT -o_orderkey AS k2, price AS p2 FROM o WHERE h < 3)
+              |SELECT CASE WHEN k1 IS NULL THEN 'added'
+              |    WHEN k2 IS NULL THEN 'removed'
+              |    WHEN p1 <> p2 THEN 'changed'
+              |    ELSE 'unchanged' END AS diff_type,
+              |  count(*) AS n
+              |FROM v1 FULL OUTER JOIN v2 ON k1 = k2
+              |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
