@@ -2778,6 +2778,65 @@ object SqlQueries {
               |    ELSE 'unchanged' END AS diff_type,
               |  count(*) AS n
               |FROM v1 FULL OUTER JOIN v2 ON k1 = k2
-              |GROUP BY 1 ORDER BY 1""".stripMargin))
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Co-purchase graph edges: part pairs appearing in the same order
+    // at least twice. The pair build is a self-join CO-PARTITIONED on
+    // l_orderkey (one shuffle each side, p1<p2 halves the output);
+    // the w>=2 support threshold is what keeps the edge list
+    // catalog-sized at any scale — singleton co-occurrence is noise
+    // in a basket graph and would be quadratic to keep.
+    QueryDef("q_copurchase_edges",
+      (s, d) => {
+        val pp = s.read.parquet(s"$d/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        pp.select(col("l_orderkey"), col("l_partkey").as("p1"))
+          .join(pp.select(col("l_orderkey").as("ok2"),
+            col("l_partkey").as("p2")),
+            col("l_orderkey") === col("ok2") && col("p1") < col("p2"))
+          .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2)
+          .orderBy(col("p1"), col("p2"))
+      },
+      Some("""WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+             |SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS w
+             |FROM pp a JOIN pp b
+             |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |GROUP BY 1, 2 HAVING count(*) >= 2
+             |ORDER BY p1, p2""".stripMargin)),
+
+    // Triangle count on the support-thresholded co-purchase graph —
+    // the classic clustering/community signal, computed as the
+    // oriented 3-way edge join (a<b<c counts each triangle exactly
+    // once). The thresholded edge list is catalog-sized, so the two
+    // probe sides broadcast (AQE picks that up from the runtime
+    // size); on a denser graph the same plan degrades gracefully to
+    // sort-merge joins keyed on the shared endpoint.
+    QueryDef("q_triangle_count",
+      (s, d) => {
+        val pp = s.read.parquet(s"$d/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val e = pp.select(col("l_orderkey"), col("l_partkey").as("p1"))
+          .join(pp.select(col("l_orderkey").as("ok2"),
+            col("l_partkey").as("p2")),
+            col("l_orderkey") === col("ok2") && col("p1") < col("p2"))
+          .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2).select("p1", "p2")
+        e.join(e.select(col("p1").as("b1"), col("p2").as("c1")),
+            col("p2") === col("b1"))
+          .join(e.select(col("p1").as("a2"), col("p2").as("c2")),
+            col("p1") === col("a2") && col("c1") === col("c2"))
+          .agg(count(lit(1)).as("n_triangles"),
+            countDistinct(col("p1")).as("n_apex_parts"))
+      },
+      Some("""WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+             |  FROM pp a JOIN pp b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2 HAVING count(*) >= 2)
+             |SELECT count(*) AS n_triangles,
+             |  count(DISTINCT e1.p1) AS n_apex_parts
+             |FROM e e1 JOIN e e2 ON e1.p2 = e2.p1
+             |  JOIN e e3 ON e1.p1 = e3.p1 AND e2.p2 = e3.p2""".stripMargin))
   )
 }
