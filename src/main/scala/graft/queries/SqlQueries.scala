@@ -2837,6 +2837,100 @@ object SqlQueries {
              |SELECT count(*) AS n_triangles,
              |  count(DISTINCT e1.p1) AS n_apex_parts
              |FROM e e1 JOIN e e2 ON e1.p2 = e2.p1
-             |  JOIN e e3 ON e1.p1 = e3.p1 AND e2.p2 = e3.p2""".stripMargin))
+             |  JOIN e e3 ON e1.p1 = e3.p1 AND e2.p2 = e3.p2""".stripMargin)),
+
+    // PageRank (3 damped iterations) over the undirected co-purchase
+    // graph — the iterative-propagation shape that complements the
+    // connected-components grouper. ALL arithmetic is integer ppb
+    // (rank starts at 1e9; contrib = rank div deg; update =
+    // 0.15e9 + 17·Σcontrib div 20): double addition is
+    // order-dependent under parallel aggregation, so a float
+    // PageRank can't hash-match across engines — the integer form
+    // is bit-identical everywhere AND partition-order independent.
+    // Per iteration: one join keyed on src, one aggregate keyed on
+    // dst; ranks/degrees are node-sized (broadcastable here,
+    // sort-merge at web scale).
+    QueryDef("q_pagerank",
+      (s, d) => {
+        val pp = s.read.parquet(s"$d/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val e = pp.select(col("l_orderkey"), col("l_partkey").as("p1"))
+          .join(pp.select(col("l_orderkey").as("ok2"),
+            col("l_partkey").as("p2")),
+            col("l_orderkey") === col("ok2") && col("p1") < col("p2"))
+          .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2).select("p1", "p2")
+        val eb = e.select(col("p1").as("src"), col("p2").as("dst"))
+          .unionAll(e.select(col("p2").as("src"), col("p1").as("dst")))
+        val deg = eb.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("deg"))
+        var r = deg.select(col("node"), lit(1000000000L).as("rank"))
+        for (_ <- 1 to 3) {
+          r = eb.join(r, col("src") === col("node"))
+            .join(deg.select(col("node").as("dn"), col("deg")),
+              col("src") === col("dn"))
+            .select(col("dst"), expr("rank div deg").as("contrib"))
+            .groupBy(col("dst").as("node"))
+            .agg((lit(150000000L) +
+              expr("17 * sum(contrib) div 20")).as("rank"))
+        }
+        r.orderBy(col("rank").desc, col("node")).limit(20)
+      },
+      Some("""WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+             |  FROM pp a JOIN pp b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |eb AS (SELECT p1 AS src, p2 AS dst FROM e
+             |  UNION ALL SELECT p2, p1 FROM e),
+             |deg AS (SELECT src AS node, count(*) AS deg FROM eb GROUP BY 1),
+             |r0 AS (SELECT node, 1000000000::BIGINT AS rank FROM deg),
+             |r1 AS (SELECT eb.dst AS node,
+             |    (150000000 + (17 * sum(r0.rank // deg.deg)) // 20)::BIGINT AS rank
+             |  FROM eb JOIN r0 ON eb.src = r0.node
+             |    JOIN deg ON eb.src = deg.node GROUP BY eb.dst),
+             |r2 AS (SELECT eb.dst AS node,
+             |    (150000000 + (17 * sum(r1.rank // deg.deg)) // 20)::BIGINT AS rank
+             |  FROM eb JOIN r1 ON eb.src = r1.node
+             |    JOIN deg ON eb.src = deg.node GROUP BY eb.dst),
+             |r3 AS (SELECT eb.dst AS node,
+             |    (150000000 + (17 * sum(r2.rank // deg.deg)) // 20)::BIGINT AS rank
+             |  FROM eb JOIN r2 ON eb.src = r2.node
+             |    JOIN deg ON eb.src = deg.node GROUP BY eb.dst)
+             |SELECT node, rank FROM r3
+             |ORDER BY rank DESC, node LIMIT 20""".stripMargin)),
+
+    // Skyline (Pareto frontier) of one part family on (price ↓,
+    // size ↑): a part survives iff nothing is at-least-as-good on
+    // both axes and strictly better on one. Dominance is a
+    // broadcast self anti-join on the filtered family; at a scale
+    // where the family itself is huge, the standard prefilter (keep
+    // each coarse price-bucket's max-size row before the pairwise
+    // test) drops in front of the identical anti-join unchanged.
+    QueryDef("q_skyline_parts",
+      (s, d) => {
+        val cand = s.read.parquet(s"$d/part.parquet")
+          .filter(col("p_type") === "ECONOMY")
+          .select(col("p_partkey"),
+            col("p_retailprice").cast("decimal(12,2)").as("price"),
+            col("p_size"))
+        val dom = cand.select(col("price").as("bp"), col("p_size").as("bs"))
+        cand.join(broadcast(dom),
+            col("bp") <= col("price") && col("bs") >= col("p_size") &&
+              (col("bp") < col("price") || col("bs") > col("p_size")),
+            "left_anti")
+          .select(col("p_partkey"), col("price").cast("double").as("price"),
+            col("p_size"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""WITH cand AS (SELECT p_partkey,
+             |    CAST(p_retailprice AS DECIMAL(12,2)) AS price, p_size
+             |  FROM part WHERE p_type = 'ECONOMY')
+             |SELECT p_partkey, price::DOUBLE AS price, p_size
+             |FROM cand a
+             |WHERE NOT EXISTS (SELECT 1 FROM cand b
+             |  WHERE b.price <= a.price AND b.p_size >= a.p_size
+             |    AND (b.price < a.price OR b.p_size > a.p_size))
+             |ORDER BY p_partkey""".stripMargin))
   )
 }
