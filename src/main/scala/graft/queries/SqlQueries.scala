@@ -2941,6 +2941,129 @@ object SqlQueries {
              |WHERE NOT EXISTS (SELECT 1 FROM cand b
              |  WHERE b.price <= a.price AND b.p_size >= a.p_size
              |    AND (b.price < a.price OR b.p_size > a.p_size))
-             |ORDER BY p_partkey""".stripMargin))
+             |ORDER BY p_partkey""".stripMargin)),
+
+    // Weighted median (50th weighted percentile) of quantity with
+    // revenue weight, per return flag: the order statistic where
+    // half the WEIGHT lies on each side. Collapse to the per-(flag,
+    // qty) weight digest first — the cumulative window then runs
+    // over the tiny digest, never the facts (the same
+    // digest-then-window shape as the Spearman ranks). Threshold
+    // test `2·cum >= total` stays in exact decimals.
+    QueryDef("q_weighted_median",
+      (s, d) => {
+        val wq = s.read.parquet(s"$d/lineitem.parquet")
+          .groupBy(col("l_returnflag"), col("l_quantity"))
+          .agg(sum(col("l_extendedprice").cast("decimal(14,2)")).as("w"))
+        val win = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("l_quantity"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val tot = Window.partitionBy(col("l_returnflag"))
+        wq.withColumn("cum", sum(col("w")).over(win))
+          .withColumn("total", sum(col("w")).over(tot))
+          .filter(col("cum") * 2 >= col("total"))
+          .groupBy(col("l_returnflag"))
+          .agg(min(col("l_quantity")).as("wmedian_qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH wq AS (SELECT l_returnflag, l_quantity,
+             |    sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS w
+             |  FROM lineitem GROUP BY 1, 2),
+             |c AS (SELECT l_returnflag, l_quantity,
+             |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+             |      ROWS UNBOUNDED PRECEDING) AS cum,
+             |    sum(w) OVER (PARTITION BY l_returnflag) AS total
+             |  FROM wq)
+             |SELECT l_returnflag, min(l_quantity) AS wmedian_qty
+             |FROM c WHERE cum * 2 >= total
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Rolling least-squares slope (trailing-10 trend) per sampled
+    // user: slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) over the window,
+    // with x = seconds since 2024-01-01 (small ints, so x² sums fit
+    // exactly) and y as exact decimal — numerator and denominator
+    // are EXACT until the single final division, so the windowed
+    // regression hash-matches despite being float-valued. The
+    // trend-detection primitive for telemetry.
+    QueryDef("q_rolling_slope",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+          .filter(col("event_type") === "click" &&
+            pmod(col("user_id"), lit(10)) === 0)
+          .select(col("user_id"), col("event_id"),
+            (unix_seconds(col("ts")) - lit(1704067200L)).as("x"),
+            col("value").cast("decimal(18,2)").as("y"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("x"), col("event_id")).rowsBetween(-9, 0)
+        ev.withColumn("n", count(lit(1)).over(w))
+          .withColumn("sx", sum(col("x")).over(w))
+          .withColumn("sy", sum(col("y")).over(w))
+          .withColumn("sxx", sum(col("x") * col("x")).over(w))
+          .withColumn("sxy", sum(col("x").cast("decimal(18,0)") * col("y"))
+            .over(w))
+          .filter(col("n") === 10)
+          .select(col("user_id"), col("event_id"),
+            round((col("n") * col("sxy") - col("sx") * col("sy"))
+              .cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double"), 9).as("slope10"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id,
+             |    floor(epoch(ts))::BIGINT - 1704067200 AS x,
+             |    CAST(value AS DECIMAL(18,2)) AS y
+             |  FROM events
+             |  WHERE event_type = 'click' AND user_id % 10 = 0),
+             |w AS (SELECT user_id, event_id,
+             |    count(*) OVER win AS n,
+             |    sum(x) OVER win AS sx, sum(y) OVER win AS sy,
+             |    sum(x * x) OVER win AS sxx,
+             |    sum(x::DECIMAL(18,0) * y) OVER win AS sxy
+             |  FROM ev WINDOW win AS (PARTITION BY user_id
+             |    ORDER BY x, event_id ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+             |SELECT user_id, event_id,
+             |  round((n * sxy - sx * sy)::DOUBLE
+             |    / (n * sxx - sx * sx)::DOUBLE, 9) AS slope10
+             |FROM w WHERE n = 10
+             |ORDER BY user_id, event_id""".stripMargin)),
+
+    // Mutual information between event type and the value's integer
+    // bucket — the model-free dependence measure that catches what
+    // correlation misses. One aggregate to the contingency digest;
+    // marginals come from re-aggregating the digest (never the
+    // facts); per-cell pointwise terms rounded once and summed as
+    // exact decimals, the established entropy-query discipline.
+    QueryDef("q_mutual_information",
+      (s, d) => {
+        val cell = graft.sources.Tables.events(s, d)
+          .groupBy(col("event_type").as("x"),
+            floor(col("value")).cast("long").as("y"))
+          .agg(count(lit(1)).as("nxy"))
+        val mx = cell.groupBy(col("x")).agg(sum(col("nxy")).as("nx"))
+        val my = cell.groupBy(col("y")).agg(sum(col("nxy")).as("ny"))
+        val n = cell.agg(sum(col("nxy")).as("n"))
+        cell.join(mx, "x").join(my, "y").crossJoin(broadcast(n))
+          .withColumn("term", round(
+            (col("nxy").cast("double") / col("n").cast("double")) *
+              log((col("nxy").cast("double") * col("n").cast("double")) /
+                (col("nx").cast("double") * col("ny").cast("double"))), 9)
+            .cast("decimal(20,9)"))
+          .agg(max(col("n")).as("n_events"),
+            round(sum(col("term")).cast("double"), 6).as("mutual_info"))
+      },
+      Some("""WITH cell AS (SELECT event_type AS x,
+             |    CAST(floor(value) AS BIGINT) AS y, count(*) AS nxy
+             |  FROM events GROUP BY 1, 2),
+             |mx AS (SELECT x, sum(nxy)::BIGINT AS nx FROM cell GROUP BY 1),
+             |my AS (SELECT y, sum(nxy)::BIGINT AS ny FROM cell GROUP BY 1),
+             |n AS (SELECT sum(nxy)::BIGINT AS n FROM cell),
+             |t AS (SELECT n.n,
+             |    round((cell.nxy::DOUBLE / n.n::DOUBLE)
+             |      * ln((cell.nxy::DOUBLE * n.n::DOUBLE)
+             |        / (mx.nx::DOUBLE * my.ny::DOUBLE)), 9)::DECIMAL(20,9) AS term
+             |  FROM cell JOIN mx USING (x) JOIN my USING (y), n)
+             |SELECT max(n)::BIGINT AS n_events,
+             |  round(sum(term)::DOUBLE, 6) AS mutual_info
+             |FROM t""".stripMargin))
   )
 }
