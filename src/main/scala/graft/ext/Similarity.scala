@@ -218,6 +218,75 @@ object Similarity extends Serializable {
       .toDF(idCol, "cell")
   }
 
+  /** Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein
+    * 1998): from each query's `poolK` nearest candidates, pick `k`
+    * results that trade relevance against redundancy —
+    * `score = λ·rel − (1−λ)·max_{s∈S} sim(c, s)`, first pick by pure
+    * relevance. The diversity primitive for RAG context selection
+    * and eval-set construction.
+    *
+    * Everything is per-query-bounded: the candidate pool is `poolK`
+    * rows, pairwise sims `poolK²`, and the k−1 selection rounds are
+    * fixed-depth plan unrolling (no driver loop over data). λ's
+    * complement is computed as the COLUMN expression `1.0 − λ` so
+    * both engines derive the identical IEEE double. Ties break on
+    * neighbor id, so the pick sequence is fully deterministic. */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, k: Int,
+                poolK: Int, lambda: Double,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val lam = lit(lambda)
+    val lamC = lit(1.0) - lit(lambda)
+    val cand = bruteForceTopK(corpus, queries, poolK, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"), col("sim").as("rel"))
+    val vecs = corpus.select(col(idCol).as("__vid"), col(vecCol).as("__vv"))
+    val cv = cand.join(vecs, col("neighbor_id") === col("__vid"))
+      .select(col("query_id"), col("neighbor_id"), col("rel"), col("__vv"))
+    val pair = cv.select(col("query_id").as("__pq"),
+        col("neighbor_id").as("__a"), col("__vv").as("__va"))
+      .join(cv.select(col("query_id").as("__pq2"),
+        col("neighbor_id").as("__b"), col("__vv").as("__vb")),
+        col("__pq") === col("__pq2") && col("__a") =!= col("__b"))
+      .select(col("__pq"), col("__a"), col("__b"),
+        cos(spark, col("__va"), col("__vb")).as("__ps"))
+    val firstW = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("neighbor_id"))
+    var selected = cv
+      .withColumn("__rn", row_number().over(firstW))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"), col("neighbor_id"),
+        lit(1).as("mmr_rank"), col("rel").as("score"))
+    var rest = cv.select("query_id", "neighbor_id", "rel")
+      .join(selected.select(col("query_id").as("__sq"),
+        col("neighbor_id").as("__sid")),
+        col("query_id") === col("__sq") &&
+          col("neighbor_id") === col("__sid"), "left_anti")
+    for (t <- 2 to k) {
+      val scored = rest
+        .join(pair, col("query_id") === col("__pq") &&
+          col("neighbor_id") === col("__a"))
+        .join(selected.select(col("query_id").as("__sq"),
+          col("neighbor_id").as("__sid")),
+          col("__pq") === col("__sq") && col("__b") === col("__sid"))
+        .groupBy(col("query_id"), col("neighbor_id"), col("rel"))
+        .agg(max(col("__ps")).as("__maxsim"))
+        .withColumn("score", lam * col("rel") - lamC * col("__maxsim"))
+      val pickW = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("neighbor_id"))
+      val pick = scored.withColumn("__rn", row_number().over(pickW))
+        .filter(col("__rn") === 1)
+        .select(col("query_id"), col("neighbor_id"),
+          lit(t).as("mmr_rank"), col("score"))
+      selected = selected.unionAll(pick)
+      rest = rest.join(pick.select(col("query_id").as("__dq"),
+        col("neighbor_id").as("__did")),
+        col("query_id") === col("__dq") &&
+          col("neighbor_id") === col("__did"), "left_anti")
+    }
+    selected
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 2,
               scale: Int = 1000,

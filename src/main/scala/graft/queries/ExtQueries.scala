@@ -2441,6 +2441,143 @@ object ExtQueries {
              |SELECT event_type, n,
              |  round((sv::DOUBLE + 100.0 * (gs::DOUBLE / gn::DOUBLE))
              |    / (n::DOUBLE + 100.0), 6) AS enc_smooth
-             |FROM per, g ORDER BY event_type""".stripMargin))
+             |FROM per, g ORDER BY event_type""".stripMargin)),
+
+    // MMR-diversified top-k (rel vs redundancy, λ=0.7): 3 picks from
+    // each query's 10-candidate pool. The oracle replays the exact
+    // pick sequence — pool, pairwise sims, and both selection rounds
+    // — so the greedy argmax chain itself is verified, not just
+    // "some diverse set". λ complement is written `1 - 0.7::DOUBLE`
+    // in SQL to match Spark's `lit(1.0) - lit(0.7)` IEEE result.
+    QueryDef("emb_mmr_rerank",
+      (s, d) => {
+        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        Similarity.mmrRerank(emb, emb.filter(col("vec_id") < 10),
+            k = 3, poolK = 10, lambda = 0.7)
+          .select(col("query_id"), col("mmr_rank"), col("neighbor_id"),
+            round(col("score"), 6).as("score"))
+          .orderBy(col("query_id"), col("mmr_rank"))
+      },
+      Some("""WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |q AS (SELECT vec_id, v FROM t WHERE vec_id < 10),
+             |sc AS (SELECT q.vec_id AS query_id, t.vec_id AS nid,
+             |    list_cosine_similarity(q.v, t.v) AS rel
+             |  FROM q, t WHERE t.vec_id != q.vec_id),
+             |cand AS (SELECT query_id, nid, rel FROM (
+             |    SELECT query_id, nid, rel, row_number() OVER
+             |      (PARTITION BY query_id ORDER BY rel DESC, nid) AS rn
+             |    FROM sc) WHERE rn <= 10),
+             |cv AS (SELECT c.query_id, c.nid, c.rel, t.v
+             |  FROM cand c JOIN t ON t.vec_id = c.nid),
+             |pair AS (SELECT a.query_id, a.nid AS pa, b.nid AS pb,
+             |    list_cosine_similarity(a.v, b.v) AS ps
+             |  FROM cv a JOIN cv b
+             |    ON a.query_id = b.query_id AND a.nid != b.nid),
+             |s1 AS (SELECT query_id, nid, 1 AS mmr_rank, rel AS score FROM (
+             |    SELECT query_id, nid, rel, row_number() OVER
+             |      (PARTITION BY query_id ORDER BY rel DESC, nid) AS rn
+             |    FROM cv) WHERE rn = 1),
+             |m2 AS (SELECT c.query_id, c.nid,
+             |    0.7::DOUBLE * c.rel - (1 - 0.7::DOUBLE) * max(p.ps) AS score
+             |  FROM cv c
+             |  JOIN pair p ON p.query_id = c.query_id AND p.pa = c.nid
+             |  JOIN s1 ON s1.query_id = p.query_id AND s1.nid = p.pb
+             |  WHERE NOT EXISTS (SELECT 1 FROM s1 x
+             |    WHERE x.query_id = c.query_id AND x.nid = c.nid)
+             |  GROUP BY c.query_id, c.nid, c.rel),
+             |s2 AS (SELECT query_id, nid, 2 AS mmr_rank, score FROM (
+             |    SELECT query_id, nid, score, row_number() OVER
+             |      (PARTITION BY query_id ORDER BY score DESC, nid) AS rn
+             |    FROM m2) WHERE rn = 1),
+             |sel2 AS (SELECT query_id, nid FROM s1
+             |  UNION ALL SELECT query_id, nid FROM s2),
+             |m3 AS (SELECT c.query_id, c.nid,
+             |    0.7::DOUBLE * c.rel - (1 - 0.7::DOUBLE) * max(p.ps) AS score
+             |  FROM cv c
+             |  JOIN pair p ON p.query_id = c.query_id AND p.pa = c.nid
+             |  JOIN sel2 ON sel2.query_id = p.query_id AND sel2.nid = p.pb
+             |  WHERE NOT EXISTS (SELECT 1 FROM sel2 x
+             |    WHERE x.query_id = c.query_id AND x.nid = c.nid)
+             |  GROUP BY c.query_id, c.nid, c.rel),
+             |s3 AS (SELECT query_id, nid, 3 AS mmr_rank, score FROM (
+             |    SELECT query_id, nid, score, row_number() OVER
+             |      (PARTITION BY query_id ORDER BY score DESC, nid) AS rn
+             |    FROM m3) WHERE rn = 1)
+             |SELECT query_id, mmr_rank, nid AS neighbor_id,
+             |  round(score, 6) AS score
+             |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+             |  UNION ALL SELECT * FROM s3)
+             |ORDER BY query_id, mmr_rank""".stripMargin)),
+
+    // Token-budget sampling: each source gets a 1k-token budget,
+    // filled in deterministic md5-priority order (est_tokens =
+    // chars/4 + 1, the standard chars-per-token heuristic). The
+    // running total is a window over the per-source ordering — the
+    // budgeted-mixture primitive behind "x tokens of source A,
+    // y of B" training recipes. A doc is kept iff its PREDECESSORS
+    // fit, so one oversized doc can't block smaller followers from
+    // testing the boundary identically in both engines.
+    QueryDef("pipe_token_budget_sample",
+      (s, d) => {
+        val docs = s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"), col("source"),
+            (col("n_chars") / lit(4) + lit(1)).cast("long").as("est_tokens"),
+            pmod(Dedup.strHash60(concat(lit("budget:"), col("doc_id"))),
+              lit(1000000)).as("pri"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("pri"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        docs.withColumn("cum_tokens", sum(col("est_tokens")).over(w))
+          .filter(col("cum_tokens") <= 1000)
+          .select(col("doc_id"), col("source"), col("est_tokens"),
+            col("cum_tokens"))
+          .orderBy(col("source"), col("cum_tokens"))
+      },
+      Some(s"""WITH docs AS (SELECT doc_id, source,
+              |    (n_chars // 4 + 1)::BIGINT AS est_tokens,
+              |    ${dkHash60("'budget:'||doc_id")} % 1000000 AS pri
+              |  FROM documents),
+              |c AS (SELECT doc_id, source, est_tokens,
+              |    sum(est_tokens) OVER (PARTITION BY source
+              |      ORDER BY pri, doc_id ROWS UNBOUNDED PRECEDING)
+              |      AS cum_tokens
+              |  FROM docs)
+              |SELECT doc_id, source, est_tokens, cum_tokens
+              |FROM c WHERE cum_tokens <= 1000
+              |ORDER BY source, cum_tokens""".stripMargin)),
+
+    // Length-bucketed batch assignment: docs grouped into 256-char
+    // buckets, then cut into fixed batches of 16 inside each bucket
+    // (row_number ordered by the md5 shuffle key) — the padding-
+    // efficiency primitive for sequence training: batchmates have
+    // near-equal lengths, so pad waste is bounded by the bucket
+    // width, while the hash order keeps batches unbiased. Purely
+    // windowed — no shuffle beyond the bucket partitioning.
+    QueryDef("pipe_length_batching",
+      (s, d) => {
+        val docs = s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"),
+            (col("n_chars") / lit(256)).cast("long").as("len_bucket"),
+            pmod(Dedup.strHash60(concat(lit("batch:"), col("doc_id"))),
+              lit(1000000)).as("shuf"))
+        val w = Window.partitionBy(col("len_bucket"))
+          .orderBy(col("shuf"), col("doc_id"))
+        docs.withColumn("rn", row_number().over(w))
+          .select(col("doc_id"), col("len_bucket"),
+            ((col("rn") - 1) / lit(16)).cast("long").as("batch_idx"),
+            ((col("rn") - 1) % lit(16)).cast("long").as("pos_in_batch"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH docs AS (SELECT doc_id,
+              |    (n_chars // 256)::BIGINT AS len_bucket,
+              |    ${dkHash60("'batch:'||doc_id")} % 1000000 AS shuf
+              |  FROM documents),
+              |r AS (SELECT doc_id, len_bucket, row_number() OVER
+              |    (PARTITION BY len_bucket ORDER BY shuf, doc_id) AS rn
+              |  FROM docs)
+              |SELECT doc_id, len_bucket,
+              |  ((rn - 1) // 16)::BIGINT AS batch_idx,
+              |  ((rn - 1) % 16)::BIGINT AS pos_in_batch
+              |FROM r ORDER BY doc_id""".stripMargin))
   )
 }
