@@ -76,6 +76,29 @@ object SqlQueries {
     userStateOf(s, d, MergeCut)
     dayPartitionedCopyOf(s, d)
     copurchaseEdgesOf(s, d)
+    schemaEvolvedDirOf(s, d)
+  }
+
+  /** Two-generation parquet dir for `io_schema_evolution`: generation
+    * 1 (even doc_ids) was written before the `lang` column existed;
+    * generation 2 (odd doc_ids) carries it. Built once per sf dir —
+    * the query then demonstrates the schema-merging READ, which is
+    * the lakehouse reality after any additive schema migration. */
+  private[queries] def schemaEvolvedDirOf(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_schemaevo_" +
+      graft.io.FileSkipping.pathKey(d, "v1")
+    if (!new java.io.File(base, "_SUCCESS").isFile) {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("n_chars"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/gen=1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/gen=2")
+      new java.io.File(base, "_SUCCESS").createNewFile()
+    }
+    base
   }
 
   /** Maintained co-purchase edge table (support >= 2), the graph the
@@ -3064,6 +3087,121 @@ object SqlQueries {
              |  FROM cell JOIN mx USING (x) JOIN my USING (y), n)
              |SELECT max(n)::BIGINT AS n_events,
              |  round(sum(term)::DOUBLE, 6) AS mutual_info
-             |FROM t""".stripMargin))
+             |FROM t""".stripMargin)),
+
+    // Sweep-line peak concurrency: treat each click as a 5-minute
+    // half-open interval and find each day's maximum number of
+    // simultaneously-open intervals. The sweep is +1/-1 deltas
+    // AGGREGATED PER TIMESTAMP first (closes applied before opens,
+    // the [s,e) convention — so the window never orders within ties
+    // and the peak is partition-order independent), then a
+    // DAY-PARTITIONED running sum: concurrency is measured within
+    // the day, which clips the rare midnight-crossing interval but
+    // lets the sweep parallelize by day instead of one global
+    // ordering. No interval self-join, no per-second explode.
+    QueryDef("q_max_concurrency",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+          .filter(col("event_type") === "click")
+        val deltas = ev.select(col("ts").as("t"), lit(1L).as("delta"))
+          .unionAll(ev.select(
+            (col("ts") + expr("INTERVAL 5 MINUTES")).as("t"),
+            lit(-1L).as("delta")))
+        val perT = deltas.groupBy(to_date(col("t")).as("day"), col("t"))
+          .agg(sum(col("delta")).as("net"))
+        val w = Window.partitionBy(col("day")).orderBy(col("t"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        perT.withColumn("cum", sum(col("net")).over(w))
+          .groupBy(col("day").cast("string").as("day"))
+          .agg(max(col("cum")).as("max_concurrency"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH ev AS (SELECT ts FROM events WHERE event_type = 'click'),
+             |deltas AS (SELECT ts AS t, 1::BIGINT AS delta FROM ev
+             |  UNION ALL
+             |  SELECT ts + INTERVAL 5 MINUTE, -1::BIGINT FROM ev),
+             |pert AS (SELECT t::DATE AS day, t, sum(delta)::BIGINT AS net
+             |  FROM deltas GROUP BY 1, 2),
+             |c AS (SELECT day, sum(net) OVER (PARTITION BY day ORDER BY t
+             |    ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM pert)
+             |SELECT day::VARCHAR AS day,
+             |  max(cum)::BIGINT AS max_concurrency
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Wald–Wolfowitz runs test per source stream: are
+    // above/below-threshold values serially independent, or do they
+    // clump? Signs from a fixed threshold, run boundaries from one
+    // lag() in the per-type ordered window, then the closed-form
+    // z-score from pure integer counts — the third member of the
+    // drift/independence audit family (chi-square, KS) covering
+    // SERIAL structure.
+    QueryDef("q_runs_test",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+          .select(col("event_type"), col("ts"), col("event_id"),
+            when(col("value") >= 5.0, 1).otherwise(0).as("sign"))
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        val runs = ev
+          .withColumn("brk", when(lag(col("sign"), 1).over(w).isNull ||
+            lag(col("sign"), 1).over(w) =!= col("sign"), 1L).otherwise(0L))
+          .groupBy(col("event_type"))
+          .agg(sum(when(col("sign") === 1, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("sign") === 0, 1L).otherwise(0L)).as("n0"),
+            sum(col("brk")).as("n_runs"))
+        val n1 = col("n1").cast("double"); val n0 = col("n0").cast("double")
+        val mu = lit(2.0) * n1 * n0 / (n1 + n0) + lit(1.0)
+        val sig2 = (lit(2.0) * n1 * n0 * (lit(2.0) * n1 * n0 - n1 - n0)) /
+          ((n1 + n0) * (n1 + n0) * (n1 + n0 - lit(1.0)))
+        runs.select(col("event_type"), col("n1"), col("n0"), col("n_runs"),
+            round((col("n_runs").cast("double") - mu) / sqrt(sig2), 6)
+              .as("z_score"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH ev AS (SELECT event_type, ts, event_id,
+             |    CASE WHEN value >= 5.0 THEN 1 ELSE 0 END AS sign
+             |  FROM events),
+             |b AS (SELECT event_type, sign,
+             |    CASE WHEN lag(sign) OVER (PARTITION BY event_type
+             |        ORDER BY ts, event_id) IS DISTINCT FROM sign
+             |      THEN 1 ELSE 0 END AS brk
+             |  FROM ev),
+             |r AS (SELECT event_type,
+             |    sum(CASE WHEN sign = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+             |    sum(CASE WHEN sign = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+             |    sum(brk)::BIGINT AS n_runs
+             |  FROM b GROUP BY 1)
+             |SELECT event_type, n1, n0, n_runs,
+             |  round((n_runs::DOUBLE
+             |    - (2.0 * n1::DOUBLE * n0::DOUBLE / (n1::DOUBLE + n0::DOUBLE) + 1.0))
+             |    / sqrt((2.0 * n1::DOUBLE * n0::DOUBLE
+             |        * (2.0 * n1::DOUBLE * n0::DOUBLE - n1::DOUBLE - n0::DOUBLE))
+             |      / ((n1::DOUBLE + n0::DOUBLE) * (n1::DOUBLE + n0::DOUBLE)
+             |        * (n1::DOUBLE + n0::DOUBLE - 1.0))), 6) AS z_score
+             |FROM r ORDER BY event_type""".stripMargin)),
+
+    // Schema-evolution read: the maintained two-generation dir (gen 1
+    // lacks `lang` entirely) read back as ONE table via mergeSchema —
+    // Spark fills the missing column with nulls, which the rollup
+    // labels '<legacy>'. The oracle replays the generational split
+    // from the base table, so the merged read's semantics (not just
+    // its row count) are verified. This is the additive-migration
+    // path every long-lived lake table goes through.
+    QueryDef("io_schema_evolution",
+      (s, d) => {
+        val dir = schemaEvolvedDirOf(s, d)
+        s.read.option("mergeSchema", "true").parquet(dir)
+          .select(coalesce(col("lang"), lit("<legacy>")).as("lang"),
+            col("n_chars"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT CASE WHEN doc_id % 2 = 1 THEN lang
+             |    ELSE '<legacy>' END AS lang,
+             |  count(*) AS n_docs, sum(n_chars)::BIGINT AS chars
+             |FROM documents
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
