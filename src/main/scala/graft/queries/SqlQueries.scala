@@ -3202,6 +3202,137 @@ object SqlQueries {
              |    ELSE '<legacy>' END AS lang,
              |  count(*) AS n_docs, sum(n_chars)::BIGINT AS chars
              |FROM documents
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // TPC-H Q6: the canonical single-table predicate+aggregate probe
+    // — revenue that would be gained by eliminating small discounts.
+    // Everything pushes to the scan (three PushedFilters, two read
+    // columns); the whole query is one partial-aggregatable sum.
+    QueryDef("q6_revenue_delta",
+      (s, d) => {
+        s.read.parquet(s"$d/lineitem.parquet")
+          .filter(col("l_shipdate") >= "1996-01-01" &&
+            col("l_shipdate") < "1997-01-01" &&
+            col("l_discount").between(0.05, 0.07) &&
+            col("l_quantity") < 24)
+          .agg(count(lit(1)).as("n_lines"),
+            sum(col("l_extendedprice").cast("decimal(12,2)") *
+              col("l_discount").cast("decimal(4,2)")).cast("double")
+              .as("revenue_delta"))
+      },
+      Some("""SELECT count(*) AS n_lines,
+             |  sum(CAST(l_extendedprice AS DECIMAL(12,2))
+             |    * CAST(l_discount AS DECIMAL(4,2)))::DOUBLE AS revenue_delta
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |  AND l_shipdate < TIMESTAMP '1997-01-01'
+             |  AND l_discount BETWEEN 0.05 AND 0.07
+             |  AND l_quantity < 24""".stripMargin)),
+
+    // TPC-H Q9 shape: profit by supplier nation × order year, with
+    // retail price × quantity standing in for supply cost (no
+    // partsupp table in this schema). The join tree keeps lineitem
+    // as the only big input: part/supplier/nation broadcast, orders
+    // joins on its key. Profit terms are exact decimals end-to-end.
+    QueryDef("q9_profit_nation",
+      (s, d) => {
+        val n = s.read.parquet(s"$d/nation.parquet")
+          .select(col("n_nationkey"), col("n_name"))
+        val sup = s.read.parquet(s"$d/supplier.parquet")
+          .select("s_suppkey", "s_nationkey")
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey", "n_name")
+        val p = s.read.parquet(s"$d/part.parquet")
+          .filter(col("p_name").contains("red"))
+          .select(col("p_partkey"),
+            col("p_retailprice").cast("decimal(12,2)").as("cost"))
+        val o = s.read.parquet(s"$d/orders.parquet")
+          .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+        s.read.parquet(s"$d/lineitem.parquet")
+          .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+            "l_extendedprice", "l_discount")
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("n_name").as("nation"), col("o_year"))
+          .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+              (lit(1) - col("l_discount")).cast("decimal(4,2)") -
+              col("cost") * col("l_quantity").cast("decimal(4,0)"))
+            .cast("double").as("profit"))
+          .orderBy(col("nation"), col("o_year"))
+      },
+      Some("""SELECT n_name AS nation, year(o_orderdate) AS o_year,
+             |  sum(CAST(l_extendedprice AS DECIMAL(12,2))
+             |      * CAST(1 - l_discount AS DECIMAL(4,2))
+             |    - CAST(p_retailprice AS DECIMAL(12,2))
+             |      * CAST(l_quantity AS DECIMAL(4,0)))::DOUBLE AS profit
+             |FROM lineitem
+             |JOIN part ON p_partkey = l_partkey AND p_name LIKE '%red%'
+             |JOIN supplier ON s_suppkey = l_suppkey
+             |JOIN nation ON n_nationkey = s_nationkey
+             |JOIN orders ON o_orderkey = l_orderkey
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // TPC-H Q11 shape: parts whose revenue exceeds 1.5× the AVERAGE
+    // part's revenue — group-by with a HAVING against a scalar
+    // aggregate (scale-free threshold, so it binds at any sf). The
+    // global digest re-aggregates the per-part digest (one scan of
+    // the facts total) and broadcasts as a 1-row threshold; the
+    // compare `2·val·n > 3·tot` stays in exact integers/decimals so
+    // the boundary is bit-deterministic.
+    QueryDef("q11_major_parts",
+      (s, d) => {
+        val per = s.read.parquet(s"$d/lineitem.parquet")
+          .groupBy(col("l_partkey"))
+          .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1) - col("l_discount")).cast("decimal(4,2)")).as("val_dec"))
+        val tot = per.agg(sum(col("val_dec")).as("tot"),
+          count(lit(1)).as("nparts"))
+        per.crossJoin(broadcast(tot))
+          .filter(col("val_dec") * 2 * col("nparts") > col("tot") * 3)
+          .select(col("l_partkey"),
+            col("val_dec").cast("double").as("part_value"))
+          .orderBy(col("l_partkey"))
+      },
+      Some("""WITH per AS (SELECT l_partkey,
+             |    sum(CAST(l_extendedprice AS DECIMAL(12,2))
+             |      * CAST(1 - l_discount AS DECIMAL(4,2))) AS val_dec
+             |  FROM lineitem GROUP BY 1),
+             |tot AS (SELECT sum(val_dec) AS tot, count(*) AS nparts FROM per)
+             |SELECT l_partkey, val_dec::DOUBLE AS part_value
+             |FROM per, tot WHERE val_dec * 2 * nparts > tot * 3
+             |ORDER BY l_partkey""".stripMargin)),
+
+    // TPC-H Q12 shape: shipping-lateness classes per order priority
+    // — lines shipped >90 days after the order date count as late,
+    // bucketed by whether the order was URGENT/HIGH. One fact-side
+    // join on the order key, conditional sums instead of a second
+    // pass per class.
+    QueryDef("q12_late_shipments",
+      (s, d) => {
+        val o = s.read.parquet(s"$d/orders.parquet")
+          .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        s.read.parquet(s"$d/lineitem.parquet")
+          .select("l_orderkey", "l_shipdate")
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .withColumn("late",
+            (col("l_shipdate") > col("o_orderdate") +
+              expr("INTERVAL 90 DAYS")).cast("long"))
+          .groupBy(col("o_orderpriority"))
+          .agg(sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+              col("late")).otherwise(0L)).as("high_line_late"),
+            sum(col("late")).as("n_late"),
+            count(lit(1)).as("n_lines"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority,
+             |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |    AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+             |    THEN 1 ELSE 0 END)::BIGINT AS high_line_late,
+             |  sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+             |    THEN 1 ELSE 0 END)::BIGINT AS n_late,
+             |  count(*) AS n_lines
+             |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
              |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
