@@ -2578,6 +2578,55 @@ object ExtQueries {
               |SELECT doc_id, len_bucket,
               |  ((rn - 1) // 16)::BIGINT AS batch_idx,
               |  ((rn - 1) % 16)::BIGINT AS pos_in_batch
-              |FROM r ORDER BY doc_id""".stripMargin))
+              |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // Distributed covariance (Gram) matrix over the first 16
+    // embedding dims — the whitening/PCA-prep primitive. One
+    // posexplode to (vec, dim, x), a self-join CO-PARTITIONED on
+    // vec_id for the upper-triangle pairs, then per-(i,j) integer
+    // sums: coordinates are quantized to a 1e-3 grid first, so every
+    // Σx, Σxy is EXACT and partition-order independent — the same
+    // integer-grid discipline as the IVF quantizer. The output stays
+    // integer to the end: cov in 1e-9 units via half-away-from-zero
+    // integer rounding spelled with ABS so both engines' truncating
+    // (`div`) vs flooring (`//`) division agree — a float round()
+    // here can land exactly on a .5 boundary (num/25000 at sf0.1 did)
+    // and flip the last digit between engines. At full width this is
+    // the standard d²-pair tall-skinny Gram pattern; 16 dims keeps
+    // the oracle replay proportionate.
+    QueryDef("emb_covariance",
+      (s, d) => {
+        val x = s.read.parquet(s"$d/embeddings.parquet")
+          .select(col("vec_id"),
+            posexplode(slice(col("embedding"), 1, 16)).as(Seq("i", "xf")))
+          .select(col("vec_id"), col("i"),
+            round(col("xf").cast("double") * 1000, 0).cast("long").as("xq"))
+        x.join(x.select(col("vec_id").as("v2"), col("i").as("j"),
+            col("xq").as("yq")),
+            col("vec_id") === col("v2") && col("i") <= col("j"))
+          .groupBy(col("i"), col("j"))
+          .agg(count(lit(1)).as("n"), sum(col("xq")).as("sx"),
+            sum(col("yq")).as("sy"),
+            sum(col("xq") * col("yq")).as("sxy"))
+          .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+          .select(col("i"), col("j"),
+            (when(col("num") < 0, -1L).otherwise(1L) *
+              expr("(abs(num) * 2000 + n * n) div (2 * n * n)"))
+              .as("cov_e9"))
+          .orderBy(col("i"), col("j"))
+      },
+      Some("""WITH x AS (SELECT vec_id, r.i::INT AS i,
+             |    round(embedding[r.i + 1]::DOUBLE * 1000)::BIGINT AS xq
+             |  FROM embeddings, range(16) r(i)),
+             |p AS (SELECT a.i, b.i AS j, a.xq, b.xq AS yq
+             |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i),
+             |g AS (SELECT i, j, count(*) AS n, sum(xq)::BIGINT AS sx,
+             |    sum(yq)::BIGINT AS sy, sum(xq * yq)::BIGINT AS sxy
+             |  FROM p GROUP BY 1, 2),
+             |c AS (SELECT i, j, n, n * sxy - sx * sy AS num FROM g)
+             |SELECT i, j,
+             |  ((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+             |    * ((abs(num) * 2000 + n * n) // (2 * n * n)))::BIGINT AS cov_e9
+             |FROM c ORDER BY i, j""".stripMargin))
   )
 }

@@ -77,7 +77,38 @@ object SqlQueries {
     dayPartitionedCopyOf(s, d)
     copurchaseEdgesOf(s, d)
     schemaEvolvedDirOf(s, d)
+    joinStateOf(s, d, "2024-01-30")
   }
+
+  /** Maintained state for the incremental JOIN view
+    * (`q_incremental_join_mv`): the cohort-enriched digest plus the
+    * user→first_day dim, both as of `cut`. The dim is MONOTONE (a
+    * user's first day never moves later), which is what makes the
+    * delta-join maintenance exact: history rows never need
+    * re-enrichment when new days arrive. */
+  private val joinStateCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private[queries] def joinStateOf(s: org.apache.spark.sql.SparkSession,
+                                   d: String, cut: String): String =
+    joinStateCache.getOrElseUpdate(d, {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_joinmv_" +
+        graft.io.FileSkipping.pathKey(d, "v1")
+      if (!new java.io.File(base, "_SUCCESS").isFile) {
+        val hist = graft.sources.Tables.events(s, d)
+          .filter(to_date(col("ts")) < lit(cut).cast("date"))
+        val dim = hist.groupBy(col("user_id"))
+          .agg(min(to_date(col("ts"))).as("first_day"))
+        dim.write.mode("overwrite").parquet(s"$base/dim")
+        hist.join(dim.withColumnRenamed("user_id", "du"),
+            col("user_id") === col("du"))
+          .groupBy(col("first_day").as("cohort_day"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).as("sv"))
+          .write.mode("overwrite").parquet(s"$base/enriched")
+        new java.io.File(base, "_SUCCESS").createNewFile()
+      }
+      base
+    })
 
   /** Two-generation parquet dir for `io_schema_evolution`: generation
     * 1 (even doc_ids) was written before the `lang` column existed;
@@ -3333,6 +3364,76 @@ object SqlQueries {
              |    THEN 1 ELSE 0 END)::BIGINT AS n_late,
              |  count(*) AS n_lines
              |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Incremental maintenance of a JOIN view (ΔA⋈dim): the enriched
+    // cohort digest is maintained from saved state + ONLY the new
+    // day's events — the delta is enriched against the dim updated
+    // with delta-only first-appearances (valid because first_day is
+    // monotone: history rows can never change cohort), then merged
+    // into the state digest. The oracle recomputes the view from
+    // scratch, so any lost or double-counted delta row hash-fails.
+    // This is the join-view face of `q_incremental_agg`: at 100 TB
+    // you re-enrich one partition, never the history.
+    QueryDef("q_incremental_join_mv",
+      (s, d) => {
+        val base = joinStateOf(s, d, "2024-01-30")
+        val dimState = s.read.parquet(s"$base/dim")
+        val state = s.read.parquet(s"$base/enriched")
+        val delta = graft.sources.Tables.events(s, d)
+          .filter(to_date(col("ts")) >= lit("2024-01-30").cast("date"))
+        val dimDelta = delta.groupBy(col("user_id"))
+          .agg(min(to_date(col("ts"))).as("first_day"))
+        val dim = dimState.unionAll(dimDelta)
+          .groupBy(col("user_id")).agg(min(col("first_day")).as("first_day"))
+        val deltaEnriched = delta
+          .join(dim.withColumnRenamed("user_id", "du"),
+            col("user_id") === col("du"))
+          .groupBy(col("first_day").as("cohort_day"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).as("sv"))
+        state.unionAll(deltaEnriched)
+          .groupBy(col("cohort_day"), col("event_type"))
+          .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"))
+          .select(col("cohort_day").cast("string").as("cohort_day"),
+            col("event_type"), col("n"),
+            col("sv").cast("double").as("sum_value"))
+          .orderBy(col("cohort_day"), col("event_type"))
+      },
+      Some("""WITH dim AS (SELECT user_id, min(ts::DATE) AS first_day
+             |  FROM events GROUP BY 1)
+             |SELECT (dim.first_day)::VARCHAR AS cohort_day, e.event_type,
+             |  count(*) AS n,
+             |  sum(CAST(e.value AS DECIMAL(18,2)))::DOUBLE AS sum_value
+             |FROM events e JOIN dim USING (user_id)
+             |GROUP BY 1, 2 ORDER BY cohort_day, event_type""".stripMargin)),
+
+    // Week-over-week growth per event type: weekly rollup, lag() on
+    // the per-type weekly digest, relative change. The window runs
+    // over the digest (weeks × types), never the facts; growth for
+    // the first week is NULL by definition on both engines.
+    QueryDef("q_wow_growth",
+      (s, d) => {
+        val wk = graft.sources.Tables.events(s, d)
+          .groupBy(col("event_type"),
+            date_trunc("week", col("ts")).cast("date").as("week"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("week"))
+        wk.withColumn("prev_n", lag(col("n"), 1).over(w))
+          .select(col("event_type"), col("week").cast("string").as("week"),
+            col("n"), col("prev_n"),
+            round((col("n") - col("prev_n")).cast("double") /
+              col("prev_n").cast("double"), 6).as("wow_growth"))
+          .orderBy(col("event_type"), col("week"))
+      },
+      Some("""WITH wk AS (SELECT event_type,
+             |    date_trunc('week', ts)::DATE AS week, count(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |l AS (SELECT event_type, week, n,
+             |    lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n
+             |  FROM wk)
+             |SELECT event_type, week::VARCHAR AS week, n, prev_n,
+             |  round((n - prev_n)::DOUBLE / prev_n::DOUBLE, 6) AS wow_growth
+             |FROM l ORDER BY event_type, week""".stripMargin))
   )
 }
