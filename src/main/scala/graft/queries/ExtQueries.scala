@@ -2627,6 +2627,47 @@ object ExtQueries {
              |SELECT i, j,
              |  ((CASE WHEN num < 0 THEN -1 ELSE 1 END)
              |    * ((abs(num) * 2000 + n * n) // (2 * n * n)))::BIGINT AS cov_e9
-             |FROM c ORDER BY i, j""".stripMargin))
+             |FROM c ORDER BY i, j""".stripMargin)),
+
+    // Composite quality gate: the three text_stats signals combined
+    // into one keep/drop verdict with PER-RULE failure accounting —
+    // what a curation run reports before committing a filter. Every
+    // predicate is INTEGER (10·distinct ≥ 3·tokens instead of
+    // ttr ≥ 0.3, etc.), so the gate is bit-deterministic with no
+    // float thresholds; the whole report is one partial-aggregatable
+    // pass over the signal scan.
+    QueryDef("pipe_quality_gate",
+      (s, d) => {
+        val st = TextAnalysis.stats(s.read.parquet(s"$d/documents.parquet"))
+          .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+            col("n_stop"))
+        val lenOk = col("n_tokens").between(20, 1000)
+        val ttrOk = col("n_distinct") * 10 >= col("n_tokens") * 3
+        val stopOk = col("n_stop") * 20 >= col("n_tokens")
+        st.agg(count(lit(1)).as("n_docs"),
+          sum(when(!lenOk, 1L).otherwise(0L)).as("fail_len"),
+          sum(when(!ttrOk, 1L).otherwise(0L)).as("fail_ttr"),
+          sum(when(!stopOk, 1L).otherwise(0L)).as("fail_stop"),
+          sum(when(lenOk && ttrOk && stopOk, 1L).otherwise(0L)).as("kept"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+             |    string_split(lower(text), ' ') AS tk FROM documents),
+             |s AS (SELECT doc_id, len(tk) AS n_tokens,
+             |    len(list_distinct(tk)) AS n_distinct,
+             |    len(list_filter(tk, x -> list_contains([${TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")}], x)))
+             |      AS n_stop
+             |  FROM t)
+             |SELECT count(*) AS n_docs,
+             |  sum(CASE WHEN NOT (n_tokens BETWEEN 20 AND 1000)
+             |    THEN 1 ELSE 0 END)::BIGINT AS fail_len,
+             |  sum(CASE WHEN NOT (n_distinct * 10 >= n_tokens * 3)
+             |    THEN 1 ELSE 0 END)::BIGINT AS fail_ttr,
+             |  sum(CASE WHEN NOT (n_stop * 20 >= n_tokens)
+             |    THEN 1 ELSE 0 END)::BIGINT AS fail_stop,
+             |  sum(CASE WHEN n_tokens BETWEEN 20 AND 1000
+             |    AND n_distinct * 10 >= n_tokens * 3
+             |    AND n_stop * 20 >= n_tokens
+             |    THEN 1 ELSE 0 END)::BIGINT AS kept
+             |FROM s""".stripMargin))
   )
 }

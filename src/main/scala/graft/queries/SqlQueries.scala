@@ -3434,6 +3434,97 @@ object SqlQueries {
              |  FROM wk)
              |SELECT event_type, week::VARCHAR AS week, n, prev_n,
              |  round((n - prev_n)::DOUBLE / prev_n::DOUBLE, 6) AS wow_growth
-             |FROM l ORDER BY event_type, week""".stripMargin))
+             |FROM l ORDER BY event_type, week""".stripMargin)),
+
+    // Customer-lifetime-value deciles: per-user exact-decimal value
+    // totals cut into 10 equal-population bands (ntile over the
+    // tie-free (ltv, user) ordering), then per-band size and share.
+    // The ntile runs on the per-user DIGEST, not the facts; at real
+    // scale the same cut comes from the quantile sketch the engine
+    // already ships (`a2_quantiles_approx`).
+    QueryDef("q_ltv_deciles",
+      (s, d) => {
+        val ltv = graft.sources.Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(sum(col("value").cast("decimal(18,2)")).as("ltv"))
+        val w = Window.orderBy(col("ltv").desc, col("user_id"))
+        ltv.withColumn("decile", ntile(10).over(w))
+          .groupBy(col("decile"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("ltv")).cast("double").as("total_value"),
+            min(col("ltv")).cast("double").as("min_ltv"),
+            max(col("ltv")).cast("double").as("max_ltv"))
+          .orderBy(col("decile"))
+      },
+      Some("""WITH ltv AS (SELECT user_id,
+             |    sum(CAST(value AS DECIMAL(18,2))) AS ltv
+             |  FROM events GROUP BY 1),
+             |t AS (SELECT user_id, ltv,
+             |    ntile(10) OVER (ORDER BY ltv DESC, user_id) AS decile
+             |  FROM ltv)
+             |SELECT decile, count(*) AS n_users,
+             |  sum(ltv)::DOUBLE AS total_value,
+             |  min(ltv)::DOUBLE AS min_ltv, max(ltv)::DOUBLE AS max_ltv
+             |FROM t GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Year-over-year contribution decomposition: each nation's share
+    // of the TOTAL 1996→1997 revenue change — the "what moved the
+    // number" breakdown. Two conditional exact-decimal sums in ONE
+    // pass over the joined facts, the 1-row total broadcast back for
+    // the share division (doubles only at the division).
+    QueryDef("q_yoy_contribution",
+      (s, d) => {
+        val n = s.read.parquet(s"$d/nation.parquet")
+          .select("n_nationkey", "n_name")
+        val c = s.read.parquet(s"$d/customer.parquet")
+          .select("c_custkey", "c_nationkey")
+        val o = s.read.parquet(s"$d/orders.parquet")
+          .filter(year(col("o_orderdate")).isin(1996, 1997))
+          .select(col("o_orderkey"), col("o_custkey"),
+            year(col("o_orderdate")).as("yr"))
+        val rev = s.read.parquet(s"$d/lineitem.parquet")
+          .select(col("l_orderkey"),
+            (col("l_extendedprice").cast("decimal(12,2)") *
+              (lit(1) - col("l_discount")).cast("decimal(4,2)")).as("vol"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"))
+          .agg(sum(when(col("yr") === 1996, col("vol"))
+              .otherwise(lit(0).cast("decimal(17,4)"))).as("rev96"),
+            sum(when(col("yr") === 1997, col("vol"))
+              .otherwise(lit(0).cast("decimal(17,4)"))).as("rev97"))
+          .withColumn("delta", col("rev97") - col("rev96"))
+        val tot = rev.agg(sum(col("delta")).as("tot_delta"))
+        rev.crossJoin(broadcast(tot))
+          .select(col("nation"), col("rev96").cast("double").as("rev96"),
+            col("rev97").cast("double").as("rev97"),
+            col("delta").cast("double").as("delta"),
+            round(col("delta").cast("double") /
+              col("tot_delta").cast("double"), 6).as("share_of_change"))
+          .orderBy(col("nation"))
+      },
+      Some("""WITH rev AS (SELECT n_name AS nation,
+             |    sum(CASE WHEN year(o_orderdate) = 1996
+             |      THEN CAST(l_extendedprice AS DECIMAL(12,2))
+             |        * CAST(1 - l_discount AS DECIMAL(4,2))
+             |      ELSE CAST(0 AS DECIMAL(17,4)) END) AS rev96,
+             |    sum(CASE WHEN year(o_orderdate) = 1997
+             |      THEN CAST(l_extendedprice AS DECIMAL(12,2))
+             |        * CAST(1 - l_discount AS DECIMAL(4,2))
+             |      ELSE CAST(0 AS DECIMAL(17,4)) END) AS rev97
+             |  FROM lineitem
+             |  JOIN orders ON o_orderkey = l_orderkey
+             |    AND year(o_orderdate) IN (1996, 1997)
+             |  JOIN customer ON c_custkey = o_custkey
+             |  JOIN nation ON n_nationkey = c_nationkey
+             |  GROUP BY 1),
+             |d AS (SELECT nation, rev96, rev97, rev97 - rev96 AS delta
+             |  FROM rev),
+             |t AS (SELECT sum(delta) AS tot_delta FROM d)
+             |SELECT nation, rev96::DOUBLE AS rev96, rev97::DOUBLE AS rev97,
+             |  delta::DOUBLE AS delta,
+             |  round(delta::DOUBLE / tot_delta::DOUBLE, 6) AS share_of_change
+             |FROM d, t ORDER BY nation""".stripMargin))
   )
 }
