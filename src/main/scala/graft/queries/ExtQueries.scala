@@ -2668,6 +2668,91 @@ object ExtQueries {
              |    AND n_distinct * 10 >= n_tokens * 3
              |    AND n_stop * 20 >= n_tokens
              |    THEN 1 ELSE 0 END)::BIGINT AS kept
-             |FROM s""".stripMargin))
+             |FROM s""".stripMargin)),
+
+    // Zipf-law fit over the top-100 corpus terms: log-log regression
+    // of frequency on rank (a healthy natural-language corpus slopes
+    // ≈ −1; scraped boilerplate doesn't). Ranks come from the term
+    // digest; each ln() term is rounded ONCE and the regression
+    // sums run as exact decimals (the entropy-query discipline), so
+    // the float fit hash-matches to the final division.
+    QueryDef("text_zipf_fit",
+      (s, d) => {
+        val tf = s.read.parquet(s"$d/documents.parquet")
+          .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+          .filter(col("term") =!= "")
+          .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+        val top = tf.orderBy(col("freq").desc, col("term")).limit(100)
+          .withColumn("rank",
+            row_number().over(Window.orderBy(col("freq").desc, col("term"))))
+        val pt = top.select(
+          round(log(col("rank").cast("double")), 9)
+            .cast("decimal(20,9)").as("x"),
+          round(log(col("freq").cast("double")), 9)
+            .cast("decimal(20,9)").as("y"))
+        pt.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+            sum(col("x") * col("y")).as("sxy"))
+          .select(col("n").as("n_terms"),
+            round((col("n") * col("sxy") - col("sx") * col("sy"))
+              .cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double"), 6).as("zipf_slope"))
+      },
+      Some("""WITH tf AS (SELECT term, count(*) AS freq FROM (
+             |    SELECT unnest(string_split(lower(text), ' ')) AS term
+             |    FROM documents) WHERE term != '' GROUP BY 1),
+             |top AS (SELECT freq, row_number() OVER
+             |    (ORDER BY freq DESC, term) AS rank
+             |  FROM tf ORDER BY freq DESC, term LIMIT 100),
+             |pt AS (SELECT round(ln(rank::DOUBLE), 9)::DECIMAL(20,9) AS x,
+             |    round(ln(freq::DOUBLE), 9)::DECIMAL(20,9) AS y
+             |  FROM top),
+             |g AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             |    sum(x * x) AS sxx, sum(x * y) AS sxy FROM pt)
+             |SELECT n AS n_terms,
+             |  round((n * sxy - sx * sy)::DOUBLE
+             |    / (n * sxx - sx * sx)::DOUBLE, 6) AS zipf_slope
+             |FROM g""".stripMargin)),
+
+    // Term burstiness (variance-to-mean ratio of per-doc counts,
+    // zeros included): separates topical terms (bursty, VMR >> 1)
+    // from function words (VMR ≈ 1) — a dispersion signal no
+    // frequency count gives. Per-term moments are exact integer
+    // sums over the (term, doc) digest; N comes from the 1-row doc
+    // count broadcast; doubles only at the final VMR division.
+    QueryDef("corpus_burstiness",
+      (s, d) => {
+        val docs = s.read.parquet(s"$d/documents.parquet")
+        val nDocs = docs.agg(count(lit(1)).as("nd"))
+        val perDoc = docs
+          .select(col("doc_id"),
+            explode(TextAnalysis.tokens(col("text"))).as("term"))
+          .filter(col("term") =!= "")
+          .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("c"))
+        val mom = perDoc.groupBy(col("term"))
+          .agg(sum(col("c")).as("tf"), count(lit(1)).as("df"),
+            sum(col("c") * col("c")).as("sc2"))
+        val top = mom.orderBy(col("tf").desc, col("term")).limit(20)
+        top.crossJoin(broadcast(nDocs))
+          .withColumn("mean", col("tf").cast("double") / col("nd").cast("double"))
+          .select(col("term"), col("tf"), col("df"),
+            round((col("sc2").cast("double") / col("nd").cast("double") -
+              col("mean") * col("mean")) / col("mean"), 6).as("vmr"))
+          .orderBy(col("tf").desc, col("term"))
+      },
+      Some("""WITH pd AS (SELECT term, doc_id, count(*) AS c FROM (
+             |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+             |    FROM documents) WHERE term != '' GROUP BY 1, 2),
+             |m AS (SELECT term, sum(c)::BIGINT AS tf, count(*) AS df,
+             |    sum(c * c)::BIGINT AS sc2
+             |  FROM pd GROUP BY 1),
+             |nd AS (SELECT count(*) AS nd FROM documents),
+             |top AS (SELECT * FROM m ORDER BY tf DESC, term LIMIT 20)
+             |SELECT term, tf, df,
+             |  round((sc2::DOUBLE / nd.nd::DOUBLE
+             |    - (tf::DOUBLE / nd.nd::DOUBLE) * (tf::DOUBLE / nd.nd::DOUBLE))
+             |    / (tf::DOUBLE / nd.nd::DOUBLE), 6) AS vmr
+             |FROM top, nd ORDER BY tf DESC, term""".stripMargin))
   )
 }

@@ -3525,6 +3525,36 @@ object SqlQueries {
              |SELECT nation, rev96::DOUBLE AS rev96, rev97::DOUBLE AS rev97,
              |  delta::DOUBLE AS delta,
              |  round(delta::DOUBLE / tot_delta::DOUBLE, 6) AS share_of_change
-             |FROM d, t ORDER BY nation""".stripMargin))
+             |FROM d, t ORDER BY nation""".stripMargin)),
+
+    // TPC-H Q4 shape: orders with AT LEAST ONE slow line, counted by
+    // priority. The EXISTS compiles to a LEFT SEMI join whose
+    // condition carries a NON-EQUI residual (shipdate vs orderdate +
+    // 60d) on top of the key — the semi join dedups in the join
+    // itself, so no order is counted twice however many lines are
+    // late.
+    QueryDef("q4_priority_exists",
+      (s, d) => {
+        val o = s.read.parquet(s"$d/orders.parquet")
+          .filter(col("o_orderdate") >= "1996-01-01" &&
+            col("o_orderdate") < "1996-07-01")
+          .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        val li = s.read.parquet(s"$d/lineitem.parquet")
+          .select("l_orderkey", "l_shipdate")
+        o.join(li, col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") +
+              expr("INTERVAL 60 DAYS"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1996-07-01'
+             |  AND EXISTS (SELECT 1 FROM lineitem
+             |    WHERE l_orderkey = o_orderkey
+             |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
