@@ -3555,6 +3555,78 @@ object SqlQueries {
              |  AND EXISTS (SELECT 1 FROM lineitem
              |    WHERE l_orderkey = o_orderkey
              |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Mode imputation on the schema-evolved table: legacy rows (no
+    // `lang` column) get the corpus-wide most-frequent language. The
+    // mode is argmax over the tiny lang digest (ties break on the
+    // value itself), broadcast into the scan as a 1-row fill — the
+    // categorical twin of mean-fill, and the natural consumer of the
+    // mergeSchema read: impute what the old schema never recorded.
+    QueryDef("feat_impute_mode",
+      (s, d) => {
+        val evolved = s.read.option("mergeSchema", "true")
+          .parquet(schemaEvolvedDirOf(s, d))
+        val mode = evolved.filter(col("lang").isNotNull)
+          .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("lang")).limit(1)
+          .select(col("lang").as("mode_lang"))
+        evolved.crossJoin(broadcast(mode))
+          .select(coalesce(col("lang"), col("mode_lang")).as("lang_filled"),
+            when(col("lang").isNull, 1L).otherwise(0L).as("was_imputed"))
+          .groupBy(col("lang_filled"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("was_imputed")).as("n_imputed"))
+          .orderBy(col("lang_filled"))
+      },
+      Some("""WITH ev AS (SELECT CASE WHEN doc_id % 2 = 1 THEN lang END AS lang
+             |  FROM documents),
+             |mode AS (SELECT lang AS mode_lang FROM ev
+             |  WHERE lang IS NOT NULL GROUP BY 1
+             |  ORDER BY count(*) DESC, lang LIMIT 1)
+             |SELECT coalesce(ev.lang, mode.mode_lang) AS lang_filled,
+             |  count(*) AS n_docs,
+             |  sum(CASE WHEN ev.lang IS NULL THEN 1 ELSE 0 END)::BIGINT
+             |    AS n_imputed
+             |FROM ev, mode
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Quantile (rank) normalization via the bucket digest — maps
+    // values to [0,1] by their within-type CDF position, qnorm =
+    // (below + ½·tied)/n, computed on the per-(type, bucket) digest
+    // with an exclusive cumulative window. At scale this is THE way
+    // to rank-normalize: the facts join the tiny normalization map
+    // back by bucket; no global sort, no per-row percent_rank over
+    // the raw stream.
+    QueryDef("feat_quantile_normalize",
+      (s, d) => {
+        val b = graft.sources.Tables.events(s, d)
+          .groupBy(col("event_type"),
+            floor(col("value") * 10).cast("long").as("v10"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("v10"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val tot = Window.partitionBy(col("event_type"))
+        b.withColumn("below", coalesce(sum(col("cnt")).over(w), lit(0L)))
+          .withColumn("n", sum(col("cnt")).over(tot))
+          .select(col("event_type"), col("v10"), col("cnt"),
+            round((col("below").cast("double") +
+              lit(0.5) * col("cnt").cast("double")) /
+              col("n").cast("double"), 6).as("qnorm"))
+          .orderBy(col("event_type"), col("v10"))
+      },
+      Some("""WITH b AS (SELECT event_type,
+             |    CAST(floor(value * 10) AS BIGINT) AS v10, count(*) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |c AS (SELECT event_type, v10, cnt,
+             |    coalesce(sum(cnt) OVER (PARTITION BY event_type
+             |      ORDER BY v10 ROWS BETWEEN UNBOUNDED PRECEDING
+             |      AND 1 PRECEDING), 0) AS below,
+             |    sum(cnt) OVER (PARTITION BY event_type) AS n
+             |  FROM b)
+             |SELECT event_type, v10, cnt,
+             |  round((below::DOUBLE + 0.5 * cnt::DOUBLE) / n::DOUBLE, 6)
+             |    AS qnorm
+             |FROM c ORDER BY event_type, v10""".stripMargin))
   )
 }
