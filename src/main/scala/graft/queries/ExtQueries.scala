@@ -2753,6 +2753,121 @@ object ExtQueries {
              |  round((sc2::DOUBLE / nd.nd::DOUBLE
              |    - (tf::DOUBLE / nd.nd::DOUBLE) * (tf::DOUBLE / nd.nd::DOUBLE))
              |    / (tf::DOUBLE / nd.nd::DOUBLE), 6) AS vmr
-             |FROM top, nd ORDER BY tf DESC, term""".stripMargin))
+             |FROM top, nd ORDER BY tf DESC, term""".stripMargin)),
+
+    // Dominant eigenvector of the 16-dim covariance matrix by THREE
+    // integer power iterations — the PCA-direction primitive, and a
+    // demonstration that iterative numerical linear algebra can run
+    // as dataframe ops with bit-exact cross-engine replay: the
+    // matrix is the exact 1e-9-unit integer covariance (same
+    // derivation as `emb_covariance`), each iterate is
+    // v ← C·v renormalized to ≈ppm of its max |component| with
+    // sign/abs integer division against the PRE-SCALED denominator
+    // `mx div 1e6` (scaling the numerator up would overflow int64 —
+    // DuckDB sums escape to HUGEINT, Spark longs don't; truncating
+    // division on positive operands makes Spark `div` == DuckDB
+    // `//`). Matrix build is the distributed part; the 16-row
+    // iterate rides broadcast digests.
+    QueryDef("emb_power_iteration",
+      (s, d) => {
+        val x = s.read.parquet(s"$d/embeddings.parquet")
+          .select(col("vec_id"),
+            posexplode(slice(col("embedding"), 1, 16)).as(Seq("i", "xf")))
+          .select(col("vec_id"), col("i"),
+            round(col("xf").cast("double") * 1000, 0).cast("long").as("xq"))
+        val upper = x.join(x.select(col("vec_id").as("v2"), col("i").as("j"),
+            col("xq").as("yq")),
+            col("vec_id") === col("v2") && col("i") <= col("j"))
+          .groupBy(col("i"), col("j"))
+          .agg(count(lit(1)).as("n"), sum(col("xq")).as("sx"),
+            sum(col("yq")).as("sy"), sum(col("xq") * col("yq")).as("sxy"))
+          .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+          .select(col("i"), col("j"),
+            (when(col("num") < 0, -1L).otherwise(1L) *
+              expr("(abs(num) * 2000 + n * n) div (2 * n * n)")).as("c"))
+        val m = upper.unionAll(upper.filter(col("i") =!= col("j"))
+          .select(col("j").as("i"), col("i").as("j"), col("c")))
+        var v = m.select(col("i")).distinct()
+          .select(col("i").as("vi"), lit(1000000L).as("vp"))
+        for (_ <- 1 to 3) {
+          val u = m.join(v, col("j") === col("vi"))
+            .groupBy(col("i")).agg(sum(col("c") * col("vp")).as("u"))
+          val mx = u.agg(max(abs(col("u"))).as("mx"))
+          v = u.crossJoin(broadcast(mx))
+            .select(col("i").as("vi"),
+              (when(col("u") < 0, -1L).otherwise(1L) *
+                expr("abs(u) div (mx div 1000000)")).as("vp"))
+        }
+        v.select(col("vi").as("i"), col("vp").as("v_ppm")).orderBy(col("i"))
+      },
+      Some("""WITH x AS (SELECT vec_id, r.i::INT AS i,
+             |    round(embedding[r.i + 1]::DOUBLE * 1000)::BIGINT AS xq
+             |  FROM embeddings, range(16) r(i)),
+             |p AS (SELECT a.i, b.i AS j, a.xq, b.xq AS yq
+             |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i),
+             |g AS (SELECT i, j, count(*) AS n, sum(xq)::BIGINT AS sx,
+             |    sum(yq)::BIGINT AS sy, sum(xq * yq)::BIGINT AS sxy
+             |  FROM p GROUP BY 1, 2),
+             |up AS (SELECT i, j,
+             |    ((CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END)
+             |      * ((abs(n * sxy - sx * sy) * 2000 + n * n)
+             |        // (2 * n * n)))::BIGINT AS c
+             |  FROM g),
+             |m AS (SELECT i, j, c FROM up
+             |  UNION ALL SELECT j, i, c FROM up WHERE i != j),
+             |v0 AS (SELECT DISTINCT i AS vi, 1000000::BIGINT AS vp FROM m),
+             |u1 AS (SELECT m.i, sum(m.c * v0.vp)::BIGINT AS u
+             |  FROM m JOIN v0 ON m.j = v0.vi GROUP BY 1),
+             |x1 AS (SELECT max(abs(u)) AS mx FROM u1),
+             |v1 AS (SELECT i AS vi, ((CASE WHEN u < 0 THEN -1 ELSE 1 END)
+             |    * (abs(u) // (mx // 1000000)))::BIGINT AS vp FROM u1, x1),
+             |u2 AS (SELECT m.i, sum(m.c * v1.vp)::BIGINT AS u
+             |  FROM m JOIN v1 ON m.j = v1.vi GROUP BY 1),
+             |x2 AS (SELECT max(abs(u)) AS mx FROM u2),
+             |v2 AS (SELECT i AS vi, ((CASE WHEN u < 0 THEN -1 ELSE 1 END)
+             |    * (abs(u) // (mx // 1000000)))::BIGINT AS vp FROM u2, x2),
+             |u3 AS (SELECT m.i, sum(m.c * v2.vp)::BIGINT AS u
+             |  FROM m JOIN v2 ON m.j = v2.vi GROUP BY 1),
+             |x3 AS (SELECT max(abs(u)) AS mx FROM u3),
+             |v3 AS (SELECT i AS vi, ((CASE WHEN u < 0 THEN -1 ELSE 1 END)
+             |    * (abs(u) // (mx // 1000000)))::BIGINT AS vp FROM u3, x3)
+             |SELECT vi AS i, vp AS v_ppm FROM v3 ORDER BY i""".stripMargin)),
+
+    // Curriculum ordering: corpus sorted easy→hard by integer
+    // quality-proxy deciles, ROUND-ROBIN interleaved across sources
+    // inside each decile so no source dominates any training phase.
+    // The order key is (decile, within-source position, source) —
+    // all from windows over digest-grained partitions; emitted for
+    // the first 100 curriculum slots.
+    QueryDef("pipe_curriculum_order",
+      (s, d) => {
+        val docs = s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val wd = Window.orderBy(col("n_chars"), col("doc_id"))
+        val staged = docs.withColumn("decile",
+          ntile(10).over(wd))
+        val wsrc = Window.partitionBy(col("decile"), col("source"))
+          .orderBy(col("doc_id"))
+        val word = Window.orderBy(col("decile"), col("pos"),
+          col("source"), col("doc_id"))
+        staged.withColumn("pos", row_number().over(wsrc))
+          .withColumn("curriculum_rank", row_number().over(word))
+          .filter(col("curriculum_rank") <= 100)
+          .select(col("curriculum_rank"), col("doc_id"), col("source"),
+            col("decile"), col("pos"))
+          .orderBy(col("curriculum_rank"))
+      },
+      Some("""WITH staged AS (SELECT doc_id, source, n_chars,
+             |    ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+             |  FROM documents),
+             |p AS (SELECT doc_id, source, decile, row_number() OVER
+             |    (PARTITION BY decile, source ORDER BY doc_id) AS pos
+             |  FROM staged),
+             |r AS (SELECT doc_id, source, decile, pos, row_number() OVER
+             |    (ORDER BY decile, pos, source, doc_id) AS curriculum_rank
+             |  FROM p)
+             |SELECT curriculum_rank, doc_id, source, decile, pos
+             |FROM r WHERE curriculum_rank <= 100
+             |ORDER BY curriculum_rank""".stripMargin))
   )
 }
