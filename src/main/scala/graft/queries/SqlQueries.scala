@@ -3627,6 +3627,101 @@ object SqlQueries {
              |SELECT event_type, v10, cnt,
              |  round((below::DOUBLE + 0.5 * cnt::DOUBLE) / n::DOUBLE, 6)
              |    AS qnorm
-             |FROM c ORDER BY event_type, v10""".stripMargin))
+             |FROM c ORDER BY event_type, v10""".stripMargin)),
+
+    // CUSUM-style downward-drift alarm per channel (Page-Hinkley
+    // form): S_t = cumulative deviation from the channel mean;
+    // an alarm fires whenever running_max(S) − S exceeds the
+    // threshold — i.e. the series has fallen H below its historical
+    // high-water mark. EVERYTHING is integer µcents: values floor to
+    // cents, the mean is `(total·1e4) div n`, and the two stacked
+    // windows (cumsum, then running max) reuse ONE per-channel
+    // partitioning — so the alarm sequence is bit-identical across
+    // engines, which no float CUSUM can promise.
+    QueryDef("q_drift_cusum",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+          .select(col("event_type"), col("ts"), col("event_id"),
+            floor(col("value") * 100).cast("long").as("cents"))
+        val mu = ev.groupBy(col("event_type").as("mt"))
+          .agg(expr("(sum(cents) * 10000) div count(1)").as("mu_u"))
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        val wc = w.rowsBetween(Window.unboundedPreceding, 0)
+        ev.join(broadcast(mu), col("event_type") === col("mt"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("s",
+            sum(col("cents")).over(wc) * 10000 - col("rn") * col("mu_u"))
+          .withColumn("gap", max(col("s")).over(wc) - col("s"))
+          .groupBy(col("event_type"))
+          .agg(sum(when(col("gap") > 500000000L, 1L).otherwise(0L))
+            .as("n_alarms"), max(col("gap")).as("max_gap"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH ev AS (SELECT event_type, ts, event_id,
+             |    floor(value * 100)::BIGINT AS cents FROM events),
+             |mu AS (SELECT event_type, (sum(cents) * 10000) // count(*)
+             |    AS mu_u FROM ev GROUP BY 1),
+             |c AS (SELECT ev.event_type, ts, event_id,
+             |    sum(cents) OVER win * 10000
+             |      - (row_number() OVER win) * mu.mu_u AS s
+             |  FROM ev JOIN mu USING (event_type)
+             |  WINDOW win AS (PARTITION BY ev.event_type
+             |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)),
+             |g AS (SELECT event_type,
+             |    max(s) OVER (PARTITION BY event_type ORDER BY ts, event_id
+             |      ROWS UNBOUNDED PRECEDING) - s AS gap
+             |  FROM c)
+             |SELECT event_type,
+             |  sum(CASE WHEN gap > 500000000 THEN 1 ELSE 0 END)::BIGINT
+             |    AS n_alarms,
+             |  max(gap)::BIGINT AS max_gap
+             |FROM g GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Interval-union coverage: seconds of each day covered by AT
+    // LEAST one open 5-minute click interval — the uptime/coverage
+    // measure (distinct from peak concurrency: union length, not
+    // max depth). Same per-timestamp delta digest and day-clipped
+    // sweep as `q_max_concurrency`; covered time is Σ(next_t − t)
+    // over digest rows where the running count is positive — one
+    // lead() on the same window, all epoch-microsecond integers.
+    QueryDef("q_interval_coverage",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+          .filter(col("event_type") === "click")
+        val deltas = ev.select(col("ts").as("t"), lit(1L).as("delta"))
+          .unionAll(ev.select(
+            (col("ts") + expr("INTERVAL 5 MINUTES")).as("t"),
+            lit(-1L).as("delta")))
+        val perT = deltas.groupBy(to_date(col("t")).as("day"), col("t"))
+          .agg(sum(col("delta")).as("net"))
+        val w = Window.partitionBy(col("day")).orderBy(col("t"))
+        val wc = w.rowsBetween(Window.unboundedPreceding, 0)
+        perT.withColumn("cum", sum(col("net")).over(wc))
+          .withColumn("next_t", lead(col("t"), 1).over(w))
+          .withColumn("covered_us",
+            when(col("cum") > 0 && col("next_t").isNotNull,
+              unix_micros(col("next_t")) - unix_micros(col("t")))
+              .otherwise(0L))
+          .groupBy(col("day").cast("string").as("day"))
+          .agg(expr("sum(covered_us) div 1000000").as("covered_sec"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH ev AS (SELECT ts FROM events WHERE event_type = 'click'),
+             |deltas AS (SELECT ts AS t, 1::BIGINT AS delta FROM ev
+             |  UNION ALL
+             |  SELECT ts + INTERVAL 5 MINUTE, -1::BIGINT FROM ev),
+             |pert AS (SELECT t::DATE AS day, t, sum(delta)::BIGINT AS net
+             |  FROM deltas GROUP BY 1, 2),
+             |c AS (SELECT day, t,
+             |    sum(net) OVER (PARTITION BY day ORDER BY t
+             |      ROWS UNBOUNDED PRECEDING) AS cum,
+             |    lead(t) OVER (PARTITION BY day ORDER BY t) AS next_t
+             |  FROM pert)
+             |SELECT day::VARCHAR AS day,
+             |  (sum(CASE WHEN cum > 0 AND next_t IS NOT NULL
+             |    THEN epoch_us(next_t) - epoch_us(t) ELSE 0 END)
+             |    // 1000000)::BIGINT AS covered_sec
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
