@@ -31,7 +31,19 @@ object ScaleBench {
     "text_oov_rate",
     // keyed as-of: the (key, bucket) shuffle + digest-carry design
     // must hold as BOTH density and key count grow 10×
-    "q_asof_keyed")
+    "q_asof_keyed",
+    // tall-skinny Gram build: the pair fan-out is per-row-bounded
+    // (16 dims), so 10× rows must be ≈10× time, not 100×
+    "emb_covariance",
+    // rolling distinct: the explode-to-report-days fan-out is the
+    // whole point — bounded ×7 whatever the history length
+    "q_rolling_distinct_users",
+    // sweep-line coverage: day-partitioned windows must parallelize
+    // as density (not day count) grows
+    "q_interval_coverage",
+    // MMR: candidate pools stay poolK-bounded per query; only the
+    // relevance scan grows with the corpus
+    "emb_mmr_rerank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

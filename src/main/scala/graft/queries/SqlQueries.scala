@@ -3722,6 +3722,116 @@ object SqlQueries {
              |  (sum(CASE WHEN cum > 0 AND next_t IS NOT NULL
              |    THEN epoch_us(next_t) - epoch_us(t) ELSE 0 END)
              |    // 1000000)::BIGINT AS covered_sec
-             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Pareto concentration: how much of total order value the top
+    // 1/5/10% of orders carry. Thresholds come from the EXACT
+    // percentile aggregate (partition-safe, no global ntile sort);
+    // the 1-row threshold digest broadcasts back for one pass of
+    // conditional exact-decimal sums. The revenue-concentration
+    // health check every marketplace runs.
+    QueryDef("q_pareto_concentration",
+      (s, d) => {
+        val o = s.read.parquet(s"$d/orders.parquet")
+          .select(col("o_totalprice"))
+        val th = graft.analytics.Stats.quantiles(
+          s.read.parquet(s"$d/orders.parquet"), "o_totalprice",
+          Seq(0.9, 0.95, 0.99))
+        o.crossJoin(broadcast(th))
+          .agg(
+            round(max(col("q90")), 4).as("t90"),
+            round(max(col("q95")), 4).as("t95"),
+            round(max(col("q99")), 4).as("t99"),
+            round(sum(when(col("o_totalprice") >= col("q90"),
+                col("o_totalprice").cast("decimal(14,2)"))
+              .otherwise(lit(0).cast("decimal(14,2)"))).cast("double") /
+              sum(col("o_totalprice").cast("decimal(14,2)")).cast("double"),
+              6).as("share_top10"),
+            round(sum(when(col("o_totalprice") >= col("q95"),
+                col("o_totalprice").cast("decimal(14,2)"))
+              .otherwise(lit(0).cast("decimal(14,2)"))).cast("double") /
+              sum(col("o_totalprice").cast("decimal(14,2)")).cast("double"),
+              6).as("share_top5"),
+            round(sum(when(col("o_totalprice") >= col("q99"),
+                col("o_totalprice").cast("decimal(14,2)"))
+              .otherwise(lit(0).cast("decimal(14,2)"))).cast("double") /
+              sum(col("o_totalprice").cast("decimal(14,2)")).cast("double"),
+              6).as("share_top1"))
+      },
+      Some("""WITH th AS (SELECT quantile_cont(o_totalprice, 0.90) AS q90,
+             |    quantile_cont(o_totalprice, 0.95) AS q95,
+             |    quantile_cont(o_totalprice, 0.99) AS q99
+             |  FROM orders)
+             |SELECT round(max(q90), 4) AS t90, round(max(q95), 4) AS t95,
+             |  round(max(q99), 4) AS t99,
+             |  round(sum(CASE WHEN o_totalprice >= q90
+             |      THEN CAST(o_totalprice AS DECIMAL(14,2))
+             |      ELSE CAST(0 AS DECIMAL(14,2)) END)::DOUBLE
+             |    / sum(CAST(o_totalprice AS DECIMAL(14,2)))::DOUBLE, 6)
+             |    AS share_top10,
+             |  round(sum(CASE WHEN o_totalprice >= q95
+             |      THEN CAST(o_totalprice AS DECIMAL(14,2))
+             |      ELSE CAST(0 AS DECIMAL(14,2)) END)::DOUBLE
+             |    / sum(CAST(o_totalprice AS DECIMAL(14,2)))::DOUBLE, 6)
+             |    AS share_top5,
+             |  round(sum(CASE WHEN o_totalprice >= q99
+             |      THEN CAST(o_totalprice AS DECIMAL(14,2))
+             |      ELSE CAST(0 AS DECIMAL(14,2)) END)::DOUBLE
+             |    / sum(CAST(o_totalprice AS DECIMAL(14,2)))::DOUBLE, 6)
+             |    AS share_top1
+             |FROM orders, th""".stripMargin)),
+
+    // Sequential pattern mining: the 20 most common 3-step event-type
+    // paths WITHIN a session (30-min-gap sessionization, the
+    // q_sessionize rule). Two leads on the per-user window with a
+    // session-id equality guard so paths never span a session break;
+    // counting runs on the path digest.
+    QueryDef("q_session_paths",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val ev = graft.sources.Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("new_s",
+            when(col("ts").cast("long") -
+              lag(col("ts"), 1).over(w).cast("long") > 1800 ||
+              lag(col("ts"), 1).over(w).isNull, 1L).otherwise(0L))
+          .withColumn("sid", sum(col("new_s"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        val withLeads = ev
+          .withColumn("t2", lead(col("event_type"), 1).over(w))
+          .withColumn("s2", lead(col("sid"), 1).over(w))
+          .withColumn("t3", lead(col("event_type"), 2).over(w))
+          .withColumn("s3", lead(col("sid"), 2).over(w))
+          .filter(col("s2") === col("sid") && col("s3") === col("sid"))
+        withLeads
+          .select(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+            .as("path"))
+          .groupBy(col("path")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("path")).limit(20)
+      },
+      Some("""WITH ev AS (SELECT user_id, ts, event_id, event_type,
+             |    CASE WHEN lag(ts) OVER win IS NULL
+             |      OR floor(epoch(ts))::BIGINT
+             |        - floor(epoch(lag(ts) OVER win))::BIGINT > 1800
+             |      THEN 1 ELSE 0 END AS new_s
+             |  FROM events
+             |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sx AS (SELECT user_id, ts, event_id, event_type,
+             |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM ev),
+             |tri AS (SELECT event_type, sid,
+             |    lead(event_type, 1) OVER win AS t2,
+             |    lead(sid, 1) OVER win AS s2,
+             |    lead(event_type, 2) OVER win AS t3,
+             |    lead(sid, 2) OVER win AS s3
+             |  FROM sx
+             |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
+             |SELECT event_type || '>' || t2 || '>' || t3 AS path,
+             |  count(*) AS n
+             |FROM tri WHERE s2 = sid AND s3 = sid
+             |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin))
   )
 }
