@@ -3832,6 +3832,86 @@ object SqlQueries {
              |SELECT event_type || '>' || t2 || '>' || t3 AS path,
              |  count(*) AS n
              |FROM tri WHERE s2 = sid AND s3 = sid
-             |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin))
+             |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin)),
+
+    // Aggregate-navigator routing: a MONTHLY rollup answered from
+    // the maintained DAILY state plus only the tail days' facts —
+    // the query never rescans covered history, it re-grains the MV.
+    // The oracle recomputes the month from raw facts, so the routed
+    // answer must be exactly the full-scan answer. This is the read
+    // side of `q_incremental_agg`'s write side: coarser grains come
+    // free once the finest maintained grain exists.
+    QueryDef("q_mv_routing",
+      (s, d) => {
+        val cut = "2024-01-30"
+        val state = s.read.parquet(dailyStateOf(s, d, cut))
+        val tail = graft.sources.Tables.events(s, d)
+          .filter(to_date(col("ts")) >= lit(cut).cast("date"))
+          .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).as("sv"))
+        state.unionAll(tail)
+          .groupBy(date_trunc("month", col("day")).cast("date")
+            .cast("string").as("month"), col("event_type"))
+          .agg(sum(col("n")).as("n"),
+            sum(col("sv")).cast("double").as("sum_value"))
+          .orderBy(col("month"), col("event_type"))
+      },
+      Some("""SELECT (date_trunc('month', ts)::DATE)::VARCHAR AS month,
+             |  event_type, count(*) AS n,
+             |  sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
+             |FROM events
+             |GROUP BY 1, 2 ORDER BY month, event_type""".stripMargin)),
+
+    // Mann-Whitney AUC: does value separate purchases from clicks?
+    // AUC = P(score_pos > score_neg) with half-credit ties, computed
+    // from TIE-AWARE average ranks over the cent-quantized score
+    // digest (the Spearman machinery): 2·avgrank = 2·below + cnt + 1
+    // keeps every rank an exact integer, so the ranker is
+    // bit-deterministic and the only division is the final AUC. The
+    // standard classifier-evaluation metric, computed distributed.
+    QueryDef("q_auc_mannwhitney",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+          .filter(col("event_type").isin("purchase", "click"))
+          .select(floor(col("value") * 100).cast("long").as("v100"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L)
+              .as("pos"))
+        val cell = ev.groupBy(col("v100"))
+          .agg(sum(col("pos")).as("np"),
+            sum(lit(1L) - col("pos")).as("nn"))
+        val w = Window.orderBy(col("v100"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        cell
+          .withColumn("below", coalesce(sum(col("np") + col("nn")).over(w),
+            lit(0L)))
+          .withColumn("r2", col("np") *
+            (lit(2L) * col("below") + col("np") + col("nn") + 1L))
+          .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+            sum(col("r2")).as("sum2r"))
+          .select(col("n_pos"), col("n_neg"),
+            round((col("sum2r") - col("n_pos") * (col("n_pos") + 1L))
+              .cast("double") /
+              (lit(2.0) * col("n_pos").cast("double") *
+                col("n_neg").cast("double")), 6).as("auc"))
+      },
+      Some("""WITH ev AS (SELECT floor(value * 100)::BIGINT AS v100,
+             |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+             |  FROM events WHERE event_type IN ('purchase', 'click')),
+             |cell AS (SELECT v100, sum(pos)::BIGINT AS np,
+             |    sum(1 - pos)::BIGINT AS nn
+             |  FROM ev GROUP BY 1),
+             |c AS (SELECT v100, np, nn,
+             |    coalesce(sum(np + nn) OVER (ORDER BY v100
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS below
+             |  FROM cell),
+             |g AS (SELECT sum(np)::BIGINT AS n_pos, sum(nn)::BIGINT AS n_neg,
+             |    sum(np * (2 * below + np + nn + 1))::BIGINT AS sum2r
+             |  FROM c)
+             |SELECT n_pos, n_neg,
+             |  round((sum2r - n_pos * (n_pos + 1))::DOUBLE
+             |    / (2.0 * n_pos::DOUBLE * n_neg::DOUBLE), 6) AS auc
+             |FROM g""".stripMargin))
   )
 }
