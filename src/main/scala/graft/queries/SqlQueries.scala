@@ -3912,6 +3912,74 @@ object SqlQueries {
              |SELECT n_pos, n_neg,
              |  round((sum2r - n_pos * (n_pos + 1))::DOUBLE
              |    / (2.0 * n_pos::DOUBLE * n_neg::DOUBLE), 6) AS auc
-             |FROM g""".stripMargin))
+             |FROM g""".stripMargin)),
+
+    // Gini coefficient of user lifetime value — the inequality
+    // summary behind the Pareto/LTV reports: G = (2·Σ i·xᵢ −
+    // (n+1)·Σx) / (n·Σx) over ascending-sorted LTVs. Values are
+    // exact CENTS and ranks integers, so both sums are exact; the
+    // rank window runs over the per-user digest (users, not
+    // events), ordered tie-free by (ltv, user).
+    QueryDef("q_gini_coefficient",
+      (s, d) => {
+        val ltv = graft.sources.Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+        val w = Window.orderBy(col("cents"), col("user_id"))
+        ltv.withColumn("i", row_number().over(w))
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("cents")).as("sx"),
+            sum(col("i") * col("cents")).as("six"))
+          .select(col("n_users"),
+            round((lit(2.0) * col("six").cast("double") -
+              (col("n_users") + 1L).cast("double") *
+                col("sx").cast("double")) /
+              (col("n_users").cast("double") * col("sx").cast("double")),
+              6).as("gini"))
+      },
+      Some("""WITH ltv AS (SELECT user_id,
+             |    sum(floor(value * 100)::BIGINT)::BIGINT AS cents
+             |  FROM events GROUP BY 1),
+             |r AS (SELECT cents, row_number() OVER
+             |    (ORDER BY cents, user_id) AS i
+             |  FROM ltv),
+             |g AS (SELECT count(*) AS n_users, sum(cents)::BIGINT AS sx,
+             |    sum(i * cents)::BIGINT AS six FROM r)
+             |SELECT n_users,
+             |  round((2.0 * six::DOUBLE - (n_users + 1)::DOUBLE * sx::DOUBLE)
+             |    / (n_users::DOUBLE * sx::DOUBLE), 6) AS gini
+             |FROM g""".stripMargin)),
+
+    // Laplace-mechanism count release (ε=1): each published count
+    // carries noise drawn by inverse-CDF from an md5-derived uniform
+    // — the differential-privacy release SHAPE (sensitivity-1 count,
+    // b=1/ε, noise added post-aggregation, never to rows). The
+    // deterministic seed exists so the oracle can replay the release
+    // exactly; a production run swaps the hash for a real RNG and
+    // nothing else changes.
+    QueryDef("pipe_dp_count_release",
+      (s, d) => {
+        val cnt = graft.sources.Tables.events(s, d)
+          .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        val u = (pmod(Dedup.strHash60(concat(lit("dp:"), col("event_type"))),
+          lit(1000000)).cast("double") + lit(0.5)) / lit(1000000.0)
+        cnt.withColumn("u", u)
+          .select(col("event_type"), col("n"),
+            round(col("n").cast("double") +
+              (when(col("u") < 0.5, lit(1.0)).otherwise(lit(-1.0)) *
+                log(lit(1.0) - lit(2.0) * abs(col("u") - lit(0.5)))), 3)
+              .as("noisy_count"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""WITH c AS (SELECT event_type, count(*) AS n
+              |  FROM events GROUP BY 1),
+              |un AS (SELECT event_type, n,
+              |    ((${dkHash60s("'dp:'||event_type")} % 1000000)::DOUBLE + 0.5)
+              |      / 1000000.0 AS u
+              |  FROM c)
+              |SELECT event_type, n,
+              |  round(n::DOUBLE + (CASE WHEN u < 0.5 THEN 1.0 ELSE -1.0 END)
+              |    * ln(1.0 - 2.0 * abs(u - 0.5)), 3) AS noisy_count
+              |FROM un ORDER BY event_type""".stripMargin))
   )
 }
