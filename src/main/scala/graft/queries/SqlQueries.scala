@@ -3980,6 +3980,59 @@ object SqlQueries {
               |SELECT event_type, n,
               |  round(n::DOUBLE + (CASE WHEN u < 0.5 THEN 1.0 ELSE -1.0 END)
               |    * ln(1.0 - 2.0 * abs(u - 0.5)), 3) AS noisy_count
-              |FROM un ORDER BY event_type""".stripMargin))
+              |FROM un ORDER BY event_type""".stripMargin)),
+
+    // Kendall tau-b between value decile and hour-of-day — the third
+    // rank-association measure (after Spearman and Mann-Whitney),
+    // and the one that's naively O(rows²): concordant/discordant
+    // PAIRS. The engine trick: count pairs on the CELL DIGEST
+    // (≤100×24 cells), so the pair join is digest² not rows² —
+    // C = Σ n₁·n₂ over strictly-increasing cell pairs, ties from the
+    // digest margins, all exact integers; tau-b's sqrt is the only
+    // float, computed from identical exact inputs.
+    QueryDef("q_kendall_tau",
+      (s, d) => {
+        val cell = graft.sources.Tables.events(s, d)
+          .groupBy(floor(col("value") * 10).cast("long").as("x"),
+            hour(col("ts")).cast("long").as("y"))
+          .agg(count(lit(1)).as("nc"))
+        val b = cell.select(col("x").as("x2"), col("y").as("y2"),
+          col("nc").as("nc2"))
+        val conc = cell.join(b, col("x") < col("x2") && col("y") < col("y2"))
+          .agg(coalesce(sum(col("nc") * col("nc2")), lit(0L)).as("c"))
+        val disc = cell.join(b, col("x") < col("x2") && col("y") > col("y2"))
+          .agg(coalesce(sum(col("nc") * col("nc2")), lit(0L)).as("dd"))
+        val margins = cell.agg(sum(col("nc")).as("n"))
+        val tx = cell.groupBy(col("x")).agg(sum(col("nc")).as("nx"))
+          .agg(sum(col("nx") * (col("nx") - 1)).as("tieX2"))
+        val ty = cell.groupBy(col("y")).agg(sum(col("nc")).as("ny"))
+          .agg(sum(col("ny") * (col("ny") - 1)).as("tieY2"))
+        conc.crossJoin(broadcast(disc)).crossJoin(broadcast(margins))
+          .crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+          .select(col("c"), col("dd").as("d"),
+            round((col("c") - col("dd")).cast("double") /
+              sqrt((col("n") * (col("n") - 1) - col("tieX2"))
+                .cast("double") *
+                (col("n") * (col("n") - 1) - col("tieY2"))
+                  .cast("double")) / lit(0.5), 6).as("tau_b"))
+      },
+      Some("""WITH cell AS (SELECT floor(value * 10)::BIGINT AS x,
+             |    hour(ts)::BIGINT AS y, count(*) AS nc
+             |  FROM events GROUP BY 1, 2),
+             |conc AS (SELECT coalesce(sum(a.nc * b.nc), 0)::BIGINT AS c
+             |  FROM cell a JOIN cell b ON a.x < b.x AND a.y < b.y),
+             |disc AS (SELECT coalesce(sum(a.nc * b.nc), 0)::BIGINT AS d
+             |  FROM cell a JOIN cell b ON a.x < b.x AND a.y > b.y),
+             |m AS (SELECT sum(nc)::BIGINT AS n FROM cell),
+             |tx AS (SELECT sum(nx * (nx - 1))::BIGINT AS tiex2 FROM
+             |  (SELECT sum(nc)::BIGINT AS nx FROM cell GROUP BY x)),
+             |ty AS (SELECT sum(ny * (ny - 1))::BIGINT AS tiey2 FROM
+             |  (SELECT sum(nc)::BIGINT AS ny FROM cell GROUP BY y))
+             |SELECT conc.c, disc.d,
+             |  round((conc.c - disc.d)::DOUBLE
+             |    / sqrt((m.n * (m.n - 1) - tx.tiex2)::DOUBLE
+             |      * (m.n * (m.n - 1) - ty.tiey2)::DOUBLE) / 0.5, 6)
+             |    AS tau_b
+             |FROM conc, disc, m, tx, ty""".stripMargin))
   )
 }
