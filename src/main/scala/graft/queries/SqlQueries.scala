@@ -3992,22 +3992,28 @@ object SqlQueries {
     // float, computed from identical exact inputs.
     QueryDef("q_kendall_tau",
       (s, d) => {
+        // the digest is referenced six times (pair join twice,
+        // margins, both tie sums) — persist it so events is scanned
+        // ONCE, the same discipline as dedup_neardup_groups' rounds
         val cell = graft.sources.Tables.events(s, d)
           .groupBy(floor(col("value") * 10).cast("long").as("x"),
             hour(col("ts")).cast("long").as("y"))
           .agg(count(lit(1)).as("nc"))
+          .persist()
         val b = cell.select(col("x").as("x2"), col("y").as("y2"),
           col("nc").as("nc2"))
-        val conc = cell.join(b, col("x") < col("x2") && col("y") < col("y2"))
-          .agg(coalesce(sum(col("nc") * col("nc2")), lit(0L)).as("c"))
-        val disc = cell.join(b, col("x") < col("x2") && col("y") > col("y2"))
-          .agg(coalesce(sum(col("nc") * col("nc2")), lit(0L)).as("dd"))
+        // one x<x2 join, concordant/discordant split by a CASE on y
+        val cd = cell.join(b, col("x") < col("x2"))
+          .agg(coalesce(sum(when(col("y") < col("y2"),
+              col("nc") * col("nc2")).otherwise(0L)), lit(0L)).as("c"),
+            coalesce(sum(when(col("y") > col("y2"),
+              col("nc") * col("nc2")).otherwise(0L)), lit(0L)).as("dd"))
         val margins = cell.agg(sum(col("nc")).as("n"))
         val tx = cell.groupBy(col("x")).agg(sum(col("nc")).as("nx"))
           .agg(sum(col("nx") * (col("nx") - 1)).as("tieX2"))
         val ty = cell.groupBy(col("y")).agg(sum(col("nc")).as("ny"))
           .agg(sum(col("ny") * (col("ny") - 1)).as("tieY2"))
-        conc.crossJoin(broadcast(disc)).crossJoin(broadcast(margins))
+        cd.crossJoin(broadcast(margins))
           .crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
           .select(col("c"), col("dd").as("d"),
             round((col("c") - col("dd")).cast("double") /
