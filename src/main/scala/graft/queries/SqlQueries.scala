@@ -4039,6 +4039,85 @@ object SqlQueries {
              |    / sqrt((m.n * (m.n - 1) - tx.tiex2)::DOUBLE
              |      * (m.n * (m.n - 1) - ty.tiey2)::DOUBLE) / 0.5, 6)
              |    AS tau_b
-             |FROM conc, disc, m, tx, ty""".stripMargin))
+             |FROM conc, disc, m, tx, ty""".stripMargin)),
+
+    // RFM segmentation: per-user Recency / Frequency / Monetary
+    // quintile scores (ntile over the tie-free user digest on each
+    // axis) concatenated into the classic 3-digit segment, rolled up
+    // to segment sizes. Three windows over the SAME per-user digest
+    // — the facts are scanned once; recency anchors on the corpus
+    // max day so the score is reproducible, not wall-clock-relative.
+    QueryDef("q_rfm_segments",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+        val per = ev.groupBy(col("user_id"))
+          .agg(max(to_date(col("ts"))).as("last_day"),
+            count(lit(1)).as("freq"),
+            sum(floor(col("value") * 100).cast("long")).as("cents"))
+        val wR = Window.orderBy(col("last_day").desc, col("user_id"))
+        val wF = Window.orderBy(col("freq").desc, col("user_id"))
+        val wM = Window.orderBy(col("cents").desc, col("user_id"))
+        per.withColumn("r", ntile(5).over(wR))
+          .withColumn("f", ntile(5).over(wF))
+          .withColumn("m", ntile(5).over(wM))
+          .groupBy(concat(col("r"), col("f"), col("m")).as("segment"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("cents")).as("total_cents"))
+          .orderBy(col("segment"))
+      },
+      Some("""WITH per AS (SELECT user_id, max(ts::DATE) AS last_day,
+             |    count(*) AS freq,
+             |    sum(floor(value * 100)::BIGINT)::BIGINT AS cents
+             |  FROM events GROUP BY 1),
+             |sc AS (SELECT user_id, cents,
+             |    ntile(5) OVER (ORDER BY last_day DESC, user_id) AS r,
+             |    ntile(5) OVER (ORDER BY freq DESC, user_id) AS f,
+             |    ntile(5) OVER (ORDER BY cents DESC, user_id) AS m
+             |  FROM per)
+             |SELECT r::VARCHAR || f::VARCHAR || m::VARCHAR AS segment,
+             |  count(*) AS n_users, sum(cents)::BIGINT AS total_cents
+             |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Two-proportion z-test (the A/B-test readout): purchase rate of
+    // the even-user cohort vs the odd-user cohort, pooled-variance z
+    // from pure integer counts in ONE conditional aggregate pass.
+    // Completes the inference family (chi-square, KS, runs, AUC) with
+    // the test every experimentation platform runs first.
+    QueryDef("q_abtest_ztest",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+          .select((col("user_id") % 2 === 0).as("va"),
+            (col("event_type") === "purchase").as("conv"))
+        val g = ev.agg(
+          sum(when(col("va") && col("conv"), 1L).otherwise(0L)).as("x1"),
+          sum(when(col("va"), 1L).otherwise(0L)).as("n1"),
+          sum(when(!col("va") && col("conv"), 1L).otherwise(0L)).as("x2"),
+          sum(when(!col("va"), 1L).otherwise(0L)).as("n2"))
+        val p1 = col("x1").cast("double") / col("n1").cast("double")
+        val p2 = col("x2").cast("double") / col("n2").cast("double")
+        val pp = (col("x1") + col("x2")).cast("double") /
+          (col("n1") + col("n2")).cast("double")
+        g.select(col("x1"), col("n1"), col("x2"), col("n2"),
+          round(p1 - p2, 6).as("rate_diff"),
+          round((p1 - p2) / sqrt(pp * (lit(1.0) - pp) *
+            (lit(1.0) / col("n1").cast("double") +
+              lit(1.0) / col("n2").cast("double"))), 6).as("z_score"))
+      },
+      Some("""WITH g AS (SELECT
+             |    sum(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+             |      THEN 1 ELSE 0 END)::BIGINT AS x1,
+             |    sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n1,
+             |    sum(CASE WHEN user_id % 2 = 1 AND event_type = 'purchase'
+             |      THEN 1 ELSE 0 END)::BIGINT AS x2,
+             |    sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n2
+             |  FROM events)
+             |SELECT x1, n1, x2, n2,
+             |  round(x1::DOUBLE / n1::DOUBLE - x2::DOUBLE / n2::DOUBLE, 6)
+             |    AS rate_diff,
+             |  round((x1::DOUBLE / n1::DOUBLE - x2::DOUBLE / n2::DOUBLE)
+             |    / sqrt(((x1 + x2)::DOUBLE / (n1 + n2)::DOUBLE)
+             |      * (1.0 - (x1 + x2)::DOUBLE / (n1 + n2)::DOUBLE)
+             |      * (1.0 / n1::DOUBLE + 1.0 / n2::DOUBLE)), 6) AS z_score
+             |FROM g""".stripMargin))
   )
 }
