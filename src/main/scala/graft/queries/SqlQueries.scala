@@ -4118,6 +4118,78 @@ object SqlQueries {
              |    / sqrt(((x1 + x2)::DOUBLE / (n1 + n2)::DOUBLE)
              |      * (1.0 - (x1 + x2)::DOUBLE / (n1 + n2)::DOUBLE)
              |      * (1.0 / n1::DOUBLE + 1.0 / n2::DOUBLE)), 6) AS z_score
-             |FROM g""".stripMargin))
+             |FROM g""".stripMargin)),
+
+    // New-vs-returning daily split: each day's users and events
+    // divided by whether the day is that user's FIRST. The first-day
+    // dim is one aggregate of (user, day) pairs; the classification
+    // joins it back onto the per-(user, day) digest, never the raw
+    // stream — the acquisition-vs-retention lens on the same cohort
+    // machinery as q_retention.
+    QueryDef("q_new_vs_returning",
+      (s, d) => {
+        val ud = graft.sources.Tables.events(s, d)
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_ev"))
+        val first = ud.groupBy(col("user_id").as("fu"))
+          .agg(min(col("day")).as("first_day"))
+        ud.join(first, col("user_id") === col("fu"))
+          .withColumn("is_new", (col("day") === col("first_day")).cast("long"))
+          .groupBy(col("day").cast("string").as("day"))
+          .agg(sum(col("is_new")).as("n_new_users"),
+            sum(lit(1L) - col("is_new")).as("n_returning_users"),
+            sum(col("n_ev") * col("is_new")).as("ev_new"),
+            sum(col("n_ev") * (lit(1L) - col("is_new"))).as("ev_returning"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH ud AS (SELECT user_id, ts::DATE AS day, count(*) AS n_ev
+             |  FROM events GROUP BY 1, 2),
+             |f AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY 1)
+             |SELECT ud.day::VARCHAR AS day,
+             |  sum(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END)::BIGINT
+             |    AS n_new_users,
+             |  sum(CASE WHEN ud.day = f.first_day THEN 0 ELSE 1 END)::BIGINT
+             |    AS n_returning_users,
+             |  sum(CASE WHEN ud.day = f.first_day THEN n_ev ELSE 0 END)::BIGINT
+             |    AS ev_new,
+             |  sum(CASE WHEN ud.day = f.first_day THEN 0 ELSE n_ev END)::BIGINT
+             |    AS ev_returning
+             |FROM ud JOIN f USING (user_id)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Conversion-lag histogram: hours from each user's FIRST click to
+    // their FIRST subsequent purchase, bucketed hourly (capped at
+    // 48h, -1 = never converted). Two endpoint digests (min over the
+    // filtered stream each) joined once — the time-to-convert
+    // distribution behind the q_funnel rate, computed without any
+    // per-event pairing.
+    QueryDef("q_conversion_lag",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+        val click = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+        val buy = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id").as("bu")).agg(min(col("ts")).as("t_buy"))
+        click.join(buy, col("user_id") === col("bu"), "left")
+          .withColumn("lag_h",
+            when(col("t_buy").isNull || col("t_buy") < col("t_click"),
+              lit(-1L))
+            .otherwise(least(
+              expr("(unix_micros(t_buy) - unix_micros(t_click)) div 3600000000"),
+              lit(48L))))
+          .groupBy(col("lag_h")).agg(count(lit(1)).as("n_users"))
+          .orderBy(col("lag_h"))
+      },
+      Some("""WITH c AS (SELECT user_id, min(ts) AS t_click FROM events
+             |  WHERE event_type = 'click' GROUP BY 1),
+             |b AS (SELECT user_id, min(ts) AS t_buy FROM events
+             |  WHERE event_type = 'purchase' GROUP BY 1),
+             |l AS (SELECT c.user_id,
+             |    CASE WHEN b.t_buy IS NULL OR b.t_buy < c.t_click THEN -1
+             |      ELSE least((epoch_us(b.t_buy) - epoch_us(c.t_click))
+             |        // 3600000000, 48) END AS lag_h
+             |  FROM c LEFT JOIN b USING (user_id))
+             |SELECT lag_h::BIGINT AS lag_h, count(*) AS n_users
+             |FROM l GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
