@@ -2868,6 +2868,63 @@ object ExtQueries {
              |  FROM p)
              |SELECT curriculum_rank, doc_id, source, decile, pos
              |FROM r WHERE curriculum_rank <= 100
-             |ORDER BY curriculum_rank""".stripMargin))
+             |ORDER BY curriculum_rank""".stripMargin)),
+
+    // Exemplar selection: each label's 5 most-central members — the
+    // few-shot/prototype-picking primitive. The trick that keeps it
+    // exact: cosine is scale-invariant, so the "centroid" is the raw
+    // integer SUM vector on the 1e-3 grid (no mean division, no
+    // float centroid); dot and both norms are exact integer sums and
+    // the single double expression is the final cosine. One explode,
+    // two digest joins, a per-label top-5 window.
+    QueryDef("emb_exemplars",
+      (s, d) => {
+        val xl = s.read.parquet(s"$d/embeddings.parquet")
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding")).as(Seq("dim", "xf")))
+          .select(col("vec_id"), col("label"), col("dim"),
+            round(col("xf").cast("double") * 1000, 0).cast("long").as("xq"))
+        val sums = xl.groupBy(col("label").as("sl"), col("dim").as("sd_dim"))
+          .agg(sum(col("xq")).as("sd"))
+        val n2c = sums.groupBy(col("sl").as("cl"))
+          .agg(sum(col("sd") * col("sd")).as("n2c"))
+        val per = xl.join(sums, col("label") === col("sl") &&
+            col("dim") === col("sd_dim"))
+          .groupBy(col("vec_id"), col("label"))
+          .agg(sum(col("xq") * col("sd")).as("dot"),
+            sum(col("xq") * col("xq")).as("n2v"))
+        val w = Window.partitionBy(col("label"))
+          .orderBy(col("score").desc, col("vec_id"))
+        per.join(broadcast(n2c), col("label") === col("cl"))
+          .withColumn("score", col("dot").cast("double") /
+            sqrt(col("n2v").cast("double") * col("n2c").cast("double")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("label"), col("rank"), col("vec_id"),
+            round(col("score"), 6).as("score"))
+          .orderBy(col("label"), col("rank"))
+      },
+      Some("""WITH xl AS (SELECT vec_id, label, r.i - 1 AS dim,
+             |    round(embedding[r.i]::DOUBLE * 1000)::BIGINT AS xq
+             |  FROM embeddings, range(1, 65) r(i)),
+             |sums AS (SELECT label, dim, sum(xq)::BIGINT AS sd
+             |  FROM xl GROUP BY 1, 2),
+             |n2c AS (SELECT label, sum(sd * sd)::BIGINT AS n2c
+             |  FROM sums GROUP BY 1),
+             |per AS (SELECT xl.vec_id, xl.label,
+             |    sum(xl.xq * sums.sd)::BIGINT AS dot,
+             |    sum(xl.xq * xl.xq)::BIGINT AS n2v
+             |  FROM xl JOIN sums ON xl.label = sums.label
+             |    AND xl.dim = sums.dim
+             |  GROUP BY 1, 2),
+             |sc AS (SELECT per.vec_id, per.label,
+             |    per.dot::DOUBLE / sqrt(per.n2v::DOUBLE * n2c.n2c::DOUBLE)
+             |      AS score
+             |  FROM per JOIN n2c USING (label)),
+             |r AS (SELECT label, vec_id, score, row_number() OVER
+             |    (PARTITION BY label ORDER BY score DESC, vec_id) AS rank
+             |  FROM sc)
+             |SELECT label, rank, vec_id, round(score, 6) AS score
+             |FROM r WHERE rank <= 5 ORDER BY label, rank""".stripMargin))
   )
 }

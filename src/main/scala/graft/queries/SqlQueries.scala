@@ -4190,6 +4190,58 @@ object SqlQueries {
              |        // 3600000000, 48) END AS lag_h
              |  FROM c LEFT JOIN b USING (user_id))
              |SELECT lag_h::BIGINT AS lag_h, count(*) AS n_users
-             |FROM l GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM l GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Session-duration distribution: 30-min-gap sessions reduced to
+    // one integer duration each (the session DIGEST — seconds from
+    // floored epochs), then count / exact mean / exact p50+p90 via
+    // the percentile aggregate. The engagement-depth readout on the
+    // same sessionization rule as q_sessionize/q_session_paths.
+    QueryDef("q_session_duration_stats",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val sess = graft.sources.Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"))
+          .withColumn("new_s",
+            when(lag(col("ts"), 1).over(w).isNull ||
+              col("ts").cast("long") -
+                lag(col("ts"), 1).over(w).cast("long") > 1800, 1L)
+              .otherwise(0L))
+          .withColumn("sid", sum(col("new_s"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("sid"))
+          .agg((max(col("ts").cast("long")) - min(col("ts").cast("long")))
+            .cast("double").as("dur_sec"))
+        val q = graft.analytics.Stats.quantiles(sess, "dur_sec",
+          Seq(0.5, 0.9))
+        sess.crossJoin(broadcast(q))
+          .agg(count(lit(1)).as("n_sessions"),
+            round(sum(col("dur_sec").cast("decimal(18,0)")).cast("double") /
+              count(lit(1)).cast("double"), 4).as("avg_sec"),
+            round(max(col("q50")), 4).as("p50_sec"),
+            round(max(col("q90")), 4).as("p90_sec"))
+      },
+      Some("""WITH ev AS (SELECT user_id, ts, event_id,
+             |    CASE WHEN lag(ts) OVER win IS NULL
+             |      OR floor(epoch(ts))::BIGINT
+             |        - floor(epoch(lag(ts) OVER win))::BIGINT > 1800
+             |      THEN 1 ELSE 0 END AS new_s
+             |  FROM events
+             |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sx AS (SELECT user_id,
+             |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS sid, ts
+             |  FROM ev),
+             |sess AS (SELECT user_id, sid,
+             |    (max(floor(epoch(ts))::BIGINT)
+             |      - min(floor(epoch(ts))::BIGINT))::DOUBLE AS dur_sec
+             |  FROM sx GROUP BY 1, 2)
+             |SELECT count(*) AS n_sessions,
+             |  round(sum(dur_sec::DECIMAL(18,0))::DOUBLE / count(*)::DOUBLE, 4)
+             |    AS avg_sec,
+             |  round(quantile_cont(dur_sec, 0.5), 4) AS p50_sec,
+             |  round(quantile_cont(dur_sec, 0.9), 4) AS p90_sec
+             |FROM sess""".stripMargin))
   )
 }
