@@ -2925,6 +2925,47 @@ object ExtQueries {
              |    (PARTITION BY label ORDER BY score DESC, vec_id) AS rank
              |  FROM sc)
              |SELECT label, rank, vec_id, round(score, 6) AS score
-             |FROM r WHERE rank <= 5 ORDER BY label, rank""".stripMargin))
+             |FROM r WHERE rank <= 5 ORDER BY label, rank""".stripMargin)),
+
+    // Shard balance report for the 64-way deterministic shuffle: the
+    // skew a training job actually feels (stragglers track max/avg).
+    // One aggregate over the shard digest: sizes, token weights, and
+    // the max/avg imbalance ratio in ppm integers (exact division of
+    // exact sums would be a float; ppm keeps the report
+    // hash-comparable).
+    QueryDef("pipe_shard_balance",
+      (s, d) => {
+        val h = Dedup.strHash60(concat(lit("shuf:"), col("doc_id")))
+        val shard = s.read.parquet(s"$d/documents.parquet")
+          .select(pmod(h, lit(64)).as("shard"), col("n_chars"))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+        shard.agg(count(lit(1)).as("n_shards"),
+            min(col("n_docs")).as("min_docs"),
+            max(col("n_docs")).as("max_docs"),
+            sum(col("n_docs")).as("total_docs"),
+            max(col("chars")).as("max_chars"),
+            sum(col("chars")).as("total_chars"))
+          .select(col("n_shards"), col("min_docs"), col("max_docs"),
+            expr("max_docs * n_shards * 1000000 div total_docs")
+              .as("doc_skew_ppm"),
+            expr("max_chars * n_shards * 1000000 div total_chars")
+              .as("char_skew_ppm"))
+      },
+      Some(s"""WITH sh AS (SELECT ${dkHash60("'shuf:'||doc_id")} % 64 AS shard,
+              |    count(*) AS n_docs, sum(n_chars)::BIGINT AS chars
+              |  FROM documents GROUP BY 1),
+              |g AS (SELECT count(*) AS n_shards, min(n_docs)::BIGINT AS min_docs,
+              |    max(n_docs)::BIGINT AS max_docs,
+              |    sum(n_docs)::BIGINT AS total_docs,
+              |    max(chars)::BIGINT AS max_chars,
+              |    sum(chars)::BIGINT AS total_chars
+              |  FROM sh)
+              |SELECT n_shards, min_docs, max_docs,
+              |  (max_docs * n_shards * 1000000 // total_docs)::BIGINT
+              |    AS doc_skew_ppm,
+              |  (max_chars * n_shards * 1000000 // total_chars)::BIGINT
+              |    AS char_skew_ppm
+              |FROM g""".stripMargin))
   )
 }

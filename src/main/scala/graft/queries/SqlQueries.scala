@@ -4242,6 +4242,51 @@ object SqlQueries {
              |    AS avg_sec,
              |  round(quantile_cont(dur_sec, 0.5), 4) AS p50_sec,
              |  round(quantile_cont(dur_sec, 0.9), 4) AS p90_sec
-             |FROM sess""".stripMargin))
+             |FROM sess""".stripMargin)),
+
+    // Bollinger-band breaches: trailing-20 mean ± 2σ per channel,
+    // counting points outside their own band. Rolling mean/variance
+    // come from EXACT windowed Σx, Σx² in integer cents (the rolling-
+    // slope discipline), and the band test |x − x̄| > 2σ multiplies
+    // through by n² into the pure-integer inequality
+    // (n·x − Σx)² > 4·(n·Σx² − (Σx)²) — the breach set is
+    // bit-deterministic with no sqrt, no division, anywhere.
+    QueryDef("q_rolling_bands",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+          .select(col("event_type"), col("ts"), col("event_id"),
+            floor(col("value") * 100).cast("long").as("c"))
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts"), col("event_id")).rowsBetween(-19, 0)
+        ev.withColumn("n", count(lit(1)).over(w))
+          .withColumn("sx", sum(col("c")).over(w))
+          .withColumn("sxx", sum(col("c") * col("c")).over(w))
+          .filter(col("n") === 20)
+          .withColumn("dev", col("n") * col("c") - col("sx"))
+          .withColumn("varn",
+            col("n") * col("sxx") - col("sx") * col("sx"))
+          .withColumn("breach",
+            (col("dev") * col("dev") > col("varn") * 4).cast("long"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_points"), sum(col("breach")).as("n_breaches"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH ev AS (SELECT event_type, ts, event_id,
+             |    floor(value * 100)::BIGINT AS c FROM events),
+             |r AS (SELECT event_type,
+             |    count(*) OVER win AS n,
+             |    sum(c) OVER win AS sx,
+             |    sum(c * c) OVER win AS sxx, c
+             |  FROM ev WINDOW win AS (PARTITION BY event_type
+             |    ORDER BY ts, event_id ROWS BETWEEN 19 PRECEDING
+             |    AND CURRENT ROW)),
+             |f AS (SELECT event_type,
+             |    (n * c - sx) * (n * c - sx) AS dev2,
+             |    n * sxx - sx * sx AS varn
+             |  FROM r WHERE n = 20)
+             |SELECT event_type, count(*) AS n_points,
+             |  sum(CASE WHEN dev2 > varn * 4 THEN 1 ELSE 0 END)::BIGINT
+             |    AS n_breaches
+             |FROM f GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
