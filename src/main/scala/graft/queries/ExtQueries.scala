@@ -2966,6 +2966,68 @@ object ExtQueries {
               |    AS doc_skew_ppm,
               |  (max_chars * n_shards * 1000000 // total_chars)::BIGINT
               |    AS char_skew_ppm
-              |FROM g""".stripMargin))
+              |FROM g""".stripMargin)),
+
+    // Hapax-legomena ratio per source: the share of terms occurring
+    // exactly once — a classic corpus-health probe (too low ⇒
+    // templated/boilerplate text, too high ⇒ OCR noise). Two
+    // aggregations over the (source, term) digest; the ratio is ppm
+    // integers so the report hash-compares without float division.
+    QueryDef("text_hapax_ratio",
+      (s, d) => {
+        val tf = s.read.parquet(s"$d/documents.parquet")
+          .select(col("source"),
+            explode(TextAnalysis.tokens(col("text"))).as("term"))
+          .filter(col("term") =!= "")
+          .groupBy(col("source"), col("term")).agg(count(lit(1)).as("n"))
+        tf.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_terms"),
+            sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+          .select(col("source"), col("n_terms"), col("n_hapax"),
+            expr("n_hapax * 1000000 div n_terms").as("hapax_ppm"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH tf AS (SELECT source, term, count(*) AS n FROM (
+             |    SELECT source, unnest(string_split(lower(text), ' ')) AS term
+             |    FROM documents) WHERE term != '' GROUP BY 1, 2),
+             |g AS (SELECT source, count(*) AS n_terms,
+             |    sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax
+             |  FROM tf GROUP BY 1)
+             |SELECT source, n_terms, n_hapax,
+             |  (n_hapax * 1000000 // n_terms)::BIGINT AS hapax_ppm
+             |FROM g ORDER BY source""".stripMargin)),
+
+    // Weighted sampling WITHOUT replacement (Efraimidis-Spirakis):
+    // top-10 docs per source by the exponential-jitter key
+    // ln(u)/w — the fixed-size counterpart of the Bernoulli
+    // `doc_sample_weighted` (that one keeps a RATE, this one keeps a
+    // COUNT, weights still proportional). u is the md5 uniform so
+    // both engines draw the identical sample; one window over the
+    // per-source keyed digest.
+    QueryDef("doc_sample_es_topk",
+      (s, d) => {
+        val u = (pmod(Dedup.strHash60(concat(lit("es:"), col("doc_id"))),
+          lit(1000000)).cast("double") + lit(0.5)) / lit(1000000.0)
+        val keyed = s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            (log(u) / col("n_chars").cast("double")).as("k"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("k").desc, col("doc_id"))
+        keyed.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .select(col("source"), col("rank"), col("doc_id"), col("n_chars"),
+            round(col("k"), 9).as("es_key"))
+          .orderBy(col("source"), col("rank"))
+      },
+      Some(s"""WITH keyed AS (SELECT doc_id, source, n_chars,
+              |    ln(((${dkHash60("'es:'||doc_id")} % 1000000)::DOUBLE + 0.5)
+              |        / 1000000.0) / n_chars::DOUBLE AS k
+              |  FROM documents),
+              |r AS (SELECT source, doc_id, n_chars, k, row_number() OVER
+              |    (PARTITION BY source ORDER BY k DESC, doc_id) AS rank
+              |  FROM keyed)
+              |SELECT source, rank, doc_id, n_chars, round(k, 9) AS es_key
+              |FROM r WHERE rank <= 10
+              |ORDER BY source, rank""".stripMargin))
   )
 }
