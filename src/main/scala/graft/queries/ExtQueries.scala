@@ -3028,6 +3028,76 @@ object ExtQueries {
               |  FROM keyed)
               |SELECT source, rank, doc_id, n_chars, round(k, 9) AS es_key
               |FROM r WHERE rank <= 10
-              |ORDER BY source, rank""".stripMargin))
+              |ORDER BY source, rank""".stripMargin)),
+
+    // Cross-source contamination matrix: the MinHash near-dup pairs
+    // rolled up by (source, source) — which feeds are copying which.
+    // Reuses the banded candidate pipeline unchanged (ids-only
+    // shuffles); the only new work is two dimension joins on the
+    // PAIR digest and an unordered-pair normalization via
+    // least/greatest.
+    QueryDef("dedup_source_matrix",
+      (s, d) => {
+        val docs = s.read.parquet(s"$d/documents.parquet")
+        val src = docs.select(col("doc_id"), col("source"))
+        Dedup.minhashNearDups(docs, 0.7)
+          .join(src.select(col("doc_id").as("da"), col("source").as("sa")),
+            col("id_a") === col("da"))
+          .join(src.select(col("doc_id").as("db"), col("source").as("sb")),
+            col("id_b") === col("db"))
+          .groupBy(least(col("sa"), col("sb")).as("src_a"),
+            greatest(col("sa"), col("sb")).as("src_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some(s"""WITH $minhashPairCtes,
+              |p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.7),
+              |m AS (SELECT least(a.source, b.source) AS src_a,
+              |    greatest(a.source, b.source) AS src_b
+              |  FROM p JOIN documents a ON a.doc_id = p.id_a
+              |  JOIN documents b ON b.doc_id = p.id_b)
+              |SELECT src_a, src_b, count(*) AS n_pairs
+              |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // N-gram novelty per source: the ppm share of a source's distinct
+    // bigrams that appear in NO other source — high novelty means
+    // genuinely new text, near-zero means the feed re-serves the
+    // common crawl. Bigram → source-count digest once, then one
+    // semi-aggregated rollup per source; integers end to end.
+    QueryDef("text_ngram_novelty",
+      (s, d) => {
+        val tk = s.read.parquet(s"$d/documents.parquet")
+          .select(col("source"), TextAnalysis.tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 2)
+        val bg = tk.select(col("source"),
+            explode(expr(
+              "transform(sequence(0, size(tk) - 2), i -> concat(tk[i], ' ', tk[i + 1]))"))
+              .as("bg"))
+          .distinct()
+        val spread = bg.groupBy(col("bg").as("b2"))
+          .agg(count(lit(1)).as("n_sources"))
+        bg.join(spread, col("bg") === col("b2"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(when(col("n_sources") === 1, 1L).otherwise(0L))
+              .as("n_unique"))
+          .select(col("source"), col("n_bigrams"), col("n_unique"),
+            expr("n_unique * 1000000 div n_bigrams").as("novelty_ppm"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH tk AS (SELECT source,
+             |    string_split(lower(text), ' ') AS tk FROM documents),
+             |bg AS (SELECT DISTINCT source,
+             |    unnest(list_transform(range(1, len(tk)),
+             |      i -> tk[i] || ' ' || tk[i + 1])) AS bg
+             |  FROM tk WHERE len(tk) >= 2),
+             |spread AS (SELECT bg, count(*) AS n_sources FROM bg GROUP BY 1),
+             |g AS (SELECT source, count(*) AS n_bigrams,
+             |    sum(CASE WHEN spread.n_sources = 1 THEN 1 ELSE 0 END)::BIGINT
+             |      AS n_unique
+             |  FROM bg JOIN spread USING (bg) GROUP BY 1)
+             |SELECT source, n_bigrams, n_unique,
+             |  (n_unique * 1000000 // n_bigrams)::BIGINT AS novelty_ppm
+             |FROM g ORDER BY source""".stripMargin))
   )
 }
