@@ -3098,6 +3098,38 @@ object ExtQueries {
              |  FROM bg JOIN spread USING (bg) GROUP BY 1)
              |SELECT source, n_bigrams, n_unique,
              |  (n_unique * 1000000 // n_bigrams)::BIGINT AS novelty_ppm
-             |FROM g ORDER BY source""".stripMargin))
+             |FROM g ORDER BY source""".stripMargin)),
+
+    // Tokenizer fertility by language: BPE-ish tokens per whitespace
+    // word (ppm) — the compression-efficiency number that drives
+    // tokenizer choice per language; high fertility = the tokenizer
+    // fragments that language and its docs cost more context budget.
+    // Both counters are fused kernels on the scan; one digest rollup.
+    QueryDef("pipe_tokenizer_fertility",
+      (s, d) => {
+        s.read.parquet(s"$d/documents.parquet")
+          .select(col("lang"),
+            TextAnalysis.bpeishTokenCount(col("text")).as("n_bpe"),
+            size(TextAnalysis.tokens(col("text"))).as("n_words"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_bpe").cast("long")).as("bpe_tokens"),
+            sum(col("n_words").cast("long")).as("words"))
+          .select(col("lang"), col("n_docs"), col("bpe_tokens"), col("words"),
+            expr("bpe_tokens * 1000000 div words").as("fertility_ppm"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH t AS (SELECT lang,
+             |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+             |      AS n_bpe,
+             |    len(string_split(lower(text), ' ')) AS n_words
+             |  FROM documents),
+             |g AS (SELECT lang, count(*) AS n_docs,
+             |    sum(n_bpe)::BIGINT AS bpe_tokens,
+             |    sum(n_words)::BIGINT AS words
+             |  FROM t GROUP BY 1)
+             |SELECT lang, n_docs, bpe_tokens, words,
+             |  (bpe_tokens * 1000000 // words)::BIGINT AS fertility_ppm
+             |FROM g ORDER BY lang""".stripMargin))
   )
 }
