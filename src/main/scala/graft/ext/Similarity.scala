@@ -238,11 +238,15 @@ object Similarity extends Serializable {
     val spark = corpus.sparkSession
     val lam = lit(lambda)
     val lamC = lit(1.0) - lit(lambda)
+    // the candidate pool and its pairwise sims feed every selection
+    // round — persist both so the relevance scan and the poolK² sim
+    // kernel run once, not once per round
     val cand = bruteForceTopK(corpus, queries, poolK, idCol, vecCol)
       .select(col("query_id"), col("neighbor_id"), col("sim").as("rel"))
     val vecs = corpus.select(col(idCol).as("__vid"), col(vecCol).as("__vv"))
     val cv = cand.join(vecs, col("neighbor_id") === col("__vid"))
       .select(col("query_id"), col("neighbor_id"), col("rel"), col("__vv"))
+      .persist()
     val pair = cv.select(col("query_id").as("__pq"),
         col("neighbor_id").as("__a"), col("__vv").as("__va"))
       .join(cv.select(col("query_id").as("__pq2"),
@@ -250,6 +254,7 @@ object Similarity extends Serializable {
         col("__pq") === col("__pq2") && col("__a") =!= col("__b"))
       .select(col("__pq"), col("__a"), col("__b"),
         cos(spark, col("__va"), col("__vb")).as("__ps"))
+      .persist()
     val firstW = Window.partitionBy(col("query_id"))
       .orderBy(col("rel").desc, col("neighbor_id"))
     var selected = cv

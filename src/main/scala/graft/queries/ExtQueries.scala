@@ -2785,8 +2785,12 @@ object ExtQueries {
           .select(col("i"), col("j"),
             (when(col("num") < 0, -1L).otherwise(1L) *
               expr("(abs(num) * 2000 + n * n) div (2 * n * n)")).as("c"))
+        // the 16×16 matrix is referenced by all three iterations —
+        // persist it so the distributed Gram build runs once, not
+        // once per iterate
         val m = upper.unionAll(upper.filter(col("i") =!= col("j"))
           .select(col("j").as("i"), col("i").as("j"), col("c")))
+          .persist()
         var v = m.select(col("i")).distinct()
           .select(col("i").as("vi"), lit(1000000L).as("vp"))
         for (_ <- 1 to 3) {
