@@ -4287,6 +4287,95 @@ object SqlQueries {
              |SELECT event_type, count(*) AS n_points,
              |  sum(CASE WHEN dev2 > varn * 4 THEN 1 ELSE 0 END)::BIGINT
              |    AS n_breaches
-             |FROM f GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Lorenz curve (the graph behind q_gini_coefficient): per LTV
+    // decile, the cumulative share of users vs cumulative share of
+    // value, both in exact ppm integers — deciles from ntile over
+    // the user digest, cumulative sums over the 10-row decile
+    // digest. `A 45° line` ⇒ equality; the sag IS the inequality.
+    QueryDef("q_lorenz_curve",
+      (s, d) => {
+        val ltv = graft.sources.Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+        val w = Window.orderBy(col("cents"), col("user_id"))
+        val dec = ltv.withColumn("decile", ntile(10).over(w))
+          .groupBy(col("decile"))
+          .agg(count(lit(1)).as("nu"), sum(col("cents")).as("cts"))
+        val wd = Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val tot = dec.agg(sum(col("nu")).as("tu"), sum(col("cts")).as("tc"))
+        dec.withColumn("cum_u", sum(col("nu")).over(wd))
+          .withColumn("cum_c", sum(col("cts")).over(wd))
+          .crossJoin(broadcast(tot))
+          .select(col("decile"),
+            expr("cum_u * 1000000 div tu").as("cum_users_ppm"),
+            expr("cum_c * 1000000 div tc").as("cum_value_ppm"))
+          .orderBy(col("decile"))
+      },
+      Some("""WITH ltv AS (SELECT user_id,
+             |    sum(floor(value * 100)::BIGINT)::BIGINT AS cents
+             |  FROM events GROUP BY 1),
+             |dec AS (SELECT ntile(10) OVER (ORDER BY cents, user_id)
+             |      AS decile, cents
+             |  FROM ltv),
+             |g AS (SELECT decile, count(*) AS nu, sum(cents)::BIGINT AS cts
+             |  FROM dec GROUP BY 1),
+             |c AS (SELECT decile,
+             |    sum(nu) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+             |      AS cum_u,
+             |    sum(cts) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+             |      AS cum_c
+             |  FROM g),
+             |t AS (SELECT sum(nu)::BIGINT AS tu, sum(cts)::BIGINT AS tc FROM g)
+             |SELECT decile, (cum_u * 1000000 // tu)::BIGINT AS cum_users_ppm,
+             |  (cum_c * 1000000 // tc)::BIGINT AS cum_value_ppm
+             |FROM c, t ORDER BY decile""".stripMargin)),
+
+    // Population Stability Index between the month's first and
+    // second half, per value bucket — THE production
+    // model-monitoring drift score (PSI > 0.25 ⇒ retrain). Bucket
+    // shares from one conditional aggregate; per-bucket
+    // (p−q)·ln(p/q) terms rounded once and summed as exact decimals
+    // (the entropy discipline). Buckets empty on either side are
+    // excluded by exact integer predicates, identically in both
+    // engines.
+    QueryDef("q_psi_stability",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+          .select(floor(col("value")).cast("long").as("b"),
+            (dayofmonth(col("ts")) <= 15).as("h1"))
+        val cell = ev.groupBy(col("b"))
+          .agg(sum(when(col("h1"), 1L).otherwise(0L)).as("na"),
+            sum(when(!col("h1"), 1L).otherwise(0L)).as("nb"))
+          .filter(col("na") > 0 && col("nb") > 0)
+        val tot = cell.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+        val p = col("na").cast("double") / col("ta").cast("double")
+        val q = col("nb").cast("double") / col("tb").cast("double")
+        cell.crossJoin(broadcast(tot))
+          .withColumn("term", round((p - q) * log(p / q), 9)
+            .cast("decimal(20,9)"))
+          .agg(count(lit(1)).as("n_buckets"),
+            round(sum(col("term")).cast("double"), 6).as("psi"))
+      },
+      Some("""WITH ev AS (SELECT floor(value)::BIGINT AS b,
+             |    day(ts) <= 15 AS h1 FROM events),
+             |cell AS (SELECT b,
+             |    sum(CASE WHEN h1 THEN 1 ELSE 0 END)::BIGINT AS na,
+             |    sum(CASE WHEN h1 THEN 0 ELSE 1 END)::BIGINT AS nb
+             |  FROM ev GROUP BY 1
+             |  HAVING sum(CASE WHEN h1 THEN 1 ELSE 0 END) > 0
+             |    AND sum(CASE WHEN h1 THEN 0 ELSE 1 END) > 0),
+             |t AS (SELECT sum(na)::BIGINT AS ta, sum(nb)::BIGINT AS tb
+             |  FROM cell),
+             |c AS (SELECT
+             |    round((na::DOUBLE / t.ta::DOUBLE - nb::DOUBLE / t.tb::DOUBLE)
+             |      * ln((na::DOUBLE / t.ta::DOUBLE)
+             |        / (nb::DOUBLE / t.tb::DOUBLE)), 9)::DECIMAL(20,9) AS term
+             |  FROM cell, t)
+             |SELECT count(*) AS n_buckets,
+             |  round(sum(term)::DOUBLE, 6) AS psi
+             |FROM c""".stripMargin))
   )
 }
