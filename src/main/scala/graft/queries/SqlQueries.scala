@@ -4376,6 +4376,83 @@ object SqlQueries {
              |  FROM cell, t)
              |SELECT count(*) AS n_buckets,
              |  round(sum(term)::DOUBLE, 6) AS psi
-             |FROM c""".stripMargin))
+             |FROM c""".stripMargin)),
+
+    // Day-of-week seasonal effects per channel: each weekday's mean
+    // deviation from the channel mean, in exact integer µcents
+    // (mean = total·1e4 div n on both the channel and the cell, so
+    // the decomposition needs no float means at all). The additive
+    // seasonality table a forecaster subtracts before modeling
+    // trend; complements the hour-of-day baseline in
+    // q_seasonal_anomaly at the weekly grain.
+    QueryDef("q_dow_effects",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+          .select(col("event_type"), dayofweek(col("ts")).as("dow"),
+            floor(col("value") * 100).cast("long").as("c"))
+        val cell = ev.groupBy(col("event_type"), col("dow"))
+          .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"))
+        val ch = cell.groupBy(col("event_type").as("ct"))
+          .agg(expr("(sum(sc) * 10000) div sum(n)").as("mu_u"))
+        cell.join(broadcast(ch), col("event_type") === col("ct"))
+          .select(col("event_type"), col("dow"), col("n"),
+            (expr("(sc * 10000) div n") - col("mu_u")).as("dow_effect_ucents"))
+          .orderBy(col("event_type"), col("dow"))
+      },
+      Some("""WITH ev AS (SELECT event_type, dayofweek(ts) + 1 AS dow,
+             |    floor(value * 100)::BIGINT AS c FROM events),
+             |cell AS (SELECT event_type, dow, count(*) AS n,
+             |    sum(c)::BIGINT AS sc
+             |  FROM ev GROUP BY 1, 2),
+             |ch AS (SELECT event_type, (sum(sc) * 10000) // sum(n) AS mu_u
+             |  FROM cell GROUP BY 1)
+             |SELECT cell.event_type, dow, n,
+             |  ((sc * 10000) // n - ch.mu_u)::BIGINT AS dow_effect_ucents
+             |FROM cell JOIN ch USING (event_type)
+             |ORDER BY event_type, dow""".stripMargin)),
+
+    // Embedding centroid drift: cosine between each label's centroid
+    // in the even-id half vs the odd-id half of the corpus — the
+    // snapshot-to-snapshot stability probe that catches an encoder
+    // change or a poisoned batch before it reaches the ANN index.
+    // Centroids are raw integer SUM vectors (cosine is
+    // scale-invariant, the emb_exemplars trick), so everything up to
+    // the single final cosine is exact.
+    QueryDef("emb_centroid_drift",
+      (s, d) => {
+        val xl = s.read.parquet(s"$d/embeddings.parquet")
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding")).as(Seq("dim", "xf")))
+          .select(col("vec_id"), col("label"), col("dim"),
+            round(col("xf").cast("double") * 1000, 0).cast("long").as("xq"))
+        val halves = xl.groupBy(col("label"), col("dim"))
+          .agg(sum(when(col("vec_id") % 2 === 0, col("xq")).otherwise(0L))
+            .as("sa"),
+            sum(when(col("vec_id") % 2 === 1, col("xq")).otherwise(0L))
+              .as("sb"))
+        halves.groupBy(col("label"))
+          .agg(sum(col("sa") * col("sb")).as("dot"),
+            sum(col("sa") * col("sa")).as("n2a"),
+            sum(col("sb") * col("sb")).as("n2b"))
+          .select(col("label"),
+            round(col("dot").cast("double") /
+              sqrt(col("n2a").cast("double") * col("n2b").cast("double")),
+              6).as("drift_cos"))
+          .orderBy(col("label"))
+      },
+      Some("""WITH xl AS (SELECT vec_id, label, r.i - 1 AS dim,
+             |    round(embedding[r.i]::DOUBLE * 1000)::BIGINT AS xq
+             |  FROM embeddings, range(1, 65) r(i)),
+             |h AS (SELECT label, dim,
+             |    sum(CASE WHEN vec_id % 2 = 0 THEN xq ELSE 0 END)::BIGINT AS sa,
+             |    sum(CASE WHEN vec_id % 2 = 1 THEN xq ELSE 0 END)::BIGINT AS sb
+             |  FROM xl GROUP BY 1, 2),
+             |g AS (SELECT label, sum(sa * sb)::BIGINT AS dot,
+             |    sum(sa * sa)::BIGINT AS n2a, sum(sb * sb)::BIGINT AS n2b
+             |  FROM h GROUP BY 1)
+             |SELECT label,
+             |  round(dot::DOUBLE / sqrt(n2a::DOUBLE * n2b::DOUBLE), 6)
+             |    AS drift_cos
+             |FROM g ORDER BY label""".stripMargin))
   )
 }
