@@ -4453,6 +4453,111 @@ object SqlQueries {
              |SELECT label,
              |  round(dot::DOUBLE / sqrt(n2a::DOUBLE * n2b::DOUBLE), 6)
              |    AS drift_cos
-             |FROM g ORDER BY label""".stripMargin))
+             |FROM g ORDER BY label""".stripMargin)),
+
+    // Audience overlap matrix: Jaccard between the USER BASES of
+    // every event-type pair — who clicks also buys? Distinct
+    // (user, type) pairs once; the intersection count is a
+    // co-partitioned self-join on user_id; unions come from the
+    // per-type sizes by inclusion-exclusion, so no second pass. The
+    // segment-overlap planning number behind every cross-sell
+    // analysis.
+    QueryDef("q_segment_overlap",
+      (s, d) => {
+        val ut = graft.sources.Tables.events(s, d)
+          .select(col("user_id"), col("event_type")).distinct()
+        val sizes = ut.groupBy(col("event_type").as("st"))
+          .agg(count(lit(1)).as("sz"))
+        val inter = ut.join(ut.select(col("user_id").as("u2"),
+            col("event_type").as("t2")),
+            col("user_id") === col("u2") && col("event_type") < col("t2"))
+          .groupBy(col("event_type").as("ta"), col("t2").as("tb"))
+          .agg(count(lit(1)).as("n_inter"))
+        inter.join(broadcast(sizes), col("ta") === col("st"))
+          .withColumnRenamed("sz", "sz_a").drop("st")
+          .join(broadcast(sizes), col("tb") === col("st"))
+          .withColumnRenamed("sz", "sz_b").drop("st")
+          .select(col("ta"), col("tb"), col("n_inter"),
+            expr("n_inter * 1000000 div (sz_a + sz_b - n_inter)")
+              .as("jaccard_ppm"))
+          .orderBy(col("ta"), col("tb"))
+      },
+      Some("""WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+             |sz AS (SELECT event_type, count(*) AS sz FROM ut GROUP BY 1),
+             |inter AS (SELECT a.event_type AS ta, b.event_type AS tb,
+             |    count(*) AS n_inter
+             |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+             |    AND a.event_type < b.event_type
+             |  GROUP BY 1, 2)
+             |SELECT ta, tb, n_inter,
+             |  (n_inter * 1000000
+             |    // (sa.sz + sb.sz - n_inter))::BIGINT AS jaccard_ppm
+             |FROM inter JOIN sz sa ON sa.event_type = ta
+             |JOIN sz sb ON sb.event_type = tb
+             |ORDER BY ta, tb""".stripMargin)),
+
+    // CUPED variance-reduced A/B readout: adjust each user's
+    // second-half outcome by their FIRST-half covariate,
+    // Yadj = Y − θ(X − X̄), θ = cov(X,Y)/var(X) — the standard
+    // experimentation trick that shrinks confidence intervals for
+    // free. Per-user halves come from one conditional aggregate in
+    // exact cents; θ and both variances are closed forms over exact
+    // sums (the q_sensor_drift discipline); the report shows the
+    // variance reduction CUPED bought.
+    QueryDef("q_ab_cuped",
+      (s, d) => {
+        val per = graft.sources.Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(sum(when(dayofmonth(col("ts")) <= 15,
+              floor(col("value") * 100).cast("long")).otherwise(0L)).as("x"),
+            sum(when(dayofmonth(col("ts")) > 15,
+              floor(col("value") * 100).cast("long")).otherwise(0L)).as("y"))
+        val g = per.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("y") * col("y")).as("syy"))
+        // moment combinations escape int64 at scale (n·Σxy ~ 4e19);
+        // DECIMAL(38,0) keeps them exact where DuckDB auto-escapes
+        // to HUGEINT — both engines reach the identical double
+        def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        val n = col("n").cast("double")
+        val covxy = (d38(col("n")) * d38(col("sxy")) -
+          d38(col("sx")) * d38(col("sy"))).cast("double")
+        val varx = (d38(col("n")) * d38(col("sxx")) -
+          d38(col("sx")) * d38(col("sx"))).cast("double")
+        val vary = (d38(col("n")) * d38(col("syy")) -
+          d38(col("sy")) * d38(col("sy"))).cast("double")
+        g.select(col("n").as("n_users"),
+          round(covxy / varx, 6).as("theta"),
+          round(vary / (n * n), 4).as("var_y"),
+          round((vary - covxy * covxy / varx) / (n * n), 4)
+            .as("var_y_cuped"),
+          round(lit(1.0) - (vary - covxy * covxy / varx) / vary, 6)
+            .as("var_reduction"))
+      },
+      Some("""WITH per AS (SELECT user_id,
+             |    sum(CASE WHEN day(ts) <= 15
+             |      THEN floor(value * 100)::BIGINT ELSE 0 END)::BIGINT AS x,
+             |    sum(CASE WHEN day(ts) > 15
+             |      THEN floor(value * 100)::BIGINT ELSE 0 END)::BIGINT AS y
+             |  FROM events GROUP BY 1),
+             |g AS (SELECT count(*) AS n, sum(x)::BIGINT AS sx,
+             |    sum(y)::BIGINT AS sy, sum(x * x)::BIGINT AS sxx,
+             |    sum(x * y)::BIGINT AS sxy, sum(y * y)::BIGINT AS syy
+             |  FROM per)
+             |SELECT n AS n_users,
+             |  round((n * sxy - sx * sy)::DOUBLE
+             |    / (n * sxx - sx * sx)::DOUBLE, 6) AS theta,
+             |  round((n * syy - sy * sy)::DOUBLE / (n::DOUBLE * n::DOUBLE), 4)
+             |    AS var_y,
+             |  round(((n * syy - sy * sy)::DOUBLE
+             |    - (n * sxy - sx * sy)::DOUBLE * (n * sxy - sx * sy)::DOUBLE
+             |      / (n * sxx - sx * sx)::DOUBLE) / (n::DOUBLE * n::DOUBLE), 4)
+             |    AS var_y_cuped,
+             |  round(1.0 - ((n * syy - sy * sy)::DOUBLE
+             |    - (n * sxy - sx * sy)::DOUBLE * (n * sxy - sx * sy)::DOUBLE
+             |      / (n * sxx - sx * sx)::DOUBLE)
+             |    / (n * syy - sy * sy)::DOUBLE, 6) AS var_reduction
+             |FROM g""".stripMargin))
   )
 }
