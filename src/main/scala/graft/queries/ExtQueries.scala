@@ -3134,6 +3134,47 @@ object ExtQueries {
              |  FROM t GROUP BY 1)
              |SELECT lang, n_docs, bpe_tokens, words,
              |  (bpe_tokens * 1000000 // words)::BIGINT AS fertility_ppm
-             |FROM g ORDER BY lang""".stripMargin))
+             |FROM g ORDER BY lang""".stripMargin)),
+
+    // Largest-remainder (Hamilton) quota allocation: split a fixed
+    // 1000-slot sampling budget across sources exactly proportional
+    // to their doc counts — floor quotas first, then the leftover
+    // slots go to the largest remainders (ties → source asc). Every
+    // comparison is on exact integers (remainder r = n·B − q·N), so
+    // the apportionment is bit-deterministic and Σquota == budget by
+    // construction — the property ad-hoc rounding always breaks.
+    QueryDef("pipe_quota_allocate",
+      (s, d) => {
+        val counts = s.read.parquet(s"$d/documents.parquet")
+          .groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val tot = counts.agg(sum(col("n")).as("nn"),
+          count(lit(1)).as("n_src"))
+        val base = counts.crossJoin(broadcast(tot))
+          .withColumn("q0", expr("(n * 1000) div nn"))
+          .withColumn("r", col("n") * 1000 - col("q0") * col("nn"))
+        val leftover = base.agg(
+          (lit(1000L) - sum(col("q0"))).as("leftover"))
+        val w = Window.orderBy(col("r").desc, col("source"))
+        base.withColumn("rk", row_number().over(w))
+          .crossJoin(broadcast(leftover))
+          .select(col("source"), col("n").as("n_docs"),
+            (col("q0") + when(col("rk") <= col("leftover"), 1L)
+              .otherwise(0L)).as("quota"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH c AS (SELECT source, count(*) AS n
+             |  FROM documents GROUP BY 1),
+             |t AS (SELECT sum(n)::BIGINT AS nn FROM c),
+             |b AS (SELECT source, n, (n * 1000) // t.nn AS q0,
+             |    n * 1000 - ((n * 1000) // t.nn) * t.nn AS r
+             |  FROM c, t),
+             |lo AS (SELECT 1000 - sum(q0) AS leftover FROM b),
+             |rk AS (SELECT source, n, q0, row_number() OVER
+             |    (ORDER BY r DESC, source) AS rk
+             |  FROM b)
+             |SELECT source, n AS n_docs,
+             |  (q0 + CASE WHEN rk <= lo.leftover THEN 1 ELSE 0 END)::BIGINT
+             |    AS quota
+             |FROM rk, lo ORDER BY source""".stripMargin))
   )
 }

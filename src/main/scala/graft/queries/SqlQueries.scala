@@ -4558,6 +4558,41 @@ object SqlQueries {
              |    - (n * sxy - sx * sy)::DOUBLE * (n * sxy - sx * sy)::DOUBLE
              |      / (n * sxx - sx * sx)::DOUBLE)
              |    / (n * syy - sy * sy)::DOUBLE, 6) AS var_reduction
-             |FROM g""".stripMargin))
+             |FROM g""".stripMargin)),
+
+    // Fixed-depth hierarchy rollup: events attributed up a synthetic
+    // binary org tree (parent = id div 2) to self + parent +
+    // grandparent, WITHOUT recursion — bounded-depth ancestor
+    // explosion over the per-leaf digest, then one re-aggregation.
+    // The category-tree/org-chart rollup shape: at a fixed depth the
+    // explode is a constant fan-out, embarrassingly parallel, and
+    // needs no iterative driver loop.
+    QueryDef("q_hierarchy_rollup",
+      (s, d) => {
+        val leaf = graft.sources.Tables.events(s, d)
+          .filter(col("user_id") >= 8)
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        leaf.select(explode(array(
+            struct(col("user_id").as("node"), lit(0).as("depth")),
+            struct(expr("user_id div 2").as("node"), lit(1).as("depth")),
+            struct(expr("user_id div 4").as("node"), lit(2).as("depth"))))
+            .as("a"), col("n"))
+          .groupBy(col("a.node").as("node"))
+          .agg(sum(col("n")).as("subtree_events"),
+            sum(when(col("a.depth") === 0, col("n")).otherwise(0L))
+              .as("own_events"))
+          .orderBy(col("subtree_events").desc, col("node")).limit(20)
+      },
+      Some("""WITH leaf AS (SELECT user_id, count(*) AS n FROM events
+             |  WHERE user_id >= 8 GROUP BY 1),
+             |anc AS (SELECT user_id AS node, 0 AS depth, n FROM leaf
+             |  UNION ALL SELECT user_id // 2, 1, n FROM leaf
+             |  UNION ALL SELECT user_id // 4, 2, n FROM leaf),
+             |g AS (SELECT node, sum(n)::BIGINT AS subtree_events,
+             |    sum(CASE WHEN depth = 0 THEN n ELSE 0 END)::BIGINT
+             |      AS own_events
+             |  FROM anc GROUP BY 1)
+             |SELECT node, subtree_events, own_events FROM g
+             |ORDER BY subtree_events DESC, node LIMIT 20""".stripMargin))
   )
 }
