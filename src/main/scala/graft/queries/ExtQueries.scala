@@ -3175,6 +3175,53 @@ object ExtQueries {
              |SELECT source, n AS n_docs,
              |  (q0 + CASE WHEN rk <= lo.leftover THEN 1 ELSE 0 END)::BIGINT
              |    AS quota
-             |FROM rk, lo ORDER BY source""".stripMargin))
+             |FROM rk, lo ORDER BY source""".stripMargin)),
+
+    // Flesch-style readability per source: 206.835 − 1.015·(words/
+    // sentences) − 84.6·(syllables/words), with sentences counted by
+    // terminal punctuation and syllables proxied by vowel groups —
+    // the grade-level quality signal that separates prose from
+    // boilerplate. All three counts are exact integers from regex
+    // kernels (character classes only, identical in Java and RE2
+    // regex dialects); the formula is one double expression over the
+    // per-source integer rollup.
+    QueryDef("text_readability",
+      (s, d) => {
+        val t = s.read.parquet(s"$d/documents.parquet")
+          .select(col("source"),
+            size(split(col("text"), " ")).as("words"),
+            greatest(size(expr(
+              "regexp_extract_all(text, '[.!?]', 0)")), lit(1))
+              .as("sentences"),
+            greatest(size(expr(
+              "regexp_extract_all(lower(text), '[aeiouy]+', 0)")), lit(1))
+              .as("syllables"))
+        t.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("words").cast("long")).as("w"),
+            sum(col("sentences").cast("long")).as("st"),
+            sum(col("syllables").cast("long")).as("sy"))
+          .select(col("source"), col("n_docs"),
+            round(lit(206.835) -
+              lit(1.015) * (col("w").cast("double") / col("st").cast("double")) -
+              lit(84.6) * (col("sy").cast("double") / col("w").cast("double")),
+              4).as("flesch"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH t AS (SELECT source,
+             |    len(string_split(text, ' ')) AS words,
+             |    greatest(len(regexp_extract_all(text, '[.!?]')), 1)
+             |      AS sentences,
+             |    greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+             |      AS syllables
+             |  FROM documents),
+             |g AS (SELECT source, count(*) AS n_docs,
+             |    sum(words)::BIGINT AS w, sum(sentences)::BIGINT AS st,
+             |    sum(syllables)::BIGINT AS sy
+             |  FROM t GROUP BY 1)
+             |SELECT source, n_docs,
+             |  round(206.835 - 1.015 * (w::DOUBLE / st::DOUBLE)
+             |    - 84.6 * (sy::DOUBLE / w::DOUBLE), 4) AS flesch
+             |FROM g ORDER BY source""".stripMargin))
   )
 }

@@ -4593,6 +4593,49 @@ object SqlQueries {
              |      AS own_events
              |  FROM anc GROUP BY 1)
              |SELECT node, subtree_events, own_events FROM g
-             |ORDER BY subtree_events DESC, node LIMIT 20""".stripMargin))
+             |ORDER BY subtree_events DESC, node LIMIT 20""".stripMargin)),
+
+    // Herfindahl-Hirschman concentration of revenue by nation: HHI =
+    // Σ shareᵢ², the antitrust-grade concentration number. Shares
+    // quantize to ppm integers (one floored double division of
+    // exact-decimal sums — IEEE-identical on both engines), so the
+    // index itself is pure integer arithmetic: Σ ppm² div 1e6 → ppm
+    // of the 1e6 "fully concentrated" ceiling.
+    QueryDef("q_hhi_concentration",
+      (s, d) => {
+        val rev = s.read.parquet(s"$d/lineitem.parquet")
+          .select(col("l_orderkey"),
+            (col("l_extendedprice").cast("decimal(12,2)") *
+              (lit(1) - col("l_discount")).cast("decimal(4,2)")).as("vol"))
+          .join(s.read.parquet(s"$d/orders.parquet")
+            .select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(s.read.parquet(s"$d/customer.parquet")
+            .select("c_custkey", "c_nationkey"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey"))
+          .agg(sum(col("vol")).as("rev"))
+        val tot = rev.agg(sum(col("rev")).as("tot"))
+        rev.crossJoin(broadcast(tot))
+          .withColumn("share_ppm",
+            floor(col("rev").cast("double") * lit(1000000.0) /
+              col("tot").cast("double")).cast("long"))
+          .agg(count(lit(1)).as("n_nations"),
+            expr("sum(share_ppm * share_ppm) div 1000000").as("hhi_ppm"))
+      },
+      Some("""WITH rev AS (SELECT c_nationkey,
+             |    sum(CAST(l_extendedprice AS DECIMAL(12,2))
+             |      * CAST(1 - l_discount AS DECIMAL(4,2))) AS rev
+             |  FROM lineitem
+             |  JOIN orders ON o_orderkey = l_orderkey
+             |  JOIN customer ON c_custkey = o_custkey
+             |  GROUP BY 1),
+             |t AS (SELECT sum(rev) AS tot FROM rev),
+             |s AS (SELECT floor(rev::DOUBLE * 1000000.0 / t.tot::DOUBLE)::BIGINT
+             |    AS share_ppm
+             |  FROM rev, t)
+             |SELECT count(*) AS n_nations,
+             |  (sum(share_ppm * share_ppm) // 1000000)::BIGINT AS hhi_ppm
+             |FROM s""".stripMargin))
   )
 }
