@@ -4636,6 +4636,272 @@ object SqlQueries {
              |  FROM rev, t)
              |SELECT count(*) AS n_nations,
              |  (sum(share_ppm * share_ppm) // 1000000)::BIGINT AS hhi_ppm
-             |FROM s""".stripMargin))
+             |FROM s""".stripMargin)),
+
+    // TPC-H Q17 shape: revenue locked in "small-quantity" lineitems —
+    // lines whose quantity sits under 20% of their part's average.
+    // The per-part threshold is the correlated-subquery classic; here
+    // it's one grouped pass over the brand's lines joined back on
+    // partkey (both sides pre-filtered by the broadcast part dim, so
+    // at 100 TB the fact scan reads one brand's slice twice, never
+    // the whole table). The 20%-of-average comparison is cleared of
+    // float division entirely: qty < sum/(5n)  ⟺  5·n·qty < sum in
+    // exact decimals — no rounding boundary can flip a row.
+    QueryDef("q17_small_quantity",
+      (s, d) => {
+        val p = s.read.parquet(s"$d/part.parquet")
+          .filter(col("p_brand") === "Brand#7").select("p_partkey")
+        val li = s.read.parquet(s"$d/lineitem.parquet")
+          .select("l_partkey", "l_quantity", "l_extendedprice")
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        val th = li.groupBy(col("l_partkey").as("tk"))
+          .agg(sum(col("l_quantity").cast("decimal(12,2)")).as("sq"),
+            count(lit(1)).as("nq"))
+        li.join(th, col("l_partkey") === col("tk"))
+          .filter(col("l_quantity").cast("decimal(12,2)") * lit(5) *
+            col("nq") < col("sq"))
+          .agg(count(lit(1)).as("n_small"),
+            sum(col("l_extendedprice").cast("decimal(12,2)"))
+              .cast("double").as("small_revenue"))
+      },
+      Some("""WITH li AS (SELECT l_partkey, l_quantity, l_extendedprice
+             |    FROM lineitem JOIN part ON p_partkey = l_partkey
+             |    WHERE p_brand = 'Brand#7'),
+             |th AS (SELECT l_partkey AS tk,
+             |    sum(CAST(l_quantity AS DECIMAL(12,2))) AS sq,
+             |    count(*) AS nq
+             |  FROM li GROUP BY 1)
+             |SELECT count(*) AS n_small,
+             |  sum(CAST(l_extendedprice AS DECIMAL(12,2)))::DOUBLE
+             |    AS small_revenue
+             |FROM li JOIN th ON l_partkey = tk
+             |WHERE CAST(l_quantity AS DECIMAL(12,2)) * 5 * nq < sq""".stripMargin)),
+
+    // TPC-H Q21 shape: suppliers who kept multi-supplier orders
+    // waiting — they shipped late (>60 days past the order date) on a
+    // finished order where EVERY other supplier shipped on time. The
+    // EXISTS / NOT-EXISTS pair of the original is folded into one
+    // per-order digest (distinct-supplier count + distinct-late-
+    // supplier count), so the plan is two shuffles on orderkey and a
+    // broadcast of the supplier dim — no correlated re-scan per
+    // supplier the way the textbook plan does it.
+    QueryDef("q21_waiting_supplier",
+      (s, d) => {
+        val o = s.read.parquet(s"$d/orders.parquet")
+          .filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate")
+        val lo = s.read.parquet(s"$d/lineitem.parquet")
+          .select("l_orderkey", "l_suppkey", "l_shipdate")
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .withColumn("late",
+            (col("l_shipdate") > col("o_orderdate") +
+              expr("INTERVAL 60 DAYS")).cast("int"))
+        val per = lo.groupBy(col("l_orderkey").as("ok"))
+          .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+            countDistinct(when(col("late") === 1, col("l_suppkey")))
+              .as("n_late_supp"))
+        val lateLines = lo.filter(col("late") === 1)
+          .select("l_orderkey", "l_suppkey").distinct()
+        lateLines
+          .join(per, col("l_orderkey") === col("ok") &&
+            col("n_supp") > 1 && col("n_late_supp") === 1)
+          .join(broadcast(s.read.parquet(s"$d/supplier.parquet")
+            .select("s_suppkey", "s_name")),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name")).limit(20)
+      },
+      Some("""WITH lo AS (SELECT l_orderkey, l_suppkey,
+             |    CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+             |      THEN 1 ELSE 0 END AS late
+             |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+             |  WHERE o_orderstatus = 'F'),
+             |per AS (SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp,
+             |    count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END)
+             |      AS n_late_supp
+             |  FROM lo GROUP BY 1),
+             |w AS (SELECT DISTINCT lo.l_orderkey, l_suppkey
+             |  FROM lo JOIN per USING (l_orderkey)
+             |  WHERE late = 1 AND n_supp > 1 AND n_late_supp = 1)
+             |SELECT s_name, count(*) AS numwait
+             |FROM w JOIN supplier ON s_suppkey = l_suppkey
+             |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin)),
+
+    // Link prediction on the co-purchase graph via the Resource
+    // Allocation index: RA(a,b) = Σ_{z ∈ Γ(a)∩Γ(b)} 1/deg(z), scored
+    // only for NON-edges (the recommendation candidates). Candidate
+    // generation is the wedge join (adjacency self-joined on the
+    // shared neighbor z) — the same ids-only shuffle shape as the
+    // triangle counter, never an all-pairs scan. 1/deg is carried as
+    // the integer ppb quotient 1e9 div deg, so the score sum is
+    // partition-order independent and bit-identical to the oracle.
+    QueryDef("q_link_prediction",
+      (s, d) => {
+        val e = s.read.parquet(copurchaseEdgesOf(s, d))
+        val eb = e.select(col("p1").as("src"), col("p2").as("dst"))
+          .unionAll(e.select(col("p2").as("src"), col("p1").as("dst")))
+        val deg = eb.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("deg"))
+        val adj = eb.join(deg, col("src") === col("node"))
+          .select(col("src"), col("dst"),
+            expr("1000000000 div deg").as("w"))
+        val cand = adj.select(col("src").as("z"), col("dst").as("a"),
+            col("w"))
+          .join(adj.select(col("src").as("z2"), col("dst").as("b")),
+            col("z") === col("z2") && col("a") < col("b"))
+          .groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).as("common_neighbors"),
+            sum(col("w")).as("ra_score_ppb"))
+        cand.join(e, col("a") === col("p1") && col("b") === col("p2"),
+            "left_anti")
+          .orderBy(col("ra_score_ppb").desc, col("a"), col("b"))
+          .limit(30)
+      },
+      Some("""WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+             |  FROM pp a JOIN pp b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |eb AS (SELECT p1 AS src, p2 AS dst FROM e
+             |  UNION ALL SELECT p2, p1 FROM e),
+             |deg AS (SELECT src AS node, count(*) AS deg FROM eb GROUP BY 1),
+             |adj AS (SELECT src, dst, 1000000000 // deg AS w
+             |  FROM eb JOIN deg ON src = node),
+             |cand AS (SELECT x.dst AS a, y.dst AS b,
+             |    count(*) AS common_neighbors,
+             |    sum(x.w)::BIGINT AS ra_score_ppb
+             |  FROM adj x JOIN adj y
+             |    ON x.src = y.src AND x.dst < y.dst
+             |  GROUP BY 1, 2)
+             |SELECT a, b, common_neighbors, ra_score_ppb FROM cand
+             |WHERE NOT EXISTS (SELECT 1 FROM e
+             |  WHERE p1 = a AND p2 = b)
+             |ORDER BY ra_score_ppb DESC, a, b LIMIT 30""".stripMargin)),
+
+    // Per-user activity bitmap: one bit per calendar day ORed into a
+    // 30-bit mask — the roaring-bitmap-style engagement encoding
+    // (64 users/word at the warehouse, popcount = days active, mask
+    // equality = identical schedules). One shuffle on user_id, then a
+    // catalog-sized regroup on popcount; the mask checksum pins the
+    // exact bit pattern, not just its cardinality.
+    QueryDef("q_activity_bitmap",
+      (s, d) => {
+        graft.sources.Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(expr("bit_or(shiftleft(1L, datediff(to_date(ts), " +
+            "date'2024-01-01')))").as("mask"))
+          .groupBy(bit_count(col("mask")).as("n_active_days"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("mask")).as("mask_checksum"))
+          .orderBy(col("n_active_days"))
+      },
+      Some("""WITH m AS (SELECT user_id,
+             |    bit_or(1::BIGINT << datediff('day', DATE '2024-01-01',
+             |      ts::DATE)) AS mask
+             |  FROM events GROUP BY 1)
+             |SELECT bit_count(mask) AS n_active_days,
+             |  count(*) AS n_users, sum(mask)::BIGINT AS mask_checksum
+             |FROM m GROUP BY 1 ORDER BY n_active_days""".stripMargin)),
+
+    // Per-brand OLS slope of quantity on discount ("price
+    // elasticity" readout): slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²).
+    // Both sufficient statistics are EXACT decimal sums carried in
+    // 1e-4 units (bigint), so the only float op is the final
+    // IEEE-deterministic double division, floored to ppm — the same
+    // exactness discipline as the covariance/HHI queries. One scan,
+    // map-side partial aggregation, 25 groups.
+    QueryDef("feat_price_elasticity",
+      (s, d) => {
+        val li = s.read.parquet(s"$d/lineitem.parquet")
+          .select(col("l_partkey"),
+            col("l_discount").cast("decimal(4,2)").as("x"),
+            col("l_quantity").cast("decimal(12,2)").as("y"))
+          .join(broadcast(s.read.parquet(s"$d/part.parquet")
+            .select("p_partkey", "p_brand")),
+            col("l_partkey") === col("p_partkey"))
+        li.groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(col("p_brand"), col("n"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")) *
+              lit(10000)).cast("long").as("nsxy_u"),
+            ((col("n") * col("sxx") - col("sx") * col("sx")) *
+              lit(10000)).cast("long").as("nsxx_u"))
+          .withColumn("slope_ppm",
+            floor(col("nsxy_u").cast("double") * lit(1000000.0) /
+              col("nsxx_u").cast("double")).cast("long"))
+          .orderBy(col("p_brand"))
+      },
+      Some("""WITH g AS (SELECT p_brand, count(*) AS n,
+             |    sum(CAST(l_discount AS DECIMAL(4,2)) *
+             |        CAST(l_quantity AS DECIMAL(12,2))) AS sxy,
+             |    sum(CAST(l_discount AS DECIMAL(4,2))) AS sx,
+             |    sum(CAST(l_quantity AS DECIMAL(12,2))) AS sy,
+             |    sum(CAST(l_discount AS DECIMAL(4,2)) *
+             |        CAST(l_discount AS DECIMAL(4,2))) AS sxx
+             |  FROM lineitem JOIN part ON p_partkey = l_partkey
+             |  GROUP BY 1),
+             |u AS (SELECT p_brand, n,
+             |    ((n * sxy - sx * sy) * 10000)::BIGINT AS nsxy_u,
+             |    ((n * sxx - sx * sx) * 10000)::BIGINT AS nsxx_u
+             |  FROM g)
+             |SELECT p_brand, n, nsxy_u, nsxx_u,
+             |  floor(nsxy_u::DOUBLE * 1000000.0 / nsxx_u::DOUBLE)::BIGINT
+             |    AS slope_ppm
+             |FROM u ORDER BY p_brand""".stripMargin)),
+
+    // Record survivorship (MDM golden record): per user, the most
+    // recent value of each sparse attribute stream — last click /
+    // purchase / signup value with its timestamp — merged into one
+    // row. The rank runs per (user, attribute) in a single window
+    // pass, then a conditional-aggregation pivot; users missing an
+    // attribute surface NULLs, exactly the semantics a survivorship
+    // merge must preserve (absence ≠ zero).
+    QueryDef("q_record_survivorship",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        graft.sources.Tables.events(s, d)
+          .filter(col("event_type").isin("click", "purchase", "signup"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .groupBy(col("user_id"))
+          .agg(
+            max(when(col("event_type") === "click", col("value")))
+              .as("click_value"),
+            max(when(col("event_type") === "click", col("ts")))
+              .as("click_ts"),
+            max(when(col("event_type") === "purchase", col("value")))
+              .as("purchase_value"),
+            max(when(col("event_type") === "purchase", col("ts")))
+              .as("purchase_ts"),
+            max(when(col("event_type") === "signup", col("value")))
+              .as("signup_value"),
+            max(when(col("event_type") === "signup", col("ts")))
+              .as("signup_ts"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH r AS (SELECT user_id, event_type, value, ts,
+             |    row_number() OVER (PARTITION BY user_id, event_type
+             |      ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM events
+             |  WHERE event_type IN ('click', 'purchase', 'signup'))
+             |SELECT user_id,
+             |  max(CASE WHEN event_type = 'click' THEN value END)
+             |    AS click_value,
+             |  max(CASE WHEN event_type = 'click' THEN ts END)
+             |    AS click_ts,
+             |  max(CASE WHEN event_type = 'purchase' THEN value END)
+             |    AS purchase_value,
+             |  max(CASE WHEN event_type = 'purchase' THEN ts END)
+             |    AS purchase_ts,
+             |  max(CASE WHEN event_type = 'signup' THEN value END)
+             |    AS signup_value,
+             |  max(CASE WHEN event_type = 'signup' THEN ts END)
+             |    AS signup_ts
+             |FROM r WHERE rn = 1 GROUP BY 1 ORDER BY user_id""".stripMargin))
   )
 }
