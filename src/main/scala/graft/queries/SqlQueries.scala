@@ -4902,6 +4902,310 @@ object SqlQueries {
              |    AS signup_value,
              |  max(CASE WHEN event_type = 'signup' THEN ts END)
              |    AS signup_ts
-             |FROM r WHERE rn = 1 GROUP BY 1 ORDER BY user_id""".stripMargin))
+             |FROM r WHERE rn = 1 GROUP BY 1 ORDER BY user_id""".stripMargin)),
+
+    // Single-changepoint detection per event-type series: for every
+    // candidate split day t, score the mean shift between the two
+    // halves as |RS·Ln − LS·Rn| (the cross-multiplied form of
+    // |mean_L − mean_R| — no division, so the argmax is exact integer
+    // arithmetic end to end). One daily rollup, then two window
+    // passes inside the per-type partition; ties break to the
+    // earliest day. This is binary segmentation's inner step, the
+    // building block of level-shift monitors.
+    QueryDef("q_changepoint_detect",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(col("event_type"),
+            datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+              .as("day"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).as("sv"))
+        val wCum = Window.partitionBy(col("event_type")).orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy(col("event_type"))
+        val scored = daily
+          .withColumn("ln", sum(col("n")).over(wCum))
+          .withColumn("ls", sum(col("sv")).over(wCum))
+          .withColumn("tn", sum(col("n")).over(wAll))
+          .withColumn("ts_", sum(col("sv")).over(wAll))
+          .withColumn("rn_", col("tn") - col("ln"))
+          .withColumn("rs", col("ts_") - col("ls"))
+          .filter(col("rn_") > 0)
+          .withColumn("score_u",
+            abs(col("rs") * col("ln") - col("ls") * col("rn_"))
+              .multiply(lit(100)).cast("long"))
+        scored
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("event_type"))
+              .orderBy(col("score_u").desc, col("day"))))
+          .filter(col("rk") === 1)
+          .select(col("event_type"), col("day").as("split_day"),
+            col("score_u"), col("ln").as("n_left"),
+            col("rn_").as("n_right"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH daily AS (SELECT event_type,
+             |    datediff('day', DATE '2024-01-01', ts::DATE) AS day,
+             |    count(*) AS n,
+             |    sum(CAST(value AS DECIMAL(18,2))) AS sv
+             |  FROM events GROUP BY 1, 2),
+             |c AS (SELECT event_type, day,
+             |    sum(n) OVER (PARTITION BY event_type ORDER BY day) AS ln,
+             |    sum(sv) OVER (PARTITION BY event_type ORDER BY day) AS ls,
+             |    sum(n) OVER (PARTITION BY event_type) AS tn,
+             |    sum(sv) OVER (PARTITION BY event_type) AS ts_
+             |  FROM daily),
+             |sc AS (SELECT event_type, day, ln, tn - ln AS rn_,
+             |    (abs((ts_ - ls) * ln - ls * (tn - ln)) * 100)::BIGINT
+             |      AS score_u
+             |  FROM c WHERE tn - ln > 0),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+             |    ORDER BY score_u DESC, day) AS rk FROM sc)
+             |SELECT event_type, day AS split_day, score_u,
+             |  ln::BIGINT AS n_left, rn_::BIGINT AS n_right
+             |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin)),
+
+    // Kaplan-Meier counting process for time-to-conversion: the
+    // "event" is a user's first high-value purchase (value ≥ 90),
+    // measured in days since their first activity; users who never
+    // convert are right-censored at the observation horizon. The
+    // output is the survival table — at each event time t: number at
+    // risk, events, censorings — the exact-integer core of the KM
+    // estimator (the product-limit curve is a float post-process the
+    // warehouse leaves to the notebook). The reverse-cumulative
+    // at-risk count runs on the ≤31-row lifetime digest, so the
+    // unpartitioned window is catalog-sized by construction.
+    QueryDef("q_survival_at_risk",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+        val perUser = ev.groupBy(col("user_id"))
+          .agg(min(to_date(col("ts"))).as("first_d"))
+        val conv = ev.filter(col("event_type") === "purchase" &&
+            col("value") >= 90)
+          .groupBy(col("user_id").as("cu"))
+          .agg(min(to_date(col("ts"))).as("conv_d"))
+        val horizon = ev.agg(max(to_date(col("ts"))).as("max_d"))
+        val lived = perUser
+          .join(conv, col("user_id") === col("cu"), "left")
+          .crossJoin(broadcast(horizon))
+          .withColumn("dead", col("conv_d").isNotNull.cast("long"))
+          .withColumn("lifetime",
+            datediff(coalesce(col("conv_d"), col("max_d")),
+              col("first_d")))
+        val byT = lived.groupBy(col("lifetime"))
+          .agg(sum(col("dead")).as("n_deaths"),
+            sum(lit(1L) - col("dead")).as("n_censored"))
+        byT.withColumn("n_risk",
+            sum(col("n_deaths") + col("n_censored")).over(
+              Window.orderBy(col("lifetime").desc)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .filter(col("n_deaths") > 0)
+          .select(col("lifetime").as("t_days"), col("n_risk"),
+            col("n_deaths"), col("n_censored"))
+          .orderBy(col("t_days"))
+      },
+      Some("""WITH pu AS (SELECT user_id, min(ts::DATE) AS first_d
+             |  FROM events GROUP BY 1),
+             |conv AS (SELECT user_id, min(ts::DATE) AS conv_d FROM events
+             |  WHERE event_type = 'purchase' AND value >= 90 GROUP BY 1),
+             |h AS (SELECT max(ts::DATE) AS max_d FROM events),
+             |lived AS (SELECT
+             |    CASE WHEN conv_d IS NOT NULL THEN 1 ELSE 0 END AS dead,
+             |    datediff('day', first_d, coalesce(conv_d, max_d))
+             |      AS lifetime
+             |  FROM pu LEFT JOIN conv USING (user_id), h),
+             |byt AS (SELECT lifetime, sum(dead)::BIGINT AS n_deaths,
+             |    sum(1 - dead)::BIGINT AS n_censored
+             |  FROM lived GROUP BY 1),
+             |r AS (SELECT lifetime, n_deaths, n_censored,
+             |    sum(n_deaths + n_censored) OVER (ORDER BY lifetime DESC)
+             |      ::BIGINT AS n_risk
+             |  FROM byt)
+             |SELECT lifetime AS t_days, n_risk, n_deaths, n_censored
+             |FROM r WHERE n_deaths > 0 ORDER BY t_days""".stripMargin)),
+
+    // Difference-in-differences readout: treated = users who onboarded
+    // by Jan 10, period split at Jan 15; the effect estimate is
+    // (T_post − T_pre) − (C_post − C_pre) on mean purchase value.
+    // Cell means quantize to milli-units via one floored
+    // IEEE-deterministic double division of exact cent sums, then the
+    // DiD itself is pure integer subtraction — the causal-inference
+    // twin of the CUPED query. Single pass after a broadcast-joined
+    // per-user cohort dim.
+    QueryDef("q_did_promo",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+        val cohort = ev.groupBy(col("user_id").as("cu"))
+          .agg(min(to_date(col("ts"))).as("first_d"))
+          .select(col("cu"),
+            (col("first_d") <= lit("2024-01-10").cast("date"))
+              .cast("int").as("treated"))
+        val cells = ev.filter(col("event_type") === "purchase")
+          .join(broadcast(cohort), col("user_id") === col("cu"))
+          .withColumn("post",
+            (to_date(col("ts")) >= lit("2024-01-15").cast("date"))
+              .cast("int"))
+          .groupBy(col("treated"), col("post"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).as("sv"))
+          .withColumn("mean_milli",
+            floor(col("sv").cast("double") * lit(1000.0) /
+              col("n").cast("double")).cast("long"))
+        cells.agg(
+            sum(when(col("treated") === 1 && col("post") === 1,
+              col("mean_milli"))).as("t_post_milli"),
+            sum(when(col("treated") === 1 && col("post") === 0,
+              col("mean_milli"))).as("t_pre_milli"),
+            sum(when(col("treated") === 0 && col("post") === 1,
+              col("mean_milli"))).as("c_post_milli"),
+            sum(when(col("treated") === 0 && col("post") === 0,
+              col("mean_milli"))).as("c_pre_milli"),
+            sum(col("n")).as("n_purchases"))
+          .withColumn("did_milli",
+            col("t_post_milli") - col("t_pre_milli") -
+              (col("c_post_milli") - col("c_pre_milli")))
+      },
+      Some("""WITH cohort AS (SELECT user_id,
+             |    CASE WHEN min(ts::DATE) <= DATE '2024-01-10'
+             |      THEN 1 ELSE 0 END AS treated
+             |  FROM events GROUP BY 1),
+             |cells AS (SELECT treated,
+             |    CASE WHEN e.ts::DATE >= DATE '2024-01-15'
+             |      THEN 1 ELSE 0 END AS post,
+             |    count(*) AS n,
+             |    sum(CAST(e.value AS DECIMAL(18,2))) AS sv
+             |  FROM events e JOIN cohort USING (user_id)
+             |  WHERE e.event_type = 'purchase' GROUP BY 1, 2),
+             |m AS (SELECT treated, post, n,
+             |    floor(sv::DOUBLE * 1000.0 / n::DOUBLE)::BIGINT AS mean_milli
+             |  FROM cells)
+             |SELECT
+             |  sum(CASE WHEN treated = 1 AND post = 1 THEN mean_milli END)
+             |    ::BIGINT AS t_post_milli,
+             |  sum(CASE WHEN treated = 1 AND post = 0 THEN mean_milli END)
+             |    ::BIGINT AS t_pre_milli,
+             |  sum(CASE WHEN treated = 0 AND post = 1 THEN mean_milli END)
+             |    ::BIGINT AS c_post_milli,
+             |  sum(CASE WHEN treated = 0 AND post = 0 THEN mean_milli END)
+             |    ::BIGINT AS c_pre_milli,
+             |  sum(n)::BIGINT AS n_purchases,
+             |  (sum(CASE WHEN treated = 1 AND post = 1 THEN mean_milli END)
+             |   - sum(CASE WHEN treated = 1 AND post = 0 THEN mean_milli END)
+             |   - (sum(CASE WHEN treated = 0 AND post = 1 THEN mean_milli END)
+             |      - sum(CASE WHEN treated = 0 AND post = 0 THEN mean_milli END)))
+             |    ::BIGINT AS did_milli
+             |FROM m""".stripMargin)),
+
+    // Duplicate-invoice audit: same customer, order totals within 1%
+    // of each other, placed ≤3 days apart — the classic double-payment
+    // screen. The self-join shuffles on custkey only (per-customer
+    // groups are naturally small), and the 1% band is the
+    // cross-multiplied decimal test |p1−p2|·100 ≤ min(p1,p2): no
+    // division, no float boundary. Top pairs surface by tightest
+    // price gap.
+    QueryDef("q_dup_invoices",
+      (s, d) => {
+        val o = s.read.parquet(s"$d/orders.parquet")
+          .select(col("o_custkey"), col("o_orderkey"),
+            col("o_totalprice").cast("decimal(12,2)").as("p"),
+            to_date(col("o_orderdate")).as("od"))
+        val a = o.select(col("o_custkey").as("ck"),
+          col("o_orderkey").as("ok1"), col("p").as("p1"),
+          col("od").as("d1"))
+        val b = o.select(col("o_custkey").as("ck2"),
+          col("o_orderkey").as("ok2"), col("p").as("p2"),
+          col("od").as("d2"))
+        a.join(b, col("ck") === col("ck2") && col("ok1") < col("ok2") &&
+            abs(datediff(col("d1"), col("d2"))) <= 3 &&
+            abs(col("p1") - col("p2")) * lit(100) <=
+              least(col("p1"), col("p2")))
+          .select(col("ck").as("custkey"), col("ok1"), col("ok2"),
+            (abs(col("p1") - col("p2")) * lit(100)).cast("long")
+              .as("price_diff_cents"),
+            abs(datediff(col("d1"), col("d2"))).as("day_gap"))
+          .orderBy(col("price_diff_cents"), col("custkey"), col("ok1"),
+            col("ok2"))
+          .limit(30)
+      },
+      Some("""SELECT a.o_custkey AS custkey,
+             |  a.o_orderkey AS ok1, b.o_orderkey AS ok2,
+             |  (abs(CAST(a.o_totalprice AS DECIMAL(12,2))
+             |       - CAST(b.o_totalprice AS DECIMAL(12,2))) * 100)::BIGINT
+             |    AS price_diff_cents,
+             |  abs(datediff('day', b.o_orderdate::DATE,
+             |    a.o_orderdate::DATE))::INT AS day_gap
+             |FROM orders a JOIN orders b
+             |  ON a.o_custkey = b.o_custkey
+             |  AND a.o_orderkey < b.o_orderkey
+             |  AND abs(datediff('day', b.o_orderdate::DATE,
+             |    a.o_orderdate::DATE)) <= 3
+             |  AND abs(CAST(a.o_totalprice AS DECIMAL(12,2))
+             |      - CAST(b.o_totalprice AS DECIMAL(12,2))) * 100
+             |    <= least(CAST(a.o_totalprice AS DECIMAL(12,2)),
+             |             CAST(b.o_totalprice AS DECIMAL(12,2)))
+             |ORDER BY price_diff_cents, custkey, ok1, ok2
+             |LIMIT 30""".stripMargin)),
+
+    // Theil-Sen robust trend per event-type: the median of all
+    // pairwise slopes between daily means — outlier days can't drag
+    // it the way OLS lets them. The pair join runs on the ~30-row
+    // daily digest per type (O(days²) on a catalog-sized input, never
+    // on raw events); daily means and slopes are IEEE-deterministic
+    // doubles derived from exact cent sums, and the median is picked
+    // by rank (lower median, ties broken by day pair) — selection,
+    // not averaging, so both engines pick the bit-identical element.
+    QueryDef("q_theil_sen_daily",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(col("event_type"),
+            datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+              .as("day"))
+          .agg((sum(col("value").cast("decimal(18,2)")) * lit(100))
+              .cast("long").as("su"),
+            count(lit(1)).as("n"))
+          .withColumn("m", col("su").cast("double") /
+            (col("n") * lit(100)).cast("double"))
+        val x = daily.select(col("event_type").as("et1"),
+          col("day").as("i"), col("m").as("mi"))
+        val y = daily.select(col("event_type").as("et2"),
+          col("day").as("j"), col("m").as("mj"))
+        val pairs = x.join(y,
+            col("et1") === col("et2") && col("i") < col("j"))
+          .withColumn("slope", (col("mj") - col("mi")) /
+            (col("j") - col("i")).cast("double"))
+        val ranked = pairs
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("et1"))
+              .orderBy(col("slope"), col("i"), col("j"))))
+          .withColumn("cnt", count(lit(1)).over(
+            Window.partitionBy(col("et1"))))
+        ranked.filter(col("rk") === (col("cnt") + 1).divide(2)
+            .cast("long"))
+          .select(col("et1").as("event_type"),
+            col("cnt").as("n_pairs"),
+            floor(col("slope") * lit(1000000.0)).cast("long")
+              .as("ts_slope_ppm"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH daily AS (SELECT event_type,
+             |    datediff('day', DATE '2024-01-01', ts::DATE) AS day,
+             |    (sum(CAST(value AS DECIMAL(18,2))) * 100)::BIGINT AS su,
+             |    count(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |dm AS (SELECT event_type, day,
+             |    su::DOUBLE / (n * 100)::DOUBLE AS m FROM daily),
+             |pairs AS (SELECT a.event_type, a.day AS i, b.day AS j,
+             |    (b.m - a.m) / (b.day - a.day)::DOUBLE AS slope
+             |  FROM dm a JOIN dm b
+             |    ON a.event_type = b.event_type AND a.day < b.day),
+             |r AS (SELECT event_type, slope,
+             |    row_number() OVER (PARTITION BY event_type
+             |      ORDER BY slope, i, j) AS rk,
+             |    count(*) OVER (PARTITION BY event_type) AS cnt
+             |  FROM pairs)
+             |SELECT event_type, cnt AS n_pairs,
+             |  floor(slope * 1000000.0)::BIGINT AS ts_slope_ppm
+             |FROM r WHERE rk = (cnt + 1) // 2
+             |ORDER BY event_type""".stripMargin))
   )
 }
