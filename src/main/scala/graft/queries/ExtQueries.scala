@@ -3222,6 +3222,43 @@ object ExtQueries {
              |SELECT source, n_docs,
              |  round(206.835 - 1.015 * (w::DOUBLE / st::DOUBLE)
              |    - 84.6 * (sy::DOUBLE / w::DOUBLE), 4) AS flesch
-             |FROM g ORDER BY source""".stripMargin))
+             |FROM g ORDER BY source""".stripMargin)),
+
+    // Skip-gram co-occurrence counts (window ±2) — the word2vec /
+    // GloVe data-prep primitive. Pairs are generated INSIDE the token
+    // array via `transform(sequence(...))` (pure codegen, no
+    // positional self-join), canonicalized with least/greatest so
+    // (a,b) and (b,a) merge, then one explode + groupBy. At 100 TB
+    // the only shuffle is the final pair-count aggregation — the
+    // quadratic-looking window work never leaves the row.
+    QueryDef("corpus_skipgram_cooc",
+      (s, d) => {
+        def pairsAt(k: Int): String =
+          s"transform(sequence(1, size(tk) - $k), i -> " +
+            s"concat(least(element_at(tk, i), element_at(tk, i + $k)), ' ', " +
+            s"greatest(element_at(tk, i), element_at(tk, i + $k))))"
+        s.read.parquet(s"$d/documents.parquet")
+          .select(TextAnalysis.tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 3)
+          .select(explode(concat(expr(pairsAt(1)), expr(pairsAt(2))))
+            .as("pair"))
+          .groupBy(col("pair")).agg(count(lit(1)).as("n_cooc"))
+          .orderBy(col("n_cooc").desc, col("pair")).limit(25)
+      },
+      Some("""WITH tk AS (SELECT string_split(lower(text), ' ') AS tk
+             |  FROM documents
+             |  WHERE len(string_split(lower(text), ' ')) >= 3),
+             |p AS (SELECT unnest(list_concat(
+             |    list_transform(range(1, len(tk)), i ->
+             |      CASE WHEN tk[i] <= tk[i+1]
+             |        THEN tk[i] || ' ' || tk[i+1]
+             |        ELSE tk[i+1] || ' ' || tk[i] END),
+             |    list_transform(range(1, len(tk) - 1), i ->
+             |      CASE WHEN tk[i] <= tk[i+2]
+             |        THEN tk[i] || ' ' || tk[i+2]
+             |        ELSE tk[i+2] || ' ' || tk[i] END))) AS pair
+             |  FROM tk)
+             |SELECT pair, count(*) AS n_cooc FROM p
+             |GROUP BY 1 ORDER BY n_cooc DESC, pair LIMIT 25""".stripMargin))
   )
 }

@@ -5206,6 +5206,113 @@ object SqlQueries {
              |SELECT event_type, cnt AS n_pairs,
              |  floor(slope * 1000000.0)::BIGINT AS ts_slope_ppm
              |FROM r WHERE rk = (cnt + 1) // 2
-             |ORDER BY event_type""".stripMargin))
+             |ORDER BY event_type""".stripMargin)),
+
+    // Holt double exponential smoothing (α=0.2, β=0.3) over each
+    // event-type's daily-revenue series, plus the 3-step-ahead
+    // forecast. The recurrence lives in milli-unit integers with a
+    // sign-safe floor division (x − pmod(x,10)) div 10, so the fold
+    // is bit-identical to the oracle's recursive CTE. Spark-side the
+    // whole recursion is ONE `aggregate()` higher-order function over
+    // the per-type day array — stays inside codegen, no iterative
+    // jobs, and the only shuffle is the daily rollup; the array is
+    // days-sized (~30), never data-sized.
+    QueryDef("q_holt_linear", {
+      def fldivS(e: String) = s"(($e - pmod($e, 10)) div 10)"
+      val xS = "(2 * y + 8 * (acc.l + acc.b))"
+      val newlS = fldivS(xS)
+      val yS = s"(3 * ($newlS - acc.l) + 7 * acc.b)"
+      val newbS = fldivS(yS)
+      (s, d) => {
+        graft.sources.Tables.events(s, d)
+          .groupBy(col("event_type"),
+            to_date(col("ts")).as("day"))
+          .agg((sum(col("value").cast("decimal(18,2)")) * lit(1000))
+            .cast("long").as("ym"))
+          .groupBy(col("event_type"))
+          .agg(sort_array(collect_list(struct(col("day"), col("ym"))))
+            .as("sd"))
+          .withColumn("ys", expr("transform(sd, x -> x.ym)"))
+          .withColumn("st", expr(
+            "aggregate(slice(ys, 2, size(ys) - 1), " +
+              "named_struct('l', element_at(ys, 1), " +
+              "'b', element_at(ys, 2) - element_at(ys, 1)), " +
+              s"(acc, y) -> named_struct('l', $newlS, 'b', $newbS))"))
+          .select(col("event_type"), size(col("ys")).as("n_days"),
+            col("st.l").as("level_milli"), col("st.b").as("trend_milli"),
+            (col("st.l") + lit(3) * col("st.b")).as("forecast3_milli"))
+          .orderBy(col("event_type"))
+      }
+    }, {
+      def fldiv(e: String) = s"(($e - (($e % 10 + 10) % 10)) // 10)"
+      val x = "(2 * y.ym + 8 * (it.l + it.b))"
+      val newl = fldiv(x)
+      val yy = s"(3 * ($newl - it.l) + 7 * it.b)"
+      val newb = fldiv(yy)
+      Some(s"""WITH RECURSIVE daily AS (SELECT event_type, ts::DATE AS day,
+             |    (sum(CAST(value AS DECIMAL(18,2))) * 1000)::BIGINT AS ym
+             |  FROM events GROUP BY 1, 2),
+             |r AS (SELECT event_type, ym, row_number() OVER (
+             |    PARTITION BY event_type ORDER BY day) AS rn FROM daily),
+             |n AS (SELECT event_type, max(rn) AS nd FROM r GROUP BY 1),
+             |it AS (
+             |  SELECT r1.event_type, 2 AS k, r1.ym AS l,
+             |      r2.ym - r1.ym AS b
+             |    FROM r r1 JOIN r r2 ON r1.event_type = r2.event_type
+             |      AND r1.rn = 1 AND r2.rn = 2
+             |  UNION ALL
+             |  SELECT it.event_type, it.k + 1,
+             |      $newl,
+             |      $newb
+             |    FROM it
+             |    JOIN r y ON y.event_type = it.event_type AND y.rn = it.k
+             |    JOIN n ON n.event_type = it.event_type
+             |    WHERE it.k <= n.nd)
+             |SELECT it.event_type, n.nd AS n_days,
+             |  it.l AS level_milli, it.b AS trend_milli,
+             |  (it.l + 3 * it.b)::BIGINT AS forecast3_milli
+             |FROM it JOIN n ON n.event_type = it.event_type
+             |WHERE it.k = n.nd + 1
+             |ORDER BY it.event_type""".stripMargin)
+    }),
+
+    // View→purchase conversion latency: for every purchase, the time
+    // since that user's most recent prior view, carried by a
+    // running-max window over the interleaved event stream (the
+    // "last qualifying event" pattern — no as-of self-join, one
+    // shuffle on user_id). Latencies land in 30-minute buckets
+    // (capped at 12 = "6h+"); all arithmetic is exact microseconds.
+    QueryDef("q_view_purchase_latency",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        graft.sources.Tables.events(s, d)
+          .filter(col("event_type").isin("view", "purchase"))
+          .withColumn("lv",
+            max(when(col("event_type") === "view", unix_micros(col("ts"))))
+              .over(w))
+          .filter(col("event_type") === "purchase" && col("lv").isNotNull)
+          .withColumn("bucket",
+            least(expr("((unix_micros(ts) - lv) div 60000000) div 30"),
+              lit(12L)))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(unix_micros(col("ts")) - col("lv")).as("sum_latency_us"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH f AS (SELECT user_id, event_id, event_type, ts,
+             |    epoch_us(ts) AS us FROM events
+             |  WHERE event_type IN ('view', 'purchase')),
+             |l AS (SELECT event_type, us,
+             |    max(CASE WHEN event_type = 'view' THEN us END) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lv
+             |  FROM f)
+             |SELECT least((us - lv) // 60000000 // 30, 12) AS bucket,
+             |  count(*) AS n_purchases,
+             |  sum(us - lv)::BIGINT AS sum_latency_us
+             |FROM l WHERE event_type = 'purchase' AND lv IS NOT NULL
+             |GROUP BY 1 ORDER BY bucket""".stripMargin))
   )
 }
