@@ -3259,6 +3259,44 @@ object ExtQueries {
              |        ELSE tk[i+2] || ' ' || tk[i] END))) AS pair
              |  FROM tk)
              |SELECT pair, count(*) AS n_cooc FROM p
-             |GROUP BY 1 ORDER BY n_cooc DESC, pair LIMIT 25""".stripMargin))
+             |GROUP BY 1 ORDER BY n_cooc DESC, pair LIMIT 25""".stripMargin)),
+
+    // Simpson diversity of each source's token distribution:
+    // λ = Σ nᵢ(nᵢ−1) / (N(N−1)) — the probability two tokens drawn
+    // without replacement are the same word (1 = monoculture). The
+    // numerator and N are exact integers; only the final ppb
+    // quantization touches a double (floored IEEE division). The
+    // companion to the Zipf/hapax vocabulary probes: one token
+    // explode, one (source, term) rollup, one catalog-sized agg.
+    QueryDef("corpus_simpson_diversity",
+      (s, d) => {
+        s.read.parquet(s"$d/documents.parquet")
+          .select(col("source"),
+            explode(TextAnalysis.tokens(col("text"))).as("term"))
+          .groupBy(col("source"), col("term"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_vocab"),
+            sum(col("n")).as("n_tokens"),
+            sum(col("n") * (col("n") - 1)).as("rep_pairs"))
+          .withColumn("simpson_ppb",
+            floor(col("rep_pairs").cast("double") * lit(1000000000.0) /
+              (col("n_tokens") * (col("n_tokens") - 1)).cast("double"))
+              .cast("long"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH t AS (SELECT source,
+             |    unnest(string_split(lower(text), ' ')) AS term
+             |  FROM documents),
+             |tc AS (SELECT source, term, count(*) AS n
+             |  FROM t GROUP BY 1, 2),
+             |g AS (SELECT source, count(*) AS n_vocab,
+             |    sum(n)::BIGINT AS n_tokens,
+             |    sum(n * (n - 1))::BIGINT AS rep_pairs
+             |  FROM tc GROUP BY 1)
+             |SELECT source, n_vocab, n_tokens, rep_pairs,
+             |  floor(rep_pairs::DOUBLE * 1000000000.0 /
+             |    (n_tokens * (n_tokens - 1))::DOUBLE)::BIGINT AS simpson_ppb
+             |FROM g ORDER BY source""".stripMargin))
   )
 }

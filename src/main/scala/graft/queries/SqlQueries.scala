@@ -5313,6 +5313,218 @@ object SqlQueries {
              |  count(*) AS n_purchases,
              |  sum(us - lv)::BIGINT AS sum_latency_us
              |FROM l WHERE event_type = 'purchase' AND lv IS NOT NULL
+             |GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // Strictly-ordered 3-step funnel (signup → view → purchase) with
+    // a 24h clock between consecutive steps — each stage is "first
+    // qualifying event after the previous stage's timestamp", so a
+    // view BEFORE the signup doesn't count. Three per-user min-
+    // aggregations chained by broadcast-sized digests (the user dim
+    // is tiny next to events); drop-off rates quantize to ppm via the
+    // floored IEEE double division.
+    QueryDef("q_funnel_ordered",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+        val dayUs = 86400000000L
+        val s1 = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id"))
+          .agg(min(unix_micros(col("ts"))).as("s1_us"))
+        val s2 = ev.filter(col("event_type") === "view")
+          .select(col("user_id").as("u2"), unix_micros(col("ts")).as("v_us"))
+          .join(s1, col("u2") === col("user_id"))
+          .filter(col("v_us") > col("s1_us") &&
+            col("v_us") <= col("s1_us") + dayUs)
+          .groupBy(col("u2")).agg(min(col("v_us")).as("s2_us"))
+        val s3 = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("u3"), unix_micros(col("ts")).as("p_us"))
+          .join(s2, col("u3") === col("u2"))
+          .filter(col("p_us") > col("s2_us") &&
+            col("p_us") <= col("s2_us") + dayUs)
+          .groupBy(col("u3")).agg(min(col("p_us")).as("s3_us"))
+        s1.join(s2, col("user_id") === col("u2"), "left")
+          .join(s3, col("user_id") === col("u3"), "left")
+          .agg(count(lit(1)).as("n_signup"),
+            count(col("s2_us")).as("n_viewed_24h"),
+            count(col("s3_us")).as("n_purchased_24h"))
+          .withColumn("view_rate_ppm",
+            floor(col("n_viewed_24h").cast("double") * lit(1000000.0) /
+              col("n_signup").cast("double")).cast("long"))
+          .withColumn("purchase_rate_ppm",
+            floor(col("n_purchased_24h").cast("double") * lit(1000000.0) /
+              greatest(col("n_viewed_24h"), lit(1L)).cast("double"))
+              .cast("long"))
+      },
+      Some("""WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS s1_us
+             |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+             |s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS s2_us
+             |  FROM events e JOIN s1 ON s1.user_id = e.user_id
+             |  WHERE e.event_type = 'view'
+             |    AND epoch_us(e.ts) > s1.s1_us
+             |    AND epoch_us(e.ts) <= s1.s1_us + 86400000000
+             |  GROUP BY 1),
+             |s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS s3_us
+             |  FROM events e JOIN s2 ON s2.user_id = e.user_id
+             |  WHERE e.event_type = 'purchase'
+             |    AND epoch_us(e.ts) > s2.s2_us
+             |    AND epoch_us(e.ts) <= s2.s2_us + 86400000000
+             |  GROUP BY 1)
+             |SELECT count(*) AS n_signup,
+             |  count(s2_us) AS n_viewed_24h,
+             |  count(s3_us) AS n_purchased_24h,
+             |  floor(count(s2_us)::DOUBLE * 1000000.0
+             |    / count(*)::DOUBLE)::BIGINT AS view_rate_ppm,
+             |  floor(count(s3_us)::DOUBLE * 1000000.0
+             |    / greatest(count(s2_us), 1)::DOUBLE)::BIGINT
+             |    AS purchase_rate_ppm
+             |FROM s1 LEFT JOIN s2 USING (user_id)
+             |  LEFT JOIN s3 USING (user_id)""".stripMargin)),
+
+    // Candidate-key uniqueness audit: for each proposed key of
+    // lineitem, how many duplicate key-groups exist and how deep the
+    // worst one goes — the pre-flight check before declaring a
+    // primary key or bucketing/sort column set. (In this synthetic
+    // schema (l_orderkey, l_linenumber) is famously NOT unique.) One
+    // grouped pass per candidate (no multi-distinct expand), unioned
+    // into a catalog-sized report.
+    QueryDef("q_key_uniqueness",
+      (s, d) => {
+        val li = s.read.parquet(s"$d/lineitem.parquet")
+        def audit(keyName: String, keys: Seq[String]) =
+          li.groupBy(keys.map(col): _*).agg(count(lit(1)).as("m"))
+            .agg(count(lit(1)).as("n_groups"),
+              sum(col("m")).as("n_rows"),
+              sum(when(col("m") > 1, 1L).otherwise(0L)).as("n_dup_groups"),
+              max(col("m")).as("max_multiplicity"))
+            .select(lit(keyName).as("candidate_key"), col("n_groups"),
+              col("n_rows"), col("n_dup_groups"), col("max_multiplicity"))
+        audit("l_orderkey", Seq("l_orderkey"))
+          .unionAll(audit("l_orderkey+l_linenumber",
+            Seq("l_orderkey", "l_linenumber")))
+          .unionAll(audit("l_orderkey+l_linenumber+l_partkey+l_suppkey",
+            Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")))
+          .orderBy(col("candidate_key"))
+      },
+      Some("""WITH k1 AS (SELECT count(*) AS m FROM lineitem
+             |  GROUP BY l_orderkey),
+             |k2 AS (SELECT count(*) AS m FROM lineitem
+             |  GROUP BY l_orderkey, l_linenumber),
+             |k3 AS (SELECT count(*) AS m FROM lineitem
+             |  GROUP BY l_orderkey, l_linenumber, l_partkey, l_suppkey),
+             |u AS (
+             |  SELECT 'l_orderkey' AS candidate_key, count(*) AS n_groups,
+             |    sum(m)::BIGINT AS n_rows,
+             |    sum(CASE WHEN m > 1 THEN 1 ELSE 0 END)::BIGINT
+             |      AS n_dup_groups,
+             |    max(m)::BIGINT AS max_multiplicity FROM k1
+             |  UNION ALL
+             |  SELECT 'l_orderkey+l_linenumber', count(*), sum(m)::BIGINT,
+             |    sum(CASE WHEN m > 1 THEN 1 ELSE 0 END)::BIGINT,
+             |    max(m)::BIGINT FROM k2
+             |  UNION ALL
+             |  SELECT 'l_orderkey+l_linenumber+l_partkey+l_suppkey',
+             |    count(*), sum(m)::BIGINT,
+             |    sum(CASE WHEN m > 1 THEN 1 ELSE 0 END)::BIGINT,
+             |    max(m)::BIGINT FROM k3)
+             |SELECT * FROM u ORDER BY candidate_key""".stripMargin)),
+
+    // Referential-integrity sweep: orphaned facts and childless /
+    // inactive dimension rows across the star schema's three FK
+    // edges, as one catalog-sized report. Each check is an anti-join
+    // with the dim side reduced to its bare key before the shuffle —
+    // at 100 TB the probe payload is 8 bytes/row, and the three
+    // checks share no state so AQE runs them as independent stages.
+    QueryDef("q_orphan_check",
+      (s, d) => {
+        val li = s.read.parquet(s"$d/lineitem.parquet").select("l_orderkey")
+        val o = s.read.parquet(s"$d/orders.parquet")
+          .select("o_orderkey", "o_custkey")
+        val c = s.read.parquet(s"$d/customer.parquet").select("c_custkey")
+        def check(name: String, probe: org.apache.spark.sql.DataFrame,
+            build: org.apache.spark.sql.DataFrame,
+            cond: org.apache.spark.sql.Column) =
+          probe.join(build, cond, "left_anti")
+            .agg(count(lit(1)).as("n_violations"))
+            .crossJoin(probe.agg(count(lit(1)).as("n_total")))
+            .select(lit(name).as("check_name"), col("n_violations"),
+              col("n_total"))
+        check("lineitem_without_order", li, o,
+            col("l_orderkey") === col("o_orderkey"))
+          .unionAll(check("order_without_customer", o, c,
+            col("o_custkey") === col("c_custkey")))
+          .unionAll(check("order_without_lineitem", o, li,
+            col("o_orderkey") === col("l_orderkey")))
+          .unionAll(check("customer_without_order", c, o,
+            col("c_custkey") === col("o_custkey")))
+          .orderBy(col("check_name"))
+      },
+      Some("""SELECT 'lineitem_without_order' AS check_name,
+             |  (SELECT count(*) FROM lineitem WHERE NOT EXISTS
+             |    (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey))
+             |    AS n_violations,
+             |  (SELECT count(*) FROM lineitem) AS n_total
+             |UNION ALL
+             |SELECT 'order_without_customer',
+             |  (SELECT count(*) FROM orders WHERE NOT EXISTS
+             |    (SELECT 1 FROM customer WHERE c_custkey = o_custkey)),
+             |  (SELECT count(*) FROM orders)
+             |UNION ALL
+             |SELECT 'order_without_lineitem',
+             |  (SELECT count(*) FROM orders WHERE NOT EXISTS
+             |    (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)),
+             |  (SELECT count(*) FROM orders)
+             |UNION ALL
+             |SELECT 'customer_without_order',
+             |  (SELECT count(*) FROM customer WHERE NOT EXISTS
+             |    (SELECT 1 FROM orders WHERE o_custkey = c_custkey)),
+             |  (SELECT count(*) FROM customer)
+             |ORDER BY check_name""".stripMargin)),
+
+    // Inter-purchase cadence profile: each user's LOWER-MEDIAN gap
+    // between consecutive purchases (selection by rank inside the
+    // per-user partition — no averaging, no floats), bucketed into
+    // hours (capped at 48 = "2d+"). Every window is partitioned by
+    // user_id, so the plan holds at any user count; the only global
+    // aggregation is the final catalog-sized histogram.
+    QueryDef("q_interpurchase_gaps",
+      (s, d) => {
+        val wSeq = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val gaps = graft.sources.Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wSeq))
+          .filter(col("prev_us").isNotNull)
+          .withColumn("gap_us", unix_micros(col("ts")) - col("prev_us"))
+        val wRank = Window.partitionBy(col("user_id"))
+          .orderBy(col("gap_us"), col("ts"), col("event_id"))
+        val med = gaps
+          .withColumn("rk", row_number().over(wRank))
+          .withColumn("cnt", count(lit(1)).over(
+            Window.partitionBy(col("user_id"))))
+          .filter(col("rk") === (col("cnt") + 1).divide(2).cast("long"))
+        med.withColumn("bucket",
+            least(expr("gap_us div 3600000000"), lit(48L)))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("gap_us")).as("sum_median_gap_us"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH p AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us
+             |  FROM events WHERE event_type = 'purchase'),
+             |g AS (SELECT user_id, event_id, ts,
+             |    us - lag(us) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS gap_us
+             |  FROM p),
+             |f AS (SELECT user_id, event_id, ts, gap_us FROM g
+             |  WHERE gap_us IS NOT NULL),
+             |r AS (SELECT gap_us,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY gap_us, ts, event_id) AS rk,
+             |    count(*) OVER (PARTITION BY user_id) AS cnt
+             |  FROM f)
+             |SELECT least(gap_us // 3600000000, 48) AS bucket,
+             |  count(*) AS n_users,
+             |  sum(gap_us)::BIGINT AS sum_median_gap_us
+             |FROM r WHERE rk = (cnt + 1) // 2
              |GROUP BY 1 ORDER BY bucket""".stripMargin))
   )
 }
