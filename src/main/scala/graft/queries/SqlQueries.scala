@@ -5525,6 +5525,102 @@ object SqlQueries {
              |  count(*) AS n_users,
              |  sum(gap_us)::BIGINT AS sum_median_gap_us
              |FROM r WHERE rk = (cnt + 1) // 2
-             |GROUP BY 1 ORDER BY bucket""".stripMargin))
+             |GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // Stationary distribution of the event-type Markov chain: row-
+    // normalize the observed transition matrix to ppm, then run 8
+    // power-iteration steps from the uniform vector — where does a
+    // user's behavior settle? All mass arithmetic is integer ppm
+    // (div AFTER the dot-product sum, so truncation enters once per
+    // step, identically on both engines). The matrix is |types|² =
+    // catalog-sized; the only data-scale work is the lag pass that
+    // counts transitions, partitioned by user. The oracle unrolls the
+    // same 8 steps as generated CTEs (recursive terms can't
+    // aggregate), built by the same Scala loop.
+    QueryDef("q_markov_stationary", {
+      (s, d) => {
+        val wSeq = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val trans = graft.sources.Tables.events(s, d)
+          .withColumn("prev", lag(col("event_type"), 1).over(wSeq))
+          .filter(col("prev").isNotNull)
+          .groupBy(col("prev").as("i"), col("event_type").as("j"))
+          .agg(count(lit(1)).as("c"))
+        val rowTot = trans.groupBy(col("i").as("ri"))
+          .agg(sum(col("c")).as("rc"))
+        val p = trans.join(rowTot, col("i") === col("ri"))
+          .select(col("i"), col("j"),
+            floor(col("c").cast("double") * lit(1000000.0) /
+              col("rc").cast("double")).cast("long").as("p_ppm"))
+        var v = p.select(col("i").as("state")).distinct()
+          .withColumn("v", lit(200000L))
+        for (_ <- 1 to 8)
+          v = v.join(p, v("state") === p("i"))
+            .groupBy(col("j").as("state"))
+            .agg(expr("sum(v * p_ppm) div 1000000").as("v"))
+        v.orderBy(col("state"))
+      }
+    }, {
+      val steps = (1 to 8).map { k =>
+        s"v$k AS (SELECT p.j AS state, sum(v.v * p.p_ppm) // 1000000 AS v\n" +
+          s"  FROM v${k - 1} v JOIN p ON v.state = p.i GROUP BY 1)"
+      }.mkString(",\n")
+      Some(s"""WITH tr AS (SELECT user_id, event_id, ts, event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS prev
+             |  FROM events),
+             |t AS (SELECT prev AS i, event_type AS j, count(*) AS c
+             |  FROM tr WHERE prev IS NOT NULL GROUP BY 1, 2),
+             |rt AS (SELECT i AS ri, sum(c) AS rc FROM t GROUP BY 1),
+             |p AS (SELECT i, j,
+             |    floor(c::DOUBLE * 1000000.0 / rc::DOUBLE)::BIGINT AS p_ppm
+             |  FROM t JOIN rt ON i = ri),
+             |v0 AS (SELECT DISTINCT i AS state, 200000::BIGINT AS v FROM p),
+             |$steps
+             |SELECT state, v::BIGINT AS v FROM v8 ORDER BY state""".stripMargin)
+    }),
+
+    // Exponential time-decay LTV: each purchase contributes
+    // value·0.9^(days before horizon) — the retention-aware customer
+    // score. The decay curve is NOT a float pow(): it's the integer
+    // recurrence dp(d) = dp(d−1)·9 div 10 in ppm, folded Spark-side
+    // by an `aggregate()` HOF over the day gap and oracle-side by a
+    // 31-row recursive-CTE dim — bit-identical everywhere, immune to
+    // libm differences. One broadcast of the horizon digest, one
+    // shuffle on user_id.
+    QueryDef("q_decay_ltv",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+        val horizon = ev.agg(max(to_date(col("ts"))).as("max_d"))
+        ev.filter(col("event_type") === "purchase")
+          .crossJoin(broadcast(horizon))
+          .withColumn("dd", datediff(col("max_d"), to_date(col("ts"))))
+          .withColumn("decay_ppm",
+            when(col("dd") === 0, lit(1000000L)).otherwise(expr(
+              "aggregate(sequence(1, greatest(dd, 1)), 1000000L, " +
+                "(acc, i) -> acc * 9 div 10)")))
+          .withColumn("vc", (col("value").cast("decimal(18,2)") * 100)
+            .cast("long"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(col("vc")).as("raw_cents"),
+            expr("sum(vc * decay_ppm) div 1000000").as("decayed_cents"))
+          .orderBy(col("decayed_cents").desc, col("user_id")).limit(20)
+      },
+      Some("""WITH RECURSIVE dk AS (
+             |  SELECT 0 AS d, 1000000::BIGINT AS decay_ppm
+             |  UNION ALL
+             |  SELECT d + 1, decay_ppm * 9 // 10 FROM dk WHERE d < 40),
+             |h AS (SELECT max(ts::DATE) AS max_d FROM events),
+             |pv AS (SELECT user_id,
+             |    datediff('day', ts::DATE, max_d) AS dd,
+             |    (CAST(value AS DECIMAL(18,2)) * 100)::BIGINT AS vc
+             |  FROM events, h WHERE event_type = 'purchase')
+             |SELECT user_id, count(*) AS n_purchases,
+             |  sum(vc)::BIGINT AS raw_cents,
+             |  (sum(vc * decay_ppm) // 1000000)::BIGINT AS decayed_cents
+             |FROM pv JOIN dk ON dk.d = pv.dd
+             |GROUP BY 1
+             |ORDER BY decayed_cents DESC, user_id LIMIT 20""".stripMargin))
   )
 }
