@@ -1,0 +1,125 @@
+package graft.analytics
+
+import graft.{GraftSpec, SparkEntry}
+import org.apache.spark.sql.DataFrame
+
+/** Structural laws for the audit / forecasting / survival / graph
+  * additions — properties the oracle hash can't state on its own
+  * (monotonicity, conservation, cross-column identities), checked on
+  * the sf0.001 tables. */
+class AuditForecastSpec extends GraftSpec {
+
+  private val Sf = "/root/testdata/sf0.001"
+  private def run(name: String): Array[org.apache.spark.sql.Row] =
+    SparkEntry.queries(name)(spark, Sf).collect()
+
+  test("markov stationary: one mass entry per state, total ppm conserved up to per-step truncation") {
+    val rows = run("q_markov_stationary")
+    assert(rows.length === 5)
+    val total = rows.map(_.getAs[Long]("v")).sum
+    // 8 steps × ≤5 states lose <1 ppm each per step via floor-div
+    assert(total <= 1000000L && total > 990000L, s"mass=$total")
+    assert(rows.forall(_.getAs[Long]("v") > 0L))
+  }
+
+  test("decay LTV: discounting never exceeds the raw total and preserves top-20 ordering") {
+    val rows = run("q_decay_ltv")
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("decayed_cents") <= r.getAs[Long]("raw_cents"))
+      assert(r.getAs[Long]("decayed_cents") >= 0L)
+    }
+    val d = rows.map(_.getAs[Long]("decayed_cents"))
+    assert(d.zip(d.tail).forall { case (a, b) => a >= b }, "sorted desc")
+  }
+
+  test("survival table: at-risk counts are non-increasing in t and cover the deaths+censored at each t") {
+    val rows = run("q_survival_at_risk")
+    assert(rows.nonEmpty)
+    val risk = rows.map(_.getAs[Long]("n_risk"))
+    assert(risk.zip(risk.tail).forall { case (a, b) => a >= b },
+      "n_risk must shrink as t grows")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_risk") >=
+        r.getAs[Long]("n_deaths") + r.getAs[Long]("n_censored"))
+      assert(r.getAs[Long]("n_deaths") > 0L)
+    }
+  }
+
+  test("ordered funnel: stage counts are monotone and rates consistent with the counts") {
+    val r = run("q_funnel_ordered").head
+    val s1 = r.getAs[Long]("n_signup")
+    val s2 = r.getAs[Long]("n_viewed_24h")
+    val s3 = r.getAs[Long]("n_purchased_24h")
+    assert(s1 >= s2 && s2 >= s3 && s1 > 0L)
+    assert(r.getAs[Long]("view_rate_ppm") ===
+      math.floor(s2.toDouble * 1e6 / s1.toDouble).toLong)
+  }
+
+  test("link prediction: candidates are canonical non-edges with shared neighbors") {
+    val rows = run("q_link_prediction")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("a") < r.getAs[Long]("b"))
+      assert(r.getAs[Long]("common_neighbors") >= 1L)
+      assert(r.getAs[Long]("ra_score_ppb") > 0L)
+    }
+    // none of the proposed links may already be an edge
+    val edges = run("q_copurchase_edges")
+      .map(r => (r.getAs[Long]("p1"), r.getAs[Long]("p2"))).toSet
+    assert(rows.forall(r =>
+      !edges.contains((r.getAs[Long]("a"), r.getAs[Long]("b")))))
+  }
+
+  test("holt smoothing: forecast is the linear extrapolation of the final state") {
+    val rows = run("q_holt_linear")
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("forecast3_milli") ===
+        r.getAs[Long]("level_milli") + 3 * r.getAs[Long]("trend_milli"))
+      assert(r.getAs[Int]("n_days") > 2)
+    }
+  }
+
+  test("activity bitmap: popcounts stay within the day span and users are partitioned") {
+    val rows = run("q_activity_bitmap")
+    rows.foreach { r =>
+      val days = r.getAs[Int]("n_active_days")
+      assert(days >= 1 && days <= 31)
+    }
+    val users = run("q_distinct_users").head.getAs[Long]("n_users")
+    assert(rows.map(_.getAs[Long]("n_users")).sum === users)
+  }
+
+  test("key uniqueness: refining a candidate key never increases duplication") {
+    val rows = run("q_key_uniqueness")
+      .map(r => r.getAs[String]("candidate_key") -> r).toMap
+    val coarse = rows("l_orderkey")
+    val mid = rows("l_orderkey+l_linenumber")
+    val fine = rows("l_orderkey+l_linenumber+l_partkey+l_suppkey")
+    assert(Seq(coarse, mid, fine).map(_.getAs[Long]("n_rows")).distinct.size === 1,
+      "every candidate partitions the same rowset")
+    assert(coarse.getAs[Long]("n_groups") <= mid.getAs[Long]("n_groups"))
+    assert(mid.getAs[Long]("n_groups") <= fine.getAs[Long]("n_groups"))
+    assert(coarse.getAs[Long]("max_multiplicity") >=
+      fine.getAs[Long]("max_multiplicity"))
+  }
+
+  test("orphan check: generated star schema has intact lineitem->orders and orders->customer edges") {
+    val rows = run("q_orphan_check")
+      .map(r => r.getAs[String]("check_name") ->
+        r.getAs[Long]("n_violations")).toMap
+    assert(rows("lineitem_without_order") === 0L)
+    assert(rows("order_without_customer") === 0L)
+  }
+
+  test("skipgram pairs are canonically ordered") {
+    val rows = run("corpus_skipgram_cooc")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val Array(w1, w2) = r.getAs[String]("pair").split(" ", 2)
+      assert(w1 <= w2, s"pair '$w1 $w2' not canonical")
+      assert(r.getAs[Long]("n_cooc") > 0L)
+    }
+  }
+}
