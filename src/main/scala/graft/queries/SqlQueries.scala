@@ -5795,6 +5795,146 @@ object SqlQueries {
              |SELECT max(n1)::BIGINT AS n_even, max(n2)::BIGINT AS n_odd,
              |  round(sum(abs(c1c * n2 - c2c * n1) * gap)::DOUBLE
              |    / (max(n1) * max(n2))::DOUBLE, 6) AS emd
-             |FROM t""".stripMargin))
+             |FROM t""".stripMargin)),
+
+    // Allan variance — THE sensor-stability metric (IMU/clock drift
+    // characterization; reference domain: robotics telemetry). Each
+    // event_type's value stream, ordered by (ts, event_id), is cut
+    // into clusters of τ ∈ {1,2,4,8} samples; AVAR(τ) =
+    // Σ(s̄_{k+1}−s̄_k)² / 2(K−1) over cluster means. Cluster sums stay
+    // exact milli-unit BIGINTs (squares < 2^63 past sf10; DECIMAL(38)
+    // beyond) so the whole τ-curve hash-matches DuckDB. One shuffle
+    // on event_type; the ×4 τ fan-out happens AFTER the row-number
+    // window, on the same partitioning.
+    QueryDef("q_allan_variance",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+          .select(col("event_type"), col("ts"), col("event_id"),
+            floor(col("value") * 1000).cast("long").as("vm"))
+        val wt = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        val cl = ev.withColumn("rn", row_number().over(wt) - 1)
+          .withColumn("tau", explode(array(lit(1), lit(2), lit(4), lit(8))))
+          .groupBy(col("event_type"), col("tau"),
+            expr("rn div tau").as("k"))
+          .agg(count(lit(1)).as("cnt"), sum(col("vm")).as("cs"))
+          .filter(col("cnt") === col("tau"))
+        val wk = Window.partitionBy(col("event_type"), col("tau"))
+          .orderBy(col("k"))
+        val diffs = cl
+          .withColumn("dnext", lead(col("cs"), 1).over(wk) - col("cs"))
+        diffs.groupBy(col("event_type"), col("tau"))
+          .agg(count(lit(1)).as("n_clusters"),
+            round(sum(col("dnext") * col("dnext")).cast("double") /
+              (lit(2.0) * (count(col("dnext"))).cast("double") *
+                (col("tau") * col("tau")).cast("double") * 1e6), 6)
+              .as("avar"))
+          .orderBy(col("event_type"), col("tau"))
+      },
+      Some("""WITH base AS (SELECT event_type, ts, event_id,
+             |    floor(value * 1000)::BIGINT AS vm,
+             |    row_number() OVER (PARTITION BY event_type
+             |      ORDER BY ts, event_id) - 1 AS rn
+             |  FROM events),
+             |cl AS (SELECT event_type, t.tau, rn // t.tau AS k,
+             |    count(*) AS cnt, sum(vm)::BIGINT AS cs
+             |  FROM base CROSS JOIN (SELECT unnest([1, 2, 4, 8]) AS tau) t
+             |  GROUP BY 1, 2, 3 HAVING count(*) = t.tau),
+             |df AS (SELECT event_type, tau, cs,
+             |    lead(cs) OVER (PARTITION BY event_type, tau ORDER BY k)
+             |      - cs AS dnext
+             |  FROM cl)
+             |SELECT event_type, tau, count(*) AS n_clusters,
+             |  round(sum(dnext * dnext)::DOUBLE
+             |    / (2.0 * count(dnext)::DOUBLE
+             |       * (tau * tau)::DOUBLE * 1e6), 6) AS avar
+             |FROM df GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // BFS reachability frontier: min-hop distance from the co-purchase
+    // graph's lowest part id, 3 expansion rounds. The iterative shape
+    // every graph engine builds first — each round is one join of the
+    // previous frontier against the (node-sized, broadcastable) edge
+    // list plus a min-hop re-aggregate, so a 1000-executor run is 3
+    // shuffles of frontier-sized data, never path-enumeration. The
+    // oracle unrolls the same three rounds as chained DISTINCT CTEs —
+    // no recursive CTE, whose UNION ALL would enumerate paths and
+    // explode on a clustered graph.
+    QueryDef("q_bfs_hops",
+      (s, d) => {
+        val e = s.read.parquet(copurchaseEdgesOf(s, d))
+        val eb = e.select(col("p1").as("src"), col("p2").as("dst"))
+          .unionAll(e.select(col("p2").as("src"), col("p1").as("dst")))
+        var reach = e.agg(min(col("p1")).as("node"))
+          .select(col("node"), lit(0).as("hop"))
+        for (h <- 1 to 3) {
+          val next = reach.filter(col("hop") === h - 1)
+            .join(eb, col("node") === col("src"))
+            .select(col("dst").as("node"), lit(h).as("hop")).distinct()
+          reach = reach.unionAll(next)
+            .groupBy(col("node")).agg(min(col("hop")).as("hop"))
+        }
+        reach.groupBy(col("hop"))
+          .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"))
+          .orderBy(col("hop"))
+      },
+      Some("""WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+             |  FROM pp a JOIN pp b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |eb AS (SELECT p1 AS src, p2 AS dst FROM e
+             |  UNION ALL SELECT p2, p1 FROM e),
+             |f0 AS (SELECT min(p1) AS node FROM e),
+             |h1 AS (SELECT DISTINCT eb.dst AS node
+             |  FROM eb JOIN f0 ON eb.src = f0.node),
+             |h2 AS (SELECT DISTINCT eb.dst AS node
+             |  FROM eb JOIN h1 ON eb.src = h1.node),
+             |h3 AS (SELECT DISTINCT eb.dst AS node
+             |  FROM eb JOIN h2 ON eb.src = h2.node),
+             |lv AS (SELECT node, 0 AS hop FROM f0
+             |  UNION ALL SELECT node, 1 FROM h1
+             |  UNION ALL SELECT node, 2 FROM h2
+             |  UNION ALL SELECT node, 3 FROM h3),
+             |m AS (SELECT node, min(hop) AS hop FROM lv GROUP BY 1)
+             |SELECT hop, count(*) AS n_nodes, min(node) AS min_node
+             |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Local-maxima peak detection on the hourly purchase-revenue
+    // series: an hour is a peak iff strictly above both immediate
+    // neighbors AND no lower than the ±2-hour neighborhood — the
+    // two-scale test that rejects sawtooth noise without a smoothing
+    // pass. The facts collapse to an hour-grain integer-cents digest
+    // first (≤ 8.8k rows/series/year at ANY fact scale), so the
+    // global-order window runs on the digest, not the stream.
+    QueryDef("q_peak_detect",
+      (s, d) => {
+        val hr = graft.sources.Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy(date_trunc("hour", col("ts")).as("hr"))
+          .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+        val w = Window.orderBy(col("hr"))
+        hr.withColumn("p1", lag(col("cents"), 1).over(w))
+          .withColumn("n1", lead(col("cents"), 1).over(w))
+          .withColumn("p2", coalesce(lag(col("cents"), 2).over(w), lit(0L)))
+          .withColumn("n2", coalesce(lead(col("cents"), 2).over(w), lit(0L)))
+          .filter(col("p1").isNotNull && col("n1").isNotNull &&
+            col("cents") > col("p1") && col("cents") > col("n1") &&
+            col("cents") >= col("p2") && col("cents") >= col("n2"))
+          .select(col("hr").cast("string").as("hr"), col("cents"))
+          .orderBy(col("hr"))
+      },
+      Some("""WITH h AS (SELECT date_trunc('hour', ts) AS hr,
+             |    sum(floor(value * 100)::BIGINT)::BIGINT AS cents
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+             |x AS (SELECT hr, cents,
+             |    lag(cents, 1) OVER wh AS p1, lead(cents, 1) OVER wh AS n1,
+             |    coalesce(lag(cents, 2) OVER wh, 0) AS p2,
+             |    coalesce(lead(cents, 2) OVER wh, 0) AS n2
+             |  FROM h WINDOW wh AS (ORDER BY hr))
+             |SELECT hr::VARCHAR AS hr, cents FROM x
+             |WHERE p1 IS NOT NULL AND n1 IS NOT NULL
+             |  AND cents > p1 AND cents > n1
+             |  AND cents >= p2 AND cents >= n2
+             |ORDER BY hr""".stripMargin))
   )
 }

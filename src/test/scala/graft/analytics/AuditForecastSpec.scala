@@ -154,4 +154,30 @@ class AuditForecastSpec extends GraftSpec {
     assert(emd >= 0.0 && emd <= 500.0, s"emd=$emd out of support range")
     assert(r.getAs[Long]("n_even") > 0L && r.getAs[Long]("n_odd") > 0L)
   }
+
+  test("allan variance: full tau curve per series, non-negative, cluster counts halve with tau") {
+    val rows = run("q_allan_variance")
+    assert(rows.length === 20, "5 event types x 4 taus")
+    rows.foreach(r => assert(r.getAs[Double]("avar") >= 0.0))
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      val byTau = rs.sortBy(_.getAs[Int]("tau"))
+        .map(_.getAs[Long]("n_clusters"))
+      assert(byTau.zip(byTau.tail).forall { case (a, b) => a >= b },
+        "larger tau cannot yield more clusters")
+    }
+  }
+
+  test("bfs hops: single source at hop 0, every frontier non-empty and hops contiguous") {
+    val rows = run("q_bfs_hops").sortBy(_.getAs[Int]("hop"))
+    assert(rows.head.getAs[Int]("hop") === 0)
+    assert(rows.head.getAs[Long]("n_nodes") === 1L)
+    assert(rows.map(_.getAs[Int]("hop")) === rows.indices.map(identity))
+    rows.foreach(r => assert(r.getAs[Long]("n_nodes") > 0L))
+  }
+
+  test("peaks: every detected peak carries positive revenue") {
+    val rows = run("q_peak_detect")
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("cents") > 0L))
+  }
 }
