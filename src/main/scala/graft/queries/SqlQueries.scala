@@ -5935,6 +5935,155 @@ object SqlQueries {
              |WHERE p1 IS NOT NULL AND n1 IS NOT NULL
              |  AND cents > p1 AND cents > n1
              |  AND cents >= p2 AND cents >= n2
-             |ORDER BY hr""".stripMargin))
+             |ORDER BY hr""".stripMargin)),
+
+    // Seasonal-naive forecast backtest: predict each day's revenue as
+    // the same weekday one week earlier (the baseline every real
+    // forecaster must beat), scored on the final 14 days with MAE and
+    // MAPE. The series is a day-grain integer-cents digest, the lag-7
+    // "model" one window shift, the holdout selection a broadcast
+    // max-day digest — an evaluation harness whose cost is the fact
+    // scan, nothing else. Completes the forecasting family
+    // (Holt/Theil-Sen/changepoint) with the scoring half.
+    QueryDef("q_forecast_backtest",
+      (s, d) => {
+        val day = graft.sources.Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+        val w = Window.orderBy(col("day"))
+        val pred = day.withColumn("pred", lag(col("cents"), 7).over(w))
+        val horizon = day.agg(max(col("day")).as("max_day"))
+        pred.crossJoin(broadcast(horizon))
+          .filter(col("pred").isNotNull &&
+            datediff(col("max_day"), col("day")) < 14)
+          .agg(count(lit(1)).as("n_days"),
+            sum(abs(col("cents") - col("pred"))).as("abs_err_cents"),
+            round((sum(abs(col("cents") - col("pred"))) /
+              count(lit(1))).cast("double") / 100.0, 2).as("mae"),
+            // per-day relative error floored to ppm BEFORE summing:
+            // the accumulator stays integer (partition-order
+            // independent), unlike a Σ of double ratios
+            round(expr("sum(abs(cents - pred) * 1000000 div cents)")
+              .cast("double") /
+              (count(lit(1)).cast("double") * 1e6), 6).as("mape"))
+      },
+      Some("""WITH day AS (SELECT ts::DATE AS day,
+             |    sum(floor(value * 100)::BIGINT)::BIGINT AS cents
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+             |p AS (SELECT day, cents,
+             |    lag(cents, 7) OVER (ORDER BY day) AS pred
+             |  FROM day),
+             |h AS (SELECT max(day) AS max_day FROM day)
+             |SELECT count(*) AS n_days,
+             |  sum(abs(cents - pred))::BIGINT AS abs_err_cents,
+             |  round((sum(abs(cents - pred)) / count(*))::DOUBLE / 100.0, 2)
+             |    AS mae,
+             |  round(sum(abs(cents - pred) * 1000000 // cents)::DOUBLE
+             |    / (count(*)::DOUBLE * 1e6), 6) AS mape
+             |FROM p, h
+             |WHERE pred IS NOT NULL AND datediff('day', day, max_day) < 14
+             |""".stripMargin)),
+
+    // Delete-one-group jackknife: the standard-error of mean purchase
+    // value estimated by leaving out one DAY at a time — the
+    // resampling-inference shape (bootstrap's deterministic cousin)
+    // that needs NO randomness: pseudo-values come from the per-day
+    // (n, Σ) digest against the global digest, all exact milli-unit
+    // integers until the final scalar arithmetic. One aggregate scan;
+    // the leave-one-out "loop" is algebra on the digest, not a rescan
+    // per replicate — the only way a jackknife survives 100 TB.
+    QueryDef("q_jackknife_se",
+      (s, d) => {
+        val per = graft.sources.Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("nd"),
+            sum(floor(col("value") * 1000).cast("long")).as("sd"))
+        val tot = per.agg(sum(col("nd")).as("n"), sum(col("sd")).as("st"),
+          count(lit(1)).as("g"))
+        val loo = (col("st") - col("sd")).cast("double") /
+          (col("n") - col("nd")).cast("double")
+        val mean = col("st").cast("double") / col("n").cast("double")
+        per.crossJoin(broadcast(tot))
+          // deviation floored to an exact micro-value integer per
+          // replicate BEFORE the Σ of squares: the accumulator is
+          // BIGINT (partition-order independent), not a double sum
+          .select(col("g"), mean.as("m"),
+            floor((loo - mean) * 1000).cast("long").as("dv"))
+          .agg(max(col("g")).as("n_groups"),
+            round(max(col("m")) / 1000.0, 6).as("mean_value"),
+            round(sqrt(sum(col("dv") * col("dv")).cast("double")
+              * (max(col("g")) - 1).cast("double") /
+              max(col("g")).cast("double")) / 1e6, 6).as("jackknife_se"))
+      },
+      Some("""WITH per AS (SELECT ts::DATE AS day, count(*) AS nd,
+             |    sum(floor(value * 1000)::BIGINT)::BIGINT AS sd
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+             |tot AS (SELECT sum(nd)::BIGINT AS n, sum(sd)::BIGINT AS st,
+             |    count(*) AS g FROM per),
+             |pv AS (SELECT g, st::DOUBLE / n::DOUBLE AS m,
+             |    floor(((st - sd)::DOUBLE / (n - nd)::DOUBLE
+             |      - st::DOUBLE / n::DOUBLE) * 1000)::BIGINT AS dv
+             |  FROM per, tot)
+             |SELECT max(g) AS n_groups,
+             |  round(max(m) / 1000.0, 6) AS mean_value,
+             |  round(sqrt(sum(dv * dv)::DOUBLE
+             |      * (max(g) - 1)::DOUBLE / max(g)::DOUBLE) / 1e6, 6)
+             |    AS jackknife_se
+             |FROM pv""".stripMargin)),
+
+    // Signal roughness per event_type: zero-crossing rate of the
+    // mean-centered value stream and mean absolute first difference
+    // ("jerk") — the two cheapest time-domain features a vibration /
+    // telemetry monitor extracts before anything spectral. Centering
+    // uses the per-series integer mean floor (broadcast digest), the
+    // diff is one lag over the per-series sort — a single shuffle on
+    // event_type, exact integers throughout.
+    QueryDef("q_zero_crossings",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+          .select(col("event_type"), col("ts"), col("event_id"),
+            floor(col("value") * 1000).cast("long").as("vm"))
+        val ctr = ev.groupBy(col("event_type").as("et"))
+          .agg(expr("sum(vm) div count(1)").as("mu"))
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        val cen = ev.join(broadcast(ctr), col("event_type") === col("et"))
+          .withColumn("c", col("vm") - col("mu"))
+          .withColumn("pc", lag(col("c"), 1).over(w))
+          .withColumn("pv", lag(col("vm"), 1).over(w))
+        cen.filter(col("pc").isNotNull)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_steps"),
+            sum(when(col("c") * col("pc") < 0, 1L).otherwise(0L))
+              .as("n_crossings"),
+            round(sum(when(col("c") * col("pc") < 0, 1L).otherwise(0L))
+              .cast("double") / count(lit(1)).cast("double"), 6)
+              .as("crossing_rate"),
+            round((sum(abs(col("vm") - col("pv"))) / count(lit(1)))
+              .cast("double") / 1000.0, 3).as("mean_abs_jerk"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH base AS (SELECT event_type, ts, event_id,
+             |    floor(value * 1000)::BIGINT AS vm
+             |  FROM events),
+             |mu AS (SELECT event_type, sum(vm) // count(*) AS mu
+             |  FROM base GROUP BY 1),
+             |st AS (SELECT b.event_type, b.vm - mu.mu AS c,
+             |    lag(b.vm - mu.mu) OVER we AS pc,
+             |    lag(b.vm) OVER we AS pv, b.vm
+             |  FROM base b JOIN mu ON b.event_type = mu.event_type
+             |  WINDOW we AS (PARTITION BY b.event_type
+             |    ORDER BY b.ts, b.event_id))
+             |SELECT event_type, count(*) AS n_steps,
+             |  sum(CASE WHEN c * pc < 0 THEN 1 ELSE 0 END)::BIGINT
+             |    AS n_crossings,
+             |  round(sum(CASE WHEN c * pc < 0 THEN 1 ELSE 0 END)::DOUBLE
+             |    / count(*)::DOUBLE, 6) AS crossing_rate,
+             |  round((sum(abs(vm - pv)) / count(*))::DOUBLE / 1000.0, 3)
+             |    AS mean_abs_jerk
+             |FROM st WHERE pc IS NOT NULL
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -180,4 +180,32 @@ class AuditForecastSpec extends GraftSpec {
     assert(rows.nonEmpty)
     rows.foreach(r => assert(r.getAs[Long]("cents") > 0L))
   }
+
+  test("forecast backtest: holdout covers at most 14 scored days, errors internally consistent") {
+    val r = run("q_forecast_backtest").head
+    val n = r.getAs[Long]("n_days")
+    assert(n > 0L && n <= 14L)
+    assert(r.getAs[Long]("abs_err_cents") >= 0L)
+    assert(math.abs(r.getAs[Double]("mae") -
+      r.getAs[Long]("abs_err_cents").toDouble / n / 100.0) < 0.01)
+    assert(r.getAs[Double]("mape") >= 0.0)
+  }
+
+  test("jackknife SE: positive and far below the mean it qualifies") {
+    val r = run("q_jackknife_se").head
+    assert(r.getAs[Long]("n_groups") > 2L)
+    val se = r.getAs[Double]("jackknife_se")
+    assert(se > 0.0 && se < r.getAs[Double]("mean_value"))
+  }
+
+  test("zero crossings: rates in [0,1], all series covered, steps one less than rows") {
+    val rows = run("q_zero_crossings")
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("crossing_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(r.getAs[Long]("n_crossings") <= r.getAs[Long]("n_steps"))
+      assert(r.getAs[Double]("mean_abs_jerk") >= 0.0)
+    }
+  }
 }
