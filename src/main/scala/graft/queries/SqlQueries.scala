@@ -6084,6 +6084,136 @@ object SqlQueries {
              |  round((sum(abs(vm - pv)) / count(*))::DOUBLE / 1000.0, 3)
              |    AS mean_abs_jerk
              |FROM st WHERE pc IS NOT NULL
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Exact 24-hour rolling median of hourly revenue — the robust
+    // rolling-center line (median ignores the spike a rolling MEAN
+    // chases). Runs on the hour-grain digest (≤ 8.8k rows/year at any
+    // fact scale), where a 24-slot sorted-array window is cheap and
+    // EXACT — no t-digest approximation needed; the same per-window
+    // sort is how a native engine's streaming median works. Spark
+    // side: sort_array(collect_list) over the frame + closed-form
+    // middle pick; oracle: DuckDB's windowed median().
+    QueryDef("q_rolling_median",
+      (s, d) => {
+        val hr = graft.sources.Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy(date_trunc("hour", col("ts")).as("hr"))
+          .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+        val w24 = Window.orderBy(col("hr")).rowsBetween(-23, 0)
+        hr.withColumn("arr", sort_array(collect_list(col("cents")).over(w24)))
+          .select(col("hr").cast("string").as("hr"), col("cents"),
+            round((element_at(col("arr"),
+              expr("int((size(arr) + 1) div 2)")) +
+              element_at(col("arr"), expr("int(size(arr) div 2) + 1")))
+              .cast("double") / 2.0, 2).as("rolling_med"))
+          .orderBy(col("hr"))
+      },
+      Some("""WITH h AS (SELECT date_trunc('hour', ts) AS hr,
+             |    sum(floor(value * 100)::BIGINT)::BIGINT AS cents
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+             |SELECT hr::VARCHAR AS hr, cents,
+             |  round(median(cents) OVER (ORDER BY hr
+             |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)::DOUBLE, 2)
+             |    AS rolling_med
+             |FROM h ORDER BY hr""".stripMargin)),
+
+    // Item-item collaborative filtering: cosine similarity on binary
+    // order-baskets, sim(i,j) = |orders(i)∩orders(j)| /
+    // √(|orders(i)|·|orders(j)|) — the normalization that separates
+    // genuine affinity from sheer popularity (which raw co-count and
+    // lift both conflate). Top-3 neighbors for the 20 highest-degree
+    // parts. The pair join is co-partitioned on l_orderkey exactly
+    // like the co-purchase edge build; scores are ppm-floored (sqrt
+    // is IEEE exact-rounded, so the floor is engine-stable).
+    QueryDef("q_item_cf_topk",
+      (s, d) => {
+        val pp = s.read.parquet(s"$d/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val deg = pp.groupBy(col("l_partkey").as("p"))
+          .agg(count(lit(1)).as("deg"))
+        val e = pp.select(col("l_orderkey"), col("l_partkey").as("p1"))
+          .join(pp.select(col("l_orderkey").as("ok2"),
+            col("l_partkey").as("p2")),
+            col("l_orderkey") === col("ok2") && col("p1") < col("p2"))
+          .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("cw"))
+          .filter(col("cw") >= 2)
+        val eb = e.select(col("p1").as("src"), col("p2").as("dst"), col("cw"))
+          .unionAll(e.select(col("p2").as("src"), col("p1").as("dst"),
+            col("cw")))
+        val hot = deg.withColumn("dr",
+          row_number().over(Window.orderBy(col("deg").desc, col("p"))))
+          .filter(col("dr") <= 20).select(col("p"), col("deg").as("sdeg"))
+        val scored = eb.join(broadcast(hot), col("src") === col("p"))
+          .join(deg.select(col("p").as("dp"), col("deg").as("ddeg")),
+            col("dst") === col("dp"))
+          .withColumn("sim_ppm", floor(col("cw").cast("double") * 1e6 /
+            sqrt((col("sdeg") * col("ddeg")).cast("double"))).cast("long"))
+        scored.withColumn("rank", row_number().over(
+            Window.partitionBy(col("src"))
+              .orderBy(col("sim_ppm").desc, col("dst"))))
+          .filter(col("rank") <= 3)
+          .select(col("src"), col("rank"), col("dst"), col("sim_ppm"))
+          .orderBy(col("src"), col("rank"))
+      },
+      Some("""WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |deg AS (SELECT l_partkey AS p, count(*) AS deg FROM pp GROUP BY 1),
+             |e AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+             |    count(*) AS cw
+             |  FROM pp a JOIN pp b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |eb AS (SELECT p1 AS src, p2 AS dst, cw FROM e
+             |  UNION ALL SELECT p2, p1, cw FROM e),
+             |hot AS (SELECT p, deg AS sdeg FROM (SELECT p, deg,
+             |    row_number() OVER (ORDER BY deg DESC, p) AS dr FROM deg)
+             |  WHERE dr <= 20),
+             |sc AS (SELECT eb.src, eb.dst,
+             |    floor(eb.cw::DOUBLE * 1e6
+             |      / sqrt((hot.sdeg * dd.deg)::DOUBLE))::BIGINT AS sim_ppm
+             |  FROM eb JOIN hot ON eb.src = hot.p
+             |    JOIN deg dd ON eb.dst = dd.p),
+             |r AS (SELECT src, dst, sim_ppm,
+             |    row_number() OVER (PARTITION BY src
+             |      ORDER BY sim_ppm DESC, dst) AS rank
+             |  FROM sc)
+             |SELECT src, rank, dst, sim_ppm FROM r WHERE rank <= 3
+             |ORDER BY src, rank""".stripMargin)),
+
+    // SAX symbolization (symbolic aggregate approximation): the daily
+    // revenue curve compressed to a 6-letter word — each day's 24
+    // hours collapse to six 4-hour PAA frames, each frame classified
+    // into quartile alphabet {a..d} by a global ntile (rank-based
+    // breakpoints: ties resolved on (value, day, frame), so the
+    // labeling is total-order deterministic, no float breakpoints).
+    // The motif/anomaly pre-index for time-series similarity search
+    // — words are groupable/joinable where raw curves are not. Facts
+    // collapse to ≤ 6 rows/day before any window.
+    QueryDef("q_sax_symbols",
+      (s, d) => {
+        val fr = graft.sources.Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy(to_date(col("ts")).as("day"),
+            (hour(col("ts")) / 4).cast("int").as("frame"))
+          .agg(sum(floor(col("value") * 100).cast("long")).as("fv"))
+        val sym = fr.withColumn("q", ntile(4).over(
+            Window.orderBy(col("fv"), col("day"), col("frame"))))
+          .withColumn("sym", expr("char(96 + q)"))
+        sym.groupBy(col("day").cast("string").as("day"))
+          .agg(concat_ws("", transform(array_sort(
+            collect_list(struct(col("frame"), col("sym")))),
+            x => x.getField("sym"))).as("sax_word"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH fr AS (SELECT ts::DATE AS day,
+             |    (hour(ts) // 4)::INT AS frame,
+             |    sum(floor(value * 100)::BIGINT)::BIGINT AS fv
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+             |sym AS (SELECT day, frame,
+             |    chr((96 + ntile(4) OVER (ORDER BY fv, day, frame))::INT) AS sym
+             |  FROM fr)
+             |SELECT day::VARCHAR AS day,
+             |  string_agg(sym, '' ORDER BY frame) AS sax_word
+             |FROM sym GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

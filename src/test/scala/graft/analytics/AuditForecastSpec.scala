@@ -198,6 +198,42 @@ class AuditForecastSpec extends GraftSpec {
     assert(se > 0.0 && se < r.getAs[Double]("mean_value"))
   }
 
+  test("rolling median: bounded by the window extremes at every point") {
+    val rows = run("q_rolling_median")
+    assert(rows.nonEmpty)
+    val cents = rows.map(_.getAs[Long]("cents"))
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val win = cents.slice(math.max(0, i - 23), i + 1)
+      val med = r.getAs[Double]("rolling_med")
+      assert(med >= win.min.toDouble && med <= win.max.toDouble,
+        s"median $med outside window [${win.min}, ${win.max}] at $i")
+    }
+  }
+
+  test("item CF: ranks dense per source, sim in (0, 1e6]") {
+    val rows = run("q_item_cf_topk")
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("src")).foreach { case (_, rs) =>
+      val ranks = rs.map(_.getAs[Int]("rank")).sorted
+      assert(ranks === (1 to ranks.size).toArray)
+    }
+    rows.foreach { r =>
+      val s = r.getAs[Long]("sim_ppm")
+      assert(s > 0L && s <= 1000000L)
+      assert(r.getAs[Long]("src") !== r.getAs[Long]("dst"))
+    }
+  }
+
+  test("sax words: one per day, alphabet restricted to a..d") {
+    val rows = run("q_sax_symbols")
+    assert(rows.length === 30, "one word per observed day")
+    rows.foreach { r =>
+      val wd = r.getAs[String]("sax_word")
+      assert(wd.nonEmpty && wd.length <= 6)
+      assert(wd.forall(c => c >= 'a' && c <= 'd'), s"bad word $wd")
+    }
+  }
+
   test("zero crossings: rates in [0,1], all series covered, steps one less than rows") {
     val rows = run("q_zero_crossings")
     assert(rows.length === 5)
