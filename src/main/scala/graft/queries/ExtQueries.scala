@@ -399,8 +399,13 @@ object ExtQueries {
       (s, d) => {
         val docs = s.read.parquet(s"$d/documents.parquet")
           .filter(col("doc_id") < 1000)
+        // the pairs table is tiny in BYTES but huge in CPU (a banded
+        // DP per row) — AQE's size-based coalescing would collapse it
+        // onto one task and serialize the whole verify stage, so pin
+        // the DP's parallelism explicitly
         val cand = Dedup.simhashNearDups(docs, maxHamming = 5)
           .select(col("id_a"), col("id_b"))
+          .repartition(32, col("id_a"), col("id_b"))
         cand
           .join(docs.select(col("doc_id").as("id_a"), col("text").as("__ta")), "id_a")
           .join(docs.select(col("doc_id").as("id_b"), col("text").as("__tb")), "id_b")

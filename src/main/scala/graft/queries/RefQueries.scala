@@ -510,7 +510,15 @@ object RefQueries {
     // measures: one aggregate pass, one row per column.
     QueryDef("a5_summary_all",
       (s, d) => {
+        // the whole table is one parquet file at bench SF, so the
+        // scan yields ONE partition and the heaviest aggregate here
+        // (4 exact-decimal Σ/Σ² + 4 percentile buffers) would run
+        // single-threaded; fan the 4 projected columns out first (a
+        // ~20 MB shuffle). On a real multi-file table the scan is
+        // already parallel and this repartition folds into AQE.
         val li = s.read.parquet(s"$d/lineitem.parquet")
+          .select("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+          .repartition(32)
         Stats.summaryAllExact(li,
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
           .select(col("column"), col("cnt"),
