@@ -368,8 +368,11 @@ object ExtQueries {
     // the synthetic corpus's small vocabulary collapses it (measured
     // 121k hamming-0 pairs at sf0.1); 60 bits separates real near-dups.
     QueryDef("dedup_simhash_neardup",
+      // repartition: the single-file scan would otherwise compute
+      // every 60-bit shingle fingerprint in one task
       (s, d) => Dedup.simhashNearDups(
-        s.read.parquet(s"$d/documents.parquet"), maxHamming = 3)
+        s.read.parquet(s"$d/documents.parquet").repartition(32),
+        maxHamming = 3)
         .orderBy(col("id_a"), col("id_b")),
       Some(s"""WITH ${simhashCte(60)},
               |bands AS (SELECT doc_id, fp, b.i AS band, (fp >> (b.i * 10)) & 1023 AS key
@@ -2340,7 +2343,11 @@ object ExtQueries {
     // dedup queries already use).
     QueryDef("text_bigram_logprob",
       (s, d) => {
+        // single-file scan = one partition: fan out BEFORE the
+        // CPU-heavy tokenize+explode so it runs on all cores (a real
+        // multi-file corpus scan is already parallel and skips this)
         val docs = s.read.parquet(s"$d/documents.parquet")
+          .repartition(32)
           .withColumn("__tk", TextAnalysis.tokens(col("text")))
           .filter(size(col("__tk")) >= 2)
         val b = docs.select(col("doc_id"), explode(expr(
@@ -3243,6 +3250,8 @@ object ExtQueries {
             s"concat(least(element_at(tk, i), element_at(tk, i + $k)), ' ', " +
             s"greatest(element_at(tk, i), element_at(tk, i + $k))))"
         s.read.parquet(s"$d/documents.parquet")
+          // fan the single-file scan out before tokenize+explode
+          .repartition(32)
           .select(TextAnalysis.tokens(col("text")).as("tk"))
           .filter(size(col("tk")) >= 3)
           .select(explode(concat(expr(pairsAt(1)), expr(pairsAt(2))))
