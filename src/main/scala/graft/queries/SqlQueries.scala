@@ -6214,6 +6214,246 @@ object SqlQueries {
              |  FROM fr)
              |SELECT day::VARCHAR AS day,
              |  string_agg(sym, '' ORDER BY frame) AS sax_word
-             |FROM sym GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM sym GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Autocorrelation function at lags {1, 2, 3, 24, 168}h — the
+    // correlogram that justifies every seasonal model choice (lag-24
+    // daily cycle, lag-168 weekly). Deviations are exact integers off
+    // the floor-mean digest, so numerator and denominator are BIGINT
+    // dot products; the lag fan-out is a digest×5 self-join on shifted
+    // row numbers (no per-lag window machinery, one tiny join).
+    // Extends q_autocorr's single lag to the shape a forecaster reads.
+    QueryDef("q_acf_lags",
+      (s, d) => {
+        val hr = graft.sources.Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy(date_trunc("hour", col("ts")).as("hr"))
+          .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+        val mu = hr.agg(expr("sum(cents) div count(1)").as("mu"))
+        val cen = hr.crossJoin(broadcast(mu))
+          .withColumn("rn", row_number().over(Window.orderBy(col("hr"))))
+          .select(col("rn"), (col("cents") - col("mu")).as("c"))
+        val denom = cen.agg(sum(col("c") * col("c")).as("ss"),
+          count(lit(1)).as("n"))
+        val lags = cen.withColumn("lag",
+          explode(array(lit(1), lit(2), lit(3), lit(24), lit(168))))
+        lags.join(cen.select(col("rn").as("rb"), col("c").as("cb")),
+            col("rb") === col("rn") + col("lag"))
+          .groupBy(col("lag"))
+          .agg(count(lit(1)).as("n_pairs"), sum(col("c") * col("cb")).as("num"))
+          .crossJoin(broadcast(denom))
+          .select(col("lag"), col("n_pairs"),
+            round(col("num").cast("double") / col("ss").cast("double"), 6)
+              .as("acf"))
+          .orderBy(col("lag"))
+      },
+      Some("""WITH h AS (SELECT date_trunc('hour', ts) AS hr,
+             |    sum(floor(value * 100)::BIGINT)::BIGINT AS cents
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+             |mu AS (SELECT sum(cents) // count(*) AS mu FROM h),
+             |cen AS (SELECT row_number() OVER (ORDER BY hr) AS rn,
+             |    cents - mu AS c FROM h, mu),
+             |dn AS (SELECT sum(c * c)::BIGINT AS ss FROM cen),
+             |lg AS (SELECT a.rn, a.c, l.lag FROM cen a
+             |  CROSS JOIN (SELECT unnest([1, 2, 3, 24, 168]) AS lag) l)
+             |SELECT lg.lag, count(*) AS n_pairs,
+             |  round(sum(lg.c * b.c)::DOUBLE / max(dn.ss)::DOUBLE, 6) AS acf
+             |FROM lg JOIN cen b ON b.rn = lg.rn + lg.lag, dn
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Idle-segment detection: contiguous runs of BELOW-HALF-MEAN
+    // hourly activity (the "robot parked / line down" readout). The
+    // spine is generated from the min/max bounds digest so zero-event
+    // hours exist as rows — a gaps-and-islands pass on the raw digest
+    // would silently fuse segments across missing hours. Threshold is
+    // relative (mean/2 from the same digest), so the query is
+    // scale-free; islands come from the rn − rn(low) difference
+    // idiom, one global window over the ≤8.8k-row spine.
+    QueryDef("q_idle_segments",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+        val cnt = ev.groupBy(date_trunc("hour", col("ts")).as("hr"))
+          .agg(count(lit(1)).as("n"))
+        val bounds = ev.agg(
+          date_trunc("hour", min(col("ts"))).as("t0"),
+          date_trunc("hour", max(col("ts"))).as("t1"),
+          expr("count(1) div count(distinct date_trunc('hour', ts)) div 2")
+            .as("half_mean"))
+        val spine = bounds.select(col("half_mean"),
+          explode(expr("sequence(t0, t1, interval 1 hour)")).as("hr"))
+        val flagged = spine.join(cnt, Seq("hr"), "left")
+          .withColumn("n", coalesce(col("n"), lit(0L)))
+          .withColumn("low", col("n") < col("half_mean"))
+        val w = Window.orderBy(col("hr"))
+        val isl = flagged.withColumn("rn", row_number().over(w))
+          .filter(col("low"))
+          .withColumn("grp", col("rn") -
+            row_number().over(Window.orderBy(col("hr"))))
+        isl.groupBy(col("grp"))
+          .agg(min(col("hr")).cast("string").as("start_hr"),
+            max(col("hr")).cast("string").as("end_hr"),
+            count(lit(1)).as("n_hours"), sum(col("n")).as("n_events"))
+          .select(col("start_hr"), col("end_hr"), col("n_hours"),
+            col("n_events"))
+          .orderBy(col("n_hours").desc, col("start_hr")).limit(20)
+      },
+      Some("""WITH cnt AS (SELECT date_trunc('hour', ts) AS hr,
+             |    count(*)::BIGINT AS n FROM events GROUP BY 1),
+             |b AS (SELECT date_trunc('hour', min(ts)) AS t0,
+             |    date_trunc('hour', max(ts)) AS t1,
+             |    count(*) // count(DISTINCT date_trunc('hour', ts)) // 2
+             |      AS half_mean
+             |  FROM events),
+             |spine AS (SELECT b.half_mean, unnest(generate_series(
+             |    b.t0, b.t1, INTERVAL 1 HOUR)) AS hr FROM b),
+             |fl AS (SELECT spine.hr, coalesce(cnt.n, 0) AS n,
+             |    coalesce(cnt.n, 0) < spine.half_mean AS low,
+             |    row_number() OVER (ORDER BY spine.hr) AS rn
+             |  FROM spine LEFT JOIN cnt ON cnt.hr = spine.hr),
+             |isl AS (SELECT hr, n,
+             |    rn - row_number() OVER (ORDER BY hr) AS grp
+             |  FROM fl WHERE low)
+             |SELECT min(hr)::VARCHAR AS start_hr, max(hr)::VARCHAR AS end_hr,
+             |  count(*) AS n_hours, sum(n)::BIGINT AS n_events
+             |FROM isl GROUP BY grp
+             |ORDER BY n_hours DESC, start_hr LIMIT 20""".stripMargin)),
+
+    // Stock span (nearest-greater-element): for each hour, how many
+    // consecutive trailing hours had revenue no higher — the
+    // momentum/streak-length signal. Monotonic-stack semantics
+    // expressed relationally: span = rn − last rn with a strictly
+    // greater value, found by a prefix self-join ON THE DIGEST (≤8.8k
+    // rows/year — quadratic in digest cells, never in facts; at
+    // longer horizons the same recurrence runs as a segment-tree/
+    // partitioned sweep). Top-20 longest spans.
+    QueryDef("q_stock_span",
+      (s, d) => {
+        val hr = graft.sources.Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy(date_trunc("hour", col("ts")).as("hr"))
+          .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+          .withColumn("rn", row_number().over(Window.orderBy(col("hr"))))
+        val prior = hr.select(col("rn").as("rb"), col("cents").as("cb"))
+        hr.join(prior, col("rb") < col("rn") && col("cb") > col("cents"),
+            "left")
+          .groupBy(col("hr"), col("rn"), col("cents"))
+          .agg((col("rn") - coalesce(max(col("rb")), lit(0L))).as("span"))
+          .select(col("hr").cast("string").as("hr"), col("cents"),
+            col("span"))
+          .orderBy(col("span").desc, col("hr")).limit(20)
+      },
+      Some("""WITH h AS (SELECT date_trunc('hour', ts) AS hr,
+             |    sum(floor(value * 100)::BIGINT)::BIGINT AS cents
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+             |r AS (SELECT hr, cents,
+             |    row_number() OVER (ORDER BY hr) AS rn FROM h)
+             |SELECT a.hr::VARCHAR AS hr, a.cents,
+             |  (a.rn - coalesce(max(b.rn), 0))::BIGINT AS span
+             |FROM r a LEFT JOIN r b ON b.rn < a.rn AND b.cents > a.cents
+             |GROUP BY a.hr, a.rn, a.cents
+             |ORDER BY span DESC, hr LIMIT 20""".stripMargin)),
+
+    // Entropy rate of the per-user event-type chain: H(X_t | X_{t-1})
+    // from the transition-count digest, next to the unigram entropy
+    // H(X) — their gap is the behavioral predictability the Markov
+    // structure buys (the information-theoretic readout on top of
+    // q_event_transitions' raw matrix). The 25-cell digest is the only
+    // thing aggregated after the per-user lag; each entropy term is
+    // rounded to a 9-decimal DECIMAL before summing, so the Σ is
+    // partition-order independent (the rounded-term idiom from the
+    // Zipf fit).
+    QueryDef("q_entropy_rate",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val tr = graft.sources.Tables.events(s, d)
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .groupBy(col("prev"), col("event_type")).agg(count(lit(1)).as("c"))
+        val tot = tr.agg(sum(col("c")).as("n"))
+        val row = tr.withColumn("ci",
+            sum(col("c")).over(Window.partitionBy(col("prev"))))
+          .crossJoin(broadcast(tot))
+        val hRate = sum(round(-(col("c").cast("double") / col("n")) *
+          log(2.0, col("c").cast("double") / col("ci")), 9)
+          .cast("decimal(20,9)"))
+        val hUni = sum(round(-(col("ci2").cast("double") / col("n")) *
+          log(2.0, col("ci2").cast("double") / col("n")), 9)
+          .cast("decimal(20,9)"))
+        val uni = tr.groupBy(col("event_type")).agg(sum(col("c")).as("ci2"))
+          .crossJoin(broadcast(tot))
+          .agg(round(hUni.cast("double"), 6).as("h_unigram_bits"))
+        row.agg(max(col("n")).as("n_transitions"),
+            round(hRate.cast("double"), 6).as("h_rate_bits"))
+          .crossJoin(uni)
+          .select(col("n_transitions"), col("h_rate_bits"),
+            col("h_unigram_bits"),
+            round(col("h_unigram_bits") - col("h_rate_bits"), 6)
+              .as("predictability_gain_bits"))
+      },
+      Some("""WITH tr AS (SELECT prev, event_type, count(*)::BIGINT AS c
+             |  FROM (SELECT event_type,
+             |      lag(event_type) OVER (PARTITION BY user_id
+             |        ORDER BY ts, event_id) AS prev
+             |    FROM events)
+             |  WHERE prev IS NOT NULL GROUP BY 1, 2),
+             |tot AS (SELECT sum(c)::BIGINT AS n FROM tr),
+             |hr AS (SELECT round(sum(round(-(c::DOUBLE / n)
+             |      * log2(c::DOUBLE / ci), 9)::DECIMAL(20,9))::DOUBLE, 6)
+             |    AS h_rate_bits, max(n) AS n_transitions
+             |  FROM (SELECT c, sum(c) OVER (PARTITION BY prev) AS ci
+             |        FROM tr), tot),
+             |hu AS (SELECT round(sum(round(-(ci2::DOUBLE / n)
+             |      * log2(ci2::DOUBLE / n), 9)::DECIMAL(20,9))::DOUBLE, 6)
+             |    AS h_unigram_bits
+             |  FROM (SELECT event_type, sum(c)::BIGINT AS ci2 FROM tr
+             |        GROUP BY 1), tot)
+             |SELECT n_transitions, h_rate_bits, h_unigram_bits,
+             |  round(h_unigram_bits - h_rate_bits, 6)
+             |    AS predictability_gain_bits
+             |FROM hr, hu""".stripMargin)),
+
+    // Additive-decomposition anomalies: each hour's revenue minus its
+    // (weekday, hour-of-day) seasonal baseline — residuals flagged
+    // beyond 3× the mean absolute residual. The baseline and the
+    // threshold both come from integer-div digests of the SAME
+    // hour-grain rollup (one fact scan feeding two tiny aggregates),
+    // so "unusual for a Tuesday 3pm" is answered without any model
+    // fit. Top-10 anomalies by |residual|.
+    QueryDef("q_seasonal_residual",
+      (s, d) => {
+        val hr = graft.sources.Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy(date_trunc("hour", col("ts")).as("hr"))
+          .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+          .withColumn("dw", dayofweek(col("hr")))
+          .withColumn("hd", hour(col("hr")))
+        val base = hr.groupBy(col("dw").as("bdw"), col("hd").as("bhd"))
+          .agg(expr("sum(cents) div count(1)").as("baseline"))
+        val res = hr.join(broadcast(base),
+            col("dw") === col("bdw") && col("hd") === col("bhd"))
+          .withColumn("resid", col("cents") - col("baseline"))
+        val thr = res.agg(expr("3 * sum(abs(resid)) div count(1)")
+          .as("thr"))
+        res.crossJoin(broadcast(thr))
+          .filter(abs(col("resid")) > col("thr"))
+          .select(col("hr").cast("string").as("hr"), col("cents"),
+            col("baseline"), col("resid"))
+          .orderBy(abs(col("resid")).desc, col("hr")).limit(10)
+      },
+      Some("""WITH h AS (SELECT date_trunc('hour', ts) AS hr,
+             |    sum(floor(value * 100)::BIGINT)::BIGINT AS cents
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+             |hh AS (SELECT hr, cents, dayofweek(hr) AS dw, hour(hr) AS hd
+             |  FROM h),
+             |b AS (SELECT dw, hd, sum(cents) // count(*) AS baseline
+             |  FROM hh GROUP BY 1, 2),
+             |res AS (SELECT hh.hr, hh.cents, b.baseline,
+             |    hh.cents - b.baseline AS resid
+             |  FROM hh JOIN b ON hh.dw = b.dw AND hh.hd = b.hd),
+             |thr AS (SELECT 3 * sum(abs(resid)) // count(*) AS thr FROM res)
+             |SELECT hr::VARCHAR AS hr, cents, baseline, resid
+             |FROM res, thr WHERE abs(resid) > thr
+             |ORDER BY abs(resid) DESC, hr LIMIT 10""".stripMargin))
   )
 }

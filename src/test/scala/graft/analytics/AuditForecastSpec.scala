@@ -234,6 +234,65 @@ class AuditForecastSpec extends GraftSpec {
     }
   }
 
+  test("ACF: five lags, each in [-1,1], short lags on more pairs than long") {
+    val rows = run("q_acf_lags").sortBy(_.getAs[Int]("lag"))
+    assert(rows.map(_.getAs[Int]("lag")) === Array(1, 2, 3, 24, 168))
+    rows.foreach { r =>
+      val a = r.getAs[Double]("acf")
+      assert(a >= -1.0 - 1e-6 && a <= 1.0 + 1e-6, s"acf=$a")
+    }
+    val pairs = rows.map(_.getAs[Long]("n_pairs"))
+    assert(pairs.zip(pairs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("idle segments: ordered by length, hours consistent with span") {
+    // sf0.001's ~1.4 events/hour floors the half-mean threshold to 0
+    // (vacuously no idle hours) — drive this one at sf0.01, where
+    // Poisson dips below half-mean actually occur
+    val rows = SparkEntry.queries("q_idle_segments")(
+      spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    val lens = rows.map(_.getAs[Long]("n_hours"))
+    assert(lens.zip(lens.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      val span = (java.sql.Timestamp.valueOf(r.getAs[String]("end_hr")).getTime -
+        java.sql.Timestamp.valueOf(r.getAs[String]("start_hr")).getTime) /
+        3600000L + 1
+      assert(r.getAs[Long]("n_hours") === span,
+        "segment must be contiguous hours")
+    }
+  }
+
+  test("stock span: positive, bounded by position, and sorted desc") {
+    val rows = run("q_stock_span")
+    assert(rows.nonEmpty)
+    val spans = rows.map(_.getAs[Long]("span"))
+    assert(spans.zip(spans.tail).forall { case (a, b) => a >= b })
+    assert(spans.forall(_ >= 1L))
+  }
+
+  test("entropy rate: conditioning never increases entropy, both within log2(5) bits") {
+    val r = run("q_entropy_rate").head
+    val hr = r.getAs[Double]("h_rate_bits")
+    val hu = r.getAs[Double]("h_unigram_bits")
+    val max5 = math.log(5) / math.log(2)
+    assert(hr > 0.0 && hr <= max5 + 1e-6)
+    assert(hu > 0.0 && hu <= max5 + 1e-6)
+    assert(hr <= hu + 1e-6, "H(X|prev) <= H(X)")
+    assert(math.abs(r.getAs[Double]("predictability_gain_bits") - (hu - hr))
+      < 1e-5)
+  }
+
+  test("seasonal residuals: every flagged hour beats the 3x mean-abs threshold in magnitude order") {
+    val rows = run("q_seasonal_residual")
+    val mags = rows.map(r => math.abs(r.getAs[Long]("resid")))
+    assert(mags.zip(mags.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cents") ===
+        r.getAs[Long]("baseline") + r.getAs[Long]("resid"))
+    }
+  }
+
   test("zero crossings: rates in [0,1], all series covered, steps one less than rows") {
     val rows = run("q_zero_crossings")
     assert(rows.length === 5)
