@@ -6455,6 +6455,136 @@ object SqlQueries {
              |thr AS (SELECT 3 * sum(abs(resid)) // count(*) AS thr FROM res)
              |SELECT hr::VARCHAR AS hr, cents, baseline, resid
              |FROM res, thr WHERE abs(resid) > thr
-             |ORDER BY abs(resid) DESC, hr LIMIT 10""".stripMargin))
+             |ORDER BY abs(resid) DESC, hr LIMIT 10""".stripMargin)),
+
+    // Point-in-time (AS OF) lookup against the SCD Type-2 dimension:
+    // "what state was every user in at the corpus midpoint?" — the
+    // time-travel read that is the entire REASON an SCD2 dim exists.
+    // The probe instant derives from the bounds digest (broadcast,
+    // scale-free); the interval predicate valid_from <= t < valid_to
+    // selects exactly one version per user by construction, which the
+    // paired law spec asserts. Same per-user windows as q_scd2_dim —
+    // one shuffle, then a digest-broadcast filter.
+    QueryDef("q_scd2_asof",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+          .filter(col("user_id") < 100)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val dim = ev
+          .withColumn("__prev", lag(col("event_type"), 1).over(w))
+          .filter(col("__prev").isNull || col("event_type") =!= col("__prev"))
+          .withColumn("version", row_number().over(w))
+          .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        val probe = ev.agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+          .select(expr(
+            "timestamp_micros((unix_micros(t0) + unix_micros(t1)) div 2)")
+            .as("t_mid"))
+        dim.crossJoin(broadcast(probe))
+          .filter(col("ts") <= col("t_mid") &&
+            (col("valid_to").isNull || col("valid_to") > col("t_mid")))
+          .select(col("user_id"), col("version"),
+            col("event_type").as("state_at_mid"),
+            col("ts").cast("string").as("valid_from"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id, ts, event_type
+             |  FROM events WHERE user_id < 100),
+             |l AS (SELECT user_id, ts, event_type,
+             |    lag(event_type) OVER wu AS prev
+             |  FROM ev WINDOW wu AS (PARTITION BY user_id
+             |    ORDER BY ts, event_id)),
+             |c AS (SELECT user_id, ts, event_type FROM l
+             |  WHERE prev IS NULL OR event_type <> prev),
+             |dim AS (SELECT user_id, ts, event_type,
+             |    row_number() OVER wv AS version,
+             |    lead(ts) OVER wv AS valid_to
+             |  FROM c WINDOW wv AS (PARTITION BY user_id ORDER BY ts)),
+             |p AS (SELECT make_timestamp((epoch_us(min(ts))
+             |    + epoch_us(max(ts))) // 2) AS t_mid FROM ev)
+             |SELECT user_id, version, event_type AS state_at_mid,
+             |  ts::VARCHAR AS valid_from
+             |FROM dim, p
+             |WHERE ts <= t_mid AND (valid_to IS NULL OR valid_to > t_mid)
+             |ORDER BY user_id""".stripMargin)),
+
+    // Wilson 95% score interval for the purchase conversion rate —
+    // the interval every experimentation readout should quote instead
+    // of the normal approximation (which breaks near 0/1 and small n).
+    // One conditional-aggregate scan to exact integer (x, n); the
+    // interval is closed-form scalar arithmetic with z = 1.96 as a
+    // literal — no distribution tables, identical in DuckDB.
+    QueryDef("q_wilson_ci",
+      (s, d) => {
+        val g = graft.sources.Tables.events(s, d).agg(
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("x"),
+          count(lit(1)).as("n"))
+        val z2 = lit(1.96 * 1.96)
+        val p = col("x").cast("double") / col("n").cast("double")
+        val nn = col("n").cast("double")
+        val denom = lit(1.0) + z2 / nn
+        val center = (p + z2 / (lit(2.0) * nn)) / denom
+        val half = (lit(1.96) * sqrt(p * (lit(1.0) - p) / nn +
+          z2 / (lit(4.0) * nn * nn))) / denom
+        g.select(col("x"), col("n"), round(p, 6).as("rate"),
+          round(center - half, 6).as("ci_lo"),
+          round(center + half, 6).as("ci_hi"))
+      },
+      Some("""WITH g AS (SELECT
+             |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS x,
+             |    count(*)::BIGINT AS n FROM events),
+             |e AS (SELECT x, n, x::DOUBLE / n::DOUBLE AS p, n::DOUBLE AS nn
+             |  FROM g)
+             |SELECT x, n, round(p, 6) AS rate,
+             |  round((p + 3.8416 / (2 * nn)) / (1 + 3.8416 / nn)
+             |    - 1.96 * sqrt(p * (1 - p) / nn + 3.8416 / (4 * nn * nn))
+             |      / (1 + 3.8416 / nn), 6) AS ci_lo,
+             |  round((p + 3.8416 / (2 * nn)) / (1 + 3.8416 / nn)
+             |    + 1.96 * sqrt(p * (1 - p) / nn + 3.8416 / (4 * nn * nn))
+             |      / (1 + 3.8416 / nn), 6) AS ci_hi
+             |FROM e""".stripMargin)),
+
+    // Daily cart abandonment: of the users who viewed on a day, the
+    // share with NO purchase inside 24 h of their first view that day
+    // — the funnel-leak companion to q_conversion_lag. Both sides of
+    // the join are per-(user, day) digests (first view / purchase
+    // times), so the "within 24 h" check is an interval predicate on
+    // digest rows, never an event×event join.
+    QueryDef("q_abandonment",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+        val fv = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(min(col("ts")).as("first_view"))
+        val pu = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("pu"), col("ts").as("pts"))
+        val hit = fv.join(pu,
+            col("pu") === col("user_id") && col("pts") >= col("first_view")
+              && col("pts") < col("first_view") + expr("interval 24 hours"),
+            "left")
+          .groupBy(col("user_id"), col("day"))
+          .agg(max(col("pts").isNotNull.cast("long")).as("converted"))
+        hit.groupBy(col("day").cast("string").as("day"))
+          .agg(count(lit(1)).as("n_viewers"),
+            sum(lit(1L) - col("converted")).as("n_abandoned"),
+            round(sum(lit(1L) - col("converted")).cast("double") /
+              count(lit(1)).cast("double"), 6).as("abandon_rate"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH fv AS (SELECT user_id, ts::DATE AS day,
+             |    min(ts) AS first_view
+             |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+             |hit AS (SELECT fv.user_id, fv.day,
+             |    max(CASE WHEN p.ts IS NOT NULL THEN 1 ELSE 0 END) AS converted
+             |  FROM fv LEFT JOIN events p ON p.user_id = fv.user_id
+             |    AND p.event_type = 'purchase' AND p.ts >= fv.first_view
+             |    AND p.ts < fv.first_view + INTERVAL 24 HOURS
+             |  GROUP BY 1, 2)
+             |SELECT day::VARCHAR AS day, count(*) AS n_viewers,
+             |  sum(1 - converted)::BIGINT AS n_abandoned,
+             |  round(sum(1 - converted)::DOUBLE / count(*)::DOUBLE, 6)
+             |    AS abandon_rate
+             |FROM hit GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

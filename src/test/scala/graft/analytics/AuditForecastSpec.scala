@@ -293,6 +293,34 @@ class AuditForecastSpec extends GraftSpec {
     }
   }
 
+  test("scd2 as-of: exactly one version per user, never newer than the probe") {
+    val rows = run("q_scd2_asof")
+    assert(rows.nonEmpty)
+    val users = rows.map(_.getAs[Long]("user_id"))
+    assert(users.distinct.length === users.length,
+      "the interval predicate must select ONE version per user")
+    rows.foreach(r => assert(r.getAs[Int]("version") >= 1))
+  }
+
+  test("wilson CI: brackets the point rate and stays inside [0,1]") {
+    val r = run("q_wilson_ci").head
+    val (lo, hi, p) = (r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"),
+      r.getAs[Double]("rate"))
+    assert(lo >= 0.0 && hi <= 1.0 && lo < p && p < hi)
+  }
+
+  test("abandonment: rates consistent with counts on every day") {
+    val rows = run("q_abandonment")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nv = r.getAs[Long]("n_viewers")
+      val na = r.getAs[Long]("n_abandoned")
+      assert(na >= 0L && na <= nv)
+      assert(math.abs(r.getAs[Double]("abandon_rate") -
+        na.toDouble / nv.toDouble) < 1e-5)
+    }
+  }
+
   test("zero crossings: rates in [0,1], all series covered, steps one less than rows") {
     val rows = run("q_zero_crossings")
     assert(rows.length === 5)
