@@ -866,6 +866,8 @@ object ExtQueries {
       (s, d) => {
         val docs = s.read.parquet(s"$d/documents.parquet")
         val tf = docs
+          // fan the single-file scan out before tokenize+explode
+          .repartition(32)
           .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
           .groupBy(col("doc_id"), col("term"))
           .agg(count(lit(1)).as("tf"))

@@ -1289,7 +1289,11 @@ object SqlQueries {
     // three separate scans+aggs by 3× I/O. Same coalesce + grouping-
     // flag sort discipline as q_rollup_pricing.
     QueryDef("q_grouping_sets",
+      // project + fan out: the single-file scan would run the triple
+      // decimal rollup single-task (grouping sets triple the agg rows)
       (s, d) => s.read.parquet(s"$d/lineitem.parquet")
+        .select("l_returnflag", "l_linestatus", "l_quantity", "l_discount")
+        .repartition(32)
         .groupingSets(
           Seq(Seq(col("l_returnflag"), col("l_linestatus")),
             Seq(col("l_linestatus")), Seq()),
