@@ -43,7 +43,17 @@ object ScaleBench {
     "q_interval_coverage",
     // MMR: candidate pools stay poolK-bounded per query; only the
     // relevance scan grows with the corpus
-    "emb_mmr_rerank")
+    "emb_mmr_rerank",
+    // Allan variance: 5 fixed series whose per-series windows grow
+    // 10× — the honest worst case for window parallelism (partition
+    // count stays 5; time may grow ~linearly but must not blow up)
+    "q_allan_variance",
+    // entropy rate: per-user lag + 25-cell digest — user count grows
+    // 10×, so the window partitioning itself must carry the scale-up
+    "q_entropy_rate",
+    // non-associative capped-balance recurrence via prefix-min: two
+    // stacked windows, must stay one shuffle as density grows
+    "q_capped_running_balance")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
