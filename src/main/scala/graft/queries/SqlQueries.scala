@@ -6589,6 +6589,140 @@ object SqlQueries {
              |  sum(1 - converted)::BIGINT AS n_abandoned,
              |  round(sum(1 - converted)::DOUBLE / count(*)::DOUBLE, 6)
              |    AS abandon_rate
-             |FROM hit GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM hit GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Growth accounting — the DAU ledger every product team keeps:
+    // each day's actives split into NEW (first-ever day), RETAINED
+    // (also active yesterday), RESURRECTED (active before, but not
+    // yesterday), plus CHURNED = yesterday's actives who didn't
+    // return (= lag(dau) − retained, a day-grain identity — no
+    // user-level anti-join needed). One shuffle to the (user, day)
+    // digest, a per-user lag to classify, a day-grain lag to close
+    // the ledger; dau ≡ new + retained + resurrected by construction.
+    QueryDef("q_growth_accounting",
+      (s, d) => {
+        val ud = graft.sources.Tables.events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val wu = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        val cls = ud.withColumn("prev_day", lag(col("day"), 1).over(wu))
+        val daily = cls.groupBy(col("day"))
+          .agg(count(lit(1)).as("dau"),
+            sum(when(col("prev_day").isNull, 1L).otherwise(0L)).as("n_new"),
+            sum(when(col("prev_day") === date_sub(col("day"), 1), 1L)
+              .otherwise(0L)).as("n_retained"),
+            sum(when(col("prev_day").isNotNull &&
+              col("prev_day") < date_sub(col("day"), 1), 1L)
+              .otherwise(0L)).as("n_resurrected"))
+        val wd = Window.orderBy(col("day"))
+        daily
+          .withColumn("n_churned",
+            coalesce(lag(col("dau"), 1).over(wd), lit(0L)) -
+              col("n_retained"))
+          .select(col("day").cast("string").as("day"), col("dau"),
+            col("n_new"), col("n_retained"), col("n_resurrected"),
+            col("n_churned"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH ud AS (SELECT DISTINCT user_id, ts::DATE AS day
+             |  FROM events),
+             |cls AS (SELECT user_id, day,
+             |    lag(day) OVER (PARTITION BY user_id ORDER BY day)
+             |      AS prev_day
+             |  FROM ud),
+             |daily AS (SELECT day, count(*) AS dau,
+             |    sum(CASE WHEN prev_day IS NULL THEN 1 ELSE 0 END)::BIGINT
+             |      AS n_new,
+             |    sum(CASE WHEN prev_day = day - 1 THEN 1 ELSE 0 END)::BIGINT
+             |      AS n_retained,
+             |    sum(CASE WHEN prev_day IS NOT NULL AND prev_day < day - 1
+             |      THEN 1 ELSE 0 END)::BIGINT AS n_resurrected
+             |  FROM cls GROUP BY 1)
+             |SELECT day::VARCHAR AS day, dau, n_new, n_retained,
+             |  n_resurrected,
+             |  (coalesce(lag(dau) OVER (ORDER BY day), 0) - n_retained)::BIGINT
+             |    AS n_churned
+             |FROM daily ORDER BY day""".stripMargin)),
+
+    // Stickiness (DAU/MAU): each day's actives over its trailing
+    // 30-day actives — the engagement-depth ratio. MAU comes from the
+    // bounded ×30 fan-out of the (user, day) digest onto the report
+    // days each visit supports (the q_rolling_distinct_users idiom):
+    // shuffle volume is 30·|digest| whatever the history length, and
+    // no day×history quadratic join exists. Ratio is ppm-floored from
+    // exact counts.
+    QueryDef("q_stickiness",
+      (s, d) => {
+        val ud = graft.sources.Tables.events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val bounds = ud.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        val mau = ud.select(col("user_id"),
+            explode(expr("sequence(day, day + 29)")).as("rday"))
+          .crossJoin(broadcast(bounds))
+          .filter(col("rday") <= col("d1"))
+          .groupBy(col("rday")).agg(countDistinct(col("user_id")).as("mau"))
+        val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+        dau.join(mau, col("day") === col("rday"))
+          .select(col("day").cast("string").as("day"), col("dau"),
+            col("mau"),
+            expr("dau * 1000000 div mau").as("stickiness_ppm"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH ud AS (SELECT DISTINCT user_id, ts::DATE AS day
+             |  FROM events),
+             |b AS (SELECT max(day) AS d1 FROM ud),
+             |f AS (SELECT ud.user_id, unnest(generate_series(ud.day,
+             |    ud.day + 29, INTERVAL 1 DAY))::DATE AS rday FROM ud),
+             |mau AS (SELECT rday, count(DISTINCT user_id) AS mau
+             |  FROM f, b WHERE rday <= b.d1 GROUP BY 1),
+             |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1)
+             |SELECT day::VARCHAR AS day, dau, mau,
+             |  (dau * 1000000 // mau)::BIGINT AS stickiness_ppm
+             |FROM dau JOIN mau ON mau.rday = dau.day
+             |ORDER BY day""".stripMargin)),
+
+    // Seasonal variance explained: how much of the hourly revenue
+    // variance the (weekday, hour) profile accounts for — R² of the
+    // one-way seasonal "model", the go/no-go number before fitting
+    // anything fancier. SST and SSE are BIGINT sums of exact integer
+    // deviations (floor-mean and floor-baseline digests), one fact
+    // scan feeding three tiny aggregates.
+    QueryDef("q_variance_explained",
+      (s, d) => {
+        val hr = graft.sources.Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy(date_trunc("hour", col("ts")).as("hr"))
+          .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+          .withColumn("dw", dayofweek(col("hr")))
+          .withColumn("hd", hour(col("hr")))
+        val base = hr.groupBy(col("dw").as("bdw"), col("hd").as("bhd"))
+          .agg(expr("sum(cents) div count(1)").as("baseline"))
+        val mu = hr.agg(expr("sum(cents) div count(1)").as("mu"))
+        hr.join(broadcast(base),
+            col("dw") === col("bdw") && col("hd") === col("bhd"))
+          .crossJoin(broadcast(mu))
+          .agg(count(lit(1)).as("n_hours"),
+            sum((col("cents") - col("mu")) * (col("cents") - col("mu")))
+              .as("sst"),
+            sum((col("cents") - col("baseline")) *
+              (col("cents") - col("baseline"))).as("sse"))
+          .select(col("n_hours"), col("sst"), col("sse"),
+            round(lit(1.0) - col("sse").cast("double") /
+              col("sst").cast("double"), 6).as("var_explained"))
+      },
+      Some("""WITH h AS (SELECT date_trunc('hour', ts) AS hr,
+             |    sum(floor(value * 100)::BIGINT)::BIGINT AS cents
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+             |hh AS (SELECT hr, cents, dayofweek(hr) AS dw, hour(hr) AS hd
+             |  FROM h),
+             |b AS (SELECT dw, hd, sum(cents) // count(*) AS baseline
+             |  FROM hh GROUP BY 1, 2),
+             |m AS (SELECT sum(cents) // count(*) AS mu FROM hh)
+             |SELECT count(*) AS n_hours,
+             |  sum((cents - mu) * (cents - mu))::BIGINT AS sst,
+             |  sum((cents - baseline) * (cents - baseline))::BIGINT AS sse,
+             |  round(1.0 - sum((cents - baseline) * (cents - baseline))::DOUBLE
+             |    / sum((cents - mu) * (cents - mu))::DOUBLE, 6)
+             |    AS var_explained
+             |FROM hh JOIN b ON hh.dw = b.dw AND hh.hd = b.hd, m""".stripMargin))
   )
 }

@@ -321,6 +321,36 @@ class AuditForecastSpec extends GraftSpec {
     }
   }
 
+  test("growth accounting: the DAU ledger balances every day") {
+    val rows = run("q_growth_accounting")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dau") === r.getAs[Long]("n_new") +
+        r.getAs[Long]("n_retained") + r.getAs[Long]("n_resurrected"))
+      assert(r.getAs[Long]("n_churned") >= 0L)
+    }
+    assert(rows.head.getAs[Long]("n_retained") === 0L &&
+      rows.head.getAs[Long]("n_resurrected") === 0L,
+      "day one has no history")
+  }
+
+  test("stickiness: DAU never exceeds MAU, ratio consistent") {
+    val rows = run("q_stickiness")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dau, mau) = (r.getAs[Long]("dau"), r.getAs[Long]("mau"))
+      assert(dau >= 1L && dau <= mau)
+      assert(r.getAs[Long]("stickiness_ppm") === dau * 1000000L / mau)
+    }
+  }
+
+  test("variance explained: R-squared of the seasonal profile in [0, 1]") {
+    val r = run("q_variance_explained").head
+    assert(r.getAs[Long]("sst") > 0L)
+    val ve = r.getAs[Double]("var_explained")
+    assert(ve >= -0.1 && ve <= 1.0, s"var_explained=$ve")
+  }
+
   test("zero crossings: rates in [0,1], all series covered, steps one less than rows") {
     val rows = run("q_zero_crossings")
     assert(rows.length === 5)
