@@ -6723,6 +6723,120 @@ object SqlQueries {
              |  round(1.0 - sum((cents - baseline) * (cents - baseline))::DOUBLE
              |    / sum((cents - mu) * (cents - mu))::DOUBLE, 6)
              |    AS var_explained
-             |FROM hh JOIN b ON hh.dw = b.dw AND hh.hd = b.hd, m""".stripMargin))
+             |FROM hh JOIN b ON hh.dw = b.dw AND hh.hd = b.hd, m""".stripMargin)),
+
+    // Hurst exponent by rescaled-range (R/S) analysis over block sizes
+    // m ∈ {8,16,32,64} hours — long-memory vs mean-reversion of the
+    // revenue process (H≈0.5 random walk, >0.5 trending). Everything
+    // up to the final logs is EXACT integer algebra: the cumulative
+    // deviation is scaled by m (dev·m = m·cumsum − k·Σ) so block
+    // range R·m and std·m = √(m·Σx²−(Σx)²) are BIGINT-derived; per-
+    // block R/S ratios are rounded to 9-decimal DECIMALs before
+    // averaging (order-independent Σ). The slope uses exact abscissae
+    // log2(m) ∈ {3,4,5,6}, so H = Σ(log2 m − 4.5)·log2(R/S̄)/5 — a
+    // 4-term closed form. Block fan-out happens AFTER the global
+    // row-number, exactly like the Allan-variance τ grid.
+    QueryDef("q_hurst",
+      (s, d) => {
+        val hr = graft.sources.Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy(date_trunc("hour", col("ts")).as("hr"))
+          .agg(sum(floor(col("value") * 100).cast("long")).as("x"))
+          .withColumn("rn", row_number().over(Window.orderBy(col("hr"))))
+        val blocks = hr
+          .withColumn("m", explode(array(lit(8), lit(16), lit(32), lit(64))))
+          .withColumn("blk", expr("(rn - 1) div m"))
+        val wb = Window.partitionBy(col("m"), col("blk"))
+        val wbo = wb.orderBy(col("rn"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val dev = blocks
+          .withColumn("k", row_number().over(wb.orderBy(col("rn"))))
+          .withColumn("cumx", sum(col("x")).over(wbo))
+          .withColumn("s1", sum(col("x")).over(wb))
+          .withColumn("s2", sum(col("x") * col("x")).over(wb))
+          .withColumn("cnt", count(lit(1)).over(wb))
+          .filter(col("cnt") === col("m"))
+          .withColumn("devm", col("m") * col("cumx") - col("k") * col("s1"))
+        val rs = dev.groupBy(col("m"), col("blk"))
+          .agg(((max(col("devm")) - min(col("devm"))).cast("double") /
+            sqrt((max(col("m") * col("s2")) - max(col("s1") * col("s1")))
+              .cast("double"))).as("rs"))
+          .filter(col("rs") > 0.0)
+          .groupBy(col("m"))
+          .agg(round((sum(round(col("rs"), 9).cast("decimal(20,9)")) /
+            count(lit(1))).cast("double"), 6).as("mean_rs"))
+        rs.agg(
+            sum(when(col("m") === 8, col("mean_rs"))).as("rs8"),
+            sum(when(col("m") === 16, col("mean_rs"))).as("rs16"),
+            sum(when(col("m") === 32, col("mean_rs"))).as("rs32"),
+            sum(when(col("m") === 64, col("mean_rs"))).as("rs64"),
+            round(sum((when(col("m") === 8, -1.5)
+              .when(col("m") === 16, -0.5)
+              .when(col("m") === 32, 0.5)
+              .otherwise(1.5)) *
+              round(log(2.0, col("mean_rs")), 9)) / lit(5.0), 4)
+              .as("hurst"))
+      },
+      Some("""WITH h AS (SELECT date_trunc('hour', ts) AS hr,
+             |    sum(floor(value * 100)::BIGINT)::BIGINT AS x
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+             |r AS (SELECT x, row_number() OVER (ORDER BY hr) AS rn FROM h),
+             |bl AS (SELECT r.x, r.rn, t.m, (r.rn - 1) // t.m AS blk
+             |  FROM r CROSS JOIN (SELECT unnest([8, 16, 32, 64]) AS m) t),
+             |dev AS (SELECT m, blk,
+             |    m * sum(x) OVER wo - (row_number() OVER wo) * (sum(x) OVER wb)
+             |      AS devm,
+             |    sum(x) OVER wb AS s1, sum(x * x) OVER wb AS s2,
+             |    count(*) OVER wb AS cnt
+             |  FROM bl
+             |  WINDOW wo AS (PARTITION BY m, blk ORDER BY rn
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |    wb AS (PARTITION BY m, blk)),
+             |rsb AS (SELECT m, blk,
+             |    (max(devm) - min(devm))::DOUBLE
+             |      / sqrt((max(m * s2) - max(s1 * s1))::DOUBLE) AS rs
+             |  FROM dev WHERE cnt = m GROUP BY 1, 2),
+             |rsm AS (SELECT m, round((sum(round(rs, 9)::DECIMAL(20,9))
+             |    / count(*))::DOUBLE, 6) AS mean_rs
+             |  FROM rsb WHERE rs > 0 GROUP BY 1)
+             |SELECT
+             |  sum(CASE WHEN m = 8 THEN mean_rs END) AS rs8,
+             |  sum(CASE WHEN m = 16 THEN mean_rs END) AS rs16,
+             |  sum(CASE WHEN m = 32 THEN mean_rs END) AS rs32,
+             |  sum(CASE WHEN m = 64 THEN mean_rs END) AS rs64,
+             |  round(sum((CASE WHEN m = 8 THEN -1.5 WHEN m = 16 THEN -0.5
+             |    WHEN m = 32 THEN 0.5 ELSE 1.5 END)
+             |    * round(log2(mean_rs), 9)) / 5.0, 4) AS hurst
+             |FROM rsm""".stripMargin)),
+
+    // Maximum drawdown of the hourly revenue level — peak-to-trough
+    // depth below the running maximum, the risk metric that reads a
+    // series top-down where stock span reads it bottom-up. Running
+    // max over the hour digest, depth = runmax − x, top-5 troughs.
+    // All integer cents; one global window on the digest.
+    QueryDef("q_max_drawdown",
+      (s, d) => {
+        val hr = graft.sources.Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy(date_trunc("hour", col("ts")).as("hr"))
+          .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+        val w = Window.orderBy(col("hr"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        hr.withColumn("runmax", max(col("cents")).over(w))
+          .withColumn("drawdown", col("runmax") - col("cents"))
+          .select(col("hr").cast("string").as("hr"), col("cents"),
+            col("runmax"), col("drawdown"))
+          .orderBy(col("drawdown").desc, col("hr")).limit(5)
+      },
+      Some("""WITH h AS (SELECT date_trunc('hour', ts) AS hr,
+             |    sum(floor(value * 100)::BIGINT)::BIGINT AS cents
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+             |SELECT hr::VARCHAR AS hr, cents,
+             |  max(cents) OVER (ORDER BY hr
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax,
+             |  (max(cents) OVER (ORDER BY hr
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cents)
+             |    AS drawdown
+             |FROM h ORDER BY drawdown DESC, hr LIMIT 5""".stripMargin))
   )
 }

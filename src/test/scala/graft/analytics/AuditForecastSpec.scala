@@ -351,6 +351,27 @@ class AuditForecastSpec extends GraftSpec {
     assert(ve >= -0.1 && ve <= 1.0, s"var_explained=$ve")
   }
 
+  test("hurst: R/S grows with block size and H stays in (0,1)") {
+    val r = run("q_hurst").head
+    val rss = Seq("rs8", "rs16", "rs32", "rs64").map(r.getAs[Double])
+    assert(rss.zip(rss.tail).forall { case (a, b) => a < b },
+      "mean R/S must grow with m")
+    val h = r.getAs[Double]("hurst")
+    assert(h > 0.0 && h < 1.0, s"hurst=$h")
+  }
+
+  test("max drawdown: depths ordered, each bounded by its running max") {
+    val rows = run("q_max_drawdown")
+    assert(rows.length === 5)
+    val dds = rows.map(_.getAs[Long]("drawdown"))
+    assert(dds.zip(dds.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      assert(r.getAs[Long]("runmax") >= r.getAs[Long]("cents"))
+      assert(r.getAs[Long]("drawdown") ===
+        r.getAs[Long]("runmax") - r.getAs[Long]("cents"))
+    }
+  }
+
   test("zero crossings: rates in [0,1], all series covered, steps one less than rows") {
     val rows = run("q_zero_crossings")
     assert(rows.length === 5)
