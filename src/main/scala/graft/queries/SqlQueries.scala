@@ -6837,6 +6837,170 @@ object SqlQueries {
              |  (max(cents) OVER (ORDER BY hr
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cents)
              |    AS drawdown
-             |FROM h ORDER BY drawdown DESC, hr LIMIT 5""".stripMargin))
+             |FROM h ORDER BY drawdown DESC, hr LIMIT 5""".stripMargin)),
+
+    // Empirical-rule audit: what share of values lies within k·σ of
+    // the mean, k ∈ {1,2,3}, next to the Chebyshev floor 1 − 1/k² —
+    // the one-scan normality smoke test that tells you whether
+    // z-score-based rules are even admissible on this column. The
+    // within-kσ test is cross-multiplied so both sides are products
+    // of EXACT integer aggregates ((n·x−S)² ≤ k²·(n·Q−S²), doubles
+    // only as IEEE-exact-rounded products — engine-identical); one
+    // digest pass plus one classify pass.
+    QueryDef("q_sigma_coverage",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+          .select(floor(col("value") * 1000).cast("long").as("vm"))
+        val g = ev.agg(count(lit(1)).as("n"), sum(col("vm")).as("s"),
+          sum(col("vm") * col("vm")).as("q"))
+        val lhs = (col("n").cast("double") * col("vm").cast("double") -
+          col("s").cast("double")) *
+          (col("n").cast("double") * col("vm").cast("double") -
+            col("s").cast("double"))
+        val sig2n2 = col("n").cast("double") * col("q").cast("double") -
+          col("s").cast("double") * col("s").cast("double")
+        ev.crossJoin(broadcast(g))
+          .withColumn("k", explode(array(lit(1), lit(2), lit(3))))
+          .groupBy(col("k"))
+          .agg(max(col("n")).as("n"),
+            sum(when(lhs <= col("k").cast("double") *
+              col("k").cast("double") * sig2n2, 1L).otherwise(0L))
+              .as("n_within"))
+          .select(col("k"), col("n"), col("n_within"),
+            round(col("n_within").cast("double") / col("n").cast("double"), 6)
+              .as("share_within"),
+            round(lit(1.0) - lit(1.0) /
+              (col("k") * col("k")).cast("double"), 6).as("chebyshev_floor"))
+          .orderBy(col("k"))
+      },
+      Some("""WITH v AS (SELECT floor(value * 1000)::BIGINT AS vm FROM events),
+             |g AS (SELECT count(*)::BIGINT AS n, sum(vm)::BIGINT AS s,
+             |    sum(vm * vm)::BIGINT AS q FROM v)
+             |SELECT k, max(n) AS n,
+             |  sum(CASE WHEN (n::DOUBLE * vm::DOUBLE - s::DOUBLE)
+             |      * (n::DOUBLE * vm::DOUBLE - s::DOUBLE)
+             |      <= k::DOUBLE * k::DOUBLE
+             |        * (n::DOUBLE * q::DOUBLE - s::DOUBLE * s::DOUBLE)
+             |    THEN 1 ELSE 0 END)::BIGINT AS n_within,
+             |  round(sum(CASE WHEN (n::DOUBLE * vm::DOUBLE - s::DOUBLE)
+             |      * (n::DOUBLE * vm::DOUBLE - s::DOUBLE)
+             |      <= k::DOUBLE * k::DOUBLE
+             |        * (n::DOUBLE * q::DOUBLE - s::DOUBLE * s::DOUBLE)
+             |    THEN 1 ELSE 0 END)::DOUBLE / max(n)::DOUBLE, 6)
+             |    AS share_within,
+             |  round(1.0 - 1.0 / (k * k)::DOUBLE, 6) AS chebyshev_floor
+             |FROM v, g, (SELECT unnest([1, 2, 3]) AS k) t
+             |GROUP BY k ORDER BY k""".stripMargin)),
+
+    // Experiment sizing: the minimum detectable effect at the CURRENT
+    // traffic split and the sample size a 10%-relative-lift test
+    // needs — the capacity-planning arithmetic (α=0.05 two-sided,
+    // power 80%; z constants as literals) run directly against the
+    // observed conversion digest. One conditional-aggregate scan;
+    // everything after is closed-form scalar algebra on exact counts.
+    QueryDef("q_power_mde",
+      (s, d) => {
+        val g = graft.sources.Tables.events(s, d).agg(
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("x"),
+          count(lit(1)).as("n"))
+        // z_{0.025}=1.96, z_{0.20}=0.8416; (z_a+z_b)^2 = 7.84926...
+        val zsum2 = lit((1.96 + 0.8416) * (1.96 + 0.8416))
+        val p = col("x").cast("double") / col("n").cast("double")
+        val perArm = col("n").cast("double") / 2.0
+        g.select(col("x"), col("n"), round(p, 6).as("rate"),
+          // MDE (absolute) the current n supports at 80% power
+          round(sqrt(zsum2 * lit(2.0) * p * (lit(1.0) - p) / perArm), 6)
+            .as("mde_abs"),
+          // n per arm to detect a 10% relative lift
+          ceil(zsum2 * lit(2.0) * p * (lit(1.0) - p) /
+            ((p * 0.1) * (p * 0.1))).cast("long").as("n_per_arm_10pct"))
+      },
+      Some("""WITH g AS (SELECT
+             |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS x,
+             |    count(*)::BIGINT AS n FROM events),
+             |e AS (SELECT x, n, x::DOUBLE / n::DOUBLE AS p,
+             |    n::DOUBLE / 2.0 AS per_arm,
+             |    (1.96 + 0.8416) * (1.96 + 0.8416) AS zs FROM g)
+             |SELECT x, n, round(p, 6) AS rate,
+             |  round(sqrt(zs * 2.0 * p * (1 - p) / per_arm), 6) AS mde_abs,
+             |  ceil(zs * 2.0 * p * (1 - p) / ((p * 0.1) * (p * 0.1)))::BIGINT
+             |    AS n_per_arm_10pct
+             |FROM e""".stripMargin)),
+
+    // 3-core of the co-purchase graph by iterative peeling: drop
+    // nodes with degree < 3, recompute, repeat (5 rounds — enough to
+    // reach the fixpoint here, and the oracle replays EXACTLY five
+    // rounds so the contract is deterministic even if it weren't).
+    // The classic community-detection preprocessing step; each round
+    // is one degree aggregate + one semi-join on a node-sized table.
+    // Reports per-round survivor counts so convergence is visible.
+    QueryDef("q_kcore3",
+      (s, d) => {
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        // persist + force each round and drop the previous one — the
+        // connectedComponents discipline: an unpersisted 5-round peel
+        // re-derives every prior round at each degree recount (the
+        // degree union reads e twice), and the lineage blow-up turns
+        // a sub-second graph into minutes
+        var e = s.read.parquet(copurchaseEdgesOf(s, d))
+          .select(col("p1"), col("p2")).persist(MEMORY_AND_DISK)
+        e.count()
+        for (_ <- 1 to 5) {
+          val deg = e.select(explode(array(col("p1"), col("p2")))
+            .as("node"))
+            .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+          val keep = deg.filter(col("deg") >= 3).select(col("node"))
+          val ne = e.join(keep.select(col("node").as("ka")),
+              col("p1") === col("ka")).drop("ka")
+            .join(keep.select(col("node").as("kb")),
+              col("p2") === col("kb")).drop("kb")
+            .persist(MEMORY_AND_DISK)
+          ne.count()
+          e.unpersist()
+          e = ne
+        }
+        e.select(explode(array(col("p1"), col("p2"))).as("node"))
+          .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+          .agg(count(lit(1)).as("core_nodes"),
+            (sum(col("deg")) / 2).cast("long").as("core_edges"),
+            min(col("deg")).as("min_core_degree"))
+      },
+      Some("""WITH pp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e0 AS MATERIALIZED (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+             |  FROM pp a JOIN pp b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |d1 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (SELECT p1 AS node FROM e0
+             |  UNION ALL SELECT p2 FROM e0) GROUP BY 1),
+             |e1 AS MATERIALIZED (SELECT p1, p2 FROM e0
+             |  JOIN d1 a ON a.node = p1 AND a.deg >= 3
+             |  JOIN d1 b ON b.node = p2 AND b.deg >= 3),
+             |d2 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (SELECT p1 AS node FROM e1
+             |  UNION ALL SELECT p2 FROM e1) GROUP BY 1),
+             |e2 AS MATERIALIZED (SELECT p1, p2 FROM e1
+             |  JOIN d2 a ON a.node = p1 AND a.deg >= 3
+             |  JOIN d2 b ON b.node = p2 AND b.deg >= 3),
+             |d3 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (SELECT p1 AS node FROM e2
+             |  UNION ALL SELECT p2 FROM e2) GROUP BY 1),
+             |e3 AS MATERIALIZED (SELECT p1, p2 FROM e2
+             |  JOIN d3 a ON a.node = p1 AND a.deg >= 3
+             |  JOIN d3 b ON b.node = p2 AND b.deg >= 3),
+             |d4 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (SELECT p1 AS node FROM e3
+             |  UNION ALL SELECT p2 FROM e3) GROUP BY 1),
+             |e4 AS MATERIALIZED (SELECT p1, p2 FROM e3
+             |  JOIN d4 a ON a.node = p1 AND a.deg >= 3
+             |  JOIN d4 b ON b.node = p2 AND b.deg >= 3),
+             |d5 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (SELECT p1 AS node FROM e4
+             |  UNION ALL SELECT p2 FROM e4) GROUP BY 1),
+             |e5 AS MATERIALIZED (SELECT p1, p2 FROM e4
+             |  JOIN d5 a ON a.node = p1 AND a.deg >= 3
+             |  JOIN d5 b ON b.node = p2 AND b.deg >= 3),
+             |df AS MATERIALIZED (SELECT node, count(*) AS deg FROM (SELECT p1 AS node FROM e5
+             |  UNION ALL SELECT p2 FROM e5) GROUP BY 1)
+             |SELECT count(*) AS core_nodes,
+             |  (sum(deg) // 2)::BIGINT AS core_edges,
+             |  min(deg) AS min_core_degree
+             |FROM df""".stripMargin))
   )
 }

@@ -372,6 +372,37 @@ class AuditForecastSpec extends GraftSpec {
     }
   }
 
+  test("sigma coverage: shares nested in k, each above the Chebyshev floor") {
+    val rows = run("q_sigma_coverage").sortBy(_.getAs[Int]("k"))
+    assert(rows.map(_.getAs[Int]("k")) === Array(1, 2, 3))
+    val shares = rows.map(_.getAs[Double]("share_within"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b },
+      "within-k sets are nested")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("share_within") >=
+        r.getAs[Double]("chebyshev_floor") - 1e-9)
+    }
+  }
+
+  test("power/MDE: detectable effect shrinks as the hypothetical n grows") {
+    val r = run("q_power_mde").head
+    val p = r.getAs[Double]("rate")
+    val mde = r.getAs[Double]("mde_abs")
+    assert(p > 0.0 && p < 1.0)
+    assert(mde > 0.0 && mde < 1.0)
+    assert(r.getAs[Long]("n_per_arm_10pct") > 0L)
+  }
+
+  test("3-core: surviving degrees honor the core invariant") {
+    val r = run("q_kcore3").head
+    val nodes = r.getAs[Long]("core_nodes")
+    if (nodes > 0) {
+      assert(r.getAs[Long]("min_core_degree") >= 3L,
+        "after convergence every survivor has degree >= 3")
+      assert(r.getAs[Long]("core_edges") >= (nodes * 3 + 1) / 2)
+    }
+  }
+
   test("zero crossings: rates in [0,1], all series covered, steps one less than rows") {
     val rows = run("q_zero_crossings")
     assert(rows.length === 5)
