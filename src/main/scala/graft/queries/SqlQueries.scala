@@ -7001,6 +7001,107 @@ object SqlQueries {
              |SELECT count(*) AS core_nodes,
              |  (sum(deg) // 2)::BIGINT AS core_edges,
              |  min(deg) AS min_core_degree
-             |FROM df""".stripMargin))
+             |FROM df""".stripMargin)),
+
+    // Pinball (quantile) loss of the seasonal-naive forecast at
+    // q ∈ {0.5, 0.9} on the same 14-day holdout as the MAE/MAPE
+    // backtest — the metric that grades QUANTILE forecasts
+    // (under-forecasting is 9× dearer at q=0.9), standard for
+    // capacity planning. Losses are exact deci-cent integers
+    // (q·error scaled ×10), summed as BIGINTs; the only division is
+    // the final mean.
+    QueryDef("q_pinball_loss",
+      (s, d) => {
+        val day = graft.sources.Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+        val w = Window.orderBy(col("day"))
+        val pred = day.withColumn("pred", lag(col("cents"), 7).over(w))
+        val horizon = day.agg(max(col("day")).as("max_day"))
+        pred.crossJoin(broadcast(horizon))
+          .filter(col("pred").isNotNull &&
+            datediff(col("max_day"), col("day")) < 14)
+          .withColumn("err", col("cents") - col("pred"))
+          .agg(count(lit(1)).as("n_days"),
+            round((sum(when(col("err") >= 0, col("err") * 5L)
+              .otherwise(col("err") * -5L)) /
+              count(lit(1))).cast("double") / 1000.0, 4).as("pinball_p50"),
+            round((sum(when(col("err") >= 0, col("err") * 9L)
+              .otherwise(col("err") * -1L)) /
+              count(lit(1))).cast("double") / 1000.0, 4).as("pinball_p90"))
+      },
+      Some("""WITH day AS (SELECT ts::DATE AS day,
+             |    sum(floor(value * 100)::BIGINT)::BIGINT AS cents
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+             |p AS (SELECT day, cents,
+             |    lag(cents, 7) OVER (ORDER BY day) AS pred FROM day),
+             |h AS (SELECT max(day) AS max_day FROM day),
+             |e AS (SELECT cents - pred AS err FROM p, h
+             |  WHERE pred IS NOT NULL AND datediff('day', day, max_day) < 14)
+             |SELECT count(*) AS n_days,
+             |  round((sum(CASE WHEN err >= 0 THEN 5 * err
+             |    ELSE -5 * err END) / count(*))::DOUBLE / 1000.0, 4)
+             |    AS pinball_p50,
+             |  round((sum(CASE WHEN err >= 0 THEN 9 * err
+             |    ELSE -1 * err END) / count(*))::DOUBLE / 1000.0, 4)
+             |    AS pinball_p90
+             |FROM e""".stripMargin)),
+
+    // Cohort LTV accumulation: per signup-week cohort, cumulative
+    // purchase revenue PER USER by cohort age (days 0–13) — the curve
+    // whose flattening point sets payback windows. Cohort assignment
+    // is each user's first-event day (one digest), revenue lands on
+    // (cohort_week, age) cells, the running total is a window over
+    // the ≤ weeks×14 cell table, and the per-user division uses the
+    // cohort-size digest — exact integer cents end to end.
+    QueryDef("q_cohort_ltv_curve",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+        val first = ev.groupBy(col("user_id"))
+          .agg(to_date(min(col("ts"))).as("first_day"))
+          .withColumn("cohort_week", date_trunc("week", col("first_day"))
+            .cast("date"))
+        val sizes = first.groupBy(col("cohort_week").as("cw"))
+          .agg(count(lit(1)).as("cohort_users"))
+        val rev = ev.filter(col("event_type") === "purchase")
+          .join(first, "user_id")
+          .withColumn("age", datediff(to_date(col("ts")), col("first_day")))
+          .filter(col("age") < 14)
+          .groupBy(col("cohort_week"), col("age"))
+          .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+        val wc = Window.partitionBy(col("cohort_week")).orderBy(col("age"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        rev.withColumn("cum_cents", sum(col("cents")).over(wc))
+          .join(sizes, col("cw") === col("cohort_week"))
+          .select(col("cohort_week").cast("string").as("cohort_week"),
+            col("age"), col("cohort_users"),
+            expr("cum_cents div cohort_users").as("cum_cents_per_user"))
+          .orderBy(col("cohort_week"), col("age"))
+      },
+      Some("""WITH f AS (SELECT user_id, min(ts)::DATE AS first_day
+             |  FROM events GROUP BY 1),
+             |fc AS (SELECT user_id, first_day,
+             |    date_trunc('week', first_day)::DATE AS cohort_week FROM f),
+             |sz AS (SELECT cohort_week, count(*) AS cohort_users
+             |  FROM fc GROUP BY 1),
+             |rev AS (SELECT fc.cohort_week,
+             |    datediff('day', fc.first_day, e.ts::DATE) AS age,
+             |    sum(floor(e.value * 100)::BIGINT)::BIGINT AS cents
+             |  FROM events e JOIN fc ON e.user_id = fc.user_id
+             |  WHERE e.event_type = 'purchase'
+             |    AND datediff('day', fc.first_day, e.ts::DATE) < 14
+             |  GROUP BY 1, 2),
+             |cum AS (SELECT cohort_week, age,
+             |    sum(cents) OVER (PARTITION BY cohort_week ORDER BY age
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cum_cents
+             |  FROM rev)
+             |SELECT cum.cohort_week::VARCHAR AS cohort_week, cum.age,
+             |  sz.cohort_users,
+             |  (cum.cum_cents // sz.cohort_users)::BIGINT
+             |    AS cum_cents_per_user
+             |FROM cum JOIN sz ON sz.cohort_week = cum.cohort_week
+             |ORDER BY cohort_week, age""".stripMargin))
   )
 }

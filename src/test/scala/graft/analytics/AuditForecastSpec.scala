@@ -403,6 +403,27 @@ class AuditForecastSpec extends GraftSpec {
     }
   }
 
+  test("pinball loss: p50 is half the MAE identity, p90 asymmetric") {
+    val pin = run("q_pinball_loss").head
+    val bt = run("q_forecast_backtest").head
+    // q=0.5 pinball == MAE/2 exactly (same holdout, same forecast)
+    assert(math.abs(pin.getAs[Double]("pinball_p50") -
+      bt.getAs[Double]("mae") / 2.0) < 0.02)
+    assert(pin.getAs[Double]("pinball_p90") > 0.0)
+    assert(pin.getAs[Long]("n_days") === bt.getAs[Long]("n_days"))
+  }
+
+  test("cohort LTV: curves are non-decreasing in age within each cohort") {
+    val rows = run("q_cohort_ltv_curve")
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("cohort_week")).foreach { case (_, rs) =>
+      val curve = rs.sortBy(_.getAs[Int]("age"))
+        .map(_.getAs[Long]("cum_cents_per_user"))
+      assert(curve.zip(curve.tail).forall { case (a, b) => a <= b },
+        "cumulative revenue cannot decrease")
+    }
+  }
+
   test("zero crossings: rates in [0,1], all series covered, steps one less than rows") {
     val rows = run("q_zero_crossings")
     assert(rows.length === 5)
