@@ -7102,6 +7102,94 @@ object SqlQueries {
              |  (cum.cum_cents // sz.cohort_users)::BIGINT
              |    AS cum_cents_per_user
              |FROM cum JOIN sz ON sz.cohort_week = cum.cohort_week
-             |ORDER BY cohort_week, age""".stripMargin))
+             |ORDER BY cohort_week, age""".stripMargin)),
+
+    // Bayesian bootstrap CI for mean daily revenue, 100 deterministic
+    // replicates: per-replicate weights come from md5(b|day) (the
+    // dp-noise / split-assign seeding idiom), so the whole resampling
+    // distribution is SQL-reproducible — no RNG, no rows-only gate.
+    // Each replicate mean is exact-integer Σwx/Σw; the spread stats
+    // run on 6-decimal-rounded means (decimal sums, type-7 quantiles
+    // both sides). The replicate loop is an explode over the DAY
+    // DIGEST — 100·days rows total, independent of fact count.
+    QueryDef("q_bootstrap_ci",
+      (s, d) => {
+        val day = graft.sources.Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+        val reps = day.withColumn("b", explode(expr("sequence(0, 99)")))
+          .withColumn("w", pmod(conv(substring(md5(concat(lit("boot:"),
+            col("b"), lit("|"), col("day"))), 1, 8), 16, 10).cast("long"),
+            lit(1000)) + 1)
+        val means = reps.groupBy(col("b"))
+          .agg(round((sum(col("w") * col("cents")) / sum(col("w")))
+            .cast("double") / 100.0, 6).as("m"))
+        means.agg(count(lit(1)).as("n_boot"),
+          round(sqrt((sum(col("m").cast("decimal(20,6)") *
+            col("m").cast("decimal(20,6)")).cast("double") -
+            sum(col("m").cast("decimal(20,6)")).cast("double") *
+              sum(col("m").cast("decimal(20,6)")).cast("double") /
+              count(lit(1))) / (count(lit(1)) - 1)), 4).as("boot_se"),
+          round(graft.functions.ExactPercentile.percentiles(col("m"),
+            Seq(0.05)).getItem(0), 4).as("ci_lo"),
+          round(graft.functions.ExactPercentile.percentiles(col("m"),
+            Seq(0.95)).getItem(0), 4).as("ci_hi"))
+      },
+      Some("""WITH day AS (SELECT ts::DATE AS day,
+             |    sum(floor(value * 100)::BIGINT)::BIGINT AS cents
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+             |reps AS (SELECT t.b, day.day, day.cents,
+             |    ('0x' || substring(md5('boot:' || t.b || '|' || day.day),
+             |      1, 8))::BIGINT % 1000 + 1 AS w
+             |  FROM day CROSS JOIN (SELECT unnest(range(0, 100)) AS b) t),
+             |mn AS (SELECT b, round((sum(w * cents) / sum(w))::DOUBLE
+             |    / 100.0, 6) AS m
+             |  FROM reps GROUP BY 1)
+             |SELECT count(*) AS n_boot,
+             |  round(sqrt((sum(m::DECIMAL(20,6) * m::DECIMAL(20,6))::DOUBLE
+             |    - sum(m::DECIMAL(20,6))::DOUBLE * sum(m::DECIMAL(20,6))::DOUBLE
+             |      / count(*)) / (count(*) - 1)), 4) AS boot_se,
+             |  round(quantile_cont(m, 0.05), 4) AS ci_lo,
+             |  round(quantile_cont(m, 0.95), 4) AS ci_hi
+             |FROM mn""".stripMargin)),
+
+    // Right-to-be-forgotten purge with audit: rewrite the fact table
+    // without the deletion-request users (every 97th id — a
+    // deterministic stand-in for the request list) and emit the
+    // compliance audit row: purged/remaining counts and a read-back
+    // proof that zero target rows survive. The rewrite is the real
+    // timed operation (anti-join + parquet write, the same shape at
+    // any scale — per-partition filtering, no shuffle); the oracle
+    // reproduces every count from the source table.
+    QueryDef("q_gdpr_purge",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_gdpr_" +
+          graft.io.FileSkipping.pathKey(d, "v1")
+        ev.filter(pmod(col("user_id"), lit(97)) =!= 0)
+          .write.mode("overwrite").parquet(out)
+        val back = s.read.parquet(out)
+        val src = ev.agg(count(lit(1)).as("n_total"),
+          sum(when(pmod(col("user_id"), lit(97)) === 0, 1L).otherwise(0L))
+            .as("n_purged"),
+          countDistinct(when(pmod(col("user_id"), lit(97)) === 0,
+            col("user_id"))).as("n_target_users"))
+        val audit = back.agg(count(lit(1)).as("n_remaining"),
+          sum(when(pmod(col("user_id"), lit(97)) === 0, 1L).otherwise(0L))
+            .as("leftover_target_rows"))
+        src.crossJoin(audit)
+          .select(col("n_total"), col("n_purged"), col("n_target_users"),
+            col("n_remaining"), col("leftover_target_rows"))
+      },
+      Some("""SELECT count(*) AS n_total,
+             |  sum(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END)::BIGINT
+             |    AS n_purged,
+             |  count(DISTINCT CASE WHEN user_id % 97 = 0 THEN user_id END)
+             |    AS n_target_users,
+             |  sum(CASE WHEN user_id % 97 <> 0 THEN 1 ELSE 0 END)::BIGINT
+             |    AS n_remaining,
+             |  0::BIGINT AS leftover_target_rows
+             |FROM events""".stripMargin))
   )
 }

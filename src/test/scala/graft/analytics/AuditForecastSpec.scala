@@ -424,6 +424,21 @@ class AuditForecastSpec extends GraftSpec {
     }
   }
 
+  test("bootstrap CI: interval ordered and spread positive") {
+    val r = run("q_bootstrap_ci").head
+    assert(r.getAs[Long]("n_boot") === 100L)
+    assert(r.getAs[Double]("boot_se") > 0.0)
+    assert(r.getAs[Double]("ci_lo") < r.getAs[Double]("ci_hi"))
+  }
+
+  test("gdpr purge: ledger balances and read-back finds zero target rows") {
+    val r = run("q_gdpr_purge").head
+    assert(r.getAs[Long]("n_total") ===
+      r.getAs[Long]("n_purged") + r.getAs[Long]("n_remaining"))
+    assert(r.getAs[Long]("leftover_target_rows") === 0L)
+    assert(r.getAs[Long]("n_purged") > 0L && r.getAs[Long]("n_target_users") > 0L)
+  }
+
   test("zero crossings: rates in [0,1], all series covered, steps one less than rows") {
     val rows = run("q_zero_crossings")
     assert(rows.length === 5)
