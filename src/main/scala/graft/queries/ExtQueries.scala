@@ -764,6 +764,93 @@ object ExtQueries {
               |SELECT doc_id, CASE $langCases ELSE 'und' END AS lang_guess
               |FROM m ORDER BY doc_id""".stripMargin)),
 
+    // Language-ID confusion matrix: the classifier EVALUATED against
+    // the corpus's ground-truth `lang` column — per (true, predicted)
+    // cell counts plus the within-class recall share, the readout
+    // that turns text_langid from "a prediction" into a measured
+    // component. Same scoring kernel and the same SQL replay as
+    // text_langid, rolled up instead of emitted per doc.
+    QueryDef("text_langid_confusion",
+      (s, d) => {
+        val pred = s.read.parquet(s"$d/documents.parquet")
+          .select(col("lang"), TextAnalysis.langId(col("text"))
+            .as("lang_guess"))
+        val w = Window.partitionBy(col("lang"))
+        pred.groupBy(col("lang"), col("lang_guess"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("class_total", sum(col("n")).over(w))
+          .select(col("lang"), col("lang_guess"), col("n"),
+            expr("n * 1000000 div class_total").as("class_share_ppm"))
+          .orderBy(col("lang"), col("lang_guess"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS tk FROM documents),
+              |s AS (SELECT doc_id, lang,
+              |  $langScores
+              |FROM t),
+              |m AS (SELECT *, greatest(${TextAnalysis.LangProfiles.map("s_" + _._1).mkString(", ")}) AS best FROM s),
+              |p AS (SELECT lang, CASE $langCases ELSE 'und' END AS lang_guess
+              |      FROM m),
+              |c AS (SELECT lang, lang_guess, count(*)::BIGINT AS n
+              |      FROM p GROUP BY 1, 2)
+              |SELECT lang, lang_guess, n,
+              |  (n * 1000000 // sum(n) OVER (PARTITION BY lang))::BIGINT
+              |    AS class_share_ppm
+              |FROM c ORDER BY lang, lang_guess""".stripMargin)),
+
+    // Count-min sketch estimates vs exact counts for the top-10
+    // corpus terms — the streaming-sketch twin of the Misra-Gries
+    // heavy hitters, with its one-sided error VISIBLE: depth-4 ×
+    // width-256 counters hashed by md5 (the SQL-reproducible seeding
+    // idiom), estimate = min over rows, overcount = estimate − exact
+    // ≥ 0 by construction. Sketch state is 1024 counters at ANY
+    // corpus size; the probe set is the exact top-10, so the result
+    // pins both the sketch arithmetic AND its collision behavior.
+    QueryDef("corpus_cms_estimate",
+      (s, d) => {
+        val tok = s.read.parquet(s"$d/documents.parquet")
+          .repartition(32)
+          .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+        val tf = tok.groupBy(col("term")).agg(count(lit(1)).as("exact_n"))
+        val top = tf.orderBy(col("exact_n").desc, col("term")).limit(10)
+        def bucket(dep: org.apache.spark.sql.Column,
+                   term: org.apache.spark.sql.Column) =
+          pmod(conv(substring(md5(concat(dep.cast("string"), lit(":"),
+            term)), 1, 8), 16, 10).cast("long"), lit(256))
+        val counters = tok
+          .withColumn("dep", explode(array(lit(0), lit(1), lit(2), lit(3))))
+          .groupBy(col("dep"), bucket(col("dep"), col("term")).as("bkt"))
+          .agg(count(lit(1)).as("c"))
+        val probes = top
+          .withColumn("dep", explode(array(lit(0), lit(1), lit(2), lit(3))))
+          .withColumn("bkt", bucket(col("dep"), col("term")))
+        probes.join(counters, Seq("dep", "bkt"))
+          .groupBy(col("term"), col("exact_n"))
+          .agg(min(col("c")).as("cms_est"))
+          .select(col("term"), col("exact_n"), col("cms_est"),
+            (col("cms_est") - col("exact_n")).as("overcount"))
+          .orderBy(col("exact_n").desc, col("term"))
+      },
+      Some("""WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS term
+             |  FROM documents),
+             |tf AS (SELECT term, count(*)::BIGINT AS exact_n FROM tok
+             |  GROUP BY 1),
+             |top AS (SELECT term, exact_n FROM tf
+             |  ORDER BY exact_n DESC, term LIMIT 10),
+             |cnt AS (SELECT d.dep,
+             |    ('0x' || substring(md5(d.dep || ':' || tok.term), 1, 8))::BIGINT
+             |      % 256 AS bkt,
+             |    count(*)::BIGINT AS c
+             |  FROM tok CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS dep) d
+             |  GROUP BY 1, 2),
+             |pr AS (SELECT top.term, top.exact_n, d.dep,
+             |    ('0x' || substring(md5(d.dep || ':' || top.term), 1, 8))::BIGINT
+             |      % 256 AS bkt
+             |  FROM top CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS dep) d)
+             |SELECT pr.term, pr.exact_n, min(cnt.c) AS cms_est,
+             |  (min(cnt.c) - pr.exact_n)::BIGINT AS overcount
+             |FROM pr JOIN cnt ON cnt.dep = pr.dep AND cnt.bkt = pr.bkt
+             |GROUP BY 1, 2 ORDER BY exact_n DESC, term""".stripMargin)),
+
     // Document fingerprints: bag-of-words md5 + polynomial rolling hash.
     QueryDef("text_fingerprint",
       (s, d) => s.read.parquet(s"$d/documents.parquet")

@@ -439,6 +439,27 @@ class AuditForecastSpec extends GraftSpec {
     assert(r.getAs[Long]("n_purged") > 0L && r.getAs[Long]("n_target_users") > 0L)
   }
 
+  test("langid confusion: class shares sum to ~1e6 ppm per true language") {
+    val rows = run("text_langid_confusion")
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (_, rs) =>
+      val total = rs.map(_.getAs[Long]("class_share_ppm")).sum
+      // floor-div rounding loses < 1 ppm per predicted class
+      assert(total > 1000000L - rs.length && total <= 1000000L,
+        s"shares sum to $total")
+    }
+  }
+
+  test("CMS: one-sided error — every estimate at least the exact count") {
+    val rows = run("corpus_cms_estimate")
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("exact_n"))
+      assert(r.getAs[Long]("overcount") ===
+        r.getAs[Long]("cms_est") - r.getAs[Long]("exact_n"))
+    }
+  }
+
   test("zero crossings: rates in [0,1], all series covered, steps one less than rows") {
     val rows = run("q_zero_crossings")
     assert(rows.length === 5)
