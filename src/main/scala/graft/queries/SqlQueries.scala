@@ -7190,6 +7190,106 @@ object SqlQueries {
              |  sum(CASE WHEN user_id % 97 <> 0 THEN 1 ELSE 0 END)::BIGINT
              |    AS n_remaining,
              |  0::BIGINT AS leftover_target_rows
-             |FROM events""".stripMargin))
+             |FROM events""".stripMargin)),
+
+    // One-way ANOVA F across the five event-type value distributions
+    // — the multi-group mean test the pairwise family (Welch/z/KS)
+    // can't answer without 10 comparisons. Between/within sums of
+    // squares come from per-group exact integer (n, Σv, Σv²) digests:
+    // SSW = Σ(Q_g − S_g²/n_g), SSB = Σ S_g²/n_g − S²/n — scalar
+    // algebra on one conditional-aggregate scan, F exact to the final
+    // two divisions.
+    QueryDef("q_anova_f",
+      (s, d) => {
+        val g = graft.sources.Tables.events(s, d)
+          .select(col("event_type"),
+            floor(col("value") * 1000).cast("long").as("vm"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("ng"), sum(col("vm")).as("sg"),
+            sum(col("vm") * col("vm")).as("qg"))
+        val sgd = col("sg").cast("double")
+        val agg = g.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+          sum(sgd).as("s"),
+          sum(col("qg").cast("double")).as("q"),
+          sum(sgd * sgd / col("ng").cast("double")).as("sb"))
+        agg.select(col("k"), col("n"),
+            (col("sb") - col("s") * col("s") / col("n").cast("double"))
+              .as("ssb0"),
+            (col("q") - col("sb")).as("ssw0"))
+          .select(col("k"), col("n"),
+            round(col("ssb0") / 1e6, 2).as("ss_between"),
+            round(col("ssw0") / 1e6, 2).as("ss_within"),
+            round((col("ssb0") / (col("k") - 1).cast("double")) /
+              (col("ssw0") / (col("n") - col("k")).cast("double")), 6)
+              .as("f_stat"))
+      },
+      Some("""WITH g AS (SELECT event_type, count(*)::BIGINT AS ng,
+             |    sum(floor(value * 1000)::BIGINT)::BIGINT AS sg,
+             |    sum(floor(value * 1000)::BIGINT
+             |      * floor(value * 1000)::BIGINT)::BIGINT AS qg
+             |  FROM events GROUP BY 1),
+             |a AS (SELECT count(*)::BIGINT AS k, sum(ng)::BIGINT AS n,
+             |    sum(sg::DOUBLE) AS s, sum(qg::DOUBLE) AS q,
+             |    sum(sg::DOUBLE * sg::DOUBLE / ng::DOUBLE) AS sb
+             |  FROM g),
+             |e AS (SELECT k, n, sb - s * s / n::DOUBLE AS ssb0,
+             |    q - sb AS ssw0 FROM a)
+             |SELECT k, n, round(ssb0 / 1e6, 2) AS ss_between,
+             |  round(ssw0 / 1e6, 2) AS ss_within,
+             |  round((ssb0 / (k - 1)::DOUBLE)
+             |    / (ssw0 / (n - k)::DOUBLE), 6) AS f_stat
+             |FROM e""".stripMargin)),
+
+    // Burstiness coefficient B = (σ−μ)/(σ+μ) of inter-event gaps per
+    // event type — the dimensionless clumping measure (−1 periodic,
+    // 0 Poisson, →1 bursty) that locates each stream on the
+    // regular↔bursty axis; complements the runs test (order) and ACF
+    // (memory). Gaps in exact seconds from one per-type lag; moments
+    // are BIGINT Σ/Σ²; σ touches a double only inside the final
+    // sqrt.
+    QueryDef("q_interevent_burstiness",
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        val gaps = graft.sources.Tables.events(s, d)
+          .withColumn("prev", lag(col("ts"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .select(col("event_type"),
+            expr("(unix_micros(ts) - unix_micros(prev)) div 1000000")
+              .as("gap_s"))
+        gaps.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_gaps"), sum(col("gap_s")).as("sg"),
+            sum(col("gap_s") * col("gap_s")).as("qg"))
+          .select(col("event_type"), col("n_gaps"),
+            expr("sg div n_gaps").as("mean_gap_s"),
+            round((sqrt((col("qg").cast("double") -
+              col("sg").cast("double") * col("sg").cast("double") /
+                col("n_gaps").cast("double")) /
+              col("n_gaps").cast("double")) -
+              col("sg").cast("double") / col("n_gaps").cast("double")) /
+              (sqrt((col("qg").cast("double") -
+                col("sg").cast("double") * col("sg").cast("double") /
+                  col("n_gaps").cast("double")) /
+                col("n_gaps").cast("double")) +
+                col("sg").cast("double") / col("n_gaps").cast("double")), 6)
+              .as("burstiness"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH gp AS (SELECT event_type,
+             |    (epoch_us(ts) - epoch_us(lag(ts) OVER (
+             |      PARTITION BY event_type ORDER BY ts, event_id)))
+             |      // 1000000 AS gap_s
+             |  FROM events),
+             |g AS (SELECT event_type, count(*)::BIGINT AS n_gaps,
+             |    sum(gap_s)::BIGINT AS sg, sum(gap_s * gap_s)::BIGINT AS qg
+             |  FROM gp WHERE gap_s IS NOT NULL GROUP BY 1),
+             |e AS (SELECT event_type, n_gaps, sg // n_gaps AS mean_gap_s,
+             |    sqrt((qg::DOUBLE - sg::DOUBLE * sg::DOUBLE / n_gaps::DOUBLE)
+             |      / n_gaps::DOUBLE) AS sd,
+             |    sg::DOUBLE / n_gaps::DOUBLE AS mu
+             |  FROM g)
+             |SELECT event_type, n_gaps, mean_gap_s,
+             |  round((sd - mu) / (sd + mu), 6) AS burstiness
+             |FROM e ORDER BY event_type""".stripMargin))
   )
 }

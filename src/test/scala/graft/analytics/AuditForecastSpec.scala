@@ -460,6 +460,24 @@ class AuditForecastSpec extends GraftSpec {
     }
   }
 
+  test("anova: F positive with k=5 groups and SS components positive") {
+    val r = run("q_anova_f").head
+    assert(r.getAs[Long]("k") === 5L)
+    assert(r.getAs[Double]("ss_between") > 0.0)
+    assert(r.getAs[Double]("ss_within") > 0.0)
+    assert(r.getAs[Double]("f_stat") > 0.0)
+  }
+
+  test("burstiness: every series in (-1, 1) with positive mean gap") {
+    val rows = run("q_interevent_burstiness")
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val b = r.getAs[Double]("burstiness")
+      assert(b > -1.0 && b < 1.0, s"burstiness=$b")
+      assert(r.getAs[Long]("mean_gap_s") > 0L)
+    }
+  }
+
   test("zero crossings: rates in [0,1], all series covered, steps one less than rows") {
     val rows = run("q_zero_crossings")
     assert(rows.length === 5)
