@@ -7290,6 +7290,91 @@ object SqlQueries {
              |  FROM g)
              |SELECT event_type, n_gaps, mean_gap_s,
              |  round((sd - mu) / (sd + mu), 6) AS burstiness
-             |FROM e ORDER BY event_type""".stripMargin))
+             |FROM e ORDER BY event_type""".stripMargin)),
+
+    // Freshness/staleness report per stream: last-seen lag behind the
+    // corpus watermark and the share of rows landed in the trailing
+    // 24 h — the first data-quality panel an ingestion on-call reads.
+    // Two digests (per-type extremes+counts, corpus watermark) off
+    // one scan; lags in exact integer seconds off the micros grid.
+    QueryDef("q_freshness_report",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+        val wm = ev.agg(max(col("ts")).as("wm"))
+        ev.crossJoin(broadcast(wm))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_rows"),
+            max(col("ts")).cast("string").as("last_seen"),
+            expr("(unix_micros(max(wm)) - unix_micros(max(ts))) div 1000000")
+              .as("lag_s"),
+            sum(when(col("ts") >= col("wm") - expr("interval 24 hours"), 1L)
+              .otherwise(0L)).as("rows_last_24h"))
+          .withColumn("share_last_24h_ppm",
+            expr("rows_last_24h * 1000000 div n_rows"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH wm AS (SELECT max(ts) AS wm FROM events)
+             |SELECT event_type, count(*) AS n_rows,
+             |  max(ts)::VARCHAR AS last_seen,
+             |  (epoch_us(max(wm)) - epoch_us(max(ts))) // 1000000 AS lag_s,
+             |  sum(CASE WHEN ts >= wm - INTERVAL 24 HOURS
+             |    THEN 1 ELSE 0 END)::BIGINT AS rows_last_24h,
+             |  (sum(CASE WHEN ts >= wm - INTERVAL 24 HOURS THEN 1 ELSE 0 END)
+             |    * 1000000 // count(*))::BIGINT AS share_last_24h_ppm
+             |FROM events, wm GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
+
+    // Distribution-free 95% CI for the MEDIAN via order statistics:
+    // the binomial/normal rank bounds L = ⌊(n−1.96√n)/2⌋ and
+    // U = ⌈(n+1.96√n)/2⌉+1, read off the cumulative value digest —
+    // the CI that needs no variance estimate and no symmetry
+    // assumption (the mean-CI machinery says nothing about a
+    // median). Ranks are floored integers from one count digest;
+    // the bounding VALUES come from a min-over-threshold on the
+    // ≤ |support| cumulative table, never a global sort of rows.
+    QueryDef("q_median_ci",
+      (s, d) => {
+        val vals = graft.sources.Tables.events(s, d)
+          .select(floor(col("value") * 1000).cast("long").as("vm"))
+        val cells = vals.groupBy(col("vm")).agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum(col("c")).over(
+            Window.orderBy(col("vm"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val n = vals.agg(count(lit(1)).as("n"))
+        val ranks = n.select(col("n"),
+          floor((col("n").cast("double") - lit(1.96) *
+            sqrt(col("n").cast("double"))) / 2.0).cast("long").as("rlo"),
+          (ceil((col("n").cast("double") + lit(1.96) *
+            sqrt(col("n").cast("double"))) / 2.0).cast("long") + 1)
+            .as("rhi"))
+        cells.crossJoin(broadcast(ranks))
+          .agg(max(col("n")).as("n"),
+            round(min(when(col("cum") * 2 >= col("n"), col("vm")))
+              .cast("double") / 1000.0, 3).as("median_lo_def"),
+            round(min(when(col("cum") >= col("rlo"), col("vm")))
+              .cast("double") / 1000.0, 3).as("ci_lo"),
+            round(min(when(col("cum") >= col("rhi"), col("vm")))
+              .cast("double") / 1000.0, 3).as("ci_hi"))
+      },
+      Some("""WITH v AS (SELECT floor(value * 1000)::BIGINT AS vm FROM events),
+             |cells AS (SELECT vm, count(*)::BIGINT AS c FROM v GROUP BY 1),
+             |cc AS (SELECT vm, sum(c) OVER (ORDER BY vm
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM cells),
+             |g AS (SELECT count(*)::BIGINT AS n FROM v),
+             |r AS (SELECT n,
+             |    floor((n::DOUBLE - 1.96 * sqrt(n::DOUBLE)) / 2.0)::BIGINT
+             |      AS rlo,
+             |    ceil((n::DOUBLE + 1.96 * sqrt(n::DOUBLE)) / 2.0)::BIGINT + 1
+             |      AS rhi
+             |  FROM g)
+             |SELECT max(r.n) AS n,
+             |  round(min(CASE WHEN cum * 2 >= r.n THEN vm END)::DOUBLE
+             |    / 1000.0, 3) AS median_lo_def,
+             |  round(min(CASE WHEN cum >= r.rlo THEN vm END)::DOUBLE
+             |    / 1000.0, 3) AS ci_lo,
+             |  round(min(CASE WHEN cum >= r.rhi THEN vm END)::DOUBLE
+             |    / 1000.0, 3) AS ci_hi
+             |FROM cc, r""".stripMargin))
   )
 }
