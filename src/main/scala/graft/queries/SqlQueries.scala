@@ -7375,6 +7375,211 @@ object SqlQueries {
              |    / 1000.0, 3) AS ci_lo,
              |  round(min(CASE WHEN cum >= r.rhi THEN vm END)::DOUBLE
              |    / 1000.0, 3) AS ci_hi
-             |FROM cc, r""".stripMargin))
+             |FROM cc, r""".stripMargin)),
+
+    // Index of dispersion (Fano factor) of DAILY event counts per
+    // type: variance-to-mean ratio of the per-day count series — the
+    // Poisson-ness check an on-call runs before alerting on "bursty"
+    // traffic (VMR≈1 Poisson, >1 overdispersed/clumped, <1 regular).
+    // Distinct from q_interevent_burstiness (gap CV): this one works
+    // on binned COUNTS, the form that survives pre-aggregated rollups.
+    // Counts are integers, so Σc and Σc² are exact and the variance
+    // is one double division at the end — partition-order free.
+    QueryDef("q_dispersion_index",
+      (s, d) => {
+        val dc = graft.sources.Tables.events(s, d)
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("dy"))
+          .agg(count(lit(1)).as("c"))
+        dc.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_days"), sum(col("c")).as("sc"),
+            sum(col("c") * col("c")).as("sc2"))
+          .select(col("event_type"), col("n_days"),
+            round(col("sc").cast("double") / col("n_days").cast("double"),
+              6).as("mean_per_day"),
+            round(((col("n_days").cast("double") * col("sc2").cast("double")
+              - col("sc").cast("double") * col("sc").cast("double")) /
+              (col("n_days").cast("double") *
+                (col("n_days").cast("double") - 1.0))) /
+              (col("sc").cast("double") / col("n_days").cast("double")),
+              6).as("vmr"),
+            round((col("n_days").cast("double") - 1.0) *
+              (((col("n_days").cast("double") * col("sc2").cast("double")
+                - col("sc").cast("double") * col("sc").cast("double")) /
+                (col("n_days").cast("double") *
+                  (col("n_days").cast("double") - 1.0))) /
+                (col("sc").cast("double") / col("n_days").cast("double"))),
+              4).as("chisq_stat"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH dc AS (SELECT event_type, date_trunc('day', ts) AS dy,
+             |    count(*)::BIGINT AS c
+             |  FROM events GROUP BY 1, 2),
+             |g AS (SELECT event_type, count(*)::BIGINT AS n_days,
+             |    sum(c)::BIGINT AS sc, sum(c * c)::BIGINT AS sc2
+             |  FROM dc GROUP BY 1)
+             |SELECT event_type, n_days,
+             |  round(sc::DOUBLE / n_days::DOUBLE, 6) AS mean_per_day,
+             |  round(((n_days::DOUBLE * sc2::DOUBLE - sc::DOUBLE * sc::DOUBLE)
+             |    / (n_days::DOUBLE * (n_days::DOUBLE - 1.0)))
+             |    / (sc::DOUBLE / n_days::DOUBLE), 6) AS vmr,
+             |  round((n_days::DOUBLE - 1.0) *
+             |    (((n_days::DOUBLE * sc2::DOUBLE - sc::DOUBLE * sc::DOUBLE)
+             |      / (n_days::DOUBLE * (n_days::DOUBLE - 1.0)))
+             |      / (sc::DOUBLE / n_days::DOUBLE)), 4) AS chisq_stat
+             |FROM g ORDER BY event_type""".stripMargin)),
+
+    // Jarque-Bera normality test per event type: JB = n/6·(S² +
+    // (K−3)²/4) from skewness S and kurtosis K — the cheapest
+    // distribution-shape gate (is this metric even close to normal
+    // before I quote a mean ± 1.96σ CI on it?). Raw power sums
+    // Σv..Σv⁴ run on the milli-grid as EXACT decimal integers (v⁴ ≈
+    // 1e23 overflows BIGINT → decimal(38,0) / HUGEINT); the central-
+    // moment algebra is identical double arithmetic on both engines
+    // afterwards. S and K are scale-free, so the milli-grid
+    // discretization cancels out of the units entirely.
+    QueryDef("q_jarque_bera",
+      (s, d) => {
+        val v = graft.sources.Tables.events(s, d)
+          .select(col("event_type"),
+            floor(col("value") * 1000).cast("decimal(38,0)").as("vm"))
+        val p = v.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("vm")).as("s1"),
+            sum(col("vm") * col("vm")).as("s2"),
+            sum(col("vm") * col("vm") * col("vm")).as("s3"),
+            sum(col("vm") * col("vm") * col("vm") * col("vm")).as("s4"))
+        val m = p.select(col("event_type"), col("n"),
+          (col("s1").cast("double") / col("n").cast("double")).as("mu"),
+          (col("s2").cast("double") / col("n").cast("double")).as("r2"),
+          (col("s3").cast("double") / col("n").cast("double")).as("r3"),
+          (col("s4").cast("double") / col("n").cast("double")).as("r4"))
+        val c = m.select(col("event_type"), col("n"),
+          (col("r2") - col("mu") * col("mu")).as("m2"),
+          (col("r3") - lit(3.0) * col("mu") * col("r2") +
+            lit(2.0) * col("mu") * col("mu") * col("mu")).as("m3"),
+          (col("r4") - lit(4.0) * col("mu") * col("r3") +
+            lit(6.0) * col("mu") * col("mu") * col("r2") -
+            lit(3.0) * col("mu") * col("mu") * col("mu") * col("mu"))
+            .as("m4"))
+        c.select(col("event_type"), col("n"),
+          round(col("m3") / (col("m2") * sqrt(col("m2"))), 6)
+            .as("skewness"),
+          round(col("m4") / (col("m2") * col("m2")), 6).as("kurtosis"),
+          round(col("n").cast("double") / 6.0 *
+            ((col("m3") / (col("m2") * sqrt(col("m2")))) *
+              (col("m3") / (col("m2") * sqrt(col("m2")))) +
+              (col("m4") / (col("m2") * col("m2")) - 3.0) *
+                (col("m4") / (col("m2") * col("m2")) - 3.0) / 4.0), 4)
+            .as("jb_stat"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH v AS (SELECT event_type,
+             |    floor(value * 1000)::HUGEINT AS vm FROM events),
+             |p AS (SELECT event_type, count(*)::BIGINT AS n,
+             |    sum(vm) AS s1, sum(vm * vm) AS s2,
+             |    sum(vm * vm * vm) AS s3, sum(vm * vm * vm * vm) AS s4
+             |  FROM v GROUP BY 1),
+             |m AS (SELECT event_type, n, s1::DOUBLE / n::DOUBLE AS mu,
+             |    s2::DOUBLE / n::DOUBLE AS r2, s3::DOUBLE / n::DOUBLE AS r3,
+             |    s4::DOUBLE / n::DOUBLE AS r4
+             |  FROM p),
+             |c AS (SELECT event_type, n, r2 - mu * mu AS m2,
+             |    r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+             |    r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2
+             |      - 3.0 * mu * mu * mu * mu AS m4
+             |  FROM m)
+             |SELECT event_type, n,
+             |  round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+             |  round(m4 / (m2 * m2), 6) AS kurtosis,
+             |  round(n::DOUBLE / 6.0 *
+             |    ((m3 / (m2 * sqrt(m2))) * (m3 / (m2 * sqrt(m2)))
+             |     + (m4 / (m2 * m2) - 3.0) * (m4 / (m2 * m2) - 3.0) / 4.0),
+             |    4) AS jb_stat
+             |FROM c ORDER BY event_type""".stripMargin)),
+
+    // Kruskal-Wallis H: the rank-based (distribution-free) k-group
+    // test — the nonparametric twin of q_anova_f for when the value
+    // distribution is nowhere near normal. Average ranks come off the
+    // shared milli-grid count digest (2·rank = 2·below + t + 1, an
+    // integer, so per-group rank sums are EXACT decimals); the tie
+    // correction C = 1 − Σ(t³−t)/(N³−N) uses the same digest. The
+    // only float reduction (Σ R²/n over k=5 groups) goes through the
+    // rounded-term decimal-sum idiom so partition order can't move
+    // the last bit. Rank window runs over the ≤|support| digest,
+    // never over rows.
+    QueryDef("q_kruskal_wallis",
+      (s, d) => {
+        val v = graft.sources.Tables.events(s, d)
+          .select(col("event_type").as("g"),
+            floor(col("value") * 1000).cast("long").as("vm"))
+        val cell = v.groupBy(col("vm")).agg(count(lit(1)).as("t"))
+        val cc = cell.withColumn("below",
+          coalesce(sum(col("t")).over(Window.orderBy(col("vm"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        val gc = v.groupBy(col("g"), col("vm"))
+          .agg(count(lit(1)).as("c"))
+        val r = gc.join(broadcast(cc), "vm")
+          .groupBy(col("g"))
+          .agg(sum(col("c").cast("decimal(38,0)") *
+            (lit(2L) * col("below") + col("t") + 1L).cast("decimal(38,0)"))
+            .as("r2sum"), sum(col("c")).as("ng"))
+        val ties = cell.agg(sum(col("t").cast("decimal(38,0)") *
+          col("t").cast("decimal(38,0)") * col("t").cast("decimal(38,0)")
+          - col("t").cast("decimal(38,0)")).as("tsum"))
+        val h = r.crossJoin(broadcast(ties))
+          .agg(sum(col("ng")).as("n"), count(lit(1)).as("k"),
+            sum(round((col("r2sum").cast("double") / 2.0) *
+              (col("r2sum").cast("double") / 2.0) /
+              col("ng").cast("double"), 2).cast("decimal(38,6)"))
+              .as("sr2n"),
+            max(col("tsum")).as("tsum"))
+        h.select(col("n"), col("k"),
+          round(lit(12.0) / (col("n").cast("double") *
+            (col("n").cast("double") + 1.0)) *
+            col("sr2n").cast("double") -
+            lit(3.0) * (col("n").cast("double") + 1.0), 4).as("h_stat"),
+          round(lit(1.0) - col("tsum").cast("double") /
+            (col("n").cast("double") * col("n").cast("double") *
+              col("n").cast("double") - col("n").cast("double")), 6)
+            .as("tie_correction"),
+          round((lit(12.0) / (col("n").cast("double") *
+            (col("n").cast("double") + 1.0)) *
+            col("sr2n").cast("double") -
+            lit(3.0) * (col("n").cast("double") + 1.0)) /
+            (lit(1.0) - col("tsum").cast("double") /
+              (col("n").cast("double") * col("n").cast("double") *
+                col("n").cast("double") - col("n").cast("double"))), 4)
+            .as("h_corrected"))
+      },
+      Some("""WITH v AS (SELECT event_type AS g,
+             |    floor(value * 1000)::BIGINT AS vm FROM events),
+             |cell AS (SELECT vm, count(*)::BIGINT AS t FROM v GROUP BY 1),
+             |cc AS (SELECT vm, t, coalesce(sum(t) OVER (ORDER BY vm
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |    AS below
+             |  FROM cell),
+             |gc AS (SELECT g, vm, count(*)::BIGINT AS c FROM v GROUP BY 1, 2),
+             |r AS (SELECT g,
+             |    sum(c::HUGEINT * (2 * below + t + 1)::HUGEINT) AS r2sum,
+             |    sum(c)::BIGINT AS ng
+             |  FROM gc JOIN cc USING (vm) GROUP BY 1),
+             |ties AS (SELECT sum(t::HUGEINT * t::HUGEINT * t::HUGEINT
+             |    - t::HUGEINT) AS tsum FROM cell),
+             |h AS (SELECT sum(ng)::BIGINT AS n, count(*)::BIGINT AS k,
+             |    sum(round((r2sum::DOUBLE / 2.0) * (r2sum::DOUBLE / 2.0)
+             |      / ng::DOUBLE, 2)::DECIMAL(38,6)) AS sr2n,
+             |    max(tsum) AS tsum
+             |  FROM r, ties)
+             |SELECT n, k,
+             |  round(12.0 / (n::DOUBLE * (n::DOUBLE + 1.0)) * sr2n::DOUBLE
+             |    - 3.0 * (n::DOUBLE + 1.0), 4) AS h_stat,
+             |  round(1.0 - tsum::DOUBLE
+             |    / (n::DOUBLE * n::DOUBLE * n::DOUBLE - n::DOUBLE), 6)
+             |    AS tie_correction,
+             |  round((12.0 / (n::DOUBLE * (n::DOUBLE + 1.0)) * sr2n::DOUBLE
+             |    - 3.0 * (n::DOUBLE + 1.0))
+             |    / (1.0 - tsum::DOUBLE
+             |      / (n::DOUBLE * n::DOUBLE * n::DOUBLE - n::DOUBLE)), 4)
+             |    AS h_corrected
+             |FROM h""".stripMargin))
   )
 }
