@@ -7580,6 +7580,243 @@ object SqlQueries {
              |    / (1.0 - tsum::DOUBLE
              |      / (n::DOUBLE * n::DOUBLE * n::DOUBLE - n::DOUBLE)), 4)
              |    AS h_corrected
-             |FROM h""".stripMargin))
+             |FROM h""".stripMargin)),
+
+    // Nelson-Aalen cumulative-hazard estimator over the same
+    // conversion-as-death framing as q_survival_at_risk: H(t) =
+    // Σ_{tᵢ≤t} dᵢ/nᵢ with Greenwood-style variance Σ dᵢ/nᵢ². The
+    // hazard view is what the KM table can't give you directly — a
+    // flat H(t) slope says conversion propensity stopped, long before
+    // the survival curve visibly bends. The risk-set window runs over
+    // the ≤|distinct lifetimes| digest; the running float sum is an
+    // ORDER-fixed sequential window (identical IEEE accumulation in
+    // both engines), never a partition-order reduction.
+    QueryDef("q_nelson_aalen",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+        val perUser = ev.groupBy(col("user_id"))
+          .agg(min(to_date(col("ts"))).as("first_d"))
+        val conv = ev.filter(col("event_type") === "purchase" &&
+            col("value") >= 90)
+          .groupBy(col("user_id").as("cu"))
+          .agg(min(to_date(col("ts"))).as("conv_d"))
+        val horizon = ev.agg(max(to_date(col("ts"))).as("max_d"))
+        val byT = perUser
+          .join(conv, col("user_id") === col("cu"), "left")
+          .crossJoin(broadcast(horizon))
+          .withColumn("dead", col("conv_d").isNotNull.cast("long"))
+          .withColumn("lifetime",
+            datediff(coalesce(col("conv_d"), col("max_d")),
+              col("first_d")))
+          .groupBy(col("lifetime"))
+          .agg(sum(col("dead")).as("nd"),
+            sum(lit(1L) - col("dead")).as("nc"))
+        val wDesc = Window.orderBy(col("lifetime").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAsc = Window.orderBy(col("lifetime"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        byT.withColumn("n_risk", sum(col("nd") + col("nc")).over(wDesc))
+          .withColumn("h_term",
+            col("nd").cast("double") / col("n_risk").cast("double"))
+          .withColumn("v_term",
+            col("nd").cast("double") / (col("n_risk").cast("double") *
+              col("n_risk").cast("double")))
+          .withColumn("cum_hazard", sum(col("h_term")).over(wAsc))
+          .withColumn("var_hazard", sum(col("v_term")).over(wAsc))
+          .filter(col("nd") > 0)
+          .select(col("lifetime").as("t_days"), col("n_risk"),
+            col("nd").as("n_deaths"),
+            round(col("cum_hazard"), 6).as("cum_hazard"),
+            round(col("var_hazard"), 8).as("var_hazard"))
+          .orderBy(col("t_days"))
+      },
+      Some("""WITH pu AS (SELECT user_id, min(ts::DATE) AS first_d
+             |  FROM events GROUP BY 1),
+             |conv AS (SELECT user_id, min(ts::DATE) AS conv_d FROM events
+             |  WHERE event_type = 'purchase' AND value >= 90 GROUP BY 1),
+             |h AS (SELECT max(ts::DATE) AS max_d FROM events),
+             |byt AS (SELECT
+             |    datediff('day', first_d, coalesce(conv_d, max_d))
+             |      AS lifetime,
+             |    sum(CASE WHEN conv_d IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             |      AS nd,
+             |    sum(CASE WHEN conv_d IS NULL THEN 1 ELSE 0 END)::BIGINT
+             |      AS nc
+             |  FROM pu LEFT JOIN conv USING (user_id), h GROUP BY 1),
+             |r AS (SELECT lifetime, nd,
+             |    sum(nd + nc) OVER (ORDER BY lifetime DESC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      ::BIGINT AS n_risk
+             |  FROM byt),
+             |na AS (SELECT lifetime, nd, n_risk,
+             |    sum(nd::DOUBLE / n_risk::DOUBLE) OVER (ORDER BY lifetime
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cum_hazard,
+             |    sum(nd::DOUBLE / (n_risk::DOUBLE * n_risk::DOUBLE))
+             |      OVER (ORDER BY lifetime
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS var_hazard
+             |  FROM r)
+             |SELECT lifetime AS t_days, n_risk, nd AS n_deaths,
+             |  round(cum_hazard, 6) AS cum_hazard,
+             |  round(var_hazard, 8) AS var_hazard
+             |FROM na WHERE nd > 0 ORDER BY t_days""".stripMargin)),
+
+    // Two-group log-rank test: do the two experiment arms (assigned by
+    // user-id parity, a degenerate-proof split at every SF) convert on
+    // different hazard curves? At each death time: E₁ = d·n₁/n,
+    // V = d·(n₁/n)(1−n₁/n)(n−d)/(n−1); χ²₁ = (Σd₁−ΣE₁)²/ΣV. The risk
+    // sets are desc-cumulative integer sums over one full-outer
+    // lifetime digest; the E and V float terms go through the
+    // rounded-term decimal-sum idiom so the Σ over death times is
+    // partition-order exact.
+    QueryDef("q_logrank_test",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+        val perUser = ev.groupBy(col("user_id"))
+          .agg(min(to_date(col("ts"))).as("first_d"))
+        val conv = ev.filter(col("event_type") === "purchase" &&
+            col("value") >= 90)
+          .groupBy(col("user_id").as("cu"))
+          .agg(min(to_date(col("ts"))).as("conv_d"))
+        val horizon = ev.agg(max(to_date(col("ts"))).as("max_d"))
+        val byT = perUser
+          .join(conv, col("user_id") === col("cu"), "left")
+          .crossJoin(broadcast(horizon))
+          .withColumn("g1", (col("user_id") % 2 === 0).cast("long"))
+          .withColumn("dead", col("conv_d").isNotNull.cast("long"))
+          .withColumn("lifetime",
+            datediff(coalesce(col("conv_d"), col("max_d")),
+              col("first_d")))
+          .groupBy(col("lifetime"))
+          .agg(sum(col("g1") * col("dead")).as("d1"),
+            sum(col("g1") * (lit(1L) - col("dead"))).as("c1"),
+            sum((lit(1L) - col("g1")) * col("dead")).as("d2"),
+            sum((lit(1L) - col("g1")) * (lit(1L) - col("dead")))
+              .as("c2"))
+        val wDesc = Window.orderBy(col("lifetime").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val terms = byT
+          .withColumn("n1", sum(col("d1") + col("c1")).over(wDesc))
+          .withColumn("n_all", sum(col("d1") + col("c1") + col("d2") +
+            col("c2")).over(wDesc))
+          .withColumn("dd", col("d1") + col("d2"))
+          .filter(col("dd") > 0 && col("n_all") > 1)
+          .withColumn("e1", when(col("n_all") > 0,
+            col("dd").cast("double") *
+              col("n1").cast("double") / col("n_all").cast("double")))
+          .withColumn("vt", when(col("n_all") > 1,
+            col("dd").cast("double") *
+              (col("n1").cast("double") / col("n_all").cast("double")) *
+              (lit(1.0) - col("n1").cast("double") /
+                col("n_all").cast("double")) *
+              (col("n_all").cast("double") - col("dd").cast("double")) /
+              (col("n_all").cast("double") - 1.0)))
+        terms.agg(sum(col("d1")).as("obs1"),
+            sum(round(col("e1"), 9).cast("decimal(38,12)")).as("exp1"),
+            sum(round(col("vt"), 9).cast("decimal(38,12)")).as("vv"))
+          .select(col("obs1"),
+            round(col("exp1").cast("double"), 4).as("expected1"),
+            round((col("obs1").cast("double") -
+              col("exp1").cast("double")) *
+              (col("obs1").cast("double") -
+                col("exp1").cast("double")) /
+              col("vv").cast("double"), 4).as("chisq"))
+      },
+      Some("""WITH pu AS (SELECT user_id, min(ts::DATE) AS first_d
+             |  FROM events GROUP BY 1),
+             |conv AS (SELECT user_id, min(ts::DATE) AS conv_d FROM events
+             |  WHERE event_type = 'purchase' AND value >= 90 GROUP BY 1),
+             |h AS (SELECT max(ts::DATE) AS max_d FROM events),
+             |lived AS (SELECT
+             |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS g1,
+             |    CASE WHEN conv_d IS NOT NULL THEN 1 ELSE 0 END AS dead,
+             |    datediff('day', first_d, coalesce(conv_d, max_d))
+             |      AS lifetime
+             |  FROM pu LEFT JOIN conv USING (user_id), h),
+             |byt AS (SELECT lifetime,
+             |    sum(g1 * dead)::BIGINT AS d1,
+             |    sum(g1 * (1 - dead))::BIGINT AS c1,
+             |    sum((1 - g1) * dead)::BIGINT AS d2,
+             |    sum((1 - g1) * (1 - dead))::BIGINT AS c2
+             |  FROM lived GROUP BY 1),
+             |rs AS (SELECT lifetime, d1, d2,
+             |    sum(d1 + c1) OVER (ORDER BY lifetime DESC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      ::BIGINT AS n1,
+             |    sum(d1 + c1 + d2 + c2) OVER (ORDER BY lifetime DESC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      ::BIGINT AS n_all
+             |  FROM byt),
+             |t AS (SELECT d1, d1 + d2 AS dd, n1, n_all,
+             |    (d1 + d2)::DOUBLE * n1::DOUBLE / n_all::DOUBLE AS e1,
+             |    (d1 + d2)::DOUBLE * (n1::DOUBLE / n_all::DOUBLE)
+             |      * (1.0 - n1::DOUBLE / n_all::DOUBLE)
+             |      * (n_all::DOUBLE - (d1 + d2)::DOUBLE)
+             |      / (n_all::DOUBLE - 1.0) AS vt
+             |  FROM rs WHERE d1 + d2 > 0 AND n_all > 1),
+             |g AS (SELECT sum(d1)::BIGINT AS obs1,
+             |    sum(round(e1, 9)::DECIMAL(38,12)) AS exp1,
+             |    sum(round(vt, 9)::DECIMAL(38,12)) AS vv
+             |  FROM t)
+             |SELECT obs1, round(exp1::DOUBLE, 4) AS expected1,
+             |  round((obs1::DOUBLE - exp1::DOUBLE)
+             |    * (obs1::DOUBLE - exp1::DOUBLE) / vv::DOUBLE, 4) AS chisq
+             |FROM g""".stripMargin)),
+
+    // Order-total reconciliation: recompute each order's value from
+    // its lineitems (Σ round(extprice·(1−disc)·(1+tax)) in exact
+    // cents) and report, per order status, how many orders break
+    // against the header o_totalprice — the double-entry audit every
+    // finance pipeline runs nightly. On this synthetic data the
+    // headers deliberately do NOT reconcile, so the interesting
+    // output is the break-rate and delta magnitudes, all integer-
+    // exact until two final divisions. Aggregate-then-join shape:
+    // lineitem collapses to per-order cents BEFORE meeting orders.
+    QueryDef("q_total_reconcile",
+      (s, d) => {
+        val li = s.read.parquet(s"$d/lineitem.parquet")
+          .groupBy(col("l_orderkey"))
+          .agg(sum(round(col("l_extendedprice") *
+            (lit(1.0) - col("l_discount")) *
+            (lit(1.0) + col("l_tax")) * 100).cast("long")).as("li_cents"))
+        val o = s.read.parquet(s"$d/orders.parquet")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            round(col("o_totalprice") * 100).cast("long").as("hdr_cents"))
+        o.join(li, col("o_orderkey") === col("l_orderkey"), "left")
+          .withColumn("delta",
+            when(col("li_cents").isNotNull,
+              abs(col("hdr_cents") - col("li_cents"))))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("li_cents").isNull.cast("long")).as("n_no_lines"),
+            sum((col("delta") > 1).cast("long")).as("n_breaks"),
+            round(sum(when(col("delta").isNotNull, col("delta"))
+              .otherwise(0L)).cast("double") /
+              sum(col("li_cents").isNotNull.cast("long"))
+                .cast("double"), 2).as("mean_abs_delta_cents"),
+            max(col("delta")).as("max_abs_delta_cents"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""WITH li AS (SELECT l_orderkey,
+             |    sum(round(l_extendedprice * (1.0 - l_discount)
+             |      * (1.0 + l_tax) * 100)::BIGINT)::BIGINT AS li_cents
+             |  FROM lineitem GROUP BY 1),
+             |j AS (SELECT o_orderstatus,
+             |    round(o_totalprice * 100)::BIGINT AS hdr_cents, li_cents,
+             |    CASE WHEN li_cents IS NOT NULL
+             |      THEN abs(round(o_totalprice * 100)::BIGINT - li_cents)
+             |      END AS delta
+             |  FROM orders LEFT JOIN li ON o_orderkey = l_orderkey)
+             |SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+             |  sum(CASE WHEN li_cents IS NULL THEN 1 ELSE 0 END)::BIGINT
+             |    AS n_no_lines,
+             |  sum(CASE WHEN delta > 1 THEN 1 ELSE 0 END)::BIGINT
+             |    AS n_breaks,
+             |  round(sum(coalesce(delta, 0))::DOUBLE
+             |    / sum(CASE WHEN li_cents IS NOT NULL THEN 1 ELSE 0 END)
+             |      ::DOUBLE, 2) AS mean_abs_delta_cents,
+             |  max(delta)::BIGINT AS max_abs_delta_cents
+             |FROM j GROUP BY 1 ORDER BY o_orderstatus""".stripMargin))
   )
 }
