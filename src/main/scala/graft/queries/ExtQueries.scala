@@ -3400,6 +3400,157 @@ object ExtQueries {
              |SELECT source, n_vocab, n_tokens, rep_pairs,
              |  floor(rep_pairs::DOUBLE * 1000000000.0 /
              |    (n_tokens * (n_tokens - 1))::DOUBLE)::BIGINT AS simpson_ppb
-             |FROM g ORDER BY source""".stripMargin))
+             |FROM g ORDER BY source""".stripMargin)),
+
+    // Popularity-based negative sampling for recommender training:
+    // for every customer, 3 deterministic negatives drawn from the
+    // top-100 most-purchased parts they never bought. The candidate
+    // pool is a 100-row broadcast (never a full customer×part cross
+    // join); positives are excluded by an ids-only anti-join; the
+    // "draw" is an md5 rank per (customer, part) so resampling is
+    // reproducible shard-by-shard at any scale — the exact shape of
+    // an in-batch-negatives generator for a two-tower model.
+    QueryDef("pipe_negative_sample",
+      (s, d) => {
+        val li = s.read.parquet(s"$d/lineitem.parquet")
+        val ord = s.read.parquet(s"$d/orders.parquet")
+        val pos = li.join(ord.select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("ck"), col("l_partkey").as("pk"))
+          .distinct()
+        val pool = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("l_partkey"))
+          .limit(100).select(col("l_partkey").as("pk"))
+        val cand = pos.select(col("ck")).distinct()
+          .crossJoin(broadcast(pool))
+        val h = conv(substring(md5(concat(lit("neg:"),
+          col("ck").cast("string"), lit(":"), col("pk").cast("string"))),
+          1, 15), 16, 10).cast("long")
+        cand.join(pos, Seq("ck", "pk"), "left_anti")
+          .withColumn("hr", h)
+          .withColumn("neg_rank", row_number().over(
+            Window.partitionBy(col("ck")).orderBy(col("hr"), col("pk"))))
+          .filter(col("neg_rank") <= 3)
+          .select(col("ck").as("cust_key"), col("neg_rank"),
+            col("pk").as("part_key"))
+          .orderBy(col("cust_key"), col("neg_rank"))
+      },
+      Some("""WITH pos AS (SELECT DISTINCT o_custkey AS ck,
+             |    l_partkey AS pk
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |pool AS (SELECT l_partkey AS pk FROM lineitem
+             |  GROUP BY 1 ORDER BY count(*) DESC, l_partkey LIMIT 100),
+             |cand AS (SELECT c.ck, pool.pk
+             |  FROM (SELECT DISTINCT ck FROM pos) c, pool),
+             |neg AS (SELECT cand.ck, cand.pk,
+             |    ('0x'||substring(md5('neg:'||cand.ck::VARCHAR||':'
+             |      ||cand.pk::VARCHAR),1,15))::BIGINT AS hr
+             |  FROM cand LEFT JOIN pos
+             |    ON cand.ck = pos.ck AND cand.pk = pos.pk
+             |  WHERE pos.ck IS NULL),
+             |r AS (SELECT ck, pk, row_number() OVER
+             |    (PARTITION BY ck ORDER BY hr, pk) AS neg_rank
+             |  FROM neg)
+             |SELECT ck AS cust_key, neg_rank, pk AS part_key
+             |FROM r WHERE neg_rank <= 3
+             |ORDER BY cust_key, neg_rank""".stripMargin)),
+
+    // Expanding-window time-series cross-validation folds with a
+    // 1-day embargo between train end and test start — the split
+    // discipline that keeps leakage out of forecasting/backtest
+    // training sets (a random split would let the model peek across
+    // the boundary). Fold boundaries derive from the observed
+    // [min_day, max_day] span in integer day arithmetic; per-fold
+    // train/test row counts come off one per-day count digest
+    // cross-joined with the 4-row fold spine — one scan at any scale.
+    QueryDef("pipe_time_folds",
+      (s, d) => {
+        val byDay = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("dy"))
+          .agg(count(lit(1)).as("c"))
+        val bounds = byDay.agg(min(col("dy")).as("dmin"),
+          max(col("dy")).as("dmax"),
+          ((datediff(max(col("dy")), min(col("dy"))) + 1) / 8)
+            .cast("int").as("len"))
+        val folds = bounds.select(col("dmin"), col("len"),
+          explode(sequence(lit(1), lit(4))).as("fold"))
+          .select(col("fold"),
+            date_add(col("dmin"), (col("fold") + 3) * col("len"))
+              .as("train_end"),
+            date_add(col("dmin"), (col("fold") + 3) * col("len") + 2)
+              .as("test_start"),
+            date_add(col("dmin"),
+              (col("fold") + 3) * col("len") + 1 + col("len"))
+              .as("test_end"))
+        byDay.crossJoin(broadcast(folds))
+          .groupBy(col("fold"))
+          .agg(max(col("train_end").cast("string")).as("train_end"),
+            max(col("test_start").cast("string")).as("test_start"),
+            max(col("test_end").cast("string")).as("test_end"),
+            sum(when(col("dy") <= col("train_end"), col("c"))
+              .otherwise(0L)).as("n_train"),
+            sum(when(col("dy") >= col("test_start") &&
+              col("dy") <= col("test_end"), col("c"))
+              .otherwise(0L)).as("n_test"))
+          .orderBy(col("fold"))
+      },
+      Some("""WITH byday AS (SELECT ts::DATE AS dy, count(*)::BIGINT AS c
+             |  FROM events GROUP BY 1),
+             |b AS (SELECT min(dy) AS dmin, max(dy) AS dmax,
+             |    ((datediff('day', min(dy), max(dy)) + 1) // 8)::INT AS len
+             |  FROM byday),
+             |folds AS (SELECT k.fold,
+             |    dmin + ((k.fold + 3) * len)::INT AS train_end,
+             |    dmin + ((k.fold + 3) * len + 2)::INT AS test_start,
+             |    dmin + ((k.fold + 3) * len + 1 + len)::INT AS test_end
+             |  FROM b, (SELECT unnest([1,2,3,4]) AS fold) k),
+             |g AS (SELECT fold,
+             |    max(train_end::VARCHAR) AS train_end,
+             |    max(test_start::VARCHAR) AS test_start,
+             |    max(test_end::VARCHAR) AS test_end,
+             |    sum(CASE WHEN dy <= train_end THEN c ELSE 0 END)::BIGINT
+             |      AS n_train,
+             |    sum(CASE WHEN dy >= test_start AND dy <= test_end
+             |      THEN c ELSE 0 END)::BIGINT AS n_test
+             |  FROM byday, folds GROUP BY 1)
+             |SELECT fold, train_end, test_start, test_end, n_train, n_test
+             |FROM g ORDER BY fold""".stripMargin)),
+
+    // Class-imbalance weights per event type — the reweighting table a
+    // trainer consumes next to the class-count audit: plain inverse
+    // frequency N/(K·n), the sqrt-smoothed variant, and the
+    // effective-number-of-samples weight (1−β)/(1−β^n), β=0.999 (Cui
+    // et al. 2019, class-balanced loss). One digest-sized aggregation;
+    // every weight is a closed-form double off exact integer counts.
+    QueryDef("pipe_class_weights",
+      (s, d) => {
+        val counts = graft.sources.Tables.events(s, d)
+          .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        val tot = counts.agg(sum(col("n")).as("nn"),
+          count(lit(1)).as("k"))
+        counts.crossJoin(broadcast(tot))
+          .select(col("event_type"), col("n"),
+            (col("n") * 1000000L / col("nn")).as("share_ppm"),
+            round(col("nn").cast("double") /
+              (col("k").cast("double") * col("n").cast("double")), 6)
+              .as("inv_freq_weight"),
+            round(sqrt(col("nn").cast("double") / col("n").cast("double")),
+              6).as("sqrt_weight"),
+            round(lit(0.001) / (lit(1.0) -
+              exp(col("n").cast("double") * log(lit(0.999)))), 6)
+              .as("effnum_weight"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH c AS (SELECT event_type, count(*)::BIGINT AS n
+             |  FROM events GROUP BY 1),
+             |t AS (SELECT sum(n)::BIGINT AS nn, count(*)::BIGINT AS k
+             |  FROM c)
+             |SELECT event_type, n, n * 1000000 // nn AS share_ppm,
+             |  round(nn::DOUBLE / (k::DOUBLE * n::DOUBLE), 6)
+             |    AS inv_freq_weight,
+             |  round(sqrt(nn::DOUBLE / n::DOUBLE), 6) AS sqrt_weight,
+             |  round(0.001 / (1.0 - exp(n::DOUBLE * ln(0.999))), 6)
+             |    AS effnum_weight
+             |FROM c, t ORDER BY event_type""".stripMargin))
   )
 }
