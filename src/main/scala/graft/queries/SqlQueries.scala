@@ -7817,6 +7817,133 @@ object SqlQueries {
              |    / sum(CASE WHEN li_cents IS NOT NULL THEN 1 ELSE 0 END)
              |      ::DOUBLE, 2) AS mean_abs_delta_cents,
              |  max(delta)::BIGINT AS max_abs_delta_cents
-             |FROM j GROUP BY 1 ORDER BY o_orderstatus""".stripMargin))
+             |FROM j GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)),
+
+    // Shewhart individuals & moving-range (I-MR) control chart on
+    // daily purchase revenue: σ̂ = mean(MR)/d₂ (d₂=1.128 for n=2), so
+    // the limits are x̄ ± 2.66·mean(MR) — the SPC chart that catches a
+    // shifted day without assuming any distribution, complementary to
+    // q_drift_cusum (slow drifts) and q_ewma_smooth (weighted memory).
+    // Daily cents are exact integers; MR is |Δ| of integers; the two
+    // chart parameters are single divisions of exact sums — the only
+    // windows run over the ~30-row per-day digest.
+    QueryDef("q_imr_control",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy(to_date(col("ts")).as("dy"))
+          .agg(sum(floor(col("value") * 100).cast("long")).as("rc"))
+        val wd = Window.orderBy(col("dy"))
+        val withMr = daily.withColumn("mr",
+          abs(col("rc") - lag(col("rc"), 1).over(wd)))
+        val stats = withMr.agg(count(lit(1)).as("n_days"),
+          sum(col("rc")).as("src"), sum(col("mr")).as("smr"),
+          count(col("mr")).as("nmr"))
+        withMr.crossJoin(broadcast(stats))
+          .withColumn("xbar",
+            col("src").cast("double") / col("n_days").cast("double"))
+          .withColumn("mrbar",
+            col("smr").cast("double") / col("nmr").cast("double"))
+          .select(col("dy").cast("string").as("dy"), col("rc"),
+            col("mr"),
+            round(col("xbar") + lit(2.66) * col("mrbar"), 2).as("ucl"),
+            round(col("xbar") - lit(2.66) * col("mrbar"), 2).as("lcl"),
+            ((col("rc").cast("double") >
+              col("xbar") + lit(2.66) * col("mrbar")) ||
+              (col("rc").cast("double") <
+                col("xbar") - lit(2.66) * col("mrbar")))
+              .cast("long").as("out_of_control"))
+          .orderBy(col("dy"))
+      },
+      Some("""WITH daily AS (SELECT ts::DATE AS dy,
+             |    sum(floor(value * 100)::BIGINT)::BIGINT AS rc
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+             |m AS (SELECT dy, rc,
+             |    abs(rc - lag(rc, 1) OVER (ORDER BY dy))::BIGINT AS mr
+             |  FROM daily),
+             |st AS (SELECT count(*)::BIGINT AS n_days,
+             |    sum(rc)::BIGINT AS src, sum(mr)::BIGINT AS smr,
+             |    count(mr)::BIGINT AS nmr
+             |  FROM m),
+             |j AS (SELECT dy, rc, mr,
+             |    src::DOUBLE / n_days::DOUBLE AS xbar,
+             |    smr::DOUBLE / nmr::DOUBLE AS mrbar
+             |  FROM m, st)
+             |SELECT dy::VARCHAR AS dy, rc, mr,
+             |  round(xbar + 2.66 * mrbar, 2) AS ucl,
+             |  round(xbar - 2.66 * mrbar, 2) AS lcl,
+             |  (CASE WHEN rc::DOUBLE > xbar + 2.66 * mrbar
+             |    OR rc::DOUBLE < xbar - 2.66 * mrbar
+             |    THEN 1 ELSE 0 END)::BIGINT AS out_of_control
+             |FROM j ORDER BY dy""".stripMargin)),
+
+    // Hour-of-week traffic profile (the 7×24 heatmap behind every
+    // capacity dashboard) in long form: ISO weekday × hour counts
+    // with ppm share — the table a scheduler reads to place batch
+    // windows in the traffic trough. One pass, integer shares.
+    QueryDef("q_hour_heatmap",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+          .select((weekday(col("ts")) + 1).as("isodow"),
+            hour(col("ts")).as("hr"))
+        val cells = ev.groupBy(col("isodow"), col("hr"))
+          .agg(count(lit(1)).as("n"))
+        val tot = cells.agg(sum(col("n")).as("nn"))
+        cells.crossJoin(broadcast(tot))
+          .select(col("isodow"), col("hr"), col("n"),
+            expr("n * 1000000 div nn").as("share_ppm"))
+          .orderBy(col("isodow"), col("hr"))
+      },
+      Some("""WITH c AS (SELECT isodow(ts)::BIGINT AS isodow,
+             |    hour(ts)::BIGINT AS hr, count(*)::BIGINT AS n
+             |  FROM events GROUP BY 1, 2),
+             |t AS (SELECT sum(n)::BIGINT AS nn FROM c)
+             |SELECT isodow, hr, n, n * 1000000 // nn AS share_ppm
+             |FROM c, t ORDER BY isodow, hr""".stripMargin)),
+
+    // Second-order Markov transitions: P(next | previous TWO events)
+    // per user journey — the sharper sequel to q_event_transitions
+    // (first-order) that exposes context the 1-step matrix blurs
+    // (e.g. view→click→purchase vs error→click→purchase). The
+    // sequence windows partition BY USER (fully parallel); the
+    // (ts, event_id) tie-break pins a total order on the micros grid;
+    // probabilities are integer ppm against the (prev2, prev1)
+    // context total.
+    QueryDef("q_markov2_transitions",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val tri = graft.sources.Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("p1", lag(col("event_type"), 1).over(w))
+          .withColumn("p2", lag(col("event_type"), 2).over(w))
+          .filter(col("p2").isNotNull)
+        val cells = tri.groupBy(col("p2"), col("p1"),
+            col("event_type").as("nxt"))
+          .agg(count(lit(1)).as("n"))
+        val ctx = cells.groupBy(col("p2").as("c2"), col("p1").as("c1"))
+          .agg(sum(col("n")).as("ctx_n"))
+        cells.join(broadcast(ctx),
+            col("p2") === col("c2") && col("p1") === col("c1"))
+          .select(col("p2"), col("p1"), col("nxt"), col("n"),
+            expr("n * 1000000 div ctx_n").as("prob_ppm"))
+          .orderBy(col("p2"), col("p1"), col("nxt"))
+      },
+      Some("""WITH seq AS (SELECT user_id, event_type,
+             |    lag(event_type, 1) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS p1,
+             |    lag(event_type, 2) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS p2
+             |  FROM events),
+             |cells AS (SELECT p2, p1, event_type AS nxt,
+             |    count(*)::BIGINT AS n
+             |  FROM seq WHERE p2 IS NOT NULL GROUP BY 1, 2, 3),
+             |ctx AS (SELECT p2, p1, sum(n)::BIGINT AS ctx_n
+             |  FROM cells GROUP BY 1, 2)
+             |SELECT cells.p2, cells.p1, nxt, n,
+             |  n * 1000000 // ctx_n AS prob_ppm
+             |FROM cells JOIN ctx ON cells.p2 = ctx.p2 AND cells.p1 = ctx.p1
+             |ORDER BY cells.p2, cells.p1, nxt""".stripMargin))
   )
 }
