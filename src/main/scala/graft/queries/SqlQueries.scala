@@ -7944,6 +7944,218 @@ object SqlQueries {
              |SELECT cells.p2, cells.p1, nxt, n,
              |  n * 1000000 // ctx_n AS prob_ppm
              |FROM cells JOIN ctx ON cells.p2 = ctx.p2 AND cells.p1 = ctx.p1
-             |ORDER BY cells.p2, cells.p1, nxt""".stripMargin))
+             |ORDER BY cells.p2, cells.p1, nxt""".stripMargin)),
+
+    // Kaplan-Meier product-limit survival curve with Greenwood SE —
+    // the sequel to q_nelson_aalen (cumulative hazard) that reports
+    // the survival PROBABILITY itself: time from a user's first event
+    // to first big-ticket conversion (purchase value>=90), censored at
+    // the stream horizon. The running product is computed as
+    // exp(Σ ln((n-d)/n)) over the ascending-lifetime window — both
+    // engines add the identical terms in the identical order. Rows
+    // where all remaining subjects die (n==d) are guarded via nullif;
+    // the per-user reduction is one shuffle on user_id, the curve
+    // itself is a tiny single-partition window over distinct lifetimes.
+    QueryDef("q_kaplan_meier",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+        val perUser = ev.groupBy(col("user_id"))
+          .agg(min(to_date(col("ts"))).as("first_d"))
+        val conv = ev.filter(col("event_type") === "purchase" &&
+            col("value") >= 90)
+          .groupBy(col("user_id").as("cu"))
+          .agg(min(to_date(col("ts"))).as("conv_d"))
+        val horizon = ev.agg(max(to_date(col("ts"))).as("max_d"))
+        val byT = perUser
+          .join(conv, col("user_id") === col("cu"), "left")
+          .crossJoin(broadcast(horizon))
+          .withColumn("dead", col("conv_d").isNotNull.cast("long"))
+          .withColumn("lifetime",
+            datediff(coalesce(col("conv_d"), col("max_d")),
+              col("first_d")))
+          .groupBy(col("lifetime"))
+          .agg(sum(col("dead")).as("nd"),
+            sum(lit(1L) - col("dead")).as("nc"))
+        val wDesc = Window.orderBy(col("lifetime").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAsc = Window.orderBy(col("lifetime"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        byT.withColumn("n_risk", sum(col("nd") + col("nc")).over(wDesc))
+          .withColumn("ln_term",
+            log((col("n_risk") - col("nd")).cast("double") /
+              col("n_risk").cast("double")))
+          .withColumn("g_term",
+            col("nd").cast("double") /
+              (col("n_risk").cast("double") *
+                nullif(col("n_risk") - col("nd"), lit(0L)).cast("double")))
+          .withColumn("surv", exp(sum(col("ln_term")).over(wAsc)))
+          .withColumn("g_cum", sum(col("g_term")).over(wAsc))
+          .filter(col("nd") > 0)
+          .select(col("lifetime").as("t_days"), col("n_risk"),
+            col("nd").as("n_deaths"),
+            round(col("surv"), 6).as("survival"),
+            round(col("surv") * sqrt(col("g_cum")), 6).as("greenwood_se"))
+          .orderBy(col("t_days"))
+      },
+      Some("""WITH pu AS (SELECT user_id, min(ts::DATE) AS first_d
+             |  FROM events GROUP BY 1),
+             |conv AS (SELECT user_id, min(ts::DATE) AS conv_d FROM events
+             |  WHERE event_type = 'purchase' AND value >= 90 GROUP BY 1),
+             |h AS (SELECT max(ts::DATE) AS max_d FROM events),
+             |byt AS (SELECT
+             |    datediff('day', first_d, coalesce(conv_d, max_d))
+             |      ::BIGINT AS lifetime,
+             |    sum((conv_d IS NOT NULL)::INT)::BIGINT AS nd,
+             |    sum((conv_d IS NULL)::INT)::BIGINT AS nc
+             |  FROM pu LEFT JOIN conv USING (user_id), h GROUP BY 1),
+             |r AS (SELECT lifetime, nd,
+             |    sum(nd + nc) OVER (ORDER BY lifetime DESC
+             |      ROWS UNBOUNDED PRECEDING)::BIGINT AS n_risk
+             |  FROM byt),
+             |c AS (SELECT lifetime, nd, n_risk,
+             |    exp(sum(ln((n_risk - nd)::DOUBLE / n_risk::DOUBLE))
+             |      OVER (ORDER BY lifetime ROWS UNBOUNDED PRECEDING))
+             |      AS surv,
+             |    sum(nd::DOUBLE / (n_risk::DOUBLE *
+             |        nullif(n_risk - nd, 0)::DOUBLE))
+             |      OVER (ORDER BY lifetime ROWS UNBOUNDED PRECEDING)
+             |      AS g_cum
+             |  FROM r)
+             |SELECT lifetime AS t_days, n_risk, nd AS n_deaths,
+             |  round(surv, 6) AS survival,
+             |  round(surv * sqrt(g_cum), 6) AS greenwood_se
+             |FROM c WHERE nd > 0 ORDER BY t_days""".stripMargin)),
+
+    // Case-control odds ratio with 95% CI (Haldane-Anscombe +0.5 on
+    // every cell so empty cells never blow up): exposure = the user's
+    // FIRST event is a signup (acquisition channel proxy), outcome =
+    // ever converts at purchase value>=120. One row_number pass pins
+    // the first event per user (ties broken by event_id on the micros
+    // grid); the 2x2 table is four exact BIGINT counts, so the only
+    // float math is the final ln/exp on a single row.
+    QueryDef("q_odds_ratio",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val expo = ev.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"),
+            (col("event_type") === "signup").cast("long").as("e"))
+        val out = ev.groupBy(col("user_id").as("ou"))
+          .agg(max((col("event_type") === "purchase" &&
+            col("value") >= 120).cast("long")).as("o"))
+        val cells = expo.join(out, col("user_id") === col("ou"))
+          .agg(
+            sum(when(col("e") === 1 && col("o") === 1, 1L).otherwise(0L)).as("a"),
+            sum(when(col("e") === 1 && col("o") === 0, 1L).otherwise(0L)).as("b"),
+            sum(when(col("e") === 0 && col("o") === 1, 1L).otherwise(0L)).as("c"),
+            sum(when(col("e") === 0 && col("o") === 0, 1L).otherwise(0L)).as("dd"))
+        def h(c: String) = col(c).cast("double") + lit(0.5)
+        val lnOr = log(h("a") * h("dd") / (h("b") * h("c")))
+        val se = sqrt(lit(1.0) / h("a") + lit(1.0) / h("b") +
+          lit(1.0) / h("c") + lit(1.0) / h("dd"))
+        cells.select(col("a"), col("b"), col("c"), col("dd").as("d"),
+          round(exp(lnOr), 6).as("odds_ratio"),
+          round(exp(lnOr - lit(1.959963985) * se), 6).as("ci_lo"),
+          round(exp(lnOr + lit(1.959963985) * se), 6).as("ci_hi"))
+      },
+      Some("""WITH rk AS (SELECT user_id, event_type,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS rn
+             |  FROM events),
+             |expo AS (SELECT user_id,
+             |    (event_type = 'signup')::BIGINT AS e
+             |  FROM rk WHERE rn = 1),
+             |o AS (SELECT user_id,
+             |    max((event_type = 'purchase' AND value >= 120)::INT)
+             |      ::BIGINT AS o
+             |  FROM events GROUP BY 1),
+             |cells AS (SELECT
+             |    sum((e = 1 AND o = 1)::INT)::BIGINT AS a,
+             |    sum((e = 1 AND o = 0)::INT)::BIGINT AS b,
+             |    sum((e = 0 AND o = 1)::INT)::BIGINT AS c,
+             |    sum((e = 0 AND o = 0)::INT)::BIGINT AS dd
+             |  FROM expo JOIN o USING (user_id)),
+             |m AS (SELECT a, b, c, dd,
+             |    ln((a + 0.5) * (dd + 0.5) / ((b + 0.5) * (c + 0.5)))
+             |      AS lnor,
+             |    sqrt(1.0 / (a + 0.5) + 1.0 / (b + 0.5)
+             |      + 1.0 / (c + 0.5) + 1.0 / (dd + 0.5)) AS se
+             |  FROM cells)
+             |SELECT a, b, c, dd AS d,
+             |  round(exp(lnor), 6) AS odds_ratio,
+             |  round(exp(lnor - 1.959963985 * se), 6) AS ci_lo,
+             |  round(exp(lnor + 1.959963985 * se), 6) AS ci_hi
+             |FROM m""".stripMargin)),
+
+    // Brown-Forsythe (median-based Levene) test for variance
+    // homogeneity across event types — the guard every ANOVA (see
+    // q_anova_f) should run first. Deviations |x - median_g| are
+    // computed in exact HALF-milli integer units (2*milli vs the
+    // rounded doubled group median), so every per-group sum and
+    // sum-of-squares is an associative BIGINT reduction; the only
+    // doubles are the k~5 per-group closing terms, rounded to fixed
+    // decimals and summed as DECIMAL so partition order can't leak in.
+    QueryDef("q_levene_test",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+          .select(col("event_type").as("g"),
+            floor(col("value") * 1000).cast("long").as("vm"))
+        val med = ev.groupBy(col("g").as("mg"))
+          .agg(round(expr("percentile(vm, 0.5)") * 2.0)
+            .cast("long").as("med2"))
+        val z = ev.join(broadcast(med), col("g") === col("mg"))
+          .select(col("g"), abs(col("vm") * 2L - col("med2")).as("z2"))
+        val grp = z.groupBy(col("g"))
+          .agg(count(lit(1)).as("n"), sum(col("z2")).as("sz"),
+            sum(col("z2") * col("z2")).as("qz"))
+        val terms = grp.select(col("n"), col("sz"),
+          round(col("qz").cast("double") -
+            col("sz").cast("double") * col("sz").cast("double") /
+              col("n").cast("double"), 4)
+            .cast("decimal(38,4)").as("ssw_t"),
+          round(col("sz").cast("double") * col("sz").cast("double") /
+            col("n").cast("double"), 4)
+            .cast("decimal(38,4)").as("nm2_t"))
+        val tot = terms.agg(count(lit(1)).as("k"), sum(col("n")).as("nn"),
+          sum(col("sz")).as("szz"), sum(col("ssw_t")).as("ssw"),
+          sum(col("nm2_t")).as("nm2"))
+        tot.select(col("k"), col("nn").as("n"),
+          round((
+            (col("nm2").cast("double") -
+              col("szz").cast("double") * col("szz").cast("double") /
+                col("nn").cast("double")) /
+              (col("k").cast("double") - 1.0)) /
+            (col("ssw").cast("double") /
+              (col("nn").cast("double") - col("k").cast("double"))),
+            6).as("f_stat"))
+      },
+      Some("""WITH ev AS (SELECT event_type AS g,
+             |    floor(value * 1000)::BIGINT AS vm FROM events),
+             |med AS (SELECT g, round(quantile_cont(vm, 0.5) * 2.0)
+             |    ::BIGINT AS med2
+             |  FROM ev GROUP BY 1),
+             |z AS (SELECT ev.g, abs(vm * 2 - med2)::BIGINT AS z2
+             |  FROM ev JOIN med USING (g)),
+             |grp AS (SELECT g, count(*)::BIGINT AS n,
+             |    sum(z2)::BIGINT AS sz, sum(z2 * z2)::BIGINT AS qz
+             |  FROM z GROUP BY 1),
+             |terms AS (SELECT n, sz,
+             |    round(qz::DOUBLE - sz::DOUBLE * sz::DOUBLE / n::DOUBLE,
+             |      4)::DECIMAL(38,4) AS ssw_t,
+             |    round(sz::DOUBLE * sz::DOUBLE / n::DOUBLE, 4)
+             |      ::DECIMAL(38,4) AS nm2_t
+             |  FROM grp),
+             |tot AS (SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS nn,
+             |    sum(sz)::BIGINT AS szz, sum(ssw_t) AS ssw,
+             |    sum(nm2_t) AS nm2
+             |  FROM terms)
+             |SELECT k, nn AS n,
+             |  round(((nm2::DOUBLE - szz::DOUBLE * szz::DOUBLE
+             |      / nn::DOUBLE) / (k::DOUBLE - 1.0))
+             |    / (ssw::DOUBLE / (nn::DOUBLE - k::DOUBLE)), 6)
+             |    AS f_stat
+             |FROM tot""".stripMargin))
   )
 }
