@@ -39,11 +39,29 @@ object FileSkipping {
   /** Collision-proof, filesystem-safe dir key for a source path (the
     * old `math.abs(path.hashCode)` idiom could collide two dirs — and
     * abs(Int.MinValue) is negative). The version tag busts stale
-    * layouts built by older algorithm revisions. */
+    * layouts built by older algorithm revisions, and the key also
+    * folds in a fingerprint of the source dir's parquet files
+    * (name+size+mtime), so a REGENERATED dataset at the same path
+    * automatically invalidates every persisted artifact — serving a
+    * layout built from a previous generation of the data would be
+    * silently wrong. */
   private[graft] def pathKey(sfDir: String, version: String): String =
     java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$sfDir|$version".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .digest(s"$sfDir|${dirFingerprint(sfDir)}|$version"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map(b => f"$b%02x").mkString.take(16)
+
+  /** name:size:mtime of each parquet file directly under `sfDir` —
+    * the cheap content proxy (a real checksum would need a full
+    * scan). Memoized per dir; one `listFiles` per JVM per dir. */
+  private val fpCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def dirFingerprint(sfDir: String): String =
+    fpCache.getOrElseUpdate(sfDir,
+      Option(new java.io.File(sfDir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+        .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+        .mkString(","))
 
   /** A finished Spark parquet write leaves a `_SUCCESS` marker; its
     * presence in both dirs means a prior session already built this
