@@ -131,7 +131,47 @@ object Bench {
       .maxByOption(_._2).getOrElse(("", 1.0))
     // a failed query must be machine-distinguishable from a fast one
     val failedJson = failed.result().map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total_median","value":$total%.3f,"unit":"sec","trials":$trials,"short_trialed":$shortTrialed,"total_min":$totalMin%.3f,"total_max":$totalMax%.3f,"noisiest":"$noisyName","noisiest_maxmin_ratio":$noisyRatio%.2f,"n_queries":${results.size},"index_build_sec":$indexBuildSec%.3f,"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
+
+    // The harness that captures this output keeps only the LAST ~2000
+    // chars of stdout, and the full per-query map for a 300-query suite
+    // is ~8 KB — printing it as the JSON line means the line gets
+    // truncated and the whole bench reads as unparseable (this is
+    // exactly what happened in earlier rounds). So: full detail goes to
+    // a FILE in the working dir, and stdout ends with ONE compact line
+    // (guaranteed < ~1900 chars) carrying the totals, failures, a fixed
+    // headline subset, the top-slowest tail, and a pointer to the file.
+    val fullJson = f"""{"metric":"total_median","value":$total%.3f,"unit":"sec","trials":$trials,"short_trialed":$shortTrialed,"total_min":$totalMin%.3f,"total_max":$totalMax%.3f,"noisiest":"$noisyName","noisiest_maxmin_ratio":$noisyRatio%.2f,"n_queries":${results.size},"index_build_sec":$indexBuildSec%.3f,"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+    val fullPath = "bench_full.json"
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullJson + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}")
+    }
+
+    val byName = results.map { case (k, med, _, _) => k -> med }.toMap
+    // fixed representative subset — one or two per operator family — so
+    // round-over-round comparison has stable keys even as the suite grows
+    val headline = Seq(
+      "q1_pricing_summary", "q5_region_revenue", "q3_top_orders",
+      "y_sync_flagship", "y5_asof_nearest", "y5_asof_pad", "y7_event_pivot",
+      "f4_spike_smooth", "a4_corr_matrix", "a2_quantiles",
+      "dedup_exact", "dedup_neardup_minhash", "dedup_neardup_groups",
+      "sim_topk_bruteforce", "sim_topk_lsh", "sim_topk_ivf",
+      "text_tfidf", "text_pii_scrub", "text_langid",
+      "pipe_seq_pack", "pipe_shard_shuffle", "pipe_corpus_mix",
+      "q_stream_tumbling", "q_stream_sessionize",
+      "io_minmax_skip", "io_compact_small_files", "io_csv_roundtrip"
+    ).filter(byName.contains)
+    def entries(names: Seq[String]) =
+      names.map(k => "\"" + k + f"\":${byName(k)}%.3f").mkString("{", ",", "}")
+    val slowest = results.sortBy(-_._2).take(10).map(_._1)
+    def compactLine(nHead: Int): String =
+      f"""{"metric":"total_median","value":$total%.3f,"unit":"sec","trials":$trials,"short_trialed":$shortTrialed,"total_min":$totalMin%.3f,"total_max":$totalMax%.3f,"noisiest":"$noisyName","noisiest_maxmin_ratio":$noisyRatio%.2f,"n_queries":${results.size},"index_build_sec":$indexBuildSec%.3f,"failed":$failedJson,"full":"$fullPath","slowest":${entries(slowest)},"queries":${entries(headline.take(nHead))},"sf":"$sfDir"}"""
+    // belt-and-braces: if many queries failed, failedJson can bloat the
+    // line — shrink the headline map until the line fits the tail window
+    var line = compactLine(headline.size)
+    var n = headline.size
+    while (line.length > 1900 && n > 0) { n -= 1; line = compactLine(n) }
+    println(line)
     spark.stop()
   }
 }

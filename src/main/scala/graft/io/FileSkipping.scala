@@ -42,26 +42,75 @@ object FileSkipping {
     * layouts built by older algorithm revisions, and the key also
     * folds in a fingerprint of the source dir's parquet files
     * (name+size+mtime), so a REGENERATED dataset at the same path
-    * automatically invalidates every persisted artifact — serving a
-    * layout built from a previous generation of the data would be
-    * silently wrong. */
+    * invalidates every persisted artifact on the next session —
+    * serving a layout built from a previous generation of the data
+    * would be silently wrong. Deliberately conservative: the
+    * fingerprint covers ALL parquet in the dir, so regenerating an
+    * unrelated table also rebuilds events-derived artifacts (a cheap
+    * false positive; a stale-serve false negative is the one that
+    * corrupts results). */
   private[graft] def pathKey(sfDir: String, version: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s"$sfDir|${dirFingerprint(sfDir)}|$version"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map(b => f"$b%02x").mkString.take(16)
 
-  /** name:size:mtime of each parquet file directly under `sfDir` —
-    * the cheap content proxy (a real checksum would need a full
-    * scan). Memoized per dir; one `listFiles` per JVM per dir. */
+  /** name:size:mtime of each parquet entry directly under `sfDir` —
+    * the cheap content proxy (a real checksum would need a full scan).
+    * Listed through the Hadoop FileSystem API so it works on any
+    * scheme Spark can read (HDFS/S3/local), and directory-style
+    * parquet tables (a Spark write is a DIRECTORY of part files) are
+    * fingerprinted by their name + aggregate child size + max child
+    * mtime rather than skipped.
+    *
+    * Memoized per (dir) for the JVM lifetime: data regenerated UNDER a
+    * live JVM is not re-detected until restart — acceptable because a
+    * dataset swap while queries are mid-flight is undefined behavior
+    * for any engine; the guarantee here is cross-SESSION freshness. */
   private val fpCache = scala.collection.concurrent.TrieMap.empty[String, String]
   private def dirFingerprint(sfDir: String): String =
-    fpCache.getOrElseUpdate(sfDir,
-      Option(new java.io.File(sfDir).listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-        .sortBy(_.getName)
-        .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-        .mkString(","))
+    fpCache.getOrElseUpdate(sfDir, {
+      val path = new org.apache.hadoop.fs.Path(sfDir)
+      val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val entries =
+        try fs.listStatus(path).toSeq
+        catch { case _: java.io.IOException => Seq.empty }
+      entries.filter(_.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName)
+        .map { st =>
+          if (st.isDirectory) {
+            val kids = try fs.listStatus(st.getPath).toSeq
+                       catch { case _: java.io.IOException => Seq.empty }
+            val sz = kids.map(_.getLen).sum
+            val mt = (st.getModificationTime +: kids.map(_.getModificationTime)).max
+            s"${st.getPath.getName}:d$sz:$mt"
+          } else
+            s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
+        }
+        .mkString(",")
+    })
+
+  /** Fingerprint-keyed dirs churn on every data regeneration; the
+    * previous generation's layout dirs would otherwise accumulate in
+    * tmpdir forever. Called right before a fresh build: removes
+    * sibling dirs with the same artifact prefix but a DIFFERENT key
+    * (never the one about to be (re)used). */
+  private def gcStaleSiblings(base: String): Unit = {
+    val dir = new java.io.File(base).getParentFile
+    val name = new java.io.File(base).getName
+    val prefix = name.substring(0, name.lastIndexOf('_') + 1)
+    val keep = name
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix) &&
+        f.getName != keep)
+      .foreach { f =>
+        try {
+          java.nio.file.Files.walk(f.toPath)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: java.io.IOException => () }
+      }
+  }
 
   /** A finished Spark parquet write leaves a `_SUCCESS` marker; its
     * presence in both dirs means a prior session already built this
@@ -77,6 +126,7 @@ object FileSkipping {
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_skip_ev_${pathKey(sfDir, "v1")}"
       val dataDir = s"$base/data"; val idxPath = s"$base/index"
       if (!built(dataDir, idxPath)) {
+        gcStaleSiblings(base)
         graft.sources.Tables.events(spark, sfDir)
           .repartitionByRange(nFiles, col("user_id"))
           .sortWithinPartitions(col("user_id"))
@@ -174,6 +224,7 @@ object FileSkipping {
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_ev_${pathKey(sfDir, "v2")}"
       val dataDir = s"$base/data"; val idxPath = s"$base/index"
       if (!built(dataDir, idxPath)) {
+        gcStaleSiblings(base)
         val ev = graft.sources.Tables.events(spark, sfDir)
         val b = ev.agg(
           min(col("user_id")).as("ulo"), max(col("user_id")).as("uhi"),

@@ -2622,7 +2622,10 @@ object ExtQueries {
       (s, d) => {
         val docs = s.read.parquet(s"$d/documents.parquet")
           .select(col("doc_id"), col("source"),
-            (col("n_chars") / lit(4) + lit(1)).cast("long").as("est_tokens"),
+            // floor() on BOTH engines: a bare double→long cast truncates
+            // in Spark but rounds in DuckDB (3.5 → 3 vs 4)
+            (floor(col("n_chars") / lit(4)) + lit(1)).cast("long")
+              .as("est_tokens"),
             pmod(Dedup.strHash60(concat(lit("budget:"), col("doc_id"))),
               lit(1000000)).as("pri"))
         val w = Window.partitionBy(col("source"))
@@ -2643,7 +2646,8 @@ object ExtQueries {
               |      ORDER BY pri, doc_id ROWS UNBOUNDED PRECEDING)
               |      AS cum_tokens
               |  FROM docs)
-              |SELECT doc_id, source, est_tokens, cum_tokens
+              |SELECT doc_id, source, est_tokens,
+              |  cum_tokens::BIGINT AS cum_tokens
               |FROM c WHERE cum_tokens <= 1000
               |ORDER BY source, cum_tokens""".stripMargin)),
 

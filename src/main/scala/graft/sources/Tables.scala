@@ -5,18 +5,44 @@ import org.apache.spark.sql.functions._
 
 /** Central loaders for the driver's parquet tables.
   *
-  * `events.parquet` is written with parquet TIMESTAMP(NANOS), which
-  * Spark's vectorized reader rejects outright. We read the column as
-  * raw nanos (`spark.sql.legacy.parquet.nanosAsLong`) and floor-divide
-  * to microseconds — exactly what DuckDB does implicitly when it reads
-  * the same file as its us-precision TIMESTAMP — so both engines see
-  * bit-identical timestamps.
+  * `events.parquet` has shipped with two different on-disk encodings of
+  * `ts` across data generations: parquet TIMESTAMP(NANOS) — which
+  * Spark's vectorized reader rejects, so we read it as raw nanos via
+  * `spark.sql.legacy.parquet.nanosAsLong` and floor-divide to
+  * microseconds (exactly what DuckDB does implicitly) — and plain
+  * TIMESTAMP(MICROS) without UTC adjustment, which Spark reads as
+  * TIMESTAMP_NTZ. `normalizeEventsTs` folds both into a us-precision
+  * session-TZ TimestampType (the session TZ is pinned to UTC
+  * everywhere, so NTZ→TZ is wall-clock-identity and both engines see
+  * bit-identical timestamps).
   */
 object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Fold any on-disk `ts` encoding (raw int64 nanos, TIMESTAMP_NTZ,
+    * TIMESTAMP) into us-precision TimestampType. */
+  def normalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+
+  /** The PHYSICAL schema of events.parquet as Spark reads it (ts may be
+    * LongType nanos or TimestampNTZ depending on the data generation) —
+    * what a streaming source's explicit schema must declare before
+    * `normalizeEventsTs` is applied. */
+  def eventsRawSchema(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.types.StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet").schema
+  }
 
   /** events with `ts` as a proper us-precision TimestampType.
     *
@@ -28,8 +54,7 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame =
     eventsCache.getOrElseUpdate((System.identityHashCode(spark), dir), {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      normalizeEventsTs(spark.read.parquet(s"$dir/events.parquet"))
     })
 
   private val eventsCache =

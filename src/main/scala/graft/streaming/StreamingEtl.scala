@@ -138,19 +138,14 @@ object StreamingEtl {
   /** Read the events table as a file stream (maxFilesPerTrigger-style
     * incremental ingest of the same parquet dir the batch queries use). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = graft.sources.Tables.events(spark, dir).schema
-    // streaming source needs an explicit schema; ts arrives as raw nanos
-    val rawSchema = org.apache.spark.sql.types.StructType(schema.map {
-      case f if f.name == "ts" =>
-        f.copy(dataType = org.apache.spark.sql.types.LongType)
-      case f => f
-    })
+    // streaming source needs an explicit schema; declare the PHYSICAL
+    // on-disk ts encoding, then normalize (nanos-long or NTZ → TZ)
+    val rawSchema = graft.sources.Tables.eventsRawSchema(spark, dir)
     // the file source wants a directory; glob-filter to the events table
-    spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.sources.Tables.normalizeEventsTs(
+      spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   private val streamRuns = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -199,15 +194,9 @@ object StreamingEtl {
       Files.copy(Paths.get(s"$dir/events.parquet"),
         stage.resolve(s"${n}_events.parquet"), StandardCopyOption.REPLACE_EXISTING)
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = graft.sources.Tables.events(spark, dir).schema
-    val rawSchema = org.apache.spark.sql.types.StructType(schema.map {
-      case f if f.name == "ts" =>
-        f.copy(dataType = org.apache.spark.sql.types.LongType)
-      case f => f
-    })
-    val in = spark.readStream.schema(rawSchema).parquet(stage.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val rawSchema = graft.sources.Tables.eventsRawSchema(spark, dir)
+    val in = graft.sources.Tables.normalizeEventsTs(
+        spark.readStream.schema(rawSchema).parquet(stage.toString))
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
@@ -585,14 +574,20 @@ object StreamingEtl {
     Files.copy(Paths.get(s"$dir/events.parquet"),
       stage.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
 
-    // sentinel: schema-identical to the raw table (ts in NANOS — the
-    // staged file and this one must read under the same rawSchema)
+    // sentinel: schema-identical to the raw table — whatever physical
+    // encoding the staged events file uses (int64 nanos or timestamp),
+    // the sentinel file must read under the same rawSchema
+    val rawSchema = graft.sources.Tables.eventsRawSchema(spark, dir)
     val maxUs = graft.sources.Tables.events(spark, dir)
       .agg(max(unix_micros(col("ts")))).head().getLong(0)
-    val sentinelNs = (maxUs + 30L * 86400 * 1000000) * 1000
+    val sentinelUs = maxUs + 30L * 86400 * 1000000
     val tmpOut = Files.createTempDirectory("graft_sess_sentinel")
-    Seq((-1L, sentinelNs, -1L, "eos", 0.0, ""))
+    Seq((-1L, sentinelUs, -1L, "eos", 0.0, ""))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", rawSchema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => col("ts") * lit(1000L)
+        case t => timestamp_micros(col("ts")).cast(t)
+      })
       .coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
     val parts = Files.list(tmpOut)
     try {
@@ -609,15 +604,8 @@ object StreamingEtl {
       require(moved, "sentinel parquet part file not found")
     } finally parts.close()
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = graft.sources.Tables.events(spark, dir).schema
-    val rawSchema = org.apache.spark.sql.types.StructType(schema.map {
-      case f if f.name == "ts" =>
-        f.copy(dataType = org.apache.spark.sql.types.LongType)
-      case f => f
-    })
-    val in = spark.readStream.schema(rawSchema).parquet(stage.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val in = graft.sources.Tables.normalizeEventsTs(
+        spark.readStream.schema(rawSchema).parquet(stage.toString))
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value")).as[Event]
 
