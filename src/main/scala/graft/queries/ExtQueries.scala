@@ -3555,6 +3555,137 @@ object ExtQueries {
              |  round(sqrt(nn::DOUBLE / n::DOUBLE), 6) AS sqrt_weight,
              |  round(0.001 / (1.0 - exp(n::DOUBLE * ln(0.999))), 6)
              |    AS effnum_weight
-             |FROM c, t ORDER BY event_type""".stripMargin))
+             |FROM c, t ORDER BY event_type""".stripMargin)),
+
+    // k-anonymity audit — the privacy gate a dataset passes before
+    // release: rows grouped by their quasi-identifier tuple
+    // (mktsegment, nationkey, $1000 balance band); an equivalence
+    // class smaller than k=5 re-identifies its members. Per segment:
+    // class count, violating classes, rows at risk, smallest class.
+    // One shuffle on the QI tuple with map-side partial aggregation;
+    // the per-segment rollup rides the same exchange at 100 TB.
+    QueryDef("pipe_kanonymity",
+      (s, d) => {
+        val c = s.read.parquet(s"$d/customer.parquet")
+          .select(col("c_mktsegment"), col("c_nationkey"),
+            floor(col("c_acctbal") / lit(1000.0)).cast("long").as("bal_band"))
+        c.groupBy(col("c_mktsegment"), col("c_nationkey"), col("bal_band"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_classes"),
+            sum(when(col("n") < 5, 1L).otherwise(0L)).as("n_violating"),
+            sum(when(col("n") < 5, col("n")).otherwise(lit(0L))).as("rows_at_risk"),
+            min(col("n")).as("min_class_size"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""WITH c AS (SELECT c_mktsegment, c_nationkey,
+             |    floor(c_acctbal / 1000.0)::BIGINT AS bal_band FROM customer),
+             |cls AS (SELECT c_mktsegment, c_nationkey, bal_band,
+             |    count(*)::BIGINT AS n
+             |  FROM c GROUP BY 1, 2, 3)
+             |SELECT c_mktsegment, count(*)::BIGINT AS n_classes,
+             |  sum(CASE WHEN n < 5 THEN 1 ELSE 0 END)::BIGINT AS n_violating,
+             |  sum(CASE WHEN n < 5 THEN n ELSE 0 END)::BIGINT AS rows_at_risk,
+             |  min(n)::BIGINT AS min_class_size
+             |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Corpus boilerplate detection (C4/RefinedWeb-style template
+    // removal): a trigram shingle occurring in >= 1% of all docs is
+    // boilerplate; per source, report how many boilerplate shingles
+    // appear and what fraction of the source's trigram INSTANCES they
+    // account for (ppm, exact integer arithmetic). The doc-frequency
+    // pass shuffles one distinct (doc, shingle) row per occurrence
+    // set — at 100 TB the shuffle key would be the 60-bit shingle
+    // hash (the fused-kernel path the dedup queries already use);
+    // strings are kept here for oracle parity.
+    QueryDef("text_boilerplate_ngrams",
+      (s, d) => {
+        val docs = s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 3)
+        val sh = docs.select(col("doc_id"), col("source"), explode(expr(
+          "transform(sequence(0, size(tk) - 3), i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2]))"))
+          .as("g"))
+        val perDoc = sh.groupBy(col("doc_id"), col("source"), col("g"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = perDoc.groupBy(col("g").as("g2"))
+          .agg(count(lit(1)).as("df"))
+        val nd = docs.agg(count(lit(1)).as("n_docs"))
+        perDoc.join(dfreq, col("g") === col("g2"))
+          .crossJoin(broadcast(nd))
+          .groupBy(col("source"))
+          .agg(
+            count_distinct(when(col("df") * 100 >= col("n_docs"), col("g")))
+              .as("n_boiler_grams"),
+            sum(when(col("df") * 100 >= col("n_docs"), col("tf"))
+              .otherwise(0L)).as("boiler_inst"),
+            sum(col("tf")).as("total_inst"))
+          .select(col("source"), col("n_boiler_grams"), col("boiler_inst"),
+            col("total_inst"),
+            expr("boiler_inst * 1000000 div total_inst").as("boiler_ppm"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH tk AS (SELECT doc_id, source,
+             |    string_split(lower(text), ' ') AS tk FROM documents
+             |  WHERE len(string_split(lower(text), ' ')) >= 3),
+             |sh AS (SELECT doc_id, source,
+             |    unnest(list_transform(range(1, len(tk) - 1),
+             |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+             |  FROM tk),
+             |per_doc AS (SELECT doc_id, source, g, count(*)::BIGINT AS tf
+             |  FROM sh GROUP BY 1, 2, 3),
+             |dfreq AS (SELECT g, count(*)::BIGINT AS df
+             |  FROM per_doc GROUP BY 1),
+             |nd AS (SELECT count(*)::BIGINT AS n_docs FROM tk)
+             |SELECT source,
+             |  count(DISTINCT CASE WHEN df * 100 >= n_docs THEN g END)
+             |    ::BIGINT AS n_boiler_grams,
+             |  sum(CASE WHEN df * 100 >= n_docs THEN tf ELSE 0 END)
+             |    ::BIGINT AS boiler_inst,
+             |  sum(tf)::BIGINT AS total_inst,
+             |  (sum(CASE WHEN df * 100 >= n_docs THEN tf ELSE 0 END)
+             |    * 1000000 // sum(tf))::BIGINT AS boiler_ppm
+             |FROM per_doc JOIN dfreq USING (g), nd
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Semantic decontamination — the embedding-space complement of the
+    // n-gram `pipe_decontaminate`: a deterministic held-out eval slice
+    // (vec_id % 50 = 0) is broadcast, every training vector gets its
+    // max cosine against it, and anything above 0.35 is flagged as a
+    // paraphrase-level leak an n-gram match would miss. Broadcasting
+    // the SMALL eval side keeps the scan one pass with no shuffle of
+    // the training vectors at 100 TB; the argmax tie-breaks to the
+    // smallest eval id in both engines.
+    QueryDef("pipe_semantic_decon",
+      (s, d) => {
+        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        val ev = emb.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("eval_id"), col("embedding").as("__ev"))
+        val tr = emb.filter(col("vec_id") % 50 =!= 0)
+          .select(col("vec_id"), col("embedding").as("__tv"))
+        tr.crossJoin(broadcast(ev))
+          .select(col("vec_id"), col("eval_id"),
+            graft.functions.VectorFunctions.cosine_sim(s,
+              col("__tv"), col("__ev")).as("sim"))
+          .groupBy(col("vec_id"))
+          .agg(max(struct(col("sim"), (-col("eval_id")).as("nid"))).as("m"))
+          .select(col("vec_id"), (-col("m.nid")).as("eval_id"),
+            round(col("m.sim"), 6).as("max_sim"),
+            when(col("m.sim") >= 0.35, 1L).otherwise(0L).as("contaminated"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |e AS (SELECT vec_id AS eval_id, v FROM t WHERE vec_id % 50 = 0),
+             |tr AS (SELECT vec_id, v FROM t WHERE vec_id % 50 != 0),
+             |sc AS (SELECT tr.vec_id, e.eval_id,
+             |    list_cosine_similarity(tr.v, e.v) AS sim
+             |  FROM tr, e),
+             |r AS (SELECT vec_id, eval_id, sim, row_number() OVER
+             |    (PARTITION BY vec_id ORDER BY sim DESC, eval_id) AS rn
+             |  FROM sc)
+             |SELECT vec_id, eval_id, round(sim, 6) AS max_sim,
+             |  CASE WHEN sim >= 0.35 THEN 1 ELSE 0 END::BIGINT AS contaminated
+             |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin))
   )
 }

@@ -8156,6 +8156,73 @@ object SqlQueries {
              |      / nn::DOUBLE) / (k::DOUBLE - 1.0))
              |    / (ssw::DOUBLE / (nn::DOUBLE - k::DOUBLE)), 6)
              |    AS f_stat
-             |FROM tot""".stripMargin))
+             |FROM tot""".stripMargin)),
+
+    // Interval-interval overlap join: pairs of sessions from DIFFERENT
+    // users that overlap in time (co-presence / concurrent-activity
+    // detection). The naive plan is a quadratic self-join; here
+    // candidates come from exploding each session onto the hour
+    // buckets it covers and equi-joining on bucket — the banded
+    // pattern that keeps the shuffle O(sessions · buckets-per-session)
+    // at 100 TB. A pair found in several shared buckets is emitted
+    // exactly once, by the bucket that contains the overlap START
+    // (greatest of the two session starts), so no distinct pass is
+    // needed. Sessions are the q_sessionize definition (30-min gap),
+    // restricted to >= 2 events.
+    QueryDef("q_session_overlap_pairs",
+      (s, d) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val sess = graft.sources.Tables.events(s, d)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L,
+              1L).otherwise(0L))
+          .withColumn("session_id", sum(col("new_session"))
+            .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+            min(unix_micros(col("ts"))).as("st"),
+            max(unix_micros(col("ts"))).as("en"))
+          .filter(col("n_events") >= 2)
+          .select(col("user_id"), col("session_id"), col("st"), col("en"))
+        val b = sess.withColumn("bucket",
+          explode(expr("sequence(st div 3600000000, en div 3600000000)")))
+        val lhs = b.select(col("bucket"), col("user_id").as("user_a"),
+          col("session_id").as("sess_a"), col("st").as("st_a"), col("en").as("en_a"))
+        val rhs = b.select(col("bucket"), col("user_id").as("user_b"),
+          col("session_id").as("sess_b"), col("st").as("st_b"), col("en").as("en_b"))
+        lhs.join(rhs, Seq("bucket"))
+          .filter(col("user_a") < col("user_b") &&
+            col("st_a") <= col("en_b") && col("st_b") <= col("en_a"))
+          .filter(expr("bucket = greatest(st_a, st_b) div 3600000000"))
+          .select(col("user_a"), col("user_b"), col("sess_a"), col("sess_b"),
+            expr("(least(en_a, en_b) - greatest(st_a, st_b)) div 1000000")
+              .as("overlap_sec"))
+          .orderBy(col("user_a"), col("user_b"), col("sess_a"), col("sess_b"))
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             |         THEN 1 ELSE 0 END AS new_session
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (
+             |  SELECT user_id, ts,
+             |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+             |      AS session_id
+             |  FROM g),
+             |sess AS (SELECT user_id, session_id,
+             |    min(epoch_us(ts))::BIGINT AS st, max(epoch_us(ts))::BIGINT AS en
+             |  FROM s GROUP BY 1, 2 HAVING count(*) >= 2)
+             |SELECT a.user_id AS user_a, b.user_id AS user_b,
+             |  a.session_id AS sess_a, b.session_id AS sess_b,
+             |  (least(a.en, b.en) - greatest(a.st, b.st)) // 1000000
+             |    AS overlap_sec
+             |FROM sess a JOIN sess b
+             |  ON a.user_id < b.user_id AND a.st <= b.en AND b.st <= a.en
+             |ORDER BY user_a, user_b, sess_a, sess_b""".stripMargin))
   )
 }
