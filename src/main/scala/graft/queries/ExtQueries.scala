@@ -3686,6 +3686,181 @@ object ExtQueries {
              |  FROM sc)
              |SELECT vec_id, eval_id, round(sim, 6) AS max_sim,
              |  CASE WHEN sim >= 0.35 THEN 1 ELSE 0 END::BIGINT AS contaminated
-             |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin))
+             |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin)),
+
+    // Per-dimension embedding health stats — the first thing to check
+    // before training on a vector column: dead dimensions (zero
+    // variance), runaway dimensions (outlier mean/spread). Components
+    // are quantized to exact 1e-6 integer units BEFORE aggregation so
+    // every sum is integer-exact and engine-order-independent (the
+    // float->double cast and the *1e6 multiply are both exact, so both
+    // engines floor identical doubles). One posexplode + one shuffle
+    // on 64 dim keys; partial aggregation does the heavy lifting at
+    // 100 TB.
+    QueryDef("emb_dim_stats",
+      (s, d) => {
+        val dm = s.read.parquet(s"$d/embeddings.parquet")
+          .select(posexplode(col("embedding")).as(Seq("dim0", "x")))
+          .select((col("dim0") + 1).as("dim"),
+            floor(col("x").cast("double") * lit(1000000.0)).cast("long").as("xq"))
+        dm.groupBy(col("dim"))
+          .agg(count(lit(1)).as("n"), sum(col("xq")).as("sx"),
+            sum(col("xq") * col("xq")).as("qx"),
+            min(col("xq")).as("mnq"), max(col("xq")).as("mxq"))
+          .select(col("dim"), col("n"),
+            round(col("sx").cast("double") / lit(1e6) / col("n"), 6).as("mean"),
+            round(sqrt((col("qx").cast("double") / lit(1e12) -
+              (col("sx").cast("double") / lit(1e6)) *
+              (col("sx").cast("double") / lit(1e6)) / col("n")) / col("n")), 6)
+              .as("sd"),
+            round(col("mnq").cast("double") / lit(1e6), 6).as("min_x"),
+            round(col("mxq").cast("double") / lit(1e6), 6).as("max_x"))
+          .orderBy(col("dim"))
+      },
+      Some("""WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |dm AS (SELECT generate_subscripts(v, 1) AS dim,
+             |    floor(unnest(v) * 1000000.0)::BIGINT AS xq FROM t),
+             |g AS (SELECT dim, count(*)::BIGINT AS n, sum(xq)::BIGINT AS sx,
+             |    sum(xq * xq)::BIGINT AS qx,
+             |    min(xq)::BIGINT AS mnq, max(xq)::BIGINT AS mxq
+             |  FROM dm GROUP BY 1)
+             |SELECT dim, n, round(sx::DOUBLE / 1e6 / n, 6) AS mean,
+             |  round(sqrt((qx::DOUBLE / 1e12
+             |    - (sx::DOUBLE / 1e6) * (sx::DOUBLE / 1e6) / n) / n), 6) AS sd,
+             |  round(mnq::DOUBLE / 1e6, 6) AS min_x,
+             |  round(mxq::DOUBLE / 1e6, 6) AS max_x
+             |FROM g ORDER BY dim""".stripMargin)),
+
+    // Corpus isotropy score — mean pairwise dot product over mean
+    // squared norm, computed in closed form from per-dimension sums:
+    // avg_{i!=j} <v_i,v_j> = (||Σv||² − Σ||v||²) / (n(n−1)). A
+    // near-zero score means embeddings point in all directions (good);
+    // a high score means a dominant common direction (rogue dimension
+    // / un-centered model). ONE distributed pass builds the 64
+    // per-dim integer sums; everything after is arithmetic on a
+    // catalog-sized digest — no pairwise join at any scale. Integer
+    // quantization (1e-6 units) keeps both engines bit-identical; the
+    // squared-sum accumulations run as decimals so they cannot
+    // overflow long at large n.
+    QueryDef("emb_isotropy",
+      (s, d) => {
+        val dm = s.read.parquet(s"$d/embeddings.parquet")
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+          .select(col("vec_id"), col("dim"),
+            floor(col("x").cast("double") * lit(1000000.0)).cast("long").as("xq"))
+        val perDim = dm.groupBy(col("dim"))
+          .agg(sum(col("xq")).as("sx"),
+            sum(col("xq").cast("decimal(38,0)") * col("xq")).as("qx"))
+        val nRows = s.read.parquet(s"$d/embeddings.parquet")
+          .agg(count(lit(1)).as("n"))
+        perDim.agg(
+            sum(col("sx").cast("decimal(38,0)") * col("sx")).as("s2"),
+            sum(col("qx")).as("sq"))
+          .crossJoin(broadcast(nRows))
+          .select(col("n"),
+            round(((col("s2") - col("sq")).cast("double") /
+              (col("n").cast("double") * (col("n") - 1).cast("double"))) /
+              (col("sq").cast("double") / col("n").cast("double")), 6)
+              .as("isotropy"),
+            round(sqrt(col("sq").cast("double") / lit(1e12) /
+              col("n").cast("double")), 6).as("rms_norm"))
+      },
+      Some("""WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |dm AS (SELECT vec_id, generate_subscripts(v, 1) AS dim,
+             |    floor(unnest(v) * 1000000.0)::BIGINT AS xq FROM t),
+             |pd AS (SELECT dim, sum(xq)::HUGEINT AS sx,
+             |    sum(xq::HUGEINT * xq)::HUGEINT AS qx FROM dm GROUP BY 1),
+             |n AS (SELECT count(*)::BIGINT AS n FROM t),
+             |agg AS (SELECT sum(sx * sx)::HUGEINT AS s2,
+             |    sum(qx)::HUGEINT AS sq FROM pd)
+             |SELECT n,
+             |  round(((s2 - sq)::DOUBLE / (n::DOUBLE * (n - 1)::DOUBLE))
+             |    / (sq::DOUBLE / n::DOUBLE), 6) AS isotropy,
+             |  round(sqrt(sq::DOUBLE / 1e12 / n::DOUBLE), 6) AS rms_norm
+             |FROM agg, n""".stripMargin)),
+
+    // Inter-annotator agreement (Cohen's kappa) between two
+    // deterministic quality raters — the QA step before trusting any
+    // labeling pipeline: rater A flags docs >= 250 chars, rater B
+    // flags docs >= 60 tokens. Kappa = (po − pe) / (1 − pe) from the
+    // exact integer 2x2 contingency counts; a single scan collapses
+    // to a one-row digest, so the operator is scan-bound at any
+    // scale.
+    QueryDef("pipe_rater_kappa",
+      (s, d) => {
+        val lab = s.read.parquet(s"$d/documents.parquet")
+          .select(
+            when(col("n_chars") >= 250, 1L).otherwise(0L).as("a"),
+            when(size(TextAnalysis.tokens(col("text"))) >= 60, 1L)
+              .otherwise(0L).as("b"))
+        lab.agg(count(lit(1)).as("n"),
+            sum(col("a")).as("a_pos"), sum(col("b")).as("b_pos"),
+            sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("agree"))
+          .select(col("n"), col("a_pos"), col("b_pos"), col("agree"),
+            round((col("agree").cast("double") / col("n") -
+              ((col("a_pos") * col("b_pos") +
+                (col("n") - col("a_pos")) * (col("n") - col("b_pos")))
+                .cast("double") / (col("n") * col("n")).cast("double"))) /
+              (lit(1.0) -
+                ((col("a_pos") * col("b_pos") +
+                  (col("n") - col("a_pos")) * (col("n") - col("b_pos")))
+                  .cast("double") / (col("n") * col("n")).cast("double"))), 6)
+              .as("kappa"))
+      },
+      Some("""WITH lab AS (SELECT
+             |    CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END AS a,
+             |    CASE WHEN len(string_split(lower(text), ' ')) >= 60
+             |      THEN 1 ELSE 0 END AS b
+             |  FROM documents),
+             |c AS (SELECT count(*)::BIGINT AS n, sum(a)::BIGINT AS a_pos,
+             |    sum(b)::BIGINT AS b_pos,
+             |    sum(CASE WHEN a = b THEN 1 ELSE 0 END)::BIGINT AS agree
+             |  FROM lab)
+             |SELECT n, a_pos, b_pos, agree,
+             |  round((agree::DOUBLE / n
+             |      - (a_pos * b_pos + (n - a_pos) * (n - b_pos))::DOUBLE
+             |        / (n * n)::DOUBLE)
+             |    / (1.0 - (a_pos * b_pos + (n - a_pos) * (n - b_pos))::DOUBLE
+             |        / (n * n)::DOUBLE), 6) AS kappa
+             |FROM c""".stripMargin)),
+
+    // Type-token-ratio curve — lexical diversity at fixed prefix
+    // lengths (50/100/200 tokens), per source: the cheap proxy for
+    // "is this source templated or diverse?" that normalizes away
+    // document length (raw TTR is length-biased). Distinct counts per
+    // doc are exact integers; the per-source average divides two
+    // integer sums, so both engines round the identical double.
+    QueryDef("text_ttr_curve",
+      (s, d) => {
+        val tk = s.read.parquet(s"$d/documents.parquet")
+          .select(col("source"), TextAnalysis.tokens(col("text")).as("tk"))
+        val grid = tk.crossJoin(
+            s.createDataFrame(Seq(Tuple1(50), Tuple1(100), Tuple1(200)))
+              .toDF("prefix_len"))
+          .filter(size(col("tk")) >= col("prefix_len"))
+          .select(col("source"), col("prefix_len"),
+            size(array_distinct(slice(col("tk"), lit(1), col("prefix_len"))))
+              .cast("long").as("n_types"))
+        grid.groupBy(col("source"), col("prefix_len"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_types")).as("st"))
+          .select(col("source"), col("prefix_len").cast("long").as("prefix_len"),
+            col("n_docs"),
+            round(col("st").cast("double") /
+              (col("n_docs") * col("prefix_len")).cast("double"), 6)
+              .as("avg_ttr"))
+          .orderBy(col("source"), col("prefix_len"))
+      },
+      Some("""WITH tk AS (SELECT source, string_split(lower(text), ' ') AS tk
+             |  FROM documents),
+             |grid AS (SELECT source, p.prefix_len,
+             |    len(list_distinct(tk[1:p.prefix_len]))::BIGINT AS n_types
+             |  FROM tk CROSS JOIN (VALUES (50), (100), (200)) p(prefix_len)
+             |  WHERE len(tk) >= p.prefix_len)
+             |SELECT source, prefix_len::BIGINT AS prefix_len,
+             |  count(*)::BIGINT AS n_docs,
+             |  round(sum(n_types)::DOUBLE
+             |    / (count(*) * prefix_len)::DOUBLE, 6) AS avg_ttr
+             |FROM grid GROUP BY source, prefix_len
+             |ORDER BY source, prefix_len""".stripMargin))
   )
 }
