@@ -107,7 +107,8 @@ object ScaleBench {
     val json =
       f"""{"metric":"scale_${reps}x","sf_base":"$sfDir","events_rows_1x":$evRows,"queries":$qs}"""
     println(json)
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_r07_scale.json"),
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "BENCH_scale.json")),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }

@@ -8223,6 +8223,165 @@ object SqlQueries {
              |    AS overlap_sec
              |FROM sess a JOIN sess b
              |  ON a.user_id < b.user_id AND a.st <= b.en AND b.st <= a.en
-             |ORDER BY user_a, user_b, sess_a, sess_b""".stripMargin))
+             |ORDER BY user_a, user_b, sess_a, sess_b""".stripMargin)),
+
+    // Time-RANGE window frame — the frame type none of the other
+    // window queries exercise: each event sees the count/sum of the
+    // SAME USER's events in the trailing hour [ts−1h, ts], a physical
+    // time interval, not a row count (ROWS frames are wrong the moment
+    // event spacing is uneven). Spark's rangeBetween runs on the
+    // unix_micros ordering key, partitioned per user — one shuffle,
+    // state bounded by the hour horizon at any scale. Sums in exact
+    // integer milli-units; top-200 digest by trailing count keeps the
+    // output bounded.
+    QueryDef("q_trailing_hour_sum",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tus"))
+          .rangeBetween(-3600000000L, 0L)
+        graft.sources.Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            unix_micros(col("ts")).as("tus"),
+            floor(col("value") * 1000).cast("long").as("vm"))
+          .withColumn("n_trailing_1h", count(lit(1)).over(w))
+          .withColumn("sum_trailing_1h_milli", sum(col("vm")).over(w))
+          .select(col("event_id"), col("user_id"), col("n_trailing_1h"),
+            col("sum_trailing_1h_milli"))
+          .orderBy(col("n_trailing_1h").desc, col("event_id"))
+          .limit(200)
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, ts,
+             |    floor(value * 1000)::BIGINT AS vm FROM events),
+             |t AS (SELECT event_id, user_id,
+             |    (count(*) OVER w)::BIGINT AS n_trailing_1h,
+             |    (sum(vm) OVER w)::BIGINT AS sum_trailing_1h_milli
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW))
+             |SELECT event_id, user_id, n_trailing_1h, sum_trailing_1h_milli
+             |FROM t ORDER BY n_trailing_1h DESC, event_id LIMIT 200""".stripMargin)),
+
+    // Cumulative distinct users by day — the growth-chart primitive.
+    // The naive plan recomputes COUNT(DISTINCT) per day (O(days ×
+    // users)); the scale-safe plan marks each user's FIRST day in one
+    // aggregate, rolls the per-day first-seen counts into a running
+    // sum over the tiny day digest, and joins daily actives alongside.
+    QueryDef("q_cumulative_distinct_users",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+          .select(to_date(col("ts")).as("day"), col("user_id"))
+        val firstDay = ev.groupBy(col("user_id"))
+          .agg(min(col("day")).as("day"))
+          .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+        val daily = ev.groupBy(col("day"))
+          .agg(count_distinct(col("user_id")).as("dau"))
+        val wd = Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        daily.join(firstDay, Seq("day"), "left")
+          .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+          .withColumn("cum_users", sum(col("new_users")).over(wd))
+          .select(col("day").cast("string").as("day"), col("dau"),
+            col("new_users"), col("cum_users"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH fd AS (SELECT user_id, min(ts::DATE) AS day FROM events
+             |  GROUP BY 1),
+             |nu AS (SELECT day, count(*)::BIGINT AS new_users FROM fd
+             |  GROUP BY 1),
+             |daily AS (SELECT ts::DATE AS day,
+             |    count(DISTINCT user_id)::BIGINT AS dau
+             |  FROM events GROUP BY 1)
+             |SELECT daily.day::VARCHAR AS day, dau,
+             |  coalesce(nu.new_users, 0)::BIGINT AS new_users,
+             |  sum(coalesce(nu.new_users, 0)) OVER (ORDER BY daily.day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+             |    AS cum_users
+             |FROM daily LEFT JOIN nu USING (day)
+             |ORDER BY day""".stripMargin)),
+
+    // Merge overlapping intervals (interval-union compaction): each
+    // user's PER-CHANNEL activity intervals (30-min-gap sessions
+    // derived per event_type, padded +10 min) collapsed into maximal
+    // disjoint spans of overall activity — the canonical sweep: an
+    // interval starts a NEW merged span iff its start exceeds the
+    // running max of all previous ends (per user, start order).
+    // Same-channel sessions are >=30 min apart by construction, so
+    // the overlaps being merged are genuinely cross-channel. Output
+    // is the per-user compaction digest: interval count
+    // before/after and total covered seconds. Two windows on one
+    // per-user partitioning; no self-join.
+    QueryDef("q_merge_intervals",
+      (s, d) => {
+        val byChan = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        val sess = graft.sources.Tables.events(s, d)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byChan))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L,
+              1L).otherwise(0L))
+          .withColumn("session_id", sum(col("new_session"))
+            .over(byChan.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("event_type"), col("session_id"))
+          .agg(min(unix_micros(col("ts"))).as("st"),
+            max(unix_micros(col("ts")) + 600000000L).as("en"))
+        val ws = Window.partitionBy(col("user_id"))
+          .orderBy(col("st"), col("en"))
+        val flagged = sess
+          .withColumn("prev_max_en",
+            max(col("en")).over(ws.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("new_span",
+            when(col("prev_max_en").isNull ||
+              col("st") > col("prev_max_en"), 1L).otherwise(0L))
+          .withColumn("span_id", sum(col("new_span"))
+            .over(ws.rowsBetween(Window.unboundedPreceding, 0)))
+        flagged.groupBy(col("user_id"), col("span_id"))
+          .agg(min(col("st")).as("sst"), max(col("en")).as("sen"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_spans"),
+            expr("sum(sen - sst) div 1000000").as("covered_sec"))
+          .join(sess.groupBy(col("user_id"))
+            .agg(count(lit(1)).as("n_intervals")), "user_id")
+          .select(col("user_id"), col("n_intervals"), col("n_spans"),
+            col("covered_sec"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, event_type, event_id, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             |         THEN 1 ELSE 0 END AS new_session
+             |  FROM events WINDOW w AS (PARTITION BY user_id, event_type
+             |    ORDER BY ts, event_id)),
+             |s AS (
+             |  SELECT user_id, event_type, ts,
+             |    sum(new_session) OVER (PARTITION BY user_id, event_type
+             |      ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+             |      AS session_id
+             |  FROM g),
+             |sess AS (SELECT user_id, event_type, session_id,
+             |    min(epoch_us(ts))::BIGINT AS st,
+             |    max(epoch_us(ts) + 600000000)::BIGINT AS en
+             |  FROM s GROUP BY 1, 2, 3),
+             |fl AS (SELECT user_id, st, en,
+             |    CASE WHEN max(en) OVER (PARTITION BY user_id ORDER BY st, en
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+             |      OR st > max(en) OVER (PARTITION BY user_id ORDER BY st, en
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      THEN 1 ELSE 0 END AS new_span
+             |  FROM sess),
+             |sp AS (SELECT user_id, st, en,
+             |    sum(new_span) OVER (PARTITION BY user_id ORDER BY st, en
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+             |      AS span_id
+             |  FROM fl),
+             |m AS (SELECT user_id, span_id, min(st) AS sst, max(en) AS sen
+             |  FROM sp GROUP BY 1, 2)
+             |SELECT m.user_id,
+             |  (SELECT count(*) FROM sess WHERE sess.user_id = m.user_id)
+             |    ::BIGINT AS n_intervals,
+             |  count(*)::BIGINT AS n_spans,
+             |  (sum(sen - sst) // 1000000)::BIGINT AS covered_sec
+             |FROM m GROUP BY m.user_id ORDER BY m.user_id""".stripMargin))
   )
 }
