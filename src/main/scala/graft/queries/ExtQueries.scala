@@ -3861,6 +3861,151 @@ object ExtQueries {
              |  round(sum(n_types)::DOUBLE
              |    / (count(*) * prefix_len)::DOUBLE, 6) AS avg_ttr
              |FROM grid GROUP BY source, prefix_len
-             |ORDER BY source, prefix_len""".stripMargin))
+             |ORDER BY source, prefix_len""".stripMargin)),
+
+    // Temperature-scaled corpus mixing (tau = 0.7) — the multilingual
+    // /multi-source sampling rule: sample source i proportional to
+    // p_i^tau, which up-weights small sources relative to natural
+    // frequency without letting any source dominate. The per-source
+    // weight is spelled exp(0.7·ln p) IDENTICALLY in both engines and
+    // rounded ONCE to 9 dp; the normalizing sum then runs over exact
+    // decimals, so the final ppm rates divide identical doubles.
+    // Everything after the one-count scan is catalog-sized arithmetic.
+    QueryDef("pipe_mix_temperature",
+      (s, d) => {
+        val counts = s.read.parquet(s"$d/documents.parquet")
+          .groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+        val tot = counts.agg(sum(col("cnt")).as("total"))
+        val w = counts.crossJoin(broadcast(tot))
+          .select(col("source"), col("cnt"),
+            expr("cnt * 1000000 div total").as("nat_ppm"),
+            round(exp(lit(0.7) *
+              log(col("cnt").cast("double") / col("total").cast("double"))), 9)
+              .cast("decimal(20,9)").as("wt"))
+        val ws = w.agg(sum(col("wt")).as("wsum"))
+        w.crossJoin(broadcast(ws))
+          .select(col("source"), col("cnt"), col("nat_ppm"),
+            floor(col("wt").cast("double") * lit(1000000.0) /
+              col("wsum").cast("double")).cast("long").as("temp_ppm"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH c AS (SELECT source, count(*)::BIGINT AS cnt
+             |  FROM documents GROUP BY 1),
+             |t AS (SELECT sum(cnt)::BIGINT AS total FROM c),
+             |w AS (SELECT source, cnt, cnt * 1000000 // total AS nat_ppm,
+             |    round(exp(0.7 * ln(cnt::DOUBLE / total::DOUBLE)), 9)
+             |      ::DECIMAL(20,9) AS wt
+             |  FROM c, t),
+             |ws AS (SELECT sum(wt) AS wsum FROM w)
+             |SELECT source, cnt, nat_ppm,
+             |  floor(wt::DOUBLE * 1000000.0 / wsum::DOUBLE)::BIGINT
+             |    AS temp_ppm
+             |FROM w, ws ORDER BY source""".stripMargin)),
+
+    // k-NN graph hubness — the embedding pathology metric: in high
+    // dimensions a few "hub" vectors appear in everyone's neighbor
+    // list while many vectors appear in nobody's. In-degree
+    // distribution of the k=5 NN graph over a deterministic query
+    // slice (vec_id < 500), zero-in-degree bucket included (a healthy
+    // space has a tight distribution; a hubby one has a long tail +
+    // fat zero bucket). The scale path swaps the exact top-k for the
+    // LSH/IVF variants already registered; the in-degree rollup is a
+    // count on ids either way.
+    QueryDef("emb_hubness",
+      (s, d) => {
+        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        val topk = Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") < 500), 5)
+        val indeg = topk.groupBy(col("neighbor_id"))
+          .agg(count(lit(1)).as("in_degree"))
+        val n = emb.agg(count(lit(1)).as("n_total"))
+        val hist = indeg.groupBy(col("in_degree"))
+          .agg(count(lit(1)).as("n_vecs"))
+        val nonzero = indeg.agg(count(lit(1)).as("nz"))
+        hist
+          .unionByName(n.crossJoin(broadcast(nonzero))
+            .select(lit(0L).as("in_degree"),
+              (col("n_total") - col("nz")).as("n_vecs")))
+          .orderBy(col("in_degree"))
+      },
+      Some("""WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |q AS (SELECT vec_id, v FROM t WHERE vec_id < 500),
+             |s AS (SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+             |    list_cosine_similarity(q.v, t.v) AS sim
+             |  FROM q, t WHERE t.vec_id != q.vec_id),
+             |r AS (SELECT query_id, neighbor_id, row_number() OVER
+             |    (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+             |  FROM s),
+             |ind AS (SELECT neighbor_id, count(*)::BIGINT AS in_degree
+             |  FROM r WHERE rank <= 5 GROUP BY 1),
+             |hist AS (SELECT in_degree, count(*)::BIGINT AS n_vecs
+             |  FROM ind GROUP BY 1
+             |  UNION ALL
+             |  SELECT 0::BIGINT,
+             |    (SELECT count(*) FROM t) - (SELECT count(*) FROM ind))
+             |SELECT in_degree, n_vecs FROM hist ORDER BY in_degree""".stripMargin)),
+
+    // Precision-recall curve at exact score-decile thresholds — model
+    // evaluation without a model: `value` is the score, purchase
+    // events are the positive class. Thresholds are the exact value
+    // deciles (milli-quantized); tp/fp/fn come from ONE pass of
+    // cumulative conditional sums over the per-score-level digest, so
+    // the curve costs a digest sort, not a rows x thresholds join.
+    QueryDef("q_pr_curve",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+          .select(floor(col("value") * 1000).cast("long").as("sm"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+        val lvl = ev.groupBy(col("sm"))
+          .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+        val wDesc = Window.orderBy(col("sm").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val cum = lvl
+          .withColumn("cum_n", sum(col("n")).over(wDesc))
+          .withColumn("cum_pos", sum(col("pos")).over(wDesc))
+        val tot = ev.agg(count(lit(1)).as("nn"), sum(col("y")).as("npos"))
+        val dec = ev.groupBy(col("sm")).agg(count(lit(1)).as("cnt"))
+          .withColumn("cumc", sum(col("cnt"))
+            .over(Window.orderBy(col("sm")).rowsBetween(Window.unboundedPreceding, 0)))
+          .crossJoin(broadcast(tot))
+          .withColumn("dk", expr("cumc * 10 div nn"))
+          .filter(col("dk") < 10)
+          .groupBy(col("dk")).agg(max(col("sm")).as("thr_milli"))
+        dec.join(cum, col("thr_milli") === col("sm"))
+          .crossJoin(broadcast(tot))
+          .select(col("dk").as("decile"), col("thr_milli"),
+            col("cum_pos").as("tp"),
+            (col("cum_n") - col("cum_pos")).as("fp"),
+            (col("npos") - col("cum_pos")).as("fn"),
+            round(col("cum_pos").cast("double") / col("cum_n"), 6)
+              .as("precision"),
+            round(col("cum_pos").cast("double") / col("npos"), 6)
+              .as("recall"))
+          .orderBy(col("decile"))
+      },
+      Some("""WITH e AS (SELECT floor(value * 1000)::BIGINT AS sm,
+             |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+             |  FROM events),
+             |lvl AS (SELECT sm, count(*)::BIGINT AS n, sum(y)::BIGINT AS pos
+             |  FROM e GROUP BY 1),
+             |cum AS (SELECT sm,
+             |    (sum(n) OVER wd)::BIGINT AS cum_n,
+             |    (sum(pos) OVER wd)::BIGINT AS cum_pos
+             |  FROM lvl WINDOW wd AS (ORDER BY sm DESC
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |t AS (SELECT count(*)::BIGINT AS nn, sum(y)::BIGINT AS npos FROM e),
+             |dc AS (SELECT sm, (sum(count(*)) OVER (ORDER BY sm
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |      ::BIGINT AS cumc
+             |  FROM e GROUP BY sm),
+             |dec AS (SELECT cumc * 10 // nn AS dk, max(sm) AS thr_milli
+             |  FROM dc, t WHERE cumc * 10 // nn < 10 GROUP BY 1)
+             |SELECT dk AS decile, thr_milli, cum_pos AS tp,
+             |  (cum_n - cum_pos)::BIGINT AS fp,
+             |  (npos - cum_pos)::BIGINT AS fn,
+             |  round(cum_pos::DOUBLE / cum_n, 6) AS precision,
+             |  round(cum_pos::DOUBLE / npos, 6) AS recall
+             |FROM dec JOIN cum ON cum.sm = dec.thr_milli, t
+             |ORDER BY decile""".stripMargin))
   )
 }
