@@ -4006,6 +4006,88 @@ object ExtQueries {
              |  round(cum_pos::DOUBLE / cum_n, 6) AS precision,
              |  round(cum_pos::DOUBLE / npos, 6) AS recall
              |FROM dec JOIN cum ON cum.sm = dec.thr_milli, t
-             |ORDER BY decile""".stripMargin))
+             |ORDER BY decile""".stripMargin)),
+
+    // Near-dup threshold operating-point sweep — choosing the dedup
+    // threshold is a yield-vs-precision tradeoff; this reports, for
+    // each Jaccard cut t in {0.5..0.9}, how many verified candidate
+    // pairs and how many distinct docs would be affected. Runs on the
+    // SAME banded-LSH candidate set as dedup_neardup_minhash (one
+    // candidate generation, the sweep is conditional aggregation over
+    // the verified pairs digest) — candidates below the banding's
+    // sensitivity floor are out of scope by construction, which is
+    // exactly how a production sweep on LSH output behaves.
+    QueryDef("dedup_threshold_sweep",
+      (s, d) => {
+        val pairs = Dedup.minhashNearDups(
+            s.read.parquet(s"$d/documents.parquet"), 0.0)
+          .select(col("id_a"), col("id_b"), col("jaccard"))
+        val grid = s.createDataFrame(Seq(5, 6, 7, 8, 9).map(Tuple1(_)))
+          .toDF("thr_tenths")
+        pairs.crossJoin(broadcast(grid))
+          .filter(col("jaccard") * 10 >= col("thr_tenths"))
+          .groupBy(col("thr_tenths"))
+          .agg(count(lit(1)).as("n_pairs"),
+            count_distinct(col("id_a")).as("n_left_docs"),
+            count_distinct(col("id_b")).as("n_dup_docs"))
+          .select(col("thr_tenths").cast("long").as("thr_tenths"),
+            col("n_pairs"), col("n_left_docs"), col("n_dup_docs"))
+          .orderBy(col("thr_tenths"))
+      },
+      Some(s"""WITH $minhashPairCtes
+              |SELECT thr_tenths::BIGINT AS thr_tenths,
+              |  count(*)::BIGINT AS n_pairs,
+              |  count(DISTINCT id_a)::BIGINT AS n_left_docs,
+              |  count(DISTINCT id_b)::BIGINT AS n_dup_docs
+              |FROM j CROSS JOIN (VALUES (5), (6), (7), (8), (9)) g(thr_tenths)
+              |WHERE jaccard * 10 >= thr_tenths
+              |GROUP BY thr_tenths ORDER BY thr_tenths""".stripMargin)),
+
+    // T5-style span-corruption mask plan — denoising pretraining needs,
+    // per document, WHICH token positions are masked and how many
+    // contiguous spans that produces (each span becomes one sentinel).
+    // Mask decisions are md5-derived per (doc, position) at rate 15%,
+    // so both engines reproduce the identical mask; span count is the
+    // gaps-and-islands run-start count over positions. Reported per
+    // source (tokens, masked, spans, mask ppm) — per-doc masks ride
+    // the same partitioning at 100 TB, no extra shuffle beyond the
+    // tokenize explode.
+    QueryDef("pipe_span_corruption",
+      (s, d) => {
+        val pos = s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"), col("source"),
+            posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
+          .select(col("doc_id"), col("source"), col("pos"),
+            (pmod(Dedup.strHash60(
+              concat(lit("mask:"), col("doc_id"), lit(":"), col("pos"))),
+              lit(100)) < 15).cast("long").as("m"))
+        val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        pos.withColumn("prev_m", lag(col("m"), 1, 0L).over(wd))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(col("m")).as("n_masked"),
+            sum(when(col("m") === 1 && col("prev_m") === 0, 1L)
+              .otherwise(0L)).as("n_spans"))
+          .withColumn("mask_ppm", expr("n_masked * 1000000 div n_tokens"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, source,
+              |    string_split(lower(text), ' ') AS tk FROM documents),
+              |p1 AS (SELECT doc_id, source,
+              |    generate_subscripts(tk, 1) - 1 AS pos FROM tk),
+              |pos AS (SELECT doc_id, source, pos,
+              |    CASE WHEN ${dkHash60("'mask:'||doc_id||':'||pos")}
+              |      % 100 < 15 THEN 1 ELSE 0 END AS m
+              |  FROM p1),
+              |fl AS (SELECT source, m,
+              |    coalesce(lag(m) OVER (PARTITION BY doc_id ORDER BY pos), 0)
+              |      AS prev_m
+              |  FROM pos)
+              |SELECT source, count(*)::BIGINT AS n_tokens,
+              |  sum(m)::BIGINT AS n_masked,
+              |  sum(CASE WHEN m = 1 AND prev_m = 0 THEN 1 ELSE 0 END)::BIGINT
+              |    AS n_spans,
+              |  (sum(m) * 1000000 // count(*))::BIGINT AS mask_ppm
+              |FROM fl GROUP BY source ORDER BY source""".stripMargin))
   )
 }
