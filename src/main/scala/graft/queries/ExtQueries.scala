@@ -4088,6 +4088,105 @@ object ExtQueries {
               |  sum(CASE WHEN m = 1 AND prev_m = 0 THEN 1 ELSE 0 END)::BIGINT
               |    AS n_spans,
               |  (sum(m) * 1000000 // count(*))::BIGINT AS mask_ppm
-              |FROM fl GROUP BY source ORDER BY source""".stripMargin))
+              |FROM fl GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Incremental dedup — the production shape: dedupe an INCOMING
+    // batch (doc_id % 5 = 4) against the historical corpus and within
+    // itself, never re-pairing the history (corpus x corpus pairs are
+    // excluded at candidate generation, which is what makes daily
+    // dedup affordable at 100 TB: new x (corpus ∪ smaller-id batch)
+    // only). Signatures come from the same banded-LSH kernel as the
+    // full dedup; per new doc the report says what it duplicates
+    // (earliest prior) and whether the collision is with the corpus,
+    // the batch, or both.
+    QueryDef("pipe_incremental_dedup",
+      (s, d) => {
+        val docs = s.read.parquet(s"$d/documents.parquet")
+        val sets = Dedup.shingleSets(docs, "doc_id", "text").persist()
+        val sig = Dedup.bandedSignatures(sets, "doc_id")
+        val newSig = sig.filter(col("doc_id") % 5 === 4)
+          .select(col("doc_id").as("new_id"), col("__band"), col("__bandkey"))
+        val cand = newSig.join(
+            sig.select(col("doc_id").as("prior_id"), col("__band"), col("__bandkey")),
+            Seq("__band", "__bandkey"))
+          .filter(col("prior_id") % 5 =!= 4 || col("prior_id") < col("new_id"))
+          .select(col("new_id"), col("prior_id")).distinct()
+        cand
+          .join(sets.select(col("doc_id").as("new_id"), col("__sh").as("__sa")), "new_id")
+          .join(sets.select(col("doc_id").as("prior_id"), col("__sh").as("__sb")), "prior_id")
+          .filter(Dedup.jaccard(col("__sa"), col("__sb")) >= 0.7)
+          .groupBy(col("new_id"))
+          .agg(min(col("prior_id")).as("dup_of"),
+            max((col("prior_id") % 5 === 4).cast("long")).as("any_batch_dup"),
+            max((col("prior_id") % 5 =!= 4).cast("long")).as("any_corpus_dup"))
+          .orderBy(col("new_id"))
+      },
+      Some(s"""WITH $minhashPairCtes,
+              |pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.7),
+              |part AS (
+              |  SELECT id_b AS new_id, id_a AS prior_id FROM pairs
+              |    WHERE id_b % 5 = 4
+              |  UNION ALL
+              |  SELECT id_a AS new_id, id_b AS prior_id FROM pairs
+              |    WHERE id_a % 5 = 4 AND id_b % 5 != 4)
+              |SELECT new_id, min(prior_id)::BIGINT AS dup_of,
+              |  max(CASE WHEN prior_id % 5 = 4 THEN 1 ELSE 0 END)::BIGINT
+              |    AS any_batch_dup,
+              |  max(CASE WHEN prior_id % 5 != 4 THEN 1 ELSE 0 END)::BIGINT
+              |    AS any_corpus_dup
+              |FROM part GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Matryoshka truncation recall — evaluating whether the FIRST 32
+    // of 64 dimensions retain the neighborhood structure (the MRL
+    // deployment question: can the index store half the vector?).
+    // Exact top-5 under full vs truncated cosine for a deterministic
+    // query slice; per query, the overlap of the two neighbor sets.
+    // Both engines slice the same prefix and run the same kernel, so
+    // ranks are bit-identical; the scale path swaps brute force for
+    // the registered ANN variants.
+    QueryDef("emb_matryoshka_recall",
+      (s, d) => {
+        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        val q = emb.filter(col("vec_id") < 50)
+        val full = Similarity.bruteForceTopK(emb, q, 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val emb32 = emb.select(col("vec_id"),
+          slice(col("embedding"), 1, 32).as("embedding"))
+        val trunc = Similarity.bruteForceTopK(emb32, emb32.filter(col("vec_id") < 50), 5)
+          .select(col("query_id"), col("neighbor_id").as("trunc_neighbor"))
+        full.join(trunc,
+            full("query_id") === trunc("query_id") &&
+            col("neighbor_id") === col("trunc_neighbor"), "left")
+          .groupBy(full("query_id").as("query_id"))
+          .agg(sum(when(col("trunc_neighbor").isNotNull, 1L).otherwise(0L))
+            .as("n_overlap"))
+          .select(col("query_id"), col("n_overlap"),
+            round(col("n_overlap").cast("double") / 5, 6).as("recall_at_5"))
+          .orderBy(col("query_id"))
+      },
+      Some("""WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |t32 AS (SELECT vec_id, v[1:32] AS v FROM t),
+             |fr AS (SELECT query_id, neighbor_id FROM (
+             |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |      row_number() OVER (PARTITION BY q.vec_id
+             |        ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id)
+             |        AS rank
+             |    FROM t q, t c WHERE q.vec_id < 50 AND c.vec_id != q.vec_id)
+             |  WHERE rank <= 5),
+             |tr AS (SELECT query_id, neighbor_id FROM (
+             |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |      row_number() OVER (PARTITION BY q.vec_id
+             |        ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id)
+             |        AS rank
+             |    FROM t32 q, t32 c WHERE q.vec_id < 50 AND c.vec_id != q.vec_id)
+             |  WHERE rank <= 5)
+             |SELECT fr.query_id,
+             |  sum(CASE WHEN tr.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             |    ::BIGINT AS n_overlap,
+             |  round(sum(CASE WHEN tr.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             |    ::DOUBLE / 5, 6) AS recall_at_5
+             |FROM fr LEFT JOIN tr ON tr.query_id = fr.query_id
+             |  AND tr.neighbor_id = fr.neighbor_id
+             |GROUP BY fr.query_id ORDER BY fr.query_id""".stripMargin))
   )
 }

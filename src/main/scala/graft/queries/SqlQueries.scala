@@ -8187,6 +8187,9 @@ object SqlQueries {
             max(unix_micros(col("ts"))).as("en"))
           .filter(col("n_events") >= 2)
           .select(col("user_id"), col("session_id"), col("st"), col("en"))
+          // both join sides read this digest; persist so the
+          // events scan + two window passes run ONCE, not twice
+          .persist()
         val b = sess.withColumn("bucket",
           explode(expr("sequence(st div 3600000000, en div 3600000000)")))
         val lhs = b.select(col("bucket"), col("user_id").as("user_a"),
