@@ -4224,6 +4224,88 @@ object ExtQueries {
               |SELECT epoch::BIGINT AS epoch, position::BIGINT AS position,
               |  doc_id
               |FROM p WHERE position <= 10
-              |ORDER BY epoch, position""".stripMargin))
+              |ORDER BY epoch, position""".stripMargin)),
+
+    // Held-out unigram negative log-likelihood — the perplexity-style
+    // quality filter done PROPERLY: the LM is fit on the train slice
+    // (doc_id % 5 != 0) and scores the held-out slice with add-one
+    // smoothing over the train vocabulary, so unseen words cost
+    // log10(1/(N+V)) instead of crashing the model. Per-token
+    // log-probs are rounded once to 9 dp and summed as exact decimals
+    // (the unigram scorer's determinism discipline); the model itself
+    // is a term-count digest, one shuffle at any scale.
+    QueryDef("text_heldout_nll",
+      (s, d) => {
+        val docs = s.read.parquet(s"$d/documents.parquet")
+        val cf = docs.filter(col("doc_id") % 5 =!= 0)
+          .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as("ctf"))
+        val stats = cf.agg(sum(col("ctf")).as("n_train"),
+          count(lit(1)).as("v"))
+        val testTf = docs.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        testTf.join(cf, Seq("term"), "left")
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"), col("tf"),
+            round(log10((coalesce(col("ctf"), lit(0L)) + 1).cast("double") /
+              (col("n_train") + col("v")).cast("double")), 9)
+              .cast("decimal(20,9)").as("logp"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("tf")).as("n_tokens"),
+            sum(col("tf").cast("decimal(9,0)") * col("logp")).as("__s"))
+          .select(col("doc_id"), col("n_tokens"),
+            round((-col("__s")).cast("double") / col("n_tokens"), 6)
+              .as("nll10_per_token"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tr AS (SELECT unnest(string_split(lower(text),' ')) AS term
+             |  FROM documents WHERE doc_id % 5 != 0),
+             |cf AS (SELECT term, count(*)::BIGINT AS ctf FROM tr GROUP BY 1),
+             |st AS (SELECT sum(ctf)::BIGINT AS n_train, count(*)::BIGINT AS v
+             |  FROM cf),
+             |te AS (SELECT doc_id, unnest(string_split(lower(text),' ')) AS term
+             |  FROM documents WHERE doc_id % 5 = 0),
+             |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM te
+             |  GROUP BY 1, 2),
+             |sc AS (SELECT doc_id, tf,
+             |    round(log10((coalesce(cf.ctf, 0) + 1)::DOUBLE
+             |      / (n_train + v)::DOUBLE), 9)::DECIMAL(20,9) AS logp
+             |  FROM tf LEFT JOIN cf USING (term), st)
+             |SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+             |  round((-sum(tf::DECIMAL(9,0) * logp))::DOUBLE
+             |    / sum(tf), 6) AS nll10_per_token
+             |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Preference-pair construction — RLHF/DPO data prep: within each
+    // source, docs ranked by a deterministic quality score (n_chars,
+    // ties to smaller id) and each doc paired with the NEXT one down,
+    // keeping pairs with a positive gap. Adjacent-rank pairing keeps
+    // the pair count linear in docs (the all-pairs alternative is
+    // quadratic and mostly uninformative); one window per source.
+    QueryDef("pipe_reward_pairs",
+      (s, d) => {
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        s.read.parquet(s"$d/documents.parquet")
+          .select(col("source"), col("doc_id"), col("n_chars"))
+          .withColumn("rejected_id", lead(col("doc_id"), 1).over(w))
+          .withColumn("rejected_chars", lead(col("n_chars"), 1).over(w))
+          .filter(col("rejected_id").isNotNull &&
+            col("n_chars") > col("rejected_chars"))
+          .select(col("source"), col("doc_id").as("chosen_id"),
+            col("rejected_id"),
+            (col("n_chars") - col("rejected_chars")).as("score_gap"))
+          .orderBy(col("source"), col("chosen_id"))
+      },
+      Some("""WITH r AS (SELECT source, doc_id, n_chars,
+             |    lead(doc_id) OVER w AS rejected_id,
+             |    lead(n_chars) OVER w AS rejected_chars
+             |  FROM documents
+             |  WINDOW w AS (PARTITION BY source ORDER BY n_chars DESC, doc_id))
+             |SELECT source, doc_id AS chosen_id, rejected_id,
+             |  (n_chars - rejected_chars)::BIGINT AS score_gap
+             |FROM r WHERE rejected_id IS NOT NULL AND n_chars > rejected_chars
+             |ORDER BY source, chosen_id""".stripMargin))
   )
 }
