@@ -4306,6 +4306,84 @@ object ExtQueries {
              |SELECT source, doc_id AS chosen_id, rejected_id,
              |  (n_chars - rejected_chars)::BIGINT AS score_gap
              |FROM r WHERE rejected_id IS NOT NULL AND n_chars > rejected_chars
-             |ORDER BY source, chosen_id""".stripMargin))
+             |ORDER BY source, chosen_id""".stripMargin)),
+
+    // Token-budget calibration — the chars/4 heuristic that
+    // pipe_token_budget_sample budgets with, audited against the real
+    // whitespace token count per source: chars-per-token ratio and the
+    // heuristic's signed error in ppm. One scan collapsing to a
+    // per-source digest; this is the number you re-fit before trusting
+    // any chars-based budget at 100 TB.
+    QueryDef("pipe_token_calibration",
+      (s, d) => {
+        s.read.parquet(s"$d/documents.parquet")
+          .select(col("source"), col("n_chars"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"),
+            (expr("n_chars div 4") + 1).as("est_tok"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            sum(col("n_tok")).as("total_tokens"),
+            sum(col("est_tok")).as("est_tokens"))
+          .select(col("source"), col("n_docs"), col("total_tokens"),
+            round(col("total_chars").cast("double") / col("total_tokens"), 6)
+              .as("chars_per_token"),
+            expr("(est_tokens - total_tokens) * 1000000 div total_tokens")
+              .as("est_error_ppm"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH t AS (SELECT source, n_chars,
+             |    len(string_split(lower(text), ' '))::BIGINT AS n_tok,
+             |    n_chars // 4 + 1 AS est_tok
+             |  FROM documents)
+             |SELECT source, count(*)::BIGINT AS n_docs,
+             |  sum(n_tok)::BIGINT AS total_tokens,
+             |  round(sum(n_chars)::DOUBLE / sum(n_tok), 6) AS chars_per_token,
+             |  ((sum(est_tok) - sum(n_tok)) * 1000000 // sum(n_tok))::BIGINT
+             |    AS est_error_ppm
+             |FROM t GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Exact-duplicate embeddings — the fast pre-pass before any cosine
+    // near-dup, demonstrated on the double-load incident it exists to
+    // catch: the first 20 vectors are re-ingested under shifted ids
+    // (the duplicated-batch scenario) and must come back as exactly
+    // those groups. The key is a hash of the exact 1e-6 integer
+    // quantization rendered identically in both engines; a hash
+    // groupBy on a 32-hex key, the cheap first stage that shrinks the
+    // cosine stage's input at 100 TB.
+    QueryDef("emb_dedup_exact",
+      (s, d) => {
+        val emb = s.read.parquet(s"$d/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        val reingested = emb.filter(col("vec_id") < 20)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+        val q = emb.unionByName(reingested)
+          .select(col("vec_id"), md5(concat_ws(",",
+            expr("transform(embedding, x -> cast(floor(cast(x AS double) * 1000000.0) AS string))")))
+            .as("vec_hash"))
+        val w = Window.partitionBy(col("vec_hash"))
+        q.withColumn("group_size", count(lit(1)).over(w))
+          .withColumn("is_dup",
+            (col("vec_id") =!= min(col("vec_id")).over(w)).cast("long"))
+          .filter(col("group_size") > 1)
+          .select(col("vec_id"), col("vec_hash"), col("group_size"),
+            col("is_dup"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH u AS (SELECT vec_id, embedding FROM embeddings
+             |  UNION ALL
+             |  SELECT vec_id + 100000, embedding FROM embeddings
+             |  WHERE vec_id < 20),
+             |q AS (SELECT vec_id,
+             |    md5(array_to_string(list_transform(embedding::DOUBLE[],
+             |      x -> floor(x * 1000000.0)::BIGINT::VARCHAR), ',')) AS vec_hash
+             |  FROM u),
+             |g AS (SELECT vec_id, vec_hash,
+             |    (count(*) OVER (PARTITION BY vec_hash))::BIGINT AS group_size,
+             |    CASE WHEN vec_id != min(vec_id) OVER (PARTITION BY vec_hash)
+             |      THEN 1 ELSE 0 END::BIGINT AS is_dup
+             |  FROM q)
+             |SELECT vec_id, vec_hash, group_size, is_dup
+             |FROM g WHERE group_size > 1 ORDER BY vec_id""".stripMargin))
   )
 }
