@@ -8385,6 +8385,92 @@ object SqlQueries {
              |    ::BIGINT AS n_intervals,
              |  count(*)::BIGINT AS n_spans,
              |  (sum(sen - sst) // 1000000)::BIGINT AS covered_sec
-             |FROM m GROUP BY m.user_id ORDER BY m.user_id""".stripMargin))
+             |FROM m GROUP BY m.user_id ORDER BY m.user_id""".stripMargin)),
+
+    // Time-weighted average (TWAP) per channel — the sensor/finance
+    // mean that plain avg() gets wrong under irregular sampling: each
+    // reading is weighted by how long it was CURRENT (until the next
+    // reading). Weights are exact micros from a per-channel lead
+    // window; the weighted sum runs in milli-value x micros integer
+    // units, one division at the end. The last reading of a channel
+    // carries no interval and drops out, matching the right-open
+    // integral.
+    QueryDef("q_time_weighted_avg",
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        graft.sources.Tables.events(s, d)
+          .select(col("event_type"), col("event_id"), col("ts"),
+            floor(col("value") * 1000).cast("long").as("vm"),
+            unix_micros(col("ts")).as("tus"))
+          .withColumn("next_tus", lead(col("tus"), 1).over(w))
+          .filter(col("next_tus").isNotNull)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_intervals"),
+            sum((col("next_tus") - col("tus")).cast("decimal(38,0)") *
+              col("vm")).as("__wsum"),
+            sum(col("next_tus") - col("tus")).as("__tspan"))
+          .select(col("event_type"), col("n_intervals"),
+            expr("__tspan div 1000000").as("span_sec"),
+            round(col("__wsum").cast("double") /
+              col("__tspan").cast("double") / lit(1000.0), 6).as("twap"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (SELECT event_type, event_id, ts,
+             |    floor(value * 1000)::BIGINT AS vm, epoch_us(ts) AS tus
+             |  FROM events),
+             |l AS (SELECT event_type, vm, tus,
+             |    lead(tus) OVER (PARTITION BY event_type
+             |      ORDER BY ts, event_id) AS next_tus
+             |  FROM e)
+             |SELECT event_type, count(*)::BIGINT AS n_intervals,
+             |  (sum(next_tus - tus) // 1000000)::BIGINT AS span_sec,
+             |  round(sum((next_tus - tus)::HUGEINT * vm)::DOUBLE
+             |    / sum(next_tus - tus)::DOUBLE / 1000.0, 6) AS twap
+             |FROM l WHERE next_tus IS NOT NULL
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // OHLC bar resampling — per (channel, hour): open/high/low/close
+    // of the milli-quantized value, where open/close are picked by a
+    // single struct-min/max over (ts, event_id, value) so ties break
+    // identically in both engines. One shuffle on the (channel, hour)
+    // grain; this is the canonical downsample that turns a raw tick
+    // stream into a bounded bar table at any scale. Top-200 busiest
+    // bars keep the output a digest.
+    QueryDef("q_ohlc_bars",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+          .select(col("event_type"), date_trunc("hour", col("ts")).as("bar"),
+            unix_micros(col("ts")).as("tus"), col("event_id"),
+            floor(col("value") * 1000).cast("long").as("vm"))
+        ev.groupBy(col("event_type"), col("bar"))
+          .agg(count(lit(1)).as("n_ticks"),
+            min(struct(col("tus"), col("event_id"), col("vm"))).as("__o"),
+            max(struct(col("tus"), col("event_id"), col("vm"))).as("__c"),
+            max(col("vm")).as("high_milli"), min(col("vm")).as("low_milli"))
+          .select(col("event_type"), col("bar").cast("string").as("bar"),
+            col("n_ticks"), col("__o.vm").as("open_milli"),
+            col("high_milli"), col("low_milli"), col("__c.vm").as("close_milli"))
+          .orderBy(col("n_ticks").desc, col("event_type"), col("bar"))
+          .limit(200)
+      },
+      Some("""WITH e AS (SELECT event_type, date_trunc('hour', ts) AS bar,
+             |    epoch_us(ts) AS tus, event_id,
+             |    floor(value * 1000)::BIGINT AS vm
+             |  FROM events),
+             |r AS (SELECT event_type, bar, vm,
+             |    row_number() OVER (PARTITION BY event_type, bar
+             |      ORDER BY tus, event_id) AS rn_a,
+             |    row_number() OVER (PARTITION BY event_type, bar
+             |      ORDER BY tus DESC, event_id DESC) AS rn_z
+             |  FROM e),
+             |b AS (SELECT event_type, bar, count(*)::BIGINT AS n_ticks,
+             |    max(CASE WHEN rn_a = 1 THEN vm END)::BIGINT AS open_milli,
+             |    max(vm)::BIGINT AS high_milli, min(vm)::BIGINT AS low_milli,
+             |    max(CASE WHEN rn_z = 1 THEN vm END)::BIGINT AS close_milli
+             |  FROM r GROUP BY 1, 2)
+             |SELECT event_type, bar::VARCHAR AS bar, n_ticks, open_milli,
+             |  high_milli, low_milli, close_milli
+             |FROM b ORDER BY n_ticks DESC, event_type, bar LIMIT 200""".stripMargin))
   )
 }
