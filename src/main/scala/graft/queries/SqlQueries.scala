@@ -686,6 +686,26 @@ object SqlQueries {
              | AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 600000000
              |ORDER BY click_id, purchase_id""".stripMargin)),
 
+    // LEFT OUTER stream-stream interval join — the unmatched clicks
+    // can only be emitted null-padded AFTER the purchase watermark
+    // passes click_ts + 10 min; a far-future sentinel micro-batch
+    // advances both watermarks so every real click flushes before the
+    // AvailableNow run ends. Oracle is the batch LEFT JOIN including
+    // the null rows, so a stream that drops (or double-emits) the
+    // unmatched tail hash-fails.
+    QueryDef("q_stream_join_outer",
+      (s, d) => graft.streaming.StreamingEtl.leftOuterJoinViaStream(s, d)
+        .orderBy(col("click_id"), col("purchase_id")),
+      Some("""WITH c AS (SELECT event_id AS click_id, user_id, ts AS cts
+             |  FROM events WHERE event_type = 'click'),
+             |p AS (SELECT event_id AS purchase_id, user_id, ts AS pts
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT c.click_id, c.user_id, p.purchase_id,
+             |  (epoch_us(pts) - epoch_us(cts))::BIGINT AS delta_us
+             |FROM c LEFT JOIN p ON p.user_id = c.user_id
+             |  AND epoch_us(pts) - epoch_us(cts) BETWEEN 0 AND 600000000
+             |ORDER BY click_id, purchase_id NULLS FIRST""".stripMargin)),
+
     // Banded range join (graft.sync.RangeJoin): all event pairs within
     // ±1 s of each other with NO equi key — burst/co-occurrence
     // detection. Banding turns the would-be O(n²) cross join into one

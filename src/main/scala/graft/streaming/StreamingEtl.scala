@@ -251,6 +251,85 @@ object StreamingEtl {
     spark.table(name)
   }
 
+  /** LEFT OUTER stream-stream interval join — the shape the inner join
+    * cannot express: clicks with NO purchase in the next 10 minutes
+    * must STILL be emitted, null-padded, and that can only happen once
+    * the purchase-side watermark has passed `click_ts + 10 min` (until
+    * then the match might still arrive). Input is staged as two files
+    * under `maxFilesPerTrigger=1`: the real table, then a far-future
+    * sentinel holding one click and one purchase for a synthetic user,
+    * which drags BOTH watermarks 30 days forward in its own micro-batch
+    * so every real click's state expires and the null-padded rows
+    * flush before the stream ends. State stays O(events inside the
+    * 1-hour-plus-10-minute horizon) at any scale. The driver oracle is
+    * the equivalent batch LEFT JOIN — unified-API parity including the
+    * unmatched rows. */
+  def leftOuterJoinViaStream(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val stage = Files.createTempDirectory("graft_loj_stream")
+    Files.copy(Paths.get(s"$dir/events.parquet"),
+      stage.resolve("a_events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val rawSchema = graft.sources.Tables.eventsRawSchema(spark, dir)
+    val maxUs = graft.sources.Tables.events(spark, dir)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val sentinelUs = maxUs + 30L * 86400 * 1000000
+    val tmpOut = Files.createTempDirectory("graft_loj_sentinel")
+    import spark.implicits._
+    Seq((-1L, sentinelUs, -1L, "click", 0.0, ""),
+        (-2L, sentinelUs, -1L, "purchase", 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", rawSchema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => col("ts") * lit(1000L)
+        case t => timestamp_micros(col("ts")).cast(t)
+      })
+      .coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
+    val parts = Files.list(tmpOut)
+    try {
+      val it = parts.iterator()
+      var moved = false
+      while (it.hasNext && !moved) {
+        val p = it.next()
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          Files.move(p, stage.resolve("zz_sentinel.parquet"),
+            StandardCopyOption.REPLACE_EXISTING)
+          moved = true
+        }
+      }
+      require(moved, "sentinel parquet part file not found")
+    } finally parts.close()
+
+    def in() = graft.sources.Tables.normalizeEventsTs(
+      spark.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", "1").parquet(stage.toString))
+    val clicks = in().filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = in().filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+
+    val joined = clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"),
+        "leftOuter")
+      .select(col("click_id"), col("user_id"), col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("delta_us"))
+
+    val name = s"graft_stream_${streamRuns.incrementAndGet()}"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally { rmTree(stage); rmTree(tmpOut) }
+    spark.table(name).filter(col("click_id") >= 0)
+  }
+
   /** Streaming materialized-view maintenance via `foreachBatch` — the
     * production shape of `q_incremental_agg`: each micro-batch's
     * partial daily aggregates merge into a parquet state table
