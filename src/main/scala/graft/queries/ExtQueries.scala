@@ -4384,6 +4384,60 @@ object ExtQueries {
              |      THEN 1 ELSE 0 END::BIGINT AS is_dup
              |  FROM q)
              |SELECT vec_id, vec_hash, group_size, is_dup
-             |FROM g WHERE group_size > 1 ORDER BY vec_id""".stripMargin))
+             |FROM g WHERE group_size > 1 ORDER BY vec_id""".stripMargin)),
+
+    // Distinctive terms per source (Monroe et al. log-odds with a
+    // Dirichlet prior) — "what vocabulary makes this source itself":
+    // for each (source, term), the informative-prior log-odds of the
+    // term in the source vs the REST of the corpus, top-5 per source.
+    // All counts are exact integers off one term-count shuffle; the
+    // rest-of-corpus counts come from the global digest minus the
+    // source's own (no second scan); ln on identical integer-derived
+    // doubles keeps both engines bit-equal. Prior a0=1 per term.
+    QueryDef("corpus_distinctive_terms",
+      (s, d) => {
+        val st = s.read.parquet(s"$d/documents.parquet")
+          .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+          .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+          .persist()
+        val tot = st.groupBy(col("term")).agg(sum(col("c")).as("ct"))
+        val perSrc = st.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+        val grand = tot.agg(sum(col("ct")).as("nn"), count(lit(1)).as("v"))
+        val scored = st.join(tot, "term").join(perSrc, "source")
+          .crossJoin(broadcast(grand))
+          .select(col("source"), col("term"),
+            round(
+              log((col("c") + 1).cast("double") /
+                (col("ns") - col("c") + col("v") - 1).cast("double")) -
+              log((col("ct") - col("c") + 1).cast("double") /
+                ((col("nn") - col("ns")) - (col("ct") - col("c")) +
+                  col("v") - 1).cast("double")), 6).as("log_odds"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("log_odds").desc, col("term"))
+        scored.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("source"), col("rank"), col("term"), col("log_odds"))
+          .orderBy(col("source"), col("rank"))
+      },
+      Some("""WITH t AS (SELECT source,
+             |    unnest(string_split(lower(text), ' ')) AS term
+             |  FROM documents),
+             |st AS (SELECT source, term, count(*)::BIGINT AS c
+             |  FROM t GROUP BY 1, 2),
+             |tot AS (SELECT term, sum(c)::BIGINT AS ct FROM st GROUP BY 1),
+             |ps AS (SELECT source, sum(c)::BIGINT AS ns FROM st GROUP BY 1),
+             |g AS (SELECT sum(ct)::BIGINT AS nn, count(*)::BIGINT AS v
+             |  FROM tot),
+             |sc AS (SELECT source, term,
+             |    round(ln((c + 1)::DOUBLE / (ns - c + v - 1)::DOUBLE)
+             |      - ln((ct - c + 1)::DOUBLE
+             |          / ((nn - ns) - (ct - c) + v - 1)::DOUBLE), 6)
+             |      AS log_odds
+             |  FROM st JOIN tot USING (term) JOIN ps USING (source), g),
+             |r AS (SELECT source, term, log_odds, row_number() OVER
+             |    (PARTITION BY source ORDER BY log_odds DESC, term) AS rank
+             |  FROM sc)
+             |SELECT source, rank::BIGINT AS rank, term, log_odds
+             |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin))
   )
 }
