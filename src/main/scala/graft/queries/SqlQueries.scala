@@ -4012,29 +4012,47 @@ object SqlQueries {
     // Kendall tau-b between value decile and hour-of-day — the third
     // rank-association measure (after Spearman and Mann-Whitney),
     // and the one that's naively O(rows²): concordant/discordant
-    // PAIRS. The engine trick: count pairs on the CELL DIGEST
-    // (≤100×24 cells), so the pair join is digest² not rows² —
-    // C = Σ n₁·n₂ over strictly-increasing cell pairs, ties from the
-    // digest margins, all exact integers; tau-b's sqrt is the only
-    // float, computed from identical exact inputs.
+    // PAIRS. The engine trick, twice over: pairs are counted on the
+    // CELL DIGEST, and the digest pair-sum itself runs as 2-D PREFIX
+    // SUMS over the densified (x, 24-hour) grid — O(grid) with three
+    // windows, not O(grid²) with a non-equi join (the grid grows with
+    // the value domain, and a BroadcastNestedLoopJoin over grid² is
+    // exactly the plan that melts at 100 TB). C = Σ n(x,y)·A(x,y)
+    // with A the strict lower-left prefix; ties from the digest
+    // margins; all exact integers — tau-b's sqrt is the only float.
     QueryDef("q_kendall_tau",
       (s, d) => {
-        // the digest is referenced six times (pair join twice,
-        // margins, both tie sums) — persist it so events is scanned
-        // ONCE, the same discipline as dedup_neardup_groups' rounds
+        // the digest is referenced five times (grid, margins, both
+        // tie sums) — persist it so events is scanned ONCE, the same
+        // discipline as dedup_neardup_groups' rounds
         val cell = graft.sources.Tables.events(s, d)
           .groupBy(floor(col("value") * 10).cast("long").as("x"),
             hour(col("ts")).cast("long").as("y"))
           .agg(count(lit(1)).as("nc"))
           .persist()
-        val b = cell.select(col("x").as("x2"), col("y").as("y2"),
-          col("nc").as("nc2"))
-        // one x<x2 join, concordant/discordant split by a CASE on y
-        val cd = cell.join(b, col("x") < col("x2"))
-          .agg(coalesce(sum(when(col("y") < col("y2"),
-              col("nc") * col("nc2")).otherwise(0L)), lit(0L)).as("c"),
-            coalesce(sum(when(col("y") > col("y2"),
-              col("nc") * col("nc2")).otherwise(0L)), lit(0L)).as("dd"))
+        // dense (x, y) grid: every observed x crossed with all 24
+        // hours, missing cells as 0 — prefix sums need the full lattice
+        val ys = s.range(0, 24).select(col("id").as("y"))
+        val grid = cell.select(col("x")).distinct()
+          .crossJoin(broadcast(ys))
+          .join(cell, Seq("x", "y"), "left")
+          .select(col("x"), col("y"), coalesce(col("nc"), lit(0L)).as("nc"))
+        // P(x,y) = Σ_{x'<x} n(x',y): strict prefix along x, per y
+        val wx = Window.partitionBy(col("y")).orderBy(col("x"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val p = grid.withColumn("p", coalesce(sum(col("nc")).over(wx), lit(0L)))
+        // A = Σ_{y'<y} P(x,y'), B = Σ_{y'>y} P(x,y'): strict prefixes
+        // along y (both directions), per x — grid is dense so the
+        // window frames see every y level
+        val wyAsc = Window.partitionBy(col("x")).orderBy(col("y"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wyDesc = Window.partitionBy(col("x")).orderBy(col("y").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val ab = p
+          .withColumn("a", coalesce(sum(col("p")).over(wyAsc), lit(0L)))
+          .withColumn("b", coalesce(sum(col("p")).over(wyDesc), lit(0L)))
+        val cd = ab.agg(sum(col("nc") * col("a")).as("c"),
+          sum(col("nc") * col("b")).as("dd"))
         val margins = cell.agg(sum(col("nc")).as("n"))
         val tx = cell.groupBy(col("x")).agg(sum(col("nc")).as("nx"))
           .agg(sum(col("nx") * (col("nx") - 1)).as("tieX2"))
