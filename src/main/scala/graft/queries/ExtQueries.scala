@@ -4438,6 +4438,51 @@ object ExtQueries {
              |    (PARTITION BY source ORDER BY log_odds DESC, term) AS rank
              |  FROM sc)
              |SELECT source, rank::BIGINT AS rank, term, log_odds
-             |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin))
+             |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin)),
+
+    // Blocklist content filter with per-rule accounting — the safety
+    // -filter shape: N keyword rules, each doc scored by hits per
+    // rule, removed when any rule exceeds its threshold, and the
+    // report says how much each rule FIRED and how much it REMOVED
+    // (the two numbers a filter owner tunes against). One token
+    // explode; the per-rule matrix is conditional aggregation on the
+    // same shuffle. Rules: slow>=3, error>=2 (corpus-tuned so both
+    // fire at test scale).
+    QueryDef("pipe_content_filter",
+      (s, d) => {
+        val hits = s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"), col("source"),
+            explode(TextAnalysis.tokens(col("text"))).as("term"))
+          .groupBy(col("doc_id"), col("source"))
+          .agg(sum(when(col("term") === "slow", 1L).otherwise(0L)).as("h_slow"),
+            sum(when(col("term") === "error", 1L).otherwise(0L)).as("h_error"))
+        hits.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("h_slow") >= 3, 1L).otherwise(0L)).as("hit_slow"),
+            sum(when(col("h_error") >= 2, 1L).otherwise(0L)).as("hit_error"),
+            sum(when(col("h_slow") >= 3 || col("h_error") >= 2, 1L)
+              .otherwise(0L)).as("removed"))
+          .withColumn("removed_ppm", expr("removed * 1000000 div n_docs"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH t AS (SELECT doc_id, source,
+             |    unnest(string_split(lower(text), ' ')) AS term
+             |  FROM documents),
+             |h AS (SELECT doc_id, source,
+             |    sum(CASE WHEN term = 'slow' THEN 1 ELSE 0 END)::BIGINT
+             |      AS h_slow,
+             |    sum(CASE WHEN term = 'error' THEN 1 ELSE 0 END)::BIGINT
+             |      AS h_error
+             |  FROM t GROUP BY 1, 2)
+             |SELECT source, count(*)::BIGINT AS n_docs,
+             |  sum(CASE WHEN h_slow >= 3 THEN 1 ELSE 0 END)::BIGINT
+             |    AS hit_slow,
+             |  sum(CASE WHEN h_error >= 2 THEN 1 ELSE 0 END)::BIGINT
+             |    AS hit_error,
+             |  sum(CASE WHEN h_slow >= 3 OR h_error >= 2 THEN 1 ELSE 0 END)
+             |    ::BIGINT AS removed,
+             |  (sum(CASE WHEN h_slow >= 3 OR h_error >= 2 THEN 1 ELSE 0 END)
+             |    * 1000000 // count(*))::BIGINT AS removed_ppm
+             |FROM h GROUP BY source ORDER BY source""".stripMargin))
   )
 }
