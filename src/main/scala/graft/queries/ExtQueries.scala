@@ -4483,6 +4483,134 @@ object ExtQueries {
              |    ::BIGINT AS removed,
              |  (sum(CASE WHEN h_slow >= 3 OR h_error >= 2 THEN 1 ELSE 0 END)
              |    * 1000000 // count(*))::BIGINT AS removed_ppm
-             |FROM h GROUP BY source ORDER BY source""".stripMargin))
+             |FROM h GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Near-dup cluster-size histogram — the shape of the duplication:
+    // many size-2 clusters means scattered copies, one giant cluster
+    // means a template exploded (and a different removal strategy).
+    // Reads the same memoized connected-components grouping the
+    // groups query grades; two tiny aggregations on the group digest.
+    QueryDef("dedup_group_size_hist",
+      (s, d) => {
+        val sizes = neardupGroupsOf(s, d)
+          .groupBy(col("group_id")).agg(count(lit(1)).as("group_size"))
+        sizes.groupBy(col("group_size"))
+          .agg(count(lit(1)).as("n_groups"),
+            sum(col("group_size")).as("n_docs"))
+          .orderBy(col("group_size"))
+      },
+      Some(s"""WITH RECURSIVE $minhashPairCtes,
+              |p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.7),
+              |e AS (SELECT id_a AS s, id_b AS t FROM p UNION SELECT id_b, id_a FROM p),
+              |reach AS (SELECT s AS id, t AS r FROM e
+              |          UNION
+              |          SELECT e.s AS id, reach.r FROM e JOIN reach ON reach.id = e.t),
+              |grp AS (SELECT id AS doc_id, least(id, min(r)) AS group_id
+              |  FROM reach GROUP BY id),
+              |sz AS (SELECT group_id, count(*)::BIGINT AS group_size
+              |  FROM grp GROUP BY 1)
+              |SELECT group_size, count(*)::BIGINT AS n_groups,
+              |  sum(group_size)::BIGINT AS n_docs
+              |FROM sz GROUP BY 1 ORDER BY group_size""".stripMargin)),
+
+    // Cumulative gains / lift table — the model-eval companion to
+    // q_pr_curve: score deciles (highest first), each with its
+    // positive capture rate and lift over the base rate. Same
+    // cumulative-digest machinery: one score-level digest, decile
+    // thresholds from exact cumulative counts, no rows x deciles
+    // join.
+    QueryDef("q_decile_lift",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+          .select(floor(col("value") * 1000).cast("long").as("sm"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+        val lvl = ev.groupBy(col("sm"))
+          .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+        val tot = ev.agg(count(lit(1)).as("nn"), sum(col("y")).as("npos"))
+        // decile from the TOP: rows with higher score fall in lower dk
+        val wDesc = Window.orderBy(col("sm").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        lvl.withColumn("cum_n", sum(col("n")).over(wDesc))
+          .withColumn("cum_pos", sum(col("pos")).over(wDesc))
+          .crossJoin(broadcast(tot))
+          .withColumn("dk", expr("(cum_n - 1) * 10 div nn"))
+          .groupBy(col("dk"))
+          .agg(max(col("cum_n")).as("cum_n"), max(col("cum_pos")).as("cum_pos"),
+            max(col("nn")).as("nn"), max(col("npos")).as("npos"))
+          .select(col("dk").as("decile"), col("cum_n"), col("cum_pos"),
+            round(col("cum_pos").cast("double") / col("npos"), 6)
+              .as("capture_rate"),
+            round((col("cum_pos").cast("double") / col("cum_n")) /
+              (col("npos").cast("double") / col("nn")), 6).as("lift"))
+          .orderBy(col("decile"))
+      },
+      Some("""WITH e AS (SELECT floor(value * 1000)::BIGINT AS sm,
+             |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+             |  FROM events),
+             |lvl AS (SELECT sm, count(*)::BIGINT AS n, sum(y)::BIGINT AS pos
+             |  FROM e GROUP BY 1),
+             |t AS (SELECT count(*)::BIGINT AS nn, sum(y)::BIGINT AS npos FROM e),
+             |c AS (SELECT sm,
+             |    (sum(n) OVER wd)::BIGINT AS cum_n,
+             |    (sum(pos) OVER wd)::BIGINT AS cum_pos
+             |  FROM lvl WINDOW wd AS (ORDER BY sm DESC
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |dkt AS (SELECT (cum_n - 1) * 10 // nn AS dk,
+             |    max(cum_n) AS cum_n, max(cum_pos) AS cum_pos,
+             |    max(nn) AS nn, max(npos) AS npos
+             |  FROM c, t GROUP BY 1)
+             |SELECT dk AS decile, cum_n, cum_pos,
+             |  round(cum_pos::DOUBLE / npos, 6) AS capture_rate,
+             |  round((cum_pos::DOUBLE / cum_n) / (npos::DOUBLE / nn), 6)
+             |    AS lift
+             |FROM dkt ORDER BY decile""".stripMargin)),
+
+    // Sample-ratio-mismatch check — the first experiment-quality gate:
+    // do the hash-assigned variant counts match the designed 50/50
+    // split? Chi-square GOF on the exact counts with the pass flag at
+    // the 3.841 (df=1, alpha=.05) critical value. Assignment uses the
+    // same md5 split hash as pipe_split_assign, so this audits the
+    // splitter the pipeline actually ships.
+    QueryDef("q_ab_srm_check",
+      (s, d) => {
+        val h = conv(substring(md5(concat(lit("ab:"),
+          col("user_id").cast("string"))), 1, 15), 16, 10).cast("long") % 2
+        val counts = graft.sources.Tables.events(s, d)
+          .select(col("user_id")).distinct()
+          .select(h.as("variant"))
+          .groupBy(col("variant")).agg(count(lit(1)).as("n"))
+        counts.agg(sum(col("n")).as("nn"),
+            sum(when(col("variant") === 0, col("n")).otherwise(0L)).as("n0"),
+            sum(when(col("variant") === 1, col("n")).otherwise(0L)).as("n1"))
+          .select(col("n0"), col("n1"),
+            round((((col("n0") * 2 - col("nn")) * (col("n0") * 2 - col("nn")))
+              .cast("double") / (col("nn") * 2).cast("double")) +
+              (((col("n1") * 2 - col("nn")) * (col("n1") * 2 - col("nn")))
+                .cast("double") / (col("nn") * 2).cast("double")), 6)
+              .as("chi_sq"),
+            when(
+              (((col("n0") * 2 - col("nn")) * (col("n0") * 2 - col("nn")))
+                .cast("double") / (col("nn") * 2).cast("double")) +
+              (((col("n1") * 2 - col("nn")) * (col("n1") * 2 - col("nn")))
+                .cast("double") / (col("nn") * 2).cast("double")) > 3.841, 1L)
+              .otherwise(0L).as("srm_detected"))
+      },
+      Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+             |v AS (SELECT ('0x'||substring(md5('ab:'||user_id::VARCHAR),1,15))
+             |    ::BIGINT % 2 AS variant FROM u),
+             |c AS (SELECT
+             |    sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+             |    sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+             |    count(*)::BIGINT AS nn
+             |  FROM v)
+             |SELECT n0, n1,
+             |  round(((n0 * 2 - nn) * (n0 * 2 - nn))::DOUBLE / (nn * 2)::DOUBLE
+             |    + ((n1 * 2 - nn) * (n1 * 2 - nn))::DOUBLE / (nn * 2)::DOUBLE,
+             |    6) AS chi_sq,
+             |  CASE WHEN ((n0 * 2 - nn) * (n0 * 2 - nn))::DOUBLE
+             |      / (nn * 2)::DOUBLE
+             |    + ((n1 * 2 - nn) * (n1 * 2 - nn))::DOUBLE / (nn * 2)::DOUBLE
+             |    > 3.841 THEN 1 ELSE 0 END::BIGINT AS srm_detected
+             |FROM c""".stripMargin))
   )
 }
