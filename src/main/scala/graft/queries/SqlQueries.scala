@@ -425,6 +425,20 @@ object SqlQueries {
              |FROM events GROUP BY 1, 2
              |ORDER BY window_start, event_type""".stripMargin)),
 
+    // UPDATE output mode as a change log: per micro-batch, only the
+    // CHANGED windows are emitted and appended with their batchId;
+    // the downstream table is latest-emission-per-key and must equal
+    // the batch aggregate — same oracle as q_stream_tumbling, so a
+    // lost or misordered update hash-fails here.
+    QueryDef("q_stream_update_mode",
+      (s, d) => graft.streaming.StreamingEtl.updateModeViaStream(s, d)
+        .orderBy(col("window_start"), col("event_type")),
+      Some("""SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
+             |  event_type, count(*) AS n,
+             |  sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
+             |FROM events GROUP BY 1, 2
+             |ORDER BY window_start, event_type""".stripMargin)),
+
     // Late-data watermark discipline: the first two days of events
     // arrive a month behind the watermark and MUST be dropped; the
     // oracle aggregates only the on-time tranche, so a stream that

@@ -259,4 +259,26 @@ class StreamingEtlSpec extends GraftSpec {
     assert(streamed === batch)
     assert(streamed.nonEmpty, "sf0.001 must contain at least one attributed pair")
   }
+
+  test("updateModeViaStream: latest-per-key == batch agg AND the change log is strictly larger") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamingEtl.updateModeViaStream(spark, dir)
+      .select(col("window_start").cast("string"), col("event_type"),
+        col("n"), col("sum_value"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).sorted.toSeq
+    val batch = StreamingEtl.tumblingCounts(
+        graft.sources.Tables.events(spark, dir))
+      .select(col("window_start").cast("string"), col("event_type"),
+        col("n"), col("sum_value"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).sorted.toSeq
+    assert(streamed === batch)
+    // the Update-mode point: windows spanning micro-batch boundaries are
+    // emitted MORE THAN ONCE along the way (superseded in the log)
+    val (logRows, finalRows) = StreamingEtl.updateModeLogStats(spark, dir)
+    assert(finalRows > 0)
+    assert(logRows > finalRows,
+      s"change log ($logRows) must exceed the final table ($finalRows) — no intermediate updates means Update mode was not exercised")
+  }
 }
