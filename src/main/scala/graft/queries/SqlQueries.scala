@@ -8523,6 +8523,195 @@ object SqlQueries {
              |  FROM r GROUP BY 1, 2)
              |SELECT event_type, bar::VARCHAR AS bar, n_ticks, open_milli,
              |  high_milli, low_milli, close_milli
-             |FROM b ORDER BY n_ticks DESC, event_type, bar LIMIT 200""".stripMargin))
+             |FROM b ORDER BY n_ticks DESC, event_type, bar LIMIT 200""".stripMargin)),
+
+    // The SQL TEXT entry point — the same engine surface through
+    // `spark.sql(...)` over registered temp views instead of the
+    // DataFrame DSL: Catalyst parses, analyzes, and optimizes the
+    // string to the identical physical plan the DSL would get (the
+    // proof is this query hash-matching its oracle like every DSL
+    // query does). A user migrating SQL workloads runs this path.
+    QueryDef("q_sql_text_api",
+      (s, d) => {
+        s.read.parquet(s"$d/orders.parquet").createOrReplaceTempView("g_orders")
+        s.read.parquet(s"$d/customer.parquet").createOrReplaceTempView("g_customer")
+        s.sql("""
+          SELECT c.c_mktsegment AS segment,
+                 count(*) AS n_orders,
+                 sum(CAST(o.o_totalprice AS DECIMAL(14,2)))
+                   AS total_price,
+                 count(DISTINCT o.o_custkey) AS n_customers
+          FROM g_orders o
+          JOIN g_customer c ON c.c_custkey = o.o_custkey
+          GROUP BY c.c_mktsegment
+          ORDER BY segment""")
+          .withColumn("total_price", col("total_price").cast("double"))
+      },
+      Some("""SELECT c.c_mktsegment AS segment, count(*) AS n_orders,
+             |  sum(CAST(o.o_totalprice AS DECIMAL(14,2)))::DOUBLE
+             |    AS total_price,
+             |  count(DISTINCT o.o_custkey)::BIGINT AS n_customers
+             |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+             |GROUP BY c.c_mktsegment ORDER BY segment""".stripMargin)),
+
+    // Cramér's V — the chi-square association normalized to [0,1] so
+    // it is comparable ACROSS tables: V = sqrt(chi2 / (n·(min(r,c)−1))).
+    // Same contingency digest as q_chisq_independence; the extra
+    // moments (row/col cardinalities) ride the same aggregation.
+    QueryDef("q_cramers_v",
+      (s, d) => {
+        val obs = graft.sources.Tables.events(s, d)
+          .groupBy(col("event_type"), dayofweek(col("ts")).as("dow"))
+          .agg(count(lit(1)).as("n"))
+        val rowT = obs.groupBy(col("event_type")).agg(sum(col("n")).as("n_row"))
+        val colT = obs.groupBy(col("dow")).agg(sum(col("n")).as("n_col"))
+        val tot = obs.agg(sum(col("n")).as("total"))
+        val dims = obs.agg(count_distinct(col("event_type")).as("r"),
+          count_distinct(col("dow")).as("c"))
+        obs.join(broadcast(rowT), "event_type")
+          .join(broadcast(colT), "dow")
+          .crossJoin(broadcast(tot))
+          .withColumn("__exp", col("n_row").cast("double") *
+            col("n_col").cast("double") / col("total").cast("double"))
+          .withColumn("__term", round((col("n").cast("double") - col("__exp")) *
+            (col("n").cast("double") - col("__exp")) / col("__exp"), 9)
+            .cast("decimal(20,9)"))
+          .agg(max(col("total")).as("n"),
+            sum(col("__term")).as("__chi"))
+          .crossJoin(broadcast(dims))
+          .select(col("n"), round(col("__chi").cast("double"), 4).as("chi_sq"),
+            round(sqrt(col("__chi").cast("double") /
+              (col("n") * (least(col("r"), col("c")) - 1)).cast("double")), 6)
+              .as("cramers_v"))
+      },
+      Some("""WITH o AS (SELECT event_type, dayofweek(ts) AS dow, count(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |r AS (SELECT event_type, sum(n)::BIGINT AS n_row FROM o GROUP BY 1),
+             |c AS (SELECT dow, sum(n)::BIGINT AS n_col FROM o GROUP BY 1),
+             |t AS (SELECT sum(n)::BIGINT AS total FROM o),
+             |dims AS (SELECT count(DISTINCT event_type)::BIGINT AS r,
+             |    count(DISTINCT dow)::BIGINT AS c FROM o),
+             |cells AS (SELECT
+             |    round((o.n::DOUBLE - r.n_row::DOUBLE * c.n_col::DOUBLE / t.total::DOUBLE)
+             |      * (o.n::DOUBLE - r.n_row::DOUBLE * c.n_col::DOUBLE / t.total::DOUBLE)
+             |      / (r.n_row::DOUBLE * c.n_col::DOUBLE / t.total::DOUBLE), 9)::DECIMAL(20,9)
+             |      AS term, t.total
+             |  FROM o JOIN r USING (event_type) JOIN c USING (dow), t),
+             |agg AS (SELECT max(total)::BIGINT AS n, sum(term) AS chi
+             |  FROM cells)
+             |SELECT n, round(chi::DOUBLE, 4) AS chi_sq,
+             |  round(sqrt(chi::DOUBLE / (n * (least(r, c) - 1))::DOUBLE), 6)
+             |    AS cramers_v
+             |FROM agg, dims""".stripMargin)),
+
+    // Cohen's d — the standardized effect size between two groups'
+    // value distributions (purchase vs click): d = (m1 − m2) / s_pooled
+    // with the pooled SD from exact milli-integer Σ/Σ² per arm (the
+    // Welch-t digest discipline; the t-test says "is it real", d says
+    // "is it big").
+    QueryDef("q_cohens_d",
+      (s, d) => {
+        val g = graft.sources.Tables.events(s, d)
+          .filter(col("event_type").isin("purchase", "click"))
+          .select(col("event_type"),
+            floor(col("value") * 1000).cast("long").as("vm"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("vm")).as("sv"),
+            sum(col("vm") * col("vm")).as("qv"))
+        g.agg(
+            sum(when(col("event_type") === "purchase", col("n"))).as("n1"),
+            sum(when(col("event_type") === "purchase", col("sv"))).as("s1"),
+            sum(when(col("event_type") === "purchase", col("qv"))).as("q1"),
+            sum(when(col("event_type") === "click", col("n"))).as("n2"),
+            sum(when(col("event_type") === "click", col("sv"))).as("s2"),
+            sum(when(col("event_type") === "click", col("qv"))).as("q2"))
+          .select(col("n1"), col("n2"),
+            round((col("s1").cast("double") / col("n1") -
+              col("s2").cast("double") / col("n2")) / lit(1000.0), 6)
+              .as("mean_diff"),
+            round(((col("s1").cast("double") / col("n1") -
+              col("s2").cast("double") / col("n2")) /
+              sqrt((
+                (col("q1").cast("double") -
+                  col("s1").cast("double") * col("s1").cast("double") / col("n1")) +
+                (col("q2").cast("double") -
+                  col("s2").cast("double") * col("s2").cast("double") / col("n2"))
+              ) / (col("n1") + col("n2") - 2).cast("double"))), 6)
+              .as("cohens_d"))
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |    floor(value * 1000)::BIGINT AS vm FROM events
+             |  WHERE event_type IN ('purchase', 'click')),
+             |g AS (SELECT event_type, count(*)::BIGINT AS n,
+             |    sum(vm)::BIGINT AS sv, sum(vm * vm)::BIGINT AS qv
+             |  FROM e GROUP BY 1),
+             |w AS (SELECT
+             |    sum(CASE WHEN event_type = 'purchase' THEN n END)::BIGINT AS n1,
+             |    sum(CASE WHEN event_type = 'purchase' THEN sv END)::BIGINT AS s1,
+             |    sum(CASE WHEN event_type = 'purchase' THEN qv END)::BIGINT AS q1,
+             |    sum(CASE WHEN event_type = 'click' THEN n END)::BIGINT AS n2,
+             |    sum(CASE WHEN event_type = 'click' THEN sv END)::BIGINT AS s2,
+             |    sum(CASE WHEN event_type = 'click' THEN qv END)::BIGINT AS q2
+             |  FROM g)
+             |SELECT n1, n2,
+             |  round((s1::DOUBLE / n1 - s2::DOUBLE / n2) / 1000.0, 6)
+             |    AS mean_diff,
+             |  round((s1::DOUBLE / n1 - s2::DOUBLE / n2)
+             |    / sqrt(((q1::DOUBLE - s1::DOUBLE * s1::DOUBLE / n1)
+             |          + (q2::DOUBLE - s2::DOUBLE * s2::DOUBLE / n2))
+             |        / (n1 + n2 - 2)::DOUBLE), 6) AS cohens_d
+             |FROM w""".stripMargin)),
+
+    // Theil's U (uncertainty coefficient) — the ASYMMETRIC categorical
+    // association: how much knowing the hour of day reduces
+    // uncertainty about the event type, U(type|hour) =
+    // (H(type) − H(type|hour)) / H(type). All entropies from the same
+    // contingency digest with rounded-term decimal sums (the
+    // user-entropy discipline); unlike Cramér's V this tells you the
+    // DIRECTION of predictability.
+    QueryDef("q_theils_u",
+      (s, d) => {
+        val obs = graft.sources.Tables.events(s, d)
+          .groupBy(col("event_type"), hour(col("ts")).as("hr"))
+          .agg(count(lit(1)).as("n")).persist()
+        val tot = obs.agg(sum(col("n")).as("nn"))
+        // H(type): marginal entropy
+        val hType = obs.groupBy(col("event_type")).agg(sum(col("n")).as("nt"))
+          .crossJoin(broadcast(tot))
+          .select(round((-(col("nt").cast("double") / col("nn")) *
+            log(col("nt").cast("double") / col("nn"))), 9)
+            .cast("decimal(20,9)").as("__t"))
+          .agg(sum(col("__t")).as("h_type"))
+        // H(type|hour): Σ_h p(h) · H(type|h), expanded per cell
+        val hCol = obs.groupBy(col("hr")).agg(sum(col("n")).as("nh"))
+        val hCond = obs.join(broadcast(hCol), "hr")
+          .crossJoin(broadcast(tot))
+          .select(round((-(col("n").cast("double") / col("nn")) *
+            log(col("n").cast("double") / col("nh"))), 9)
+            .cast("decimal(20,9)").as("__t"))
+          .agg(sum(col("__t")).as("h_cond"))
+        hType.crossJoin(hCond)
+          .select(
+            round(col("h_type").cast("double"), 6).as("h_type"),
+            round(col("h_cond").cast("double"), 6).as("h_type_given_hour"),
+            round((col("h_type") - col("h_cond")).cast("double") /
+              col("h_type").cast("double"), 6).as("theils_u"))
+      },
+      Some("""WITH o AS (SELECT event_type, hour(ts) AS hr, count(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |t AS (SELECT sum(n)::BIGINT AS nn FROM o),
+             |ht AS (SELECT sum(round(-(nt::DOUBLE / nn)
+             |      * ln(nt::DOUBLE / nn), 9)::DECIMAL(20,9)) AS h_type
+             |  FROM (SELECT event_type, sum(n)::BIGINT AS nt FROM o
+             |    GROUP BY 1), t),
+             |hh AS (SELECT hr, sum(n)::BIGINT AS nh FROM o GROUP BY 1),
+             |hc AS (SELECT sum(round(-(o.n::DOUBLE / nn)
+             |      * ln(o.n::DOUBLE / nh), 9)::DECIMAL(20,9)) AS h_cond
+             |  FROM o JOIN hh USING (hr), t)
+             |SELECT round(h_type::DOUBLE, 6) AS h_type,
+             |  round(h_cond::DOUBLE, 6) AS h_type_given_hour,
+             |  round((h_type - h_cond)::DOUBLE / h_type::DOUBLE, 6)
+             |    AS theils_u
+             |FROM ht, hc""".stripMargin))
   )
 }
