@@ -8525,6 +8525,34 @@ object SqlQueries {
              |  high_milli, low_milli, close_milli
              |FROM b ORDER BY n_ticks DESC, event_type, bar LIMIT 200""".stripMargin)),
 
+    // OHLC bars as a REAL streaming run: order-dependent open/close
+    // picks encoded as monotone struct extremes stream correctly
+    // because the state merge is associative — same oracle as the
+    // batch q_ohlc_bars, so a stream that mis-merges open or close
+    // across micro-batches hash-fails.
+    QueryDef("q_stream_ohlc",
+      (s, d) => graft.streaming.StreamingEtl.ohlcViaStream(s, d)
+        .orderBy(col("n_ticks").desc, col("event_type"), col("bar"))
+        .limit(200),
+      Some("""WITH e AS (SELECT event_type, date_trunc('hour', ts) AS bar,
+             |    epoch_us(ts) AS tus, event_id,
+             |    floor(value * 1000)::BIGINT AS vm
+             |  FROM events),
+             |r AS (SELECT event_type, bar, vm,
+             |    row_number() OVER (PARTITION BY event_type, bar
+             |      ORDER BY tus, event_id) AS rn_a,
+             |    row_number() OVER (PARTITION BY event_type, bar
+             |      ORDER BY tus DESC, event_id DESC) AS rn_z
+             |  FROM e),
+             |b AS (SELECT event_type, bar, count(*)::BIGINT AS n_ticks,
+             |    max(CASE WHEN rn_a = 1 THEN vm END)::BIGINT AS open_milli,
+             |    max(vm)::BIGINT AS high_milli, min(vm)::BIGINT AS low_milli,
+             |    max(CASE WHEN rn_z = 1 THEN vm END)::BIGINT AS close_milli
+             |  FROM r GROUP BY 1, 2)
+             |SELECT event_type, bar::VARCHAR AS bar, n_ticks, open_milli,
+             |  high_milli, low_milli, close_milli
+             |FROM b ORDER BY n_ticks DESC, event_type, bar LIMIT 200""".stripMargin)),
+
     // The SQL TEXT entry point — the same engine surface through
     // `spark.sql(...)` over registered temp views instead of the
     // DataFrame DSL: Catalyst parses, analyzes, and optimizes the

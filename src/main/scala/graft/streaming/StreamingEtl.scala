@@ -630,6 +630,29 @@ object StreamingEtl {
     result
   }
 
+  /** OHLC bar resampling as a REAL streaming run — struct-min/max
+    * aggregates (open = value at the earliest (ts, event_id), close at
+    * the latest) maintained incrementally in the window state store;
+    * the final Complete-mode table must equal the batch q_ohlc_bars.
+    * Demonstrates that ORDER-dependent picks (first/last) stream
+    * correctly when encoded as monotone struct extremes — the state
+    * merge is associative, so batch boundaries cannot change open or
+    * close. */
+  def ohlcViaStream(spark: SparkSession, dir: String): DataFrame =
+    runViaStream(spark, dir, in => in
+      .withWatermark("ts", "2 hours")
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("bar"),
+        unix_micros(col("ts")).as("tus"), col("event_id"),
+        floor(col("value") * 1000).cast("long").as("vm"))
+      .groupBy(col("event_type"), col("bar"))
+      .agg(count(lit(1)).as("n_ticks"),
+        min(struct(col("tus"), col("event_id"), col("vm"))).as("__o"),
+        max(struct(col("tus"), col("event_id"), col("vm"))).as("__c"),
+        max(col("vm")).as("high_milli"), min(col("vm")).as("low_milli"))
+      .select(col("event_type"), col("bar").cast("string").as("bar"),
+        col("n_ticks"), col("__o.vm").as("open_milli"),
+        col("high_milli"), col("low_milli"), col("__c.vm").as("close_milli")))
+
   private def runViaStream(spark: SparkSession, dir: String,
                            transform: DataFrame => DataFrame): DataFrame = {
     // unique sink name per run: memory-sink query names register temp
