@@ -8553,6 +8553,95 @@ object SqlQueries {
              |  high_milli, low_milli, close_milli
              |FROM b ORDER BY n_ticks DESC, event_type, bar LIMIT 200""".stripMargin)),
 
+    // Geometric and harmonic means per channel — the two Pythagorean
+    // means avg() ignores, both needed for rate/ratio metrics where
+    // the arithmetic mean is biased. Computed from rounded-term
+    // decimal sums of ln(x) and 1/x (the entropy-sum discipline):
+    // gm = exp(Σln x / n), hm = n / Σ(1/x); zero/negative values are
+    // excluded (domain requirement) with the exclusion COUNTED so the
+    // filter is visible in the output.
+    QueryDef("q_geo_harmonic_means",
+      (s, d) => {
+        graft.sources.Tables.events(s, d)
+          .select(col("event_type"), col("value"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("value") <= 0, 1L).otherwise(0L)).as("n_excluded"),
+            sum(when(col("value") > 0,
+              round(log(col("value")), 9).cast("decimal(20,9)"))).as("__sl"),
+            sum(when(col("value") > 0,
+              round(lit(1.0) / col("value"), 9).cast("decimal(20,9)"))).as("__si"),
+            sum(when(col("value") > 0, 1L).otherwise(0L)).as("__np"))
+          .select(col("event_type"), col("n_rows"), col("n_excluded"),
+            round(exp(col("__sl").cast("double") / col("__np")), 6)
+              .as("geometric_mean"),
+            round(col("__np").cast("double") / col("__si").cast("double"), 6)
+              .as("harmonic_mean"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (SELECT event_type, value FROM events)
+             |SELECT event_type, count(*)::BIGINT AS n_rows,
+             |  sum(CASE WHEN value <= 0 THEN 1 ELSE 0 END)::BIGINT
+             |    AS n_excluded,
+             |  round(exp(sum(CASE WHEN value > 0 THEN
+             |      round(ln(value), 9)::DECIMAL(20,9) END)::DOUBLE
+             |    / sum(CASE WHEN value > 0 THEN 1 ELSE 0 END)), 6)
+             |    AS geometric_mean,
+             |  round(sum(CASE WHEN value > 0 THEN 1 ELSE 0 END)::DOUBLE
+             |    / sum(CASE WHEN value > 0 THEN
+             |        round(1.0 / value, 9)::DECIMAL(20,9) END)::DOUBLE, 6)
+             |    AS harmonic_mean
+             |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Boxplot five-number summary + Tukey fences per channel — the
+    // whisker plot as a table: exact quartiles (one per-group digest),
+    // 1.5-IQR fences, and the outlier counts beyond each fence
+    // (broadcast-back second pass, the winsorize plan shape). The
+    // at-scale switch is the approx-percentile digest twin; the
+    // fence-count pass is unchanged.
+    QueryDef("q_boxplot_fences",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+        val q = ev.groupBy(col("event_type"))
+          .agg(graft.functions.ExactPercentile
+            .percentiles(col("value"), Seq(0.0, 0.25, 0.5, 0.75, 1.0)).as("__q"))
+          .select(col("event_type"),
+            col("__q").getItem(0).as("lo"), col("__q").getItem(1).as("q1"),
+            col("__q").getItem(2).as("med"), col("__q").getItem(3).as("q3"),
+            col("__q").getItem(4).as("hi"))
+        ev.join(broadcast(q), "event_type")
+          .groupBy(col("event_type"))
+          .agg(max(round(col("lo"), 4)).as("min_v"),
+            max(round(col("q1"), 4)).as("q1"),
+            max(round(col("med"), 4)).as("median"),
+            max(round(col("q3"), 4)).as("q3"),
+            max(round(col("hi"), 4)).as("max_v"),
+            sum(when(col("value") <
+              col("q1") - (col("q3") - col("q1")) * 1.5, 1L).otherwise(0L))
+              .as("n_low_outliers"),
+            sum(when(col("value") >
+              col("q3") + (col("q3") - col("q1")) * 1.5, 1L).otherwise(0L))
+              .as("n_high_outliers"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH q AS (SELECT event_type,
+             |    quantile_cont(value, 0.00) AS lo,
+             |    quantile_cont(value, 0.25) AS q1,
+             |    quantile_cont(value, 0.50) AS med,
+             |    quantile_cont(value, 0.75) AS q3,
+             |    quantile_cont(value, 1.00) AS hi
+             |  FROM events GROUP BY 1)
+             |SELECT e.event_type,
+             |  max(round(lo, 4)) AS min_v, max(round(q1, 4)) AS q1,
+             |  max(round(med, 4)) AS median, max(round(q3, 4)) AS q3,
+             |  max(round(hi, 4)) AS max_v,
+             |  sum(CASE WHEN e.value < q.q1 - (q.q3 - q.q1) * 1.5
+             |    THEN 1 ELSE 0 END)::BIGINT AS n_low_outliers,
+             |  sum(CASE WHEN e.value > q.q3 + (q.q3 - q.q1) * 1.5
+             |    THEN 1 ELSE 0 END)::BIGINT AS n_high_outliers
+             |FROM events e JOIN q USING (event_type)
+             |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)),
+
     // The SQL TEXT entry point — the same engine surface through
     // `spark.sql(...)` over registered temp views instead of the
     // DataFrame DSL: Catalyst parses, analyzes, and optimizes the
