@@ -8642,6 +8642,33 @@ object SqlQueries {
              |FROM events e JOIN q USING (event_type)
              |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)),
 
+    // The engine's CUSTOM Catalyst expressions through the SQL TEXT
+    // surface — `graft_bow_md5` (and 15 siblings) are registered via
+    // SparkSessionExtensions.injectFunction, so a pure-SQL user gets
+    // the same fused kernels the DSL uses. This query runs an exact
+    // bag-of-words dedup entirely as a SQL string and must hash-match
+    // the DuckDB spelling of the same fingerprint — proving the
+    // injected function computes the documented, engine-portable
+    // value, not something private to the DSL path.
+    QueryDef("q_sql_custom_funcs",
+      (s, d) => {
+        s.read.parquet(s"$d/documents.parquet")
+          .createOrReplaceTempView("g_documents")
+        s.sql("""
+          SELECT doc_id, graft_bow_md5(text) AS bow_md5,
+                 count(*) OVER (PARTITION BY graft_bow_md5(text))
+                   AS group_size
+          FROM g_documents ORDER BY doc_id""")
+          .withColumn("group_size", col("group_size").cast("long"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    md5(array_to_string(list_sort(list_distinct(
+             |      string_split(lower(text), ' '))), ' ')) AS bow_md5
+             |  FROM documents)
+             |SELECT doc_id, bow_md5,
+             |  (count(*) OVER (PARTITION BY bow_md5))::BIGINT AS group_size
+             |FROM t ORDER BY doc_id""".stripMargin)),
+
     // The SQL TEXT entry point — the same engine surface through
     // `spark.sql(...)` over registered temp views instead of the
     // DataFrame DSL: Catalyst parses, analyzes, and optimizes the
