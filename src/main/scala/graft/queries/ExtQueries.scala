@@ -1100,6 +1100,51 @@ object ExtQueries {
              |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
              |FROM c GROUP BY 1 ORDER BY bin""".stripMargin)),
 
+    // Packing-efficiency report — the number that justifies (or
+    // indicts) the packer: per-bin fill rate against the 2048-token
+    // budget rolled up to one row of fleet stats (bins, mean/min fill
+    // ppm, how many bins are <75% full). Same pack as pipe_seq_pack;
+    // the report is a second tiny rollup on the bin digest. A mean
+    // fill near 1e6 means dense batches; a fat under-75% tail means
+    // the curriculum/order needs re-bucketing.
+    QueryDef("pipe_pack_efficiency",
+      (s, d) => {
+        val bins = TextAnalysis.packBins(
+            s.read.parquet(s"$d/documents.parquet"),
+            orderCol = "doc_id",
+            weight = TextAnalysis.bpeishTokenCount(col("text")),
+            budget = 2048L,
+            bucketExpr = expr("doc_id div 256"))
+          .groupBy(col("bin"))
+          .agg(sum(col("pack_weight")).as("fill"))
+        bins.agg(count(lit(1)).as("n_bins"),
+            sum(col("fill")).as("total_tokens"),
+            sum(expr("fill * 1000000 div 2048")).as("__fp"),
+            min(expr("fill * 1000000 div 2048")).as("min_fill_ppm"),
+            sum(when(expr("fill * 1000000 div 2048") < 750000, 1L)
+              .otherwise(0L)).as("n_underfull"))
+          .select(col("n_bins"), col("total_tokens"),
+            expr("__fp div n_bins").as("mean_fill_ppm"),
+            col("min_fill_ppm"), col("n_underfull"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS w
+             |  FROM documents),
+             |c AS (SELECT doc_id, w,
+             |    coalesce(sum(w) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+             |  FROM t),
+             |b AS (SELECT (cb // 2048)::BIGINT AS bin, sum(w)::BIGINT AS fill
+             |  FROM c GROUP BY 1)
+             |SELECT count(*)::BIGINT AS n_bins,
+             |  sum(fill)::BIGINT AS total_tokens,
+             |  (sum(fill * 1000000 // 2048) // count(*))::BIGINT
+             |    AS mean_fill_ppm,
+             |  min(fill * 1000000 // 2048)::BIGINT AS min_fill_ppm,
+             |  sum(CASE WHEN fill * 1000000 // 2048 < 750000
+             |    THEN 1 ELSE 0 END)::BIGINT AS n_underfull
+             |FROM b""".stripMargin)),
+
     // Deterministic global shuffle + sharding: order by a salted hash
     // of the id (the reproducible stand-in for rand()), shard by hash
     // mod 64, position within shard by a window PARTITIONED by shard —
