@@ -1145,6 +1145,109 @@ object ExtQueries {
              |    THEN 1 ELSE 0 END)::BIGINT AS n_underfull
              |FROM b""".stripMargin)),
 
+    // Vocabulary growth curve (Heaps' law observed) — vocab size at 10
+    // corpus-prefix checkpoints, from the FIRST-APPEARANCE digest:
+    // each term contributes min(doc_id), and the curve is 10
+    // conditional counts over that digest — never 10 rescans of the
+    // corpus. Sub-linear growth is the expected Heaps shape; a linear
+    // curve screams synthetic/templated text to a data auditor.
+    QueryDef("corpus_vocab_growth",
+      (s, d) => {
+        val docs = s.read.parquet(s"$d/documents.parquet")
+        val firstDoc = docs
+          .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+          .groupBy(col("term")).agg(min(col("doc_id")).as("first_doc"))
+        val maxId = docs.agg(max(col("doc_id")).as("mx"))
+        val ck = s.range(1, 11).select(col("id").as("decile"))
+          .crossJoin(broadcast(maxId))
+          .select(col("decile"), expr("(mx + 1) * decile div 10").as("cutoff"))
+        firstDoc.crossJoin(broadcast(ck))
+          .groupBy(col("decile"), col("cutoff"))
+          .agg(sum(when(col("first_doc") < col("cutoff"), 1L).otherwise(0L))
+            .as("vocab_cum"))
+          .orderBy(col("decile"))
+      },
+      Some("""WITH fd AS (SELECT term, min(doc_id) AS first_doc FROM (
+             |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+             |    FROM documents) GROUP BY 1),
+             |mx AS (SELECT max(doc_id) AS mx FROM documents),
+             |ck AS (SELECT d.decile, (mx + 1) * d.decile // 10 AS cutoff
+             |  FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10))
+             |    d(decile), mx)
+             |SELECT decile::BIGINT AS decile, cutoff::BIGINT AS cutoff,
+             |  sum(CASE WHEN first_doc < cutoff THEN 1 ELSE 0 END)::BIGINT
+             |    AS vocab_cum
+             |FROM fd CROSS JOIN ck
+             |GROUP BY decile, cutoff ORDER BY decile""".stripMargin)),
+
+    // LSH banding sensitivity — the operating-characteristic audit
+    // behind the 4x4 banding choice: candidate pairs under 4 bands x 4
+    // rows (high precision) vs 8 bands x 2 rows (high recall) from the
+    // SAME 16-minhash signature, counted as only-A / only-B / both.
+    // 8x2 must dominate (a 4-row band match implies both 2-row
+    // halves match, so A ⊆ B and only_a = 0 BY CONSTRUCTION — its
+    // presence in the output makes the containment law
+    // driver-checkable); the size of only_b is the recall the 4x4
+    // config gives up.
+    QueryDef("dedup_banding_sensitivity",
+      (s, d) => {
+        val sets = Dedup.shingleSets(
+          s.read.parquet(s"$d/documents.parquet"), "doc_id", "text")
+        def pairsOf(bands: Int, rpb: Int) =
+          Dedup.bandedSignatures(sets, "doc_id", bands, rpb)
+            .select(col("doc_id"), col("__band"), col("__bandkey"))
+            .as("l")
+            .join(Dedup.bandedSignatures(sets, "doc_id", bands, rpb)
+              .select(col("doc_id").as("id_b"), col("__band"), col("__bandkey"))
+              .as("r"), Seq("__band", "__bandkey"))
+            .filter(col("doc_id") < col("id_b"))
+            .select(col("doc_id").as("id_a"), col("id_b")).distinct()
+        val a = pairsOf(4, 4).withColumn("in_a", lit(1L))
+        val b = pairsOf(8, 2).withColumn("in_b", lit(1L))
+        a.join(b, Seq("id_a", "id_b"), "full_outer")
+          .agg(
+            sum(when(col("in_a").isNotNull && col("in_b").isNull, 1L)
+              .otherwise(0L)).as("only_4x4"),
+            sum(when(col("in_a").isNull && col("in_b").isNotNull, 1L)
+              .otherwise(0L)).as("only_8x2"),
+            sum(when(col("in_a").isNotNull && col("in_b").isNotNull, 1L)
+              .otherwise(0L)).as("both"))
+      },
+      Some(s"""WITH $shingleCte,
+              |hs AS (SELECT doc_id, list_transform(sh, s -> ${dkHash60("s")} % $P) AS hs
+              |       FROM sh WHERE len(sh) > 0),
+              |mh AS (SELECT doc_id,
+              |  ${(0 until 16).map(j => s"list_min(list_transform(hs, h -> (${Dedup.PermA(j)} * h + ${Dedup.PermB(j)}) % $P)) AS mh_$j").mkString(",\n  ")}
+              |FROM hs),
+              |bands4 AS (
+              |  ${(0 until 4).map { bnd =>
+                   val key = (0 until 4).map(r => s"mh_${bnd * 4 + r}").mkString("concat_ws(',', ", ", ", ")")
+                   s"SELECT doc_id, $bnd AS band, $key AS bandkey FROM mh"
+                 }.mkString("\n  UNION ALL ")}
+              |),
+              |bands8 AS (
+              |  ${(0 until 8).map { bnd =>
+                   val key = (0 until 2).map(r => s"mh_${bnd * 2 + r}").mkString("concat_ws(',', ", ", ", ")")
+                   s"SELECT doc_id, $bnd AS band, $key AS bandkey FROM mh"
+                 }.mkString("\n  UNION ALL ")}
+              |),
+              |pa AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM bands4 a JOIN bands4 b
+              |    ON a.band = b.band AND a.bandkey = b.bandkey
+              |    AND a.doc_id < b.doc_id),
+              |pb AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM bands8 a JOIN bands8 b
+              |    ON a.band = b.band AND a.bandkey = b.bandkey
+              |    AND a.doc_id < b.doc_id)
+              |SELECT
+              |  sum(CASE WHEN pa.id_a IS NOT NULL AND pb.id_a IS NULL
+              |    THEN 1 ELSE 0 END)::BIGINT AS only_4x4,
+              |  sum(CASE WHEN pa.id_a IS NULL AND pb.id_a IS NOT NULL
+              |    THEN 1 ELSE 0 END)::BIGINT AS only_8x2,
+              |  sum(CASE WHEN pa.id_a IS NOT NULL AND pb.id_a IS NOT NULL
+              |    THEN 1 ELSE 0 END)::BIGINT AS both
+              |FROM pa FULL OUTER JOIN pb USING (id_a, id_b)""".stripMargin)),
+
     // Deterministic global shuffle + sharding: order by a salted hash
     // of the id (the reproducible stand-in for rand()), shard by hash
     // mod 64, position within shard by a window PARTITIONED by shard —
