@@ -1248,6 +1248,24 @@ object ExtQueries {
               |    THEN 1 ELSE 0 END)::BIGINT AS both
               |FROM pa FULL OUTER JOIN pb USING (id_a, id_b)""".stripMargin)),
 
+    // IVF cell-occupancy histogram — the quantizer-balance audit: a
+    // skewed assignment means some probes scan half the corpus while
+    // others scan nothing (ANN latency becomes the max cell, not the
+    // mean). One count over the memoized assignment; the oracle
+    // replays the identical deterministic k-means, so the cell ids
+    // themselves must match, not just the shape.
+    QueryDef("emb_cell_occupancy",
+      (s, d) => {
+        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        Similarity.cellAssignments(emb, centroidsOf(s, d))
+          .groupBy(col("cell").cast("long").as("cell"))
+          .agg(count(lit(1)).as("n_vecs"))
+          .orderBy(col("cell"))
+      },
+      Some(s"""WITH ${ivfCtes(nProbe = 4)}
+              |SELECT cell::BIGINT AS cell, count(*)::BIGINT AS n_vecs
+              |FROM af GROUP BY 1 ORDER BY cell""".stripMargin)),
+
     // Deterministic global shuffle + sharding: order by a salted hash
     // of the id (the reproducible stand-in for rand()), shard by hash
     // mod 64, position within shard by a window PARTITIONED by shard —
