@@ -8553,6 +8553,56 @@ object SqlQueries {
              |  high_milli, low_milli, close_milli
              |FROM b ORDER BY n_ticks DESC, event_type, bar LIMIT 200""".stripMargin)),
 
+    // Daily bounce rate — the share of sessions that never got a
+    // second event, per session-start day: the engagement-quality
+    // metric next to session duration. Rides the q_sessionize window
+    // machinery; the rollup is a conditional count on the session
+    // digest.
+    QueryDef("q_bounce_rate",
+      (s, d) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        graft.sources.Tables.events(s, d)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L,
+              1L).otherwise(0L))
+          .withColumn("session_id", sum(col("new_session"))
+            .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+            to_date(min(col("ts"))).as("day"))
+          .groupBy(col("day"))
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounce"))
+          .withColumn("bounce_ppm", expr("n_bounce * 1000000 div n_sessions"))
+          .select(col("day").cast("string").as("day"), col("n_sessions"),
+            col("n_bounce"), col("bounce_ppm"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             |         THEN 1 ELSE 0 END AS new_session
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (
+             |  SELECT user_id, ts,
+             |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+             |      AS session_id
+             |  FROM g),
+             |sess AS (SELECT user_id, session_id, count(*) AS n_events,
+             |    min(ts)::DATE AS day
+             |  FROM s GROUP BY 1, 2)
+             |SELECT day::VARCHAR AS day, count(*)::BIGINT AS n_sessions,
+             |  sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::BIGINT
+             |    AS n_bounce,
+             |  (sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000
+             |    // count(*))::BIGINT AS bounce_ppm
+             |FROM sess GROUP BY day ORDER BY day""".stripMargin)),
+
     // Geometric and harmonic means per channel — the two Pythagorean
     // means avg() ignores, both needed for rate/ratio metrics where
     // the arithmetic mean is biased. Computed from rounded-term
