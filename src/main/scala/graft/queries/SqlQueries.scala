@@ -8553,6 +8553,108 @@ object SqlQueries {
              |  high_milli, low_milli, close_milli
              |FROM b ORDER BY n_ticks DESC, event_type, bar LIMIT 200""".stripMargin)),
 
+    // Tukey HSD post-hoc — AFTER q_anova_f says "some group differs",
+    // this says WHICH pairs: all 10 channel pairs against the
+    // studentized-range honest significant difference, using the
+    // pooled within-group variance from the same per-group integer
+    // digests (milli-quantized Σ/Σ²). q(k=5, df=inf, alpha=.05)=3.858
+    // is a fixed literal in both engines; everything else is digest
+    // algebra.
+    QueryDef("q_tukey_hsd",
+      (s, d) => {
+        val g = graft.sources.Tables.events(s, d)
+          .select(col("event_type"),
+            floor(col("value") * 1000).cast("long").as("vm"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("vm")).as("sv"),
+            sum(col("vm") * col("vm")).as("qv"))
+          .persist()
+        val msw = g.agg(
+            (sum(col("qv").cast("double")) -
+              sum(col("sv").cast("double") * col("sv").cast("double") /
+                col("n").cast("double"))).as("ssw"),
+            (sum(col("n")) - count(lit(1))).as("dfw"))
+          .select((col("ssw") / col("dfw").cast("double")).as("msw"))
+        val a = g.select(col("event_type").as("g_a"), col("n").as("n_a"),
+          (col("sv").cast("double") / col("n")).as("m_a"))
+        val b = g.select(col("event_type").as("g_b"), col("n").as("n_b"),
+          (col("sv").cast("double") / col("n")).as("m_b"))
+        a.join(b, col("g_a") < col("g_b")).crossJoin(broadcast(msw))
+          .select(col("g_a"), col("g_b"),
+            round(abs(col("m_a") - col("m_b")) / lit(1000.0), 6)
+              .as("mean_diff"),
+            round(lit(3.858) * sqrt(col("msw") / 2.0 *
+              (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))) / lit(1000.0), 6)
+              .as("hsd"),
+            when(abs(col("m_a") - col("m_b")) >
+              lit(3.858) * sqrt(col("msw") / 2.0 *
+                (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 1L)
+              .otherwise(0L).as("significant"))
+          .orderBy(col("g_a"), col("g_b"))
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |    floor(value * 1000)::BIGINT AS vm FROM events),
+             |g AS (SELECT event_type, count(*)::BIGINT AS n,
+             |    sum(vm)::BIGINT AS sv, sum(vm * vm)::BIGINT AS qv
+             |  FROM e GROUP BY 1),
+             |m AS (SELECT (sum(qv::DOUBLE)
+             |      - sum(sv::DOUBLE * sv::DOUBLE / n::DOUBLE))
+             |    / (sum(n) - count(*))::DOUBLE AS msw FROM g)
+             |SELECT a.event_type AS g_a, b.event_type AS g_b,
+             |  round(abs(a.sv::DOUBLE / a.n - b.sv::DOUBLE / b.n) / 1000.0, 6)
+             |    AS mean_diff,
+             |  round(3.858 * sqrt(msw / 2.0 * (1.0 / a.n + 1.0 / b.n))
+             |    / 1000.0, 6) AS hsd,
+             |  CASE WHEN abs(a.sv::DOUBLE / a.n - b.sv::DOUBLE / b.n)
+             |    > 3.858 * sqrt(msw / 2.0 * (1.0 / a.n + 1.0 / b.n))
+             |    THEN 1 ELSE 0 END::BIGINT AS significant
+             |FROM g a JOIN g b ON a.event_type < b.event_type, m
+             |ORDER BY g_a, g_b""".stripMargin)),
+
+    // Cross-engine table checksums — the data-integrity manifest a
+    // migration signs off against: per table, an ORDER-INDEPENDENT
+    // content fingerprint (sum of 60-bit md5 row hashes over the
+    // business key columns, mod 2^61-1) plus the row count. Any
+    // engine, any partitioning, any row order produces the same two
+    // numbers per table — which is the whole point; this query IS the
+    // "did the copy lose rows" audit.
+    QueryDef("io_table_checksums",
+      (s, d) => {
+        import graft.ext.Dedup.strHash60
+        val M = 2305843009213693951L // 2^61 - 1
+        def ck(df: org.apache.spark.sql.DataFrame, name: String,
+               key: org.apache.spark.sql.Column) =
+          df.select(pmod(strHash60(key), lit(M)).as("h"))
+            .agg(count(lit(1)).as("n_rows"),
+              pmod(sum(col("h").cast("decimal(38,0)")).cast("decimal(38,0)"),
+                lit(M).cast("decimal(38,0)")).cast("long").as("checksum"))
+            .select(lit(name).as("table_name"), col("n_rows"), col("checksum"))
+        val ev = ck(graft.sources.Tables.events(s, d), "events",
+          concat_ws("|", col("event_id"), unix_micros(col("ts")),
+            col("user_id"), col("event_type")))
+        val ord = ck(s.read.parquet(s"$d/orders.parquet"), "orders",
+          concat_ws("|", col("o_orderkey"), col("o_custkey")))
+        val cust = ck(s.read.parquet(s"$d/customer.parquet"), "customer",
+          concat_ws("|", col("c_custkey"), col("c_nationkey")))
+        ev.unionByName(ord).unionByName(cust).orderBy(col("table_name"))
+      },
+      Some(s"""WITH ev AS (SELECT 'events' AS table_name,
+              |    count(*)::BIGINT AS n_rows,
+              |    (sum((${dkHash60s("event_id::VARCHAR||'|'||epoch_us(ts)::VARCHAR||'|'||user_id::VARCHAR||'|'||event_type")} % 2305843009213693951)::HUGEINT)
+              |      % 2305843009213693951)::BIGINT AS checksum
+              |  FROM events),
+              |o AS (SELECT 'orders' AS table_name, count(*)::BIGINT AS n_rows,
+              |    (sum((${dkHash60s("o_orderkey::VARCHAR||'|'||o_custkey::VARCHAR")} % 2305843009213693951)::HUGEINT)
+              |      % 2305843009213693951)::BIGINT AS checksum
+              |  FROM orders),
+              |c AS (SELECT 'customer' AS table_name, count(*)::BIGINT AS n_rows,
+              |    (sum((${dkHash60s("c_custkey::VARCHAR||'|'||c_nationkey::VARCHAR")} % 2305843009213693951)::HUGEINT)
+              |      % 2305843009213693951)::BIGINT AS checksum
+              |  FROM customer)
+              |SELECT * FROM c UNION ALL SELECT * FROM ev
+              |UNION ALL SELECT * FROM o
+              |ORDER BY table_name""".stripMargin)),
+
     // Daily bounce rate — the share of sessions that never got a
     // second event, per session-start day: the engagement-quality
     // metric next to session duration. Rides the q_sessionize window
