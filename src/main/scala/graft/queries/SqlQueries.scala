@@ -8553,6 +8553,100 @@ object SqlQueries {
              |  high_milli, low_milli, close_milli
              |FROM b ORDER BY n_ticks DESC, event_type, bar LIMIT 200""".stripMargin)),
 
+    // Lagged feature matrix — the supervised-learning feature-prep
+    // shape: per event (for a deterministic user slice), the previous
+    // three values, the delta, and the trailing-3 mean, all CAUSAL
+    // (strictly past rows — the leakage-safe frame). One per-user
+    // window partitioning serves every column; milli-quantized so the
+    // matrix is exact integers.
+    QueryDef("feat_lag_matrix",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        graft.sources.Tables.events(s, d)
+          .filter(col("user_id") < 10)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            floor(col("value") * 1000).cast("long").as("vm"))
+          .withColumn("lag1", lag(col("vm"), 1).over(w))
+          .withColumn("lag2", lag(col("vm"), 2).over(w))
+          .withColumn("lag3", lag(col("vm"), 3).over(w))
+          .withColumn("delta1", col("vm") - col("lag1"))
+          .withColumn("trail3_mean_milli",
+            expr("(lag1 + lag2 + lag3) div 3"))
+          .drop("ts")
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, ts,
+             |    floor(value * 1000)::BIGINT AS vm FROM events
+             |  WHERE user_id < 10),
+             |l AS (SELECT user_id, event_id, vm,
+             |    lag(vm, 1) OVER w AS lag1, lag(vm, 2) OVER w AS lag2,
+             |    lag(vm, 3) OVER w AS lag3
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+             |SELECT user_id, event_id, vm, lag1, lag2, lag3,
+             |  (vm - lag1)::BIGINT AS delta1,
+             |  ((lag1 + lag2 + lag3) // 3)::BIGINT AS trail3_mean_milli
+             |FROM l ORDER BY user_id, event_id""".stripMargin)),
+
+    // Fleiss' kappa — inter-annotator agreement generalized to THREE
+    // deterministic raters (chars >= 250, tokens >= 60, stopword hits
+    // >= 8): per-doc category counts n_i1/n_i0, P_i agreement, and the
+    // chance-corrected kappa, all exact integer digests to two final
+    // divisions. The 2-rater Cohen's query grades pairwise; this
+    // grades the panel.
+    QueryDef("pipe_fleiss_kappa",
+      (s, d) => {
+        val lab = s.read.parquet(s"$d/documents.parquet")
+          .select(
+            when(col("n_chars") >= 250, 1L).otherwise(0L).as("a"),
+            when(size(graft.ext.TextAnalysis.tokens(col("text"))) >= 60, 1L)
+              .otherwise(0L).as("b"),
+            when(size(filter(graft.ext.TextAnalysis.tokens(col("text")),
+              t => t.isin(graft.ext.TextAnalysis.Stopwords: _*))) >= 8, 1L)
+              .otherwise(0L).as("c"))
+          .select((col("a") + col("b") + col("c")).as("n_pos"))
+        // per doc: pairs agreeing = C(n_pos,2) + C(3-n_pos,2); n=3 raters
+        lab.agg(count(lit(1)).as("n_docs"),
+            sum(col("n_pos")).as("tot_pos"),
+            sum(col("n_pos") * (col("n_pos") - 1) +
+              (lit(3) - col("n_pos")) * (lit(2) - col("n_pos")))
+              .as("agree2"))
+          .select(col("n_docs"), col("tot_pos"),
+            round(col("agree2").cast("double") / (col("n_docs") * 6)
+              .cast("double"), 6).as("p_bar"),
+            round({
+              val pbar = col("agree2").cast("double") /
+                (col("n_docs") * 6).cast("double")
+              val p1 = col("tot_pos").cast("double") /
+                (col("n_docs") * 3).cast("double")
+              val pe = lit(1.0) - lit(2.0) * p1 * (lit(1.0) - p1)
+              (pbar - pe) / (lit(1.0) - pe)
+            }, 6).as("fleiss_kappa"))
+      },
+      Some("""WITH lab AS (SELECT
+             |    (CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END
+             |     + CASE WHEN len(string_split(lower(text), ' ')) >= 60
+             |         THEN 1 ELSE 0 END
+             |     + CASE WHEN len(list_filter(string_split(lower(text), ' '),
+             |         t -> list_contains(['the','a','an','of','and','to','in',
+             |           'is','on','for','with','at'], t))) >= 8
+             |         THEN 1 ELSE 0 END)::BIGINT AS n_pos
+             |  FROM documents),
+             |ag AS (SELECT count(*)::BIGINT AS n_docs,
+             |    sum(n_pos)::BIGINT AS tot_pos,
+             |    sum(n_pos * (n_pos - 1) + (3 - n_pos) * (2 - n_pos))::BIGINT
+             |      AS agree2
+             |  FROM lab)
+             |SELECT n_docs, tot_pos,
+             |  round(agree2::DOUBLE / (n_docs * 6)::DOUBLE, 6) AS p_bar,
+             |  round((agree2::DOUBLE / (n_docs * 6)::DOUBLE
+             |      - (1.0 - 2.0 * (tot_pos::DOUBLE / (n_docs * 3)::DOUBLE)
+             |        * (1.0 - tot_pos::DOUBLE / (n_docs * 3)::DOUBLE)))
+             |    / (1.0 - (1.0 - 2.0 * (tot_pos::DOUBLE / (n_docs * 3)::DOUBLE)
+             |        * (1.0 - tot_pos::DOUBLE / (n_docs * 3)::DOUBLE))), 6)
+             |    AS fleiss_kappa
+             |FROM ag""".stripMargin)),
+
     // Tukey HSD post-hoc — AFTER q_anova_f says "some group differs",
     // this says WHICH pairs: all 10 channel pairs against the
     // studentized-range honest significant difference, using the
