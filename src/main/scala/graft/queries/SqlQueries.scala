@@ -8553,6 +8553,50 @@ object SqlQueries {
              |  high_milli, low_milli, close_milli
              |FROM b ORDER BY n_ticks DESC, event_type, bar LIMIT 200""".stripMargin)),
 
+    // Volume-weighted average price per ship month — the weighted-mean
+    // aggregate where the weight is a second fact column (plain avg of
+    // prices over-counts small lots): Σ(price·qty)/Σqty in exact
+    // decimals, one shuffle on the month grain.
+    QueryDef("q_vwap_monthly",
+      (s, d) => {
+        s.read.parquet(s"$d/lineitem.parquet")
+          .select(date_trunc("month", col("l_shipdate")).as("ship_month"),
+            col("l_quantity").cast("decimal(12,2)").as("qty"),
+            col("l_extendedprice").cast("decimal(12,2)").as("price"))
+          .groupBy(col("ship_month"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(col("qty")).cast("double").as("sum_qty"),
+            (sum(col("price") * col("qty")) / sum(col("qty")))
+              .cast("double").as("vwap"))
+          .select(col("ship_month").cast("string").as("ship_month"),
+            col("n_lines"), col("sum_qty"), round(col("vwap"), 4).as("vwap"))
+          .orderBy(col("ship_month"))
+      },
+      Some("""SELECT date_trunc('month', l_shipdate)::TIMESTAMP::VARCHAR
+             |    AS ship_month,
+             |  count(*)::BIGINT AS n_lines,
+             |  sum(l_quantity::DECIMAL(12,2))::DOUBLE AS sum_qty,
+             |  round((sum(l_extendedprice::DECIMAL(12,2)
+             |      * l_quantity::DECIMAL(12,2))
+             |    / sum(l_quantity::DECIMAL(12,2)))::DOUBLE, 4) AS vwap
+             |FROM lineitem GROUP BY 1 ORDER BY ship_month""".stripMargin)),
+
+    // Order width distribution — how many orders have k line items:
+    // the fact-table shape statistic that sizes the orders↔lineitem
+    // join (a fat tail means skewed join keys). Two stacked
+    // aggregations, both with map-side partials.
+    QueryDef("q_order_width_hist",
+      (s, d) => {
+        s.read.parquet(s"$d/lineitem.parquet")
+          .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_lines"))
+          .groupBy(col("n_lines")).agg(count(lit(1)).as("n_orders"))
+          .orderBy(col("n_lines"))
+      },
+      Some("""WITH w AS (SELECT l_orderkey, count(*)::BIGINT AS n_lines
+             |  FROM lineitem GROUP BY 1)
+             |SELECT n_lines, count(*)::BIGINT AS n_orders
+             |FROM w GROUP BY 1 ORDER BY n_lines""".stripMargin)),
+
     // Lagged feature matrix — the supervised-learning feature-prep
     // shape: per event (for a deterministic user slice), the previous
     // three values, the delta, and the trailing-3 mean, all CAUSAL
