@@ -49,6 +49,47 @@ object RefQueries {
       |g AS (SELECT lo + unnest(range(0, n)) * 60000000 AS tick_us FROM w2),
       |e AS (SELECT ts, max(value) AS value FROM events GROUP BY ts)""".stripMargin
 
+  /** The synchronized-frame CTE chain (grid + nearest as-of halves +
+    * event one-hot pivot) shared by the flagship oracle and the
+    * sensor-fusion query built on the same frame. Ends with CTEs
+    * g/cn/mn/p in scope. */
+  private val syncFrameCtes: String =
+    """ca AS (SELECT ts, max(value) AS value FROM events WHERE user_id % 2 = 0 GROUP BY ts),
+             |mo AS (SELECT ts, max(value) AS value FROM events WHERE user_id % 2 = 1 GROUP BY ts),
+             |w2 AS (SELECT greatest((SELECT epoch_us(min(ts)) FROM ca), (SELECT epoch_us(min(ts)) FROM mo)) AS lo,
+             |              least((SELECT epoch_us(max(ts)) FROM ca), (SELECT epoch_us(max(ts)) FROM mo)) AS hi),
+             |w3 AS (SELECT lo, hi, (hi - lo) // 60000000 + 1 AS n FROM w2),
+             |g AS (SELECT lo + unnest(range(0, n)) * 60000000 AS tick_us FROM w3),
+             |cp AS (SELECT g.tick_us, e.ts AS pts, e.value AS pv FROM g ASOF LEFT JOIN ca e ON make_timestamp(g.tick_us) >= e.ts),
+             |cb AS (SELECT g.tick_us, e.ts AS bts, e.value AS bv FROM g ASOF LEFT JOIN ca e ON make_timestamp(g.tick_us) <= e.ts),
+             |cn AS (SELECT cp.tick_us,
+             |        CASE WHEN pts IS NULL OR (bts IS NOT NULL
+             |              AND epoch_us(bts) - cp.tick_us <= cp.tick_us - epoch_us(pts))
+             |             THEN bv ELSE pv END AS camera_value
+             |       FROM cp JOIN cb USING (tick_us)),
+             |mp AS (SELECT g.tick_us, e.ts AS pts, e.value AS pv FROM g ASOF LEFT JOIN mo e ON make_timestamp(g.tick_us) >= e.ts),
+             |mb AS (SELECT g.tick_us, e.ts AS bts, e.value AS bv FROM g ASOF LEFT JOIN mo e ON make_timestamp(g.tick_us) <= e.ts),
+             |mn AS (SELECT mp.tick_us,
+             |        CASE WHEN pts IS NULL OR (bts IS NOT NULL
+             |              AND epoch_us(bts) - mp.tick_us <= mp.tick_us - epoch_us(pts))
+             |             THEN bv ELSE pv END AS motion_value
+             |       FROM mp JOIN mb USING (tick_us)),
+             |c2 AS (SELECT e.ts, e.event_type,
+             |        w3.lo + LEAST(w3.n - 1, GREATEST(0,
+             |          CAST(ceil((epoch_us(e.ts) - w3.lo - 30000000) / 60000000.0) AS BIGINT)
+             |        )) * 60000000 AS tick_us
+             |       FROM events e, w3),
+             |h AS (SELECT DISTINCT tick_us, event_type FROM c2
+             |      WHERE abs(epoch_us(ts) - tick_us) < 10000000),
+             |p AS (SELECT tick_us,
+             |        max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS event_click,
+             |        max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS event_error,
+             |        max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS event_purchase,
+             |        max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS event_signup,
+             |        max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS event_view
+             |      FROM h GROUP BY tick_us)"""
+      .stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // F1 — drop rows with any missing (NULL-or-NaN) value, app.py:108.
@@ -349,40 +390,7 @@ object RefQueries {
           eventTypes = Some(EventTypes), tieCol = Some("value"))
         out.orderBy(col("timestamp"))
       },
-      Some("""WITH ca AS (SELECT ts, max(value) AS value FROM events WHERE user_id % 2 = 0 GROUP BY ts),
-             |mo AS (SELECT ts, max(value) AS value FROM events WHERE user_id % 2 = 1 GROUP BY ts),
-             |w2 AS (SELECT greatest((SELECT epoch_us(min(ts)) FROM ca), (SELECT epoch_us(min(ts)) FROM mo)) AS lo,
-             |              least((SELECT epoch_us(max(ts)) FROM ca), (SELECT epoch_us(max(ts)) FROM mo)) AS hi),
-             |w3 AS (SELECT lo, hi, (hi - lo) // 60000000 + 1 AS n FROM w2),
-             |g AS (SELECT lo + unnest(range(0, n)) * 60000000 AS tick_us FROM w3),
-             |cp AS (SELECT g.tick_us, e.ts AS pts, e.value AS pv FROM g ASOF LEFT JOIN ca e ON make_timestamp(g.tick_us) >= e.ts),
-             |cb AS (SELECT g.tick_us, e.ts AS bts, e.value AS bv FROM g ASOF LEFT JOIN ca e ON make_timestamp(g.tick_us) <= e.ts),
-             |cn AS (SELECT cp.tick_us,
-             |        CASE WHEN pts IS NULL OR (bts IS NOT NULL
-             |              AND epoch_us(bts) - cp.tick_us <= cp.tick_us - epoch_us(pts))
-             |             THEN bv ELSE pv END AS camera_value
-             |       FROM cp JOIN cb USING (tick_us)),
-             |mp AS (SELECT g.tick_us, e.ts AS pts, e.value AS pv FROM g ASOF LEFT JOIN mo e ON make_timestamp(g.tick_us) >= e.ts),
-             |mb AS (SELECT g.tick_us, e.ts AS bts, e.value AS bv FROM g ASOF LEFT JOIN mo e ON make_timestamp(g.tick_us) <= e.ts),
-             |mn AS (SELECT mp.tick_us,
-             |        CASE WHEN pts IS NULL OR (bts IS NOT NULL
-             |              AND epoch_us(bts) - mp.tick_us <= mp.tick_us - epoch_us(pts))
-             |             THEN bv ELSE pv END AS motion_value
-             |       FROM mp JOIN mb USING (tick_us)),
-             |c2 AS (SELECT e.ts, e.event_type,
-             |        w3.lo + LEAST(w3.n - 1, GREATEST(0,
-             |          CAST(ceil((epoch_us(e.ts) - w3.lo - 30000000) / 60000000.0) AS BIGINT)
-             |        )) * 60000000 AS tick_us
-             |       FROM events e, w3),
-             |h AS (SELECT DISTINCT tick_us, event_type FROM c2
-             |      WHERE abs(epoch_us(ts) - tick_us) < 10000000),
-             |p AS (SELECT tick_us,
-             |        max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS event_click,
-             |        max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS event_error,
-             |        max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS event_purchase,
-             |        max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS event_signup,
-             |        max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS event_view
-             |      FROM h GROUP BY tick_us)
+      Some(s"""WITH $syncFrameCtes
              |SELECT make_timestamp(g.tick_us) AS "timestamp",
              |  cn.camera_value, mn.motion_value,
              |  coalesce(event_click, 0) AS event_click,
@@ -391,6 +399,41 @@ object RefQueries {
              |  coalesce(event_signup, 0) AS event_signup,
              |  coalesce(event_view, 0) AS event_view
              |FROM g JOIN cn USING (tick_us) JOIN mn USING (tick_us) LEFT JOIN p USING (tick_us)
+             |ORDER BY "timestamp"""".stripMargin)),
+
+    // Sensor fusion on the synchronized frame — the step the reference
+    // pipeline synchronizes FOR: a 0.98/0.02 complementary blend of
+    // the two aligned channels plus the inter-sensor drift, per grid
+    // tick (stateless blend; the stateful recurrences are graded by
+    // the EWMA/Holt family). Runs on the same single-shuffle
+    // synchronized frame as the flagship; the oracle reuses the
+    // shared frame CTEs, so the fusion is checked on the IDENTICAL
+    // 43k-tick alignment.
+    QueryDef("y_fuse_blend",
+      (s, d) => {
+        val e = events(s, d)
+        def half(parity: Int) = e.filter(col("user_id") % 2 === parity)
+          .select(col("ts").as("timestamp"), col("value"))
+        val (out, _) = Synchronize.synchronize(s, half(0), half(1), None,
+          method = "nearest", stepUs = MinuteUs, tolUs = TolUs,
+          eventTypes = None, tieCol = Some("value"))
+        out.filter(col("camera_value").isNotNull &&
+            col("motion_value").isNotNull)
+          .select(col("timestamp"),
+            round(col("camera_value") * 0.98 + col("motion_value") * 0.02, 6)
+              .as("fused_value"),
+            round(col("camera_value") - col("motion_value"), 6)
+              .as("sensor_drift"))
+          .orderBy(col("timestamp"))
+      },
+      Some(s"""WITH $syncFrameCtes
+             |SELECT make_timestamp(g.tick_us) AS "timestamp",
+             |  round(cn.camera_value * 0.98 + mn.motion_value * 0.02, 6)
+             |    AS fused_value,
+             |  round(cn.camera_value - mn.motion_value, 6) AS sensor_drift
+             |FROM g JOIN cn USING (tick_us) JOIN mn USING (tick_us)
+             |WHERE cn.camera_value IS NOT NULL
+             |  AND mn.motion_value IS NOT NULL
              |ORDER BY "timestamp"""".stripMargin)),
 
     // A1 — timestamp extremes per table (app.py:155-156).
