@@ -425,6 +425,27 @@ object SqlQueries {
              |FROM events GROUP BY 1, 2
              |ORDER BY window_start, event_type""".stripMargin)),
 
+    // FULL OUTER stream-stream interval join — both unmatched sides
+    // null-padded once their state expires (clicks that never
+    // converted AND purchases no click preceded), flushed by the same
+    // sentinel micro-batch discipline as the left-outer run. Oracle is
+    // the batch FULL JOIN, so a stream that loses either unmatched
+    // side hash-fails.
+    QueryDef("q_stream_join_full",
+      (s, d) => graft.streaming.StreamingEtl.fullOuterJoinViaStream(s, d)
+        .orderBy(col("click_id"), col("purchase_id")),
+      Some("""WITH c AS (SELECT event_id AS click_id, user_id, ts AS cts
+             |  FROM events WHERE event_type = 'click'),
+             |p AS (SELECT event_id AS purchase_id, user_id AS p_user_id,
+             |    ts AS pts
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT c.click_id,
+             |  coalesce(c.user_id, p.p_user_id) AS user_id, p.purchase_id,
+             |  (epoch_us(pts) - epoch_us(cts))::BIGINT AS delta_us
+             |FROM c FULL JOIN p ON p.p_user_id = c.user_id
+             |  AND epoch_us(pts) - epoch_us(cts) BETWEEN 0 AND 600000000
+             |ORDER BY click_id NULLS FIRST, purchase_id NULLS FIRST""".stripMargin)),
+
     // UPDATE output mode as a change log: per micro-batch, only the
     // CHANGED windows are emitted and appended with their batchId;
     // the downstream table is latest-emission-per-key and must equal

@@ -393,6 +393,81 @@ object StreamingEtl {
     result
   }
 
+  /** FULL OUTER stream-stream interval join — both unmatched sides
+    * must eventually emit null-padded: clicks with no purchase in
+    * their 10-minute window AND purchases no click preceded. Same
+    * sentinel discipline as the left-outer run (a far-future click +
+    * purchase pair staged as its own micro-batch drags both
+    * watermarks forward so all state expires and flushes). Oracle is
+    * the batch FULL JOIN. */
+  def fullOuterJoinViaStream(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val stage = Files.createTempDirectory("graft_foj_stream")
+    Files.copy(Paths.get(s"$dir/events.parquet"),
+      stage.resolve("a_events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val rawSchema = graft.sources.Tables.eventsRawSchema(spark, dir)
+    val maxUs = graft.sources.Tables.events(spark, dir)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val sentinelUs = maxUs + 30L * 86400 * 1000000
+    val tmpOut = Files.createTempDirectory("graft_foj_sentinel")
+    import spark.implicits._
+    Seq((-1L, sentinelUs, -1L, "click", 0.0, ""),
+        (-2L, sentinelUs, -1L, "purchase", 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", rawSchema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => col("ts") * lit(1000L)
+        case t => timestamp_micros(col("ts")).cast(t)
+      })
+      .coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
+    val parts = Files.list(tmpOut)
+    try {
+      val it = parts.iterator()
+      var moved = false
+      while (it.hasNext && !moved) {
+        val p = it.next()
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          Files.move(p, stage.resolve("zz_sentinel.parquet"),
+            StandardCopyOption.REPLACE_EXISTING)
+          moved = true
+        }
+      }
+      require(moved, "sentinel parquet part file not found")
+    } finally parts.close()
+
+    def in() = graft.sources.Tables.normalizeEventsTs(
+      spark.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", "1").parquet(stage.toString))
+    val clicks = in().filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = in().filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"),
+        "fullOuter")
+      .select(col("click_id"),
+        coalesce(col("user_id"), col("p_user_id")).as("user_id"),
+        col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("delta_us"))
+    val name = s"graft_stream_${streamRuns.incrementAndGet()}"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally { rmTree(stage); rmTree(tmpOut) }
+    // drop the sentinel rows from BOTH sides
+    spark.table(name)
+      .filter(coalesce(col("click_id"), lit(0L)) >= 0 &&
+        coalesce(col("purchase_id"), lit(0L)) >= 0)
+  }
+
   /** UPDATE output mode, demonstrated for real — the third output
     * mode (Append waits for watermark close, Complete re-emits
     * everything; Update emits per micro-batch ONLY the windows whose
