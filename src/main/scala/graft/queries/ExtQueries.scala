@@ -2281,6 +2281,30 @@ object ExtQueries {
              |  sum(('0x'||substring(md5(doc_id::VARCHAR||'|'||text||'|'||lang||'|'||source||'|'||n_chars::VARCHAR),1,15))::BIGINT % $P)::BIGINT AS content_sum
              |FROM documents""".stripMargin)),
 
+    // Custom DataSource V2 round-trip — documents exported to the
+    // `graftseq` length-prefixed binary shard format (8 shards,
+    // deterministic doc_id-mod assignment, reproducible bytes) and
+    // read BACK through the DSv2 TableProvider
+    // (`format("graft.sources.GraftSeqSource")`): one InputPartition
+    // per shard = k-way parallel scan with no central bottleneck. The
+    // checksum oracle runs on the original table, so a record lost,
+    // torn, or mis-decoded anywhere in the write→read loop hash-fails.
+    QueryDef("io_binary_shards_dsv2",
+      (s, d) => {
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_gseq_${graft.io.FileSkipping.pathKey(d, "v1")}"
+        graft.sources.GraftSeqSource.writeShards(
+          s.read.parquet(s"$d/documents.parquet"), out, nShards = 8)
+        graft.sources.GraftSeqSource.read(s, out)
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text"))).as("sum_chars"),
+            sum(conv(substring(md5(concat_ws("|", col("doc_id"), col("text"))),
+              1, 15), 16, 10).cast("long") % P).as("content_sum"))
+      },
+      Some(s"""SELECT count(*) AS n_docs,
+              |  sum(len(text))::BIGINT AS sum_chars,
+              |  sum(('0x'||substring(md5(doc_id::VARCHAR||'|'||text),1,15))::BIGINT % $P)::BIGINT AS content_sum
+              |FROM documents""".stripMargin)),
+
     // ---- Partitioned layout write + partition-pruned read ---------------
     // THE 100 TB table-layout op: land the fact table hive-partitioned by
     // day (`event_date=.../`), then answer a one-week question touching

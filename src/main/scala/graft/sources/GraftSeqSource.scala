@@ -1,0 +1,144 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, FileInputStream, FileOutputStream}
+import java.util.{Map => JMap}
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `graftseq` — a minimal length-prefixed binary shard format for
+  * packed training documents, with a full DataSource V2 READER:
+  *
+  * {{{
+  * GraftSeqSource.writeShards(df, dir, nShards = 8)   // exporter
+  * spark.read.format("graft.sources.GraftSeqSource")  // DSv2 read
+  *   .load(dir)
+  * }}}
+  *
+  * Record layout (big-endian): `[int64 doc_id][int32 n][n utf8 bytes]`.
+  * One InputPartition per shard file, so a directory of k shards reads
+  * with k-way parallelism and NO central bottleneck — the property
+  * that matters when the shards are 100 GB each: Spark schedules one
+  * task per shard, locality comes from the file system, and the
+  * reader streams records without materializing a shard in memory.
+  *
+  * The point of shipping a DSv2 source (rather than mapPartitions
+  * decoding): the format joins the engine's planning surface — it can
+  * be joined, filtered, aggregated like any table, and column pruning
+  * /predicates land in the normal optimizer pipeline above the scan.
+  */
+class GraftSeqSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftSeqSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new GraftSeqTable(properties.get("path"))
+}
+
+private class GraftSeqTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"graftseq($path)"
+  override def schema(): StructType = GraftSeqSource.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new GraftSeqScan(
+        Option(path).getOrElse(options.get("path")))
+    }
+}
+
+private class GraftSeqScan(path: String) extends Scan with Batch {
+  override def readSchema(): StructType = GraftSeqSource.Schema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".gseq"))
+      .sortBy(_.getName)
+    files.map(f => GraftSeqPartition(f.getAbsolutePath): InputPartition)
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new GraftSeqReader(p.asInstanceOf[GraftSeqPartition].file)
+    }
+}
+
+private case class GraftSeqPartition(file: String) extends InputPartition
+
+private class GraftSeqReader(file: String) extends PartitionReader[InternalRow] {
+  private val in = new DataInputStream(
+    new BufferedInputStream(new FileInputStream(file), 1 << 16))
+  private var row: InternalRow = _
+  override def next(): Boolean = {
+    // a record boundary is the only valid EOF point; EOF inside a
+    // record means a truncated shard and must fail loudly
+    val first = in.read()
+    if (first < 0) { row = null; return false }
+    var id = first.toLong
+    var i = 1
+    while (i < 8) { id = (id << 8) | (in.readUnsignedByte() & 0xffL); i += 1 }
+    val n = in.readInt()
+    val bytes = new Array[Byte](n)
+    in.readFully(bytes)
+    row = InternalRow(id, UTF8String.fromBytes(bytes))
+    true
+  }
+  override def get(): InternalRow = row
+  override def close(): Unit = in.close()
+}
+
+object GraftSeqSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("text", StringType, nullable = false)))
+
+  /** Exporter: deterministic shard assignment (doc_id mod nShards),
+    * records sorted by doc_id inside each shard so a shard's bytes are
+    * reproducible on any cluster layout. One distributed pass: rows
+    * are hash-repartitioned on the shard key (so a shard never spans
+    * tasks) and sorted (shard, doc_id) within the task; the writer
+    * rolls to a new file on each shard-key change — a task can own
+    * several whole shards (hash partitioning may co-locate keys), but
+    * a shard is always written contiguously by exactly one task. */
+  def writeShards(df: DataFrame, dir: String, nShards: Int): Unit = {
+    new java.io.File(dir).mkdirs()
+    import org.apache.spark.sql.functions._
+    df.select(col("doc_id").cast("long"), col("text"))
+      .repartition(nShards, pmod(col("doc_id"), lit(nShards)))
+      .sortWithinPartitions(pmod(col("doc_id"), lit(nShards)), col("doc_id"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        var cur = -1L
+        var out: DataOutputStream = null
+        try {
+          it.foreach { r =>
+            val shard = java.lang.Math.floorMod(r.getLong(0), nShards.toLong)
+            if (shard != cur) {
+              if (out != null) out.close()
+              cur = shard
+              out = new DataOutputStream(new BufferedOutputStream(
+                new FileOutputStream(
+                  new java.io.File(dir, f"shard_$shard%05d.gseq")), 1 << 16))
+            }
+            out.writeLong(r.getLong(0))
+            val bytes = r.getString(1)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            out.writeInt(bytes.length)
+            out.write(bytes)
+          }
+        } finally if (out != null) out.close()
+      }
+  }
+
+  /** Read back through the DSv2 path. */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft.sources.GraftSeqSource").load(dir)
+}
