@@ -9,7 +9,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -49,32 +50,79 @@ private class GraftSeqTable(path: String) extends Table with SupportsRead {
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new GraftSeqScan(
-        Option(path).getOrElse(options.get("path")))
-    }
+    new GraftSeqScanBuilder(Option(path).getOrElse(options.get("path")))
 }
 
-private class GraftSeqScan(path: String) extends Scan with Batch {
-  override def readSchema(): StructType = GraftSeqSource.Schema
+/** ScanBuilder with the two pushdowns that matter for this format:
+  *
+  *  - COLUMN PRUNING: `select doc_id` never decodes text — the reader
+  *    skips the payload bytes (`skipBytes`), so a count or id-join
+  *    reads 12 bytes per record instead of the document body;
+  *  - SHARD PRUNING: an `doc_id = X` equality prunes the scan to the
+  *    single shard `X mod nShards` (the assignment is part of the
+  *    format contract) — DSv2's partition pruning, in a custom
+  *    source. The filter is conservatively REPORTED as residual, so
+  *    Spark still re-applies it above the scan; pruning only shrinks
+  *    the input, never takes responsibility for exactness.
+  */
+private class GraftSeqScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  private var required: StructType = GraftSeqSource.Schema
+  private var idEquality: Option[Long] = None
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // streaming-source quirk: an empty schema (pure count) still needs
+    // row objects; keep at least doc_id so the reader has a spine
+    required =
+      if (requiredSchema.isEmpty)
+        StructType(GraftSeqSource.Schema.take(1))
+      else requiredSchema
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    idEquality = filters.collectFirst {
+      case EqualTo("doc_id", v: Long) => v
+      case EqualTo("doc_id", v: java.lang.Long) => v.longValue()
+    }
+    filters // all residual: pruning shrinks input, Spark keeps exactness
+  }
+  override def pushedFilters(): Array[Filter] = Array.empty
+  override def build(): Scan = new GraftSeqScan(path, required, idEquality)
+}
+
+private class GraftSeqScan(path: String, required: StructType,
+                           idEquality: Option[Long]) extends Scan with Batch {
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
     val files = Option(new java.io.File(path).listFiles())
       .getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".gseq"))
       .sortBy(_.getName)
-    files.map(f => GraftSeqPartition(f.getAbsolutePath): InputPartition)
+    val kept = idEquality match {
+      case Some(id) if files.nonEmpty =>
+        // shard count IS the file count; the format writes every shard
+        val shard = java.lang.Math.floorMod(id, files.length.toLong)
+        files.filter(_.getName == f"shard_$shard%05d.gseq")
+      case _ => files
+    }
+    kept.map(f => GraftSeqPartition(f.getAbsolutePath): InputPartition)
   }
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val wantId = required.fieldNames.contains("doc_id")
+    val wantText = required.fieldNames.contains("text")
+    val idFirst = required.fieldNames.headOption.contains("doc_id")
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-        new GraftSeqReader(p.asInstanceOf[GraftSeqPartition].file)
+        new GraftSeqReader(p.asInstanceOf[GraftSeqPartition].file,
+          wantId, wantText, idFirst)
     }
+  }
 }
 
 private case class GraftSeqPartition(file: String) extends InputPartition
 
-private class GraftSeqReader(file: String) extends PartitionReader[InternalRow] {
+private class GraftSeqReader(file: String, wantId: Boolean,
+                             wantText: Boolean, idFirst: Boolean)
+    extends PartitionReader[InternalRow] {
   private val in = new DataInputStream(
     new BufferedInputStream(new FileInputStream(file), 1 << 16))
   private var row: InternalRow = _
@@ -87,9 +135,22 @@ private class GraftSeqReader(file: String) extends PartitionReader[InternalRow] 
     var i = 1
     while (i < 8) { id = (id << 8) | (in.readUnsignedByte() & 0xffL); i += 1 }
     val n = in.readInt()
-    val bytes = new Array[Byte](n)
-    in.readFully(bytes)
-    row = InternalRow(id, UTF8String.fromBytes(bytes))
+    val text: UTF8String =
+      if (wantText) {
+        val bytes = new Array[Byte](n)
+        in.readFully(bytes)
+        UTF8String.fromBytes(bytes)
+      } else {
+        // pruned: never materialize the payload
+        var toSkip = n
+        while (toSkip > 0) toSkip -= in.skipBytes(toSkip)
+        null
+      }
+    row =
+      if (wantId && wantText)
+        if (idFirst) InternalRow(id, text) else InternalRow(text, id)
+      else if (wantId) InternalRow(id)
+      else InternalRow(text)
     true
   }
   override def get(): InternalRow = row

@@ -52,4 +52,27 @@ class GraftSeqSourceSpec extends GraftSpec {
       .collect().map(_.getString(1))
     assert(back.toSeq == Seq("héllo wörld — ünïcode ✓", "日本語テキスト"))
   }
+
+  test("column pruning reaches the scan; id-equality prunes to one shard") {
+    import spark.implicits._
+    val df = (0L until 400L).map(i => (i, s"body $i")).toDF("doc_id", "text")
+    val dir = tmp()
+    GraftSeqSource.writeShards(df, dir, 8)
+    val src = GraftSeqSource.read(spark, dir)
+
+    // pruning law: the scan's read schema drops text
+    val prunedPlan = src.select("doc_id").queryExecution.executedPlan.toString
+    assert(!prunedPlan.contains("text"),
+      s"text must be pruned out of the scan:\n$prunedPlan")
+    assert(src.select("doc_id").agg(org.apache.spark.sql.functions.sum("doc_id"))
+      .head().getLong(0) == (0L until 400L).sum)
+
+    // shard pruning law: doc_id = 13 plans exactly ONE partition
+    val one = src.filter($"doc_id" === 13L)
+    assert(one.rdd.getNumPartitions == 1,
+      "id-equality must prune the scan to the single owning shard")
+    assert(one.collect().map(_.getLong(0)).toSeq == Seq(13L))
+    // and a non-equality predicate still sees every shard
+    assert(src.filter($"doc_id" > 100L).rdd.getNumPartitions == 8)
+  }
 }
