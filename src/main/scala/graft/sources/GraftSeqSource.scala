@@ -44,13 +44,93 @@ class GraftSeqSource extends TableProvider {
     new GraftSeqTable(properties.get("path"))
 }
 
-private class GraftSeqTable(path: String) extends Table with SupportsRead {
+private class GraftSeqTable(path: String) extends Table
+    with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graftseq($path)"
   override def schema(): StructType = GraftSeqSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftSeqScanBuilder(Option(path).getOrElse(options.get("path")))
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftSeqWriteBuilder(
+      Option(path).getOrElse(info.options().get("path")), info.schema())
+}
+
+/** DSv2 WRITE path with the two-phase commit protocol a real sink
+  * needs: each task streams its records to a STAGED file (unique per
+  * task attempt, so speculative/retried tasks cannot collide), its
+  * commit message carries the staged path to the driver, and only the
+  * driver's job-level commit renames the winners into place as
+  * `shard_%05d.gseq` (one per input partition). A failed/aborted task
+  * deletes its own staging; a failed job leaves the target directory
+  * untouched — readers never observe a torn write. */
+private class GraftSeqWriteBuilder(path: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  import org.apache.spark.sql.connector.write._
+  require(schema.fieldNames.toSeq == Seq("doc_id", "text"),
+    s"graftseq writes require (doc_id, text); got ${schema.fieldNames.mkString(",")}")
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new BatchWrite {
+      override def createBatchWriterFactory(info: PhysicalWriteInfo)
+          : DataWriterFactory = new GraftSeqWriterFactory(path)
+      override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        val dir = new java.io.File(path)
+        dir.mkdirs()
+        if (doTruncate)
+          Option(dir.listFiles()).getOrElse(Array.empty)
+            .filter(_.getName.endsWith(".gseq")).foreach(_.delete())
+        messages.collect { case m: GraftSeqCommit => m }
+          .sortBy(_.partitionId)
+          .foreach { m =>
+            val staged = new java.io.File(m.stagedPath)
+            val target = new java.io.File(dir, f"shard_${m.partitionId}%05d.gseq")
+            if (!staged.renameTo(target))
+              throw new java.io.IOException(
+                s"graftseq commit: rename $staged -> $target failed")
+          }
+      }
+      override def abort(messages: Array[WriterCommitMessage]): Unit =
+        messages.collect { case m: GraftSeqCommit => m }
+          .foreach(m => new java.io.File(m.stagedPath).delete())
+    }
+  }
+}
+
+private case class GraftSeqCommit(partitionId: Int, stagedPath: String)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private class GraftSeqWriterFactory(path: String)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  import org.apache.spark.sql.connector.write.DataWriter
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[InternalRow] = new DataWriter[InternalRow] {
+    private val stagedDir = new java.io.File(path, ".staged")
+    stagedDir.mkdirs()
+    private val staged =
+      new java.io.File(stagedDir, f"part-$partitionId%05d-attempt-$taskId.gseq")
+    private val out = new DataOutputStream(
+      new BufferedOutputStream(new FileOutputStream(staged), 1 << 16))
+    override def write(r: InternalRow): Unit = {
+      out.writeLong(r.getLong(0))
+      val bytes = r.getUTF8String(1).getBytes
+      out.writeInt(bytes.length)
+      out.write(bytes)
+    }
+    override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+      out.close()
+      GraftSeqCommit(partitionId, staged.getAbsolutePath)
+    }
+    override def abort(): Unit = { out.close(); staged.delete() }
+    override def close(): Unit = ()
+  }
 }
 
 /** ScanBuilder with the two pushdowns that matter for this format:

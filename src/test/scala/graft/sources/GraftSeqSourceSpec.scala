@@ -75,4 +75,26 @@ class GraftSeqSourceSpec extends GraftSpec {
     // and a non-equality predicate still sees every shard
     assert(src.filter($"doc_id" > 100L).rdd.getNumPartitions == 8)
   }
+
+  test("DSv2 write path: staged-then-committed shards, truncate mode, clean staging") {
+    import spark.implicits._
+    val dir = tmp()
+    val df = (0L until 300L).map(i => (i, s"w$i")).toDF("doc_id", "text")
+    df.repartition(4).write.format("graft.sources.GraftSeqSource")
+      .mode("overwrite").save(dir)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".gseq"))
+    assert(files.length == 4, "one committed shard per input partition")
+    // no staged leftovers after the job-level commit
+    val stagedLeft = Option(new java.io.File(dir, ".staged").listFiles())
+      .getOrElse(Array.empty)
+    assert(stagedLeft.isEmpty, "staging must be drained by commit")
+    val back = GraftSeqSource.read(spark, dir)
+    assert(back.count() == 300L)
+    assert(back.agg(org.apache.spark.sql.functions.sum("doc_id")).head().getLong(0)
+      == (0L until 300L).sum)
+    // overwrite (truncate) replaces, never accumulates
+    df.limit(10).repartition(1).write.format("graft.sources.GraftSeqSource")
+      .mode("overwrite").save(dir)
+    assert(GraftSeqSource.read(spark, dir).count() == 10L)
+  }
 }
