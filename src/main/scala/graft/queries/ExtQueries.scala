@@ -2305,6 +2305,30 @@ object ExtQueries {
               |  sum(('0x'||substring(md5(doc_id::VARCHAR||'|'||text),1,15))::BIGINT % $P)::BIGINT AS content_sum
               |FROM documents""".stripMargin)),
 
+    // The DSv2 table composing inside the PLANNER — the custom source
+    // joined against a parquet table like any other relation (the
+    // docs-to-embeddings id join), with the text column PRUNED out of
+    // the binary scan because only doc_id survives the projection.
+    // Oracle joins the original tables, so a source that drops or
+    // duplicates records under join pressure hash-fails.
+    QueryDef("io_dsv2_join",
+      (s, d) => {
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_gseq_${graft.io.FileSkipping.pathKey(d, "v1")}"
+        if (!new java.io.File(out).isDirectory ||
+            new java.io.File(out).listFiles().count(_.getName.endsWith(".gseq")) == 0)
+          graft.sources.GraftSeqSource.writeShards(
+            s.read.parquet(s"$d/documents.parquet"), out, nShards = 8)
+        val docs = graft.sources.GraftSeqSource.read(s, out)
+          .select(col("doc_id"))
+        val emb = s.read.parquet(s"$d/embeddings.parquet")
+          .select(col("vec_id"))
+        docs.join(emb, col("doc_id") === col("vec_id"))
+          .agg(count(lit(1)).as("n_matched"),
+            sum(col("doc_id")).as("sum_ids"))
+      },
+      Some("""SELECT count(*) AS n_matched, sum(doc_id)::BIGINT AS sum_ids
+             |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id""".stripMargin)),
+
     // ---- Partitioned layout write + partition-pruned read ---------------
     // THE 100 TB table-layout op: land the fact table hive-partitioned by
     // day (`event_date=.../`), then answer a one-week question touching
