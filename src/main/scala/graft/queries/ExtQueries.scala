@@ -2329,6 +2329,32 @@ object ExtQueries {
       Some("""SELECT count(*) AS n_matched, sum(doc_id)::BIGINT AS sum_ids
              |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id""".stripMargin)),
 
+    // Shard manifest — the per-shard integrity ledger that ships WITH
+    // a binary export: record count, byte-ish size proxy, and content
+    // checksum per shard, computed through the DSv2 read path (shard =
+    // doc_id mod 8 by the format contract). A consumer diffs this
+    // against its own read to localize corruption to ONE shard instead
+    // of re-verifying the whole export.
+    QueryDef("pipe_shard_manifest",
+      (s, d) => {
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_gseq_${graft.io.FileSkipping.pathKey(d, "v1")}"
+        if (!new java.io.File(out).isDirectory ||
+            new java.io.File(out).listFiles().count(_.getName.endsWith(".gseq")) == 0)
+          graft.sources.GraftSeqSource.writeShards(
+            s.read.parquet(s"$d/documents.parquet"), out, nShards = 8)
+        graft.sources.GraftSeqSource.read(s, out)
+          .groupBy(pmod(col("doc_id"), lit(8)).as("shard"))
+          .agg(count(lit(1)).as("n_records"),
+            sum(length(col("text")) + 12).as("payload_bytes"),
+            sum(conv(substring(md5(concat_ws("|", col("doc_id"), col("text"))),
+              1, 15), 16, 10).cast("long") % P).as("content_sum"))
+          .orderBy(col("shard"))
+      },
+      Some(s"""SELECT doc_id % 8 AS shard, count(*)::BIGINT AS n_records,
+              |  sum(len(text) + 12)::BIGINT AS payload_bytes,
+              |  sum(('0x'||substring(md5(doc_id::VARCHAR||'|'||text),1,15))::BIGINT % $P)::BIGINT AS content_sum
+              |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin)),
+
     // ---- Partitioned layout write + partition-pruned read ---------------
     // THE 100 TB table-layout op: land the fact table hive-partitioned by
     // day (`event_date=.../`), then answer a one-week question touching
