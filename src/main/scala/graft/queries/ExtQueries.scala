@@ -2355,6 +2355,55 @@ object ExtQueries {
               |  sum(('0x'||substring(md5(doc_id::VARCHAR||'|'||text),1,15))::BIGINT % $P)::BIGINT AS content_sum
               |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin)),
 
+    // Variance-normalized OOD scoring (diagonal Mahalanobis) — the
+    // statistical upgrade over raw-norm outliers: each vector's
+    // distance from the corpus centroid, weighted per dimension by
+    // 1/variance, so a wild value in a tight dimension screams while
+    // the same delta in a loose dimension is normal. Per-dim mean/var
+    // come from the exact 1e-6-quantized digest (one shuffle,
+    // broadcast back); per-dim terms are rounded once then summed as
+    // exact decimals so the 64-term reduction is order-independent.
+    // Top-20 by score with id tie-break.
+    QueryDef("emb_ood_mahalanobis",
+      (s, d) => {
+        val dm = s.read.parquet(s"$d/embeddings.parquet")
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+          .select(col("vec_id"), col("dim"),
+            floor(col("x").cast("double") * lit(1000000.0)).cast("long").as("xq"))
+        val stats = dm.groupBy(col("dim").as("dim2"))
+          .agg(count(lit(1)).as("n"), sum(col("xq")).as("sx"),
+            sum(col("xq") * col("xq")).as("qx"))
+          .select(col("dim2"),
+            (col("sx").cast("double") / col("n")).as("mu_q"),
+            ((col("qx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double") / col("n")) /
+              col("n")).as("var_q"))
+        dm.join(broadcast(stats), col("dim") === col("dim2"))
+          .select(col("vec_id"),
+            round((col("xq").cast("double") - col("mu_q")) *
+              (col("xq").cast("double") - col("mu_q")) / col("var_q"), 9)
+              .cast("decimal(20,9)").as("__t"))
+          .groupBy(col("vec_id"))
+          .agg(round(sum(col("__t")).cast("double"), 6).as("ood_score"))
+          .orderBy(col("ood_score").desc, col("vec_id"))
+          .limit(20)
+      },
+      Some("""WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |dm AS (SELECT vec_id, generate_subscripts(v, 1) AS dim,
+             |    floor(unnest(v) * 1000000.0)::BIGINT AS xq FROM t),
+             |st AS (SELECT dim, count(*)::BIGINT AS n, sum(xq)::BIGINT AS sx,
+             |    sum(xq * xq)::BIGINT AS qx FROM dm GROUP BY 1),
+             |sp AS (SELECT dim, sx::DOUBLE / n AS mu_q,
+             |    (qx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n) / n AS var_q
+             |  FROM st),
+             |terms AS (SELECT vec_id,
+             |    round((xq::DOUBLE - mu_q) * (xq::DOUBLE - mu_q) / var_q, 9)
+             |      ::DECIMAL(20,9) AS t
+             |  FROM dm JOIN sp USING (dim))
+             |SELECT vec_id, round(sum(t)::DOUBLE, 6) AS ood_score
+             |FROM terms GROUP BY vec_id
+             |ORDER BY ood_score DESC, vec_id LIMIT 20""".stripMargin)),
+
     // ---- Partitioned layout write + partition-pruned read ---------------
     // THE 100 TB table-layout op: land the fact table hive-partitioned by
     // day (`event_date=.../`), then answer a one-week question touching

@@ -8618,6 +8618,64 @@ object SqlQueries {
              |SELECT n_lines, count(*)::BIGINT AS n_orders
              |FROM w GROUP BY 1 ORDER BY n_lines""".stripMargin)),
 
+    // Daily inter-channel correlation series — does click volume
+    // track purchase volume WITHIN each day (24 hourly buckets)?
+    // A correlation TIME SERIES, not one global number: per day, the
+    // closed-form Pearson r from exact integer hourly counts (the
+    // zero-filled 24-bucket grid per day, so missing hours count as
+    // zero instead of silently shrinking n). Digest-sized everything:
+    // days x 24 rows after the first aggregation.
+    QueryDef("q_daily_channel_corr",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .groupBy(to_date(col("ts")).as("day"), hour(col("ts")).as("hr"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val days = ev.select(col("day")).distinct()
+        val hours = s.range(0, 24).select(col("id").cast("int").as("hr"))
+        val grid = days.crossJoin(broadcast(hours))
+        val x = ev.filter(col("event_type") === "click")
+          .select(col("day"), col("hr"), col("n").as("xn"))
+        val y = ev.filter(col("event_type") === "purchase")
+          .select(col("day"), col("hr"), col("n").as("yn"))
+        grid.join(x, Seq("day", "hr"), "left").join(y, Seq("day", "hr"), "left")
+          .select(col("day"), coalesce(col("xn"), lit(0L)).as("x"),
+            coalesce(col("yn"), lit(0L)).as("y"))
+          .groupBy(col("day"))
+          .agg(count(lit(1)).as("k"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"), sum(col("x") * col("x")).as("qx"),
+            sum(col("y") * col("y")).as("qy"),
+            sum(col("x") * col("y")).as("sxy"))
+          .select(col("day").cast("string").as("day"),
+            round((col("k") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              sqrt((col("k") * col("qx") - col("sx") * col("sx")).cast("double") *
+                (col("k") * col("qy") - col("sy") * col("sy")).cast("double")), 6)
+              .as("daily_corr"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH ev AS (SELECT ts::DATE AS day, hour(ts) AS hr, event_type,
+             |    count(*)::BIGINT AS n
+             |  FROM events WHERE event_type IN ('click', 'purchase')
+             |  GROUP BY 1, 2, 3),
+             |days AS (SELECT DISTINCT day FROM ev),
+             |grid AS (SELECT day, h.hr FROM days
+             |  CROSS JOIN (SELECT unnest(range(0, 24))::INT AS hr) h),
+             |x AS (SELECT day, hr, n AS xn FROM ev WHERE event_type = 'click'),
+             |y AS (SELECT day, hr, n AS yn FROM ev WHERE event_type = 'purchase'),
+             |g AS (SELECT grid.day, coalesce(xn, 0)::BIGINT AS x,
+             |    coalesce(yn, 0)::BIGINT AS y
+             |  FROM grid LEFT JOIN x USING (day, hr) LEFT JOIN y USING (day, hr)),
+             |a AS (SELECT day, count(*)::BIGINT AS k, sum(x)::BIGINT AS sx,
+             |    sum(y)::BIGINT AS sy, sum(x * x)::BIGINT AS qx,
+             |    sum(y * y)::BIGINT AS qy, sum(x * y)::BIGINT AS sxy
+             |  FROM g GROUP BY 1)
+             |SELECT day::VARCHAR AS day,
+             |  round((k * sxy - sx * sy)::DOUBLE
+             |    / sqrt((k * qx - sx * sx)::DOUBLE
+             |      * (k * qy - sy * sy)::DOUBLE), 6) AS daily_corr
+             |FROM a ORDER BY day""".stripMargin)),
+
     // Lagged feature matrix — the supervised-learning feature-prep
     // shape: per event (for a deterministic user slice), the previous
     // three values, the delta, and the trailing-3 mean, all CAUSAL
