@@ -6339,6 +6339,73 @@ object SqlQueries {
              |FROM lg JOIN cen b ON b.rn = lg.rn + lg.lag, dn
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Partial autocorrelation at lags 1-3 via Durbin-Levinson closed
+    // forms — the ARIMA order-selection companion to q_acf_lags: PACF
+    // strips the shorter-lag influence out of each ACF value, so an
+    // AR(1) process shows pacf2 ~ 0 where acf2 is still large. The
+    // three ACFs come from the same integer centered-series digest;
+    // the recursion is scalar algebra on identical doubles in both
+    // engines.
+    QueryDef("q_pacf_lags",
+      (s, d) => {
+        val hr = graft.sources.Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy(date_trunc("hour", col("ts")).as("hr"))
+          .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+        val mu = hr.agg(expr("sum(cents) div count(1)").as("mu"))
+        val cen = hr.crossJoin(broadcast(mu))
+          .withColumn("rn", row_number().over(Window.orderBy(col("hr"))))
+          .select(col("rn"), (col("cents") - col("mu")).as("c"))
+        val denom = cen.agg(sum(col("c") * col("c")).as("ss"))
+        val lags = cen.withColumn("lag",
+          explode(array(lit(1), lit(2), lit(3))))
+        val r = lags.join(cen.select(col("rn").as("rb"), col("c").as("cb")),
+            col("rb") === col("rn") + col("lag"))
+          .groupBy(col("lag")).agg(sum(col("c") * col("cb")).as("num"))
+          .crossJoin(broadcast(denom))
+          .select(col("lag"),
+            (col("num").cast("double") / col("ss").cast("double")).as("r"))
+        r.agg(max(when(col("lag") === 1, col("r"))).as("r1"),
+            max(when(col("lag") === 2, col("r"))).as("r2"),
+            max(when(col("lag") === 3, col("r"))).as("r3"))
+          .select(round(col("r1"), 6).as("acf1"),
+            round(col("r2"), 6).as("acf2"), round(col("r3"), 6).as("acf3"),
+            round(col("r1"), 6).as("pacf1"),
+            round((col("r2") - col("r1") * col("r1")) /
+              (lit(1.0) - col("r1") * col("r1")), 6).as("pacf2"),
+            round({
+              val p22 = (col("r2") - col("r1") * col("r1")) /
+                (lit(1.0) - col("r1") * col("r1"))
+              val p21 = col("r1") * (lit(1.0) - p22)
+              (col("r3") - p21 * col("r2") - p22 * col("r1")) /
+                (lit(1.0) - p21 * col("r1") - p22 * col("r2"))
+            }, 6).as("pacf3"))
+      },
+      Some("""WITH h AS (SELECT date_trunc('hour', ts) AS hr,
+             |    sum(floor(value * 100)::BIGINT)::BIGINT AS cents
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+             |mu AS (SELECT sum(cents) // count(*) AS mu FROM h),
+             |cen AS (SELECT row_number() OVER (ORDER BY hr) AS rn,
+             |    cents - mu AS c FROM h, mu),
+             |dn AS (SELECT sum(c * c)::BIGINT AS ss FROM cen),
+             |lg AS (SELECT a.rn, a.c, l.lag FROM cen a
+             |  CROSS JOIN (SELECT unnest([1, 2, 3]) AS lag) l),
+             |rr AS (SELECT lg.lag,
+             |    sum(lg.c * b.c)::DOUBLE / max(dn.ss)::DOUBLE AS r
+             |  FROM lg JOIN cen b ON b.rn = lg.rn + lg.lag, dn GROUP BY 1),
+             |p AS (SELECT max(CASE WHEN lag = 1 THEN r END) AS r1,
+             |    max(CASE WHEN lag = 2 THEN r END) AS r2,
+             |    max(CASE WHEN lag = 3 THEN r END) AS r3 FROM rr),
+             |d2 AS (SELECT r1, r2, r3,
+             |    (r2 - r1 * r1) / (1.0 - r1 * r1) AS p22 FROM p),
+             |d3 AS (SELECT r1, r2, r3, p22, r1 * (1.0 - p22) AS p21 FROM d2)
+             |SELECT round(r1, 6) AS acf1, round(r2, 6) AS acf2,
+             |  round(r3, 6) AS acf3, round(r1, 6) AS pacf1,
+             |  round(p22, 6) AS pacf2,
+             |  round((r3 - p21 * r2 - p22 * r1)
+             |    / (1.0 - p21 * r1 - p22 * r2), 6) AS pacf3
+             |FROM d3""".stripMargin)),
+
     // Idle-segment detection: contiguous runs of BELOW-HALF-MEAN
     // hourly activity (the "robot parked / line down" readout). The
     // spine is generated from the min/max bounds digest so zero-event
