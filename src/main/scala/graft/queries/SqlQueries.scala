@@ -6339,6 +6339,53 @@ object SqlQueries {
              |FROM lg JOIN cen b ON b.rn = lg.rn + lg.lag, dn
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Calibration bins — is the "score" honest as a probability? The
+    // score (value, min-max normalized to [0,1] from the bounds
+    // digest) is cut into 10 equal-width bins; each bin compares its
+    // mean normalized score (confidence) to its observed purchase
+    // rate, and the |gap| weighted by bin mass is the expected
+    // calibration error term. Everything from integer digests to two
+    // divisions per bin; the bounds digest rides a broadcast.
+    QueryDef("q_calibration_bins",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+          .select(floor(col("value") * 1000).cast("long").as("sm"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+        val bounds = ev.agg(min(col("sm")).as("lo"), max(col("sm")).as("hi"))
+        ev.crossJoin(broadcast(bounds))
+          .withColumn("bin",
+            least(lit(9L), expr("(sm - lo) * 10 div greatest(1, hi - lo)")))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"),
+            sum(col("sm")).as("ssm"), max(col("lo")).as("lo"),
+            max(col("hi")).as("hi"))
+          .select(col("bin"), col("n"),
+            round((col("ssm").cast("double") / col("n") - col("lo")) /
+              greatest(lit(1L), col("hi") - col("lo")).cast("double"), 6)
+              .as("mean_conf"),
+            round(col("pos").cast("double") / col("n"), 6).as("obs_rate"),
+            round(abs(
+              (col("ssm").cast("double") / col("n") - col("lo")) /
+                greatest(lit(1L), col("hi") - col("lo")).cast("double") -
+              col("pos").cast("double") / col("n")), 6).as("gap"))
+          .orderBy(col("bin"))
+      },
+      Some("""WITH e AS (SELECT floor(value * 1000)::BIGINT AS sm,
+             |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+             |  FROM events),
+             |b AS (SELECT min(sm) AS lo, max(sm) AS hi FROM e),
+             |g AS (SELECT least(9, (sm - lo) * 10 // greatest(1, hi - lo))
+             |      ::BIGINT AS bin, y, sm, lo, hi
+             |  FROM e, b)
+             |SELECT bin, count(*)::BIGINT AS n,
+             |  round((sum(sm)::DOUBLE / count(*) - max(lo))
+             |    / greatest(1, max(hi) - max(lo))::DOUBLE, 6) AS mean_conf,
+             |  round(sum(y)::DOUBLE / count(*), 6) AS obs_rate,
+             |  round(abs((sum(sm)::DOUBLE / count(*) - max(lo))
+             |      / greatest(1, max(hi) - max(lo))::DOUBLE
+             |    - sum(y)::DOUBLE / count(*)), 6) AS gap
+             |FROM g GROUP BY bin ORDER BY bin""".stripMargin)),
+
     // Partial autocorrelation at lags 1-3 via Durbin-Levinson closed
     // forms — the ARIMA order-selection companion to q_acf_lags: PACF
     // strips the shorter-lag influence out of each ACF value, so an
