@@ -2404,6 +2404,52 @@ object ExtQueries {
              |FROM terms GROUP BY vec_id
              |ORDER BY ood_score DESC, vec_id LIMIT 20""".stripMargin)),
 
+    // k-NN mutuality — what fraction of each query's top-5 edges are
+    // MUTUAL (the neighbor also lists the query in its own top-5)?
+    // Low mutuality is the other face of hubness: hubs absorb
+    // one-directional edges. Computed over the same deterministic
+    // query slice as emb_hubness by self-joining the reversed edge
+    // list; per-query mutual counts plus the slice-wide ppm rate in
+    // every row (one broadcast digest).
+    QueryDef("emb_knn_mutuality",
+      (s, d) => {
+        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        val edges = Similarity.bruteForceTopK(
+            emb.filter(col("vec_id") < 500), emb.filter(col("vec_id") < 500), 5)
+          .select(col("query_id"), col("neighbor_id"))
+          .persist()
+        val rev = edges.select(col("query_id").as("r_n"),
+          col("neighbor_id").as("r_q"))
+        val mut = edges.join(rev,
+            col("query_id") === col("r_q") && col("neighbor_id") === col("r_n"),
+            "left")
+          .groupBy(col("query_id"))
+          .agg(sum(when(col("r_q").isNotNull, 1L).otherwise(0L)).as("n_mutual"))
+        val tot = mut.agg(
+          expr("sum(n_mutual) * 1000000 div (count(1) * 5)").as("mutual_ppm"))
+        mut.crossJoin(broadcast(tot))
+          .select(col("query_id"), col("n_mutual"), col("mutual_ppm"))
+          .orderBy(col("query_id"))
+      },
+      Some("""WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+             |  WHERE vec_id < 500),
+             |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |    row_number() OVER (PARTITION BY q.vec_id
+             |      ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id)
+             |      AS rank
+             |  FROM t q, t c WHERE c.vec_id != q.vec_id),
+             |e AS (SELECT query_id, neighbor_id FROM s WHERE rank <= 5),
+             |m AS (SELECT e.query_id,
+             |    sum(CASE WHEN r.query_id IS NOT NULL THEN 1 ELSE 0 END)
+             |      ::BIGINT AS n_mutual
+             |  FROM e LEFT JOIN e r ON r.query_id = e.neighbor_id
+             |    AND r.neighbor_id = e.query_id
+             |  GROUP BY 1),
+             |tt AS (SELECT (sum(n_mutual) * 1000000 // (count(*) * 5))::BIGINT
+             |    AS mutual_ppm FROM m)
+             |SELECT query_id, n_mutual, mutual_ppm
+             |FROM m, tt ORDER BY query_id""".stripMargin)),
+
     // ---- Partitioned layout write + partition-pruned read ---------------
     // THE 100 TB table-layout op: land the fact table hive-partitioned by
     // day (`event_date=.../`), then answer a one-week question touching

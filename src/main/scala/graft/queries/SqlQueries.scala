@@ -6386,6 +6386,75 @@ object SqlQueries {
              |    - sum(y)::DOUBLE / count(*)), 6) AS gap
              |FROM g GROUP BY bin ORDER BY bin""".stripMargin)),
 
+    // Brier score with the Murphy decomposition — the one-number
+    // calibration readout split into WHY: reliability (bins off their
+    // observed rates — lower is better), resolution (bins separate
+    // outcomes — higher is better), uncertainty (the outcome's own
+    // variance, a property of the data). Built on the same
+    // equal-width score bins as q_calibration_bins; per-bin terms are
+    // rounded once and summed as exact decimals.
+    QueryDef("q_brier_decomposition",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+          .select(floor(col("value") * 1000).cast("long").as("sm"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+        val bounds = ev.agg(min(col("sm")).as("lo"), max(col("sm")).as("hi"))
+        val bins = ev.crossJoin(broadcast(bounds))
+          .withColumn("bin",
+            least(lit(9L), expr("(sm - lo) * 10 div greatest(1, hi - lo)")))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"),
+            sum(col("sm")).as("ssm"), max(col("lo")).as("lo"),
+            max(col("hi")).as("hi"))
+        val tot = ev.agg(count(lit(1)).as("nn"), sum(col("y")).as("npos"))
+        bins.crossJoin(broadcast(tot))
+          .select(col("n"), col("nn"),
+            round(((col("ssm").cast("double") / col("n") - col("lo")) /
+              greatest(lit(1L), col("hi") - col("lo")).cast("double") -
+              col("pos").cast("double") / col("n")), 9).as("cg"),
+            round((col("pos").cast("double") / col("n") -
+              col("npos").cast("double") / col("nn")), 9).as("rg"),
+            col("npos"))
+          .select(col("nn"), col("npos"),
+            round(col("cg") * col("cg") * col("n") / col("nn"), 9)
+              .cast("decimal(20,9)").as("__rel"),
+            round(col("rg") * col("rg") * col("n") / col("nn"), 9)
+              .cast("decimal(20,9)").as("__res"))
+          .groupBy(col("nn"), col("npos"))
+          .agg(round(sum(col("__rel")).cast("double"), 6).as("reliability"),
+            round(sum(col("__res")).cast("double"), 6).as("resolution"))
+          .select(
+            round(col("npos").cast("double") / col("nn") *
+              (lit(1.0) - col("npos").cast("double") / col("nn")), 6)
+              .as("uncertainty"),
+            col("reliability"), col("resolution"))
+      },
+      Some("""WITH e AS (SELECT floor(value * 1000)::BIGINT AS sm,
+             |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+             |  FROM events),
+             |b AS (SELECT min(sm) AS lo, max(sm) AS hi FROM e),
+             |t AS (SELECT count(*)::BIGINT AS nn, sum(y)::BIGINT AS npos FROM e),
+             |g AS (SELECT least(9, (sm - lo) * 10 // greatest(1, hi - lo))
+             |      ::BIGINT AS bin, y, sm, lo, hi FROM e, b),
+             |bins AS (SELECT bin, count(*)::BIGINT AS n, sum(y)::BIGINT AS pos,
+             |    sum(sm)::BIGINT AS ssm, max(lo) AS lo, max(hi) AS hi
+             |  FROM g GROUP BY 1),
+             |terms AS (SELECT n, nn, npos,
+             |    round((ssm::DOUBLE / n - lo)
+             |        / greatest(1, hi - lo)::DOUBLE
+             |      - pos::DOUBLE / n, 9) AS cg,
+             |    round(pos::DOUBLE / n - npos::DOUBLE / nn, 9) AS rg
+             |  FROM bins, t),
+             |dec AS (SELECT nn, npos,
+             |    sum(round(cg * cg * n / nn, 9)::DECIMAL(20,9)) AS rel,
+             |    sum(round(rg * rg * n / nn, 9)::DECIMAL(20,9)) AS res
+             |  FROM terms GROUP BY 1, 2)
+             |SELECT round(npos::DOUBLE / nn * (1.0 - npos::DOUBLE / nn), 6)
+             |    AS uncertainty,
+             |  round(rel::DOUBLE, 6) AS reliability,
+             |  round(res::DOUBLE, 6) AS resolution
+             |FROM dec""".stripMargin)),
+
     // Partial autocorrelation at lags 1-3 via Durbin-Levinson closed
     // forms — the ARIMA order-selection companion to q_acf_lags: PACF
     // strips the shorter-lag influence out of each ACF value, so an
