@@ -6386,6 +6386,50 @@ object SqlQueries {
              |    - sum(y)::DOUBLE / count(*)), 6) AS gap
              |FROM g GROUP BY bin ORDER BY bin""".stripMargin)),
 
+    // Day-over-day audience Jaccard — how much of today's active-user
+    // SET is yesterday's (set similarity as a time series; plain DAU
+    // deltas can stay flat while the underlying population churns
+    // completely). Intersection from a self-join of the (user, day)
+    // digest shifted one day; union by inclusion-exclusion — set
+    // sizes never leave the digest.
+    QueryDef("q_dau_jaccard",
+      (s, d) => {
+        val ud = graft.sources.Tables.events(s, d)
+          .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+          .persist()
+        val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+        val inter = ud.join(
+            ud.select(date_add(col("day"), 1).as("day"),
+              col("user_id")),
+            Seq("day", "user_id"))
+          .groupBy(col("day")).agg(count(lit(1)).as("n_inter"))
+        dau.join(dau.select(date_add(col("day"), 1).as("day"),
+            col("dau").as("dau_prev")), Seq("day"))
+          .join(inter, Seq("day"), "left")
+          .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+          .select(col("day").cast("string").as("day"), col("dau"),
+            col("dau_prev"), col("n_inter"),
+            round(col("n_inter").cast("double") /
+              (col("dau") + col("dau_prev") - col("n_inter")).cast("double"), 6)
+              .as("jaccard"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH ud AS (SELECT DISTINCT ts::DATE AS day, user_id FROM events),
+             |dau AS (SELECT day, count(*)::BIGINT AS dau FROM ud GROUP BY 1),
+             |i AS (SELECT a.day, count(*)::BIGINT AS n_inter
+             |  FROM ud a JOIN ud b ON b.day = a.day - 1
+             |    AND b.user_id = a.user_id
+             |  GROUP BY 1)
+             |SELECT a.day::VARCHAR AS day, a.dau,
+             |  p.dau::BIGINT AS dau_prev,
+             |  coalesce(i.n_inter, 0)::BIGINT AS n_inter,
+             |  round(coalesce(i.n_inter, 0)::DOUBLE
+             |    / (a.dau + p.dau - coalesce(i.n_inter, 0))::DOUBLE, 6)
+             |    AS jaccard
+             |FROM dau a JOIN dau p ON p.day = a.day - 1
+             |LEFT JOIN i ON i.day = a.day
+             |ORDER BY day""".stripMargin)),
+
     // Brier score with the Murphy decomposition — the one-number
     // calibration readout split into WHY: reliability (bins off their
     // observed rates — lower is better), resolution (bins separate
