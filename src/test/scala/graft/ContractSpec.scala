@@ -24,4 +24,55 @@ class ContractSpec extends GraftSpec {
     val bad = SparkEntry.oracleSql.filter(_._2.contains(";"))
     assert(bad.isEmpty, s"semicolons in: ${bad.keys.mkString(", ")}")
   }
+
+  test("no two oracles are byte-identical (a paste error would grade two ops against one truth)") {
+    val dups = SparkEntry.oracleSql.groupBy(_._2).filter(_._2.size > 1)
+      .values.map(_.keys.toSeq.sorted.mkString("+")).toSeq
+    // same-answer/different-plan twins INTENTIONALLY share one truth:
+    // stream twins vs their batch queries, the bucketed q3, the
+    // sorted-input quantile variant, and MERGE-upsert == latest-per-
+    // user; everything else must be distinct
+    val intended = Set(
+      "a2_quantiles+a2_quantiles_sorted",
+      "q3_bucketed+q3_top_orders",
+      "q_latest_per_user+q_merge_upsert")
+    val unexpected = dups.filterNot(p => p.contains("q_stream") ||
+      intended.contains(p))
+    assert(unexpected.isEmpty,
+      s"byte-identical oracles outside the stream-twin convention: ${unexpected.mkString("; ")}")
+  }
+
+  test("oracle coverage: the no-oracle set is the documented one, nothing silently dropped") {
+    val noOracle = SparkEntry.all.map(_.name).toSet -- SparkEntry.oracleSql.keys.toSet
+    // every entry here is rows-only BY NATURE (sketches whose exact
+    // values are engine-specific, plan-stats, media codecs) — adding a
+    // query without an oracle by accident should fail this test
+    val documented = Set(
+      "a2_quantiles_approx", "corpus_heavy_hitters_approx",
+      "q_group_quantiles_approx", "q_distinct_users_approx",
+      "q_stream_heavy_hitters", "k4_size_metrics",
+      "sim_recall_ann", "text_compression_ratio",
+      "mm_audio_features", "mm_audio_silence", "mm_image_features",
+      "mm_image_neardup", "mm_video_features", "mm_video_scenecut")
+    val undocumented = noOracle -- documented
+    assert(undocumented.isEmpty,
+      s"queries with no oracle and no documented reason: ${undocumented.mkString(", ")}")
+  }
+
+  test("bench headline subset names resolve to registered queries") {
+    // Bench prints a fixed headline map sized for the capture window; a
+    // renamed query would silently vanish from the cross-round series
+    val headline = Seq(
+      "q1_pricing_summary", "q5_region_revenue", "q3_top_orders",
+      "y_sync_flagship", "y5_asof_nearest", "y5_asof_pad", "y7_event_pivot",
+      "f4_spike_smooth", "a4_corr_matrix", "a2_quantiles",
+      "dedup_exact", "dedup_neardup_minhash", "dedup_neardup_groups",
+      "sim_topk_bruteforce", "sim_topk_lsh", "sim_topk_ivf",
+      "text_tfidf", "text_pii_scrub", "text_langid",
+      "pipe_seq_pack", "pipe_shard_shuffle", "pipe_corpus_mix",
+      "q_stream_tumbling", "q_stream_sessionize",
+      "io_minmax_skip", "io_compact_small_files", "io_csv_roundtrip")
+    val missing = headline.filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty, s"headline names not registered: ${missing.mkString(", ")}")
+  }
 }
