@@ -6386,6 +6386,71 @@ object SqlQueries {
              |    - sum(y)::DOUBLE / count(*)), 6) AS gap
              |FROM g GROUP BY bin ORDER BY bin""".stripMargin)),
 
+    // Pooled day-k retention curve with fitted half-life — for each
+    // horizon k in 1..7, the share of (user, day) actives still active
+    // on day+k, pooled over all base days; then the log-linear decay
+    // fit whose slope gives the audience half-life in days. Rates come
+    // from one shifted self-join of the (user, day) digest per k
+    // (a 7-value explode, not 7 scans); the fit is least squares over
+    // 7 exact points with rounded-log decimal sums.
+    QueryDef("q_retention_halflife",
+      (s, d) => {
+        val ud = graft.sources.Tables.events(s, d)
+          .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+          .persist()
+        val ks = s.range(1, 8).select(col("id").cast("int").as("k"))
+        val base = ud.crossJoin(broadcast(ks))
+        val ret = base.join(
+            ud.select(col("day").as("rday"), col("user_id").as("r_uid")),
+            col("user_id") === col("r_uid") &&
+              expr("rday = date_add(day, k)"))
+          .groupBy(col("k")).agg(count(lit(1)).as("n_ret"))
+        val nb = base.groupBy(col("k")).agg(count(lit(1)).as("n_base"))
+        val curve = nb.join(ret, Seq("k"), "left")
+          .withColumn("n_ret", coalesce(col("n_ret"), lit(0L)))
+          .withColumn("rate_ppm", expr("n_ret * 1000000 div n_base"))
+          .persist()
+        val fitTerms = curve
+          .select(col("k").cast("long").as("x"),
+            round(log(col("n_ret").cast("double") /
+              col("n_base").cast("double")), 9).cast("decimal(20,9)").as("y"))
+        val fit = fitTerms.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("x") * col("x")).as("qx"), sum(col("y")).as("sy"),
+            sum(col("y") * col("x").cast("decimal(9,0)")).as("sxy"))
+          .select(((col("n") * col("sxy") - col("sx").cast("decimal(20,9)") *
+            col("sy")).cast("double") /
+            (col("n") * col("qx") - col("sx") * col("sx")).cast("double"))
+            .as("slope"))
+        curve.crossJoin(broadcast(fit))
+          .select(col("k").cast("long").as("k"), col("n_base"), col("n_ret"),
+            col("rate_ppm"), round(col("slope"), 6).as("decay_slope"),
+            round(lit(-0.6931471805599453) / col("slope"), 6)
+              .as("halflife_days"))
+          .orderBy(col("k"))
+      },
+      Some("""WITH ud AS (SELECT DISTINCT ts::DATE AS day, user_id FROM events),
+             |ks AS (SELECT unnest(range(1, 8))::INT AS k),
+             |base AS (SELECT day, user_id, k FROM ud CROSS JOIN ks),
+             |ret AS (SELECT k, count(*)::BIGINT AS n_ret
+             |  FROM base b JOIN ud r ON r.user_id = b.user_id
+             |    AND r.day = b.day + b.k
+             |  GROUP BY 1),
+             |nb AS (SELECT k, count(*)::BIGINT AS n_base FROM base GROUP BY 1),
+             |curve AS (SELECT nb.k, n_base, coalesce(n_ret, 0)::BIGINT AS n_ret,
+             |    (coalesce(n_ret, 0) * 1000000 // n_base)::BIGINT AS rate_ppm
+             |  FROM nb LEFT JOIN ret USING (k)),
+             |ft AS (SELECT k::BIGINT AS x,
+             |    round(ln(n_ret::DOUBLE / n_base::DOUBLE), 9)::DECIMAL(20,9) AS y
+             |  FROM curve),
+             |fit AS (SELECT (count(*) * sum(y * x::DECIMAL(9,0))
+             |      - sum(x)::DECIMAL(20,9) * sum(y))::DOUBLE
+             |    / (count(*) * sum(x * x) - sum(x) * sum(x))::DOUBLE AS slope
+             |  FROM ft)
+             |SELECT k::BIGINT AS k, n_base, n_ret, rate_ppm,
+             |  round(slope, 6) AS decay_slope,
+             |  round(-0.6931471805599453 / slope, 6) AS halflife_days
+             |FROM curve, fit ORDER BY k""".stripMargin)),
+
     // Day-over-day audience Jaccard — how much of today's active-user
     // SET is yesterday's (set similarity as a time series; plain DAU
     // deltas can stay flat while the underlying population churns
