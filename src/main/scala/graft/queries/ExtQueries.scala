@@ -2450,6 +2450,50 @@ object ExtQueries {
              |SELECT query_id, n_mutual, mutual_ppm
              |FROM m, tt ORDER BY query_id""".stripMargin)),
 
+    // Intrinsic dimension by the TwoNN estimator — how many degrees of
+    // freedom the embeddings REALLY use (64 ambient dims usually hide
+    // a much lower-dimensional manifold; ANN index quality tracks the
+    // intrinsic, not ambient, dimension). Per point, the ratio
+    // mu = d2/d1 of its two nearest cosine DISTANCES; the MLE is
+    // n / Σ ln(mu). Distances derive from the same bit-identical
+    // cosine kernel as the top-k queries; per-point log terms are
+    // rounded once and summed as exact decimals.
+    QueryDef("emb_intrinsic_dim",
+      (s, d) => {
+        val emb = s.read.parquet(s"$d/embeddings.parquet")
+          .filter(col("vec_id") < 500)
+        val nn2 = Similarity.bruteForceTopK(emb, emb, 2)
+          .groupBy(col("query_id"))
+          .agg(max(when(col("rank") === 1, col("sim"))).as("s1"),
+            max(when(col("rank") === 2, col("sim"))).as("s2"))
+          .select(col("query_id"),
+            round(log((lit(1.0) - col("s2")) / (lit(1.0) - col("s1"))), 9)
+              .cast("decimal(20,9)").as("__lnmu"))
+        nn2.agg(count(lit(1)).as("n"), sum(col("__lnmu")).as("__s"))
+          .select(col("n"),
+            round(col("n").cast("double") / col("__s").cast("double"), 6)
+              .as("intrinsic_dim"))
+      },
+      Some("""WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+             |  WHERE vec_id < 500),
+             |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |    list_cosine_similarity(q.v, c.v) AS sim,
+             |    row_number() OVER (PARTITION BY q.vec_id
+             |      ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id)
+             |      AS rank
+             |  FROM t q, t c WHERE c.vec_id != q.vec_id),
+             |nn AS (SELECT query_id,
+             |    max(CASE WHEN rank = 1 THEN sim END) AS s1,
+             |    max(CASE WHEN rank = 2 THEN sim END) AS s2
+             |  FROM s WHERE rank <= 2 GROUP BY 1),
+             |terms AS (SELECT query_id,
+             |    round(ln((1.0 - s2) / (1.0 - s1)), 9)::DECIMAL(20,9) AS lnmu
+             |  FROM nn)
+             |SELECT count(*)::BIGINT AS n,
+             |  round(count(*)::DOUBLE / sum(lnmu)::DOUBLE, 6)
+             |    AS intrinsic_dim
+             |FROM terms""".stripMargin)),
+
     // ---- Partitioned layout write + partition-pruned read ---------------
     // THE 100 TB table-layout op: land the fact table hive-partitioned by
     // day (`event_date=.../`), then answer a one-week question touching
