@@ -2494,6 +2494,41 @@ object ExtQueries {
              |    AS intrinsic_dim
              |FROM terms""".stripMargin)),
 
+    // Truncation-duplicate detection — re-crawls and pipeline bugs
+    // produce documents that share a long PREFIX but differ in full
+    // content (one got cut off). Group by the 64-char-prefix hash,
+    // keep groups with >1 distinct FULL hash: those are truncation
+    // families exact dedup misses and Jaccard may under-score. Two
+    // hash groupBys; prefix hashing keys the shuffle, never the text.
+    QueryDef("dedup_truncation",
+      (s, d) => {
+        val docs = s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"),
+            md5(substring(col("text"), 1, 64)).as("prefix_hash"),
+            md5(col("text")).as("full_hash"))
+        val fam = docs.groupBy(col("prefix_hash"))
+          .agg(count(lit(1)).as("n_docs"),
+            count_distinct(col("full_hash")).as("n_variants"),
+            min(col("doc_id")).as("first_doc"))
+          .filter(col("n_docs") > 1)
+        fam.select(col("prefix_hash"), col("n_docs"), col("n_variants"),
+            col("first_doc"),
+            when(col("n_variants") > 1, 1L).otherwise(0L).as("is_truncation_family"))
+          .orderBy(col("first_doc"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    md5(substring(text, 1, 64)) AS prefix_hash,
+             |    md5(text) AS full_hash
+             |  FROM documents),
+             |fam AS (SELECT prefix_hash, count(*)::BIGINT AS n_docs,
+             |    count(DISTINCT full_hash)::BIGINT AS n_variants,
+             |    min(doc_id) AS first_doc
+             |  FROM d GROUP BY 1 HAVING count(*) > 1)
+             |SELECT prefix_hash, n_docs, n_variants, first_doc,
+             |  CASE WHEN n_variants > 1 THEN 1 ELSE 0 END::BIGINT
+             |    AS is_truncation_family
+             |FROM fam ORDER BY first_doc""".stripMargin)),
+
     // ---- Partitioned layout write + partition-pruned read ---------------
     // THE 100 TB table-layout op: land the fact table hive-partitioned by
     // day (`event_date=.../`), then answer a one-week question touching
