@@ -4055,6 +4055,49 @@ object SqlQueries {
     // exactly the plan that melts at 100 TB). C = Σ n(x,y)·A(x,y)
     // with A the strict lower-left prefix; ties from the digest
     // margins; all exact integers — tau-b's sqrt is the only float.
+    // Goodman-Kruskal gamma — tau-b's tie-blind sibling: (C−D)/(C+D)
+    // over the SAME 2-D prefix-sum concordance counts (see
+    // q_kendall_tau for the O(grid) machinery); gamma reads higher on
+    // heavily-tied ordinal data because ties simply leave the
+    // denominator. Reported next to the pair counts so the two
+    // statistics' divergence is itself visible.
+    QueryDef("q_gamma_gk",
+      (s, d) => {
+        val cell = graft.sources.Tables.events(s, d)
+          .groupBy(floor(col("value") * 10).cast("long").as("x"),
+            hour(col("ts")).cast("long").as("y"))
+          .agg(count(lit(1)).as("nc"))
+        val ys = s.range(0, 24).select(col("id").as("y"))
+        val grid = cell.select(col("x")).distinct()
+          .crossJoin(broadcast(ys))
+          .join(cell, Seq("x", "y"), "left")
+          .select(col("x"), col("y"), coalesce(col("nc"), lit(0L)).as("nc"))
+        val wx = Window.partitionBy(col("y")).orderBy(col("x"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val p = grid.withColumn("p", coalesce(sum(col("nc")).over(wx), lit(0L)))
+        val wyAsc = Window.partitionBy(col("x")).orderBy(col("y"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wyDesc = Window.partitionBy(col("x")).orderBy(col("y").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        p.withColumn("a", coalesce(sum(col("p")).over(wyAsc), lit(0L)))
+          .withColumn("b", coalesce(sum(col("p")).over(wyDesc), lit(0L)))
+          .agg(sum(col("nc") * col("a")).as("c"),
+            sum(col("nc") * col("b")).as("dd"))
+          .select(col("c"), col("dd").as("d"),
+            round((col("c") - col("dd")).cast("double") /
+              (col("c") + col("dd")).cast("double"), 6).as("gamma"))
+      },
+      Some("""WITH cell AS (SELECT floor(value * 10)::BIGINT AS x,
+             |    hour(ts)::BIGINT AS y, count(*) AS nc
+             |  FROM events GROUP BY 1, 2),
+             |conc AS (SELECT coalesce(sum(a.nc * b.nc), 0)::BIGINT AS c
+             |  FROM cell a JOIN cell b ON a.x < b.x AND a.y < b.y),
+             |disc AS (SELECT coalesce(sum(a.nc * b.nc), 0)::BIGINT AS d
+             |  FROM cell a JOIN cell b ON a.x < b.x AND a.y > b.y)
+             |SELECT c, d,
+             |  round((c - d)::DOUBLE / (c + d)::DOUBLE, 6) AS gamma
+             |FROM conc, disc""".stripMargin)),
+
     QueryDef("q_kendall_tau",
       (s, d) => {
         // the digest is referenced five times (grid, margins, both
