@@ -4055,6 +4055,37 @@ object SqlQueries {
     // exactly the plan that melts at 100 TB). C = Σ n(x,y)·A(x,y)
     // with A the strict lower-left prefix; ties from the digest
     // margins; all exact integers — tau-b's sqrt is the only float.
+    // Sessions-per-user distribution — the engagement histogram: how
+    // many users had k sessions over the window (the shape behind the
+    // DAU/MAU one-number). Session derivation is the q_sessionize
+    // window; two stacked digest aggregations after it.
+    QueryDef("q_sessions_per_user_hist",
+      (s, d) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        graft.sources.Tables.events(s, d)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L,
+              1L).otherwise(0L))
+          .groupBy(col("user_id"))
+          .agg(sum(col("new_session")).as("n_sessions"))
+          .groupBy(col("n_sessions"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("n_sessions"))
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             |         THEN 1 ELSE 0 END AS new_session
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |u AS (SELECT user_id, sum(new_session)::BIGINT AS n_sessions
+             |  FROM g GROUP BY 1)
+             |SELECT n_sessions, count(*)::BIGINT AS n_users
+             |FROM u GROUP BY 1 ORDER BY n_sessions""".stripMargin)),
+
     // Goodman-Kruskal gamma — tau-b's tie-blind sibling: (C−D)/(C+D)
     // over the SAME 2-D prefix-sum concordance counts (see
     // q_kendall_tau for the O(grid) machinery); gamma reads higher on
