@@ -4055,6 +4055,58 @@ object SqlQueries {
     // exactly the plan that melts at 100 TB). C = Σ n(x,y)·A(x,y)
     // with A the strict lower-left prefix; ties from the digest
     // margins; all exact integers — tau-b's sqrt is the only float.
+    // Does week-1 spend predict lifetime spend? Pearson r between each
+    // user's first-7-day purchase cents and their whole-window total
+    // (the early-signal validity check behind any LTV model). Week-1
+    // is anchored per USER (first event + 7 days), not the calendar;
+    // closed-form r from exact integer digests.
+    QueryDef("q_week1_ltv_corr",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"),
+            floor(col("value") * 100).cast("long").as("cents"))
+        val first = ev.groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+        val per = ev.join(broadcast(first), "user_id")
+          .groupBy(col("user_id"))
+          .agg(sum(when(col("ts") < col("t0") + expr("interval 7 days"),
+              col("cents")).otherwise(0L)).as("w1"),
+            sum(col("cents")).as("tot"))
+        per.agg(count(lit(1)).as("n"), sum(col("w1")).as("sx"),
+            sum(col("tot")).as("sy"),
+            sum(col("w1").cast("decimal(38,0)") * col("w1")).as("qx"),
+            sum(col("tot").cast("decimal(38,0)") * col("tot")).as("qy"),
+            sum(col("w1").cast("decimal(38,0)") * col("tot")).as("sxy"))
+          .select(col("n"),
+            round((col("n") * col("sxy") -
+              col("sx").cast("decimal(38,0)") * col("sy")).cast("double") /
+              sqrt((col("n") * col("qx") -
+                col("sx").cast("decimal(38,0)") * col("sx")).cast("double") *
+                (col("n") * col("qy") -
+                  col("sy").cast("decimal(38,0)") * col("sy")).cast("double")),
+              6).as("week1_ltv_r"))
+      },
+      Some("""WITH e AS (SELECT user_id, ts,
+             |    floor(value * 100)::BIGINT AS cents
+             |  FROM events WHERE event_type = 'purchase'),
+             |f AS (SELECT user_id, min(ts) AS t0 FROM e GROUP BY 1),
+             |per AS (SELECT e.user_id,
+             |    sum(CASE WHEN e.ts < f.t0 + INTERVAL 7 DAYS
+             |      THEN cents ELSE 0 END)::BIGINT AS w1,
+             |    sum(cents)::BIGINT AS tot
+             |  FROM e JOIN f USING (user_id) GROUP BY 1),
+             |a AS (SELECT count(*)::BIGINT AS n, sum(w1)::BIGINT AS sx,
+             |    sum(tot)::BIGINT AS sy,
+             |    sum(w1::HUGEINT * w1)::HUGEINT AS qx,
+             |    sum(tot::HUGEINT * tot)::HUGEINT AS qy,
+             |    sum(w1::HUGEINT * tot)::HUGEINT AS sxy
+             |  FROM per)
+             |SELECT n,
+             |  round((n * sxy - sx::HUGEINT * sy)::DOUBLE
+             |    / sqrt((n * qx - sx::HUGEINT * sx)::DOUBLE
+             |      * (n * qy - sy::HUGEINT * sy)::DOUBLE), 6) AS week1_ltv_r
+             |FROM a""".stripMargin)),
+
     // Sessions-per-user distribution — the engagement histogram: how
     // many users had k sessions over the window (the shape behind the
     // DAU/MAU one-number). Session derivation is the q_sessionize
