@@ -2494,6 +2494,71 @@ object ExtQueries {
              |    AS intrinsic_dim
              |FROM terms""".stripMargin)),
 
+    // Dedup ROI in bytes — what each dedup stage actually SAVES: the
+    // exact stage removes byte-identical non-keepers, the near-dup
+    // stage removes connected-component non-keepers not already gone,
+    // and the report prices both in documents AND n_chars bytes (the
+    // number that sizes the storage and training-compute win). Reuses the
+    // memoized CC grouping; one joined pass over the corpus digest.
+    QueryDef("pipe_dedup_savings",
+      (s, d) => {
+        val docs = s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"), col("n_chars"))
+        val exact = Dedup.exactDups(s.read.parquet(s"$d/documents.parquet"))
+          .select(col("doc_id").as("e_id"), col("is_dup"))
+        val near = neardupGroupsOf(s, d)
+          .select(col("id").as("n_id"), col("group_id"))
+        docs.join(exact, col("doc_id") === col("e_id"), "left")
+          .join(near, col("doc_id") === col("n_id"), "left")
+          .select(col("doc_id"), col("n_chars"),
+            coalesce(col("is_dup"), lit(false)).as("ex_rm"),
+            (col("group_id").isNotNull &&
+              col("group_id") =!= col("doc_id")).as("nd_rm"))
+          .agg(count(lit(1)).as("total_docs"),
+            sum(col("n_chars")).as("total_bytes"),
+            sum(when(col("ex_rm"), 1L).otherwise(0L)).as("exact_removed_docs"),
+            sum(when(col("ex_rm"), col("n_chars")).otherwise(0L))
+              .as("exact_removed_bytes"),
+            sum(when(!col("ex_rm") && col("nd_rm"), 1L).otherwise(0L))
+              .as("neardup_removed_docs"),
+            sum(when(!col("ex_rm") && col("nd_rm"), col("n_chars"))
+              .otherwise(0L)).as("neardup_removed_bytes"))
+          .withColumn("kept_bytes_ppm",
+            expr("(total_bytes - exact_removed_bytes - neardup_removed_bytes) * 1000000 div total_bytes"))
+      },
+      Some(s"""WITH RECURSIVE $minhashPairCtes,
+              |p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.7),
+              |e2 AS (SELECT id_a AS s, id_b AS t FROM p UNION SELECT id_b, id_a FROM p),
+              |reach AS (SELECT s AS id, t AS r FROM e2
+              |          UNION
+              |          SELECT e2.s AS id, reach.r FROM e2 JOIN reach ON reach.id = e2.t),
+              |grp AS (SELECT id AS doc_id, least(id, min(r)) AS group_id
+              |  FROM reach GROUP BY id),
+              |ex AS (SELECT doc_id,
+              |    doc_id != min(doc_id) OVER (PARTITION BY md5(text)) AS ex_rm
+              |  FROM documents),
+              |f AS (SELECT d.doc_id, d.n_chars,
+              |    coalesce(ex.ex_rm, false) AS ex_rm,
+              |    (grp.group_id IS NOT NULL AND grp.group_id != d.doc_id)
+              |      AS nd_rm
+              |  FROM documents d
+              |  LEFT JOIN ex ON ex.doc_id = d.doc_id
+              |  LEFT JOIN grp ON grp.doc_id = d.doc_id)
+              |SELECT count(*)::BIGINT AS total_docs,
+              |  sum(n_chars)::BIGINT AS total_bytes,
+              |  sum(CASE WHEN ex_rm THEN 1 ELSE 0 END)::BIGINT
+              |    AS exact_removed_docs,
+              |  sum(CASE WHEN ex_rm THEN n_chars ELSE 0 END)::BIGINT
+              |    AS exact_removed_bytes,
+              |  sum(CASE WHEN NOT ex_rm AND nd_rm THEN 1 ELSE 0 END)::BIGINT
+              |    AS neardup_removed_docs,
+              |  sum(CASE WHEN NOT ex_rm AND nd_rm THEN n_chars ELSE 0 END)
+              |    ::BIGINT AS neardup_removed_bytes,
+              |  ((sum(n_chars) - sum(CASE WHEN ex_rm THEN n_chars ELSE 0 END)
+              |      - sum(CASE WHEN NOT ex_rm AND nd_rm THEN n_chars ELSE 0 END))
+              |    * 1000000 // sum(n_chars))::BIGINT AS kept_bytes_ppm
+              |FROM f""".stripMargin)),
+
     // Truncation-duplicate detection — re-crawls and pipeline bugs
     // produce documents that share a long PREFIX but differ in full
     // content (one got cut off). Group by the 64-char-prefix hash,
