@@ -2494,6 +2494,56 @@ object ExtQueries {
              |    AS intrinsic_dim
              |FROM terms""".stripMargin)),
 
+    // Alignment & uniformity (Wang-Isola) — the two numbers that
+    // characterize a contrastive representation: ALIGNMENT (mean
+    // squared distance between same-label pairs — lower is better)
+    // and UNIFORMITY (log-mean of exp(−2·d²) over all pairs — more
+    // negative means better spread on the sphere). Distances come
+    // from the shared dot kernel as d² = <a,a> + <b,b> − 2<a,b>, so
+    // both engines see identical doubles; per-pair terms are rounded
+    // once and summed as exact decimals. Deterministic vec_id < 500
+    // slice bounds the pair count.
+    QueryDef("emb_align_uniformity",
+      (s, d) => {
+        import graft.functions.VectorFunctions.vec_dot
+        val emb = s.read.parquet(s"$d/embeddings.parquet")
+          .filter(col("vec_id") < 500)
+        val a = emb.select(col("vec_id").as("ia"), col("label").as("la"),
+          col("embedding").as("va"))
+        val b = emb.select(col("vec_id").as("ib"), col("label").as("lb"),
+          col("embedding").as("vb"))
+        val pairs = a.join(b, col("ia") < col("ib"))
+          .select(col("la"), col("lb"),
+            (vec_dot(s, col("va"), col("va")) +
+              vec_dot(s, col("vb"), col("vb")) -
+              lit(2.0) * vec_dot(s, col("va"), col("vb"))).as("d2"))
+        pairs.agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("la") === col("lb"),
+              round(col("d2"), 9).cast("decimal(20,9)"))).as("__al"),
+            sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("n_pos"),
+            sum(round(exp(lit(-2.0) * col("d2")), 9).cast("decimal(20,9)"))
+              .as("__un"))
+          .select(col("n_pairs"), col("n_pos"),
+            round(col("__al").cast("double") / col("n_pos"), 6)
+              .as("alignment"),
+            round(log(col("__un").cast("double") / col("n_pairs")), 6)
+              .as("uniformity"))
+      },
+      Some("""WITH t AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+             |  FROM embeddings WHERE vec_id < 500),
+             |pr AS (SELECT a.label AS la, b.label AS lb,
+             |    list_inner_product(a.v, a.v) + list_inner_product(b.v, b.v)
+             |      - 2.0 * list_inner_product(a.v, b.v) AS d2
+             |  FROM t a JOIN t b ON a.vec_id < b.vec_id)
+             |SELECT count(*)::BIGINT AS n_pairs,
+             |  sum(CASE WHEN la = lb THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+             |  round(sum(CASE WHEN la = lb
+             |      THEN round(d2, 9)::DECIMAL(20,9) END)::DOUBLE
+             |    / sum(CASE WHEN la = lb THEN 1 ELSE 0 END), 6) AS alignment,
+             |  round(ln(sum(round(exp(-2.0 * d2), 9)::DECIMAL(20,9))::DOUBLE
+             |    / count(*)), 6) AS uniformity
+             |FROM pr""".stripMargin)),
+
     // Dedup ROI in bytes — what each dedup stage actually SAVES: the
     // exact stage removes byte-identical non-keepers, the near-dup
     // stage removes connected-component non-keepers not already gone,
