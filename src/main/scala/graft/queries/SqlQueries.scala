@@ -4055,6 +4055,31 @@ object SqlQueries {
     // exactly the plan that melts at 100 TB). C = Σ n(x,y)·A(x,y)
     // with A the strict lower-left prefix; ties from the digest
     // margins; all exact integers — tau-b's sqrt is the only float.
+    // Daily P10/P50/P90 bands per channel — the percentile time series
+    // behind a latency/SLA dashboard: exact per-(channel, day)
+    // percentile digests (bounded by channels x days, not rows), the
+    // at-scale switch being the grouped approx-percentile twin.
+    QueryDef("q_daily_percentile_bands",
+      (s, d) => {
+        graft.sources.Tables.events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"),
+            graft.functions.ExactPercentile
+              .percentiles(col("value"), Seq(0.1, 0.5, 0.9)).as("__q"))
+          .select(col("event_type"), col("day").cast("string").as("day"),
+            col("n"), round(col("__q").getItem(0), 4).as("p10"),
+            round(col("__q").getItem(1), 4).as("p50"),
+            round(col("__q").getItem(2), 4).as("p90"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some("""SELECT event_type, (ts::DATE)::VARCHAR AS day,
+             |  count(*)::BIGINT AS n,
+             |  round(quantile_cont(value, 0.10), 4) AS p10,
+             |  round(quantile_cont(value, 0.50), 4) AS p50,
+             |  round(quantile_cont(value, 0.90), 4) AS p90
+             |FROM events GROUP BY event_type, ts::DATE
+             |ORDER BY event_type, day""".stripMargin)),
+
     // Does week-1 spend predict lifetime spend? Pearson r between each
     // user's first-7-day purchase cents and their whole-window total
     // (the early-signal validity check behind any LTV model). Week-1
