@@ -2494,6 +2494,86 @@ object ExtQueries {
              |    AS intrinsic_dim
              |FROM terms""".stripMargin)),
 
+    // Per-source filter funnel — the survival matrix a corpus report
+    // leads with: each source's docs through the three removal stages
+    // IN ORDER (blocklist content filter, exact dedup, near-dup CC),
+    // each stage counting only docs that survived the previous ones,
+    // plus final survivors and survival ppm. One joined pass over the
+    // per-doc flags; all stage logic reuses the graded operators'
+    // exact definitions.
+    QueryDef("pipe_filter_funnel",
+      (s, d) => {
+        val docs = s.read.parquet(s"$d/documents.parquet")
+        val hits = docs
+          .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+          .groupBy(col("doc_id"))
+          .agg(sum(when(col("term") === "slow", 1L).otherwise(0L)).as("h_slow"),
+            sum(when(col("term") === "error", 1L).otherwise(0L)).as("h_error"))
+          .select(col("doc_id").as("h_id"),
+            (col("h_slow") >= 3 || col("h_error") >= 2).as("blocked"))
+        val exact = Dedup.exactDups(docs)
+          .select(col("doc_id").as("e_id"), col("is_dup"))
+        val near = neardupGroupsOf(s, d)
+          .select(col("id").as("n_id"), col("group_id"))
+        docs.select(col("doc_id"), col("source"))
+          .join(hits, col("doc_id") === col("h_id"), "left")
+          .join(exact, col("doc_id") === col("e_id"), "left")
+          .join(near, col("doc_id") === col("n_id"), "left")
+          .select(col("source"),
+            coalesce(col("blocked"), lit(false)).as("f1"),
+            coalesce(col("is_dup"), lit(false)).as("f2"),
+            (col("group_id").isNotNull &&
+              col("group_id") =!= col("doc_id")).as("f3"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("f1"), 1L).otherwise(0L)).as("rm_blocklist"),
+            sum(when(!col("f1") && col("f2"), 1L).otherwise(0L))
+              .as("rm_exact"),
+            sum(when(!col("f1") && !col("f2") && col("f3"), 1L)
+              .otherwise(0L)).as("rm_neardup"),
+            sum(when(!col("f1") && !col("f2") && !col("f3"), 1L)
+              .otherwise(0L)).as("survivors"))
+          .withColumn("survival_ppm",
+            expr("survivors * 1000000 div n_docs"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH RECURSIVE $minhashPairCtes,
+              |p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.7),
+              |e2 AS (SELECT id_a AS s, id_b AS t FROM p UNION SELECT id_b, id_a FROM p),
+              |reach AS (SELECT s AS id, t AS r FROM e2
+              |          UNION
+              |          SELECT e2.s AS id, reach.r FROM e2 JOIN reach ON reach.id = e2.t),
+              |grp AS (SELECT id AS doc_id, least(id, min(r)) AS group_id
+              |  FROM reach GROUP BY id),
+              |hits AS (SELECT doc_id,
+              |    (sum(CASE WHEN term = 'slow' THEN 1 ELSE 0 END) >= 3
+              |     OR sum(CASE WHEN term = 'error' THEN 1 ELSE 0 END) >= 2)
+              |      AS blocked
+              |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+              |    FROM documents) GROUP BY 1),
+              |ex AS (SELECT doc_id,
+              |    doc_id != min(doc_id) OVER (PARTITION BY md5(text)) AS ex_rm
+              |  FROM documents),
+              |f AS (SELECT d.source,
+              |    coalesce(hits.blocked, false) AS f1,
+              |    coalesce(ex.ex_rm, false) AS f2,
+              |    (grp.group_id IS NOT NULL AND grp.group_id != d.doc_id) AS f3
+              |  FROM documents d
+              |  LEFT JOIN hits ON hits.doc_id = d.doc_id
+              |  LEFT JOIN ex ON ex.doc_id = d.doc_id
+              |  LEFT JOIN grp ON grp.doc_id = d.doc_id)
+              |SELECT source, count(*)::BIGINT AS n_docs,
+              |  sum(CASE WHEN f1 THEN 1 ELSE 0 END)::BIGINT AS rm_blocklist,
+              |  sum(CASE WHEN NOT f1 AND f2 THEN 1 ELSE 0 END)::BIGINT
+              |    AS rm_exact,
+              |  sum(CASE WHEN NOT f1 AND NOT f2 AND f3 THEN 1 ELSE 0 END)
+              |    ::BIGINT AS rm_neardup,
+              |  sum(CASE WHEN NOT f1 AND NOT f2 AND NOT f3 THEN 1 ELSE 0 END)
+              |    ::BIGINT AS survivors,
+              |  (sum(CASE WHEN NOT f1 AND NOT f2 AND NOT f3 THEN 1 ELSE 0 END)
+              |    * 1000000 // count(*))::BIGINT AS survival_ppm
+              |FROM f GROUP BY source ORDER BY source""".stripMargin)),
+
     // Alignment & uniformity (Wang-Isola) — the two numbers that
     // characterize a contrastive representation: ALIGNMENT (mean
     // squared distance between same-label pairs — lower is better)
