@@ -4055,6 +4055,51 @@ object SqlQueries {
     // exactly the plan that melts at 100 TB). C = Σ n(x,y)·A(x,y)
     // with A the strict lower-left prefix; ties from the digest
     // margins; all exact integers — tau-b's sqrt is the only float.
+    // Mann-Kendall trend test — the non-parametric "is this series
+    // trending" standard (no linearity or normality assumed): S = Σ
+    // sign(x_j − x_i) over ordered day pairs of the daily purchase
+    // total, variance with the tie correction, and the
+    // continuity-corrected z. The pairwise sum runs on the ~30-row
+    // day DIGEST (digest², never rows²); all counts exact integers.
+    QueryDef("q_mann_kendall",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+          .persist()
+        val pairs = daily.select(col("day").as("d1"), col("cents").as("c1"))
+          .join(daily.select(col("day").as("d2"), col("cents").as("c2")),
+            col("d1") < col("d2"))
+          .agg(sum(when(col("c2") > col("c1"), 1L)
+            .when(col("c2") < col("c1"), -1L).otherwise(0L)).as("s"))
+        val nn = daily.agg(count(lit(1)).as("n"))
+        val ties = daily.groupBy(col("cents")).agg(count(lit(1)).as("t"))
+          .agg(coalesce(sum(col("t") * (col("t") - 1) *
+            (col("t") * 2 + 5)), lit(0L)).as("tsum"))
+        pairs.crossJoin(broadcast(nn)).crossJoin(broadcast(ties))
+          .select(col("n"), col("s"),
+            round((col("s").cast("double") -
+              signum(col("s").cast("double"))) /
+              sqrt((col("n") * (col("n") - 1) * (col("n") * 2 + 5) -
+                col("tsum")).cast("double") / 18.0), 6).as("z"))
+      },
+      Some("""WITH daily AS (SELECT ts::DATE AS day,
+             |    sum(floor(value * 100)::BIGINT)::BIGINT AS cents
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+             |pr AS (SELECT sum(CASE WHEN b.cents > a.cents THEN 1
+             |      WHEN b.cents < a.cents THEN -1 ELSE 0 END)::BIGINT AS s
+             |  FROM daily a JOIN daily b ON a.day < b.day),
+             |nn AS (SELECT count(*)::BIGINT AS n FROM daily),
+             |ti AS (SELECT coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)::BIGINT
+             |    AS tsum
+             |  FROM (SELECT count(*)::BIGINT AS t FROM daily GROUP BY cents))
+             |SELECT n, s,
+             |  round((s::DOUBLE - sign(s::DOUBLE))
+             |    / sqrt((n * (n - 1) * (2 * n + 5) - tsum)::DOUBLE / 18.0), 6)
+             |    AS z
+             |FROM pr, nn, ti""".stripMargin)),
+
     // Daily P10/P50/P90 bands per channel — the percentile time series
     // behind a latency/SLA dashboard: exact per-(channel, day)
     // percentile digests (bounded by channels x days, not rows), the
