@@ -2494,6 +2494,53 @@ object ExtQueries {
              |    AS intrinsic_dim
              |FROM terms""".stripMargin)),
 
+    // Participation ratio (diagonal) — how many dimensions the
+    // variance actually lives in: PR = (Σσ²)² / Σσ⁴ over per-dim
+    // variances (64 for perfectly even spread, 1 for a single
+    // dominant axis; the covariance-spectrum cousin of isotropy and
+    // intrinsic dim). Variances from the exact 1e-6-quantized digest;
+    // the fourth-power sum runs as decimals from per-dim rounded
+    // variances so the 64-term reduction is exact.
+    QueryDef("emb_participation_ratio",
+      (s, d) => {
+        val dm = s.read.parquet(s"$d/embeddings.parquet")
+          .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+          .select(col("dim"),
+            floor(col("x").cast("double") * lit(1000000.0)).cast("long").as("xq"))
+        val vars = dm.groupBy(col("dim"))
+          .agg(count(lit(1)).as("n"), sum(col("xq")).as("sx"),
+            sum(col("xq") * col("xq")).as("qx"))
+          .select(round((col("qx").cast("double") / lit(1e12) -
+            (col("sx").cast("double") / lit(1e6)) *
+            (col("sx").cast("double") / lit(1e6)) / col("n")) / col("n"), 9)
+            .as("v"))
+        // square in DOUBLE per dim (identical IEEE both engines), then
+        // decimal-sum — a decimal x decimal product would overflow
+        // precision 38 and the two engines truncate it differently
+        vars.select(col("v").cast("decimal(20,9)").as("vd"),
+            round(col("v") * col("v"), 15).cast("decimal(24,15)").as("v2"))
+          .agg(count(lit(1)).as("n_dims"), sum(col("vd")).as("sv"),
+            sum(col("v2")).as("qv"))
+          .select(col("n_dims"),
+            round((col("sv").cast("double") * col("sv").cast("double")) /
+              col("qv").cast("double"), 6).as("participation_ratio"))
+      },
+      Some("""WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |dm AS (SELECT generate_subscripts(v, 1) AS dim,
+             |    floor(unnest(v) * 1000000.0)::BIGINT AS xq FROM t),
+             |st AS (SELECT dim, count(*)::BIGINT AS n, sum(xq)::BIGINT AS sx,
+             |    sum(xq * xq)::BIGINT AS qx FROM dm GROUP BY 1),
+             |vr AS (SELECT round((qx::DOUBLE / 1e12
+             |      - (sx::DOUBLE / 1e6) * (sx::DOUBLE / 1e6) / n) / n, 9)
+             |    AS v
+             |  FROM st),
+             |tm AS (SELECT v::DECIMAL(20,9) AS vd,
+             |    round(v * v, 15)::DECIMAL(24,15) AS v2 FROM vr)
+             |SELECT count(*)::BIGINT AS n_dims,
+             |  round((sum(vd)::DOUBLE * sum(vd)::DOUBLE)
+             |    / sum(v2)::DOUBLE, 6) AS participation_ratio
+             |FROM tm""".stripMargin)),
+
     // Per-source filter funnel — the survival matrix a corpus report
     // leads with: each source's docs through the three removal stages
     // IN ORDER (blocklist content filter, exact dedup, near-dup CC),
