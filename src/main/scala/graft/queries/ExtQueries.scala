@@ -2494,6 +2494,87 @@ object ExtQueries {
              |    AS intrinsic_dim
              |FROM terms""".stripMargin)),
 
+    // Do the two decontamination methods agree? The n-gram overlap
+    // detector and the embedding-similarity detector are run with a
+    // SHARED held-out slice (id % 50 = 0) over the docs that have
+    // embeddings, and the 2x2 agreement matrix says what each method
+    // sees that the other misses (n-gram catches verbatim leakage,
+    // cosine catches paraphrase) — the number that justifies running
+    // both at 100 TB. Flags reuse the graded operators' kernels.
+    QueryDef("pipe_decon_agreement",
+      (s, d) => {
+        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        val nEmb = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+        val docs = s.read.parquet(s"$d/documents.parquet")
+          .filter(col("doc_id") < nEmb)
+        val grams = docs.select(col("doc_id"),
+          explode(graft.functions.TextHashFunctions.shingleStrings(col("text"), 2))
+            .as("bigram"))
+        val probe = grams.filter(col("doc_id") % 50 === 0)
+          .select("bigram").distinct()
+        val ngramFlag = grams.filter(col("doc_id") % 50 =!= 0)
+          .join(broadcast(probe), "bigram")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_ov"))
+          .filter(col("n_ov") >= 3)
+          .select(col("doc_id").as("g_id"), lit(1L).as("g_flag"))
+        val ev = emb.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("eval_id"), col("embedding").as("__ev"))
+        val semFlag = emb.filter(col("vec_id") % 50 =!= 0)
+          .select(col("vec_id"), col("embedding").as("__tv"))
+          .crossJoin(broadcast(ev))
+          .select(col("vec_id"),
+            graft.functions.VectorFunctions.cosine_sim(s,
+              col("__tv"), col("__ev")).as("sim"))
+          .groupBy(col("vec_id")).agg(max(col("sim")).as("ms"))
+          .filter(col("ms") >= 0.35)
+          .select(col("vec_id").as("s_id"), lit(1L).as("s_flag"))
+        docs.filter(col("doc_id") % 50 =!= 0)
+          .select(col("doc_id"))
+          .join(ngramFlag, col("doc_id") === col("g_id"), "left")
+          .join(semFlag, col("doc_id") === col("s_id"), "left")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("g_flag").isNotNull && col("s_flag").isNotNull, 1L)
+              .otherwise(0L)).as("both"),
+            sum(when(col("g_flag").isNotNull && col("s_flag").isNull, 1L)
+              .otherwise(0L)).as("ngram_only"),
+            sum(when(col("g_flag").isNull && col("s_flag").isNotNull, 1L)
+              .otherwise(0L)).as("semantic_only"),
+            sum(when(col("g_flag").isNull && col("s_flag").isNull, 1L)
+              .otherwise(0L)).as("neither"))
+      },
+      Some("""WITH ne AS (SELECT max(vec_id) + 1 AS n FROM embeddings),
+             |dd AS (SELECT doc_id, text FROM documents, ne WHERE doc_id < n),
+             |tk AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM dd),
+             |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk)),
+             |         i -> tk[i] || ' ' || tk[i+1])) AS sh
+             |       FROM tk WHERE len(tk) >= 2),
+             |probe AS (SELECT flatten(list(sh)) AS pl FROM sh
+             |  WHERE doc_id % 50 = 0),
+             |gf AS (SELECT s.doc_id FROM sh s, probe p
+             |  WHERE s.doc_id % 50 != 0
+             |    AND len(list_intersect(s.sh, p.pl)) >= 3),
+             |t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |evs AS (SELECT vec_id, v FROM t WHERE vec_id % 50 = 0),
+             |sf AS (SELECT tr.vec_id FROM t tr, evs e
+             |  WHERE tr.vec_id % 50 != 0
+             |  GROUP BY tr.vec_id
+             |  HAVING max(list_cosine_similarity(tr.v, e.v)) >= 0.35),
+             |f AS (SELECT d.doc_id,
+             |    (gf.doc_id IS NOT NULL) AS g, (sf.vec_id IS NOT NULL) AS s
+             |  FROM dd d
+             |  LEFT JOIN gf ON gf.doc_id = d.doc_id
+             |  LEFT JOIN sf ON sf.vec_id = d.doc_id
+             |  WHERE d.doc_id % 50 != 0)
+             |SELECT count(*)::BIGINT AS n_docs,
+             |  sum(CASE WHEN g AND s THEN 1 ELSE 0 END)::BIGINT AS both,
+             |  sum(CASE WHEN g AND NOT s THEN 1 ELSE 0 END)::BIGINT
+             |    AS ngram_only,
+             |  sum(CASE WHEN NOT g AND s THEN 1 ELSE 0 END)::BIGINT
+             |    AS semantic_only,
+             |  sum(CASE WHEN NOT g AND NOT s THEN 1 ELSE 0 END)::BIGINT
+             |    AS neither
+             |FROM f""".stripMargin)),
+
     // Participation ratio (diagonal) — how many dimensions the
     // variance actually lives in: PR = (Σσ²)² / Σσ⁴ over per-dim
     // variances (64 for perfectly even spread, 1 for a single
