@@ -3422,6 +3422,54 @@ object ExtQueries {
               |  ((rn - 1) % 16)::BIGINT AS pos_in_batch
               |FROM r ORDER BY doc_id""".stripMargin)),
 
+    // Padding waste report — what length-bucketed batching actually
+    // buys: per bucket, the tokens spent padding each batch to its
+    // longest member ((batch_size·max − Σlen) summed over batches) as
+    // a ppm of the padded total. The same md5-shuffled batch
+    // assignment as pipe_length_batching; at 100 TB this is the
+    // number that says whether 256-char buckets are tight enough.
+    QueryDef("pipe_padding_waste",
+      (s, d) => {
+        val docs = s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"),
+            (col("n_chars") / lit(256)).cast("long").as("len_bucket"),
+            (expr("n_chars div 4") + 1).as("est_tok"),
+            pmod(Dedup.strHash60(concat(lit("batch:"), col("doc_id"))),
+              lit(1000000)).as("shuf"))
+        val w = Window.partitionBy(col("len_bucket"))
+          .orderBy(col("shuf"), col("doc_id"))
+        docs.withColumn("rn", row_number().over(w))
+          .withColumn("batch_idx", ((col("rn") - 1) / lit(16)).cast("long"))
+          .groupBy(col("len_bucket"), col("batch_idx"))
+          .agg(count(lit(1)).as("bs"), max(col("est_tok")).as("mx"),
+            sum(col("est_tok")).as("sl"))
+          .groupBy(col("len_bucket"))
+          .agg(count(lit(1)).as("n_batches"),
+            sum(col("bs") * col("mx") - col("sl")).as("pad_tokens"),
+            sum(col("bs") * col("mx")).as("padded_total"))
+          .withColumn("waste_ppm",
+            expr("pad_tokens * 1000000 div padded_total"))
+          .orderBy(col("len_bucket"))
+      },
+      Some(s"""WITH docs AS (SELECT doc_id,
+              |    (n_chars // 256)::BIGINT AS len_bucket,
+              |    n_chars // 4 + 1 AS est_tok,
+              |    ${dkHash60("'batch:'||doc_id")} % 1000000 AS shuf
+              |  FROM documents),
+              |r AS (SELECT doc_id, len_bucket, est_tok, row_number() OVER
+              |    (PARTITION BY len_bucket ORDER BY shuf, doc_id) AS rn
+              |  FROM docs),
+              |b AS (SELECT len_bucket, (rn - 1) // 16 AS batch_idx,
+              |    count(*)::BIGINT AS bs, max(est_tok)::BIGINT AS mx,
+              |    sum(est_tok)::BIGINT AS sl
+              |  FROM r GROUP BY 1, 2)
+              |SELECT len_bucket, count(*)::BIGINT AS n_batches,
+              |  sum(bs * mx - sl)::BIGINT AS pad_tokens,
+              |  sum(bs * mx)::BIGINT AS padded_total,
+              |  (sum(bs * mx - sl) * 1000000 // sum(bs * mx))::BIGINT
+              |    AS waste_ppm
+              |FROM b GROUP BY len_bucket ORDER BY len_bucket""".stripMargin)),
+
     // Distributed covariance (Gram) matrix over the first 16
     // embedding dims — the whitening/PCA-prep primitive. One
     // posexplode to (vec, dim, x), a self-join CO-PARTITIONED on
