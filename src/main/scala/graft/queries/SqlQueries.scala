@@ -4055,6 +4055,67 @@ object SqlQueries {
     // exactly the plan that melts at 100 TB). C = Σ n(x,y)·A(x,y)
     // with A the strict lower-left prefix; ties from the digest
     // margins; all exact integers — tau-b's sqrt is the only float.
+    // Ljung-Box portmanteau test at lag 3 — "is the hourly series
+    // white noise?": Q = n(n+2) Σ_{k=1..3} r_k²/(n−k), the residual
+    // -diagnostics companion to the ACF/PACF pair, from the same
+    // integer centered-series digest. Q >> 7.81 (chi-sq df=3, .05)
+    // rejects whiteness.
+    QueryDef("q_ljung_box",
+      (s, d) => {
+        val hr = graft.sources.Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy(date_trunc("hour", col("ts")).as("hr"))
+          .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+        val mu = hr.agg(expr("sum(cents) div count(1)").as("mu"))
+        val cen = hr.crossJoin(broadcast(mu))
+          .withColumn("rn", row_number().over(Window.orderBy(col("hr"))))
+          .select(col("rn"), (col("cents") - col("mu")).as("c"))
+          .persist()
+        val denom = cen.agg(sum(col("c") * col("c")).as("ss"),
+          count(lit(1)).as("n"))
+        val lags = cen.withColumn("lag",
+          explode(array(lit(1), lit(2), lit(3))))
+        lags.join(cen.select(col("rn").as("rb"), col("c").as("cb")),
+            col("rb") === col("rn") + col("lag"))
+          .groupBy(col("lag")).agg(sum(col("c") * col("cb")).as("num"))
+          .crossJoin(broadcast(denom))
+          .select(col("n"), col("lag"),
+            (col("num").cast("double") / col("ss").cast("double")).as("r"))
+          .select(col("n"),
+            round((col("r") * col("r")) /
+              (col("n") - col("lag")).cast("double"), 12)
+              .cast("decimal(24,12)").as("term"))
+          .groupBy(col("n"))
+          .agg(round(col("n").cast("double") * (col("n") + 1) *
+            sum(col("term")).cast("double"), 4).as("q_stat"))
+          .select(col("n"), col("q_stat"),
+            when(col("q_stat") > 7.815, 1L).otherwise(0L)
+              .as("reject_white_noise"))
+      },
+      Some("""WITH h AS (SELECT date_trunc('hour', ts) AS hr,
+             |    sum(floor(value * 100)::BIGINT)::BIGINT AS cents
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+             |mu AS (SELECT sum(cents) // count(*) AS mu FROM h),
+             |cen AS (SELECT row_number() OVER (ORDER BY hr) AS rn,
+             |    cents - mu AS c FROM h, mu),
+             |dn AS (SELECT sum(c * c)::BIGINT AS ss, count(*)::BIGINT AS n
+             |  FROM cen),
+             |lg AS (SELECT a.rn, a.c, l.lag FROM cen a
+             |  CROSS JOIN (SELECT unnest([1, 2, 3]) AS lag) l),
+             |rr AS (SELECT lg.lag, max(dn.n) AS n,
+             |    sum(lg.c * b.c)::DOUBLE / max(dn.ss)::DOUBLE AS r
+             |  FROM lg JOIN cen b ON b.rn = lg.rn + lg.lag, dn GROUP BY 1),
+             |tm AS (SELECT n, round(r * r / (n - lag)::DOUBLE, 12)
+             |    ::DECIMAL(24,12) AS term
+             |  FROM rr),
+             |qq AS (SELECT n, round(n::DOUBLE * (n + 1) * sum(term)::DOUBLE, 4)
+             |    AS q_stat
+             |  FROM tm GROUP BY n)
+             |SELECT n, q_stat,
+             |  CASE WHEN q_stat > 7.815 THEN 1 ELSE 0 END::BIGINT
+             |    AS reject_white_noise
+             |FROM qq""".stripMargin)),
+
     // Mann-Kendall trend test — the non-parametric "is this series
     // trending" standard (no linearity or normality assumed): S = Σ
     // sign(x_j − x_i) over ordered day pairs of the daily purchase
