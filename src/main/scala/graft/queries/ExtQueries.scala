@@ -2494,6 +2494,45 @@ object ExtQueries {
              |    AS intrinsic_dim
              |FROM terms""".stripMargin)),
 
+    // MATTR — moving-average type-token ratio (window 50): the
+    // lexical-diversity measure that, unlike fixed-prefix TTR, uses
+    // EVERY window of the document and so is stable across lengths.
+    // Per doc the window distinct-counts run as one higher-order
+    // transform over the token array (O(tokens x window) inside the
+    // row, no shuffle); per-source mean over docs with >= 50 tokens
+    // from exact integer sums.
+    QueryDef("text_mattr",
+      (s, d) => {
+        val tk = s.read.parquet(s"$d/documents.parquet")
+          .select(col("source"), TextAnalysis.tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 50)
+        tk.select(col("source"), size(col("tk")).as("n_tok"),
+            expr("""aggregate(
+              transform(sequence(0, size(tk) - 50),
+                i -> size(array_distinct(slice(tk, i + 1, 50)))),
+              0L, (acc, x) -> acc + x)""").as("sum_types"),
+            (size(col("tk")) - 49).cast("long").as("n_windows"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("sum_types")).as("st"), sum(col("n_windows")).as("nw"))
+          .select(col("source"), col("n_docs"),
+            round(col("st").cast("double") /
+              (col("nw") * 50).cast("double"), 6).as("mattr50"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH tk AS (SELECT source, string_split(lower(text), ' ') AS tk
+             |  FROM documents),
+             |f AS (SELECT source, tk FROM tk WHERE len(tk) >= 50),
+             |w AS (SELECT source,
+             |    list_sum(list_transform(range(1, len(tk) - 48),
+             |      i -> len(list_distinct(tk[i:i+49]))))::BIGINT AS sum_types,
+             |    (len(tk) - 49)::BIGINT AS n_windows
+             |  FROM f)
+             |SELECT source, count(*)::BIGINT AS n_docs,
+             |  round(sum(sum_types)::DOUBLE
+             |    / (sum(n_windows) * 50)::DOUBLE, 6) AS mattr50
+             |FROM w GROUP BY source ORDER BY source""".stripMargin)),
+
     // Do the two decontamination methods agree? The n-gram overlap
     // detector and the embedding-similarity detector are run with a
     // SHARED held-out slice (id % 50 = 0) over the docs that have
