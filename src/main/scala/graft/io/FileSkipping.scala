@@ -49,11 +49,20 @@ object FileSkipping {
     * unrelated table also rebuilds events-derived artifacts (a cheap
     * false positive; a stale-serve false negative is the one that
     * corrupts results). */
-  private[graft] def pathKey(sfDir: String, version: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$sfDir|${dirFingerprint(sfDir)}|$version"
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map(b => f"$b%02x").mkString.take(16)
+  private[graft] def pathKey(sfDir: String, version: String): String = {
+    def md5(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(b => f"$b%02x").mkString
+    // two segments: <dataset>_<generation>. The first hashes the
+    // source PATH alone and is stable across regenerations; it is part
+    // of the GC prefix (gcStaleSiblings keeps everything up to the
+    // last '_'), so rebuilding sf0.1's layout can only collect stale
+    // GENERATIONS of sf0.1 — never another dataset's live artifacts.
+    val dataset = md5(sfDir).take(8)
+    val generation = md5(s"$sfDir|${dirFingerprint(sfDir)}|$version").take(16)
+    s"${dataset}_$generation"
+  }
 
   /** name:size:mtime of each parquet entry directly under `sfDir` —
     * the cheap content proxy (a real checksum would need a full scan).
@@ -93,8 +102,11 @@ object FileSkipping {
   /** Fingerprint-keyed dirs churn on every data regeneration; the
     * previous generation's layout dirs would otherwise accumulate in
     * tmpdir forever. Called right before a fresh build: removes
-    * sibling dirs with the same artifact prefix but a DIFFERENT key
-    * (never the one about to be (re)used). */
+    * sibling dirs with the same artifact prefix — which INCLUDES the
+    * dataset segment of pathKey, so only stale generations of the
+    * SAME dataset are collected, never another dataset's live
+    * artifacts — but a different generation key (never the one about
+    * to be (re)used). */
   private def gcStaleSiblings(base: String): Unit = {
     val dir = new java.io.File(base).getParentFile
     val name = new java.io.File(base).getName

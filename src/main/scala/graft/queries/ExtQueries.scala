@@ -3769,23 +3769,29 @@ object ExtQueries {
     // Curriculum ordering: corpus sorted easy→hard by integer
     // quality-proxy deciles, ROUND-ROBIN interleaved across sources
     // inside each decile so no source dominates any training phase.
-    // The order key is (decile, within-source position, source) —
-    // all from windows over digest-grained partitions; emitted for
-    // the first 100 curriculum slots.
+    // The order key is (decile, within-source position, source);
+    // emitted for the first 100 curriculum slots.
+    //
+    // NO global window touches raw rows: the decile is assigned by
+    // `Ranks.withNtile` — the 9 bucket-boundary keys come from a
+    // TeraSort-ranked projection of (n_chars, doc_id) ONLY, and the
+    // corpus pass is a broadcast-boundary CASE with no shuffle. The
+    // final rank runs AFTER the distributed top-100
+    // (TakeOrderedAndProject), i.e. over a bounded 100-row digest.
     QueryDef("pipe_curriculum_order",
       (s, d) => {
         val docs = s.read.parquet(s"$d/documents.parquet")
           .select(col("doc_id"), col("source"), col("n_chars"))
-        val wd = Window.orderBy(col("n_chars"), col("doc_id"))
-        val staged = docs.withColumn("decile",
-          ntile(10).over(wd))
+        val staged = graft.analytics.Ranks.withNtile(docs, 10, "decile",
+          Seq("n_chars" -> false, "doc_id" -> false))
         val wsrc = Window.partitionBy(col("decile"), col("source"))
           .orderBy(col("doc_id"))
+        val top = staged.withColumn("pos", row_number().over(wsrc))
+          .orderBy(col("decile"), col("pos"), col("source"), col("doc_id"))
+          .limit(100)
         val word = Window.orderBy(col("decile"), col("pos"),
           col("source"), col("doc_id"))
-        staged.withColumn("pos", row_number().over(wsrc))
-          .withColumn("curriculum_rank", row_number().over(word))
-          .filter(col("curriculum_rank") <= 100)
+        top.withColumn("curriculum_rank", row_number().over(word))
           .select(col("curriculum_rank"), col("doc_id"), col("source"),
             col("decile"), col("pos"))
           .orderBy(col("curriculum_rank"))
@@ -4358,7 +4364,7 @@ object ExtQueries {
           count(lit(1)).as("k"))
         counts.crossJoin(broadcast(tot))
           .select(col("event_type"), col("n"),
-            (col("n") * 1000000L / col("nn")).as("share_ppm"),
+            expr("n * 1000000 div nn").as("share_ppm"),
             round(col("nn").cast("double") /
               (col("k").cast("double") * col("n").cast("double")), 6)
               .as("inv_freq_weight"),

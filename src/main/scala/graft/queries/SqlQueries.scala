@@ -3499,19 +3499,24 @@ object SqlQueries {
              |FROM l ORDER BY event_type, week""".stripMargin)),
 
     // Customer-lifetime-value deciles: per-user exact-decimal value
-    // totals cut into 10 equal-population bands (ntile over the
-    // tie-free (ltv, user) ordering), then per-band size and share.
-    // The ntile runs on the per-user DIGEST, not the facts; at real
-    // scale the same cut comes from the quantile sketch the engine
-    // already ships (`a2_quantiles_approx`).
+    // totals cut into 10 equal-population bands over the tie-free
+    // (ltv, user) ordering, then per-band size and share. No global
+    // window anywhere: `Ranks.withNtile` ranks only a narrow
+    // projection of the persisted digest (TeraSort range partition +
+    // zipWithIndex), collects the 9 boundary keys, and the decile is
+    // a broadcast-boundary CASE — user-grain is data-proportional at
+    // the north star, so even the digest never funnels through one
+    // task.
     QueryDef("q_ltv_deciles",
       (s, d) => {
         val ltv = graft.sources.Tables.events(s, d)
           .groupBy(col("user_id"))
           .agg(sum(col("value").cast("decimal(18,2)")).as("ltv"))
-        val w = Window.orderBy(col("ltv").desc, col("user_id"))
-        ltv.withColumn("decile", ntile(10).over(w))
-          .groupBy(col("decile"))
+          .persist()
+        val dec = graft.analytics.Ranks.withNtile(ltv, 10, "decile",
+          Seq("ltv" -> true, "user_id" -> false))
+        ltv.unpersist(false)
+        dec.groupBy(col("decile"))
           .agg(count(lit(1)).as("n_users"),
             sum(col("ltv")).cast("double").as("total_value"),
             min(col("ltv")).cast("double").as("min_ltv"),
@@ -3980,15 +3985,17 @@ object SqlQueries {
     // summary behind the Pareto/LTV reports: G = (2·Σ i·xᵢ −
     // (n+1)·Σx) / (n·Σx) over ascending-sorted LTVs. Values are
     // exact CENTS and ranks integers, so both sums are exact; the
-    // rank window runs over the per-user digest (users, not
-    // events), ordered tie-free by (ltv, user).
+    // rank-weighted sum needs TRUE global ranks, so it rides
+    // `Ranks.withGlobalRank` — range-partitioned sort + zipWithIndex
+    // offsets — never a single-task global window, because user-grain
+    // is data-proportional at the north star.
     QueryDef("q_gini_coefficient",
       (s, d) => {
         val ltv = graft.sources.Tables.events(s, d)
           .groupBy(col("user_id"))
           .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
-        val w = Window.orderBy(col("cents"), col("user_id"))
-        ltv.withColumn("i", row_number().over(w))
+        graft.analytics.Ranks.withGlobalRank(ltv, "i",
+            Seq("cents" -> false, "user_id" -> false))
           .agg(count(lit(1)).as("n_users"),
             sum(col("cents")).as("sx"),
             sum(col("i") * col("cents")).as("six"))
@@ -4379,24 +4386,33 @@ object SqlQueries {
              |FROM conc, disc, m, tx, ty""".stripMargin)),
 
     // RFM segmentation: per-user Recency / Frequency / Monetary
-    // quintile scores (ntile over the tie-free user digest on each
-    // axis) concatenated into the classic 3-digit segment, rolled up
-    // to segment sizes. Three windows over the SAME per-user digest
-    // — the facts are scanned once; recency anchors on the corpus
-    // max day so the score is reproducible, not wall-clock-relative.
+    // quintile scores concatenated into the classic 3-digit segment,
+    // rolled up to segment sizes. Recency anchors on the corpus max
+    // day so the score is reproducible, not wall-clock-relative.
+    // Each axis's quintile is a broadcast-boundary CASE from
+    // `Ranks.ntileBoundaries` — the three stacked single-task global
+    // windows this query once had are gone; the digest is persisted
+    // so the three boundary collections scan the facts once, and the
+    // scoring pass itself is shuffle-free.
     QueryDef("q_rfm_segments",
       (s, d) => {
+        import graft.analytics.Ranks
         val ev = graft.sources.Tables.events(s, d)
         val per = ev.groupBy(col("user_id"))
           .agg(max(to_date(col("ts"))).as("last_day"),
             count(lit(1)).as("freq"),
             sum(floor(col("value") * 100).cast("long")).as("cents"))
-        val wR = Window.orderBy(col("last_day").desc, col("user_id"))
-        val wF = Window.orderBy(col("freq").desc, col("user_id"))
-        val wM = Window.orderBy(col("cents").desc, col("user_id"))
-        per.withColumn("r", ntile(5).over(wR))
-          .withColumn("f", ntile(5).over(wF))
-          .withColumn("m", ntile(5).over(wM))
+          .persist()
+        val sR = Seq("last_day" -> true, "user_id" -> false)
+        val sF = Seq("freq" -> true, "user_id" -> false)
+        val sM = Seq("cents" -> true, "user_id" -> false)
+        val (bR, bF, bM) = (Ranks.ntileBoundaries(per, 5, sR),
+          Ranks.ntileBoundaries(per, 5, sF),
+          Ranks.ntileBoundaries(per, 5, sM))
+        per.unpersist(false)
+        per.withColumn("r", Ranks.ntileColumn(bR, sR).cast("int"))
+          .withColumn("f", Ranks.ntileColumn(bF, sF).cast("int"))
+          .withColumn("m", Ranks.ntileColumn(bM, sM).cast("int"))
           .groupBy(concat(col("r"), col("f"), col("m")).as("segment"))
           .agg(count(lit(1)).as("n_users"),
             sum(col("cents")).as("total_cents"))
@@ -7073,10 +7089,10 @@ object SqlQueries {
              |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
              |hh AS (SELECT hr, cents, dayofweek(hr) AS dw, hour(hr) AS hd
              |  FROM h),
-             |b AS (SELECT dw, hd, sum(cents) // count(*) AS baseline
+             |b AS (SELECT dw, hd, (sum(cents) // count(*))::BIGINT AS baseline
              |  FROM hh GROUP BY 1, 2),
              |res AS (SELECT hh.hr, hh.cents, b.baseline,
-             |    hh.cents - b.baseline AS resid
+             |    (hh.cents - b.baseline)::BIGINT AS resid
              |  FROM hh JOIN b ON hh.dw = b.dw AND hh.hd = b.hd),
              |thr AS (SELECT 3 * sum(abs(resid)) // count(*) AS thr FROM res)
              |SELECT hr::VARCHAR AS hr, cents, baseline, resid

@@ -87,6 +87,10 @@ private class GraftSeqWriteBuilder(path: String, schema: StructType)
         if (doTruncate)
           Option(dir.listFiles()).getOrElse(Array.empty)
             .filter(_.getName.endsWith(".gseq")).foreach(_.delete())
+        // this path shards by Spark partitionId, NOT doc_id mod — any
+        // manifest left by writeShards no longer describes the layout
+        // and would mis-prune doc_id-equality scans
+        new java.io.File(dir, GraftSeqSource.ManifestName).delete()
         messages.collect { case m: GraftSeqCommit => m }
           .sortBy(_.partitionId)
           .foreach { m =>
@@ -177,11 +181,23 @@ private class GraftSeqScan(path: String, required: StructType,
       .getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".gseq"))
       .sortBy(_.getName)
+    // Shard pruning is only sound when a manifest CONFIRMS the
+    // doc_id-mod placement contract: the DSv2 write path names shards
+    // by Spark partitionId (no placement guarantee) and writes no
+    // manifest, and writeShards emits no file for an empty shard — so
+    // files.length is NOT a trustworthy shard count. Without the
+    // manifest we scan every shard; the residual filter keeps
+    // exactness either way, pruning only shrinks input.
     val kept = idEquality match {
-      case Some(id) if files.nonEmpty =>
-        // shard count IS the file count; the format writes every shard
-        val shard = java.lang.Math.floorMod(id, files.length.toLong)
-        files.filter(_.getName == f"shard_$shard%05d.gseq")
+      case Some(id) =>
+        GraftSeqSource.readManifest(path) match {
+          case Some(nShards) =>
+            val shard = java.lang.Math.floorMod(id, nShards.toLong)
+            // a missing file for the target shard means the shard was
+            // empty at write time: no rows with this doc_id exist
+            files.filter(_.getName == f"shard_$shard%05d.gseq")
+          case None => files
+        }
       case _ => files
     }
     kept.map(f => GraftSeqPartition(f.getAbsolutePath): InputPartition)
@@ -205,6 +221,8 @@ private class GraftSeqReader(file: String, wantId: Boolean,
     extends PartitionReader[InternalRow] {
   private val in = new DataInputStream(
     new BufferedInputStream(new FileInputStream(file), 1 << 16))
+  private val fileLen = new java.io.File(file).length()
+  private var pos = 0L
   private var row: InternalRow = _
   override def next(): Boolean = {
     // a record boundary is the only valid EOF point; EOF inside a
@@ -215,6 +233,16 @@ private class GraftSeqReader(file: String, wantId: Boolean,
     var i = 1
     while (i < 8) { id = (id << 8) | (in.readUnsignedByte() & 0xffL); i += 1 }
     val n = in.readInt()
+    pos += 12L + n
+    // a truncated payload must fail loudly on BOTH paths. The skip
+    // path can't rely on the stream: FileInputStream.skip seeks past
+    // EOF and reports success, and skipBytes returns 0 at EOF (an
+    // infinite loop if trusted blindly) — so truncation is detected
+    // against the file length, and skipped<=0 is kept as a backstop
+    // for non-seekable streams.
+    if (pos > fileLen)
+      throw new java.io.EOFException(
+        s"graftseq: truncated record in $file (record ends at $pos, file is $fileLen bytes)")
     val text: UTF8String =
       if (wantText) {
         val bytes = new Array[Byte](n)
@@ -223,7 +251,13 @@ private class GraftSeqReader(file: String, wantId: Boolean,
       } else {
         // pruned: never materialize the payload
         var toSkip = n
-        while (toSkip > 0) toSkip -= in.skipBytes(toSkip)
+        while (toSkip > 0) {
+          val skipped = in.skipBytes(toSkip)
+          if (skipped <= 0)
+            throw new java.io.EOFException(
+              s"graftseq: truncated record in $file ($toSkip payload bytes missing)")
+          toSkip -= skipped
+        }
         null
       }
     row =
@@ -242,6 +276,39 @@ object GraftSeqSource {
     StructField("doc_id", LongType, nullable = false),
     StructField("text", StringType, nullable = false)))
 
+  /** Sidecar recording the shard-placement contract. Only writeShards
+    * (which enforces shard = floorMod(doc_id, nShards)) emits it; the
+    * scan prunes to a single shard ONLY when this file confirms the
+    * contract and its nShards. */
+  private[sources] val ManifestName = "_graftseq_manifest"
+  private val Assignment = "doc_id_mod"
+
+  private[sources] def writeManifest(dir: String, nShards: Int): Unit = {
+    val f = new java.io.File(dir, ManifestName)
+    val w = new java.io.PrintWriter(f, "UTF-8")
+    try { w.print(s"assignment=$Assignment\nnShards=$nShards\n") }
+    finally w.close()
+  }
+
+  /** Returns the shard count iff a valid doc_id-mod manifest exists. */
+  private[sources] def readManifest(dir: String): Option[Int] = {
+    val f = new java.io.File(dir, ManifestName)
+    if (!f.isFile) None
+    else {
+      val kv = scala.io.Source.fromFile(f, "UTF-8").getLines()
+        .flatMap { l =>
+          l.split("=", 2) match {
+            case Array(k, v) => Some(k.trim -> v.trim)
+            case _ => None
+          }
+        }.toMap
+      if (kv.get("assignment").contains(Assignment))
+        kv.get("nShards").flatMap(s => scala.util.Try(s.toInt).toOption)
+          .filter(_ > 0)
+      else None
+    }
+  }
+
   /** Exporter: deterministic shard assignment (doc_id mod nShards),
     * records sorted by doc_id inside each shard so a shard's bytes are
     * reproducible on any cluster layout. One distributed pass: rows
@@ -252,6 +319,7 @@ object GraftSeqSource {
     * a shard is always written contiguously by exactly one task. */
   def writeShards(df: DataFrame, dir: String, nShards: Int): Unit = {
     new java.io.File(dir).mkdirs()
+    writeManifest(dir, nShards)
     import org.apache.spark.sql.functions._
     df.select(col("doc_id").cast("long"), col("text"))
       .repartition(nShards, pmod(col("doc_id"), lit(nShards)))

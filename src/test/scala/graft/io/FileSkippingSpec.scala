@@ -56,9 +56,17 @@ class FileSkippingSpec extends GraftSpec {
   test("pathKey is stable, filesystem-safe, and collision-resistant") {
     val a = FileSkipping.pathKey("/data/x", "v1")
     assert(a === FileSkipping.pathKey("/data/x", "v1"))
-    assert(a.matches("[0-9a-f]{16}"))
+    // <dataset>_<generation>: the dataset segment hashes the path
+    // ALONE so the GC prefix can never cross datasets
+    assert(a.matches("[0-9a-f]{8}_[0-9a-f]{16}"))
     assert(a !== FileSkipping.pathKey("/data/y", "v1"))
-    // version tag busts stale layouts
-    assert(a !== FileSkipping.pathKey("/data/x", "v2"))
+    assert(a.split("_")(0) !== FileSkipping.pathKey("/data/y", "v1").split("_")(0),
+      "different datasets must differ in the GC-prefix segment")
+    // version tag busts stale layouts — but only the GENERATION
+    // segment moves; same dataset keeps the same GC prefix
+    val v2 = FileSkipping.pathKey("/data/x", "v2")
+    assert(a !== v2)
+    assert(a.split("_")(0) === v2.split("_")(0),
+      "same dataset must share the GC-prefix segment across versions")
   }
 }

@@ -76,6 +76,61 @@ class GraftSeqSourceSpec extends GraftSpec {
     assert(src.filter($"doc_id" > 100L).rdd.getNumPartitions == 8)
   }
 
+  test("pruning is manifest-gated: empty shards and DSv2 layouts stay correct") {
+    import spark.implicits._
+    // writeShards with holes: ids land only in shards 0 and 2 of 8 —
+    // the file count (2) disagrees with the contract nShards (8). A
+    // file-count-derived mod would send doc_id=2 to shard_00000 and
+    // lose the row; the manifest records the true nShards.
+    val sparse = Seq((0L, "a"), (2L, "b"), (10L, "c")).toDF("doc_id", "text")
+    val d1 = tmp()
+    GraftSeqSource.writeShards(sparse, d1, nShards = 8)
+    assert(new java.io.File(d1).listFiles().count(_.getName.endsWith(".gseq")) == 2)
+    val s1 = GraftSeqSource.read(spark, d1)
+    assert(s1.filter($"doc_id" === 2L).collect().map(_.getString(1)).toSeq == Seq("b"))
+    // a probe into a genuinely empty shard returns no rows (and plans
+    // zero partitions — the manifest proves the shard cannot exist)
+    assert(s1.filter($"doc_id" === 5L).count() == 0L)
+
+    // DSv2 write shards by partitionId, NOT doc_id mod: no manifest,
+    // so an id-equality must scan every shard rather than mis-prune
+    val d2 = tmp()
+    (0L until 100L).map(i => (i, s"v$i")).toDF("doc_id", "text")
+      .repartition(4).write.format("graft.sources.GraftSeqSource")
+      .mode("overwrite").save(d2)
+    val s2 = GraftSeqSource.read(spark, d2)
+    val probe = s2.filter($"doc_id" === 37L)
+    assert(probe.rdd.getNumPartitions == 4,
+      "without a placement manifest the scan must keep all shards")
+    assert(probe.collect().map(_.getString(1)).toSeq == Seq("v37"))
+
+    // DSv2 write into a writeShards dir must invalidate the stale manifest
+    (0L until 100L).map(i => (i, s"v$i")).toDF("doc_id", "text")
+      .repartition(4).write.format("graft.sources.GraftSeqSource")
+      .mode("overwrite").save(d1)
+    assert(GraftSeqSource.read(spark, d1).filter($"doc_id" === 37L)
+      .collect().map(_.getString(1)).toSeq == Seq("v37"))
+  }
+
+  test("truncated shard fails loudly even on the payload-skip path") {
+    import spark.implicits._
+    val dir = tmp()
+    (0L until 50L).map(i => (i, "x" * 100)).toDF("doc_id", "text")
+      .coalesce(1).write.format("graft.sources.GraftSeqSource")
+      .mode("overwrite").save(dir)
+    val f = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".gseq")).head
+    // chop mid-payload: header of the last record survives, body doesn't
+    val ch = new java.io.RandomAccessFile(f, "rw")
+    ch.setLength(f.length() - 40); ch.close()
+    val pruned = GraftSeqSource.read(spark, dir).select("doc_id")
+    val ex = intercept[Exception] { pruned.count() }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.isInstanceOf[java.io.EOFException]),
+      s"payload-skip over a truncated shard must raise EOF, got $ex")
+  }
+
   test("DSv2 write path: staged-then-committed shards, truncate mode, clean staging") {
     import spark.implicits._
     val dir = tmp()
