@@ -6156,30 +6156,51 @@ object SqlQueries {
     // into clusters of τ ∈ {1,2,4,8} samples; AVAR(τ) =
     // Σ(s̄_{k+1}−s̄_k)² / 2(K−1) over cluster means. Cluster sums stay
     // exact milli-unit BIGINTs (squares < 2^63 past sf10; DECIMAL(38)
-    // beyond) so the whole τ-curve hash-matches DuckDB. One shuffle
-    // on event_type; the ×4 τ fan-out happens AFTER the row-number
-    // window, on the same partitioning.
+    // beyond) so the whole τ-curve hash-matches DuckDB.
+    //
+    // The whole τ-curve comes from ONE window pass with ZERO row
+    // fan-out (the ×4 explode + re-group this query used to do was
+    // the sweep's 2.48×-at-10× outlier): cluster sums are prefix-sum
+    // differences, so the difference of ADJACENT cluster sums is the
+    // second difference of the running sum P at cluster boundaries —
+    // d_k = P((k+2)τ) − 2·P((k+1)τ) + P(kτ) — i.e. lead/lag of the
+    // cumulative sum at offsets τ, all riding the same
+    // (event_type)-partitioned sort. lead(ps, τ) is NULL exactly when
+    // cluster k+1 is incomplete, which IS the complete-cluster
+    // filter. One shuffle, one WindowExec, then a per-type digest
+    // unpivoted to the (type, τ) grid.
     QueryDef("q_allan_variance",
       (s, d) => {
+        val taus = Seq(1, 2, 4, 8)
         val ev = graft.sources.Tables.events(s, d)
           .select(col("event_type"), col("ts"), col("event_id"),
             floor(col("value") * 1000).cast("long").as("vm"))
         val wt = Window.partitionBy(col("event_type"))
           .orderBy(col("ts"), col("event_id"))
-        val cl = ev.withColumn("rn", row_number().over(wt) - 1)
-          .withColumn("tau", explode(array(lit(1), lit(2), lit(4), lit(8))))
-          .groupBy(col("event_type"), col("tau"),
-            expr("rn div tau").as("k"))
-          .agg(count(lit(1)).as("cnt"), sum(col("vm")).as("cs"))
-          .filter(col("cnt") === col("tau"))
-        val wk = Window.partitionBy(col("event_type"), col("tau"))
-          .orderBy(col("k"))
-        val diffs = cl
-          .withColumn("dnext", lead(col("cs"), 1).over(wk) - col("cs"))
-        diffs.groupBy(col("event_type"), col("tau"))
-          .agg(count(lit(1)).as("n_clusters"),
-            round(sum(col("dnext") * col("dnext")).cast("double") /
-              (lit(2.0) * (count(col("dnext"))).cast("double") *
+        val wcum = wt.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val base = taus.foldLeft(
+          ev.withColumn("rn", row_number().over(wt) - 1)
+            .withColumn("ps", sum(col("vm")).over(wcum))) { (df, t) =>
+          df.withColumn(s"d_$t",
+              lead(col("ps"), t).over(wt) - col("ps") * 2 +
+                coalesce(lag(col("ps"), t).over(wt), lit(0L)))
+            .withColumn(s"b_$t", col("rn") % t === t - 1)
+        }
+        val aggs = taus.flatMap { t =>
+          Seq(sum(when(col(s"b_$t"), 1L).otherwise(0L)).as(s"nc_$t"),
+            sum(when(col(s"b_$t"), col(s"d_$t") * col(s"d_$t")))
+              .as(s"ss_$t"),
+            sum(when(col(s"b_$t") && col(s"d_$t").isNotNull, 1L)
+              .otherwise(0L)).as(s"np_$t"))
+        }
+        val g = base.groupBy(col("event_type")).agg(aggs.head, aggs.tail: _*)
+        val stackExpr = taus.map(t => s"$t, nc_$t, ss_$t, np_$t")
+          .mkString(s"stack(${taus.size}, ", ", ",
+            ") as (tau, n_clusters, ssq, npairs)")
+        g.select(col("event_type"), expr(stackExpr))
+          .select(col("event_type"), col("tau"), col("n_clusters"),
+            round(col("ssq").cast("double") /
+              (lit(2.0) * col("npairs").cast("double") *
                 (col("tau") * col("tau")).cast("double") * 1e6), 6)
               .as("avar"))
           .orderBy(col("event_type"), col("tau"))

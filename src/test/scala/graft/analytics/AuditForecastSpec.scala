@@ -13,6 +13,63 @@ class AuditForecastSpec extends GraftSpec {
   private def run(name: String): Array[org.apache.spark.sql.Row] =
     SparkEntry.queries(name)(spark, Sf).collect()
 
+  test("group approx quantiles track the exact quantiles within the GK rank bound (sf0.01)") {
+    // the ε-bound law for the rows-only sketch twin: each
+    // approx_percentile(accuracy=5000) output must fall between the
+    // exact order statistics at rank ± (n/5000 + 1) of ITS group —
+    // the GK guarantee, checked against real data at the gate's sf
+    val sf01 = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q_group_quantiles_approx")(spark, sf01).collect()
+    assert(rows.nonEmpty)
+    val byType = graft.sources.Tables.events(spark, sf01)
+      .select("event_type", "value").collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getDouble(1)).sorted).toMap
+    rows.foreach { r =>
+      val vs = byType(r.getAs[String]("event_type"))
+      val n = vs.length
+      assert(r.getAs[Long]("n") === n.toLong)
+      val slack = math.ceil(n / 5000.0).toInt + 1
+      for ((p, cname) <- Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75")) {
+        val target = math.max(1, math.ceil(p * n).toInt)
+        val lo = vs(math.max(0, target - slack - 1))
+        val hi = vs(math.min(n - 1, target + slack - 1))
+        val a = r.getAs[Double](cname)
+        assert(a >= lo - 1e-4 && a <= hi + 1e-4,
+          s"${r.getAs[String]("event_type")}.$cname=$a outside [$lo, $hi] (n=$n)")
+      }
+    }
+  }
+
+  test("MG heavy-hitter sketch vs the exact twin: bounds sound and no frequent term missed (sf0.01)") {
+    // the ε-bound law for the rows-only sketch twin, against the SAME
+    // corpus the registered queries run on: every reported lower
+    // bound is ≤ the exact count, underestimates by at most N/(k+1),
+    // and every term the exact top-k would surface above N/(k+1) is
+    // in the sketch
+    import org.apache.spark.sql.functions._
+    val sf01 = "/root/testdata/sf0.01"
+    val terms = spark.read.parquet(s"$sf01/documents.parquet")
+      .select(explode(graft.ext.TextAnalysis.tokens(col("text"))).as("term"))
+    val exact = terms.groupBy("term").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val bound = n / 65  // k = 64 counters
+    val sketch = terms
+      .agg(graft.functions.HeavyHitters.heavyHitters(col("term"), 64).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.term").as("term"), col("e.count_lb").as("count_lb"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sketch.nonEmpty && sketch.size <= 64)
+    sketch.foreach { case (t, lb) =>
+      assert(lb <= exact(t), s"$t: lb=$lb exceeds exact=${exact(t)}")
+      assert(exact(t) - lb <= bound,
+        s"$t: underestimate ${exact(t) - lb} exceeds N/(k+1)=$bound")
+    }
+    exact.filter(_._2 > bound).keys.foreach(t =>
+      assert(sketch.contains(t), s"frequent term '$t' (> $bound) missing"))
+  }
+
   test("markov stationary: one mass entry per state, total ppm conserved up to per-step truncation") {
     val rows = run("q_markov_stationary")
     assert(rows.length === 5)
