@@ -2808,25 +2808,37 @@ object SqlQueries {
     // Trailing-7-day distinct active users per observed day (rolling
     // MAU/WAU primitive). COUNT(DISTINCT) over a sliding range window
     // doesn't exist in any engine, and the naive day×activity range
-    // join is quadratic in history. Scale path: dedup to (user, day)
-    // once, EXPLODE each activity day into the ≤7 report days it can
-    // serve (bounded fan-out, shuffle keyed on (user, report_day)),
-    // dedup again, count — every stage partial-aggregatable, nothing
-    // proportional to history length. Report days are restricted to
-    // observed activity days (semi join) so both engines emit the
-    // same day set.
+    // join is quadratic in history. Scale path — ZERO fan-out, no
+    // re-dedup (the ×7 explode + second distinct this query used to
+    // run was the sweep's 1.91× watch item): per user, each active
+    // day covers report days [d, min(d+6, next_active−1)] — DISJOINT
+    // intervals by construction, so a user counts once per covered
+    // day with no distinct. The intervals become a ±1 diff array at
+    // day grain; the trailing count is its prefix sum over the
+    // day-grain digest (bounded by the span, not the rows). One
+    // (user, day) dedup + one per-user lead — both on the same
+    // user_id shuffle class — then digest-sized arithmetic.
     QueryDef("q_rolling_distinct_users",
       (s, d) => {
         val ud = graft.sources.Tables.events(s, d)
           .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val wu = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        val iv = ud.withColumn("nd", lead(col("day"), 1).over(wu))
+          .select(col("day").as("cs"),
+            when(col("nd").isNotNull &&
+                datediff(col("nd"), col("day")) <= 6,
+              date_sub(col("nd"), 1))
+              .otherwise(date_add(col("day"), 6)).as("ce"))
+        val deltas = iv.select(col("cs").as("dday"), lit(1L).as("delta"))
+          .unionAll(iv.select(date_add(col("ce"), 1).as("dday"),
+            lit(-1L).as("delta")))
+          .groupBy(col("dday")).agg(sum(col("delta")).as("delta"))
         val days = ud.select(col("day")).distinct()
-        ud.select(col("user_id"),
-            explode(sequence(lit(0), lit(6))).as("i"), col("day"))
-          .select(col("user_id"), date_add(col("day"), col("i")).as("rday"))
-          .join(days, col("rday") === col("day"), "left_semi")
-          .distinct()
-          .groupBy(col("rday").cast("string").as("day"))
-          .agg(count(lit(1)).as("users_7d"))
+        val wd = Window.orderBy(col("dday"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        deltas.withColumn("users_7d", sum(col("delta")).over(wd))
+          .join(days, col("dday") === col("day"), "left_semi")
+          .select(col("dday").cast("string").as("day"), col("users_7d"))
           .orderBy(col("day"))
       },
       Some("""WITH ud AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
@@ -4644,17 +4656,21 @@ object SqlQueries {
 
     // Lorenz curve (the graph behind q_gini_coefficient): per LTV
     // decile, the cumulative share of users vs cumulative share of
-    // value, both in exact ppm integers — deciles from ntile over
-    // the user digest, cumulative sums over the 10-row decile
-    // digest. `A 45° line` ⇒ equality; the sag IS the inequality.
+    // value, both in exact ppm integers — deciles via the
+    // broadcast-boundary `Ranks.withNtile` (user-grain is
+    // data-proportional; no single-task window touches the digest),
+    // cumulative sums over the 10-row decile digest. `A 45° line` ⇒
+    // equality; the sag IS the inequality.
     QueryDef("q_lorenz_curve",
       (s, d) => {
         val ltv = graft.sources.Tables.events(s, d)
           .groupBy(col("user_id"))
           .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
-        val w = Window.orderBy(col("cents"), col("user_id"))
-        val dec = ltv.withColumn("decile", ntile(10).over(w))
-          .groupBy(col("decile"))
+          .persist()
+        val dec0 = graft.analytics.Ranks.withNtile(ltv, 10, "decile",
+          Seq("cents" -> false, "user_id" -> false))
+        ltv.unpersist(false)
+        val dec = dec0.groupBy(col("decile"))
           .agg(count(lit(1)).as("nu"), sum(col("cents")).as("cts"))
         val wd = Window.orderBy(col("decile"))
           .rowsBetween(Window.unboundedPreceding, 0)
