@@ -1565,16 +1565,24 @@ object ExtQueries {
     // this pairs with it as the consumer side.
     QueryDef("text_oov_rate",
       (s, d) => {
-        val toks = s.read.parquet(s"$d/documents.parquet")
+        // Both the vocab and the per-doc rollup run off the SAME
+        // (doc_id, term, tf) digest: the vocab branch re-aggregates it
+        // by term, so its shuffle exchange is byte-identical to the
+        // join side's and Spark's ReuseExchange tokenizes the corpus
+        // once; the broadcast join then carries one row per DISTINCT
+        // term per doc instead of one per token occurrence.
+        val tf = s.read.parquet(s"$d/documents.parquet")
           .select(col("doc_id"),
             explode(TextAnalysis.tokens(col("text"))).as("term"))
-        val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("cf"))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val vocab = tf.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
           .orderBy(col("cf").desc, col("term")).limit(100)
           .select(col("term"), lit(1).as("__iv"))
-        toks.join(broadcast(vocab), Seq("term"), "left")
+        tf.join(broadcast(vocab), Seq("term"), "left")
           .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_tokens"),
-            sum(when(col("__iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .agg(sum(col("tf")).as("n_tokens"),
+            sum(when(col("__iv").isNull, col("tf")).otherwise(0L))
+              .as("n_oov"))
           .select(col("doc_id"), col("n_tokens"), col("n_oov"),
             round(col("n_oov") / col("n_tokens"), 6).as("oov_rate"))
           .orderBy(col("doc_id"))
@@ -3510,29 +3518,36 @@ object ExtQueries {
               |FROM b GROUP BY len_bucket ORDER BY len_bucket""".stripMargin)),
 
     // Distributed covariance (Gram) matrix over the first 16
-    // embedding dims — the whitening/PCA-prep primitive. One
-    // posexplode to (vec, dim, x), a self-join CO-PARTITIONED on
-    // vec_id for the upper-triangle pairs, then per-(i,j) integer
-    // sums: coordinates are quantized to a 1e-3 grid first, so every
-    // Σx, Σxy is EXACT and partition-order independent — the same
-    // integer-grid discipline as the IVF quantizer. The output stays
-    // integer to the end: cov in 1e-9 units via half-away-from-zero
-    // integer rounding spelled with ABS so both engines' truncating
-    // (`div`) vs flooring (`//`) division agree — a float round()
-    // here can land exactly on a .5 boundary (num/25000 at sf0.1 did)
-    // and flip the last digit between engines. At full width this is
-    // the standard d²-pair tall-skinny Gram pattern; 16 dims keeps
-    // the oracle replay proportionate.
+    // embedding dims — the whitening/PCA-prep primitive. The d·(d+1)/2
+    // upper-triangle pairs are generated PER ROW with nested
+    // higher-order transforms (no self-join: a join would shuffle the
+    // exploded coordinates twice and re-materialize every pair through
+    // the exchange; here the 136× fan-out is consumed by the map-side
+    // partial aggregate, so the only shuffle carries 136 digest rows
+    // per task). Coordinates are quantized to a 1e-3 grid first, so
+    // every Σx, Σxy is EXACT and partition-order independent — the
+    // same integer-grid discipline as the IVF quantizer. The output
+    // stays integer to the end: cov in 1e-9 units via
+    // half-away-from-zero integer rounding spelled with ABS so both
+    // engines' truncating (`div`) vs flooring (`//`) division agree —
+    // a float round() here can land exactly on a .5 boundary
+    // (num/25000 at sf0.1 did) and flip the last digit between
+    // engines. At full width this is the standard d²-pair tall-skinny
+    // Gram pattern; 16 dims keeps the oracle replay proportionate.
     QueryDef("emb_covariance",
       (s, d) => {
-        val x = s.read.parquet(s"$d/embeddings.parquet")
-          .select(col("vec_id"),
-            posexplode(slice(col("embedding"), 1, 16)).as(Seq("i", "xf")))
-          .select(col("vec_id"), col("i"),
-            round(col("xf").cast("double") * 1000, 0).cast("long").as("xq"))
-        x.join(x.select(col("vec_id").as("v2"), col("i").as("j"),
-            col("xq").as("yq")),
-            col("vec_id") === col("v2") && col("i") <= col("j"))
+        val xq = transform(slice(col("embedding"), 1, 16),
+          x => round(x.cast("double") * 1000, 0).cast("long"))
+        val pairs = flatten(transform(sequence(lit(0), lit(15)), i =>
+          transform(sequence(i, lit(15)), j =>
+            struct(i.cast("int").as("i"), j.cast("int").as("j"),
+              element_at(col("__xq"), (i + lit(1)).cast("int")).as("xq"),
+              element_at(col("__xq"), (j + lit(1)).cast("int")).as("yq")))))
+        s.read.parquet(s"$d/embeddings.parquet")
+          .select(xq.as("__xq"))
+          .select(explode(pairs).as("p"))
+          .select(col("p.i").as("i"), col("p.j").as("j"),
+            col("p.xq").as("xq"), col("p.yq").as("yq"))
           .groupBy(col("i"), col("j"))
           .agg(count(lit(1)).as("n"), sum(col("xq")).as("sx"),
             sum(col("yq")).as("sy"),
@@ -3699,14 +3714,18 @@ object ExtQueries {
     // iterate rides broadcast digests.
     QueryDef("emb_power_iteration",
       (s, d) => {
-        val x = s.read.parquet(s"$d/embeddings.parquet")
-          .select(col("vec_id"),
-            posexplode(slice(col("embedding"), 1, 16)).as(Seq("i", "xf")))
-          .select(col("vec_id"), col("i"),
-            round(col("xf").cast("double") * 1000, 0).cast("long").as("xq"))
-        val upper = x.join(x.select(col("vec_id").as("v2"), col("i").as("j"),
-            col("xq").as("yq")),
-            col("vec_id") === col("v2") && col("i") <= col("j"))
+        val xq = transform(slice(col("embedding"), 1, 16),
+          x => round(x.cast("double") * 1000, 0).cast("long"))
+        val prs = flatten(transform(sequence(lit(0), lit(15)), i =>
+          transform(sequence(i, lit(15)), j =>
+            struct(i.cast("int").as("i"), j.cast("int").as("j"),
+              element_at(col("__xq"), (i + lit(1)).cast("int")).as("xq"),
+              element_at(col("__xq"), (j + lit(1)).cast("int")).as("yq")))))
+        val upper = s.read.parquet(s"$d/embeddings.parquet")
+          .select(xq.as("__xq"))
+          .select(explode(prs).as("p"))
+          .select(col("p.i").as("i"), col("p.j").as("j"),
+            col("p.xq").as("xq"), col("p.yq").as("yq"))
           .groupBy(col("i"), col("j"))
           .agg(count(lit(1)).as("n"), sum(col("xq")).as("sx"),
             sum(col("yq")).as("sy"), sum(col("xq") * col("yq")).as("sxy"))
