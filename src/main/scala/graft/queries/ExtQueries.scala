@@ -3785,6 +3785,110 @@ object ExtQueries {
              |    * (abs(u) // (mx // 1000000)))::BIGINT AS vp FROM u3, x3)
              |SELECT vi AS i, vp AS v_ppm FROM v3 ORDER BY i""".stripMargin)),
 
+    // Variance explained by the dominant principal direction — the
+    // "is one axis eating the representation" diagnostic run before
+    // whitening: Rayleigh quotient vᵀCv / vᵀv over the integer Gram,
+    // against trace(C) = total variance. The iterate is re-scaled to
+    // ±1e3 (sign·abs div, so Spark's truncating div and DuckDB's
+    // flooring // agree) before the quadratic form: at ppm scale the
+    // vᵀCv terms would pass int64 — DuckDB would escape to HUGEINT,
+    // Spark longs would wrap, and the engines would diverge exactly
+    // where it matters. Distributed part is the Gram build (per-row
+    // pair generation + one 136-row digest shuffle); everything after
+    // rides 16-row broadcast digests.
+    QueryDef("emb_pca_explained",
+      (s, d) => {
+        val xq = transform(slice(col("embedding"), 1, 16),
+          x => round(x.cast("double") * 1000, 0).cast("long"))
+        val prs = flatten(transform(sequence(lit(0), lit(15)), i =>
+          transform(sequence(i, lit(15)), j =>
+            struct(i.cast("int").as("i"), j.cast("int").as("j"),
+              element_at(col("__xq"), (i + lit(1)).cast("int")).as("xq"),
+              element_at(col("__xq"), (j + lit(1)).cast("int")).as("yq")))))
+        val upper = s.read.parquet(s"$d/embeddings.parquet")
+          .select(xq.as("__xq"))
+          .select(explode(prs).as("p"))
+          .select(col("p.i").as("i"), col("p.j").as("j"),
+            col("p.xq").as("xq"), col("p.yq").as("yq"))
+          .groupBy(col("i"), col("j"))
+          .agg(count(lit(1)).as("n"), sum(col("xq")).as("sx"),
+            sum(col("yq")).as("sy"), sum(col("xq") * col("yq")).as("sxy"))
+          .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+          .select(col("i"), col("j"),
+            (when(col("num") < 0, -1L).otherwise(1L) *
+              expr("(abs(num) * 2000 + n * n) div (2 * n * n)")).as("c"))
+        val m = upper.unionAll(upper.filter(col("i") =!= col("j"))
+          .select(col("j").as("i"), col("i").as("j"), col("c")))
+          .persist()
+        var v = m.select(col("i")).distinct()
+          .select(col("i").as("vi"), lit(1000000L).as("vp"))
+        for (_ <- 1 to 3) {
+          val u = m.join(v, col("j") === col("vi"))
+            .groupBy(col("i")).agg(sum(col("c") * col("vp")).as("u"))
+          val mx = u.agg(max(abs(col("u"))).as("mx"))
+          v = u.crossJoin(broadcast(mx))
+            .select(col("i").as("vi"),
+              (when(col("u") < 0, -1L).otherwise(1L) *
+                expr("abs(u) div (mx div 1000000)")).as("vp"))
+        }
+        val vk = v.select(col("vi"),
+          (when(col("vp") < 0, -1L).otherwise(1L) *
+            expr("abs(vp) div 1000")).as("vk"))
+        val u = m.join(vk, col("j") === col("vi"))
+          .groupBy(col("i")).agg(sum(col("c") * col("vk")).as("u"))
+        val quad = u.join(vk.select(col("vi").as("i2"), col("vk").as("vk2")),
+            col("i") === col("i2"))
+          .agg(sum(col("u") * col("vk2")).as("num"),
+            sum(col("vk2") * col("vk2")).as("den"))
+        val tr = m.filter(col("i") === col("j"))
+          .agg(sum(col("c")).as("trace_e9"))
+        quad.crossJoin(broadcast(tr))
+          .select(expr("num div den").as("lambda_e9"), col("trace_e9"),
+            expr("(num div den) * 1000000 div trace_e9").as("explained_ppm"))
+      },
+      Some("""WITH x AS (SELECT vec_id, r.i::INT AS i,
+             |    round(embedding[r.i + 1]::DOUBLE * 1000)::BIGINT AS xq
+             |  FROM embeddings, range(16) r(i)),
+             |p AS (SELECT a.i, b.i AS j, a.xq, b.xq AS yq
+             |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i),
+             |g AS (SELECT i, j, count(*) AS n, sum(xq)::BIGINT AS sx,
+             |    sum(yq)::BIGINT AS sy, sum(xq * yq)::BIGINT AS sxy
+             |  FROM p GROUP BY 1, 2),
+             |up AS (SELECT i, j,
+             |    ((CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END)
+             |      * ((abs(n * sxy - sx * sy) * 2000 + n * n)
+             |        // (2 * n * n)))::BIGINT AS c
+             |  FROM g),
+             |m AS (SELECT i, j, c FROM up
+             |  UNION ALL SELECT j, i, c FROM up WHERE i != j),
+             |v0 AS (SELECT DISTINCT i AS vi, 1000000::BIGINT AS vp FROM m),
+             |u1 AS (SELECT m.i, sum(m.c * v0.vp)::BIGINT AS u
+             |  FROM m JOIN v0 ON m.j = v0.vi GROUP BY 1),
+             |x1 AS (SELECT max(abs(u)) AS mx FROM u1),
+             |v1 AS (SELECT i AS vi, ((CASE WHEN u < 0 THEN -1 ELSE 1 END)
+             |    * (abs(u) // (mx // 1000000)))::BIGINT AS vp FROM u1, x1),
+             |u2 AS (SELECT m.i, sum(m.c * v1.vp)::BIGINT AS u
+             |  FROM m JOIN v1 ON m.j = v1.vi GROUP BY 1),
+             |x2 AS (SELECT max(abs(u)) AS mx FROM u2),
+             |v2 AS (SELECT i AS vi, ((CASE WHEN u < 0 THEN -1 ELSE 1 END)
+             |    * (abs(u) // (mx // 1000000)))::BIGINT AS vp FROM u2, x2),
+             |u3 AS (SELECT m.i, sum(m.c * v2.vp)::BIGINT AS u
+             |  FROM m JOIN v2 ON m.j = v2.vi GROUP BY 1),
+             |x3 AS (SELECT max(abs(u)) AS mx FROM u3),
+             |v3 AS (SELECT i AS vi, ((CASE WHEN u < 0 THEN -1 ELSE 1 END)
+             |    * (abs(u) // (mx // 1000000)))::BIGINT AS vp FROM u3, x3),
+             |vk AS (SELECT vi, (CASE WHEN vp < 0 THEN -1 ELSE 1 END)
+             |    * (abs(vp) // 1000) AS vk FROM v3),
+             |uq AS (SELECT m.i, sum(m.c * vk.vk)::BIGINT AS u
+             |  FROM m JOIN vk ON m.j = vk.vi GROUP BY 1),
+             |q AS (SELECT sum(uq.u * vk.vk)::BIGINT AS num,
+             |    sum(vk.vk * vk.vk)::BIGINT AS den
+             |  FROM uq JOIN vk ON uq.i = vk.vi),
+             |t AS (SELECT sum(c)::BIGINT AS trace_e9 FROM m WHERE i = j)
+             |SELECT (num // den)::BIGINT AS lambda_e9, trace_e9,
+             |  ((num // den) * 1000000 // trace_e9)::BIGINT AS explained_ppm
+             |FROM q, t""".stripMargin)),
+
     // Curriculum ordering: corpus sorted easy→hard by integer
     // quality-proxy deciles, ROUND-ROBIN interleaved across sources
     // inside each decile so no source dominates any training phase.
@@ -5460,6 +5564,128 @@ object ExtQueries {
              |      / (nn * 2)::DOUBLE
              |    + ((n1 * 2 - nn) * (n1 * 2 - nn))::DOUBLE / (nn * 2)::DOUBLE
              |    > 3.841 THEN 1 ELSE 0 END::BIGINT AS srm_detected
-             |FROM c""".stripMargin))
+             |FROM c""".stripMargin)),
+
+    // BPE merge-candidate mining — the first step of tokenizer
+    // induction: adjacent-symbol pair counts, weighted by word
+    // frequency. The pairs ride the DISTINCT-WORD digest, not the
+    // corpus — the classic trick that keeps BPE training tractable at
+    // 100 TB: after one word-count shuffle, each merge round is
+    // O(vocab · word_len) re-counting over the digest and never
+    // rescans the raw text.
+    QueryDef("text_bpe_pair_counts",
+      (s, d) => {
+        val wf = s.read.parquet(s"$d/documents.parquet")
+          .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+          .filter(length(col("w")) >= 2)
+          .groupBy(col("w")).agg(count(lit(1)).as("f"))
+        wf.select(col("f"), explode(expr(
+            "transform(sequence(0, length(w) - 2), i -> substring(w, i + 1, 2))"))
+            .as("pair"))
+          .groupBy(col("pair"))
+          .agg(sum(col("f")).as("pair_count"))
+          .orderBy(col("pair_count").desc, col("pair"))
+          .limit(20)
+      },
+      Some("""WITH tk AS (SELECT unnest(string_split(lower(text), ' ')) AS w
+             |  FROM documents),
+             |wf AS (SELECT w, count(*)::BIGINT AS f FROM tk
+             |  WHERE len(w) >= 2 GROUP BY 1),
+             |p AS (SELECT f, unnest(list_transform(range(len(w) - 1),
+             |    i -> w[i+1:i+2])) AS pair FROM wf)
+             |SELECT pair, sum(f)::BIGINT AS pair_count FROM p GROUP BY 1
+             |ORDER BY pair_count DESC, pair LIMIT 20""".stripMargin)),
+
+    // Winnowing-style fingerprint sampling (Schleimer et al., SIGMOD
+    // 2003 family): token 3-shingles hashed, and a position is selected
+    // iff its hash is the minimum of the window of 4 shingles ending
+    // there — every 4-shingle window is guaranteed ≥1 selected
+    // fingerprint, so docs of any length sample at a bounded density
+    // instead of keeping all O(len) shingle hashes. The window is
+    // partitioned by doc_id (per-doc, bounded), and both engines run
+    // the identical md5-derived hash, so the sampled set — not just
+    // its size — is deterministic and compared via distinct-fp counts.
+    QueryDef("text_winnowing",
+      (s, d) => {
+        val t = s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 3)
+        val sh = t.select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, size(tk) - 3), i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2]))"))
+          .as(Seq("pos", "g")))
+        val h = conv(substring(md5(concat(lit("win:"), col("g"))), 1, 15),
+          16, 10).cast("long")
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+          .rowsBetween(-3, 0)
+        sh.select(col("doc_id"), col("pos"), h.as("h"))
+          .withColumn("wmin", min(col("h")).over(w))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("h") === col("wmin"), 1L).otherwise(0L))
+              .as("n_selected"),
+            count_distinct(when(col("h") === col("wmin"), col("h")))
+              .as("n_distinct_fp"))
+          .select(col("doc_id"), col("n_shingles"), col("n_selected"),
+            col("n_distinct_fp"),
+            expr("n_selected * 1000000 div n_shingles").as("density_ppm"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+             |  FROM documents
+             |  WHERE len(string_split(lower(text), ' ')) >= 3),
+             |sh0 AS (SELECT doc_id, unnest(list_transform(range(len(tk) - 2),
+             |    i -> struct_pack(pos := i,
+             |      g := tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]))) AS u
+             |  FROM t),
+             |sh AS (SELECT doc_id, u.pos::INT AS pos,
+             |    ('0x' || substring(md5('win:' || u.g), 1, 15))::BIGINT AS h
+             |  FROM sh0),
+             |w AS (SELECT doc_id, h, min(h) OVER (PARTITION BY doc_id
+             |    ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+             |    AS wmin FROM sh)
+             |SELECT doc_id, count(*)::BIGINT AS n_shingles,
+             |  sum(CASE WHEN h = wmin THEN 1 ELSE 0 END)::BIGINT
+             |    AS n_selected,
+             |  count(DISTINCT CASE WHEN h = wmin THEN h END)::BIGINT
+             |    AS n_distinct_fp,
+             |  (sum(CASE WHEN h = wmin THEN 1 ELSE 0 END) * 1000000
+             |    // count(*))::BIGINT AS density_ppm
+             |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // K-minimum-values distinct-count sketch next to the exact answer:
+    // the estimate is (k-1)·2^56 / h_(k) over md5-derived hashes, so —
+    // unlike a randomized HLL — BOTH engines replay the identical
+    // sketch and even the estimate hash-matches. The k smallest hashes
+    // are a mergeable O(k) partial (TakeOrdered), the same
+    // bounded-state shape as the Misra-Gries top-k: at 100 TB the
+    // sketch is one tiny digest per partition, no distinct shuffle.
+    QueryDef("corpus_kmv_distinct",
+      (s, d) => {
+        val terms = s.read.parquet(s"$d/documents.parquet")
+          .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+          .distinct()
+        val h = conv(substring(md5(concat(lit("kmv:"), col("term"))), 1, 14),
+          16, 10).cast("long")
+        val hk = terms.select(h.as("h")).orderBy(col("h")).limit(16)
+          .agg(max(col("h")).as("hk"))
+        terms.agg(count(lit(1)).as("n_exact"))
+          .crossJoin(broadcast(hk))
+          .select(col("n_exact"), col("hk"),
+            expr("(15 * 72057594037927936) div hk").as("kmv_estimate"))
+          .withColumn("err_ppm",
+            expr("abs(kmv_estimate - n_exact) * 1000000 div n_exact"))
+      },
+      Some("""WITH t AS (SELECT DISTINCT unnest(string_split(lower(text), ' '))
+             |    AS term FROM documents),
+             |h AS (SELECT ('0x' || substring(md5('kmv:' || term), 1, 14))
+             |    ::BIGINT AS h FROM t),
+             |k AS (SELECT max(h) AS hk FROM
+             |  (SELECT h FROM h ORDER BY h LIMIT 16)),
+             |n AS (SELECT count(*)::BIGINT AS n_exact FROM t)
+             |SELECT n_exact, hk,
+             |  ((15 * 72057594037927936) // hk)::BIGINT AS kmv_estimate,
+             |  (abs(((15 * 72057594037927936) // hk) - n_exact) * 1000000
+             |    // n_exact)::BIGINT AS err_ppm
+             |FROM n, k""".stripMargin))
   )
 }
