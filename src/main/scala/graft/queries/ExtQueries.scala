@@ -5596,15 +5596,17 @@ object ExtQueries {
              |SELECT pair, sum(f)::BIGINT AS pair_count FROM p GROUP BY 1
              |ORDER BY pair_count DESC, pair LIMIT 20""".stripMargin)),
 
-    // Winnowing-style fingerprint sampling (Schleimer et al., SIGMOD
-    // 2003 family): token 3-shingles hashed, and a position is selected
-    // iff its hash is the minimum of the window of 4 shingles ending
-    // there — every 4-shingle window is guaranteed ≥1 selected
-    // fingerprint, so docs of any length sample at a bounded density
-    // instead of keeping all O(len) shingle hashes. The window is
-    // partitioned by doc_id (per-doc, bounded), and both engines run
-    // the identical md5-derived hash, so the sampled set — not just
-    // its size — is deterministic and compared via distinct-fp counts.
+    // Winnowing fingerprint sampling (Schleimer et al., SIGMOD 2003):
+    // token 3-shingles hashed; a position is selected iff it is the
+    // ARGMIN (tie → rightmost) of at least one full window of 4
+    // consecutive shingles — so every full window contributes exactly
+    // one fingerprint and docs of any length sample at a bounded
+    // density instead of keeping all O(len) shingle hashes. Because
+    // the window span is a constant (w=4), argmin-of-some-window
+    // reduces to a CASE over the 3 lags + 3 leads on the per-doc
+    // window — one shuffle on doc_id, no self-join, and the identical
+    // md5-derived hashes + tie rule replay in SQL, so the sampled SET
+    // — not just its size — is deterministic across engines.
     QueryDef("text_winnowing",
       (s, d) => {
         val t = s.read.parquet(s"$d/documents.parquet")
@@ -5615,16 +5617,33 @@ object ExtQueries {
           .as(Seq("pos", "g")))
         val h = conv(substring(md5(concat(lit("win:"), col("g"))), 1, 15),
           16, 10).cast("long")
-        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-          .rowsBetween(-3, 0)
-        sh.select(col("doc_id"), col("pos"), h.as("h"))
-          .withColumn("wmin", min(col("h")).over(w))
+        val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val hh = sh.select(col("doc_id"), col("pos"), h.as("h"))
+          .withColumn("l1", lag(col("h"), 1).over(wd))
+          .withColumn("l2", lag(col("h"), 2).over(wd))
+          .withColumn("l3", lag(col("h"), 3).over(wd))
+          .withColumn("r1", lead(col("h"), 1).over(wd))
+          .withColumn("r2", lead(col("h"), 2).over(wd))
+          .withColumn("r3", lead(col("h"), 3).over(wd))
+        // p is the tie→rightmost argmin of window starting k left of p
+        // iff the k left members are >= h (earlier equal loses) and
+        // the 3-k right members are > h (later equal wins); the
+        // non-null checks keep only FULL windows, so the guarantee
+        // "every full 4-window yields a fingerprint" holds exactly
+        def ge(c: org.apache.spark.sql.Column) =
+          c.isNotNull && c >= col("h")
+        def gt(c: org.apache.spark.sql.Column) =
+          c.isNotNull && c > col("h")
+        val sel =
+          (gt(col("r1")) && gt(col("r2")) && gt(col("r3"))) ||
+          (ge(col("l1")) && gt(col("r1")) && gt(col("r2"))) ||
+          (ge(col("l1")) && ge(col("l2")) && gt(col("r1"))) ||
+          (ge(col("l1")) && ge(col("l2")) && ge(col("l3")))
+        hh.withColumn("sel", sel)
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_shingles"),
-            sum(when(col("h") === col("wmin"), 1L).otherwise(0L))
-              .as("n_selected"),
-            count_distinct(when(col("h") === col("wmin"), col("h")))
-              .as("n_distinct_fp"))
+            sum(when(col("sel"), 1L).otherwise(0L)).as("n_selected"),
+            count_distinct(when(col("sel"), col("h"))).as("n_distinct_fp"))
           .select(col("doc_id"), col("n_shingles"), col("n_selected"),
             col("n_distinct_fp"),
             expr("n_selected * 1000000 div n_shingles").as("density_ppm"))
@@ -5640,17 +5659,24 @@ object ExtQueries {
              |sh AS (SELECT doc_id, u.pos::INT AS pos,
              |    ('0x' || substring(md5('win:' || u.g), 1, 15))::BIGINT AS h
              |  FROM sh0),
-             |w AS (SELECT doc_id, h, min(h) OVER (PARTITION BY doc_id
-             |    ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
-             |    AS wmin FROM sh)
+             |lw AS (SELECT doc_id, h,
+             |    lag(h, 1) OVER w AS l1, lag(h, 2) OVER w AS l2,
+             |    lag(h, 3) OVER w AS l3, lead(h, 1) OVER w AS r1,
+             |    lead(h, 2) OVER w AS r2, lead(h, 3) OVER w AS r3
+             |  FROM sh WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+             |sel AS (SELECT doc_id, h,
+             |    ((r1 > h AND r2 > h AND r3 > h)
+             |     OR (l1 >= h AND r1 > h AND r2 > h)
+             |     OR (l1 >= h AND l2 >= h AND r1 > h)
+             |     OR (l1 >= h AND l2 >= h AND l3 >= h)) AS s
+             |  FROM lw)
              |SELECT doc_id, count(*)::BIGINT AS n_shingles,
-             |  sum(CASE WHEN h = wmin THEN 1 ELSE 0 END)::BIGINT
-             |    AS n_selected,
-             |  count(DISTINCT CASE WHEN h = wmin THEN h END)::BIGINT
+             |  sum(CASE WHEN s THEN 1 ELSE 0 END)::BIGINT AS n_selected,
+             |  count(DISTINCT CASE WHEN s THEN h END)::BIGINT
              |    AS n_distinct_fp,
-             |  (sum(CASE WHEN h = wmin THEN 1 ELSE 0 END) * 1000000
+             |  (sum(CASE WHEN s THEN 1 ELSE 0 END) * 1000000
              |    // count(*))::BIGINT AS density_ppm
-             |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+             |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // K-minimum-values distinct-count sketch next to the exact answer:
     // the estimate is (k-1)·2^56 / h_(k) over md5-derived hashes, so —

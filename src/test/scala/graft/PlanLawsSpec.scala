@@ -109,6 +109,51 @@ class PlanLawsSpec extends GraftSpec {
     assert(sets.length >= 1)
   }
 
+  test("emb_covariance: the Gram build is joinless — pairs come from the scan stage") {
+    // The d(d+1)/2 upper-triangle pairs are generated per row and
+    // collapsed by the map-side partial aggregate; a refactor back to
+    // the explode + self-join-on-vec_id shape (two shuffles of 16N
+    // rows, 136N pair rows through the exchange) must fail here.
+    val plan = SparkEntry.queries("emb_covariance")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"Gram pair generation must not re-introduce a self-join:\n$plan")
+  }
+
+  test("text_oov_rate: vocab and rollup share one tokenize via exchange reuse") {
+    // Both branches aggregate the same (doc_id, term, tf) digest, so
+    // the exploded-token exchange must be planned once and reused —
+    // two Generate nodes in the final plan means the corpus is being
+    // tokenized twice again
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("text_oov_rate")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val generates = "Generate explode".r.findAllIn(plan).size
+      assert(generates <= 1,
+        s"expected one tokenize (ReusedExchange for the vocab branch), got $generates:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
+  test("text_winnowing: every full 4-shingle window yields a fingerprint") {
+    // The winnowing guarantee: each of the (n_shingles - 3) full
+    // windows selects its argmin, and one selected position can serve
+    // at most 4 windows -> 4 * n_selected >= n_shingles - 3, for
+    // EVERY doc. (This law caught the first implementation, which
+    // selected trailing-window minima — a rule with NO coverage
+    // guarantee: doc 1 at sf0.001 sampled at 197368 ppm, below the
+    // 1-in-4 floor.)
+    val rows = SparkEntry.queries("text_winnowing")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_shingles")
+      val sel = r.getAs[Long]("n_selected")
+      assert(sel * 4 >= n - 3 && sel <= n,
+        s"doc ${r.get(0)}: $sel selected of $n shingles breaks the window guarantee")
+    }
+  }
+
   test("pipe_multi_epoch_order: epochs produce different heads, reproducibly") {
     val q = SparkEntry.queries("pipe_multi_epoch_order")
     val a = q(spark, sfDir).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
