@@ -1291,6 +1291,65 @@ object ExtQueries {
               |  row_number() OVER (PARTITION BY hk % 64 ORDER BY hk, doc_id) - 1 AS pos
               |FROM h ORDER BY doc_id""".stripMargin)),
 
+    // Shuffle MIXING quality — the metric a training run cares about
+    // after pipe_shard_shuffle: the rate of adjacent same-source pairs
+    // in shuffled (shard, pos) order, vs the raw doc_id order, vs the
+    // theoretical well-mixed collision rate Σ cnt·(cnt−1)/(N·(N−1)).
+    // The shuffled adjacency rides per-SHARD windows (64-way parallel,
+    // never a global sort); the doc_id-order adjacency is a
+    // co-partitioned self-join on doc_id = doc_id + 1 — both scale
+    // shapes a 100 TB corpus tolerates. All three rates in exact ppm.
+    QueryDef("pipe_shuffle_mixing",
+      (s, d) => {
+        val docs = s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"), col("source"))
+        val h = Dedup.strHash60(concat(lit("shuf:"), col("doc_id")))
+        val sharded = docs
+          .select(col("doc_id"), col("source"),
+            pmod(h, lit(64)).as("shard"), h.as("__hk"))
+        val wsh = Window.partitionBy(col("shard"))
+          .orderBy(col("__hk"), col("doc_id"))
+        val shufAdj = sharded
+          .withColumn("prev_src", lag(col("source"), 1).over(wsh))
+          .filter(col("prev_src").isNotNull)
+          .agg(count(lit(1)).as("pairs_shuf"),
+            sum(when(col("source") === col("prev_src"), 1L).otherwise(0L))
+              .as("same_shuf"))
+        val seqAdj = docs.join(
+            docs.select((col("doc_id") - 1).as("doc_id"),
+              col("source").as("next_src")), "doc_id")
+          .agg(count(lit(1)).as("pairs_seq"),
+            sum(when(col("source") === col("next_src"), 1L).otherwise(0L))
+              .as("same_seq"))
+        val exp = docs.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+          .agg(sum(col("cnt")).as("n"),
+            sum(col("cnt") * (col("cnt") - 1)).as("coll"))
+        shufAdj.crossJoin(broadcast(seqAdj)).crossJoin(broadcast(exp))
+          .select(
+            expr("same_shuf * 1000000 div pairs_shuf").as("shuffled_ppm"),
+            expr("same_seq * 1000000 div pairs_seq").as("docid_ppm"),
+            expr("coll * 1000000 div (n * (n - 1))").as("expected_ppm"))
+      },
+      Some(s"""WITH h AS (SELECT doc_id, source,
+              |    ${dkHash60("'shuf:'||doc_id")} AS hk FROM documents),
+              |sa AS (SELECT source, lag(source) OVER (PARTITION BY hk % 64
+              |      ORDER BY hk, doc_id) AS prev_src FROM h),
+              |sh AS (SELECT count(*)::BIGINT AS pairs_shuf,
+              |    sum(CASE WHEN source = prev_src THEN 1 ELSE 0 END)::BIGINT
+              |      AS same_shuf FROM sa WHERE prev_src IS NOT NULL),
+              |sq AS (SELECT count(*)::BIGINT AS pairs_seq,
+              |    sum(CASE WHEN a.source = b.source THEN 1 ELSE 0 END)::BIGINT
+              |      AS same_seq
+              |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+              |ex AS (SELECT sum(cnt)::BIGINT AS n,
+              |    sum(cnt * (cnt - 1))::BIGINT AS coll FROM
+              |  (SELECT count(*)::BIGINT AS cnt FROM documents GROUP BY source))
+              |SELECT (same_shuf * 1000000 // pairs_shuf)::BIGINT
+              |    AS shuffled_ppm,
+              |  (same_seq * 1000000 // pairs_seq)::BIGINT AS docid_ppm,
+              |  (coll * 1000000 // (n * (n - 1)))::BIGINT AS expected_ppm
+              |FROM sh, sq, ex""".stripMargin)),
+
     // Corpus MIXING to a target distribution: uniform target share per
     // source; each source's keep-rate is (total/n_sources)/count_s in
     // exact integer ppm, membership by salted hash — the downweight-
@@ -2284,6 +2343,36 @@ object ExtQueries {
           sum(conv(substring(md5(concat_ws("|", col("doc_id"), col("text"),
             col("lang"), col("source"), col("n_chars"))), 1, 15), 16, 10)
             .cast("long") % P).as("content_sum"))
+      },
+      Some(s"""SELECT count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+             |  sum(('0x'||substring(md5(doc_id::VARCHAR||'|'||text||'|'||lang||'|'||source||'|'||n_chars::VARCHAR),1,15))::BIGINT % $P)::BIGINT AS content_sum
+             |FROM documents""".stripMargin)),
+
+    // JSON-Lines export + ingest round-trip — the interchange format
+    // LLM corpus tooling actually speaks. Spark's native json sink
+    // writes one object per line (splittable: a 100 TB corpus reads
+    // with one task per file split, no central parse); the re-read
+    // uses an EXPLICIT schema, so ingestion never pays the
+    // infer-schema extra pass. The checksum oracle runs on the
+    // parquet original — any value mangled by JSON escaping or type
+    // coercion anywhere in the loop hash-fails.
+    QueryDef("io_jsonl_roundtrip",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val docs = s.read.parquet(s"$d/documents.parquet")
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_rt_${graft.io.FileSkipping.pathKey(d, "v1")}"
+        docs.write.mode("overwrite").json(out)
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("lang", StringType), StructField("source", StringType),
+          StructField("n_chars", LongType)))
+        s.read.schema(schema).json(out)
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            sum(conv(substring(md5(concat_ws("|", col("doc_id"), col("text"),
+              col("lang"), col("source"), col("n_chars"))), 1, 15), 16, 10)
+              .cast("long") % P).as("content_sum"))
       },
       Some(s"""SELECT count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
              |  sum(('0x'||substring(md5(doc_id::VARCHAR||'|'||text||'|'||lang||'|'||source||'|'||n_chars::VARCHAR),1,15))::BIGINT % $P)::BIGINT AS content_sum
@@ -3888,6 +3977,60 @@ object ExtQueries {
              |SELECT (num // den)::BIGINT AS lambda_e9, trace_e9,
              |  ((num // den) * 1000000 // trace_e9)::BIGINT AS explained_ppm
              |FROM q, t""".stripMargin)),
+
+    // Johnson-Lindenstrauss random projection 16 → 8 dims with a
+    // DETERMINISTIC ±1 sign matrix (md5 of (i, j) — both engines
+    // regenerate it bit-identically, so even the projected
+    // coordinates replay in SQL), and the per-pair distance-distortion
+    // report that justifies using the sketch for ANN: squared
+    // projected distance over k·(squared original distance) in exact
+    // ppm (E[ratio] = 1 under ±1 projections). Projection is a
+    // per-row closed form (two nested HOF loops, no shuffle at all);
+    // the distortion audit runs on the capped 20-vector query slice —
+    // pairwise is the AUDIT's cost, never the projection's.
+    QueryDef("emb_jl_distortion",
+      (s, d) => {
+        val q = s.read.parquet(s"$d/embeddings.parquet")
+          .filter(col("vec_id") < 20)
+          .withColumn("xq", expr(
+            "transform(slice(embedding, 1, 16), x -> cast(round(cast(x AS double) * 1000, 0) AS bigint))"))
+          .withColumn("y", expr(
+            """transform(sequence(0, 7), j -> aggregate(sequence(0, 15), 0L,
+              |  (acc, i) -> acc + (CASE WHEN substring(md5(concat('rp:', i, ':', j)), 1, 1) < '8'
+              |    THEN 1L ELSE -1L END) * element_at(xq, i + 1)))""".stripMargin))
+          .select(col("vec_id"), col("xq"), col("y"))
+        val a = q.select(col("vec_id").as("vec_a"), col("xq").as("xa"),
+          col("y").as("ya"))
+        val b = q.select(col("vec_id").as("vec_b"), col("xq").as("xb"),
+          col("y").as("yb"))
+        a.join(broadcast(b), col("vec_a") < col("vec_b"))
+          .select(col("vec_a"), col("vec_b"),
+            expr("aggregate(zip_with(xa, xb, (p, q) -> (p - q) * (p - q)), 0L, (acc, v) -> acc + v)")
+              .as("disto2"),
+            expr("aggregate(zip_with(ya, yb, (p, q) -> (p - q) * (p - q)), 0L, (acc, v) -> acc + v)")
+              .as("distp2"))
+          .select(col("vec_a"), col("vec_b"),
+            expr("distp2 * 1000000 div (disto2 * 8)").as("ratio_ppm"))
+          .orderBy(col("vec_a"), col("vec_b"))
+      },
+      Some("""WITH q AS (SELECT vec_id,
+             |    list_transform(range(16),
+             |      i -> round(embedding[i + 1]::DOUBLE * 1000)::BIGINT) AS xq
+             |  FROM embeddings WHERE vec_id < 20),
+             |y AS (SELECT vec_id, xq, list_transform(range(8),
+             |    j -> list_sum(list_transform(range(16),
+             |      i -> (CASE WHEN substring(md5('rp:'||i||':'||j), 1, 1) < '8'
+             |        THEN 1 ELSE -1 END) * xq[i + 1]))::BIGINT) AS y
+             |  FROM q)
+             |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             |  (list_sum(list_transform(range(8),
+             |      j -> (a.y[j+1] - b.y[j+1]) * (a.y[j+1] - b.y[j+1])))
+             |    * 1000000
+             |    // (list_sum(list_transform(range(16),
+             |      i -> (a.xq[i+1] - b.xq[i+1]) * (a.xq[i+1] - b.xq[i+1])))
+             |      * 8))::BIGINT AS ratio_ppm
+             |FROM y a JOIN y b ON a.vec_id < b.vec_id
+             |ORDER BY vec_a, vec_b""".stripMargin)),
 
     // Curriculum ordering: corpus sorted easy→hard by integer
     // quality-proxy deciles, ROUND-ROBIN interleaved across sources
