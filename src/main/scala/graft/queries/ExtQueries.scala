@@ -5855,6 +5855,104 @@ object ExtQueries {
              |  ((15 * 72057594037927936) // hk)::BIGINT AS kmv_estimate,
              |  (abs(((15 * 72057594037927936) // hk) - n_exact) * 1000000
              |    // n_exact)::BIGINT AS err_ppm
-             |FROM n, k""".stripMargin))
+             |FROM n, k""".stripMargin)),
+
+    // k-means inertia (within-cell SSE) of the IVF quantizer — the
+    // clustering-quality number an ANN index report leads with. Every
+    // squared distance is an EXACT integer on the same 1e-3 grid the
+    // quantizer trains on, so per-cell SSE is an order-independent
+    // BIGINT sum. Scale shape: assignments join the 16-row broadcast
+    // centroid table; one (cell) digest shuffle.
+    QueryDef("emb_kmeans_inertia",
+      (s, d) => {
+        val cents = centroidsOf(s, d)
+        val cdf = s.createDataFrame(
+          cents.toSeq.zipWithIndex.map { case (a, i) => (i, a.toSeq) })
+          .toDF("cell", "ci")
+        val eq = s.read.parquet(s"$d/embeddings.parquet")
+          .withColumn("e", expr(
+            "transform(cast(embedding AS array<double>), x -> cast(round(x * 1000, 0) AS bigint))"))
+        Similarity.cellAssignments(eq, cents).toDF("vec_id", "cell")
+          .join(eq.select(col("vec_id"), col("e")), "vec_id")
+          .join(broadcast(cdf), "cell")
+          .select(col("cell").cast("long").as("cell"), expr(
+            "aggregate(zip_with(e, ci, (p, q) -> (p - q) * (p - q)), 0L, (acc, v) -> acc + v)")
+            .as("d2"))
+          .groupBy(col("cell"))
+          .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("sse"))
+          .orderBy(col("cell"))
+      },
+      Some(s"""WITH ${quantizerCtes("", "embedding::DOUBLE[]", 64)},
+              |d AS (SELECT af.vec_id, af.cell,
+              |    list_sum(list_transform(range(64),
+              |      i -> (ev.e[i+1] - cz.ci[i+1]) * (ev.e[i+1] - cz.ci[i+1])))
+              |      ::BIGINT AS d2
+              |  FROM af JOIN ev USING (vec_id)
+              |  JOIN c2 cz ON cz.cell = af.cell)
+              |SELECT cell::BIGINT AS cell, count(*)::BIGINT AS n_vecs,
+              |  sum(d2)::BIGINT AS sse
+              |FROM d GROUP BY 1 ORDER BY cell""".stripMargin)),
+
+    // Simplified (centroid-based) silhouette per IVF cell: a = dist to
+    // own centroid, b = nearest OTHER centroid, s = (b−a)/max(a,b) —
+    // the O(n·k) silhouette an index report can afford (the O(n²)
+    // pairwise variant cannot exist at 100 TB). The b-argmin is
+    // decided on EXACT integer squared distances (no float ordering
+    // anywhere); each vector's s is rounded ONCE to 1e-6 and the cell
+    // mean is an integer division of the exact micro-unit sum — fully
+    // order-independent, like the repo's other rounded-term digests.
+    QueryDef("emb_silhouette",
+      (s, d) => {
+        val cents = centroidsOf(s, d)
+        val cdf = s.createDataFrame(
+          cents.toSeq.zipWithIndex.map { case (a, i) => (i, a.toSeq) })
+          .toDF("ocell", "ci")
+        val eq = s.read.parquet(s"$d/embeddings.parquet")
+          .withColumn("e", expr(
+            "transform(cast(embedding AS array<double>), x -> cast(round(x * 1000, 0) AS bigint))"))
+        val sil = Similarity.cellAssignments(eq, cents).toDF("vec_id", "cell")
+          .join(eq.select(col("vec_id"), col("e")), "vec_id")
+          .crossJoin(broadcast(cdf))
+          .select(col("vec_id"), col("cell"), col("ocell"), expr(
+            "aggregate(zip_with(e, ci, (p, q) -> (p - q) * (p - q)), 0L, (acc, v) -> acc + v)")
+            .as("d2"))
+          .groupBy(col("vec_id"), col("cell"))
+          .agg(min(when(col("ocell") === col("cell"), col("d2"))).as("d2own"),
+            min(when(col("ocell") =!= col("cell"), col("d2"))).as("d2oth"))
+          .select(col("cell"),
+            when(greatest(sqrt(col("d2own")), sqrt(col("d2oth"))) === 0d, 0d)
+              .otherwise((sqrt(col("d2oth")) - sqrt(col("d2own"))) /
+                greatest(sqrt(col("d2own")), sqrt(col("d2oth")))).as("sil"))
+          .select(col("cell"),
+            round(col("sil") * 1000000, 0).cast("long").as("sil_e6"))
+        sil.groupBy(col("cell").cast("long").as("cell"))
+          .agg(count(lit(1)).as("n_vecs"), sum(col("sil_e6")).as("ssum"))
+          .select(col("cell"), col("n_vecs"),
+            (when(col("ssum") < 0, -1L).otherwise(1L) *
+              expr("abs(ssum) div n_vecs")).as("mean_sil_e6"))
+          .orderBy(col("cell"))
+      },
+      Some(s"""WITH ${quantizerCtes("", "embedding::DOUBLE[]", 64)},
+              |d AS (SELECT af.vec_id, af.cell, cz.cell AS ocell,
+              |    list_sum(list_transform(range(64),
+              |      i -> (ev.e[i+1] - cz.ci[i+1]) * (ev.e[i+1] - cz.ci[i+1])))
+              |      ::BIGINT AS d2
+              |  FROM af JOIN ev USING (vec_id), c2 cz),
+              |p AS (SELECT vec_id, cell,
+              |    min(CASE WHEN ocell = cell THEN d2 END) AS d2own,
+              |    min(CASE WHEN ocell != cell THEN d2 END) AS d2oth
+              |  FROM d GROUP BY 1, 2),
+              |sl AS (SELECT cell,
+              |    round((CASE WHEN greatest(sqrt(d2own), sqrt(d2oth)) = 0
+              |      THEN 0 ELSE (sqrt(d2oth) - sqrt(d2own))
+              |        / greatest(sqrt(d2own), sqrt(d2oth)) END) * 1000000)
+              |      ::BIGINT AS sil_e6
+              |  FROM p),
+              |g AS (SELECT cell, count(*)::BIGINT AS n_vecs,
+              |    sum(sil_e6)::BIGINT AS ssum FROM sl GROUP BY 1)
+              |SELECT cell::BIGINT AS cell, n_vecs,
+              |  ((CASE WHEN ssum < 0 THEN -1 ELSE 1 END)
+              |    * (abs(ssum) // n_vecs))::BIGINT AS mean_sil_e6
+              |FROM g ORDER BY cell""".stripMargin))
   )
 }
