@@ -5953,6 +5953,75 @@ object ExtQueries {
               |SELECT cell::BIGINT AS cell, n_vecs,
               |  ((CASE WHEN ssum < 0 THEN -1 ELSE 1 END)
               |    * (abs(ssum) // n_vecs))::BIGINT AS mean_sil_e6
-              |FROM g ORDER BY cell""".stripMargin))
+              |FROM g ORDER BY cell""".stripMargin)),
+
+    // Davies-Bouldin index per IVF cell — the third standard
+    // clustering-quality metric (scatter-vs-separation): s_i = mean
+    // member-to-centroid distance, R_ij = (s_i+s_j)/d(c_i,c_j),
+    // DB_i = max_{j≠i} R_ij. Every distance is rounded ONCE to 1e-6
+    // off an exact integer squared distance, scatter means are
+    // integer divisions of micro-unit sums, and the R ratio is an
+    // integer ppm division — the whole pipeline is BIGINT after the
+    // per-row sqrt, so no accumulation order or float comparison can
+    // diverge. Member scatter is one digest pass; the R matrix is a
+    // 16×16 digest self-join.
+    QueryDef("emb_davies_bouldin",
+      (s, d) => {
+        val cents = centroidsOf(s, d)
+        val cdf = s.createDataFrame(
+          cents.toSeq.zipWithIndex.map { case (a, i) => (i, a.toSeq) })
+          .toDF("cell", "ci")
+        val eq = s.read.parquet(s"$d/embeddings.parquet")
+          .withColumn("e", expr(
+            "transform(cast(embedding AS array<double>), x -> cast(round(x * 1000, 0) AS bigint))"))
+        val scat = Similarity.cellAssignments(eq, cents).toDF("vec_id", "cell")
+          .join(eq.select(col("vec_id"), col("e")), "vec_id")
+          .join(broadcast(cdf), "cell")
+          .select(col("cell").cast("long").as("cell"),
+            round(sqrt(expr(
+              "aggregate(zip_with(e, ci, (p, q) -> (p - q) * (p - q)), 0L, (acc, v) -> acc + v)")
+              .cast("double")) * 1000000, 0).cast("long").as("dist_e6"))
+          .groupBy(col("cell"))
+          .agg(count(lit(1)).as("n_vecs"), sum(col("dist_e6")).as("dsum"))
+          .select(col("cell"), col("n_vecs"),
+            expr("dsum div n_vecs").as("s_e6"))
+        val cd = cdf.select(col("cell").cast("long").as("ca"), col("ci").as("via"))
+          .crossJoin(cdf.select(col("cell").cast("long").as("cb"),
+            col("ci").as("vib")))
+          .filter(col("ca") =!= col("cb"))
+          .select(col("ca"), col("cb"),
+            round(sqrt(expr(
+              "aggregate(zip_with(via, vib, (p, q) -> (p - q) * (p - q)), 0L, (acc, v) -> acc + v)")
+              .cast("double")) * 1000000, 0).cast("long").as("d_e6"))
+        cd.join(scat.select(col("cell").as("ca"), col("s_e6").as("sa"),
+            col("n_vecs")), "ca")
+          .join(scat.select(col("cell").as("cb"), col("s_e6").as("sb")), "cb")
+          .select(col("ca"), col("n_vecs"),
+            expr("(sa + sb) * 1000000 div d_e6").as("r_ppm"))
+          .groupBy(col("ca").as("cell"), col("n_vecs"))
+          .agg(max(col("r_ppm")).as("db_ppm"))
+          .orderBy(col("cell"))
+      },
+      Some(s"""WITH ${quantizerCtes("", "embedding::DOUBLE[]", 64)},
+              |dv AS (SELECT af.vec_id, af.cell,
+              |    round(sqrt(list_sum(list_transform(range(64),
+              |      i -> (ev.e[i+1] - cz.ci[i+1]) * (ev.e[i+1] - cz.ci[i+1])))
+              |      ::DOUBLE) * 1000000)::BIGINT AS dist_e6
+              |  FROM af JOIN ev USING (vec_id)
+              |  JOIN c2 cz ON cz.cell = af.cell),
+              |sc AS (SELECT cell, count(*)::BIGINT AS n_vecs,
+              |    (sum(dist_e6) // count(*))::BIGINT AS s_e6
+              |  FROM dv GROUP BY 1),
+              |cd AS (SELECT a.cell AS ca, b.cell AS cb,
+              |    round(sqrt(list_sum(list_transform(range(64),
+              |      i -> (a.ci[i+1] - b.ci[i+1]) * (a.ci[i+1] - b.ci[i+1])))
+              |      ::DOUBLE) * 1000000)::BIGINT AS d_e6
+              |  FROM c2 a, c2 b WHERE a.cell != b.cell),
+              |r AS (SELECT cd.ca, sa.n_vecs,
+              |    ((sa.s_e6 + sb.s_e6) * 1000000 // cd.d_e6)::BIGINT AS r_ppm
+              |  FROM cd JOIN sc sa ON sa.cell = cd.ca
+              |  JOIN sc sb ON sb.cell = cd.cb)
+              |SELECT ca::BIGINT AS cell, n_vecs, max(r_ppm)::BIGINT AS db_ppm
+              |FROM r GROUP BY 1, 2 ORDER BY cell""".stripMargin))
   )
 }
