@@ -5046,6 +5046,86 @@ object SqlQueries {
              |FROM li JOIN th ON l_partkey = tk
              |WHERE CAST(l_quantity AS DECIMAL(12,2)) * 5 * nq < sq""".stripMargin)),
 
+    // TPC-H Q16 shape (parts/supplier relationship), adapted to this
+    // schema: the partsupp relation is reconstructed as the DISTINCT
+    // (l_partkey, l_suppkey) pairs actually shipped (one pair-digest
+    // shuffle — at 100 TB this is how you recover a dim you didn't
+    // persist); the "customer complaints" supplier exclusion maps to
+    // s_acctbal < 0, a 100-row broadcast ANTI join. Filters on part
+    // push into its scan; both dims broadcast.
+    QueryDef("q16_parts_suppliers",
+      (s, d) => {
+        val p = s.read.parquet(s"$d/part.parquet")
+          .filter(col("p_brand") =!= "Brand#5" &&
+            col("p_type") =!= "ECONOMY" &&
+            col("p_size").isin(1, 4, 7, 9, 11))
+          .select("p_partkey", "p_brand", "p_type", "p_size")
+        val bad = s.read.parquet(s"$d/supplier.parquet")
+          .filter(col("s_acctbal") < 0)
+          .select(col("s_suppkey").as("bad_sk"))
+        val ps = s.read.parquet(s"$d/lineitem.parquet")
+          .select(col("l_partkey"), col("l_suppkey")).distinct()
+        ps.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(bad), col("l_suppkey") === col("bad_sk"),
+            "left_anti")
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+            col("p_size"))
+      },
+      Some("""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+             |SELECT p_brand, p_type, p_size,
+             |  count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+             |FROM ps JOIN part ON p_partkey = l_partkey
+             |WHERE p_brand <> 'Brand#5' AND p_type <> 'ECONOMY'
+             |  AND p_size IN (1, 4, 7, 9, 11)
+             |  AND l_suppkey NOT IN
+             |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+             |GROUP BY 1, 2, 3
+             |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)),
+
+    // TPC-H Q20 shape (potential part promotion), adapted: without
+    // ps_availqty, a supplier "holds excess" of a small% part when its
+    // lifetime shipped quantity is more than double its 1998 shipments
+    // (same correlated-threshold semi-join plan as the original —
+    // aggregate subquery decides membership, then the supplier dim is
+    // joined only for survivors). Quantities are integral doubles cast
+    // to BIGINT so the threshold compare is exact in both engines.
+    QueryDef("q20_excess_suppliers",
+      (s, d) => {
+        val p = s.read.parquet(s"$d/part.parquet")
+          .filter(col("p_name").startsWith("small")).select("p_partkey")
+        val li = s.read.parquet(s"$d/lineitem.parquet")
+          .select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        val sup = li.groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(col("l_quantity").cast("long")).as("qty_total"),
+            sum(when(year(col("l_shipdate")) === 1998,
+              col("l_quantity").cast("long")).otherwise(0L)).as("qty_1998"))
+          .filter(col("qty_1998") > 0 &&
+            col("qty_total") > col("qty_1998") * 2)
+          .select(col("l_suppkey")).distinct()
+        s.read.parquet(s"$d/supplier.parquet")
+          .join(sup, col("s_suppkey") === col("l_suppkey"))
+          .join(broadcast(s.read.parquet(s"$d/nation.parquet")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_name"), col("n_name"))
+          .orderBy(col("s_name"))
+      },
+      Some("""WITH p AS (SELECT p_partkey FROM part
+             |  WHERE p_name LIKE 'small%'),
+             |a AS (SELECT l_partkey, l_suppkey,
+             |    sum(l_quantity::BIGINT) AS qty_total,
+             |    sum(CASE WHEN year(l_shipdate) = 1998
+             |      THEN l_quantity::BIGINT ELSE 0 END) AS qty_1998
+             |  FROM lineitem JOIN p ON p_partkey = l_partkey GROUP BY 1, 2),
+             |sup AS (SELECT DISTINCT l_suppkey FROM a
+             |  WHERE qty_1998 > 0 AND qty_total > qty_1998 * 2)
+             |SELECT s_name, n_name
+             |FROM supplier JOIN sup ON s_suppkey = l_suppkey
+             |JOIN nation ON n_nationkey = s_nationkey
+             |ORDER BY s_name""".stripMargin)),
+
     // TPC-H Q21 shape: suppliers who kept multi-supplier orders
     // waiting — they shipped late (>60 days past the order date) on a
     // finished order where EVERY other supplier shipped on time. The
