@@ -3825,16 +3825,26 @@ object ExtQueries {
         // the 16×16 matrix is referenced by all three iterations —
         // persist it so the distributed Gram build runs once, not
         // once per iterate
-        val m = upper.unionAll(upper.filter(col("i") =!= col("j"))
+        // persist the upper triangle BEFORE mirroring: the union's two
+        // branches would otherwise each run the full distributed Gram
+        // build (the only data-proportional stage here)
+        val mu = upper.persist()
+        val m = mu.unionAll(mu.filter(col("i") =!= col("j"))
           .select(col("j").as("i"), col("i").as("j"), col("c")))
           .persist()
         var v = m.select(col("i")).distinct()
           .select(col("i").as("vi"), lit(1000000L).as("vp"))
         for (_ <- 1 to 3) {
+          // renormalize via a global window over the 16-row digest
+          // (digest-only global windows are the sanctioned shape —
+          // see PlanLawsSpec): an agg + broadcast here instead would
+          // cut the chain into one broadcast JOB per iteration, each
+          // replaying the upstream chain — measured 8.4 s vs ~2 s at
+          // sf0.1. As a window the whole iterate stays one dataflow.
           val u = m.join(v, col("j") === col("vi"))
             .groupBy(col("i")).agg(sum(col("c") * col("vp")).as("u"))
-          val mx = u.agg(max(abs(col("u"))).as("mx"))
-          v = u.crossJoin(broadcast(mx))
+          v = u.withColumn("mx",
+              max(abs(col("u"))).over(Window.partitionBy()))
             .select(col("i").as("vi"),
               (when(col("u") < 0, -1L).otherwise(1L) *
                 expr("abs(u) div (mx div 1000000)")).as("vp"))
@@ -3906,23 +3916,37 @@ object ExtQueries {
           .select(col("i"), col("j"),
             (when(col("num") < 0, -1L).otherwise(1L) *
               expr("(abs(num) * 2000 + n * n) div (2 * n * n)")).as("c"))
-        val m = upper.unionAll(upper.filter(col("i") =!= col("j"))
+        // persist the upper triangle BEFORE mirroring: the union's two
+        // branches would otherwise each run the full distributed Gram
+        // build (the only data-proportional stage here)
+        val mu = upper.persist()
+        val m = mu.unionAll(mu.filter(col("i") =!= col("j"))
           .select(col("j").as("i"), col("i").as("j"), col("c")))
           .persist()
         var v = m.select(col("i")).distinct()
           .select(col("i").as("vi"), lit(1000000L).as("vp"))
         for (_ <- 1 to 3) {
+          // renormalize via a global window over the 16-row digest
+          // (digest-only global windows are the sanctioned shape —
+          // see PlanLawsSpec): an agg + broadcast here instead would
+          // cut the chain into one broadcast JOB per iteration, each
+          // replaying the upstream chain — measured 8.4 s vs ~2 s at
+          // sf0.1. As a window the whole iterate stays one dataflow.
           val u = m.join(v, col("j") === col("vi"))
             .groupBy(col("i")).agg(sum(col("c") * col("vp")).as("u"))
-          val mx = u.agg(max(abs(col("u"))).as("mx"))
-          v = u.crossJoin(broadcast(mx))
+          v = u.withColumn("mx",
+              max(abs(col("u"))).over(Window.partitionBy()))
             .select(col("i").as("vi"),
               (when(col("u") < 0, -1L).otherwise(1L) *
                 expr("abs(u) div (mx div 1000000)")).as("vp"))
         }
+        // vk has two consumers (the C·v product and the quadratic
+        // form) — persist the 16-row digest so the iteration chain
+        // above runs once, not once per consumer
         val vk = v.select(col("vi"),
           (when(col("vp") < 0, -1L).otherwise(1L) *
             expr("abs(vp) div 1000")).as("vk"))
+          .persist()
         val u = m.join(vk, col("j") === col("vi"))
           .groupBy(col("i")).agg(sum(col("c") * col("vk")).as("u"))
         val quad = u.join(vk.select(col("vi").as("i2"), col("vk").as("vk2")),
@@ -6022,6 +6046,72 @@ object ExtQueries {
               |  FROM cd JOIN sc sa ON sa.cell = cd.ca
               |  JOIN sc sb ON sb.cell = cd.cb)
               |SELECT ca::BIGINT AS cell, n_vecs, max(r_ppm)::BIGINT AS db_ppm
-              |FROM r GROUP BY 1, 2 ORDER BY cell""".stripMargin))
+              |FROM r GROUP BY 1, 2 ORDER BY cell""".stripMargin)),
+
+    // Bloom-filter dedup PRE-FILTER with measured false-positive
+    // accounting — the cheap first pass an incremental ingest runs
+    // before any expensive exact/near-dup work: the corpus's content
+    // hashes set k=4 md5-derived bits in an m=32768-bit filter, and a
+    // batch doc is a candidate only if all 4 of its bits are set. The
+    // filter is BOUNDED state (≤m distinct set-bit rows, mergeable
+    // across any partitioning — the same O(k) digest story as the CMS
+    // and KMV sketches) and the probe is a 4-row-per-doc semi-join
+    // against that digest. No false negatives by construction (every
+    // true dup is a candidate); false positives are quantified against
+    // exact content-hash membership, in exact ppm of the true
+    // negatives probed. Unlike Spark's built-in murmur bloom, the
+    // md5-derived bits replay in SQL, so even the FP COUNT
+    // hash-matches the oracle.
+    QueryDef("pipe_bloom_dedup_prefilter",
+      (s, d) => {
+        val docs = s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"), md5(col("text")).as("ch"))
+        val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 4)
+        val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+        def bit(i: Int) = pmod(
+          conv(substring(md5(concat(lit(s"bloom$i:"), col("ch"))), 1, 15),
+            16, 10).cast("long"), lit(32768))
+        val bitsArr = array((0 to 3).map(bit): _*)
+        val bits = corpus.select(explode(bitsArr).as("bit")).distinct()
+        val cand = batch
+          .select(col("doc_id"), col("ch"), explode(bitsArr).as("bit"))
+          .join(bits, "bit")
+          .groupBy(col("doc_id"), col("ch"))
+          .agg(count(lit(1)).as("hits"))
+          .filter(col("hits") === 4)
+        val dups = batch.join(
+          corpus.select(col("ch").as("ch2")).distinct(),
+          col("ch") === col("ch2"), "left_semi")
+        val nb = batch.agg(count(lit(1)).as("n_batch"))
+        val nc = cand.agg(count(lit(1)).as("n_candidates"))
+        val nd = dups.agg(count(lit(1)).as("n_dups"))
+        nb.crossJoin(broadcast(nc)).crossJoin(broadcast(nd))
+          .select(col("n_batch"), col("n_candidates"), col("n_dups"),
+            (col("n_candidates") - col("n_dups")).as("false_pos"),
+            expr("(n_candidates - n_dups) * 1000000 div (n_batch - n_dups)")
+              .as("fpr_ppm"))
+      },
+      Some("""WITH h AS (SELECT doc_id, md5(text) AS ch FROM documents),
+             |corpus AS (SELECT * FROM h WHERE doc_id % 5 != 4),
+             |batch AS (SELECT * FROM h WHERE doc_id % 5 = 4),
+             |bits AS (SELECT DISTINCT
+             |    ('0x'||substring(md5('bloom'||i||':'||ch),1,15))::BIGINT
+             |      % 32768 AS bit
+             |  FROM corpus, range(4) r(i)),
+             |probe AS (SELECT doc_id, ch,
+             |    ('0x'||substring(md5('bloom'||i||':'||ch),1,15))::BIGINT
+             |      % 32768 AS bit
+             |  FROM batch, range(4) r(i)),
+             |cand AS (SELECT doc_id FROM probe JOIN bits USING (bit)
+             |  GROUP BY doc_id, ch HAVING count(*) = 4),
+             |nb AS (SELECT count(*)::BIGINT AS n_batch FROM batch),
+             |nc AS (SELECT count(*)::BIGINT AS n_candidates FROM cand),
+             |nd AS (SELECT count(*)::BIGINT AS n_dups FROM batch
+             |  WHERE ch IN (SELECT ch FROM corpus))
+             |SELECT n_batch, n_candidates, n_dups,
+             |  (n_candidates - n_dups)::BIGINT AS false_pos,
+             |  ((n_candidates - n_dups) * 1000000 // (n_batch - n_dups))
+             |    ::BIGINT AS fpr_ppm
+             |FROM nb, nc, nd""".stripMargin))
   )
 }
