@@ -689,6 +689,34 @@ object SqlQueries {
     // end-of-stream sentinel flush (StreamingEtl.sessionizeViaStream).
     // Oracle identical to q_sessionize's: the stream's emitted sessions
     // must equal the batch window-function answer row-for-row.
+    // Sessionization via the engine's NATIVE session_window operator —
+    // the built-in twin of q_stream_sessionize's custom-state version.
+    // Native semantics differ at the boundary: a session's window is
+    // [first_ts, last_ts + gap) and events merge iff STRICTLY closer
+    // than the gap, which the oracle encodes (diff < 30 min merges,
+    // exactly 30 min splits — the fMGWS rule keeps that pair).
+    QueryDef("q_stream_session_window",
+      (s, d) => graft.streaming.StreamingEtl.sessionWindowViaStream(s, d)
+        .orderBy(col("user_id"), col("session_start")),
+      Some("""WITH g AS (
+             |  SELECT user_id, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+             |             >= 1800000000 THEN 1
+             |         ELSE 0 END AS new_session
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |s AS (
+             |  SELECT user_id, ts,
+             |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      ::BIGINT AS sid
+             |  FROM g)
+             |SELECT user_id, min(ts) AS session_start,
+             |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+             |  count(*)::BIGINT AS n_events
+             |FROM s GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin)),
+
     QueryDef("q_stream_sessionize",
       (s, d) => graft.streaming.StreamingEtl.sessionizeViaStream(s, d)
         .toDF().orderBy(col("user_id"), col("session_id")),

@@ -885,4 +885,76 @@ object StreamingEtl {
     finally { rmTree(stage); rmTree(tmpOut) }
     spark.table(name).as[Session]
   }
+
+  /** Sessionization via Spark's NATIVE `session_window` aggregation —
+    * the built-in operator twin of the custom
+    * flatMapGroupsWithState sessionizer above, with the engine's own
+    * semantics: a session's window is [first_ts, last_ts + gap), and
+    * two events merge iff they are STRICTLY closer than the gap
+    * (the fMGWS sessionizer's `> gap` close rule keeps an exact-gap
+    * pair together; the native operator splits it — the oracle
+    * encodes the native rule). Staged as events-then-sentinel under
+    * `maxFilesPerTrigger=1` so the far-future sentinel batch drags
+    * the watermark past every real session's end and Append mode
+    * flushes them all; the sentinel's own open session never emits
+    * and is filtered by user_id anyway. State is per (user, open
+    * session) and evicted on emission — bounded by the watermark
+    * horizon at any scale. */
+  def sessionWindowViaStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+
+    val stage = Files.createTempDirectory("graft_sw_stream")
+    Files.copy(Paths.get(s"$dir/events.parquet"),
+      stage.resolve("a_events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val rawSchema = graft.sources.Tables.eventsRawSchema(spark, dir)
+    val maxUs = graft.sources.Tables.events(spark, dir)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val sentinelUs = maxUs + 30L * 86400 * 1000000
+    val tmpOut = Files.createTempDirectory("graft_sw_sentinel")
+    Seq((-1L, sentinelUs, -1L, "eos", 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", rawSchema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => col("ts") * lit(1000L)
+        case t => timestamp_micros(col("ts")).cast(t)
+      })
+      .coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
+    val parts = Files.list(tmpOut)
+    try {
+      val it = parts.iterator()
+      var moved = false
+      while (it.hasNext && !moved) {
+        val p = it.next()
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          Files.move(p, stage.resolve("zz_sentinel.parquet"),
+            StandardCopyOption.REPLACE_EXISTING)
+          moved = true
+        }
+      }
+      require(moved, "sentinel parquet part file not found")
+    } finally parts.close()
+
+    val in = graft.sources.Tables.normalizeEventsTs(
+      spark.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", "1").parquet(stage.toString))
+
+    val sessions = in
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
+    val name = s"graft_stream_${streamRuns.incrementAndGet()}"
+    val q = sessions.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally { rmTree(stage); rmTree(tmpOut) }
+    spark.table(name).filter(col("user_id") >= 0)
+  }
 }
