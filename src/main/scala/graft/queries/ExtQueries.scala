@@ -6112,6 +6112,66 @@ object ExtQueries {
              |  (n_candidates - n_dups)::BIGINT AS false_pos,
              |  ((n_candidates - n_dups) * 1000000 // (n_batch - n_dups))
              |    ::BIGINT AS fpr_ppm
-             |FROM nb, nc, nd""".stripMargin))
+             |FROM nb, nc, nd""".stripMargin)),
+
+    // Positional-postings PHRASE search — the IR primitive under every
+    // "exact quote" query: a (term, doc, pos) postings relation,
+    // filtered to the phrase's two terms by a broadcast 1-row phrase
+    // digest, then adjacency-joined on (doc, pos+1). The query phrase
+    // is the corpus's top bigram (deterministic, so the oracle replays
+    // it); at scale the postings build is one tokenize pass and the
+    // search touches ONLY the phrase terms' postings — never the
+    // corpus (the inverted-index access-path property this query
+    // exists to demonstrate).
+    QueryDef("text_phrase_search",
+      (s, d) => {
+        val toks = s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"),
+            posexplode(TextAnalysis.tokens(col("text")))
+              .as(Seq("pos", "term")))
+        val docs2 = s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 2)
+        val phrase = docs2.select(explode(expr(
+            "transform(sequence(0, size(tk) - 2), i -> concat(tk[i], ' ', tk[i+1]))"))
+            .as("bg"))
+          .groupBy(col("bg")).agg(count(lit(1)).as("bf"))
+          .orderBy(col("bf").desc, col("bg")).limit(1)
+          .select(split(col("bg"), " ").getItem(0).as("ta"),
+            split(col("bg"), " ").getItem(1).as("tb"),
+            col("bg").as("phrase"))
+        val pa = toks.join(broadcast(phrase),
+            col("term") === col("ta"))
+          .select(col("doc_id"), col("pos"), col("phrase"))
+        val pb = toks.join(broadcast(phrase.select(col("tb").as("tb2"))),
+            col("term") === col("tb2"))
+          .select(col("doc_id").as("db"), col("pos").as("posb"))
+        pa.join(pb, col("db") === col("doc_id") &&
+            col("posb") === col("pos") + 1)
+          .groupBy(col("doc_id"), col("phrase"))
+          .agg(count(lit(1)).as("n_matches"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+             |  FROM documents),
+             |pos0 AS (SELECT doc_id, unnest(list_transform(range(len(tk)),
+             |    i -> struct_pack(pos := i, term := tk[i + 1]))) AS u
+             |  FROM t),
+             |pos AS (SELECT doc_id, u.pos::INT AS pos, u.term AS term
+             |  FROM pos0),
+             |bg0 AS (SELECT unnest(list_transform(range(len(tk) - 1),
+             |    i -> tk[i+1] || ' ' || tk[i+2])) AS bg
+             |  FROM t WHERE len(tk) >= 2),
+             |ph AS (SELECT string_split(bg, ' ')[1] AS ta,
+             |    string_split(bg, ' ')[2] AS tb, bg AS phrase FROM (
+             |  SELECT bg, count(*) AS bf FROM bg0 GROUP BY 1
+             |  ORDER BY bf DESC, bg LIMIT 1)),
+             |pa AS (SELECT doc_id, pos, phrase FROM pos, ph
+             |  WHERE term = ta),
+             |pb AS (SELECT doc_id AS db, pos AS posb FROM pos, ph
+             |  WHERE term = tb)
+             |SELECT pa.doc_id, pa.phrase, count(*)::BIGINT AS n_matches
+             |FROM pa JOIN pb ON pb.db = pa.doc_id AND pb.posb = pa.pos + 1
+             |GROUP BY 1, 2 ORDER BY pa.doc_id""".stripMargin))
   )
 }
