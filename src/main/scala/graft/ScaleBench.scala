@@ -53,7 +53,18 @@ object ScaleBench {
     "q_entropy_rate",
     // non-associative capped-balance recurrence via prefix-min: two
     // stacked windows, must stay one shuffle as density grows
-    "q_capped_running_balance")
+    "q_capped_running_balance",
+    // winnowing: per-doc lag/lead windows — doc count grows 10×, the
+    // doc_id partitioning must carry it
+    "text_winnowing",
+    // bloom pre-filter: the set-bit digest is BOUNDED (≤m rows), so
+    // 10× docs must cost ~scan, not ~state
+    "pipe_bloom_dedup_prefilter",
+    // quantizer-artifact consumer: assignments join a 16-row
+    // broadcast. First touch at each scale also pays the one-time
+    // deterministic k-means fit (memoized per dir), so the ratio
+    // honestly covers the artifact BUILD scaling too
+    "emb_kmeans_inertia")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2370,11 +2370,16 @@ object ExtQueries {
           .agg(
             count(lit(1)).as("n_docs"),
             sum(col("n_chars")).as("sum_chars"),
+            // text length summed SEPARATELY from the md5 roll: a JSON
+            // escaping bug that altered only the text payload would
+            // shift this even if a row went missing symmetrically
+            sum(length(col("text"))).as("sum_text_chars"),
             sum(conv(substring(md5(concat_ws("|", col("doc_id"), col("text"),
               col("lang"), col("source"), col("n_chars"))), 1, 15), 16, 10)
               .cast("long") % P).as("content_sum"))
       },
       Some(s"""SELECT count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+             |  sum(len(text))::BIGINT AS sum_text_chars,
              |  sum(('0x'||substring(md5(doc_id::VARCHAR||'|'||text||'|'||lang||'|'||source||'|'||n_chars::VARCHAR),1,15))::BIGINT % $P)::BIGINT AS content_sum
              |FROM documents""".stripMargin)),
 
