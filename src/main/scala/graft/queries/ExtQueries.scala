@@ -6177,6 +6177,188 @@ object ExtQueries {
              |  WHERE term = tb)
              |SELECT pa.doc_id, pa.phrase, count(*)::BIGINT AS n_matches
              |FROM pa JOIN pb ON pb.db = pa.doc_id AND pb.posb = pa.pos + 1
-             |GROUP BY 1, 2 ORDER BY pa.doc_id""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY pa.doc_id""".stripMargin)),
+
+    // Exact substring-level dedup (Lee et al. 2022, "Deduplicating
+    // Training Data Makes Language Models Better"): every 8-token
+    // shingle occurring more than once ACROSS the corpus marks its
+    // occurrences as duplicated text; per document the duplicated
+    // shingle positions merge into maximal spans and the report is
+    // how much of the document is repeated content. This is the
+    // suffix-array result without the suffix array: one tokenize pass
+    // fans out (pos, shingle) pairs, the repeat filter is a hash
+    // aggregate on the shingle (at corpus scale the key is the 64-bit
+    // shingle hash, like the MinHash path), the positional join
+    // touches only repeated shingles, and the span merge is a
+    // per-document gaps-and-islands window — no global sort and no
+    // pairwise comparison anywhere.
+    QueryDef("text_substring_dedup",
+      (s, d) => {
+        val docs = s.read.parquet(s"$d/documents.parquet")
+          .repartition(32)
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 8)
+        val sh = docs.select(col("doc_id"),
+          size(col("tk")).cast("long").as("n_tokens"),
+          posexplode(expr(
+            "transform(sequence(0, size(tk) - 8), i -> concat_ws(' ', slice(tk, i + 1, 8)))"))
+            .as(Seq("pos", "sh")))
+        val rep = sh.groupBy(col("sh")).agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1).select(col("sh"))
+        val dup = sh.join(rep, "sh")
+          .select(col("doc_id"), col("n_tokens"), col("pos").cast("long").as("pos"))
+        val ord = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val isl = dup
+          .withColumn("f", when(lag(col("pos"), 1).over(ord).isNull ||
+            col("pos") - lag(col("pos"), 1).over(ord) >= 8, 1L).otherwise(0L))
+          .withColumn("g", sum(col("f")).over(
+            ord.rowsBetween(Window.unboundedPreceding, 0)))
+        val spans = isl.groupBy(col("doc_id"), col("n_tokens"), col("g"))
+          .agg(count(lit(1)).as("n_sh"),
+            (max(col("pos")) - min(col("pos")) + lit(8L)).as("cov"))
+        spans.groupBy(col("doc_id"))
+          .agg(max(col("n_tokens")).as("n_tokens"),
+            sum(col("n_sh")).as("n_dup_shingles"),
+            count(lit(1)).as("n_spans"),
+            sum(col("cov")).as("dup_tokens"))
+          .withColumn("dup_ppm", expr("dup_tokens * 1000000 div n_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split(lower(text),' ') AS tk
+             |  FROM documents WHERE len(string_split(lower(text),' ')) >= 8),
+             |sh0 AS (SELECT doc_id, len(tk)::BIGINT AS n_tokens,
+             |    unnest(list_transform(range(len(tk) - 7),
+             |      i -> struct_pack(pos := i,
+             |        sh := array_to_string(tk[i+1:i+8], ' ')))) AS u
+             |  FROM tk),
+             |sh AS (SELECT doc_id, n_tokens, u.pos::BIGINT AS pos, u.sh AS sh
+             |  FROM sh0),
+             |rep AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 1),
+             |dup AS (SELECT doc_id, n_tokens, pos FROM sh JOIN rep USING (sh)),
+             |fl AS (SELECT doc_id, n_tokens, pos,
+             |    CASE WHEN lag(pos) OVER w IS NULL
+             |        OR pos - lag(pos) OVER w >= 8
+             |      THEN 1 ELSE 0 END AS f
+             |  FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+             |isl AS (SELECT doc_id, n_tokens, pos,
+             |    sum(f) OVER (PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+             |  FROM fl),
+             |spans AS (SELECT doc_id, n_tokens, g, count(*)::BIGINT AS n_sh,
+             |    (max(pos) - min(pos) + 8)::BIGINT AS cov
+             |  FROM isl GROUP BY 1, 2, 3)
+             |SELECT doc_id, max(n_tokens)::BIGINT AS n_tokens,
+             |  sum(n_sh)::BIGINT AS n_dup_shingles, count(*)::BIGINT AS n_spans,
+             |  sum(cov)::BIGINT AS dup_tokens,
+             |  (sum(cov) * 1000000 // max(n_tokens))::BIGINT AS dup_ppm
+             |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Interpolated Kneser-Ney bigram LM scoring (Kneser & Ney 1995;
+    // Chen & Goodman 1999) — the smoothing the add-one scorer
+    // (text_bigram_logprob) graduates into: absolute discount D=0.75
+    // with the continuation-probability backoff
+    // P(w2|w1) = (max(c(w1w2)-D,0) + D·N1+(w1·)·Pcont(w2)) / c(w1·),
+    // Pcont(w2) = N1+(·w2)/|bigram types|. All four statistics come
+    // off the ONE bigram-count digest (context totals, fanout counts,
+    // continuation counts, type total) — no second corpus pass. The
+    // per-bigram log-prob is rounded to 9 dp once, then per-doc sums
+    // accumulate as exact decimals (partition-order independent, the
+    // same determinism discipline as every LM scorer here).
+    QueryDef("text_kneser_ney",
+      (s, d) => {
+        val docs = s.read.parquet(s"$d/documents.parquet")
+          .repartition(32)
+          .withColumn("__tk", TextAnalysis.tokens(col("text")))
+          .filter(size(col("__tk")) >= 2)
+        val b = docs.select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(__tk)-2), i -> concat(__tk[i], ' ', __tk[i+1]))"))
+          .as("bg"))
+        val btf = b.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("tf"))
+        val cbg = btf.groupBy(col("bg")).agg(sum(col("tf")).as("c"))
+          .withColumn("w1", split(col("bg"), " ").getItem(0))
+          .withColumn("w2", split(col("bg"), " ").getItem(1))
+        val ctx = cbg.groupBy(col("w1").as("cw1"))
+          .agg(sum(col("c")).as("cw"), count(lit(1)).as("nfw"))
+        val cont = cbg.groupBy(col("w2").as("pw2"))
+          .agg(count(lit(1)).as("npw"))
+        val t = cbg.agg(count(lit(1)).as("t"))
+        val lp = cbg.join(ctx, col("w1") === col("cw1"))
+          .join(cont, col("w2") === col("pw2"))
+          .crossJoin(broadcast(t))
+          .select(col("bg"), round(log10(
+            (greatest(col("c").cast("double") - lit(0.75), lit(0.0)) +
+              lit(0.75) * col("nfw").cast("double") *
+                col("npw").cast("double") / col("t").cast("double")) /
+              col("cw").cast("double")), 9)
+            .cast("decimal(20,9)").as("logp"))
+        btf.join(lp, "bg")
+          .groupBy(col("doc_id"))
+          .agg(sum(col("tf")).as("n_bigrams"),
+            sum(col("tf").cast("decimal(9,0)") * col("logp"))
+              .cast("double").as("kn_logprob"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split(lower(text),' ') AS tk FROM documents),
+             |b AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+             |    i -> tk[i] || ' ' || tk[i+1])) AS bg
+             |  FROM tk WHERE len(tk) >= 2),
+             |btf AS (SELECT doc_id, bg, count(*) AS tf FROM b GROUP BY 1, 2),
+             |cbg AS (SELECT bg, string_split(bg,' ')[1] AS w1,
+             |    string_split(bg,' ')[2] AS w2, sum(tf)::BIGINT AS c
+             |  FROM btf GROUP BY 1, 2, 3),
+             |ctx AS (SELECT w1 AS cw1, sum(c)::BIGINT AS cw,
+             |    count(*)::BIGINT AS nfw FROM cbg GROUP BY 1),
+             |cont AS (SELECT w2 AS pw2, count(*)::BIGINT AS npw
+             |  FROM cbg GROUP BY 1),
+             |t AS (SELECT count(*)::BIGINT AS t FROM cbg),
+             |lp AS (SELECT cbg.bg,
+             |    round(log10((greatest(cbg.c::DOUBLE - 0.75, 0.0)
+             |      + 0.75 * ctx.nfw::DOUBLE * cont.npw::DOUBLE / t.t::DOUBLE)
+             |      / ctx.cw::DOUBLE), 9)::DECIMAL(20,9) AS logp
+             |  FROM cbg JOIN ctx ON cbg.w1 = ctx.cw1
+             |    JOIN cont ON cbg.w2 = cont.pw2, t)
+             |SELECT btf.doc_id, sum(btf.tf)::BIGINT AS n_bigrams,
+             |  sum(btf.tf::DECIMAL(9,0) * lp.logp)::DOUBLE AS kn_logprob
+             |FROM btf JOIN lp USING (bg)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Corpus-driven stopword induction — the preprocessing table the
+    // retrieval/quality stages consume: a term is a stopword candidate
+    // when it appears in at least half the documents. Per candidate:
+    // document frequency, corpus frequency, df share (ppm) and the idf
+    // it would contribute. One (doc, term) tokenize feeds one
+    // vocabulary-sized term aggregate; the threshold filter and the
+    // final sort never touch corpus-scale data, and the result is the
+    // broadcast-sized artifact downstream filters actually load.
+    QueryDef("text_stopword_detect",
+      (s, d) => {
+        val toks = s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"),
+            explode(TextAnalysis.tokens(col("text"))).as("term"))
+        val nd = s.read.parquet(s"$d/documents.parquet")
+          .agg(count(lit(1)).as("n_docs"))
+        toks.groupBy(col("term"))
+          .agg(count_distinct(col("doc_id")).as("df"),
+            count(lit(1)).as("cf"))
+          .crossJoin(broadcast(nd))
+          .withColumn("df_ppm", expr("df * 1000000 div n_docs"))
+          .filter(col("df_ppm") >= 500000)
+          .select(col("term"), col("df"), col("cf"), col("df_ppm"),
+            round(log(col("n_docs").cast("double") / col("df").cast("double")),
+              6).as("idf"))
+          .orderBy(col("cf").desc, col("term"))
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+             |    unnest(string_split(lower(text),' ')) AS term
+             |  FROM documents),
+             |nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+             |tstat AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df,
+             |    count(*)::BIGINT AS cf
+             |  FROM toks GROUP BY 1)
+             |SELECT term, df, cf, (df * 1000000 // n_docs)::BIGINT AS df_ppm,
+             |  round(ln(n_docs::DOUBLE / df::DOUBLE), 6) AS idf
+             |FROM tstat, nd
+             |WHERE df * 1000000 // n_docs >= 500000
+             |ORDER BY cf DESC, term""".stripMargin))
   )
 }

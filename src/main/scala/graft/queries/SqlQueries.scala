@@ -3066,6 +3066,71 @@ object SqlQueries {
              |SELECT node, rank FROM r3
              |ORDER BY rank DESC, node LIMIT 20""".stripMargin)),
 
+    // Label-propagation communities (Raghavan et al. 2007) over the
+    // undirected co-purchase graph — 3 SYNCHRONOUS rounds, each node
+    // adopting its neighborhood's most frequent label (tie → smallest
+    // label). Genuinely different from the min-label
+    // connected-components grouper: LPA splits a connected component
+    // into dense communities instead of flooding it. Determinism: the
+    // synchronous schedule plus the (count DESC, label ASC) tie rule
+    // make every round a pure function of the previous label table,
+    // so DuckDB replays the rounds exactly. Per round: one join keyed
+    // on src (edges × labels), one (node, label) count aggregate, one
+    // per-node argmax window over the count digest — the window is
+    // partitioned by node and the digest is neighborhood-sized, never
+    // edge-list-sized.
+    QueryDef("q_label_propagation",
+      (s, d) => {
+        val e = s.read.parquet(copurchaseEdgesOf(s, d))
+        val eb = e.select(col("p1").as("src"), col("p2").as("dst"))
+          .unionAll(e.select(col("p2").as("src"), col("p1").as("dst")))
+        var lab = eb.select(col("src").as("node")).distinct()
+          .withColumn("lab", col("node"))
+        for (_ <- 1 to 3) {
+          val cnt = eb.join(lab, col("src") === col("node"))
+            .groupBy(col("dst").as("nd"), col("lab"))
+            .agg(count(lit(1)).as("cv"))
+          val win = Window.partitionBy(col("nd"))
+            .orderBy(col("cv").desc, col("lab"))
+          lab = cnt.withColumn("rn", row_number().over(win))
+            .filter(col("rn") === 1)
+            .select(col("nd").as("node"), col("lab"))
+        }
+        lab.groupBy(col("lab").as("community"))
+          .agg(count(lit(1)).as("n_nodes"),
+            min(col("node")).as("min_node"),
+            max(col("node")).as("max_node"))
+          .orderBy(col("n_nodes").desc, col("community"))
+          .limit(20)
+      },
+      Some("""WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+             |  FROM pp a JOIN pp b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |eb AS (SELECT p1 AS src, p2 AS dst FROM e
+             |  UNION ALL SELECT p2, p1 FROM e),
+             |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM eb),
+             |c1 AS (SELECT eb.dst AS nd, l0.lab, count(*) AS cv
+             |  FROM eb JOIN l0 ON eb.src = l0.node GROUP BY 1, 2),
+             |l1 AS (SELECT nd AS node, lab FROM (SELECT nd, lab,
+             |    row_number() OVER (PARTITION BY nd ORDER BY cv DESC, lab) AS rn
+             |  FROM c1) WHERE rn = 1),
+             |c2 AS (SELECT eb.dst AS nd, l1.lab, count(*) AS cv
+             |  FROM eb JOIN l1 ON eb.src = l1.node GROUP BY 1, 2),
+             |l2 AS (SELECT nd AS node, lab FROM (SELECT nd, lab,
+             |    row_number() OVER (PARTITION BY nd ORDER BY cv DESC, lab) AS rn
+             |  FROM c2) WHERE rn = 1),
+             |c3 AS (SELECT eb.dst AS nd, l2.lab, count(*) AS cv
+             |  FROM eb JOIN l2 ON eb.src = l2.node GROUP BY 1, 2),
+             |l3 AS (SELECT nd AS node, lab FROM (SELECT nd, lab,
+             |    row_number() OVER (PARTITION BY nd ORDER BY cv DESC, lab) AS rn
+             |  FROM c3) WHERE rn = 1)
+             |SELECT lab AS community, count(*)::BIGINT AS n_nodes,
+             |  min(node) AS min_node, max(node) AS max_node
+             |FROM l3 GROUP BY 1
+             |ORDER BY n_nodes DESC, community LIMIT 20""".stripMargin)),
+
     // Skyline (Pareto frontier) of one part family on (price ↓,
     // size ↑): a part survives iff nothing is at-least-as-good on
     // both axes and strictly better on one. Dominance is a
