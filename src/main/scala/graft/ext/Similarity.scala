@@ -301,17 +301,12 @@ object Similarity extends Serializable {
     import spark.implicits._
     val centers = centroids.getOrElse(
       fitCentroids(corpus, nCentroids, iters, scale, idCol, vecCol))
-    val bcCenters = spark.sparkContext.broadcast(centers)
     // cell assignment / probing carries ONLY (id, cell) — the wide
     // embedding arrays join back onto the candidate set afterwards
     val indexed = cellAssignments(corpus, centers, scale, idCol, vecCol)
       .toDF("neighbor_id", "__cell")
-    val probes = queries.select(col(idCol).cast("long").as("query_id"),
-      intVec(col(vecCol), scale).as("__e"))
-      .as[(Long, Array[Long])]
-      .flatMap { case (qid, v) =>
-        cellRanks(v, bcCenters.value).take(nProbe).map(cell => (qid, cell))
-      }.toDF("query_id", "__cell")
+    val probes = ivfProbes(queries, centers, nProbe, scale, idCol, vecCol)
+      .withColumnRenamed("cell", "__cell")
     val candidates = indexed.join(broadcast(probes), Seq("__cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id")
@@ -323,6 +318,26 @@ object Similarity extends Serializable {
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
+  /** IVF probe list: each query's `nProbe` nearest coarse cells as a
+    * broadcastable (query_id, cell) relation — the coarse half of an
+    * IVF-ADC (IVF + PQ) search, exposed separately so a PQ scorer can
+    * restrict its code scan to the probed cells' postings without
+    * touching the raw vectors of the corpus side at all. */
+  def ivfProbes(queries: DataFrame, centers: Array[Array[Long]],
+                nProbe: Int = 4, scale: Int = 1000,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val bcCenters = spark.sparkContext.broadcast(centers)
+    queries.select(col(idCol).cast("long").as("query_id"),
+      intVec(col(vecCol), scale).as("__e"))
+      .as[(Long, Array[Long])]
+      .flatMap { case (qid, v) =>
+        cellRanks(v, bcCenters.value).take(nProbe).map(cell => (qid, cell))
+      }.toDF("query_id", "cell")
   }
 
   /** EXACT all-pairs near-duplicates — a BOUNDED BASELINE, not the

@@ -62,19 +62,28 @@ object ExtQueries {
       (Similarity.fitCentroids(sub(1)), Similarity.fitCentroids(sub(33)))
     })
 
-  /** PQ asymmetric-distance top-k: per-query 256-entry LUT of
-    * approximate cosines (exact integer dots, one IEEE mul/sqrt/div)
-    * broadcast against the (id, code) scan. Shared by `sim_topk_pq`
-    * and the PQ column of `sim_recall_ann`. */
-  private def pqTopK(s: org.apache.spark.sql.SparkSession, d: String,
-                     k: Int): org.apache.spark.sql.DataFrame = {
+  /** PQ code table (neighbor_id, c0, c1): each vector's two subspace
+    * codebook cells — the compressed representation an ADC scan reads
+    * instead of the raw vectors. Shared by `sim_topk_pq` and the
+    * cell-restricted `sim_topk_ivfpq`. */
+  private def pqCodes(s: org.apache.spark.sql.SparkSession,
+                      d: String): org.apache.spark.sql.DataFrame = {
     val (cb0, cb1) = pqCodebooksOf(s, d)
     val emb = s.read.parquet(s"$d/embeddings.parquet")
     def sub(start: Int) = emb.select(col("vec_id"),
       slice(col("embedding"), start, 32).as("embedding"))
-    val codes = Similarity.cellAssignments(sub(1), cb0).toDF("neighbor_id", "c0")
+    Similarity.cellAssignments(sub(1), cb0).toDF("neighbor_id", "c0")
       .join(Similarity.cellAssignments(sub(33), cb1).toDF("neighbor_id", "c1"),
         "neighbor_id")
+  }
+
+  /** Per-query PQ asymmetric-distance LUT (query_id, c0, c1, sim):
+    * 256 approximate cosines per query (exact integer dots, one IEEE
+    * mul/sqrt/div each), broadcast against the code scan. */
+  private def pqLut(s: org.apache.spark.sql.SparkSession,
+                    d: String): org.apache.spark.sql.DataFrame = {
+    val (cb0, cb1) = pqCodebooksOf(s, d)
+    val emb = s.read.parquet(s"$d/embeddings.parquet")
     // SQL round(): half away from zero
     def rnd(x: Double): Long =
       (if (x >= 0) math.floor(x * 1000 + 0.5) else math.ceil(x * 1000 - 0.5)).toLong
@@ -94,10 +103,16 @@ object ExtQueries {
     } yield (qid, i0, i1,
       (dot(q0, cb0(i0)) + dot(q1, cb1(i1))).toDouble /
         math.sqrt(n2q.toDouble * nr.toDouble))
-    val lutDf = s.createDataFrame(lut).toDF("query_id", "c0", "c1", "sim")
+    s.createDataFrame(lut).toDF("query_id", "c0", "c1", "sim")
+  }
+
+  /** PQ asymmetric-distance top-k over the FULL code scan — shared by
+    * `sim_topk_pq` and the PQ column of `sim_recall_ann`. */
+  private def pqTopK(s: org.apache.spark.sql.SparkSession, d: String,
+                     k: Int): org.apache.spark.sql.DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    codes.join(broadcast(lutDf), Seq("c0", "c1"))
+    pqCodes(s, d).join(broadcast(pqLut(s, d)), Seq("c0", "c1"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -1800,6 +1815,70 @@ object ExtQueries {
               |         JOIN p1c2 b1 ON b1.cell = codes.c1
               |       WHERE codes.neighbor_id != q.query_id
               |         AND (list_dot_product(b0.cd, b0.cd) + list_dot_product(b1.cd, b1.cd)) > 0),
+              |r AS (SELECT query_id, neighbor_id, sim,
+              |        row_number() OVER (PARTITION BY query_id
+              |          ORDER BY sim DESC, neighbor_id) AS rank
+              |      FROM sc)
+              |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
+              |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    // IVF-ADC top-k (Jégou et al. 2011's full recipe, the FAISS
+    // `IndexIVFPQ` shape): the coarse IVF quantizer prunes the
+    // candidate set to the query's 4 probed cells, and the survivors
+    // are scored by the PQ asymmetric-distance LUT — neither the
+    // query loop nor the scan ever touches a raw corpus vector. This
+    // is the configuration that actually ships at 100 TB: the
+    // inverted lists bound the scan, the 8-bit-per-subspace codes
+    // bound the bytes, and both halves here are the SAME deterministic
+    // artifacts the standalone sim_topk_ivf / sim_topk_pq queries
+    // grade, so the oracle replays cells, codes, sims and ranks
+    // exactly. Plan: (id, cell) ⋈ broadcast probes → (id, c0, c1) ⋈
+    // broadcast LUT → per-query top-k window; one narrow shuffle.
+    QueryDef("sim_topk_ivfpq",
+      (s, d) => {
+        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        val probes = Similarity.ivfProbes(emb.filter(col("vec_id") < 10),
+          centroidsOf(s, d), nProbe = 4)
+        val cells = Similarity.cellAssignments(emb, centroidsOf(s, d))
+          .toDF("neighbor_id", "cell")
+        val cand = cells.join(broadcast(probes), Seq("cell"))
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .select("query_id", "neighbor_id")
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("neighbor_id"))
+        cand.join(pqCodes(s, d), "neighbor_id")
+          .join(broadcast(pqLut(s, d)), Seq("query_id", "c0", "c1"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            round(col("sim"), 6).as("sim"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH ${ivfCtes(nProbe = 4)},
+              |${quantizerCtes("p0", "(embedding::DOUBLE[])[1:32]", 32)},
+              |${quantizerCtes("p1", "(embedding::DOUBLE[])[33:64]", 32)},
+              |cand AS (SELECT qp.query_id, af.vec_id AS neighbor_id
+              |         FROM qp JOIN af ON af.cell = qp.cell
+              |           AND af.vec_id != qp.query_id),
+              |codes AS (SELECT p0af.vec_id AS neighbor_id, p0af.cell AS c0,
+              |            p1af.cell AS c1
+              |          FROM p0af JOIN p1af USING (vec_id)),
+              |q AS (SELECT vec_id AS query_id,
+              |        list_transform((embedding::DOUBLE[])[1:32],
+              |          x -> CAST(round(x * 1000) AS BIGINT))::DOUBLE[] AS q0,
+              |        list_transform((embedding::DOUBLE[])[33:64],
+              |          x -> CAST(round(x * 1000) AS BIGINT))::DOUBLE[] AS q1
+              |      FROM embeddings WHERE vec_id < 10),
+              |sc AS (SELECT q.query_id, cand.neighbor_id,
+              |         (list_dot_product(q.q0, b0.cd) + list_dot_product(q.q1, b1.cd))
+              |         / sqrt((list_dot_product(q.q0, q.q0) + list_dot_product(q.q1, q.q1))
+              |              * (list_dot_product(b0.cd, b0.cd) + list_dot_product(b1.cd, b1.cd))) AS sim
+              |       FROM cand
+              |         JOIN q ON q.query_id = cand.query_id
+              |         JOIN codes ON codes.neighbor_id = cand.neighbor_id
+              |         JOIN p0c2 b0 ON b0.cell = codes.c0
+              |         JOIN p1c2 b1 ON b1.cell = codes.c1
+              |       WHERE (list_dot_product(b0.cd, b0.cd) + list_dot_product(b1.cd, b1.cd)) > 0),
               |r AS (SELECT query_id, neighbor_id, sim,
               |        row_number() OVER (PARTITION BY query_id
               |          ORDER BY sim DESC, neighbor_id) AS rank
