@@ -6332,6 +6332,92 @@ object ExtQueries {
              |  (sum(cov) * 1000000 // max(n_tokens))::BIGINT AS dup_ppm
              |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Exact substring dedup, REMOVAL side (the transform half of
+    // text_substring_dedup): every repeated 8-token shingle keeps its
+    // FIRST occurrence (min (doc_id, pos), encoded as one integer key
+    // so the argmin is a plain MIN aggregate on both engines; the
+    // 100 TB form is the identical argmin over a (doc_id, pos)
+    // struct) and every other occurrence is marked for removal; the
+    // per-document report is tokens removed / kept after merging the
+    // removal positions into maximal spans. Same plan shape as the
+    // detection half — shingle hash aggregate, candidates-only join,
+    // per-doc gaps-and-islands window — plus one broadcast-friendly
+    // left join so untouched documents still report kept=all.
+    QueryDef("text_substring_removal",
+      (s, d) => {
+        val base = s.read.parquet(s"$d/documents.parquet")
+          .repartition(32)
+          .select(col("doc_id"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+        val docs = s.read.parquet(s"$d/documents.parquet")
+          .repartition(32)
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 8)
+        val sh = docs.select(col("doc_id"),
+          posexplode(expr(
+            "transform(sequence(0, size(tk) - 8), i -> concat_ws(' ', slice(tk, i + 1, 8)))"))
+            .as(Seq("pos", "sh")))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"), col("sh"))
+        val rep = sh.groupBy(col("sh"))
+          .agg(count(lit(1)).as("c"),
+            min(col("doc_id") * lit(1048576L) + col("pos")).as("keep"))
+          .filter(col("c") > 1).select(col("sh"), col("keep"))
+        val rem = sh.join(rep, "sh")
+          .filter(col("doc_id") * lit(1048576L) + col("pos") =!= col("keep"))
+          .select(col("doc_id"), col("pos"))
+        val ord = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val isl = rem
+          .withColumn("f", when(lag(col("pos"), 1).over(ord).isNull ||
+            col("pos") - lag(col("pos"), 1).over(ord) >= 8, 1L).otherwise(0L))
+          .withColumn("g", sum(col("f")).over(
+            ord.rowsBetween(Window.unboundedPreceding, 0)))
+        val per = isl.groupBy(col("doc_id"), col("g"))
+          .agg((max(col("pos")) - min(col("pos")) + lit(8L)).as("cov"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("cov")).as("rm"))
+        base.join(per, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("rm"), lit(0L)).as("removed_tokens"),
+            (col("n_tokens") - coalesce(col("rm"), lit(0L))).as("kept_tokens"))
+          .withColumn("kept_ppm", expr("kept_tokens * 1000000 div n_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH base AS (SELECT doc_id,
+             |    len(string_split(lower(text),' '))::BIGINT AS n_tokens
+             |  FROM documents),
+             |tk AS (SELECT doc_id, string_split(lower(text),' ') AS tk
+             |  FROM documents WHERE len(string_split(lower(text),' ')) >= 8),
+             |sh0 AS (SELECT doc_id,
+             |    unnest(list_transform(range(len(tk) - 7),
+             |      i -> struct_pack(pos := i,
+             |        sh := array_to_string(tk[i+1:i+8], ' ')))) AS u
+             |  FROM tk),
+             |sh AS (SELECT doc_id, u.pos::BIGINT AS pos, u.sh AS sh FROM sh0),
+             |rep AS (SELECT sh, min(doc_id * 1048576 + pos)::BIGINT AS keep
+             |  FROM sh GROUP BY sh HAVING count(*) > 1),
+             |rem AS (SELECT doc_id, pos FROM sh JOIN rep USING (sh)
+             |  WHERE doc_id * 1048576 + pos != keep),
+             |fl AS (SELECT doc_id, pos,
+             |    CASE WHEN lag(pos) OVER w IS NULL
+             |        OR pos - lag(pos) OVER w >= 8
+             |      THEN 1 ELSE 0 END AS f
+             |  FROM rem WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+             |isl AS (SELECT doc_id, pos,
+             |    sum(f) OVER (PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+             |  FROM fl),
+             |per AS (SELECT doc_id, sum(cov)::BIGINT AS rm FROM (
+             |    SELECT doc_id, g, (max(pos) - min(pos) + 8)::BIGINT AS cov
+             |    FROM isl GROUP BY 1, 2)
+             |  GROUP BY 1)
+             |SELECT base.doc_id, base.n_tokens,
+             |  coalesce(per.rm, 0)::BIGINT AS removed_tokens,
+             |  (base.n_tokens - coalesce(per.rm, 0))::BIGINT AS kept_tokens,
+             |  ((base.n_tokens - coalesce(per.rm, 0)) * 1000000
+             |    // base.n_tokens)::BIGINT AS kept_ppm
+             |FROM base LEFT JOIN per USING (doc_id)
+             |ORDER BY base.doc_id""".stripMargin)),
+
     // Interpolated Kneser-Ney bigram LM scoring (Kneser & Ney 1995;
     // Chen & Goodman 1999) — the smoothing the add-one scorer
     // (text_bigram_logprob) graduates into: absolute discount D=0.75
