@@ -38,6 +38,72 @@ object MediaKernels {
   def decodeImage(bytes: Array[Byte]): BufferedImage =
     ImageIO.read(new ByteArrayInputStream(bytes))
 
+  /** Re-encode an image through the same PNG codec (variant builds,
+    * thumbnail persists). */
+  def encodePng(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** 63-bit DCT perceptual hash (pHash, the classic duplicate-image
+    * fingerprint): 32×32 grayscale grid → separable 2-D DCT-II → the
+    * top-left 8×8 low-frequency block → each non-DC coefficient
+    * becomes one bit, set when it exceeds the block's median. The DC
+    * term is EXCLUDED, which is what makes the hash invariant to
+    * uniform brightness shifts; small local edits flip at most a few
+    * low-frequency bits, so near-dups land within a small Hamming
+    * radius while unrelated images sit near 31/63. Pure per-row
+    * double arithmetic — deterministic on any JVM. */
+  def phash63(img: BufferedImage): Long = {
+    val n = 32
+    val g = grayGrid(img, n)
+    // cos table for the 8 lowest output frequencies only — the DCT is
+    // separable and we never need the other 24 rows/cols
+    val cosTab = Array.tabulate(8, n)((u, x) =>
+      math.cos(math.Pi * (2 * x + 1) * u / (2.0 * n)))
+    val rows = Array.ofDim[Double](n, 8)
+    var y = 0
+    while (y < n) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var x = 0
+        while (x < n) { s += g(y * n + x) * cosTab(u)(x); x += 1 }
+        rows(y)(u) = s
+        u += 1
+      }
+      y += 1
+    }
+    val coeffs = new Array[Double](63)
+    var i = 0
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        if (v != 0 || u != 0) {
+          var s = 0.0
+          var yy = 0
+          while (yy < n) { s += rows(yy)(u) * cosTab(v)(yy); yy += 1 }
+          coeffs(i) = s
+          i += 1
+        }
+        u += 1
+      }
+      v += 1
+    }
+    val sorted = coeffs.clone()
+    java.util.Arrays.sort(sorted)
+    val med = sorted(31)
+    var h = 0L
+    i = 0
+    while (i < 63) {
+      if (coeffs(i) > med) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
+
   /** (width, height) without materializing features. */
   def imageMeta(bytes: Array[Byte]): (Int, Int) = {
     val img = decodeImage(bytes)

@@ -181,6 +181,60 @@ object Multimodal {
   /** Image near-dup via thumbnail embeddings: decode once, then reuse
     * the embedding-similarity machinery (brute-force cosine here;
     * `Similarity.lshTopK` is the at-scale path). */
+  /** Near-duplicate image variants: every 4th image gains a copy
+    * (media_id + 1000000) with 3 seeded pixels perturbed and the
+    * result re-encoded through the same PNG codec — the classic
+    * "small edit + re-encode" duplicate that byte-level dedup misses
+    * and perceptual hashing exists to catch. Deterministic per id. */
+  def injectImageVariants(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val variants = media.select(col("media_id"), col("image")).as[ImageRow]
+      .filter(_.media_id % 4 == 0)
+      .mapPartitions(_.map { r =>
+        val img = MediaKernels.decodeImage(r.image)
+        var i = 0
+        while (i < 3) {
+          val x = math.floorMod(r.media_id * 31 + i * 17, img.getWidth.toLong).toInt
+          val y = math.floorMod(r.media_id * 13 + i * 7, img.getHeight.toLong).toInt
+          img.setRGB(x, y, img.getRGB(x, y) ^ 0x00101010)
+          i += 1
+        }
+        (r.media_id + 1000000L, MediaKernels.encodePng(img))
+      }).toDF("media_id", "image")
+    media.select(col("media_id"), col("image")).unionAll(variants)
+  }
+
+  /** pHash near-dup pairs at scale shape: one decode+DCT pass to a
+    * (media_id, 63-bit hash) digest, then BANDED candidate generation
+    * — the hash splits into 8 byte-bands and only band-equal pairs
+    * are compared (pigeonhole: any pair within Hamming 7 shares at
+    * least one intact band), so the exact bit_count verify runs on
+    * candidates only, never all pairs. Identical banding shape to the
+    * SimHash text path. */
+  def imagePhashPairs(media: DataFrame, maxHamming: Int = 7): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val hashes = media.select(col("media_id"), col("image")).as[ImageRow]
+      .mapPartitions(_.map(r => (r.media_id,
+        MediaKernels.phash63(MediaKernels.decodeImage(r.image)))))
+      .toDF("media_id", "ph")
+    val banded = hashes.select(col("media_id"), col("ph"), explode(expr(
+        "transform(sequence(0, 7), j -> named_struct('band', j, 'key', shiftright(ph, 8 * j) % 256))"))
+        .as("b"))
+      .select(col("media_id"), col("ph"),
+        col("b.band").as("band"), col("b.key").as("key"))
+    banded.alias("x").join(banded.alias("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
+        col("x.ph").as("__pa"), col("y.ph").as("__pb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(__pa ^ __pb)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   def imageNearDups(media: DataFrame, threshold: Double, k: Int = 4): DataFrame = {
     val spark = media.sparkSession
     val feats = imageFeatures(media, k).toDF()

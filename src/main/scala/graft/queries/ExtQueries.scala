@@ -2110,6 +2110,24 @@ object ExtQueries {
       },
       None),
 
+    // Perceptual-hash (DCT pHash) image near-dup pairs — the
+    // duplicate-image detector that survives re-encoding and small
+    // edits, which byte-hash dedup misses: seeded pixel-perturbed
+    // variants are injected (media_id + 1000000), and the banded
+    // 63-bit-hash join must recover every (original, variant) pair
+    // within Hamming 7 without an all-pairs compare. rows-only like
+    // the other codec paths (no SQL engine decodes PNG); the hash
+    // and recovery laws are pinned by MultimodalSpec.
+    QueryDef("mm_image_phash",
+      (s, d) => {
+        val media = graft.multimodal.Multimodal.injectImageVariants(
+          graft.multimodal.Multimodal.syntheticMedia(
+            s.read.parquet(s"$d/documents.parquet").limit(200), "doc_id"))
+        graft.multimodal.Multimodal.imagePhashPairs(media, 7)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      None),
+
     // ---- Reference K-ops that need engine introspection ----------------
 
     // K2 — deterministic preview/limit. (l_orderkey, l_linenumber) is

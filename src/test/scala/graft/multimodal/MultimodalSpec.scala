@@ -158,4 +158,47 @@ class MultimodalSpec extends GraftSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSet === Set((10L, 99L)))
   }
+
+  test("pHash: deterministic, balanced, brightness-shift invariant") {
+    val img = MediaKernels.decodeImage(MediaKernels.makePng(42, 24, 16))
+    val h1 = MediaKernels.phash63(img)
+    val h2 = MediaKernels.phash63(
+      MediaKernels.decodeImage(MediaKernels.makePng(42, 24, 16)))
+    assert(h1 === h2)
+    // median split -> 31 of 63 bits set (bits strictly above the median)
+    assert(java.lang.Long.bitCount(h1) === 31)
+    // DC exclusion -> a uniform brightness shift leaves the hash intact
+    val shifted = new java.awt.image.BufferedImage(24, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 24) {
+      val p = img.getRGB(x, y)
+      def lift(c: Int) = math.min(c + 10, 255)
+      shifted.setRGB(x, y, (lift((p >> 16) & 0xff) << 16) |
+        (lift((p >> 8) & 0xff) << 8) | lift(p & 0xff))
+    }
+    val hs = MediaKernels.phash63(shifted)
+    assert(java.lang.Long.bitCount(h1 ^ hs) <= 7,
+      s"brightness shift moved ${java.lang.Long.bitCount(h1 ^ hs)} bits")
+    // unrelated images sit near Hamming 31, far outside the radius
+    val other = MediaKernels.phash63(
+      MediaKernels.decodeImage(MediaKernels.makePng(43, 24, 16)))
+    assert(java.lang.Long.bitCount(h1 ^ other) > 15)
+  }
+
+  test("pHash banded pairs recover every injected pixel-edit variant") {
+    import spark.implicits._
+    val ids = (0L until 40L).toDF("doc_id")
+    val media = Multimodal.injectImageVariants(
+      Multimodal.syntheticMedia(ids, "doc_id"))
+    // ids 0,4,8,...,36 gain a +1000000 variant: 10 expected pairs
+    val pairs = Multimodal.imagePhashPairs(media, 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = (0L until 40L by 4).map(id => (id, id + 1000000L)).toSet
+    val got = pairs.map(p => (p._1, p._2)).toSet
+    assert(expected.subsetOf(got),
+      s"missing variant pairs: ${expected -- got}")
+    // every reported pair is within the radius; no unrelated-image pair
+    assert(pairs.forall(_._3 <= 7))
+    assert(got === expected, s"unexpected extra pairs: ${got -- expected}")
+  }
 }
