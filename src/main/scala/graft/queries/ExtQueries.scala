@@ -5530,6 +5530,90 @@ object ExtQueries {
              |FROM r WHERE rejected_id IS NOT NULL AND n_chars > rejected_chars
              |ORDER BY source, chosen_id""".stripMargin)),
 
+    // Bradley-Terry preference strengths (Zermelo 1929; Hunter 2004's
+    // MM iteration) — the model under every RLHF reward aggregation:
+    // adjacent-doc cross-source matches decided by the same
+    // length-as-quality proxy pipe_reward_pairs uses, collapsed to a
+    // per-(source, source) win/match digest, then 3 MM rounds
+    // p_i ← W_i / Σ_j n_ij/(p_i+p_j) entirely in scaled-integer
+    // arithmetic (terms in 1e12 units, strengths in 1e6 units): double
+    // sums are partition-order dependent, integer sums are exact, so
+    // the fitted strengths hash-match across engines — the same
+    // discipline as the integer PageRank. Everything after the one
+    // match-building join runs on the k×k source digest.
+    QueryDef("pipe_bradley_terry",
+      (s, d) => {
+        val docs = s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val m = docs.alias("a").join(docs.alias("b"),
+            col("b.doc_id") === col("a.doc_id") + 1 &&
+              col("a.source") =!= col("b.source") &&
+              col("a.n_chars") =!= col("b.n_chars"))
+          .select(
+            when(col("a.n_chars") > col("b.n_chars"), col("a.source"))
+              .otherwise(col("b.source")).as("winner"),
+            when(col("a.n_chars") > col("b.n_chars"), col("b.source"))
+              .otherwise(col("a.source")).as("loser"))
+        val eb = m.select(col("winner").as("s"), col("loser").as("o"))
+          .unionAll(m.select(col("loser").as("s"), col("winner").as("o")))
+          .groupBy(col("s"), col("o")).agg(count(lit(1)).as("n"))
+        val wins = m.groupBy(col("winner").as("s")).agg(count(lit(1)).as("w"))
+        // the (source × source) match digest is catalog-sized (k² rows
+        // for k sources) at ANY corpus scale — like the IVF quantizer,
+        // the MM fit runs on the collected digest, never the matches;
+        // each MM term is one integer division and the sums are exact
+        // longs, so the fit is order-independent and engine-exact
+        val ebRows = eb.collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        val winMap = wins.collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val players = ebRows.map(_._1).distinct.sorted
+        var pm = players.map(_ -> 1000000L).toMap
+        for (_ <- 1 to 3) {
+          val sums = players.map { pl =>
+            pl -> ebRows.iterator.filter(_._1 == pl).foldLeft(0L) {
+              case (acc, (_, o, n)) => acc + n * 1000000000000L / (pm(pl) + pm(o))
+            }
+          }.toMap
+          pm = players.map(pl =>
+            pl -> winMap.getOrElse(pl, 0L) * 1000000000000L / sums(pl)).toMap
+        }
+        val tp = players.map(pm).sum
+        val spark2 = s
+        import spark2.implicits._
+        players.toSeq
+          .map(pl => (pl, winMap.getOrElse(pl, 0L), pm(pl) * 1000000L / tp))
+          .toDF("source", "n_wins", "strength_ppm")
+          .orderBy(col("source"))
+      },
+      Some("""WITH m AS (SELECT
+             |    CASE WHEN a.n_chars > b.n_chars THEN a.source ELSE b.source END AS winner,
+             |    CASE WHEN a.n_chars > b.n_chars THEN b.source ELSE a.source END AS loser
+             |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+             |    AND a.source != b.source AND a.n_chars != b.n_chars),
+             |eb AS (SELECT s, o, count(*)::BIGINT AS n FROM (
+             |    SELECT winner AS s, loser AS o FROM m
+             |    UNION ALL SELECT loser, winner FROM m) GROUP BY 1, 2),
+             |wins AS (SELECT winner AS s, count(*)::BIGINT AS w FROM m GROUP BY 1),
+             |p0 AS (SELECT DISTINCT s, 1000000::BIGINT AS p FROM eb),
+             |t1 AS (SELECT eb.s, sum(eb.n * 1000000000000 // (ps.p + po.p))::BIGINT AS ssum
+             |  FROM eb JOIN p0 ps ON eb.s = ps.s JOIN p0 po ON eb.o = po.s GROUP BY 1),
+             |p1 AS (SELECT t1.s, (coalesce(wins.w, 0) * 1000000000000 // t1.ssum)::BIGINT AS p
+             |  FROM t1 LEFT JOIN wins ON wins.s = t1.s),
+             |t2 AS (SELECT eb.s, sum(eb.n * 1000000000000 // (ps.p + po.p))::BIGINT AS ssum
+             |  FROM eb JOIN p1 ps ON eb.s = ps.s JOIN p1 po ON eb.o = po.s GROUP BY 1),
+             |p2 AS (SELECT t2.s, (coalesce(wins.w, 0) * 1000000000000 // t2.ssum)::BIGINT AS p
+             |  FROM t2 LEFT JOIN wins ON wins.s = t2.s),
+             |t3 AS (SELECT eb.s, sum(eb.n * 1000000000000 // (ps.p + po.p))::BIGINT AS ssum
+             |  FROM eb JOIN p2 ps ON eb.s = ps.s JOIN p2 po ON eb.o = po.s GROUP BY 1),
+             |p3 AS (SELECT t3.s, (coalesce(wins.w, 0) * 1000000000000 // t3.ssum)::BIGINT AS p
+             |  FROM t3 LEFT JOIN wins ON wins.s = t3.s),
+             |tot AS (SELECT sum(p)::BIGINT AS tp FROM p3)
+             |SELECT p3.s AS source, coalesce(wins.w, 0)::BIGINT AS n_wins,
+             |  (p3.p * 1000000 // tot.tp)::BIGINT AS strength_ppm
+             |FROM p3 LEFT JOIN wins ON wins.s = p3.s, tot
+             |ORDER BY source""".stripMargin)),
+
     // Token-budget calibration — the chars/4 heuristic that
     // pipe_token_budget_sample budgets with, audited against the real
     // whitespace token count per source: chars-per-token ratio and the
