@@ -6589,6 +6589,85 @@ object ExtQueries {
              |FROM btf JOIN lp USING (bg)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // RAKE keyword extraction (Rose et al. 2010) — the classic
+    // unsupervised keyphrase miner: token runs between stopwords form
+    // candidate phrases; each word scores degree/frequency where
+    // degree accumulates the length of every phrase the word appears
+    // in; a phrase scores the sum of its words' scores. Top-20
+    // phrases corpus-wide. Shapes: phrase segmentation is a per-doc
+    // prefix-sum window (the stopword count IS the phrase id), word
+    // stats are one vocabulary-sized aggregate, and the phrase score
+    // re-joins the word digest — per-word scores are rounded once to
+    // 9 dp and summed as exact decimals, the file-wide determinism
+    // discipline.
+    QueryDef("text_rake_keywords",
+      (s, d) => {
+        val stop = TextAnalysis.Stopwords
+        val toks = s.read.parquet(s"$d/documents.parquet")
+          .repartition(32)
+          .select(col("doc_id"),
+            posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "term")))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"),
+            col("term"), col("term").isInCollection(stop).as("isstop"))
+        val ord = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val ph = toks
+          .withColumn("pid", sum(when(col("isstop"), 1L).otherwise(0L))
+            .over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+          .filter(!col("isstop"))
+          .select(col("doc_id"), col("pid"), col("pos"), col("term"))
+        val phrases = ph.groupBy(col("doc_id"), col("pid"))
+          .agg(array_join(expr(
+            "transform(array_sort(collect_list(struct(pos, term))), x -> x.term)"),
+            " ").as("phrase"),
+            count(lit(1)).as("plen"))
+        val members = ph.join(
+          phrases.select(col("doc_id"), col("pid"), col("plen")),
+          Seq("doc_id", "pid"))
+        val ws = members.groupBy(col("term"))
+          .agg(round(sum(col("plen")).cast("double") / count(lit(1)), 9)
+            .cast("decimal(20,9)").as("wscore"))
+        val psc = members.join(ws, "term")
+          .groupBy(col("doc_id"), col("pid"))
+          .agg(sum(col("wscore")).cast("double").as("score"))
+        phrases.join(psc, Seq("doc_id", "pid"))
+          .select(col("doc_id"), col("pid"), col("phrase"),
+            col("plen").as("n_words"), col("score"))
+          .orderBy(col("score").desc, col("doc_id"), col("pid"))
+          .limit(20)
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS tk
+             |  FROM documents),
+             |tok0 AS (SELECT doc_id, unnest(list_transform(range(len(tk)),
+             |    i -> struct_pack(pos := i, term := tk[i+1]))) AS u
+             |  FROM t),
+             |tok AS (SELECT doc_id, u.pos::BIGINT AS pos, u.term AS term,
+             |    u.term IN ('the','a','an','of','and','to','in','is','on',
+             |      'for','with','at') AS isstop
+             |  FROM tok0),
+             |ph AS (SELECT doc_id, pid, pos, term FROM (
+             |    SELECT doc_id, pos, term, isstop,
+             |      sum(CASE WHEN isstop THEN 1 ELSE 0 END)
+             |        OVER (PARTITION BY doc_id ORDER BY pos
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid
+             |    FROM tok)
+             |  WHERE NOT isstop),
+             |phrases AS (SELECT doc_id, pid,
+             |    string_agg(term, ' ' ORDER BY pos) AS phrase,
+             |    count(*)::BIGINT AS plen
+             |  FROM ph GROUP BY 1, 2),
+             |members AS (SELECT ph.doc_id, ph.pid, ph.term, phrases.plen
+             |  FROM ph JOIN phrases USING (doc_id, pid)),
+             |ws AS (SELECT term,
+             |    round(sum(plen)::DOUBLE / count(*), 9)::DECIMAL(20,9) AS wscore
+             |  FROM members GROUP BY 1),
+             |psc AS (SELECT members.doc_id, members.pid,
+             |    sum(ws.wscore)::DOUBLE AS score
+             |  FROM members JOIN ws USING (term) GROUP BY 1, 2)
+             |SELECT phrases.doc_id, phrases.pid, phrases.phrase,
+             |  phrases.plen AS n_words, psc.score
+             |FROM phrases JOIN psc USING (doc_id, pid)
+             |ORDER BY score DESC, doc_id, pid LIMIT 20""".stripMargin)),
+
     // Corpus-driven stopword induction — the preprocessing table the
     // retrieval/quality stages consume: a term is a stopword candidate
     // when it appears in at least half the documents. Per candidate:
