@@ -492,6 +492,59 @@ object ExtQueries {
               |SELECT id_a, id_b, round(jaccard, 5) AS jaccard
               |FROM j WHERE round(jaccard, 5) >= 0.01 ORDER BY id_a, id_b""".stripMargin)),
 
+    // Measured MinHash-LSH recall — the dedup analogue of
+    // sim_recall_ann: an LSH banding whose recall is unmeasured is
+    // undiagnosable, so this grades the shipped 4×4 banding against
+    // EXACT ground truth. Truth is enumerated without an all-pairs
+    // join: any pair at Jaccard ≥ 0.7 must share at least one
+    // shingle, so the shingle-postings self-join yields an exact
+    // candidate superset and the verify runs on candidates only (at
+    // corpus scale this truth pass is the one-off audit you run on a
+    // sample shard, like the ANN recall queries). Reports candidate
+    // count, verified-found count, recall and candidate precision —
+    // all integers off the same deterministic kernels the graded
+    // dedup queries use, so the measurement itself hash-matches.
+    QueryDef("dedup_minhash_recall",
+      (s, d) => {
+        val docs = s.read.parquet(s"$d/documents.parquet")
+        val cand = Dedup.minhashNearDups(docs, 0.0)
+          .agg(count(lit(1)).as("n_candidates"),
+            sum(when(col("jaccard") >= 0.7, 1L).otherwise(0L)).as("n_found"))
+        val sets = Dedup.shingleSets(docs, "doc_id", "text")
+        val post = sets.select(col("doc_id"), explode(col("__sh")).as("h"))
+        val cp = post.alias("x").join(post.alias("y"),
+            col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+          .distinct()
+        val sa = sets.select(col("doc_id").as("id_a"), col("__sh").as("__sa"))
+        val sb = sets.select(col("doc_id").as("id_b"), col("__sh").as("__sb"))
+        val truth = cp.join(sa, "id_a").join(sb, "id_b")
+          .filter(Dedup.jaccard(col("__sa"), col("__sb")) >= 0.7)
+          .agg(count(lit(1)).as("n_truth"))
+        truth.crossJoin(cand)
+          .select(col("n_truth"), col("n_candidates"), col("n_found"),
+            expr("n_found * 1000000 div n_truth").as("recall_ppm"),
+            expr("n_found * 1000000 div n_candidates").as("cand_precision_ppm"))
+      },
+      Some(s"""WITH $minhashPairCtes,
+              |cstat AS (SELECT count(*)::BIGINT AS n_candidates,
+              |    (count(*) FILTER (WHERE jaccard >= 0.7))::BIGINT AS n_found
+              |  FROM j),
+              |post AS (SELECT doc_id, unnest(hs) AS h FROM hs),
+              |cp AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM post a JOIN post b
+              |    ON a.h = b.h AND a.doc_id < b.doc_id),
+              |truth AS (SELECT count(*)::BIGINT AS n_truth
+              |  FROM cp JOIN hs x ON x.doc_id = cp.id_a
+              |    JOIN hs y ON y.doc_id = cp.id_b
+              |  WHERE len(list_intersect(x.sh, y.sh))::DOUBLE
+              |      / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+              |      >= 0.7)
+              |SELECT n_truth, n_candidates, n_found,
+              |  (n_found * 1000000 // n_truth)::BIGINT AS recall_ppm,
+              |  (n_found * 1000000 // n_candidates)::BIGINT AS cand_precision_ppm
+              |FROM truth, cstat""".stripMargin)),
+
     // Near-dup GROUPS: connected components over the MinHash pair set —
     // the step that turns pairwise matches into dedup groups (keep the
     // min-id doc per component). Iterative min-label propagation on
