@@ -1939,6 +1939,94 @@ object ExtQueries {
               |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
               |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    // Two-stage binary-quantization retrieval (the modern vector-DB
+    // memory-reduction path: 1 bit per dimension, 64 bits per vector
+    // here): sign-bit codes on the SAME 1e3-scaled integer grid the
+    // quantizer artifacts use, a Hamming-distance scan for each
+    // query's top-32 shortlist (pure integer xor+popcount over two
+    // 32-bit halves — DuckDB's ^ is exponentiation, hence xor()), and
+    // an exact-cosine rerank of the shortlist only. At corpus scale
+    // the binary scan reads 8 bytes/vector instead of 256 and the
+    // rerank touches 32 raw vectors per query — the whole point of
+    // the binarization. Every stage is integer-or-proven-parity
+    // arithmetic, so shortlist, rerank, and ranks all hash-match.
+    QueryDef("sim_topk_binary",
+      (s, d) => {
+        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        val codes = emb.select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+            .as("iv"))
+          .select(col("vec_id"),
+            expr("aggregate(sequence(1, 32), 0L, (acc, j) -> acc + " +
+              "CASE WHEN iv[j-1] > 0 THEN shiftleft(1L, j-1) ELSE 0L END)")
+              .as("h0"),
+            expr("aggregate(sequence(33, 64), 0L, (acc, j) -> acc + " +
+              "CASE WHEN iv[j-1] > 0 THEN shiftleft(1L, j-33) ELSE 0L END)")
+              .as("h1"))
+        val qc = codes.filter(col("vec_id") < 10)
+          .toDF("query_id", "q0", "q1")
+        val ham = codes.join(broadcast(qc),
+            col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            (expr("bit_count(h0 ^ q0)") + expr("bit_count(h1 ^ q1)"))
+              .cast("long").as("hamming"))
+        val w1 = Window.partitionBy(col("query_id"))
+          .orderBy(col("hamming"), col("neighbor_id"))
+        val shortlist = ham.withColumn("hrank", row_number().over(w1))
+          .filter(col("hrank") <= 32)
+          .select("query_id", "neighbor_id", "hamming")
+        val cv = emb.select(col("vec_id").as("neighbor_id"),
+          col("embedding").cast("array<double>").as("__cv"))
+        val qv = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").cast("array<double>").as("__qv"))
+        val w2 = Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("neighbor_id"))
+        shortlist.join(cv, "neighbor_id").join(broadcast(qv), "query_id")
+          .select(col("query_id"), col("neighbor_id"), col("hamming"),
+            graft.functions.VectorFunctions.cosine_sim(s,
+              col("__qv"), col("__cv")).as("sim"))
+          .withColumn("rank", row_number().over(w2))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            col("hamming"), round(col("sim"), 6).as("sim"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH iv AS (SELECT vec_id,
+             |    list_transform(embedding::DOUBLE[],
+             |      x -> CAST(round(x * 1000) AS BIGINT)) AS iv,
+             |    embedding::DOUBLE[] AS v
+             |  FROM embeddings),
+             |codes AS (SELECT vec_id, v,
+             |    CAST(list_sum(list_transform(range(1, 33),
+             |      j -> CASE WHEN iv[j] > 0
+             |        THEN (1::BIGINT << (j-1)) ELSE 0::BIGINT END)) AS BIGINT) AS h0,
+             |    CAST(list_sum(list_transform(range(33, 65),
+             |      j -> CASE WHEN iv[j] > 0
+             |        THEN (1::BIGINT << (j-33)) ELSE 0::BIGINT END)) AS BIGINT) AS h1
+             |  FROM iv),
+             |qc AS (SELECT vec_id AS query_id, v AS qv, h0 AS q0, h1 AS q1
+             |  FROM codes WHERE vec_id < 10),
+             |ham AS (SELECT qc.query_id, c.vec_id AS neighbor_id,
+             |    (bit_count(xor(c.h0, qc.q0)) + bit_count(xor(c.h1, qc.q1)))::BIGINT
+             |      AS hamming
+             |  FROM codes c, qc WHERE c.vec_id != qc.query_id),
+             |shortlist AS (SELECT query_id, neighbor_id, hamming FROM (
+             |    SELECT query_id, neighbor_id, hamming,
+             |      row_number() OVER (PARTITION BY query_id
+             |        ORDER BY hamming, neighbor_id) AS hrank
+             |    FROM ham) WHERE hrank <= 32),
+             |sc AS (SELECT sl.query_id, sl.neighbor_id, sl.hamming,
+             |    list_cosine_similarity(qc.qv, c.v) AS sim
+             |  FROM shortlist sl JOIN qc ON qc.query_id = sl.query_id
+             |    JOIN codes c ON c.vec_id = sl.neighbor_id),
+             |r AS (SELECT query_id, neighbor_id, hamming, sim,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY sim DESC, neighbor_id) AS rank
+             |  FROM sc)
+             |SELECT query_id, rank, neighbor_id, hamming, round(sim, 6) AS sim
+             |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
     // ---- K-means cluster profile (the quantizer as a clustering op) -----
     // The IVF coarse quantizer IS a deterministic k-means fit; this
     // exposes its "predict" half as a first-class clustering operator:
