@@ -106,6 +106,88 @@ object ExtQueries {
     s.createDataFrame(lut).toDF("query_id", "c0", "c1", "sim")
   }
 
+  /** Two-stage binary-quantization top-k (sign-bit codes → Hamming
+    * shortlist of 32 → exact-cosine rerank) — shared by
+    * `sim_topk_binary` and the binary column of `sim_recall_ann`. */
+  private def binaryTopK(s: org.apache.spark.sql.SparkSession, d: String,
+                         k: Int): org.apache.spark.sql.DataFrame = {
+    val emb = s.read.parquet(s"$d/embeddings.parquet")
+    val codes = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+        .as("iv"))
+      .select(col("vec_id"),
+        expr("aggregate(sequence(1, 32), 0L, (acc, j) -> acc + " +
+          "CASE WHEN iv[j-1] > 0 THEN shiftleft(1L, j-1) ELSE 0L END)")
+          .as("h0"),
+        expr("aggregate(sequence(33, 64), 0L, (acc, j) -> acc + " +
+          "CASE WHEN iv[j-1] > 0 THEN shiftleft(1L, j-33) ELSE 0L END)")
+          .as("h1"))
+    val qc = codes.filter(col("vec_id") < 10)
+      .toDF("query_id", "q0", "q1")
+    val ham = codes.join(broadcast(qc),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (expr("bit_count(h0 ^ q0)") + expr("bit_count(h1 ^ q1)"))
+          .cast("long").as("hamming"))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("neighbor_id"))
+    val shortlist = ham.withColumn("hrank", row_number().over(w1))
+      .filter(col("hrank") <= 32)
+      .select("query_id", "neighbor_id", "hamming")
+    val cv = emb.select(col("vec_id").as("neighbor_id"),
+      col("embedding").cast("array<double>").as("__cv"))
+    val qv = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("__qv"))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    shortlist.join(cv, "neighbor_id").join(broadcast(qv), "query_id")
+      .select(col("query_id"), col("neighbor_id"), col("hamming"),
+        graft.functions.VectorFunctions.cosine_sim(s,
+          col("__qv"), col("__cv")).as("sim"))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "hamming", "sim")
+  }
+
+  /** DuckDB CTE chain for the binary path, ending in `rbin(query_id,
+    * neighbor_id)` — the sign-bit code build, Hamming shortlist and
+    * exact rerank of `binaryTopK`, shared by the `sim_topk_binary`
+    * oracle and the binary recall column. */
+  private val binaryCtes: String =
+    """bvi AS (SELECT vec_id,
+      |    list_transform(embedding::DOUBLE[],
+      |      x -> CAST(round(x * 1000) AS BIGINT)) AS iv,
+      |    embedding::DOUBLE[] AS v
+      |  FROM embeddings),
+      |bvc AS (SELECT vec_id, v,
+      |    CAST(list_sum(list_transform(range(1, 33),
+      |      j -> CASE WHEN iv[j] > 0
+      |        THEN (1::BIGINT << (j-1)) ELSE 0::BIGINT END)) AS BIGINT) AS h0,
+      |    CAST(list_sum(list_transform(range(33, 65),
+      |      j -> CASE WHEN iv[j] > 0
+      |        THEN (1::BIGINT << (j-33)) ELSE 0::BIGINT END)) AS BIGINT) AS h1
+      |  FROM bvi),
+      |bvq AS (SELECT vec_id AS query_id, v AS qv, h0 AS q0, h1 AS q1
+      |  FROM bvc WHERE vec_id < 10),
+      |bvh AS (SELECT bvq.query_id, c.vec_id AS neighbor_id,
+      |    (bit_count(xor(c.h0, bvq.q0)) + bit_count(xor(c.h1, bvq.q1)))::BIGINT
+      |      AS hamming
+      |  FROM bvc c, bvq WHERE c.vec_id != bvq.query_id),
+      |bvs AS (SELECT query_id, neighbor_id, hamming FROM (
+      |    SELECT query_id, neighbor_id, hamming,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY hamming, neighbor_id) AS hrank
+      |    FROM bvh) WHERE hrank <= 32),
+      |rbin AS (SELECT query_id, rank, neighbor_id, hamming, sim FROM (
+      |    SELECT sl.query_id, sl.neighbor_id, sl.hamming,
+      |      list_cosine_similarity(bvq.qv, c.v) AS sim,
+      |      row_number() OVER (PARTITION BY sl.query_id
+      |        ORDER BY list_cosine_similarity(bvq.qv, c.v) DESC,
+      |          sl.neighbor_id) AS rank
+      |    FROM bvs sl JOIN bvq ON bvq.query_id = sl.query_id
+      |      JOIN bvc c ON c.vec_id = sl.neighbor_id) WHERE rank <= 5)""".stripMargin
+
   /** PQ asymmetric-distance top-k over the FULL code scan — shared by
     * `sim_topk_pq` and the PQ column of `sim_recall_ann`. */
   private def pqTopK(s: org.apache.spark.sql.SparkSession, d: String,
@@ -671,6 +753,7 @@ object ExtQueries {
         val ivf4 = hits(Similarity.ivfTopK(emb, q, 5,
           centroids = Some(centroidsOf(s, d))), "__ivf4")
         val pq = hits(pqTopK(s, d, 5), "__pq")
+        val bin = hits(binaryTopK(s, d, 5), "__bin")
         def recall(tag: String, as: String) =
           round(sum(coalesce(col(tag), lit(0L))).cast("double")
             / count(lit(1)), 4).as(as)
@@ -679,12 +762,14 @@ object ExtQueries {
           .join(ivf, Seq("query_id", "neighbor_id"), "left")
           .join(ivf4, Seq("query_id", "neighbor_id"), "left")
           .join(pq, Seq("query_id", "neighbor_id"), "left")
+          .join(bin, Seq("query_id", "neighbor_id"), "left")
           .agg(count(lit(1)).as("n_exact"),
             recall("__lsh", "recall_lsh"),
             recall("__lsh6", "recall_lsh_p6t8"),
             recall("__ivf", "recall_ivf"),
             recall("__ivf4", "recall_ivf_probe4"),
-            recall("__pq", "recall_pq"))
+            recall("__pq", "recall_pq"),
+            recall("__bin", "recall_binary"))
       },
       Some {
         def lshTop(sfx: String) =
@@ -711,6 +796,7 @@ object ExtQueries {
            |${lshSigCte(nTables = 8, nPlanes = 6, sfx = "l6")},
            |${quantizerCtes("p0", "(embedding::DOUBLE[])[1:32]", 32)},
            |${quantizerCtes("p1", "(embedding::DOUBLE[])[33:64]", 32)},
+           |$binaryCtes,
            |bf AS (SELECT query_id, neighbor_id FROM (
            |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
            |    row_number() OVER (PARTITION BY q.vec_id
@@ -745,13 +831,15 @@ object ExtQueries {
            |  round(count(rl6.neighbor_id)::DOUBLE / count(*), 4) AS recall_lsh_p6t8,
            |  round(count(ri8.neighbor_id)::DOUBLE / count(*), 4) AS recall_ivf,
            |  round(count(ri4.neighbor_id)::DOUBLE / count(*), 4) AS recall_ivf_probe4,
-           |  round(count(rpq.neighbor_id)::DOUBLE / count(*), 4) AS recall_pq
+           |  round(count(rpq.neighbor_id)::DOUBLE / count(*), 4) AS recall_pq,
+           |  round(count(rbin.neighbor_id)::DOUBLE / count(*), 4) AS recall_binary
            |FROM bf
            |LEFT JOIN rl4 ON rl4.query_id = bf.query_id AND rl4.neighbor_id = bf.neighbor_id
            |LEFT JOIN rl6 ON rl6.query_id = bf.query_id AND rl6.neighbor_id = bf.neighbor_id
            |LEFT JOIN ri8 ON ri8.query_id = bf.query_id AND ri8.neighbor_id = bf.neighbor_id
            |LEFT JOIN ri4 ON ri4.query_id = bf.query_id AND ri4.neighbor_id = bf.neighbor_id
-           |LEFT JOIN rpq ON rpq.query_id = bf.query_id AND rpq.neighbor_id = bf.neighbor_id""".stripMargin
+           |LEFT JOIN rpq ON rpq.query_id = bf.query_id AND rpq.neighbor_id = bf.neighbor_id
+           |LEFT JOIN rbin ON rbin.query_id = bf.query_id AND rbin.neighbor_id = bf.neighbor_id""".stripMargin
       }),
 
     // Embedding cosine near-dup pairs, exact — BOUNDED baseline over
@@ -1951,81 +2039,14 @@ object ExtQueries {
     // the binarization. Every stage is integer-or-proven-parity
     // arithmetic, so shortlist, rerank, and ranks all hash-match.
     QueryDef("sim_topk_binary",
-      (s, d) => {
-        val emb = s.read.parquet(s"$d/embeddings.parquet")
-        val codes = emb.select(col("vec_id"),
-          expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
-            .as("iv"))
-          .select(col("vec_id"),
-            expr("aggregate(sequence(1, 32), 0L, (acc, j) -> acc + " +
-              "CASE WHEN iv[j-1] > 0 THEN shiftleft(1L, j-1) ELSE 0L END)")
-              .as("h0"),
-            expr("aggregate(sequence(33, 64), 0L, (acc, j) -> acc + " +
-              "CASE WHEN iv[j-1] > 0 THEN shiftleft(1L, j-33) ELSE 0L END)")
-              .as("h1"))
-        val qc = codes.filter(col("vec_id") < 10)
-          .toDF("query_id", "q0", "q1")
-        val ham = codes.join(broadcast(qc),
-            col("vec_id") =!= col("query_id"))
-          .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            (expr("bit_count(h0 ^ q0)") + expr("bit_count(h1 ^ q1)"))
-              .cast("long").as("hamming"))
-        val w1 = Window.partitionBy(col("query_id"))
-          .orderBy(col("hamming"), col("neighbor_id"))
-        val shortlist = ham.withColumn("hrank", row_number().over(w1))
-          .filter(col("hrank") <= 32)
-          .select("query_id", "neighbor_id", "hamming")
-        val cv = emb.select(col("vec_id").as("neighbor_id"),
-          col("embedding").cast("array<double>").as("__cv"))
-        val qv = emb.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("query_id"),
-            col("embedding").cast("array<double>").as("__qv"))
-        val w2 = Window.partitionBy(col("query_id"))
-          .orderBy(col("sim").desc, col("neighbor_id"))
-        shortlist.join(cv, "neighbor_id").join(broadcast(qv), "query_id")
-          .select(col("query_id"), col("neighbor_id"), col("hamming"),
-            graft.functions.VectorFunctions.cosine_sim(s,
-              col("__qv"), col("__cv")).as("sim"))
-          .withColumn("rank", row_number().over(w2))
-          .filter(col("rank") <= 5)
-          .select(col("query_id"), col("rank"), col("neighbor_id"),
-            col("hamming"), round(col("sim"), 6).as("sim"))
-          .orderBy(col("query_id"), col("rank"))
-      },
-      Some("""WITH iv AS (SELECT vec_id,
-             |    list_transform(embedding::DOUBLE[],
-             |      x -> CAST(round(x * 1000) AS BIGINT)) AS iv,
-             |    embedding::DOUBLE[] AS v
-             |  FROM embeddings),
-             |codes AS (SELECT vec_id, v,
-             |    CAST(list_sum(list_transform(range(1, 33),
-             |      j -> CASE WHEN iv[j] > 0
-             |        THEN (1::BIGINT << (j-1)) ELSE 0::BIGINT END)) AS BIGINT) AS h0,
-             |    CAST(list_sum(list_transform(range(33, 65),
-             |      j -> CASE WHEN iv[j] > 0
-             |        THEN (1::BIGINT << (j-33)) ELSE 0::BIGINT END)) AS BIGINT) AS h1
-             |  FROM iv),
-             |qc AS (SELECT vec_id AS query_id, v AS qv, h0 AS q0, h1 AS q1
-             |  FROM codes WHERE vec_id < 10),
-             |ham AS (SELECT qc.query_id, c.vec_id AS neighbor_id,
-             |    (bit_count(xor(c.h0, qc.q0)) + bit_count(xor(c.h1, qc.q1)))::BIGINT
-             |      AS hamming
-             |  FROM codes c, qc WHERE c.vec_id != qc.query_id),
-             |shortlist AS (SELECT query_id, neighbor_id, hamming FROM (
-             |    SELECT query_id, neighbor_id, hamming,
-             |      row_number() OVER (PARTITION BY query_id
-             |        ORDER BY hamming, neighbor_id) AS hrank
-             |    FROM ham) WHERE hrank <= 32),
-             |sc AS (SELECT sl.query_id, sl.neighbor_id, sl.hamming,
-             |    list_cosine_similarity(qc.qv, c.v) AS sim
-             |  FROM shortlist sl JOIN qc ON qc.query_id = sl.query_id
-             |    JOIN codes c ON c.vec_id = sl.neighbor_id),
-             |r AS (SELECT query_id, neighbor_id, hamming, sim,
-             |    row_number() OVER (PARTITION BY query_id
-             |      ORDER BY sim DESC, neighbor_id) AS rank
-             |  FROM sc)
-             |SELECT query_id, rank, neighbor_id, hamming, round(sim, 6) AS sim
-             |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+      (s, d) => binaryTopK(s, d, 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("hamming"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("query_id"), col("rank")),
+      Some(s"""WITH $binaryCtes
+              |SELECT query_id, rank, neighbor_id, hamming,
+              |  round(sim, 6) AS sim
+              |FROM rbin ORDER BY query_id, rank""".stripMargin)),
 
     // ---- K-means cluster profile (the quantizer as a clustering op) -----
     // The IVF coarse quantizer IS a deterministic k-means fit; this
