@@ -51,9 +51,10 @@ class ContractSpec extends GraftSpec {
       "a2_quantiles_approx", "corpus_heavy_hitters_approx",
       "q_group_quantiles_approx", "q_distinct_users_approx",
       "q_stream_heavy_hitters", "k4_size_metrics",
-      "sim_recall_ann", "text_compression_ratio",
+      "text_compression_ratio",
       "mm_audio_features", "mm_audio_silence", "mm_image_features",
-      "mm_image_neardup", "mm_video_features", "mm_video_scenecut")
+      "mm_image_neardup", "mm_image_phash", "mm_video_features",
+      "mm_video_scenecut")
     val undocumented = noOracle -- documented
     assert(undocumented.isEmpty,
       s"queries with no oracle and no documented reason: ${undocumented.mkString(", ")}")
