@@ -627,6 +627,54 @@ object ExtQueries {
               |  (n_found * 1000000 // n_candidates)::BIGINT AS cand_precision_ppm
               |FROM truth, cstat""".stripMargin)),
 
+    // MinHash estimator accuracy — grades the ESTIMATOR itself, not
+    // just the pairs it finds: for every verified near-dup pair, the
+    // 16-coordinate signature agreement (matches/16 estimates Jaccard
+    // by the MinHash property) next to the exact Jaccard, with the
+    // signed error. The signature agreement is a zip_with fold over
+    // the two 16-long signatures (pure per-pair integer work); exact
+    // Jaccard reuses the verified kernel. This is the audit that says
+    // whether 16 permutations are enough before trusting the banding
+    // math at corpus scale.
+    QueryDef("dedup_minhash_estimate",
+      (s, d) => {
+        val docs = s.read.parquet(s"$d/documents.parquet")
+        val pairs = Dedup.minhashNearDups(docs, 0.7)
+          .select(col("id_a"), col("id_b"), col("jaccard"))
+        val sigs = Dedup.shingleSets(docs, "doc_id", "text")
+          .select(col("doc_id"),
+            graft.functions.TextHashFunctions.minhashSig(col("__sh")).as("__sig"))
+        val sa = sigs.toDF("id_a", "__siga")
+        val sb = sigs.toDF("id_b", "__sigb")
+        pairs.join(sa, "id_a").join(sb, "id_b")
+          .select(col("id_a"), col("id_b"),
+            expr("aggregate(zip_with(__siga, __sigb, (x, y) -> " +
+              "CASE WHEN x = y THEN 1L ELSE 0L END), 0L, (acc, v) -> acc + v)")
+              .as("n_match"),
+            round(col("jaccard"), 6).as("jaccard"))
+          .withColumn("est_ppm", expr("n_match * 1000000 div 16"))
+          .withColumn("err_ppm",
+            (col("est_ppm") - round(col("jaccard") * 1000000).cast("long"))
+              .as("err_ppm"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH $minhashPairCtes,
+              |p AS (SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.7),
+              |sg AS (SELECT doc_id, [${(0 until 16).map(i => s"mh_$i").mkString(", ")}] AS sig
+              |  FROM mh),
+              |m AS (SELECT p.id_a, p.id_b,
+              |    CAST(list_sum(list_transform(range(1, 17),
+              |      i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) AS BIGINT)
+              |      AS n_match,
+              |    p.jaccard
+              |  FROM p JOIN sg a ON a.doc_id = p.id_a
+              |    JOIN sg b ON b.doc_id = p.id_b)
+              |SELECT id_a, id_b, n_match, round(jaccard, 6) AS jaccard,
+              |  (n_match * 1000000 // 16)::BIGINT AS est_ppm,
+              |  ((n_match * 1000000 // 16)
+              |    - CAST(round(jaccard * 1000000) AS BIGINT))::BIGINT AS err_ppm
+              |FROM m ORDER BY id_a, id_b""".stripMargin)),
+
     // Near-dup GROUPS: connected components over the MinHash pair set —
     // the step that turns pairwise matches into dedup groups (keep the
     // min-id doc per component). Iterative min-label propagation on
@@ -5775,6 +5823,56 @@ object ExtQueries {
              |  (p3.p * 1000000 // tot.tp)::BIGINT AS strength_ppm
              |FROM p3 LEFT JOIN wins ON wins.s = p3.s, tot
              |ORDER BY source""".stripMargin)),
+
+    // Multi-window SLO burn-rate alerting (the Google SRE workbook
+    // recipe): per-hour error rate against a 75% availability SLO,
+    // burn = rate/budget, and an alert only when BOTH the fast 1h
+    // window and the slow trailing-6h window burn hot (1.5× / 1.2×) —
+    // the two-window AND is what kills flappy pages. All rates are
+    // integer ppm off the hour digest; the 6h window is a rows-frame
+    // over consecutive digest hours (the synthetic stream has no
+    // empty hours; a production spine would zero-fill first, as
+    // q_zero_fill_series does). One shuffle to the hour digest, both
+    // windows ride the same hour partitioning-free digest sort — the
+    // digest is bounded by the calendar, never the event count.
+    QueryDef("q_slo_burn_rate",
+      (s, d) => {
+        val hour = graft.sources.Tables.events(s, d)
+          .groupBy(date_trunc("hour", col("ts")).as("hr"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("event_type") === "error", 1L).otherwise(0L))
+              .as("err"))
+        val w6 = Window.orderBy(col("hr")).rowsBetween(-5, 0)
+        hour
+          .withColumn("rate_ppm", expr("err * 1000000 div n"))
+          .withColumn("n6", sum(col("n")).over(w6))
+          .withColumn("err6", sum(col("err")).over(w6))
+          .withColumn("rate6_ppm", expr("err6 * 1000000 div n6"))
+          .select(col("hr"), col("n"), col("err"), col("rate_ppm"),
+            expr("rate_ppm * 4").as("burn1_ppm"),
+            expr("rate6_ppm * 4").as("burn6_ppm"))
+          .withColumn("alert",
+            (col("burn1_ppm") >= 1500000L && col("burn6_ppm") >= 1200000L)
+              .cast("int"))
+          .orderBy(col("hr"))
+      },
+      Some("""WITH hour AS (SELECT date_trunc('hour', ts) AS hr,
+             |    count(*)::BIGINT AS n,
+             |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+             |      AS err
+             |  FROM events GROUP BY 1),
+             |win AS (SELECT hr, n, err,
+             |    (err * 1000000 // n)::BIGINT AS rate_ppm,
+             |    sum(n) OVER w6 AS n6, sum(err) OVER w6 AS err6
+             |  FROM hour
+             |  WINDOW w6 AS (ORDER BY hr ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
+             |SELECT hr, n, err, rate_ppm,
+             |  (rate_ppm * 4)::BIGINT AS burn1_ppm,
+             |  ((err6 * 1000000 // n6) * 4)::BIGINT AS burn6_ppm,
+             |  CASE WHEN rate_ppm * 4 >= 1500000
+             |      AND (err6 * 1000000 // n6) * 4 >= 1200000
+             |    THEN 1 ELSE 0 END::INT AS alert
+             |FROM win ORDER BY hr""".stripMargin)),
 
     // Token-budget calibration — the chars/4 heuristic that
     // pipe_token_budget_sample budgets with, audited against the real
