@@ -64,7 +64,19 @@ object ScaleBench {
     // broadcast. First touch at each scale also pays the one-time
     // deterministic k-means fit (memoized per dir), so the ratio
     // honestly covers the artifact BUILD scaling too
-    "emb_kmeans_inertia")
+    "emb_kmeans_inertia",
+    // exact substring dedup: the replica token-prefix makes shingles
+    // replica-unique, so the repeat structure (and the positional
+    // join's selectivity) scales like a real corpus — the shingle
+    // hash-aggregate must carry the 10×, no all-pairs creep
+    "text_substring_dedup",
+    // KN scoring: the bigram digest grows with the (tagged) vocab —
+    // the four statistics all ride the ONE digest, so 10× docs must
+    // cost ~tokenize+digest, not digest²
+    "text_kneser_ney",
+    // two-stage binary retrieval: the Hamming scan grows linearly,
+    // the rerank stays 32-vectors-per-query whatever the corpus
+    "sim_topk_binary")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

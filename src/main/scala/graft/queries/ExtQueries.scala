@@ -6639,15 +6639,21 @@ object ExtQueries {
           .repartition(32)
           .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
           .filter(size(col("tk")) >= 8)
+        // shuffle keys are the 60-bit md5 shingle hashes (8 bytes),
+        // never the ~50-char shingle strings — at corpus scale this
+        // is most of the repeat-aggregate's shuffle width
         val sh = docs.select(col("doc_id"),
           size(col("tk")).cast("long").as("n_tokens"),
           posexplode(expr(
             "transform(sequence(0, size(tk) - 8), i -> concat_ws(' ', slice(tk, i + 1, 8)))"))
             .as(Seq("pos", "sh")))
-        val rep = sh.groupBy(col("sh")).agg(count(lit(1)).as("c"))
-          .filter(col("c") > 1).select(col("sh"))
-        val dup = sh.join(rep, "sh")
-          .select(col("doc_id"), col("n_tokens"), col("pos").cast("long").as("pos"))
+          .select(col("doc_id"), col("n_tokens"),
+            col("pos").cast("long").as("pos"),
+            Dedup.strHash60(col("sh")).as("h"))
+        val rep = sh.groupBy(col("h")).agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1).select(col("h"))
+        val dup = sh.join(rep, "h")
+          .select(col("doc_id"), col("n_tokens"), col("pos"))
         val ord = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
         val isl = dup
           .withColumn("f", when(lag(col("pos"), 1).over(ord).isNull ||
@@ -6665,17 +6671,18 @@ object ExtQueries {
           .withColumn("dup_ppm", expr("dup_tokens * 1000000 div n_tokens"))
           .orderBy(col("doc_id"))
       },
-      Some("""WITH tk AS (SELECT doc_id, string_split(lower(text),' ') AS tk
-             |  FROM documents WHERE len(string_split(lower(text),' ')) >= 8),
-             |sh0 AS (SELECT doc_id, len(tk)::BIGINT AS n_tokens,
-             |    unnest(list_transform(range(len(tk) - 7),
-             |      i -> struct_pack(pos := i,
-             |        sh := array_to_string(tk[i+1:i+8], ' ')))) AS u
-             |  FROM tk),
-             |sh AS (SELECT doc_id, n_tokens, u.pos::BIGINT AS pos, u.sh AS sh
-             |  FROM sh0),
-             |rep AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 1),
-             |dup AS (SELECT doc_id, n_tokens, pos FROM sh JOIN rep USING (sh)),
+      Some(s"""WITH tk AS (SELECT doc_id, string_split(lower(text),' ') AS tk
+              |  FROM documents WHERE len(string_split(lower(text),' ')) >= 8),
+              |sh0 AS (SELECT doc_id, len(tk)::BIGINT AS n_tokens,
+              |    unnest(list_transform(range(len(tk) - 7),
+              |      i -> struct_pack(pos := i,
+              |        sh := array_to_string(tk[i+1:i+8], ' ')))) AS u
+              |  FROM tk),
+              |sh AS (SELECT doc_id, n_tokens, u.pos::BIGINT AS pos,
+              |    ${dkHash60("u.sh")} AS h
+              |  FROM sh0),
+              |rep AS (SELECT h FROM sh GROUP BY h HAVING count(*) > 1),
+              |dup AS (SELECT doc_id, n_tokens, pos FROM sh JOIN rep USING (h)),
              |fl AS (SELECT doc_id, n_tokens, pos,
              |    CASE WHEN lag(pos) OVER w IS NULL
              |        OR pos - lag(pos) OVER w >= 8
@@ -6715,16 +6722,18 @@ object ExtQueries {
           .repartition(32)
           .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
           .filter(size(col("tk")) >= 8)
+        // same 8-byte hash keys as the detection half
         val sh = docs.select(col("doc_id"),
           posexplode(expr(
             "transform(sequence(0, size(tk) - 8), i -> concat_ws(' ', slice(tk, i + 1, 8)))"))
             .as(Seq("pos", "sh")))
-          .select(col("doc_id"), col("pos").cast("long").as("pos"), col("sh"))
-        val rep = sh.groupBy(col("sh"))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"),
+            Dedup.strHash60(col("sh")).as("h"))
+        val rep = sh.groupBy(col("h"))
           .agg(count(lit(1)).as("c"),
             min(col("doc_id") * lit(1048576L) + col("pos")).as("keep"))
-          .filter(col("c") > 1).select(col("sh"), col("keep"))
-        val rem = sh.join(rep, "sh")
+          .filter(col("c") > 1).select(col("h"), col("keep"))
+        val rem = sh.join(rep, "h")
           .filter(col("doc_id") * lit(1048576L) + col("pos") =!= col("keep"))
           .select(col("doc_id"), col("pos"))
         val ord = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -6744,9 +6753,9 @@ object ExtQueries {
           .withColumn("kept_ppm", expr("kept_tokens * 1000000 div n_tokens"))
           .orderBy(col("doc_id"))
       },
-      Some("""WITH base AS (SELECT doc_id,
-             |    len(string_split(lower(text),' '))::BIGINT AS n_tokens
-             |  FROM documents),
+      Some(s"""WITH base AS (SELECT doc_id,
+              |    len(string_split(lower(text),' '))::BIGINT AS n_tokens
+              |  FROM documents),
              |tk AS (SELECT doc_id, string_split(lower(text),' ') AS tk
              |  FROM documents WHERE len(string_split(lower(text),' ')) >= 8),
              |sh0 AS (SELECT doc_id,
@@ -6754,10 +6763,11 @@ object ExtQueries {
              |      i -> struct_pack(pos := i,
              |        sh := array_to_string(tk[i+1:i+8], ' ')))) AS u
              |  FROM tk),
-             |sh AS (SELECT doc_id, u.pos::BIGINT AS pos, u.sh AS sh FROM sh0),
-             |rep AS (SELECT sh, min(doc_id * 1048576 + pos)::BIGINT AS keep
-             |  FROM sh GROUP BY sh HAVING count(*) > 1),
-             |rem AS (SELECT doc_id, pos FROM sh JOIN rep USING (sh)
+             |sh AS (SELECT doc_id, u.pos::BIGINT AS pos,
+             |    ${dkHash60("u.sh")} AS h FROM sh0),
+             |rep AS (SELECT h, min(doc_id * 1048576 + pos)::BIGINT AS keep
+             |  FROM sh GROUP BY h HAVING count(*) > 1),
+             |rem AS (SELECT doc_id, pos FROM sh JOIN rep USING (h)
              |  WHERE doc_id * 1048576 + pos != keep),
              |fl AS (SELECT doc_id, pos,
              |    CASE WHEN lag(pos) OVER w IS NULL
