@@ -1970,6 +1970,76 @@ object ExtQueries {
               |  p0af.cell * 16 + p1af.cell AS pq_code
               |FROM p0af JOIN p1af USING (vec_id) ORDER BY vec_id""".stripMargin)),
 
+    // PQ quantization distortion — the reconstruction-error audit
+    // next to the code table (what emb_kmeans_inertia is to the IVF
+    // quantizer): per subspace, the exact integer SSE between each
+    // vector's 1e3-scaled grid values and its assigned codebook
+    // centroid, plus the total signal energy, so the relative
+    // distortion (ppm of energy) says how much cosine mass the 8-bit
+    // codes throw away. All sums are exact int64 (grid values ≤2e3,
+    // 32 dims → per-row SSE ≤ 5e8); one broadcast of the 16-row
+    // codebooks, one pass over the codes join.
+    QueryDef("emb_pq_distortion",
+      (s, d) => {
+        val (cb0, cb1) = pqCodebooksOf(s, d)
+        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        def cbDf(cb: Array[Array[Long]], cell: String, cd: String) = {
+          val spark2 = s
+          import spark2.implicits._
+          cb.toSeq.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
+            .toDF(cell, cd)
+        }
+        val iv = emb.select(col("vec_id"),
+          expr("transform(slice(embedding, 1, 32), x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("iv0"),
+          expr("transform(slice(embedding, 33, 32), x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("iv1"))
+        val codes = pqCodes(s, d).toDF("vec_id", "c0", "c1")
+        def sse(a: String, b: String) = expr(
+          s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
+        def energy(a: String) = expr(
+          s"aggregate($a, 0L, (acc, x) -> acc + x * x)")
+        iv.join(codes, "vec_id")
+          .join(broadcast(cbDf(cb0, "c0", "cd0")), "c0")
+          .join(broadcast(cbDf(cb1, "c1", "cd1")), "c1")
+          .select(sse("iv0", "cd0").as("e0"), sse("iv1", "cd1").as("e1"),
+            energy("iv0").as("g0"), energy("iv1").as("g1"))
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(col("e0")).as("sse0"), sum(col("e1")).as("sse1"),
+            sum(col("g0")).as("energy0"), sum(col("g1")).as("energy1"))
+          .select(col("n_vecs"), col("sse0"), col("sse1"),
+            expr("sse0 * 1000000 div energy0").as("rel0_ppm"),
+            expr("sse1 * 1000000 div energy1").as("rel1_ppm"),
+            expr("(sse0 + sse1) * 1000000 div (energy0 + energy1)")
+              .as("rel_total_ppm"))
+      },
+      Some(s"""WITH ${quantizerCtes("p0", "(embedding::DOUBLE[])[1:32]", 32)},
+              |${quantizerCtes("p1", "(embedding::DOUBLE[])[33:64]", 32)},
+              |iv AS (SELECT vec_id,
+              |    list_transform((embedding::DOUBLE[])[1:32],
+              |      x -> CAST(round(x * 1000) AS BIGINT)) AS iv0,
+              |    list_transform((embedding::DOUBLE[])[33:64],
+              |      x -> CAST(round(x * 1000) AS BIGINT)) AS iv1
+              |  FROM embeddings),
+              |per AS (SELECT iv.vec_id,
+              |    CAST(list_sum(list_transform(range(1, 33),
+              |      j -> (iv.iv0[j] - CAST(b0.cd[j] AS BIGINT))
+              |         * (iv.iv0[j] - CAST(b0.cd[j] AS BIGINT)))) AS BIGINT) AS e0,
+              |    CAST(list_sum(list_transform(range(1, 33),
+              |      j -> (iv.iv1[j] - CAST(b1.cd[j] AS BIGINT))
+              |         * (iv.iv1[j] - CAST(b1.cd[j] AS BIGINT)))) AS BIGINT) AS e1,
+              |    CAST(list_sum(list_transform(iv.iv0, x -> x * x)) AS BIGINT) AS g0,
+              |    CAST(list_sum(list_transform(iv.iv1, x -> x * x)) AS BIGINT) AS g1
+              |  FROM iv JOIN p0af ON p0af.vec_id = iv.vec_id
+              |    JOIN p1af ON p1af.vec_id = iv.vec_id
+              |    JOIN p0c2 b0 ON b0.cell = p0af.cell
+              |    JOIN p1c2 b1 ON b1.cell = p1af.cell)
+              |SELECT count(*)::BIGINT AS n_vecs,
+              |  sum(e0)::BIGINT AS sse0, sum(e1)::BIGINT AS sse1,
+              |  (sum(e0) * 1000000 // sum(g0))::BIGINT AS rel0_ppm,
+              |  (sum(e1) * 1000000 // sum(g1))::BIGINT AS rel1_ppm,
+              |  ((sum(e0) + sum(e1)) * 1000000 // (sum(g0) + sum(g1)))::BIGINT
+              |    AS rel_total_ppm
+              |FROM per""".stripMargin)),
+
     // ---- PQ asymmetric-distance top-k (search over compressed codes) ----
     // ADC: each query builds a 256-entry lookup table (one approximate
     // cosine per composite code, computed against the codebook
