@@ -7008,6 +7008,134 @@ object ExtQueries {
              |FROM phrases JOIN psc USING (doc_id, pid)
              |ORDER BY score DESC, doc_id, pid LIMIT 20""".stripMargin)),
 
+    // Multinomial Naive Bayes language classifier — the trained
+    // counterpart to the text_langid marker heuristic: add-one
+    // token likelihoods and class priors fit on the even-doc_id half,
+    // scored on the odd half, reported as the (true, predicted)
+    // confusion matrix. Unseen-term handling is the closed form
+    // score = prior + Σ_present tf·logP(t|c) + (n − tf_present)·logP₀(c)
+    // so the per-(doc, class) grid join touches ONLY present terms.
+    // Every log term is rounded once to 9 dp and summed as exact
+    // decimals; argmax ties break on class name — the whole inference
+    // pass is hash-exact. Shapes: two vocabulary-sized digests (class
+    // token counts, per-class totals), one broadcast class grid, one
+    // (doc, term) shuffle — inference is one scan at any corpus size.
+    QueryDef("text_naive_bayes",
+      (s, d) => {
+        val docs = s.read.parquet(s"$d/documents.parquet")
+        val toks = docs.select(col("doc_id"), col("lang"),
+          explode(TextAnalysis.tokens(col("text"))).as("term"))
+        val train = toks.filter(col("doc_id") % 2 === 0)
+        val test = toks.filter(col("doc_id") % 2 === 1)
+        val classTok = train.groupBy(col("lang").as("cl"), col("term"))
+          .agg(count(lit(1)).as("ctc"))
+        val classTot = classTok.groupBy(col("cl").as("ct_cl"))
+          .agg(sum(col("ctc")).as("tokc"))
+        val vocab = train.agg(count_distinct(col("term")).as("v"))
+        val ndocs = docs.filter(col("doc_id") % 2 === 0)
+          .agg(count(lit(1)).as("ndtot"))
+        val priors = docs.filter(col("doc_id") % 2 === 0)
+          .groupBy(col("lang").as("pr_cl")).agg(count(lit(1)).as("ndc"))
+          .crossJoin(broadcast(ndocs))
+          .select(col("pr_cl"), round(log10(col("ndc").cast("double") /
+            col("ndtot").cast("double")), 9).cast("decimal(20,9)").as("prior"))
+        val lik = classTok
+          .join(classTot, col("cl") === col("ct_cl"))
+          .crossJoin(broadcast(vocab))
+          .select(col("cl"), col("term"),
+            round(log10((col("ctc") + 1).cast("double") /
+              (col("tokc") + col("v")).cast("double")), 9)
+              .cast("decimal(20,9)").as("logp"))
+        val def0 = classTot.crossJoin(broadcast(vocab))
+          .select(col("ct_cl").as("d_cl"),
+            round(log10(lit(1.0) /
+              (col("tokc") + col("v")).cast("double")), 9)
+              .cast("decimal(20,9)").as("logp0"))
+        val testtf = test.groupBy(col("doc_id"), col("lang"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val docLen = testtf.groupBy(col("doc_id").as("dl_id"))
+          .agg(sum(col("tf")).as("nd"))
+        val present = testtf.join(lik, "term")
+          .groupBy(col("doc_id"), col("cl"))
+          .agg(sum(col("tf").cast("decimal(9,0)") * col("logp")).as("sp"),
+            sum(col("tf")).as("tfp"))
+        val grid = testtf.select(col("doc_id"), col("lang")).distinct()
+          .crossJoin(broadcast(
+            classTot.select(col("ct_cl").as("g_cl"))))
+        val scores = grid
+          .join(present, grid("doc_id") === present("doc_id") &&
+            col("g_cl") === col("cl"), "left")
+          .select(grid("doc_id"), col("lang"), col("g_cl"),
+            coalesce(col("sp"), lit(0).cast("decimal(20,9)")).as("sp"),
+            coalesce(col("tfp"), lit(0L)).as("tfp"))
+          .join(docLen, col("doc_id") === col("dl_id"))
+          .join(priors, col("g_cl") === col("pr_cl"))
+          .join(def0, col("g_cl") === col("d_cl"))
+          .select(col("doc_id"), col("lang"), col("g_cl"),
+            (col("prior") + col("sp") +
+              (col("nd") - col("tfp")).cast("decimal(9,0)") * col("logp0"))
+              .as("score"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("g_cl"))
+        scores.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .groupBy(col("lang").as("true_lang"), col("g_cl").as("pred_lang"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("true_lang"), col("pred_lang"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, lang,
+             |    unnest(string_split(lower(text),' ')) AS term
+             |  FROM documents),
+             |train AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+             |test AS (SELECT * FROM toks WHERE doc_id % 2 = 1),
+             |classtok AS (SELECT lang AS cl, term, count(*)::BIGINT AS ctc
+             |  FROM train GROUP BY 1, 2),
+             |classtot AS (SELECT cl AS ct_cl, sum(ctc)::BIGINT AS tokc
+             |  FROM classtok GROUP BY 1),
+             |vocab AS (SELECT count(DISTINCT term)::BIGINT AS v FROM train),
+             |ndocs AS (SELECT count(*)::BIGINT AS ndtot FROM documents
+             |  WHERE doc_id % 2 = 0),
+             |priors AS (SELECT lang AS pr_cl,
+             |    round(log10(count(*)::DOUBLE / ndtot::DOUBLE), 9)::DECIMAL(20,9)
+             |      AS prior
+             |  FROM documents, ndocs WHERE doc_id % 2 = 0 GROUP BY 1, ndtot),
+             |lik AS (SELECT cl, term,
+             |    round(log10((ctc + 1)::DOUBLE / (tokc + v)::DOUBLE), 9)
+             |      ::DECIMAL(20,9) AS logp
+             |  FROM classtok JOIN classtot ON cl = ct_cl, vocab),
+             |def0 AS (SELECT ct_cl AS d_cl,
+             |    round(log10(1.0 / (tokc + v)::DOUBLE), 9)::DECIMAL(20,9)
+             |      AS logp0
+             |  FROM classtot, vocab),
+             |testtf AS (SELECT doc_id, lang, term, count(*)::BIGINT AS tf
+             |  FROM test GROUP BY 1, 2, 3),
+             |doclen AS (SELECT doc_id AS dl_id, sum(tf)::BIGINT AS nd
+             |  FROM testtf GROUP BY 1),
+             |present AS (SELECT testtf.doc_id, lik.cl,
+             |    sum(testtf.tf::DECIMAL(9,0) * lik.logp) AS sp,
+             |    sum(testtf.tf)::BIGINT AS tfp
+             |  FROM testtf JOIN lik USING (term) GROUP BY 1, 2),
+             |grid AS (SELECT DISTINCT t.doc_id, t.lang, c.ct_cl AS g_cl
+             |  FROM testtf t, classtot c),
+             |scores AS (SELECT grid.doc_id, grid.lang, grid.g_cl,
+             |    (priors.prior + coalesce(present.sp, 0)
+             |      + (doclen.nd - coalesce(present.tfp, 0))::DECIMAL(9,0)
+             |        * def0.logp0) AS score
+             |  FROM grid
+             |  LEFT JOIN present ON present.doc_id = grid.doc_id
+             |    AND present.cl = grid.g_cl
+             |  JOIN doclen ON doclen.dl_id = grid.doc_id
+             |  JOIN priors ON priors.pr_cl = grid.g_cl
+             |  JOIN def0 ON def0.d_cl = grid.g_cl),
+             |pred AS (SELECT doc_id, lang, g_cl FROM (
+             |    SELECT doc_id, lang, g_cl,
+             |      row_number() OVER (PARTITION BY doc_id
+             |        ORDER BY score DESC, g_cl) AS rn
+             |    FROM scores) WHERE rn = 1)
+             |SELECT lang AS true_lang, g_cl AS pred_lang,
+             |  count(*)::BIGINT AS n
+             |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Corpus-driven stopword induction — the preprocessing table the
     // retrieval/quality stages consume: a term is a stopword candidate
     // when it appears in at least half the documents. Per candidate:
