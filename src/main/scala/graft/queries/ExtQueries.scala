@@ -7008,6 +7008,63 @@ object ExtQueries {
              |FROM phrases JOIN psc USING (doc_id, pid)
              |ORDER BY score DESC, doc_id, pid LIMIT 20""".stripMargin)),
 
+    // Decision-stump induction (CART's inner loop as a query): the
+    // best threshold split of l_quantity for predicting returned
+    // lineitems, scored by weighted Gini impurity over the cumulative
+    // class-count digest. The candidate sweep is a prefix-sum window
+    // over the ~50-row quantity digest — the facts are touched once
+    // for the (quantity → n, positives) aggregate and never again,
+    // which is exactly how tree libraries batch split-finding at
+    // scale (histogram-based, à la LightGBM). All impurities are
+    // exact-integer ppm (cross-multiplied, floor-div) so the argmin
+    // and the top-10 sweep table hash-match. At 1e12-row counts the
+    // products need DECIMAL(38) — the shape is unchanged.
+    QueryDef("feat_decision_stump",
+      (s, d) => {
+        val li = s.read.parquet(s"$d/lineitem.parquet")
+          .select(col("l_quantity").cast("long").as("q"),
+            when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+        val digest = li.groupBy(col("q"))
+          .agg(count(lit(1)).as("n"), sum(col("y")).as("p"))
+        val tot = digest.agg(sum(col("n")).as("nn"), sum(col("p")).as("pp"))
+        val w = Window.orderBy(col("q"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        digest
+          .withColumn("nl", sum(col("n")).over(w))
+          .withColumn("pl", sum(col("p")).over(w))
+          .crossJoin(broadcast(tot))
+          .filter(col("nl") < col("nn"))
+          .select(col("q").as("split_q"), col("nl"), col("pl"),
+            (col("nn") - col("nl")).as("nr"),
+            (col("pp") - col("pl")).as("pr"),
+            expr("""(nl * (2 * pl * (nl - pl) * 1000000 div (nl * nl))
+                   + (nn - nl) * (2 * (pp - pl) * ((nn - nl) - (pp - pl)) * 1000000
+                       div ((nn - nl) * (nn - nl)))) div nn""")
+              .as("impurity_ppm"))
+          .orderBy(col("impurity_ppm"), col("split_q"))
+          .limit(10)
+      },
+      Some("""WITH li AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+             |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+             |  FROM lineitem),
+             |digest AS (SELECT q, count(*)::BIGINT AS n, sum(y)::BIGINT AS p
+             |  FROM li GROUP BY 1),
+             |tot AS (SELECT sum(n)::BIGINT AS nn, sum(p)::BIGINT AS pp
+             |  FROM digest),
+             |cum AS (SELECT q,
+             |    sum(n) OVER (ORDER BY q
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS nl,
+             |    sum(p) OVER (ORDER BY q
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS pl
+             |  FROM digest)
+             |SELECT q AS split_q, nl, pl,
+             |  (nn - nl)::BIGINT AS nr, (pp - pl)::BIGINT AS pr,
+             |  ((nl * (2 * pl * (nl - pl) * 1000000 // (nl * nl))
+             |    + (nn - nl) * (2 * (pp - pl) * ((nn - nl) - (pp - pl)) * 1000000
+             |        // ((nn - nl) * (nn - nl)))) // nn)::BIGINT AS impurity_ppm
+             |FROM cum, tot WHERE nl < nn
+             |ORDER BY impurity_ppm, split_q LIMIT 10""".stripMargin)),
+
     // Multinomial Naive Bayes language classifier — the trained
     // counterpart to the text_langid marker heuristic: add-one
     // token likelihoods and class priors fit on the even-doc_id half,
