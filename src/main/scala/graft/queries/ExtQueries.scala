@@ -7008,6 +7008,51 @@ object ExtQueries {
              |FROM phrases JOIN psc USING (doc_id, pid)
              |ORDER BY score DESC, doc_id, pid LIMIT 20""".stripMargin)),
 
+    // Weight-of-Evidence / Information-Value feature scoring (the
+    // credit-risk encoding): per market segment, WoE = ln of the
+    // good-share over bad-share ratio for negative-balance customers,
+    // and the segment's IV contribution — the table a feature
+    // selector reads before binning a categorical into a scorecard.
+    // One digest aggregate; WoE evaluates ln on exact integer
+    // cross-products (gc·B vs bc·G) so both engines see identical
+    // doubles, and shares are ppm integers.
+    QueryDef("feat_woe_iv",
+      (s, d) => {
+        val c = s.read.parquet(s"$d/customer.parquet")
+          .select(col("c_mktsegment").as("segment"),
+            when(col("c_acctbal") < 0, 1L).otherwise(0L).as("bad"))
+        val per = c.groupBy(col("segment"))
+          .agg(count(lit(1)).as("n"), sum(col("bad")).as("bc"))
+          .withColumn("gc", col("n") - col("bc"))
+        val tot = per.agg(sum(col("gc")).as("gg"), sum(col("bc")).as("bb"))
+        per.crossJoin(broadcast(tot))
+          .select(col("segment"), col("n"), col("gc"), col("bc"),
+            expr("gc * 1000000 div gg").as("good_share_ppm"),
+            expr("bc * 1000000 div bb").as("bad_share_ppm"),
+            round(log((col("gc") * col("bb")).cast("double") /
+              (col("bc") * col("gg")).cast("double")), 6).as("woe"),
+            round((col("gc").cast("double") / col("gg").cast("double") -
+              col("bc").cast("double") / col("bb").cast("double")) *
+              log((col("gc") * col("bb")).cast("double") /
+                (col("bc") * col("gg")).cast("double")), 6).as("iv_term"))
+          .orderBy(col("segment"))
+      },
+      Some("""WITH c AS (SELECT c_mktsegment AS segment,
+             |    CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS bad
+             |  FROM customer),
+             |per AS (SELECT segment, count(*)::BIGINT AS n,
+             |    sum(bad)::BIGINT AS bc, (count(*) - sum(bad))::BIGINT AS gc
+             |  FROM c GROUP BY 1),
+             |tot AS (SELECT sum(gc)::BIGINT AS gg, sum(bc)::BIGINT AS bb
+             |  FROM per)
+             |SELECT segment, n, gc, bc,
+             |  (gc * 1000000 // gg)::BIGINT AS good_share_ppm,
+             |  (bc * 1000000 // bb)::BIGINT AS bad_share_ppm,
+             |  round(ln((gc * bb)::DOUBLE / (bc * gg)::DOUBLE), 6) AS woe,
+             |  round((gc::DOUBLE / gg::DOUBLE - bc::DOUBLE / bb::DOUBLE)
+             |    * ln((gc * bb)::DOUBLE / (bc * gg)::DOUBLE), 6) AS iv_term
+             |FROM per, tot ORDER BY segment""".stripMargin)),
+
     // Decision-stump induction (CART's inner loop as a query): the
     // best threshold split of l_quantity for predicting returned
     // lineitems, scored by weighted Gini impurity over the cumulative
