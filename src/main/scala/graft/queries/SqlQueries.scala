@@ -6339,6 +6339,71 @@ object SqlQueries {
              |    / (max(n1) * max(n2))::DOUBLE, 6) AS emd
              |FROM t""".stripMargin)),
 
+    // Haar wavelet multi-resolution energy — the DSP companion to the
+    // Allan curve: the hourly revenue series run through 4 unnormalized
+    // Haar levels (pairwise sum/difference), reporting each level's
+    // detail energy Σd² — where the series' variance lives by time
+    // scale (level 1 = hour-to-hour noise, level 4 = 16-hour swings).
+    // Integer cents end to end: the unnormalized transform keeps every
+    // coefficient an exact BIGINT, each level is one tiny aggregate on
+    // the previous level's digest (pair id = rn div 2; an incomplete
+    // trailing pair is dropped, the standard dyadic truncation), and
+    // the only facts-scale work is the initial hour rollup.
+    QueryDef("q_haar_wavelet",
+      (s, d) => {
+        val hour = graft.sources.Tables.events(s, d)
+          .groupBy(date_trunc("hour", col("ts")).as("hr"))
+          .agg(sum(floor(col("value") * 100).cast("long")).as("v"))
+        val w = Window.orderBy(col("hr"))
+        var lvl = hour.withColumn("rn", row_number().over(w) - 1)
+          .select(col("rn"), col("v"))
+        val out = (1 to 4).map { level =>
+          val pairs = lvl.groupBy(expr("rn div 2").as("p"))
+            .agg(count(lit(1)).as("c"), sum(col("v")).as("a"),
+              sum(when(col("rn") % 2 === 0, col("v"))
+                .otherwise(-col("v"))).as("dd"))
+            .filter(col("c") === 2)
+          val e = pairs.agg(count(lit(1)).as("n_pairs"),
+            sum(col("dd") * col("dd")).as("detail_energy"))
+            .select(lit(level).as("level"), col("n_pairs"),
+              col("detail_energy"))
+          lvl = pairs.select(col("p").as("rn"), col("a").as("v"))
+          e
+        }
+        out.reduce(_ unionAll _).orderBy(col("level"))
+      },
+      Some("""WITH hour AS (SELECT date_trunc('hour', ts) AS hr,
+             |    sum(floor(value * 100)::BIGINT)::BIGINT AS v
+             |  FROM events GROUP BY 1),
+             |l0 AS (SELECT row_number() OVER (ORDER BY hr) - 1 AS rn, v
+             |  FROM hour),
+             |p1 AS (SELECT rn // 2 AS p, count(*) AS c, sum(v)::BIGINT AS a,
+             |    sum(CASE WHEN rn % 2 = 0 THEN v ELSE -v END)::BIGINT AS dd
+             |  FROM l0 GROUP BY 1),
+             |l1 AS (SELECT p AS rn, a AS v FROM p1 WHERE c = 2),
+             |e1 AS (SELECT 1 AS level, count(*)::BIGINT AS n_pairs,
+             |    sum(dd * dd)::BIGINT AS detail_energy FROM p1 WHERE c = 2),
+             |p2 AS (SELECT rn // 2 AS p, count(*) AS c, sum(v)::BIGINT AS a,
+             |    sum(CASE WHEN rn % 2 = 0 THEN v ELSE -v END)::BIGINT AS dd
+             |  FROM l1 GROUP BY 1),
+             |l2 AS (SELECT p AS rn, a AS v FROM p2 WHERE c = 2),
+             |e2 AS (SELECT 2 AS level, count(*)::BIGINT AS n_pairs,
+             |    sum(dd * dd)::BIGINT AS detail_energy FROM p2 WHERE c = 2),
+             |p3 AS (SELECT rn // 2 AS p, count(*) AS c, sum(v)::BIGINT AS a,
+             |    sum(CASE WHEN rn % 2 = 0 THEN v ELSE -v END)::BIGINT AS dd
+             |  FROM l2 GROUP BY 1),
+             |l3 AS (SELECT p AS rn, a AS v FROM p3 WHERE c = 2),
+             |e3 AS (SELECT 3 AS level, count(*)::BIGINT AS n_pairs,
+             |    sum(dd * dd)::BIGINT AS detail_energy FROM p3 WHERE c = 2),
+             |p4 AS (SELECT rn // 2 AS p, count(*) AS c, sum(v)::BIGINT AS a,
+             |    sum(CASE WHEN rn % 2 = 0 THEN v ELSE -v END)::BIGINT AS dd
+             |  FROM l3 GROUP BY 1),
+             |e4 AS (SELECT 4 AS level, count(*)::BIGINT AS n_pairs,
+             |    sum(dd * dd)::BIGINT AS detail_energy FROM p4 WHERE c = 2)
+             |SELECT * FROM e1 UNION ALL SELECT * FROM e2
+             |UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4
+             |ORDER BY level""".stripMargin)),
+
     // Allan variance — THE sensor-stability metric (IMU/clock drift
     // characterization; reference domain: robotics telemetry). Each
     // event_type's value stream, ordered by (ts, event_id), is cut
