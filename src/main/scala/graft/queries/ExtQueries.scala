@@ -5894,6 +5894,131 @@ object ExtQueries {
              |FROM p3 LEFT JOIN wins ON wins.s = p3.s, tot
              |ORDER BY source""".stripMargin)),
 
+    // Markov removal-effect attribution (Anderl et al. 2016 — the
+    // data-driven alternative to last-touch): each user's event path
+    // to first purchase becomes first-order transitions
+    // (start → … → conv/null); conversion probability from `start`
+    // is solved by 20 FIXED value-iteration steps in integer ppm
+    // (p(s) ← Σ c_st·p*(t) div c_s with p*(conv)=1e6, p*(null)=0), and
+    // each channel's removal effect is the relative conversion drop
+    // when its node routes to null. The transition digest is
+    // state²-sized at ANY corpus scale, so like the Bradley-Terry fit
+    // it is collected and iterated exactly on the driver; the oracle
+    // replays the identical 20 steps as generated CTEs. The only
+    // facts-scale work is the per-user path window.
+    QueryDef("q_markov_attribution",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val wAll = Window.partitionBy(col("user_id"))
+        val ev = graft.sources.Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("et"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("nxt", lead(col("et"), 1).over(w))
+          .withColumn("cut", min(when(col("et") === "purchase",
+            col("rn"))).over(wAll))
+        val kept = ev.filter(col("cut").isNull || col("rn") <= col("cut"))
+        val steps = kept.filter(col("et") =!= "purchase")
+          .select(col("et").as("src"),
+            when(col("nxt").isNull, lit("null"))
+              .when(col("nxt") === "purchase", lit("conv"))
+              .otherwise(col("nxt")).as("dst"))
+        val starts = kept.filter(col("rn") === 1)
+          .select(lit("start").as("src"),
+            when(col("et") === "purchase", lit("conv"))
+              .otherwise(col("et")).as("dst"))
+        val tr = steps.unionAll(starts)
+          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("c"))
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        val channels = tr.map(_._1).filter(_ != "start").distinct.sorted
+        def converge(removed: Option[String]): Long = {
+          val t2 = tr.filter { case (src, _, _) => !removed.contains(src) }
+            .map { case (src, dst, c) =>
+              (src, if (removed.contains(dst)) "null" else dst, c) }
+          val byDst = t2.groupBy(t => (t._1, t._2))
+            .map { case ((src, dst), xs) => (src, dst, xs.map(_._3).sum) }
+            .toSeq
+          val cs = byDst.groupBy(_._1).map { case (src, xs) =>
+            src -> xs.map(_._3).sum }
+          var p = cs.keys.map(_ -> 0L).toMap
+          for (_ <- 1 to 20) {
+            p = cs.keys.map { src =>
+              val num = byDst.filter(_._1 == src).foldLeft(0L) {
+                case (acc, (_, dst, c)) =>
+                  acc + c * (dst match {
+                    case "conv" => 1000000L
+                    case "null" => 0L
+                    case other  => p.getOrElse(other, 0L)
+                  })
+              }
+              src -> num / cs(src)
+            }.toMap
+          }
+          p.getOrElse("start", 0L)
+        }
+        val base = converge(None)
+        val spark2 = s
+        import spark2.implicits._
+        (("base", base, 0L) +: channels.toSeq.map { ch =>
+          val conv = converge(Some(ch))
+          (s"no_$ch", conv, (base - conv) * 1000000L / base)
+        }).toDF("scenario", "conv_ppm", "removal_effect_ppm")
+          .orderBy(col("scenario"))
+      },
+      Some {
+        val iters = (1 to 20).map { i =>
+          s"""p$i AS (SELECT rt.scen, rt.src AS st,
+             |  ((SELECT sum(d.c * CASE WHEN d.dst = 'conv' THEN 1000000
+             |        WHEN d.dst = 'null' THEN 0
+             |        ELSE coalesce(pm.p, 0) END)
+             |    FROM scend d LEFT JOIN p${i - 1} pm
+             |      ON pm.scen = d.scen AND pm.st = d.dst
+             |    WHERE d.scen = rt.scen AND d.src = rt.src) // rt.cs)::BIGINT AS p
+             |  FROM rowtot rt)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ev AS (SELECT user_id, event_type AS et,
+           |    row_number() OVER w AS rn,
+           |    lead(event_type) OVER w AS nxt,
+           |    min(CASE WHEN event_type = 'purchase' THEN rn0 END)
+           |      OVER (PARTITION BY user_id) AS cut
+           |  FROM (SELECT user_id, ts, event_id, event_type,
+           |      row_number() OVER (PARTITION BY user_id
+           |        ORDER BY ts, event_id) AS rn0
+           |    FROM events)
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |kept AS (SELECT * FROM ev WHERE cut IS NULL OR rn <= cut),
+           |pairs AS (SELECT et AS src,
+           |    CASE WHEN nxt IS NULL THEN 'null'
+           |      WHEN nxt = 'purchase' THEN 'conv' ELSE nxt END AS dst
+           |  FROM kept WHERE et != 'purchase'
+           |  UNION ALL
+           |  SELECT 'start' AS src,
+           |    CASE WHEN et = 'purchase' THEN 'conv' ELSE et END AS dst
+           |  FROM kept WHERE rn = 1),
+           |tr AS (SELECT src, dst, count(*)::BIGINT AS c
+           |  FROM pairs GROUP BY 1, 2),
+           |chans AS (SELECT DISTINCT src AS ch FROM tr WHERE src != 'start'),
+           |scen0 AS (SELECT 'base' AS scen, src, dst, c FROM tr
+           |  UNION ALL
+           |  SELECT 'no_' || ch, src,
+           |    CASE WHEN dst = ch THEN 'null' ELSE dst END, c
+           |  FROM tr, chans WHERE src != ch),
+           |scend AS (SELECT scen, src, dst, sum(c)::BIGINT AS c
+           |  FROM scen0 GROUP BY 1, 2, 3),
+           |rowtot AS (SELECT scen, src, sum(c)::BIGINT AS cs
+           |  FROM scend GROUP BY 1, 2),
+           |p0 AS (SELECT scen, src AS st, 0::BIGINT AS p FROM rowtot),
+           |$iters,
+           |conv AS (SELECT scen, p AS conv_ppm FROM p20 WHERE st = 'start'),
+           |base AS (SELECT conv_ppm AS b FROM conv WHERE scen = 'base')
+           |SELECT scen AS scenario, conv_ppm,
+           |  (CASE WHEN scen = 'base' THEN 0
+           |    ELSE (b - conv_ppm) * 1000000 // b END)::BIGINT
+           |    AS removal_effect_ppm
+           |FROM conv, base ORDER BY scenario""".stripMargin
+      }),
+
     // Multi-window SLO burn-rate alerting (the Google SRE workbook
     // recipe): per-hour error rate against a 75% availability SLO,
     // burn = rate/budget, and an alert only when BOTH the fast 1h
