@@ -22,4 +22,13 @@ final case class QueryDef(
 object QueryDef {
   def tables(spark: SparkSession, sfDir: String, names: String*): Map[String, DataFrame] =
     names.map(n => n -> spark.read.parquet(s"$sfDir/$n.parquet")).toMap
+
+  /** Fan a (possibly single-file) scan out to the runtime's full width
+    * before CPU-heavy per-row work (tokenize/explode/hash). The width
+    * tracks `defaultParallelism` instead of a host-specific literal —
+    * on a 1000-executor cluster a hardcoded 32 would CAP parallelism,
+    * and a real multi-file corpus scan is already parallel so the extra
+    * exchange folds into AQE coalescing. */
+  def fanOut(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 }

@@ -665,7 +665,7 @@ object RefQueries {
         // already parallel and this repartition folds into AQE.
         val li = s.read.parquet(s"$d/lineitem.parquet")
           .select("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-          .repartition(32)
+          .transform(QueryDef.fanOut)
         Stats.summaryAllExact(li,
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
           .select(col("column"), col("cnt"),

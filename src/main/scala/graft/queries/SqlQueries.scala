@@ -1376,7 +1376,7 @@ object SqlQueries {
       // decimal rollup single-task (grouping sets triple the agg rows)
       (s, d) => s.read.parquet(s"$d/lineitem.parquet")
         .select("l_returnflag", "l_linestatus", "l_quantity", "l_discount")
-        .repartition(32)
+        .transform(QueryDef.fanOut)
         .groupingSets(
           Seq(Seq(col("l_returnflag"), col("l_linestatus")),
             Seq(col("l_linestatus")), Seq()),

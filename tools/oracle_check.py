@@ -4,13 +4,26 @@ DuckDB over the sf tables, compare to the Spark parquet dump (rows,
 schema-insensitive column-sorted value hash). Usage:
   python3 tools/oracle_check.py <sfdir> <verify_outdir>
 """
-import sys, json, glob, os
+import sys, json, glob, os, threading
 import duckdb
 import pandas as pd
 import numpy as np
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
+# Per-oracle wall-clock budget: one pathological oracle (e.g. an
+# exponentially-inlined CTE chain) must cost ONE red row, never hang the
+# whole gate. duckdb's interrupt() aborts the running query, which then
+# raises and is reported as an ORACLE SQL ERROR for that row only.
+ORACLE_TIMEOUT_S = float(os.environ.get("ORACLE_TIMEOUT_S", "30"))
 con = duckdb.connect()
+
+def run_oracle(sql):
+    timer = threading.Timer(ORACLE_TIMEOUT_S, con.interrupt)
+    timer.start()
+    try:
+        return con.execute(sql).fetchdf()
+    finally:
+        timer.cancel()
 for t in glob.glob(f"{sfdir}/*.parquet"):
     name = os.path.basename(t)[:-8]
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{t}')")
@@ -46,7 +59,7 @@ for name in sorted(os.listdir(outdir)):
             fails += 1
         continue
     try:
-        ora_df = con.execute(oracle[name]).fetchdf()
+        ora_df = run_oracle(oracle[name])
     except Exception as e:
         print(f"{name:28s} ORACLE SQL ERROR: {e}")
         fails += 1
