@@ -108,27 +108,50 @@ object ScaleBench {
       }
     }
 
+    // Executor CPU accounting: wall-clock ratios conflate work growth
+    // with machine utilization — a sub-second 1× run UNDERFILLS 32
+    // cores, so a query whose work honestly grows 10× can land
+    // anywhere in wall ratio 1–10 depending only on scheduling slack.
+    // The superlinearity detector is the CPU-TIME ratio: total
+    // executor CPU ns at 10× over 1× ≈ 10 for linear work; >> 10
+    // means real state growth (quadratic candidates, digest blow-up).
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            cpuNs.addAndGet(e.taskMetrics.executorCpuTime)
+      })
+
     // first-trial timing: dedup_neardup_groups memoizes its grouping
     // per (session, dir), so a min-of-N would time a cache read from
     // trial 2 on — the first trial is the honest cost at each scale
-    def timeOnce(name: String, dir: String): Double = {
+    def timeOnce(name: String, dir: String): (Double, Double) = {
       val t0 = System.nanoTime()
+      val c0 = cpuNs.get()
       SparkEntry.queries(name)(spark, dir)
         .write.mode("overwrite").format("noop").save()
-      (System.nanoTime() - t0) / 1e9
+      val wall = (System.nanoTime() - t0) / 1e9
+      // listener events drain asynchronously; give stragglers a beat
+      // so the per-query CPU delta isn't attributed to the next query
+      Thread.sleep(150)
+      (wall, (cpuNs.get() - c0) / 1e9)
     }
 
     val results = Queries.map { q =>
-      val t1 = timeOnce(q, sfDir)
-      val t10 = timeOnce(q, scaled)
-      (q, t1, t10)
+      val (t1, c1) = timeOnce(q, sfDir)
+      val (t10, c10) = timeOnce(q, scaled)
+      (q, t1, t10, c1, c10)
     }
     val evRows = spark.read.parquet(s"$sfDir/events.parquet").count()
-    val qs = results.map { case (q, t1, t10) =>
-      f""""$q":{"t1x_sec":$t1%.3f,"t${reps}x_sec":$t10%.3f,"ratio":${t10 / t1}%.2f}"""
+    val qs = results.map { case (q, t1, t10, c1, c10) =>
+      f""""$q":{"t1x_sec":$t1%.3f,"t${reps}x_sec":$t10%.3f,"ratio":${t10 / t1}%.2f,""" +
+        f""""cpu1x_sec":$c1%.3f,"cpu${reps}x_sec":$c10%.3f,"cpu_ratio":${c10 / math.max(c1, 1e-9)}%.2f}"""
     }.mkString("{", ",", "}")
     val json =
-      f"""{"metric":"scale_${reps}x","sf_base":"$sfDir","events_rows_1x":$evRows,"queries":$qs}"""
+      f"""{"metric":"scale_${reps}x","sf_base":"$sfDir","events_rows_1x":$evRows,""" +
+        f""""note":"cpu_ratio is the superlinearity signal (executor CPU ns, ~$reps = linear work); wall ratio also reflects utilization slack at 1x","queries":$qs}"""
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "BENCH_scale.json")),

@@ -1861,19 +1861,26 @@ object ExtQueries {
     QueryDef("text_oov_rate",
       (s, d) => {
         // Both the vocab and the per-doc rollup run off the SAME
-        // (doc_id, term, tf) digest: the vocab branch re-aggregates it
-        // by term, so its shuffle exchange is byte-identical to the
-        // join side's and Spark's ReuseExchange tokenizes the corpus
-        // once; the broadcast join then carries one row per DISTINCT
-        // term per doc instead of one per token occurrence.
+        // (doc_id, h, tf) digest: the vocab branch re-aggregates it
+        // by term hash, so its shuffle exchange is byte-identical to
+        // the join side's and Spark's ReuseExchange tokenizes the
+        // corpus once; the broadcast join then carries one row per
+        // DISTINCT term per doc instead of one per token occurrence.
+        // Shuffle keys are 60-bit term HASHES, not strings (the
+        // kneser-ney / substring-dedup width discipline — the per-doc
+        // output needs no term text); the top-100 cutoff tie-breaks on
+        // the hash, mirrored in the oracle, so the vocabulary is
+        // deterministic and identical on both engines.
         val tf = s.read.parquet(s"$d/documents.parquet")
+          .transform(QueryDef.fanOut)
           .select(col("doc_id"),
             explode(TextAnalysis.tokens(col("text"))).as("term"))
-          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-        val vocab = tf.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
-          .orderBy(col("cf").desc, col("term")).limit(100)
-          .select(col("term"), lit(1).as("__iv"))
-        tf.join(broadcast(vocab), Seq("term"), "left")
+          .select(col("doc_id"), Dedup.strHash60(col("term")).as("h"))
+          .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("tf"))
+        val vocab = tf.groupBy(col("h")).agg(sum(col("tf")).as("cf"))
+          .orderBy(col("cf").desc, col("h")).limit(100)
+          .select(col("h"), lit(1).as("__iv"))
+        tf.join(broadcast(vocab), Seq("h"), "left")
           .groupBy(col("doc_id"))
           .agg(sum(col("tf")).as("n_tokens"),
             sum(when(col("__iv").isNull, col("tf")).otherwise(0L))
@@ -1882,13 +1889,15 @@ object ExtQueries {
             round(col("n_oov") / col("n_tokens"), 6).as("oov_rate"))
           .orderBy(col("doc_id"))
       },
-      Some("""WITH tk AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
-             |v AS (SELECT term FROM (
-             |  SELECT term, count(*) AS cf FROM tk GROUP BY 1
-             |  ORDER BY cf DESC, term LIMIT 100)),
+      Some(s"""WITH tk AS (SELECT doc_id,
+             |    ${dkHash60("unnest(string_split(lower(text), ' '))")} AS h
+             |  FROM documents),
+             |v AS (SELECT h FROM (
+             |  SELECT h, count(*) AS cf FROM tk GROUP BY 1
+             |  ORDER BY cf DESC, h LIMIT 100)),
              |j AS (SELECT tk.doc_id,
-             |        CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
-             |      FROM tk LEFT JOIN v USING (term))
+             |        CASE WHEN v.h IS NULL THEN 1 ELSE 0 END AS oov
+             |      FROM tk LEFT JOIN v USING (h))
              |SELECT doc_id, count(*) AS n_tokens, sum(oov)::BIGINT AS n_oov,
              |  round(sum(oov)::DOUBLE / count(*), 6) AS oov_rate
              |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
@@ -6463,44 +6472,44 @@ object ExtQueries {
     // — not just its size — is deterministic across engines.
     QueryDef("text_winnowing",
       (s, d) => {
-        val t = s.read.parquet(s"$d/documents.parquet")
+        // Winnowing is inherently PER-DOCUMENT work, so the whole
+        // selection runs as higher-order functions over each doc's own
+        // shingle-hash array — ZERO shuffles (no explode, no doc_id
+        // window exchange, no per-doc re-aggregation); the only
+        // exchange in the plan is the fan-out of the single-file scan.
+        // p is the tie→rightmost argmin of the 4-window starting k
+        // left of p iff the k left members are >= h(p) (earlier equal
+        // loses) and the 3-k right members are > h(p) (later equal
+        // wins); bounds checks keep only FULL windows, so "every full
+        // 4-window yields a fingerprint" holds exactly as before.
+        // get() (NULL out of bounds) instead of hs[...]: Spark's AND
+        // does not short-circuit element access, so a raw index would
+        // throw INVALID_ARRAY_INDEX at the array edges; a NULL operand
+        // makes the whole disjunct non-TRUE, which is exactly the
+        // "only FULL windows" rule
+        val sel =
+          """filter(sequence(0, size(hs) - 1), p ->
+            |  (get(hs,p+1) > hs[p] AND get(hs,p+2) > hs[p] AND get(hs,p+3) > hs[p])
+            |  OR (get(hs,p-1) >= hs[p] AND get(hs,p+1) > hs[p] AND get(hs,p+2) > hs[p])
+            |  OR (get(hs,p-2) >= hs[p] AND get(hs,p-1) >= hs[p] AND get(hs,p+1) > hs[p])
+            |  OR (get(hs,p-3) >= hs[p] AND get(hs,p-2) >= hs[p] AND get(hs,p-1) >= hs[p]))"""
+            .stripMargin
+        s.read.parquet(s"$d/documents.parquet")
+          .transform(QueryDef.fanOut)
           .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
           .filter(size(col("tk")) >= 3)
-        val sh = t.select(col("doc_id"), posexplode(expr(
-          "transform(sequence(0, size(tk) - 3), i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2]))"))
-          .as(Seq("pos", "g")))
-        val h = conv(substring(md5(concat(lit("win:"), col("g"))), 1, 15),
-          16, 10).cast("long")
-        val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        val hh = sh.select(col("doc_id"), col("pos"), h.as("h"))
-          .withColumn("l1", lag(col("h"), 1).over(wd))
-          .withColumn("l2", lag(col("h"), 2).over(wd))
-          .withColumn("l3", lag(col("h"), 3).over(wd))
-          .withColumn("r1", lead(col("h"), 1).over(wd))
-          .withColumn("r2", lead(col("h"), 2).over(wd))
-          .withColumn("r3", lead(col("h"), 3).over(wd))
-        // p is the tie→rightmost argmin of window starting k left of p
-        // iff the k left members are >= h (earlier equal loses) and
-        // the 3-k right members are > h (later equal wins); the
-        // non-null checks keep only FULL windows, so the guarantee
-        // "every full 4-window yields a fingerprint" holds exactly
-        def ge(c: org.apache.spark.sql.Column) =
-          c.isNotNull && c >= col("h")
-        def gt(c: org.apache.spark.sql.Column) =
-          c.isNotNull && c > col("h")
-        val sel =
-          (gt(col("r1")) && gt(col("r2")) && gt(col("r3"))) ||
-          (ge(col("l1")) && gt(col("r1")) && gt(col("r2"))) ||
-          (ge(col("l1")) && ge(col("l2")) && gt(col("r1"))) ||
-          (ge(col("l1")) && ge(col("l2")) && ge(col("l3")))
-        hh.withColumn("sel", sel)
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_shingles"),
-            sum(when(col("sel"), 1L).otherwise(0L)).as("n_selected"),
-            count_distinct(when(col("sel"), col("h"))).as("n_distinct_fp"))
-          .select(col("doc_id"), col("n_shingles"), col("n_selected"),
-            col("n_distinct_fp"),
-            expr("n_selected * 1000000 div n_shingles").as("density_ppm"))
+          .withColumn("hs", expr(
+            "transform(sequence(0, size(tk) - 3), i -> " +
+              "CAST(conv(substring(md5(concat('win:', tk[i], ' ', " +
+              "tk[i+1], ' ', tk[i+2])), 1, 15), 16, 10) AS BIGINT))"))
+          .withColumn("sp", expr(sel))
+          .select(col("doc_id"),
+            size(col("hs")).cast("long").as("n_shingles"),
+            size(col("sp")).cast("long").as("n_selected"),
+            expr("CAST(size(array_distinct(transform(sp, p -> hs[p]))) AS BIGINT)")
+              .as("n_distinct_fp"))
+          .withColumn("density_ppm",
+            expr("n_selected * 1000000 div n_shingles"))
           .orderBy(col("doc_id"))
       },
       Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
@@ -7461,6 +7470,312 @@ object ExtQueries {
              |  round(ln(n_docs::DOUBLE / df::DOUBLE), 6) AS idf
              |FROM tstat, nd
              |WHERE df * 1000000 // n_docs >= 500000
-             |ORDER BY cf DESC, term""".stripMargin))
+             |ORDER BY cf DESC, term""".stripMargin)),
+
+    // NDCG@10 retrieval evaluation — the ranking-quality audit next to
+    // text_bm25_search: for the 5 highest-document-frequency query
+    // terms (df desc, term tie — a deterministic query workload), rank
+    // documents by BM25 (k1=1.2, b=0.75) and grade the ranking against
+    // graded relevance = raw term frequency, via linear-gain
+    // DCG@10 / IDCG@10. Shapes: the (doc_id, term, tf) digest feeds
+    // everything; query terms arrive as a broadcast 5-row list; the
+    // two rankings are per-term windows over candidate postings only
+    // (docs containing the term), never the full corpus per query.
+    // Per-position gains round once at 9 dp and sum as exact decimals.
+    QueryDef("text_ndcg_eval",
+      (s, d) => {
+        val tk = s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"),
+            explode(TextAnalysis.tokens(col("text"))).as("term"))
+        val tf = tk.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val dl = tk.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        val nd = dl.agg(count(lit(1)).as("n_docs"),
+          sum(col("dl")).as("total_tok"))
+        val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val qt = dfc.orderBy(col("df").desc, col("term")).limit(5)
+        val sc = tf.join(broadcast(qt), "term")
+          .join(dl, "doc_id").crossJoin(broadcast(nd))
+          .withColumn("score", round(
+            log((col("n_docs").cast("double") - col("df") + lit(0.5)) /
+              (col("df").cast("double") + lit(0.5)) + lit(1.0)) *
+              col("tf").cast("double") * lit(2.2) /
+              (col("tf").cast("double") + lit(1.2) * (lit(0.25) +
+                lit(0.75) * col("dl").cast("double") *
+                  col("n_docs").cast("double") /
+                  col("total_tok").cast("double"))), 9))
+        val wS = Window.partitionBy(col("term"))
+          .orderBy(col("score").desc, col("doc_id"))
+        val wR = Window.partitionBy(col("term"))
+          .orderBy(col("tf").desc, col("doc_id"))
+        sc.withColumn("rs", row_number().over(wS))
+          .withColumn("rr", row_number().over(wR))
+          .groupBy(col("term"))
+          .agg(
+            sum(when(col("rs") <= 10,
+              round(col("tf").cast("double") /
+                log2(col("rs").cast("double") + 1.0), 9)
+                .cast("decimal(20,9)")).otherwise(lit(0).cast("decimal(20,9)")))
+              .as("dcg_d"),
+            sum(when(col("rr") <= 10,
+              round(col("tf").cast("double") /
+                log2(col("rr").cast("double") + 1.0), 9)
+                .cast("decimal(20,9)")).otherwise(lit(0).cast("decimal(20,9)")))
+              .as("idcg_d"))
+          .select(col("term"),
+            round(col("dcg_d").cast("double"), 6).as("dcg"),
+            round(col("idcg_d").cast("double"), 6).as("idcg"),
+            round(col("dcg_d").cast("double") /
+              col("idcg_d").cast("double"), 6).as("ndcg"))
+          .orderBy(col("term"))
+      },
+      Some("""WITH tk AS (SELECT doc_id,
+             |    unnest(string_split(lower(text),' ')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+             |  FROM tk GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tk GROUP BY 1),
+             |nd AS (SELECT count(*)::BIGINT AS n_docs,
+             |    sum(dl)::BIGINT AS total_tok FROM dl),
+             |dfc AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+             |qt AS (SELECT term, df FROM dfc ORDER BY df DESC, term LIMIT 5),
+             |sc AS (SELECT tf.term, tf.doc_id, tf.tf,
+             |    round(ln((n_docs::DOUBLE - qt.df + 0.5) / (qt.df::DOUBLE + 0.5)
+             |        + 1.0)
+             |      * tf.tf::DOUBLE * 2.2
+             |      / (tf.tf::DOUBLE + 1.2 * (0.25 + 0.75 * dl.dl::DOUBLE
+             |          * n_docs::DOUBLE / total_tok::DOUBLE)), 9) AS score
+             |  FROM tf JOIN qt USING (term) JOIN dl USING (doc_id), nd),
+             |rk AS (SELECT term, tf,
+             |    row_number() OVER (PARTITION BY term
+             |      ORDER BY score DESC, doc_id) AS rs,
+             |    row_number() OVER (PARTITION BY term
+             |      ORDER BY tf DESC, doc_id) AS rr
+             |  FROM sc),
+             |ag AS (SELECT term,
+             |    sum(CASE WHEN rs <= 10
+             |      THEN round(tf::DOUBLE / log2(rs::DOUBLE + 1.0), 9)::DECIMAL(20,9)
+             |      ELSE 0::DECIMAL(20,9) END) AS dcg_d,
+             |    sum(CASE WHEN rr <= 10
+             |      THEN round(tf::DOUBLE / log2(rr::DOUBLE + 1.0), 9)::DECIMAL(20,9)
+             |      ELSE 0::DECIMAL(20,9) END) AS idcg_d
+             |  FROM rk GROUP BY 1)
+             |SELECT term, round(dcg_d::DOUBLE, 6) AS dcg,
+             |  round(idcg_d::DOUBLE, 6) AS idcg,
+             |  round(dcg_d::DOUBLE / idcg_d::DOUBLE, 6) AS ndcg
+             |FROM ag ORDER BY term""".stripMargin)),
+
+    // Spearman rank preservation of PQ — the rank-correlation audit
+    // next to the PQ recall and distortion queries: for each of the 10
+    // standard query vectors, the FULL corpus ranking under exact
+    // cosine vs under the PQ asymmetric-distance scores, summarized as
+    // Spearman's rho = 1 - 6·Σd²/(n(n²-1)). Recall@k says whether the
+    // top-k survives compression; rho says whether the whole ORDER
+    // does — the metric that predicts recall at every k at once.
+    // Shapes: both rankings are per-query windows over the same
+    // (query, neighbor) candidate rows (queries broadcast; the wide
+    // vectors never touch the PQ side); Σd² is exact int64 (n³ at
+    // n=2e4 is ~8e12; at larger corpora the audit runs on a sampled
+    // query shard like every recall query here).
+    QueryDef("emb_spearman_pq",
+      (s, d) => {
+        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        val exact = Similarity.bruteForceTopK(
+            emb, emb.filter(col("vec_id") < 10), Int.MaxValue)
+          .select(col("query_id"), col("neighbor_id"),
+            col("rank").as("r_exact"))
+        val pq = pqTopK(s, d, Int.MaxValue)
+          .select(col("query_id"), col("neighbor_id"), col("rank").as("r_pq"))
+        exact.join(pq, Seq("query_id", "neighbor_id"))
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n"),
+            sum((col("r_exact") - col("r_pq")) *
+              (col("r_exact") - col("r_pq"))).as("sum_d2"))
+          .select(col("query_id"), col("n"), col("sum_d2"),
+            round(lit(1.0) - lit(6.0) * col("sum_d2").cast("double") /
+              (col("n").cast("double") *
+                (col("n").cast("double") * col("n").cast("double") - 1.0)),
+              6).as("spearman_rho"))
+          .orderBy(col("query_id"))
+      },
+      Some(s"""WITH ${quantizerCtes("p0", "(embedding::DOUBLE[])[1:32]", 32)},
+              |${quantizerCtes("p1", "(embedding::DOUBLE[])[33:64]", 32)},
+              |codes AS (SELECT p0af.vec_id AS neighbor_id, p0af.cell AS c0,
+              |            p1af.cell AS c1
+              |          FROM p0af JOIN p1af USING (vec_id)),
+              |q AS (SELECT vec_id AS query_id,
+              |        list_transform((embedding::DOUBLE[])[1:32],
+              |          x -> CAST(round(x * 1000) AS BIGINT))::DOUBLE[] AS q0,
+              |        list_transform((embedding::DOUBLE[])[33:64],
+              |          x -> CAST(round(x * 1000) AS BIGINT))::DOUBLE[] AS q1
+              |      FROM embeddings WHERE vec_id < 10),
+              |sc AS (SELECT q.query_id, codes.neighbor_id,
+              |         (list_dot_product(q.q0, b0.cd) + list_dot_product(q.q1, b1.cd))
+              |         / sqrt((list_dot_product(q.q0, q.q0) + list_dot_product(q.q1, q.q1))
+              |              * (list_dot_product(b0.cd, b0.cd) + list_dot_product(b1.cd, b1.cd))) AS sim
+              |       FROM q, codes
+              |         JOIN p0c2 b0 ON b0.cell = codes.c0
+              |         JOIN p1c2 b1 ON b1.cell = codes.c1
+              |       WHERE codes.neighbor_id != q.query_id
+              |         AND (list_dot_product(b0.cd, b0.cd) + list_dot_product(b1.cd, b1.cd)) > 0),
+              |rpq AS (SELECT query_id, neighbor_id,
+              |        row_number() OVER (PARTITION BY query_id
+              |          ORDER BY sim DESC, neighbor_id) AS r_pq
+              |      FROM sc),
+              |t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |qe AS (SELECT vec_id, v FROM t WHERE vec_id < 10),
+              |se AS (SELECT qe.vec_id AS query_id, t.vec_id AS neighbor_id,
+              |        list_cosine_similarity(qe.v, t.v) AS sim
+              |      FROM qe, t WHERE t.vec_id != qe.vec_id),
+              |rex AS (SELECT query_id, neighbor_id,
+              |        row_number() OVER (PARTITION BY query_id
+              |          ORDER BY sim DESC, neighbor_id) AS r_exact
+              |      FROM se)
+              |SELECT query_id, count(*)::BIGINT AS n,
+              |  sum((r_exact - r_pq) * (r_exact - r_pq))::BIGINT AS sum_d2,
+              |  round(1.0 - 6.0 * sum((r_exact - r_pq) * (r_exact - r_pq))::DOUBLE
+              |    / (count(*)::DOUBLE * (count(*)::DOUBLE * count(*)::DOUBLE - 1.0)),
+              |    6) AS spearman_rho
+              |FROM rex JOIN rpq USING (query_id, neighbor_id)
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Neyman-optimal stratified sampling allocation (Neyman 1934) —
+    // the sampling-design table a curation pipeline reads before
+    // drawing a fixed-budget (1000-doc) audit sample: per source
+    // stratum, allocate n_h ∝ N_h·S_h (stratum size × stratum std-dev
+    // of document length), next to the proportional allocation for
+    // contrast. Variances come off exact integer sums in ONE digest
+    // aggregate; the only doubles are one sqrt per stratum, pinned to
+    // integers by round(·1000) before the ppm-style integer
+    // allocation, so the allocation itself is exact on both engines.
+    QueryDef("pipe_neyman_allocation",
+      (s, d) => {
+        val g = s.read.parquet(s"$d/documents.parquet")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sl"),
+            sum(col("n_chars") * col("n_chars")).as("ql"))
+          .withColumn("vr",
+            (col("ql").cast("double") -
+              col("sl").cast("double") * col("sl").cast("double") /
+                col("n_docs").cast("double")) /
+              (col("n_docs").cast("double") - 1.0))
+          .withColumn("sdx", round(sqrt(col("vr")) * 1000).cast("long"))
+          .withColumn("wh", col("n_docs") * col("sdx"))
+        val tot = g.agg(sum(col("wh")).as("tw"), sum(col("n_docs")).as("tn"))
+        g.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"),
+            round(sqrt(col("vr")), 6).as("sd_chars"),
+            expr("1000 * wh div tw").as("neyman_n"),
+            expr("1000 * n_docs div tn").as("prop_n"),
+            (expr("1000 * wh div tw") - expr("1000 * n_docs div tn"))
+              .as("delta_n"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH g AS (SELECT source, count(*)::BIGINT AS n_docs,
+             |    sum(n_chars)::BIGINT AS sl,
+             |    sum(n_chars * n_chars)::BIGINT AS ql
+             |  FROM documents GROUP BY 1),
+             |v AS (SELECT source, n_docs,
+             |    (ql::DOUBLE - sl::DOUBLE * sl::DOUBLE / n_docs::DOUBLE)
+             |      / (n_docs::DOUBLE - 1.0) AS vr
+             |  FROM g),
+             |w AS (SELECT source, n_docs, vr,
+             |    n_docs * CAST(round(sqrt(vr) * 1000) AS BIGINT) AS wh
+             |  FROM v),
+             |tot AS (SELECT sum(wh)::BIGINT AS tw, sum(n_docs)::BIGINT AS tn
+             |  FROM w)
+             |SELECT source, n_docs, round(sqrt(vr), 6) AS sd_chars,
+             |  (1000 * wh // tw)::BIGINT AS neyman_n,
+             |  (1000 * n_docs // tn)::BIGINT AS prop_n,
+             |  (1000 * wh // tw - 1000 * n_docs // tn)::BIGINT AS delta_n
+             |FROM w, tot ORDER BY source""".stripMargin)),
+
+    // One-left-out filter ablation — the attribution table behind a
+    // cleaning funnel (complements pipe_filter_funnel's CUMULATIVE
+    // view): for each of four document filters, how many docs fail it
+    // at all, how many does ONLY it remove (its unique kills — the
+    // docs no other filter would catch), and the token mass of those
+    // unique kills. Funnel order hides this: a filter late in the
+    // funnel can look useless when everything it catches was already
+    // gone. One pass computes all four pass/fail flags per doc (the
+    // dup flag needs the one exact-dup hash aggregate), one aggregate
+    // reduces them, and the 4-row report is a constant-width unpivot.
+    QueryDef("pipe_filter_ablation",
+      (s, d) => {
+        val base = s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"), col("n_chars"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("ntok"),
+            md5(col("text")).as("h"))
+        val keep = base.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+        val f = base.join(keep, "h")
+          .withColumn("p_len", col("n_chars").between(100, 450))
+          .withColumn("p_tok", col("ntok") >= 20)
+          .withColumn("p_wlen", col("n_chars") <= col("ntok") * 12)
+          .withColumn("p_dup", col("doc_id") === col("keep_id"))
+        val names = Seq("len", "tok", "wlen", "dup")
+        val aggCols = names.flatMap { n =>
+          val p = col(s"p_$n")
+          val others = names.filter(_ != n)
+            .map(o => col(s"p_$o")).reduce(_ && _)
+          Seq(
+            sum(when(!p, 1L).otherwise(0L)).as(s"nf_$n"),
+            sum(when(!p && others, 1L).otherwise(0L)).as(s"uk_$n"),
+            sum(when(!p && others, col("ntok")).otherwise(0L))
+              .as(s"tk_$n"))
+        }
+        val agg = f.agg(aggCols.head, aggCols.tail: _*)
+        agg.selectExpr(
+          """stack(4,
+            |  'len',  nf_len,  uk_len,  tk_len,
+            |  'tok',  nf_tok,  uk_tok,  tk_tok,
+            |  'wlen', nf_wlen, uk_wlen, tk_wlen,
+            |  'dup',  nf_dup,  uk_dup,  tk_dup)
+            | AS (filter, n_fail, n_unique_kills, tokens_unique_killed)"""
+            .stripMargin)
+          .orderBy(col("filter"))
+      },
+      Some("""WITH base AS (SELECT doc_id, n_chars,
+             |    len(string_split(lower(text),' '))::BIGINT AS ntok,
+             |    md5(text) AS h
+             |  FROM documents),
+             |keep AS (SELECT h, min(doc_id) AS keep_id FROM base GROUP BY 1),
+             |f AS (SELECT doc_id, ntok,
+             |    (n_chars BETWEEN 100 AND 450) AS p_len,
+             |    (ntok >= 20) AS p_tok,
+             |    (n_chars <= ntok * 12) AS p_wlen,
+             |    (doc_id = keep_id) AS p_dup
+             |  FROM base JOIN keep USING (h))
+             |SELECT 'dup' AS filter,
+             |  sum(CASE WHEN NOT p_dup THEN 1 ELSE 0 END)::BIGINT AS n_fail,
+             |  sum(CASE WHEN NOT p_dup AND p_len AND p_tok AND p_wlen
+             |    THEN 1 ELSE 0 END)::BIGINT AS n_unique_kills,
+             |  sum(CASE WHEN NOT p_dup AND p_len AND p_tok AND p_wlen
+             |    THEN ntok ELSE 0 END)::BIGINT AS tokens_unique_killed
+             |FROM f
+             |UNION ALL
+             |SELECT 'len',
+             |  sum(CASE WHEN NOT p_len THEN 1 ELSE 0 END)::BIGINT,
+             |  sum(CASE WHEN NOT p_len AND p_dup AND p_tok AND p_wlen
+             |    THEN 1 ELSE 0 END)::BIGINT,
+             |  sum(CASE WHEN NOT p_len AND p_dup AND p_tok AND p_wlen
+             |    THEN ntok ELSE 0 END)::BIGINT
+             |FROM f
+             |UNION ALL
+             |SELECT 'tok',
+             |  sum(CASE WHEN NOT p_tok THEN 1 ELSE 0 END)::BIGINT,
+             |  sum(CASE WHEN NOT p_tok AND p_dup AND p_len AND p_wlen
+             |    THEN 1 ELSE 0 END)::BIGINT,
+             |  sum(CASE WHEN NOT p_tok AND p_dup AND p_len AND p_wlen
+             |    THEN ntok ELSE 0 END)::BIGINT
+             |FROM f
+             |UNION ALL
+             |SELECT 'wlen',
+             |  sum(CASE WHEN NOT p_wlen THEN 1 ELSE 0 END)::BIGINT,
+             |  sum(CASE WHEN NOT p_wlen AND p_dup AND p_len AND p_tok
+             |    THEN 1 ELSE 0 END)::BIGINT,
+             |  sum(CASE WHEN NOT p_wlen AND p_dup AND p_len AND p_tok
+             |    THEN ntok ELSE 0 END)::BIGINT
+             |FROM f
+             |ORDER BY filter""".stripMargin))
   )
 }

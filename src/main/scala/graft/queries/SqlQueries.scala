@@ -10065,6 +10065,353 @@ object SqlQueries {
              |  round(h_cond::DOUBLE, 6) AS h_type_given_hour,
              |  round((h_type - h_cond)::DOUBLE / h_type::DOUBLE, 6)
              |    AS theils_u
-             |FROM ht, hc""".stripMargin))
+             |FROM ht, hc""".stripMargin)),
+
+    // LTTB downsampling (Steinarsson 2013, the parallel variant) — the
+    // dashboard-feed reducer: compress the 'view' value series to ≤100
+    // visually-representative points by keeping, per time bucket, the
+    // point forming the largest triangle with the NEIGHBOR BUCKET MEAN
+    // points (the standard parallelization of LTTB's sequential
+    // previous-selected-point rule; first/last buckets keep their
+    // first/last point). Shapes: time-range bucketing needs no global
+    // rank; the 100-row bucket digest broadcasts back for the
+    // neighbor means; and the triangle argmax is EXACT — the area
+    // comparison is cleared of its rational denominators and computed
+    // in DECIMAL(38,0)/HUGEINT integer arithmetic (x as seconds from
+    // series start, y in milli-units; products stay < 1e38 past
+    // sf100), so the selected set is bit-deterministic on both
+    // engines, no float-area ties.
+    QueryDef("q_lttb_downsample",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+          .filter(col("event_type") === "view")
+          .select(col("event_id"),
+            expr("unix_micros(ts) div 1000000").as("xa"),
+            floor(col("value") * 1000).cast("long").as("y"))
+        val span = ev.agg(min(col("xa")).as("t0"), max(col("xa")).as("t1"))
+        val pts = ev.crossJoin(broadcast(span))
+          .select(col("event_id"), (col("xa") - col("t0")).as("x"), col("y"),
+            expr("(xa - t0) * 100 div (t1 - t0 + 1)").as("b"))
+        val dig = pts.groupBy(col("b"))
+          .agg(count(lit(1)).as("c"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"))
+        val nb = dig.select(col("b"), col("c"), col("sx"), col("sy"))
+        val withN = pts
+          .join(broadcast(nb.toDF("bp", "cp", "sxp", "syp")),
+            col("b") - 1 === col("bp"), "left")
+          .join(broadcast(nb.toDF("bn", "cn", "sxn", "syn")),
+            col("b") + 1 === col("bn"), "left")
+        val dec = "decimal(38,0)"
+        val score = abs(
+          ((col("sxp") * col("cn") - col("sxn") * col("cp")).cast(dec) *
+            (col("y") * col("cp") - col("syp")).cast(dec)) -
+          ((col("sxp") - col("x") * col("cp")).cast(dec) *
+            (col("syn") * col("cp") - col("syp") * col("cn")).cast(dec)))
+        val wA = Window.partitionBy(col("b"))
+          .orderBy(col("score").desc, col("x"), col("event_id"))
+        val wF = Window.partitionBy(col("b"))
+          .orderBy(col("x"), col("event_id"))
+        val wL = Window.partitionBy(col("b"))
+          .orderBy(col("x").desc, col("event_id").desc)
+        withN
+          .withColumn("score",
+            when(col("cp").isNotNull && col("cn").isNotNull, score))
+          .withColumn("ra", row_number().over(wA))
+          .withColumn("rf", row_number().over(wF))
+          .withColumn("rl", row_number().over(wL))
+          .crossJoin(broadcast(dig.agg(max(col("b")).as("bmax"))))
+          .filter(
+            when(col("b") === 0, col("rf") === 1)
+              .when(col("b") === col("bmax"), col("rl") === 1)
+              .when(col("cp").isNull || col("cn").isNull, col("rf") === 1)
+              .otherwise(col("ra") === 1))
+          .select(col("b").as("bucket"), col("x").as("x_sec"),
+            col("y").as("value_milli"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH ev AS (SELECT event_id, floor(epoch(ts))::BIGINT AS xa,
+             |    floor(value * 1000)::BIGINT AS y
+             |  FROM events WHERE event_type = 'view'),
+             |span AS (SELECT min(xa) AS t0, max(xa) AS t1 FROM ev),
+             |pts AS (SELECT event_id, xa - t0 AS x, y,
+             |    (xa - t0) * 100 // (t1 - t0 + 1) AS b
+             |  FROM ev, span),
+             |dig AS (SELECT b, count(*)::BIGINT AS c, sum(x)::BIGINT AS sx,
+             |    sum(y)::BIGINT AS sy
+             |  FROM pts GROUP BY 1),
+             |mx AS (SELECT max(b) AS bmax FROM dig),
+             |wn AS (SELECT p.*, dp.c AS cp, dp.sx AS sxp, dp.sy AS syp,
+             |    dn.c AS cn, dn.sx AS sxn, dn.sy AS syn
+             |  FROM pts p LEFT JOIN dig dp ON dp.b = p.b - 1
+             |    LEFT JOIN dig dn ON dn.b = p.b + 1),
+             |sc AS (SELECT event_id, x, y, b, cp, cn,
+             |    CASE WHEN cp IS NOT NULL AND cn IS NOT NULL THEN
+             |      abs((sxp * cn - sxn * cp)::HUGEINT
+             |            * (y * cp - syp)::HUGEINT
+             |        - (sxp - x * cp)::HUGEINT
+             |            * (syn * cp - syp * cn)::HUGEINT)
+             |    END AS score
+             |  FROM wn),
+             |rk AS (SELECT *,
+             |    row_number() OVER (PARTITION BY b
+             |      ORDER BY score DESC, x, event_id) AS ra,
+             |    row_number() OVER (PARTITION BY b
+             |      ORDER BY x, event_id) AS rf,
+             |    row_number() OVER (PARTITION BY b
+             |      ORDER BY x DESC, event_id DESC) AS rl
+             |  FROM sc)
+             |SELECT b AS bucket, x AS x_sec, y AS value_milli
+             |FROM rk, mx
+             |WHERE CASE WHEN b = 0 THEN rf = 1
+             |  WHEN b = bmax THEN rl = 1
+             |  WHEN cp IS NULL OR cn IS NULL THEN rf = 1
+             |  ELSE ra = 1 END
+             |ORDER BY bucket""".stripMargin)),
+
+    // Split-conformal prediction intervals (Vovk et al.; Lei et al.
+    // 2018) — the distribution-free uncertainty wrapper: calibration
+    // half (even event_id) fits the trivial per-type mean predictor
+    // and takes the ⌈0.9(n+1)⌉-th smallest absolute residual as the
+    // 90% interval half-width; the held-out half then measures the
+    // empirical coverage that conformal theory guarantees ≥ 90%.
+    // Everything rides EXACT integers: residuals are compared scaled
+    // by n_cal (|v·n − Σv| — same order as |v − mean|, no division),
+    // the quantile is an order statistic via one per-type window, and
+    // coverage is an integer ppm. One shuffle by event_type.
+    QueryDef("q_conformal_coverage",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+          .select(col("event_type"), col("event_id"),
+            floor(col("value") * 1000).cast("long").as("vm"),
+            (col("event_id") % 2 === 0).as("is_cal"))
+        val cs = ev.filter(col("is_cal")).groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_cal"), sum(col("vm")).as("s_cal"))
+        val r = ev.join(broadcast(cs), "event_type")
+          .withColumn("resid", abs(col("vm") * col("n_cal") - col("s_cal")))
+        val wq = Window.partitionBy(col("event_type"))
+          .orderBy(col("resid"), col("event_id"))
+        val qh = r.filter(col("is_cal"))
+          .withColumn("rk", row_number().over(wq))
+          .filter(col("rk") === expr("least((9 * n_cal + 18) div 10, n_cal)"))
+          .select(col("event_type"), col("resid").as("q_scaled"))
+        r.filter(!col("is_cal"))
+          .join(broadcast(qh), "event_type")
+          .groupBy(col("event_type"))
+          .agg(max(col("n_cal")).as("n_cal"),
+            count(lit(1)).as("n_test"),
+            max(round(col("q_scaled").cast("double") /
+              (col("n_cal").cast("double") * 1000.0), 6)).as("q_hat"),
+            sum(when(col("resid") <= col("q_scaled"), 1L).otherwise(0L))
+              .as("n_cov"))
+          .withColumn("coverage_ppm", expr("n_cov * 1000000 div n_test"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH ev AS (SELECT event_type, event_id,
+             |    floor(value * 1000)::BIGINT AS vm,
+             |    (event_id % 2 = 0) AS is_cal
+             |  FROM events),
+             |cs AS (SELECT event_type, count(*)::BIGINT AS n_cal,
+             |    sum(vm)::BIGINT AS s_cal
+             |  FROM ev WHERE is_cal GROUP BY 1),
+             |r AS (SELECT ev.*, cs.n_cal, cs.s_cal,
+             |    abs(ev.vm * cs.n_cal - cs.s_cal)::BIGINT AS resid
+             |  FROM ev JOIN cs USING (event_type)),
+             |qh AS (SELECT event_type, resid AS q_scaled FROM (
+             |    SELECT event_type, resid, n_cal,
+             |      row_number() OVER (PARTITION BY event_type
+             |        ORDER BY resid, event_id) AS rk
+             |    FROM r WHERE is_cal)
+             |  WHERE rk = least((9 * n_cal + 18) // 10, n_cal))
+             |SELECT r.event_type, max(r.n_cal)::BIGINT AS n_cal,
+             |  count(*)::BIGINT AS n_test,
+             |  max(round(q_scaled::DOUBLE / (r.n_cal::DOUBLE * 1000.0), 6))
+             |    AS q_hat,
+             |  sum(CASE WHEN resid <= q_scaled THEN 1 ELSE 0 END)::BIGINT
+             |    AS n_cov,
+             |  (sum(CASE WHEN resid <= q_scaled THEN 1 ELSE 0 END) * 1000000
+             |    // count(*))::BIGINT AS coverage_ppm
+             |FROM r JOIN qh USING (event_type)
+             |WHERE NOT is_cal
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Benjamini-Hochberg FDR control (1995) — the multiple-testing
+    // step the A/B family (z/t/chi²/Tukey) still lacked: screen all
+    // (event_type × hour-of-day) cells for mean-value deviations from
+    // their type's mean, convert z-scores to two-sided p-values, and
+    // reject at FDR α=0.05 via the step-up rule p_(k) ≤ k·α/m. The
+    // normal CDF uses the Zelen-Severo polynomial (A&S 26.2.17) on the
+    // 6-dp-rounded z — identical closed form on both engines — and p
+    // is rounded once at 9 dp BEFORE ranking, so the BH ordering and
+    // threshold index are engine-independent. All sums are exact
+    // milli-ints; the BH pass runs on the 120-cell digest.
+    QueryDef("q_fdr_bh",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+          .select(col("event_type"), hour(col("ts")).as("hr"),
+            floor(col("value") * 1000).cast("long").as("vm"))
+        val cell = ev.groupBy(col("event_type"), col("hr"))
+          .agg(count(lit(1)).as("nc"), sum(col("vm")).as("sc"))
+        val typ = ev.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("nt"), sum(col("vm")).as("st"),
+            sum(col("vm") * col("vm")).as("qt"))
+        val z0 = cell.join(broadcast(typ), "event_type")
+          .filter(col("nc") >= 30)
+          .withColumn("mt", col("st").cast("double") / col("nt").cast("double"))
+          .withColumn("vt",
+            (col("qt").cast("double") -
+              col("st").cast("double") * col("st").cast("double") /
+                col("nt").cast("double")) / (col("nt").cast("double") - 1.0))
+          .withColumn("z", round(
+            (col("sc").cast("double") / col("nc").cast("double") - col("mt")) /
+              sqrt(col("vt") / col("nc").cast("double")), 6))
+        // Zelen-Severo Φ(x) for x = |z| (rounded), then p = 2(1 − Φ)
+        val p = z0
+          .withColumn("ax", abs(col("z")))
+          .withColumn("tv", lit(1.0) / (lit(1.0) + lit(0.2316419) * col("ax")))
+          .withColumn("pdf",
+            exp(col("ax") * col("ax") * lit(-0.5)) / lit(2.5066282746310002))
+          .withColumn("p", round(lit(2.0) * col("pdf") *
+            (((((lit(1.330274429) * col("tv") - lit(1.821255978)) * col("tv") +
+              lit(1.781477937)) * col("tv") - lit(0.356563782)) * col("tv") +
+              lit(0.319381530)) * col("tv")), 9))
+        val wr = Window.orderBy(col("p"), col("event_type"), col("hr"))
+        val m = p.agg(count(lit(1)).as("m"))
+        val ranked = p.withColumn("rank", row_number().over(wr))
+          .crossJoin(broadcast(m))
+          .withColumn("hit",
+            when(col("p") <= col("rank").cast("double") * lit(0.05) /
+              col("m").cast("double"), col("rank")).otherwise(lit(0L)))
+        val kmax = ranked.agg(max(col("hit")).as("k_max"))
+        ranked.crossJoin(broadcast(kmax))
+          .select(col("event_type"), col("hr"), col("nc").as("n"),
+            col("z"), col("p"), col("rank"),
+            (col("rank") <= col("k_max")).as("bh_reject"))
+          .orderBy(col("event_type"), col("hr"))
+      },
+      Some("""WITH ev AS (SELECT event_type, hour(ts) AS hr,
+             |    floor(value * 1000)::BIGINT AS vm
+             |  FROM events),
+             |cell AS (SELECT event_type, hr, count(*)::BIGINT AS nc,
+             |    sum(vm)::BIGINT AS sc
+             |  FROM ev GROUP BY 1, 2),
+             |typ AS (SELECT event_type, count(*)::BIGINT AS nt,
+             |    sum(vm)::BIGINT AS st, sum(vm * vm)::BIGINT AS qt
+             |  FROM ev GROUP BY 1),
+             |z0 AS (SELECT cell.event_type, hr, nc,
+             |    round((sc::DOUBLE / nc::DOUBLE - st::DOUBLE / nt::DOUBLE)
+             |      / sqrt(((qt::DOUBLE - st::DOUBLE * st::DOUBLE / nt::DOUBLE)
+             |          / (nt::DOUBLE - 1.0)) / nc::DOUBLE), 6) AS z
+             |  FROM cell JOIN typ USING (event_type) WHERE nc >= 30),
+             |pv AS (SELECT event_type, hr, nc, z,
+             |    round(2.0 * (exp(abs(z) * abs(z) * -0.5) / 2.5066282746310002)
+             |      * (((((1.330274429 * (1.0 / (1.0 + 0.2316419 * abs(z)))
+             |          - 1.821255978) * (1.0 / (1.0 + 0.2316419 * abs(z)))
+             |          + 1.781477937) * (1.0 / (1.0 + 0.2316419 * abs(z)))
+             |          - 0.356563782) * (1.0 / (1.0 + 0.2316419 * abs(z)))
+             |          + 0.319381530) * (1.0 / (1.0 + 0.2316419 * abs(z)))),
+             |      9) AS p
+             |  FROM z0),
+             |m AS (SELECT count(*)::BIGINT AS m FROM pv),
+             |rk AS (SELECT pv.*,
+             |    row_number() OVER (ORDER BY p, event_type, hr) AS rank
+             |  FROM pv),
+             |km AS (SELECT max(CASE WHEN p <= rank::DOUBLE * 0.05 / m::DOUBLE
+             |    THEN rank ELSE 0 END)::BIGINT AS k_max
+             |  FROM rk, m)
+             |SELECT event_type, hr, nc AS n, z, p, rank,
+             |  (rank <= k_max) AS bh_reject
+             |FROM rk, km
+             |ORDER BY event_type, hr""".stripMargin)),
+
+    // Iterative proportional fitting / raking (Deming & Stephan 1940)
+    // — the survey-weighting step: rake the FIRST half-period's
+    // (event_type × day-of-week) activity table onto the SECOND
+    // half's row and column margins, so the fitted weights say what
+    // the old mix would look like under the new marginal behavior.
+    // The contingency digest is catalog-sized (5×7) at ANY corpus
+    // scale, so like the Markov/Bradley-Terry fits it is collected
+    // and iterated exactly on the driver (8 alternating row/column
+    // scalings in integer milli-units, floor division each step);
+    // the oracle replays the identical 8 iterations as generated
+    // MATERIALIZED CTEs. The only facts-scale work is the two
+    // half-period aggregates.
+    QueryDef("q_ipf_raking",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+          .select(col("event_type"), dayofweek(col("ts")).as("dow"),
+            expr("unix_micros(ts)").as("tu"))
+        val mid = ev.agg(((min(col("tu")) + max(col("tu"))) / 2)
+          .cast("long").as("mid"))
+        val tagged = ev.crossJoin(broadcast(mid))
+          .withColumn("half1", col("tu") < col("mid"))
+        val n1 = tagged.filter(col("half1"))
+          .groupBy(col("event_type"), col("dow"))
+          .agg(count(lit(1)).as("n")).collect()
+          .map(r => ((r.getString(0), r.getInt(1)), r.getLong(2))).toMap
+        val h2 = tagged.filter(!col("half1"))
+        val rm = h2.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val cm = h2.groupBy(col("dow")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        // cells present in half 1 whose margins exist in half 2
+        val cells = n1.keys.toSeq
+          .filter { case (e, dw) => rm.contains(e) && cm.contains(dw) }
+          .sorted
+        var w: Map[(String, Int), Long] =
+          cells.map(c => c -> n1(c) * 1000L).toMap
+        for (_ <- 1 to 8) {
+          val se = cells.groupBy(_._1).map { case (e, cs) =>
+            e -> cs.map(w).sum }
+          w = w.map { case ((e, dw), v) =>
+            ((e, dw), v * (rm(e) * 1000L) / se(e)) }
+          val td = cells.groupBy(_._2).map { case (dw, cs) =>
+            dw -> cs.map(w).sum }
+          w = w.map { case ((e, dw), v) =>
+            ((e, dw), v * (cm(dw) * 1000L) / td(dw)) }
+        }
+        val spark2 = s
+        import spark2.implicits._
+        cells.map { case (e, dw) =>
+          (e, dw, n1((e, dw)), rm(e), cm(dw), w((e, dw))) }
+          .toDF("event_type", "dow", "n_first", "row_target", "col_target",
+            "fitted_milli")
+          .orderBy(col("event_type"), col("dow"))
+      },
+      Some {
+        val iters = (1 to 8).map { i =>
+          s"""s$i AS MATERIALIZED (SELECT event_type, sum(wm)::BIGINT AS se
+             |  FROM w${i - 1} GROUP BY 1),
+             |wr$i AS MATERIALIZED (SELECT w.event_type, w.dow,
+             |    (w.wm * (rm.n * 1000) // s$i.se)::BIGINT AS wm
+             |  FROM w${i - 1} w JOIN s$i USING (event_type)
+             |    JOIN rm ON rm.event_type = w.event_type),
+             |t$i AS MATERIALIZED (SELECT dow, sum(wm)::BIGINT AS td
+             |  FROM wr$i GROUP BY 1),
+             |w$i AS MATERIALIZED (SELECT w.event_type, w.dow,
+             |    (w.wm * (cm.n * 1000) // t$i.td)::BIGINT AS wm
+             |  FROM wr$i w JOIN t$i USING (dow)
+             |    JOIN cm ON cm.dow = w.dow)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ev AS MATERIALIZED (SELECT event_type,
+           |    dayofweek(ts) + 1 AS dow, epoch_us(ts) AS tu
+           |  FROM events),
+           |mid AS MATERIALIZED (SELECT (min(tu) + max(tu)) // 2 AS mid FROM ev),
+           |n1 AS MATERIALIZED (SELECT event_type, dow, count(*)::BIGINT AS n
+           |  FROM ev, mid WHERE tu < mid GROUP BY 1, 2),
+           |rm AS MATERIALIZED (SELECT event_type, count(*)::BIGINT AS n
+           |  FROM ev, mid WHERE tu >= mid GROUP BY 1),
+           |cm AS MATERIALIZED (SELECT dow, count(*)::BIGINT AS n
+           |  FROM ev, mid WHERE tu >= mid GROUP BY 1),
+           |w0 AS MATERIALIZED (SELECT n1.event_type, n1.dow,
+           |    (n1.n * 1000)::BIGINT AS wm
+           |  FROM n1 JOIN rm USING (event_type) JOIN cm USING (dow)),
+           |$iters
+           |SELECT w.event_type, w.dow, n1.n AS n_first,
+           |  rm.n AS row_target, cm.n AS col_target, w.wm AS fitted_milli
+           |FROM w8 w JOIN n1 USING (event_type, dow)
+           |  JOIN rm ON rm.event_type = w.event_type
+           |  JOIN cm ON cm.dow = w.dow
+           |ORDER BY w.event_type, w.dow""".stripMargin
+      })
   )
 }

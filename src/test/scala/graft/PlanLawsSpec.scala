@@ -154,6 +154,60 @@ class PlanLawsSpec extends GraftSpec {
     }
   }
 
+  test("y_sync_flagship family: bucketed as-of keeps its one-exchange-per-side shape") {
+    // The composed flagship is the reference's whole surface in one
+    // plan: each sensor side must reach its as-of through ONE hash
+    // exchange (the (bucket) / (bucket, key) shuffle of grid ∪ series,
+    // AsofJoin.scala's contract), the cross-bucket carry must ride a
+    // BROADCAST (the bucket digest is span/bucketUs rows — never a
+    // shuffle join), and nothing may serialize raw rows through a
+    // single partition (the final presentation sort after the grid-
+    // sized result is the only SinglePartition exchange allowed, and
+    // any single-partition WINDOW must ride the bounded bucket digest,
+    // law #1's rule). A refactor that silently doubles the shuffle
+    // count or drops the broadcast carry fails here, not on a cluster.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      Seq("y_sync_flagship", "y_sync_flagship_pad", "y_sync_flagship_backfill",
+        "y_sync_flagship_interp").foreach { q =>
+        val plan = SparkEntry.queries(q)(spark, sfDir)
+          .queryExecution.executedPlan
+        val s = plan.toString
+        assert(s.contains("BroadcastExchange"),
+          s"$q: the cross-bucket carry must be broadcast:\n$s")
+        val hashEx = "Exchange hashpartitioning".r.findAllIn(s).size
+        // the audited budget (AsofJoin.scala:17-35 shape): per sensor
+        // side (camera, motion) exactly 3 hash exchanges — the (bucket)
+        // shuffle of grid ∪ series (the ONLY raw-data shuffle), the
+        // per-ts dedupe aggregate feeding a broadcast, and the digest
+        // branch's bucket aggregate — plus 2 on the event-pivot side
+        // (tolerance as-of + one-hot pivot) = 8. A refactor that
+        // re-shuffles a side lands at ≥9 and fails here.
+        assert(hashEx <= 8,
+          s"$q: as-of shuffle budget exceeded — expected ≤8 hash exchanges " +
+            s"(3 per sensor side + 2 event pivot), got $hashEx:\n$s")
+        plan.foreach {
+          case w: WindowExec if w.partitionSpec.isEmpty =>
+            assert(w.child.exists(c =>
+                c.nodeName.contains("Aggregate") || c.nodeName == "Range"),
+              s"$q: single-partition window must ride the bounded bucket digest:\n$s")
+          case e: ShuffleExchangeExec
+              if e.outputPartitioning.numPartitions == 1 =>
+            // a single-partition exchange is legal only over the
+            // bounded bucket digest (an aggregate/limit below), never
+            // over raw grid ∪ series rows
+            assert(e.child.exists(c =>
+                c.nodeName.contains("Aggregate") || c.nodeName.contains("Limit")),
+              s"$q: single-partition exchange over unbounded input:\n$s")
+          case _ => ()
+        }
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("pipe_multi_epoch_order: epochs produce different heads, reproducibly") {
     val q = SparkEntry.queries("pipe_multi_epoch_order")
     val a = q(spark, sfDir).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

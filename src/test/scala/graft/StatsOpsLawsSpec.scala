@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic laws for the round-10 statistical / retrieval operators —
+  * the properties the algorithms themselves guarantee, asserted on the
+  * real sf0.001/sf0.01 outputs so a refactor that keeps the schema but
+  * breaks the math fails a test, not an audit.
+  */
+class StatsOpsLawsSpec extends GraftSpec {
+
+  private val sf001 = "/root/testdata/sf0.001"
+  private val sf01 = "/root/testdata/sf0.01"
+
+  test("q_conformal_coverage: empirical coverage honors the 90% conformal bound") {
+    // split-conformal guarantees coverage >= 1 - alpha in expectation
+    // over calibration draws; a single split can dip slightly below,
+    // so the law asserts a soft floor (85%) plus structural sanity
+    val rows = SparkEntry.queries("q_conformal_coverage")(spark, sf01).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val cov = r.getAs[Long]("coverage_ppm")
+      assert(cov >= 850000L && cov <= 1000000L,
+        s"${r.get(0)}: coverage $cov ppm outside the conformal regime")
+      assert(r.getAs[Double]("q_hat") > 0.0)
+    }
+  }
+
+  test("q_fdr_bh: the rejection set is exactly the BH step-up set") {
+    val rows = SparkEntry.queries("q_fdr_bh")(spark, sf01).collect()
+    assert(rows.length > 100)
+    val m = rows.length.toDouble
+    val byRank = rows.sortBy(_.getAs[Int]("rank"))
+    val kMax = byRank.filter(r =>
+      r.getAs[Double]("p") <= r.getAs[Int]("rank") * 0.05 / m)
+      .map(_.getAs[Int]("rank")).lastOption.getOrElse(0)
+    byRank.foreach { r =>
+      assert(r.getAs[Boolean]("bh_reject") == (r.getAs[Int]("rank") <= kMax),
+        s"rank ${r.getAs[Int]("rank")}: BH membership disagrees with step-up rule")
+    }
+    // p must be monotone in rank (the ordering the step-up rule needs)
+    byRank.sliding(2).foreach { w =>
+      assert(w(0).getAs[Double]("p") <= w(1).getAs[Double]("p"))
+    }
+  }
+
+  test("q_lttb_downsample: one point per non-empty bucket, endpoints kept") {
+    val sel = SparkEntry.queries("q_lttb_downsample")(spark, sf01).collect()
+    val buckets = sel.map(_.getAs[Long]("bucket"))
+    assert(buckets.distinct.length == buckets.length,
+      "a bucket selected more than one point")
+    // endpoints: the series' first point is bucket 0's x=0 row; the
+    // last point has the maximum x of the whole series
+    val ev = graft.sources.Tables.events(spark, sf01)
+      .filter(col("event_type") === "view")
+      .agg(min(expr("unix_micros(ts) div 1000000")).as("t0"),
+        max(expr("unix_micros(ts) div 1000000")).as("t1")).collect()(0)
+    val span = ev.getAs[Long]("t1") - ev.getAs[Long]("t0")
+    assert(sel.head.getAs[Long]("x_sec") == 0L, "first point not kept")
+    assert(sel.last.getAs[Long]("x_sec") == span, "last point not kept")
+  }
+
+  test("text_ndcg_eval: NDCG is normalized and the ideal ranking dominates") {
+    val rows = SparkEntry.queries("text_ndcg_eval")(spark, sf001).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val dcg = r.getAs[Double]("dcg"); val idcg = r.getAs[Double]("idcg")
+      val ndcg = r.getAs[Double]("ndcg")
+      assert(idcg >= dcg - 1e-9, s"${r.get(0)}: DCG exceeds IDCG")
+      assert(ndcg > 0.0 && ndcg <= 1.0 + 1e-9)
+    }
+  }
+
+  test("emb_spearman_pq: rho bounded, full candidate set ranked") {
+    val n = spark.read.parquet(s"$sf001/embeddings.parquet").count()
+    val rows = SparkEntry.queries("emb_spearman_pq")(spark, sf001).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") == n - 1, "ranking must cover every non-self vector")
+      val rho = r.getAs[Double]("spearman_rho")
+      assert(rho >= -1.0 && rho <= 1.0)
+      // PQ at 2×16 cells is a COARSE quantizer (256 composite codes):
+      // measured rho on this corpus spans ~0.29–0.8, so the law floor
+      // is 0.2 — low enough for honest coarseness, high enough that a
+      // sign flip or shuffled ranking (rho ≈ 0) still fails
+      assert(rho > 0.2, s"query ${r.get(0)}: rho $rho suspiciously low")
+    }
+  }
+
+  test("pipe_neyman_allocation: the allocation spends the budget, never overspends") {
+    val rows = SparkEntry.queries("pipe_neyman_allocation")(spark, sf01).collect()
+    val tot = rows.map(_.getAs[Long]("neyman_n")).sum
+    // floor division: <= 1000 and within one unit per stratum of it
+    assert(tot <= 1000 && tot >= 1000 - rows.length,
+      s"Neyman allocation sums to $tot over ${rows.length} strata")
+    val ptot = rows.map(_.getAs[Long]("prop_n")).sum
+    assert(ptot <= 1000 && ptot >= 1000 - rows.length)
+  }
+
+  test("pipe_filter_ablation: unique kills are a lower bound on fails") {
+    val rows = SparkEntry.queries("pipe_filter_ablation")(spark, sf01).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_unique_kills") <= r.getAs[Long]("n_fail"),
+        s"${r.get(0)}: unique kills exceed total fails")
+    }
+  }
+
+  test("q_ipf_raking: 8 iterations land the column margins, rows near-converged") {
+    val rows = SparkEntry.queries("q_ipf_raking")(spark, sf01).collect()
+    assert(rows.length == 35)
+    // the final scaling pass is by column, so column sums match the
+    // target exactly up to per-cell floor loss (< n_cells milli-units)
+    rows.groupBy(_.getAs[Int]("dow")).foreach { case (_, cs) =>
+      val fitted = cs.map(_.getAs[Long]("fitted_milli")).sum
+      val target = cs.head.getAs[Long]("col_target") * 1000L
+      assert(math.abs(fitted - target) <= cs.length * 1000L,
+        s"column margin off by ${fitted - target} milli")
+    }
+    // row margins converge to within 1% after 8 alternations
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (e, cs) =>
+      val fitted = cs.map(_.getAs[Long]("fitted_milli")).sum
+      val target = cs.head.getAs[Long]("row_target") * 1000L
+      assert(math.abs(fitted - target).toDouble / target < 0.01,
+        s"$e: row margin off by ${(fitted - target).toDouble / target}")
+    }
+  }
+}
