@@ -7776,6 +7776,119 @@ object ExtQueries {
              |  sum(CASE WHEN NOT p_wlen AND p_dup AND p_len AND p_tok
              |    THEN ntok ELSE 0 END)::BIGINT
              |FROM f
-             |ORDER BY filter""".stripMargin))
+             |ORDER BY filter""".stripMargin)),
+
+    // Linear CKA between the two embedding halves (Kornblith et al.
+    // 2019) — the representation-similarity audit: how much of the
+    // first 32 dims' structure do the last 32 re-encode? Linear CKA =
+    // ||Cov_XY||_F² / (||Cov_XX||_F·||Cov_YY||_F), computed entirely
+    // from the joinless 64×64 Gram digest (the emb_covariance shape at
+    // 64 dims: i≤j pairs generated PER ROW in the scan stage, 2080 per
+    // vector, collapsed by the map-side partial aggregate). Every
+    // covariance entry is the exact integer n·Sij − Si·Sj; squares
+    // accumulate as DECIMAL(38,0)/HUGEINT, and the three Frobenius
+    // norms meet one double sqrt at the very end.
+    QueryDef("emb_cka_halves",
+      (s, d) => {
+        val zq = transform(col("embedding"),
+          x => round(x.cast("double") * 1000, 0).cast("long"))
+        val pairs = flatten(transform(sequence(lit(0), lit(63)), i =>
+          transform(sequence(i, lit(63)), j =>
+            struct(i.cast("int").as("i"), j.cast("int").as("j"),
+              element_at(col("__zq"), (i + lit(1)).cast("int")).as("xq"),
+              element_at(col("__zq"), (j + lit(1)).cast("int")).as("yq")))))
+        val dec = "decimal(38,0)"
+        s.read.parquet(s"$d/embeddings.parquet")
+          .select(zq.as("__zq"))
+          .select(explode(pairs).as("p"))
+          .select(col("p.i").as("i"), col("p.j").as("j"),
+            col("p.xq").as("xq"), col("p.yq").as("yq"))
+          .groupBy(col("i"), col("j"))
+          .agg(count(lit(1)).as("n"), sum(col("xq")).as("sx"),
+            sum(col("yq")).as("sy"), sum(col("xq") * col("yq")).as("sxy"))
+          .withColumn("e", (col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast(dec))
+          // off-diagonal entries of the symmetric XX/YY blocks count
+          // twice in the Frobenius norm; the XY block (i<32≤j) is a
+          // full rectangular matrix stored once, weight 1
+          .withColumn("w2", when(col("i") === col("j"), 1L).otherwise(2L))
+          .agg(
+            max(col("n")).as("n_vecs"),
+            sum(when(col("i") < 32 && col("j") < 32,
+              col("e") * col("e") * col("w2")).otherwise(lit(0).cast(dec)))
+              .as("xx_f2"),
+            sum(when(col("i") >= 32 && col("j") >= 32,
+              col("e") * col("e") * col("w2")).otherwise(lit(0).cast(dec)))
+              .as("yy_f2"),
+            sum(when(col("i") < 32 && col("j") >= 32,
+              col("e") * col("e")).otherwise(lit(0).cast(dec)))
+              .as("xy_f2"))
+          .select(col("n_vecs"),
+            round(col("xy_f2").cast("double") /
+              sqrt(col("xx_f2").cast("double") * col("yy_f2").cast("double")),
+              6).as("cka_halves"))
+      },
+      Some("""WITH z AS (SELECT vec_id, r.i::INT AS i,
+             |    round(embedding[r.i + 1]::DOUBLE * 1000)::BIGINT AS zq
+             |  FROM embeddings, range(64) r(i)),
+             |p AS (SELECT a.i, b.i AS j, a.zq AS xq, b.zq AS yq
+             |  FROM z a JOIN z b ON a.vec_id = b.vec_id AND a.i <= b.i),
+             |g AS (SELECT i, j, count(*)::BIGINT AS n, sum(xq)::BIGINT AS sx,
+             |    sum(yq)::BIGINT AS sy, sum(xq * yq)::BIGINT AS sxy
+             |  FROM p GROUP BY 1, 2),
+             |e AS (SELECT i, j, n,
+             |    (n * sxy - sx * sy)::HUGEINT AS e,
+             |    CASE WHEN i = j THEN 1 ELSE 2 END::HUGEINT AS w2
+             |  FROM g),
+             |f AS (SELECT max(n)::BIGINT AS n_vecs,
+             |    sum(CASE WHEN i < 32 AND j < 32 THEN e * e * w2
+             |      ELSE 0::HUGEINT END) AS xx_f2,
+             |    sum(CASE WHEN i >= 32 AND j >= 32 THEN e * e * w2
+             |      ELSE 0::HUGEINT END) AS yy_f2,
+             |    sum(CASE WHEN i < 32 AND j >= 32 THEN e * e
+             |      ELSE 0::HUGEINT END) AS xy_f2
+             |  FROM e)
+             |SELECT n_vecs,
+             |  round(xy_f2::DOUBLE / sqrt(xx_f2::DOUBLE * yy_f2::DOUBLE), 6)
+             |    AS cka_halves
+             |FROM f""".stripMargin)),
+
+    // Weighted sampling without replacement (Efraimidis & Spirakis
+    // 2006, A-ES keys) — the one-pass distributed answer to "draw 100
+    // docs with probability proportional to length": each doc gets the
+    // key ln(u)/w with u a deterministic md5-derived uniform and
+    // w = n_chars; the top-100 keys ARE the weighted sample. No
+    // sequential reservoir, no global pass: the top-k rides Spark's
+    // TakeOrderedAndProject (per-partition heaps + one 100-row merge),
+    // and the identical hash → u → key arithmetic replays in SQL, so
+    // the sampled SET is deterministic across engines and runs.
+    QueryDef("pipe_weighted_sample",
+      (s, d) => {
+        val u = (pmod(Dedup.strHash60(
+            concat(lit("ws:"), col("doc_id").cast("string"))),
+          lit(1000000L)) + lit(1L)).cast("double") / lit(1000001.0)
+        val ranked = s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"), col("n_chars"),
+            round(log(u) / col("n_chars").cast("double"), 9).as("lnk"))
+          .orderBy(col("lnk").desc, col("doc_id"))
+          .limit(100)
+        // rank assignment runs AFTER the 100-row cut (Limit below the
+        // window — the bounded-digest rule)
+        ranked.withColumn("rank",
+            row_number().over(Window.orderBy(col("lnk").desc, col("doc_id"))))
+          .select(col("rank"), col("doc_id"), col("n_chars").as("weight"),
+            col("lnk"))
+          .orderBy(col("rank"))
+      },
+      Some("""WITH k AS (SELECT doc_id, n_chars,
+             |    round(ln(((('0x'||substring(md5('ws:'||doc_id),1,15))::BIGINT
+             |        % 1000000 + 1000000) % 1000000 + 1)::DOUBLE / 1000001.0)
+             |      / n_chars::DOUBLE, 9) AS lnk
+             |  FROM documents),
+             |top AS (SELECT doc_id, n_chars, lnk FROM k
+             |  ORDER BY lnk DESC, doc_id LIMIT 100)
+             |SELECT row_number() OVER (ORDER BY lnk DESC, doc_id) AS rank,
+             |  doc_id, n_chars AS weight, lnk
+             |FROM top ORDER BY rank""".stripMargin))
   )
 }

@@ -10412,6 +10412,112 @@ object SqlQueries {
            |  JOIN rm ON rm.event_type = w.event_type
            |  JOIN cm ON cm.dow = w.dow
            |ORDER BY w.event_type, w.dow""".stripMargin
-      })
+      }),
+
+    // Granger-style lead-lag test on the daily digest (Granger 1969,
+    // the lag-1 bivariate special case): does yesterday's click count
+    // improve today's purchase-count prediction beyond yesterday's
+    // purchases alone — and the reverse? Both OLS fits (restricted
+    // y_t ~ y_{t-1}; full y_t ~ y_{t-1} + x_{t-1}) have closed forms
+    // off NINE exact integer sums of the day-digest series, so the
+    // F statistic is scalar post-agg arithmetic like the Welch t.
+    // One shuffle to the calendar-sized daily digest; the lag window
+    // is a global sort over that digest (bounded by the calendar,
+    // never the event count).
+    QueryDef("q_granger_daily",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("ck"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("pu"))
+        val w = Window.orderBy(col("day"))
+        val lagged = daily
+          .withColumn("ck1", lag(col("ck"), 1).over(w))
+          .withColumn("pu1", lag(col("pu"), 1).over(w))
+          .filter(col("ck1").isNotNull)
+        def fit(dir: String, yc: String, y1c: String, x1c: String) = {
+          val (y, a, b) = (col(yc), col(y1c), col(x1c))
+          lagged.agg(count(lit(1)).as("n"),
+            sum(y).as("su"), sum(a).as("sa"), sum(b).as("sb"),
+            sum(y * y).as("suu"), sum(a * a).as("saa"),
+            sum(b * b).as("sbb"), sum(y * a).as("sua"),
+            sum(y * b).as("sub"), sum(a * b).as("sab"))
+            .withColumn("cuu",
+              (col("n") * col("suu") - col("su") * col("su")).cast("double"))
+            .withColumn("caa",
+              (col("n") * col("saa") - col("sa") * col("sa")).cast("double"))
+            .withColumn("cbb",
+              (col("n") * col("sbb") - col("sb") * col("sb")).cast("double"))
+            .withColumn("cua",
+              (col("n") * col("sua") - col("su") * col("sa")).cast("double"))
+            .withColumn("cub",
+              (col("n") * col("sub") - col("su") * col("sb")).cast("double"))
+            .withColumn("cab",
+              (col("n") * col("sab") - col("sa") * col("sb")).cast("double"))
+            .withColumn("rss_r",
+              col("cuu") - col("cua") * col("cua") / col("caa"))
+            .withColumn("det",
+              col("caa") * col("cbb") - col("cab") * col("cab"))
+            .withColumn("rss_f", col("cuu") -
+              ((col("cua") * col("cbb") - col("cub") * col("cab")) * col("cua") +
+                (col("cub") * col("caa") - col("cua") * col("cab")) * col("cub"))
+                / col("det"))
+            .select(lit(dir).as("direction"), col("n").as("n_days"),
+              round((col("rss_r") - col("rss_f")) /
+                (col("rss_f") / (col("n").cast("double") - 3.0)), 6)
+                .as("f_stat"),
+              round((col("rss_r") - col("rss_f")) / col("rss_r"), 6)
+                .as("r2_gain"))
+        }
+        fit("click_to_purchase", "pu", "pu1", "ck1")
+          .unionAll(fit("purchase_to_click", "ck", "ck1", "pu1"))
+          .orderBy(col("direction"))
+      },
+      Some("""WITH daily AS (SELECT ts::DATE AS day,
+             |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS ck,
+             |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS pu
+             |  FROM events WHERE event_type IN ('click', 'purchase')
+             |  GROUP BY 1),
+             |lg AS (SELECT day, ck, pu,
+             |    lag(ck) OVER (ORDER BY day) AS ck1,
+             |    lag(pu) OVER (ORDER BY day) AS pu1
+             |  FROM daily),
+             |lv AS (SELECT * FROM lg WHERE ck1 IS NOT NULL),
+             |fits AS (
+             |  SELECT 'click_to_purchase' AS direction, count(*)::BIGINT AS n,
+             |    sum(pu)::BIGINT AS su, sum(pu1)::BIGINT AS sa,
+             |    sum(ck1)::BIGINT AS sb, sum(pu * pu)::BIGINT AS suu,
+             |    sum(pu1 * pu1)::BIGINT AS saa, sum(ck1 * ck1)::BIGINT AS sbb,
+             |    sum(pu * pu1)::BIGINT AS sua, sum(pu * ck1)::BIGINT AS sub,
+             |    sum(pu1 * ck1)::BIGINT AS sab
+             |  FROM lv
+             |  UNION ALL
+             |  SELECT 'purchase_to_click', count(*)::BIGINT,
+             |    sum(ck)::BIGINT, sum(ck1)::BIGINT, sum(pu1)::BIGINT,
+             |    sum(ck * ck)::BIGINT, sum(ck1 * ck1)::BIGINT,
+             |    sum(pu1 * pu1)::BIGINT, sum(ck * ck1)::BIGINT,
+             |    sum(ck * pu1)::BIGINT, sum(ck1 * pu1)::BIGINT
+             |  FROM lv),
+             |cc AS (SELECT direction, n,
+             |    (n * suu - su * su)::DOUBLE AS cuu,
+             |    (n * saa - sa * sa)::DOUBLE AS caa,
+             |    (n * sbb - sb * sb)::DOUBLE AS cbb,
+             |    (n * sua - su * sa)::DOUBLE AS cua,
+             |    (n * sub - su * sb)::DOUBLE AS cub,
+             |    (n * sab - sa * sb)::DOUBLE AS cab
+             |  FROM fits),
+             |rr AS (SELECT direction, n,
+             |    cuu - cua * cua / caa AS rss_r,
+             |    cuu - ((cua * cbb - cub * cab) * cua
+             |         + (cub * caa - cua * cab) * cub)
+             |      / (caa * cbb - cab * cab) AS rss_f
+             |  FROM cc)
+             |SELECT direction, n AS n_days,
+             |  round((rss_r - rss_f) / (rss_f / (n::DOUBLE - 3.0)), 6) AS f_stat,
+             |  round((rss_r - rss_f) / rss_r, 6) AS r2_gain
+             |FROM rr ORDER BY direction""".stripMargin))
   )
 }

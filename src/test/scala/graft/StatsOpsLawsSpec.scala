@@ -106,6 +106,40 @@ class StatsOpsLawsSpec extends GraftSpec {
     }
   }
 
+  test("emb_cka_halves: CKA is a normalized similarity in [0, 1]") {
+    val r = SparkEntry.queries("emb_cka_halves")(spark, sf001).collect()
+    assert(r.length == 1)
+    val cka = r(0).getAs[Double]("cka_halves")
+    assert(cka >= 0.0 && cka <= 1.0 + 1e-9, s"CKA $cka outside [0,1]")
+  }
+
+  test("pipe_weighted_sample: top-100 A-ES keys oversample long documents") {
+    val rows = SparkEntry.queries("pipe_weighted_sample")(spark, sf01).collect()
+    assert(rows.length == 100)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to 100))
+    // keys must be sorted (the rank IS the key order)
+    val ks = rows.map(_.getAs[Double]("lnk"))
+    ks.sliding(2).foreach(w => assert(w(0) >= w(1)))
+    // length-proportional sampling must overselect long docs: the
+    // sample's mean weight beats the corpus mean by a clear margin
+    val corpusMean = spark.read.parquet(s"$sf01/documents.parquet")
+      .agg(avg(col("n_chars"))).collect()(0).getDouble(0)
+    val sampleMean = rows.map(_.getAs[Long]("weight")).sum.toDouble / 100
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean not above corpus mean $corpusMean")
+  }
+
+  test("q_granger_daily: F and R2-gain are well-formed in both directions") {
+    val rows = SparkEntry.queries("q_granger_daily")(spark, sf01).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      val f = r.getAs[Double]("f_stat"); val g = r.getAs[Double]("r2_gain")
+      assert(!f.isNaN && !f.isInfinite && f >= -1e-9)
+      assert(g >= -1e-9 && g < 1.0, s"${r.get(0)}: r2_gain $g outside [0,1)")
+      assert(r.getAs[Long]("n_days") >= 10)
+    }
+  }
+
   test("q_ipf_raking: 8 iterations land the column margins, rows near-converged") {
     val rows = SparkEntry.queries("q_ipf_raking")(spark, sf01).collect()
     assert(rows.length == 35)
