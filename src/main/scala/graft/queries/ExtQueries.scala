@@ -7889,6 +7889,136 @@ object ExtQueries {
              |  ORDER BY lnk DESC, doc_id LIMIT 100)
              |SELECT row_number() OVER (ORDER BY lnk DESC, doc_id) AS rank,
              |  doc_id, n_chars AS weight, lnk
-             |FROM top ORDER BY rank""".stripMargin))
+             |FROM top ORDER BY rank""".stripMargin)),
+
+    // Competence-based curriculum pacing (Platanios et al. 2019) —
+    // the schedule pipe_curriculum_order's difficulty ranking feeds:
+    // at training step t (of 10), the model's competence
+    // c(t) = min(1, sqrt(t/T·(1−c0²) + c0²)) unlocks the easiest
+    // c(t)-fraction of the corpus (difficulty = token-count
+    // percentile). The 10 competence thresholds are PRE-COMPUTED
+    // integers inlined into both engines (no cross-engine sqrt);
+    // difficulty percentiles come from the distributed TeraSort-rank
+    // primitive (Ranks.withGlobalRank — no global window over raw
+    // rows); each doc maps to its first unlocking step by one CASE,
+    // and the 10-row schedule accumulates on the step digest.
+    QueryDef("pipe_curriculum_pacing",
+      (s, d) => {
+        // c0 = 0.01, T = 10: thr(t) ppm, strictly increasing to 1e6
+        val thrs = (1 to 10).map(t => math.min(1000000L,
+          math.round(math.sqrt(t * 0.09999 + 0.0001) * 1000000)))
+        val docs = s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("ntok"))
+        val n = docs.count()
+        val ranked = graft.analytics.Ranks.withGlobalRank(
+          docs, "rk", Seq(("ntok", false), ("doc_id", false)))
+          .withColumn("pct_ppm", expr(s"rk * 1000000 div $n"))
+        val unlockCase = thrs.zipWithIndex.reverse.foldLeft(lit(11)) {
+          case (acc, (thr, i)) =>
+            when(col("pct_ppm") <= thr, lit(i + 1)).otherwise(acc)
+        }
+        val perStep = ranked.withColumn("step", unlockCase)
+          .groupBy(col("step"))
+          .agg(count(lit(1)).as("nd"), sum(col("ntok")).as("tk"))
+        val wcum = Window.orderBy(col("step"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val spark2 = s
+        import spark2.implicits._
+        val steps = thrs.zipWithIndex
+          .map { case (thr, i) => (i + 1, thr) }.toDF("step", "competence_ppm")
+        steps.join(perStep, Seq("step"), "left")
+          .withColumn("nd", coalesce(col("nd"), lit(0L)))
+          .withColumn("tk", coalesce(col("tk"), lit(0L)))
+          .withColumn("n_unlocked", sum(col("nd")).over(wcum))
+          .withColumn("tokens_unlocked", sum(col("tk")).over(wcum))
+          .select(col("step"), col("competence_ppm"), col("n_unlocked"),
+            col("tokens_unlocked"))
+          .orderBy(col("step"))
+      },
+      Some {
+        val thrs = (1 to 10).map(t => math.min(1000000L,
+          math.round(math.sqrt(t * 0.09999 + 0.0001) * 1000000)))
+        val stepRows = thrs.zipWithIndex
+          .map { case (thr, i) => s"(${i + 1}, ${thr}::BIGINT)" }
+          .mkString(", ")
+        val caseArms = thrs.zipWithIndex
+          .map { case (thr, i) => s"WHEN pct_ppm <= $thr THEN ${i + 1}" }
+          .mkString(" ")
+        s"""WITH docs AS (SELECT doc_id,
+           |    len(string_split(lower(text),' '))::BIGINT AS ntok
+           |  FROM documents),
+           |nn AS (SELECT count(*)::BIGINT AS n FROM docs),
+           |rk AS (SELECT doc_id, ntok,
+           |    row_number() OVER (ORDER BY ntok, doc_id) AS rk
+           |  FROM docs),
+           |pc AS (SELECT doc_id, ntok,
+           |    rk * 1000000 // n AS pct_ppm FROM rk, nn),
+           |st AS (SELECT doc_id, ntok,
+           |    CASE $caseArms ELSE 11 END AS step FROM pc),
+           |per AS (SELECT step, count(*)::BIGINT AS nd,
+           |    sum(ntok)::BIGINT AS tk FROM st GROUP BY 1),
+           |sched(step, competence_ppm) AS (VALUES $stepRows)
+           |SELECT sched.step, sched.competence_ppm,
+           |  sum(coalesce(per.nd, 0)) OVER (ORDER BY sched.step
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+           |    AS n_unlocked,
+           |  sum(coalesce(per.tk, 0)) OVER (ORDER BY sched.step
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+           |    AS tokens_unlocked
+           |FROM sched LEFT JOIN per USING (step)
+           |ORDER BY sched.step""".stripMargin
+      }),
+
+    // K-fold (leave-one-fold-out) target encoding — the LEAKAGE-FREE
+    // form of feat_target_encode: each fold's encoding for a category
+    // uses only the OTHER folds' rows, enc = (s_c − s_cf + m·ȳ_out) /
+    // (n_c − n_cf + m) with pseudo-count m=100 toward the out-of-fold
+    // global mean, so a row never sees its own target. Two digests
+    // (per category×fold, per category) + one fold-level global — the
+    // encoding TABLE (|C|·K rows) is the artifact; the facts are
+    // touched once. Deterministic folds via event_id % 5; exact cent
+    // sums; one double division rounded at the end.
+    QueryDef("feat_kfold_target_encode",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+          .select(col("event_type"), (col("event_id") % 5).as("fold"),
+            (col("value").cast("decimal(18,2)") * 100).cast("long")
+              .as("yc"))
+        val cf = ev.groupBy(col("event_type"), col("fold"))
+          .agg(count(lit(1)).as("n_cf"), sum(col("yc")).as("s_cf"))
+        val c = cf.groupBy(col("event_type"))
+          .agg(sum(col("n_cf")).as("n_c"), sum(col("s_cf")).as("s_c"))
+        val g = c.agg(sum(col("n_c")).as("gn"), sum(col("s_c")).as("gs"))
+        cf.join(c, "event_type").crossJoin(broadcast(g))
+          .select(col("event_type"), col("fold"),
+            (col("n_c") - col("n_cf")).as("n_out"),
+            round((
+              (col("s_c") - col("s_cf")).cast("double") +
+                lit(100.0) * (col("gs") - col("s_cf")).cast("double") /
+                  (col("gn") - col("n_cf")).cast("double")) /
+              ((col("n_c") - col("n_cf")).cast("double") + 100.0) / 100.0,
+              6).as("enc"))
+          .orderBy(col("event_type"), col("fold"))
+      },
+      Some("""WITH ev AS (SELECT event_type, event_id % 5 AS fold,
+             |    (value::DECIMAL(18,2) * 100)::BIGINT AS yc
+             |  FROM events),
+             |cf AS (SELECT event_type, fold, count(*)::BIGINT AS n_cf,
+             |    sum(yc)::BIGINT AS s_cf
+             |  FROM ev GROUP BY 1, 2),
+             |c AS (SELECT event_type, sum(n_cf)::BIGINT AS n_c,
+             |    sum(s_cf)::BIGINT AS s_c
+             |  FROM cf GROUP BY 1),
+             |g AS (SELECT sum(n_c)::BIGINT AS gn, sum(s_c)::BIGINT AS gs
+             |  FROM c)
+             |SELECT cf.event_type, cf.fold,
+             |  (c.n_c - cf.n_cf)::BIGINT AS n_out,
+             |  round(((c.s_c - cf.s_cf)::DOUBLE
+             |      + 100.0 * (g.gs - cf.s_cf)::DOUBLE
+             |        / (g.gn - cf.n_cf)::DOUBLE)
+             |    / ((c.n_c - cf.n_cf)::DOUBLE + 100.0) / 100.0, 6) AS enc
+             |FROM cf JOIN c USING (event_type), g
+             |ORDER BY cf.event_type, cf.fold""".stripMargin))
   )
 }

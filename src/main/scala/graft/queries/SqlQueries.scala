@@ -10518,6 +10518,165 @@ object SqlQueries {
              |SELECT direction, n AS n_days,
              |  round((rss_r - rss_f) / (rss_f / (n::DOUBLE - 3.0)), 6) AS f_stat,
              |  round((rss_r - rss_f) / rss_r, 6) AS r2_gain
-             |FROM rr ORDER BY direction""".stripMargin))
+             |FROM rr ORDER BY direction""".stripMargin)),
+
+    // Column-profile drift report — the schema-level data-quality diff
+    // (per-feature distribution drift is q_psi_stability; this is the
+    // profiler's view): for each informative events column (type,
+    // props, user, value — the id column's NDV is its count), null
+    // rate and exact NDV in the first vs second half of the time
+    // range, plus the mean for the numeric measure. One melt (stack) + one aggregate per
+    // half; only COUNTS cross the engine boundary (both engines cast
+    // values to strings with round-trip formatting, so distinct counts
+    // agree without comparing the strings themselves). At 100 TB the
+    // exact NDV column swaps for the KMV sketch (corpus_kmv_distinct);
+    // the report shape is unchanged.
+    QueryDef("q_profile_drift",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"), col("props"),
+            expr("unix_micros(ts)").as("tu"))
+        val mid = ev.agg(((min(col("tu")) + max(col("tu"))) / 2)
+          .cast("long").as("mid"))
+        val melted = ev.crossJoin(broadcast(mid))
+          .withColumn("half", when(col("tu") < col("mid"), 1).otherwise(2))
+          .selectExpr("half",
+            """stack(4,
+              |  'event_type', CAST(event_type AS STRING), CAST(NULL AS DOUBLE),
+              |  'props',      CAST(props AS STRING),      CAST(NULL AS DOUBLE),
+              |  'user_id',    CAST(user_id AS STRING),    CAST(NULL AS DOUBLE),
+              |  'value',      CAST(value AS STRING),      value)
+              | AS (column, sval, nv)""".stripMargin)
+        val prof = melted.groupBy(col("column"), col("half"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("sval").isNull, 1L).otherwise(0L)).as("n_null"),
+            count_distinct(col("sval")).as("ndv"),
+            sum(floor(col("nv") * 1000).cast("long")).as("sv"),
+            count(col("nv")).as("nn"))
+        val p1 = prof.filter(col("half") === 1)
+          .select(col("column"), col("n").as("n_1"),
+            expr("n_null * 1000000 div n").as("null_ppm_1"),
+            col("ndv").as("ndv_1"), col("sv").as("sv1"), col("nn").as("nn1"))
+        val p2 = prof.filter(col("half") === 2)
+          .select(col("column"), col("n").as("n_2"),
+            expr("n_null * 1000000 div n").as("null_ppm_2"),
+            col("ndv").as("ndv_2"), col("sv").as("sv2"), col("nn").as("nn2"))
+        p1.join(p2, "column")
+          .select(col("column"), col("n_1"), col("n_2"),
+            col("null_ppm_1"), col("null_ppm_2"),
+            col("ndv_1"), col("ndv_2"),
+            expr("(ndv_2 - ndv_1) * 1000000 div ndv_1").as("ndv_drift_ppm"),
+            round(col("sv1").cast("double") /
+              (col("nn1").cast("double") * 1000.0), 6).as("mean_1"),
+            round(col("sv2").cast("double") /
+              (col("nn2").cast("double") * 1000.0), 6).as("mean_2"))
+          .orderBy(col("column"))
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, event_type, value, props,
+             |    epoch_us(ts) AS tu
+             |  FROM events),
+             |mid AS (SELECT (min(tu) + max(tu)) // 2 AS mid FROM ev),
+             |melted AS (
+             |  SELECT CASE WHEN tu < mid THEN 1 ELSE 2 END AS half,
+             |    'event_type' AS "column", event_type::VARCHAR AS sval,
+             |    NULL::DOUBLE AS nv
+             |  FROM ev, mid
+             |  UNION ALL
+             |  SELECT CASE WHEN tu < mid THEN 1 ELSE 2 END, 'props',
+             |    props::VARCHAR, NULL::DOUBLE FROM ev, mid
+             |  UNION ALL
+             |  SELECT CASE WHEN tu < mid THEN 1 ELSE 2 END, 'user_id',
+             |    user_id::VARCHAR, NULL::DOUBLE FROM ev, mid
+             |  UNION ALL
+             |  SELECT CASE WHEN tu < mid THEN 1 ELSE 2 END, 'value',
+             |    value::VARCHAR, value FROM ev, mid),
+             |prof AS (SELECT "column", half, count(*)::BIGINT AS n,
+             |    sum(CASE WHEN sval IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+             |    count(DISTINCT sval)::BIGINT AS ndv,
+             |    sum(floor(nv * 1000)::BIGINT)::BIGINT AS sv,
+             |    count(nv)::BIGINT AS nn
+             |  FROM melted GROUP BY 1, 2)
+             |SELECT p1."column", p1.n AS n_1, p2.n AS n_2,
+             |  (p1.n_null * 1000000 // p1.n)::BIGINT AS null_ppm_1,
+             |  (p2.n_null * 1000000 // p2.n)::BIGINT AS null_ppm_2,
+             |  p1.ndv AS ndv_1, p2.ndv AS ndv_2,
+             |  ((p2.ndv - p1.ndv) * 1000000 // p1.ndv)::BIGINT AS ndv_drift_ppm,
+             |  round(p1.sv::DOUBLE / (p1.nn::DOUBLE * 1000.0), 6) AS mean_1,
+             |  round(p2.sv::DOUBLE / (p2.nn::DOUBLE * 1000.0), 6) AS mean_2
+             |FROM prof p1 JOIN prof p2
+             |  ON p1."column" = p2."column" AND p1.half = 1 AND p2.half = 2
+             |ORDER BY p1."column"""".stripMargin)),
+
+    // Rolling 7-day distinct users via MERGEABLE KMV sketches — the
+    // 100 TB twin of q_rolling_distinct_users' exact diff-array: each
+    // day keeps only its 64 smallest distinct 40-bit user hashes (a
+    // KMV sketch); a window's sketch is the union of 7 daily sketches
+    // re-trimmed to 64, and the estimate is the classic (k-1)/F(h_k).
+    // Only 64 rows per day cross the window join — state is BOUNDED
+    // by the calendar, never the user count — while the exact count
+    // rides along from the full per-day distinct set as the accuracy
+    // audit. Identical md5-derived hashes on both engines make even
+    // the sketch contents hash-comparable.
+    QueryDef("q_rolling_distinct_approx",
+      (s, d) => {
+        val h40 = pmod(conv(substring(md5(concat(lit("kmv:"),
+          col("user_id").cast("string"))), 1, 15), 16, 10).cast("long"),
+          lit(1099511627776L))
+        val dd = graft.sources.Tables.events(s, d)
+          .select(to_date(col("ts")).as("day"), h40.as("h"))
+          .distinct()
+        val wd = Window.partitionBy(col("day")).orderBy(col("h"))
+        val sketch = dd.withColumn("rk", row_number().over(wd))
+          .filter(col("rk") <= 64).select(col("day"), col("h"))
+        val offs = (0 to 6).map(o => lit(o))
+        val fan = explode(array(offs: _*)).as("off")
+        val su = sketch.select(col("day"), col("h"), fan)
+          .select(date_add(col("day"), col("off")).as("rd"), col("h"))
+          .distinct()
+        val wr = Window.partitionBy(col("rd")).orderBy(col("h"))
+        val est = su.withColumn("rk", row_number().over(wr))
+          .groupBy(col("rd"))
+          .agg(count(lit(1)).as("sketch_n"),
+            max(when(col("rk") === 64, col("h"))).as("h64"))
+          .withColumn("est", when(col("h64").isNull, col("sketch_n"))
+            .otherwise(expr("63 * 1099511627776 div h64")))
+        val exact = dd.select(col("day"), col("h"), fan)
+          .select(date_add(col("day"), col("off")).as("rd"), col("h"))
+          .groupBy(col("rd"))
+          .agg(count_distinct(col("h")).as("n_exact"))
+        est.join(exact, "rd")
+          .select(col("rd").cast("string").as("day"), col("n_exact"),
+            col("est"),
+            expr("(est - n_exact) * 1000000 div n_exact").as("err_ppm"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH dd AS (SELECT DISTINCT ts::DATE AS day,
+             |    ((('0x'||substring(md5('kmv:'||user_id),1,15))::BIGINT
+             |      % 1099511627776 + 1099511627776) % 1099511627776) AS h
+             |  FROM events),
+             |sk AS (SELECT day, h FROM (
+             |    SELECT day, h, row_number() OVER (PARTITION BY day
+             |      ORDER BY h) AS rk FROM dd)
+             |  WHERE rk <= 64),
+             |su AS (SELECT DISTINCT sk.day + o.off AS rd, h
+             |  FROM sk, (SELECT unnest(range(7))::INT AS off) o),
+             |es AS (SELECT rd, count(*)::BIGINT AS sketch_n,
+             |    max(CASE WHEN rk = 64 THEN h END) AS h64
+             |  FROM (SELECT rd, h, row_number() OVER (PARTITION BY rd
+             |      ORDER BY h) AS rk FROM su)
+             |  GROUP BY 1),
+             |ex AS (SELECT dd.day + o.off AS rd,
+             |    count(DISTINCT h)::BIGINT AS n_exact
+             |  FROM dd, (SELECT unnest(range(7))::INT AS off) o
+             |  GROUP BY 1)
+             |SELECT es.rd::VARCHAR AS day, ex.n_exact,
+             |  (CASE WHEN h64 IS NULL THEN sketch_n
+             |    ELSE 63 * 1099511627776 // h64 END)::BIGINT AS est,
+             |  ((CASE WHEN h64 IS NULL THEN sketch_n
+             |    ELSE 63 * 1099511627776 // h64 END - n_exact) * 1000000
+             |    // n_exact)::BIGINT AS err_ppm
+             |FROM es JOIN ex USING (rd)
+             |ORDER BY day""".stripMargin))
   )
 }

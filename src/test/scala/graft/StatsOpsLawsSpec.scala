@@ -140,6 +140,47 @@ class StatsOpsLawsSpec extends GraftSpec {
     }
   }
 
+  test("q_rolling_distinct_approx: KMV estimate is exact below k, bounded error above") {
+    val rows = SparkEntry.queries("q_rolling_distinct_approx")(spark, sf01).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("n_exact"); val est = r.getAs[Long]("est")
+      if (exact < 64) assert(est == exact,
+        s"${r.get(0)}: sub-k window must be exact ($est vs $exact)")
+      // KMV with k=64 has relative std error ~1/sqrt(62) ≈ 12.7%; a
+      // 50% miss means the estimator (not the noise) is broken
+      else assert(math.abs(est - exact).toDouble / exact < 0.5,
+        s"${r.get(0)}: KMV est $est vs exact $exact")
+    }
+  }
+
+  test("pipe_curriculum_pacing: competence and unlocked counts are monotone to full corpus") {
+    val rows = SparkEntry.queries("pipe_curriculum_pacing")(spark, sf001).collect()
+    assert(rows.length == 10)
+    val n = spark.read.parquet(s"$sf001/documents.parquet").count()
+    rows.sliding(2).foreach { w =>
+      assert(w(0).getAs[Long]("competence_ppm") <= w(1).getAs[Long]("competence_ppm"))
+      assert(w(0).getAs[Long]("n_unlocked") <= w(1).getAs[Long]("n_unlocked"))
+    }
+    assert(rows.last.getAs[Long]("competence_ppm") == 1000000L)
+    assert(rows.last.getAs[Long]("n_unlocked") == n,
+      "step 10 must unlock the whole corpus")
+  }
+
+  test("feat_kfold_target_encode: out-of-fold counts exclude exactly the own fold") {
+    val rows = SparkEntry.queries("feat_kfold_target_encode")(spark, sf01).collect()
+    assert(rows.length == 25)
+    val tot = graft.sources.Tables.events(spark, sf01)
+      .groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (t, cs) =>
+      // each row's n_out = n_c - n_cf, so summing over the 5 folds
+      // gives 5·n_c - n_c = 4·n_c
+      assert(cs.map(_.getAs[Long]("n_out")).sum == 4 * tot(t),
+        s"$t: out-of-fold counts don't tile the category")
+    }
+  }
+
   test("q_ipf_raking: 8 iterations land the column margins, rows near-converged") {
     val rows = SparkEntry.queries("q_ipf_raking")(spark, sf01).collect()
     assert(rows.length == 35)
