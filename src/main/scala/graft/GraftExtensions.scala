@@ -93,5 +93,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_heavy_hitters", "Misra-Gries heavy hitters with k counters"),
       (es: Seq[Expression]) =>
         MisraGries(es.head, intArg(es(1), 16)).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("graft_gram"),
+      info("graft_gram",
+        "exact integer Gram accumulator: struct(n, sums, upper-tri products)"),
+      (es: Seq[Expression]) =>
+        GramMatrix(es.head, intArg(es(1), 64)).toAggregateExpression()))
   }
 }

@@ -7781,33 +7781,36 @@ object ExtQueries {
     // Linear CKA between the two embedding halves (Kornblith et al.
     // 2019) — the representation-similarity audit: how much of the
     // first 32 dims' structure do the last 32 re-encode? Linear CKA =
-    // ||Cov_XY||_F² / (||Cov_XX||_F·||Cov_YY||_F), computed entirely
-    // from the joinless 64×64 Gram digest (the emb_covariance shape at
-    // 64 dims: i≤j pairs generated PER ROW in the scan stage, 2080 per
-    // vector, collapsed by the map-side partial aggregate). Every
+    // ||Cov_XY||_F² / (||Cov_XX||_F·||Cov_YY||_F). The second moments
+    // come from the custom `GramMatrix` TypedImperativeAggregate: ONE
+    // 2080-long buffer per map partial (n + 64 sums + the upper-
+    // triangle products), merged by elementwise add — no per-row pair
+    // explode and no 2080-row-per-task digest through the exchange,
+    // the 100 TB shape for any second-moment statistic. Every
     // covariance entry is the exact integer n·Sij − Si·Sj; squares
     // accumulate as DECIMAL(38,0)/HUGEINT, and the three Frobenius
-    // norms meet one double sqrt at the very end.
+    // norms meet one double sqrt at the very end. The oracle computes
+    // the identical sums relationally.
     QueryDef("emb_cka_halves",
       (s, d) => {
         val zq = transform(col("embedding"),
           x => round(x.cast("double") * 1000, 0).cast("long"))
-        val pairs = flatten(transform(sequence(lit(0), lit(63)), i =>
-          transform(sequence(i, lit(63)), j =>
-            struct(i.cast("int").as("i"), j.cast("int").as("j"),
-              element_at(col("__zq"), (i + lit(1)).cast("int")).as("xq"),
-              element_at(col("__zq"), (j + lit(1)).cast("int")).as("yq")))))
         val dec = "decimal(38,0)"
-        s.read.parquet(s"$d/embeddings.parquet")
-          .select(zq.as("__zq"))
-          .select(explode(pairs).as("p"))
-          .select(col("p.i").as("i"), col("p.j").as("j"),
-            col("p.xq").as("xq"), col("p.yq").as("yq"))
-          .groupBy(col("i"), col("j"))
-          .agg(count(lit(1)).as("n"), sum(col("xq")).as("sx"),
-            sum(col("yq")).as("sy"), sum(col("xq") * col("yq")).as("sxy"))
-          .withColumn("e", (col("n") * col("sxy") - col("sx") * col("sy"))
-            .cast(dec))
+        val g = s.read.parquet(s"$d/embeddings.parquet")
+          .select(zq.as("__z"))
+          .agg(graft.functions.GramAggregate.gram(col("__z"), 64).as("g"))
+        // upper-triangle linear index → (i, j), the kernel's order
+        val spark2 = s
+        import spark2.implicits._
+        val ij = (for { i <- 0 until 64; j <- i until 64 } yield (i, j))
+          .zipWithIndex.map { case ((i, j), idx) => (idx, i, j) }
+          .toDF("idx", "i", "j")
+        g.select(col("g.n").as("n"), col("g.s").as("s"),
+            posexplode(col("g.p")).as(Seq("idx", "pv")))
+          .join(broadcast(ij), "idx")
+          .withColumn("e", (col("n") * col("pv") -
+            element_at(col("s"), col("i") + lit(1)) *
+              element_at(col("s"), col("j") + lit(1))).cast(dec))
           // off-diagonal entries of the symmetric XX/YY blocks count
           // twice in the Frobenius norm; the XY block (i<32≤j) is a
           // full rectangular matrix stored once, weight 1
