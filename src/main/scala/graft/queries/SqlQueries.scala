@@ -6090,17 +6090,31 @@ object SqlQueries {
           .agg(count(lit(1)).as("c"))
         val rowTot = trans.groupBy(col("i").as("ri"))
           .agg(sum(col("c")).as("rc"))
+        // the ppm matrix is |types|² = catalog-sized at ANY corpus
+        // scale, so like the attribution/Bradley-Terry/IPF fits it is
+        // collected and the 8 power steps run exactly on the driver —
+        // an 8-deep lazy DataFrame chain would re-plan (and partially
+        // re-execute) the facts-scale lag pass at every step
         val p = trans.join(rowTot, col("i") === col("ri"))
           .select(col("i"), col("j"),
             floor(col("c").cast("double") * lit(1000000.0) /
               col("rc").cast("double")).cast("long").as("p_ppm"))
-        var v = p.select(col("i").as("state")).distinct()
-          .withColumn("v", lit(200000L))
-        for (_ <- 1 to 8)
-          v = v.join(p, v("state") === p("i"))
-            .groupBy(col("j").as("state"))
-            .agg(expr("sum(v * p_ppm) div 1000000").as("v"))
-        v.orderBy(col("state"))
+          .collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        val states = p.map(_._1).distinct.sorted
+        var v: Map[String, Long] = states.map(_ -> 200000L).toMap
+        for (_ <- 1 to 8) {
+          val nv = scala.collection.mutable.Map.empty[String, Long]
+          // exact inner-join semantics: a transition row contributes
+          // (and creates its target key) only when its source is live
+          p.foreach { case (i, j, ppm) =>
+            v.get(i).foreach(vi => nv(j) = nv.getOrElse(j, 0L) + vi * ppm)
+          }
+          v = nv.view.mapValues(_ / 1000000L).toMap
+        }
+        val spark2 = s
+        import spark2.implicits._
+        v.toSeq.sortBy(_._1).toDF("state", "v")
       }
     }, {
       val steps = (1 to 8).map { k =>
