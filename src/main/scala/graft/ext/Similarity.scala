@@ -113,6 +113,70 @@ object Similarity extends Serializable {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
+  /** RP-tree partitioned ANN top-k (Dasgupta & Freund 2008's random-
+    * projection tree, the median-split special case): three md5-derived
+    * projection directions split the corpus into 8 MEDIAN-BALANCED
+    * leaves — level-wise exact medians via the ExactPercentile
+    * aggregate (never a global window over raw vectors; each level is
+    * one bounded-digest broadcast back) — and a query's candidates are
+    * its leaf's members, exact-cosine re-ranked. The balanced
+    * counterpart to lshTopK's random-signature buckets: leaf
+    * population is n/8 BY CONSTRUCTION, so candidate fan-out stays
+    * uniform under any data skew, the property LSH buckets lack.
+    * Plane tag namespace 901 keeps the directions disjoint from the
+    * LSH tables'. */
+  def rpTreeTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                 dim: Int = -1, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val d = if (dim > 0) dim else dimOf(corpus, vecCol)
+    val planes = hyperplanes(3, d, tableIdx = 901)
+    def proj(df: DataFrame, outId: String): DataFrame = {
+      val ps = planes.zipWithIndex.map { case (p, i) =>
+        VectorFunctions.vec_dot(spark, col(vecCol),
+          array(p.map(lit): _*)).as(s"__p$i") }
+      df.select(col(idCol).as(outId) +: ps.toSeq: _*)
+    }
+    def med(e: Column): Column =
+      element_at(graft.functions.ExactPercentile.percentiles(e, Seq(0.5)), 1)
+    def route(df: DataFrame, m1: DataFrame, m2: DataFrame,
+              m3: DataFrame): DataFrame =
+      df.crossJoin(broadcast(m1))
+        .withColumn("__b1", (col("__p0") <= col("__m1")).cast("int"))
+        .join(broadcast(m2), "__b1")
+        .withColumn("__b2", (col("__p1") <= col("__m2")).cast("int"))
+        .join(broadcast(m3), Seq("__b1", "__b2"))
+        .withColumn("__b3", (col("__p2") <= col("__m3")).cast("int"))
+        .withColumn("__leaf",
+          col("__b1") * 4 + col("__b2") * 2 + col("__b3"))
+    val cp = proj(corpus, "neighbor_id")
+    val m1 = cp.agg(med(col("__p0")).as("__m1"))
+    val l1 = cp.crossJoin(broadcast(m1))
+      .withColumn("__b1", (col("__p0") <= col("__m1")).cast("int"))
+    val m2 = l1.groupBy(col("__b1")).agg(med(col("__p1")).as("__m2"))
+    val l2 = l1.join(broadcast(m2), "__b1")
+      .withColumn("__b2", (col("__p1") <= col("__m2")).cast("int"))
+    val m3 = l2.groupBy(col("__b1"), col("__b2"))
+      .agg(med(col("__p2")).as("__m3"))
+    val leaves = route(cp, m1, m2, m3)
+      .select(col("neighbor_id"), col("__leaf"))
+    val qleaves = route(proj(queries, "query_id"), m1, m2, m3)
+      .select(col("query_id"), col("__leaf"))
+    val candidates = leaves.join(broadcast(qleaves), "__leaf")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id")
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val scored = candidates.join(cv, "neighbor_id")
+      .join(broadcast(qv), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cos(spark, col("__qv"), col("__cv")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
   /** IVF (inverted-file) ANN top-k: a deterministic k-means coarse
     * quantizer partitions the corpus into cells; each query probes its
     * `nProbe` nearest cells and exact-re-ranks only those vectors. The

@@ -8022,6 +8022,58 @@ object ExtQueries {
              |        / (g.gn - cf.n_cf)::DOUBLE)
              |    / ((c.n_c - cf.n_cf)::DOUBLE + 100.0) / 100.0, 6) AS enc
              |FROM cf JOIN c USING (event_type), g
-             |ORDER BY cf.event_type, cf.fold""".stripMargin))
+             |ORDER BY cf.event_type, cf.fold""".stripMargin)),
+
+    // RP-tree ANN top-k (Dasgupta & Freund 2008, median splits) — the
+    // BALANCED space partitioner next to LSH's random buckets and
+    // IVF's learned cells: 3 md5-derived projections, level-wise exact
+    // medians (ExactPercentile aggregates + bounded-digest broadcasts,
+    // never a global window), 8 equal-population leaves, same-leaf
+    // candidates re-ranked with exact cosine. Every projection,
+    // median, comparison and rank replays in SQL, so candidate sets —
+    // not just answers — hash-match.
+    QueryDef("sim_topk_rptree",
+      (s, d) => {
+        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        Similarity.rpTreeTopK(emb, emb.filter(col("vec_id") < 10), 5,
+          dim = dimOf(s, d))
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            round(col("sim"), 6).as("sim"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |pl AS (SELECT pp.i AS p, list_transform(range(0, 64), j ->
+             |    ((('0x'||substring(md5('rp:901:'||pp.i||':'||j),1,15))::BIGINT
+             |      % 2000001) - 1000000) / 1000000.0) AS pv
+             |  FROM range(0, 3) pp(i)),
+             |prj AS (SELECT t.vec_id,
+             |    max(CASE WHEN pl.p = 0 THEN list_dot_product(t.v, pl.pv) END) AS p0,
+             |    max(CASE WHEN pl.p = 1 THEN list_dot_product(t.v, pl.pv) END) AS p1,
+             |    max(CASE WHEN pl.p = 2 THEN list_dot_product(t.v, pl.pv) END) AS p2
+             |  FROM t, pl GROUP BY 1),
+             |m1 AS (SELECT quantile_cont(p0, 0.5) AS m1 FROM prj),
+             |l1 AS (SELECT prj.*, CASE WHEN p0 <= m1 THEN 1 ELSE 0 END AS b1
+             |  FROM prj, m1),
+             |m2 AS (SELECT b1, quantile_cont(p1, 0.5) AS m2 FROM l1 GROUP BY 1),
+             |l2 AS (SELECT l1.*, CASE WHEN p1 <= m2 THEN 1 ELSE 0 END AS b2
+             |  FROM l1 JOIN m2 USING (b1)),
+             |m3 AS (SELECT b1, b2, quantile_cont(p2, 0.5) AS m3
+             |  FROM l2 GROUP BY 1, 2),
+             |l3 AS (SELECT l2.vec_id, b1 * 4 + b2 * 2
+             |    + CASE WHEN p2 <= m3 THEN 1 ELSE 0 END AS leaf
+             |  FROM l2 JOIN m3 USING (b1, b2)),
+             |cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+             |  FROM l3 q JOIN l3 c ON c.leaf = q.leaf AND c.vec_id != q.vec_id
+             |  WHERE q.vec_id < 10),
+             |sc AS (SELECT cand.query_id, cand.neighbor_id,
+             |    list_cosine_similarity(a.v, b.v) AS sim
+             |  FROM cand JOIN t a ON a.vec_id = cand.query_id
+             |    JOIN t b ON b.vec_id = cand.neighbor_id),
+             |r AS (SELECT query_id, neighbor_id, sim,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY sim DESC, neighbor_id) AS rank
+             |  FROM sc)
+             |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
+             |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
   )
 }

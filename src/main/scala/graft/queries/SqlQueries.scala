@@ -10534,6 +10534,74 @@ object SqlQueries {
              |  round((rss_r - rss_f) / rss_r, 6) AS r2_gain
              |FROM rr ORDER BY direction""".stripMargin)),
 
+    // Wald's sequential probability ratio test (SPRT, 1945) — the
+    // always-valid alternative to the fixed-horizon z-test family:
+    // is the daily purchase share p1 = 0.21 (H1) or p0 = 0.19 (H0)?
+    // Each day contributes c·ln(p1/p0) + (n−c)·ln((1−p1)/(1−p0)) to
+    // the log-likelihood ratio; the test stops the FIRST day the
+    // cumulative LLR crosses ln((1−β)/α) or ln(β/(1−α)) (α=β=0.05).
+    // The per-event log constants are pre-computed micro-unit INTEGERS
+    // inlined into both engines (no cross-engine ln), so the whole
+    // trajectory is an exact integer cumsum over the daily digest —
+    // one aggregate plus a calendar-bounded window.
+    QueryDef("q_sprt_sequential", {
+      // ln(0.21/0.19)·1e6, ln(0.79/0.81)·1e6, ln(19)·1e6
+      val c1 = math.round(math.log(0.21 / 0.19) * 1e6)
+      val c0 = math.round(math.log(0.79 / 0.81) * 1e6)
+      val a = math.round(math.log(19.0) * 1e6)
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("c"))
+        val w = Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val cum = daily
+          .withColumn("llr", sum(col("c") * lit(c1) +
+            (col("n") - col("c")) * lit(c0)).over(w))
+        cum.agg(count(lit(1)).as("n_days"),
+            max(col("llr")).as("max_llr_micro"),
+            min(col("llr")).as("min_llr_micro"),
+            min(when(col("llr") >= a, col("day"))).as("h1d"),
+            min(when(col("llr") <= -a, col("day"))).as("h0d"))
+          .select(col("n_days"), col("max_llr_micro"), col("min_llr_micro"),
+            coalesce(col("h1d").cast("string"), lit("none")).as("h1_day"),
+            coalesce(col("h0d").cast("string"), lit("none")).as("h0_day"),
+            when(col("h1d").isNotNull &&
+              (col("h0d").isNull || col("h1d") <= col("h0d")), lit("accept_h1"))
+              .when(col("h0d").isNotNull, lit("accept_h0"))
+              .otherwise(lit("continue")).as("decision"))
+      }
+    }, {
+      val c1 = math.round(math.log(0.21 / 0.19) * 1e6)
+      val c0 = math.round(math.log(0.79 / 0.81) * 1e6)
+      val a = math.round(math.log(19.0) * 1e6)
+      Some(s"""WITH daily AS (SELECT ts::DATE AS day, count(*)::BIGINT AS n,
+             |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS c
+             |  FROM events GROUP BY 1),
+             |cum AS (SELECT day,
+             |    sum(c * $c1 + (n - c) * $c0) OVER (ORDER BY day
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS llr
+             |  FROM daily)
+             |SELECT count(*)::BIGINT AS n_days,
+             |  max(llr)::BIGINT AS max_llr_micro,
+             |  min(llr)::BIGINT AS min_llr_micro,
+             |  coalesce(min(CASE WHEN llr >= $a THEN day END)::VARCHAR, 'none')
+             |    AS h1_day,
+             |  coalesce(min(CASE WHEN llr <= -$a THEN day END)::VARCHAR, 'none')
+             |    AS h0_day,
+             |  CASE WHEN min(CASE WHEN llr >= $a THEN day END) IS NOT NULL
+             |      AND (min(CASE WHEN llr <= -$a THEN day END) IS NULL
+             |        OR min(CASE WHEN llr >= $a THEN day END)
+             |          <= min(CASE WHEN llr <= -$a THEN day END))
+             |    THEN 'accept_h1'
+             |    WHEN min(CASE WHEN llr <= -$a THEN day END) IS NOT NULL
+             |    THEN 'accept_h0'
+             |    ELSE 'continue' END AS decision
+             |FROM cum""".stripMargin)
+    }),
+
     // Column-profile drift report — the schema-level data-quality diff
     // (per-feature distribution drift is q_psi_stability; this is the
     // profiler's view): for each informative events column (type,

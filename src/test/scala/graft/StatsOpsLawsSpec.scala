@@ -181,6 +181,32 @@ class StatsOpsLawsSpec extends GraftSpec {
     }
   }
 
+  test("sim_topk_rptree: well-formed per-query rankings, deterministic across runs") {
+    val q = SparkEntry.queries("sim_topk_rptree")
+    val a = q(spark, sf001).collect()
+    assert(a.nonEmpty)
+    a.groupBy(_.getAs[Long]("query_id")).foreach { case (qid, rs) =>
+      val ranks = rs.map(_.getAs[Int]("rank")).sorted.toSeq
+      assert(ranks == (1 to ranks.length), s"query $qid: ranks not contiguous")
+      val sims = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("sim"))
+      sims.sliding(2).foreach(w => if (w.length == 2) assert(w(0) >= w(1)))
+    }
+    val b = q(spark, sf001).collect()
+    assert(a.map(_.toString).toSeq == b.toSeq.map(_.toString),
+      "median-split routing must be exactly reproducible")
+  }
+
+  test("q_sprt_sequential: decision agrees with the crossing days") {
+    val r = SparkEntry.queries("q_sprt_sequential")(spark, sf01).collect()(0)
+    assert(r.getAs[Long]("max_llr_micro") >= r.getAs[Long]("min_llr_micro"))
+    val (h1, h0) = (r.getAs[String]("h1_day"), r.getAs[String]("h0_day"))
+    val dec = r.getAs[String]("decision")
+    if (dec == "continue") assert(h1 == "none" && h0 == "none")
+    if (dec == "accept_h1") assert(h1 != "none")
+    if (dec == "accept_h0") assert(h0 != "none" &&
+      (h1 == "none" || h0 < h1))
+  }
+
   test("q_ipf_raking: 8 iterations land the column margins, rows near-converged") {
     val rows = SparkEntry.queries("q_ipf_raking")(spark, sf01).collect()
     assert(rows.length == 35)
