@@ -76,7 +76,19 @@ object ScaleBench {
     "text_kneser_ney",
     // two-stage binary retrieval: the Hamming scan grows linearly,
     // the rerank stays 32-vectors-per-query whatever the corpus
-    "sim_topk_binary")
+    "sim_topk_binary",
+    // LTTB: the bucket digest is calendar-bounded; only the per-bucket
+    // argmax scan grows with density
+    "q_lttb_downsample",
+    // KMV rolling distinct: the sketch union is BOUNDED (64/day·7) —
+    // 10× users must cost ~the per-day distinct pass, never the union
+    "q_rolling_distinct_approx",
+    // RP-tree: medians are aggregates, leaves are n/8 — candidate
+    // rerank grows linearly with the corpus, balanced by construction
+    "sim_topk_rptree",
+    // Gram-aggregate CKA: ONE fixed-size buffer per partial — CPU must
+    // grow ~linearly, shuffle bytes must not grow at all
+    "emb_cka_halves")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -128,14 +140,19 @@ object ScaleBench {
     // per (session, dir), so a min-of-N would time a cache read from
     // trial 2 on — the first trial is the honest cost at each scale
     def timeOnce(name: String, dir: String): (Double, Double) = {
+      // settle any in-flight events (warm-up, artifact builds) before
+      // snapshotting, so the delta is exactly this query's tasks
+      org.apache.spark.GraftListenerDrain.drain(spark.sparkContext)
       val t0 = System.nanoTime()
       val c0 = cpuNs.get()
       SparkEntry.queries(name)(spark, dir)
         .write.mode("overwrite").format("noop").save()
       val wall = (System.nanoTime() - t0) / 1e9
-      // listener events drain asynchronously; give stragglers a beat
-      // so the per-query CPU delta isn't attributed to the next query
-      Thread.sleep(150)
+      // drain the listener bus COMPLETELY before reading the counter:
+      // a fixed sleep leaks short queries' tail TaskEnd events into
+      // the next query's delta, systematically inflating the cpu_ratio
+      // of every sub-second 1x run
+      org.apache.spark.GraftListenerDrain.drain(spark.sparkContext)
       (wall, (cpuNs.get() - c0) / 1e9)
     }
 

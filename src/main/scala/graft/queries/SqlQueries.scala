@@ -10601,6 +10601,101 @@ object SqlQueries {
              |    ELSE 'continue' END AS decision
              |FROM cum""".stripMargin)
     }),
+    // Theta/KMV sketch SET ALGEBRA (Dasgupta et al. 2016's theta
+    // sketch framework in its KMV special case) — the sketch-scale
+    // answer to "how many users did BOTH click and purchase": each
+    // arm keeps its 256 smallest 40-bit user hashes; the union
+    // estimate comes from the merged-and-trimmed sketch, and the
+    // intersection by inclusion-exclusion, clamped at 0. Exact counts
+    // ride along as the accuracy audit. Sketch state is O(k) per arm
+    // at ANY user count; every hash is md5-derived and replayed in
+    // SQL, so the sketches themselves are engine-identical.
+    QueryDef("q_kmv_setops",
+      (s, d) => {
+        val h40 = pmod(conv(substring(md5(concat(lit("kmv:"),
+          col("user_id").cast("string"))), 1, 15), 16, 10).cast("long"),
+          lit(1099511627776L))
+        val ev = graft.sources.Tables.events(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("event_type").as("arm"), h40.as("h")).distinct()
+        val wa = Window.partitionBy(col("arm")).orderBy(col("h"))
+        val sk = ev.withColumn("rk", row_number().over(wa))
+          .filter(col("rk") <= 256)
+        def estOf(df: org.apache.spark.sql.DataFrame, label: String) =
+          df.agg(count(lit(1)).as("n"),
+            max(when(col("rk") === 256, col("h"))).as("hk"))
+            .select(lit(label).as("set_op"),
+              when(col("hk").isNull, col("n"))
+                .otherwise(expr("255 * 1099511627776 div hk")).as("est"))
+        val wu = Window.orderBy(col("h"))
+        val un = sk.select(col("h")).distinct()
+          .withColumn("rk", row_number().over(wu)).filter(col("rk") <= 256)
+        val ea = estOf(sk.filter(col("arm") === "click"), "click")
+        val eb = estOf(sk.filter(col("arm") === "purchase"), "purchase")
+        val eu = estOf(un, "union")
+        val exact = ev.groupBy().agg(
+          count_distinct(when(col("arm") === "click", col("h"))).as("xa"),
+          count_distinct(when(col("arm") === "purchase", col("h"))).as("xb"),
+          count_distinct(col("h")).as("xu"))
+        val ests = ea.unionAll(eb).unionAll(eu)
+          .groupBy().pivot("set_op", Seq("click", "purchase", "union"))
+          .agg(first(col("est")))
+        ests.crossJoin(exact)
+          .select(col("click").as("est_click"),
+            col("purchase").as("est_purchase"),
+            col("union").as("est_union"),
+            greatest(col("click") + col("purchase") - col("union"), lit(0L))
+              .as("est_intersect"),
+            col("xa").as("exact_click"), col("xb").as("exact_purchase"),
+            col("xu").as("exact_union"),
+            (col("xa") + col("xb") - col("xu")).as("exact_intersect"))
+      },
+      Some("""WITH ev AS (SELECT DISTINCT event_type AS arm,
+             |    ((('0x'||substring(md5('kmv:'||user_id),1,15))::BIGINT
+             |      % 1099511627776 + 1099511627776) % 1099511627776) AS h
+             |  FROM events WHERE event_type IN ('click', 'purchase')),
+             |sk AS (SELECT arm, h FROM (
+             |    SELECT arm, h, row_number() OVER (PARTITION BY arm
+             |      ORDER BY h) AS rk FROM ev)
+             |  WHERE rk <= 256),
+             |un AS (SELECT h FROM (
+             |    SELECT h, row_number() OVER (ORDER BY h) AS rk
+             |    FROM (SELECT DISTINCT h FROM sk))
+             |  WHERE rk <= 256),
+             |est AS (
+             |  SELECT 'click' AS set_op, count(*)::BIGINT AS n,
+             |    max(CASE WHEN rk = 256 THEN h END) AS hk
+             |  FROM (SELECT h, row_number() OVER (ORDER BY h) AS rk
+             |    FROM sk WHERE arm = 'click')
+             |  UNION ALL
+             |  SELECT 'purchase', count(*)::BIGINT,
+             |    max(CASE WHEN rk = 256 THEN h END)
+             |  FROM (SELECT h, row_number() OVER (ORDER BY h) AS rk
+             |    FROM sk WHERE arm = 'purchase')
+             |  UNION ALL
+             |  SELECT 'union', count(*)::BIGINT,
+             |    max(CASE WHEN rk = 256 THEN h END)
+             |  FROM (SELECT h, row_number() OVER (ORDER BY h) AS rk FROM un)),
+             |ee AS (SELECT set_op,
+             |    (CASE WHEN hk IS NULL THEN n
+             |      ELSE 255 * 1099511627776 // hk END)::BIGINT AS est
+             |  FROM est),
+             |px AS (SELECT
+             |    max(CASE WHEN set_op = 'click' THEN est END) AS est_click,
+             |    max(CASE WHEN set_op = 'purchase' THEN est END) AS est_purchase,
+             |    max(CASE WHEN set_op = 'union' THEN est END) AS est_union
+             |  FROM ee),
+             |xt AS (SELECT
+             |    count(DISTINCT CASE WHEN arm = 'click' THEN h END)::BIGINT AS xa,
+             |    count(DISTINCT CASE WHEN arm = 'purchase' THEN h END)::BIGINT AS xb,
+             |    count(DISTINCT h)::BIGINT AS xu
+             |  FROM ev)
+             |SELECT est_click, est_purchase, est_union,
+             |  greatest(est_click + est_purchase - est_union, 0)::BIGINT
+             |    AS est_intersect,
+             |  xa AS exact_click, xb AS exact_purchase, xu AS exact_union,
+             |  (xa + xb - xu)::BIGINT AS exact_intersect
+             |FROM px, xt""".stripMargin)),
 
     // Column-profile drift report — the schema-level data-quality diff
     // (per-feature distribution drift is q_psi_stability; this is the

@@ -207,6 +207,33 @@ class StatsOpsLawsSpec extends GraftSpec {
       (h1 == "none" || h0 < h1))
   }
 
+  test("q_kmv_setops: sketch estimates bracket the exact set algebra") {
+    val r = SparkEntry.queries("q_kmv_setops")(spark, sf01).collect()(0)
+    // union upper/lower structure: est_union <= est_a + est_b, and the
+    // clamped intersection never goes negative
+    assert(r.getAs[Long]("est_union") <=
+      r.getAs[Long]("est_click") + r.getAs[Long]("est_purchase"))
+    assert(r.getAs[Long]("est_intersect") >= 0L)
+    // k=256 KMV: ~6% rse; 35% is the broken-estimator bar
+    Seq(("est_click", "exact_click"), ("est_purchase", "exact_purchase"),
+      ("est_union", "exact_union")).foreach { case (e, x) =>
+      val est = r.getAs[Long](e); val exact = r.getAs[Long](x)
+      assert(math.abs(est - exact).toDouble / exact < 0.35,
+        s"$e=$est vs $x=$exact")
+    }
+  }
+
+  test("corpus_lognormal_fit: KS distance is a valid sup-norm in [0,1]") {
+    val r = SparkEntry.queries("corpus_lognormal_fit")(spark, sf01).collect()(0)
+    val ks = r.getAs[Double]("ks_stat")
+    assert(ks >= 0.0 && ks <= 1.0)
+    assert(r.getAs[Double]("sigma") > 0.0)
+    // documents lengths span ~50-550 chars → mu = E[ln len] must land
+    // inside ln(48)..ln(553)
+    val mu = r.getAs[Double]("mu")
+    assert(mu > math.log(40) && mu < math.log(600))
+  }
+
   test("q_ipf_raking: 8 iterations land the column margins, rows near-converged") {
     val rows = SparkEntry.queries("q_ipf_raking")(spark, sf01).collect()
     assert(rows.length == 35)
