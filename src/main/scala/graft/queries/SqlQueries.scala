@@ -10696,6 +10696,91 @@ object SqlQueries {
              |  xa AS exact_click, xb AS exact_purchase, xu AS exact_union,
              |  (xa + xb - xu)::BIGINT AS exact_intersect
              |FROM px, xt""".stripMargin)),
+    // Newman modularity of the LPA partition (Newman & Girvan 2004) —
+    // the quality score for q_label_propagation's communities:
+    // Q = Σ_c (e_c/m − (d_c/2m)²) over the co-purchase graph, where
+    // e_c counts intra-community edges and d_c sums community degrees.
+    // Labels come from the same 3 synchronous LPA rounds (identical
+    // tie rule) on the memoized edge artifact; all counts are exact
+    // integers, each community's term rounds once at 9 dp and the
+    // community sum accumulates as exact decimals, so Q is partition-
+    // order independent on both engines.
+    QueryDef("q_graph_modularity",
+      (s, d) => {
+        val e = s.read.parquet(copurchaseEdgesOf(s, d))
+        val eb = e.select(col("p1").as("src"), col("p2").as("dst"))
+          .unionAll(e.select(col("p2").as("src"), col("p1").as("dst")))
+        var lab = eb.select(col("src").as("node")).distinct()
+          .withColumn("lab", col("node"))
+        for (_ <- 1 to 3) {
+          val cnt = eb.join(lab, col("src") === col("node"))
+            .groupBy(col("dst").as("nd"), col("lab"))
+            .agg(count(lit(1)).as("cv"))
+          val win = Window.partitionBy(col("nd"))
+            .orderBy(col("cv").desc, col("lab"))
+          lab = cnt.withColumn("rn", row_number().over(win))
+            .filter(col("rn") === 1)
+            .select(col("nd").as("node"), col("lab"))
+        }
+        val mdf = e.agg(count(lit(1)).as("m"))
+        val la = lab.toDF("n1", "l1")
+        val lb = lab.toDF("n2", "l2")
+        val ec = e.join(la, col("p1") === col("n1"))
+          .join(lb, col("p2") === col("n2"))
+          .filter(col("l1") === col("l2"))
+          .groupBy(col("l1").as("comm")).agg(count(lit(1)).as("ec"))
+        val dc = eb.join(lab, col("src") === col("node"))
+          .groupBy(col("lab").as("comm")).agg(count(lit(1)).as("dc"))
+        val terms = dc.join(ec, Seq("comm"), "left")
+          .withColumn("ec", coalesce(col("ec"), lit(0L)))
+          .crossJoin(broadcast(mdf))
+          .select(round(col("ec").cast("double") / col("m") -
+            (col("dc").cast("double") * col("dc").cast("double")) /
+              (lit(4.0) * col("m").cast("double") * col("m").cast("double")),
+            9).cast("decimal(20,9)").as("t"))
+        terms.agg(count(lit(1)).as("n_communities"),
+            sum(col("t")).cast("double").as("q0"))
+          .crossJoin(broadcast(mdf))
+          .select(col("m").as("n_edges"), col("n_communities"),
+            round(col("q0"), 6).as("q_modularity"))
+      },
+      Some("""WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+             |  FROM pp a JOIN pp b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |eb AS (SELECT p1 AS src, p2 AS dst FROM e
+             |  UNION ALL SELECT p2, p1 FROM e),
+             |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM eb),
+             |c1 AS (SELECT eb.dst AS nd, l0.lab, count(*) AS cv
+             |  FROM eb JOIN l0 ON eb.src = l0.node GROUP BY 1, 2),
+             |l1 AS (SELECT nd AS node, lab FROM (SELECT nd, lab,
+             |    row_number() OVER (PARTITION BY nd ORDER BY cv DESC, lab) AS rn
+             |  FROM c1) WHERE rn = 1),
+             |c2 AS (SELECT eb.dst AS nd, l1.lab, count(*) AS cv
+             |  FROM eb JOIN l1 ON eb.src = l1.node GROUP BY 1, 2),
+             |l2 AS (SELECT nd AS node, lab FROM (SELECT nd, lab,
+             |    row_number() OVER (PARTITION BY nd ORDER BY cv DESC, lab) AS rn
+             |  FROM c2) WHERE rn = 1),
+             |c3 AS (SELECT eb.dst AS nd, l2.lab, count(*) AS cv
+             |  FROM eb JOIN l2 ON eb.src = l2.node GROUP BY 1, 2),
+             |l3 AS (SELECT nd AS node, lab FROM (SELECT nd, lab,
+             |    row_number() OVER (PARTITION BY nd ORDER BY cv DESC, lab) AS rn
+             |  FROM c3) WHERE rn = 1),
+             |mm AS (SELECT count(*)::BIGINT AS m FROM e),
+             |ec AS (SELECT la.lab AS comm, count(*)::BIGINT AS ec
+             |  FROM e JOIN l3 la ON la.node = e.p1
+             |    JOIN l3 lb ON lb.node = e.p2
+             |  WHERE la.lab = lb.lab GROUP BY 1),
+             |dc AS (SELECT l3.lab AS comm, count(*)::BIGINT AS dc
+             |  FROM eb JOIN l3 ON l3.node = eb.src GROUP BY 1),
+             |terms AS (SELECT round(coalesce(ec.ec, 0)::DOUBLE / mm.m
+             |    - (dc.dc::DOUBLE * dc.dc::DOUBLE)
+             |      / (4.0 * mm.m::DOUBLE * mm.m::DOUBLE), 9)::DECIMAL(20,9) AS t
+             |  FROM dc LEFT JOIN ec USING (comm), mm)
+             |SELECT mm.m AS n_edges, count(*)::BIGINT AS n_communities,
+             |  round(sum(t)::DOUBLE, 6) AS q_modularity
+             |FROM terms, mm GROUP BY 1""".stripMargin)),
 
     // Column-profile drift report — the schema-level data-quality diff
     // (per-feature distribution drift is q_psi_stability; this is the
