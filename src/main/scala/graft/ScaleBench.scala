@@ -130,12 +130,20 @@ object ScaleBench {
     // per scale so artifact SCALING stays visible.
     def buildArtifacts(dir: String): Double = {
       val t0 = System.nanoTime()
-      try {
-        graft.sources.Bucketing.ensureOrderBucketed(spark, dir)
-        graft.queries.ExtQueries.prewarmArtifacts(spark, dir)
-        graft.queries.SqlQueries.prewarmArtifacts(spark, dir)
-      } catch { case e: Throwable =>
-        System.err.println(s"[scale] artifact build '$dir' failed: ${e.getMessage}")
+      // per-artifact try: the scaled dir holds only events/documents/
+      // embeddings, so the TPC-H-table artifacts (bucketed orders,
+      // lineitem MVs) fail there — that must not abort the builds the
+      // swept queries actually need (quantizers, RP thresholds, truth
+      // set), or their cost lands back on first query touch
+      Seq[(String, () => Unit)](
+        "bucketed-orders" -> (() => graft.sources.Bucketing.ensureOrderBucketed(spark, dir)),
+        "ext-artifacts" -> (() => graft.queries.ExtQueries.prewarmArtifacts(spark, dir)),
+        "sql-artifacts" -> (() => graft.queries.SqlQueries.prewarmArtifacts(spark, dir))
+      ).foreach { case (label, build) =>
+        try build()
+        catch { case e: Throwable =>
+          System.err.println(s"[scale] artifact '$label' at '$dir' failed: ${e.getMessage}")
+        }
       }
       (System.nanoTime() - t0) / 1e9
     }

@@ -234,6 +234,24 @@ class StatsOpsLawsSpec extends GraftSpec {
     assert(mu > math.log(40) && mu < math.log(600))
   }
 
+  test("text_burrows_delta: a proper distance over all source pairs") {
+    val rows = SparkEntry.queries("text_burrows_delta")(spark, sf01).collect()
+    // 20 sources -> 190 unordered pairs
+    assert(rows.length == 190)
+    rows.foreach { r =>
+      assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"))
+      assert(r.getAs[Double]("delta") >= 0.0)
+      assert(r.getAs[Long]("n_terms") <= 30L)
+    }
+  }
+
+  test("q_graph_modularity: Q within Newman bounds and terms account every degree") {
+    val r = SparkEntry.queries("q_graph_modularity")(spark, sf01).collect()(0)
+    val q = r.getAs[Double]("q_modularity")
+    assert(q >= -0.5 && q <= 1.0, s"modularity $q outside [-0.5, 1]")
+    assert(r.getAs[Long]("n_edges") > 0 && r.getAs[Long]("n_communities") > 0)
+  }
+
   test("q_ipf_raking: 8 iterations land the column margins, rows near-converged") {
     val rows = SparkEntry.queries("q_ipf_raking")(spark, sf01).collect()
     assert(rows.length == 35)
