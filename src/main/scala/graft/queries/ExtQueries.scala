@@ -8164,6 +8164,57 @@ object ExtQueries {
              |FROM z a JOIN z b ON a.term = b.term AND a.source < b.source
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Code-document detection — the corpus-curation filter that routes
+    // source code away from prose pipelines (and vice versa): exact
+    // integer counts of structural characters (braces/brackets/parens,
+    // semicolons, assignment), the non-alphanumeric symbol rate, and
+    // an integer-threshold verdict (brace or semicolon density ≥ 0.5%
+    // of chars, or symbol mass ≥ 25%) — no float thresholds, so the
+    // gate is bit-deterministic like pipe_quality_gate. Pure per-row
+    // projection work; counting is length-difference over literal
+    // replaces, identical on both engines.
+    QueryDef("text_code_detect",
+      (s, d) => {
+        def cnt(ch: String) =
+          (length(col("text")) - length(regexp_replace(col("text"),
+            java.util.regex.Pattern.quote(ch), ""))).cast("long")
+        val braces = Seq("{", "}", "(", ")", "[", "]").map(cnt).reduce(_ + _)
+        s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"), col("text"), col("n_chars"))
+          .withColumn("n_brace", braces)
+          .withColumn("n_semi", cnt(";"))
+          .withColumn("n_assign", cnt("="))
+          .withColumn("sym_ppm",
+            (length(regexp_replace(lower(col("text")), "[a-z0-9 ]", ""))
+              .cast("long") * 1000000L / col("n_chars")).cast("long"))
+          .withColumn("is_code",
+            col("n_brace") * 1000 >= col("n_chars") * 5 ||
+              col("n_semi") * 1000 >= col("n_chars") * 5 ||
+              col("sym_ppm") >= 250000L)
+          .select(col("doc_id"), col("n_chars"), col("n_brace"),
+            col("n_semi"), col("n_assign"), col("sym_ppm"), col("is_code"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH f AS (SELECT doc_id, n_chars,
+             |    (length(text) - length(replace(text, '{', ''))
+             |     + length(text) - length(replace(text, '}', ''))
+             |     + length(text) - length(replace(text, '(', ''))
+             |     + length(text) - length(replace(text, ')', ''))
+             |     + length(text) - length(replace(text, '[', ''))
+             |     + length(text) - length(replace(text, ']', '')))::BIGINT
+             |      AS n_brace,
+             |    (length(text) - length(replace(text, ';', '')))::BIGINT
+             |      AS n_semi,
+             |    (length(text) - length(replace(text, '=', '')))::BIGINT
+             |      AS n_assign,
+             |    (length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+             |      * 1000000 // n_chars)::BIGINT AS sym_ppm
+             |  FROM documents)
+             |SELECT doc_id, n_chars, n_brace, n_semi, n_assign, sym_ppm,
+             |  (n_brace * 1000 >= n_chars * 5 OR n_semi * 1000 >= n_chars * 5
+             |    OR sym_ppm >= 250000) AS is_code
+             |FROM f ORDER BY doc_id""".stripMargin)),
+
     // Log-normal fit of the document-length distribution (the
     // heavy-tail shape web corpora actually have) with a KS
     // goodness-of-fit distance: method-of-moments on ln(len) — the

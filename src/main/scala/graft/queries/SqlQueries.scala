@@ -10782,6 +10782,151 @@ object SqlQueries {
              |  round(sum(t)::DOUBLE, 6) AS q_modularity
              |FROM terms, mm GROUP BY 1""".stripMargin)),
 
+    // O'Brien-Fleming group-sequential monitoring (1979) — the
+    // interim-analysis discipline SPRT's fully-sequential test
+    // complements: the experiment timeline splits into 5 equal
+    // calendar looks; at look k the cumulative two-sample z (purchase
+    // value, arms by user parity) is compared against the OBF
+    // boundary 2.0403·sqrt(5/k) — wide early, nominal late, overall
+    // α≈0.05 — so early peeks can't burn the error budget. Boundaries
+    // are inlined constants; the z at each look is closed-form on
+    // CUMULATIVE exact milli sums (one window over the 5-row look
+    // digest); one facts pass total.
+    QueryDef("q_group_sequential", {
+      val bounds = (1 to 5).map(k =>
+        BigDecimal(2.0403 * math.sqrt(5.0 / k))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select((col("user_id") % 2 === 0).as("arm_a"),
+            expr("unix_micros(ts) div 1000000").as("x"),
+            floor(col("value") * 1000).cast("long").as("vm"))
+        val span = ev.agg(min(col("x")).as("t0"), max(col("x")).as("t1"))
+        val looks = ev.crossJoin(broadcast(span))
+          .withColumn("lk",
+            least(expr("(x - t0) * 5 div (t1 - t0 + 1)"), lit(4L)) + 1)
+          .groupBy(col("lk"))
+          .agg(
+            sum(when(col("arm_a"), 1L).otherwise(0L)).as("na"),
+            sum(when(col("arm_a"), col("vm")).otherwise(0L)).as("sa"),
+            sum(when(col("arm_a"), col("vm") * col("vm")).otherwise(0L)).as("qa"),
+            sum(when(!col("arm_a"), 1L).otherwise(0L)).as("nb"),
+            sum(when(!col("arm_a"), col("vm")).otherwise(0L)).as("sb"),
+            sum(when(!col("arm_a"), col("vm") * col("vm")).otherwise(0L)).as("qb"))
+        val wc = Window.orderBy(col("lk"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val cum = looks
+          .withColumn("cna", sum(col("na")).over(wc))
+          .withColumn("csa", sum(col("sa")).over(wc))
+          .withColumn("cqa", sum(col("qa")).over(wc))
+          .withColumn("cnb", sum(col("nb")).over(wc))
+          .withColumn("csb", sum(col("sb")).over(wc))
+          .withColumn("cqb", sum(col("qb")).over(wc))
+        def m(sc: String, nc: String) =
+          col(sc).cast("double") / col(nc).cast("double")
+        def v(qc: String, sc: String, nc: String) =
+          (col(qc).cast("double") -
+            col(sc).cast("double") * col(sc).cast("double") /
+              col(nc).cast("double")) / (col(nc).cast("double") - 1.0)
+        val bCase = bounds.zipWithIndex.reverse.foldLeft(lit(0.0)) {
+          case (acc, (b, i)) => when(col("lk") === (i + 1), lit(b)).otherwise(acc)
+        }
+        cum.withColumn("z", round(
+            (m("csa", "cna") - m("csb", "cnb")) /
+              sqrt(v("cqa", "csa", "cna") / col("cna").cast("double") +
+                v("cqb", "csb", "cnb") / col("cnb").cast("double")), 6))
+          .withColumn("boundary", bCase)
+          .select(col("lk").as("look"), col("cna").as("n_a"),
+            col("cnb").as("n_b"), col("z"), col("boundary"),
+            (abs(col("z")) >= col("boundary")).as("crossed"))
+          .orderBy(col("look"))
+      }
+    }, {
+      val bounds = (1 to 5).map(k =>
+        BigDecimal(2.0403 * math.sqrt(5.0 / k))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      val bCase = bounds.zipWithIndex
+        .map { case (b, i) => s"WHEN lk = ${i + 1} THEN $b" }.mkString(" ")
+      Some(s"""WITH ev AS (SELECT user_id % 2 = 0 AS arm_a,
+             |    floor(epoch(ts))::BIGINT AS x,
+             |    floor(value * 1000)::BIGINT AS vm
+             |  FROM events WHERE event_type = 'purchase'),
+             |span AS (SELECT min(x) AS t0, max(x) AS t1 FROM ev),
+             |looks AS (SELECT least((x - t0) * 5 // (t1 - t0 + 1), 4) + 1 AS lk,
+             |    sum(CASE WHEN arm_a THEN 1 ELSE 0 END)::BIGINT AS na,
+             |    sum(CASE WHEN arm_a THEN vm ELSE 0 END)::BIGINT AS sa,
+             |    sum(CASE WHEN arm_a THEN vm * vm ELSE 0 END)::BIGINT AS qa,
+             |    sum(CASE WHEN NOT arm_a THEN 1 ELSE 0 END)::BIGINT AS nb,
+             |    sum(CASE WHEN NOT arm_a THEN vm ELSE 0 END)::BIGINT AS sb,
+             |    sum(CASE WHEN NOT arm_a THEN vm * vm ELSE 0 END)::BIGINT AS qb
+             |  FROM ev, span GROUP BY 1),
+             |cum AS (SELECT lk,
+             |    sum(na) OVER w AS cna, sum(sa) OVER w AS csa,
+             |    sum(qa) OVER w AS cqa, sum(nb) OVER w AS cnb,
+             |    sum(sb) OVER w AS csb, sum(qb) OVER w AS cqb
+             |  FROM looks WINDOW w AS (ORDER BY lk
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |zz AS (SELECT lk, cna, cnb,
+             |    round((csa::DOUBLE / cna::DOUBLE - csb::DOUBLE / cnb::DOUBLE)
+             |      / sqrt(((cqa::DOUBLE - csa::DOUBLE * csa::DOUBLE / cna::DOUBLE)
+             |            / (cna::DOUBLE - 1.0)) / cna::DOUBLE
+             |          + ((cqb::DOUBLE - csb::DOUBLE * csb::DOUBLE / cnb::DOUBLE)
+             |            / (cnb::DOUBLE - 1.0)) / cnb::DOUBLE), 6) AS z,
+             |    CASE $bCase ELSE 0.0 END AS boundary
+             |  FROM cum)
+             |SELECT lk AS look, cna AS n_a, cnb AS n_b, z, boundary,
+             |  (abs(z) >= boundary) AS crossed
+             |FROM zz ORDER BY look""".stripMargin)
+    }),
+
+    // Newsvendor critical-fractile stocking (Arrow-Harris-Marschak
+    // 1951) — the inventory question the demand digests feed: with
+    // underage cost 3 and overage cost 1, stock the 75th-percentile
+    // day (smallest s with F(s) ≥ 3/4, an order statistic on the
+    // daily-demand digest), and report the expected daily unmet /
+    // leftover units at that level via EXACT partial sums over the
+    // digest — the two tail expectations every stocking decision
+    // trades off. One facts pass; everything after is calendar-sized.
+    QueryDef("q_newsvendor_stock",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("dem"))
+        val wr = Window.orderBy(col("dem"), col("day"))
+        val nd = daily.agg(count(lit(1)).as("n"))
+        val stock = daily.crossJoin(broadcast(nd))
+          .withColumn("rk", row_number().over(wr))
+          .filter(col("rk") === expr("(3 * n + 3) div 4"))
+          .select(col("dem").as("stock"))
+        daily.crossJoin(broadcast(stock)).crossJoin(broadcast(nd))
+          .agg(max(col("n")).as("n_days"), max(col("stock")).as("stock"),
+            sum(greatest(col("dem") - col("stock"), lit(0L))).as("under_u"),
+            sum(greatest(col("stock") - col("dem"), lit(0L))).as("over_u"),
+            sum(when(col("dem") <= col("stock"), 1L).otherwise(0L))
+              .as("n_served"))
+          .select(col("n_days"), col("stock"),
+            expr("under_u * 1000 div n_days").as("exp_under_milli"),
+            expr("over_u * 1000 div n_days").as("exp_over_milli"),
+            expr("n_served * 1000000 div n_days").as("service_ppm"))
+      },
+      Some("""WITH daily AS (SELECT ts::DATE AS day, count(*)::BIGINT AS dem
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+             |nd AS (SELECT count(*)::BIGINT AS n FROM daily),
+             |st AS (SELECT dem AS stock FROM (
+             |    SELECT dem, row_number() OVER (ORDER BY dem, day) AS rk
+             |    FROM daily), nd
+             |  WHERE rk = (3 * n + 3) // 4)
+             |SELECT max(n)::BIGINT AS n_days, max(stock)::BIGINT AS stock,
+             |  (sum(greatest(dem - stock, 0)) * 1000 // max(n))::BIGINT
+             |    AS exp_under_milli,
+             |  (sum(greatest(stock - dem, 0)) * 1000 // max(n))::BIGINT
+             |    AS exp_over_milli,
+             |  (sum(CASE WHEN dem <= stock THEN 1 ELSE 0 END) * 1000000
+             |    // max(n))::BIGINT AS service_ppm
+             |FROM daily, st, nd""".stripMargin)),
+
     // Column-profile drift report — the schema-level data-quality diff
     // (per-feature distribution drift is q_psi_stability; this is the
     // profiler's view): for each informative events column (type,

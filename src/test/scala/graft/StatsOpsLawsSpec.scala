@@ -252,6 +252,44 @@ class StatsOpsLawsSpec extends GraftSpec {
     assert(r.getAs[Long]("n_edges") > 0 && r.getAs[Long]("n_communities") > 0)
   }
 
+  test("q_group_sequential: OBF boundaries are monotone-tightening and z well-formed") {
+    val rows = SparkEntry.queries("q_group_sequential")(spark, sf01).collect()
+    assert(rows.length == 5)
+    val bs = rows.sortBy(_.getAs[Long]("look")).map(_.getAs[Double]("boundary"))
+    bs.sliding(2).foreach(w => assert(w(0) > w(1), "boundaries must shrink"))
+    assert(math.abs(bs.last - 2.0403) < 1e-6)
+    rows.foreach { r =>
+      assert(!r.getAs[Double]("z").isNaN)
+      assert(r.getAs[Boolean]("crossed") ==
+        (math.abs(r.getAs[Double]("z")) >= r.getAs[Double]("boundary")))
+    }
+    // cumulative sample sizes must be nondecreasing across looks
+    val ns = rows.sortBy(_.getAs[Long]("look")).map(_.getAs[Long]("n_a"))
+    ns.sliding(2).foreach(w => assert(w(0) <= w(1)))
+  }
+
+  test("q_newsvendor_stock: the critical fractile actually covers >= 75% of days") {
+    val r = SparkEntry.queries("q_newsvendor_stock")(spark, sf01).collect()(0)
+    assert(r.getAs[Long]("service_ppm") >= 750000L,
+      "stocking at the 0.75 fractile must serve at least 75% of days")
+    assert(r.getAs[Long]("exp_under_milli") >= 0L)
+    assert(r.getAs[Long]("exp_over_milli") >= 0L)
+  }
+
+  test("text_code_detect: prose corpus yields sane symbol rates, verdict consistent") {
+    val rows = SparkEntry.queries("text_code_detect")(spark, sf001).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val ppm = r.getAs[Long]("sym_ppm")
+      assert(ppm >= 0L && ppm <= 1000000L)
+      val code = r.getAs[Boolean]("is_code")
+      val expect = r.getAs[Long]("n_brace") * 1000 >= r.getAs[Long]("n_chars") * 5 ||
+        r.getAs[Long]("n_semi") * 1000 >= r.getAs[Long]("n_chars") * 5 ||
+        ppm >= 250000L
+      assert(code == expect)
+    }
+  }
+
   test("q_ipf_raking: 8 iterations land the column margins, rows near-converged") {
     val rows = SparkEntry.queries("q_ipf_raking")(spark, sf01).collect()
     assert(rows.length == 35)
