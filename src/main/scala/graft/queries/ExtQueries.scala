@@ -2847,6 +2847,29 @@ object ExtQueries {
               |  sum(('0x'||substring(md5(doc_id::VARCHAR||'|'||text),1,15))::BIGINT % $P)::BIGINT AS content_sum
               |FROM documents""".stripMargin)),
 
+    // DSv2 AGGREGATE PUSHDOWN — the metadata-count property every
+    // serious table format has (parquet footers, Delta stats): a
+    // global COUNT(*) over the binary export answers from the
+    // manifest's per-shard row ledger through
+    // `SupportsPushDownAggregates`, opening ZERO shard files — over a
+    // petabyte export that is a 100-byte read. The plan-shape law
+    // (GraftSeqSourceSpec) asserts the metadata-only scan is actually
+    // chosen, and that filtered counts / legacy manifests correctly
+    // DECLINE back to the real scan; the oracle counts the original
+    // table, so a stale or wrong ledger hash-fails here.
+    QueryDef("io_count_pushdown",
+      (s, d) => {
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_gseq_${graft.io.FileSkipping.pathKey(d, "v1")}"
+        if (!new java.io.File(out).isDirectory ||
+            new java.io.File(out).listFiles().count(_.getName.endsWith(".gseq")) == 0 ||
+            !graft.sources.GraftSeqSource.hasManifestCounts(out))
+          graft.sources.GraftSeqSource.writeShards(
+            s.read.parquet(s"$d/documents.parquet"), out, nShards = 8)
+        graft.sources.GraftSeqSource.read(s, out)
+          .agg(count(lit(1)).as("n_docs"))
+      },
+      Some("SELECT count(*) AS n_docs FROM documents")),
+
     // The DSv2 table composing inside the PLANNER — the custom source
     // joined against a parquet table like any other relation (the
     // docs-to-embeddings id join), with the text column PRUNED out of

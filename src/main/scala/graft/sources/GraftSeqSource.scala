@@ -151,9 +151,11 @@ private class GraftSeqWriterFactory(path: String)
   */
 private class GraftSeqScanBuilder(path: String)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = GraftSeqSource.Schema
   private var idEquality: Option[Long] = None
+  private var countFromManifest: Option[Long] = None
   override def pruneColumns(requiredSchema: StructType): Unit =
     // streaming-source quirk: an empty schema (pure count) still needs
     // row objects; keep at least doc_id so the reader has a spine
@@ -169,8 +171,65 @@ private class GraftSeqScanBuilder(path: String)
     filters // all residual: pruning shrinks input, Spark keeps exactness
   }
   override def pushedFilters(): Array[Filter] = Array.empty
-  override def build(): Scan = new GraftSeqScan(path, required, idEquality)
+  /** COUNT(*) pushdown: a global ungrouped count answers from the
+    * manifest's per-shard row counts — ZERO shard bytes read, the
+    * 100 TB property (a count over a petabyte export reads a 100-byte
+    * ledger). Partial pushdown only (Spark still sums our output), and
+    * only when no filter was seen (Spark additionally refuses to push
+    * aggregates under unpushed filters) and the manifest actually
+    * carries counts — old manifests or hand-rolled dirs decline and
+    * take the normal scan. */
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    val isCountStar = agg.groupByExpressions().isEmpty &&
+      agg.aggregateExpressions().length == 1 &&
+      agg.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+    if (isCountStar && idEquality.isEmpty) {
+      countFromManifest =
+        GraftSeqSource.readManifestCounts(path).map(_.values.sum)
+      countFromManifest.isDefined
+    } else false
+  }
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = false
+  override def build(): Scan = countFromManifest match {
+    case Some(total) => new GraftSeqCountScan(path, total)
+    case None => new GraftSeqScan(path, required, idEquality)
+  }
 }
+
+/** Metadata-only scan for a pushed COUNT(*): one partition, one row,
+  * no shard file opened. The class name appears in the physical plan's
+  * BatchScan description, which is what `GraftSeqSpec` asserts. */
+private class GraftSeqCountScan(path: String, total: Long)
+    extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftSeqCountScan(manifest count=$total)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftSeqCountPartition(total))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          private val n = p.asInstanceOf[GraftSeqCountPartition].total
+          override def next(): Boolean =
+            if (emitted) false else { emitted = true; true }
+          override def get(): InternalRow =
+            new org.apache.spark.sql.catalyst.expressions
+              .GenericInternalRow(Array[Any](n))
+          override def close(): Unit = ()
+        }
+    }
+}
+
+private case class GraftSeqCountPartition(total: Long) extends InputPartition
 
 private class GraftSeqScan(path: String, required: StructType,
                            idEquality: Option[Long]) extends Scan with Batch {
@@ -283,12 +342,43 @@ object GraftSeqSource {
   private[sources] val ManifestName = "_graftseq_manifest"
   private val Assignment = "doc_id_mod"
 
-  private[sources] def writeManifest(dir: String, nShards: Int): Unit = {
+  private[sources] def writeManifest(dir: String, nShards: Int,
+                                     rowCounts: Option[Map[Long, Long]] = None): Unit = {
     val f = new java.io.File(dir, ManifestName)
     val w = new java.io.PrintWriter(f, "UTF-8")
-    try { w.print(s"assignment=$Assignment\nnShards=$nShards\n") }
-    finally w.close()
+    try {
+      w.print(s"assignment=$Assignment\nnShards=$nShards\n")
+      // per-shard record counts make COUNT(*) a metadata read (DSv2
+      // aggregate pushdown); older manifests without the key simply
+      // decline the pushdown
+      rowCounts.foreach { rc =>
+        val body = rc.toSeq.sorted.map { case (s, n) => s"$s:$n" }.mkString(",")
+        w.print(s"rowCounts=$body\n")
+      }
+    } finally w.close()
   }
+
+  /** True iff a COUNT(*) over this dir would answer from the manifest
+    * (fixture guard for queries that demonstrate the pushdown). */
+  def hasManifestCounts(dir: String): Boolean =
+    readManifestCounts(dir).isDefined
+
+  /** Per-shard row counts iff the manifest is valid AND carries them. */
+  private[sources] def readManifestCounts(dir: String): Option[Map[Long, Long]] =
+    readManifest(dir).flatMap { _ =>
+      val f = new java.io.File(dir, ManifestName)
+      scala.io.Source.fromFile(f, "UTF-8").getLines()
+        .collectFirst { case l if l.startsWith("rowCounts=") =>
+          l.stripPrefix("rowCounts=").split(",").filter(_.nonEmpty)
+            .flatMap { kv =>
+              kv.split(":", 2) match {
+                case Array(s, n) =>
+                  scala.util.Try((s.trim.toLong, n.trim.toLong)).toOption
+                case _ => None
+              }
+            }.toMap
+        }
+    }
 
   /** Returns the shard count iff a valid doc_id-mod manifest exists. */
   private[sources] def readManifest(dir: String): Option[Int] = {
@@ -319,8 +409,15 @@ object GraftSeqSource {
     * a shard is always written contiguously by exactly one task. */
   def writeShards(df: DataFrame, dir: String, nShards: Int): Unit = {
     new java.io.File(dir).mkdirs()
-    writeManifest(dir, nShards)
     import org.apache.spark.sql.functions._
+    // per-shard counts for the manifest: one column-pruned pass over
+    // doc_id (the payload never leaves the scan) — this is what turns
+    // a later COUNT(*) into a manifest read instead of a shard scan
+    val counts = df.select(pmod(col("doc_id").cast("long"), lit(nShards.toLong))
+        .as("__s"))
+      .groupBy(col("__s")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    writeManifest(dir, nShards, Some(counts))
     df.select(col("doc_id").cast("long"), col("text"))
       .repartition(nShards, pmod(col("doc_id"), lit(nShards)))
       .sortWithinPartitions(pmod(col("doc_id"), lit(nShards)), col("doc_id"))

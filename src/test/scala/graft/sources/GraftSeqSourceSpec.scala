@@ -152,4 +152,49 @@ class GraftSeqSourceSpec extends GraftSpec {
       .mode("overwrite").save(dir)
     assert(GraftSeqSource.read(spark, dir).count() == 10L)
   }
+
+  test("COUNT(*) pushes down to a manifest-only scan; value exact") {
+    import spark.implicits._
+    val df = (0L until 777L).map(i => (i, s"body $i")).toDF("doc_id", "text")
+    val dir = tmp()
+    GraftSeqSource.writeShards(df, dir, nShards = 4)
+    val cnt = GraftSeqSource.read(spark, dir).groupBy().count()
+    val plan = cnt.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftSeqCountScan"),
+      s"global count must plan the metadata-only scan:\n$plan")
+    assert(cnt.collect()(0).getLong(0) == 777L)
+  }
+
+  test("count pushdown declines without manifest counts or under a filter") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, s"b$i")).toDF("doc_id", "text")
+    val dir = tmp()
+    GraftSeqSource.writeShards(df, dir, nShards = 2)
+    // filtered count must take the real scan (the filter is residual,
+    // so pushing the aggregate would be WRONG — Spark also refuses)
+    val filtered = GraftSeqSource.read(spark, dir)
+      .filter(col("doc_id") === 7L).groupBy().count()
+    assert(!filtered.queryExecution.executedPlan.toString
+      .contains("GraftSeqCountScan"))
+    assert(filtered.collect()(0).getLong(0) == 1L)
+    // a legacy manifest (no rowCounts key) declines the pushdown but
+    // the count stays exact through the normal scan
+    GraftSeqSource.writeManifest(dir, 2, rowCounts = None)
+    val legacy = GraftSeqSource.read(spark, dir).groupBy().count()
+    assert(!legacy.queryExecution.executedPlan.toString
+      .contains("GraftSeqCountScan"))
+    assert(legacy.collect()(0).getLong(0) == 100L)
+  }
+
+  test("DSv2-written dirs decline count pushdown (no placement manifest)") {
+    import spark.implicits._
+    val df = (0L until 50L).map(i => (i, s"z$i")).toDF("doc_id", "text")
+    val dir = tmp()
+    df.repartition(2).write.format("graft.sources.GraftSeqSource")
+      .mode("overwrite").save(dir)
+    val cnt = GraftSeqSource.read(spark, dir).groupBy().count()
+    assert(!cnt.queryExecution.executedPlan.toString
+      .contains("GraftSeqCountScan"))
+    assert(cnt.collect()(0).getLong(0) == 50L)
+  }
 }
