@@ -11084,6 +11084,36 @@ object SqlQueries {
              |    ELSE 63 * 1099511627776 // h64 END - n_exact) * 1000000
              |    // n_exact)::BIGINT AS err_ppm
              |FROM es JOIN ex USING (rd)
-             |ORDER BY day""".stripMargin))
+             |ORDER BY day""".stripMargin)),
+
+    // STREAMING KMV distinct-user cardinality — mergeable sketches
+    // under streaming state: each micro-batch (AvailableNow over the
+    // staged event files) contributes its 64 smallest distinct user
+    // hashes; the driver union trims back to 64. KMV union is a SET
+    // union — order-independent — so unlike the Misra-Gries stream
+    // sketch this one's final state is batch-split-invariant and the
+    // whole row (sketch, estimate, error) HASH-MATCHES the batch
+    // oracle, not just a rows-only check. Exact count audits the
+    // estimate like the rolling twin.
+    QueryDef("q_stream_distinct_kmv",
+      (s, d) => graft.streaming.StreamingEtl.kmvDistinctViaStream(s, d),
+      Some("""WITH h AS (SELECT DISTINCT
+             |    ((('0x'||substring(md5('kmv:'||user_id),1,15))::BIGINT
+             |      % 1099511627776 + 1099511627776) % 1099511627776) AS h
+             |  FROM events),
+             |rk AS (SELECT h, row_number() OVER (ORDER BY h) AS rk FROM h),
+             |sk AS (SELECT count(*)::BIGINT AS sketch_n,
+             |    max(CASE WHEN rk = 64 THEN h END) AS h64
+             |  FROM rk WHERE rk <= 64),
+             |ex AS (SELECT count(DISTINCT user_id)::BIGINT AS n_exact
+             |  FROM events)
+             |SELECT sketch_n,
+             |  (CASE WHEN h64 IS NULL THEN sketch_n
+             |    ELSE 63 * 1099511627776 // h64 END)::BIGINT AS est_users,
+             |  n_exact,
+             |  ((CASE WHEN h64 IS NULL THEN sketch_n
+             |    ELSE 63 * 1099511627776 // h64 END - n_exact) * 1000000
+             |    // n_exact)::BIGINT AS err_ppm
+             |FROM sk, ex""".stripMargin))
   )
 }

@@ -831,6 +831,55 @@ object StreamingEtl {
     rows.toDF("term", "count_lb")
   }
 
+  /** Streaming distinct-user cardinality via a KMV sketch: each
+    * micro-batch contributes its k smallest distinct 40-bit user
+    * hashes; the driver state is the union trimmed back to k. Unlike
+    * the Misra-Gries stream sketch, KMV union is ORDER-INDEPENDENT
+    * (a set union), so the final sketch — and therefore the estimate —
+    * is identical for any batch split and hash-matches a batch oracle
+    * exactly. The exact count rides along as the accuracy audit. */
+  def kmvDistinctViaStream(spark: SparkSession, dir: String,
+                           k: Int = 64): DataFrame = {
+    import java.nio.file.Files
+    val stage = Files.createTempDirectory("graft_kmv_stage")
+    graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(stage.toString)
+    val schema = spark.read.parquet(stage.toString).schema
+
+    val h40 = pmod(conv(substring(md5(concat(lit("kmv:"),
+      col("user_id").cast("string"))), 1, 15), 16, 10).cast("long"),
+      lit(1099511627776L))
+    val state = new java.util.TreeSet[java.lang.Long]()
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+    val q = in.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val part = batch.select(h40.as("h")).distinct()
+          .orderBy(col("h")).limit(k).collect().map(_.getLong(0))
+        // union + trim: keep the k smallest across all batches seen
+        part.foreach(h => state.add(h))
+        while (state.size() > k) state.pollLast()
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    rmTree(stage)
+
+    val n = state.size()
+    val est =
+      if (n < k) n.toLong
+      else (k - 1).toLong * 1099511627776L / state.last()
+    val exact = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id")).distinct().count()
+    import spark.implicits._
+    Seq((n.toLong, est, exact,
+      (est - exact) * 1000000L / exact))
+      .toDF("sketch_n", "est_users", "n_exact", "err_ppm")
+  }
+
   def sessionizeViaStream(spark: SparkSession, dir: String): Dataset[Session] = {
     import spark.implicits._
     import java.nio.file.{Files, Paths, StandardCopyOption}
