@@ -7100,16 +7100,20 @@ object ExtQueries {
         // needs no strings at all, so none are carried. The hash is
         // mirrored in the oracle, so even a collision (merging two
         // bigrams symmetrically on both engines) cannot desync the gate.
+        // each TOKEN hashes once (not once per bigram side): the md5
+        // is the kernel's dominant cost, and a token appears in up to
+        // two bigrams — hashing the token array first halves the md5
+        // count and the pair explode carries only the two longs
         val docs = s.read.parquet(s"$d/documents.parquet")
           .transform(QueryDef.fanOut)
           .withColumn("__tk", TextAnalysis.tokens(col("text")))
           .filter(size(col("__tk")) >= 2)
+          .withColumn("__hk", expr(
+            "transform(__tk, t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))"))
         val b = docs.select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(__tk)-2), i -> struct(__tk[i] AS u1, __tk[i+1] AS u2))"))
+          "transform(sequence(0, size(__hk)-2), i -> struct(__hk[i] AS h1, __hk[i+1] AS h2))"))
           .as("bg"))
-          .select(col("doc_id"),
-            Dedup.strHash60(col("bg.u1")).as("h1"),
-            Dedup.strHash60(col("bg.u2")).as("h2"))
+          .select(col("doc_id"), col("bg.h1").as("h1"), col("bg.h2").as("h2"))
         val btf = b.groupBy(col("doc_id"), col("h1"), col("h2"))
           .agg(count(lit(1)).as("tf"))
         val cbg = btf.groupBy(col("h1"), col("h2")).agg(sum(col("tf")).as("c"))
@@ -7134,11 +7138,13 @@ object ExtQueries {
               .cast("double").as("kn_logprob"))
           .orderBy(col("doc_id"))
       },
-      Some(s"""WITH tk AS (SELECT doc_id, string_split(lower(text),' ') AS tk FROM documents),
-             |b AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
-             |    i -> struct_pack(h1 := ${dkHash60("tk[i]")},
-             |      h2 := ${dkHash60("tk[i+1]")}))) AS u
-             |  FROM tk WHERE len(tk) >= 2),
+      Some(s"""WITH tk0 AS (SELECT doc_id, string_split(lower(text),' ') AS tk FROM documents),
+             |tk AS (SELECT doc_id,
+             |    list_transform(tk, t -> ${dkHash60("t")}) AS hk
+             |  FROM tk0 WHERE len(tk) >= 2),
+             |b AS (SELECT doc_id, unnest(list_transform(range(1, len(hk)),
+             |    i -> struct_pack(h1 := hk[i], h2 := hk[i+1]))) AS u
+             |  FROM tk),
              |btf AS (SELECT doc_id, u.h1 AS h1, u.h2 AS h2, count(*) AS tf
              |  FROM b GROUP BY 1, 2, 3),
              |cbg AS (SELECT h1, h2, sum(tf)::BIGINT AS c
