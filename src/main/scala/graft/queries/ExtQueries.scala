@@ -8232,7 +8232,7 @@ object ExtQueries {
              |     + length(text) - length(replace(text, '[', ''))
              |     + length(text) - length(replace(text, ']', '')))::BIGINT
              |      AS n_brace,
-             |    (length(text) - length(replace(text, ';', '')))::BIGINT
+             |    (length(text) - length(replace(text, chr(59), '')))::BIGINT
              |      AS n_semi,
              |    (length(text) - length(replace(text, '=', '')))::BIGINT
              |      AS n_assign,
