@@ -11114,6 +11114,71 @@ object SqlQueries {
              |  ((CASE WHEN h64 IS NULL THEN sketch_n
              |    ELSE 63 * 1099511627776 // h64 END - n_exact) * 1000000
              |    // n_exact)::BIGINT AS err_ppm
-             |FROM sk, ex""".stripMargin))
+             |FROM sk, ex""".stripMargin)),
+
+    // Empirical-Bayes shrinkage of per-user conversion rates (the
+    // beta-binomial moment-matched prior, Robbins/Efron-Morris): raw
+    // per-user purchase rates are noisy for light users, so each rate
+    // shrinks toward the grand mean with strength α+β fitted from the
+    // OBSERVED rate distribution by method of moments — the estimator
+    // every leaderboard/segmentation job should use instead of raw
+    // ratios. Per-user digests are exact integers; the two prior
+    // parameters are scalar post-agg arithmetic; one broadcast back
+    // scores every user, top-20 shrunken rates reported with their
+    // raw rates for contrast.
+    QueryDef("q_eb_shrinkage",
+      (s, d) => {
+        val per = graft.sources.Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("k"))
+        // moment-match on the per-user rate distribution: mu = E[p],
+        // v = Var[p] across users (rates rounded once at 9 dp, exact
+        // decimal sums), prior strength m = mu(1-mu)/v - 1 (floored at
+        // 1 so a degenerate corpus still shrinks)
+        val mo = per
+          .select(round(col("k").cast("double") / col("n"), 9)
+            .cast("decimal(20,9)").as("p"))
+          .agg(count(lit(1)).as("u"), sum(col("p")).as("sp"),
+            sum((col("p") * col("p")).cast("decimal(38,18)")).as("spp"))
+          .select(col("u"),
+            (col("sp").cast("double") / col("u")).as("mu"),
+            ((col("spp").cast("double") -
+              col("sp").cast("double") * col("sp").cast("double") /
+                col("u").cast("double")) /
+              (col("u").cast("double") - 1.0)).as("v"))
+          .withColumn("m",
+            greatest(col("mu") * (lit(1.0) - col("mu")) / col("v") - 1.0,
+              lit(1.0)))
+        per.crossJoin(broadcast(mo))
+          .select(col("user_id"), col("n"), col("k"),
+            round(col("k").cast("double") / col("n"), 6).as("raw_rate"),
+            round((col("k").cast("double") + col("m") * col("mu")) /
+              (col("n").cast("double") + col("m")), 6).as("eb_rate"))
+          .orderBy(col("eb_rate").desc, col("user_id"))
+          .limit(20)
+      },
+      Some("""WITH per AS (SELECT user_id, count(*)::BIGINT AS n,
+             |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS k
+             |  FROM events GROUP BY 1),
+             |mo AS (SELECT count(*)::BIGINT AS u,
+             |    sum(round(k::DOUBLE / n, 9)::DECIMAL(20,9)) AS sp,
+             |    sum((round(k::DOUBLE / n, 9)::DECIMAL(20,9)
+             |       * round(k::DOUBLE / n, 9)::DECIMAL(20,9))::DECIMAL(38,18))
+             |      AS spp
+             |  FROM per),
+             |pr AS (SELECT u, sp::DOUBLE / u AS mu,
+             |    (spp::DOUBLE - sp::DOUBLE * sp::DOUBLE / u::DOUBLE)
+             |      / (u::DOUBLE - 1.0) AS v
+             |  FROM mo),
+             |pm AS (SELECT mu,
+             |    greatest(mu * (1.0 - mu) / v - 1.0, 1.0) AS m
+             |  FROM pr)
+             |SELECT user_id, n, k,
+             |  round(k::DOUBLE / n, 6) AS raw_rate,
+             |  round((k::DOUBLE + m * mu) / (n::DOUBLE + m), 6) AS eb_rate
+             |FROM per, pm
+             |ORDER BY eb_rate DESC, user_id LIMIT 20""".stripMargin))
   )
 }

@@ -290,6 +290,19 @@ class StatsOpsLawsSpec extends GraftSpec {
     }
   }
 
+  test("q_eb_shrinkage: top performers shrink DOWN toward the grand mean") {
+    val rows = SparkEntry.queries("q_eb_shrinkage")(spark, sf01).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val raw = r.getAs[Double]("raw_rate"); val eb = r.getAs[Double]("eb_rate")
+      assert(eb > 0.0 && eb < 1.0)
+      // the top-20 by shrunken rate are above the grand mean, so
+      // shrinkage must pull every one of them toward it (never past raw)
+      assert(eb <= raw + 1e-9,
+        s"user ${r.get(0)}: eb $eb above raw $raw — shrinkage inverted")
+    }
+  }
+
   test("q_ipf_raking: 8 iterations land the column margins, rows near-converged") {
     val rows = SparkEntry.queries("q_ipf_raking")(spark, sf01).collect()
     assert(rows.length == 35)
