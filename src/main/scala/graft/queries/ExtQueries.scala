@@ -7935,6 +7935,57 @@ object ExtQueries {
              |  doc_id, n_chars AS weight, lnk
              |FROM top ORDER BY rank""".stripMargin)),
 
+    // Systematic probability-proportional-to-size sampling (Madow
+    // 1949) — the FIXED-SIZE πps design next to pipe_weighted_sample's
+    // top-k keys: lay the documents out on a line with width = their
+    // token-proxy weight (n_chars), drop 100 equally-spaced grid
+    // points, and take the doc under each point — inclusion
+    // probability exactly proportional to size, sample size exactly
+    // 100 (up to docs spanning several grid points, reported). The
+    // cumulative layout is a window over the doc digest ordered by
+    // doc_id; selection is pure integer arithmetic (a doc is picked
+    // once per grid multiple inside its interval), deterministic on
+    // both engines with NO randomness at all — the curation-audit
+    // variant where reproducibility beats unpredictability.
+    QueryDef("pipe_systematic_pps",
+      (s, d) => {
+        // two-phase prefix sum (the packBins shape): within-bucket
+        // windows partitioned by doc_id div 256, plus a broadcast
+        // carry from the BOUNDED bucket digest — no global window
+        // ever touches raw document rows
+        val docs = s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"), col("n_chars").cast("long").as("w"))
+          .withColumn("__bk", expr("doc_id div 256"))
+        val tot = docs.agg(sum(col("w")).as("t"))
+        val dig = docs.groupBy(col("__bk")).agg(sum(col("w")).as("__s"))
+        val wC = Window.orderBy(col("__bk"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val carry = dig
+          .withColumn("__c", coalesce(sum(col("__s")).over(wC), lit(0L)))
+          .select(col("__bk"), col("__c"))
+        val wIn = Window.partitionBy(col("__bk")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        docs.join(broadcast(carry), Seq("__bk"))
+          .withColumn("cum", col("__c") + sum(col("w")).over(wIn))
+          .crossJoin(broadcast(tot))
+          .withColumn("hits",
+            expr("cum * 100 div t - (cum - w) * 100 div t"))
+          .filter(col("hits") > 0)
+          .select(col("doc_id"), col("w").as("weight"), col("hits"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH docs AS (SELECT doc_id, n_chars::BIGINT AS w FROM documents),
+             |tot AS (SELECT sum(w)::BIGINT AS t FROM docs),
+             |cw AS (SELECT doc_id, w,
+             |    sum(w) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM docs)
+             |SELECT doc_id, w AS weight,
+             |  (cum * 100 // t - (cum - w) * 100 // t)::BIGINT AS hits
+             |FROM cw, tot
+             |WHERE cum * 100 // t - (cum - w) * 100 // t > 0
+             |ORDER BY doc_id""".stripMargin)),
+
     // Competence-based curriculum pacing (Platanios et al. 2019) —
     // the schedule pipe_curriculum_order's difficulty ranking feeds:
     // at training step t (of 10), the model's competence

@@ -303,6 +303,26 @@ class StatsOpsLawsSpec extends GraftSpec {
     }
   }
 
+  test("pipe_systematic_pps: exactly 100 grid hits, one per grid point") {
+    val rows = SparkEntry.queries("pipe_systematic_pps")(spark, sf01).collect()
+    // every one of the 100 equally-spaced grid points lands in exactly
+    // one document's interval, so hit counts sum to 100 and a doc's
+    // hits never exceed what its weight share could cover
+    assert(rows.map(_.getAs[Long]("hits")).sum == 100L)
+    rows.foreach(r => assert(r.getAs[Long]("hits") >= 1L))
+    // plan law: the prefix sum must NOT ride a global window over raw
+    // docs (two-phase bucket carry instead)
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = SparkEntry.queries("pipe_systematic_pps")(spark, sf001)
+      .queryExecution.executedPlan
+    plan.foreach {
+      case w: WindowExec if w.partitionSpec.isEmpty =>
+        assert(w.child.exists(_.nodeName.contains("Aggregate")),
+          "global window must ride the bounded bucket digest")
+      case _ => ()
+    }
+  }
+
   test("q_ipf_raking: 8 iterations land the column margins, rows near-converged") {
     val rows = SparkEntry.queries("q_ipf_raking")(spark, sf01).collect()
     assert(rows.length == 35)
