@@ -129,11 +129,33 @@ object Bench {
           (2 to trials).foreach(_ => times(name) += one(name, fn))
         else shortTrialed += 1
       }
+    // Contamination escalation (round-10 lesson: one load-spiked trial
+    // published phantom 2-4x per-query "regressions"): a query whose
+    // trials disagree by >1.4x gets up to 2 extra trials so the median
+    // is taken over 5, and the single worst outlier can be trimmed
+    // from the reported min/max band below. Runs slowest-first under
+    // the same wall-clock budget as the re-trial pass.
+    val contaminatedRatio = 1.4
+    times.toSeq.filter { case (_, ts) =>
+        ts.size >= 2 && ts.min >= retrialMinSec &&
+          ts.max / ts.min > contaminatedRatio }
+      .sortBy(-_._2.max)
+      .foreach { case (name, ts) =>
+        val fn = selected.find(_._1 == name).get._2
+        while (ts.size < 5 && ts.max / ts.min > contaminatedRatio &&
+               elapsedSec < trialBudgetSec)
+          ts += one(name, fn)
+      }
     val failed = Seq.newBuilder[String]
     failed ++= failedSet
     val results = firstPass.map { case (name, _, _) =>
       val ts = times(name).sorted
-      (name, ts(ts.size / 2), ts.head, ts.last)
+      // with >=4 trials, drop the extreme trial at each end from the
+      // published band — the escalation above only adds trials when one
+      // was contaminated, and a single spiked run must not define max
+      val (lo, hi) =
+        if (ts.size >= 4) (ts(1), ts(ts.size - 2)) else (ts.head, ts.last)
+      (name, ts(ts.size / 2), lo, hi)
     }
     val qs = results.map { case (k, med, _, _) => "\"" + k + f"\":$med%.3f" }
       .mkString("{", ",", "}")

@@ -769,6 +769,37 @@ object SqlQueries {
              |  AND epoch_us(pts) - epoch_us(cts) BETWEEN 0 AND 600000000
              |ORDER BY click_id, purchase_id NULLS FIRST""".stripMargin)),
 
+    // Stream-stream KEYED AS-OF enrichment (the trade/quote shape —
+    // the streaming twin of AsofJoin.keyedPad / q_asof_keyed): each
+    // purchase picks up the same user's latest view at-or-before it,
+    // within a 1 h lookback, null-padded otherwise. Runs as a real
+    // flatMapGroupsWithState AvailableNow stream with event-time state
+    // eviction; the oracle is the batch as-of spelling (left join +
+    // latest-prior rank), so stream == batch is driver-graded exactly
+    // like q_stream_join. Tie rules match the batch kernel: a view AT
+    // the purchase's instant is visible; equal-ts views resolve to the
+    // greatest event_id.
+    QueryDef("q_stream_asof",
+      (s, d) => graft.streaming.StreamingEtl.asofEnrichViaStream(s, d)
+        .toDF().orderBy(col("purchase_id")),
+      Some("""WITH v AS (SELECT event_id, user_id, ts,
+             |    floor(value * 1000)::BIGINT AS vm
+             |  FROM events WHERE event_type = 'view'),
+             |p AS (SELECT event_id, user_id, ts FROM events
+             |  WHERE event_type = 'purchase'),
+             |m AS (SELECT p.event_id AS purchase_id, p.user_id,
+             |    v.event_id AS quote_id,
+             |    (epoch_us(p.ts) - epoch_us(v.ts))::BIGINT AS quote_age_us,
+             |    v.vm AS quote_vmilli,
+             |    row_number() OVER (PARTITION BY p.event_id
+             |      ORDER BY v.ts DESC, v.event_id DESC) AS rn
+             |  FROM p LEFT JOIN v ON v.user_id = p.user_id
+             |    AND v.ts <= p.ts
+             |    AND epoch_us(p.ts) - epoch_us(v.ts) <= 3600000000)
+             |SELECT purchase_id, user_id, quote_id, quote_age_us,
+             |  quote_vmilli
+             |FROM m WHERE rn = 1 ORDER BY purchase_id""".stripMargin)),
+
     // Banded range join (graft.sync.RangeJoin): all event pairs within
     // ±1 s of each other with NO equi key — burst/co-occurrence
     // detection. Banding turns the would-be O(n²) cross join into one
@@ -10115,12 +10146,17 @@ object SqlQueries {
             col("b") - 1 === col("bp"), "left")
           .join(broadcast(nb.toDF("bn", "cn", "sxn", "syn")),
             col("b") + 1 === col("bn"), "left")
+        // cast the OPERANDS to decimal, not the products: a long*long
+        // pre-product silently wraps in Spark (and raises in DuckDB)
+        // once bucket sums pass ~3e9 — every multiply must already be
+        // decimal(38,0) arithmetic
         val dec = "decimal(38,0)"
+        def dc(n: String) = col(n).cast(dec)
         val score = abs(
-          ((col("sxp") * col("cn") - col("sxn") * col("cp")).cast(dec) *
-            (col("y") * col("cp") - col("syp")).cast(dec)) -
-          ((col("sxp") - col("x") * col("cp")).cast(dec) *
-            (col("syn") * col("cp") - col("syp") * col("cn")).cast(dec)))
+          ((dc("sxp") * dc("cn") - dc("sxn") * dc("cp")) *
+            (dc("y") * dc("cp") - dc("syp"))) -
+          ((dc("sxp") - dc("x") * dc("cp")) *
+            (dc("syn") * dc("cp") - dc("syp") * dc("cn"))))
         val wA = Window.partitionBy(col("b"))
           .orderBy(col("score").desc, col("x"), col("event_id"))
         val wF = Window.partitionBy(col("b"))
@@ -10160,10 +10196,10 @@ object SqlQueries {
              |    LEFT JOIN dig dn ON dn.b = p.b + 1),
              |sc AS (SELECT event_id, x, y, b, cp, cn,
              |    CASE WHEN cp IS NOT NULL AND cn IS NOT NULL THEN
-             |      abs((sxp * cn - sxn * cp)::HUGEINT
-             |            * (y * cp - syp)::HUGEINT
-             |        - (sxp - x * cp)::HUGEINT
-             |            * (syn * cp - syp * cn)::HUGEINT)
+             |      abs((sxp::HUGEINT * cn - sxn::HUGEINT * cp)
+             |            * (y::HUGEINT * cp - syp)
+             |        - (sxp::HUGEINT - x::HUGEINT * cp)
+             |            * (syn::HUGEINT * cp - syp::HUGEINT * cn))
              |    END AS score
              |  FROM wn),
              |rk AS (SELECT *,
@@ -10875,7 +10911,7 @@ object SqlQueries {
              |            / (cnb::DOUBLE - 1.0)) / cnb::DOUBLE), 6) AS z,
              |    CASE $bCase ELSE 0.0 END AS boundary
              |  FROM cum)
-             |SELECT lk AS look, cna AS n_a, cnb AS n_b, z, boundary,
+             |SELECT lk AS look, cna::BIGINT AS n_a, cnb::BIGINT AS n_b, z, boundary,
              |  (abs(z) >= boundary) AS crossed
              |FROM zz ORDER BY look""".stripMargin)
     }),

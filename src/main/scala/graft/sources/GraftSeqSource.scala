@@ -367,17 +367,21 @@ object GraftSeqSource {
   private[sources] def readManifestCounts(dir: String): Option[Map[Long, Long]] =
     readManifest(dir).flatMap { _ =>
       val f = new java.io.File(dir, ManifestName)
-      scala.io.Source.fromFile(f, "UTF-8").getLines()
-        .collectFirst { case l if l.startsWith("rowCounts=") =>
-          l.stripPrefix("rowCounts=").split(",").filter(_.nonEmpty)
-            .flatMap { kv =>
-              kv.split(":", 2) match {
-                case Array(s, n) =>
-                  scala.util.Try((s.trim.toLong, n.trim.toLong)).toOption
-                case _ => None
-              }
-            }.toMap
-        }
+      // Using closes the handle — this runs once per scan build, and a
+      // leaked fd per COUNT(*) pushdown would exhaust the process limit
+      scala.util.Using.resource(scala.io.Source.fromFile(f, "UTF-8")) { src =>
+        src.getLines()
+          .collectFirst { case l if l.startsWith("rowCounts=") =>
+            l.stripPrefix("rowCounts=").split(",").filter(_.nonEmpty)
+              .flatMap { kv =>
+                kv.split(":", 2) match {
+                  case Array(s, n) =>
+                    scala.util.Try((s.trim.toLong, n.trim.toLong)).toOption
+                  case _ => None
+                }
+              }.toMap
+          }
+      }
     }
 
   /** Returns the shard count iff a valid doc_id-mod manifest exists. */
@@ -385,13 +389,16 @@ object GraftSeqSource {
     val f = new java.io.File(dir, ManifestName)
     if (!f.isFile) None
     else {
-      val kv = scala.io.Source.fromFile(f, "UTF-8").getLines()
-        .flatMap { l =>
-          l.split("=", 2) match {
-            case Array(k, v) => Some(k.trim -> v.trim)
-            case _ => None
-          }
-        }.toMap
+      val kv = scala.util.Using.resource(
+        scala.io.Source.fromFile(f, "UTF-8")) { src =>
+        src.getLines()
+          .flatMap { l =>
+            l.split("=", 2) match {
+              case Array(k, v) => Some(k.trim -> v.trim)
+              case _ => None
+            }
+          }.toMap
+      }
       if (kv.get("assignment").contains(Assignment))
         kv.get("nShards").flatMap(s => scala.util.Try(s.toInt).toOption)
           .filter(_ > 0)
@@ -409,19 +416,23 @@ object GraftSeqSource {
     * a shard is always written contiguously by exactly one task. */
   def writeShards(df: DataFrame, dir: String, nShards: Int): Unit = {
     new java.io.File(dir).mkdirs()
+    // stale manifest goes FIRST: a crash mid-export must leave a
+    // manifest-less dir (COUNT(*) pushdown declines, scans answer),
+    // never yesterday's ledger over today's bytes
+    new java.io.File(dir, ManifestName).delete()
     import org.apache.spark.sql.functions._
-    // per-shard counts for the manifest: one column-pruned pass over
-    // doc_id (the payload never leaves the scan) — this is what turns
-    // a later COUNT(*) into a manifest read instead of a shard scan
-    val counts = df.select(pmod(col("doc_id").cast("long"), lit(nShards.toLong))
-        .as("__s"))
-      .groupBy(col("__s")).count().collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    writeManifest(dir, nShards, Some(counts))
-    df.select(col("doc_id").cast("long"), col("text"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    // ONE pass: the writer tasks count the rows they actually write
+    // and the manifest is written LAST from those counts — a separate
+    // pre-count over a non-deterministic input (sample/limit) could
+    // disagree with the shard bytes, and the COUNT(*) pushdown would
+    // then return a wrong answer with no error
+    val counts = df.select(col("doc_id").cast("long"), col("text"))
       .repartition(nShards, pmod(col("doc_id"), lit(nShards)))
       .sortWithinPartitions(pmod(col("doc_id"), lit(nShards)), col("doc_id"))
-      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      .mapPartitions { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val written = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
         var cur = -1L
         var out: DataOutputStream = null
         try {
@@ -439,9 +450,12 @@ object GraftSeqSource {
               .getBytes(java.nio.charset.StandardCharsets.UTF_8)
             out.writeInt(bytes.length)
             out.write(bytes)
+            written(shard) = written.getOrElse(shard, 0L) + 1L
           }
         } finally if (out != null) out.close()
-      }
+        written.iterator
+      }.collect().toMap
+    writeManifest(dir, nShards, Some(counts))
   }
 
   /** Read back through the DSv2 path. */

@@ -742,6 +742,140 @@ object StreamingEtl {
     spark.table(name)
   }
 
+  case class AsofEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                       event_type: String, vmilli: Long)
+  case class QuoteState(tsUs: Long, id: Long, vmilli: Long)
+  case class AsofOut(purchase_id: Long, user_id: Long,
+                     quote_id: Option[Long], quote_age_us: Option[Long],
+                     quote_vmilli: Option[Long])
+
+  /** As-of lookback horizon: a quote older than this relative to the
+    * trade is stale and the trade emits null-enriched. */
+  val AsofLookbackUs: Long = 3600000000L // 1 hour
+
+  /** Stream-stream KEYED AS-OF enrichment — the trade/quote shape
+    * (`AsofJoin.keyedPad` is the batch kernel; this is its streaming
+    * twin): each purchase is enriched with the same user's LATEST view
+    * at-or-before the purchase time, within a 1 h lookback; no
+    * admissible view emits the purchase null-padded (left-outer as-of).
+    *
+    * Spark's built-in stream-stream joins cannot express "latest
+    * prior" (an as-of is an argmax, not a range predicate), so this is
+    * exactly the custom-state case: state per user is ONE quote — the
+    * latest seen — because events fold in (ts, type, id) order and an
+    * as-of never looks further back than the most recent quote. Tie
+    * rule matches the batch kernel: a quote AT the trade's timestamp
+    * is visible (right sorts before left at equal ts), and among
+    * equal-ts quotes the greatest event_id wins (the kernel's
+    * `dedupeByTs` convention).
+    *
+    * State is O(users in the horizon), not O(stream): once the
+    * watermark passes `quote_ts + lookback + late-delay`, no
+    * still-admissible trade can reach back to that quote, so the
+    * event-time timeout EVICTS the user's state. Late events across
+    * micro-batches are the stream's inherent approximation (as with
+    * the sessionizer); the watermark bounds their staleness. */
+  private def asofFold(userId: Long, batch: Iterator[AsofEvent],
+      state: GroupState[QuoteState]): Iterator[AsofOut] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    val out = Seq.newBuilder[AsofOut]
+    // quotes sort before trades at the same instant — the keyedPad
+    // visibility rule (rightTs <= leftTs)
+    val evs = batch.toSeq.sortBy(e =>
+      (tsUs(e.ts), if (e.event_type == "view") 0 else 1, e.event_id))
+    var q = state.getOption.orNull
+    for (e <- evs) {
+      val t = tsUs(e.ts)
+      if (e.event_type == "view") {
+        if (q == null || t > q.tsUs || (t == q.tsUs && e.event_id > q.id))
+          q = QuoteState(t, e.event_id, e.vmilli)
+      } else if (e.event_type == "purchase") {
+        // cross-batch guard: a late trade must not match a FUTURE quote
+        if (q != null && q.tsUs <= t && t - q.tsUs <= AsofLookbackUs)
+          out += AsofOut(e.event_id, userId,
+            Some(q.id), Some(t - q.tsUs), Some(q.vmilli))
+        else out += AsofOut(e.event_id, userId, None, None, None)
+      }
+    }
+    if (q != null) {
+      state.update(q)
+      // evict once the watermark proves no admissible trade remains:
+      // trades can arrive up to 1 h late (the watermark delay) and look
+      // back up to the lookback horizon
+      state.setTimeoutTimestamp(
+        q.tsUs / 1000 + AsofLookbackUs / 1000 + 3600000 + 1)
+    }
+    out.result().iterator
+  }
+
+  /** The as-of enrichment as a REAL streaming run: events file stream →
+    * watermark → `flatMapGroupsWithState` as-of fold → memory sink under
+    * `AvailableNow`. Staged as events-then-sentinel with
+    * `maxFilesPerTrigger=1`: the far-future sentinel view (reserved
+    * `user_id = -1`) drags the watermark 30 days forward in its own
+    * micro-batch, firing the event-time timeouts so the state-eviction
+    * path genuinely runs (evictions emit nothing — trades emit on
+    * arrival — so the result table is unchanged). Driver-graded against
+    * the batch as-of twin in SQL (`q_stream_asof`). */
+  def asofEnrichViaStream(spark: SparkSession, dir: String): Dataset[AsofOut] = {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+
+    val stage = Files.createTempDirectory("graft_asof_stream")
+    Files.copy(Paths.get(s"$dir/events.parquet"),
+      stage.resolve("a_events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val rawSchema = graft.sources.Tables.eventsRawSchema(spark, dir)
+    val maxUs = graft.sources.Tables.events(spark, dir)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val sentinelUs = maxUs + 30L * 86400 * 1000000
+    val tmpOut = Files.createTempDirectory("graft_asof_sentinel")
+    Seq((-1L, sentinelUs, -1L, "view", 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", rawSchema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => col("ts") * lit(1000L)
+        case t => timestamp_micros(col("ts")).cast(t)
+      })
+      .coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
+    val parts = Files.list(tmpOut)
+    try {
+      val it = parts.iterator()
+      var moved = false
+      while (it.hasNext && !moved) {
+        val p = it.next()
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          Files.move(p, stage.resolve("zz_sentinel.parquet"),
+            StandardCopyOption.REPLACE_EXISTING)
+          moved = true
+        }
+      }
+      require(moved, "sentinel parquet part file not found")
+    } finally parts.close()
+
+    val in = graft.sources.Tables.normalizeEventsTs(
+        spark.readStream.schema(rawSchema)
+          .option("maxFilesPerTrigger", "1").parquet(stage.toString))
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        floor(col("value") * 1000).cast("long").as("vmilli"))
+      .as[AsofEvent]
+
+    val enriched = in.withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(asofFold)
+      .filter(_.user_id >= 0)
+
+    val name = s"graft_stream_${streamRuns.incrementAndGet()}"
+    val q = enriched.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally { rmTree(stage); rmTree(tmpOut) }
+    spark.table(name).as[AsofOut]
+  }
+
   /** The sessionizer executed as a REAL streaming run — the hardest
     * streaming shape (custom `flatMapGroupsWithState` state, Append
     * mode, event-time timeout), driver-graded against `q_sessionize`'s

@@ -260,6 +260,46 @@ class StreamingEtlSpec extends GraftSpec {
     assert(streamed.nonEmpty, "sf0.001 must contain at least one attributed pair")
   }
 
+  test("asofEnrichViaStream: streaming as-of equals the AsofJoin.keyedPad batch twin") {
+    val dir = "/root/testdata/sf0.001"
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long]))
+    val streamed = StreamingEtl.asofEnrichViaStream(spark, dir)
+      .toDF().select("purchase_id", "user_id", "quote_id", "quote_age_us",
+        "quote_vmilli")
+      .collect().map(key).sortBy(t => (t._1, t._2)).toSeq
+
+    // batch twin on the Y5 keyed as-of kernel: dedupe views per
+    // (user, ts) keeping the greatest event_id (the kernel contract),
+    // keyedPad, then apply the 1 h lookback as a null-out
+    val ev = graft.sources.Tables.events(spark, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max_by(struct(col("event_id"),
+        floor(col("value") * 1000).cast("long").as("vm")),
+        col("event_id")).as("__r"))
+      .select(col("user_id"), col("ts"),
+        col("__r.event_id").as("qid"), col("__r.vm").as("qvm"))
+    val trades = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts"), col("user_id"))
+    val age = unix_micros(col("ts")) - unix_micros(col("src_ts"))
+    val ok = col("src_ts").isNotNull && age <= StreamingEtl.AsofLookbackUs
+    val batch = graft.sync.AsofJoin.keyedPad(trades, "ts", views, "ts",
+        keyCols = Seq("user_id"), valueCols = Seq("qid", "qvm"))
+      .select(col("purchase_id"), col("user_id"),
+        when(ok, col("qid")).as("quote_id"),
+        when(ok, age).as("quote_age_us"),
+        when(ok, col("qvm")).as("quote_vmilli"))
+      .collect().map(key).sortBy(t => (t._1, t._2)).toSeq
+
+    assert(streamed === batch)
+    assert(streamed.nonEmpty, "sf0.001 must contain purchases")
+    assert(streamed.exists(_._3.isDefined), "some purchase must be enriched")
+  }
+
   test("updateModeViaStream: latest-per-key == batch agg AND the change log is strictly larger") {
     val dir = "/root/testdata/sf0.001"
     val streamed = StreamingEtl.updateModeViaStream(spark, dir)

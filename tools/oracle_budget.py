@@ -29,6 +29,21 @@ oracle = json.load(open(oracle_path))
 
 fails, slowest = 0, []
 for name in sorted(oracle):
+    # Dtype-parity lint: Spark can never emit int128, so any oracle whose
+    # OUTPUT column types include HUGEINT/UHUGEINT (DuckDB's silent
+    # sum(BIGINT) widening) is a guaranteed driver hash-mismatch — the
+    # fetchdf side dumps it as float while Spark dumps BIGINT. Plan-only
+    # check via the lazy relation, no execution cost.
+    try:
+        bad = [(c, str(t)) for c, t in
+               zip(con.sql(oracle[name]).columns, con.sql(oracle[name]).types)
+               if str(t).upper() in ("HUGEINT", "UHUGEINT")]
+        if bad:
+            print(f"{name:32s} HUGEINT OUTPUT {bad} — cast ::BIGINT FAIL")
+            fails += 1
+            continue
+    except Exception:
+        pass  # planning error surfaces below in the execution path
     timer = threading.Timer(budget_s, con.interrupt)
     timer.start()
     t0 = time.time()

@@ -67,6 +67,19 @@ for name in sorted(os.listdir(outdir)):
     a, b = norm(spark_df.copy()), norm(ora_df.copy())
     rows_ok = len(a) == len(b)
     cols_ok = list(a.columns) == list(b.columns)
+    # Driver-faithful dtype parity: the driver hashes raw values, so an
+    # integer column on one side vs a float on the other (the DuckDB
+    # sum(BIGINT)->HUGEINT->float widening class — 3 rounds, 3 slips)
+    # hash-mismatches even when every value is numerically identical.
+    # Flag any column whose normalized dtype kind is int on one side and
+    # float on the other.
+    dtype_bad = []
+    if cols_ok:
+        for c in a.columns:
+            ka, kb = a[c].dtype.kind, b[c].dtype.kind
+            if {ka, kb} == {"i", "f"} or {ka, kb} == {"u", "f"}:
+                dtype_bad.append((c, str(spark_df[c].dtype) if c in spark_df else "?",
+                                  str(ora_df[c].dtype) if c in ora_df else "?"))
     val_ok = False
     if rows_ok and cols_ok:
         try:
@@ -77,14 +90,17 @@ for name in sorted(os.listdir(outdir)):
         except AssertionError as e:
             val_ok = False
             err = str(e).split("\n")[0:6]
-    status = "OK" if (rows_ok and cols_ok and val_ok) else "FAIL"
+    status = "OK" if (rows_ok and cols_ok and val_ok and not dtype_bad) else "FAIL"
     if status == "FAIL":
         fails += 1
-    print(f"{name:28s} rows={len(a):7d}/{len(b):7d} cols_ok={cols_ok} vals_ok={val_ok} {status}")
+    print(f"{name:28s} rows={len(a):7d}/{len(b):7d} cols_ok={cols_ok} vals_ok={val_ok} dtype_ok={not dtype_bad} {status}")
     if not cols_ok:
         print(f"   spark cols: {list(a.columns)}\n   ora cols:   {list(b.columns)}")
     elif rows_ok and not val_ok:
         print("   " + "\n   ".join(err))
+    for c, sd, od in dtype_bad:
+        print(f"   DTYPE MISMATCH col={c}: spark={sd} oracle={od} "
+              f"(DuckDB HUGEINT widening? add ::BIGINT to the oracle)")
 # a query that failed inside Verify leaves NO dump dir at all — that
 # must read as a failure, not silently vanish from the report
 dumped = {n for n in os.listdir(outdir) if os.path.isdir(os.path.join(outdir, n))}
