@@ -15,11 +15,14 @@ class R11QueriesSpec extends GraftSpec {
 
   /** (tsMicros, userId, eventType, value) rows → a temp sf-dir with
     * events.parquet in the driver's schema. */
-  private def eventsDir(rows: Seq[(Long, Long, String, Double)]): String = {
+  private def eventsDir(rows: Seq[(Long, Long, String, Double)]): String =
+    eventsDirP(rows.map { case (us, uid, et, v) => (us, uid, et, v, "{}") })
+
+  private def eventsDirP(rows: Seq[(Long, Long, String, Double, String)]): String = {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("r11ev").toString
     rows.zipWithIndex
-      .map { case ((us, uid, et, v), i) => (i.toLong, us, uid, et, v, "{}") }
+      .map { case ((us, uid, et, v, p), i) => (i.toLong, us, uid, et, v, p) }
       .toDF("event_id", "__us", "user_id", "event_type", "value", "props")
       .withColumn("ts", timestamp_micros(col("__us"))).drop("__us")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
@@ -101,5 +104,96 @@ class R11QueriesSpec extends GraftSpec {
     val r = out.getAs[Double]("assortativity")
     assert(r >= -1.0 && r <= 1.0)
     assert(out.getAs[Long]("n_edges") % 2 === 0L) // both orientations present
+  }
+
+  test("q_mcnemar counts only discordant users") {
+    val err = "error"; val lo = """{"k": 5}"""
+    val d1 = day0; val d2 = day0 + 20 * 86400000000L // halves of a 30-day span
+    val rows = Seq(
+      (d1, 1L, err, 1.0, lo),                           // user 1: first half only → b
+      (d2, 2L, err, 1.0, lo),                           // user 2: second half only → c
+      (d1, 3L, err, 1.0, lo), (d2, 3L, err, 1.0, lo),   // user 3: both → concordant
+      (d1, 4L, "view", 1.0, "{}"),                      // user 4: neither
+      (d2 + 9 * 86400000000L, 4L, "view", 1.0, "{}"))   // pin the span to 30 days
+    val out = byName("q_mcnemar")(spark, eventsDirP(rows)).head()
+    assert(out.getAs[Long]("n_users") === 4L)
+    assert(out.getAs[Long]("b") === 1L)
+    assert(out.getAs[Long]("c") === 1L)
+    // continuity-corrected (|1-1|-1)^2 / 2 = 0.5
+    assert(out.getAs[Double]("chi2_mcnemar") === 0.5 +- 1e-9)
+  }
+
+  test("q_cmh_test: balanced single stratum has zero numerator") {
+    def ev(k: Int, et: String, i: Int) =
+      (day0 + i * 1000000L, i.toLong, et, 1.0, s"""{"k": $k}""")
+    val rows = Seq(ev(10, "purchase", 1), ev(90, "purchase", 2),
+      ev(10, "view", 3), ev(90, "view", 4))
+    val out = byName("q_cmh_test")(spark, eventsDirP(rows)).head()
+    assert(out.getAs[Long]("n_strata") === 1L)
+    assert(out.getAs[Long]("num_e9") === 0L) // a = E[a] exactly
+    // den = (2*2*2*2*1e6) // (4*4*3) = 333333 e-6
+    assert(out.getAs[Long]("den_e6") === 333333L)
+  }
+
+  test("emb_mmd_poly: identical groups have zero MMD, disjoint ones positive") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("r11emb").toString
+    def vec(seed: Int) = (1 to 16).map(i => (seed * i % 7).toFloat / 3f) ++
+      Seq.fill(48)(0f)
+    // labels 0 and 1 hold the SAME two vectors; label 2 a different one
+    val rows = Seq((1L, vec(1), 0), (2L, vec(2), 0), (3L, vec(1), 1),
+      (4L, vec(2), 1), (5L, vec(5), 2))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = byName("emb_mmd_poly")(spark, dir)
+      .collect().map(r => ((r.getAs[Int]("label_a"), r.getAs[Int]("label_b")),
+        r.getAs[Double]("mmd2"))).toMap
+    assert(out((0, 1)) === 0.0 +- 1e-9)
+    assert(out((0, 2)) > 0.0)
+    assert(out((1, 2)) === out((0, 2)) +- 1e-9) // same distribution, same MMD
+  }
+
+  test("q_hits: the full-basket customer out-hubs the single-item one") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("r11hits").toString
+    Seq((100L, 1L), (101L, 2L)).toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((100L, 10L), (100L, 20L), (100L, 30L), (101L, 10L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = byName("q_hits")(spark, dir).collect()
+      .map(r => ((r.getAs[String]("role"), r.getAs[Long]("node")),
+        r.getAs[Long]("score_e9"))).toMap
+    assert(out(("hub", 1L)) > out(("hub", 2L)))
+    assert(out(("authority", 10L)) > out(("authority", 20L)))
+    assert(out(("authority", 20L)) === out(("authority", 30L)))
+    // L1 normalization: each side sums to 1e9 up to per-node floor loss
+    val hubs = out.collect { case (("hub", _), v) => v }
+    assert(hubs.sum <= 1000000000L && hubs.sum > 1000000000L - hubs.size)
+  }
+
+  test("text_burst_detect flags the elevated-rate days") {
+    // 14 days at error rate 1/10, days 8-9 at 9/10 — a clear burst
+    val rows = (1 to 14).flatMap { k =>
+      val errs = if (k == 8 || k == 9) 9 else 1
+      (0 until errs).map(i =>
+        (day0 + (k - 1) * 86400000000L + i * 1000000L, i.toLong, "error", 1.0)) ++
+        (errs until 10).map(i =>
+          (day0 + (k - 1) * 86400000000L + i * 1000000L, i.toLong, "view", 1.0))
+    }
+    val out = byName("text_burst_detect")(spark, eventsDir(rows))
+      .orderBy("day_idx").collect()
+    assert(out.length === 14)
+    val bursts = out.filter(_.getAs[Boolean]("burst")).map(_.getAs[Long]("day_idx"))
+    assert(bursts.toSet === Set(8L, 9L))
+  }
+
+  test("q_holt_winters_dow: a constant series forecasts itself with zero season") {
+    val rows = (0 until 21).map(k => (day0 + k * 86400000000L, 1L, "view", 5.0))
+    val out = byName("q_holt_winters_dow")(spark, eventsDir(rows))
+      .orderBy("h").collect()
+    assert(out.length === 7)
+    assert(out.forall(_.getAs[Long]("forecast_milli") === 5000L))
+    assert(out.forall(_.getAs[Long]("season_milli") === 0L))
   }
 }
