@@ -515,8 +515,12 @@ object R11Queries {
     // is one hash join on the edge key plus a partial-aggregatable
     // sum; normalization totals are single-row digests broadcast back
     // — the standard iterate-as-DataFrame pattern that survives a
-    // 1000-executor graph. Top-15 per side via TakeOrdered, no global
-    // window.
+    // 1000-executor graph. The edge list and each half-step's raw
+    // scores are persisted: every score table feeds BOTH its own
+    // normalization total and the next half-step, so without the
+    // persist the lineage doubles per half-step and the edge join
+    // re-executes 2^4 times (PlanSweep showed BNLJ ×22 for exactly
+    // that). Top-15 per side via TakeOrdered, no global window.
     QueryDef("q_hits",
       (s, d) => {
         val e = s.read.parquet(s"$d/orders.parquet")
@@ -526,13 +530,17 @@ object R11Queries {
             col("o_orderkey") === col("l_orderkey"))
           .select(col("o_custkey").as("u"), col("l_partkey").as("p"))
           .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         def l1norm(df: org.apache.spark.sql.DataFrame, key: String,
-                   raw: String, out: String) =
-          df.crossJoin(broadcast(
-              df.agg(sum(col(raw).cast("decimal(38,0)")).as("tot"))))
+                   raw: String, out: String) = {
+          val m = df.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          m.crossJoin(broadcast(
+              m.agg(sum(col(raw).cast("decimal(38,0)")).as("tot"))))
             .select(col(key),
               expr(s"cast((cast($raw as decimal(38,0)) * 1000000000) " +
                 "div tot as bigint)").as(out))
+        }
         var a = e.select(col("p")).distinct()
           .withColumn("a", lit(1000000000L))
         var h: org.apache.spark.sql.DataFrame = null
