@@ -780,6 +780,225 @@ object R11Queries {
              |FROM it, nd, (SELECT unnest(range(1, 8)) AS h) h
              |WHERE it.k = nd.nd
              |ORDER BY h""".stripMargin)
-    })
+    }),
+
+    // TextRank keyword extraction (Mihalcea & Tarau 2004, EMNLP):
+    // damped PageRank over the word co-occurrence graph (adjacent
+    // tokens, undirected, weight = co-occurrence count), 3 synchronous
+    // rounds on a 1e6 integer grid with per-edge integral division —
+    // the same exact-iteration discipline as q_pagerank, so DuckDB
+    // replays it bit-identically. The graph shuffles 60-bit md5 word
+    // hashes, never strings (the repo's hash-shuffle convention);
+    // words rejoin only for the final top-20 display. At 100 TB the
+    // edge aggregation is the one data-sized shuffle; iterations run
+    // on the vocabulary-sized digest.
+    QueryDef("text_textrank_keywords",
+      (s, d) => {
+        val tk = s.read.parquet(s"$d/documents.parquet")
+          .select(graft.ext.TextAnalysis.tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 2)
+        val prs = tk.select(explode(expr(
+            "transform(sequence(1, size(tk)-1), i -> " +
+              "named_struct('a', element_at(tk, i), " +
+              "'b', element_at(tk, i+1)))")).as("p"))
+          .filter(col("p.a") =!= col("p.b"))
+          .select(graft.ext.Dedup.strHash60(col("p.a")).as("ha"),
+            graft.ext.Dedup.strHash60(col("p.b")).as("hb"))
+        val eb = prs.select(col("ha").as("src"), col("hb").as("dst"))
+          .unionAll(prs.select(col("hb").as("src"), col("ha").as("dst")))
+          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val wt = eb.groupBy(col("src")).agg(sum(col("w")).as("wt"))
+        var r = wt.select(col("src").as("node"), lit(1000000L).as("sc"))
+        for (_ <- 1 to 3) {
+          r = eb.join(r, col("src") === col("node"))
+            .join(wt.select(col("src").as("wn"), col("wt")),
+              col("src") === col("wn"))
+            .select(col("dst"), expr("w * sc div wt").as("contrib"))
+            .groupBy(col("dst").as("node"))
+            .agg((lit(150000L) + expr("17 * sum(contrib) div 20")).as("sc"))
+        }
+        val words = tk.select(explode(col("tk")).as("word")).distinct()
+          .select(col("word"), graft.ext.Dedup.strHash60(col("word"))
+            .as("node"))
+        r.join(words, "node")
+          .orderBy(col("sc").desc, col("word")).limit(20)
+          .select(col("word"), col("sc").as("score_e6"))
+          .orderBy(col("score_e6").desc, col("word"))
+      },
+      Some("""WITH t AS (SELECT string_split(lower(text), ' ') AS tk
+             |  FROM documents WHERE len(string_split(lower(text), ' ')) >= 2),
+             |pr AS (SELECT unnest(list_transform(range(1, len(tk)),
+             |    i -> {'a': tk[i], 'b': tk[i+1]})) AS p FROM t),
+             |pp AS (SELECT
+             |    ('0x'||substring(md5(p.a),1,15))::BIGINT AS ha,
+             |    ('0x'||substring(md5(p.b),1,15))::BIGINT AS hb
+             |  FROM pr WHERE p.a <> p.b),
+             |eb AS (SELECT src, dst, count(*)::BIGINT AS w FROM (
+             |    SELECT ha AS src, hb AS dst FROM pp
+             |    UNION ALL SELECT hb, ha FROM pp) GROUP BY 1, 2),
+             |wt AS (SELECT src, sum(w)::BIGINT AS wt FROM eb GROUP BY 1),
+             |r0 AS (SELECT src AS node, 1000000::BIGINT AS sc FROM wt),
+             |r1 AS (SELECT eb.dst AS node,
+             |    (150000 + (17 * sum(eb.w * r0.sc // wt.wt)) // 20)::BIGINT
+             |      AS sc
+             |  FROM eb JOIN r0 ON eb.src = r0.node
+             |    JOIN wt ON eb.src = wt.src GROUP BY 1),
+             |r2 AS (SELECT eb.dst AS node,
+             |    (150000 + (17 * sum(eb.w * r1.sc // wt.wt)) // 20)::BIGINT
+             |      AS sc
+             |  FROM eb JOIN r1 ON eb.src = r1.node
+             |    JOIN wt ON eb.src = wt.src GROUP BY 1),
+             |r3 AS (SELECT eb.dst AS node,
+             |    (150000 + (17 * sum(eb.w * r2.sc // wt.wt)) // 20)::BIGINT
+             |      AS sc
+             |  FROM eb JOIN r2 ON eb.src = r2.node
+             |    JOIN wt ON eb.src = wt.src GROUP BY 1),
+             |words AS (SELECT DISTINCT word,
+             |    ('0x'||substring(md5(word),1,15))::BIGINT AS node
+             |  FROM (SELECT unnest(tk) AS word FROM t))
+             |SELECT w.word, r3.sc AS score_e6
+             |FROM r3 JOIN words w ON w.node = r3.node
+             |ORDER BY score_e6 DESC, word LIMIT 20""".stripMargin)),
+
+    // Page's trend test (Page 1963) for an ORDERED alternative across
+    // the blocked daily ranks — Friedman asks "any difference?",
+    // Page asks "do the treatments trend in this specific order?"
+    // (here: alphabetical event_type order). L = Σ_j j·R_j on exact
+    // midrank×2 integers; the normal approximation z standardizes
+    // with the closed-form mean/variance in one rounded float op.
+    QueryDef("q_page_trend",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+          .agg(sum(col("value").cast("decimal(18,2)")).as("v"))
+        val wd = Window.partitionBy(col("day")).orderBy(col("v"))
+        val wt = Window.partitionBy(col("day"), col("v"))
+        val r2 = daily.withColumn("r2",
+          lit(2) * rank().over(wd) + count(lit(1)).over(wt) - lit(1))
+        val ord = daily.select(col("event_type")).distinct()
+          .withColumn("j",
+            row_number().over(Window.orderBy(col("event_type"))))
+        val l2 = r2.join(broadcast(ord), "event_type")
+          .agg(sum(col("j") * col("r2")).as("l2"))
+        val nk = daily.agg(countDistinct(col("day")).as("n"),
+          countDistinct(col("event_type")).as("k"))
+        l2.crossJoin(broadcast(nk))
+          .select(col("n"), col("k"), col("l2"),
+            round((col("l2").cast("double") / lit(2.0) -
+              col("n").cast("double") * col("k") * (col("k") + 1) *
+                (col("k") + 1) / lit(4.0)) /
+              sqrt(col("n").cast("double") * col("k") * col("k") *
+                (col("k") + 1) * (col("k") * col("k") - 1) / lit(144.0)),
+              6).as("z_page"))
+      },
+      Some("""WITH daily AS (SELECT ts::DATE AS day, event_type,
+             |    sum(CAST(value AS DECIMAL(18,2))) AS v
+             |  FROM events GROUP BY 1, 2),
+             |r AS (SELECT day, event_type,
+             |    2 * rank() OVER (PARTITION BY day ORDER BY v)
+             |      + count(*) OVER (PARTITION BY day, v) - 1 AS r2
+             |  FROM daily),
+             |ord AS (SELECT event_type, row_number() OVER
+             |    (ORDER BY event_type) AS j
+             |  FROM (SELECT DISTINCT event_type FROM daily)),
+             |l AS (SELECT sum(ord.j * r.r2)::BIGINT AS l2
+             |  FROM r JOIN ord ON r.event_type = ord.event_type),
+             |nk AS (SELECT count(DISTINCT day)::BIGINT AS n,
+             |    count(DISTINCT event_type)::BIGINT AS k FROM daily)
+             |SELECT nk.n, nk.k, l.l2,
+             |  round((l.l2::DOUBLE / 2.0
+             |      - nk.n::DOUBLE * nk.k * (nk.k + 1) * (nk.k + 1) / 4.0)
+             |    / sqrt(nk.n::DOUBLE * nk.k * nk.k * (nk.k + 1)
+             |        * (nk.k * nk.k - 1) / 144.0), 6) AS z_page
+             |FROM l, nk""".stripMargin)),
+
+    // Cochran's Q (Cochran 1950) — the k-treatment extension of
+    // McNemar on binary per-user outcomes: "hit a value>180 event of
+    // type j this month" across the three engagement types. Q =
+    // (k−1)·(k·ΣC_j² − N²)/(k·N − ΣR_u²) is exact-integer until one
+    // rounded float division; row/column totals come from one
+    // per-user shuffle.
+    QueryDef("q_cochran_q",
+      (s, d) => {
+        val x = graft.sources.Tables.events(s, d)
+          .filter(col("event_type").isin("view", "click", "purchase"))
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(max(when(col("value") > 180, 1L).otherwise(0L)).as("x"))
+        val rows = x.groupBy(col("user_id"))
+          .agg(sum(col("x")).as("ru"))
+          .agg(sum(col("ru")).as("ntot"),
+            sum(col("ru") * col("ru")).as("sr2"),
+            count(lit(1)).as("n_users"))
+        val cols = x.groupBy(col("event_type"))
+          .agg(sum(col("x")).as("cj"))
+          .agg(sum(col("cj") * col("cj")).as("sc2"),
+            count(lit(1)).as("k"))
+        rows.crossJoin(broadcast(cols))
+          .select(col("n_users"), col("k"), col("ntot"),
+            round(((col("k") - 1) *
+              (col("k") * col("sc2") - col("ntot") * col("ntot")))
+              .cast("double") /
+              (col("k") * col("ntot") - col("sr2")).cast("double"), 6)
+              .as("q_cochran"))
+      },
+      Some("""WITH x AS (SELECT user_id, event_type,
+             |    max(CASE WHEN value > 180 THEN 1 ELSE 0 END)::BIGINT AS x
+             |  FROM events
+             |  WHERE event_type IN ('view', 'click', 'purchase')
+             |  GROUP BY 1, 2),
+             |r AS (SELECT sum(ru)::BIGINT AS ntot,
+             |    sum(ru * ru)::BIGINT AS sr2, count(*)::BIGINT AS n_users
+             |  FROM (SELECT user_id, sum(x) AS ru FROM x GROUP BY 1)),
+             |c AS (SELECT sum(cj * cj)::BIGINT AS sc2,
+             |    count(*)::BIGINT AS k
+             |  FROM (SELECT event_type, sum(x) AS cj FROM x GROUP BY 1))
+             |SELECT r.n_users, c.k, r.ntot,
+             |  round(((c.k - 1) * (c.k * c.sc2 - r.ntot * r.ntot))::DOUBLE
+             |    / (c.k * r.ntot - r.sr2)::DOUBLE, 6) AS q_cochran
+             |FROM r, c""".stripMargin)),
+
+    // Global clustering coefficient (transitivity): 3·triangles /
+    // wedges over the co-purchase graph — the one-number "how cliquey
+    // is co-purchasing" companion to q_triangle_count. Triangles via
+    // the oriented two-join (each triangle counted once), wedges as
+    // Σ deg·(deg−1)/2 from the degree digest; the division is the
+    // single rounded float op.
+    QueryDef("q_clustering_coeff",
+      (s, d) => {
+        val e = s.read.parquet(SqlQueries.copurchaseEdgesOf(s, d))
+        val tri = e
+          .join(e.select(col("p1").as("b1"), col("p2").as("c1")),
+            col("p2") === col("b1"))
+          .join(e.select(col("p1").as("a2"), col("p2").as("c2")),
+            col("p1") === col("a2") && col("c1") === col("c2"))
+          .agg(count(lit(1)).as("n_triangles"))
+        val wed = e.select(col("p1").as("n")).unionAll(
+            e.select(col("p2").as("n")))
+          .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+          .agg(sum(col("deg") * (col("deg") - 1) / lit(2)).cast("long")
+            .as("n_wedges"))
+        tri.crossJoin(broadcast(wed))
+          .select(col("n_triangles"), col("n_wedges"),
+            round(lit(3.0) * col("n_triangles").cast("double") /
+              col("n_wedges").cast("double"), 6).as("transitivity"))
+      },
+      Some("""WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+             |  FROM pp a JOIN pp b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |tri AS (SELECT count(*)::BIGINT AS n_triangles
+             |  FROM e e1 JOIN e e2 ON e1.p2 = e2.p1
+             |    JOIN e e3 ON e1.p1 = e3.p1 AND e2.p2 = e3.p2),
+             |deg AS (SELECT n, count(*)::BIGINT AS deg FROM (
+             |    SELECT p1 AS n FROM e UNION ALL SELECT p2 FROM e)
+             |  GROUP BY 1),
+             |wed AS (SELECT (sum(deg * (deg - 1) / 2))::BIGINT AS n_wedges
+             |  FROM deg)
+             |SELECT tri.n_triangles, wed.n_wedges,
+             |  round(3.0 * tri.n_triangles::DOUBLE / wed.n_wedges::DOUBLE, 6)
+             |    AS transitivity
+             |FROM tri, wed""".stripMargin))
   )
 }

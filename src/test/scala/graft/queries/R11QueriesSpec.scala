@@ -188,6 +188,65 @@ class R11QueriesSpec extends GraftSpec {
     assert(bursts.toSet === Set(8L, 9L))
   }
 
+  test("text_textrank_keywords ranks the co-occurrence hub first") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("r11tr").toString
+    Seq((1L, "hub alpha"), (2L, "hub beta"), (3L, "hub gamma"))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = byName("text_textrank_keywords")(spark, dir).collect()
+    assert(out.head.getAs[String]("word") === "hub")
+    assert(out.head.getAs[Long]("score_e6") >
+      out.last.getAs[Long]("score_e6"))
+  }
+
+  test("q_page_trend: perfect alphabetical ordering gives z = 2 at n=2, k=3") {
+    val rows = Seq(
+      (day0, 1L, "click", 1.0), (day0, 1L, "purchase", 2.0),
+      (day0, 1L, "view", 3.0),
+      (day0 + 86400000000L, 1L, "click", 1.5),
+      (day0 + 86400000000L, 1L, "purchase", 2.5),
+      (day0 + 86400000000L, 1L, "view", 3.5))
+    val out = byName("q_page_trend")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Long]("l2") === 56L) // 2 * L, L = n*sum(j^2) = 28
+    assert(out.getAs[Double]("z_page") === 2.0 +- 1e-9)
+  }
+
+  test("q_cochran_q on a hand-checked 3x3 binary table") {
+    // user 1 hits all types, user 2 only view, user 3 none → Q = 2
+    def ev(uid: Long, et: String, v: Double, i: Int) =
+      (day0 + i * 1000000L, uid, et, v)
+    var i = 0
+    val rows = for {
+      uid <- Seq(1L, 2L, 3L); et <- Seq("view", "click", "purchase")
+    } yield {
+      i += 1
+      val hit = uid == 1L || (uid == 2L && et == "view")
+      ev(uid, et, if (hit) 200.0 else 50.0, i)
+    }
+    val out = byName("q_cochran_q")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Long]("n_users") === 3L)
+    assert(out.getAs[Long]("ntot") === 4L)
+    assert(out.getAs[Double]("q_cochran") === 2.0 +- 1e-9)
+  }
+
+  test("q_clustering_coeff: triangle plus pendant edge gives 0.6") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("r11cc").toString
+    // orders 1,2 each buy {a,b,c}; orders 3,4 each buy {a,d} →
+    // triangle abc (support 2) + edge ad: 1 triangle, 5 wedges
+    val li = Seq(1L -> 100L, 1L -> 200L, 1L -> 300L,
+      2L -> 100L, 2L -> 200L, 2L -> 300L,
+      3L -> 100L, 3L -> 400L, 4L -> 100L, 4L -> 400L)
+    li.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = byName("q_clustering_coeff")(spark, dir).head()
+    assert(out.getAs[Long]("n_triangles") === 1L)
+    assert(out.getAs[Long]("n_wedges") === 5L)
+    assert(out.getAs[Double]("transitivity") === 0.6 +- 1e-9)
+  }
+
   test("q_holt_winters_dow: a constant series forecasts itself with zero season") {
     val rows = (0 until 21).map(k => (day0 + k * 86400000000L, 1L, "view", 5.0))
     val out = byName("q_holt_winters_dow")(spark, eventsDir(rows))
