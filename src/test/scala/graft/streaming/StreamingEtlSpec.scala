@@ -300,6 +300,38 @@ class StreamingEtlSpec extends GraftSpec {
     assert(streamed.exists(_._3.isDefined), "some purchase must be enriched")
   }
 
+  test("scd2ViaStream: streaming dimension equals the batch lag-based SCD2") {
+    val dir = "/root/testdata/sf0.001"
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getTimestamp(3).getTime,
+        Option(r.getTimestamp(4)).map(_.getTime), r.getInt(5))
+    val streamed = StreamingEtl.scd2ViaStream(spark, dir)
+      .toDF().select("user_id", "version", "event_type", "valid_from",
+        "valid_to", "is_current")
+      .collect().map(key).sortBy(t => (t._1, t._2)).toSeq
+
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val chg = graft.sources.Tables.events(spark, dir)
+      .filter(col("user_id") < 100)
+      .withColumn("__prev", lag(col("event_type"), 1).over(w))
+      .filter(col("__prev").isNull || col("event_type") =!= col("__prev"))
+    val batch = chg.withColumn("version", row_number().over(w))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.cast("int").as("is_current"))
+      .collect().map(key).sortBy(t => (t._1, t._2)).toSeq
+
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // every user's history: dense versions, exactly one open row
+    val byUser = streamed.groupBy(_._1)
+    assert(byUser.values.forall(h => h.map(_._2).sorted == (1 to h.size)))
+    assert(byUser.values.forall(_.count(_._6 == 1) == 1))
+  }
+
   test("updateModeViaStream: latest-per-key == batch agg AND the change log is strictly larger") {
     val dir = "/root/testdata/sf0.001"
     val streamed = StreamingEtl.updateModeViaStream(spark, dir)
