@@ -1029,6 +1029,162 @@ object R11Queries {
              |  CASE WHEN lead(ts) OVER (PARTITION BY user_id
              |    ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END
              |    AS is_current
-             |FROM c ORDER BY user_id, version""".stripMargin))
+             |FROM c ORDER BY user_id, version""".stripMargin)),
+
+    // Wilcoxon signed-rank test (Wilcoxon 1945) on the paired daily
+    // view-vs-click revenue difference — the nonparametric paired
+    // t-test. Differences are exact milli integers, |d| ranks use
+    // midrank×2 (ties exact), W⁺ accumulates in ×2 units, and the
+    // normal approximation carries the tie-correction term
+    // Σ(t³−t)/48 — everything integer until one rounded z. The one
+    // ordered window runs over the ≤31-row day digest.
+    QueryDef("q_wilcoxon_signed_rank",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .filter(col("event_type").isin("view", "click"))
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(((sum(when(col("event_type") === "view",
+              col("value").cast("decimal(18,2)"))) -
+            sum(when(col("event_type") === "click",
+              col("value").cast("decimal(18,2)")))) * lit(1000))
+            .cast("long").as("dm"))
+          .filter(col("dm") =!= 0)
+        val wr = Window.orderBy(abs(col("dm")))
+        val wt = Window.partitionBy(abs(col("dm")))
+        val r = daily
+          .withColumn("r2",
+            lit(2) * rank().over(wr) + count(lit(1)).over(wt) - lit(1))
+        val ties = daily.groupBy(abs(col("dm")).as("ad"))
+          .agg(count(lit(1)).as("t"))
+          .agg(sum(col("t") * col("t") * col("t") - col("t")).as("tc"))
+        r.agg(count(lit(1)).as("n"),
+            sum(when(col("dm") > 0, col("r2")).otherwise(0L)).as("w_plus2"))
+          .crossJoin(broadcast(ties))
+          .select(col("n"), col("w_plus2"),
+            round((col("w_plus2").cast("double") / lit(2.0) -
+              (col("n") * (col("n") + 1)).cast("double") / lit(4.0)) /
+              sqrt((col("n") * (col("n") + 1) * (lit(2) * col("n") + 1))
+                .cast("double") / lit(24.0) -
+                col("tc").cast("double") / lit(48.0)), 6).as("z_wilcoxon"))
+      },
+      Some("""WITH daily AS (SELECT ts::DATE AS day,
+             |    ((sum(CASE WHEN event_type = 'view'
+             |          THEN CAST(value AS DECIMAL(18,2)) END)
+             |      - sum(CASE WHEN event_type = 'click'
+             |          THEN CAST(value AS DECIMAL(18,2)) END))
+             |      * 1000)::BIGINT AS dm
+             |  FROM events WHERE event_type IN ('view', 'click')
+             |  GROUP BY 1 HAVING ((sum(CASE WHEN event_type = 'view'
+             |          THEN CAST(value AS DECIMAL(18,2)) END)
+             |      - sum(CASE WHEN event_type = 'click'
+             |          THEN CAST(value AS DECIMAL(18,2)) END))
+             |      * 1000)::BIGINT <> 0),
+             |r AS (SELECT dm,
+             |    2 * rank() OVER (ORDER BY abs(dm))
+             |      + count(*) OVER (PARTITION BY abs(dm)) - 1 AS r2
+             |  FROM daily),
+             |ties AS (SELECT sum(t * t * t - t)::BIGINT AS tc FROM (
+             |    SELECT abs(dm) AS ad, count(*)::BIGINT AS t
+             |    FROM daily GROUP BY 1)),
+             |w AS (SELECT count(*)::BIGINT AS n,
+             |    sum(CASE WHEN dm > 0 THEN r2 ELSE 0 END)::BIGINT AS w_plus2
+             |  FROM r)
+             |SELECT w.n, w.w_plus2,
+             |  round((w.w_plus2::DOUBLE / 2.0
+             |      - (w.n * (w.n + 1))::DOUBLE / 4.0)
+             |    / sqrt((w.n * (w.n + 1) * (2 * w.n + 1))::DOUBLE / 24.0
+             |        - ties.tc::DOUBLE / 48.0), 6) AS z_wilcoxon
+             |FROM w, ties""".stripMargin)),
+
+    // Two-sample Anderson–Darling (Scholz & Stephens 1987, JASA;
+    // midrank/ties version, k=2) between the click and error value
+    // distributions — the tail-sensitive companion to q_ks_test in
+    // the drift-detection family. On the 0.1-quantized value grid
+    // every D_ij = N·M2_ij − n_i·H2_j and denominator E_j are EXACT
+    // BIGINTs (×2 midrank units cancel); each term's float value is a
+    // pure IEEE expression of those ints, quantized to 1e6 before the
+    // exact integer sum, so partition order can't drift the total.
+    // The digest is value-domain-sized (≤ ~5k rows), never
+    // stream-sized.
+    QueryDef("q_anderson_darling_2s",
+      (s, d) => {
+        val f = graft.sources.Tables.events(s, d)
+          .filter(col("event_type").isin("click", "error"))
+          .select(col("event_type"),
+            floor(col("value") * 10).cast("long").as("v10"))
+        val c = f.groupBy(col("v10"))
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("na"),
+            sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("nb"))
+        val w = Window.orderBy(col("v10"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = broadcast(c.agg(sum(col("na")).as("n"),
+          sum(col("nb")).as("m"), sum(col("na") + col("nb")).as("nn")))
+        val terms = c
+          .withColumn("h", col("na") + col("nb"))
+          .withColumn("ca", sum(col("na")).over(w))
+          .withColumn("cb", sum(col("nb")).over(w))
+          .withColumn("cn", sum(col("na") + col("nb")).over(w))
+          .crossJoin(tot)
+          .select(col("h"), col("n"), col("m"), col("nn"),
+            (col("nn") * (lit(2) * col("ca") - col("na")) -
+              col("n") * (lit(2) * col("cn") - col("h"))).as("da"),
+            (col("nn") * (lit(2) * col("cb") - col("nb")) -
+              col("m") * (lit(2) * col("cn") - col("h"))).as("db"),
+            ((lit(2) * col("cn") - col("h")) *
+              (lit(2) * col("nn") - (lit(2) * col("cn") - col("h"))) -
+              col("nn") * col("h")).as("e"))
+          .filter(col("e") > 0)
+        terms.groupBy(col("n"), col("m"), col("nn"))
+          .agg(sum(round(col("h").cast("double") *
+              col("da").cast("double") * col("da").cast("double") /
+              col("e").cast("double") * lit(1e6))).cast("long").as("sa_e6"),
+            sum(round(col("h").cast("double") *
+              col("db").cast("double") * col("db").cast("double") /
+              col("e").cast("double") * lit(1e6))).cast("long").as("sb_e6"))
+          .select(col("n").as("n_click"), col("m").as("n_error"),
+            round((col("nn") - 1).cast("double") / col("nn").cast("double") /
+              col("nn").cast("double") *
+              (col("sa_e6").cast("double") / lit(1e6) /
+                col("n").cast("double") +
+                col("sb_e6").cast("double") / lit(1e6) /
+                  col("m").cast("double")), 6).as("ad2"))
+      },
+      Some("""WITH f AS (SELECT event_type, floor(value * 10)::BIGINT AS v10
+             |  FROM events WHERE event_type IN ('click', 'error')),
+             |c AS (SELECT v10,
+             |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             |      ::BIGINT AS na,
+             |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             |      ::BIGINT AS nb
+             |  FROM f GROUP BY 1),
+             |cum AS (SELECT v10, na, nb, na + nb AS h,
+             |    sum(na) OVER w AS ca, sum(nb) OVER w AS cb,
+             |    sum(na + nb) OVER w AS cn
+             |  FROM c WINDOW w AS (ORDER BY v10
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |tot AS (SELECT sum(na)::BIGINT AS n, sum(nb)::BIGINT AS m,
+             |    sum(na + nb)::BIGINT AS nn FROM c),
+             |terms AS (SELECT cum.h,
+             |    (tot.nn * (2 * cum.ca - cum.na)
+             |      - tot.n * (2 * cum.cn - cum.h))::BIGINT AS da,
+             |    (tot.nn * (2 * cum.cb - cum.nb)
+             |      - tot.m * (2 * cum.cn - cum.h))::BIGINT AS db,
+             |    ((2 * cum.cn - cum.h)
+             |        * (2 * tot.nn - (2 * cum.cn - cum.h))
+             |      - tot.nn * cum.h)::BIGINT AS e
+             |  FROM cum, tot),
+             |s AS (SELECT
+             |    sum(round(h::DOUBLE * da::DOUBLE * da::DOUBLE
+             |      / e::DOUBLE * 1e6))::BIGINT AS sa_e6,
+             |    sum(round(h::DOUBLE * db::DOUBLE * db::DOUBLE
+             |      / e::DOUBLE * 1e6))::BIGINT AS sb_e6
+             |  FROM terms WHERE e > 0)
+             |SELECT tot.n AS n_click, tot.m AS n_error,
+             |  round((tot.nn - 1)::DOUBLE / tot.nn::DOUBLE / tot.nn::DOUBLE
+             |    * (sa_e6 / 1e6 / tot.n::DOUBLE
+             |       + sb_e6 / 1e6 / tot.m::DOUBLE), 6) AS ad2
+             |FROM s, tot""".stripMargin))
   )
 }

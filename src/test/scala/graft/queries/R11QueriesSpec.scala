@@ -247,6 +247,35 @@ class R11QueriesSpec extends GraftSpec {
     assert(out.getAs[Double]("transitivity") === 0.6 +- 1e-9)
   }
 
+  test("q_wilcoxon_signed_rank: balanced signed ranks give z = 0") {
+    // daily diffs +10, +20, -30 milli → ranks 1,2,3; W+ = 3 = mean → z = 0
+    // (diffs live at the query's DECIMAL(18,2) input precision)
+    val rows = Seq(
+      (day0, 1L, "view", 2.01), (day0, 2L, "click", 2.0),
+      (day0 + 86400000000L, 1L, "view", 2.02),
+      (day0 + 86400000000L, 2L, "click", 2.0),
+      (day0 + 2 * 86400000000L, 1L, "view", 2.0),
+      (day0 + 2 * 86400000000L, 2L, "click", 2.03))
+    val out = byName("q_wilcoxon_signed_rank")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Long]("n") === 3L)
+    assert(out.getAs[Long]("w_plus2") === 6L) // (1+2) ranks in x2 units
+    assert(out.getAs[Double]("z_wilcoxon") === 0.0 +- 1e-9)
+  }
+
+  test("q_anderson_darling_2s: identical samples give zero, disjoint ones large") {
+    val same = (1 to 20).flatMap(i => Seq(
+      (day0 + i * 1000000L, 1L, "click", i.toDouble),
+      (day0 + i * 1000000L, 2L, "error", i.toDouble)))
+    val z = byName("q_anderson_darling_2s")(spark, eventsDir(same)).head()
+    assert(z.getAs[Double]("ad2") === 0.0 +- 1e-9)
+
+    val apart = (1 to 20).flatMap(i => Seq(
+      (day0 + i * 1000000L, 1L, "click", 1.0 + i * 0.01),
+      (day0 + i * 1000000L, 2L, "error", 100.0 + i * 0.01)))
+    val o = byName("q_anderson_darling_2s")(spark, eventsDir(apart)).head()
+    assert(o.getAs[Double]("ad2") > 1.0)
+  }
+
   test("q_holt_winters_dow: a constant series forecasts itself with zero season") {
     val rows = (0 until 21).map(k => (day0 + k * 86400000000L, 1L, "view", 5.0))
     val out = byName("q_holt_winters_dow")(spark, eventsDir(rows))
