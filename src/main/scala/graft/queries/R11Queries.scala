@@ -1185,6 +1185,229 @@ object R11Queries {
              |  round((tot.nn - 1)::DOUBLE / tot.nn::DOUBLE / tot.nn::DOUBLE
              |    * (sa_e6 / 1e6 / tot.n::DOUBLE
              |       + sb_e6 / 1e6 / tot.m::DOUBLE), 6) AS ad2
-             |FROM s, tot""".stripMargin))
+             |FROM s, tot""".stripMargin)),
+
+    // Paired t-test on the same daily view-vs-click differences the
+    // Wilcoxon ranks — the parametric twin. Mean and variance come
+    // from exact milli-integer sums (Σd, Σd² BIGINT), so
+    // t = d̄·√n/s_d is one float expression of four exact integers,
+    // rounded once.
+    QueryDef("q_ttest_paired",
+      (s, d) => {
+        graft.sources.Tables.events(s, d)
+          .filter(col("event_type").isin("view", "click"))
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(((sum(when(col("event_type") === "view",
+              col("value").cast("decimal(18,2)"))) -
+            sum(when(col("event_type") === "click",
+              col("value").cast("decimal(18,2)")))) * lit(1000))
+            .cast("long").as("dm"))
+          .agg(count(lit(1)).as("n"), sum(col("dm")).as("sd"),
+            sum(col("dm") * col("dm")).as("sq"))
+          .select(col("n"), (col("n") - 1).as("df"),
+            round((col("sd").cast("double") / col("n").cast("double")) /
+              sqrt(((col("sq").cast("double") -
+                col("sd").cast("double") * col("sd").cast("double") /
+                  col("n").cast("double")) /
+                (col("n") - 1).cast("double")) /
+                col("n").cast("double")), 6).as("t_paired"))
+      },
+      Some("""WITH daily AS (SELECT ts::DATE AS day,
+             |    ((sum(CASE WHEN event_type = 'view'
+             |          THEN CAST(value AS DECIMAL(18,2)) END)
+             |      - sum(CASE WHEN event_type = 'click'
+             |          THEN CAST(value AS DECIMAL(18,2)) END))
+             |      * 1000)::BIGINT AS dm
+             |  FROM events WHERE event_type IN ('view', 'click')
+             |  GROUP BY 1),
+             |g AS (SELECT count(*)::BIGINT AS n, sum(dm)::BIGINT AS sd,
+             |    sum(dm * dm)::BIGINT AS sq FROM daily)
+             |SELECT n, n - 1 AS df,
+             |  round((sd::DOUBLE / n::DOUBLE)
+             |    / sqrt(((sq::DOUBLE - sd::DOUBLE * sd::DOUBLE / n::DOUBLE)
+             |        / (n - 1)::DOUBLE) / n::DOUBLE), 6) AS t_paired
+             |FROM g""".stripMargin)),
+
+    // Exact sign test on the same paired daily differences — the
+    // assumption-free member of the family, with an EXACT two-sided
+    // binomial p-value: Σ C(n,j) over the tail in pure BIGINT
+    // arithmetic (n ≤ 31 days, so C(n,j) and the 2^n denominator are
+    // exact; the 2·Σ/2^n cap at 1 is the only float step). Both
+    // engines fold the same C(n,j) = C(n,j−1)·(n−j+1)/j integer
+    // recurrence, so the p-value matches to the last bit.
+    QueryDef("q_sign_test",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .filter(col("event_type").isin("view", "click"))
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(((sum(when(col("event_type") === "view",
+              col("value").cast("decimal(18,2)"))) -
+            sum(when(col("event_type") === "click",
+              col("value").cast("decimal(18,2)")))) * lit(1000))
+            .cast("long").as("dm"))
+          .filter(col("dm") =!= 0)
+        daily.agg(count(lit(1)).as("n"),
+            sum(when(col("dm") > 0, 1L).otherwise(0L)).as("n_pos"))
+          .withColumn("kk",
+            least(col("n_pos"), col("n") - col("n_pos")).cast("int"))
+          // tail = sum_{j=0..kk} C(n, j) via the exact integer
+          // recurrence folded over j (n<=31 keeps C within int64).
+          // Spark's sequence(1, 0) DESCENDS instead of being empty,
+          // so the kk=0 tail (just C(n,0)=1) short-circuits.
+          .withColumn("tail", expr(
+            """CASE WHEN kk < 1 THEN 1L ELSE
+              |aggregate(sequence(1, kk),
+              |  named_struct('c', 1L, 's', 1L),
+              |  (acc, j) -> named_struct(
+              |    'c', acc.c * (int(n) - j + 1) div j,
+              |    's', acc.s + acc.c * (int(n) - j + 1) div j),
+              |  acc -> acc.s) END""".stripMargin))
+          .select(col("n"), col("n_pos"),
+            round(least(lit(2.0) * col("tail").cast("double") /
+              pow(lit(2.0), col("n").cast("double")), lit(1.0)), 6)
+              .as("p_two_sided"))
+      },
+      Some("""WITH RECURSIVE daily AS (SELECT ts::DATE AS day,
+             |    ((sum(CASE WHEN event_type = 'view'
+             |          THEN CAST(value AS DECIMAL(18,2)) END)
+             |      - sum(CASE WHEN event_type = 'click'
+             |          THEN CAST(value AS DECIMAL(18,2)) END))
+             |      * 1000)::BIGINT AS dm
+             |  FROM events WHERE event_type IN ('view', 'click')
+             |  GROUP BY 1 HAVING ((sum(CASE WHEN event_type = 'view'
+             |          THEN CAST(value AS DECIMAL(18,2)) END)
+             |      - sum(CASE WHEN event_type = 'click'
+             |          THEN CAST(value AS DECIMAL(18,2)) END))
+             |      * 1000)::BIGINT <> 0),
+             |g AS (SELECT count(*)::BIGINT AS n,
+             |    sum(CASE WHEN dm > 0 THEN 1 ELSE 0 END)::BIGINT AS n_pos
+             |  FROM daily),
+             |kk AS (SELECT n, n_pos, least(n_pos, n - n_pos) AS kk FROM g),
+             |binom AS (
+             |  SELECT 0::BIGINT AS j, 1::BIGINT AS c, 1::BIGINT AS s, kk.kk
+             |    FROM kk
+             |  UNION ALL
+             |  SELECT b.j + 1, b.c * (g.n - b.j) // (b.j + 1),
+             |      b.s + b.c * (g.n - b.j) // (b.j + 1), b.kk
+             |    FROM binom b, g WHERE b.j < b.kk)
+             |SELECT g.n, g.n_pos,
+             |  round(least(2.0 * b.s::DOUBLE / 2 ** g.n::DOUBLE, 1.0), 6)
+             |    AS p_two_sided
+             |FROM g, kk, binom b WHERE b.j = kk.kk""".stripMargin)),
+
+    // Kuiper's test (Kuiper 1960) between the click and error value
+    // distributions: V = D⁺ + D⁻ — equally sensitive across the whole
+    // support (KS under-weights the tails and any cyclic shift).
+    // Same exact-count CDF digest as q_ks_test; the two directed
+    // suprema are maxima of per-cell float expressions of exact ints.
+    QueryDef("q_kuiper_test",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+          .filter(col("event_type").isin("click", "error"))
+          .select(col("event_type"),
+            floor(col("value") * 10).cast("long").as("v10"))
+        val cnt = ev.groupBy(col("v10"))
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("na"),
+            sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("nb"))
+        val w = Window.orderBy(col("v10"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = broadcast(cnt.agg(sum(col("na")).as("ta"),
+          sum(col("nb")).as("tb")))
+        cnt.withColumn("ca", sum(col("na")).over(w))
+          .withColumn("cb", sum(col("nb")).over(w))
+          .crossJoin(tot)
+          .agg(max(col("ta")).as("n_click"), max(col("tb")).as("n_error"),
+            round(max(col("ca").cast("double") / col("ta").cast("double") -
+                col("cb").cast("double") / col("tb").cast("double")) +
+              max(col("cb").cast("double") / col("tb").cast("double") -
+                col("ca").cast("double") / col("ta").cast("double")), 6)
+              .as("kuiper_v"))
+      },
+      Some("""WITH f AS (SELECT event_type, floor(value * 10)::BIGINT AS v10
+             |  FROM events WHERE event_type IN ('click', 'error')),
+             |c AS (SELECT v10,
+             |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             |      ::BIGINT AS na,
+             |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             |      ::BIGINT AS nb
+             |  FROM f GROUP BY 1),
+             |cum AS (SELECT v10, sum(na) OVER w AS ca, sum(nb) OVER w AS cb
+             |  FROM c WINDOW w AS (ORDER BY v10
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |tot AS (SELECT sum(na)::BIGINT AS ta, sum(nb)::BIGINT AS tb
+             |  FROM c)
+             |SELECT tot.ta AS n_click, tot.tb AS n_error,
+             |  round(max(ca::DOUBLE / ta::DOUBLE - cb::DOUBLE / tb::DOUBLE)
+             |    + max(cb::DOUBLE / tb::DOUBLE - ca::DOUBLE / ta::DOUBLE), 6)
+             |    AS kuiper_v
+             |FROM cum, tot GROUP BY tot.ta, tot.tb""".stripMargin)),
+
+    // Two-sample Cramér–von Mises (Anderson 1962, grid/ties form):
+    // T = Σ h·(m·ca − n·cb)²/(n·m·N²) − (4nm − N)/(6N²)... the
+    // L2-distance member of the drift family (KS = sup, AD =
+    // tail-weighted L2, CvM = plain L2). The per-cell integrand
+    // h·(m·ca − n·cb)² is exact DECIMAL(38,0) (m·ca reaches ~4e8 at
+    // sf0.1, squared ~1e17, times h ~1e3 → 1e20 clears int64), summed
+    // exactly; the two closing divisions are the only float ops.
+    QueryDef("q_cvm_test",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+          .filter(col("event_type").isin("click", "error"))
+          .select(col("event_type"),
+            floor(col("value") * 10).cast("long").as("v10"))
+        val cnt = ev.groupBy(col("v10"))
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("na"),
+            sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("nb"))
+        val w = Window.orderBy(col("v10"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = broadcast(cnt.agg(sum(col("na")).as("n"),
+          sum(col("nb")).as("m")))
+        cnt.withColumn("h", col("na") + col("nb"))
+          .withColumn("ca", sum(col("na")).over(w))
+          .withColumn("cb", sum(col("nb")).over(w))
+          .crossJoin(tot)
+          .groupBy(col("n"), col("m"))
+          .agg(sum(expr("cast(h as decimal(38,0)) * (m * ca - n * cb)" +
+            " * (m * ca - n * cb)")).as("u"))
+          .select(col("n").as("n_click"), col("m").as("n_error"),
+            round(col("u").cast("double") /
+              (col("n").cast("double") * col("m").cast("double") *
+                (col("n") + col("m")).cast("double") *
+                (col("n") + col("m")).cast("double")) -
+              (lit(4.0) * col("n").cast("double") * col("m").cast("double") -
+                (col("n") + col("m")).cast("double")) /
+              (lit(6.0) * (col("n") + col("m")).cast("double") *
+                (col("n") + col("m")).cast("double")), 6).as("cvm_t"))
+      },
+      Some("""WITH f AS (SELECT event_type, floor(value * 10)::BIGINT AS v10
+             |  FROM events WHERE event_type IN ('click', 'error')),
+             |c AS (SELECT v10,
+             |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             |      ::BIGINT AS na,
+             |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             |      ::BIGINT AS nb
+             |  FROM f GROUP BY 1),
+             |cum AS (SELECT na + nb AS h,
+             |    sum(na) OVER w AS ca, sum(nb) OVER w AS cb
+             |  FROM c WINDOW w AS (ORDER BY v10
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |tot AS (SELECT sum(na)::BIGINT AS n, sum(nb)::BIGINT AS m
+             |  FROM c),
+             |u AS (SELECT sum(h::HUGEINT
+             |      * (tot.m * ca - tot.n * cb)::HUGEINT
+             |      * (tot.m * ca - tot.n * cb)::HUGEINT) AS u
+             |  FROM cum, tot)
+             |SELECT tot.n AS n_click, tot.m AS n_error,
+             |  round(u.u::DOUBLE / (tot.n::DOUBLE * tot.m::DOUBLE
+             |      * (tot.n + tot.m)::DOUBLE * (tot.n + tot.m)::DOUBLE)
+             |    - (4.0 * tot.n::DOUBLE * tot.m::DOUBLE
+             |        - (tot.n + tot.m)::DOUBLE)
+             |      / (6.0 * (tot.n + tot.m)::DOUBLE
+             |          * (tot.n + tot.m)::DOUBLE), 6) AS cvm_t
+             |FROM u, tot""".stripMargin))
   )
 }

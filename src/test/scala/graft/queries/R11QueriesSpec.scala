@@ -276,6 +276,57 @@ class R11QueriesSpec extends GraftSpec {
     assert(o.getAs[Double]("ad2") > 1.0)
   }
 
+  test("q_ttest_paired on known diffs 10,20,30 milli gives t = 2*sqrt(3)") {
+    val rows = Seq(
+      (day0, 1L, "view", 2.01), (day0, 2L, "click", 2.0),
+      (day0 + 86400000000L, 1L, "view", 2.02),
+      (day0 + 86400000000L, 2L, "click", 2.0),
+      (day0 + 2 * 86400000000L, 1L, "view", 2.03),
+      (day0 + 2 * 86400000000L, 2L, "click", 2.0))
+    val out = byName("q_ttest_paired")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Long]("df") === 2L)
+    assert(out.getAs[Double]("t_paired") === 3.464102 +- 1e-6)
+  }
+
+  test("q_sign_test: 3 positives of 3 gives exact p = 0.25") {
+    val rows = Seq(
+      (day0, 1L, "view", 2.01), (day0, 2L, "click", 2.0),
+      (day0 + 86400000000L, 1L, "view", 2.02),
+      (day0 + 86400000000L, 2L, "click", 2.0),
+      (day0 + 2 * 86400000000L, 1L, "view", 2.03),
+      (day0 + 2 * 86400000000L, 2L, "click", 2.0))
+    val out = byName("q_sign_test")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Long]("n_pos") === 3L)
+    assert(out.getAs[Double]("p_two_sided") === 0.25 +- 1e-9)
+  }
+
+  test("q_kuiper_test: zero on identical samples, 1 on disjoint supports") {
+    val same = (1 to 20).flatMap(i => Seq(
+      (day0 + i * 1000000L, 1L, "click", i.toDouble),
+      (day0 + i * 1000000L, 2L, "error", i.toDouble)))
+    assert(byName("q_kuiper_test")(spark, eventsDir(same))
+      .head().getAs[Double]("kuiper_v") === 0.0 +- 1e-9)
+    val apart = (1 to 20).flatMap(i => Seq(
+      (day0 + i * 1000000L, 1L, "click", 1.0 + i * 0.01),
+      (day0 + i * 1000000L, 2L, "error", 100.0 + i * 0.01)))
+    assert(byName("q_kuiper_test")(spark, eventsDir(apart))
+      .head().getAs[Double]("kuiper_v") === 1.0 +- 1e-9)
+  }
+
+  test("q_cvm_test: identical samples hit the exact small-sample floor") {
+    val same = (1 to 20).flatMap(i => Seq(
+      (day0 + i * 1000000L, 1L, "click", i.toDouble),
+      (day0 + i * 1000000L, 2L, "error", i.toDouble)))
+    // u = 0 → T = -(4nm-N)/(6N^2) = -1560/9600 at n=m=20
+    assert(byName("q_cvm_test")(spark, eventsDir(same))
+      .head().getAs[Double]("cvm_t") === -0.1625 +- 1e-9)
+    val apart = (1 to 20).flatMap(i => Seq(
+      (day0 + i * 1000000L, 1L, "click", 1.0 + i * 0.01),
+      (day0 + i * 1000000L, 2L, "error", 100.0 + i * 0.01)))
+    assert(byName("q_cvm_test")(spark, eventsDir(apart))
+      .head().getAs[Double]("cvm_t") > 1.0)
+  }
+
   test("q_holt_winters_dow: a constant series forecasts itself with zero season") {
     val rows = (0 until 21).map(k => (day0 + k * 86400000000L, 1L, "view", 5.0))
     val out = byName("q_holt_winters_dow")(spark, eventsDir(rows))
