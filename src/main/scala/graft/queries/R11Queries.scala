@@ -1408,6 +1408,170 @@ object R11Queries {
              |        - (tot.n + tot.m)::DOUBLE)
              |      / (6.0 * (tot.n + tot.m)::DOUBLE
              |          * (tot.n + tot.m)::DOUBLE), 6) AS cvm_t
-             |FROM u, tot""".stripMargin))
+             |FROM u, tot""".stripMargin)),
+
+    // Deterministic RANSAC line fit (Fischler & Bolles 1981) on the
+    // daily-revenue-vs-day series — the outlier-robust companion to
+    // q_theil_sen_daily. The "random" sample pairs are md5-derived
+    // from the iteration index (64 iterations, the same seeded-hash
+    // discipline as the LSH planes), the inlier test is an exact
+    // cross-multiplied integer inequality (tolerance = 5% of mean
+    // daily revenue, data-derived so it is sf-independent), and the
+    // final refit is closed-form OLS on exact integer sums with
+    // sign-safe floor division. Everything after the one daily
+    // shuffle is a 64×30 digest product.
+    QueryDef("q_ransac_line",
+      (s, d) => {
+        def fldiv(e: String, q: String) = s"(($e - pmod($e, $q)) div $q)"
+        val days = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg((sum(col("value").cast("decimal(18,2)")) * lit(1000))
+            .cast("long").as("ym"))
+          .withColumn("x",
+            row_number().over(Window.orderBy(col("day"))) - lit(1))
+          .select(col("x").cast("long").as("x"), col("ym"))
+        val n = broadcast(days.agg(count(lit(1)).as("n"),
+          expr("sum(ym) div (count(1) * 20)").as("tol")))
+        val picks = s.range(1, 65).toDF("t").crossJoin(n)
+          .withColumn("hi", pmod(graft.ext.Dedup.strHash60(
+            concat(lit("ransac:a:"), col("t"))), col("n")))
+          .withColumn("i", col("hi"))
+          .withColumn("j", pmod(col("hi") + lit(1) +
+            pmod(graft.ext.Dedup.strHash60(
+              concat(lit("ransac:b:"), col("t"))), col("n") - 1), col("n")))
+        val lines = picks
+          .join(days.select(col("x").as("xi"), col("ym").as("yi")),
+            col("i") === col("xi"))
+          .join(days.select(col("x").as("xj"), col("ym").as("yj")),
+            col("j") === col("xj"))
+          .select(col("t"), col("xi"), col("yi"), col("xj"), col("yj"),
+            col("tol"))
+        val inlier = abs((col("ym") - col("yi")) * (col("xj") - col("xi")) -
+          (col("yj") - col("yi")) * (col("x") - col("xi"))) <=
+          col("tol") * abs(col("xj") - col("xi"))
+        val best = lines.join(days, inlier)
+          .groupBy(col("t")).agg(count(lit(1)).as("n_in"))
+          .orderBy(col("n_in").desc, col("t")).limit(1)
+        val fit = best.join(lines, "t").join(days, inlier)
+          .groupBy(col("t"), col("n_in"))
+          .agg(count(lit(1)).as("m"), sum(col("x")).as("sx"),
+            sum(col("ym")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+            sum(col("x") * col("ym")).as("sxy"))
+        fit.select(col("t").as("best_iter"), col("n_in").as("n_inliers"),
+            expr("m * sxy - sx * sy").as("num"),
+            expr("m * sxx - sx * sx").as("den"),
+            col("sy"), col("sx"), col("m"))
+          .select(col("best_iter"), col("n_inliers"),
+            expr(fldiv("(num * 1000000)", "den")).as("slope_ppm"),
+            expr(fldiv("(sy * den - num * sx)", "(m * den)"))
+              .as("intercept_milli"))
+      },
+      Some("""WITH days AS (SELECT row_number() OVER (ORDER BY day) - 1
+             |    AS x, ym FROM (
+             |    SELECT ts::DATE AS day,
+             |      (sum(CAST(value AS DECIMAL(18,2))) * 1000)::BIGINT AS ym
+             |    FROM events GROUP BY 1)),
+             |n AS (SELECT count(*)::BIGINT AS n,
+             |    (sum(ym) // (count(*) * 20))::BIGINT AS tol FROM days),
+             |iters AS (SELECT unnest(range(1, 65)) AS t),
+             |picks AS (SELECT t,
+             |    ('0x'||substring(md5('ransac:a:'||t::VARCHAR),1,15))::BIGINT
+             |      % n.n AS i,
+             |    (('0x'||substring(md5('ransac:a:'||t::VARCHAR),1,15))::BIGINT
+             |        % n.n
+             |     + 1 +
+             |     ('0x'||substring(md5('ransac:b:'||t::VARCHAR),1,15))::BIGINT
+             |        % (n.n - 1)) % n.n AS j
+             |  FROM iters, n),
+             |lines AS (SELECT p.t, a.x AS xi, a.ym AS yi, b.x AS xj,
+             |    b.ym AS yj
+             |  FROM picks p JOIN days a ON a.x = p.i
+             |    JOIN days b ON b.x = p.j),
+             |cnt AS (SELECT l.t, count(*)::BIGINT AS n_in
+             |  FROM lines l, n, days k
+             |  WHERE abs((k.ym - l.yi) * (l.xj - l.xi)
+             |        - (l.yj - l.yi) * (k.x - l.xi))
+             |      <= n.tol * abs(l.xj - l.xi)
+             |  GROUP BY 1),
+             |best AS (SELECT t, n_in FROM cnt
+             |  ORDER BY n_in DESC, t LIMIT 1),
+             |inl AS (SELECT k.x, k.ym FROM best b, n, lines l, days k
+             |  WHERE l.t = b.t
+             |    AND abs((k.ym - l.yi) * (l.xj - l.xi)
+             |          - (l.yj - l.yi) * (k.x - l.xi))
+             |        <= n.tol * abs(l.xj - l.xi)),
+             |fit AS (SELECT count(*)::BIGINT AS m, sum(x)::BIGINT AS sx,
+             |    sum(ym)::BIGINT AS sy, sum(x * x)::BIGINT AS sxx,
+             |    sum(x * ym)::BIGINT AS sxy FROM inl),
+             |ols AS (SELECT m, m * sxy - sx * sy AS num,
+             |    m * sxx - sx * sx AS den, sy, sx FROM fit)
+             |SELECT b.t AS best_iter, b.n_in AS n_inliers,
+             |  (((num * 1000000)
+             |    - (((num * 1000000) % den + den) % den)) // den)::BIGINT
+             |    AS slope_ppm,
+             |  (((sy * den - num * sx)
+             |    - (((sy * den - num * sx) % (m * den) + m * den) % (m * den)))
+             |   // (m * den))::BIGINT AS intercept_milli
+             |FROM best b, ols""".stripMargin)),
+
+    // Dickey–Fuller unit-root test (Dickey & Fuller 1979), lag-0
+    // form: regress Δy_t on y_{t−1} over the daily-revenue series and
+    // report the t-statistic of ρ — "is the series mean-reverting or
+    // a random walk", the stationarity gate before any ARMA-family
+    // model. With S*xx = mΣx²−(Σx)² etc. the statistic collapses to
+    // t = S*xy·√((m−2)/(S*xx·S*yy − S*xy²)) — three exact
+    // DECIMAL(38,0) sums on EXACT centi-unit integers (the ×100
+    // scale makes the decimal→BIGINT cast lossless — Spark truncates
+    // a fractional decimal while DuckDB rounds it; the cross product
+    // stays inside 38 digits past sf100) and one rounded float
+    // expression.
+    QueryDef("q_dickey_fuller",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg((sum(col("value").cast("decimal(18,2)")) * lit(100))
+            .cast("long").as("y"))
+        val w = Window.orderBy(col("day"))
+        val pairs = daily
+          .withColumn("yp", lag(col("y"), 1).over(w))
+          .filter(col("yp").isNotNull)
+          .select(col("yp").as("x"), (col("y") - col("yp")).as("dy"))
+        pairs.agg(count(lit(1)).as("m"),
+            sum(col("x").cast("decimal(38,0)")).as("sx"),
+            sum(col("dy").cast("decimal(38,0)")).as("sy"),
+            sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+            sum((col("x") * col("dy")).cast("decimal(38,0)")).as("sxy"),
+            sum((col("dy") * col("dy")).cast("decimal(38,0)")).as("syy"))
+          .select(col("m").as("n_diffs"),
+            // both engines' integral division truncates toward zero
+            // (DuckDB -7//2 = Spark -7 div 2 = -3), so the negative
+            // rho needs no floor guard
+            expr("cast((m * sxy - sx * sy) * 1000000 div " +
+              "(m * sxx - sx * sx) as bigint)").as("rho_ppm"),
+            round(expr("cast(m * sxy - sx * sy as double)") *
+              sqrt((col("m") - 2).cast("double") /
+                expr("cast((m * sxx - sx * sx) * (m * syy - sy * sy) " +
+                  "- (m * sxy - sx * sy) * (m * sxy - sx * sy) as double)")),
+              6).as("t_df"))
+      },
+      Some("""WITH daily AS (SELECT ts::DATE AS day,
+             |    (sum(CAST(value AS DECIMAL(18,2))) * 100)::BIGINT AS y
+             |  FROM events GROUP BY 1),
+             |p AS (SELECT lag(y) OVER (ORDER BY day) AS x,
+             |    y - lag(y) OVER (ORDER BY day) AS dy
+             |  FROM daily),
+             |g AS (SELECT count(*)::BIGINT AS m, sum(x)::HUGEINT AS sx,
+             |    sum(dy)::HUGEINT AS sy, sum(x * x)::HUGEINT AS sxx,
+             |    sum(x * dy)::HUGEINT AS sxy, sum(dy * dy)::HUGEINT AS syy
+             |  FROM p WHERE x IS NOT NULL)
+             |SELECT m AS n_diffs,
+             |  ((m * sxy - sx * sy) * 1000000 // (m * sxx - sx * sx))::BIGINT
+             |    AS rho_ppm,
+             |  round((m * sxy - sx * sy)::DOUBLE
+             |    * sqrt((m - 2)::DOUBLE
+             |      / ((m * sxx - sx * sx) * (m * syy - sy * sy)
+             |         - (m * sxy - sx * sy) * (m * sxy - sx * sy))::DOUBLE),
+             |    6) AS t_df
+             |FROM g""".stripMargin))
   )
 }

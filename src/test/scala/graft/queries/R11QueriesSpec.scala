@@ -327,6 +327,39 @@ class R11QueriesSpec extends GraftSpec {
       .head().getAs[Double]("cvm_t") > 1.0)
   }
 
+  test("q_ransac_line recovers an exact line through two gross outliers") {
+    // y = 100 + 1.5x units daily, days 10 and 20 corrupted
+    val rows = (0 until 30).map { x =>
+      val v = if (x == 10) 500.0 else if (x == 20) 2.0 else 100.0 + 1.5 * x
+      (day0 + x * 86400000000L, 1L, "view", v)
+    }
+    val out = byName("q_ransac_line")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Long]("n_inliers") === 28L)
+    assert(out.getAs[Long]("slope_ppm") === 1500000000L) // 1.5 units/day
+    assert(out.getAs[Long]("intercept_milli") === 100000L)
+  }
+
+  test("q_dickey_fuller matches a double-precision OLS on the same series") {
+    // deterministic 4-level cycle with drift noise — not perfectly fit
+    val ys = (0 until 24).map(x => 100.0 + Seq(0.0, 7.0, 3.0, 11.0)(x % 4))
+    val rows = ys.zipWithIndex.map { case (v, x) =>
+      (day0 + x * 86400000000L, 1L, "view", v) }
+    val out = byName("q_dickey_fuller")(spark, eventsDir(rows)).head()
+    val xs = ys.dropRight(1); val dys = ys.tail.zip(xs).map(t => t._1 - t._2)
+    val m = xs.size.toDouble
+    val sx = xs.sum; val sy = dys.sum
+    val sxx = xs.map(a => a * a).sum
+    val sxy = xs.zip(dys).map(t => t._1 * t._2).sum
+    val syy = dys.map(a => a * a).sum
+    val rho = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    val t = (m * sxy - sx * sy) * math.sqrt((m - 2) /
+      ((m * sxx - sx * sx) * (m * syy - sy * sy) -
+        (m * sxy - sx * sy) * (m * sxy - sx * sy)))
+    assert(out.getAs[Long]("n_diffs") === 23L)
+    assert(out.getAs[Long]("rho_ppm") / 1e6 === rho +- 1e-5)
+    assert(out.getAs[Double]("t_df") === t +- 1e-5)
+  }
+
   test("q_holt_winters_dow: a constant series forecasts itself with zero season") {
     val rows = (0 until 21).map(k => (day0 + k * 86400000000L, 1L, "view", 5.0))
     val out = byName("q_holt_winters_dow")(spark, eventsDir(rows))
