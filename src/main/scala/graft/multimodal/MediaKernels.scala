@@ -110,6 +110,38 @@ object MediaKernels {
     (img.getWidth, img.getHeight)
   }
 
+  /** 256-bin histogram of the red channel — the per-image intensity
+    * distribution the entropy/quality probes read. */
+  def redHistogram(img: BufferedImage): Array[Long] = {
+    val h = new Array[Long](256)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        h(((img.getRGB(x, y) >> 16) & 0xff)) += 1
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  /** Shannon entropy (nats) of a histogram, summed in ascending bin
+    * order — the fixed order keeps the float sum reproducible. */
+  def histEntropyNats(hist: Array[Long]): Double = {
+    val n = hist.sum.toDouble
+    var e = 0.0
+    var i = 0
+    while (i < hist.length) {
+      if (hist(i) > 0) {
+        val p = hist(i) / n
+        e -= p * math.log(p)
+      }
+      i += 1
+    }
+    e
+  }
+
   /** Per-channel means in [0,255] — the cheap quality/feature probe. */
   def channelMeans(bytes: Array[Byte]): (Double, Double, Double) =
     channelMeans(decodeImage(bytes))

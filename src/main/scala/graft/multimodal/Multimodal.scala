@@ -60,6 +60,24 @@ object Multimodal {
       })
   }
 
+  case class ImageEntropy(media_id: Long, n_distinct_r: Long,
+                          entropy_nats: Double)
+
+  /** Decode + red-channel histogram entropy: the per-image intensity
+    * diversity probe (flat/blank frames score near 0, noisy fields
+    * near ln 256). One decode per row; the bin loop runs in fixed
+    * ascending order so the float sum is reproducible. */
+  def imageEntropy(media: DataFrame): Dataset[ImageEntropy] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("image")).as[ImageRow]
+      .mapPartitions(_.map { r =>
+        val h = MediaKernels.redHistogram(MediaKernels.decodeImage(r.image))
+        ImageEntropy(r.media_id, h.count(_ > 0).toLong,
+          MediaKernels.histEntropyNats(h))
+      })
+  }
+
   /** Decode + feature-extract audio: header metadata, RMS amplitude,
     * and k evenly spaced frame samples. */
   def audioFeatures(media: DataFrame, k: Int = 8): Dataset[AudioFeatures] = {

@@ -1572,6 +1572,166 @@ object R11Queries {
              |      / ((m * sxx - sx * sx) * (m * syy - sy * sy)
              |         - (m * sxy - sx * sy) * (m * sxy - sx * sy))::DOUBLE),
              |    6) AS t_df
-             |FROM g""".stripMargin))
+             |FROM g""".stripMargin)),
+
+    // Per-image red-channel histogram entropy — the intensity-
+    // diversity quality probe (blank/flat frames → 0, noise fields →
+    // ln 256 ≈ 5.545). The Spark side does REAL codec work (PNG
+    // decode via javax.imageio, one decode per row inside
+    // mapPartitions); the oracle never decodes a byte — the synthetic
+    // pixel field is the seeded 64-bit LCG, so a recursive HUGEINT
+    // CTE regenerates every red byte, histograms them, and recomputes
+    // the same entropy (exact integer counts; the float log sum
+    // differs only in association order, absorbed by round 5).
+    QueryDef("mm_image_entropy",
+      (s, d) => {
+        val media = graft.multimodal.Multimodal.syntheticMedia(
+          s.read.parquet(s"$d/documents.parquet")
+            .filter(col("doc_id") < 200), "doc_id")
+        graft.multimodal.Multimodal.imageEntropy(media).toDF()
+          .select(col("media_id"), col("n_distinct_r"),
+            round(col("entropy_nats"), 5).as("entropy_nats"))
+          .orderBy(col("media_id"))
+      },
+      Some("""WITH RECURSIVE lcg AS (
+             |  SELECT 0 AS m, 1::HUGEINT AS am, 0::HUGEINT AS cm
+             |  UNION ALL
+             |  SELECT m + 1,
+             |    (am * 6364136223846793005) % 18446744073709551616,
+             |    (cm * 6364136223846793005 + 1442695040888963407)
+             |      % 18446744073709551616
+             |  FROM lcg WHERE m < 385),
+             |px AS (SELECT d.doc_id AS media_id,
+             |    (d.doc_id::HUGEINT * l.am + l.cm)
+             |      % 18446744073709551616 AS s
+             |  FROM documents d JOIN lcg l ON l.m BETWEEN 2 AND 385
+             |  WHERE d.doc_id < 200),
+             |h AS (SELECT media_id, (s // 1099511627776) % 256 AS r,
+             |    count(*)::BIGINT AS c
+             |  FROM px GROUP BY 1, 2)
+             |SELECT media_id, count(*)::BIGINT AS n_distinct_r,
+             |  round(sum(-(c::DOUBLE / 384.0)
+             |    * ln(c::DOUBLE / 384.0)), 5) AS entropy_nats
+             |FROM h GROUP BY media_id ORDER BY media_id""".stripMargin)),
+
+    // Gaussian-kernel MMD² via random Fourier features (Rahimi &
+    // Recht 2007, NIPS) between embedding label groups — the
+    // shift-invariant-kernel companion to emb_mmd_poly's exact
+    // moment identity: MMD²_rbf ≈ ‖mean z_P − mean z_Q‖² over D=32
+    // features z_f(x) = cos(w_f·x + b_f), again ONE linear pass per
+    // group instead of O(n²) kernel pairs. The w/b constants are
+    // md5-seeded Box–Muller draws computed ONCE in Scala, rounded to
+    // 9 decimals, and embedded as identical literals in BOTH engines
+    // — no cross-engine transcendental agreement needed for the
+    // projection. Per-row features quantize to a 1e6 grid (BIGINT)
+    // before the group sums, and both engines fold the 16-term dot
+    // product strictly left-to-right, so the sums are exact and
+    // partition-order free.
+    QueryDef("emb_mmd_rbf", {
+      def h60(str: String): Long = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(str.getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString
+        java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      }
+      def u(str: String): Double = (h60(str) + 0.5) / math.pow(2, 60)
+      def r9(v: Double): String =
+        BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+          .bigDecimal.toPlainString
+      val W = Array.tabulate(32, 16)((f, i) =>
+        r9(math.sqrt(-2.0 * math.log(u(s"rff:w1:$f:$i"))) *
+          math.cos(2.0 * math.Pi * u(s"rff:w2:$f:$i")) / 2.0))
+      val B = Array.tabulate(32)(f => r9(2.0 * math.Pi * u(s"rff:b:$f")))
+      val wSpark = W.map(_.mkString("array(", ", ", ")"))
+        .mkString("array(", ", ", ")")
+      val bSpark = B.mkString("array(", ", ", ")")
+      val wDuck = W.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+      val bDuck = B.mkString("[", ", ", "]")
+      (s, d) => {
+        val xq = transform(slice(col("embedding"), 1, 16),
+          x => round(x.cast("double") * 1000, 0).cast("long"))
+        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        val z = emb.select(col("label"), xq.as("xq"))
+          .select(col("label"), posexplode(expr(
+            s"""transform(sequence(1, 32), f -> cast(round(cos(
+               |  aggregate(sequence(1, 16), cast(0.0 as double),
+               |    (a, i) -> a + element_at(element_at($wSpark, f), i)
+               |      * element_at(xq, i) / 1000.0)
+               |  + element_at($bSpark, f)) * 1000000, 0) as bigint))"""
+              .stripMargin)).as(Seq("f", "zq")))
+        val g = z.groupBy(col("label"), col("f"))
+          .agg(sum(col("zq")).as("sz"))
+        val n = emb.groupBy(col("label")).agg(count(lit(1)).as("n"))
+        val ga = g.join(n, "label")
+          .select(col("label").as("label_a"), col("f"),
+            col("sz").as("sa"), col("n").as("na"))
+        val gb = g.join(n, "label")
+          .select(col("label").as("label_b"), col("f").as("fb"),
+            col("sz").as("sb"), col("n").as("nb"))
+        ga.join(gb, col("f") === col("fb") &&
+            col("label_a") < col("label_b"))
+          .select(col("label_a"), col("label_b"), col("na"), col("nb"),
+            expr("(cast(sa as decimal(38,0)) * nb" +
+              " - cast(sb as decimal(38,0)) * na)" +
+              " * (cast(sa as decimal(38,0)) * nb" +
+              "    - cast(sb as decimal(38,0)) * na)").as("d2"))
+          .groupBy(col("label_a"), col("label_b"), col("na"), col("nb"))
+          .agg(sum(col("d2")).as("s2"))
+          .select(col("label_a"), col("label_b"),
+            round(col("s2").cast("double") * lit(2.0) / lit(32.0) /
+              (col("na") * col("nb")).cast("double") /
+              (col("na") * col("nb")).cast("double") /
+              lit(1e12), 6).as("mmd2_rbf"))
+          .orderBy(col("label_a"), col("label_b"))
+      }
+    }, {
+      def h60(str: String): Long = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(str.getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString
+        java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      }
+      def u(str: String): Double = (h60(str) + 0.5) / math.pow(2, 60)
+      def r9(v: Double): String =
+        BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+          .bigDecimal.toPlainString
+      val W = Array.tabulate(32, 16)((f, i) =>
+        r9(math.sqrt(-2.0 * math.log(u(s"rff:w1:$f:$i"))) *
+          math.cos(2.0 * math.Pi * u(s"rff:w2:$f:$i")) / 2.0))
+      val B = Array.tabulate(32)(f => r9(2.0 * math.Pi * u(s"rff:b:$f")))
+      val wDuck = W.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+      val bDuck = B.mkString("[", ", ", "]")
+      Some(s"""WITH wl AS MATERIALIZED (SELECT
+             |    $wDuck AS w,
+             |    $bDuck AS b),
+             |x AS (SELECT vec_id, label,
+             |    list_transform(embedding[1:16],
+             |      v -> round(v::DOUBLE * 1000)::BIGINT) AS xq
+             |  FROM embeddings),
+             |z AS (SELECT label, f.f,
+             |    round(cos(
+             |      list_reduce(list_transform(range(1, 17),
+             |        i -> wl.w[f.f][i] * xq[i] / 1000.0),
+             |        (a, b) -> a + b)
+             |      + wl.b[f.f]) * 1000000)::BIGINT AS zq
+             |  FROM x, range(1, 33) f(f), wl),
+             |g AS (SELECT label, f, sum(zq)::BIGINT AS sz
+             |  FROM z GROUP BY 1, 2),
+             |n AS (SELECT label, count(*)::BIGINT AS n
+             |  FROM embeddings GROUP BY 1),
+             |pr AS (SELECT ga.label AS label_a, gb.label AS label_b,
+             |    na.n AS na, nb.n AS nb,
+             |    (ga.sz::HUGEINT * nb.n - gb.sz::HUGEINT * na.n)
+             |      * (ga.sz::HUGEINT * nb.n - gb.sz::HUGEINT * na.n) AS d2
+             |  FROM g ga JOIN g gb ON ga.f = gb.f AND ga.label < gb.label
+             |  JOIN n na ON na.label = ga.label
+             |  JOIN n nb ON nb.label = gb.label),
+             |m AS (SELECT label_a, label_b, na, nb, sum(d2) AS s2
+             |  FROM pr GROUP BY 1, 2, 3, 4)
+             |SELECT label_a, label_b,
+             |  round(s2::DOUBLE * 2.0 / 32.0 / (na * nb)::DOUBLE
+             |    / (na * nb)::DOUBLE / 1000000000000.0, 6) AS mmd2_rbf
+             |FROM m ORDER BY label_a, label_b""".stripMargin)
+    })
   )
 }

@@ -360,6 +360,41 @@ class R11QueriesSpec extends GraftSpec {
     assert(out.getAs[Double]("t_df") === t +- 1e-5)
   }
 
+  test("mm_image_entropy: uniform histogram gives ln 256, single bin gives 0") {
+    import graft.multimodal.MediaKernels
+    val uniform = Array.fill(256)(1L)
+    assert(MediaKernels.histEntropyNats(uniform) === math.log(256.0) +- 1e-12)
+    val flat = Array.tabulate(256)(i => if (i == 7) 384L else 0L)
+    assert(MediaKernels.histEntropyNats(flat) === 0.0 +- 1e-12)
+    // end-to-end over the real codec: bounded by ln 256, mostly-distinct bytes
+    val dir = java.nio.file.Files.createTempDirectory("r11me").toString
+    import spark.implicits._
+    Seq((1L, "t", "en", "s", 1L), (2L, "t", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = byName("mm_image_entropy")(spark, dir).collect()
+    assert(out.length === 2)
+    assert(out.forall(r => r.getAs[Double]("entropy_nats") > 4.0 &&
+      r.getAs[Double]("entropy_nats") <= math.log(256.0) + 1e-9))
+  }
+
+  test("emb_mmd_rbf: zero on identical label groups, positive on different") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("r11rbf").toString
+    def vec(seed: Int) = (1 to 16).map(i => (seed * i % 7).toFloat / 3f) ++
+      Seq.fill(48)(0f)
+    val rows = Seq((1L, vec(1), 0), (2L, vec(2), 0), (3L, vec(1), 1),
+      (4L, vec(2), 1), (5L, vec(5), 2))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = byName("emb_mmd_rbf")(spark, dir)
+      .collect().map(r => ((r.getAs[Int]("label_a"), r.getAs[Int]("label_b")),
+        r.getAs[Double]("mmd2_rbf"))).toMap
+    assert(out((0, 1)) === 0.0 +- 1e-9)
+    assert(out((0, 2)) > 0.0)
+    assert(out((1, 2)) === out((0, 2)) +- 1e-9)
+  }
+
   test("q_holt_winters_dow: a constant series forecasts itself with zero season") {
     val rows = (0 until 21).map(k => (day0 + k * 86400000000L, 1L, "view", 5.0))
     val out = byName("q_holt_winters_dow")(spark, eventsDir(rows))
