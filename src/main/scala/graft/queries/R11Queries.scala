@@ -1732,6 +1732,152 @@ object R11Queries {
              |  round(s2::DOUBLE * 2.0 / 32.0 / (na * nb)::DOUBLE
              |    / (na * nb)::DOUBLE / 1000000000000.0, 6) AS mmd2_rbf
              |FROM m ORDER BY label_a, label_b""".stripMargin)
-    })
+    }),
+
+    // EXACT Shapley-value channel attribution (Shapley 1953; the
+    // marketing-attribution use is standard) over the 4 touchpoint
+    // channels view/click/signup/error, conversion = purchase, with
+    // characteristic v(S) = converted users whose touched-channel set
+    // ⊆ S. One per-user shuffle folds 100 TB of events into a 16-row
+    // mask digest; the 16×16 subset-sum join and the Σ_{S∌c}
+    // |S|!(k−|S|−1)!·(v(S∪c)−v(S)) enumeration run on that digest
+    // with INTEGER factorial weights (φ is reported ×24 = 4!, so the
+    // whole computation is exact until the final share division).
+    // Efficiency axiom — Σφ = v(full) — is pinned in the spec.
+    QueryDef("q_shapley_attribution",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+        val users = ev.groupBy(col("user_id"))
+          .agg((max(when(col("event_type") === "view", 1L).otherwise(0L)) +
+            max(when(col("event_type") === "click", 2L).otherwise(0L)) +
+            max(when(col("event_type") === "signup", 4L).otherwise(0L)) +
+            max(when(col("event_type") === "error", 8L).otherwise(0L)))
+            .as("mask"),
+            max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("conv"))
+        val masks = users.filter(col("conv") === 1)
+          .groupBy(col("mask")).agg(count(lit(1)).as("nc"))
+        val subsets = s.range(0, 16).toDF("ss")
+        val v = subsets.join(masks,
+            expr("(mask & ss) = mask"), "left")
+          .groupBy(col("ss")).agg(coalesce(sum(col("nc")), lit(0L)).as("v"))
+        val channels = s.createDataFrame(Seq(
+            (1L, "view"), (2L, "click"), (4L, "signup"), (8L, "error")))
+          .toDF("cbit", "channel")
+        val phi = channels
+          .join(v.select(col("ss").as("s0"), col("v").as("v0")),
+            expr("(s0 & cbit) = 0"))
+          .join(v.select(col("ss").as("s1"), col("v").as("v1")),
+            expr("s1 = (s0 | cbit)"))
+          .withColumn("w", expr(
+            "CASE bit_count(s0) WHEN 0 THEN 6 WHEN 1 THEN 2 " +
+              "WHEN 2 THEN 2 WHEN 3 THEN 6 END"))
+          .groupBy(col("channel"))
+          .agg(sum(col("w") * (col("v1") - col("v0"))).as("phi_x24"))
+        phi.crossJoin(broadcast(
+            phi.agg(sum(col("phi_x24")).as("tot"))))
+          .select(col("channel"), col("phi_x24"),
+            expr("CASE WHEN tot = 0 THEN 0L " +
+              "ELSE phi_x24 * 1000000 div tot END").as("share_ppm"))
+          .orderBy(col("channel"))
+      },
+      Some("""WITH u AS (SELECT user_id,
+             |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             |    + max(CASE WHEN event_type = 'click' THEN 2 ELSE 0 END)
+             |    + max(CASE WHEN event_type = 'signup' THEN 4 ELSE 0 END)
+             |    + max(CASE WHEN event_type = 'error' THEN 8 ELSE 0 END)
+             |      AS mask,
+             |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |      AS conv
+             |  FROM events GROUP BY 1),
+             |mk AS (SELECT mask, count(*)::BIGINT AS nc FROM u
+             |  WHERE conv = 1 GROUP BY 1),
+             |ss AS (SELECT unnest(range(0, 16)) AS ss),
+             |v AS (SELECT ss.ss, coalesce(sum(mk.nc), 0)::BIGINT AS v
+             |  FROM ss LEFT JOIN mk ON (mk.mask & ss.ss) = mk.mask
+             |  GROUP BY 1),
+             |ch AS (SELECT * FROM (VALUES (1, 'view'), (2, 'click'),
+             |    (4, 'signup'), (8, 'error')) t(cbit, channel)),
+             |phi AS (SELECT ch.channel,
+             |    sum((CASE bit_count(v0.ss) WHEN 0 THEN 6 WHEN 1 THEN 2
+             |         WHEN 2 THEN 2 WHEN 3 THEN 6 END)
+             |      * (v1.v - v0.v))::BIGINT AS phi_x24
+             |  FROM ch JOIN v v0 ON (v0.ss & ch.cbit) = 0
+             |    JOIN v v1 ON v1.ss = (v0.ss | ch.cbit)
+             |  GROUP BY 1),
+             |tot AS (SELECT sum(phi_x24)::BIGINT AS tot FROM phi)
+             |SELECT phi.channel, phi.phi_x24,
+             |  (CASE WHEN tot.tot = 0 THEN 0
+             |   ELSE phi.phi_x24 * 1000000 // tot.tot END)::BIGINT
+             |    AS share_ppm
+             |FROM phi, tot ORDER BY phi.channel""".stripMargin)),
+
+    // LZ78 phrase complexity (Ziv & Lempel 1978) of each document's
+    // first 240 characters — the dictionary-growth compressibility
+    // score (repetitive boilerplate → few phrases, diverse prose →
+    // many) that complements the rows-only text_compression_ratio
+    // with a VALUE-CHECKED integer metric. The greedy parse is an
+    // inherently sequential fold: Spark runs it as one `aggregate()`
+    // per row (state = dictionary array + current phrase + count),
+    // the oracle as a recursive CTE stepping all docs' positions in
+    // lockstep. Per-doc work is bounded by the 240-char cap, so the
+    // scan stays embarrassingly parallel at 100 TB.
+    QueryDef("q_lz78_complexity",
+      (s, d) => {
+        graft.sources.Tables.load(s, d, "documents")
+          .filter(col("doc_id") < 300)
+          .select(col("doc_id"),
+            substring(lower(col("text")), 1, 240).as("t"))
+          .withColumn("len", length(col("t")).cast("long"))
+          .withColumn("lz", expr(
+            """aggregate(sequence(1, int(len)),
+              |  named_struct('dict', cast(array() as array<string>),
+              |               'cur', '', 'cnt', 0L),
+              |  (acc, p) -> CASE
+              |    WHEN array_contains(acc.dict,
+              |        concat(acc.cur, substring(t, p, 1)))
+              |    THEN named_struct('dict', acc.dict,
+              |      'cur', concat(acc.cur, substring(t, p, 1)),
+              |      'cnt', acc.cnt)
+              |    ELSE named_struct(
+              |      'dict', concat(acc.dict,
+              |        array(concat(acc.cur, substring(t, p, 1)))),
+              |      'cur', '', 'cnt', acc.cnt + 1L) END,
+              |  acc -> acc.cnt +
+              |    CASE WHEN acc.cur <> '' THEN 1L ELSE 0L END)"""
+              .stripMargin))
+          .select(col("doc_id"), col("len").as("n_chars"),
+            col("lz").as("lz78_phrases"),
+            expr("lz * 1000000 div len").as("ratio_ppm"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE t AS MATERIALIZED (SELECT doc_id,
+             |    substr(lower(text), 1, 240) AS t,
+             |    length(substr(lower(text), 1, 240))::BIGINT AS len
+             |  FROM documents WHERE doc_id < 300),
+             |it AS (
+             |  SELECT doc_id, 0::BIGINT AS p, []::VARCHAR[] AS dict,
+             |      '' AS cur, 0::BIGINT AS cnt, len, t
+             |    FROM t
+             |  UNION ALL
+             |  SELECT doc_id, p + 1,
+             |    CASE WHEN list_contains(dict,
+             |        cur || substr(t, (p + 1)::INT, 1))
+             |      THEN dict
+             |      ELSE dict || [cur || substr(t, (p + 1)::INT, 1)] END,
+             |    CASE WHEN list_contains(dict,
+             |        cur || substr(t, (p + 1)::INT, 1))
+             |      THEN cur || substr(t, (p + 1)::INT, 1) ELSE '' END,
+             |    CASE WHEN list_contains(dict,
+             |        cur || substr(t, (p + 1)::INT, 1))
+             |      THEN cnt ELSE cnt + 1 END,
+             |    len, t
+             |  FROM it WHERE p < len)
+             |SELECT doc_id, len AS n_chars,
+             |  (cnt + CASE WHEN cur <> '' THEN 1 ELSE 0 END)::BIGINT
+             |    AS lz78_phrases,
+             |  ((cnt + CASE WHEN cur <> '' THEN 1 ELSE 0 END) * 1000000
+             |    // len)::BIGINT AS ratio_ppm
+             |FROM it WHERE p = len ORDER BY doc_id""".stripMargin))
   )
 }

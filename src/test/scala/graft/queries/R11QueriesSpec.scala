@@ -395,6 +395,34 @@ class R11QueriesSpec extends GraftSpec {
     assert(out((1, 2)) === out((0, 2)) +- 1e-9)
   }
 
+  test("q_shapley_attribution: solo-channel converters get full credit; efficiency holds") {
+    val rows = Seq(
+      (day0, 1L, "view", 1.0), (day0 + 1000000L, 1L, "purchase", 1.0),
+      (day0, 2L, "click", 1.0), (day0 + 1000000L, 2L, "purchase", 1.0),
+      (day0, 3L, "view", 1.0), (day0 + 1000000L, 3L, "click", 1.0),
+      (day0, 4L, "view", 1.0))
+    val out = byName("q_shapley_attribution")(spark, eventsDir(rows))
+      .collect().map(r => r.getAs[String]("channel") ->
+        r.getAs[Long]("phi_x24")).toMap
+    assert(out("view") === 24L)  // user 1's conversion, fully attributed
+    assert(out("click") === 24L) // user 2's
+    assert(out("signup") === 0L && out("error") === 0L)
+    assert(out.values.sum === 48L) // efficiency: sum phi = v(full) * 24
+  }
+
+  test("q_lz78_complexity parses known strings exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("r11lz").toString
+    Seq((1L, "aaaa"), (2L, "abcd"), (3L, "abab"))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = byName("q_lz78_complexity")(spark, dir).orderBy("doc_id")
+      .collect().map(_.getAs[Long]("lz78_phrases")).toSeq
+    // aaaa → a|aa|a = 3; abcd → 4 singletons; abab → a|b|ab = 3
+    assert(out === Seq(3L, 4L, 3L))
+  }
+
   test("q_holt_winters_dow: a constant series forecasts itself with zero season") {
     val rows = (0 until 21).map(k => (day0 + k * 86400000000L, 1L, "view", 5.0))
     val out = byName("q_holt_winters_dow")(spark, eventsDir(rows))
