@@ -1878,6 +1878,212 @@ object R11Queries {
              |    AS lz78_phrases,
              |  ((cnt + CASE WHEN cur <> '' THEN 1 ELSE 0 END) * 1000000
              |    // len)::BIGINT AS ratio_ppm
-             |FROM it WHERE p = len ORDER BY doc_id""".stripMargin))
+             |FROM it WHERE p = len ORDER BY doc_id""".stripMargin)),
+
+    // Rich-club coefficient (Zhou & Mondragón 2004) of the
+    // co-purchase graph: φ(k) = 2·E_{>k} / (N_{>k}·(N_{>k}−1)) — do
+    // the high-degree parts preferentially co-purchase with each
+    // other? Exact integers per degree threshold (E and N from the
+    // degree digest joined back to edges), one rounded float per row.
+    QueryDef("q_rich_club",
+      (s, d) => {
+        val e = s.read.parquet(SqlQueries.copurchaseEdgesOf(s, d))
+        val deg = e.select(col("p1").as("n")).unionAll(
+            e.select(col("p2").as("n")))
+          .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+        val ks = s.range(1, 9).toDF("k")
+        val nk = ks.join(deg, col("deg") > col("k"))
+          .groupBy(col("k")).agg(count(lit(1)).as("n_nodes"))
+        val ek = ks
+          .join(e.join(deg.select(col("n").as("n1"), col("deg").as("d1")),
+              col("p1") === col("n1"))
+            .join(deg.select(col("n").as("n2"), col("deg").as("d2")),
+              col("p2") === col("n2")),
+            col("d1") > col("k") && col("d2") > col("k"))
+          .groupBy(col("k")).agg(count(lit(1)).as("n_edges"))
+        nk.join(ek, Seq("k"), "left")
+          .select(col("k"), col("n_nodes"),
+            coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+            when(col("n_nodes") > 1,
+              round(lit(2.0) * coalesce(col("n_edges"), lit(0L))
+                .cast("double") /
+                (col("n_nodes") * (col("n_nodes") - 1)).cast("double"), 6))
+              .as("phi"))
+          .filter(col("n_nodes") > 1)
+          .orderBy(col("k"))
+      },
+      Some("""WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+             |  FROM pp a JOIN pp b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |deg AS (SELECT n, count(*)::BIGINT AS deg FROM (
+             |    SELECT p1 AS n FROM e UNION ALL SELECT p2 FROM e)
+             |  GROUP BY 1),
+             |ks AS (SELECT unnest(range(1, 9)) AS k),
+             |nk AS (SELECT ks.k, count(*)::BIGINT AS n_nodes
+             |  FROM ks JOIN deg ON deg.deg > ks.k GROUP BY 1),
+             |ek AS (SELECT ks.k, count(*)::BIGINT AS n_edges
+             |  FROM ks, e
+             |  JOIN deg d1 ON e.p1 = d1.n
+             |  JOIN deg d2 ON e.p2 = d2.n
+             |  WHERE d1.deg > ks.k AND d2.deg > ks.k GROUP BY 1)
+             |SELECT nk.k, nk.n_nodes,
+             |  coalesce(ek.n_edges, 0)::BIGINT AS n_edges,
+             |  round(2.0 * coalesce(ek.n_edges, 0)::DOUBLE
+             |    / (nk.n_nodes * (nk.n_nodes - 1))::DOUBLE, 6) AS phi
+             |FROM nk LEFT JOIN ek ON nk.k = ek.k
+             |WHERE nk.n_nodes > 1 ORDER BY nk.k""".stripMargin)),
+
+    // Theil and Atkinson(ε=1) inequality indices of per-user spend —
+    // the decomposable/welfare members of the inequality family next
+    // to q_gini_coefficient. Both reduce to exact centi-integer user
+    // totals plus one Σ x·ln x (Theil) / Σ ln x (Atkinson geomean)
+    // pass: each per-user ln term is quantized to a 1e-9 grid BIGINT
+    // before the exact sum, so the one shuffle is partial-aggregatable
+    // and partition-order free; the closing arithmetic is float.
+    QueryDef("q_inequality_indices",
+      (s, d) => {
+        val u = graft.sources.Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg((sum(col("value").cast("decimal(18,2)")) * lit(100))
+            .cast("long").as("x"))
+          .filter(col("x") > 0)
+        u.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(round(col("x").cast("double") *
+              log(col("x").cast("double")) * lit(1e9)).cast("long"))
+              .as("sxlnx_e9"),
+            sum(round(log(col("x").cast("double")) * lit(1e9))
+              .cast("long")).as("slnx_e9"))
+          .select(col("n").as("n_users"),
+            round(col("sxlnx_e9").cast("double") / lit(1e9) /
+              col("sx").cast("double") -
+              log(col("sx").cast("double") / col("n").cast("double")), 6)
+              .as("theil_t"),
+            round(lit(1.0) -
+              exp(col("slnx_e9").cast("double") / lit(1e9) /
+                col("n").cast("double")) /
+              (col("sx").cast("double") / col("n").cast("double")), 6)
+              .as("atkinson_1"))
+      },
+      Some("""WITH u AS (SELECT user_id,
+             |    (sum(CAST(value AS DECIMAL(18,2))) * 100)::BIGINT AS x
+             |  FROM events WHERE event_type = 'purchase'
+             |  GROUP BY 1 HAVING (sum(CAST(value AS DECIMAL(18,2)))
+             |    * 100)::BIGINT > 0),
+             |g AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+             |    sum(round(x::DOUBLE * ln(x::DOUBLE) * 1e9)::BIGINT)
+             |      ::BIGINT AS sxlnx_e9,
+             |    sum(round(ln(x::DOUBLE) * 1e9)::BIGINT)::BIGINT AS slnx_e9
+             |  FROM u)
+             |SELECT n AS n_users,
+             |  round(sxlnx_e9::DOUBLE / 1e9 / sx::DOUBLE
+             |    - ln(sx::DOUBLE / n::DOUBLE), 6) AS theil_t,
+             |  round(1.0 - exp(slnx_e9::DOUBLE / 1e9 / n::DOUBLE)
+             |    / (sx::DOUBLE / n::DOUBLE), 6) AS atkinson_1
+             |FROM g""".stripMargin)),
+
+    // Inverse-propensity-weighted average treatment effect
+    // (Horvitz & Thompson 1952; Rosenbaum & Rubin 1983) with
+    // STRATIFIED propensities: treatment = "user hit a signup event",
+    // outcome = user purchase count, strata = activity quartile (by
+    // total event count — the confounder: busier users both sign up
+    // and buy more). Within each stratum e(s) is the exact treatment
+    // fraction, so each IPW term Y·n_s/n_Ts is an exact rational —
+    // summed as 1e6-quantized integers; the naive (unadjusted) diff
+    // is reported beside the IPW ATE to show the correction. Strata
+    // come from exact quartile THRESHOLDS of the per-user event count
+    // computed on the value digest (n_ev has a tiny domain), NOT from
+    // ntile's global sort — a billion users never pass through one
+    // partition; ties share a stratum identically in both engines.
+    QueryDef("q_ipw_ate",
+      (s, d) => {
+        val u = graft.sources.Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_ev"),
+            max(when(col("event_type") === "signup", 1L).otherwise(0L))
+              .as("t"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("y"))
+        val dist = u.groupBy(col("n_ev")).agg(count(lit(1)).as("c"))
+        val wv = Window.orderBy(col("n_ev"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = dist.withColumn("cc", sum(col("c")).over(wv))
+          .crossJoin(broadcast(dist.agg(sum(col("c")).as("nn"))))
+        val thr = broadcast(cum.agg(
+          min(when(col("cc") * 4 >= col("nn"), col("n_ev"))).as("q1"),
+          min(when(col("cc") * 2 >= col("nn"), col("n_ev"))).as("q2"),
+          min(when(col("cc") * 4 >= col("nn") * 3, col("n_ev"))).as("q3")))
+        val q = u.crossJoin(thr)
+          .withColumn("stratum",
+            lit(1) + when(col("n_ev") > col("q1"), 1).otherwise(0) +
+              when(col("n_ev") > col("q2"), 1).otherwise(0) +
+              when(col("n_ev") > col("q3"), 1).otherwise(0))
+        val st = q.groupBy(col("stratum"))
+          .agg(count(lit(1)).as("ns"),
+            sum(col("t")).as("nts"),
+            sum(col("t") * col("y")).as("syt"),
+            sum((lit(1L) - col("t")) * col("y")).as("syc"))
+          .filter(col("nts") > 0 && col("nts") < col("ns"))
+        val tot = broadcast(q.agg(count(lit(1)).as("n"),
+          sum(col("t")).as("nt"),
+          sum(col("t") * col("y")).as("st1"),
+          sum((lit(1L) - col("t")) * col("y")).as("st0")))
+        st.crossJoin(tot)
+          .agg(max(col("n")).as("n_users"),
+            sum(expr("syt * ns * 1000000 div nts")).as("mu1_e6n"),
+            sum(expr("syc * ns * 1000000 div (ns - nts)")).as("mu0_e6n"),
+            max(col("nt")).as("nt"), max(col("st1")).as("st1"),
+            max(col("st0")).as("st0"))
+          .select(col("n_users"),
+            round((col("mu1_e6n") - col("mu0_e6n")).cast("double") /
+              lit(1e6) / col("n_users").cast("double"), 6).as("ate_ipw"),
+            round(col("st1").cast("double") / col("nt").cast("double") -
+              col("st0").cast("double") /
+                (col("n_users") - col("nt")).cast("double"), 6)
+              .as("ate_naive"))
+      },
+      Some("""WITH u AS (SELECT user_id, count(*)::BIGINT AS n_ev,
+             |    max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+             |      ::BIGINT AS t,
+             |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |      ::BIGINT AS y
+             |  FROM events GROUP BY 1),
+             |dist AS (SELECT n_ev, count(*)::BIGINT AS c FROM u GROUP BY 1),
+             |cum AS (SELECT n_ev, sum(c) OVER (ORDER BY n_ev
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+             |    (SELECT sum(c) FROM dist) AS nn
+             |  FROM dist),
+             |thr AS (SELECT
+             |    min(CASE WHEN cc * 4 >= nn THEN n_ev END) AS q1,
+             |    min(CASE WHEN cc * 2 >= nn THEN n_ev END) AS q2,
+             |    min(CASE WHEN cc * 4 >= nn * 3 THEN n_ev END) AS q3
+             |  FROM cum),
+             |q AS (SELECT u.*,
+             |    1 + (CASE WHEN u.n_ev > thr.q1 THEN 1 ELSE 0 END)
+             |      + (CASE WHEN u.n_ev > thr.q2 THEN 1 ELSE 0 END)
+             |      + (CASE WHEN u.n_ev > thr.q3 THEN 1 ELSE 0 END)
+             |      AS stratum
+             |  FROM u, thr),
+             |st AS (SELECT stratum, count(*)::BIGINT AS ns,
+             |    sum(t)::BIGINT AS nts, sum(t * y)::BIGINT AS syt,
+             |    sum((1 - t) * y)::BIGINT AS syc
+             |  FROM q GROUP BY 1 HAVING sum(t) > 0 AND sum(t) < count(*)),
+             |tot AS (SELECT count(*)::BIGINT AS n, sum(t)::BIGINT AS nt,
+             |    sum(t * y)::BIGINT AS st1,
+             |    sum((1 - t) * y)::BIGINT AS st0 FROM q),
+             |agg AS (SELECT max(tot.n) AS n_users,
+             |    sum(st.syt * st.ns * 1000000 // st.nts)::BIGINT AS mu1_e6n,
+             |    sum(st.syc * st.ns * 1000000 // (st.ns - st.nts))::BIGINT
+             |      AS mu0_e6n,
+             |    max(tot.nt) AS nt, max(tot.st1) AS st1, max(tot.st0) AS st0
+             |  FROM st, tot)
+             |SELECT n_users,
+             |  round((mu1_e6n - mu0_e6n)::DOUBLE / 1e6
+             |    / n_users::DOUBLE, 6) AS ate_ipw,
+             |  round(st1::DOUBLE / nt::DOUBLE
+             |    - st0::DOUBLE / (n_users - nt)::DOUBLE, 6) AS ate_naive
+             |FROM agg""".stripMargin))
   )
 }

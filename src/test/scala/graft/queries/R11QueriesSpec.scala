@@ -423,6 +423,46 @@ class R11QueriesSpec extends GraftSpec {
     assert(out === Seq(3L, 4L, 3L))
   }
 
+  test("q_rich_club: the triangle core has phi = 1") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("r11rc").toString
+    val li = Seq(1L -> 100L, 1L -> 200L, 1L -> 300L,
+      2L -> 100L, 2L -> 200L, 2L -> 300L,
+      3L -> 100L, 3L -> 400L, 4L -> 100L, 4L -> 400L)
+    li.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = byName("q_rich_club")(spark, dir).collect()
+    assert(out.length === 1) // only k=1 leaves >1 node
+    assert(out.head.getAs[Long]("k") === 1L)
+    assert(out.head.getAs[Long]("n_nodes") === 3L)
+    assert(out.head.getAs[Double]("phi") === 1.0 +- 1e-9)
+  }
+
+  test("q_inequality_indices: equal spends give zero Theil and Atkinson") {
+    val rows = (1 to 8).map(u => (day0 + u * 1000000L, u.toLong, "purchase", 10.0))
+    val out = byName("q_inequality_indices")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Long]("n_users") === 8L)
+    assert(out.getAs[Double]("theil_t") === 0.0 +- 1e-6)
+    assert(out.getAs[Double]("atkinson_1") === 0.0 +- 1e-6)
+  }
+
+  test("q_ipw_ate equals the naive diff when strata are homogeneous") {
+    // 8 users, identical activity (3 events each): 4 treated with 2
+    // purchases, 4 control with 1 → both estimators = 1.0
+    val rows = (1 to 8).flatMap { u =>
+      val base = day0 + u * 10000000L
+      if (u <= 4) Seq((base, u.toLong, "signup", 1.0),
+        (base + 1000000L, u.toLong, "purchase", 1.0),
+        (base + 2000000L, u.toLong, "purchase", 1.0))
+      else Seq((base, u.toLong, "purchase", 1.0),
+        (base + 1000000L, u.toLong, "view", 1.0),
+        (base + 2000000L, u.toLong, "view", 1.0))
+    }
+    val out = byName("q_ipw_ate")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Double]("ate_ipw") === 1.0 +- 1e-6)
+    assert(out.getAs[Double]("ate_naive") === 1.0 +- 1e-9)
+  }
+
   test("q_holt_winters_dow: a constant series forecasts itself with zero season") {
     val rows = (0 until 21).map(k => (day0 + k * 86400000000L, 1L, "view", 5.0))
     val out = byName("q_holt_winters_dow")(spark, eventsDir(rows))
