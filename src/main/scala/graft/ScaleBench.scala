@@ -88,7 +88,20 @@ object ScaleBench {
     "sim_topk_rptree",
     // Gram-aggregate CKA: ONE fixed-size buffer per partial — CPU must
     // grow ~linearly, shuffle bytes must not grow at all
-    "emb_cka_halves")
+    "emb_cka_halves",
+    // TextRank: the co-occurrence edge aggregate (60-bit hash keys)
+    // is the only data-sized stage; the 3 PageRank rounds ride the
+    // vocabulary digest, so 10× docs must cost ~tokenize+edge-agg
+    "text_textrank_keywords",
+    // kernel two-sample MMD: per-row 136-pair fan-out consumed by the
+    // map-side partial — 10× vectors must be ≈10× CPU, flat shuffle
+    "emb_mmd_poly",
+    // PAVA calibration: one user-partitioned window pass + a ≤20-row
+    // bin digest — the O(B³) fit must NOT grow with data at all
+    "q_isotonic_calibration",
+    // LZ78: per-doc 240-char-bounded sequential fold — embarrassingly
+    // parallel scan work, the fold cap must keep 10× docs ≈10× time
+    "q_lz78_complexity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
