@@ -2084,6 +2084,140 @@ object R11Queries {
              |    / n_users::DOUBLE, 6) AS ate_ipw,
              |  round(st1::DOUBLE / nt::DOUBLE
              |    - st0::DOUBLE / (n_users - nt)::DOUBLE, 6) AS ate_naive
-             |FROM agg""".stripMargin))
+             |FROM agg""".stripMargin)),
+
+    // Greedy k-center coreset selection (Gonzalez 1985; the
+    // farthest-first traversal behind active-learning/coreset
+    // curation, Sener & Savarese 2018): 8 rounds, each round one
+    // distributed argmax of the min-distance-to-selected column plus
+    // a broadcast of the new center — the textbook 2-approximation,
+    // k passes over the data and O(1) state. Distances are EXACT
+    // integer sums of squared 1e-3-grid coordinate diffs, argmax
+    // ties break to the smaller vec_id, so DuckDB replays the whole
+    // trajectory; the reported radius²(k) must be non-increasing
+    // (spec law).
+    QueryDef("emb_kcenter_greedy",
+      (s, d) => {
+        val xq = transform(slice(col("embedding"), 1, 16),
+          x => round(x.cast("double") * 1000, 0).cast("long"))
+        val x = s.read.parquet(s"$d/embeddings.parquet")
+          .select(col("vec_id"), xq.as("q"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        def d2(a: String, b: String) = expr(
+          s"aggregate(zip_with($a, $b, (u, v) -> (u - v) * (u - v)), " +
+            "0L, (acc, e) -> acc + e)")
+        val c1 = x.orderBy(col("vec_id")).limit(1)
+          .select(col("vec_id").as("cid"), col("q").as("cq"))
+        var m = x.crossJoin(broadcast(c1))
+          .select(col("vec_id"), col("q"), d2("q", "cq").as("md"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val rows = Seq.newBuilder[(Long, Long, Long)]
+        rows += ((1L, c1.head().getLong(0),
+          m.agg(max(col("md"))).head().getLong(0)))
+        for (k <- 2 to 8) {
+          val ck = m.orderBy(col("md").desc, col("vec_id")).limit(1)
+            .select(col("vec_id").as("cid"), col("q").as("cq"))
+          val cRow = ck.head()
+          m = m.crossJoin(broadcast(ck))
+            .select(col("vec_id"), col("q"),
+              least(col("md"), d2("q", "cq")).as("md"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          rows += ((k.toLong, cRow.getLong(0),
+            m.agg(max(col("md"))).head().getLong(0)))
+        }
+        import s.implicits._
+        rows.result().toDF("k", "vec_id", "radius_sq").orderBy(col("k"))
+      },
+      Some {
+        val dd = (a: String, b: String) =>
+          s"list_sum(list_transform(range(1,17), " +
+            s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+        val ctes = new StringBuilder(
+          s"""WITH x AS (SELECT vec_id,
+             |    list_transform(embedding[1:16],
+             |      v -> round(v::DOUBLE*1000)::BIGINT) AS q
+             |  FROM embeddings),
+             |c1 AS (SELECT vec_id, q AS cq FROM x ORDER BY vec_id LIMIT 1),
+             |m1 AS (SELECT x.vec_id, x.q, ${dd("x.q", "c1.cq")} AS md
+             |  FROM x, c1)""".stripMargin)
+        val sel = new StringBuilder(
+          "SELECT 1 AS k, c1.vec_id, (SELECT max(md) FROM m1)::BIGINT" +
+            " AS radius_sq FROM c1")
+        for (k <- 2 to 8) {
+          ctes.append(
+            s""",
+               |c$k AS (SELECT vec_id, q FROM m${k - 1}
+               |  ORDER BY md DESC, vec_id LIMIT 1),
+               |m$k AS (SELECT m.vec_id, m.q,
+               |    least(m.md, ${dd("m.q", s"c$k.q")}) AS md
+               |  FROM m${k - 1} m, c$k)""".stripMargin)
+          sel.append(s"""
+               |UNION ALL SELECT $k, c$k.vec_id,
+               |  (SELECT max(md) FROM m$k)::BIGINT FROM c$k""".stripMargin)
+        }
+        ctes.toString + "\n" + sel.toString + "\nORDER BY k"
+      }),
+
+    // DSIR-style importance weights for data selection (Xie et al.
+    // 2023, NeurIPS): score each out-of-domain document by the
+    // log-likelihood ratio of a hashed-unigram LM fit on the target
+    // domain (source 'src0') vs the proposal (everything else),
+    // add-1-smoothed over 10k 60-bit-hash buckets. Per-bucket log
+    // ratios are computed once from exact counts and quantized to a
+    // 1e-9 grid, so every document weight is an EXACT integer sum —
+    // one token pass, one ≤10k-row broadcast digest, top-20 by the
+    // length-normalized per-token weight.
+    QueryDef("pipe_dsir_weights",
+      (s, d) => {
+        val tok = s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"), col("source"),
+            explode(graft.ext.TextAnalysis.tokens(col("text"))).as("w"))
+          .select(col("doc_id"), col("source"),
+            pmod(graft.ext.Dedup.strHash60(col("w")), lit(10000L)).as("bk"))
+        val ct = tok.groupBy(col("bk"))
+          .agg(sum(when(col("source") === "src0", 1L).otherwise(0L))
+            .as("ct"),
+            sum(when(col("source") =!= "src0", 1L).otherwise(0L)).as("cs"))
+        val n = broadcast(ct.agg(sum(col("ct")).as("nt"),
+          sum(col("cs")).as("ns")))
+        val lr = broadcast(ct.crossJoin(n)
+          .select(col("bk"),
+            round((log((col("ct") + 1).cast("double")) -
+              log((col("nt") + 10000).cast("double")) -
+              log((col("cs") + 1).cast("double")) +
+              log((col("ns") + 10000).cast("double"))) * lit(1e9))
+              .cast("long").as("lr")))
+        tok.filter(col("source") =!= "src0")
+          .join(lr, "bk")
+          .groupBy(col("doc_id"))
+          .agg(sum(col("lr")).as("w_e9"), count(lit(1)).as("n_tokens"))
+          .select(col("doc_id"), col("n_tokens"), col("w_e9"),
+            expr("w_e9 div n_tokens").as("w_tok_e9"))
+          .orderBy(col("w_tok_e9").desc, col("doc_id")).limit(20)
+      },
+      Some("""WITH t AS (SELECT doc_id, source,
+             |    unnest(string_split(lower(text), ' ')) AS w
+             |  FROM documents),
+             |b AS (SELECT doc_id, source,
+             |    ('0x'||substring(md5(w),1,15))::BIGINT % 10000 AS bk
+             |  FROM t),
+             |ct AS (SELECT bk,
+             |    count(*) FILTER (source = 'src0')::BIGINT AS ct,
+             |    count(*) FILTER (source <> 'src0')::BIGINT AS cs
+             |  FROM b GROUP BY 1),
+             |n AS (SELECT sum(ct)::BIGINT AS nt, sum(cs)::BIGINT AS ns
+             |  FROM ct),
+             |lr AS (SELECT bk, round((ln((ct + 1)::DOUBLE)
+             |    - ln((n.nt + 10000)::DOUBLE) - ln((cs + 1)::DOUBLE)
+             |    + ln((n.ns + 10000)::DOUBLE)) * 1e9)::BIGINT AS lr
+             |  FROM ct, n),
+             |dw AS (SELECT b.doc_id, sum(lr.lr)::BIGINT AS w_e9,
+             |    count(*)::BIGINT AS n_tokens
+             |  FROM b JOIN lr ON b.bk = lr.bk WHERE b.source <> 'src0'
+             |  GROUP BY 1)
+             |SELECT doc_id, n_tokens, w_e9,
+             |  (w_e9 // n_tokens)::BIGINT AS w_tok_e9
+             |FROM dw ORDER BY w_tok_e9 DESC, doc_id LIMIT 20"""
+          .stripMargin))
   )
 }

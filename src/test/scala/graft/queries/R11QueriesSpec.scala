@@ -463,6 +463,43 @@ class R11QueriesSpec extends GraftSpec {
     assert(out.getAs[Double]("ate_naive") === 1.0 +- 1e-9)
   }
 
+  test("emb_kcenter_greedy covers the three clusters first, radius non-increasing") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("r11kc").toString
+    def v(base: Float, j: Int) =
+      (1 to 16).map(i => base + (i + j) % 3 * 0.01f) ++ Seq.fill(48)(0f)
+    // clusters at 0, +500, -900 (asymmetric so argmax ties can't occur)
+    val rows = (0 until 4).map(j => (j.toLong, v(0f, j), 0)) ++
+      (0 until 4).map(j => (10L + j, v(500f, j), 1)) ++
+      (0 until 4).map(j => (20L + j, v(-900f, j), 2))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = byName("emb_kcenter_greedy")(spark, dir).orderBy("k").collect()
+    val centers = out.map(_.getAs[Long]("vec_id"))
+    def cluster(id: Long) = id / 10
+    assert(centers.take(3).map(cluster).toSet === Set(0L, 1L, 2L))
+    val radii = out.map(_.getAs[Long]("radius_sq"))
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a })
+    assert(centers.distinct.length === centers.length)
+  }
+
+  test("pipe_dsir_weights ranks target-vocabulary docs above disjoint ones") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("r11ds").toString
+    val docs = Seq(
+      (1L, "aa bb cc aa bb", "src0"), (2L, "aa cc bb cc aa", "src0"),
+      (3L, "aa bb aa bb aa", "src1"),   // target-like proposal doc
+      (4L, "zz ww yy xx vv", "src1"))   // disjoint-vocab proposal doc
+    docs.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = byName("pipe_dsir_weights")(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSet === Set(3L, 4L))
+    val byId = out.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Long]("w_tok_e9")).toMap
+    assert(byId(3L) > byId(4L))
+  }
+
   test("q_holt_winters_dow: a constant series forecasts itself with zero season") {
     val rows = (0 until 21).map(k => (day0 + k * 86400000000L, 1L, "view", 5.0))
     val out = byName("q_holt_winters_dow")(spark, eventsDir(rows))
