@@ -2218,6 +2218,220 @@ object R11Queries {
              |SELECT doc_id, n_tokens, w_e9,
              |  (w_e9 // n_tokens)::BIGINT AS w_tok_e9
              |FROM dw ORDER BY w_tok_e9 DESC, doc_id LIMIT 20"""
-          .stripMargin))
+          .stripMargin)),
+
+    // L-moments of daily revenue (Hosking 1990, JRSS-B): λ1, λ2 and
+    // the L-skewness/L-kurtosis ratios t3/t4 — the order-statistic
+    // distribution summary that is robust where classical
+    // skew/kurtosis explode. The probability-weighted sums
+    // Σ C(i−1,r)·x_(i) are EXACT BIGINTs over the ranked 30-day
+    // centi-unit digest (the binomial factors divide exactly), so
+    // the only floats are the four closing ratios, rounded once.
+    QueryDef("q_l_moments",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg((sum(col("value").cast("decimal(18,2)")) * lit(100))
+            .cast("long").as("x"))
+        val r = daily.withColumn("i",
+          row_number().over(Window.orderBy(col("x"), col("day"))))
+        val b = r.agg(count(lit(1)).as("n"), sum(col("x")).as("b0n"),
+          sum((col("i") - 1) * col("x")).as("b1c"),
+          sum(expr("(i - 1) * (i - 2) div 2") * col("x")).as("b2c"),
+          sum(expr("(i - 1) * (i - 2) * (i - 3) div 6") * col("x"))
+            .as("b3c"))
+        b.select(col("n").as("n_days"),
+            round(expr("b0n / n / 100.0"), 6).as("l1"),
+            round(expr("(2.0 * b1c / n / (n - 1) - b0n / n) / 100.0"), 6)
+              .as("l2"),
+            round(expr(
+              "(6.0 * b2c / n / ((n - 1) * (n - 2) div 2)" +
+                " - 6.0 * b1c / n / (n - 1) + b0n / n)" +
+                " / (2.0 * b1c / n / (n - 1) - b0n / n)"), 6).as("t3"),
+            round(expr(
+              "(20.0 * b3c / n / ((n - 1) * (n - 2) * (n - 3) div 6)" +
+                " - 30.0 * b2c / n / ((n - 1) * (n - 2) div 2)" +
+                " + 12.0 * b1c / n / (n - 1) - b0n / n)" +
+                " / (2.0 * b1c / n / (n - 1) - b0n / n)"), 6).as("t4"))
+      },
+      Some("""WITH daily AS (SELECT ts::DATE AS day,
+             |    (sum(CAST(value AS DECIMAL(18,2))) * 100)::BIGINT AS x
+             |  FROM events GROUP BY 1),
+             |r AS (SELECT x, row_number() OVER (ORDER BY x, day) AS i,
+             |    count(*) OVER () AS n FROM daily),
+             |b AS (SELECT max(n)::BIGINT AS n, sum(x)::BIGINT AS b0n,
+             |    sum((i - 1) * x)::BIGINT AS b1c,
+             |    sum(((i - 1) * (i - 2) // 2) * x)::BIGINT AS b2c,
+             |    sum(((i - 1) * (i - 2) * (i - 3) // 6) * x)::BIGINT AS b3c
+             |  FROM r)
+             |SELECT n AS n_days,
+             |  round(b0n / n / 100.0, 6) AS l1,
+             |  round((2.0 * b1c / n / (n - 1) - b0n / n) / 100.0, 6) AS l2,
+             |  round((6.0 * b2c / n / ((n - 1) * (n - 2) // 2)
+             |      - 6.0 * b1c / n / (n - 1) + b0n / n)
+             |    / (2.0 * b1c / n / (n - 1) - b0n / n), 6) AS t3,
+             |  round((20.0 * b3c / n / ((n - 1) * (n - 2) * (n - 3) // 6)
+             |      - 30.0 * b2c / n / ((n - 1) * (n - 2) // 2)
+             |      + 12.0 * b1c / n / (n - 1) - b0n / n)
+             |    / (2.0 * b1c / n / (n - 1) - b0n / n), 6) AS t4
+             |FROM b""".stripMargin)),
+
+    // Distance correlation (Székely, Rizzo & Bakirov 2007, AoS)
+    // between daily view TRAFFIC and purchase REVENUE — detects the
+    // nonlinear dependence Pearson misses; dCor² = 0 iff independent
+    // (in the population). Double-centered distance matrices stay
+    // EXACT: every n²a_ij − n·a_i − n·a_j + a·· entry is a BIGINT on
+    // the 30-day digest, products go through HUGEINT/DECIMAL(38,0),
+    // and the single float op is the closing ratio. O(n²)=900 cells —
+    // digest work, while the daily rollup is the only data-sized
+    // pass.
+    QueryDef("q_distance_corr",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("x"),
+            (sum(when(col("event_type") === "purchase",
+              col("value").cast("decimal(18,2)")).otherwise(lit(0)
+              .cast("decimal(18,2)"))) * lit(100)).cast("long").as("y"))
+        val n = broadcast(daily.agg(count(lit(1)).as("n")))
+        val p = daily.select(col("day").as("di"), col("x"), col("y"))
+          .crossJoin(daily.select(col("day").as("dj"),
+            col("x").as("xj"), col("y").as("yj")))
+          .select(col("di"), col("dj"),
+            abs(col("x") - col("xj")).as("ax"),
+            abs(col("y") - col("yj")).as("ay"))
+        val rs = p.groupBy(col("di"))
+          .agg(sum(col("ax")).as("rax"), sum(col("ay")).as("ray"))
+        val g = broadcast(p.agg(sum(col("ax")).as("gax"),
+          sum(col("ay")).as("gay")))
+        val c = p
+          .join(rs.select(col("di").as("ri"), col("rax").as("raxi"),
+            col("ray").as("rayi")), col("di") === col("ri"))
+          .join(rs.select(col("di").as("rj"), col("rax").as("raxj"),
+            col("ray").as("rayj")), col("dj") === col("rj"))
+          .crossJoin(g).crossJoin(n)
+          .select(
+            expr("cast(n * n * ax - n * raxi - n * raxj + gax" +
+              " as decimal(38,0))").as("sa"),
+            expr("cast(n * n * ay - n * rayi - n * rayj + gay" +
+              " as decimal(38,0))").as("sb"))
+        c.agg(sum(col("sa") * col("sb")).as("scov"),
+            sum(col("sa") * col("sa")).as("svx"),
+            sum(col("sb") * col("sb")).as("svy"))
+          .crossJoin(n)
+          .select(col("n").as("n_days"),
+            round(col("scov").cast("double") /
+              sqrt(col("svx").cast("double") * col("svy").cast("double")),
+              6).as("dcor_sq"))
+      },
+      Some("""WITH daily AS (SELECT ts::DATE AS day,
+             |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             |      ::BIGINT AS x,
+             |    (sum(CASE WHEN event_type = 'purchase'
+             |        THEN CAST(value AS DECIMAL(18,2))
+             |        ELSE CAST(0 AS DECIMAL(18,2)) END) * 100)::BIGINT AS y
+             |  FROM events GROUP BY 1),
+             |n AS (SELECT count(*)::BIGINT AS n FROM daily),
+             |p AS (SELECT a.day AS di, b.day AS dj,
+             |    abs(a.x - b.x) AS ax, abs(a.y - b.y) AS ay
+             |  FROM daily a, daily b),
+             |rs AS (SELECT di, sum(ax)::BIGINT AS rax,
+             |    sum(ay)::BIGINT AS ray FROM p GROUP BY 1),
+             |g AS (SELECT sum(ax)::BIGINT AS gax, sum(ay)::BIGINT AS gay
+             |  FROM p),
+             |c AS (SELECT
+             |    (n.n * n.n * p.ax - n.n * ri.rax - n.n * rj.rax + g.gax)
+             |      ::HUGEINT AS sa,
+             |    (n.n * n.n * p.ay - n.n * ri.ray - n.n * rj.ray + g.gay)
+             |      ::HUGEINT AS sb
+             |  FROM p JOIN rs ri ON ri.di = p.di
+             |    JOIN rs rj ON rj.di = p.dj, g, n),
+             |s AS (SELECT sum(sa * sb) AS scov, sum(sa * sa) AS svx,
+             |    sum(sb * sb) AS svy FROM c)
+             |SELECT n.n AS n_days,
+             |  round(scov::DOUBLE / sqrt(svx::DOUBLE * svy::DOUBLE), 6)
+             |    AS dcor_sq
+             |FROM s, n""".stripMargin)),
+
+    // Partial correlation of daily view and click revenue CONTROLLING
+    // for purchase revenue — r_xy·z = (r_xy − r_xz·r_yz) /
+    // √((1−r_xz²)(1−r_yz²)), the "is the x–y link just the common
+    // driver z?" check. Each pairwise r comes from exact centi-unit
+    // integer moments and is rounded to 9 decimals BEFORE the
+    // formula, so both engines combine identical inputs.
+    QueryDef("q_partial_corr",
+      (s, d) => {
+        def sd(et: String) = (sum(when(col("event_type") === et,
+          col("value").cast("decimal(18,2)")).otherwise(lit(0)
+          .cast("decimal(18,2)"))) * lit(100)).cast("long")
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(sd("view").as("x"), sd("click").as("y"),
+            sd("purchase").as("z"))
+        val m = daily.agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("z")).as("sz"),
+          sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"),
+          sum(expr("cast(y as decimal(38,0)) * y")).as("syy"),
+          sum(expr("cast(z as decimal(38,0)) * z")).as("szz"),
+          sum(expr("cast(x as decimal(38,0)) * y")).as("sxy"),
+          sum(expr("cast(x as decimal(38,0)) * z")).as("sxz"),
+          sum(expr("cast(y as decimal(38,0)) * z")).as("syz"))
+        def rr(sab: String, sa: String, sb: String, saa: String,
+               sbb: String) = round(
+          (col("n").cast("double") * col(sab).cast("double") -
+            col(sa).cast("double") * col(sb).cast("double")) /
+            sqrt((col("n").cast("double") * col(saa).cast("double") -
+              col(sa).cast("double") * col(sa).cast("double")) *
+              (col("n").cast("double") * col(sbb).cast("double") -
+                col(sb).cast("double") * col(sb).cast("double"))), 9)
+        m.select(col("n").as("n_days"),
+            rr("sxy", "sx", "sy", "sxx", "syy").as("rxy"),
+            rr("sxz", "sx", "sz", "sxx", "szz").as("rxz"),
+            rr("syz", "sy", "sz", "syy", "szz").as("ryz"))
+          .select(col("n_days"), col("rxy"), col("rxz"), col("ryz"),
+            round((col("rxy") - col("rxz") * col("ryz")) /
+              sqrt((lit(1.0) - col("rxz") * col("rxz")) *
+                (lit(1.0) - col("ryz") * col("ryz"))), 6)
+              .as("r_xy_given_z"))
+      },
+      Some("""WITH daily AS (SELECT ts::DATE AS day,
+             |    (sum(CASE WHEN event_type = 'view'
+             |        THEN CAST(value AS DECIMAL(18,2))
+             |        ELSE CAST(0 AS DECIMAL(18,2)) END) * 100)::BIGINT AS x,
+             |    (sum(CASE WHEN event_type = 'click'
+             |        THEN CAST(value AS DECIMAL(18,2))
+             |        ELSE CAST(0 AS DECIMAL(18,2)) END) * 100)::BIGINT AS y,
+             |    (sum(CASE WHEN event_type = 'purchase'
+             |        THEN CAST(value AS DECIMAL(18,2))
+             |        ELSE CAST(0 AS DECIMAL(18,2)) END) * 100)::BIGINT AS z
+             |  FROM events GROUP BY 1),
+             |m AS (SELECT count(*)::BIGINT AS n,
+             |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+             |    sum(z)::BIGINT AS sz,
+             |    sum(x::HUGEINT * x) AS sxx, sum(y::HUGEINT * y) AS syy,
+             |    sum(z::HUGEINT * z) AS szz, sum(x::HUGEINT * y) AS sxy,
+             |    sum(x::HUGEINT * z) AS sxz, sum(y::HUGEINT * z) AS syz
+             |  FROM daily),
+             |r AS (SELECT n,
+             |    round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             |      / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+             |        * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)),
+             |      9) AS rxy,
+             |    round((n::DOUBLE * sxz::DOUBLE - sx::DOUBLE * sz::DOUBLE)
+             |      / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+             |        * (n::DOUBLE * szz::DOUBLE - sz::DOUBLE * sz::DOUBLE)),
+             |      9) AS rxz,
+             |    round((n::DOUBLE * syz::DOUBLE - sy::DOUBLE * sz::DOUBLE)
+             |      / sqrt((n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)
+             |        * (n::DOUBLE * szz::DOUBLE - sz::DOUBLE * sz::DOUBLE)),
+             |      9) AS ryz
+             |  FROM m)
+             |SELECT n AS n_days, rxy, rxz, ryz,
+             |  round((rxy - rxz * ryz)
+             |    / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6)
+             |    AS r_xy_given_z
+             |FROM r""".stripMargin))
   )
 }

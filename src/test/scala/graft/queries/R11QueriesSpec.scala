@@ -500,6 +500,38 @@ class R11QueriesSpec extends GraftSpec {
     assert(byId(3L) > byId(4L))
   }
 
+  test("q_l_moments on 1..12 gives the closed-form uniform values") {
+    val rows = (1 to 12).map(k =>
+      (day0 + (k - 1) * 86400000000L, 1L, "view", k.toDouble))
+    val out = byName("q_l_moments")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Long]("n_days") === 12L)
+    assert(out.getAs[Double]("l1") === 6.5 +- 1e-6)          // (n+1)/2
+    assert(out.getAs[Double]("l2") === 13.0 / 6 +- 1e-6)     // (n+1)/6
+    assert(out.getAs[Double]("t3") === 0.0 +- 1e-6)          // symmetric
+    assert(math.abs(out.getAs[Double]("t4")) < 0.05)
+  }
+
+  test("q_distance_corr is exactly 1 under a linear relationship") {
+    // day k: k views and purchase revenue proportional to k
+    val rows = (1 to 10).flatMap { k =>
+      (0 until k).map(i =>
+        (day0 + (k - 1) * 86400000000L + i * 1000000L, i.toLong, "view", 1.0)) :+
+        (day0 + (k - 1) * 86400000000L + 500000L, 99L, "purchase", k * 3.0)
+    }
+    val out = byName("q_distance_corr")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Double]("dcor_sq") === 1.0 +- 1e-9)
+  }
+
+  test("q_partial_corr output is self-consistent with its pairwise r's") {
+    val out = byName("q_partial_corr")(spark, "/root/testdata/sf0.001").head()
+    val (rxy, rxz, ryz) = (out.getAs[Double]("rxy"),
+      out.getAs[Double]("rxz"), out.getAs[Double]("ryz"))
+    val expect = (rxy - rxz * ryz) /
+      math.sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))
+    assert(out.getAs[Double]("r_xy_given_z") === expect +- 1e-6)
+    assert(math.abs(out.getAs[Double]("r_xy_given_z")) <= 1.0)
+  }
+
   test("q_holt_winters_dow: a constant series forecasts itself with zero season") {
     val rows = (0 until 21).map(k => (day0 + k * 86400000000L, 1L, "view", 5.0))
     val out = byName("q_holt_winters_dow")(spark, eventsDir(rows))
