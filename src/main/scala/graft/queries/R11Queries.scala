@@ -2432,6 +2432,148 @@ object R11Queries {
              |  round((rxy - rxz * ryz)
              |    / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6)
              |    AS r_xy_given_z
-             |FROM r""".stripMargin))
+             |FROM r""".stripMargin)),
+
+    // OLS influence diagnostics (Cook 1977) for the daily-revenue
+    // trend regression: residual, leverage h_i, and Cook's distance
+    // per day. The trick is EXACT scaled-integer residuals: with
+    // num/den the closed-form slope fraction, E_i = n·den·y_i −
+    // (den·Σy − num·Σt) − n·num·t_i is a plain BIGINT, and leverage
+    // scales to H_i = den + (n·t_i − Σt)² — so Cook's D =
+    // E²·H·(n−2)·n·den / (2·ΣE²·(n·den−H)²) is a float expression of
+    // exact DECIMAL(38,0) products, rounded once per day.
+    QueryDef("q_cooks_distance",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg((sum(col("value").cast("decimal(18,2)")) * lit(100))
+            .cast("long").as("y"))
+          .withColumn("t",
+            (row_number().over(Window.orderBy(col("day"))) - 1)
+              .cast("long"))
+        val g = broadcast(daily.agg(count(lit(1)).as("n"),
+          sum(col("t")).as("st"), sum(col("y")).as("sy"),
+          sum(col("t") * col("t")).as("stt"),
+          sum(col("t") * col("y")).as("sty")))
+        val e = daily.crossJoin(g)
+          .withColumn("num", expr("n * sty - st * sy"))
+          .withColumn("den", expr("n * stt - st * st"))
+          .withColumn("ee", expr(
+            "cast(n as decimal(38,0)) * den * y" +
+              " - (cast(den as decimal(38,0)) * sy" +
+              "    - cast(num as decimal(38,0)) * st)" +
+              " - cast(n as decimal(38,0)) * num * t"))
+          .withColumn("hh", expr(
+            "cast(den as decimal(38,0)) + (n * t - st) * (n * t - st)"))
+        val rss = broadcast(
+          e.agg(sum(col("ee") * col("ee")).as("see")))
+        e.crossJoin(rss)
+          .select(col("day").cast("string").as("day"),
+            round(col("ee").cast("double") /
+              (col("n") * col("den")).cast("double") / lit(100.0), 4)
+              .as("residual"),
+            round(col("hh").cast("double") /
+              (col("n") * col("den")).cast("double"), 6).as("leverage"),
+            round(expr(
+              "CASE WHEN see = 0 THEN 0.0 ELSE " +
+                "cast(ee * ee * hh * (n - 2) as double)" +
+                " * cast(cast(n as decimal(38,0)) * den as double)" +
+                " / (2.0 * cast(see as double)" +
+                "    * cast((cast(n as decimal(38,0)) * den - hh)" +
+                "           * (cast(n as decimal(38,0)) * den - hh)" +
+                "           as double)) END"), 6).as("cooks_d"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH daily AS (SELECT day,
+             |    row_number() OVER (ORDER BY day) - 1 AS t, y FROM (
+             |    SELECT ts::DATE AS day,
+             |      (sum(CAST(value AS DECIMAL(18,2))) * 100)::BIGINT AS y
+             |    FROM events GROUP BY 1)),
+             |g AS (SELECT count(*)::BIGINT AS n, sum(t)::BIGINT AS st,
+             |    sum(y)::BIGINT AS sy, sum(t * t)::BIGINT AS stt,
+             |    sum(t * y)::BIGINT AS sty FROM daily),
+             |e AS (SELECT daily.day, daily.t, daily.y, g.n,
+             |    g.n * g.sty - g.st * g.sy AS num,
+             |    g.n * g.stt - g.st * g.st AS den,
+             |    (g.n::HUGEINT * (g.n * g.stt - g.st * g.st) * daily.y
+             |      - ((g.n * g.stt - g.st * g.st)::HUGEINT * g.sy
+             |         - (g.n * g.sty - g.st * g.sy)::HUGEINT * g.st)
+             |      - g.n::HUGEINT * (g.n * g.sty - g.st * g.sy) * daily.t)
+             |      AS ee,
+             |    ((g.n * g.stt - g.st * g.st)::HUGEINT
+             |      + (g.n * daily.t - g.st)::HUGEINT
+             |        * (g.n * daily.t - g.st)) AS hh
+             |  FROM daily, g),
+             |rss AS (SELECT sum(ee * ee) AS see FROM e)
+             |SELECT e.day::VARCHAR AS day,
+             |  round(ee::DOUBLE / (e.n * e.den)::DOUBLE / 100.0, 4)
+             |    AS residual,
+             |  round(hh::DOUBLE / (e.n * e.den)::DOUBLE, 6) AS leverage,
+             |  round(CASE WHEN rss.see = 0 THEN 0.0 ELSE
+             |    (ee * ee * hh * (e.n - 2))::DOUBLE
+             |    * (e.n::HUGEINT * e.den)::DOUBLE
+             |    / (2.0 * rss.see::DOUBLE
+             |       * ((e.n::HUGEINT * e.den - hh)
+             |          * (e.n::HUGEINT * e.den - hh))::DOUBLE) END, 6)
+             |    AS cooks_d
+             |FROM e, rss ORDER BY e.day""".stripMargin)),
+
+    // Durbin–Watson statistic (Durbin & Watson 1950) on the same
+    // trend residuals — the serial-correlation diagnostic that says
+    // whether the OLS trend line can be trusted (DW ≈ 2 = none,
+    // → 0 positive, → 4 negative). The scaled-integer residuals make
+    // DW = ΣΔE²/ΣE² an exact integer ratio (the n·den scale
+    // cancels); one float division, rounded once.
+    QueryDef("q_durbin_watson",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg((sum(col("value").cast("decimal(18,2)")) * lit(100))
+            .cast("long").as("y"))
+          .withColumn("t",
+            (row_number().over(Window.orderBy(col("day"))) - 1)
+              .cast("long"))
+        val g = broadcast(daily.agg(count(lit(1)).as("n"),
+          sum(col("t")).as("st"), sum(col("y")).as("sy"),
+          sum(col("t") * col("t")).as("stt"),
+          sum(col("t") * col("y")).as("sty")))
+        val e = daily.crossJoin(g)
+          .withColumn("ee", expr(
+            "cast(n as decimal(38,0)) * (n * stt - st * st) * y" +
+              " - (cast(n * stt - st * st as decimal(38,0)) * sy" +
+              "    - cast(n * sty - st * sy as decimal(38,0)) * st)" +
+              " - cast(n as decimal(38,0)) * (n * sty - st * sy) * t"))
+          .withColumn("ep",
+            lag(col("ee"), 1).over(Window.orderBy(col("t"))))
+        e.agg(count(lit(1)).as("n_days"),
+            sum(col("ee") * col("ee")).as("see"),
+            sum(when(col("ep").isNotNull,
+              (col("ee") - col("ep")) * (col("ee") - col("ep")))
+              .otherwise(expr("cast(0 as decimal(38,0))"))).as("sde"))
+          .select(col("n_days"),
+            round(col("sde").cast("double") / col("see").cast("double"),
+              6).as("dw"))
+      },
+      Some("""WITH daily AS (SELECT day,
+             |    row_number() OVER (ORDER BY day) - 1 AS t, y FROM (
+             |    SELECT ts::DATE AS day,
+             |      (sum(CAST(value AS DECIMAL(18,2))) * 100)::BIGINT AS y
+             |    FROM events GROUP BY 1)),
+             |g AS (SELECT count(*)::BIGINT AS n, sum(t)::BIGINT AS st,
+             |    sum(y)::BIGINT AS sy, sum(t * t)::BIGINT AS stt,
+             |    sum(t * y)::BIGINT AS sty FROM daily),
+             |e AS (SELECT daily.t,
+             |    (g.n::HUGEINT * (g.n * g.stt - g.st * g.st) * daily.y
+             |      - ((g.n * g.stt - g.st * g.st)::HUGEINT * g.sy
+             |         - (g.n * g.sty - g.st * g.sy)::HUGEINT * g.st)
+             |      - g.n::HUGEINT * (g.n * g.sty - g.st * g.sy) * daily.t)
+             |      AS ee
+             |  FROM daily, g),
+             |l AS (SELECT ee, lag(ee) OVER (ORDER BY t) AS ep FROM e)
+             |SELECT (SELECT count(*) FROM e)::BIGINT AS n_days,
+             |  round(sum(CASE WHEN ep IS NOT NULL
+             |      THEN (ee - ep) * (ee - ep) ELSE 0::HUGEINT END)::DOUBLE
+             |    / sum(ee * ee)::DOUBLE, 6) AS dw
+             |FROM l""".stripMargin))
   )
 }

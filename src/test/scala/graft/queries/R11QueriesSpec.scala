@@ -532,6 +532,25 @@ class R11QueriesSpec extends GraftSpec {
     assert(math.abs(out.getAs[Double]("r_xy_given_z")) <= 1.0)
   }
 
+  test("q_cooks_distance: perfect line has zero residuals; leverage sums to p=2") {
+    val rows = (0 until 20).map(t =>
+      (day0 + t * 86400000000L, 1L, "view", 50.0 + 2.5 * t))
+    val out = byName("q_cooks_distance")(spark, eventsDir(rows)).collect()
+    assert(out.forall(_.getAs[Double]("residual") === 0.0))
+    assert(out.forall(_.getAs[Double]("cooks_d") === 0.0))
+    val hsum = out.map(_.getAs[Double]("leverage")).sum
+    assert(hsum === 2.0 +- 1e-4) // trace of the hat matrix = #params
+  }
+
+  test("q_durbin_watson detects alternating residuals (dw >> 2)") {
+    val rows = (0 until 20).map(t =>
+      (day0 + t * 86400000000L, 1L, "view",
+        100.0 + (if (t % 2 == 0) 10.0 else -10.0)))
+    val out = byName("q_durbin_watson")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Long]("n_days") === 20L)
+    assert(out.getAs[Double]("dw") > 3.0)
+  }
+
   test("q_holt_winters_dow: a constant series forecasts itself with zero season") {
     val rows = (0 until 21).map(k => (day0 + k * 86400000000L, 1L, "view", 5.0))
     val out = byName("q_holt_winters_dow")(spark, eventsDir(rows))
