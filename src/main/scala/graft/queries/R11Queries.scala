@@ -2574,6 +2574,1116 @@ object R11Queries {
              |  round(sum(CASE WHEN ep IS NOT NULL
              |      THEN (ee - ep) * (ee - ep) ELSE 0::HUGEINT END)::DOUBLE
              |    / sum(ee * ee)::DOUBLE, 6) AS dw
-             |FROM l""".stripMargin))
+             |FROM l""".stripMargin)),
+
+
+    // Jonckheere–Terpstra ordered-alternative test (Jonckheere 1954;
+    // Terpstra 1952) — "do event values trend upward across the day?"
+    // with the day's four 6-hour blocks as the ORDERED groups (night <
+    // morning < afternoon < evening). J = Σ_{g<h} U_gh where U_gh is
+    // the Mann-Whitney count of (x_g < x_h) pairs with ties as ½ —
+    // the unblocked complement of q_page_trend. NEVER pairwise: values
+    // quantize to a bounded 1e-3 cell grid, each ordered group carries
+    // a cumulative-below profile over the GLOBAL cell spine (groups ×
+    // cells ≈ 4·33k rows — value-range-bounded, scale-independent),
+    // and 2J = Σ_cells c_h·(2·cumlt_g + c_g) is one hash join on the
+    // cell id. Null moments use the full tie-corrected Kendall-class
+    // variance (σ² = A/72 + B/(36n(n-1)(n-2)) + C/(8n(n-1))) from
+    // exact DECIMAL(38,0) tie/group cubics; z is one double at the
+    // end. 100 TB path: two shuffles (cell digest, group digest), all
+    // joins broadcast.
+    QueryDef("q_jonckheere_terpstra",
+      (s, d) => {
+        val v = graft.sources.Tables.events(s, d)
+          .select((hour(col("ts")) / 6).cast("int").as("g"),
+            floor(col("value") * 1000).cast("long").as("vm"))
+        val gcell = v.groupBy(col("g"), col("vm"))
+          .agg(count(lit(1)).as("c"))
+        val cells = gcell.groupBy(col("vm")).agg(sum(col("c")).as("t"))
+        val groups = gcell.groupBy(col("g")).agg(sum(col("c")).as("u"))
+        val spine = cells.select(col("vm").as("svm"))
+          .crossJoin(broadcast(groups.select(col("g").as("sg"))))
+          .join(gcell, col("svm") === gcell("vm") && col("sg") === gcell("g"),
+            "left")
+          .select(col("svm"), col("sg"),
+            coalesce(col("c"), lit(0L)).as("c0"))
+          .withColumn("cumlt", coalesce(
+            sum(col("c0")).over(Window.partitionBy(col("sg"))
+              .orderBy(col("svm"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        val j2 = gcell.join(spine,
+            gcell("vm") === spine("svm") && spine("sg") < gcell("g"))
+          .agg(sum(col("c").cast("decimal(38,0)") *
+            (lit(2L) * col("cumlt") + col("c0")).cast("decimal(38,0)"))
+            .as("j2"))
+        val gm = groups.agg(
+          sum(col("u")).as("n"), count(lit(1)).as("k"),
+          sum(col("u").cast("decimal(38,0)") * col("u")).as("su2"),
+          sum(col("u").cast("decimal(38,0)") * (col("u") - 1L)).as("su_c"),
+          sum(col("u").cast("decimal(38,0)") * (col("u") - 1L) *
+            (col("u") - 2L)).as("su_b"),
+          sum(col("u").cast("decimal(38,0)") * (col("u") - 1L) *
+            (lit(2L) * col("u") + 5L)).as("su_a"))
+        val tm = cells.agg(
+          sum(col("t").cast("decimal(38,0)") * (col("t") - 1L)).as("st_c"),
+          sum(col("t").cast("decimal(38,0)") * (col("t") - 1L) *
+            (col("t") - 2L)).as("st_b"),
+          sum(col("t").cast("decimal(38,0)") * (col("t") - 1L) *
+            (lit(2L) * col("t") + 5L)).as("st_a"))
+        j2.crossJoin(broadcast(gm)).crossJoin(broadcast(tm))
+          .select(col("n"), col("k"),
+            round(col("j2").cast("double") / 2.0, 1).as("j_stat"),
+            round((col("n").cast("decimal(38,0)") * col("n") - col("su2"))
+              .cast("double") / 4.0, 2).as("e_j"),
+            round(
+              (col("j2").cast("double") / 2.0 -
+                (col("n").cast("decimal(38,0)") * col("n") - col("su2"))
+                  .cast("double") / 4.0) /
+              sqrt(
+                (col("n").cast("decimal(38,0)") * (col("n") - 1L) *
+                  (lit(2L) * col("n") + 5L) - col("su_a") - col("st_a"))
+                  .cast("double") / 72.0 +
+                col("su_b").cast("double") * col("st_b").cast("double") /
+                  (lit(36.0) * col("n").cast("double") *
+                    (col("n").cast("double") - 1.0) *
+                    (col("n").cast("double") - 2.0)) +
+                col("su_c").cast("double") * col("st_c").cast("double") /
+                  (lit(8.0) * col("n").cast("double") *
+                    (col("n").cast("double") - 1.0))), 4).as("z"))
+      },
+      Some("""WITH v AS (SELECT (hour(ts) // 6)::INT AS g,
+             |    floor(value * 1000)::BIGINT AS vm FROM events),
+             |gcell AS (SELECT g, vm, count(*)::BIGINT AS c
+             |  FROM v GROUP BY 1, 2),
+             |cells AS (SELECT vm, sum(c)::BIGINT AS t FROM gcell GROUP BY 1),
+             |groups AS (SELECT g, sum(c)::BIGINT AS u FROM gcell GROUP BY 1),
+             |spine AS (SELECT cells.vm AS svm, groups.g AS sg,
+             |    coalesce(gcell.c, 0)::BIGINT AS c0
+             |  FROM cells CROSS JOIN groups
+             |  LEFT JOIN gcell ON gcell.vm = cells.vm AND gcell.g = groups.g),
+             |cum AS (SELECT svm, sg, c0, coalesce(sum(c0) OVER (
+             |    PARTITION BY sg ORDER BY svm
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |    AS cumlt FROM spine),
+             |j AS (SELECT sum(gcell.c::HUGEINT *
+             |    (2 * cum.cumlt + cum.c0)::HUGEINT) AS j2
+             |  FROM gcell JOIN cum ON gcell.vm = cum.svm
+             |    AND cum.sg < gcell.g),
+             |gm AS (SELECT sum(u)::BIGINT AS n, count(*)::BIGINT AS k,
+             |    sum(u::HUGEINT * u) AS su2,
+             |    sum(u::HUGEINT * (u - 1)) AS su_c,
+             |    sum(u::HUGEINT * (u - 1) * (u - 2)) AS su_b,
+             |    sum(u::HUGEINT * (u - 1) * (2 * u + 5)) AS su_a
+             |  FROM groups),
+             |tm AS (SELECT sum(t::HUGEINT * (t - 1)) AS st_c,
+             |    sum(t::HUGEINT * (t - 1) * (t - 2)) AS st_b,
+             |    sum(t::HUGEINT * (t - 1) * (2 * t + 5)) AS st_a
+             |  FROM cells)
+             |SELECT gm.n, gm.k,
+             |  round(j.j2::DOUBLE / 2.0, 1) AS j_stat,
+             |  round((gm.n::HUGEINT * gm.n - gm.su2)::DOUBLE / 4.0, 2)
+             |    AS e_j,
+             |  round((j.j2::DOUBLE / 2.0
+             |      - (gm.n::HUGEINT * gm.n - gm.su2)::DOUBLE / 4.0)
+             |    / sqrt((gm.n::HUGEINT * (gm.n - 1) * (2 * gm.n + 5)
+             |        - gm.su_a - tm.st_a)::DOUBLE / 72.0
+             |      + gm.su_b::DOUBLE * tm.st_b::DOUBLE
+             |        / (36.0 * gm.n::DOUBLE * (gm.n::DOUBLE - 1.0)
+             |           * (gm.n::DOUBLE - 2.0))
+             |      + gm.su_c::DOUBLE * tm.st_c::DOUBLE
+             |        / (8.0 * gm.n::DOUBLE * (gm.n::DOUBLE - 1.0))), 4)
+             |    AS z
+             |FROM j, gm, tm""".stripMargin)),
+
+    // Permutation entropy (Bandt & Pompe 2002), order m = 3, on the
+    // zero-filled daily 'view' count series — the complexity measure
+    // that reads a time series through the DISTRIBUTION of its local
+    // ordinal patterns instead of its values, so it is invariant to
+    // monotone rescaling and robust to outliers. Ties break by
+    // position (lexicographic (value, index) — the standard stable-
+    // argsort convention), so every window maps to exactly one of the
+    // 3! patterns via three integer comparisons; no floats until the
+    // final Σ −p·ln p (9-dp-quantized per term, the repo's ln
+    // discipline; ln 3! embedded as an identical 15-digit literal in
+    // both engines). The series is a calendar digest — one shuffle at
+    // any data scale; the lead() windows run over ≤ a few hundred
+    // rows.
+    QueryDef("q_permutation_entropy",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+        val counts = ev.filter(col("event_type") === "view")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("c"))
+        val spine = ev.agg(min(to_date(col("ts"))).as("d0"),
+            max(to_date(col("ts"))).as("d1"))
+          .select(explode(expr("sequence(d0, d1)")).as("day"))
+        val x = spine.join(counts, Seq("day"), "left")
+          .select(col("day"), coalesce(col("c"), lit(0L)).as("x"))
+          .withColumn("x1", lead(col("x"), 1).over(Window.orderBy(col("day"))))
+          .withColumn("x2", lead(col("x"), 2).over(Window.orderBy(col("day"))))
+          .filter(col("x2").isNotNull)
+          .withColumn("pat",
+            when(col("x") <= col("x1") && col("x1") <= col("x2"), "012")
+              .when(col("x") <= col("x1") && col("x") <= col("x2"), "021")
+              .when(col("x") <= col("x1"), "201")
+              .when(col("x") <= col("x2"), "102")
+              .when(col("x1") <= col("x2"), "120")
+              .otherwise("210"))
+        val pc = x.groupBy(col("pat")).agg(count(lit(1)).as("c"))
+          .withColumn("n", sum(col("c")).over(Window.partitionBy()))
+          .withColumn("hterm",
+            round(-(col("c").cast("double") / col("n").cast("double")) *
+              log(col("c").cast("double") / col("n").cast("double")), 9)
+              .cast("decimal(20,9)"))
+        pc.agg(max(col("n")).as("n_windows"),
+            sum(when(col("pat") === "012", col("c")).otherwise(0L)).as("c012"),
+            sum(when(col("pat") === "021", col("c")).otherwise(0L)).as("c021"),
+            sum(when(col("pat") === "102", col("c")).otherwise(0L)).as("c102"),
+            sum(when(col("pat") === "120", col("c")).otherwise(0L)).as("c120"),
+            sum(when(col("pat") === "201", col("c")).otherwise(0L)).as("c201"),
+            sum(when(col("pat") === "210", col("c")).otherwise(0L)).as("c210"),
+            sum(col("hterm")).as("hsum"))
+          .select(col("n_windows"), col("c012"), col("c021"), col("c102"),
+            col("c120"), col("c201"), col("c210"),
+            round(col("hsum").cast("double"), 6).as("h"),
+            round(col("hsum").cast("double") / 1.791759469228055, 6)
+              .as("h_norm"))
+      },
+      Some("""WITH sp AS (SELECT min(ts::DATE) AS d0, max(ts::DATE) AS d1
+             |  FROM events),
+             |counts AS (SELECT ts::DATE AS day, count(*)::BIGINT AS c
+             |  FROM events WHERE event_type = 'view' GROUP BY 1),
+             |spine AS (SELECT unnest(generate_series(sp.d0, sp.d1,
+             |    INTERVAL 1 DAY))::DATE AS day FROM sp),
+             |x AS (SELECT spine.day, coalesce(counts.c, 0)::BIGINT AS x
+             |  FROM spine LEFT JOIN counts USING (day)),
+             |w AS (SELECT x, lead(x, 1) OVER (ORDER BY day) AS x1,
+             |    lead(x, 2) OVER (ORDER BY day) AS x2 FROM x),
+             |p AS (SELECT CASE
+             |    WHEN x <= x1 AND x1 <= x2 THEN '012'
+             |    WHEN x <= x1 AND x <= x2 THEN '021'
+             |    WHEN x <= x1 THEN '201'
+             |    WHEN x <= x2 THEN '102'
+             |    WHEN x1 <= x2 THEN '120'
+             |    ELSE '210' END AS pat
+             |  FROM w WHERE x2 IS NOT NULL),
+             |pc AS (SELECT pat, count(*)::BIGINT AS c FROM p GROUP BY 1),
+             |pn AS (SELECT pat, c, sum(c) OVER ()::BIGINT AS n,
+             |    round(-(c::DOUBLE / (sum(c) OVER ())::DOUBLE)
+             |      * ln(c::DOUBLE / (sum(c) OVER ())::DOUBLE), 9)
+             |      ::DECIMAL(20,9) AS hterm
+             |  FROM pc),
+             |agg AS (SELECT max(n)::BIGINT AS n_windows,
+             |    sum(CASE WHEN pat = '012' THEN c ELSE 0 END)::BIGINT AS c012,
+             |    sum(CASE WHEN pat = '021' THEN c ELSE 0 END)::BIGINT AS c021,
+             |    sum(CASE WHEN pat = '102' THEN c ELSE 0 END)::BIGINT AS c102,
+             |    sum(CASE WHEN pat = '120' THEN c ELSE 0 END)::BIGINT AS c120,
+             |    sum(CASE WHEN pat = '201' THEN c ELSE 0 END)::BIGINT AS c201,
+             |    sum(CASE WHEN pat = '210' THEN c ELSE 0 END)::BIGINT AS c210,
+             |    sum(hterm) AS hsum
+             |  FROM pn)
+             |SELECT n_windows, c012, c021, c102, c120, c201, c210,
+             |  round(hsum::DOUBLE, 6) AS h,
+             |  round(hsum::DOUBLE / 1.791759469228055, 6) AS h_norm
+             |FROM agg""".stripMargin)),
+
+    // AMS / tug-of-war sketch (Alon, Matias & Szegedy 1996) for the
+    // second frequency moment F₂ = Σ_u c_u² of the per-user event
+    // counts — THE streaming-join-size / repartition-skew estimator: a
+    // single pass keeps s running sums Σ_u ξ_r(u)·c_u of ±1-signed
+    // counts and F̂₂ = median_r (sum_r)², unbiased with variance
+    // 2F₂²/s. The 9 sign functions are md5-derived (four-wise
+    // independence in spirit, bit-replayable in SQL), computed as 9
+    // sign COLUMNS over the per-user digest — ONE shuffle on user_id,
+    // no explode, no second pass; the 9 estimates ride one array sort
+    // on a 9-element list. Every quantity is an exact integer in both
+    // engines; the graded output compares the sketch against the
+    // exact F₂ from the same digest.
+    QueryDef("q_ams_f2_sketch",
+      (s, d) => {
+        val cu = graft.sources.Tables.events(s, d)
+          .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+        val signed = cu.select((col("c") +: (0 until 9).map(r =>
+          (conv(substring(md5(concat(lit(s"ams$r:"),
+            col("user_id").cast("string"))), 1, 15), 16, 10)
+            .cast("long") % 2L * 2L - 1L).as(s"s$r"))): _*)
+        val sums = signed.agg(
+          sum(col("c").cast("decimal(38,0)") * col("c")).as("f2x"),
+          (count(lit(1)).as("nu") +: (0 until 9).map(r =>
+            sum(col(s"s$r") * col("c")).as(s"t$r"))): _*)
+        sums.select(
+            col("nu").as("n_users"),
+            col("f2x").cast("long").as("exact_f2"),
+            element_at(array_sort(array((0 until 9).map(r =>
+              (col(s"t$r") * col(s"t$r")).cast("long")): _*)), 5)
+              .as("ams_median"))
+          .withColumn("rel_err_pct",
+            round(abs(col("ams_median") - col("exact_f2")).cast("double") /
+              col("exact_f2").cast("double") * 100.0, 4))
+      },
+      Some("""WITH cu AS (SELECT user_id, count(*)::BIGINT AS c
+             |  FROM events GROUP BY 1),
+             |sg AS (SELECT c,
+             |""".stripMargin +
+        (0 until 9).map(r =>
+          s"    (('0x'||substring(md5('ams$r:'||user_id::VARCHAR),1,15))" +
+            s"::BIGINT % 2 * 2 - 1) AS s$r").mkString("", ",\n", "\n") +
+        """|  FROM cu),
+           |sums AS (SELECT sum(c::HUGEINT * c)::BIGINT AS f2x,
+           |    count(*)::BIGINT AS nu,
+           |""".stripMargin +
+        (0 until 9).map(r =>
+          s"    sum(s$r * c)::BIGINT AS t$r").mkString("", ",\n", "\n") +
+        """|  FROM sg)
+           |SELECT nu AS n_users, f2x AS exact_f2,
+           |  (list_sort([""".stripMargin +
+        (0 until 9).map(r => s"t$r * t$r").mkString(", ") +
+        """]))[5]::BIGINT AS ams_median,
+           |  round(abs((list_sort([""".stripMargin +
+        (0 until 9).map(r => s"t$r * t$r").mkString(", ") +
+        """]))[5] - f2x)::DOUBLE / f2x::DOUBLE * 100.0, 4)
+           |    AS rel_err_pct
+           |FROM sums""".stripMargin)),
+
+    // Hodges–Lehmann estimator (Hodges & Lehmann 1963) of daily event
+    // revenue: the median of all Walsh averages (y_i + y_j)/2, i ≤ j —
+    // the location estimate the Wilcoxon signed-rank test inverts to,
+    // with 29% breakdown and ~0.96 efficiency vs the mean at the
+    // Gaussian. Daily totals are exact cents (the DECIMAL(18,2)·100
+    // grid), so every Walsh sum is a BIGINT and the median is picked
+    // by rank, never averaged in floats: the two middle ranks (equal
+    // when the pair count is odd) are summed exactly and divided once
+    // at the end. The n(n+1)/2 pair table is CALENDAR-bounded (n days
+    // → ~66k pairs at a decade), never data-sized — 100 TB of events
+    // still reduces to the same daily digest first.
+    QueryDef("q_hodges_lehmann",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg((sum(col("value").cast("decimal(18,2)")) * lit(100))
+            .cast("long").as("y"))
+        val a = daily.select(col("day").as("d1"), col("y").as("y1"))
+        val b = daily.select(col("day").as("d2"), col("y").as("y2"))
+        val walsh = a.join(b, col("d1") <= col("d2"))
+          .select((col("y1") + col("y2")).as("w"))
+          .withColumn("rn", row_number().over(Window.orderBy(col("w"))))
+        val np = walsh.agg(count(lit(1)).as("npairs"))
+        walsh.crossJoin(broadcast(np))
+          .agg(max(col("npairs")).as("n_pairs"),
+            (sum(when(col("rn") === expr("(npairs + 1) div 2"), col("w"))
+              .otherwise(0L)) +
+             sum(when(col("rn") === expr("npairs div 2 + 1"), col("w"))
+               .otherwise(0L))).as("m2"))
+          .select(col("n_pairs"),
+            round(col("m2").cast("double") / 4.0 / 100.0, 4)
+              .as("hl_estimate"))
+      },
+      Some("""WITH daily AS (SELECT ts::DATE AS day,
+             |    (sum(CAST(value AS DECIMAL(18,2))) * 100)::BIGINT AS y
+             |  FROM events GROUP BY 1),
+             |walsh AS (SELECT a.y + b.y AS w
+             |  FROM daily a JOIN daily b ON a.day <= b.day),
+             |r AS (SELECT w, row_number() OVER (ORDER BY w) AS rn
+             |  FROM walsh),
+             |np AS (SELECT count(*)::BIGINT AS npairs FROM r)
+             |SELECT np.npairs AS n_pairs,
+             |  round((sum(CASE WHEN r.rn = (np.npairs + 1) // 2
+             |      THEN r.w ELSE 0 END)
+             |    + sum(CASE WHEN r.rn = np.npairs // 2 + 1
+             |        THEN r.w ELSE 0 END))::DOUBLE / 4.0 / 100.0, 4)
+             |    AS hl_estimate
+             |FROM r, np GROUP BY np.npairs""".stripMargin)),
+
+    // Breusch–Pagan LM test (Breusch & Pagan 1979) for
+    // heteroskedastic daily-revenue trend residuals — "does the
+    // variance of the noise grow over time?", the diagnostic that
+    // says whether the OLS trend's standard errors can be trusted.
+    // Residuals reuse the EXACT scaled-integer form from
+    // q_cooks_distance (E_i = n·den·y_i − (den·Σy − num·Σt·? ) −
+    // n·num·t_i, a DECIMAL(38,0) with zero float error), descaled
+    // once to 4-dp revenue units so the squared residuals u_i = e_i²
+    // live on an exact DECIMAL(24,4) grid; the auxiliary regression
+    // u ~ t then runs entirely on exact decimal sums and LM = n·R²aux
+    // is one float expression at the end. Calendar digest → one
+    // shuffle at any data scale; every join broadcast.
+    QueryDef("q_breusch_pagan",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg((sum(col("value").cast("decimal(18,2)")) * lit(100))
+            .cast("long").as("y"))
+          .withColumn("t",
+            (row_number().over(Window.orderBy(col("day"))) - 1)
+              .cast("long"))
+        val g = broadcast(daily.agg(count(lit(1)).as("n"),
+          sum(col("t")).as("st"), sum(col("y")).as("sy"),
+          sum(col("t") * col("t")).as("stt"),
+          sum(col("t") * col("y")).as("sty")))
+        val e = daily.crossJoin(g)
+          .withColumn("num", expr("n * sty - st * sy"))
+          .withColumn("den", expr("n * stt - st * st"))
+          .withColumn("u", expr(
+            """cast(round(
+              |  cast(cast(n as decimal(38,0)) * den * y
+              |       - (cast(den as decimal(38,0)) * sy
+              |          - cast(num as decimal(38,0)) * st)
+              |       - cast(n as decimal(38,0)) * num * t as double)
+              |  / (cast(n as double) * cast(den as double)) / 100.0,
+              |  4) as decimal(24,4))""".stripMargin))
+          .withColumn("u2", expr("cast(u * u as decimal(38,8))"))
+        val aux = e.agg(
+          max(col("n")).as("n"), max(col("st")).as("st"),
+          max(col("stt")).as("stt"),
+          sum(col("u2")).as("su"),
+          sum(col("u2") * col("u2")).as("suu"),
+          sum(col("t").cast("decimal(20,0)") * col("u2")).as("stu"))
+        aux.select(col("n").as("n_days"),
+          round((col("n").cast("double") * col("stu").cast("double") -
+            col("st").cast("double") * col("su").cast("double")) /
+            sqrt((col("n").cast("double") * col("stt").cast("double") -
+              col("st").cast("double") * col("st").cast("double")) *
+              (col("n").cast("double") * col("suu").cast("double") -
+                col("su").cast("double") * col("su").cast("double"))), 6)
+            .as("r_aux"),
+          round(col("n").cast("double") *
+            pow((col("n").cast("double") * col("stu").cast("double") -
+              col("st").cast("double") * col("su").cast("double")) /
+              sqrt((col("n").cast("double") * col("stt").cast("double") -
+                col("st").cast("double") * col("st").cast("double")) *
+                (col("n").cast("double") * col("suu").cast("double") -
+                  col("su").cast("double") * col("su").cast("double"))),
+              2.0), 6).as("lm_stat"))
+      },
+      Some("""WITH daily AS (SELECT day,
+             |    row_number() OVER (ORDER BY day) - 1 AS t, y FROM (
+             |    SELECT ts::DATE AS day,
+             |      (sum(CAST(value AS DECIMAL(18,2))) * 100)::BIGINT AS y
+             |    FROM events GROUP BY 1)),
+             |g AS (SELECT count(*)::BIGINT AS n, sum(t)::BIGINT AS st,
+             |    sum(y)::BIGINT AS sy, sum(t * t)::BIGINT AS stt,
+             |    sum(t * y)::BIGINT AS sty FROM daily),
+             |e AS (SELECT daily.t, g.n, g.st, g.stt,
+             |    round(
+             |      (g.n::HUGEINT * (g.n * g.stt - g.st * g.st) * daily.y
+             |       - ((g.n * g.stt - g.st * g.st)::HUGEINT * g.sy
+             |          - (g.n * g.sty - g.st * g.sy)::HUGEINT * g.st)
+             |       - g.n::HUGEINT * (g.n * g.sty - g.st * g.sy)
+             |         * daily.t)::DOUBLE
+             |      / (g.n::DOUBLE * (g.n * g.stt - g.st * g.st)::DOUBLE)
+             |      / 100.0, 4)::DECIMAL(24,4) AS u
+             |  FROM daily, g),
+             |e2 AS (SELECT t, n, st, stt,
+             |    (u * u)::DECIMAL(38,8) AS u2 FROM e),
+             |aux AS (SELECT max(n)::BIGINT AS n, max(st)::BIGINT AS st,
+             |    max(stt)::BIGINT AS stt, sum(u2) AS su,
+             |    sum(u2 * u2) AS suu,
+             |    sum(t::DECIMAL(20,0) * u2) AS stu FROM e2)
+             |SELECT n AS n_days,
+             |  round((n::DOUBLE * stu::DOUBLE - st::DOUBLE * su::DOUBLE)
+             |    / sqrt((n::DOUBLE * stt::DOUBLE - st::DOUBLE * st::DOUBLE)
+             |      * (n::DOUBLE * suu::DOUBLE - su::DOUBLE * su::DOUBLE)),
+             |    6) AS r_aux,
+             |  round(n::DOUBLE * pow(
+             |    (n::DOUBLE * stu::DOUBLE - st::DOUBLE * su::DOUBLE)
+             |    / sqrt((n::DOUBLE * stt::DOUBLE - st::DOUBLE * st::DOUBLE)
+             |      * (n::DOUBLE * suu::DOUBLE - su::DOUBLE * su::DOUBLE)),
+             |    2.0), 6) AS lm_stat
+             |FROM aux""".stripMargin)),
+
+    // Chow structural-break test (Chow 1960) on the daily-revenue
+    // trend: split the calendar at its midpoint, fit the OLS line to
+    // each half and to the pool, and test whether one line fits as
+    // well as two — F = ((RSSp − RSS1 − RSS2)/k) / ((RSS1+RSS2)/
+    // (n−2k)), k = 2. Each RSS is the closed form Syy − num²/den
+    // computed from EXACT integer sums (cents grid): RSS·den =
+    // den·Syy_c − num² is a DECIMAL(38,0) with zero rounding until
+    // the single final float division. The halves come from one
+    // conditional aggregation over the calendar digest — one
+    // shuffle, one broadcast, no second pass.
+    QueryDef("q_chow_test",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg((sum(col("value").cast("decimal(18,2)")) * lit(100))
+            .cast("long").as("y"))
+          .withColumn("t",
+            (row_number().over(Window.orderBy(col("day"))) - 1)
+              .cast("long"))
+        val n0 = broadcast(daily.agg(count(lit(1)).as("nn")))
+        val marked = daily.crossJoin(n0)
+          .withColumn("h", when(col("t") < expr("nn div 2"), 1).otherwise(2))
+        def sums(pred: org.apache.spark.sql.Column, tag: String) = Seq(
+          sum(when(pred, lit(1L)).otherwise(0L)).as(s"n$tag"),
+          sum(when(pred, col("t")).otherwise(0L)).as(s"st$tag"),
+          sum(when(pred, col("y")).otherwise(0L)).as(s"sy$tag"),
+          sum(when(pred, col("t") * col("t")).otherwise(0L)).as(s"stt$tag"),
+          sum(when(pred, col("t").cast("decimal(38,0)") * col("y"))
+            .otherwise(lit(0).cast("decimal(38,0)"))).as(s"sty$tag"),
+          sum(when(pred, col("y").cast("decimal(38,0)") * col("y"))
+            .otherwise(lit(0).cast("decimal(38,0)"))).as(s"syy$tag"))
+        val allSums = sums(lit(true), "p") ++ sums(col("h") === 1, "1") ++
+          sums(col("h") === 2, "2")
+        val agg = marked.agg(allSums.head, allSums.tail: _*)
+        def rss(tag: String) =
+          s"""(cast(syy$tag as double)
+             |  - (cast(cast(n$tag as decimal(38,0)) * sty$tag
+             |          - cast(st$tag as decimal(38,0)) * sy$tag
+             |          as double)
+             |     * cast(cast(n$tag as decimal(38,0)) * sty$tag
+             |            - cast(st$tag as decimal(38,0)) * sy$tag
+             |            as double))
+             |    / cast(cast(n$tag as decimal(38,0)) * stt$tag
+             |           - cast(st$tag as decimal(38,0)) * st$tag
+             |           as double)) / 10000.0""".stripMargin
+        agg.select(col("np").as("n_days"), col("n1").as("n_first"),
+          round(expr(rss("p")), 4).as("rss_pooled"),
+          round(expr(rss("1")), 4).as("rss_first"),
+          round(expr(rss("2")), 4).as("rss_second"),
+          round(expr(
+            s"""((${rss("p")} - ${rss("1")} - ${rss("2")}) / 2.0)
+               | / ((${rss("1")} + ${rss("2")})
+               |    / cast(np - 4 as double))""".stripMargin), 6)
+            .as("f_stat"))
+      },
+      Some("""WITH daily AS (SELECT day,
+             |    row_number() OVER (ORDER BY day) - 1 AS t, y FROM (
+             |    SELECT ts::DATE AS day,
+             |      (sum(CAST(value AS DECIMAL(18,2))) * 100)::BIGINT AS y
+             |    FROM events GROUP BY 1)),
+             |n0 AS (SELECT count(*)::BIGINT AS nn FROM daily),
+             |m AS (SELECT daily.t, daily.y,
+             |    CASE WHEN daily.t < n0.nn // 2 THEN 1 ELSE 2 END AS h
+             |  FROM daily, n0),
+             |a AS (SELECT
+             |    count(*)::BIGINT AS np, sum(t)::BIGINT AS stp,
+             |    sum(y)::BIGINT AS syp, sum(t * t)::BIGINT AS sttp,
+             |    sum(t::HUGEINT * y) AS styp, sum(y::HUGEINT * y) AS syyp,
+             |    sum(CASE WHEN h = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+             |    sum(CASE WHEN h = 1 THEN t ELSE 0 END)::BIGINT AS st1,
+             |    sum(CASE WHEN h = 1 THEN y ELSE 0 END)::BIGINT AS sy1,
+             |    sum(CASE WHEN h = 1 THEN t * t ELSE 0 END)::BIGINT
+             |      AS stt1,
+             |    sum(CASE WHEN h = 1 THEN t::HUGEINT * y
+             |        ELSE 0::HUGEINT END) AS sty1,
+             |    sum(CASE WHEN h = 1 THEN y::HUGEINT * y
+             |        ELSE 0::HUGEINT END) AS syy1,
+             |    sum(CASE WHEN h = 2 THEN 1 ELSE 0 END)::BIGINT AS n2,
+             |    sum(CASE WHEN h = 2 THEN t ELSE 0 END)::BIGINT AS st2,
+             |    sum(CASE WHEN h = 2 THEN y ELSE 0 END)::BIGINT AS sy2,
+             |    sum(CASE WHEN h = 2 THEN t * t ELSE 0 END)::BIGINT
+             |      AS stt2,
+             |    sum(CASE WHEN h = 2 THEN t::HUGEINT * y
+             |        ELSE 0::HUGEINT END) AS sty2,
+             |    sum(CASE WHEN h = 2 THEN y::HUGEINT * y
+             |        ELSE 0::HUGEINT END) AS syy2
+             |  FROM m),
+             |r AS (SELECT np, n1,
+             |    (syyp::DOUBLE - ((np::HUGEINT * styp
+             |        - stp::HUGEINT * syp)::DOUBLE
+             |      * (np::HUGEINT * styp - stp::HUGEINT * syp)::DOUBLE)
+             |      / (np::HUGEINT * sttp - stp::HUGEINT * stp)::DOUBLE)
+             |      / 10000.0 AS rssp,
+             |    (syy1::DOUBLE - ((n1::HUGEINT * sty1
+             |        - st1::HUGEINT * sy1)::DOUBLE
+             |      * (n1::HUGEINT * sty1 - st1::HUGEINT * sy1)::DOUBLE)
+             |      / (n1::HUGEINT * stt1 - st1::HUGEINT * st1)::DOUBLE)
+             |      / 10000.0 AS rss1,
+             |    (syy2::DOUBLE - ((n2::HUGEINT * sty2
+             |        - st2::HUGEINT * sy2)::DOUBLE
+             |      * (n2::HUGEINT * sty2 - st2::HUGEINT * sy2)::DOUBLE)
+             |      / (n2::HUGEINT * stt2 - st2::HUGEINT * st2)::DOUBLE)
+             |      / 10000.0 AS rss2
+             |  FROM a)
+             |SELECT np AS n_days, n1 AS n_first,
+             |  round(rssp, 4) AS rss_pooled,
+             |  round(rss1, 4) AS rss_first,
+             |  round(rss2, 4) AS rss_second,
+             |  round(((rssp - rss1 - rss2) / 2.0)
+             |    / ((rss1 + rss2) / (np - 4)::DOUBLE), 6) AS f_stat
+             |FROM r""".stripMargin)),
+
+    // Schuster periodogram (Schuster 1898) of the daily event-count
+    // series — "what periodicities drive the traffic?" scanned over
+    // candidate periods 2..14 days. The series is mean-centered
+    // EXACTLY in integers (c_t = n·y_t − Σy, a BIGINT — no float
+    // mean), each cos/sin product is quantized to a 6-dp DECIMAL
+    // term so the sums are order-independent across partitions, and
+    // P(p) = (Σc·cos)² + (Σc·sin)² normalizes by n²·something only
+    // at the final SELECT. The angle constant embeds π as the same
+    // 16-digit literal in both engines. Calendar digest × 13 periods
+    // ≈ a few thousand rows at any data scale — one shuffle on day,
+    // one on period.
+    QueryDef("q_periodogram",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+        val daily = ev.groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+          .withColumn("t",
+            (row_number().over(Window.orderBy(col("day"))) - 1)
+              .cast("long"))
+        val g = broadcast(daily.agg(count(lit(1)).as("n"),
+          sum(col("y")).as("sy")))
+        val c = daily.crossJoin(g)
+          .select(col("t"), col("n"),
+            (col("n") * col("y") - col("sy")).as("c"))
+        val terms = c.crossJoin(
+            broadcast(s.range(2, 15).toDF("p")))
+          .select(col("p"), col("n"),
+            expr("""cast(round(cast(c as double) * cos(
+              |  2.0 * 3.141592653589793 * cast(t % p as double)
+              |  / cast(p as double)), 6) as decimal(38,6))"""
+              .stripMargin).as("tc"),
+            expr("""cast(round(cast(c as double) * sin(
+              |  2.0 * 3.141592653589793 * cast(t % p as double)
+              |  / cast(p as double)), 6) as decimal(38,6))"""
+              .stripMargin).as("ts"))
+        terms.groupBy(col("p"))
+          .agg(max(col("n")).as("n"),
+            sum(col("tc")).as("sc"), sum(col("ts")).as("ss"))
+          .select(col("p").as("period_days"),
+            round((col("sc").cast("double") * col("sc").cast("double") +
+              col("ss").cast("double") * col("ss").cast("double")) /
+              (col("n").cast("double") * col("n").cast("double") *
+                col("n").cast("double")), 4).as("power"))
+          .orderBy(col("period_days"))
+      },
+      Some("""WITH daily AS (SELECT day,
+             |    row_number() OVER (ORDER BY day) - 1 AS t, y FROM (
+             |    SELECT ts::DATE AS day, count(*)::BIGINT AS y
+             |    FROM events GROUP BY 1)),
+             |g AS (SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS sy
+             |  FROM daily),
+             |c AS (SELECT daily.t, g.n, g.n * daily.y - g.sy AS c
+             |  FROM daily, g),
+             |p AS (SELECT unnest(generate_series(2, 14))::BIGINT AS p),
+             |terms AS (SELECT p.p, c.n,
+             |    round(c.c::DOUBLE * cos(2.0 * 3.141592653589793
+             |      * (c.t % p.p)::DOUBLE / p.p::DOUBLE), 6)
+             |      ::DECIMAL(38,6) AS tc,
+             |    round(c.c::DOUBLE * sin(2.0 * 3.141592653589793
+             |      * (c.t % p.p)::DOUBLE / p.p::DOUBLE), 6)
+             |      ::DECIMAL(38,6) AS ts
+             |  FROM c, p),
+             |agg AS (SELECT p, max(n)::BIGINT AS n, sum(tc) AS sc,
+             |    sum(ts) AS ss FROM terms GROUP BY 1)
+             |SELECT p AS period_days,
+             |  round((sc::DOUBLE * sc::DOUBLE + ss::DOUBLE * ss::DOUBLE)
+             |    / (n::DOUBLE * n::DOUBLE * n::DOUBLE), 4) AS power
+             |FROM agg ORDER BY period_days""".stripMargin)),
+
+    // Sample entropy (Richman & Moorman 2000), m = 2, r = ⌊0.2·σ⌋,
+    // on the daily event-count series — the regularity statistic
+    // that, unlike ApEn, excludes self-matches and so is unbiased
+    // for short series. All comparisons are INTEGER: counts are
+    // BIGINT, the tolerance is floored onto the integer count grid
+    // (σ from exact sums → identical double → identical floor in
+    // both engines), and A/B are exact pair counts from ONE
+    // calendar-bounded self-join over the N−2 templates (i<j, so no
+    // self-matches, each unordered pair once). SampEn = −ln(A/B) is
+    // the only float, rounded once. 100 TB of events still reduces
+    // to the same ~n_days² template-pair table.
+    QueryDef("q_sample_entropy",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+          .withColumn("t",
+            row_number().over(Window.orderBy(col("day"))).cast("long"))
+        val tpl = daily
+          .withColumn("x1", lead(col("y"), 1).over(Window.orderBy(col("t"))))
+          .withColumn("x2", lead(col("y"), 2).over(Window.orderBy(col("t"))))
+          .filter(col("x2").isNotNull)
+          .select(col("t"), col("y").as("x0"), col("x1"), col("x2"))
+        val rTol = broadcast(daily.agg(count(lit(1)).as("n"),
+            sum(col("y")).as("sy"),
+            sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+          .select(col("n"),
+            greatest(lit(1L), floor(lit(0.2) *
+              sqrt((col("n").cast("double") * col("syy").cast("double") -
+                col("sy").cast("double") * col("sy").cast("double")) /
+                (col("n").cast("double") *
+                  (col("n").cast("double") - 1.0))))
+              .cast("long")).as("r")))
+        val a = tpl.select(col("t").as("ti"), col("x0").as("a0"),
+          col("x1").as("a1"), col("x2").as("a2"))
+        val b = tpl.select(col("t").as("tj"), col("x0").as("b0"),
+          col("x1").as("b1"), col("x2").as("b2"))
+        a.join(b, col("ti") < col("tj")).crossJoin(rTol)
+          .agg(max(col("n")).as("n_days"), max(col("r")).as("r_tol"),
+            sum(when(greatest(abs(col("a0") - col("b0")),
+              abs(col("a1") - col("b1"))) <= col("r"), 1L)
+              .otherwise(0L)).as("b_count"),
+            sum(when(greatest(abs(col("a0") - col("b0")),
+              abs(col("a1") - col("b1")),
+              abs(col("a2") - col("b2"))) <= col("r"), 1L)
+              .otherwise(0L)).as("a_count"))
+          .select(col("n_days"), col("r_tol"), col("b_count"),
+            col("a_count"),
+            when(col("a_count") > 0 && col("b_count") > 0,
+              round(-log(col("a_count").cast("double") /
+                col("b_count").cast("double")), 6)).as("sampen"))
+      },
+      Some("""WITH daily AS (SELECT
+             |    row_number() OVER (ORDER BY day) AS t, y FROM (
+             |    SELECT ts::DATE AS day, count(*)::BIGINT AS y
+             |    FROM events GROUP BY 1)),
+             |tpl AS (SELECT t, y AS x0,
+             |    lead(y, 1) OVER (ORDER BY t) AS x1,
+             |    lead(y, 2) OVER (ORDER BY t) AS x2
+             |  FROM daily QUALIFY x2 IS NOT NULL),
+             |rt AS (SELECT count(*)::BIGINT AS n,
+             |    greatest(1, floor(0.2 * sqrt(
+             |      (count(*)::DOUBLE * sum(y::HUGEINT * y)::DOUBLE
+             |       - sum(y)::DOUBLE * sum(y)::DOUBLE)
+             |      / (count(*)::DOUBLE * (count(*)::DOUBLE - 1.0)))))
+             |      ::BIGINT AS r
+             |  FROM daily)
+             |SELECT max(rt.n)::BIGINT AS n_days,
+             |  max(rt.r)::BIGINT AS r_tol,
+             |  sum(CASE WHEN greatest(abs(a.x0 - b.x0), abs(a.x1 - b.x1))
+             |      <= rt.r THEN 1 ELSE 0 END)::BIGINT AS b_count,
+             |  sum(CASE WHEN greatest(abs(a.x0 - b.x0), abs(a.x1 - b.x1),
+             |      abs(a.x2 - b.x2)) <= rt.r THEN 1 ELSE 0 END)::BIGINT
+             |    AS a_count,
+             |  CASE WHEN sum(CASE WHEN greatest(abs(a.x0 - b.x0),
+             |      abs(a.x1 - b.x1), abs(a.x2 - b.x2)) <= rt.r
+             |      THEN 1 ELSE 0 END) > 0
+             |    AND sum(CASE WHEN greatest(abs(a.x0 - b.x0),
+             |      abs(a.x1 - b.x1)) <= rt.r THEN 1 ELSE 0 END) > 0
+             |  THEN round(-ln(
+             |    sum(CASE WHEN greatest(abs(a.x0 - b.x0), abs(a.x1 - b.x1),
+             |        abs(a.x2 - b.x2)) <= rt.r THEN 1 ELSE 0 END)::DOUBLE
+             |    / sum(CASE WHEN greatest(abs(a.x0 - b.x0),
+             |        abs(a.x1 - b.x1)) <= rt.r THEN 1 ELSE 0 END)::DOUBLE),
+             |    6) END AS sampen
+             |FROM tpl a JOIN tpl b ON a.t < b.t, rt""".stripMargin)),
+
+    // Bass diffusion model (Bass 1969) fit to the user-adoption
+    // curve: daily NEW adopters n_t (first-seen users) regressed on
+    // cumulative adopters, n_t = a + b·C_{t−1} + c·C²_{t−1}, the
+    // discrete-time Bass estimator — innovation p = a/m, imitation
+    // q = b + p, market size m from the quadratic root. The moment
+    // matrix (ΣC..ΣC⁴, Σn, ΣnC, ΣnC²) is EXACT DECIMAL(38,0) over
+    // the calendar digest (C⁴·days stays < 1e38 to ~1.7e9 adopters —
+    // beyond any real corpus), and the 3×3 normal equations are
+    // solved by Cramer determinants in doubles at the very end, same
+    // expression shape in both engines. One shuffle on user_id (the
+    // first-seen reduction), one on day; everything after is a
+    // broadcast of one row.
+    QueryDef("q_bass_diffusion",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+        val firstSeen = ev.groupBy(col("user_id"))
+          .agg(min(to_date(col("ts"))).as("day"))
+          .groupBy(col("day")).agg(count(lit(1)).as("a_t"))
+        val spine = ev.agg(min(to_date(col("ts"))).as("d0"),
+            max(to_date(col("ts"))).as("d1"))
+          .select(explode(expr("sequence(d0, d1)")).as("day"))
+        val series = spine.join(firstSeen, Seq("day"), "left")
+          .select(col("day"), coalesce(col("a_t"), lit(0L)).as("n_t"))
+          .withColumn("cprev",
+            coalesce(sum(col("n_t")).over(Window.orderBy(col("day"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        val m0 = series.agg(count(lit(1)).as("nd"),
+          sum(col("cprev").cast("decimal(38,0)")).as("s1"),
+          sum(col("cprev").cast("decimal(38,0)") * col("cprev")).as("s2"),
+          sum(col("cprev").cast("decimal(38,0)") * col("cprev") *
+            col("cprev")).as("s3"),
+          sum(col("cprev").cast("decimal(38,0)") * col("cprev") *
+            col("cprev") * col("cprev")).as("s4"),
+          sum(col("n_t").cast("decimal(38,0)")).as("sy"),
+          sum(col("n_t").cast("decimal(38,0)") * col("cprev")).as("sxy"),
+          sum(col("n_t").cast("decimal(38,0)") * col("cprev") *
+            col("cprev")).as("sx2y"))
+        // Cramer solve of [[nd,s1,s2],[s1,s2,s3],[s2,s3,s4]]·β =
+        // [sy,sxy,sx2y] — identical double-expression shape as the
+        // oracle's det/det divisions.
+        val det =
+          """(cast(nd as double) * (cast(s2 as double) * cast(s4 as double)
+            |    - cast(s3 as double) * cast(s3 as double))
+            |  - cast(s1 as double) * (cast(s1 as double) * cast(s4 as double)
+            |    - cast(s3 as double) * cast(s2 as double))
+            |  + cast(s2 as double) * (cast(s1 as double) * cast(s3 as double)
+            |    - cast(s2 as double) * cast(s2 as double)))""".stripMargin
+        val da =
+          """(cast(sy as double) * (cast(s2 as double) * cast(s4 as double)
+            |    - cast(s3 as double) * cast(s3 as double))
+            |  - cast(s1 as double) * (cast(sxy as double) * cast(s4 as double)
+            |    - cast(s3 as double) * cast(sx2y as double))
+            |  + cast(s2 as double) * (cast(sxy as double) * cast(s3 as double)
+            |    - cast(s2 as double) * cast(sx2y as double)))""".stripMargin
+        val db =
+          """(cast(nd as double) * (cast(sxy as double) * cast(s4 as double)
+            |    - cast(s3 as double) * cast(sx2y as double))
+            |  - cast(sy as double) * (cast(s1 as double) * cast(s4 as double)
+            |    - cast(s3 as double) * cast(s2 as double))
+            |  + cast(s2 as double) * (cast(s1 as double) * cast(sx2y as double)
+            |    - cast(sxy as double) * cast(s2 as double)))""".stripMargin
+        val dc =
+          """(cast(nd as double) * (cast(s2 as double) * cast(sx2y as double)
+            |    - cast(sxy as double) * cast(s3 as double))
+            |  - cast(s1 as double) * (cast(s1 as double) * cast(sx2y as double)
+            |    - cast(sxy as double) * cast(s2 as double))
+            |  + cast(sy as double) * (cast(s1 as double) * cast(s3 as double)
+            |    - cast(s2 as double) * cast(s2 as double)))""".stripMargin
+        m0.select(col("nd").as("n_days"),
+            round(expr(s"CASE WHEN $det = 0.0 THEN NULL ELSE $da / $det END"),
+              6).as("coef_a"),
+            round(expr(s"CASE WHEN $det = 0.0 THEN NULL ELSE $db / $det END"),
+              9).as("coef_b"),
+            expr(s"CASE WHEN $det = 0.0 THEN NULL ELSE $da / $det END")
+              .as("_a"),
+            expr(s"CASE WHEN $det = 0.0 THEN NULL ELSE $db / $det END")
+              .as("_b"),
+            expr(s"CASE WHEN $det = 0.0 THEN NULL ELSE $dc / $det END")
+              .as("_c"))
+          .withColumn("m_hat", when(col("_c") < 0 &&
+              (col("_b") * col("_b") - lit(4.0) * col("_a") * col("_c")) >= 0,
+            (-col("_b") - sqrt(col("_b") * col("_b") -
+              lit(4.0) * col("_a") * col("_c"))) / (lit(2.0) * col("_c"))))
+          .select(col("n_days"), col("coef_a"), col("coef_b"),
+            round(col("m_hat"), 2).as("market_size"),
+            round(col("_a") / col("m_hat"), 9).as("p_innovation"),
+            round(col("_b") + col("_a") / col("m_hat"), 9)
+              .as("q_imitation"))
+      },
+      Some("""WITH fs AS (SELECT min(ts::DATE) AS day FROM events
+             |  GROUP BY user_id),
+             |ad AS (SELECT day, count(*)::BIGINT AS a_t FROM fs
+             |  GROUP BY 1),
+             |sp AS (SELECT min(ts::DATE) AS d0, max(ts::DATE) AS d1
+             |  FROM events),
+             |spine AS (SELECT unnest(generate_series(sp.d0, sp.d1,
+             |    INTERVAL 1 DAY))::DATE AS day FROM sp),
+             |series AS (SELECT spine.day,
+             |    coalesce(ad.a_t, 0)::BIGINT AS n_t
+             |  FROM spine LEFT JOIN ad USING (day)),
+             |cs AS (SELECT day, n_t, coalesce(sum(n_t) OVER (
+             |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+             |    AND 1 PRECEDING), 0)::BIGINT AS cprev FROM series),
+             |m0 AS (SELECT count(*)::BIGINT AS nd,
+             |    sum(cprev::HUGEINT) AS s1,
+             |    sum(cprev::HUGEINT * cprev) AS s2,
+             |    sum(cprev::HUGEINT * cprev * cprev) AS s3,
+             |    sum(cprev::HUGEINT * cprev * cprev * cprev) AS s4,
+             |    sum(n_t::HUGEINT) AS sy,
+             |    sum(n_t::HUGEINT * cprev) AS sxy,
+             |    sum(n_t::HUGEINT * cprev * cprev) AS sx2y
+             |  FROM cs),
+             |det0 AS (SELECT nd, s1, s2, s3, s4, sy, sxy, sx2y,
+             |    (nd::DOUBLE * (s2::DOUBLE * s4::DOUBLE
+             |        - s3::DOUBLE * s3::DOUBLE)
+             |      - s1::DOUBLE * (s1::DOUBLE * s4::DOUBLE
+             |        - s3::DOUBLE * s2::DOUBLE)
+             |      + s2::DOUBLE * (s1::DOUBLE * s3::DOUBLE
+             |        - s2::DOUBLE * s2::DOUBLE)) AS det
+             |  FROM m0),
+             |sol AS (SELECT nd,
+             |    CASE WHEN det = 0.0 THEN NULL ELSE
+             |    (sy::DOUBLE * (s2::DOUBLE * s4::DOUBLE
+             |        - s3::DOUBLE * s3::DOUBLE)
+             |      - s1::DOUBLE * (sxy::DOUBLE * s4::DOUBLE
+             |        - s3::DOUBLE * sx2y::DOUBLE)
+             |      + s2::DOUBLE * (sxy::DOUBLE * s3::DOUBLE
+             |        - s2::DOUBLE * sx2y::DOUBLE)) / det END AS a,
+             |    CASE WHEN det = 0.0 THEN NULL ELSE
+             |    (nd::DOUBLE * (sxy::DOUBLE * s4::DOUBLE
+             |        - s3::DOUBLE * sx2y::DOUBLE)
+             |      - sy::DOUBLE * (s1::DOUBLE * s4::DOUBLE
+             |        - s3::DOUBLE * s2::DOUBLE)
+             |      + s2::DOUBLE * (s1::DOUBLE * sx2y::DOUBLE
+             |        - sxy::DOUBLE * s2::DOUBLE)) / det END AS b,
+             |    CASE WHEN det = 0.0 THEN NULL ELSE
+             |    (nd::DOUBLE * (s2::DOUBLE * sx2y::DOUBLE
+             |        - sxy::DOUBLE * s3::DOUBLE)
+             |      - s1::DOUBLE * (s1::DOUBLE * sx2y::DOUBLE
+             |        - sxy::DOUBLE * s2::DOUBLE)
+             |      + sy::DOUBLE * (s1::DOUBLE * s3::DOUBLE
+             |        - s2::DOUBLE * s2::DOUBLE)) / det END AS c
+             |  FROM det0),
+             |mh AS (SELECT nd, a, b, c,
+             |    CASE WHEN c < 0 AND b * b - 4.0 * a * c >= 0
+             |      THEN (-b - sqrt(b * b - 4.0 * a * c)) / (2.0 * c)
+             |      END AS m_hat
+             |  FROM sol)
+             |SELECT nd AS n_days, round(a, 6) AS coef_a,
+             |  round(b, 9) AS coef_b,
+             |  round(m_hat, 2) AS market_size,
+             |  round(a / m_hat, 9) AS p_innovation,
+             |  round(b + a / m_hat, 9) AS q_imitation
+             |FROM mh""".stripMargin)),
+
+    // Weibull reliability fit by median-rank regression (Benard's
+    // approximation) over inter-purchase gaps — the distribution fit
+    // behind "how bursty is purchase cadence?" (shape k < 1 =
+    // clustered/bursty, k ≈ 1 = memoryless, k > 1 = regular). Gaps
+    // quantize to a MINUTE grid, so the working set is a value-
+    // range-bounded cell digest (gap cells × counts), never
+    // data-sized; per-cell midpoint ranks come exactly from the
+    // cumulative counts (2r̄ = 2·cum_prev + c + 1, an integer), and
+    // the weighted ln-ln OLS runs on 9-dp-quantized DECIMAL terms so
+    // partition order can't perturb the sums. ln(gap) and the final
+    // k, λ are the only doubles, identical expression shape both
+    // engines.
+    QueryDef("q_weibull_fit",
+      (s, d) => {
+        val wSeq = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val gaps = graft.sources.Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wSeq))
+          .filter(col("prev_us").isNotNull)
+          .select(greatest(lit(1L),
+            expr("(unix_micros(ts) - prev_us) div 60000000")).as("gmin"))
+        val cells = gaps.groupBy(col("gmin"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("cum_prev", coalesce(
+            sum(col("c")).over(Window.orderBy(col("gmin"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        val n0 = broadcast(cells.agg(sum(col("c")).as("n")))
+        val terms = cells.crossJoin(n0)
+          // F̄ from Benard midpoint rank: (2·cum_prev + c + 1 − 0.6)
+          // / (2n + 0.8); x = ln(gmin), y = ln(−ln(1 − F̄))
+          .withColumn("x", log(col("gmin").cast("double")))
+          .withColumn("y", log(-log(lit(1.0) -
+            (lit(2.0) * col("cum_prev") + col("c") + lit(0.4)) /
+              (lit(2.0) * col("n") + lit(0.8)))))
+          .select(col("n"),
+            col("c").cast("decimal(38,9)").as("w"),
+            expr("cast(round(c * x, 9) as decimal(38,9))").as("wx"),
+            expr("cast(round(c * y, 9) as decimal(38,9))").as("wy"),
+            expr("cast(round(c * x * x, 9) as decimal(38,9))").as("wxx"),
+            expr("cast(round(c * x * y, 9) as decimal(38,9))").as("wxy"))
+        terms.agg(max(col("n")).as("n_gaps"),
+            sum(col("w")).as("sw"), sum(col("wx")).as("swx"),
+            sum(col("wy")).as("swy"), sum(col("wxx")).as("swxx"),
+            sum(col("wxy")).as("swxy"))
+          .select(col("n_gaps"),
+            round(expr(
+              """(cast(sw as double) * cast(swxy as double)
+                | - cast(swx as double) * cast(swy as double))
+                |/ (cast(sw as double) * cast(swxx as double)
+                | - cast(swx as double) * cast(swx as double))"""
+                .stripMargin), 6).as("shape_k"),
+            round(expr(
+              """exp(-(
+                |  (cast(swy as double)
+                |   - ((cast(sw as double) * cast(swxy as double)
+                |       - cast(swx as double) * cast(swy as double))
+                |      / (cast(sw as double) * cast(swxx as double)
+                |       - cast(swx as double) * cast(swx as double)))
+                |     * cast(swx as double))
+                |  / cast(sw as double))
+                |/ ((cast(sw as double) * cast(swxy as double)
+                |    - cast(swx as double) * cast(swy as double))
+                |   / (cast(sw as double) * cast(swxx as double)
+                |    - cast(swx as double) * cast(swx as double))))"""
+                .stripMargin), 4).as("scale_minutes"))
+      },
+      Some("""WITH p AS (SELECT user_id, epoch_us(ts) AS us, ts,
+             |    event_id FROM events WHERE event_type = 'purchase'),
+             |g AS (SELECT greatest(1, (us - lag(us) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id))
+             |      // 60000000)::BIGINT AS gmin
+             |  FROM p QUALIFY lag(us) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id) IS NOT NULL),
+             |cells AS (SELECT gmin, count(*)::BIGINT AS c FROM g
+             |  GROUP BY 1),
+             |cum AS (SELECT gmin, c, coalesce(sum(c) OVER (
+             |    ORDER BY gmin ROWS BETWEEN UNBOUNDED PRECEDING
+             |    AND 1 PRECEDING), 0)::BIGINT AS cum_prev FROM cells),
+             |n0 AS (SELECT sum(c)::BIGINT AS n FROM cells),
+             |t AS (SELECT n0.n, cum.c,
+             |    ln(cum.gmin::DOUBLE) AS x,
+             |    ln(-ln(1.0 - (2.0 * cum.cum_prev + cum.c + 0.4)
+             |      / (2.0 * n0.n + 0.8))) AS y
+             |  FROM cum, n0),
+             |q AS (SELECT n, c::DECIMAL(38,9) AS w,
+             |    round(c * x, 9)::DECIMAL(38,9) AS wx,
+             |    round(c * y, 9)::DECIMAL(38,9) AS wy,
+             |    round(c * x * x, 9)::DECIMAL(38,9) AS wxx,
+             |    round(c * x * y, 9)::DECIMAL(38,9) AS wxy
+             |  FROM t),
+             |a AS (SELECT max(n)::BIGINT AS n_gaps, sum(w) AS sw,
+             |    sum(wx) AS swx, sum(wy) AS swy, sum(wxx) AS swxx,
+             |    sum(wxy) AS swxy FROM q)
+             |SELECT n_gaps,
+             |  round((sw::DOUBLE * swxy::DOUBLE
+             |      - swx::DOUBLE * swy::DOUBLE)
+             |    / (sw::DOUBLE * swxx::DOUBLE
+             |      - swx::DOUBLE * swx::DOUBLE), 6) AS shape_k,
+             |  round(exp(-(
+             |      (swy::DOUBLE
+             |       - ((sw::DOUBLE * swxy::DOUBLE
+             |           - swx::DOUBLE * swy::DOUBLE)
+             |          / (sw::DOUBLE * swxx::DOUBLE
+             |           - swx::DOUBLE * swx::DOUBLE)) * swx::DOUBLE)
+             |      / sw::DOUBLE)
+             |    / ((sw::DOUBLE * swxy::DOUBLE
+             |        - swx::DOUBLE * swy::DOUBLE)
+             |       / (sw::DOUBLE * swxx::DOUBLE
+             |        - swx::DOUBLE * swx::DOUBLE))), 4)
+             |    AS scale_minutes
+             |FROM a""".stripMargin)),
+
+    // Matrix profile (Yeh et al. 2016, computed exactly) of the
+    // daily event-count series, window m = 7: for every 7-day
+    // subsequence, the z-normalized distance to its nearest
+    // non-trivial neighbor — THE motif/discord primitive ("which
+    // weeks repeat; which week is unlike any other"). All window
+    // moments (Σx, Σx², Σxy) are EXACT BIGINT/DECIMAL sums built by
+    // exploding each pair over its 7 aligned offsets; d²(i,j) =
+    // 2m(1 − ρ) touches doubles only at the end, and the
+    // nearest-neighbor argmin orders by (9-dp-rounded d², j) so ties
+    // break identically in both engines. Trivial matches are
+    // excluded with the standard m/2 zone. The pair table is
+    // calendar²-bounded (n_days² · 7 cells) — 100 TB of events still
+    // digests to the same ~few-thousand-row join.
+    QueryDef("q_matrix_profile",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+          .withColumn("t",
+            (row_number().over(Window.orderBy(col("day"))) - 1)
+              .cast("long"))
+        val n0 = broadcast(daily.agg(count(lit(1)).as("nd")))
+        // per-window exact moments via 7-offset self-explosion
+        val offs = broadcast(s.range(0, 7).toDF("k"))
+        val win = daily.crossJoin(offs)
+          .select((col("t") - col("k")).as("i"), col("y"))
+          .filter(col("i") >= 0)
+          .groupBy(col("i"))
+          .agg(count(lit(1)).as("cnt"), sum(col("y")).as("sx"),
+            sum(col("y").cast("decimal(38,0)") * col("y")).as("sxx"))
+          .filter(col("cnt") === 7)
+        // (i, j) window pairs with the m/2 = 4 trivial-match
+        // exclusion zone, then exact cross-moments per pair
+        val wlist = win.select(col("i"), col("sx"), col("sxx"))
+        val pairs = wlist.as("wa").crossJoin(wlist.as("wb"))
+          .select(col("wa.i").as("i"), col("wb.i").as("j"),
+            col("wa.sx").as("sxa"), col("wa.sxx").as("sxxa"),
+            col("wb.sx").as("sxb"), col("wb.sxx").as("sxxb"))
+          .filter(abs(col("i") - col("j")) >= 4)
+        val dot = daily.select(col("t").as("ta"), col("y").as("ya"))
+          .crossJoin(daily.select(col("t").as("tb"), col("y").as("yb")))
+          .crossJoin(offs)
+          .select((col("ta") - col("k")).as("i"),
+            (col("tb") - col("k")).as("j"),
+            (col("ya").cast("decimal(38,0)") * col("yb")).as("xy"))
+          .filter(col("i") >= 0 && col("j") >= 0)
+          .groupBy(col("i"), col("j"))
+          .agg(count(lit(1)).as("cnt"), sum(col("xy")).as("sxy"))
+          .filter(col("cnt") === 7)
+        val d2 = pairs.join(dot, Seq("i", "j"))
+          .withColumn("num", expr(
+            "cast(7 as decimal(38,0)) * sxy - cast(sxa as decimal(38,0)) * sxb"))
+          .withColumn("dena", expr(
+            "cast(7 as decimal(38,0)) * sxxa - cast(sxa as decimal(38,0)) * sxa"))
+          .withColumn("denb", expr(
+            "cast(7 as decimal(38,0)) * sxxb - cast(sxb as decimal(38,0)) * sxb"))
+          .withColumn("dist2", round(
+            when(col("dena") > 0 && col("denb") > 0,
+              lit(14.0) * (lit(1.0) -
+                col("num").cast("double") /
+                  sqrt(col("dena").cast("double") *
+                    col("denb").cast("double"))))
+              .otherwise(lit(14.0)), 9))
+        val ranked = d2.withColumn("rk", row_number().over(
+          Window.partitionBy(col("i"))
+            .orderBy(col("dist2"), col("j"))))
+        ranked.filter(col("rk") === 1)
+          .select(col("i").as("window_start"),
+            col("j").as("nn_start"),
+            round(sqrt(greatest(col("dist2"), lit(0.0))), 4)
+              .as("nn_dist"))
+          .orderBy(col("window_start"))
+      },
+      Some("""WITH daily AS (SELECT
+             |    row_number() OVER (ORDER BY day) - 1 AS t, y FROM (
+             |    SELECT ts::DATE AS day, count(*)::BIGINT AS y
+             |    FROM events GROUP BY 1)),
+             |offs AS (SELECT unnest(generate_series(0, 6))::BIGINT AS k),
+             |win AS (SELECT (daily.t - offs.k)::BIGINT AS i,
+             |    count(*)::BIGINT AS cnt, sum(daily.y)::BIGINT AS sx,
+             |    sum(daily.y::HUGEINT * daily.y) AS sxx
+             |  FROM daily, offs WHERE daily.t - offs.k >= 0
+             |  GROUP BY 1 HAVING count(*) = 7),
+             |dot AS (SELECT (a.t - offs.k)::BIGINT AS i,
+             |    (b.t - offs.k)::BIGINT AS j,
+             |    count(*)::BIGINT AS cnt,
+             |    sum(a.y::HUGEINT * b.y) AS sxy
+             |  FROM daily a, daily b, offs
+             |  WHERE a.t - offs.k >= 0 AND b.t - offs.k >= 0
+             |  GROUP BY 1, 2 HAVING count(*) = 7),
+             |pairs AS (SELECT wa.i AS i, wb.i AS j, wa.sx AS sxa,
+             |    wa.sxx AS sxxa, wb.sx AS sxb, wb.sxx AS sxxb
+             |  FROM win wa, win wb WHERE abs(wa.i - wb.i) >= 4),
+             |d2 AS (SELECT p.i, p.j,
+             |    round(CASE WHEN (7::HUGEINT * p.sxxa
+             |        - p.sxa::HUGEINT * p.sxa) > 0
+             |      AND (7::HUGEINT * p.sxxb
+             |        - p.sxb::HUGEINT * p.sxb) > 0
+             |      THEN 14.0 * (1.0
+             |        - (7::HUGEINT * dot.sxy
+             |           - p.sxa::HUGEINT * p.sxb)::DOUBLE
+             |          / sqrt((7::HUGEINT * p.sxxa
+             |              - p.sxa::HUGEINT * p.sxa)::DOUBLE
+             |            * (7::HUGEINT * p.sxxb
+             |              - p.sxb::HUGEINT * p.sxb)::DOUBLE))
+             |      ELSE 14.0 END, 9) AS dist2
+             |  FROM pairs p JOIN dot ON dot.i = p.i AND dot.j = p.j),
+             |rk AS (SELECT i, j, dist2, row_number() OVER (
+             |    PARTITION BY i ORDER BY dist2, j) AS rk FROM d2)
+             |SELECT i AS window_start, j AS nn_start,
+             |  round(sqrt(greatest(dist2, 0.0)), 4) AS nn_dist
+             |FROM rk WHERE rk = 1 ORDER BY window_start"""
+        .stripMargin)),
+
+    // Turning-points randomness test (Kendall 1973): count strict
+    // local maxima/minima in the daily event-count series and
+    // compare with the i.i.d. expectation E[T] = 2(n−2)/3,
+    // Var[T] = (16n − 29)/90 — the cheapest "is this series just
+    // noise?" screen. Counts are integers off the calendar digest
+    // (ties in either neighbor simply don't count, same rule both
+    // engines); z is the single float.
+    QueryDef("q_turning_points",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+        val w = Window.orderBy(col("day"))
+        val tp = daily
+          .withColumn("yp", lag(col("y"), 1).over(w))
+          .withColumn("yn", lead(col("y"), 1).over(w))
+          .filter(col("yp").isNotNull && col("yn").isNotNull)
+          .agg(count(lit(1)).as("interior"),
+            sum(when((col("y") > col("yp") && col("y") > col("yn")) ||
+              (col("y") < col("yp") && col("y") < col("yn")), 1L)
+              .otherwise(0L)).as("t_count"))
+        tp.select((col("interior") + 2).as("n_days"), col("t_count"),
+          round(lit(2.0) * (col("interior") + 2 - 2) / 3.0, 4)
+            .as("expected"),
+          round((col("t_count").cast("double") -
+            lit(2.0) * (col("interior") + 2 - 2) / 3.0) /
+            sqrt((lit(16.0) * (col("interior") + 2) - 29.0) / 90.0), 4)
+            .as("z"))
+      },
+      Some("""WITH daily AS (SELECT ts::DATE AS day,
+             |    count(*)::BIGINT AS y FROM events GROUP BY 1),
+             |w AS (SELECT y, lag(y) OVER (ORDER BY day) AS yp,
+             |    lead(y) OVER (ORDER BY day) AS yn FROM daily),
+             |tp AS (SELECT count(*)::BIGINT AS interior,
+             |    sum(CASE WHEN (y > yp AND y > yn)
+             |      OR (y < yp AND y < yn) THEN 1 ELSE 0 END)::BIGINT
+             |      AS t_count
+             |  FROM w WHERE yp IS NOT NULL AND yn IS NOT NULL)
+             |SELECT (interior + 2)::BIGINT AS n_days, t_count,
+             |  round(2.0 * (interior + 2 - 2) / 3.0, 4) AS expected,
+             |  round((t_count::DOUBLE
+             |    - 2.0 * (interior + 2 - 2) / 3.0)
+             |    / sqrt((16.0 * (interior + 2) - 29.0) / 90.0), 4)
+             |    AS z
+             |FROM tp""".stripMargin))
   )
 }
