@@ -3026,15 +3026,18 @@ object R11Queries {
         val agg = marked.agg(allSums.head, allSums.tail: _*)
         def rss(tag: String) =
           s"""(cast(syy$tag as double)
+             |  - cast(sy$tag as double) * cast(sy$tag as double)
+             |    / cast(n$tag as double)
              |  - (cast(cast(n$tag as decimal(38,0)) * sty$tag
              |          - cast(st$tag as decimal(38,0)) * sy$tag
              |          as double)
              |     * cast(cast(n$tag as decimal(38,0)) * sty$tag
              |            - cast(st$tag as decimal(38,0)) * sy$tag
              |            as double))
-             |    / cast(cast(n$tag as decimal(38,0)) * stt$tag
-             |           - cast(st$tag as decimal(38,0)) * st$tag
-             |           as double)) / 10000.0""".stripMargin
+             |    / (cast(n$tag as double)
+             |       * cast(cast(n$tag as decimal(38,0)) * stt$tag
+             |              - cast(st$tag as decimal(38,0)) * st$tag
+             |              as double))) / 10000.0""".stripMargin
         agg.select(col("np").as("n_days"), col("n1").as("n_first"),
           round(expr(rss("p")), 4).as("rss_pooled"),
           round(expr(rss("1")), 4).as("rss_first"),
@@ -3078,20 +3081,26 @@ object R11Queries {
              |        ELSE 0::HUGEINT END) AS syy2
              |  FROM m),
              |r AS (SELECT np, n1,
-             |    (syyp::DOUBLE - ((np::HUGEINT * styp
+             |    (syyp::DOUBLE - syp::DOUBLE * syp::DOUBLE / np::DOUBLE
+             |      - ((np::HUGEINT * styp
              |        - stp::HUGEINT * syp)::DOUBLE
              |      * (np::HUGEINT * styp - stp::HUGEINT * syp)::DOUBLE)
-             |      / (np::HUGEINT * sttp - stp::HUGEINT * stp)::DOUBLE)
+             |      / (np::DOUBLE
+             |        * (np::HUGEINT * sttp - stp::HUGEINT * stp)::DOUBLE))
              |      / 10000.0 AS rssp,
-             |    (syy1::DOUBLE - ((n1::HUGEINT * sty1
+             |    (syy1::DOUBLE - sy1::DOUBLE * sy1::DOUBLE / n1::DOUBLE
+             |      - ((n1::HUGEINT * sty1
              |        - st1::HUGEINT * sy1)::DOUBLE
              |      * (n1::HUGEINT * sty1 - st1::HUGEINT * sy1)::DOUBLE)
-             |      / (n1::HUGEINT * stt1 - st1::HUGEINT * st1)::DOUBLE)
+             |      / (n1::DOUBLE
+             |        * (n1::HUGEINT * stt1 - st1::HUGEINT * st1)::DOUBLE))
              |      / 10000.0 AS rss1,
-             |    (syy2::DOUBLE - ((n2::HUGEINT * sty2
+             |    (syy2::DOUBLE - sy2::DOUBLE * sy2::DOUBLE / n2::DOUBLE
+             |      - ((n2::HUGEINT * sty2
              |        - st2::HUGEINT * sy2)::DOUBLE
              |      * (n2::HUGEINT * sty2 - st2::HUGEINT * sy2)::DOUBLE)
-             |      / (n2::HUGEINT * stt2 - st2::HUGEINT * st2)::DOUBLE)
+             |      / (n2::DOUBLE
+             |        * (n2::HUGEINT * stt2 - st2::HUGEINT * st2)::DOUBLE))
              |      / 10000.0 AS rss2
              |  FROM a)
              |SELECT np AS n_days, n1 AS n_first,
@@ -3460,13 +3469,21 @@ object R11Queries {
             sum(col("wxy")).as("swxy"))
           .select(col("n_gaps"),
             round(expr(
-              """(cast(sw as double) * cast(swxy as double)
+              """CASE WHEN cast(sw as double) * cast(swxx as double)
+                | - cast(swx as double) * cast(swx as double) = 0.0
+                |THEN NULL ELSE
+                |(cast(sw as double) * cast(swxy as double)
                 | - cast(swx as double) * cast(swy as double))
                 |/ (cast(sw as double) * cast(swxx as double)
-                | - cast(swx as double) * cast(swx as double))"""
+                | - cast(swx as double) * cast(swx as double)) END"""
                 .stripMargin), 6).as("shape_k"),
             round(expr(
-              """exp(-(
+              """CASE WHEN cast(sw as double) * cast(swxx as double)
+                | - cast(swx as double) * cast(swx as double) = 0.0
+                | OR cast(sw as double) * cast(swxy as double)
+                | - cast(swx as double) * cast(swy as double) = 0.0
+                |THEN NULL ELSE
+                |exp(-(
                 |  (cast(swy as double)
                 |   - ((cast(sw as double) * cast(swxy as double)
                 |       - cast(swx as double) * cast(swy as double))
@@ -3477,7 +3494,7 @@ object R11Queries {
                 |/ ((cast(sw as double) * cast(swxy as double)
                 |    - cast(swx as double) * cast(swy as double))
                 |   / (cast(sw as double) * cast(swxx as double)
-                |    - cast(swx as double) * cast(swx as double))))"""
+                |    - cast(swx as double) * cast(swx as double)))) END"""
                 .stripMargin), 4).as("scale_minutes"))
       },
       Some("""WITH p AS (SELECT user_id, epoch_us(ts) AS us, ts,
@@ -3508,11 +3525,17 @@ object R11Queries {
              |    sum(wx) AS swx, sum(wy) AS swy, sum(wxx) AS swxx,
              |    sum(wxy) AS swxy FROM q)
              |SELECT n_gaps,
-             |  round((sw::DOUBLE * swxy::DOUBLE
+             |  round(CASE WHEN sw::DOUBLE * swxx::DOUBLE
+             |      - swx::DOUBLE * swx::DOUBLE = 0.0 THEN NULL ELSE
+             |    (sw::DOUBLE * swxy::DOUBLE
              |      - swx::DOUBLE * swy::DOUBLE)
              |    / (sw::DOUBLE * swxx::DOUBLE
-             |      - swx::DOUBLE * swx::DOUBLE), 6) AS shape_k,
-             |  round(exp(-(
+             |      - swx::DOUBLE * swx::DOUBLE) END, 6) AS shape_k,
+             |  round(CASE WHEN sw::DOUBLE * swxx::DOUBLE
+             |      - swx::DOUBLE * swx::DOUBLE = 0.0
+             |      OR sw::DOUBLE * swxy::DOUBLE
+             |      - swx::DOUBLE * swy::DOUBLE = 0.0 THEN NULL ELSE
+             |    exp(-(
              |      (swy::DOUBLE
              |       - ((sw::DOUBLE * swxy::DOUBLE
              |           - swx::DOUBLE * swy::DOUBLE)
@@ -3522,7 +3545,7 @@ object R11Queries {
              |    / ((sw::DOUBLE * swxy::DOUBLE
              |        - swx::DOUBLE * swy::DOUBLE)
              |       / (sw::DOUBLE * swxx::DOUBLE
-             |        - swx::DOUBLE * swx::DOUBLE))), 4)
+             |        - swx::DOUBLE * swx::DOUBLE))) END, 4)
              |    AS scale_minutes
              |FROM a""".stripMargin)),
 

@@ -559,4 +559,152 @@ class R11QueriesSpec extends GraftSpec {
     assert(out.forall(_.getAs[Long]("forecast_milli") === 5000L))
     assert(out.forall(_.getAs[Long]("season_milli") === 0L))
   }
+
+  test("q_jonckheere_terpstra: one strictly increasing value per block is fully concordant") {
+    // four 6-hour blocks, one event each, values strictly ordered with
+    // the blocks: J = all 6 pairs, E[J] = (n² − Σu²)/4 = 3, tie terms 0
+    val rows = Seq(0, 6, 12, 18).zipWithIndex.map { case (h, i) =>
+      (day0 + h * 3600000000L, i.toLong, "view", 0.001 * (6 * i + 1)) }
+    val out = byName("q_jonckheere_terpstra")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Long]("n") === 4L)
+    assert(out.getAs[Long]("k") === 4L)
+    assert(out.getAs[Double]("j_stat") === 6.0)
+    assert(out.getAs[Double]("e_j") === 3.0)
+    val sigma = math.sqrt(4.0 * 3 * 13 / 72.0)
+    assert(out.getAs[Double]("z") === 3.0 / sigma +- 1e-3)
+  }
+
+  test("q_permutation_entropy: a monotone series has a single pattern and zero entropy") {
+    val rows = (0 until 5).flatMap(k => onDay(k, k + 1, "view"))
+    val out = byName("q_permutation_entropy")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Long]("n_windows") === 3L)
+    assert(out.getAs[Long]("c012") === 3L)
+    assert(out.getAs[Double]("h") === 0.0)
+    assert(out.getAs[Double]("h_norm") === 0.0)
+  }
+
+  test("q_ams_f2_sketch: exact F2 is the sum of squared per-user counts") {
+    val rows = (0 until 3).map(i => (day0 + i * 1000000L, 1L, "view", 1.0)) ++
+      (0 until 4).map(i => (day0 + i * 1000000L + 500000L, 2L, "view", 1.0))
+    val out = byName("q_ams_f2_sketch")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Long]("n_users") === 2L)
+    assert(out.getAs[Long]("exact_f2") === 25L)
+    assert(out.getAs[Long]("ams_median") >= 0L) // each estimate is a square
+    assert(out.getAs[Double]("rel_err_pct") >= 0.0)
+  }
+
+  test("q_hodges_lehmann of daily revenues 1,2,3 is the middle Walsh average") {
+    val rows = (0 until 3).map(k =>
+      (day0 + k * 86400000000L, 1L, "purchase", (k + 1).toDouble))
+    val out = byName("q_hodges_lehmann")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Long]("n_pairs") === 6L)
+    assert(out.getAs[Double]("hl_estimate") === 2.0)
+  }
+
+  test("q_breusch_pagan flags variance growing along the trend") {
+    // symmetric ±(10t) noise around a flat level: squared residuals
+    // grow ~t² → auxiliary slope (and LM) must be clearly positive
+    val rows = (0 until 24).map(t =>
+      (day0 + t * 86400000000L, 1L, "view",
+        1000.0 + (if (t % 2 == 0) 1.0 else -1.0) * 10.0 * t))
+    val out = byName("q_breusch_pagan")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Long]("n_days") === 24L)
+    assert(out.getAs[Double]("r_aux") > 0.5)
+    assert(out.getAs[Double]("lm_stat") > 5.0)
+  }
+
+  test("q_chow_test: a slope break dominates; pooled RSS bounds the halves") {
+    // first half flat at 100, second half steep slope 50 — alternating
+    // ±1 keeps every RSS strictly positive (no 0/0)
+    val rows = (0 until 24).map { t =>
+      val base = if (t < 12) 100.0 else 100.0 + 50.0 * (t - 11)
+      (day0 + t * 86400000000L, 1L, "view",
+        base + (if (t % 2 == 0) 1.0 else -1.0))
+    }
+    val out = byName("q_chow_test")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Long]("n_days") === 24L)
+    assert(out.getAs[Long]("n_first") === 12L)
+    assert(out.getAs[Double]("rss_pooled") >=
+      out.getAs[Double]("rss_first") + out.getAs[Double]("rss_second"))
+    assert(out.getAs[Double]("f_stat") > 50.0)
+  }
+
+  test("q_periodogram peaks at the true weekly cycle") {
+    val rows = (0 until 28).flatMap(k =>
+      onDay(k, if (k % 7 == 0) 10 else 1, "view"))
+    val out = byName("q_periodogram")(spark, eventsDir(rows)).collect()
+    assert(out.length === 13)
+    val top = out.maxBy(_.getAs[Double]("power"))
+    assert(top.getAs[Long]("period_days") === 7L)
+  }
+
+  test("q_sample_entropy of a constant series is zero with all pairs matching") {
+    val rows = (0 until 10).flatMap(k => onDay(k, 5, "view"))
+    val out = byName("q_sample_entropy")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Long]("n_days") === 10L)
+    assert(out.getAs[Long]("b_count") === 28L) // C(8,2)
+    assert(out.getAs[Long]("a_count") === 28L)
+    assert(out.getAs[Double]("sampen") === 0.0)
+  }
+
+  test("q_bass_diffusion: single-day adoption is rank-deficient -> NULL fit") {
+    val rows = (1 to 6).map(u => (day0 + u * 1000000L, u.toLong, "view", 1.0))
+    val out = byName("q_bass_diffusion")(spark, eventsDir(rows)).head()
+    assert(out.isNullAt(out.fieldIndex("market_size")))
+    assert(out.isNullAt(out.fieldIndex("p_innovation")))
+  }
+
+  test("q_bass_diffusion recovers a concave adoption curve (c < 0 root)") {
+    // adopters per day 10,18,22,22,18,10 — concave in cumulative C, so
+    // the quadratic opens downward and the market-size root exceeds the
+    // observed C_max = 100
+    val perDay = Seq(10, 18, 22, 22, 18, 10)
+    var uid = 0L
+    val rows = perDay.zipWithIndex.flatMap { case (n, k) =>
+      (0 until n).map { _ => uid += 1
+        (day0 + k * 86400000000L + uid * 1000L, uid, "view", 1.0) }
+    }
+    val out = byName("q_bass_diffusion")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Long]("n_days") === 6L)
+    assert(!out.isNullAt(out.fieldIndex("market_size")))
+    assert(out.getAs[Double]("market_size") > 90.0)
+    assert(out.getAs[Double]("p_innovation") > 0.0)
+    assert(out.getAs[Double]("q_imitation") > out.getAs[Double]("p_innovation"))
+  }
+
+  test("q_weibull_fit shape is scale-invariant; scale doubles with the gaps") {
+    def gapRows(mult: Long) = Seq(10L, 20L, 20L, 40L, 80L, 160L).zipWithIndex
+      .flatMap { case (g, u) => Seq(
+        (day0 + u * 86400000000L, u.toLong, "purchase", 1.0),
+        (day0 + u * 86400000000L + g * mult * 60000000L, u.toLong,
+          "purchase", 1.0)) }
+    val a = byName("q_weibull_fit")(spark, eventsDir(gapRows(1))).head()
+    val b = byName("q_weibull_fit")(spark, eventsDir(gapRows(2))).head()
+    assert(a.getAs[Long]("n_gaps") === 6L)
+    assert(a.getAs[Double]("shape_k") === b.getAs[Double]("shape_k") +- 1e-3)
+    assert(b.getAs[Double]("scale_minutes") ===
+      2.0 * a.getAs[Double]("scale_minutes") +- 0.01 *
+        a.getAs[Double]("scale_minutes"))
+  }
+
+  test("q_matrix_profile finds an exact repeated motif at distance zero") {
+    val pattern = Seq(5, 1, 9, 2, 7, 3, 8)
+    val series = pattern ++ Seq(4, 4, 4) ++ pattern ++ Seq(4)
+    val rows = series.zipWithIndex.flatMap { case (c, k) => onDay(k, c, "view") }
+    val out = byName("q_matrix_profile")(spark, eventsDir(rows)).collect()
+    val byStart = out.map(r => r.getAs[Long]("window_start") ->
+      (r.getAs[Long]("nn_start"), r.getAs[Double]("nn_dist"))).toMap
+    assert(byStart(0L) === ((10L, 0.0)))
+    assert(byStart(10L) === ((0L, 0.0)))
+  }
+
+  test("q_turning_points: an alternating series turns at every interior point") {
+    val rows = (0 until 6).flatMap(k =>
+      onDay(k, if (k % 2 == 0) 1 else 5, "view"))
+    val out = byName("q_turning_points")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Long]("n_days") === 6L)
+    assert(out.getAs[Long]("t_count") === 4L)
+    assert(out.getAs[Double]("expected") === 8.0 / 3 +- 1e-3)
+    assert(out.getAs[Double]("z") > 1.5)
+  }
 }
