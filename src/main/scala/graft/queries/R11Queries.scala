@@ -3707,6 +3707,348 @@ object R11Queries {
              |    - 2.0 * (interior + 2 - 2) / 3.0)
              |    / sqrt((16.0 * (interior + 2) - 29.0) / 90.0), 4)
              |    AS z
-             |FROM tp""".stripMargin))
+             |FROM tp""".stripMargin)),
+
+    // Krippendorff's alpha (Krippendorff 1970), nominal level, for
+    // inter-rater reliability with MISSING ratings — the statistic
+    // annotation pipelines report when each unit is labeled by a
+    // varying subset of raters. Units = days, raters = the four
+    // 6-hour blocks, rating = the block's modal event_type (ties →
+    // lexicographically first; blocks with no events are missing).
+    // The coincidence matrix is kept EXACT by scaling each unit's
+    // contribution by 6/(m_u − 1) (m_u ≤ 4, so the division is
+    // integer-exact), and α = 1 − (n−1)·D_o/D_e divides once at the
+    // end. Day×block×type digest — bounded by calendar × 4 × the
+    // event-type vocabulary at any data scale.
+    QueryDef("q_krippendorff_alpha",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+        val ratings = ev
+          .groupBy(to_date(col("ts")).as("day"),
+            (hour(col("ts")) / 6).cast("int").as("blk"),
+            col("event_type").as("c"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("day"), col("blk"))
+              .orderBy(col("cnt").desc, col("c"))))
+          .filter(col("rn") === 1)
+          .select(col("day"), col("c"))
+        val muc = ratings.groupBy(col("day"), col("c"))
+          .agg(count(lit(1)).as("m"))
+        val perDay = muc.groupBy(col("day"))
+          .agg(sum(col("m")).as("mu"),
+            sum(col("m") * col("m")).as("smu2"))
+          .filter(col("mu") >= 2)
+        val do6 = perDay.agg(
+          sum(col("mu")).as("n"),
+          sum(expr("6 * (mu * mu - smu2) div (mu - 1)")).as("do6"))
+        val nc = muc.join(perDay.select(col("day")), Seq("day"))
+          .groupBy(col("c")).agg(sum(col("m")).as("ncat"))
+          .agg(sum(col("ncat")).as("ntot"),
+            sum(col("ncat").cast("decimal(38,0)") * col("ncat"))
+              .as("snc2"))
+        do6.crossJoin(broadcast(nc))
+          .select(col("n").cast("long").as("n_values"),
+            col("do6").cast("long").as("do_x6"),
+            round(lit(1.0) - (col("n").cast("double") - 1.0) *
+              (col("do6").cast("double") / 6.0) /
+              (col("n").cast("double") * col("n").cast("double") -
+                col("snc2").cast("double")), 6).as("alpha"))
+      },
+      Some("""WITH r0 AS (SELECT ts::DATE AS day,
+             |    (hour(ts) // 6)::INT AS blk, event_type AS c,
+             |    count(*)::BIGINT AS cnt
+             |  FROM events GROUP BY 1, 2, 3),
+             |ratings AS (SELECT day, c FROM r0
+             |  QUALIFY row_number() OVER (PARTITION BY day, blk
+             |    ORDER BY cnt DESC, c) = 1),
+             |muc AS (SELECT day, c, count(*)::BIGINT AS m FROM ratings
+             |  GROUP BY 1, 2),
+             |perday AS (SELECT day, sum(m)::BIGINT AS mu,
+             |    sum(m * m)::BIGINT AS smu2 FROM muc GROUP BY 1
+             |  HAVING sum(m) >= 2),
+             |do6 AS (SELECT sum(mu)::BIGINT AS n,
+             |    sum(6 * (mu * mu - smu2) // (mu - 1))::BIGINT AS do6
+             |  FROM perday),
+             |nc AS (SELECT sum(ncat)::BIGINT AS ntot,
+             |    sum(ncat::HUGEINT * ncat) AS snc2 FROM (
+             |    SELECT muc.c, sum(muc.m)::BIGINT AS ncat
+             |    FROM muc JOIN perday USING (day) GROUP BY 1))
+             |SELECT do6.n AS n_values, do6.do6 AS do_x6,
+             |  round(1.0 - (do6.n::DOUBLE - 1.0) * (do6.do6::DOUBLE / 6.0)
+             |    / (do6.n::DOUBLE * do6.n::DOUBLE - nc.snc2::DOUBLE), 6)
+             |    AS alpha
+             |FROM do6, nc""".stripMargin)),
+
+    // Somers' D (Somers 1962), both directions, for the ordinal
+    // association between time-of-day block (X, 4 ordered levels)
+    // and event value (Y, 1e-3 grid) — the asymmetric
+    // concordance measure credit-scoring reports as "Gini"/
+    // accuracy-ratio. NEVER pairwise over rows: like
+    // q_jonckheere_terpstra, each block carries a cumulative-below
+    // profile over the global value-cell spine, so concordant /
+    // discordant / Y-tied pair counts are three exact DECIMAL sums
+    // off ONE hash join on the cell id; the within-block and
+    // within-cell tie totals come from the two marginal digests.
+    // D_yx = (C−D)/pairs-untied-on-X, D_xy = (C−D)/pairs-untied-
+    // on-Y — two float divisions at the end.
+    QueryDef("q_somers_d",
+      (s, d) => {
+        val v = graft.sources.Tables.events(s, d)
+          .select((hour(col("ts")) / 6).cast("int").as("g"),
+            floor(col("value") * 1000).cast("long").as("vm"))
+        val gcell = v.groupBy(col("g"), col("vm"))
+          .agg(count(lit(1)).as("c"))
+        val cells = gcell.groupBy(col("vm")).agg(sum(col("c")).as("t"))
+        val groups = gcell.groupBy(col("g")).agg(sum(col("c")).as("u"))
+        val spine = cells.select(col("vm").as("svm"))
+          .crossJoin(broadcast(groups.select(col("g").as("sg"),
+            col("u").as("su"))))
+          .join(gcell, col("svm") === gcell("vm") && col("sg") === gcell("g"),
+            "left")
+          .select(col("svm"), col("sg"), col("su"),
+            coalesce(col("c"), lit(0L)).as("c0"))
+          .withColumn("cumlt", coalesce(
+            sum(col("c0")).over(Window.partitionBy(col("sg"))
+              .orderBy(col("svm"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        val cdt = gcell.join(spine,
+            gcell("vm") === spine("svm") && spine("sg") < gcell("g"))
+          .agg(
+            sum(col("c").cast("decimal(38,0)") * col("cumlt")).as("nc"),
+            sum(col("c").cast("decimal(38,0)") *
+              (col("su") - col("cumlt") - col("c0"))).as("nd"),
+            sum(col("c").cast("decimal(38,0)") * col("c0")).as("ty"))
+        val gm = groups.agg(sum(col("u")).as("n"),
+          sum(col("u").cast("decimal(38,0)") * col("u")).as("su2"))
+        val tm = cells.agg(
+          sum(col("t").cast("decimal(38,0)") * col("t")).as("st2"))
+        cdt.crossJoin(broadcast(gm)).crossJoin(broadcast(tm))
+          .select(col("n"),
+            col("nc").cast("long").as("n_concordant"),
+            col("nd").cast("long").as("n_discordant"),
+            col("ty").cast("long").as("n_tied_y"),
+            round((col("nc") - col("nd")).cast("double") /
+              ((col("n").cast("decimal(38,0)") * col("n") - col("su2"))
+                .cast("double") / 2.0), 6).as("d_yx"),
+            round((col("nc") - col("nd")).cast("double") /
+              ((col("n").cast("decimal(38,0)") * col("n") - col("st2"))
+                .cast("double") / 2.0), 6).as("d_xy"))
+      },
+      Some("""WITH v AS (SELECT (hour(ts) // 6)::INT AS g,
+             |    floor(value * 1000)::BIGINT AS vm FROM events),
+             |gcell AS (SELECT g, vm, count(*)::BIGINT AS c
+             |  FROM v GROUP BY 1, 2),
+             |cells AS (SELECT vm, sum(c)::BIGINT AS t FROM gcell GROUP BY 1),
+             |groups AS (SELECT g, sum(c)::BIGINT AS u FROM gcell GROUP BY 1),
+             |spine AS (SELECT cells.vm AS svm, groups.g AS sg,
+             |    groups.u AS su, coalesce(gcell.c, 0)::BIGINT AS c0
+             |  FROM cells CROSS JOIN groups
+             |  LEFT JOIN gcell ON gcell.vm = cells.vm AND gcell.g = groups.g),
+             |cum AS (SELECT svm, sg, su, c0, coalesce(sum(c0) OVER (
+             |    PARTITION BY sg ORDER BY svm
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |    AS cumlt FROM spine),
+             |cdt AS (SELECT
+             |    sum(gcell.c::HUGEINT * cum.cumlt) AS nc,
+             |    sum(gcell.c::HUGEINT
+             |      * (cum.su - cum.cumlt - cum.c0)) AS nd,
+             |    sum(gcell.c::HUGEINT * cum.c0) AS ty
+             |  FROM gcell JOIN cum ON gcell.vm = cum.svm
+             |    AND cum.sg < gcell.g),
+             |gm AS (SELECT sum(u)::BIGINT AS n,
+             |    sum(u::HUGEINT * u) AS su2 FROM groups),
+             |tm AS (SELECT sum(t::HUGEINT * t) AS st2 FROM cells)
+             |SELECT gm.n, cdt.nc::BIGINT AS n_concordant,
+             |  cdt.nd::BIGINT AS n_discordant,
+             |  cdt.ty::BIGINT AS n_tied_y,
+             |  round((cdt.nc - cdt.nd)::DOUBLE
+             |    / ((gm.n::HUGEINT * gm.n - gm.su2)::DOUBLE / 2.0), 6)
+             |    AS d_yx,
+             |  round((cdt.nc - cdt.nd)::DOUBLE
+             |    / ((gm.n::HUGEINT * gm.n - tm.st2)::DOUBLE / 2.0), 6)
+             |    AS d_xy
+             |FROM cdt, gm, tm""".stripMargin)),
+
+    // Lomb–Scargle periodogram (Lomb 1976; Scargle 1982) of the raw
+    // event VALUE samples at their IRREGULAR timestamps — the
+    // spectral tool for unevenly-sampled sensor streams, where the
+    // evenly-gridded q_periodogram doesn't apply. Two distributed
+    // passes per candidate period: pass 1 sums sin/cos(2ωt) for the
+    // phase offset τ = atan2(Σsin, Σcos)/2ω; pass 2 sums the four
+    // τ-shifted moments. Every per-event term is quantized to a 6-dp
+    // DECIMAL before summation (order-independence across
+    // partitions); the series is mean-centered EXACTLY in integers
+    // (c_i = n·y_i − Σy on the cents grid, descaled once by (100n)²
+    // in the final ratio). Both passes are map-side-combined
+    // aggregations keyed by the 7 periods — no data-sized shuffle at
+    // any scale.
+    QueryDef("q_lomb_scargle",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+          .select(unix_micros(col("ts")).as("us"),
+            (col("value").cast("decimal(18,2)") * 100).cast("long")
+              .as("yc"))
+        val g = broadcast(ev.agg(min(col("us")).as("us0"),
+          count(lit(1)).as("n"), sum(col("yc")).as("sy")))
+        val periods = broadcast(s.createDataFrame(
+          Seq(3L, 6L, 12L, 24L, 48L, 84L, 168L).map(Tuple1(_)))
+          .toDF("p"))
+        val base = ev.crossJoin(g).crossJoin(periods)
+          .withColumn("th", expr(
+            """2.0 * 3.141592653589793
+              |* (cast(us - us0 as double) / 3600000000.0)
+              |/ cast(p as double)""".stripMargin))
+          .withColumn("cc", (col("n") * col("yc") - col("sy")))
+        val tau = base.groupBy(col("p"))
+          .agg(sum(expr("cast(round(sin(2.0 * th), 6) as decimal(38,6))"))
+            .as("s2"),
+            sum(expr("cast(round(cos(2.0 * th), 6) as decimal(38,6))"))
+            .as("c2"))
+          .select(col("p").as("tp"), expr(
+            """atan2(cast(s2 as double), cast(c2 as double)) / 2.0"""
+          ).as("tth"))
+        val moments = base.join(broadcast(tau), col("p") === col("tp"))
+          .withColumn("a", expr(
+            "cast(round(cast(cc as double) * cos(th - tth), 6)" +
+              " as decimal(38,6))"))
+          .withColumn("b", expr(
+            "cast(round(cast(cc as double) * sin(th - tth), 6)" +
+              " as decimal(38,6))"))
+          .withColumn("c2m", expr(
+            "cast(round(cos(th - tth) * cos(th - tth), 9)" +
+              " as decimal(38,9))"))
+          .withColumn("s2m", expr(
+            "cast(round(sin(th - tth) * sin(th - tth), 9)" +
+              " as decimal(38,9))"))
+          .groupBy(col("p"))
+          .agg(max(col("n")).as("n"), sum(col("a")).as("sa"),
+            sum(col("b")).as("sb"), sum(col("c2m")).as("sc2"),
+            sum(col("s2m")).as("ss2"))
+        moments.select(col("p").as("period_hours"),
+            round(expr(
+              """0.5 * (cast(sa as double) * cast(sa as double)
+                |  / cast(sc2 as double)
+                |  + cast(sb as double) * cast(sb as double)
+                |  / cast(ss2 as double))
+                |/ (cast(n as double) * 100.0
+                |   * cast(n as double) * 100.0)""".stripMargin), 4)
+              .as("power"))
+          .orderBy(col("period_hours"))
+      },
+      Some("""WITH ev AS (SELECT epoch_us(ts) AS us,
+             |    (CAST(value AS DECIMAL(18,2)) * 100)::BIGINT AS yc
+             |  FROM events),
+             |g AS (SELECT min(us) AS us0, count(*)::BIGINT AS n,
+             |    sum(yc)::BIGINT AS sy FROM ev),
+             |periods AS (SELECT unnest([3, 6, 12, 24, 48, 84, 168])
+             |    ::BIGINT AS p),
+             |base AS (SELECT periods.p, g.n,
+             |    2.0 * 3.141592653589793
+             |      * ((ev.us - g.us0)::DOUBLE / 3600000000.0)
+             |      / periods.p::DOUBLE AS th,
+             |    g.n * ev.yc - g.sy AS cc
+             |  FROM ev, g, periods),
+             |tau AS (SELECT p,
+             |    atan2(sum(round(sin(2.0 * th), 6)::DECIMAL(38,6))
+             |        ::DOUBLE,
+             |      sum(round(cos(2.0 * th), 6)::DECIMAL(38,6))::DOUBLE)
+             |      / 2.0 AS tth
+             |  FROM base GROUP BY 1),
+             |m AS (SELECT base.p, max(base.n)::BIGINT AS n,
+             |    sum(round(base.cc::DOUBLE * cos(base.th - tau.tth), 6)
+             |      ::DECIMAL(38,6)) AS sa,
+             |    sum(round(base.cc::DOUBLE * sin(base.th - tau.tth), 6)
+             |      ::DECIMAL(38,6)) AS sb,
+             |    sum(round(cos(base.th - tau.tth)
+             |      * cos(base.th - tau.tth), 9)::DECIMAL(38,9)) AS sc2,
+             |    sum(round(sin(base.th - tau.tth)
+             |      * sin(base.th - tau.tth), 9)::DECIMAL(38,9)) AS ss2
+             |  FROM base JOIN tau ON base.p = tau.p GROUP BY 1)
+             |SELECT p AS period_hours,
+             |  round(0.5 * (sa::DOUBLE * sa::DOUBLE / sc2::DOUBLE
+             |    + sb::DOUBLE * sb::DOUBLE / ss2::DOUBLE)
+             |    / (n::DOUBLE * 100.0 * n::DOUBLE * 100.0), 4) AS power
+             |FROM m ORDER BY period_hours""".stripMargin)),
+
+    // Generalized ESD outlier peel (Rosner 1983), k = 5 rounds, on
+    // daily revenue: repeatedly remove the most extreme studentized
+    // day and report each round's test statistic R_r — the iterative
+    // detector that, unlike a single Grubbs pass, is robust to
+    // masking by multiple outliers. Each round's deviations are
+    // EXACT scaled integers (|n·y − Σy| on the cents grid, BIGINT);
+    // the argmax is picked by (dev, day) rank so ties break
+    // identically in both engines; R_r = dev/(n·s) touches doubles
+    // once per round. The five rounds chain over the calendar digest
+    // — at 100 TB the facts reduce once, then five digest-sized
+    // iterations.
+    QueryDef("q_gesd_outliers",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg((sum(col("value").cast("decimal(18,2)")) * lit(100))
+            .cast("long").as("y"))
+        var cur = daily
+        val rounds = (1 to 5).map { r =>
+          val st = broadcast(cur.agg(count(lit(1)).as("n"),
+            sum(col("y")).as("sy"),
+            sum(col("y").cast("decimal(38,0)") * col("y")).as("syy")))
+          val sel = cur.crossJoin(st)
+            .withColumn("dev", abs(col("n") * col("y") - col("sy")))
+            .withColumn("rk", row_number().over(
+              Window.orderBy(col("dev").desc, col("day"))))
+            .filter(col("rk") === 1)
+            .select(lit(r).as("round"),
+              col("day").cast("string").as("day"),
+              round(expr(
+                """CASE WHEN cast(n as decimal(38,0)) * syy
+                  |    - cast(sy as decimal(38,0)) * sy = 0 THEN NULL
+                  |ELSE cast(dev as double) / cast(n as double)
+                  |  / sqrt(cast(cast(n as decimal(38,0)) * syy
+                  |      - cast(sy as decimal(38,0)) * sy as double)
+                  |    / (cast(n as double)
+                  |       * (cast(n as double) - 1.0))) END"""
+                  .stripMargin), 6).as("r_stat"),
+              col("day").as("_day0"))
+          cur = cur.join(sel.select(col("_day0").as("day")),
+            Seq("day"), "left_anti")
+          sel.drop("_day0")
+        }
+        rounds.reduce(_ union _).orderBy(col("round"))
+      },
+      Some {
+        val roundCtes = (1 to 5).map { r =>
+          s"""st$r AS (SELECT count(*)::BIGINT AS n,
+             |    sum(y)::BIGINT AS sy, sum(y::HUGEINT * y) AS syy
+             |  FROM base${r - 1}),
+             |sel$r AS (SELECT $r AS round, b.day::VARCHAR AS day,
+             |    round(CASE WHEN st$r.n::HUGEINT * st$r.syy
+             |        - st$r.sy::HUGEINT * st$r.sy = 0 THEN NULL
+             |      ELSE abs(st$r.n * b.y - st$r.sy)::DOUBLE
+             |        / st$r.n::DOUBLE
+             |        / sqrt((st$r.n::HUGEINT * st$r.syy
+             |            - st$r.sy::HUGEINT * st$r.sy)::DOUBLE
+             |          / (st$r.n::DOUBLE * (st$r.n::DOUBLE - 1.0)))
+             |      END, 6) AS r_stat,
+             |    b.day AS day0
+             |  FROM base${r - 1} b, st$r
+             |  QUALIFY row_number() OVER (
+             |    ORDER BY abs(st$r.n * b.y - st$r.sy) DESC, b.day) = 1),
+             |base$r AS (SELECT day, y FROM base${r - 1}
+             |  WHERE day NOT IN (SELECT day0 FROM sel$r))"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH base0 AS (SELECT ts::DATE AS day,
+           |    (sum(CAST(value AS DECIMAL(18,2))) * 100)::BIGINT AS y
+           |  FROM events GROUP BY 1),
+           |$roundCtes
+           |SELECT round, day, r_stat FROM (
+           |  SELECT round, day, r_stat FROM sel1
+           |  UNION ALL SELECT round, day, r_stat FROM sel2
+           |  UNION ALL SELECT round, day, r_stat FROM sel3
+           |  UNION ALL SELECT round, day, r_stat FROM sel4
+           |  UNION ALL SELECT round, day, r_stat FROM sel5)
+           |ORDER BY round""".stripMargin
+      })
   )
 }

@@ -698,6 +698,61 @@ class R11QueriesSpec extends GraftSpec {
     assert(byStart(10L) === ((0L, 0.0)))
   }
 
+  test("q_krippendorff_alpha: unanimous blocks give alpha = 1; full split gives -0.5") {
+    // day 1: both blocks rate 'view'; day 2: both rate 'purchase'
+    val agree = Seq(
+      (day0 + 1 * 3600000000L, 1L, "view", 1.0),
+      (day0 + 7 * 3600000000L, 2L, "view", 1.0),
+      (day0 + 86400000000L + 1 * 3600000000L, 3L, "purchase", 1.0),
+      (day0 + 86400000000L + 7 * 3600000000L, 4L, "purchase", 1.0))
+    val a = byName("q_krippendorff_alpha")(spark, eventsDir(agree)).head()
+    assert(a.getAs[Long]("n_values") === 4L)
+    assert(a.getAs[Double]("alpha") === 1.0)
+    // both days split view/purchase across their two blocks
+    val split = Seq(
+      (day0 + 1 * 3600000000L, 1L, "view", 1.0),
+      (day0 + 7 * 3600000000L, 2L, "purchase", 1.0),
+      (day0 + 86400000000L + 1 * 3600000000L, 3L, "view", 1.0),
+      (day0 + 86400000000L + 7 * 3600000000L, 4L, "purchase", 1.0))
+    val b = byName("q_krippendorff_alpha")(spark, eventsDir(split)).head()
+    assert(b.getAs[Double]("alpha") === -0.5)
+  }
+
+  test("q_somers_d is 1 in both directions for a strictly monotone block-value map") {
+    val rows = Seq(0, 6, 12, 18).zipWithIndex.map { case (h, i) =>
+      (day0 + h * 3600000000L, i.toLong, "view", 0.001 * (10 * i + 1)) }
+    val out = byName("q_somers_d")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Long]("n_concordant") === 6L)
+    assert(out.getAs[Long]("n_discordant") === 0L)
+    assert(out.getAs[Long]("n_tied_y") === 0L)
+    assert(out.getAs[Double]("d_yx") === 1.0)
+    assert(out.getAs[Double]("d_xy") === 1.0)
+  }
+
+  test("q_lomb_scargle peaks at the true 24h cycle of a cosine signal") {
+    val rows = (0 until 168).map { h =>
+      val v = 10.0 + 5.0 * math.cos(2 * math.Pi * h / 24.0)
+      (day0 + h * 3600000000L, 1L, "view", math.rint(v * 100) / 100.0)
+    }
+    val out = byName("q_lomb_scargle")(spark, eventsDir(rows)).collect()
+    assert(out.length === 7)
+    val top = out.maxBy(_.getAs[Double]("power"))
+    assert(top.getAs[Long]("period_hours") === 24L)
+  }
+
+  test("q_gesd_outliers peels the two planted spikes first, in magnitude order") {
+    val rows = (0 until 12).map { k =>
+      val v = if (k == 3) 500.0 else if (k == 7) 5.0 else 100.0
+      (day0 + k * 86400000000L, 1L, "view", v)
+    }
+    val out = byName("q_gesd_outliers")(spark, eventsDir(rows))
+      .orderBy("round").collect()
+    assert(out.length === 5)
+    assert(out(0).getAs[String]("day") === "2024-01-04") // +500 spike
+    assert(out(1).getAs[String]("day") === "2024-01-08") // -95 dip
+    assert(out(0).getAs[Double]("r_stat") > out(1).getAs[Double]("r_stat"))
+  }
+
   test("q_turning_points: an alternating series turns at every interior point") {
     val rows = (0 until 6).flatMap(k =>
       onDay(k, if (k % 2 == 0) 1 else 5, "view"))
