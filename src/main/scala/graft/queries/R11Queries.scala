@@ -4049,6 +4049,406 @@ object R11Queries {
            |  UNION ALL SELECT round, day, r_stat FROM sel4
            |  UNION ALL SELECT round, day, r_stat FROM sel5)
            |ORDER BY round""".stripMargin
-      })
+      }),
+
+    // Engle–Granger cointegration test (Engle & Granger 1987)
+    // between daily event volume and daily revenue: OLS the levels
+    // (y on x), then Dickey–Fuller the residuals — if the residual
+    // series mean-reverts (t ≪ 0), the two series share a common
+    // stochastic trend. Step 1's residuals are EXACT scaled integers
+    // (the q_cooks_distance identity with x as regressor), descaled
+    // ONCE onto a 4-dp decimal grid; step 2's no-intercept DF
+    // regression Δu ~ u₋₁ then runs entirely on exact DECIMAL sums
+    // (Δu is a decimal difference — no float drift), with γ and the
+    // scale-invariant t-statistic as the only doubles. Calendar
+    // digest → one data shuffle at any scale.
+    QueryDef("q_engle_granger",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("x"),
+            (sum(col("value").cast("decimal(18,2)")) * lit(100))
+              .cast("long").as("y"))
+        val g = broadcast(daily.agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy")))
+        val u = daily.crossJoin(g)
+          .withColumn("num", expr(
+            "cast(n as decimal(38,0)) * sxy - cast(sx as decimal(38,0)) * sy"))
+          .withColumn("den", expr(
+            "cast(n as decimal(38,0)) * sxx - cast(sx as decimal(38,0)) * sx"))
+          .withColumn("u", expr(
+            """cast(round(
+              |  cast(cast(n as decimal(38,0)) * den * y
+              |       - (den * sy - num * sx)
+              |       - cast(n as decimal(38,0)) * num * x as double)
+              |  / (cast(n as double) * cast(den as double)) / 100.0,
+              |  4) as decimal(24,4))""".stripMargin))
+          .withColumn("up", lag(col("u"), 1).over(
+            Window.orderBy(col("day"))))
+        val df0 = u.filter(col("up").isNotNull)
+          .agg(max(col("n")).as("n"),
+            max(expr("cast(num as double) / cast(den as double)"))
+              .as("beta"),
+            count(lit(1)).as("tt"),
+            sum(expr("cast(up * up as decimal(38,8))")).as("see"),
+            sum(expr("cast(up * (u - up) as decimal(38,8))")).as("sed"),
+            sum(expr("cast((u - up) * (u - up) as decimal(38,8))"))
+              .as("sdd"))
+        df0.select(col("n").as("n_days"),
+          round(col("beta") / 100.0, 6).as("beta"),
+          round(expr(
+            """CASE WHEN cast(see as double) = 0.0 THEN NULL
+              |ELSE cast(sed as double) / cast(see as double) END"""
+              .stripMargin), 6).as("gamma"),
+          round(expr(
+            """CASE WHEN cast(see as double) = 0.0 THEN NULL
+              |WHEN cast(sdd as double) - (cast(sed as double)
+              |    * cast(sed as double)) / cast(see as double) <= 0.0
+              |  THEN NULL
+              |ELSE (cast(sed as double) / cast(see as double))
+              |  * sqrt(cast(see as double)
+              |    * (cast(tt as double) - 1.0)
+              |    / (cast(sdd as double) - (cast(sed as double)
+              |        * cast(sed as double)) / cast(see as double)))
+              |END""".stripMargin), 4).as("df_t"))
+      },
+      Some("""WITH daily AS (SELECT ts::DATE AS day,
+             |    count(*)::BIGINT AS x,
+             |    (sum(CAST(value AS DECIMAL(18,2))) * 100)::BIGINT AS y
+             |  FROM events GROUP BY 1),
+             |g AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+             |    sum(y)::BIGINT AS sy, sum(x * x)::BIGINT AS sxx,
+             |    sum(x::HUGEINT * y) AS sxy FROM daily),
+             |u0 AS (SELECT daily.day,
+             |    round((g.n::HUGEINT
+             |        * (g.n::HUGEINT * g.sxx - g.sx::HUGEINT * g.sx)
+             |        * daily.y
+             |      - ((g.n::HUGEINT * g.sxx - g.sx::HUGEINT * g.sx)
+             |          * g.sy
+             |         - (g.n::HUGEINT * g.sxy - g.sx::HUGEINT * g.sy)
+             |          * g.sx)
+             |      - g.n::HUGEINT
+             |        * (g.n::HUGEINT * g.sxy - g.sx::HUGEINT * g.sy)
+             |        * daily.x)::DOUBLE
+             |      / (g.n::DOUBLE
+             |         * (g.n::HUGEINT * g.sxx
+             |            - g.sx::HUGEINT * g.sx)::DOUBLE)
+             |      / 100.0, 4)::DECIMAL(24,4) AS u,
+             |    g.n,
+             |    (g.n::HUGEINT * g.sxy - g.sx::HUGEINT * g.sy)::DOUBLE
+             |      / (g.n::HUGEINT * g.sxx - g.sx::HUGEINT * g.sx)
+             |        ::DOUBLE AS beta
+             |  FROM daily, g),
+             |u1 AS (SELECT u, n, beta,
+             |    lag(u) OVER (ORDER BY day) AS up FROM u0),
+             |a AS (SELECT max(n)::BIGINT AS n, max(beta) AS beta,
+             |    count(*)::BIGINT AS tt,
+             |    sum((up * up)::DECIMAL(38,8)) AS see,
+             |    sum((up * (u - up))::DECIMAL(38,8)) AS sed,
+             |    sum(((u - up) * (u - up))::DECIMAL(38,8)) AS sdd
+             |  FROM u1 WHERE up IS NOT NULL)
+             |SELECT n AS n_days, round(beta / 100.0, 6) AS beta,
+             |  round(CASE WHEN see::DOUBLE = 0.0 THEN NULL
+             |    ELSE sed::DOUBLE / see::DOUBLE END, 6) AS gamma,
+             |  round(CASE WHEN see::DOUBLE = 0.0 THEN NULL
+             |    WHEN sdd::DOUBLE - (sed::DOUBLE * sed::DOUBLE)
+             |        / see::DOUBLE <= 0.0 THEN NULL
+             |    ELSE (sed::DOUBLE / see::DOUBLE)
+             |      * sqrt(see::DOUBLE * (tt::DOUBLE - 1.0)
+             |        / (sdd::DOUBLE - (sed::DOUBLE * sed::DOUBLE)
+             |            / see::DOUBLE)) END, 4) AS df_t
+             |FROM a""".stripMargin)),
+
+    // Mood's median test (Mood 1950) across the four 6-hour blocks:
+    // does each block's share of above-median event values match the
+    // pooled expectation? The grand LOWER median is selected by rank
+    // off the value-cell digest (cum ≥ (n+1) div 2 — pure integer
+    // selection, no averaging), the 4×2 contingency table is exact
+    // integer counts (ties at the median count as "not above", same
+    // rule both engines), and χ² (df = 3) is the single float fold.
+    QueryDef("q_mood_median",
+      (s, d) => {
+        val v = graft.sources.Tables.events(s, d)
+          .select((hour(col("ts")) / 6).cast("int").as("g"),
+            floor(col("value") * 1000).cast("long").as("vm"))
+        val gcell = v.groupBy(col("g"), col("vm"))
+          .agg(count(lit(1)).as("c"))
+        val cells = gcell.groupBy(col("vm")).agg(sum(col("c")).as("t"))
+          .withColumn("cum", sum(col("t")).over(
+            Window.orderBy(col("vm"))
+              .rowsBetween(Window.unboundedPreceding, 0)))
+        val n0 = broadcast(cells.agg(sum(col("t")).as("n")))
+        val med = broadcast(cells.crossJoin(n0)
+          .filter(col("cum") >= expr("(n + 1) div 2"))
+          .agg(min(col("vm")).as("m"), max(col("n")).as("n")))
+        val tab = gcell.crossJoin(med)
+          .groupBy(col("g"))
+          .agg(sum(col("c")).as("u"),
+            sum(when(col("vm") > col("m"), col("c")).otherwise(0L))
+              .as("a"), max(col("m")).as("m"), max(col("n")).as("n"))
+        val tot = broadcast(tab.agg(sum(col("a")).as("ta"),
+          count(lit(1)).as("k")))
+        tab.crossJoin(tot)
+          .agg(max(col("n")).as("nv"), max(col("m")).as("mv"),
+            max(col("ta")).as("tav"), max(col("k")).as("kv"),
+            sum(expr(
+              """cast(round(
+                |  (cast(a as double)
+                |   - cast(u as double) * ta / cast(n as double))
+                |  * (cast(a as double)
+                |     - cast(u as double) * ta / cast(n as double))
+                |  / (cast(u as double) * ta / cast(n as double))
+                |  + (cast(u - a as double)
+                |     - cast(u as double) * (n - ta) / cast(n as double))
+                |    * (cast(u - a as double)
+                |       - cast(u as double) * (n - ta) / cast(n as double))
+                |    / (cast(u as double) * (n - ta) / cast(n as double))
+                |  , 9) as decimal(38,9))""".stripMargin)).as("chi"))
+          .select(col("nv").as("n"),
+            round(col("mv").cast("double") / 1000.0, 3)
+              .as("median_value"),
+            col("tav").as("n_above"),
+            (col("kv") - 1).cast("long").as("df"),
+            round(col("chi").cast("double"), 6).as("chi2"))
+      },
+      Some("""WITH v AS (SELECT (hour(ts) // 6)::INT AS g,
+             |    floor(value * 1000)::BIGINT AS vm FROM events),
+             |gcell AS (SELECT g, vm, count(*)::BIGINT AS c
+             |  FROM v GROUP BY 1, 2),
+             |cells AS (SELECT vm, sum(c)::BIGINT AS t,
+             |    sum(sum(c)) OVER (ORDER BY vm
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      ::BIGINT AS cum
+             |  FROM gcell GROUP BY 1),
+             |n0 AS (SELECT sum(t)::BIGINT AS n FROM cells),
+             |med AS (SELECT min(vm)::BIGINT AS m, max(n0.n)::BIGINT AS n
+             |  FROM cells, n0 WHERE cells.cum >= (n0.n + 1) // 2),
+             |tab AS (SELECT g, sum(c)::BIGINT AS u,
+             |    sum(CASE WHEN vm > med.m THEN c ELSE 0 END)::BIGINT AS a,
+             |    max(med.m)::BIGINT AS m, max(med.n)::BIGINT AS n
+             |  FROM gcell, med GROUP BY 1),
+             |tot AS (SELECT sum(a)::BIGINT AS ta, count(*)::BIGINT AS k
+             |  FROM tab),
+             |f AS (SELECT max(tab.n)::BIGINT AS nv,
+             |    max(tab.m)::BIGINT AS mv, max(tot.ta)::BIGINT AS tav,
+             |    max(tot.k)::BIGINT AS kv,
+             |    sum(round(
+             |      (a::DOUBLE - u::DOUBLE * ta / n::DOUBLE)
+             |      * (a::DOUBLE - u::DOUBLE * ta / n::DOUBLE)
+             |      / (u::DOUBLE * ta / n::DOUBLE)
+             |      + ((u - a)::DOUBLE
+             |         - u::DOUBLE * (n - ta) / n::DOUBLE)
+             |        * ((u - a)::DOUBLE
+             |           - u::DOUBLE * (n - ta) / n::DOUBLE)
+             |        / (u::DOUBLE * (n - ta) / n::DOUBLE)
+             |      , 9)::DECIMAL(38,9)) AS chi
+             |  FROM tab, tot)
+             |SELECT nv AS n, round(mv::DOUBLE / 1000.0, 3)
+             |    AS median_value,
+             |  tav AS n_above, (kv - 1)::BIGINT AS df,
+             |  round(chi::DOUBLE, 6) AS chi2
+             |FROM f""".stripMargin)),
+
+    // Ansari–Bradley scale test (Ansari & Bradley 1960): are AM and
+    // PM event values equally DISPERSED (same spread, any location)?
+    // Scores fold ranks from both ends — a_r = min(r, N+1−r) — so
+    // small scores mark the extremes; tied observations share their
+    // rank-range's average score. The whole statistic runs off the
+    // value-cell digest: each cell's global rank range [cumlt+1,
+    // cumlt+t] yields an EXACT integer score-sum via the closed-form
+    // prefix F(x) (triangular up to the fold, arithmetic past it),
+    // the per-cell tie-average contributions are 9-dp-quantized
+    // DECIMAL terms, and the tie-conditional normal approximation
+    // z = (AB − n₁·F(N)/N)/√V divides once at the end.
+    QueryDef("q_ansari_bradley",
+      (s, d) => {
+        val v = graft.sources.Tables.events(s, d)
+          .select(when(hour(col("ts")) < 12, 1L).otherwise(0L).as("am"),
+            floor(col("value") * 1000).cast("long").as("vm"))
+        val cells = v.groupBy(col("vm"))
+          .agg(count(lit(1)).as("t"), sum(col("am")).as("c1"))
+          .withColumn("cumlt", coalesce(
+            sum(col("t")).over(Window.orderBy(col("vm"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        val n0 = broadcast(cells.agg(sum(col("t")).as("n"),
+          sum(col("c1")).as("n1")))
+        def fF(x: String) =
+          s"""(CASE WHEN ($x) <= (n + 1) div 2
+             |  THEN ($x) * (($x) + 1) div 2
+             |  ELSE ((n + 1) div 2) * ((n + 1) div 2 + 1) div 2
+             |    + (($x) - (n + 1) div 2) * (n + 1)
+             |    - (($x) * (($x) + 1) div 2
+             |       - ((n + 1) div 2) * ((n + 1) div 2 + 1) div 2)
+             |  END)""".stripMargin
+        val terms = cells.crossJoin(n0)
+          .withColumn("ss", expr(
+            s"${fF("cumlt + t")} - ${fF("cumlt")}"))
+          .select(col("n"), col("n1"),
+            expr("cast(round(cast(c1 as double) * ss / t, 9)" +
+              " as decimal(38,9))").as("abterm"),
+            expr("cast(round(cast(ss as double) * ss / t, 9)" +
+              " as decimal(38,9))").as("s2term"))
+        terms.agg(max(col("n")).as("n"), max(col("n1")).as("n1"),
+            sum(col("abterm")).as("ab"), sum(col("s2term")).as("ss2"))
+          .select(col("n1").as("n_am"), (col("n") - col("n1")).as("n_pm"),
+            round(col("ab").cast("double"), 4).as("ab_stat"),
+            round(expr(
+              s"""CASE WHEN cast(n1 as double) * (n - n1)
+                 |    * (cast(n as double) * cast(ss2 as double)
+                 |       - cast(${fF("n")} as double)
+                 |         * cast(${fF("n")} as double))
+                 |    / (cast(n as double) * cast(n as double)
+                 |       * (cast(n as double) - 1.0)) <= 0.0 THEN NULL
+                 |ELSE (cast(ab as double)
+                 |  - cast(n1 as double) * cast(${fF("n")} as double)
+                 |    / cast(n as double))
+                 |  / sqrt(cast(n1 as double) * (n - n1)
+                 |    * (cast(n as double) * cast(ss2 as double)
+                 |       - cast(${fF("n")} as double)
+                 |         * cast(${fF("n")} as double))
+                 |    / (cast(n as double) * cast(n as double)
+                 |       * (cast(n as double) - 1.0))) END"""
+                .stripMargin), 4).as("z"))
+      },
+      Some {
+        def fF(x: String) =
+          s"""(CASE WHEN ($x) <= (n + 1) // 2
+             |  THEN ($x) * (($x) + 1) // 2
+             |  ELSE ((n + 1) // 2) * ((n + 1) // 2 + 1) // 2
+             |    + (($x) - (n + 1) // 2) * (n + 1)
+             |    - (($x) * (($x) + 1) // 2
+             |       - ((n + 1) // 2) * ((n + 1) // 2 + 1) // 2)
+             |  END)""".stripMargin
+        s"""WITH v AS (SELECT CASE WHEN hour(ts) < 12 THEN 1
+           |      ELSE 0 END::BIGINT AS am,
+           |    floor(value * 1000)::BIGINT AS vm FROM events),
+           |cells AS (SELECT vm, count(*)::BIGINT AS t,
+           |    sum(am)::BIGINT AS c1,
+           |    coalesce(sum(count(*)) OVER (ORDER BY vm
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      ::BIGINT AS cumlt
+           |  FROM v GROUP BY vm),
+           |n0 AS (SELECT sum(t)::BIGINT AS n, sum(c1)::BIGINT AS n1
+           |  FROM cells),
+           |terms AS (SELECT n0.n, n0.n1,
+           |    round(c1::DOUBLE
+           |      * (${fF("cumlt + t")} - ${fF("cumlt")}) / t, 9)
+           |      ::DECIMAL(38,9) AS abterm,
+           |    round((${fF("cumlt + t")} - ${fF("cumlt")})::DOUBLE
+           |      * (${fF("cumlt + t")} - ${fF("cumlt")}) / t, 9)
+           |      ::DECIMAL(38,9) AS s2term
+           |  FROM cells, n0),
+           |a AS (SELECT max(n)::BIGINT AS n, max(n1)::BIGINT AS n1,
+           |    sum(abterm) AS ab, sum(s2term) AS ss2 FROM terms)
+           |SELECT n1 AS n_am, (n - n1)::BIGINT AS n_pm,
+           |  round(ab::DOUBLE, 4) AS ab_stat,
+           |  round(CASE WHEN n1::DOUBLE * (n - n1)
+           |      * (n::DOUBLE * ss2::DOUBLE
+           |         - ${fF("n")}::DOUBLE * ${fF("n")}::DOUBLE)
+           |      / (n::DOUBLE * n::DOUBLE * (n::DOUBLE - 1.0)) <= 0.0
+           |    THEN NULL
+           |    ELSE (ab::DOUBLE
+           |      - n1::DOUBLE * ${fF("n")}::DOUBLE / n::DOUBLE)
+           |      / sqrt(n1::DOUBLE * (n - n1)
+           |        * (n::DOUBLE * ss2::DOUBLE
+           |           - ${fF("n")}::DOUBLE * ${fF("n")}::DOUBLE)
+           |        / (n::DOUBLE * n::DOUBLE * (n::DOUBLE - 1.0)))
+           |    END, 4) AS z
+           |FROM a""".stripMargin
+      }),
+
+    // Calinski–Harabasz index (Caliński & Harabasz 1974) of the
+    // labeled embedding clusters — the variance-ratio criterion
+    // CH = (B/(k−1))/(W/(n−k)) that complements the silhouette and
+    // Davies–Bouldin rows. NO explicit centroids: both scatter terms
+    // reduce to exact sums on the ×1000 integer grid via
+    // W_j = Q_j − ‖S_j‖²/n_j (Q_j = Σ‖x‖², S_j = per-dim sums), so
+    // the only non-integers are the k per-label ‖S_j‖²/n_j ratios —
+    // each 6-dp-quantized into DECIMAL before the final fold. Two
+    // digest shuffles (label×64-dim sums, label moments); everything
+    // joins broadcast.
+    QueryDef("emb_calinski_harabasz",
+      (s, d) => {
+        val ev = s.read.parquet(s"$d/embeddings.parquet")
+          .select(col("label"), expr(
+            "transform(cast(embedding AS array<double>)," +
+              " x -> cast(round(x * 1000, 0) AS bigint))").as("e"))
+        val dims = ev.select(col("label"),
+            posexplode(col("e")).as(Seq("pos", "x")))
+          .groupBy(col("label"), col("pos"))
+          .agg(sum(col("x")).as("sp"))
+        val sj2 = dims.groupBy(col("label"))
+          .agg(sum(col("sp").cast("decimal(38,0)") * col("sp"))
+            .as("sj2"))
+        val qj = ev.groupBy(col("label"))
+          .agg(count(lit(1)).as("nj"),
+            sum(expr(
+              "aggregate(e, cast(0 as bigint), (acc, x) -> acc + x * x)"))
+              .as("qj"))
+        val perLabel = qj.join(sj2, Seq("label"))
+          .select(col("nj"), col("qj"),
+            expr("cast(round(cast(sj2 as double) / nj, 6)" +
+              " as decimal(38,6))").as("cj"))
+        val lab = perLabel.agg(sum(col("nj")).as("n"),
+          count(lit(1)).as("k"), sum(col("qj")).as("sq"),
+          sum(col("cj")).as("sc"))
+        val s2tot = broadcast(dims.groupBy(col("pos"))
+          .agg(sum(col("sp")).as("gp"))
+          .agg(sum(col("gp").cast("decimal(38,0)") * col("gp"))
+            .as("s2")))
+        lab.crossJoin(s2tot)
+          .select(col("n").as("n_vecs"), col("k").as("n_labels"),
+            round(expr(
+              """CASE WHEN k <= 1 OR n <= k
+                |  OR cast(sq as double) - cast(sc as double) <= 0.0
+                |  THEN NULL
+                |ELSE ((cast(sc as double)
+                |    - cast(s2 as double) / cast(n as double))
+                |  / (cast(k as double) - 1.0))
+                |  / ((cast(sq as double) - cast(sc as double))
+                |     / (cast(n as double) - cast(k as double)))
+                |END""".stripMargin), 4).as("ch_index"),
+            round(expr(
+              """(cast(sc as double)
+                |  - cast(s2 as double) / cast(n as double))
+                |/ (cast(sq as double)
+                |   - cast(s2 as double) / cast(n as double))"""
+                .stripMargin), 6).as("between_frac"))
+      },
+      Some("""WITH ev AS (SELECT label,
+             |    list_transform(embedding::DOUBLE[],
+             |      x -> round(x * 1000)::BIGINT) AS e
+             |  FROM embeddings),
+             |dims AS (SELECT label, i.i AS pos, sum(e[i.i + 1])::BIGINT
+             |      AS sp
+             |  FROM ev, (SELECT unnest(range(64)) AS i) i
+             |  GROUP BY 1, 2),
+             |sj2 AS (SELECT label, sum(sp::HUGEINT * sp) AS sj2
+             |  FROM dims GROUP BY 1),
+             |qj AS (SELECT label, count(*)::BIGINT AS nj,
+             |    sum(list_sum(list_transform(e, x -> x * x)))::BIGINT
+             |      AS qj
+             |  FROM ev GROUP BY 1),
+             |pl AS (SELECT qj.nj, qj.qj,
+             |    round(sj2.sj2::DOUBLE / qj.nj, 6)::DECIMAL(38,6) AS cj
+             |  FROM qj JOIN sj2 USING (label)),
+             |lab AS (SELECT sum(nj)::BIGINT AS n, count(*)::BIGINT AS k,
+             |    sum(qj)::BIGINT AS sq, sum(cj) AS sc FROM pl),
+             |s2tot AS (SELECT sum(gp::HUGEINT * gp) AS s2 FROM (
+             |    SELECT pos, sum(sp)::BIGINT AS gp FROM dims GROUP BY 1))
+             |SELECT lab.n AS n_vecs, lab.k AS n_labels,
+             |  round(CASE WHEN lab.k <= 1 OR lab.n <= lab.k
+             |      OR lab.sq::DOUBLE - lab.sc::DOUBLE <= 0.0 THEN NULL
+             |    ELSE ((lab.sc::DOUBLE - s2tot.s2::DOUBLE / lab.n::DOUBLE)
+             |      / (lab.k::DOUBLE - 1.0))
+             |      / ((lab.sq::DOUBLE - lab.sc::DOUBLE)
+             |         / (lab.n::DOUBLE - lab.k::DOUBLE)) END, 4)
+             |    AS ch_index,
+             |  round((lab.sc::DOUBLE - s2tot.s2::DOUBLE / lab.n::DOUBLE)
+             |    / (lab.sq::DOUBLE - s2tot.s2::DOUBLE / lab.n::DOUBLE),
+             |    6) AS between_frac
+             |FROM lab, s2tot""".stripMargin))
   )
 }

@@ -753,6 +753,69 @@ class R11QueriesSpec extends GraftSpec {
     assert(out(0).getAs[Double]("r_stat") > out(1).getAs[Double]("r_stat"))
   }
 
+  test("q_engle_granger: y tracking 2x with alternating noise mean-reverts hard") {
+    // day k: x_k events, revenue 2·x_k + a zero-mean 5-cycle — the
+    // residual series is stationary (lag-1 autocovariance 0), so the
+    // no-intercept DF coefficient sits near -1 with a clearly
+    // negative t
+    val rows = (0 until 20).flatMap { k =>
+      val xk = 10 + k % 3
+      val eps = (k % 5 - 2) / 100.0
+      (0 until xk - 1).map(i =>
+        (day0 + k * 86400000000L + i * 1000000L, i.toLong, "view", 2.0)) :+
+        (day0 + k * 86400000000L + 999000000L, 99L, "view", 2.0 + eps)
+    }
+    val out = byName("q_engle_granger")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Long]("n_days") === 20L)
+    assert(out.getAs[Double]("beta") === 2.0 +- 0.05)
+    assert(out.getAs[Double]("gamma") < -0.5)
+    assert(out.getAs[Double]("df_t") < -2.0)
+  }
+
+  test("q_mood_median: blocks split clean around the median give chi2 = k*2") {
+    val rows = Seq(
+      (0, 0.001), (0, 0.001), (6, 0.002), (6, 0.002),
+      (12, 0.003), (12, 0.003), (18, 0.004), (18, 0.004))
+      .zipWithIndex.map { case ((h, v), i) =>
+        (day0 + h * 3600000000L + i * 1000L, i.toLong, "view", v) }
+    val out = byName("q_mood_median")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Long]("n") === 8L)
+    assert(out.getAs[Double]("median_value") === 0.002)
+    assert(out.getAs[Long]("n_above") === 4L)
+    assert(out.getAs[Long]("df") === 3L)
+    assert(out.getAs[Double]("chi2") === 8.0)
+  }
+
+  test("q_ansari_bradley: identical AM/PM samples score exactly the null mean") {
+    // am and pm each {1,2,3} mills: every value cell splits 1/1, so
+    // AB = E[AB] = n1·F(N)/N = 6 and z = 0
+    val rows = Seq(1, 2, 3).flatMap { v => Seq(
+      (day0 + 2 * 3600000000L + v * 1000L, v.toLong, "view", 0.001 * v),
+      (day0 + 14 * 3600000000L + v * 1000L, v.toLong, "view", 0.001 * v))
+    }
+    val out = byName("q_ansari_bradley")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Long]("n_am") === 3L)
+    assert(out.getAs[Long]("n_pm") === 3L)
+    assert(out.getAs[Double]("ab_stat") === 6.0)
+    assert(out.getAs[Double]("z") === 0.0)
+  }
+
+  test("emb_calinski_harabasz separates two tight far-apart clusters") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("r11ch").toString
+    def v(base: Float, j: Int) =
+      (1 to 16).map(i => base + (i + j) % 3 * 0.01f) ++ Seq.fill(48)(0f)
+    val rows = (0 until 4).map(j => (j.toLong, v(0f, j), 0)) ++
+      (0 until 4).map(j => (10L + j, v(500f, j), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = byName("emb_calinski_harabasz")(spark, dir).head()
+    assert(out.getAs[Long]("n_vecs") === 8L)
+    assert(out.getAs[Long]("n_labels") === 2L)
+    assert(out.getAs[Double]("ch_index") > 100.0)
+    assert(out.getAs[Double]("between_frac") > 0.9)
+  }
+
   test("q_turning_points: an alternating series turns at every interior point") {
     val rows = (0 until 6).flatMap(k =>
       onDay(k, if (k % 2 == 0) 1 else 5, "view"))
