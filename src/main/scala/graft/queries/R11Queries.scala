@@ -4449,6 +4449,367 @@ object R11Queries {
              |  round((lab.sc::DOUBLE - s2tot.s2::DOUBLE / lab.n::DOUBLE)
              |    / (lab.sq::DOUBLE - s2tot.s2::DOUBLE / lab.n::DOUBLE),
              |    6) AS between_frac
-             |FROM lab, s2tot""".stripMargin))
+             |FROM lab, s2tot""".stripMargin)),
+
+    // Taylor's power law (Taylor 1961): across parts, the variance
+    // of weekly demand scales as Var ∝ Mean^b — b ≈ 1 is Poisson-
+    // like ordering noise, b → 2 is synchronized/bursty demand; THE
+    // aggregation-invariant dispersion fingerprint for inventory.
+    // Per-part weekly moments need NO zero-fill explosion: with W
+    // global weeks, Var = (Σq² − (Σq)²/W)/(W−1) from just Σq, Σq² —
+    // so the plan is lineitem → (part, week) partial-agg → per-part
+    // moments → 9-dp-quantized ln-ln OLS terms, three shuffles that
+    // each REDUCE. The fit runs on exact DECIMAL sums; slope b and
+    // r² are the only doubles.
+    QueryDef("q_taylor_law",
+      (s, d) => {
+        val li = s.read.parquet(s"$d/lineitem.parquet")
+          .join(s.read.parquet(s"$d/orders.parquet")
+            .select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_partkey"),
+            floor(datediff(col("o_orderdate"), lit("1992-01-01")) / 7)
+              .cast("long").as("wk"),
+            col("l_quantity").cast("long").as("q"))
+        val pw = li.groupBy(col("l_partkey"), col("wk"))
+          .agg(sum(col("q")).as("qw"))
+        val weeks = broadcast(pw.agg(
+          countDistinct(col("wk")).as("w")))
+        val perPart = pw.groupBy(col("l_partkey"))
+          .agg(sum(col("qw")).as("sq"),
+            sum(col("qw").cast("decimal(38,0)") * col("qw")).as("sqq"))
+          .crossJoin(weeks)
+          .withColumn("mean", col("sq").cast("double") /
+            col("w").cast("double"))
+          .withColumn("vari", expr(
+            """(cast(sqq as double)
+              |  - cast(sq as double) * cast(sq as double)
+              |    / cast(w as double))
+              |/ (cast(w as double) - 1.0)""".stripMargin))
+          .filter(col("mean") > 0 && col("vari") > 0)
+          .select(
+            expr("cast(round(ln(mean), 9) as decimal(28,9))").as("x"),
+            expr("cast(round(ln(vari), 9) as decimal(28,9))").as("y"))
+        val sums = perPart.agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(expr("cast(round(cast(x as double) * cast(x as double), 9)" +
+            " as decimal(38,9))")).as("sxx"),
+          sum(expr("cast(round(cast(x as double) * cast(y as double), 9)" +
+            " as decimal(38,9))")).as("sxy"),
+          sum(expr("cast(round(cast(y as double) * cast(y as double), 9)" +
+            " as decimal(38,9))")).as("syy"))
+        sums.select(col("n").as("n_parts"),
+          round(expr(
+            """(cast(n as double) * cast(sxy as double)
+              | - cast(sx as double) * cast(sy as double))
+              |/ (cast(n as double) * cast(sxx as double)
+              | - cast(sx as double) * cast(sx as double))"""
+              .stripMargin), 6).as("taylor_b"),
+          round(expr(
+            """(cast(sy as double)
+              | - ((cast(n as double) * cast(sxy as double)
+              |     - cast(sx as double) * cast(sy as double))
+              |    / (cast(n as double) * cast(sxx as double)
+              |     - cast(sx as double) * cast(sx as double)))
+              |   * cast(sx as double)) / cast(n as double)"""
+              .stripMargin), 6).as("ln_a"),
+          round(expr(
+            """pow((cast(n as double) * cast(sxy as double)
+              |  - cast(sx as double) * cast(sy as double))
+              |/ sqrt((cast(n as double) * cast(sxx as double)
+              |    - cast(sx as double) * cast(sx as double))
+              |  * (cast(n as double) * cast(syy as double)
+              |    - cast(sy as double) * cast(sy as double))), 2.0)"""
+              .stripMargin), 6).as("r2"))
+      },
+      Some("""WITH li AS (SELECT l_partkey,
+             |    floor(datediff('day', DATE '1992-01-01',
+             |      o_orderdate) / 7)::BIGINT AS wk,
+             |    l_quantity::BIGINT AS q
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |pw AS (SELECT l_partkey, wk, sum(q)::BIGINT AS qw
+             |  FROM li GROUP BY 1, 2),
+             |weeks AS (SELECT count(DISTINCT wk)::BIGINT AS w FROM pw),
+             |pp AS (SELECT
+             |    round(ln(sq::DOUBLE / w::DOUBLE), 9)::DECIMAL(28,9)
+             |      AS x,
+             |    round(ln((sqq::DOUBLE - sq::DOUBLE * sq::DOUBLE
+             |        / w::DOUBLE) / (w::DOUBLE - 1.0)), 9)
+             |      ::DECIMAL(28,9) AS y
+             |  FROM (SELECT l_partkey, sum(qw)::BIGINT AS sq,
+             |      sum(qw::HUGEINT * qw) AS sqq FROM pw GROUP BY 1),
+             |    weeks
+             |  WHERE sq::DOUBLE / w::DOUBLE > 0
+             |    AND (sqq::DOUBLE - sq::DOUBLE * sq::DOUBLE / w::DOUBLE)
+             |      / (w::DOUBLE - 1.0) > 0),
+             |a AS (SELECT count(*)::BIGINT AS n, sum(x) AS sx,
+             |    sum(y) AS sy,
+             |    sum(round(x::DOUBLE * x::DOUBLE, 9)::DECIMAL(38,9))
+             |      AS sxx,
+             |    sum(round(x::DOUBLE * y::DOUBLE, 9)::DECIMAL(38,9))
+             |      AS sxy,
+             |    sum(round(y::DOUBLE * y::DOUBLE, 9)::DECIMAL(38,9))
+             |      AS syy
+             |  FROM pp)
+             |SELECT n AS n_parts,
+             |  round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             |    / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE),
+             |    6) AS taylor_b,
+             |  round((sy::DOUBLE
+             |    - ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             |       / (n::DOUBLE * sxx::DOUBLE
+             |          - sx::DOUBLE * sx::DOUBLE)) * sx::DOUBLE)
+             |    / n::DOUBLE, 6) AS ln_a,
+             |  round(pow((n::DOUBLE * sxy::DOUBLE
+             |      - sx::DOUBLE * sy::DOUBLE)
+             |    / sqrt((n::DOUBLE * sxx::DOUBLE
+             |        - sx::DOUBLE * sx::DOUBLE)
+             |      * (n::DOUBLE * syy::DOUBLE
+             |        - sy::DOUBLE * sy::DOUBLE)), 2.0), 6) AS r2
+             |FROM a""".stripMargin)),
+
+    // Hill tail-index estimator (Hill 1975) for purchase values —
+    // "how heavy is the revenue tail?" (α < 2 = infinite variance,
+    // α < 1 = infinite mean; the statistic behind whale-risk and
+    // pricing-anomaly monitoring). The top-k order statistics are
+    // selected BY RANK off the value-cell digest (cum-from-top, an
+    // integer selection — no sort of raw rows), k = max(10, n/100).
+    // Observations tied at the threshold contribute ln(x/x_k) = 0,
+    // so the estimator reduces to Σ_{cells above} c·(ln v − ln x_k)
+    // — each term 9-dp-quantized DECIMAL, one float division at the
+    // end. α̂ = 1/H with its Fisher CI half-width α/√k.
+    QueryDef("q_hill_tail",
+      (s, d) => {
+        val v = graft.sources.Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select((col("value").cast("decimal(18,2)") * 100)
+            .cast("long").as("vc"))
+          .filter(col("vc") > 0)
+        val cells = v.groupBy(col("vc")).agg(count(lit(1)).as("c"))
+          .withColumn("cumtop", sum(col("c")).over(
+            Window.orderBy(col("vc").desc)
+              .rowsBetween(Window.unboundedPreceding, 0)))
+        val n0 = broadcast(cells.agg(sum(col("c")).as("n"))
+          .withColumn("k", greatest(lit(10L), expr("n div 100"))))
+        val thr = broadcast(cells.crossJoin(n0)
+          .filter(col("cumtop") >= col("k"))
+          .agg(max(col("vc")).as("xk"), max(col("n")).as("n"),
+            max(col("k")).as("k")))
+        cells.crossJoin(thr)
+          .filter(col("vc") > col("xk"))
+          .agg(max(col("n")).as("n"), max(col("k")).as("k"),
+            max(col("xk")).as("xk"),
+            sum(expr(
+              "cast(round(c * (ln(cast(vc as double))" +
+                " - ln(cast(xk as double))), 9) as decimal(38,9))"))
+              .as("hsum"))
+          .select(col("n").as("n_purchases"), col("k"),
+            round(col("xk").cast("double") / 100.0, 2).as("threshold"),
+            round(expr("cast(hsum as double) / cast(k as double)"), 6)
+              .as("hill_h"),
+            round(expr(
+              "cast(k as double) / cast(hsum as double)"), 4)
+              .as("alpha"),
+            round(expr(
+              """(cast(k as double) / cast(hsum as double))
+                |/ sqrt(cast(k as double))""".stripMargin), 4)
+              .as("alpha_se"))
+      },
+      Some("""WITH v AS (SELECT (CAST(value AS DECIMAL(18,2)) * 100)
+             |      ::BIGINT AS vc
+             |  FROM events WHERE event_type = 'purchase'
+             |    AND (CAST(value AS DECIMAL(18,2)) * 100)::BIGINT > 0),
+             |cells AS (SELECT vc, count(*)::BIGINT AS c,
+             |    sum(count(*)) OVER (ORDER BY vc DESC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      ::BIGINT AS cumtop
+             |  FROM v GROUP BY vc),
+             |n0 AS (SELECT sum(c)::BIGINT AS n,
+             |    greatest(10, sum(c) // 100)::BIGINT AS k FROM cells),
+             |thr AS (SELECT max(vc)::BIGINT AS xk, max(n0.n)::BIGINT
+             |      AS n, max(n0.k)::BIGINT AS k
+             |  FROM cells, n0 WHERE cells.cumtop >= n0.k),
+             |h AS (SELECT max(thr.n)::BIGINT AS n,
+             |    max(thr.k)::BIGINT AS k, max(thr.xk)::BIGINT AS xk,
+             |    sum(round(cells.c * (ln(cells.vc::DOUBLE)
+             |      - ln(thr.xk::DOUBLE)), 9)::DECIMAL(38,9)) AS hsum
+             |  FROM cells, thr WHERE cells.vc > thr.xk)
+             |SELECT n AS n_purchases, k,
+             |  round(xk::DOUBLE / 100.0, 2) AS threshold,
+             |  round(hsum::DOUBLE / k::DOUBLE, 6) AS hill_h,
+             |  round(k::DOUBLE / hsum::DOUBLE, 4) AS alpha,
+             |  round((k::DOUBLE / hsum::DOUBLE) / sqrt(k::DOUBLE), 4)
+             |    AS alpha_se
+             |FROM h""".stripMargin)),
+
+    // Record-highs test (Foster & Stuart 1954): the count of days
+    // whose revenue sets a new running maximum. Under exchangeability
+    // E[R] = H_n and Var[R] = H_n − H_n⁽²⁾ (harmonic sums) — so an
+    // excess of records is direct evidence of upward drift, with NO
+    // distributional assumptions. Records come from an integer
+    // running-max comparison on the calendar digest; the harmonic
+    // sums are 9-dp-quantized DECIMAL folds of 1/t and 1/t², and z
+    // is the single float at the end.
+    QueryDef("q_record_highs",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg((sum(col("value").cast("decimal(18,2)")) * lit(100))
+            .cast("long").as("y"))
+          .withColumn("t",
+            row_number().over(Window.orderBy(col("day"))).cast("long"))
+        val rec = daily
+          .withColumn("prevmax", max(col("y")).over(
+            Window.orderBy(col("t"))
+              .rowsBetween(Window.unboundedPreceding, -1)))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("prevmax").isNull ||
+              col("y") > col("prevmax"), 1L).otherwise(0L))
+              .as("records"),
+            sum(expr("cast(round(1.0 / t, 9) as decimal(28,9))"))
+              .as("hn"),
+            sum(expr("cast(round(1.0 / (cast(t as double) * t), 9)" +
+              " as decimal(28,9))")).as("hn2"))
+        rec.select(col("n").as("n_days"), col("records"),
+          round(col("hn").cast("double"), 4).as("expected"),
+          round(expr(
+            """CASE WHEN cast(hn as double) - cast(hn2 as double)
+              |    <= 0.0 THEN NULL
+              |ELSE (cast(records as double) - cast(hn as double))
+              |  / sqrt(cast(hn as double) - cast(hn2 as double)) END"""
+              .stripMargin), 4).as("z"))
+      },
+      Some("""WITH daily AS (SELECT day, y,
+             |    row_number() OVER (ORDER BY day) AS t FROM (
+             |    SELECT ts::DATE AS day,
+             |      (sum(CAST(value AS DECIMAL(18,2))) * 100)::BIGINT AS y
+             |    FROM events GROUP BY 1)),
+             |r AS (SELECT y, t, max(y) OVER (ORDER BY t
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |    AS prevmax FROM daily),
+             |a AS (SELECT count(*)::BIGINT AS n,
+             |    sum(CASE WHEN prevmax IS NULL OR y > prevmax
+             |      THEN 1 ELSE 0 END)::BIGINT AS records,
+             |    sum(round(1.0 / t, 9)::DECIMAL(28,9)) AS hn,
+             |    sum(round(1.0 / (t::DOUBLE * t), 9)::DECIMAL(28,9))
+             |      AS hn2
+             |  FROM r)
+             |SELECT n AS n_days, records,
+             |  round(hn::DOUBLE, 4) AS expected,
+             |  round(CASE WHEN hn::DOUBLE - hn2::DOUBLE <= 0.0
+             |    THEN NULL
+             |    ELSE (records::DOUBLE - hn::DOUBLE)
+             |      / sqrt(hn::DOUBLE - hn2::DOUBLE) END, 4) AS z
+             |FROM a""".stripMargin)),
+
+    // Variance inflation factors for the three daily channel series
+    // (view / click / purchase value sums) — the multicollinearity
+    // diagnostic that says whether a marketing-mix regression on
+    // these channels is even estimable. With three regressors the
+    // inverse-correlation diagonal is closed-form: R²_x =
+    // (r_xy² + r_xz² − 2·r_xy·r_xz·r_yz)/(1 − r_yz²), VIF = 1/(1−R²).
+    // All correlations come from the same exact cents-grid sums as
+    // q_partial_corr; the digest is the calendar, the fold is one
+    // row.
+    QueryDef("q_vif",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(
+            (sum(when(col("event_type") === "view",
+              col("value").cast("decimal(18,2)"))
+              .otherwise(lit(0).cast("decimal(18,2)"))) * 100)
+              .cast("long").as("x"),
+            (sum(when(col("event_type") === "click",
+              col("value").cast("decimal(18,2)"))
+              .otherwise(lit(0).cast("decimal(18,2)"))) * 100)
+              .cast("long").as("y"),
+            (sum(when(col("event_type") === "purchase",
+              col("value").cast("decimal(18,2)"))
+              .otherwise(lit(0).cast("decimal(18,2)"))) * 100)
+              .cast("long").as("z"))
+        val m = daily.agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("z")).as("sz"),
+          sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+          sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"),
+          sum(col("z").cast("decimal(38,0)") * col("z")).as("szz"),
+          sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+          sum(col("x").cast("decimal(38,0)") * col("z")).as("sxz"),
+          sum(col("y").cast("decimal(38,0)") * col("z")).as("syz"))
+        def r(a: String, b: String, aa: String, bb: String,
+              ab: String) =
+          s"""((cast(n as double) * cast($ab as double)
+             |  - cast($a as double) * cast($b as double))
+             |/ sqrt((cast(n as double) * cast($aa as double)
+             |    - cast($a as double) * cast($a as double))
+             |  * (cast(n as double) * cast($bb as double)
+             |    - cast($b as double) * cast($b as double))))"""
+            .stripMargin
+        val rxy = r("sx", "sy", "sxx", "syy", "sxy")
+        val rxz = r("sx", "sz", "sxx", "szz", "sxz")
+        val ryz = r("sy", "sz", "syy", "szz", "syz")
+        def vif(rab: String, rac: String, rbc: String) =
+          s"""(CASE WHEN 1.0 - $rbc * $rbc = 0.0 THEN NULL
+             |WHEN 1.0 -
+             |  ($rab * $rab + $rac * $rac
+             |   - 2.0 * $rab * $rac * $rbc)
+             |  / (1.0 - $rbc * $rbc) = 0.0 THEN NULL
+             |ELSE 1.0 / (1.0 -
+             |  ($rab * $rab + $rac * $rac
+             |   - 2.0 * $rab * $rac * $rbc)
+             |  / (1.0 - $rbc * $rbc)) END)""".stripMargin
+        m.select(col("n").as("n_days"),
+          round(expr(vif(rxy, rxz, ryz)), 4).as("vif_view"),
+          round(expr(vif(rxy, ryz, rxz)), 4).as("vif_click"),
+          round(expr(vif(rxz, ryz, rxy)), 4).as("vif_purchase"))
+      },
+      Some {
+        def r(a: String, b: String, aa: String, bb: String,
+              ab: String) =
+          s"""((n::DOUBLE * $ab::DOUBLE - $a::DOUBLE * $b::DOUBLE)
+             |/ sqrt((n::DOUBLE * $aa::DOUBLE - $a::DOUBLE * $a::DOUBLE)
+             |  * (n::DOUBLE * $bb::DOUBLE - $b::DOUBLE * $b::DOUBLE)))"""
+            .stripMargin
+        val rxy = r("sx", "sy", "sxx", "syy", "sxy")
+        val rxz = r("sx", "sz", "sxx", "szz", "sxz")
+        val ryz = r("sy", "sz", "syy", "szz", "syz")
+        def vif(rab: String, rac: String, rbc: String) =
+          s"""(CASE WHEN 1.0 - $rbc * $rbc = 0.0 THEN NULL
+             |WHEN 1.0 -
+             |  ($rab * $rab + $rac * $rac
+             |   - 2.0 * $rab * $rac * $rbc)
+             |  / (1.0 - $rbc * $rbc) = 0.0 THEN NULL
+             |ELSE 1.0 / (1.0 -
+             |  ($rab * $rab + $rac * $rac
+             |   - 2.0 * $rab * $rac * $rbc)
+             |  / (1.0 - $rbc * $rbc)) END)""".stripMargin
+        s"""WITH daily AS (SELECT ts::DATE AS day,
+           |    (sum(CASE WHEN event_type = 'view'
+           |        THEN CAST(value AS DECIMAL(18,2))
+           |        ELSE CAST(0 AS DECIMAL(18,2)) END) * 100)::BIGINT
+           |      AS x,
+           |    (sum(CASE WHEN event_type = 'click'
+           |        THEN CAST(value AS DECIMAL(18,2))
+           |        ELSE CAST(0 AS DECIMAL(18,2)) END) * 100)::BIGINT
+           |      AS y,
+           |    (sum(CASE WHEN event_type = 'purchase'
+           |        THEN CAST(value AS DECIMAL(18,2))
+           |        ELSE CAST(0 AS DECIMAL(18,2)) END) * 100)::BIGINT
+           |      AS z
+           |  FROM events GROUP BY 1),
+           |m AS (SELECT count(*)::BIGINT AS n,
+           |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+           |    sum(z)::BIGINT AS sz,
+           |    sum(x::HUGEINT * x) AS sxx, sum(y::HUGEINT * y) AS syy,
+           |    sum(z::HUGEINT * z) AS szz, sum(x::HUGEINT * y) AS sxy,
+           |    sum(x::HUGEINT * z) AS sxz, sum(y::HUGEINT * z) AS syz
+           |  FROM daily)
+           |SELECT n AS n_days,
+           |  round(${vif(rxy, rxz, ryz)}, 4) AS vif_view,
+           |  round(${vif(rxy, ryz, rxz)}, 4) AS vif_click,
+           |  round(${vif(rxz, ryz, rxy)}, 4) AS vif_purchase
+           |FROM m""".stripMargin
+      })
   )
 }

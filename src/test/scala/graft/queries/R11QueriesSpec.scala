@@ -816,6 +816,70 @@ class R11QueriesSpec extends GraftSpec {
     assert(out.getAs[Double]("between_frac") > 0.9)
   }
 
+  test("q_taylor_law recovers slope 2 for Var = 2*Mean^2 demand patterns") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("r11tl").toString
+    // week 0 carries only a constant-demand part (var 0 -> excluded,
+    // but it pins W = 2 global weeks); parts 1..4 order 2m in week 1
+    // only -> mean m, var 2m^2, so ln var = ln 2 + 2 ln mean exactly
+    Seq((1L, "1992-01-02"), (2L, "1992-01-09"))
+      .toDF("o_orderkey", "o_orderdate")
+      .withColumn("o_orderdate", col("o_orderdate").cast("date"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val li = Seq((1L, 100L, 5L), (2L, 100L, 5L)) ++ // constant part
+      Seq(1L, 2L, 4L, 8L).zipWithIndex.map { case (m, i) =>
+        (2L, 200L + i, 2 * m) }
+    li.toDF("l_orderkey", "l_partkey", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = byName("q_taylor_law")(spark, dir).head()
+    assert(out.getAs[Long]("n_parts") === 4L)
+    assert(out.getAs[Double]("taylor_b") === 2.0 +- 1e-6)
+    assert(out.getAs[Double]("ln_a") === math.log(2.0) +- 1e-6)
+    assert(out.getAs[Double]("r2") === 1.0 +- 1e-6)
+  }
+
+  test("q_hill_tail on a geometric tail gives the closed-form Hill mean") {
+    // bulk of ten 1.00s plus a 2^i ladder: k = 10, threshold = 2.00,
+    // H = (1/10) * sum_{i=1..9} ln 2^i = 4.5 ln 2
+    val rows = (0 until 10).map(i =>
+      (day0 + i * 1000000L, i.toLong, "purchase", 1.0)) ++
+      (1 to 10).map(i =>
+        (day0 + (100 + i) * 1000000L, i.toLong, "purchase",
+          math.pow(2, i)))
+    val out = byName("q_hill_tail")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Long]("k") === 10L)
+    assert(out.getAs[Double]("threshold") === 2.0)
+    assert(out.getAs[Double]("hill_h") === 4.5 * math.log(2.0) +- 1e-6)
+  }
+
+  test("q_record_highs: a strictly rising series is all records, z >> 0") {
+    val rows = (0 until 10).map(k =>
+      (day0 + k * 86400000000L, 1L, "view", 100.0 + k))
+    val out = byName("q_record_highs")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Long]("n_days") === 10L)
+    assert(out.getAs[Long]("records") === 10L)
+    val h10 = (1 to 10).map(1.0 / _).sum
+    assert(out.getAs[Double]("expected") === h10 +- 1e-3)
+    assert(out.getAs[Double]("z") > 5.0)
+  }
+
+  test("q_vif is exactly 1 when the three channels are uncorrelated") {
+    // four days with orthogonal-contrast channel patterns -> all
+    // pairwise r = 0 -> VIF = 1 for every channel
+    val x = Seq(1, 1, 0, 0); val y = Seq(1, 0, 1, 0); val z = Seq(1, 0, 0, 1)
+    val rows = (0 until 4).flatMap { t =>
+      Seq(("view", x(t)), ("click", y(t)), ("purchase", z(t)))
+        .filter(_._2 > 0)
+        .map { case (et, v) =>
+          (day0 + t * 86400000000L, 1L, et, v.toDouble) }
+    }
+    val out = byName("q_vif")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Long]("n_days") === 4L)
+    assert(out.getAs[Double]("vif_view") === 1.0)
+    assert(out.getAs[Double]("vif_click") === 1.0)
+    assert(out.getAs[Double]("vif_purchase") === 1.0)
+  }
+
   test("q_turning_points: an alternating series turns at every interior point") {
     val rows = (0 until 6).flatMap(k =>
       onDay(k, if (k % 2 == 0) 1 else 5, "view"))
