@@ -4810,6 +4810,272 @@ object R11Queries {
            |  round(${vif(rxy, ryz, rxz)}, 4) AS vif_click,
            |  round(${vif(rxz, ryz, rxy)}, 4) AS vif_purchase
            |FROM m""".stripMargin
-      })
+      }),
+
+    // Monetary-tier migration matrix: each user's spend quintile in
+    // the calendar's first half vs the second — the customer-
+    // lifecycle transition table behind "are my top spenders
+    // churning?". Tiers are spend quintiles per period (ntile over
+    // (cents DESC, user_id), exactly reproducible); users absent
+    // from a period enter as tier 0 ("new") / exit as tier 0
+    // ("gone"). The per-user period digests are one shuffle each;
+    // the matrix itself is ≤ 36 cells. Ties and quintile boundaries
+    // match the oracle bit-for-bit because the ntile ORDER BY is a
+    // total order.
+    QueryDef("q_rfm_migration",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+        val mid = broadcast(ev.agg(min(to_date(col("ts"))).as("d0"),
+            max(to_date(col("ts"))).as("d1"))
+          .select(expr("date_add(d0, cast(datediff(d1, d0) div 2" +
+            " as int))").as("m")))
+        val spend = ev.crossJoin(mid)
+          .groupBy(col("user_id"),
+            (to_date(col("ts")) < col("m")).as("p1"))
+          .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+        def tiers(flag: Boolean, out: String) = spend
+          .filter(col("p1") === flag)
+          .withColumn(out, ntile(5).over(
+            Window.orderBy(col("cents").desc, col("user_id"))))
+          .select(col("user_id"), col(out))
+        tiers(true, "t_from").join(tiers(false, "t_to"),
+            Seq("user_id"), "full_outer")
+          .groupBy(coalesce(col("t_from"), lit(0)).as("tier_from"),
+            coalesce(col("t_to"), lit(0)).as("tier_to"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("tier_from"), col("tier_to"))
+      },
+      Some("""WITH b AS (SELECT min(ts::DATE) AS d0, max(ts::DATE) AS d1
+             |  FROM events),
+             |mid AS (SELECT d0 + (datediff('day', d0, d1) // 2)::INT
+             |      AS m FROM b),
+             |spend AS (SELECT user_id, ts::DATE < mid.m AS p1,
+             |    sum(floor(value * 100)::BIGINT)::BIGINT AS cents
+             |  FROM events, mid GROUP BY 1, 2),
+             |t1 AS (SELECT user_id, ntile(5) OVER (
+             |    ORDER BY cents DESC, user_id) AS t_from
+             |  FROM spend WHERE p1),
+             |t2 AS (SELECT user_id, ntile(5) OVER (
+             |    ORDER BY cents DESC, user_id) AS t_to
+             |  FROM spend WHERE NOT p1)
+             |SELECT coalesce(t1.t_from, 0) AS tier_from,
+             |  coalesce(t2.t_to, 0) AS tier_to,
+             |  count(*)::BIGINT AS n_users
+             |FROM t1 FULL OUTER JOIN t2 USING (user_id)
+             |GROUP BY 1, 2 ORDER BY tier_from, tier_to"""
+        .stripMargin)),
+
+    // Competing-risks cumulative incidence (Aalen–Johansen 1978):
+    // from each user's first event, which happens first — a big
+    // purchase (conversion) or an error (failure)? The naive "1 −
+    // KM per cause" overstates both; the correct CIF_k(t) =
+    // Σ S(t⁻)·d_k/n uses the ALL-cause survival S. Structure
+    // mirrors q_kaplan_meier: per-user reduction (one shuffle),
+    // then a distinct-lifetime digest where S(t⁻) =
+    // exp(Σ<t ln((n−d)/n)) and both CIFs are ascending window sums
+    // — both engines fold identical terms in the identical
+    // lifetime order.
+    QueryDef("q_competing_risks",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+        val perUser = ev.groupBy(col("user_id"))
+          .agg(min(to_date(col("ts"))).as("first_d"))
+        val conv = ev.filter(col("event_type") === "purchase" &&
+            col("value") >= 90)
+          .groupBy(col("user_id").as("cu"))
+          .agg(min(to_date(col("ts"))).as("conv_d"))
+        val fail = ev.filter(col("event_type") === "error")
+          .groupBy(col("user_id").as("fu"))
+          .agg(min(to_date(col("ts"))).as("fail_d"))
+        val horizon = ev.agg(max(to_date(col("ts"))).as("max_d"))
+        val byT = perUser
+          .join(conv, col("user_id") === col("cu"), "left")
+          .join(fail, col("user_id") === col("fu"), "left")
+          .crossJoin(broadcast(horizon))
+          .withColumn("end_d", least(
+            coalesce(col("conv_d"), col("max_d")),
+            coalesce(col("fail_d"), col("max_d"))))
+          .withColumn("cause",
+            when(col("conv_d").isNotNull &&
+              col("conv_d") <= coalesce(col("fail_d"), col("conv_d")),
+              lit(1))
+              .when(col("fail_d").isNotNull, lit(2)).otherwise(lit(0)))
+          .withColumn("lifetime", datediff(col("end_d"), col("first_d")))
+          .groupBy(col("lifetime"))
+          .agg(sum(when(col("cause") === 1, 1L).otherwise(0L)).as("d1"),
+            sum(when(col("cause") === 2, 1L).otherwise(0L)).as("d2"),
+            sum(when(col("cause") === 0, 1L).otherwise(0L)).as("nc"))
+        val wDesc = Window.orderBy(col("lifetime").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wPrev = Window.orderBy(col("lifetime"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wAsc = Window.orderBy(col("lifetime"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        byT
+          .withColumn("n_risk",
+            sum(col("d1") + col("d2") + col("nc")).over(wDesc))
+          // the max-lifetime row can have n_risk == d1+d2 (no
+          // survivors); its ln term is never consumed by any later
+          // row's S(t⁻), so pin it to 0 instead of ln(0)
+          .withColumn("ln_term",
+            when(col("n_risk") - col("d1") - col("d2") === 0, lit(0.0))
+              .otherwise(log(
+                (col("n_risk") - col("d1") - col("d2")).cast("double") /
+                  col("n_risk").cast("double"))))
+          .withColumn("s_prev",
+            exp(coalesce(sum(col("ln_term")).over(wPrev), lit(0.0))))
+          .withColumn("cif1", sum(col("s_prev") *
+            col("d1").cast("double") / col("n_risk").cast("double"))
+            .over(wAsc))
+          .withColumn("cif2", sum(col("s_prev") *
+            col("d2").cast("double") / col("n_risk").cast("double"))
+            .over(wAsc))
+          .filter(col("d1") + col("d2") > 0)
+          .select(col("lifetime").as("t_days"), col("n_risk"),
+            col("d1").as("n_conversions"), col("d2").as("n_errors"),
+            round(col("cif1"), 6).as("cif_conversion"),
+            round(col("cif2"), 6).as("cif_error"))
+          .orderBy(col("t_days"))
+      },
+      Some("""WITH pu AS (SELECT user_id, min(ts::DATE) AS first_d
+             |  FROM events GROUP BY 1),
+             |conv AS (SELECT user_id, min(ts::DATE) AS conv_d FROM events
+             |  WHERE event_type = 'purchase' AND value >= 90 GROUP BY 1),
+             |fl AS (SELECT user_id, min(ts::DATE) AS fail_d FROM events
+             |  WHERE event_type = 'error' GROUP BY 1),
+             |h AS (SELECT max(ts::DATE) AS max_d FROM events),
+             |u AS (SELECT pu.user_id, pu.first_d,
+             |    least(coalesce(conv.conv_d, h.max_d),
+             |      coalesce(fl.fail_d, h.max_d)) AS end_d,
+             |    CASE WHEN conv.conv_d IS NOT NULL
+             |        AND conv.conv_d <= coalesce(fl.fail_d, conv.conv_d)
+             |      THEN 1
+             |      WHEN fl.fail_d IS NOT NULL THEN 2 ELSE 0 END AS cause
+             |  FROM pu
+             |  LEFT JOIN conv ON conv.user_id = pu.user_id
+             |  LEFT JOIN fl ON fl.user_id = pu.user_id, h),
+             |byt AS (SELECT datediff('day', first_d, end_d) AS lifetime,
+             |    sum(CASE WHEN cause = 1 THEN 1 ELSE 0 END)::BIGINT AS d1,
+             |    sum(CASE WHEN cause = 2 THEN 1 ELSE 0 END)::BIGINT AS d2,
+             |    sum(CASE WHEN cause = 0 THEN 1 ELSE 0 END)::BIGINT AS nc
+             |  FROM u GROUP BY 1),
+             |r AS (SELECT lifetime, d1, d2,
+             |    sum(d1 + d2 + nc) OVER (ORDER BY lifetime DESC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      ::BIGINT AS n_risk
+             |  FROM byt),
+             |sv AS (SELECT lifetime, d1, d2, n_risk,
+             |    exp(coalesce(sum(CASE WHEN n_risk - d1 - d2 = 0
+             |        THEN 0.0 ELSE ln((n_risk - d1 - d2)::DOUBLE
+             |        / n_risk::DOUBLE) END) OVER (ORDER BY lifetime
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |      0.0)) AS s_prev
+             |  FROM r),
+             |c AS (SELECT lifetime, d1, d2, n_risk,
+             |    sum(s_prev * d1::DOUBLE / n_risk::DOUBLE)
+             |      OVER (ORDER BY lifetime ROWS BETWEEN UNBOUNDED
+             |      PRECEDING AND CURRENT ROW) AS cif1,
+             |    sum(s_prev * d2::DOUBLE / n_risk::DOUBLE)
+             |      OVER (ORDER BY lifetime ROWS BETWEEN UNBOUNDED
+             |      PRECEDING AND CURRENT ROW) AS cif2
+             |  FROM sv)
+             |SELECT lifetime AS t_days, n_risk, d1 AS n_conversions,
+             |  d2 AS n_errors, round(cif1, 6) AS cif_conversion,
+             |  round(cif2, 6) AS cif_error
+             |FROM c WHERE d1 + d2 > 0 ORDER BY t_days"""
+        .stripMargin)),
+
+    // Empirical semivariogram of daily revenue, lags 1–14 days
+    // (Matheron 1963): γ(h) = Σ(y_t − y_{t+h})²/(2N_h) — the
+    // geostatistics view of temporal structure that q_acf_lags'
+    // correlation view can mask when the mean drifts. Squared
+    // differences are EXACT HUGEINT/DECIMAL products on the cents
+    // grid; the lag fan-out is a 14-way broadcast over the calendar
+    // digest, and the single float division lands at the very end
+    // (reported in dollars²).
+    QueryDef("q_variogram",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg((sum(col("value").cast("decimal(18,2)")) * lit(100))
+            .cast("long").as("y"))
+          .withColumn("t",
+            row_number().over(Window.orderBy(col("day"))).cast("long"))
+        val lags = broadcast(s.range(1, 15).toDF("h"))
+        val a = daily.select(col("t"), col("y"))
+        val b = daily.select(col("t").as("t2"), col("y").as("y2"))
+        a.crossJoin(lags)
+          .join(b, col("t2") === col("t") + col("h"))
+          .groupBy(col("h"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(((col("y") - col("y2")).cast("decimal(38,0)") *
+              (col("y") - col("y2")))).as("ssq"))
+          .select(col("h").as("lag_days"), col("n_pairs"),
+            round(col("ssq").cast("double") /
+              (lit(2.0) * col("n_pairs").cast("double")) / 10000.0, 4)
+              .as("gamma"))
+          .orderBy(col("lag_days"))
+      },
+      Some("""WITH daily AS (SELECT day, y,
+             |    row_number() OVER (ORDER BY day) AS t FROM (
+             |    SELECT ts::DATE AS day,
+             |      (sum(CAST(value AS DECIMAL(18,2))) * 100)::BIGINT AS y
+             |    FROM events GROUP BY 1)),
+             |lags AS (SELECT unnest(range(1, 15))::BIGINT AS h),
+             |p AS (SELECT lags.h, a.y, b.y AS y2
+             |  FROM daily a, lags
+             |  JOIN daily b ON b.t = a.t + lags.h)
+             |SELECT h AS lag_days, count(*)::BIGINT AS n_pairs,
+             |  round(sum((y - y2)::HUGEINT * (y - y2))::DOUBLE
+             |    / (2.0 * count(*)::DOUBLE) / 10000.0, 4) AS gamma
+             |FROM p GROUP BY 1 ORDER BY lag_days""".stripMargin)),
+
+    // N-gram duplication profile (the RefinedWeb/"memorization risk"
+    // curve): for n ∈ {1, 2, 4, 8}, what fraction of the corpus's
+    // n-gram INSTANCES are repeats of an already-seen n-gram?
+    // Unigrams repeat almost always; if the 8-gram dup share is
+    // still high, the corpus has real template/boilerplate mass
+    // that per-doc dedup missed. Shuffles only 60-bit hashes
+    // (corpus-scale discipline: never group wide strings), one
+    // (n, hash) aggregation for all four sizes.
+    QueryDef("text_dup_ngram_profile",
+      (s, d) => {
+        val docs = s.read.parquet(s"$d/documents.parquet")
+          .select(graft.ext.TextAnalysis.tokens(col("text")).as("tk"))
+        val sizes = broadcast(s.createDataFrame(
+          Seq(1, 2, 4, 8).map(Tuple1(_))).toDF("n"))
+        val grams = docs.crossJoin(sizes)
+          .filter(size(col("tk")) >= col("n"))
+          .select(col("n"), explode(expr(
+            "transform(sequence(1, size(tk) - n + 1)," +
+              " i -> concat_ws(' ', slice(tk, i, n)))")).as("g"))
+          .select(col("n"), graft.ext.Dedup.strHash60(col("g")).as("gh"))
+        grams.groupBy(col("n"), col("gh"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("n"))
+          .agg(sum(col("c")).as("total_grams"),
+            count(lit(1)).as("distinct_grams"))
+          .select(col("n").cast("long").as("n"), col("total_grams"),
+            col("distinct_grams"),
+            expr("(total_grams - distinct_grams) * 1000000" +
+              " div total_grams").as("dup_ppm"))
+          .orderBy(col("n"))
+      },
+      Some("""WITH tk AS (SELECT string_split(lower(text), ' ') AS tk
+             |  FROM documents),
+             |sizes AS (SELECT unnest([1, 2, 4, 8])::BIGINT AS n),
+             |grams AS (SELECT sizes.n,
+             |    unnest(list_transform(range(1, len(tk) - n + 2),
+             |      i -> ('0x' || substring(md5(
+             |        array_to_string(tk[i:i+n-1], ' ')), 1, 15))
+             |        ::BIGINT)) AS gh
+             |  FROM tk, sizes WHERE len(tk) >= sizes.n),
+             |pc AS (SELECT n, gh, count(*)::BIGINT AS c FROM grams
+             |  GROUP BY 1, 2)
+             |SELECT n, sum(c)::BIGINT AS total_grams,
+             |  count(*)::BIGINT AS distinct_grams,
+             |  ((sum(c) - count(*)) * 1000000 // sum(c))::BIGINT
+             |    AS dup_ppm
+             |FROM pc GROUP BY 1 ORDER BY n""".stripMargin))
   )
 }

@@ -880,6 +880,78 @@ class R11QueriesSpec extends GraftSpec {
     assert(out.getAs[Double]("vif_purchase") === 1.0)
   }
 
+  test("q_rfm_migration: rank-preserving spenders stay on the diagonal") {
+    // 10 users spend identically-ranked amounts in both halves, plus
+    // one churner (first half only) and one new user (second half)
+    val rows = (1 to 10).flatMap { u =>
+      Seq((day0, u.toLong, "purchase", (11 - u) * 10.0),
+        (day0 + 9 * 86400000000L, u.toLong, "purchase", (11 - u) * 10.0))
+    } ++ Seq((day0, 20L, "purchase", 500.0),
+      (day0 + 9 * 86400000000L, 21L, "purchase", 500.0))
+    val out = byName("q_rfm_migration")(spark, eventsDir(rows)).collect()
+    val cells = out.map(r => (r.getAs[Int]("tier_from"),
+      r.getAs[Int]("tier_to")) -> r.getAs[Long]("n_users")).toMap
+    assert(cells.values.sum === 12L)
+    // churner: top spender of p1 -> gone; new user: top of p2
+    assert(cells((1, 0)) === 1L)
+    assert(cells((0, 1)) === 1L)
+    // the ten stable users move at most one tier (the extra p1/p2
+    // top spender shifts the quintile boundaries by one user)
+    assert(out.filter(r => r.getAs[Int]("tier_from") > 0 &&
+      r.getAs[Int]("tier_to") > 0)
+      .forall(r => math.abs(r.getAs[Int]("tier_from") -
+        r.getAs[Int]("tier_to")) <= 1))
+  }
+
+  test("q_competing_risks computes the Aalen-Johansen CIF on a 4-user cohort") {
+    val rows = Seq(
+      (day0, 1L, "view", 1.0),
+      (day0 + 86400000000L, 1L, "purchase", 95.0),  // converts t=1
+      (day0, 2L, "view", 1.0),
+      (day0 + 86400000000L, 2L, "error", 1.0),      // fails t=1
+      (day0, 3L, "view", 1.0),
+      (day0 + 2 * 86400000000L, 3L, "purchase", 95.0), // converts t=2
+      (day0, 4L, "view", 1.0),
+      (day0 + 3 * 86400000000L, 4L, "view", 1.0))   // censored t=3
+    val out = byName("q_competing_risks")(spark, eventsDir(rows))
+      .orderBy("t_days").collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[Int]("t_days") === 1)
+    assert(out(0).getAs[Long]("n_risk") === 4L)
+    assert(out(0).getAs[Double]("cif_conversion") === 0.25)
+    assert(out(0).getAs[Double]("cif_error") === 0.25)
+    assert(out(1).getAs[Int]("t_days") === 2)
+    assert(out(1).getAs[Double]("cif_conversion") === 0.5)
+    assert(out(1).getAs[Double]("cif_error") === 0.25)
+  }
+
+  test("q_variogram of a linear ramp is exactly h^2/2") {
+    val rows = (0 until 16).map(t =>
+      (day0 + t * 86400000000L, 1L, "view", t.toDouble))
+    val out = byName("q_variogram")(spark, eventsDir(rows)).collect()
+    val byLag = out.map(r => r.getAs[Long]("lag_days") ->
+      (r.getAs[Long]("n_pairs"), r.getAs[Double]("gamma"))).toMap
+    (1 to 3).foreach { h =>
+      assert(byLag(h.toLong) === ((16L - h, h * h / 2.0)))
+    }
+  }
+
+  test("text_dup_ngram_profile counts repeated n-gram instances per size") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("r11dup").toString
+    Seq((1L, "a b a b", "en", "s0", 7L), (2L, "a b c", "en", "s0", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = byName("text_dup_ngram_profile")(spark, dir).collect()
+    val byN = out.map(r => r.getAs[Long]("n") ->
+      (r.getAs[Long]("total_grams"), r.getAs[Long]("distinct_grams"),
+        r.getAs[Long]("dup_ppm"))).toMap
+    assert(byN(1L) === ((7L, 3L, 4L * 1000000 / 7)))
+    assert(byN(2L) === ((5L, 3L, 400000L)))
+    assert(byN(4L) === ((1L, 1L, 0L)))
+    assert(!byN.contains(8L)) // no doc has 8 tokens
+  }
+
   test("q_turning_points: an alternating series turns at every interior point") {
     val rows = (0 until 6).flatMap(k =>
       onDay(k, if (k % 2 == 0) 1 else 5, "view"))
