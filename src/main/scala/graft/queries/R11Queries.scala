@@ -5076,6 +5076,341 @@ object R11Queries {
              |  count(*)::BIGINT AS distinct_grams,
              |  ((sum(c) - count(*)) * 1000000 // sum(c))::BIGINT
              |    AS dup_ppm
-             |FROM pc GROUP BY 1 ORDER BY n""".stripMargin))
+             |FROM pc GROUP BY 1 ORDER BY n""".stripMargin)),
+
+    // Differentially-private median release via the EXPONENTIAL
+    // MECHANISM (McSherry & Talwar 2007) — the DP primitive for
+    // rank statistics, completing the DP family next to
+    // pipe_dp_count_release's Laplace counts. Candidates are the
+    // purchase-value cells; utility u(c) = −|2·cum_<(c) + t_c − n|
+    // (distance from rank balance, sensitivity 2); selection uses
+    // the Gumbel-max trick with md5-derived uniforms so BOTH
+    // engines replay the identical "randomness" bit-for-bit — the
+    // release is graded exactly, not statistically. One digest
+    // pass; three ε rows.
+    QueryDef("pipe_dp_quantile_release",
+      (s, d) => {
+        val v = graft.sources.Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select((col("value").cast("decimal(18,2)") * 100)
+            .cast("long").as("vc"))
+        val cells = v.groupBy(col("vc")).agg(count(lit(1)).as("t"))
+          .withColumn("cumlt", coalesce(
+            sum(col("t")).over(Window.orderBy(col("vc"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        val n0 = broadcast(cells.agg(sum(col("t")).as("n")))
+        val eps = broadcast(s.createDataFrame(
+          Seq("0.01", "0.1", "1.0").map(Tuple1(_))).toDF("eps"))
+        val trueMed = broadcast(cells.crossJoin(n0)
+          .filter(col("cumlt") + col("t") >= expr("(n + 1) div 2"))
+          .agg(min(col("vc")).as("tm")))
+        val scored = cells.crossJoin(n0).crossJoin(eps)
+          .withColumn("u",
+            -abs(lit(2L) * col("cumlt") + col("t") - col("n")))
+          .withColumn("g", expr(
+            """-ln(-ln((cast(conv(substring(md5(
+              |  'dpq:' || eps || ':' || cast(vc as string)), 1, 15),
+              |  16, 10) as double) + 0.5) / 1152921504606846976.0))"""
+              .stripMargin))
+          .withColumn("score",
+            expr("cast(eps as double)") * col("u") / 2.0 + col("g"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("eps"))
+              .orderBy(col("score").desc, col("vc"))))
+          .filter(col("rk") === 1)
+        scored.crossJoin(trueMed)
+          .select(col("eps"), col("n").as("n_purchases"),
+            round(col("vc").cast("double") / 100.0, 2).as("dp_median"),
+            round(col("tm").cast("double") / 100.0, 2)
+              .as("true_median"),
+            round(abs(col("vc") - col("tm")).cast("double") / 100.0, 2)
+              .as("abs_err"))
+          .orderBy(col("eps"))
+      },
+      Some("""WITH v AS (SELECT (CAST(value AS DECIMAL(18,2)) * 100)
+             |      ::BIGINT AS vc
+             |  FROM events WHERE event_type = 'purchase'),
+             |cells AS (SELECT vc, count(*)::BIGINT AS t,
+             |    coalesce(sum(count(*)) OVER (ORDER BY vc
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |      0)::BIGINT AS cumlt
+             |  FROM v GROUP BY vc),
+             |n0 AS (SELECT sum(t)::BIGINT AS n FROM cells),
+             |eps AS (SELECT unnest(['0.01', '0.1', '1.0']) AS eps),
+             |tm AS (SELECT min(vc)::BIGINT AS tm FROM cells, n0
+             |  WHERE cumlt + t >= (n0.n + 1) // 2),
+             |sc AS (SELECT eps.eps, n0.n, cells.vc,
+             |    eps.eps::DOUBLE
+             |      * (-abs(2 * cells.cumlt + cells.t - n0.n)) / 2.0
+             |    + (-ln(-ln((('0x' || substring(md5(
+             |        'dpq:' || eps.eps || ':' || cells.vc::VARCHAR),
+             |        1, 15))::BIGINT::DOUBLE + 0.5)
+             |      / 1152921504606846976.0))) AS score
+             |  FROM cells, n0, eps),
+             |pick AS (SELECT eps, n, vc FROM sc
+             |  QUALIFY row_number() OVER (PARTITION BY eps
+             |    ORDER BY score DESC, vc) = 1)
+             |SELECT pick.eps, pick.n AS n_purchases,
+             |  round(pick.vc::DOUBLE / 100.0, 2) AS dp_median,
+             |  round(tm.tm::DOUBLE / 100.0, 2) AS true_median,
+             |  round(abs(pick.vc - tm.tm)::DOUBLE / 100.0, 2)
+             |    AS abs_err
+             |FROM pick, tm ORDER BY eps""".stripMargin)),
+
+    // Sobel mediation test (Baron & Kenny 1986; Sobel 1982): does
+    // daily view volume drive revenue THROUGH clicks? Path a
+    // (clicks ~ views) and path b (revenue ~ clicks | views) come
+    // from closed-form one- and two-regressor OLS over the calendar
+    // digest — centered moments from EXACT integer sums, standard
+    // errors from the residual quadratic forms, and the indirect
+    // effect a·b with Sobel z = ab/√(a²·se_b² + b²·se_a²) as the
+    // final float fold. One shuffle; one row.
+    QueryDef("q_sobel_mediation",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(
+            sum(when(col("event_type") === "view", 1L).otherwise(0L))
+              .as("x"),
+            sum(when(col("event_type") === "click", 1L).otherwise(0L))
+              .as("mm"),
+            (sum(col("value").cast("decimal(18,2)")) * lit(100))
+              .cast("long").as("y"))
+        val g = daily.agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("mm")).as("sm"),
+          sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("mm")).as("sxm"),
+          sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+          sum(col("mm") * col("mm")).as("smm"),
+          sum(col("mm").cast("decimal(38,0)") * col("y")).as("smy"),
+          sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+        // centered moments (doubles off exact sums), then:
+        //   a  = Cxm/Cxx            se_a² = (Cmm − a·Cxm)/(n−2)/Cxx
+        //   b  = (Cxx·Cmy − Cxm·Cxy)/det   (det = Cxx·Cmm − Cxm²)
+        //   σ² = (Cyy − c1·Cxy − b·Cmy)/(n−3), se_b² = σ²·Cxx/det
+        val c = g.selectExpr("n",
+          "cast(sxx as double) - cast(sx as double) * sx / n AS cxx",
+          "cast(sxm as double) - cast(sx as double) * sm / n AS cxm",
+          "cast(smm as double) - cast(sm as double) * sm / n AS cmm",
+          "cast(sxy as double) - cast(sx as double)" +
+            " * cast(sy as double) / n AS cxy",
+          "cast(smy as double) - cast(sm as double)" +
+            " * cast(sy as double) / n AS cmy",
+          "cast(syy as double) - cast(sy as double)" +
+            " * cast(sy as double) / n AS cyy")
+        c.selectExpr("n",
+            "cxm / cxx AS a",
+            "(cmm - (cxm / cxx) * cxm) / (n - 2) / cxx AS se_a2",
+            "(cxx * cmy - cxm * cxy) / (cxx * cmm - cxm * cxm) AS b",
+            "((cmm * cxy - cxm * cmy) / (cxx * cmm - cxm * cxm)) AS c1",
+            "cxy", "cmy", "cyy",
+            "cxx * cmm - cxm * cxm AS det", "cxx")
+          .selectExpr("n", "a", "b", "se_a2",
+            "(cyy - c1 * cxy - b * cmy) / (n - 3) * cxx / det AS se_b2")
+          .selectExpr("n AS n_days",
+            "round(a, 6) AS path_a",
+            "round(b, 9) AS path_b",
+            "round(a * b, 9) AS indirect",
+            """round(CASE WHEN a * a * se_b2 + b * b * se_a2 <= 0.0
+              |  THEN NULL
+              |  ELSE a * b / sqrt(a * a * se_b2 + b * b * se_a2)
+              |  END, 4) AS sobel_z""".stripMargin)
+      },
+      Some("""WITH daily AS (SELECT ts::DATE AS day,
+             |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             |      ::BIGINT AS x,
+             |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             |      ::BIGINT AS m,
+             |    (sum(CAST(value AS DECIMAL(18,2))) * 100)::BIGINT AS y
+             |  FROM events GROUP BY 1),
+             |g AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+             |    sum(m)::BIGINT AS sm, sum(y)::BIGINT AS sy,
+             |    sum(x * x)::BIGINT AS sxx, sum(x * m)::BIGINT AS sxm,
+             |    sum(x::HUGEINT * y) AS sxy, sum(m * m)::BIGINT AS smm,
+             |    sum(m::HUGEINT * y) AS smy, sum(y::HUGEINT * y) AS syy
+             |  FROM daily),
+             |c AS (SELECT n,
+             |    sxx::DOUBLE - sx::DOUBLE * sx / n AS cxx,
+             |    sxm::DOUBLE - sx::DOUBLE * sm / n AS cxm,
+             |    smm::DOUBLE - sm::DOUBLE * sm / n AS cmm,
+             |    sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n AS cxy,
+             |    smy::DOUBLE - sm::DOUBLE * sy::DOUBLE / n AS cmy,
+             |    syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n AS cyy
+             |  FROM g),
+             |p AS (SELECT n, cxm / cxx AS a,
+             |    (cmm - (cxm / cxx) * cxm) / (n - 2) / cxx AS se_a2,
+             |    (cxx * cmy - cxm * cxy) / (cxx * cmm - cxm * cxm) AS b,
+             |    (cmm * cxy - cxm * cmy) / (cxx * cmm - cxm * cxm)
+             |      AS c1,
+             |    cxy, cmy, cyy, cxx * cmm - cxm * cxm AS det, cxx
+             |  FROM c),
+             |q AS (SELECT n, a, b, se_a2,
+             |    (cyy - c1 * cxy - b * cmy) / (n - 3) * cxx / det
+             |      AS se_b2
+             |  FROM p)
+             |SELECT n AS n_days, round(a, 6) AS path_a,
+             |  round(b, 9) AS path_b, round(a * b, 9) AS indirect,
+             |  round(CASE WHEN a * a * se_b2 + b * b * se_a2 <= 0.0
+             |    THEN NULL
+             |    ELSE a * b / sqrt(a * a * se_b2 + b * b * se_a2)
+             |    END, 4) AS sobel_z
+             |FROM q""".stripMargin)),
+
+    // Classical price indices (Laspeyres 1871; Paasche 1874; Fisher
+    // 1922) between the order calendar's two halves: per part, the
+    // average unit price and total quantity in each period; L keeps
+    // base-period baskets, P current-period, F their geometric
+    // mean. Every per-part term (p̄₂·q₁ etc.) is a 6-dp-quantized
+    // DECIMAL so the four basket sums are partition-order-free;
+    // parts must trade in BOTH halves to enter. Two shuffles
+    // (order join, part agg) that both reduce.
+    QueryDef("q_price_index",
+      (s, d) => {
+        val li = s.read.parquet(s"$d/lineitem.parquet")
+          .join(s.read.parquet(s"$d/orders.parquet")
+            .select(col("o_orderkey"),
+              to_date(col("o_orderdate")).as("od")),
+            col("l_orderkey") === col("o_orderkey"))
+        val mid = broadcast(li.agg(min(col("od")).as("d0"),
+            max(col("od")).as("d1"))
+          .select(expr("date_add(d0, cast(datediff(d1, d0) div 2" +
+            " as int))").as("m")))
+        val per = li.crossJoin(mid)
+          .groupBy(col("l_partkey"),
+            (col("od") < col("m")).as("p1"))
+          .agg((sum(col("l_extendedprice").cast("decimal(18,2)")) *
+            100).cast("long").as("ec"),
+            sum(col("l_quantity").cast("long")).as("q"))
+        val both = per.filter(col("p1"))
+          .select(col("l_partkey"), col("ec").as("e1"),
+            col("q").as("q1"))
+          .join(per.filter(!col("p1"))
+            .select(col("l_partkey").as("pk2"), col("ec").as("e2"),
+              col("q").as("q2")),
+            col("l_partkey") === col("pk2"))
+        val sums = both.agg(count(lit(1)).as("n_parts"),
+          sum(expr("cast(round(cast(e2 as double) / q2 * q1, 6)" +
+            " as decimal(38,6))")).as("p2q1"),
+          sum(expr("cast(round(cast(e1 as double) / q1 * q1, 6)" +
+            " as decimal(38,6))")).as("p1q1"),
+          sum(expr("cast(round(cast(e2 as double) / q2 * q2, 6)" +
+            " as decimal(38,6))")).as("p2q2"),
+          sum(expr("cast(round(cast(e1 as double) / q1 * q2, 6)" +
+            " as decimal(38,6))")).as("p1q2"))
+        sums.select(col("n_parts"),
+          round(expr("cast(p2q1 as double) / cast(p1q1 as double)"), 6)
+            .as("laspeyres"),
+          round(expr("cast(p2q2 as double) / cast(p1q2 as double)"), 6)
+            .as("paasche"),
+          round(expr(
+            """sqrt((cast(p2q1 as double) / cast(p1q1 as double))
+              |  * (cast(p2q2 as double) / cast(p1q2 as double)))"""
+              .stripMargin), 6).as("fisher"))
+      },
+      Some("""WITH li AS (SELECT l_partkey, l_extendedprice,
+             |    l_quantity, o_orderdate::DATE AS od
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |b AS (SELECT min(od) AS d0, max(od) AS d1 FROM li),
+             |mid AS (SELECT d0 + (datediff('day', d0, d1) // 2)::INT
+             |      AS m FROM b),
+             |per AS (SELECT l_partkey, od < mid.m AS p1,
+             |    (sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100)
+             |      ::BIGINT AS ec,
+             |    sum(l_quantity)::BIGINT AS q
+             |  FROM li, mid GROUP BY 1, 2),
+             |pb AS (SELECT a.l_partkey, a.ec AS e1, a.q AS q1,
+             |    c.ec AS e2, c.q AS q2
+             |  FROM per a JOIN per c ON a.l_partkey = c.l_partkey
+             |  WHERE a.p1 AND NOT c.p1),
+             |sums AS (SELECT count(*)::BIGINT AS n_parts,
+             |    sum(round(e2::DOUBLE / q2 * q1, 6)::DECIMAL(38,6))
+             |      AS p2q1,
+             |    sum(round(e1::DOUBLE / q1 * q1, 6)::DECIMAL(38,6))
+             |      AS p1q1,
+             |    sum(round(e2::DOUBLE / q2 * q2, 6)::DECIMAL(38,6))
+             |      AS p2q2,
+             |    sum(round(e1::DOUBLE / q1 * q2, 6)::DECIMAL(38,6))
+             |      AS p1q2
+             |  FROM pb)
+             |SELECT n_parts,
+             |  round(p2q1::DOUBLE / p1q1::DOUBLE, 6) AS laspeyres,
+             |  round(p2q2::DOUBLE / p1q2::DOUBLE, 6) AS paasche,
+             |  round(sqrt((p2q1::DOUBLE / p1q1::DOUBLE)
+             |    * (p2q2::DOUBLE / p1q2::DOUBLE)), 6) AS fisher
+             |FROM sums""".stripMargin)),
+
+    // Weekly co-purchase graph evolution: per order-week, the
+    // distinct part-pair edge count, node count, density, and the
+    // share of edges never seen in ANY earlier week — the
+    // "assortment novelty" curve that distinguishes a catalog
+    // adding genuinely new combinations from one recycling the same
+    // baskets. Edges are generated within orders only (order width
+    // is bounded, so the self-join is linear in lineitems), shuffled
+    // by edge key; first-appearance weeks come from one min-agg over
+    // the same edge digest.
+    QueryDef("q_network_density_weekly",
+      (s, d) => {
+        val li = s.read.parquet(s"$d/lineitem.parquet")
+          .join(s.read.parquet(s"$d/orders.parquet")
+            .select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey").as("ok"),
+            floor(datediff(col("o_orderdate"), lit("1992-01-01")) / 7)
+              .cast("long").as("wk"),
+            col("l_partkey").as("p"))
+          .distinct()
+        val edges = li.join(
+            li.select(col("ok").as("ok2"), col("wk").as("wk2"),
+              col("p").as("p2")),
+            col("ok") === col("ok2") && col("p") < col("p2"))
+          .select(col("wk"), col("p").as("a"), col("p2").as("b"))
+          .distinct()
+        val firstWk = edges.groupBy(col("a").as("fa"), col("b").as("fb"))
+          .agg(min(col("wk")).as("fw"))
+        val nodes = li.select(col("wk"), col("p")).distinct()
+          .groupBy(col("wk")).agg(countDistinct(col("p")).as("v"))
+        edges.join(firstWk,
+            col("a") === col("fa") && col("b") === col("fb"))
+          .groupBy(col("wk"))
+          .agg(count(lit(1)).as("n_edges"),
+            sum(when(col("fw") === col("wk"), 1L).otherwise(0L))
+              .as("new_edges"))
+          .join(nodes, Seq("wk"))
+          .select(col("wk").as("week"), col("v").as("n_parts"),
+            col("n_edges"), col("new_edges"),
+            round(expr(
+              """CASE WHEN v <= 1 THEN NULL
+                |ELSE 2.0 * n_edges
+                |  / (cast(v as double) * (v - 1)) END""".stripMargin),
+              6).as("density"),
+            expr("new_edges * 1000000 div n_edges").as("new_ppm"))
+          .orderBy(col("week"))
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok,
+             |    floor(datediff('day', DATE '1992-01-01',
+             |      o_orderdate) / 7)::BIGINT AS wk,
+             |    l_partkey AS p
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |edges AS (SELECT DISTINCT a.wk, a.p AS a, b.p AS b
+             |  FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+             |fw AS (SELECT a, b, min(wk)::BIGINT AS fw FROM edges
+             |  GROUP BY 1, 2),
+             |nodes AS (SELECT wk, count(DISTINCT p)::BIGINT AS v
+             |  FROM li GROUP BY 1),
+             |e AS (SELECT edges.wk, count(*)::BIGINT AS n_edges,
+             |    sum(CASE WHEN fw.fw = edges.wk THEN 1 ELSE 0 END)
+             |      ::BIGINT AS new_edges
+             |  FROM edges JOIN fw ON edges.a = fw.a AND edges.b = fw.b
+             |  GROUP BY 1)
+             |SELECT e.wk AS week, nodes.v AS n_parts, e.n_edges,
+             |  e.new_edges,
+             |  round(CASE WHEN nodes.v <= 1 THEN NULL
+             |    ELSE 2.0 * e.n_edges
+             |      / (nodes.v::DOUBLE * (nodes.v - 1)) END, 6)
+             |    AS density,
+             |  (e.new_edges * 1000000 // e.n_edges)::BIGINT AS new_ppm
+             |FROM e JOIN nodes ON e.wk = nodes.wk
+             |ORDER BY week""".stripMargin))
   )
 }

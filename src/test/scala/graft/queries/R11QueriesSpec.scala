@@ -952,6 +952,81 @@ class R11QueriesSpec extends GraftSpec {
     assert(!byN.contains(8L)) // no doc has 8 tokens
   }
 
+  test("pipe_dp_quantile_release: at eps=1 a dominant cell is released exactly") {
+    // u(5.00) = 0 vs u ~ -50 for the tails: the eps/2 * 50 = 25 score
+    // gap dwarfs any Gumbel draw, so the high-eps release is exact
+    val rows = (0 until 50).map(i =>
+      (day0 + i * 1000000L, i.toLong, "purchase", 5.0)) ++
+      Seq((day0, 90L, "purchase", 1.0), (day0, 91L, "purchase", 1.0),
+        (day0, 92L, "purchase", 9.0), (day0, 93L, "purchase", 9.0))
+    val out = byName("pipe_dp_quantile_release")(spark, eventsDir(rows))
+      .collect()
+    assert(out.length === 3)
+    val hi = out.find(_.getAs[String]("eps") == "1.0").get
+    assert(hi.getAs[Double]("true_median") === 5.0)
+    assert(hi.getAs[Double]("dp_median") === 5.0)
+    assert(hi.getAs[Double]("abs_err") === 0.0)
+  }
+
+  test("q_sobel_mediation: revenue fully carried by clicks gives b = cents/click") {
+    // views vary, clicks = 2x + wiggle, every click is worth $1 -> the
+    // m->y path is exactly 100 cents with zero residual
+    val rows = (0 until 12).flatMap { k =>
+      val x = 10 + k % 4
+      val m = 2 * x + k % 3
+      (0 until x).map(i =>
+        (day0 + k * 86400000000L + i * 1000000L, i.toLong, "view", 0.0)) ++
+        (0 until m).map(i =>
+          (day0 + k * 86400000000L + (100 + i) * 1000000L, i.toLong,
+            "click", 1.0))
+    }
+    val out = byName("q_sobel_mediation")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Long]("n_days") === 12L)
+    assert(out.getAs[Double]("path_a") === 2.0 +- 0.5)
+    assert(out.getAs[Double]("path_b") === 100.0 +- 1e-6)
+    assert(out.getAs[Double]("indirect") ===
+      out.getAs[Double]("path_a") * 100.0 +- 1e-3)
+    assert(out.getAs[Double]("sobel_z") > 2.0)
+  }
+
+  test("q_price_index: a uniform price doubling doubles all three indices") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("r11pi").toString
+    Seq((1L, "1992-01-02"), (2L, "1993-01-02"))
+      .toDF("o_orderkey", "o_orderdate")
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 100L, 5L, 50.0), (2L, 100L, 3L, 60.0))
+      .toDF("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = byName("q_price_index")(spark, dir).head()
+    assert(out.getAs[Long]("n_parts") === 1L)
+    assert(out.getAs[Double]("laspeyres") === 2.0 +- 1e-6)
+    assert(out.getAs[Double]("paasche") === 2.0 +- 1e-6)
+    assert(out.getAs[Double]("fisher") === 2.0 +- 1e-6)
+  }
+
+  test("q_network_density_weekly: repeat baskets contribute zero new edges") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("r11nd").toString
+    Seq((1L, "1992-01-02"), (2L, "1992-01-09"))
+      .toDF("o_orderkey", "o_orderdate")
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 1L, 1L, 1.0), (1L, 2L, 1L, 1.0), (1L, 3L, 1L, 1.0),
+      (2L, 1L, 1L, 1.0), (2L, 2L, 1L, 1.0))
+      .toDF("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = byName("q_network_density_weekly")(spark, dir)
+      .orderBy("week").collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[Long]("n_edges") === 3L)
+    assert(out(0).getAs[Double]("density") === 1.0)
+    assert(out(0).getAs[Long]("new_ppm") === 1000000L)
+    assert(out(1).getAs[Long]("n_edges") === 1L)
+    assert(out(1).getAs[Long]("new_ppm") === 0L)
+  }
+
   test("q_turning_points: an alternating series turns at every interior point") {
     val rows = (0 until 6).flatMap(k =>
       onDay(k, if (k % 2 == 0) 1 else 5, "view"))
