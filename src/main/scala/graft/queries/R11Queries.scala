@@ -5411,6 +5411,322 @@ object R11Queries {
              |    AS density,
              |  (e.new_edges * 1000000 // e.n_edges)::BIGINT AS new_ppm
              |FROM e JOIN nodes ON e.wk = nodes.wk
-             |ORDER BY week""".stripMargin))
+             |ORDER BY week""".stripMargin)),
+
+    // Process-capability indices (Juran 1974): Cp / Cpk of the
+    // 'view' sensor channel against fixed spec limits [5, 95] —
+    // the SPC readout a robotics pipeline computes per sensor to
+    // say "is this channel even capable of staying in spec?".
+    // Moments come from exact 1e-3-grid integer sums; the
+    // out-of-spec count is a pure INTEGER comparison (no float
+    // boundary), and Cp/Cpk/σ are the final floats.
+    QueryDef("q_cpk_capability",
+      (s, d) => {
+        val v = graft.sources.Tables.events(s, d)
+          .filter(col("event_type") === "view")
+          .select(floor(col("value") * 1000).cast("long").as("vm"))
+        val a = v.agg(count(lit(1)).as("n"), sum(col("vm")).as("sv"),
+          sum(col("vm").cast("decimal(38,0)") * col("vm")).as("svv"),
+          sum(when(col("vm") < 5000 || col("vm") > 95000, 1L)
+            .otherwise(0L)).as("oos"))
+        a.select(col("n").as("n_samples"),
+          round(expr("cast(sv as double) / n / 1000.0"), 4).as("mean"),
+          round(expr(
+            """sqrt((cast(svv as double)
+              |  - cast(sv as double) * cast(sv as double)
+              |    / cast(n as double)) / (cast(n as double) - 1.0))
+              |/ 1000.0""".stripMargin), 4).as("sigma"),
+          round(expr(
+            """90.0 / (6.0 * sqrt((cast(svv as double)
+              |  - cast(sv as double) * cast(sv as double)
+              |    / cast(n as double)) / (cast(n as double) - 1.0))
+              |  / 1000.0)""".stripMargin), 4).as("cp"),
+          round(expr(
+            """least(95.0 - cast(sv as double) / n / 1000.0,
+              |  cast(sv as double) / n / 1000.0 - 5.0)
+              |/ (3.0 * sqrt((cast(svv as double)
+              |  - cast(sv as double) * cast(sv as double)
+              |    / cast(n as double)) / (cast(n as double) - 1.0))
+              |  / 1000.0)""".stripMargin), 4).as("cpk"),
+          expr("oos * 1000000 div n").as("oos_ppm"))
+      },
+      Some("""WITH v AS (SELECT floor(value * 1000)::BIGINT AS vm
+             |  FROM events WHERE event_type = 'view'),
+             |a AS (SELECT count(*)::BIGINT AS n, sum(vm)::BIGINT AS sv,
+             |    sum(vm::HUGEINT * vm) AS svv,
+             |    sum(CASE WHEN vm < 5000 OR vm > 95000 THEN 1 ELSE 0
+             |      END)::BIGINT AS oos
+             |  FROM v)
+             |SELECT n AS n_samples,
+             |  round(sv::DOUBLE / n / 1000.0, 4) AS mean,
+             |  round(sqrt((svv::DOUBLE - sv::DOUBLE * sv::DOUBLE
+             |      / n::DOUBLE) / (n::DOUBLE - 1.0)) / 1000.0, 4)
+             |    AS sigma,
+             |  round(90.0 / (6.0 * sqrt((svv::DOUBLE
+             |    - sv::DOUBLE * sv::DOUBLE / n::DOUBLE)
+             |    / (n::DOUBLE - 1.0)) / 1000.0), 4) AS cp,
+             |  round(least(95.0 - sv::DOUBLE / n / 1000.0,
+             |      sv::DOUBLE / n / 1000.0 - 5.0)
+             |    / (3.0 * sqrt((svv::DOUBLE - sv::DOUBLE * sv::DOUBLE
+             |        / n::DOUBLE) / (n::DOUBLE - 1.0)) / 1000.0), 4)
+             |    AS cpk,
+             |  (oos * 1000000 // n)::BIGINT AS oos_ppm
+             |FROM a""".stripMargin)),
+
+    // X̄-R control chart (Shewhart 1931), subgroup size 5: each
+    // day's FIRST five 'view' readings form the rational subgroup;
+    // the chart flags days whose subgroup mean leaves X̿ ± A₂·R̄ or
+    // whose range exceeds D₄·R̄ (A₂ = 0.577, D₃ = 0, D₄ = 2.114 —
+    // the standard n = 5 constants, embedded as identical literals).
+    // Subgroup stats are exact 1e-3-grid integers (mean kept as the
+    // ×5 SUM to avoid fractions); the two out-of-control counts
+    // compare scaled integers against float limits computed
+    // identically in both engines.
+    QueryDef("q_xbar_r_chart",
+      (s, d) => {
+        val first5 = graft.sources.Tables.events(s, d)
+          .filter(col("event_type") === "view")
+          .select(to_date(col("ts")).as("day"),
+            floor(col("value") * 1000).cast("long").as("vm"),
+            col("ts"), col("event_id"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("day"))
+              .orderBy(col("ts"), col("event_id"))))
+          .filter(col("rn") <= 5)
+        val sub = first5.groupBy(col("day"))
+          .agg(count(lit(1)).as("m"), sum(col("vm")).as("s5"),
+            (max(col("vm")) - min(col("vm"))).as("r"))
+          .filter(col("m") === 5)
+        val g = broadcast(sub.agg(count(lit(1)).as("k"),
+          sum(col("s5")).as("ss"), sum(col("r")).as("sr")))
+        sub.crossJoin(g)
+          .agg(max(col("k")).as("n_days"),
+            max(round(expr("cast(ss as double) / k / 5.0 / 1000.0"), 4))
+              .as("xbar_bar"),
+            max(round(expr("cast(sr as double) / k / 1000.0"), 4))
+              .as("r_bar"),
+            max(round(expr(
+              """(cast(ss as double) / k / 5.0
+                | + 0.577 * cast(sr as double) / k) / 1000.0"""
+                .stripMargin), 4)).as("ucl_x"),
+            max(round(expr(
+              """(cast(ss as double) / k / 5.0
+                | - 0.577 * cast(sr as double) / k) / 1000.0"""
+                .stripMargin), 4)).as("lcl_x"),
+            max(round(expr("2.114 * cast(sr as double) / k / 1000.0"), 4))
+              .as("ucl_r"),
+            sum(expr(
+              """CASE WHEN cast(s5 as double) / 5.0
+                |    > cast(ss as double) / k / 5.0
+                |      + 0.577 * cast(sr as double) / k
+                |  OR cast(s5 as double) / 5.0
+                |    < cast(ss as double) / k / 5.0
+                |      - 0.577 * cast(sr as double) / k
+                |THEN 1 ELSE 0 END""".stripMargin)).as("n_oc_mean"),
+            sum(expr(
+              """CASE WHEN cast(r as double)
+                |  > 2.114 * cast(sr as double) / k
+                |THEN 1 ELSE 0 END""".stripMargin)).as("n_oc_range"))
+      },
+      Some("""WITH f5 AS (SELECT ts::DATE AS day,
+             |    floor(value * 1000)::BIGINT AS vm
+             |  FROM events WHERE event_type = 'view'
+             |  QUALIFY row_number() OVER (PARTITION BY ts::DATE
+             |    ORDER BY ts, event_id) <= 5),
+             |sub AS (SELECT day, count(*)::BIGINT AS m,
+             |    sum(vm)::BIGINT AS s5,
+             |    (max(vm) - min(vm))::BIGINT AS r
+             |  FROM f5 GROUP BY 1 HAVING count(*) = 5),
+             |g AS (SELECT count(*)::BIGINT AS k, sum(s5)::BIGINT AS ss,
+             |    sum(r)::BIGINT AS sr FROM sub)
+             |SELECT max(g.k)::BIGINT AS n_days,
+             |  round(max(g.ss)::DOUBLE / max(g.k) / 5.0 / 1000.0, 4)
+             |    AS xbar_bar,
+             |  round(max(g.sr)::DOUBLE / max(g.k) / 1000.0, 4) AS r_bar,
+             |  round((max(g.ss)::DOUBLE / max(g.k) / 5.0
+             |    + 0.577 * max(g.sr)::DOUBLE / max(g.k)) / 1000.0, 4)
+             |    AS ucl_x,
+             |  round((max(g.ss)::DOUBLE / max(g.k) / 5.0
+             |    - 0.577 * max(g.sr)::DOUBLE / max(g.k)) / 1000.0, 4)
+             |    AS lcl_x,
+             |  round(2.114 * max(g.sr)::DOUBLE / max(g.k) / 1000.0, 4)
+             |    AS ucl_r,
+             |  sum(CASE WHEN sub.s5::DOUBLE / 5.0
+             |      > g.ss::DOUBLE / g.k / 5.0
+             |        + 0.577 * g.sr::DOUBLE / g.k
+             |    OR sub.s5::DOUBLE / 5.0
+             |      < g.ss::DOUBLE / g.k / 5.0
+             |        - 0.577 * g.sr::DOUBLE / g.k
+             |    THEN 1 ELSE 0 END)::BIGINT AS n_oc_mean,
+             |  sum(CASE WHEN sub.r::DOUBLE
+             |      > 2.114 * g.sr::DOUBLE / g.k
+             |    THEN 1 ELSE 0 END)::BIGINT AS n_oc_range
+             |FROM sub, g""".stripMargin)),
+
+    // Deming / total-least-squares regression (Deming 1943, λ = 1)
+    // between the daily view-value and click-value channels — the
+    // errors-in-BOTH-variables line ordinary OLS gets wrong when
+    // both "sensors" are noisy; slope = (C_yy − C_xx +
+    // √((C_yy−C_xx)² + 4C_xy²))/(2C_xy), the principal axis of the
+    // 2×2 covariance. Centered moments off exact cents-grid sums;
+    // OLS slope reported alongside for the attenuation contrast.
+    QueryDef("q_deming_regression",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(
+            (sum(when(col("event_type") === "view",
+              col("value").cast("decimal(18,2)"))
+              .otherwise(lit(0).cast("decimal(18,2)"))) * 100)
+              .cast("long").as("x"),
+            (sum(when(col("event_type") === "click",
+              col("value").cast("decimal(18,2)"))
+              .otherwise(lit(0).cast("decimal(18,2)"))) * 100)
+              .cast("long").as("y"))
+        val g = daily.agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+          sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+          sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+        g.selectExpr("n",
+            "cast(sxx as double) - cast(sx as double)" +
+              " * cast(sx as double) / n AS cxx",
+            "cast(sxy as double) - cast(sx as double)" +
+              " * cast(sy as double) / n AS cxy",
+            "cast(syy as double) - cast(sy as double)" +
+              " * cast(sy as double) / n AS cyy",
+            "cast(sx as double) / n AS mx",
+            "cast(sy as double) / n AS my")
+          .selectExpr("n AS n_days",
+            """round(CASE WHEN cxy = 0.0 THEN NULL
+              |ELSE (cyy - cxx + sqrt((cyy - cxx) * (cyy - cxx)
+              |  + 4.0 * cxy * cxy)) / (2.0 * cxy) END, 6)
+              |AS deming_slope""".stripMargin,
+            """round(CASE WHEN cxy = 0.0 THEN NULL
+              |ELSE (my - (cyy - cxx + sqrt((cyy - cxx) * (cyy - cxx)
+              |  + 4.0 * cxy * cxy)) / (2.0 * cxy) * mx) / 100.0
+              |END, 4) AS deming_intercept""".stripMargin,
+            "round(CASE WHEN cxx = 0.0 THEN NULL" +
+              " ELSE cxy / cxx END, 6) AS ols_slope")
+      },
+      Some("""WITH daily AS (SELECT ts::DATE AS day,
+             |    (sum(CASE WHEN event_type = 'view'
+             |        THEN CAST(value AS DECIMAL(18,2))
+             |        ELSE CAST(0 AS DECIMAL(18,2)) END) * 100)::BIGINT
+             |      AS x,
+             |    (sum(CASE WHEN event_type = 'click'
+             |        THEN CAST(value AS DECIMAL(18,2))
+             |        ELSE CAST(0 AS DECIMAL(18,2)) END) * 100)::BIGINT
+             |      AS y
+             |  FROM events GROUP BY 1),
+             |g AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+             |    sum(y)::BIGINT AS sy, sum(x::HUGEINT * x) AS sxx,
+             |    sum(x::HUGEINT * y) AS sxy, sum(y::HUGEINT * y) AS syy
+             |  FROM daily),
+             |c AS (SELECT n,
+             |    sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n AS cxx,
+             |    sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n AS cxy,
+             |    syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n AS cyy,
+             |    sx::DOUBLE / n AS mx, sy::DOUBLE / n AS my
+             |  FROM g)
+             |SELECT n AS n_days,
+             |  round(CASE WHEN cxy = 0.0 THEN NULL
+             |    ELSE (cyy - cxx + sqrt((cyy - cxx) * (cyy - cxx)
+             |      + 4.0 * cxy * cxy)) / (2.0 * cxy) END, 6)
+             |    AS deming_slope,
+             |  round(CASE WHEN cxy = 0.0 THEN NULL
+             |    ELSE (my - (cyy - cxx + sqrt((cyy - cxx) * (cyy - cxx)
+             |      + 4.0 * cxy * cxy)) / (2.0 * cxy) * mx) / 100.0
+             |    END, 4) AS deming_intercept,
+             |  round(CASE WHEN cxx = 0.0 THEN NULL
+             |    ELSE cxy / cxx END, 6) AS ols_slope
+             |FROM c""".stripMargin)),
+
+    // Bland–Altman agreement analysis (Bland & Altman 1986) between
+    // the view and click channels as paired daily "measurements":
+    // bias = mean difference, 95% limits of agreement = bias ±
+    // 1.96·σ_d, and the count of days outside them — the method-
+    // comparison readout that correlation famously fakes. The
+    // per-day differences are EXACT cents integers; bias/σ_d are
+    // floats off exact sums, and the outside-count compares each
+    // integer d against the float limits with the identical
+    // expression in both engines.
+    QueryDef("q_bland_altman",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(
+            (sum(when(col("event_type") === "view",
+              col("value").cast("decimal(18,2)"))
+              .otherwise(lit(0).cast("decimal(18,2)"))) * 100)
+              .cast("long").as("x"),
+            (sum(when(col("event_type") === "click",
+              col("value").cast("decimal(18,2)"))
+              .otherwise(lit(0).cast("decimal(18,2)"))) * 100)
+              .cast("long").as("y"))
+          .withColumn("dd", col("x") - col("y"))
+        val g = broadcast(daily.agg(count(lit(1)).as("n"),
+          sum(col("dd")).as("sd"),
+          sum(col("dd").cast("decimal(38,0)") * col("dd")).as("sdd")))
+        daily.crossJoin(g)
+          .agg(max(col("n")).as("n_days"),
+            max(round(expr("cast(sd as double) / n / 100.0"), 4))
+              .as("bias"),
+            max(round(expr(
+              """(cast(sd as double) / n - 1.96 * sqrt(
+                |  (cast(sdd as double) - cast(sd as double)
+                |    * cast(sd as double) / cast(n as double))
+                |  / (cast(n as double) - 1.0))) / 100.0"""
+                .stripMargin), 4)).as("loa_low"),
+            max(round(expr(
+              """(cast(sd as double) / n + 1.96 * sqrt(
+                |  (cast(sdd as double) - cast(sd as double)
+                |    * cast(sd as double) / cast(n as double))
+                |  / (cast(n as double) - 1.0))) / 100.0"""
+                .stripMargin), 4)).as("loa_high"),
+            sum(expr(
+              """CASE WHEN cast(dd as double)
+                |  > cast(sd as double) / n + 1.96 * sqrt(
+                |    (cast(sdd as double) - cast(sd as double)
+                |      * cast(sd as double) / cast(n as double))
+                |    / (cast(n as double) - 1.0))
+                |OR cast(dd as double)
+                |  < cast(sd as double) / n - 1.96 * sqrt(
+                |    (cast(sdd as double) - cast(sd as double)
+                |      * cast(sd as double) / cast(n as double))
+                |    / (cast(n as double) - 1.0))
+                |THEN 1 ELSE 0 END""".stripMargin)).as("n_outside"))
+      },
+      Some("""WITH daily AS (SELECT ts::DATE AS day,
+             |    (sum(CASE WHEN event_type = 'view'
+             |        THEN CAST(value AS DECIMAL(18,2))
+             |        ELSE CAST(0 AS DECIMAL(18,2)) END) * 100)::BIGINT
+             |    - (sum(CASE WHEN event_type = 'click'
+             |        THEN CAST(value AS DECIMAL(18,2))
+             |        ELSE CAST(0 AS DECIMAL(18,2)) END) * 100)::BIGINT
+             |      AS dd
+             |  FROM events GROUP BY 1),
+             |g AS (SELECT count(*)::BIGINT AS n, sum(dd)::BIGINT AS sd,
+             |    sum(dd::HUGEINT * dd) AS sdd FROM daily)
+             |SELECT max(g.n)::BIGINT AS n_days,
+             |  round(max(g.sd)::DOUBLE / max(g.n) / 100.0, 4) AS bias,
+             |  round((max(g.sd)::DOUBLE / max(g.n) - 1.96 * sqrt(
+             |    (max(g.sdd)::DOUBLE - max(g.sd)::DOUBLE
+             |      * max(g.sd)::DOUBLE / max(g.n)::DOUBLE)
+             |    / (max(g.n)::DOUBLE - 1.0))) / 100.0, 4) AS loa_low,
+             |  round((max(g.sd)::DOUBLE / max(g.n) + 1.96 * sqrt(
+             |    (max(g.sdd)::DOUBLE - max(g.sd)::DOUBLE
+             |      * max(g.sd)::DOUBLE / max(g.n)::DOUBLE)
+             |    / (max(g.n)::DOUBLE - 1.0))) / 100.0, 4) AS loa_high,
+             |  sum(CASE WHEN daily.dd::DOUBLE
+             |      > g.sd::DOUBLE / g.n + 1.96 * sqrt(
+             |        (g.sdd::DOUBLE - g.sd::DOUBLE * g.sd::DOUBLE
+             |          / g.n::DOUBLE) / (g.n::DOUBLE - 1.0))
+             |    OR daily.dd::DOUBLE
+             |      < g.sd::DOUBLE / g.n - 1.96 * sqrt(
+             |        (g.sdd::DOUBLE - g.sd::DOUBLE * g.sd::DOUBLE
+             |          / g.n::DOUBLE) / (g.n::DOUBLE - 1.0))
+             |    THEN 1 ELSE 0 END)::BIGINT AS n_outside
+             |FROM daily, g""".stripMargin))
   )
 }

@@ -1027,6 +1027,59 @@ class R11QueriesSpec extends GraftSpec {
     assert(out(1).getAs[Long]("new_ppm") === 0L)
   }
 
+  test("q_cpk_capability: symmetric 40/50/60 readings give Cp = Cpk = 1.5") {
+    val rows = (0 until 3).flatMap(k => Seq(40.0, 50.0, 60.0).zipWithIndex
+      .map { case (v, i) =>
+        (day0 + k * 86400000000L + i * 1000000L, i.toLong, "view", v) })
+    val out = byName("q_cpk_capability")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Long]("n_samples") === 9L)
+    assert(out.getAs[Double]("mean") === 50.0)
+    assert(out.getAs[Double]("sigma") === math.sqrt(75.0) +- 1e-3)
+    assert(out.getAs[Double]("cpk") === out.getAs[Double]("cp"))
+    assert(out.getAs[Long]("oos_ppm") === 0L)
+  }
+
+  test("q_xbar_r_chart uses only the first five readings per day") {
+    val rows = (0 until 2).flatMap { k =>
+      Seq(10.0, 20.0, 30.0, 40.0, 50.0).zipWithIndex.map { case (v, i) =>
+        (day0 + k * 86400000000L + i * 1000000L, i.toLong, "view", v)
+      } :+ (day0 + k * 86400000000L + 99 * 1000000L, 9L, "view", 999.0)
+    }
+    val out = byName("q_xbar_r_chart")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Long]("n_days") === 2L)
+    assert(out.getAs[Double]("xbar_bar") === 30.0)
+    assert(out.getAs[Double]("r_bar") === 40.0)
+    assert(out.getAs[Double]("ucl_x") === 30.0 + 0.577 * 40.0 +- 1e-3)
+    assert(out.getAs[Double]("ucl_r") === 2.114 * 40.0 +- 1e-3)
+    assert(out.getAs[Long]("n_oc_mean") === 0L)
+    assert(out.getAs[Long]("n_oc_range") === 0L)
+  }
+
+  test("q_deming_regression: exact y = 2x gives slope 2 in both estimators") {
+    val rows = (0 until 10).flatMap { t =>
+      Seq((day0 + t * 86400000000L, 1L, "view", 10.0 + t),
+        (day0 + t * 86400000000L + 1000000L, 1L, "click",
+          2.0 * (10.0 + t)))
+    }
+    val out = byName("q_deming_regression")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Double]("deming_slope") === 2.0)
+    assert(out.getAs[Double]("ols_slope") === 2.0)
+    assert(out.getAs[Double]("deming_intercept") === 0.0)
+  }
+
+  test("q_bland_altman: a constant offset gives zero-width agreement limits") {
+    val rows = (0 until 8).flatMap { t =>
+      Seq((day0 + t * 86400000000L, 1L, "view", 20.0),
+        (day0 + t * 86400000000L + 1000000L, 1L, "click", 15.0))
+    }
+    val out = byName("q_bland_altman")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Long]("n_days") === 8L)
+    assert(out.getAs[Double]("bias") === 5.0)
+    assert(out.getAs[Double]("loa_low") === 5.0)
+    assert(out.getAs[Double]("loa_high") === 5.0)
+    assert(out.getAs[Long]("n_outside") === 0L)
+  }
+
   test("q_turning_points: an alternating series turns at every interior point") {
     val rows = (0 until 6).flatMap(k =>
       onDay(k, if (k % 2 == 0) 1 else 5, "view"))
