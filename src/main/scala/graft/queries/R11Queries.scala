@@ -5727,6 +5727,437 @@ object R11Queries {
              |        (g.sdd::DOUBLE - g.sd::DOUBLE * g.sd::DOUBLE
              |          / g.n::DOUBLE) / (g.n::DOUBLE - 1.0))
              |    THEN 1 ELSE 0 END)::BIGINT AS n_outside
-             |FROM daily, g""".stripMargin))
+             |FROM daily, g""".stripMargin)),
+
+    // Interrupted-time-series segmented fit: OLS lines on the daily
+    // revenue before/after the calendar midpoint, read out as the
+    // LEVEL JUMP at the break and the SLOPE CHANGE — the effect-size
+    // view that complements q_chow_test's F-decision. Both segment
+    // fits are closed-form over exact integer sums (the Chow
+    // machinery); the two projections at the break point t₀ and the
+    // slope difference are the only floats, in dollars and
+    // dollars/day.
+    QueryDef("q_its_segmented",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg((sum(col("value").cast("decimal(18,2)")) * lit(100))
+            .cast("long").as("y"))
+          .withColumn("t",
+            (row_number().over(Window.orderBy(col("day"))) - 1)
+              .cast("long"))
+        val n0 = broadcast(daily.agg(count(lit(1)).as("nn")))
+        val marked = daily.crossJoin(n0)
+          .withColumn("h", when(col("t") < expr("nn div 2"), 1)
+            .otherwise(2))
+        def sums(pred: org.apache.spark.sql.Column, tag: String) = Seq(
+          sum(when(pred, lit(1L)).otherwise(0L)).as(s"n$tag"),
+          sum(when(pred, col("t")).otherwise(0L)).as(s"st$tag"),
+          sum(when(pred, col("y")).otherwise(0L)).as(s"sy$tag"),
+          sum(when(pred, col("t") * col("t")).otherwise(0L)).as(s"stt$tag"),
+          sum(when(pred, col("t").cast("decimal(38,0)") * col("y"))
+            .otherwise(lit(0).cast("decimal(38,0)"))).as(s"sty$tag"))
+        val allSums = sums(col("h") === 1, "1") ++ sums(col("h") === 2, "2")
+        val agg = marked.agg(allSums.head, allSums.tail: _*)
+        def b(tag: String) =
+          s"""(cast(cast(n$tag as decimal(38,0)) * sty$tag
+             |  - cast(st$tag as decimal(38,0)) * sy$tag as double)
+             |/ cast(cast(n$tag as decimal(38,0)) * stt$tag
+             |  - cast(st$tag as decimal(38,0)) * st$tag as double))"""
+            .stripMargin
+        def a(tag: String) =
+          s"""((cast(sy$tag as double) - ${b(tag)}
+             | * cast(st$tag as double)) / cast(n$tag as double))"""
+            .stripMargin
+        agg.selectExpr("n1 + n2 AS n_days", "n1 AS t0",
+            s"round(${b("1")} / 100.0, 6) AS slope_pre",
+            s"round(${b("2")} / 100.0, 6) AS slope_post",
+            s"""round(((${a("2")} + ${b("2")} * n1)
+               | - (${a("1")} + ${b("1")} * n1)) / 100.0, 4)
+               |AS level_change""".stripMargin,
+            s"round((${b("2")} - ${b("1")}) / 100.0, 6) AS slope_change")
+      },
+      Some {
+        def b(tag: String) =
+          s"""((n$tag::HUGEINT * sty$tag
+             |  - st$tag::HUGEINT * sy$tag)::DOUBLE
+             |/ (n$tag::HUGEINT * stt$tag
+             |  - st$tag::HUGEINT * st$tag)::DOUBLE)""".stripMargin
+        def a(tag: String) =
+          s"""((sy$tag::DOUBLE - ${b(tag)} * st$tag::DOUBLE)
+             | / n$tag::DOUBLE)""".stripMargin
+        s"""WITH daily AS (SELECT day,
+           |    row_number() OVER (ORDER BY day) - 1 AS t, y FROM (
+           |    SELECT ts::DATE AS day,
+           |      (sum(CAST(value AS DECIMAL(18,2))) * 100)::BIGINT AS y
+           |    FROM events GROUP BY 1)),
+           |n0 AS (SELECT count(*)::BIGINT AS nn FROM daily),
+           |m AS (SELECT daily.t, daily.y,
+           |    CASE WHEN daily.t < n0.nn // 2 THEN 1 ELSE 2 END AS h
+           |  FROM daily, n0),
+           |ag AS (SELECT
+           |    sum(CASE WHEN h = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+           |    sum(CASE WHEN h = 1 THEN t ELSE 0 END)::BIGINT AS st1,
+           |    sum(CASE WHEN h = 1 THEN y ELSE 0 END)::BIGINT AS sy1,
+           |    sum(CASE WHEN h = 1 THEN t * t ELSE 0 END)::BIGINT
+           |      AS stt1,
+           |    sum(CASE WHEN h = 1 THEN t::HUGEINT * y
+           |        ELSE 0::HUGEINT END) AS sty1,
+           |    sum(CASE WHEN h = 2 THEN 1 ELSE 0 END)::BIGINT AS n2,
+           |    sum(CASE WHEN h = 2 THEN t ELSE 0 END)::BIGINT AS st2,
+           |    sum(CASE WHEN h = 2 THEN y ELSE 0 END)::BIGINT AS sy2,
+           |    sum(CASE WHEN h = 2 THEN t * t ELSE 0 END)::BIGINT
+           |      AS stt2,
+           |    sum(CASE WHEN h = 2 THEN t::HUGEINT * y
+           |        ELSE 0::HUGEINT END) AS sty2
+           |  FROM m)
+           |SELECT (n1 + n2)::BIGINT AS n_days, n1 AS t0,
+           |  round(${b("1")} / 100.0, 6) AS slope_pre,
+           |  round(${b("2")} / 100.0, 6) AS slope_post,
+           |  round(((${a("2")} + ${b("2")} * n1)
+           |    - (${a("1")} + ${b("1")} * n1)) / 100.0, 4)
+           |    AS level_change,
+           |  round((${b("2")} - ${b("1")}) / 100.0, 6) AS slope_change
+           |FROM ag""".stripMargin
+      }),
+
+    // KPSS stationarity test (Kwiatkowski, Phillips, Schmidt & Shin
+    // 1992), level version with a Bartlett long-run variance
+    // (L = 4): the null here is STATIONARITY — the mirror image of
+    // q_dickey_fuller's unit-root null, and reporting both is how
+    // practitioners actually classify a series. Demeaned residuals
+    // are 4-dp-exact decimals, their partial sums an exact decimal
+    // window cumsum, and every squared/cross term is quantized
+    // before summation; η and σ²_lr are the final floats.
+    QueryDef("q_kpss",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg((sum(col("value").cast("decimal(18,2)")) * lit(100))
+            .cast("long").as("y"))
+        val g = broadcast(daily.agg(count(lit(1)).as("n"),
+          sum(col("y")).as("sy")))
+        val e = daily.crossJoin(g)
+          .withColumn("u", expr(
+            """cast(round((cast(n as decimal(38,0)) * y - sy)
+              |  / (cast(n as double) * 100.0), 4)
+              |  as decimal(24,4))""".stripMargin))
+          .withColumn("s", sum(col("u")).over(
+            Window.orderBy(col("day"))
+              .rowsBetween(Window.unboundedPreceding, 0))
+            .cast("decimal(38,4)"))
+        val lagCols = Seq(col("n"), col("u"), col("s")) ++
+          (1 to 4).map(l => lag(col("u"), l)
+            .over(Window.orderBy(col("day"))).as(s"u$l"))
+        val lagged = e.select(lagCols: _*)
+        val aggCols = Seq(
+          max(col("n")).as("n"),
+          sum(expr("cast(round(cast(s as double) * cast(s as double)," +
+            " 4) as decimal(38,4))")).as("ss2"),
+          sum(expr("cast(round(cast(u as double) * cast(u as double)," +
+            " 8) as decimal(38,8))")).as("g0")) ++
+          (1 to 4).map(l =>
+            sum(expr(s"cast(round(cast(u as double)" +
+              s" * cast(u$l as double), 8) as decimal(38,8))"))
+              .as(s"g$l"))
+        val a = lagged.agg(aggCols.head, aggCols.tail: _*)
+        a.select(col("n").as("n_days"),
+          round(expr(
+            """(cast(g0 as double)
+              | + 2.0 * (0.8 * coalesce(cast(g1 as double), 0.0)
+              |   + 0.6 * coalesce(cast(g2 as double), 0.0)
+              |   + 0.4 * coalesce(cast(g3 as double), 0.0)
+              |   + 0.2 * coalesce(cast(g4 as double), 0.0)))
+              |/ cast(n as double)""".stripMargin), 4).as("lr_var"),
+          round(expr(
+            """cast(ss2 as double) / (cast(n as double)
+              | * cast(n as double))
+              |/ ((cast(g0 as double)
+              |  + 2.0 * (0.8 * coalesce(cast(g1 as double), 0.0)
+              |    + 0.6 * coalesce(cast(g2 as double), 0.0)
+              |    + 0.4 * coalesce(cast(g3 as double), 0.0)
+              |    + 0.2 * coalesce(cast(g4 as double), 0.0)))
+              | / cast(n as double))""".stripMargin), 4)
+            .as("kpss_eta"))
+      },
+      Some("""WITH daily AS (SELECT ts::DATE AS day,
+             |    (sum(CAST(value AS DECIMAL(18,2))) * 100)::BIGINT AS y
+             |  FROM events GROUP BY 1),
+             |g AS (SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS sy
+             |  FROM daily),
+             |e AS (SELECT daily.day, g.n,
+             |    round((g.n::HUGEINT * daily.y - g.sy)
+             |      / (g.n::DOUBLE * 100.0), 4)::DECIMAL(24,4) AS u
+             |  FROM daily, g),
+             |s AS (SELECT day, n, u,
+             |    sum(u) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+             |      PRECEDING AND CURRENT ROW)::DECIMAL(38,4) AS s,
+             |    lag(u, 1) OVER (ORDER BY day) AS u1,
+             |    lag(u, 2) OVER (ORDER BY day) AS u2,
+             |    lag(u, 3) OVER (ORDER BY day) AS u3,
+             |    lag(u, 4) OVER (ORDER BY day) AS u4
+             |  FROM e),
+             |a AS (SELECT max(n)::BIGINT AS n,
+             |    sum(round(s::DOUBLE * s::DOUBLE, 4)::DECIMAL(38,4))
+             |      AS ss2,
+             |    sum(round(u::DOUBLE * u::DOUBLE, 8)::DECIMAL(38,8))
+             |      AS g0,
+             |    sum(round(u::DOUBLE * u1::DOUBLE, 8)::DECIMAL(38,8))
+             |      AS g1,
+             |    sum(round(u::DOUBLE * u2::DOUBLE, 8)::DECIMAL(38,8))
+             |      AS g2,
+             |    sum(round(u::DOUBLE * u3::DOUBLE, 8)::DECIMAL(38,8))
+             |      AS g3,
+             |    sum(round(u::DOUBLE * u4::DOUBLE, 8)::DECIMAL(38,8))
+             |      AS g4
+             |  FROM s)
+             |SELECT n AS n_days,
+             |  round((g0::DOUBLE
+             |    + 2.0 * (0.8 * coalesce(g1::DOUBLE, 0.0)
+             |      + 0.6 * coalesce(g2::DOUBLE, 0.0)
+             |      + 0.4 * coalesce(g3::DOUBLE, 0.0)
+             |      + 0.2 * coalesce(g4::DOUBLE, 0.0)))
+             |    / n::DOUBLE, 4) AS lr_var,
+             |  round(ss2::DOUBLE / (n::DOUBLE * n::DOUBLE)
+             |    / ((g0::DOUBLE
+             |      + 2.0 * (0.8 * coalesce(g1::DOUBLE, 0.0)
+             |        + 0.6 * coalesce(g2::DOUBLE, 0.0)
+             |        + 0.4 * coalesce(g3::DOUBLE, 0.0)
+             |        + 0.2 * coalesce(g4::DOUBLE, 0.0)))
+             |      / n::DOUBLE), 4) AS kpss_eta
+             |FROM a""".stripMargin)),
+
+    // ARCH LM test (Engle 1982): do the daily-revenue trend
+    // residuals show VOLATILITY CLUSTERING — big shocks following
+    // big shocks? Squared residuals h_t (exact decimals off the
+    // scaled-integer residual identity) regress on h_{t−1}; LM =
+    // (T−1)·R² is χ²(1) under homoskedasticity. The companion to
+    // q_breusch_pagan (variance vs TIME) and q_durbin_watson
+    // (serial correlation in the MEAN).
+    QueryDef("q_arch_lm",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg((sum(col("value").cast("decimal(18,2)")) * lit(100))
+            .cast("long").as("y"))
+          .withColumn("t",
+            (row_number().over(Window.orderBy(col("day"))) - 1)
+              .cast("long"))
+        val g = broadcast(daily.agg(count(lit(1)).as("n"),
+          sum(col("t")).as("st"), sum(col("y")).as("sy"),
+          sum(col("t") * col("t")).as("stt"),
+          sum(col("t") * col("y")).as("sty")))
+        val h = daily.crossJoin(g)
+          .withColumn("num", expr("n * sty - st * sy"))
+          .withColumn("den", expr("n * stt - st * st"))
+          .withColumn("u", expr(
+            """cast(round(
+              |  cast(cast(n as decimal(38,0)) * den * y
+              |       - (cast(den as decimal(38,0)) * sy
+              |          - cast(num as decimal(38,0)) * st)
+              |       - cast(n as decimal(38,0)) * num * t as double)
+              |  / (cast(n as double) * cast(den as double)) / 100.0,
+              |  4) as decimal(24,4))""".stripMargin))
+          .withColumn("h", expr("cast(u * u as decimal(38,8))"))
+          .withColumn("hp", lag(col("h"), 1).over(
+            Window.orderBy(col("day"))))
+        val a = h.filter(col("hp").isNotNull)
+          .agg(count(lit(1)).as("tt"),
+            sum(col("h")).as("sh"), sum(col("hp")).as("shp"),
+            sum(expr("cast(round(cast(h as double)" +
+              " * cast(hp as double), 6) as decimal(38,6))"))
+              .as("shh"),
+            sum(expr("cast(round(cast(h as double)" +
+              " * cast(h as double), 6) as decimal(38,6))")).as("sh2"),
+            sum(expr("cast(round(cast(hp as double)" +
+              " * cast(hp as double), 6) as decimal(38,6))"))
+              .as("shp2"))
+        a.select(col("tt").cast("long").as("n_obs"),
+          round(expr(
+            """(cast(tt as double) * cast(shh as double)
+              | - cast(sh as double) * cast(shp as double))
+              |/ sqrt((cast(tt as double) * cast(sh2 as double)
+              |   - cast(sh as double) * cast(sh as double))
+              | * (cast(tt as double) * cast(shp2 as double)
+              |   - cast(shp as double) * cast(shp as double)))"""
+              .stripMargin), 6).as("rho1"),
+          round(expr(
+            """cast(tt as double) * pow(
+              |(cast(tt as double) * cast(shh as double)
+              | - cast(sh as double) * cast(shp as double))
+              |/ sqrt((cast(tt as double) * cast(sh2 as double)
+              |   - cast(sh as double) * cast(sh as double))
+              | * (cast(tt as double) * cast(shp2 as double)
+              |   - cast(shp as double) * cast(shp as double))), 2.0)"""
+              .stripMargin), 4).as("lm_stat"))
+      },
+      Some("""WITH daily AS (SELECT day,
+             |    row_number() OVER (ORDER BY day) - 1 AS t, y FROM (
+             |    SELECT ts::DATE AS day,
+             |      (sum(CAST(value AS DECIMAL(18,2))) * 100)::BIGINT AS y
+             |    FROM events GROUP BY 1)),
+             |g AS (SELECT count(*)::BIGINT AS n, sum(t)::BIGINT AS st,
+             |    sum(y)::BIGINT AS sy, sum(t * t)::BIGINT AS stt,
+             |    sum(t * y)::BIGINT AS sty FROM daily),
+             |e AS (SELECT daily.day,
+             |    round((g.n::HUGEINT * (g.n * g.stt - g.st * g.st)
+             |        * daily.y
+             |      - ((g.n * g.stt - g.st * g.st)::HUGEINT * g.sy
+             |         - (g.n * g.sty - g.st * g.sy)::HUGEINT * g.st)
+             |      - g.n::HUGEINT * (g.n * g.sty - g.st * g.sy)
+             |        * daily.t)::DOUBLE
+             |      / (g.n::DOUBLE * (g.n * g.stt - g.st * g.st)::DOUBLE)
+             |      / 100.0, 4)::DECIMAL(24,4) AS u
+             |  FROM daily, g),
+             |hh AS (SELECT day, (u * u)::DECIMAL(38,8) AS h FROM e),
+             |l AS (SELECT h, lag(h) OVER (ORDER BY day) AS hp FROM hh),
+             |a AS (SELECT count(*)::BIGINT AS tt, sum(h) AS sh,
+             |    sum(hp) AS shp,
+             |    sum(round(h::DOUBLE * hp::DOUBLE, 6)::DECIMAL(38,6))
+             |      AS shh,
+             |    sum(round(h::DOUBLE * h::DOUBLE, 6)::DECIMAL(38,6))
+             |      AS sh2,
+             |    sum(round(hp::DOUBLE * hp::DOUBLE, 6)::DECIMAL(38,6))
+             |      AS shp2
+             |  FROM l WHERE hp IS NOT NULL)
+             |SELECT tt AS n_obs,
+             |  round((tt::DOUBLE * shh::DOUBLE
+             |      - sh::DOUBLE * shp::DOUBLE)
+             |    / sqrt((tt::DOUBLE * sh2::DOUBLE
+             |        - sh::DOUBLE * sh::DOUBLE)
+             |      * (tt::DOUBLE * shp2::DOUBLE
+             |        - shp::DOUBLE * shp::DOUBLE)), 6) AS rho1,
+             |  round(tt::DOUBLE * pow(
+             |    (tt::DOUBLE * shh::DOUBLE - sh::DOUBLE * shp::DOUBLE)
+             |    / sqrt((tt::DOUBLE * sh2::DOUBLE
+             |        - sh::DOUBLE * sh::DOUBLE)
+             |      * (tt::DOUBLE * shp2::DOUBLE
+             |        - shp::DOUBLE * shp::DOUBLE)), 2.0), 4)
+             |    AS lm_stat
+             |FROM a""".stripMargin)),
+
+    // Cochrane–Orcutt AR(1) correction (Cochrane & Orcutt 1949) for
+    // the daily revenue trend: estimate ρ from the EXACT scaled
+    // residual lag ratio (the n·den scale cancels in Σe_t·e_{t−1}/
+    // Σe²_{t−1}, so ρ is float-division-once exact), quasi-difference
+    // the data (y* = y − ρ·y₋₁, t* = t − ρ(t−1)) and refit — the
+    // serially-correlated-errors slope the naive OLS line misstates.
+    // Quasi-differenced terms are 6-dp-quantized decimals; digest-
+    // sized throughout.
+    QueryDef("q_cochrane_orcutt",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg((sum(col("value").cast("decimal(18,2)")) * lit(100))
+            .cast("long").as("y"))
+          .withColumn("t",
+            (row_number().over(Window.orderBy(col("day"))) - 1)
+              .cast("long"))
+        val g = broadcast(daily.agg(count(lit(1)).as("n"),
+          sum(col("t")).as("st"), sum(col("y")).as("sy"),
+          sum(col("t") * col("t")).as("stt"),
+          sum(col("t") * col("y")).as("sty")))
+        val e = daily.crossJoin(g)
+          .withColumn("num", expr("n * sty - st * sy"))
+          .withColumn("den", expr("n * stt - st * st"))
+          .withColumn("ee", expr(
+            """cast(n as decimal(38,0)) * den * y
+              | - (cast(den as decimal(38,0)) * sy
+              |    - cast(num as decimal(38,0)) * st)
+              | - cast(n as decimal(38,0)) * num * t""".stripMargin))
+          .withColumn("ep", lag(col("ee"), 1).over(
+            Window.orderBy(col("day"))))
+          .withColumn("yp", lag(col("y"), 1).over(
+            Window.orderBy(col("day"))))
+        val rho = broadcast(e.filter(col("ep").isNotNull)
+          .agg(
+            sum(expr("cast(round(cast(ee as double) / cast(den as" +
+              " double) * (cast(ep as double) / cast(den as double))," +
+              " 4) as decimal(38,4))")).as("sep"),
+            sum(expr("cast(round(cast(ep as double) / cast(den as" +
+              " double) * (cast(ep as double) / cast(den as double))," +
+              " 4) as decimal(38,4))")).as("spp"))
+          .select(expr(
+            """CASE WHEN cast(spp as double) = 0.0 THEN NULL
+              |ELSE cast(sep as double) / cast(spp as double) END"""
+              .stripMargin).as("rho")))
+        val q = e.filter(col("yp").isNotNull).crossJoin(rho)
+          .select(col("n"),
+            expr("cast(round(cast(t as double)" +
+              " - rho * (t - 1), 6) as decimal(28,6))").as("xs"),
+            expr("cast(round((cast(y as double)" +
+              " - rho * yp) / 100.0, 6) as decimal(28,6))").as("ys"),
+            col("rho"),
+            expr("cast(num as double) / cast(den as double) / 100.0")
+              .as("b_ols"))
+        q.agg(max(col("n")).as("n"), max(col("rho")).as("rho"),
+            max(col("b_ols")).as("b_ols"), count(lit(1)).as("m"),
+            sum(col("xs")).as("sx"), sum(col("ys")).as("sy2"),
+            sum(expr("cast(round(cast(xs as double) * cast(xs as" +
+              " double), 6) as decimal(38,6))")).as("sxx"),
+            sum(expr("cast(round(cast(xs as double) * cast(ys as" +
+              " double), 6) as decimal(38,6))")).as("sxy"))
+          .select(col("n").as("n_days"), round(col("rho"), 6).as("rho"),
+            round(col("b_ols"), 6).as("slope_ols"),
+            round(expr(
+              """(cast(m as double) * cast(sxy as double)
+                | - cast(sx as double) * cast(sy2 as double))
+                |/ (cast(m as double) * cast(sxx as double)
+                | - cast(sx as double) * cast(sx as double))"""
+                .stripMargin), 6).as("slope_co"))
+      },
+      Some("""WITH daily AS (SELECT day,
+             |    row_number() OVER (ORDER BY day) - 1 AS t, y FROM (
+             |    SELECT ts::DATE AS day,
+             |      (sum(CAST(value AS DECIMAL(18,2))) * 100)::BIGINT AS y
+             |    FROM events GROUP BY 1)),
+             |g AS (SELECT count(*)::BIGINT AS n, sum(t)::BIGINT AS st,
+             |    sum(y)::BIGINT AS sy, sum(t * t)::BIGINT AS stt,
+             |    sum(t * y)::BIGINT AS sty FROM daily),
+             |e AS (SELECT daily.day, daily.t, daily.y, g.n,
+             |    g.n * g.sty - g.st * g.sy AS num,
+             |    g.n * g.stt - g.st * g.st AS den,
+             |    (g.n::HUGEINT * (g.n * g.stt - g.st * g.st) * daily.y
+             |      - ((g.n * g.stt - g.st * g.st)::HUGEINT * g.sy
+             |         - (g.n * g.sty - g.st * g.sy)::HUGEINT * g.st)
+             |      - g.n::HUGEINT * (g.n * g.sty - g.st * g.sy)
+             |        * daily.t) AS ee
+             |  FROM daily, g),
+             |l AS (SELECT day, t, y, n, num, den, ee,
+             |    lag(ee) OVER (ORDER BY day) AS ep,
+             |    lag(y) OVER (ORDER BY day) AS yp
+             |  FROM e),
+             |rho AS (SELECT CASE WHEN sum(round(ep::DOUBLE
+             |      / den::DOUBLE * (ep::DOUBLE / den::DOUBLE), 4)
+             |      ::DECIMAL(38,4))::DOUBLE = 0.0 THEN NULL
+             |    ELSE sum(round(ee::DOUBLE / den::DOUBLE
+             |      * (ep::DOUBLE / den::DOUBLE), 4)
+             |      ::DECIMAL(38,4))::DOUBLE
+             |    / sum(round(ep::DOUBLE / den::DOUBLE
+             |      * (ep::DOUBLE / den::DOUBLE), 4)
+             |      ::DECIMAL(38,4))::DOUBLE END AS rho
+             |  FROM l WHERE ep IS NOT NULL),
+             |q AS (SELECT l.n, rho.rho,
+             |    l.num::DOUBLE / l.den::DOUBLE / 100.0 AS b_ols,
+             |    round(l.t::DOUBLE - rho.rho * (l.t - 1), 6)
+             |      ::DECIMAL(28,6) AS xs,
+             |    round((l.y::DOUBLE - rho.rho * l.yp) / 100.0, 6)
+             |      ::DECIMAL(28,6) AS ys
+             |  FROM l, rho WHERE l.yp IS NOT NULL),
+             |a AS (SELECT max(n)::BIGINT AS n, max(rho) AS rho,
+             |    max(b_ols) AS b_ols, count(*)::BIGINT AS m,
+             |    sum(xs) AS sx, sum(ys) AS sy2,
+             |    sum(round(xs::DOUBLE * xs::DOUBLE, 6)::DECIMAL(38,6))
+             |      AS sxx,
+             |    sum(round(xs::DOUBLE * ys::DOUBLE, 6)::DECIMAL(38,6))
+             |      AS sxy
+             |  FROM q)
+             |SELECT n AS n_days, round(rho, 6) AS rho,
+             |  round(b_ols, 6) AS slope_ols,
+             |  round((m::DOUBLE * sxy::DOUBLE
+             |      - sx::DOUBLE * sy2::DOUBLE)
+             |    / (m::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE),
+             |    6) AS slope_co
+             |FROM a""".stripMargin))
   )
 }

@@ -1080,6 +1080,59 @@ class R11QueriesSpec extends GraftSpec {
     assert(out.getAs[Long]("n_outside") === 0L)
   }
 
+  test("q_its_segmented reads exact level and slope changes off a clean break") {
+    val rows = (0 until 24).map { t =>
+      val y = if (t < 12) 100.0 else 100.0 + 50.0 * (t - 11)
+      (day0 + t * 86400000000L, 1L, "view", y)
+    }
+    val out = byName("q_its_segmented")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Long]("n_days") === 24L)
+    assert(out.getAs[Long]("t0") === 12L)
+    assert(out.getAs[Double]("slope_pre") === 0.0)
+    assert(out.getAs[Double]("slope_post") === 50.0 +- 1e-6)
+    assert(out.getAs[Double]("level_change") === 50.0 +- 1e-3)
+    assert(out.getAs[Double]("slope_change") === 50.0 +- 1e-6)
+  }
+
+  test("q_kpss separates a stationary series from a trending one") {
+    def run(rows: Seq[(Long, Long, String, Double)]) =
+      byName("q_kpss")(spark, eventsDir(rows)).head()
+    val flat = run((0 until 30).map(t => (day0 + t * 86400000000L, 1L,
+      "view", 100.0 + (if (t % 2 == 0) 10.0 else -10.0))))
+    val trend = run((0 until 30).map(t =>
+      (day0 + t * 86400000000L, 1L, "view", 100.0 + 10.0 * t)))
+    assert(flat.getAs[Double]("kpss_eta") < 0.5)
+    assert(trend.getAs[Double]("kpss_eta") >
+      flat.getAs[Double]("kpss_eta"))
+    // above the 1% critical region (0.739 asymptotic; Bartlett L=4
+    // damping at n=30 lands this fixture at ~0.71)
+    assert(trend.getAs[Double]("kpss_eta") > 0.6)
+  }
+
+  test("q_arch_lm detects block-switching volatility") {
+    val rows = (0 until 24).map { t =>
+      val amp = if (t < 12) 1.0 else 30.0
+      (day0 + t * 86400000000L, 1L, "view",
+        500.0 + (if (t % 2 == 0) amp else -amp))
+    }
+    val out = byName("q_arch_lm")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Long]("n_obs") === 23L)
+    assert(out.getAs[Double]("rho1") > 0.3)
+    assert(out.getAs[Double]("lm_stat") > 2.0)
+  }
+
+  test("q_cochrane_orcutt recovers strong positive residual autocorrelation") {
+    val rows = (0 until 30).map { t =>
+      val e = 50.0 * math.pow(0.8, t)
+      (day0 + t * 86400000000L, 1L, "view",
+        math.rint((200.0 + e) * 100) / 100.0)
+    }
+    val out = byName("q_cochrane_orcutt")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Long]("n_days") === 30L)
+    assert(out.getAs[Double]("rho") > 0.3)
+    assert(!out.isNullAt(out.fieldIndex("slope_co")))
+  }
+
   test("q_turning_points: an alternating series turns at every interior point") {
     val rows = (0 until 6).flatMap(k =>
       onDay(k, if (k % 2 == 0) 1 else 5, "view"))
