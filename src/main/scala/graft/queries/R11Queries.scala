@@ -6158,6 +6158,267 @@ object R11Queries {
              |      - sx::DOUBLE * sy2::DOUBLE)
              |    / (m::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE),
              |    6) AS slope_co
-             |FROM a""".stripMargin))
+             |FROM a""".stripMargin)),
+
+    // l-diversity audit (Machanavajjhala et al. 2006) — the
+    // companion to pipe_kanonymity: a k-anonymous class is still
+    // unsafe if everyone in it shares the same SENSITIVE value.
+    // Quasi-identifiers are (mktsegment, nationkey); the sensitive
+    // attribute is the $1000 balance band. Per segment: classes,
+    // classes failing l = 2 and l = 3 (distinct sensitive values),
+    // rows in l<2 classes, and the worst class's diversity. Two
+    // reducing shuffles, all-integer.
+    QueryDef("pipe_l_diversity",
+      (s, d) => {
+        val c = s.read.parquet(s"$d/customer.parquet")
+          .select(col("c_mktsegment"), col("c_nationkey"),
+            floor(col("c_acctbal") / lit(1000.0)).cast("long")
+              .as("band"))
+        c.groupBy(col("c_mktsegment"), col("c_nationkey"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("band")).as("l"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_classes"),
+            sum(when(col("l") < 2, 1L).otherwise(0L)).as("n_below_l2"),
+            sum(when(col("l") < 3, 1L).otherwise(0L)).as("n_below_l3"),
+            sum(when(col("l") < 2, col("n")).otherwise(lit(0L)))
+              .as("rows_at_risk"),
+            min(col("l")).as("min_l"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""WITH c AS (SELECT c_mktsegment, c_nationkey,
+             |    floor(c_acctbal / 1000.0)::BIGINT AS band
+             |  FROM customer),
+             |cls AS (SELECT c_mktsegment, c_nationkey,
+             |    count(*)::BIGINT AS n,
+             |    count(DISTINCT band)::BIGINT AS l
+             |  FROM c GROUP BY 1, 2)
+             |SELECT c_mktsegment, count(*)::BIGINT AS n_classes,
+             |  sum(CASE WHEN l < 2 THEN 1 ELSE 0 END)::BIGINT
+             |    AS n_below_l2,
+             |  sum(CASE WHEN l < 3 THEN 1 ELSE 0 END)::BIGINT
+             |    AS n_below_l3,
+             |  sum(CASE WHEN l < 2 THEN n ELSE 0 END)::BIGINT
+             |    AS rows_at_risk,
+             |  min(l)::BIGINT AS min_l
+             |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // t-closeness audit (Li, Li & Venkatasubramanian 2007) — the
+    // third rung of the privacy ladder: even a diverse class leaks
+    // if its sensitive DISTRIBUTION differs from the corpus's. Per
+    // (mktsegment, nationkey) class, the ordered-category EMD
+    // between the class's balance-band distribution and the global
+    // one, normalized by (B−1); per segment, the worst EMD and the
+    // count of classes past t = 0.2. The class×band spine is
+    // digest-sized (bands are value-range-bounded); per-band terms
+    // quantize to 9-dp decimals before the |cumdiff| fold.
+    QueryDef("pipe_t_closeness",
+      (s, d) => {
+        val c = s.read.parquet(s"$d/customer.parquet")
+          .select(col("c_mktsegment"), col("c_nationkey"),
+            floor(col("c_acctbal") / lit(1000.0)).cast("long")
+              .as("band"))
+        val cb = c.groupBy(col("c_mktsegment"), col("c_nationkey"),
+          col("band")).agg(count(lit(1)).as("cnt"))
+        val cls = cb.groupBy(col("c_mktsegment"), col("c_nationkey"))
+          .agg(sum(col("cnt")).as("ncls"))
+        val gb = cb.groupBy(col("band").as("gband"))
+          .agg(sum(col("cnt")).as("gcnt"))
+        val n0 = broadcast(gb.agg(sum(col("gcnt")).as("n"),
+          count(lit(1)).as("nb")))
+        val cb2 = cb.select(col("c_mktsegment").as("ms2"),
+          col("c_nationkey").as("nk2"), col("band").as("band2"),
+          col("cnt"))
+        val spine = cls.crossJoin(broadcast(gb)).crossJoin(n0)
+          .join(cb2,
+            col("ms2") === col("c_mktsegment") &&
+              col("nk2") === col("c_nationkey") &&
+              col("band2") === col("gband"), "left")
+          .select(col("c_mktsegment"), col("c_nationkey"),
+            col("gband"), col("ncls"), col("n"), col("nb"),
+            coalesce(col("cnt"), lit(0L)).as("cnt"), col("gcnt"))
+          .withColumn("term", expr(
+            """cast(round(cast(cnt as double) / ncls
+              |  - cast(gcnt as double) / n, 9) as decimal(28,9))"""
+              .stripMargin))
+          .withColumn("cum", sum(col("term")).over(
+            Window.partitionBy(col("c_mktsegment"), col("c_nationkey"))
+              .orderBy(col("gband"))
+              .rowsBetween(Window.unboundedPreceding, 0)))
+        val emd = spine
+          .groupBy(col("c_mktsegment"), col("c_nationkey"))
+          .agg(max(col("nb")).as("nb"),
+            sum(abs(col("cum"))).as("sabs"))
+          .withColumn("emd", round(
+            col("sabs").cast("double") /
+              (col("nb").cast("double") - 1.0), 6))
+        emd.groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_classes"),
+            round(max(col("emd")), 6).as("max_emd"),
+            sum(when(col("emd") > 0.2, 1L).otherwise(0L))
+              .as("n_over_t"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""WITH c AS (SELECT c_mktsegment, c_nationkey,
+             |    floor(c_acctbal / 1000.0)::BIGINT AS band
+             |  FROM customer),
+             |cb AS (SELECT c_mktsegment, c_nationkey, band,
+             |    count(*)::BIGINT AS cnt FROM c GROUP BY 1, 2, 3),
+             |cls AS (SELECT c_mktsegment, c_nationkey,
+             |    sum(cnt)::BIGINT AS ncls FROM cb GROUP BY 1, 2),
+             |gb AS (SELECT band AS gband, sum(cnt)::BIGINT AS gcnt
+             |  FROM cb GROUP BY 1),
+             |n0 AS (SELECT sum(gcnt)::BIGINT AS n,
+             |    count(*)::BIGINT AS nb FROM gb),
+             |sp AS (SELECT cls.c_mktsegment, cls.c_nationkey,
+             |    gb.gband, cls.ncls, n0.n, n0.nb,
+             |    coalesce(cb.cnt, 0)::BIGINT AS cnt, gb.gcnt
+             |  FROM cls CROSS JOIN gb CROSS JOIN n0
+             |  LEFT JOIN cb ON cb.c_mktsegment = cls.c_mktsegment
+             |    AND cb.c_nationkey = cls.c_nationkey
+             |    AND cb.band = gb.gband),
+             |t AS (SELECT c_mktsegment, c_nationkey, gband, nb,
+             |    sum(round(cnt::DOUBLE / ncls - gcnt::DOUBLE / n, 9)
+             |      ::DECIMAL(28,9)) OVER (
+             |      PARTITION BY c_mktsegment, c_nationkey
+             |      ORDER BY gband ROWS BETWEEN UNBOUNDED PRECEDING
+             |      AND CURRENT ROW) AS cum
+             |  FROM sp),
+             |emd AS (SELECT c_mktsegment, c_nationkey,
+             |    round(sum(abs(cum))::DOUBLE
+             |      / (max(nb)::DOUBLE - 1.0), 6) AS emd
+             |  FROM t GROUP BY 1, 2)
+             |SELECT c_mktsegment, count(*)::BIGINT AS n_classes,
+             |  round(max(emd), 6) AS max_emd,
+             |  sum(CASE WHEN emd > 0.2 THEN 1 ELSE 0 END)::BIGINT
+             |    AS n_over_t
+             |FROM emd GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ABC inventory classification (Pareto 1896 via Dickie 1951):
+    // parts ranked by total extended-price revenue; class A carries
+    // the first 80% of cumulative revenue, B the next 15%, C the
+    // tail. Classification is an EXACT integer comparison
+    // (cum_cents·100 vs share·total_cents — no float boundary), with
+    // ties broken by part key in the revenue ranking. Reported per
+    // class: part count, revenue share in ppm, and the part-count
+    // share — the 80/20 readout itself.
+    QueryDef("q_abc_analysis",
+      (s, d) => {
+        val pr = s.read.parquet(s"$d/lineitem.parquet")
+          .groupBy(col("l_partkey"))
+          .agg((sum(col("l_extendedprice").cast("decimal(18,2)")) * 100)
+            .cast("long").as("rc"))
+        val ranked = pr
+          .withColumn("cum", sum(col("rc")).over(
+            Window.orderBy(col("rc").desc, col("l_partkey"))
+              .rowsBetween(Window.unboundedPreceding, 0)))
+        val tot = broadcast(pr.agg(sum(col("rc")).as("tc"),
+          count(lit(1)).as("np")))
+        ranked.crossJoin(tot)
+          .withColumn("cls",
+            when(col("cum") * 100 <= col("tc") * 80, "A")
+              .when(col("cum") * 100 <= col("tc") * 95, "B")
+              .otherwise("C"))
+          .groupBy(col("cls"))
+          .agg(count(lit(1)).as("n_parts"),
+            sum(col("rc")).as("rev"),
+            max(col("tc")).as("tc"), max(col("np")).as("np"))
+          .select(col("cls").as("abc_class"), col("n_parts"),
+            expr("rev * 1000000 div tc").as("revenue_ppm"),
+            expr("n_parts * 1000000 div np").as("parts_ppm"))
+          .orderBy(col("abc_class"))
+      },
+      Some("""WITH pr AS (SELECT l_partkey,
+             |    (sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100)
+             |      ::BIGINT AS rc
+             |  FROM lineitem GROUP BY 1),
+             |rk AS (SELECT l_partkey, rc, sum(rc) OVER (
+             |    ORDER BY rc DESC, l_partkey ROWS BETWEEN UNBOUNDED
+             |    PRECEDING AND CURRENT ROW)::BIGINT AS cum
+             |  FROM pr),
+             |tot AS (SELECT sum(rc)::BIGINT AS tc,
+             |    count(*)::BIGINT AS np FROM pr),
+             |cl AS (SELECT CASE WHEN rk.cum * 100 <= tot.tc * 80
+             |      THEN 'A'
+             |    WHEN rk.cum * 100 <= tot.tc * 95 THEN 'B'
+             |    ELSE 'C' END AS abc_class, rk.rc, tot.tc, tot.np
+             |  FROM rk, tot)
+             |SELECT abc_class, count(*)::BIGINT AS n_parts,
+             |  (sum(rc) * 1000000 // max(tc))::BIGINT AS revenue_ppm,
+             |  (count(*) * 1000000 // max(np))::BIGINT AS parts_ppm
+             |FROM cl GROUP BY 1 ORDER BY abc_class""".stripMargin)),
+
+    // Bowker symmetry test (Bowker 1948) on the monetary-tier
+    // migration matrix — "do tier upgrades balance downgrades?", the
+    // k×k generalization of McNemar. Off-diagonal cell pairs from
+    // the SAME per-period ntile construction as q_rfm_migration
+    // (users present in both halves); χ² = Σ_{i<j}(n_ij − n_ji)²/
+    // (n_ij + n_ji) over pairs with any traffic, df = the count of
+    // such pairs. Integer cells; one float fold.
+    QueryDef("q_bowker_symmetry",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+        val mid = broadcast(ev.agg(min(to_date(col("ts"))).as("d0"),
+            max(to_date(col("ts"))).as("d1"))
+          .select(expr("date_add(d0, cast(datediff(d1, d0) div 2" +
+            " as int))").as("m")))
+        val spend = ev.crossJoin(mid)
+          .groupBy(col("user_id"),
+            (to_date(col("ts")) < col("m")).as("p1"))
+          .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+        def tiers(flag: Boolean, out: String) = spend
+          .filter(col("p1") === flag)
+          .withColumn(out, ntile(5).over(
+            Window.orderBy(col("cents").desc, col("user_id"))))
+          .select(col("user_id"), col(out))
+        val cells = tiers(true, "ti").join(tiers(false, "tj"),
+            Seq("user_id"))
+          .groupBy(col("ti"), col("tj"))
+          .agg(count(lit(1)).as("c"))
+        val pairs = cells.filter(col("ti") < col("tj"))
+          .select(col("ti"), col("tj"), col("c").as("cij"))
+          .join(cells.filter(col("ti") > col("tj"))
+            .select(col("tj").as("ri"), col("ti").as("rj"),
+              col("c").as("cji")),
+            col("ti") === col("ri") && col("tj") === col("rj"),
+            "full_outer")
+          .select(coalesce(col("cij"), lit(0L)).as("cij"),
+            coalesce(col("cji"), lit(0L)).as("cji"))
+        pairs.agg(count(lit(1)).as("df"),
+            sum(col("cij") + col("cji")).as("n_movers"),
+            sum(expr(
+              """cast(round(cast((cij - cji) * (cij - cji) as double)
+                | / (cij + cji), 9) as decimal(38,9))""".stripMargin))
+              .as("chi"))
+          .select(col("df").cast("long").as("df"), col("n_movers"),
+            round(col("chi").cast("double"), 4).as("bowker_chi2"))
+      },
+      Some("""WITH b AS (SELECT min(ts::DATE) AS d0, max(ts::DATE) AS d1
+             |  FROM events),
+             |mid AS (SELECT d0 + (datediff('day', d0, d1) // 2)::INT
+             |      AS m FROM b),
+             |spend AS (SELECT user_id, ts::DATE < mid.m AS p1,
+             |    sum(floor(value * 100)::BIGINT)::BIGINT AS cents
+             |  FROM events, mid GROUP BY 1, 2),
+             |t1 AS (SELECT user_id, ntile(5) OVER (
+             |    ORDER BY cents DESC, user_id) AS ti
+             |  FROM spend WHERE p1),
+             |t2 AS (SELECT user_id, ntile(5) OVER (
+             |    ORDER BY cents DESC, user_id) AS tj
+             |  FROM spend WHERE NOT p1),
+             |cells AS (SELECT t1.ti, t2.tj, count(*)::BIGINT AS c
+             |  FROM t1 JOIN t2 USING (user_id) GROUP BY 1, 2),
+             |pairs AS (SELECT coalesce(u.c, 0)::BIGINT AS cij,
+             |    coalesce(l.c, 0)::BIGINT AS cji
+             |  FROM (SELECT * FROM cells WHERE ti < tj) u
+             |  FULL OUTER JOIN (SELECT tj AS ti, ti AS tj, c
+             |    FROM cells WHERE ti > tj) l
+             |  USING (ti, tj))
+             |SELECT count(*)::BIGINT AS df,
+             |  sum(cij + cji)::BIGINT AS n_movers,
+             |  round(sum(round(((cij - cji) * (cij - cji))::DOUBLE
+             |    / (cij + cji), 9)::DECIMAL(38,9))::DOUBLE, 4)
+             |    AS bowker_chi2
+             |FROM pairs""".stripMargin))
   )
 }

@@ -1133,6 +1133,61 @@ class R11QueriesSpec extends GraftSpec {
     assert(!out.isNullAt(out.fieldIndex("slope_co")))
   }
 
+  test("pipe_l_diversity flags the uniform-band class, passes the diverse one") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("r11ld").toString
+    Seq(("S", 1L, 500.0), ("S", 1L, 1500.0),   // class (S,1): l = 2
+      ("S", 2L, 5500.0), ("S", 2L, 5800.0))    // class (S,2): l = 1
+      .toDF("c_mktsegment", "c_nationkey", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val out = byName("pipe_l_diversity")(spark, dir).head()
+    assert(out.getAs[Long]("n_classes") === 2L)
+    assert(out.getAs[Long]("n_below_l2") === 1L)
+    assert(out.getAs[Long]("rows_at_risk") === 2L)
+    assert(out.getAs[Long]("min_l") === 1L)
+  }
+
+  test("pipe_t_closeness: classes mirroring the global distribution have EMD 0") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("r11tc").toString
+    Seq(("S", 1L, 500.0), ("S", 1L, 1500.0),
+      ("S", 2L, 600.0), ("S", 2L, 1600.0))
+      .toDF("c_mktsegment", "c_nationkey", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val out = byName("pipe_t_closeness")(spark, dir).head()
+    assert(out.getAs[Long]("n_classes") === 2L)
+    assert(out.getAs[Double]("max_emd") === 0.0)
+    assert(out.getAs[Long]("n_over_t") === 0L)
+  }
+
+  test("q_abc_analysis splits an 80/15/5 revenue ladder into A/B/C") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("r11abc").toString
+    Seq((1L, 1L, 80.0), (2L, 2L, 15.0), (3L, 3L, 5.0))
+      .toDF("l_orderkey", "l_partkey", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = byName("q_abc_analysis")(spark, dir)
+      .orderBy("abc_class").collect()
+    assert(out.map(_.getAs[String]("abc_class")).toSeq ===
+      Seq("A", "B", "C"))
+    assert(out.map(_.getAs[Long]("n_parts")).toSeq === Seq(1L, 1L, 1L))
+    assert(out.map(_.getAs[Long]("revenue_ppm")).toSeq ===
+      Seq(800000L, 150000L, 50000L))
+  }
+
+  test("q_bowker_symmetry: a tier-reversing cohort is perfectly symmetric") {
+    // p1 ranks users 1..10 descending, p2 ascending -> every i->j
+    // move has its j->i mirror, so chi2 = 0 over df = 2 traffic pairs
+    val rows = (1 to 10).flatMap { u =>
+      Seq((day0, u.toLong, "purchase", (11 - u) * 10.0),
+        (day0 + 9 * 86400000000L, u.toLong, "purchase", u * 10.0))
+    }
+    val out = byName("q_bowker_symmetry")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Long]("n_movers") === 8L)
+    assert(out.getAs[Long]("df") === 2L)
+    assert(out.getAs[Double]("bowker_chi2") === 0.0)
+  }
+
   test("q_turning_points: an alternating series turns at every interior point") {
     val rows = (0 until 6).flatMap(k =>
       onDay(k, if (k % 2 == 0) 1 else 5, "view"))
