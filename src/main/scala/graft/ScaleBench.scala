@@ -101,7 +101,18 @@ object ScaleBench {
     "q_isotonic_calibration",
     // LZ78: per-doc 240-char-bounded sequential fold — embarrassingly
     // parallel scan work, the fold cap must keep 10× docs ≈10× time
-    "q_lz78_complexity")
+    "q_lz78_complexity",
+    // Lomb–Scargle: TWO map-side-combined trig passes keyed by 7
+    // periods — 10× events must be ≈10× CPU with flat shuffle (the
+    // per-period state is 4 decimal sums)
+    "q_lomb_scargle",
+    // dup-profile: the ×4 n-gram size fan-out shuffles only 60-bit
+    // hashes; 10× docs ⇒ ≈10× instances, dup counts ride the same
+    // (n, hash) exchange
+    "text_dup_ngram_profile",
+    // per-user first-seen reduction + calendar quadratic fit — the
+    // user-digest shuffle carries the 10× (density grows, days fixed)
+    "q_bass_diffusion")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
