@@ -385,6 +385,425 @@ object R12Queries {
              |          / (n_docs * 3)::DOUBLE)
              |        * (1.0 - tot_pos::DOUBLE / (n_docs * 3)::DOUBLE))), 6)
              |    AS fleiss_kappa
-             |FROM ag""".stripMargin))
+             |FROM ag""".stripMargin)),
+
+    // Page-Hinkley sequential change detection (Page 1954; Hinkley
+    // 1971) on the daily mean event value: PH_t = m_t - min_{s<=t} m_s
+    // with m_t accumulating (x_t - x̄_t - δ); alarm at PH_t > λ. The
+    // facts reduce to a ~30-row calendar digest (exact DECIMAL daily
+    // sums, one map-side-combined shuffle); the detector is ONE strict
+    // sequential fold whose double ops run in identical order on both
+    // engines (the q_ewma_smooth precedent), mirrored by a recursive
+    // CTE. δ=1, λ=50 in value units.
+    QueryDef("q_page_hinkley", {
+      val nmt = "(a.mt + (x - (a.cs + x) / (a.n + 1.0D) - 1.0D))"
+      (s, d) => {
+        graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg((sum(col("value").cast("decimal(18,2)")).cast("double") /
+            count(lit(1))).as("x"))
+          .groupBy()
+          .agg(sort_array(collect_list(struct(col("day"), col("x"))))
+            .as("sd"))
+          .withColumn("xs", expr("transform(sd, e -> e.x)"))
+          .withColumn("st", expr(
+            "aggregate(xs, named_struct(" +
+              "'n', 0.0D, 'cs', 0.0D, 'mt', 0.0D, 'mn', 0.0D, 'al', -1.0D), " +
+              s"(a, x) -> named_struct('n', a.n + 1.0D, 'cs', a.cs + x, " +
+              s"'mt', $nmt, 'mn', least(a.mn, $nmt), " +
+              s"'al', CASE WHEN a.al >= 0.0D THEN a.al " +
+              s"WHEN $nmt - least(a.mn, $nmt) > 50.0D THEN a.n + 1.0D " +
+              "ELSE -1.0D END))"))
+          .select(size(col("xs")).cast("long").as("n_days"),
+            round(col("st.mt") - col("st.mn"), 6).as("ph_stat"),
+            col("st.al").cast("long").as("alarm_day"))
+      }
+    }, {
+      val nmt = "(it.mt + (y.x - (it.cs + y.x) / (it.k + 1.0) - 1.0))"
+      Some(s"""WITH RECURSIVE daily AS (SELECT ts::DATE AS day,
+             |    sum(CAST(value AS DECIMAL(18,2)))::DOUBLE / count(*) AS x
+             |  FROM events GROUP BY 1),
+             |r AS (SELECT x, row_number() OVER (ORDER BY day) AS rn
+             |  FROM daily),
+             |n AS (SELECT max(rn) AS nd FROM r),
+             |it AS (
+             |  SELECT 0 AS k, 0.0::DOUBLE AS cs, 0.0::DOUBLE AS mt,
+             |      0.0::DOUBLE AS mn, -1.0::DOUBLE AS al
+             |  UNION ALL
+             |  SELECT it.k + 1, it.cs + y.x,
+             |      $nmt, least(it.mn, $nmt),
+             |      CASE WHEN it.al >= 0.0 THEN it.al
+             |        WHEN $nmt - least(it.mn, $nmt) > 50.0
+             |          THEN it.k + 1.0 ELSE -1.0 END
+             |    FROM it JOIN r y ON y.rn = it.k + 1)
+             |SELECT n.nd::BIGINT AS n_days,
+             |  round(it.mt - it.mn, 6) AS ph_stat,
+             |  it.al::BIGINT AS alarm_day
+             |FROM it, n WHERE it.k = n.nd""".stripMargin)
+    }),
+
+    // Local-level Kalman filter (Harvey 1989) on the daily mean value:
+    // state noise Q=1, observation noise R=25, diffuse-ish init
+    // P0=1e6, l0 = first observation. Reports the filtered level, its
+    // steady-state variance, and the innovation RMS — the classic
+    // sensor-smoothing kernel the reference's spike filter
+    // approximates. Same digest-then-fold shape as q_page_hinkley.
+    QueryDef("q_kalman_level", {
+      // Pp = P+Q; K = Pp/(Pp+R); l' = l + K(x-l); P' = (1-K)Pp
+      val pp = "(a.p + 1.0D)"
+      val kk = s"($pp / ($pp + 25.0D))"
+      (s, d) => {
+        graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg((sum(col("value").cast("decimal(18,2)")).cast("double") /
+            count(lit(1))).as("x"))
+          .groupBy()
+          .agg(sort_array(collect_list(struct(col("day"), col("x"))))
+            .as("sd"))
+          .withColumn("xs", expr("transform(sd, e -> e.x)"))
+          .withColumn("st", expr(
+            "aggregate(slice(xs, 2, size(xs) - 1), named_struct(" +
+              "'l', element_at(xs, 1), 'p', 1000000.0D, 'ss', 0.0D, " +
+              "'n', 0.0D), " +
+              s"(a, x) -> named_struct(" +
+              s"'l', a.l + $kk * (x - a.l), " +
+              s"'p', (1.0D - $kk) * $pp, " +
+              s"'ss', a.ss + (x - a.l) * (x - a.l), " +
+              "'n', a.n + 1.0D))"))
+          .select(size(col("xs")).cast("long").as("n_days"),
+            round(col("st.l"), 6).as("level_last"),
+            round(col("st.p"), 9).as("p_last"),
+            round(sqrt(col("st.ss") / col("st.n")), 6)
+              .as("innovation_rms"))
+      }
+    }, {
+      val pp = "(it.p + 1.0)"
+      val kk = s"($pp / ($pp + 25.0))"
+      Some(s"""WITH RECURSIVE daily AS (SELECT ts::DATE AS day,
+             |    sum(CAST(value AS DECIMAL(18,2)))::DOUBLE / count(*) AS x
+             |  FROM events GROUP BY 1),
+             |r AS (SELECT x, row_number() OVER (ORDER BY day) AS rn
+             |  FROM daily),
+             |n AS (SELECT max(rn) AS nd FROM r),
+             |it AS (
+             |  SELECT 1 AS k, r.x AS l, 1000000.0::DOUBLE AS p,
+             |      0.0::DOUBLE AS ss, 0.0::DOUBLE AS nn
+             |    FROM r WHERE rn = 1
+             |  UNION ALL
+             |  SELECT it.k + 1,
+             |      it.l + $kk * (y.x - it.l),
+             |      (1.0 - $kk) * $pp,
+             |      it.ss + (y.x - it.l) * (y.x - it.l),
+             |      it.nn + 1.0
+             |    FROM it JOIN r y ON y.rn = it.k + 1)
+             |SELECT n.nd::BIGINT AS n_days,
+             |  round(it.l, 6) AS level_last,
+             |  round(it.p, 9) AS p_last,
+             |  round(sqrt(it.ss / it.nn), 6) AS innovation_rms
+             |FROM it, n WHERE it.k = n.nd""".stripMargin)
+    }),
+
+    // Lag-1 transfer entropy (Schreiber 2000) between the daily view
+    // and purchase channels, binarized as up-moves (c_t > c_{t-1}).
+    // TE(X→Y) = (1/N) Σ n_abc·ln(n_abc·n_b / (n_bc·n_ab)) over the 8
+    // (y_t, y_{t-1}, x_{t-1}) cells — every count is an exact BIGINT,
+    // each ln of an integer ratio is quantized to the 1e-9 grid and
+    // weighted into a DECIMAL sum (sized decimal(20,9)×decimal(10,0)
+    // so Spark's product keeps scale 9). Both directions reported:
+    // the asymmetry IS the point (does traffic lead conversions or
+    // vice versa). Digest-sized everywhere past the daily rollup.
+    QueryDef("q_transfer_entropy",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .filter(col("event_type").isin("view", "purchase"))
+          .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("day"))
+          .pivot("event_type", Seq("view", "purchase"))
+          .agg(first(col("c")))
+          .select(col("day"), coalesce(col("view"), lit(0L)).as("v"),
+            coalesce(col("purchase"), lit(0L)).as("p"))
+        val w = Window.orderBy(col("day"))
+        val moves = daily
+          .withColumn("x", (col("v") > lag(col("v"), 1).over(w)).cast("int"))
+          .withColumn("y", (col("p") > lag(col("p"), 1).over(w)).cast("int"))
+          .filter(col("x").isNotNull)
+          .withColumn("x0", lag(col("x"), 1).over(w))
+          .withColumn("y0", lag(col("y"), 1).over(w))
+          .filter(col("x0").isNotNull)
+          .persist()
+        def te(cur: String, hist: String, drv: String) = {
+          val cells = moves.groupBy(col(cur).as("a"), col(hist).as("b"),
+              col(drv).as("c0"))
+            .agg(count(lit(1)).as("nabc"))
+          val nb = cells.groupBy(col("b")).agg(sum(col("nabc")).as("nb"))
+          val nbc = cells.groupBy(col("b"), col("c0"))
+            .agg(sum(col("nabc")).as("nbc"))
+          val nab = cells.groupBy(col("a"), col("b"))
+            .agg(sum(col("nabc")).as("nab"))
+          cells.join(nb, "b").join(nbc, Seq("b", "c0"))
+            .join(nab, Seq("a", "b"))
+            .agg((sum(round(log(col("nabc").cast("double") *
+                col("nb").cast("double") /
+                (col("nbc").cast("double") * col("nab").cast("double"))), 9)
+              .cast("decimal(20,9)") * col("nabc").cast("decimal(10,0)"))
+              .cast("double") / sum(col("nabc")).cast("double")).as("te"))
+        }
+        val te_xy = te("y", "y0", "x0").select(round(col("te"), 6)
+          .as("te_view_to_purchase"))
+        val te_yx = te("x", "x0", "y0").select(round(col("te"), 6)
+          .as("te_purchase_to_view"))
+        val n = moves.agg(count(lit(1)).cast("long").as("n_triples"))
+        n.crossJoin(te_xy).crossJoin(te_yx)
+      },
+      Some("""WITH daily AS (SELECT ts::DATE AS day,
+             |    count(*) FILTER (event_type = 'view')::BIGINT AS v,
+             |    count(*) FILTER (event_type = 'purchase')::BIGINT AS p
+             |  FROM events WHERE event_type IN ('view', 'purchase')
+             |  GROUP BY 1),
+             |mv AS (SELECT day,
+             |    (v > lag(v) OVER (ORDER BY day))::INT AS x,
+             |    (p > lag(p) OVER (ORDER BY day))::INT AS y
+             |  FROM daily),
+             |tr AS (SELECT x, y, lag(x) OVER (ORDER BY day) AS x0,
+             |    lag(y) OVER (ORDER BY day) AS y0
+             |  FROM mv WHERE x IS NOT NULL),
+             |t AS (SELECT * FROM tr WHERE x0 IS NOT NULL),
+             |cxy AS (SELECT y AS a, y0 AS b, x0 AS c0,
+             |    count(*)::BIGINT AS nabc FROM t GROUP BY 1, 2, 3),
+             |texy AS (SELECT
+             |    sum(round(ln(c.nabc::DOUBLE * nb.nb::DOUBLE
+             |        / (nbc.nbc::DOUBLE * nab.nab::DOUBLE)),
+             |      9)::DECIMAL(20,9) * c.nabc::DECIMAL(10,0))::DOUBLE
+             |      / sum(c.nabc)::DOUBLE AS te
+             |  FROM cxy c
+             |  JOIN (SELECT b, sum(nabc)::BIGINT AS nb FROM cxy
+             |    GROUP BY 1) nb USING (b)
+             |  JOIN (SELECT b, c0, sum(nabc)::BIGINT AS nbc FROM cxy
+             |    GROUP BY 1, 2) nbc USING (b, c0)
+             |  JOIN (SELECT a, b, sum(nabc)::BIGINT AS nab FROM cxy
+             |    GROUP BY 1, 2) nab USING (a, b)),
+             |cyx AS (SELECT x AS a, x0 AS b, y0 AS c0,
+             |    count(*)::BIGINT AS nabc FROM t GROUP BY 1, 2, 3),
+             |teyx AS (SELECT
+             |    sum(round(ln(c.nabc::DOUBLE * nb.nb::DOUBLE
+             |        / (nbc.nbc::DOUBLE * nab.nab::DOUBLE)),
+             |      9)::DECIMAL(20,9) * c.nabc::DECIMAL(10,0))::DOUBLE
+             |      / sum(c.nabc)::DOUBLE AS te
+             |  FROM cyx c
+             |  JOIN (SELECT b, sum(nabc)::BIGINT AS nb FROM cyx
+             |    GROUP BY 1) nb USING (b)
+             |  JOIN (SELECT b, c0, sum(nabc)::BIGINT AS nbc FROM cyx
+             |    GROUP BY 1, 2) nbc USING (b, c0)
+             |  JOIN (SELECT a, b, sum(nabc)::BIGINT AS nab FROM cyx
+             |    GROUP BY 1, 2) nab USING (a, b)),
+             |nn AS (SELECT count(*)::BIGINT AS n_triples FROM t)
+             |SELECT nn.n_triples,
+             |  round(texy.te, 6) AS te_view_to_purchase,
+             |  round(teyx.te, 6) AS te_purchase_to_view
+             |FROM nn, texy, teyx""".stripMargin)),
+
+    // Wilder's RSI(7) (Wilder 1978) on the daily mean event value:
+    // the first 7 deltas seed avg gain/loss by simple mean, then the
+    // (6·avg + new)/7 smoothing. One digest shuffle then one strict
+    // sequential fold (identical double op order on both engines);
+    // overbought/oversold day counts accumulate inside the fold so no
+    // per-day rows leave the kernel.
+    QueryDef("q_rsi_wilder", {
+      // fold-step templates, SPARK side ('a' = state, 'x' = today)
+      val g = "greatest(x - a.prev, 0.0D)"
+      val l = "greatest(a.prev - x, 0.0D)"
+      val nag = s"CASE WHEN a.i < 1.0D THEN 0.0D WHEN a.i < 7.0D THEN a.ag + $g " +
+        s"WHEN a.i = 7.0D THEN (a.ag + $g) / 7.0D ELSE (a.ag * 6.0D + $g) / 7.0D END"
+      val nal = s"CASE WHEN a.i < 1.0D THEN 0.0D WHEN a.i < 7.0D THEN a.al + $l " +
+        s"WHEN a.i = 7.0D THEN (a.al + $l) / 7.0D ELSE (a.al * 6.0D + $l) / 7.0D END"
+      val rsi = s"CASE WHEN ($nal) = 0.0D THEN 100.0D " +
+        s"ELSE 100.0D - 100.0D / (1.0D + ($nag) / ($nal)) END"
+      (s, d) => {
+        graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg((sum(col("value").cast("decimal(18,2)")).cast("double") /
+            count(lit(1))).as("x"))
+          .groupBy()
+          .agg(sort_array(collect_list(struct(col("day"), col("x"))))
+            .as("sd"))
+          .withColumn("xs", expr("transform(sd, e -> e.x)"))
+          .withColumn("st", expr(
+            "aggregate(xs, named_struct('i', 0.0D, 'prev', 0.0D, " +
+              "'ag', 0.0D, 'al', 0.0D, 'nob', 0.0D, 'nos', 0.0D), " +
+              s"(a, x) -> named_struct('i', a.i + 1.0D, 'prev', x, " +
+              s"'ag', $nag, 'al', $nal, " +
+              s"'nob', a.nob + CASE WHEN a.i >= 7.0D AND ($rsi) > 70.0D " +
+              "THEN 1.0D ELSE 0.0D END, " +
+              s"'nos', a.nos + CASE WHEN a.i >= 7.0D AND ($rsi) < 30.0D " +
+              "THEN 1.0D ELSE 0.0D END))"))
+          .select(size(col("xs")).cast("long").as("n_days"),
+            round(when(col("st.al") === 0.0, lit(100.0))
+              .otherwise(lit(100.0) - lit(100.0) /
+                (lit(1.0) + col("st.ag") / col("st.al"))), 4).as("rsi_last"),
+            col("st.nob").cast("long").as("n_overbought"),
+            col("st.nos").cast("long").as("n_oversold"))
+      }
+    }, {
+      val g = "greatest(y.x - it.prev, 0.0)"
+      val l = "greatest(it.prev - y.x, 0.0)"
+      val nag = s"CASE WHEN it.i < 1.0 THEN 0.0 WHEN it.i < 7.0 THEN it.ag + $g " +
+        s"WHEN it.i = 7.0 THEN (it.ag + $g) / 7.0 ELSE (it.ag * 6.0 + $g) / 7.0 END"
+      val nal = s"CASE WHEN it.i < 1.0 THEN 0.0 WHEN it.i < 7.0 THEN it.al + $l " +
+        s"WHEN it.i = 7.0 THEN (it.al + $l) / 7.0 ELSE (it.al * 6.0 + $l) / 7.0 END"
+      val rsi = s"CASE WHEN ($nal) = 0.0 THEN 100.0 " +
+        s"ELSE 100.0 - 100.0 / (1.0 + ($nag) / ($nal)) END"
+      Some(s"""WITH RECURSIVE daily AS (SELECT ts::DATE AS day,
+             |    sum(CAST(value AS DECIMAL(18,2)))::DOUBLE / count(*) AS x
+             |  FROM events GROUP BY 1),
+             |r AS (SELECT x, row_number() OVER (ORDER BY day) AS rn
+             |  FROM daily),
+             |n AS (SELECT max(rn) AS nd FROM r),
+             |it AS (
+             |  SELECT 0.0::DOUBLE AS i, 0.0::DOUBLE AS prev,
+             |      0.0::DOUBLE AS ag, 0.0::DOUBLE AS al,
+             |      0.0::DOUBLE AS nob, 0.0::DOUBLE AS nos
+             |  UNION ALL
+             |  SELECT it.i + 1.0, y.x, $nag, $nal,
+             |      it.nob + CASE WHEN it.i >= 7.0 AND ($rsi) > 70.0
+             |        THEN 1.0 ELSE 0.0 END,
+             |      it.nos + CASE WHEN it.i >= 7.0 AND ($rsi) < 30.0
+             |        THEN 1.0 ELSE 0.0 END
+             |    FROM it JOIN r y ON y.rn = it.i::INT + 1)
+             |SELECT n.nd::BIGINT AS n_days,
+             |  round(CASE WHEN it.al = 0.0 THEN 100.0
+             |    ELSE 100.0 - 100.0 / (1.0 + it.ag / it.al) END, 4)
+             |    AS rsi_last,
+             |  it.nob::BIGINT AS n_overbought,
+             |  it.nos::BIGINT AS n_oversold
+             |FROM it, n WHERE it.i = n.nd""".stripMargin)
+    }),
+
+    // MACD(12,26,9) (Appel 1979) on the daily total event value with
+    // bullish-crossover counting folded into the same pass. EMAs
+    // initialize at the first observation (the standard convention
+    // when no warm-up window exists). Digest → fold, like the RSI.
+    QueryDef("q_macd_signal", {
+      val e12 = "(a.e12 + (x - a.e12) * 2.0D / 13.0D)"
+      val e26 = "(a.e26 + (x - a.e26) * 2.0D / 27.0D)"
+      val mac = s"($e12 - $e26)"
+      val sig = s"(a.sig + ($mac - a.sig) * 2.0D / 10.0D)"
+      val dd = s"($mac - $sig)"
+      (s, d) => {
+        graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("x"))
+          .groupBy()
+          .agg(sort_array(collect_list(struct(col("day"), col("x"))))
+            .as("sd"))
+          .withColumn("xs", expr("transform(sd, e -> e.x)"))
+          .withColumn("st", expr(
+            "aggregate(slice(xs, 2, size(xs) - 1), named_struct(" +
+              "'e12', element_at(xs, 1), 'e26', element_at(xs, 1), " +
+              "'sig', 0.0D, 'cross', 0.0D, 'prevd', 0.0D), " +
+              s"(a, x) -> named_struct('e12', $e12, 'e26', $e26, " +
+              s"'sig', $sig, " +
+              s"'cross', a.cross + CASE WHEN a.prevd <= 0.0D AND $dd > 0.0D " +
+              "THEN 1.0D ELSE 0.0D END, " +
+              s"'prevd', $dd))"))
+          .select(size(col("xs")).cast("long").as("n_days"),
+            round(col("st.e12") - col("st.e26"), 6).as("macd_last"),
+            round(col("st.sig"), 6).as("signal_last"),
+            col("st.cross").cast("long").as("n_bullish_cross"))
+      }
+    }, {
+      val e12 = "(it.e12 + (y.x - it.e12) * 2.0 / 13.0)"
+      val e26 = "(it.e26 + (y.x - it.e26) * 2.0 / 27.0)"
+      val mac = s"($e12 - $e26)"
+      val sig = s"(it.sig + ($mac - it.sig) * 2.0 / 10.0)"
+      val dd = s"($mac - $sig)"
+      Some(s"""WITH RECURSIVE daily AS (SELECT ts::DATE AS day,
+             |    sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS x
+             |  FROM events GROUP BY 1),
+             |r AS (SELECT x, row_number() OVER (ORDER BY day) AS rn
+             |  FROM daily),
+             |n AS (SELECT max(rn) AS nd FROM r),
+             |it AS (
+             |  SELECT 1 AS k, r.x AS e12, r.x AS e26, 0.0::DOUBLE AS sig,
+             |      0.0::DOUBLE AS crs, 0.0::DOUBLE AS prevd
+             |    FROM r WHERE rn = 1
+             |  UNION ALL
+             |  SELECT it.k + 1, $e12, $e26, $sig,
+             |      it.crs + CASE WHEN it.prevd <= 0.0 AND $dd > 0.0
+             |        THEN 1.0 ELSE 0.0 END,
+             |      $dd
+             |    FROM it JOIN r y ON y.rn = it.k + 1)
+             |SELECT n.nd::BIGINT AS n_days,
+             |  round(it.e12 - it.e26, 6) AS macd_last,
+             |  round(it.sig, 6) AS signal_last,
+             |  it.crs::BIGINT AS n_bullish_cross
+             |FROM it, n WHERE it.k = n.nd""".stripMargin)
+    }),
+
+    // Croston's method + the Syntetos-Boylan approximation (Croston
+    // 1972; SBA 2005) for intermittent demand: per-part daily shipped
+    // quantity from lineitem (parts ship sporadically — the canonical
+    // intermittent series). Demand sizes and inter-demand gaps are
+    // SES-smoothed (α=0.1) in one fold per part; forecast = z/p,
+    // SBA = (1-α/2)·z/p. Per-part digests shuffle once on l_partkey;
+    // each part's fold is O(its demand days) — embarrassingly parallel
+    // across millions of parts at 100 TB.
+    QueryDef("q_croston_sba", {
+      val nz = "(a.z + 0.1D * (e.sz - a.z))"
+      val np = "(a.p + 0.1D * (e.gap - a.p))"
+      (s, d) => {
+        val w = Window.partitionBy(col("l_partkey"))
+          .orderBy(col("day"))
+        val dem = s.read.parquet(s"$d/lineitem.parquet")
+          .filter(col("l_partkey") < 25)
+          .groupBy(col("l_partkey"), to_date(col("l_shipdate")).as("day"))
+          .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sz"))
+          .withColumn("gap",
+            datediff(col("day"), lag(col("day"), 1).over(w))
+              .cast("double"))
+        dem.groupBy(col("l_partkey"))
+          .agg(sort_array(collect_list(struct(col("day"),
+            col("sz"), col("gap")))).as("sd"))
+          .withColumn("st", expr(
+            "aggregate(slice(sd, 2, size(sd) - 1), " +
+              "named_struct('z', element_at(sd, 1).sz, 'p', 1.0D), " +
+              s"(a, e) -> named_struct('z', $nz, 'p', $np))"))
+          .select(col("l_partkey"), size(col("sd")).cast("long")
+            .as("n_demands"),
+            round(col("st.z") / col("st.p"), 6).as("croston_forecast"),
+            round(lit(0.95) * col("st.z") / col("st.p"), 6)
+              .as("sba_forecast"))
+          .orderBy(col("l_partkey"))
+      }
+    }, {
+      val nz = "(it.z + 0.1 * (y.sz - it.z))"
+      val np = "(it.p + 0.1 * (y.gap - it.p))"
+      Some(s"""WITH RECURSIVE dem AS (SELECT l_partkey,
+             |    l_shipdate::DATE AS day,
+             |    sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE AS sz
+             |  FROM lineitem WHERE l_partkey < 25 GROUP BY 1, 2),
+             |r AS (SELECT l_partkey, sz,
+             |    datediff('day', lag(day) OVER (PARTITION BY l_partkey
+             |      ORDER BY day), day)::DOUBLE AS gap,
+             |    row_number() OVER (PARTITION BY l_partkey
+             |      ORDER BY day) AS rn
+             |  FROM dem),
+             |n AS (SELECT l_partkey, max(rn) AS nd FROM r GROUP BY 1),
+             |it AS (
+             |  SELECT l_partkey, 1 AS k, sz AS z, 1.0::DOUBLE AS p
+             |    FROM r WHERE rn = 1
+             |  UNION ALL
+             |  SELECT it.l_partkey, it.k + 1, $nz, $np
+             |    FROM it JOIN r y ON y.l_partkey = it.l_partkey
+             |      AND y.rn = it.k + 1)
+             |SELECT it.l_partkey, n.nd::BIGINT AS n_demands,
+             |  round(it.z / it.p, 6) AS croston_forecast,
+             |  round(0.95 * it.z / it.p, 6) AS sba_forecast
+             |FROM it JOIN n ON n.l_partkey = it.l_partkey
+             |WHERE it.k = n.nd
+             |ORDER BY it.l_partkey""".stripMargin)
+    })
   )
 }

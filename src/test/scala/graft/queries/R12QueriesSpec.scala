@@ -120,4 +120,123 @@ class R12QueriesSpec extends GraftSpec {
     assert(out.getAs[Double]("gwet_ac1") <= 1.0)
     assert(out.getAs[Double]("fleiss_kappa") <= 1.0)
   }
+
+  /** one event per day with the given value → daily mean = value */
+  private def dailySeries(xs: Seq[Double]): String =
+    eventsDir(xs.zipWithIndex.map { case (v, k) =>
+      (day0 + k * 86400000000L, k.toLong, "view", v) })
+
+  test("q_page_hinkley: constant series never alarms, PH stays 0") {
+    val out = byName("q_page_hinkley")(spark, dailySeries(Seq.fill(10)(5.0)))
+      .head()
+    assert(out.getAs[Double]("ph_stat") === 0.0)
+    assert(out.getAs[Long]("alarm_day") === -1L)
+  }
+
+  test("q_page_hinkley: a large level jump matches the reference detector") {
+    val xs = Seq.fill(5)(10.0) ++ Seq.fill(10)(150.0)
+    // independent reference loop (δ=1, λ=50)
+    var (n, cs, mt, mn, al) = (0.0, 0.0, 0.0, 0.0, -1L)
+    xs.foreach { x =>
+      n += 1; cs += x; mt += x - cs / n - 1.0; mn = math.min(mn, mt)
+      if (al < 0 && mt - mn > 50.0) al = n.toLong
+    }
+    val out = byName("q_page_hinkley")(spark, dailySeries(xs)).head()
+    assert(out.getAs[Long]("alarm_day") === al)
+    assert(out.getAs[Double]("ph_stat") ===
+      BigDecimal(mt - mn).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+  }
+
+  test("q_kalman_level: constant series is tracked exactly") {
+    val out = byName("q_kalman_level")(spark, dailySeries(Seq.fill(8)(42.0)))
+      .head()
+    assert(out.getAs[Double]("level_last") === 42.0)
+    assert(out.getAs[Double]("innovation_rms") === 0.0)
+  }
+
+  test("q_kalman_level: P converges to the steady-state Riccati value") {
+    // steady state: P = (1-K)(P+Q), K = (P+Q)/(P+Q+R) with Q=1, R=25
+    // → P² + QP - QR = 0 → P = (-1 + sqrt(1 + 100)) / 2
+    val pStar = (-1.0 + math.sqrt(101.0)) / 2.0
+    val p = byName("q_kalman_level")(spark,
+      dailySeries((1 to 80).map(_.toDouble)))
+      .head().getAs[Double]("p_last")
+    assert(math.abs(p - pStar) < 1e-6)
+  }
+
+  test("q_transfer_entropy: a constant-direction target chann" +
+    "el carries zero TE") {
+    // purchases strictly increase daily → y ≡ 1 → H(y1|·) = 0 → TE = 0
+    val rows = (0 until 12).flatMap { k =>
+      (0 until (5 + (k % 3))).map(i => // views wiggle
+        (day0 + k * 86400000000L + i * 1000000L, i.toLong, "view", 1.0)) ++
+      (0 until (k + 1)).map(i => // purchases strictly grow
+        (day0 + k * 86400000000L + (100 + i) * 1000000L, i.toLong,
+          "purchase", 1.0))
+    }
+    val out = byName("q_transfer_entropy")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Double]("te_view_to_purchase") === 0.0)
+  }
+
+  test("q_transfer_entropy: sf0.001 TEs are non-negative (plug-in KL)") {
+    val out = byName("q_transfer_entropy")(spark, "/root/testdata/sf0.001")
+      .head()
+    assert(out.getAs[Double]("te_view_to_purchase") >= 0.0)
+    assert(out.getAs[Double]("te_purchase_to_view") >= 0.0)
+    assert(out.getAs[Long]("n_triples") === 28L)
+  }
+
+  test("q_rsi_wilder: monotone series pin RSI at 100 / 0") {
+    val up = byName("q_rsi_wilder")(spark,
+      dailySeries((1 to 12).map(_ * 10.0))).head()
+    assert(up.getAs[Double]("rsi_last") === 100.0)
+    assert(up.getAs[Long]("n_oversold") === 0L)
+    val down = byName("q_rsi_wilder")(spark,
+      dailySeries((1 to 12).map(k => 200.0 - k * 10.0))).head()
+    assert(down.getAs[Double]("rsi_last") === 0.0)
+    assert(down.getAs[Long]("n_overbought") === 0L)
+  }
+
+  test("q_macd_signal: constant series gives zero MACD and no crossovers") {
+    val out = byName("q_macd_signal")(spark, dailySeries(Seq.fill(15)(7.0)))
+      .head()
+    assert(out.getAs[Double]("macd_last") === 0.0)
+    assert(out.getAs[Double]("signal_last") === 0.0)
+    assert(out.getAs[Long]("n_bullish_cross") === 0L)
+  }
+
+  test("q_macd_signal: a rising trend puts the fast EMA above the slow") {
+    val out = byName("q_macd_signal")(spark,
+      dailySeries((1 to 20).map(_ * 5.0))).head()
+    assert(out.getAs[Double]("macd_last") > 0.0)
+  }
+
+  private def lineitemDir(rows: Seq[(Long, String, Double)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("r12li").toString
+    rows.toDF("l_partkey", "__d", "l_quantity")
+      .withColumn("l_shipdate", to_timestamp(col("__d"))).drop("__d")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
+  test("q_croston_sba: steady daily demand forecasts the demand size") {
+    // size 8 every day → z stays 8, p stays 1 → forecast 8, SBA 7.6
+    val rows = (0 until 10).map(k => (3L, f"2024-01-${k + 1}%02d", 8.0))
+    val out = byName("q_croston_sba")(spark, lineitemDir(rows)).head()
+    assert(out.getAs[Double]("croston_forecast") === 8.0)
+    assert(out.getAs[Double]("sba_forecast") === 7.6)
+    assert(out.getAs[Long]("n_demands") === 10L)
+  }
+
+  test("q_croston_sba: constant gap-3 demand matches the reference loop") {
+    val rows = (0 until 8).map(k => (5L, f"2024-01-${1 + 3 * k}%02d", 12.0))
+    var (z, p) = (12.0, 1.0)
+    (2 to 8).foreach { _ => z += 0.1 * (12.0 - z); p += 0.1 * (3.0 - p) }
+    val out = byName("q_croston_sba")(spark, lineitemDir(rows)).head()
+    assert(out.getAs[Double]("croston_forecast") ===
+      BigDecimal(z / p).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+  }
 }
