@@ -20,6 +20,9 @@ import org.apache.spark.sql.functions._
   */
 object R12Queries {
 
+  /** DuckDB mirror of [[graft.ext.Dedup.strHash60]]. */
+  private def dkHash60(s: String) = s"('0x'||substring(md5($s),1,15))::BIGINT"
+
   val defs: Seq[QueryDef] = Seq(
 
     // Bartlett's test (Bartlett 1937) for variance homogeneity across
@@ -804,6 +807,337 @@ object R12Queries {
              |FROM it JOIN n ON n.l_partkey = it.l_partkey
              |WHERE it.k = n.nd
              |ORDER BY it.l_partkey""".stripMargin)
+    }),
+
+    // Chao1 species-richness estimate (Chao 1984, bias-corrected form)
+    // of the corpus vocabulary: how many MORE distinct terms a bigger
+    // crawl would surface — the curation question behind vocab-growth
+    // curves. The frequency spectrum is keyed on 60-bit term hashes
+    // (the repo's shuffle-hashes-never-strings rule); everything else
+    // is exact integer algebra, one division at the end.
+    QueryDef("corpus_chao1_richness",
+      (s, d) => {
+        val tf = s.read.parquet(s"$d/documents.parquet")
+          .select(explode(graft.ext.TextAnalysis.tokens(col("text")))
+            .as("term"))
+          .filter(col("term") =!= "")
+          .groupBy(graft.ext.Dedup.strHash60(col("term")).as("h"))
+          .agg(count(lit(1)).as("n"))
+        tf.agg(count(lit(1)).as("s_obs"),
+            sum(when(col("n") === 1, 1L).otherwise(0L)).as("f1"),
+            sum(when(col("n") === 2, 1L).otherwise(0L)).as("f2"))
+          .select(col("s_obs"), col("f1"), col("f2"),
+            round(col("s_obs").cast("double") +
+              col("f1").cast("double") * (col("f1") - 1).cast("double") /
+                (lit(2.0) * (col("f2") + 1).cast("double")), 4)
+              .as("chao1"))
+      },
+      Some(s"""WITH tf AS (SELECT ${dkHash60("term")} AS h,
+             |    count(*)::BIGINT AS n FROM (
+             |    SELECT unnest(string_split(lower(text), ' ')) AS term
+             |    FROM documents) WHERE term <> '' GROUP BY 1)
+             |SELECT count(*)::BIGINT AS s_obs,
+             |  sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS f1,
+             |  sum(CASE WHEN n = 2 THEN 1 ELSE 0 END)::BIGINT AS f2,
+             |  round(count(*)::DOUBLE
+             |    + sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::DOUBLE
+             |      * (sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) - 1)::DOUBLE
+             |      / (2.0 * (sum(CASE WHEN n = 2 THEN 1 ELSE 0 END)
+             |         + 1)::DOUBLE), 4) AS chao1
+             |FROM tf""".stripMargin)),
+
+    // Simple Good-Turing head (Good 1953): the unseen-probability mass
+    // F1/N and the adjusted counts r* = (r+1)·F_{r+1}/F_r for the low
+    // frequency classes — the standard smoothing ingredients a
+    // language-model pipeline reports on its corpus. Same hash-keyed
+    // spectrum as Chao1; exact integers to one row.
+    QueryDef("corpus_good_turing",
+      (s, d) => {
+        val tf = s.read.parquet(s"$d/documents.parquet")
+          .select(explode(graft.ext.TextAnalysis.tokens(col("text")))
+            .as("term"))
+          .filter(col("term") =!= "")
+          .groupBy(graft.ext.Dedup.strHash60(col("term")).as("h"))
+          .agg(count(lit(1)).as("n"))
+        tf.agg(sum(col("n")).as("n_tokens"),
+            sum(when(col("n") === 1, 1L).otherwise(0L)).as("f1"),
+            sum(when(col("n") === 2, 1L).otherwise(0L)).as("f2"),
+            sum(when(col("n") === 3, 1L).otherwise(0L)).as("f3"),
+            sum(when(col("n") === 4, 1L).otherwise(0L)).as("f4"))
+          .select(col("n_tokens"), col("f1"), col("f2"), col("f3"),
+            round(col("f1").cast("double") / col("n_tokens").cast("double"),
+              9).as("p_unseen"),
+            when(col("f1") > 0, round(lit(2.0) * col("f2").cast("double") /
+              col("f1").cast("double"), 6)).as("r1_star"),
+            when(col("f2") > 0, round(lit(3.0) * col("f3").cast("double") /
+              col("f2").cast("double"), 6)).as("r2_star"),
+            when(col("f3") > 0, round(lit(4.0) * col("f4").cast("double") /
+              col("f3").cast("double"), 6)).as("r3_star"))
+      },
+      Some(s"""WITH tf AS (SELECT ${dkHash60("term")} AS h,
+             |    count(*)::BIGINT AS n FROM (
+             |    SELECT unnest(string_split(lower(text), ' ')) AS term
+             |    FROM documents) WHERE term <> '' GROUP BY 1),
+             |sp AS (SELECT sum(n)::BIGINT AS n_tokens,
+             |    sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS f1,
+             |    sum(CASE WHEN n = 2 THEN 1 ELSE 0 END)::BIGINT AS f2,
+             |    sum(CASE WHEN n = 3 THEN 1 ELSE 0 END)::BIGINT AS f3,
+             |    sum(CASE WHEN n = 4 THEN 1 ELSE 0 END)::BIGINT AS f4
+             |  FROM tf)
+             |SELECT n_tokens, f1, f2, f3,
+             |  round(f1::DOUBLE / n_tokens::DOUBLE, 9) AS p_unseen,
+             |  CASE WHEN f1 > 0 THEN round(2.0 * f2::DOUBLE / f1::DOUBLE, 6)
+             |    END AS r1_star,
+             |  CASE WHEN f2 > 0 THEN round(3.0 * f3::DOUBLE / f2::DOUBLE, 6)
+             |    END AS r2_star,
+             |  CASE WHEN f3 > 0 THEN round(4.0 * f4::DOUBLE / f3::DOUBLE, 6)
+             |    END AS r3_star
+             |FROM sp""".stripMargin)),
+
+    // The four classical vocabulary-richness constants (Yule 1944's K,
+    // Sichel 1975's S, Honoré 1979's R, Herdan 1960's C) from the same
+    // hash-keyed frequency spectrum — the length-robust style/diversity
+    // fingerprints stylometry and corpus QA publish. Σr²V_r accumulates
+    // in DECIMAL (BIGINT would wrap at web scale); each ln is quantized
+    // to the 1e-9 grid before the final round-6/round-4 doubles.
+    QueryDef("text_vocab_richness",
+      (s, d) => {
+        val tf = s.read.parquet(s"$d/documents.parquet")
+          .select(explode(graft.ext.TextAnalysis.tokens(col("text")))
+            .as("term"))
+          .filter(col("term") =!= "")
+          .groupBy(graft.ext.Dedup.strHash60(col("term")).as("h"))
+          .agg(count(lit(1)).as("n"))
+        tf.agg(count(lit(1)).as("v"), sum(col("n")).as("nt"),
+            sum(col("n").cast("decimal(19,0)") * col("n")).as("sr2"),
+            sum(when(col("n") === 1, 1L).otherwise(0L)).as("v1"),
+            sum(when(col("n") === 2, 1L).otherwise(0L)).as("v2"))
+          .select(col("v").as("vocab"), col("nt").as("n_tokens"),
+            col("v1").as("n_hapax"),
+            round(lit(10000.0) *
+              (col("sr2").cast("double") - col("nt").cast("double")) /
+              (col("nt").cast("double") * col("nt").cast("double")), 6)
+              .as("yule_k"),
+            round(col("v2").cast("double") / col("v").cast("double"), 6)
+              .as("sichel_s"),
+            when(col("v1") < col("v"),
+              round(lit(100.0) * round(log(col("nt").cast("double")), 9) /
+                (lit(1.0) - col("v1").cast("double") /
+                  col("v").cast("double")), 4)).as("honore_r"),
+            round(round(log(col("v").cast("double")), 9) /
+              round(log(col("nt").cast("double")), 9), 6).as("herdan_c"))
+      },
+      Some(s"""WITH tf AS (SELECT ${dkHash60("term")} AS h,
+             |    count(*)::BIGINT AS n FROM (
+             |    SELECT unnest(string_split(lower(text), ' ')) AS term
+             |    FROM documents) WHERE term <> '' GROUP BY 1),
+             |sp AS (SELECT count(*)::BIGINT AS v, sum(n)::BIGINT AS nt,
+             |    sum(n::DECIMAL(19,0) * n) AS sr2,
+             |    sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS v1,
+             |    sum(CASE WHEN n = 2 THEN 1 ELSE 0 END)::BIGINT AS v2
+             |  FROM tf)
+             |SELECT v AS vocab, nt AS n_tokens, v1 AS n_hapax,
+             |  round(10000.0 * (sr2::DOUBLE - nt::DOUBLE)
+             |    / (nt::DOUBLE * nt::DOUBLE), 6) AS yule_k,
+             |  round(v2::DOUBLE / v::DOUBLE, 6) AS sichel_s,
+             |  CASE WHEN v1 < v THEN
+             |    round(100.0 * round(ln(nt::DOUBLE), 9)
+             |      / (1.0 - v1::DOUBLE / v::DOUBLE), 4) END AS honore_r,
+             |  round(round(ln(v::DOUBLE), 9) / round(ln(nt::DOUBLE), 9), 6)
+             |    AS herdan_c
+             |FROM sp""".stripMargin)),
+
+    // Heaps' law fit V = k·N^β (Heaps 1978) over the 10-decile
+    // vocabulary growth curve: log-log OLS on exact cumulative
+    // (tokens, vocab) counts per doc_id-cutoff decile. The ln points
+    // are 1e-9-quantized and their products summed as DECIMAL (10-row
+    // cross-sums are still order-sensitive in raw double). β ≈ 0.5
+    // means the crawl keeps finding new terms; β → 0 means saturation.
+    QueryDef("corpus_heaps_fit",
+      (s, d) => {
+        val docs = s.read.parquet(s"$d/documents.parquet")
+        val toks = docs.select(col("doc_id"),
+          explode(graft.ext.TextAnalysis.tokens(col("text"))).as("term"))
+          .filter(col("term") =!= "")
+        val firstDoc = toks
+          .groupBy(graft.ext.Dedup.strHash60(col("term")).as("h"))
+          .agg(min(col("doc_id")).as("first_doc"))
+        val maxId = docs.agg(max(col("doc_id")).as("mx"))
+        val ck = s.range(1, 11).select(col("id").as("decile"))
+          .crossJoin(broadcast(maxId))
+          .select(col("decile"), expr("(mx + 1) * decile div 10").as("cutoff"))
+        val vd = firstDoc.crossJoin(broadcast(ck))
+          .groupBy(col("decile"), col("cutoff"))
+          .agg(sum(when(col("first_doc") < col("cutoff"), 1L).otherwise(0L))
+            .as("vc"))
+        val nd = toks.crossJoin(broadcast(ck))
+          .groupBy(col("decile"))
+          .agg(sum(when(col("doc_id") < col("cutoff"), 1L).otherwise(0L))
+            .as("nc"))
+        val pts = vd.join(nd, "decile")
+          .select(round(log(col("nc").cast("double")), 9).as("x"),
+            round(log(col("vc").cast("double")), 9).as("y"))
+        pts.agg(count(lit(1)).as("n"),
+            sum(col("x").cast("decimal(20,9)")).as("sx"),
+            sum(col("y").cast("decimal(20,9)")).as("sy"),
+            sum(round(col("x") * col("y"), 9).cast("decimal(20,9)"))
+              .as("sxy"),
+            sum(round(col("x") * col("x"), 9).cast("decimal(20,9)"))
+              .as("sxx"))
+          .select(
+            round((col("n").cast("double") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+              (col("n").cast("double") * col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double")), 6)
+              .as("heaps_beta"),
+            round(exp(round((col("sy").cast("double") -
+              ((col("n").cast("double") * col("sxy").cast("double") -
+                col("sx").cast("double") * col("sy").cast("double")) /
+                (col("n").cast("double") * col("sxx").cast("double") -
+                  col("sx").cast("double") * col("sx").cast("double"))) *
+                col("sx").cast("double")) / col("n").cast("double"), 9)), 4)
+              .as("heaps_k"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id,
+             |    unnest(string_split(lower(text), ' ')) AS term
+             |  FROM documents),
+             |tk AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+             |fd AS (SELECT ${dkHash60("term")} AS h,
+             |    min(doc_id) AS first_doc FROM tk GROUP BY 1),
+             |mx AS (SELECT max(doc_id) AS mx FROM documents),
+             |ck AS (SELECT d.range AS decile,
+             |    (mx + 1) * d.range // 10 AS cutoff
+             |  FROM range(1, 11) d, mx),
+             |vd AS (SELECT ck.decile, sum(CASE WHEN fd.first_doc < ck.cutoff
+             |      THEN 1 ELSE 0 END)::BIGINT AS vc
+             |  FROM fd, ck GROUP BY 1),
+             |nd AS (SELECT ck.decile, sum(CASE WHEN tk.doc_id < ck.cutoff
+             |      THEN 1 ELSE 0 END)::BIGINT AS nc
+             |  FROM tk, ck GROUP BY 1),
+             |pts AS (SELECT round(ln(nc::DOUBLE), 9) AS x,
+             |    round(ln(vc::DOUBLE), 9) AS y
+             |  FROM vd JOIN nd USING (decile)),
+             |ag AS (SELECT count(*)::BIGINT AS n,
+             |    sum(x::DECIMAL(20,9)) AS sx, sum(y::DECIMAL(20,9)) AS sy,
+             |    sum(round(x * y, 9)::DECIMAL(20,9)) AS sxy,
+             |    sum(round(x * x, 9)::DECIMAL(20,9)) AS sxx
+             |  FROM pts)
+             |SELECT
+             |  round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             |    / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6)
+             |    AS heaps_beta,
+             |  round(exp(round((sy::DOUBLE
+             |      - ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             |        / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE))
+             |        * sx::DOUBLE) / n::DOUBLE, 9)), 4) AS heaps_k
+             |FROM ag""".stripMargin)),
+
+    // MTLD lexical diversity (McCarthy & Jarvis 2010): walk the token
+    // stream keeping a running type/token ratio; every time TTR dips
+    // below 0.72 a "factor" completes and the window resets; MTLD =
+    // n_tokens / (factors + partial), averaged over the forward and
+    // backward passes. The TTR comparison is EXACT (types·100 < 72·t);
+    // tokens are 60-bit hashes (capped at 120/doc — the documented
+    // bound that keeps the O(n·types) set scan constant-factor). The
+    // Spark side is a PURE MAP (one fold per doc, no shuffle at all —
+    // the ideal 100 TB shape); the oracle replays both passes as
+    // lockstep recursive CTEs over a positioned token table.
+    QueryDef("text_mtld", {
+      val hash60 = "CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)"
+      val seen1 = "(CASE WHEN array_contains(a.seen, h) THEN a.seen " +
+        "ELSE concat(a.seen, array(h)) END)"
+      val complete = s"(size($seen1) * 100 < 72 * (a.t + 1))"
+      val fold = "aggregate(%s, named_struct(" +
+        "'seen', array()::ARRAY<BIGINT>, 't', 0, 'f', 0), " +
+        s"(a, h) -> named_struct(" +
+        s"'seen', CASE WHEN $complete THEN array()::ARRAY<BIGINT> " +
+        s"ELSE $seen1 END, " +
+        s"'t', CASE WHEN $complete THEN 0 ELSE a.t + 1 END, " +
+        s"'f', a.f + CASE WHEN $complete THEN 1 ELSE 0 END))"
+      // raw (unrounded) per-direction MTLD — the displayed columns
+      // round it, but the two-direction average is taken on the RAW
+      // values: averaging two 4dp-rounded numbers lands on exact
+      // .00005 midpoints where Spark (shortest-decimal HALF_UP) and
+      // DuckDB (binary-value rounding) systematically disagree.
+      val mtldRaw = "(CASE WHEN %1$s.f + (CASE WHEN %1$s.t > 0 THEN " +
+        "(1.0D - size(%1$s.seen) / CAST(%1$s.t AS DOUBLE)) / 0.28D " +
+        "ELSE 0.0D END) > 0.0D THEN " +
+        "nl / (%1$s.f + (CASE WHEN %1$s.t > 0 THEN " +
+        "(1.0D - size(%1$s.seen) / CAST(%1$s.t AS DOUBLE)) / 0.28D " +
+        "ELSE 0.0D END)) END)"
+      (s, d) => {
+        // graded slice doc_id < 1500: the full corpus at the gate SFs,
+        // a bounded replay at sf0.1+ — the recursive-CTE oracle costs
+        // ~11 ms/doc and must stay inside the 30 s oracle budget (the
+        // Spark kernel itself is corpus-wide: a pure per-doc map)
+        QueryDef.fanOut(s.read.parquet(s"$d/documents.parquet"))
+          .filter(col("doc_id") < 1500)
+          .select(col("doc_id"), expr(
+            s"slice(transform(filter(split(lower(text), ' '), " +
+              s"t -> t <> ''), t -> $hash60), 1, 120)").as("hs"))
+          .filter(size(col("hs")) > 0)
+          .withColumn("nl", size(col("hs")).cast("double"))
+          .withColumn("sf", expr(fold.format("hs")))
+          .withColumn("sb", expr(fold.format("reverse(hs)")))
+          .withColumn("mf", expr(mtldRaw.format("sf")))
+          .withColumn("mb", expr(mtldRaw.format("sb")))
+          .select(col("doc_id"), col("nl").cast("long").as("n_tokens"),
+            round(col("mf"), 4).as("mtld_fwd"),
+            round(col("mb"), 4).as("mtld_bwd"),
+            round((col("mf") + col("mb")) / 2.0, 4).as("mtld"))
+          .orderBy(col("doc_id"))
+      }
+    }, {
+      val seen1 = "(CASE WHEN list_contains(it.seen, tk.h) THEN it.seen " +
+        "ELSE list_append(it.seen, tk.h) END)"
+      val complete = s"(len($seen1) * 100 < 72 * (it.t + 1))"
+      val partial = "(CASE WHEN %1$s.t > 0 THEN " +
+        "(1.0 - len(%1$s.seen) / %1$s.t::DOUBLE) / 0.28 ELSE 0.0 END)"
+      val mtldraw = s"(CASE WHEN %1$$s.f + $partial > 0.0 THEN " +
+        s"tl.nl::DOUBLE / (%1$$s.f + $partial) END)"
+      val mtldexp = s"round(${mtldraw}, 4)"
+      Some(s"""WITH RECURSIVE tkl AS (SELECT doc_id,
+             |    list_transform(list_filter(string_split(lower(text), ' '),
+             |      t -> t <> '')[:120],
+             |      t -> ${dkHash60("t")}) AS hs
+             |  FROM documents WHERE doc_id < 1500),
+             |tl AS (SELECT doc_id, len(hs) AS nl FROM tkl WHERE len(hs) > 0),
+             |tk AS (SELECT doc_id, unnest(hs) AS h,
+             |    generate_subscripts(hs, 1) AS pos FROM tkl),
+             |tkb AS (SELECT tk.doc_id, tk.h, tl.nl - tk.pos + 1 AS pos
+             |  FROM tk JOIN tl ON tl.doc_id = tk.doc_id),
+             |fw AS (
+             |  SELECT doc_id, 0 AS pos, []::BIGINT[] AS seen, 0 AS t, 0 AS f
+             |    FROM tl
+             |  UNION ALL
+             |  SELECT it.doc_id, it.pos + 1,
+             |      CASE WHEN $complete THEN []::BIGINT[] ELSE $seen1 END,
+             |      CASE WHEN $complete THEN 0 ELSE it.t + 1 END,
+             |      it.f + CASE WHEN $complete THEN 1 ELSE 0 END
+             |    FROM fw it JOIN tk ON tk.doc_id = it.doc_id
+             |      AND tk.pos = it.pos + 1),
+             |bw AS (
+             |  SELECT doc_id, 0 AS pos, []::BIGINT[] AS seen, 0 AS t, 0 AS f
+             |    FROM tl
+             |  UNION ALL
+             |  SELECT it.doc_id, it.pos + 1,
+             |      CASE WHEN $complete THEN []::BIGINT[] ELSE $seen1 END,
+             |      CASE WHEN $complete THEN 0 ELSE it.t + 1 END,
+             |      it.f + CASE WHEN $complete THEN 1 ELSE 0 END
+             |    FROM bw it JOIN tkb tk ON tk.doc_id = it.doc_id
+             |      AND tk.pos = it.pos + 1),
+             |fend AS (SELECT f.* FROM fw f JOIN tl ON tl.doc_id = f.doc_id
+             |  WHERE f.pos = tl.nl),
+             |bend AS (SELECT b.* FROM bw b JOIN tl ON tl.doc_id = b.doc_id
+             |  WHERE b.pos = tl.nl)
+             |SELECT tl.doc_id, tl.nl::BIGINT AS n_tokens,
+             |  ${mtldexp.format("fe")} AS mtld_fwd,
+             |  ${mtldexp.format("be")} AS mtld_bwd,
+             |  round((${mtldraw.format("fe")} + ${mtldraw.format("be")})
+             |    / 2.0, 4) AS mtld
+             |FROM tl JOIN fend fe ON fe.doc_id = tl.doc_id
+             |JOIN bend be ON be.doc_id = tl.doc_id
+             |ORDER BY tl.doc_id""".stripMargin)
     })
   )
 }

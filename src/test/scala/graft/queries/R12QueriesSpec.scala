@@ -239,4 +239,79 @@ class R12QueriesSpec extends GraftSpec {
       BigDecimal(z / p).setScale(6, BigDecimal.RoundingMode.HALF_UP)
         .toDouble)
   }
+
+  // crafted corpus: a×1 b×1 c×2 d×3 → S=4, F1=2, F2=1, F3=1, N=7
+  private def spectrumDir(): String =
+    docsDir(Seq((0L, "a c d"), (1L, "b c d d")))
+
+  test("corpus_chao1_richness: crafted spectrum gives the closed form") {
+    val out = byName("corpus_chao1_richness")(spark, spectrumDir()).head()
+    assert(out.getAs[Long]("s_obs") === 4L)
+    assert(out.getAs[Long]("f1") === 2L)
+    assert(out.getAs[Long]("f2") === 1L)
+    assert(out.getAs[Double]("chao1") === 4.5) // 4 + 2·1/(2·2)
+  }
+
+  test("corpus_good_turing: crafted spectrum gives exact adjusted counts") {
+    val out = byName("corpus_good_turing")(spark, spectrumDir()).head()
+    assert(out.getAs[Long]("n_tokens") === 7L)
+    assert(out.getAs[Double]("p_unseen") === 0.285714286) // 2/7
+    assert(out.getAs[Double]("r1_star") === 1.0) // 2·F2/F1
+    assert(out.getAs[Double]("r2_star") === 3.0) // 3·F3/F2
+  }
+
+  test("text_vocab_richness: uniform spectrum matches Yule/Herdan closed forms") {
+    // 5 terms × 4 occurrences each: N=20, V=5, Σr²V_r=80, V1=V2=0
+    val docs = docsDir(Seq((0L, ("t1 t2 t3 t4 t5 " * 4).trim)))
+    val out = byName("text_vocab_richness")(spark, docs).head()
+    assert(out.getAs[Long]("vocab") === 5L)
+    assert(out.getAs[Long]("n_tokens") === 20L)
+    val k = 10000.0 * (80.0 - 20.0) / 400.0
+    assert(out.getAs[Double]("yule_k") === k)
+    assert(out.getAs[Double]("sichel_s") === 0.0)
+    // V1 = 0 < V ⇒ Honoré defined: 100·ln(20)/(1-0) = 299.5732
+    assert(out.getAs[Double]("honore_r") === 299.5732)
+    val c = BigDecimal(math.round(math.log(5.0) * 1e9) / 1e9 /
+      (math.round(math.log(20.0) * 1e9) / 1e9))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.getAs[Double]("herdan_c") === c)
+  }
+
+  test("corpus_heaps_fit: an all-distinct corpus fits beta 1, k 1") {
+    // 10 docs × 5 globally-unique tokens → V_d = N_d at every decile
+    val docs = docsDir((0L until 10L).map(i =>
+      (i, (0 until 5).map(j => s"w${i}_$j").mkString(" "))))
+    val out = byName("corpus_heaps_fit")(spark, docs).head()
+    assert(out.getAs[Double]("heaps_beta") === 1.0)
+    assert(out.getAs[Double]("heaps_k") === 1.0)
+  }
+
+  test("corpus_heaps_fit: sf0.001 exponent is a plausible Heaps beta") {
+    // the synthetic corpus has a fixed 31-word vocabulary, so the fit
+    // correctly reports full saturation: beta = 0, k = vocab size
+    val out = byName("corpus_heaps_fit")(spark, "/root/testdata/sf0.001")
+      .head()
+    val b = out.getAs[Double]("heaps_beta")
+    assert(b >= 0.0 && b < 1.0)
+    assert(out.getAs[Double]("heaps_k") === 31.0)
+  }
+
+  test("text_mtld: a fully repetitive doc factors every 2 tokens") {
+    // 'a' ×50: TTR dips below .72 at every 2nd token → 25 factors,
+    // zero partial → MTLD = 50/25 = 2 in both directions
+    val out = byName("text_mtld")(spark,
+      docsDir(Seq((0L, Seq.fill(50)("a").mkString(" "))))).head()
+    assert(out.getAs[Long]("n_tokens") === 50L)
+    assert(out.getAs[Double]("mtld_fwd") === 2.0)
+    assert(out.getAs[Double]("mtld_bwd") === 2.0)
+    assert(out.getAs[Double]("mtld") === 2.0)
+  }
+
+  test("text_mtld: an all-distinct doc never completes a factor (NULL)") {
+    val out = byName("text_mtld")(spark,
+      docsDir(Seq((0L, (0 until 30).map(i => s"u$i").mkString(" ")))))
+      .head()
+    assert(out.isNullAt(out.fieldIndex("mtld_fwd")))
+    assert(out.isNullAt(out.fieldIndex("mtld")))
+  }
 }
