@@ -1138,6 +1138,305 @@ object R12Queries {
              |FROM tl JOIN fend fe ON fe.doc_id = tl.doc_id
              |JOIN bend be ON be.doc_id = tl.doc_id
              |ORDER BY tl.doc_id""".stripMargin)
-    })
+    }),
+
+    // Directed-graph reciprocity + dyad census (Wasserman & Faust
+    // 1994) on the ship-sequence graph: part a → part b when a ships
+    // STRICTLY before b inside the same order (ties carry no
+    // direction). Reciprocity = share of directed edges that are
+    // returned — do fulfilment sequences run one way, or both?
+    // Exact set algebra: one distinct, one self-join on the reversed
+    // pair, integer counts to one row.
+    QueryDef("q_graph_reciprocity",
+      (s, d) => {
+        val dp = s.read.parquet(s"$d/lineitem.parquet")
+          .groupBy(col("l_orderkey"), col("l_partkey"))
+          .agg(min(col("l_shipdate")).as("sd"))
+        val de = dp.select(col("l_orderkey"), col("l_partkey").as("src"),
+            col("sd").as("sa"))
+          .join(dp.select(col("l_orderkey").as("ok2"),
+            col("l_partkey").as("dst"), col("sd").as("sb")),
+            col("l_orderkey") === col("ok2") && col("sa") < col("sb"))
+          .select(col("src"), col("dst")).distinct().persist()
+        val mutual = de.join(de.select(col("src").as("r_dst"),
+            col("dst").as("r_src")),
+          col("src") === col("r_src") && col("dst") === col("r_dst"))
+          .filter(col("src") < col("dst"))
+          .agg(count(lit(1)).as("m"))
+        de.agg(count(lit(1)).as("n_edges"))
+          .crossJoin(broadcast(mutual))
+          .select(col("n_edges"), col("m").as("n_mutual_dyads"),
+            (col("n_edges") - col("m") * 2).as("n_asym_dyads"),
+            round(lit(2.0) * col("m").cast("double") /
+              col("n_edges").cast("double"), 6).as("reciprocity"))
+      },
+      Some("""WITH dp AS (SELECT l_orderkey, l_partkey,
+             |    min(l_shipdate) AS sd
+             |  FROM lineitem GROUP BY 1, 2),
+             |de AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+             |  FROM dp a JOIN dp b ON a.l_orderkey = b.l_orderkey
+             |    AND a.sd < b.sd),
+             |m AS (SELECT count(*)::BIGINT AS m FROM de x
+             |  JOIN de y ON x.src = y.dst AND x.dst = y.src
+             |  WHERE x.src < x.dst),
+             |e AS (SELECT count(*)::BIGINT AS n_edges FROM de)
+             |SELECT e.n_edges, m.m AS n_mutual_dyads,
+             |  (e.n_edges - 2 * m.m)::BIGINT AS n_asym_dyads,
+             |  round(2.0 * m.m::DOUBLE / e.n_edges::DOUBLE, 6)
+             |    AS reciprocity
+             |FROM e, m""".stripMargin)),
+
+    // Harmonic closeness centrality (Marchiori & Latora 2000) of the
+    // 5 highest-degree parts in the co-purchase graph, by 6-round
+    // multi-source BFS (the documented hop bound; past 6 hops 1/d
+    // contributes < 1/6 per node and the ranking is stable). The
+    // harmonic sum is kept EXACT as Σ n_d·(60/d) — integer because
+    // 60 = lcm(1..6) — so no float accumulates across hop buckets;
+    // frontier rounds persist+force like every iterative graph kernel
+    // here. Seeds broadcast; each round is one shuffle on node.
+    QueryDef("q_closeness_centrality",
+      (s, d) => {
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val e = s.read.parquet(SqlQueries.copurchaseEdgesOf(s, d))
+        val eb = e.select(col("p1").as("src"), col("p2").as("dst"))
+          .unionAll(e.select(col("p2").as("src"), col("p1").as("dst")))
+          .persist(MEMORY_AND_DISK)
+        val seeds = eb.groupBy(col("src").as("seed"))
+          .agg(count(lit(1)).as("deg"))
+          .orderBy(col("deg").desc, col("seed")).limit(5)
+          .select(col("seed"))
+        var reach = seeds.select(col("seed"), col("seed").as("node"),
+          lit(0).as("hop")).persist(MEMORY_AND_DISK)
+        reach.count()
+        for (h <- 1 to 6) {
+          val next = reach.filter(col("hop") === h - 1)
+            .join(eb, col("node") === col("src"))
+            .select(col("seed"), col("dst").as("node"), lit(h).as("hop"))
+            .distinct()
+          val nr = reach.unionAll(next)
+            .groupBy(col("seed"), col("node"))
+            .agg(min(col("hop")).as("hop")).persist(MEMORY_AND_DISK)
+          nr.count()
+          reach.unpersist()
+          reach = nr
+        }
+        reach.filter(col("hop") > 0)
+          .groupBy(col("seed"))
+          .agg(count(lit(1)).as("n_reached"),
+            sum(expr("60 div hop")).as("h60"))
+          .select(col("seed"), col("n_reached"), col("h60"),
+            round(col("h60").cast("double") / 60.0, 6).as("harmonic"))
+          .orderBy(col("seed"))
+      }, {
+      val hops = (1 to 6).map { h =>
+        s"""h$h AS MATERIALIZED (SELECT DISTINCT r.seed, eb.dst AS node
+           |  FROM h${h - 1} r JOIN eb ON eb.src = r.node)""".stripMargin
+      }.mkString(",\n")
+      val lv = (1 to 6).map(h => s"SELECT seed, node, $h AS hop FROM h$h")
+        .mkString("\n  UNION ALL ")
+      Some(s"""WITH pp AS MATERIALIZED (SELECT DISTINCT l_orderkey,
+             |    l_partkey FROM lineitem),
+             |e0 AS MATERIALIZED (SELECT a.l_partkey AS p1,
+             |    b.l_partkey AS p2
+             |  FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey
+             |    AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |eb AS MATERIALIZED (SELECT p1 AS src, p2 AS dst FROM e0
+             |  UNION ALL SELECT p2, p1 FROM e0),
+             |sd AS (SELECT src AS seed, count(*) AS deg FROM eb
+             |  GROUP BY 1 ORDER BY deg DESC, seed LIMIT 5),
+             |h0 AS (SELECT seed, seed AS node FROM sd),
+             |$hops,
+             |lv AS (SELECT seed, node, 0 AS hop FROM h0
+             |  UNION ALL $lv),
+             |mh AS (SELECT seed, node, min(hop) AS hop FROM lv
+             |  GROUP BY 1, 2)
+             |SELECT seed, count(*)::BIGINT AS n_reached,
+             |  sum(60 // hop)::BIGINT AS h60,
+             |  round(sum(60 // hop)::DOUBLE / 60.0, 6) AS harmonic
+             |FROM mh WHERE hop > 0 GROUP BY seed
+             |ORDER BY seed""".stripMargin)
+    }),
+
+    // k-core robustness profile (Seidman 1983): the k = 2, 3, 4 cores
+    // of the co-purchase graph, each by the repo's bounded 5-round
+    // peel (the q_kcore3 discipline — persist + force every round,
+    // identical round count replayed by the oracle's generated CTE
+    // chain). The profile curve (how fast the core collapses as k
+    // grows) is the one-look robustness summary.
+    QueryDef("q_kcore_profile",
+      (s, d) => {
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val e0 = s.read.parquet(SqlQueries.copurchaseEdgesOf(s, d))
+          .select(col("p1"), col("p2")).persist(MEMORY_AND_DISK)
+        e0.count()
+        val outs = (2 to 4).map { k =>
+          var e = e0
+          for (r <- 1 to 5) {
+            val deg = e.select(explode(array(col("p1"), col("p2")))
+              .as("node"))
+              .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+            val keep = deg.filter(col("deg") >= k).select(col("node"))
+            val ne = e.join(keep.select(col("node").as("ka")),
+                col("p1") === col("ka")).drop("ka")
+              .join(keep.select(col("node").as("kb")),
+                col("p2") === col("kb")).drop("kb")
+              .persist(MEMORY_AND_DISK)
+            ne.count()
+            if (r > 1) e.unpersist()
+            e = ne
+          }
+          e.select(explode(array(col("p1"), col("p2"))).as("node"))
+            .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+            .agg(lit(k).cast("long").as("k"),
+              count(lit(1)).as("core_nodes"),
+              coalesce((sum(col("deg")) / 2).cast("long"), lit(0L))
+                .as("core_edges"))
+        }
+        outs.reduce(_ unionAll _).orderBy(col("k"))
+      }, {
+      def chain(k: Int) = (1 to 5).map { r =>
+        s"""d${k}_$r AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+           |  SELECT p1 AS node FROM e${k}_${r - 1}
+           |  UNION ALL SELECT p2 FROM e${k}_${r - 1}) GROUP BY 1),
+           |e${k}_$r AS MATERIALIZED (SELECT p1, p2 FROM e${k}_${r - 1}
+           |  JOIN d${k}_$r a ON a.node = p1 AND a.deg >= $k
+           |  JOIN d${k}_$r b ON b.node = p2 AND b.deg >= $k)""".stripMargin
+      }.mkString(",\n")
+      val finals = (2 to 4).map { k =>
+        s"""SELECT $k::BIGINT AS k, count(*)::BIGINT AS core_nodes,
+           |  coalesce((sum(deg) / 2)::BIGINT, 0) AS core_edges
+           |FROM (SELECT node, count(*) AS deg FROM (
+           |  SELECT p1 AS node FROM e${k}_5
+           |  UNION ALL SELECT p2 FROM e${k}_5) GROUP BY 1)""".stripMargin
+      }.mkString("\n  UNION ALL ")
+      Some(s"""WITH pp AS MATERIALIZED (SELECT DISTINCT l_orderkey,
+             |    l_partkey FROM lineitem),
+             |ebase AS MATERIALIZED (SELECT a.l_partkey AS p1,
+             |    b.l_partkey AS p2
+             |  FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey
+             |    AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |e2_0 AS (SELECT * FROM ebase),
+             |e3_0 AS (SELECT * FROM ebase),
+             |e4_0 AS (SELECT * FROM ebase),
+             |${chain(2)},
+             |${chain(3)},
+             |${chain(4)}
+             |SELECT * FROM ($finals) ORDER BY k""".stripMargin)
+    }),
+
+    // Daily Apdex (Apdex Alliance 2004) on the view→purchase latency:
+    // satisfied ≤ 30 min, tolerating ≤ 2 h. Latency comes from the
+    // last-qualifying-view running-max window (one shuffle on
+    // user_id, the q_view_purchase_latency pattern); the score is
+    // published EXACT as ppm — (2·sat + tol)·500000 div n — so the
+    // gate compares integers, no float at all.
+    QueryDef("q_apdex_score",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        graft.sources.Tables.events(s, d)
+          .filter(col("event_type").isin("view", "purchase"))
+          .withColumn("lv",
+            max(when(col("event_type") === "view", unix_micros(col("ts"))))
+              .over(w))
+          .filter(col("event_type") === "purchase" && col("lv").isNotNull)
+          .withColumn("lat_us", unix_micros(col("ts")) - col("lv"))
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_samples"),
+            sum(when(col("lat_us") <= 1800000000L, 1L).otherwise(0L))
+              .as("n_satisfied"),
+            sum(when(col("lat_us") > 1800000000L &&
+              col("lat_us") <= 7200000000L, 1L).otherwise(0L))
+              .as("n_tolerating"))
+          .select(col("day").cast("string").as("day"), col("n_samples"),
+            col("n_satisfied"),
+            col("n_tolerating"),
+            expr("(2 * n_satisfied + n_tolerating) * 500000 div n_samples")
+              .as("apdex_ppm"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH f AS (SELECT user_id, event_id, event_type, ts,
+             |    epoch_us(ts) AS us FROM events
+             |  WHERE event_type IN ('view', 'purchase')),
+             |l AS (SELECT event_type, ts, us,
+             |    max(CASE WHEN event_type = 'view' THEN us END)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS lv
+             |  FROM f),
+             |p AS (SELECT ts::DATE AS day, us - lv AS lat_us FROM l
+             |  WHERE event_type = 'purchase' AND lv IS NOT NULL)
+             |SELECT day::VARCHAR AS day, count(*)::BIGINT AS n_samples,
+             |  sum(CASE WHEN lat_us <= 1800000000 THEN 1 ELSE 0 END)::BIGINT
+             |    AS n_satisfied,
+             |  sum(CASE WHEN lat_us > 1800000000 AND lat_us <= 7200000000
+             |    THEN 1 ELSE 0 END)::BIGINT AS n_tolerating,
+             |  ((2 * sum(CASE WHEN lat_us <= 1800000000 THEN 1 ELSE 0 END)
+             |    + sum(CASE WHEN lat_us > 1800000000
+             |        AND lat_us <= 7200000000 THEN 1 ELSE 0 END))
+             |    * 500000 // count(*))::BIGINT AS apdex_ppm
+             |FROM p GROUP BY day ORDER BY day""".stripMargin)),
+
+    // User-perceived MTTR / MTBF: an 'error' event opens an incident
+    // for that user; the user's next non-error event closes it (time
+    // to repair), and gaps between a user's consecutive errors are
+    // the times between failures. Per-user windows (one shuffle on
+    // user_id, never a global sort); exact microsecond sums to a
+    // one-row summary.
+    QueryDef("q_mttr_mtbf",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val ev = graft.sources.Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"), unix_micros(col("ts")).as("us"))
+        val rec = ev
+          .withColumn("nxt",
+            min(when(col("event_type") =!= "error", col("us")))
+              .over(w.rowsBetween(1, Window.unboundedFollowing)))
+          .filter(col("event_type") === "error" && col("nxt").isNotNull)
+          .agg(count(lit(1)).as("n_incidents"),
+            sum(col("nxt") - col("us")).as("ttr_us"))
+        val gaps = ev.filter(col("event_type") === "error")
+          .withColumn("prev", lag(col("us"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .agg(count(lit(1)).as("n_gaps"),
+            sum(col("us") - col("prev")).as("gap_us"))
+        rec.crossJoin(broadcast(gaps))
+          .select(col("n_incidents"),
+            round(col("ttr_us").cast("double") /
+              col("n_incidents").cast("double") / 1e6, 4)
+              .as("mttr_seconds"),
+            col("n_gaps"),
+            round(col("gap_us").cast("double") /
+              col("n_gaps").cast("double") / 6e7, 4).as("mtbf_minutes"))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id, ts, event_type,
+             |    epoch_us(ts) AS us FROM events),
+             |r AS (SELECT event_type,
+             |    min(CASE WHEN event_type <> 'error' THEN us END)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+             |      AS nxt, us
+             |  FROM ev),
+             |rec AS (SELECT count(*)::BIGINT AS n_incidents,
+             |    sum(nxt - us)::BIGINT AS ttr_us FROM r
+             |  WHERE event_type = 'error' AND nxt IS NOT NULL),
+             |g AS (SELECT us, lag(us) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS prev
+             |  FROM ev WHERE event_type = 'error'),
+             |gaps AS (SELECT count(*)::BIGINT AS n_gaps,
+             |    sum(us - prev)::BIGINT AS gap_us FROM g
+             |  WHERE prev IS NOT NULL)
+             |SELECT rec.n_incidents,
+             |  round(rec.ttr_us::DOUBLE / rec.n_incidents::DOUBLE / 1e6, 4)
+             |    AS mttr_seconds,
+             |  gaps.n_gaps,
+             |  round(gaps.gap_us::DOUBLE / gaps.n_gaps::DOUBLE / 6e7, 4)
+             |    AS mtbf_minutes
+             |FROM rec, gaps""".stripMargin))
   )
 }

@@ -314,4 +314,81 @@ class R12QueriesSpec extends GraftSpec {
     assert(out.isNullAt(out.fieldIndex("mtld_fwd")))
     assert(out.isNullAt(out.fieldIndex("mtld")))
   }
+
+  /** lineitem fixture with order keys: (orderkey, partkey, shipdate, qty) */
+  private def lineitemDirO(rows: Seq[(Long, Long, String, Double)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("r12lo").toString
+    rows.toDF("l_orderkey", "l_partkey", "__d", "l_quantity")
+      .withColumn("l_shipdate", to_timestamp(col("__d"))).drop("__d")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
+  test("q_graph_reciprocity: one mutual and one one-way dyad") {
+    // o1: A before B; o2: B before A (mutual); o3: A before C (asym)
+    val rows = Seq(
+      (1L, 10L, "2024-01-01", 1.0), (1L, 20L, "2024-01-02", 1.0),
+      (2L, 20L, "2024-01-01", 1.0), (2L, 10L, "2024-01-02", 1.0),
+      (3L, 10L, "2024-01-01", 1.0), (3L, 30L, "2024-01-02", 1.0))
+    val out = byName("q_graph_reciprocity")(spark, lineitemDirO(rows)).head()
+    assert(out.getAs[Long]("n_edges") === 3L)
+    assert(out.getAs[Long]("n_mutual_dyads") === 1L)
+    assert(out.getAs[Long]("n_asym_dyads") === 1L)
+    assert(out.getAs[Double]("reciprocity") === 0.666667)
+  }
+
+  test("q_closeness_centrality: path graph 1-2-3 gives exact harmonics") {
+    // co-purchase edges need support >= 2: each pair appears in 2 orders
+    val rows = Seq(
+      (1L, 1L, "2024-01-01", 1.0), (1L, 2L, "2024-01-01", 1.0),
+      (2L, 1L, "2024-01-01", 1.0), (2L, 2L, "2024-01-01", 1.0),
+      (3L, 2L, "2024-01-01", 1.0), (3L, 3L, "2024-01-01", 1.0),
+      (4L, 2L, "2024-01-01", 1.0), (4L, 3L, "2024-01-01", 1.0))
+    val out = byName("q_closeness_centrality")(spark, lineitemDirO(rows))
+      .collect().map(r => (r.getAs[Long]("seed"), r.getAs[Long]("h60")))
+      .toMap
+    assert(out(2L) === 120L) // two neighbors at hop 1
+    assert(out(1L) === 90L)  // hop1 + hop2 → 60 + 30
+    assert(out(3L) === 90L)
+  }
+
+  test("q_kcore_profile: a triangle survives k=2 and dies at k=3") {
+    val rows = (0 until 2).flatMap { r =>
+      Seq((r * 10 + 1L, 1L), (r * 10 + 1L, 2L), (r * 10 + 2L, 2L),
+        (r * 10 + 2L, 3L), (r * 10 + 3L, 1L), (r * 10 + 3L, 3L))
+    }.map { case (o, p) => (o, p, "2024-01-01", 1.0) }
+    val out = byName("q_kcore_profile")(spark, lineitemDirO(rows))
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("core_nodes"),
+        r.getAs[Long]("core_edges")))
+    assert(out.toSeq === Seq((2L, 3L, 3L), (3L, 0L, 0L), (4L, 0L, 0L)))
+  }
+
+  test("q_apdex_score: one satisfied, one tolerating, one frustrated") {
+    val rows = Seq(
+      (day0, 1L, "view", 1.0), (day0 + 600000000L, 1L, "purchase", 1.0),
+      (day0 + 1000000000L, 2L, "view", 1.0),
+      (day0 + 1000000000L + 3600000000L, 2L, "purchase", 1.0),
+      (day0 + 2000000000L, 3L, "view", 1.0),
+      (day0 + 2000000000L + 10800000000L, 3L, "purchase", 1.0))
+    val out = byName("q_apdex_score")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Long]("n_samples") === 3L)
+    assert(out.getAs[Long]("n_satisfied") === 1L)
+    assert(out.getAs[Long]("n_tolerating") === 1L)
+    assert(out.getAs[Long]("apdex_ppm") === 500000L)
+  }
+
+  test("q_mttr_mtbf: hand-built incident stream") {
+    val rows = Seq(
+      (day0, 1L, "error", 1.0), (day0 + 30000000L, 1L, "click", 1.0),
+      (day0 + 100000000L, 1L, "error", 1.0),
+      (day0 + 700000000L, 1L, "error", 1.0),
+      (day0 + 800000000L, 1L, "view", 1.0))
+    val out = byName("q_mttr_mtbf")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Long]("n_incidents") === 3L)
+    // (30 + 700 + 100) / 3 s
+    assert(out.getAs[Double]("mttr_seconds") === 276.6667)
+    assert(out.getAs[Long]("n_gaps") === 2L)
+    assert(out.getAs[Double]("mtbf_minutes") === 5.8333) // 700s/2/60
+  }
 }
