@@ -1437,6 +1437,235 @@ object R12Queries {
              |  gaps.n_gaps,
              |  round(gaps.gap_us::DOUBLE / gaps.n_gaps::DOUBLE / 6e7, 4)
              |    AS mtbf_minutes
-             |FROM rec, gaps""".stripMargin))
+             |FROM rec, gaps""".stripMargin)),
+
+    // Sliced 1-Wasserstein distance (Rabin et al. 2011) between the
+    // even- and odd-id halves of the embedding corpus: project onto 8
+    // md5-seeded integer directions, pair the sorted projections by
+    // rank, and average |ΔF⁻¹|. Every projection is an EXACT BIGINT
+    // (x1000 z-grid · milli-int direction), so the per-direction
+    // global sort is on integers and W1 is an exact integer sum until
+    // one final /1e6. At 100 TB each direction is one narrow
+    // distributed sort of a scalar — the TeraSort shape — and the 8
+    // sorts share a single scan.
+    QueryDef("emb_sliced_wasserstein",
+      (s, d) => {
+        val dirs = s.range(0, 8).select(col("id").cast("int").as("k"))
+          .withColumn("j", explode(expr("sequence(0, 63)")))
+          .withColumn("um",
+            pmod(graft.ext.Dedup.strHash60(
+              concat(lit("swd:"), col("k"), lit(":"), col("j"))),
+              lit(2001L)) - 1000L)
+          .groupBy(col("k"))
+          .agg(expr("transform(array_sort(collect_list(struct(j, um))), " +
+            "e -> e.um)").as("ums"))
+        val proj = s.read.parquet(s"$d/embeddings.parquet")
+          .select(col("vec_id"), expr("transform(embedding, " +
+            "x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+            .as("z"))
+          .crossJoin(broadcast(dirs))
+          .select(col("k"), col("vec_id"), (col("vec_id") % 2).as("par"),
+            expr("aggregate(zip_with(z, ums, (a, b) -> a * b), 0L, " +
+              "(acc, v) -> acc + v)").as("p"))
+        val w = Window.partitionBy(col("k"), col("par"))
+          .orderBy(col("p"), col("vec_id"))
+        val ranked = proj.withColumn("rn", row_number().over(w))
+        ranked.filter(col("par") === 0)
+          .select(col("k"), col("rn"), col("p").as("pa"))
+          .join(ranked.filter(col("par") === 1)
+            .select(col("k"), col("rn"), col("p").as("pb")),
+            Seq("k", "rn"))
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(abs(col("pa") - col("pb"))).as("sw"))
+          .select(col("k"), col("n_pairs"),
+            round(col("sw").cast("double") /
+              col("n_pairs").cast("double") / 1e6, 6).as("w1"))
+          .orderBy(col("k"))
+      },
+      Some(s"""WITH dirs AS (SELECT k.range AS k, j.range AS j,
+             |    (${dkHash60("'swd:' || k.range || ':' || j.range")}
+             |      % 2001) - 1000 AS um
+             |  FROM range(0, 8) k, range(0, 64) j),
+             |zv AS (SELECT vec_id, vec_id % 2 AS par,
+             |    list_transform(embedding,
+             |      x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS z
+             |  FROM embeddings),
+             |proj AS (SELECT d.k, v.vec_id, v.par,
+             |    sum(v.z[d.j + 1] * d.um)::BIGINT AS p
+             |  FROM zv v JOIN dirs d ON TRUE
+             |  GROUP BY 1, 2, 3),
+             |rk AS (SELECT k, par, p, row_number() OVER (
+             |    PARTITION BY k, par ORDER BY p, vec_id) AS rn
+             |  FROM proj)
+             |SELECT a.k, count(*)::BIGINT AS n_pairs,
+             |  round(sum(abs(a.p - b.p))::DOUBLE / count(*)::DOUBLE
+             |    / 1e6, 6) AS w1
+             |FROM rk a JOIN rk b ON b.k = a.k AND b.rn = a.rn
+             |  AND a.par = 0 AND b.par = 1
+             |GROUP BY a.k ORDER BY a.k""".stripMargin)),
+
+    // Grid-based DBSCAN (Ester et al. 1996, cell-quantized variant):
+    // quantize the first two embedding dims onto a 0.5-unit grid,
+    // mark cells with ≥ 5 points as core, and cluster core cells by
+    // 8-neighborhood connectivity using the repo's distributed
+    // path-halving connected components (converges by digest-sized
+    // action, never by bounded rounds — a 20×20 grid has diameter
+    // ~40 and a fixed-round peel would be wrong). Floor division via
+    // the pmod guard: `div` truncation would fold cells -1 and 0
+    // together at the origin.
+    QueryDef("q_dbscan_grid",
+      (s, d) => {
+        def fld(c: org.apache.spark.sql.Column) =
+          ((c - pmod(c, lit(500L))) / 500L).cast("long")
+        val pts = s.read.parquet(s"$d/embeddings.parquet")
+          .select(col("vec_id"),
+            expr("CAST(round(CAST(embedding[0] AS DOUBLE) * 1000) " +
+              "AS BIGINT)").as("z0"),
+            expr("CAST(round(CAST(embedding[1] AS DOUBLE) * 1000) " +
+              "AS BIGINT)").as("z1"))
+          .select(col("vec_id"), fld(col("z0")).as("cx"),
+            fld(col("z1")).as("cy"))
+        val cells = pts.groupBy(col("cx"), col("cy"))
+          .agg(count(lit(1)).as("npts")).persist()
+        val cores = cells.filter(col("npts") >= 5)
+          .withColumn("cid", (col("cx") + 100) * 1000 + col("cy") + 100)
+          .persist()
+        val offs = s.range(0, 9).select(
+          (col("id") % 3 - 1).as("dx"), (col("id") / 3 - 1).cast("long").as("dy"))
+        val pairs = cores.crossJoin(broadcast(offs))
+          .select(col("cid").as("id_a"),
+            ((col("cx") + col("dx") + 100) * 1000 +
+              (col("cy") + col("dy") + 100)).as("id_b"))
+          .join(cores.select(col("cid").as("id_b")), "id_b")
+        val labels = graft.ext.Dedup.connectedComponents(pairs)
+        val clus = cores.join(labels, cores("cid") === labels("id"))
+          .groupBy(col("group_id")).agg(sum(col("npts")).as("cpts"))
+          .persist()
+        val tot = pts.agg(count(lit(1)).as("n_points"))
+        val corest = cores.agg(count(lit(1)).as("n_core_cells"),
+          sum(col("npts")).as("n_core_points"))
+        clus.agg(count(lit(1)).as("n_clusters"),
+            max(col("cpts")).as("largest_cluster_points"))
+          .crossJoin(broadcast(corest)).crossJoin(broadcast(tot))
+          .select(col("n_core_cells"), col("n_clusters"),
+            col("n_core_points"),
+            (col("n_points") - col("n_core_points")).as("n_noise_points"),
+            col("largest_cluster_points"))
+      },
+      Some("""WITH RECURSIVE pts AS (SELECT vec_id,
+             |    CAST(round(embedding[1]::DOUBLE * 1000) AS BIGINT) AS z0,
+             |    CAST(round(embedding[2]::DOUBLE * 1000) AS BIGINT) AS z1
+             |  FROM embeddings),
+             |cl AS (SELECT vec_id,
+             |    (z0 - ((z0 % 500 + 500) % 500)) // 500 AS cx,
+             |    (z1 - ((z1 % 500 + 500) % 500)) // 500 AS cy
+             |  FROM pts),
+             |cells AS (SELECT cx, cy, count(*)::BIGINT AS npts
+             |  FROM cl GROUP BY 1, 2),
+             |cores AS (SELECT cx, cy, npts,
+             |    (cx + 100) * 1000 + cy + 100 AS cid FROM cells
+             |  WHERE npts >= 5),
+             |edges AS (SELECT a.cid AS src, b.cid AS dst
+             |  FROM cores a JOIN cores b
+             |    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1),
+             |cc AS (
+             |  SELECT cid AS id, cid AS label FROM cores
+             |  UNION
+             |  SELECT e.dst AS id, cc.label
+             |    FROM cc JOIN edges e ON e.src = cc.id),
+             |lab AS (SELECT id, min(label) AS group_id FROM cc GROUP BY 1),
+             |clus AS (SELECT lab.group_id, sum(c.npts)::BIGINT AS cpts
+             |  FROM cores c JOIN lab ON lab.id = c.cid GROUP BY 1),
+             |tot AS (SELECT count(*)::BIGINT AS n_points FROM cl),
+             |cst AS (SELECT count(*)::BIGINT AS n_core_cells,
+             |    sum(npts)::BIGINT AS n_core_points FROM cores)
+             |SELECT cst.n_core_cells,
+             |  (SELECT count(*) FROM clus)::BIGINT AS n_clusters,
+             |  cst.n_core_points,
+             |  (tot.n_points - cst.n_core_points)::BIGINT AS n_noise_points,
+             |  (SELECT max(cpts) FROM clus)::BIGINT
+             |    AS largest_cluster_points
+             |FROM cst, tot""".stripMargin)),
+
+    // Local outlier factor (Breunig et al. 2000), k = 10, on the
+    // z-grid embeddings — the density-relative outlier score that
+    // catches points normal in global distance but isolated in their
+    // local neighborhood. Distances are sqrt of exact integer d²
+    // (IEEE sqrt is correctly rounded → engine-identical), quantized
+    // to 6dp; reach-dist sums and lrd sums accumulate as exact
+    // DECIMAL. Graded slice vec_id < 500 (the documented capped
+    // all-pairs baseline discipline — the scale path is LSH-bucketed
+    // kNN, measured separately by sim_recall_ann).
+    QueryDef("q_lof_outliers",
+      (s, d) => {
+        val z = s.read.parquet(s"$d/embeddings.parquet")
+          .filter(col("vec_id") < 500)
+          .select(col("vec_id"), expr("transform(embedding, " +
+            "x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+            .as("z"))
+        val pd = z.select(col("vec_id").as("a"), col("z").as("za"))
+          .join(z.select(col("vec_id").as("b"), col("z").as("zb")),
+            col("a") =!= col("b"))
+          .select(col("a"), col("b"),
+            expr("aggregate(zip_with(za, zb, (x, y) -> (x - y) * (x - y)), " +
+              "0L, (acc, v) -> acc + v)").as("d2"))
+        val w = Window.partitionBy(col("a")).orderBy(col("d2"), col("b"))
+        val knn = pd.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10).persist()
+        val kd = knn.filter(col("rn") === 10)
+          .select(col("a"), round(sqrt(col("d2").cast("double")), 6)
+            .as("kdist"))
+        val reach = knn.join(kd.select(col("a").as("b"),
+            col("kdist").as("kdist_b")), "b")
+          .select(col("a"),
+            greatest(col("kdist_b"),
+              round(sqrt(col("d2").cast("double")), 6)).as("rd"))
+        val lrd = reach.groupBy(col("a"))
+          .agg(sum(col("rd").cast("decimal(28,6)")).as("srd"))
+          .filter(col("srd") > 0)
+          .select(col("a"),
+            round(lit(10.0) / col("srd").cast("double"), 9).as("lrd"))
+        val lof = knn.join(lrd.select(col("a").as("b"),
+            col("lrd").as("lrd_b")), "b")
+          .groupBy(col("a"))
+          .agg(sum(col("lrd_b").cast("decimal(28,9)")).as("slb"))
+          .join(lrd, "a")
+          .select(col("a").as("vec_id"),
+            round(col("slb").cast("double") / 10.0 / col("lrd"), 6)
+              .as("lof"))
+        lof.join(kd.select(col("a").as("vec_id"), col("kdist")), "vec_id")
+          .select(col("vec_id"), col("kdist"), col("lof"))
+          .orderBy(col("lof").desc, col("vec_id")).limit(20)
+      },
+      Some("""WITH z AS (SELECT vec_id, list_transform(embedding,
+             |    x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS z
+             |  FROM embeddings WHERE vec_id < 500),
+             |pd AS (SELECT a.vec_id AS a, b.vec_id AS b,
+             |    list_sum(list_transform(range(1, 65),
+             |      i -> (a.z[i] - b.z[i]) * (a.z[i] - b.z[i])))::BIGINT
+             |      AS d2
+             |  FROM z a JOIN z b ON a.vec_id <> b.vec_id),
+             |knn AS (SELECT * FROM (SELECT a, b, d2, row_number() OVER (
+             |    PARTITION BY a ORDER BY d2, b) AS rn FROM pd)
+             |  WHERE rn <= 10),
+             |kd AS (SELECT a, round(sqrt(d2::DOUBLE), 6) AS kdist
+             |  FROM knn WHERE rn = 10),
+             |reach AS (SELECT k.a,
+             |    greatest(kb.kdist, round(sqrt(k.d2::DOUBLE), 6)) AS rd
+             |  FROM knn k JOIN kd kb ON kb.a = k.b),
+             |lrd AS (SELECT a, round(10.0 / sum(rd::DECIMAL(28,6))::DOUBLE,
+             |    9) AS lrd
+             |  FROM reach GROUP BY a
+             |  HAVING sum(rd::DECIMAL(28,6)) > 0),
+             |lof AS (SELECT k.a AS vec_id,
+             |    round(sum(lb.lrd::DECIMAL(28,9))::DOUBLE / 10.0
+             |      / la.lrd, 6) AS lof
+             |  FROM knn k JOIN lrd lb ON lb.a = k.b
+             |  JOIN lrd la ON la.a = k.a
+             |  GROUP BY k.a, la.lrd)
+             |SELECT l.vec_id, kd.kdist, l.lof
+             |FROM lof l JOIN kd ON kd.a = l.vec_id
+             |ORDER BY l.lof DESC, l.vec_id LIMIT 20""".stripMargin))
   )
 }

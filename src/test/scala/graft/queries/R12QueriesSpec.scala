@@ -378,6 +378,81 @@ class R12QueriesSpec extends GraftSpec {
     assert(out.getAs[Long]("apdex_ppm") === 500000L)
   }
 
+  private def embDir(rows: Seq[(Long, Array[Float], Int)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("r12emb").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("emb_sliced_wasserstein: identical halves have zero distance") {
+    // vec 2i and 2i+1 carry the same vector → every direction's sorted
+    // projections pair identically → W1 = 0 on all 8 slices
+    val rows = (0 until 10).map { i =>
+      val v = Array.tabulate(64)(j => ((i * 7 + j) % 5 - 2).toFloat)
+      (i.toLong, v, 0)
+    }.flatMap(r => Seq((r._1 * 2, r._2, 0), (r._1 * 2 + 1, r._2, 0)))
+    val out = byName("emb_sliced_wasserstein")(spark, embDir(rows))
+      .collect()
+    assert(out.length === 8)
+    assert(out.forall(_.getAs[Double]("w1") === 0.0))
+    assert(out.forall(_.getAs[Long]("n_pairs") === 10L))
+  }
+
+  test("emb_sliced_wasserstein: shifted halves have positive distance") {
+    val rows = (0 until 20).map { i =>
+      val base = Array.tabulate(64)(j => ((i / 2 + j) % 3).toFloat)
+      if (i % 2 == 1) (i.toLong, base.map(_ + 5.0f), 0)
+      else (i.toLong, base, 0)
+    }
+    val out = byName("emb_sliced_wasserstein")(spark, embDir(rows))
+      .collect()
+    assert(out.count(_.getAs[Double]("w1") > 0.0) >= 7)
+  }
+
+  test("q_dbscan_grid: two far blobs make two clusters, strays are noise") {
+    def blob(cx: Float, cy: Float, n: Int, id0: Long) =
+      (0 until n).map { i =>
+        (id0 + i, Array.tabulate(64)(j =>
+          if (j == 0) cx + i * 0.01f else if (j == 1) cy + i * 0.01f
+          else 0.0f), 0)
+      }
+    val rows = blob(0.1f, 0.1f, 6, 0L) ++ blob(5.1f, 5.1f, 6, 100L) ++
+      Seq((200L, Array.tabulate(64)(j => if (j <= 1) -3.0f else 0f), 0),
+        (201L, Array.tabulate(64)(j => if (j <= 1) 9.0f else 0f), 0))
+    val out = byName("q_dbscan_grid")(spark, embDir(rows)).head()
+    assert(out.getAs[Long]("n_core_cells") === 2L)
+    assert(out.getAs[Long]("n_clusters") === 2L)
+    assert(out.getAs[Long]("n_core_points") === 12L)
+    assert(out.getAs[Long]("n_noise_points") === 2L)
+    assert(out.getAs[Long]("largest_cluster_points") === 6L)
+  }
+
+  test("q_dbscan_grid: adjacent core cells merge into one cluster") {
+    def cellPts(cx: Float, n: Int, id0: Long) = (0 until n).map { i =>
+      (id0 + i, Array.tabulate(64)(j =>
+        if (j == 0) cx + i * 0.01f else if (j == 1) 0.1f else 0f), 0)
+    }
+    // cells (0,0) and (1,0) are 8-neighbors → single cluster of 12
+    val rows = cellPts(0.1f, 6, 0L) ++ cellPts(0.6f, 6, 100L)
+    val out = byName("q_dbscan_grid")(spark, embDir(rows)).head()
+    assert(out.getAs[Long]("n_core_cells") === 2L)
+    assert(out.getAs[Long]("n_clusters") === 1L)
+    assert(out.getAs[Long]("largest_cluster_points") === 12L)
+  }
+
+  test("q_lof_outliers: an isolated point tops the LOF ranking") {
+    // 11-point tight blob + 1 far outlier (12 pts → k=10 stays inside)
+    val rows = (0 until 11).map { i =>
+      (i.toLong, Array.tabulate(64)(j =>
+        if (j == 0) i * 0.01f else if (j == 1) (i % 3) * 0.01f else 0f), 0)
+    } :+ (99L, Array.tabulate(64)(j => if (j == 0) 50f else 0f), 0)
+    val out = byName("q_lof_outliers")(spark, embDir(rows)).collect()
+    assert(out.head.getAs[Long]("vec_id") === 99L)
+    assert(out.head.getAs[Double]("lof") > 1.5)
+  }
+
   test("q_mttr_mtbf: hand-built incident stream") {
     val rows = Seq(
       (day0, 1L, "error", 1.0), (day0 + 30000000L, 1L, "click", 1.0),
