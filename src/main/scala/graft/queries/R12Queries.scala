@@ -1666,6 +1666,403 @@ object R12Queries {
              |  GROUP BY k.a, la.lrd)
              |SELECT l.vec_id, kd.kdist, l.lof
              |FROM lof l JOIN kd ON kd.a = l.vec_id
-             |ORDER BY l.lof DESC, l.vec_id LIMIT 20""".stripMargin))
+             |ORDER BY l.lof DESC, l.vec_id LIMIT 20""".stripMargin)),
+
+    // Sharp regression discontinuity (Thistlethwaite & Campbell 1960):
+    // does crossing 10 lifetime views jump a user's purchase count?
+    // Local linear fits on both sides of the cutoff (bandwidth ±8),
+    // effect = right-limit − left-limit at c. Running variable and
+    // outcome are exact integers, so both OLS fits are closed forms
+    // over exact BIGINT sums — zero float until the final projection.
+    QueryDef("q_rdd_cutoff",
+      (s, d) => {
+        val u = graft.sources.Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("x"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("y"))
+          .filter(col("x") >= 2 && col("x") < 18)
+          .withColumn("side", when(col("x") < 10, "L").otherwise("R"))
+        val fits = u.groupBy(col("side"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+          .withColumn("b", (col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") / col("den").cast("double"))
+          .withColumn("a", (col("sy").cast("double") -
+            col("b") * col("sx").cast("double")) / col("n").cast("double"))
+          .withColumn("fit_c", col("a") + col("b") * 10.0)
+        val l = fits.filter(col("side") === "L")
+          .select(col("n").as("n_left"), col("fit_c").as("fl"))
+        val r = fits.filter(col("side") === "R")
+          .select(col("n").as("n_right"), col("fit_c").as("fr"))
+        l.crossJoin(r).select(col("n_left"), col("n_right"),
+          round(col("fl"), 6).as("left_fit_at_c"),
+          round(col("fr"), 6).as("right_fit_at_c"),
+          round(col("fr") - col("fl"), 6).as("rdd_effect"))
+      },
+      Some("""WITH u AS (SELECT user_id,
+             |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             |      ::BIGINT AS x,
+             |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |      ::BIGINT AS y
+             |  FROM events GROUP BY 1),
+             |w AS (SELECT *, CASE WHEN x < 10 THEN 'L' ELSE 'R' END
+             |    AS side FROM u WHERE x >= 2 AND x < 18),
+             |f AS (SELECT side, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+             |    sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+             |    sum(x * x)::BIGINT AS sxx
+             |  FROM w GROUP BY 1),
+             |p AS (SELECT side, n,
+             |    (sy::DOUBLE - ((n * sxy - sx * sy)::DOUBLE
+             |      / (n * sxx - sx * sx)::DOUBLE) * sx::DOUBLE)
+             |      / n::DOUBLE
+             |    + ((n * sxy - sx * sy)::DOUBLE
+             |      / (n * sxx - sx * sx)::DOUBLE) * 10.0 AS fit_c
+             |  FROM f)
+             |SELECT l.n AS n_left, r.n AS n_right,
+             |  round(l.fit_c, 6) AS left_fit_at_c,
+             |  round(r.fit_c, 6) AS right_fit_at_c,
+             |  round(r.fit_c - l.fit_c, 6) AS rdd_effect
+             |FROM (SELECT * FROM p WHERE side = 'L') l,
+             |  (SELECT * FROM p WHERE side = 'R') r""".stripMargin)),
+
+    // Exact paired sign-flip permutation test (Fisher 1935) on the
+    // daily view-vs-purchase revenue totals: 200 md5-derived ±1
+    // patterns replayed identically in both engines. Everything is
+    // integer — milli totals, |Σ±d_t|, and the p-value published as
+    // exact ppm of (1 + #{T_b ≥ T_obs}) / (B + 1) — so the gate
+    // compares BIGINTs only. The digest is ~30 rows; the 200×30
+    // pattern join is broadcast-sized at any fact scale.
+    QueryDef("q_permutation_test",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .filter(col("event_type").isin("view", "purchase"))
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg((sum(when(col("event_type") === "view",
+            floor(col("value") * 1000).cast("long")).otherwise(0L)) -
+            sum(when(col("event_type") === "purchase",
+              floor(col("value") * 1000).cast("long")).otherwise(0L)))
+            .as("dm")).persist()
+        val tobs = daily.agg(abs(sum(col("dm"))).as("t_obs"),
+          count(lit(1)).as("n_days"))
+        val perms = s.range(1, 201).select(col("id").as("b"))
+        val tb = daily.crossJoin(broadcast(perms))
+          .select(col("b"), (col("dm") * (pmod(graft.ext.Dedup.strHash60(
+            concat(lit("perm:"), col("b"), lit(":"), col("day"))),
+            lit(2L)) * 2 - 1)).as("sd"))
+          .groupBy(col("b")).agg(abs(sum(col("sd"))).as("t_b"))
+        tb.crossJoin(broadcast(tobs))
+          .agg(max(col("t_obs")).as("t_obs_milli"),
+            max(col("n_days")).as("n_days"),
+            count(lit(1)).as("n_perms"),
+            sum(when(col("t_b") >= col("t_obs"), 1L).otherwise(0L))
+              .as("n_ge"))
+          .select(col("t_obs_milli"), col("n_days"), col("n_perms"),
+            expr("(1 + n_ge) * 1000000 div (n_perms + 1)").as("p_ppm"))
+      },
+      Some(s"""WITH daily AS (SELECT ts::DATE AS day,
+             |    (sum(CASE WHEN event_type = 'view'
+             |        THEN floor(value * 1000)::BIGINT ELSE 0 END)
+             |     - sum(CASE WHEN event_type = 'purchase'
+             |        THEN floor(value * 1000)::BIGINT ELSE 0 END))::BIGINT
+             |      AS dm
+             |  FROM events WHERE event_type IN ('view', 'purchase')
+             |  GROUP BY 1),
+             |obs AS (SELECT abs(sum(dm))::BIGINT AS t_obs,
+             |    count(*)::BIGINT AS n_days FROM daily),
+             |tb AS (SELECT p.range AS b,
+             |    abs(sum(d.dm * ((${dkHash60("'perm:' || p.range || ':' || d.day")}
+             |      % 2) * 2 - 1)))::BIGINT AS t_b
+             |  FROM daily d, range(1, 201) p GROUP BY 1)
+             |SELECT obs.t_obs AS t_obs_milli, obs.n_days,
+             |  count(*)::BIGINT AS n_perms,
+             |  ((1 + sum(CASE WHEN tb.t_b >= obs.t_obs THEN 1 ELSE 0 END))
+             |    * 1000000 // (count(*) + 1))::BIGINT AS p_ppm
+             |FROM tb, obs GROUP BY obs.t_obs, obs.n_days""".stripMargin)),
+
+    // TOST equivalence test (Schuirmann 1987): are the view and click
+    // channels' mean values equivalent within ±5 units? Two one-sided
+    // Welch z statistics from exact milli digests; equivalent iff both
+    // clear the α=.05 critical value. The complement of q_welch_ttest
+    // — absence of evidence ≠ evidence of equivalence.
+    QueryDef("q_tost_equivalence",
+      (s, d) => {
+        val g = graft.sources.Tables.events(s, d)
+          .filter(col("event_type").isin("view", "click"))
+          .select(col("event_type"),
+            floor(col("value") * 1000).cast("long").as("vm"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("vm")).as("sv"),
+            sum(col("vm") * col("vm")).as("qv"))
+        val a = g.filter(col("event_type") === "view")
+          .select(col("n").as("na"), col("sv").as("sa"), col("qv").as("qa"))
+        val b = g.filter(col("event_type") === "click")
+          .select(col("n").as("nb"), col("sv").as("sb"), col("qv").as("qb"))
+        a.crossJoin(b)
+          .withColumn("ma", col("sa").cast("double") / col("na"))
+          .withColumn("mb", col("sb").cast("double") / col("nb"))
+          .withColumn("va", (col("qa").cast("double") -
+            col("sa").cast("double") * col("sa").cast("double") /
+              col("na").cast("double")) / (col("na").cast("double") - 1.0))
+          .withColumn("vb", (col("qb").cast("double") -
+            col("sb").cast("double") * col("sb").cast("double") /
+              col("nb").cast("double")) / (col("nb").cast("double") - 1.0))
+          .withColumn("se", sqrt(col("va") / col("na") + col("vb") / col("nb")))
+          .withColumn("dm", (col("ma") - col("mb")) / 1000.0)
+          .withColumn("sem", col("se") / 1000.0)
+          .withColumn("tl", (col("dm") + 5.0) / col("sem"))
+          .withColumn("tu", (col("dm") - 5.0) / col("sem"))
+          .select(round(col("dm"), 6).as("mean_diff"),
+            round(col("sem"), 6).as("se"),
+            round(col("tl"), 4).as("t_lower"),
+            round(col("tu"), 4).as("t_upper"),
+            when(col("tl") > 1.644854 && col("tu") < -1.644854, 1L)
+              .otherwise(0L).as("equivalent"))
+      },
+      Some("""WITH g AS (SELECT event_type, count(*)::BIGINT AS n,
+             |    sum(floor(value * 1000)::BIGINT)::BIGINT AS sv,
+             |    sum(floor(value * 1000)::BIGINT
+             |      * floor(value * 1000)::BIGINT)::BIGINT AS qv
+             |  FROM events WHERE event_type IN ('view', 'click')
+             |  GROUP BY 1),
+             |ab AS (SELECT
+             |    (SELECT sv::DOUBLE / n FROM g WHERE event_type = 'view')
+             |      AS ma,
+             |    (SELECT sv::DOUBLE / n FROM g WHERE event_type = 'click')
+             |      AS mb,
+             |    (SELECT (qv::DOUBLE - sv::DOUBLE * sv::DOUBLE / n::DOUBLE)
+             |      / (n::DOUBLE - 1.0) / n FROM g
+             |      WHERE event_type = 'view') AS vna,
+             |    (SELECT (qv::DOUBLE - sv::DOUBLE * sv::DOUBLE / n::DOUBLE)
+             |      / (n::DOUBLE - 1.0) / n FROM g
+             |      WHERE event_type = 'click') AS vnb),
+             |x AS (SELECT (ma - mb) / 1000.0 AS dm,
+             |    sqrt(vna + vnb) / 1000.0 AS sem FROM ab)
+             |SELECT round(dm, 6) AS mean_diff, round(sem, 6) AS se,
+             |  round((dm + 5.0) / sem, 4) AS t_lower,
+             |  round((dm - 5.0) / sem, 4) AS t_upper,
+             |  CASE WHEN (dm + 5.0) / sem > 1.644854
+             |    AND (dm - 5.0) / sem < -1.644854 THEN 1 ELSE 0
+             |    END::BIGINT AS equivalent
+             |FROM x""".stripMargin)),
+
+    // Holm step-down and Benjamini-Yekutieli multiple-testing control
+    // over the 10 channel-pair Welch z tests — the family-wise and
+    // under-dependence FDR companions to q_fdr_bh. p-values via the
+    // repo's Zelen-Severo Φ polynomial on 6dp-rounded z; the step-down
+    // running max / BY harmonic factor run on the 10-row digest.
+    QueryDef("q_holm_by",
+      (s, d) => {
+        val g = graft.sources.Tables.events(s, d)
+          .select(col("event_type"),
+            floor(col("value") * 1000).cast("long").as("vm"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("vm")).as("sv"),
+            sum(col("vm") * col("vm")).as("qv"))
+          .withColumn("m", col("sv").cast("double") / col("n"))
+          .withColumn("vn", (col("qv").cast("double") -
+            col("sv").cast("double") * col("sv").cast("double") /
+              col("n").cast("double")) /
+            (col("n").cast("double") - 1.0) / col("n").cast("double"))
+        val pairs = g.select(col("event_type").as("g_a"), col("m").as("ma"),
+            col("vn").as("va"))
+          .join(g.select(col("event_type").as("g_b"), col("m").as("mb"),
+            col("vn").as("vb")), col("g_a") < col("g_b"))
+          .withColumn("z", round(abs(col("ma") - col("mb")) /
+            sqrt(col("va") + col("vb")), 6))
+          .withColumn("tv", lit(1.0) / (lit(1.0) + lit(0.2316419) * col("z")))
+          .withColumn("pdf",
+            exp(col("z") * col("z") * lit(-0.5)) / lit(2.5066282746310002))
+          .withColumn("p", round(lit(2.0) * col("pdf") *
+            (((((lit(1.330274429) * col("tv") - lit(1.821255978)) * col("tv") +
+              lit(1.781477937)) * col("tv") - lit(0.356563782)) * col("tv") +
+              lit(0.319381530)) * col("tv")), 9))
+        val wr = Window.orderBy(col("p"), col("g_a"), col("g_b"))
+        val m10 = pairs.agg(count(lit(1)).as("mm"))
+        val ranked = pairs.withColumn("rank", row_number().over(wr))
+          .crossJoin(broadcast(m10))
+          .withColumn("p_holm_raw",
+            least(lit(1.0), (col("mm") - col("rank") + 1).cast("double") *
+              col("p")))
+          .withColumn("p_holm", round(max(col("p_holm_raw")).over(
+            Window.orderBy(col("rank"))
+              .rowsBetween(Window.unboundedPreceding, 0)), 9))
+          // c(m) = Σ 1/i as exact milli-ppm: quantized decimal sum
+          .withColumn("cm", lit((1 to 10).map(1.0 / _).map(x =>
+            BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+            .sum.toDouble))
+          .withColumn("rej_by", when(col("p") <=
+            col("rank").cast("double") * lit(0.05) /
+              (col("mm").cast("double") * col("cm")), 1L).otherwise(0L))
+        ranked.select(col("g_a"), col("g_b"), col("z"), col("p"),
+            col("rank"), col("p_holm"),
+            when(col("p_holm") <= 0.05, 1L).otherwise(0L).as("rej_holm"),
+            col("rej_by"))
+          .orderBy(col("rank"))
+      },
+      Some({
+        val cm = (1 to 10).map(1.0 / _).map(x =>
+          BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+          .sum.toDouble
+        s"""WITH g AS (SELECT event_type, count(*)::BIGINT AS n,
+           |    sum(floor(value * 1000)::BIGINT)::BIGINT AS sv,
+           |    sum(floor(value * 1000)::BIGINT
+           |      * floor(value * 1000)::BIGINT)::BIGINT AS qv
+           |  FROM events GROUP BY 1),
+           |gg AS (SELECT event_type, sv::DOUBLE / n AS m,
+           |    (qv::DOUBLE - sv::DOUBLE * sv::DOUBLE / n::DOUBLE)
+           |      / (n::DOUBLE - 1.0) / n::DOUBLE AS vn
+           |  FROM g),
+           |pr AS (SELECT a.event_type AS g_a, b.event_type AS g_b,
+           |    round(abs(a.m - b.m) / sqrt(a.vn + b.vn), 6) AS z
+           |  FROM gg a JOIN gg b ON a.event_type < b.event_type),
+           |pv AS (SELECT g_a, g_b, z,
+           |    round(2.0 * (exp(z * z * -0.5) / 2.5066282746310002) *
+           |      (((((1.330274429 * (1.0 / (1.0 + 0.2316419 * z))
+           |        - 1.821255978) * (1.0 / (1.0 + 0.2316419 * z))
+           |        + 1.781477937) * (1.0 / (1.0 + 0.2316419 * z))
+           |        - 0.356563782) * (1.0 / (1.0 + 0.2316419 * z))
+           |        + 0.319381530) * (1.0 / (1.0 + 0.2316419 * z))), 9)
+           |      AS p
+           |  FROM pr),
+           |rk AS (SELECT *, row_number() OVER (ORDER BY p, g_a, g_b)
+           |      AS rank, count(*) OVER () AS mm
+           |  FROM pv),
+           |hm AS (SELECT *, round(max(least(1.0,
+           |      (mm - rank + 1)::DOUBLE * p)) OVER (ORDER BY rank
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 9)
+           |      AS p_holm
+           |  FROM rk)
+           |SELECT g_a, g_b, z, p, rank::BIGINT AS rank, p_holm,
+           |  CASE WHEN p_holm <= 0.05 THEN 1 ELSE 0 END::BIGINT
+           |    AS rej_holm,
+           |  CASE WHEN p <= rank::DOUBLE * 0.05 / (mm::DOUBLE * $cm)
+           |    THEN 1 ELSE 0 END::BIGINT AS rej_by
+           |FROM hm ORDER BY rank""".stripMargin
+      })),
+
+    // Exact Bayesian A/B (Beta-Binomial, uniform priors): users md5-
+    // hashed into variants, conversion = a big-ticket purchase
+    // (value > 180 — "any purchase" saturates at 100% with ~67
+    // events/user); P(p_B > p_A) by
+    // the closed-form sum Σᵢ B(a_A+i, b_A+b_B) / ((b_B+i)·B(1+i,b_B)·
+    // B(a_A,b_A)) (Cook 2005). ln-factorials come from one cumulative
+    // window over 1e-12-quantized ln j (exact DECIMAL — order-free);
+    // each term exponentiates an exact-decimal log and is 1e-15-
+    // quantized before the final exact sum, so cross-engine libm ulps
+    // move P by ≤ a few quanta — invisible at round 6. Exact at
+    // digest scale; the billion-user path is q_abtest_ztest's normal
+    // approximation.
+    QueryDef("q_bayes_ab",
+      (s, d) => {
+        val conv = graft.sources.Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(max(when(col("event_type") === "purchase" &&
+            col("value") > 180, 1L).otherwise(0L)).as("c"))
+          .withColumn("v", pmod(graft.ext.Dedup.strHash60(
+            concat(lit("ab:"), col("user_id"))), lit(2L)))
+          .groupBy(col("v"))
+          .agg(count(lit(1)).as("n"), sum(col("c")).as("cv"))
+        val pa = conv.filter(col("v") === 0)
+          .select(col("n").as("n_a"), col("cv").as("conv_a"))
+        val pb = conv.filter(col("v") === 1)
+          .select(col("n").as("n_b"), col("cv").as("conv_b"))
+        val par = pa.crossJoin(pb)
+          .withColumn("aa", col("conv_a") + 1)
+          .withColumn("ba", col("n_a") - col("conv_a") + 1)
+          .withColumn("ab", col("conv_b") + 1)
+          .withColumn("bb", col("n_b") - col("conv_b") + 1)
+        val lf = s.range(0, 1 << 20).select(col("id").as("j"))
+          .crossJoin(broadcast(par.select(
+            (col("aa") + col("ab") + col("ba") + col("bb")).as("mx"))))
+          .filter(col("j") <= col("mx"))
+          .withColumn("lnj", when(col("j") <= 1, lit(BigDecimal(0))
+            .cast("decimal(38,12)"))
+            .otherwise(round(log(col("j").cast("double")), 12)
+              .cast("decimal(38,12)")))
+          .withColumn("lf", sum(col("lnj")).over(Window.orderBy(col("j"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+          .select(col("j"), col("lf"))
+        val terms = s.range(0, 1 << 20).select(col("id").as("i"))
+          .crossJoin(broadcast(par))
+          .filter(col("i") < col("ab"))
+          .join(lf.select(col("j").as("j1"), col("lf").as("l1")),
+            col("j1") === col("aa") + col("i") - 1)
+          .join(lf.select(col("j").as("j2"), col("lf").as("l2")),
+            col("j2") === col("ba") + col("bb") - 1)
+          .join(lf.select(col("j").as("j3"), col("lf").as("l3")),
+            col("j3") === col("aa") + col("i") + col("ba") + col("bb") - 1)
+          .join(lf.select(col("j").as("j4"), col("lf").as("l4")),
+            col("j4") === col("i"))
+          .join(lf.select(col("j").as("j5"), col("lf").as("l5")),
+            col("j5") === col("bb") - 1)
+          .join(lf.select(col("j").as("j6"), col("lf").as("l6")),
+            col("j6") === col("i") + col("bb"))
+          .join(lf.select(col("j").as("j7"), col("lf").as("l7")),
+            col("j7") === col("aa") - 1)
+          .join(lf.select(col("j").as("j8"), col("lf").as("l8")),
+            col("j8") === col("ba") - 1)
+          .join(lf.select(col("j").as("j9"), col("lf").as("l9")),
+            col("j9") === col("aa") + col("ba") - 1)
+          .withColumn("lnt",
+            (col("l1") + col("l2") - col("l3")) -
+            (col("l4") + col("l5") - col("l6")) -
+            (col("l7") + col("l8") - col("l9")) -
+            round(log((col("bb") + col("i")).cast("double")), 12)
+              .cast("decimal(38,12)"))
+          .withColumn("t", round(exp(col("lnt").cast("double")), 15)
+            .cast("decimal(20,15)"))
+        terms.groupBy(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"))
+          .agg(round(sum(col("t")).cast("double"), 6)
+            .as("prob_b_beats_a"))
+          .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+            col("prob_b_beats_a"))
+      },
+      Some(s"""WITH conv AS (SELECT user_id,
+             |    max(CASE WHEN event_type = 'purchase' AND value > 180
+             |      THEN 1 ELSE 0 END)::BIGINT AS c,
+             |    (${dkHash60("'ab:' || user_id")} % 2) AS v
+             |  FROM events GROUP BY 1),
+             |vg AS (SELECT v, count(*)::BIGINT AS n, sum(c)::BIGINT AS cv
+             |  FROM conv GROUP BY 1),
+             |par AS (SELECT
+             |    (SELECT n FROM vg WHERE v = 0) AS n_a,
+             |    (SELECT cv FROM vg WHERE v = 0) AS conv_a,
+             |    (SELECT n FROM vg WHERE v = 1) AS n_b,
+             |    (SELECT cv FROM vg WHERE v = 1) AS conv_b,
+             |    (SELECT cv FROM vg WHERE v = 0) + 1 AS aa,
+             |    (SELECT n - cv FROM vg WHERE v = 0) + 1 AS ba,
+             |    (SELECT cv FROM vg WHERE v = 1) + 1 AS ab,
+             |    (SELECT n - cv FROM vg WHERE v = 1) + 1 AS bb),
+             |lf AS (SELECT j.range AS j,
+             |    sum(CASE WHEN j.range <= 1 THEN 0::DECIMAL(38,12)
+             |      ELSE round(ln(j.range::DOUBLE), 12)::DECIMAL(38,12)
+             |      END) OVER (ORDER BY j.range
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lf
+             |  FROM range(0, 1 << 20) j
+             |  JOIN par ON j.range <= par.aa + par.ab + par.ba + par.bb),
+             |terms AS (SELECT par.n_a, par.conv_a, par.n_b, par.conv_b,
+             |    ((l1.lf + l2.lf - l3.lf) - (l4.lf + l5.lf - l6.lf)
+             |     - (l7.lf + l8.lf - l9.lf)
+             |     - round(ln((par.bb + i.range)::DOUBLE),
+             |        12)::DECIMAL(38,12)) AS lnt
+             |  FROM range(0, 1 << 20) i
+             |  JOIN par ON i.range < par.ab
+             |  JOIN lf l1 ON l1.j = par.aa + i.range - 1
+             |  JOIN lf l2 ON l2.j = par.ba + par.bb - 1
+             |  JOIN lf l3 ON l3.j = par.aa + i.range + par.ba + par.bb - 1
+             |  JOIN lf l4 ON l4.j = i.range
+             |  JOIN lf l5 ON l5.j = par.bb - 1
+             |  JOIN lf l6 ON l6.j = i.range + par.bb
+             |  JOIN lf l7 ON l7.j = par.aa - 1
+             |  JOIN lf l8 ON l8.j = par.ba - 1
+             |  JOIN lf l9 ON l9.j = par.aa + par.ba - 1)
+             |SELECT n_a, conv_a, n_b, conv_b,
+             |  round(sum(round(exp(lnt::DOUBLE), 15)::DECIMAL(20,15))
+             |    ::DOUBLE, 6) AS prob_b_beats_a
+             |FROM terms GROUP BY 1, 2, 3, 4""".stripMargin))
   )
 }

@@ -466,4 +466,79 @@ class R12QueriesSpec extends GraftSpec {
     assert(out.getAs[Long]("n_gaps") === 2L)
     assert(out.getAs[Double]("mtbf_minutes") === 5.8333) // 700s/2/60
   }
+
+  test("q_rdd_cutoff: a crafted +5 jump at the cutoff is recovered exactly") {
+    // user with x views purchases x times left of c=10, x+5 right of it
+    val rows = (2 until 18).flatMap { x =>
+      val uid = x.toLong
+      val views = (0 until x).map(i =>
+        (day0 + uid * 3600000000L + i * 1000000L, uid, "view", 1.0))
+      val ny = if (x < 10) x else x + 5
+      val buys = (0 until ny).map(i =>
+        (day0 + uid * 3600000000L + (500 + i) * 1000000L, uid,
+          "purchase", 1.0))
+      views ++ buys
+    }
+    val out = byName("q_rdd_cutoff")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Double]("rdd_effect") === 5.0)
+    assert(out.getAs[Double]("left_fit_at_c") === 10.0)
+    assert(out.getAs[Double]("right_fit_at_c") === 15.0)
+  }
+
+  test("q_permutation_test: zero observed difference gives p = 1") {
+    // every day: one view and one purchase with identical value →
+    // all daily diffs are 0 → every permutation ties T_obs = 0
+    val rows = (0 until 10).flatMap { k =>
+      Seq((day0 + k * 86400000000L, 1L, "view", 7.0),
+        (day0 + k * 86400000000L + 1000000L, 2L, "purchase", 7.0))
+    }
+    val out = byName("q_permutation_test")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Long]("t_obs_milli") === 0L)
+    assert(out.getAs[Long]("p_ppm") === 1000000L)
+  }
+
+  test("q_tost_equivalence: mirrored channels are declared equivalent") {
+    val rows = (0 until 100).flatMap { i =>
+      val v = 10.0 + (i % 7)
+      Seq((day0 + i * 1000000L, i.toLong, "view", v),
+        (day0 + i * 1000000L + 500000L, i.toLong, "click", v))
+    }
+    val out = byName("q_tost_equivalence")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Double]("mean_diff") === 0.0)
+    assert(out.getAs[Long]("equivalent") === 1L)
+  }
+
+  test("q_holm_by: wildly separated channels reject every pair") {
+    val rows = (0 until 60).flatMap { i =>
+      val j = i % 2 // tiny within-group jitter, huge between-group gaps
+      Seq((day0 + i * 1000000L, i.toLong, "view", 10.0 + j),
+        (day0 + i * 1000000L + 1L, i.toLong, "click", 200.0 + j),
+        (day0 + i * 1000000L + 2L, i.toLong, "purchase", 400.0 + j))
+    }
+    val out = byName("q_holm_by")(spark, eventsDir(rows)).collect()
+    assert(out.length === 3)
+    assert(out.forall(_.getAs[Long]("rej_holm") === 1L))
+    assert(out.forall(_.getAs[Long]("rej_by") === 1L))
+  }
+
+  /** independent reference: P(p_B > p_A), Beta-Binomial closed form */
+  private def refBayes(aA: Int, bA: Int, aB: Int, bB: Int): Double = {
+    def lnfact(k: Int): Double = (2 to k).map(j => math.log(j)).sum
+    def lnBeta(x: Int, y: Int): Double =
+      lnfact(x - 1) + lnfact(y - 1) - lnfact(x + y - 1)
+    (0 until aB).map { i =>
+      math.exp(lnBeta(aA + i, bA + bB) - math.log(bB + i) -
+        lnBeta(1 + i, bB) - lnBeta(aA, bA))
+    }.sum
+  }
+
+  test("q_bayes_ab: matches the independent Beta-Binomial reference") {
+    val out = byName("q_bayes_ab")(spark, "/root/testdata/sf0.001").head()
+    val (na, ca) = (out.getAs[Long]("n_a").toInt,
+      out.getAs[Long]("conv_a").toInt)
+    val (nb, cb) = (out.getAs[Long]("n_b").toInt,
+      out.getAs[Long]("conv_b").toInt)
+    val ref = refBayes(ca + 1, na - ca + 1, cb + 1, nb - cb + 1)
+    assert(math.abs(out.getAs[Double]("prob_b_beats_a") - ref) < 1e-4)
+  }
 }
