@@ -2063,6 +2063,252 @@ object R12Queries {
              |SELECT n_a, conv_a, n_b, conv_b,
              |  round(sum(round(exp(lnt::DOUBLE), 15)::DECIMAL(20,15))
              |    ::DOUBLE, 6) AS prob_b_beats_a
-             |FROM terms GROUP BY 1, 2, 3, 4""".stripMargin))
+             |FROM terms GROUP BY 1, 2, 3, 4""".stripMargin)),
+
+    // Moran's I (Moran 1950) and Geary's C (Geary 1954) spatial
+    // autocorrelation over the hour-of-day × day-of-week activity
+    // grid with rook adjacency — is load smooth across neighboring
+    // hours or checkerboarded? Cell means are exact integer-div milli
+    // values; centering multiplies through by n (c_i = n·x_i − Σx) so
+    // every cross product is exact DECIMAL — the n factors cancel in
+    // both ratios. The 168-cell grid is digest-sized at any scale.
+    QueryDef("q_moran_geary",
+      (s, d) => {
+        val cells = graft.sources.Tables.events(s, d)
+          .groupBy(dayofweek(col("ts")).as("dw"), hour(col("ts")).as("hr"))
+          .agg(expr("sum(CAST(floor(value * 1000) AS BIGINT)) div count(*)").as("xm"))
+          .persist()
+        val tot = cells.agg(count(lit(1)).as("n"), sum(col("xm")).as("sx"))
+        val c = cells.crossJoin(broadcast(tot))
+          .select(col("dw"), col("hr"),
+            (col("n") * col("xm") - col("sx")).cast("decimal(38,0)")
+              .as("c"))
+          .persist()
+        val nbr = c.select(col("dw"), col("hr"), col("c"))
+          .join(c.select(col("dw").as("dw2"), col("hr").as("hr2"),
+            col("c").as("c2")),
+            (col("dw") === col("dw2") &&
+              abs(col("hr") - col("hr2")) === 1) ||
+            (col("hr") === col("hr2") && abs(col("dw") - col("dw2")) === 1))
+        val num = nbr.agg(count(lit(1)).as("w2"),
+          sum(col("c") * col("c2")).as("scc"),
+          sum((col("c") - col("c2")) * (col("c") - col("c2"))).as("sdd"))
+        val den = c.agg(sum(col("c") * col("c")).as("sc2"),
+          count(lit(1)).as("n"))
+        num.crossJoin(broadcast(den))
+          .select(col("n").cast("long").as("n_cells"),
+            (col("w2") / 2).cast("long").as("w_pairs"),
+            round(col("n").cast("double") * col("scc").cast("double") /
+              (col("w2").cast("double") * col("sc2").cast("double")), 6)
+              .as("moran_i"),
+            round((col("n").cast("double") - 1.0) *
+              col("sdd").cast("double") /
+              (lit(2.0) * col("w2").cast("double") *
+                col("sc2").cast("double")), 6).as("geary_c"))
+      },
+      Some("""WITH cells AS (SELECT dayofweek(ts) + 1 AS dw, hour(ts) AS hr,
+             |    sum(floor(value * 1000)::BIGINT) // count(*) AS xm
+             |  FROM events GROUP BY 1, 2),
+             |tot AS (SELECT count(*)::BIGINT AS n, sum(xm)::BIGINT AS sx
+             |  FROM cells),
+             |c AS (SELECT dw, hr,
+             |    (tot.n * xm - tot.sx)::DECIMAL(38,0) AS c
+             |  FROM cells, tot),
+             |nbr AS (SELECT a.c AS ca, b.c AS cb FROM c a JOIN c b
+             |  ON (a.dw = b.dw AND abs(a.hr - b.hr) = 1)
+             |  OR (a.hr = b.hr AND abs(a.dw - b.dw) = 1)),
+             |num AS (SELECT count(*)::BIGINT AS w2,
+             |    sum(ca * cb) AS scc,
+             |    sum((ca - cb) * (ca - cb)) AS sdd FROM nbr),
+             |den AS (SELECT sum(c * c) AS sc2, count(*)::BIGINT AS n
+             |  FROM c)
+             |SELECT den.n AS n_cells, (num.w2 / 2)::BIGINT AS w_pairs,
+             |  round(den.n::DOUBLE * num.scc::DOUBLE
+             |    / (num.w2::DOUBLE * den.sc2::DOUBLE), 6) AS moran_i,
+             |  round((den.n::DOUBLE - 1.0) * num.sdd::DOUBLE
+             |    / (2.0 * num.w2::DOUBLE * den.sc2::DOUBLE), 6)
+             |    AS geary_c
+             |FROM num, den""".stripMargin)),
+
+    // Cliff's delta (Cliff 1993) and Vargha-Delaney Â (2000) between
+    // the view and purchase value channels — the rank-free ordinal
+    // effect sizes robust reporting prefers over Cohen's d. EXACT:
+    // concordant/discordant pair counts come from the value-cell grid
+    // (per distinct milli value: group counts × cumulative-below of
+    // the other group — one hash join on the cell spine, never an
+    // all-pairs product), delta = (gt − lt)/(n₁n₂) published in ppm.
+    QueryDef("q_cliffs_delta",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+          .filter(col("event_type").isin("view", "purchase"))
+          .select((col("event_type") === "view").cast("int").as("g"),
+            floor(col("value") * 1000).cast("long").as("vm"))
+        val cells = ev.groupBy(col("vm"))
+          .agg(sum(col("g")).as("t1"), sum(lit(1) - col("g")).as("t2"))
+        val w = Window.orderBy(col("vm"))
+        val cum = cells
+          .withColumn("b1", coalesce(sum(col("t1")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("b2", coalesce(sum(col("t2")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        cum.agg(sum(col("t1")).as("n1"), sum(col("t2")).as("n2"),
+            sum(col("t1").cast("decimal(38,0)") * col("b2")).as("gt"),
+            sum(col("t2").cast("decimal(38,0)") * col("b1")).as("lt"),
+            sum(col("t1").cast("decimal(38,0)") * col("t2")).as("ties"))
+          .select(col("n1").cast("long").as("n_view"),
+            col("n2").cast("long").as("n_purchase"),
+            expr("CAST((gt - lt) * 1000000 div " +
+              "(CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)")
+              .as("cliffs_delta_ppm"),
+            expr("CAST((gt * 2 + ties) * 500000 div " +
+              "(CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)")
+              .as("vargha_a_ppm"))
+      },
+      Some("""WITH ev AS (SELECT
+             |    (event_type = 'view')::INT AS g,
+             |    floor(value * 1000)::BIGINT AS vm
+             |  FROM events WHERE event_type IN ('view', 'purchase')),
+             |cells AS (SELECT vm, sum(g)::BIGINT AS t1,
+             |    sum(1 - g)::BIGINT AS t2 FROM ev GROUP BY 1),
+             |cum AS (SELECT vm, t1, t2,
+             |    coalesce(sum(t1) OVER (ORDER BY vm ROWS BETWEEN
+             |      UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS b1,
+             |    coalesce(sum(t2) OVER (ORDER BY vm ROWS BETWEEN
+             |      UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS b2
+             |  FROM cells),
+             |ag AS (SELECT sum(t1)::BIGINT AS n1, sum(t2)::BIGINT AS n2,
+             |    sum(t1::HUGEINT * b2) AS gt, sum(t2::HUGEINT * b1) AS lt,
+             |    sum(t1::HUGEINT * t2) AS ties
+             |  FROM cum)
+             |SELECT n1 AS n_view, n2 AS n_purchase,
+             |  ((gt - lt) * 1000000 // (n1::HUGEINT * n2))::BIGINT
+             |    AS cliffs_delta_ppm,
+             |  ((gt * 2 + ties) * 500000 // (n1::HUGEINT * n2))::BIGINT
+             |    AS vargha_a_ppm
+             |FROM ag""".stripMargin)),
+
+    // Theil T inequality decomposition (Theil 1967): total revenue
+    // inequality across users split into WITHIN-channel and BETWEEN-
+    // channel components (T = T_w + T_b — additivity is Theil's
+    // defining property and the law the spec pins). Shares and logs
+    // work on exact milli sums; every ln is 1e-9-quantized into
+    // DECIMAL sums sized (20,9)×(19,0) to dodge the scale-6 overflow
+    // truncation.
+    QueryDef("q_theil_decomposition",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+          .filter(col("value") > 0)
+          .select(col("event_type"),
+            floor(col("value") * 1000).cast("long").as("vm"))
+        val g = ev.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("ng"), sum(col("vm")).as("sg"),
+            sum(round(log(col("vm").cast("double")), 9)
+              .cast("decimal(12,9)") *
+              col("vm").cast("decimal(19,0)")).as("slx"))
+          .persist()
+        val tot = g.agg(sum(col("ng")).as("n"), sum(col("sg")).as("st"))
+        val parts = g.crossJoin(broadcast(tot))
+          // group share of revenue s_g = sg/st; T_g from Σ x·ln x:
+          // T_g = Σ(x/Sg)ln(x·ng/Sg·(1/μg...)) — expand:
+          // T_g = (Σ x ln x)/Sg − ln(Sg/ng)
+          .withColumn("tg",
+            col("slx").cast("double") / col("sg").cast("double") -
+              round(log(col("sg").cast("double") /
+                col("ng").cast("double")), 9))
+          .withColumn("sh", col("sg").cast("double") /
+            col("st").cast("double"))
+          .withColumn("lr",
+            round(log((col("sg").cast("double") *
+              col("n").cast("double")) /
+              (col("st").cast("double") * col("ng").cast("double"))), 9))
+        parts.agg(
+            max(col("n")).cast("long").as("n_events"),
+            sum(round(col("sh") * col("tg"), 9).cast("decimal(20,9)"))
+              .cast("double").as("tw"),
+            sum(round(col("sh") * col("lr"), 9).cast("decimal(20,9)"))
+              .cast("double").as("tb"))
+          .select(col("n_events"),
+            round(col("tw"), 6).as("theil_within"),
+            round(col("tb"), 6).as("theil_between"),
+            round(col("tw") + col("tb"), 6).as("theil_total"))
+      },
+      Some("""WITH ev AS (SELECT event_type,
+             |    floor(value * 1000)::BIGINT AS vm
+             |  FROM events WHERE value > 0),
+             |g AS (SELECT event_type, count(*)::BIGINT AS ng,
+             |    sum(vm)::BIGINT AS sg,
+             |    sum(round(ln(vm::DOUBLE), 9)::DECIMAL(12,9)
+             |      * vm::DECIMAL(19,0)) AS slx
+             |  FROM ev GROUP BY 1),
+             |tot AS (SELECT sum(ng)::BIGINT AS n, sum(sg)::BIGINT AS st
+             |  FROM g),
+             |parts AS (SELECT
+             |    slx::DOUBLE / sg::DOUBLE
+             |      - round(ln(sg::DOUBLE / ng::DOUBLE), 9) AS tg,
+             |    sg::DOUBLE / st::DOUBLE AS sh,
+             |    round(ln((sg::DOUBLE * n::DOUBLE)
+             |      / (st::DOUBLE * ng::DOUBLE)), 9) AS lr,
+             |    tot.n
+             |  FROM g, tot),
+             |ag AS (SELECT max(n)::BIGINT AS n_events,
+             |    sum(round(sh * tg, 9)::DECIMAL(20,9))::DOUBLE AS tw,
+             |    sum(round(sh * lr, 9)::DECIMAL(20,9))::DOUBLE AS tb
+             |  FROM parts)
+             |SELECT n_events, round(tw, 6) AS theil_within,
+             |  round(tb, 6) AS theil_between,
+             |  round(tw + tb, 6) AS theil_total
+             |FROM ag""".stripMargin)),
+
+    // Binary-classifier quality panel — Matthews correlation (1975),
+    // F2, and balanced accuracy for the one-rule classifier "value >
+    // 100 predicts purchase". All four confusion cells are exact
+    // BIGINTs; MCC's denominator product is DECIMAL (it wraps int64
+    // past ~50k positives) and the final scores are one double each.
+    QueryDef("q_mcc_fbeta",
+      (s, d) => {
+        val cm = graft.sources.Tables.events(s, d)
+          .select((col("event_type") === "purchase").cast("int").as("y"),
+            (col("value") > 100).cast("int").as("p"))
+          .agg(sum(col("y") * col("p")).cast("long").as("tp"),
+            sum((lit(1) - col("y")) * col("p")).cast("long").as("fp"),
+            sum(col("y") * (lit(1) - col("p"))).cast("long").as("fn"),
+            sum((lit(1) - col("y")) * (lit(1) - col("p"))).cast("long")
+              .as("tn"))
+        cm.select(col("tp"), col("fp"), col("fn"), col("tn"),
+            round(((col("tp").cast("decimal(38,0)") * col("tn") -
+              col("fp").cast("decimal(38,0)") * col("fn"))
+              .cast("double")) /
+              sqrt(((col("tp") + col("fp")).cast("decimal(38,0)") *
+                (col("tp") + col("fn")) * (col("tn") + col("fp")) *
+                (col("tn") + col("fn"))).cast("double")), 6).as("mcc"),
+            round(lit(5.0) * col("tp").cast("double") /
+              (lit(5.0) * col("tp") + lit(4.0) * col("fn") + col("fp"))
+                .cast("double"), 6).as("f2"),
+            round((col("tp").cast("double") /
+              (col("tp") + col("fn")).cast("double") +
+              col("tn").cast("double") /
+                (col("tn") + col("fp")).cast("double")) / 2.0, 6)
+              .as("balanced_accuracy"))
+      },
+      Some("""WITH cm AS (SELECT
+             |    sum(((event_type = 'purchase') AND value > 100)::INT)
+             |      ::BIGINT AS tp,
+             |    sum(((event_type <> 'purchase') AND value > 100)::INT)
+             |      ::BIGINT AS fp,
+             |    sum(((event_type = 'purchase') AND value <= 100)::INT)
+             |      ::BIGINT AS fn,
+             |    sum(((event_type <> 'purchase') AND value <= 100)::INT)
+             |      ::BIGINT AS tn
+             |  FROM events)
+             |SELECT tp, fp, fn, tn,
+             |  round((tp::HUGEINT * tn - fp::HUGEINT * fn)::DOUBLE
+             |    / sqrt(((tp + fp)::HUGEINT * (tp + fn) * (tn + fp)
+             |      * (tn + fn))::DOUBLE), 6) AS mcc,
+             |  round(5.0 * tp::DOUBLE
+             |    / (5.0 * tp + 4.0 * fn + fp)::DOUBLE, 6) AS f2,
+             |  round((tp::DOUBLE / (tp + fn)::DOUBLE
+             |    + tn::DOUBLE / (tn + fp)::DOUBLE) / 2.0, 6)
+             |    AS balanced_accuracy
+             |FROM cm""".stripMargin))
   )
 }

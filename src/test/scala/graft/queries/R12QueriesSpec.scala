@@ -532,6 +532,85 @@ class R12QueriesSpec extends GraftSpec {
     }.sum
   }
 
+  /** events at given (day, hour) with value; one event per cell entry */
+  private def gridEvents(cells: Seq[(Int, Int, Double)]): String =
+    eventsDir(cells.zipWithIndex.map { case ((dd, hh, v), i) =>
+      (day0 + dd * 86400000000L + hh * 3600000000L + i, i.toLong, "view", v)
+    })
+
+  test("q_moran_geary: a smooth hour gradient is positively autocorrelated") {
+    val cells = for (dd <- 0 until 7; hh <- 0 until 24)
+      yield (dd, hh, hh * 10.0)
+    val out = byName("q_moran_geary")(spark, gridEvents(cells)).head()
+    assert(out.getAs[Long]("n_cells") === 168L)
+    assert(out.getAs[Double]("moran_i") > 0.5)
+    assert(out.getAs[Double]("geary_c") < 0.5)
+  }
+
+  test("q_moran_geary: an hour-parity checkerboard is negatively " +
+    "autocorrelated") {
+    val cells = for (dd <- 0 until 7; hh <- 0 until 24)
+      yield (dd, hh, if ((hh + dd) % 2 == 0) 10.0 else 200.0)
+    val out = byName("q_moran_geary")(spark, gridEvents(cells)).head()
+    assert(out.getAs[Double]("moran_i") < -0.5)
+    assert(out.getAs[Double]("geary_c") > 1.5)
+  }
+
+  test("q_cliffs_delta: fully separated channels give delta 1, A 1") {
+    val rows = (0 until 20).map(i =>
+      (day0 + i * 1000000L, i.toLong, "view", 100.0 + i)) ++
+      (0 until 20).map(i =>
+        (day0 + (100 + i) * 1000000L, i.toLong, "purchase", 10.0 + i))
+    val out = byName("q_cliffs_delta")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Long]("cliffs_delta_ppm") === 1000000L)
+    assert(out.getAs[Long]("vargha_a_ppm") === 1000000L)
+  }
+
+  test("q_cliffs_delta: identical channels give delta 0, A 1/2") {
+    val rows = (0 until 20).flatMap { i =>
+      Seq((day0 + i * 1000000L, i.toLong, "view", 50.0 + (i % 5)),
+        (day0 + (100 + i) * 1000000L, i.toLong, "purchase", 50.0 + (i % 5)))
+    }
+    val out = byName("q_cliffs_delta")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Long]("cliffs_delta_ppm") === 0L)
+    assert(out.getAs[Long]("vargha_a_ppm") === 500000L)
+  }
+
+  test("q_theil_decomposition: equal values carry zero inequality") {
+    val rows = (0 until 30).map(i =>
+      (day0 + i * 1000000L, i.toLong,
+        Seq("view", "click", "purchase")(i % 3), 42.0))
+    val out = byName("q_theil_decomposition")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Double]("theil_total") === 0.0)
+    assert(out.getAs[Double]("theil_within") === 0.0)
+    assert(out.getAs[Double]("theil_between") === 0.0)
+  }
+
+  test("q_theil_decomposition: channel-constant values are pure " +
+    "between-group inequality") {
+    val rows = (0 until 30).map(i =>
+      (day0 + i * 1000000L, i.toLong,
+        Seq("view", "click", "purchase")(i % 3),
+        Seq(10.0, 100.0, 1000.0)(i % 3)))
+    val out = byName("q_theil_decomposition")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Double]("theil_within") === 0.0)
+    assert(out.getAs[Double]("theil_between") > 0.3)
+    assert(out.getAs[Double]("theil_total") ===
+      out.getAs[Double]("theil_between"))
+  }
+
+  test("q_mcc_fbeta: a perfectly separating rule scores 1 everywhere") {
+    val rows = (0 until 20).map(i =>
+      (day0 + i * 1000000L, i.toLong, "purchase", 200.0)) ++
+      (0 until 20).map(i =>
+        (day0 + (100 + i) * 1000000L, i.toLong, "view", 50.0))
+    val out = byName("q_mcc_fbeta")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Double]("mcc") === 1.0)
+    assert(out.getAs[Double]("f2") === 1.0)
+    assert(out.getAs[Double]("balanced_accuracy") === 1.0)
+    assert(out.getAs[Long]("fp") === 0L)
+  }
+
   test("q_bayes_ab: matches the independent Beta-Binomial reference") {
     val out = byName("q_bayes_ab")(spark, "/root/testdata/sf0.001").head()
     val (na, ca) = (out.getAs[Long]("n_a").toInt,
