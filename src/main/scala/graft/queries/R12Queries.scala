@@ -2309,6 +2309,60 @@ object R12Queries {
              |  round((tp::DOUBLE / (tp + fn)::DOUBLE
              |    + tn::DOUBLE / (tn + fp)::DOUBLE) / 2.0, 6)
              |    AS balanced_accuracy
-             |FROM cm""".stripMargin))
+             |FROM cm""".stripMargin)),
+
+    // Bucketed co-located join: orders and lineitem written once as
+    // 8-bucket tables on the order key, then joined with ZERO join-
+    // side shuffle — the bucketing contract pre-shuffles at write
+    // time, the single biggest repeated-join win at 100 TB (the plan
+    // law in R12QueriesSpec pins ≤ 1 exchange: only the final
+    // per-priority rollup moves data). Bucket metadata lives in the
+    // session catalog, so the tables are (re)registered per session
+    // from the memoized warehouse write.
+    QueryDef("io_bucketed_join",
+      (s, d) => {
+        bucketedOrdersLineitem(s, d) match { case (ot, lt) =>
+          val o = s.table(ot)
+          val l = s.table(lt)
+          o.join(l, col("o_orderkey") === col("l_orderkey"))
+            .groupBy(col("o_orderpriority"))
+            .agg(count(lit(1)).as("n_lines"),
+              sum(floor(col("l_extendedprice") *
+                (lit(1.0) - col("l_discount")) * 100).cast("long"))
+                .as("revenue_cents"))
+            .orderBy(col("o_orderpriority"))
+        }
+      },
+      Some("""SELECT o_orderpriority, count(*)::BIGINT AS n_lines,
+             |  sum(floor(l_extendedprice * (1.0 - l_discount) * 100)
+             |    ::BIGINT)::BIGINT AS revenue_cents
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
+
+  /** Write-once 8-bucket twins of orders/lineitem on the order key,
+    * registered in this session's catalog. The physical write is
+    * memoized per sf-dir; a later session only re-registers. */
+  private[queries] def bucketedOrdersLineitem(
+      s: org.apache.spark.sql.SparkSession, d: String): (String, String) = {
+    val key = graft.io.FileSkipping.pathKey(d, "b8v1").replace('.', '_')
+    val (ot, lt) = (s"graft_orders_$key", s"graft_lineitem_$key")
+    this.synchronized {
+      if (!s.catalog.tableExists(ot)) {
+        s.read.parquet(s"$d/orders.parquet")
+          .write.mode("overwrite").bucketBy(8, "o_orderkey")
+          .sortBy("o_orderkey").option("path",
+            s"${System.getProperty("java.io.tmpdir")}/graft_bkt_$ot")
+          .saveAsTable(ot)
+      }
+      if (!s.catalog.tableExists(lt)) {
+        s.read.parquet(s"$d/lineitem.parquet")
+          .write.mode("overwrite").bucketBy(8, "l_orderkey")
+          .sortBy("l_orderkey").option("path",
+            s"${System.getProperty("java.io.tmpdir")}/graft_bkt_$lt")
+          .saveAsTable(lt)
+      }
+    }
+    (ot, lt)
+  }
 }

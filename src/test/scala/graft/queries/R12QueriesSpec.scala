@@ -611,6 +611,22 @@ class R12QueriesSpec extends GraftSpec {
     assert(out.getAs[Long]("fp") === 0L)
   }
 
+  test("io_bucketed_join: the join reads buckets and never shuffles " +
+    "on the join key") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = byName("io_bucketed_join")(spark, "/root/testdata/sf0.001")
+      df.collect() // force execution so AQE finalizes the plan
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), plan)
+      assert(!plan.contains("hashpartitioning(o_orderkey") &&
+        !plan.contains("hashpartitioning(l_orderkey"),
+        s"join key shuffled:\n$plan")
+      assert(df.count() === 5L)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q_bayes_ab: matches the independent Beta-Binomial reference") {
     val out = byName("q_bayes_ab")(spark, "/root/testdata/sf0.001").head()
     val (na, ca) = (out.getAs[Long]("n_a").toInt,
