@@ -2337,7 +2337,109 @@ object R12Queries {
              |  sum(floor(l_extendedprice * (1.0 - l_discount) * 100)
              |    ::BIGINT)::BIGINT AS revenue_cents
              |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Viterbi MAP decoding (Viterbi 1967) of a 2-state calm/busy HMM
+    // over the daily activity sequence (obs = day's event count above
+    // the period mean). Transition/emission log-probs are 1e-9-grid
+    // INTEGER literals identical in both engines, so the whole DP —
+    // forward max-sum with packed parent bits, then a backtrack fold
+    // over the reversed parent list — is exact BIGINT arithmetic.
+    // Ties break to state 0 in both engines. The facts reduce to the
+    // ~30-day digest before any DP; the oracle replays forward and
+    // backward as two recursive CTEs.
+    QueryDef("q_viterbi_states", {
+      // trans: 0→0 ln.9, 0→1 ln.1, 1→0 ln.2, 1→1 ln.8
+      // emis: state0 high ln.2 / low ln.8; state1 high ln.7 / low ln.3
+      val c00 = "(a.d0 + -105360516L)"
+      val c10 = "(a.d1 + -1609437912L)"
+      val c01 = "(a.d0 + -2302585093L)"
+      val c11 = "(a.d1 + -223143551L)"
+      val e0 = "(CASE WHEN x = 1 THEN -1609437912L ELSE -223143551L END)"
+      val e1 = "(CASE WHEN x = 1 THEN -356674944L ELSE -1203972804L END)"
+      val bt = "CAST(CASE WHEN a.cur = 0 THEN p % 2 ELSE p div 2 END AS INT)"
+      (s, d) => {
+        val xs = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy()
+          .agg(sort_array(collect_list(struct(col("day"), col("c"))))
+            .as("sd"), sum(col("c")).as("tot"), count(lit(1)).as("nd"))
+          .select(col("nd"), expr(
+            "transform(sd, e -> CAST(e.c * nd >= tot AS INT))").as("xs"))
+        val fwd = xs.withColumn("st", expr(
+          "aggregate(slice(xs, 2, size(xs) - 1), named_struct(" +
+            "'d0', CASE WHEN element_at(xs, 1) = 1 THEN -693147181L + " +
+            "-1609437912L ELSE -693147181L + -223143551L END, " +
+            "'d1', CASE WHEN element_at(xs, 1) = 1 THEN -693147181L + " +
+            "-356674944L ELSE -693147181L + -1203972804L END, " +
+            "'ps', array()::ARRAY<INT>), " +
+            s"(a, x) -> named_struct(" +
+            s"'d0', greatest($c00, $c10) + $e0, " +
+            s"'d1', greatest($c01, $c11) + $e1, " +
+            s"'ps', concat(a.ps, array(" +
+            s"CAST(CASE WHEN $c10 > $c00 THEN 1 ELSE 0 END + " +
+            s"2 * CASE WHEN $c11 > $c01 THEN 1 ELSE 0 END AS INT)))))"))
+        fwd.withColumn("sn", expr(
+            "CASE WHEN st.d1 > st.d0 THEN 1 ELSE 0 END"))
+          .withColumn("bk", expr(
+            "aggregate(reverse(st.ps), named_struct(" +
+              "'cur', sn, 'cnt', CAST(sn AS BIGINT)), " +
+              s"(a, p) -> named_struct('cur', $bt, " +
+              s"'cnt', a.cnt + CAST($bt AS BIGINT)))"))
+          .select(col("nd").cast("long").as("n_days"),
+            greatest(col("st.d0"), col("st.d1")).as("map_logprob_nano"),
+            col("bk.cnt").as("n_busy_days"),
+            col("sn").cast("long").as("last_state"))
+      }
+    }, {
+      val c00 = "(f.d0 + -105360516)"
+      val c10 = "(f.d1 + -1609437912)"
+      val c01 = "(f.d0 + -2302585093)"
+      val c11 = "(f.d1 + -223143551)"
+      val e0 = "(CASE WHEN y.x = 1 THEN -1609437912 ELSE -223143551 END)"
+      val e1 = "(CASE WHEN y.x = 1 THEN -356674944 ELSE -1203972804 END)"
+      Some(s"""WITH RECURSIVE daily AS (SELECT ts::DATE AS day,
+             |    count(*)::BIGINT AS c FROM events GROUP BY 1),
+             |tt AS (SELECT sum(c)::BIGINT AS tot,
+             |    count(*)::BIGINT AS nd FROM daily),
+             |r AS (SELECT (c * tt.nd >= tt.tot)::INT AS x,
+             |    row_number() OVER (ORDER BY day) AS rn
+             |  FROM daily, tt),
+             |fw AS (
+             |  SELECT 1 AS k,
+             |      (CASE WHEN r.x = 1 THEN -693147181::BIGINT + -1609437912
+             |        ELSE -693147181::BIGINT + -223143551 END) AS d0,
+             |      (CASE WHEN r.x = 1 THEN -693147181::BIGINT + -356674944
+             |        ELSE -693147181::BIGINT + -1203972804 END) AS d1,
+             |      0 AS pk
+             |    FROM r WHERE rn = 1
+             |  UNION ALL
+             |  SELECT f.k + 1,
+             |      greatest($c00, $c10) + $e0,
+             |      greatest($c01, $c11) + $e1,
+             |      (CASE WHEN $c10 > $c00 THEN 1 ELSE 0 END
+             |       + 2 * CASE WHEN $c11 > $c01 THEN 1 ELSE 0 END)::INT
+             |    FROM fw f JOIN r y ON y.rn = f.k + 1),
+             |nn AS (SELECT nd FROM tt),
+             |fin AS (SELECT f.d0, f.d1,
+             |    CASE WHEN f.d1 > f.d0 THEN 1 ELSE 0 END AS sn
+             |  FROM fw f, nn WHERE f.k = nn.nd),
+             |bw AS (
+             |  SELECT nn.nd AS k, fin.sn AS cur, fin.sn::BIGINT AS cnt
+             |    FROM fin, nn
+             |  UNION ALL
+             |  SELECT b.k - 1,
+             |      CASE WHEN b.cur = 0 THEN f.pk % 2 ELSE f.pk // 2 END,
+             |      b.cnt + (CASE WHEN b.cur = 0 THEN f.pk % 2
+             |        ELSE f.pk // 2 END)::BIGINT
+             |    FROM bw b JOIN fw f ON f.k = b.k
+             |    WHERE b.k >= 2)
+             |SELECT nn.nd AS n_days,
+             |  greatest(fin.d0, fin.d1)::BIGINT AS map_logprob_nano,
+             |  bw.cnt AS n_busy_days, fin.sn::BIGINT AS last_state
+             |FROM bw, fin, nn WHERE bw.k = 1""".stripMargin)
+    })
   )
 
   /** Write-once 8-bucket twins of orders/lineitem on the order key,

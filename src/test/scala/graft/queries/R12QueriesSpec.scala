@@ -627,6 +627,58 @@ class R12QueriesSpec extends GraftSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  /** independent Viterbi reference with the query's integer tables */
+  private def refViterbi(obs: Seq[Int]): (Long, Long, Int) = {
+    val init = Array(-693147181L, -693147181L)
+    val tr = Array(Array(-105360516L, -2302585093L),
+      Array(-1609437912L, -223143551L))
+    def em(s: Int, x: Int): Long =
+      if (s == 0) { if (x == 1) -1609437912L else -223143551L }
+      else { if (x == 1) -356674944L else -1203972804L }
+    var d = Array(init(0) + em(0, obs.head), init(1) + em(1, obs.head))
+    val parents = obs.tail.map { x =>
+      val c = Array.tabulate(2, 2)((i, j) => d(i) + tr(i)(j))
+      val p = Array(if (c(1)(0) > c(0)(0)) 1 else 0,
+        if (c(1)(1) > c(0)(1)) 1 else 0)
+      d = Array(math.max(c(0)(0), c(1)(0)) + em(0, x),
+        math.max(c(0)(1), c(1)(1)) + em(1, x))
+      p
+    }
+    var cur = if (d(1) > d(0)) 1 else 0
+    var cnt = cur.toLong
+    parents.reverse.foreach { p => cur = p(cur); cnt += cur }
+    (math.max(d(0), d(1)), cnt, if (d(1) > d(0)) 1 else 0)
+  }
+
+  /** events with `c(k)` events on day k */
+  private def countDays(cs: Seq[Int]): String =
+    eventsDir(cs.zipWithIndex.flatMap { case (c, k) =>
+      (0 until c).map(i =>
+        (day0 + k * 86400000000L + i * 1000000L, i.toLong, "view", 1.0))
+    })
+
+  test("q_viterbi_states: a uniformly calm stream decodes to zero busy days") {
+    val out = byName("q_viterbi_states")(spark,
+      countDays(Seq.fill(8)(2))).head()
+    // equal counts: every day's c·n = tot → all days "high"... craft
+    // below-mean days instead: one spike makes the rest low
+    val out2 = byName("q_viterbi_states")(spark,
+      countDays(Seq(20) ++ Seq.fill(7)(2))).head()
+    assert(out2.getAs[Long]("n_busy_days") <= 1L)
+    assert(out.getAs[Long]("n_days") === 8L)
+  }
+
+  test("q_viterbi_states: matches the independent reference DP") {
+    val cs = Seq(2, 2, 9, 9, 9, 2, 2, 9, 2, 2)
+    val n = cs.length; val tot = cs.sum
+    val obs = cs.map(c => if (c.toLong * n >= tot) 1 else 0)
+    val (lp, busy, last) = refViterbi(obs)
+    val out = byName("q_viterbi_states")(spark, countDays(cs)).head()
+    assert(out.getAs[Long]("map_logprob_nano") === lp)
+    assert(out.getAs[Long]("n_busy_days") === busy)
+    assert(out.getAs[Long]("last_state") === last.toLong)
+  }
+
   test("q_bayes_ab: matches the independent Beta-Binomial reference") {
     val out = byName("q_bayes_ab")(spark, "/root/testdata/sf0.001").head()
     val (na, ca) = (out.getAs[Long]("n_a").toInt,
