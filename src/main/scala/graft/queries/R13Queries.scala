@@ -1,0 +1,727 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-11 session-4, continued: signal-complexity descriptors
+  * (Hjorth parameters, spectral entropy/flatness, Higuchi fractal
+  * dimension, Yule-Walker AR(2)), homogeneity/changepoint tests
+  * (Pettitt, SNHT+Buishand, binary segmentation, Bartels rank),
+  * forecast-evaluation panel (empirical CRPS, Diebold-Mariano,
+  * Pesaran-Timmermann), heteroskedastic inference (Welch ANOVA,
+  * Hotelling T², Dunn post-hoc, Poisson GOF + count-model fits),
+  * graph kernels (Katz, k-truss, Adamic-Adar, association rules),
+  * and spatial/point-process kernels (Getis-Ord Gi*, temporal
+  * Ripley K, visibility graph, recurrence quantification).
+  *
+  * Reference scope: the reference app (reference `app.py:139-200`)
+  * publishes descriptive analytics over sensor channels; these are
+  * the signal-health and drift diagnostics a long-running
+  * multi-sensor fleet reports over the same digests. Every kernel
+  * follows the repo determinism discipline: facts collapse to
+  * calendar/value digests in ONE map-side-combined pass, integer or
+  * DECIMAL exact arithmetic until the final projection,
+  * transcendentals quantized to the 1e-9 grid before any
+  * cross-group sum, final doubles round(…,4..6).
+  */
+object R13Queries {
+
+  /** DuckDB mirror of [[graft.ext.Dedup.strHash60]]. */
+  private def dkHash60(s: String) = s"('0x'||substring(md5($s),1,15))::BIGINT"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Hjorth parameters (Hjorth 1970) — activity/mobility/complexity,
+    // THE classical time-domain EEG/IMU channel descriptors, computed
+    // on the daily event-count series. One shuffle to the calendar
+    // digest; first and second differences via lag windows over the
+    // digest (never over facts); each series' variance comes from
+    // exact integer (n, Σx, Σx²) so the three variances are
+    // order-independent. Population variances; doubles only in the
+    // final projection. 100 TB: the only data-sized pass is the
+    // groupBy(day) count — everything after is ≤ calendar rows.
+    QueryDef("q_hjorth_params",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+        val w = Window.orderBy(col("day"))
+        val diffed = daily
+          .withColumn("d1", col("y") - lag(col("y"), 1).over(w))
+          .withColumn("d2", col("d1") - lag(col("d1"), 1).over(w))
+        def popVar(x: String, n: String, sx: String, qx: String) = Seq(
+          count(col(x)).as(n),
+          sum(col(x).cast("decimal(38,0)")).as(sx),
+          sum(col(x).cast("decimal(38,0)") * col(x)).as(qx))
+        val aggs = popVar("y", "n0", "s0", "q0") ++
+          popVar("d1", "n1", "s1", "q1") ++
+          popVar("d2", "n2", "s2", "q2")
+        val g = diffed.agg(aggs.head, aggs.tail: _*)
+        def v(n: String, sx: String, qx: String) =
+          (col(qx).cast("double") -
+            col(sx).cast("double") * col(sx).cast("double") /
+              col(n).cast("double")) / col(n).cast("double")
+        // ANSI Spark throws on double ÷ 0 (DuckDB yields inf): a
+        // constant-increment series has var(d1) = 0 — nullif-guard so
+        // the degenerate case is NULL on both engines
+        g.select(col("n0").as("n_days"),
+            v("n0", "s0", "q0").as("v0"), v("n1", "s1", "q1").as("v1"),
+            v("n2", "s2", "q2").as("v2"))
+          .select(col("n_days"),
+            round(col("v0"), 4).as("activity"),
+            round(sqrt(col("v1") / nullif(col("v0"), lit(0.0))), 6)
+              .as("mobility"),
+            round(sqrt(col("v2") / nullif(col("v1"), lit(0.0))) /
+              sqrt(col("v1") / nullif(col("v0"), lit(0.0))), 6)
+              .as("complexity"))
+      },
+      Some("""WITH daily AS (SELECT ts::DATE AS day, count(*)::BIGINT AS y
+             |  FROM events GROUP BY 1),
+             |d1s AS (SELECT day, y,
+             |    y - lag(y) OVER (ORDER BY day) AS d1 FROM daily),
+             |diffed AS (SELECT y, d1,
+             |    d1 - lag(d1) OVER (ORDER BY day) AS d2 FROM d1s),
+             |g AS (SELECT
+             |    count(y)::BIGINT AS n0, sum(y)::HUGEINT AS s0,
+             |    sum(y::HUGEINT * y)::HUGEINT AS q0,
+             |    count(d1)::BIGINT AS n1, sum(d1)::HUGEINT AS s1,
+             |    sum(d1::HUGEINT * d1)::HUGEINT AS q1,
+             |    count(d2)::BIGINT AS n2, sum(d2)::HUGEINT AS s2,
+             |    sum(d2::HUGEINT * d2)::HUGEINT AS q2
+             |  FROM diffed),
+             |vv AS (SELECT n0,
+             |    (q0::DOUBLE - s0::DOUBLE * s0::DOUBLE / n0::DOUBLE)
+             |      / n0::DOUBLE AS v0,
+             |    (q1::DOUBLE - s1::DOUBLE * s1::DOUBLE / n1::DOUBLE)
+             |      / n1::DOUBLE AS v1,
+             |    (q2::DOUBLE - s2::DOUBLE * s2::DOUBLE / n2::DOUBLE)
+             |      / n2::DOUBLE AS v2
+             |  FROM g)
+             |SELECT n0 AS n_days, round(v0, 4) AS activity,
+             |  round(sqrt(v1 / nullif(v0, 0.0)), 6) AS mobility,
+             |  round(sqrt(v2 / nullif(v1, 0.0))
+             |    / sqrt(v1 / nullif(v0, 0.0)), 6) AS complexity
+             |FROM vv""".stripMargin)),
+
+    // Spectral entropy + Wiener spectral flatness of the daily series
+    // over the Schuster periodogram's 13 candidate periods (2..14 d) —
+    // the "how peaked is the rhythm" companion to q_periodogram. The
+    // per-period powers reuse the EXACT integer mean-centering
+    // c_t = n·y_t − Σy and 6dp-quantized trig terms summed as DECIMAL
+    // (identical to q_periodogram, so power parity is already proven);
+    // the cross-period entropy/flatness sums quantize each ln term to
+    // the 1e-9 grid before the DECIMAL sum (order-independence rule).
+    // Entropy is normalized by ln(13) to [0,1]. 13-row digest algebra.
+    QueryDef("q_spectral_entropy",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+          .withColumn("t",
+            (row_number().over(Window.orderBy(col("day"))) - 1)
+              .cast("long"))
+        val g = broadcast(daily.agg(count(lit(1)).as("n"),
+          sum(col("y")).as("sy")))
+        val c = daily.crossJoin(g)
+          .select(col("t"), col("n"),
+            (col("n") * col("y") - col("sy")).as("c"))
+        val terms = c.crossJoin(broadcast(s.range(2, 15).toDF("p")))
+          .select(col("p"), col("n"),
+            expr("""cast(round(cast(c as double) * cos(
+              |  2.0 * 3.141592653589793 * cast(t % p as double)
+              |  / cast(p as double)), 6) as decimal(38,6))"""
+              .stripMargin).as("tc"),
+            expr("""cast(round(cast(c as double) * sin(
+              |  2.0 * 3.141592653589793 * cast(t % p as double)
+              |  / cast(p as double)), 6) as decimal(38,6))"""
+              .stripMargin).as("ts"))
+        val pw = terms.groupBy(col("p"))
+          .agg(max(col("n")).as("n"),
+            sum(col("tc")).as("sc"), sum(col("ts")).as("ss"))
+          .select(col("p"),
+            // same final-power expression tree as q_periodogram →
+            // bit-identical doubles on both engines
+            ((col("sc").cast("double") * col("sc").cast("double") +
+              col("ss").cast("double") * col("ss").cast("double")) /
+              (col("n").cast("double") * col("n").cast("double") *
+                col("n").cast("double"))).as("pw"))
+        val tot = pw.agg(
+          count(lit(1)).as("k"),
+          sum(col("pw").cast("decimal(38,6)")).as("tp"),
+          sum(expr("cast(round(ln(pw), 9) as decimal(38,9))")).as("slnp"))
+        pw.crossJoin(broadcast(tot))
+          .select(
+            expr("""cast(round(pw / cast(tp as double)
+              |  * ln(pw / cast(tp as double)), 9)
+              |  as decimal(38,9))""".stripMargin).as("ent_term"),
+            col("k"), col("tp"), col("slnp"))
+          .groupBy(col("k"), col("tp"), col("slnp"))
+          .agg(sum(col("ent_term")).as("sent"))
+          .select(col("k").as("n_periods"),
+            round(-col("sent").cast("double") /
+              log(col("k").cast("double")), 6).as("spectral_entropy"),
+            round(
+              exp(col("slnp").cast("double") / col("k").cast("double")) /
+                (col("tp").cast("double") / col("k").cast("double")), 6)
+              .as("spectral_flatness"))
+      },
+      Some("""WITH daily AS (SELECT day,
+             |    row_number() OVER (ORDER BY day) - 1 AS t, y FROM (
+             |    SELECT ts::DATE AS day, count(*)::BIGINT AS y
+             |    FROM events GROUP BY 1)),
+             |g AS (SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS sy
+             |  FROM daily),
+             |c AS (SELECT daily.t, g.n, g.n * daily.y - g.sy AS c
+             |  FROM daily, g),
+             |p AS (SELECT unnest(generate_series(2, 14))::BIGINT AS p),
+             |terms AS (SELECT p.p, c.n,
+             |    round(c.c::DOUBLE * cos(2.0 * 3.141592653589793
+             |      * (c.t % p.p)::DOUBLE / p.p::DOUBLE), 6)
+             |      ::DECIMAL(38,6) AS tc,
+             |    round(c.c::DOUBLE * sin(2.0 * 3.141592653589793
+             |      * (c.t % p.p)::DOUBLE / p.p::DOUBLE), 6)
+             |      ::DECIMAL(38,6) AS ts
+             |  FROM c, p),
+             |pw AS (SELECT p, (sc::DOUBLE * sc::DOUBLE
+             |      + ss::DOUBLE * ss::DOUBLE)
+             |    / (n::DOUBLE * n::DOUBLE * n::DOUBLE) AS pw FROM (
+             |    SELECT p, max(n)::BIGINT AS n, sum(tc) AS sc,
+             |      sum(ts) AS ss FROM terms GROUP BY 1)),
+             |tot AS (SELECT count(*)::BIGINT AS k,
+             |    sum(pw::DECIMAL(38,6)) AS tp,
+             |    sum(round(ln(pw), 9)::DECIMAL(38,9)) AS slnp FROM pw),
+             |ent AS (SELECT tot.k, tot.tp, tot.slnp,
+             |    sum(round(pw.pw / tot.tp::DOUBLE
+             |        * ln(pw.pw / tot.tp::DOUBLE), 9)::DECIMAL(38,9))
+             |      AS sent
+             |  FROM pw, tot GROUP BY 1, 2, 3)
+             |SELECT k AS n_periods,
+             |  round(-sent::DOUBLE / ln(k::DOUBLE), 6)
+             |    AS spectral_entropy,
+             |  round(exp(slnp::DOUBLE / k::DOUBLE)
+             |    / (tp::DOUBLE / k::DOUBLE), 6) AS spectral_flatness
+             |FROM ent""".stripMargin)),
+
+    // Higuchi fractal dimension (Higuchi 1988) of the daily series,
+    // k = 1..4 — the roughness exponent IMU pipelines report next to
+    // Allan variance. The k-lag curve lengths need |y_{t} − y_{t−k}|
+    // for every phase m: ONE self-join of the calendar digest shifted
+    // by k (t2 = t1 + k), phase m = t1 % k — exact integer Σ|Δ| per
+    // (k, m). L(m,k) normalization and the per-k mean happen in
+    // 1e-9-quantized DECIMAL; FD is the negated OLS slope of ln L(k)
+    // on ln k over 4 points, closed form on quantized ln terms.
+    QueryDef("q_higuchi_fd",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+          .withColumn("t",
+            (row_number().over(Window.orderBy(col("day"))) - 1)
+              .cast("long"))
+        val n = broadcast(daily.agg(count(lit(1)).as("n")))
+        val ks = broadcast(s.range(1, 5).toDF("k"))
+        val pairs = daily.as("a").crossJoin(ks)
+          .join(daily.as("b"),
+            col("b.t") === col("a.t") + col("k"))
+          .select(col("k"), (col("a.t") % col("k")).as("m"),
+            abs(col("b.y") - col("a.y")).as("ad"))
+        val lmk = pairs.groupBy(col("k"), col("m"))
+          .agg(sum(col("ad")).as("sad"), count(lit(1)).as("nk"))
+          .crossJoin(n)
+          // L(m,k) = Σ|Δ| · (n−1) / (nk·k) / k, quantized before the
+          // per-k mean so the m-sum is order-independent
+          .select(col("k"),
+            expr("""cast(round(cast(sad as double)
+              |  * cast(n - 1 as double)
+              |  / (cast(nk as double) * cast(k as double))
+              |  / cast(k as double), 9) as decimal(38,9))"""
+              .stripMargin).as("lmk"))
+        val lk = lmk.groupBy(col("k"))
+          .agg(sum(col("lmk")).as("slm"), count(lit(1)).as("nm"))
+          // lx ≤ ln 4, |ly| < 1e3: tight decimals so the lx·ly /
+          // lx·lx products stay EXACT (a (38,9)×(38,9) product
+          // overflows precision 38 and the engines truncate
+          // differently — caught at the sf0.01 gate)
+          .select(col("k"),
+            expr("cast(round(ln(cast(k as double)), 9) as decimal(10,9))")
+              .as("lx"),
+            expr("""cast(round(ln(cast(slm as double)
+              |  / cast(nm as double)), 9) as decimal(13,9))"""
+              .stripMargin).as("ly"))
+        lk.agg(count(lit(1)).as("kk"),
+            sum(col("lx")).as("sx"), sum(col("ly")).as("sy"),
+            sum(col("lx") * col("ly")).as("sxy"),
+            sum(col("lx") * col("lx")).as("sxx"))
+          .select(col("kk").as("n_scales"),
+            round(-(col("kk").cast("double") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+              (col("kk").cast("double") * col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double")), 6)
+              .as("higuchi_fd"))
+      },
+      Some("""WITH daily AS (SELECT day,
+             |    row_number() OVER (ORDER BY day) - 1 AS t, y FROM (
+             |    SELECT ts::DATE AS day, count(*)::BIGINT AS y
+             |    FROM events GROUP BY 1)),
+             |nn AS (SELECT count(*)::BIGINT AS n FROM daily),
+             |ks AS (SELECT unnest(generate_series(1, 4))::BIGINT AS k),
+             |pairs AS (SELECT ks.k, a.t % ks.k AS m,
+             |    abs(b.y - a.y)::BIGINT AS ad
+             |  FROM daily a, ks, daily b WHERE b.t = a.t + ks.k),
+             |lmk AS (SELECT k,
+             |    round(sum(ad)::DOUBLE * (nn.n - 1)::DOUBLE
+             |      / (count(*)::DOUBLE * k::DOUBLE)
+             |      / k::DOUBLE, 9)::DECIMAL(38,9) AS lmk
+             |  FROM pairs, nn GROUP BY k, m, nn.n),
+             |lk AS (SELECT k,
+             |    round(ln(k::DOUBLE), 9)::DECIMAL(10,9) AS lx,
+             |    round(ln(sum(lmk)::DOUBLE / count(*)::DOUBLE), 9)
+             |      ::DECIMAL(13,9) AS ly
+             |  FROM lmk GROUP BY 1)
+             |SELECT count(*)::BIGINT AS n_scales,
+             |  round(-(count(*)::DOUBLE * sum(lx * ly)::DOUBLE
+             |      - sum(lx)::DOUBLE * sum(ly)::DOUBLE)
+             |    / (count(*)::DOUBLE * sum(lx * lx)::DOUBLE
+             |      - sum(lx)::DOUBLE * sum(lx)::DOUBLE), 6)
+             |    AS higuchi_fd
+             |FROM lk""".stripMargin)),
+
+    // Yule-Walker AR(2) fit (Yule 1927; Walker 1931) of the daily
+    // series — the minimal parametric memory model, the one a drift
+    // monitor fits before alarming on q_acf_lags. Lag-0/1/2
+    // autocovariances in the EXACT cross-multiplied integer form
+    // c_k = Σ (n·y_t − S)(n·y_{t+k} − S) (DECIMAL(38,0) — n·y
+    // products pass 2^63 past sf10), each over its own full overlap
+    // window; φ1, φ2 from the 2×2 Yule-Walker closed form on
+    // r1 = c1/c0·(n/(n−k) correction skipped — standard biased form),
+    // innovation variance σ² = c0/n²/n · (1 − φ1r1 − φ2r2).
+    QueryDef("q_ar2_yule_walker",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+          .withColumn("t",
+            (row_number().over(Window.orderBy(col("day"))) - 1)
+              .cast("long"))
+        val g = broadcast(daily.agg(count(lit(1)).as("n"),
+          sum(col("y")).as("sy")))
+        val c = daily.crossJoin(g)
+          .select(col("t"), col("n"),
+            (col("n") * col("y") - col("sy")).cast("decimal(38,0)")
+              .as("c"))
+        val w = Window.orderBy(col("t"))
+        val lags = c
+          .withColumn("c1", lag(col("c"), 1).over(w))
+          .withColumn("c2", lag(col("c"), 2).over(w))
+        val m = lags.agg(max(col("n")).as("n"),
+          sum(col("c") * col("c")).as("a0"),
+          sum(when(col("c1").isNotNull, col("c") * col("c1"))).as("a1"),
+          sum(when(col("c2").isNotNull, col("c") * col("c2"))).as("a2"))
+        m.select(col("n").as("n_days"),
+            (col("a1").cast("double") / col("a0").cast("double"))
+              .as("r1"),
+            (col("a2").cast("double") / col("a0").cast("double"))
+              .as("r2"),
+            (col("a0").cast("double") /
+              (col("n").cast("double") * col("n").cast("double") *
+                col("n").cast("double"))).as("c0"))
+          .select(col("n_days"),
+            round(col("r1"), 6).as("r1"), round(col("r2"), 6).as("r2"),
+            round(col("r1") * (lit(1.0) - col("r2")) /
+              (lit(1.0) - col("r1") * col("r1")), 6).as("phi1"),
+            round((col("r2") - col("r1") * col("r1")) /
+              (lit(1.0) - col("r1") * col("r1")), 6).as("phi2"),
+            round(col("c0") * (lit(1.0) -
+              (col("r1") * (lit(1.0) - col("r2")) /
+                (lit(1.0) - col("r1") * col("r1"))) * col("r1") -
+              ((col("r2") - col("r1") * col("r1")) /
+                (lit(1.0) - col("r1") * col("r1"))) * col("r2")), 4)
+              .as("innovation_var"))
+      },
+      Some("""WITH daily AS (SELECT day,
+             |    row_number() OVER (ORDER BY day) - 1 AS t, y FROM (
+             |    SELECT ts::DATE AS day, count(*)::BIGINT AS y
+             |    FROM events GROUP BY 1)),
+             |g AS (SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS sy
+             |  FROM daily),
+             |c AS (SELECT daily.t, g.n,
+             |    (g.n * daily.y - g.sy)::HUGEINT AS c FROM daily, g),
+             |lags AS (SELECT t, n, c,
+             |    lag(c, 1) OVER (ORDER BY t) AS c1,
+             |    lag(c, 2) OVER (ORDER BY t) AS c2 FROM c),
+             |m AS (SELECT max(n)::BIGINT AS n,
+             |    sum(c * c)::HUGEINT AS a0,
+             |    sum(CASE WHEN c1 IS NOT NULL THEN c * c1 END)::HUGEINT
+             |      AS a1,
+             |    sum(CASE WHEN c2 IS NOT NULL THEN c * c2 END)::HUGEINT
+             |      AS a2
+             |  FROM lags),
+             |r AS (SELECT n, a1::DOUBLE / a0::DOUBLE AS r1,
+             |    a2::DOUBLE / a0::DOUBLE AS r2,
+             |    a0::DOUBLE / (n::DOUBLE * n::DOUBLE * n::DOUBLE) AS c0
+             |  FROM m)
+             |SELECT n AS n_days, round(r1, 6) AS r1, round(r2, 6) AS r2,
+             |  round(r1 * (1.0 - r2) / (1.0 - r1 * r1), 6) AS phi1,
+             |  round((r2 - r1 * r1) / (1.0 - r1 * r1), 6) AS phi2,
+             |  round(c0 * (1.0
+             |    - (r1 * (1.0 - r2) / (1.0 - r1 * r1)) * r1
+             |    - ((r2 - r1 * r1) / (1.0 - r1 * r1)) * r2), 4)
+             |    AS innovation_var
+             |FROM r""".stripMargin)),
+
+    // Pettitt changepoint test (Pettitt 1979) on the daily series —
+    // the rank-based (distribution-free) single-changepoint test, the
+    // robust complement to q_changepoint_detect's mean-shift scan.
+    // U_t = Σ_{i≤t} Σ_{j>t} sgn(y_i − y_j) collapses, via mid-ranks,
+    // to the EXACT integer prefix sum Σ_{i≤t}(2R_i − (n+1)):
+    // Σ_j sgn(y_i − y_j) = L − G = 2R_i − n − 1 where R_i is the
+    // mid-rank (2R_i = 2·minrank + ties − 1, always an integer).
+    // K = max|U_t| with tie → earliest day; the classical approximate
+    // significance level p ≈ 2·exp(−6K²/(n³+n²)). Rank windows run
+    // over the calendar digest only (repo rule: never over facts);
+    // doubles appear only in the final p projection.
+    QueryDef("q_pettitt_changepoint",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+        val n = broadcast(daily.agg(count(lit(1)).as("n")))
+        val ranked = daily
+          .withColumn("r2", lit(2) * rank().over(Window.orderBy(col("y")))
+            + count(lit(1)).over(Window.partitionBy(col("y"))) - lit(1))
+          .withColumn("t", row_number().over(Window.orderBy(col("day"))))
+          .crossJoin(n)
+        val u = ranked
+          .withColumn("u2",
+            sum(col("r2") - col("n") - lit(1)).over(Window.orderBy(col("day"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .filter(col("t") < col("n"))
+        u.withColumn("rn", row_number().over(
+            Window.orderBy(abs(col("u2")).desc, col("day").asc)))
+          .filter(col("rn") === 1)
+          .select(col("n").as("n_days"),
+            col("day").cast("string").as("cp_day"),
+            abs(col("u2")).as("k_stat"),
+            round(least(lit(2.0) * exp(lit(-6.0) *
+              (abs(col("u2")) * abs(col("u2"))).cast("double") /
+              (col("n") * col("n") * col("n") + col("n") * col("n"))
+                .cast("double")), lit(1.0)), 6).as("p_approx"))
+      },
+      Some("""WITH daily AS (SELECT ts::DATE AS day, count(*)::BIGINT AS y
+             |  FROM events GROUP BY 1),
+             |g AS (SELECT count(*)::BIGINT AS n FROM daily),
+             |ranked AS (SELECT day,
+             |    2 * rank() OVER (ORDER BY y)
+             |      + count(*) OVER (PARTITION BY y) - 1 AS r2,
+             |    row_number() OVER (ORDER BY day) AS t, g.n
+             |  FROM daily, g),
+             |u AS (SELECT day, t, n,
+             |    (sum(r2 - n - 1) OVER (ORDER BY day))::BIGINT AS u2
+             |  FROM ranked),
+             |top AS (SELECT day, n, abs(u2)::BIGINT AS k FROM u
+             |  WHERE t < n ORDER BY abs(u2) DESC, day ASC LIMIT 1)
+             |SELECT n AS n_days, day::VARCHAR AS cp_day, k AS k_stat,
+             |  round(least(2.0 * exp(-6.0 * (k * k)::DOUBLE
+             |    / (n * n * n + n * n)::DOUBLE), 1.0), 6) AS p_approx
+             |FROM top""".stripMargin)),
+
+    // SNHT (Alexandersson 1986) + Buishand range (Buishand 1982)
+    // homogeneity panel on the daily series — the two parametric
+    // station-homogeneity tests climatology runs next to Pettitt.
+    // Both reduce to the EXACT integer partial-deviation sums
+    // B_t = n·S_t − t·S (DECIMAL(38,0)):
+    //   T_t = n·B_t² / ((nQ − S²)·t·(n−t))   (SNHT, max over t<n)
+    //   R/√n = (max(B,0) − min(B,0)) / sqrt(n·(nQ − S²))  (Buishand)
+    // since n²σ² = nQ − S². Only the final ratios are doubles; the
+    // argmax runs on the 1e-6-quantized T with tie → earliest day.
+    // Degenerate constant series → NULL via nullif (both engines).
+    QueryDef("q_snht_buishand",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+          .withColumn("t",
+            row_number().over(Window.orderBy(col("day"))).cast("long"))
+        val g = broadcast(daily.agg(count(lit(1)).as("n"),
+          sum(col("y").cast("decimal(38,0)")).as("s"),
+          sum(col("y").cast("decimal(38,0)") * col("y")).as("q")))
+        val pre = daily
+          .withColumn("st",
+            sum(col("y").cast("decimal(38,0)")).over(Window.orderBy(col("t"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .crossJoin(g)
+          .withColumn("b", col("n").cast("decimal(38,0)") * col("st") -
+            col("t").cast("decimal(38,0)") * col("s"))
+          .withColumn("den",
+            (col("n").cast("decimal(38,0)") * col("q") -
+              col("s") * col("s")).cast("double"))
+        val snht = pre.filter(col("t") < col("n"))
+          .withColumn("tt", round(
+            col("n").cast("double") * col("b").cast("double") *
+              col("b").cast("double") /
+              nullif(col("den") * (col("t") * (col("n") - col("t")))
+                .cast("double"), lit(0.0)), 6))
+          .filter(col("tt").isNotNull)
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("tt").desc, col("day").asc)))
+          .filter(col("rn") === 1)
+          .select(col("n").as("n_days"),
+            col("day").cast("string").as("snht_day"),
+            col("tt").as("snht_t"), col("den"))
+        val bui = pre.agg(
+          greatest(max(col("b")), lit(0).cast("decimal(38,0)")).as("bmax"),
+          least(min(col("b")), lit(0).cast("decimal(38,0)")).as("bmin"))
+        snht.crossJoin(broadcast(bui))
+          .select(col("n_days"), col("snht_day"), col("snht_t"),
+            round((col("bmax") - col("bmin")).cast("double") /
+              nullif(sqrt(col("n_days").cast("double") * col("den")),
+                lit(0.0)), 6).as("buishand_rn"))
+      },
+      Some("""WITH daily AS (SELECT day,
+             |    row_number() OVER (ORDER BY day) AS t, y FROM (
+             |    SELECT ts::DATE AS day, count(*)::BIGINT AS y
+             |    FROM events GROUP BY 1)),
+             |g AS (SELECT count(*)::BIGINT AS n, sum(y)::HUGEINT AS s,
+             |    sum(y::HUGEINT * y)::HUGEINT AS q FROM daily),
+             |pre AS (SELECT daily.day, daily.t, g.n,
+             |    g.n * (sum(daily.y) OVER (ORDER BY daily.t))::HUGEINT
+             |      - daily.t * g.s AS b,
+             |    (g.n * g.q - g.s * g.s)::DOUBLE AS den
+             |  FROM daily, g),
+             |snht AS (SELECT n, day, tt, den FROM (
+             |    SELECT n, day, den, round(n::DOUBLE * b::DOUBLE
+             |        * b::DOUBLE / nullif(den
+             |          * (t * (n - t))::DOUBLE, 0.0), 6) AS tt
+             |    FROM pre WHERE t < n) s
+             |  WHERE tt IS NOT NULL ORDER BY tt DESC, day ASC LIMIT 1),
+             |bui AS (SELECT greatest(max(b), 0::HUGEINT) AS bmax,
+             |    least(min(b), 0::HUGEINT) AS bmin FROM pre)
+             |SELECT snht.n AS n_days, snht.day::VARCHAR AS snht_day,
+             |  snht.tt AS snht_t,
+             |  round((bui.bmax - bui.bmin)::DOUBLE
+             |    / nullif(sqrt(snht.n::DOUBLE * snht.den), 0.0), 6)
+             |    AS buishand_rn
+             |FROM snht, bui""".stripMargin)),
+
+    // Bartels rank test of randomness (Bartels 1982) — the rank von
+    // Neumann ratio RVN = Σ(R_t − R_{t+1})² / Σ(R_t − R̄)² on the
+    // daily series: the nonparametric "is this series random vs
+    // trending/oscillating" screen. Doubled mid-ranks keep every term
+    // integer (R̄ = (n+1)/2, so 4·Σ(R_t − R̄)² = Σ(2R_t − (n+1))²);
+    // the num/den ratio is an exact integer ratio. z uses Bartels'
+    // exact null variance 4(n−2)(5n²−2n−9)/(5n(n+1)(n−1)²); the
+    // reject flag compares |z| to the two-sided α=.05 critical value
+    // (repo convention — no normal CDF in either engine).
+    QueryDef("q_bartels_rank",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+        val n = broadcast(daily.agg(count(lit(1)).as("n")))
+        val ranked = daily
+          .withColumn("r2", lit(2) * rank().over(Window.orderBy(col("y")))
+            + count(lit(1)).over(Window.partitionBy(col("y"))) - lit(1))
+          .crossJoin(n)
+        val diffed = ranked
+          .withColumn("dn", lead(col("r2"), 1).over(Window.orderBy(col("day")))
+            - col("r2"))
+        val m = diffed.agg(max(col("n")).as("n"),
+          sum(col("dn") * col("dn")).as("num4"),
+          sum((col("r2") - col("n") - lit(1)) *
+            (col("r2") - col("n") - lit(1))).as("den4"))
+        m.select(col("n").as("n_days"),
+            (col("num4").cast("double") /
+              nullif(col("den4").cast("double"), lit(0.0))).as("rvn"),
+            col("n").cast("double").as("nd"))
+          .select(col("n_days"), round(col("rvn"), 6).as("rvn"),
+            round((col("rvn") - lit(2.0)) /
+              sqrt(lit(4.0) * (col("nd") - 2.0) *
+                (lit(5.0) * col("nd") * col("nd") - lit(2.0) * col("nd")
+                  - lit(9.0)) /
+                (lit(5.0) * col("nd") * (col("nd") + 1.0) *
+                  (col("nd") - 1.0) * (col("nd") - 1.0))), 4).as("z"))
+          .withColumn("reject_05", abs(col("z")) > lit(1.959963985))
+      },
+      Some("""WITH daily AS (SELECT ts::DATE AS day, count(*)::BIGINT AS y
+             |  FROM events GROUP BY 1),
+             |g AS (SELECT count(*)::BIGINT AS n FROM daily),
+             |ranked AS (SELECT day,
+             |    2 * rank() OVER (ORDER BY y)
+             |      + count(*) OVER (PARTITION BY y) - 1 AS r2, g.n
+             |  FROM daily, g),
+             |diffed AS (SELECT n, r2,
+             |    lead(r2, 1) OVER (ORDER BY day) - r2 AS dn FROM ranked),
+             |m AS (SELECT max(n)::BIGINT AS n,
+             |    sum(dn::HUGEINT * dn)::HUGEINT AS num4,
+             |    sum((r2 - n - 1)::HUGEINT * (r2 - n - 1))::HUGEINT
+             |      AS den4 FROM diffed),
+             |r AS (SELECT n, num4::DOUBLE
+             |      / nullif(den4::DOUBLE, 0.0) AS rvn, n::DOUBLE AS nd
+             |  FROM m)
+             |SELECT n AS n_days, round(rvn, 6) AS rvn,
+             |  round((rvn - 2.0) / sqrt(4.0 * (nd - 2.0)
+             |    * (5.0 * nd * nd - 2.0 * nd - 9.0)
+             |    / (5.0 * nd * (nd + 1.0) * (nd - 1.0) * (nd - 1.0))), 4)
+             |    AS z,
+             |  abs(round((rvn - 2.0) / sqrt(4.0 * (nd - 2.0)
+             |    * (5.0 * nd * nd - 2.0 * nd - 9.0)
+             |    / (5.0 * nd * (nd + 1.0) * (nd - 1.0) * (nd - 1.0))), 4))
+             |    > 1.959963985 AS reject_05
+             |FROM r""".stripMargin)),
+
+    // Depth-2 binary segmentation (Scott & Knott 1974 lineage) of the
+    // daily series — the recursive partner of q_changepoint_detect's
+    // inner step: split the whole series at the SSE-optimal day, then
+    // split each half again. SSE(a,b) over any segment comes from the
+    // EXACT prefix sums (S_t, Q_t) as (Q_b−Q_{a−1}) −
+    // (S_b−S_{a−1})²/(b−a+1); gain(t) = SSE(seg) − SSE(left) −
+    // SSE(right), computed in doubles from exact DECIMAL prefixes,
+    // 1e-6-quantized before the per-segment argmax (tie → earliest
+    // day). A segment shorter than 2 days has no candidate split and
+    // drops out. Everything after the daily rollup is calendar-digest
+    // algebra: the candidate "range join" is digest × digest.
+    QueryDef("q_binseg_depth2",
+      (s, d) => {
+        import s.implicits._
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+          .withColumn("t",
+            row_number().over(Window.orderBy(col("day"))).cast("long"))
+        val pre0 = daily
+          .withColumn("st",
+            sum(col("y").cast("decimal(38,0)")).over(Window.orderBy(col("t"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("qt",
+            sum(col("y").cast("decimal(38,0)") * col("y"))
+              .over(Window.orderBy(col("t"))
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("t"), col("day"), col("st"), col("qt"))
+        val zero = Seq((0L, "1970-01-01", "0", "0"))
+          .toDF("t", "day", "st", "qt")
+          .select(col("t"), col("day").cast("date"),
+            col("st").cast("decimal(38,0)"),
+            col("qt").cast("decimal(38,0)"))
+        val pre = pre0.unionByName(zero)
+        def sse(q2: org.apache.spark.sql.Column,
+                q1: org.apache.spark.sql.Column,
+                s2: org.apache.spark.sql.Column,
+                s1: org.apache.spark.sql.Column,
+                len: org.apache.spark.sql.Column) =
+          (q2 - q1).cast("double") -
+            (s2 - s1).cast("double") * (s2 - s1).cast("double") /
+              len.cast("double")
+        // best split per (lvl, a, b) segment: gain quantized, tie →
+        // earliest split day
+        def best(segs: org.apache.spark.sql.DataFrame) = segs
+          .join(pre.as("pa"), col("pa.t") === col("a") - 1)
+          .join(pre.as("pb"), col("pb.t") === col("b"))
+          .join(pre.as("pt"),
+            col("pt.t") >= col("a") && col("pt.t") < col("b"))
+          .withColumn("gain", round(
+            sse(col("pb.qt"), col("pa.qt"), col("pb.st"), col("pa.st"),
+              col("b") - col("a") + 1) -
+            sse(col("pt.qt"), col("pa.qt"), col("pt.st"), col("pa.st"),
+              col("pt.t") - col("a") + 1) -
+            sse(col("pb.qt"), col("pt.qt"), col("pb.st"), col("pt.st"),
+              col("b") - col("pt.t")), 6))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("lvl"), col("a"), col("b"))
+              .orderBy(col("gain").desc, col("pt.t").asc)))
+          .filter(col("rn") === 1)
+          .select(col("lvl"), col("a"), col("b"),
+            col("pt.t").as("cp"), col("gain"))
+        val n = daily.agg(max(col("t")).as("n"))
+        val lvl1 = best(broadcast(n)
+          .select(lit(1L).as("lvl"), lit(1L).as("a"), col("n").as("b")))
+        val segs2 = lvl1.select(lit(2L).as("lvl"), col("a"),
+            col("cp").as("b"))
+          .unionByName(lvl1.select(lit(2L).as("lvl"),
+            (col("cp") + 1).as("a"), col("b")))
+          .filter(col("b") > col("a"))
+        val out = lvl1.unionByName(best(segs2))
+        out.join(pre.as("da"), col("da.t") === col("a"))
+          .join(pre.as("db"), col("db.t") === col("b"))
+          .join(pre.as("dc"), col("dc.t") === col("cp"))
+          .select(col("lvl"),
+            col("da.day").cast("string").as("a_day"),
+            col("db.day").cast("string").as("b_day"),
+            col("dc.day").cast("string").as("cp_day"),
+            col("gain"))
+      },
+      Some("""WITH daily AS (SELECT day,
+             |    row_number() OVER (ORDER BY day) AS t, y FROM (
+             |    SELECT ts::DATE AS day, count(*)::BIGINT AS y
+             |    FROM events GROUP BY 1)),
+             |pre AS (SELECT t, day,
+             |    (sum(y) OVER (ORDER BY t))::HUGEINT AS st,
+             |    (sum(y::HUGEINT * y) OVER (ORDER BY t))::HUGEINT AS qt
+             |  FROM daily
+             |  UNION ALL SELECT 0, DATE '1970-01-01', 0, 0),
+             |nn AS (SELECT max(t)::BIGINT AS n FROM daily),
+             |seg1 AS (SELECT 1::BIGINT AS lvl, 1::BIGINT AS a, n AS b
+             |  FROM nn),
+             |best1 AS (SELECT lvl, a, b, cp, gain FROM (
+             |  SELECT s.lvl, s.a, s.b, pt.t AS cp, round(
+             |      ((pb.qt - pa.qt)::DOUBLE - (pb.st - pa.st)::DOUBLE
+             |        * (pb.st - pa.st)::DOUBLE / (s.b - s.a + 1)::DOUBLE)
+             |    - ((pt.qt - pa.qt)::DOUBLE - (pt.st - pa.st)::DOUBLE
+             |        * (pt.st - pa.st)::DOUBLE
+             |        / (pt.t - s.a + 1)::DOUBLE)
+             |    - ((pb.qt - pt.qt)::DOUBLE - (pb.st - pt.st)::DOUBLE
+             |        * (pb.st - pt.st)::DOUBLE / (s.b - pt.t)::DOUBLE),
+             |      6) AS gain,
+             |    row_number() OVER (PARTITION BY s.lvl, s.a, s.b
+             |      ORDER BY round(
+             |      ((pb.qt - pa.qt)::DOUBLE - (pb.st - pa.st)::DOUBLE
+             |        * (pb.st - pa.st)::DOUBLE / (s.b - s.a + 1)::DOUBLE)
+             |    - ((pt.qt - pa.qt)::DOUBLE - (pt.st - pa.st)::DOUBLE
+             |        * (pt.st - pa.st)::DOUBLE
+             |        / (pt.t - s.a + 1)::DOUBLE)
+             |    - ((pb.qt - pt.qt)::DOUBLE - (pb.st - pt.st)::DOUBLE
+             |        * (pb.st - pt.st)::DOUBLE / (s.b - pt.t)::DOUBLE),
+             |      6) DESC, pt.t ASC) AS rn
+             |  FROM seg1 s
+             |  JOIN pre pa ON pa.t = s.a - 1
+             |  JOIN pre pb ON pb.t = s.b
+             |  JOIN pre pt ON pt.t >= s.a AND pt.t < s.b) x
+             |  WHERE rn = 1),
+             |seg2 AS (SELECT 2::BIGINT AS lvl, a, cp AS b FROM best1
+             |    WHERE cp > a
+             |  UNION ALL SELECT 2::BIGINT, cp + 1, b FROM best1
+             |    WHERE b > cp + 1),
+             |best2 AS (SELECT lvl, a, b, cp, gain FROM (
+             |  SELECT s.lvl, s.a, s.b, pt.t AS cp, round(
+             |      ((pb.qt - pa.qt)::DOUBLE - (pb.st - pa.st)::DOUBLE
+             |        * (pb.st - pa.st)::DOUBLE / (s.b - s.a + 1)::DOUBLE)
+             |    - ((pt.qt - pa.qt)::DOUBLE - (pt.st - pa.st)::DOUBLE
+             |        * (pt.st - pa.st)::DOUBLE
+             |        / (pt.t - s.a + 1)::DOUBLE)
+             |    - ((pb.qt - pt.qt)::DOUBLE - (pb.st - pt.st)::DOUBLE
+             |        * (pb.st - pt.st)::DOUBLE / (s.b - pt.t)::DOUBLE),
+             |      6) AS gain,
+             |    row_number() OVER (PARTITION BY s.lvl, s.a, s.b
+             |      ORDER BY round(
+             |      ((pb.qt - pa.qt)::DOUBLE - (pb.st - pa.st)::DOUBLE
+             |        * (pb.st - pa.st)::DOUBLE / (s.b - s.a + 1)::DOUBLE)
+             |    - ((pt.qt - pa.qt)::DOUBLE - (pt.st - pa.st)::DOUBLE
+             |        * (pt.st - pa.st)::DOUBLE
+             |        / (pt.t - s.a + 1)::DOUBLE)
+             |    - ((pb.qt - pt.qt)::DOUBLE - (pb.st - pt.st)::DOUBLE
+             |        * (pb.st - pt.st)::DOUBLE / (s.b - pt.t)::DOUBLE),
+             |      6) DESC, pt.t ASC) AS rn
+             |  FROM seg2 s
+             |  JOIN pre pa ON pa.t = s.a - 1
+             |  JOIN pre pb ON pb.t = s.b
+             |  JOIN pre pt ON pt.t >= s.a AND pt.t < s.b) x
+             |  WHERE rn = 1),
+             |outp AS (SELECT * FROM best1 UNION ALL SELECT * FROM best2)
+             |SELECT o.lvl, da.day::VARCHAR AS a_day,
+             |  db.day::VARCHAR AS b_day, dc.day::VARCHAR AS cp_day,
+             |  o.gain
+             |FROM outp o
+             |JOIN pre da ON da.t = o.a
+             |JOIN pre db ON db.t = o.b
+             |JOIN pre dc ON dc.t = o.cp""".stripMargin))
+  )
+}

@@ -1,0 +1,177 @@
+package graft.queries
+
+import graft.GraftSpec
+import org.apache.spark.sql.functions._
+
+/** Laws for the round-11 session-4 continuation kernels. Each law pins
+  * a closed-form fixture outcome a same-formula-on-both-engines slip
+  * could not fake (ramp → FD exactly 1, ramp → zero mobility, AM-GM
+  * flatness bound), plus sf0.001 range sanity. */
+class R13QueriesSpec extends GraftSpec {
+
+  private def byName(name: String) = R13Queries.defs.find(_.name == name).get.fn
+
+  /** events.parquet with one row per (day-index, count) pair: `cnt`
+    * events on day `di`. */
+  private def dailyDir(counts: Seq[Int]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("r13ev").toString
+    val day0 = 1704067200000000L // 2024-01-01 UTC micros
+    counts.zipWithIndex.flatMap { case (cnt, di) =>
+      (0 until cnt).map { j =>
+        ((di * 100 + j).toLong, day0 + di * 86400000000L + j * 1000000L,
+          j.toLong, "view", 1.0, "{}")
+      }
+    }.toDF("event_id", "__us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("__us"))).drop("__us")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("q_hjorth_params: linear ramp has zero mobility") {
+    // y = 1..12 → d1 ≡ 1 → var(d1) = 0 → mobility = 0
+    val out = byName("q_hjorth_params")(spark, dailyDir(1 to 12)).head()
+    assert(out.getAs[Long]("n_days") === 12L)
+    assert(out.getAs[Double]("mobility") === 0.0)
+    assert(out.isNullAt(out.fieldIndex("complexity"))) // 0/0 guarded
+  }
+
+  test("q_hjorth_params: sf0.001 activity positive, complexity finite") {
+    val out = byName("q_hjorth_params")(spark, "/root/testdata/sf0.001").head()
+    assert(out.getAs[Double]("activity") > 0.0)
+    assert(out.getAs[Double]("mobility") > 0.0)
+    assert(!out.getAs[Double]("complexity").isNaN)
+  }
+
+  test("q_spectral_entropy: flatness obeys AM-GM and entropy is in (0,1]") {
+    val out =
+      byName("q_spectral_entropy")(spark, "/root/testdata/sf0.001").head()
+    val h = out.getAs[Double]("spectral_entropy")
+    val f = out.getAs[Double]("spectral_flatness")
+    assert(h > 0.0 && h <= 1.0)
+    assert(f > 0.0 && f <= 1.0 + 1e-9)
+    assert(out.getAs[Long]("n_periods") === 13L)
+  }
+
+  test("q_spectral_entropy: strong period-7 signal is peaked (low entropy)") {
+    // 4 weeks of a hard weekly rhythm: one spike day per week
+    val counts = (0 until 28).map(i => if (i % 7 == 0) 60 else 2)
+    val out = byName("q_spectral_entropy")(spark, dailyDir(counts)).head()
+    assert(out.getAs[Double]("spectral_entropy") < 0.8)
+    assert(out.getAs[Double]("spectral_flatness") < 0.5)
+  }
+
+  test("q_higuchi_fd: a linear ramp has dimension exactly 1") {
+    // |y_{t+k} − y_t| = k ⇒ L(m,k) = (n−1)/k ⇒ ln L = c − ln k ⇒ FD = 1
+    val out = byName("q_higuchi_fd")(spark, dailyDir(1 to 16)).head()
+    assert(out.getAs[Long]("n_scales") === 4L)
+    assert(out.getAs[Double]("higuchi_fd") === 1.0)
+  }
+
+  test("q_higuchi_fd: sf0.001 dimension lands in the curve range [1,2]") {
+    val out = byName("q_higuchi_fd")(spark, "/root/testdata/sf0.001").head()
+    val fd = out.getAs[Double]("higuchi_fd")
+    assert(fd >= 0.9 && fd <= 2.1)
+  }
+
+  test("q_ar2_yule_walker: alternating series gives negative phi1") {
+    // y alternates 2,8 → lag-1 autocorrelation ≈ −1 → AR pull-back
+    val counts = (0 until 14).map(i => if (i % 2 == 0) 2 else 8)
+    val out = byName("q_ar2_yule_walker")(spark, dailyDir(counts)).head()
+    assert(out.getAs[Double]("r1") < -0.5)
+    assert(out.getAs[Double]("phi1") < 0.0)
+  }
+
+  test("q_ar2_yule_walker: sf0.001 stationarity sanity") {
+    val out =
+      byName("q_ar2_yule_walker")(spark, "/root/testdata/sf0.001").head()
+    assert(math.abs(out.getAs[Double]("r1")) <= 1.0)
+    assert(math.abs(out.getAs[Double]("r2")) <= 1.0)
+    assert(out.getAs[Double]("innovation_var") >= 0.0)
+  }
+
+  /** 10 days at 2 events, 10 days at 50: a hard level shift after
+    * day 10 — every changepoint test must localize it exactly. */
+  private lazy val stepDir =
+    dailyDir(Seq.fill(10)(2) ++ Seq.fill(10)(50))
+
+  test("q_pettitt_changepoint: step series gives K = 100 at day 10") {
+    // both halves are full ties → U_t = −10t for t ≤ 10, so
+    // K = |U_10| = 100 and p = 2·exp(−6·100²/(20³+20²)) ≈ 0.00157
+    val out = byName("q_pettitt_changepoint")(spark, stepDir).head()
+    assert(out.getAs[Long]("k_stat") === 100L)
+    assert(out.getAs[String]("cp_day") === "2024-01-10")
+    assert(out.getAs[Double]("p_approx") < 0.01)
+  }
+
+  test("q_pettitt_changepoint: sf0.001 statistic within the U bound") {
+    val out =
+      byName("q_pettitt_changepoint")(spark, "/root/testdata/sf0.001").head()
+    val n = out.getAs[Long]("n_days")
+    assert(out.getAs[Long]("k_stat") <= n * n / 2)
+    val p = out.getAs[Double]("p_approx")
+    assert(p >= 0.0 && p <= 1.0)
+  }
+
+  test("q_snht_buishand: perfect split reaches SNHT max T = n") {
+    // closed form: B_10 = −4800, nQ−S² = 230400 → T_10 = 20 = n;
+    // Buishand R/√n = (240/24)/√20 = 2.236068
+    val out = byName("q_snht_buishand")(spark, stepDir).head()
+    assert(out.getAs[Double]("snht_t") === 20.0)
+    assert(out.getAs[String]("snht_day") === "2024-01-10")
+    assert(out.getAs[Double]("buishand_rn") === 2.236068)
+  }
+
+  test("q_snht_buishand: sf0.001 statistics are positive and bounded") {
+    val out =
+      byName("q_snht_buishand")(spark, "/root/testdata/sf0.001").head()
+    val n = out.getAs[Long]("n_days")
+    val t = out.getAs[Double]("snht_t")
+    assert(t > 0.0 && t <= n.toDouble)
+    assert(out.getAs[Double]("buishand_rn") > 0.0)
+  }
+
+  test("q_bartels_rank: monotone ramp has RVN = 12/(n(n+1)) and rejects") {
+    // distinct ranks 1..12: num4 = 44, den4 = 572 → 0.076923
+    val out = byName("q_bartels_rank")(spark, dailyDir(1 to 12)).head()
+    assert(out.getAs[Double]("rvn") === 0.076923)
+    assert(out.getAs[Double]("z") < -1.96)
+    assert(out.getAs[Boolean]("reject_05"))
+  }
+
+  test("q_bartels_rank: sf0.001 RVN lands in (0, 4)") {
+    val out =
+      byName("q_bartels_rank")(spark, "/root/testdata/sf0.001").head()
+    val rvn = out.getAs[Double]("rvn")
+    assert(rvn > 0.0 && rvn < 4.0)
+  }
+
+  test("q_binseg_depth2: step series — full gain at day 10, zero below") {
+    // SSE(whole) = 25040 − 520²/20 = 11520, halves constant → SSE 0
+    val rows = byName("q_binseg_depth2")(spark, stepDir)
+      .orderBy("lvl", "a_day").collect()
+    assert(rows.length === 3)
+    val l1 = rows(0)
+    assert(l1.getAs[Long]("lvl") === 1L)
+    assert(l1.getAs[String]("cp_day") === "2024-01-10")
+    assert(l1.getAs[Double]("gain") === 11520.0)
+    // constant halves: no split helps, tie → earliest candidate day
+    assert(rows(1).getAs[Double]("gain") === 0.0)
+    assert(rows(1).getAs[String]("cp_day") === "2024-01-01")
+    assert(rows(2).getAs[Double]("gain") === 0.0)
+    assert(rows(2).getAs[String]("cp_day") === "2024-01-11")
+  }
+
+  test("q_binseg_depth2: sf0.001 yields 3 nested segments, gains ≥ 0") {
+    val rows = byName("q_binseg_depth2")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length === 3)
+    assert(rows.forall(_.getAs[Double]("gain") >= 0.0))
+    val l1 = rows.find(_.getAs[Long]("lvl") == 1L).get
+    val cps2 = rows.filter(_.getAs[Long]("lvl") == 2L)
+      .map(_.getAs[String]("cp_day"))
+    // level-2 changepoints bracket the level-1 one
+    val cp1 = l1.getAs[String]("cp_day")
+    assert(cps2.exists(_ <= cp1) && cps2.exists(_ > cp1))
+  }
+}
