@@ -722,6 +722,190 @@ object R13Queries {
              |FROM outp o
              |JOIN pre da ON da.t = o.a
              |JOIN pre db ON db.t = o.b
-             |JOIN pre dc ON dc.t = o.cp""".stripMargin))
+             |JOIN pre dc ON dc.t = o.cp""".stripMargin)),
+
+    // Empirical CRPS (Continuous Ranked Probability Score; Gneiting &
+    // Raftery 2007, eq. 21 kernel form) of the trailing-week
+    // climatology ensemble: the forecast for day t is the 7-member
+    // ensemble {y_{t-7..t-1}}, and
+    //   CRPS_t = (1/m)Σ|x_i − y_t| − (1/2m²)ΣΣ|x_i − x_j|.
+    // With m = 7 both terms clear to EXACT integers:
+    //   98·CRPS_t = 14·Σ_i|x_i − y_t| − 2·Σ_{i<j}|x_i − x_j|,
+    // so the day panel and the corpus mean are bit-deterministic —
+    // no float-mean drift between engines. One shuffle (groupBy day);
+    // the lag windows and the 7+21 |Δ| terms all run on the calendar
+    // digest. 100 TB: facts collapse to ≤ calendar rows first.
+    QueryDef("q_crps_climatology",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+        val w = Window.orderBy(col("day"))
+        val lagged = (1 to 7).foldLeft(daily) { (df, k) =>
+          df.withColumn(s"m$k", lag(col("y"), k).over(w))
+        }.filter(col("m7").isNotNull)
+        val spread = (1 to 7).map(k => abs(col(s"m$k") - col("y")))
+          .reduce(_ + _)
+        val pairSum = (for { i <- 1 to 7; j <- (i + 1) to 7 }
+          yield abs(col(s"m$i") - col(s"m$j"))).reduce(_ + _)
+        lagged
+          .select((lit(14L) * spread - lit(2L) * pairSum).as("c98"),
+            spread.as("sp7"))
+          .agg(count(lit(1)).as("n_days"),
+            sum(col("c98")).as("sc"), sum(col("sp7")).as("ss"))
+          .select(col("n_days"),
+            round(col("sc").cast("double") /
+              (lit(98.0) * col("n_days").cast("double")), 6)
+              .as("mean_crps"),
+            round(col("ss").cast("double") /
+              (lit(7.0) * col("n_days").cast("double")), 6)
+              .as("mean_ens_mae"))
+      }, {
+        val lagCols = (1 to 7).map(k =>
+          s"lag(y, $k) OVER (ORDER BY day) AS m$k").mkString(", ")
+        val spread = (1 to 7).map(k => s"abs(m$k - y)").mkString(" + ")
+        val pairs = (for { i <- 1 to 7; j <- (i + 1) to 7 }
+          yield s"abs(m$i - m$j)").mkString(" + ")
+        Some(s"""WITH daily AS (SELECT ts::DATE AS day,
+               |    count(*)::BIGINT AS y FROM events GROUP BY 1),
+               |lagged AS (SELECT y, $lagCols FROM daily),
+               |terms AS (SELECT
+               |    14 * ($spread) - 2 * ($pairs) AS c98,
+               |    ($spread) AS sp7
+               |  FROM lagged WHERE m7 IS NOT NULL),
+               |m AS (SELECT count(*)::BIGINT AS n_days,
+               |    sum(c98)::BIGINT AS sc, sum(sp7)::BIGINT AS ss
+               |  FROM terms)
+               |SELECT n_days,
+               |  round(sc::DOUBLE / (98.0 * n_days::DOUBLE), 6)
+               |    AS mean_crps,
+               |  round(ss::DOUBLE / (7.0 * n_days::DOUBLE), 6)
+               |    AS mean_ens_mae
+               |FROM m""".stripMargin)
+      }),
+
+    // Diebold-Mariano forecast-accuracy test (Diebold & Mariano 1995)
+    // comparing the seasonal-naive (ŷ_t = y_{t-7}) and naive
+    // (ŷ_t = y_{t-1}) one-step forecasts under absolute-error loss.
+    // The loss differential d_t = |y_t − y_{t-7}| − |y_t − y_{t-1}|
+    // is an exact integer per day; for 1-step forecasts the HAC
+    // variance truncates at lag 0, so DM = d̄ / √(s²_d / n) needs only
+    // (n, Σd, Σd²) — one exact aggregate over the calendar digest.
+    // DM < 0 favors the seasonal model. Doubles only in the final
+    // projection; the two MAE diagnostics are exact ratios rounded.
+    QueryDef("q_diebold_mariano",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+        val w = Window.orderBy(col("day"))
+        val dt = daily
+          .withColumn("l1", lag(col("y"), 1).over(w))
+          .withColumn("l7", lag(col("y"), 7).over(w))
+          .filter(col("l7").isNotNull)
+          .select(abs(col("y") - col("l7")).as("la"),
+            abs(col("y") - col("l1")).as("lb"))
+          .select(col("la"), col("lb"), (col("la") - col("lb")).as("dd"))
+        dt.agg(count(lit(1)).as("n"), sum(col("la")).as("sa"),
+            sum(col("lb")).as("sb"), sum(col("dd")).as("sd"),
+            sum(col("dd") * col("dd")).as("qd"))
+          .select(col("n").as("n_obs"),
+            round(col("sa").cast("double") / col("n").cast("double"), 6)
+              .as("mae_seasonal"),
+            round(col("sb").cast("double") / col("n").cast("double"), 6)
+              .as("mae_naive"),
+            round((col("sd").cast("double") / col("n").cast("double")) /
+              sqrt(((col("qd").cast("double") -
+                col("sd").cast("double") * col("sd").cast("double") /
+                  col("n").cast("double")) /
+                (col("n").cast("double") - 1.0)) /
+                col("n").cast("double")), 6).as("dm_stat"))
+      },
+      Some("""WITH daily AS (SELECT ts::DATE AS day,
+             |    count(*)::BIGINT AS y FROM events GROUP BY 1),
+             |dt AS (SELECT abs(y - l7) AS la, abs(y - l1) AS lb,
+             |    abs(y - l7) - abs(y - l1) AS dd FROM (
+             |    SELECT y, lag(y, 1) OVER (ORDER BY day) AS l1,
+             |      lag(y, 7) OVER (ORDER BY day) AS l7 FROM daily)
+             |  WHERE l7 IS NOT NULL),
+             |m AS (SELECT count(*)::BIGINT AS n, sum(la)::BIGINT AS sa,
+             |    sum(lb)::BIGINT AS sb, sum(dd)::BIGINT AS sd,
+             |    sum(dd * dd)::BIGINT AS qd FROM dt)
+             |SELECT n AS n_obs,
+             |  round(sa::DOUBLE / n::DOUBLE, 6) AS mae_seasonal,
+             |  round(sb::DOUBLE / n::DOUBLE, 6) AS mae_naive,
+             |  round((sd::DOUBLE / n::DOUBLE)
+             |    / sqrt(((qd::DOUBLE - sd::DOUBLE * sd::DOUBLE
+             |          / n::DOUBLE) / (n::DOUBLE - 1.0)) / n::DOUBLE),
+             |    6) AS dm_stat
+             |FROM m""".stripMargin)),
+
+    // Pesaran-Timmermann directional-accuracy test (Pesaran &
+    // Timmermann 1992) of the seasonal-naive forecast's SIGN skill:
+    // does sign(y_{t-7} − y_{t-1}) predict sign(y_t − y_{t-1})
+    // better than independence would? The whole statistic is a
+    // closed form over FOUR exact integer counts (n, actual-ups,
+    // predicted-ups, agreements) from the calendar digest — the
+    // success-rate gap P̂ − P* scaled by √(V(P̂) − V(P*)). "Up" is
+    // the strict > (zero change counts as down on both sides, the
+    // deterministic tie rule). Doubles only in the final projection.
+    QueryDef("q_pesaran_timmermann",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+        val w = Window.orderBy(col("day"))
+        val sg = daily
+          .withColumn("l1", lag(col("y"), 1).over(w))
+          .withColumn("l7", lag(col("y"), 7).over(w))
+          .filter(col("l7").isNotNull)
+          .select((col("y") > col("l1")).cast("long").as("au"),
+            (col("l7") > col("l1")).cast("long").as("pu"))
+        val g = sg.agg(count(lit(1)).as("n"), sum(col("au")).as("ca"),
+          sum(col("pu")).as("cp"),
+          sum(when(col("au") === col("pu"), 1L).otherwise(0L)).as("cc"))
+        def dbl(c: String) = col(c).cast("double")
+        val n = dbl("n")
+        val py = dbl("ca") / n
+        val pz = dbl("cp") / n
+        val ph = dbl("cc") / n
+        val ps = py * pz + (lit(1.0) - py) * (lit(1.0) - pz)
+        val vh = ps * (lit(1.0) - ps) / n
+        val vs = ((lit(2.0) * py - 1.0) * (lit(2.0) * py - 1.0) *
+            pz * (lit(1.0) - pz) +
+          (lit(2.0) * pz - 1.0) * (lit(2.0) * pz - 1.0) *
+            py * (lit(1.0) - py) +
+          lit(4.0) * py * pz * (lit(1.0) - py) * (lit(1.0) - pz) / n) / n
+        g.select(col("n").as("n_obs"),
+          round(ph, 6).as("hit_rate"),
+          round(ps, 6).as("indep_rate"),
+          round((ph - ps) / sqrt(vh - vs), 6).as("pt_stat"))
+      },
+      Some("""WITH daily AS (SELECT ts::DATE AS day,
+             |    count(*)::BIGINT AS y FROM events GROUP BY 1),
+             |sg AS (SELECT (y > l1)::BIGINT AS au,
+             |    (l7 > l1)::BIGINT AS pu FROM (
+             |    SELECT y, lag(y, 1) OVER (ORDER BY day) AS l1,
+             |      lag(y, 7) OVER (ORDER BY day) AS l7 FROM daily)
+             |  WHERE l7 IS NOT NULL),
+             |g AS (SELECT count(*)::BIGINT AS n, sum(au)::BIGINT AS ca,
+             |    sum(pu)::BIGINT AS cp,
+             |    sum(CASE WHEN au = pu THEN 1 ELSE 0 END)::BIGINT AS cc
+             |  FROM sg),
+             |p AS (SELECT n, cc::DOUBLE / n::DOUBLE AS ph,
+             |    ca::DOUBLE / n::DOUBLE AS py, cp::DOUBLE / n::DOUBLE AS pz
+             |  FROM g),
+             |q AS (SELECT n, ph, py, pz,
+             |    py * pz + (1.0 - py) * (1.0 - pz) AS ps FROM p)
+             |SELECT n AS n_obs, round(ph, 6) AS hit_rate,
+             |  round(ps, 6) AS indep_rate,
+             |  round((ph - ps) / sqrt(ps * (1.0 - ps) / n::DOUBLE
+             |    - ((2.0 * py - 1.0) * (2.0 * py - 1.0)
+             |        * pz * (1.0 - pz)
+             |      + (2.0 * pz - 1.0) * (2.0 * pz - 1.0)
+             |        * py * (1.0 - py)
+             |      + 4.0 * py * pz * (1.0 - py) * (1.0 - pz)
+             |        / n::DOUBLE) / n::DOUBLE), 6) AS pt_stat
+             |FROM q""".stripMargin))
   )
 }

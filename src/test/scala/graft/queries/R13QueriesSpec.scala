@@ -174,4 +174,57 @@ class R13QueriesSpec extends GraftSpec {
     val cp1 = l1.getAs[String]("cp_day")
     assert(cps2.exists(_ <= cp1) && cps2.exists(_ > cp1))
   }
+
+  test("q_crps_climatology: ramp has CRPS 280/98 and ensemble MAE 4") {
+    // day t, ensemble {t−7..t−1}: Σ|m−y| = 28, Σ_{i<j}|m_i−m_j| = 56
+    // → 98·CRPS = 14·28 − 2·56 = 280 per day, exactly
+    val out = byName("q_crps_climatology")(spark, dailyDir(1 to 12)).head()
+    assert(out.getAs[Long]("n_days") === 5L)
+    assert(out.getAs[Double]("mean_crps") === 2.857143)
+    assert(out.getAs[Double]("mean_ens_mae") === 4.0)
+  }
+
+  test("q_crps_climatology: sf0.001 CRPS positive and below ensemble MAE") {
+    val out =
+      byName("q_crps_climatology")(spark, "/root/testdata/sf0.001").head()
+    val crps = out.getAs[Double]("mean_crps")
+    assert(crps > 0.0)
+    // kernel form: CRPS = E|X−y| − E|X−X'|/2 ≤ E|X−y|
+    assert(crps <= out.getAs[Double]("mean_ens_mae"))
+  }
+
+  private lazy val weeklyDir =
+    dailyDir(Seq.fill(3)(Seq(2, 5, 3, 8, 4, 9, 6)).flatten)
+
+  test("q_diebold_mariano: exact weekly rhythm — seasonal MAE 0, DM < 0") {
+    val out = byName("q_diebold_mariano")(spark, weeklyDir).head()
+    assert(out.getAs[Long]("n_obs") === 14L)
+    assert(out.getAs[Double]("mae_seasonal") === 0.0)
+    assert(out.getAs[Double]("mae_naive") > 0.0)
+    assert(out.getAs[Double]("dm_stat") < -2.0)
+  }
+
+  test("q_diebold_mariano: sf0.001 MAEs positive, DM finite") {
+    val out =
+      byName("q_diebold_mariano")(spark, "/root/testdata/sf0.001").head()
+    assert(out.getAs[Double]("mae_seasonal") > 0.0)
+    assert(out.getAs[Double]("mae_naive") > 0.0)
+    assert(!out.getAs[Double]("dm_stat").isNaN)
+  }
+
+  test("q_pesaran_timmermann: exact weekly rhythm predicts every sign") {
+    // y_t = y_{t−7} → sign(ŷ_t − y_{t−1}) = sign(y_t − y_{t−1})
+    val out = byName("q_pesaran_timmermann")(spark, weeklyDir).head()
+    assert(out.getAs[Double]("hit_rate") === 1.0)
+    assert(out.getAs[Double]("pt_stat") > 2.0)
+  }
+
+  test("q_pesaran_timmermann: sf0.001 rates in range") {
+    val out =
+      byName("q_pesaran_timmermann")(spark, "/root/testdata/sf0.001").head()
+    val h = out.getAs[Double]("hit_rate")
+    val i = out.getAs[Double]("indep_rate")
+    assert(h >= 0.0 && h <= 1.0)
+    assert(i > 0.0 && i < 1.0)
+  }
 }
