@@ -906,6 +906,357 @@ object R13Queries {
              |        * py * (1.0 - py)
              |      + 4.0 * py * pz * (1.0 - py) * (1.0 - pz)
              |        / n::DOUBLE) / n::DOUBLE), 6) AS pt_stat
-             |FROM q""".stripMargin))
+             |FROM q""".stripMargin)),
+
+    // Welch's heteroskedastic one-way ANOVA (Welch 1951) on event
+    // value across the five event types — the k-group extension of
+    // q_welch_ttest, robust to unequal group variances. Every group
+    // moment comes from ONE exact (n, Σvm, Σvm²) aggregate; the
+    // weights w_i = n_i/s_i² and the two cross-group reductions
+    // (Σw_i m_i and the A/H terms) are quantized to fixed decimals
+    // BEFORE summing, so the 5-row reduction is order-independent —
+    // the repo's standard defense against float partial-agg
+    // reordering. df1 = k−1; df2 = (k²−1)/(3H).
+    QueryDef("q_welch_anova",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+          .select(col("event_type").as("g"),
+            floor(col("value") * 1000).cast("long").as("vm"))
+        val g = ev.groupBy(col("g")).agg(count(lit(1)).as("n"),
+          sum(col("vm")).as("sv"), sum(col("vm") * col("vm")).as("qv"))
+        def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+        val st = g.select(col("g"), col("n"),
+            (dbl(col("sv")) / dbl(col("n"))).as("m"),
+            ((dbl(col("qv")) - dbl(col("sv")) * dbl(col("sv")) /
+              dbl(col("n"))) / (dbl(col("n")) - 1.0)).as("v2"))
+          .select(col("g"), col("n"), col("m"),
+            round(dbl(col("n")) / col("v2"), 9)
+              .cast("decimal(38,9)").as("wq"))
+          .withColumn("wmq",
+            round(dbl(col("wq")) * col("m"), 6).cast("decimal(38,6)"))
+        val tot = st.agg(sum(col("wq")).as("sw"),
+          sum(col("wmq")).as("swm"), count(lit(1)).as("k"))
+        val terms = st.crossJoin(broadcast(tot))
+          .withColumn("mbar", dbl(col("swm")) / dbl(col("sw")))
+          .select(col("k"), col("sw"),
+            round(dbl(col("wq")) *
+              (col("m") - col("mbar")) * (col("m") - col("mbar")), 6)
+              .cast("decimal(38,6)").as("aq"),
+            round((lit(1.0) - dbl(col("wq")) / dbl(col("sw"))) *
+              (lit(1.0) - dbl(col("wq")) / dbl(col("sw"))) /
+              (dbl(col("n")) - 1.0), 9)
+              .cast("decimal(38,9)").as("hq"))
+        terms.groupBy(col("k"))
+          .agg(sum(col("aq")).as("sa"), sum(col("hq")).as("sh"))
+          .select(col("k").as("k_groups"),
+            round((dbl(col("sa")) / (dbl(col("k")) - 1.0)) /
+              (lit(1.0) + lit(2.0) * (dbl(col("k")) - 2.0) /
+                (dbl(col("k")) * dbl(col("k")) - 1.0) * dbl(col("sh"))),
+              4).as("w_stat"),
+            (col("k") - 1L).as("df1"),
+            round((dbl(col("k")) * dbl(col("k")) - 1.0) /
+              (lit(3.0) * dbl(col("sh"))), 4).as("df2"))
+      },
+      Some("""WITH v AS (SELECT event_type AS g,
+             |    floor(value * 1000)::BIGINT AS vm FROM events),
+             |g AS (SELECT g, count(*)::BIGINT AS n, sum(vm)::BIGINT AS sv,
+             |    sum(vm * vm)::BIGINT AS qv FROM v GROUP BY 1),
+             |st AS (SELECT g, n, m,
+             |    round(n::DOUBLE / v2, 9)::DECIMAL(38,9) AS wq FROM (
+             |    SELECT g, n, sv::DOUBLE / n::DOUBLE AS m,
+             |      (qv::DOUBLE - sv::DOUBLE * sv::DOUBLE / n::DOUBLE)
+             |        / (n::DOUBLE - 1.0) AS v2 FROM g)),
+             |st2 AS (SELECT g, n, m, wq,
+             |    round(wq::DOUBLE * m, 6)::DECIMAL(38,6) AS wmq FROM st),
+             |tot AS (SELECT sum(wq) AS sw, sum(wmq) AS swm,
+             |    count(*)::BIGINT AS k FROM st2),
+             |terms AS (SELECT k, sw,
+             |    round(wq::DOUBLE * (m - swm::DOUBLE / sw::DOUBLE)
+             |      * (m - swm::DOUBLE / sw::DOUBLE), 6)
+             |      ::DECIMAL(38,6) AS aq,
+             |    round((1.0 - wq::DOUBLE / sw::DOUBLE)
+             |      * (1.0 - wq::DOUBLE / sw::DOUBLE)
+             |      / (n::DOUBLE - 1.0), 9)::DECIMAL(38,9) AS hq
+             |  FROM st2, tot),
+             |f AS (SELECT k, sum(aq) AS sa, sum(hq) AS sh FROM terms
+             |  GROUP BY 1)
+             |SELECT k AS k_groups,
+             |  round((sa::DOUBLE / (k::DOUBLE - 1.0))
+             |    / (1.0 + 2.0 * (k::DOUBLE - 2.0)
+             |      / (k::DOUBLE * k::DOUBLE - 1.0) * sh::DOUBLE), 4)
+             |    AS w_stat,
+             |  k - 1 AS df1,
+             |  round((k::DOUBLE * k::DOUBLE - 1.0) / (3.0 * sh::DOUBLE),
+             |    4) AS df2
+             |FROM f""".stripMargin)),
+
+    // Two-sample Hotelling T² (Hotelling 1931) on the daily
+    // (view-count, click-count) 2-vectors, first calendar half vs
+    // second — the multivariate "did the joint traffic profile
+    // move?" test. The entire statistic reduces to TWELVE exact
+    // integers (per half: n, Σx, Σy, Σx², Σy², Σxy) from one
+    // conditional aggregate over the calendar digest; the pooled
+    // 2×2 covariance is inverted in closed form (adjugate/det), so
+    // no linear-algebra library and no iteration. F = T²(n−3)/(2(n−2))
+    // with p = 2 dimensions. Doubles only after the single-row digest.
+    QueryDef("q_hotelling_t2",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+              .as("x"),
+            sum(when(col("event_type") === "click", 1L).otherwise(0L))
+              .as("y"))
+          .withColumn("t",
+            row_number().over(Window.orderBy(col("day"))).cast("long"))
+        val n = broadcast(daily.agg(count(lit(1)).as("nn")))
+        val arm = daily.crossJoin(n)
+          .select((col("t") * 2 <= col("nn")).as("a"), col("x"), col("y"))
+        def cs(p: org.apache.spark.sql.Column, e: org.apache.spark.sql.Column,
+               nm: String) = sum(when(p, e).otherwise(0L)).as(nm)
+        val ag = arm.agg(
+          cs(col("a"), lit(1L), "n1"), cs(col("a"), col("x"), "sx1"),
+          cs(col("a"), col("y"), "sy1"),
+          cs(col("a"), col("x") * col("x"), "qx1"),
+          cs(col("a"), col("y") * col("y"), "qy1"),
+          cs(col("a"), col("x") * col("y"), "pxy1"),
+          cs(!col("a"), lit(1L), "n2"), cs(!col("a"), col("x"), "sx2"),
+          cs(!col("a"), col("y"), "sy2"),
+          cs(!col("a"), col("x") * col("x"), "qx2"),
+          cs(!col("a"), col("y") * col("y"), "qy2"),
+          cs(!col("a"), col("x") * col("y"), "pxy2"))
+        def dbl(c: String) = col(c).cast("double")
+        val ssxx = (dbl("qx1") - dbl("sx1") * dbl("sx1") / dbl("n1")) +
+          (dbl("qx2") - dbl("sx2") * dbl("sx2") / dbl("n2"))
+        val ssyy = (dbl("qy1") - dbl("sy1") * dbl("sy1") / dbl("n1")) +
+          (dbl("qy2") - dbl("sy2") * dbl("sy2") / dbl("n2"))
+        val ssxy = (dbl("pxy1") - dbl("sx1") * dbl("sy1") / dbl("n1")) +
+          (dbl("pxy2") - dbl("sx2") * dbl("sy2") / dbl("n2"))
+        val nT = dbl("n1") + dbl("n2")
+        val dx = dbl("sx1") / dbl("n1") - dbl("sx2") / dbl("n2")
+        val dy = dbl("sy1") / dbl("n1") - dbl("sy2") / dbl("n2")
+        // ANSI Spark throws on double ÷ 0 (DuckDB yields inf): a
+        // singular pooled covariance (collinear channels) → NULL on
+        // both engines via the nullif guard
+        val det = ssxx * ssyy - ssxy * ssxy
+        val t2 = dbl("n1") * dbl("n2") / nT * (nT - 2.0) *
+          (ssyy * dx * dx - lit(2.0) * ssxy * dx * dy + ssxx * dy * dy) /
+          nullif(det, lit(0.0))
+        ag.select(col("n1"), col("n2"), round(t2, 4).as("t2_stat"),
+          round(t2 * (nT - 3.0) / ((nT - 2.0) * 2.0), 4).as("f_stat"))
+      },
+      Some("""WITH daily AS (SELECT ts::DATE AS day,
+             |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             |      ::BIGINT AS x,
+             |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             |      ::BIGINT AS y
+             |  FROM events GROUP BY 1),
+             |idx AS (SELECT x, y,
+             |    row_number() OVER (ORDER BY day) AS t FROM daily),
+             |nn AS (SELECT count(*)::BIGINT AS nn FROM daily),
+             |arm AS (SELECT (t * 2 <= nn) AS a, x, y FROM idx, nn),
+             |ag AS (SELECT
+             |    sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS n1,
+             |    sum(CASE WHEN a THEN x ELSE 0 END)::BIGINT AS sx1,
+             |    sum(CASE WHEN a THEN y ELSE 0 END)::BIGINT AS sy1,
+             |    sum(CASE WHEN a THEN x * x ELSE 0 END)::BIGINT AS qx1,
+             |    sum(CASE WHEN a THEN y * y ELSE 0 END)::BIGINT AS qy1,
+             |    sum(CASE WHEN a THEN x * y ELSE 0 END)::BIGINT AS pxy1,
+             |    sum(CASE WHEN NOT a THEN 1 ELSE 0 END)::BIGINT AS n2,
+             |    sum(CASE WHEN NOT a THEN x ELSE 0 END)::BIGINT AS sx2,
+             |    sum(CASE WHEN NOT a THEN y ELSE 0 END)::BIGINT AS sy2,
+             |    sum(CASE WHEN NOT a THEN x * x ELSE 0 END)::BIGINT AS qx2,
+             |    sum(CASE WHEN NOT a THEN y * y ELSE 0 END)::BIGINT AS qy2,
+             |    sum(CASE WHEN NOT a THEN x * y ELSE 0 END)::BIGINT AS pxy2
+             |  FROM arm),
+             |e AS (SELECT n1, n2, n1::DOUBLE + n2::DOUBLE AS nt,
+             |    (qx1::DOUBLE - sx1::DOUBLE * sx1::DOUBLE / n1::DOUBLE)
+             |      + (qx2::DOUBLE - sx2::DOUBLE * sx2::DOUBLE
+             |        / n2::DOUBLE) AS ssxx,
+             |    (qy1::DOUBLE - sy1::DOUBLE * sy1::DOUBLE / n1::DOUBLE)
+             |      + (qy2::DOUBLE - sy2::DOUBLE * sy2::DOUBLE
+             |        / n2::DOUBLE) AS ssyy,
+             |    (pxy1::DOUBLE - sx1::DOUBLE * sy1::DOUBLE / n1::DOUBLE)
+             |      + (pxy2::DOUBLE - sx2::DOUBLE * sy2::DOUBLE
+             |        / n2::DOUBLE) AS ssxy,
+             |    sx1::DOUBLE / n1::DOUBLE - sx2::DOUBLE / n2::DOUBLE AS dx,
+             |    sy1::DOUBLE / n1::DOUBLE - sy2::DOUBLE / n2::DOUBLE AS dy
+             |  FROM ag),
+             |t AS (SELECT n1, n2, nt,
+             |    n1::DOUBLE * n2::DOUBLE / nt * (nt - 2.0)
+             |      * (ssyy * dx * dx - 2.0 * ssxy * dx * dy
+             |        + ssxx * dy * dy)
+             |      / nullif(ssxx * ssyy - ssxy * ssxy, 0.0) AS t2
+             |  FROM e)
+             |SELECT n1, n2, round(t2, 4) AS t2_stat,
+             |  round(t2 * (nt - 3.0) / ((nt - 2.0) * 2.0), 4) AS f_stat
+             |FROM t""".stripMargin)),
+
+    // Dunn's post-hoc pairwise test (Dunn 1964) with tie correction —
+    // the follow-up q_kruskal_wallis implies: which of the 10 event-
+    // type pairs actually differ in rank? Reuses the exact midrank
+    // digest (2·midrank = 2·below + t + 1 is always an integer, so
+    // per-group rank sums are EXACT decimals), then the 10 pairwise z
+    // scores are a closed form over the 5-row group digest:
+    // z = (R̄_i − R̄_j)/√((N(N+1)/12 − ΣT/(12(N−1)))(1/n_i + 1/n_j)).
+    // Reject at the Bonferroni-corrected two-sided 0.05 (|z| ≥ 2.807).
+    QueryDef("q_dunn_posthoc",
+      (s, d) => {
+        val v = graft.sources.Tables.events(s, d)
+          .select(col("event_type").as("g"),
+            floor(col("value") * 1000).cast("long").as("vm"))
+        val cell = v.groupBy(col("vm")).agg(count(lit(1)).as("t"))
+        val cc = cell.withColumn("below",
+          coalesce(sum(col("t")).over(Window.orderBy(col("vm"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        val gc = v.groupBy(col("g"), col("vm"))
+          .agg(count(lit(1)).as("c"))
+        val r = gc.join(broadcast(cc), "vm")
+          .groupBy(col("g"))
+          .agg(sum(col("c").cast("decimal(38,0)") *
+            (lit(2L) * col("below") + col("t") + 1L)
+              .cast("decimal(38,0)")).as("r2sum"),
+            sum(col("c")).as("ng"))
+        val ties = cell.agg(
+          sum(col("t").cast("decimal(38,0)") * col("t") * col("t") -
+            col("t")).as("tsum"),
+          sum(col("t")).as("nn"))
+        def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+        val base = (dbl(col("nn")) * (dbl(col("nn")) + 1.0) / 12.0) -
+          dbl(col("tsum")) / (lit(12.0) * (dbl(col("nn")) - 1.0))
+        val a = r.select(col("g").as("g_a"), col("r2sum").as("ra"),
+          col("ng").as("na"))
+        val b = r.select(col("g").as("g_b"), col("r2sum").as("rb"),
+          col("ng").as("nb"))
+        a.crossJoin(b).filter(col("g_a") < col("g_b"))
+          .crossJoin(broadcast(ties))
+          .select(col("g_a"), col("g_b"),
+            round(dbl(col("ra")) / (lit(2.0) * dbl(col("na"))), 4)
+              .as("mean_rank_a"),
+            round(dbl(col("rb")) / (lit(2.0) * dbl(col("nb"))), 4)
+              .as("mean_rank_b"),
+            round((dbl(col("ra")) / (lit(2.0) * dbl(col("na"))) -
+              dbl(col("rb")) / (lit(2.0) * dbl(col("nb")))) /
+              sqrt(base * (lit(1.0) / dbl(col("na")) +
+                lit(1.0) / dbl(col("nb")))), 4).as("z"))
+          .withColumn("reject_bonf05", abs(col("z")) >= 2.807)
+          .orderBy(col("g_a"), col("g_b"))
+      },
+      Some("""WITH v AS (SELECT event_type AS g,
+             |    floor(value * 1000)::BIGINT AS vm FROM events),
+             |cell AS (SELECT vm, count(*)::BIGINT AS t FROM v GROUP BY 1),
+             |cc AS (SELECT vm, t, coalesce(sum(t) OVER (ORDER BY vm
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |    AS below
+             |  FROM cell),
+             |gc AS (SELECT g, vm, count(*)::BIGINT AS c FROM v
+             |  GROUP BY 1, 2),
+             |r AS (SELECT g,
+             |    sum(c::HUGEINT * (2 * below + t + 1)::HUGEINT) AS r2sum,
+             |    sum(c)::BIGINT AS ng
+             |  FROM gc JOIN cc USING (vm) GROUP BY 1),
+             |ties AS (SELECT sum(t::HUGEINT * t * t - t) AS tsum,
+             |    sum(t)::BIGINT AS nn FROM cell)
+             |SELECT a.g AS g_a, b.g AS g_b,
+             |  round(a.r2sum::DOUBLE / (2.0 * a.ng::DOUBLE), 4)
+             |    AS mean_rank_a,
+             |  round(b.r2sum::DOUBLE / (2.0 * b.ng::DOUBLE), 4)
+             |    AS mean_rank_b,
+             |  round((a.r2sum::DOUBLE / (2.0 * a.ng::DOUBLE)
+             |    - b.r2sum::DOUBLE / (2.0 * b.ng::DOUBLE))
+             |    / sqrt(((nn::DOUBLE * (nn::DOUBLE + 1.0) / 12.0)
+             |      - tsum::DOUBLE / (12.0 * (nn::DOUBLE - 1.0)))
+             |      * (1.0 / a.ng::DOUBLE + 1.0 / b.ng::DOUBLE)), 4)
+             |    AS z,
+             |  abs(round((a.r2sum::DOUBLE / (2.0 * a.ng::DOUBLE)
+             |    - b.r2sum::DOUBLE / (2.0 * b.ng::DOUBLE))
+             |    / sqrt(((nn::DOUBLE * (nn::DOUBLE + 1.0) / 12.0)
+             |      - tsum::DOUBLE / (12.0 * (nn::DOUBLE - 1.0)))
+             |      * (1.0 / a.ng::DOUBLE + 1.0 / b.ng::DOUBLE)), 4))
+             |    >= 2.807 AS reject_bonf05
+             |FROM r a, r b, ties WHERE a.g < b.g
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // Poisson goodness-of-fit panel for purchases per user-week —
+    // the count-model diagnosis a demand pipeline runs before picking
+    // Poisson vs negative-binomial. The zero class is NEVER
+    // materialized: the spine is |users| × |weeks| (two digest
+    // cardinalities), O_0 = U·W − nonzero cells, so the plan stays
+    // one fact-sized aggregate + two distinct-counts at any scale.
+    // Bins {0, 1, 2, ≥3}; χ² df = 4 − 1 − 1 (λ estimated). Also the
+    // dispersion index and the method-of-moments negative-binomial
+    // (r, p) — var > mean ⟹ overdispersion ⟹ NB is the better fit.
+    QueryDef("q_poisson_gof",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+        val spine = broadcast(ev.agg(
+          countDistinct(col("user_id")).as("u"),
+          countDistinct(date_trunc("week", col("ts"))).as("w")))
+        val pw = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+          .agg(count(lit(1)).as("k"))
+        val nz = pw.agg(
+          sum(when(col("k") === 1, 1L).otherwise(0L)).as("o1"),
+          sum(when(col("k") === 2, 1L).otherwise(0L)).as("o2"),
+          sum(when(col("k") >= 3, 1L).otherwise(0L)).as("o3"),
+          sum(col("k")).as("sk"), sum(col("k") * col("k")).as("qk"),
+          count(lit(1)).as("nnz"))
+        def dbl(c: String) = col(c).cast("double")
+        val cells = col("u") * col("w")
+        val lam = dbl("sk") / cells.cast("double")
+        val e0 = cells.cast("double") * exp(-lam)
+        val e1 = e0 * lam
+        val e2 = e1 * lam / 2.0
+        val e3 = cells.cast("double") - e0 - e1 - e2
+        val o0 = (cells - col("nnz")).cast("double")
+        val vr = (dbl("qk") - dbl("sk") * dbl("sk") /
+          cells.cast("double")) / (cells.cast("double") - 1.0)
+        nz.crossJoin(spine).select(
+          cells.as("n_cells"),
+          round(lam, 6).as("lambda_hat"),
+          round((o0 - e0) * (o0 - e0) / e0 +
+            (dbl("o1") - e1) * (dbl("o1") - e1) / e1 +
+            (dbl("o2") - e2) * (dbl("o2") - e2) / e2 +
+            (dbl("o3") - e3) * (dbl("o3") - e3) / e3, 4).as("chisq"),
+          round(vr / lam, 6).as("dispersion"),
+          round(lam * lam / (vr - lam), 6).as("nb_r"),
+          round(lam / vr, 6).as("nb_p"))
+      },
+      Some("""WITH spine AS (SELECT count(DISTINCT user_id)::BIGINT AS u,
+             |    count(DISTINCT date_trunc('week', ts))::BIGINT AS w
+             |  FROM events),
+             |pw AS (SELECT user_id, date_trunc('week', ts) AS wk,
+             |    count(*)::BIGINT AS k FROM events
+             |  WHERE event_type = 'purchase' GROUP BY 1, 2),
+             |nz AS (SELECT
+             |    sum(CASE WHEN k = 1 THEN 1 ELSE 0 END)::BIGINT AS o1,
+             |    sum(CASE WHEN k = 2 THEN 1 ELSE 0 END)::BIGINT AS o2,
+             |    sum(CASE WHEN k >= 3 THEN 1 ELSE 0 END)::BIGINT AS o3,
+             |    sum(k)::BIGINT AS sk, sum(k * k)::BIGINT AS qk,
+             |    count(*)::BIGINT AS nnz FROM pw),
+             |e AS (SELECT u * w AS cells,
+             |    sk::DOUBLE / (u * w)::DOUBLE AS lam,
+             |    (u * w)::DOUBLE * exp(-(sk::DOUBLE / (u * w)::DOUBLE))
+             |      AS e0,
+             |    ((u * w) - nnz)::DOUBLE AS o0,
+             |    o1::DOUBLE AS o1, o2::DOUBLE AS o2, o3::DOUBLE AS o3,
+             |    (qk::DOUBLE - sk::DOUBLE * sk::DOUBLE / (u * w)::DOUBLE)
+             |      / ((u * w)::DOUBLE - 1.0) AS vr
+             |  FROM nz, spine)
+             |SELECT cells AS n_cells, round(lam, 6) AS lambda_hat,
+             |  round((o0 - e0) * (o0 - e0) / e0
+             |    + (o1 - e0 * lam) * (o1 - e0 * lam) / (e0 * lam)
+             |    + (o2 - e0 * lam * lam / 2.0)
+             |      * (o2 - e0 * lam * lam / 2.0) / (e0 * lam * lam / 2.0)
+             |    + (o3 - (cells::DOUBLE - e0 - e0 * lam
+             |        - e0 * lam * lam / 2.0))
+             |      * (o3 - (cells::DOUBLE - e0 - e0 * lam
+             |        - e0 * lam * lam / 2.0))
+             |      / (cells::DOUBLE - e0 - e0 * lam
+             |        - e0 * lam * lam / 2.0), 4) AS chisq,
+             |  round(vr / lam, 6) AS dispersion,
+             |  round(lam * lam / (vr - lam), 6) AS nb_r,
+             |  round(lam / vr, 6) AS nb_p
+             |FROM e""".stripMargin))
   )
 }

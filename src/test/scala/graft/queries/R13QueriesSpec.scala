@@ -227,4 +227,102 @@ class R13QueriesSpec extends GraftSpec {
     assert(h >= 0.0 && h <= 1.0)
     assert(i > 0.0 && i < 1.0)
   }
+
+  /** events.parquet with one row per (user, day-index, type, value). */
+  private def typedDir(rows: Seq[(Long, Int, String, Double)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("r13ty").toString
+    val day0 = 1704067200000000L // 2024-01-01 UTC micros
+    rows.zipWithIndex.map { case ((uid, di, tp, v), j) =>
+      (j.toLong, day0 + di * 86400000000L + j * 1000000L, uid, tp, v, "{}")
+    }.toDF("event_id", "__us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("__us"))).drop("__us")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("q_welch_anova: two equal-mean groups give W = 0, df2 = 2") {
+    // both groups {0.001, 0.003}: w_i = 1, means equal → A = 0;
+    // H = 2·(1 − 1/2)²/1 = 0.5 → df2 = (k²−1)/(3H) = 2
+    val dir = typedDir(Seq((0L, 0, "click", 0.001), (1L, 0, "click", 0.003),
+      (2L, 0, "view", 0.001), (3L, 0, "view", 0.003)))
+    val out = byName("q_welch_anova")(spark, dir).head()
+    assert(out.getAs[Long]("k_groups") === 2L)
+    assert(out.getAs[Double]("w_stat") === 0.0)
+    assert(out.getAs[Long]("df1") === 1L)
+    assert(out.getAs[Double]("df2") === 2.0)
+  }
+
+  test("q_welch_anova: sf0.001 W and df2 positive, 5 groups") {
+    val out = byName("q_welch_anova")(spark, "/root/testdata/sf0.001").head()
+    assert(out.getAs[Long]("k_groups") === 5L)
+    assert(out.getAs[Double]("w_stat") >= 0.0)
+    assert(out.getAs[Double]("df2") > 0.0)
+  }
+
+  test("q_hotelling_t2: identical half-means give T² = 0") {
+    // daily (views, clicks): (2,1),(3,2) | (2,2),(3,1) — equal half
+    // means, pooled SS = [1 0; 0 1] (non-singular) → T² = 0
+    val perDay = Seq((2, 1), (3, 2), (2, 2), (3, 1))
+    val rows = perDay.zipWithIndex.flatMap { case ((nv, nc), di) =>
+      Seq.fill(nv)((0L, di, "view", 0.5)) ++
+        Seq.fill(nc)((1L, di, "click", 0.5))
+    }
+    val out = byName("q_hotelling_t2")(spark, typedDir(rows)).head()
+    assert(out.getAs[Long]("n1") === 2L)
+    assert(out.getAs[Long]("n2") === 2L)
+    assert(out.getAs[Double]("t2_stat") === 0.0)
+  }
+
+  test("q_hotelling_t2: sf0.001 T² and F finite and non-negative") {
+    val out = byName("q_hotelling_t2")(spark, "/root/testdata/sf0.001").head()
+    val t2 = out.getAs[Double]("t2_stat")
+    assert(t2 >= 0.0 && !t2.isNaN)
+    assert(out.getAs[Double]("f_stat") <= t2)
+  }
+
+  test("q_dunn_posthoc: two clean-rank groups hit the closed-form z") {
+    // click {1,2}, view {3,4} (millis): ranks 1..4, no ties →
+    // z = (1.5 − 3.5)/√((20/12)·1) = −1.549193
+    val dir = typedDir(Seq((0L, 0, "click", 0.001), (1L, 0, "click", 0.002),
+      (2L, 0, "view", 0.003), (3L, 0, "view", 0.004)))
+    val out = byName("q_dunn_posthoc")(spark, dir).head()
+    assert(out.getAs[String]("g_a") === "click")
+    assert(out.getAs[Double]("mean_rank_a") === 1.5)
+    assert(out.getAs[Double]("mean_rank_b") === 3.5)
+    assert(out.getAs[Double]("z") === -1.5492)
+    assert(!out.getAs[Boolean]("reject_bonf05"))
+  }
+
+  test("q_dunn_posthoc: sf0.001 emits all 10 pairs, z antisymmetry sign") {
+    val rows = byName("q_dunn_posthoc")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      val sign = math.signum(r.getAs[Double]("mean_rank_a") -
+        r.getAs[Double]("mean_rank_b"))
+      val z = r.getAs[Double]("z")
+      assert(z === 0.0 || math.signum(z) === sign)
+    }
+  }
+
+  test("q_poisson_gof: 2×2 spine with one double-purchase cell") {
+    // cells = 4, sk = 2 → λ = 0.5; vr = (4 − 1)/3 = 1 →
+    // dispersion 2, NB MoM r = 0.25/0.5 = 0.5, p = 0.5
+    val dir = typedDir(Seq((0L, 0, "purchase", 0.5),
+      (0L, 0, "purchase", 0.7), (1L, 7, "view", 0.2)))
+    val out = byName("q_poisson_gof")(spark, dir).head()
+    assert(out.getAs[Long]("n_cells") === 4L)
+    assert(out.getAs[Double]("lambda_hat") === 0.5)
+    assert(out.getAs[Double]("dispersion") === 2.0)
+    assert(out.getAs[Double]("nb_r") === 0.5)
+    assert(out.getAs[Double]("nb_p") === 0.5)
+  }
+
+  test("q_poisson_gof: sf0.001 χ² non-negative, dispersion positive") {
+    val out = byName("q_poisson_gof")(spark, "/root/testdata/sf0.001").head()
+    assert(out.getAs[Double]("chisq") >= 0.0)
+    assert(out.getAs[Double]("dispersion") > 0.0)
+    assert(out.getAs[Double]("lambda_hat") > 0.0)
+  }
 }
