@@ -1257,6 +1257,280 @@ object R13Queries {
              |  round(vr / lam, 6) AS dispersion,
              |  round(lam * lam / (vr - lam), 6) AS nb_r,
              |  round(lam / vr, 6) AS nb_p
-             |FROM e""".stripMargin))
+             |FROM e""".stripMargin)),
+
+    // Katz centrality (Katz 1953), 3 attenuated rounds with α = 1/8,
+    // over the undirected co-purchase graph: x = Σ_k α^k A^k 1 via
+    // the iteration x_{i+1}(v) = (Σ_{u∈N(v)} (1e9 + x_i(u))) div 8 —
+    // the q_pagerank discipline: ALL arithmetic is integer ppb
+    // (float addition is order-dependent under parallel aggregation;
+    // the integer form is bit-identical at any partition layout).
+    // Per round: one join keyed on src + one aggregate keyed on dst.
+    // Ranks are node-sized; top-20 by (katz DESC, node ASC).
+    QueryDef("q_katz_centrality",
+      (s, d) => {
+        val e = s.read.parquet(SqlQueries.copurchaseEdgesOf(s, d))
+        val eb = e.select(col("p1").as("src"), col("p2").as("dst"))
+          .unionAll(e.select(col("p2").as("src"), col("p1").as("dst")))
+        var x = eb.select(col("src").as("node")).distinct()
+          .withColumn("katz", lit(0L))
+        for (_ <- 1 to 3) {
+          x = eb.join(x, col("src") === col("node"))
+            .groupBy(col("dst").as("node"))
+            .agg(expr("sum(1000000000 + katz) div 8").as("katz"))
+        }
+        x.orderBy(col("katz").desc, col("node")).limit(20)
+      },
+      Some("""WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey
+             |  FROM lineitem),
+             |e AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+             |  FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey
+             |    AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |eb AS (SELECT p1 AS src, p2 AS dst FROM e
+             |  UNION ALL SELECT p2, p1 FROM e),
+             |x0 AS (SELECT DISTINCT src AS node, 0::BIGINT AS katz
+             |  FROM eb),
+             |x1 AS (SELECT eb.dst AS node,
+             |    (sum(1000000000 + x0.katz) // 8)::BIGINT AS katz
+             |  FROM eb JOIN x0 ON eb.src = x0.node GROUP BY 1),
+             |x2 AS (SELECT eb.dst AS node,
+             |    (sum(1000000000 + x1.katz) // 8)::BIGINT AS katz
+             |  FROM eb JOIN x1 ON eb.src = x1.node GROUP BY 1),
+             |x3 AS (SELECT eb.dst AS node,
+             |    (sum(1000000000 + x2.katz) // 8)::BIGINT AS katz
+             |  FROM eb JOIN x2 ON eb.src = x2.node GROUP BY 1)
+             |SELECT node, katz FROM x3
+             |ORDER BY katz DESC, node LIMIT 20""".stripMargin)),
+
+    // 4-truss decomposition (Cohen 2008), 3 support-peel rounds: keep
+    // every edge in ≥ 2 triangles, recount, repeat — the standard
+    // cohesive-subgraph miner one notch above q_triangle_count and a
+    // cousin of q_kcore3's degree peel. Per round: one oriented
+    // (a<b<c) triangle enumeration (two hash joins on the persisted
+    // edge list), one 3-way edge explode + count, one semi-join
+    // filter. The kcore3 persist discipline applies — each round's
+    // survivor set is materialized and the previous one dropped, or
+    // the lineage re-derives every prior round inside each recount.
+    QueryDef("q_ktruss4",
+      (s, d) => {
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        var e = s.read.parquet(SqlQueries.copurchaseEdgesOf(s, d))
+          .select(col("p1"), col("p2")).persist(MEMORY_AND_DISK)
+        e.count()
+        for (_ <- 1 to 3) {
+          val tri = e.join(e.select(col("p1").as("b1"), col("p2").as("c1")),
+              col("p2") === col("b1"))
+            .join(e.select(col("p1").as("a2"), col("p2").as("c2")),
+              col("p1") === col("a2") && col("c1") === col("c2"))
+            .select(col("p1").as("ta"), col("p2").as("tb"),
+              col("c1").as("tc"))
+          val sup = tri.select(explode(array(
+              struct(col("ta").as("u"), col("tb").as("v")),
+              struct(col("tb").as("u"), col("tc").as("v")),
+              struct(col("ta").as("u"), col("tc").as("v")))).as("ed"))
+            .select(col("ed.u").as("u"), col("ed.v").as("v"))
+            .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sup"))
+            .filter(col("sup") >= 2)
+          val ne = e.join(sup,
+              col("p1") === col("u") && col("p2") === col("v"), "left_semi")
+            .persist(MEMORY_AND_DISK)
+          ne.count()
+          e.unpersist()
+          e = ne
+        }
+        val deg = e.select(explode(array(col("p1"), col("p2"))).as("n"))
+          .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+        e.agg(count(lit(1)).as("truss_edges"))
+          .crossJoin(broadcast(deg.agg(count(lit(1)).as("truss_nodes"),
+            coalesce(max(col("dg")), lit(0L)).as("max_degree"))))
+      },
+      Some("""WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey
+             |  FROM lineitem),
+             |e0 AS MATERIALIZED (SELECT a.l_partkey AS p1,
+             |    b.l_partkey AS p2
+             |  FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey
+             |    AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |s1 AS (SELECT u, v FROM (
+             |  SELECT u, v, count(*) AS sup FROM (
+             |    SELECT e1.p1 AS u, e1.p2 AS v FROM e0 e1
+             |      JOIN e0 e2 ON e1.p2 = e2.p1
+             |      JOIN e0 e3 ON e1.p1 = e3.p1 AND e2.p2 = e3.p2
+             |    UNION ALL
+             |    SELECT e1.p2, e2.p2 FROM e0 e1
+             |      JOIN e0 e2 ON e1.p2 = e2.p1
+             |      JOIN e0 e3 ON e1.p1 = e3.p1 AND e2.p2 = e3.p2
+             |    UNION ALL
+             |    SELECT e1.p1, e2.p2 FROM e0 e1
+             |      JOIN e0 e2 ON e1.p2 = e2.p1
+             |      JOIN e0 e3 ON e1.p1 = e3.p1 AND e2.p2 = e3.p2)
+             |  GROUP BY 1, 2) WHERE sup >= 2),
+             |e1r AS MATERIALIZED (SELECT p1, p2 FROM e0
+             |  WHERE EXISTS (SELECT 1 FROM s1
+             |    WHERE s1.u = e0.p1 AND s1.v = e0.p2)),
+             |s2 AS (SELECT u, v FROM (
+             |  SELECT u, v, count(*) AS sup FROM (
+             |    SELECT e1.p1 AS u, e1.p2 AS v FROM e1r e1
+             |      JOIN e1r e2 ON e1.p2 = e2.p1
+             |      JOIN e1r e3 ON e1.p1 = e3.p1 AND e2.p2 = e3.p2
+             |    UNION ALL
+             |    SELECT e1.p2, e2.p2 FROM e1r e1
+             |      JOIN e1r e2 ON e1.p2 = e2.p1
+             |      JOIN e1r e3 ON e1.p1 = e3.p1 AND e2.p2 = e3.p2
+             |    UNION ALL
+             |    SELECT e1.p1, e2.p2 FROM e1r e1
+             |      JOIN e1r e2 ON e1.p2 = e2.p1
+             |      JOIN e1r e3 ON e1.p1 = e3.p1 AND e2.p2 = e3.p2)
+             |  GROUP BY 1, 2) WHERE sup >= 2),
+             |e2r AS MATERIALIZED (SELECT p1, p2 FROM e1r
+             |  WHERE EXISTS (SELECT 1 FROM s2
+             |    WHERE s2.u = e1r.p1 AND s2.v = e1r.p2)),
+             |s3 AS (SELECT u, v FROM (
+             |  SELECT u, v, count(*) AS sup FROM (
+             |    SELECT e1.p1 AS u, e1.p2 AS v FROM e2r e1
+             |      JOIN e2r e2 ON e1.p2 = e2.p1
+             |      JOIN e2r e3 ON e1.p1 = e3.p1 AND e2.p2 = e3.p2
+             |    UNION ALL
+             |    SELECT e1.p2, e2.p2 FROM e2r e1
+             |      JOIN e2r e2 ON e1.p2 = e2.p1
+             |      JOIN e2r e3 ON e1.p1 = e3.p1 AND e2.p2 = e3.p2
+             |    UNION ALL
+             |    SELECT e1.p1, e2.p2 FROM e2r e1
+             |      JOIN e2r e2 ON e1.p2 = e2.p1
+             |      JOIN e2r e3 ON e1.p1 = e3.p1 AND e2.p2 = e3.p2)
+             |  GROUP BY 1, 2) WHERE sup >= 2),
+             |e3r AS MATERIALIZED (SELECT p1, p2 FROM e2r
+             |  WHERE EXISTS (SELECT 1 FROM s3
+             |    WHERE s3.u = e2r.p1 AND s3.v = e2r.p2)),
+             |deg AS (SELECT n, count(*)::BIGINT AS dg FROM (
+             |    SELECT p1 AS n FROM e3r UNION ALL SELECT p2 FROM e3r)
+             |  GROUP BY 1),
+             |dd AS (SELECT count(*)::BIGINT AS truss_nodes,
+             |    coalesce(max(dg), 0)::BIGINT AS max_degree FROM deg)
+             |SELECT (SELECT count(*)::BIGINT FROM e3r) AS truss_edges,
+             |  truss_nodes, max_degree
+             |FROM dd""".stripMargin)),
+
+    // Adamic-Adar link prediction (Adamic & Adar 2003): score every
+    // non-adjacent distance-2 pair by Σ_{b∈N(a)∩N(c)} 1/ln(deg b),
+    // the classic common-neighbor index that down-weights promiscuous
+    // hubs. The middle weight is quantized once (round(1/ln deg, 9))
+    // on the node digest, so the per-pair DECIMAL sums are
+    // order-independent and engine-exact. Shapes: one wedge self-join
+    // keyed on the middle node, an anti-join to drop already-linked
+    // pairs, top-20 (score DESC, a, c). A wedge middle always has
+    // deg ≥ 2, but the ANSI ln(1) = 0 divide guard stays on the digest.
+    QueryDef("q_adamic_adar",
+      (s, d) => {
+        val e = s.read.parquet(SqlQueries.copurchaseEdgesOf(s, d))
+        val eb = e.select(col("p1").as("src"), col("p2").as("dst"))
+          .unionAll(e.select(col("p2").as("src"), col("p1").as("dst")))
+        val mw = eb.groupBy(col("src").as("b")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= 2)
+          .select(col("b"),
+            round(lit(1.0) / nullif(log(col("deg").cast("double")),
+              lit(0.0)), 9).cast("decimal(20,9)").as("w"))
+        val wedge = eb.select(col("dst").as("b"), col("src").as("a"))
+          .join(eb.select(col("src").as("b2"), col("dst").as("c")),
+            col("b") === col("b2"))
+          .filter(col("a") < col("c"))
+          .join(mw, "b")
+        val scored = wedge.groupBy(col("a"), col("c"))
+          .agg(sum(col("w")).as("aa_score"),
+            count(lit(1)).as("common_neighbors"))
+          .join(e, col("a") === col("p1") && col("c") === col("p2"),
+            "left_anti")
+        scored.select(col("a"), col("c"),
+            col("aa_score").cast("double").as("aa_score"),
+            col("common_neighbors"))
+          .orderBy(col("aa_score").desc, col("a"), col("c")).limit(20)
+      },
+      Some("""WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey
+             |  FROM lineitem),
+             |e AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+             |  FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey
+             |    AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |eb AS (SELECT p1 AS src, p2 AS dst FROM e
+             |  UNION ALL SELECT p2, p1 FROM e),
+             |mw AS (SELECT src AS b,
+             |    round(1.0 / nullif(ln(count(*)::DOUBLE), 0.0), 9)
+             |      ::DECIMAL(20,9) AS w
+             |  FROM eb GROUP BY 1 HAVING count(*) >= 2),
+             |wedge AS (SELECT i.dst AS b, i.src AS a, o.dst AS c
+             |  FROM eb i JOIN eb o ON i.dst = o.src
+             |  WHERE i.src < o.dst),
+             |scored AS (SELECT w.a, w.c, sum(mw.w) AS aa_score,
+             |    count(*)::BIGINT AS common_neighbors
+             |  FROM wedge w JOIN mw ON w.b = mw.b
+             |  GROUP BY 1, 2),
+             |nonadj AS (SELECT s.* FROM scored s
+             |  WHERE NOT EXISTS (SELECT 1 FROM e
+             |    WHERE e.p1 = s.a AND e.p2 = s.c))
+             |SELECT a, c, aa_score::DOUBLE AS aa_score, common_neighbors
+             |FROM nonadj
+             |ORDER BY aa_score DESC, a, c LIMIT 20""".stripMargin)),
+
+    // Association rules (Agrawal et al. 1993) over order→brand
+    // baskets: 1-item rules A ⇒ B with support ≥ 1% of baskets,
+    // ranked by lift. The basket relation (order, brand) is ONE
+    // distinct aggregate; singles and ordered pairs are two hash
+    // aggregates off it; support/confidence/lift are exact-integer
+    // ratios surfaced as ppm and a 6-dp lift. 25 brands ⇒ the pair
+    // digest is ≤ 600 rows at any corpus size — the fact-sized work
+    // is the basket distinct + the per-order pair expansion (baskets
+    // are ≤ |brands| wide, so the self-join is bounded per order).
+    QueryDef("q_assoc_rules",
+      (s, d) => {
+        val bl = s.read.parquet(s"$d/lineitem.parquet")
+          .join(s.read.parquet(s"$d/part.parquet"),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("oid"), col("p_brand").as("brand"))
+          .distinct()
+        val nb = broadcast(bl.agg(countDistinct(col("oid")).as("n")))
+        val singles = bl.groupBy(col("brand")).agg(count(lit(1)).as("cs"))
+        val pairs = bl.join(bl.select(col("oid").as("o2"),
+              col("brand").as("brand_b")), col("oid") === col("o2"))
+          .filter(col("brand") =!= col("brand_b"))
+          .groupBy(col("brand").as("brand_a"), col("brand_b"))
+          .agg(count(lit(1)).as("cab"))
+        pairs
+          .join(broadcast(singles.select(col("brand").as("brand_a"),
+            col("cs").as("ca"))), "brand_a")
+          .join(broadcast(singles.select(col("brand").as("brand_b"),
+            col("cs").as("cb"))), "brand_b")
+          .crossJoin(nb)
+          .filter(col("cab") * 100 >= col("n"))
+          .select(col("brand_a"), col("brand_b"),
+            expr("cab * 1000000 div n").as("support_ppm"),
+            expr("cab * 1000000 div ca").as("confidence_ppm"),
+            round(col("cab").cast("double") * col("n").cast("double") /
+              (col("ca").cast("double") * col("cb").cast("double")), 6)
+              .as("lift"))
+          .orderBy(col("lift").desc, col("brand_a"), col("brand_b"))
+          .limit(20)
+      },
+      Some("""WITH bl AS (SELECT DISTINCT l_orderkey AS oid,
+             |    p_brand AS brand
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+             |nb AS (SELECT count(DISTINCT oid)::BIGINT AS n FROM bl),
+             |singles AS (SELECT brand, count(*)::BIGINT AS cs FROM bl
+             |  GROUP BY 1),
+             |pairs AS (SELECT a.brand AS brand_a, b.brand AS brand_b,
+             |    count(*)::BIGINT AS cab
+             |  FROM bl a JOIN bl b ON a.oid = b.oid
+             |    AND a.brand <> b.brand
+             |  GROUP BY 1, 2)
+             |SELECT brand_a, brand_b,
+             |  (cab * 1000000 // n)::BIGINT AS support_ppm,
+             |  (cab * 1000000 // ca.cs)::BIGINT AS confidence_ppm,
+             |  round(cab::DOUBLE * n::DOUBLE
+             |    / (ca.cs::DOUBLE * cb.cs::DOUBLE), 6) AS lift
+             |FROM pairs
+             |JOIN singles ca ON ca.brand = brand_a
+             |JOIN singles cb ON cb.brand = brand_b, nb
+             |WHERE cab * 100 >= n
+             |ORDER BY lift DESC, brand_a, brand_b LIMIT 20""".stripMargin))
   )
 }

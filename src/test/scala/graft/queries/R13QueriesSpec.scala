@@ -325,4 +325,103 @@ class R13QueriesSpec extends GraftSpec {
     assert(out.getAs[Double]("dispersion") > 0.0)
     assert(out.getAs[Double]("lambda_hat") > 0.0)
   }
+
+  /** lineitem.parquet + part.parquet from brand-labelled baskets; the
+    * co-purchase artifact derives edges from pairs appearing in ≥2
+    * baskets. */
+  private def basketDir(baskets: Seq[Seq[Int]],
+      brand: Int => String = p => s"B$p"): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("r13bk").toString
+    baskets.zipWithIndex.flatMap { case (ps, oid) =>
+      ps.map(p => (oid.toLong, p.toLong))
+    }.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    baskets.flatten.distinct.map(p => (p.toLong, brand(p)))
+      .toDF("p_partkey", "p_brand")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    dir
+  }
+
+  /** Each undirected edge shipped as two 2-part baskets (clears the
+    * co-purchase artifact's w ≥ 2 support bar). */
+  private def edgeBaskets(edges: Seq[(Int, Int)]): Seq[Seq[Int]] =
+    edges.flatMap { case (a, b) => Seq(Seq(a, b), Seq(a, b)) }
+
+  test("q_katz_centrality: triangle graph converges to the closed form") {
+    // deg ≡ 2: x1 = 2e9/8, x2 = 2(1e9+x1)/8, x3 = 2(1e9+x2)/8
+    val dir = basketDir(edgeBaskets(Seq((1, 2), (1, 3), (2, 3))))
+    val rows = byName("q_katz_centrality")(spark, dir).collect()
+    assert(rows.length === 3)
+    assert(rows.forall(_.getAs[Long]("katz") === 328125000L))
+  }
+
+  test("q_katz_centrality: sf0.001 top-20 is sorted and positive") {
+    val rows =
+      byName("q_katz_centrality")(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length === 20)
+    val ks = rows.map(_.getAs[Long]("katz"))
+    assert(ks.zip(ks.tail).forall { case (a, b) => a >= b })
+    assert(ks.forall(_ > 0L))
+  }
+
+  test("q_ktruss4: one triangle peels away, K4 survives intact") {
+    // triangle: every edge in 1 triangle < 2 → empty 4-truss
+    val tri = basketDir(edgeBaskets(Seq((1, 2), (1, 3), (2, 3))))
+    val o1 = byName("q_ktruss4")(spark, tri).head()
+    assert(o1.getAs[Long]("truss_edges") === 0L)
+    assert(o1.getAs[Long]("truss_nodes") === 0L)
+    // K4: every edge in 2 triangles → the whole clique survives
+    val k4 = basketDir(edgeBaskets(
+      Seq((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4))))
+    val o2 = byName("q_ktruss4")(spark, k4).head()
+    assert(o2.getAs[Long]("truss_edges") === 6L)
+    assert(o2.getAs[Long]("truss_nodes") === 4L)
+    assert(o2.getAs[Long]("max_degree") === 3L)
+  }
+
+  test("q_adamic_adar: path graph scores the endpoints 1/ln 2") {
+    val dir = basketDir(edgeBaskets(Seq((1, 2), (2, 3))))
+    val rows = byName("q_adamic_adar")(spark, dir).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Long]("a") === 1L)
+    assert(rows.head.getAs[Long]("c") === 3L)
+    assert(math.abs(rows.head.getAs[Double]("aa_score") -
+      1.0 / math.log(2.0)) < 1e-8)
+    assert(rows.head.getAs[Long]("common_neighbors") === 1L)
+  }
+
+  test("q_adamic_adar: sf0.001 predictions exclude existing edges") {
+    val dir = "/root/testdata/sf0.001"
+    val preds = byName("q_adamic_adar")(spark, dir)
+    val e = spark.read.parquet(
+      SqlQueries.copurchaseEdgesOf(spark, dir))
+    assert(preds.join(e,
+      preds("a") === e("p1") && preds("c") === e("p2")).count() === 0L)
+    assert(preds.count() === 20L)
+  }
+
+  test("q_assoc_rules: two-brand fixture hits exact support/conf/lift") {
+    // baskets: {A,B}, {A,B}, {A}, {B} → n=4, ca=cb=3, cab=2
+    val dir = basketDir(Seq(Seq(1, 2), Seq(1, 2), Seq(1), Seq(2)),
+      p => if (p == 1) "BrandA" else "BrandB")
+    val rows = byName("q_assoc_rules")(spark, dir).collect()
+    assert(rows.length === 2)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("support_ppm") === 500000L)
+      assert(r.getAs[Long]("confidence_ppm") === 666666L)
+      assert(r.getAs[Double]("lift") === 0.888889)
+    }
+  }
+
+  test("q_assoc_rules: sf0.001 rules have lift > 0 and valid ppm ranges") {
+    val rows =
+      byName("q_assoc_rules")(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("support_ppm") >= 10000L) // ≥1% bar
+      assert(r.getAs[Long]("confidence_ppm") <= 1000000L)
+      assert(r.getAs[Double]("lift") > 0.0)
+    }
+  }
 }
