@@ -1531,6 +1531,291 @@ object R13Queries {
              |JOIN singles ca ON ca.brand = brand_a
              |JOIN singles cb ON cb.brand = brand_b, nb
              |WHERE cab * 100 >= n
-             |ORDER BY lift DESC, brand_a, brand_b LIMIT 20""".stripMargin))
+             |ORDER BY lift DESC, brand_a, brand_b LIMIT 20""".stripMargin)),
+
+    // Getis-Ord Gi* hot-spot statistic (Getis & Ord 1992; Ord & Getis
+    // 1995) on the day-of-week × hour torus lattice — WHERE in the
+    // weekly rhythm is traffic significantly hot or cold? The 168-cell
+    // spine is generated (missing cells are real zeros, not absent
+    // rows); the neighborhood is rook + self on the wrapped grid
+    // (W_i = 5 everywhere, so the denominator is one global form).
+    // Neighbor sums are exact integers via a 5-offset explode-join on
+    // the digest; Gi* = (Σ_j w x_j − 5x̄)/(S√((5n − 25)/(n−1))).
+    // Top-10 by |z|. 100 TB: one fact-sized aggregate, then 168 rows.
+    QueryDef("q_getis_ord",
+      (s, d) => {
+        val cnt = graft.sources.Tables.events(s, d)
+          .groupBy((dayofweek(col("ts")) - 1).as("dw"),
+            hour(col("ts")).as("hr"))
+          .agg(count(lit(1)).as("c"))
+        val spine = s.range(7).select(col("id").as("dw"))
+          .crossJoin(s.range(24).select(col("id").as("hr")))
+        val grid = spine.join(cnt, Seq("dw", "hr"), "left")
+          .select(col("dw"), col("hr"),
+            coalesce(col("c"), lit(0L)).as("x"))
+        val tot = broadcast(grid.agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("x") * col("x")).as("qx")))
+        val nbr = grid.select(col("dw"), col("hr"),
+            explode(array(
+              struct(col("dw").as("ndw"), col("hr").as("nhr")),
+              struct(pmod(col("dw") + 1, lit(7)).as("ndw"),
+                col("hr").as("nhr")),
+              struct(pmod(col("dw") + 6, lit(7)).as("ndw"),
+                col("hr").as("nhr")),
+              struct(col("dw").as("ndw"),
+                pmod(col("hr") + 1, lit(24)).as("nhr")),
+              struct(col("dw").as("ndw"),
+                pmod(col("hr") + 23, lit(24)).as("nhr")))).as("nb"))
+          .select(col("dw"), col("hr"), col("nb.ndw").as("ndw"),
+            col("nb.nhr").as("nhr"))
+          .join(grid.select(col("dw").as("ndw"), col("hr").as("nhr"),
+            col("x").as("nx")), Seq("ndw", "nhr"))
+          .groupBy(col("dw"), col("hr"))
+          .agg(sum(col("nx")).as("nsum"))
+        def dbl(c: String) = col(c).cast("double")
+        val xbar = dbl("sx") / dbl("n")
+        val s2 = sqrt(dbl("qx") / dbl("n") - xbar * xbar)
+        val z = (dbl("nsum") - xbar * 5.0) /
+          (s2 * sqrt((dbl("n") * 5.0 - 25.0) / (dbl("n") - 1.0)))
+        nbr.crossJoin(tot)
+          .select(col("dw"), col("hr"), col("nsum"),
+            round(z, 4).as("gi_z"))
+          .orderBy(abs(col("gi_z")).desc, col("dw"), col("hr"))
+          .limit(10)
+      },
+      Some("""WITH cnt AS (SELECT dayofweek(ts)::BIGINT AS dw,
+             |    hour(ts)::BIGINT AS hr, count(*)::BIGINT AS c
+             |  FROM events GROUP BY 1, 2),
+             |spine AS (SELECT d.d AS dw, h.h AS hr
+             |  FROM (SELECT unnest(generate_series(0, 6))::BIGINT AS d) d,
+             |    (SELECT unnest(generate_series(0, 23))::BIGINT AS h) h),
+             |grid AS (SELECT spine.dw, spine.hr,
+             |    coalesce(cnt.c, 0)::BIGINT AS x
+             |  FROM spine LEFT JOIN cnt
+             |    ON spine.dw = cnt.dw AND spine.hr = cnt.hr),
+             |tot AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+             |    sum(x * x)::BIGINT AS qx FROM grid),
+             |nbr AS (SELECT g.dw, g.hr, sum(n2.x)::BIGINT AS nsum
+             |  FROM grid g
+             |  JOIN grid n2 ON (n2.dw = g.dw AND n2.hr = g.hr)
+             |    OR (n2.dw = (g.dw + 1) % 7 AND n2.hr = g.hr)
+             |    OR (n2.dw = (g.dw + 6) % 7 AND n2.hr = g.hr)
+             |    OR (n2.dw = g.dw AND n2.hr = (g.hr + 1) % 24)
+             |    OR (n2.dw = g.dw AND n2.hr = (g.hr + 23) % 24)
+             |  GROUP BY 1, 2)
+             |SELECT dw, hr, nsum,
+             |  round((nsum::DOUBLE - sx::DOUBLE / n::DOUBLE * 5.0)
+             |    / (sqrt(qx::DOUBLE / n::DOUBLE - (sx::DOUBLE / n::DOUBLE)
+             |        * (sx::DOUBLE / n::DOUBLE))
+             |      * sqrt((n::DOUBLE * 5.0 - 25.0) / (n::DOUBLE - 1.0))),
+             |    4) AS gi_z
+             |FROM nbr, tot
+             |ORDER BY abs(round((nsum::DOUBLE - sx::DOUBLE / n::DOUBLE
+             |      * 5.0)
+             |    / (sqrt(qx::DOUBLE / n::DOUBLE - (sx::DOUBLE / n::DOUBLE)
+             |        * (sx::DOUBLE / n::DOUBLE))
+             |      * sqrt((n::DOUBLE * 5.0 - 25.0) / (n::DOUBLE - 1.0))),
+             |    4)) DESC, dw, hr
+             |LIMIT 10""".stripMargin)),
+
+    // Temporal Ripley K (Ripley 1977, 1-D form) of the event point
+    // process at h ∈ {60 s, 300 s, 3600 s}: K̂(h) = T·P_h/(n(n−1))
+    // where P_h counts ordered pairs within h — the clustering
+    // diagnostic whose CSR benchmark is K(h) = 2h, reported as
+    // l_ratio = K̂/(2h) (>1 ⇒ clustered, <1 ⇒ inhibited). The pair
+    // count is ONE banded self-join on 3600 s buckets (each event
+    // joins its own ± neighbor buckets only — never all-pairs) with
+    // the three radii as conditional sums off the same join. Pair
+    // counts are exact integers; T and the ratios are one-row doubles.
+    QueryDef("q_ripley_k",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+          .select(col("event_id").as("eid"),
+            expr("unix_micros(ts)").as("us"))
+        val b = ev.withColumn("bk", expr("us div 3600000000"))
+        val span = broadcast(ev.agg(count(lit(1)).as("n"),
+          (max(col("us")) - min(col("us"))).as("t_us")))
+        val pairs = b.select(col("eid"), col("us"),
+            explode(array(col("bk") - 1, col("bk"), col("bk") + 1))
+              .as("jb"))
+          .join(b.select(col("eid").as("eid2"), col("us").as("us2"),
+            col("bk").as("jb")), Seq("jb"))
+          .filter(col("eid") =!= col("eid2"))
+          .agg(
+            sum(when(abs(col("us") - col("us2")) <= 60000000L, 1L)
+              .otherwise(0L)).as("p60"),
+            sum(when(abs(col("us") - col("us2")) <= 300000000L, 1L)
+              .otherwise(0L)).as("p300"),
+            sum(when(abs(col("us") - col("us2")) <= 3600000000L, 1L)
+              .otherwise(0L)).as("p3600"))
+        def dbl(c: String) = col(c).cast("double")
+        val hs = Seq(("p60", 60.0), ("p300", 300.0), ("p3600", 3600.0))
+        val rows = hs.map { case (pc, hsec) =>
+          pairs.crossJoin(span).select(
+            lit(hsec.toLong).as("h_sec"), col(pc).as("pairs"),
+            round((dbl("t_us") / 1e6) * dbl(pc) /
+              (dbl("n") * (dbl("n") - 1.0)), 4).as("k_hat"),
+            round((dbl("t_us") / 1e6) * dbl(pc) /
+              (dbl("n") * (dbl("n") - 1.0)) / (2.0 * hsec), 6)
+              .as("l_ratio"))
+        }
+        rows.reduce(_ unionAll _).orderBy(col("h_sec"))
+      },
+      Some("""WITH ev AS (SELECT event_id AS eid, epoch_us(ts) AS us,
+             |    epoch_us(ts) // 3600000000 AS bk FROM events),
+             |span AS (SELECT count(*)::BIGINT AS n,
+             |    (max(us) - min(us))::BIGINT AS t_us FROM ev),
+             |p AS (SELECT
+             |    sum(CASE WHEN abs(a.us - c.us) <= 60000000
+             |      THEN 1 ELSE 0 END)::BIGINT AS p60,
+             |    sum(CASE WHEN abs(a.us - c.us) <= 300000000
+             |      THEN 1 ELSE 0 END)::BIGINT AS p300,
+             |    sum(CASE WHEN abs(a.us - c.us) <= 3600000000
+             |      THEN 1 ELSE 0 END)::BIGINT AS p3600
+             |  FROM ev a JOIN ev c
+             |    ON c.bk BETWEEN a.bk - 1 AND a.bk + 1
+             |    AND a.eid <> c.eid),
+             |hh AS (SELECT unnest([60, 300, 3600])::BIGINT AS h_sec)
+             |SELECT h_sec,
+             |  CASE h_sec WHEN 60 THEN p60 WHEN 300 THEN p300
+             |    ELSE p3600 END AS pairs,
+             |  round((t_us::DOUBLE / 1e6)
+             |    * (CASE h_sec WHEN 60 THEN p60 WHEN 300 THEN p300
+             |      ELSE p3600 END)::DOUBLE
+             |    / (n::DOUBLE * (n::DOUBLE - 1.0)), 4) AS k_hat,
+             |  round((t_us::DOUBLE / 1e6)
+             |    * (CASE h_sec WHEN 60 THEN p60 WHEN 300 THEN p300
+             |      ELSE p3600 END)::DOUBLE
+             |    / (n::DOUBLE * (n::DOUBLE - 1.0))
+             |    / (2.0 * h_sec::DOUBLE), 6) AS l_ratio
+             |FROM p, span, hh
+             |ORDER BY h_sec""".stripMargin)),
+
+    // Natural visibility graph (Lacasa et al. 2008) of the daily
+    // series: days a < b are linked iff every day c strictly between
+    // them sits below the sight line — the cross-multiplied integer
+    // test (y_c − y_a)(t_b − t_a) < (y_b − y_a)(t_c − t_a), no float
+    // slopes, no ties ambiguity. Edges = all pairs MINUS pairs with a
+    // blocking interior day (one between-join + left-anti). The graph
+    // view of a time series that turns periodicity into hubs. All
+    // work is digest-sized: ~n³/6 interior checks on the CALENDAR
+    // digest, never on facts.
+    QueryDef("q_visibility_graph",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+          .withColumn("t",
+            (row_number().over(Window.orderBy(col("day"))) - 1)
+              .cast("long"))
+          .select(col("t"), col("y"))
+        val p = daily.select(col("t").as("ta"), col("y").as("ya"))
+          .join(daily.select(col("t").as("tb"), col("y").as("yb")),
+            col("ta") < col("tb"))
+        val blocked = p.join(daily.select(col("t").as("tc"),
+              col("y").as("yc")),
+            col("tc") > col("ta") && col("tc") < col("tb") &&
+            (col("yc") - col("ya")) * (col("tb") - col("ta")) >=
+              (col("yb") - col("ya")) * (col("tc") - col("ta")))
+          .select(col("ta"), col("tb")).distinct()
+        val edges = p.join(blocked, Seq("ta", "tb"), "left_anti")
+        val deg = edges.select(explode(array(col("ta"), col("tb")))
+            .as("nd"))
+          .groupBy(col("nd")).agg(count(lit(1)).as("dg"))
+        edges.agg(count(lit(1)).as("n_edges"))
+          .crossJoin(broadcast(daily.agg(count(lit(1)).as("n_nodes"))))
+          .crossJoin(broadcast(deg.agg(max(col("dg")).as("max_degree"))))
+          .select(col("n_nodes"), col("n_edges"),
+            round(lit(2.0) * col("n_edges").cast("double") /
+              col("n_nodes").cast("double"), 6).as("mean_degree"),
+            col("max_degree"))
+      },
+      Some("""WITH daily AS (SELECT row_number() OVER (ORDER BY day) - 1
+             |      AS t, y FROM (
+             |    SELECT ts::DATE AS day, count(*)::BIGINT AS y
+             |    FROM events GROUP BY 1)),
+             |p AS (SELECT a.t AS ta, a.y AS ya, b.t AS tb, b.y AS yb
+             |  FROM daily a JOIN daily b ON a.t < b.t),
+             |blocked AS (SELECT DISTINCT ta, tb FROM p
+             |  JOIN daily c ON c.t > ta AND c.t < tb
+             |    AND (c.y - ya) * (tb - ta) >= (yb - ya) * (c.t - ta)),
+             |edges AS (SELECT ta, tb FROM p
+             |  WHERE NOT EXISTS (SELECT 1 FROM blocked
+             |    WHERE blocked.ta = p.ta AND blocked.tb = p.tb)),
+             |deg AS (SELECT nd, count(*)::BIGINT AS dg FROM (
+             |    SELECT ta AS nd FROM edges
+             |    UNION ALL SELECT tb FROM edges) GROUP BY 1),
+             |nn AS (SELECT count(*)::BIGINT AS n_nodes FROM daily),
+             |ne AS (SELECT count(*)::BIGINT AS n_edges FROM edges),
+             |md AS (SELECT max(dg)::BIGINT AS max_degree FROM deg)
+             |SELECT n_nodes, n_edges,
+             |  round(2.0 * n_edges::DOUBLE / n_nodes::DOUBLE, 6)
+             |    AS mean_degree,
+             |  max_degree
+             |FROM nn, ne, md""".stripMargin)),
+
+    // Recurrence quantification (Zbilut & Webber 1992) of the daily
+    // series with ε = range/10: recurrence rate plus the diagonal
+    // (determinism) and vertical (laminarity) 2-point structure
+    // fractions — does the system revisit states, and does it do so
+    // in runs? R = {(i,j), i<j : |y_i − y_j| ≤ ε} is one
+    // digest-sized ε-band self-join; DET₂/LAM₂ re-join R against
+    // itself shifted by (1,1)/(0,1). Everything is exact integers
+    // until the three final ratios.
+    QueryDef("q_recurrence_quant",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+          .withColumn("t",
+            (row_number().over(Window.orderBy(col("day"))) - 1)
+              .cast("long"))
+          .select(col("t"), col("y"))
+        val eps = broadcast(daily.agg(count(lit(1)).as("n"),
+          expr("(max(y) - min(y)) div 10").as("eps")))
+        val r = daily.select(col("t").as("i"), col("y").as("yi"))
+          .join(daily.select(col("t").as("j"), col("y").as("yj")),
+            col("i") < col("j"))
+          .crossJoin(eps)
+          .filter(abs(col("yi") - col("yj")) <= col("eps"))
+          .select(col("i"), col("j"))
+        val rp = r.persist()
+        val d2 = rp.join(rp.select((col("i") - 1).as("i"),
+          (col("j") - 1).as("j")), Seq("i", "j"), "left_semi")
+        val v2 = rp.join(rp.select(col("i"),
+          (col("j") - 1).as("j")), Seq("i", "j"), "left_semi")
+        def dbl(c: String) = col(c).cast("double")
+        rp.agg(count(lit(1)).as("n_recur"))
+          .crossJoin(broadcast(d2.agg(count(lit(1)).as("nd2"))))
+          .crossJoin(broadcast(v2.agg(count(lit(1)).as("nv2"))))
+          .crossJoin(eps)
+          .select(col("n").as("n_days"), col("eps"), col("n_recur"),
+            round(lit(2.0) * dbl("n_recur") / (dbl("n") * dbl("n")), 6)
+              .as("rr"),
+            round(dbl("nd2") / dbl("n_recur"), 6).as("det2_frac"),
+            round(dbl("nv2") / dbl("n_recur"), 6).as("lam2_frac"))
+      },
+      Some("""WITH daily AS (SELECT row_number() OVER (ORDER BY day) - 1
+             |      AS t, y FROM (
+             |    SELECT ts::DATE AS day, count(*)::BIGINT AS y
+             |    FROM events GROUP BY 1)),
+             |ep AS (SELECT count(*)::BIGINT AS n,
+             |    ((max(y) - min(y)) // 10)::BIGINT AS eps FROM daily),
+             |r AS MATERIALIZED (SELECT a.t AS i, b.t AS j
+             |  FROM daily a JOIN daily b ON a.t < b.t, ep
+             |  WHERE abs(a.y - b.y) <= ep.eps),
+             |d2 AS (SELECT count(*)::BIGINT AS nd2 FROM r
+             |  WHERE EXISTS (SELECT 1 FROM r r2
+             |    WHERE r2.i = r.i + 1 AND r2.j = r.j + 1)),
+             |v2 AS (SELECT count(*)::BIGINT AS nv2 FROM r
+             |  WHERE EXISTS (SELECT 1 FROM r r2
+             |    WHERE r2.i = r.i AND r2.j = r.j + 1)),
+             |nr AS (SELECT count(*)::BIGINT AS n_recur FROM r)
+             |SELECT n AS n_days, eps, n_recur,
+             |  round(2.0 * n_recur::DOUBLE / (n::DOUBLE * n::DOUBLE), 6)
+             |    AS rr,
+             |  round(nd2::DOUBLE / n_recur::DOUBLE, 6) AS det2_frac,
+             |  round(nv2::DOUBLE / n_recur::DOUBLE, 6) AS lam2_frac
+             |FROM nr, d2, v2, ep""".stripMargin))
   )
 }

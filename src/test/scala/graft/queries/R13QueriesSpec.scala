@@ -424,4 +424,91 @@ class R13QueriesSpec extends GraftSpec {
       assert(r.getAs[Double]("lift") > 0.0)
     }
   }
+
+  test("q_getis_ord: a single hot cell lights itself and its 4 neighbors") {
+    // 100 events, all Monday (2024-01-01) hour 0 → the hot cell and
+    // its rook neighbors all see nsum = 100; everything else ~0
+    val rows = byName("q_getis_ord")(spark, dailyDir(Seq(100))).collect()
+    assert(rows.length === 10)
+    val hot = rows.take(5)
+    assert(hot.forall(_.getAs[Long]("nsum") === 100L))
+    assert(hot.forall(_.getAs[Double]("gi_z") > 5.0))
+    assert(hot.map(_.getAs[Double]("gi_z")).distinct.length === 1)
+    assert(hot.exists(r =>
+      r.getAs[Long]("dw") === 1L && r.getAs[Long]("hr") === 0L))
+  }
+
+  test("q_getis_ord: sf0.001 z-scores are finite, sorted by |z|") {
+    val rows = byName("q_getis_ord")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length === 10)
+    val zs = rows.map(r => math.abs(r.getAs[Double]("gi_z")))
+    assert(zs.zip(zs.tail).forall { case (a, b) => a >= b })
+    assert(zs.forall(z => !z.isNaN && !z.isInfinite))
+  }
+
+  test("q_ripley_k: 3 points a second apart — all 6 ordered pairs, K = T") {
+    // T = 2 s, every |Δ| ≤ 60 s → K̂(h) = 2·6/(3·2) = 2 for every h
+    val rows = byName("q_ripley_k")(spark, dailyDir(Seq(3))).collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("pairs") === 6L)
+      assert(r.getAs[Double]("k_hat") === 2.0)
+    }
+    assert(rows.map(_.getAs[Long]("h_sec")).toSeq === Seq(60L, 300L, 3600L))
+  }
+
+  test("q_ripley_k: sf0.001 pair counts nest with the radius") {
+    val rows = byName("q_ripley_k")(spark, "/root/testdata/sf0.001")
+      .collect().sortBy(_.getAs[Long]("h_sec"))
+    val p = rows.map(_.getAs[Long]("pairs"))
+    assert(p(0) <= p(1) && p(1) <= p(2))
+    assert(rows.forall(_.getAs[Double]("k_hat") >= 0.0))
+  }
+
+  test("q_visibility_graph: valley sees across, peak blocks") {
+    // y = [3,1,5]: (0,2) clears the sight line → 3 edges
+    val o1 = byName("q_visibility_graph")(spark, dailyDir(Seq(3, 1, 5)))
+      .head()
+    assert(o1.getAs[Long]("n_edges") === 3L)
+    assert(o1.getAs[Long]("max_degree") === 2L)
+    // y = [1,5,2]: the peak at t=1 blocks (0,2) → only adjacent edges
+    val o2 = byName("q_visibility_graph")(spark, dailyDir(Seq(1, 5, 2)))
+      .head()
+    assert(o2.getAs[Long]("n_edges") === 2L)
+  }
+
+  test("q_visibility_graph: sf0.001 adjacent-edge floor and degree bounds") {
+    val out = byName("q_visibility_graph")(spark, "/root/testdata/sf0.001")
+      .head()
+    val n = out.getAs[Long]("n_nodes")
+    val e = out.getAs[Long]("n_edges")
+    // adjacent days are always mutually visible; complete graph caps it
+    assert(e >= n - 1 && e <= n * (n - 1) / 2)
+    assert(out.getAs[Long]("max_degree") < n)
+  }
+
+  test("q_recurrence_quant: constant series — everything recurs, halves run") {
+    // eps = 0, all 6 pairs recurrent; 3 of 6 extend diagonally and
+    // 3 of 6 vertically → DET₂ = LAM₂ = 0.5, RR = 12/16
+    val out = byName("q_recurrence_quant")(spark, dailyDir(Seq.fill(4)(5)))
+      .head()
+    assert(out.getAs[Long]("eps") === 0L)
+    assert(out.getAs[Long]("n_recur") === 6L)
+    assert(out.getAs[Double]("rr") === 0.75)
+    assert(out.getAs[Double]("det2_frac") === 0.5)
+    assert(out.getAs[Double]("lam2_frac") === 0.5)
+  }
+
+  test("q_recurrence_quant: sf0.001 fractions in [0, 1]") {
+    val out = byName("q_recurrence_quant")(spark, "/root/testdata/sf0.001")
+      .head()
+    assert(out.getAs[Long]("n_recur") > 0L)
+    val rr = out.getAs[Double]("rr")
+    val d2 = out.getAs[Double]("det2_frac")
+    val l2 = out.getAs[Double]("lam2_frac")
+    assert(rr > 0.0 && rr < 1.0)
+    assert(d2 >= 0.0 && d2 <= 1.0)
+    assert(l2 >= 0.0 && l2 <= 1.0)
+  }
 }
