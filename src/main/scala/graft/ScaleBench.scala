@@ -112,7 +112,17 @@ object ScaleBench {
     "text_dup_ngram_profile",
     // per-user first-seen reduction + calendar quadratic fit — the
     // user-digest shuffle carries the 10× (density grows, days fixed)
-    "q_bass_diffusion")
+    "q_bass_diffusion",
+    // grid Ripley K: facts collapse to the span-bounded second digest,
+    // then ONE ordered RANGE-frame window — 10× density must cost
+    // ~the groupBy scan; the window itself is O(span), flat
+    "q_ripley_k_grid",
+    // visibility graph: the n³/6 sight-line checks ride the CALENDAR
+    // digest (days fixed as density grows) — near-FLAT is the bar
+    "q_visibility_graph",
+    // Gi* hotspots: one fact-sized aggregate → a generated 168-cell
+    // lattice; everything after the scan is constant-size
+    "q_getis_ord")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

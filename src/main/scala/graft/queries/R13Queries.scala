@@ -1691,6 +1691,79 @@ object R13Queries {
              |FROM p, span, hh
              |ORDER BY h_sec""".stripMargin)),
 
+    // The 100 TB twin of q_ripley_k: SECOND-GRID Ripley K. The banded
+    // µs-exact pair join above is the small-scale baseline — its pair
+    // count grows quadratically with density by the statistic's own
+    // nature. This twin collapses facts to the span-bounded per-second
+    // digest first (grid size is fixed by the TIME SPAN, independent
+    // of corpus size), then counts pairs as Σ_t c_t·W_h(t) − n where
+    // W_h(t) = Σ_{|t'−t|≤h} c_{t'} comes from ONE ordered RANGE-frame
+    // window over the grid (absent seconds are implicit zeros — RANGE
+    // frames are value-based, so gaps cost nothing). Second-resolution
+    // distances; products in DECIMAL(38,0) (c·W overflows int64 at
+    // extreme density). O(grid) after one fact-sized aggregate.
+    QueryDef("q_ripley_k_grid",
+      (s, d) => {
+        val sec = graft.sources.Tables.events(s, d)
+          .groupBy(expr("unix_micros(ts) div 1000000").as("t"))
+          .agg(count(lit(1)).as("c"))
+        val tot = broadcast(sec.agg(sum(col("c")).as("n"),
+          (max(col("t")) - min(col("t"))).as("t_span")))
+        def wsum(h: Long) = sum(col("c")).over(
+          Window.orderBy(col("t")).rangeBetween(-h, h))
+        val dec = "decimal(38,0)"
+        val ws = sec
+          .withColumn("w60", wsum(60L)).withColumn("w300", wsum(300L))
+          .withColumn("w3600", wsum(3600L))
+          .agg(sum(col("c").cast(dec) * col("w60")).as("s60"),
+            sum(col("c").cast(dec) * col("w300")).as("s300"),
+            sum(col("c").cast(dec) * col("w3600")).as("s3600"))
+        def dbl(c: String) = col(c).cast("double")
+        val rows = Seq(("s60", 60.0), ("s300", 300.0), ("s3600", 3600.0))
+          .map { case (sc, hsec) =>
+            ws.crossJoin(tot).select(
+              lit(hsec.toLong).as("h_sec"),
+              (col(sc) - col("n")).cast("long").as("pairs"),
+              round(dbl("t_span") * (col(sc) - col("n")).cast("double") /
+                (dbl("n") * (dbl("n") - 1.0)), 4).as("k_hat"),
+              round(dbl("t_span") * (col(sc) - col("n")).cast("double") /
+                (dbl("n") * (dbl("n") - 1.0)) / (2.0 * hsec), 6)
+                .as("l_ratio"))
+          }
+        rows.reduce(_ unionAll _).orderBy(col("h_sec"))
+      },
+      Some("""WITH sec AS (SELECT epoch_us(ts) // 1000000 AS t,
+             |    count(*)::BIGINT AS c FROM events GROUP BY 1),
+             |tot AS (SELECT sum(c)::BIGINT AS n,
+             |    (max(t) - min(t))::BIGINT AS t_span FROM sec),
+             |w AS (SELECT c,
+             |    sum(c) OVER (ORDER BY t RANGE BETWEEN 60 PRECEDING
+             |      AND 60 FOLLOWING) AS w60,
+             |    sum(c) OVER (ORDER BY t RANGE BETWEEN 300 PRECEDING
+             |      AND 300 FOLLOWING) AS w300,
+             |    sum(c) OVER (ORDER BY t RANGE BETWEEN 3600 PRECEDING
+             |      AND 3600 FOLLOWING) AS w3600
+             |  FROM sec),
+             |ws AS (SELECT sum(c::HUGEINT * w60) AS s60,
+             |    sum(c::HUGEINT * w300) AS s300,
+             |    sum(c::HUGEINT * w3600) AS s3600
+             |  FROM w),
+             |hh AS (SELECT unnest([60, 300, 3600])::BIGINT AS h_sec)
+             |SELECT h_sec,
+             |  (CASE h_sec WHEN 60 THEN s60 WHEN 300 THEN s300
+             |    ELSE s3600 END - n)::BIGINT AS pairs,
+             |  round(t_span::DOUBLE
+             |    * (CASE h_sec WHEN 60 THEN s60 WHEN 300 THEN s300
+             |      ELSE s3600 END - n)::DOUBLE
+             |    / (n::DOUBLE * (n::DOUBLE - 1.0)), 4) AS k_hat,
+             |  round(t_span::DOUBLE
+             |    * (CASE h_sec WHEN 60 THEN s60 WHEN 300 THEN s300
+             |      ELSE s3600 END - n)::DOUBLE
+             |    / (n::DOUBLE * (n::DOUBLE - 1.0))
+             |    / (2.0 * h_sec::DOUBLE), 6) AS l_ratio
+             |FROM ws, tot, hh
+             |ORDER BY h_sec""".stripMargin)),
+
     // Natural visibility graph (Lacasa et al. 2008) of the daily
     // series: days a < b are linked iff every day c strictly between
     // them sits below the sight line — the cross-multiplied integer
@@ -1816,6 +1889,430 @@ object R13Queries {
              |    AS rr,
              |  round(nd2::DOUBLE / n_recur::DOUBLE, 6) AS det2_frac,
              |  round(nv2::DOUBLE / n_recur::DOUBLE, 6) AS lam2_frac
-             |FROM nr, d2, v2, ep""".stripMargin))
+             |FROM nr, d2, v2, ep""".stripMargin)),
+
+    // D'Agostino K² omnibus normality test (D'Agostino 1970;
+    // D'Agostino & Pearson 1973) on event value: the skewness and
+    // excess-kurtosis z-transforms (Johnson SU for √b₁, Anscombe-
+    // Glynn cube-root for b₂) combined as K² = Z₁² + Z₂² ~ χ²₂. The
+    // ENTIRE test reduces to five exact integer power sums
+    // (n, Σx, Σx², Σx³, Σx⁴) in one map-side-combined aggregate —
+    // DECIMAL(38,0) because Σvm⁴ overflows int64 past ~9M rows. The
+    // z-transforms are closed-form doubles on the one-row digest
+    // (cbrt, not pow(·,1/3): pow of a negative base is NaN on both
+    // engines, cbrt is signed on both).
+    QueryDef("q_dagostino_k2",
+      (s, d) => {
+        val dec = "decimal(38,0)"
+        val v = graft.sources.Tables.events(s, d)
+          .select(floor(col("value") * 1000).cast("long").as("vm"))
+          .select(col("vm").cast(dec).as("x"))
+        val g = v.agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+          sum(col("x") * col("x")).as("s2"),
+          sum(col("x") * col("x") * col("x")).as("s3"),
+          sum(col("x") * col("x") * col("x") * col("x")).as("s4"))
+        def dbl(c: String) = col(c).cast("double")
+        val n = dbl("n")
+        val m = dbl("s1") / n
+        val m2 = dbl("s2") / n - m * m
+        val m3 = dbl("s3") / n - lit(3.0) * m * (dbl("s2") / n) +
+          lit(2.0) * m * m * m
+        val m4 = dbl("s4") / n - lit(4.0) * m * (dbl("s3") / n) +
+          lit(6.0) * m * m * (dbl("s2") / n) - lit(3.0) * m * m * m * m
+        val g1 = m3 / (m2 * sqrt(m2))
+        val g2 = m4 / (m2 * m2) - 3.0
+        val y = g1 * sqrt((n + 1.0) * (n + 3.0) / (lit(6.0) * (n - 2.0)))
+        val beta2 = lit(3.0) * (n * n + lit(27.0) * n - 70.0) *
+          (n + 1.0) * (n + 3.0) /
+          ((n - 2.0) * (n + 5.0) * (n + 7.0) * (n + 9.0))
+        val w2 = sqrt(lit(2.0) * (beta2 - 1.0)) - 1.0
+        val delta = lit(1.0) / sqrt(lit(0.5) * log(w2))
+        val alpha = sqrt(lit(2.0) / (w2 - 1.0))
+        val z1 = delta * log(y / alpha + sqrt(y / alpha * (y / alpha) +
+          1.0))
+        val ek = lit(3.0) * (n - 1.0) / (n + 1.0)
+        val vk = lit(24.0) * n * (n - 2.0) * (n - 3.0) /
+          ((n + 1.0) * (n + 1.0) * (n + 3.0) * (n + 5.0))
+        val xk = (g2 + 3.0 - ek) / sqrt(vk)
+        val b1 = lit(6.0) * (n * n - lit(5.0) * n + 2.0) /
+          ((n + 7.0) * (n + 9.0)) *
+          sqrt(lit(6.0) * (n + 3.0) * (n + 5.0) /
+            (n * (n - 2.0) * (n - 3.0)))
+        val a = lit(6.0) + lit(8.0) / b1 *
+          (lit(2.0) / b1 + sqrt(lit(1.0) + lit(4.0) / (b1 * b1)))
+        val z2 = ((lit(1.0) - lit(2.0) / (lit(9.0) * a)) -
+          cbrt((lit(1.0) - lit(2.0) / a) /
+            (lit(1.0) + xk * sqrt(lit(2.0) / (a - 4.0))))) *
+          sqrt(lit(9.0) * a / 2.0)
+        g.select(col("n"), round(g1, 6).as("skew"),
+          round(g2, 6).as("ex_kurtosis"), round(z1, 4).as("z_skew"),
+          round(z2, 4).as("z_kurt"),
+          round(z1 * z1 + z2 * z2, 4).as("k2_stat"))
+      },
+      Some("""WITH v AS (SELECT floor(value * 1000)::HUGEINT AS x
+             |  FROM events),
+             |g AS (SELECT count(*)::BIGINT AS n, sum(x) AS s1,
+             |    sum(x * x) AS s2, sum(x * x * x) AS s3,
+             |    sum(x * x * x * x) AS s4 FROM v),
+             |mm AS (SELECT n::DOUBLE AS n,
+             |    s1::DOUBLE / n::DOUBLE AS m,
+             |    s2::DOUBLE / n::DOUBLE AS r2,
+             |    s3::DOUBLE / n::DOUBLE AS r3,
+             |    s4::DOUBLE / n::DOUBLE AS r4 FROM g),
+             |cm AS (SELECT n, r2 - m * m AS m2,
+             |    r3 - 3.0 * m * r2 + 2.0 * m * m * m AS m3,
+             |    r4 - 4.0 * m * r3 + 6.0 * m * m * r2
+             |      - 3.0 * m * m * m * m AS m4 FROM mm),
+             |gg AS (SELECT n, m3 / (m2 * sqrt(m2)) AS g1,
+             |    m4 / (m2 * m2) - 3.0 AS g2 FROM cm),
+             |t1 AS (SELECT n, g1, g2,
+             |    g1 * sqrt((n + 1.0) * (n + 3.0) / (6.0 * (n - 2.0)))
+             |      AS y,
+             |    sqrt(2.0 * (3.0 * (n * n + 27.0 * n - 70.0)
+             |        * (n + 1.0) * (n + 3.0)
+             |        / ((n - 2.0) * (n + 5.0) * (n + 7.0) * (n + 9.0))
+             |      - 1.0)) - 1.0 AS w2
+             |  FROM gg),
+             |tz1 AS (SELECT n, g1, g2,
+             |    (1.0 / sqrt(0.5 * ln(w2)))
+             |      * ln(y / sqrt(2.0 / (w2 - 1.0))
+             |        + sqrt(y / sqrt(2.0 / (w2 - 1.0))
+             |          * (y / sqrt(2.0 / (w2 - 1.0))) + 1.0)) AS z1
+             |  FROM t1),
+             |t2 AS (SELECT n, g1, g2, z1,
+             |    (g2 + 3.0 - 3.0 * (n - 1.0) / (n + 1.0))
+             |      / sqrt(24.0 * n * (n - 2.0) * (n - 3.0)
+             |        / ((n + 1.0) * (n + 1.0) * (n + 3.0) * (n + 5.0)))
+             |      AS xk,
+             |    6.0 * (n * n - 5.0 * n + 2.0)
+             |      / ((n + 7.0) * (n + 9.0))
+             |      * sqrt(6.0 * (n + 3.0) * (n + 5.0)
+             |        / (n * (n - 2.0) * (n - 3.0))) AS b1
+             |  FROM tz1),
+             |t3 AS (SELECT n, g1, g2, z1, xk,
+             |    6.0 + 8.0 / b1
+             |      * (2.0 / b1 + sqrt(1.0 + 4.0 / (b1 * b1))) AS a
+             |  FROM t2),
+             |tz2 AS (SELECT n, g1, g2, z1,
+             |    ((1.0 - 2.0 / (9.0 * a))
+             |      - cbrt((1.0 - 2.0 / a)
+             |        / (1.0 + xk * sqrt(2.0 / (a - 4.0)))))
+             |      * sqrt(9.0 * a / 2.0) AS z2
+             |  FROM t3)
+             |SELECT n::BIGINT AS n, round(g1, 6) AS skew,
+             |  round(g2, 6) AS ex_kurtosis, round(z1, 4) AS z_skew,
+             |  round(z2, 4) AS z_kurt,
+             |  round(z1 * z1 + z2 * z2, 4) AS k2_stat
+             |FROM tz2""".stripMargin)),
+
+    // Brunner-Munzel test (Brunner & Munzel 2000) for purchase vs
+    // click values — the nonparametric Behrens-Fisher solution: tests
+    // P(X < Y) + ½P(X = Y) = ½ WITHOUT assuming equal variances (the
+    // Mann-Whitney blind spot). Everything reduces to exact integers
+    // on the value-cell digest: 2·midranks (global AND within-group)
+    // are integers, and the rank-variance terms clear to integers
+    // after scaling by 2n_i — so both σ̂² sums are exact DECIMAL
+    // reductions at any partition layout. Doubles only in the final
+    // W, p̂ and Welch df projections.
+    QueryDef("q_brunner_munzel",
+      (s, d) => {
+        val v = graft.sources.Tables.events(s, d)
+          .filter(col("event_type").isin("purchase", "click"))
+          .select((col("event_type") === "purchase").as("g"),
+            floor(col("value") * 1000).cast("long").as("vm"))
+        val cell = v.groupBy(col("vm")).agg(count(lit(1)).as("t"))
+        val cc = cell.withColumn("below",
+          coalesce(sum(col("t")).over(Window.orderBy(col("vm"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        val gc = v.groupBy(col("g"), col("vm"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("belowg",
+            coalesce(sum(col("c")).over(Window.partitionBy(col("g"))
+              .orderBy(col("vm"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        val j = gc.join(broadcast(cc), "vm")
+          .select(col("g"), col("c"),
+            (lit(2L) * col("below") + col("t") + 1L).as("r2"),
+            (lit(2L) * col("belowg") + col("c") + 1L).as("rg2"))
+        val wg = Window.partitionBy(col("g"))
+        val terms = j
+          .withColumn("ni", sum(col("c")).over(wg))
+          .withColumn("s2i",
+            sum(col("c").cast("decimal(38,0)") * col("r2")).over(wg))
+          .withColumn("tm",
+            col("ni").cast("decimal(38,0)") * col("r2") -
+            col("ni").cast("decimal(38,0)") * col("rg2") -
+            col("s2i") + col("ni").cast("decimal(38,0)") *
+              (col("ni") + 1L))
+        val gstat = terms.groupBy(col("g"))
+          .agg(max(col("ni")).as("ni"), max(col("s2i")).as("s2i"),
+            sum(col("c").cast("decimal(38,0)") * col("tm") * col("tm"))
+              .as("q"))
+        def pick(gv: Boolean, c: String, nm: String) =
+          max(when(col("g") === gv, col(c))).as(nm)
+        val one = gstat.agg(
+          pick(true, "ni", "n1"), pick(true, "s2i", "sa"),
+          pick(true, "q", "qa"),
+          pick(false, "ni", "n2"), pick(false, "s2i", "sb"),
+          pick(false, "q", "qb"))
+        def dbl(c: String) = col(c).cast("double")
+        val n1 = dbl("n1")
+        val n2 = dbl("n2")
+        val ra = dbl("sa") / (lit(2.0) * n1)
+        val rb = dbl("sb") / (lit(2.0) * n2)
+        val v1 = dbl("qa") / (lit(4.0) * n1 * n1 * (n1 - 1.0))
+        val v2 = dbl("qb") / (lit(4.0) * n2 * n2 * (n2 - 1.0))
+        val se = sqrt(n1 * v1 + n2 * v2)
+        one.select(col("n1"), col("n2"),
+          round((ra - (n1 + 1.0) / 2.0) / n2, 6).as("p_hat"),
+          round(n1 * n2 * (ra - rb) / ((n1 + n2) * se), 4).as("w_stat"),
+          round((n1 * v1 + n2 * v2) * (n1 * v1 + n2 * v2) /
+            ((n1 * v1) * (n1 * v1) / (n1 - 1.0) +
+              (n2 * v2) * (n2 * v2) / (n2 - 1.0)), 2).as("df"))
+      },
+      Some("""WITH v AS (SELECT event_type = 'purchase' AS g,
+             |    floor(value * 1000)::BIGINT AS vm FROM events
+             |  WHERE event_type IN ('purchase', 'click')),
+             |cell AS (SELECT vm, count(*)::BIGINT AS t FROM v GROUP BY 1),
+             |cc AS (SELECT vm, t, coalesce(sum(t) OVER (ORDER BY vm
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |    AS below FROM cell),
+             |gc AS (SELECT g, vm, count(*)::BIGINT AS c,
+             |    coalesce(sum(count(*)) OVER (PARTITION BY g ORDER BY vm
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS belowg
+             |  FROM v GROUP BY 1, 2),
+             |j AS (SELECT g, c, 2 * below + t + 1 AS r2,
+             |    2 * belowg + c + 1 AS rg2
+             |  FROM gc JOIN cc USING (vm)),
+             |terms AS (SELECT g, c,
+             |    sum(c) OVER (PARTITION BY g) AS ni,
+             |    sum(c::HUGEINT * r2) OVER (PARTITION BY g) AS s2i,
+             |    r2, rg2 FROM j),
+             |tm AS (SELECT g, c, ni, s2i,
+             |    ni::HUGEINT * r2 - ni::HUGEINT * rg2 - s2i
+             |      + ni::HUGEINT * (ni + 1) AS tmv FROM terms),
+             |gstat AS (SELECT g, max(ni)::BIGINT AS ni, max(s2i) AS s2i,
+             |    sum(c::HUGEINT * tmv * tmv) AS q FROM tm GROUP BY 1),
+             |one AS (SELECT
+             |    max(CASE WHEN g THEN ni END)::BIGINT AS n1,
+             |    max(CASE WHEN g THEN s2i END) AS sa,
+             |    max(CASE WHEN g THEN q END) AS qa,
+             |    max(CASE WHEN NOT g THEN ni END)::BIGINT AS n2,
+             |    max(CASE WHEN NOT g THEN s2i END) AS sb,
+             |    max(CASE WHEN NOT g THEN q END) AS qb
+             |  FROM gstat),
+             |e AS (SELECT n1, n2,
+             |    sa::DOUBLE / (2.0 * n1::DOUBLE) AS ra,
+             |    sb::DOUBLE / (2.0 * n2::DOUBLE) AS rb,
+             |    qa::DOUBLE / (4.0 * n1::DOUBLE * n1::DOUBLE
+             |      * (n1::DOUBLE - 1.0)) AS v1,
+             |    qb::DOUBLE / (4.0 * n2::DOUBLE * n2::DOUBLE
+             |      * (n2::DOUBLE - 1.0)) AS v2
+             |  FROM one)
+             |SELECT n1, n2,
+             |  round((ra - (n1::DOUBLE + 1.0) / 2.0) / n2::DOUBLE, 6)
+             |    AS p_hat,
+             |  round(n1::DOUBLE * n2::DOUBLE * (ra - rb)
+             |    / ((n1::DOUBLE + n2::DOUBLE)
+             |      * sqrt(n1::DOUBLE * v1 + n2::DOUBLE * v2)), 4)
+             |    AS w_stat,
+             |  round((n1::DOUBLE * v1 + n2::DOUBLE * v2)
+             |      * (n1::DOUBLE * v1 + n2::DOUBLE * v2)
+             |    / ((n1::DOUBLE * v1) * (n1::DOUBLE * v1)
+             |        / (n1::DOUBLE - 1.0)
+             |      + (n2::DOUBLE * v2) * (n2::DOUBLE * v2)
+             |        / (n2::DOUBLE - 1.0)), 2) AS df
+             |FROM e""".stripMargin)),
+
+    // Cucconi location-scale test (Cucconi 1968; Marozzi 2009) for
+    // purchase vs click — the single test that catches a shift in
+    // EITHER mean or spread, older than and competitive with the
+    // better-known Lepage. U uses squared midranks, V squared
+    // contrary ranks; C = (U² + V² − 2ρUV)/(2(1−ρ²)). Midrank
+    // doubling makes 3·Σc(2R)² and the U/V numerators exact integers
+    // (DECIMAL — squared doubled ranks overflow int64), so the only
+    // doubles are the three final standardized forms.
+    QueryDef("q_cucconi",
+      (s, d) => {
+        val v = graft.sources.Tables.events(s, d)
+          .filter(col("event_type").isin("purchase", "click"))
+          .select((col("event_type") === "purchase").as("g"),
+            floor(col("value") * 1000).cast("long").as("vm"))
+        val cell = v.groupBy(col("vm")).agg(count(lit(1)).as("t"))
+        val cc = cell.withColumn("below",
+          coalesce(sum(col("t")).over(Window.orderBy(col("vm"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        val gc = v.filter(col("g")).groupBy(col("vm"))
+          .agg(count(lit(1)).as("c"))
+        val tot = broadcast(v.agg(count(lit(1)).as("nn"),
+          sum(when(col("g"), 1L).otherwise(0L)).as("n1")))
+        val dec = "decimal(38,0)"
+        val q = gc.join(broadcast(cc), "vm").crossJoin(tot)
+          .select(col("nn"), col("n1"),
+            (col("c").cast(dec) *
+              ((lit(2L) * col("below") + col("t") + 1L).cast(dec) *
+               (lit(2L) * col("below") + col("t") + 1L))).as("q4"),
+            (col("c").cast(dec) *
+              ((lit(2L) * (col("nn") + 1L) - lit(2L) * col("below") -
+                col("t") - 1L).cast(dec) *
+               (lit(2L) * (col("nn") + 1L) - lit(2L) * col("below") -
+                col("t") - 1L))).as("q4c"))
+          .groupBy(col("nn"), col("n1"))
+          .agg(sum(col("q4")).as("q4"), sum(col("q4c")).as("q4c"))
+        def dbl(c: String) = col(c).cast("double")
+        val nn = dbl("nn")
+        val n1 = dbl("n1")
+        val n2 = nn - n1
+        val den = lit(2.0) * sqrt(n1 * n2 * (nn + 1.0) *
+          (lit(2.0) * nn + 1.0) * (lit(8.0) * nn + 11.0) / 5.0)
+        val u = (lit(3.0) * dbl("q4") -
+          lit(2.0) * n1 * (nn + 1.0) * (lit(2.0) * nn + 1.0)) / den
+        val vv = (lit(3.0) * dbl("q4c") -
+          lit(2.0) * n1 * (nn + 1.0) * (lit(2.0) * nn + 1.0)) / den
+        val rho = lit(2.0) * (nn * nn - 4.0) /
+          ((lit(2.0) * nn + 1.0) * (lit(8.0) * nn + 11.0)) - 1.0
+        q.select(col("n1"), (col("nn") - col("n1")).as("n2"),
+          round(u, 4).as("u_stat"), round(vv, 4).as("v_stat"),
+          round((u * u + vv * vv - lit(2.0) * rho * u * vv) /
+            (lit(2.0) * (lit(1.0) - rho * rho)), 4).as("c_stat"))
+      },
+      Some("""WITH v AS (SELECT event_type = 'purchase' AS g,
+             |    floor(value * 1000)::BIGINT AS vm FROM events
+             |  WHERE event_type IN ('purchase', 'click')),
+             |cell AS (SELECT vm, count(*)::BIGINT AS t FROM v GROUP BY 1),
+             |cc AS (SELECT vm, t, coalesce(sum(t) OVER (ORDER BY vm
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |    AS below FROM cell),
+             |gc AS (SELECT vm, count(*)::BIGINT AS c FROM v WHERE g
+             |  GROUP BY 1),
+             |tot AS (SELECT count(*)::BIGINT AS nn,
+             |    sum(CASE WHEN g THEN 1 ELSE 0 END)::BIGINT AS n1 FROM v),
+             |q AS (SELECT nn, n1,
+             |    sum(c::HUGEINT * ((2 * below + t + 1)::HUGEINT
+             |      * (2 * below + t + 1))) AS q4,
+             |    sum(c::HUGEINT * ((2 * (nn + 1) - 2 * below - t - 1)
+             |      ::HUGEINT
+             |      * (2 * (nn + 1) - 2 * below - t - 1))) AS q4c
+             |  FROM gc JOIN cc USING (vm), tot
+             |  GROUP BY 1, 2),
+             |e AS (SELECT n1, nn - n1 AS n2,
+             |    (3.0 * q4::DOUBLE - 2.0 * n1::DOUBLE
+             |      * (nn::DOUBLE + 1.0) * (2.0 * nn::DOUBLE + 1.0))
+             |    / (2.0 * sqrt(n1::DOUBLE * (nn - n1)::DOUBLE
+             |      * (nn::DOUBLE + 1.0) * (2.0 * nn::DOUBLE + 1.0)
+             |      * (8.0 * nn::DOUBLE + 11.0) / 5.0)) AS u,
+             |    (3.0 * q4c::DOUBLE - 2.0 * n1::DOUBLE
+             |      * (nn::DOUBLE + 1.0) * (2.0 * nn::DOUBLE + 1.0))
+             |    / (2.0 * sqrt(n1::DOUBLE * (nn - n1)::DOUBLE
+             |      * (nn::DOUBLE + 1.0) * (2.0 * nn::DOUBLE + 1.0)
+             |      * (8.0 * nn::DOUBLE + 11.0) / 5.0)) AS vv,
+             |    2.0 * (nn::DOUBLE * nn::DOUBLE - 4.0)
+             |      / ((2.0 * nn::DOUBLE + 1.0)
+             |        * (8.0 * nn::DOUBLE + 11.0)) - 1.0 AS rho
+             |  FROM q)
+             |SELECT n1, n2, round(u, 4) AS u_stat,
+             |  round(vv, 4) AS v_stat,
+             |  round((u * u + vv * vv - 2.0 * rho * u * vv)
+             |    / (2.0 * (1.0 - rho * rho)), 4) AS c_stat
+             |FROM e""".stripMargin)),
+
+    // Quade test (Quade 1979) — the weighted-blocks alternative to
+    // q_friedman_test: days are blocks, event types treatments, and
+    // blocks with a WIDER spread count more (block weight = rank of
+    // the within-day range). With midranks both 2r and 2Q are
+    // integers, so T = (2Q)(2r − k − 1) is exact per cell and
+    // F = (n−1)·B/(A − B) clears to integer sums:
+    // F = (n−1)·Σ_t(Σ_b T)² / (n·Σ T² − Σ_t(Σ_b T)²). The day matrix
+    // is zero-filled by construction (5 conditional sums per day);
+    // every window runs over the calendar×5 digest.
+    QueryDef("q_quade_test",
+      (s, d) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val aggs = types.map(t => sum(when(col("event_type") === t, 1L)
+          .otherwise(0L)).as(t))
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(aggs.head, aggs.tail: _*)
+        val long = daily.select(col("day"),
+          expr(s"stack(5, ${types.map(t => s"'$t', $t").mkString(", ")})")
+            .as(Seq("tp", "x")))
+        val ranked = long
+          .withColumn("rk", rank().over(
+            Window.partitionBy(col("day")).orderBy(col("x"))))
+          .withColumn("tie", count(lit(1)).over(
+            Window.partitionBy(col("day"), col("x"))))
+          .withColumn("r2", lit(2L) * col("rk") + col("tie") - 1L)
+        val rng = daily.select(col("day"),
+          (greatest(types.map(col): _*) - least(types.map(col): _*))
+            .as("rg"))
+        val rcell = rng.groupBy(col("rg")).agg(count(lit(1)).as("t"))
+          .withColumn("below",
+            coalesce(sum(col("t")).over(Window.orderBy(col("rg"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("rg"),
+            (lit(2L) * col("below") + col("t") + 1L).as("q2"))
+        val tcell = ranked.join(rng, "day")
+          .join(broadcast(rcell), "rg")
+          .select(col("tp"),
+            (col("q2").cast("decimal(38,0)") * (col("r2") - 6L))
+              .as("tv"))
+        val pert = tcell.groupBy(col("tp"))
+          .agg(sum(col("tv")).as("st"),
+            sum(col("tv") * col("tv")).as("qt"))
+        val f = pert.agg(
+          sum(col("st") * col("st")).as("bt"), sum(col("qt")).as("at"))
+          .crossJoin(broadcast(rng.agg(count(lit(1)).as("n"))))
+        def dbl(c: String) = col(c).cast("double")
+        f.select(col("n").as("n_days"),
+          round((dbl("n") - 1.0) * dbl("bt") /
+            (dbl("n") * dbl("at") - dbl("bt")), 4).as("f_stat"),
+          lit(4L).as("df1"), ((col("n") - 1L) * 4L).as("df2"))
+      },
+      Some("""WITH daily AS (SELECT ts::DATE AS day,
+             |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             |      ::BIGINT AS c_click,
+             |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             |      ::BIGINT AS c_error,
+             |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+             |      END)::BIGINT AS c_purchase,
+             |    sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+             |      ::BIGINT AS c_signup,
+             |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             |      ::BIGINT AS c_view
+             |  FROM events GROUP BY 1),
+             |lng AS (
+             |  SELECT day, 'click' AS tp, c_click AS x FROM daily
+             |  UNION ALL SELECT day, 'error', c_error FROM daily
+             |  UNION ALL SELECT day, 'purchase', c_purchase FROM daily
+             |  UNION ALL SELECT day, 'signup', c_signup FROM daily
+             |  UNION ALL SELECT day, 'view', c_view FROM daily),
+             |ranked AS (SELECT day, tp,
+             |    2 * rank() OVER (PARTITION BY day ORDER BY x)
+             |      + count(*) OVER (PARTITION BY day, x) - 1 AS r2
+             |  FROM lng),
+             |rng AS (SELECT day,
+             |    greatest(c_click, c_error, c_purchase, c_signup, c_view)
+             |      - least(c_click, c_error, c_purchase, c_signup, c_view)
+             |      AS rg
+             |  FROM daily),
+             |rcell AS (SELECT rg, 2 * coalesce(sum(t) OVER (ORDER BY rg
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      + t + 1 AS q2
+             |  FROM (SELECT rg, count(*)::BIGINT AS t FROM rng
+             |    GROUP BY 1)),
+             |tcell AS (SELECT ranked.tp,
+             |    rcell.q2::HUGEINT * (ranked.r2 - 6) AS tv
+             |  FROM ranked JOIN rng USING (day)
+             |    JOIN rcell USING (rg)),
+             |pert AS (SELECT tp, sum(tv) AS st, sum(tv * tv) AS qt
+             |  FROM tcell GROUP BY 1),
+             |f AS (SELECT sum(st * st) AS bt, sum(qt) AS at FROM pert),
+             |nb AS (SELECT count(*)::BIGINT AS n FROM rng)
+             |SELECT n AS n_days,
+             |  round((n::DOUBLE - 1.0) * bt::DOUBLE
+             |    / (n::DOUBLE * at::DOUBLE - bt::DOUBLE), 4) AS f_stat,
+             |  4::BIGINT AS df1, ((n - 1) * 4)::BIGINT AS df2
+             |FROM f, nb""".stripMargin))
   )
 }

@@ -458,6 +458,26 @@ class R13QueriesSpec extends GraftSpec {
     assert(rows.map(_.getAs[Long]("h_sec")).toSeq === Seq(60L, 300L, 3600L))
   }
 
+  test("q_ripley_k_grid: equals the µs-exact twin on whole-second data") {
+    // fixture events land on exact seconds, so second-grid pair
+    // counts must match the µs-banded join pair-for-pair
+    val dir = dailyDir(Seq(5, 2, 7))
+    val exact = byName("q_ripley_k")(spark, dir)
+      .select("h_sec", "pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val grid = byName("q_ripley_k_grid")(spark, dir)
+      .select("h_sec", "pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(grid === exact)
+  }
+
+  test("q_ripley_k_grid: sf0.001 pair counts nest with the radius") {
+    val rows = byName("q_ripley_k_grid")(spark, "/root/testdata/sf0.001")
+      .collect().sortBy(_.getAs[Long]("h_sec"))
+    val p = rows.map(_.getAs[Long]("pairs"))
+    assert(p(0) <= p(1) && p(1) <= p(2))
+  }
+
   test("q_ripley_k: sf0.001 pair counts nest with the radius") {
     val rows = byName("q_ripley_k")(spark, "/root/testdata/sf0.001")
       .collect().sortBy(_.getAs[Long]("h_sec"))
@@ -498,6 +518,79 @@ class R13QueriesSpec extends GraftSpec {
     assert(out.getAs[Double]("rr") === 0.75)
     assert(out.getAs[Double]("det2_frac") === 0.5)
     assert(out.getAs[Double]("lam2_frac") === 0.5)
+  }
+
+  test("q_dagostino_k2: symmetric sample has exactly zero skew z") {
+    // vm = 1500..25500 step 1000, symmetric → m3 = 0 exactly → Z1 = 0
+    val dir = typedDir((1 to 25).map(i => (0L, 0, "view", i + 0.5)))
+    val out = byName("q_dagostino_k2")(spark, dir).head()
+    assert(out.getAs[Long]("n") === 25L)
+    assert(out.getAs[Double]("skew") === 0.0)
+    assert(out.getAs[Double]("z_skew") === 0.0)
+    // uniform sample is platykurtic
+    assert(out.getAs[Double]("ex_kurtosis") < 0.0)
+    val zk = out.getAs[Double]("z_kurt")
+    assert(math.abs(out.getAs[Double]("k2_stat") - zk * zk) < 1e-3)
+  }
+
+  test("q_dagostino_k2: sf0.001 statistic is non-negative and finite") {
+    val out = byName("q_dagostino_k2")(spark, "/root/testdata/sf0.001")
+      .head()
+    val k2 = out.getAs[Double]("k2_stat")
+    assert(k2 >= 0.0 && !k2.isNaN && !k2.isInfinite)
+  }
+
+  test("q_brunner_munzel: identical samples give p̂ = ½, W = 0, df = 2") {
+    val dir = typedDir(Seq((0L, 0, "purchase", 0.0015),
+      (1L, 0, "purchase", 0.0025), (2L, 0, "click", 0.0015),
+      (3L, 0, "click", 0.0025)))
+    val out = byName("q_brunner_munzel")(spark, dir).head()
+    assert(out.getAs[Double]("p_hat") === 0.5)
+    assert(out.getAs[Double]("w_stat") === 0.0)
+    assert(out.getAs[Double]("df") === 2.0)
+  }
+
+  test("q_brunner_munzel: sf0.001 p̂ in (0,1), finite W") {
+    val out = byName("q_brunner_munzel")(spark, "/root/testdata/sf0.001")
+      .head()
+    val p = out.getAs[Double]("p_hat")
+    assert(p > 0.0 && p < 1.0)
+    assert(!out.getAs[Double]("w_stat").isNaN)
+  }
+
+  test("q_cucconi: mirror-symmetric samples give U = V") {
+    // both groups {1.5, 2.5} millis: the rank multiset is symmetric
+    // around (N+1)/2, so contrary-rank squares equal rank squares
+    val dir = typedDir(Seq((0L, 0, "purchase", 0.0015),
+      (1L, 0, "purchase", 0.0025), (2L, 0, "click", 0.0015),
+      (3L, 0, "click", 0.0025)))
+    val out = byName("q_cucconi")(spark, dir).head()
+    assert(out.getAs[Double]("u_stat") === out.getAs[Double]("v_stat"))
+    assert(out.getAs[Double]("c_stat") >= 0.0)
+  }
+
+  test("q_cucconi: sf0.001 C is non-negative and finite") {
+    val out = byName("q_cucconi")(spark, "/root/testdata/sf0.001").head()
+    val c = out.getAs[Double]("c_stat")
+    assert(c >= 0.0 && !c.isNaN && !c.isInfinite)
+  }
+
+  test("q_quade_test: one dominant treatment hits the closed-form F") {
+    // 3 all-view days (3,4,5 events): T table gives B = 2880,
+    // A = 1120 → F = 2·2880/(3·1120 − 2880) = 12
+    val out = byName("q_quade_test")(spark, dailyDir(Seq(3, 4, 5))).head()
+    assert(out.getAs[Long]("n_days") === 3L)
+    assert(out.getAs[Double]("f_stat") === 12.0)
+    assert(out.getAs[Long]("df1") === 4L)
+    assert(out.getAs[Long]("df2") === 8L)
+  }
+
+  test("q_quade_test: sf0.001 F positive, df2 = 4(n−1)") {
+    val out = byName("q_quade_test")(spark, "/root/testdata/sf0.001")
+      .head()
+    assert(out.getAs[Double]("f_stat") > 0.0)
+    assert(out.getAs[Long]("df2") ===
+      (out.getAs[Long]("n_days") - 1L) * 4L)
   }
 
   test("q_recurrence_quant: sf0.001 fractions in [0, 1]") {
