@@ -2313,6 +2313,237 @@ object R13Queries {
              |  round((n::DOUBLE - 1.0) * bt::DOUBLE
              |    / (n::DOUBLE * at::DOUBLE - bt::DOUBLE), 4) AS f_stat,
              |  4::BIGINT AS df1, ((n - 1) * 4)::BIGINT AS df2
-             |FROM f, nb""".stripMargin))
+             |FROM f, nb""".stripMargin)),
+
+    // Zero-inflated Poisson fit (Lambert 1992) by method of moments
+    // on the SAME implicit-zero user-week spine as q_poisson_gof —
+    // the model that panel's overdispersion verdict points to when
+    // the excess is all in the zero class: λ̂ = s²/m + m − 1,
+    // π̂ = 1 − m/λ̂ (Beckett et al. 2014). Reports the observed zero
+    // fraction next to the ZIP-implied π + (1−π)e^(−λ) so the fit is
+    // auditable in one row. Underdispersed input (λ̂ ≤ 0) yields
+    // NULLs via the CASE guard on both engines.
+    QueryDef("q_zip_fit",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+        val spine = broadcast(ev.agg(
+          countDistinct(col("user_id")).as("u"),
+          countDistinct(date_trunc("week", col("ts"))).as("w")))
+        val pw = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+          .agg(count(lit(1)).as("k"))
+        val nz = pw.agg(sum(col("k")).as("sk"),
+          sum(col("k") * col("k")).as("qk"), count(lit(1)).as("nnz"))
+        def dbl(c: String) = col(c).cast("double")
+        val cells = (col("u") * col("w")).cast("double")
+        val m = dbl("sk") / cells
+        val vr = (dbl("qk") - dbl("sk") * dbl("sk") / cells) /
+          (cells - 1.0)
+        val lam = vr / m + m - 1.0
+        val pi = lit(1.0) - m / lam
+        nz.crossJoin(spine).select(
+          (col("u") * col("w")).as("n_cells"),
+          round(m, 6).as("mean_k"),
+          when(lam > 0.0, round(lam, 6)).as("lambda_zip"),
+          when(lam > 0.0, round(pi, 6)).as("pi_zip"),
+          round((cells - dbl("nnz")) / cells, 6).as("zero_obs"),
+          when(lam > 0.0, round(pi + (lit(1.0) - pi) * exp(-lam), 6))
+            .as("zero_fit"))
+      },
+      Some("""WITH spine AS (SELECT count(DISTINCT user_id)::BIGINT AS u,
+             |    count(DISTINCT date_trunc('week', ts))::BIGINT AS w
+             |  FROM events),
+             |pw AS (SELECT user_id, date_trunc('week', ts) AS wk,
+             |    count(*)::BIGINT AS k FROM events
+             |  WHERE event_type = 'purchase' GROUP BY 1, 2),
+             |nz AS (SELECT sum(k)::BIGINT AS sk,
+             |    sum(k * k)::BIGINT AS qk, count(*)::BIGINT AS nnz
+             |  FROM pw),
+             |e AS (SELECT u * w AS cells,
+             |    sk::DOUBLE / (u * w)::DOUBLE AS m,
+             |    ((qk::DOUBLE - sk::DOUBLE * sk::DOUBLE
+             |        / (u * w)::DOUBLE) / ((u * w)::DOUBLE - 1.0))
+             |      / (sk::DOUBLE / (u * w)::DOUBLE)
+             |      + sk::DOUBLE / (u * w)::DOUBLE - 1.0 AS lam,
+             |    nnz FROM nz, spine)
+             |SELECT cells AS n_cells, round(m, 6) AS mean_k,
+             |  CASE WHEN lam > 0.0 THEN round(lam, 6) END AS lambda_zip,
+             |  CASE WHEN lam > 0.0 THEN round(1.0 - m / lam, 6) END
+             |    AS pi_zip,
+             |  round((cells::DOUBLE - nnz::DOUBLE) / cells::DOUBLE, 6)
+             |    AS zero_obs,
+             |  CASE WHEN lam > 0.0 THEN
+             |    round((1.0 - m / lam)
+             |      + (1.0 - (1.0 - m / lam)) * exp(-lam), 6) END
+             |    AS zero_fit
+             |FROM e""".stripMargin)),
+
+    // Mean-excess (mean residual life) function at the exact 50/75/90
+    // percentile thresholds — THE threshold diagnostic of extreme-
+    // value theory: e(u) linear-increasing ⟹ heavy Pareto-type tail
+    // (its slope estimates ξ/(1−ξ)), flat ⟹ exponential, decreasing
+    // ⟹ short tail. Thresholds come from the exact value-cell digest
+    // (cumulative counts, lower-quantile rule), excesses are exact
+    // integer conditional sums over the SAME digest — no fact is
+    // touched twice, no sort. Complements q_hill_tail's fixed-k
+    // estimator with the picture that justifies the threshold.
+    QueryDef("q_mean_excess",
+      (s, d) => {
+        val cell = graft.sources.Tables.events(s, d)
+          .select(floor(col("value") * 1000).cast("long").as("vm"))
+          .groupBy(col("vm")).agg(count(lit(1)).as("t"))
+        val cum = cell.withColumn("cumt",
+          sum(col("t")).over(Window.orderBy(col("vm"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val tot = broadcast(cell.agg(sum(col("t")).as("n")))
+        val thr = Seq(50L, 75L, 90L).map { p =>
+          cum.crossJoin(tot)
+            .filter(col("cumt") * 100 >= col("n") * p)
+            .agg(min(col("vm")).as("u")).select(lit(p).as("pct"), col("u"))
+        }.reduce(_ unionAll _)
+        cell.crossJoin(broadcast(thr))
+          .filter(col("vm") > col("u"))
+          .groupBy(col("pct"), col("u"))
+          .agg(sum(col("t")).as("n_exceed"),
+            sum((col("vm") - col("u")) * col("t")).as("sx"))
+          .select(col("pct"), col("u").as("threshold"), col("n_exceed"),
+            round(col("sx").cast("double") /
+              col("n_exceed").cast("double"), 4).as("mean_excess"))
+          .orderBy(col("pct"))
+      },
+      Some("""WITH cell AS (SELECT floor(value * 1000)::BIGINT AS vm,
+             |    count(*)::BIGINT AS t FROM events GROUP BY 1),
+             |cum AS (SELECT vm, t, sum(t) OVER (ORDER BY vm
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS cumt FROM cell),
+             |tot AS (SELECT sum(t)::BIGINT AS n FROM cell),
+             |pp AS (SELECT unnest([50, 75, 90])::BIGINT AS pct),
+             |thr AS (SELECT pct, min(vm)::BIGINT AS u
+             |  FROM cum, tot, pp WHERE cumt * 100 >= n * pct
+             |  GROUP BY 1)
+             |SELECT pct, u AS threshold, sum(t)::BIGINT AS n_exceed,
+             |  round(sum((vm - u) * t)::DOUBLE / sum(t)::DOUBLE, 4)
+             |    AS mean_excess
+             |FROM cell JOIN thr ON vm > u
+             |GROUP BY 1, 2
+             |ORDER BY 1""".stripMargin)),
+
+    // Nadaraya-Watson kernel regression (Nadaraya 1964; Watson 1964)
+    // of the daily series at 10 evenly spaced grid points, tricube
+    // kernel, bandwidth = span/8 — the nonparametric trend smoother
+    // between q_ewma_smooth's recursion and q_its_segmented's
+    // parametric fit. The scaled abscissa u = 8(9t − j(n−1))/(9(n−1))
+    // is an exact rational of integers, the tricube weight is
+    // quantized once to 9 dp, and each grid point's weighted sums are
+    // exact DECIMAL reductions — order-independent at any layout.
+    // Work: calendar-digest × 10, bandwidth-truncated.
+    QueryDef("q_kernel_smooth",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+          .withColumn("t",
+            (row_number().over(Window.orderBy(col("day"))) - 1)
+              .cast("long"))
+        val n = broadcast(daily.agg(count(lit(1)).as("n")))
+        val grid = s.range(10).select(col("id").as("j"))
+        val u = (lit(8.0) * (lit(9.0) * col("t").cast("double") -
+          col("j").cast("double") * (col("n").cast("double") - 1.0))) /
+          (lit(9.0) * (col("n").cast("double") - 1.0))
+        val w = round(pow(lit(1.0) - pow(abs(u), 3.0), 3.0), 9)
+          .cast("decimal(20,9)")
+        daily.crossJoin(n).crossJoin(broadcast(grid))
+          .filter(abs(u) < 1.0)
+          .select(col("j"), col("y"), w.as("w"))
+          .groupBy(col("j"))
+          .agg(sum(col("w") * col("y")).as("num"),
+            sum(col("w")).as("den"))
+          .select(col("j"),
+            round(col("num").cast("double") / col("den").cast("double"),
+              4).as("y_hat"))
+          .orderBy(col("j"))
+      },
+      Some("""WITH daily AS (SELECT row_number() OVER (ORDER BY day) - 1
+             |      AS t, y FROM (
+             |    SELECT ts::DATE AS day, count(*)::BIGINT AS y
+             |    FROM events GROUP BY 1)),
+             |nn AS (SELECT count(*)::BIGINT AS n FROM daily),
+             |grid AS (SELECT unnest(generate_series(0, 9))::BIGINT AS j),
+             |uw AS (SELECT j, y,
+             |    round(pow(1.0 - pow(abs(
+             |      (8.0 * (9.0 * t::DOUBLE - j::DOUBLE
+             |        * (n::DOUBLE - 1.0))) / (9.0 * (n::DOUBLE - 1.0))),
+             |      3.0), 3.0), 9)::DECIMAL(20,9) AS w
+             |  FROM daily, nn, grid
+             |  WHERE abs((8.0 * (9.0 * t::DOUBLE - j::DOUBLE
+             |      * (n::DOUBLE - 1.0))) / (9.0 * (n::DOUBLE - 1.0)))
+             |    < 1.0)
+             |SELECT j, round(sum(w * y)::DOUBLE / sum(w)::DOUBLE, 4)
+             |    AS y_hat
+             |FROM uw GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Cross-sectional price elasticity: OLS slope of ln(total
+    // quantity) on ln(mean unit price) across parts — the classic
+    // log-log demand readout (slope ≈ elasticity; negative =
+    // downward-sloping demand). Per-part sums are one exact
+    // aggregate; the two log covariates are quantized to 9 dp ONCE
+    // per part and every OLS moment is an exact DECIMAL sum, so the
+    // slope/intercept/R² are partition-order independent. Prices
+    // enter as integer cents (×100) before any float op.
+    QueryDef("q_price_elasticity",
+      (s, d) => {
+        val li = s.read.parquet(s"$d/lineitem.parquet")
+          .select(col("l_partkey").as("pk"),
+            floor(col("l_quantity")).cast("long").as("q"),
+            floor(col("l_extendedprice") * 100).cast("long").as("pc"))
+        val per = li.groupBy(col("pk"))
+          .agg(sum(col("q")).as("tq"), sum(col("pc")).as("tp"))
+          .select(
+            expr("cast(round(ln(cast(tp as double)" +
+              " / cast(tq as double) / 100.0), 9) as decimal(20,9))")
+              .as("x"),
+            expr("cast(round(ln(cast(tq as double)), 9)" +
+              " as decimal(20,9))").as("y"))
+        val m = per.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("x")).as("qx"),
+          sum(col("y") * col("y")).as("qy"),
+          sum(col("x") * col("y")).as("sxy"))
+        def dbl(c: String) = col(c).cast("double")
+        val n = dbl("n")
+        val cxy = dbl("sxy") - dbl("sx") * dbl("sy") / n
+        val cxx = dbl("qx") - dbl("sx") * dbl("sx") / n
+        val cyy = dbl("qy") - dbl("sy") * dbl("sy") / n
+        m.select(col("n").as("n_parts"),
+          round(cxy / cxx, 6).as("elasticity"),
+          round(dbl("sy") / n - cxy / cxx * dbl("sx") / n, 6)
+            .as("intercept"),
+          round(cxy * cxy / (cxx * cyy), 6).as("r2"))
+      },
+      Some("""WITH li AS (SELECT l_partkey AS pk,
+             |    floor(l_quantity)::BIGINT AS q,
+             |    floor(l_extendedprice * 100)::BIGINT AS pc
+             |  FROM lineitem),
+             |per AS (SELECT
+             |    round(ln(sum(pc)::DOUBLE / sum(q)::DOUBLE / 100.0), 9)
+             |      ::DECIMAL(20,9) AS x,
+             |    round(ln(sum(q)::DOUBLE), 9)::DECIMAL(20,9) AS y
+             |  FROM li GROUP BY pk),
+             |m AS (SELECT count(*)::BIGINT AS n, sum(x) AS sx,
+             |    sum(y) AS sy, sum(x * x) AS qx, sum(y * y) AS qy,
+             |    sum(x * y) AS sxy FROM per),
+             |e AS (SELECT n,
+             |    sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n::DOUBLE
+             |      AS cxy,
+             |    qx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE
+             |      AS cxx,
+             |    qy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n::DOUBLE
+             |      AS cyy,
+             |    sx::DOUBLE / n::DOUBLE AS mx, sy::DOUBLE / n::DOUBLE
+             |      AS my
+             |  FROM m)
+             |SELECT n AS n_parts, round(cxy / cxx, 6) AS elasticity,
+             |  round(my - cxy / cxx * mx, 6) AS intercept,
+             |  round(cxy * cxy / (cxx * cyy), 6) AS r2
+             |FROM e""".stripMargin))
   )
 }

@@ -593,6 +593,99 @@ class R13QueriesSpec extends GraftSpec {
       (out.getAs[Long]("n_days") - 1L) * 4L)
   }
 
+  test("q_zip_fit: one triple-purchase cell hits the MoM closed form") {
+    // cells = 4, m = 0.75, s² = 2.25 → λ̂ = 2.75, π̂ = 1 − 3/11
+    val dir = typedDir(Seq((0L, 0, "purchase", 0.5),
+      (0L, 0, "purchase", 0.6), (0L, 0, "purchase", 0.7),
+      (1L, 7, "view", 0.2)))
+    val out = byName("q_zip_fit")(spark, dir).head()
+    assert(out.getAs[Long]("n_cells") === 4L)
+    assert(out.getAs[Double]("lambda_zip") === 2.75)
+    assert(out.getAs[Double]("pi_zip") === 0.727273)
+    assert(out.getAs[Double]("zero_obs") === 0.75)
+    val zf = out.getAs[Double]("zero_fit")
+    assert(zf > 0.727273 && zf < 1.0)
+  }
+
+  test("q_zip_fit: sf0.001 zero fractions agree to first order") {
+    val out = byName("q_zip_fit")(spark, "/root/testdata/sf0.001").head()
+    val obs = out.getAs[Double]("zero_obs")
+    val fit = out.getAs[Double]("zero_fit")
+    assert(obs > 0.0 && obs < 1.0)
+    // ZIP matches the first two moments; the zero class should be close
+    assert(math.abs(obs - fit) < 0.2)
+  }
+
+  test("q_mean_excess: uniform 1..10 ladder gives the exact excess means") {
+    val dir = typedDir((1 to 10).map(i => (0L, 0, "view", i + 0.5)))
+    val rows = byName("q_mean_excess")(spark, dir).collect()
+    assert(rows.length === 3)
+    val byP = rows.map(r => r.getAs[Long]("pct") ->
+      (r.getAs[Long]("threshold"), r.getAs[Long]("n_exceed"),
+        r.getAs[Double]("mean_excess"))).toMap
+    assert(byP(50L) === ((5500L, 5L, 3000.0)))
+    assert(byP(75L) === ((8500L, 2L, 1500.0)))
+    assert(byP(90L) === ((9500L, 1L, 1000.0)))
+  }
+
+  test("q_mean_excess: sf0.001 excess means decrease with the threshold") {
+    val rows = byName("q_mean_excess")(spark, "/root/testdata/sf0.001")
+      .collect().sortBy(_.getAs[Long]("pct"))
+    assert(rows.length === 3)
+    // bounded support ⇒ shrinking residual life
+    val me = rows.map(_.getAs[Double]("mean_excess"))
+    assert(me(0) > me(2))
+    assert(me.forall(_ > 0.0))
+  }
+
+  test("q_kernel_smooth: constant series smooths to the constant") {
+    val rows = byName("q_kernel_smooth")(spark, dailyDir(Seq.fill(19)(7)))
+      .collect()
+    assert(rows.length === 10)
+    assert(rows.forall(_.getAs[Double]("y_hat") === 7.0))
+  }
+
+  test("q_kernel_smooth: sf0.001 estimates stay inside the data range") {
+    val daily = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy(to_date(col("ts"))).count().agg(
+        min("count"), max("count")).head()
+    val (lo, hi) = (daily.getLong(0).toDouble, daily.getLong(1).toDouble)
+    val rows = byName("q_kernel_smooth")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length === 10)
+    assert(rows.forall { r =>
+      val y = r.getAs[Double]("y_hat"); y >= lo && y <= hi })
+  }
+
+  /** lineitem.parquet with explicit quantity/price per part. */
+  private def priceDir(rows: Seq[(Long, Double, Double)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("r13pr").toString
+    rows.zipWithIndex.map { case ((pk, qty, ep), i) =>
+      (i.toLong, pk, qty, ep)
+    }.toDF("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
+  test("q_price_elasticity: exact unit demand curve has slope −1, R² 1") {
+    // qty halves as unit price doubles, revenue constant
+    val dir = priceDir(Seq((1L, 100.0, 100.0), (2L, 50.0, 100.0),
+      (3L, 25.0, 100.0)))
+    val out = byName("q_price_elasticity")(spark, dir).head()
+    assert(out.getAs[Long]("n_parts") === 3L)
+    assert(out.getAs[Double]("elasticity") === -1.0)
+    assert(out.getAs[Double]("r2") === 1.0)
+  }
+
+  test("q_price_elasticity: sf0.001 R² in [0,1], finite slope") {
+    val out = byName("q_price_elasticity")(spark, "/root/testdata/sf0.001")
+      .head()
+    val r2 = out.getAs[Double]("r2")
+    assert(r2 >= 0.0 && r2 <= 1.0)
+    assert(!out.getAs[Double]("elasticity").isNaN)
+  }
+
   test("q_recurrence_quant: sf0.001 fractions in [0, 1]") {
     val out = byName("q_recurrence_quant")(spark, "/root/testdata/sf0.001")
       .head()
