@@ -29,6 +29,24 @@ object R13Queries {
   /** DuckDB mirror of [[graft.ext.Dedup.strHash60]]. */
   private def dkHash60(s: String) = s"('0x'||substring(md5($s),1,15))::BIGINT"
 
+  /** Γ(z) as a Lanczos(g=7) SQL expression — the SAME string feeds
+    * Spark's `expr` and the DuckDB oracle, so the transcendental is
+    * bit-identical on both engines (neither engine's builtin is used:
+    * Spark has no gamma(), and DuckDB's would differ in ulps). Valid
+    * for z ≥ 0.5, which covers the GEV use (z = 1 + k, |k| < 0.5). */
+  private def gammaSql(z: String): String = {
+    val c = Seq(
+      "676.5203681218851", "-1259.1392167224028", "771.32342877765313",
+      "-176.61502916214059", "12.507343278686905",
+      "-0.13857109526572012", "9.9843695780195716e-6",
+      "1.5056327351493116e-7")
+    val a = c.zipWithIndex
+      .map { case (ci, i) => s"($ci) / (($z) + $i)" }
+      .mkString("0.99999999999980993 + ", " + ", "")
+    s"(sqrt(2.0 * 3.141592653589793) * pow(($z) + 6.5, ($z) - 0.5)" +
+      s" * exp(-(($z) + 6.5)) * ($a))"
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Hjorth parameters (Hjorth 1970) — activity/mobility/complexity,
@@ -2544,6 +2562,170 @@ object R13Queries {
              |SELECT n AS n_parts, round(cxy / cxx, 6) AS elasticity,
              |  round(my - cxy / cxx * mx, 6) AS intercept,
              |  round(cxy * cxy / (cxx * cyy), 6) AS r2
-             |FROM e""".stripMargin))
+             |FROM e""".stripMargin)),
+
+    // GEV fit of weekly block maxima by L-moments (Hosking et al.
+    // 1985) with 1-year and 10-year return levels — the extreme-value
+    // capstone over q_hill_tail (tail index) and q_mean_excess
+    // (threshold diagnostic). Probability-weighted moments clear to
+    // EXACT integers on the ~53-row block digest (B1 = Σ(i−1)x_(i)
+    // and B2 = Σ(i−1)(i−2)x_(i) are tie-permutation invariant), then
+    // k/σ/μ are the standard closed forms. Γ(1+k) is a shared
+    // Lanczos(g=7) literal expression — the SAME string runs in
+    // Spark's expr() and the oracle, so no engine builtin and no
+    // cross-engine ulp drift. k ≈ 0 (Gumbel) is NULL-guarded.
+    {
+      val gam = gammaSql("1.0 + k")
+      // all-literal `1.0 - 1.0/520.0` is DECIMAL arithmetic in Spark
+      // (truncates to 0.998077!) but double in DuckDB — the cast
+      // forces double division in both engines (the q_dickey_fuller
+      // decimal-literal divergence class, caught by the gate)
+      val rl = (t: Int) =>
+        s"mu + sg / nullif(k, 0.0)" +
+          s" * (1.0 - pow(-ln(1.0 - 1.0 / cast($t as double)), k))"
+      QueryDef("q_gev_return_levels",
+        (s, d) => {
+        val bm = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+          .groupBy(date_trunc("week", col("day")).as("wk"))
+          .agg(max(col("y")).as("x"))
+        val os = bm.withColumn("i",
+          row_number().over(Window.orderBy(col("x"), col("wk")))
+            .cast("long"))
+        val pwm = os.agg(count(lit(1)).as("n"), sum(col("x")).as("b0s"),
+          sum((col("i") - 1L) * col("x")).as("b1s"),
+          sum((col("i") - 1L) * (col("i") - 2L) * col("x")).as("b2s"))
+        val lmo = pwm.selectExpr("n",
+          "cast(b0s as double) / n as l1",
+          "2.0 * b1s / (cast(n as double) * (n - 1))" +
+            " - cast(b0s as double) / n as l2",
+          "6.0 * b2s / (cast(n as double) * (n - 1) * (n - 2))" +
+            " - 6.0 * b1s / (cast(n as double) * (n - 1))" +
+            " + cast(b0s as double) / n as l3")
+        val kc = lmo.selectExpr("n", "l1", "l2",
+          "2.0 / (3.0 + l3 / l2) - 0.6309297535714574 as c")
+          .selectExpr("n", "l1", "l2",
+            "7.8590 * c + 2.9554 * c * c as k")
+        val fit = kc.selectExpr("n", "k",
+          s"l2 * k / (nullif(1.0 - pow(2.0, -k), 0.0) * $gam) as sg",
+          "l1")
+          .selectExpr("n", "k", "sg",
+            s"l1 - sg * (1.0 - $gam) / nullif(k, 0.0) as mu")
+        fit.selectExpr("n as n_blocks", "round(k, 6) as k_shape",
+          "round(sg, 4) as sigma", "round(mu, 4) as mu",
+          s"round(${rl(52)}, 4) as rl_1y",
+          s"round(${rl(520)}, 4) as rl_10y")
+      },
+        Some(s"""WITH daily AS (SELECT ts::DATE AS day,
+               |    count(*)::BIGINT AS y FROM events GROUP BY 1),
+               |bm AS (SELECT date_trunc('week', day) AS wk,
+               |    max(y)::BIGINT AS x FROM daily GROUP BY 1),
+               |os AS (SELECT x,
+               |    row_number() OVER (ORDER BY x, wk) AS i FROM bm),
+               |pwm AS (SELECT count(*)::BIGINT AS n,
+               |    sum(x)::BIGINT AS b0s,
+               |    sum((i - 1) * x)::BIGINT AS b1s,
+               |    sum((i - 1) * (i - 2) * x)::BIGINT AS b2s FROM os),
+               |lmo AS (SELECT n,
+               |    b0s::DOUBLE / n AS l1,
+               |    2.0 * b1s / (n::DOUBLE * (n - 1))
+               |      - b0s::DOUBLE / n AS l2,
+               |    6.0 * b2s / (n::DOUBLE * (n - 1) * (n - 2))
+               |      - 6.0 * b1s / (n::DOUBLE * (n - 1))
+               |      + b0s::DOUBLE / n AS l3
+               |  FROM pwm),
+               |kc AS (SELECT n, l1, l2,
+               |    7.8590 * c + 2.9554 * c * c AS k FROM (
+               |    SELECT n, l1, l2,
+               |      2.0 / (3.0 + l3 / l2) - 0.6309297535714574 AS c
+               |    FROM lmo)),
+               |fit AS (SELECT n, k, sg,
+               |    l1 - sg * (1.0 - $gam) / nullif(k, 0.0) AS mu
+               |  FROM (SELECT n, k, l1,
+               |    l2 * k / (nullif(1.0 - pow(2.0, -k), 0.0) * $gam)
+               |      AS sg
+               |  FROM kc))
+               |SELECT n AS n_blocks, round(k, 6) AS k_shape,
+               |  round(sg, 4) AS sigma, round(mu, 4) AS mu,
+               |  round(${rl(52)}, 4) AS rl_1y,
+               |  round(${rl(520)}, 4) AS rl_10y
+               |FROM fit""".stripMargin))
+    },
+
+    // Empirical copula tail dependence between the daily view and
+    // click channels: λ_U(q) = P(U > q, V > q)/(1 − q) and its lower
+    // mirror at q ∈ {0.8, 0.9} — dependence structure beyond
+    // correlation (two channels can be ρ-correlated yet never spike
+    // TOGETHER; tail λ is what an alerting pipeline actually needs).
+    // Ranks are exact midranks on the calendar digest; the q-cuts are
+    // integer cross-multiplications (5·2R > 8·2n etc.), so every
+    // count is exact and the four λ's are final-projection ratios.
+    QueryDef("q_tail_dependence",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+              .as("xv"),
+            sum(when(col("event_type") === "click", 1L).otherwise(0L))
+              .as("yv"))
+        def mr(c: String) = {
+          val w = Window.orderBy(col(c))
+          val wt = Window.partitionBy(col(c))
+          (lit(2L) * rank().over(w) + count(lit(1)).over(wt) - 1L)
+        }
+        val ranked = daily
+          .withColumn("ru", mr("xv")).withColumn("rv", mr("yv"))
+        val n = broadcast(daily.agg(count(lit(1)).as("n")))
+        val j = ranked.crossJoin(n)
+        val qs = Seq((80L, 4L, 5L), (90L, 9L, 10L))
+        val rows = qs.map { case (pct, num, den) =>
+          // upper: R/n > q  ⇔  den·2R > 2·num·n ; lower: R/n ≤ 1−q
+          val up = (c: String) =>
+            col(c) * den > lit(2L) * num * col("n")
+          val lo = (c: String) =>
+            col(c) * den <= lit(2L) * (den - num) * col("n")
+          j.agg(
+            sum(when(up("ru") && up("rv"), 1L).otherwise(0L)).as("ju"),
+            sum(when(lo("ru") && lo("rv"), 1L).otherwise(0L)).as("jl"),
+            max(col("n")).as("nn"))
+            .select(lit(pct).as("pct"), col("ju").as("joint_upper"),
+              col("jl").as("joint_lower"),
+              round(col("ju").cast("double") * den /
+                col("nn").cast("double"), 6).as("lambda_u"),
+              round(col("jl").cast("double") * den /
+                col("nn").cast("double"), 6).as("lambda_l"))
+        }
+        rows.reduce(_ unionAll _).orderBy(col("pct"))
+      },
+      Some("""WITH daily AS (SELECT ts::DATE AS day,
+             |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             |      ::BIGINT AS xv,
+             |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             |      ::BIGINT AS yv
+             |  FROM events GROUP BY 1),
+             |ranked AS (SELECT
+             |    2 * rank() OVER (ORDER BY xv)
+             |      + count(*) OVER (PARTITION BY xv) - 1 AS ru,
+             |    2 * rank() OVER (ORDER BY yv)
+             |      + count(*) OVER (PARTITION BY yv) - 1 AS rv
+             |  FROM daily),
+             |nn AS (SELECT count(*)::BIGINT AS n FROM daily),
+             |qq AS (SELECT * FROM (VALUES (80, 4, 5), (90, 9, 10))
+             |  AS q(pct, num, den)),
+             |agg AS (SELECT pct, den,
+             |    sum(CASE WHEN ru * den > 2 * num * n
+             |      AND rv * den > 2 * num * n THEN 1 ELSE 0 END)
+             |      ::BIGINT AS ju,
+             |    sum(CASE WHEN ru * den <= 2 * (den - num) * n
+             |      AND rv * den <= 2 * (den - num) * n THEN 1 ELSE 0
+             |      END)::BIGINT AS jl,
+             |    max(n)::BIGINT AS nn
+             |  FROM ranked, nn, qq GROUP BY 1, 2)
+             |SELECT pct::BIGINT AS pct, ju AS joint_upper,
+             |  jl AS joint_lower,
+             |  round(ju::DOUBLE * den / nn::DOUBLE, 6) AS lambda_u,
+             |  round(jl::DOUBLE * den / nn::DOUBLE, 6) AS lambda_l
+             |FROM agg ORDER BY 1""".stripMargin))
   )
 }

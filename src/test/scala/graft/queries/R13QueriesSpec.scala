@@ -686,6 +686,57 @@ class R13QueriesSpec extends GraftSpec {
     assert(!out.getAs[Double]("elasticity").isNaN)
   }
 
+  test("q_gev_return_levels: uniform block maxima 1..5 pin k via τ₃ = 0") {
+    // weekly maxima 1..5 → exact PWMs (b0,b1,b2) = (1764/5·…): l2 = 1,
+    // l3 = 0 → c = 2/3 − ln2/ln3 → k = 7.859c + 2.9554c² ≈ 0.284631
+    val counts = (1 to 5).flatMap(w => Seq.fill(7)(w))
+    val out = byName("q_gev_return_levels")(spark, dailyDir(counts)).head()
+    assert(out.getAs[Long]("n_blocks") === 5L)
+    assert(math.abs(out.getAs[Double]("k_shape") - 0.284631) < 1e-4)
+    assert(out.getAs[Double]("rl_10y") > out.getAs[Double]("rl_1y"))
+  }
+
+  test("q_gev_return_levels: sf0.001 return levels ordered, σ > 0") {
+    val out = byName("q_gev_return_levels")(spark, "/root/testdata/sf0.001")
+      .head()
+    assert(out.getAs[Double]("sigma") > 0.0)
+    val r1 = out.getAs[Double]("rl_1y")
+    val r10 = out.getAs[Double]("rl_10y")
+    assert(r10 > r1)
+    assert(r1 > out.getAs[Double]("mu"))
+  }
+
+  test("q_tail_dependence: comonotone channels give λ = 1, antimonotone 0") {
+    val co = typedDir((1 to 10).flatMap { i =>
+      Seq.fill(i)((0L, i - 1, "view", 0.5)) ++
+        Seq.fill(i)((1L, i - 1, "click", 0.5))
+    })
+    byName("q_tail_dependence")(spark, co).collect().foreach { r =>
+      assert(r.getAs[Double]("lambda_u") === 1.0)
+      assert(r.getAs[Double]("lambda_l") === 1.0)
+    }
+    val anti = typedDir((1 to 10).flatMap { i =>
+      Seq.fill(i)((0L, i - 1, "view", 0.5)) ++
+        Seq.fill(11 - i)((1L, i - 1, "click", 0.5))
+    })
+    byName("q_tail_dependence")(spark, anti).collect().foreach { r =>
+      assert(r.getAs[Double]("lambda_u") === 0.0)
+      assert(r.getAs[Double]("lambda_l") === 0.0)
+    }
+  }
+
+  test("q_tail_dependence: sf0.001 λ's live in [0, 1]") {
+    val rows = byName("q_tail_dependence")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length === 2)
+    rows.foreach { r =>
+      val lu = r.getAs[Double]("lambda_u")
+      val ll = r.getAs[Double]("lambda_l")
+      assert(lu >= 0.0 && lu <= 1.0)
+      assert(ll >= 0.0 && ll <= 1.0)
+    }
+  }
+
   test("q_recurrence_quant: sf0.001 fractions in [0, 1]") {
     val out = byName("q_recurrence_quant")(spark, "/root/testdata/sf0.001")
       .head()
