@@ -2726,6 +2726,200 @@ object R13Queries {
              |  jl AS joint_lower,
              |  round(ju::DOUBLE * den / nn::DOUBLE, 6) AS lambda_u,
              |  round(jl::DOUBLE * den / nn::DOUBLE, 6) AS lambda_l
-             |FROM agg ORDER BY 1""".stripMargin))
+             |FROM agg ORDER BY 1""".stripMargin)),
+
+    // Seasonal Mann-Kendall trend test (Hirsch & Slack 1984) with
+    // day-of-week seasons: the within-season pairwise S statistics
+    // and tie-corrected variances are summed ACROSS seasons, so the
+    // weekly rhythm can't masquerade as (or mask) a monotone trend —
+    // the environmental-statistics upgrade of q_mann_kendall. Every
+    // S_s is an EXACT integer from a within-season digest self-join
+    // (≤ (n/7)² pairs per season, calendar-bounded); the variance's
+    // tie term comes off the (season, value) cell digest. Continuity-
+    // corrected Z in the final projection only.
+    QueryDef("q_seasonal_mann_kendall",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+          .select(dayofweek(col("day")).as("sn"), col("day"), col("y"))
+        val pairs = daily.select(col("sn"), col("day").as("d1"),
+            col("y").as("y1"))
+          .join(daily.select(col("sn").as("sn2"), col("day").as("d2"),
+            col("y").as("y2")),
+            col("sn") === col("sn2") && col("d1") < col("d2"))
+          .agg(sum(signum((col("y2") - col("y1")).cast("double"))
+            .cast("long")).as("s_total"))
+        val perSeason = daily.groupBy(col("sn"))
+          .agg(count(lit(1)).as("ns"))
+          .agg(sum(col("ns") * (col("ns") - 1) *
+            (lit(2L) * col("ns") + 5L)).as("v18"))
+        val ties = daily.groupBy(col("sn"), col("y"))
+          .agg(count(lit(1)).as("t"))
+          .agg(coalesce(sum(when(col("t") > 1,
+            col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5L))),
+            lit(0L)).as("t18"))
+        def dbl(c: String) = col(c).cast("double")
+        pairs.crossJoin(broadcast(perSeason))
+          .crossJoin(broadcast(ties))
+          .select(col("s_total"),
+            round((dbl("v18") - dbl("t18")) / 18.0, 4).as("var_s"),
+            round((dbl("s_total") - signum(dbl("s_total"))) /
+              sqrt((dbl("v18") - dbl("t18")) / 18.0), 4).as("z"))
+          .withColumn("trend",
+            when(col("z") > 1.96, "increasing")
+              .when(col("z") < -1.96, "decreasing")
+              .otherwise("none"))
+      },
+      Some("""WITH daily AS (SELECT dayofweek(day) + 1 AS sn, day, y
+             |  FROM (SELECT ts::DATE AS day, count(*)::BIGINT AS y
+             |    FROM events GROUP BY 1)),
+             |pairs AS (SELECT sum(sign((b.y - a.y)::DOUBLE))::BIGINT
+             |    AS s_total
+             |  FROM daily a JOIN daily b
+             |    ON a.sn = b.sn AND a.day < b.day),
+             |ps AS (SELECT sum(ns * (ns - 1) * (2 * ns + 5))::BIGINT
+             |    AS v18 FROM (
+             |    SELECT count(*)::BIGINT AS ns FROM daily GROUP BY sn)),
+             |ties AS (SELECT coalesce(sum(CASE WHEN t > 1
+             |      THEN t * (t - 1) * (2 * t + 5) END), 0)::BIGINT
+             |    AS t18 FROM (
+             |    SELECT count(*)::BIGINT AS t FROM daily
+             |    GROUP BY sn, y)),
+             |e AS (SELECT s_total,
+             |    round((v18::DOUBLE - t18::DOUBLE) / 18.0, 4) AS var_s,
+             |    round((s_total::DOUBLE - sign(s_total::DOUBLE))
+             |      / sqrt((v18::DOUBLE - t18::DOUBLE) / 18.0), 4) AS z
+             |  FROM pairs, ps, ties)
+             |SELECT s_total, var_s, z,
+             |  CASE WHEN z > 1.96 THEN 'increasing'
+             |    WHEN z < -1.96 THEN 'decreasing'
+             |    ELSE 'none' END AS trend
+             |FROM e""".stripMargin)),
+
+    // Two-sample Poisson rate-ratio test on purchase intensity,
+    // first calendar half vs second: conditional on the total,
+    // X₁ ~ Binomial(x₁+x₂, d₁/(d₁+d₂)) under H₀ (equal rates), so
+    // the test needs only FOUR integers — purchases and exposure
+    // days per half — and a continuity-corrected binomial z. The
+    // epidemiology/SRE "did the incident rate change?" primitive
+    // that q_ab_srm_check applies to traffic splits, applied to time.
+    QueryDef("q_rate_ratio_test",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(sum(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)).as("x"))
+          .withColumn("t",
+            row_number().over(Window.orderBy(col("day"))).cast("long"))
+        val n = broadcast(daily.agg(count(lit(1)).as("nn")))
+        val g = daily.crossJoin(n).agg(
+          sum(when(col("t") * 2 <= col("nn"), col("x")).otherwise(0L))
+            .as("x1"),
+          sum(when(col("t") * 2 > col("nn"), col("x")).otherwise(0L))
+            .as("x2"),
+          sum(when(col("t") * 2 <= col("nn"), 1L).otherwise(0L))
+            .as("d1"),
+          sum(when(col("t") * 2 > col("nn"), 1L).otherwise(0L))
+            .as("d2"))
+        def dbl(c: String) = col(c).cast("double")
+        val p0 = dbl("d1") / (dbl("d1") + dbl("d2"))
+        val nT = dbl("x1") + dbl("x2")
+        val z = (dbl("x1") - nT * p0 -
+          signum(dbl("x1") - nT * p0) * 0.5) /
+          sqrt(nT * p0 * (lit(1.0) - p0))
+        g.select(col("x1"), col("x2"), col("d1"), col("d2"),
+          round((dbl("x1") / dbl("d1")) / (dbl("x2") / dbl("d2")), 6)
+            .as("rate_ratio"),
+          round(z, 4).as("z"))
+      },
+      Some("""WITH daily AS (SELECT day, x,
+             |    row_number() OVER (ORDER BY day) AS t FROM (
+             |    SELECT ts::DATE AS day,
+             |      sum(CASE WHEN event_type = 'purchase' THEN 1
+             |        ELSE 0 END)::BIGINT AS x
+             |    FROM events GROUP BY 1)),
+             |nn AS (SELECT count(*)::BIGINT AS nn FROM daily),
+             |g AS (SELECT
+             |    sum(CASE WHEN t * 2 <= nn THEN x ELSE 0 END)::BIGINT
+             |      AS x1,
+             |    sum(CASE WHEN t * 2 > nn THEN x ELSE 0 END)::BIGINT
+             |      AS x2,
+             |    sum(CASE WHEN t * 2 <= nn THEN 1 ELSE 0 END)::BIGINT
+             |      AS d1,
+             |    sum(CASE WHEN t * 2 > nn THEN 1 ELSE 0 END)::BIGINT
+             |      AS d2
+             |  FROM daily, nn),
+             |e AS (SELECT x1, x2, d1, d2,
+             |    d1::DOUBLE / (d1::DOUBLE + d2::DOUBLE) AS p0,
+             |    x1::DOUBLE + x2::DOUBLE AS nt FROM g)
+             |SELECT x1, x2, d1, d2,
+             |  round((x1::DOUBLE / d1::DOUBLE)
+             |    / (x2::DOUBLE / d2::DOUBLE), 6) AS rate_ratio,
+             |  round((x1::DOUBLE - nt * p0
+             |      - sign(x1::DOUBLE - nt * p0) * 0.5)
+             |    / sqrt(nt * p0 * (1.0 - p0)), 4) AS z
+             |FROM e""".stripMargin)),
+
+    // SAX symbolization (Lin et al. 2003): the daily series reduced
+    // to 8 PAA segments, z-normalized with the exact global moments,
+    // and mapped to a 4-letter alphabet at the standard Gaussian
+    // breakpoints ±0.6745/0 — the discretization that makes motif
+    // mining, hashing and DTW lower-bounding cheap. Segment sums are
+    // exact integers (segment id = 8t div n); only the final
+    // normalize-and-bucket touches doubles. The 8-row digest IS the
+    // output — at any scale the only data-sized pass is the daily
+    // aggregate.
+    QueryDef("q_sax_symbols",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+          .withColumn("t",
+            (row_number().over(Window.orderBy(col("day"))) - 1)
+              .cast("long"))
+        val tot = broadcast(daily.agg(count(lit(1)).as("n"),
+          sum(col("y")).as("sy"),
+          sum(col("y") * col("y")).as("qy")))
+        val seg = daily.crossJoin(tot)
+          .groupBy(expr("t * 8 div n").as("segment"))
+          .agg(sum(col("y")).as("ss"), count(lit(1)).as("c"),
+            max(col("n")).as("n"), max(col("sy")).as("sy"),
+            max(col("qy")).as("qy"))
+        def dbl(c: String) = col(c).cast("double")
+        val mean = dbl("sy") / dbl("n")
+        val sd = sqrt(dbl("qy") / dbl("n") - mean * mean)
+        val zc = (dbl("ss") / dbl("c") - mean) / sd
+        seg.select(col("segment"), round(dbl("ss") / dbl("c"), 4)
+            .as("paa"),
+            round(zc, 4).as("z"),
+            when(zc < -0.6745, "a").when(zc < 0.0, "b")
+              .when(zc < 0.6745, "c").otherwise("d").as("symbol"))
+          .orderBy(col("segment"))
+      },
+      Some("""WITH daily AS (SELECT row_number() OVER (ORDER BY day) - 1
+             |      AS t, y FROM (
+             |    SELECT ts::DATE AS day, count(*)::BIGINT AS y
+             |    FROM events GROUP BY 1)),
+             |tot AS (SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS sy,
+             |    sum(y * y)::BIGINT AS qy FROM daily),
+             |seg AS (SELECT t * 8 // n AS segment, sum(y)::BIGINT AS ss,
+             |    count(*)::BIGINT AS c, max(n)::BIGINT AS n,
+             |    max(sy)::BIGINT AS sy, max(qy)::BIGINT AS qy
+             |  FROM daily, tot GROUP BY 1),
+             |e AS (SELECT segment, ss, c,
+             |    sy::DOUBLE / n::DOUBLE AS m,
+             |    sqrt(qy::DOUBLE / n::DOUBLE - (sy::DOUBLE / n::DOUBLE)
+             |      * (sy::DOUBLE / n::DOUBLE)) AS sd
+             |  FROM seg)
+             |SELECT segment, round(ss::DOUBLE / c::DOUBLE, 4) AS paa,
+             |  round((ss::DOUBLE / c::DOUBLE - m) / sd, 4) AS z,
+             |  CASE WHEN (ss::DOUBLE / c::DOUBLE - m) / sd < -0.6745
+             |      THEN 'a'
+             |    WHEN (ss::DOUBLE / c::DOUBLE - m) / sd < 0.0 THEN 'b'
+             |    WHEN (ss::DOUBLE / c::DOUBLE - m) / sd < 0.6745
+             |      THEN 'c'
+             |    ELSE 'd' END AS symbol
+             |FROM e ORDER BY segment""".stripMargin))
   )
 }

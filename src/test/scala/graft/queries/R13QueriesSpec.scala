@@ -737,6 +737,63 @@ class R13QueriesSpec extends GraftSpec {
     }
   }
 
+  test("q_seasonal_mann_kendall: monotone ramp is all-concordant") {
+    // 28 days rising 1..28: within each of 7 seasons, 4 points,
+    // all C(4,2) = 6 pairs concordant → S = 42; Var = 7·4·3·13/18
+    val out = byName("q_seasonal_mann_kendall")(spark,
+      dailyDir(1 to 28)).head()
+    assert(out.getAs[Long]("s_total") === 42L)
+    assert(out.getAs[Double]("var_s") === 60.6667)
+    assert(out.getAs[String]("trend") === "increasing")
+  }
+
+  test("q_seasonal_mann_kendall: sf0.001 |S| bounded by total pairs") {
+    val out = byName("q_seasonal_mann_kendall")(spark,
+      "/root/testdata/sf0.001").head()
+    assert(out.getAs[Double]("var_s") > 0.0)
+    assert(!out.getAs[Double]("z").isNaN)
+  }
+
+  test("q_rate_ratio_test: 3× purchase rate jump is detected") {
+    // 10 days at 2/day then 10 days at 6/day, all purchases
+    val rows = (0 until 20).flatMap { di =>
+      val k = if (di < 10) 2 else 6
+      (0 until k).map(j => (j.toLong, di, "purchase", 0.5))
+    }
+    val out = byName("q_rate_ratio_test")(spark, typedDir(rows)).head()
+    assert(out.getAs[Long]("x1") === 20L)
+    assert(out.getAs[Long]("x2") === 60L)
+    assert(out.getAs[Long]("d1") === 10L)
+    assert(out.getAs[Double]("rate_ratio") === 0.333333)
+    assert(out.getAs[Double]("z") < -2.0)
+  }
+
+  test("q_rate_ratio_test: sf0.001 halves partition the exposure") {
+    val out = byName("q_rate_ratio_test")(spark, "/root/testdata/sf0.001")
+      .head()
+    assert(math.abs(out.getAs[Long]("d1") - out.getAs[Long]("d2")) <= 1L)
+    assert(out.getAs[Double]("rate_ratio") > 0.0)
+  }
+
+  test("q_sax_symbols: step series maps low half to 'a', high to 'd'") {
+    // 16 days: 8 at 10, 8 at 50 → segments 0-3 z = −1, 4-7 z = +1
+    val rows = byName("q_sax_symbols")(spark,
+      dailyDir(Seq.fill(8)(10) ++ Seq.fill(8)(50))).collect()
+    assert(rows.length === 8)
+    assert(rows.take(4).forall(_.getAs[String]("symbol") === "a"))
+    assert(rows.drop(4).forall(_.getAs[String]("symbol") === "d"))
+    assert(rows.head.getAs[Double]("paa") === 10.0)
+    assert(rows.last.getAs[Double]("paa") === 50.0)
+  }
+
+  test("q_sax_symbols: sf0.001 emits 8 segments with valid letters") {
+    val rows = byName("q_sax_symbols")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length === 8)
+    assert(rows.forall(r => Set("a", "b", "c", "d")
+      .contains(r.getAs[String]("symbol"))))
+  }
+
   test("q_recurrence_quant: sf0.001 fractions in [0, 1]") {
     val out = byName("q_recurrence_quant")(spark, "/root/testdata/sf0.001")
       .head()
