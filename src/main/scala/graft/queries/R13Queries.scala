@@ -2870,7 +2870,7 @@ object R13Queries {
     // normalize-and-bucket touches doubles. The 8-row digest IS the
     // output — at any scale the only data-sized pass is the daily
     // aggregate.
-    QueryDef("q_sax_symbols",
+    QueryDef("q_sax_paa8",
       (s, d) => {
         val daily = graft.sources.Tables.events(s, d)
           .groupBy(to_date(col("ts")).as("day"))

@@ -775,9 +775,9 @@ class R13QueriesSpec extends GraftSpec {
     assert(out.getAs[Double]("rate_ratio") > 0.0)
   }
 
-  test("q_sax_symbols: step series maps low half to 'a', high to 'd'") {
+  test("q_sax_paa8: step series maps low half to 'a', high to 'd'") {
     // 16 days: 8 at 10, 8 at 50 → segments 0-3 z = −1, 4-7 z = +1
-    val rows = byName("q_sax_symbols")(spark,
+    val rows = byName("q_sax_paa8")(spark,
       dailyDir(Seq.fill(8)(10) ++ Seq.fill(8)(50))).collect()
     assert(rows.length === 8)
     assert(rows.take(4).forall(_.getAs[String]("symbol") === "a"))
@@ -786,8 +786,8 @@ class R13QueriesSpec extends GraftSpec {
     assert(rows.last.getAs[Double]("paa") === 50.0)
   }
 
-  test("q_sax_symbols: sf0.001 emits 8 segments with valid letters") {
-    val rows = byName("q_sax_symbols")(spark, "/root/testdata/sf0.001")
+  test("q_sax_paa8: sf0.001 emits 8 segments with valid letters") {
+    val rows = byName("q_sax_paa8")(spark, "/root/testdata/sf0.001")
       .collect()
     assert(rows.length === 8)
     assert(rows.forall(r => Set("a", "b", "c", "d")
