@@ -2920,6 +2920,141 @@ object R13Queries {
              |    WHEN (ss::DOUBLE / c::DOUBLE - m) / sd < 0.6745
              |      THEN 'c'
              |    ELSE 'd' END AS symbol
-             |FROM e ORDER BY segment""".stripMargin))
+             |FROM e ORDER BY segment""".stripMargin)),
+
+    // Two-component 1-D Gaussian mixture fit by 3 synchronous EM
+    // rounds (Dempster et al. 1977) on the value-CELL digest — the
+    // iterative-ML capstone next to q_kalman_level and
+    // q_isotonic_calibration. Determinism contract: responsibilities
+    // are rounded ONCE to 9 dp per cell (the transcendental quantize
+    // rule), the three weighted sums are exact DECIMAL reductions,
+    // and component 2's sums are exact COMPLEMENTS (N−w₁, Sv−w₁v,
+    // Svv−w₁vv) so no second resp column exists to drift. Each
+    // round's parameters are derived from those sums by identical
+    // double expressions on both engines; the oracle replays all 3
+    // rounds in chained MATERIALIZED CTEs. Init: μ = exact quartiles,
+    // σ² = global variance, π = ½. 100 TB: ONE fact-sized groupBy;
+    // the EM itself rides the ≤|value-domain| digest (3 tiny jobs).
+    QueryDef("q_gmm_em",
+      (s, d) => {
+        import org.apache.spark.sql.Row
+        val cell = graft.sources.Tables.events(s, d)
+          .select(floor(col("value") * 1000).cast("long").as("v"))
+          .groupBy(col("v")).agg(count(lit(1)).as("c"))
+          .persist()
+        val Row(nL: Long, svL: Long, qvL: Long) = cell.agg(
+          sum(col("c")), sum(col("c") * col("v")),
+          sum(col("c") * col("v") * col("v"))).head()
+        val cum = cell.withColumn("cumc",
+          sum(col("c")).over(Window.orderBy(col("v"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val q1 = cum.filter(col("cumc") * 4 >= nL)
+          .agg(min(col("v"))).head().getLong(0)
+        val q3 = cum.filter(col("cumc") * 4 >= 3L * nL)
+          .agg(min(col("v"))).head().getLong(0)
+        // mirror the oracle's double expressions EXACTLY — every
+        // Scala arithmetic line below has the same shape as the CTE
+        val n = nL.toDouble
+        val s0 = qvL.toDouble / n - (svL.toDouble / n) * (svL.toDouble / n)
+        var pi = 0.5
+        var mu1 = q1.toDouble
+        var s1 = s0
+        var mu2 = q3.toDouble
+        var s2 = s0
+        def lit_(x: Double) = s"cast('${x.toString}' as double)"
+        for (_ <- 1 to 3) {
+          val phi1 = s"exp(-(v - ${lit_(mu1)}) * (v - ${lit_(mu1)})" +
+            s" / (2.0 * ${lit_(s1)})) / sqrt(${lit_(s1)})"
+          val phi2 = s"exp(-(v - ${lit_(mu2)}) * (v - ${lit_(mu2)})" +
+            s" / (2.0 * ${lit_(s2)})) / sqrt(${lit_(s2)})"
+          val r1 = s"round(${lit_(pi)} * $phi1 / (${lit_(pi)} * $phi1" +
+            s" + (1.0 - ${lit_(pi)}) * $phi2), 9)"
+          val Row(w1: java.math.BigDecimal, w1v: java.math.BigDecimal,
+              w1vv: java.math.BigDecimal) =
+            cell.selectExpr("c", "v",
+                s"cast($r1 as decimal(11,9)) as r1")
+              .agg(sum(expr("c * r1")), sum(expr("c * r1 * v")),
+                sum(expr("c * r1 * v * v"))).head()
+          val (dw1, dw1v, dw1vv) =
+            (w1.doubleValue, w1v.doubleValue, w1vv.doubleValue)
+          // complements are exact decimals; their doubles below match
+          // the oracle's (n - w1)::DOUBLE etc. because the decimal
+          // subtraction is exact and the conversion correctly rounded
+          val dw2 = new java.math.BigDecimal(nL).subtract(w1).doubleValue
+          val dw2v = new java.math.BigDecimal(svL).subtract(w1v)
+            .doubleValue
+          val dw2vv = new java.math.BigDecimal(qvL).subtract(w1vv)
+            .doubleValue
+          pi = dw1 / n
+          mu1 = dw1v / dw1
+          s1 = dw1vv / dw1 - mu1 * mu1
+          mu2 = dw2v / dw2
+          s2 = dw2vv / dw2 - mu2 * mu2
+        }
+        cell.unpersist()
+        import s.implicits._
+        Seq((nL, BigDecimal(pi).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble,
+          BigDecimal(mu1).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble,
+          BigDecimal(math.sqrt(s1)).setScale(4,
+            BigDecimal.RoundingMode.HALF_UP).toDouble,
+          BigDecimal(mu2).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble,
+          BigDecimal(math.sqrt(s2)).setScale(4,
+            BigDecimal.RoundingMode.HALF_UP).toDouble))
+          .toDF("n", "pi1", "mu1", "sigma1", "mu2", "sigma2")
+      }, {
+        def round(r: Int, prev: String) =
+          s"""resp$r AS MATERIALIZED (SELECT c, v,
+             |    round(pi * p1 / (pi * p1 + (1.0 - pi) * p2), 9)
+             |      ::DECIMAL(11,9) AS r1 FROM (
+             |    SELECT c, v, pi,
+             |      exp(-(v - mu1) * (v - mu1) / (2.0 * s1)) / sqrt(s1)
+             |        AS p1,
+             |      exp(-(v - mu2) * (v - mu2) / (2.0 * s2)) / sqrt(s2)
+             |        AS p2
+             |    FROM cell, $prev)),
+             |w$r AS (SELECT sum(c * r1) AS w1, sum(c * r1 * v) AS w1v,
+             |    sum(c * r1 * v * v) AS w1vv FROM resp$r),
+             |param$r AS (SELECT
+             |    w1::DOUBLE / n::DOUBLE AS pi,
+             |    w1v::DOUBLE / w1::DOUBLE AS mu1,
+             |    w1vv::DOUBLE / w1::DOUBLE
+             |      - (w1v::DOUBLE / w1::DOUBLE)
+             |      * (w1v::DOUBLE / w1::DOUBLE) AS s1,
+             |    (sv - w1v)::DOUBLE / (n - w1)::DOUBLE AS mu2,
+             |    (qv - w1vv)::DOUBLE / (n - w1)::DOUBLE
+             |      - ((sv - w1v)::DOUBLE / (n - w1)::DOUBLE)
+             |      * ((sv - w1v)::DOUBLE / (n - w1)::DOUBLE) AS s2
+             |  FROM w$r, tot)""".stripMargin
+        Some(s"""WITH cell AS MATERIALIZED (SELECT
+               |    floor(value * 1000)::BIGINT AS v,
+               |    count(*)::BIGINT AS c FROM events GROUP BY 1),
+               |tot AS (SELECT sum(c)::BIGINT AS n, sum(c * v)::BIGINT
+               |    AS sv, sum(c * v * v)::BIGINT AS qv FROM cell),
+               |cum AS (SELECT v, sum(c) OVER (ORDER BY v
+               |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               |    AS cumc FROM cell),
+               |qq AS (SELECT
+               |    (SELECT min(v) FROM cum, tot WHERE cumc * 4 >= n)
+               |      AS q1,
+               |    (SELECT min(v) FROM cum, tot WHERE cumc * 4 >= 3 * n)
+               |      AS q3),
+               |param0 AS (SELECT 0.5::DOUBLE AS pi, q1::DOUBLE AS mu1,
+               |    qv::DOUBLE / n::DOUBLE - (sv::DOUBLE / n::DOUBLE)
+               |      * (sv::DOUBLE / n::DOUBLE) AS s1,
+               |    q3::DOUBLE AS mu2,
+               |    qv::DOUBLE / n::DOUBLE - (sv::DOUBLE / n::DOUBLE)
+               |      * (sv::DOUBLE / n::DOUBLE) AS s2
+               |  FROM qq, tot),
+               |${round(1, "param0")},
+               |${round(2, "param1")},
+               |${round(3, "param2")}
+               |SELECT n, round(pi, 6) AS pi1, round(mu1, 4) AS mu1,
+               |  round(sqrt(s1), 4) AS sigma1, round(mu2, 4) AS mu2,
+               |  round(sqrt(s2), 4) AS sigma2
+               |FROM param3, tot""".stripMargin)
+      })
   )
 }

@@ -794,6 +794,26 @@ class R13QueriesSpec extends GraftSpec {
       .contains(r.getAs[String]("symbol"))))
   }
 
+  test("q_gmm_em: two separated spikes are recovered by 3 EM rounds") {
+    // values 0.01 (×60) and 0.9 (×40): vm ∈ {10, 900} — the mixture
+    // must land means on the spikes with weights ≈ 0.6/0.4
+    val rows = Seq.fill(60)((0L, 0, "view", 0.01)) ++
+      Seq.fill(40)((1L, 0, "view", 0.9))
+    val out = byName("q_gmm_em")(spark, typedDir(rows)).head()
+    assert(math.abs(out.getAs[Double]("mu1") - 10.0) < 1.0)
+    assert(math.abs(out.getAs[Double]("mu2") - 900.0) < 1.0)
+    assert(math.abs(out.getAs[Double]("pi1") - 0.6) < 0.02)
+  }
+
+  test("q_gmm_em: sf0.001 yields an ordered, proper mixture") {
+    val out = byName("q_gmm_em")(spark, "/root/testdata/sf0.001").head()
+    val p = out.getAs[Double]("pi1")
+    assert(p > 0.0 && p < 1.0)
+    assert(out.getAs[Double]("mu1") < out.getAs[Double]("mu2"))
+    assert(out.getAs[Double]("sigma1") > 0.0)
+    assert(out.getAs[Double]("sigma2") > 0.0)
+  }
+
   test("q_recurrence_quant: sf0.001 fractions in [0, 1]") {
     val out = byName("q_recurrence_quant")(spark, "/root/testdata/sf0.001")
       .head()
