@@ -3055,6 +3055,281 @@ object R13Queries {
                |  round(sqrt(s1), 4) AS sigma1, round(mu2, 4) AS mu2,
                |  round(sqrt(s2), 4) AS sigma2
                |FROM param3, tot""".stripMargin)
-      })
+      }),
+
+    // Restricted mean survival time at τ = 14 days (Royston & Parmar
+    // 2013) over the q_kaplan_meier conversion-as-death framing —
+    // the clinically robust "average conversion-free days in the
+    // first two weeks" summary that stays defined when the median is
+    // never reached. The KM curve re-derives on the lifetime digest
+    // (ln-sum ordered window, the q_nelson_aalen discipline); the
+    // area segments are quantized once to 9 dp before the cross-row
+    // sum so the integral is partition-order independent.
+    QueryDef("q_rmst",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+        val perUser = ev.groupBy(col("user_id"))
+          .agg(min(to_date(col("ts"))).as("first_d"))
+        val conv = ev.filter(col("event_type") === "purchase" &&
+            col("value") >= 90)
+          .groupBy(col("user_id").as("cu"))
+          .agg(min(to_date(col("ts"))).as("conv_d"))
+        val horizon = ev.agg(max(to_date(col("ts"))).as("max_d"))
+        val byT = perUser
+          .join(conv, col("user_id") === col("cu"), "left")
+          .crossJoin(broadcast(horizon))
+          .withColumn("dead", col("conv_d").isNotNull.cast("long"))
+          .withColumn("lifetime",
+            datediff(coalesce(col("conv_d"), col("max_d")),
+              col("first_d")))
+          .groupBy(col("lifetime"))
+          .agg(sum(col("dead")).as("nd"),
+            sum(lit(1L) - col("dead")).as("nc"))
+        val wDesc = Window.orderBy(col("lifetime").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAsc = Window.orderBy(col("lifetime"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val km = byT
+          .withColumn("n_risk", sum(col("nd") + col("nc")).over(wDesc))
+          .withColumn("ln_term",
+            log((col("n_risk") - col("nd")).cast("double") /
+              col("n_risk").cast("double")))
+          .withColumn("surv", exp(sum(col("ln_term")).over(wAsc)))
+          .filter(col("nd") > 0)
+          .select(col("lifetime").as("t"), col("surv"))
+        val w = Window.orderBy(col("t"))
+        val seg = km
+          .withColumn("pt", coalesce(lag(col("t"), 1).over(w), lit(0L)))
+          .withColumn("ps",
+            coalesce(lag(col("surv"), 1).over(w), lit(1.0)))
+          .select(col("t"), col("surv"),
+            round((least(col("t"), lit(14L)) -
+              least(col("pt"), lit(14L))).cast("double") * col("ps"), 9)
+              .cast("decimal(20,9)").as("seg"))
+        seg.agg(sum(col("seg")).as("head"),
+            max_by(col("surv"), col("t")).as("slast"),
+            max(col("t")).as("tmax"),
+            coalesce(max_by(when(col("t") <= 14, col("surv")),
+              when(col("t") <= 14, col("t"))), lit(1.0)).as("s14"))
+          .select(lit(14L).as("tau"),
+            round(col("head").cast("double") +
+              (lit(14.0) - least(col("tmax"), lit(14L)).cast("double")) *
+                col("slast"), 4).as("rmst"),
+            round(col("s14"), 6).as("surv_tau"))
+      },
+      Some("""WITH per_user AS (SELECT user_id,
+             |    min(ts::DATE) AS first_d FROM events GROUP BY 1),
+             |conv AS (SELECT user_id AS cu, min(ts::DATE) AS conv_d
+             |  FROM events WHERE event_type = 'purchase'
+             |    AND value >= 90 GROUP BY 1),
+             |horizon AS (SELECT max(ts::DATE) AS max_d FROM events),
+             |byt AS (SELECT datediff('day', first_d,
+             |      coalesce(conv_d, max_d)) AS lifetime,
+             |    sum(CASE WHEN conv_d IS NOT NULL THEN 1 ELSE 0 END)
+             |      ::BIGINT AS nd,
+             |    sum(CASE WHEN conv_d IS NULL THEN 1 ELSE 0 END)
+             |      ::BIGINT AS nc
+             |  FROM per_user LEFT JOIN conv ON user_id = cu, horizon
+             |  GROUP BY 1),
+             |km0 AS (SELECT lifetime, nd,
+             |    sum(nd + nc) OVER (ORDER BY lifetime DESC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS n_risk FROM byt),
+             |km1 AS (SELECT lifetime, nd,
+             |    exp(sum(ln((n_risk - nd)::DOUBLE / n_risk::DOUBLE))
+             |      OVER (ORDER BY lifetime
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |      AS surv
+             |  FROM km0),
+             |km AS (SELECT lifetime AS t, surv FROM km1 WHERE nd > 0),
+             |seg AS (SELECT t, surv,
+             |    round((least(t, 14) - least(coalesce(lag(t, 1)
+             |        OVER (ORDER BY t), 0), 14))::DOUBLE
+             |      * coalesce(lag(surv, 1) OVER (ORDER BY t), 1.0), 9)
+             |      ::DECIMAL(20,9) AS seg
+             |  FROM km),
+             |agg AS (SELECT sum(seg) AS head,
+             |    max_by(surv, t) AS slast, max(t) AS tmax,
+             |    coalesce(max_by(CASE WHEN t <= 14 THEN surv END,
+             |      CASE WHEN t <= 14 THEN t END), 1.0) AS s14
+             |  FROM seg)
+             |SELECT 14::BIGINT AS tau,
+             |  round(head::DOUBLE + (14.0 - least(tmax, 14)::DOUBLE)
+             |    * slast, 4) AS rmst,
+             |  round(s14, 6) AS surv_tau
+             |FROM agg""".stripMargin)),
+
+    // Circular statistics of the event clock (Mardia & Jupp 2000):
+    // the hour-of-day treated as a direction on the 24-hour circle —
+    // mean direction (peak hour), resultant length R̄ (concentration),
+    // circular variance, and the Rayleigh test of uniformity
+    // (z = nR̄², the "is there a daily rhythm at all?" gate). The 24
+    // cos/sin cell terms are quantized once to 9 dp, so C and S are
+    // exact DECIMAL sums; atan2 and the Rayleigh p appear only in the
+    // one-row projection.
+    QueryDef("q_circular_stats",
+      (s, d) => {
+        val cellAgg = graft.sources.Tables.events(s, d)
+          .groupBy(hour(col("ts")).cast("long").as("h"))
+          .agg(count(lit(1)).as("c"))
+        val terms = cellAgg.select(col("c"),
+          expr("""cast(round(cast(c as double) * cos(
+            |  2.0 * 3.141592653589793 * cast(h as double) / 24.0),
+            |  9) as decimal(38,9))""".stripMargin).as("tc"),
+          expr("""cast(round(cast(c as double) * sin(
+            |  2.0 * 3.141592653589793 * cast(h as double) / 24.0),
+            |  9) as decimal(38,9))""".stripMargin).as("ts"))
+        val g = terms.agg(sum(col("c")).as("n"), sum(col("tc")).as("cc"),
+          sum(col("ts")).as("ss"))
+        def dbl(c: String) = col(c).cast("double")
+        val r = sqrt(dbl("cc") * dbl("cc") + dbl("ss") * dbl("ss")) /
+          dbl("n")
+        val theta = atan2(dbl("ss"), dbl("cc"))
+        val z = dbl("n") * r * r
+        g.select(col("n"),
+          round(pmod(theta / (2.0 * math.Pi) * 24.0, lit(24.0)), 4)
+            .as("mean_hour"),
+          round(r, 6).as("resultant_r"),
+          round(lit(1.0) - r, 6).as("circ_variance"),
+          round(z, 4).as("rayleigh_z"),
+          round(exp(-z) * (lit(1.0) +
+            (lit(2.0) * z - z * z) / (lit(4.0) * dbl("n"))), 6)
+            .as("rayleigh_p"))
+      },
+      Some("""WITH cell AS (SELECT hour(ts)::BIGINT AS h,
+             |    count(*)::BIGINT AS c FROM events GROUP BY 1),
+             |terms AS (SELECT c,
+             |    round(c::DOUBLE * cos(2.0 * 3.141592653589793
+             |      * h::DOUBLE / 24.0), 9)::DECIMAL(38,9) AS tc,
+             |    round(c::DOUBLE * sin(2.0 * 3.141592653589793
+             |      * h::DOUBLE / 24.0), 9)::DECIMAL(38,9) AS ts
+             |  FROM cell),
+             |g AS (SELECT sum(c)::BIGINT AS n, sum(tc) AS cc,
+             |    sum(ts) AS ss FROM terms),
+             |e AS (SELECT n,
+             |    sqrt(cc::DOUBLE * cc::DOUBLE + ss::DOUBLE * ss::DOUBLE)
+             |      / n::DOUBLE AS r,
+             |    atan2(ss::DOUBLE, cc::DOUBLE) AS theta
+             |  FROM g)
+             |SELECT n,
+             |  round(fmod(fmod(theta / (2.0 * 3.141592653589793) * 24.0,
+             |    24.0) + 24.0, 24.0), 4) AS mean_hour,
+             |  round(r, 6) AS resultant_r,
+             |  round(1.0 - r, 6) AS circ_variance,
+             |  round(n::DOUBLE * r * r, 4) AS rayleigh_z,
+             |  round(exp(-(n::DOUBLE * r * r)) * (1.0
+             |    + (2.0 * n::DOUBLE * r * r
+             |      - n::DOUBLE * r * r * (n::DOUBLE * r * r))
+             |      / (4.0 * n::DOUBLE)), 6) AS rayleigh_p
+             |FROM e""".stripMargin)),
+
+    // Generalized Pareto fit of the exceedances over the exact 90th
+    // percentile by method of moments (Hosking & Wallis 1987):
+    // ξ = (1 − m²/s²)/2, σ = m(1 − ξ) — the peaks-over-threshold
+    // counterpart of q_gev_return_levels, closing the EVT triad with
+    // q_mean_excess. Exceedance moments are exact integers off the
+    // value-cell digest; the p = 0.999 return quantile
+    // u + σ/ξ((ζ_u/(1−p))^ξ − 1) is a one-row projection (ξ → 0
+    // NULL-guarded on both engines).
+    QueryDef("q_gpd_pot",
+      (s, d) => {
+        val cell = graft.sources.Tables.events(s, d)
+          .select(floor(col("value") * 1000).cast("long").as("vm"))
+          .groupBy(col("vm")).agg(count(lit(1)).as("t"))
+        val cum = cell.withColumn("cumt",
+          sum(col("t")).over(Window.orderBy(col("vm"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val tot = broadcast(cell.agg(sum(col("t")).as("n")))
+        val u = cum.crossJoin(tot)
+          .filter(col("cumt") * 10 >= col("n") * 9)
+          .agg(min(col("vm")).as("u"))
+        val ex = cell.crossJoin(broadcast(u)).crossJoin(tot)
+          .filter(col("vm") > col("u"))
+          .agg(max(col("u")).as("u"), max(col("n")).as("n"),
+            sum(col("t")).as("ne"),
+            sum((col("vm") - col("u")) * col("t")).as("sy"),
+            sum((col("vm") - col("u")) * (col("vm") - col("u")) *
+              col("t")).as("qy"))
+        def dbl(c: String) = col(c).cast("double")
+        val m = dbl("sy") / dbl("ne")
+        val s2 = (dbl("qy") - dbl("sy") * dbl("sy") / dbl("ne")) /
+          (dbl("ne") - 1.0)
+        val xi = (lit(1.0) - m * m / s2) / 2.0
+        val sg = m * (lit(1.0) - xi)
+        val zeta = dbl("ne") / dbl("n")
+        ex.select(col("u").as("threshold"), col("ne").as("n_exceed"),
+          round(xi, 6).as("xi"), round(sg, 4).as("sigma"),
+          round(col("u") + sg / nullif(xi, lit(0.0)) *
+            (pow(zeta / 0.001, xi) - 1.0), 4).as("q999"))
+      },
+      Some("""WITH cell AS (SELECT floor(value * 1000)::BIGINT AS vm,
+             |    count(*)::BIGINT AS t FROM events GROUP BY 1),
+             |cum AS (SELECT vm, t, sum(t) OVER (ORDER BY vm
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS cumt FROM cell),
+             |tot AS (SELECT sum(t)::BIGINT AS n FROM cell),
+             |uu AS (SELECT min(vm)::BIGINT AS u FROM cum, tot
+             |  WHERE cumt * 10 >= n * 9),
+             |ex AS (SELECT max(u)::BIGINT AS u, max(n)::BIGINT AS n,
+             |    sum(t)::BIGINT AS ne,
+             |    sum((vm - u) * t)::BIGINT AS sy,
+             |    sum((vm - u) * (vm - u) * t)::BIGINT AS qy
+             |  FROM cell, uu, tot WHERE vm > u),
+             |e AS (SELECT u, n, ne,
+             |    sy::DOUBLE / ne::DOUBLE AS m,
+             |    (qy::DOUBLE - sy::DOUBLE * sy::DOUBLE / ne::DOUBLE)
+             |      / (ne::DOUBLE - 1.0) AS s2
+             |  FROM ex)
+             |SELECT u AS threshold, ne AS n_exceed,
+             |  round((1.0 - m * m / s2) / 2.0, 6) AS xi,
+             |  round(m * (1.0 - (1.0 - m * m / s2) / 2.0), 4) AS sigma,
+             |  round(u + m * (1.0 - (1.0 - m * m / s2) / 2.0)
+             |    / nullif((1.0 - m * m / s2) / 2.0, 0.0)
+             |    * (pow((ne::DOUBLE / n::DOUBLE) / 0.001,
+             |      (1.0 - m * m / s2) / 2.0) - 1.0), 4) AS q999
+             |FROM e""".stripMargin)),
+
+    // Hawkes self-excitation (branching ratio) moment estimate: for
+    // a cluster point process, hourly counts obey
+    // Var/Mean = 1/(1−η)², so η̂ = 1 − √(mean/var) — the one-number
+    // "how much of the traffic is events triggering events?"
+    // diagnostic (η = 0 ⟹ pure Poisson). The hour spine is implicit
+    // (W = span hours from min/max; empty hours are exact zeros in
+    // the moments without materializing), so the plan is one
+    // fact-sized aggregate at any scale.
+    QueryDef("q_hawkes_branching",
+      (s, d) => {
+        val hc = graft.sources.Tables.events(s, d)
+          .groupBy(expr("unix_micros(ts) div 3600000000").as("hb"))
+          .agg(count(lit(1)).as("c"))
+        val g = hc.agg(sum(col("c")).as("nn"),
+          sum(col("c") * col("c")).as("qc"),
+          (max(col("hb")) - min(col("hb")) + 1L).as("w"))
+        def dbl(c: String) = col(c).cast("double")
+        val m = dbl("nn") / dbl("w")
+        val v = (dbl("qc") - dbl("nn") * dbl("nn") / dbl("w")) /
+          (dbl("w") - 1.0)
+        // ANSI double ÷ 0 guard: a constant-rate (zero-variance)
+        // series yields NULL η on both engines
+        g.select(col("w").as("n_hours"), round(m, 4).as("mean_rate"),
+          round(v, 4).as("var_rate"),
+          round(v / m, 6).as("fano"),
+          round(greatest(lit(1.0) - sqrt(m / nullif(v, lit(0.0))),
+            lit(0.0)), 6).as("eta_branching"))
+      },
+      Some("""WITH hc AS (SELECT epoch_us(ts) // 3600000000 AS hb,
+             |    count(*)::BIGINT AS c FROM events GROUP BY 1),
+             |g AS (SELECT sum(c)::BIGINT AS nn,
+             |    sum(c * c)::BIGINT AS qc,
+             |    (max(hb) - min(hb) + 1)::BIGINT AS w FROM hc),
+             |e AS (SELECT w, nn::DOUBLE / w::DOUBLE AS m,
+             |    (qc::DOUBLE - nn::DOUBLE * nn::DOUBLE / w::DOUBLE)
+             |      / (w::DOUBLE - 1.0) AS v
+             |  FROM g)
+             |SELECT w AS n_hours, round(m, 4) AS mean_rate,
+             |  round(v, 4) AS var_rate, round(v / m, 6) AS fano,
+             |  round(greatest(1.0 - sqrt(m / nullif(v, 0.0)), 0.0), 6)
+             |    AS eta_branching
+             |FROM e""".stripMargin))
   )
 }

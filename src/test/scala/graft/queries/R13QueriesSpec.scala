@@ -814,6 +814,103 @@ class R13QueriesSpec extends GraftSpec {
     assert(out.getAs[Double]("sigma2") > 0.0)
   }
 
+  test("q_rmst: one early converter, one censored — area by hand") {
+    // lifetimes: 4 (death), 20 (censor): S = 1 on [0,4), 0.5 after →
+    // RMST(14) = 4 + 0.5·10 = 9
+    val dir = typedDir(Seq((0L, 0, "view", 0.5), (0L, 4, "purchase", 95.0),
+      (1L, 0, "view", 0.5), (1L, 20, "view", 0.5)))
+    val out = byName("q_rmst")(spark, dir).head()
+    assert(out.getAs[Double]("rmst") === 9.0)
+    assert(out.getAs[Double]("surv_tau") === 0.5)
+  }
+
+  test("q_rmst: sf0.001 bounded by τ and consistent with survival") {
+    val out = byName("q_rmst")(spark, "/root/testdata/sf0.001").head()
+    val r = out.getAs[Double]("rmst")
+    val s14 = out.getAs[Double]("surv_tau")
+    assert(r > 0.0 && r <= 14.0)
+    // S monotone ⇒ area ≥ τ·S(τ)
+    assert(r >= 14.0 * s14 - 1e-6)
+  }
+
+  test("q_circular_stats: all-midnight events are perfectly concentrated") {
+    val out = byName("q_circular_stats")(spark, dailyDir(Seq(10))).head()
+    assert(out.getAs[Long]("n") === 10L)
+    assert(out.getAs[Double]("mean_hour") === 0.0)
+    assert(out.getAs[Double]("resultant_r") === 1.0)
+    assert(out.getAs[Double]("rayleigh_z") === 10.0)
+    assert(out.getAs[Double]("circ_variance") === 0.0)
+  }
+
+  test("q_circular_stats: sf0.001 R̄ in [0,1], mean hour on the clock") {
+    val out = byName("q_circular_stats")(spark, "/root/testdata/sf0.001")
+      .head()
+    val r = out.getAs[Double]("resultant_r")
+    val mh = out.getAs[Double]("mean_hour")
+    assert(r >= 0.0 && r <= 1.0)
+    assert(mh >= 0.0 && mh < 24.0)
+    assert(out.getAs[Double]("rayleigh_p") >= 0.0)
+  }
+
+  test("q_gpd_pot: uniform ladder has the exact bounded-tail MoM fit") {
+    // exceedances over p90 are 1000·(1..10): m = 5500, m²/s² = 3.3
+    // → ξ = −1.15, σ = 5500·2.15 = 11825
+    val dir = typedDir((1 to 100).map(i => (0L, 0, "view", i + 0.5)))
+    val out = byName("q_gpd_pot")(spark, dir).head()
+    assert(out.getAs[Long]("threshold") === 90500L)
+    assert(out.getAs[Long]("n_exceed") === 10L)
+    assert(out.getAs[Double]("xi") === -1.15)
+    assert(out.getAs[Double]("sigma") === 11825.0)
+  }
+
+  test("q_gpd_pot: sf0.001 exceedance share ≈ 10%") {
+    val out = byName("q_gpd_pot")(spark, "/root/testdata/sf0.001").head()
+    assert(out.getAs[Long]("n_exceed") > 0L)
+    assert(!out.getAs[Double]("xi").isNaN)
+  }
+
+  /** events.parquet with `cnt` events in hour-bucket `hb` of day 0. */
+  private def hourDir(counts: Seq[Int]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("r13hr").toString
+    val day0 = 1704067200000000L
+    counts.zipWithIndex.flatMap { case (cnt, hb) =>
+      (0 until cnt).map { j =>
+        ((hb * 100 + j).toLong, day0 + hb * 3600000000L + j * 1000L,
+          j.toLong, "view", 1.0, "{}")
+      }
+    }.toDF("event_id", "__us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("__us"))).drop("__us")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("q_hawkes_branching: alternating burst hours give η = 1 − √0.2") {
+    // counts 10,0,…,10 over 9 hours: m/v = 0.2 exactly, Fano 5
+    val out = byName("q_hawkes_branching")(spark,
+      hourDir(Seq(10, 0, 10, 0, 10, 0, 10, 0, 10))).head()
+    assert(out.getAs[Long]("n_hours") === 9L)
+    assert(out.getAs[Double]("fano") === 5.0)
+    assert(out.getAs[Double]("eta_branching") === 0.552786)
+  }
+
+  test("q_hawkes_branching: constant rate collapses to η = 0") {
+    // var = 0: the ÷0 is nullif-guarded and greatest(NULL, 0) = 0 on
+    // BOTH engines (greatest ignores NULLs) — no self-excitation
+    val out = byName("q_hawkes_branching")(spark,
+      hourDir(Seq.fill(6)(5))).head()
+    assert(out.getAs[Double]("var_rate") === 0.0)
+    assert(out.getAs[Double]("eta_branching") === 0.0)
+  }
+
+  test("q_hawkes_branching: sf0.001 η in [0, 1)") {
+    val out = byName("q_hawkes_branching")(spark, "/root/testdata/sf0.001")
+      .head()
+    val eta = out.getAs[Double]("eta_branching")
+    assert(eta >= 0.0 && eta < 1.0)
+    assert(out.getAs[Double]("fano") > 0.0)
+  }
+
   test("q_recurrence_quant: sf0.001 fractions in [0, 1]") {
     val out = byName("q_recurrence_quant")(spark, "/root/testdata/sf0.001")
       .head()
