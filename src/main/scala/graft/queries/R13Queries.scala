@@ -3330,6 +3330,190 @@ object R13Queries {
              |  round(v, 4) AS var_rate, round(v / m, 6) AS fano,
              |  round(greatest(1.0 - sqrt(m / nullif(v, 0.0)), 0.0), 6)
              |    AS eta_branching
-             |FROM e""".stripMargin))
+             |FROM e""".stripMargin)),
+
+    // Coarsened exact matching ATT (Iacus, King & Porro 2012):
+    // treatment = an above-average error count (the exact integer
+    // cross-multiplication n_err·N > Σerr — every user sees ≥1 error
+    // in this corpus, so the ≥1 framing would leave no controls),
+    // outcome = purchase count, confounder = total activity coarsened
+    // to exact quartile strata.
+    // ATT = Σ_s (n₁s/N₁)(ȳ₁s − ȳ₀s) over strata where BOTH groups
+    // appear — the matching estimator that needs no model and no
+    // distance metric, and the honest companion to q_ipw_ate (which
+    // reweights instead of pruning). Strata cuts come from the
+    // per-user activity digest (exact quartiles); per-stratum terms
+    // are quantized once to 9 dp before the 4-row weighted sum.
+    QueryDef("q_cem_att",
+      (s, d) => {
+        val pu0 = graft.sources.Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_ev"),
+            sum(when(col("event_type") === "error", 1L).otherwise(0L))
+              .as("n_err"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("y"))
+        val errTot = broadcast(pu0.agg(sum(col("n_err")).as("te"),
+          count(lit(1)).as("tu")))
+        val perUser = pu0.crossJoin(errTot)
+          .select(col("n_ev"),
+            (col("n_err") * col("tu") > col("te")).as("treated"),
+            col("y"))
+        val cell = perUser.groupBy(col("n_ev")).agg(count(lit(1)).as("c"))
+        val cum = cell.withColumn("cumc",
+          sum(col("c")).over(Window.orderBy(col("n_ev"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val tot = broadcast(cell.agg(sum(col("c")).as("nu")))
+        def cut(k: Int) = cum.crossJoin(tot)
+          .filter(col("cumc") * 4 >= col("nu") * k)
+          .agg(min(col("n_ev"))).head().getLong(0)
+        val (c1, c2, c3) = (cut(1), cut(2), cut(3))
+        val strat = perUser.withColumn("stratum",
+          when(col("n_ev") <= c1, 0).when(col("n_ev") <= c2, 1)
+            .when(col("n_ev") <= c3, 2).otherwise(3))
+        val byS = strat.groupBy(col("stratum")).agg(
+          sum(when(col("treated"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("treated"), col("y")).otherwise(0L)).as("s1"),
+          sum(when(!col("treated"), 1L).otherwise(0L)).as("n0"),
+          sum(when(!col("treated"), col("y")).otherwise(0L)).as("s0"))
+          .filter(col("n1") > 0 && col("n0") > 0)
+        def dbl(c: String) = col(c).cast("double")
+        val nt = broadcast(byS.agg(sum(col("n1")).as("nt1"),
+          sum(col("s1")).as("st1"), sum(col("n0")).as("nt0"),
+          sum(col("s0")).as("st0"),
+          count(lit(1)).as("n_strata")))
+        byS.crossJoin(nt)
+          .select(col("n_strata"), col("nt1"),
+            round(dbl("n1") / dbl("nt1") *
+              (dbl("s1") / dbl("n1") - dbl("s0") / dbl("n0")), 9)
+              .cast("decimal(20,9)").as("term"),
+            (dbl("st1") / dbl("nt1") - dbl("st0") / dbl("nt0"))
+              .as("naive"))
+          .groupBy(col("n_strata"), col("nt1"), col("naive"))
+          .agg(sum(col("term")).as("att"))
+          .select(col("nt1").as("n_treated"),
+            col("n_strata").as("n_matched_strata"),
+            round(col("att").cast("double"), 6).as("att"),
+            round(col("naive"), 6).as("naive_diff"))
+      },
+      Some("""WITH pu0 AS (SELECT count(*)::BIGINT AS n_ev,
+             |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             |      ::BIGINT AS n_err,
+             |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+             |      END)::BIGINT AS y
+             |  FROM events GROUP BY user_id),
+             |errtot AS (SELECT sum(n_err)::BIGINT AS te,
+             |    count(*)::BIGINT AS tu FROM pu0),
+             |per_user AS (SELECT n_ev, n_err * tu > te AS treated, y
+             |  FROM pu0, errtot),
+             |cell AS (SELECT n_ev, count(*)::BIGINT AS c FROM per_user
+             |  GROUP BY 1),
+             |cum AS (SELECT n_ev, sum(c) OVER (ORDER BY n_ev
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS cumc FROM cell),
+             |tot AS (SELECT sum(c)::BIGINT AS nu FROM cell),
+             |cuts AS (SELECT
+             |    (SELECT min(n_ev) FROM cum, tot WHERE cumc * 4 >= nu)
+             |      AS c1,
+             |    (SELECT min(n_ev) FROM cum, tot
+             |      WHERE cumc * 4 >= nu * 2) AS c2,
+             |    (SELECT min(n_ev) FROM cum, tot
+             |      WHERE cumc * 4 >= nu * 3) AS c3),
+             |strat AS (SELECT CASE WHEN n_ev <= c1 THEN 0
+             |      WHEN n_ev <= c2 THEN 1 WHEN n_ev <= c3 THEN 2
+             |      ELSE 3 END AS stratum, treated, y
+             |  FROM per_user, cuts),
+             |bys AS (SELECT stratum,
+             |    sum(CASE WHEN treated THEN 1 ELSE 0 END)::BIGINT AS n1,
+             |    sum(CASE WHEN treated THEN y ELSE 0 END)::BIGINT AS s1,
+             |    sum(CASE WHEN NOT treated THEN 1 ELSE 0 END)::BIGINT
+             |      AS n0,
+             |    sum(CASE WHEN NOT treated THEN y ELSE 0 END)::BIGINT
+             |      AS s0
+             |  FROM strat GROUP BY 1
+             |  HAVING sum(CASE WHEN treated THEN 1 ELSE 0 END) > 0
+             |    AND sum(CASE WHEN NOT treated THEN 1 ELSE 0 END) > 0),
+             |nt AS (SELECT sum(n1)::BIGINT AS nt1, sum(s1)::BIGINT
+             |      AS st1,
+             |    sum(n0)::BIGINT AS nt0, sum(s0)::BIGINT AS st0,
+             |    count(*)::BIGINT AS n_strata FROM bys),
+             |terms AS (SELECT n_strata, nt1,
+             |    round(n1::DOUBLE / nt1::DOUBLE
+             |      * (s1::DOUBLE / n1::DOUBLE - s0::DOUBLE / n0::DOUBLE),
+             |      9)::DECIMAL(20,9) AS term,
+             |    st1::DOUBLE / nt1::DOUBLE - st0::DOUBLE / nt0::DOUBLE
+             |      AS naive
+             |  FROM bys, nt)
+             |SELECT nt1 AS n_treated, n_strata AS n_matched_strata,
+             |  round(sum(term)::DOUBLE, 6) AS att,
+             |  round(naive, 6) AS naive_diff
+             |FROM terms GROUP BY 1, 2, naive""".stripMargin)),
+
+    // Offline follow-the-leader bandit replay: arms = event types,
+    // the day-t reward of an arm is its realized mean value that day
+    // (9 dp-quantized exact ratio), and FTL plays the arm with the
+    // best cumulative PRIOR mean (day 1 and unseen arms fall to the
+    // alphabetical default — fully deterministic, no RNG). Because
+    // rewards are logged for every arm every day, the replay is pure
+    // windows over the (day × arm) digest: per-arm prior-cumulative
+    // means, a per-day argmax, and a quantized regret sum vs the
+    // per-day oracle best. The policy-evaluation harness shape used
+    // to vet ranking/allocation changes offline.
+    QueryDef("q_bandit_replay",
+      (s, d) => {
+        val ad = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"),
+            col("event_type").as("arm"))
+          .agg(sum(floor(col("value") * 1000).cast("long")).as("sv"),
+            count(lit(1)).as("c"))
+        val wArm = Window.partitionBy(col("arm")).orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val withPrior = ad
+          .withColumn("ps", sum(col("sv")).over(wArm))
+          .withColumn("pc", sum(col("c")).over(wArm))
+          .withColumn("prior_mean",
+            round(col("ps").cast("double") / col("pc").cast("double"), 9))
+          .withColumn("reward",
+            round(col("sv").cast("double") / col("c").cast("double"), 9)
+              .cast("decimal(20,9)"))
+        val wDay = Window.partitionBy(col("day"))
+          .orderBy(col("prior_mean").desc_nulls_last, col("arm"))
+        val chosen = withPrior
+          .withColumn("pick", row_number().over(wDay))
+          .withColumn("best",
+            max(col("reward")).over(Window.partitionBy(col("day"))))
+        val day = chosen.filter(col("pick") === 1)
+          .select(col("day"), col("arm"),
+            (col("best") - col("reward")).as("regret"))
+        day.agg(count(lit(1)).as("n_days"),
+            sum(col("regret")).as("tr"),
+            max_by(col("arm"), col("day")).as("final_arm"))
+          .select(col("n_days"),
+            round(col("tr").cast("double") / 1000.0, 6)
+              .as("total_regret"),
+            col("final_arm"))
+      },
+      Some("""WITH ad AS (SELECT ts::DATE AS day, event_type AS arm,
+             |    sum(floor(value * 1000)::BIGINT)::BIGINT AS sv,
+             |    count(*)::BIGINT AS c
+             |  FROM events GROUP BY 1, 2),
+             |wp AS (SELECT day, arm,
+             |    round((sum(sv) OVER w)::DOUBLE
+             |      / (sum(c) OVER w)::DOUBLE, 9) AS prior_mean,
+             |    round(sv::DOUBLE / c::DOUBLE, 9)::DECIMAL(20,9)
+             |      AS reward
+             |  FROM ad WINDOW w AS (PARTITION BY arm ORDER BY day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+             |ch AS (SELECT day, arm, reward,
+             |    row_number() OVER (PARTITION BY day
+             |      ORDER BY prior_mean DESC NULLS LAST, arm) AS pick,
+             |    max(reward) OVER (PARTITION BY day) AS best
+             |  FROM wp),
+             |dd AS (SELECT day, arm, best - reward AS regret FROM ch
+             |  WHERE pick = 1)
+             |SELECT count(*)::BIGINT AS n_days,
+             |  round(sum(regret)::DOUBLE / 1000.0, 6) AS total_regret,
+             |  max_by(arm, day) AS final_arm
+             |FROM dd""".stripMargin))
   )
 }

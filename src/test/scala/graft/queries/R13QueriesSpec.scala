@@ -911,6 +911,48 @@ class R13QueriesSpec extends GraftSpec {
     assert(out.getAs[Double]("fano") > 0.0)
   }
 
+  test("q_cem_att: one balanced stratum recovers the exact effect") {
+    // 4 users, all n_ev = 10 (one stratum): treated means 4, control 1
+    def user(uid: Long, errs: Int, purch: Int): Seq[(Long, Int, String, Double)] =
+      Seq.fill(errs)((uid, 0, "error", 0.5)) ++
+        Seq.fill(purch)((uid, 1, "purchase", 0.5)) ++
+        Seq.fill(10 - errs - purch)((uid, 2, "view", 0.5))
+    val dir = typedDir(user(0L, 2, 3) ++ user(1L, 2, 5) ++
+      user(2L, 0, 1) ++ user(3L, 0, 1))
+    val out = byName("q_cem_att")(spark, dir).head()
+    assert(out.getAs[Long]("n_treated") === 2L)
+    assert(out.getAs[Long]("n_matched_strata") === 1L)
+    assert(out.getAs[Double]("att") === 3.0)
+    assert(out.getAs[Double]("naive_diff") === 3.0)
+  }
+
+  test("q_cem_att: sf0.001 matches some strata and emits finite effects") {
+    val out = byName("q_cem_att")(spark, "/root/testdata/sf0.001").head()
+    assert(out.getAs[Long]("n_matched_strata") >= 1L)
+    assert(!out.getAs[Double]("att").isNaN)
+    assert(!out.getAs[Double]("naive_diff").isNaN)
+  }
+
+  test("q_bandit_replay: FTL chases the day-1 spike and pays regret") {
+    // click: 5,1,1 milli; view: 2,2,2 → FTL picks click every day,
+    // regret = 0 + 1 + 1 milli = 0.002
+    val dir = typedDir(Seq(
+      (0L, 0, "click", 0.005), (0L, 1, "click", 0.001),
+      (0L, 2, "click", 0.001), (1L, 0, "view", 0.002),
+      (1L, 1, "view", 0.002), (1L, 2, "view", 0.002)))
+    val out = byName("q_bandit_replay")(spark, dir).head()
+    assert(out.getAs[Long]("n_days") === 3L)
+    assert(out.getAs[Double]("total_regret") === 0.002)
+    assert(out.getAs[String]("final_arm") === "click")
+  }
+
+  test("q_bandit_replay: sf0.001 regret is non-negative") {
+    val out = byName("q_bandit_replay")(spark, "/root/testdata/sf0.001")
+      .head()
+    assert(out.getAs[Double]("total_regret") >= 0.0)
+    assert(out.getAs[String]("final_arm") != null)
+  }
+
   test("q_recurrence_quant: sf0.001 fractions in [0, 1]") {
     val out = byName("q_recurrence_quant")(spark, "/root/testdata/sf0.001")
       .head()
