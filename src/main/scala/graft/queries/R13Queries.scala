@@ -3514,6 +3514,191 @@ object R13Queries {
              |SELECT count(*)::BIGINT AS n_days,
              |  round(sum(regret)::DOUBLE / 1000.0, 6) AS total_regret,
              |  max_by(arm, day) AS final_arm
-             |FROM dd""".stripMargin))
+             |FROM dd""".stripMargin)),
+
+    // Cross-spectrum between the daily view and click channels at the
+    // 7/14/30-day cycles: per-period Fourier amplitudes for BOTH
+    // channels plus the cross-spectral phase, reported as a LAG IN
+    // DAYS — "clicks trail views by x days at the weekly rhythm", the
+    // two-channel extension of q_periodogram/q_lomb_scargle and the
+    // frequency-domain cousin of q_xcorr. Channels are exactly
+    // integer-centered (n·y − Σy); trig terms are quantized once to
+    // 6 dp so all eight sums are exact DECIMAL reductions; atan2 only
+    // in the 3-row projection.
+    QueryDef("q_cross_spectrum",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+              .as("xv"),
+            sum(when(col("event_type") === "click", 1L).otherwise(0L))
+              .as("yv"))
+          .withColumn("t",
+            (row_number().over(Window.orderBy(col("day"))) - 1)
+              .cast("long"))
+        val g = broadcast(daily.agg(count(lit(1)).as("n"),
+          sum(col("xv")).as("sx"), sum(col("yv")).as("sy")))
+        val c = daily.crossJoin(g)
+          .select(col("t"), (col("n") * col("xv") - col("sx")).as("cx"),
+            (col("n") * col("yv") - col("sy")).as("cy"))
+        val terms = c.crossJoin(
+            broadcast(s.range(3).select(
+              when(col("id") === 0, 7L).when(col("id") === 1, 14L)
+                .otherwise(30L).as("p"))))
+          .selectExpr("p",
+            """cast(round(cast(cx as double) * cos(
+              |  2.0 * 3.141592653589793 * cast(t % p as double)
+              |  / cast(p as double)), 6) as decimal(38,6)) as xa"""
+              .stripMargin,
+            """cast(round(cast(cx as double) * sin(
+              |  2.0 * 3.141592653589793 * cast(t % p as double)
+              |  / cast(p as double)), 6) as decimal(38,6)) as xb"""
+              .stripMargin,
+            """cast(round(cast(cy as double) * cos(
+              |  2.0 * 3.141592653589793 * cast(t % p as double)
+              |  / cast(p as double)), 6) as decimal(38,6)) as ya"""
+              .stripMargin,
+            """cast(round(cast(cy as double) * sin(
+              |  2.0 * 3.141592653589793 * cast(t % p as double)
+              |  / cast(p as double)), 6) as decimal(38,6)) as yb"""
+              .stripMargin)
+        val pw = terms.groupBy(col("p"))
+          .agg(sum(col("xa")).as("ax"), sum(col("xb")).as("bx"),
+            sum(col("ya")).as("ay"), sum(col("yb")).as("by"))
+        def dbl(c: String) = col(c).cast("double")
+        val re = dbl("ax") * dbl("ay") + dbl("bx") * dbl("by")
+        val im = dbl("bx") * dbl("ay") - dbl("ax") * dbl("by")
+        pw.select(col("p").as("period_days"),
+            round(sqrt(dbl("ax") * dbl("ax") + dbl("bx") * dbl("bx")), 2)
+              .as("amp_views"),
+            round(sqrt(dbl("ay") * dbl("ay") + dbl("by") * dbl("by")), 2)
+              .as("amp_clicks"),
+            round(atan2(im, re), 6).as("phase_rad"),
+            round(atan2(im, re) / (2.0 * math.Pi) *
+              col("p").cast("double"), 4).as("lag_days"))
+          .orderBy(col("period_days"))
+      },
+      Some("""WITH daily AS (SELECT day,
+             |    row_number() OVER (ORDER BY day) - 1 AS t, xv, yv
+             |  FROM (SELECT ts::DATE AS day,
+             |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             |      ::BIGINT AS xv,
+             |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             |      ::BIGINT AS yv
+             |  FROM events GROUP BY 1)),
+             |g AS (SELECT count(*)::BIGINT AS n, sum(xv)::BIGINT AS sx,
+             |    sum(yv)::BIGINT AS sy FROM daily),
+             |c AS (SELECT t, g.n * xv - g.sx AS cx,
+             |    g.n * yv - g.sy AS cy FROM daily, g),
+             |p AS (SELECT unnest([7, 14, 30])::BIGINT AS p),
+             |terms AS (SELECT p.p,
+             |    round(cx::DOUBLE * cos(2.0 * 3.141592653589793
+             |      * (t % p.p)::DOUBLE / p.p::DOUBLE), 6)
+             |      ::DECIMAL(38,6) AS xa,
+             |    round(cx::DOUBLE * sin(2.0 * 3.141592653589793
+             |      * (t % p.p)::DOUBLE / p.p::DOUBLE), 6)
+             |      ::DECIMAL(38,6) AS xb,
+             |    round(cy::DOUBLE * cos(2.0 * 3.141592653589793
+             |      * (t % p.p)::DOUBLE / p.p::DOUBLE), 6)
+             |      ::DECIMAL(38,6) AS ya,
+             |    round(cy::DOUBLE * sin(2.0 * 3.141592653589793
+             |      * (t % p.p)::DOUBLE / p.p::DOUBLE), 6)
+             |      ::DECIMAL(38,6) AS yb
+             |  FROM c, p),
+             |pw AS (SELECT p, sum(xa) AS ax, sum(xb) AS bx,
+             |    sum(ya) AS ay, sum(yb) AS "by" FROM terms GROUP BY 1)
+             |SELECT p AS period_days,
+             |  round(sqrt(ax::DOUBLE * ax::DOUBLE
+             |    + bx::DOUBLE * bx::DOUBLE), 2) AS amp_views,
+             |  round(sqrt(ay::DOUBLE * ay::DOUBLE
+             |    + "by"::DOUBLE * "by"::DOUBLE), 2) AS amp_clicks,
+             |  round(atan2(bx::DOUBLE * ay::DOUBLE
+             |      - ax::DOUBLE * "by"::DOUBLE,
+             |    ax::DOUBLE * ay::DOUBLE + bx::DOUBLE * "by"::DOUBLE),
+             |    6) AS phase_rad,
+             |  round(atan2(bx::DOUBLE * ay::DOUBLE
+             |      - ax::DOUBLE * "by"::DOUBLE,
+             |    ax::DOUBLE * ay::DOUBLE + bx::DOUBLE * "by"::DOUBLE)
+             |    / (2.0 * 3.141592653589793) * p::DOUBLE, 4)
+             |    AS lag_days
+             |FROM pw ORDER BY period_days""".stripMargin)),
+
+    // EWMA control chart (Roberts 1959; λ = 0.2, L = 3) on the daily
+    // event counts — the SPC memory chart completing q_imr_control
+    // (individuals) and q_xbar_r_chart (subgroups). Phase-I discipline:
+    // the in-control target μ₀ and σ₀ come from the FIRST QUARTER of
+    // the calendar (a chart targeted on the full-sample mean can never
+    // flag the shift that moved that mean). With λ = 0.2 the L = 3
+    // limit collapses to μ₀ ± σ₀√(1 − 0.64^t). z_t comes from the
+    // exponentially-weighted CLOSED FORM — a (t ≥ i) pair join on the
+    // calendar digest with 9 dp-quantized weight terms — so there is
+    // no sequential fold to replay and every sum is order-independent.
+    // A σ₀ = 0 baseline disarms the chart (zero limits never alarm;
+    // ratio NULL via the ANSI ÷0 guard). O(days²) on the digest only.
+    QueryDef("q_ewma_chart",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+          .withColumn("t",
+            row_number().over(Window.orderBy(col("day"))).cast("long"))
+        val g2 = broadcast(daily.crossJoin(
+            broadcast(daily.agg(count(lit(1)).as("n"))))
+          .filter(col("t") * 4 <= col("n"))
+          .agg(max(col("n")).as("n"), count(lit(1)).as("c1"),
+            sum(col("y")).as("sy"), sum(col("y") * col("y")).as("qy")))
+        def dbl(c: String) = col(c).cast("double")
+        val mu = dbl("sy") / dbl("c1")
+        val sd = sqrt(dbl("qy") / dbl("c1") - mu * mu)
+        val z = daily.select(col("t").as("tt"))
+          .join(daily.select(col("t").as("i"), col("y")),
+            col("i") <= col("tt"))
+          .select(col("tt"),
+            round(lit(0.2) * pow(lit(0.8), (col("tt") - col("i"))
+              .cast("double")) * col("y").cast("double"), 9)
+              .cast("decimal(28,9)").as("term"))
+          .groupBy(col("tt")).agg(sum(col("term")).as("zs"))
+        val chart = z.crossJoin(g2)
+          .select(col("tt"),
+            (col("zs").cast("double") +
+              pow(lit(0.8), col("tt").cast("double")) * mu).as("zt"),
+            (sd * sqrt(lit(1.0) -
+              pow(lit(0.64), col("tt").cast("double")))).as("lim"),
+            mu.as("mu"))
+        chart.agg(count(lit(1)).as("n_days"),
+            sum(when(abs(col("zt") - col("mu")) > col("lim") &&
+              col("lim") > 0.0, 1L).otherwise(0L)).as("n_violations"),
+            max(round(abs(col("zt") - col("mu")) /
+              nullif(col("lim"), lit(0.0)), 6)).as("max_ratio"))
+          .select(col("n_days"), col("n_violations"),
+            round(col("max_ratio"), 4).as("max_ratio"))
+      },
+      Some("""WITH daily AS (SELECT row_number() OVER (ORDER BY day)
+             |      AS t, y FROM (
+             |    SELECT ts::DATE AS day, count(*)::BIGINT AS y
+             |    FROM events GROUP BY 1)),
+             |nn AS (SELECT count(*)::BIGINT AS n FROM daily),
+             |g2 AS (SELECT max(n)::BIGINT AS n, count(*)::BIGINT AS c1,
+             |    sum(y)::BIGINT AS sy, sum(y * y)::BIGINT AS qy
+             |  FROM daily, nn WHERE t * 4 <= n),
+             |z AS (SELECT a.t AS tt,
+             |    sum(round(0.2 * pow(0.8, (a.t - b.t)::DOUBLE)
+             |      * b.y::DOUBLE, 9)::DECIMAL(28,9)) AS zs
+             |  FROM daily a JOIN daily b ON b.t <= a.t
+             |  GROUP BY 1),
+             |chart AS (SELECT tt,
+             |    zs::DOUBLE + pow(0.8, tt::DOUBLE)
+             |      * (sy::DOUBLE / c1::DOUBLE) AS zt,
+             |    sqrt(qy::DOUBLE / c1::DOUBLE - (sy::DOUBLE / c1::DOUBLE)
+             |        * (sy::DOUBLE / c1::DOUBLE))
+             |      * sqrt(1.0 - pow(0.64, tt::DOUBLE)) AS lim,
+             |    sy::DOUBLE / c1::DOUBLE AS mu
+             |  FROM z, g2)
+             |SELECT count(*)::BIGINT AS n_days,
+             |  sum(CASE WHEN abs(zt - mu) > lim AND lim > 0.0
+             |    THEN 1 ELSE 0 END)::BIGINT AS n_violations,
+             |  round(max(round(abs(zt - mu) / nullif(lim, 0.0), 6)), 4)
+             |    AS max_ratio
+             |FROM chart""".stripMargin))
   )
 }

@@ -953,6 +953,56 @@ class R13QueriesSpec extends GraftSpec {
     assert(out.getAs[String]("final_arm") != null)
   }
 
+  test("q_cross_spectrum: a one-day channel shift reads as a one-day lag") {
+    // weekly spike in views at t≡0 (mod 7); clicks identical but
+    // shifted to t≡1 → phase lag of −1 day at the 7-day line
+    val rows = (0 until 28).flatMap { t =>
+      val v = if (t % 7 == 0) 30 else 5
+      val c = if (t % 7 == 1) 30 else 5
+      Seq.fill(v)((0L, t, "view", 0.5)) ++
+        Seq.fill(c)((1L, t, "click", 0.5))
+    }
+    val out = byName("q_cross_spectrum")(spark, typedDir(rows))
+      .filter(col("period_days") === 7).head()
+    assert(out.getAs[Double]("amp_views") > 0.0)
+    assert(math.abs(out.getAs[Double]("lag_days") + 1.0) < 0.05)
+  }
+
+  test("q_cross_spectrum: sf0.001 emits 3 periods with lag inside ±p/2") {
+    val rows = byName("q_cross_spectrum")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      val p = r.getAs[Long]("period_days").toDouble
+      val lag = r.getAs[Double]("lag_days")
+      assert(math.abs(lag) <= p / 2 + 1e-9)
+    }
+  }
+
+  test("q_ewma_chart: constant series never alarms, ratio NULL-guarded") {
+    val out = byName("q_ewma_chart")(spark, dailyDir(Seq.fill(20)(5)))
+      .head()
+    assert(out.getAs[Long]("n_violations") === 0L)
+    assert(out.isNullAt(out.fieldIndex("max_ratio")))
+  }
+
+  test("q_ewma_chart: a level shift drives the chart out of its limits") {
+    // phase I = first 5 days alternating 4/6 (μ₀ = 5ish, σ₀ ≈ 1);
+    // the later jump to 50 must blow through the 3σ EWMA band
+    val counts = Seq(4, 6, 4, 6, 4) ++ Seq.fill(15)(50)
+    val out = byName("q_ewma_chart")(spark, dailyDir(counts)).head()
+    assert(out.getAs[Long]("n_days") === 20L)
+    assert(out.getAs[Long]("n_violations") >= 10L)
+    assert(out.getAs[Double]("max_ratio") > 5.0)
+  }
+
+  test("q_ewma_chart: sf0.001 ratio finite and violations bounded") {
+    val out = byName("q_ewma_chart")(spark, "/root/testdata/sf0.001")
+      .head()
+    assert(out.getAs[Long]("n_violations") <= out.getAs[Long]("n_days"))
+    assert(out.getAs[Double]("max_ratio") > 0.0)
+  }
+
   test("q_recurrence_quant: sf0.001 fractions in [0, 1]") {
     val out = byName("q_recurrence_quant")(spark, "/root/testdata/sf0.001")
       .head()
