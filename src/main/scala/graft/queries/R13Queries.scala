@@ -3699,6 +3699,166 @@ object R13Queries {
              |    THEN 1 ELSE 0 END)::BIGINT AS n_violations,
              |  round(max(round(abs(zt - mu) / nullif(lim, 0.0), 6)), 4)
              |    AS max_ratio
-             |FROM chart""".stripMargin))
+             |FROM chart""".stripMargin)),
+
+    // Western Electric runs rules (WECO 1956) on the daily
+    // individuals chart: rule 1 (beyond 3σ), rule 2 (2 of 3 beyond
+    // 2σ same side), rule 3 (4 of 5 beyond 1σ same side), rule 4
+    // (8 consecutive same side) — the pattern tests that catch
+    // drifts a lone 3σ test sleeps through, completing the SPC suite
+    // (q_imr_control / q_xbar_r_chart / q_ewma_chart). Phase-I μ/σ
+    // from the first quarter; zone flags are EXACT integer
+    // cross-multiplications (c1²·(y−μ)² vs k²·var-numerator — no
+    // float σ), and each rule is a windowed integer count over the
+    // calendar digest.
+    QueryDef("q_western_electric",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+          .withColumn("t",
+            row_number().over(Window.orderBy(col("day"))).cast("long"))
+        val g = broadcast(daily.crossJoin(
+            broadcast(daily.agg(count(lit(1)).as("n"))))
+          .filter(col("t") * 4 <= col("n"))
+          .agg(count(lit(1)).as("c1"), sum(col("y")).as("sy"),
+            sum(col("y") * col("y")).as("qy")))
+        // zone test: |y − μ₀| > kσ₀ ⇔ c1²(c1·y − sy)² > k²·c1²·(c1·qy − sy²)/c1
+        //   ⇔ (c1·y − sy)² · c1 > k² · (c1·qy − sy²)  — all integers
+        val dev = (col("c1") * col("y") - col("sy"))
+          .cast("decimal(38,0)")
+        val varNum = (col("c1") * col("qy") - col("sy") * col("sy"))
+          .cast("decimal(38,0)")
+        def beyond(k: Int) = dev * dev * col("c1") >
+          lit(k * k) * varNum
+        val side = signum((col("c1") * col("y") - col("sy"))
+          .cast("double"))
+        val flags = daily.crossJoin(g)
+          .select(col("t"),
+            when(beyond(3), 1L).otherwise(0L).as("b3"),
+            when(beyond(2), side).otherwise(0.0).as("s2"),
+            when(beyond(1), side).otherwise(0.0).as("s1"),
+            side.as("sd"))
+        val w3 = Window.orderBy(col("t")).rowsBetween(-2, 0)
+        val w5 = Window.orderBy(col("t")).rowsBetween(-4, 0)
+        val w8 = Window.orderBy(col("t")).rowsBetween(-7, 0)
+        val ruled = flags
+          .withColumn("r1", col("b3"))
+          .withColumn("r2", when(abs(sum(col("s2")).over(w3)) >= 2.0 &&
+            count(lit(1)).over(w3) === 3, 1L).otherwise(0L))
+          .withColumn("r3", when(abs(sum(col("s1")).over(w5)) >= 4.0 &&
+            count(lit(1)).over(w5) === 5, 1L).otherwise(0L))
+          .withColumn("r4", when(abs(sum(col("sd")).over(w8)) >= 8.0 &&
+            count(lit(1)).over(w8) === 8, 1L).otherwise(0L))
+        ruled.agg(count(lit(1)).as("n_days"),
+          sum(col("r1")).as("rule1_beyond3"),
+          sum(col("r2")).as("rule2_2of3"),
+          sum(col("r3")).as("rule3_4of5"),
+          sum(col("r4")).as("rule4_8run"))
+      },
+      Some("""WITH daily AS (SELECT row_number() OVER (ORDER BY day)
+             |      AS t, y FROM (
+             |    SELECT ts::DATE AS day, count(*)::BIGINT AS y
+             |    FROM events GROUP BY 1)),
+             |nn AS (SELECT count(*)::BIGINT AS n FROM daily),
+             |g AS (SELECT count(*)::BIGINT AS c1, sum(y)::BIGINT AS sy,
+             |    sum(y * y)::BIGINT AS qy FROM daily, nn
+             |  WHERE t * 4 <= n),
+             |flags AS (SELECT t,
+             |    CASE WHEN (c1 * y - sy)::HUGEINT * (c1 * y - sy) * c1
+             |      > 9 * (c1 * qy - sy::HUGEINT * sy) THEN 1 ELSE 0 END
+             |      AS b3,
+             |    CASE WHEN (c1 * y - sy)::HUGEINT * (c1 * y - sy) * c1
+             |      > 4 * (c1 * qy - sy::HUGEINT * sy)
+             |      THEN sign((c1 * y - sy)::DOUBLE) ELSE 0.0 END AS s2,
+             |    CASE WHEN (c1 * y - sy)::HUGEINT * (c1 * y - sy) * c1
+             |      > 1 * (c1 * qy - sy::HUGEINT * sy)
+             |      THEN sign((c1 * y - sy)::DOUBLE) ELSE 0.0 END AS s1,
+             |    sign((c1 * y - sy)::DOUBLE) AS sd
+             |  FROM daily, g),
+             |ruled AS (SELECT b3 AS r1,
+             |    CASE WHEN abs(sum(s2) OVER (ORDER BY t
+             |        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) >= 2.0
+             |      AND count(*) OVER (ORDER BY t
+             |        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) = 3
+             |      THEN 1 ELSE 0 END AS r2,
+             |    CASE WHEN abs(sum(s1) OVER (ORDER BY t
+             |        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) >= 4.0
+             |      AND count(*) OVER (ORDER BY t
+             |        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) = 5
+             |      THEN 1 ELSE 0 END AS r3,
+             |    CASE WHEN abs(sum(sd) OVER (ORDER BY t
+             |        ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)) >= 8.0
+             |      AND count(*) OVER (ORDER BY t
+             |        ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) = 8
+             |      THEN 1 ELSE 0 END AS r4
+             |  FROM flags)
+             |SELECT count(*)::BIGINT AS n_days,
+             |  sum(r1)::BIGINT AS rule1_beyond3,
+             |  sum(r2)::BIGINT AS rule2_2of3,
+             |  sum(r3)::BIGINT AS rule3_4of5,
+             |  sum(r4)::BIGINT AS rule4_8run
+             |FROM ruled""".stripMargin)),
+
+    // Wald instrumental-variable estimate (Wald 1940; Angrist 1990's
+    // workhorse): weekend-ness instruments daily views to identify
+    // the views→purchases effect — the simplest causal slope that
+    // survives confounding of x and y by a common cause, with the
+    // first-stage difference reported so a weak instrument is visible
+    // (β_IV = Δȳ/Δx̄ across instrument arms). Four exact integer
+    // sums; doubles only in the 1-row projection (weak-instrument
+    // Δx̄ = 0 NULL-guarded).
+    QueryDef("q_iv_wald",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+              .as("x"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("yy"))
+          .select((dayofweek(col("day")) === 1 ||
+            dayofweek(col("day")) === 7).as("z"), col("x"), col("yy"))
+        val g = daily.agg(
+          sum(when(col("z"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("z"), col("x")).otherwise(0L)).as("x1"),
+          sum(when(col("z"), col("yy")).otherwise(0L)).as("y1"),
+          sum(when(!col("z"), 1L).otherwise(0L)).as("n0"),
+          sum(when(!col("z"), col("x")).otherwise(0L)).as("x0"),
+          sum(when(!col("z"), col("yy")).otherwise(0L)).as("y0"))
+        def dbl(c: String) = col(c).cast("double")
+        val dx = dbl("x1") / dbl("n1") - dbl("x0") / dbl("n0")
+        val dy = dbl("y1") / dbl("n1") - dbl("y0") / dbl("n0")
+        g.select(col("n1").as("n_weekend"), col("n0").as("n_weekday"),
+          round(dx, 4).as("first_stage_dx"),
+          round(dy, 4).as("reduced_form_dy"),
+          round(dy / nullif(dx, lit(0.0)), 6).as("beta_iv"))
+      },
+      Some("""WITH daily AS (SELECT
+             |    dayofweek(day) IN (0, 6) AS z, x, yy FROM (
+             |    SELECT ts::DATE AS day,
+             |      sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             |        ::BIGINT AS x,
+             |      sum(CASE WHEN event_type = 'purchase' THEN 1
+             |        ELSE 0 END)::BIGINT AS yy
+             |    FROM events GROUP BY 1)),
+             |g AS (SELECT
+             |    sum(CASE WHEN z THEN 1 ELSE 0 END)::BIGINT AS n1,
+             |    sum(CASE WHEN z THEN x ELSE 0 END)::BIGINT AS x1,
+             |    sum(CASE WHEN z THEN yy ELSE 0 END)::BIGINT AS y1,
+             |    sum(CASE WHEN NOT z THEN 1 ELSE 0 END)::BIGINT AS n0,
+             |    sum(CASE WHEN NOT z THEN x ELSE 0 END)::BIGINT AS x0,
+             |    sum(CASE WHEN NOT z THEN yy ELSE 0 END)::BIGINT AS y0
+             |  FROM daily),
+             |e AS (SELECT n1, n0,
+             |    x1::DOUBLE / n1::DOUBLE - x0::DOUBLE / n0::DOUBLE
+             |      AS dx,
+             |    y1::DOUBLE / n1::DOUBLE - y0::DOUBLE / n0::DOUBLE
+             |      AS dy
+             |  FROM g)
+             |SELECT n1 AS n_weekend, n0 AS n_weekday,
+             |  round(dx, 4) AS first_stage_dx,
+             |  round(dy, 4) AS reduced_form_dy,
+             |  round(dy / nullif(dx, 0.0), 6) AS beta_iv
+             |FROM e""".stripMargin))
   )
 }

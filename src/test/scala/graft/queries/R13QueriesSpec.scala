@@ -1003,6 +1003,49 @@ class R13QueriesSpec extends GraftSpec {
     assert(out.getAs[Double]("max_ratio") > 0.0)
   }
 
+  test("q_western_electric: a sustained shift trips rules 1 and 4") {
+    // baseline 4/6 alternating; 15 days at 50 → far beyond 3σ and a
+    // long same-side run
+    val counts = Seq(4, 6, 4, 6, 4) ++ Seq.fill(15)(50)
+    val out = byName("q_western_electric")(spark, dailyDir(counts)).head()
+    assert(out.getAs[Long]("rule1_beyond3") === 15L)
+    assert(out.getAs[Long]("rule4_8run") >= 1L)
+    assert(out.getAs[Long]("rule2_2of3") >= 1L)
+  }
+
+  test("q_western_electric: sf0.001 rule counts bounded by day count") {
+    val out = byName("q_western_electric")(spark, "/root/testdata/sf0.001")
+      .head()
+    val n = out.getAs[Long]("n_days")
+    Seq("rule1_beyond3", "rule2_2of3", "rule3_4of5", "rule4_8run")
+      .foreach { c =>
+        val v = out.getAs[Long](c)
+        assert(v >= 0L && v <= n)
+      }
+  }
+
+  test("q_iv_wald: engineered weekend uplift yields the exact ratio") {
+    // weekdays: 10 views, 2 purchases; weekends: 20 views, 7 →
+    // β = 5/10 = 0.5 (2024-01-06/07 are the first weekend)
+    val rows = (0 until 14).flatMap { di =>
+      val wknd = di % 7 == 5 || di % 7 == 6 // Jan 6 = Saturday
+      val (v, p) = if (wknd) (20, 7) else (10, 2)
+      Seq.fill(v)((0L, di, "view", 0.5)) ++
+        Seq.fill(p)((1L, di, "purchase", 0.5))
+    }
+    val out = byName("q_iv_wald")(spark, typedDir(rows)).head()
+    assert(out.getAs[Long]("n_weekend") === 4L)
+    assert(out.getAs[Double]("first_stage_dx") === 10.0)
+    assert(out.getAs[Double]("reduced_form_dy") === 5.0)
+    assert(out.getAs[Double]("beta_iv") === 0.5)
+  }
+
+  test("q_iv_wald: sf0.001 arms partition the calendar") {
+    val out = byName("q_iv_wald")(spark, "/root/testdata/sf0.001").head()
+    assert(out.getAs[Long]("n_weekend") > 0L)
+    assert(out.getAs[Long]("n_weekday") > out.getAs[Long]("n_weekend"))
+  }
+
   test("q_recurrence_quant: sf0.001 fractions in [0, 1]") {
     val out = byName("q_recurrence_quant")(spark, "/root/testdata/sf0.001")
       .head()
