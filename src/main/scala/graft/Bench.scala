@@ -93,11 +93,11 @@ object Bench {
     // budget lands on exactly the numbers a reader will look at. A
     // query is `short_trialed` only if it WANTED extra trials and the
     // budget ran out before its turn.
-    // default sized for ~430 queries: the first pass alone is ~300 s,
-    // so 420 left only ~100 s of re-trials and single-trialed most of
-    // the ≥0.5 s tail; 780 re-trials the whole tail in ~13 min total
+    // default sized for ~630 queries: the first pass alone is ~440 s,
+    // so 780 left 232 queries single-trialed (round-11 session-5
+    // measurement); 1200 re-trials the whole ≥0.5 s tail in ~20 min
     val trialBudgetSec =
-      sys.env.getOrElse("SPARK_GRAFT_TRIAL_BUDGET_SEC", "780").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_TRIAL_BUDGET_SEC", "1200").toDouble
     val retrialMinSec =
       sys.env.getOrElse("SPARK_GRAFT_RETRIAL_MIN_SEC", "0.5").toDouble
     val benchStart = System.nanoTime()
