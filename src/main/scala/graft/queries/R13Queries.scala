@@ -3859,6 +3859,140 @@ object R13Queries {
              |  round(dx, 4) AS first_stage_dx,
              |  round(dy, 4) AS reduced_form_dy,
              |  round(dy / nullif(dx, 0.0), 6) AS beta_iv
+             |FROM e""".stripMargin)),
+
+    // Forecast-accuracy panel (Hyndman & Koehler 2006) for the
+    // seasonal-naive forecast on a last-quarter holdout: MASE (scaled
+    // by the TRAINING-set seasonal-naive MAE — the scale-free metric
+    // that survives intermittent series where MAPE explodes), sMAPE,
+    // wMAPE and a signed bias share. Split and errors are exact
+    // integers (4t > 3n picks the holdout); the only per-row float,
+    // the sMAPE term, is quantized once to 9 dp before its sum. The
+    // evaluation-side companion to q_diebold_mariano's comparison
+    // test and q_pinball_loss's quantile loss.
+    QueryDef("q_mase_panel",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+        val w = Window.orderBy(col("day"))
+        val lagged = daily.withColumn("l7", lag(col("y"), 7).over(w))
+          .withColumn("t",
+            row_number().over(Window.orderBy(col("day"))).cast("long"))
+          .filter(col("l7").isNotNull)
+        val n = broadcast(daily.agg(count(lit(1)).as("n")))
+        val g = lagged.crossJoin(n)
+          .withColumn("hold", col("t") * 4 > col("n") * 3)
+          .withColumn("ae", abs(col("y") - col("l7")))
+          .agg(
+            sum(when(!col("hold"), col("ae"))).as("tr_ae"),
+            sum(when(!col("hold"), 1L).otherwise(0L)).as("tr_n"),
+            sum(when(col("hold"), col("ae"))).as("ho_ae"),
+            sum(when(col("hold"), col("y") - col("l7")).otherwise(0L))
+              .as("ho_e"),
+            sum(when(col("hold"), col("y")).otherwise(0L)).as("ho_y"),
+            sum(when(col("hold"), 1L).otherwise(0L)).as("ho_n"),
+            sum(when(col("hold"),
+              round(lit(2.0) * abs(col("y") - col("l7")).cast("double") /
+                (col("y") + col("l7")).cast("double"), 9)
+                .cast("decimal(20,9)"))).as("smape_sum"))
+        def dbl(c: String) = col(c).cast("double")
+        g.select(col("ho_n").as("n_holdout"),
+          round((dbl("ho_ae") / dbl("ho_n")) /
+            nullif(dbl("tr_ae") / dbl("tr_n"), lit(0.0)), 6).as("mase"),
+          round(col("smape_sum").cast("double") / dbl("ho_n"), 6)
+            .as("smape"),
+          round(dbl("ho_ae") / dbl("ho_y"), 6).as("wmape"),
+          round(dbl("ho_e") / nullif(dbl("ho_ae"), lit(0.0)), 6)
+            .as("bias_share"))
+      },
+      Some("""WITH daily AS (SELECT ts::DATE AS day,
+             |    count(*)::BIGINT AS y FROM events GROUP BY 1),
+             |nn AS (SELECT count(*)::BIGINT AS n FROM daily),
+             |lagged AS (SELECT y, l7, t FROM (
+             |    SELECT y, lag(y, 7) OVER (ORDER BY day) AS l7,
+             |      row_number() OVER (ORDER BY day) AS t FROM daily)
+             |  WHERE l7 IS NOT NULL),
+             |g AS (SELECT
+             |    sum(CASE WHEN NOT (t * 4 > n * 3)
+             |      THEN abs(y - l7) END)::BIGINT AS tr_ae,
+             |    sum(CASE WHEN NOT (t * 4 > n * 3) THEN 1 ELSE 0 END)
+             |      ::BIGINT AS tr_n,
+             |    sum(CASE WHEN t * 4 > n * 3 THEN abs(y - l7) END)
+             |      ::BIGINT AS ho_ae,
+             |    sum(CASE WHEN t * 4 > n * 3 THEN y - l7 ELSE 0 END)
+             |      ::BIGINT AS ho_e,
+             |    sum(CASE WHEN t * 4 > n * 3 THEN y ELSE 0 END)::BIGINT
+             |      AS ho_y,
+             |    sum(CASE WHEN t * 4 > n * 3 THEN 1 ELSE 0 END)::BIGINT
+             |      AS ho_n,
+             |    sum(CASE WHEN t * 4 > n * 3 THEN
+             |      round(2.0 * abs(y - l7)::DOUBLE
+             |        / (y + l7)::DOUBLE, 9)::DECIMAL(20,9) END)
+             |      AS smape_sum
+             |  FROM lagged, nn)
+             |SELECT ho_n AS n_holdout,
+             |  round((ho_ae::DOUBLE / ho_n::DOUBLE)
+             |    / nullif(tr_ae::DOUBLE / tr_n::DOUBLE, 0.0), 6)
+             |    AS mase,
+             |  round(smape_sum::DOUBLE / ho_n::DOUBLE, 6) AS smape,
+             |  round(ho_ae::DOUBLE / ho_y::DOUBLE, 6) AS wmape,
+             |  round(ho_e::DOUBLE / nullif(ho_ae::DOUBLE, 0.0), 6)
+             |    AS bias_share
+             |FROM g""".stripMargin)),
+
+    // Sharpe and Sortino ratios of the daily purchase-revenue growth
+    // — the risk-adjusted "is the trend worth its volatility?" pair,
+    // with Sortino penalizing only downside moves (the asymmetry
+    // Sharpe is blind to). Day-over-day returns are quantized once to
+    // 9 dp off exact integer cent totals, so the moment sums are
+    // exact DECIMAL reductions; both ratios are one-row projections
+    // (flat series NULL-guarded).
+    QueryDef("q_sharpe_sortino",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(sum(floor(col("value") * 100).cast("long")).as("r"))
+        val w = Window.orderBy(col("day"))
+        val ret = daily.withColumn("pr", lag(col("r"), 1).over(w))
+          .filter(col("pr").isNotNull && col("pr") > 0)
+          .select(round((col("r") - col("pr")).cast("double") /
+            col("pr").cast("double"), 9).cast("decimal(20,9)").as("x"))
+        val g = ret.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("qx"),
+          sum(when(col("x") < 0, col("x") * col("x"))
+            .otherwise(lit(0).cast("decimal(38,18)"))).as("qd"))
+        def dbl(c: String) = col(c).cast("double")
+        val m = dbl("sx") / dbl("n")
+        val sd = sqrt(dbl("qx") / dbl("n") - m * m)
+        val dd = sqrt(dbl("qd") / dbl("n"))
+        g.select(col("n").as("n_returns"),
+          round(m, 6).as("mean_ret"),
+          round(m / nullif(sd, lit(0.0)), 6).as("sharpe"),
+          round(m / nullif(dd, lit(0.0)), 6).as("sortino"))
+      },
+      Some("""WITH daily AS (SELECT ts::DATE AS day,
+             |    sum(floor(value * 100)::BIGINT)::BIGINT AS r
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+             |ret AS (SELECT round((r - pr)::DOUBLE / pr::DOUBLE, 9)
+             |      ::DECIMAL(20,9) AS x FROM (
+             |    SELECT r, lag(r, 1) OVER (ORDER BY day) AS pr
+             |    FROM daily)
+             |  WHERE pr IS NOT NULL AND pr > 0),
+             |g AS (SELECT count(*)::BIGINT AS n, sum(x) AS sx,
+             |    sum(x * x) AS qx,
+             |    sum(CASE WHEN x < 0 THEN x * x
+             |      ELSE 0::DECIMAL(38,18) END) AS qd FROM ret),
+             |e AS (SELECT n, sx::DOUBLE / n::DOUBLE AS m,
+             |    sqrt(qx::DOUBLE / n::DOUBLE
+             |      - (sx::DOUBLE / n::DOUBLE) * (sx::DOUBLE / n::DOUBLE))
+             |      AS sd,
+             |    sqrt(qd::DOUBLE / n::DOUBLE) AS dd
+             |  FROM g)
+             |SELECT n AS n_returns, round(m, 6) AS mean_ret,
+             |  round(m / nullif(sd, 0.0), 6) AS sharpe,
+             |  round(m / nullif(dd, 0.0), 6) AS sortino
              |FROM e""".stripMargin))
   )
 }

@@ -1046,6 +1046,55 @@ class R13QueriesSpec extends GraftSpec {
     assert(out.getAs[Long]("n_weekday") > out.getAs[Long]("n_weekend"))
   }
 
+  test("q_mase_panel: noisy train + level-shift holdout, all by hand") {
+    // train alternates 4/6 (seasonal-naive AE = 2); holdout 5 days at
+    // 50 → AEs 46/44/46/44/46: MASE 22.6, wMAPE 226/250, bias +1
+    val counts = (1 to 15).map(i => if (i % 2 == 1) 4 else 6) ++
+      Seq.fill(5)(50)
+    val out = byName("q_mase_panel")(spark, dailyDir(counts)).head()
+    assert(out.getAs[Long]("n_holdout") === 5L)
+    assert(out.getAs[Double]("mase") === 22.6)
+    assert(out.getAs[Double]("wmape") === 0.904)
+    assert(out.getAs[Double]("bias_share") === 1.0)
+    assert(out.getAs[Double]("smape") === 1.650794)
+  }
+
+  test("q_mase_panel: perfect weekly rhythm NULL-guards the zero scale") {
+    val out = byName("q_mase_panel")(spark, weeklyDir).head()
+    assert(out.getAs[Double]("smape") === 0.0)
+    assert(out.getAs[Double]("wmape") === 0.0)
+    assert(out.isNullAt(out.fieldIndex("mase"))) // 0/0 train MAE
+  }
+
+  test("q_mase_panel: sf0.001 metrics are non-negative") {
+    val out = byName("q_mase_panel")(spark, "/root/testdata/sf0.001")
+      .head()
+    assert(out.getAs[Double]("mase") > 0.0)
+    assert(out.getAs[Double]("smape") >= 0.0)
+    val b = out.getAs[Double]("bias_share")
+    assert(b >= -1.0 && b <= 1.0)
+  }
+
+  test("q_sharpe_sortino: +100%/−50% returns give the closed-form pair") {
+    // returns {1, −0.5}: m = 0.25, σ = 0.75, downside σ = √0.125
+    val dir = typedDir(Seq((0L, 0, "purchase", 1.0),
+      (0L, 1, "purchase", 2.0), (0L, 2, "purchase", 1.0)))
+    val out = byName("q_sharpe_sortino")(spark, dir).head()
+    assert(out.getAs[Long]("n_returns") === 2L)
+    assert(out.getAs[Double]("mean_ret") === 0.25)
+    assert(out.getAs[Double]("sharpe") === 0.333333)
+    assert(out.getAs[Double]("sortino") === 0.707107)
+  }
+
+  test("q_sharpe_sortino: sf0.001 Sortino ≥ Sharpe in magnitude") {
+    val out = byName("q_sharpe_sortino")(spark, "/root/testdata/sf0.001")
+      .head()
+    val sh = out.getAs[Double]("sharpe")
+    val so = out.getAs[Double]("sortino")
+    // downside σ ≤ total σ ⇒ |sortino| ≥ |sharpe|
+    assert(math.abs(so) >= math.abs(sh) - 1e-9)
+  }
+
   test("q_recurrence_quant: sf0.001 fractions in [0, 1]") {
     val out = byName("q_recurrence_quant")(spark, "/root/testdata/sf0.001")
       .head()
