@@ -3993,6 +3993,101 @@ object R13Queries {
              |SELECT n AS n_returns, round(m, 6) AS mean_ret,
              |  round(m / nullif(sd, 0.0), 6) AS sharpe,
              |  round(m / nullif(dd, 0.0), 6) AS sortino
-             |FROM e""".stripMargin))
+             |FROM e""".stripMargin)),
+
+    // Decision stump by Gini gain (Breiman et al. 1984) — the root
+    // split of every tree ensemble, fit exactly: which value
+    // threshold best separates purchases from the rest? Candidate
+    // thresholds are the distinct value cells; left/right class
+    // counts come from ONE cumulative window over the cell digest, so
+    // the full gain curve costs O(|value domain|) after one fact
+    // scan. Gains are computed as identical double expressions and
+    // the argmax tie-breaks to the smallest threshold via a
+    // (round(gain,9) DESC, vm ASC) rank. Output includes both leaf
+    // purchase rates in exact ppm.
+    QueryDef("q_decision_stump",
+      (s, d) => {
+        val cell = graft.sources.Tables.events(s, d)
+          .select(floor(col("value") * 1000).cast("long").as("vm"),
+            (col("event_type") === "purchase").as("pos"))
+          .groupBy(col("vm"))
+          .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+            sum(when(!col("pos"), 1L).otherwise(0L)).as("nn"))
+        val w = Window.orderBy(col("vm"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = cell.withColumn("lp", sum(col("np")).over(w))
+          .withColumn("ln", sum(col("nn")).over(w))
+        val tot = broadcast(cell.agg(sum(col("np")).as("tp"),
+          sum(col("nn")).as("tn")))
+        def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+        val cand = cum.crossJoin(tot)
+          .filter(col("lp") + col("ln") < col("tp") + col("tn"))
+        val l = dbl(col("lp") + col("ln"))
+        val r = dbl(col("tp") + col("tn") - col("lp") - col("ln"))
+        val t = dbl(col("tp") + col("tn"))
+        val giniL = lit(1.0) -
+          dbl(col("lp")) * dbl(col("lp")) / (l * l) -
+          dbl(col("ln")) * dbl(col("ln")) / (l * l)
+        val giniR = lit(1.0) -
+          dbl(col("tp") - col("lp")) * dbl(col("tp") - col("lp")) /
+            (r * r) -
+          dbl(col("tn") - col("ln")) * dbl(col("tn") - col("ln")) /
+            (r * r)
+        val giniP = lit(1.0) -
+          dbl(col("tp")) * dbl(col("tp")) / (t * t) -
+          dbl(col("tn")) * dbl(col("tn")) / (t * t)
+        val gain = giniP - l / t * giniL - r / t * giniR
+        val ranked = cand
+          .withColumn("g9", round(gain, 9))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("g9").desc, col("vm"))))
+        ranked.filter(col("rk") === 1)
+          .select(col("vm").as("threshold"),
+            round(col("g9"), 6).as("gini_gain"),
+            expr("lp * 1000000 div (lp + ln)").as("left_pos_ppm"),
+            expr("(tp - lp) * 1000000 div (tp + tn - lp - ln)")
+              .as("right_pos_ppm"))
+      },
+      Some("""WITH cell AS (SELECT floor(value * 1000)::BIGINT AS vm,
+             |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+             |      END)::BIGINT AS np,
+             |    sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0
+             |      END)::BIGINT AS nn
+             |  FROM events GROUP BY 1),
+             |cum AS (SELECT vm,
+             |    sum(np) OVER (ORDER BY vm ROWS BETWEEN UNBOUNDED
+             |      PRECEDING AND CURRENT ROW) AS lp,
+             |    sum(nn) OVER (ORDER BY vm ROWS BETWEEN UNBOUNDED
+             |      PRECEDING AND CURRENT ROW) AS ln
+             |  FROM cell),
+             |tot AS (SELECT sum(np)::BIGINT AS tp, sum(nn)::BIGINT AS tn
+             |  FROM cell),
+             |cand AS (SELECT vm, lp, ln, tp, tn,
+             |    round(
+             |      (1.0 - tp::DOUBLE * tp::DOUBLE
+             |          / ((tp + tn)::DOUBLE * (tp + tn)::DOUBLE)
+             |        - tn::DOUBLE * tn::DOUBLE
+             |          / ((tp + tn)::DOUBLE * (tp + tn)::DOUBLE))
+             |      - (lp + ln)::DOUBLE / (tp + tn)::DOUBLE
+             |        * (1.0 - lp::DOUBLE * lp::DOUBLE
+             |            / ((lp + ln)::DOUBLE * (lp + ln)::DOUBLE)
+             |          - ln::DOUBLE * ln::DOUBLE
+             |            / ((lp + ln)::DOUBLE * (lp + ln)::DOUBLE))
+             |      - (tp + tn - lp - ln)::DOUBLE / (tp + tn)::DOUBLE
+             |        * (1.0 - (tp - lp)::DOUBLE * (tp - lp)::DOUBLE
+             |            / ((tp + tn - lp - ln)::DOUBLE
+             |              * (tp + tn - lp - ln)::DOUBLE)
+             |          - (tn - ln)::DOUBLE * (tn - ln)::DOUBLE
+             |            / ((tp + tn - lp - ln)::DOUBLE
+             |              * (tp + tn - lp - ln)::DOUBLE)), 9) AS g9
+             |  FROM cum, tot WHERE lp + ln < tp + tn),
+             |best AS (SELECT vm, g9, lp, ln, tp, tn,
+             |    row_number() OVER (ORDER BY g9 DESC, vm) AS rk
+             |  FROM cand)
+             |SELECT vm AS threshold, round(g9, 6) AS gini_gain,
+             |  (lp * 1000000 // (lp + ln))::BIGINT AS left_pos_ppm,
+             |  ((tp - lp) * 1000000 // (tp + tn - lp - ln))::BIGINT
+             |    AS right_pos_ppm
+             |FROM best WHERE rk = 1""".stripMargin))
   )
 }

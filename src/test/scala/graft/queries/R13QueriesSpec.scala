@@ -1095,6 +1095,28 @@ class R13QueriesSpec extends GraftSpec {
     assert(math.abs(so) >= math.abs(sh) - 1e-9)
   }
 
+  test("q_decision_stump: a separable class finds the pure split") {
+    // purchases at vm 800/900, others at 100/200 → θ = 200 splits
+    // perfectly: gain = parent Gini = 0.5, leaves pure
+    val dir = typedDir(Seq((0L, 0, "view", 0.1), (1L, 0, "click", 0.2),
+      (2L, 0, "purchase", 0.8), (3L, 0, "purchase", 0.9)))
+    val out = byName("q_decision_stump")(spark, dir).head()
+    assert(out.getAs[Long]("threshold") === 200L)
+    assert(out.getAs[Double]("gini_gain") === 0.5)
+    assert(out.getAs[Long]("left_pos_ppm") === 0L)
+    assert(out.getAs[Long]("right_pos_ppm") === 1000000L)
+  }
+
+  test("q_decision_stump: sf0.001 gain non-negative, rates in range") {
+    val out = byName("q_decision_stump")(spark, "/root/testdata/sf0.001")
+      .head()
+    assert(out.getAs[Double]("gini_gain") >= 0.0)
+    val l = out.getAs[Long]("left_pos_ppm")
+    val r = out.getAs[Long]("right_pos_ppm")
+    assert(l >= 0L && l <= 1000000L)
+    assert(r >= 0L && r <= 1000000L)
+  }
+
   test("q_recurrence_quant: sf0.001 fractions in [0, 1]") {
     val out = byName("q_recurrence_quant")(spark, "/root/testdata/sf0.001")
       .head()
