@@ -93,11 +93,13 @@ object Bench {
     // budget lands on exactly the numbers a reader will look at. A
     // query is `short_trialed` only if it WANTED extra trials and the
     // budget ran out before its turn.
-    // default sized for ~630 queries: the first pass alone is ~440 s,
-    // so 780 left 232 queries single-trialed (round-11 session-5
-    // measurement); 1200 re-trials the whole ≥0.5 s tail in ~20 min
+    // default sized for ~640 queries: the first pass alone is ~450 s,
+    // and round-11's 1200 s budget still left 237 queries
+    // single-trialed (one of which published a 10× phantom that an
+    // exclusive re-trial measured at 1.0 s) — 2400 re-trials the
+    // whole ≥0.5 s tail plus the contamination-escalation pass
     val trialBudgetSec =
-      sys.env.getOrElse("SPARK_GRAFT_TRIAL_BUDGET_SEC", "1200").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_TRIAL_BUDGET_SEC", "2400").toDouble
     val retrialMinSec =
       sys.env.getOrElse("SPARK_GRAFT_RETRIAL_MIN_SEC", "0.5").toDouble
     val benchStart = System.nanoTime()

@@ -59,9 +59,15 @@ object MediaKernels {
     val n = 32
     val g = grayGrid(img, n)
     // cos table for the 8 lowest output frequencies only — the DCT is
-    // separable and we never need the other 24 rows/cols
+    // separable and we never need the other 24 rows/cols. Entries are
+    // quantized to a 1e-9 grid (the repo's trig-quantization
+    // discipline, q_cross_spectrum/q_circular_stats): libm cos is only
+    // 1-ulp-accurate and differs between the JVM and the numpy replay
+    // in tools/media_oracle.py — on the grid both engines feed
+    // IDENTICAL doubles into the exactly-replicated summation order.
     val cosTab = Array.tabulate(8, n)((u, x) =>
-      math.cos(math.Pi * (2 * x + 1) * u / (2.0 * n)))
+      math.rint(math.cos(math.Pi * (2 * x + 1) * u / (2.0 * n)) * 1e9)
+        / 1e9)
     val rows = Array.ofDim[Double](n, 8)
     var y = 0
     while (y < n) {
@@ -171,21 +177,46 @@ object MediaKernels {
   def grayGrid(bytes: Array[Byte], k: Int): Array[Float] =
     grayGrid(decodeImage(bytes), k)
 
+  /** k×k grayscale grid by PURE-arithmetic bilinear resampling with
+    * pixel-center alignment (src = (dst + 0.5)·S/k − 0.5, edge-
+    * clamped) — deliberately NOT Java2D `drawImage`, whose output
+    * depends on the rendering pipeline (software loops vs platform
+    * acceleration differ at the ulp and sometimes the pixel level),
+    * so every grid-derived fingerprint (pHash, scene-cut, thumbnail
+    * cosine) is reproducible on any JVM AND replayable bit-exactly by
+    * `tools/media_oracle.py`'s numpy twin. Channels interpolate as
+    * doubles (no intermediate 8-bit quantize); luma weights are the
+    * BT.601 constants used everywhere else in this file. */
   def grayGrid(img: BufferedImage, k: Int): Array[Float] = {
-    val small = new BufferedImage(k, k, BufferedImage.TYPE_INT_RGB)
-    val g2 = small.createGraphics()
-    g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-    g2.drawImage(img, 0, 0, k, k, null)
-    g2.dispose()
+    val w = img.getWidth
+    val h = img.getHeight
     val out = new Array[Float](k * k)
     var y = 0
     while (y < k) {
+      var sy = (y + 0.5) * h / k - 0.5
+      if (sy < 0) sy = 0
+      if (sy > h - 1) sy = (h - 1).toDouble
+      val y0 = sy.toInt
+      val y1 = if (y0 + 1 < h) y0 + 1 else y0
+      val fy = sy - y0
       var x = 0
       while (x < k) {
-        val p = small.getRGB(x, y)
-        val gray = 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) +
-          0.114 * (p & 0xff)
+        var sx = (x + 0.5) * w / k - 0.5
+        if (sx < 0) sx = 0
+        if (sx > w - 1) sx = (w - 1).toDouble
+        val x0 = sx.toInt
+        val x1 = if (x0 + 1 < w) x0 + 1 else x0
+        val fx = sx - x0
+        val p00 = img.getRGB(x0, y0)
+        val p01 = img.getRGB(x1, y0)
+        val p10 = img.getRGB(x0, y1)
+        val p11 = img.getRGB(x1, y1)
+        def ch(sh: Int): Double = {
+          val a = ((p00 >> sh) & 0xff) * (1.0 - fx) + ((p01 >> sh) & 0xff) * fx
+          val b = ((p10 >> sh) & 0xff) * (1.0 - fx) + ((p11 >> sh) & 0xff) * fx
+          a * (1.0 - fy) + b * fy
+        }
+        val gray = 0.299 * ch(16) + 0.587 * ch(8) + 0.114 * ch(0)
         out(y * k + x) = (gray / 255.0).toFloat
         x += 1
       }

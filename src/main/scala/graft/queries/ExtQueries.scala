@@ -1274,15 +1274,22 @@ object ExtQueries {
         .limit(15),
       None),
 
-    // The STREAMING twin: the same Misra-Gries sketch maintained
-    // across 4 real micro-batches (distributed per-batch sketch ->
-    // k-row driver merge). Sketch contents depend on batch boundaries
-    // -> rows-only; the stream-holds-the-guarantee law is pinned in
-    // StreamingEtlSpec.
+    // The STREAMING twin, upgraded to the deterministic TWO-PASS
+    // shape (r12): the Misra-Gries sketch maintained across 4 real
+    // micro-batches generates the candidate set (whose contents are
+    // batch-split-dependent — the raw-sketch law stays pinned in
+    // StreamingEtlSpec), then one exact count pass over the ≤64
+    // broadcast candidates emits exactly the terms above N/65 with
+    // exact counts — batch-split-invariant, so the oracle is plain
+    // exact-heavy-hitter SQL and the gate hash-grades the stream.
     QueryDef("q_stream_heavy_hitters",
-      (s, d) => graft.streaming.StreamingEtl.heavyHittersViaStream(s, d)
-        .limit(15),
-      None),
+      (s, d) => graft.streaming.StreamingEtl.heavyHittersStreamVerified(s, d),
+      Some("""WITH t AS (SELECT unnest(string_split(lower(text), ' '))
+             |    AS term FROM documents),
+             |n AS (SELECT count(*)::BIGINT AS c FROM t)
+             |SELECT term, count(*)::BIGINT AS cnt FROM t, n
+             |GROUP BY term, n.c HAVING count(*) * 65 > n.c
+             |ORDER BY cnt DESC, term""".stripMargin)),
 
     // Deterministic hash sampling: md5-derived bucket per doc, keep
     // bucket < 20 (a reproducible 20% sample any engine re-derives —

@@ -1196,6 +1196,16 @@ object R12Queries {
     // here. Seeds broadcast; each round is one shuffle on node.
     QueryDef("q_closeness_centrality",
       (s, d) => {
+        // Frontier-delta BFS (r12): each round's candidates left_anti
+        // the ACCUMULATED reach (a union of the per-round frontiers)
+        // so only the new frontier materializes — BFS round-order
+        // guarantees first-touch = min hop, so this equals the old
+        // min-hop re-agg of the whole closure. Each frontier is
+        // localCheckpoint'ed (eager): a probe showed the recursive
+        // lineage (frontier h references ALL earlier frontiers) costs
+        // exponential DRIVER PLANNING time — 18 s at hop 6 on a
+        // 22-row frontier — while the checkpointed LogicalRDD leaf
+        // keeps every round's plan depth-1 and the data distributed.
         import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
         val e = s.read.parquet(SqlQueries.copurchaseEdgesOf(s, d))
         val eb = e.select(col("p1").as("src"), col("p2").as("dst"))
@@ -1205,28 +1215,33 @@ object R12Queries {
           .agg(count(lit(1)).as("deg"))
           .orderBy(col("deg").desc, col("seed")).limit(5)
           .select(col("seed"))
-        var reach = seeds.select(col("seed"), col("seed").as("node"),
-          lit(0).as("hop")).persist(MEMORY_AND_DISK)
-        reach.count()
+        val frontiers =
+          scala.collection.mutable.ArrayBuffer.empty[
+            org.apache.spark.sql.DataFrame]
+        var frontier = seeds.select(col("seed"), col("seed").as("node"),
+          lit(0).as("hop")).localCheckpoint()
+        frontiers += frontier
         for (h <- 1 to 6) {
-          val next = reach.filter(col("hop") === h - 1)
-            .join(eb, col("node") === col("src"))
+          val reachKeys = frontiers.map(_.select(col("seed"), col("node")))
+            .reduce(_ unionAll _)
+          frontier = frontier.join(eb, col("node") === col("src"))
             .select(col("seed"), col("dst").as("node"), lit(h).as("hop"))
             .distinct()
-          val nr = reach.unionAll(next)
-            .groupBy(col("seed"), col("node"))
-            .agg(min(col("hop")).as("hop")).persist(MEMORY_AND_DISK)
-          nr.count()
-          reach.unpersist()
-          reach = nr
+            .join(reachKeys, Seq("seed", "node"), "left_anti")
+            .localCheckpoint()
+          frontiers += frontier
         }
-        reach.filter(col("hop") > 0)
+        val res = frontiers.reduce(_ unionAll _)
+          .filter(col("hop") > 0)
           .groupBy(col("seed"))
           .agg(count(lit(1)).as("n_reached"),
             sum(expr("60 div hop")).as("h60"))
           .select(col("seed"), col("n_reached"), col("h60"),
             round(col("h60").cast("double") / 60.0, 6).as("harmonic"))
           .orderBy(col("seed"))
+        val rows = res.collect()
+        eb.unpersist()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
       }, {
       val hops = (1 to 6).map { h =>
         s"""h$h AS MATERIALIZED (SELECT DISTINCT r.seed, eb.dst AS node
@@ -1266,34 +1281,62 @@ object R12Queries {
     // grows) is the one-look robustness summary.
     QueryDef("q_kcore_profile",
       (s, d) => {
+        // Chained peels (r12): cores are NESTED — the (k+1)-core is a
+        // subgraph of the k-core — so k=3's 5-round peel seeds from
+        // the k=2 result and k=4's from k=3, instead of each k
+        // re-peeling the full edge set (15 full-width rounds → 5 full
+        // + 10 on the already-collapsed cores). The oracle's CTE
+        // ladder chains identically (e3_0 = e2_5, e4_0 = e3_5). Kept
+        // SEQUENTIAL per-k: the round-11 fused-by-k variant measured
+        // 1.7× slower (3× data through every round). The 3-row
+        // profile is collected so every per-round cache releases.
         import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
         val e0 = s.read.parquet(SqlQueries.copurchaseEdgesOf(s, d))
           .select(col("p1"), col("p2")).persist(MEMORY_AND_DISK)
-        e0.count()
-        val outs = (2 to 4).map { k =>
-          var e = e0
+        var seed = e0
+        val rows = Seq.newBuilder[(Long, Long, Long)]
+        for (k <- 2 to 4) {
+          // rounds persist LAZILY (no count barriers): each e_r is
+          // referenced 3× by round r+1 (deg digest + both keep-join
+          // sides) but the InMemoryRelation shares one cached RDD, so
+          // the ONE eager action per k — the localCheckpoint below —
+          // computes every round's shuffle exactly once. 2 jobs per k
+          // instead of 7.
+          val kept =
+            scala.collection.mutable.ArrayBuffer.empty[
+              org.apache.spark.sql.DataFrame]
+          var e = seed
           for (r <- 1 to 5) {
             val deg = e.select(explode(array(col("p1"), col("p2")))
               .as("node"))
               .groupBy(col("node")).agg(count(lit(1)).as("deg"))
             val keep = deg.filter(col("deg") >= k).select(col("node"))
-            val ne = e.join(keep.select(col("node").as("ka")),
+            e = e.join(keep.select(col("node").as("ka")),
                 col("p1") === col("ka")).drop("ka")
               .join(keep.select(col("node").as("kb")),
                 col("p2") === col("kb")).drop("kb")
               .persist(MEMORY_AND_DISK)
-            ne.count()
-            if (r > 1) e.unpersist()
-            e = ne
+            kept += e
           }
-          e.select(explode(array(col("p1"), col("p2"))).as("node"))
+          // each round's plan references e THREE times, so a 15-round
+          // chained lineage is a 3^15-node tree — Spark's per-action
+          // explain-string render alone OOMs the driver. localCheckpoint
+          // (eager) truncates the k-core to a LogicalRDD leaf so each
+          // k's peel starts from a depth-0 plan.
+          val core = e.localCheckpoint()
+          kept.foreach(_.unpersist())
+          val prof = core.select(explode(array(col("p1"), col("p2")))
+              .as("node"))
             .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-            .agg(lit(k).cast("long").as("k"),
-              count(lit(1)).as("core_nodes"),
+            .agg(count(lit(1)).as("core_nodes"),
               coalesce((sum(col("deg")) / 2).cast("long"), lit(0L))
-                .as("core_edges"))
+                .as("core_edges")).head()
+          rows += ((k.toLong, prof.getLong(0), prof.getLong(1)))
+          seed = core
         }
-        outs.reduce(_ unionAll _).orderBy(col("k"))
+        e0.unpersist()
+        import s.implicits._
+        rows.result().toDF("k", "core_nodes", "core_edges")
       }, {
       def chain(k: Int) = (1 to 5).map { r =>
         s"""d${k}_$r AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
@@ -1318,10 +1361,10 @@ object R12Queries {
              |    AND a.l_partkey < b.l_partkey
              |  GROUP BY 1, 2 HAVING count(*) >= 2),
              |e2_0 AS (SELECT * FROM ebase),
-             |e3_0 AS (SELECT * FROM ebase),
-             |e4_0 AS (SELECT * FROM ebase),
              |${chain(2)},
+             |e3_0 AS (SELECT * FROM e2_5),
              |${chain(3)},
+             |e4_0 AS (SELECT * FROM e3_5),
              |${chain(4)}
              |SELECT * FROM ($finals) ORDER BY k""".stripMargin)
     }),

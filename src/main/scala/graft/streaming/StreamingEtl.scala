@@ -965,6 +965,37 @@ object StreamingEtl {
     rows.toDF("term", "count_lb")
   }
 
+  /** The DETERMINISTIC two-pass heavy-hitter shape (sketch →
+    * candidates → exact verify): the streamed Misra-Gries sketch's
+    * contents depend on micro-batch boundaries (rows-only forever),
+    * but its GUARANTEE — every term with frequency > N/(k+1) survives
+    * the per-batch sketches and driver merges — makes the candidate
+    * set a superset of the true heavy hitters. One exact count pass
+    * restricted to the ≤k broadcast candidates (a ≤(k+1)-group
+    * aggregation, never a full-vocabulary shuffle) then yields
+    * exactly the terms above N/(k+1) with exact counts — identical
+    * for ANY batch split, so DuckDB replays it as plain SQL and the
+    * stream query graduates from rows-only to hash-graded (the
+    * q_stream_asof stream==batch discipline). */
+  def heavyHittersStreamVerified(spark: SparkSession, dir: String,
+                                 k: Int = 64): DataFrame = {
+    val cands = heavyHittersViaStream(spark, dir, k, topN = k)
+      .collect().map(_.getString(0)).toSeq
+    val stats = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(split(lower(col("text")), " ")).as("term"))
+      .select(when(col("term").isin(cands: _*), col("term")).as("cterm"))
+      .groupBy(col("cterm")).agg(count(lit(1)).as("cnt"))
+      .persist()
+    val res = stats
+      .crossJoin(broadcast(stats.agg(sum(col("cnt")).as("n"))))
+      .filter(col("cterm").isNotNull && col("cnt") * (k + 1) > col("n"))
+      .select(col("cterm").as("term"), col("cnt"))
+      .orderBy(col("cnt").desc, col("term"))
+    val out = res.collect()
+    stats.unpersist()
+    spark.createDataFrame(java.util.Arrays.asList(out: _*), res.schema)
+  }
+
   /** Streaming distinct-user cardinality via a KMV sketch: each
     * micro-batch contributes its k smallest distinct 40-bit user
     * hashes; the driver state is the union trimmed back to k. Unlike

@@ -50,7 +50,7 @@ class ContractSpec extends GraftSpec {
     val documented = Set(
       "a2_quantiles_approx", "corpus_heavy_hitters_approx",
       "q_group_quantiles_approx", "q_distinct_users_approx",
-      "q_stream_heavy_hitters", "k4_size_metrics",
+      "k4_size_metrics",
       "text_compression_ratio",
       "mm_audio_features", "mm_audio_silence", "mm_image_features",
       "mm_image_neardup", "mm_image_phash", "mm_video_features",

@@ -11,14 +11,28 @@ and compares the Spark dumps value-for-value:
   mm_audio_silence   injected-dropout silence runs (exact integers)
   mm_image_features  LCG channel means (independent of the DuckDB CTE)
   mm_video_features  per-frame grayscale means incl. float32 cast
+  mm_image_phash     full numpy DCT pHash replay -> expected pair set
+  mm_image_neardup   thumbnail-cosine replay (exact IEEE sum order)
+  mm_video_scenecut  grid-diff replay over the shot-video frames
+  text_compression_ratio  zlib level-6 deflate sizes (verified byte-
+                     identical between java.util.zip and CPython zlib)
+
+The pHash / near-dup / scene-cut replays are possible because
+MediaKernels.grayGrid resamples with PURE bilinear arithmetic (not
+Java2D drawImage) and phash63 quantizes its DCT cos table to a 1e-9
+grid — both engines then feed identical doubles through identical
+summation orders.
 
 Rounding replicates Spark's round() (BigDecimal HALF_UP on the double)
 via decimal.Decimal — NOT Python's banker's round().
 
-Usage:  python3 tools/media_oracle.py <verify_outdir>
+Usage:  python3 tools/media_oracle.py <verify_outdir> [sfdir]
+        (sfdir defaults to /root/testdata/sf0.01 — needed by the
+        replays whose id universe / text comes from the sf tables)
 """
-import sys, glob, math, struct
+import sys, glob, math, struct, zlib
 from decimal import Decimal, ROUND_HALF_UP
+import numpy as np
 import pandas as pd
 
 M = 1 << 64
@@ -93,12 +107,148 @@ def silence_stats(samples, threshold=512, min_run=64):
     return n_runs, longest, silent
 
 
+def lcg_pixels(seed, w=24, h=16):
+    """makePng's full pixel field, row-major (y outer, x inner)."""
+    state = (seed * A + C) % M
+    px = []
+    for _ in range(w * h):
+        state = (state * A + C) % M
+        px.append((state >> 24) & 0xFFFFFF)
+    return px
+
+
+def inject_variant(px, mid, w=24, h=16):
+    """injectImageVariants: 3 seeded pixels XOR 0x101010."""
+    out = list(px)
+    for i in range(3):
+        x = (mid * 31 + i * 17) % w
+        y = (mid * 13 + i * 7) % h
+        out[y * w + x] ^= 0x101010
+    return out
+
+
+def gray_grid(px, w, h, k):
+    """MediaKernels.grayGrid: pure bilinear, pixel-center aligned,
+    edge-clamped; returns k*k float32 values (as python floats)."""
+    out = []
+    for y in range(k):
+        sy = (y + 0.5) * h / k - 0.5
+        sy = 0.0 if sy < 0 else (float(h - 1) if sy > h - 1 else sy)
+        y0 = int(sy)
+        y1 = y0 + 1 if y0 + 1 < h else y0
+        fy = sy - y0
+        for x in range(k):
+            sx = (x + 0.5) * w / k - 0.5
+            sx = 0.0 if sx < 0 else (float(w - 1) if sx > w - 1 else sx)
+            x0 = int(sx)
+            x1 = x0 + 1 if x0 + 1 < w else x0
+            fx = sx - x0
+            p00, p01 = px[y0 * w + x0], px[y0 * w + x1]
+            p10, p11 = px[y1 * w + x0], px[y1 * w + x1]
+
+            def ch(sh):
+                a = (((p00 >> sh) & 0xff) * (1.0 - fx)
+                     + ((p01 >> sh) & 0xff) * fx)
+                b = (((p10 >> sh) & 0xff) * (1.0 - fx)
+                     + ((p11 >> sh) & 0xff) * fx)
+                return a * (1.0 - fy) + b * fy
+
+            gray = 0.299 * ch(16) + 0.587 * ch(8) + 0.114 * ch(0)
+            out.append(float(np.float32(gray / 255.0)))
+        # (row-major append order matches out(y*k+x))
+    return out
+
+
+_COS_TAB = None
+
+
+def phash63(g):
+    """MediaKernels.phash63 on a 1024-float grid: separable DCT with
+    the 1e-9-quantized cos table, 63 non-DC coeffs, median bits."""
+    global _COS_TAB
+    n = 32
+    if _COS_TAB is None:
+        # math.rint = round-half-even; Python round() on a float too
+        _COS_TAB = [[round(math.cos(math.pi * (2 * x + 1) * u / (2.0 * n))
+                           * 1e9) / 1e9
+                     for x in range(n)] for u in range(8)]
+    rows = [[0.0] * 8 for _ in range(n)]
+    for y in range(n):
+        for u in range(8):
+            s = 0.0
+            for x in range(n):
+                s += g[y * n + x] * _COS_TAB[u][x]
+            rows[y][u] = s
+    coeffs = []
+    for v in range(8):
+        for u in range(8):
+            if v != 0 or u != 0:
+                s = 0.0
+                for yy in range(n):
+                    s += rows[yy][u] * _COS_TAB[v][yy]
+                coeffs.append(s)
+    med = sorted(coeffs)[31]
+    h = 0
+    for i, c in enumerate(coeffs):
+        if c > med:
+            h |= 1 << i
+    return h
+
+
+def cosine_sim(a, b):
+    """VectorFunctions.CosineSimilarity: left-to-right accumulation,
+    sqrt(na)*sqrt(nb) denominator."""
+    dot = na = nb = 0.0
+    for x, y in zip(a, b):
+        dot += x * y
+        na += x * x
+        nb += y * y
+    den = math.sqrt(na) * math.sqrt(nb)
+    return None if den == 0.0 else dot / den
+
+
+def compare_frames(name, got, exp, float_cols=()):
+    """Exact frame compare after sorting both sides by all key cols."""
+    if got is None:
+        print(f"{name:24s} NO DUMP — skipped")
+        return 0
+    if exp.empty and got.empty:
+        print(f"{name:24s} rows=   0 value-checked OK (both empty)")
+        return 0
+    keys = [c for c in exp.columns]
+    got = got[keys].sort_values(keys).reset_index(drop=True)
+    exp = exp.sort_values(keys).reset_index(drop=True)
+    if len(got) != len(exp):
+        print(f"{name:24s} ROW COUNT spark={len(got)} expected={len(exp)} FAIL")
+        return 1
+    bad = 0
+    for c in keys:
+        gv, ev = got[c].tolist(), exp[c].tolist()
+        for i, (g, e) in enumerate(zip(gv, ev)):
+            ok = (g == e) if c in float_cols else (int(g) == int(e))
+            if not ok:
+                bad += 1
+                if bad <= 5:
+                    print(f"   {name} row {i} col={c}: spark={g!r} expected={e!r}")
+    status = "OK" if bad == 0 else "FAIL"
+    print(f"{name:24s} rows={len(got):4d} value-checked {status}")
+    return bad
+
+
 def load(outdir, name):
     files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
     if not files:
         return None
     return pd.concat([pd.read_parquet(p) for p in files]).sort_values(
         "media_id").reset_index(drop=True)
+
+
+def load_raw(outdir, name):
+    files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
+    if not files:
+        return None
+    return pd.concat([pd.read_parquet(p) for p in files]).reset_index(
+        drop=True)
 
 
 def check(name, df, expect_fn, cols):
@@ -172,6 +322,79 @@ def main():
 
     fails += check("mm_video_features", load(outdir, "mm_video_features"),
                    video_features, ["n_frames", "width", "height", "f0", "f3"])
+
+    sfdir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    docs = pd.read_parquet(f"{sfdir}/documents.parquet")
+    ids200 = sorted(int(i) for i in docs["doc_id"].unique() if i < 200)
+    ids100 = [i for i in ids200 if i < 100]
+
+    # ---- mm_image_phash: full DCT replay; banding is pigeonhole-
+    # complete at Hamming<=7, so expected == brute-force pair set
+    hashes = {}
+    for mid in ids200:
+        px = lcg_pixels(mid)
+        hashes[mid] = phash63(gray_grid(px, 24, 16, 32))
+        if mid % 4 == 0:
+            hashes[mid + 1000000] = phash63(
+                gray_grid(inject_variant(px, mid), 24, 16, 32))
+    idlist = sorted(hashes)
+    prs = []
+    for i in range(len(idlist)):
+        for j in range(i + 1, len(idlist)):
+            hd = bin(hashes[idlist[i]] ^ hashes[idlist[j]]).count("1")
+            if hd <= 7:
+                prs.append((idlist[i], idlist[j], hd))
+    fails += compare_frames(
+        "mm_image_phash", load_raw(outdir, "mm_image_phash"),
+        pd.DataFrame(prs, columns=["id_a", "id_b", "hamming"]))
+
+    # ---- mm_image_neardup: 4x4 thumbnail cosine (raw-sim threshold,
+    # then Spark-rounded to 5dp like the QueryDef)
+    thumbs = {mid: gray_grid(lcg_pixels(mid), 24, 16, 4) for mid in ids200}
+    nd = []
+    for i in range(len(ids200)):
+        for j in range(i + 1, len(ids200)):
+            sim = cosine_sim(thumbs[ids200[i]], thumbs[ids200[j]])
+            if sim is not None and sim >= 0.99:
+                nd.append((ids200[i], ids200[j], spark_round(sim, 5)))
+    fails += compare_frames(
+        "mm_image_neardup", load_raw(outdir, "mm_image_neardup"),
+        pd.DataFrame(nd, columns=["id_a", "id_b", "sim"]),
+        float_cols={"sim"})
+
+    # ---- mm_video_scenecut: shot videos (12 frames, shotLen=2+id%3),
+    # float32 grid-diff accumulated left-to-right in double
+    sc = []
+    for mid in ids100:
+        shot_len = 2 + mid % 3
+        grids = [np.array(gray_grid(lcg_pixels(mid * 131 + f // shot_len),
+                                    24, 16, 4), dtype=np.float32)
+                 for f in range(12)]
+        cuts = []
+        for f in range(1, 12):
+            diff = np.abs(grids[f] - grids[f - 1])
+            acc = 0.0
+            for v in diff:
+                acc += float(v)
+            if acc / 16 > 0.02:
+                cuts.append(f)
+        sc.append((mid, 12, len(cuts), cuts[0] if cuts else -1))
+    fails += compare_frames(
+        "mm_video_scenecut", load_raw(outdir, "mm_video_scenecut"),
+        pd.DataFrame(sc, columns=["media_id", "n_frames", "n_cuts",
+                                  "first_cut"]))
+
+    # ---- text_compression_ratio: CPython zlib level 6 == JDK Deflater
+    # level 6 (verified byte-identical on this container)
+    cr = []
+    for _, r in docs.iterrows():
+        raw = str(r["text"]).encode("utf-8")
+        ratio = (len(zlib.compress(raw, 6)) / len(raw)) if raw else 1.0
+        cr.append((int(r["doc_id"]), spark_round(ratio, 6)))
+    fails += compare_frames(
+        "text_compression_ratio", load_raw(outdir, "text_compression_ratio"),
+        pd.DataFrame(cr, columns=["doc_id", "deflate_ratio"]),
+        float_cols={"deflate_ratio"})
 
     print(f"\n{fails} value mismatches")
     sys.exit(1 if fails else 0)
