@@ -6869,6 +6869,68 @@ object ExtQueries {
               |SELECT ca::BIGINT AS cell, n_vecs, max(r_ppm)::BIGINT AS db_ppm
               |FROM r GROUP BY 1, 2 ORDER BY cell""".stripMargin)),
 
+    // Dunn index (Dunn 1974) of the IVF clustering — the fourth
+    // standard internal-quality metric next to inertia / silhouette /
+    // Davies-Bouldin: worst-case separation over worst-case
+    // compactness, here in the O(n·k) centroid-based form (min
+    // inter-centroid distance / max member-to-own-centroid
+    // distance). Both extremes are decided on 1e-6-rounded integer
+    // distances off exact integer d², and the index itself is an
+    // integer ppm division — the whole readout is float-comparison-
+    // free. One assignments pass + a 16×16 centroid self-join.
+    QueryDef("emb_dunn_index",
+      (s, d) => {
+        val cents = centroidsOf(s, d)
+        val cdf = s.createDataFrame(
+          cents.toSeq.zipWithIndex.map { case (a, i) => (i, a.toSeq) })
+          .toDF("cell", "ci")
+        val eq = s.read.parquet(s"$d/embeddings.parquet")
+          .withColumn("e", expr(
+            "transform(cast(embedding AS array<double>), x -> cast(round(x * 1000, 0) AS bigint))"))
+        val intra = Similarity.cellAssignments(eq, cents)
+          .toDF("vec_id", "cell")
+          .join(eq.select(col("vec_id"), col("e")), "vec_id")
+          .join(broadcast(cdf), "cell")
+          .select(round(sqrt(expr(
+            "aggregate(zip_with(e, ci, (p, q) -> (p - q) * (p - q)), 0L, (acc, v) -> acc + v)")
+            .cast("double")) * 1000000, 0).cast("long").as("dist_e6"))
+          .agg(count(lit(1)).as("n_vecs"),
+            max(col("dist_e6")).as("max_intra_e6"))
+        val inter = cdf
+          .select(col("cell").cast("long").as("ca"), col("ci").as("via"))
+          .crossJoin(cdf.select(col("cell").cast("long").as("cb"),
+            col("ci").as("vib")))
+          .filter(col("ca") < col("cb"))
+          .select(round(sqrt(expr(
+            "aggregate(zip_with(via, vib, (p, q) -> (p - q) * (p - q)), 0L, (acc, v) -> acc + v)")
+            .cast("double")) * 1000000, 0).cast("long").as("d_e6"))
+          .agg(count(lit(1)).as("n_pairs"),
+            min(col("d_e6")).as("min_inter_e6"))
+        intra.crossJoin(broadcast(inter))
+          .select((col("n_pairs") * 0 + 16).as("k_cells"),
+            col("n_vecs"), col("min_inter_e6"), col("max_intra_e6"),
+            expr("min_inter_e6 * 1000000 div max_intra_e6")
+              .as("dunn_ppm"))
+      },
+      Some(s"""WITH ${quantizerCtes("", "embedding::DOUBLE[]", 64)},
+              |dv AS (SELECT round(sqrt(list_sum(list_transform(range(64),
+              |      i -> (ev.e[i+1] - cz.ci[i+1]) * (ev.e[i+1] - cz.ci[i+1])))
+              |      ::DOUBLE) * 1000000)::BIGINT AS dist_e6
+              |  FROM af JOIN ev USING (vec_id)
+              |  JOIN c2 cz ON cz.cell = af.cell),
+              |ia AS (SELECT count(*)::BIGINT AS n_vecs,
+              |    max(dist_e6)::BIGINT AS max_intra_e6 FROM dv),
+              |cd AS (SELECT round(sqrt(list_sum(list_transform(range(64),
+              |      i -> (a.ci[i+1] - b.ci[i+1]) * (a.ci[i+1] - b.ci[i+1])))
+              |      ::DOUBLE) * 1000000)::BIGINT AS d_e6
+              |  FROM c2 a, c2 b WHERE a.cell < b.cell),
+              |ie AS (SELECT min(d_e6)::BIGINT AS min_inter_e6 FROM cd)
+              |SELECT 16::BIGINT AS k_cells, n_vecs, min_inter_e6,
+              |  max_intra_e6,
+              |  (min_inter_e6 * 1000000 // max_intra_e6)::BIGINT
+              |    AS dunn_ppm
+              |FROM ia, ie""".stripMargin)),
+
     // Bloom-filter dedup PRE-FILTER with measured false-positive
     // accounting — the cheap first pass an incremental ingest runs
     // before any expensive exact/near-dup work: the corpus's content

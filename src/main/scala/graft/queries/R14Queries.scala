@@ -1,0 +1,724 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-12 extension wave: classical decision/risk/association
+  * kernels over the same calendar/value digests — exact-test
+  * inference (Fisher's exact 2×2 via the quantized log-lattice,
+  * Conover squared-ranks scale test on the midrank digest), tail-risk
+  * readouts (historical VaR / expected shortfall on exact integer
+  * cents), concentration (Herfindahl–Hirschman over brand revenue),
+  * and small-sample outlier screens (Dixon's Q).
+  *
+  * Reference scope: the reference app (reference `app.py:139-200`)
+  * publishes descriptive statistics over sensor channels; these are
+  * the decision-grade tests a fleet report runs over the same
+  * digests. Determinism discipline: facts collapse in ONE map-side
+  * pass; integers/DECIMAL until the last projection; transcendentals
+  * quantized (ln→12 dp, exp→15 dp) before any cross-row sum; finals
+  * round(…,4..6).
+  */
+object R14Queries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Fisher's exact test (Fisher 1935) on the weekend × purchase
+    // 2×2 table — the small-cell-safe independence test next to
+    // q_chisq_independence. The hypergeometric pmf is walked over the
+    // FULL support by the ratio recurrence P(a+1)/P(a) =
+    // (m1−a)(n1−a)/((a+1)(m2−n1+a+1)): each log-ratio is an ln of a
+    // ratio of exact ≤2^53 integers quantized to 12 dp, the log-pmf
+    // is an exact DECIMAL prefix sum, and the two-sided p (method of
+    // small p-values) compares those exact decimals — the only
+    // doubles are the final exp (15 dp-quantized, max-shifted so
+    // nothing overflows) and the rounded outputs. 100 TB: one
+    // fact-sized aggregate to 4 cells; the support walk rides a
+    // ≤|n1|-row generated series, data-free.
+    QueryDef("q_fisher_exact",
+      (s, d) => {
+        val t = graft.sources.Tables.events(s, d).select(
+          when(dayofweek(col("ts")).isin(1, 7), 1L).otherwise(0L).as("w"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("p"))
+        val cells = broadcast(t.agg(
+          sum(col("w") * col("p")).as("a"),
+          sum(col("w") * (lit(1L) - col("p"))).as("b"),
+          sum((lit(1L) - col("w")) * col("p")).as("c"),
+          sum((lit(1L) - col("w")) * (lit(1L) - col("p"))).as("d"))
+          .withColumn("m1", col("a") + col("b"))
+          .withColumn("m2", col("c") + col("d"))
+          .withColumn("n1", col("a") + col("c"))
+          .withColumn("lo", greatest(lit(0L), col("n1") - col("m2")))
+          .withColumn("hi", least(col("n1"), col("m1"))))
+        val ser = s.range(0, 1L << 21).select(col("id").as("aa"))
+          .crossJoin(cells)
+          .filter(col("aa") >= col("lo") && col("aa") <= col("hi"))
+          .withColumn("lnr", when(col("aa") === col("lo"),
+            lit(BigDecimal(0)).cast("decimal(38,12)"))
+            .otherwise(round(log(
+              ((col("m1") - col("aa") + 1) * (col("n1") - col("aa") + 1))
+                .cast("double") /
+              (col("aa") * (col("m2") - col("n1") + col("aa")))
+                .cast("double")), 12).cast("decimal(38,12)")))
+          .withColumn("lnw", sum(col("lnr")).over(Window.orderBy(col("aa"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val mx = broadcast(ser.agg(max(col("lnw")).as("wmax"),
+          max(when(col("aa") === col("a"), col("lnw"))).as("lnobs")))
+        ser.crossJoin(mx)
+          .withColumn("wgt", round(exp((col("lnw") - col("wmax"))
+            .cast("double")), 15).cast("decimal(20,15)"))
+          .groupBy(col("a"), col("b"), col("c"), col("d"))
+          .agg(sum(col("wgt")).as("tot"),
+            sum(when(col("lnw") <= col("lnobs"), col("wgt"))
+              .otherwise(lit(BigDecimal(0)).cast("decimal(20,15)")))
+              .as("le"))
+          .select(col("a"), col("b"), col("c"), col("d"),
+            round((col("a") * col("d")).cast("double") /
+              nullif((col("b") * col("c")).cast("double"), lit(0.0)), 6)
+              .as("odds_ratio"),
+            round(col("le").cast("double") / col("tot").cast("double"), 6)
+              .as("p_two_sided"))
+      },
+      Some("""WITH t AS (SELECT
+             |    (CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END)
+             |      ::BIGINT AS w,
+             |    (CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |      ::BIGINT AS p
+             |  FROM events),
+             |cells AS (SELECT sum(w * p)::BIGINT AS a,
+             |    sum(w * (1 - p))::BIGINT AS b,
+             |    sum((1 - w) * p)::BIGINT AS c,
+             |    sum((1 - w) * (1 - p))::BIGINT AS d
+             |  FROM t),
+             |par AS (SELECT a, b, c, d, a + b AS m1, c + d AS m2,
+             |    a + c AS n1,
+             |    greatest(0, a + c - (c + d)) AS lo,
+             |    least(a + c, a + b) AS hi
+             |  FROM cells),
+             |ser AS (SELECT unnest(generate_series(lo, hi)) AS aa,
+             |    a, b, c, d, m1, m2, n1, lo
+             |  FROM par),
+             |lr AS (SELECT *, CASE WHEN aa = lo THEN 0::DECIMAL(38,12)
+             |    ELSE round(ln(((m1 - aa + 1) * (n1 - aa + 1))::DOUBLE
+             |      / ((aa) * (m2 - n1 + aa))::DOUBLE), 12)
+             |      ::DECIMAL(38,12) END AS lnr
+             |  FROM ser),
+             |cum AS (SELECT *, sum(lnr) OVER (ORDER BY aa
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS lnw FROM lr),
+             |mx AS (SELECT max(lnw) AS wmax,
+             |    max(CASE WHEN aa = a THEN lnw END) AS lnobs FROM cum),
+             |wts AS (SELECT cum.*, mx.lnobs,
+             |    round(exp((lnw - wmax)::DOUBLE), 15)::DECIMAL(20,15)
+             |      AS wgt
+             |  FROM cum, mx)
+             |SELECT a, b, c, d,
+             |  round((a * d)::DOUBLE / nullif((b * c), 0)::DOUBLE, 6)
+             |    AS odds_ratio,
+             |  round(sum(CASE WHEN lnw <= lnobs THEN wgt
+             |      ELSE 0::DECIMAL(20,15) END)::DOUBLE
+             |    / sum(wgt)::DOUBLE, 6) AS p_two_sided
+             |FROM wts GROUP BY a, b, c, d""".stripMargin)),
+
+    // Historical value-at-risk and expected shortfall (RiskMetrics
+    // 1996; Artzner et al. 1999 for ES coherence) of day-over-day
+    // revenue changes. Changes are EXACT integer cents (decimal sums
+    // ×100, lag over the calendar digest); VaR_q is the ceil(q·n)-th
+    // smallest change — an order statistic, published in cents so the
+    // gate compares integers — and ES_q is the exact average of the
+    // tail below it (sum of identical-valued boundary ties is
+    // order-invariant). 100 TB: one groupBy(day), then the ≤366-row
+    // digest carries everything.
+    QueryDef("q_value_at_risk",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg((sum(col("value").cast("decimal(18,2)")) * lit(100))
+            .cast("long").as("y"))
+        val diff = daily
+          .withColumn("prev", lag(col("y"), 1).over(
+            Window.orderBy(col("day"))))
+          .filter(col("prev").isNotNull)
+          .select((col("y") - col("prev")).as("chg"))
+          .withColumn("rn", row_number().over(Window.orderBy(col("chg"))))
+        val n = broadcast(diff.agg(count(lit(1)).as("n")))
+        diff.crossJoin(n)
+          .withColumn("k95", expr("(n * 5 + 99) div 100"))
+          .withColumn("k99", expr("(n * 1 + 99) div 100"))
+          .agg(max(col("n")).as("n_changes"),
+            max(when(col("rn") === col("k95"), col("chg")))
+              .as("var95_cents"),
+            max(when(col("rn") === col("k99"), col("chg")))
+              .as("var99_cents"),
+            round((sum(when(col("rn") <= col("k95"), col("chg")))
+              .cast("double") / max(col("k95")).cast("double")) / 100.0, 4)
+              .as("es95"),
+            round((sum(when(col("rn") <= col("k99"), col("chg")))
+              .cast("double") / max(col("k99")).cast("double")) / 100.0, 4)
+              .as("es99"))
+      },
+      Some("""WITH daily AS (SELECT ts::DATE AS day,
+             |    (sum(CAST(value AS DECIMAL(18,2))) * 100)::BIGINT AS y
+             |  FROM events GROUP BY 1),
+             |chg AS (SELECT y - lag(y) OVER (ORDER BY day) AS chg
+             |  FROM daily),
+             |rk AS (SELECT chg,
+             |    row_number() OVER (ORDER BY chg) AS rn
+             |  FROM chg WHERE chg IS NOT NULL),
+             |n AS (SELECT count(*)::BIGINT AS n FROM rk),
+             |k AS (SELECT n, (n * 5 + 99) // 100 AS k95,
+             |    (n * 1 + 99) // 100 AS k99 FROM n)
+             |SELECT max(n)::BIGINT AS n_changes,
+             |  max(CASE WHEN rn = k95 THEN chg END)::BIGINT
+             |    AS var95_cents,
+             |  max(CASE WHEN rn = k99 THEN chg END)::BIGINT
+             |    AS var99_cents,
+             |  round(sum(CASE WHEN rn <= k95 THEN chg END)::DOUBLE
+             |    / max(k95)::DOUBLE / 100.0, 4) AS es95,
+             |  round(sum(CASE WHEN rn <= k99 THEN chg END)::DOUBLE
+             |    / max(k99)::DOUBLE / 100.0, 4) AS es99
+             |FROM rk, k""".stripMargin)),
+
+    // Herfindahl–Hirschman concentration index (Herfindahl 1950) of
+    // brand revenue — the antitrust/market-structure readout next to
+    // q_pareto_concentration and q_gini_coefficient. Brand revenues
+    // are exact cents; HHI = Σc²/T² with the squares as exact
+    // DECIMAL(38,0) (the HUGEINT-widening class is handled by casting
+    // BOTH engines' sums to double only in the final projection), the
+    // top share as integer ppm, and the normalized index (HHI−1/k)/
+    // (1−1/k) guarded for k=1. One brand-sized digest shuffle.
+    QueryDef("q_herfindahl",
+      (s, d) => {
+        val rev = s.read.parquet(s"$d/lineitem.parquet")
+          .join(s.read.parquet(s"$d/part.parquet")
+            .select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg((sum(col("l_extendedprice").cast("decimal(18,2)"))
+            * lit(100)).cast("long").as("c"))
+        rev.agg(count(lit(1)).as("k_brands"),
+            sum(col("c")).as("t"),
+            sum(col("c").cast("decimal(38,0)") * col("c")).as("ss"),
+            max(col("c")).as("cmax"))
+          .select(col("k_brands"),
+            round(expr("cast(ss as double)" +
+              " / (cast(t as double) * cast(t as double))"), 9)
+              .as("hhi"),
+            round(expr(
+              """CASE WHEN k_brands <= 1 THEN NULL
+                |ELSE (cast(ss as double)
+                |    / (cast(t as double) * cast(t as double))
+                |  - 1.0 / cast(k_brands as double))
+                |  / (1.0 - 1.0 / cast(k_brands as double)) END"""
+                .stripMargin), 6).as("hhi_norm"),
+            expr("cmax * 1000000 div t").as("top_share_ppm"))
+      },
+      Some("""WITH rev AS (SELECT p_brand,
+             |    (sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100)
+             |      ::BIGINT AS c
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  GROUP BY 1),
+             |a AS (SELECT count(*)::BIGINT AS k_brands,
+             |    sum(c)::BIGINT AS t, sum(c::HUGEINT * c) AS ss,
+             |    max(c)::BIGINT AS cmax
+             |  FROM rev)
+             |SELECT k_brands,
+             |  round(ss::DOUBLE / (t::DOUBLE * t::DOUBLE), 9) AS hhi,
+             |  round(CASE WHEN k_brands <= 1 THEN NULL
+             |    ELSE (ss::DOUBLE / (t::DOUBLE * t::DOUBLE)
+             |        - 1.0 / k_brands::DOUBLE)
+             |      / (1.0 - 1.0 / k_brands::DOUBLE) END, 6) AS hhi_norm,
+             |  (cmax * 1000000 // t)::BIGINT AS top_share_ppm
+             |FROM a""".stripMargin)),
+
+    // Dixon's Q screen (Dixon 1950) at both extremes of the daily
+    // revenue digest: Q_low = (y₂−y₁)/(yₙ−y₁), Q_high =
+    // (yₙ−yₙ₋₁)/(yₙ−y₁) — the small-sample single-outlier ratio next
+    // to the iterative q_gesd_outliers. Gaps and range are exact
+    // integer cents; the flagged days tie to the earliest date
+    // (row_number over (y, day)); zero range → NULL (ANSI ÷0 guard).
+    QueryDef("q_dixon_q",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg((sum(col("value").cast("decimal(18,2)")) * lit(100))
+            .cast("long").as("y"))
+          .withColumn("ra", row_number().over(
+            Window.orderBy(col("y"), col("day"))))
+          .withColumn("rd", row_number().over(
+            Window.orderBy(col("y").desc, col("day"))))
+        daily.agg(count(lit(1)).as("n_days"),
+            max(when(col("ra") === 1, col("day").cast("string")))
+              .as("low_day"),
+            max(when(col("ra") === 1, col("y"))).as("y1"),
+            max(when(col("ra") === 2, col("y"))).as("y2"),
+            max(when(col("rd") === 1, col("day").cast("string")))
+              .as("high_day"),
+            max(when(col("rd") === 1, col("y"))).as("yn"),
+            max(when(col("rd") === 2, col("y"))).as("yn1"))
+          .select(col("n_days"), col("low_day"),
+            round((col("y2") - col("y1")).cast("double") /
+              nullif((col("yn") - col("y1")).cast("double"), lit(0.0)), 6)
+              .as("q_low"),
+            col("high_day"),
+            round((col("yn") - col("yn1")).cast("double") /
+              nullif((col("yn") - col("y1")).cast("double"), lit(0.0)), 6)
+              .as("q_high"))
+      },
+      Some("""WITH daily AS (SELECT ts::DATE AS day,
+             |    (sum(CAST(value AS DECIMAL(18,2))) * 100)::BIGINT AS y
+             |  FROM events GROUP BY 1),
+             |rk AS (SELECT day, y,
+             |    row_number() OVER (ORDER BY y, day) AS ra,
+             |    row_number() OVER (ORDER BY y DESC, day) AS rd
+             |  FROM daily),
+             |a AS (SELECT count(*)::BIGINT AS n_days,
+             |    max(CASE WHEN ra = 1 THEN day::VARCHAR END) AS low_day,
+             |    max(CASE WHEN ra = 1 THEN y END)::BIGINT AS y1,
+             |    max(CASE WHEN ra = 2 THEN y END)::BIGINT AS y2,
+             |    max(CASE WHEN rd = 1 THEN day::VARCHAR END) AS high_day,
+             |    max(CASE WHEN rd = 1 THEN y END)::BIGINT AS yn,
+             |    max(CASE WHEN rd = 2 THEN y END)::BIGINT AS yn1
+             |  FROM rk)
+             |SELECT n_days, low_day,
+             |  round((y2 - y1)::DOUBLE
+             |    / nullif((yn - y1), 0)::DOUBLE, 6) AS q_low,
+             |  high_day,
+             |  round((yn - yn1)::DOUBLE
+             |    / nullif((yn - y1), 0)::DOUBLE, 6) AS q_high
+             |FROM a""".stripMargin)),
+
+    // Conover squared-ranks test for scale homogeneity (Conover 1999
+    // §5.3) across event types — the rank-based variance test that
+    // needs no normality, next to the parametric q_bartlett_test and
+    // q_levene_test. Deviations are |x − group LOWER MEDIAN| on the
+    // 1e-3 integer grid (medians from the per-type value-CELL digest,
+    // so the deviation is an exact integer); global midranks ride the
+    // z-marginal digest ×2 (integer midranks); every group statistic
+    // is an exact DECIMAL sum, and the only divisions happen in the
+    // final double projection with identical spelling on both
+    // engines (the Sr²/n_j terms are 6 dp-quantized before the
+    // cross-group sum, the repo rule for per-group rationals).
+    // 100 TB: two fact-sized digest shuffles, everything else rides
+    // the ≤|value-grid| cells.
+    QueryDef("q_conover_squared_ranks",
+      (s, d) => {
+        val f = graft.sources.Tables.events(s, d)
+          .select(col("event_type").as("g"),
+            floor(col("value") * 1000).cast("long").as("x"))
+        val cellGX = f.groupBy(col("g"), col("x"))
+          .agg(count(lit(1)).as("cnt"))
+        val med = cellGX
+          .withColumn("cum", sum(col("cnt")).over(
+            Window.partitionBy(col("g")).orderBy(col("x"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("ng", sum(col("cnt")).over(
+            Window.partitionBy(col("g"))))
+          .filter(col("cum") * 2 >= col("ng") + 1)
+          .groupBy(col("g")).agg(min(col("x")).as("med"))
+        val cellGZ = cellGX.join(broadcast(med), Seq("g"))
+          .select(col("g"), abs(col("x") - col("med")).as("z"),
+            col("cnt"))
+          .groupBy(col("g"), col("z")).agg(sum(col("cnt")).as("cnt"))
+        val zmarg = cellGZ.groupBy(col("z"))
+          .agg(sum(col("cnt")).as("zc"))
+          .withColumn("cumb", coalesce(sum(col("zc")).over(
+            Window.orderBy(col("z"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("z"),
+            (col("cumb") * 2 + col("zc") + 1).as("r2"))
+        val grp = cellGZ.join(zmarg, Seq("z"))
+          .groupBy(col("g"))
+          .agg(sum(col("cnt")).as("nj"),
+            sum(col("cnt").cast("decimal(38,0)") * col("r2") * col("r2"))
+              .as("sr2"),
+            sum(col("cnt").cast("decimal(38,0)") * col("r2") * col("r2")
+              * col("r2") * col("r2")).as("r4"))
+          .withColumn("qj", round(expr(
+            "cast(sr2 as double) * cast(sr2 as double)" +
+              " / cast(nj as double)"), 6).cast("decimal(38,6)"))
+        grp.agg(count(lit(1)).as("k_groups"),
+            sum(col("nj")).as("n"),
+            sum(col("sr2")).as("tot"),
+            sum(col("qj")).as("q"),
+            sum(col("r4")).as("rr4"))
+          .select(col("k_groups"), col("n"),
+            (col("k_groups") - 1).as("df"),
+            round(expr(
+              """(cast(n as double) - 1.0)
+                |* (cast(n as double) * cast(q as double)
+                |   - cast(tot as double) * cast(tot as double))
+                |/ (cast(n as double) * cast(rr4 as double)
+                |   - cast(tot as double) * cast(tot as double))"""
+                .stripMargin), 6).as("t_stat"))
+      },
+      Some("""WITH f AS (SELECT event_type AS g,
+             |    floor(value * 1000)::BIGINT AS x FROM events),
+             |cgx AS (SELECT g, x, count(*)::BIGINT AS cnt
+             |  FROM f GROUP BY 1, 2),
+             |med AS (SELECT g, min(x)::BIGINT AS med FROM (
+             |  SELECT g, x, cnt,
+             |    sum(cnt) OVER (PARTITION BY g ORDER BY x
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cum,
+             |    sum(cnt) OVER (PARTITION BY g) AS ng
+             |  FROM cgx) WHERE cum * 2 >= ng + 1 GROUP BY 1),
+             |cgz AS (SELECT cgx.g, abs(x - med)::BIGINT AS z,
+             |    sum(cnt)::BIGINT AS cnt
+             |  FROM cgx JOIN med ON cgx.g = med.g GROUP BY 1, 2),
+             |zm AS (SELECT z,
+             |    (2 * coalesce(sum(zc) OVER (ORDER BY z
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |      0) + zc + 1)::BIGINT AS r2
+             |  FROM (SELECT z, sum(cnt)::BIGINT AS zc FROM cgz
+             |    GROUP BY 1)),
+             |grp AS (SELECT g, sum(cnt)::BIGINT AS nj,
+             |    sum(cnt::HUGEINT * r2 * r2) AS sr2,
+             |    sum(cnt::HUGEINT * r2 * r2 * r2 * r2) AS r4
+             |  FROM cgz JOIN zm ON cgz.z = zm.z GROUP BY 1),
+             |gq AS (SELECT g, nj, sr2, r4,
+             |    round(sr2::DOUBLE * sr2::DOUBLE / nj::DOUBLE, 6)
+             |      ::DECIMAL(38,6) AS qj
+             |  FROM grp),
+             |a AS (SELECT count(*)::BIGINT AS k_groups,
+             |    sum(nj)::BIGINT AS n, sum(sr2) AS tot, sum(qj) AS q,
+             |    sum(r4) AS rr4
+             |  FROM gq)
+             |SELECT k_groups, n, (k_groups - 1)::BIGINT AS df,
+             |  round((n::DOUBLE - 1.0)
+             |    * (n::DOUBLE * q::DOUBLE - tot::DOUBLE * tot::DOUBLE)
+             |    / (n::DOUBLE * rr4::DOUBLE
+             |       - tot::DOUBLE * tot::DOUBLE), 6) AS t_stat
+             |FROM a""".stripMargin)),
+
+    // One-sample Kolmogorov–Smirnov test of hour-of-day UNIFORMITY
+    // (the discrete/lattice variant evaluated at the 24 cell
+    // boundaries) — "is traffic flat around the clock?" next to the
+    // two-sample q_ks_test. The max deviation is decided on the EXACT
+    // integer |24·cum − (h+1)·N| (no float ordering); missing hours
+    // are real zeros via the generated 0..23 spine; ties break to the
+    // earliest hour. One fact-sized groupBy; the spine is 24 rows.
+    QueryDef("q_ks_uniform",
+      (s, d) => {
+        val hc = graft.sources.Tables.events(s, d)
+          .groupBy(hour(col("ts")).as("h"))
+          .agg(count(lit(1)).as("c"))
+        val spine = s.range(0, 24).select(col("id").as("h"))
+          .join(hc, Seq("h"), "left")
+          .select(col("h"), coalesce(col("c"), lit(0L)).as("c"))
+          .withColumn("cum", sum(col("c")).over(Window.orderBy(col("h"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val n = broadcast(spine.agg(max(col("cum")).as("n")))
+        spine.crossJoin(n)
+          .withColumn("m", abs(col("cum") * 24 - (col("h") + 1) * col("n")))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("m").desc, col("h"))))
+          .filter(col("rk") === 1)
+          .select(col("n").as("n_events"),
+            col("h").as("at_hour"),
+            round(col("m").cast("double") /
+              (col("n").cast("double") * 24.0), 6).as("d_stat"),
+            round(sqrt(col("n").cast("double")) * col("m").cast("double") /
+              (col("n").cast("double") * 24.0), 4).as("sqrt_n_d"))
+      },
+      Some("""WITH hc AS (SELECT hour(ts)::BIGINT AS h,
+             |    count(*)::BIGINT AS c FROM events GROUP BY 1),
+             |sp AS (SELECT r.h, coalesce(hc.c, 0)::BIGINT AS c
+             |  FROM (SELECT unnest(generate_series(0, 23))::BIGINT AS h) r
+             |  LEFT JOIN hc ON hc.h = r.h),
+             |cum AS (SELECT h, sum(c) OVER (ORDER BY h
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    ::BIGINT AS cum FROM sp),
+             |n AS (SELECT max(cum)::BIGINT AS n FROM cum),
+             |m AS (SELECT h, abs(cum * 24 - (h + 1) * n)::BIGINT AS m, n,
+             |    row_number() OVER (
+             |      ORDER BY abs(cum * 24 - (h + 1) * n) DESC, h) AS rk
+             |  FROM cum, n)
+             |SELECT n AS n_events, h AS at_hour,
+             |  round(m::DOUBLE / (n::DOUBLE * 24.0), 6) AS d_stat,
+             |  round(sqrt(n::DOUBLE) * m::DOUBLE / (n::DOUBLE * 24.0), 4)
+             |    AS sqrt_n_d
+             |FROM m WHERE rk = 1""".stripMargin)),
+
+    // The M-competition benchmark panel (Hyndman & Athanasopoulos,
+    // FPP §5.2): naive, seasonal-naive(7), drift and mean forecasts
+    // over a 7-day holdout, scored by MAE and RMSE — the baselines
+    // every fancier forecaster (q_holt_winters_dow, q_mase_panel)
+    // must beat. Daily revenues are exact cents; naive/snaive
+    // forecasts are integers, drift/mean are 6 dp-quantized doubles;
+    // each error is quantized ONCE to 6 dp and summed as exact
+    // DECIMAL, so the panel is order-independent. Digest-sized work
+    // after one groupBy(day).
+    QueryDef("q_forecast_baselines",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg((sum(col("value").cast("decimal(18,2)")) * lit(100))
+            .cast("long").as("y"))
+          .withColumn("t", row_number().over(Window.orderBy(col("day")))
+            - 1)
+        val tr = broadcast(daily
+          .withColumn("nd", count(lit(1)).over(Window.partitionBy()))
+          .filter(col("t") < col("nd") - 7)
+          .agg(count(lit(1)).as("tn"),
+            sum(col("y")).as("tsum"),
+            max(when(col("t") === 0, col("y"))).as("y1"),
+            max(col("t")).as("tmax")))
+        val trLast = broadcast(daily.crossJoin(tr)
+          .filter(col("t") === col("tmax"))
+          .select(col("y").as("yt"), col("tn"), col("tsum"), col("y1")))
+        val hold = daily.crossJoin(trLast)
+          .filter(col("t") >= col("tn"))
+          .withColumn("h", col("t") - col("tn") + 1)
+        val snSrc = daily.select(col("t").as("st"), col("y").as("sy"))
+        val withSn = hold.join(snSrc, col("st") === col("t") - 7)
+        val models = withSn.select(col("h"), col("y"), col("yt"),
+          col("sy"), col("tn"), col("tsum"), col("y1"))
+          .withColumn("mdl", explode(array(
+            struct(lit("naive").as("model"),
+              round(col("yt").cast("double") / 100.0, 6).as("f")),
+            struct(lit("snaive").as("model"),
+              round(col("sy").cast("double") / 100.0, 6).as("f")),
+            struct(lit("drift").as("model"),
+              round(col("yt").cast("double") / 100.0 +
+                col("h").cast("double") *
+                  (col("yt") - col("y1")).cast("double") / 100.0 /
+                  (col("tn").cast("double") - 1.0), 6).as("f")),
+            struct(lit("mean").as("model"),
+              round(col("tsum").cast("double") /
+                (col("tn").cast("double") * 100.0), 6).as("f")))))
+          .select(col("mdl.model").as("model"),
+            round(abs(col("y").cast("double") / 100.0 - col("mdl.f")), 6)
+              .cast("decimal(18,6)").as("ae"))
+          .withColumn("se", (col("ae") * col("ae")).cast("decimal(38,12)"))
+        models.groupBy(col("model"))
+          .agg(count(lit(1)).as("n_holdout"),
+            round(sum(col("ae")).cast("double") / 7.0, 4).as("mae"),
+            round(sqrt(sum(col("se")).cast("double") / 7.0), 4).as("rmse"))
+          .orderBy(col("model"))
+      },
+      Some("""WITH daily AS (SELECT ts::DATE AS day,
+             |    (sum(CAST(value AS DECIMAL(18,2))) * 100)::BIGINT AS y
+             |  FROM events GROUP BY 1),
+             |idx AS (SELECT y,
+             |    row_number() OVER (ORDER BY day) - 1 AS t FROM daily),
+             |nd AS (SELECT count(*)::BIGINT AS nd FROM idx),
+             |tr AS (SELECT count(*)::BIGINT AS tn, sum(y)::BIGINT AS tsum,
+             |    max(CASE WHEN t = 0 THEN y END)::BIGINT AS y1,
+             |    max(t)::BIGINT AS tmax
+             |  FROM idx, nd WHERE t < nd - 7),
+             |tl AS (SELECT y AS yt, tn, tsum, y1 FROM idx, tr
+             |  WHERE t = tmax),
+             |hold AS (SELECT i.t, i.y, i.t - tl.tn + 1 AS h, tl.yt,
+             |    tl.tn, tl.tsum, tl.y1, sn.y AS sy
+             |  FROM idx i, tl, idx sn
+             |  WHERE sn.t = i.t - 7 AND i.t >= tl.tn),
+             |m AS (
+             |  SELECT 'naive' AS model, y,
+             |    round(yt::DOUBLE / 100.0, 6) AS f FROM hold
+             |  UNION ALL SELECT 'snaive', y,
+             |    round(sy::DOUBLE / 100.0, 6) FROM hold
+             |  UNION ALL SELECT 'drift', y,
+             |    round(yt::DOUBLE / 100.0 + h::DOUBLE
+             |      * (yt - y1)::DOUBLE / 100.0 / (tn::DOUBLE - 1.0), 6)
+             |    FROM hold
+             |  UNION ALL SELECT 'mean', y,
+             |    round(tsum::DOUBLE / (tn::DOUBLE * 100.0), 6) FROM hold),
+             |e AS (SELECT model,
+             |    round(abs(y::DOUBLE / 100.0 - f), 6)::DECIMAL(18,6) AS ae
+             |  FROM m),
+             |e2 AS (SELECT model, ae,
+             |    (ae::DECIMAL(19,6) * ae)::DECIMAL(38,12) AS se FROM e)
+             |SELECT model, count(*)::BIGINT AS n_holdout,
+             |  round(sum(ae)::DOUBLE / 7.0, 4) AS mae,
+             |  round(sqrt(sum(se)::DOUBLE / 7.0), 4) AS rmse
+             |FROM e2 GROUP BY model ORDER BY model""".stripMargin)),
+
+    // Little's law audit (Little 1961): L = λW, with L measured TWO
+    // independent ways — the exact presence integral (Σ per-user-day
+    // dwell over the day span) and a minute-boundary SAMPLING of
+    // concurrency (the way a dashboard would estimate it). λ·W equals
+    // the integral IDENTICALLY (both reduce to Σdwell/span — that's
+    // the law), so the published ratio sampled/integral isolates pure
+    // sampling error. Mark counts per interval come from a CLOSED
+    // FORM (floor/ceil arithmetic on the half-open [min,max) span),
+    // so nothing explodes per-minute — one groupBy(user, day) digest
+    // carries everything at any scale.
+    QueryDef("q_little_law",
+      (s, d) => {
+        val ud = graft.sources.Tables.events(s, d)
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(min(unix_micros(col("ts"))).as("mn"),
+            max(unix_micros(col("ts"))).as("mx"))
+          .withColumn("dwell", col("mx") - col("mn"))
+          .withColumn("marks", greatest(lit(0L),
+            expr("(mx - 1) div 60000000 - (mn + 59999999) div 60000000")
+              + 1))
+        ud.agg(count(lit(1)).as("n_user_days"),
+            countDistinct(col("day")).as("n_days"),
+            sum(col("dwell")).as("sd"),
+            sum(col("marks")).as("sm"))
+          .select(col("n_user_days"),
+            round(col("n_user_days").cast("double") /
+              (col("n_days").cast("double") * 24.0), 4)
+              .as("lambda_per_hour"),
+            round(col("sd").cast("double") /
+              col("n_user_days").cast("double") / 1e6, 4)
+              .as("w_mean_sec"),
+            round(col("sd").cast("double") /
+              (col("n_days").cast("double") * 86400.0 * 1e6), 6)
+              .as("l_integral"),
+            round(col("sm").cast("double") /
+              (col("n_days").cast("double") * 1440.0), 6)
+              .as("l_sampled"),
+            round(col("sm").cast("double") * 86400.0 * 1e6 /
+              nullif(col("sd").cast("double") * 1440.0, lit(0.0)), 6)
+              .as("sampled_over_integral"))
+      },
+      Some("""WITH ud AS (SELECT user_id, ts::DATE AS day,
+             |    min(epoch_us(ts))::BIGINT AS mn,
+             |    max(epoch_us(ts))::BIGINT AS mx
+             |  FROM events GROUP BY 1, 2),
+             |m AS (SELECT mx - mn AS dwell,
+             |    greatest(0, (mx - 1) // 60000000
+             |      - (mn + 59999999) // 60000000 + 1) AS marks, day
+             |  FROM ud),
+             |a AS (SELECT count(*)::BIGINT AS n_user_days,
+             |    count(DISTINCT day)::BIGINT AS n_days,
+             |    sum(dwell)::BIGINT AS sd, sum(marks)::BIGINT AS sm
+             |  FROM m)
+             |SELECT n_user_days,
+             |  round(n_user_days::DOUBLE / (n_days::DOUBLE * 24.0), 4)
+             |    AS lambda_per_hour,
+             |  round(sd::DOUBLE / n_user_days::DOUBLE / 1e6, 4)
+             |    AS w_mean_sec,
+             |  round(sd::DOUBLE / (n_days::DOUBLE * 86400.0 * 1e6), 6)
+             |    AS l_integral,
+             |  round(sm::DOUBLE / (n_days::DOUBLE * 1440.0), 6)
+             |    AS l_sampled,
+             |  round(sm::DOUBLE * 86400.0 * 1e6
+             |    / nullif(sd::DOUBLE * 1440.0, 0.0), 6)
+             |    AS sampled_over_integral
+             |FROM a""".stripMargin)),
+
+    // Sequential 2-pattern mining (the support-counting core of
+    // PrefixSpan, Pei et al. 2001, at depth 2): pattern a→b is
+    // supported by a user iff some a-event strictly precedes some
+    // b-event — equivalently min_ts(a) < max_ts(b), so support needs
+    // ONLY the per-(user, type) first/last timestamps: a ≤7-row-per-
+    // user digest self-joined within user (≤42 pairs/user), never an
+    // event-pair join. Support published both as distinct users and
+    // integer ppm; top-20 by support with lexicographic ties.
+    QueryDef("q_seq_pattern_mining",
+      (s, d) => {
+        val ut = graft.sources.Tables.events(s, d)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(min(unix_micros(col("ts"))).as("mn"),
+            max(unix_micros(col("ts"))).as("mx"))
+        val nu = broadcast(ut.agg(
+          countDistinct(col("user_id")).as("n_users")))
+        ut.alias("a").join(ut.alias("b"),
+            col("a.user_id") === col("b.user_id") &&
+              col("a.event_type") =!= col("b.event_type") &&
+              col("a.mn") < col("b.mx"))
+          .groupBy(col("a.event_type").as("first_type"),
+            col("b.event_type").as("then_type"))
+          .agg(count(lit(1)).as("support"))
+          .crossJoin(nu)
+          .select(col("first_type"), col("then_type"), col("support"),
+            expr("support * 1000000 div n_users").as("support_ppm"))
+          .orderBy(col("support").desc, col("first_type"),
+            col("then_type"))
+          .limit(20)
+      },
+      Some("""WITH ut AS (SELECT user_id, event_type,
+             |    min(epoch_us(ts))::BIGINT AS mn,
+             |    max(epoch_us(ts))::BIGINT AS mx
+             |  FROM events GROUP BY 1, 2),
+             |nu AS (SELECT count(DISTINCT user_id)::BIGINT AS n_users
+             |  FROM ut),
+             |p AS (SELECT a.event_type AS first_type,
+             |    b.event_type AS then_type, count(*)::BIGINT AS support
+             |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+             |    AND a.event_type <> b.event_type AND a.mn < b.mx
+             |  GROUP BY 1, 2)
+             |SELECT first_type, then_type, support,
+             |  (support * 1000000 // n_users)::BIGINT AS support_ppm
+             |FROM p, nu
+             |ORDER BY support DESC, first_type, then_type
+             |LIMIT 20""".stripMargin)),
+
+    // CCNet-style perplexity-band quality filter (Wenzek et al. 2020):
+    // score each document by its mean unigram log-probability under
+    // the corpus LM and keep the middle band (p10..p90) — dropping
+    // both boilerplate (too predictable) and gibberish (too
+    // surprising). Per-term log10 p is quantized ONCE to 9 dp (the
+    // text_unigram_logprob discipline) so each doc's score is an
+    // EXACT integer mean-logp in nano-units, and the band cuts are
+    // integer order statistics — the whole filter is float-free.
+    // One token pass + a doc-digest sort; the LM rides a broadcast
+    // term digest.
+    QueryDef("pipe_perplexity_filter",
+      (s, d) => {
+        val toks = s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"),
+            explode(graft.ext.TextAnalysis.tokens(col("text"))).as("term"))
+        val tf = toks.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val cf = tf.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
+        val tot = cf.agg(sum(col("ctf")).as("total"))
+        val lp = cf.crossJoin(broadcast(tot))
+          .select(col("term"),
+            (round(log10(col("ctf").cast("double") /
+              col("total").cast("double")), 9).cast("decimal(20,9)")
+              * lit(1000000000L)).cast("long").as("lp_e9"))
+        val docs = tf.join(lp, "term")
+          .groupBy(col("doc_id"))
+          .agg(sum(col("tf")).as("n_tokens"),
+            sum(col("tf") * col("lp_e9")).as("sum_e9"))
+          .select(col("doc_id"), col("n_tokens"),
+            expr("CASE WHEN sum_e9 < 0" +
+              " THEN -((-sum_e9) div n_tokens) ELSE sum_e9 div n_tokens" +
+              " END").as("mlp_e9"))
+          .withColumn("rn", row_number().over(Window.orderBy(col("mlp_e9"))))
+        val cuts = broadcast(docs.agg(count(lit(1)).as("nd"))
+          .select(expr("(nd * 10 + 99) div 100").as("k10"),
+            expr("(nd * 90 + 99) div 100").as("k90")))
+        val band = docs.crossJoin(cuts)
+          .agg(max(when(col("rn") === col("k10"), col("mlp_e9"))).as("lo"),
+            max(when(col("rn") === col("k90"), col("mlp_e9"))).as("hi"))
+        docs.crossJoin(broadcast(band))
+          .filter(col("mlp_e9") >= col("lo") && col("mlp_e9") <= col("hi"))
+          .select(col("doc_id"), col("n_tokens"), col("mlp_e9"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    unnest(string_split(lower(text), ' ')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+             |  FROM t GROUP BY 1, 2),
+             |cf AS (SELECT term, sum(tf)::BIGINT AS ctf FROM tf
+             |  GROUP BY 1),
+             |tot AS (SELECT sum(ctf)::BIGINT AS total FROM cf),
+             |lp AS (SELECT term,
+             |    (round(log10(ctf::DOUBLE / total::DOUBLE), 9)
+             |      ::DECIMAL(20,9) * 1000000000)::BIGINT AS lp_e9
+             |  FROM cf, tot),
+             |docs AS (SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+             |    CASE WHEN sum(tf * lp_e9) < 0
+             |      THEN -((-sum(tf * lp_e9)) // sum(tf))
+             |      ELSE sum(tf * lp_e9) // sum(tf) END::BIGINT AS mlp_e9
+             |  FROM tf JOIN lp USING (term) GROUP BY 1),
+             |rk AS (SELECT *, row_number() OVER (ORDER BY mlp_e9) AS rn
+             |  FROM docs),
+             |k AS (SELECT (count(*) * 10 + 99) // 100 AS k10,
+             |    (count(*) * 90 + 99) // 100 AS k90 FROM docs),
+             |band AS (SELECT
+             |    max(CASE WHEN rn = k10 THEN mlp_e9 END) AS lo,
+             |    max(CASE WHEN rn = k90 THEN mlp_e9 END) AS hi
+             |  FROM rk, k)
+             |SELECT doc_id, n_tokens, mlp_e9
+             |FROM rk, band WHERE mlp_e9 >= lo AND mlp_e9 <= hi
+             |ORDER BY doc_id""".stripMargin))
+  )
+}

@@ -1,0 +1,256 @@
+package graft.queries
+
+import graft.GraftSpec
+import org.apache.spark.sql.functions._
+
+/** Laws for the round-12 extension kernels. Each law pins a
+  * closed-form fixture outcome a same-formula-on-both-engines slip
+  * could not fake (a symmetric 2×2 → Fisher p = 1, identical group
+  * distributions → Conover T = 0, one-event-per-hour → KS D = 0,
+  * constant series → all baseline errors 0, a minute-aligned dwell →
+  * sampled concurrency ≡ the integral), plus sf0.001 range sanity.
+  */
+class R14QueriesSpec extends GraftSpec {
+
+  private def byName(name: String) =
+    (R14Queries.defs ++ ExtQueries.defs).find(_.name == name).get.fn
+
+  private def eventsDir(rows: Seq[(Long, Long, String, Double)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("r14ev").toString
+    rows.zipWithIndex
+      .map { case ((us, uid, et, v), i) => (i.toLong, us, uid, et, v, "{}") }
+      .toDF("event_id", "__us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("__us"))).drop("__us")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def docsDir(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("r14doc").toString
+    rows.map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def liPartDir(li: Seq[(Long, Double)],
+                        parts: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("r14li").toString
+    li.zipWithIndex.map { case ((pk, px), i) => (i.toLong, pk, px) }
+      .toDF("l_orderkey", "l_partkey", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    parts.toDF("p_partkey", "p_brand")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    dir
+  }
+
+  private val day0 = 1704067200000000L // 2024-01-01 (Mon) UTC micros
+  private val dayUs = 86400000000L
+  private val sat = day0 + 5 * dayUs // 2024-01-06, Saturday
+  private val wed = day0 + 2 * dayUs // 2024-01-03, Wednesday
+
+  test("q_fisher_exact: symmetric 3/3 margins with a=2 give p = 1") {
+    // support pmf ∝ {1,9,9,1}; observed a=2 has the modal probability,
+    // so EVERY table is "as extreme" → two-sided p = 1, OR = 4
+    val rows = Seq(
+      (sat, 1L, "purchase", 1.0), (sat + 1000000L, 2L, "purchase", 1.0),
+      (sat + 2000000L, 3L, "view", 1.0),
+      (wed, 4L, "purchase", 1.0), (wed + 1000000L, 5L, "view", 1.0),
+      (wed + 2000000L, 6L, "view", 1.0))
+    val out = byName("q_fisher_exact")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Long]("a") === 2L)
+    assert(out.getAs[Long]("b") === 1L)
+    assert(out.getAs[Long]("c") === 1L)
+    assert(out.getAs[Long]("d") === 2L)
+    assert(out.getAs[Double]("odds_ratio") === 4.0)
+    assert(out.getAs[Double]("p_two_sided") === 1.0)
+  }
+
+  test("q_fisher_exact: sf0.001 p lands in (0, 1]") {
+    val out = byName("q_fisher_exact")(spark, "/root/testdata/sf0.001").head()
+    val p = out.getAs[Double]("p_two_sided")
+    assert(p > 0.0 && p <= 1.0)
+    assert(out.getAs[Long]("a") + out.getAs[Long]("b") +
+      out.getAs[Long]("c") + out.getAs[Long]("d") === 1000L)
+  }
+
+  test("q_value_at_risk: with 20 unique changes the 5% tail is the minimum") {
+    val vals = Seq(50, 10, 20, 30, 40, 45, 48, 49, 51, 52,
+      55, 60, 66, 70, 75, 80, 88, 90, 95, 99, 100)
+    val rows = vals.zipWithIndex.map { case (v, di) =>
+      (day0 + di * dayUs, di.toLong, "view", v.toDouble)
+    }
+    val out = byName("q_value_at_risk")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Long]("n_changes") === 20L)
+    // min change is 10 - 50 = -40.00 → -4000 cents
+    assert(out.getAs[Long]("var95_cents") === -4000L)
+    assert(out.getAs[Long]("var99_cents") === -4000L)
+    assert(out.getAs[Double]("es95") === -40.0)
+    assert(out.getAs[Double]("es99") === -40.0)
+  }
+
+  test("q_value_at_risk: sf0.001 tails are ordered var99 <= var95 <= 0-ish") {
+    val out = byName("q_value_at_risk")(spark, "/root/testdata/sf0.001").head()
+    assert(out.getAs[Long]("var99_cents") <= out.getAs[Long]("var95_cents"))
+    assert(out.getAs[Double]("es99") <= out.getAs[Double]("es95") + 1e-9)
+  }
+
+  test("q_herfindahl: 3:1 two-brand split gives HHI 0.625") {
+    val dir = liPartDir(
+      li = Seq((1L, 30.0), (2L, 10.0)),
+      parts = Seq((1L, "Brand#A"), (2L, "Brand#B")))
+    val out = byName("q_herfindahl")(spark, dir).head()
+    assert(out.getAs[Long]("k_brands") === 2L)
+    assert(out.getAs[Double]("hhi") === 0.625)
+    assert(out.getAs[Double]("hhi_norm") === 0.25)
+    assert(out.getAs[Long]("top_share_ppm") === 750000L)
+  }
+
+  test("q_herfindahl: sf0.001 HHI sits between 1/k and 1") {
+    val out = byName("q_herfindahl")(spark, "/root/testdata/sf0.001").head()
+    val k = out.getAs[Long]("k_brands").toDouble
+    val hhi = out.getAs[Double]("hhi")
+    assert(hhi >= 1.0 / k - 1e-9 && hhi <= 1.0)
+    assert(out.getAs[Long]("top_share_ppm") >= (1000000L / k).toLong)
+  }
+
+  test("q_dixon_q: a detached maximum dominates the gap ratio") {
+    // daily revenues 100,200,300,400,500,2000 cents
+    val rows = Seq(1, 2, 3, 4, 5, 20).zipWithIndex.map { case (v, di) =>
+      (day0 + di * dayUs, di.toLong, "view", v.toDouble)
+    }
+    val out = byName("q_dixon_q")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Long]("n_days") === 6L)
+    // q_high = (2000-500)/(2000-100) = 15/19, q_low = 100/1900 = 1/19
+    assert(out.getAs[Double]("q_high") === 0.789474)
+    assert(out.getAs[Double]("q_low") === 0.052632)
+    assert(out.getAs[String]("high_day") === "2024-01-06")
+    assert(out.getAs[String]("low_day") === "2024-01-01")
+  }
+
+  test("q_conover_squared_ranks: identical group distributions give T = 0") {
+    // both types see {0, 10, 20} milli-units → identical z multisets
+    // → every group's squared-rank sum equals its expectation exactly
+    val rows = for {
+      (et, gi) <- Seq("view", "click").zipWithIndex
+      (v, j) <- Seq(0.0, 0.010, 0.020).zipWithIndex
+    } yield (day0 + (gi * 3 + j) * 1000000L, (gi * 3 + j).toLong, et, v)
+    val out = byName("q_conover_squared_ranks")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Long]("k_groups") === 2L)
+    assert(out.getAs[Long]("n") === 6L)
+    assert(out.getAs[Double]("t_stat") === 0.0)
+  }
+
+  test("q_conover_squared_ranks: sf0.001 stat is finite and nonnegative") {
+    val out = byName("q_conover_squared_ranks")(
+      spark, "/root/testdata/sf0.001").head()
+    assert(out.getAs[Double]("t_stat") >= 0.0)
+    assert(out.getAs[Long]("df") === out.getAs[Long]("k_groups") - 1)
+  }
+
+  test("q_ks_uniform: one event per hour is exactly uniform (D = 0)") {
+    val rows = (0 until 24).map(h =>
+      (day0 + h * 3600000000L, h.toLong, "view", 1.0))
+    val out = byName("q_ks_uniform")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Long]("n_events") === 24L)
+    assert(out.getAs[Double]("d_stat") === 0.0)
+    assert(out.getAs[Long]("at_hour") === 0L)
+  }
+
+  test("q_ks_uniform: sf0.001 D lands in [0, 1)") {
+    val out = byName("q_ks_uniform")(spark, "/root/testdata/sf0.001").head()
+    val dd = out.getAs[Double]("d_stat")
+    assert(dd >= 0.0 && dd < 1.0)
+  }
+
+  test("q_forecast_baselines: a constant series is forecast perfectly by all four") {
+    // 17 days: train t∈0..9, holdout t∈10..16, snaive lag t−7 ≥ 3
+    val rows = (0 until 17).map(di =>
+      (day0 + di * dayUs, di.toLong, "view", 5.0))
+    val out = byName("q_forecast_baselines")(spark, eventsDir(rows))
+      .collect()
+    assert(out.length === 4)
+    assert(out.map(_.getAs[String]("model")).toSeq ===
+      Seq("drift", "mean", "naive", "snaive"))
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_holdout") === 7L)
+      assert(r.getAs[Double]("mae") === 0.0)
+      assert(r.getAs[Double]("rmse") === 0.0)
+    }
+  }
+
+  test("q_forecast_baselines: sf0.001 panel has 4 models with mae <= rmse") {
+    val out = byName("q_forecast_baselines")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.length === 4)
+    out.foreach(r =>
+      assert(r.getAs[Double]("mae") <= r.getAs[Double]("rmse") + 1e-9))
+  }
+
+  test("q_little_law: a minute-aligned 60s dwell makes sampling exact") {
+    val rows = Seq((day0, 1L, "view", 1.0),
+      (day0 + 60000000L, 1L, "view", 1.0))
+    val out = byName("q_little_law")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Long]("n_user_days") === 1L)
+    assert(out.getAs[Double]("w_mean_sec") === 60.0)
+    assert(out.getAs[Double]("l_integral") ===
+      out.getAs[Double]("l_sampled"))
+    assert(out.getAs[Double]("sampled_over_integral") === 1.0)
+  }
+
+  test("q_little_law: sf0.001 sampling stays within 2x of the integral") {
+    val out = byName("q_little_law")(spark, "/root/testdata/sf0.001").head()
+    val r = out.getAs[Double]("sampled_over_integral")
+    assert(r > 0.5 && r < 2.0)
+    assert(out.getAs[Double]("l_integral") > 0.0)
+  }
+
+  test("q_seq_pattern_mining: view-then-purchase is the only 2-pattern") {
+    val rows = Seq(
+      (day0, 1L, "view", 1.0), (day0 + 1000000L, 1L, "purchase", 1.0),
+      (day0 + 2000000L, 2L, "view", 1.0),
+      (day0 + 3000000L, 2L, "purchase", 1.0))
+    val out = byName("q_seq_pattern_mining")(spark, eventsDir(rows))
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[String]("first_type") === "view")
+    assert(out.head.getAs[String]("then_type") === "purchase")
+    assert(out.head.getAs[Long]("support") === 2L)
+    assert(out.head.getAs[Long]("support_ppm") === 1000000L)
+  }
+
+  test("q_seq_pattern_mining: sf0.001 supports are ppm-consistent and sorted") {
+    val out = byName("q_seq_pattern_mining")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty && out.length <= 20)
+    val sup = out.map(_.getAs[Long]("support")).toSeq
+    assert(sup === sup.sorted.reverse)
+  }
+
+  test("pipe_perplexity_filter: identical docs all land inside the band") {
+    val dir = docsDir((0L until 10L).map(i => (i, "alpha beta gamma")))
+    val out = byName("pipe_perplexity_filter")(spark, dir).collect()
+    assert(out.length === 10)
+    assert(out.map(_.getAs[Long]("mlp_e9")).distinct.length === 1)
+  }
+
+  test("pipe_perplexity_filter: sf0.001 keeps a nonempty middle band") {
+    val out = byName("pipe_perplexity_filter")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    val m = out.map(_.getAs[Long]("mlp_e9"))
+    assert(m.min <= m.max && m.max < 0L) // log-probs are negative
+  }
+
+  test("emb_dunn_index: sf0.001 index is positive with sane extremes") {
+    val out = byName("emb_dunn_index")(spark, "/root/testdata/sf0.001").head()
+    assert(out.getAs[Long]("k_cells") === 16L)
+    assert(out.getAs[Long]("n_vecs") > 0L)
+    assert(out.getAs[Long]("min_inter_e6") > 0L)
+    assert(out.getAs[Long]("max_intra_e6") > 0L)
+    assert(out.getAs[Long]("dunn_ppm") > 0L)
+  }
+}
