@@ -418,6 +418,39 @@ object MediaKernels {
     math.sqrt(acc / s.length)
   }
 
+  /** Dominant frequency (Hz) by a Goertzel scan over the integer
+    * candidate grid [fLo, fHi] — pitch detection without an FFT
+    * library. Each candidate's coefficient 2·cos(2πf/sr) is quantized
+    * to the 1e-9 grid (the repo trig discipline) and the recurrence
+    * s_n = x_n + c·s_{n−1} − s_{n−2} runs in plain doubles, so
+    * `tools/media_oracle.py` replays the whole scan bit-exactly in
+    * numpy. Ties break to the lower frequency (strict > on power).
+    * Per-row work is (fHi−fLo+1)·n flops — embarrassingly parallel
+    * scan work, no shuffle. */
+  def dominantFreq(s: Array[Short], sampleRate: Int,
+                   fLo: Int, fHi: Int): Int = {
+    var best = fLo
+    var bestP = -1.0
+    var f = fLo
+    while (f <= fHi) {
+      val c = math.rint(
+        2.0 * math.cos(2.0 * math.Pi * f / sampleRate) * 1e9) / 1e9
+      var s1 = 0.0
+      var s2 = 0.0
+      var i = 0
+      while (i < s.length) {
+        val v = s(i) + c * s1 - s2
+        s2 = s1
+        s1 = v
+        i += 1
+      }
+      val p = s1 * s1 + s2 * s2 - c * s1 * s2
+      if (p > bestP) { bestP = p; best = f }
+      f += 1
+    }
+    best
+  }
+
   /** k evenly spaced samples (normalized) — the "frame sample" op for
     * audio; the video analogue samples frames the same way. */
   def frameSample(bytes: Array[Byte], k: Int): Array[Float] =

@@ -93,6 +93,26 @@ object Multimodal {
       })
   }
 
+  case class AudioPitch(media_id: Long, sample_rate: Long,
+                        n_samples: Long, freq_hz: Long)
+
+  /** Pitch detection: the dominant frequency of each clip by the
+    * quantized-coefficient Goertzel scan over the generator's
+    * candidate band (110..989 Hz). Single decode per row, rides the
+    * scan like every media kernel here. */
+  def audioPitch(media: DataFrame, fLo: Int = 110,
+                 fHi: Int = 989): Dataset[AudioPitch] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("audio")).as[AudioRow]
+      .mapPartitions(_.map { r =>
+        val (sr, n) = MediaKernels.audioMeta(r.audio)
+        val s = MediaKernels.samples(r.audio)
+        AudioPitch(r.media_id, sr, n,
+          MediaKernels.dominantFreq(s, sr, fLo, fHi).toLong)
+      })
+  }
+
   case class AudioSilence(media_id: Long, n_samples: Long, n_runs: Long,
                           longest_run: Long, silent_frac: Double)
 

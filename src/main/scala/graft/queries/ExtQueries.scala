@@ -2437,6 +2437,26 @@ object ExtQueries {
       },
       None),
 
+    // Pitch detection — dominant frequency per clip by a quantized-
+    // coefficient Goertzel scan over the generator's 110..989 Hz
+    // band. rows-only (no SQL engine decodes WAV or runs the
+    // recurrence), but STRONGLY graded twice over: tools/
+    // media_oracle.py replays the whole scan bit-exactly in numpy,
+    // and the R14 spec law checks every detected frequency equals
+    // the generator's seeded 110 + (id % 880) — a full round-trip
+    // through the real WAV codec and the detector.
+    QueryDef("mm_audio_pitch",
+      (s, d) => {
+        val media = graft.multimodal.Multimodal.syntheticMedia(
+          s.read.parquet(s"$d/documents.parquet")
+            .filter(col("doc_id") < 200), "doc_id")
+        graft.multimodal.Multimodal.audioPitch(media).toDF()
+          .select(col("media_id"), col("sample_rate"), col("n_samples"),
+            col("freq_hz"))
+          .orderBy(col("media_id"))
+      },
+      None),
+
     // Audio silence/dropout detection — the VAD-style health probe:
     // seeded dropout spans are injected into the synthetic tones, then
     // the detector must find them (tone samples sit far above the

@@ -719,6 +719,335 @@ object R14Queries {
              |  FROM rk, k)
              |SELECT doc_id, n_tokens, mlp_e9
              |FROM rk, band WHERE mlp_e9 >= lo AND mlp_e9 <= hi
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Jaccard link prediction on the co-purchase graph — the
+    // set-overlap companion to q_link_prediction's Resource
+    // Allocation index: J(a,b) = |Γa∩Γb| / |Γa∪Γb| for NON-edges,
+    // with the intersection from the wedge join (ids-only shuffle,
+    // never all-pairs) and the union by inclusion-exclusion off the
+    // degree digest. The score is an integer ppm division, so the
+    // ranking has no float comparison anywhere.
+    QueryDef("q_jaccard_linkpred",
+      (s, d) => {
+        val e = s.read.parquet(SqlQueries.copurchaseEdgesOf(s, d))
+          .select(col("p1"), col("p2"))
+        val eb = e.select(col("p1").as("src"), col("p2").as("dst"))
+          .unionAll(e.select(col("p2").as("src"), col("p1").as("dst")))
+        val deg = eb.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("deg"))
+        val cand = eb.select(col("src").as("z"), col("dst").as("a"))
+          .join(eb.select(col("src").as("z2"), col("dst").as("b")),
+            col("z") === col("z2") && col("a") < col("b"))
+          .groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).as("common_neighbors"))
+        cand.join(e, col("a") === col("p1") && col("b") === col("p2"),
+            "left_anti")
+          .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+          .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+          .select(col("a"), col("b"), col("common_neighbors"),
+            expr("common_neighbors * 1000000" +
+              " div (da + db - common_neighbors)").as("jaccard_ppm"))
+          .orderBy(col("jaccard_ppm").desc, col("a"), col("b"))
+          .limit(20)
+      },
+      Some("""WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey
+             |  FROM lineitem),
+             |e AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+             |  FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey
+             |    AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |eb AS (SELECT p1 AS src, p2 AS dst FROM e
+             |  UNION ALL SELECT p2, p1 FROM e),
+             |deg AS (SELECT src AS node, count(*)::BIGINT AS deg
+             |  FROM eb GROUP BY 1),
+             |cand AS (SELECT x.dst AS a, y.dst AS b,
+             |    count(*)::BIGINT AS common_neighbors
+             |  FROM eb x JOIN eb y ON x.src = y.src AND x.dst < y.dst
+             |  GROUP BY 1, 2),
+             |ne AS (SELECT * FROM cand WHERE NOT EXISTS (
+             |  SELECT 1 FROM e WHERE p1 = a AND p2 = b))
+             |SELECT a, b, common_neighbors,
+             |  (common_neighbors * 1000000
+             |    // (da.deg + db.deg - common_neighbors))::BIGINT
+             |    AS jaccard_ppm
+             |FROM ne JOIN deg da ON da.node = ne.a
+             |JOIN deg db ON db.node = ne.b
+             |ORDER BY jaccard_ppm DESC, a, b LIMIT 20""".stripMargin)),
+
+    // Degree-distribution power-law fit by the Hill/Clauset MLE
+    // (Clauset, Shalizi & Newman 2009) with the discrete −0.5
+    // correction: α̂ = 1 + n / Σ ln(d / (d_min − 0.5)) over the tail
+    // d ≥ d_min = 2 of the co-purchase degree sequence. Each distinct
+    // degree's ln term is quantized ONCE to 9 dp and weighted by the
+    // exact cell count, so the sum is order-independent; the fit
+    // rides the ≤|degree-domain| cell digest.
+    QueryDef("q_degree_powerlaw",
+      (s, d) => {
+        val e = s.read.parquet(SqlQueries.copurchaseEdgesOf(s, d))
+        val eb = e.select(col("p1").as("src"), col("p2").as("dst"))
+          .unionAll(e.select(col("p2").as("src"), col("p1").as("dst")))
+        val cell = eb.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .groupBy(col("deg")).agg(count(lit(1)).as("cnt"))
+          .filter(col("deg") >= 2)
+          .select(col("deg"), col("cnt"),
+            round(log(col("deg").cast("double") / 1.5), 9)
+              .cast("decimal(20,9)").as("lnq"))
+        cell.agg(sum(col("cnt")).as("n_tail"),
+            max(col("deg")).as("d_max"),
+            sum(col("cnt").cast("decimal(9,0)") * col("lnq")).as("sl"))
+          .select(col("n_tail"), lit(2L).as("d_min"), col("d_max"),
+            round(lit(1.0) + col("n_tail").cast("double") /
+              col("sl").cast("double"), 4).as("alpha"))
+      },
+      Some("""WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey
+             |  FROM lineitem),
+             |e AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+             |  FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey
+             |    AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |eb AS (SELECT p1 AS src, p2 AS dst FROM e
+             |  UNION ALL SELECT p2, p1 FROM e),
+             |dg AS (SELECT src, count(*)::BIGINT AS deg FROM eb
+             |  GROUP BY 1),
+             |cell AS (SELECT deg, count(*)::BIGINT AS cnt,
+             |    round(ln(deg::DOUBLE / 1.5), 9)::DECIMAL(20,9) AS lnq
+             |  FROM dg WHERE deg >= 2 GROUP BY 1),
+             |a AS (SELECT sum(cnt)::BIGINT AS n_tail,
+             |    max(deg)::BIGINT AS d_max,
+             |    sum(cnt::DECIMAL(9,0) * lnq) AS sl
+             |  FROM cell)
+             |SELECT n_tail, 2::BIGINT AS d_min, d_max,
+             |  round(1.0 + n_tail::DOUBLE / sl::DOUBLE, 4) AS alpha
+             |FROM a""".stripMargin)),
+
+    // Seasonality / trend STRENGTH (Hyndman & Athanasopoulos, FPP
+    // §12.2; the tsfeatures readout): decompose the daily revenue
+    // series as a 7-term centered moving-average trend + a period-7
+    // seasonal + remainder, then F_s = max(0, 1−Var(R)/Var(S+R)) and
+    // F_t = max(0, 1−Var(R)/Var(T+R)). Everything runs in ×7 integer
+    // units (the MA sum replaces the mean, so the detrended series is
+    // an EXACT integer); the season index is t mod 7 on the row index
+    // (engine-neutral — no dayofweek offset class); seasonal means
+    // are quantized ONCE to 6 dp so the remainder is an exact
+    // decimal. Digest-sized windows only.
+    QueryDef("q_seasonality_strength",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg((sum(col("value").cast("decimal(18,2)")) * lit(100))
+            .cast("long").as("y"))
+          .withColumn("t", row_number().over(Window.orderBy(col("day")))
+            - 1)
+        val w = Window.orderBy(col("t")).rowsBetween(-3, 3)
+        val det = daily
+          .withColumn("tr7", sum(col("y")).over(w))
+          .withColumn("nw", count(lit(1)).over(w))
+          .filter(col("nw") === 7)
+          .select(col("t"), (col("t") % 7).as("q"), col("y"),
+            (col("y") * 7 - col("tr7")).as("det7"),
+            col("tr7"))
+        val seas = det.groupBy(col("q"))
+          .agg(round(avg(col("det7").cast("double")), 6)
+            .cast("decimal(28,6)").as("sq"))
+        val r = det.join(broadcast(seas), Seq("q"))
+          .select(
+            (col("det7").cast("decimal(16,6)") - col("sq"))
+              .cast("decimal(16,6)").as("rem"),
+            col("det7").cast("decimal(16,6)").as("sr"),
+            (col("y") * 7 - col("sq")).cast("decimal(16,6)").as("tr"))
+        def sq2(c: String) =
+          (col(c).cast("decimal(16,6)") * col(c).cast("decimal(16,6)"))
+            .cast("decimal(38,12)")
+        r.agg(count(lit(1)).as("n"),
+            sum(col("rem")).as("s1"),
+            sum(sq2("rem")).as("v1"),
+            sum(col("sr")).as("s2"),
+            sum(sq2("sr")).as("v2"),
+            sum(col("tr")).as("s3"),
+            sum(sq2("tr")).as("v3"))
+          .select(col("n").as("n_days_used"),
+            // var(R)=0 → the component explains everything (F=1);
+            // nullif guards the ANSI double-division-by-zero class
+            round(expr(
+              """CASE WHEN cast(v1 as double) - cast(s1 as double)
+                |    * cast(s1 as double) / cast(n as double) = 0.0
+                |  THEN 1.0
+                |ELSE greatest(0.0, 1.0
+                |  - (cast(v1 as double) - cast(s1 as double)
+                |     * cast(s1 as double) / cast(n as double))
+                |  / nullif(cast(v2 as double) - cast(s2 as double)
+                |     * cast(s2 as double) / cast(n as double), 0.0))
+                |END""".stripMargin), 6).as("f_seasonal"),
+            round(expr(
+              """CASE WHEN cast(v1 as double) - cast(s1 as double)
+                |    * cast(s1 as double) / cast(n as double) = 0.0
+                |  THEN 1.0
+                |ELSE greatest(0.0, 1.0
+                |  - (cast(v1 as double) - cast(s1 as double)
+                |     * cast(s1 as double) / cast(n as double))
+                |  / nullif(cast(v3 as double) - cast(s3 as double)
+                |     * cast(s3 as double) / cast(n as double), 0.0))
+                |END""".stripMargin), 6).as("f_trend"))
+      },
+      Some("""WITH daily AS (SELECT ts::DATE AS day,
+             |    (sum(CAST(value AS DECIMAL(18,2))) * 100)::BIGINT AS y
+             |  FROM events GROUP BY 1),
+             |idx AS (SELECT y,
+             |    row_number() OVER (ORDER BY day) - 1 AS t FROM daily),
+             |ma AS (SELECT t, y,
+             |    sum(y) OVER (ORDER BY t
+             |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS tr7,
+             |    count(*) OVER (ORDER BY t
+             |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS nw
+             |  FROM idx),
+             |det AS (SELECT t, t % 7 AS q, y * 7 - tr7 AS det7, tr7, y
+             |  FROM ma WHERE nw = 7),
+             |seas AS (SELECT q,
+             |    round(avg(det7::DOUBLE), 6)::DECIMAL(28,6) AS sq
+             |  FROM det GROUP BY 1),
+             |r AS (SELECT (det7::DECIMAL(16,6) - sq)::DECIMAL(16,6)
+             |      AS rem,
+             |    det7::DECIMAL(16,6) AS sr,
+             |    (y * 7 - sq)::DECIMAL(16,6) AS tr
+             |  FROM det JOIN seas USING (q)),
+             |a AS (SELECT count(*)::BIGINT AS n,
+             |    sum(rem) AS s1,
+             |    sum((rem::DECIMAL(19,6) * rem)::DECIMAL(38,12)) AS v1,
+             |    sum(sr) AS s2,
+             |    sum((sr::DECIMAL(19,6) * sr)::DECIMAL(38,12)) AS v2,
+             |    sum(tr) AS s3,
+             |    sum((tr::DECIMAL(19,6) * tr)::DECIMAL(38,12)) AS v3
+             |  FROM r)
+             |SELECT n AS n_days_used,
+             |  round(CASE WHEN v1::DOUBLE
+             |      - s1::DOUBLE * s1::DOUBLE / n::DOUBLE = 0.0 THEN 1.0
+             |    ELSE greatest(0.0, 1.0
+             |      - (v1::DOUBLE - s1::DOUBLE * s1::DOUBLE / n::DOUBLE)
+             |      / nullif(v2::DOUBLE
+             |        - s2::DOUBLE * s2::DOUBLE / n::DOUBLE, 0.0)) END,
+             |    6) AS f_seasonal,
+             |  round(CASE WHEN v1::DOUBLE
+             |      - s1::DOUBLE * s1::DOUBLE / n::DOUBLE = 0.0 THEN 1.0
+             |    ELSE greatest(0.0, 1.0
+             |      - (v1::DOUBLE - s1::DOUBLE * s1::DOUBLE / n::DOUBLE)
+             |      / nullif(v3::DOUBLE
+             |        - s3::DOUBLE * s3::DOUBLE / n::DOUBLE, 0.0)) END,
+             |    6) AS f_trend
+             |FROM a""".stripMargin)),
+
+    // Tukey's median polish (Tukey 1977, EDA ch. 11) of the
+    // day-of-week × hour-of-day traffic matrix: two full row/column
+    // sweeps of LOWER-median subtraction, then the effect medians
+    // fold into the overall term — the outlier-resistant two-way
+    // decomposition next to the mean-based q_dow_effects. EVERYTHING
+    // is integer: cells are counts on the generated 7×24 lattice
+    // (missing cells are real zeros), lower medians of integers are
+    // integers, and subtraction is closed — the gate compares 33
+    // integer rows, float-free. The season index is an engine-neutral
+    // datediff mod 7 (never dayofweek — the offset divergence class).
+    // One fact-sized groupBy; four sweeps ride the 168-cell digest.
+    QueryDef("q_median_polish",
+      (s, d) => {
+        val cnt = graft.sources.Tables.events(s, d)
+          .groupBy(
+            (datediff(to_date(col("ts")), lit("2024-01-01")) % 7)
+              .cast("long").as("dw"),
+            hour(col("ts")).cast("long").as("hr"))
+          .agg(count(lit(1)).as("v"))
+        val spine = s.range(0, 7).select(col("id").as("dw"))
+          .crossJoin(s.range(0, 24).select(col("id").as("hr")))
+        val r0 = spine.join(cnt, Seq("dw", "hr"), "left")
+          .select(col("dw"), col("hr"),
+            coalesce(col("v"), lit(0L)).as("v"))
+        def med(df: org.apache.spark.sql.DataFrame, grp: String,
+                half: Int) = df
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col(grp)).orderBy(col("v"))))
+          .filter(col("rn") === half)
+          .select(col(grp), col("v").as("med"))
+        def sweep(df: org.apache.spark.sql.DataFrame, grp: String,
+                  half: Int) = {
+          val m = med(df, grp, half)
+          (df.join(m, Seq(grp))
+            .select(col("dw"), col("hr"), (col("v") - col("med")).as("v")),
+            m)
+        }
+        val (r1, rm1) = sweep(r0, "dw", 12)
+        val (r2, cm1) = sweep(r1, "hr", 4)
+        val (r3, rm2) = sweep(r2, "dw", 12)
+        val (r4, cm2) = sweep(r3, "hr", 4)
+        val rowEff = rm1.select(col("dw"), col("med").as("e1"))
+          .join(rm2.select(col("dw"), col("med").as("e2")), Seq("dw"))
+          .select(col("dw"), (col("e1") + col("e2")).as("v"))
+        val colEff = cm1.select(col("hr"), col("med").as("e1"))
+          .join(cm2.select(col("hr"), col("med").as("e2")), Seq("hr"))
+          .select(col("hr"), (col("e1") + col("e2")).as("v"))
+        val g1 = broadcast(rowEff
+          .withColumn("rn", row_number().over(Window.orderBy(col("v"))))
+          .filter(col("rn") === 4).select(col("v").as("g1")))
+        val g2 = broadcast(colEff
+          .withColumn("rn", row_number().over(Window.orderBy(col("v"))))
+          .filter(col("rn") === 12).select(col("v").as("g2")))
+        val rows = rowEff.crossJoin(g1)
+          .select(lit("dow").as("component"), col("dw").as("idx"),
+            (col("v") - col("g1")).as("effect"))
+          .unionAll(colEff.crossJoin(g2)
+            .select(lit("hour"), col("hr"), col("v") - col("g2")))
+          .unionAll(g1.crossJoin(g2)
+            .select(lit("overall"), lit(0L), col("g1") + col("g2")))
+          .unionAll(r4.agg(max(abs(col("v"))).as("m"))
+            .select(lit("resid_max"), lit(0L), col("m")))
+        rows.orderBy(col("component"), col("idx"))
+      },
+      Some("""WITH cnt AS (SELECT
+             |    (datediff('day', DATE '2024-01-01', ts::DATE) % 7)
+             |      ::BIGINT AS dw,
+             |    hour(ts)::BIGINT AS hr, count(*)::BIGINT AS v
+             |  FROM events GROUP BY 1, 2),
+             |spine AS (SELECT d.dw, h.hr
+             |  FROM (SELECT unnest(generate_series(0, 6))::BIGINT AS dw) d,
+             |    (SELECT unnest(generate_series(0, 23))::BIGINT AS hr) h),
+             |r0 AS (SELECT spine.dw, spine.hr,
+             |    coalesce(cnt.v, 0)::BIGINT AS v
+             |  FROM spine LEFT JOIN cnt USING (dw, hr)),
+             |rm1 AS (SELECT dw, v AS med FROM (SELECT dw, v,
+             |    row_number() OVER (PARTITION BY dw ORDER BY v) AS rn
+             |  FROM r0) WHERE rn = 12),
+             |r1 AS (SELECT r0.dw, r0.hr, r0.v - rm1.med AS v
+             |  FROM r0 JOIN rm1 USING (dw)),
+             |cm1 AS (SELECT hr, v AS med FROM (SELECT hr, v,
+             |    row_number() OVER (PARTITION BY hr ORDER BY v) AS rn
+             |  FROM r1) WHERE rn = 4),
+             |r2 AS (SELECT r1.dw, r1.hr, r1.v - cm1.med AS v
+             |  FROM r1 JOIN cm1 USING (hr)),
+             |rm2 AS (SELECT dw, v AS med FROM (SELECT dw, v,
+             |    row_number() OVER (PARTITION BY dw ORDER BY v) AS rn
+             |  FROM r2) WHERE rn = 12),
+             |r3 AS (SELECT r2.dw, r2.hr, r2.v - rm2.med AS v
+             |  FROM r2 JOIN rm2 USING (dw)),
+             |cm2 AS (SELECT hr, v AS med FROM (SELECT hr, v,
+             |    row_number() OVER (PARTITION BY hr ORDER BY v) AS rn
+             |  FROM r3) WHERE rn = 4),
+             |r4 AS (SELECT r3.dw, r3.hr, r3.v - cm2.med AS v
+             |  FROM r3 JOIN cm2 USING (hr)),
+             |re AS (SELECT rm1.dw, rm1.med + rm2.med AS v
+             |  FROM rm1 JOIN rm2 USING (dw)),
+             |ce AS (SELECT cm1.hr, cm1.med + cm2.med AS v
+             |  FROM cm1 JOIN cm2 USING (hr)),
+             |g1 AS (SELECT v AS g1 FROM (SELECT v,
+             |    row_number() OVER (ORDER BY v) AS rn FROM re)
+             |  WHERE rn = 4),
+             |g2 AS (SELECT v AS g2 FROM (SELECT v,
+             |    row_number() OVER (ORDER BY v) AS rn FROM ce)
+             |  WHERE rn = 12),
+             |outp AS (
+             |  SELECT 'dow' AS component, dw AS idx, v - g1 AS effect
+             |    FROM re, g1
+             |  UNION ALL SELECT 'hour', hr, v - g2 FROM ce, g2
+             |  UNION ALL SELECT 'overall', 0, g1 + g2 FROM g1, g2
+             |  UNION ALL SELECT 'resid_max', 0, max(abs(v)) FROM r4)
+             |SELECT component, idx::BIGINT AS idx, effect::BIGINT AS effect
+             |FROM outp ORDER BY component, idx""".stripMargin))
   )
 }

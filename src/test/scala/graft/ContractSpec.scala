@@ -52,7 +52,8 @@ class ContractSpec extends GraftSpec {
       "q_group_quantiles_approx", "q_distinct_users_approx",
       "k4_size_metrics",
       "text_compression_ratio",
-      "mm_audio_features", "mm_audio_silence", "mm_image_features",
+      "mm_audio_features", "mm_audio_silence", "mm_audio_pitch",
+      "mm_image_features",
       "mm_image_neardup", "mm_image_phash", "mm_video_features",
       "mm_video_scenecut")
     val undocumented = noOracle -- documented

@@ -245,6 +245,99 @@ class R14QueriesSpec extends GraftSpec {
     assert(m.min <= m.max && m.max < 0L) // log-probs are negative
   }
 
+  private def liDir(rows: Seq[(Long, Long)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("r14co").toString
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
+  test("q_jaccard_linkpred: path endpoints share their whole neighborhood") {
+    // edges 1-2 and 2-3 (support 2 each); the only candidate non-edge
+    // is (1,3): Γ1 = Γ3 = {2} → J = 1/(1+1−1) = 1
+    val rows = Seq(
+      (1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L),
+      (3L, 2L), (3L, 3L), (4L, 2L), (4L, 3L))
+    val out = byName("q_jaccard_linkpred")(spark, liDir(rows)).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("a") === 1L)
+    assert(out.head.getAs[Long]("b") === 3L)
+    assert(out.head.getAs[Long]("common_neighbors") === 1L)
+    assert(out.head.getAs[Long]("jaccard_ppm") === 1000000L)
+  }
+
+  test("q_degree_powerlaw: one tail node at degree 2 pins the Hill MLE") {
+    // path graph degrees {1, 2, 1} → tail = the middle node, and
+    // α = 1 + 1/ln(2/1.5) with the 9dp-quantized log
+    val rows = Seq(
+      (1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L),
+      (3L, 2L), (3L, 3L), (4L, 2L), (4L, 3L))
+    val out = byName("q_degree_powerlaw")(spark, liDir(rows)).head()
+    assert(out.getAs[Long]("n_tail") === 1L)
+    assert(out.getAs[Long]("d_max") === 2L)
+    val lnq = math.rint(math.log(2.0 / 1.5) * 1e9) / 1e9
+    val exp = BigDecimal(1.0 + 1.0 / lnq)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.getAs[Double]("alpha") === exp)
+  }
+
+  test("q_seasonality_strength: a pure period-7 signal has strength 1") {
+    // weekly pattern repeated 5x: every 7-term MA window sums to the
+    // same total, so the detrended series is exactly seasonal
+    val pat = Seq(10, 20, 30, 40, 50, 60, 70)
+    val rows = (0 until 35).map { di =>
+      (day0 + di * dayUs, di.toLong, "view", pat(di % 7).toDouble)
+    }
+    val out = byName("q_seasonality_strength")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Long]("n_days_used") === 29L)
+    assert(out.getAs[Double]("f_seasonal") === 1.0)
+    assert(out.getAs[Double]("f_trend") === 1.0)
+  }
+
+  test("q_seasonality_strength: sf0.001 strengths live in [0, 1]") {
+    val out = byName("q_seasonality_strength")(
+      spark, "/root/testdata/sf0.001").head()
+    val fs = out.getAs[Double]("f_seasonal")
+    val ft = out.getAs[Double]("f_trend")
+    assert(fs >= 0.0 && fs <= 1.0)
+    assert(ft >= 0.0 && ft <= 1.0)
+  }
+
+  test("q_median_polish: an additive matrix polishes to zero residuals") {
+    // v(dw, hr) = (dw+1) + hr over one full week → effects recover
+    // the components up to the medians folded into `overall`
+    val rows = for {
+      dw <- 0 until 7
+      hr <- 0 until 24
+      k <- 0 until (dw + 1 + hr)
+    } yield (day0 + dw * dayUs + hr * 3600000000L + k * 1000L,
+      (dw * 100 + hr).toLong, "view", 1.0)
+    val out = byName("q_median_polish")(spark, eventsDir(rows))
+      .collect()
+      .map(r => (r.getAs[String]("component"), r.getAs[Long]("idx")) ->
+        r.getAs[Long]("effect")).toMap
+    assert(out(("resid_max", 0L)) === 0L)
+    assert(out(("overall", 0L)) === 15L)
+    assert(out(("dow", 0L)) === -3L)   // a=1 − lowmed(a)=4
+    assert(out(("dow", 6L)) === 3L)
+    assert(out(("hour", 0L)) === -11L) // b=0 − lowmed(b)=11
+    assert(out(("hour", 23L)) === 12L)
+  }
+
+  test("mm_audio_pitch: the Goertzel scan recovers every generator frequency") {
+    // makeWav seeds freq = 110 + (id % 880); the detector must round-
+    // trip it through the real WAV codec for ALL 200 clips
+    val out = byName("mm_audio_pitch")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.length === 200)
+    out.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      assert(r.getAs[Long]("freq_hz") === 110L + id % 880L,
+        s"media_id $id")
+    }
+  }
+
   test("emb_dunn_index: sf0.001 index is positive with sane extremes") {
     val out = byName("emb_dunn_index")(spark, "/root/testdata/sf0.001").head()
     assert(out.getAs[Long]("k_cells") === 16L)

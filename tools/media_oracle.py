@@ -195,6 +195,22 @@ def phash63(g):
     return h
 
 
+def goertzel_freq(samples, sample_rate=8000, flo=110, fhi=989):
+    """MediaKernels.dominantFreq: quantized-coefficient Goertzel scan,
+    vectorized over the candidate grid; identical per-(f, n) op order
+    as the JVM loop, first-max tie-break = lowest frequency."""
+    f = np.arange(flo, fhi + 1, dtype=np.float64)
+    c = np.rint(2.0 * np.cos(2.0 * np.pi * f / sample_rate) * 1e9) / 1e9
+    s1 = np.zeros_like(c)
+    s2 = np.zeros_like(c)
+    for v in samples:
+        s = v + c * s1 - s2
+        s2 = s1
+        s1 = s
+    p = s1 * s1 + s2 * s2 - c * s1 * s2
+    return flo + int(np.argmax(p))
+
+
 def cosine_sim(a, b):
     """VectorFunctions.CosineSimilarity: left-to-right accumulation,
     sqrt(na)*sqrt(nb) denominator."""
@@ -322,6 +338,13 @@ def main():
 
     fails += check("mm_video_features", load(outdir, "mm_video_features"),
                    video_features, ["n_frames", "width", "height", "f0", "f3"])
+
+    def audio_pitch(mid):
+        return {"sample_rate": 8000, "n_samples": 1600,
+                "freq_hz": goertzel_freq(wav_samples(mid))}
+
+    fails += check("mm_audio_pitch", load(outdir, "mm_audio_pitch"),
+                   audio_pitch, ["sample_rate", "n_samples", "freq_hz"])
 
     sfdir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
     docs = pd.read_parquet(f"{sfdir}/documents.parquet")
