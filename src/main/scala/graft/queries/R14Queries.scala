@@ -21,6 +21,9 @@ import org.apache.spark.sql.functions._
   */
 object R14Queries {
 
+  /** DuckDB mirror of [[graft.ext.Dedup.strHash60]]. */
+  private def dkHash60(s: String) = s"('0x'||substring(md5($s),1,15))::BIGINT"
+
   val defs: Seq[QueryDef] = Seq(
 
     // Fisher's exact test (Fisher 1935) on the weekend × purchase
@@ -1048,6 +1051,309 @@ object R14Queries {
              |  UNION ALL SELECT 'overall', 0, g1 + g2 FROM g1, g2
              |  UNION ALL SELECT 'resid_max', 0, max(abs(v)) FROM r4)
              |SELECT component, idx::BIGINT AS idx, effect::BIGINT AS effect
-             |FROM outp ORDER BY component, idx""".stripMargin))
+             |FROM outp ORDER BY component, idx""".stripMargin)),
+
+    // Daily error-rate p-chart (Shewhart attribute chart; Montgomery
+    // SQC ch. 7) with VARIABLE subgroup sizes: a day is out of
+    // control when |p_d − p̄| > 3·√(p̄(1−p̄)/n_d). The flag is decided
+    // by the CROSS-MULTIPLIED integer inequality
+    // (e_d·N − E·n_d)² > 9·E·(N−E)·n_d — no float σ, no boundary
+    // drift (the q_western_electric discipline). One fact-sized
+    // groupBy(day); the chart rides the calendar digest.
+    QueryDef("q_p_chart",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("nd"),
+            sum(when(col("event_type") === "error", 1L).otherwise(0L))
+              .as("ed"))
+        val tot = broadcast(daily.agg(sum(col("nd")).as("nn"),
+          sum(col("ed")).as("ee")))
+        daily.crossJoin(tot)
+          .withColumn("dev", (col("ed") * col("nn") - col("ee") * col("nd"))
+            .cast("decimal(38,0)"))
+          .withColumn("oob", (col("dev") * col("dev") >
+            lit(9).cast("decimal(38,0)") * col("ee") *
+              (col("nn") - col("ee")) * col("nd")).cast("long"))
+          .agg(count(lit(1)).as("n_days"),
+            max(expr("ee * 1000000 div nn")).as("pbar_ppm"),
+            sum(col("oob")).as("n_flagged"),
+            min(when(col("oob") === 1, col("day").cast("string")))
+              .as("first_flagged"))
+      },
+      Some("""WITH daily AS (SELECT ts::DATE AS day,
+             |    count(*)::BIGINT AS nd,
+             |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             |      ::BIGINT AS ed
+             |  FROM events GROUP BY 1),
+             |tot AS (SELECT sum(nd)::BIGINT AS nn, sum(ed)::BIGINT AS ee
+             |  FROM daily),
+             |f AS (SELECT day, nd, ed, nn, ee,
+             |    CASE WHEN (ed::HUGEINT * nn - ee::HUGEINT * nd)
+             |        * (ed::HUGEINT * nn - ee::HUGEINT * nd)
+             |      > 9::HUGEINT * ee * (nn - ee) * nd
+             |      THEN 1 ELSE 0 END::BIGINT AS oob
+             |  FROM daily, tot)
+             |SELECT count(*)::BIGINT AS n_days,
+             |  max(ee * 1000000 // nn)::BIGINT AS pbar_ppm,
+             |  sum(oob)::BIGINT AS n_flagged,
+             |  min(CASE WHEN oob = 1 THEN day::VARCHAR END)
+             |    AS first_flagged
+             |FROM f""".stripMargin)),
+
+    // Moving-block bootstrap SE of the daily-revenue mean (Künsch
+    // 1989): B = 100 replicates, block length 7; each replicate
+    // concatenates ⌈n/7⌉ md5-seeded blocks (truncated to n values).
+    // Block sums come from the calendar PREFIX-SUM digest — two
+    // lookups per block, never a per-day explode — and every
+    // replicate mean is an exact integer-cents sum, so the only
+    // doubles are the final SE/mean projections. The md5 block
+    // starts replay in SQL (the q_bootstrap_ci / q_permutation_test
+    // resampling-without-RNG discipline).
+    QueryDef("q_block_bootstrap",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg((sum(col("value").cast("decimal(18,2)")) * lit(100))
+            .cast("long").as("y"))
+          .withColumn("t", row_number().over(Window.orderBy(col("day")))
+            - 1)
+          .withColumn("p", sum(col("y")).over(Window.orderBy(col("t"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val nRow = broadcast(daily.agg(count(lit(1)).as("n"),
+          max(col("p")).as("tot")))
+        val slots = s.range(0, 100).select(col("id").as("b"))
+          .crossJoin(s.range(0, 64).select(col("id").as("i")))
+          .crossJoin(nRow)
+          .filter(col("i") * 7 < col("n"))
+          .withColumn("st", pmod(graft.ext.Dedup.strHash60(
+            concat(lit("bb:"), col("b"), lit(":"), col("i"))),
+            col("n") - 6))
+          .withColumn("k", least(lit(7L), col("n") - col("i") * 7))
+        val withP = slots
+          .join(daily.select(col("t").as("t1"), col("p").as("p_hi")),
+            col("t1") === col("st") + col("k") - 1)
+          .join(daily.select(col("t").as("t2"), col("p").as("p_lo")),
+            col("t2") === col("st") - 1, "left")
+          .withColumn("bs", col("p_hi") - coalesce(col("p_lo"), lit(0L)))
+        val reps = withP.groupBy(col("b"))
+          .agg(sum(col("bs")).as("rs"), max(col("n")).as("n"),
+            max(col("tot")).as("tot"))
+        reps.agg(max(col("n")).as("n_days"),
+            count(lit(1)).as("b_reps"),
+            round(max(col("tot")).cast("double") /
+              max(col("n")).cast("double") / 100.0, 4).as("mean_obs"),
+            round(sqrt((sum((col("rs").cast("decimal(38,0)") * col("rs")))
+              .cast("double") -
+              sum(col("rs")).cast("double") * sum(col("rs")).cast("double")
+                / 100.0) / 99.0) /
+              max(col("n")).cast("double") / 100.0, 4).as("se_boot"))
+      },
+      Some(s"""WITH daily AS (SELECT ts::DATE AS day,
+             |    (sum(CAST(value AS DECIMAL(18,2))) * 100)::BIGINT AS y
+             |  FROM events GROUP BY 1),
+             |idx AS (SELECT y, row_number() OVER (ORDER BY day) - 1
+             |    AS t FROM daily),
+             |pfx AS (SELECT t, sum(y) OVER (ORDER BY t
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    ::BIGINT AS p FROM idx),
+             |nr AS (SELECT count(*)::BIGINT AS n, max(p)::BIGINT AS tot
+             |  FROM pfx),
+             |slots AS (SELECT b, i, n, tot,
+             |    ${dkHash60("'bb:' || b || ':' || i")} % (n - 6) AS st,
+             |    least(7, n - i * 7) AS k
+             |  FROM (SELECT unnest(generate_series(0, 99)) AS b) bb,
+             |    (SELECT unnest(generate_series(0, 63)) AS i) ii, nr
+             |  WHERE i * 7 < n),
+             |bsum AS (SELECT s.b, s.n, s.tot,
+             |    hi.p - coalesce(lo.p, 0) AS bs
+             |  FROM slots s
+             |  JOIN pfx hi ON hi.t = s.st + s.k - 1
+             |  LEFT JOIN pfx lo ON lo.t = s.st - 1),
+             |reps AS (SELECT b, sum(bs)::BIGINT AS rs,
+             |    max(n)::BIGINT AS n, max(tot)::BIGINT AS tot
+             |  FROM bsum GROUP BY 1)
+             |SELECT max(n)::BIGINT AS n_days,
+             |  count(*)::BIGINT AS b_reps,
+             |  round(max(tot)::DOUBLE / max(n)::DOUBLE / 100.0, 4)
+             |    AS mean_obs,
+             |  round(sqrt((sum(rs::HUGEINT * rs)::DOUBLE
+             |      - sum(rs)::DOUBLE * sum(rs)::DOUBLE / 100.0) / 99.0)
+             |    / max(n)::DOUBLE / 100.0, 4) AS se_boot
+             |FROM reps""".stripMargin)),
+
+    // Seasonal Hybrid ESD (Vallis, Hochenbaum & Kejariwal 2014 — the
+    // Twitter AnomalyDetection method): remove the period-7 seasonal
+    // LOWER-median and the overall median, then run the 5-round
+    // generalized-ESD peel on the residual. The seasonal medians are
+    // exact integers off the calendar digest; the peel is the
+    // q_gesd_outliers driver-fold (one distributed groupBy, then
+    // exact Long/BigInt algebra on ≤366 rows, O(1) driver state) with
+    // the identical double spelling as the oracle's round ladder.
+    QueryDef("q_seasonal_hybrid_esd",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg((sum(col("value").cast("decimal(18,2)")) * lit(100))
+            .cast("long").as("y"))
+          .select(col("day").cast("string").as("day"),
+            (datediff(col("day"), lit("2024-01-01")) % 7).cast("long")
+              .as("q"), col("y"))
+        val rows0: Vector[(String, Long, Long)] = daily.collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toVector
+        def lowMed(xs: Seq[Long]): Long = {
+          val s0 = xs.sorted
+          s0((s0.size - 1) / 2)
+        }
+        val medQ = rows0.groupBy(_._2).map { case (q, g) =>
+          q -> lowMed(g.map(_._3))
+        }
+        val resid0 = rows0.map { case (day, q, y) => (day, y - medQ(q)) }
+        val gMed = lowMed(resid0.map(_._2))
+        var rem = resid0.map { case (day, r) => (day, r - gMed) }
+        val out = Seq.newBuilder[(Int, String, Option[Double])]
+        for (r <- 1 to 5 if rem.nonEmpty) {
+          val n = rem.size.toLong
+          val sy = rem.iterator.map(_._2).sum
+          val syy = rem.iterator.map(t => BigInt(t._2) * t._2).sum
+          val best = rem.reduceLeft { (a, b) =>
+            val da = (n * a._2 - sy).abs
+            val db = (n * b._2 - sy).abs
+            if (db > da || (db == da && b._1 < a._1)) b else a
+          }
+          val den = BigInt(n) * syy - BigInt(sy) * sy
+          val rStat =
+            if (den == 0) None
+            else {
+              val dev = (n * best._2 - sy).abs.toDouble
+              val t = dev / n.toDouble /
+                math.sqrt(den.toDouble / (n.toDouble * (n.toDouble - 1.0)))
+              Some(BigDecimal(t)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            }
+          out += ((r, best._1, rStat))
+          rem = rem.filterNot(_._1 == best._1)
+        }
+        import s.implicits._
+        out.result().toDF("round", "day", "r_stat")
+      },
+      Some {
+        val roundCtes = (1 to 5).map { r =>
+          s"""st$r AS (SELECT count(*)::BIGINT AS n,
+             |    sum(y)::BIGINT AS sy, sum(y::HUGEINT * y) AS syy
+             |  FROM base${r - 1}),
+             |sel$r AS (SELECT $r AS round, b.day AS day,
+             |    round(CASE WHEN st$r.n::HUGEINT * st$r.syy
+             |        - st$r.sy::HUGEINT * st$r.sy = 0 THEN NULL
+             |      ELSE abs(st$r.n * b.y - st$r.sy)::DOUBLE
+             |        / st$r.n::DOUBLE
+             |        / sqrt((st$r.n::HUGEINT * st$r.syy
+             |            - st$r.sy::HUGEINT * st$r.sy)::DOUBLE
+             |          / (st$r.n::DOUBLE * (st$r.n::DOUBLE - 1.0)))
+             |      END, 6) AS r_stat,
+             |    b.day AS day0
+             |  FROM base${r - 1} b, st$r
+             |  QUALIFY row_number() OVER (
+             |    ORDER BY abs(st$r.n * b.y - st$r.sy) DESC, b.day) = 1),
+             |base$r AS (SELECT day, y FROM base${r - 1}
+             |  WHERE day NOT IN (SELECT day0 FROM sel$r))"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH daily AS (SELECT ts::DATE::VARCHAR AS day,
+           |    (datediff('day', DATE '2024-01-01', ts::DATE) % 7)
+           |      ::BIGINT AS q,
+           |    (sum(CAST(value AS DECIMAL(18,2))) * 100)::BIGINT AS y
+           |  FROM events GROUP BY 1, 2),
+           |mq AS (SELECT q, y AS med FROM (SELECT q, y,
+           |    row_number() OVER (PARTITION BY q ORDER BY y) AS rn,
+           |    count(*) OVER (PARTITION BY q) AS c
+           |  FROM daily) WHERE rn = (c + 1) // 2),
+           |r0 AS (SELECT daily.day, daily.y - mq.med AS y
+           |  FROM daily JOIN mq USING (q)),
+           |gm AS (SELECT y AS g FROM (SELECT y,
+           |    row_number() OVER (ORDER BY y) AS rn,
+           |    count(*) OVER () AS c FROM r0)
+           |  WHERE rn = (c + 1) // 2),
+           |base0 AS (SELECT day, r0.y - gm.g AS y FROM r0, gm),
+           |$roundCtes
+           |SELECT round, day, r_stat FROM (
+           |  SELECT round, day, r_stat FROM sel1
+           |  UNION ALL SELECT round, day, r_stat FROM sel2
+           |  UNION ALL SELECT round, day, r_stat FROM sel3
+           |  UNION ALL SELECT round, day, r_stat FROM sel4
+           |  UNION ALL SELECT round, day, r_stat FROM sel5)
+           |ORDER BY round""".stripMargin
+      }),
+
+    // Triplet-margin audit of the embedding space (the metric-
+    // learning health check behind emb_hard_negatives): for every
+    // anchor, the nearest SAME-label and nearest OTHER-label vectors
+    // by exact integer squared distance on the 16-dim 1e-3 grid; a
+    // violation is d²(pos) ≥ d²(neg) — the anchor's neighborhood is
+    // label-impure at margin 0. Per-label violation ppm plus the mean
+    // margin in integer units — float-free end to end. The pair join
+    // is bounded to the ≤512-anchor audit slice (the corpus-scale
+    // path would reuse the banded ANN candidates).
+    QueryDef("emb_triplet_margin",
+      (s, d) => {
+        val xq = transform(slice(col("embedding"), 1, 16),
+          x => round(x.cast("double") * 1000, 0).cast("long"))
+        val v = s.read.parquet(s"$d/embeddings.parquet")
+          .filter(col("vec_id") < 512)
+          .select(col("vec_id"), col("label"), xq.as("q"))
+        def d2 = expr(
+          "aggregate(zip_with(q, q2, (u, v) -> (u - v) * (u - v)), " +
+            "0L, (acc, e) -> acc + e)")
+        val pairs = v.join(
+            v.select(col("vec_id").as("v2"), col("label").as("l2"),
+              col("q").as("q2")),
+            col("vec_id") =!= col("v2"))
+          .select(col("vec_id"), col("label"), col("l2"), d2.as("d2"))
+        val nn = pairs.groupBy(col("vec_id"), col("label"))
+          .agg(min(when(col("label") === col("l2"), col("d2"))).as("dpos"),
+            min(when(col("label") =!= col("l2"), col("d2"))).as("dneg"))
+          .filter(col("dpos").isNotNull && col("dneg").isNotNull)
+        nn.groupBy(col("label"))
+          .agg(count(lit(1)).as("n_anchors"),
+            sum(when(col("dpos") >= col("dneg"), 1L).otherwise(0L))
+              .as("n_violations"),
+            sum(col("dneg") - col("dpos")).as("margin_sum"))
+          .select(col("label").cast("long").as("label"),
+            col("n_anchors"),
+            col("n_violations"),
+            expr("n_violations * 1000000 div n_anchors")
+              .as("violation_ppm"),
+            expr("CASE WHEN margin_sum < 0" +
+              " THEN -((-margin_sum) div n_anchors)" +
+              " ELSE margin_sum div n_anchors END").as("mean_margin"))
+          .orderBy(col("label"))
+      },
+      Some("""WITH v AS (SELECT vec_id, label,
+             |    list_transform(embedding[1:16],
+             |      x -> round(x::DOUBLE * 1000)::BIGINT) AS q
+             |  FROM embeddings WHERE vec_id < 512),
+             |p AS (SELECT a.vec_id, a.label, b.label AS l2,
+             |    list_sum(list_transform(range(1, 17),
+             |      i -> (a.q[i] - b.q[i]) * (a.q[i] - b.q[i])))::BIGINT
+             |      AS d2
+             |  FROM v a JOIN v b ON a.vec_id != b.vec_id),
+             |nn AS (SELECT vec_id, label,
+             |    min(CASE WHEN label = l2 THEN d2 END) AS dpos,
+             |    min(CASE WHEN label != l2 THEN d2 END) AS dneg
+             |  FROM p GROUP BY 1, 2),
+             |f AS (SELECT * FROM nn
+             |  WHERE dpos IS NOT NULL AND dneg IS NOT NULL),
+             |g AS (SELECT label, count(*)::BIGINT AS n_anchors,
+             |    sum(CASE WHEN dpos >= dneg THEN 1 ELSE 0 END)::BIGINT
+             |      AS n_violations,
+             |    sum(dneg - dpos)::BIGINT AS margin_sum
+             |  FROM f GROUP BY 1)
+             |SELECT label::BIGINT AS label, n_anchors, n_violations,
+             |  (n_violations * 1000000 // n_anchors)::BIGINT
+             |    AS violation_ppm,
+             |  (CASE WHEN margin_sum < 0
+             |    THEN -((-margin_sum) // n_anchors)
+             |    ELSE margin_sum // n_anchors END)::BIGINT AS mean_margin
+             |FROM g ORDER BY label""".stripMargin))
   )
 }

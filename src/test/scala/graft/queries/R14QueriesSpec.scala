@@ -325,6 +325,90 @@ class R14QueriesSpec extends GraftSpec {
     assert(out(("hour", 23L)) === 12L)
   }
 
+  test("q_p_chart: only the shifted day breaches the 3-sigma band") {
+    // 9 days at 10% errors, one day at 90% → only that day's
+    // cross-multiplied deviation exceeds 9·E(N−E)n
+    val rows = (0 until 10).flatMap { di =>
+      val errs = if (di == 9) 90 else 10
+      (0 until 100).map { j =>
+        (day0 + di * dayUs + j * 1000000L, (di * 100 + j).toLong,
+          if (j < errs) "error" else "view", 1.0)
+      }
+    }
+    val out = byName("q_p_chart")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Long]("n_days") === 10L)
+    assert(out.getAs[Long]("pbar_ppm") === 180000L)
+    assert(out.getAs[Long]("n_flagged") === 1L)
+    assert(out.getAs[String]("first_flagged") === "2024-01-10")
+  }
+
+  test("q_block_bootstrap: a constant series bootstraps to zero SE") {
+    val rows = (0 until 20).map(di =>
+      (day0 + di * dayUs, di.toLong, "view", 5.0))
+    val out = byName("q_block_bootstrap")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Long]("n_days") === 20L)
+    assert(out.getAs[Long]("b_reps") === 100L)
+    assert(out.getAs[Double]("mean_obs") === 5.0)
+    assert(out.getAs[Double]("se_boot") === 0.0)
+  }
+
+  test("q_seasonal_hybrid_esd: the planted spike survives deseasonalization") {
+    // strong weekly rhythm + one spiked day: the seasonal medians
+    // absorb the rhythm, so round 1 must flag the spike itself
+    val pat = Seq(10, 20, 30, 40, 50, 60, 70)
+    val rows = (0 until 21).map { di =>
+      val v = if (di == 10) 1000.0 else pat(di % 7).toDouble
+      (day0 + di * dayUs, di.toLong, "view", v)
+    }
+    val out = byName("q_seasonal_hybrid_esd")(spark, eventsDir(rows))
+      .collect()
+    assert(out.length === 5)
+    assert(out.head.getAs[Int]("round") === 1)
+    assert(out.head.getAs[String]("day") === "2024-01-11")
+  }
+
+  test("q_seasonal_hybrid_esd: sf0.001 yields 5 distinct flagged days") {
+    val out = byName("q_seasonal_hybrid_esd")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.length === 5)
+    assert(out.map(_.getAs[String]("day")).distinct.length === 5)
+  }
+
+  private def embDir16(rows: Seq[(Long, Float, Int)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("r14emb").toString
+    rows.map { case (id, x0, lbl) =>
+      (id, Array.fill(16)(0f).updated(0, x0), lbl)
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("emb_triplet_margin: exactly the planted impostor violates") {
+    // label 0 = {0, 0.001, 9.999(impostor)}, label 1 = {10, 10}:
+    // the impostor's nearest same-label is across the gap while its
+    // nearest other-label is 1 grid unit away — the only violation
+    val dir = embDir16(Seq(
+      (0L, 0.0f, 0), (1L, 0.001f, 0), (2L, 9.999f, 0),
+      (3L, 10.0f, 1), (4L, 10.0f, 1)))
+    val out = byName("emb_triplet_margin")(spark, dir)
+      .collect().map(r => r.getAs[Long]("label") ->
+        (r.getAs[Long]("n_anchors"), r.getAs[Long]("n_violations"),
+          r.getAs[Long]("violation_ppm"))).toMap
+    assert(out(0L) === ((3L, 1L, 333333L)))
+    assert(out(1L) === ((2L, 0L, 0L)))
+  }
+
+  test("emb_triplet_margin: sf0.001 audits all 10 labels") {
+    val out = byName("emb_triplet_margin")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.length === 10)
+    out.foreach { r =>
+      val ppm = r.getAs[Long]("violation_ppm")
+      assert(ppm >= 0L && ppm <= 1000000L)
+    }
+  }
+
   test("mm_audio_pitch: the Goertzel scan recovers every generator frequency") {
     // makeWav seeds freq = 110 + (id % 880); the detector must round-
     // trip it through the real WAV codec for ALL 200 clips
