@@ -110,6 +110,31 @@ object MediaKernels {
     h
   }
 
+  /** 63-bit difference hash (dHash, the gradient fingerprint): 9×9
+    * pure-bilinear grayscale grid → horizontal neighbor comparisons
+    * over the first 8 rows (the last comparison is dropped to keep
+    * the hash in 63 bits like [[phash63]], so the byte-banding never
+    * touches the sign bit). Complements the DCT pHash: dHash keys on
+    * local gradients where pHash keys on low-frequency structure, so
+    * the two catch different edit classes. Pure double arithmetic —
+    * replayable by tools/media_oracle.py. */
+  def dhash63(img: BufferedImage): Long = {
+    val g = grayGrid(img, 9)
+    var h = 0L
+    var i = 0
+    var y = 0
+    while (y < 8 && i < 63) {
+      var x = 0
+      while (x < 8 && i < 63) {
+        if (g(y * 9 + x + 1) > g(y * 9 + x)) h |= (1L << i)
+        i += 1
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
   /** (width, height) without materializing features. */
   def imageMeta(bytes: Array[Byte]): (Int, Int) = {
     val img = decodeImage(bytes)

@@ -135,6 +135,42 @@ object Multimodal {
       .toDF("media_id", "audio")
   }
 
+  case class AudioSnr(media_id: Long, e_signal: Long, e_noise: Long,
+                      snr_db: Option[Double])
+
+  /** Signal-to-noise of the degraded clip against its clean twin:
+    * SNR = 10·log10(Σ clean² / Σ (clean − degraded)²). Both energies
+    * are EXACT integer sums of int16 products (≤2³⁰ per sample, ≤2⁴¹
+    * per clip), so the only float is the final quantized log —
+    * tools/media_oracle.py replays the whole readout. The join is
+    * media_id-equi; each side decodes once. */
+  def audioSnr(clean: DataFrame, degraded: DataFrame): DataFrame = {
+    val spark = clean.sparkSession
+    import spark.implicits._
+    clean.select(col("media_id"), col("audio").as("a1"))
+      .join(degraded.select(col("media_id"), col("audio").as("a2")),
+        "media_id")
+      .as[(Long, Array[Byte], Array[Byte])]
+      .mapPartitions(_.map { case (id, c, n) =>
+        val sc = MediaKernels.samples(c)
+        val sn = MediaKernels.samples(n)
+        var es = 0L
+        var en = 0L
+        var i = 0
+        while (i < sc.length) {
+          val v = sc(i).toLong
+          val dd = v - sn(i).toLong
+          es += v * v
+          en += dd * dd
+          i += 1
+        }
+        AudioSnr(id, es, en,
+          if (en == 0) None
+          else Some(BigDecimal(10.0 * math.log10(es.toDouble / en.toDouble))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }).toDF()
+  }
+
   /** Decode + silence-run detection — the VAD/dropout health check:
     * per clip, the number of ≥`minRun`-sample silent runs, the longest
     * sub-threshold run, and the fraction of samples inside qualifying
@@ -256,6 +292,32 @@ object Multimodal {
     val hashes = media.select(col("media_id"), col("image")).as[ImageRow]
       .mapPartitions(_.map(r => (r.media_id,
         MediaKernels.phash63(MediaKernels.decodeImage(r.image)))))
+      .toDF("media_id", "ph")
+    val banded = hashes.select(col("media_id"), col("ph"), explode(expr(
+        "transform(sequence(0, 7), j -> named_struct('band', j, 'key', shiftright(ph, 8 * j) % 256))"))
+        .as("b"))
+      .select(col("media_id"), col("ph"),
+        col("b.band").as("band"), col("b.key").as("key"))
+    banded.alias("x").join(banded.alias("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
+        col("x.ph").as("__pa"), col("y.ph").as("__pb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(__pa ^ __pb)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** dHash near-dup pairs — the gradient-fingerprint twin of
+    * [[imagePhashPairs]], same banded candidate shape (8 byte-bands,
+    * pigeonhole-complete at Hamming ≤ 7). */
+  def imageDhashPairs(media: DataFrame, maxHamming: Int = 7): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val hashes = media.select(col("media_id"), col("image")).as[ImageRow]
+      .mapPartitions(_.map(r => (r.media_id,
+        MediaKernels.dhash63(MediaKernels.decodeImage(r.image)))))
       .toDF("media_id", "ph")
     val banded = hashes.select(col("media_id"), col("ph"), explode(expr(
         "transform(sequence(0, 7), j -> named_struct('band', j, 'key', shiftright(ph, 8 * j) % 256))"))

@@ -2457,6 +2457,25 @@ object ExtQueries {
       },
       None),
 
+    // Degradation SNR — the quality-regression readout for a media
+    // pipeline: the dropout-injected clip against its clean twin,
+    // both energies EXACT integer sums (the only float is the final
+    // quantized log10). rows-only like the other codec paths;
+    // value-checked end-to-end by tools/media_oracle.py's integer
+    // energy replay.
+    QueryDef("mm_audio_snr",
+      (s, d) => {
+        val clean = graft.multimodal.Multimodal.syntheticMedia(
+          s.read.parquet(s"$d/documents.parquet")
+            .filter(col("doc_id") < 200), "doc_id")
+        val degraded = graft.multimodal.Multimodal.injectDropouts(clean)
+        graft.multimodal.Multimodal.audioSnr(clean, degraded)
+          .select(col("media_id"), col("e_signal"), col("e_noise"),
+            col("snr_db"))
+          .orderBy(col("media_id"))
+      },
+      None),
+
     // Audio silence/dropout detection — the VAD-style health probe:
     // seeded dropout spans are injected into the synthetic tones, then
     // the detector must find them (tone samples sit far above the
@@ -2573,6 +2592,22 @@ object ExtQueries {
             s.read.parquet(s"$d/documents.parquet")
             .filter(col("doc_id") < 200), "doc_id"))
         graft.multimodal.Multimodal.imagePhashPairs(media, 7)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      None),
+
+    // dHash near-dup pairs — the gradient-fingerprint twin of
+    // mm_image_phash (local edges instead of low-frequency DCT
+    // structure; the standard belt-and-braces pairing for image
+    // dedup). Same banded recovery bar, same numpy replay in
+    // tools/media_oracle.py.
+    QueryDef("mm_image_dhash",
+      (s, d) => {
+        val media = graft.multimodal.Multimodal.injectImageVariants(
+          graft.multimodal.Multimodal.syntheticMedia(
+            s.read.parquet(s"$d/documents.parquet")
+            .filter(col("doc_id") < 200), "doc_id"))
+        graft.multimodal.Multimodal.imageDhashPairs(media, 7)
           .orderBy(col("id_a"), col("id_b"))
       },
       None),

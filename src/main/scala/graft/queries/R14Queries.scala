@@ -1354,6 +1354,172 @@ object R14Queries {
              |  (CASE WHEN margin_sum < 0
              |    THEN -((-margin_sum) // n_anchors)
              |    ELSE margin_sum // n_anchors END)::BIGINT AS mean_margin
-             |FROM g ORDER BY label""".stripMargin))
+             |FROM g ORDER BY label""".stripMargin)),
+
+    // Streaming windowed top-k — the "trending now" board: hourly
+    // per-type counts from the REAL streaming aggregation (the
+    // q_stream_tumbling run), then a k-row-per-window rank on the
+    // already-window-sized result. The oracle ranks the batch
+    // aggregate, so a stream that miscounts any window loses the
+    // board ordering and hash-fails.
+    QueryDef("q_stream_windowed_topk",
+      (s, d) => graft.streaming.StreamingEtl.windowedTopKViaStream(s, d)
+        .orderBy(col("window_start"), col("rank")),
+      Some("""WITH c AS (SELECT
+             |    make_timestamp((epoch_us(ts) // 3600000000)
+             |      * 3600000000) AS window_start,
+             |    event_type, count(*)::BIGINT AS n
+             |  FROM events GROUP BY 1, 2),
+             |r AS (SELECT window_start, event_type, n,
+             |    row_number() OVER (PARTITION BY window_start
+             |      ORDER BY n DESC, event_type) AS rank
+             |  FROM c)
+             |SELECT window_start, rank, event_type, n FROM r
+             |WHERE rank <= 3
+             |ORDER BY window_start, rank""".stripMargin)),
+
+    // Adstock regression (Broadbent 1979; the marketing-mix carryover
+    // model): clicks decay geometrically (λ = 0.5, 20-day memory) into
+    // an adstock series, then daily revenue is OLS-regressed on it.
+    // The decay weights 0.5^k are EXACT dyadic doubles quantized once
+    // to 9 dp, so the adstock is an exact DECIMAL pair-join sum over
+    // the calendar digest (k ≤ 20 bounded fan-out — the q_ewma_chart
+    // closed-form discipline, no sequential fold); the OLS moments
+    // are exact decimal sums and only the final β/intercept/R² are
+    // doubles with identical spelling.
+    QueryDef("q_adstock_regression",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("x"),
+            (sum(col("value").cast("decimal(18,2)")) * lit(100))
+              .cast("long").as("y"))
+          .withColumn("t", row_number().over(Window.orderBy(col("day")))
+            - 1)
+        val src = daily.select(col("t").as("ts2"), col("x").as("xs"))
+        val ad = daily.join(src,
+            col("ts2") >= col("t") - 20 && col("ts2") <= col("t"))
+          .withColumn("w", round(pow(lit(0.5),
+            (col("t") - col("ts2")).cast("double")), 9)
+            .cast("decimal(12,9)"))
+          .groupBy(col("t"), col("y"))
+          .agg(sum(col("xs").cast("decimal(10,0)") * col("w")).as("a"))
+          .select(col("y"), col("a").cast("decimal(16,9)").as("a"))
+        ad.agg(count(lit(1)).as("n"),
+            sum(col("a")).as("sa"),
+            sum((col("a") * col("a")).cast("decimal(38,18)")).as("saa"),
+            sum((col("a") * col("y").cast("decimal(12,0)"))
+              .cast("decimal(38,9)")).as("say"),
+            sum(col("y")).as("sy"),
+            sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+          .select(col("n").as("n_days"),
+            round(expr(
+              """(cast(n as double) * cast(say as double)
+                | - cast(sa as double) * cast(sy as double))
+                |/ nullif(cast(n as double) * cast(saa as double)
+                | - cast(sa as double) * cast(sa as double), 0.0)
+                |/ 100.0""".stripMargin), 6).as("beta"),
+            round(expr(
+              """(cast(sy as double) / cast(n as double)
+                | - ((cast(n as double) * cast(say as double)
+                |     - cast(sa as double) * cast(sy as double))
+                |   / nullif(cast(n as double) * cast(saa as double)
+                |     - cast(sa as double) * cast(sa as double), 0.0))
+                |   * cast(sa as double) / cast(n as double)) / 100.0"""
+                .stripMargin), 4).as("intercept"),
+            round(expr(
+              """(cast(n as double) * cast(say as double)
+                | - cast(sa as double) * cast(sy as double))
+                |* (cast(n as double) * cast(say as double)
+                | - cast(sa as double) * cast(sy as double))
+                |/ nullif((cast(n as double) * cast(saa as double)
+                |   - cast(sa as double) * cast(sa as double))
+                |  * (cast(n as double) * cast(syy as double)
+                |   - cast(sy as double) * cast(sy as double)), 0.0)"""
+                .stripMargin), 6).as("r2"))
+      },
+      Some("""WITH daily AS (SELECT ts::DATE AS day,
+             |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             |      ::BIGINT AS x,
+             |    (sum(CAST(value AS DECIMAL(18,2))) * 100)::BIGINT AS y
+             |  FROM events GROUP BY 1),
+             |idx AS (SELECT x, y,
+             |    row_number() OVER (ORDER BY day) - 1 AS t FROM daily),
+             |ad AS (SELECT i.t, i.y,
+             |    sum(j.x::DECIMAL(10,0)
+             |      * round(pow(0.5, (i.t - j.t)::DOUBLE), 9)
+             |        ::DECIMAL(12,9))::DECIMAL(16,9) AS a
+             |  FROM idx i JOIN idx j
+             |    ON j.t >= i.t - 20 AND j.t <= i.t
+             |  GROUP BY 1, 2),
+             |m AS (SELECT count(*)::BIGINT AS n, sum(a) AS sa,
+             |    sum((a::DECIMAL(19,9) * a)::DECIMAL(38,18)) AS saa,
+             |    sum((a::DECIMAL(19,9) * y)::DECIMAL(38,9)) AS say,
+             |    sum(y)::BIGINT AS sy, sum(y::HUGEINT * y) AS syy
+             |  FROM ad)
+             |SELECT n AS n_days,
+             |  round((n::DOUBLE * say::DOUBLE - sa::DOUBLE * sy::DOUBLE)
+             |    / nullif(n::DOUBLE * saa::DOUBLE
+             |      - sa::DOUBLE * sa::DOUBLE, 0.0) / 100.0, 6) AS beta,
+             |  round((sy::DOUBLE / n::DOUBLE
+             |    - ((n::DOUBLE * say::DOUBLE - sa::DOUBLE * sy::DOUBLE)
+             |      / nullif(n::DOUBLE * saa::DOUBLE
+             |        - sa::DOUBLE * sa::DOUBLE, 0.0))
+             |      * sa::DOUBLE / n::DOUBLE) / 100.0, 4) AS intercept,
+             |  round((n::DOUBLE * say::DOUBLE - sa::DOUBLE * sy::DOUBLE)
+             |    * (n::DOUBLE * say::DOUBLE - sa::DOUBLE * sy::DOUBLE)
+             |    / nullif((n::DOUBLE * saa::DOUBLE
+             |       - sa::DOUBLE * sa::DOUBLE)
+             |      * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE),
+             |      0.0), 6) AS r2
+             |FROM m""".stripMargin)),
+
+    // User-level event study (MacKinlay 1997 brought to product
+    // analytics): activity in the ±7-day window around each user's
+    // FIRST purchase, as events-per-million-users by relative day —
+    // the adoption-curve readout that says what a purchase does to
+    // engagement. The generated −7..7 spine keeps empty offsets as
+    // real zeros; every output is an exact integer (ppm division).
+    // One shuffle on user_id for the anchor digest, one broadcast
+    // join back to facts.
+    QueryDef("q_event_study",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+        val anchors = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("t0"))
+        val nu = broadcast(anchors.agg(count(lit(1)).as("n_users")))
+        val rel = ev.join(broadcast(anchors), "user_id")
+          .select(datediff(to_date(col("ts")), col("t0")).as("rel_day"))
+          .filter(col("rel_day").between(-7, 7))
+          .groupBy(col("rel_day")).agg(count(lit(1)).as("n_events"))
+        s.range(-7, 8).select(col("id").as("rel_day"))
+          .join(rel, Seq("rel_day"), "left")
+          .crossJoin(nu)
+          .select(col("rel_day"),
+            coalesce(col("n_events"), lit(0L)).as("n_events"),
+            col("n_users"),
+            expr("coalesce(n_events, 0) * 1000000 div n_users")
+              .as("events_ppm_user"))
+          .orderBy(col("rel_day"))
+      },
+      Some("""WITH a AS (SELECT user_id, min(ts::DATE) AS t0
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+             |nu AS (SELECT count(*)::BIGINT AS n_users FROM a),
+             |r AS (SELECT datediff('day', a.t0, e.ts::DATE)::BIGINT
+             |      AS rel_day,
+             |    count(*)::BIGINT AS n_events
+             |  FROM events e JOIN a USING (user_id)
+             |  WHERE datediff('day', a.t0, e.ts::DATE) BETWEEN -7 AND 7
+             |  GROUP BY 1)
+             |SELECT sp.rel_day, coalesce(r.n_events, 0)::BIGINT
+             |    AS n_events,
+             |  nu.n_users,
+             |  (coalesce(r.n_events, 0) * 1000000 // nu.n_users)::BIGINT
+             |    AS events_ppm_user
+             |FROM (SELECT unnest(generate_series(-7, 7))::BIGINT
+             |    AS rel_day) sp
+             |LEFT JOIN r USING (rel_day), nu
+             |ORDER BY sp.rel_day""".stripMargin))
   )
 }

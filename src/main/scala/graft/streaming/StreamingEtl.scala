@@ -167,6 +167,24 @@ object StreamingEtl {
   def slidingCountsViaStream(spark: SparkSession, dir: String): DataFrame =
     runViaStream(spark, dir, slidingCounts(_))
 
+  /** Windowed top-k — the "trending now" product op: the hourly
+    * per-type counts come from the REAL streaming aggregation (same
+    * run as `tumblingCountsViaStream`), then the per-window rank
+    * rides the already-window-sized result (a k-row-per-window sort,
+    * never a second pass over events). Deterministic ties:
+    * (n desc, event_type). */
+  def windowedTopKViaStream(spark: SparkSession, dir: String,
+                            k: Int = 3): DataFrame = {
+    val counts = tumblingCountsViaStream(spark, dir)
+    counts.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("window_start"))
+          .orderBy(col("n").desc, col("event_type"))))
+      .filter(col("rank") <= k)
+      .select(col("window_start"), col("rank"), col("event_type"),
+        col("n"))
+  }
+
   /** Recursive scratch-dir cleanup (post-run; the memory sink already
     * holds the rows, so the staged input is dead weight). */
   private def rmTree(p: java.nio.file.Path): Unit = {

@@ -53,6 +53,7 @@ class ContractSpec extends GraftSpec {
       "k4_size_metrics",
       "text_compression_ratio",
       "mm_audio_features", "mm_audio_silence", "mm_audio_pitch",
+      "mm_audio_snr", "mm_image_dhash",
       "mm_image_features",
       "mm_image_neardup", "mm_image_phash", "mm_video_features",
       "mm_video_scenecut")

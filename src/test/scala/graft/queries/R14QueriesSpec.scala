@@ -409,6 +409,69 @@ class R14QueriesSpec extends GraftSpec {
     }
   }
 
+  test("q_stream_windowed_topk: every window's board has distinct in-order ranks") {
+    val out = byName("q_stream_windowed_topk")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[java.sql.Timestamp]("window_start"))
+      .foreach { case (_, rows) =>
+        val ranked = rows.sortBy(_.getAs[Int]("rank"))
+        assert(ranked.map(_.getAs[Int]("rank")).toSeq ===
+          (1 to ranked.length))
+        val ns = ranked.map(_.getAs[Long]("n")).toSeq
+        assert(ns === ns.sorted.reverse)
+      }
+  }
+
+  test("q_adstock_regression: revenue proportional to adstock fits R2 = 1") {
+    // one click on day 0 → adstock_t = 0.5^t (exact ≤9dp for t ≤ 7);
+    // value 128·0.5^t stays INTEGER currency (no cent quantization),
+    // so the fit is exactly y = 128·a
+    val rows = (0 until 8).flatMap { di =>
+      val click = if (di == 0) Seq((day0 + di * dayUs, di.toLong,
+        "click", 0.0)) else Seq.empty
+      click :+ ((day0 + di * dayUs + 1000000L, (100 + di).toLong,
+        "view", 128.0 * math.pow(0.5, di)))
+    }
+    val out = byName("q_adstock_regression")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Long]("n_days") === 8L)
+    assert(out.getAs[Double]("r2") === 1.0)
+    assert(out.getAs[Double]("beta") === 128.0)
+  }
+
+  test("q_event_study: all activity lands on the purchase day itself") {
+    val rows = Seq(
+      (day0 + 7 * dayUs, 1L, "purchase", 1.0),
+      (day0 + 7 * dayUs + 1000000L, 1L, "view", 1.0),
+      (day0 + 7 * dayUs, 2L, "purchase", 1.0))
+    val out = byName("q_event_study")(spark, eventsDir(rows))
+      .collect().map(r => r.getAs[Long]("rel_day") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("events_ppm_user")))
+      .toMap
+    assert(out.size === 15)
+    assert(out(0L) === ((3L, 1500000L)))
+    (-7L to 7L).filter(_ != 0L).foreach(rd => assert(out(rd) === ((0L, 0L))))
+  }
+
+  test("mm_audio_snr: the dropout span always costs measurable energy") {
+    val out = byName("mm_audio_snr")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.length === 200)
+    out.foreach { r =>
+      assert(r.getAs[Long]("e_noise") > 0L)
+      assert(r.getAs[Long]("e_signal") > r.getAs[Long]("e_noise"))
+      assert(r.getAs[Double]("snr_db") > 0.0)
+    }
+  }
+
+  test("mm_image_dhash: every injected variant pair is recovered") {
+    val out = byName("mm_image_dhash")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val expected = (0L until 200L by 4).map(id => (id, id + 1000000L))
+    expected.foreach(p => assert(out.contains(p), s"missing variant pair $p"))
+  }
+
   test("mm_audio_pitch: the Goertzel scan recovers every generator frequency") {
     // makeWav seeds freq = 110 + (id % 880); the detector must round-
     // trip it through the real WAV codec for ALL 200 clips

@@ -211,6 +211,21 @@ def goertzel_freq(samples, sample_rate=8000, flo=110, fhi=989):
     return flo + int(np.argmax(p))
 
 
+def dhash63(g9):
+    """MediaKernels.dhash63 on a 9x9 grid: horizontal neighbor
+    comparisons over the first 8 rows, 63 bits."""
+    h = 0
+    i = 0
+    for y in range(8):
+        for x in range(8):
+            if i >= 63:
+                break
+            if g9[y * 9 + x + 1] > g9[y * 9 + x]:
+                h |= 1 << i
+            i += 1
+    return h
+
+
 def cosine_sim(a, b):
     """VectorFunctions.CosineSimilarity: left-to-right accumulation,
     sqrt(na)*sqrt(nb) denominator."""
@@ -346,6 +361,17 @@ def main():
     fails += check("mm_audio_pitch", load(outdir, "mm_audio_pitch"),
                    audio_pitch, ["sample_rate", "n_samples", "freq_hz"])
 
+    def audio_snr(mid):
+        clean = wav_samples(mid)
+        noisy = inject_dropout(clean, mid)
+        es = sum(v * v for v in clean)
+        en = sum((c - n) * (c - n) for c, n in zip(clean, noisy))
+        return {"e_signal": es, "e_noise": en,
+                "snr_db": spark_round(10.0 * math.log10(es / en), 4)}
+
+    fails += check("mm_audio_snr", load(outdir, "mm_audio_snr"),
+                   audio_snr, ["e_signal", "e_noise", "snr_db"])
+
     sfdir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
     docs = pd.read_parquet(f"{sfdir}/documents.parquet")
     ids200 = sorted(int(i) for i in docs["doc_id"].unique() if i < 200)
@@ -370,6 +396,25 @@ def main():
     fails += compare_frames(
         "mm_image_phash", load_raw(outdir, "mm_image_phash"),
         pd.DataFrame(prs, columns=["id_a", "id_b", "hamming"]))
+
+    # ---- mm_image_dhash: gradient-hash twin of the pHash pairs
+    dh = {}
+    for mid in ids200:
+        px = lcg_pixels(mid)
+        dh[mid] = dhash63(gray_grid(px, 24, 16, 9))
+        if mid % 4 == 0:
+            dh[mid + 1000000] = dhash63(
+                gray_grid(inject_variant(px, mid), 24, 16, 9))
+    dlist = sorted(dh)
+    dprs = []
+    for i in range(len(dlist)):
+        for j in range(i + 1, len(dlist)):
+            hd = bin(dh[dlist[i]] ^ dh[dlist[j]]).count("1")
+            if hd <= 7:
+                dprs.append((dlist[i], dlist[j], hd))
+    fails += compare_frames(
+        "mm_image_dhash", load_raw(outdir, "mm_image_dhash"),
+        pd.DataFrame(dprs, columns=["id_a", "id_b", "hamming"]))
 
     # ---- mm_image_neardup: 4x4 thumbnail cosine (raw-sim threshold,
     # then Spark-rounded to 5dp like the QueryDef)
