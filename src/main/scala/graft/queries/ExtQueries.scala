@@ -6986,6 +6986,119 @@ object ExtQueries {
               |    AS dunn_ppm
               |FROM ia, ie""".stripMargin)),
 
+    // Clustering-vs-labels agreement: Adjusted Rand Index (Hubert &
+    // Arabie 1985) and Normalized Mutual Information of the IVF cells
+    // against the ground-truth labels — the external clustering
+    // evaluation pair next to the internal inertia/silhouette/DB/Dunn
+    // quartet. The 16×10 contingency is exact integers; every pair
+    // count C(n,2) is exact; the MI/entropy terms quantize each ln to
+    // 9 dp BEFORE the count-weighted decimal sum (the repo
+    // transcendental rule), so both indices are order-independent.
+    QueryDef("emb_cluster_ari_nmi",
+      (s, d) => {
+        val cents = centroidsOf(s, d)
+        val eq = s.read.parquet(s"$d/embeddings.parquet")
+          .withColumn("e", expr(
+            "transform(cast(embedding AS array<double>), x -> cast(round(x * 1000, 0) AS bigint))"))
+        val cont = Similarity.cellAssignments(eq, cents)
+          .toDF("vec_id", "cell")
+          .join(eq.select(col("vec_id"), col("label")), "vec_id")
+          .groupBy(col("cell"), col("label"))
+          .agg(count(lit(1)).as("nij"))
+          .persist()
+        val ai = cont.groupBy(col("cell")).agg(sum(col("nij")).as("ai"))
+        val bj = cont.groupBy(col("label")).agg(sum(col("nij")).as("bj"))
+        val nTot = broadcast(cont.agg(sum(col("nij")).as("nn"),
+          countDistinct(col("cell")).as("kc"),
+          countDistinct(col("label")).as("kl"),
+          sum(col("nij") * (col("nij") - 1) / 2).cast("long").as("sij")))
+        val sa = broadcast(ai.agg(
+          sum(col("ai") * (col("ai") - 1) / 2).cast("long").as("sa"),
+          sum(col("ai").cast("decimal(20,0)") *
+            lit(0)).as("_z0")).select(col("sa")))
+        val sb = broadcast(bj.agg(
+          sum(col("bj") * (col("bj") - 1) / 2).cast("long").as("sb")))
+        val mi = cont.join(broadcast(ai), "cell")
+          .join(broadcast(bj), "label").crossJoin(nTot)
+          .select((col("nij").cast("decimal(12,0)") *
+            round(log(col("nn").cast("double") * col("nij") /
+              (col("ai").cast("double") * col("bj"))), 9)
+              .cast("decimal(14,9)")).as("t"))
+          .agg(sum(col("t")).as("mi_n"))
+        val hr = ai.crossJoin(nTot)
+          .select((col("ai").cast("decimal(12,0)") *
+            round(log(col("ai").cast("double") / col("nn")), 9)
+              .cast("decimal(14,9)")).as("t"))
+          .agg((-sum(col("t"))).as("hr_n"))
+        val hc = bj.crossJoin(nTot)
+          .select((col("bj").cast("decimal(12,0)") *
+            round(log(col("bj").cast("double") / col("nn")), 9)
+              .cast("decimal(14,9)")).as("t"))
+          .agg((-sum(col("t"))).as("hc_n"))
+        val res = nTot.crossJoin(sa).crossJoin(sb)
+          .crossJoin(broadcast(mi)).crossJoin(broadcast(hr))
+          .crossJoin(broadcast(hc))
+          .select(col("nn").as("n_vecs"), col("kc").as("k_cells"),
+            col("kl").as("n_labels"),
+            round(expr(
+              """(cast(sij as double) - cast(sa as double)
+                |   * cast(sb as double)
+                |   / (cast(nn as double) * (cast(nn as double) - 1.0)
+                |      / 2.0))
+                |/ nullif((cast(sa as double) + cast(sb as double)) / 2.0
+                |  - cast(sa as double) * cast(sb as double)
+                |    / (cast(nn as double) * (cast(nn as double) - 1.0)
+                |       / 2.0), 0.0)""".stripMargin), 6).as("ari"),
+            round(expr(
+              """cast(mi_n as double)
+                |/ nullif(sqrt(cast(hr_n as double)
+                |  * cast(hc_n as double)), 0.0)""".stripMargin), 6)
+              .as("nmi"))
+        val out = res.collect()
+        cont.unpersist()
+        s.createDataFrame(java.util.Arrays.asList(out: _*), res.schema)
+      },
+      Some(s"""WITH ${quantizerCtes("", "embedding::DOUBLE[]", 64)},
+              |cont AS (SELECT af.cell, em.label,
+              |    count(*)::BIGINT AS nij
+              |  FROM af JOIN embeddings em USING (vec_id)
+              |  GROUP BY 1, 2),
+              |ai AS (SELECT cell, sum(nij)::BIGINT AS ai FROM cont
+              |  GROUP BY 1),
+              |bj AS (SELECT label, sum(nij)::BIGINT AS bj FROM cont
+              |  GROUP BY 1),
+              |nt AS (SELECT sum(nij)::BIGINT AS nn,
+              |    count(DISTINCT cell)::BIGINT AS kc,
+              |    count(DISTINCT label)::BIGINT AS kl,
+              |    sum(nij * (nij - 1) // 2)::BIGINT AS sij
+              |  FROM cont),
+              |pa AS (SELECT sum(ai * (ai - 1) // 2)::BIGINT AS sa
+              |  FROM ai),
+              |pb AS (SELECT sum(bj * (bj - 1) // 2)::BIGINT AS sb
+              |  FROM bj),
+              |mi AS (SELECT sum(nij::DECIMAL(12,0)
+              |    * round(ln(nn::DOUBLE * nij
+              |        / (ai.ai::DOUBLE * bj.bj)), 9)::DECIMAL(14,9))
+              |    AS mi_n
+              |  FROM cont JOIN ai USING (cell) JOIN bj USING (label), nt),
+              |hr AS (SELECT -sum(ai::DECIMAL(12,0)
+              |    * round(ln(ai::DOUBLE / nn), 9)::DECIMAL(14,9))
+              |    AS hr_n FROM ai, nt),
+              |hc AS (SELECT -sum(bj::DECIMAL(12,0)
+              |    * round(ln(bj::DOUBLE / nn), 9)::DECIMAL(14,9))
+              |    AS hc_n FROM bj, nt)
+              |SELECT nn AS n_vecs, kc AS k_cells, kl AS n_labels,
+              |  round((sij::DOUBLE - sa::DOUBLE * sb::DOUBLE
+              |      / (nn::DOUBLE * (nn::DOUBLE - 1.0) / 2.0))
+              |    / nullif((sa::DOUBLE + sb::DOUBLE) / 2.0
+              |      - sa::DOUBLE * sb::DOUBLE
+              |        / (nn::DOUBLE * (nn::DOUBLE - 1.0) / 2.0), 0.0),
+              |    6) AS ari,
+              |  round(mi_n::DOUBLE
+              |    / nullif(sqrt(hr_n::DOUBLE * hc_n::DOUBLE), 0.0), 6)
+              |    AS nmi
+              |FROM nt, pa, pb, mi, hr, hc""".stripMargin)),
+
     // Bloom-filter dedup PRE-FILTER with measured false-positive
     // accounting — the cheap first pass an incremental ingest runs
     // before any expensive exact/near-dup work: the corpus's content

@@ -1520,6 +1520,190 @@ object R14Queries {
              |FROM (SELECT unnest(generate_series(-7, 7))::BIGINT
              |    AS rel_day) sp
              |LEFT JOIN r USING (rel_day), nu
-             |ORDER BY sp.rel_day""".stripMargin))
+             |ORDER BY sp.rel_day""".stripMargin)),
+
+    // Yuen's trimmed-means t-test (Yuen 1974) between the view and
+    // click channels at 20% trimming — the robust two-sample location
+    // test next to q_welch_ttest (which its formula reduces to at
+    // g = 0). Trim boundaries, trimmed sums and winsorized sums/
+    // squares all come EXACTLY off the per-group value-CELL digest
+    // (per-cell clamp arithmetic splits each cell into below-trim /
+    // kept / above-trim counts — no per-row ranking), so the only
+    // doubles are the final t and Welch–Satterthwaite df. 100 TB: one
+    // fact-sized groupBy(g, x); everything else rides the cells.
+    QueryDef("q_yuen_trimmed",
+      (s, d) => {
+        val f = graft.sources.Tables.events(s, d)
+          .filter(col("event_type").isin("view", "click"))
+          .select(col("event_type").as("g"),
+            floor(col("value") * 1000).cast("long").as("x"))
+        val cells = f.groupBy(col("g"), col("x"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("cumb", coalesce(sum(col("cnt")).over(
+            Window.partitionBy(col("g")).orderBy(col("x"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("ng", sum(col("cnt")).over(
+            Window.partitionBy(col("g"))))
+          .withColumn("cum", col("cumb") + col("cnt"))
+          .withColumn("gt", expr("ng div 5"))
+          .withColumn("lv", min(when(col("cum") >= col("gt") + 1,
+            col("x"))).over(Window.partitionBy(col("g"))))
+          .withColumn("hv", min(when(col("cum") >= col("ng") - col("gt"),
+            col("x"))).over(Window.partitionBy(col("g"))))
+          .withColumn("low", greatest(lit(0L),
+            least(col("gt"), col("cum")) - col("cumb")))
+          .withColumn("high", greatest(lit(0L),
+            col("cum") - greatest(col("ng") - col("gt"), col("cumb"))))
+          .withColumn("mid", col("cnt") - col("low") - col("high"))
+        val grp = cells.groupBy(col("g"))
+          .agg(max(col("ng")).as("n"), max(col("gt")).as("gt"),
+            max(col("lv")).as("lv"), max(col("hv")).as("hv"),
+            sum(col("mid") * col("x")).as("st"),
+            sum((col("mid").cast("decimal(19,0)") * col("x") * col("x")))
+              .as("stt"))
+          .select(col("g"), col("n"),
+            (col("n") - col("gt") * 2).as("h"),
+            col("st"),
+            (col("st") + col("gt") * (col("lv") + col("hv"))).as("sw"),
+            (col("stt") + col("gt").cast("decimal(19,0)") *
+              (col("lv") * col("lv") + col("hv") * col("hv"))).as("sww"))
+        val p = grp.agg(
+          max(when(col("g") === "view", col("n"))).as("n1"),
+          max(when(col("g") === "view", col("h"))).as("h1"),
+          max(when(col("g") === "view", col("st"))).as("st1"),
+          max(when(col("g") === "view", col("sw"))).as("sw1"),
+          max(when(col("g") === "view", col("sww"))).as("sww1"),
+          max(when(col("g") === "click", col("n"))).as("n2"),
+          max(when(col("g") === "click", col("h"))).as("h2"),
+          max(when(col("g") === "click", col("st"))).as("st2"),
+          max(when(col("g") === "click", col("sw"))).as("sw2"),
+          max(when(col("g") === "click", col("sww"))).as("sww2"))
+        p.select(col("n1"), col("n2"), col("h1"), col("h2"),
+          round(expr("cast(st1 as double) / cast(h1 as double) / 1000.0"),
+            4).as("tm_view"),
+          round(expr("cast(st2 as double) / cast(h2 as double) / 1000.0"),
+            4).as("tm_click"),
+          round(expr(
+            """(cast(st1 as double) / cast(h1 as double)
+              | - cast(st2 as double) / cast(h2 as double)) / 1000.0
+              |/ nullif(sqrt(
+              |   (cast(sww1 as double) - cast(sw1 as double)
+              |      * cast(sw1 as double) / cast(n1 as double))
+              |     / (cast(h1 as double) * (cast(h1 as double) - 1.0))
+              | + (cast(sww2 as double) - cast(sw2 as double)
+              |      * cast(sw2 as double) / cast(n2 as double))
+              |     / (cast(h2 as double) * (cast(h2 as double) - 1.0)))
+              |   / 1000.0, 0.0)""".stripMargin), 4).as("t_stat"),
+          round(expr(
+            """CASE WHEN (cast(sww1 as double) - cast(sw1 as double)
+              |      * cast(sw1 as double) / cast(n1 as double))
+              |     / (cast(h1 as double) * (cast(h1 as double) - 1.0))
+              | + (cast(sww2 as double) - cast(sw2 as double)
+              |      * cast(sw2 as double) / cast(n2 as double))
+              |     / (cast(h2 as double) * (cast(h2 as double) - 1.0))
+              |   = 0.0 THEN NULL
+              |ELSE ((cast(sww1 as double) - cast(sw1 as double)
+              |      * cast(sw1 as double) / cast(n1 as double))
+              |     / (cast(h1 as double) * (cast(h1 as double) - 1.0))
+              | + (cast(sww2 as double) - cast(sw2 as double)
+              |      * cast(sw2 as double) / cast(n2 as double))
+              |     / (cast(h2 as double) * (cast(h2 as double) - 1.0)))
+              |* ((cast(sww1 as double) - cast(sw1 as double)
+              |      * cast(sw1 as double) / cast(n1 as double))
+              |     / (cast(h1 as double) * (cast(h1 as double) - 1.0))
+              | + (cast(sww2 as double) - cast(sw2 as double)
+              |      * cast(sw2 as double) / cast(n2 as double))
+              |     / (cast(h2 as double) * (cast(h2 as double) - 1.0)))
+              |/ (pow((cast(sww1 as double) - cast(sw1 as double)
+              |      * cast(sw1 as double) / cast(n1 as double))
+              |     / (cast(h1 as double) * (cast(h1 as double) - 1.0)), 2.0)
+              |    / (cast(h1 as double) - 1.0)
+              |  + pow((cast(sww2 as double) - cast(sw2 as double)
+              |      * cast(sw2 as double) / cast(n2 as double))
+              |     / (cast(h2 as double) * (cast(h2 as double) - 1.0)), 2.0)
+              |    / (cast(h2 as double) - 1.0)) END""".stripMargin), 2)
+            .as("df"))
+      },
+      Some("""WITH f AS (SELECT event_type AS g,
+             |    floor(value * 1000)::BIGINT AS x FROM events
+             |  WHERE event_type IN ('view', 'click')),
+             |cells AS (SELECT g, x, count(*)::BIGINT AS cnt
+             |  FROM f GROUP BY 1, 2),
+             |w AS (SELECT g, x, cnt,
+             |    coalesce(sum(cnt) OVER (PARTITION BY g ORDER BY x
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |      0)::BIGINT AS cumb,
+             |    sum(cnt) OVER (PARTITION BY g)::BIGINT AS ng
+             |  FROM cells),
+             |w2 AS (SELECT *, cumb + cnt AS cum, ng // 5 AS gt FROM w),
+             |w3 AS (SELECT *,
+             |    min(CASE WHEN cum >= gt + 1 THEN x END)
+             |      OVER (PARTITION BY g) AS lv,
+             |    min(CASE WHEN cum >= ng - gt THEN x END)
+             |      OVER (PARTITION BY g) AS hv,
+             |    greatest(0, least(gt, cum) - cumb) AS low,
+             |    greatest(0, cum - greatest(ng - gt, cumb)) AS high
+             |  FROM w2),
+             |grp AS (SELECT g, max(ng)::BIGINT AS n,
+             |    max(gt)::BIGINT AS gt, max(lv)::BIGINT AS lv,
+             |    max(hv)::BIGINT AS hv,
+             |    sum((cnt - low - high) * x)::BIGINT AS st,
+             |    sum((cnt - low - high)::DECIMAL(19,0) * x * x) AS stt
+             |  FROM w3 GROUP BY 1),
+             |g2 AS (SELECT g, n, n - 2 * gt AS h, st,
+             |    st + gt * (lv + hv) AS sw,
+             |    stt + gt::DECIMAL(19,0) * (lv * lv + hv * hv) AS sww
+             |  FROM grp),
+             |p AS (SELECT
+             |    max(CASE WHEN g = 'view' THEN n END)::BIGINT AS n1,
+             |    max(CASE WHEN g = 'view' THEN h END)::BIGINT AS h1,
+             |    max(CASE WHEN g = 'view' THEN st END)::BIGINT AS st1,
+             |    max(CASE WHEN g = 'view' THEN sw END)::BIGINT AS sw1,
+             |    max(CASE WHEN g = 'view' THEN sww END) AS sww1,
+             |    max(CASE WHEN g = 'click' THEN n END)::BIGINT AS n2,
+             |    max(CASE WHEN g = 'click' THEN h END)::BIGINT AS h2,
+             |    max(CASE WHEN g = 'click' THEN st END)::BIGINT AS st2,
+             |    max(CASE WHEN g = 'click' THEN sw END)::BIGINT AS sw2,
+             |    max(CASE WHEN g = 'click' THEN sww END) AS sww2
+             |  FROM g2)
+             |SELECT n1, n2, h1, h2,
+             |  round(st1::DOUBLE / h1::DOUBLE / 1000.0, 4) AS tm_view,
+             |  round(st2::DOUBLE / h2::DOUBLE / 1000.0, 4) AS tm_click,
+             |  round((st1::DOUBLE / h1::DOUBLE
+             |      - st2::DOUBLE / h2::DOUBLE) / 1000.0
+             |    / nullif(sqrt(
+             |      (sww1::DOUBLE - sw1::DOUBLE * sw1::DOUBLE / n1::DOUBLE)
+             |        / (h1::DOUBLE * (h1::DOUBLE - 1.0))
+             |      + (sww2::DOUBLE - sw2::DOUBLE * sw2::DOUBLE
+             |          / n2::DOUBLE)
+             |        / (h2::DOUBLE * (h2::DOUBLE - 1.0))) / 1000.0, 0.0),
+             |    4) AS t_stat,
+             |  round(CASE WHEN
+             |      (sww1::DOUBLE - sw1::DOUBLE * sw1::DOUBLE / n1::DOUBLE)
+             |        / (h1::DOUBLE * (h1::DOUBLE - 1.0))
+             |      + (sww2::DOUBLE - sw2::DOUBLE * sw2::DOUBLE
+             |          / n2::DOUBLE)
+             |        / (h2::DOUBLE * (h2::DOUBLE - 1.0)) = 0.0 THEN NULL
+             |    ELSE ((sww1::DOUBLE - sw1::DOUBLE * sw1::DOUBLE
+             |          / n1::DOUBLE)
+             |        / (h1::DOUBLE * (h1::DOUBLE - 1.0))
+             |      + (sww2::DOUBLE - sw2::DOUBLE * sw2::DOUBLE
+             |          / n2::DOUBLE)
+             |        / (h2::DOUBLE * (h2::DOUBLE - 1.0)))
+             |    * ((sww1::DOUBLE - sw1::DOUBLE * sw1::DOUBLE
+             |          / n1::DOUBLE)
+             |        / (h1::DOUBLE * (h1::DOUBLE - 1.0))
+             |      + (sww2::DOUBLE - sw2::DOUBLE * sw2::DOUBLE
+             |          / n2::DOUBLE)
+             |        / (h2::DOUBLE * (h2::DOUBLE - 1.0)))
+             |    / (pow((sww1::DOUBLE - sw1::DOUBLE * sw1::DOUBLE
+             |          / n1::DOUBLE)
+             |        / (h1::DOUBLE * (h1::DOUBLE - 1.0)), 2.0)
+             |        / (h1::DOUBLE - 1.0)
+             |      + pow((sww2::DOUBLE - sw2::DOUBLE * sw2::DOUBLE
+             |          / n2::DOUBLE)
+             |        / (h2::DOUBLE * (h2::DOUBLE - 1.0)), 2.0)
+             |        / (h2::DOUBLE - 1.0)) END, 2) AS df
+             |FROM p""".stripMargin))
   )
 }

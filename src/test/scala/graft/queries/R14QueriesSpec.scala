@@ -453,6 +453,40 @@ class R14QueriesSpec extends GraftSpec {
     (-7L to 7L).filter(_ != 0L).foreach(rd => assert(out(rd) === ((0L, 0L))))
   }
 
+  test("q_yuen_trimmed: identical channels give t = 0 with the exact trimmed mean") {
+    // both groups see values 1..10 → 20% trim keeps ranks 3..8,
+    // trimmed mean exactly 5.5, difference exactly 0
+    val rows = for {
+      (et, gi) <- Seq("view", "click").zipWithIndex
+      k <- 1 to 10
+    } yield (day0 + (gi * 10 + k) * 1000000L, (gi * 10 + k).toLong,
+      et, k.toDouble)
+    val out = byName("q_yuen_trimmed")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Long]("n1") === 10L)
+    assert(out.getAs[Long]("h1") === 6L)
+    assert(out.getAs[Double]("tm_view") === 5.5)
+    assert(out.getAs[Double]("tm_click") === 5.5)
+    assert(out.getAs[Double]("t_stat") === 0.0)
+  }
+
+  test("q_yuen_trimmed: sf0.001 halves trim 20% each side") {
+    val out = byName("q_yuen_trimmed")(spark, "/root/testdata/sf0.001").head()
+    assert(out.getAs[Long]("h1") ===
+      out.getAs[Long]("n1") - 2 * (out.getAs[Long]("n1") / 5))
+    assert(!out.getAs[Double]("t_stat").isNaN)
+  }
+
+  test("emb_cluster_ari_nmi: sf0.001 indices live in their ranges") {
+    val out = byName("emb_cluster_ari_nmi")(
+      spark, "/root/testdata/sf0.001").head()
+    assert(out.getAs[Long]("n_vecs") === 500L)
+    assert(out.getAs[Long]("n_labels") === 10L)
+    val ari = out.getAs[Double]("ari")
+    val nmi = out.getAs[Double]("nmi")
+    assert(ari >= -1.0 && ari <= 1.0)
+    assert(nmi >= 0.0 && nmi <= 1.0 + 1e-9)
+  }
+
   test("mm_audio_snr: the dropout span always costs measurable energy") {
     val out = byName("mm_audio_snr")(spark, "/root/testdata/sf0.001")
       .collect()
