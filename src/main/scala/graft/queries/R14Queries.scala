@@ -24,6 +24,43 @@ object R14Queries {
   /** DuckDB mirror of [[graft.ext.Dedup.strHash60]]. */
   private def dkHash60(s: String) = s"('0x'||substring(md5($s),1,15))::BIGINT"
 
+  /** Φ⁻¹(p) as Acklam's rational approximation, emitted as ONE SQL
+    * string fed verbatim to Spark `expr()` AND the DuckDB oracle (the
+    * R13 Lanczos-Γ precedent): neither engine has a probit/erfinv
+    * builtin, and sharing the literal expression makes the
+    * transcendental bit-identical up to the two engines' ln/sqrt
+    * (1-ulp, absorbed by the caller's 9 dp quantization). Valid for
+    * p ∈ (0,1); |relative error| < 1.15e-9 (Acklam 2003, public). */
+  private def probitSql(p: String): String = {
+    val a = Seq("-3.969683028665376e+01", "2.209460984245205e+02",
+      "-2.759285104469687e+02", "1.383577518672690e+02",
+      "-3.066479806614716e+01", "2.506628277459239e+00")
+    val b = Seq("-5.447609879822406e+01", "1.615858368580409e+02",
+      "-1.556989798598866e+02", "6.680131188771972e+01",
+      "-1.328068155288572e+01")
+    val c = Seq("-7.784894002430293e-03", "-3.223964580411365e-01",
+      "-2.400758277161838e+00", "-2.549732539343734e+00",
+      "4.374664141464968e+00", "2.938163982698783e+00")
+    val dd = Seq("7.784695709041462e-03", "3.224671290700398e-01",
+      "2.445134137142996e+00", "3.754408661907416e+00")
+    def horner(cs: Seq[String], v: String) =
+      cs.tail.foldLeft(s"(${cs.head})")((acc, ci) =>
+        s"($acc * $v + ($ci))")
+    val qc = s"(($p) - 0.5)"
+    val rc = s"($qc * $qc)"
+    val central =
+      s"(${horner(a, rc)} * $qc / (${horner(b, rc)} * $rc + 1.0))"
+    val ql = s"sqrt(-2.0 * ln(($p)))"
+    val low = s"(${horner(c, ql)} / (${horner(dd, ql)} * $ql + 1.0))"
+    val qh = s"sqrt(-2.0 * ln(1.0 - ($p)))"
+    val high = s"(-(${horner(c, qh)} / (${horner(dd, qh)} * $qh + 1.0)))"
+    s"(CASE WHEN ($p) < 0.02425 THEN $low" +
+      s" WHEN ($p) > 0.97575 THEN $high ELSE $central END)"
+  }
+
+  /** Spark spelling of `low`/`high` above needs `ln` — Spark SQL's
+    * natural log is also `ln`, so the shared string parses on both. */
+
   val defs: Seq[QueryDef] = Seq(
 
     // Fisher's exact test (Fisher 1935) on the weekend × purchase
@@ -1704,6 +1741,149 @@ object R14Queries {
              |          / n2::DOUBLE)
              |        / (h2::DOUBLE * (h2::DOUBLE - 1.0)), 2.0)
              |        / (h2::DOUBLE - 1.0)) END, 2) AS df
-             |FROM p""".stripMargin))
+             |FROM p""".stripMargin)),
+
+    // Shapiro–Francia normality test (Shapiro & Francia 1972) of
+    // daily revenue: W′ = corr(y₍ᵢ₎, mᵢ)² against Blom normal scores
+    // mᵢ = Φ⁻¹((i−3/8)/(n+1/4)). Neither engine has a probit, so
+    // Φ⁻¹ is the SHARED Acklam rational literal (the Lanczos-Γ
+    // precedent — no builtin, no ulp drift), quantized to 9 dp per
+    // order statistic; all cross sums are exact DECIMAL/BIGINT and
+    // only the final ratio is a double. Order statistics ride the
+    // ≤366-row calendar digest; tied revenues contribute identically
+    // under any tie order because their y values are equal.
+    QueryDef("q_shapiro_francia",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg((sum(col("value").cast("decimal(18,2)")) * lit(100))
+            .cast("long").as("y"))
+          .withColumn("i", row_number().over(
+            Window.orderBy(col("y"), col("day"))))
+        val n = broadcast(daily.agg(count(lit(1)).as("n")))
+        val pExpr = "(cast(i as double) - 0.375)" +
+          " / (cast(n as double) + 0.25)"
+        daily.crossJoin(n)
+          .withColumn("m", expr(
+            s"cast(round(${probitSql(pExpr)}, 9) as decimal(12,9))"))
+          .agg(max(col("n")).as("nd"),
+            sum(col("m") * col("y").cast("decimal(12,0)")).as("smy"),
+            sum((col("m") * col("m")).cast("decimal(38,18)")).as("smm"),
+            sum(col("y")).as("sy"),
+            sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+          .select(col("nd").as("n_days"),
+            round(expr(
+              """cast(smy as double) * cast(smy as double)
+                |/ nullif(cast(smm as double)
+                |  * (cast(syy as double) - cast(sy as double)
+                |     * cast(sy as double) / cast(nd as double)), 0.0)"""
+                .stripMargin), 6).as("w_prime"))
+      },
+      Some {
+        val pExpr = "(i::DOUBLE - 0.375) / (n::DOUBLE + 0.25)"
+        s"""WITH daily AS (SELECT ts::DATE AS day,
+           |    (sum(CAST(value AS DECIMAL(18,2))) * 100)::BIGINT AS y
+           |  FROM events GROUP BY 1),
+           |rk AS (SELECT y,
+           |    row_number() OVER (ORDER BY y, day) AS i FROM daily),
+           |nn AS (SELECT count(*)::BIGINT AS n FROM rk),
+           |m AS (SELECT y,
+           |    round(${probitSql(pExpr)}, 9)::DECIMAL(12,9) AS m
+           |  FROM rk, nn),
+           |a AS (SELECT max(nn.n)::BIGINT AS nd,
+           |    sum(m.m * m.y::DECIMAL(12,0)) AS smy,
+           |    sum((m.m::DECIMAL(19,9) * m.m)::DECIMAL(38,18)) AS smm,
+           |    sum(m.y)::BIGINT AS sy, sum(m.y::HUGEINT * m.y) AS syy
+           |  FROM m, nn)
+           |SELECT nd AS n_days,
+           |  round(smy::DOUBLE * smy::DOUBLE
+           |    / nullif(smm::DOUBLE * (syy::DOUBLE
+           |      - sy::DOUBLE * sy::DOUBLE / nd::DOUBLE), 0.0), 6)
+           |    AS w_prime
+           |FROM a""".stripMargin
+      }),
+
+    // Two-sample energy distance (Székely & Rizzo 2004) between the
+    // label-0 and label-1 embedding clouds: 2·E|X−Y| − E|X−X′| −
+    // E|Y−Y′| with every pair distance rounded ONCE to 1e-6 off the
+    // exact integer d² (the emb_silhouette rule), so all three sums
+    // are exact BIGINTs and the U-statistic means divide once at the
+    // end. The distribution-level two-sample test beside the kernel
+    // MMD pair — zero iff the clouds coincide. Bounded to the ≤512
+    // audit slice like the other pairwise emb diagnostics.
+    QueryDef("emb_energy_distance",
+      (s, d) => {
+        val xq = transform(slice(col("embedding"), 1, 16),
+          x => round(x.cast("double") * 1000, 0).cast("long"))
+        val v = s.read.parquet(s"$d/embeddings.parquet")
+          .filter(col("vec_id") < 512 && col("label").isin(0, 1))
+          .select(col("vec_id"), col("label"), xq.as("q"))
+        def dE6 = round(sqrt(expr(
+          "aggregate(zip_with(q, q2, (u, v) -> (u - v) * (u - v)), " +
+            "0L, (acc, e) -> acc + e)").cast("double")) * 1000000, 0)
+          .cast("long")
+        val pairs = v.join(
+            v.select(col("vec_id").as("v2"), col("label").as("l2"),
+              col("q").as("q2")),
+            col("vec_id") < col("v2"))
+          .select(col("label"), col("l2"), dE6.as("de6"))
+        pairs.agg(
+            sum(when(col("label") =!= col("l2"), col("de6"))).as("sxy"),
+            sum(when(col("label") === 0 && col("l2") === 0, col("de6")))
+              .as("sxx"),
+            sum(when(col("label") === 1 && col("l2") === 1, col("de6")))
+              .as("syy"),
+            sum(when(col("label") =!= col("l2"), 1L).otherwise(0L))
+              .as("nxy"))
+          .crossJoin(broadcast(v.groupBy()
+            .agg(sum(when(col("label") === 0, 1L).otherwise(0L)).as("nx"),
+              sum(when(col("label") === 1, 1L).otherwise(0L)).as("ny"))))
+          .select(col("nx"), col("ny"),
+            round(expr(
+              """(2.0 * cast(sxy as double)
+                |    / (cast(nx as double) * cast(ny as double))
+                |  - 2.0 * cast(sxx as double)
+                |    / nullif(cast(nx as double)
+                |       * (cast(nx as double) - 1.0), 0.0)
+                |  - 2.0 * cast(syy as double)
+                |    / nullif(cast(ny as double)
+                |       * (cast(ny as double) - 1.0), 0.0)) / 1e6"""
+                .stripMargin), 6).as("e_dist"),
+            round(expr(
+              """cast(sxy as double)
+                |/ (cast(nx as double) * cast(ny as double)) / 1e6"""
+                .stripMargin), 6).as("mean_cross"))
+      },
+      Some("""WITH v AS (SELECT vec_id, label,
+             |    list_transform(embedding[1:16],
+             |      x -> round(x::DOUBLE * 1000)::BIGINT) AS q
+             |  FROM embeddings
+             |  WHERE vec_id < 512 AND label IN (0, 1)),
+             |p AS (SELECT a.label, b.label AS l2,
+             |    round(sqrt(list_sum(list_transform(range(1, 17),
+             |      i -> (a.q[i] - b.q[i]) * (a.q[i] - b.q[i])))::DOUBLE)
+             |      * 1000000)::BIGINT AS de6
+             |  FROM v a JOIN v b ON a.vec_id < b.vec_id),
+             |s AS (SELECT
+             |    sum(CASE WHEN label != l2 THEN de6 END)::BIGINT AS sxy,
+             |    sum(CASE WHEN label = 0 AND l2 = 0 THEN de6 END)
+             |      ::BIGINT AS sxx,
+             |    sum(CASE WHEN label = 1 AND l2 = 1 THEN de6 END)
+             |      ::BIGINT AS syy
+             |  FROM p),
+             |c AS (SELECT
+             |    sum(CASE WHEN label = 0 THEN 1 ELSE 0 END)::BIGINT AS nx,
+             |    sum(CASE WHEN label = 1 THEN 1 ELSE 0 END)::BIGINT AS ny
+             |  FROM v)
+             |SELECT nx, ny,
+             |  round((2.0 * sxy::DOUBLE / (nx::DOUBLE * ny::DOUBLE)
+             |    - 2.0 * sxx::DOUBLE
+             |      / nullif(nx::DOUBLE * (nx::DOUBLE - 1.0), 0.0)
+             |    - 2.0 * syy::DOUBLE
+             |      / nullif(ny::DOUBLE * (ny::DOUBLE - 1.0), 0.0))
+             |    / 1e6, 6) AS e_dist,
+             |  round(sxy::DOUBLE / (nx::DOUBLE * ny::DOUBLE) / 1e6, 6)
+             |    AS mean_cross
+             |FROM s, c""".stripMargin))
   )
 }

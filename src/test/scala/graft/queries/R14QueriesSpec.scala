@@ -487,6 +487,47 @@ class R14QueriesSpec extends GraftSpec {
     assert(nmi >= 0.0 && nmi <= 1.0 + 1e-9)
   }
 
+  test("q_shapiro_francia: W' is affine-invariant and lands in (0, 1]") {
+    val vals = Seq(3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9)
+    def dirFor(f: Int => Int) = eventsDir(vals.zipWithIndex.map {
+      case (v, di) => (day0 + di * dayUs, di.toLong, "view",
+        f(v).toDouble)
+    })
+    val w1 = byName("q_shapiro_francia")(spark, dirFor(identity))
+      .head().getAs[Double]("w_prime")
+    val w2 = byName("q_shapiro_francia")(spark, dirFor(v => 3 * v + 7))
+      .head().getAs[Double]("w_prime")
+    assert(w1 === w2) // location-scale invariance of the correlation
+    assert(w1 > 0.0 && w1 <= 1.0)
+  }
+
+  test("q_shapiro_francia: sf0.001 statistic is a valid squared correlation") {
+    val out = byName("q_shapiro_francia")(
+      spark, "/root/testdata/sf0.001").head()
+    val w = out.getAs[Double]("w_prime")
+    assert(w > 0.0 && w <= 1.0)
+    assert(out.getAs[Long]("n_days") === 30L)
+  }
+
+  test("emb_energy_distance: two separated point-pairs give exactly 2x the gap") {
+    // label 0 at x=0 (twice), label 1 at x=2.0 (twice): within-group
+    // distances 0, cross distances 2000 grid units → E = 4000
+    val dir = embDir16(Seq(
+      (0L, 0.0f, 0), (1L, 0.0f, 0), (2L, 2.0f, 1), (3L, 2.0f, 1)))
+    val out = byName("emb_energy_distance")(spark, dir).head()
+    assert(out.getAs[Long]("nx") === 2L)
+    assert(out.getAs[Long]("ny") === 2L)
+    assert(out.getAs[Double]("mean_cross") === 2000.0)
+    assert(out.getAs[Double]("e_dist") === 4000.0)
+  }
+
+  test("emb_energy_distance: sf0.001 distance is nonnegative-ish and finite") {
+    val out = byName("emb_energy_distance")(
+      spark, "/root/testdata/sf0.001").head()
+    assert(!out.getAs[Double]("e_dist").isNaN)
+    assert(out.getAs[Double]("mean_cross") > 0.0)
+  }
+
   test("mm_audio_snr: the dropout span always costs measurable energy") {
     val out = byName("mm_audio_snr")(spark, "/root/testdata/sf0.001")
       .collect()
