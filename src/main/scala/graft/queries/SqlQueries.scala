@@ -10134,9 +10134,13 @@ object SqlQueries {
             expr("unix_micros(ts) div 1000000").as("xa"),
             floor(col("value") * 1000).cast("long").as("y"))
         val span = ev.agg(min(col("xa")).as("t0"), max(col("xa")).as("t1"))
+        // pts feeds the bucket digest AND the per-point scoring join:
+        // the lazy persist shares one cached RDD between them inside
+        // the single collect below (r12 — was a double scan)
         val pts = ev.crossJoin(broadcast(span))
           .select(col("event_id"), (col("xa") - col("t0")).as("x"), col("y"),
             expr("(xa - t0) * 100 div (t1 - t0 + 1)").as("b"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val dig = pts.groupBy(col("b"))
           .agg(count(lit(1)).as("c"), sum(col("x")).as("sx"),
             sum(col("y")).as("sy"))
@@ -10163,7 +10167,7 @@ object SqlQueries {
           .orderBy(col("x"), col("event_id"))
         val wL = Window.partitionBy(col("b"))
           .orderBy(col("x").desc, col("event_id").desc)
-        withN
+        val res = withN
           .withColumn("score",
             when(col("cp").isNotNull && col("cn").isNotNull, score))
           .withColumn("ra", row_number().over(wA))
@@ -10178,6 +10182,9 @@ object SqlQueries {
           .select(col("b").as("bucket"), col("x").as("x_sec"),
             col("y").as("value_milli"))
           .orderBy(col("bucket"))
+        val rows = res.collect()
+        pts.unpersist()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
       },
       Some("""WITH ev AS (SELECT event_id, floor(epoch(ts))::BIGINT AS xa,
              |    floor(value * 1000)::BIGINT AS y
