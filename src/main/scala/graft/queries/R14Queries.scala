@@ -1884,6 +1884,168 @@ object R14Queries {
              |    / 1e6, 6) AS e_dist,
              |  round(sxy::DOUBLE / (nx::DOUBLE * ny::DOUBLE) / 1e6, 6)
              |    AS mean_cross
-             |FROM s, c""".stripMargin))
+             |FROM s, c""".stripMargin)),
+
+    // Newey–West HAC standard error (Newey & West 1987) of the mean
+    // daily revenue with the Bartlett kernel at lag 5 — the
+    // autocorrelation-robust uncertainty an iid s/√n understates on a
+    // trending series. Centered products use the exact integer
+    // identity e_t = n·y_t − Σy, and the kernel-weighted long-run
+    // variance is assembled as ONE exact decimal 6·S₀ + 2Σ(6−k)·S_k
+    // (the rational Bartlett weights cleared by ×6), so the only
+    // doubles are the final square roots. The ≤6-lag self-join rides
+    // the calendar digest.
+    QueryDef("q_newey_west",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg((sum(col("value").cast("decimal(18,2)")) * lit(100))
+            .cast("long").as("y"))
+          .withColumn("t", row_number().over(Window.orderBy(col("day")))
+            - 1)
+        val g = broadcast(daily.agg(count(lit(1)).as("n"),
+          sum(col("y")).as("sy")))
+        val e = daily.crossJoin(g)
+          .select(col("t"), (col("n") * col("y") - col("sy")).as("e"),
+            col("n"), col("sy"))
+        val lags = e.join(
+            e.select(col("t").as("t2"), col("e").as("e2")),
+            col("t2") >= col("t") - 5 && col("t2") <= col("t"))
+          .withColumn("k", col("t") - col("t2"))
+          .withColumn("w", when(col("k") === 0, lit(6L))
+            .otherwise((lit(6L) - col("k")) * 2))
+          .agg(max(col("n")).as("n"),
+            sum((col("w").cast("decimal(38,0)") * col("e") * col("e2")))
+              .as("tsum"),
+            sum(when(col("k") === 0,
+              col("e").cast("decimal(38,0)") * col("e"))).as("s0"),
+            max(col("sy")).as("sy"))
+        lags.select(col("n").as("n_days"),
+            round(expr("cast(sy as double) / cast(n as double) / 100.0"),
+              4).as("mean_rev"),
+            round(expr(
+              """sqrt(cast(s0 as double)
+                |  / (cast(n as double) * cast(n as double)
+                |     * (cast(n as double) - 1.0))
+                |  / cast(n as double)) / 100.0""".stripMargin), 4)
+              .as("se_iid"),
+            round(expr(
+              """sqrt(cast(tsum as double)
+                |  / (6.0 * cast(n as double) * cast(n as double)
+                |     * cast(n as double))
+                |  / cast(n as double)) / 100.0""".stripMargin), 4)
+              .as("se_hac"),
+            round(expr(
+              """sqrt(cast(tsum as double) * (cast(n as double) - 1.0)
+                |  / nullif(6.0 * cast(s0 as double), 0.0))"""
+                .stripMargin), 4).as("hac_over_iid"))
+      },
+      Some("""WITH daily AS (SELECT ts::DATE AS day,
+             |    (sum(CAST(value AS DECIMAL(18,2))) * 100)::BIGINT AS y
+             |  FROM events GROUP BY 1),
+             |idx AS (SELECT y,
+             |    row_number() OVER (ORDER BY day) - 1 AS t FROM daily),
+             |g AS (SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS sy
+             |  FROM idx),
+             |e AS (SELECT t, n * y - sy AS e, n, sy FROM idx, g),
+             |l AS (SELECT a.n, a.sy, a.t - b.t AS k, a.e, b.e AS e2
+             |  FROM e a JOIN e b ON b.t >= a.t - 5 AND b.t <= a.t),
+             |agg AS (SELECT max(n)::BIGINT AS n, max(sy)::BIGINT AS sy,
+             |    sum((CASE WHEN k = 0 THEN 6 ELSE (6 - k) * 2 END)
+             |      ::HUGEINT * e * e2) AS tsum,
+             |    sum(CASE WHEN k = 0 THEN e::HUGEINT * e END) AS s0
+             |  FROM l)
+             |SELECT n AS n_days,
+             |  round(sy::DOUBLE / n::DOUBLE / 100.0, 4) AS mean_rev,
+             |  round(sqrt(s0::DOUBLE
+             |    / (n::DOUBLE * n::DOUBLE * (n::DOUBLE - 1.0))
+             |    / n::DOUBLE) / 100.0, 4) AS se_iid,
+             |  round(sqrt(tsum::DOUBLE
+             |    / (6.0 * n::DOUBLE * n::DOUBLE * n::DOUBLE)
+             |    / n::DOUBLE) / 100.0, 4) AS se_hac,
+             |  round(sqrt(tsum::DOUBLE * (n::DOUBLE - 1.0)
+             |    / nullif(6.0 * s0::DOUBLE, 0.0)), 4) AS hac_over_iid
+             |FROM agg""".stripMargin)),
+
+    // XYZ demand-variability classification (the companion axis to
+    // q_abc_analysis in inventory segmentation): per brand, the
+    // coefficient of variation of WEEKLY demand — with silent weeks
+    // as real zeros via the brand × week spine — classes X (CV ≤ ½),
+    // Y (CV ≤ 1), Z. Every class decision is the cross-multiplied
+    // integer inequality 4·(nΣq²−S²) ≤ nS² / (nΣq²−S²) ≤ nS² — no
+    // float CV compare anywhere; the published per-class tallies and
+    // ppm shares are integers.
+    QueryDef("q_xyz_analysis",
+      (s, d) => {
+        val li = s.read.parquet(s"$d/lineitem.parquet")
+          .join(s.read.parquet(s"$d/orders.parquet")
+            .select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(s.read.parquet(s"$d/part.parquet")
+            .select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("p_brand").as("brand"),
+            floor(datediff(col("o_orderdate"), lit("1992-01-01")) / 7)
+              .cast("long").as("wk"),
+            col("l_quantity").cast("long").as("q"))
+        val demand = li.groupBy(col("brand"), col("wk"))
+          .agg(sum(col("q")).as("qw"))
+        val weeks = broadcast(demand.agg(min(col("wk")).as("w0"),
+          max(col("wk")).as("w1")))
+        val brands = demand.select(col("brand")).distinct()
+        val spine = brands.crossJoin(weeks)
+          .select(col("brand"), explode(expr("sequence(w0, w1)")).as("wk"))
+        val cells = spine.join(demand, Seq("brand", "wk"), "left")
+          .select(col("brand"), col("wk"),
+            coalesce(col("qw"), lit(0L)).as("qw"))
+        val stats = cells.groupBy(col("brand"))
+          .agg(count(lit(1)).as("nw"), sum(col("qw")).as("sq"),
+            sum(col("qw").cast("decimal(38,0)") * col("qw")).as("sqq"))
+          .withColumn("v", expr(
+            "cast(nw as decimal(38,0)) * sqq" +
+              " - cast(sq as decimal(38,0)) * sq"))
+          .withColumn("s2", expr(
+            "cast(sq as decimal(38,0)) * sq"))
+          .withColumn("cls",
+            when(col("v") * 4 <= col("s2"), "X")
+              .when(col("v") <= col("s2"), "Y").otherwise("Z"))
+        val tot = broadcast(stats.agg(count(lit(1)).as("nb")))
+        stats.groupBy(col("cls")).agg(count(lit(1)).as("n_brands"))
+          .crossJoin(tot)
+          .select(col("cls").as("xyz_class"), col("n_brands"),
+            expr("n_brands * 1000000 div nb").as("share_ppm"))
+          .orderBy(col("xyz_class"))
+      },
+      Some("""WITH li AS (SELECT p_brand AS brand,
+             |    floor(datediff('day', DATE '1992-01-01', o_orderdate)
+             |      / 7)::BIGINT AS wk,
+             |    l_quantity::BIGINT AS q
+             |  FROM lineitem
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN part ON l_partkey = p_partkey),
+             |demand AS (SELECT brand, wk, sum(q)::BIGINT AS qw
+             |  FROM li GROUP BY 1, 2),
+             |wr AS (SELECT min(wk) AS w0, max(wk) AS w1 FROM demand),
+             |spine AS (SELECT b.brand, unnest(generate_series(w0, w1))
+             |    AS wk
+             |  FROM (SELECT DISTINCT brand FROM demand) b, wr),
+             |cells AS (SELECT spine.brand, spine.wk,
+             |    coalesce(demand.qw, 0)::BIGINT AS qw
+             |  FROM spine LEFT JOIN demand USING (brand, wk)),
+             |st AS (SELECT brand, count(*)::BIGINT AS nw,
+             |    sum(qw)::BIGINT AS sq, sum(qw::HUGEINT * qw) AS sqq
+             |  FROM cells GROUP BY 1),
+             |cls AS (SELECT brand,
+             |    CASE WHEN (nw::HUGEINT * sqq - sq::HUGEINT * sq) * 4
+             |        <= sq::HUGEINT * sq THEN 'X'
+             |      WHEN nw::HUGEINT * sqq - sq::HUGEINT * sq
+             |        <= sq::HUGEINT * sq THEN 'Y'
+             |      ELSE 'Z' END AS xyz_class
+             |  FROM st),
+             |tot AS (SELECT count(*)::BIGINT AS nb FROM cls)
+             |SELECT xyz_class, count(*)::BIGINT AS n_brands,
+             |  (count(*) * 1000000 // max(nb))::BIGINT AS share_ppm
+             |FROM cls, tot GROUP BY xyz_class
+             |ORDER BY xyz_class""".stripMargin))
   )
 }

@@ -528,6 +528,60 @@ class R14QueriesSpec extends GraftSpec {
     assert(out.getAs[Double]("mean_cross") > 0.0)
   }
 
+  test("q_newey_west: a trending series inflates the HAC SE above iid") {
+    // ramp 1..20: residuals from the mean are maximally positively
+    // autocorrelated → Bartlett-weighted LRV ≫ γ₀
+    val rows = (0 until 20).map(di =>
+      (day0 + di * dayUs, di.toLong, "view", (di + 1).toDouble))
+    val out = byName("q_newey_west")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Long]("n_days") === 20L)
+    assert(out.getAs[Double]("hac_over_iid") > 1.5)
+    assert(out.getAs[Double]("se_hac") > out.getAs[Double]("se_iid"))
+  }
+
+  test("q_newey_west: a constant series has zero SE and a null ratio") {
+    val rows = (0 until 10).map(di =>
+      (day0 + di * dayUs, di.toLong, "view", 5.0))
+    val out = byName("q_newey_west")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Double]("se_iid") === 0.0)
+    assert(out.getAs[Double]("se_hac") === 0.0)
+    assert(out.isNullAt(out.fieldIndex("hac_over_iid")))
+  }
+
+  private def liOrdersPartDir(
+      li: Seq[(Long, Long, Long)], orders: Seq[(Long, String)],
+      parts: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("r14xyz").toString
+    li.toDF("l_orderkey", "l_partkey", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    orders.toDF("o_orderkey", "__d")
+      .withColumn("o_orderdate", to_date(col("__d"))).drop("__d")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    parts.toDF("p_partkey", "p_brand")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    dir
+  }
+
+  test("q_xyz_analysis: constant, mixed and one-shot demand split X/Y/Z") {
+    // weeks 0..3; A: 10 each week (CV 0 → X); C: 10,10,0,0 (CV = 1
+    // → Y boundary); B: 10,0,0,0 (CV² = 3 → Z)
+    val orders = (0 until 4).map(w =>
+      ((w + 1).toLong, s"1992-01-${"%02d".format(1 + 7 * w)}"))
+    val li = Seq(
+      (1L, 1L, 10L), (2L, 1L, 10L), (3L, 1L, 10L), (4L, 1L, 10L),
+      (1L, 2L, 10L), (2L, 2L, 10L),
+      (1L, 3L, 10L))
+    val parts = Seq((1L, "Brand#A"), (2L, "Brand#C"), (3L, "Brand#B"))
+    val out = byName("q_xyz_analysis")(
+        spark, liOrdersPartDir(li, orders, parts))
+      .collect().map(r => r.getAs[String]("xyz_class") ->
+        (r.getAs[Long]("n_brands"), r.getAs[Long]("share_ppm"))).toMap
+    assert(out("X") === ((1L, 333333L)))
+    assert(out("Y") === ((1L, 333333L)))
+    assert(out("Z") === ((1L, 333333L)))
+  }
+
   test("mm_audio_snr: the dropout span always costs measurable energy") {
     val out = byName("mm_audio_snr")(spark, "/root/testdata/sf0.001")
       .collect()
