@@ -2046,6 +2046,121 @@ object R14Queries {
              |SELECT xyz_class, count(*)::BIGINT AS n_brands,
              |  (count(*) * 1000000 // max(nb))::BIGINT AS share_ppm
              |FROM cls, tot GROUP BY xyz_class
-             |ORDER BY xyz_class""".stripMargin))
+             |ORDER BY xyz_class""".stripMargin)),
+
+    // E-divisive energy changepoint (Matteson & James 2014): the
+    // split τ of the daily revenue series maximizing the scaled
+    // energy distance Q(τ) = mn/(m+n)·E(τ) between the two segments —
+    // the distribution-free changepoint next to the mean-based
+    // q_binseg_depth2 and rank-based q_pettitt_changepoint. The
+    // three per-τ pair sums (within-left, within-right, cross) come
+    // from ONE pass over the ≤C(366,2) pair digest via a DIFFERENCE
+    // ARRAY: each pair (i<j) adds +|Δ| at τ=i and −|Δ| at τ=j, so a
+    // single prefix sum yields every τ's cross total — O(pairs), no
+    // τ×pairs blow-up — and within-right is the exact complement.
+    // All sums are exact BIGINTs; the argmax is decided on the final
+    // doubles with identical spelling (ties → earliest τ).
+    QueryDef("q_energy_changepoint",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg((sum(col("value").cast("decimal(18,2)")) * lit(100))
+            .cast("long").as("y"))
+          .withColumn("t", row_number().over(Window.orderBy(col("day")))
+            - 1)
+        val g = broadcast(daily.agg(count(lit(1)).as("nn")))
+        val pairs = daily.select(col("t").as("i"), col("y").as("yi"))
+          .join(daily.select(col("t").as("j"), col("y").as("yj")),
+            col("i") < col("j"))
+          .select(col("i"), col("j"), abs(col("yi") - col("yj")).as("dd"))
+        val deltas = pairs.select(explode(array(
+            struct(col("i").as("tau"), col("dd").as("dc"),
+              lit(0L).as("daa")),
+            struct(col("j").as("tau"), (-col("dd")).as("dc"),
+              col("dd").as("daa")))).as("e"))
+          .select(col("e.tau"), col("e.dc"), col("e.daa"))
+          .groupBy(col("tau"))
+          .agg(sum(col("dc")).as("dc"), sum(col("daa")).as("daa"))
+          .withColumn("scross", sum(col("dc")).over(
+            Window.orderBy(col("tau"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("saa", sum(col("daa")).over(
+            Window.orderBy(col("tau"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val tot = broadcast(pairs.agg(sum(col("dd")).as("tall")))
+        val scored = deltas.crossJoin(g).crossJoin(tot)
+          .filter(col("tau") >= 1 && col("tau") <= col("nn") - 3)
+          .withColumn("m", col("tau") + 1)
+          .withColumn("nb", col("nn") - col("tau") - 1)
+          .withColumn("sbb", col("tall") - col("saa") - col("scross"))
+          .withColumn("e", expr(
+            """2.0 * cast(scross as double)
+              |  / (cast(m as double) * cast(nb as double))
+              |- 2.0 * cast(saa as double)
+              |  / (cast(m as double) * (cast(m as double) - 1.0))
+              |- 2.0 * cast(sbb as double)
+              |  / (cast(nb as double) * (cast(nb as double) - 1.0))"""
+              .stripMargin))
+          .withColumn("q", expr(
+            """cast(m as double) * cast(nb as double)
+              |/ (cast(m as double) + cast(nb as double))"""
+              .stripMargin) * col("e"))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("q").desc, col("tau"))))
+          .filter(col("rk") === 1)
+        scored.join(daily.select(col("t").as("tau"),
+            col("day").cast("string").as("split_day")), Seq("tau"))
+          .select(col("nn").as("n_days"),
+            col("tau").cast("long").as("tau_idx"),
+            col("split_day"), col("m").cast("long").as("n_left"),
+            col("nb").cast("long").as("n_right"),
+            round(col("e") / 100.0, 6).as("e_stat"),
+            round(col("q") / 100.0, 4).as("q_stat"))
+      },
+      Some("""WITH daily AS (SELECT ts::DATE AS day,
+             |    (sum(CAST(value AS DECIMAL(18,2))) * 100)::BIGINT AS y
+             |  FROM events GROUP BY 1),
+             |idx AS (SELECT day, y,
+             |    row_number() OVER (ORDER BY day) - 1 AS t FROM daily),
+             |g AS (SELECT count(*)::BIGINT AS nn FROM idx),
+             |p AS (SELECT a.t AS i, b.t AS j, abs(a.y - b.y)::BIGINT
+             |      AS dd
+             |  FROM idx a JOIN idx b ON a.t < b.t),
+             |del AS (SELECT tau, sum(dc)::BIGINT AS dc,
+             |    sum(daa)::BIGINT AS daa FROM (
+             |  SELECT i AS tau, dd AS dc, 0 AS daa FROM p
+             |  UNION ALL SELECT j, -dd, dd FROM p) GROUP BY 1),
+             |cum AS (SELECT tau,
+             |    sum(dc) OVER (ORDER BY tau
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      ::BIGINT AS scross,
+             |    sum(daa) OVER (ORDER BY tau
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      ::BIGINT AS saa
+             |  FROM del),
+             |tall AS (SELECT sum(dd)::BIGINT AS tall FROM p),
+             |sc AS (SELECT tau, tau + 1 AS m, nn - tau - 1 AS nb, nn,
+             |    scross, saa, tall - saa - scross AS sbb
+             |  FROM cum, g, tall
+             |  WHERE tau >= 1 AND tau <= nn - 3),
+             |e AS (SELECT *,
+             |    2.0 * scross::DOUBLE / (m::DOUBLE * nb::DOUBLE)
+             |    - 2.0 * saa::DOUBLE / (m::DOUBLE * (m::DOUBLE - 1.0))
+             |    - 2.0 * sbb::DOUBLE / (nb::DOUBLE * (nb::DOUBLE - 1.0))
+             |      AS ee
+             |  FROM sc),
+             |q AS (SELECT *,
+             |    m::DOUBLE * nb::DOUBLE / (m::DOUBLE + nb::DOUBLE) * ee
+             |      AS qq,
+             |    row_number() OVER (ORDER BY m::DOUBLE * nb::DOUBLE
+             |      / (m::DOUBLE + nb::DOUBLE) * ee DESC, tau) AS rk
+             |  FROM e)
+             |SELECT q.nn AS n_days, q.tau AS tau_idx,
+             |  idx.day::VARCHAR AS split_day, q.m AS n_left,
+             |  q.nb AS n_right,
+             |  round(q.ee / 100.0, 6) AS e_stat,
+             |  round(q.qq / 100.0, 4) AS q_stat
+             |FROM q JOIN idx ON idx.t = q.tau WHERE q.rk = 1"""
+          .stripMargin))
   )
 }

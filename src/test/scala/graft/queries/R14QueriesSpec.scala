@@ -582,6 +582,32 @@ class R14QueriesSpec extends GraftSpec {
     assert(out("Z") === ((1L, 333333L)))
   }
 
+  test("q_energy_changepoint: a level shift is split exactly at the jump") {
+    // 10 days at 10 then 10 days at 100: the maximal between-segment
+    // energy distance sits at the boundary (tau = index 9)
+    val rows = (0 until 20).map(di =>
+      (day0 + di * dayUs, di.toLong, "view",
+        if (di < 10) 10.0 else 100.0))
+    val out = byName("q_energy_changepoint")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Long]("n_days") === 20L)
+    assert(out.getAs[Long]("tau_idx") === 9L)
+    assert(out.getAs[String]("split_day") === "2024-01-10")
+    assert(out.getAs[Long]("n_left") === 10L)
+    assert(out.getAs[Long]("n_right") === 10L)
+    // within-segment distances are 0, cross = 90.00 → E = 2·90 = 180
+    assert(out.getAs[Double]("e_stat") === 180.0)
+    assert(out.getAs[Double]("q_stat") === 900.0)
+  }
+
+  test("q_energy_changepoint: sf0.001 picks an interior split with Q >= 0") {
+    val out = byName("q_energy_changepoint")(
+      spark, "/root/testdata/sf0.001").head()
+    val tau = out.getAs[Long]("tau_idx")
+    assert(tau >= 1L && tau <= out.getAs[Long]("n_days") - 3)
+    assert(out.getAs[Long]("n_left") + out.getAs[Long]("n_right") ===
+      out.getAs[Long]("n_days"))
+  }
+
   test("mm_audio_snr: the dropout span always costs measurable energy") {
     val out = byName("mm_audio_snr")(spark, "/root/testdata/sf0.001")
       .collect()
