@@ -28,6 +28,29 @@ object Similarity extends Serializable {
   def dimOf(df: DataFrame, vecCol: String): Int =
     df.select(size(col(vecCol))).head().getInt(0)
 
+  /** ceil(log2(m)) for m >= 2, 0 for m <= 1 — PURE INTEGER (bit
+    * length of m-1), so the DuckDB oracle reproduces it exactly as
+    * `length(bin(m - 1))` with no float-log boundary risk. */
+  def ceilLog2(m: Long): Int =
+    if (m <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1L)
+
+  /** Scale-adaptive LSH plane count: the smallest p giving 2^p
+    * buckets of ~<=256 expected members, clamped to [2, 16]. A FIXED
+    * p leaves bucket population ~n/2^p and candidate pairs ~n²/2^p —
+    * superlinear in n (the r12 10x sweep measured cpu_ratio 24.7 at
+    * p=6); deriving p from the corpus count keeps expected bucket
+    * size (and so per-query candidate work) constant as data grows. */
+  def adaptiveNPlanes(n: Long): Int =
+    math.max(2, math.min(16, ceilLog2((n + 255L) / 256L)))
+
+  /** Scale-adaptive RP-tree depth: leaves of ~<=256 expected members,
+    * clamped to [1, 8] (256 leaves max — beyond that, raise the cap
+    * or shard the corpus; the fit is level-wise so deeper is only
+    * more digest jobs, not more scans). Fixed depth 3 made every
+    * query scan n/8 candidates (cpu_ratio 39 at 10x). */
+  def adaptiveRpDepth(n: Long): Int =
+    math.max(1, math.min(8, ceilLog2((n + 255L) / 256L)))
+
   /** Exact brute-force top-k: for each query vector, the k nearest
     * corpus vectors by cosine. `queries` must be small (broadcast). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
@@ -82,19 +105,23 @@ object Similarity extends Serializable {
     * Recall grows with nTables; per-bucket fan-out shrinks with
     * nPlanes. No broadcast of the corpus; candidate generation is a
     * hash join on (table, signature). `dim` defaults to the measured
-    * embedding width. */
+    * embedding width; `nPlanes <= 0` (the default) derives the plane
+    * count from the corpus size ([[adaptiveNPlanes]] — one O(1)
+    * parquet-metadata count), keeping expected bucket population
+    * ~256 at any scale. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nPlanes: Int = 6, nTables: Int = 8, dim: Int = -1,
+              nPlanes: Int = -1, nTables: Int = 8, dim: Int = -1,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     val d = if (dim > 0) dim else dimOf(corpus, vecCol)
+    val np = if (nPlanes > 0) nPlanes else adaptiveNPlanes(corpus.count())
     // all tables' signatures in ONE fused kernel pass + posexplode —
     // per-table signature expressions would re-read the embedding
     // array nTables·nPlanes times per row
     def signed(df: DataFrame, outId: String): DataFrame =
       df.select(col(idCol).as(outId),
         posexplode(VectorFunctions.lsh_signatures(
-          spark, col(vecCol), nTables, nPlanes, d)).as(Seq("__table", "__sig")))
+          spark, col(vecCol), nTables, np, d)).as(Seq("__table", "__sig")))
     // the bucket join + dedupe carries ONLY ids — vectors are joined
     // back onto the (much smaller) deduped pair set, so the wide
     // embedding arrays never ride the candidate-generation shuffle
@@ -125,19 +152,24 @@ object Similarity extends Serializable {
     * uniform under any data skew, the property LSH buckets lack.
     * Plane tag namespace 901 keeps the directions disjoint from the
     * LSH tables'. */
-  /** The RP-tree's 7 median thresholds (1 + 2 + 4, level-wise), built
-    * ONCE per corpus with a persisted projection pass — the same
-    * one-time offline-artifact discipline as the IVF centroids. A lazy
+  /** The RP-tree's level-wise median thresholds (level L holds one
+    * median per populated node, 2^L at most), built ONCE per corpus
+    * with a persisted projection pass — the same one-time
+    * offline-artifact discipline as the IVF centroids. A lazy
     * per-level DataFrame chain would re-run the projection scan for
     * every level's median AND again for routing (~6 corpus passes,
-    * measured 41× CPU at 10× data); this is 1 projection pass + 3
-    * digest-sized median jobs. */
-  def rpTreeThresholds(corpus: DataFrame, dim: Int = -1,
-                       vecCol: String = "embedding")
-      : (Double, Array[Double], Array[Double]) = {
+    * measured 41× CPU at 10× data); this is 1 projection pass +
+    * `depth` digest-sized median jobs. `depth <= 0` (the default)
+    * derives the depth from the corpus count ([[adaptiveRpDepth]]:
+    * leaves of ~256 at any scale — a FIXED depth-3 tree left every
+    * query scanning n/8 candidates, superlinear in n). */
+  def rpTreeThresholds(corpus: DataFrame, depth: Int = -1,
+                       dim: Int = -1, vecCol: String = "embedding")
+      : Seq[Map[Int, Double]] = {
     val spark = corpus.sparkSession
     val d = if (dim > 0) dim else dimOf(corpus, vecCol)
-    val planes = hyperplanes(3, d, tableIdx = 901)
+    val dep = if (depth > 0) depth else adaptiveRpDepth(corpus.count())
+    val planes = hyperplanes(dep, d, tableIdx = 901)
     val ps = planes.zipWithIndex.map { case (p, i) =>
       VectorFunctions.vec_dot(spark, col(vecCol),
         array(p.map(lit): _*)).as(s"__p$i") }
@@ -145,30 +177,35 @@ object Similarity extends Serializable {
       element_at(graft.functions.ExactPercentile.percentiles(e, Seq(0.5)), 1)
     val cp = corpus.select(ps.toSeq: _*).persist()
     try {
-      val m1 = cp.agg(med(col("__p0"))).collect()(0).getDouble(0)
-      val l1 = cp.withColumn("__b1",
-        (col("__p0") <= m1).cast("int"))
-      val m2 = new Array[Double](2)
-      l1.groupBy(col("__b1")).agg(med(col("__p1")).as("m"))
-        .collect().foreach(r => m2(r.getInt(0)) = r.getDouble(1))
-      val m3 = new Array[Double](4)
-      l1.withColumn("__b2",
-          (col("__p1") <= when(col("__b1") === 1, m2(1))
-            .otherwise(m2(0))).cast("int"))
-        .groupBy(col("__b1"), col("__b2")).agg(med(col("__p2")).as("m"))
-        .collect().foreach(r => m3(r.getInt(0) * 2 + r.getInt(1)) = r.getDouble(2))
-      (m1, m2, m3)
+      var cur = cp.withColumn("__node", lit(0))
+      val out = Seq.newBuilder[Map[Int, Double]]
+      for (l <- 0 until dep) {
+        // one digest-sized job per level: exact median of this
+        // level's projection per populated node (every row's node is
+        // populated by construction, so the map lookup never misses)
+        val meds = cur.groupBy(col("__node")).agg(med(col(s"__p$l")).as("m"))
+          .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        out += meds
+        cur = cur.withColumn("__node", col("__node") * 2 +
+          (col(s"__p$l") <= medLookup(meds)).cast("int"))
+      }
+      out.result()
     } finally cp.unpersist()
   }
 
+  /** Literal node→median lookup: a tiny map literal (<= 2^L entries),
+    * codegen'd per row — no join, no broadcast chain. */
+  private def medLookup(meds: Map[Int, Double]): Column =
+    element_at(map(meds.toSeq.sortBy(_._1)
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*), col("__node"))
+
   def rpTreeTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                 thresholds: (Double, Array[Double], Array[Double]),
+                 thresholds: Seq[Map[Int, Double]],
                  dim: Int = -1, idCol: String = "vec_id",
                  vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     val d = if (dim > 0) dim else dimOf(corpus, vecCol)
-    val planes = hyperplanes(3, d, tableIdx = 901)
-    val (m1, m2, m3) = thresholds
+    val planes = hyperplanes(thresholds.length, d, tableIdx = 901)
     def proj(df: DataFrame, outId: String): DataFrame = {
       val ps = planes.zipWithIndex.map { case (p, i) =>
         VectorFunctions.vec_dot(spark, col(vecCol),
@@ -176,19 +213,14 @@ object Similarity extends Serializable {
       df.select(col(idCol).as(outId) +: ps.toSeq: _*)
     }
     // thresholds arrive as LITERALS (the prewarmed per-dir artifact),
-    // so routing is one projection scan with a per-row CASE — no
-    // median recomputation, no broadcast chain
+    // so routing is one projection scan with a per-row map lookup per
+    // level — no median recomputation, no broadcast chain
     def route(df: DataFrame): DataFrame =
-      df.withColumn("__b1", (col("__p0") <= m1).cast("int"))
-        .withColumn("__b2", (col("__p1") <=
-          when(col("__b1") === 1, m2(1)).otherwise(m2(0))).cast("int"))
-        .withColumn("__b3", (col("__p2") <=
-          when(col("__b1") === 1,
-            when(col("__b2") === 1, m3(3)).otherwise(m3(2)))
-            .otherwise(
-              when(col("__b2") === 1, m3(1)).otherwise(m3(0)))).cast("int"))
-        .withColumn("__leaf",
-          col("__b1") * 4 + col("__b2") * 2 + col("__b3"))
+      thresholds.zipWithIndex.foldLeft(df.withColumn("__node", lit(0))) {
+        case (acc, (meds, l)) =>
+          acc.withColumn("__node", col("__node") * 2 +
+            (col(s"__p$l") <= medLookup(meds)).cast("int"))
+      }.withColumn("__leaf", col("__node"))
     val leaves = route(proj(corpus, "neighbor_id"))
       .select(col("neighbor_id"), col("__leaf"))
     val qleaves = route(proj(queries, "query_id"))
@@ -490,13 +522,14 @@ object Similarity extends Serializable {
     * joined back onto the deduped candidate set for the verify step —
     * the same shape as `Dedup.minhashNearDups`, never all-pairs. */
   def nearDupPairs(corpus: DataFrame, threshold: Double,
-                   nPlanes: Int = 6, nTables: Int = 8, dim: Int = -1,
+                   nPlanes: Int = -1, nTables: Int = 8, dim: Int = -1,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     val d = if (dim > 0) dim else dimOf(corpus, vecCol)
+    val np = if (nPlanes > 0) nPlanes else adaptiveNPlanes(corpus.count())
     val sig = corpus.select(col(idCol),
       posexplode(VectorFunctions.lsh_signatures(
-        spark, col(vecCol), nTables, nPlanes, d)).as(Seq("__table", "__sig")))
+        spark, col(vecCol), nTables, np, d)).as(Seq("__table", "__sig")))
     val a = sig.select(col("__table"), col("__sig"), col(idCol).as("id_a"))
     val b = sig.select(col("__table"), col("__sig"), col(idCol).as("id_b"))
     val cand = a.join(b, Seq("__table", "__sig")).filter(col("id_a") < col("id_b"))

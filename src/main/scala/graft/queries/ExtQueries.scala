@@ -256,9 +256,9 @@ object ExtQueries {
     * median jobs), memoized so the graded query times the routing and
     * rerank, not the tree fit. */
   private val rpThresholdsCache = scala.collection.concurrent.TrieMap
-    .empty[String, (Double, Array[Double], Array[Double])]
+    .empty[String, Seq[Map[Int, Double]]]
   private def rpThresholdsOf(s: org.apache.spark.sql.SparkSession,
-                             d: String): (Double, Array[Double], Array[Double]) =
+                             d: String): Seq[Map[Int, Double]] =
     rpThresholdsCache.getOrElseUpdate(d, Similarity.rpTreeThresholds(
       s.read.parquet(s"$d/embeddings.parquet"), dim = dimOf(s, d)))
 
@@ -305,6 +305,26 @@ object ExtQueries {
        |         list_transform(range(0, 64), j ->
        |           ((('0x'||substring(md5('rp:'||tt.i||':'||pp.i||':'||j),1,15))::BIGINT % 2000001) - 1000000) / 1000000.0) AS pv
        |       FROM range(0, $nTables) tt(i), range(0, $nPlanes) pp(i)),
+       |sig$sfx AS (SELECT t.vec_id, pl.tbl,
+       |          sum(CASE WHEN list_dot_product(t.v, pl.pv) > 0 THEN (1::BIGINT << pl.p) ELSE 0 END)::BIGINT AS sig
+       |        FROM t$sfx t, pl$sfx pl GROUP BY t.vec_id, pl.tbl)""".stripMargin
+
+  /** lshSigCte with a SCALE-ADAPTIVE plane count: np =
+    * clamp(2, 16, ceil_log2(ceil(n/256))) computed from the corpus
+    * itself as `length(bin(m - 1))` — the exact integer twin of
+    * `Similarity.adaptiveNPlanes`, so the Spark side's derived
+    * bucketing replays bit-identically at ANY scale factor the same
+    * dumped SQL runs against. */
+  private def lshSigCteAdaptive(nTables: Int, sfx: String = ""): String =
+    s"""np$sfx AS (SELECT greatest(2, least(16,
+       |      CASE WHEN m <= 1 THEN 0 ELSE length(bin(m - 1)) END)) AS np
+       |    FROM (SELECT (count(*) + 255) // 256 AS m FROM embeddings)),
+       |t$sfx AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |pl$sfx AS (SELECT tt.i AS tbl, pp.i AS p,
+       |         list_transform(range(0, 64), j ->
+       |           ((('0x'||substring(md5('rp:'||tt.i||':'||pp.i||':'||j),1,15))::BIGINT % 2000001) - 1000000) / 1000000.0) AS pv
+       |       FROM range(0, $nTables) tt(i), range(0, 16) pp(i), np$sfx
+       |       WHERE pp.i < np$sfx.np),
        |sig$sfx AS (SELECT t.vec_id, pl.tbl,
        |          sum(CASE WHEN list_dot_product(t.v, pl.pv) > 0 THEN (1::BIGINT << pl.p) ELSE 0 END)::BIGINT AS sig
        |        FROM t$sfx t, pl$sfx pl GROUP BY t.vec_id, pl.tbl)""".stripMargin
@@ -770,16 +790,20 @@ object ExtQueries {
     // LSH-bucketed ANN top-k — same API as brute force. The planes are
     // md5-derived, so the oracle reproduces the identical bucketing
     // (candidate sets, ranks and all), not just "some ANN answer".
+    // The plane count is SCALE-ADAPTIVE (ceil_log2(n/256), both
+    // engines derive it from the corpus count in exact integer
+    // arithmetic) so bucket population — and per-query candidate
+    // work — stays ~constant as the corpus grows.
     QueryDef("sim_topk_lsh",
       (s, d) => {
         val emb = s.read.parquet(s"$d/embeddings.parquet")
         Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 5,
-          nPlanes = 6, nTables = 8, dim = dimOf(s, d))
+          nTables = 8, dim = dimOf(s, d))
           .select(col("query_id"), col("rank"), col("neighbor_id"),
             round(col("sim"), 6).as("sim"))
           .orderBy(col("query_id"), col("rank"))
       },
-      Some(s"""WITH ${lshSigCte(nTables = 8, nPlanes = 6)},
+      Some(s"""WITH ${lshSigCteAdaptive(nTables = 8)},
               |qs AS (SELECT vec_id, tbl, sig FROM sig WHERE vec_id < 10),
               |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
               |         FROM qs q JOIN sig c ON c.tbl = q.tbl AND c.sig = q.sig
@@ -848,6 +872,8 @@ object ExtQueries {
           nPlanes = 4, nTables = 8, dim = dimOf(s, d)), "__lsh")
         val lsh6 = hits(Similarity.lshTopK(emb, q, 5,
           nPlanes = 6, nTables = 8, dim = dimOf(s, d)), "__lsh6")
+        val lshA = hits(Similarity.lshTopK(emb, q, 5,
+          nTables = 8, dim = dimOf(s, d)), "__lsha")
         val ivf = hits(Similarity.ivfTopK(emb, q, 5, nProbe = 8,
           centroids = Some(centroidsOf(s, d))), "__ivf")
         val ivf4 = hits(Similarity.ivfTopK(emb, q, 5,
@@ -859,6 +885,7 @@ object ExtQueries {
             / count(lit(1)), 4).as(as)
         exact.join(lsh, Seq("query_id", "neighbor_id"), "left")
           .join(lsh6, Seq("query_id", "neighbor_id"), "left")
+          .join(lshA, Seq("query_id", "neighbor_id"), "left")
           .join(ivf, Seq("query_id", "neighbor_id"), "left")
           .join(ivf4, Seq("query_id", "neighbor_id"), "left")
           .join(pq, Seq("query_id", "neighbor_id"), "left")
@@ -866,6 +893,7 @@ object ExtQueries {
           .agg(count(lit(1)).as("n_exact"),
             recall("__lsh", "recall_lsh"),
             recall("__lsh6", "recall_lsh_p6t8"),
+            recall("__lsha", "recall_lsh_adaptive"),
             recall("__ivf", "recall_ivf"),
             recall("__ivf4", "recall_ivf_probe4"),
             recall("__pq", "recall_pq"),
@@ -894,6 +922,7 @@ object ExtQueries {
         s"""WITH ${ivfCtes(nProbe = 4, extraProbes = Seq("qp8" -> 8))},
            |${lshSigCte(nTables = 8, nPlanes = 4, sfx = "l4")},
            |${lshSigCte(nTables = 8, nPlanes = 6, sfx = "l6")},
+           |${lshSigCteAdaptive(nTables = 8, sfx = "la")},
            |${quantizerCtes("p0", "(embedding::DOUBLE[])[1:32]", 32)},
            |${quantizerCtes("p1", "(embedding::DOUBLE[])[33:64]", 32)},
            |$binaryCtes,
@@ -904,6 +933,7 @@ object ExtQueries {
            |  FROM t q, t c WHERE q.vec_id < 10 AND c.vec_id != q.vec_id) WHERE rank <= 5),
            |${lshTop("l4")},
            |${lshTop("l6")},
+           |${lshTop("la")},
            |${ivfTop("ri4", "qp")},
            |${ivfTop("ri8", "qp8")},
            |pqc AS (SELECT p0af.vec_id AS neighbor_id, p0af.cell AS c0, p1af.cell AS c1
@@ -929,6 +959,7 @@ object ExtQueries {
            |SELECT count(*) AS n_exact,
            |  round(count(rl4.neighbor_id)::DOUBLE / count(*), 4) AS recall_lsh,
            |  round(count(rl6.neighbor_id)::DOUBLE / count(*), 4) AS recall_lsh_p6t8,
+           |  round(count(rla.neighbor_id)::DOUBLE / count(*), 4) AS recall_lsh_adaptive,
            |  round(count(ri8.neighbor_id)::DOUBLE / count(*), 4) AS recall_ivf,
            |  round(count(ri4.neighbor_id)::DOUBLE / count(*), 4) AS recall_ivf_probe4,
            |  round(count(rpq.neighbor_id)::DOUBLE / count(*), 4) AS recall_pq,
@@ -936,6 +967,7 @@ object ExtQueries {
            |FROM bf
            |LEFT JOIN rl4 ON rl4.query_id = bf.query_id AND rl4.neighbor_id = bf.neighbor_id
            |LEFT JOIN rl6 ON rl6.query_id = bf.query_id AND rl6.neighbor_id = bf.neighbor_id
+           |LEFT JOIN rla ON rla.query_id = bf.query_id AND rla.neighbor_id = bf.neighbor_id
            |LEFT JOIN ri8 ON ri8.query_id = bf.query_id AND ri8.neighbor_id = bf.neighbor_id
            |LEFT JOIN ri4 ON ri4.query_id = bf.query_id AND ri4.neighbor_id = bf.neighbor_id
            |LEFT JOIN rpq ON rpq.query_id = bf.query_id AND rpq.neighbor_id = bf.neighbor_id
@@ -967,10 +999,10 @@ object ExtQueries {
     QueryDef("sim_neardup_lsh",
       (s, d) => Similarity.nearDupPairs(
         s.read.parquet(s"$d/embeddings.parquet"), 0.45,
-        nPlanes = 6, nTables = 8, dim = dimOf(s, d))
+        nTables = 8, dim = dimOf(s, d))
         .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
         .orderBy(col("id_a"), col("id_b")),
-      Some(s"""WITH ${lshSigCte(nTables = 8, nPlanes = 6)},
+      Some(s"""WITH ${lshSigCteAdaptive(nTables = 8)},
               |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
               |         FROM sig a JOIN sig b ON b.tbl = a.tbl AND b.sig = a.sig
               |           AND a.vec_id < b.vec_id),
@@ -8451,12 +8483,17 @@ object ExtQueries {
 
     // RP-tree ANN top-k (Dasgupta & Freund 2008, median splits) — the
     // BALANCED space partitioner next to LSH's random buckets and
-    // IVF's learned cells: 3 md5-derived projections, level-wise exact
+    // IVF's learned cells: md5-derived projections, level-wise exact
     // medians (ExactPercentile aggregates + bounded-digest broadcasts,
-    // never a global window), 8 equal-population leaves, same-leaf
-    // candidates re-ranked with exact cosine. Every projection,
-    // median, comparison and rank replays in SQL, so candidate sets —
-    // not just answers — hash-match.
+    // never a global window), equal-population leaves, same-leaf
+    // candidates re-ranked with exact cosine. Depth is SCALE-ADAPTIVE
+    // (ceil_log2(n/256), clamped [1,8]) so leaf population — and each
+    // query's candidate scan — stays ~256 as the corpus grows; the
+    // oracle unrolls all 8 possible levels and gates each split on
+    // the SAME integer-derived depth, so candidate sets — not just
+    // answers — hash-match at any scale factor. Beyond-depth levels
+    // append a constant 0 bit (leaf ids scale by 2^(8-dep); grouping
+    // is unchanged).
     QueryDef("sim_topk_rptree",
       (s, d) => {
         val emb = s.read.parquet(s"$d/embeddings.parquet")
@@ -8466,40 +8503,51 @@ object ExtQueries {
             round(col("sim"), 6).as("sim"))
           .orderBy(col("query_id"), col("rank"))
       },
-      Some("""WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-             |pl AS (SELECT pp.i AS p, list_transform(range(0, 64), j ->
-             |    ((('0x'||substring(md5('rp:901:'||pp.i||':'||j),1,15))::BIGINT
-             |      % 2000001) - 1000000) / 1000000.0) AS pv
-             |  FROM range(0, 3) pp(i)),
-             |prj AS (SELECT t.vec_id,
-             |    max(CASE WHEN pl.p = 0 THEN list_dot_product(t.v, pl.pv) END) AS p0,
-             |    max(CASE WHEN pl.p = 1 THEN list_dot_product(t.v, pl.pv) END) AS p1,
-             |    max(CASE WHEN pl.p = 2 THEN list_dot_product(t.v, pl.pv) END) AS p2
-             |  FROM t, pl GROUP BY 1),
-             |m1 AS (SELECT quantile_cont(p0, 0.5) AS m1 FROM prj),
-             |l1 AS (SELECT prj.*, CASE WHEN p0 <= m1 THEN 1 ELSE 0 END AS b1
-             |  FROM prj, m1),
-             |m2 AS (SELECT b1, quantile_cont(p1, 0.5) AS m2 FROM l1 GROUP BY 1),
-             |l2 AS (SELECT l1.*, CASE WHEN p1 <= m2 THEN 1 ELSE 0 END AS b2
-             |  FROM l1 JOIN m2 USING (b1)),
-             |m3 AS (SELECT b1, b2, quantile_cont(p2, 0.5) AS m3
-             |  FROM l2 GROUP BY 1, 2),
-             |l3 AS (SELECT l2.vec_id, b1 * 4 + b2 * 2
-             |    + CASE WHEN p2 <= m3 THEN 1 ELSE 0 END AS leaf
-             |  FROM l2 JOIN m3 USING (b1, b2)),
-             |cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
-             |  FROM l3 q JOIN l3 c ON c.leaf = q.leaf AND c.vec_id != q.vec_id
-             |  WHERE q.vec_id < 10),
-             |sc AS (SELECT cand.query_id, cand.neighbor_id,
-             |    list_cosine_similarity(a.v, b.v) AS sim
-             |  FROM cand JOIN t a ON a.vec_id = cand.query_id
-             |    JOIN t b ON b.vec_id = cand.neighbor_id),
-             |r AS (SELECT query_id, neighbor_id, sim,
-             |    row_number() OVER (PARTITION BY query_id
-             |      ORDER BY sim DESC, neighbor_id) AS rank
-             |  FROM sc)
-             |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
-             |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+      Some {
+        val ps = (0 until 8).map(i =>
+          s"    max(CASE WHEN pl.p = $i THEN list_dot_product(t.v, pl.pv) END) AS p$i")
+          .mkString(",\n")
+        val pCols = (0 until 8).map(i => s"p$i").mkString(", ")
+        // AS MATERIALIZED: DuckDB inlines plain CTEs, and an 8-level
+        // chain where each n_l references n_{l-1} twice (median +
+        // join) would re-expand exponentially (the round-9 lesson;
+        // this exact chain timed out the 10 s sf0.001 budget)
+        val levels = (0 until 8).map { l =>
+          s"""m$l AS MATERIALIZED (SELECT node, quantile_cont(p$l, 0.5) AS m
+             |  FROM n$l GROUP BY 1),
+             |n${l + 1} AS MATERIALIZED (SELECT vec_id, $pCols,
+             |    node * 2 + (CASE WHEN dep.dp > $l AND p$l <= m$l.m
+             |      THEN 1 ELSE 0 END) AS node
+             |  FROM n$l JOIN m$l USING (node), dep)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |dep AS (SELECT greatest(1, least(8,
+           |      CASE WHEN m <= 1 THEN 0 ELSE length(bin(m - 1)) END)) AS dp
+           |    FROM (SELECT (count(*) + 255) // 256 AS m FROM embeddings)),
+           |pl AS (SELECT pp.i AS p, list_transform(range(0, 64), j ->
+           |    ((('0x'||substring(md5('rp:901:'||pp.i||':'||j),1,15))::BIGINT
+           |      % 2000001) - 1000000) / 1000000.0) AS pv
+           |  FROM range(0, 8) pp(i)),
+           |prj AS MATERIALIZED (SELECT t.vec_id,
+           |$ps
+           |  FROM t, pl GROUP BY 1),
+           |n0 AS MATERIALIZED (SELECT vec_id, $pCols, 0 AS node FROM prj),
+           |$levels,
+           |lv AS (SELECT vec_id, node AS leaf FROM n8),
+           |cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+           |  FROM lv q JOIN lv c ON c.leaf = q.leaf AND c.vec_id != q.vec_id
+           |  WHERE q.vec_id < 10),
+           |sc AS (SELECT cand.query_id, cand.neighbor_id,
+           |    list_cosine_similarity(a.v, b.v) AS sim
+           |  FROM cand JOIN t a ON a.vec_id = cand.query_id
+           |    JOIN t b ON b.vec_id = cand.neighbor_id),
+           |r AS (SELECT query_id, neighbor_id, sim,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY sim DESC, neighbor_id) AS rank
+           |  FROM sc)
+           |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
+           |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+      }),
     // Burrows' Delta (Burrows 2002) — the classic stylometric distance
     // between text populations: z-score each of the top-30 corpus
     // terms' relative frequencies across sources, then Delta(a,b) =

@@ -3884,69 +3884,106 @@ object R11Queries {
     // Lomb–Scargle periodogram (Lomb 1976; Scargle 1982) of the raw
     // event VALUE samples at their IRREGULAR timestamps — the
     // spectral tool for unevenly-sampled sensor streams, where the
-    // evenly-gridded q_periodogram doesn't apply. Two distributed
-    // passes per candidate period: pass 1 sums sin/cos(2ωt) for the
-    // phase offset τ = atan2(Σsin, Σcos)/2ω; pass 2 sums the four
-    // τ-shifted moments. Every per-event term is quantized to a 6-dp
-    // DECIMAL before summation (order-independence across
-    // partitions); the series is mean-centered EXACTLY in integers
-    // (c_i = n·y_i − Σy on the cents grid, descaled once by (100n)²
-    // in the final ratio). Both passes are map-side-combined
-    // aggregations keyed by the 7 periods — no data-sized shuffle at
-    // any scale.
+    // evenly-gridded q_periodogram doesn't apply. ONE distributed
+    // pass per candidate period: the five τ-free moments Σsinθcosθ,
+    // Σcos²θ, Σsin²θ, Σcc·cosθ, Σcc·sinθ are summed together, then
+    // the phase offset τ = atan2(Σsin2θ, Σcos2θ)/2ω (sin2θ = 2sc,
+    // cos2θ = c²−s²) and the τ-shifted moments sa/sb/sc2/ss2 are
+    // derived by angle addition on the 7-row digest — no second scan
+    // of the event×period lineage and no join. Per-event terms are
+    // quantized HALF-UP to fixed-dp INTEGER units via the
+    // floor(|x|·10^k + 0.5)·sign(x) spelling — identical IEEE double
+    // ops in both engines, and the sums stay primitive longs in
+    // Spark's codegen (the per-row round()→DECIMAL spelling allocated
+    // a BigDecimal per term and was the query's real cost). The
+    // centered product Σcc·cosθ is split by linearity,
+    // Σcc·cosθ = n·Σ(y·cosθ) − Σy·Σcosθ, so per-row magnitudes are
+    // bounded by |y| (not n·|y|) and the n/Σy recombination happens
+    // once per period in DECIMAL(38,0) on the digest. A driver-side
+    // O(1) stats probe picks the accumulator width: primitive longs
+    // while n·10^9 and n·max|y|·10^6 fit 63 bits (up to ~10^9 events
+    // per period), DECIMAL(38,0) beyond — both exact, so the oracle
+    // (whose BIGINT sums auto-widen to HUGEINT) matches either path.
+    // The single aggregation is map-side-combined keyed by the 7
+    // periods — no data-sized shuffle at any scale.
     QueryDef("q_lomb_scargle",
       (s, d) => {
         val ev = graft.sources.Tables.events(s, d)
           .select(unix_micros(col("ts")).as("us"),
             (col("value").cast("decimal(18,2)") * 100).cast("long")
               .as("yc"))
-        val g = broadcast(ev.agg(min(col("us")).as("us0"),
-          count(lit(1)).as("n"), sum(col("yc")).as("sy")))
+        val gr = ev.agg(min(col("us")).as("us0"),
+          count(lit(1)).as("n"), sum(col("yc")).as("sy"),
+          max(abs(col("yc"))).as("ma")).head()
+        val (us0, n, sy, ma) =
+          (gr.getLong(0), gr.getLong(1), gr.getLong(2), gr.getLong(3))
+        val fitsLong = n < 8500000000L &&
+          (BigInt(n) * BigInt(math.max(ma, 1L)) * 1000000 <
+            BigInt("8500000000000000000"))
+        val acc = if (fitsLong) "bigint" else "decimal(38,0)"
+        // HALF-UP quantize a double expression to 10^k integer units
+        // using only IEEE floor/abs — no BigDecimal in the hot loop
+        def q(e: String, k: String) =
+          s"cast(floor(abs($e) * $k + 0.5d) as $acc)" +
+            s" * (case when $e < 0.0d then -1L else 1L end)"
         val periods = broadcast(s.createDataFrame(
           Seq(3L, 6L, 12L, 24L, 48L, 84L, 168L).map(Tuple1(_)))
           .toDF("p"))
-        val base = ev.crossJoin(g).crossJoin(periods)
+        val base = ev.crossJoin(periods)
           .withColumn("th", expr(
-            """2.0 * 3.141592653589793
-              |* (cast(us - us0 as double) / 3600000000.0)
+            s"""2.0 * 3.141592653589793
+              |* (cast(us - ${us0}L as double) / 3600000000.0)
               |/ cast(p as double)""".stripMargin))
-          .withColumn("cc", (col("n") * col("yc") - col("sy")))
-        // precision <= 18 keeps Spark's compact-Long Decimal path —
-        // the wide (38,x) casts were the query's real cost (5x slower
-        // per-row decimal ops); values are identical on both widths
-        val tau = base.groupBy(col("p"))
-          .agg(sum(expr("cast(round(sin(2.0 * th), 6) as decimal(10,6))"))
-            .as("s2"),
-            sum(expr("cast(round(cos(2.0 * th), 6) as decimal(10,6))"))
-            .as("c2"))
-          .select(col("p").as("tp"), expr(
-            """atan2(cast(s2 as double), cast(c2 as double)) / 2.0"""
-          ).as("tth"))
-        val moments = base.join(broadcast(tau), col("p") === col("tp"))
-          .withColumn("a", expr(
-            "cast(round(cast(cc as double) * cos(th - tth), 6)" +
-              " as decimal(18,6))"))
-          .withColumn("b", expr(
-            "cast(round(cast(cc as double) * sin(th - tth), 6)" +
-              " as decimal(18,6))"))
-          .withColumn("c2m", expr(
-            "cast(round(cos(th - tth) * cos(th - tth), 9)" +
-              " as decimal(10,9))"))
-          .withColumn("s2m", expr(
-            "cast(round(sin(th - tth) * sin(th - tth), 9)" +
-              " as decimal(10,9))"))
-          .groupBy(col("p"))
-          .agg(max(col("n")).as("n"), sum(col("a")).as("sa"),
-            sum(col("b")).as("sb"), sum(col("c2m")).as("sc2"),
-            sum(col("s2m")).as("ss2"))
-        val res = moments.select(col("p").as("period_hours"),
+          .select(col("p"), col("yc"),
+            expr("sin(th)").as("sv"), expr("cos(th)").as("cv"))
+          .select(col("p"),
+            expr("sv * cv").as("x_sc"), expr("cv * cv").as("x_cc"),
+            expr("sv * sv").as("x_ss"),
+            expr("cast(yc as double) * cv").as("x_yc"),
+            expr("cast(yc as double) * sv").as("x_ys"),
+            col("cv"), col("sv"))
+        val m = base.groupBy(col("p"))
+          .agg(sum(expr(q("x_sc", "1.0e9"))).as("ssc9"),
+            sum(expr(q("x_cc", "1.0e9"))).as("scc9"),
+            sum(expr(q("x_ss", "1.0e9"))).as("sss9"),
+            sum(expr(q("x_yc", "1.0e6"))).as("syc6"),
+            sum(expr(q("x_ys", "1.0e6"))).as("sys6"),
+            sum(expr(q("cv", "1.0e9"))).as("sc9"),
+            sum(expr(q("sv", "1.0e9"))).as("ss9"))
+        // τ and the τ-shifted moments on the 7-row digest: with
+        // ct = cos τ, st = sin τ, angle addition gives
+        //   sa  = Σcc·cos(θ−τ) = ct·Σcc·cosθ + st·Σcc·sinθ
+        //   sb  = Σcc·sin(θ−τ) = ct·Σcc·sinθ − st·Σcc·cosθ
+        //   sc2 = Σcos²(θ−τ)   = ct²Σc² + 2ctst·Σsc + st²Σs²
+        //   ss2 = Σsin²(θ−τ)   = st²Σc² − 2ctst·Σsc + ct²Σs²
+        // with Σcc·cosθ recombined exactly in DECIMAL(38,0) e-9 units
+        val res = m
+          .withColumn("ssc", expr("cast(ssc9 as double) / 1.0e9"))
+          .withColumn("scc", expr("cast(scc9 as double) / 1.0e9"))
+          .withColumn("sss", expr("cast(sss9 as double) / 1.0e9"))
+          .withColumn("sca", expr(
+            s"""cast((cast(${n}L as decimal(38,0)) * cast(syc6 as decimal(38,0)) * 1000
+              |  - cast(${sy}L as decimal(38,0)) * cast(sc9 as decimal(38,0)))
+              |  as double) / 1.0e9""".stripMargin))
+          .withColumn("ssa", expr(
+            s"""cast((cast(${n}L as decimal(38,0)) * cast(sys6 as decimal(38,0)) * 1000
+              |  - cast(${sy}L as decimal(38,0)) * cast(ss9 as decimal(38,0)))
+              |  as double) / 1.0e9""".stripMargin))
+          .withColumn("tth", expr(
+            "atan2(2.0 * ssc, scc - sss) / 2.0"))
+          .withColumn("ct", expr("cos(tth)"))
+          .withColumn("st", expr("sin(tth)"))
+          .withColumn("sa", expr("ct * sca + st * ssa"))
+          .withColumn("sb", expr("ct * ssa - st * sca"))
+          .withColumn("sc2", expr(
+            "ct * ct * scc + 2.0 * ct * st * ssc + st * st * sss"))
+          .withColumn("ss2", expr(
+            "st * st * scc - 2.0 * ct * st * ssc + ct * ct * sss"))
+          .select(col("p").as("period_hours"),
             round(expr(
-              """0.5 * (cast(sa as double) * cast(sa as double)
-                |  / cast(sc2 as double)
-                |  + cast(sb as double) * cast(sb as double)
-                |  / cast(ss2 as double))
-                |/ (cast(n as double) * 100.0
-                |   * cast(n as double) * 100.0)""".stripMargin), 4)
+              s"""0.5 * (sa * sa / sc2 + sb * sb / ss2)
+                |/ (cast(${n}L as double) * 100.0
+                |   * cast(${n}L as double) * 100.0)""".stripMargin), 4)
               .as("power"))
           .orderBy(col("period_hours"))
         res
@@ -3958,33 +3995,60 @@ object R11Queries {
              |    sum(yc)::BIGINT AS sy FROM ev),
              |periods AS (SELECT unnest([3, 6, 12, 24, 48, 84, 168])
              |    ::BIGINT AS p),
-             |base AS (SELECT periods.p, g.n,
-             |    2.0 * 3.141592653589793
+             |base AS (SELECT periods.p, g.n, g.sy, ev.yc,
+             |    sin(2.0 * 3.141592653589793
              |      * ((ev.us - g.us0)::DOUBLE / 3600000000.0)
-             |      / periods.p::DOUBLE AS th,
-             |    g.n * ev.yc - g.sy AS cc
+             |      / periods.p::DOUBLE) AS sv,
+             |    cos(2.0 * 3.141592653589793
+             |      * ((ev.us - g.us0)::DOUBLE / 3600000000.0)
+             |      / periods.p::DOUBLE) AS cv
              |  FROM ev, g, periods),
-             |tau AS (SELECT p,
-             |    atan2(sum(round(sin(2.0 * th), 6)::DECIMAL(38,6))
-             |        ::DOUBLE,
-             |      sum(round(cos(2.0 * th), 6)::DECIMAL(38,6))::DOUBLE)
-             |      / 2.0 AS tth
+             |m AS (SELECT p, max(n)::BIGINT AS n, max(sy)::BIGINT AS sy,
+             |    sum(floor(abs(sv * cv) * 1.0e9 + 0.5)::BIGINT
+             |      * (CASE WHEN sv * cv < 0.0 THEN -1 ELSE 1 END)) AS ssc9,
+             |    sum(floor(abs(cv * cv) * 1.0e9 + 0.5)::BIGINT
+             |      * (CASE WHEN cv * cv < 0.0 THEN -1 ELSE 1 END)) AS scc9,
+             |    sum(floor(abs(sv * sv) * 1.0e9 + 0.5)::BIGINT
+             |      * (CASE WHEN sv * sv < 0.0 THEN -1 ELSE 1 END)) AS sss9,
+             |    sum(floor(abs(yc::DOUBLE * cv) * 1.0e6 + 0.5)::BIGINT
+             |      * (CASE WHEN yc::DOUBLE * cv < 0.0 THEN -1 ELSE 1 END))
+             |      AS syc6,
+             |    sum(floor(abs(yc::DOUBLE * sv) * 1.0e6 + 0.5)::BIGINT
+             |      * (CASE WHEN yc::DOUBLE * sv < 0.0 THEN -1 ELSE 1 END))
+             |      AS sys6,
+             |    sum(floor(abs(cv) * 1.0e9 + 0.5)::BIGINT
+             |      * (CASE WHEN cv < 0.0 THEN -1 ELSE 1 END)) AS sc9,
+             |    sum(floor(abs(sv) * 1.0e9 + 0.5)::BIGINT
+             |      * (CASE WHEN sv < 0.0 THEN -1 ELSE 1 END)) AS ss9
              |  FROM base GROUP BY 1),
-             |m AS (SELECT base.p, max(base.n)::BIGINT AS n,
-             |    sum(round(base.cc::DOUBLE * cos(base.th - tau.tth), 6)
-             |      ::DECIMAL(38,6)) AS sa,
-             |    sum(round(base.cc::DOUBLE * sin(base.th - tau.tth), 6)
-             |      ::DECIMAL(38,6)) AS sb,
-             |    sum(round(cos(base.th - tau.tth)
-             |      * cos(base.th - tau.tth), 9)::DECIMAL(38,9)) AS sc2,
-             |    sum(round(sin(base.th - tau.tth)
-             |      * sin(base.th - tau.tth), 9)::DECIMAL(38,9)) AS ss2
-             |  FROM base JOIN tau ON base.p = tau.p GROUP BY 1)
+             |t AS (SELECT p, n,
+             |    ssc9::DOUBLE / 1.0e9 AS ssc,
+             |    scc9::DOUBLE / 1.0e9 AS scc,
+             |    sss9::DOUBLE / 1.0e9 AS sss,
+             |    (n::DECIMAL(38,0) * syc6::DECIMAL(38,0) * 1000
+             |      - sy::DECIMAL(38,0) * sc9::DECIMAL(38,0))::DOUBLE
+             |      / 1.0e9 AS sca,
+             |    (n::DECIMAL(38,0) * sys6::DECIMAL(38,0) * 1000
+             |      - sy::DECIMAL(38,0) * ss9::DECIMAL(38,0))::DOUBLE
+             |      / 1.0e9 AS ssa,
+             |    atan2(2.0 * (ssc9::DOUBLE / 1.0e9),
+             |      scc9::DOUBLE / 1.0e9 - sss9::DOUBLE / 1.0e9)
+             |      / 2.0 AS tth
+             |  FROM m),
+             |r AS (SELECT p, n,
+             |    cos(tth) * sca + sin(tth) * ssa AS sa,
+             |    cos(tth) * ssa - sin(tth) * sca AS sb,
+             |    cos(tth) * cos(tth) * scc
+             |      + 2.0 * cos(tth) * sin(tth) * ssc
+             |      + sin(tth) * sin(tth) * sss AS sc2,
+             |    sin(tth) * sin(tth) * scc
+             |      - 2.0 * cos(tth) * sin(tth) * ssc
+             |      + cos(tth) * cos(tth) * sss AS ss2
+             |  FROM t)
              |SELECT p AS period_hours,
-             |  round(0.5 * (sa::DOUBLE * sa::DOUBLE / sc2::DOUBLE
-             |    + sb::DOUBLE * sb::DOUBLE / ss2::DOUBLE)
+             |  round(0.5 * (sa * sa / sc2 + sb * sb / ss2)
              |    / (n::DOUBLE * 100.0 * n::DOUBLE * 100.0), 4) AS power
-             |FROM m ORDER BY period_hours""".stripMargin)),
+             |FROM r ORDER BY period_hours""".stripMargin)),
 
     // Generalized ESD outlier peel (Rosner 1983), k = 5 rounds, on
     // daily revenue: repeatedly remove the most extreme studentized

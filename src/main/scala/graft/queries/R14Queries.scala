@@ -73,48 +73,62 @@ object R14Queries {
     // small p-values) compares those exact decimals — the only
     // doubles are the final exp (15 dp-quantized, max-shifted so
     // nothing overflows) and the rounded outputs. 100 TB: one
-    // fact-sized aggregate to 4 cells; the support walk rides a
-    // ≤|n1|-row generated series, data-free.
+    // fact-sized aggregate to 4 cells (an O(1) digest collected to
+    // the driver — the support bounds are data-dependent, so the
+    // walk is `s.range(lo, hi+1)`: exact at ANY support size, never
+    // silently truncated); the prefix sum runs the packBins two-phase
+    // discipline (in-bucket windows parallel across 64Ki-wide
+    // buckets + a digest-sized cross-bucket carry), so no
+    // single-partition window touches the support series either.
     QueryDef("q_fisher_exact",
       (s, d) => {
         val t = graft.sources.Tables.events(s, d).select(
           when(dayofweek(col("ts")).isin(1, 7), 1L).otherwise(0L).as("w"),
           when(col("event_type") === "purchase", 1L).otherwise(0L).as("p"))
-        val cells = broadcast(t.agg(
+        val cr = t.agg(
           sum(col("w") * col("p")).as("a"),
           sum(col("w") * (lit(1L) - col("p"))).as("b"),
           sum((lit(1L) - col("w")) * col("p")).as("c"),
-          sum((lit(1L) - col("w")) * (lit(1L) - col("p"))).as("d"))
-          .withColumn("m1", col("a") + col("b"))
-          .withColumn("m2", col("c") + col("d"))
-          .withColumn("n1", col("a") + col("c"))
-          .withColumn("lo", greatest(lit(0L), col("n1") - col("m2")))
-          .withColumn("hi", least(col("n1"), col("m1"))))
-        val ser = s.range(0, 1L << 21).select(col("id").as("aa"))
-          .crossJoin(cells)
-          .filter(col("aa") >= col("lo") && col("aa") <= col("hi"))
-          .withColumn("lnr", when(col("aa") === col("lo"),
-            lit(BigDecimal(0)).cast("decimal(38,12)"))
+          sum((lit(1L) - col("w")) * (lit(1L) - col("p")))
+            .as("d")).head()
+        val (av, bv, cv, dv) = (cr.getLong(0), cr.getLong(1),
+          cr.getLong(2), cr.getLong(3))
+        val (m1, m2, n1) = (av + bv, cv + dv, av + cv)
+        val lo = math.max(0L, n1 - m2)
+        val hi = math.min(n1, m1)
+        val decZero12 = lit(BigDecimal(0)).cast("decimal(38,12)")
+        val base = s.range(lo, hi + 1).select(col("id").as("aa"))
+          .withColumn("lnr", when(col("aa") === lit(lo), decZero12)
             .otherwise(round(log(
-              ((col("m1") - col("aa") + 1) * (col("n1") - col("aa") + 1))
+              ((lit(m1) - col("aa") + 1) * (lit(n1) - col("aa") + 1))
                 .cast("double") /
-              (col("aa") * (col("m2") - col("n1") + col("aa")))
+              (col("aa") * (lit(m2) - lit(n1) + col("aa")))
                 .cast("double")), 12).cast("decimal(38,12)")))
-          .withColumn("lnw", sum(col("lnr")).over(Window.orderBy(col("aa"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("__bk", expr(s"(aa - ${lo}L) div 65536L"))
+        val wIn = Window.partitionBy(col("__bk")).orderBy(col("aa"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wC = Window.orderBy(col("__bk"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val carry = base.groupBy(col("__bk"))
+          .agg(sum(col("lnr")).as("__s"))
+          .withColumn("__c", coalesce(sum(col("__s")).over(wC), decZero12))
+          .select(col("__bk"), col("__c"))
+        val ser = base.join(broadcast(carry), Seq("__bk"))
+          .withColumn("lnw", (col("__c") + sum(col("lnr")).over(wIn))
+            .cast("decimal(38,12)"))
         val mx = broadcast(ser.agg(max(col("lnw")).as("wmax"),
-          max(when(col("aa") === col("a"), col("lnw"))).as("lnobs")))
+          max(when(col("aa") === lit(av), col("lnw"))).as("lnobs")))
         ser.crossJoin(mx)
           .withColumn("wgt", round(exp((col("lnw") - col("wmax"))
             .cast("double")), 15).cast("decimal(20,15)"))
-          .groupBy(col("a"), col("b"), col("c"), col("d"))
           .agg(sum(col("wgt")).as("tot"),
             sum(when(col("lnw") <= col("lnobs"), col("wgt"))
               .otherwise(lit(BigDecimal(0)).cast("decimal(20,15)")))
               .as("le"))
-          .select(col("a"), col("b"), col("c"), col("d"),
-            round((col("a") * col("d")).cast("double") /
-              nullif((col("b") * col("c")).cast("double"), lit(0.0)), 6)
+          .select(lit(av).as("a"), lit(bv).as("b"), lit(cv).as("c"),
+            lit(dv).as("d"),
+            round((lit(av) * lit(dv)).cast("double") /
+              nullif((lit(bv) * lit(cv)).cast("double"), lit(0.0)), 6)
               .as("odds_ratio"),
             round(col("le").cast("double") / col("tot").cast("double"), 6)
               .as("p_two_sided"))
@@ -695,9 +709,14 @@ object R14Queries {
     // surprising). Per-term log10 p is quantized ONCE to 9 dp (the
     // text_unigram_logprob discipline) so each doc's score is an
     // EXACT integer mean-logp in nano-units, and the band cuts are
-    // integer order statistics — the whole filter is float-free.
-    // One token pass + a doc-digest sort; the LM rides a broadcast
-    // term digest.
+    // integer order statistics. The cuts come from
+    // `Ranks.ntileBoundaries(10)` — ntile end-ranks e_1 = ceil(n/10)
+    // and e_9 = ceil(9n/10) are EXACTLY the oracle's k10/k90 ranks —
+    // so no row of the per-doc table ever flows through a global
+    // window: the doc digest is persisted once, the boundary scan
+    // range-partitions the mlp_e9 projection only, and the band
+    // filter is a broadcast-literal predicate. One token pass; the
+    // LM rides a broadcast term digest.
     QueryDef("pipe_perplexity_filter",
       (s, d) => {
         val toks = s.read.parquet(s"$d/documents.parquet")
@@ -720,15 +739,16 @@ object R14Queries {
             expr("CASE WHEN sum_e9 < 0" +
               " THEN -((-sum_e9) div n_tokens) ELSE sum_e9 div n_tokens" +
               " END").as("mlp_e9"))
-          .withColumn("rn", row_number().over(Window.orderBy(col("mlp_e9"))))
-        val cuts = broadcast(docs.agg(count(lit(1)).as("nd"))
-          .select(expr("(nd * 10 + 99) div 100").as("k10"),
-            expr("(nd * 90 + 99) div 100").as("k90")))
-        val band = docs.crossJoin(cuts)
-          .agg(max(when(col("rn") === col("k10"), col("mlp_e9"))).as("lo"),
-            max(when(col("rn") === col("k90"), col("mlp_e9"))).as("hi"))
-        docs.crossJoin(broadcast(band))
-          .filter(col("mlp_e9") >= col("lo") && col("mlp_e9") <= col("hi"))
+          .persist()
+        val b = graft.analytics.Ranks.ntileBoundaries(docs, 10,
+          Seq("mlp_e9" -> false))
+        // stays persisted: the returned plan's band filter reuses the
+        // cached ≤n_docs-row digest instead of re-running the token
+        // pipeline (a ~1 MB cache entry at sf0.1 — digest-sized, not
+        // data-sized, at any scale)
+        val (lo, hi) = (b.head.getLong(0), b(8).getLong(0))
+        docs
+          .filter(col("mlp_e9") >= lit(lo) && col("mlp_e9") <= lit(hi))
           .select(col("doc_id"), col("n_tokens"), col("mlp_e9"))
           .orderBy(col("doc_id"))
       },
@@ -1937,7 +1957,8 @@ object R14Queries {
               .as("se_hac"),
             round(expr(
               """sqrt(cast(tsum as double) * (cast(n as double) - 1.0)
-                |  / nullif(6.0 * cast(s0 as double), 0.0))"""
+                |  / nullif(6.0 * cast(s0 as double)
+                |           * cast(n as double), 0.0))"""
                 .stripMargin), 4).as("hac_over_iid"))
       },
       Some("""WITH daily AS (SELECT ts::DATE AS day,
@@ -1964,7 +1985,8 @@ object R14Queries {
              |    / (6.0 * n::DOUBLE * n::DOUBLE * n::DOUBLE)
              |    / n::DOUBLE) / 100.0, 4) AS se_hac,
              |  round(sqrt(tsum::DOUBLE * (n::DOUBLE - 1.0)
-             |    / nullif(6.0 * s0::DOUBLE, 0.0)), 4) AS hac_over_iid
+             |    / nullif(6.0 * s0::DOUBLE * n::DOUBLE, 0.0)), 4)
+             |    AS hac_over_iid
              |FROM agg""".stripMargin)),
 
     // XYZ demand-variability classification (the companion axis to

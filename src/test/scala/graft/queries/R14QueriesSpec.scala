@@ -69,6 +69,77 @@ class R14QueriesSpec extends GraftSpec {
     assert(out.getAs[Double]("p_two_sided") === 1.0)
   }
 
+  test("q_fisher_exact: a support wider than 2^21 is walked in full " +
+    "and agrees with the Lanczos log-gamma pmf") {
+    // 9M events, balanced 4.5M/4.5M margins with 4500 flipped cells:
+    // support [4500, 4.5e6] (≈4.5M values — more than double the old
+    // 2^21 cap, with the pmf MODE above the cap too, so a truncated
+    // walk would drop over half the probability mass and the p-value
+    // would be wildly wrong, not subtly). The observed a sits 3σ
+    // below its expectation → a mid-range two-sided p that an
+    // independent driver-side Lanczos-Γ evaluation must reproduce.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("r14fx").toString
+    val sat0 = sat * 1L; val wed0 = wed * 1L
+    spark.range(0, 9000000L, 1, 8)
+      .selectExpr("id AS event_id",
+        s"timestamp_micros(CASE WHEN id % 2 = 1 THEN ${sat0}L + id" +
+          s" ELSE ${wed0}L + id END) AS ts",
+        "id AS user_id",
+        "CASE WHEN id % 4 IN (1, 2) OR (id % 4 = 0 AND id < 18000)" +
+          " THEN 'purchase' ELSE 'view' END AS event_type",
+        "1.0d AS value", "'{}' AS props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = byName("q_fisher_exact")(spark, dir).head()
+    val (a, b, c, d2) = (out.getAs[Long]("a"), out.getAs[Long]("b"),
+      out.getAs[Long]("c"), out.getAs[Long]("d"))
+    assert(a === 2250000L && b === 2250000L)
+    assert(c === 2254500L && d2 === 2245500L)
+    val (m1, m2, n1) = (a + b, c + d2, a + c)
+    val lo = math.max(0L, n1 - m2); val hi = math.min(n1, m1)
+    assert(hi - lo > (1L << 21), "support must exceed the old cap")
+    // independent reference: direct ln-pmf via Lanczos(g=7) lgamma
+    val lg = Array(0.99999999999980993, 676.5203681218851,
+      -1259.1392167224028, 771.32342877765313, -176.61502916214059,
+      12.507343278686905, -0.13857109526572012, 9.9843695780195716e-6,
+      1.5056327351493116e-7)
+    def lgamma(x: Double): Double = {
+      val z = x - 1.0
+      val base = z + 7.5
+      var s = lg(0)
+      var i = 1
+      while (i < 9) { s += lg(i) / (z + i); i += 1 }
+      0.5 * math.log(2.0 * math.Pi) + (z + 0.5) * math.log(base) -
+        base + math.log(s)
+    }
+    def lchoose(nn: Long, kk: Long): Double =
+      lgamma(nn + 1.0) - lgamma(kk + 1.0) - lgamma(nn - kk + 1.0)
+    val n = m1 + m2
+    val denom = lchoose(n, n1)
+    val lnObs = lchoose(m1, a) + lchoose(m2, n1 - a) - denom
+    val ln = new Array[Double]((hi - lo + 1).toInt)
+    var k = lo
+    while (k <= hi) {
+      ln((k - lo).toInt) =
+        lchoose(m1, k) + lchoose(m2, n1 - k) - denom
+      k += 1
+    }
+    val mx = ln.max
+    var tot = 0.0; var le = 0.0
+    var j = 0
+    while (j < ln.length) {
+      val w = math.exp(ln(j) - mx)
+      tot += w
+      if (ln(j) <= lnObs + 1e-9) le += w
+      j += 1
+    }
+    val pRef = le / tot
+    val pQ = out.getAs[Double]("p_two_sided")
+    assert(pQ > 1e-4 && pQ < 0.05, s"p=$pQ should be mid-range-small")
+    assert(math.abs(pQ - pRef) < 2e-4,
+      s"query p=$pQ vs Lanczos reference p=$pRef")
+  }
+
   test("q_fisher_exact: sf0.001 p lands in (0, 1]") {
     val out = byName("q_fisher_exact")(spark, "/root/testdata/sf0.001").head()
     val p = out.getAs[Double]("p_two_sided")
@@ -537,6 +608,30 @@ class R14QueriesSpec extends GraftSpec {
     assert(out.getAs[Long]("n_days") === 20L)
     assert(out.getAs[Double]("hac_over_iid") > 1.5)
     assert(out.getAs[Double]("se_hac") > out.getAs[Double]("se_iid"))
+  }
+
+  test("q_newey_west: hac_over_iid IS se_hac/se_iid, and an " +
+    "alternating series deflates it below 1") {
+    // identity law on the trending ramp: the published ratio column
+    // must agree with the published SEs (the r12 spelling was off by
+    // sqrt(n) — it reported ~sqrt(n-1) on white noise — and only an
+    // internal-consistency check catches a both-engines slip)
+    val ramp = (0 until 20).map(di =>
+      (day0 + di * dayUs, di.toLong, "view", (di + 1).toDouble))
+    val r = byName("q_newey_west")(spark, eventsDir(ramp)).head()
+    val ratio = r.getAs[Double]("hac_over_iid")
+    val fromSe = r.getAs[Double]("se_hac") / r.getAs[Double]("se_iid")
+    assert(math.abs(ratio - fromSe) < 0.02)
+    // a perfectly alternating series has lag-k autocovariance
+    // (-1)^k*gamma0, so the Bartlett sum 1 + 2*sum((1-k/6)(-1)^k)
+    // telescopes to ~0: HAC SE far BELOW iid — the sqrt(n)-inflated
+    // spelling could never publish a sub-1 ratio
+    val alt = (0 until 24).map(di =>
+      (day0 + di * dayUs, di.toLong, "view",
+        if (di % 2 == 0) 10.0 else 20.0))
+    val a = byName("q_newey_west")(spark, eventsDir(alt)).head()
+    val altRatio = a.getAs[Double]("hac_over_iid")
+    assert(altRatio < 0.5, s"alternating ratio $altRatio should be ~0")
   }
 
   test("q_newey_west: a constant series has zero SE and a null ratio") {

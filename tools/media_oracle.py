@@ -292,7 +292,12 @@ def check(name, df, expect_fn, cols):
         exp = expect_fn(int(row["media_id"]))
         for c in cols:
             got = row[c]
-            if isinstance(exp[c], float):
+            if exp[c] is None:
+                # Spark NULL round-trips through parquet/pandas as
+                # None or NaN depending on dtype — both mean "null"
+                ok = got is None or (isinstance(got, float) and
+                                     math.isnan(got))
+            elif isinstance(exp[c], float):
                 ok = got == exp[c]
             else:
                 ok = int(got) == int(exp[c])
@@ -366,8 +371,11 @@ def main():
         noisy = inject_dropout(clean, mid)
         es = sum(v * v for v in clean)
         en = sum((c - n) * (c - n) for c, n in zip(clean, noisy))
-        return {"e_signal": es, "e_noise": en,
-                "snr_db": spark_round(10.0 * math.log10(es / en), 4)}
+        # mirror the Scala guard: a dropout that alters nothing gives
+        # e_noise == 0 and the Spark side publishes snr_db = NULL
+        snr = (None if en == 0
+               else spark_round(10.0 * math.log10(es / en), 4))
+        return {"e_signal": es, "e_noise": en, "snr_db": snr}
 
     fails += check("mm_audio_snr", load(outdir, "mm_audio_snr"),
                    audio_snr, ["e_signal", "e_noise", "snr_db"])
