@@ -20,22 +20,39 @@ object Bench {
     // splits follow this number too)
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
       math.min(cpus.toInt, 8).toString)
+    // implicit (memory-sink) streaming checkpoints land under this
+    // base — tmpfs when available, so per-batch WAL fsyncs don't bill
+    // a fixed disk tax to every q_stream_* number; removed on exit
+    val streamCpBase =
+      graft.streaming.StreamingEtl.scratchDir("graft_bench_cp")
     val spark = SparkSession.builder()
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.streaming.checkpointLocation",
+        streamCpBase.toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    sys.addShutdownHook {
+      try org.apache.commons.io.FileUtils
+        .deleteDirectory(streamCpBase.toFile)
+      catch { case _: Throwable => () }
+    }
 
     // warm-up: JVM + codegen + parquet footer reads. The grid-kernel
     // query warms the as-of codegen paths too — otherwise the first
     // y5_* run absorbs whole-stage-codegen compile cost and reads as a
-    // plan regression in the per-query numbers.
+    // plan regression in the per-query numbers. q_stream_tumbling
+    // warms the WHOLE micro-batch machinery (offset log, state store
+    // provider, streaming codegen) once, the way the batch queries
+    // get their one-time costs here — previously the first q_stream_*
+    // in alphabetical order absorbed it.
     spark.range(0, 1000000, 1, 4).selectExpr("sum(id)").collect()
-    Seq("q1_pricing_summary", "y5_asof_nearest").foreach(w =>
+    Seq("q1_pricing_summary", "y5_asof_nearest", "q_stream_tumbling")
+      .foreach(w =>
       SparkEntry.queries.get(w).foreach { fn =>
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch { case e: Throwable =>

@@ -9,13 +9,24 @@ object Verify {
     // optional 3rd arg: comma-separated query-name filter (local iteration)
     val only: Option[Set[String]] = args.drop(2).headOption.map(_.split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // tmpfs-backed base for the memory-sink streams' checkpoints
+    // (see Bench: per-batch WAL fsyncs on disk are pure harness tax)
+    val streamCpBase =
+      graft.streaming.StreamingEtl.scratchDir("graft_verify_cp")
     val spark = SparkSession.builder()
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.streaming.checkpointLocation",
+        streamCpBase.toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    sys.addShutdownHook {
+      try org.apache.commons.io.FileUtils
+        .deleteDirectory(streamCpBase.toFile)
+      catch { case _: Throwable => () }
+    }
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

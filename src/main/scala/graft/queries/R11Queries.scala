@@ -5462,10 +5462,14 @@ object R11Queries {
         // comprehension over the sorted part set (order width is
         // bounded, so the pair fan-out is linear) instead of the
         // li-distinct + sort-merge self-join — two shuffles fewer.
-        // First-appearance week is a WINDOW over the edge digest's
-        // own (a, b) shuffle instead of a groupBy + join back. li's
-        // lazy persist shares one cached RDD across its 2 consumers
-        // (pair generation + nodes) within the single collect below.
+        // The raw pair multiset then takes ONE (a, b) shuffle:
+        // collect_set(wk) per pair dedups (replacing the standalone
+        // distinct's (wk, a, b) exchange), array_min gives the
+        // first-appearance week (replacing the Window.partitionBy
+        // sort), and the per-week tallies ride a ≤366-wide re-explode
+        // into a digest-sized groupBy. li's lazy persist shares one
+        // cached RDD across its 2 consumers (pair generation + nodes)
+        // within the single collect below.
         val edges = li.groupBy(col("ok"), col("wk"))
           .agg(sort_array(collect_set(col("p"))).as("arr"))
           .select(col("wk"), explode(expr(
@@ -5473,12 +5477,13 @@ object R11Queries {
               |  transform(slice(arr, i + 2, size(arr)),
               |    y -> struct(x AS a, y AS b))))""".stripMargin)).as("e"))
           .select(col("wk"), col("e.a").as("a"), col("e.b").as("b"))
-          .distinct()
         val nodes = li.groupBy(col("wk"))
           .agg(countDistinct(col("p")).as("v"))
         val res = edges
-          .withColumn("fw", min(col("wk")).over(
-            Window.partitionBy(col("a"), col("b"))))
+          .groupBy(col("a"), col("b"))
+          .agg(collect_set(col("wk")).as("wks"))
+          .select(array_min(col("wks")).as("fw"),
+            explode(col("wks")).as("wk"))
           .groupBy(col("wk"))
           .agg(count(lit(1)).as("n_edges"),
             sum(when(col("fw") === col("wk"), 1L).otherwise(0L))

@@ -1286,10 +1286,21 @@ object R12Queries {
         // the k=2 result and k=4's from k=3, instead of each k
         // re-peeling the full edge set (15 full-width rounds → 5 full
         // + 10 on the already-collapsed cores). The oracle's CTE
-        // ladder chains identically (e3_0 = e2_5, e4_0 = e3_5). Kept
-        // SEQUENTIAL per-k: the round-11 fused-by-k variant measured
-        // 1.7× slower (3× data through every round). The 3-row
-        // profile is collected so every per-round cache releases.
+        // ladder chains identically (e3_0 = e2_5, e4_0 = e3_5).
+        // DEFINITION NOTE (r13): the chained 5-round peel is this
+        // query's published semantics, NOT always the true k-core —
+        // at sf0.1 the k=2 peel measurably does NOT reach fixpoint
+        // within 5 rounds, so k=3/k=4 seed from a partially-peeled
+        // graph and the profile differs from independent unbounded
+        // peels. Both engines chain identically so the gate compares
+        // the same quantity; pre-r12 artifacts (independent peels)
+        // are not comparable for this query. A per-round count()
+        // fixpoint probe was tried and rejected: +3 s exclusive
+        // (6.7 s vs 3.8 s at sf0.1) — the barrier actions cost more
+        // than any skipped tail round saves. Kept SEQUENTIAL per-k:
+        // the round-11 fused-by-k variant measured 1.7× slower (3×
+        // data through every round). The 3-row profile is collected
+        // so every per-round cache releases.
         import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
         val e0 = s.read.parquet(SqlQueries.copurchaseEdgesOf(s, d))
           .select(col("p1"), col("p2")).persist(MEMORY_AND_DISK)
@@ -1301,7 +1312,10 @@ object R12Queries {
           // sides) but the InMemoryRelation shares one cached RDD, so
           // the ONE eager action per k — the localCheckpoint below —
           // computes every round's shuffle exactly once. 2 jobs per k
-          // instead of 7.
+          // instead of 7. (An early-exit variant with a count()
+          // barrier per round was MEASURED 1.5× slower — 6.7 s vs
+          // 4.3 s exclusive at sf0.1 — the per-round actions cost
+          // more than the skipped tail rounds save.)
           val kept =
             scala.collection.mutable.ArrayBuffer.empty[
               org.apache.spark.sql.DataFrame]

@@ -1,0 +1,992 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-13 extension wave: model-evaluation and diagnostic kernels a
+  * data platform runs over the SAME digests the earlier rounds built —
+  * forecast-accuracy scores (sMAPE / Theil's U2 of the seasonal-naive
+  * baseline), distribution-shift monitors (PSI over exact decile
+  * bins), randomness/heteroscedasticity screens (Wald–Wolfowitz runs,
+  * Brown–Forsythe, Goldfeld–Quandt, Cuzick trend, two-sample
+  * Cramér–von Mises), complexity measures (permutation entropy, DFA),
+  * and retrieval/classification metrics (PR-AUC, confusion-matrix
+  * summary, popularity-recommender evaluation).
+  *
+  * Reference scope: the reference app (reference `app.py:139-200`)
+  * publishes descriptive statistics over sensor channels; these are
+  * the evaluation-grade readouts a production fleet adds on top.
+  * Determinism discipline (the repo convention): facts collapse in
+  * ONE map-side pass to a calendar/hour/group digest; everything
+  * until the last projection is exact integer cents / counts;
+  * transcendentals are quantized (ln → 12 dp) before any cross-row
+  * sum; finals round(…, 4..6).
+  */
+object R15Queries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Wald–Wolfowitz runs test (Wald & Wolfowitz 1940) on daily
+    // revenue vs its median: too FEW runs = trending/clustered, too
+    // MANY = oscillating. The median is the exact lower-median order
+    // statistic (integer cents, rank-picked, no interpolation
+    // ambiguity); ties WITH the median are dropped (the classical
+    // convention); runs are counted with one lag over the calendar
+    // digest. z uses the exact n1/n2 moments. 100 TB: one groupBy(day)
+    // collapse, then ≤366-row digest windows.
+    QueryDef("q_runs_test_daily",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg((sum(col("value").cast("decimal(18,2)")) * 100)
+            .cast("long").as("y"))
+        val med = daily
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("y"), col("day"))))
+          .crossJoin(broadcast(daily.agg(count(lit(1)).as("n"))))
+          .agg(max(when(col("rn") === expr("(n + 1) div 2"), col("y")))
+            .as("m"))
+        val sgn = daily.crossJoin(broadcast(med))
+          .filter(col("y") =!= col("m"))
+          .select(col("day"), (col("y") > col("m")).cast("int").as("s"))
+          .withColumn("prev", lag(col("s"), 1).over(
+            Window.orderBy(col("day"))))
+        sgn.agg(
+            sum(col("s")).cast("long").as("n_above"),
+            sum(lit(1) - col("s")).cast("long").as("n_below"),
+            (sum(when(col("prev").isNull ||
+              col("prev") =!= col("s"), 1L).otherwise(0L)))
+              .as("n_runs"))
+          .select(col("n_above"), col("n_below"), col("n_runs"),
+            round(expr(
+              """(cast(n_runs as double) - (1.0d
+                |  + 2.0d * n_above * n_below / (n_above + n_below)))
+                |/ sqrt(2.0d * n_above * n_below
+                |  * (2.0d * n_above * n_below - n_above - n_below)
+                |  / ((n_above + n_below) * (n_above + n_below)
+                |     * (n_above + n_below - 1.0d)))""".stripMargin), 4)
+              .as("z"))
+      },
+      Some("""WITH daily AS (SELECT ts::DATE AS day,
+             |    (sum(CAST(value AS DECIMAL(18,2))) * 100)::BIGINT AS y
+             |  FROM events GROUP BY 1),
+             |rk AS (SELECT y, day,
+             |    row_number() OVER (ORDER BY y, day) AS rn FROM daily),
+             |med AS (SELECT max(CASE WHEN rn =
+             |      ((SELECT count(*) FROM daily) + 1) // 2
+             |    THEN y END) AS m FROM rk),
+             |sgn AS (SELECT day,
+             |    (CASE WHEN y > med.m THEN 1 ELSE 0 END) AS s
+             |  FROM daily, med WHERE y != med.m),
+             |lg AS (SELECT s, lag(s, 1) OVER (ORDER BY day) AS prev
+             |  FROM sgn),
+             |agg AS (SELECT sum(s)::BIGINT AS n_above,
+             |    sum(1 - s)::BIGINT AS n_below,
+             |    sum(CASE WHEN prev IS NULL OR prev != s THEN 1
+             |      ELSE 0 END)::BIGINT AS n_runs
+             |  FROM lg)
+             |SELECT n_above, n_below, n_runs,
+             |  round((n_runs::DOUBLE - (1.0
+             |      + 2.0 * n_above * n_below / (n_above + n_below)))
+             |    / sqrt(2.0 * n_above * n_below
+             |      * (2.0 * n_above * n_below - n_above - n_below)
+             |      / ((n_above + n_below) * (n_above + n_below)
+             |         * (n_above + n_below - 1.0))), 4) AS z
+             |FROM agg""".stripMargin)),
+
+    // Brown–Forsythe test (Brown & Forsythe 1974): Levene's equal-
+    // variance ANOVA with MEDIAN centers — the robust sibling of the
+    // repo's mean-centered Levene. Day-of-week groups over daily
+    // revenue; per-group medians are exact HALF-CENT integers
+    // (lo+hi order statistics summed, so even-count groups stay
+    // float-free), and the one-way F on z = |2y − (mlo+mhi)| uses
+    // exact integer Σz / Σz². 100 TB: calendar digest only.
+    QueryDef("q_brown_forsythe",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg((sum(col("value").cast("decimal(18,2)")) * 100)
+            .cast("long").as("y"))
+          .withColumn("g", dayofweek(col("day")))
+        val rk = daily
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("g")).orderBy(col("y"), col("day"))))
+          .withColumn("cnt", count(lit(1)).over(
+            Window.partitionBy(col("g"))))
+        val meds = rk.groupBy(col("g")).agg(
+          (max(when(col("rn") === expr("(cnt + 1) div 2"), col("y")))
+            + max(when(col("rn") === expr("cnt div 2 + 1"), col("y"))))
+            .as("m2"))
+        val z = daily.join(meds, "g")
+          .select(col("g"), abs(lit(2) * col("y") - col("m2")).as("z"))
+        val grp = z.groupBy(col("g"))
+          .agg(count(lit(1)).as("nj"), sum(col("z")).as("sj"),
+            sum(col("z").cast("decimal(38,0)") * col("z")).as("sjj"))
+        grp.agg(count(lit(1)).as("k"), sum(col("nj")).as("n"),
+            sum(col("sj")).cast("decimal(38,0)").as("st"),
+            sum(col("sjj")).as("stt"),
+            // sj²/nj is a true division — quantize each group's term
+            // to 6 dp BEFORE summing so the 7-term sum is order-free
+            // and matches DuckDB's float division exactly
+            sum(expr("cast(round(cast(sj as double) * sj / nj, 6)" +
+              " as decimal(38,6))")).as("sb"))
+          .select(col("k").as("k_groups"), col("n").as("n_days"),
+            round(expr(
+              """((cast(sb as double) - cast(st as double)
+                |    * cast(st as double) / n) / (k - 1.0d))
+                |/ nullif((cast(stt as double) - cast(sb as double))
+                |   / (n - k), 0.0d)""".stripMargin), 4).as("f_stat"))
+      },
+      Some("""WITH daily AS (SELECT ts::DATE AS day,
+             |    (sum(CAST(value AS DECIMAL(18,2))) * 100)::BIGINT AS y,
+             |    dayofweek(ts::DATE) + 1 AS g
+             |  FROM events GROUP BY ts::DATE),
+             |rk AS (SELECT g, y, day,
+             |    row_number() OVER (PARTITION BY g ORDER BY y, day)
+             |      AS rn,
+             |    count(*) OVER (PARTITION BY g) AS cnt
+             |  FROM daily),
+             |meds AS (SELECT g,
+             |    max(CASE WHEN rn = (cnt + 1) // 2 THEN y END)
+             |    + max(CASE WHEN rn = cnt // 2 + 1 THEN y END) AS m2
+             |  FROM rk GROUP BY 1),
+             |z AS (SELECT daily.g, abs(2 * y - m2)::BIGINT AS z
+             |  FROM daily JOIN meds ON daily.g = meds.g),
+             |grp AS (SELECT g, count(*)::BIGINT AS nj,
+             |    sum(z)::BIGINT AS sj, sum(z::HUGEINT * z) AS sjj
+             |  FROM z GROUP BY 1),
+             |agg AS (SELECT count(*)::BIGINT AS k, sum(nj)::BIGINT AS n,
+             |    sum(sj)::HUGEINT AS st, sum(sjj)::HUGEINT AS stt,
+             |    sum(round(sj::DOUBLE * sj / nj, 6)::DECIMAL(38,6))
+             |      AS sb
+             |  FROM grp)
+             |SELECT k AS k_groups, n AS n_days,
+             |  round(((sb::DOUBLE - st::DOUBLE * st::DOUBLE / n)
+             |      / (k - 1.0))
+             |    / nullif((stt::DOUBLE - sb::DOUBLE) / (n - k), 0.0),
+             |    4) AS f_stat
+             |FROM agg""".stripMargin)),
+
+    // Goldfeld–Quandt heteroscedasticity test (Goldfeld & Quandt
+    // 1965) on the daily-revenue-vs-time regression: fit OLS on the
+    // FIRST and LAST thirds of the calendar and compare residual sums
+    // of squares — a rising F means variance grows with time (the
+    // classic funnel). Segment OLS moments are exact integer sums on
+    // the cents grid; only the final SSRs and their ratio are
+    // doubles. 100 TB: calendar digest only.
+    QueryDef("q_goldfeld_quandt",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg((sum(col("value").cast("decimal(18,2)")) * 100)
+            .cast("long").as("y"))
+          .withColumn("t", row_number().over(Window.orderBy(col("day")))
+            .cast("long"))
+        val n3 = broadcast(daily.agg((count(lit(1)) / 3).cast("long")
+          .as("m"), count(lit(1)).as("n")))
+        val seg = daily.crossJoin(n3)
+          .withColumn("seg", when(col("t") <= col("m"), 1)
+            .when(col("t") > col("n") - col("m"), 2).otherwise(0))
+          .filter(col("seg") > 0)
+        val mom = seg.groupBy(col("seg"))
+          .agg(count(lit(1)).as("nn"), sum(col("t")).as("sx"),
+            sum(col("t") * col("t")).as("sxx"),
+            sum(col("y")).as("sy"),
+            sum(col("t").cast("decimal(38,0)") * col("y")).as("sxy"),
+            sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+          .withColumn("ssr", expr(
+            """(cast(syy as double) - cast(sy as double)
+              |   * cast(sy as double) / nn)
+              |- (cast(sxy as double) - cast(sx as double)
+              |     * cast(sy as double) / nn)
+              |  * (cast(sxy as double) - cast(sx as double)
+              |     * cast(sy as double) / nn)
+              |  / (cast(sxx as double) - cast(sx as double)
+              |     * cast(sx as double) / nn)""".stripMargin))
+        mom.agg(max(col("nn")).as("n_per_segment"),
+            max(when(col("seg") === 1, col("ssr"))).as("ssr1"),
+            max(when(col("seg") === 2, col("ssr"))).as("ssr2"))
+          .select(col("n_per_segment"),
+            round(expr("ssr2 / nullif(ssr1, 0.0)"), 4).as("gq_f"))
+      },
+      Some("""WITH daily AS (SELECT ts::DATE AS day,
+             |    (sum(CAST(value AS DECIMAL(18,2))) * 100)::BIGINT AS y
+             |  FROM events GROUP BY 1),
+             |idx AS (SELECT y,
+             |    row_number() OVER (ORDER BY day)::BIGINT AS t
+             |  FROM daily),
+             |n3 AS (SELECT (count(*) // 3)::BIGINT AS m,
+             |    count(*)::BIGINT AS n FROM idx),
+             |seg AS (SELECT t, y,
+             |    CASE WHEN t <= m THEN 1
+             |      WHEN t > n - m THEN 2 ELSE 0 END AS seg
+             |  FROM idx, n3 WHERE t <= m OR t > n - m),
+             |mom AS (SELECT seg, count(*)::BIGINT AS nn,
+             |    sum(t)::BIGINT AS sx, sum(t * t)::BIGINT AS sxx,
+             |    sum(y)::BIGINT AS sy, sum(t::HUGEINT * y) AS sxy,
+             |    sum(y::HUGEINT * y) AS syy
+             |  FROM seg GROUP BY 1),
+             |ssr AS (SELECT seg, nn,
+             |    (syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / nn)
+             |    - (sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / nn)
+             |      * (sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / nn)
+             |      / (sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / nn)
+             |      AS ssr
+             |  FROM mom)
+             |SELECT max(nn)::BIGINT AS n_per_segment,
+             |  round(max(CASE WHEN seg = 2 THEN ssr END)
+             |    / nullif(max(CASE WHEN seg = 1 THEN ssr END), 0.0), 4)
+             |    AS gq_f
+             |FROM ssr""".stripMargin)),
+
+    // Cuzick trend test (Cuzick 1985): a Wilcoxon-type test for a
+    // MONOTONE trend across ORDERED groups — here calendar WEEKS
+    // (days-from-start div 7; months would collapse to one group at
+    // small time spans) over daily revenue. Ranks are doubled
+    // midranks (exact integers under ties), T = Σ l·2R, and the null
+    // moments use the exact integer group-weight sums, so z is the
+    // only double (NULL when a single group survives — Spark ANSI
+    // errors on even a DOUBLE ÷0, so the nullif guard is load-
+    // bearing, not cosmetic). 100 TB: calendar digest only.
+    QueryDef("q_cuzick_trend",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg((sum(col("value").cast("decimal(18,2)")) * 100)
+            .cast("long").as("y"))
+        val d0 = broadcast(daily.agg(min(col("day")).as("d0")))
+        val lab = daily.crossJoin(d0)
+          .withColumn("l",
+            (datediff(col("day"), col("d0")).cast("long") / 7)
+              .cast("long") + 1)
+        // doubled midrank: rank() gives the min rank of the tie
+        // block, count() its size — 2R = 2·minrank + (ties − 1)
+        val rk = lab
+          .withColumn("mr", rank().over(Window.orderBy(col("y"))))
+          .withColumn("tc", count(lit(1)).over(
+            Window.partitionBy(col("y"))))
+          .withColumn("r2", lit(2) * col("mr") + col("tc") - 1)
+        val g = rk.groupBy(col("l"))
+          .agg(count(lit(1)).as("nj"), sum(col("r2")).as("srj"))
+        g.agg(sum(col("nj")).as("n"),
+            sum(col("nj") * col("l")).as("sl"),
+            sum(col("nj") * col("l") * col("l")).as("sll"),
+            sum(col("l").cast("decimal(38,0)") * col("srj")).as("t2"))
+          .select(col("n").as("n_days"), col("t2").cast("long").as("t2"),
+            round(expr(
+              """(cast(t2 as double) - (n + 1.0d) * sl)
+                |/ nullif(2.0d * sqrt((n + 1.0d) / 12.0d
+                |   * (cast(n as double) * sll
+                |      - cast(sl as double) * cast(sl as double))), 0.0d)"""
+                .stripMargin), 4).as("z"))
+      },
+      Some("""WITH daily AS (SELECT ts::DATE AS day,
+             |    (sum(CAST(value AS DECIMAL(18,2))) * 100)::BIGINT AS y
+             |  FROM events GROUP BY 1),
+             |d0 AS (SELECT min(day) AS d0 FROM daily),
+             |lab AS (SELECT y,
+             |    (datediff('day', d0.d0, day) // 7)::BIGINT + 1 AS l
+             |  FROM daily, d0),
+             |rk AS (SELECT l,
+             |    2 * rank() OVER (ORDER BY y)
+             |      + count(*) OVER (PARTITION BY y) - 1 AS r2
+             |  FROM lab),
+             |g AS (SELECT l, count(*)::BIGINT AS nj,
+             |    sum(r2)::BIGINT AS srj FROM rk GROUP BY 1),
+             |agg AS (SELECT sum(nj)::BIGINT AS n,
+             |    sum(nj * l)::BIGINT AS sl,
+             |    sum(nj * l * l)::BIGINT AS sll,
+             |    sum(l::HUGEINT * srj) AS t2
+             |  FROM g)
+             |SELECT n AS n_days, t2::BIGINT AS t2,
+             |  round((t2::DOUBLE - (n + 1.0) * sl)
+             |    / nullif(2.0 * sqrt((n + 1.0) / 12.0
+             |       * (n::DOUBLE * sll - sl::DOUBLE * sl::DOUBLE)),
+             |       0.0), 4) AS z
+             |FROM agg""".stripMargin)),
+
+    // Two-sample Cramér–von Mises (Anderson 1962): weekend vs weekday
+    // daily revenue — the OMNIBUS distribution-equality test that,
+    // unlike KS, weights the whole ECDF difference, not just its max.
+    // U = n·Σ(r_i − i)² + m·Σ(s_j − j)² over combined ranks; the
+    // deterministic (y, day) tie-break makes ranks exact integers in
+    // both engines, so U is exact and T = U/(nm(n+m)) − (4nm−1)/
+    // (6(n+m)) is the only double. 100 TB: calendar digest only.
+    QueryDef("q_cramer_von_mises",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg((sum(col("value").cast("decimal(18,2)")) * 100)
+            .cast("long").as("y"))
+          .withColumn("w", dayofweek(col("day")).isin(1, 7).cast("int"))
+        val rk = daily
+          .withColumn("r", row_number().over(
+            Window.orderBy(col("y"), col("day"))).cast("long"))
+          .withColumn("i", row_number().over(
+            Window.partitionBy(col("w"))
+              .orderBy(col("y"), col("day"))).cast("long"))
+        val u = rk.groupBy(col("w"))
+          .agg(count(lit(1)).as("cnt"),
+            sum((col("r") - col("i")) * (col("r") - col("i")))
+              .as("sq"))
+        u.agg(max(when(col("w") === 1, col("cnt"))).as("n1"),
+            max(when(col("w") === 0, col("cnt"))).as("n2"),
+            max(when(col("w") === 1, col("sq"))).as("q1"),
+            max(when(col("w") === 0, col("sq"))).as("q2"))
+          .withColumn("t0", expr(
+            """(cast(n1 as double) * q1 + cast(n2 as double) * q2)
+              |/ (cast(n1 as double) * n2 * (n1 + n2))
+              |- (4.0d * n1 * n2 - 1.0d) / (6.0d * (n1 + n2))"""
+              .stripMargin))
+          // floor-based HALF-UP 6 dp: Spark's round() rounds the
+          // double's exact decimal expansion while DuckDB rounds
+          // x*1e6 — they disagree on boundary values (this query hit
+          // one at sf0.01); identical IEEE floor/abs on both sides
+          // cannot diverge
+          .select(col("n1").as("n_weekend"), col("n2").as("n_weekday"),
+            expr("floor(abs(t0) * 1.0e6 + 0.5) / 1.0e6" +
+              " * (case when t0 < 0.0d then -1.0d else 1.0d end)")
+              .as("cvm_t"))
+      },
+      Some("""WITH daily AS (SELECT ts::DATE AS day,
+             |    (sum(CAST(value AS DECIMAL(18,2))) * 100)::BIGINT AS y,
+             |    (CASE WHEN dayofweek(ts::DATE) IN (0, 6) THEN 1
+             |      ELSE 0 END) AS w
+             |  FROM events GROUP BY ts::DATE),
+             |rk AS (SELECT w,
+             |    row_number() OVER (ORDER BY y, day)::BIGINT AS r,
+             |    row_number() OVER (PARTITION BY w ORDER BY y, day)
+             |      ::BIGINT AS i
+             |  FROM daily),
+             |u AS (SELECT w, count(*)::BIGINT AS cnt,
+             |    sum((r - i) * (r - i))::BIGINT AS sq
+             |  FROM rk GROUP BY 1),
+             |agg AS (SELECT
+             |    max(CASE WHEN w = 1 THEN cnt END)::BIGINT AS n1,
+             |    max(CASE WHEN w = 0 THEN cnt END)::BIGINT AS n2,
+             |    max(CASE WHEN w = 1 THEN sq END)::BIGINT AS q1,
+             |    max(CASE WHEN w = 0 THEN sq END)::BIGINT AS q2
+             |  FROM u),
+             |t AS (SELECT n1, n2,
+             |    (n1::DOUBLE * q1 + n2::DOUBLE * q2)
+             |      / (n1::DOUBLE * n2 * (n1 + n2))
+             |    - (4.0 * n1 * n2 - 1.0) / (6.0 * (n1 + n2)) AS t0
+             |  FROM agg)
+             |SELECT n1 AS n_weekend, n2 AS n_weekday,
+             |  floor(abs(t0) * 1.0e6 + 0.5) / 1.0e6
+             |    * (CASE WHEN t0 < 0.0 THEN -1.0 ELSE 1.0 END) AS cvm_t
+             |FROM t""".stripMargin)),
+
+    // Forecast-accuracy scorecard of the SEASONAL-NAIVE baseline
+    // (ŷ_t = y_{t−7}): sMAPE (Armstrong 1985) and Theil's U2 (Theil
+    // 1966) against the naive lag-1 random walk — the two numbers a
+    // demand-planning readout leads with, and the floor every real
+    // model must beat. Each sMAPE ratio term is quantized to 9 dp
+    // BEFORE the cross-day sum (order-free); U2's numerator and
+    // denominator are exact integer sums of squared cent errors, so
+    // the final sqrt is the only transcendental. 100 TB: calendar
+    // digest only.
+    QueryDef("q_forecast_smape",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg((sum(col("value").cast("decimal(18,2)")) * 100)
+            .cast("long").as("y"))
+        val w = Window.orderBy(col("day"))
+        val f = daily
+          .withColumn("sn", lag(col("y"), 7).over(w))
+          .withColumn("nv", lag(col("y"), 1).over(w))
+          .filter(col("sn").isNotNull && col("nv").isNotNull)
+        f.agg(count(lit(1)).as("n_forecasts"),
+            sum(expr("cast(round(cast(abs(y - sn) as double)" +
+              " / nullif(cast(y + sn as double), 0.0d), 9)" +
+              " as decimal(20,9))")).as("sr"),
+            sum(expr("cast(y - sn as decimal(38,0))" +
+              " * cast(y - sn as decimal(38,0))")).as("se"),
+            sum(expr("cast(y - nv as decimal(38,0))" +
+              " * cast(y - nv as decimal(38,0))")).as("ne"))
+          .select(col("n_forecasts"),
+            round(expr("200.0d * cast(sr as double) / n_forecasts"), 4)
+              .as("smape"),
+            round(expr("sqrt(cast(se as double)" +
+              " / nullif(cast(ne as double), 0.0d))"), 4)
+              .as("theil_u2"))
+      },
+      Some("""WITH daily AS (SELECT ts::DATE AS day,
+             |    (sum(CAST(value AS DECIMAL(18,2))) * 100)::BIGINT AS y
+             |  FROM events GROUP BY 1),
+             |f AS (SELECT y,
+             |    lag(y, 7) OVER (ORDER BY day) AS sn,
+             |    lag(y, 1) OVER (ORDER BY day) AS nv
+             |  FROM daily
+             |  QUALIFY sn IS NOT NULL AND nv IS NOT NULL),
+             |agg AS (SELECT count(*)::BIGINT AS n_forecasts,
+             |    sum(round(abs(y - sn)::DOUBLE
+             |      / nullif((y + sn)::DOUBLE, 0.0), 9)::DECIMAL(20,9))
+             |      AS sr,
+             |    sum((y - sn)::HUGEINT * (y - sn)) AS se,
+             |    sum((y - nv)::HUGEINT * (y - nv)) AS ne
+             |  FROM f)
+             |SELECT n_forecasts,
+             |  round(200.0 * sr::DOUBLE / n_forecasts, 4) AS smape,
+             |  round(sqrt(se::DOUBLE / nullif(ne::DOUBLE, 0.0)), 4)
+             |    AS theil_u2
+             |FROM agg""".stripMargin)),
+
+    // Detrended fluctuation analysis (Peng et al. 1994): long-range
+    // correlation of daily revenue. The mean-centered profile is the
+    // EXACT integer cumulative sum X_t = Σ(n·y_i − Σy) (n-cents
+    // grid); for each box size s ∈ {4,8,16,32} the profile splits
+    // into ⌊n/s⌋ full boxes, each linearly detrended by the
+    // closed-form OLS residual (exact integer moments, one double
+    // division per box, quantized to 6 dp before the cross-box mean);
+    // α is the OLS slope of ln F(s) vs ln s over the 4-point digest
+    // (12-dp-quantized logs). α≈0.5 = uncorrelated, α>1 = trending.
+    // 100 TB: calendar digest × 4 box sizes.
+    QueryDef("q_dfa_alpha",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg((sum(col("value").cast("decimal(18,2)")) * 100)
+            .cast("long").as("y"))
+        val g = broadcast(daily.agg(count(lit(1)).as("n"),
+          sum(col("y")).as("sy")))
+        val w = Window.orderBy(col("day"))
+        val prof = daily.crossJoin(g)
+          .withColumn("t", row_number().over(w).cast("long"))
+          .withColumn("xp", sum(col("n") * col("y") - col("sy")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val sizes = broadcast(s.createDataFrame(
+          Seq(4L, 8L, 16L, 32L).map(Tuple1(_))).toDF("bs"))
+        val boxes = prof.crossJoin(sizes)
+          .withColumn("box", expr("(t - 1) div bs"))
+          .withColumn("i", expr("(t - 1) % bs + 1"))
+          .crossJoin(broadcast(daily.agg(count(lit(1)).as("nn"))))
+          .filter(col("box") < expr("nn div bs"))
+        val perBox = boxes.groupBy(col("bs"), col("box"))
+          .agg(sum(col("i")).as("sx"), sum(col("i") * col("i")).as("sxx"),
+            sum(col("xp")).cast("decimal(38,0)").as("sv"),
+            sum(col("i").cast("decimal(38,0)") * col("xp")).as("sxv"),
+            sum(col("xp").cast("decimal(38,0)") * col("xp")).as("svv"))
+          .withColumn("ssr", expr(
+            """cast(svv as double) - cast(sv as double)
+              |  * cast(sv as double) / bs
+              |- (cast(sxv as double) - cast(sx as double)
+              |     * cast(sv as double) / bs)
+              |  * (cast(sxv as double) - cast(sx as double)
+              |     * cast(sv as double) / bs)
+              |  / (cast(sxx as double) - cast(sx as double)
+              |     * cast(sx as double) / bs)""".stripMargin))
+        val fs = perBox.groupBy(col("bs"))
+          .agg(count(lit(1)).as("n_boxes"),
+            sum(expr("cast(round(ssr, 6) as decimal(38,6))")).as("sssr"))
+          .withColumn("fluct", expr(
+            "sqrt(cast(sssr as double) / n_boxes / bs)"))
+          .withColumn("lf", expr(
+            "cast(round(ln(fluct), 12) as decimal(20,12))"))
+          .withColumn("ls", expr(
+            "cast(round(ln(cast(bs as double)), 12) as decimal(20,12))"))
+        val alpha = broadcast(fs.agg(count(lit(1)).as("k"),
+            sum(col("ls")).as("a"), sum(col("lf")).as("b"),
+            sum((col("ls") * col("lf")).cast("decimal(38,24)")).as("ab"),
+            sum((col("ls") * col("ls")).cast("decimal(38,24)")).as("aa"))
+          .select(expr(
+            """(cast(k as double) * cast(ab as double)
+              |  - cast(a as double) * cast(b as double))
+              |/ (cast(k as double) * cast(aa as double)
+              |   - cast(a as double) * cast(a as double))"""
+              .stripMargin).as("al")))
+        fs.crossJoin(alpha)
+          .select(col("bs").as("box_size"), col("n_boxes"),
+            round(col("fluct"), 4).as("fluct"),
+            round(col("al"), 4).as("alpha"))
+          .orderBy(col("box_size"))
+      },
+      Some("""WITH daily AS (SELECT ts::DATE AS day,
+             |    (sum(CAST(value AS DECIMAL(18,2))) * 100)::BIGINT AS y
+             |  FROM events GROUP BY 1),
+             |g AS (SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS sy
+             |  FROM daily),
+             |prof AS (SELECT
+             |    row_number() OVER (ORDER BY day)::BIGINT AS t,
+             |    sum(g.n * y - g.sy) OVER (ORDER BY day
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      ::BIGINT AS xp
+             |  FROM daily, g),
+             |sizes AS (SELECT unnest([4, 8, 16, 32])::BIGINT AS bs),
+             |boxes AS (SELECT bs, (t - 1) // bs AS box,
+             |    (t - 1) % bs + 1 AS i, xp
+             |  FROM prof, sizes, g WHERE (t - 1) // bs < g.n // bs),
+             |perbox AS (SELECT bs, box, sum(i)::BIGINT AS sx,
+             |    sum(i * i)::BIGINT AS sxx, sum(xp)::HUGEINT AS sv,
+             |    sum(i::HUGEINT * xp) AS sxv,
+             |    sum(xp::HUGEINT * xp) AS svv
+             |  FROM boxes GROUP BY 1, 2),
+             |ssr AS (SELECT bs, box,
+             |    svv::DOUBLE - sv::DOUBLE * sv::DOUBLE / bs
+             |    - (sxv::DOUBLE - sx::DOUBLE * sv::DOUBLE / bs)
+             |      * (sxv::DOUBLE - sx::DOUBLE * sv::DOUBLE / bs)
+             |      / (sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / bs)
+             |      AS ssr
+             |  FROM perbox),
+             |fs AS (SELECT bs, count(*)::BIGINT AS n_boxes,
+             |    sqrt(sum(round(ssr, 6)::DECIMAL(38,6))::DOUBLE
+             |      / count(*) / bs) AS fluct
+             |  FROM ssr GROUP BY 1),
+             |lf AS (SELECT bs, n_boxes, fluct,
+             |    round(ln(fluct), 12)::DECIMAL(20,12) AS lf,
+             |    round(ln(bs::DOUBLE), 12)::DECIMAL(20,12) AS ls
+             |  FROM fs),
+             |al AS (SELECT (count(*)::DOUBLE
+             |      * sum((ls * lf)::DECIMAL(38,24))::DOUBLE
+             |    - sum(ls)::DOUBLE * sum(lf)::DOUBLE)
+             |    / (count(*)::DOUBLE
+             |       * sum((ls * ls)::DECIMAL(38,24))::DOUBLE
+             |       - sum(ls)::DOUBLE * sum(ls)::DOUBLE) AS al
+             |  FROM lf)
+             |SELECT bs AS box_size, n_boxes, round(fluct, 4) AS fluct,
+             |  round(al.al, 4) AS alpha
+             |FROM lf, al ORDER BY box_size""".stripMargin)),
+
+    // Quadrat test of spatial randomness (Greig-Smith 1952) on the
+    // hour-of-week lattice: are events uniformly spread over the
+    // 7×24 = 168 weekly cells, or clumped? The χ² against uniform
+    // reduces ALGEBRAICALLY to 168·ΣO²/n − n (empty cells included
+    // automatically — each contributes exactly E to the classic sum),
+    // so the whole test is one integer aggregate over the cell
+    // digest. 100 TB: one fact-sized groupBy to ≤168 cells.
+    QueryDef("q_quadrat_test",
+      (s, d) => {
+        val cells = graft.sources.Tables.events(s, d)
+          .groupBy(dayofweek(col("ts")).as("dw"),
+            hour(col("ts")).as("hr"))
+          .agg(count(lit(1)).as("o"))
+        cells.agg(sum(col("o")).as("n"),
+            count(lit(1)).as("n_cells_occupied"),
+            sum(col("o") * col("o")).as("ss"),
+            max(col("o")).as("max_cell"))
+          .select(col("n").as("n_events"), col("n_cells_occupied"),
+            col("max_cell"),
+            round(expr(
+              "168.0d * cast(ss as double) / n - cast(n as double)"), 4)
+              .as("chi2"))
+      },
+      Some("""WITH cells AS (SELECT dayofweek(ts) AS dw,
+             |    hour(ts) AS hr, count(*)::BIGINT AS o
+             |  FROM events GROUP BY 1, 2),
+             |agg AS (SELECT sum(o)::BIGINT AS n,
+             |    count(*)::BIGINT AS n_cells_occupied,
+             |    sum(o * o)::BIGINT AS ss, max(o)::BIGINT AS max_cell
+             |  FROM cells)
+             |SELECT n AS n_events, n_cells_occupied, max_cell,
+             |  round(168.0 * ss::DOUBLE / n - n::DOUBLE, 4) AS chi2
+             |FROM agg""".stripMargin)),
+
+    // Confusion-matrix scorecard (Matthews 1975; Cohen 1960; Youden
+    // 1950) of the above-mean-spend rule as a purchase classifier:
+    // predict "purchase" iff the event's value exceeds the corpus
+    // mean. The threshold compare is the EXACT cross-multiplied
+    // integer inequality vc·n > Σvc (no float mean anywhere), the
+    // four cells are one conditional aggregate, and MCC / Cohen's κ /
+    // Youden's J / F1 / balanced accuracy are final-projection
+    // doubles off the 4 integers. 100 TB: two fact-sized aggregates
+    // (mean digest + cells), zero shuffles beyond them.
+    QueryDef("q_confusion_metrics",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+          .select((col("value").cast("decimal(18,2)") * 100)
+            .cast("long").as("vc"),
+            (col("event_type") === "purchase").cast("long").as("lb"))
+        val g = broadcast(ev.agg(count(lit(1)).as("n"),
+          sum(col("vc")).as("sv")))
+        val c = ev.crossJoin(g)
+          .withColumn("pr", (col("vc") * col("n") > col("sv"))
+            .cast("long"))
+          .agg(sum(col("pr") * col("lb")).as("tp"),
+            sum(col("pr") * (lit(1L) - col("lb"))).as("fp"),
+            sum((lit(1L) - col("pr")) * col("lb")).as("fn"),
+            sum((lit(1L) - col("pr")) * (lit(1L) - col("lb")))
+              .as("tn"))
+        c.select(col("tp"), col("fp"), col("fn"), col("tn"),
+          round(expr(
+            """(cast(tp as double) * tn - cast(fp as double) * fn)
+              |/ nullif(sqrt((cast(tp as double) + fp)
+              |  * (cast(tp as double) + fn)
+              |  * (cast(tn as double) + fp)
+              |  * (cast(tn as double) + fn)), 0.0d)""".stripMargin), 6)
+            .as("mcc"),
+          round(expr(
+            """2.0d * (cast(tp as double) * tn
+              |        - cast(fn as double) * fp)
+              |/ nullif((cast(tp as double) + fp)
+              |    * (cast(fp as double) + tn)
+              |  + (cast(tp as double) + fn)
+              |    * (cast(fn as double) + tn), 0.0d)""".stripMargin), 6)
+            .as("kappa"),
+          round(expr(
+            """cast(tp as double) / nullif(cast(tp + fn as double), 0.0d)
+              |+ cast(tn as double)
+              |  / nullif(cast(tn + fp as double), 0.0d) - 1.0d"""
+              .stripMargin), 6).as("youden_j"),
+          round(expr(
+            """2.0d * tp
+              |/ nullif(2.0d * tp + fp + fn, 0.0d)""".stripMargin), 6)
+            .as("f1"),
+          round(expr(
+            """(cast(tp as double) / nullif(cast(tp + fn as double), 0.0d)
+              |+ cast(tn as double)
+              |  / nullif(cast(tn + fp as double), 0.0d)) / 2.0d"""
+              .stripMargin), 6).as("balanced_acc"))
+      },
+      Some("""WITH ev AS (SELECT
+             |    (CAST(value AS DECIMAL(18,2)) * 100)::BIGINT AS vc,
+             |    (CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |      ::BIGINT AS lb
+             |  FROM events),
+             |g AS (SELECT count(*)::BIGINT AS n, sum(vc)::BIGINT AS sv
+             |  FROM ev),
+             |c AS (SELECT
+             |    sum(CASE WHEN vc * n > sv THEN lb ELSE 0 END)
+             |      ::BIGINT AS tp,
+             |    sum(CASE WHEN vc * n > sv THEN 1 - lb ELSE 0 END)
+             |      ::BIGINT AS fp,
+             |    sum(CASE WHEN vc * n <= sv THEN lb ELSE 0 END)
+             |      ::BIGINT AS fn,
+             |    sum(CASE WHEN vc * n <= sv THEN 1 - lb ELSE 0 END)
+             |      ::BIGINT AS tn
+             |  FROM ev, g)
+             |SELECT tp, fp, fn, tn,
+             |  round((tp::DOUBLE * tn - fp::DOUBLE * fn)
+             |    / nullif(sqrt((tp::DOUBLE + fp) * (tp::DOUBLE + fn)
+             |      * (tn::DOUBLE + fp) * (tn::DOUBLE + fn)), 0.0), 6)
+             |    AS mcc,
+             |  round(2.0 * (tp::DOUBLE * tn - fn::DOUBLE * fp)
+             |    / nullif((tp::DOUBLE + fp) * (fp::DOUBLE + tn)
+             |      + (tp::DOUBLE + fn) * (fn::DOUBLE + tn), 0.0), 6)
+             |    AS kappa,
+             |  round(tp::DOUBLE / nullif((tp + fn)::DOUBLE, 0.0)
+             |    + tn::DOUBLE / nullif((tn + fp)::DOUBLE, 0.0) - 1.0, 6)
+             |    AS youden_j,
+             |  round(2.0 * tp / nullif(2.0 * tp + fp + fn, 0.0), 6)
+             |    AS f1,
+             |  round((tp::DOUBLE / nullif((tp + fn)::DOUBLE, 0.0)
+             |    + tn::DOUBLE / nullif((tn + fp)::DOUBLE, 0.0)) / 2.0, 6)
+             |    AS balanced_acc
+             |FROM c""".stripMargin)),
+
+    // Precision-recall AUC (average precision, step-interpolated) of
+    // the hour-of-day propensity score: the score is each hour's
+    // purchase rate measured on the FIRST half of the time span
+    // (integer ppm — leakage-safe: scored events come from the
+    // SECOND half only). The PR curve lives on the ≤24-row score
+    // digest: cumulative TP/FP in (score desc, hour) order, AP =
+    // Σ Δrecall·precision with each step term quantized to 9 dp.
+    // The companion to the ROC-AUC query for the imbalanced-label
+    // regime. 100 TB: one fact pass → 24-row digest.
+    QueryDef("q_pr_auc",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+          .select(unix_micros(col("ts")).as("us"),
+            hour(col("ts")).as("hr"),
+            (col("event_type") === "purchase").cast("long").as("lb"))
+        val mid = broadcast(ev.agg(
+          ((min(col("us")) + max(col("us"))) / 2).cast("long")
+            .as("m")))
+        val sc = ev.crossJoin(mid).filter(col("us") < col("m"))
+          .groupBy(col("hr")).agg(
+            (sum(col("lb")) * 1000000 / count(lit(1))).cast("long")
+              .as("score"))
+        val te = ev.crossJoin(mid).filter(col("us") >= col("m"))
+          .groupBy(col("hr")).agg(sum(col("lb")).as("pos"),
+            sum(lit(1L) - col("lb")).as("neg"))
+        val w = Window.orderBy(col("score").desc, col("hr"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = te.join(sc, "hr")
+          .withColumn("ctp", sum(col("pos")).over(w))
+          .withColumn("cfp", sum(col("neg")).over(w))
+        val tot = broadcast(cum.agg(max(col("ctp")).as("p"),
+          max(col("cfp")).as("ng")))
+        cum.crossJoin(tot)
+          .select(col("p"), col("ng"),
+            expr("""cast(round((cast(pos as double) / p)
+              |  * (cast(ctp as double) / (ctp + cfp)), 9)
+              |  as decimal(20,9))""".stripMargin).as("term"))
+          .groupBy(col("p"), col("ng"))
+          .agg(round(sum(col("term")).cast("double"), 6).as("pr_auc"))
+          .select(col("p").as("n_pos"), col("ng").as("n_neg"),
+            col("pr_auc"))
+      },
+      Some("""WITH ev AS (SELECT epoch_us(ts) AS us, hour(ts) AS hr,
+             |    (CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |      ::BIGINT AS lb
+             |  FROM events),
+             |mid AS (SELECT ((min(us) + max(us)) // 2)::BIGINT AS m
+             |  FROM ev),
+             |sc AS (SELECT hr,
+             |    (sum(lb) * 1000000 // count(*))::BIGINT AS score
+             |  FROM ev, mid WHERE us < m GROUP BY 1),
+             |te AS (SELECT hr, sum(lb)::BIGINT AS pos,
+             |    sum(1 - lb)::BIGINT AS neg
+             |  FROM ev, mid WHERE us >= m GROUP BY 1),
+             |cum AS (SELECT te.hr, pos, neg,
+             |    sum(pos) OVER (ORDER BY score DESC, te.hr
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      ::BIGINT AS ctp,
+             |    sum(neg) OVER (ORDER BY score DESC, te.hr
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      ::BIGINT AS cfp
+             |  FROM te JOIN sc ON te.hr = sc.hr),
+             |tot AS (SELECT max(ctp)::BIGINT AS p,
+             |    max(cfp)::BIGINT AS ng FROM cum)
+             |SELECT p AS n_pos, ng AS n_neg,
+             |  round(sum(round((pos::DOUBLE / p)
+             |      * (ctp::DOUBLE / (ctp + cfp)), 9)::DECIMAL(20,9))
+             |    ::DOUBLE, 6) AS pr_auc
+             |FROM cum, tot GROUP BY 1, 2""".stripMargin)),
+
+    // Popularity-recommender evaluation (the Cremonesi et al. 2010
+    // protocol): recommend the 5 most-ordered parts of the FIRST
+    // half of the order calendar to every customer, grade against
+    // what each customer ACTUALLY ordered in the second half —
+    // hit rate, precision@5, recall@5, MRR and MAP@5 in one row.
+    // The top-5 list is a broadcast digest; per-customer test sets
+    // come from one (custkey, partkey) distinct reduce; each
+    // customer's metric terms are quantized to 9 dp before the
+    // cross-customer mean so the final averages are order-free.
+    // 100 TB: facts collapse to the per-customer digest once;
+    // everything after rides ≤5-row-per-customer joins.
+    QueryDef("q_rec_eval",
+      (s, d) => {
+        val li = s.read.parquet(s"$d/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_partkey"))
+          .join(s.read.parquet(s"$d/orders.parquet")
+            .select(col("o_orderkey"), col("o_custkey"),
+              to_date(col("o_orderdate")).as("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+        val mid = broadcast(li.agg(expr(
+          "date_add(min(o_orderdate)," +
+            " cast(datediff(max(o_orderdate), min(o_orderdate)) div 2" +
+            " as int))").as("m")))
+        val top5 = broadcast(li.crossJoin(mid)
+          .filter(col("o_orderdate") < col("m"))
+          .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("l_partkey")).limit(5)
+          .select(col("l_partkey").as("rp"),
+            row_number().over(Window.orderBy(col("cnt").desc,
+              col("l_partkey"))).as("rk")))
+        val test = li.crossJoin(mid)
+          .filter(col("o_orderdate") >= col("m"))
+          .select(col("o_custkey").as("cust"),
+            col("l_partkey").as("part")).distinct()
+        val ntp = test.groupBy(col("cust"))
+          .agg(count(lit(1)).as("n_test"))
+        val hits = test.join(top5, col("part") === col("rp"))
+          .select(col("cust"), col("rk"))
+        val perHit = hits
+          .withColumn("prec", count(lit(1)).over(
+            Window.partitionBy(col("cust")).orderBy(col("rk"))
+              .rowsBetween(Window.unboundedPreceding,
+                Window.currentRow)).cast("double") / col("rk"))
+        val perUser = perHit.groupBy(col("cust"))
+          .agg(count(lit(1)).as("nhit"), min(col("rk")).as("fr"),
+            sum(col("prec")).as("sprec"))
+        val ev = ntp.join(perUser, Seq("cust"), "left")
+          .select(col("n_test"),
+            coalesce(col("nhit"), lit(0L)).as("nhit"), col("fr"),
+            coalesce(col("sprec"), lit(0.0)).as("sprec"))
+        ev.agg(count(lit(1)).as("n_users"),
+            sum(when(col("nhit") > 0, 1L).otherwise(0L)).as("nh"),
+            sum(expr("cast(round(nhit / 5.0d, 9) as decimal(20,9))"))
+              .as("sp"),
+            sum(expr("cast(round(cast(nhit as double) / n_test, 9)" +
+              " as decimal(20,9))")).as("srr"),
+            sum(expr("cast(round(coalesce(1.0d / fr, 0.0d), 9)" +
+              " as decimal(20,9))")).as("smrr"),
+            sum(expr("cast(round(sprec" +
+              " / least(cast(5 as double), cast(n_test as double)), 9)" +
+              " as decimal(20,9))")).as("smap"))
+          .select(col("n_users"),
+            round(expr("cast(nh as double) / n_users"), 6)
+              .as("hit_rate"),
+            round(expr("cast(sp as double) / n_users"), 6)
+              .as("precision_at_5"),
+            round(expr("cast(srr as double) / n_users"), 6)
+              .as("recall_at_5"),
+            round(expr("cast(smrr as double) / n_users"), 6)
+              .as("mrr"),
+            round(expr("cast(smap as double) / n_users"), 6)
+              .as("map_at_5"))
+      },
+      Some("""WITH li AS (SELECT l_partkey, o_custkey,
+             |    o_orderdate::DATE AS o_orderdate
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |mid AS (SELECT min(o_orderdate)
+             |    + (datediff('day', min(o_orderdate),
+             |        max(o_orderdate)) // 2)::INT AS m
+             |  FROM li),
+             |top5 AS (SELECT l_partkey AS rp,
+             |    row_number() OVER (ORDER BY cnt DESC, l_partkey)
+             |      AS rk
+             |  FROM (SELECT l_partkey, count(*)::BIGINT AS cnt
+             |    FROM li, mid WHERE o_orderdate < m GROUP BY 1
+             |    ORDER BY cnt DESC, l_partkey LIMIT 5)),
+             |test AS (SELECT DISTINCT o_custkey AS cust,
+             |    l_partkey AS part
+             |  FROM li, mid WHERE o_orderdate >= m),
+             |ntp AS (SELECT cust, count(*)::BIGINT AS n_test
+             |  FROM test GROUP BY 1),
+             |hits AS (SELECT cust, rk FROM test
+             |  JOIN top5 ON part = rp),
+             |perhit AS (SELECT cust, rk,
+             |    count(*) OVER (PARTITION BY cust ORDER BY rk
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      ::DOUBLE / rk AS prec
+             |  FROM hits),
+             |peruser AS (SELECT cust, count(*)::BIGINT AS nhit,
+             |    min(rk)::BIGINT AS fr, sum(prec) AS sprec
+             |  FROM perhit GROUP BY 1),
+             |ev AS (SELECT n_test,
+             |    coalesce(nhit, 0)::BIGINT AS nhit, fr,
+             |    coalesce(sprec, 0.0) AS sprec
+             |  FROM ntp LEFT JOIN peruser USING (cust)),
+             |agg AS (SELECT count(*)::BIGINT AS n_users,
+             |    sum(CASE WHEN nhit > 0 THEN 1 ELSE 0 END)::BIGINT
+             |      AS nh,
+             |    sum(round(nhit / 5.0, 9)::DECIMAL(20,9)) AS sp,
+             |    sum(round(nhit::DOUBLE / n_test, 9)::DECIMAL(20,9))
+             |      AS srr,
+             |    sum(round(coalesce(1.0 / fr, 0.0), 9)
+             |      ::DECIMAL(20,9)) AS smrr,
+             |    sum(round(sprec / least(5.0, n_test::DOUBLE), 9)
+             |      ::DECIMAL(20,9)) AS smap
+             |  FROM ev)
+             |SELECT n_users,
+             |  round(nh::DOUBLE / n_users, 6) AS hit_rate,
+             |  round(sp::DOUBLE / n_users, 6) AS precision_at_5,
+             |  round(srr::DOUBLE / n_users, 6) AS recall_at_5,
+             |  round(smrr::DOUBLE / n_users, 6) AS mrr,
+             |  round(smap::DOUBLE / n_users, 6) AS map_at_5
+             |FROM agg""".stripMargin)),
+
+    // Intra-list diversity (Ziegler et al. 2005) of each query's
+    // exact top-5 neighbor list: mean pairwise cosine DISTANCE among
+    // the 5 recommended vectors — the "are we recommending five
+    // copies of the same thing?" readout next to sim_topk_*'s
+    // accuracy. Lists are 5 rows per query, so the pair fan-out is
+    // 10 per query regardless of corpus size; vectors join onto the
+    // pair set by id. 100 TB: the brute-force scan is the only
+    // fact-sized stage (same plan as sim_topk_brute).
+    QueryDef("emb_intra_list_diversity",
+      (s, d) => {
+        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        val top = graft.ext.Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") < 10), 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val pairs = top.alias("a").join(top.alias("b"),
+          col("a.query_id") === col("b.query_id") &&
+            col("a.neighbor_id") < col("b.neighbor_id"))
+          .select(col("a.query_id").as("query_id"),
+            col("a.neighbor_id").as("na"),
+            col("b.neighbor_id").as("nb"))
+        val va = emb.select(col("vec_id").as("na"),
+          col("embedding").as("__va"))
+        val vb = emb.select(col("vec_id").as("nb"),
+          col("embedding").as("__vb"))
+        pairs.join(va, "na").join(vb, "nb")
+          .select(col("query_id"),
+            expr("""cast(round(1.0d - cast(
+              |  aggregate(zip_with(cast(__va as array<double>),
+              |      cast(__vb as array<double>), (x, y) -> x * y),
+              |    cast(0.0 as double), (acc, v) -> acc + v)
+              |  / sqrt(aggregate(transform(cast(__va as array<double>),
+              |      x -> x * x), cast(0.0 as double),
+              |      (acc, v) -> acc + v)
+              |    * aggregate(transform(cast(__vb as array<double>),
+              |      x -> x * x), cast(0.0 as double),
+              |      (acc, v) -> acc + v)) as double), 9)
+              |as decimal(20,9))""".stripMargin).as("dist"))
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_pairs"),
+            round(sum(col("dist")).cast("double") / count(lit(1)), 6)
+              .as("ild"))
+          .orderBy(col("query_id"))
+      },
+      Some("""WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v
+             |  FROM embeddings),
+             |bf AS (SELECT query_id, neighbor_id FROM (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |    row_number() OVER (PARTITION BY q.vec_id
+             |      ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+             |        c.vec_id) AS rank
+             |  FROM t q, t c
+             |  WHERE q.vec_id < 10 AND c.vec_id != q.vec_id)
+             |  WHERE rank <= 5),
+             |pairs AS (SELECT a.query_id, a.neighbor_id AS na,
+             |    b.neighbor_id AS nb
+             |  FROM bf a JOIN bf b ON a.query_id = b.query_id
+             |    AND a.neighbor_id < b.neighbor_id),
+             |d AS (SELECT query_id,
+             |    round(1.0 - (list_dot_product(x.v, y.v)
+             |      / sqrt(list_dot_product(x.v, x.v)
+             |             * list_dot_product(y.v, y.v))), 9)
+             |      ::DECIMAL(20,9) AS dist
+             |  FROM pairs JOIN t x ON x.vec_id = na
+             |    JOIN t y ON y.vec_id = nb)
+             |SELECT query_id, count(*)::BIGINT AS n_pairs,
+             |  round(sum(dist)::DOUBLE / count(*), 6) AS ild
+             |FROM d GROUP BY 1 ORDER BY query_id""".stripMargin)),
+
+    // Catalog coverage + exposure concentration of the top-5 lists:
+    // how much of the corpus do the 10 queries' recommendations
+    // actually surface, and how unequally is that exposure spread
+    // (max appearances of any one vector)? The aggregation-bias
+    // readout every retrieval stack publishes next to its recall.
+    // 100 TB: the lists are 50 rows; only the brute-force scan is
+    // fact-sized.
+    QueryDef("emb_catalog_coverage",
+      (s, d) => {
+        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        val top = graft.ext.Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") < 10), 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val n = broadcast(emb.agg(count(lit(1)).as("corpus_n")))
+        top.crossJoin(n)
+          .agg(max(col("corpus_n")).as("corpus_n"),
+            count(lit(1)).as("n_recommendations"),
+            countDistinct(col("neighbor_id"))
+              .as("n_distinct_neighbors"),
+            max(col("query_id")).as("__mq"))
+          .crossJoin(broadcast(top.groupBy(col("neighbor_id"))
+            .agg(count(lit(1)).as("c"))
+            .agg(max(col("c")).as("max_exposure"))))
+          .select(col("corpus_n"), col("n_recommendations"),
+            col("n_distinct_neighbors"),
+            expr("n_distinct_neighbors * 1000000 div corpus_n")
+              .as("coverage_ppm"),
+            col("max_exposure"))
+      },
+      Some("""WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v
+             |  FROM embeddings),
+             |bf AS (SELECT query_id, neighbor_id FROM (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |    row_number() OVER (PARTITION BY q.vec_id
+             |      ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+             |        c.vec_id) AS rank
+             |  FROM t q, t c
+             |  WHERE q.vec_id < 10 AND c.vec_id != q.vec_id)
+             |  WHERE rank <= 5),
+             |exp AS (SELECT max(c)::BIGINT AS max_exposure FROM (
+             |  SELECT neighbor_id, count(*)::BIGINT AS c FROM bf
+             |  GROUP BY 1)),
+             |n AS (SELECT count(*)::BIGINT AS corpus_n FROM t)
+             |SELECT corpus_n,
+             |  count(*)::BIGINT AS n_recommendations,
+             |  count(DISTINCT neighbor_id)::BIGINT
+             |    AS n_distinct_neighbors,
+             |  (count(DISTINCT neighbor_id) * 1000000 // corpus_n)
+             |    ::BIGINT AS coverage_ppm,
+             |  max(max_exposure)::BIGINT AS max_exposure
+             |FROM bf, n, exp
+             |GROUP BY corpus_n""".stripMargin))
+  )
+}

@@ -185,6 +185,22 @@ object StreamingEtl {
         col("n"))
   }
 
+  /** Scratch base for stream staging, checkpoints and state stores:
+    * the micro-batch WAL fsyncs offsets/commits EVERY batch, so on a
+    * disk-backed temp dir each streaming query pays a fixed multi-
+    * batch fsync tax that its DuckDB batch twin never sees. A
+    * RAM-backed tmpfs (/dev/shm) makes those fsyncs memory writes;
+    * falls back to java.io.tmpdir where no tmpfs exists. Production
+    * clusters point checkpoints at durable storage — this is the
+    * LOCAL-HARNESS choice only, correctness never depends on it. */
+  private[graft] def scratchDir(prefix: String): java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) &&
+        java.nio.file.Files.isWritable(shm))
+      java.nio.file.Files.createTempDirectory(shm, prefix)
+    else java.nio.file.Files.createTempDirectory(prefix)
+  }
+
   /** Recursive scratch-dir cleanup (post-run; the memory sink already
     * holds the rows, so the staged input is dead weight). */
   private def rmTree(p: java.nio.file.Path): Unit = {
@@ -207,7 +223,7 @@ object StreamingEtl {
     * O(events inside the watermark horizon), not O(all events ever). */
   def dedupViaStream(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val stage = Files.createTempDirectory("graft_dedup_stream")
+    val stage = scratchDir("graft_dedup_stream")
     for (n <- Seq("a", "b"))
       Files.copy(Paths.get(s"$dir/events.parquet"),
         stage.resolve(s"${n}_events.parquet"), StandardCopyOption.REPLACE_EXISTING)
@@ -284,7 +300,7 @@ object StreamingEtl {
     * unmatched rows. */
   def leftOuterJoinViaStream(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val stage = Files.createTempDirectory("graft_loj_stream")
+    val stage = scratchDir("graft_loj_stream")
     Files.copy(Paths.get(s"$dir/events.parquet"),
       stage.resolve("a_events.parquet"), StandardCopyOption.REPLACE_EXISTING)
 
@@ -292,7 +308,7 @@ object StreamingEtl {
     val maxUs = graft.sources.Tables.events(spark, dir)
       .agg(max(unix_micros(col("ts")))).head().getLong(0)
     val sentinelUs = maxUs + 30L * 86400 * 1000000
-    val tmpOut = Files.createTempDirectory("graft_loj_sentinel")
+    val tmpOut = scratchDir("graft_loj_sentinel")
     import spark.implicits._
     Seq((-1L, sentinelUs, -1L, "click", 0.0, ""),
         (-2L, sentinelUs, -1L, "purchase", 0.0, ""))
@@ -362,8 +378,8 @@ object StreamingEtl {
     * upsert needs for atomic swap + time travel. */
   def incrementalAggViaStream(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.Files
-    val stage = Files.createTempDirectory("graft_mv_stage")
-    val stateBase = Files.createTempDirectory("graft_mv_state")
+    val stage = scratchDir("graft_mv_stage")
+    val stateBase = scratchDir("graft_mv_state")
     graft.sources.Tables.events(spark, dir)
       .select(col("ts"), col("event_type"), col("value"))
       .repartition(4)
@@ -420,14 +436,14 @@ object StreamingEtl {
     * the batch FULL JOIN. */
   def fullOuterJoinViaStream(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val stage = Files.createTempDirectory("graft_foj_stream")
+    val stage = scratchDir("graft_foj_stream")
     Files.copy(Paths.get(s"$dir/events.parquet"),
       stage.resolve("a_events.parquet"), StandardCopyOption.REPLACE_EXISTING)
     val rawSchema = graft.sources.Tables.eventsRawSchema(spark, dir)
     val maxUs = graft.sources.Tables.events(spark, dir)
       .agg(max(unix_micros(col("ts")))).head().getLong(0)
     val sentinelUs = maxUs + 30L * 86400 * 1000000
-    val tmpOut = Files.createTempDirectory("graft_foj_sentinel")
+    val tmpOut = scratchDir("graft_foj_sentinel")
     import spark.implicits._
     Seq((-1L, sentinelUs, -1L, "click", 0.0, ""),
         (-2L, sentinelUs, -1L, "purchase", 0.0, ""))
@@ -500,8 +516,8 @@ object StreamingEtl {
     * `StreamingEtlSpec`: log strictly larger than final). */
   def updateModeViaStream(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.Files
-    val stage = Files.createTempDirectory("graft_upd_stage")
-    val logDir = Files.createTempDirectory("graft_upd_log")
+    val stage = scratchDir("graft_upd_stage")
+    val logDir = scratchDir("graft_upd_log")
     graft.sources.Tables.events(spark, dir)
       .select(col("ts"), col("event_type"), col("value"))
       .repartition(4)
@@ -547,8 +563,8 @@ object StreamingEtl {
     * spec's "intermediate updates really happened" law. */
   def updateModeLogStats(spark: SparkSession, dir: String): (Long, Long) = {
     import java.nio.file.Files
-    val stage = Files.createTempDirectory("graft_upds_stage")
-    val logDir = Files.createTempDirectory("graft_upds_log")
+    val stage = scratchDir("graft_upds_stage")
+    val logDir = scratchDir("graft_upds_log")
     graft.sources.Tables.events(spark, dir)
       .select(col("ts"), col("event_type"), col("value"))
       .repartition(4)
@@ -592,9 +608,9 @@ object StreamingEtl {
     * fault-tolerant and cannot honestly demonstrate recovery). */
   def recoverTumblingViaStream(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.Files
-    val stage = Files.createTempDirectory("graft_rec_stage")
-    val cp = Files.createTempDirectory("graft_rec_cp")
-    val stateBase = Files.createTempDirectory("graft_rec_state")
+    val stage = scratchDir("graft_rec_stage")
+    val cp = scratchDir("graft_rec_cp")
+    val stateBase = scratchDir("graft_rec_state")
     graft.sources.Tables.events(spark, dir)
       .select(col("ts"), col("event_type"), col("value"))
       .repartition(4)
@@ -655,9 +671,9 @@ object StreamingEtl {
     * silently kept late rows (or failed to flush) hash-fails. */
   def lateDataViaStream(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, StandardCopyOption}
-    val stage = Files.createTempDirectory("graft_late_stage")
-    val cp = Files.createTempDirectory("graft_late_cp")
-    val outBase = Files.createTempDirectory("graft_late_out")
+    val stage = scratchDir("graft_late_stage")
+    val cp = scratchDir("graft_late_cp")
+    val outBase = scratchDir("graft_late_out")
     val ev = graft.sources.Tables.events(spark, dir)
       .select(col("ts"), col("event_type"), col("value"))
     val bounds = ev.agg(min(unix_micros(col("ts"))),
@@ -669,7 +685,7 @@ object StreamingEtl {
     val sentinelUs = bounds.getLong(1) + 30 * DayUs
 
     def stageOne(df: DataFrame, name: String): Unit = {
-      val tmp = Files.createTempDirectory("graft_late_tmp")
+      val tmp = scratchDir("graft_late_tmp")
       df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
         .findFirst().get()
@@ -839,7 +855,7 @@ object StreamingEtl {
     import spark.implicits._
     import java.nio.file.{Files, Paths, StandardCopyOption}
 
-    val stage = Files.createTempDirectory("graft_asof_stream")
+    val stage = scratchDir("graft_asof_stream")
     Files.copy(Paths.get(s"$dir/events.parquet"),
       stage.resolve("a_events.parquet"), StandardCopyOption.REPLACE_EXISTING)
 
@@ -847,7 +863,7 @@ object StreamingEtl {
     val maxUs = graft.sources.Tables.events(spark, dir)
       .agg(max(unix_micros(col("ts")))).head().getLong(0)
     val sentinelUs = maxUs + 30L * 86400 * 1000000
-    val tmpOut = Files.createTempDirectory("graft_asof_sentinel")
+    val tmpOut = scratchDir("graft_asof_sentinel")
     Seq((-1L, sentinelUs, -1L, "view", 0.0, ""))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .withColumn("ts", rawSchema("ts").dataType match {
@@ -947,7 +963,7 @@ object StreamingEtl {
   def heavyHittersViaStream(spark: SparkSession, dir: String,
                             k: Int = 64, topN: Int = 15): DataFrame = {
     import java.nio.file.Files
-    val stage = Files.createTempDirectory("graft_hh_stage")
+    val stage = scratchDir("graft_hh_stage")
     spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"))
       .repartition(4)
@@ -1024,7 +1040,7 @@ object StreamingEtl {
   def kmvDistinctViaStream(spark: SparkSession, dir: String,
                            k: Int = 64): DataFrame = {
     import java.nio.file.Files
-    val stage = Files.createTempDirectory("graft_kmv_stage")
+    val stage = scratchDir("graft_kmv_stage")
     graft.sources.Tables.events(spark, dir)
       .select(col("user_id"))
       .repartition(4)
@@ -1067,7 +1083,7 @@ object StreamingEtl {
     import spark.implicits._
     import java.nio.file.{Files, Paths, StandardCopyOption}
 
-    val stage = Files.createTempDirectory("graft_sess_stream")
+    val stage = scratchDir("graft_sess_stream")
     Files.copy(Paths.get(s"$dir/events.parquet"),
       stage.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
 
@@ -1078,7 +1094,7 @@ object StreamingEtl {
     val maxUs = graft.sources.Tables.events(spark, dir)
       .agg(max(unix_micros(col("ts")))).head().getLong(0)
     val sentinelUs = maxUs + 30L * 86400 * 1000000
-    val tmpOut = Files.createTempDirectory("graft_sess_sentinel")
+    val tmpOut = scratchDir("graft_sess_sentinel")
     Seq((-1L, sentinelUs, -1L, "eos", 0.0, ""))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .withColumn("ts", rawSchema("ts").dataType match {
@@ -1136,7 +1152,7 @@ object StreamingEtl {
     import spark.implicits._
     import java.nio.file.{Files, Paths, StandardCopyOption}
 
-    val stage = Files.createTempDirectory("graft_sw_stream")
+    val stage = scratchDir("graft_sw_stream")
     Files.copy(Paths.get(s"$dir/events.parquet"),
       stage.resolve("a_events.parquet"), StandardCopyOption.REPLACE_EXISTING)
 
@@ -1144,7 +1160,7 @@ object StreamingEtl {
     val maxUs = graft.sources.Tables.events(spark, dir)
       .agg(max(unix_micros(col("ts")))).head().getLong(0)
     val sentinelUs = maxUs + 30L * 86400 * 1000000
-    val tmpOut = Files.createTempDirectory("graft_sw_sentinel")
+    val tmpOut = scratchDir("graft_sw_sentinel")
     Seq((-1L, sentinelUs, -1L, "eos", 0.0, ""))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .withColumn("ts", rawSchema("ts").dataType match {
@@ -1259,7 +1275,7 @@ object StreamingEtl {
     import spark.implicits._
     import java.nio.file.{Files, Paths, StandardCopyOption}
 
-    val stage = Files.createTempDirectory("graft_scd2_stream")
+    val stage = scratchDir("graft_scd2_stream")
     Files.copy(Paths.get(s"$dir/events.parquet"),
       stage.resolve("a_events.parquet"), StandardCopyOption.REPLACE_EXISTING)
 
@@ -1267,7 +1283,7 @@ object StreamingEtl {
     val maxUs = graft.sources.Tables.events(spark, dir)
       .agg(max(unix_micros(col("ts")))).head().getLong(0)
     val sentinelUs = maxUs + 90L * 86400 * 1000000
-    val tmpOut = Files.createTempDirectory("graft_scd2_sentinel")
+    val tmpOut = scratchDir("graft_scd2_sentinel")
     Seq((-1L, sentinelUs, -1L, "view", 0.0, ""))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .withColumn("ts", rawSchema("ts").dataType match {
