@@ -177,27 +177,42 @@ object Similarity extends Serializable {
       element_at(graft.functions.ExactPercentile.percentiles(e, Seq(0.5)), 1)
     val cp = corpus.select(ps.toSeq: _*).persist()
     try {
-      var cur = cp.withColumn("__node", lit(0))
-      val out = Seq.newBuilder[Map[Int, Double]]
+      val pArr = array((0 until dep).map(i => col(s"__p$i")): _*)
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[Map[Int, Double]]
       for (l <- 0 until dep) {
         // one digest-sized job per level: exact median of this
         // level's projection per populated node (every row's node is
-        // populated by construction, so the map lookup never misses)
-        val meds = cur.groupBy(col("__node")).agg(med(col(s"__p$l")).as("m"))
+        // populated by construction, so the lookup never misses).
+        // Node ids come from the O(depth) fold UDF over the levels
+        // fitted so far — NOT a chained node*2+bit column expression,
+        // whose tree doubles per level (node appears twice per step:
+        // 2^7 expression copies at depth 7 measured 518x CPU at 10x)
+        val meds = cp.withColumn("__node", rpLeafUdf(out.toSeq)(pArr))
+          .groupBy(col("__node")).agg(med(col(s"__p$l")).as("m"))
           .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
         out += meds
-        cur = cur.withColumn("__node", col("__node") * 2 +
-          (col(s"__p$l") <= medLookup(meds)).cast("int"))
       }
-      out.result()
+      out.toSeq
     } finally cp.unpersist()
   }
 
-  /** Literal node→median lookup: a tiny map literal (<= 2^L entries),
-    * codegen'd per row — no join, no broadcast chain. */
-  private def medLookup(meds: Map[Int, Double]): Column =
-    element_at(map(meds.toSeq.sortBy(_._1)
-      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*), col("__node"))
+  /** O(depth) tree-descent fold: walks the fitted level medians with
+    * per-row constant work. A deterministic Scala UDF is the right
+    * tool here — the equivalent Column expression references the
+    * running node twice per level, so its tree (and the generated
+    * code) grows 2^depth. */
+  private def rpLeafUdf(levels: Seq[Map[Int, Double]])
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { ps: Seq[Double] =>
+      var node = 0
+      var l = 0
+      while (l < levels.length) {
+        node = node * 2 + (if (ps(l) <= levels(l)(node)) 1 else 0)
+        l += 1
+      }
+      node
+    }
 
   def rpTreeTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                  thresholds: Seq[Map[Int, Double]],
@@ -212,15 +227,14 @@ object Similarity extends Serializable {
           array(p.map(lit): _*)).as(s"__p$i") }
       df.select(col(idCol).as(outId) +: ps.toSeq: _*)
     }
-    // thresholds arrive as LITERALS (the prewarmed per-dir artifact),
-    // so routing is one projection scan with a per-row map lookup per
-    // level — no median recomputation, no broadcast chain
+    // thresholds arrive as CLOSURE STATE (the prewarmed per-dir
+    // artifact), so routing is one projection scan with an O(depth)
+    // per-row tree descent — no median recomputation, no broadcast
+    // chain, no 2^depth expression tree (see rpLeafUdf)
+    val pArr = array((0 until thresholds.length)
+      .map(i => col(s"__p$i")): _*)
     def route(df: DataFrame): DataFrame =
-      thresholds.zipWithIndex.foldLeft(df.withColumn("__node", lit(0))) {
-        case (acc, (meds, l)) =>
-          acc.withColumn("__node", col("__node") * 2 +
-            (col(s"__p$l") <= medLookup(meds)).cast("int"))
-      }.withColumn("__leaf", col("__node"))
+      df.withColumn("__leaf", rpLeafUdf(thresholds)(pArr))
     val leaves = route(proj(corpus, "neighbor_id"))
       .select(col("neighbor_id"), col("__leaf"))
     val qleaves = route(proj(queries, "query_id"))

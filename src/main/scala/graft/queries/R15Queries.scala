@@ -24,6 +24,23 @@ import org.apache.spark.sql.functions._
   */
 object R15Queries {
 
+  /** Φ(x), the standard normal CDF, via Abramowitz & Stegun 26.2.17
+    * (Zelen & Severo 1964; |ε| < 7.5e-8), emitted as ONE SQL string
+    * fed verbatim to Spark `expr()` AND the DuckDB oracle (the R14
+    * Acklam-probit / R13 Lanczos-Γ precedent). All constants are
+    * written in e-notation: Spark parses `0.5` as DECIMAL but
+    * `5.0e-1` as DOUBLE, and only the double spelling makes the two
+    * engines run identical IEEE arithmetic. */
+  private def normCdfSql(x: String): String = {
+    val t = s"(1.0e0 / (1.0e0 + 2.316419e-1 * abs($x)))"
+    val poly = s"(((((1.330274429e0 * $t - 1.821255978e0) * $t" +
+      s" + 1.781477937e0) * $t - 3.56563782e-1) * $t" +
+      s" + 3.1938153e-1) * $t)"
+    val upper = s"(exp(-($x) * ($x) / 2.0e0)" +
+      s" / 2.5066282746310002e0 * $poly)"
+    s"(CASE WHEN ($x) >= 0.0e0 THEN 1.0e0 - $upper ELSE $upper END)"
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Wald–Wolfowitz runs test (Wald & Wolfowitz 1940) on daily
@@ -987,6 +1004,583 @@ object R15Queries {
              |    ::BIGINT AS coverage_ppm,
              |  max(max_exposure)::BIGINT AS max_exposure
              |FROM bf, n, exp
-             |GROUP BY corpus_n""".stripMargin))
+             |GROUP BY corpus_n""".stripMargin)),
+
+    // Hosmer–Lemeshow goodness-of-fit χ² (Hosmer & Lemeshow 1980) of
+    // the hour-of-day propensity score (first-half purchase rate in
+    // exact ppm) against SECOND-half outcomes: the 24 score groups
+    // are packed into 10 bins by cumulative-count position (exact
+    // integer bin = 10·prev_count div total), and each bin's
+    // (O − E)²/(E(1 − E/n)) term is 9-dp-quantized before the
+    // ≤10-term sum. Degenerate bins (E = 0 or E = n) publish NULL
+    // terms, which both engines' SUM skip identically. 100 TB: one
+    // fact pass → 24-row digest.
+    QueryDef("q_hosmer_lemeshow",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+          .select(unix_micros(col("ts")).as("us"),
+            hour(col("ts")).as("hr"),
+            (col("event_type") === "purchase").cast("long").as("lb"))
+        val mid = broadcast(ev.agg(
+          ((min(col("us")) + max(col("us"))) / 2).cast("long").as("m")))
+        val sc = ev.crossJoin(mid).filter(col("us") < col("m"))
+          .groupBy(col("hr")).agg(
+            (sum(col("lb")) * 1000000 / count(lit(1))).cast("long")
+              .as("score"))
+        val te = ev.crossJoin(mid).filter(col("us") >= col("m"))
+          .groupBy(col("hr")).agg(count(lit(1)).as("nh"),
+            sum(col("lb")).as("pos"))
+        val w = Window.orderBy(col("score").desc, col("hr"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = te.join(sc, "hr")
+          .withColumn("cumn", sum(col("nh")).over(w))
+          .crossJoin(broadcast(te.agg(sum(col("nh")).as("tot"))))
+          .withColumn("bin", expr("((cumn - nh) * 10) div tot"))
+        val bins = cum.groupBy(col("bin"))
+          .agg(sum(col("nh")).as("nb"), sum(col("pos")).as("o"),
+            sum(col("nh") * col("score")).as("e6"))
+          .withColumn("term", expr(
+            """cast(round(
+              |  (cast(o as double) - cast(e6 as double) / 1.0e6)
+              |  * (cast(o as double) - cast(e6 as double) / 1.0e6)
+              |  / nullif(cast(e6 as double) / 1.0e6
+              |     * (1.0e0 - cast(e6 as double) / 1.0e6 / nb), 0.0d),
+              |  9) as decimal(20,9))""".stripMargin))
+        bins.agg(count(lit(1)).as("n_bins"),
+            sum(col("nb")).as("n_scored"),
+            round(sum(col("term")).cast("double"), 4).as("hl_chi2"))
+      },
+      Some("""WITH ev AS (SELECT epoch_us(ts) AS us, hour(ts) AS hr,
+             |    (CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |      ::BIGINT AS lb
+             |  FROM events),
+             |mid AS (SELECT ((min(us) + max(us)) // 2)::BIGINT AS m
+             |  FROM ev),
+             |sc AS (SELECT hr,
+             |    (sum(lb) * 1000000 // count(*))::BIGINT AS score
+             |  FROM ev, mid WHERE us < m GROUP BY 1),
+             |te AS (SELECT hr, count(*)::BIGINT AS nh,
+             |    sum(lb)::BIGINT AS pos
+             |  FROM ev, mid WHERE us >= m GROUP BY 1),
+             |tot AS (SELECT sum(nh)::BIGINT AS tot FROM te),
+             |cum AS (SELECT te.hr, nh, pos, score,
+             |    sum(nh) OVER (ORDER BY score DESC, te.hr
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      ::BIGINT AS cumn
+             |  FROM te JOIN sc ON te.hr = sc.hr),
+             |bins AS (SELECT ((cumn - nh) * 10) // tot AS bin,
+             |    sum(nh)::BIGINT AS nb, sum(pos)::BIGINT AS o,
+             |    sum(nh * score)::BIGINT AS e6
+             |  FROM cum, tot GROUP BY 1),
+             |terms AS (SELECT nb, round(
+             |    (o::DOUBLE - e6::DOUBLE / 1.0e6)
+             |    * (o::DOUBLE - e6::DOUBLE / 1.0e6)
+             |    / nullif(e6::DOUBLE / 1.0e6
+             |       * (1.0 - e6::DOUBLE / 1.0e6 / nb), 0.0),
+             |    9)::DECIMAL(20,9) AS term
+             |  FROM bins)
+             |SELECT count(*)::BIGINT AS n_bins,
+             |  sum(nb)::BIGINT AS n_scored,
+             |  round(sum(term)::DOUBLE, 4) AS hl_chi2
+             |FROM terms""".stripMargin)),
+
+    // Cumulative-gains / lift table of the same propensity score:
+    // per population decile (packed from the 24 score groups by the
+    // SAME integer bin rule as Hosmer–Lemeshow), the captured
+    // positives, cumulative gain and bin lift — the
+    // campaign-targeting readout next to ROC/PR. Published in exact
+    // integer ppm (gain = cum_pos·10^6 div P, lift = pos·N·10^6 div
+    // (n_bin·P)), so the gate compares integers. 100 TB: one fact
+    // pass → 24-row digest.
+    QueryDef("q_lift_gains",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+          .select(unix_micros(col("ts")).as("us"),
+            hour(col("ts")).as("hr"),
+            (col("event_type") === "purchase").cast("long").as("lb"))
+        val mid = broadcast(ev.agg(
+          ((min(col("us")) + max(col("us"))) / 2).cast("long").as("m")))
+        val sc = ev.crossJoin(mid).filter(col("us") < col("m"))
+          .groupBy(col("hr")).agg(
+            (sum(col("lb")) * 1000000 / count(lit(1))).cast("long")
+              .as("score"))
+        val te = ev.crossJoin(mid).filter(col("us") >= col("m"))
+          .groupBy(col("hr")).agg(count(lit(1)).as("nh"),
+            sum(col("lb")).as("pos"))
+        val w = Window.orderBy(col("score").desc, col("hr"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = te.join(sc, "hr")
+          .withColumn("cumn", sum(col("nh")).over(w))
+          .crossJoin(broadcast(te.agg(sum(col("nh")).as("tot"),
+            sum(col("pos")).as("p"))))
+          .withColumn("bin", expr("((cumn - nh) * 10) div tot"))
+        cum.groupBy(col("bin"))
+          .agg(max(col("tot")).as("tot"), max(col("p")).as("p"),
+            sum(col("nh")).as("n_bin"), sum(col("pos")).as("pos_bin"))
+          .withColumn("cum_pos", sum(col("pos_bin")).over(
+            Window.orderBy(col("bin"))
+              .rowsBetween(Window.unboundedPreceding,
+                Window.currentRow)))
+          .select(col("bin"), col("n_bin"), col("pos_bin"),
+            col("cum_pos"),
+            expr("cum_pos * 1000000 div p").as("gain_ppm"),
+            expr("pos_bin * tot * 1000000 div (n_bin * p)")
+              .as("lift_ppm"))
+          .orderBy(col("bin"))
+      },
+      Some("""WITH ev AS (SELECT epoch_us(ts) AS us, hour(ts) AS hr,
+             |    (CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |      ::BIGINT AS lb
+             |  FROM events),
+             |mid AS (SELECT ((min(us) + max(us)) // 2)::BIGINT AS m
+             |  FROM ev),
+             |sc AS (SELECT hr,
+             |    (sum(lb) * 1000000 // count(*))::BIGINT AS score
+             |  FROM ev, mid WHERE us < m GROUP BY 1),
+             |te AS (SELECT hr, count(*)::BIGINT AS nh,
+             |    sum(lb)::BIGINT AS pos
+             |  FROM ev, mid WHERE us >= m GROUP BY 1),
+             |tot AS (SELECT sum(nh)::BIGINT AS tot,
+             |    sum(pos)::BIGINT AS p FROM te),
+             |cum AS (SELECT te.hr, nh, pos,
+             |    sum(nh) OVER (ORDER BY score DESC, te.hr
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      ::BIGINT AS cumn
+             |  FROM te JOIN sc ON te.hr = sc.hr),
+             |bins AS (SELECT ((cumn - nh) * 10) // tot AS bin,
+             |    sum(nh)::BIGINT AS n_bin, sum(pos)::BIGINT AS pos_bin
+             |  FROM cum, tot GROUP BY 1),
+             |g AS (SELECT bin, n_bin, pos_bin,
+             |    sum(pos_bin) OVER (ORDER BY bin
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      ::BIGINT AS cum_pos
+             |  FROM bins)
+             |SELECT bin, n_bin, pos_bin, cum_pos,
+             |  (cum_pos * 1000000 // p)::BIGINT AS gain_ppm,
+             |  (pos_bin * tot * 1000000 // (n_bin * p))::BIGINT
+             |    AS lift_ppm
+             |FROM g, tot ORDER BY bin""".stripMargin)),
+
+    // Classifier KS separation (Kolmogorov–Smirnov distance between
+    // the positive and negative score CDFs) of the propensity score —
+    // credit-scoring's standard single-number discriminator. The max
+    // |TPR − FPR| is found on EXACT cross-multiplied integers
+    // (|ctp·N − cfp·P|), so the argmax and its tie-break (smallest
+    // score) are integer-deterministic; only the published ks divides.
+    // 100 TB: one fact pass → 24-row digest.
+    QueryDef("q_ks_classifier",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+          .select(unix_micros(col("ts")).as("us"),
+            hour(col("ts")).as("hr"),
+            (col("event_type") === "purchase").cast("long").as("lb"))
+        val mid = broadcast(ev.agg(
+          ((min(col("us")) + max(col("us"))) / 2).cast("long").as("m")))
+        val sc = ev.crossJoin(mid).filter(col("us") < col("m"))
+          .groupBy(col("hr")).agg(
+            (sum(col("lb")) * 1000000 / count(lit(1))).cast("long")
+              .as("score"))
+        val te = ev.crossJoin(mid).filter(col("us") >= col("m"))
+          .groupBy(col("hr")).agg(sum(col("lb")).as("pos"),
+            sum(lit(1L) - col("lb")).as("neg"))
+        val w = Window.orderBy(col("score").desc, col("hr"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = te.join(sc, "hr")
+          .withColumn("ctp", sum(col("pos")).over(w))
+          .withColumn("cfp", sum(col("neg")).over(w))
+          .crossJoin(broadcast(te.agg(sum(col("pos")).as("p"),
+            sum(col("neg")).as("ng"))))
+          .withColumn("dn", abs(col("ctp") * col("ng") -
+            col("cfp") * col("p")))
+        cum.orderBy(col("dn").desc, col("score"))
+          .limit(1)
+          .select(col("p").as("n_pos"), col("ng").as("n_neg"),
+            round(expr("cast(dn as double)" +
+              " / (cast(p as double) * ng)"), 6).as("ks_stat"),
+            col("score").as("at_score_ppm"))
+      },
+      Some("""WITH ev AS (SELECT epoch_us(ts) AS us, hour(ts) AS hr,
+             |    (CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |      ::BIGINT AS lb
+             |  FROM events),
+             |mid AS (SELECT ((min(us) + max(us)) // 2)::BIGINT AS m
+             |  FROM ev),
+             |sc AS (SELECT hr,
+             |    (sum(lb) * 1000000 // count(*))::BIGINT AS score
+             |  FROM ev, mid WHERE us < m GROUP BY 1),
+             |te AS (SELECT hr, sum(lb)::BIGINT AS pos,
+             |    sum(1 - lb)::BIGINT AS neg
+             |  FROM ev, mid WHERE us >= m GROUP BY 1),
+             |tot AS (SELECT sum(pos)::BIGINT AS p,
+             |    sum(neg)::BIGINT AS ng FROM te),
+             |cum AS (SELECT score,
+             |    sum(pos) OVER (ORDER BY score DESC, te.hr
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      ::BIGINT AS ctp,
+             |    sum(neg) OVER (ORDER BY score DESC, te.hr
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      ::BIGINT AS cfp
+             |  FROM te JOIN sc ON te.hr = sc.hr),
+             |d AS (SELECT score, abs(ctp * ng - cfp * p) AS dn, p, ng
+             |  FROM cum, tot
+             |  ORDER BY dn DESC, score LIMIT 1)
+             |SELECT p AS n_pos, ng AS n_neg,
+             |  round(dn::DOUBLE / (p::DOUBLE * ng), 6) AS ks_stat,
+             |  score AS at_score_ppm
+             |FROM d""".stripMargin)),
+
+    // Lilliefors normality test (Lilliefors 1967): the KS distance of
+    // daily revenue against a normal with MEAN AND SD FITTED FROM THE
+    // SAMPLE — the right null when parameters are estimated, where
+    // plain KS is anticonservative. Φ is the shared A&S 26.2.17
+    // rational literal (identical string in both engines, e-notation
+    // so Spark parses doubles); the two one-sided gaps use exact
+    // integer ranks, and the max over the digest is order-free.
+    // 100 TB: calendar digest only.
+    QueryDef("q_lilliefors",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg((sum(col("value").cast("decimal(18,2)")) * 100)
+            .cast("long").as("y"))
+        val g = broadcast(daily.agg(count(lit(1)).as("n"),
+          sum(col("y")).as("sy"),
+          sum(col("y").cast("decimal(38,0)") * col("y")).as("syy")))
+        val z = daily.crossJoin(g)
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("y"), col("day"))).cast("long"))
+          .withColumn("zv", expr(
+            """(cast(y as double) - cast(sy as double) / n)
+              |/ sqrt((cast(syy as double) - cast(sy as double)
+              |    * cast(sy as double) / n) / (n - 1.0e0))"""
+              .stripMargin))
+          .withColumn("phi", expr(normCdfSql("zv")))
+        z.agg(max(col("n")).as("n_days"),
+            round(greatest(
+              max(expr("cast(rn as double) / n - phi")),
+              max(expr("phi - (cast(rn as double) - 1.0e0) / n")))
+              .cast("double"), 6).as("lilliefors_d"))
+      },
+      Some(s"""WITH daily AS (SELECT ts::DATE AS day,
+             |    (sum(CAST(value AS DECIMAL(18,2))) * 100)::BIGINT AS y
+             |  FROM events GROUP BY 1),
+             |g AS (SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS sy,
+             |    sum(y::HUGEINT * y) AS syy FROM daily),
+             |z AS (SELECT
+             |    row_number() OVER (ORDER BY y, day)::BIGINT AS rn,
+             |    (y::DOUBLE - sy::DOUBLE / n)
+             |    / sqrt((syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n)
+             |        / (n - 1.0e0)) AS zv,
+             |    n
+             |  FROM daily, g),
+             |p AS (SELECT rn, n, ${normCdfSql("zv")} AS phi FROM z)
+             |SELECT max(n)::BIGINT AS n_days,
+             |  round(greatest(max(rn::DOUBLE / n - phi),
+             |    max(phi - (rn::DOUBLE - 1.0e0) / n)), 6)
+             |    AS lilliefors_d
+             |FROM p""".stripMargin)),
+
+    // KL and Jensen–Shannon divergence between the FIRST- and
+    // SECOND-half hour-of-week usage distributions — the
+    // distribution-drift monitor next to PSI, on the full 7×24
+    // lattice with add-one smoothing (so unseen cells never produce
+    // log 0, and both halves live on the same support). Counts are
+    // exact integers; each of the 168 ln terms is quantized to 12 dp
+    // before the sum (order-free). JS is symmetric and bounded by
+    // ln 2 — the spec pins both laws. 100 TB: one fact pass → 168-
+    // cell digest.
+    QueryDef("q_kl_js_drift",
+      (s, d) => {
+        val ev = graft.sources.Tables.events(s, d)
+          .select(unix_micros(col("ts")).as("us"),
+            dayofweek(col("ts")).as("dw"), hour(col("ts")).as("hr"))
+        val mid = broadcast(ev.agg(
+          ((min(col("us")) + max(col("us"))) / 2).cast("long").as("m")))
+        val cnt = ev.crossJoin(mid)
+          .groupBy(col("dw"), col("hr"))
+          .agg(sum(when(col("us") < col("m"), 1L).otherwise(0L))
+            .as("c1"),
+            sum(when(col("us") >= col("m"), 1L).otherwise(0L))
+              .as("c2"))
+        val spine = broadcast(s.range(1, 8).select(col("id").as("dw"))
+          .crossJoin(s.range(0, 24).select(col("id").as("hr"))))
+        val cells = spine.join(cnt, Seq("dw", "hr"), "left")
+          .select(coalesce(col("c1"), lit(0L)).as("c1"),
+            coalesce(col("c2"), lit(0L)).as("c2"))
+        val tot = broadcast(cells.agg(sum(col("c1")).as("n1"),
+          sum(col("c2")).as("n2")))
+        val terms = cells.crossJoin(tot)
+          .withColumn("p1", expr(
+            "cast(c1 + 1 as double) / (n1 + 168)"))
+          .withColumn("p2", expr(
+            "cast(c2 + 1 as double) / (n2 + 168)"))
+          .select(col("n1"), col("n2"),
+            expr("cast(round(p1 * ln(p1 / p2), 12)" +
+              " as decimal(20,12))").as("klt"),
+            expr("cast(round(p1 * ln(2.0e0 * p1 / (p1 + p2)), 12)" +
+              " as decimal(20,12))").as("jst1"),
+            expr("cast(round(p2 * ln(2.0e0 * p2 / (p1 + p2)), 12)" +
+              " as decimal(20,12))").as("jst2"))
+        terms.groupBy(col("n1"), col("n2"))
+          .agg(round(sum(col("klt")).cast("double"), 6).as("kl_nats"),
+            round((sum(col("jst1")) + sum(col("jst2")))
+              .cast("double") / 2.0, 6).as("js_nats"))
+          .select(col("n1").as("n_first"), col("n2").as("n_second"),
+            col("kl_nats"), col("js_nats"))
+      },
+      Some("""WITH ev AS (SELECT epoch_us(ts) AS us,
+             |    dayofweek(ts) + 1 AS dw, hour(ts) AS hr FROM events),
+             |mid AS (SELECT ((min(us) + max(us)) // 2)::BIGINT AS m
+             |  FROM ev),
+             |cnt AS (SELECT dw, hr,
+             |    sum(CASE WHEN us < m THEN 1 ELSE 0 END)::BIGINT AS c1,
+             |    sum(CASE WHEN us >= m THEN 1 ELSE 0 END)::BIGINT AS c2
+             |  FROM ev, mid GROUP BY 1, 2),
+             |spine AS (SELECT d.range + 1 AS dw, h.range AS hr
+             |  FROM range(0, 7) d, range(0, 24) h),
+             |cells AS (SELECT coalesce(c1, 0)::BIGINT AS c1,
+             |    coalesce(c2, 0)::BIGINT AS c2
+             |  FROM spine LEFT JOIN cnt USING (dw, hr)),
+             |tot AS (SELECT sum(c1)::BIGINT AS n1,
+             |    sum(c2)::BIGINT AS n2 FROM cells),
+             |terms AS (SELECT n1, n2,
+             |    round(((c1 + 1)::DOUBLE / (n1 + 168))
+             |      * ln(((c1 + 1)::DOUBLE / (n1 + 168))
+             |          / ((c2 + 1)::DOUBLE / (n2 + 168))), 12)
+             |      ::DECIMAL(20,12) AS klt,
+             |    round(((c1 + 1)::DOUBLE / (n1 + 168))
+             |      * ln(2.0e0 * ((c1 + 1)::DOUBLE / (n1 + 168))
+             |          / (((c1 + 1)::DOUBLE / (n1 + 168))
+             |             + ((c2 + 1)::DOUBLE / (n2 + 168)))), 12)
+             |      ::DECIMAL(20,12) AS jst1,
+             |    round(((c2 + 1)::DOUBLE / (n2 + 168))
+             |      * ln(2.0e0 * ((c2 + 1)::DOUBLE / (n2 + 168))
+             |          / (((c1 + 1)::DOUBLE / (n1 + 168))
+             |             + ((c2 + 1)::DOUBLE / (n2 + 168)))), 12)
+             |      ::DECIMAL(20,12) AS jst2
+             |  FROM cells, tot)
+             |SELECT n1 AS n_first, n2 AS n_second,
+             |  round(sum(klt)::DOUBLE, 6) AS kl_nats,
+             |  round((sum(jst1) + sum(jst2))::DOUBLE / 2.0, 6)
+             |    AS js_nats
+             |FROM terms GROUP BY 1, 2""".stripMargin)),
+
+    // 1-Wasserstein (earth-mover) distance between the weekend and
+    // weekday daily-revenue distributions: ∫|F₁ − F₂| dx over the
+    // combined support. The integral is EXACT integer arithmetic —
+    // Σ |c₁·n₂ − c₂·n₁|·Δx on the cents grid, divided once by n₁·n₂
+    // at the end — so the gate compares a deterministic number with
+    // no per-step float. The metric companion to q_cramer_von_mises
+    // (which tests; this MEASURES the transport cost in dollars).
+    // 100 TB: calendar digest only.
+    QueryDef("q_wasserstein_daily",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg((sum(col("value").cast("decimal(18,2)")) * 100)
+            .cast("long").as("y"))
+          .withColumn("w", dayofweek(col("day")).isin(1, 7)
+            .cast("long"))
+        val pts = daily.groupBy(col("y"))
+          .agg(sum(col("w")).as("d1"), sum(lit(1L) - col("w"))
+            .as("d2"))
+        val wo = Window.orderBy(col("y"))
+        val cum = pts
+          .withColumn("c1", sum(col("d1")).over(
+            wo.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)))
+          .withColumn("c2", sum(col("d2")).over(
+            wo.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)))
+          .withColumn("nx", lead(col("y"), 1).over(wo))
+          .filter(col("nx").isNotNull)
+        val tot = broadcast(daily.agg(sum(col("w")).as("n1"),
+          sum(lit(1L) - col("w")).as("n2")))
+        cum.crossJoin(tot)
+          .agg(max(col("n1")).as("n_weekend"),
+            max(col("n2")).as("n_weekday"),
+            sum(abs(col("c1") * col("n2") - col("c2") * col("n1"))
+              .cast("decimal(38,0)") * (col("nx") - col("y")))
+              .as("num"))
+          .crossJoin(tot)
+          .select(col("n_weekend"), col("n_weekday"),
+            round(expr(
+              """cast(num as double)
+                |/ (cast(n1 as double) * n2) / 100.0e0"""
+                .stripMargin), 4).as("w1_dollars"))
+      },
+      Some("""WITH daily AS (SELECT ts::DATE AS day,
+             |    (sum(CAST(value AS DECIMAL(18,2))) * 100)::BIGINT AS y,
+             |    (CASE WHEN dayofweek(ts::DATE) IN (0, 6) THEN 1
+             |      ELSE 0 END)::BIGINT AS w
+             |  FROM events GROUP BY ts::DATE),
+             |pts AS (SELECT y, sum(w)::BIGINT AS d1,
+             |    sum(1 - w)::BIGINT AS d2
+             |  FROM daily GROUP BY 1),
+             |cum AS (SELECT y,
+             |    sum(d1) OVER (ORDER BY y
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      ::BIGINT AS c1,
+             |    sum(d2) OVER (ORDER BY y
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      ::BIGINT AS c2,
+             |    lead(y, 1) OVER (ORDER BY y) AS nx
+             |  FROM pts QUALIFY nx IS NOT NULL),
+             |tot AS (SELECT sum(w)::BIGINT AS n1,
+             |    sum(1 - w)::BIGINT AS n2 FROM daily),
+             |agg AS (SELECT n1, n2,
+             |    sum(abs(c1 * n2 - c2 * n1)::HUGEINT * (nx - y)) AS num
+             |  FROM cum, tot GROUP BY 1, 2)
+             |SELECT n1 AS n_weekend, n2 AS n_weekday,
+             |  round(num::DOUBLE / (n1::DOUBLE * n2) / 100.0e0, 4)
+             |    AS w1_dollars
+             |FROM agg""".stripMargin)),
+
+    // Reciprocal-rank fusion (Cormack et al. 2009) of the exact-
+    // cosine and binary-Hamming rankings: score(c) = Σ 1/(60 + r_i)
+    // over the lists where candidate c appears (top-10 each), fused
+    // top-3 per query — the standard way a retrieval stack merges a
+    // dense and a cheap-code ranker without score calibration. Each
+    // 1/(60+r) term is round(10^9/(60+r)) — computed as a pure
+    // integer half-up division, so ranks, scores and ties are all
+    // integer-deterministic with no float anywhere. 100 TB: same scan shape as the two
+    // underlying rankers.
+    QueryDef("emb_rrf_fusion",
+      (s, d) => {
+        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        val cosR = graft.ext.Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") < 10), 10)
+          .select(col("query_id"), col("neighbor_id"),
+            col("rank").as("rc"))
+        val codes = emb.select(col("vec_id"),
+          expr("transform(embedding, x -> " +
+            "CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+            .as("iv"))
+          .select(col("vec_id"),
+            expr("aggregate(sequence(1, 32), 0L, (acc, j) -> acc + " +
+              "CASE WHEN iv[j-1] > 0 THEN shiftleft(1L, j-1)" +
+              " ELSE 0L END)").as("h0"),
+            expr("aggregate(sequence(33, 64), 0L, (acc, j) -> acc + " +
+              "CASE WHEN iv[j-1] > 0 THEN shiftleft(1L, j-33)" +
+              " ELSE 0L END)").as("h1"))
+        val qc = codes.filter(col("vec_id") < 10)
+          .toDF("query_id", "q0", "q1")
+        val hamR = codes.join(broadcast(qc),
+            col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            (expr("bit_count(h0 ^ q0)") + expr("bit_count(h1 ^ q1)"))
+              .cast("long").as("hamming"))
+          .withColumn("rh", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("hamming"), col("neighbor_id"))))
+          .filter(col("rh") <= 10)
+          .select(col("query_id"), col("neighbor_id"), col("rh"))
+        val fused = cosR.join(hamR, Seq("query_id", "neighbor_id"),
+            "full_outer")
+          // round(10^9/(60+r)) spelled as the EXACT integer half-up
+          // division (2e9 + d) div 2d — a double product here lands
+          // within an ulp of an integer, where Spark's truncating
+          // cast and DuckDB's rounding cast can disagree
+          .withColumn("rrf_e9",
+            coalesce(expr("(2000000000L + (60 + rc))" +
+              " div (2 * (60 + rc))"), lit(0L)) +
+            coalesce(expr("(2000000000L + (60 + rh))" +
+              " div (2 * (60 + rh))"), lit(0L)))
+          .withColumn("fused_rank", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("rrf_e9").desc, col("neighbor_id"))))
+          .filter(col("fused_rank") <= 3)
+        fused.select(col("query_id"), col("fused_rank"),
+            col("neighbor_id"), col("rrf_e9"))
+          .orderBy(col("query_id"), col("fused_rank"))
+      },
+      Some("""WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v
+             |  FROM embeddings),
+             |rc AS (SELECT query_id, neighbor_id, rank AS rc FROM (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |    row_number() OVER (PARTITION BY q.vec_id
+             |      ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+             |        c.vec_id) AS rank
+             |  FROM t q, t c
+             |  WHERE q.vec_id < 10 AND c.vec_id != q.vec_id)
+             |  WHERE rank <= 10),
+             |cod AS (SELECT vec_id,
+             |    CAST(list_sum(list_transform(range(1, 33),
+             |      j -> CASE WHEN CAST(round(v[j] * 1000) AS BIGINT) > 0
+             |        THEN (1::BIGINT << (j-1)) ELSE 0::BIGINT END))
+             |      AS BIGINT) AS h0,
+             |    CAST(list_sum(list_transform(range(33, 65),
+             |      j -> CASE WHEN CAST(round(v[j] * 1000) AS BIGINT) > 0
+             |        THEN (1::BIGINT << (j-33)) ELSE 0::BIGINT END))
+             |      AS BIGINT) AS h1
+             |  FROM t),
+             |qc AS (SELECT vec_id AS query_id, h0 AS q0, h1 AS q1
+             |  FROM cod WHERE vec_id < 10),
+             |rh AS (SELECT query_id, neighbor_id, rh FROM (
+             |  SELECT qc.query_id, c.vec_id AS neighbor_id,
+             |    row_number() OVER (PARTITION BY qc.query_id
+             |      ORDER BY bit_count(xor(c.h0, qc.q0))
+             |        + bit_count(xor(c.h1, qc.q1)), c.vec_id) AS rh
+             |  FROM cod c, qc WHERE c.vec_id != qc.query_id)
+             |  WHERE rh <= 10),
+             |fused AS (SELECT coalesce(rc.query_id, rh.query_id)
+             |      AS query_id,
+             |    coalesce(rc.neighbor_id, rh.neighbor_id)
+             |      AS neighbor_id,
+             |    coalesce((2000000000 + (60 + rc.rc))
+             |      // (2 * (60 + rc.rc)), 0)::BIGINT
+             |    + coalesce((2000000000 + (60 + rh.rh))
+             |      // (2 * (60 + rh.rh)), 0)::BIGINT AS rrf_e9
+             |  FROM rc FULL JOIN rh ON rc.query_id = rh.query_id
+             |    AND rc.neighbor_id = rh.neighbor_id),
+             |rkd AS (SELECT query_id, neighbor_id, rrf_e9,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY rrf_e9 DESC, neighbor_id) AS fused_rank
+             |  FROM fused)
+             |SELECT query_id, fused_rank, neighbor_id, rrf_e9
+             |FROM rkd WHERE fused_rank <= 3
+             |ORDER BY query_id, fused_rank""".stripMargin)),
+
+    // k-NN graph reciprocity over the bounded baseline corpus
+    // (vec_id < 200, the sim_neardup_embedding discipline): the share
+    // of top-5 edges that are MUTUAL (a in top5(b) and b in top5(a)).
+    // Low reciprocity = hub-dominated neighborhoods (the graph-shape
+    // companion to emb_hubness). Everything is exact set algebra on
+    // the 1000-edge digest. 100 TB: the bounded corpus caps the
+    // all-pairs scan by design; the full-corpus path is the ANN
+    // family.
+    QueryDef("emb_knn_reciprocity",
+      (s, d) => {
+        val emb = s.read.parquet(s"$d/embeddings.parquet")
+          .filter(col("vec_id") < 200)
+        val top = graft.ext.Similarity.bruteForceTopK(emb, emb, 5)
+          .select(col("query_id").as("a"), col("neighbor_id").as("b"))
+        val mutual = top.alias("x").join(top.alias("y"),
+          col("x.a") === col("y.b") && col("x.b") === col("y.a"))
+          .select(col("x.a"), col("x.b"))
+        top.agg(countDistinct(col("a")).as("n_nodes"),
+            count(lit(1)).as("n_edges"))
+          .crossJoin(broadcast(mutual.agg(count(lit(1))
+            .as("n_mutual"))))
+          .select(col("n_nodes"), col("n_edges"), col("n_mutual"),
+            expr("n_mutual * 1000000 div n_edges")
+              .as("reciprocity_ppm"))
+      },
+      Some("""WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v
+             |  FROM embeddings WHERE vec_id < 200),
+             |bf AS (SELECT query_id AS a, neighbor_id AS b FROM (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |    row_number() OVER (PARTITION BY q.vec_id
+             |      ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+             |        c.vec_id) AS rank
+             |  FROM t q, t c WHERE c.vec_id != q.vec_id)
+             |  WHERE rank <= 5),
+             |m AS (SELECT count(*)::BIGINT AS n_mutual
+             |  FROM bf x JOIN bf y ON x.a = y.b AND x.b = y.a)
+             |SELECT count(DISTINCT a)::BIGINT AS n_nodes,
+             |  count(*)::BIGINT AS n_edges, max(n_mutual) AS n_mutual,
+             |  (max(n_mutual) * 1000000 // count(*))::BIGINT
+             |    AS reciprocity_ppm
+             |FROM bf, m""".stripMargin))
   )
 }

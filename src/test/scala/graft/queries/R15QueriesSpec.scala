@@ -230,6 +230,142 @@ class R15QueriesSpec extends GraftSpec {
     assert(cov.getAs[Long]("max_exposure") === 1L)
   }
 
+  // shared fixture for the score-metric laws: day 1 (train) and
+  // day 2 (test) both have hour 10 all-purchases and hour 5 all-views
+  private def separatingScoreRows: Seq[(Long, Long, String, Double)] =
+    (0 until 4).map(i =>
+      (day0 + 10 * hourUs + i * 1000000L, i.toLong, "purchase", 1.0)) ++
+    (0 until 4).map(i =>
+      (day0 + 5 * hourUs + i * 1000000L, 10L + i, "view", 1.0)) ++
+    (0 until 4).map(i =>
+      (day0 + dayUs + 10 * hourUs + i * 1000000L, 20L + i, "purchase", 1.0)) ++
+    (0 until 4).map(i =>
+      (day0 + dayUs + 5 * hourUs + i * 1000000L, 30L + i, "view", 1.0))
+
+  test("q_hosmer_lemeshow: a perfectly calibrated score gives " +
+    "HL chi2 = 0") {
+    // hour 10 is 50% purchase in BOTH halves (score 500000 ppm,
+    // observed 2 of 4); hour 5 is 0% in both (E = 0 bins publish
+    // NULL terms and drop out)
+    val rows =
+      Seq((day0 + 10 * hourUs, 1L, "purchase", 1.0),
+        (day0 + 10 * hourUs + 1000000L, 2L, "purchase", 1.0),
+        (day0 + 10 * hourUs + 2000000L, 3L, "view", 1.0),
+        (day0 + 10 * hourUs + 3000000L, 4L, "view", 1.0),
+        (day0 + 5 * hourUs, 5L, "view", 1.0),
+        (day0 + 5 * hourUs + 1000000L, 6L, "view", 1.0)) ++
+      Seq((day0 + dayUs + 10 * hourUs, 11L, "purchase", 1.0),
+        (day0 + dayUs + 10 * hourUs + 1000000L, 12L, "purchase", 1.0),
+        (day0 + dayUs + 10 * hourUs + 2000000L, 13L, "view", 1.0),
+        (day0 + dayUs + 10 * hourUs + 3000000L, 14L, "view", 1.0),
+        (day0 + dayUs + 5 * hourUs, 15L, "view", 1.0),
+        (day0 + dayUs + 5 * hourUs + 1000000L, 16L, "view", 1.0))
+    val out = byName("q_hosmer_lemeshow")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Long]("n_scored") === 6L)
+    assert(out.getAs[Double]("hl_chi2") === 0.0)
+  }
+
+  test("q_lift_gains: a separating score captures every positive in " +
+    "the first bin at 2x lift") {
+    val out = byName("q_lift_gains")(
+      spark, eventsDir(separatingScoreRows)).orderBy("bin").collect()
+    assert(out.length === 2)
+    val b0 = out.head
+    assert(b0.getAs[Long]("bin") === 0L)
+    assert(b0.getAs[Long]("pos_bin") === 4L)
+    assert(b0.getAs[Long]("gain_ppm") === 1000000L)
+    assert(b0.getAs[Long]("lift_ppm") === 2000000L) // 4/4 vs base 4/8
+    val b5 = out(1)
+    assert(b5.getAs[Long]("bin") === 5L)
+    assert(b5.getAs[Long]("pos_bin") === 0L)
+    assert(b5.getAs[Long]("gain_ppm") === 1000000L)
+    assert(b5.getAs[Long]("lift_ppm") === 0L)
+  }
+
+  test("q_ks_classifier: a separating score reaches KS = 1 at the " +
+    "positive group's score") {
+    val out = byName("q_ks_classifier")(
+      spark, eventsDir(separatingScoreRows)).head()
+    assert(out.getAs[Long]("n_pos") === 4L)
+    assert(out.getAs[Long]("n_neg") === 4L)
+    assert(out.getAs[Double]("ks_stat") === 1.0)
+    assert(out.getAs[Long]("at_score_ppm") === 1000000L)
+  }
+
+  test("q_lilliefors: a symmetric two-point distribution sits " +
+    "~0.335 from its fitted normal") {
+    // 10 days at 10, 10 at 20: z = -/+ 500/512.99, the max ECDF gap
+    // lands at the block boundary: 0.5 - Phi(-0.97467) = 0.33514
+    val rows = (0 until 20).map { i =>
+      (day0 + i * dayUs, i.toLong, "view",
+        if (i % 2 == 0) 10.0 else 20.0) }
+    val out = byName("q_lilliefors")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Long]("n_days") === 20L)
+    val dStat = out.getAs[Double]("lilliefors_d")
+    assert(dStat > 0.33 && dStat < 0.34, s"D=$dStat")
+  }
+
+  test("q_kl_js_drift: identical halves diverge by exactly 0; " +
+    "JS stays under ln 2") {
+    // Jan 1 (Mon) and Jan 8 (Mon): the same (dow, hour) cells with
+    // the same counts in each half -> p1 == p2 -> every term ln 1 = 0
+    val same = Seq(3, 3, 17).flatMap(h => Seq(
+      (day0 + h * hourUs, 1L, "view", 1.0),
+      (day0 + 7 * dayUs + h * hourUs, 2L, "view", 1.0)))
+      .zipWithIndex.map { case ((us, _, et, v), i) =>
+        (us + i, i.toLong, et, v) }
+    val out = byName("q_kl_js_drift")(spark, eventsDir(same)).head()
+    assert(out.getAs[Double]("kl_nats") === 0.0)
+    assert(out.getAs[Double]("js_nats") === 0.0)
+    // fully shifted halves: JS must stay within its ln 2 bound
+    val shifted = (0 until 24).map(i =>
+      (day0 + 3 * hourUs + i * 1000000L, i.toLong, "view", 1.0)) ++
+      (0 until 24).map(i =>
+        (day0 + 7 * dayUs + 17 * hourUs + i * 1000000L,
+          100L + i, "view", 1.0))
+    val s2 = byName("q_kl_js_drift")(spark, eventsDir(shifted)).head()
+    assert(s2.getAs[Double]("js_nats") > 0.0)
+    assert(s2.getAs[Double]("js_nats") <= math.log(2.0) + 1e-9)
+  }
+
+  test("q_wasserstein_daily: two point masses 20 dollars apart cost " +
+    "exactly 20 to transport") {
+    // 14 days from Monday: weekend days all 30.0, weekdays all 10.0
+    val rows = (0 until 14).map { i =>
+      val weekend = Set(5, 6, 12, 13).contains(i)
+      (day0 + i * dayUs, i.toLong, "view", if (weekend) 30.0 else 10.0)
+    }
+    val out = byName("q_wasserstein_daily")(spark, eventsDir(rows)).head()
+    assert(out.getAs[Long]("n_weekend") === 4L)
+    assert(out.getAs[Long]("n_weekday") === 10L)
+    assert(out.getAs[Double]("w1_dollars") === 20.0)
+  }
+
+  test("emb_rrf_fusion: when both rankers agree the fused winner " +
+    "scores exactly 2*round(1e9/61)") {
+    // query 0 + one exact duplicate + distractors: rank 1 in BOTH
+    // the cosine and hamming lists -> rrf_e9 = 2*16393443
+    val base = Seq.tabulate(64)(j => math.sin(j * 3 + 1.0))
+    val rows = Seq((0L, base), (100L, base)) ++
+      (200L to 214L).map(id =>
+        (id, Seq.tabulate(64)(j => math.cos(id * 17 + j * 7))))
+    val out = byName("emb_rrf_fusion")(spark, embDir(rows))
+      .filter(col("query_id") === 0 && col("fused_rank") === 1).head()
+    assert(out.getAs[Long]("neighbor_id") === 100L)
+    assert(out.getAs[Long]("rrf_e9") === 2L * 16393443L)
+  }
+
+  test("emb_knn_reciprocity: a single 6-clique is fully mutual") {
+    val base = Seq.tabulate(64)(j => math.sin(j * 3 + 1.0))
+    val rows = (0L to 5L).map(id =>
+      (id, base.map(_ * (1.0 + id / 100.0))))
+    val out = byName("emb_knn_reciprocity")(spark, embDir(rows)).head()
+    assert(out.getAs[Long]("n_nodes") === 6L)
+    assert(out.getAs[Long]("n_edges") === 30L)
+    assert(out.getAs[Long]("n_mutual") === 30L)
+    assert(out.getAs[Long]("reciprocity_ppm") === 1000000L)
+  }
+
   test("sf0.001 range sanity: stats land in their lawful ranges") {
     val d = "/root/testdata/sf0.001"
     val cm = byName("q_confusion_metrics")(spark, d).head()
