@@ -43,6 +43,15 @@ object Similarity extends Serializable {
   def adaptiveNPlanes(n: Long): Int =
     math.max(2, math.min(16, ceilLog2((n + 255L) / 256L)))
 
+  /** Adaptive plane count for PAIR GENERATION (near-dup): candidate
+    * pairs grow with bucket size squared (Σ b²/2 per table), so the
+    * right bucket target is ~32, not the top-k path's 256 — at
+    * sf0.1 this reproduces the old fixed p=6, and at 10× it deepens
+    * to p=10 keeping pair count ~n·16·tables (linear). Measured: the
+    * 256-target at sf0.1 made sim_neardup_lsh 0.96→2.3 s. */
+  def adaptiveNPlanesPairs(n: Long): Int =
+    math.max(2, math.min(16, ceilLog2((n + 31L) / 32L)))
+
   /** Scale-adaptive RP-tree depth: leaves of ~<=256 expected members,
     * clamped to [1, 8] (256 leaves max — beyond that, raise the cap
     * or shard the corpus; the fit is level-wise so deeper is only
@@ -540,7 +549,8 @@ object Similarity extends Serializable {
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     val d = if (dim > 0) dim else dimOf(corpus, vecCol)
-    val np = if (nPlanes > 0) nPlanes else adaptiveNPlanes(corpus.count())
+    val np = if (nPlanes > 0) nPlanes
+      else adaptiveNPlanesPairs(corpus.count())
     val sig = corpus.select(col(idCol),
       posexplode(VectorFunctions.lsh_signatures(
         spark, col(vecCol), nTables, np, d)).as(Seq("__table", "__sig")))

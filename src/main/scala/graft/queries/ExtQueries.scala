@@ -315,10 +315,12 @@ object ExtQueries {
     * `Similarity.adaptiveNPlanes`, so the Spark side's derived
     * bucketing replays bit-identically at ANY scale factor the same
     * dumped SQL runs against. */
-  private def lshSigCteAdaptive(nTables: Int, sfx: String = ""): String =
+  private def lshSigCteAdaptive(nTables: Int, sfx: String = "",
+                                bucketTarget: Int = 256): String =
     s"""np$sfx AS (SELECT greatest(2, least(16,
        |      CASE WHEN m <= 1 THEN 0 ELSE length(bin(m - 1)) END)) AS np
-       |    FROM (SELECT (count(*) + 255) // 256 AS m FROM embeddings)),
+       |    FROM (SELECT (count(*) + ${bucketTarget - 1}) // $bucketTarget AS m
+       |      FROM embeddings)),
        |t$sfx AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |pl$sfx AS (SELECT tt.i AS tbl, pp.i AS p,
        |         list_transform(range(0, 64), j ->
@@ -1002,7 +1004,7 @@ object ExtQueries {
         nTables = 8, dim = dimOf(s, d))
         .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
         .orderBy(col("id_a"), col("id_b")),
-      Some(s"""WITH ${lshSigCteAdaptive(nTables = 8)},
+      Some(s"""WITH ${lshSigCteAdaptive(nTables = 8, bucketTarget = 32)},
               |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
               |         FROM sig a JOIN sig b ON b.tbl = a.tbl AND b.sig = a.sig
               |           AND a.vec_id < b.vec_id),
