@@ -1581,6 +1581,177 @@ object R15Queries {
              |  count(*)::BIGINT AS n_edges, max(n_mutual) AS n_mutual,
              |  (max(n_mutual) * 1000000 // count(*))::BIGINT
              |    AS reciprocity_ppm
-             |FROM bf, m""".stripMargin))
+             |FROM bf, m""".stripMargin)),
+
+    // Breslow–Day homogeneity test (Breslow & Day 1980): do the
+    // per-day odds ratios of the q_cmh_test 2×2 (exposure =
+    // props.k < 50, outcome = purchase-vs-view) share ONE common
+    // value, or does the association itself drift day to day? CMH
+    // assumes homogeneity; this is the test that licenses it. The
+    // Mantel–Haenszel common OR uses 9-dp-quantized per-stratum
+    // ratio terms; each stratum's expected cell solves the standard
+    // quadratic under that OR (shared double spelling, the ψ≈1
+    // linear branch mirrored identically), and the χ² terms are
+    // 9-dp-quantized before the cross-stratum sum. One shuffle to
+    // the ≤366-row day digest.
+    QueryDef("q_breslow_day",
+      (s, d) => {
+        val k = from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k")
+        val f = graft.sources.Tables.events(s, d)
+          .filter(col("event_type").isin("purchase", "view"))
+          .select(to_date(col("ts")).as("day"),
+            when(k < 50, 1L).otherwise(0L).as("expo"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L)
+              .as("outc"))
+        val st = f.groupBy(col("day"))
+          .agg(sum(col("expo") * col("outc")).as("a"),
+            sum(col("outc")).as("n1"), sum(col("expo")).as("m1"),
+            count(lit(1)).as("nt"))
+          // every cell of the 2x2 must be positive for the OR terms
+          .filter(col("a") > 0 && col("n1") > col("a") &&
+            col("m1") > col("a") &&
+            col("nt") - col("n1") - col("m1") + col("a") > 0)
+        val psi = broadcast(st.agg(
+            sum(expr("cast(round(cast(a as double)" +
+              " * (nt - n1 - m1 + a) / nt, 9) as decimal(20,9))"))
+              .as("sad"),
+            sum(expr("cast(round(cast(n1 - a as double)" +
+              " * (m1 - a) / nt, 9) as decimal(20,9))")).as("sbc"))
+          .select(expr("cast(sad as double) / cast(sbc as double)")
+            .as("psi")))
+        val terms = st.crossJoin(psi)
+          .withColumn("bq", expr(
+            """cast(nt - n1 - m1 as double)
+              |+ psi * (cast(n1 as double) + m1)""".stripMargin))
+          .withColumn("cq", expr(
+            "-psi * cast(n1 as double) * m1"))
+          .withColumn("disc", expr(
+            "sqrt(bq * bq - 4.0e0 * (1.0e0 - psi) * cq)"))
+          .withColumn("r1", expr(
+            "(-bq + disc) / (2.0e0 * (1.0e0 - psi))"))
+          .withColumn("r2", expr(
+            "(-bq - disc) / (2.0e0 * (1.0e0 - psi))"))
+          .withColumn("lo", expr(
+            "greatest(0.0e0, cast(n1 + m1 - nt as double))"))
+          .withColumn("hi", expr(
+            "least(cast(n1 as double), cast(m1 as double))"))
+          .withColumn("ea", expr(
+            """CASE WHEN abs(1.0e0 - psi) < 1.0e-12
+              |  THEN cast(n1 as double) * m1 / nt
+              |  WHEN r1 >= lo AND r1 <= hi THEN r1
+              |  ELSE r2 END""".stripMargin))
+          .withColumn("va", expr(
+            """1.0e0 / (1.0e0 / ea + 1.0e0 / (n1 - ea)
+              |  + 1.0e0 / (m1 - ea)
+              |  + 1.0e0 / (nt - n1 - m1 + ea))""".stripMargin))
+          .select(col("psi"),
+            expr("cast(round((a - ea) * (a - ea) / va, 9)" +
+              " as decimal(20,9))").as("term"))
+        terms.groupBy(col("psi"))
+          .agg(count(lit(1)).as("n_strata"),
+            round(sum(col("term")).cast("double"), 4).as("bd_chi2"))
+          .select(col("n_strata"), round(col("psi"), 6).as("psi_mh"),
+            col("bd_chi2"))
+      },
+      Some("""WITH f AS (SELECT ts::DATE AS day,
+             |    CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT)
+             |      < 50 THEN 1 ELSE 0 END AS expo,
+             |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+             |      AS outc
+             |  FROM events WHERE event_type IN ('purchase', 'view')),
+             |st AS (SELECT day, sum(expo * outc)::BIGINT AS a,
+             |    sum(outc)::BIGINT AS n1, sum(expo)::BIGINT AS m1,
+             |    count(*)::BIGINT AS nt
+             |  FROM f GROUP BY 1
+             |  HAVING sum(expo * outc) > 0
+             |    AND sum(outc) > sum(expo * outc)
+             |    AND sum(expo) > sum(expo * outc)
+             |    AND count(*) - sum(outc) - sum(expo)
+             |      + sum(expo * outc) > 0),
+             |psi AS (SELECT
+             |    sum(round(a::DOUBLE * (nt - n1 - m1 + a) / nt, 9)
+             |      ::DECIMAL(20,9))::DOUBLE
+             |    / sum(round((n1 - a)::DOUBLE * (m1 - a) / nt, 9)
+             |      ::DECIMAL(20,9))::DOUBLE AS psi
+             |  FROM st),
+             |q AS (SELECT a, n1, m1, nt, psi,
+             |    (nt - n1 - m1)::DOUBLE
+             |      + psi * (n1::DOUBLE + m1) AS bq,
+             |    -psi * n1::DOUBLE * m1 AS cq
+             |  FROM st, psi),
+             |r AS (SELECT *,
+             |    sqrt(bq * bq - 4.0e0 * (1.0e0 - psi) * cq) AS disc,
+             |    greatest(0.0e0, (n1 + m1 - nt)::DOUBLE) AS lo,
+             |    least(n1::DOUBLE, m1::DOUBLE) AS hi
+             |  FROM q),
+             |e AS (SELECT a, n1, m1, nt, psi,
+             |    CASE WHEN abs(1.0e0 - psi) < 1.0e-12
+             |      THEN n1::DOUBLE * m1 / nt
+             |      WHEN (-bq + disc) / (2.0e0 * (1.0e0 - psi)) >= lo
+             |       AND (-bq + disc) / (2.0e0 * (1.0e0 - psi)) <= hi
+             |      THEN (-bq + disc) / (2.0e0 * (1.0e0 - psi))
+             |      ELSE (-bq - disc) / (2.0e0 * (1.0e0 - psi))
+             |      END AS ea
+             |  FROM r),
+             |t AS (SELECT psi,
+             |    round((a - ea) * (a - ea)
+             |      / (1.0e0 / (1.0e0 / ea + 1.0e0 / (n1 - ea)
+             |         + 1.0e0 / (m1 - ea)
+             |         + 1.0e0 / (nt - n1 - m1 + ea))), 9)
+             |      ::DECIMAL(20,9) AS term
+             |  FROM e)
+             |SELECT count(*)::BIGINT AS n_strata,
+             |  round(max(psi), 6) AS psi_mh,
+             |  round(sum(term)::DOUBLE, 4) AS bd_chi2
+             |FROM t""".stripMargin)),
+
+    // Cochran–Armitage trend test (Cochran 1954; Armitage 1955):
+    // does the purchase PROPORTION trend monotonically across the
+    // ordered hour-of-day groups (scores x = 0..23)? The z statistic
+    // is assembled ENTIRELY from exact integer moments —
+    // z = (N·Σxk − K·Σxn) / sqrt(K(N−K)(N·Σnx² − (Σnx)²)/N) with
+    // every product in DECIMAL(38,0) — so the only doubles are the
+    // final division and sqrt. The proportions companion to
+    // q_cuzick_trend's rank test. 100 TB: one fact pass → 24-row
+    // digest.
+    QueryDef("q_cochran_armitage",
+      (s, d) => {
+        val g = graft.sources.Tables.events(s, d)
+          .groupBy(hour(col("ts")).cast("long").as("x"))
+          .agg(count(lit(1)).as("n"),
+            sum((col("event_type") === "purchase").cast("long"))
+              .as("k"))
+        g.agg(sum(col("n")).as("nn"), sum(col("k")).as("kk"),
+            sum(col("x") * col("n")).as("sxn"),
+            sum(col("x") * col("k")).as("sxk"),
+            sum(col("x") * col("x") * col("n")).as("sxxn"))
+          .select(col("nn").as("n_events"), col("kk").as("n_pos"),
+            round(expr(
+              """cast(cast(nn as decimal(38,0)) * sxk
+                |  - cast(kk as decimal(38,0)) * sxn as double)
+                |/ nullif(sqrt(cast(
+                |    cast(kk as decimal(38,0)) * (nn - kk)
+                |    * (cast(nn as decimal(38,0)) * sxxn
+                |       - cast(sxn as decimal(38,0)) * sxn)
+                |  as double) / nn), 0.0e0)""".stripMargin), 4)
+              .as("z_trend"))
+      },
+      Some("""WITH g AS (SELECT hour(ts)::BIGINT AS x,
+             |    count(*)::BIGINT AS n,
+             |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+             |      END)::BIGINT AS k
+             |  FROM events GROUP BY 1),
+             |m AS (SELECT sum(n)::BIGINT AS nn, sum(k)::BIGINT AS kk,
+             |    sum(x * n)::BIGINT AS sxn, sum(x * k)::BIGINT AS sxk,
+             |    sum(x * x * n)::BIGINT AS sxxn
+             |  FROM g)
+             |SELECT nn AS n_events, kk AS n_pos,
+             |  round((nn::HUGEINT * sxk - kk::HUGEINT * sxn)::DOUBLE
+             |    / nullif(sqrt((kk::HUGEINT * (nn - kk)
+             |        * (nn::HUGEINT * sxxn - sxn::HUGEINT * sxn))
+             |        ::DOUBLE / nn), 0.0e0), 4) AS z_trend
+             |FROM m""".stripMargin))
   )
 }

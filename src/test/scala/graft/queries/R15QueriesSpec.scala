@@ -366,6 +366,53 @@ class R15QueriesSpec extends GraftSpec {
     assert(out.getAs[Long]("reciprocity_ppm") === 1000000L)
   }
 
+  private def eventsPropsDir(
+      rows: Seq[(Long, Long, String, Double, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("r15evp").toString
+    rows.zipWithIndex
+      .map { case ((us, uid, et, v, pr), i) => (i.toLong, us, uid, et, v, pr) }
+      .toDF("event_id", "__us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("__us"))).drop("__us")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("q_breslow_day: identical per-day 2x2 tables are perfectly " +
+    "homogeneous (BD = 0 at the exact MH odds ratio)") {
+    // each day: a=2 b=1 c=1 d=2 -> psi = 4; the stratum quadratic
+    // solves to ea = 2 = a EXACTLY (disc = 144), so every term is 0
+    val lo = "{\"k\": 10}"; val hi = "{\"k\": 90}"
+    def day(off: Long, base: Long) = Seq(
+      (day0 + off, base, "purchase", 1.0, lo),
+      (day0 + off + 1000000L, base + 1, "purchase", 1.0, lo),
+      (day0 + off + 2000000L, base + 2, "view", 1.0, lo),
+      (day0 + off + 3000000L, base + 3, "purchase", 1.0, hi),
+      (day0 + off + 4000000L, base + 4, "view", 1.0, hi),
+      (day0 + off + 5000000L, base + 5, "view", 1.0, hi))
+    val rows = day(0L, 0L) ++ day(dayUs, 100L)
+    val out = byName("q_breslow_day")(spark, eventsPropsDir(rows)).head()
+    assert(out.getAs[Long]("n_strata") === 2L)
+    assert(out.getAs[Double]("psi_mh") === 4.0)
+    assert(out.getAs[Double]("bd_chi2") === 0.0)
+  }
+
+  test("q_cochran_armitage: a flat rate is exactly zero trend; a " +
+    "step up in the late hours is strongly positive") {
+    val flat = (0 until 24).flatMap(h => Seq(
+      (day0 + h * hourUs, h.toLong, "purchase", 1.0),
+      (day0 + h * hourUs + 1000000L, 100L + h, "view", 1.0)))
+    val f = byName("q_cochran_armitage")(spark, eventsDir(flat)).head()
+    assert(f.getAs[Double]("z_trend") === 0.0)
+    val step = (0 until 24).flatMap(h => (0 until 5).map(i =>
+      (day0 + h * hourUs + i * 1000000L, (h * 5 + i).toLong,
+        if (h >= 12) "purchase" else "view", 1.0)))
+    val t = byName("q_cochran_armitage")(spark, eventsDir(step)).head()
+    assert(t.getAs[Long]("n_events") === 120L)
+    assert(t.getAs[Long]("n_pos") === 60L)
+    assert(t.getAs[Double]("z_trend") > 3.0)
+  }
+
   test("sf0.001 range sanity: stats land in their lawful ranges") {
     val d = "/root/testdata/sf0.001"
     val cm = byName("q_confusion_metrics")(spark, d).head()
