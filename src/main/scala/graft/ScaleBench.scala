@@ -130,7 +130,13 @@ object ScaleBench {
     // round, so cpu_ratio ≈ 10 is the bar; closeness BFS seeds stay
     // 5 (top-degree picks land in one replica), so its frontier work
     // is flat and only the per-round eb scans carry the 10×
-    "q_kcore_profile", "q_closeness_centrality", "q_katz_centrality")
+    "q_kcore_profile", "q_closeness_centrality", "q_katz_centrality",
+    // r13 additions — the new evaluation family's facts-scale
+    // representatives: the recommender eval (two fact passes + a
+    // per-customer digest; user count grows with density) and the
+    // KL/JS drift monitor (one fact pass -> fixed 168-cell lattice,
+    // must scale ~flat after the scan)
+    "q_rec_eval", "q_kl_js_drift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -252,7 +258,7 @@ object ScaleBench {
   /** Synthesize (or reuse) the `reps`× replica dir: events + documents
     * only — the tables the scale queries read. */
   def ensureScaledDir(spark: SparkSession, sfDir: String, reps: Int): String = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_scale_${graft.io.FileSkipping.pathKey(sfDir, s"scale$reps-v3")}"
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_scale_${graft.io.FileSkipping.pathKey(sfDir, s"scale$reps-v4")}"
     val done = new java.io.File(s"$base/_DONE")
     if (!done.isFile) {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -297,6 +303,15 @@ object ScaleBench {
         .withColumn("l_suppkey", col("l_suppkey") + lit(k * 10000000L)))
         .reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$base/lineitem.parquet")
+      // orders rides the SAME orderkey offsets as lineitem (so joins
+      // stay consistent) with disjoint customer universes — customer
+      // count grows with the data, the r13 recommender-eval shape
+      val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+      (0 until reps).map(k => ord
+        .withColumn("o_orderkey", col("o_orderkey") + lit(k * 1000000000L))
+        .withColumn("o_custkey", col("o_custkey") + lit(k * 1000000L)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$base/orders.parquet")
       java.nio.file.Files.write(done.toPath, Array.emptyByteArray)
     }
     base
