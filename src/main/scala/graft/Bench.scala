@@ -198,7 +198,19 @@ object Bench {
     // (guaranteed < ~1900 chars) carrying the totals, failures, a fixed
     // headline subset, the top-slowest tail, and a pointer to the file.
     val fullJson = f"""{"metric":"total_median","value":$total%.3f,"unit":"sec","trials":$trials,"short_trialed":$shortTrialed,"total_min":$totalMin%.3f,"total_max":$totalMax%.3f,"noisiest":"$noisyName","noisiest_maxmin_ratio":$noisyRatio%.2f,"n_queries":${results.size},"index_build_sec":$indexBuildSec%.3f,"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
-    val fullPath = "bench_full.json"
+    // a SUBSET run (SPARK_GRAFT_ONLY set) must never clobber the
+    // committed full-suite artifact — three rounds running, a judge's
+    // subset re-trial overwrote the driver's uncommitted bench_full
+    // working copy. Subsets get their own file keyed by the subset's
+    // hash; only an unrestricted run owns bench_full.json.
+    val fullPath = only match {
+      case Some(names) =>
+        val key = java.security.MessageDigest.getInstance("MD5")
+          .digest(names.toSeq.sorted.mkString(",").getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString
+        s"bench_full_only_$key.json"
+      case None => "bench_full.json"
+    }
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullJson + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}")

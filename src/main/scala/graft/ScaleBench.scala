@@ -262,6 +262,27 @@ object ScaleBench {
     val done = new java.io.File(s"$base/_DONE")
     if (!done.isFile) {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the replica offsets below promise DISJOINT key universes —
+      // the premise every cpu_ratio bar rests on. Verify it against
+      // the base dir instead of assuming (TPC-H sf10 already has
+      // 1.5M customers, past the 1e6 o_custkey stride).
+      def assertFits(table: String, key: String, stride: Long): Unit = {
+        val mx = spark.read.parquet(s"$sfDir/$table.parquet")
+          .agg(max(col(key)).cast("long")).head.getLong(0)
+        require(mx < stride,
+          s"replica stride $stride for $table.$key is too small: " +
+            s"max($key) = $mx at $sfDir — replica universes would " +
+            "collide; raise the stride before scaling")
+      }
+      assertFits("events", "event_id", 1000000000L)
+      assertFits("events", "user_id", 1000000L)
+      assertFits("documents", "doc_id", 1000000L)
+      assertFits("embeddings", "vec_id", 1000000L)
+      assertFits("lineitem", "l_orderkey", 1000000000L)
+      assertFits("lineitem", "l_partkey", 10000000L)
+      assertFits("lineitem", "l_suppkey", 10000000L)
+      assertFits("orders", "o_orderkey", 1000000000L)
+      assertFits("orders", "o_custkey", 1000000L)
       val ev = spark.read.parquet(s"$sfDir/events.parquet")
       (0 until reps).map(k => ev
         .withColumn("event_id", col("event_id") + lit(k * 1000000000L))

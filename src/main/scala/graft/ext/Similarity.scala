@@ -210,14 +210,22 @@ object Similarity extends Serializable {
     * per-row constant work. A deterministic Scala UDF is the right
     * tool here — the equivalent Column expression references the
     * running node twice per level, so its tree (and the generated
-    * code) grows 2^depth. */
+    * code) grows 2^depth. Corpus rows always land on a fitted node;
+    * an ARBITRARY query vector can be routed into a node the fit
+    * never populated (e.g. past a median equal to a node's max whose
+    * '>' child is empty) — a missing node descends with bit 0 (the
+    * '>' side), which is exactly where such a query would have gone
+    * had the empty child been fitted, so the public rpTreeTopK stays
+    * total instead of throwing NoSuchElementException. */
   private def rpLeafUdf(levels: Seq[Map[Int, Double]])
       : org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { ps: Seq[Double] =>
       var node = 0
       var l = 0
       while (l < levels.length) {
-        node = node * 2 + (if (ps(l) <= levels(l)(node)) 1 else 0)
+        val m = levels(l).get(node)
+        node = node * 2 +
+          (if (m.isDefined && ps(l) <= m.get) 1 else 0)
         l += 1
       }
       node

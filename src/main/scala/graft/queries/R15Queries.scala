@@ -725,8 +725,12 @@ object R15Queries {
           max(col("cfp")).as("ng")))
         cum.crossJoin(tot)
           .select(col("p"), col("ng"),
-            expr("""cast(round((cast(pos as double) / p)
-              |  * (cast(ctp as double) / (ctp + cfp)), 9)
+            // nullif guards: a second half with zero purchases gives
+            // p = 0 and ANSI Spark errors on DOUBLE ÷0 where DuckDB
+            // publishes inf/nan (the q_cuzick divergence class) —
+            // NULL terms on both sides keep the engines aligned.
+            expr("""cast(round((cast(pos as double) / nullif(p, 0))
+              |  * (cast(ctp as double) / nullif(ctp + cfp, 0)), 9)
               |  as decimal(20,9))""".stripMargin).as("term"))
           .groupBy(col("p"), col("ng"))
           .agg(round(sum(col("term")).cast("double"), 6).as("pr_auc"))
@@ -756,8 +760,9 @@ object R15Queries {
              |tot AS (SELECT max(ctp)::BIGINT AS p,
              |    max(cfp)::BIGINT AS ng FROM cum)
              |SELECT p AS n_pos, ng AS n_neg,
-             |  round(sum(round((pos::DOUBLE / p)
-             |      * (ctp::DOUBLE / (ctp + cfp)), 9)::DECIMAL(20,9))
+             |  round(sum(round((pos::DOUBLE / nullif(p, 0))
+             |      * (ctp::DOUBLE / nullif(ctp + cfp, 0)), 9)
+             |      ::DECIMAL(20,9))
              |    ::DOUBLE, 6) AS pr_auc
              |FROM cum, tot GROUP BY 1, 2""".stripMargin)),
 
@@ -1123,8 +1128,14 @@ object R15Queries {
                 Window.currentRow)))
           .select(col("bin"), col("n_bin"), col("pos_bin"),
             col("cum_pos"),
-            expr("cum_pos * 1000000 div p").as("gain_ppm"),
-            expr("pos_bin * tot * 1000000 div (n_bin * p)")
+            // products through decimal(38,0): pos_bin·tot·1e6 passes
+            // 2^63 once second-half events reach ~3M with a
+            // concentrated bin — DuckDB silently widens to HUGEINT,
+            // ANSI Spark would throw. div still lands on BIGINT.
+            expr("cast(cum_pos as decimal(38,0)) * 1000000 div p")
+              .as("gain_ppm"),
+            expr("""cast(pos_bin as decimal(38,0)) * tot * 1000000
+              |div (cast(n_bin as decimal(38,0)) * p)""".stripMargin)
               .as("lift_ppm"))
           .orderBy(col("bin"))
       },
@@ -1649,11 +1660,15 @@ object R15Queries {
           .select(col("psi"),
             expr("cast(round((a - ea) * (a - ea) / va, 9)" +
               " as decimal(20,9))").as("term"))
-        terms.groupBy(col("psi"))
+        // GLOBAL agg (not groupBy(psi)): with zero qualifying strata
+        // the oracle's final aggregate still emits one row
+        // (n_strata = 0, NULLs) — a groupBy would emit zero rows and
+        // diverge on shape in exactly that degenerate case.
+        terms
           .agg(count(lit(1)).as("n_strata"),
+            round(max(col("psi")), 6).as("psi_mh"),
             round(sum(col("term")).cast("double"), 4).as("bd_chi2"))
-          .select(col("n_strata"), round(col("psi"), 6).as("psi_mh"),
-            col("bd_chi2"))
+          .select(col("n_strata"), col("psi_mh"), col("bd_chi2"))
       },
       Some("""WITH f AS (SELECT ts::DATE AS day,
              |    CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT)
