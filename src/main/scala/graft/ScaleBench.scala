@@ -239,6 +239,20 @@ object ScaleBench {
       val (t10, c10) = timeOnce(q, scaled)
       (q, t1, t10, c1, c10)
     }
+
+    // ANN candidate telemetry (outside the timed region): mean
+    // candidates examined per query vector at each scale. The
+    // adaptive-parameter claim is "candidates ~constant by
+    // construction" — this makes it a published measurement.
+    def cands(dir: String): (Double, Double) =
+      try graft.queries.ExtQueries.annCandidateCounts(spark, dir)
+      catch { case e: Throwable =>
+        System.err.println(s"[scale] candidate telemetry at '$dir' failed: ${e.getMessage}")
+        (-1.0, -1.0)
+      }
+    val (lshC1, rpC1) = cands(sfDir)
+    val (lshC10, rpC10) = cands(scaled)
+
     val evRows = spark.read.parquet(s"$sfDir/events.parquet").count()
     val qs = results.map { case (q, t1, t10, c1, c10) =>
       f""""$q":{"t1x_sec":$t1%.3f,"t${reps}x_sec":$t10%.3f,"ratio":${t10 / t1}%.2f,""" +
@@ -247,7 +261,9 @@ object ScaleBench {
     val json =
       f"""{"metric":"scale_${reps}x","sf_base":"$sfDir","events_rows_1x":$evRows,""" +
         f""""artifact_build_1x_sec":$artifact1x%.3f,"artifact_build_${reps}x_sec":$artifact10x%.3f,""" +
-        f""""note":"cpu_ratio is the superlinearity signal (executor CPU ns, ~$reps = linear work); wall ratio also reflects utilization slack at 1x; offline artifacts are prebuilt per scale and reported separately","queries":$qs}"""
+        f""""ann_candidates_per_query":{"lsh_1x":$lshC1%.1f,"lsh_${reps}x":$lshC10%.1f,""" +
+        f""""rptree_1x":$rpC1%.1f,"rptree_${reps}x":$rpC10%.1f},""" +
+        f""""note":"cpu_ratio is the superlinearity signal (executor CPU ns, ~$reps = linear work); wall ratio also reflects utilization slack at 1x; offline artifacts are prebuilt per scale and reported separately; ann_candidates_per_query measures the adaptive-parameter claim (flat = sublinear by construction)","queries":$qs}"""
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "BENCH_scale.json")),

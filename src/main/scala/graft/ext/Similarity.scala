@@ -35,30 +35,35 @@ object Similarity extends Serializable {
     if (m <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1L)
 
   /** Scale-adaptive LSH plane count: the smallest p giving 2^p
-    * buckets of ~<=256 expected members, clamped to [2, 16]. A FIXED
-    * p leaves bucket population ~n/2^p and candidate pairs ~n²/2^p —
-    * superlinear in n (the r12 10x sweep measured cpu_ratio 24.7 at
-    * p=6); deriving p from the corpus count keeps expected bucket
-    * size (and so per-query candidate work) constant as data grows. */
+    * buckets of ~<=256 expected members, clamped to [2, 24] (2^24
+    * buckets — the 256-member target holds to ~4.3e9 corpus vectors;
+    * the r13 cap of 16 re-admitted linear bucket growth past ~16M).
+    * A FIXED p leaves bucket population ~n/2^p and candidate pairs
+    * ~n²/2^p — superlinear in n (the r12 10x sweep measured
+    * cpu_ratio 24.7 at p=6); deriving p from the corpus count keeps
+    * expected bucket size (and so per-query candidate work) constant
+    * as data grows. */
   def adaptiveNPlanes(n: Long): Int =
-    math.max(2, math.min(16, ceilLog2((n + 255L) / 256L)))
+    math.max(2, math.min(24, ceilLog2((n + 255L) / 256L)))
 
   /** Adaptive plane count for PAIR GENERATION (near-dup): candidate
     * pairs grow with bucket size squared (Σ b²/2 per table), so the
     * right bucket target is ~32, not the top-k path's 256 — at
     * sf0.1 this reproduces the old fixed p=6, and at 10× it deepens
     * to p=10 keeping pair count ~n·16·tables (linear). Measured: the
-    * 256-target at sf0.1 made sim_neardup_lsh 0.96→2.3 s. */
+    * 256-target at sf0.1 made sim_neardup_lsh 0.96→2.3 s. Cap 24
+    * (same rationale as [[adaptiveNPlanes]]). */
   def adaptiveNPlanesPairs(n: Long): Int =
-    math.max(2, math.min(16, ceilLog2((n + 31L) / 32L)))
+    math.max(2, math.min(24, ceilLog2((n + 31L) / 32L)))
 
   /** Scale-adaptive RP-tree depth: leaves of ~<=256 expected members,
-    * clamped to [1, 8] (256 leaves max — beyond that, raise the cap
-    * or shard the corpus; the fit is level-wise so deeper is only
+    * clamped to [1, 16] (65,536 leaves — the 256-member target holds
+    * to ~16.7M corpus vectors; the r13 cap of 8 re-admitted linear
+    * leaf growth past ~65k. The fit is level-wise so deeper is only
     * more digest jobs, not more scans). Fixed depth 3 made every
     * query scan n/8 candidates (cpu_ratio 39 at 10x). */
   def adaptiveRpDepth(n: Long): Int =
-    math.max(1, math.min(8, ceilLog2((n + 255L) / 256L)))
+    math.max(1, math.min(16, ceilLog2((n + 255L) / 256L)))
 
   /** Exact brute-force top-k: for each query vector, the k nearest
     * corpus vectors by cosine. `queries` must be small (broadcast). */
@@ -118,9 +123,30 @@ object Similarity extends Serializable {
     * count from the corpus size ([[adaptiveNPlanes]] — one O(1)
     * parquet-metadata count), keeping expected bucket population
     * ~256 at any scale. */
+  /** The corpus-side LSH index: one (id, table, signature) row per
+    * (vector, table) — the offline artifact a real ANN deployment
+    * builds ONCE and queries many times. Persist this (parquet) and
+    * pass it to [[lshTopK]] as `corpusSigs`: recomputing signatures
+    * per query run costs n·nTables·nPlanes·dim multiplies — with
+    * scale-adaptive planes that is n·log(n) work billed to every
+    * query, the superlinear residual the r13 10x sweep measured at
+    * cpu_ratio 22.3 on sim_topk_lsh. */
+  def lshCorpusSignatures(corpus: DataFrame, nPlanes: Int = -1,
+                          nTables: Int = 8, dim: Int = -1,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val d = if (dim > 0) dim else dimOf(corpus, vecCol)
+    val np = if (nPlanes > 0) nPlanes else adaptiveNPlanes(corpus.count())
+    corpus.select(col(idCol),
+      posexplode(VectorFunctions.lsh_signatures(
+        spark, col(vecCol), nTables, np, d)).as(Seq("__table", "__sig")))
+  }
+
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nPlanes: Int = -1, nTables: Int = 8, dim: Int = -1,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              corpusSigs: Option[DataFrame] = None): DataFrame = {
     val spark = corpus.sparkSession
     val d = if (dim > 0) dim else dimOf(corpus, vecCol)
     val np = if (nPlanes > 0) nPlanes else adaptiveNPlanes(corpus.count())
@@ -131,10 +157,17 @@ object Similarity extends Serializable {
       df.select(col(idCol).as(outId),
         posexplode(VectorFunctions.lsh_signatures(
           spark, col(vecCol), nTables, np, d)).as(Seq("__table", "__sig")))
+    // corpus side: the prebuilt index when supplied (query-time work
+    // is then queries-signature + bucket join + rerank — candidate-
+    // bounded, not corpus-bounded), inline signatures otherwise
+    val corpusSide = corpusSigs
+      .map(_.select(col(idCol).as("neighbor_id"),
+        col("__table"), col("__sig")))
+      .getOrElse(signed(corpus, "neighbor_id"))
     // the bucket join + dedupe carries ONLY ids — vectors are joined
     // back onto the (much smaller) deduped pair set, so the wide
     // embedding arrays never ride the candidate-generation shuffle
-    val candidates = signed(corpus, "neighbor_id")
+    val candidates = corpusSide
       .join(signed(queries, "query_id"), Seq("__table", "__sig"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id")
@@ -231,10 +264,34 @@ object Similarity extends Serializable {
       node
     }
 
+  /** The corpus-side RP-tree index: each corpus vector's leaf id —
+    * the offline artifact counterpart of [[lshCorpusSignatures]].
+    * Persist and pass to [[rpTreeTopK]] as `corpusLeaves`: routing
+    * the whole corpus per query run is n·depth·dim multiplies, i.e.
+    * n·log(n) billed to every query (the r13 10x sweep's cpu_ratio
+    * 53.8 on sim_topk_rptree); with the index, query-time work is
+    * route-the-queries + leaf join + candidate rerank — ~flat. */
+  def rpTreeLeaves(corpus: DataFrame,
+                   thresholds: Seq[Map[Int, Double]],
+                   dim: Int = -1, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val d = if (dim > 0) dim else dimOf(corpus, vecCol)
+    val planes = hyperplanes(thresholds.length, d, tableIdx = 901)
+    val ps = planes.zipWithIndex.map { case (p, i) =>
+      VectorFunctions.vec_dot(spark, col(vecCol),
+        array(p.map(lit): _*)).as(s"__p$i") }
+    val pArr = array(thresholds.indices.map(i => col(s"__p$i")): _*)
+    corpus.select(col(idCol) +: ps.toSeq: _*)
+      .withColumn("__leaf", rpLeafUdf(thresholds)(pArr))
+      .select(col(idCol), col("__leaf"))
+  }
+
   def rpTreeTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                  thresholds: Seq[Map[Int, Double]],
                  dim: Int = -1, idCol: String = "vec_id",
-                 vecCol: String = "embedding"): DataFrame = {
+                 vecCol: String = "embedding",
+                 corpusLeaves: Option[DataFrame] = None): DataFrame = {
     val spark = corpus.sparkSession
     val d = if (dim > 0) dim else dimOf(corpus, vecCol)
     val planes = hyperplanes(thresholds.length, d, tableIdx = 901)
@@ -252,8 +309,10 @@ object Similarity extends Serializable {
       .map(i => col(s"__p$i")): _*)
     def route(df: DataFrame): DataFrame =
       df.withColumn("__leaf", rpLeafUdf(thresholds)(pArr))
-    val leaves = route(proj(corpus, "neighbor_id"))
-      .select(col("neighbor_id"), col("__leaf"))
+    val leaves = corpusLeaves
+      .map(_.select(col(idCol).as("neighbor_id"), col("__leaf")))
+      .getOrElse(route(proj(corpus, "neighbor_id"))
+        .select(col("neighbor_id"), col("__leaf")))
     val qleaves = route(proj(queries, "query_id"))
       .select(col("query_id"), col("__leaf"))
     val candidates = leaves.join(broadcast(qleaves), "__leaf")
