@@ -123,6 +123,22 @@ object Bench {
     def elapsedSec = (System.nanoTime() - benchStart) / 1e9
     var shortTrialed = 0
     val failedSet = scala.collection.mutable.LinkedHashSet.empty[String]
+    // Spark-job count per query (first trial): separates "slow because
+    // the data work is slow" from "slow because an iterative lineage
+    // schedules N driver-side jobs whose fixed floor dominates at toy
+    // scale" — the scheduling-floor evidence for multi-job queries
+    // like q_median_polish/q_kcore_profile. Listener posts are async
+    // but job-start always precedes the action's return, so the
+    // post-action read is complete for all but the last-ms stragglers.
+    val jobCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobCounter.incrementAndGet(); ()
+        }
+      })
+    val jobCounts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     def one(name: String,
             fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Double = {
@@ -130,13 +146,16 @@ object Bench {
       // computation — every trial must recompute, not read the cache
       if (name == "dedup_neardup_groups")
         graft.queries.ExtQueries.invalidateNearDupGroups()
+      val j0 = jobCounter.get()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case e: Throwable =>
         if (failedSet.add(name))
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      jobCounts.getOrElseUpdate(name, jobCounter.get() - j0)
+      dt
     }
     val firstPass = selected.map { case (name, fn) => (name, fn, one(name, fn)) }
     val times = scala.collection.mutable.LinkedHashMap(
@@ -197,7 +216,9 @@ object Bench {
     // a FILE in the working dir, and stdout ends with ONE compact line
     // (guaranteed < ~1900 chars) carrying the totals, failures, a fixed
     // headline subset, the top-slowest tail, and a pointer to the file.
-    val fullJson = f"""{"metric":"total_median","value":$total%.3f,"unit":"sec","trials":$trials,"short_trialed":$shortTrialed,"total_min":$totalMin%.3f,"total_max":$totalMax%.3f,"noisiest":"$noisyName","noisiest_maxmin_ratio":$noisyRatio%.2f,"n_queries":${results.size},"index_build_sec":$indexBuildSec%.3f,"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+    val jobsJson = jobCounts
+      .map { case (k, n) => "\"" + k + "\":" + n }.mkString("{", ",", "}")
+    val fullJson = f"""{"metric":"total_median","value":$total%.3f,"unit":"sec","trials":$trials,"short_trialed":$shortTrialed,"total_min":$totalMin%.3f,"total_max":$totalMax%.3f,"noisiest":"$noisyName","noisiest_maxmin_ratio":$noisyRatio%.2f,"n_queries":${results.size},"index_build_sec":$indexBuildSec%.3f,"failed":$failedJson,"queries":$qs,"jobs":$jobsJson,"sf":"$sfDir"}"""
     // a SUBSET run (SPARK_GRAFT_ONLY set) must never clobber the
     // committed full-suite artifact — three rounds running, a judge's
     // subset re-trial overwrote the driver's uncommitted bench_full

@@ -5441,15 +5441,20 @@ object R11Queries {
     // the same edge digest.
     QueryDef("q_network_density_weekly",
       (s, d) => {
-        // li feeds 3 consumers (both sides of the edge self-join +
-        // nodes) and edges feeds 2 (first-week digest + main agg) —
-        // persist+force each once so the parquet scan, the distinct
-        // and the self-join run ONE time instead of 2–3 (the r11
-        // judge-confirmed 4.6 s → target <3 s). The ≤366-week result
-        // is collected and rebuilt locally so both caches release
-        // before the DataFrame is returned.
+        // ONE scan+join+(ok, wk) shuffle builds the per-order sorted
+        // part-set digest, and THAT (≈ |orders| rows, 4× smaller than
+        // lineitem) is what persists and feeds both consumers: the
+        // pair comprehension (order width is bounded, so the fan-out
+        // is linear — never a self-join) and the per-week node count
+        // (re-explode of the same arrays). The pair multiset then
+        // takes ONE (a, b) shuffle: collect_set(wk) per pair dedups,
+        // array_min gives the first-appearance week, and the per-week
+        // tallies ride a ≤366-wide re-explode into a digest-sized
+        // groupBy (map-side partial agg ships only weeks×partitions
+        // rows). The ≤366-week result is collected and rebuilt
+        // locally so the cache releases before the DataFrame returns.
         import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-        val li = s.read.parquet(s"$d/lineitem.parquet")
+        val grouped = s.read.parquet(s"$d/lineitem.parquet")
           .join(s.read.parquet(s"$d/orders.parquet")
             .select(col("o_orderkey"), col("o_orderdate")),
             col("l_orderkey") === col("o_orderkey"))
@@ -5457,27 +5462,18 @@ object R11Queries {
             floor(datediff(col("o_orderdate"), lit("1992-01-01")) / 7)
               .cast("long").as("wk"),
             col("l_partkey").as("p"))
-          .persist(MEMORY_AND_DISK)
-        // within-order pairs come from ONE groupBy(ok) + an array
-        // comprehension over the sorted part set (order width is
-        // bounded, so the pair fan-out is linear) instead of the
-        // li-distinct + sort-merge self-join — two shuffles fewer.
-        // The raw pair multiset then takes ONE (a, b) shuffle:
-        // collect_set(wk) per pair dedups (replacing the standalone
-        // distinct's (wk, a, b) exchange), array_min gives the
-        // first-appearance week (replacing the Window.partitionBy
-        // sort), and the per-week tallies ride a ≤366-wide re-explode
-        // into a digest-sized groupBy. li's lazy persist shares one
-        // cached RDD across its 2 consumers (pair generation + nodes)
-        // within the single collect below.
-        val edges = li.groupBy(col("ok"), col("wk"))
+          .groupBy(col("ok"), col("wk"))
           .agg(sort_array(collect_set(col("p"))).as("arr"))
+          .persist(MEMORY_AND_DISK)
+        val edges = grouped
           .select(col("wk"), explode(expr(
             """flatten(transform(arr, (x, i) ->
               |  transform(slice(arr, i + 2, size(arr)),
               |    y -> struct(x AS a, y AS b))))""".stripMargin)).as("e"))
           .select(col("wk"), col("e.a").as("a"), col("e.b").as("b"))
-        val nodes = li.groupBy(col("wk"))
+        val nodes = grouped
+          .select(col("wk"), explode(col("arr")).as("p"))
+          .groupBy(col("wk"))
           .agg(countDistinct(col("p")).as("v"))
         val res = edges
           .groupBy(col("a"), col("b"))
@@ -5499,7 +5495,7 @@ object R11Queries {
             expr("new_edges * 1000000 div n_edges").as("new_ppm"))
           .orderBy(col("week"))
         val rows = res.collect()
-        li.unpersist()
+        grouped.unpersist()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
       },
       Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok,

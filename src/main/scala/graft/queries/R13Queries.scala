@@ -1492,42 +1492,50 @@ object R13Queries {
 
     // Association rules (Agrawal et al. 1993) over order→brand
     // baskets: 1-item rules A ⇒ B with support ≥ 1% of baskets,
-    // ranked by lift. The basket relation (order, brand) is ONE
-    // distinct aggregate; singles and ordered pairs are two hash
-    // aggregates off it; support/confidence/lift are exact-integer
-    // ratios surfaced as ppm and a 6-dp lift. 25 brands ⇒ the pair
-    // digest is ≤ 600 rows at any corpus size — the fact-sized work
-    // is the basket distinct + the per-order pair expansion (baskets
-    // are ≤ |brands| wide, so the self-join is bounded per order).
+    // ranked by lift. ONE groupBy(order) builds the distinct brand
+    // set per basket (baskets are ≤ |brands| wide, so the ordered
+    // pair expansion INCLUDING the (b, b) diagonal is bounded per
+    // order); the diagonal rows ARE the single-brand supports, so a
+    // single ≤ 625-row digest aggregate carries both relations. 25
+    // brands ⇒ the digest is fixed-size at any corpus size, and the
+    // support/confidence/lift arithmetic rides it on the driver —
+    // the lazy-plan spelling (distinct + self-join + two broadcast
+    // joins) scheduled 3× the jobs for the same two shuffles of
+    // distributed work.
     QueryDef("q_assoc_rules",
       (s, d) => {
-        val bl = s.read.parquet(s"$d/lineitem.parquet")
+        val grouped = s.read.parquet(s"$d/lineitem.parquet")
           .join(s.read.parquet(s"$d/part.parquet"),
             col("l_partkey") === col("p_partkey"))
           .select(col("l_orderkey").as("oid"), col("p_brand").as("brand"))
-          .distinct()
-        val nb = broadcast(bl.agg(countDistinct(col("oid")).as("n")))
-        val singles = bl.groupBy(col("brand")).agg(count(lit(1)).as("cs"))
-        val pairs = bl.join(bl.select(col("oid").as("o2"),
-              col("brand").as("brand_b")), col("oid") === col("o2"))
-          .filter(col("brand") =!= col("brand_b"))
-          .groupBy(col("brand").as("brand_a"), col("brand_b"))
-          .agg(count(lit(1)).as("cab"))
-        pairs
-          .join(broadcast(singles.select(col("brand").as("brand_a"),
-            col("cs").as("ca"))), "brand_a")
-          .join(broadcast(singles.select(col("brand").as("brand_b"),
-            col("cs").as("cb"))), "brand_b")
-          .crossJoin(nb)
-          .filter(col("cab") * 100 >= col("n"))
-          .select(col("brand_a"), col("brand_b"),
-            expr("cab * 1000000 div n").as("support_ppm"),
-            expr("cab * 1000000 div ca").as("confidence_ppm"),
-            round(col("cab").cast("double") * col("n").cast("double") /
-              (col("ca").cast("double") * col("cb").cast("double")), 6)
-              .as("lift"))
-          .orderBy(col("lift").desc, col("brand_a"), col("brand_b"))
-          .limit(20)
+          .groupBy(col("oid")).agg(collect_set(col("brand")).as("arr"))
+          .persist()
+        val digest = grouped.select(explode(expr(
+            """flatten(transform(arr, x ->
+              |  transform(arr, y -> struct(x AS a, y AS b))))"""
+              .stripMargin)).as("e"))
+          .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+          .agg(count(lit(1)).as("c"))
+          .collect()
+          .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+        val n = grouped.count()
+        grouped.unpersist()
+        val singles = digest.collect { case ((a, b), c) if a == b => a -> c }
+        // Spark's round(double, 6) is BigDecimal.valueOf + HALF_UP —
+        // mirrored exactly so the driver-side math hashes identically
+        val rules = digest.toSeq
+          .collect { case ((a, b), cab) if a != b && cab * 100 >= n =>
+            val ca = singles(a); val cb = singles(b)
+            val lift = java.math.BigDecimal.valueOf(
+                cab.toDouble * n.toDouble / (ca.toDouble * cb.toDouble))
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+            (a, b, cab * 1000000L / n, cab * 1000000L / ca, lift)
+          }
+          .sortBy { case (a, b, _, _, lift) => (-lift, a, b) }
+          .take(20)
+        import s.implicits._
+        rules.toDF("brand_a", "brand_b", "support_ppm",
+          "confidence_ppm", "lift")
       },
       Some("""WITH bl AS (SELECT DISTINCT l_orderkey AS oid,
              |    p_brand AS brand

@@ -1006,7 +1006,11 @@ object R14Queries {
     // integers, and subtraction is closed — the gate compares 33
     // integer rows, float-free. The season index is an engine-neutral
     // datediff mod 7 (never dayofweek — the offset divergence class).
-    // One fact-sized groupBy; four sweeps ride the 168-cell digest.
+    // ONE fact-sized groupBy is the only distributed work; the four
+    // sweeps are O(168) integer arithmetic on the collected lattice
+    // digest (a fixed 7×24, scale-independent) — the lazy-plan
+    // spelling of the same sweeps scheduled ~10 Spark jobs whose
+    // fixed floor dominated the measured time at any sf.
     QueryDef("q_median_polish",
       (s, d) => {
         val cnt = graft.sources.Tables.events(s, d)
@@ -1015,50 +1019,34 @@ object R14Queries {
               .cast("long").as("dw"),
             hour(col("ts")).cast("long").as("hr"))
           .agg(count(lit(1)).as("v"))
-        val spine = s.range(0, 7).select(col("id").as("dw"))
-          .crossJoin(s.range(0, 24).select(col("id").as("hr")))
-        val r0 = spine.join(cnt, Seq("dw", "hr"), "left")
-          .select(col("dw"), col("hr"),
-            coalesce(col("v"), lit(0L)).as("v"))
-        def med(df: org.apache.spark.sql.DataFrame, grp: String,
-                half: Int) = df
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col(grp)).orderBy(col("v"))))
-          .filter(col("rn") === half)
-          .select(col(grp), col("v").as("med"))
-        def sweep(df: org.apache.spark.sql.DataFrame, grp: String,
-                  half: Int) = {
-          val m = med(df, grp, half)
-          (df.join(m, Seq(grp))
-            .select(col("dw"), col("hr"), (col("v") - col("med")).as("v")),
-            m)
+        val got = cnt.collect()
+          .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+        val v = Array.tabulate(7, 24)((dw, hr) =>
+          got.getOrElse((dw.toLong, hr.toLong), 0L))
+        // LOWER median = the (half)-th smallest (row_number rank half)
+        def lowerMed(xs: Seq[Long], half: Int): Long = xs.sorted.apply(half - 1)
+        val rowEff = Array.fill(7)(0L)
+        val colEff = Array.fill(24)(0L)
+        for (_ <- 0 until 2) { // two full row+column sweeps
+          for (dw <- 0 until 7) {
+            val m = lowerMed(v(dw).toSeq, 12)
+            rowEff(dw) += m
+            for (hr <- 0 until 24) v(dw)(hr) -= m
+          }
+          for (hr <- 0 until 24) {
+            val m = lowerMed((0 until 7).map(v(_)(hr)), 4)
+            colEff(hr) += m
+            for (dw <- 0 until 7) v(dw)(hr) -= m
+          }
         }
-        val (r1, rm1) = sweep(r0, "dw", 12)
-        val (r2, cm1) = sweep(r1, "hr", 4)
-        val (r3, rm2) = sweep(r2, "dw", 12)
-        val (r4, cm2) = sweep(r3, "hr", 4)
-        val rowEff = rm1.select(col("dw"), col("med").as("e1"))
-          .join(rm2.select(col("dw"), col("med").as("e2")), Seq("dw"))
-          .select(col("dw"), (col("e1") + col("e2")).as("v"))
-        val colEff = cm1.select(col("hr"), col("med").as("e1"))
-          .join(cm2.select(col("hr"), col("med").as("e2")), Seq("hr"))
-          .select(col("hr"), (col("e1") + col("e2")).as("v"))
-        val g1 = broadcast(rowEff
-          .withColumn("rn", row_number().over(Window.orderBy(col("v"))))
-          .filter(col("rn") === 4).select(col("v").as("g1")))
-        val g2 = broadcast(colEff
-          .withColumn("rn", row_number().over(Window.orderBy(col("v"))))
-          .filter(col("rn") === 12).select(col("v").as("g2")))
-        val rows = rowEff.crossJoin(g1)
-          .select(lit("dow").as("component"), col("dw").as("idx"),
-            (col("v") - col("g1")).as("effect"))
-          .unionAll(colEff.crossJoin(g2)
-            .select(lit("hour"), col("hr"), col("v") - col("g2")))
-          .unionAll(g1.crossJoin(g2)
-            .select(lit("overall"), lit(0L), col("g1") + col("g2")))
-          .unionAll(r4.agg(max(abs(col("v"))).as("m"))
-            .select(lit("resid_max"), lit(0L), col("m")))
-        rows.orderBy(col("component"), col("idx"))
+        val g1 = lowerMed(rowEff.toSeq, 4)
+        val g2 = lowerMed(colEff.toSeq, 12)
+        val residMax = v.flatten.map(math.abs).max
+        import s.implicits._
+        ((0 until 7).map(dw => ("dow", dw.toLong, rowEff(dw) - g1)) ++
+          (0 until 24).map(hr => ("hour", hr.toLong, colEff(hr) - g2)) ++
+          Seq(("overall", 0L, g1 + g2), ("resid_max", 0L, residMax)))
+          .toDF("component", "idx", "effect")
       },
       Some("""WITH cnt AS (SELECT
              |    (datediff('day', DATE '2024-01-01', ts::DATE) % 7)

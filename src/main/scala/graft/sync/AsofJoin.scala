@@ -401,6 +401,187 @@ object AsofJoin {
     }
   }
 
+  /** One resampled series for `uniformGridFused`: the frame, its
+    * timestamp column, the value columns to carry, and the output
+    * column prefix (`""` keeps the names). */
+  case class GridSeries(df: DataFrame, tsCol: String,
+                        valueCols: Seq[String], prefix: String)
+
+  /** The FUSED synchronization kernel — N series as-of-resampled onto
+    * ONE uniform grid in a single map-combined shuffle (the composed
+    * reference pipeline's Y5+Y6 core, `/root/reference/app.py:164-176`).
+    *
+    * Why it exists: composing `uniformGrid` per sensor + an equi-join
+    * is semantically identical but schedules one shuffle PER SENSOR
+    * plus a tick-axis join. The per-sensor aggregates share the same
+    * key (the tick), so they fuse: every series row explodes into its
+    * pad/backfill tick assignments carrying its own sensor's payload
+    * slot (null in the others), and ONE groupBy(tick) computes all
+    * 2·N directional payload picks. The per-sensor gap-fill windows
+    * and the cross-bucket carry digest then ride the SAME per-tick
+    * frame — the whole alignment is one O(ticks) shuffle, one window
+    * pass, one broadcast digest, regardless of N. Same per-sensor
+    * semantics as `uniformGrid` (tie → later ts for nearest; tieCol
+    * fuses the per-ts max dedupe).
+    *
+    * The event one-hot (Y7) deliberately does NOT fuse here: the
+    * struct-payload max_by buffers force this aggregate off
+    * whole-stage codegen, and routing every event row through it was
+    * measured slower than `EventPivot`'s separate int-buffer pivot.
+    *
+    * All sensors must share the method and (when given) the tieCol's
+    * data type — the union branches need one ordering-struct type. */
+  def uniformGridFused(spark: org.apache.spark.sql.SparkSession,
+                       sensors: Seq[GridSeries],
+                       loUs: Long, stepUs: Long, nTicks: Long, method: String,
+                       tickCol: String = "tick",
+                       tieCol: Option[String] = None,
+                       bucketTicks: Long = Adaptive): DataFrame = {
+    require(sensors.nonEmpty, "fused grid needs at least one series")
+    require(sensors.forall(_.valueCols.nonEmpty), "asof join needs value columns")
+    require(stepUs > 0 && nTicks > 0, "grid must be non-empty")
+    val needPad = method != "backfill" && method != "bfill"
+    val needBack = method != "pad" && method != "ffill"
+    val effBucketTicks =
+      if (bucketTicks > 0) bucketTicks
+      else adaptiveBucketTicks(nTicks, spark.sparkContext.defaultParallelism)
+
+    def floorDiv(x: Column): Column = (x - pmod(x, lit(stepUs))) / lit(stepUs)
+
+    // per-sensor payload/ordering struct TYPES (needed for the null
+    // slots in the other branches of the union)
+    val payloadTypes = sensors.map { gs =>
+      gs.df.select(struct(unix_micros(col(gs.tsCol)).as("__src") +:
+        gs.valueCols.map(col): _*).as("__p")).schema("__p").dataType
+    }
+    def nullP(i: Int) = lit(null).cast(payloadTypes(i))
+
+    // one branch per sensor: explode each row into its admissible
+    // (side, tick) assignments with the payload in slot i
+    val sensorBranches = sensors.zipWithIndex.map { case (gs, i) =>
+      val t = unix_micros(col(gs.tsCol))
+      val payload = struct(t.as("__src") +: gs.valueCols.map(col): _*)
+      val d = t - lit(loUs)
+      val kp = floorDiv(d + stepUs - 1).cast("long")
+      val kb = floorDiv(d).cast("long")
+      val ordP = tieCol.map(tc => struct(t, col(tc))).getOrElse(struct(t))
+      // backfill wants the EARLIEST ts but the LARGEST tie at equal
+      // ts — negate the tie inside a min_by (the uniformGrid rule)
+      val ordB = tieCol.map(tc => struct(t, -col(tc))).getOrElse(struct(t))
+      val assignments =
+        (if (needPad)
+          Seq(struct(lit(0).as("__side"), greatest(kp, lit(0L)).as("__k"),
+            (kp <= nTicks - 1).as("__keep"))) else Nil) ++
+        (if (needBack)
+          Seq(struct(lit(1).as("__side"), least(kb, lit(nTicks - 1)).as("__k"),
+            (kb >= 0L).as("__keep"))) else Nil)
+      gs.df.select(explode(array(assignments: _*)).as("__e"),
+          payload.as("__pp"), ordP.as("__opp"), ordB.as("__obb"))
+        .filter(col("__e").getField("__keep"))
+        .select(Seq(col("__e").getField("__k").as("__k"),
+          col("__e").getField("__side").as("__side"), lit(i).as("__s"),
+          col("__opp").as("__op"), col("__obb").as("__ob")) ++
+          sensors.indices.map(j =>
+            (if (j == i) col("__pp") else nullP(j)).as(s"__p$j")): _*)
+    }
+    val unioned = sensorBranches.reduce(_ unionAll _)
+
+    // ONE groupBy(tick): the null-ordering convention of max_by/min_by
+    // confines each aggregate to its own (sensor, side) rows
+    val aggs =
+      sensors.indices.flatMap { i =>
+        val mine = col("__s") === i
+        (if (needPad)
+          Seq(max_by(when(mine && col("__side") === 0, col(s"__p$i")),
+            when(mine && col("__side") === 0, col("__op"))).as(s"__ap$i"))
+        else Nil) ++
+        (if (needBack)
+          Seq(min_by(when(mine && col("__side") === 1, col(s"__p$i")),
+            when(mine && col("__side") === 1, col("__ob"))).as(s"__ab$i"))
+        else Nil)
+      }
+    val perTick = unioned.groupBy(col("__k")).agg(aggs.head, aggs.tail: _*)
+
+    var joined = spark.range(0, nTicks).select(col("id").as("__k"))
+      .join(perTick, Seq("__k"), "left")
+    for (i <- sensors.indices) {
+      if (!needPad) joined = joined.withColumn(s"__ap$i", nullP(i))
+      if (!needBack) joined = joined.withColumn(s"__ab$i", nullP(i))
+    }
+    val bucketed = joined.withColumn("__bk", expr(s"__k div ${effBucketTicks}L"))
+
+    // in-bucket gap fill — all 2·N last() columns share the two
+    // window specs, so Spark runs them in one pass each
+    val wF = Window.partitionBy("__bk").orderBy(col("__k").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wB = Window.partitionBy("__bk").orderBy(col("__k").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    var filled = bucketed
+    for (i <- sensors.indices) {
+      if (needPad) filled = filled.withColumn(s"__fp$i",
+        last(col(s"__ap$i"), ignoreNulls = true).over(wF))
+      if (needBack) filled = filled.withColumn(s"__fb$i",
+        last(col(s"__ab$i"), ignoreNulls = true).over(wB))
+    }
+
+    // tiny cross-bucket carry digest (one row per non-empty bucket)
+    val digestAgg = {
+      val exprs = sensors.indices.flatMap { i =>
+        Seq(max_by(col(s"__ap$i"),
+            when(col(s"__ap$i").isNotNull, col("__k"))).as(s"__dl$i"),
+          min_by(col(s"__ab$i"),
+            when(col(s"__ab$i").isNotNull, col("__k"))).as(s"__df$i"))
+      }
+      bucketed.groupBy("__bk").agg(exprs.head, exprs.tail: _*)
+    }
+    val wCF = Window.orderBy(col("__bk").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCB = Window.orderBy(col("__bk").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    var carry = digestAgg
+    for (i <- sensors.indices) {
+      carry = carry
+        .withColumn(s"__cf$i", last(col(s"__dl$i"), ignoreNulls = true).over(wCF))
+        .withColumn(s"__cb$i", last(col(s"__df$i"), ignoreNulls = true).over(wCB))
+    }
+    carry = carry.select(col("__bk") +:
+      sensors.indices.flatMap(i => Seq(col(s"__cf$i"), col(s"__cb$i"))): _*)
+    val withCarry = filled.join(broadcast(carry), Seq("__bk"), "left")
+
+    val tickUs = lit(loUs) + col("__k") * stepUs
+    val sensorCols = sensors.zipWithIndex.flatMap { case (gs, i) =>
+      val fwd = if (needPad) coalesce(col(s"__fp$i"), col(s"__cf$i")) else nullP(i)
+      val back = if (needBack) coalesce(col(s"__fb$i"), col(s"__cb$i")) else nullP(i)
+      def out(c: String) = if (gs.prefix.isEmpty) c else s"${gs.prefix}_$c"
+      if (method == "interp") {
+        val t0 = fwd.getField("__src")
+        val t1 = back.getField("__src")
+        val frac = (tickUs - t0).cast("double") / (t1 - t0).cast("double")
+        gs.valueCols.map { c =>
+          val v0 = fwd.getField(c).cast("double")
+          val v1 = back.getField(c).cast("double")
+          when(fwd.isNull || back.isNull, lit(null).cast("double"))
+            .when(t1 === t0, v0)
+            .otherwise(v0 + (v1 - v0) * frac)
+            .as(out(c))
+        }
+      } else {
+        val pick = method match {
+          case "pad" | "ffill"      => fwd
+          case "backfill" | "bfill" => back
+          case "nearest" =>
+            val dPad = tickUs - fwd.getField("__src")
+            val dBack = back.getField("__src") - tickUs
+            when(fwd.isNull || (back.isNotNull && dBack <= dPad), back)
+              .otherwise(fwd)
+          case other => throw new IllegalArgumentException(s"unknown method: $other")
+        }
+        gs.valueCols.map(c => pick.getField(c).as(out(c)))
+      }
+    }
+    withCarry.select(timestamp_micros(tickUs).as(tickCol) +: sensorCols: _*)
+  }
+
   /** KEYED as-of join — the trade/quote shape: for each left row, the
     * last right row with the SAME KEY and rightTs <= leftTs (null when
     * the key has no earlier right row). Right rows must be unique per

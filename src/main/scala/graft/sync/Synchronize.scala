@@ -81,21 +81,45 @@ object Synchronize {
     val hz = if (stepUs == DefaultStepUs) "30Hz" else f"${1e6 / stepUs}%.1fHz"
     report :+= s"Created $nTicks synchronized time points at $hz"
 
-    // Y5 + Y6 — as-of resample each sensor, prefix columns, align on tick
-    val camR = resample(spark, cam, method, "camera", startUs, stepUs, nTicks, tieCol)
-    val motR = resample(spark, mot, method, "motion", startUs, stepUs, nTicks, tieCol)
-    val joined = camR.join(motR, Seq("timestamp"))
-
-    // Y7 — log events onto the grid (tolerance, one-hot)
-    val withEvents = log match {
-      case Some(l) =>
-        val lg = coerce(l)
-        report :+= (if (withCounts)
-          s"Mapped ${lg.count()} log events to synchronized timeline" // app.py:191
-        else "Mapped log events to synchronized timeline")
-        EventPivot.oneHot(joined, "timestamp", lg, "timestamp", "event_type",
+    // Y5 + Y6 — FUSED: both sensors' as-of resamples share the tick
+    // as their aggregation key, so the alignment runs as ONE
+    // map-combined shuffle (AsofJoin.uniformGridFused) instead of a
+    // shuffle per sensor plus a tick-axis equi-join. Falls back to
+    // the per-sensor composition only when the sensors' tie columns
+    // have different types (the union branches need one
+    // ordering-struct type).
+    val camCols = cam.columns.filterNot(_ == "timestamp").toSeq
+    val motCols = mot.columns.filterNot(_ == "timestamp").toSeq
+    val fusable = tieCol.forall(tc =>
+      cam.schema(tc).dataType == mot.schema(tc).dataType)
+    val lgOpt = log.map(coerce)
+    lgOpt.foreach { lg =>
+      report :+= (if (withCounts)
+        s"Mapped ${lg.count()} log events to synchronized timeline" // app.py:191
+      else "Mapped log events to synchronized timeline")
+    }
+    val aligned =
+      if (fusable)
+        AsofJoin.uniformGridFused(spark,
+          Seq(AsofJoin.GridSeries(cam, "timestamp", camCols, "camera"),
+            AsofJoin.GridSeries(mot, "timestamp", motCols, "motion")),
+          startUs, stepUs, nTicks, method,
+          tickCol = "timestamp", tieCol = tieCol)
+      else {
+        val camR = resample(spark, cam, method, "camera", startUs, stepUs, nTicks, tieCol)
+        val motR = resample(spark, mot, method, "motion", startUs, stepUs, nTicks, tieCol)
+        camR.join(motR, Seq("timestamp"))
+      }
+    // Y7 stays a SEPARATE codegen'd pivot aggregate: folding the event
+    // rows into the fused kernel's aggregate was measured SLOWER (the
+    // struct-payload max_by buffers force a non-codegen aggregate, and
+    // every event row would pay that path; EventPivot's int-buffer
+    // pivot is whole-stage-codegen) — the sensor fusion is the win.
+    val withEvents = lgOpt match {
+      case Some(lg) =>
+        EventPivot.oneHot(aligned, "timestamp", lg, "timestamp", "event_type",
           startUs, stepUs, nTicks, tolUs, eventTypes)
-      case None => joined
+      case None => aligned
     }
 
     // Y8 — final drop-missing (no-op unless NaNs survived cleaning,
