@@ -150,6 +150,45 @@ object StreamingEtl {
 
   private val streamRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** State-store partition count for the harness's streaming runs.
+    * Stateful operators allocate one state store PER shuffle
+    * partition per store (a stream-stream join holds four stores per
+    * partition), and every micro-batch pays each store's load+commit
+    * — at this harness's data scale that fixed cost dominates the
+    * actual state work, measured ~1 s per join query at 8 partitions
+    * vs 4. Production sizes `spark.sql.shuffle.partitions` to the
+    * cluster; this knob only right-sizes the LOCAL harness (override
+    * via SPARK_GRAFT_STREAM_SHUFFLE). */
+  private val streamShufflePartitions: String =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "4")
+
+  /** Run one streaming scenario under the harness streaming conf:
+    * right-sized state-store partitioning, and no-data micro-batches
+    * only where the scenario needs the end-of-input watermark flush
+    * (outer-join null padding, session/SCD2 timeout emission,
+    * append-mode window close). Scenarios whose sinks see every row
+    * in the data batches — Complete-mode aggregates, inner joins,
+    * streaming dedup, foreachBatch merges — skip the trailing
+    * no-data batch, which is pure fixed cost for them (~0.8 s
+    * measured). The conf is session-global, so the block SERIALIZES
+    * streaming runs (they are sequential in Bench/Verify anyway) and
+    * restores the previous values after. */
+  private def withStreamConf[T](spark: SparkSession, needsFlush: Boolean)(
+      body: => T): T = synchronized {
+    val conf = spark.conf
+    val oldShuffle = conf.get("spark.sql.shuffle.partitions")
+    val oldNoData =
+      conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    conf.set("spark.sql.shuffle.partitions", streamShufflePartitions)
+    conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+      needsFlush.toString)
+    try body
+    finally {
+      conf.set("spark.sql.shuffle.partitions", oldShuffle)
+      conf.set("spark.sql.streaming.noDataMicroBatches.enabled", oldNoData)
+    }
+  }
+
   /** Execute the tumbling aggregate as a REAL Structured Streaming run:
     * events file stream → watermarked window agg → memory sink, under
     * `Trigger.AvailableNow` (process everything available, then stop).
@@ -319,11 +358,13 @@ object StreamingEtl {
       .dropDuplicatesWithinWatermark("event_id")
 
     val name = s"graft_stream_${streamRuns.incrementAndGet()}"
-    val q = in.writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamConf(spark, needsFlush = false) {
+      val q = in.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name)
   }
 
@@ -340,12 +381,16 @@ object StreamingEtl {
     * plain batch interval join over the same table, which is exactly
     * the unified-API guarantee. */
   def intervalJoinViaStream(spark: SparkSession, dir: String): DataFrame = {
-    val clicks = eventsStream(spark, dir)
+    // SELF-join of one streaming source: both sides derive from the
+    // same readStream, so the micro-batch tracks ONE file source
+    // (one listing, one offset range) instead of two
+    val src = eventsStream(spark, dir)
+    val clicks = src
       .filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
       .withWatermark("click_ts", "1 hour")
-    val purchases = eventsStream(spark, dir)
+    val purchases = src
       .filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"),
         col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
@@ -360,11 +405,13 @@ object StreamingEtl {
           .as("delta_us"))
 
     val name = s"graft_stream_${streamRuns.incrementAndGet()}"
-    val q = joined.writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamConf(spark, needsFlush = false) {
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name)
   }
 
@@ -386,13 +433,14 @@ object StreamingEtl {
       Seq((-1L, -1L, "click"), (-2L, -1L, "purchase")), horizonDays = 30)
     val rawSchema = graft.sources.Tables.eventsRawSchema(spark, dir)
 
-    def in() = graft.sources.Tables.normalizeEventsTs(
+    // self-join of ONE streaming source (one listing, one offset range)
+    val src = graft.sources.Tables.normalizeEventsTs(
       spark.readStream.schema(rawSchema).parquet(stage.toString))
-    val clicks = in().filter(col("event_type") === "click")
+    val clicks = src.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
       .withWatermark("click_ts", "1 hour")
-    val purchases = in().filter(col("event_type") === "purchase")
+    val purchases = src.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"),
         col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
       .withWatermark("purchase_ts", "1 hour")
@@ -407,11 +455,13 @@ object StreamingEtl {
           .as("delta_us"))
 
     val name = s"graft_stream_${streamRuns.incrementAndGet()}"
-    val q = joined.writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamConf(spark, needsFlush = true) {
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name).filter(col("click_id") >= 0)
   }
 
@@ -440,26 +490,28 @@ object StreamingEtl {
     var statePath: Option[String] = None
     val in = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(stage.toString)
-    val q = in.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val partial = batch
-          .groupBy(to_date(col("ts")).as("day"), col("event_type"))
-          .agg(count(lit(1)).as("n"),
-            sum(col("value").cast("decimal(18,2)")).as("sv"))
-        val merged = statePath match {
-          case Some(p) => spark.read.parquet(p).unionByName(partial)
-            .groupBy(col("day"), col("event_type"))
-            .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"))
-          case None => partial
+    withStreamConf(spark, needsFlush = false) {
+      val q = in.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          val partial = batch
+            .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("value").cast("decimal(18,2)")).as("sv"))
+          val merged = statePath match {
+            case Some(p) => spark.read.parquet(p).unionByName(partial)
+              .groupBy(col("day"), col("event_type"))
+              .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"))
+            case None => partial
+          }
+          val out = s"$stateBase/v$batchId"
+          merged.write.mode("overwrite").parquet(out)
+          statePath = Some(out)
+          ()
         }
-        val out = s"$stateBase/v$batchId"
-        merged.write.mode("overwrite").parquet(out)
-        statePath = Some(out)
-        ()
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
 
     // final rollup off the maintained state; materialize before the
     // scratch dirs (input staging AND state versions) are deleted
@@ -490,13 +542,14 @@ object StreamingEtl {
       Seq((-1L, -1L, "click"), (-2L, -1L, "purchase")), horizonDays = 30)
     val rawSchema = graft.sources.Tables.eventsRawSchema(spark, dir)
 
-    def in() = graft.sources.Tables.normalizeEventsTs(
+    // self-join of ONE streaming source (one listing, one offset range)
+    val src = graft.sources.Tables.normalizeEventsTs(
       spark.readStream.schema(rawSchema).parquet(stage.toString))
-    val clicks = in().filter(col("event_type") === "click")
+    val clicks = src.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
       .withWatermark("click_ts", "1 hour")
-    val purchases = in().filter(col("event_type") === "purchase")
+    val purchases = src.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"),
         col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
       .withWatermark("purchase_ts", "1 hour")
@@ -511,11 +564,13 @@ object StreamingEtl {
         (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
           .as("delta_us"))
     val name = s"graft_stream_${streamRuns.incrementAndGet()}"
-    val q = joined.writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamConf(spark, needsFlush = true) {
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     // drop the sentinel rows from BOTH sides
     spark.table(name)
       .filter(coalesce(col("click_id"), lit(0L)) >= 0 &&
@@ -557,17 +612,19 @@ object StreamingEtl {
     // effectively infinite allowed lateness — the operator under test
     // is Update-mode EMISSION, not lateness (q_stream_late_data
     // grades that)
-    val q = tumblingCounts(in, watermark = "3650 days").writeStream
-      .outputMode(OutputMode.Update)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val tagged = batch.withColumn("__batch", lit(batchId))
-        outSchema = tagged.schema
-        tagged.collect().foreach(log.add)
-        ()
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamConf(spark, needsFlush = false) {
+      val q = tumblingCounts(in, watermark = "3650 days").writeStream
+        .outputMode(OutputMode.Update)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          val tagged = batch.withColumn("__batch", lit(batchId))
+          outSchema = tagged.schema
+          tagged.collect().foreach(log.add)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     import scala.jdk.CollectionConverters._
     (log.asScala.toSeq, outSchema)
   }
@@ -643,8 +700,10 @@ object StreamingEtl {
         case e: Throwable if crashAtBatch >= 0 => () // the simulated crash
       }
     }
-    run(crashAtBatch = 1) // batch 0 commits, batch 1 dies mid-flight
-    run(crashAtBatch = -1) // recover from checkpoint, finish 1-2
+    withStreamConf(spark, needsFlush = false) {
+      run(crashAtBatch = 1) // batch 0 commits, batch 1 dies mid-flight
+      run(crashAtBatch = -1) // recover from checkpoint, finish 1-2
+    }
 
     // a hollow recovery (restart that processed nothing after the
     // crash point) must fail loudly, not return batch 0's partial agg
@@ -727,11 +786,15 @@ object StreamingEtl {
         .start()
       q.awaitTermination()
     }
-    run() // on-time tranche; sentinel flushes every real window
-    val batchesAfterRun1 = lastBatch
+    val batchesAfterRun1 = withStreamConf(spark, needsFlush = true) {
+      run() // on-time tranche; sentinel flushes every real window
+      lastBatch
+    }
     Files.copy(tranches.resolve("b_late.parquet"),
       stage.resolve("b_late.parquet"), StandardCopyOption.REPLACE_EXISTING)
-    run() // resume: restored watermark drops the whole late tranche
+    withStreamConf(spark, needsFlush = true) {
+      run() // resume: restored watermark drops the whole late tranche
+    }
     require(lastBatch > batchesAfterRun1,
       s"late tranche was never processed (last batch: $lastBatch)")
 
@@ -771,12 +834,14 @@ object StreamingEtl {
     // unique sink name per run: memory-sink query names register temp
     // views, and Bench/Verify may invoke this more than once a session
     val name = s"graft_stream_${streamRuns.incrementAndGet()}"
-    val q = transform(eventsStream(spark, dir))
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Complete)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamConf(spark, needsFlush = false) {
+      val q = transform(eventsStream(spark, dir))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name)
   }
 
@@ -875,11 +940,13 @@ object StreamingEtl {
       .filter(_.user_id >= 0)
 
     val name = s"graft_stream_${streamRuns.incrementAndGet()}"
-    val q = enriched.writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamConf(spark, needsFlush = true) {
+      val q = enriched.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name).as[AsofOut]
   }
 
@@ -946,23 +1013,25 @@ object StreamingEtl {
     val state = new graft.functions.MGBuf(k)
     val in = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(stage.toString)
-    val q = in.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val sketch = batch
-          .select(explode(split(lower(col("text")), " ")).as("term"))
-          .agg(graft.functions.HeavyHitters.heavyHitters(col("term"), k))
-          .head().getSeq[org.apache.spark.sql.Row](0)
-        // k-row summary -> driver merge (state.merge preserves the
-        // mergeable-summaries guarantee); synchronization is free:
-        // foreachBatch bodies run sequentially per query
-        val batchBuf = new graft.functions.MGBuf(k)
-        sketch.foreach(r => batchBuf.counts.put(r.getString(0), r.getLong(1)))
-        state.merge(batchBuf)
-        ()
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamConf(spark, needsFlush = false) {
+      val q = in.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val sketch = batch
+            .select(explode(split(lower(col("text")), " ")).as("term"))
+            .agg(graft.functions.HeavyHitters.heavyHitters(col("term"), k))
+            .head().getSeq[org.apache.spark.sql.Row](0)
+          // k-row summary -> driver merge (state.merge preserves the
+          // mergeable-summaries guarantee); synchronization is free:
+          // foreachBatch bodies run sequentially per query
+          val batchBuf = new graft.functions.MGBuf(k)
+          sketch.foreach(r => batchBuf.counts.put(r.getString(0), r.getLong(1)))
+          state.merge(batchBuf)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
 
     import scala.jdk.CollectionConverters._
     val rows = state.counts.asScala.toSeq
@@ -1025,18 +1094,20 @@ object StreamingEtl {
     val state = new java.util.TreeSet[java.lang.Long]()
     val in = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(stage.toString)
-    val q = in.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val part = batch.select(h40.as("h")).distinct()
-          .orderBy(col("h")).limit(k).collect().map(_.getLong(0))
-        // union + trim: keep the k smallest across all batches seen
-        part.foreach(h => state.add(h))
-        while (state.size() > k) state.pollLast()
-        ()
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamConf(spark, needsFlush = false) {
+      val q = in.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val part = batch.select(h40.as("h")).distinct()
+            .orderBy(col("h")).limit(k).collect().map(_.getLong(0))
+          // union + trim: keep the k smallest across all batches seen
+          part.foreach(h => state.add(h))
+          while (state.size() > k) state.pollLast()
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
 
     val n = state.size()
     val est =
@@ -1065,13 +1136,15 @@ object StreamingEtl {
         col("event_type"), col("value")).as[Event]
 
     val name = s"graft_stream_${streamRuns.incrementAndGet()}"
-    val q = sessionize(in, watermark = "1 hour")
-      .filter(_.user_id >= 0)
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamConf(spark, needsFlush = true) {
+      val q = sessionize(in, watermark = "1 hour")
+        .filter(_.user_id >= 0)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name).as[Session]
   }
 
@@ -1107,11 +1180,13 @@ object StreamingEtl {
         col("n_events"))
 
     val name = s"graft_stream_${streamRuns.incrementAndGet()}"
-    val q = sessions.writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamConf(spark, needsFlush = true) {
+      val q = sessions.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name).filter(col("user_id") >= 0)
   }
 
@@ -1199,11 +1274,13 @@ object StreamingEtl {
       .filter(_.user_id >= 0)
 
     val name = s"graft_stream_${streamRuns.incrementAndGet()}"
-    val q = dim.writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamConf(spark, needsFlush = true) {
+      val q = dim.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name).as[Scd2Row]
   }
 }
