@@ -1504,23 +1504,26 @@ object R13Queries {
     // distributed work.
     QueryDef("q_assoc_rules",
       (s, d) => {
-        val grouped = s.read.parquet(s"$d/lineitem.parquet")
+        // the ("", "") sentinel pair (brand values are "Brand#NN" —
+        // never empty) contributes once per basket, so the basket
+        // count rides the SAME digest: one scan, one shuffle, one job
+        val digest = s.read.parquet(s"$d/lineitem.parquet")
           .join(s.read.parquet(s"$d/part.parquet"),
             col("l_partkey") === col("p_partkey"))
           .select(col("l_orderkey").as("oid"), col("p_brand").as("brand"))
           .groupBy(col("oid")).agg(collect_set(col("brand")).as("arr"))
-          .persist()
-        val digest = grouped.select(explode(expr(
-            """flatten(transform(arr, x ->
-              |  transform(arr, y -> struct(x AS a, y AS b))))"""
-              .stripMargin)).as("e"))
+          .select(explode(expr(
+            """concat(
+              |  flatten(transform(arr, x ->
+              |    transform(arr, y -> struct(x AS a, y AS b)))),
+              |  array(struct('' AS a, '' AS b)))""".stripMargin)).as("e"))
           .groupBy(col("e.a").as("a"), col("e.b").as("b"))
           .agg(count(lit(1)).as("c"))
           .collect()
           .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
-        val n = grouped.count()
-        grouped.unpersist()
-        val singles = digest.collect { case ((a, b), c) if a == b => a -> c }
+        val n = digest(("", ""))
+        val singles = digest.collect {
+          case ((a, b), c) if a == b && a.nonEmpty => a -> c }
         // Spark's round(double, 6) is BigDecimal.valueOf + HALF_UP —
         // mirrored exactly so the driver-side math hashes identically
         val rules = digest.toSeq
