@@ -274,7 +274,12 @@ object ExtQueries {
   private def rpLeavesOf(s: org.apache.spark.sql.SparkSession,
                          d: String): org.apache.spark.sql.DataFrame = {
     val path = rpLeavesCache.getOrElseUpdate(d, {
-      val p = s"${System.getProperty("java.io.tmpdir")}/graft_annidx_${graft.io.FileSkipping.pathKey(d, "rpleaves-v1")}"
+      // the ADAPTIVE depth is part of the index identity: a cap or
+      // formula change must miss this cache, not silently join query
+      // routes against leaves from a different tree shape
+      val depth = Similarity.adaptiveRpDepth(
+        s.read.parquet(s"$d/embeddings.parquet").count())
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_annidx_${graft.io.FileSkipping.pathKey(d, s"rpleaves-d$depth-v1")}"
       if (!new java.io.File(p, "_SUCCESS").isFile)
         Similarity.rpTreeLeaves(
           s.read.parquet(s"$d/embeddings.parquet"),
@@ -293,7 +298,10 @@ object ExtQueries {
   private def lshIndexOf(s: org.apache.spark.sql.SparkSession,
                          d: String): org.apache.spark.sql.DataFrame = {
     val path = lshIndexCache.getOrElseUpdate(d, {
-      val p = s"${System.getProperty("java.io.tmpdir")}/graft_annidx_${graft.io.FileSkipping.pathKey(d, "lshsigs-t8-v1")}"
+      // adaptive plane count joins the index identity (see rpLeavesOf)
+      val np = Similarity.adaptiveNPlanes(
+        s.read.parquet(s"$d/embeddings.parquet").count())
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_annidx_${graft.io.FileSkipping.pathKey(d, s"lshsigs-t8-p$np-v1")}"
       if (!new java.io.File(p, "_SUCCESS").isFile)
         Similarity.lshCorpusSignatures(
           s.read.parquet(s"$d/embeddings.parquet"),

@@ -1521,7 +1521,9 @@ object R13Queries {
           .agg(count(lit(1)).as("c"))
           .collect()
           .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
-        val n = digest(("", ""))
+        // empty-input degenerate case: no baskets -> empty rule set
+        // (matches the oracle's zero-row shape), never a lookup crash
+        val n = digest.getOrElse(("", ""), 0L)
         val singles = digest.collect {
           case ((a, b), c) if a == b && a.nonEmpty => a -> c }
         // Spark's round(double, 6) is BigDecimal.valueOf + HALF_UP —

@@ -270,6 +270,42 @@ object StreamingEtl {
     }
   }
 
+  /** tmpfs budget for the memoized stages: /dev/shm is RAM, and
+    * ~14 scenario stages × every dir a session touches (ScaleBench
+    * visits 1× AND 10×) would otherwise accumulate until shutdown.
+    * When the cached total passes the budget, the OLDEST entries are
+    * deleted (an evicted key simply re-stages on next use; eviction
+    * order is insertion order, and a stage is only read between a
+    * scenario's start() and awaitTermination(), which the cache's
+    * synchronized build + the withStreamConf lock serialize). */
+  private val StageBudgetBytes: Long =
+    sys.env.getOrElse("SPARK_GRAFT_STAGE_BUDGET_MB", "4096").toLong << 20
+  private val stageOrder =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  private def dirBytes(p: java.nio.file.Path): Long = {
+    import java.nio.file.Files
+    val s = Files.walk(p)
+    try s.filter(Files.isRegularFile(_))
+      .mapToLong(f => Files.size(f)).sum()
+    finally s.close()
+  }
+
+  private def evictOverBudget(keep: String): Unit = stageCache.synchronized {
+    var total = 0L
+    stageCache.values().forEach(p => total += dirBytes(p))
+    var candidates = stageOrder.size()
+    while (total > StageBudgetBytes && candidates > 0) {
+      candidates -= 1
+      val oldest = stageOrder.poll()
+      if (oldest == keep) stageOrder.add(oldest) // never evict the caller's
+      else {
+        val p = stageCache.remove(oldest)
+        if (p != null) { total -= dirBytes(p); rmTree(p) }
+      }
+    }
+  }
+
   /** max event-time micros of the events table, memoized per dir. */
   private def eventsMaxUs(spark: SparkSession, dir: String): Long =
     maxUsCache.computeIfAbsent(dir, _ =>
@@ -279,12 +315,16 @@ object StreamingEtl {
   /** Build-once scratch dir keyed by (kind, dir): `build` populates it
     * on first use; later calls (bench trials) reuse the same files. */
   private def cachedStage(key: String)(
-      build: java.nio.file.Path => Unit): java.nio.file.Path =
-    stageCache.computeIfAbsent(key, _ => {
+      build: java.nio.file.Path => Unit): java.nio.file.Path = {
+    val path = stageCache.computeIfAbsent(key, _ => {
       val p = scratchDir("graft_stage")
       build(p)
+      stageOrder.add(key)
       p
     })
+    evictOverBudget(keep = key)
+    path
+  }
 
   /** Write `df` as a single parquet file at `target` (coalesce-to-one
     * part + move — the file-source staging shape). */
@@ -293,9 +333,11 @@ object StreamingEtl {
     val tmp = scratchDir("graft_onefile")
     try {
       df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp)
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .findFirst()
+      val listing = Files.list(tmp)
+      val part =
+        try listing.filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst()
+        finally listing.close()
       require(part.isPresent, "staged parquet part file not found")
       Files.move(part.get(), target, StandardCopyOption.REPLACE_EXISTING)
     } finally rmTree(tmp)
