@@ -26,6 +26,10 @@ object ScaleBench {
     // its time must grow at most with scan cost, proving the exact
     // top-k's distinct-term blowup is really gone
     "corpus_heavy_hitters_approx",
+    // HLL registers are a 256-group map-side max — the sketch side
+    // must scale with scan cost only (the exact-distinct audit that
+    // rides along is the shuffle-bound part)
+    "corpus_hll_distinct",
     // per-row kernel + broadcast dictionary joins — near-linear is
     // the pass bar for the newest text analytics
     "text_oov_rate",
