@@ -1,10 +1,11 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-14 extension wave: corpus-cardinality and data-quality
-  * kernels on the LLM-pipeline side plus two classical screens the
-  * statistical family still lacked —
+  * kernels on the LLM-pipeline side plus classical screens and two
+  * sensor-series filters the families still lacked —
   *
   *  - `corpus_hll_distinct`: a DETERMINISTIC HyperLogLog (Flajolet et
   *    al. 2007) whose md5-derived register contents replay bit-exactly
@@ -13,7 +14,10 @@ import org.apache.spark.sql.functions._
   *  - `text_gopher_rules`: the Gopher quality-filter rule battery
   *    (Rae et al. 2021, App. A) as exact integer comparisons;
   *  - `q_grubbs_test`: Grubbs' max-deviation outlier test (Grubbs
-  *    1950) over the daily-count digest.
+  *    1950) over the daily-count digest;
+  *  - `q_hampel_filter` / `q_savgol_smooth`: the median/MAD despike
+  *    and 5-point quadratic Savitzky-Golay smoother — the robust and
+  *    polynomial siblings of the reference's F4 quantile clamp.
   *
   * (A fourth candidate — Page's L across the weekly rhythm — was
   * DROPPED when the duplicate-name audit surfaced the mature
@@ -61,6 +65,88 @@ object R16Queries {
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
   val defs: Seq[QueryDef] = Seq(
+
+    // Hampel identifier (Hampel 1974; Pearson 2002) over the daily
+    // series — the MEDIAN/MAD sibling of the reference's quantile
+    // spike smoothing (F4): a day is an outlier when
+    // |x − med₇| > 3·1.4826·MAD₇ over its centered 7-day window.
+    // Window medians are exact integers (element 4 of the sorted
+    // 7-array), and the flag is the cross-multiplied integer
+    // inequality 10000·|x−med| > 44478·MAD — no float anywhere.
+    // Scale: one shuffle to the ≤366-day digest; the window arrays
+    // ride the digest (the unpartitioned window is calendar-sized).
+    QueryDef("q_hampel_filter",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("x"))
+        val w = Window.orderBy(col("day")).rowsBetween(-3, 3)
+        daily.withColumn("arr", collect_list(col("x")).over(w))
+          .filter(size(col("arr")) === 7)
+          .selectExpr("cast(day as string) as day", "x",
+            "element_at(sort_array(arr), 4) as med",
+            """element_at(sort_array(transform(arr,
+              |  v -> abs(v - element_at(sort_array(arr), 4)))), 4)
+              |  as mad""".stripMargin)
+          .selectExpr("day", "x", "med", "mad",
+            "case when 10000 * abs(x - med) > 44478 * mad" +
+              " then 1L else 0L end as is_outlier")
+          .orderBy(col("day"))
+      },
+      Some("""WITH daily AS (SELECT ts::DATE AS day, count(*)::BIGINT AS x
+             |  FROM events GROUP BY 1),
+             |w AS (SELECT day, x,
+             |    list(x) OVER (ORDER BY day
+             |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS arr
+             |  FROM daily),
+             |f AS (SELECT day::VARCHAR AS day, x,
+             |    list_sort(arr)[4]::BIGINT AS med,
+             |    list_sort(list_transform(arr,
+             |      v -> abs(v - list_sort(arr)[4])))[4]::BIGINT AS mad
+             |  FROM w WHERE len(arr) = 7)
+             |SELECT day, x, med, mad,
+             |  (CASE WHEN 10000 * abs(x - med) > 44478 * mad
+             |    THEN 1 ELSE 0 END)::BIGINT AS is_outlier
+             |FROM f ORDER BY day""".stripMargin)),
+
+    // Savitzky-Golay smoothing (Savitzky & Golay 1964): the 5-point
+    // quadratic least-squares filter (-3, 12, 17, 12, -3)/35 over
+    // the daily series — the polynomial-smoothing sibling of F4's
+    // quantile clamp and q_hampel_filter's median despike. The
+    // convolution is published ×35 as an EXACT BIGINT (sm_x35), so
+    // the gate compares integers and the filter's defining property
+    // — quadratics reproduce exactly, sm_x35 ≡ 35·x — is a pinned
+    // spec law. Interior days only (the full 5-point stencil).
+    // Scale: lag/lead windows on the calendar digest.
+    QueryDef("q_savgol_smooth",
+      (s, d) => {
+        val daily = graft.sources.Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("x"))
+        val w = Window.orderBy(col("day"))
+        daily
+          .withColumn("m2", lag(col("x"), 2).over(w))
+          .withColumn("m1", lag(col("x"), 1).over(w))
+          .withColumn("p1", lead(col("x"), 1).over(w))
+          .withColumn("p2", lead(col("x"), 2).over(w))
+          .filter(col("m2").isNotNull && col("m1").isNotNull &&
+            col("p1").isNotNull && col("p2").isNotNull)
+          .selectExpr("cast(day as string) as day", "x",
+            "-3 * m2 + 12 * m1 + 17 * x + 12 * p1 - 3 * p2 as sm_x35")
+          .orderBy(col("day"))
+      },
+      Some("""WITH daily AS (SELECT ts::DATE AS day, count(*)::BIGINT AS x
+             |  FROM events GROUP BY 1),
+             |l AS (SELECT day, x,
+             |    lag(x, 2) OVER w AS m2, lag(x, 1) OVER w AS m1,
+             |    lead(x, 1) OVER w AS p1, lead(x, 2) OVER w AS p2
+             |  FROM daily WINDOW w AS (ORDER BY day))
+             |SELECT day::VARCHAR AS day, x,
+             |  (-3 * m2 + 12 * m1 + 17 * x + 12 * p1 - 3 * p2)::BIGINT
+             |    AS sm_x35
+             |FROM l WHERE m2 IS NOT NULL AND m1 IS NOT NULL
+             |  AND p1 IS NOT NULL AND p2 IS NOT NULL
+             |ORDER BY day""".stripMargin)),
 
     // Deterministic HyperLogLog (Flajolet, Fusy, Gandouet, Meunier
     // 2007) over document 3-gram shingles, next to the exact count:

@@ -96,6 +96,33 @@ class R16QueriesSpec extends GraftSpec {
     assert(out.getAs[Long]("is_outlier") === 0L)
   }
 
+  test("q_hampel_filter: a lone spike in a constant series is the " +
+    "ONLY flagged day; its neighbors' windows absorb it") {
+    // 15 constant days + a 10x spike at day 7: med stays 10 and
+    // MAD stays 0 in every window, so only the spike itself exceeds
+    // the (degenerate-MAD) threshold
+    val counts = Seq.fill(7)(10L) ++ Seq(100L) ++ Seq.fill(7)(10L)
+    val rows = byName("q_hampel_filter")(spark, countsDir(counts))
+      .collect()
+    assert(rows.length === 9) // 15 days - 6 edge days
+    val flagged = rows.filter(_.getAs[Long]("is_outlier") == 1L)
+    assert(flagged.map(_.getAs[String]("day")).toSeq === Seq("2024-01-08"))
+    assert(flagged.head.getAs[Long]("med") === 10L)
+    assert(flagged.head.getAs[Long]("mad") === 0L)
+  }
+
+  test("q_savgol_smooth: the quadratic-reproduction property — " +
+    "sm_x35 == 35*x exactly on a quadratic series") {
+    val counts = (0 until 10).map(i => ((i + 2).toLong * (i + 2)))
+    val rows = byName("q_savgol_smooth")(spark, countsDir(counts))
+      .collect()
+    assert(rows.length === 6) // 10 days - 4 edge days
+    rows.foreach { r =>
+      assert(r.getAs[Long]("sm_x35") === 35L * r.getAs[Long]("x"),
+        s"SG quadratic invariance broken at ${r.getAs[String]("day")}")
+    }
+  }
+
   test("range sanity on sf0.001") {
     val d = "/root/testdata/sf0.001"
     val hll = byName("corpus_hll_distinct")(spark, d).head()
