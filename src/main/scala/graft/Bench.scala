@@ -131,13 +131,13 @@ object Bench {
     // but job-start always precedes the action's return, so the
     // post-action read is complete for all but the last-ms stragglers.
     val jobCounter = new java.util.concurrent.atomic.AtomicInteger(0)
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onJobStart(
-            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-          jobCounter.incrementAndGet(); ()
-        }
-      })
+    val jobListener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobCounter.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(jobListener)
     val jobCounts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     def one(name: String,
             fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
@@ -184,6 +184,10 @@ object Bench {
                elapsedSec < trialBudgetSec)
           ts += one(name, fn)
       }
+    // trials are done — detach the counter so a long-lived session
+    // (Verify + Bench, repeated subset runs) doesn't accumulate
+    // listeners feeding dead counters
+    spark.sparkContext.removeSparkListener(jobListener)
     val failed = Seq.newBuilder[String]
     failed ++= failedSet
     val results = firstPass.map { case (name, _, _) =>

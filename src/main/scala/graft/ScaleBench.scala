@@ -140,7 +140,18 @@ object ScaleBench {
     // per-customer digest; user count grows with density) and the
     // KL/JS drift monitor (one fact pass -> fixed 168-cell lattice,
     // must scale ~flat after the scan)
-    "q_rec_eval", "q_kl_js_drift")
+    "q_rec_eval", "q_kl_js_drift",
+    // r15: the streaming family joins the sweep — state-store
+    // boundedness at scale was asserted (watermark math), never
+    // measured. Density grows 10× over the same span, so state that
+    // is O(keys-in-watermark-horizon) may grow up to 10× with the
+    // data; what must NOT happen is state proportional to the whole
+    // history. peak_state_rows ships per scale so the bound is a
+    // published measurement. Wall ratios here carry the fixed
+    // micro-batch floor at 1× (AvailableNow scheduling, state-store
+    // load/commit), so the cpu_ratio column is the honest signal.
+    "q_stream_sessionize", "q_stream_join", "q_stream_dedup",
+    "q_stream_recover", "q_stream_asof")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -158,13 +169,19 @@ object ScaleBench {
 
     val scaled = ensureScaledDir(spark, sfDir, reps)
 
+    // SPARK_GRAFT_SCALE_ONLY=a,b,c: local iteration aid (the driver
+    // never sets it) — sweep just the named queries
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val swept = Queries.filter(q => only.forall(_.contains(q)))
+
     // warm up every query SHAPE at the smallest SF (a different dir:
     // per-dir memoization stays cold for the timed scales, but
     // whole-stage codegen compiles once here instead of inflating the
     // first timed run)
     spark.range(0, 1000000, 1, 4).selectExpr("sum(id)").collect()
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.01")
-    Queries.foreach { q =>
+    swept.foreach { q =>
       try SparkEntry.queries(q)(spark, warmDir)
         .write.mode("overwrite").format("noop").save()
       catch { case e: Throwable =>
@@ -190,7 +207,19 @@ object ScaleBench {
       Seq[(String, () => Unit)](
         "bucketed-orders" -> (() => graft.sources.Bucketing.ensureOrderBucketed(spark, dir)),
         "ext-artifacts" -> (() => graft.queries.ExtQueries.prewarmArtifacts(spark, dir)),
-        "sql-artifacts" -> (() => graft.queries.SqlQueries.prewarmArtifacts(spark, dir))
+        "sql-artifacts" -> (() => graft.queries.SqlQueries.prewarmArtifacts(spark, dir)),
+        // streaming scenarios stage their input (sentinel-tagged
+        // single-file copies) into a memoized scratch dir on first
+        // touch — a coalesce(1) write that is serial BY DESIGN. Warm
+        // each swept stream query once per dir so the timed run
+        // measures the streaming operator, not the one-off staging
+        // (each timed run still replays the full stream from a fresh
+        // checkpoint — only file staging and codegen are warm).
+        "stream-stages" -> (() => swept.filter(_.startsWith("q_stream_"))
+          .foreach { q =>
+            SparkEntry.queries(q)(spark, dir)
+              .write.mode("overwrite").format("noop").save()
+          })
       ).foreach { case (label, build) =>
         try build()
         catch { case e: Throwable =>
@@ -210,21 +239,66 @@ object ScaleBench {
     // executor CPU ns at 10× over 1× ≈ 10 for linear work; >> 10
     // means real state growth (quadratic candidates, digest blow-up).
     val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    // per-stage task-duration telemetry: the wall-ratio bar can fail
+    // with LINEAR cpu_ratio when one stage stops spreading (too few
+    // partitions, or a straggler task owning a hot key) — the fix is
+    // different from an algorithmic blow-up, so the sweep must show
+    // tasks-per-stage and max-vs-median task time per query
+    val stageDur = new java.util.concurrent.ConcurrentHashMap[
+      Int, java.util.concurrent.ConcurrentLinkedQueue[Long]]()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
-            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           if (e.taskMetrics != null)
             cpuNs.addAndGet(e.taskMetrics.executorCpuTime)
+          if (e.taskInfo != null) {
+            stageDur.computeIfAbsent(e.stageId,
+                _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
+              .add(e.taskInfo.duration)
+            ()
+          }
+        }
       })
+    // peak state-store rows across a streaming query's progress events
+    // (sum over state operators, max over batches) — the boundedness
+    // measurement for the q_stream_* sweep rows; 0 for batch queries
+    val peakStateRows = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = {
+          val n = e.progress.stateOperators.map(_.numRowsTotal).sum
+          peakStateRows.updateAndGet(m => math.max(m, n))
+          ()
+        }
+      })
+    /** top-`k` stages by summed task time among stages first seen
+      * after `sinceIds`, rendered as compact JSON objects. */
+    def hotStages(sinceIds: Set[Int], k: Int = 3): String = {
+      import scala.jdk.CollectionConverters._
+      val fresh = stageDur.keySet().asScala.toSet -- sinceIds
+      val rows = fresh.toSeq.map { sid =>
+        val ds = stageDur.get(sid).asScala.toSeq.sorted
+        (sid, ds.length, ds.sum, ds.last, ds(ds.length / 2))
+      }.sortBy(-_._3).take(k)
+      rows.map { case (sid, n, sum, mx, med) =>
+        f"""{"stage":$sid,"tasks":$n,"sum_ms":$sum,"max_ms":$mx,"med_ms":$med,"skew":${mx.toDouble / math.max(med, 1L)}%.1f}"""
+      }.mkString("[", ",", "]")
+    }
 
     // first-trial timing: dedup_neardup_groups memoizes its grouping
     // per (session, dir), so a min-of-N would time a cache read from
     // trial 2 on — the first trial is the honest cost at each scale
-    def timeOnce(name: String, dir: String): (Double, Double) = {
+    def timeOnce(name: String, dir: String): (Double, Double, String, Long) = {
+      import scala.jdk.CollectionConverters._
       // settle any in-flight events (warm-up, artifact builds) before
       // snapshotting, so the delta is exactly this query's tasks
       org.apache.spark.GraftListenerDrain.drain(spark.sparkContext)
+      val stages0 = stageDur.keySet().asScala.toSet
+      peakStateRows.set(0L)
       val t0 = System.nanoTime()
       val c0 = cpuNs.get()
       SparkEntry.queries(name)(spark, dir)
@@ -235,13 +309,13 @@ object ScaleBench {
       // the next query's delta, systematically inflating the cpu_ratio
       // of every sub-second 1x run
       org.apache.spark.GraftListenerDrain.drain(spark.sparkContext)
-      (wall, (cpuNs.get() - c0) / 1e9)
+      (wall, (cpuNs.get() - c0) / 1e9, hotStages(stages0), peakStateRows.get())
     }
 
-    val results = Queries.map { q =>
-      val (t1, c1) = timeOnce(q, sfDir)
-      val (t10, c10) = timeOnce(q, scaled)
-      (q, t1, t10, c1, c10)
+    val results = swept.map { q =>
+      val (t1, c1, _, st1) = timeOnce(q, sfDir)
+      val (t10, c10, hot10, st10) = timeOnce(q, scaled)
+      (q, t1, t10, c1, c10, hot10, st1, st10)
     }
 
     // ANN candidate telemetry (outside the timed region): mean
@@ -258,9 +332,12 @@ object ScaleBench {
     val (lshC10, rpC10) = cands(scaled)
 
     val evRows = spark.read.parquet(s"$sfDir/events.parquet").count()
-    val qs = results.map { case (q, t1, t10, c1, c10) =>
+    val qs = results.map { case (q, t1, t10, c1, c10, hot10, st1, st10) =>
+      val state = if (st1 > 0 || st10 > 0)
+        f""","state_rows_1x":$st1,"state_rows_${reps}x":$st10""" else ""
       f""""$q":{"t1x_sec":$t1%.3f,"t${reps}x_sec":$t10%.3f,"ratio":${t10 / t1}%.2f,""" +
-        f""""cpu1x_sec":$c1%.3f,"cpu${reps}x_sec":$c10%.3f,"cpu_ratio":${c10 / math.max(c1, 1e-9)}%.2f}"""
+        f""""cpu1x_sec":$c1%.3f,"cpu${reps}x_sec":$c10%.3f,"cpu_ratio":${c10 / math.max(c1, 1e-9)}%.2f,""" +
+        f""""hot_stages_${reps}x":$hot10$state}"""
     }.mkString("{", ",", "}")
     val json =
       f"""{"metric":"scale_${reps}x","sf_base":"$sfDir","events_rows_1x":$evRows,""" +

@@ -1302,6 +1302,17 @@ object R12Queries {
         // data through every round). The 3-row profile is collected
         // so every per-round cache releases.
         import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        // AQE OFF for the peel (restored below): a fixed-round
+        // iterative kernel gains nothing from runtime re-planning —
+        // both join sides are edge-sized (SMJ either way) and the
+        // partition count is already right-sized — but AQE turns
+        // every exchange into its own driver job (58 jobs for 15
+        // rounds, a pure scheduling floor that the 10× sweep's
+        // cpu_ratio 1.76 proved is overhead, not data work). One job
+        // per eager action instead.
+        val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        try {
         val e0 = s.read.parquet(SqlQueries.copurchaseEdgesOf(s, d))
           .select(col("p1"), col("p2")).persist(MEMORY_AND_DISK)
         var seed = e0
@@ -1351,6 +1362,7 @@ object R12Queries {
         e0.unpersist()
         import s.implicits._
         rows.result().toDF("k", "core_nodes", "core_edges")
+        } finally s.conf.set("spark.sql.adaptive.enabled", aqeWas)
       }, {
       def chain(k: Int) = (1 to 5).map { r =>
         s"""d${k}_$r AS MATERIALIZED (SELECT node, count(*) AS deg FROM (

@@ -195,7 +195,10 @@ object R16Queries {
         g.agg(countDistinct(col("g")).as("n_exact"))
           .crossJoin(broadcast(est))
           .selectExpr("n_exact", "n_empty_buckets", "hll_estimate",
-            "abs(hll_estimate - n_exact) * 1000000 div n_exact as err_ppm")
+            // nullif guard: on an empty corpus Spark's `div` yields
+            // NULL but DuckDB's `//` raises division-by-zero — both
+            // engines return NULL with the explicit guard
+            "abs(hll_estimate - n_exact) * 1000000 div nullif(n_exact, 0) as err_ppm")
       },
       Some("""WITH t AS (SELECT string_split(lower(text), ' ') AS tk
              |  FROM documents
@@ -226,7 +229,7 @@ object R16Queries {
              |      ELSE raw END)::BIGINT AS hll_estimate FROM e0),
              |n AS (SELECT count(DISTINCT g)::BIGINT AS n_exact FROM g)
              |SELECT n_exact, n_empty_buckets, hll_estimate,
-             |  (abs(hll_estimate - n_exact) * 1000000 // n_exact)
+             |  (abs(hll_estimate - n_exact) * 1000000 // nullif(n_exact, 0))
              |    ::BIGINT AS err_ppm
              |FROM n, e""".stripMargin)),
 

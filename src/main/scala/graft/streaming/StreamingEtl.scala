@@ -141,11 +141,19 @@ object StreamingEtl {
     // streaming source needs an explicit schema; declare the PHYSICAL
     // on-disk ts encoding, then normalize (nanos-long or NTZ → TZ)
     val rawSchema = graft.sources.Tables.eventsRawSchema(spark, dir)
-    // the file source wants a directory; glob-filter to the events table
-    graft.sources.Tables.normalizeEventsTs(
-      spark.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir))
+    val tablePath = new java.io.File(s"$dir/events.parquet")
+    val src =
+      if (tablePath.isDirectory)
+        // Spark-written layout (the ScaleBench 10× dirs): the table IS
+        // a directory — point the file source straight at it
+        spark.readStream.schema(rawSchema).parquet(tablePath.toString)
+      else
+        // single-file layout (the driver testdata): the file source
+        // wants a directory; glob-filter to the events table
+        spark.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+    graft.sources.Tables.normalizeEventsTs(src)
   }
 
   private val streamRuns = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -315,16 +323,22 @@ object StreamingEtl {
   /** Build-once scratch dir keyed by (kind, dir): `build` populates it
     * on first use; later calls (bench trials) reuse the same files. */
   private def cachedStage(key: String)(
-      build: java.nio.file.Path => Unit): java.nio.file.Path = {
-    val path = stageCache.computeIfAbsent(key, _ => {
-      val p = scratchDir("graft_stage")
-      build(p)
-      stageOrder.add(key)
-      p
-    })
-    evictOverBudget(keep = key)
-    path
-  }
+      build: java.nio.file.Path => Unit): java.nio.file.Path =
+    // compute + evict under ONE monitor (the same one evictOverBudget
+    // takes): without it, a concurrent cachedStage call could evict
+    // (rmTree) a stage another thread just obtained but whose stream
+    // hasn't read yet. Scenarios run sequentially today; this makes
+    // the cache safe if they ever don't.
+    stageCache.synchronized {
+      val path = stageCache.computeIfAbsent(key, _ => {
+        val p = scratchDir("graft_stage")
+        build(p)
+        stageOrder.add(key)
+        p
+      })
+      evictOverBudget(keep = key)
+      path
+    }
 
   /** Write `df` as a single parquet file at `target` (coalesce-to-one
     * part + move — the file-source staging shape). */

@@ -464,10 +464,16 @@ object AsofJoin {
       val d = t - lit(loUs)
       val kp = floorDiv(d + stepUs - 1).cast("long")
       val kb = floorDiv(d).cast("long")
-      val ordP = tieCol.map(tc => struct(t, col(tc))).getOrElse(struct(t))
+      // ordering-struct fields are aliased explicitly: the branches
+      // union positionally, and auto-generated field names would
+      // diverge (failing analysis) for sensors whose timestamp/tie
+      // columns are named differently
+      val ordP = tieCol.map(tc => struct(t.as("__t"), col(tc).as("__tie")))
+        .getOrElse(struct(t.as("__t")))
       // backfill wants the EARLIEST ts but the LARGEST tie at equal
       // ts — negate the tie inside a min_by (the uniformGrid rule)
-      val ordB = tieCol.map(tc => struct(t, -col(tc))).getOrElse(struct(t))
+      val ordB = tieCol.map(tc => struct(t.as("__t"), (-col(tc)).as("__tie")))
+        .getOrElse(struct(t.as("__t")))
       val assignments =
         (if (needPad)
           Seq(struct(lit(0).as("__side"), greatest(kp, lit(0L)).as("__k"),
