@@ -246,6 +246,7 @@ object ScaleBench {
     // tasks-per-stage and max-vs-median task time per query
     val stageDur = new java.util.concurrent.ConcurrentHashMap[
       Int, java.util.concurrent.ConcurrentLinkedQueue[Long]]()
+    val stageName = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
@@ -258,6 +259,12 @@ object ScaleBench {
               .add(e.taskInfo.duration)
             ()
           }
+        }
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          stageName.put(e.stageInfo.stageId,
+            e.stageInfo.name.takeWhile(_ != '\n').take(60))
+          ()
         }
       })
     // peak state-store rows across a streaming query's progress events
@@ -280,13 +287,20 @@ object ScaleBench {
     def hotStages(sinceIds: Set[Int], k: Int = 3): String = {
       import scala.jdk.CollectionConverters._
       val fresh = stageDur.keySet().asScala.toSet -- sinceIds
-      val rows = fresh.toSeq.map { sid =>
+      val all = fresh.toSeq.map { sid =>
         val ds = stageDur.get(sid).asScala.toSeq.sorted
         (sid, ds.length, ds.sum, ds.last, ds(ds.length / 2))
-      }.sortBy(-_._3).take(k)
-      rows.map { case (sid, n, sum, mx, med) =>
-        f"""{"stage":$sid,"tasks":$n,"sum_ms":$sum,"max_ms":$mx,"med_ms":$med,"skew":${mx.toDouble / math.max(med, 1L)}%.1f}"""
+      }
+      val rows = all.sortBy(-_._3).take(k)
+      val top = rows.map { case (sid, n, sum, mx, med) =>
+        val nm = Option(stageName.get(sid)).getOrElse("?")
+          .replace("\\", "").replace("\"", "'")
+        f"""{"stage":$sid,"name":"$nm","tasks":$n,"sum_ms":$sum,"max_ms":$mx,"med_ms":$med,"skew":${mx.toDouble / math.max(med, 1L)}%.1f}"""
       }.mkString("[", ",", "]")
+      // stage-count + total-task-time context: a wall >> sum(top)/cores
+      // with MANY small stages is a sequential-barrier chain, not a
+      // straggler — a different fix
+      f"""{"n_stages":${all.size},"sum_all_ms":${all.map(_._3).sum},"top":$top}"""
     }
 
     // first-trial timing: dedup_neardup_groups memoizes its grouping

@@ -45,7 +45,70 @@ object HashKernels {
     val out = new Array[Long](seen.size)
     val it = seen.iterator()
     var j = 0
-    while (it.hasNext) { out(j) = md5_60(it.next()); j += 1 }
+    while (it.hasNext) { out(j) = md5_60Memo(it.next()); j += 1 }
+    out
+  }
+
+  /** Bounded per-thread token→hash memo: token streams are Zipf, so
+    * almost every md5 after warm-up is a recompute of a head token.
+    * The memo is pure caching (the hash is a deterministic function of
+    * the token), capped at 32k entries (~1.5 MB/thread) and cleared on
+    * overflow — worst case it degrades to plain md5, never to
+    * unbounded state. */
+  private val tokenMemo = ThreadLocal.withInitial[
+    java.util.HashMap[String, java.lang.Long]](() =>
+    new java.util.HashMap[String, java.lang.Long](1 << 16))
+  private final val TokenMemoCap = 1 << 15
+
+  private def md5_60Memo(s: String): Long = {
+    val m = tokenMemo.get()
+    val hit = m.get(s)
+    if (hit != null) return hit.longValue()
+    val h = md5_60(s)
+    if (m.size() >= TokenMemoCap) m.clear()
+    m.put(s, h)
+    h
+  }
+
+  /** Hash of EVERY token in order (duplicates kept) — the positional
+    * twin of `tokensDistinct60`, for n-gram models where position
+    * matters. */
+  def tokensAll60(s: String): Array[Long] = {
+    val tk = tokens(s)
+    val out = new Array[Long](tk.length)
+    var i = 0
+    while (i < tk.length) { out(i) = md5_60Memo(tk(i)); i += 1 }
+    out
+  }
+
+  /** Hash of the n-gram shingle at EVERY position (duplicates kept,
+    * optional hash-domain prefix); < n tokens → empty. The positional
+    * twin of `shingles60`, for substring-dedup/winnowing kernels
+    * where each occurrence (not each distinct gram) is a row. */
+  def shinglesPos60(s: String, n: Int, prefix: String): Array[Long] = {
+    val tk = tokens(s)
+    if (tk.length < n) return Array.emptyLongArray
+    // unigrams are the Zipf-memoizable case (multi-token grams are
+    // mostly corpus-unique, not worth the map)
+    if (n == 1 && prefix.isEmpty) {
+      val out = new Array[Long](tk.length)
+      var i = 0
+      while (i < tk.length) { out(i) = md5_60Memo(tk(i)); i += 1 }
+      return out
+    }
+    val out = new Array[Long](tk.length - n + 1)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= tk.length - n) {
+      sb.setLength(0)
+      sb.append(prefix)
+      var o = 0
+      while (o < n) {
+        if (o > 0) sb.append(' ')
+        sb.append(tk(i + o)); o += 1
+      }
+      out(i) = md5_60(sb.toString); i += 1
+    }
     out
   }
 

@@ -53,6 +53,29 @@ case class TokensDistinct60(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Per-token hash keeping order and duplicates — the positional twin
+  * of `TokensDistinct60` for n-gram language-model kernels. */
+case class TokensAll60(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      HashKernels.tokensAll60(input.asInstanceOf[UTF8String].toString))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** n-gram shingle hash at every position (duplicates kept, optional
+  * hash-domain prefix) — the positional twin of `Shingles60` for
+  * substring-dedup / winnowing kernels. */
+case class ShinglesPos60(child: Expression, n: Int, prefix: String)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      HashKernels.shinglesPos60(input.asInstanceOf[UTF8String].toString, n, prefix))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** MinHash signature with the permutation constants baked in. */
 case class MinHashSig(child: Expression, permA: Array[Long], permB: Array[Long])
     extends UnaryExpression with CodegenFallback {
@@ -173,6 +196,14 @@ object TextHashFunctions {
       es => Shingles60(es.head, if (es.size > 1) intArg(es(1)) else 3), "scala_udf")
     reg.createOrReplaceTempFunction("graft_tokens60",
       es => TokensDistinct60(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_tokens_all60",
+      es => TokensAll60(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_shingles_pos60",
+      es => ShinglesPos60(es.head,
+        if (es.size > 1) intArg(es(1)) else 3,
+        if (es.size > 2)
+          es(2).eval(null).asInstanceOf[UTF8String].toString else ""),
+      "scala_udf")
     reg.createOrReplaceTempFunction("graft_shingle_strings",
       es => ShingleStrings(es.head, if (es.size > 1) intArg(es(1)) else 3), "scala_udf")
     reg.createOrReplaceTempFunction("graft_minhash_sig",
@@ -203,6 +234,15 @@ object TextHashFunctions {
   }
   def tokens60(text: Column): Column = {
     register(sess); call_function("graft_tokens60", text)
+  }
+  def tokensAll60(text: Column): Column = {
+    register(sess); call_function("graft_tokens_all60", text)
+  }
+  def shinglesPos60(text: Column, n: Int, prefix: String = ""): Column = {
+    register(sess)
+    call_function("graft_shingles_pos60", text,
+      org.apache.spark.sql.functions.lit(n),
+      org.apache.spark.sql.functions.lit(prefix))
   }
   def shingleStrings(text: Column, n: Int): Column = {
     register(sess)

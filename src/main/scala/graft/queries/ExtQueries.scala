@@ -490,8 +490,8 @@ object ExtQueries {
   /** Shingle CTE shared by the minhash oracle: tk -> 3-gram distinct
     * shingles, docs with < 3 tokens dropped (mirrors Dedup.shingles). */
   private val shingleCte =
-    """tk AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
-      |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+    """tk AS MATERIALIZED (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+      |sh AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
       |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
       |       FROM tk WHERE len(tk) >= 3)""".stripMargin
 
@@ -507,7 +507,7 @@ object ExtQueries {
       s"SELECT doc_id, $b AS band, $key AS bandkey FROM mh"
     }.mkString("\n  UNION ALL ")
     s"""$shingleCte,
-       |hs AS (SELECT doc_id, sh, list_transform(sh, s -> ${dkHash60("s")} % $P) AS hs
+       |hs AS MATERIALIZED (SELECT doc_id, sh, list_transform(sh, s -> ${dkHash60("s")} % $P) AS hs
        |       FROM sh WHERE len(sh) > 0),
        |mh AS (SELECT doc_id,
        |  $mhCols
@@ -758,20 +758,30 @@ object ExtQueries {
               "ELSE n_found * 1000000 div n_candidates END")
               .as("cand_precision_ppm"))
       },
+      // truth via the posting-list pair COUNT (|A∩B| = number of
+      // shared shingle rows, since per-doc shingle lists are
+      // distinct) instead of a per-pair list_intersect over 1.1M
+      // candidate pairs — 1.3 s vs 82 s at sf0.1 (the list_intersect
+      // form blew the gate's per-oracle budget). The postings hash in
+      // the SAME 60-bit domain as the Spark side's shingles60 truth
+      // (not the mod-P minhash domain), so both engines see identical
+      // intersection counts even at a hash collision.
       Some(s"""WITH $minhashPairCtes,
               |cstat AS (SELECT count(*)::BIGINT AS n_candidates,
               |    (count(*) FILTER (WHERE jaccard >= 0.7))::BIGINT AS n_found
               |  FROM j),
-              |post AS (SELECT doc_id, unnest(hs) AS h FROM hs),
-              |cp AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              |  FROM post a JOIN post b
-              |    ON a.h = b.h AND a.doc_id < b.doc_id),
+              |post AS MATERIALIZED (SELECT doc_id,
+              |    unnest(list_transform(sh, s -> ${dkHash60("s")})) AS h
+              |  FROM hs),
+              |ln AS MATERIALIZED (SELECT doc_id, len(sh)::BIGINT AS l FROM hs),
+              |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+              |    count(*)::BIGINT AS c
+              |  FROM post a JOIN post b ON a.h = b.h AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
               |truth AS (SELECT count(*)::BIGINT AS n_truth
-              |  FROM cp JOIN hs x ON x.doc_id = cp.id_a
-              |    JOIN hs y ON y.doc_id = cp.id_b
-              |  WHERE len(list_intersect(x.sh, y.sh))::DOUBLE
-              |      / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
-              |      >= 0.7)
+              |  FROM inter JOIN ln x ON x.doc_id = inter.ia
+              |    JOIN ln y ON y.doc_id = inter.ib
+              |  WHERE inter.c::DOUBLE / (x.l + y.l - inter.c) >= 0.7)
               |SELECT n_truth, n_candidates, n_found,
               |  (CASE WHEN n_truth = 0 THEN -1
               |    ELSE n_found * 1000000 // n_truth END)::BIGINT AS recall_ppm,
@@ -2565,9 +2575,13 @@ object ExtQueries {
     // through the real WAV codec and the detector.
     QueryDef("mm_audio_pitch",
       (s, d) => {
+        // fan the 200 keys across the runtime BEFORE synth+decode: the
+        // documents scan is one split, and without the spread the
+        // Goertzel sweep (the query's whole cost) runs single-threaded
         val media = graft.multimodal.Multimodal.syntheticMedia(
           s.read.parquet(s"$d/documents.parquet")
-            .filter(col("doc_id") < 200), "doc_id")
+            .filter(col("doc_id") < 200)
+            .transform(QueryDef.fanOut), "doc_id")
         graft.multimodal.Multimodal.audioPitch(media).toDF()
           .select(col("media_id"), col("sample_rate"), col("n_samples"),
             col("freq_hz"))
@@ -6811,14 +6825,19 @@ object ExtQueries {
             |  OR (get(hs,p-2) >= hs[p] AND get(hs,p-1) >= hs[p] AND get(hs,p+1) > hs[p])
             |  OR (get(hs,p-3) >= hs[p] AND get(hs,p-2) >= hs[p] AND get(hs,p-1) >= hs[p]))"""
             .stripMargin
+        // positional 3-gram hashes via the fused ShinglesPos60 kernel
+        // (one split + one md5-to-long per position; the Catalyst
+        // transform spelling paid a concat + hex-string md5 + conv
+        // parse per position); <3-token docs yield an empty array —
+        // the WHERE filter
+        // length guard on the cheap token count, NOT on size(hs): a
+        // kernel-column predicate pushes into the scan as a DataFilter
+        // and the md5 pass evaluates twice per row
         s.read.parquet(s"$d/documents.parquet")
+          .filter(size(split(col("text"), " ")) >= 3)
           .transform(QueryDef.fanOut)
-          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
-          .filter(size(col("tk")) >= 3)
-          .withColumn("hs", expr(
-            "transform(sequence(0, size(tk) - 3), i -> " +
-              "CAST(conv(substring(md5(concat('win:', tk[i], ' ', " +
-              "tk[i+1], ' ', tk[i+2])), 1, 15), 16, 10) AS BIGINT))"))
+          .select(col("doc_id"), graft.functions.TextHashFunctions
+            .shinglesPos60(col("text"), 3, "win:").as("hs"))
           .withColumn("sp", expr(sel))
           .select(col("doc_id"),
             size(col("hs")).cast("long").as("n_shingles"),
@@ -6827,6 +6846,14 @@ object ExtQueries {
               .as("n_distinct_fp"))
           .withColumn("density_ppm",
             expr("n_selected * 1000000 div n_shingles"))
+          // exchange BEFORE the global sort: orderBy's range-partition
+          // sampling otherwise re-executes the whole md5 kernel (the
+          // sort's child is map-only lineage back to the fanOut
+          // exchange, so the sample pass recomputes it — measured as
+          // two equal heavy stages at 10×). A digest-sized hash
+          // exchange here materializes once under AQE and both the
+          // sampler and the sort read from it.
+          .repartition(col("doc_id"))
           .orderBy(col("doc_id"))
       },
       Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
@@ -7377,21 +7404,31 @@ object ExtQueries {
     // pairwise comparison anywhere.
     QueryDef("text_substring_dedup",
       (s, d) => {
-        val docs = s.read.parquet(s"$d/documents.parquet")
-          .transform(QueryDef.fanOut)
-          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
-          .filter(size(col("tk")) >= 8)
         // shuffle keys are the 60-bit md5 shingle hashes (8 bytes),
         // never the ~50-char shingle strings — at corpus scale this
-        // is most of the repeat-aggregate's shuffle width
+        // is most of the repeat-aggregate's shuffle width. The hashes
+        // come from the fused ShinglesPos60 kernel (one split + one
+        // md5-to-long per position; no hex-string round trip, no
+        // per-position concat through Catalyst) — the detect/join
+        // two-pass shape keeps the kernel in two map stages, so its
+        // per-pass cost is THE scale-sweep lever. (An explicit shared
+        // exchange of the raw shingle stream was MEASURED slower than
+        // recomputing the kernel: 8.9 s vs 4.1 s at 10× — a data-sized
+        // shuffle costs more than the hash pass it would save.)
+        // n_tokens falls out of the kernel: positions = tokens − 7.
+        // The length guard filters on the CHEAP token count (a
+        // kernel-column predicate would push into the scan as a
+        // DataFilter and run the md5 pass twice per row).
+        val docs = s.read.parquet(s"$d/documents.parquet")
+          .filter(size(split(col("text"), " ")) >= 8)
+          .transform(QueryDef.fanOut)
+          .select(col("doc_id"), graft.functions.TextHashFunctions
+            .shinglesPos60(col("text"), 8).as("hs"))
         val sh = docs.select(col("doc_id"),
-          size(col("tk")).cast("long").as("n_tokens"),
-          posexplode(expr(
-            "transform(sequence(0, size(tk) - 8), i -> concat_ws(' ', slice(tk, i + 1, 8)))"))
-            .as(Seq("pos", "sh")))
+          (size(col("hs")) + 7).cast("long").as("n_tokens"),
+          posexplode(col("hs")).as(Seq("pos", "h")))
           .select(col("doc_id"), col("n_tokens"),
-            col("pos").cast("long").as("pos"),
-            Dedup.strHash60(col("sh")).as("h"))
+            col("pos").cast("long").as("pos"), col("h"))
         val rep = sh.groupBy(col("h")).agg(count(lit(1)).as("c"))
           .filter(col("c") > 1).select(col("h"))
         val dup = sh.join(rep, "h")
@@ -7420,7 +7457,7 @@ object ExtQueries {
               |      i -> struct_pack(pos := i,
               |        sh := array_to_string(tk[i+1:i+8], ' ')))) AS u
               |  FROM tk),
-              |sh AS (SELECT doc_id, n_tokens, u.pos::BIGINT AS pos,
+              |sh AS MATERIALIZED (SELECT doc_id, n_tokens, u.pos::BIGINT AS pos,
               |    ${dkHash60("u.sh")} AS h
               |  FROM sh0),
               |rep AS (SELECT h FROM sh GROUP BY h HAVING count(*) > 1),
@@ -7460,17 +7497,18 @@ object ExtQueries {
           .transform(QueryDef.fanOut)
           .select(col("doc_id"),
             size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+        // same 8-byte hash keys as the detection half, same fused
+        // ShinglesPos60 kernel, same cheap token-count length guard
+        // (a kernel-column predicate would push into the scan and
+        // double-evaluate the md5 pass)
         val docs = s.read.parquet(s"$d/documents.parquet")
+          .filter(size(split(col("text"), " ")) >= 8)
           .transform(QueryDef.fanOut)
-          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
-          .filter(size(col("tk")) >= 8)
-        // same 8-byte hash keys as the detection half
+          .select(col("doc_id"), graft.functions.TextHashFunctions
+            .shinglesPos60(col("text"), 8).as("hs"))
         val sh = docs.select(col("doc_id"),
-          posexplode(expr(
-            "transform(sequence(0, size(tk) - 8), i -> concat_ws(' ', slice(tk, i + 1, 8)))"))
-            .as(Seq("pos", "sh")))
-          .select(col("doc_id"), col("pos").cast("long").as("pos"),
-            Dedup.strHash60(col("sh")).as("h"))
+          posexplode(col("hs")).as(Seq("pos", "h")))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
         // real struct argmin — lexicographic min over (doc_id, pos) on
         // BOTH engines; an integer encoding (doc_id·2^20 + pos) would
         // silently overflow pos into the doc_id field on any document
@@ -7511,7 +7549,7 @@ object ExtQueries {
              |      i -> struct_pack(pos := i,
              |        sh := array_to_string(tk[i+1:i+8], ' ')))) AS u
              |  FROM tk),
-             |sh AS (SELECT doc_id, u.pos::BIGINT AS pos,
+             |sh AS MATERIALIZED (SELECT doc_id, u.pos::BIGINT AS pos,
              |    ${dkHash60("u.sh")} AS h FROM sh0),
              |rep AS (SELECT h, min(struct_pack(d := doc_id, p := pos)) AS keep
              |  FROM sh GROUP BY h HAVING count(*) > 1),
@@ -7561,12 +7599,24 @@ object ExtQueries {
         // is the kernel's dominant cost, and a token appears in up to
         // two bigrams — hashing the token array first halves the md5
         // count and the pair explode carries only the two longs
+        // per-token hashes via the fused TokensAll60 kernel (one
+        // split + one md5-to-long per token; no hex-string round trip
+        // through conv) — the kernel is the dominant map cost and
+        // runs in each consumer's map stage, so its per-pass price is
+        // the scale lever. (An explicit shared exchange of the raw
+        // bigram stream was MEASURED slower than recomputing the
+        // kernel: 12.7 s vs 7.2 s at 10× — the data-sized shuffle
+        // costs more than the hash pass it would save.)
+        // the length guard filters on a CHEAP token count, not on the
+        // kernel output: a predicate over the kernel column gets
+        // pushed into the scan as a DataFilter and the md5 pass
+        // evaluates twice per row (once in the scan for the filter,
+        // once above the fan-out for the projection)
         val docs = s.read.parquet(s"$d/documents.parquet")
+          .filter(size(split(col("text"), " ")) >= 2)
           .transform(QueryDef.fanOut)
-          .withColumn("__tk", TextAnalysis.tokens(col("text")))
-          .filter(size(col("__tk")) >= 2)
-          .withColumn("__hk", expr(
-            "transform(__tk, t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))"))
+          .withColumn("__hk",
+            graft.functions.TextHashFunctions.tokensAll60(col("text")))
         val b = docs.select(col("doc_id"), explode(expr(
           "transform(sequence(0, size(__hk)-2), i -> struct(__hk[i] AS h1, __hk[i+1] AS h2))"))
           .as("bg"))
@@ -7574,13 +7624,22 @@ object ExtQueries {
         val btf = b.groupBy(col("doc_id"), col("h1"), col("h2"))
           .agg(count(lit(1)).as("tf"))
         val cbg = btf.groupBy(col("h1"), col("h2")).agg(sum(col("tf")).as("c"))
-        val ctx = cbg.groupBy(col("h1").as("ch1"))
-          .agg(sum(col("c")).as("cw"), count(lit(1)).as("nfw"))
-        val cont = cbg.groupBy(col("h2").as("ph2"))
-          .agg(count(lit(1)).as("npw"))
-        val t = cbg.agg(count(lit(1)).as("t"))
-        val lp = cbg.join(ctx, col("h1") === col("ch1"))
-          .join(cont, col("h2") === col("ph2"))
+        // context/continuation statistics as WINDOWS over the cbg
+        // digest (not join-back aggregates): the old ctx/cont/t
+        // branches were column-pruned into a DISTINCT-form bigram
+        // lineage — canonically different from the tf-carrying one —
+        // so AQE stage reuse never fired and the tokenize+md5+explode
+        // kernel executed twice (measured as two equal heavy stages
+        // at 10×). The windows ride the one cbg digest; t references
+        // c through an always-true predicate for the same reason (an
+        // unreferenced c would fork a pruned third lineage).
+        val t = cbg.agg(count(when(col("c") >= 1L, 1)).as("t"))
+        val wH1 = Window.partitionBy(col("h1"))
+        val wH2 = Window.partitionBy(col("h2"))
+        val lp = cbg
+          .withColumn("cw", sum(col("c")).over(wH1))
+          .withColumn("nfw", count(lit(1)).over(wH1))
+          .withColumn("npw", count(lit(1)).over(wH2))
           .crossJoin(broadcast(t))
           .select(col("h1"), col("h2"), round(log10(
             (greatest(col("c").cast("double") - lit(0.75), lit(0.0)) +
@@ -7588,7 +7647,13 @@ object ExtQueries {
                 col("npw").cast("double") / col("t").cast("double")) /
               col("cw").cast("double")), 9)
             .cast("decimal(20,9)").as("logp"))
-        btf.join(lp, Seq("h1", "h2"))
+        // SHUFFLE_HASH pinned: both sides are bigram-sized (the tf
+        // table and the logp digest grow together with the corpus), so
+        // a broadcast can never be right at scale — and at bench scale
+        // AQE's auto-broadcast of the 2.4M-row tf side serializes on a
+        // single-threaded driver HashedRelation build (measured ~4 s
+        // of the query's 6.7 s wall at 10×)
+        btf.hint("shuffle_hash").join(lp, Seq("h1", "h2"))
           .groupBy(col("doc_id"))
           .agg(sum(col("tf")).as("n_bigrams"),
             sum(col("tf").cast("decimal(9,0)") * col("logp"))

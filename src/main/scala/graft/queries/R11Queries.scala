@@ -5130,16 +5130,21 @@ object R11Queries {
     // (n, hash) aggregation for all four sizes.
     QueryDef("text_dup_ngram_profile",
       (s, d) => {
-        val docs = s.read.parquet(s"$d/documents.parquet")
-          .select(graft.ext.TextAnalysis.tokens(col("text")).as("tk"))
-        val sizes = broadcast(s.createDataFrame(
-          Seq(1, 2, 4, 8).map(Tuple1(_))).toDF("n"))
-        val grams = docs.crossJoin(sizes)
-          .filter(size(col("tk")) >= col("n"))
-          .select(col("n"), explode(expr(
-            "transform(sequence(1, size(tk) - n + 1)," +
-              " i -> concat_ws(' ', slice(tk, i, n)))")).as("g"))
-          .select(col("n"), graft.ext.Dedup.strHash60(col("g")).as("gh"))
+        // all four n-gram sizes hash in ONE fused map pass over a
+        // fanned-out scan (ShinglesPos60 per size; a <n-token doc
+        // yields an empty array = the old length filter). The
+        // crossJoin+transform spelling paid a per-position concat +
+        // hex-string md5 + conv parse AND ran on the raw input splits
+        // (1 task at 1×, 10 at 10× — the sweep's single-stage
+        // straggler); the kernel + fanOut spreads it to full width.
+        val thf = graft.functions.TextHashFunctions
+        val grams = s.read.parquet(s"$d/documents.parquet")
+          .transform(graft.queries.QueryDef.fanOut)
+          .select(array(Seq(1, 2, 4, 8).map(n =>
+            struct(lit(n).as("n"),
+              thf.shinglesPos60(col("text"), n).as("hs"))): _*).as("a"))
+          .select(explode(col("a")).as("e"))
+          .select(col("e.n").as("n"), explode(col("e.hs")).as("gh"))
         grams.groupBy(col("n"), col("gh"))
           .agg(count(lit(1)).as("c"))
           .groupBy(col("n"))

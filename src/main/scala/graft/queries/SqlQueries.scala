@@ -811,11 +811,29 @@ object SqlQueries {
         graft.sources.Tables.events(s, d), "ts", "event_id",
         withinUs = 1000000L, payload = Seq("event_type"))
         .orderBy(col("id_lo"), col("id_hi")),
-      Some("""SELECT a.event_id AS id_lo, b.event_id AS id_hi,
-             |  abs(epoch_us(a.ts) - epoch_us(b.ts))::BIGINT AS delta_us,
-             |  a.event_type AS lo_event_type, b.event_type AS hi_event_type
-             |FROM events a JOIN events b ON a.event_id < b.event_id
-             | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 1000000
+      // The oracle bands too — but only as a CANDIDATE limiter: the
+      // exact |Δt| ≤ W predicate does the semantics, and the coverage
+      // claim (|ta−tb| ≤ W ⟹ bucket diff ∈ {−1,0,1} at bucket width
+      // W) is a one-line floor-division fact, so no valid pair can be
+      // dropped. DuckDB's native inequality self-join is O(n²) here
+      // and blew the gate's per-oracle budget at sf0.1 (>70 s; this
+      // form runs in well under a second).
+      Some("""WITH e AS MATERIALIZED (SELECT event_id, event_type,
+             |    epoch_us(ts)::BIGINT AS t,
+             |    epoch_us(ts)::BIGINT // 1000000 AS b FROM events),
+             |cand AS (
+             |  SELECT a.event_id ia, b.event_id ib, a.t ta, b.t tb,
+             |      a.event_type ea, b.event_type eb
+             |  FROM e a JOIN e b ON b.b = a.b AND a.event_id < b.event_id
+             |  UNION ALL
+             |  SELECT a.event_id, b.event_id, a.t, b.t, a.event_type, b.event_type
+             |  FROM e a JOIN e b ON b.b = a.b + 1 AND a.event_id < b.event_id
+             |  UNION ALL
+             |  SELECT a.event_id, b.event_id, a.t, b.t, a.event_type, b.event_type
+             |  FROM e a JOIN e b ON b.b = a.b - 1 AND a.event_id < b.event_id)
+             |SELECT ia AS id_lo, ib AS id_hi, abs(ta - tb)::BIGINT AS delta_us,
+             |  ea AS lo_event_type, eb AS hi_event_type
+             |FROM cand WHERE abs(ta - tb) <= 1000000
              |ORDER BY id_lo, id_hi""".stripMargin)),
 
     // Incremental aggregation (materialized-view maintenance): the
@@ -1140,10 +1158,24 @@ object SqlQueries {
             abs(col("a_t") - col("b_t")).as("delta_us"))
           .orderBy(col("id_lo"), col("id_hi"))
       },
-      Some("""SELECT a.event_id AS id_lo, b.event_id AS id_hi,
-             |  abs(epoch_us(a.ts) - epoch_us(b.ts))::BIGINT AS delta_us
-             |FROM events a JOIN events b ON a.event_id < b.event_id
-             | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 2000000
+      // banded-candidate oracle (same discipline as the
+      // q_range_join_bursts oracle above: the exact |Δt| filter does
+      // the semantics; coverage is the floor-division fact) — the
+      // naive inequality self-join blew the sf0.1 per-oracle budget
+      Some("""WITH e AS MATERIALIZED (SELECT event_id,
+             |    epoch_us(ts)::BIGINT AS t,
+             |    epoch_us(ts)::BIGINT // 2000000 AS b FROM events),
+             |cand AS (
+             |  SELECT a.event_id ia, b.event_id ib, a.t ta, b.t tb
+             |  FROM e a JOIN e b ON b.b = a.b AND a.event_id < b.event_id
+             |  UNION ALL
+             |  SELECT a.event_id, b.event_id, a.t, b.t
+             |  FROM e a JOIN e b ON b.b = a.b + 1 AND a.event_id < b.event_id
+             |  UNION ALL
+             |  SELECT a.event_id, b.event_id, a.t, b.t
+             |  FROM e a JOIN e b ON b.b = a.b - 1 AND a.event_id < b.event_id)
+             |SELECT ia AS id_lo, ib AS id_hi, abs(ta - tb)::BIGINT AS delta_us
+             |FROM cand WHERE abs(ta - tb) <= 2000000
              |ORDER BY id_lo, id_hi""".stripMargin)),
 
     // HLL++ sketch twin of q_distinct_users — the 100 TB path: one

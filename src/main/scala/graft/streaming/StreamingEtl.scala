@@ -379,13 +379,40 @@ object StreamingEtl {
     * plain AvailableNow read lists both in one batch (the watermark
     * still advances AFTER that batch, so the no-data micro-batch
     * flushes expiring state either way). */
+  /** Copy the events table into `stage` under name prefix `tag`,
+    * preserving the raw physical encoding — handles BOTH layouts: the
+    * driver testdata's single file, and a Spark-written DIRECTORY (the
+    * ScaleBench 10× dirs), whose part files each copy as their own
+    * staged file (a naive Files.copy of a directory copies an EMPTY
+    * dir and the stream silently reads zero rows). */
+  private def copyEventsTable(dir: String, stage: java.nio.file.Path,
+      tag: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = Paths.get(s"$dir/events.parquet")
+    if (Files.isDirectory(src)) {
+      val listing = Files.list(src)
+      try {
+        val parts = listing.iterator()
+        var i = 0
+        while (parts.hasNext) {
+          val p = parts.next()
+          if (p.getFileName.toString.endsWith(".parquet")) {
+            Files.copy(p, stage.resolve(f"${tag}_events_$i%04d.parquet"),
+              StandardCopyOption.REPLACE_EXISTING)
+            i += 1
+          }
+        }
+      } finally listing.close()
+    } else
+      Files.copy(src, stage.resolve(s"${tag}_events.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+  }
+
   private def stagedEventsWithSentinel(spark: SparkSession, dir: String,
       kind: String, rows: Seq[(Long, Long, String)],
       horizonDays: Int): java.nio.file.Path =
     cachedStage(s"$kind|$dir") { stage =>
-      import java.nio.file.{Files, Paths, StandardCopyOption}
-      Files.copy(Paths.get(s"$dir/events.parquet"),
-        stage.resolve("a_events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      copyEventsTable(dir, stage, "a")
       writeOneFile(sentinelDf(spark, dir, rows, horizonDays),
         stage.resolve("zz_sentinel.parquet"))
     }
@@ -401,10 +428,7 @@ object StreamingEtl {
     * O(events inside the watermark horizon), not O(all events ever). */
   def dedupViaStream(spark: SparkSession, dir: String): DataFrame = {
     val stage = cachedStage(s"dedup|$dir") { p =>
-      import java.nio.file.{Files, Paths, StandardCopyOption}
-      for (n <- Seq("a", "b"))
-        Files.copy(Paths.get(s"$dir/events.parquet"),
-          p.resolve(s"${n}_events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      for (n <- Seq("a", "b")) copyEventsTable(dir, p, n)
     }
 
     val rawSchema = graft.sources.Tables.eventsRawSchema(spark, dir)
