@@ -14,12 +14,21 @@ object DebugPlan {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.codegen.wholeStage",
+        sys.env.getOrElse("SPARK_GRAFT_WSCG", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val df = SparkEntry.queries(name)(spark, sfDir)
-    df.write.mode("overwrite").format("noop").save()
-    println(df.queryExecution.executedPlan.toString)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_DEBUG_REPS", "1").toInt
+    var df = SparkEntry.queries(name)(spark, sfDir)
+    for (r <- 1 to reps) {
+      val t0 = System.nanoTime()
+      df = SparkEntry.queries(name)(spark, sfDir)
+      df.write.mode("overwrite").format("noop").save()
+      println(f"[debugplan] $name rep $r: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+    if (sys.env.contains("SPARK_GRAFT_DEBUG_PLAN"))
+      println(df.queryExecution.executedPlan.toString)
     spark.stop()
   }
 }

@@ -20,7 +20,8 @@ import org.apache.spark.sql.functions._
   */
 object ScaleBench {
 
-  private val Queries = Seq("y_sync_flagship", "dedup_neardup_groups",
+  private val Queries = Seq("y_sync_flagship", "y_sync_flagship_interp",
+    "dedup_neardup_groups",
     "pipe_seq_pack", "sim_topk_lsh", "corpus_ngram_topk", "q_sessionize",
     // the sketch should scale FLAT in state (O(k) partials): at 10×
     // its time must grow at most with scan cost, proving the exact

@@ -5283,40 +5283,30 @@ object ExtQueries {
             col("l_orderkey") === col("o_orderkey"))
           .select(col("o_custkey").as("ck"), col("l_partkey").as("pk"))
           .distinct()
-        // The pool is a fixed 100-part digest — collect it (the O(k)
-        // Similarity-centroid discipline) and do the sampling as a
-        // per-customer ARRAY kernel instead of materializing the
-        // |customers|×100 cross join and shuffling it through an
-        // anti-join plus a row_number window: per ck, negatives are
-        // the top-3-by-hash of (pool \ owned-pool-parts), a ≤100-slot
-        // in-row sort. One ck-keyed shuffle of ONLY the pool-owned
-        // pairs (≤100 per customer by construction) replaces three
-        // candidate-sized exchanges — the shape that survives a
-        // customer-count scale-up.
-        val poolPks = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+        // NOTE (r15 job-count audit): two "smarter" shapes were
+        // MEASURED WORSE than this one — an in-row array kernel
+        // (transform/filter HOF lambdas evaluate interpreted per
+        // element: 13.6 s) and a collected-pool explode + owned-set
+        // join (pays the pool collect + a second pos pass: 5.9 s) vs
+        // 2.4 s for this broadcast-cross-join + ids-only anti-join.
+        // The 12-job floor is the pool digest + the anti-join; at
+        // customer-count scale the cross join stays |customers|×100
+        // narrow rows, never |customers|×|parts|.
+        val pool = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("l_partkey"))
-          .limit(100).select(col("l_partkey").cast("long").as("pk"))
-          .collect().map(_.getLong(0))
-        val poolArr = array(poolPks.map(p => lit(p)): _*)
-        val owned = pos.filter(col("pk").isInCollection(poolPks))
-          .groupBy(col("ck")).agg(collect_set(col("pk").cast("long")).as("own"))
-        val negs = pos.select(col("ck")).distinct()
-          .join(owned, Seq("ck"), "left")
-          .withColumn("own", coalesce(col("own"),
-            array().cast("array<bigint>")))
-          .withColumn("pool", poolArr)
-          // struct(hr, pk) sorts lexicographically = ORDER BY hr, pk
-          .withColumn("negs", expr(
-            """slice(array_sort(transform(
-              |  filter(pool, p -> NOT array_contains(own, p)),
-              |  p -> struct(CAST(conv(substring(md5(concat('neg:',
-              |         CAST(ck AS STRING), ':', CAST(p AS STRING))),
-              |         1, 15), 16, 10) AS BIGINT) AS hr,
-              |       p AS pk))), 1, 3)""".stripMargin))
-        negs.select(col("ck"), posexplode(col("negs")).as(Seq("i", "ng")))
-          .select(col("ck").as("cust_key"),
-            (col("i") + 1).cast("int").as("neg_rank"),
-            col("ng.pk").as("part_key"))
+          .limit(100).select(col("l_partkey").as("pk"))
+        val cand = pos.select(col("ck")).distinct()
+          .crossJoin(broadcast(pool))
+        val h = conv(substring(md5(concat(lit("neg:"),
+          col("ck").cast("string"), lit(":"), col("pk").cast("string"))),
+          1, 15), 16, 10).cast("long")
+        cand.join(pos, Seq("ck", "pk"), "left_anti")
+          .withColumn("hr", h)
+          .withColumn("neg_rank", row_number().over(
+            Window.partitionBy(col("ck")).orderBy(col("hr"), col("pk"))))
+          .filter(col("neg_rank") <= 3)
+          .select(col("ck").as("cust_key"), col("neg_rank"),
+            col("pk").as("part_key"))
           .orderBy(col("cust_key"), col("neg_rank"))
       },
       Some("""WITH pos AS (SELECT DISTINCT o_custkey AS ck,

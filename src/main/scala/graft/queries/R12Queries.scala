@@ -1316,7 +1316,7 @@ object R12Queries {
         val e0 = s.read.parquet(SqlQueries.copurchaseEdgesOf(s, d))
           .select(col("p1"), col("p2")).persist(MEMORY_AND_DISK)
         var seed = e0
-        val rows = Seq.newBuilder[(Long, Long, Long)]
+        val profs = Seq.newBuilder[org.apache.spark.sql.DataFrame]
         for (k <- 2 to 4) {
           // rounds persist LAZILY (no count barriers): each e_r is
           // referenced 3× by round r+1 (deg digest + both keep-join
@@ -1350,18 +1350,22 @@ object R12Queries {
           // k's peel starts from a depth-0 plan.
           val core = e.localCheckpoint()
           kept.foreach(_.unpersist())
-          val prof = core.select(explode(array(col("p1"), col("p2")))
+          // profile stays LAZY: all three k's profiles union into ONE
+          // collect below (the cores are already checkpointed leaves,
+          // so no peel recomputes) — one job instead of three
+          profs += core.select(explode(array(col("p1"), col("p2")))
               .as("node"))
             .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-            .agg(count(lit(1)).as("core_nodes"),
+            .agg(lit(k.toLong).as("k"),
+              count(lit(1)).as("core_nodes"),
               coalesce((sum(col("deg")) / 2).cast("long"), lit(0L))
-                .as("core_edges")).head()
-          rows += ((k.toLong, prof.getLong(0), prof.getLong(1)))
+                .as("core_edges"))
           seed = core
         }
+        val rows = profs.result().reduce(_ unionAll _).collect()
         e0.unpersist()
-        import s.implicits._
-        rows.result().toDF("k", "core_nodes", "core_edges")
+        s.createDataFrame(java.util.Arrays.asList(rows: _*),
+          rows.head.schema)
         } finally s.conf.set("spark.sql.adaptive.enabled", aqeWas)
       }, {
       def chain(k: Int) = (1 to 5).map { r =>

@@ -41,6 +41,22 @@ object KernelProps extends Properties("HashKernels") {
       }
     }
 
+  property("tokensAll60 equals md5_60 over every token in order") =
+    forAll(text) { s =>
+      HashKernels.tokensAll60(s).toSeq ==
+        HashKernels.tokens(s).toSeq.map(HashKernels.md5_60)
+    }
+
+  property("shinglesPos60 equals md5_60 over prefixed positional n-grams") =
+    forAll(text, Gen.chooseNum(1, 4), Gen.oneOf("", "win:")) { (s, n, pfx) =>
+      val tk = HashKernels.tokens(s)
+      val expected =
+        if (tk.length < n) Seq.empty[Long]
+        else (0 to tk.length - n).map(i =>
+          HashKernels.md5_60(pfx + tk.slice(i, i + n).mkString(" ")))
+      HashKernels.shinglesPos60(s, n, pfx).toSeq == expected
+    }
+
   property("shingles60 equals md5_60 over shingleStrings") =
     forAll(text, Gen.chooseNum(1, 4)) { (s, n) =>
       HashKernels.shingles60(s, n).toSeq ==
