@@ -666,6 +666,11 @@ object R13Queries {
             col("db.day").cast("string").as("b_day"),
             col("dc.day").cast("string").as("cp_day"),
             col("gain"))
+          // (lvl, a_day) is unique: one lvl-1 row, ≤2 lvl-2 halves
+          // with distinct starts. This ORDER BY was MISSING on both
+          // sides until round 15 — the 3 rows matched by join-order
+          // luck at sf0.01 and diverged at sf0.1.
+          .orderBy(col("lvl"), col("a_day"))
       },
       Some("""WITH daily AS (SELECT day,
              |    row_number() OVER (ORDER BY day) AS t, y FROM (
@@ -740,7 +745,8 @@ object R13Queries {
              |FROM outp o
              |JOIN pre da ON da.t = o.a
              |JOIN pre db ON db.t = o.b
-             |JOIN pre dc ON dc.t = o.cp""".stripMargin)),
+             |JOIN pre dc ON dc.t = o.cp
+             |ORDER BY o.lvl, a_day""".stripMargin)),
 
     // Empirical CRPS (Continuous Ranked Probability Score; Gneiting &
     // Raftery 2007, eq. 21 kernel form) of the trailing-week
