@@ -4046,51 +4046,66 @@ object ExtQueries {
     // dedup queries already use).
     QueryDef("text_bigram_logprob",
       (s, d) => {
-        // single-file scan = one partition: fan out BEFORE the
-        // CPU-heavy tokenize+explode so it runs on all cores (a real
-        // multi-file corpus scan is already parallel and skips this)
+        // r15: the full kneser-ney plan discipline — fused TokensAll60
+        // kernel (no per-position concat / hex-md5 through Catalyst),
+        // cheap token-count guard (a kernel-column predicate pushes
+        // into the scan and double-evaluates), 16-byte (h1, h2)
+        // shuffle keys instead of bigram strings, context totals as a
+        // WINDOW over the one cbg digest (a join-back aggregate forks
+        // a pruned second kernel lineage that defeats AQE stage
+        // reuse), and SHUFFLE_HASH pinned on the bigram-sized final
+        // join. V counts distinct token HASHES on both engines
+        // (collision-symmetric, same value in practice).
         val docs = s.read.parquet(s"$d/documents.parquet")
+          .filter(size(split(col("text"), " ")) >= 2)
           .transform(QueryDef.fanOut)
-          .withColumn("__tk", TextAnalysis.tokens(col("text")))
-          .filter(size(col("__tk")) >= 2)
+          .withColumn("__hk",
+            graft.functions.TextHashFunctions.tokensAll60(col("text")))
         val b = docs.select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(__tk)-2), i -> concat(__tk[i], ' ', __tk[i+1]))"))
+          "transform(sequence(0, size(__hk)-2), i -> struct(__hk[i] AS h1, __hk[i+1] AS h2))"))
           .as("bg"))
-        val btf = b.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("tf"))
-        val cbg = btf.groupBy(col("bg")).agg(sum(col("tf")).as("c"))
-        val ctx = cbg.groupBy(split(col("bg"), " ").getItem(0).as("w"))
-          .agg(sum(col("c")).as("cw"))
+          .select(col("doc_id"), col("bg.h1").as("h1"), col("bg.h2").as("h2"))
+        val btf = b.groupBy(col("doc_id"), col("h1"), col("h2"))
+          .agg(count(lit(1)).as("tf"))
+        val cbg = btf.groupBy(col("h1"), col("h2")).agg(sum(col("tf")).as("c"))
         val v = s.read.parquet(s"$d/documents.parquet")
-          .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
-          .agg(count_distinct(col("term")).as("v"))
-        val lp = cbg.withColumn("w", split(col("bg"), " ").getItem(0))
-          .join(ctx, "w").crossJoin(broadcast(v))
-          .select(col("bg"), round(log10((col("c") + 1).cast("double") /
-            (col("cw") + col("v")).cast("double")), 9)
+          .transform(QueryDef.fanOut)
+          .select(explode(graft.functions.TextHashFunctions
+            .tokensAll60(col("text"))).as("th"))
+          .agg(count_distinct(col("th")).as("v"))
+        val lp = cbg
+          .withColumn("cw", sum(col("c")).over(Window.partitionBy(col("h1"))))
+          .crossJoin(broadcast(v))
+          .select(col("h1"), col("h2"),
+            round(log10((col("c") + 1).cast("double") /
+              (col("cw") + col("v")).cast("double")), 9)
             .cast("decimal(20,9)").as("logp"))
-        btf.join(lp, "bg")
+        btf.hint("shuffle_hash").join(lp, Seq("h1", "h2"))
           .groupBy(col("doc_id"))
           .agg(sum(col("tf")).as("n_bigrams"),
             sum(col("tf").cast("decimal(9,0)") * col("logp"))
               .cast("double").as("logprob_sum"))
           .orderBy(col("doc_id"))
       },
-      Some("""WITH tk AS (SELECT doc_id, string_split(lower(text),' ') AS tk FROM documents),
-             |b AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
-             |    i -> tk[i] || ' ' || tk[i+1])) AS bg
-             |  FROM tk WHERE len(tk) >= 2),
-             |btf AS (SELECT doc_id, bg, count(*) AS tf FROM b GROUP BY 1, 2),
-             |cbg AS (SELECT bg, sum(tf)::BIGINT AS c FROM btf GROUP BY 1),
-             |ctx AS (SELECT string_split(bg, ' ')[1] AS w, sum(c)::BIGINT AS cw
-             |  FROM cbg GROUP BY 1),
-             |v AS (SELECT count(DISTINCT term) AS v FROM
-             |  (SELECT unnest(string_split(lower(text),' ')) AS term FROM documents)),
-             |lp AS (SELECT cbg.bg,
+      Some(s"""WITH tk0 AS (SELECT doc_id, string_split(lower(text),' ') AS tk FROM documents),
+             |tk AS (SELECT doc_id,
+             |    list_transform(tk, t -> ${dkHash60("t")}) AS hk
+             |  FROM tk0 WHERE len(tk) >= 2),
+             |b AS (SELECT doc_id, unnest(list_transform(range(1, len(hk)),
+             |    i -> struct_pack(h1 := hk[i], h2 := hk[i+1]))) AS u
+             |  FROM tk),
+             |btf AS (SELECT doc_id, u.h1 AS h1, u.h2 AS h2, count(*) AS tf
+             |  FROM b GROUP BY 1, 2, 3),
+             |cbg AS (SELECT h1, h2, sum(tf)::BIGINT AS c FROM btf GROUP BY 1, 2),
+             |ctx AS (SELECT h1 AS ch1, sum(c)::BIGINT AS cw FROM cbg GROUP BY 1),
+             |v AS (SELECT count(DISTINCT ${dkHash60("t")}) AS v FROM
+             |  (SELECT unnest(string_split(lower(text),' ')) AS t FROM documents)),
+             |lp AS (SELECT cbg.h1, cbg.h2,
              |    round(log10((cbg.c + 1)::DOUBLE / (ctx.cw + v.v)::DOUBLE), 9)::DECIMAL(20,9) AS logp
-             |  FROM cbg JOIN ctx ON string_split(cbg.bg, ' ')[1] = ctx.w, v)
+             |  FROM cbg JOIN ctx ON cbg.h1 = ctx.ch1, v)
              |SELECT btf.doc_id, sum(btf.tf)::BIGINT AS n_bigrams,
              |  sum(btf.tf::DECIMAL(9,0) * lp.logp)::DOUBLE AS logprob_sum
-             |FROM btf JOIN lp USING (bg)
+             |FROM btf JOIN lp USING (h1, h2)
              |GROUP BY btf.doc_id ORDER BY btf.doc_id""".stripMargin)),
 
     // Feature hashing ("hashing trick", Weinberger et al. 2009): map
@@ -5036,17 +5051,19 @@ object ExtQueries {
     // semi-aggregated rollup per source; integers end to end.
     QueryDef("text_ngram_novelty",
       (s, d) => {
-        val tk = s.read.parquet(s"$d/documents.parquet")
-          .select(col("source"), TextAnalysis.tokens(col("text")).as("tk"))
-          .filter(size(col("tk")) >= 2)
-        val bg = tk.select(col("source"),
-            explode(expr(
-              "transform(sequence(0, size(tk) - 2), i -> concat(tk[i], ' ', tk[i + 1]))"))
-              .as("bg"))
+        // r15 kernel discipline: bigram HASHES (fused ShinglesPos60)
+        // instead of strings through distinct + spread — 8-byte
+        // shuffle keys, no per-position concat; cheap token-count
+        // guard; collision-symmetric on both engines
+        val bg = s.read.parquet(s"$d/documents.parquet")
+          .filter(size(split(col("text"), " ")) >= 2)
+          .transform(QueryDef.fanOut)
+          .select(col("source"), explode(graft.functions.TextHashFunctions
+            .shinglesPos60(col("text"), 2)).as("bh"))
           .distinct()
-        val spread = bg.groupBy(col("bg").as("b2"))
+        val spread = bg.groupBy(col("bh").as("b2"))
           .agg(count(lit(1)).as("n_sources"))
-        bg.join(spread, col("bg") === col("b2"))
+        bg.join(spread, col("bh") === col("b2"))
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_bigrams"),
             sum(when(col("n_sources") === 1, 1L).otherwise(0L))
@@ -5055,17 +5072,17 @@ object ExtQueries {
             expr("n_unique * 1000000 div n_bigrams").as("novelty_ppm"))
           .orderBy(col("source"))
       },
-      Some("""WITH tk AS (SELECT source,
+      Some(s"""WITH tk AS (SELECT source,
              |    string_split(lower(text), ' ') AS tk FROM documents),
              |bg AS (SELECT DISTINCT source,
              |    unnest(list_transform(range(1, len(tk)),
-             |      i -> tk[i] || ' ' || tk[i + 1])) AS bg
+             |      i -> ${dkHash60("tk[i] || ' ' || tk[i + 1]")})) AS bh
              |  FROM tk WHERE len(tk) >= 2),
-             |spread AS (SELECT bg, count(*) AS n_sources FROM bg GROUP BY 1),
+             |spread AS (SELECT bh, count(*) AS n_sources FROM bg GROUP BY 1),
              |g AS (SELECT source, count(*) AS n_bigrams,
              |    sum(CASE WHEN spread.n_sources = 1 THEN 1 ELSE 0 END)::BIGINT
              |      AS n_unique
-             |  FROM bg JOIN spread USING (bg) GROUP BY 1)
+             |  FROM bg JOIN spread USING (bh) GROUP BY 1)
              |SELECT source, n_bigrams, n_unique,
              |  (n_unique * 1000000 // n_bigrams)::BIGINT AS novelty_ppm
              |FROM g ORDER BY source""".stripMargin)),
@@ -5472,15 +5489,17 @@ object ExtQueries {
     // count_distinct / df thresholds agree exactly.
     QueryDef("text_boilerplate_ngrams",
       (s, d) => {
+        // fused ShinglesPos60 kernel + cheap token-count guard (the
+        // r15 text-kernel discipline: no per-position concat or
+        // hex-md5 through Catalyst, and no kernel-column predicate
+        // that would push into the scan and double-evaluate)
         val docs = s.read.parquet(s"$d/documents.parquet")
-          .select(col("doc_id"), col("source"),
-            TextAnalysis.tokens(col("text")).as("tk"))
-          .filter(size(col("tk")) >= 3)
-        val sh = docs.select(col("doc_id"), col("source"), explode(expr(
-            "transform(sequence(0, size(tk) - 3), i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2]))"))
-            .as("g"))
-          .select(col("doc_id"), col("source"),
-            Dedup.strHash60(col("g")).as("gh"))
+          .filter(size(split(col("text"), " ")) >= 3)
+          .transform(QueryDef.fanOut)
+          .select(col("doc_id"), col("source"), col("text"))
+        val sh = docs.select(col("doc_id"), col("source"),
+          explode(graft.functions.TextHashFunctions
+            .shinglesPos60(col("text"), 3)).as("gh"))
         val perDoc = sh.groupBy(col("doc_id"), col("source"), col("gh"))
           .agg(count(lit(1)).as("tf"))
         val dfreq = perDoc.groupBy(col("gh").as("gh2"))

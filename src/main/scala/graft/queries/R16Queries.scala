@@ -164,16 +164,18 @@ object R16Queries {
     // accuracy audit, same as corpus_kmv_distinct.
     QueryDef("corpus_hll_distinct",
       (s, d) => {
+        // r15: the 'hll:'-domain shingle hashes come straight from the
+        // fused ShinglesPos60 kernel (prefix param) — no per-position
+        // concat or hex-md5 through Catalyst; the cheap token-count
+        // guard replaces a kernel-column filter (scan pushdown would
+        // double-evaluate). n_exact counts distinct HASHES on both
+        // engines (collision-symmetric; identical in practice).
         val g = s.read.parquet(s"$d/documents.parquet")
-          .select(graft.ext.TextAnalysis.tokens(col("text")).as("tk"))
-          .filter(size(col("tk")) >= 3)
-          .select(explode(expr(
-            """transform(sequence(0, size(tk) - 3),
-              |  i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2]))"""
-              .stripMargin)).as("g"))
+          .filter(size(split(col("text"), " ")) >= 3)
+          .transform(graft.queries.QueryDef.fanOut)
+          .select(explode(graft.functions.TextHashFunctions
+            .shinglesPos60(col("text"), 3, "hll:")).as("h"))
         val regs = g
-          .select(conv(substring(md5(concat(lit("hll:"), col("g"))), 1, 15),
-            16, 10).cast("long").as("h"))
           .selectExpr("h div 4503599627370496 as b",
             "h % 4503599627370496 as w")
           .selectExpr("b",
@@ -192,7 +194,7 @@ object R16Queries {
             """cast(floor(case when n_empty_buckets > 0 and raw <= 6.4e2
               |  then 2.56e2 * ln(2.56e2 / cast(n_empty_buckets as double))
               |  else raw end) as bigint) as hll_estimate""".stripMargin)
-        g.agg(countDistinct(col("g")).as("n_exact"))
+        g.agg(countDistinct(col("h")).as("n_exact"))
           .crossJoin(broadcast(est))
           .selectExpr("n_exact", "n_empty_buckets", "hll_estimate",
             // nullif guard: on an empty corpus Spark's `div` yields
@@ -227,7 +229,7 @@ object R16Queries {
              |    floor(CASE WHEN n_empty_buckets > 0 AND raw <= 6.4e2
              |      THEN 2.56e2 * ln(2.56e2 / n_empty_buckets::DOUBLE)
              |      ELSE raw END)::BIGINT AS hll_estimate FROM e0),
-             |n AS (SELECT count(DISTINCT g)::BIGINT AS n_exact FROM g)
+             |n AS (SELECT count(DISTINCT h)::BIGINT AS n_exact FROM h)
              |SELECT n_exact, n_empty_buckets, hll_estimate,
              |  (abs(hll_estimate - n_exact) * 1000000 // nullif(n_exact, 0))
              |    ::BIGINT AS err_ppm
