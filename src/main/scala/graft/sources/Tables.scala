@@ -65,9 +65,20 @@ object Tables {
   def footerRowCount(spark: SparkSession, dir: String, name: String): Long = {
     val path = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
     val conf = spark.sessionState.newHadoopConf()
-    val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
-      conf, path, org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
-    footer.getBlocks.asScala.map(_.getRowCount).sum
+    val fs = path.getFileSystem(conf)
+    // the table may be a single file (driver testdata) or a
+    // Spark-written DIRECTORY of part files (the ScaleBench 10× dirs)
+    val files =
+      if (fs.getFileStatus(path).isDirectory)
+        fs.listStatus(path).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).toSeq
+      else Seq(path)
+    files.map { f =>
+      org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+          conf, f, org.apache.parquet.format.converter
+            .ParquetMetadataConverter.NO_FILTER)
+        .getBlocks.asScala.map(_.getRowCount).sum
+    }.sum
   }
 
   private implicit class JListOps[A](l: java.util.List[A]) {

@@ -181,13 +181,24 @@ object StreamingEtl {
     * measured). The conf is session-global, so the block SERIALIZES
     * streaming runs (they are sequential in Bench/Verify anyway) and
     * restores the previous values after. */
-  private def withStreamConf[T](spark: SparkSession, needsFlush: Boolean)(
+  private def withStreamConf[T](spark: SparkSession, needsFlush: Boolean,
+      stateRowsHint: Long = 0L)(
       body: => T): T = synchronized {
     val conf = spark.conf
     val oldShuffle = conf.get("spark.sql.shuffle.partitions")
     val oldNoData =
       conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-    conf.set("spark.sql.shuffle.partitions", streamShufflePartitions)
+    // scale-aware state partitioning: 4 partitions is right when the
+    // per-store fixed load+commit cost dominates (the bench-scale
+    // default), but a scenario that will hold ~millions of state rows
+    // (streaming dedup keyed by event_id at 10×) serializes on 4 —
+    // grow by one partition per 100k expected rows, capped at the
+    // harness width. Production sizes this to the cluster; the hint
+    // only right-sizes the LOCAL harness the same way a cluster
+    // operator would.
+    val parts = math.min(16L,
+      math.max(streamShufflePartitions.toLong, stateRowsHint / 100000L))
+    conf.set("spark.sql.shuffle.partitions", parts.toString)
     conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
       needsFlush.toString)
     try body
@@ -438,7 +449,13 @@ object StreamingEtl {
       .dropDuplicatesWithinWatermark("event_id")
 
     val name = s"graft_stream_${streamRuns.incrementAndGet()}"
-    withStreamConf(spark, needsFlush = false) {
+    // dedup state is keyed by event_id — one row per event inside the
+    // watermark horizon, i.e. ~the whole table under AvailableNow —
+    // so the state partitioning must grow with the input (free from
+    // the parquet footer)
+    val stateHint =
+      graft.sources.Tables.footerRowCount(spark, dir, "events")
+    withStreamConf(spark, needsFlush = false, stateRowsHint = stateHint) {
       val q = in.writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
