@@ -789,17 +789,27 @@ object R15Queries {
           "date_add(min(o_orderdate)," +
             " cast(datediff(max(o_orderdate), min(o_orderdate)) div 2" +
             " as int))").as("m")))
-        val top5 = broadcast(li.crossJoin(mid)
-          .filter(col("o_orderdate") < col("m"))
-          .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
-          .orderBy(col("cnt").desc, col("l_partkey")).limit(5)
-          .select(col("l_partkey").as("rp"),
+        // ONE per-(cust, part) digest serves both halves: first-half
+        // instance counts (the popularity tally) and the
+        // second-half membership (the test set) — the fact join runs
+        // twice (the calendar-midpoint digest + this pass) instead of
+        // three times, and the old separate distinct + per-part
+        // aggregate both ride this digest
+        val cp = li.crossJoin(mid)
+          .groupBy(col("o_custkey").as("cust"),
+            col("l_partkey").as("part"))
+          .agg(sum(when(col("o_orderdate") < col("m"), 1L).otherwise(0L))
+              .as("nlo"),
+            max(when(col("o_orderdate") >= col("m"), 1L).otherwise(0L))
+              .as("hi"))
+        val top5 = broadcast(cp.filter(col("nlo") > 0)
+          .groupBy(col("part")).agg(sum(col("nlo")).as("cnt"))
+          .orderBy(col("cnt").desc, col("part")).limit(5)
+          .select(col("part").as("rp"),
             row_number().over(Window.orderBy(col("cnt").desc,
-              col("l_partkey"))).as("rk")))
-        val test = li.crossJoin(mid)
-          .filter(col("o_orderdate") >= col("m"))
-          .select(col("o_custkey").as("cust"),
-            col("l_partkey").as("part")).distinct()
+              col("part"))).as("rk")))
+        val test = cp.filter(col("hi") === 1L)
+          .select(col("cust"), col("part"))
         val ntp = test.groupBy(col("cust"))
           .agg(count(lit(1)).as("n_test"))
         val hits = test.join(top5, col("part") === col("rp"))
