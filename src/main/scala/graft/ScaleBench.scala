@@ -294,8 +294,10 @@ object ScaleBench {
       }
       val rows = all.sortBy(-_._3).take(k)
       val top = rows.map { case (sid, n, sum, mx, med) =>
+        // keep the hand-built JSON valid for ANY stage name: printable
+        // ASCII only, with the two JSON-structural chars dropped
         val nm = Option(stageName.get(sid)).getOrElse("?")
-          .replace("\\", "").replace("\"", "'")
+          .filter(c => c >= ' ' && c <= '~' && c != '"' && c != '\\')
         f"""{"stage":$sid,"name":"$nm","tasks":$n,"sum_ms":$sum,"max_ms":$mx,"med_ms":$med,"skew":${mx.toDouble / math.max(med, 1L)}%.1f}"""
       }.mkString("[", ",", "]")
       // stage-count + total-task-time context: a wall >> sum(top)/cores
@@ -316,8 +318,16 @@ object ScaleBench {
       peakStateRows.set(0L)
       val t0 = System.nanoTime()
       val c0 = cpuNs.get()
-      SparkEntry.queries(name)(spark, dir)
+      // name the stages after the swept query: the RDD call site is
+      // captured from the submitting thread's local properties (AQE
+      // futures inherit them via withThreadLocalCaptured), so without
+      // this every hot_stages entry reads `$anonfun$...` — telemetry
+      // that cannot name its own offender. Restored after the run so
+      // artifact builds/warmups stay distinguishable.
+      spark.sparkContext.setCallSite(name)
+      try SparkEntry.queries(name)(spark, dir)
         .write.mode("overwrite").format("noop").save()
+      finally spark.sparkContext.clearCallSite()
       val wall = (System.nanoTime() - t0) / 1e9
       // drain the listener bus COMPLETELY before reading the counter:
       // a fixed sleep leaks short queries' tail TaskEnd events into

@@ -192,6 +192,18 @@ object TextHashFunctions {
     val reg = spark.sessionState.functionRegistry
     def intArg(e: Expression): Int =
       e.eval(null).asInstanceOf[Number].intValue()
+    // the optional prefix arg must be a foldable non-NULL string — a
+    // clear AnalysisException beats the NPE/ClassCastException that a
+    // bare eval+cast would throw on `graft_shingles_pos60(t, 3, col)`
+    def strArg(fn: String, e: Expression): String = {
+      if (!e.foldable) throw new IllegalArgumentException(
+        s"$fn: prefix argument must be a foldable string literal, got $e")
+      e.eval(null) match {
+        case null => ""
+        case u: UTF8String => u.toString
+        case other => other.toString
+      }
+    }
     reg.createOrReplaceTempFunction("graft_shingles60",
       es => Shingles60(es.head, if (es.size > 1) intArg(es(1)) else 3), "scala_udf")
     reg.createOrReplaceTempFunction("graft_tokens60",
@@ -201,8 +213,7 @@ object TextHashFunctions {
     reg.createOrReplaceTempFunction("graft_shingles_pos60",
       es => ShinglesPos60(es.head,
         if (es.size > 1) intArg(es(1)) else 3,
-        if (es.size > 2)
-          es(2).eval(null).asInstanceOf[UTF8String].toString else ""),
+        if (es.size > 2) strArg("graft_shingles_pos60", es(2)) else ""),
       "scala_udf")
     reg.createOrReplaceTempFunction("graft_shingle_strings",
       es => ShingleStrings(es.head, if (es.size > 1) intArg(es(1)) else 3), "scala_udf")

@@ -764,16 +764,20 @@ object ExtQueries {
       // candidate pairs — 1.3 s vs 82 s at sf0.1 (the list_intersect
       // form blew the gate's per-oracle budget). The postings hash in
       // the SAME 60-bit domain as the Spark side's shingles60 truth
-      // (not the mod-P minhash domain), so both engines see identical
-      // intersection counts even at a hash collision.
+      // (not the mod-P minhash domain), and both the posting rows and
+      // the set sizes are DEDUPED IN THE HASH DOMAIN (DISTINCT
+      // doc_id,h; l = distinct-hash count) — so even a within-doc
+      // 60-bit collision leaves both engines comparing the same
+      // deduped hash sets, matching Spark's array-intersect dedup.
       Some(s"""WITH $minhashPairCtes,
               |cstat AS (SELECT count(*)::BIGINT AS n_candidates,
               |    (count(*) FILTER (WHERE jaccard >= 0.7))::BIGINT AS n_found
               |  FROM j),
-              |post AS MATERIALIZED (SELECT doc_id,
+              |post AS MATERIALIZED (SELECT DISTINCT doc_id,
               |    unnest(list_transform(sh, s -> ${dkHash60("s")})) AS h
               |  FROM hs),
-              |ln AS MATERIALIZED (SELECT doc_id, len(sh)::BIGINT AS l FROM hs),
+              |ln AS MATERIALIZED (SELECT doc_id, count(*)::BIGINT AS l
+              |  FROM post GROUP BY 1),
               |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
               |    count(*)::BIGINT AS c
               |  FROM post a JOIN post b ON a.h = b.h AND a.doc_id < b.doc_id

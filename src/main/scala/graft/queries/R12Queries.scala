@@ -1312,9 +1312,15 @@ object R12Queries {
         // per eager action instead.
         val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
         s.conf.set("spark.sql.adaptive.enabled", "false")
+        // every persist() registers here so a mid-peel failure can't
+        // leak MEMORY_AND_DISK blocks into the long-lived bench
+        // session — the finally releases whatever is still cached
+        val live = scala.collection.mutable.ArrayBuffer.empty[
+          org.apache.spark.sql.DataFrame]
         try {
         val e0 = s.read.parquet(SqlQueries.copurchaseEdgesOf(s, d))
           .select(col("p1"), col("p2")).persist(MEMORY_AND_DISK)
+        live += e0
         var seed = e0
         val profs = Seq.newBuilder[org.apache.spark.sql.DataFrame]
         for (k <- 2 to 4) {
@@ -1342,6 +1348,7 @@ object R12Queries {
                 col("p2") === col("kb")).drop("kb")
               .persist(MEMORY_AND_DISK)
             kept += e
+            live += e
           }
           // each round's plan references e THREE times, so a 15-round
           // chained lineage is a 3^15-node tree — Spark's per-action
@@ -1363,10 +1370,15 @@ object R12Queries {
           seed = core
         }
         val rows = profs.result().reduce(_ unionAll _).collect()
-        e0.unpersist()
         s.createDataFrame(java.util.Arrays.asList(rows: _*),
           rows.head.schema)
-        } finally s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+        } finally {
+          s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+          // idempotent: per-k `kept` frames are already unpersisted on
+          // the success path; this releases e0 plus anything a
+          // mid-peel failure left cached
+          live.foreach(df => try df.unpersist() catch { case _: Throwable => () })
+        }
       }, {
       def chain(k: Int) = (1 to 5).map { r =>
         s"""d${k}_$r AS MATERIALIZED (SELECT node, count(*) AS deg FROM (

@@ -196,8 +196,11 @@ object StreamingEtl {
     // harness width. Production sizes this to the cluster; the hint
     // only right-sizes the LOCAL harness the same way a cluster
     // operator would.
-    val parts = math.min(16L,
-      math.max(streamShufflePartitions.toLong, stateRowsHint / 100000L))
+    // the 16-partition cap applies only to the hint-derived growth —
+    // an explicit SPARK_GRAFT_STREAM_SHUFFLE override above 16 must
+    // win (it is the operator saying "I know my cluster width").
+    val parts = math.max(streamShufflePartitions.toLong,
+      math.min(16L, stateRowsHint / 100000L))
     conf.set("spark.sql.shuffle.partitions", parts.toString)
     conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
       needsFlush.toString)
