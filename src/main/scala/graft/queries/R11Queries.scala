@@ -523,6 +523,18 @@ object R11Queries {
     // that). Top-15 per side via TakeOrdered, no global window.
     QueryDef("q_hits",
       (s, d) => {
+        // AQE OFF for the fixed-iteration kernel (the q_kcore_profile
+        // discipline, r15): 4 half-steps × AQE's one-job-per-exchange
+        // scheduling measured 38 driver jobs; with static planning the
+        // whole mutual-reinforcement chain executes as the 4 broadcast
+        // digests plus one final action. Every persist registers for
+        // release in the finally so a mid-iteration failure can't leak
+        // cached blocks.
+        val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        val live = scala.collection.mutable.ArrayBuffer.empty[
+          org.apache.spark.sql.DataFrame]
+        try {
         val e = s.read.parquet(s"$d/orders.parquet")
           .select(col("o_orderkey"), col("o_custkey"))
           .join(s.read.parquet(s"$d/lineitem.parquet")
@@ -531,10 +543,12 @@ object R11Queries {
           .select(col("o_custkey").as("u"), col("l_partkey").as("p"))
           .distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        live += e
         def l1norm(df: org.apache.spark.sql.DataFrame, key: String,
                    raw: String, out: String) = {
           val m = df.persist(
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          live += m
           m.crossJoin(broadcast(
               m.agg(sum(col(raw).cast("decimal(38,0)")).as("tot"))))
             .select(col(key),
@@ -544,10 +558,16 @@ object R11Queries {
         var a = e.select(col("p")).distinct()
           .withColumn("a", lit(1000000000L))
         var h: org.apache.spark.sql.DataFrame = null
+        // the score tables are key-count-sized (|custs| / |parts|) —
+        // the side AQE auto-broadcast when it was on; with static
+        // planning the hint must be explicit or the edge list shuffles
+        // 4× (measured +2 s). At 100 TB the score tables outgrow a
+        // broadcast and this becomes a co-partitioned shuffle join —
+        // the same switch AQE would make dynamically.
         for (_ <- 1 to 2) {
-          h = l1norm(e.join(a, "p").groupBy("u")
+          h = l1norm(e.join(broadcast(a), "p").groupBy("u")
             .agg(sum(col("a")).as("hr")), "u", "hr", "h")
-          a = l1norm(e.join(h, "u").groupBy("p")
+          a = l1norm(e.join(broadcast(h), "u").groupBy("p")
             .agg(sum(col("h")).as("ar")), "p", "ar", "a")
         }
         val hub = h.orderBy(col("h").desc, col("u")).limit(15)
@@ -556,8 +576,18 @@ object R11Queries {
         val auth = a.orderBy(col("a").desc, col("p")).limit(15)
           .select(lit("authority").as("role"), col("p").as("node"),
             col("a").as("score_e9"))
-        hub.unionAll(auth)
+        // materialize the 30-row result so the unpersist/AQE-restore
+        // in the finally cannot invalidate the caller's lazy plan
+        val rows = hub.unionAll(auth)
           .orderBy(col("role"), col("score_e9").desc, col("node"))
+          .collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*),
+          rows.head.schema)
+        } finally {
+          s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+          live.foreach(df =>
+            try df.unpersist() catch { case _: Throwable => () })
+        }
       },
       Some("""WITH e AS (SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS p
              |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),

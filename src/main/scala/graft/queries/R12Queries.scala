@@ -1207,10 +1207,20 @@ object R12Queries {
         // 22-row frontier — while the checkpointed LogicalRDD leaf
         // keeps every round's plan depth-1 and the data distributed.
         import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        // AQE OFF for the fixed-round BFS (the kcore discipline):
+        // per-exchange AQE jobs made this 34 driver jobs for 6 rounds.
+        // With static planning the frontier and reach sides carry
+        // explicit broadcast hints — the side AQE auto-broadcast when
+        // it was on (frontier/reach are reachable-node-sized; at
+        // 100 TB they outgrow a broadcast and this becomes the
+        // co-partitioned join AQE would pick dynamically).
+        val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
+        s.conf.set("spark.sql.adaptive.enabled", "false")
         val e = s.read.parquet(SqlQueries.copurchaseEdgesOf(s, d))
         val eb = e.select(col("p1").as("src"), col("p2").as("dst"))
           .unionAll(e.select(col("p2").as("src"), col("p1").as("dst")))
           .persist(MEMORY_AND_DISK)
+        try {
         val seeds = eb.groupBy(col("src").as("seed"))
           .agg(count(lit(1)).as("deg"))
           .orderBy(col("deg").desc, col("seed")).limit(5)
@@ -1224,10 +1234,10 @@ object R12Queries {
         for (h <- 1 to 6) {
           val reachKeys = frontiers.map(_.select(col("seed"), col("node")))
             .reduce(_ unionAll _)
-          frontier = frontier.join(eb, col("node") === col("src"))
+          frontier = broadcast(frontier).join(eb, col("node") === col("src"))
             .select(col("seed"), col("dst").as("node"), lit(h).as("hop"))
             .distinct()
-            .join(reachKeys, Seq("seed", "node"), "left_anti")
+            .join(broadcast(reachKeys), Seq("seed", "node"), "left_anti")
             .localCheckpoint()
           frontiers += frontier
         }
@@ -1240,8 +1250,11 @@ object R12Queries {
             round(col("h60").cast("double") / 60.0, 6).as("harmonic"))
           .orderBy(col("seed"))
         val rows = res.collect()
-        eb.unpersist()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+        } finally {
+          s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+          try eb.unpersist() catch { case _: Throwable => () }
+        }
       }, {
       val hops = (1 to 6).map { h =>
         s"""h$h AS MATERIALIZED (SELECT DISTINCT r.seed, eb.dst AS node

