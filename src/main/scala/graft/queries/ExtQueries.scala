@@ -3277,9 +3277,9 @@ object ExtQueries {
           .agg(sum(when(col("r_q").isNotNull, 1L).otherwise(0L)).as("n_mutual"))
         val tot = mut.agg(
           expr("sum(n_mutual) * 1000000 div (count(1) * 5)").as("mutual_ppm"))
-        mut.crossJoin(broadcast(tot))
+        QueryDef.digest(s, mut.crossJoin(broadcast(tot))
           .select(col("query_id"), col("n_mutual"), col("mutual_ppm"))
-          .orderBy(col("query_id"))
+          .orderBy(col("query_id")), edges)
       },
       Some("""WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
              |  WHERE vec_id < 500),
@@ -4617,7 +4617,8 @@ object ExtQueries {
               (when(col("u") < 0, -1L).otherwise(1L) *
                 expr("abs(u) div (mx div 1000000)")).as("vp"))
         }
-        v.select(col("vi").as("i"), col("vp").as("v_ppm")).orderBy(col("i"))
+        QueryDef.digest(s, v.select(col("vi").as("i"),
+          col("vp").as("v_ppm")).orderBy(col("i")), mu, m)
       },
       Some("""WITH x AS (SELECT vec_id, r.i::INT AS i,
              |    round(embedding[r.i + 1]::DOUBLE * 1000)::BIGINT AS xq
@@ -4723,9 +4724,10 @@ object ExtQueries {
             sum(col("vk2") * col("vk2")).as("den"))
         val tr = m.filter(col("i") === col("j"))
           .agg(sum(col("c")).as("trace_e9"))
-        quad.crossJoin(broadcast(tr))
+        QueryDef.digest(s, quad.crossJoin(broadcast(tr))
           .select(expr("num div den").as("lambda_e9"), col("trace_e9"),
-            expr("(num div den) * 1000000 div trace_e9").as("explained_ppm"))
+            expr("(num div den) * 1000000 div trace_e9")
+              .as("explained_ppm")), mu, m, vk)
       },
       Some("""WITH x AS (SELECT vec_id, r.i::INT AS i,
              |    round(embedding[r.i + 1]::DOUBLE * 1000)::BIGINT AS xq
@@ -6016,7 +6018,7 @@ object ExtQueries {
             Seq("__band", "__bandkey"))
           .filter(col("prior_id") % 5 =!= 4 || col("prior_id") < col("new_id"))
           .select(col("new_id"), col("prior_id")).distinct()
-        cand
+        QueryDef.digest(s, cand
           .join(sets.select(col("doc_id").as("new_id"), col("__sh").as("__sa")), "new_id")
           .join(sets.select(col("doc_id").as("prior_id"), col("__sh").as("__sb")), "prior_id")
           .filter(Dedup.jaccard(col("__sa"), col("__sb")) >= 0.7)
@@ -6024,7 +6026,7 @@ object ExtQueries {
           .agg(min(col("prior_id")).as("dup_of"),
             max((col("prior_id") % 5 === 4).cast("long")).as("any_batch_dup"),
             max((col("prior_id") % 5 =!= 4).cast("long")).as("any_corpus_dup"))
-          .orderBy(col("new_id"))
+          .orderBy(col("new_id")), sets)
       },
       Some(s"""WITH $minhashPairCtes,
               |pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.7),
@@ -6582,10 +6584,11 @@ object ExtQueries {
                   col("v") - 1).cast("double")), 6).as("log_odds"))
         val w = Window.partitionBy(col("source"))
           .orderBy(col("log_odds").desc, col("term"))
-        scored.withColumn("rank", row_number().over(w).cast("long"))
+        QueryDef.digest(s, scored
+          .withColumn("rank", row_number().over(w).cast("long"))
           .filter(col("rank") <= 5)
           .select(col("source"), col("rank"), col("term"), col("log_odds"))
-          .orderBy(col("source"), col("rank"))
+          .orderBy(col("source"), col("rank")), st)
       },
       Some("""WITH t AS (SELECT source,
              |    unnest(string_split(lower(text), ' ')) AS term
@@ -7751,7 +7754,7 @@ object ExtQueries {
             .cast("decimal(20,9)").as("wscore"))
         // one aggregation yields phrase text, length, AND score — the
         // old plan built `phrases` and `psc` separately and joined them
-        members.join(broadcast(ws), "term")
+        QueryDef.digest(s, members.join(broadcast(ws), "term")
           .groupBy(col("doc_id"), col("pid"))
           .agg(array_join(expr(
             "transform(array_sort(collect_list(struct(pos, term))), x -> x.term)"),
@@ -7761,7 +7764,7 @@ object ExtQueries {
           .select(col("doc_id"), col("pid"), col("phrase"),
             col("n_words"), col("score"))
           .orderBy(col("score").desc, col("doc_id"), col("pid"))
-          .limit(20)
+          .limit(20), members)
       },
       Some("""WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS tk
              |  FROM documents),

@@ -529,9 +529,22 @@ object R11Queries {
         // whole mutual-reinforcement chain executes as the 4 broadcast
         // digests plus one final action. Every persist registers for
         // release in the finally so a mid-iteration failure can't leak
-        // cached blocks.
+        // cached blocks. MEASUREMENT NOTE (r16 same-window A/B at
+        // sf0.1): the r15 form's published ~1.4-1.7 s was CACHE-
+        // FLATTERED — it never unpersisted the per-half-step score
+        // tables, so Bench trials 2-3 read trial 1's InMemoryRelations
+        // (and leaked them into the session). Honest fresh-compute
+        // medians: this static+broadcast form 2.1-2.5 s / 14 jobs vs
+        // the AQE form WITH cleanup 4.0-4.3 s / 39 jobs — static wins
+        // on both axes once every trial actually computes.
         val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
+        val partsWas = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.adaptive.enabled", "false")
+        // the partition count AQE would have coalesced to: every
+        // post-edge table is score-digest sized, so 32-wide exchanges
+        // are near-empty tasks; 8 keeps the one data-sized shuffle
+        // (edge distinct) at 75k rows per task
+        s.conf.set("spark.sql.shuffle.partitions", "8")
         val live = scala.collection.mutable.ArrayBuffer.empty[
           org.apache.spark.sql.DataFrame]
         try {
@@ -585,6 +598,7 @@ object R11Queries {
           rows.head.schema)
         } finally {
           s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+          s.conf.set("spark.sql.shuffle.partitions", partsWas)
           live.foreach(df =>
             try df.unpersist() catch { case _: Throwable => () })
         }
@@ -851,10 +865,10 @@ object R11Queries {
         val words = tk.select(explode(col("tk")).as("word")).distinct()
           .select(col("word"), graft.ext.Dedup.strHash60(col("word"))
             .as("node"))
-        r.join(words, "node")
+        QueryDef.digest(s, r.join(words, "node")
           .orderBy(col("sc").desc, col("word")).limit(20)
           .select(col("word"), col("sc").as("score_e6"))
-          .orderBy(col("score_e6").desc, col("word"))
+          .orderBy(col("score_e6").desc, col("word")), eb)
       },
       Some("""WITH t AS (SELECT string_split(lower(text), ' ') AS tk
              |  FROM documents WHERE len(string_split(lower(text), ' ')) >= 2),

@@ -557,7 +557,7 @@ object R12Queries {
         val te_yx = te("x", "x0", "y0").select(round(col("te"), 6)
           .as("te_purchase_to_view"))
         val n = moves.agg(count(lit(1)).cast("long").as("n_triples"))
-        n.crossJoin(te_xy).crossJoin(te_yx)
+        QueryDef.digest(s, n.crossJoin(te_xy).crossJoin(te_yx), moves)
       },
       Some("""WITH daily AS (SELECT ts::DATE AS day,
              |    count(*) FILTER (event_type = 'view')::BIGINT AS v,
@@ -1163,12 +1163,12 @@ object R12Queries {
           col("src") === col("r_src") && col("dst") === col("r_dst"))
           .filter(col("src") < col("dst"))
           .agg(count(lit(1)).as("m"))
-        de.agg(count(lit(1)).as("n_edges"))
+        QueryDef.digest(s, de.agg(count(lit(1)).as("n_edges"))
           .crossJoin(broadcast(mutual))
           .select(col("n_edges"), col("m").as("n_mutual_dyads"),
             (col("n_edges") - col("m") * 2).as("n_asym_dyads"),
             round(lit(2.0) * col("m").cast("double") /
-              col("n_edges").cast("double"), 6).as("reciprocity"))
+              col("n_edges").cast("double"), 6).as("reciprocity")), de)
       },
       Some("""WITH dp AS (SELECT l_orderkey, l_partkey,
              |    min(l_shipdate) AS sd
@@ -1643,13 +1643,14 @@ object R12Queries {
         val tot = pts.agg(count(lit(1)).as("n_points"))
         val corest = cores.agg(count(lit(1)).as("n_core_cells"),
           sum(col("npts")).as("n_core_points"))
-        clus.agg(count(lit(1)).as("n_clusters"),
+        QueryDef.digest(s, clus
+          .agg(count(lit(1)).as("n_clusters"),
             max(col("cpts")).as("largest_cluster_points"))
           .crossJoin(broadcast(corest)).crossJoin(broadcast(tot))
           .select(col("n_core_cells"), col("n_clusters"),
             col("n_core_points"),
             (col("n_points") - col("n_core_points")).as("n_noise_points"),
-            col("largest_cluster_points"))
+            col("largest_cluster_points")), cells, cores, clus)
       },
       Some("""WITH RECURSIVE pts AS (SELECT vec_id,
              |    CAST(round(embedding[1]::DOUBLE * 1000) AS BIGINT) AS z0,
@@ -1732,9 +1733,10 @@ object R12Queries {
           .select(col("a").as("vec_id"),
             round(col("slb").cast("double") / 10.0 / col("lrd"), 6)
               .as("lof"))
-        lof.join(kd.select(col("a").as("vec_id"), col("kdist")), "vec_id")
+        QueryDef.digest(s, lof
+          .join(kd.select(col("a").as("vec_id"), col("kdist")), "vec_id")
           .select(col("vec_id"), col("kdist"), col("lof"))
-          .orderBy(col("lof").desc, col("vec_id")).limit(20)
+          .orderBy(col("lof").desc, col("vec_id")).limit(20), knn)
       },
       Some("""WITH z AS (SELECT vec_id, list_transform(embedding,
              |    x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS z
@@ -1852,14 +1854,15 @@ object R12Queries {
             concat(lit("perm:"), col("b"), lit(":"), col("day"))),
             lit(2L)) * 2 - 1)).as("sd"))
           .groupBy(col("b")).agg(abs(sum(col("sd"))).as("t_b"))
-        tb.crossJoin(broadcast(tobs))
+        QueryDef.digest(s, tb.crossJoin(broadcast(tobs))
           .agg(max(col("t_obs")).as("t_obs_milli"),
             max(col("n_days")).as("n_days"),
             count(lit(1)).as("n_perms"),
             sum(when(col("t_b") >= col("t_obs"), 1L).otherwise(0L))
               .as("n_ge"))
           .select(col("t_obs_milli"), col("n_days"), col("n_perms"),
-            expr("(1 + n_ge) * 1000000 div (n_perms + 1)").as("p_ppm"))
+            expr("(1 + n_ge) * 1000000 div (n_perms + 1)").as("p_ppm")),
+          daily)
       },
       Some(s"""WITH daily AS (SELECT ts::DATE AS day,
              |    (sum(CASE WHEN event_type = 'view'
@@ -2193,7 +2196,7 @@ object R12Queries {
           sum((col("c") - col("c2")) * (col("c") - col("c2"))).as("sdd"))
         val den = c.agg(sum(col("c") * col("c")).as("sc2"),
           count(lit(1)).as("n"))
-        num.crossJoin(broadcast(den))
+        QueryDef.digest(s, num.crossJoin(broadcast(den))
           .select(col("n").cast("long").as("n_cells"),
             (col("w2") / 2).cast("long").as("w_pairs"),
             round(col("n").cast("double") * col("scc").cast("double") /
@@ -2202,7 +2205,7 @@ object R12Queries {
             round((col("n").cast("double") - 1.0) *
               col("sdd").cast("double") /
               (lit(2.0) * col("w2").cast("double") *
-                col("sc2").cast("double")), 6).as("geary_c"))
+                col("sc2").cast("double")), 6).as("geary_c")), cells, c)
       },
       Some("""WITH cells AS (SELECT dayofweek(ts) + 1 AS dw, hour(ts) AS hr,
              |    sum(floor(value * 1000)::BIGINT) // count(*) AS xm
@@ -2319,7 +2322,7 @@ object R12Queries {
             round(log((col("sg").cast("double") *
               col("n").cast("double")) /
               (col("st").cast("double") * col("ng").cast("double"))), 9))
-        parts.agg(
+        QueryDef.digest(s, parts.agg(
             max(col("n")).cast("long").as("n_events"),
             sum(round(col("sh") * col("tg"), 9).cast("decimal(20,9)"))
               .cast("double").as("tw"),
@@ -2328,7 +2331,7 @@ object R12Queries {
           .select(col("n_events"),
             round(col("tw"), 6).as("theil_within"),
             round(col("tb"), 6).as("theil_between"),
-            round(col("tw") + col("tb"), 6).as("theil_total"))
+            round(col("tw") + col("tb"), 6).as("theil_total")), g)
       },
       Some("""WITH ev AS (SELECT event_type,
              |    floor(value * 1000)::BIGINT AS vm

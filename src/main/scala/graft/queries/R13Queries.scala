@@ -1365,9 +1365,9 @@ object R13Queries {
         }
         val deg = e.select(explode(array(col("p1"), col("p2"))).as("n"))
           .groupBy(col("n")).agg(count(lit(1)).as("dg"))
-        e.agg(count(lit(1)).as("truss_edges"))
+        QueryDef.digest(s, e.agg(count(lit(1)).as("truss_edges"))
           .crossJoin(broadcast(deg.agg(count(lit(1)).as("truss_nodes"),
-            coalesce(max(col("dg")), lit(0L)).as("max_degree"))))
+            coalesce(max(col("dg")), lit(0L)).as("max_degree")))), e)
       },
       Some("""WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey
              |  FROM lineitem),
@@ -1895,7 +1895,7 @@ object R13Queries {
         val v2 = rp.join(rp.select(col("i"),
           (col("j") - 1).as("j")), Seq("i", "j"), "left_semi")
         def dbl(c: String) = col(c).cast("double")
-        rp.agg(count(lit(1)).as("n_recur"))
+        QueryDef.digest(s, rp.agg(count(lit(1)).as("n_recur"))
           .crossJoin(broadcast(d2.agg(count(lit(1)).as("nd2"))))
           .crossJoin(broadcast(v2.agg(count(lit(1)).as("nv2"))))
           .crossJoin(eps)
@@ -1903,7 +1903,7 @@ object R13Queries {
             round(lit(2.0) * dbl("n_recur") / (dbl("n") * dbl("n")), 6)
               .as("rr"),
             round(dbl("nd2") / dbl("n_recur"), 6).as("det2_frac"),
-            round(dbl("nv2") / dbl("n_recur"), 6).as("lam2_frac"))
+            round(dbl("nv2") / dbl("n_recur"), 6).as("lam2_frac")), rp)
       },
       Some("""WITH daily AS (SELECT row_number() OVER (ORDER BY day) - 1
              |      AS t, y FROM (

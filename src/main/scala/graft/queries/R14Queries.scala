@@ -742,15 +742,15 @@ object R14Queries {
           .persist()
         val b = graft.analytics.Ranks.ntileBoundaries(docs, 10,
           Seq("mlp_e9" -> false))
-        // stays persisted: the returned plan's band filter reuses the
-        // cached ≤n_docs-row digest instead of re-running the token
-        // pipeline (a ~1 MB cache entry at sf0.1 — digest-sized, not
-        // data-sized, at any scale)
         val (lo, hi) = (b.head.getLong(0), b(8).getLong(0))
-        docs
+        // the band filter rides the cached ≤n_docs-row digest (so the
+        // token pipeline runs once), then the digest is RELEASED via
+        // the checkpointed result — an unreleased persist would let
+        // the next bench trial read this trial's cache (and leak it)
+        QueryDef.checkpointed(docs
           .filter(col("mlp_e9") >= lit(lo) && col("mlp_e9") <= lit(hi))
           .select(col("doc_id"), col("n_tokens"), col("mlp_e9"))
-          .orderBy(col("doc_id"))
+          .orderBy(col("doc_id")), docs)
       },
       Some("""WITH t AS (SELECT doc_id,
              |    unnest(string_split(lower(text), ' ')) AS term

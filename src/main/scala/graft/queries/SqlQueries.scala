@@ -4250,7 +4250,8 @@ object SqlQueries {
           count(lit(1)).as("n"))
         val lags = cen.withColumn("lag",
           explode(array(lit(1), lit(2), lit(3))))
-        lags.join(cen.select(col("rn").as("rb"), col("c").as("cb")),
+        QueryDef.digest(s, lags
+          .join(cen.select(col("rn").as("rb"), col("c").as("cb")),
             col("rb") === col("rn") + col("lag"))
           .groupBy(col("lag")).agg(sum(col("c") * col("cb")).as("num"))
           .crossJoin(broadcast(denom))
@@ -4265,7 +4266,7 @@ object SqlQueries {
             sum(col("term")).cast("double"), 4).as("q_stat"))
           .select(col("n"), col("q_stat"),
             when(col("q_stat") > 7.815, 1L).otherwise(0L)
-              .as("reject_white_noise"))
+              .as("reject_white_noise")), cen)
       },
       Some("""WITH h AS (SELECT date_trunc('hour', ts) AS hr,
              |    sum(floor(value * 100)::BIGINT)::BIGINT AS cents
@@ -4313,12 +4314,13 @@ object SqlQueries {
         val ties = daily.groupBy(col("cents")).agg(count(lit(1)).as("t"))
           .agg(coalesce(sum(col("t") * (col("t") - 1) *
             (col("t") * 2 + 5)), lit(0L)).as("tsum"))
-        pairs.crossJoin(broadcast(nn)).crossJoin(broadcast(ties))
+        QueryDef.digest(s, pairs
+          .crossJoin(broadcast(nn)).crossJoin(broadcast(ties))
           .select(col("n"), col("s"),
             round((col("s").cast("double") -
               signum(col("s").cast("double"))) /
               sqrt((col("n") * (col("n") - 1) * (col("n") * 2 + 5) -
-                col("tsum")).cast("double") / 18.0), 6).as("z"))
+                col("tsum")).cast("double") / 18.0), 6).as("z")), daily)
       },
       Some("""WITH daily AS (SELECT ts::DATE AS day,
              |    sum(floor(value * 100)::BIGINT)::BIGINT AS cents
@@ -4525,14 +4527,14 @@ object SqlQueries {
           .agg(sum(col("nx") * (col("nx") - 1)).as("tieX2"))
         val ty = cell.groupBy(col("y")).agg(sum(col("nc")).as("ny"))
           .agg(sum(col("ny") * (col("ny") - 1)).as("tieY2"))
-        cd.crossJoin(broadcast(margins))
+        QueryDef.digest(s, cd.crossJoin(broadcast(margins))
           .crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
           .select(col("c"), col("dd").as("d"),
             round((col("c") - col("dd")).cast("double") /
               sqrt((col("n") * (col("n") - 1) - col("tieX2"))
                 .cast("double") *
                 (col("n") * (col("n") - 1) - col("tieY2"))
-                  .cast("double")) / lit(0.5), 6).as("tau_b"))
+                  .cast("double")) / lit(0.5), 6).as("tau_b")), cell)
       },
       Some("""WITH cell AS (SELECT floor(value * 10)::BIGINT AS x,
              |    hour(ts)::BIGINT AS y, count(*) AS nc
@@ -7046,12 +7048,12 @@ object SqlQueries {
             col("sy")).cast("double") /
             (col("n") * col("qx") - col("sx") * col("sx")).cast("double"))
             .as("slope"))
-        curve.crossJoin(broadcast(fit))
+        QueryDef.digest(s, curve.crossJoin(broadcast(fit))
           .select(col("k").cast("long").as("k"), col("n_base"), col("n_ret"),
             col("rate_ppm"), round(col("slope"), 6).as("decay_slope"),
             round(lit(-0.6931471805599453) / col("slope"), 6)
               .as("halflife_days"))
-          .orderBy(col("k"))
+          .orderBy(col("k")), ud, curve)
       },
       Some("""WITH ud AS (SELECT DISTINCT ts::DATE AS day, user_id FROM events),
              |ks AS (SELECT unnest(range(1, 8))::INT AS k),
@@ -7093,7 +7095,8 @@ object SqlQueries {
               col("user_id")),
             Seq("day", "user_id"))
           .groupBy(col("day")).agg(count(lit(1)).as("n_inter"))
-        dau.join(dau.select(date_add(col("day"), 1).as("day"),
+        QueryDef.digest(s, dau
+          .join(dau.select(date_add(col("day"), 1).as("day"),
             col("dau").as("dau_prev")), Seq("day"))
           .join(inter, Seq("day"), "left")
           .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
@@ -7102,7 +7105,7 @@ object SqlQueries {
             round(col("n_inter").cast("double") /
               (col("dau") + col("dau_prev") - col("n_inter")).cast("double"), 6)
               .as("jaccard"))
-          .orderBy(col("day"))
+          .orderBy(col("day")), ud)
       },
       Some("""WITH ud AS (SELECT DISTINCT ts::DATE AS day, user_id FROM events),
              |dau AS (SELECT day, count(*)::BIGINT AS dau FROM ud GROUP BY 1),
@@ -9186,14 +9189,15 @@ object SqlQueries {
           col("session_id").as("sess_a"), col("st").as("st_a"), col("en").as("en_a"))
         val rhs = b.select(col("bucket"), col("user_id").as("user_b"),
           col("session_id").as("sess_b"), col("st").as("st_b"), col("en").as("en_b"))
-        lhs.join(rhs, Seq("bucket"))
+        QueryDef.checkpointed(lhs.join(rhs, Seq("bucket"))
           .filter(col("user_a") < col("user_b") &&
             col("st_a") <= col("en_b") && col("st_b") <= col("en_a"))
           .filter(expr("bucket = greatest(st_a, st_b) div 3600000000"))
           .select(col("user_a"), col("user_b"), col("sess_a"), col("sess_b"),
             expr("(least(en_a, en_b) - greatest(st_a, st_b)) div 1000000")
               .as("overlap_sec"))
-          .orderBy(col("user_a"), col("user_b"), col("sess_a"), col("sess_b"))
+          .orderBy(col("user_a"), col("user_b"), col("sess_a"), col("sess_b")),
+          sess)
       },
       Some("""WITH g AS (
              |  SELECT user_id, event_id, ts,
@@ -9713,7 +9717,8 @@ object SqlQueries {
           (col("sv").cast("double") / col("n")).as("m_a"))
         val b = g.select(col("event_type").as("g_b"), col("n").as("n_b"),
           (col("sv").cast("double") / col("n")).as("m_b"))
-        a.join(b, col("g_a") < col("g_b")).crossJoin(broadcast(msw))
+        QueryDef.digest(s, a
+          .join(b, col("g_a") < col("g_b")).crossJoin(broadcast(msw))
           .select(col("g_a"), col("g_b"),
             round(abs(col("m_a") - col("m_b")) / lit(1000.0), 6)
               .as("mean_diff"),
@@ -9724,7 +9729,7 @@ object SqlQueries {
               lit(3.858) * sqrt(col("msw") / 2.0 *
                 (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 1L)
               .otherwise(0L).as("significant"))
-          .orderBy(col("g_a"), col("g_b"))
+          .orderBy(col("g_a"), col("g_b")), g)
       },
       Some("""WITH e AS (SELECT event_type,
              |    floor(value * 1000)::BIGINT AS vm FROM events),
@@ -10120,12 +10125,12 @@ object SqlQueries {
             log(col("n").cast("double") / col("nh"))), 9)
             .cast("decimal(20,9)").as("__t"))
           .agg(sum(col("__t")).as("h_cond"))
-        hType.crossJoin(hCond)
+        QueryDef.digest(s, hType.crossJoin(hCond)
           .select(
             round(col("h_type").cast("double"), 6).as("h_type"),
             round(col("h_cond").cast("double"), 6).as("h_type_given_hour"),
             round((col("h_type") - col("h_cond")).cast("double") /
-              col("h_type").cast("double"), 6).as("theils_u"))
+              col("h_type").cast("double"), 6).as("theils_u")), obs)
       },
       Some("""WITH o AS (SELECT event_type, hour(ts) AS hr, count(*) AS n
              |  FROM events GROUP BY 1, 2),
