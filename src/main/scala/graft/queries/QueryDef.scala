@@ -44,15 +44,15 @@ object QueryDef {
     * materializes a row-heavy result via localCheckpoint (blocks are
     * GC-reclaimed once unreferenced). Both then unpersist every
     * registered frame, so each trial pays the query's full cost. */
-  def digest(s: SparkSession, res: DataFrame, cached: DataFrame*): DataFrame = {
-    val rows = res.collect()
-    cached.foreach(df => try df.unpersist() catch { case _: Throwable => () })
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
-  }
+  def digest(s: SparkSession, res: DataFrame, cached: DataFrame*): DataFrame =
+    try {
+      val rows = res.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+    } finally // release even when the materialization itself fails
+      cached.foreach(df => try df.unpersist() catch { case _: Throwable => () })
 
-  def checkpointed(res: DataFrame, cached: DataFrame*): DataFrame = {
-    val out = res.localCheckpoint()
-    cached.foreach(df => try df.unpersist() catch { case _: Throwable => () })
-    out
-  }
+  def checkpointed(res: DataFrame, cached: DataFrame*): DataFrame =
+    try res.localCheckpoint()
+    finally
+      cached.foreach(df => try df.unpersist() catch { case _: Throwable => () })
 }
