@@ -1698,17 +1698,31 @@ object R12Queries {
     // kNN, measured separately by sim_recall_ann).
     QueryDef("q_lof_outliers",
       (s, d) => {
+        // squared distance via the norm identity d² = |a|² + |b|² − 2a·b:
+        // the per-vector norms compute ONCE on 500 rows, and the
+        // per-pair term rides the codegen'd native DotProduct kernel —
+        // the old zip_with+aggregate lambda pair evaluated INTERPRETED
+        // per element on all 250k pairs (measured as this query owning
+        // the bench's slowest slot at 4.0 s). Exactness holds: z
+        // elements are milli-quantized (|z| ≲ 3k), so every product and
+        // the 64-term sum sit far below 2^53 — the double dot is
+        // integer-exact and the long cast loses nothing.
         val z = s.read.parquet(s"$d/embeddings.parquet")
           .filter(col("vec_id") < 500)
           .select(col("vec_id"), expr("transform(embedding, " +
             "x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
             .as("z"))
-        val pd = z.select(col("vec_id").as("a"), col("z").as("za"))
-          .join(z.select(col("vec_id").as("b"), col("z").as("zb")),
+          .withColumn("n2", expr(
+            "aggregate(z, 0L, (acc, v) -> acc + v * v)"))
+        val pd = z.select(col("vec_id").as("a"), col("z").as("za"),
+            col("n2").as("na"))
+          .join(z.select(col("vec_id").as("b"), col("z").as("zb"),
+            col("n2").as("nb")),
             col("a") =!= col("b"))
           .select(col("a"), col("b"),
-            expr("aggregate(zip_with(za, zb, (x, y) -> (x - y) * (x - y)), " +
-              "0L, (acc, v) -> acc + v)").as("d2"))
+            (col("na") + col("nb") -
+              (lit(2.0) * graft.functions.VectorFunctions.vec_dot(s,
+                col("za"), col("zb"))).cast("long")).as("d2"))
         val w = Window.partitionBy(col("a")).orderBy(col("d2"), col("b"))
         val knn = pd.withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 10).persist()
