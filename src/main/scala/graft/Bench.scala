@@ -25,7 +25,7 @@ object Bench {
     // a fixed disk tax to every q_stream_* number; removed on exit
     val streamCpBase =
       graft.streaming.StreamingEtl.scratchDir("graft_bench_cp")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
@@ -34,7 +34,22 @@ object Bench {
       .config("spark.sql.streaming.checkpointLocation",
         streamCpBase.toString)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      // the generated-class cache defaults to 100 entries; a ~700-query
+      // suite generates thousands of codegen units, so retrials and
+      // cross-query shared shapes (same scan/agg schema => identical
+      // generated source) were recompiling via Janino on every run.
+      // Sized to hold the whole suite — a long-lived cluster session
+      // would be exactly this warm.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
+    // SPARK_GRAFT_CONF="k=v;k2=v2" — extra session confs for A/B
+    // experiments without recompiling (the driver never sets it)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => builder.config(k.trim, v.trim)
+        case _ => ()
+      }
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     sys.addShutdownHook {
       try org.apache.commons.io.FileUtils

@@ -165,6 +165,10 @@ object ScaleBench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // same rationale as Bench: the 100-entry default generated-class
+      // cache thrashes across a multi-query sweep; affects 1x and 10x
+      // identically so the ratios stay honest
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -19,7 +19,7 @@ object ExtQueries {
   private val dimCache = scala.collection.concurrent.TrieMap.empty[String, Int]
   private def dimOf(s: org.apache.spark.sql.SparkSession, d: String): Int =
     dimCache.getOrElseUpdate(d,
-      Similarity.dimOf(s.read.parquet(s"$d/embeddings.parquet"), "embedding"))
+      Similarity.dimOf(graft.sources.Tables.load(s, d, "embeddings"), "embedding"))
 
   /** Hive-partitioned (by day) relayout of the events table per sf
     * dir — a one-time table-maintenance artifact (like the bucketed
@@ -46,7 +46,7 @@ object ExtQueries {
   private def centroidsOf(s: org.apache.spark.sql.SparkSession,
                           d: String): Array[Array[Long]] =
     centroidCache.getOrElseUpdate(d,
-      Similarity.fitCentroids(s.read.parquet(s"$d/embeddings.parquet")))
+      Similarity.fitCentroids(graft.sources.Tables.load(s, d, "embeddings")))
 
   /** PQ codebooks (two 32-dim subspaces, 16 cells each) per sf dir —
     * offline artifacts like the IVF quantizer, trained once with the
@@ -56,7 +56,7 @@ object ExtQueries {
   private def pqCodebooksOf(s: org.apache.spark.sql.SparkSession,
                             d: String): (Array[Array[Long]], Array[Array[Long]]) =
     pqCache.getOrElseUpdate(d, {
-      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      val emb = graft.sources.Tables.load(s, d, "embeddings")
       def sub(start: Int) = emb.select(col("vec_id"),
         slice(col("embedding"), start, 32).as("embedding"))
       (Similarity.fitCentroids(sub(1)), Similarity.fitCentroids(sub(33)))
@@ -69,7 +69,7 @@ object ExtQueries {
   private def pqCodes(s: org.apache.spark.sql.SparkSession,
                       d: String): org.apache.spark.sql.DataFrame = {
     val (cb0, cb1) = pqCodebooksOf(s, d)
-    val emb = s.read.parquet(s"$d/embeddings.parquet")
+    val emb = graft.sources.Tables.load(s, d, "embeddings")
     def sub(start: Int) = emb.select(col("vec_id"),
       slice(col("embedding"), start, 32).as("embedding"))
     Similarity.cellAssignments(sub(1), cb0).toDF("neighbor_id", "c0")
@@ -83,7 +83,7 @@ object ExtQueries {
   private def pqLut(s: org.apache.spark.sql.SparkSession,
                     d: String): org.apache.spark.sql.DataFrame = {
     val (cb0, cb1) = pqCodebooksOf(s, d)
-    val emb = s.read.parquet(s"$d/embeddings.parquet")
+    val emb = graft.sources.Tables.load(s, d, "embeddings")
     // SQL round(): half away from zero
     def rnd(x: Double): Long =
       (if (x >= 0) math.floor(x * 1000 + 0.5) else math.ceil(x * 1000 - 0.5)).toLong
@@ -111,7 +111,7 @@ object ExtQueries {
     * `sim_topk_binary` and the binary column of `sim_recall_ann`. */
   private def binaryTopK(s: org.apache.spark.sql.SparkSession, d: String,
                          k: Int): org.apache.spark.sql.DataFrame = {
-    val emb = s.read.parquet(s"$d/embeddings.parquet")
+    val emb = graft.sources.Tables.load(s, d, "embeddings")
     val codes = emb.select(col("vec_id"),
       expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
         .as("iv"))
@@ -222,7 +222,7 @@ object ExtQueries {
                               d: String): org.apache.spark.sql.DataFrame =
     groupsCache.getOrElseUpdate((System.identityHashCode(s), d),
       Dedup.connectedComponents(
-        Dedup.minhashNearDups(s.read.parquet(s"$d/documents.parquet"), 0.7)
+        Dedup.minhashNearDups(graft.sources.Tables.load(s, d, "documents"), 0.7)
           .select("id_a", "id_b")))
 
   /** Exact MinHash ground-truth count (pairs at Jaccard ≥ 0.7) for the
@@ -238,7 +238,7 @@ object ExtQueries {
                              d: String): Long =
     minhashTruthCache.getOrElseUpdate(d, {
       val sets = Dedup.shingleSets(
-        s.read.parquet(s"$d/documents.parquet"), "doc_id", "text")
+        graft.sources.Tables.load(s, d, "documents"), "doc_id", "text")
       val post = sets.select(col("doc_id"), explode(col("__sh")).as("h"))
       val cp = post.alias("x").join(post.alias("y"),
           col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
@@ -260,7 +260,7 @@ object ExtQueries {
   private def rpThresholdsOf(s: org.apache.spark.sql.SparkSession,
                              d: String): Seq[Map[Int, Double]] =
     rpThresholdsCache.getOrElseUpdate(d, Similarity.rpTreeThresholds(
-      s.read.parquet(s"$d/embeddings.parquet"), dim = dimOf(s, d)))
+      graft.sources.Tables.load(s, d, "embeddings"), dim = dimOf(s, d)))
 
   /** Corpus-side RP-tree leaf assignments per sf dir — the offline
     * INDEX (the thresholds are the model; this is the routed corpus),
@@ -278,11 +278,11 @@ object ExtQueries {
       // formula change must miss this cache, not silently join query
       // routes against leaves from a different tree shape
       val depth = Similarity.adaptiveRpDepth(
-        s.read.parquet(s"$d/embeddings.parquet").count())
+        graft.sources.Tables.load(s, d, "embeddings").count())
       val p = s"${System.getProperty("java.io.tmpdir")}/graft_annidx_${graft.io.FileSkipping.pathKey(d, s"rpleaves-d$depth-v1")}"
       if (!new java.io.File(p, "_SUCCESS").isFile)
         Similarity.rpTreeLeaves(
-          s.read.parquet(s"$d/embeddings.parquet"),
+          graft.sources.Tables.load(s, d, "embeddings"),
           rpThresholdsOf(s, d), dim = dimOf(s, d))
           .write.mode("overwrite").parquet(p)
       p
@@ -300,11 +300,11 @@ object ExtQueries {
     val path = lshIndexCache.getOrElseUpdate(d, {
       // adaptive plane count joins the index identity (see rpLeavesOf)
       val np = Similarity.adaptiveNPlanes(
-        s.read.parquet(s"$d/embeddings.parquet").count())
+        graft.sources.Tables.load(s, d, "embeddings").count())
       val p = s"${System.getProperty("java.io.tmpdir")}/graft_annidx_${graft.io.FileSkipping.pathKey(d, s"lshsigs-t8-p$np-v1")}"
       if (!new java.io.File(p, "_SUCCESS").isFile)
         Similarity.lshCorpusSignatures(
-          s.read.parquet(s"$d/embeddings.parquet"),
+          graft.sources.Tables.load(s, d, "embeddings"),
           nTables = 8, dim = dimOf(s, d))
           .write.mode("overwrite").parquet(p)
       p
@@ -319,7 +319,7 @@ object ExtQueries {
     * (lsh_candidates, rptree_candidates) as per-query means. */
   def annCandidateCounts(s: org.apache.spark.sql.SparkSession,
                          d: String): (Double, Double) = {
-    val emb = s.read.parquet(s"$d/embeddings.parquet")
+    val emb = graft.sources.Tables.load(s, d, "embeddings")
     val q = emb.filter(col("vec_id") < 10)
     val nq = math.max(q.count(), 1L)
     val np = Similarity.adaptiveNPlanes(emb.count())
@@ -349,7 +349,7 @@ object ExtQueries {
     fragLayoutCache.getOrElseUpdate(d, {
       val frag = s"${System.getProperty("java.io.tmpdir")}/graft_compact_${graft.io.FileSkipping.pathKey(d, "v1")}/frag"
       if (!new java.io.File(frag, "_SUCCESS").isFile)
-        s.read.parquet(s"$d/documents.parquet")
+        graft.sources.Tables.load(s, d, "documents")
           .repartition(64).write.mode("overwrite").parquet(frag)
       frag
     })
@@ -560,7 +560,7 @@ object ExtQueries {
 
     // Exact dedup: content-hash groups, keeper = min doc_id.
     QueryDef("dedup_exact",
-      (s, d) => Dedup.exactDups(s.read.parquet(s"$d/documents.parquet"))
+      (s, d) => Dedup.exactDups(graft.sources.Tables.load(s, d, "documents"))
         .orderBy(col("doc_id")),
       Some("""SELECT doc_id, md5(text) AS content_hash,
              |  count(*) OVER (PARTITION BY md5(text)) AS group_size,
@@ -569,7 +569,7 @@ object ExtQueries {
 
     // MinHash-LSH near-dup pairs + exact Jaccard verify (>= 0.7).
     QueryDef("dedup_neardup_minhash",
-      (s, d) => Dedup.minhashNearDups(s.read.parquet(s"$d/documents.parquet"), 0.7)
+      (s, d) => Dedup.minhashNearDups(graft.sources.Tables.load(s, d, "documents"), 0.7)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("id_a"), col("id_b")),
       Some(minhashOracle)),
@@ -580,7 +580,7 @@ object ExtQueries {
     // symmetric Jaccard dilutes below any usable threshold. Oracle
     // replays candidates + containment over the string shingle sets.
     QueryDef("dedup_containment",
-      (s, d) => Dedup.containmentPairs(s.read.parquet(s"$d/documents.parquet"), 0.7)
+      (s, d) => Dedup.containmentPairs(graft.sources.Tables.load(s, d, "documents"), 0.7)
         .select(col("id_a"), col("id_b"),
           round(col("containment"), 4).as("containment"))
         .orderBy(col("id_a"), col("id_b")),
@@ -594,7 +594,7 @@ object ExtQueries {
 
     // SimHash 32-bit fingerprints (per-row projection, no shuffle).
     QueryDef("dedup_simhash",
-      (s, d) => s.read.parquet(s"$d/documents.parquet")
+      (s, d) => graft.sources.Tables.load(s, d, "documents")
         .select(col("doc_id"), Dedup.simhash(col("text"), 32).as("simhash"))
         .orderBy(col("doc_id")),
       Some(simhashOracle)),
@@ -608,7 +608,7 @@ object ExtQueries {
       // repartition: the single-file scan would otherwise compute
       // every 60-bit shingle fingerprint in one task
       (s, d) => Dedup.simhashNearDups(
-        s.read.parquet(s"$d/documents.parquet").transform(QueryDef.fanOut),
+        graft.sources.Tables.load(s, d, "documents").transform(QueryDef.fanOut),
         maxHamming = 3)
         .orderBy(col("id_a"), col("id_b")),
       Some(s"""WITH ${simhashCte(60)},
@@ -637,7 +637,7 @@ object ExtQueries {
     // hamming/Jaccard verification.
     QueryDef("dedup_editdistance",
       (s, d) => {
-        val docs = s.read.parquet(s"$d/documents.parquet")
+        val docs = graft.sources.Tables.load(s, d, "documents")
           .filter(col("doc_id") < 1000)
         // the pairs table is tiny in BYTES but huge in CPU (a banded
         // DP per row) — AQE's size-based coalescing would collapse it
@@ -694,7 +694,7 @@ object ExtQueries {
     QueryDef("dedup_ngram_jaccard",
       (s, d) => {
         val sets = Dedup.shingleSets(
-          s.read.parquet(s"$d/documents.parquet").filter(col("doc_id") < 100),
+          graft.sources.Tables.load(s, d, "documents").filter(col("doc_id") < 100),
           "doc_id", "text")
         val a = sets.select(col("doc_id").as("id_a"), col("__sh").as("__sa"))
         val b = sets.select(col("doc_id").as("id_b"), col("__sh").as("__sb"))
@@ -736,7 +736,7 @@ object ExtQueries {
     // minhashTruthOf artifact).
     QueryDef("dedup_minhash_recall",
       (s, d) => {
-        val docs = s.read.parquet(s"$d/documents.parquet")
+        val docs = graft.sources.Tables.load(s, d, "documents")
         val cand = Dedup.minhashNearDups(docs, 0.0)
           .agg(count(lit(1)).as("n_candidates"),
             sum(when(col("jaccard") >= 0.7, 1L).otherwise(0L)).as("n_found"))
@@ -805,7 +805,7 @@ object ExtQueries {
     // math at corpus scale.
     QueryDef("dedup_minhash_estimate",
       (s, d) => {
-        val docs = s.read.parquet(s"$d/documents.parquet")
+        val docs = graft.sources.Tables.load(s, d, "documents")
         val pairs = Dedup.minhashNearDups(docs, 0.7)
           .select(col("id_a"), col("id_b"), col("jaccard"))
         val sigs = Dedup.shingleSets(docs, "doc_id", "text")
@@ -865,7 +865,7 @@ object ExtQueries {
     // Brute-force exact cosine top-5 for the first 10 query vectors.
     QueryDef("sim_topk_bruteforce",
       (s, d) => {
-        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        val emb = graft.sources.Tables.load(s, d, "embeddings")
         Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
           .select(col("query_id"), col("rank"), col("neighbor_id"),
             round(col("sim"), 6).as("sim"))
@@ -891,7 +891,7 @@ object ExtQueries {
     // work — stays ~constant as the corpus grows.
     QueryDef("sim_topk_lsh",
       (s, d) => {
-        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        val emb = graft.sources.Tables.load(s, d, "embeddings")
         // corpusSigs = the prebuilt signature index (lshIndexOf):
         // query-time work is 10 query signatures + the bucket join +
         // candidate rerank — the n·tables·planes·dim corpus signature
@@ -926,7 +926,7 @@ object ExtQueries {
     // brute-force law stays pinned in SimilaritySpec.
     QueryDef("sim_topk_ivf",
       (s, d) => {
-        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        val emb = graft.sources.Tables.load(s, d, "embeddings")
         Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5,
           centroids = Some(centroidsOf(s, d)))
           .select(col("query_id"), col("rank"), col("neighbor_id"),
@@ -962,7 +962,7 @@ object ExtQueries {
     //   arithmetic.
     QueryDef("sim_recall_ann",
       (s, d) => {
-        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        val emb = graft.sources.Tables.load(s, d, "embeddings")
         val q = emb.filter(col("vec_id") < 10)
         // JOB-COUNT FLOOR (r16, measured): this audit runs SEVEN full
         // ANN pipelines (3 LSH configs, 2 IVF probes, PQ, binary) plus
@@ -1089,7 +1089,7 @@ object ExtQueries {
     // from measured data: max pairwise cosine at sf0.01 is ~0.51.
     QueryDef("sim_neardup_embedding",
       (s, d) => Similarity.exactNearDupPairs(
-        s.read.parquet(s"$d/embeddings.parquet").filter(col("vec_id") < 500), 0.45)
+        graft.sources.Tables.load(s, d, "embeddings").filter(col("vec_id") < 500), 0.45)
         .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
         .orderBy(col("id_a"), col("id_b")),
       Some("""WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -1106,7 +1106,7 @@ object ExtQueries {
     // baseline above. Oracle reproduces the identical bucketing.
     QueryDef("sim_neardup_lsh",
       (s, d) => Similarity.nearDupPairs(
-        s.read.parquet(s"$d/embeddings.parquet"), 0.45,
+        graft.sources.Tables.load(s, d, "embeddings"), 0.45,
         nTables = 8, dim = dimOf(s, d))
         .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
         .orderBy(col("id_a"), col("id_b")),
@@ -1124,7 +1124,7 @@ object ExtQueries {
 
     // Token stats + quality score per document.
     QueryDef("text_stats",
-      (s, d) => TextAnalysis.stats(s.read.parquet(s"$d/documents.parquet"))
+      (s, d) => TextAnalysis.stats(graft.sources.Tables.load(s, d, "documents"))
         .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
           round(col("ttr"), 5).as("ttr"),
           round(col("avg_token_len"), 5).as("avg_token_len"),
@@ -1149,7 +1149,7 @@ object ExtQueries {
 
     // Marker-word language-ID heuristic (argmax, profile order ties).
     QueryDef("text_langid",
-      (s, d) => s.read.parquet(s"$d/documents.parquet")
+      (s, d) => graft.sources.Tables.load(s, d, "documents")
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"))
         .orderBy(col("doc_id")),
       Some(s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
@@ -1168,7 +1168,7 @@ object ExtQueries {
     // text_langid, rolled up instead of emitted per doc.
     QueryDef("text_langid_confusion",
       (s, d) => {
-        val pred = s.read.parquet(s"$d/documents.parquet")
+        val pred = graft.sources.Tables.load(s, d, "documents")
           .select(col("lang"), TextAnalysis.langId(col("text"))
             .as("lang_guess"))
         val w = Window.partitionBy(col("lang"))
@@ -1203,7 +1203,7 @@ object ExtQueries {
     // pins both the sketch arithmetic AND its collision behavior.
     QueryDef("corpus_cms_estimate",
       (s, d) => {
-        val tok = s.read.parquet(s"$d/documents.parquet")
+        val tok = graft.sources.Tables.load(s, d, "documents")
           .transform(QueryDef.fanOut)
           .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
         val tf = tok.groupBy(col("term")).agg(count(lit(1)).as("exact_n"))
@@ -1249,7 +1249,7 @@ object ExtQueries {
 
     // Document fingerprints: bag-of-words md5 + polynomial rolling hash.
     QueryDef("text_fingerprint",
-      (s, d) => s.read.parquet(s"$d/documents.parquet")
+      (s, d) => graft.sources.Tables.load(s, d, "documents")
         .select(col("doc_id"),
           TextAnalysis.fingerprint(col("text")).as("bow_md5"),
           TextAnalysis.rollingHash(col("text")).as("roll_hash"))
@@ -1264,7 +1264,7 @@ object ExtQueries {
 
     // BPE-ish regex token count (letter runs / digit runs / single punct).
     QueryDef("text_token_count",
-      (s, d) => s.read.parquet(s"$d/documents.parquet")
+      (s, d) => graft.sources.Tables.load(s, d, "documents")
         .select(col("doc_id"),
           TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"))
         .orderBy(col("doc_id")),
@@ -1276,7 +1276,7 @@ object ExtQueries {
     // oracle applies verbatim). Output carries the scrubbed-text md5 +
     // match counts, keeping the compared surface narrow but exact.
     QueryDef("text_pii_scrub",
-      (s, d) => s.read.parquet(s"$d/documents.parquet")
+      (s, d) => graft.sources.Tables.load(s, d, "documents")
         .select(col("doc_id"),
           md5(TextAnalysis.scrubPii(col("text"))).as("scrubbed_md5"),
           size(regexp_extract_all(col("text"), lit(TextAnalysis.EmailRe), lit(0)))
@@ -1298,7 +1298,7 @@ object ExtQueries {
     // Context-window chunking: 64-token chunks, stride 48 (16-token
     // overlap) — closed-form chunk starts, one codegen'd scan.
     QueryDef("text_chunk",
-      (s, d) => TextAnalysis.chunks(s.read.parquet(s"$d/documents.parquet"))
+      (s, d) => TextAnalysis.chunks(graft.sources.Tables.load(s, d, "documents"))
         .orderBy(col("doc_id"), col("chunk_id")),
       Some("""WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS tk FROM documents),
              |c AS (SELECT doc_id, u.i // 48 AS chunk_id,
@@ -1318,7 +1318,7 @@ object ExtQueries {
     QueryDef("dedup_chunks",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val ids = TextAnalysis.chunks(s.read.parquet(s"$d/documents.parquet"))
+        val ids = TextAnalysis.chunks(graft.sources.Tables.load(s, d, "documents"))
           .select(col("doc_id"), col("chunk_id"), md5(col("chunk_text")).as("__h"))
         val w = Window.partitionBy(col("__h")).orderBy(col("doc_id"), col("chunk_id"))
         ids.withColumn("rn", row_number().over(w))
@@ -1347,7 +1347,7 @@ object ExtQueries {
     // rounded. N rides a broadcast 1-row aggregate, never a collect.
     QueryDef("text_tfidf",
       (s, d) => {
-        val docs = s.read.parquet(s"$d/documents.parquet")
+        val docs = graft.sources.Tables.load(s, d, "documents")
         val tf = docs
           // fan the single-file scan out before tokenize+explode
           .transform(QueryDef.fanOut)
@@ -1382,7 +1382,7 @@ object ExtQueries {
     // Corpus-wide top-20 bigrams by document frequency (distinct
     // per-doc shingles -> count): the vocabulary/contamination probe.
     QueryDef("corpus_ngram_topk",
-      (s, d) => s.read.parquet(s"$d/documents.parquet")
+      (s, d) => graft.sources.Tables.load(s, d, "documents")
         .select(explode(
           graft.functions.TextHashFunctions.shingleStrings(col("text"), 2))
           .as("bigram"))
@@ -1406,7 +1406,7 @@ object ExtQueries {
     // (every term > N/65 present, bounds within N/65) is pinned by
     // HeavyHittersSpec.
     QueryDef("corpus_heavy_hitters_approx",
-      (s, d) => s.read.parquet(s"$d/documents.parquet")
+      (s, d) => graft.sources.Tables.load(s, d, "documents")
         .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
         .agg(graft.functions.HeavyHitters.heavyHitters(col("term"), 64).as("hh"))
         .select(explode(col("hh")).as("e"))
@@ -1435,7 +1435,7 @@ object ExtQueries {
     // bucket < 20 (a reproducible 20% sample any engine re-derives —
     // the scale-correct alternative to rand()-based sampling).
     QueryDef("doc_sample_hash",
-      (s, d) => s.read.parquet(s"$d/documents.parquet")
+      (s, d) => graft.sources.Tables.load(s, d, "documents")
         .select(col("doc_id"),
           pmod(Dedup.strHash60(concat(lit("sample:"), col("doc_id"))), lit(100))
             .as("bucket"))
@@ -1457,7 +1457,7 @@ object ExtQueries {
       (s, d) => {
         val keepPpm = least(lit(950000L),
           greatest(lit(50000L), col("n_chars") * 500))
-        s.read.parquet(s"$d/documents.parquet")
+        graft.sources.Tables.load(s, d, "documents")
           .select(col("doc_id"), col("n_chars"),
             keepPpm.as("keep_ppm"),
             pmod(Dedup.strHash60(concat(lit("wsample:"), col("doc_id"))),
@@ -1480,7 +1480,7 @@ object ExtQueries {
     // training: every row of the output is one packed sequence.
     QueryDef("pipe_seq_pack",
       (s, d) => TextAnalysis.packBins(
-        s.read.parquet(s"$d/documents.parquet"),
+        graft.sources.Tables.load(s, d, "documents"),
         orderCol = "doc_id",
         weight = TextAnalysis.bpeishTokenCount(col("text")),
         budget = 2048L,
@@ -1513,7 +1513,7 @@ object ExtQueries {
     QueryDef("pipe_pack_efficiency",
       (s, d) => {
         val bins = TextAnalysis.packBins(
-            s.read.parquet(s"$d/documents.parquet"),
+            graft.sources.Tables.load(s, d, "documents"),
             orderCol = "doc_id",
             weight = TextAnalysis.bpeishTokenCount(col("text")),
             budget = 2048L,
@@ -1556,7 +1556,7 @@ object ExtQueries {
     // curve screams synthetic/templated text to a data auditor.
     QueryDef("corpus_vocab_growth",
       (s, d) => {
-        val docs = s.read.parquet(s"$d/documents.parquet")
+        val docs = graft.sources.Tables.load(s, d, "documents")
         val firstDoc = docs
           .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
           .groupBy(col("term")).agg(min(col("doc_id")).as("first_doc"))
@@ -1595,7 +1595,7 @@ object ExtQueries {
     QueryDef("dedup_banding_sensitivity",
       (s, d) => {
         val sets = Dedup.shingleSets(
-          s.read.parquet(s"$d/documents.parquet"), "doc_id", "text")
+          graft.sources.Tables.load(s, d, "documents"), "doc_id", "text")
         def pairsOf(bands: Int, rpb: Int) =
           Dedup.bandedSignatures(sets, "doc_id", bands, rpb)
             .select(col("doc_id"), col("__band"), col("__bandkey"))
@@ -1659,7 +1659,7 @@ object ExtQueries {
     // themselves must match, not just the shape.
     QueryDef("emb_cell_occupancy",
       (s, d) => {
-        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        val emb = graft.sources.Tables.load(s, d, "embeddings")
         Similarity.cellAssignments(emb, centroidsOf(s, d))
           .groupBy(col("cell").cast("long").as("cell"))
           .agg(count(lit(1)).as("n_vecs"))
@@ -1678,7 +1678,7 @@ object ExtQueries {
     QueryDef("pipe_shard_shuffle",
       (s, d) => {
         val h = Dedup.strHash60(concat(lit("shuf:"), col("doc_id")))
-        s.read.parquet(s"$d/documents.parquet")
+        graft.sources.Tables.load(s, d, "documents")
           .select(col("doc_id"), pmod(h, lit(64)).as("shard"), h.as("__hk"))
           .withColumn("pos",
             (row_number().over(org.apache.spark.sql.expressions.Window
@@ -1704,7 +1704,7 @@ object ExtQueries {
     // shapes a 100 TB corpus tolerates. All three rates in exact ppm.
     QueryDef("pipe_shuffle_mixing",
       (s, d) => {
-        val docs = s.read.parquet(s"$d/documents.parquet")
+        val docs = graft.sources.Tables.load(s, d, "documents")
           .select(col("doc_id"), col("source"))
         val h = Dedup.strHash60(concat(lit("shuf:"), col("doc_id")))
         val sharded = docs
@@ -1761,7 +1761,7 @@ object ExtQueries {
     // is scanned once.
     QueryDef("pipe_corpus_mix",
       (s, d) => {
-        val docs = s.read.parquet(s"$d/documents.parquet")
+        val docs = graft.sources.Tables.load(s, d, "documents")
         val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
         val tot = counts.agg(sum(col("cnt")).as("total"),
           count(lit(1)).as("ns"))
@@ -1793,8 +1793,8 @@ object ExtQueries {
     // down, and the same LSH/IVF kernels apply unchanged at scale.
     QueryDef("pipe_filtered_ann",
       (s, d) => {
-        val emb = s.read.parquet(s"$d/embeddings.parquet")
-        val kept = TextAnalysis.stats(s.read.parquet(s"$d/documents.parquet"))
+        val emb = graft.sources.Tables.load(s, d, "embeddings")
+        val kept = TextAnalysis.stats(graft.sources.Tables.load(s, d, "documents"))
           .withColumn("quality", round(TextAnalysis.qualityScore, 5))
           .filter(col("quality") >= 0.5)
           .select(col("doc_id"))
@@ -1829,7 +1829,7 @@ object ExtQueries {
     // engine reproduces the exact sample. One scan, no per-stratum
     // passes.
     QueryDef("doc_sample_stratified",
-      (s, d) => s.read.parquet(s"$d/documents.parquet")
+      (s, d) => graft.sources.Tables.load(s, d, "documents")
         .select(col("doc_id"), col("source"),
           when(substring(col("source"), 4, 10).cast("int") % 2 === 0, 20)
             .otherwise(50).as("rate"),
@@ -1854,7 +1854,7 @@ object ExtQueries {
     // 100 TB against a benchmark suite without shuffling the corpus.
     QueryDef("pipe_decontaminate",
       (s, d) => {
-        val grams = s.read.parquet(s"$d/documents.parquet")
+        val grams = graft.sources.Tables.load(s, d, "documents")
           .select(col("doc_id"),
             explode(graft.functions.TextHashFunctions.shingleStrings(col("text"), 2))
               .as("bigram"))
@@ -1878,7 +1878,7 @@ object ExtQueries {
     // OCCURRENCES that are repeats — 1 - distinct/total, total being
     // closed-form (n_tokens - 2). One fused-kernel projection.
     QueryDef("text_rep_ratio",
-      (s, d) => s.read.parquet(s"$d/documents.parquet")
+      (s, d) => graft.sources.Tables.load(s, d, "documents")
         .select(col("doc_id"),
           size(split(lower(col("text")), " ")).as("n_tokens"),
           size(graft.functions.TextHashFunctions.shingles60(col("text"), 3))
@@ -1901,7 +1901,7 @@ object ExtQueries {
     // Token-length histogram (width-50 buckets) — the corpus length
     // profile every filtering decision starts from. Integer bucket math.
     QueryDef("text_len_histogram",
-      (s, d) => s.read.parquet(s"$d/documents.parquet")
+      (s, d) => graft.sources.Tables.load(s, d, "documents")
         .select((size(split(lower(col("text")), " ")).cast("long"))
           .as("n_tokens"))
         .select(expr("n_tokens div 50").as("bucket"))
@@ -1917,7 +1917,7 @@ object ExtQueries {
     // pipeline runs.
     QueryDef("sim_knn_classify",
       (s, d) => {
-        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        val emb = graft.sources.Tables.load(s, d, "embeddings")
         val labels = emb.select(col("vec_id").as("neighbor_id"), col("label"))
         val votes = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 50), 5)
           .join(labels, "neighbor_id")
@@ -1951,7 +1951,7 @@ object ExtQueries {
     // of each dimension parallelizes instead of reducing whole vectors
     // through one combiner.
     QueryDef("emb_label_centroids",
-      (s, d) => s.read.parquet(s"$d/embeddings.parquet")
+      (s, d) => graft.sources.Tables.load(s, d, "embeddings")
         .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
         .groupBy(col("label"), col("dim"))
         .agg(round(avg(col("v")), 6).as("centroid"), count(lit(1)).as("n"))
@@ -1969,7 +1969,7 @@ object ExtQueries {
     // codegen'd dot kernel; the 1-row stats ride a broadcast.
     QueryDef("emb_norm_outliers",
       (s, d) => {
-        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        val emb = graft.sources.Tables.load(s, d, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         val norms = emb.select(col("vec_id"),
           sqrt(graft.functions.VectorFunctions.vec_dot(s, col("v"), col("v")))
@@ -1998,7 +1998,7 @@ object ExtQueries {
     // hashes, not text). This is the "describe()" of the corpus world,
     // and the numbers a mixing/curation decision starts from.
     QueryDef("corpus_datacard",
-      (s, d) => s.read.parquet(s"$d/documents.parquet")
+      (s, d) => graft.sources.Tables.load(s, d, "documents")
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("source")).as("n_sources"),
           countDistinct(col("lang")).as("n_langs"),
@@ -2038,7 +2038,7 @@ object ExtQueries {
         // output needs no term text); the top-100 cutoff tie-breaks on
         // the hash, mirrored in the oracle, so the vocabulary is
         // deterministic and identical on both engines.
-        val tf = s.read.parquet(s"$d/documents.parquet")
+        val tf = graft.sources.Tables.load(s, d, "documents")
           .transform(QueryDef.fanOut)
           .select(col("doc_id"),
             explode(TextAnalysis.tokens(col("text"))).as("term"))
@@ -2079,7 +2079,7 @@ object ExtQueries {
     // exactly what the broadcast models.
     QueryDef("emb_hard_negatives",
       (s, d) => {
-        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        val emb = graft.sources.Tables.load(s, d, "embeddings")
         val q = emb.filter(col("vec_id") < 20)
           .select(col("vec_id").as("query_id"), col("label").as("__ql"),
             col("embedding").as("__qv"))
@@ -2122,7 +2122,7 @@ object ExtQueries {
     // identically.
     QueryDef("emb_semdedup",
       (s, d) => {
-        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        val emb = graft.sources.Tables.load(s, d, "embeddings")
         val asg = Similarity.cellAssignments(emb, centroidsOf(s, d))
         val v = emb.select(col("vec_id"), col("embedding"))
         val a = asg.select(col("vec_id").as("id_a"), col("cell"))
@@ -2162,7 +2162,7 @@ object ExtQueries {
     QueryDef("emb_pq_codes",
       (s, d) => {
         val (cb0, cb1) = pqCodebooksOf(s, d)
-        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        val emb = graft.sources.Tables.load(s, d, "embeddings")
         def sub(start: Int) = emb.select(col("vec_id"),
           slice(col("embedding"), start, 32).as("embedding"))
         val a0 = Similarity.cellAssignments(sub(1), cb0).toDF("vec_id", "code0")
@@ -2191,7 +2191,7 @@ object ExtQueries {
     QueryDef("emb_pq_distortion",
       (s, d) => {
         val (cb0, cb1) = pqCodebooksOf(s, d)
-        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        val emb = graft.sources.Tables.load(s, d, "embeddings")
         def cbDf(cb: Array[Array[Long]], cell: String, cd: String) = {
           val spark2 = s
           import spark2.implicits._
@@ -2313,7 +2313,7 @@ object ExtQueries {
     // broadcast LUT → per-query top-k window; one narrow shuffle.
     QueryDef("sim_topk_ivfpq",
       (s, d) => {
-        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        val emb = graft.sources.Tables.load(s, d, "embeddings")
         val probes = Similarity.ivfProbes(emb.filter(col("vec_id") < 10),
           centroidsOf(s, d), nProbe = 4)
         val cells = Similarity.cellAssignments(emb, centroidsOf(s, d))
@@ -2396,7 +2396,7 @@ object ExtQueries {
     // norm is an exact decimal sum with one final division.
     QueryDef("emb_cluster_profile",
       (s, d) => {
-        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        val emb = graft.sources.Tables.load(s, d, "embeddings")
         val asg = Similarity.cellAssignments(emb, centroidsOf(s, d))
         emb.select(col("vec_id"), col("label"),
             round(sqrt(graft.functions.VectorFunctions.vec_dot(s,
@@ -2426,7 +2426,7 @@ object ExtQueries {
     // Long format over the first 20 vectors keeps the compare exact;
     // division order matches the oracle so IEEE doubles agree.
     QueryDef("emb_quantize",
-      (s, d) => s.read.parquet(s"$d/embeddings.parquet")
+      (s, d) => graft.sources.Tables.load(s, d, "embeddings")
         .filter(col("vec_id") < 20)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .withColumn("maxabs",
@@ -2454,7 +2454,7 @@ object ExtQueries {
     // hash), the shape a C4/Gopher-style filter runs at corpus scale.
     QueryDef("pipe_corpus_filter",
       (s, d) => {
-        val docs = s.read.parquet(s"$d/documents.parquet")
+        val docs = graft.sources.Tables.load(s, d, "documents")
         val withQuality = TextAnalysis.stats(docs)
           .withColumn("quality", round(TextAnalysis.qualityScore, 5))
         val marked = Dedup.exactDups(docs).select(col("doc_id"), col("is_dup"))
@@ -2485,7 +2485,7 @@ object ExtQueries {
     // offline computation.
     QueryDef("pipe_corpus_filter_neardup",
       (s, d) => {
-        val docs = s.read.parquet(s"$d/documents.parquet")
+        val docs = graft.sources.Tables.load(s, d, "documents")
         val withQuality = TextAnalysis.stats(docs)
           .withColumn("quality", round(TextAnalysis.qualityScore, 5))
         val dropped = neardupGroupsOf(s, d)
@@ -2529,7 +2529,7 @@ object ExtQueries {
     QueryDef("mm_image_features",
       (s, d) => {
         val media = graft.multimodal.Multimodal.syntheticMedia(
-          s.read.parquet(s"$d/documents.parquet")
+          graft.sources.Tables.load(s, d, "documents")
             .filter(col("doc_id") < 200), "doc_id")
         graft.multimodal.Multimodal.imageFeatures(media).toDF()
           .select(col("media_id"),
@@ -2568,7 +2568,7 @@ object ExtQueries {
     QueryDef("mm_audio_features",
       (s, d) => {
         val media = graft.multimodal.Multimodal.syntheticMedia(
-          s.read.parquet(s"$d/documents.parquet")
+          graft.sources.Tables.load(s, d, "documents")
             .filter(col("doc_id") < 200), "doc_id")
         graft.multimodal.Multimodal.audioFeatures(media).toDF()
           .select(col("media_id"), col("sample_rate"), col("n_samples"),
@@ -2591,7 +2591,7 @@ object ExtQueries {
         // documents scan is one split, and without the spread the
         // Goertzel sweep (the query's whole cost) runs single-threaded
         val media = graft.multimodal.Multimodal.syntheticMedia(
-          s.read.parquet(s"$d/documents.parquet")
+          graft.sources.Tables.load(s, d, "documents")
             .filter(col("doc_id") < 200)
             .transform(QueryDef.fanOut), "doc_id")
         graft.multimodal.Multimodal.audioPitch(media).toDF()
@@ -2610,7 +2610,7 @@ object ExtQueries {
     QueryDef("mm_audio_snr",
       (s, d) => {
         val clean = graft.multimodal.Multimodal.syntheticMedia(
-          s.read.parquet(s"$d/documents.parquet")
+          graft.sources.Tables.load(s, d, "documents")
             .filter(col("doc_id") < 200), "doc_id")
         val degraded = graft.multimodal.Multimodal.injectDropouts(clean)
         graft.multimodal.Multimodal.audioSnr(clean, degraded)
@@ -2630,7 +2630,7 @@ object ExtQueries {
       (s, d) => {
         val media = graft.multimodal.Multimodal.injectDropouts(
           graft.multimodal.Multimodal.syntheticMedia(
-            s.read.parquet(s"$d/documents.parquet")
+            graft.sources.Tables.load(s, d, "documents")
             .filter(col("doc_id") < 200), "doc_id"))
         graft.multimodal.Multimodal.audioSilence(media).toDF()
           .select(col("media_id"), col("n_samples"), col("n_runs"),
@@ -2647,7 +2647,7 @@ object ExtQueries {
     QueryDef("mm_video_scenecut",
       (s, d) => {
         val media = graft.multimodal.Multimodal.syntheticShotVideo(
-          s.read.parquet(s"$d/documents.parquet")
+          graft.sources.Tables.load(s, d, "documents")
             .filter(col("doc_id") < 100), "doc_id")
         graft.multimodal.Multimodal.videoSceneCuts(media).toDF()
           .select(col("media_id"), col("n_frames"), col("n_cuts"),
@@ -2659,7 +2659,7 @@ object ExtQueries {
     QueryDef("mm_video_features",
       (s, d) => {
         val media = graft.multimodal.Multimodal.syntheticVideo(
-          s.read.parquet(s"$d/documents.parquet")
+          graft.sources.Tables.load(s, d, "documents")
             .filter(col("doc_id") < 100), "doc_id")
         graft.multimodal.Multimodal.videoFeatures(media).toDF()
           .select(col("media_id"),
@@ -2710,7 +2710,7 @@ object ExtQueries {
     QueryDef("mm_image_neardup",
       (s, d) => {
         val media = graft.multimodal.Multimodal.syntheticMedia(
-          s.read.parquet(s"$d/documents.parquet")
+          graft.sources.Tables.load(s, d, "documents")
             .filter(col("doc_id") < 200), "doc_id")
         // thumbnails of random pixel fields are all-positive vectors, so
         // pairwise cosine concentrates near 1 (measured ~0.91-0.996 over
@@ -2733,7 +2733,7 @@ object ExtQueries {
       (s, d) => {
         val media = graft.multimodal.Multimodal.injectImageVariants(
           graft.multimodal.Multimodal.syntheticMedia(
-            s.read.parquet(s"$d/documents.parquet")
+            graft.sources.Tables.load(s, d, "documents")
             .filter(col("doc_id") < 200), "doc_id"))
         graft.multimodal.Multimodal.imagePhashPairs(media, 7)
           .orderBy(col("id_a"), col("id_b"))
@@ -2749,7 +2749,7 @@ object ExtQueries {
       (s, d) => {
         val media = graft.multimodal.Multimodal.injectImageVariants(
           graft.multimodal.Multimodal.syntheticMedia(
-            s.read.parquet(s"$d/documents.parquet")
+            graft.sources.Tables.load(s, d, "documents")
             .filter(col("doc_id") < 200), "doc_id"))
         graft.multimodal.Multimodal.imageDhashPairs(media, 7)
           .orderBy(col("id_a"), col("id_b"))
@@ -2762,7 +2762,7 @@ object ExtQueries {
     // NOT unique in the synthetic data, so order by every projected
     // column: any remaining tie is an identical row.
     QueryDef("k2_preview",
-      (s, d) => s.read.parquet(s"$d/lineitem.parquet")
+      (s, d) => graft.sources.Tables.load(s, d, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_returnflag")).limit(10),
@@ -2805,7 +2805,7 @@ object ExtQueries {
     // silently lose scale in Spark and overflow to DOUBLE in DuckDB).
     QueryDef("text_unigram_logprob",
       (s, d) => {
-        val docs = s.read.parquet(s"$d/documents.parquet")
+        val docs = graft.sources.Tables.load(s, d, "documents")
         val toks = docs.select(col("doc_id"),
           explode(TextAnalysis.tokens(col("text"))).as("term"))
         val tf = toks.groupBy(col("doc_id"), col("term"))
@@ -2845,7 +2845,7 @@ object ExtQueries {
     // log10 terms rounded to 9 decimals and summed as exact integer
     // nano-units in both engines (HashKernels.charEntropy scaladoc).
     QueryDef("text_char_entropy",
-      (s, d) => s.read.parquet(s"$d/documents.parquet")
+      (s, d) => graft.sources.Tables.load(s, d, "documents")
         .select(col("doc_id"),
           round(graft.functions.TextHashFunctions.charEntropy(col("text")), 6)
             .as("char_entropy"))
@@ -2863,7 +2863,7 @@ object ExtQueries {
     // on the scan, no shuffle; no SQL engine deflates -> rows-only,
     // ordering laws pinned in TextAnalysisSpec.
     QueryDef("text_compression_ratio",
-      (s, d) => s.read.parquet(s"$d/documents.parquet")
+      (s, d) => graft.sources.Tables.load(s, d, "documents")
         .select(col("doc_id"),
           round(graft.functions.TextHashFunctions.compressionRatio(col("text")), 6)
             .as("deflate_ratio"))
@@ -2881,7 +2881,7 @@ object ExtQueries {
     // order in both engines, so the rounded values hash-match.
     QueryDef("text_pmi_bigrams",
       (s, d) => {
-        val tk = s.read.parquet(s"$d/documents.parquet")
+        val tk = graft.sources.Tables.load(s, d, "documents")
           .select(TextAnalysis.tokens(col("text")).as("tk"))
           .filter(size(col("tk")) >= 2)
         val bg = tk.select(explode(expr(
@@ -2930,7 +2930,7 @@ object ExtQueries {
     // shape: each source partition ranks independently, no global sort.
     QueryDef("doc_quality_rank",
       (s, d) => {
-        val st = TextAnalysis.stats(s.read.parquet(s"$d/documents.parquet"))
+        val st = TextAnalysis.stats(graft.sources.Tables.load(s, d, "documents"))
           .withColumn("quality", round(TextAnalysis.qualityScore, 5))
         val w = Window.partitionBy(col("source"))
           .orderBy(col("quality").desc, col("doc_id"))
@@ -2961,7 +2961,7 @@ object ExtQueries {
       (s, d) => {
         val norm = trim(regexp_replace(
           regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
-        Dedup.exactDups(s.read.parquet(s"$d/documents.parquet")
+        Dedup.exactDups(graft.sources.Tables.load(s, d, "documents")
             .withColumn("text", norm))
           .orderBy(col("doc_id"))
       },
@@ -2984,7 +2984,7 @@ object ExtQueries {
       (s, d) => {
         val h = conv(substring(md5(concat(lit("split:"),
           col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long") % 100
-        s.read.parquet(s"$d/documents.parquet")
+        graft.sources.Tables.load(s, d, "documents")
           .withColumn("split",
             when(h < 80, "train").when(h < 90, "validation").otherwise("test"))
           .groupBy(col("source"), col("split"))
@@ -3010,7 +3010,7 @@ object ExtQueries {
     // component counts and hash-fails.
     QueryDef("pipe_split_leakage_safe",
       (s, d) => {
-        val docs = s.read.parquet(s"$d/documents.parquet")
+        val docs = graft.sources.Tables.load(s, d, "documents")
         val groups = neardupGroupsOf(s, d)
           .select(col("id").as("doc_id"), col("group_id"))
         val keyed = docs.join(groups, Seq("doc_id"), "left")
@@ -3054,7 +3054,7 @@ object ExtQueries {
     QueryDef("io_csv_roundtrip",
       (s, d) => {
         import org.apache.spark.sql.types._
-        val docs = s.read.parquet(s"$d/documents.parquet")
+        val docs = graft.sources.Tables.load(s, d, "documents")
         val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_rt_${graft.io.FileSkipping.pathKey(d, "v1")}"
         graft.io.Export.csv(docs, out)
         val schema = StructType(Seq(
@@ -3084,7 +3084,7 @@ object ExtQueries {
     QueryDef("io_jsonl_roundtrip",
       (s, d) => {
         import org.apache.spark.sql.types._
-        val docs = s.read.parquet(s"$d/documents.parquet")
+        val docs = graft.sources.Tables.load(s, d, "documents")
         val out = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_rt_${graft.io.FileSkipping.pathKey(d, "v1")}"
         docs.write.mode("overwrite").json(out)
         val schema = StructType(Seq(
@@ -3120,7 +3120,7 @@ object ExtQueries {
       (s, d) => {
         val out = s"${System.getProperty("java.io.tmpdir")}/graft_gseq_${graft.io.FileSkipping.pathKey(d, "v1")}"
         graft.sources.GraftSeqSource.writeShards(
-          s.read.parquet(s"$d/documents.parquet"), out, nShards = 8)
+          graft.sources.Tables.load(s, d, "documents"), out, nShards = 8)
         graft.sources.GraftSeqSource.read(s, out)
           .agg(count(lit(1)).as("n_docs"),
             sum(length(col("text"))).as("sum_chars"),
@@ -3149,7 +3149,7 @@ object ExtQueries {
             new java.io.File(out).listFiles().count(_.getName.endsWith(".gseq")) == 0 ||
             !graft.sources.GraftSeqSource.hasManifestCounts(out))
           graft.sources.GraftSeqSource.writeShards(
-            s.read.parquet(s"$d/documents.parquet"), out, nShards = 8)
+            graft.sources.Tables.load(s, d, "documents"), out, nShards = 8)
         graft.sources.GraftSeqSource.read(s, out)
           .agg(count(lit(1)).as("n_docs"))
       },
@@ -3167,10 +3167,10 @@ object ExtQueries {
         if (!new java.io.File(out).isDirectory ||
             new java.io.File(out).listFiles().count(_.getName.endsWith(".gseq")) == 0)
           graft.sources.GraftSeqSource.writeShards(
-            s.read.parquet(s"$d/documents.parquet"), out, nShards = 8)
+            graft.sources.Tables.load(s, d, "documents"), out, nShards = 8)
         val docs = graft.sources.GraftSeqSource.read(s, out)
           .select(col("doc_id"))
-        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        val emb = graft.sources.Tables.load(s, d, "embeddings")
           .select(col("vec_id"))
         docs.join(emb, col("doc_id") === col("vec_id"))
           .agg(count(lit(1)).as("n_matched"),
@@ -3191,7 +3191,7 @@ object ExtQueries {
         if (!new java.io.File(out).isDirectory ||
             new java.io.File(out).listFiles().count(_.getName.endsWith(".gseq")) == 0)
           graft.sources.GraftSeqSource.writeShards(
-            s.read.parquet(s"$d/documents.parquet"), out, nShards = 8)
+            graft.sources.Tables.load(s, d, "documents"), out, nShards = 8)
         graft.sources.GraftSeqSource.read(s, out)
           .groupBy(pmod(col("doc_id"), lit(8)).as("shard"))
           .agg(count(lit(1)).as("n_records"),
@@ -3216,7 +3216,7 @@ object ExtQueries {
     // Top-20 by score with id tie-break.
     QueryDef("emb_ood_mahalanobis",
       (s, d) => {
-        val dm = s.read.parquet(s"$d/embeddings.parquet")
+        val dm = graft.sources.Tables.load(s, d, "embeddings")
           .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
           .select(col("vec_id"), col("dim"),
             floor(col("x").cast("double") * lit(1000000.0)).cast("long").as("xq"))
@@ -3263,7 +3263,7 @@ object ExtQueries {
     // every row (one broadcast digest).
     QueryDef("emb_knn_mutuality",
       (s, d) => {
-        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        val emb = graft.sources.Tables.load(s, d, "embeddings")
         val edges = Similarity.bruteForceTopK(
             emb.filter(col("vec_id") < 500), emb.filter(col("vec_id") < 500), 5)
           .select(col("query_id"), col("neighbor_id"))
@@ -3310,7 +3310,7 @@ object ExtQueries {
     // rounded once and summed as exact decimals.
     QueryDef("emb_intrinsic_dim",
       (s, d) => {
-        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        val emb = graft.sources.Tables.load(s, d, "embeddings")
           .filter(col("vec_id") < 500)
         val nn2 = Similarity.bruteForceTopK(emb, emb, 2)
           .groupBy(col("query_id"))
@@ -3353,7 +3353,7 @@ object ExtQueries {
     // from exact integer sums.
     QueryDef("text_mattr",
       (s, d) => {
-        val tk = s.read.parquet(s"$d/documents.parquet")
+        val tk = graft.sources.Tables.load(s, d, "documents")
           .select(col("source"), TextAnalysis.tokens(col("text")).as("tk"))
           .filter(size(col("tk")) >= 50)
         tk.select(col("source"), size(col("tk")).as("n_tok"),
@@ -3392,9 +3392,9 @@ object ExtQueries {
     // both at 100 TB. Flags reuse the graded operators' kernels.
     QueryDef("pipe_decon_agreement",
       (s, d) => {
-        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        val emb = graft.sources.Tables.load(s, d, "embeddings")
         val nEmb = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
-        val docs = s.read.parquet(s"$d/documents.parquet")
+        val docs = graft.sources.Tables.load(s, d, "documents")
           .filter(col("doc_id") < nEmb)
         val grams = docs.select(col("doc_id"),
           explode(graft.functions.TextHashFunctions.shingleStrings(col("text"), 2))
@@ -3473,7 +3473,7 @@ object ExtQueries {
     // variances so the 64-term reduction is exact.
     QueryDef("emb_participation_ratio",
       (s, d) => {
-        val dm = s.read.parquet(s"$d/embeddings.parquet")
+        val dm = graft.sources.Tables.load(s, d, "embeddings")
           .select(posexplode(col("embedding")).as(Seq("dim", "x")))
           .select(col("dim"),
             floor(col("x").cast("double") * lit(1000000.0)).cast("long").as("xq"))
@@ -3520,7 +3520,7 @@ object ExtQueries {
     // exact definitions.
     QueryDef("pipe_filter_funnel",
       (s, d) => {
-        val docs = s.read.parquet(s"$d/documents.parquet")
+        val docs = graft.sources.Tables.load(s, d, "documents")
         val hits = docs
           .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
           .groupBy(col("doc_id"))
@@ -3603,7 +3603,7 @@ object ExtQueries {
     QueryDef("emb_align_uniformity",
       (s, d) => {
         import graft.functions.VectorFunctions.vec_dot
-        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        val emb = graft.sources.Tables.load(s, d, "embeddings")
           .filter(col("vec_id") < 500)
         val a = emb.select(col("vec_id").as("ia"), col("label").as("la"),
           col("embedding").as("va"))
@@ -3649,9 +3649,9 @@ object ExtQueries {
     // memoized CC grouping; one joined pass over the corpus digest.
     QueryDef("pipe_dedup_savings",
       (s, d) => {
-        val docs = s.read.parquet(s"$d/documents.parquet")
+        val docs = graft.sources.Tables.load(s, d, "documents")
           .select(col("doc_id"), col("n_chars"))
-        val exact = Dedup.exactDups(s.read.parquet(s"$d/documents.parquet"))
+        val exact = Dedup.exactDups(graft.sources.Tables.load(s, d, "documents"))
           .select(col("doc_id").as("e_id"), col("is_dup"))
         val near = neardupGroupsOf(s, d)
           .select(col("id").as("n_id"), col("group_id"))
@@ -3714,7 +3714,7 @@ object ExtQueries {
     // hash groupBys; prefix hashing keys the shuffle, never the text.
     QueryDef("dedup_truncation",
       (s, d) => {
-        val docs = s.read.parquet(s"$d/documents.parquet")
+        val docs = graft.sources.Tables.load(s, d, "documents")
           .select(col("doc_id"),
             md5(substring(col("text"), 1, 64)).as("prefix_hash"),
             md5(col("text")).as("full_hash"))
@@ -3855,7 +3855,7 @@ object ExtQueries {
     QueryDef("text_bm25_search",
       (s, d) => {
         val terms = Seq("vector", "stream", "merge")
-        val docs = s.read.parquet(s"$d/documents.parquet")
+        val docs = graft.sources.Tables.load(s, d, "documents")
         val dl = docs.select(col("doc_id"),
           size(TextAnalysis.tokens(col("text"))).as("dl"))
         val tf = docs
@@ -3915,7 +3915,7 @@ object ExtQueries {
     // exact set intersection).
     QueryDef("corpus_overlap",
       (s, d) => {
-        val sb = s.read.parquet(s"$d/documents.parquet")
+        val sb = graft.sources.Tables.load(s, d, "documents")
           .select(col("source"), explode(graft.functions.TextHashFunctions
             .shingleStrings(col("text"), 2)).as("bg"))
           .distinct()
@@ -3957,7 +3957,7 @@ object ExtQueries {
     // runs over the 30-row digest, not the corpus.
     QueryDef("corpus_vocab_coverage",
       (s, d) => {
-        val tf = s.read.parquet(s"$d/documents.parquet")
+        val tf = graft.sources.Tables.load(s, d, "documents")
           .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
           .groupBy(col("term")).agg(count(lit(1)).as("n"))
         val tot = tf.agg(sum(col("n")).as("total"))
@@ -3995,7 +3995,7 @@ object ExtQueries {
     // terms are rounded once and summed as exact decimals.
     QueryDef("text_js_divergence",
       (s, d) => {
-        val toks = s.read.parquet(s"$d/documents.parquet")
+        val toks = graft.sources.Tables.load(s, d, "documents")
           .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("term"))
         val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("n_t"))
           .orderBy(col("n_t").desc, col("term")).limit(30)
@@ -4068,7 +4068,7 @@ object ExtQueries {
         // reuse), and SHUFFLE_HASH pinned on the bigram-sized final
         // join. V counts distinct token HASHES on both engines
         // (collision-symmetric, same value in practice).
-        val docs = s.read.parquet(s"$d/documents.parquet")
+        val docs = graft.sources.Tables.load(s, d, "documents")
           .filter(size(split(col("text"), " ")) >= 2)
           .transform(QueryDef.fanOut)
           .withColumn("__hk",
@@ -4080,7 +4080,7 @@ object ExtQueries {
         val btf = b.groupBy(col("doc_id"), col("h1"), col("h2"))
           .agg(count(lit(1)).as("tf"))
         val cbg = btf.groupBy(col("h1"), col("h2")).agg(sum(col("tf")).as("c"))
-        val v = s.read.parquet(s"$d/documents.parquet")
+        val v = graft.sources.Tables.load(s, d, "documents")
           .transform(QueryDef.fanOut)
           .select(explode(graft.functions.TextHashFunctions
             .tokensAll60(col("text"))).as("th"))
@@ -4135,7 +4135,7 @@ object ExtQueries {
             concat(lit("lang="), col("lang")).as("fv")),
           struct(lit("source").as("feat"),
             concat(lit("source="), col("source")).as("fv"))))
-        s.read.parquet(s"$d/documents.parquet")
+        graft.sources.Tables.load(s, d, "documents")
           .select(col("doc_id"), fv.as("x"))
           .select(col("doc_id"), col("x.feat").as("feat"),
             pmod(Dedup.strHash60(concat(lit("slot:"), col("x.fv"))),
@@ -4193,7 +4193,7 @@ object ExtQueries {
     // in SQL to match Spark's `lit(1.0) - lit(0.7)` IEEE result.
     QueryDef("emb_mmr_rerank",
       (s, d) => {
-        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        val emb = graft.sources.Tables.load(s, d, "embeddings")
         Similarity.mmrRerank(emb, emb.filter(col("vec_id") < 10),
             k = 3, poolK = 10, lambda = 0.7)
           .select(col("query_id"), col("mmr_rank"), col("neighbor_id"),
@@ -4261,7 +4261,7 @@ object ExtQueries {
     // testing the boundary identically in both engines.
     QueryDef("pipe_token_budget_sample",
       (s, d) => {
-        val docs = s.read.parquet(s"$d/documents.parquet")
+        val docs = graft.sources.Tables.load(s, d, "documents")
           .select(col("doc_id"), col("source"),
             // floor() on BOTH engines: a bare double→long cast truncates
             // in Spark but rounds in DuckDB (3.5 → 3 vs 4)
@@ -4301,7 +4301,7 @@ object ExtQueries {
     // windowed — no shuffle beyond the bucket partitioning.
     QueryDef("pipe_length_batching",
       (s, d) => {
-        val docs = s.read.parquet(s"$d/documents.parquet")
+        val docs = graft.sources.Tables.load(s, d, "documents")
           .select(col("doc_id"),
             (col("n_chars") / lit(256)).cast("long").as("len_bucket"),
             pmod(Dedup.strHash60(concat(lit("batch:"), col("doc_id"))),
@@ -4334,7 +4334,7 @@ object ExtQueries {
     // number that says whether 256-char buckets are tight enough.
     QueryDef("pipe_padding_waste",
       (s, d) => {
-        val docs = s.read.parquet(s"$d/documents.parquet")
+        val docs = graft.sources.Tables.load(s, d, "documents")
           .select(col("doc_id"),
             (col("n_chars") / lit(256)).cast("long").as("len_bucket"),
             (expr("n_chars div 4") + 1).as("est_tok"),
@@ -4400,7 +4400,7 @@ object ExtQueries {
             struct(i.cast("int").as("i"), j.cast("int").as("j"),
               element_at(col("__xq"), (i + lit(1)).cast("int")).as("xq"),
               element_at(col("__xq"), (j + lit(1)).cast("int")).as("yq")))))
-        s.read.parquet(s"$d/embeddings.parquet")
+        graft.sources.Tables.load(s, d, "embeddings")
           .select(xq.as("__xq"))
           .select(explode(pairs).as("p"))
           .select(col("p.i").as("i"), col("p.j").as("j"),
@@ -4439,7 +4439,7 @@ object ExtQueries {
     // pass over the signal scan.
     QueryDef("pipe_quality_gate",
       (s, d) => {
-        val st = TextAnalysis.stats(s.read.parquet(s"$d/documents.parquet"))
+        val st = TextAnalysis.stats(graft.sources.Tables.load(s, d, "documents"))
           .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
             col("n_stop"))
         val lenOk = col("n_tokens").between(20, 1000)
@@ -4479,7 +4479,7 @@ object ExtQueries {
     // the float fit hash-matches to the final division.
     QueryDef("text_zipf_fit",
       (s, d) => {
-        val tf = s.read.parquet(s"$d/documents.parquet")
+        val tf = graft.sources.Tables.load(s, d, "documents")
           .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
           .filter(col("term") =!= "")
           .groupBy(col("term")).agg(count(lit(1)).as("freq"))
@@ -4524,7 +4524,7 @@ object ExtQueries {
     // count broadcast; doubles only at the final VMR division.
     QueryDef("corpus_burstiness",
       (s, d) => {
-        val docs = s.read.parquet(s"$d/documents.parquet")
+        val docs = graft.sources.Tables.load(s, d, "documents")
         val nDocs = docs.agg(count(lit(1)).as("nd"))
         val perDoc = docs
           .select(col("doc_id"),
@@ -4578,7 +4578,7 @@ object ExtQueries {
             struct(i.cast("int").as("i"), j.cast("int").as("j"),
               element_at(col("__xq"), (i + lit(1)).cast("int")).as("xq"),
               element_at(col("__xq"), (j + lit(1)).cast("int")).as("yq")))))
-        val upper = s.read.parquet(s"$d/embeddings.parquet")
+        val upper = graft.sources.Tables.load(s, d, "embeddings")
           .select(xq.as("__xq"))
           .select(explode(prs).as("p"))
           .select(col("p.i").as("i"), col("p.j").as("j"),
@@ -4673,7 +4673,7 @@ object ExtQueries {
             struct(i.cast("int").as("i"), j.cast("int").as("j"),
               element_at(col("__xq"), (i + lit(1)).cast("int")).as("xq"),
               element_at(col("__xq"), (j + lit(1)).cast("int")).as("yq")))))
-        val upper = s.read.parquet(s"$d/embeddings.parquet")
+        val upper = graft.sources.Tables.load(s, d, "embeddings")
           .select(xq.as("__xq"))
           .select(explode(prs).as("p"))
           .select(col("p.i").as("i"), col("p.j").as("j"),
@@ -4784,7 +4784,7 @@ object ExtQueries {
     // pairwise is the AUDIT's cost, never the projection's.
     QueryDef("emb_jl_distortion",
       (s, d) => {
-        val q = s.read.parquet(s"$d/embeddings.parquet")
+        val q = graft.sources.Tables.load(s, d, "embeddings")
           .filter(col("vec_id") < 20)
           .withColumn("xq", expr(
             "transform(slice(embedding, 1, 16), x -> cast(round(cast(x AS double) * 1000, 0) AS bigint))"))
@@ -4840,7 +4840,7 @@ object ExtQueries {
     // (TakeOrderedAndProject), i.e. over a bounded 100-row digest.
     QueryDef("pipe_curriculum_order",
       (s, d) => {
-        val docs = s.read.parquet(s"$d/documents.parquet")
+        val docs = graft.sources.Tables.load(s, d, "documents")
           .select(col("doc_id"), col("source"), col("n_chars"))
         val staged = graft.analytics.Ranks.withNtile(docs, 10, "decile",
           Seq("n_chars" -> false, "doc_id" -> false))
@@ -4878,7 +4878,7 @@ object ExtQueries {
     // two digest joins, a per-label top-5 window.
     QueryDef("emb_exemplars",
       (s, d) => {
-        val xl = s.read.parquet(s"$d/embeddings.parquet")
+        val xl = graft.sources.Tables.load(s, d, "embeddings")
           .select(col("vec_id"), col("label"),
             posexplode(col("embedding")).as(Seq("dim", "xf")))
           .select(col("vec_id"), col("label"), col("dim"),
@@ -4935,7 +4935,7 @@ object ExtQueries {
     QueryDef("pipe_shard_balance",
       (s, d) => {
         val h = Dedup.strHash60(concat(lit("shuf:"), col("doc_id")))
-        val shard = s.read.parquet(s"$d/documents.parquet")
+        val shard = graft.sources.Tables.load(s, d, "documents")
           .select(pmod(h, lit(64)).as("shard"), col("n_chars"))
           .groupBy(col("shard"))
           .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
@@ -4974,7 +4974,7 @@ object ExtQueries {
     // integers so the report hash-compares without float division.
     QueryDef("text_hapax_ratio",
       (s, d) => {
-        val tf = s.read.parquet(s"$d/documents.parquet")
+        val tf = graft.sources.Tables.load(s, d, "documents")
           .select(col("source"),
             explode(TextAnalysis.tokens(col("text"))).as("term"))
           .filter(col("term") =!= "")
@@ -5007,7 +5007,7 @@ object ExtQueries {
       (s, d) => {
         val u = (pmod(Dedup.strHash60(concat(lit("es:"), col("doc_id"))),
           lit(1000000)).cast("double") + lit(0.5)) / lit(1000000.0)
-        val keyed = s.read.parquet(s"$d/documents.parquet")
+        val keyed = graft.sources.Tables.load(s, d, "documents")
           .select(col("doc_id"), col("source"), col("n_chars"),
             (log(u) / col("n_chars").cast("double")).as("k"))
         val w = Window.partitionBy(col("source"))
@@ -5037,7 +5037,7 @@ object ExtQueries {
     // least/greatest.
     QueryDef("dedup_source_matrix",
       (s, d) => {
-        val docs = s.read.parquet(s"$d/documents.parquet")
+        val docs = graft.sources.Tables.load(s, d, "documents")
         val src = docs.select(col("doc_id"), col("source"))
         Dedup.minhashNearDups(docs, 0.7)
           .join(src.select(col("doc_id").as("da"), col("source").as("sa")),
@@ -5069,7 +5069,7 @@ object ExtQueries {
         // instead of strings through distinct + spread — 8-byte
         // shuffle keys, no per-position concat; cheap token-count
         // guard; collision-symmetric on both engines
-        val bg = s.read.parquet(s"$d/documents.parquet")
+        val bg = graft.sources.Tables.load(s, d, "documents")
           .filter(size(split(col("text"), " ")) >= 2)
           .transform(QueryDef.fanOut)
           .select(col("source"), explode(graft.functions.TextHashFunctions
@@ -5108,7 +5108,7 @@ object ExtQueries {
     // Both counters are fused kernels on the scan; one digest rollup.
     QueryDef("pipe_tokenizer_fertility",
       (s, d) => {
-        s.read.parquet(s"$d/documents.parquet")
+        graft.sources.Tables.load(s, d, "documents")
           .select(col("lang"),
             TextAnalysis.bpeishTokenCount(col("text")).as("n_bpe"),
             size(TextAnalysis.tokens(col("text"))).as("n_words"))
@@ -5142,7 +5142,7 @@ object ExtQueries {
     // construction — the property ad-hoc rounding always breaks.
     QueryDef("pipe_quota_allocate",
       (s, d) => {
-        val counts = s.read.parquet(s"$d/documents.parquet")
+        val counts = graft.sources.Tables.load(s, d, "documents")
           .groupBy(col("source")).agg(count(lit(1)).as("n"))
         val tot = counts.agg(sum(col("n")).as("nn"),
           count(lit(1)).as("n_src"))
@@ -5184,7 +5184,7 @@ object ExtQueries {
     // per-source integer rollup.
     QueryDef("text_readability",
       (s, d) => {
-        val t = s.read.parquet(s"$d/documents.parquet")
+        val t = graft.sources.Tables.load(s, d, "documents")
           .select(col("source"),
             size(split(col("text"), " ")).as("words"),
             greatest(size(expr(
@@ -5234,7 +5234,7 @@ object ExtQueries {
           s"transform(sequence(1, size(tk) - $k), i -> " +
             s"concat(least(element_at(tk, i), element_at(tk, i + $k)), ' ', " +
             s"greatest(element_at(tk, i), element_at(tk, i + $k))))"
-        s.read.parquet(s"$d/documents.parquet")
+        graft.sources.Tables.load(s, d, "documents")
           // fan the single-file scan out before tokenize+explode
           .transform(QueryDef.fanOut)
           .select(TextAnalysis.tokens(col("text")).as("tk"))
@@ -5269,7 +5269,7 @@ object ExtQueries {
     // explode, one (source, term) rollup, one catalog-sized agg.
     QueryDef("corpus_simpson_diversity",
       (s, d) => {
-        s.read.parquet(s"$d/documents.parquet")
+        graft.sources.Tables.load(s, d, "documents")
           .select(col("source"),
             explode(TextAnalysis.tokens(col("text"))).as("term"))
           .groupBy(col("source"), col("term"))
@@ -5308,8 +5308,8 @@ object ExtQueries {
     // an in-batch-negatives generator for a two-tower model.
     QueryDef("pipe_negative_sample",
       (s, d) => {
-        val li = s.read.parquet(s"$d/lineitem.parquet")
-        val ord = s.read.parquet(s"$d/orders.parquet")
+        val li = graft.sources.Tables.load(s, d, "lineitem")
+        val ord = graft.sources.Tables.load(s, d, "orders")
         val pos = li.join(ord.select(col("o_orderkey"), col("o_custkey")),
             col("l_orderkey") === col("o_orderkey"))
           .select(col("o_custkey").as("ck"), col("l_partkey").as("pk"))
@@ -5467,7 +5467,7 @@ object ExtQueries {
     // the per-segment rollup rides the same exchange at 100 TB.
     QueryDef("pipe_kanonymity",
       (s, d) => {
-        val c = s.read.parquet(s"$d/customer.parquet")
+        val c = graft.sources.Tables.load(s, d, "customer")
           .select(col("c_mktsegment"), col("c_nationkey"),
             floor(col("c_acctbal") / lit(1000.0)).cast("long").as("bal_band"))
         c.groupBy(col("c_mktsegment"), col("c_nationkey"), col("bal_band"))
@@ -5507,7 +5507,7 @@ object ExtQueries {
         // r15 text-kernel discipline: no per-position concat or
         // hex-md5 through Catalyst, and no kernel-column predicate
         // that would push into the scan and double-evaluate)
-        val docs = s.read.parquet(s"$d/documents.parquet")
+        val docs = graft.sources.Tables.load(s, d, "documents")
           .filter(size(split(col("text"), " ")) >= 3)
           .transform(QueryDef.fanOut)
           .select(col("doc_id"), col("source"), col("text"))
@@ -5566,7 +5566,7 @@ object ExtQueries {
     // smallest eval id in both engines.
     QueryDef("pipe_semantic_decon",
       (s, d) => {
-        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        val emb = graft.sources.Tables.load(s, d, "embeddings")
         val ev = emb.filter(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("eval_id"), col("embedding").as("__ev"))
         val tr = emb.filter(col("vec_id") % 50 =!= 0)
@@ -5606,7 +5606,7 @@ object ExtQueries {
     // 100 TB.
     QueryDef("emb_dim_stats",
       (s, d) => {
-        val dm = s.read.parquet(s"$d/embeddings.parquet")
+        val dm = graft.sources.Tables.load(s, d, "embeddings")
           .select(posexplode(col("embedding")).as(Seq("dim0", "x")))
           .select((col("dim0") + 1).as("dim"),
             floor(col("x").cast("double") * lit(1000000.0)).cast("long").as("xq"))
@@ -5651,14 +5651,14 @@ object ExtQueries {
     // overflow long at large n.
     QueryDef("emb_isotropy",
       (s, d) => {
-        val dm = s.read.parquet(s"$d/embeddings.parquet")
+        val dm = graft.sources.Tables.load(s, d, "embeddings")
           .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
           .select(col("vec_id"), col("dim"),
             floor(col("x").cast("double") * lit(1000000.0)).cast("long").as("xq"))
         val perDim = dm.groupBy(col("dim"))
           .agg(sum(col("xq")).as("sx"),
             sum(col("xq").cast("decimal(38,0)") * col("xq")).as("qx"))
-        val nRows = s.read.parquet(s"$d/embeddings.parquet")
+        val nRows = graft.sources.Tables.load(s, d, "embeddings")
           .agg(count(lit(1)).as("n"))
         perDim.agg(
             sum(col("sx").cast("decimal(38,0)") * col("sx")).as("s2"),
@@ -5695,7 +5695,7 @@ object ExtQueries {
     // scale.
     QueryDef("pipe_rater_kappa",
       (s, d) => {
-        val lab = s.read.parquet(s"$d/documents.parquet")
+        val lab = graft.sources.Tables.load(s, d, "documents")
           .select(
             when(col("n_chars") >= 250, 1L).otherwise(0L).as("a"),
             when(size(TextAnalysis.tokens(col("text"))) >= 60, 1L)
@@ -5739,7 +5739,7 @@ object ExtQueries {
     // integer sums, so both engines round the identical double.
     QueryDef("text_ttr_curve",
       (s, d) => {
-        val tk = s.read.parquet(s"$d/documents.parquet")
+        val tk = graft.sources.Tables.load(s, d, "documents")
           .select(col("source"), TextAnalysis.tokens(col("text")).as("tk"))
         val grid = tk.crossJoin(
             s.createDataFrame(Seq(Tuple1(50), Tuple1(100), Tuple1(200)))
@@ -5780,7 +5780,7 @@ object ExtQueries {
     // Everything after the one-count scan is catalog-sized arithmetic.
     QueryDef("pipe_mix_temperature",
       (s, d) => {
-        val counts = s.read.parquet(s"$d/documents.parquet")
+        val counts = graft.sources.Tables.load(s, d, "documents")
           .groupBy(col("source")).agg(count(lit(1)).as("cnt"))
         val tot = counts.agg(sum(col("cnt")).as("total"))
         val w = counts.crossJoin(broadcast(tot))
@@ -5820,7 +5820,7 @@ object ExtQueries {
     // count on ids either way.
     QueryDef("emb_hubness",
       (s, d) => {
-        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        val emb = graft.sources.Tables.load(s, d, "embeddings")
         val topk = Similarity.bruteForceTopK(
           emb, emb.filter(col("vec_id") < 500), 5)
         val indeg = topk.groupBy(col("neighbor_id"))
@@ -5927,7 +5927,7 @@ object ExtQueries {
     QueryDef("dedup_threshold_sweep",
       (s, d) => {
         val pairs = Dedup.minhashNearDups(
-            s.read.parquet(s"$d/documents.parquet"), 0.0)
+            graft.sources.Tables.load(s, d, "documents"), 0.0)
           .select(col("id_a"), col("id_b"), col("jaccard"))
         val grid = s.createDataFrame(Seq(5, 6, 7, 8, 9).map(Tuple1(_)))
           .toDF("thr_tenths")
@@ -5961,7 +5961,7 @@ object ExtQueries {
     // tokenize explode.
     QueryDef("pipe_span_corruption",
       (s, d) => {
-        val pos = s.read.parquet(s"$d/documents.parquet")
+        val pos = graft.sources.Tables.load(s, d, "documents")
           .select(col("doc_id"), col("source"),
             posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
           .select(col("doc_id"), col("source"), col("pos"),
@@ -6008,7 +6008,7 @@ object ExtQueries {
     // the batch, or both.
     QueryDef("pipe_incremental_dedup",
       (s, d) => {
-        val docs = s.read.parquet(s"$d/documents.parquet")
+        val docs = graft.sources.Tables.load(s, d, "documents")
         val sets = Dedup.shingleSets(docs, "doc_id", "text").persist()
         val sig = Dedup.bandedSignatures(sets, "doc_id")
         val newSig = sig.filter(col("doc_id") % 5 === 4)
@@ -6053,7 +6053,7 @@ object ExtQueries {
     // the registered ANN variants.
     QueryDef("emb_matryoshka_recall",
       (s, d) => {
-        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        val emb = graft.sources.Tables.load(s, d, "embeddings")
         val q = emb.filter(col("vec_id") < 50)
         val full = Similarity.bruteForceTopK(emb, q, 5)
           .select(col("query_id"), col("neighbor_id"))
@@ -6106,7 +6106,7 @@ object ExtQueries {
     // and the head probe is a top-k, not a global sort, at scale.
     QueryDef("pipe_multi_epoch_order",
       (s, d) => {
-        val docs = s.read.parquet(s"$d/documents.parquet")
+        val docs = graft.sources.Tables.load(s, d, "documents")
           .select(col("doc_id"))
         val epochs = s.createDataFrame(Seq(0, 1, 2).map(Tuple1(_)))
           .toDF("epoch")
@@ -6143,7 +6143,7 @@ object ExtQueries {
     // is a term-count digest, one shuffle at any scale.
     QueryDef("text_heldout_nll",
       (s, d) => {
-        val docs = s.read.parquet(s"$d/documents.parquet")
+        val docs = graft.sources.Tables.load(s, d, "documents")
         val cf = docs.filter(col("doc_id") % 5 =!= 0)
           .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
           .groupBy(col("term")).agg(count(lit(1)).as("ctf"))
@@ -6194,7 +6194,7 @@ object ExtQueries {
       (s, d) => {
         val w = Window.partitionBy(col("source"))
           .orderBy(col("n_chars").desc, col("doc_id"))
-        s.read.parquet(s"$d/documents.parquet")
+        graft.sources.Tables.load(s, d, "documents")
           .select(col("source"), col("doc_id"), col("n_chars"))
           .withColumn("rejected_id", lead(col("doc_id"), 1).over(w))
           .withColumn("rejected_chars", lead(col("n_chars"), 1).over(w))
@@ -6228,7 +6228,7 @@ object ExtQueries {
     // match-building join runs on the k×k source digest.
     QueryDef("pipe_bradley_terry",
       (s, d) => {
-        val docs = s.read.parquet(s"$d/documents.parquet")
+        val docs = graft.sources.Tables.load(s, d, "documents")
           .select(col("doc_id"), col("source"), col("n_chars"))
         val m = docs.alias("a").join(docs.alias("b"),
             col("b.doc_id") === col("a.doc_id") + 1 &&
@@ -6486,7 +6486,7 @@ object ExtQueries {
     // any chars-based budget at 100 TB.
     QueryDef("pipe_token_calibration",
       (s, d) => {
-        s.read.parquet(s"$d/documents.parquet")
+        graft.sources.Tables.load(s, d, "documents")
           .select(col("source"), col("n_chars"),
             size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"),
             (expr("n_chars div 4") + 1).as("est_tok"))
@@ -6523,7 +6523,7 @@ object ExtQueries {
     // cosine stage's input at 100 TB.
     QueryDef("emb_dedup_exact",
       (s, d) => {
-        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        val emb = graft.sources.Tables.load(s, d, "embeddings")
           .select(col("vec_id"), col("embedding"))
         val reingested = emb.filter(col("vec_id") < 20)
           .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
@@ -6566,7 +6566,7 @@ object ExtQueries {
     // doubles keeps both engines bit-equal. Prior a0=1 per term.
     QueryDef("corpus_distinctive_terms",
       (s, d) => {
-        val st = s.read.parquet(s"$d/documents.parquet")
+        val st = graft.sources.Tables.load(s, d, "documents")
           .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("term"))
           .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
           .persist()
@@ -6621,7 +6621,7 @@ object ExtQueries {
     // fire at test scale).
     QueryDef("pipe_content_filter",
       (s, d) => {
-        val hits = s.read.parquet(s"$d/documents.parquet")
+        val hits = graft.sources.Tables.load(s, d, "documents")
           .select(col("doc_id"), col("source"),
             explode(TextAnalysis.tokens(col("text"))).as("term"))
           .groupBy(col("doc_id"), col("source"))
@@ -6793,7 +6793,7 @@ object ExtQueries {
     // rescans the raw text.
     QueryDef("text_bpe_pair_counts",
       (s, d) => {
-        val wf = s.read.parquet(s"$d/documents.parquet")
+        val wf = graft.sources.Tables.load(s, d, "documents")
           .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
           .filter(length(col("w")) >= 2)
           .groupBy(col("w")).agg(count(lit(1)).as("f"))
@@ -6857,7 +6857,7 @@ object ExtQueries {
         // length guard on the cheap token count, NOT on size(hs): a
         // kernel-column predicate pushes into the scan as a DataFilter
         // and the md5 pass evaluates twice per row
-        s.read.parquet(s"$d/documents.parquet")
+        graft.sources.Tables.load(s, d, "documents")
           .filter(size(split(col("text"), " ")) >= 3)
           .transform(QueryDef.fanOut)
           .select(col("doc_id"), graft.functions.TextHashFunctions
@@ -6918,7 +6918,7 @@ object ExtQueries {
     // sketch is one tiny digest per partition, no distinct shuffle.
     QueryDef("corpus_kmv_distinct",
       (s, d) => {
-        val terms = s.read.parquet(s"$d/documents.parquet")
+        val terms = graft.sources.Tables.load(s, d, "documents")
           .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
           .distinct()
         val h = conv(substring(md5(concat(lit("kmv:"), col("term"))), 1, 14),
@@ -6957,7 +6957,7 @@ object ExtQueries {
         val cdf = s.createDataFrame(
           cents.toSeq.zipWithIndex.map { case (a, i) => (i, a.toSeq) })
           .toDF("cell", "ci")
-        val eq = s.read.parquet(s"$d/embeddings.parquet")
+        val eq = graft.sources.Tables.load(s, d, "embeddings")
           .withColumn("e", expr(
             "transform(cast(embedding AS array<double>), x -> cast(round(x * 1000, 0) AS bigint))"))
         Similarity.cellAssignments(eq, cents).toDF("vec_id", "cell")
@@ -6995,7 +6995,7 @@ object ExtQueries {
         val cdf = s.createDataFrame(
           cents.toSeq.zipWithIndex.map { case (a, i) => (i, a.toSeq) })
           .toDF("ocell", "ci")
-        val eq = s.read.parquet(s"$d/embeddings.parquet")
+        val eq = graft.sources.Tables.load(s, d, "embeddings")
           .withColumn("e", expr(
             "transform(cast(embedding AS array<double>), x -> cast(round(x * 1000, 0) AS bigint))"))
         val sil = Similarity.cellAssignments(eq, cents).toDF("vec_id", "cell")
@@ -7059,7 +7059,7 @@ object ExtQueries {
         val cdf = s.createDataFrame(
           cents.toSeq.zipWithIndex.map { case (a, i) => (i, a.toSeq) })
           .toDF("cell", "ci")
-        val eq = s.read.parquet(s"$d/embeddings.parquet")
+        val eq = graft.sources.Tables.load(s, d, "embeddings")
           .withColumn("e", expr(
             "transform(cast(embedding AS array<double>), x -> cast(round(x * 1000, 0) AS bigint))"))
         val scat = Similarity.cellAssignments(eq, cents).toDF("vec_id", "cell")
@@ -7127,7 +7127,7 @@ object ExtQueries {
         val cdf = s.createDataFrame(
           cents.toSeq.zipWithIndex.map { case (a, i) => (i, a.toSeq) })
           .toDF("cell", "ci")
-        val eq = s.read.parquet(s"$d/embeddings.parquet")
+        val eq = graft.sources.Tables.load(s, d, "embeddings")
           .withColumn("e", expr(
             "transform(cast(embedding AS array<double>), x -> cast(round(x * 1000, 0) AS bigint))"))
         val intra = Similarity.cellAssignments(eq, cents)
@@ -7185,7 +7185,7 @@ object ExtQueries {
     QueryDef("emb_cluster_ari_nmi",
       (s, d) => {
         val cents = centroidsOf(s, d)
-        val eq = s.read.parquet(s"$d/embeddings.parquet")
+        val eq = graft.sources.Tables.load(s, d, "embeddings")
           .withColumn("e", expr(
             "transform(cast(embedding AS array<double>), x -> cast(round(x * 1000, 0) AS bigint))"))
         // ONE distributed pass builds the 16×10 contingency; the r15
@@ -7304,7 +7304,7 @@ object ExtQueries {
     // hash-matches the oracle.
     QueryDef("pipe_bloom_dedup_prefilter",
       (s, d) => {
-        val docs = s.read.parquet(s"$d/documents.parquet")
+        val docs = graft.sources.Tables.load(s, d, "documents")
           .select(col("doc_id"), md5(col("text")).as("ch"))
         val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 4)
         val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
@@ -7365,11 +7365,11 @@ object ExtQueries {
     // exists to demonstrate).
     QueryDef("text_phrase_search",
       (s, d) => {
-        val toks = s.read.parquet(s"$d/documents.parquet")
+        val toks = graft.sources.Tables.load(s, d, "documents")
           .select(col("doc_id"),
             posexplode(TextAnalysis.tokens(col("text")))
               .as(Seq("pos", "term")))
-        val docs2 = s.read.parquet(s"$d/documents.parquet")
+        val docs2 = graft.sources.Tables.load(s, d, "documents")
           .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
           .filter(size(col("tk")) >= 2)
         val phrase = docs2.select(explode(expr(
@@ -7444,7 +7444,7 @@ object ExtQueries {
         // The length guard filters on the CHEAP token count (a
         // kernel-column predicate would push into the scan as a
         // DataFilter and run the md5 pass twice per row).
-        val docs = s.read.parquet(s"$d/documents.parquet")
+        val docs = graft.sources.Tables.load(s, d, "documents")
           .filter(size(split(col("text"), " ")) >= 8)
           .transform(QueryDef.fanOut)
           .select(col("doc_id"), graft.functions.TextHashFunctions
@@ -7518,7 +7518,7 @@ object ExtQueries {
     // left join so untouched documents still report kept=all.
     QueryDef("text_substring_removal",
       (s, d) => {
-        val base = s.read.parquet(s"$d/documents.parquet")
+        val base = graft.sources.Tables.load(s, d, "documents")
           .transform(QueryDef.fanOut)
           .select(col("doc_id"),
             size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
@@ -7526,7 +7526,7 @@ object ExtQueries {
         // ShinglesPos60 kernel, same cheap token-count length guard
         // (a kernel-column predicate would push into the scan and
         // double-evaluate the md5 pass)
-        val docs = s.read.parquet(s"$d/documents.parquet")
+        val docs = graft.sources.Tables.load(s, d, "documents")
           .filter(size(split(col("text"), " ")) >= 8)
           .transform(QueryDef.fanOut)
           .select(col("doc_id"), graft.functions.TextHashFunctions
@@ -7637,7 +7637,7 @@ object ExtQueries {
         // pushed into the scan as a DataFilter and the md5 pass
         // evaluates twice per row (once in the scan for the filter,
         // once above the fan-out for the projection)
-        val docs = s.read.parquet(s"$d/documents.parquet")
+        val docs = graft.sources.Tables.load(s, d, "documents")
           .filter(size(split(col("text"), " ")) >= 2)
           .transform(QueryDef.fanOut)
           .withColumn("__hk",
@@ -7726,7 +7726,7 @@ object ExtQueries {
     QueryDef("text_rake_keywords",
       (s, d) => {
         val stop = TextAnalysis.Stopwords
-        val toks = s.read.parquet(s"$d/documents.parquet")
+        val toks = graft.sources.Tables.load(s, d, "documents")
           .transform(QueryDef.fanOut)
           .select(col("doc_id"),
             posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "term")))
@@ -7809,7 +7809,7 @@ object ExtQueries {
     // doubles, and shares are ppm integers.
     QueryDef("feat_woe_iv",
       (s, d) => {
-        val c = s.read.parquet(s"$d/customer.parquet")
+        val c = graft.sources.Tables.load(s, d, "customer")
           .select(col("c_mktsegment").as("segment"),
             when(col("c_acctbal") < 0, 1L).otherwise(0L).as("bad"))
         val per = c.groupBy(col("segment"))
@@ -7857,7 +7857,7 @@ object ExtQueries {
     // products need DECIMAL(38) — the shape is unchanged.
     QueryDef("feat_decision_stump",
       (s, d) => {
-        val li = s.read.parquet(s"$d/lineitem.parquet")
+        val li = graft.sources.Tables.load(s, d, "lineitem")
           .select(col("l_quantity").cast("long").as("q"),
             when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
         val digest = li.groupBy(col("q"))
@@ -7915,7 +7915,7 @@ object ExtQueries {
     // (doc, term) shuffle — inference is one scan at any corpus size.
     QueryDef("text_naive_bayes",
       (s, d) => {
-        val docs = s.read.parquet(s"$d/documents.parquet")
+        val docs = graft.sources.Tables.load(s, d, "documents")
         val toks = docs.select(col("doc_id"), col("lang"),
           explode(TextAnalysis.tokens(col("text"))).as("term"))
         val train = toks.filter(col("doc_id") % 2 === 0)
@@ -8039,10 +8039,10 @@ object ExtQueries {
     // broadcast-sized artifact downstream filters actually load.
     QueryDef("text_stopword_detect",
       (s, d) => {
-        val toks = s.read.parquet(s"$d/documents.parquet")
+        val toks = graft.sources.Tables.load(s, d, "documents")
           .select(col("doc_id"),
             explode(TextAnalysis.tokens(col("text"))).as("term"))
-        val nd = s.read.parquet(s"$d/documents.parquet")
+        val nd = graft.sources.Tables.load(s, d, "documents")
           .agg(count(lit(1)).as("n_docs"))
         toks.groupBy(col("term"))
           .agg(count_distinct(col("doc_id")).as("df"),
@@ -8080,7 +8080,7 @@ object ExtQueries {
     // Per-position gains round once at 9 dp and sum as exact decimals.
     QueryDef("text_ndcg_eval",
       (s, d) => {
-        val tk = s.read.parquet(s"$d/documents.parquet")
+        val tk = graft.sources.Tables.load(s, d, "documents")
           .select(col("doc_id"),
             explode(TextAnalysis.tokens(col("text"))).as("term"))
         val tf = tk.groupBy(col("doc_id"), col("term"))
@@ -8174,7 +8174,7 @@ object ExtQueries {
     // query shard like every recall query here).
     QueryDef("emb_spearman_pq",
       (s, d) => {
-        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        val emb = graft.sources.Tables.load(s, d, "embeddings")
         val exact = Similarity.bruteForceTopK(
             emb, emb.filter(col("vec_id") < 10), Int.MaxValue)
           .select(col("query_id"), col("neighbor_id"),
@@ -8245,7 +8245,7 @@ object ExtQueries {
     // allocation, so the allocation itself is exact on both engines.
     QueryDef("pipe_neyman_allocation",
       (s, d) => {
-        val g = s.read.parquet(s"$d/documents.parquet")
+        val g = graft.sources.Tables.load(s, d, "documents")
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_chars")).as("sl"),
@@ -8298,7 +8298,7 @@ object ExtQueries {
     // reduces them, and the 4-row report is a constant-width unpivot.
     QueryDef("pipe_filter_ablation",
       (s, d) => {
-        val base = s.read.parquet(s"$d/documents.parquet")
+        val base = graft.sources.Tables.load(s, d, "documents")
           .select(col("doc_id"), col("n_chars"),
             size(TextAnalysis.tokens(col("text"))).cast("long").as("ntok"),
             md5(col("text")).as("h"))
@@ -8392,7 +8392,7 @@ object ExtQueries {
         val zq = transform(col("embedding"),
           x => round(x.cast("double") * 1000, 0).cast("long"))
         val dec = "decimal(38,0)"
-        val g = s.read.parquet(s"$d/embeddings.parquet")
+        val g = graft.sources.Tables.load(s, d, "embeddings")
           .select(zq.as("__z"))
           .agg(graft.functions.GramAggregate.gram(col("__z"), 64).as("g"))
         // upper-triangle linear index → (i, j), the kernel's order
@@ -8471,7 +8471,7 @@ object ExtQueries {
         val u = (pmod(Dedup.strHash60(
             concat(lit("ws:"), col("doc_id").cast("string"))),
           lit(1000000L)) + lit(1L)).cast("double") / lit(1000001.0)
-        val ranked = s.read.parquet(s"$d/documents.parquet")
+        val ranked = graft.sources.Tables.load(s, d, "documents")
           .select(col("doc_id"), col("n_chars"),
             round(log(u) / col("n_chars").cast("double"), 9).as("lnk"))
           .orderBy(col("lnk").desc, col("doc_id"))
@@ -8513,7 +8513,7 @@ object ExtQueries {
         // windows partitioned by doc_id div 256, plus a broadcast
         // carry from the BOUNDED bucket digest — no global window
         // ever touches raw document rows
-        val docs = s.read.parquet(s"$d/documents.parquet")
+        val docs = graft.sources.Tables.load(s, d, "documents")
           .select(col("doc_id"), col("n_chars").cast("long").as("w"))
           .withColumn("__bk", expr("doc_id div 256"))
         val tot = docs.agg(sum(col("w")).as("t"))
@@ -8562,7 +8562,7 @@ object ExtQueries {
         // c0 = 0.01, T = 10: thr(t) ppm, strictly increasing to 1e6
         val thrs = (1 to 10).map(t => math.min(1000000L,
           math.round(math.sqrt(t * 0.09999 + 0.0001) * 1000000)))
-        val docs = s.read.parquet(s"$d/documents.parquet")
+        val docs = graft.sources.Tables.load(s, d, "documents")
           .select(col("doc_id"),
             size(TextAnalysis.tokens(col("text"))).cast("long").as("ntok"))
         val n = docs.count()
@@ -8694,7 +8694,7 @@ object ExtQueries {
     // 10 query vectors and reranks ~256 candidates each.
     QueryDef("sim_topk_rptree",
       (s, d) => {
-        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        val emb = graft.sources.Tables.load(s, d, "embeddings")
         Similarity.rpTreeTopK(emb, emb.filter(col("vec_id") < 10), 5,
           rpThresholdsOf(s, d), dim = dimOf(s, d),
           corpusLeaves = Some(rpLeavesOf(s, d)))
@@ -8757,7 +8757,7 @@ object ExtQueries {
     // pairs come from a digest self-join bounded by |sources|².
     QueryDef("text_burrows_delta",
       (s, d) => {
-        val tk = s.read.parquet(s"$d/documents.parquet")
+        val tk = graft.sources.Tables.load(s, d, "documents")
           .select(col("source"),
             explode(TextAnalysis.tokens(col("text"))).as("term"))
         val st = tk.groupBy(col("source"), col("term"))
@@ -8839,7 +8839,7 @@ object ExtQueries {
           (length(col("text")) - length(regexp_replace(col("text"),
             java.util.regex.Pattern.quote(ch), ""))).cast("long")
         val braces = Seq("{", "}", "(", ")", "[", "]").map(cnt).reduce(_ + _)
-        s.read.parquet(s"$d/documents.parquet")
+        graft.sources.Tables.load(s, d, "documents")
           .select(col("doc_id"), col("text"), col("n_chars"))
           .withColumn("n_brace", braces)
           .withColumn("n_semi", cnt(";"))
@@ -8887,7 +8887,7 @@ object ExtQueries {
     QueryDef("corpus_lognormal_fit",
       (s, d) => {
         val x = round(log(col("len").cast("double")), 9)
-        val lens = s.read.parquet(s"$d/documents.parquet")
+        val lens = graft.sources.Tables.load(s, d, "documents")
           .select(col("n_chars").cast("long").as("len"))
         val mo = lens
           .select(x.cast("decimal(20,9)").as("x"))

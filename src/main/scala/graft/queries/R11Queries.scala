@@ -452,7 +452,7 @@ object R11Queries {
               (element_at(col("__xq"), (i + lit(1)).cast("int")) *
                 element_at(col("__xq"), (j + lit(1)).cast("int")))
                 .as("xy")))))
-        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        val emb = graft.sources.Tables.load(s, d, "embeddings")
         val g = emb.select(col("label"), xq.as("__xq"))
           .select(col("label"), explode(pairs).as("p"))
           .groupBy(col("label"), col("p.i").as("i"), col("p.j").as("j"))
@@ -548,9 +548,9 @@ object R11Queries {
         val live = scala.collection.mutable.ArrayBuffer.empty[
           org.apache.spark.sql.DataFrame]
         try {
-        val e = s.read.parquet(s"$d/orders.parquet")
+        val e = graft.sources.Tables.load(s, d, "orders")
           .select(col("o_orderkey"), col("o_custkey"))
-          .join(s.read.parquet(s"$d/lineitem.parquet")
+          .join(graft.sources.Tables.load(s, d, "lineitem")
             .select(col("l_orderkey"), col("l_partkey")),
             col("o_orderkey") === col("l_orderkey"))
           .select(col("o_custkey").as("u"), col("l_partkey").as("p"))
@@ -838,7 +838,7 @@ object R11Queries {
     // on the vocabulary-sized digest.
     QueryDef("text_textrank_keywords",
       (s, d) => {
-        val tk = s.read.parquet(s"$d/documents.parquet")
+        val tk = graft.sources.Tables.load(s, d, "documents")
           .select(graft.ext.TextAnalysis.tokens(col("text")).as("tk"))
           .filter(size(col("tk")) >= 2)
         val prs = tk.select(explode(expr(
@@ -1630,7 +1630,7 @@ object R11Queries {
     QueryDef("mm_image_entropy",
       (s, d) => {
         val media = graft.multimodal.Multimodal.syntheticMedia(
-          s.read.parquet(s"$d/documents.parquet")
+          graft.sources.Tables.load(s, d, "documents")
             .filter(col("doc_id") < 200), "doc_id")
         graft.multimodal.Multimodal.imageEntropy(media).toDF()
           .select(col("media_id"), col("n_distinct_r"),
@@ -1694,7 +1694,7 @@ object R11Queries {
       (s, d) => {
         val xq = transform(slice(col("embedding"), 1, 16),
           x => round(x.cast("double") * 1000, 0).cast("long"))
-        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        val emb = graft.sources.Tables.load(s, d, "embeddings")
         val z = emb.select(col("label"), xq.as("xq"))
           .select(col("label"), posexplode(expr(
             s"""transform(sequence(1, 32), f -> cast(round(cos(
@@ -2153,7 +2153,7 @@ object R11Queries {
         import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
         val xq = transform(slice(col("embedding"), 1, 16),
           x => round(x.cast("double") * 1000, 0).cast("long"))
-        val x = s.read.parquet(s"$d/embeddings.parquet")
+        val x = graft.sources.Tables.load(s, d, "embeddings")
           .select(col("vec_id"), xq.as("q")).persist(MEMORY_AND_DISK)
         def d2lit(center: Seq[Long]) = expr(
           s"aggregate(zip_with(q, array(${center.mkString("L,")}L), " +
@@ -2224,7 +2224,7 @@ object R11Queries {
     // length-normalized per-token weight.
     QueryDef("pipe_dsir_weights",
       (s, d) => {
-        val tok = s.read.parquet(s"$d/documents.parquet")
+        val tok = graft.sources.Tables.load(s, d, "documents")
           .select(col("doc_id"), col("source"),
             explode(graft.ext.TextAnalysis.tokens(col("text"))).as("w"))
           .select(col("doc_id"), col("source"),
@@ -4505,7 +4505,7 @@ object R11Queries {
     // joins broadcast.
     QueryDef("emb_calinski_harabasz",
       (s, d) => {
-        val ev = s.read.parquet(s"$d/embeddings.parquet")
+        val ev = graft.sources.Tables.load(s, d, "embeddings")
           .select(col("label"), expr(
             "transform(cast(embedding AS array<double>)," +
               " x -> cast(round(x * 1000, 0) AS bigint))").as("e"))
@@ -4597,8 +4597,8 @@ object R11Queries {
     // r² are the only doubles.
     QueryDef("q_taylor_law",
       (s, d) => {
-        val li = s.read.parquet(s"$d/lineitem.parquet")
-          .join(s.read.parquet(s"$d/orders.parquet")
+        val li = graft.sources.Tables.load(s, d, "lineitem")
+          .join(graft.sources.Tables.load(s, d, "orders")
             .select(col("o_orderkey"), col("o_orderdate")),
             col("l_orderkey") === col("o_orderkey"))
           .select(col("l_partkey"),
@@ -5182,7 +5182,7 @@ object R11Queries {
         // (1 task at 1×, 10 at 10× — the sweep's single-stage
         // straggler); the kernel + fanOut spreads it to full width.
         val thf = graft.functions.TextHashFunctions
-        val grams = s.read.parquet(s"$d/documents.parquet")
+        val grams = graft.sources.Tables.load(s, d, "documents")
           .transform(graft.queries.QueryDef.fanOut)
           .select(array(Seq(1, 2, 4, 8).map(n =>
             struct(lit(n).as("n"),
@@ -5406,8 +5406,8 @@ object R11Queries {
     // (order join, part agg) that both reduce.
     QueryDef("q_price_index",
       (s, d) => {
-        val li = s.read.parquet(s"$d/lineitem.parquet")
-          .join(s.read.parquet(s"$d/orders.parquet")
+        val li = graft.sources.Tables.load(s, d, "lineitem")
+          .join(graft.sources.Tables.load(s, d, "orders")
             .select(col("o_orderkey"),
               to_date(col("o_orderdate")).as("od")),
             col("l_orderkey") === col("o_orderkey"))
@@ -5503,8 +5503,8 @@ object R11Queries {
         // rows). The ≤366-week result is collected and rebuilt
         // locally so the cache releases before the DataFrame returns.
         import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-        val grouped = s.read.parquet(s"$d/lineitem.parquet")
-          .join(s.read.parquet(s"$d/orders.parquet")
+        val grouped = graft.sources.Tables.load(s, d, "lineitem")
+          .join(graft.sources.Tables.load(s, d, "orders")
             .select(col("o_orderkey"), col("o_orderdate")),
             col("l_orderkey") === col("o_orderkey"))
           .select(col("l_orderkey").as("ok"),
@@ -6330,7 +6330,7 @@ object R11Queries {
     // reducing shuffles, all-integer.
     QueryDef("pipe_l_diversity",
       (s, d) => {
-        val c = s.read.parquet(s"$d/customer.parquet")
+        val c = graft.sources.Tables.load(s, d, "customer")
           .select(col("c_mktsegment"), col("c_nationkey"),
             floor(col("c_acctbal") / lit(1000.0)).cast("long")
               .as("band"))
@@ -6374,7 +6374,7 @@ object R11Queries {
     // quantize to 9-dp decimals before the |cumdiff| fold.
     QueryDef("pipe_t_closeness",
       (s, d) => {
-        val c = s.read.parquet(s"$d/customer.parquet")
+        val c = graft.sources.Tables.load(s, d, "customer")
           .select(col("c_mktsegment"), col("c_nationkey"),
             floor(col("c_acctbal") / lit(1000.0)).cast("long")
               .as("band"))
@@ -6464,7 +6464,7 @@ object R11Queries {
     // share — the 80/20 readout itself.
     QueryDef("q_abc_analysis",
       (s, d) => {
-        val pr = s.read.parquet(s"$d/lineitem.parquet")
+        val pr = graft.sources.Tables.load(s, d, "lineitem")
           .groupBy(col("l_partkey"))
           .agg((sum(col("l_extendedprice").cast("decimal(18,2)")) * 100)
             .cast("long").as("rc"))

@@ -329,7 +329,7 @@ object R12Queries {
     // proportion. Reported beside Fleiss for the contrast.
     QueryDef("q_gwet_ac1",
       (s, d) => {
-        val lab = s.read.parquet(s"$d/documents.parquet")
+        val lab = graft.sources.Tables.load(s, d, "documents")
           .select(
             when(col("n_chars") >= 250, 1L).otherwise(0L).as("a"),
             when(size(graft.ext.TextAnalysis.tokens(col("text"))) >= 60, 1L)
@@ -758,7 +758,7 @@ object R12Queries {
       (s, d) => {
         val w = Window.partitionBy(col("l_partkey"))
           .orderBy(col("day"))
-        val dem = s.read.parquet(s"$d/lineitem.parquet")
+        val dem = graft.sources.Tables.load(s, d, "lineitem")
           .filter(col("l_partkey") < 25)
           .groupBy(col("l_partkey"), to_date(col("l_shipdate")).as("day"))
           .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
@@ -817,7 +817,7 @@ object R12Queries {
     // is exact integer algebra, one division at the end.
     QueryDef("corpus_chao1_richness",
       (s, d) => {
-        val tf = s.read.parquet(s"$d/documents.parquet")
+        val tf = graft.sources.Tables.load(s, d, "documents")
           .select(explode(graft.ext.TextAnalysis.tokens(col("text")))
             .as("term"))
           .filter(col("term") =!= "")
@@ -853,7 +853,7 @@ object R12Queries {
     // spectrum as Chao1; exact integers to one row.
     QueryDef("corpus_good_turing",
       (s, d) => {
-        val tf = s.read.parquet(s"$d/documents.parquet")
+        val tf = graft.sources.Tables.load(s, d, "documents")
           .select(explode(graft.ext.TextAnalysis.tokens(col("text")))
             .as("term"))
           .filter(col("term") =!= "")
@@ -902,7 +902,7 @@ object R12Queries {
     // to the 1e-9 grid before the final round-6/round-4 doubles.
     QueryDef("text_vocab_richness",
       (s, d) => {
-        val tf = s.read.parquet(s"$d/documents.parquet")
+        val tf = graft.sources.Tables.load(s, d, "documents")
           .select(explode(graft.ext.TextAnalysis.tokens(col("text")))
             .as("term"))
           .filter(col("term") =!= "")
@@ -955,7 +955,7 @@ object R12Queries {
     // means the crawl keeps finding new terms; β → 0 means saturation.
     QueryDef("corpus_heaps_fit",
       (s, d) => {
-        val docs = s.read.parquet(s"$d/documents.parquet")
+        val docs = graft.sources.Tables.load(s, d, "documents")
         val toks = docs.select(col("doc_id"),
           explode(graft.ext.TextAnalysis.tokens(col("text"))).as("term"))
           .filter(col("term") =!= "")
@@ -1070,7 +1070,7 @@ object R12Queries {
         // a bounded replay at sf0.1+ — the recursive-CTE oracle costs
         // ~11 ms/doc and must stay inside the 30 s oracle budget (the
         // Spark kernel itself is corpus-wide: a pure per-doc map)
-        QueryDef.fanOut(s.read.parquet(s"$d/documents.parquet"))
+        QueryDef.fanOut(graft.sources.Tables.load(s, d, "documents"))
           .filter(col("doc_id") < 1500)
           .select(col("doc_id"), expr(
             s"slice(transform(filter(split(lower(text), ' '), " +
@@ -1149,7 +1149,7 @@ object R12Queries {
     // pair, integer counts to one row.
     QueryDef("q_graph_reciprocity",
       (s, d) => {
-        val dp = s.read.parquet(s"$d/lineitem.parquet")
+        val dp = graft.sources.Tables.load(s, d, "lineitem")
           .groupBy(col("l_orderkey"), col("l_partkey"))
           .agg(min(col("l_shipdate")).as("sd"))
         val de = dp.select(col("l_orderkey"), col("l_partkey").as("src"),
@@ -1557,7 +1557,7 @@ object R12Queries {
           .groupBy(col("k"))
           .agg(expr("transform(array_sort(collect_list(struct(j, um))), " +
             "e -> e.um)").as("ums"))
-        val proj = s.read.parquet(s"$d/embeddings.parquet")
+        val proj = graft.sources.Tables.load(s, d, "embeddings")
           .select(col("vec_id"), expr("transform(embedding, " +
             "x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
             .as("z"))
@@ -1616,7 +1616,7 @@ object R12Queries {
       (s, d) => {
         def fld(c: org.apache.spark.sql.Column) =
           ((c - pmod(c, lit(500L))) / 500L).cast("long")
-        val pts = s.read.parquet(s"$d/embeddings.parquet")
+        val pts = graft.sources.Tables.load(s, d, "embeddings")
           .select(col("vec_id"),
             expr("CAST(round(CAST(embedding[0] AS DOUBLE) * 1000) " +
               "AS BIGINT)").as("z0"),
@@ -1707,7 +1707,7 @@ object R12Queries {
         // elements are milli-quantized (|z| ≲ 3k), so every product and
         // the 64-term sum sit far below 2^53 — the double dot is
         // integer-exact and the long cast loses nothing.
-        val z = s.read.parquet(s"$d/embeddings.parquet")
+        val z = graft.sources.Tables.load(s, d, "embeddings")
           .filter(col("vec_id") < 500)
           .select(col("vec_id"), expr("transform(embedding, " +
             "x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
@@ -2566,14 +2566,14 @@ object R12Queries {
     val (ot, lt) = (s"graft_orders_$key", s"graft_lineitem_$key")
     this.synchronized {
       if (!s.catalog.tableExists(ot)) {
-        s.read.parquet(s"$d/orders.parquet")
+        graft.sources.Tables.load(s, d, "orders")
           .write.mode("overwrite").bucketBy(8, "o_orderkey")
           .sortBy("o_orderkey").option("path",
             s"${System.getProperty("java.io.tmpdir")}/graft_bkt_$ot")
           .saveAsTable(ot)
       }
       if (!s.catalog.tableExists(lt)) {
-        s.read.parquet(s"$d/lineitem.parquet")
+        graft.sources.Tables.load(s, d, "lineitem")
           .write.mode("overwrite").bucketBy(8, "l_orderkey")
           .sortBy("l_orderkey").option("path",
             s"${System.getProperty("java.io.tmpdir")}/graft_bkt_$lt")

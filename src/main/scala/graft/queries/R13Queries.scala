@@ -1513,8 +1513,8 @@ object R13Queries {
         // the ("", "") sentinel pair (brand values are "Brand#NN" —
         // never empty) contributes once per basket, so the basket
         // count rides the SAME digest: one scan, one shuffle, one job
-        val digest = s.read.parquet(s"$d/lineitem.parquet")
-          .join(s.read.parquet(s"$d/part.parquet"),
+        val digest = graft.sources.Tables.load(s, d, "lineitem")
+          .join(graft.sources.Tables.load(s, d, "part"),
             col("l_partkey") === col("p_partkey"))
           .select(col("l_orderkey").as("oid"), col("p_brand").as("brand"))
           .groupBy(col("oid")).agg(collect_set(col("brand")).as("arr"))
@@ -2529,7 +2529,7 @@ object R13Queries {
     // enter as integer cents (×100) before any float op.
     QueryDef("q_price_elasticity",
       (s, d) => {
-        val li = s.read.parquet(s"$d/lineitem.parquet")
+        val li = graft.sources.Tables.load(s, d, "lineitem")
           .select(col("l_partkey").as("pk"),
             floor(col("l_quantity")).cast("long").as("q"),
             floor(col("l_extendedprice") * 100).cast("long").as("pc"))

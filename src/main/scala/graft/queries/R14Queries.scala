@@ -243,8 +243,8 @@ object R14Queries {
     // (1−1/k) guarded for k=1. One brand-sized digest shuffle.
     QueryDef("q_herfindahl",
       (s, d) => {
-        val rev = s.read.parquet(s"$d/lineitem.parquet")
-          .join(s.read.parquet(s"$d/part.parquet")
+        val rev = graft.sources.Tables.load(s, d, "lineitem")
+          .join(graft.sources.Tables.load(s, d, "part")
             .select(col("p_partkey"), col("p_brand")),
             col("l_partkey") === col("p_partkey"))
           .groupBy(col("p_brand"))
@@ -719,7 +719,7 @@ object R14Queries {
     // LM rides a broadcast term digest.
     QueryDef("pipe_perplexity_filter",
       (s, d) => {
-        val toks = s.read.parquet(s"$d/documents.parquet")
+        val toks = graft.sources.Tables.load(s, d, "documents")
           .select(col("doc_id"),
             explode(graft.ext.TextAnalysis.tokens(col("text"))).as("term"))
         val tf = toks.groupBy(col("doc_id"), col("term"))
@@ -1343,7 +1343,7 @@ object R14Queries {
       (s, d) => {
         val xq = transform(slice(col("embedding"), 1, 16),
           x => round(x.cast("double") * 1000, 0).cast("long"))
-        val v = s.read.parquet(s"$d/embeddings.parquet")
+        val v = graft.sources.Tables.load(s, d, "embeddings")
           .filter(col("vec_id") < 512)
           .select(col("vec_id"), col("label"), xq.as("q"))
         def d2 = expr(
@@ -1823,7 +1823,7 @@ object R14Queries {
       (s, d) => {
         val xq = transform(slice(col("embedding"), 1, 16),
           x => round(x.cast("double") * 1000, 0).cast("long"))
-        val v = s.read.parquet(s"$d/embeddings.parquet")
+        val v = graft.sources.Tables.load(s, d, "embeddings")
           .filter(col("vec_id") < 512 && col("label").isin(0, 1))
           .select(col("vec_id"), col("label"), xq.as("q"))
         def dE6 = round(sqrt(expr(
@@ -1987,11 +1987,11 @@ object R14Queries {
     // ppm shares are integers.
     QueryDef("q_xyz_analysis",
       (s, d) => {
-        val li = s.read.parquet(s"$d/lineitem.parquet")
-          .join(s.read.parquet(s"$d/orders.parquet")
+        val li = graft.sources.Tables.load(s, d, "lineitem")
+          .join(graft.sources.Tables.load(s, d, "orders")
             .select(col("o_orderkey"), col("o_orderdate")),
             col("l_orderkey") === col("o_orderkey"))
-          .join(s.read.parquet(s"$d/part.parquet")
+          .join(graft.sources.Tables.load(s, d, "part")
             .select(col("p_partkey"), col("p_brand")),
             col("l_partkey") === col("p_partkey"))
           .select(col("p_brand").as("brand"),

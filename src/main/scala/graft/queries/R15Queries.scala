@@ -917,7 +917,7 @@ object R15Queries {
     // fact-sized stage (same plan as sim_topk_brute).
     QueryDef("emb_intra_list_diversity",
       (s, d) => {
-        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        val emb = graft.sources.Tables.load(s, d, "embeddings")
         val top = graft.ext.Similarity.bruteForceTopK(
           emb, emb.filter(col("vec_id") < 10), 5)
           .select(col("query_id"), col("neighbor_id"))
@@ -984,7 +984,7 @@ object R15Queries {
     // fact-sized.
     QueryDef("emb_catalog_coverage",
       (s, d) => {
-        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        val emb = graft.sources.Tables.load(s, d, "embeddings")
         val top = graft.ext.Similarity.bruteForceTopK(
           emb, emb.filter(col("vec_id") < 10), 5)
           .select(col("query_id"), col("neighbor_id"))
@@ -1475,7 +1475,7 @@ object R15Queries {
     // underlying rankers.
     QueryDef("emb_rrf_fusion",
       (s, d) => {
-        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        val emb = graft.sources.Tables.load(s, d, "embeddings")
         val cosR = graft.ext.Similarity.bruteForceTopK(
           emb, emb.filter(col("vec_id") < 10), 10)
           .select(col("query_id"), col("neighbor_id"),
@@ -1579,7 +1579,7 @@ object R15Queries {
     // family.
     QueryDef("emb_knn_reciprocity",
       (s, d) => {
-        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        val emb = graft.sources.Tables.load(s, d, "embeddings")
           .filter(col("vec_id") < 200)
         val top = graft.ext.Similarity.bruteForceTopK(emb, emb, 5)
           .select(col("query_id").as("a"), col("neighbor_id").as("b"))

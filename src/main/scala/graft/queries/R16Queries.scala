@@ -170,7 +170,7 @@ object R16Queries {
         // guard replaces a kernel-column filter (scan pushdown would
         // double-evaluate). n_exact counts distinct HASHES on both
         // engines (collision-symmetric; identical in practice).
-        val g = s.read.parquet(s"$d/documents.parquet")
+        val g = graft.sources.Tables.load(s, d, "documents")
           .filter(size(split(col("text"), " ")) >= 3)
           .transform(graft.queries.QueryDef.fanOut)
           .select(explode(graft.functions.TextHashFunctions
@@ -251,7 +251,7 @@ object R16Queries {
         val stops = GopherStops.map(w =>
           s"(case when array_contains(tk, '$w') then 1 else 0 end)")
           .mkString(" + ")
-        val f = s.read.parquet(s"$d/documents.parquet")
+        val f = graft.sources.Tables.load(s, d, "documents")
           .select(col("text"),
             graft.ext.TextAnalysis.tokens(col("text")).as("tk"))
           .selectExpr(

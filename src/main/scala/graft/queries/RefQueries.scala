@@ -153,7 +153,7 @@ object RefQueries {
     // F1 — drop rows with any missing (NULL-or-NaN) value, app.py:108.
     QueryDef("f1_dropna",
       (s, d) => {
-        val li = s.read.parquet(s"$d/lineitem.parquet")
+        val li = graft.sources.Tables.load(s, d, "lineitem")
         // (l_orderkey, l_linenumber) is NOT unique in the synthetic
         // data; (…, l_partkey, l_suppkey) is — deterministic order.
         Clean.dropMissing(li).orderBy(col("l_orderkey"), col("l_linenumber"),
@@ -173,7 +173,7 @@ object RefQueries {
     // F3 — strict sentinel/range filter over the measure columns, app.py:116.
     QueryDef("f3_range_filter",
       (s, d) => {
-        val li = s.read.parquet(s"$d/lineitem.parquet")
+        val li = graft.sources.Tables.load(s, d, "lineitem")
         Clean.rangeFilter(li, MeasureCols)
           .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
             "l_discount", "l_tax")
@@ -194,7 +194,7 @@ object RefQueries {
     // (app.py:115-120) as one aggregate row.
     QueryDef("f3_range_report",
       (s, d) => {
-        val li = s.read.parquet(s"$d/lineitem.parquet")
+        val li = graft.sources.Tables.load(s, d, "lineitem")
         val aggs = MeasureCols.zipWithIndex.map { case (c, i) =>
           val survivedPrior: Column =
             if (i == 0) lit(true)
@@ -225,7 +225,7 @@ object RefQueries {
       (s, d) => {
         // quantiles ride a broadcast 1-row cross join instead of a
         // driver-side head(): one Spark job, no collect round-trip
-        val o = s.read.parquet(s"$d/orders.parquet")
+        val o = graft.sources.Tables.load(s, d, "orders")
         val q = o.agg(graft.functions.ExactPercentile
           .percentiles(col("o_totalprice"), Seq(0.01, 0.5, 0.99)).as("__q"))
         val qlo = col("__q").getItem(0)
@@ -543,7 +543,7 @@ object RefQueries {
       (s, d) => {
         val e = Stats.tsExtremes(events(s, d), "ts")
           .select(col("ts_min").as("e_min"), col("ts_max").as("e_max"))
-        val o = Stats.tsExtremes(s.read.parquet(s"$d/orders.parquet"), "o_orderdate")
+        val o = Stats.tsExtremes(graft.sources.Tables.load(s, d, "orders"), "o_orderdate")
           .select(col("ts_min").as("o_min"), col("ts_max").as("o_max"))
         e.crossJoin(o)
       },
@@ -553,7 +553,7 @@ object RefQueries {
 
     // A2 — exact linear-interpolation quantiles (app.py:125-126).
     QueryDef("a2_quantiles",
-      (s, d) => Stats.quantiles(s.read.parquet(s"$d/orders.parquet"), "o_totalprice",
+      (s, d) => Stats.quantiles(graft.sources.Tables.load(s, d, "orders"), "o_totalprice",
         Seq(0.01, 0.25, 0.5, 0.75, 0.99))
         .select(round(col("q1"), 4).as("q1"), round(col("q25"), 4).as("q25"),
           round(col("q50"), 4).as("q50"), round(col("q75"), 4).as("q75"),
@@ -571,7 +571,7 @@ object RefQueries {
     // and the result is bit-identical to the buffered aggregate —
     // proven by sharing a2_quantiles' oracle verbatim.
     QueryDef("a2_quantiles_sorted",
-      (s, d) => Stats.quantilesBySort(s.read.parquet(s"$d/orders.parquet"),
+      (s, d) => Stats.quantilesBySort(graft.sources.Tables.load(s, d, "orders"),
         "o_totalprice", Seq(0.01, 0.25, 0.5, 0.75, 0.99))
         .select(round(col("q1"), 4).as("q1"), round(col("q25"), 4).as("q25"),
           round(col("q50"), 4).as("q50"), round(col("q75"), 4).as("q75"),
@@ -589,7 +589,7 @@ object RefQueries {
     // sketch merge order varies with partitioning -> rows-only check,
     // accuracy pinned vs the exact answer in StatsSpec.
     QueryDef("a2_quantiles_approx",
-      (s, d) => s.read.parquet(s"$d/orders.parquet")
+      (s, d) => graft.sources.Tables.load(s, d, "orders")
         .agg(expr("approx_percentile(o_totalprice, array(0.01, 0.25, 0.5, 0.75, 0.99), 10000)")
           .as("qs"))
         .select(round(element_at(col("qs"), 1), 4).as("q1"),
@@ -602,7 +602,7 @@ object RefQueries {
     // A3 — exact median (app.py:130).
     QueryDef("a3_median",
       (s, d) => {
-        val li = s.read.parquet(s"$d/lineitem.parquet")
+        val li = graft.sources.Tables.load(s, d, "lineitem")
         val pct = graft.functions.ExactPercentile.percentiles _
         li.agg(
           round(pct(col("l_quantity"), Seq(0.5)).getItem(0), 4).as("med_qty"),
@@ -615,7 +615,7 @@ object RefQueries {
     // A4 — pairwise Pearson correlation matrix (app.py:416-431), long
     // format, upper triangle.
     QueryDef("a4_corr_matrix",
-      (s, d) => Stats.corrMatrix(s.read.parquet(s"$d/lineitem.parquet"),
+      (s, d) => Stats.corrMatrix(graft.sources.Tables.load(s, d, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_linenumber"))
         .select(col("col_a"), col("col_b"), round(col("r"), 5).as("r"))
         .orderBy(col("col_a"), col("col_b")),
@@ -630,7 +630,7 @@ object RefQueries {
     // mean/stddev so the result is partition-order independent.
     QueryDef("a5_summary",
       (s, d) => {
-        val part = s.read.parquet(s"$d/part.parquet")
+        val part = graft.sources.Tables.load(s, d, "part")
         Stats.summaryExact(part, "p_retailprice").select(
           lit("p_retailprice").as("column"), col("cnt"),
           round(col("mean"), 4).as("mean"), round(col("stddev"), 4).as("stddev"),
@@ -661,7 +661,7 @@ object RefQueries {
         // single-threaded; fan the 4 projected columns out first (a
         // ~20 MB shuffle). On a real multi-file table the scan is
         // already parallel and this repartition folds into AQE.
-        val li = s.read.parquet(s"$d/lineitem.parquet")
+        val li = graft.sources.Tables.load(s, d, "lineitem")
           .select("l_quantity", "l_extendedprice", "l_discount", "l_tax")
           .transform(QueryDef.fanOut)
         Stats.summaryAllExact(li,

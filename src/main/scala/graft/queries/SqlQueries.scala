@@ -120,7 +120,7 @@ object SqlQueries {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_schemaevo_" +
       graft.io.FileSkipping.pathKey(d, "v1")
     if (!new java.io.File(base, "_SUCCESS").isFile) {
-      val docs = s.read.parquet(s"$d/documents.parquet")
+      val docs = graft.sources.Tables.load(s, d, "documents")
       docs.filter(col("doc_id") % 2 === 0)
         .select(col("doc_id"), col("n_chars"))
         .coalesce(1).write.mode("overwrite").parquet(s"$base/gen=1")
@@ -145,7 +145,7 @@ object SqlQueries {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_coedges_" +
       graft.io.FileSkipping.pathKey(d, "v2")
     if (!new java.io.File(base, "_SUCCESS").isFile) {
-      val pp = s.read.parquet(s"$d/lineitem.parquet")
+      val pp = graft.sources.Tables.load(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_partkey")).distinct()
       pp.select(col("l_orderkey"), col("l_partkey").as("p1"))
         .join(pp.select(col("l_orderkey").as("ok2"),
@@ -181,7 +181,7 @@ object SqlQueries {
     // group count — the canonical "does partial aggregation work" probe.
     QueryDef("q1_pricing_summary",
       (s, d) => {
-        val li = s.read.parquet(s"$d/lineitem.parquet")
+        val li = graft.sources.Tables.load(s, d, "lineitem")
         li.filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
@@ -212,11 +212,11 @@ object SqlQueries {
     // at small SF, but nothing forces a big-side broadcast at 100×).
     QueryDef("q3_top_orders",
       (s, d) => {
-        val c = s.read.parquet(s"$d/customer.parquet")
+        val c = graft.sources.Tables.load(s, d, "customer")
           .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
-        val o = s.read.parquet(s"$d/orders.parquet")
+        val o = graft.sources.Tables.load(s, d, "orders")
           .select("o_orderkey", "o_custkey", "o_orderdate")
-        val li = s.read.parquet(s"$d/lineitem.parquet")
+        val li = graft.sources.Tables.load(s, d, "lineitem")
           .select("l_orderkey", "l_extendedprice", "l_discount")
         li.join(o.join(broadcast(c), col("o_custkey") === col("c_custkey")),
             col("l_orderkey") === col("o_orderkey"))
@@ -241,7 +241,7 @@ object SqlQueries {
     // oracle as q3_top_orders; shuffle elision pinned by BucketingSpec.
     QueryDef("q3_bucketed",
       (s, d) => {
-        val c = s.read.parquet(s"$d/customer.parquet")
+        val c = graft.sources.Tables.load(s, d, "customer")
           .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
         val o = graft.sources.Bucketing.ordersBucketed(s, d)
           .select("o_orderkey", "o_custkey", "o_orderdate")
@@ -270,19 +270,19 @@ object SqlQueries {
     // lineitem fact spine shuffles — at 100× only the facts grow.
     QueryDef("q5_region_revenue",
       (s, d) => {
-        val r = s.read.parquet(s"$d/region.parquet")
+        val r = graft.sources.Tables.load(s, d, "region")
           .filter(col("r_name") === "ASIA").select("r_regionkey")
-        val n = s.read.parquet(s"$d/nation.parquet")
+        val n = graft.sources.Tables.load(s, d, "nation")
           .select("n_nationkey", "n_regionkey", "n_name")
         val rn = n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
           .select("n_nationkey", "n_name")
-        val c = s.read.parquet(s"$d/customer.parquet")
+        val c = graft.sources.Tables.load(s, d, "customer")
           .select("c_custkey", "c_nationkey")
-        val o = s.read.parquet(s"$d/orders.parquet")
+        val o = graft.sources.Tables.load(s, d, "orders")
           .select("o_orderkey", "o_custkey")
-        val li = s.read.parquet(s"$d/lineitem.parquet")
+        val li = graft.sources.Tables.load(s, d, "lineitem")
           .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-        val sup = s.read.parquet(s"$d/supplier.parquet")
+        val sup = graft.sources.Tables.load(s, d, "supplier")
           .select("s_suppkey", "s_nationkey")
         li.join(o, col("l_orderkey") === col("o_orderkey"))
           .join(c, col("o_custkey") === col("c_custkey"))
@@ -388,7 +388,7 @@ object SqlQueries {
     // such a row would tie with the subtotal row in engine-dependent
     // order, making the oracle compare nondeterministic.
     QueryDef("q_rollup_pricing",
-      (s, d) => s.read.parquet(s"$d/lineitem.parquet")
+      (s, d) => graft.sources.Tables.load(s, d, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
           count(lit(1)).as("n"),
@@ -575,9 +575,9 @@ object SqlQueries {
     // shuffled payload on the orders side is 8 bytes/row.
     QueryDef("q_semi_join",
       (s, d) => {
-        val c = s.read.parquet(s"$d/customer.parquet")
+        val c = graft.sources.Tables.load(s, d, "customer")
           .select("c_custkey", "c_mktsegment", "c_acctbal")
-        val urgent = s.read.parquet(s"$d/orders.parquet")
+        val urgent = graft.sources.Tables.load(s, d, "orders")
           .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
         c.join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
           .groupBy(col("c_mktsegment"))
@@ -597,9 +597,9 @@ object SqlQueries {
     // q_semi_join with the opposite keep rule.
     QueryDef("q_anti_join",
       (s, d) => {
-        val c = s.read.parquet(s"$d/customer.parquet")
+        val c = graft.sources.Tables.load(s, d, "customer")
           .select("c_custkey", "c_mktsegment", "c_acctbal")
-        val urgent = s.read.parquet(s"$d/orders.parquet")
+        val urgent = graft.sources.Tables.load(s, d, "orders")
           .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
         c.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
           .groupBy(col("c_mktsegment"))
@@ -624,7 +624,7 @@ object SqlQueries {
       (s, d) => {
         val w = Window.partitionBy(col("o_orderpriority"))
           .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-        s.read.parquet(s"$d/orders.parquet")
+        graft.sources.Tables.load(s, d, "orders")
           .select("o_orderkey", "o_orderpriority", "o_totalprice")
           .withColumn("rk", row_number().over(w).cast("long"))
           .filter(col("rk") <= 3)
@@ -910,7 +910,7 @@ object SqlQueries {
     // in one pass — completes the grouping-sets surface next to
     // q_rollup_pricing (same grouping-flag sort discipline).
     QueryDef("q_cube_pricing",
-      (s, d) => s.read.parquet(s"$d/lineitem.parquet")
+      (s, d) => graft.sources.Tables.load(s, d, "lineitem")
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
           count(lit(1)).as("n"),
@@ -962,16 +962,16 @@ object SqlQueries {
     // per-customer aggregate tops-k at the end (top 20 by revenue).
     QueryDef("q10_returned_items",
       (s, d) => {
-        val o = s.read.parquet(s"$d/orders.parquet")
+        val o = graft.sources.Tables.load(s, d, "orders")
           .filter(col("o_orderdate") >= "1996-01-01" &&
             col("o_orderdate") < "1996-04-01")
           .select("o_orderkey", "o_custkey")
-        val li = s.read.parquet(s"$d/lineitem.parquet")
+        val li = graft.sources.Tables.load(s, d, "lineitem")
           .filter(col("l_returnflag") === "R")
           .select("l_orderkey", "l_extendedprice", "l_discount")
-        val c = s.read.parquet(s"$d/customer.parquet")
+        val c = graft.sources.Tables.load(s, d, "customer")
           .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
-        val n = s.read.parquet(s"$d/nation.parquet")
+        val n = graft.sources.Tables.load(s, d, "nation")
           .select("n_nationkey", "n_name")
         li.join(o, col("l_orderkey") === col("o_orderkey"))
           .join(c, col("o_custkey") === col("c_custkey"))
@@ -1003,7 +1003,7 @@ object SqlQueries {
     // the same shape). Long-format output, one row per column.
     QueryDef("io_table_stats",
       (s, d) => {
-        val li = s.read.parquet(s"$d/lineitem.parquet")
+        val li = graft.sources.Tables.load(s, d, "lineitem")
         val wide = li.agg(
           count(lit(1)).as("n_rows"),
           countDistinct(col("l_returnflag")).as("ndv_rf"),
@@ -1259,13 +1259,13 @@ object SqlQueries {
     // for a dim too big to broadcast-JOIN whose key bloom still fits.
     QueryDef("q_bloom_prune",
       (s, d) => {
-        val sel = s.read.parquet(s"$d/orders.parquet")
+        val sel = graft.sources.Tables.load(s, d, "orders")
           .filter(col("o_orderdate").between(
             lit("1997-01-01").cast("timestamp"), lit("1997-01-31").cast("timestamp")))
           .select("o_orderkey", "o_orderdate")
         val h = graft.functions.BloomFunctions.buildBroadcast(
           sel, "o_orderkey", expectedItems = 200000L, fpp = 0.01)
-        val li = s.read.parquet(s"$d/lineitem.parquet")
+        val li = graft.sources.Tables.load(s, d, "lineitem")
           .select("l_orderkey", "l_extendedprice", "l_discount")
           .filter(graft.functions.BloomFunctions.mightContain(col("l_orderkey"), h))
         li.join(sel, col("l_orderkey") === col("o_orderkey"))
@@ -1290,14 +1290,14 @@ object SqlQueries {
     // table; this one shuffles a per-key digest and broadcasts ~0.2%.
     QueryDef("q18_large_orders",
       (s, d) => {
-        val big = s.read.parquet(s"$d/lineitem.parquet")
+        val big = graft.sources.Tables.load(s, d, "lineitem")
           .groupBy(col("l_orderkey"))
           .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("__sq"))
           .filter(col("__sq") > 280)
           .select(col("l_orderkey"), col("__sq").cast("double").as("sum_qty"))
-        s.read.parquet(s"$d/orders.parquet")
+        graft.sources.Tables.load(s, d, "orders")
           .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
-          .join(s.read.parquet(s"$d/customer.parquet"),
+          .join(graft.sources.Tables.load(s, d, "customer"),
             col("o_custkey") === col("c_custkey"))
           .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
             col("o_totalprice"), col("sum_qty"))
@@ -1317,7 +1317,7 @@ object SqlQueries {
     // the shuffle is the bin digest, never the rows). The standard
     // profile-a-column primitive at any scale.
     QueryDef("q_price_histogram",
-      (s, d) => s.read.parquet(s"$d/lineitem.parquet")
+      (s, d) => graft.sources.Tables.load(s, d, "lineitem")
         .select(floor(col("l_extendedprice") / 5000).cast("long").as("bin"),
           col("l_extendedprice"))
         .groupBy(col("bin"))
@@ -1360,7 +1360,7 @@ object SqlQueries {
     // groups parallelize across the cluster; the 100 TB switch is the
     // same approx_percentile swap documented on a2_quantiles_approx).
     QueryDef("q_group_quantiles",
-      (s, d) => s.read.parquet(s"$d/orders.parquet")
+      (s, d) => graft.sources.Tables.load(s, d, "orders")
         .groupBy(col("o_orderpriority"))
         .agg(graft.functions.ExactPercentile
           .percentiles(col("o_totalprice"), Seq(0.5, 0.95)).as("__q"))
@@ -1437,7 +1437,7 @@ object SqlQueries {
     QueryDef("q_grouping_sets",
       // project + fan out: the single-file scan would run the triple
       // decimal rollup single-task (grouping sets triple the agg rows)
-      (s, d) => s.read.parquet(s"$d/lineitem.parquet")
+      (s, d) => graft.sources.Tables.load(s, d, "lineitem")
         .select("l_returnflag", "l_linestatus", "l_quantity", "l_discount")
         .transform(QueryDef.fanOut)
         .groupingSets(
@@ -1504,7 +1504,7 @@ object SqlQueries {
     // (unpivot requires a common value type; the oracle mirrors with
     // a UNION ALL spelling).
     QueryDef("q_unpivot_metrics",
-      (s, d) => s.read.parquet(s"$d/lineitem.parquet")
+      (s, d) => graft.sources.Tables.load(s, d, "lineitem")
         .groupBy(col("l_returnflag").as("rf"))
         .agg(sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
           sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
@@ -1898,8 +1898,8 @@ object SqlQueries {
     // distinct-key digests, never the fact tables themselves.
     QueryDef("q_dq_expectations",
       (s, d) => {
-        val li = s.read.parquet(s"$d/lineitem.parquet")
-        val ord = s.read.parquet(s"$d/orders.parquet")
+        val li = graft.sources.Tables.load(s, d, "lineitem")
+        val ord = graft.sources.Tables.load(s, d, "orders")
         def checkRow(name: String, checked: org.apache.spark.sql.Column,
                      bad: org.apache.spark.sql.Column) =
           struct(lit(name).as("check"), checked.as("n_checked"),
@@ -1984,20 +1984,20 @@ object SqlQueries {
     QueryDef("q7_volume_shipping",
       (s, d) => {
         val pair = Seq("NATION_1", "NATION_2")
-        val n = s.read.parquet(s"$d/nation.parquet")
+        val n = graft.sources.Tables.load(s, d, "nation")
           .filter(col("n_name").isin(pair: _*))
           .select("n_nationkey", "n_name")
-        val sup = s.read.parquet(s"$d/supplier.parquet")
+        val sup = graft.sources.Tables.load(s, d, "supplier")
           .join(broadcast(n.withColumnRenamed("n_name", "supp_nation")),
             col("s_nationkey") === col("n_nationkey"))
           .select("s_suppkey", "supp_nation")
-        val cust = s.read.parquet(s"$d/customer.parquet")
+        val cust = graft.sources.Tables.load(s, d, "customer")
           .join(broadcast(n.withColumnRenamed("n_name", "cust_nation")),
             col("c_nationkey") === col("n_nationkey"))
           .select("c_custkey", "cust_nation")
-        val o = s.read.parquet(s"$d/orders.parquet")
+        val o = graft.sources.Tables.load(s, d, "orders")
           .select("o_orderkey", "o_custkey")
-        val li = s.read.parquet(s"$d/lineitem.parquet")
+        val li = graft.sources.Tables.load(s, d, "lineitem")
           .select("l_orderkey", "l_suppkey", "l_shipdate",
             "l_extendedprice", "l_discount")
         li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
@@ -2033,10 +2033,10 @@ object SqlQueries {
     // meet in ONE double division at the end.
     QueryDef("q14_promo_share",
       (s, d) => {
-        val p = s.read.parquet(s"$d/part.parquet").select("p_partkey", "p_type")
+        val p = graft.sources.Tables.load(s, d, "part").select("p_partkey", "p_type")
         val rev = col("l_extendedprice").cast("decimal(12,2)") *
           (lit(1) - col("l_discount")).cast("decimal(4,2)")
-        s.read.parquet(s"$d/lineitem.parquet")
+        graft.sources.Tables.load(s, d, "lineitem")
           .filter(col("l_shipdate") >= lit("1995-09-01").cast("timestamp") &&
             col("l_shipdate") < lit("1995-10-01").cast("timestamp"))
           .join(broadcast(p), col("l_partkey") === col("p_partkey"))
@@ -2068,7 +2068,7 @@ object SqlQueries {
     // identical double.
     QueryDef("q_above_avg_parts",
       (s, d) => {
-        val p = s.read.parquet(s"$d/part.parquet")
+        val p = graft.sources.Tables.load(s, d, "part")
         val avgT = p.groupBy(col("p_type").as("t"))
           .agg((sum(col("p_retailprice").cast("decimal(18,2)")).cast("double")
             / count(lit(1))).as("type_avg"))
@@ -2349,7 +2349,7 @@ object SqlQueries {
     // exact and partition-order independent.
     QueryDef("q_spearman_corr",
       (s, d) => {
-        val li = s.read.parquet(s"$d/lineitem.parquet")
+        val li = graft.sources.Tables.load(s, d, "lineitem")
           .select(col("l_quantity"), col("l_discount"))
         def rankDigest(c: String) = {
           val w = Window.orderBy(col(c))
@@ -2622,7 +2622,7 @@ object SqlQueries {
     // wildly — which is exactly what the audit is for.)
     QueryDef("q_benford_check",
       (s, d) => {
-        val digits = s.read.parquet(s"$d/orders.parquet")
+        val digits = graft.sources.Tables.load(s, d, "orders")
           .filter(col("o_totalprice") > 0)
           .select(substring(col("o_totalprice").cast("string"), 1, 1)
             .cast("int").as("digit"))
@@ -2659,28 +2659,28 @@ object SqlQueries {
     // to double at the end.
     QueryDef("q8_market_share",
       (s, d) => {
-        val n = s.read.parquet(s"$d/nation.parquet")
-        val r = s.read.parquet(s"$d/region.parquet")
+        val n = graft.sources.Tables.load(s, d, "nation")
+        val r = graft.sources.Tables.load(s, d, "region")
           .filter(col("r_name") === "AMERICA").select("r_regionkey")
         val custNat = n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
           .select(col("n_nationkey").as("cn_key"))
-        val c = s.read.parquet(s"$d/customer.parquet")
+        val c = graft.sources.Tables.load(s, d, "customer")
           .select("c_custkey", "c_nationkey")
           .join(broadcast(custNat), col("c_nationkey") === col("cn_key"))
           .select("c_custkey")
-        val o = s.read.parquet(s"$d/orders.parquet")
+        val o = graft.sources.Tables.load(s, d, "orders")
           .filter(col("o_orderdate") >= "1996-01-01" &&
             col("o_orderdate") < "1998-01-01")
           .select("o_orderkey", "o_custkey", "o_orderdate")
-        val p = s.read.parquet(s"$d/part.parquet")
+        val p = graft.sources.Tables.load(s, d, "part")
           .filter(col("p_type") === "ECONOMY").select("p_partkey")
-        val supN = s.read.parquet(s"$d/supplier.parquet")
+        val supN = graft.sources.Tables.load(s, d, "supplier")
           .select("s_suppkey", "s_nationkey")
           .join(broadcast(n.select(col("n_nationkey"),
             col("n_name").as("supp_nation"))),
             col("s_nationkey") === col("n_nationkey"))
           .select("s_suppkey", "supp_nation")
-        s.read.parquet(s"$d/lineitem.parquet")
+        graft.sources.Tables.load(s, d, "lineitem")
           .select("l_orderkey", "l_partkey", "l_suppkey",
             "l_extendedprice", "l_discount")
           .join(broadcast(p), col("l_partkey") === col("p_partkey"))
@@ -2730,8 +2730,8 @@ object SqlQueries {
     // both partial-aggregate friendly.
     QueryDef("q13_cust_distribution",
       (s, d) => {
-        val c = s.read.parquet(s"$d/customer.parquet").select("c_custkey")
-        val o = s.read.parquet(s"$d/orders.parquet")
+        val c = graft.sources.Tables.load(s, d, "customer").select("c_custkey")
+        val o = graft.sources.Tables.load(s, d, "orders")
           .filter(col("o_orderpriority") =!= "1-URGENT")
           .select("o_orderkey", "o_custkey")
         c.join(o, col("c_custkey") === col("o_custkey"), "left")
@@ -2756,7 +2756,7 @@ object SqlQueries {
     // equality is tested on the EXACT decimal so ties are bit-exact.
     QueryDef("q15_top_supplier",
       (s, d) => {
-        val rev = s.read.parquet(s"$d/lineitem.parquet")
+        val rev = graft.sources.Tables.load(s, d, "lineitem")
           .filter(col("l_shipdate") >= "1996-01-01" &&
             col("l_shipdate") < "1996-04-01")
           .groupBy(col("l_suppkey"))
@@ -2764,7 +2764,7 @@ object SqlQueries {
             (lit(1) - col("l_discount")).cast("decimal(4,2)"))
             .as("rev_dec"))
         val mx = rev.agg(max(col("rev_dec")).as("mx"))
-        val sup = s.read.parquet(s"$d/supplier.parquet")
+        val sup = graft.sources.Tables.load(s, d, "supplier")
           .select("s_suppkey", "s_name")
         rev.join(broadcast(mx), col("rev_dec") === col("mx"))
           .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
@@ -2793,12 +2793,12 @@ object SqlQueries {
     // accept — the classic rewrite engines apply to Q19's ORs.
     QueryDef("q19_disjunctive_revenue",
       (s, d) => {
-        val p = s.read.parquet(s"$d/part.parquet")
+        val p = graft.sources.Tables.load(s, d, "part")
           .filter((col("p_brand") === "Brand#1" && col("p_size").between(1, 15)) ||
             (col("p_brand") === "Brand#2" && col("p_size").between(10, 30)) ||
             (col("p_brand") === "Brand#3" && col("p_size").between(20, 50)))
           .select("p_partkey", "p_brand")
-        s.read.parquet(s"$d/lineitem.parquet")
+        graft.sources.Tables.load(s, d, "lineitem")
           .filter(col("l_quantity").between(1, 40))
           .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
           .join(broadcast(p), col("l_partkey") === col("p_partkey"))
@@ -2830,16 +2830,16 @@ object SqlQueries {
     // every minimal supplier exactly like the reference subquery.
     QueryDef("q2_min_cost_supplier",
       (s, d) => {
-        val p = s.read.parquet(s"$d/part.parquet")
+        val p = graft.sources.Tables.load(s, d, "part")
           .filter(col("p_type") === "STANDARD" && col("p_size") === 15)
           .select("p_partkey", "p_name")
-        val offers = s.read.parquet(s"$d/lineitem.parquet")
+        val offers = graft.sources.Tables.load(s, d, "lineitem")
           .select(col("l_partkey"), col("l_suppkey"),
             col("l_extendedprice").cast("decimal(12,2)").as("price"))
           .join(broadcast(p), col("l_partkey") === col("p_partkey"))
         val minP = offers.groupBy(col("l_partkey").as("mk"))
           .agg(min(col("price")).as("min_price"))
-        val sup = s.read.parquet(s"$d/supplier.parquet")
+        val sup = graft.sources.Tables.load(s, d, "supplier")
           .select("s_suppkey", "s_name", "s_acctbal")
         offers.join(minP, col("l_partkey") === col("mk") &&
             col("price") === col("min_price"))
@@ -2866,12 +2866,12 @@ object SqlQueries {
     // a per-nation rollup in exact decimals.
     QueryDef("q22_inactive_wealthy",
       (s, d) => {
-        val c = s.read.parquet(s"$d/customer.parquet")
+        val c = graft.sources.Tables.load(s, d, "customer")
           .select("c_custkey", "c_nationkey", "c_acctbal")
         val avgBal = c.filter(col("c_acctbal") > 0)
           .agg((sum(col("c_acctbal").cast("decimal(14,2)")).cast("double") /
             count(lit(1)).cast("double")).as("ab"))
-        val recent = s.read.parquet(s"$d/orders.parquet")
+        val recent = graft.sources.Tables.load(s, d, "orders")
           .filter(col("o_orderdate") >= "1998-01-01")
           .select("o_custkey")
         c.crossJoin(broadcast(avgBal))
@@ -2983,7 +2983,7 @@ object SqlQueries {
     // partition.
     QueryDef("q_snapshot_diff",
       (s, d) => {
-        val o = s.read.parquet(s"$d/orders.parquet")
+        val o = graft.sources.Tables.load(s, d, "orders")
           .select(col("o_orderkey"),
             col("o_totalprice").cast("decimal(12,2)").as("price"),
             pmod(Dedup.strHash60(concat(lit("diff:"), col("o_orderkey"))),
@@ -3031,7 +3031,7 @@ object SqlQueries {
     // in a basket graph and would be quadratic to keep.
     QueryDef("q_copurchase_edges",
       (s, d) => {
-        val pp = s.read.parquet(s"$d/lineitem.parquet")
+        val pp = graft.sources.Tables.load(s, d, "lineitem")
           .select(col("l_orderkey"), col("l_partkey")).distinct()
         pp.select(col("l_orderkey"), col("l_partkey").as("p1"))
           .join(pp.select(col("l_orderkey").as("ok2"),
@@ -3203,7 +3203,7 @@ object SqlQueries {
     // test) drops in front of the identical anti-join unchanged.
     QueryDef("q_skyline_parts",
       (s, d) => {
-        val cand = s.read.parquet(s"$d/part.parquet")
+        val cand = graft.sources.Tables.load(s, d, "part")
           .filter(col("p_type") === "ECONOMY")
           .select(col("p_partkey"),
             col("p_retailprice").cast("decimal(12,2)").as("price"),
@@ -3236,7 +3236,7 @@ object SqlQueries {
     // test `2·cum >= total` stays in exact decimals.
     QueryDef("q_weighted_median",
       (s, d) => {
-        val wq = s.read.parquet(s"$d/lineitem.parquet")
+        val wq = graft.sources.Tables.load(s, d, "lineitem")
           .groupBy(col("l_returnflag"), col("l_quantity"))
           .agg(sum(col("l_extendedprice").cast("decimal(14,2)")).as("w"))
         val win = Window.partitionBy(col("l_returnflag"))
@@ -3471,7 +3471,7 @@ object SqlQueries {
     // columns); the whole query is one partial-aggregatable sum.
     QueryDef("q6_revenue_delta",
       (s, d) => {
-        s.read.parquet(s"$d/lineitem.parquet")
+        graft.sources.Tables.load(s, d, "lineitem")
           .filter(col("l_shipdate") >= "1996-01-01" &&
             col("l_shipdate") < "1997-01-01" &&
             col("l_discount").between(0.05, 0.07) &&
@@ -3497,19 +3497,19 @@ object SqlQueries {
     // joins on its key. Profit terms are exact decimals end-to-end.
     QueryDef("q9_profit_nation",
       (s, d) => {
-        val n = s.read.parquet(s"$d/nation.parquet")
+        val n = graft.sources.Tables.load(s, d, "nation")
           .select(col("n_nationkey"), col("n_name"))
-        val sup = s.read.parquet(s"$d/supplier.parquet")
+        val sup = graft.sources.Tables.load(s, d, "supplier")
           .select("s_suppkey", "s_nationkey")
           .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
           .select("s_suppkey", "n_name")
-        val p = s.read.parquet(s"$d/part.parquet")
+        val p = graft.sources.Tables.load(s, d, "part")
           .filter(col("p_name").contains("red"))
           .select(col("p_partkey"),
             col("p_retailprice").cast("decimal(12,2)").as("cost"))
-        val o = s.read.parquet(s"$d/orders.parquet")
+        val o = graft.sources.Tables.load(s, d, "orders")
           .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
-        s.read.parquet(s"$d/lineitem.parquet")
+        graft.sources.Tables.load(s, d, "lineitem")
           .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
             "l_extendedprice", "l_discount")
           .join(broadcast(p), col("l_partkey") === col("p_partkey"))
@@ -3543,7 +3543,7 @@ object SqlQueries {
     // the boundary is bit-deterministic.
     QueryDef("q11_major_parts",
       (s, d) => {
-        val per = s.read.parquet(s"$d/lineitem.parquet")
+        val per = graft.sources.Tables.load(s, d, "lineitem")
           .groupBy(col("l_partkey"))
           .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
             (lit(1) - col("l_discount")).cast("decimal(4,2)")).as("val_dec"))
@@ -3571,9 +3571,9 @@ object SqlQueries {
     // pass per class.
     QueryDef("q12_late_shipments",
       (s, d) => {
-        val o = s.read.parquet(s"$d/orders.parquet")
+        val o = graft.sources.Tables.load(s, d, "orders")
           .select("o_orderkey", "o_orderdate", "o_orderpriority")
-        s.read.parquet(s"$d/lineitem.parquet")
+        graft.sources.Tables.load(s, d, "lineitem")
           .select("l_orderkey", "l_shipdate")
           .join(o, col("l_orderkey") === col("o_orderkey"))
           .withColumn("late",
@@ -3709,15 +3709,15 @@ object SqlQueries {
     // the share division (doubles only at the division).
     QueryDef("q_yoy_contribution",
       (s, d) => {
-        val n = s.read.parquet(s"$d/nation.parquet")
+        val n = graft.sources.Tables.load(s, d, "nation")
           .select("n_nationkey", "n_name")
-        val c = s.read.parquet(s"$d/customer.parquet")
+        val c = graft.sources.Tables.load(s, d, "customer")
           .select("c_custkey", "c_nationkey")
-        val o = s.read.parquet(s"$d/orders.parquet")
+        val o = graft.sources.Tables.load(s, d, "orders")
           .filter(year(col("o_orderdate")).isin(1996, 1997))
           .select(col("o_orderkey"), col("o_custkey"),
             year(col("o_orderdate")).as("yr"))
-        val rev = s.read.parquet(s"$d/lineitem.parquet")
+        val rev = graft.sources.Tables.load(s, d, "lineitem")
           .select(col("l_orderkey"),
             (col("l_extendedprice").cast("decimal(12,2)") *
               (lit(1) - col("l_discount")).cast("decimal(4,2)")).as("vol"))
@@ -3770,11 +3770,11 @@ object SqlQueries {
     // late.
     QueryDef("q4_priority_exists",
       (s, d) => {
-        val o = s.read.parquet(s"$d/orders.parquet")
+        val o = graft.sources.Tables.load(s, d, "orders")
           .filter(col("o_orderdate") >= "1996-01-01" &&
             col("o_orderdate") < "1996-07-01")
           .select("o_orderkey", "o_orderdate", "o_orderpriority")
-        val li = s.read.parquet(s"$d/lineitem.parquet")
+        val li = graft.sources.Tables.load(s, d, "lineitem")
           .select("l_orderkey", "l_shipdate")
         o.join(li, col("l_orderkey") === col("o_orderkey") &&
             col("l_shipdate") > col("o_orderdate") +
@@ -3967,10 +3967,10 @@ object SqlQueries {
     // health check every marketplace runs.
     QueryDef("q_pareto_concentration",
       (s, d) => {
-        val o = s.read.parquet(s"$d/orders.parquet")
+        val o = graft.sources.Tables.load(s, d, "orders")
           .select(col("o_totalprice"))
         val th = graft.analytics.Stats.quantiles(
-          s.read.parquet(s"$d/orders.parquet"), "o_totalprice",
+          graft.sources.Tables.load(s, d, "orders"), "o_totalprice",
           Seq(0.9, 0.95, 0.99))
         o.crossJoin(broadcast(th))
           .agg(
@@ -4947,7 +4947,7 @@ object SqlQueries {
     // the single final cosine is exact.
     QueryDef("emb_centroid_drift",
       (s, d) => {
-        val xl = s.read.parquet(s"$d/embeddings.parquet")
+        val xl = graft.sources.Tables.load(s, d, "embeddings")
           .select(col("vec_id"), col("label"),
             posexplode(col("embedding")).as(Seq("dim", "xf")))
           .select(col("vec_id"), col("label"), col("dim"),
@@ -5130,14 +5130,14 @@ object SqlQueries {
     // of the 1e6 "fully concentrated" ceiling.
     QueryDef("q_hhi_concentration",
       (s, d) => {
-        val rev = s.read.parquet(s"$d/lineitem.parquet")
+        val rev = graft.sources.Tables.load(s, d, "lineitem")
           .select(col("l_orderkey"),
             (col("l_extendedprice").cast("decimal(12,2)") *
               (lit(1) - col("l_discount")).cast("decimal(4,2)")).as("vol"))
-          .join(s.read.parquet(s"$d/orders.parquet")
+          .join(graft.sources.Tables.load(s, d, "orders")
             .select("o_orderkey", "o_custkey"),
             col("l_orderkey") === col("o_orderkey"))
-          .join(s.read.parquet(s"$d/customer.parquet")
+          .join(graft.sources.Tables.load(s, d, "customer")
             .select("c_custkey", "c_nationkey"),
             col("o_custkey") === col("c_custkey"))
           .groupBy(col("c_nationkey"))
@@ -5176,9 +5176,9 @@ object SqlQueries {
     // exact decimals — no rounding boundary can flip a row.
     QueryDef("q17_small_quantity",
       (s, d) => {
-        val p = s.read.parquet(s"$d/part.parquet")
+        val p = graft.sources.Tables.load(s, d, "part")
           .filter(col("p_brand") === "Brand#7").select("p_partkey")
-        val li = s.read.parquet(s"$d/lineitem.parquet")
+        val li = graft.sources.Tables.load(s, d, "lineitem")
           .select("l_partkey", "l_quantity", "l_extendedprice")
           .join(broadcast(p), col("l_partkey") === col("p_partkey"))
         val th = li.groupBy(col("l_partkey").as("tk"))
@@ -5213,15 +5213,15 @@ object SqlQueries {
     // push into its scan; both dims broadcast.
     QueryDef("q16_parts_suppliers",
       (s, d) => {
-        val p = s.read.parquet(s"$d/part.parquet")
+        val p = graft.sources.Tables.load(s, d, "part")
           .filter(col("p_brand") =!= "Brand#5" &&
             col("p_type") =!= "ECONOMY" &&
             col("p_size").isin(1, 4, 7, 9, 11))
           .select("p_partkey", "p_brand", "p_type", "p_size")
-        val bad = s.read.parquet(s"$d/supplier.parquet")
+        val bad = graft.sources.Tables.load(s, d, "supplier")
           .filter(col("s_acctbal") < 0)
           .select(col("s_suppkey").as("bad_sk"))
-        val ps = s.read.parquet(s"$d/lineitem.parquet")
+        val ps = graft.sources.Tables.load(s, d, "lineitem")
           .select(col("l_partkey"), col("l_suppkey")).distinct()
         ps.join(broadcast(p), col("l_partkey") === col("p_partkey"))
           .join(broadcast(bad), col("l_suppkey") === col("bad_sk"),
@@ -5251,9 +5251,9 @@ object SqlQueries {
     // to BIGINT so the threshold compare is exact in both engines.
     QueryDef("q20_excess_suppliers",
       (s, d) => {
-        val p = s.read.parquet(s"$d/part.parquet")
+        val p = graft.sources.Tables.load(s, d, "part")
           .filter(col("p_name").startsWith("small")).select("p_partkey")
-        val li = s.read.parquet(s"$d/lineitem.parquet")
+        val li = graft.sources.Tables.load(s, d, "lineitem")
           .select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
           .join(broadcast(p), col("l_partkey") === col("p_partkey"))
         val sup = li.groupBy(col("l_partkey"), col("l_suppkey"))
@@ -5263,9 +5263,9 @@ object SqlQueries {
           .filter(col("qty_1998") > 0 &&
             col("qty_total") > col("qty_1998") * 2)
           .select(col("l_suppkey")).distinct()
-        s.read.parquet(s"$d/supplier.parquet")
+        graft.sources.Tables.load(s, d, "supplier")
           .join(sup, col("s_suppkey") === col("l_suppkey"))
-          .join(broadcast(s.read.parquet(s"$d/nation.parquet")),
+          .join(broadcast(graft.sources.Tables.load(s, d, "nation")),
             col("s_nationkey") === col("n_nationkey"))
           .select(col("s_name"), col("n_name"))
           .orderBy(col("s_name"))
@@ -5294,10 +5294,10 @@ object SqlQueries {
     // supplier the way the textbook plan does it.
     QueryDef("q21_waiting_supplier",
       (s, d) => {
-        val o = s.read.parquet(s"$d/orders.parquet")
+        val o = graft.sources.Tables.load(s, d, "orders")
           .filter(col("o_orderstatus") === "F")
           .select("o_orderkey", "o_orderdate")
-        val lo = s.read.parquet(s"$d/lineitem.parquet")
+        val lo = graft.sources.Tables.load(s, d, "lineitem")
           .select("l_orderkey", "l_suppkey", "l_shipdate")
           .join(o, col("l_orderkey") === col("o_orderkey"))
           .withColumn("late",
@@ -5312,7 +5312,7 @@ object SqlQueries {
         lateLines
           .join(per, col("l_orderkey") === col("ok") &&
             col("n_supp") > 1 && col("n_late_supp") === 1)
-          .join(broadcast(s.read.parquet(s"$d/supplier.parquet")
+          .join(broadcast(graft.sources.Tables.load(s, d, "supplier")
             .select("s_suppkey", "s_name")),
             col("l_suppkey") === col("s_suppkey"))
           .groupBy(col("s_name"))
@@ -5420,11 +5420,11 @@ object SqlQueries {
     // map-side partial aggregation, 25 groups.
     QueryDef("feat_price_elasticity",
       (s, d) => {
-        val li = s.read.parquet(s"$d/lineitem.parquet")
+        val li = graft.sources.Tables.load(s, d, "lineitem")
           .select(col("l_partkey"),
             col("l_discount").cast("decimal(4,2)").as("x"),
             col("l_quantity").cast("decimal(12,2)").as("y"))
-          .join(broadcast(s.read.parquet(s"$d/part.parquet")
+          .join(broadcast(graft.sources.Tables.load(s, d, "part")
             .select("p_partkey", "p_brand")),
             col("l_partkey") === col("p_partkey"))
         li.groupBy(col("p_brand"))
@@ -5712,7 +5712,7 @@ object SqlQueries {
     // price gap.
     QueryDef("q_dup_invoices",
       (s, d) => {
-        val o = s.read.parquet(s"$d/orders.parquet")
+        val o = graft.sources.Tables.load(s, d, "orders")
           .select(col("o_custkey"), col("o_orderkey"),
             col("o_totalprice").cast("decimal(12,2)").as("p"),
             to_date(col("o_orderdate")).as("od"))
@@ -5995,7 +5995,7 @@ object SqlQueries {
     // into a catalog-sized report.
     QueryDef("q_key_uniqueness",
       (s, d) => {
-        val li = s.read.parquet(s"$d/lineitem.parquet")
+        val li = graft.sources.Tables.load(s, d, "lineitem")
         def audit(keyName: String, keys: Seq[String]) =
           li.groupBy(keys.map(col): _*).agg(count(lit(1)).as("m"))
             .agg(count(lit(1)).as("n_groups"),
@@ -6042,10 +6042,10 @@ object SqlQueries {
     // checks share no state so AQE runs them as independent stages.
     QueryDef("q_orphan_check",
       (s, d) => {
-        val li = s.read.parquet(s"$d/lineitem.parquet").select("l_orderkey")
-        val o = s.read.parquet(s"$d/orders.parquet")
+        val li = graft.sources.Tables.load(s, d, "lineitem").select("l_orderkey")
+        val o = graft.sources.Tables.load(s, d, "orders")
           .select("o_orderkey", "o_custkey")
-        val c = s.read.parquet(s"$d/customer.parquet").select("c_custkey")
+        val c = graft.sources.Tables.load(s, d, "customer").select("c_custkey")
         def check(name: String, probe: org.apache.spark.sql.DataFrame,
             build: org.apache.spark.sql.DataFrame,
             cond: org.apache.spark.sql.Column) =
@@ -6835,7 +6835,7 @@ object SqlQueries {
     // is IEEE exact-rounded, so the floor is engine-stable).
     QueryDef("q_item_cf_topk",
       (s, d) => {
-        val pp = s.read.parquet(s"$d/lineitem.parquet")
+        val pp = graft.sources.Tables.load(s, d, "lineitem")
           .select(col("l_orderkey"), col("l_partkey")).distinct()
         val deg = pp.groupBy(col("l_partkey").as("p"))
           .agg(count(lit(1)).as("deg"))
@@ -8768,12 +8768,12 @@ object SqlQueries {
     // lineitem collapses to per-order cents BEFORE meeting orders.
     QueryDef("q_total_reconcile",
       (s, d) => {
-        val li = s.read.parquet(s"$d/lineitem.parquet")
+        val li = graft.sources.Tables.load(s, d, "lineitem")
           .groupBy(col("l_orderkey"))
           .agg(sum(round(col("l_extendedprice") *
             (lit(1.0) - col("l_discount")) *
             (lit(1.0) + col("l_tax")) * 100).cast("long")).as("li_cents"))
-        val o = s.read.parquet(s"$d/orders.parquet")
+        val o = graft.sources.Tables.load(s, d, "orders")
           .select(col("o_orderkey"), col("o_orderstatus"),
             round(col("o_totalprice") * 100).cast("long").as("hdr_cents"))
         o.join(li, col("o_orderkey") === col("l_orderkey"), "left")
@@ -9501,7 +9501,7 @@ object SqlQueries {
     // decimals, one shuffle on the month grain.
     QueryDef("q_vwap_monthly",
       (s, d) => {
-        s.read.parquet(s"$d/lineitem.parquet")
+        graft.sources.Tables.load(s, d, "lineitem")
           .select(date_trunc("month", col("l_shipdate")).as("ship_month"),
             col("l_quantity").cast("decimal(12,2)").as("qty"),
             col("l_extendedprice").cast("decimal(12,2)").as("price"))
@@ -9529,7 +9529,7 @@ object SqlQueries {
     // aggregations, both with map-side partials.
     QueryDef("q_order_width_hist",
       (s, d) => {
-        s.read.parquet(s"$d/lineitem.parquet")
+        graft.sources.Tables.load(s, d, "lineitem")
           .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_lines"))
           .groupBy(col("n_lines")).agg(count(lit(1)).as("n_orders"))
           .orderBy(col("n_lines"))
@@ -9640,7 +9640,7 @@ object SqlQueries {
     // grades the panel.
     QueryDef("pipe_fleiss_kappa",
       (s, d) => {
-        val lab = s.read.parquet(s"$d/documents.parquet")
+        val lab = graft.sources.Tables.load(s, d, "documents")
           .select(
             when(col("n_chars") >= 250, 1L).otherwise(0L).as("a"),
             when(size(graft.ext.TextAnalysis.tokens(col("text"))) >= 60, 1L)
@@ -9771,9 +9771,9 @@ object SqlQueries {
         val ev = ck(graft.sources.Tables.events(s, d), "events",
           concat_ws("|", col("event_id"), unix_micros(col("ts")),
             col("user_id"), col("event_type")))
-        val ord = ck(s.read.parquet(s"$d/orders.parquet"), "orders",
+        val ord = ck(graft.sources.Tables.load(s, d, "orders"), "orders",
           concat_ws("|", col("o_orderkey"), col("o_custkey")))
-        val cust = ck(s.read.parquet(s"$d/customer.parquet"), "customer",
+        val cust = ck(graft.sources.Tables.load(s, d, "customer"), "customer",
           concat_ws("|", col("c_custkey"), col("c_nationkey")))
         ev.unionByName(ord).unionByName(cust).orderBy(col("table_name"))
       },
@@ -9943,7 +9943,7 @@ object SqlQueries {
     // value, not something private to the DSL path.
     QueryDef("q_sql_custom_funcs",
       (s, d) => {
-        s.read.parquet(s"$d/documents.parquet")
+        graft.sources.Tables.load(s, d, "documents")
           .createOrReplaceTempView("g_documents")
         s.sql("""
           SELECT doc_id, graft_bow_md5(text) AS bow_md5,
@@ -9968,8 +9968,8 @@ object SqlQueries {
     // query does). A user migrating SQL workloads runs this path.
     QueryDef("q_sql_text_api",
       (s, d) => {
-        s.read.parquet(s"$d/orders.parquet").createOrReplaceTempView("g_orders")
-        s.read.parquet(s"$d/customer.parquet").createOrReplaceTempView("g_customer")
+        graft.sources.Tables.load(s, d, "orders").createOrReplaceTempView("g_orders")
+        graft.sources.Tables.load(s, d, "customer").createOrReplaceTempView("g_customer")
         s.sql("""
           SELECT c.c_mktsegment AS segment,
                  count(*) AS n_orders,

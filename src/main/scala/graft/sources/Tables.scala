@@ -18,9 +18,21 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
+  /** Memoized like `events` below: the ANALYZED PLAN + file index are
+    * reused per (session, dir, table) — ~400 query bodies re-resolved
+    * the same nine read-only parquet tables, each paying DataSource
+    * resolution + a footer read for schema inference on every call
+    * (and again on every bench trial). Nothing is persisted: the scan
+    * itself still streams per query. Safe because the driver tables
+    * are immutable for the life of a session. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir)
-    else spark.read.parquet(s"$dir/$name.parquet")
+    else tableCache.getOrElseUpdate(
+      (System.identityHashCode(spark), dir, name),
+      spark.read.parquet(s"$dir/$name.parquet"))
+
+  private val tableCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
 
   /** Fold any on-disk `ts` encoding (raw int64 nanos, TIMESTAMP_NTZ,
     * TIMESTAMP) into us-precision TimestampType. */
