@@ -21,7 +21,7 @@ final case class QueryDef(
 
 object QueryDef {
   def tables(spark: SparkSession, sfDir: String, names: String*): Map[String, DataFrame] =
-    names.map(n => n -> spark.read.parquet(s"$sfDir/$n.parquet")).toMap
+    names.map(n => n -> graft.sources.Tables.load(spark, sfDir, n)).toMap
 
   /** Fan a (possibly single-file) scan out to the runtime's full width
     * before CPU-heavy per-row work (tokenize/explode/hash). The width

@@ -3365,6 +3365,9 @@ object R13Queries {
     // are quantized once to 9 dp before the 4-row weighted sum.
     QueryDef("q_cem_att",
       (s, d) => {
+        // the per-user digest feeds the quartile cuts AND the final
+        // stratified plan — persisted so events aggregates once, and
+        // released by QueryDef.digest once the 1-row result is in hand
         val pu0 = graft.sources.Tables.events(s, d)
           .groupBy(col("user_id"))
           .agg(count(lit(1)).as("n_ev"),
@@ -3372,6 +3375,7 @@ object R13Queries {
               .as("n_err"),
             sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
               .as("y"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val errTot = broadcast(pu0.agg(sum(col("n_err")).as("te"),
           count(lit(1)).as("tu")))
         val perUser = pu0.crossJoin(errTot)
@@ -3383,10 +3387,18 @@ object R13Queries {
           sum(col("c")).over(Window.orderBy(col("n_ev"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         val tot = broadcast(cell.agg(sum(col("c")).as("nu")))
-        def cut(k: Int) = cum.crossJoin(tot)
-          .filter(col("cumc") * 4 >= col("nu") * k)
-          .agg(min(col("n_ev"))).head().getLong(0)
-        val (c1, c2, c3) = (cut(1), cut(2), cut(3))
+        // all three quartile cuts in ONE action (was one .head() per
+        // cut, each re-running the events aggregation end to end)
+        val cutsRow = cum.crossJoin(tot)
+          .agg(
+            min(when(col("cumc") * 4 >= col("nu"), col("n_ev"))).as("c1"),
+            min(when(col("cumc") * 4 >= col("nu") * 2, col("n_ev")))
+              .as("c2"),
+            min(when(col("cumc") * 4 >= col("nu") * 3, col("n_ev")))
+              .as("c3"))
+          .head()
+        val (c1, c2, c3) =
+          (cutsRow.getLong(0), cutsRow.getLong(1), cutsRow.getLong(2))
         val strat = perUser.withColumn("stratum",
           when(col("n_ev") <= c1, 0).when(col("n_ev") <= c2, 1)
             .when(col("n_ev") <= c3, 2).otherwise(3))
@@ -3401,7 +3413,7 @@ object R13Queries {
           sum(col("s1")).as("st1"), sum(col("n0")).as("nt0"),
           sum(col("s0")).as("st0"),
           count(lit(1)).as("n_strata")))
-        byS.crossJoin(nt)
+        val att = byS.crossJoin(nt)
           .select(col("n_strata"), col("nt1"),
             round(dbl("n1") / dbl("nt1") *
               (dbl("s1") / dbl("n1") - dbl("s0") / dbl("n0")), 9)
@@ -3414,6 +3426,7 @@ object R13Queries {
             col("n_strata").as("n_matched_strata"),
             round(col("att").cast("double"), 6).as("att"),
             round(col("naive"), 6).as("naive_diff"))
+        QueryDef.digest(s, att, pu0)
       },
       Some("""WITH pu0 AS (SELECT count(*)::BIGINT AS n_ev,
              |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
