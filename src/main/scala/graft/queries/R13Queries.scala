@@ -1512,19 +1512,32 @@ object R13Queries {
       (s, d) => {
         // the ("", "") sentinel pair (brand values are "Brand#NN" —
         // never empty) contributes once per basket, so the basket
-        // count rides the SAME digest: one scan, one shuffle, one job
-        val digest = graft.sources.Tables.load(s, d, "lineitem")
-          .join(graft.sources.Tables.load(s, d, "part"),
+        // count rides the SAME shuffle. r16 shape: ONE explicit
+        // hash(oid) exchange serves the (oid, brand) dedup aggregate
+        // (ClusteredDistribution(oid, brand) is satisfied by
+        // hash(oid)), the co-partitioned self-join that produces all
+        // ordered brand pairs INCLUDING the (b, b) diagonal (those
+        // diagonal rows ARE the single-brand supports), and the
+        // basket count — the old per-basket collect_set array +
+        // all-pairs comprehension ran through ObjectHashAggregate
+        // (not codegen'd) and measured 1.50 vs 0.83 s in an
+        // interleaved 5-trial A/B at sf0.1/32c (same digest map,
+        // asserted equal). The ≤625-row pair digest still collapses
+        // map-side; rule arithmetic rides it on the driver.
+        val bl = graft.sources.Tables.load(s, d, "lineitem")
+          .join(broadcast(graft.sources.Tables.load(s, d, "part")
+            .select(col("p_partkey"), col("p_brand"))),
             col("l_partkey") === col("p_partkey"))
           .select(col("l_orderkey").as("oid"), col("p_brand").as("brand"))
-          .groupBy(col("oid")).agg(collect_set(col("brand")).as("arr"))
-          .select(explode(expr(
-            """concat(
-              |  flatten(transform(arr, x ->
-              |    transform(arr, y -> struct(x AS a, y AS b)))),
-              |  array(struct('' AS a, '' AS b)))""".stripMargin)).as("e"))
-          .groupBy(col("e.a").as("a"), col("e.b").as("b"))
-          .agg(count(lit(1)).as("c"))
+          .repartition(col("oid")).distinct()
+        val pairs = bl.select(col("oid"), col("brand").as("a"))
+          .join(bl.select(col("oid").as("oid2"), col("brand").as("b")),
+            col("oid") === col("oid2"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+        val baskets = bl.select(col("oid")).distinct()
+          .select(lit("").as("a"), lit("").as("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+        val digest = pairs.unionByName(baskets)
           .collect()
           .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
         // empty-input degenerate case: no baskets -> empty rule set
