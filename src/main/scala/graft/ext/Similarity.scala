@@ -506,7 +506,15 @@ object Similarity extends Serializable {
         col("query_id") === col("__dq") &&
           col("neighbor_id") === col("__did"), "left_anti")
     }
-    selected
+    // materialize the (queries × k)-sized result, then RELEASE the two
+    // stage caches that fed every unrolled selection round (r16
+    // honest-trial discipline: left persisted they leak MEMORY_AND_DISK
+    // blocks into the long-lived session AND cache-flatter the next
+    // bench trial, which would silently read this trial's
+    // InMemoryRelations instead of recomputing).
+    val out = selected.localCheckpoint()
+    cv.unpersist(); pair.unpersist()
+    out
   }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,

@@ -4193,12 +4193,22 @@ object ExtQueries {
     // in SQL to match Spark's `lit(1.0) - lit(0.7)` IEEE result.
     QueryDef("emb_mmr_rerank",
       (s, d) => {
-        val emb = graft.sources.Tables.load(s, d, "embeddings")
-        Similarity.mmrRerank(emb, emb.filter(col("vec_id") < 10),
-            k = 3, poolK = 10, lambda = 0.7)
-          .select(col("query_id"), col("mmr_rank"), col("neighbor_id"),
-            round(col("score"), 6).as("score"))
-          .orderBy(col("query_id"), col("mmr_rank"))
+        // r16: AQE OFF for the fixed-depth greedy unroll (restored in
+        // finally) — every table in the selection rounds is per-query-
+        // bounded (pool 10, pairwise 100 rows/query), so runtime
+        // re-planning buys nothing and its one-driver-job-per-exchange
+        // scheduling was the floor (33 jobs exclusive). mmrRerank now
+        // also materializes + releases its two stage caches.
+        val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        try {
+          val emb = graft.sources.Tables.load(s, d, "embeddings")
+          Similarity.mmrRerank(emb, emb.filter(col("vec_id") < 10),
+              k = 3, poolK = 10, lambda = 0.7)
+            .select(col("query_id"), col("mmr_rank"), col("neighbor_id"),
+              round(col("score"), 6).as("score"))
+            .orderBy(col("query_id"), col("mmr_rank"))
+        } finally s.conf.set("spark.sql.adaptive.enabled", aqeWas)
       },
       Some("""WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
              |q AS (SELECT vec_id, v FROM t WHERE vec_id < 10),

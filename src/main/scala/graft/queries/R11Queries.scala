@@ -838,6 +838,16 @@ object R11Queries {
     // on the vocabulary-sized digest.
     QueryDef("text_textrank_keywords",
       (s, d) => {
+        // r16: AQE OFF for the fixed-3-round kernel (restored in
+        // finally) — the iterations run on the vocabulary-sized edge
+        // digest where runtime re-planning buys nothing, and AQE's
+        // one-driver-job-per-exchange scheduling was the floor
+        // (25 jobs / 1.65 s exclusive median -> see commit). The one
+        // data-sized stage (the co-occurrence edge aggregate) reduces
+        // through the session's shuffle-partition conf as before.
+        val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        try {
         val tk = graft.sources.Tables.load(s, d, "documents")
           .select(graft.ext.TextAnalysis.tokens(col("text")).as("tk"))
           .filter(size(col("tk")) >= 2)
@@ -869,6 +879,7 @@ object R11Queries {
           .orderBy(col("sc").desc, col("word")).limit(20)
           .select(col("word"), col("sc").as("score_e6"))
           .orderBy(col("score_e6").desc, col("word")), eb)
+        } finally s.conf.set("spark.sql.adaptive.enabled", aqeWas)
       },
       Some("""WITH t AS (SELECT string_split(lower(text), ' ') AS tk
              |  FROM documents WHERE len(string_split(lower(text), ' ')) >= 2),

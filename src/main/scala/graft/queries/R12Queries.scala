@@ -1149,6 +1149,14 @@ object R12Queries {
     // pair, integer counts to one row.
     QueryDef("q_graph_reciprocity",
       (s, d) => {
+        // r16 A/B NOTE: the q_copurchase_edges shared-exchange trick
+        // (repartition(ok) so the dedup agg and both self-join sides
+        // ride one exchange) was tried here and measured NO win —
+        // same-window 5-trial medians 3.25 (shared-exchange) vs 3.01
+        // (this shape) on a contended window. Unlike copurchase's
+        // bare distinct(), this groupBy's partial min(l_shipdate)
+        // aggregation earns its own exchange map-side; shipping raw
+        // pre-agg rows through hash(ok) gives that benefit back.
         val dp = graft.sources.Tables.load(s, d, "lineitem")
           .groupBy(col("l_orderkey"), col("l_partkey"))
           .agg(min(col("l_shipdate")).as("sd"))
@@ -1614,6 +1622,19 @@ object R12Queries {
     // together at the origin.
     QueryDef("q_dbscan_grid",
       (s, d) => {
+        // r16: AQE OFF for the whole body (restored in finally). The
+        // connected-components loop runs over the CORE-CELL graph,
+        // whose size is bounded by the fixed quantization grid (≤
+        // 200×200 cells) at ANY data scale — so static planning is
+        // scale-correct here, and AQE's one-driver-job-per-exchange
+        // scheduling was the floor: 31 jobs / 1.66 s exclusive median
+        // -> see commit. The only data-sized stage (the cell-count
+        // aggregate) reduces to the bounded cell set through the
+        // session's shuffle-partition conf, exactly as it would with
+        // AQE coalescing.
+        val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        try {
         def fld(c: org.apache.spark.sql.Column) =
           ((c - pmod(c, lit(500L))) / 500L).cast("long")
         val pts = graft.sources.Tables.load(s, d, "embeddings")
@@ -1651,6 +1672,7 @@ object R12Queries {
             col("n_core_points"),
             (col("n_points") - col("n_core_points")).as("n_noise_points"),
             col("largest_cluster_points")), cells, cores, clus)
+        } finally s.conf.set("spark.sql.adaptive.enabled", aqeWas)
       },
       Some("""WITH RECURSIVE pts AS (SELECT vec_id,
              |    CAST(round(embedding[1]::DOUBLE * 1000) AS BIGINT) AS z0,

@@ -7937,33 +7937,50 @@ object SqlQueries {
     QueryDef("q_kcore3",
       (s, d) => {
         import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-        // persist + force each round and drop the previous one — the
-        // connectedComponents discipline: an unpersisted 5-round peel
-        // re-derives every prior round at each degree recount (the
-        // degree union reads e twice), and the lineage blow-up turns
-        // a sub-second graph into minutes
-        var e = s.read.parquet(copurchaseEdgesOf(s, d))
-          .select(col("p1"), col("p2")).persist(MEMORY_AND_DISK)
-        e.count()
-        for (_ <- 1 to 5) {
-          val deg = e.select(explode(array(col("p1"), col("p2")))
-            .as("node"))
+        // r16: the q_kcore_profile discipline applied back to the
+        // original peel — AQE OFF (a fixed-round kernel gains nothing
+        // from runtime re-planning, and AQE turned every exchange
+        // into its own driver job: 24 jobs for 5 rounds), rounds
+        // persist LAZILY (each e_r is referenced 3× by round r+1 —
+        // degree digest + both keep-join sides — but the
+        // InMemoryRelation shares one cached RDD, so the ONE eager
+        // action at the end computes every round's shuffle exactly
+        // once; the old per-round count() barriers were 6 extra
+        // full-DAG actions), and every persist registers for release
+        // in the finally. Exclusive 5-trial medians at sf0.1/32c:
+        // 2.35 s / 24 jobs -> see commit (same answer, both SFs).
+        val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        val live = scala.collection.mutable.ArrayBuffer.empty[
+          org.apache.spark.sql.DataFrame]
+        try {
+          var e = s.read.parquet(copurchaseEdgesOf(s, d))
+            .select(col("p1"), col("p2")).persist(MEMORY_AND_DISK)
+          live += e
+          for (_ <- 1 to 5) {
+            val deg = e.select(explode(array(col("p1"), col("p2")))
+              .as("node"))
+              .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+            val keep = deg.filter(col("deg") >= 3).select(col("node"))
+            e = e.join(keep.select(col("node").as("ka")),
+                col("p1") === col("ka")).drop("ka")
+              .join(keep.select(col("node").as("kb")),
+                col("p2") === col("kb")).drop("kb")
+              .persist(MEMORY_AND_DISK)
+            live += e
+          }
+          val res = e
+            .select(explode(array(col("p1"), col("p2"))).as("node"))
             .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-          val keep = deg.filter(col("deg") >= 3).select(col("node"))
-          val ne = e.join(keep.select(col("node").as("ka")),
-              col("p1") === col("ka")).drop("ka")
-            .join(keep.select(col("node").as("kb")),
-              col("p2") === col("kb")).drop("kb")
-            .persist(MEMORY_AND_DISK)
-          ne.count()
-          e.unpersist()
-          e = ne
+            .agg(count(lit(1)).as("core_nodes"),
+              (sum(col("deg")) / 2).cast("long").as("core_edges"),
+              min(col("deg")).as("min_core_degree"))
+          QueryDef.digest(s, res, live.toSeq: _*)
+        } finally {
+          s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+          live.foreach(df =>
+            try df.unpersist() catch { case _: Throwable => () })
         }
-        e.select(explode(array(col("p1"), col("p2"))).as("node"))
-          .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-          .agg(count(lit(1)).as("core_nodes"),
-            (sum(col("deg")) / 2).cast("long").as("core_edges"),
-            min(col("deg")).as("min_core_degree"))
       },
       Some("""WITH pp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
              |e0 AS MATERIALIZED (SELECT a.l_partkey AS p1, b.l_partkey AS p2
